@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for the graft engine.
+  *
+  * Defaults are tuned for the harness's local[32] single-JVM mode, but every
+  * knob is the one we'd set on a real 1000-executor cluster too:
+  *  - AQE on (runtime coalescing, skew-join splitting, runtime broadcast);
+  *  - shuffle partitions sized to cores locally (on a cluster this is
+  *    overridden by AQE's coalescing from an initial high value);
+  *  - UTC session time zone for oracle parity.
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .withExtensions(new graft.functions.GraftExtensions)
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.Functions.ensure(spark)
+    spark
+  }
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + Column-level API for graft's native Catalyst expressions.
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]] via `SparkSession.builder().withExtensions` (the
+  *    production path — survives into every derived session);
+  *  - [[Functions.ensure]] for sessions we didn't build (the driver hands us
+  *    its own `SparkSession` in `SparkEntry.queries`): idempotently registers
+  *    into the session's function registry.
+  */
+object Functions {
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cassandra_token" -> (es => CassandraToken(es.head)),
+    "murmur64"        -> (es => Murmur64(es(0), es(1))),
+    "cosine_sim"      -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product"     -> (es => DotProduct(es(0), es(1)))
+  )
+
+  def install(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CassandraToken].getName, name), b))
+    }
+
+  /** Idempotent in-session registration (for externally-built sessions). */
+  def ensure(spark: SparkSession): Unit = {
+    val registry =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  // Column-level helpers (work in any session where the fns are registered).
+  def cassandra_token(c: Column): Column = call_function("cassandra_token", c)
+  def murmur64(c: Column, seed: Column): Column = call_function("murmur64", c, seed)
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
+}
+
+/** `SparkSessionExtensions` hook: functions (and, in later rounds, rules). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = Functions.install(e)
+}

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** `cassandra_token(key)` — the reference partitioner's token of a single
+  * partition-key value (bigint/int/text/blob), bit-exact (see
+  * [[CassandraMurmur3]]; reference `dht/Murmur3Partitioner.java:214-247`).
+  *
+  * Native codegen expression (not a UDF) so token-range predicates stay
+  * inside whole-stage codegen — this is the hot path for emulating
+  * token-range scans over a 100 TB table.
+  */
+case class CassandraToken(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | BinaryType | _: StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cassandra_token requires bigint/int/text/binary input, got $t")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cassandra_token"
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case LongType    => CassandraMurmur3.tokenOfLong(v.asInstanceOf[Long])
+    case IntegerType => CassandraMurmur3.tokenOfInt(v.asInstanceOf[Int])
+    case _: StringType => CassandraMurmur3.tokenOfString(v.toString)
+    case BinaryType  => CassandraMurmur3.tokenOfBytes(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => child.dataType match {
+      case LongType      => s"graft.functions.CassandraMurmur3.tokenOfLong($c)"
+      case IntegerType   => s"graft.functions.CassandraMurmur3.tokenOfInt($c)"
+      case _: StringType => s"graft.functions.CassandraMurmur3.tokenOfString($c.toString())"
+      case BinaryType    => s"graft.functions.CassandraMurmur3.tokenOfBytes($c)"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CassandraToken =
+    copy(child = newChild)
+}
+
+/** `murmur64(str, seed)` — 64-bit murmur of a string with a seed; the base
+  * hash for MinHash signatures and SimHash bit voting. Codegen'd.
+  */
+case class Murmur64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"murmur64 requires (string, bigint), got ($l, $r)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "murmur64"
+
+  override def nullSafeEval(s: Any, seed: Any): Any =
+    CassandraMurmur3.hashString(s.toString, seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, seed) =>
+      s"graft.functions.CassandraMurmur3.hashString($s.toString(), $seed)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Murmur64 =
+    copy(left = l, right = r)
+}
+
+/** `cosine_sim(a, b)` — cosine similarity of two float-array embeddings,
+  * accumulated in double precision with a single sequential pass (ascending
+  * index order) so results are deterministic and reproducible across engines.
+  * Codegen'd; avoids the boxing that `functions.aggregate`/`zip_with` lambda
+  * pipelines pay per element.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires (array<float>, array<float>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    VectorMath.cosineF(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath.cosineF($a.toFloatArray(), $b.toFloatArray())")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** `dot_product(a, b)` — double-precision dot product of float arrays. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires (array<float>, array<float>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    VectorMath.dotF(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath.dotF($a.toFloatArray(), $b.toFloatArray())")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Tight-loop vector kernels shared by interpreted eval and codegen. */
+object VectorMath {
+  def dotF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def norm2F(a: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+}
