@@ -1,24 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON line to
+  * stdout. Each query is fully materialized via a noop write (so projection
+  * work isn't pruned away by a count-only plan).
+  */
 object Bench {
+
+  /** Headline subset: one representative per operator family. */
+  val headline: Seq[String] = Seq(
+    "q_group_pk_prefix",      // shuffle aggregation
+    "q_join_multiway",        // multiway join, broadcast dims
+    "q_per_partition_limit",  // rank window
+    "q_lww_compact",          // LWW compaction window
+    "q_orderby_limit",        // top-k
+    "q_dedup_exact",          // digest group-by
+    "q_dedup_minhash_lsh",    // MinHash+LSH dedup (sketch + bucket join)
+    "q_ann_topk",             // brute-force ANN baseline
+    "q_text_fingerprint",     // text canonicalization + digest
+    "q_json_extract")         // JSON path extraction
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.get("graft-bench")
+
+    // Warm the JVM/codegen once on the smallest sf so per-query numbers
+    // measure the plan, not first-use class loading.
+    SparkEntry.queries("q_group_pk_prefix")(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

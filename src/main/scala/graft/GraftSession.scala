@@ -27,6 +27,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent;
+      // read as long nanos (DuckDB oracles see the same instants in µs)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // CQL semantics: fixed-width integer arithmetic wraps on overflow
+      // (reference AggregateFcts.java sum(int) behavior; also required for
+      // the wrapping 64-bit double-hashing in MinHash signatures)
+      .config("spark.sql.ansi.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
 
   def get(appName: String = "graft"): SparkSession = {

@@ -1,0 +1,608 @@
+package graft
+
+import graft.functions.{Functions => F, Uda}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+/** The operator inventory (SURVEY §2) as named queries over the driver's
+  * parquet tables, each paired (where SQL-expressible) with a DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - money/value aggregates go through DECIMAL(18,2) (exact) and are cast
+  *    to DOUBLE at the end — identical bits in both engines;
+  *  - every LIMIT/top-k query carries a total-order tie-break;
+  *  - double ratios are computed with the same association order and
+  *    rounded to 6dp in both engines.
+  */
+object Queries {
+
+  final case class QueryDef(name: String, oracle: Option[String],
+                            impl: (SparkSession, String) => DataFrame)
+
+  private def prep(spark: SparkSession): Unit = {
+    F.ensure(spark); Uda.register(spark)
+  }
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumD(c: Column): Column = sum(dec2(c)).cast("double")
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── §2.1 sources/scans ──────────────────────────────────────────────
+    QueryDef("q_single_partition",
+      // SinglePartitionReadCommand: WHERE pk = ? in clustering order
+      // (SelectStatement.java:508-528)
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_linestatus
+              FROM lineitem WHERE l_orderkey = 7 ORDER BY l_linenumber"""),
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") === 7)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_linestatus")
+        .orderBy("l_linenumber")),
+
+    QueryDef("q_partition_in",
+      // multi-partition IN fan-out (StorageProxy.java:1692 concatenation)
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_orderkey IN (1,2,3,5,7) ORDER BY l_orderkey, l_linenumber"""),
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey").isin(1, 2, 3, 5, 7))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    QueryDef("q_clustering_slice",
+      // ClusteringIndexSliceFilter (db/filter/ClusteringIndexSliceFilter.java)
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_orderkey = 3 AND l_linenumber > 1 AND l_linenumber <= 5
+              ORDER BY l_linenumber"""),
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") === 3 && col("l_linenumber") > 1 && col("l_linenumber") <= 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_linenumber")),
+
+    QueryDef("q_clustering_names",
+      // ClusteringIndexNamesFilter: exact clustering rows
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_orderkey IN (1,2,3,5,7) AND l_linenumber IN (1,3)
+              ORDER BY l_orderkey, l_linenumber"""),
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey").isin(1, 2, 3, 5, 7) && col("l_linenumber").isin(1, 3))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    QueryDef("q_multicol_tuple",
+      // MultiColumnRelation lexicographic ranges, lowered to the DNF that
+      // pushes the leading column to parquet stats (cql3/MultiColumnRelation.java)
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+              WHERE ((l_orderkey > 5) OR (l_orderkey = 5 AND l_linenumber >= 2))
+                AND ((l_orderkey < 9) OR (l_orderkey = 9 AND l_linenumber < 3))
+              ORDER BY l_orderkey, l_linenumber"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val ck = Seq(col("l_orderkey"), col("l_linenumber"))
+        li.filter(CqlOps.tupleCompare(ck, Seq(lit(5), lit(2)), ">=") &&
+            CqlOps.tupleCompare(ck, Seq(lit(9), lit(3)), "<"))
+          .select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    QueryDef("q_token_range",
+      // token-range scan (TokenRelation; dht/Murmur3Partitioner.java) —
+      // no DuckDB oracle (murmur3 token not expressible there); covered by
+      // TokenSpec vectors instead.
+      None,
+      (s, d) => {
+        prep(s)
+        t(s, d, "orders").select(col("o_orderkey"),
+            F.cassandra_token(col("o_orderkey")).as("tok"))
+          .filter(col("tok") > lit(-4611686018427387904L) && col("tok") <= lit(0L))
+          .orderBy("tok", "o_orderkey")
+          .limit(100)
+      }),
+
+    QueryDef("q_distinct_partitions",
+      // SELECT DISTINCT pk (SelectStatement.java:598-608)
+      Some("SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey"),
+      (s, d) => CqlOps.distinctPartitions(t(s, d, "orders"), Seq("o_custkey"))
+        .orderBy("o_custkey")),
+
+    // ── §2.5/2.6 windows, limits, sorts ─────────────────────────────────
+    QueryDef("q_per_partition_limit",
+      // PER PARTITION LIMIT n (DataLimits.java:632-1041)
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, rn FROM (
+                SELECT l_orderkey, l_linenumber, l_quantity,
+                       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
+                FROM lineitem) t
+              WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber"""),
+      (s, d) => CqlOps.perPartitionLimit(t(s, d, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_linenumber").asc, col("l_quantity").asc), 2)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "rn")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    QueryDef("q_orderby_limit",
+      // top-k = ORDER BY + LIMIT (TakeOrderedAndProject)
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    QueryDef("q_static_first",
+      // static-column emulation: per-partition first_value attached to every
+      // row (SelectStatement.java:807-850)
+      Some("""SELECT o_orderkey, o_custkey, static_prio FROM (
+                SELECT o_orderkey, o_custkey,
+                       first_value(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS static_prio
+                FROM orders) t
+              ORDER BY o_orderkey LIMIT 500"""),
+      (s, d) => CqlOps.withStatic(t(s, d, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc),
+          col("o_orderpriority"), "static_prio")
+        .select("o_orderkey", "o_custkey", "static_prio")
+        .orderBy("o_orderkey")
+        .limit(500)),
+
+    QueryDef("q_window_running",
+      // running aggregate window (native surface)
+      Some("""SELECT user_id, event_id,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running
+              FROM events WHERE user_id < 10 ORDER BY user_id, event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        t(s, d, "events").filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"),
+            sum(dec2(col("value"))).over(w).cast("double").as("running"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    // ── §2.4 aggregation ────────────────────────────────────────────────
+    QueryDef("q_agg_global",
+      // aggregate-everything (AggregationSpecification.java:30-44)
+      Some("""SELECT count(*) AS cnt, count(l_returnflag) AS cnt_flag,
+                     CAST(min(l_quantity) AS DOUBLE) AS min_qty, CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+              FROM lineitem"""),
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"), count(col("l_returnflag")).as("cnt_flag"),
+        min(col("l_quantity")).cast("double").as("min_qty"),
+        max(col("l_quantity")).cast("double").as("max_qty"),
+        sumD(col("l_quantity")).as("sum_qty"),
+        min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"))),
+
+    QueryDef("q_group_pk_prefix",
+      // GROUP BY partition-key prefix (SelectStatement.java:1145-1191)
+      Some("""SELECT l_orderkey, count(*) AS cnt,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+              FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""),
+      (s, d) => t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(count(lit(1)).as("cnt"), sumD(col("l_quantity")).as("sum_qty"),
+          max(col("l_extendedprice")).cast("double").as("max_price"))
+        .orderBy("l_orderkey")),
+
+    QueryDef("q_group_mixed_first",
+      // CQL mixed aggregate + plain column = first row in clustering order
+      // (AggregationTest.java:182-198). The synthetic lineitem has duplicate
+      // (l_orderkey, l_linenumber) pairs, so "first" uses a deterministic
+      // total clustering order.
+      Some("""SELECT l_orderkey, first_flag, cnt FROM (
+                SELECT l_orderkey, l_returnflag AS first_flag,
+                       count(*) OVER (PARTITION BY l_orderkey) AS cnt,
+                       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_returnflag, l_partkey, l_suppkey, l_extendedprice) AS rn
+                FROM lineitem) t
+              WHERE rn = 1 ORDER BY l_orderkey"""),
+      (s, d) => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber"), col("l_returnflag"), col("l_partkey"),
+            col("l_suppkey"), col("l_extendedprice"))
+        t(s, d, "lineitem")
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_orderkey")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_orderkey"), col("l_returnflag").as("first_flag"), col("cnt"))
+          .orderBy("l_orderkey")
+      }),
+
+    QueryDef("q_agg_typed",
+      // CQL-typed sum/avg: sum(int)→int, avg(int) truncates
+      // (AggregateFcts.java:128-723)
+      Some("""SELECT l_returnflag, CAST(sum(l_linenumber) AS INTEGER) AS sum_ln,
+                     CAST(floor(sum(l_linenumber) * 1.0 / count(*)) AS INTEGER) AS avg_ln
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(sum(col("l_linenumber")).cast("int").as("sum_ln"),
+          floor(sum(col("l_linenumber")) * lit(1.0) / count(lit(1))).cast("int").as("avg_ln"))
+        .orderBy("l_returnflag")),
+
+    QueryDef("q_agg_countdistinct",
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps
+              FROM lineitem"""),
+      (s, d) => t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    QueryDef("q_group_having",
+      Some("""SELECT l_orderkey, count(*) AS cnt FROM lineitem
+              GROUP BY l_orderkey HAVING count(*) >= 5 ORDER BY l_orderkey"""),
+      (s, d) => t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+        .orderBy("l_orderkey")),
+
+    QueryDef("q_rollup",
+      // grouping-sets surface (native extension; CQL has none)
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*) AS cnt
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY flag, status"""),
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("cnt"))
+        .orderBy("flag", "status")),
+
+    QueryDef("q_uda_fold",
+      // UDA via typed Aggregator (UDAggregate.java fold semantics)
+      Some("""SELECT event_type, CAST(sum(k * k) AS BIGINT) AS sum_sq, count(*) AS n FROM (
+                SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+              GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => {
+        prep(s)
+        t(s, d, "events")
+          .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(call_function("uda_sum_sq", col("k")).as("sum_sq"), count(lit(1)).as("n"))
+          .orderBy("event_type")
+      }),
+
+    // ── §2.2 projection/filter/predicates ───────────────────────────────
+    QueryDef("q_select_arith",
+      // selection arithmetic (OperationFcts.java) with exact decimal math
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price,
+                     l_linenumber % 3 AS m3, -l_linenumber AS neg_ln
+              FROM lineitem WHERE l_orderkey = 7 ORDER BY l_linenumber"""),
+      (s, d) => t(s, d, "lineitem").filter(col("l_orderkey") === 7)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("disc_price"),
+          (col("l_linenumber") % 3).as("m3"),
+          (-col("l_linenumber")).as("neg_ln"))
+        .orderBy("l_linenumber")),
+
+    QueryDef("q_contains",
+      // CONTAINS on a collection column (RowFilter.java:625-680)
+      Some("""SELECT p_partkey, p_name FROM part
+              WHERE list_contains(string_split(p_name, ' '), 'widget') ORDER BY p_partkey"""),
+      (s, d) => t(s, d, "part")
+        .filter(array_contains(split(col("p_name"), " "), "widget"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
+    QueryDef("q_like",
+      // SASI LIKE prefix/suffix/contains (index/sasi/plan/Expression.java:50-160)
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+              WHERE p_type LIKE 'ECO%' OR p_type LIKE '%MO' OR p_name LIKE '%bolt%'
+              ORDER BY p_partkey"""),
+      (s, d) => t(s, d, "part")
+        .filter(col("p_type").like("ECO%") || col("p_type").like("%MO") ||
+          col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")),
+
+    QueryDef("q_json_extract",
+      // fromJson/toJson surface (cql3/Json.java) over the events props column
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+              ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") >= 95)
+        .orderBy("event_id")),
+
+    QueryDef("q_map_element",
+      // map element selection m['k'] (ElementsSelector.java) via from_json map
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+              FROM events WHERE event_type = 'click' AND user_id < 20 ORDER BY event_id"""),
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type") === "click" && col("user_id") < 20)
+        .select(col("event_id"),
+          element_at(from_json(col("props"), MapType(StringType, IntegerType)), "k").as("k_val"))
+        .orderBy("event_id")),
+
+    QueryDef("q_writetime",
+      // writetime(c) shadow column = mutation timestamp in µs
+      // (selection/WritetimeOrTTLSelector.java)
+      Some("""SELECT event_id, epoch_us(ts) AS writetime_v FROM events
+              WHERE user_id = 7 ORDER BY event_id"""),
+      (s, d) => t(s, d, "events").filter(col("user_id") === 7)
+        .select(col("event_id"), expr("ts div 1000").as("writetime_v"))
+        .orderBy("event_id")),
+
+    QueryDef("q_ttl_expiry",
+      // TTL semantics: rows expire at write-ts + ttl; remaining ttl in
+      // seconds (cql3/Attributes.java, LivenessInfo) — ttl=10d, now=2024-01-20
+      Some("""SELECT event_id, user_id,
+                     CAST(floor((epoch_us(ts) + 864000000000 - 1705708800000000) / 1000000.0) AS BIGINT) AS ttl_remaining_s
+              FROM events
+              WHERE epoch_us(ts) + 864000000000 > 1705708800000000 AND user_id < 10
+              ORDER BY event_id"""),
+      (s, d) => {
+        val rem = expr("ts div 1000") + lit(864000000000L) - lit(1705708800000000L)
+        t(s, d, "events")
+          .filter(rem > 0 && col("user_id") < 10)
+          .select(col("event_id"), col("user_id"),
+            floor(rem / lit(1000000.0)).cast("long").as("ttl_remaining_s"))
+          .orderBy("event_id")
+      }),
+
+    // ── LWW / mutation-log semantics (§1.1, §2.1 sinks) ────────────────
+    QueryDef("q_lww_compact",
+      // last-write-wins per row key (Cells.reconcile, db/rows/Cells.java:115)
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+                SELECT user_id, event_type, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t
+              WHERE rn = 1 ORDER BY user_id, event_type"""),
+      (s, d) => CqlOps.lwwLatest(t(s, d, "events"), Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")),
+
+    QueryDef("q_mutation_compact",
+      // LWW + tombstones: winning delete removes the row (DeletionTime)
+      Some("""SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, CAST(event_type = 'error' AS INTEGER) DESC, event_id DESC) AS rn
+                FROM events) t
+              WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""),
+      (s, d) => CqlOps.compactLog(t(s, d, "events"), Seq("user_id"), col("ts"),
+          Seq(col("event_id")), col("event_type") === "error")
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")),
+
+    QueryDef("q_counter_sum",
+      // counter reads = sum of deltas (CounterColumnType)
+      Some("""SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY user_id"""),
+      (s, d) => t(s, d, "events").filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sumD(col("value")).as("total"), count(lit(1)).as("n"))
+        .orderBy("user_id")),
+
+    QueryDef("q_mv_projection",
+      // materialized-view re-keyed projection (ViewUpdateGenerator); batch
+      // form — incremental maintenance lives in streaming/MutationStream
+      Some("""SELECT event_type, user_id, event_id, value FROM events
+              WHERE event_type IN ('click', 'purchase')
+              ORDER BY event_type, ts, event_id LIMIT 300"""),
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
+        .select("event_type", "user_id", "event_id", "value")
+        .limit(300)),
+
+    // ── §2.3 joins (native surface) ────────────────────────────────────
+    QueryDef("q_join_broadcast",
+      Some("""SELECT p_brand, count(*) AS cnt,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand ORDER BY p_brand"""),
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), sumD(col("l_quantity")).as("qty"))
+        .orderBy("p_brand")),
+
+    QueryDef("q_join_multiway",
+      // TPC-H Q5-shaped multiway join: dims broadcast, facts shuffle once
+      Some("""SELECT n_name,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                     count(*) AS n_rows
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+              GROUP BY n_name ORDER BY n_name"""),
+      (s, d) => {
+        val cust = t(s, d, "customer"); val ord = t(s, d, "orders")
+        val li = t(s, d, "lineitem"); val supp = t(s, d, "supplier")
+        val nat = t(s, d, "nation"); val reg = t(s, d, "region")
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" && col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("n_name")
+      }),
+
+    QueryDef("q_semi_join",
+      // secondary-index-style semi-join (CassandraIndexSearcher lowering)
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey"""),
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    QueryDef("q_anti_join",
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey"""),
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // ── §2.7 set ops (native surface) ──────────────────────────────────
+    QueryDef("q_union",
+      Some("""SELECT id FROM (SELECT o_custkey AS id FROM orders
+              UNION SELECT c_custkey AS id FROM customer) t ORDER BY id"""),
+      (s, d) => t(s, d, "orders").select(col("o_custkey").as("id"))
+        .union(t(s, d, "customer").select(col("c_custkey").as("id")))
+        .distinct()
+        .orderBy("id")),
+
+    // ── extensions: dedup ──────────────────────────────────────────────
+    QueryDef("q_dedup_exact",
+      Some("""SELECT md5(lower(text)) AS h, count(*) AS cnt, min(doc_id) AS canonical_id
+              FROM documents GROUP BY 1 ORDER BY h"""),
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy("h")),
+
+    QueryDef("q_dedup_ngram_jaccard", Some(jaccardOracle),
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.7)
+        .orderBy("a", "b")),
+
+    QueryDef("q_dedup_minhash_lsh",
+      // MinHash+LSH with exact verification: same contract as the exact
+      // n-gram query (recall at 32 bands × 4 rows is 1 - ~1e-15 at j>=0.9),
+      // but bucket-join scalable. Oracle: the exact all-pairs SQL.
+      Some(jaccardOracle),
+      (s, d) => {
+        prep(s)
+        Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 3, 0.7)
+          .orderBy("a", "b")
+      }),
+
+    QueryDef("q_dedup_simhash",
+      // SimHash trades recall for cost (hamming<=3 pigeonhole join) — not
+      // oracle-expressible; content checked in DedupSpec instead.
+      None,
+      (s, d) => {
+        prep(s)
+        Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3, 3, 0.7)
+          .orderBy("a", "b")
+      }),
+
+    QueryDef("q_dedup_embedding",
+      // embedding near-dup pairs at cosine>=0.9 (empty on this corpus — the
+      // pipeline still runs end-to-end; recall checked on planted vectors in
+      // SimilaritySpec)
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                           round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+                    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              SELECT a, b, sim FROM p WHERE sim >= 0.9 ORDER BY a, b"""),
+      (s, d) => {
+        prep(s)
+        Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), 0.9).orderBy("a", "b")
+      }),
+
+    // ── extensions: similarity search ──────────────────────────────────
+    QueryDef("q_ann_topk",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+              sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+                            round(list_dot_product(e.emb, qe) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(qe, qe))), 6) AS sim
+                     FROM e, q WHERE e.vec_id <> query_id),
+              r AS (SELECT query_id, neighbor_id, sim,
+                           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                    FROM sc)
+              SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 10
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 10)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
+    QueryDef("q_ann_lsh",
+      // LSH-bucketed ANN (scale path; approximate → rows-only check)
+      None,
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), 10)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
+    // ── extensions: text analysis ──────────────────────────────────────
+    QueryDef("q_text_stats",
+      Some("""SELECT doc_id,
+                     len(string_split(lower(text), ' ')) AS n_words,
+                     length(text) AS n_chars_m,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     round(least(1.0, len(string_split(lower(text), ' ')) * 1.0 / 100.0) * 0.4
+                           + (len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','to','a','in','is'], x))) * 1.0 / len(string_split(lower(text), ' '))) * 0.3
+                           + (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)) * 0.3, 6) AS quality
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          size(TextAnalysis.words(col("text"))).as("n_words"),
+          length(col("text")).as("n_chars_m"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    QueryDef("q_text_langid", Some(langIdOracle),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    QueryDef("q_text_fingerprint",
+      Some("""SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '))), ' ')) AS fp
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ── extensions: multimodal plumbing ────────────────────────────────
+    QueryDef("q_multimodal_features",
+      // binary payload column + deterministic stub features (decode stubbed;
+      // schema/batch plumbing real — see operators/Multimodal.scala)
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS sig,
+                     concat('img/', CAST(doc_id % 3 AS VARCHAR)) AS kind
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          length(encode(col("text"), "UTF-8").cast("binary")).as("n_bytes"),
+          md5(col("text")).as("sig"),
+          concat(lit("img/"), (col("doc_id") % 3).cast("string")).as("kind"))
+        .orderBy("doc_id"))
+  )
+
+  private lazy val jaccardOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))])) AS s FROM d),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |j AS (SELECT p.a, p.b, round(p.c * 1.0 / (sx.n + sy.n - p.c), 6) AS jaccard
+      |      FROM p JOIN sz sx ON p.a = sx.doc_id JOIN sz sy ON p.b = sy.doc_id)
+      |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin
+
+  private lazy val langIdOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |c AS (SELECT doc_id,
+      |  len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS c_en,
+      |  len(list_filter(w, x -> list_contains(['el','la','de','que','y','los'], x))) AS c_es,
+      |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS c_de,
+      |  len(list_filter(w, x -> list_contains(['le','les','et','des','une','est'], x))) AS c_fr,
+      |  len(list_filter(w, x -> list_contains(['的','是','了','在','我'], x))) AS c_zh
+      | FROM t)
+      |SELECT doc_id, CASE
+      |  WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+      |  WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+      |  WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de'
+      |  WHEN c_fr >= c_zh THEN 'fr'
+      |  ELSE 'zh' END AS lang_pred
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

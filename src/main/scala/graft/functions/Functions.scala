@@ -20,7 +20,8 @@ object Functions {
     "cassandra_token" -> (es => CassandraToken(es.head)),
     "murmur64"        -> (es => Murmur64(es(0), es(1))),
     "cosine_sim"      -> (es => CosineSimilarity(es(0), es(1))),
-    "dot_product"     -> (es => DotProduct(es(0), es(1)))
+    "dot_product"     -> (es => DotProduct(es(0), es(1))),
+    "lsh_code"        -> (es => LshCode(es(0), es(1), es(2)))
   )
 
   def install(e: SparkSessionExtensions): Unit =
@@ -44,6 +45,8 @@ object Functions {
   def murmur64(c: Column, seed: Column): Column = call_function("murmur64", c, seed)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  def lsh_code(e: Column, bits: Column, seed: Column): Column =
+    call_function("lsh_code", e, bits, seed)
 }
 
 /** `SparkSessionExtensions` hook: functions (and, in later rounds, rules). */

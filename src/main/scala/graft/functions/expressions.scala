@@ -139,6 +139,38 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Tight-loop vector kernels shared by interpreted eval and codegen. */
 object VectorMath {
+  /** splitmix64 — deterministic pseudo-random stream for LSH hyperplanes. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int), Array[Array[Double]]]()
+
+  private def planes(bits: Int, seed: Long, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, seed, dim), _ =>
+      Array.tabulate(bits, dim) { (b, d) =>
+        // uniform in [-1, 1) from the splitmix stream
+        splitmix64(seed * 0x100000001L + b.toLong * 65537L + d).toDouble / 9.223372036854776e18
+      })
+
+  def lshCode(emb: Array[Float], bits: Int, seed: Long): Long = {
+    val ps = planes(bits, seed, emb.length)
+    var code = 0L
+    var b = 0
+    while (b < bits) {
+      val p = ps(b)
+      var dot = 0.0
+      var d = 0
+      while (d < emb.length) { dot += p(d) * emb(d); d += 1 }
+      if (dot >= 0.0) code |= (1L << b)
+      b += 1
+    }
+    code
+  }
   def dotF(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var s = 0.0
@@ -164,4 +196,38 @@ object VectorMath {
     while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
     math.sqrt(s)
   }
+}
+
+/** `lsh_code(embedding, bits, seed)` — sign-random-projection (hyperplane)
+  * LSH code: bit b of the result is set iff the dot product of the embedding
+  * with pseudo-random hyperplane b (derived deterministically from the seed
+  * via a splitmix64 stream) is >= 0. Deterministic across runs and engines;
+  * codegen'd, with the plane matrix cached per (bits, seed, dim).
+  */
+case class LshCode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"lsh_code requires (array<float>, int, bigint), got ($a, $b, $c)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_code"
+
+  override def nullSafeEval(emb: Any, bits: Any, seed: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    VectorMath.lshCode(emb.asInstanceOf[ArrayData].toFloatArray(),
+      bits.asInstanceOf[Int], seed.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, b, s) =>
+      s"graft.functions.VectorMath.lshCode($e.toFloatArray(), $b, $s)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LshCode = copy(f, s, t)
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CQL SELECT semantics re-expressed as Spark relational operators.
+  *
+  * Everything here is declarative DataFrame code — Catalyst handles pushdown,
+  * pruning and codegen; nothing collects to the driver. Each helper cites the
+  * reference behavior it models (file:line under /root/reference).
+  */
+object CqlOps {
+
+  /** `PER PARTITION LIMIT n` (reference `db/filter/DataLimits.java:632-1041`):
+    * first `n` rows of each partition in clustering order. The only Spark
+    * construct with per-group early-out semantics is a rank window; at scale
+    * this is one shuffle on the partition key (same cost as the reference's
+    * per-partition iteration, which is free only because its storage is
+    * already partition-clustered — with a (pk,ck)-bucketed layout Spark
+    * elides the shuffle too).
+    */
+  def perPartitionLimit(df: DataFrame, pk: Seq[String], clusteringOrder: Seq[Column],
+                        n: Int, rowNumberCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(clusteringOrder: _*)
+    df.withColumn(rowNumberCol, row_number().over(w)).filter(col(rowNumberCol) <= n)
+  }
+
+  /** Last-write-wins reconciliation (reference `db/rows/Cells.java:115-160`):
+    * keep the newest version of each row key; on timestamp tie a tombstone
+    * beats a live cell, then higher value wins. `orderCols` must encode that
+    * total order descending. One hash-shuffle on the key; map-side nothing to
+    * combine (row_number), but AQE skew-split handles hot keys.
+    */
+  def lwwLatest(df: DataFrame, keys: Seq[String], orderDesc: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderDesc: _*)
+    df.withColumn("_lww_rn", row_number().over(w))
+      .filter(col("_lww_rn") === 1)
+      .drop("_lww_rn")
+  }
+
+  /** Mutation-log compaction: LWW + tombstone semantics. Rows whose winning
+    * version is a delete vanish (range/row tombstones,
+    * `db/DeletionTime.java`). `isDelete` marks tombstone records in the log.
+    */
+  def compactLog(log: DataFrame, keys: Seq[String], tsCol: Column,
+                 tieBreak: Seq[Column], isDelete: Column): DataFrame = {
+    val ord = (tsCol.desc +: isDelete.cast("int").desc +: tieBreak.map(_.desc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    log.withColumn("_is_del", isDelete)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_is_del"))
+      .drop("_rn", "_is_del")
+  }
+
+  /** Multi-column (tuple) relation on a clustering prefix
+    * (`cql3/MultiColumnRelation.java`): lexicographic `(c1,c2) op (v1,v2)`
+    * expanded to the boolean DNF Catalyst can push down per-column:
+    * `(c1 > v1) OR (c1 = v1 AND c2 > v2) ...`. The first disjunct's leading
+    * column range reaches the parquet min/max stats.
+    */
+  def tupleCompare(cols: Seq[Column], bounds: Seq[Column], op: String): Column = {
+    require(cols.length == bounds.length && cols.nonEmpty)
+    val strict = op == ">" || op == "<"
+    val gt = op.startsWith(">")
+    def cmp(c: Column, b: Column) = if (gt) c > b else c < b
+    val disjuncts = cols.indices.map { i =>
+      val eqPrefix = (0 until i).map(j => cols(j) === bounds(j))
+      val last =
+        if (i == cols.length - 1 && !strict) cmp(cols(i), bounds(i)) || cols(i) === bounds(i)
+        else cmp(cols(i), bounds(i))
+      (eqPrefix :+ last).reduce(_ && _)
+    }
+    disjuncts.reduce(_ || _)
+  }
+
+  /** `SELECT DISTINCT pk...` — distinct partitions
+    * (`SelectStatement.java:598-608`): pure hash-aggregate on the partition
+    * key; partial aggregation makes this map-side cheap.
+    */
+  def distinctPartitions(df: DataFrame, pk: Seq[String]): DataFrame =
+    df.select(pk.map(col): _*).distinct()
+
+  /** Static-column emulation (`SelectStatement.java:807-850`): one value per
+    * partition attached to every row — `first_value` over the partition
+    * window in clustering order.
+    */
+  def withStatic(df: DataFrame, pk: Seq[String], clusteringOrder: Seq[Column],
+                 staticOf: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(clusteringOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn(as, first(staticOf).over(w))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.functions.Functions.murmur64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for LLM-pipeline workloads.
+  *
+  * All operators are pure DataFrame pipelines — shuffles are on (shingle),
+  * (band, bucket) or (doc pair) keys only, never a full cross join, so each
+  * stage stays linear-ish in corpus size and survives a 100 TB corpus:
+  *
+  *  - exact:   one hash aggregate on a text digest.
+  *  - n-gram Jaccard: exploded distinct shingles, equi-join on shingle,
+  *    count/union arithmetic. Exact but with a join fan-out on hot shingles —
+  *    the scale path caps or prefers MinHash below.
+  *  - MinHash+LSH: constant-size signature per doc (2 murmur passes +
+  *    double-hashing), banded bucket join, then exact-Jaccard verification
+  *    ONLY on candidate pairs.
+  *  - SimHash: 64-bit signature via bit voting, pigeonhole chunk join
+  *    (hamming ≤ 3 ⇒ one of 4 16-bit chunks equal), verification pass.
+  */
+object Dedup {
+
+  /** Lowercased whitespace word split (shared with the DuckDB oracles). */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** k-word shingles, at least one shingle per doc (clamped slice). */
+  def shingles(text: Column, k: Int): Column = {
+    val w = words(text)
+    transform(
+      sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
+      i => array_join(slice(w, i, lit(k)), " "))
+  }
+
+  /** (doc_id, s) — one row per DISTINCT shingle of each document. */
+  def explodedShingles(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
+    docs.select(col(id).as("doc_id"),
+      explode(array_distinct(shingles(col(text), k))).as("s"))
+
+  /** Exact dedup: digest-group. Output one row per distinct digest with the
+    * canonical (minimum) doc id and the group size.
+    */
+  def exact(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(md5(lower(col(text))).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col(id)).as("canonical_id"))
+
+  /** Exact n-gram Jaccard similar pairs (jaccard >= threshold).
+    * Output: (a, b, jaccard rounded to 6dp), a < b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val sh = explodedShingles(docs, id, text, k)
+    jaccardOfPairs(sh, commonShinglePairs(sh), threshold)
+  }
+
+  /** All pairs sharing >= 1 shingle with their common-shingle count. */
+  private def commonShinglePairs(sh: DataFrame): DataFrame =
+    sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Exact jaccard for given pairs (a, b, c=common count), thresholded. */
+  private def jaccardOfPairs(sh: DataFrame, pairs: DataFrame,
+                             threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .select(col("a"), col("b"),
+        round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: perm_j(s) = h1(s) + j * h2(s) (double hashing over
+    * two 64-bit murmurs — 2 hash evaluations per shingle regardless of the
+    * number of permutations); signature column `m{j}` = min over shingles.
+    */
+  def minhashSignatures(sh: DataFrame, numPerms: Int): DataFrame = {
+    val withH = sh
+      .withColumn("h1", murmur64(col("s"), lit(1L)))
+      .withColumn("h2", murmur64(col("s"), lit(2L)))
+    val aggs = (0 until numPerms).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
+    withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded LSH buckets: (doc_id, band, bkey). bkey digests the band's rows
+    * so the bucket join key is constant-width however many rows per band.
+    */
+  def lshBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val rowCols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Candidate pairs from shared LSH buckets (distinct, a < b). */
+  def lshCandidates(buckets: DataFrame): DataFrame =
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+  /** Full MinHash+LSH dedup: candidates by banding, verified by exact
+    * Jaccard on candidate pairs only. Output identical in shape (and, when
+    * band/row parameters give ~1.0 recall at the threshold, in content) to
+    * [[ngramJaccardPairs]] — but the join is on constant-size band keys, not
+    * on raw shingles, so it scales to corpora where the shingle join would
+    * fan out.
+    */
+  def minhashLsh(docs: DataFrame, id: String, text: String, k: Int,
+                 threshold: Double, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val sh = explodedShingles(docs, id, text, k).cache()
+    val cands = lshCandidates(lshBuckets(minhashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand))
+    val common = sh.as("x")
+      .join(cands.as("p"), col("x.doc_id") === col("p.a"))
+      .join(sh.as("y"), col("y.doc_id") === col("p.b") && col("y.s") === col("x.s"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    jaccardOfPairs(sh, common, threshold)
+  }
+
+  /** 64-bit SimHash from per-shingle murmurs: bit j of the signature is set
+    * iff the sum of ±1 votes of that bit across shingles is >= 0.
+    */
+  def simhashSignatures(sh: DataFrame): DataFrame = {
+    val h = murmur64(col("s"), lit(0x51c0L))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("hh").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"v$j")
+    }
+    val voted = sh.withColumn("hh", h).groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: pigeonhole candidate join (any of four 16-bit
+    * chunks equal ⇒ covers all pairs with hamming distance <= 3), hamming
+    * filter, then exact-Jaccard verification like the other paths.
+    */
+  def simhashPairs(docs: DataFrame, id: String, text: String, k: Int,
+                   maxHamming: Int, threshold: Double): DataFrame = {
+    val sh = explodedShingles(docs, id, text, k).cache()
+    val sig = simhashSignatures(sh)
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("ci"), shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xffffL)).as("cv"))
+    }
+    val chunked = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    val cands = chunked.as("x").join(chunked.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val common = sh.as("x")
+      .join(cands.as("p"), col("x.doc_id") === col("p.a"))
+      .join(sh.as("y"), col("y.doc_id") === col("p.b") && col("y.s") === col("x.s"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    jaccardOfPairs(sh, common, threshold)
+  }
+}

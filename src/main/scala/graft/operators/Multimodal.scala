@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns next to typed metadata, and per-item decode /
+  * feature-extract / resize / frame-sample run as partition-local batch
+  * transforms.
+  *
+  * The actual codec calls are STUBBED (this container has no image/audio
+  * libraries): [[FakeCodec]] derives deterministic pseudo-features from the
+  * payload digest. Everything around the stub — schema, encoders, batch
+  * shape, partition sizing — is real: swap [[FakeCodec]] for a JNI/FFM codec
+  * and the pipeline is production-shaped. At 100 TB the payloads stay
+  * columnar in parquet (no driver round-trip) and the transform is
+  * `mapPartitions`, so one task decodes a whole row-group batch.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + metadata. */
+  case class MediaItem(media_id: Long, kind: String, payload: Array[Byte],
+                       width: Int, height: Int, frames: Int, sample_rate: Int)
+
+  /** Extracted feature row. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           sig: String, feature: Array[Float])
+
+  /** STUB codec — deterministic fake decode so tests are reproducible.
+    * A real deployment replaces `decode` with the actual library call;
+    * the signature (bytes in, fixed-width feature vector out) is the
+    * integration contract.
+    */
+  object FakeCodec {
+    val featureDim = 8
+
+    def decode(payload: Array[Byte]): Array[Float] = {
+      // pseudo-features from the murmur of the payload — stable stand-in
+      // for "decode then embed"
+      val h = graft.functions.CassandraMurmur3.tokenOfBytes(payload)
+      Array.tabulate(featureDim)(i => (((h >>> (i * 8)) & 0xff).toInt - 128) / 128.0f)
+    }
+
+    def signature(payload: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map("%02x".format(_)).mkString
+  }
+
+  /** Build a media table from the documents fixture (payload = UTF-8 bytes
+    * of the text; real pipelines read image/audio files the same way:
+    * `binaryFile` source → binary column + metadata).
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        concat(lit("img/"), (col("doc_id") % 3).cast("string")).as("kind"),
+        encode(col("text"), "UTF-8").cast("binary").as("payload"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (col("doc_id") % 30 + 1).cast("int").as("frames"),
+        lit(16000).as("sample_rate"))
+      .as[MediaItem]
+  }
+
+  /** Partition-local batch feature extraction (the `mapPartitions` shape a
+    * real decoder needs — amortizes codec init per partition, not per row).
+    */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.payload.length,
+          FakeCodec.signature(m.payload), FakeCodec.decode(m.payload))
+      }
+    }
+  }
+
+  /** Frame sampling plumbing: every `stride`-th frame index of each video,
+    * exploded to one row per sampled frame (a real impl slices the payload;
+    * the index arithmetic and fan-out shape are what matters at scale).
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("media_id"), col("frames"),
+        explode(sequence(lit(0), col("frames") - 1, lit(stride))).as("frame_idx"))
+      .withColumn("frame_key", concat_ws(":", col("media_id"), col("frame_idx")))
+}

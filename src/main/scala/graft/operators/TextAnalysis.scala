@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. Every function
+  * is a pure codegen'd Column expression (no UDFs) so the whole pipeline
+  * stays inside one WholeStageCodegen span over the corpus scan.
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** Whitespace token count (regex split, robust to repeated whitespace). */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** Count of BPE-ish sub-tokens: runs of letters, runs of digits, or single
+    * punctuation — a cheap deterministic proxy for a real tokenizer's token
+    * count (the actual BPE merge table would be a broadcast lookup).
+    */
+  def subTokenCount(text: Column): Column =
+    size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"), w => w =!= "" && w =!= " "))
+
+  /** Stopword lists for the n-gram language-ID heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Number of words of `text` appearing in `list`. */
+  def stopwordCount(text: Column, list: Seq[String]): Column = {
+    val lits = array(list.map(lit): _*)
+    size(filter(words(text), w => array_contains(lits, w)))
+  }
+
+  /** Language-ID: argmax of per-language stopword counts, deterministic
+    * first-wins tie-break in declaration order (en, es, de, fr, zh).
+    */
+  def langId(text: Column): Column = {
+    val counts = stopwords.map { case (lang, list) => lang -> stopwordCount(text, list) }
+    val branches = counts.zipWithIndex.dropRight(1).map { case ((lang, c), i) =>
+      val later = counts.drop(i + 1).map(_._2)
+      (later.map(o => c >= o).reduce(_ && _), lang)
+    }
+    branches.foldRight(lit(counts.last._1): Column) {
+      case ((cond, lang), els) => when(cond, lang).otherwise(els)
+    }
+  }
+
+  /** Quality score in [0,1]: length component (saturating at 100 words),
+    * English-stopword-ratio component, and an all-alnum cleanliness
+    * component. Deterministic double arithmetic, rounded to 6dp.
+    */
+  def qualityScore(text: Column): Column = {
+    val nWords = size(words(text))
+    val stopRatio = stopwordCount(text, stopwords.head._2) * lit(1.0) / nWords
+    val lenComponent = least(lit(1.0), nWords * lit(1.0) / lit(100.0))
+    val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+    val cleanComponent = lit(1.0) - punct * lit(1.0) / length(text)
+    round(lenComponent * 0.4 + stopRatio * 0.3 + cleanComponent * 0.3, 6)
+  }
+
+  /** Canonical-form fingerprint: lowercase, strip non-alphanumerics, split,
+    * dedupe, sort, re-join, digest — near-identical editorial variants of a
+    * document collapse to one fingerprint (key for a dedup group-by).
+    */
+  def fingerprint(text: Column): Column = {
+    val canon = regexp_replace(lower(text), "[^a-z0-9 ]", "")
+    md5(concat_ws(" ", array_sort(array_distinct(split(canon, " ")))))
+  }
+
+  /** Rolling polynomial hash of the word sequence (order-sensitive, unlike
+    * [[fingerprint]]): fold h = h*31 + murmur(word) in 64-bit space.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => acc * lit(31L) + graft.functions.Functions.murmur64(w, lit(5L)))
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.operators.CqlOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface: the reference's streaming-adjacent features
+  * (SURVEY §2.10) re-expressed on Spark.
+  *
+  *  - CDC (`db/commitlog/CommitLogSegmentManagerCDC.java`): the mutation log
+  *    IS a stream — `readStream` over the append-only event/mutation parquet.
+  *  - Materialized views (`db/view/ViewUpdateGenerator.java`): incremental
+  *    LWW upsert of a re-keyed projection via `foreachBatch`.
+  *  - Windowed aggregation with watermarks: the Spark-native extension
+  *    surface (tumbling windows over event time).
+  */
+object MutationStream {
+
+  // ts arrives as long nanos (see GraftSession nanosAsLong); a derived
+  // event-time timestamp column `ts_ts` is added for watermarks/windows.
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** CDC source: stream of mutations from the append-only log directory. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window per-type counts with a watermark (late data dropped
+    * after 10 minutes of event time).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** Materialized-view maintenance: each micro-batch is LWW-compacted
+    * (newest mutation per key wins, deletes drop the row) and upserted into
+    * the view store. `upsert` receives (batchDf, batchId) — production sinks
+    * MERGE into the view table; tests collect into memory.
+    */
+  def maintainView(events: DataFrame, keys: Seq[String],
+                   upsert: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val compacted = CqlOps.compactLog(
+          batch.toDF(), keys, col("ts"), Seq(col("event_id")),
+          col("event_type") === "error")
+        upsert(compacted, id)
+      }
+
+  /** Streaming LWW dedup of the mutation stream itself: latest record per
+    * (user_id, event_type) within the watermark, via dropDuplicates on the
+    * stream (state bounded by the watermark).
+    */
+  def lwwStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+}
