@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "a b c"), (2L, "A B C"), (3L, "x y z")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text").collect()
+    assert(got.length === 2)
+    val dupGroup = got.find(_.getLong(1) == 2L).get
+    assert(dupGroup.getLong(2) === 1L) // canonical = min doc_id
+  }
+
+  test("ngram jaccard finds planted near-duplicates and only them") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty, "corpus should contain planted near-dups")
+    // every reported pair really has jaccard >= 0.7 (self-check on a sample)
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    def sh(t: String) = {
+      val w = t.toLowerCase.split(" ")
+      (if (w.length < 3) Array(w.mkString(" "))
+       else w.sliding(3).map(_.mkString(" ")).toArray).toSet
+    }
+    pairs.take(10).foreach { case (a, b) =>
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j >= 0.7 - 1e-9, s"pair ($a,$b) jaccard $j")
+    }
+  }
+
+  test("minhash LSH reproduces the exact jaccard pair set at threshold 0.7") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 0.7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash finds the tight near-duplicates (hamming <= 3 subset)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", 3, 3, 0.7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(sim.subsetOf(exact), "simhash pairs must be verified true pairs")
+    assert(sim.nonEmpty, "simhash should catch the tightest dups")
+  }
+
+  test("shingles clamp short documents to one shingle") {
+    val df = Seq((1L, "only two")).toDF("doc_id", "text")
+    val s = df.select(Dedup.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(s === Seq("only two"))
+  }
+}

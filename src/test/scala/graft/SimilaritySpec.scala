@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.VectorMath
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine kernel: orthogonal, identical, opposite") {
+    assert(VectorMath.cosineF(Array(1f, 0f), Array(0f, 1f)) === 0.0)
+    assert(math.abs(VectorMath.cosineF(Array(1f, 2f), Array(2f, 4f)) - 1.0) < 1e-12)
+    assert(math.abs(VectorMath.cosineF(Array(1f, 0f), Array(-1f, 0f)) + 1.0) < 1e-12)
+    assert(VectorMath.cosineF(Array(0f, 0f), Array(1f, 1f)) === 0.0)
+  }
+
+  test("brute-force top-k ranks by similarity with id tie-break") {
+    val emb = Tables.embeddings(spark, sf)
+    val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), 5)
+      .select("query_id", "neighbor_id", "sim", "rnk").collect()
+    assert(res.length === 10) // 2 queries x 5
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "descending sim")
+      assert(!rows.exists(r => r.getLong(1) == r.getLong(0)), "self excluded")
+    }
+  }
+
+  test("LSH near-dup pairs find planted duplicate vectors") {
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
+    val far = Array.tabulate(64)(i => math.cos(i * 3.1 + 1).toFloat)
+    val df = Seq((1L, base.toSeq), (2L, nearDup.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<float>").as("embedding"))
+    val pairs = Similarity.embeddingNearDupPairs(df, 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("LSH top-k recall vs brute force is high on the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // random-ish corpus → moderate recall is expected and fine; the point
+    // is the pipeline shape (codes, chunk join, re-score) and determinism
+    assert(recall > 0.2, s"LSH recall $recall")
+    val again = Similarity.lshTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx === again, "deterministic across runs")
+  }
+
+  test("lsh_code is deterministic and sensitive to seed") {
+    val emb = Tables.embeddings(spark, sf).limit(8)
+    val a = Similarity.withLshCode(emb, 32, 7L).select("lsh_code").as[Long].collect()
+    val b = Similarity.withLshCode(emb, 32, 7L).select("lsh_code").as[Long].collect()
+    val c = Similarity.withLshCode(emb, 32, 8L).select("lsh_code").as[Long].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSeq !== c.toSeq)
+  }
+}
