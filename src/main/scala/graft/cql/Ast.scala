@@ -1,0 +1,86 @@
+package graft.cql
+
+/** AST for the CQL subset (reference grammar `src/antlr/Parser.g:207-249`;
+  * semantics cited per-node). Hand-rolled parser in [[CqlParser]] — the
+  * statement surface is small enough that a recursive-descent parser stays
+  * readable and dependency-free.
+  */
+object Ast {
+
+  sealed trait CqlType { def name: String }
+  case object CqlInt extends CqlType { val name = "int" }
+  case object CqlBigint extends CqlType { val name = "bigint" }
+  case object CqlText extends CqlType { val name = "text" }
+  case object CqlDouble extends CqlType { val name = "double" }
+  case object CqlFloat extends CqlType { val name = "float" }
+  case object CqlBoolean extends CqlType { val name = "boolean" }
+
+  sealed trait ColumnKind
+  case object PartitionKey extends ColumnKind
+  case object Clustering extends ColumnKind
+  case object Static extends ColumnKind
+  case object Regular extends ColumnKind
+
+  final case class ColumnDef(name: String, tpe: CqlType, kind: ColumnKind)
+
+  /** Table metadata (reference `schema/TableMetadata.java`): partition key
+    * columns, clustering columns with per-column reversal, statics, regulars.
+    */
+  final case class TableDef(name: String, columns: Seq[ColumnDef],
+                            clusteringDesc: Seq[Boolean]) {
+    val partitionKey: Seq[ColumnDef] = columns.filter(_.kind == PartitionKey)
+    val clustering: Seq[ColumnDef] = columns.filter(_.kind == Clustering)
+    val statics: Seq[ColumnDef] = columns.filter(_.kind == Static)
+    val regulars: Seq[ColumnDef] = columns.filter(_.kind == Regular)
+    val primaryKey: Seq[ColumnDef] = partitionKey ++ clustering
+    def column(n: String): Option[ColumnDef] = columns.find(_.name == n)
+  }
+
+  sealed trait Literal { def value: Any }
+  final case class IntLit(value: Long) extends Literal
+  final case class DoubleLit(value: Double) extends Literal
+  final case class StringLit(value: String) extends Literal
+  final case class BoolLit(value: Boolean) extends Literal
+  case object NullLit extends Literal { val value: Any = null }
+
+  sealed trait Relation
+  /** col op literal; op in = < <= > >= != */
+  final case class Rel(column: String, op: String, value: Literal) extends Relation
+  final case class In(column: String, values: Seq[Literal]) extends Relation
+  /** token(pk...) op literal (cql3/TokenRelation.java) */
+  final case class TokenRel(columns: Seq[String], op: String, value: Literal) extends Relation
+
+  sealed trait Selector
+  case object Star extends Selector
+  final case class ColSel(name: String, alias: Option[String]) extends Selector
+  /** count/sum/avg/min/max/writetime/ttl/token(col) */
+  final case class FnSel(fn: String, arg: String, alias: Option[String]) extends Selector
+  final case class CountStar(alias: Option[String]) extends Selector
+
+  sealed trait Statement
+  final case class CreateTable(table: TableDef, ifNotExists: Boolean) extends Statement
+  final case class DropTable(name: String) extends Statement
+  final case class Truncate(name: String) extends Statement
+
+  /** INSERT: full-row upsert, sets primary-key liveness
+    * (`cql3/statements/UpdateStatement.java`; INSERT-vs-UPDATE liveness
+    * distinction per `db/LivenessInfo.java`).
+    */
+  final case class Insert(table: String, columns: Seq[String], values: Seq[Literal],
+                          ttl: Option[Long], timestamp: Option[Long]) extends Statement
+
+  /** UPDATE: per-cell upsert, NO row liveness. */
+  final case class Update(table: String, assignments: Seq[(String, Literal)],
+                          where: Seq[Relation], ttl: Option[Long],
+                          timestamp: Option[Long]) extends Statement
+
+  /** DELETE: row tombstone (no columns) or cell tombstones (with columns). */
+  final case class Delete(table: String, columns: Seq[String], where: Seq[Relation],
+                          timestamp: Option[Long]) extends Statement
+
+  final case class Select(table: String, selectors: Seq[Selector], distinct: Boolean,
+                          where: Seq[Relation], groupBy: Seq[String],
+                          orderBy: Seq[(String, Boolean)], // (col, desc?)
+                          perPartitionLimit: Option[Long], limit: Option[Long],
+                          allowFiltering: Boolean, json: Boolean) extends Statement
+}

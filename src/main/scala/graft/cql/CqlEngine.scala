@@ -1,0 +1,544 @@
+package graft.cql
+
+import graft.cql.Ast._
+import graft.functions.{Functions => F}
+import graft.operators.CqlOps
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CQL-compat execution engine: statement → validated plan → DataFrame.
+  *
+  * Write path: every INSERT/UPDATE/DELETE appends one mutation record to the
+  * table's append-only log (here an in-memory buffer; at scale the identical
+  * record shape lands in parquet log segments — see streaming/MutationStream
+  * for the CDC view). NO read-before-write, matching the reference
+  * (`cql3/statements/ModificationStatement.java:445-478`).
+  *
+  * Read path: the log is reconciled per CELL at query time exactly as
+  * `Cells.reconcile` (`db/rows/Cells.java:115-160`) merges memtable/sstable
+  * versions: highest timestamp wins, on a tie a tombstone beats a live cell,
+  * then the higher value wins. Row/partition tombstones shadow cells with
+  * ts <= deletion ts (`db/DeletionTime.java`); INSERT grants primary-key
+  * liveness while UPDATE does not (`db/LivenessInfo.java`), so an UPDATE'd
+  * row with all cells deleted vanishes while an INSERT'd one survives; TTL'd
+  * cells turn into tombstones at expiry (`cql3/Attributes.java`).
+  * One hash aggregation per read (plus one for statics) — on a cluster this
+  * is the LWW compaction job shape, bucketable by token(pk).
+  */
+class CqlEngine(val spark: SparkSession) {
+
+  F.ensure(spark)
+
+  final case class InvalidRequest(msg: String) extends RuntimeException(msg)
+
+  // ── catalog (≈ system_schema) ─────────────────────────────────────────
+  private val tables = scala.collection.mutable.LinkedHashMap.empty[String, TableDef]
+  private val logs = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Row]]
+
+  /** Monotonic client-timestamp micros (QueryOptions default behavior). */
+  private var tsCounter: Long = 1000L
+  private def nextTs(): Long = { tsCounter += 1; tsCounter }
+
+  /** "now" for TTL expiry — settable for tests. */
+  var nowMicros: Long = 0L
+
+  def sparkType(t: CqlType): DataType = t match {
+    case CqlInt => IntegerType
+    case CqlBigint => LongType
+    case CqlText => StringType
+    case CqlDouble => DoubleType
+    case CqlFloat => FloatType
+    case CqlBoolean => BooleanType
+  }
+
+  private def logSchema(td: TableDef): StructType = {
+    val keys = td.primaryKey.map(c => StructField(c.name, sparkType(c.tpe)))
+    val cells = (td.statics ++ td.regulars).flatMap { c =>
+      Seq(StructField(c.name, sparkType(c.tpe)),
+        StructField(c.name + "__set", BooleanType, nullable = false))
+    }
+    StructType(keys ++ cells ++ Seq(
+      StructField("_op", StringType, nullable = false),
+      StructField("_ts", LongType, nullable = false),
+      StructField("_ttl", LongType, nullable = false)))
+  }
+
+  def table(name: String): TableDef =
+    tables.getOrElse(name, throw InvalidRequest(s"unconfigured table $name"))
+
+  // ── statement execution ───────────────────────────────────────────────
+  def execute(cql: String): DataFrame = run(CqlParser.parse(cql))
+
+  def run(stmt: Statement): DataFrame = stmt match {
+    case CreateTable(td, ifNotExists) =>
+      if (tables.contains(td.name)) {
+        if (!ifNotExists) throw InvalidRequest(s"Table ${td.name} already exists")
+      } else {
+        tables(td.name) = td
+        logs(td.name) = scala.collection.mutable.ArrayBuffer.empty[Row]
+      }
+      emptyResult
+    case DropTable(n) =>
+      tables.remove(n); logs.remove(n); emptyResult
+    case Truncate(n) =>
+      table(n); logs(n).clear(); emptyResult
+    case i: Insert => executeInsert(i); emptyResult
+    case u: Update => executeUpdate(u); emptyResult
+    case dl: Delete => executeDelete(dl); emptyResult
+    case s: Select => executeSelect(s)
+  }
+
+  private def emptyResult: DataFrame = spark.emptyDataFrame
+
+  private def coerce(lit: Literal, tpe: CqlType, col: String): Any = (lit, tpe) match {
+    case (NullLit, _) => null
+    case (IntLit(v), CqlInt) => v.toInt
+    case (IntLit(v), CqlBigint) => v
+    case (IntLit(v), CqlDouble) => v.toDouble
+    case (IntLit(v), CqlFloat) => v.toFloat
+    case (DoubleLit(v), CqlDouble) => v
+    case (DoubleLit(v), CqlFloat) => v.toFloat
+    case (StringLit(v), CqlText) => v
+    case (BoolLit(v), CqlBoolean) => v
+    case (l, t) => throw InvalidRequest(s"Invalid ${l.value} for column $col of type ${t.name}")
+  }
+
+  private def mutationRow(td: TableDef, keyVals: Map[String, Any],
+                          cellVals: Map[String, Any], setCols: Set[String],
+                          op: String, ts: Long, ttl: Long): Row = {
+    val keyPart = td.primaryKey.map(c => keyVals.getOrElse(c.name, null))
+    val cellPart = (td.statics ++ td.regulars).flatMap { c =>
+      Seq(cellVals.getOrElse(c.name, null), setCols.contains(c.name))
+    }
+    Row.fromSeq(keyPart ++ cellPart ++ Seq(op, ts, ttl))
+  }
+
+  private def executeInsert(i: Insert): Unit = {
+    val td = table(i.table)
+    val pairs = i.columns.zip(i.values)
+    pairs.foreach { case (c, _) =>
+      if (td.column(c).isEmpty) throw InvalidRequest(s"Undefined column name $c")
+    }
+    val vals = pairs.map { case (c, l) => c -> coerce(l, td.column(c).get.tpe, c) }.toMap
+    td.partitionKey.foreach { c =>
+      if (!vals.contains(c.name) || vals(c.name) == null)
+        throw InvalidRequest(s"Some partition key parts are missing: ${c.name}")
+    }
+    val setCells = (td.statics ++ td.regulars).map(_.name).filter(vals.contains).toSet
+    logs(i.table) += mutationRow(td, vals, vals, setCells, "insert",
+      i.timestamp.getOrElse(nextTs()), i.ttl.getOrElse(0L))
+  }
+
+  /** WHERE of a mutation must bind the full primary key with EQ. */
+  private def mutationKeys(td: TableDef, where: Seq[Relation],
+                           requireCk: Boolean): (Map[String, Any], Boolean) = {
+    val eqs = where.map {
+      case Rel(c, "=", v) =>
+        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        if (cd.kind != PartitionKey && cd.kind != Clustering)
+          throw InvalidRequest(s"Non PRIMARY KEY columns found in where clause: $c")
+        c -> coerce(v, cd.tpe, c)
+      case other => throw InvalidRequest(s"Invalid restriction in DML WHERE: $other")
+    }.toMap
+    td.partitionKey.foreach { c =>
+      if (!eqs.contains(c.name))
+        throw InvalidRequest(s"Some partition key parts are missing: ${c.name}")
+    }
+    val fullCk = td.clustering.forall(c => eqs.contains(c.name))
+    if (requireCk && !fullCk)
+      throw InvalidRequest("Some clustering keys are missing")
+    (eqs, fullCk)
+  }
+
+  private def executeUpdate(u: Update): Unit = {
+    val td = table(u.table)
+    val hasRegular = u.assignments.exists { case (c, _) =>
+      td.column(c).exists(_.kind == Regular)
+    }
+    val (keys, _) = mutationKeys(td, u.where, requireCk = hasRegular && td.clustering.nonEmpty)
+    val vals = u.assignments.map { case (c, l) =>
+      val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+      if (cd.kind == PartitionKey || cd.kind == Clustering)
+        throw InvalidRequest(s"PRIMARY KEY part $c found in SET part")
+      c -> coerce(l, cd.tpe, c)
+    }.toMap
+    logs(u.table) += mutationRow(td, keys, vals, vals.keySet, "update",
+      u.timestamp.getOrElse(nextTs()), u.ttl.getOrElse(0L))
+  }
+
+  private def executeDelete(d: Delete): Unit = {
+    val td = table(d.table)
+    val (keys, fullCk) = mutationKeys(td, d.where, requireCk = d.columns.nonEmpty)
+    val ts = d.timestamp.getOrElse(nextTs())
+    if (d.columns.nonEmpty) {
+      // cell tombstones = writes of null
+      d.columns.foreach { c =>
+        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        if (cd.kind != Regular && cd.kind != Static)
+          throw InvalidRequest(s"Invalid identifier $c for deletion (should not be a PRIMARY KEY part)")
+      }
+      logs(d.table) += mutationRow(td, keys, Map.empty, d.columns.toSet, "update", ts, 0L)
+    } else {
+      val op = if (td.clustering.nonEmpty && !fullCk) "delpart" else "delrow"
+      logs(d.table) += mutationRow(td, keys, Map.empty, Set.empty, op, ts, 0L)
+    }
+  }
+
+  // ── read path: per-cell reconcile ─────────────────────────────────────
+  def logDf(name: String): DataFrame = {
+    val td = table(name)
+    spark.createDataFrame(
+      java.util.Arrays.asList(logs(name).toSeq: _*), logSchema(td))
+  }
+
+  /** Reconciled live rows of a table with shadow columns `_wt_<c>` (cell
+    * writetime µs) and `_ttlr_<c>` (remaining ttl seconds).
+    */
+  def read(name: String): DataFrame = {
+    val td = table(name)
+    val log = logDf(name)
+    val pk = td.partitionKey.map(_.name)
+    val rowKeys = td.primaryKey.map(_.name)
+
+    def cellStruct(c: ColumnDef): Column = {
+      // tombstone if explicit null write or expired TTL at read time
+      val isSet = col(c.name + "__set")
+      val expired = col("_ttl") > 0L && (col("_ts") + col("_ttl") * 1000000L) <= lit(nowMicros)
+      val tomb = when(col(c.name).isNull || expired, 1).otherwise(0)
+      when(isSet && col("_op").isin("insert", "update"),
+        struct(col("_ts").as("ts"), tomb.as("tomb"), col(c.name).as("v"), col("_ttl").as("ttl")))
+    }
+
+    def reconcile(df: DataFrame, keys: Seq[String], cols: Seq[ColumnDef],
+                  withLiveness: Boolean, delOps: Seq[String]): DataFrame = {
+      val cellAggs = cols.flatMap { c =>
+        Seq(max(cellStruct(c)).as("_cell_" + c.name))
+      }
+      val delAgg = max(when(col("_op").isin(delOps: _*), col("_ts"))).as("_del_ts")
+      val liveAgg = max(when(col("_op") === "insert",
+        struct(col("_ts").as("ts"), col("_ttl").as("ttl")))).as("_live")
+      val aggs = cellAggs ++ Seq(delAgg) ++ (if (withLiveness) Seq(liveAgg) else Nil)
+      val g = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      val delTs = coalesce(col("_del_ts"), lit(Long.MinValue))
+      val valueCols = cols.map { c =>
+        val cell = col("_cell_" + c.name)
+        when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs, cell("v"))
+          .as(c.name)
+      }
+      val wtCols = cols.map { c =>
+        val cell = col("_cell_" + c.name)
+        when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs, cell("ts"))
+          .as("_wt_" + c.name)
+      }
+      val ttlCols = cols.map { c =>
+        val cell = col("_cell_" + c.name)
+        when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs && cell("ttl") > 0,
+          ceil((cell("ts") + cell("ttl") * 1000000L - lit(nowMicros)) / 1000000.0).cast("int"))
+          .as("_ttlr_" + c.name)
+      }
+      val liveCol =
+        if (withLiveness) {
+          val lv = col("_live")
+          val liveOk = lv.isNotNull && lv("ts") > delTs &&
+            (lv("ttl") === 0L || (lv("ts") + lv("ttl") * 1000000L) > lit(nowMicros))
+          Seq(liveOk.as("_row_live"))
+        } else Seq(lit(false).as("_row_live"))
+      g.select((keys.map(col) ++ valueCols ++ wtCols ++ ttlCols ++ liveCol): _*)
+    }
+
+    // partition-level tombstones shadow both rows and statics
+    val partDel = log.filter(col("_op") === "delpart")
+      .groupBy(pk.map(col): _*)
+      .agg(max(col("_ts")).as("_part_del_ts"))
+
+    def applyPartDel(df: DataFrame, keys: Seq[String], cols: Seq[ColumnDef]): DataFrame = {
+      val joined = df.join(partDel, pk, "left")
+      val pdel = coalesce(col("_part_del_ts"), lit(Long.MinValue))
+      val masked = cols.flatMap { c =>
+        Seq(when(col("_wt_" + c.name) > pdel, col(c.name)).as(c.name),
+          when(col("_wt_" + c.name) > pdel, col("_wt_" + c.name)).as("_wt_" + c.name),
+          when(col("_wt_" + c.name) > pdel, col("_ttlr_" + c.name)).as("_ttlr_" + c.name))
+      }
+      joined.select((keys.map(col) ++ masked ++
+        Seq((col("_row_live") && !(col("_part_del_ts").isNotNull &&
+          pdel >= col("_live_ts"))).as("_row_live"), col("_live_ts"))): _*)
+    }
+
+    val rowMuts = log.filter(col("_op").isin("insert", "update", "delrow"))
+    val rows0 = reconcile(rowMuts, rowKeys, td.regulars, withLiveness = true,
+        delOps = Seq("delrow"))
+      .withColumn("_live_ts", lit(Long.MinValue))
+    // keep liveness ts for partition-delete comparison
+    val liveTs = rowMuts.filter(col("_op") === "insert")
+      .groupBy(rowKeys.map(col): _*).agg(max(col("_ts")).as("_lts"))
+    val rows1 = rows0.drop("_live_ts").join(liveTs, rowKeys, "left")
+      .withColumn("_live_ts", coalesce(col("_lts"), lit(Long.MinValue))).drop("_lts")
+    val rows = applyPartDel(rows1, rowKeys, td.regulars)
+      .withColumn("_any_cell",
+        td.regulars.map(c => col(c.name).isNotNull).foldLeft(lit(false))(_ || _))
+      .filter(col("_row_live") || col("_any_cell"))
+      .drop("_row_live", "_any_cell", "_part_del_ts", "_live_ts")
+
+    if (td.statics.isEmpty) rows
+    else {
+      // statics reconcile per PARTITION; a statics-only partition still
+      // yields one (null-clustering) row on unrestricted reads
+      // (SelectStatement.java:807-850)
+      val statics0 = reconcile(log.filter(col("_op").isin("insert", "update")),
+          pk, td.statics, withLiveness = false, delOps = Seq.empty)
+        .withColumn("_live_ts", lit(Long.MinValue))
+      val statics = applyPartDel(statics0, pk, td.statics)
+        .withColumn("_any_static",
+          td.statics.map(c => col(c.name).isNotNull).foldLeft(lit(false))(_ || _))
+        .filter(col("_any_static"))
+        .drop("_row_live", "_any_static", "_part_del_ts", "_live_ts")
+      rows.join(statics, pk, "full_outer")
+    }
+  }
+
+  // ── SELECT lowering + restriction validation ──────────────────────────
+  private def executeSelect(s: Select): DataFrame = {
+    val td = table(s.table)
+    var df = read(s.table)
+
+    // validate + apply WHERE (StatementRestrictions.java:195-271)
+    val restricted = scala.collection.mutable.Map.empty[String, String] // col -> kind of restriction
+    var filters = Vector.empty[Column]
+    var needsFiltering = false
+    s.where.foreach {
+      case Rel(c, op, v) =>
+        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        if (op == "!=") throw InvalidRequest("Unsupported '!=' relation")
+        restricted(c) = if (op == "=") "eq" else "range"
+        if (cd.kind == Regular || cd.kind == Static) needsFiltering = true
+        if (cd.kind == PartitionKey && op != "=") needsFiltering = true
+        val lcol = lit(coerce(v, cd.tpe, c))
+        filters :+= (op match {
+          case "=" => col(c) === lcol
+          case "<" => col(c) < lcol
+          case "<=" => col(c) <= lcol
+          case ">" => col(c) > lcol
+          case ">=" => col(c) >= lcol
+        })
+      case In(c, vs) =>
+        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        restricted(c) = "eq"
+        if (cd.kind == Regular || cd.kind == Static) needsFiltering = true
+        filters :+= col(c).isin(vs.map(v => coerce(v, cd.tpe, c)): _*)
+      case TokenRel(cols0, op, v) =>
+        if (cols0 != td.partitionKey.map(_.name))
+          throw InvalidRequest(
+            s"The token function arguments must be in the partition key order: ${td.partitionKey.map(_.name).mkString(", ")}")
+        if (cols0.length != 1)
+          throw InvalidRequest("composite-partition-key token ranges not supported yet")
+        val tok = F.cassandra_token(col(cols0.head))
+        val lcol = lit(v.value)
+        filters :+= (op match {
+          case "=" => tok === lcol
+          case "<" => tok < lcol
+          case "<=" => tok <= lcol
+          case ">" => tok > lcol
+          case ">=" => tok >= lcol
+          case other => throw InvalidRequest(s"unsupported token operator $other")
+        })
+    }
+    // partition key: all-or-nothing EQ addressing
+    val pkNames = td.partitionKey.map(_.name)
+    val pkRestricted = pkNames.count(restricted.contains)
+    if (pkRestricted > 0 && pkRestricted < pkNames.length)
+      needsFiltering = true
+    // clustering prefix rule: a clustering column may be restricted only if
+    // all previous clustering columns have EQ restrictions; clustering
+    // restrictions without full partition addressing are also filtering
+    val ckNames = td.clustering.map(_.name)
+    var prevEq = true
+    ckNames.foreach { c =>
+      if (restricted.contains(c) && !prevEq) needsFiltering = true
+      prevEq = prevEq && restricted.get(c).contains("eq")
+    }
+    if (ckNames.exists(restricted.contains) && pkRestricted < pkNames.length)
+      needsFiltering = true
+    if (needsFiltering && !s.allowFiltering)
+      throw InvalidRequest(
+        "Cannot execute this query as it might involve data filtering and thus may have unpredictable performance. " +
+          "If you want to execute this query despite the performance unpredictability, use ALLOW FILTERING")
+    if (filters.nonEmpty) df = df.filter(filters.reduce(_ && _))
+
+    // ORDER BY validation (SelectStatement.java:1105-1109,1213-1251)
+    if (s.orderBy.nonEmpty) {
+      val names = s.orderBy.map(_._1)
+      if (!names.zipWithIndex.forall { case (n, i) => ckNames.lift(i).contains(n) })
+        throw InvalidRequest(
+          s"Order by is currently only supported on the clustered columns of the PRIMARY KEY, got ${names.mkString(", ")}")
+      val dirs = s.orderBy.map(_._2).zip(td.clusteringDesc.take(s.orderBy.length))
+        .map { case (desc, natDesc) => desc != natDesc }
+      if (dirs.distinct.length > 1)
+        throw InvalidRequest("Unsupported order by relation")
+      if (!pkNames.forall(restricted.get(_).contains("eq")))
+        throw InvalidRequest(
+          "ORDER BY is only supported when the partition key is restricted by an EQ or an IN.")
+    }
+
+    val clusterSort: Seq[Column] = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
+      .collect { case (n, desc) if n.nonEmpty => if (desc) col(n).desc else col(n).asc }
+
+    // DISTINCT (only pk + statics selectable; SelectStatement.java:1111-1134)
+    if (s.distinct) {
+      val sel = s.selectors.collect { case ColSel(n, _) => n }
+      val legal = (td.partitionKey ++ td.statics).map(_.name).toSet
+      if (s.selectors.contains(Star) || sel.forall(legal.contains)) {
+        val cols = if (s.selectors.contains(Star)) pkNames else sel
+        var out = df.select(cols.map(col): _*).distinct()
+          .orderBy(cols.filter(pkNames.contains).map(col): _*)
+        s.limit.foreach(n => out = out.limit(checkLimit(n)))
+        return out
+      } else throw InvalidRequest(
+        "SELECT DISTINCT queries must only request partition key columns and/or static columns")
+    }
+
+    val hasAgg = s.selectors.exists {
+      case CountStar(_) => true
+      case FnSel(fn, _, _) => Set("count", "sum", "avg", "min", "max").contains(fn)
+      case _ => false
+    }
+
+    // GROUP BY validation: pk-prefix, gaps only when EQ-restricted
+    // (SelectStatement.java:1145-1191)
+    if (s.groupBy.nonEmpty) {
+      val pkAll = (pkNames ++ ckNames)
+      var idx = 0
+      s.groupBy.foreach { g =>
+        if (!pkAll.contains(g))
+          throw InvalidRequest(s"Group by is currently only supported on the columns of the PRIMARY KEY, got $g")
+        var found = false
+        while (!found && idx < pkAll.length) {
+          if (pkAll(idx) == g) found = true
+          else if (restricted.get(pkAll(idx)).contains("eq")) idx += 1
+          else throw InvalidRequest(s"Group by currently only support groups of columns following their declared order in the PRIMARY KEY")
+        }
+        if (!found) throw InvalidRequest(s"Group by currently only support groups of columns following their declared order in the PRIMARY KEY")
+        idx += 1
+      }
+    }
+
+    if (hasAgg || s.groupBy.nonEmpty) {
+      // grouping columns come through the groupBy itself; everything else is
+      // an aggregate expression. The final select restores selector order.
+      val outNames = s.selectors.zipWithIndex.map {
+        case (ColSel(n, alias), _) if s.groupBy.contains(n) => alias.getOrElse(n)
+        case (sel, i) => aggOutName(sel, i)
+      }
+      val aggCols = s.selectors.zipWithIndex.collect {
+        case (sel, i) if !(sel match {
+          case ColSel(n, _) => s.groupBy.contains(n)
+          case _ => false
+        }) => lowerAggSelector(td, sel, i, s.groupBy).as(aggOutName(sel, i))
+      }
+      var out =
+        if (s.groupBy.nonEmpty && aggCols.nonEmpty)
+          df.groupBy(s.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        else if (s.groupBy.nonEmpty)
+          df.select(s.groupBy.map(col): _*).distinct()
+        else df.agg(aggCols.head, aggCols.tail: _*)
+      if (s.groupBy.nonEmpty) out = out.orderBy(s.groupBy.map(col): _*)
+      out = out.select(s.selectors.zipWithIndex.map {
+        case (ColSel(n, alias), _) if s.groupBy.contains(n) => col(n).as(alias.getOrElse(n))
+        case (sel, i) => col(aggOutName(sel, i))
+      }: _*)
+      s.limit.foreach(n => out = out.limit(checkLimit(n)))
+      return out
+    }
+
+    // plain row select: default order = pk, then clustering order
+    var out = df
+    s.perPartitionLimit.foreach { n =>
+      out = CqlOps.perPartitionLimit(out, pkNames, clusterSort, checkLimit(n))
+        .drop("rn")
+    }
+    val sortCols: Seq[Column] =
+      if (s.orderBy.nonEmpty) {
+        val reversed = s.orderBy.head._2 != td.clusteringDesc.headOption.getOrElse(false)
+        val base = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
+          .collect { case (n, desc) if n.nonEmpty =>
+            val effDesc = if (reversed) !desc else desc
+            if (effDesc) col(n).desc else col(n).asc
+          }
+        pkNames.map(col(_).asc) ++ base
+      } else pkNames.map(col(_).asc) ++ clusterSort
+    out = out.orderBy(sortCols: _*)
+
+    val projected = out.select(s.selectors.flatMap(lowerRowSelector(td, _)): _*)
+    var res = projected
+    s.limit.foreach(n => res = res.limit(checkLimit(n)))
+    if (s.json) res = res.select(to_json(struct(res.columns.map(col): _*)).as("[json]"))
+    res
+  }
+
+  private def aggOutName(sel: Selector, idx: Int): String = sel match {
+    case CountStar(alias) => alias.getOrElse("count")
+    case FnSel(fn, c, alias) => alias.getOrElse(s"system_${fn}_$c")
+    case ColSel(n, alias) => alias.getOrElse(n)
+    case Star => s"_sel_$idx"
+  }
+
+  private def checkLimit(n: Long): Int = {
+    if (n <= 0) throw InvalidRequest("LIMIT must be strictly positive")
+    n.toInt
+  }
+
+  private def lowerRowSelector(td: TableDef, sel: Selector): Seq[Column] = sel match {
+    case Star => td.columns.map(c => col(c.name))
+    case ColSel(n, alias) =>
+      if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
+      Seq(col(n).as(alias.getOrElse(n)))
+    case FnSel("writetime", c, alias) =>
+      requireCell(td, c, "writetime")
+      Seq(col("_wt_" + c).as(alias.getOrElse(s"writetime($c)")))
+    case FnSel("ttl", c, alias) =>
+      requireCell(td, c, "ttl")
+      Seq(col("_ttlr_" + c).as(alias.getOrElse(s"ttl($c)")))
+    case FnSel("token", c, alias) =>
+      Seq(F.cassandra_token(col(c)).as(alias.getOrElse(s"token($c)")))
+    case CountStar(_) | FnSel(_, _, _) =>
+      throw InvalidRequest("aggregate in non-aggregate select")
+  }
+
+  private def requireCell(td: TableDef, c: String, fn: String): Unit = {
+    val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+    if (cd.kind == PartitionKey || cd.kind == Clustering)
+      throw InvalidRequest(s"Cannot use selection function $fn on PRIMARY KEY part $c")
+  }
+
+  /** CQL-typed aggregates (AggregateFcts.java): sum keeps the argument type
+    * (wrapping), avg over integer types truncates, count is bigint, empty
+    * input sums/avgs are 0 (not null). Non-aggregated columns return the
+    * first row in clustering order (min_by over the clustering struct).
+    */
+  private def lowerAggSelector(td: TableDef, sel: Selector, idx: Int,
+                               groupBy: Seq[String]): Column = sel match {
+    case CountStar(alias) => count(lit(1)).as(alias.getOrElse("count"))
+    case FnSel("count", c, alias) => count(col(c)).as(alias.getOrElse(s"system_count_$c"))
+    case FnSel("sum", c, alias) =>
+      val tpe = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c")).tpe
+      coalesce(sum(col(c)), lit(0)).cast(sparkType(tpe)).as(alias.getOrElse(s"system_sum_$c"))
+    case FnSel("avg", c, alias) =>
+      val tpe = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c")).tpe
+      val raw = tpe match {
+        case CqlInt | CqlBigint =>
+          floor(coalesce(sum(col(c)), lit(0)) / greatest(count(col(c)), lit(1)))
+        case _ => coalesce(avg(col(c)), lit(0.0))
+      }
+      raw.cast(sparkType(tpe)).as(alias.getOrElse(s"system_avg_$c"))
+    case FnSel("min", c, alias) => min(col(c)).as(alias.getOrElse(s"system_min_$c"))
+    case FnSel("max", c, alias) => max(col(c)).as(alias.getOrElse(s"system_max_$c"))
+    case ColSel(n, alias) if groupBy.contains(n) => first(col(n)).as(alias.getOrElse(n))
+    case ColSel(n, alias) =>
+      // first-row-in-clustering-order semantics for mixed selects
+      val ord = if (td.clustering.nonEmpty) struct(td.clustering.map(c => col(c.name)): _*)
+        else struct(td.partitionKey.map(c => col(c.name)): _*)
+      min_by(col(n), ord).as(alias.getOrElse(n))
+    case other => throw InvalidRequest(s"unsupported selector $other in aggregate")
+  }
+}

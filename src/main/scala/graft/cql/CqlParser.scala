@@ -1,0 +1,331 @@
+package graft.cql
+
+import graft.cql.Ast._
+
+/** Recursive-descent parser for the CQL subset. Grammar shapes follow the
+  * reference ANTLR grammar (`src/antlr/Parser.g`): createTableStatement
+  * :753-860, insertStatement, updateStatement, deleteStatement,
+  * selectStatement :250-470. Error messages mirror the reference's style.
+  */
+object CqlParser {
+
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  // ── tokenizer ─────────────────────────────────────────────────────────
+  private sealed trait Tok { def text: String }
+  private case class Ident(text: String) extends Tok
+  private case class Num(text: String) extends Tok
+  private case class Str(text: String) extends Tok
+  private case class Sym(text: String) extends Tok
+
+  private def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (!done) {
+          if (i >= s.length) throw ParseException("unterminated string literal")
+          if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') { sb += '\''; i += 2 }
+          else if (s(i) == '\'') { i += 1; done = true }
+          else { sb += s(i); i += 1 }
+        }
+        out += Str(sb.toString)
+      } else if (c.isDigit || (c == '-' && i + 1 < s.length && s(i + 1).isDigit)) {
+        val j = i
+        i += 1
+        while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' ||
+          ((s(i) == '-' || s(i) == '+') && (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
+        out += Num(s.substring(j, i))
+      } else if (c.isLetter || c == '_') {
+        val j = i
+        while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+        out += Ident(s.substring(j, i))
+      } else if ("<>!=".contains(c) && i + 1 < s.length && s(i + 1) == '=') {
+        out += Sym(s.substring(i, i + 2)); i += 2
+      } else { out += Sym(c.toString); i += 1 }
+    }
+    out.result()
+  }
+
+  // ── parser state ─────────────────────────────────────────────────────
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def done: Boolean = pos >= toks.length || toks(pos).text == ";"
+
+    def kw(word: String): Boolean = peek.exists {
+      case Ident(t) => t.equalsIgnoreCase(word)
+      case _ => false
+    }
+    def eatKw(word: String): Unit =
+      if (kw(word)) pos += 1
+      else throw ParseException(s"expected $word, got ${peek.map(_.text).getOrElse("<eof>")}")
+    def tryKw(word: String): Boolean = { if (kw(word)) { pos += 1; true } else false }
+    def sym(sm: String): Unit = peek match {
+      case Some(Sym(t)) if t == sm => pos += 1
+      case other => throw ParseException(s"expected '$sm', got ${other.map(_.text).getOrElse("<eof>")}")
+    }
+    def trySym(sm: String): Boolean = peek match {
+      case Some(Sym(t)) if t == sm => pos += 1; true
+      case _ => false
+    }
+    def ident(): String = next() match {
+      case Ident(t) => t.toLowerCase
+      case other => throw ParseException(s"expected identifier, got ${other.text}")
+    }
+    def literal(): Literal = next() match {
+      case Num(t) =>
+        if (t.contains('.') || t.toLowerCase.contains('e')) DoubleLit(t.toDouble)
+        else IntLit(t.toLong)
+      case Str(t) => StringLit(t)
+      case Ident(t) if t.equalsIgnoreCase("true") => BoolLit(true)
+      case Ident(t) if t.equalsIgnoreCase("false") => BoolLit(false)
+      case Ident(t) if t.equalsIgnoreCase("null") => NullLit
+      case other => throw ParseException(s"expected literal, got ${other.text}")
+    }
+    def long(): Long = literal() match {
+      case IntLit(v) => v
+      case other => throw ParseException(s"expected integer, got $other")
+    }
+  }
+
+  def parse(cql: String): Statement = {
+    val p = new P(tokenize(cql))
+    val stmt =
+      if (p.kw("create")) parseCreate(p)
+      else if (p.kw("drop")) { p.eatKw("drop"); p.eatKw("table"); DropTable(p.ident()) }
+      else if (p.kw("truncate")) { p.eatKw("truncate"); p.tryKw("table"); Truncate(p.ident()) }
+      else if (p.kw("insert")) parseInsert(p)
+      else if (p.kw("update")) parseUpdate(p)
+      else if (p.kw("delete")) parseDelete(p)
+      else if (p.kw("select")) parseSelect(p)
+      else throw ParseException(s"unsupported statement: $cql")
+    if (!p.done) throw ParseException(s"trailing input after statement")
+    stmt
+  }
+
+  private val types: Map[String, CqlType] = Map(
+    "int" -> CqlInt, "bigint" -> CqlBigint, "counter" -> CqlBigint,
+    "text" -> CqlText, "varchar" -> CqlText, "ascii" -> CqlText,
+    "double" -> CqlDouble, "float" -> CqlFloat, "boolean" -> CqlBoolean)
+
+  private def parseCreate(p: P): Statement = {
+    p.eatKw("create"); p.eatKw("table")
+    val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
+    val name = p.ident()
+    p.sym("(")
+    var cols = Vector.empty[(String, CqlType)]
+    var inlinePk = Vector.empty[String]
+    var inlineStatic = Set.empty[String]
+    var pkSpec: Option[(Seq[String], Seq[String])] = None
+    var first = true
+    while (!p.trySym(")")) {
+      if (!first) p.sym(",")
+      first = false
+      if (p.kw("primary")) {
+        p.eatKw("primary"); p.eatKw("key"); p.sym("(")
+        val pk =
+          if (p.trySym("(")) {
+            var ks = Vector(p.ident())
+            while (p.trySym(",")) ks :+= p.ident()
+            p.sym(")")
+            ks
+          } else Vector(p.ident())
+        var cks = Vector.empty[String]
+        while (p.trySym(",")) cks :+= p.ident()
+        p.sym(")")
+        pkSpec = Some((pk, cks))
+      } else {
+        val cn = p.ident()
+        val tn = p.ident()
+        val tpe = types.getOrElse(tn,
+          throw ParseException(s"unsupported type $tn (supported: ${types.keys.toSeq.sorted.mkString(", ")})"))
+        if (p.tryKw("static")) inlineStatic += cn
+        if (p.tryKw("primary")) { p.eatKw("key"); inlinePk :+= cn }
+        cols :+= (cn, tpe)
+      }
+    }
+    var clusteringDesc = Seq.empty[Boolean]
+    if (p.tryKw("with")) {
+      p.eatKw("clustering"); p.eatKw("order"); p.eatKw("by"); p.sym("(")
+      var order = Vector.empty[Boolean]
+      var f = true
+      while (!p.trySym(")")) {
+        if (!f) p.sym(","); f = false
+        p.ident()
+        order :+= (if (p.tryKw("desc")) true else { p.tryKw("asc"); false })
+      }
+      clusteringDesc = order
+    }
+    val (pk, ck) = pkSpec.getOrElse((inlinePk, Vector.empty[String]))
+    if (pk.isEmpty) throw ParseException("No PRIMARY KEY specified")
+    val defs = cols.map { case (cn, tpe) =>
+      val kind =
+        if (pk.contains(cn)) PartitionKey
+        else if (ck.contains(cn)) Clustering
+        else if (inlineStatic(cn)) Static
+        else Regular
+      ColumnDef(cn, tpe, kind)
+    }
+    // order clustering columns as declared in the PRIMARY KEY clause
+    val ordered = defs.filter(_.kind == PartitionKey).sortBy(c => pk.indexOf(c.name)) ++
+      defs.filter(_.kind == Clustering).sortBy(c => ck.indexOf(c.name)) ++
+      defs.filter(c => c.kind == Static || c.kind == Regular)
+    val desc = if (clusteringDesc.nonEmpty) clusteringDesc else ck.map(_ => false)
+    CreateTable(TableDef(name, ordered, desc), ifNotExists)
+  }
+
+  private def parseUsing(p: P): (Option[Long], Option[Long]) = {
+    var ttl: Option[Long] = None
+    var ts: Option[Long] = None
+    if (p.tryKw("using")) {
+      var more = true
+      while (more) {
+        if (p.tryKw("ttl")) ttl = Some(p.long())
+        else if (p.tryKw("timestamp")) ts = Some(p.long())
+        else throw ParseException("expected TTL or TIMESTAMP after USING")
+        more = p.tryKw("and")
+      }
+    }
+    (ttl, ts)
+  }
+
+  private def parseInsert(p: P): Statement = {
+    p.eatKw("insert"); p.eatKw("into")
+    val name = p.ident()
+    p.sym("(")
+    var cols = Vector(p.ident())
+    while (p.trySym(",")) cols :+= p.ident()
+    p.sym(")")
+    p.eatKw("values"); p.sym("(")
+    var vals = Vector(p.literal())
+    while (p.trySym(",")) vals :+= p.literal()
+    p.sym(")")
+    val (ttl, ts) = parseUsing(p)
+    if (cols.length != vals.length)
+      throw ParseException("Unmatched column names/values")
+    Insert(name, cols, vals, ttl, ts)
+  }
+
+  private def parseUpdate(p: P): Statement = {
+    p.eatKw("update")
+    val name = p.ident()
+    val (ttl, ts) = parseUsing(p)
+    p.eatKw("set")
+    var assigns = Vector.empty[(String, Literal)]
+    var more = true
+    while (more) {
+      val c = p.ident(); p.sym("="); assigns :+= (c -> p.literal())
+      more = p.trySym(",")
+    }
+    p.eatKw("where")
+    Update(name, assigns, parseWhere(p), ttl, ts)
+  }
+
+  private def parseDelete(p: P): Statement = {
+    p.eatKw("delete")
+    var cols = Vector.empty[String]
+    if (!p.kw("from")) {
+      cols :+= p.ident()
+      while (p.trySym(",")) cols :+= p.ident()
+    }
+    p.eatKw("from")
+    val name = p.ident()
+    val (_, ts) = parseUsing(p)
+    p.eatKw("where")
+    Delete(name, cols, parseWhere(p), ts)
+  }
+
+  private def parseWhere(p: P): Seq[Relation] = {
+    var rels = Vector(parseRelation(p))
+    while (p.tryKw("and")) rels :+= parseRelation(p)
+    rels
+  }
+
+  private def parseRelation(p: P): Relation = {
+    if (p.kw("token")) {
+      p.eatKw("token"); p.sym("(")
+      var cols = Vector(p.ident())
+      while (p.trySym(",")) cols :+= p.ident()
+      p.sym(")")
+      val op = p.next().text
+      TokenRel(cols, op, p.literal())
+    } else {
+      val c = p.ident()
+      if (p.tryKw("in")) {
+        p.sym("(")
+        var vals = Vector(p.literal())
+        while (p.trySym(",")) vals :+= p.literal()
+        p.sym(")")
+        In(c, vals)
+      } else {
+        val op = p.next().text
+        if (!Set("=", "<", "<=", ">", ">=", "!=").contains(op))
+          throw ParseException(s"unsupported operator $op")
+        Rel(c, op, p.literal())
+      }
+    }
+  }
+
+  private val aggFns = Set("count", "sum", "avg", "min", "max", "writetime", "ttl", "token")
+
+  private def parseSelect(p: P): Statement = {
+    p.eatKw("select")
+    val json = p.tryKw("json")
+    val distinct = p.tryKw("distinct")
+    var sels = Vector.empty[Selector]
+    if (p.trySym("*")) sels :+= Star
+    else {
+      var more = true
+      while (more) {
+        val id = p.ident()
+        if (aggFns.contains(id) && p.trySym("(")) {
+          val sel: Selector =
+            if (p.trySym("*")) { p.sym(")"); CountStar(parseAlias(p)) }
+            else { val arg = p.ident(); p.sym(")"); FnSel(id, arg, parseAlias(p)) }
+          sels :+= sel
+        } else sels :+= ColSel(id, parseAlias(p))
+        more = p.trySym(",")
+      }
+    }
+    p.eatKw("from")
+    val name = p.ident()
+    val where = if (p.tryKw("where")) parseWhere(p) else Seq.empty
+    var groupBy = Vector.empty[String]
+    if (p.tryKw("group")) {
+      p.eatKw("by")
+      groupBy :+= p.ident()
+      while (p.trySym(",")) groupBy :+= p.ident()
+    }
+    var orderBy = Vector.empty[(String, Boolean)]
+    if (p.tryKw("order")) {
+      p.eatKw("by")
+      var more = true
+      while (more) {
+        val c = p.ident()
+        val desc = if (p.tryKw("desc")) true else { p.tryKw("asc"); false }
+        orderBy :+= (c -> desc)
+        more = p.trySym(",")
+      }
+    }
+    var perPartitionLimit: Option[Long] = None
+    var limit: Option[Long] = None
+    if (p.tryKw("per")) {
+      p.eatKw("partition"); p.eatKw("limit")
+      perPartitionLimit = Some(p.long())
+    }
+    if (p.tryKw("limit")) limit = Some(p.long())
+    val allowFiltering = if (p.tryKw("allow")) { p.eatKw("filtering"); true } else false
+    Select(name, sels, distinct, where, groupBy, orderBy, perPartitionLimit,
+      limit, allowFiltering, json)
+  }
+
+  private def parseAlias(p: P): Option[String] =
+    if (p.tryKw("as")) Some(p.ident()) else None
+}

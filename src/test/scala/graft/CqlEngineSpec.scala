@@ -1,0 +1,201 @@
+package graft
+
+import graft.cql.CqlEngine
+import org.apache.spark.sql.Row
+
+/** CQLTester-style goldens (reference harness
+  * `test/unit/.../cql3/CQLTester.java:653-927`); cases mined from
+  * `cql3/validation/operations` and `entities/StaticColumnsTest.java`,
+  * `TTLTest.java`. `rows()` compares content ignoring order unless noted.
+  */
+class CqlEngineSpec extends SparkSpec {
+
+  def mkEngine: CqlEngine = new CqlEngine(spark)
+
+  def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  def rowsInOrder(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  def assertInvalid(e: CqlEngine, cql: String, msgPart: String): Unit = {
+    val ex = intercept[RuntimeException](e.execute(cql).collect())
+    assert(ex.getMessage.contains(msgPart), s"got: ${ex.getMessage}")
+  }
+
+  test("insert + single-partition select in clustering order") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t1 (a int, b int, c int, PRIMARY KEY (a, b))")
+    for (a <- 0 until 3; b <- 0 until 4)
+      e.execute(s"INSERT INTO t1 (a, b, c) VALUES ($a, $b, ${a * 10 + b})")
+    assert(rowsInOrder(e.execute("SELECT b, c FROM t1 WHERE a = 1")) ===
+      Seq(Seq(0, 10), Seq(1, 11), Seq(2, 12), Seq(3, 13)))
+    assert(rowsInOrder(e.execute("SELECT b FROM t1 WHERE a = 1 AND b > 1")) ===
+      Seq(Seq(2), Seq(3)))
+    assert(rowsInOrder(e.execute("SELECT b FROM t1 WHERE a = 1 ORDER BY b DESC")) ===
+      Seq(Seq(3), Seq(2), Seq(1), Seq(0)))
+  }
+
+  test("upsert semantics: newest write wins per cell") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t2 (k int PRIMARY KEY, v int, w text)")
+    e.execute("INSERT INTO t2 (k, v, w) VALUES (1, 10, 'x')")
+    e.execute("UPDATE t2 SET v = 20 WHERE k = 1")
+    assert(rows(e.execute("SELECT k, v, w FROM t2")) === Set(Seq(1, 20, "x")))
+    // explicit timestamps: older write loses even if applied later
+    e.execute("UPDATE t2 USING TIMESTAMP 1 SET v = 5 WHERE k = 1")
+    assert(rows(e.execute("SELECT v FROM t2")) === Set(Seq(20)))
+  }
+
+  test("INSERT grants row liveness, UPDATE does not (CASSANDRA classic)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t3 (k int PRIMARY KEY, v int)")
+    e.execute("INSERT INTO t3 (k, v) VALUES (1, 1)")
+    e.execute("UPDATE t3 SET v = 2 WHERE k = 2")
+    e.execute("DELETE v FROM t3 WHERE k = 1")
+    e.execute("DELETE v FROM t3 WHERE k = 2")
+    // k=1 was INSERTed → row survives with null v; k=2 only UPDATEd → gone
+    assert(rows(e.execute("SELECT k, v FROM t3")) === Set(Seq(1, null)))
+  }
+
+  test("row, cell, and partition tombstones") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t4 (a int, b int, c int, PRIMARY KEY (a, b))")
+    for (b <- 0 until 3) e.execute(s"INSERT INTO t4 (a, b, c) VALUES (1, $b, $b)")
+    for (b <- 0 until 3) e.execute(s"INSERT INTO t4 (a, b, c) VALUES (2, $b, $b)")
+    e.execute("DELETE FROM t4 WHERE a = 1 AND b = 1")        // row tombstone
+    e.execute("DELETE c FROM t4 WHERE a = 1 AND b = 2")      // cell tombstone
+    e.execute("DELETE FROM t4 WHERE a = 2")                  // partition tombstone
+    assert(rows(e.execute("SELECT a, b, c FROM t4")) ===
+      Set(Seq(1, 0, 0), Seq(1, 2, null)))
+    // re-insert into deleted partition revives it
+    e.execute("INSERT INTO t4 (a, b, c) VALUES (2, 9, 9)")
+    assert(rows(e.execute("SELECT a, b, c FROM t4 WHERE a = 2")) === Set(Seq(2, 9, 9)))
+  }
+
+  test("per-partition limit and limit (SelectLimitTest.testPerPartitionLimit)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t5 (a int, b int, c int, PRIMARY KEY (a, b))")
+    for (a <- 0 until 5; b <- 0 until 5)
+      e.execute(s"INSERT INTO t5 (a, b, c) VALUES ($a, $b, $b)")
+    assert(e.execute("SELECT * FROM t5 PER PARTITION LIMIT 2").count() === 10)
+    assert(e.execute("SELECT * FROM t5 PER PARTITION LIMIT 2 LIMIT 6").count() === 6)
+    assert(rowsInOrder(e.execute("SELECT b FROM t5 WHERE a = 3 PER PARTITION LIMIT 2")) ===
+      Seq(Seq(0), Seq(1)))
+    assertInvalid(e, "SELECT * FROM t5 LIMIT 0", "LIMIT must be strictly positive")
+  }
+
+  test("aggregates: CQL-typed results, empty-table behavior (AggregationTest)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t6 (a int, b int, c double, PRIMARY KEY (a, b))")
+    // empty: count=0, sum=0, min/max/avg defined as 0/null per CQL
+    val empty = e.execute("SELECT count(*), sum(b), avg(b) FROM t6").head()
+    assert(empty.getLong(0) === 0L)
+    assert(empty.getInt(1) === 0)
+    assert(empty.getInt(2) === 0)
+    e.execute("INSERT INTO t6 (a, b, c) VALUES (1, 1, 11.5)")
+    e.execute("INSERT INTO t6 (a, b, c) VALUES (1, 2, 1.0)")
+    e.execute("INSERT INTO t6 (a, b, c) VALUES (2, 4, 2.0)")
+    val r = e.execute(
+      "SELECT count(*), sum(b), avg(b), min(b), max(b), sum(c) FROM t6").head()
+    assert(r.toSeq === Seq(3L, 7, 2, 1, 4, 14.5)) // avg(int) truncates: 7/3 = 2
+    // group by partition key; mixed plain column = first row in clustering order
+    assert(rowsInOrder(e.execute("SELECT a, c, count(*) FROM t6 GROUP BY a")) ===
+      Seq(Seq(1, 11.5, 2L), Seq(2, 2.0, 1L)))
+  }
+
+  test("writetime and ttl selectors with USING TIMESTAMP/TTL (TTLTest)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t7 (k int PRIMARY KEY, v int)")
+    e.execute("INSERT INTO t7 (k, v) VALUES (1, 10) USING TIMESTAMP 12345")
+    assert(rows(e.execute("SELECT k, writetime(v) FROM t7")) === Set(Seq(1, 12345L)))
+    assert(rows(e.execute("SELECT ttl(v) FROM t7")) === Set(Seq(null)))
+    e.nowMicros = 0L
+    e.execute("INSERT INTO t7 (k, v) VALUES (2, 20) USING TTL 100 AND TIMESTAMP 50000000")
+    val ttlRow = e.execute("SELECT ttl(v) FROM t7 WHERE k = 2").head()
+    assert(ttlRow.getInt(0) === 150) // (50s write + 100s ttl - now 0) = 150s left
+    // advance time past expiry: the cell is gone; INSERT liveness also expired
+    e.nowMicros = 200L * 1000000L
+    assert(e.execute("SELECT k, v FROM t7 WHERE k = 2").count() === 0)
+    assert(rows(e.execute("SELECT k, v FROM t7 WHERE k = 1")) === Set(Seq(1, 10)))
+    assertInvalid(e, "SELECT writetime(k) FROM t7",
+      "Cannot use selection function writetime on PRIMARY KEY part k")
+  }
+
+  test("static columns (StaticColumnsTest)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t8 (k int, c int, v int, s int static, PRIMARY KEY (k, c))")
+    e.execute("INSERT INTO t8 (k, c, v, s) VALUES (1, 1, 10, 100)")
+    e.execute("INSERT INTO t8 (k, c, v) VALUES (1, 2, 20)")
+    // static value returned with every row of the partition
+    assert(rows(e.execute("SELECT k, c, s FROM t8")) ===
+      Set(Seq(1, 1, 100), Seq(1, 2, 100)))
+    // statics-only partition yields a null-clustering row
+    e.execute("UPDATE t8 SET s = 200 WHERE k = 2")
+    assert(rows(e.execute("SELECT k, c, s FROM t8 WHERE k = 2 ALLOW FILTERING")) ===
+      Set(Seq(2, null, 200)))
+    // DISTINCT over pk + static
+    assert(rows(e.execute("SELECT DISTINCT k, s FROM t8")) ===
+      Set(Seq(1, 100), Seq(2, 200)))
+  }
+
+  test("ALLOW FILTERING validation (StatementRestrictions)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t9 (a int, b int, c int, d int, PRIMARY KEY (a, b, c))")
+    e.execute("INSERT INTO t9 (a, b, c, d) VALUES (1, 2, 3, 4)")
+    assertInvalid(e, "SELECT * FROM t9 WHERE d = 4", "ALLOW FILTERING")
+    assertInvalid(e, "SELECT * FROM t9 WHERE a = 1 AND c = 3", "ALLOW FILTERING")
+    assertInvalid(e, "SELECT * FROM t9 WHERE b = 2", "ALLOW FILTERING")
+    assert(rows(e.execute("SELECT d FROM t9 WHERE d = 4 ALLOW FILTERING")) === Set(Seq(4)))
+    assert(rows(e.execute("SELECT d FROM t9 WHERE a = 1 AND b = 2 AND c = 3")) === Set(Seq(4)))
+    // clustering slice on first clustering column is fine without filtering
+    assert(e.execute("SELECT * FROM t9 WHERE a = 1 AND b > 0").count() === 1)
+  }
+
+  test("ORDER BY validation (SelectOrderByTest)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t10 (a int, b int, c int, v int, PRIMARY KEY (a, b, c))")
+    for (b <- 0 until 2; c <- 0 until 2)
+      e.execute(s"INSERT INTO t10 (a, b, c, v) VALUES (1, $b, $c, ${b * 10 + c})")
+    assert(rowsInOrder(e.execute(
+      "SELECT v FROM t10 WHERE a = 1 ORDER BY b DESC, c DESC")) ===
+      Seq(Seq(11), Seq(10), Seq(1), Seq(0)))
+    assertInvalid(e, "SELECT * FROM t10 WHERE a = 1 ORDER BY c",
+      "Order by is currently only supported on the clustered columns")
+    assertInvalid(e, "SELECT * FROM t10 WHERE a = 1 ORDER BY b ASC, c DESC",
+      "Unsupported order by relation")
+    assertInvalid(e, "SELECT * FROM t10 ORDER BY b",
+      "ORDER BY is only supported when the partition key is restricted")
+  }
+
+  test("token-range restriction uses the real partitioner token") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t11 (k bigint PRIMARY KEY, v int)")
+    for (k <- 0 until 20) e.execute(s"INSERT INTO t11 (k, v) VALUES ($k, $k)")
+    val all = e.execute("SELECT token(k), k FROM t11").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mid = all.map(_._1).sorted.apply(10)
+    val got = rows(e.execute(s"SELECT k FROM t11 WHERE token(k) > $mid"))
+    val want = all.filter(_._1 > mid).map(r => Seq[Any](r._2)).toSet
+    assert(got === want)
+    assert(got.size === 9)
+  }
+
+  test("SELECT JSON output") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t12 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO t12 (k, v) VALUES (1, 'hi')")
+    val json = e.execute("SELECT JSON k, v FROM t12").head().getString(0)
+    assert(json.contains("\"k\":1") && json.contains("\"v\":\"hi\""))
+  }
+
+  test("TRUNCATE and composite partition keys") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t13 (a int, b int, c int, d int, PRIMARY KEY ((a, b), c))")
+    e.execute("INSERT INTO t13 (a, b, c, d) VALUES (1, 2, 3, 4)")
+    assertInvalid(e, "SELECT * FROM t13 WHERE a = 1", "ALLOW FILTERING")
+    assert(rows(e.execute("SELECT d FROM t13 WHERE a = 1 AND b = 2")) === Set(Seq(4)))
+    e.execute("TRUNCATE t13")
+    assert(e.execute("SELECT * FROM t13").count() === 0)
+  }
+}
