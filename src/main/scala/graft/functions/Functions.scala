@@ -21,7 +21,10 @@ object Functions {
     "murmur64"        -> (es => Murmur64(es(0), es(1))),
     "cosine_sim"      -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product"     -> (es => DotProduct(es(0), es(1))),
-    "lsh_code"        -> (es => LshCode(es(0), es(1), es(2)))
+    "lsh_code"        -> (es => LshCode(es(0), es(1), es(2))),
+    "minhash_agg"     -> (es => MinHashAgg(es(0), es(1),
+      es(2).eval().asInstanceOf[Int])),
+    "simhash_agg"     -> (es => SimHashAgg(es(0)))
   )
 
   def install(e: SparkSessionExtensions): Unit =

@@ -1,0 +1,150 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** `minhash_agg(h1, h2, numPerms)` — one-pass MinHash signature aggregate.
+  *
+  * Permutation j is the double-hashing combine perm_j(s) = h1(s) + j*h2(s)
+  * (wrapping 64-bit); the buffer keeps the per-permutation minimum. A single
+  * TypedImperativeAggregate with a primitive long[] buffer replaces a
+  * 128-column min() aggregate — same result, one tight loop per row, no
+  * 128-field codegen blowup, and partial aggregation (merge = elementwise
+  * min) still happens map-side before the shuffle.
+  */
+case class MinHashAgg(h1: Expression, h2: Expression, numPerms: Int,
+                      override val mutableAggBufferOffset: Int = 0,
+                      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(h1, h2)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (h1.dataType, h2.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"minhash_agg requires (bigint, bigint), got ($a, $b)")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_agg"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numPerms)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v1 = h1.eval(input)
+    val v2 = h2.eval(input)
+    if (v1 != null && v2 != null) {
+      val a = v1.asInstanceOf[Long]
+      val b = v2.asInstanceOf[Long]
+      var j = 0
+      var v = a
+      while (j < numPerms) {
+        if (v < buf(j)) buf(j) = v
+        v += b // (a + j*b) via strength reduction; wraps like the reference's
+        j += 1 //  fixed-width int semantics
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < numPerms) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): MinHashAgg =
+    copy(h1 = cs(0), h2 = cs(1))
+}
+
+/** `simhash_agg(h)` — one-pass 64-bit SimHash: per-bit ±1 votes in an
+  * int[64] buffer, sign of each vote becomes the output bit.
+  */
+case class SimHashAgg(h: Expression,
+                      override val mutableAggBufferOffset: Int = 0,
+                      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(h)
+
+  override def checkInputDataTypes(): TypeCheckResult = h.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash_agg requires bigint, got $t")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_agg"
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = h.eval(input)
+    if (v != null) {
+      val hv = v.asInstanceOf[Long]
+      var j = 0
+      while (j < 64) {
+        if (((hv >>> j) & 1L) == 1L) buf(j) += 1 else buf(j) -= 1
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var j = 0
+    while (j < 64) { a(j) += b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (buf(j) >= 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 4)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 4)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): SimHashAgg =
+    copy(h = cs(0))
+}

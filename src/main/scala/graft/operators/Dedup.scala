@@ -75,22 +75,23 @@ object Dedup {
 
   /** MinHash signature: perm_j(s) = h1(s) + j * h2(s) (double hashing over
     * two 64-bit murmurs — 2 hash evaluations per shingle regardless of the
-    * number of permutations); signature column `m{j}` = min over shingles.
+    * number of permutations). Computed by the one-pass
+    * [[graft.functions.MinHashAgg]] native aggregate: a primitive long[]
+    * buffer per doc instead of a numPerms-column aggregate plan.
     */
-  def minhashSignatures(sh: DataFrame, numPerms: Int): DataFrame = {
-    val withH = sh
-      .withColumn("h1", murmur64(col("s"), lit(1L)))
+  def minhashSignatures(sh: DataFrame, numPerms: Int): DataFrame =
+    sh.withColumn("h1", murmur64(col("s"), lit(1L)))
       .withColumn("h2", murmur64(col("s"), lit(2L)))
-    val aggs = (0 until numPerms).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
-    withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+      .groupBy("doc_id")
+      .agg(call_function("minhash_agg", col("h1"), col("h2"), lit(numPerms)).as("sig"))
 
   /** Banded LSH buckets: (doc_id, band, bkey). bkey digests the band's rows
     * so the bucket join key is constant-width however many rows per band.
     */
   def lshBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
-      val rowCols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      val rowCols = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1).cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -127,17 +128,9 @@ object Dedup {
   /** 64-bit SimHash from per-shingle murmurs: bit j of the signature is set
     * iff the sum of ±1 votes of that bit across shingles is >= 0.
     */
-  def simhashSignatures(sh: DataFrame): DataFrame = {
-    val h = murmur64(col("s"), lit(0x51c0L))
-    val votes = (0 until 64).map { j =>
-      sum(when(col("hh").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"v$j")
-    }
-    val voted = sh.withColumn("hh", h).groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    voted.select(col("doc_id"), sig.as("simhash"))
-  }
+  def simhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(call_function("simhash_agg", murmur64(col("s"), lit(0x51c0L))).as("simhash"))
 
   /** SimHash near-dup pairs: pigeonhole candidate join (any of four 16-bit
     * chunks equal ⇒ covers all pairs with hamming distance <= 3), hamming
