@@ -564,6 +564,21 @@ object Queries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    QueryDef("q_timeuuid_bounds",
+      // mintimeuuid/maxtimeuuid boundary pattern (TimeFcts.java:69-91) —
+      // uuid construction has no DuckDB equivalent → rows-only check;
+      // layout/ordering vectors live in FunctionsSpec
+      None,
+      (s, d) => {
+        prep(s)
+        val ms = expr("(ts div 1000000) * 1000")
+        t(s, d, "events").filter(col("user_id") < 5)
+          .select(col("event_id"), F.min_timeuuid(ms).as("u"))
+          .withColumn("u_millis", F.timeuuid_unix_millis(col("u")))
+          .orderBy("event_id")
+          .limit(200)
+      }),
+
     // ── extensions: multimodal plumbing ────────────────────────────────
     QueryDef("q_multimodal_features",
       // binary payload column + deterministic stub features (decode stubbed;

@@ -24,7 +24,10 @@ object Functions {
     "lsh_code"        -> (es => LshCode(es(0), es(1), es(2))),
     "minhash_agg"     -> (es => MinHashAgg(es(0), es(1),
       es(2).eval().asInstanceOf[Int])),
-    "simhash_agg"     -> (es => SimHashAgg(es(0)))
+    "simhash_agg"     -> (es => SimHashAgg(es(0))),
+    "min_timeuuid"    -> (es => MinTimeUuid(es.head)),
+    "max_timeuuid"    -> (es => MaxTimeUuid(es.head)),
+    "timeuuid_unix_millis" -> (es => TimeUuidMillis(es.head))
   )
 
   def install(e: SparkSessionExtensions): Unit =
@@ -41,6 +44,28 @@ object Functions {
     builders.foreach { case (name, b) =>
       registry.createOrReplaceTempFunction(name, b, "built-in")
     }
+    registerBlobConversions(spark)
+  }
+
+  /** CQL blob conversions (BytesConversionFcts.java) — cold-path utility
+    * UDFs over [[BlobConversions]].
+    */
+  def registerBlobConversions(spark: SparkSession): Unit = {
+    import BlobConversions._
+    import org.apache.spark.sql.functions.udf
+    spark.udf.register("int_as_blob", udf(intAsBlob _))
+    spark.udf.register("bigint_as_blob", udf(bigintAsBlob _))
+    spark.udf.register("double_as_blob", udf(doubleAsBlob _))
+    spark.udf.register("float_as_blob", udf(floatAsBlob _))
+    spark.udf.register("boolean_as_blob", udf(booleanAsBlob _))
+    spark.udf.register("text_as_blob", udf(textAsBlob _))
+    spark.udf.register("blob_as_int", udf(blobAsInt _))
+    spark.udf.register("blob_as_bigint", udf(blobAsBigint _))
+    spark.udf.register("blob_as_double", udf(blobAsDouble _))
+    spark.udf.register("blob_as_float", udf(blobAsFloat _))
+    spark.udf.register("blob_as_boolean", udf(blobAsBoolean _))
+    spark.udf.register("blob_as_text", udf(blobAsText _))
+    spark.udf.register("uuid_v4", udf(() => TimeUuid.randomUuid()).asNondeterministic())
   }
 
   // Column-level helpers (work in any session where the fns are registered).
@@ -50,6 +75,9 @@ object Functions {
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def lsh_code(e: Column, bits: Column, seed: Column): Column =
     call_function("lsh_code", e, bits, seed)
+  def min_timeuuid(ms: Column): Column = call_function("min_timeuuid", ms)
+  def max_timeuuid(ms: Column): Column = call_function("max_timeuuid", ms)
+  def timeuuid_unix_millis(u: Column): Column = call_function("timeuuid_unix_millis", u)
 }
 
 /** `SparkSessionExtensions` hook: functions (and, in later rounds, rules). */

@@ -1,0 +1,58 @@
+package graft.functions
+
+import java.util.UUID
+
+/** Time-based (v1) UUID semantics matching the reference
+  * (`utils/UUIDGen.java`, `cql3/functions/TimeFcts.java:39-142`,
+  * `db/marshal/TimeUUIDType.java`):
+  *  - UUID time is 100ns ticks since 1582-10-15 (START_EPOCH offset);
+  *  - `minTimeUUID(ms)` / `maxTimeUUID(ms)` are query boundary values with
+  *    fixed min/max clock-seq+node (0x8080.../0x7f7f...), maxTimeUUID taking
+  *    the last 100ns tick of the millisecond;
+  *  - ordering is by embedded timestamp first, then by the remaining bytes
+  *    (NOT plain lexicographic UUID-string order).
+  */
+object TimeUuid {
+
+  /** 1582-10-15 epoch offset in millis (UUIDGen.START_EPOCH). */
+  val StartEpochMillis: Long = -12219292800000L
+
+  private val MinClockSeqAndNode = 0x8080808080808080L
+  private val MaxClockSeqAndNode = 0x7f7f7f7f7f7f7f7fL
+
+  private def ticksFromUnixMillis(ms: Long): Long = (ms - StartEpochMillis) * 10000L
+
+  /** Standard v1 MSB layout from 100ns ticks. */
+  private def msbFromTicks(ticks: Long): Long =
+    ((ticks & 0xffffffffL) << 32) |
+      (((ticks >>> 32) & 0xffffL) << 16) |
+      ((ticks >>> 48) & 0x0fffL) |
+      0x1000L
+
+  def minTimeUuid(ms: Long): String =
+    new UUID(msbFromTicks(ticksFromUnixMillis(ms)), MinClockSeqAndNode).toString
+
+  def maxTimeUuid(ms: Long): String =
+    new UUID(msbFromTicks(ticksFromUnixMillis(ms + 1) - 1), MaxClockSeqAndNode).toString
+
+  /** 100ns ticks embedded in a v1 UUID. */
+  def ticksOf(uuidStr: String): Long = UUID.fromString(uuidStr).timestamp()
+
+  /** Millis-since-unix-epoch of a v1 UUID (TimeFcts dateOf/unixTimestampOf). */
+  def unixMillisOf(uuidStr: String): Long = ticksOf(uuidStr) / 10000L + StartEpochMillis
+
+  /** Reference timeuuid ordering: embedded timestamp, then unsigned bytes. */
+  def compare(a: String, b: String): Int = {
+    val (ua, ub) = (UUID.fromString(a), UUID.fromString(b))
+    val byTime = java.lang.Long.compare(ua.timestamp(), ub.timestamp())
+    if (byTime != 0) byTime
+    else {
+      val byMsb = java.lang.Long.compareUnsigned(ua.getMostSignificantBits, ub.getMostSignificantBits)
+      if (byMsb != 0) byMsb
+      else java.lang.Long.compareUnsigned(ua.getLeastSignificantBits, ub.getLeastSignificantBits)
+    }
+  }
+
+  /** Random v4 uuid (UuidFcts.java). */
+  def randomUuid(): String = UUID.randomUUID().toString
+}

@@ -231,3 +231,56 @@ case class LshCode(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): LshCode = copy(f, s, t)
 }
+
+/** `min_timeuuid(ms)` / `max_timeuuid(ms)` — boundary v1 UUIDs for timeuuid
+  * range queries (reference `TimeFcts.java:69-91`, `UUIDGen.java:198-217`).
+  */
+case class MinTimeUuid(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"min_timeuuid requires bigint millis, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_timeuuid"
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      TimeUuid.minTimeUuid(v.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.functions.TimeUuid.minTimeUuid($c))")
+  override protected def withNewChildInternal(c: Expression): MinTimeUuid = copy(c)
+}
+
+case class MaxTimeUuid(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"max_timeuuid requires bigint millis, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "max_timeuuid"
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      TimeUuid.maxTimeUuid(v.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.functions.TimeUuid.maxTimeUuid($c))")
+  override protected def withNewChildInternal(c: Expression): MaxTimeUuid = copy(c)
+}
+
+/** `timeuuid_unix_millis(u)` — embedded unix millis of a v1 UUID (reference
+  * `TimeFcts.java:97-142` dateOf/unixTimestampOf). Pair with the uuid string
+  * for reference-faithful timeuuid ORDER BY.
+  */
+case class TimeUuidMillis(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"timeuuid_unix_millis requires uuid string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "timeuuid_unix_millis"
+  override def nullSafeEval(v: Any): Any = TimeUuid.unixMillisOf(v.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TimeUuid.unixMillisOf($c.toString())")
+  override protected def withNewChildInternal(c: Expression): TimeUuidMillis = copy(c)
+}

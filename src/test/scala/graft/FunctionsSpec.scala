@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.{BlobConversions, TimeUuid}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("timeuuid boundary values bracket every uuid of the millisecond") {
+    val lo = TimeUuid.minTimeUuid(1000L)
+    val hi = TimeUuid.maxTimeUuid(1000L)
+    assert(TimeUuid.unixMillisOf(lo) === 1000L)
+    assert(TimeUuid.unixMillisOf(hi) === 1000L)
+    assert(TimeUuid.compare(lo, hi) < 0)
+    // version nibble is 1, variant byte of min is 0x80
+    assert(lo.charAt(14) === '1' && hi.charAt(14) === '1')
+    assert(TimeUuid.compare(TimeUuid.minTimeUuid(999L), lo) < 0)
+    assert(TimeUuid.compare(TimeUuid.maxTimeUuid(1000L), TimeUuid.minTimeUuid(1001L)) < 0)
+  }
+
+  test("timeuuid ordering is by embedded time, not string order") {
+    // a later-time uuid whose string sorts before an earlier-time one
+    val early = TimeUuid.minTimeUuid(0xffffL) // time_low ffff... sorts late as string
+    val late = TimeUuid.minTimeUuid(0x10000L)
+    assert(TimeUuid.compare(early, late) < 0)
+    assert(TimeUuid.unixMillisOf(early) < TimeUuid.unixMillisOf(late))
+  }
+
+  test("timeuuid SQL functions work end-to-end") {
+    graft.functions.Functions.ensure(spark)
+    val df = Seq(5000L, 1000L, 3000L).toDF("ms")
+      .select(col("ms"), call_function("min_timeuuid", col("ms")).as("u"))
+      .select(col("ms"), call_function("timeuuid_unix_millis", col("u")).as("back"))
+    assert(df.as[(Long, Long)].collect().toSet === Set((5000L, 5000L), (1000L, 1000L), (3000L, 3000L)))
+  }
+
+  test("blob conversions round-trip CQL wire formats") {
+    assert(BlobConversions.blobAsInt(BlobConversions.intAsBlob(-42)) === -42)
+    assert(BlobConversions.blobAsBigint(BlobConversions.bigintAsBlob(1L << 40)) === (1L << 40))
+    assert(BlobConversions.blobAsDouble(BlobConversions.doubleAsBlob(math.Pi)) === math.Pi)
+    assert(BlobConversions.blobAsText(BlobConversions.textAsBlob("héllo")) === "héllo")
+    assert(BlobConversions.intAsBlob(1).toSeq === Seq[Byte](0, 0, 0, 1)) // big-endian
+    // cross-check with the token path: bigintAsBlob bytes feed the partitioner
+    assert(graft.functions.CassandraMurmur3.tokenOfBytes(BlobConversions.bigintAsBlob(1L)) ===
+      graft.functions.CassandraMurmur3.tokenOfLong(1L))
+  }
+
+  test("blob conversion SQL registration") {
+    graft.functions.Functions.ensure(spark)
+    val r = spark.sql("SELECT blob_as_int(int_as_blob(7)) AS v, blob_as_text(text_as_blob('x')) AS t").head()
+    assert(r.getInt(0) === 7 && r.getString(1) === "x")
+  }
+}
