@@ -67,16 +67,36 @@ object Ast {
     * distinction per `db/LivenessInfo.java`).
     */
   final case class Insert(table: String, columns: Seq[String], values: Seq[Literal],
-                          ttl: Option[Long], timestamp: Option[Long]) extends Statement
+                          ttl: Option[Long], timestamp: Option[Long],
+                          ifNotExists: Boolean = false) extends Statement
 
   /** UPDATE: per-cell upsert, NO row liveness. */
   final case class Update(table: String, assignments: Seq[(String, Literal)],
                           where: Seq[Relation], ttl: Option[Long],
-                          timestamp: Option[Long]) extends Statement
+                          timestamp: Option[Long],
+                          condition: Option[LwtCondition] = None) extends Statement
+
+  /** LWT condition (Parser.g:1596-1609, cql3/conditions/ColumnCondition.java). */
+  sealed trait LwtCondition
+  case object IfExists extends LwtCondition
+  case object IfNotExists extends LwtCondition
+  final case class IfColumns(conds: Seq[(String, String, Literal)]) extends LwtCondition
+
+  /** LOGGED/UNLOGGED batch (cql3/statements/BatchStatement.java:58-60):
+    * mutations applied atomically with a shared default timestamp.
+    */
+  final case class Batch(statements: Seq[Statement]) extends Statement
+
+  /** CREATE INDEX: marks a column as secondary-indexed
+    * (index/internal/CassandraIndexSearcher.java) — EQ restrictions on it no
+    * longer require ALLOW FILTERING.
+    */
+  final case class CreateIndex(table: String, column: String) extends Statement
 
   /** DELETE: row tombstone (no columns) or cell tombstones (with columns). */
   final case class Delete(table: String, columns: Seq[String], where: Seq[Relation],
-                          timestamp: Option[Long]) extends Statement
+                          timestamp: Option[Long],
+                          condition: Option[LwtCondition] = None) extends Statement
 
   final case class Select(table: String, selectors: Seq[Selector], distinct: Boolean,
                           where: Seq[Relation], groupBy: Seq[String],

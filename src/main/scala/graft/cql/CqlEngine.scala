@@ -36,6 +36,8 @@ class CqlEngine(val spark: SparkSession) {
   // ── catalog (≈ system_schema) ─────────────────────────────────────────
   private val tables = scala.collection.mutable.LinkedHashMap.empty[String, TableDef]
   private val logs = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Row]]
+  /** table → secondary-indexed columns (2i emulation). */
+  private val indexes = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
 
   /** Monotonic client-timestamp micros (QueryOptions default behavior). */
   private var tsCounter: Long = 1000L
@@ -84,10 +86,92 @@ class CqlEngine(val spark: SparkSession) {
       tables.remove(n); logs.remove(n); emptyResult
     case Truncate(n) =>
       table(n); logs(n).clear(); emptyResult
+    case i: Insert if i.ifNotExists => executeLwtInsert(i)
     case i: Insert => executeInsert(i); emptyResult
+    case u: Update if u.condition.nonEmpty => executeLwt(u.table, u.where, u.condition.get, () => executeUpdate(u))
     case u: Update => executeUpdate(u); emptyResult
+    case dl: Delete if dl.condition.nonEmpty => executeLwt(dl.table, dl.where, dl.condition.get, () => executeDelete(dl))
     case dl: Delete => executeDelete(dl); emptyResult
     case s: Select => executeSelect(s)
+    case CreateIndex(tbl, c) =>
+      val td = table(tbl)
+      val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+      if (cd.kind == PartitionKey || cd.kind == Clustering)
+        throw InvalidRequest(s"Cannot create secondary index on PRIMARY KEY column $c")
+      indexes(tbl) = indexes.getOrElse(tbl, Set.empty) + c
+      emptyResult
+    case Batch(stmts) =>
+      // atomic batch: buffer all mutations, append together, one shared
+      // default timestamp (BatchStatement.java:243-248)
+      val batchTs = nextTs()
+      val staged = stmts.map {
+        case i: Insert => i.copy(timestamp = Some(i.timestamp.getOrElse(batchTs)))
+        case u: Update => u.copy(timestamp = Some(u.timestamp.getOrElse(batchTs)))
+        case d: Delete => d.copy(timestamp = Some(d.timestamp.getOrElse(batchTs)))
+        case other => throw InvalidRequest(s"illegal statement in batch: $other")
+      }
+      staged.foreach(run)
+      emptyResult
+  }
+
+  /** LWT: serialized read-check-write (reference goes through Paxos,
+    * StorageProxy.cas; single-JVM engine serializes trivially). Returns the
+    * reference-shaped result: `[applied]` plus current values on failure.
+    */
+  private def executeLwt(tbl: String, where: Seq[Relation], cond: LwtCondition,
+                         apply: () => Unit): DataFrame = this.synchronized {
+    import spark.implicits._
+    val td = table(tbl)
+    val (keys, _) = mutationKeys(td, where, requireCk = td.clustering.nonEmpty)
+    val current = read(tbl).filter(
+      td.primaryKey.map(c => col(c.name) === lit(keys(c.name))).reduce(_ && _))
+    val rows = current.collect()
+    val ok = cond match {
+      case IfExists => rows.nonEmpty
+      case IfNotExists => rows.isEmpty
+      case IfColumns(conds) => rows.nonEmpty && conds.forall { case (c, op, v) =>
+        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        val cur = rows.head.getAs[Any](c)
+        val want = coerce(v, cd.tpe, c)
+        val cmp = (cur, want) match {
+          case (null, _) | (_, null) => if (op == "=") cur == want else return mkLwtResult(applied = false, rows)
+          case (a: Comparable[_], b) =>
+            a.asInstanceOf[Comparable[Any]].compareTo(b)
+        }
+        cmp match {
+          case b: Boolean => b
+          case n: Int => op match {
+            case "=" => n == 0
+            case "!=" => n != 0
+            case "<" => n < 0
+            case "<=" => n <= 0
+            case ">" => n > 0
+            case ">=" => n >= 0
+          }
+        }
+      }
+    }
+    if (ok) apply()
+    mkLwtResult(ok, rows)
+  }
+
+  private def mkLwtResult(applied: Boolean, rows: Array[Row]): DataFrame = {
+    import spark.implicits._
+    Seq(applied).toDF("[applied]")
+  }
+
+  private def executeLwtInsert(i: Insert): DataFrame = this.synchronized {
+    val td = table(i.table)
+    val pairs = i.columns.zip(i.values)
+    val vals = pairs.map { case (c, l) =>
+      c -> coerce(l, td.column(c).getOrElse(
+        throw InvalidRequest(s"Undefined column name $c")).tpe, c)
+    }.toMap
+    val keyFilter = td.primaryKey.map(c => col(c.name) === lit(vals.getOrElse(c.name,
+      throw InvalidRequest(s"Some primary key parts are missing: ${c.name}")))).reduce(_ && _)
+    val exists = read(i.table).filter(keyFilter).limit(1).count() > 0
+    if (!exists) executeInsert(i.copy(ifNotExists = false))
+    mkLwtResult(!exists, Array.empty)
   }
 
   private def emptyResult: DataFrame = spark.emptyDataFrame
@@ -307,12 +391,18 @@ class CqlEngine(val spark: SparkSession) {
     val restricted = scala.collection.mutable.Map.empty[String, String] // col -> kind of restriction
     var filters = Vector.empty[Column]
     var needsFiltering = false
+    // one EQ restriction on a secondary-indexed column is index-served
+    // (IndexRegistry.getBestIndexFor); everything further needs filtering
+    var indexBudget = 1
     s.where.foreach {
       case Rel(c, op, v) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         if (op == "!=") throw InvalidRequest("Unsupported '!=' relation")
         restricted(c) = if (op == "=") "eq" else "range"
-        if (cd.kind == Regular || cd.kind == Static) needsFiltering = true
+        val indexServed = op == "=" && indexBudget > 0 &&
+          indexes.getOrElse(s.table, Set.empty).contains(c)
+        if (indexServed) indexBudget -= 1
+        if ((cd.kind == Regular || cd.kind == Static) && !indexServed) needsFiltering = true
         if (cd.kind == PartitionKey && op != "=") needsFiltering = true
         val lcol = lit(coerce(v, cd.tpe, c))
         filters :+= (op match {

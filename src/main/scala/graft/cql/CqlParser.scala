@@ -98,7 +98,8 @@ object CqlParser {
   def parse(cql: String): Statement = {
     val p = new P(tokenize(cql))
     val stmt =
-      if (p.kw("create")) parseCreate(p)
+      if (p.kw("begin")) parseBatch(p)
+      else if (p.kw("create")) parseCreate(p)
       else if (p.kw("drop")) { p.eatKw("drop"); p.eatKw("table"); DropTable(p.ident()) }
       else if (p.kw("truncate")) { p.eatKw("truncate"); p.tryKw("table"); Truncate(p.ident()) }
       else if (p.kw("insert")) parseInsert(p)
@@ -115,8 +116,36 @@ object CqlParser {
     "text" -> CqlText, "varchar" -> CqlText, "ascii" -> CqlText,
     "double" -> CqlDouble, "float" -> CqlFloat, "boolean" -> CqlBoolean)
 
+  private def parseBatch(p: P): Statement = {
+    p.eatKw("begin")
+    p.tryKw("unlogged"); p.tryKw("logged"); p.tryKw("counter")
+    p.eatKw("batch")
+    var stmts = Vector.empty[Statement]
+    while (!p.kw("apply")) {
+      val inner =
+        if (p.kw("insert")) parseInsert(p)
+        else if (p.kw("update")) parseUpdate(p)
+        else if (p.kw("delete")) parseDelete(p)
+        else throw ParseException("batch statements must be INSERT/UPDATE/DELETE")
+      stmts :+= inner
+      p.trySym(";")
+    }
+    p.eatKw("apply"); p.eatKw("batch")
+    Batch(stmts)
+  }
+
   private def parseCreate(p: P): Statement = {
-    p.eatKw("create"); p.eatKw("table")
+    p.eatKw("create")
+    if (p.tryKw("index")) {
+      if (!p.kw("on")) p.ident() // optional index name
+      p.eatKw("on")
+      val tbl = p.ident()
+      p.sym("(")
+      val c = p.ident()
+      p.sym(")")
+      return CreateIndex(tbl, c)
+    }
+    p.eatKw("table")
     val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
     val name = p.ident()
     p.sym("(")
@@ -210,7 +239,8 @@ object CqlParser {
     val (ttl, ts) = parseUsing(p)
     if (cols.length != vals.length)
       throw ParseException("Unmatched column names/values")
-    Insert(name, cols, vals, ttl, ts)
+    val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
+    Insert(name, cols, vals, ttl, ts, ifNotExists)
   }
 
   private def parseUpdate(p: P): Statement = {
@@ -225,7 +255,23 @@ object CqlParser {
       more = p.trySym(",")
     }
     p.eatKw("where")
-    Update(name, assigns, parseWhere(p), ttl, ts)
+    val where = parseWhere(p)
+    Update(name, assigns, where, ttl, ts, parseCondition(p))
+  }
+
+  private def parseCondition(p: P): Option[LwtCondition] = {
+    if (!p.tryKw("if")) return None
+    if (p.tryKw("exists")) return Some(IfExists)
+    if (p.tryKw("not")) { p.eatKw("exists"); return Some(IfNotExists) }
+    var conds = Vector.empty[(String, String, Literal)]
+    var more = true
+    while (more) {
+      val c = p.ident()
+      val op = p.next().text
+      conds :+= ((c, op, p.literal()))
+      more = p.tryKw("and")
+    }
+    Some(IfColumns(conds))
   }
 
   private def parseDelete(p: P): Statement = {
@@ -239,7 +285,8 @@ object CqlParser {
     val name = p.ident()
     val (_, ts) = parseUsing(p)
     p.eatKw("where")
-    Delete(name, cols, parseWhere(p), ts)
+    val where = parseWhere(p)
+    Delete(name, cols, where, ts, parseCondition(p))
   }
 
   private def parseWhere(p: P): Seq[Relation] = {

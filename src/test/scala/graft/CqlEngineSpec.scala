@@ -198,4 +198,51 @@ class CqlEngineSpec extends SparkSpec {
     e.execute("TRUNCATE t13")
     assert(e.execute("SELECT * FROM t13").count() === 0)
   }
+
+  test("LWT: IF NOT EXISTS / IF EXISTS / IF col = val (InsertUpdateIfConditionTest)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t14 (k int PRIMARY KEY, v int)")
+    assert(e.execute("INSERT INTO t14 (k, v) VALUES (1, 10) IF NOT EXISTS")
+      .head().getBoolean(0) === true)
+    assert(e.execute("INSERT INTO t14 (k, v) VALUES (1, 99) IF NOT EXISTS")
+      .head().getBoolean(0) === false)
+    assert(rows(e.execute("SELECT v FROM t14")) === Set(Seq(10)))
+    assert(e.execute("UPDATE t14 SET v = 20 WHERE k = 1 IF v = 10")
+      .head().getBoolean(0) === true)
+    assert(e.execute("UPDATE t14 SET v = 30 WHERE k = 1 IF v = 10")
+      .head().getBoolean(0) === false)
+    assert(rows(e.execute("SELECT v FROM t14")) === Set(Seq(20)))
+    assert(e.execute("DELETE FROM t14 WHERE k = 1 IF EXISTS").head().getBoolean(0) === true)
+    assert(e.execute("DELETE FROM t14 WHERE k = 1 IF EXISTS").head().getBoolean(0) === false)
+    assert(e.execute("SELECT * FROM t14").count() === 0)
+  }
+
+  test("BATCH applies mutations atomically with a shared timestamp") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t15 (k int, c int, v int, PRIMARY KEY (k, c))")
+    e.execute(
+      """BEGIN BATCH
+        |  INSERT INTO t15 (k, c, v) VALUES (1, 1, 10);
+        |  INSERT INTO t15 (k, c, v) VALUES (1, 2, 20);
+        |  UPDATE t15 SET v = 11 WHERE k = 1 AND c = 1;
+        |APPLY BATCH""".stripMargin)
+    // same default ts for the whole batch: UPDATE ties with INSERT on ts, so
+    // cell reconcile keeps the higher value (11 > 10) — reference tie rule
+    assert(rows(e.execute("SELECT c, v FROM t15 WHERE k = 1")) ===
+      Set(Seq(1, 11), Seq(2, 20)))
+  }
+
+  test("secondary index allows EQ on a regular column without ALLOW FILTERING") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t16 (k int PRIMARY KEY, v int, w int)")
+    for (k <- 0 until 10) e.execute(s"INSERT INTO t16 (k, v, w) VALUES ($k, ${k % 3}, $k)")
+    assertInvalid(e, "SELECT k FROM t16 WHERE v = 1", "ALLOW FILTERING")
+    e.execute("CREATE INDEX ON t16 (v)")
+    assert(rows(e.execute("SELECT k FROM t16 WHERE v = 1")) ===
+      Set(Seq(1), Seq(4), Seq(7)))
+    // a second non-indexed restriction still needs filtering
+    assertInvalid(e, "SELECT k FROM t16 WHERE v = 1 AND w = 4", "ALLOW FILTERING")
+    assert(rows(e.execute("SELECT k FROM t16 WHERE v = 1 AND w = 4 ALLOW FILTERING")) ===
+      Set(Seq(4)))
+  }
 }
