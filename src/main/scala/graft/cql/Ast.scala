@@ -14,6 +14,12 @@ object Ast {
   case object CqlDouble extends CqlType { val name = "double" }
   case object CqlFloat extends CqlType { val name = "float" }
   case object CqlBoolean extends CqlType { val name = "boolean" }
+  /** Collections — frozen (single-cell, full-replacement) semantics in v1;
+    * multi-cell element ops (`cql3/Lists.java:379-600`) are future work.
+    */
+  final case class CqlList(elem: CqlType) extends CqlType { def name = s"list<${elem.name}>" }
+  final case class CqlSet(elem: CqlType) extends CqlType { def name = s"set<${elem.name}>" }
+  final case class CqlMap(key: CqlType, value: CqlType) extends CqlType { def name = s"map<${key.name}, ${value.name}>" }
 
   sealed trait ColumnKind
   case object PartitionKey extends ColumnKind
@@ -42,6 +48,11 @@ object Ast {
   final case class StringLit(value: String) extends Literal
   final case class BoolLit(value: Boolean) extends Literal
   case object NullLit extends Literal { val value: Any = null }
+  final case class ListLit(items: Seq[Literal]) extends Literal { def value: Any = items.map(_.value) }
+  final case class SetLit(items: Seq[Literal]) extends Literal { def value: Any = items.map(_.value) }
+  final case class MapLit(pairs: Seq[(Literal, Literal)]) extends Literal {
+    def value: Any = pairs.map { case (k, v) => k.value -> v.value }
+  }
 
   sealed trait Relation
   /** col op literal; op in = < <= > >= != */
@@ -49,6 +60,8 @@ object Ast {
   final case class In(column: String, values: Seq[Literal]) extends Relation
   /** token(pk...) op literal (cql3/TokenRelation.java) */
   final case class TokenRel(columns: Seq[String], op: String, value: Literal) extends Relation
+  /** CONTAINS / CONTAINS KEY (cql3/Operator.java:117-161) */
+  final case class Contains(column: String, value: Literal, isKey: Boolean) extends Relation
 
   sealed trait Selector
   case object Star extends Selector
@@ -56,6 +69,8 @@ object Ast {
   /** count/sum/avg/min/max/writetime/ttl/token(col) */
   final case class FnSel(fn: String, arg: String, alias: Option[String]) extends Selector
   final case class CountStar(alias: Option[String]) extends Selector
+  /** map/set element selection c[k] (cql3/selection/ElementsSelector.java) */
+  final case class ElementSel(name: String, key: Literal, alias: Option[String]) extends Selector
 
   sealed trait Statement
   final case class CreateTable(table: TableDef, ifNotExists: Boolean) extends Statement

@@ -53,6 +53,9 @@ class CqlEngine(val spark: SparkSession) {
     case CqlDouble => DoubleType
     case CqlFloat => FloatType
     case CqlBoolean => BooleanType
+    case CqlList(e) => ArrayType(sparkType(e))
+    case CqlSet(e) => ArrayType(sparkType(e))
+    case CqlMap(k, v) => MapType(sparkType(k), sparkType(v))
   }
 
   private def logSchema(td: TableDef): StructType = {
@@ -186,6 +189,18 @@ class CqlEngine(val spark: SparkSession) {
     case (DoubleLit(v), CqlFloat) => v.toFloat
     case (StringLit(v), CqlText) => v
     case (BoolLit(v), CqlBoolean) => v
+    case (ListLit(items), CqlList(e)) => items.map(coerce(_, e, col))
+    // sets are kept sorted + deduped (SetType comparator order)
+    case (SetLit(items), CqlSet(e)) =>
+      items.map(coerce(_, e, col)).distinct.sortBy(_.toString)
+    case (ListLit(items), CqlSet(e)) =>
+      items.map(coerce(_, e, col)).distinct.sortBy(_.toString)
+    case (MapLit(pairs), CqlMap(k, v)) =>
+      scala.collection.immutable.ListMap(pairs.map { case (kk, vv) =>
+        coerce(kk, k, col) -> coerce(vv, v, col)
+      }.sortBy(_._1.toString): _*)
+    case (SetLit(items), CqlMap(_, _)) if items.isEmpty =>
+      scala.collection.immutable.ListMap.empty[Any, Any]
     case (l, t) => throw InvalidRequest(s"Invalid ${l.value} for column $col of type ${t.name}")
   }
 
@@ -298,7 +313,15 @@ class CqlEngine(val spark: SparkSession) {
     def reconcile(df: DataFrame, keys: Seq[String], cols: Seq[ColumnDef],
                   withLiveness: Boolean, delOps: Seq[String]): DataFrame = {
       val cellAggs = cols.flatMap { c =>
-        Seq(max(cellStruct(c)).as("_cell_" + c.name))
+        // MapType is not orderable in Spark; order by a JSON surrogate of the
+        // value for the reconcile tie-break instead (Cells.reconcile compares
+        // serialized bytes — same effect: deterministic value-tie winner)
+        val needsSurrogate = td.column(c.name).exists(_.tpe.isInstanceOf[CqlMap])
+        if (needsSurrogate) {
+          val ordKey = when(cellStruct(c).isNotNull,
+            struct(col("_ts"), cellStruct(c)("tomb"), to_json(col(c.name))))
+          Seq(max_by(cellStruct(c), ordKey).as("_cell_" + c.name))
+        } else Seq(max(cellStruct(c)).as("_cell_" + c.name))
       }
       val delAgg = max(when(col("_op").isin(delOps: _*), col("_ts"))).as("_del_ts")
       val liveAgg = max(when(col("_op") === "insert",
@@ -417,6 +440,18 @@ class CqlEngine(val spark: SparkSession) {
         restricted(c) = "eq"
         if (cd.kind == Regular || cd.kind == Static) needsFiltering = true
         filters :+= col(c).isin(vs.map(v => coerce(v, cd.tpe, c)): _*)
+      case Contains(c, v, isKey) =>
+        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        needsFiltering = true
+        restricted(c) = "contains"
+        filters :+= (cd.tpe match {
+          case CqlList(e) if !isKey => array_contains(col(c), coerce(v, e, c))
+          case CqlSet(e) if !isKey => array_contains(col(c), coerce(v, e, c))
+          case CqlMap(k, _) if isKey => array_contains(map_keys(col(c)), coerce(v, k, c))
+          case CqlMap(_, vv) if !isKey => array_contains(map_values(col(c)), coerce(v, vv, c))
+          case _ => throw InvalidRequest(
+            s"Cannot use CONTAINS on non-collection column $c")
+        })
       case TokenRel(cols0, op, v) =>
         if (cols0 != td.partitionKey.map(_.name))
           throw InvalidRequest(
@@ -583,6 +618,17 @@ class CqlEngine(val spark: SparkSession) {
     case ColSel(n, alias) =>
       if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
       Seq(col(n).as(alias.getOrElse(n)))
+    case ElementSel(n, key, alias) =>
+      val cd = td.column(n).getOrElse(throw InvalidRequest(s"Undefined column name $n"))
+      cd.tpe match {
+        case CqlMap(k, _) =>
+          Seq(element_at(col(n), lit(coerce(key, k, n))).as(alias.getOrElse(s"$n[${key.value}]")))
+        case CqlList(_) =>
+          // CQL list indexes are 0-based; Spark element_at is 1-based
+          Seq(element_at(col(n), lit(key.value.asInstanceOf[Long].toInt + 1))
+            .as(alias.getOrElse(s"$n[${key.value}]")))
+        case other => throw InvalidRequest(s"Invalid element selection on $n of type ${other.name}")
+      }
     case FnSel("writetime", c, alias) =>
       requireCell(td, c, "writetime")
       Seq(col("_wt_" + c).as(alias.getOrElse(s"writetime($c)")))

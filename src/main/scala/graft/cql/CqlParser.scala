@@ -116,6 +116,20 @@ object CqlParser {
     "text" -> CqlText, "varchar" -> CqlText, "ascii" -> CqlText,
     "double" -> CqlDouble, "float" -> CqlFloat, "boolean" -> CqlBoolean)
 
+  private def parseType(p: P): CqlType = {
+    val tn = p.ident()
+    tn match {
+      case "list" => p.sym("<"); val e = parseType(p); p.sym(">"); CqlList(e)
+      case "set" => p.sym("<"); val e = parseType(p); p.sym(">"); CqlSet(e)
+      case "map" =>
+        p.sym("<"); val k = parseType(p); p.sym(","); val v = parseType(p); p.sym(">")
+        CqlMap(k, v)
+      case "frozen" => p.sym("<"); val e = parseType(p); p.sym(">"); e
+      case other => types.getOrElse(other,
+        throw ParseException(s"unsupported type $other (supported: ${types.keys.toSeq.sorted.mkString(", ")}, list<>, set<>, map<>, frozen<>)"))
+    }
+  }
+
   private def parseBatch(p: P): Statement = {
     p.eatKw("begin")
     p.tryKw("unlogged"); p.tryKw("logged"); p.tryKw("counter")
@@ -172,9 +186,7 @@ object CqlParser {
         pkSpec = Some((pk, cks))
       } else {
         val cn = p.ident()
-        val tn = p.ident()
-        val tpe = types.getOrElse(tn,
-          throw ParseException(s"unsupported type $tn (supported: ${types.keys.toSeq.sorted.mkString(", ")})"))
+        val tpe = parseType(p)
         if (p.tryKw("static")) inlineStatic += cn
         if (p.tryKw("primary")) { p.eatKw("key"); inlinePk :+= cn }
         cols :+= (cn, tpe)
@@ -210,6 +222,37 @@ object CqlParser {
     CreateTable(TableDef(name, ordered, desc), ifNotExists)
   }
 
+  /** Scalar or collection literal. */
+  private def anyLiteral(p: P): Literal = {
+    if (p.trySym("[")) {
+      var items = Vector.empty[Literal]
+      if (!p.trySym("]")) {
+        items :+= anyLiteral(p)
+        while (p.trySym(",")) items :+= anyLiteral(p)
+        p.sym("]")
+      }
+      ListLit(items)
+    } else if (p.trySym("{")) {
+      if (p.trySym("}")) SetLit(Seq.empty)
+      else {
+        val first = anyLiteral(p)
+        if (p.trySym(":")) {
+          var pairs = Vector(first -> anyLiteral(p))
+          while (p.trySym(",")) {
+            val k = anyLiteral(p); p.sym(":"); pairs :+= (k -> anyLiteral(p))
+          }
+          p.sym("}")
+          MapLit(pairs)
+        } else {
+          var items = Vector(first)
+          while (p.trySym(",")) items :+= anyLiteral(p)
+          p.sym("}")
+          SetLit(items)
+        }
+      }
+    } else p.literal()
+  }
+
   private def parseUsing(p: P): (Option[Long], Option[Long]) = {
     var ttl: Option[Long] = None
     var ts: Option[Long] = None
@@ -233,8 +276,8 @@ object CqlParser {
     while (p.trySym(",")) cols :+= p.ident()
     p.sym(")")
     p.eatKw("values"); p.sym("(")
-    var vals = Vector(p.literal())
-    while (p.trySym(",")) vals :+= p.literal()
+    var vals = Vector(anyLiteral(p))
+    while (p.trySym(",")) vals :+= anyLiteral(p)
     p.sym(")")
     val (ttl, ts) = parseUsing(p)
     if (cols.length != vals.length)
@@ -251,7 +294,7 @@ object CqlParser {
     var assigns = Vector.empty[(String, Literal)]
     var more = true
     while (more) {
-      val c = p.ident(); p.sym("="); assigns :+= (c -> p.literal())
+      val c = p.ident(); p.sym("="); assigns :+= (c -> anyLiteral(p))
       more = p.trySym(",")
     }
     p.eatKw("where")
@@ -305,6 +348,10 @@ object CqlParser {
       TokenRel(cols, op, p.literal())
     } else {
       val c = p.ident()
+      if (p.tryKw("contains")) {
+        val isKey = p.tryKw("key")
+        return Contains(c, p.literal(), isKey)
+      }
       if (p.tryKw("in")) {
         p.sym("(")
         var vals = Vector(p.literal())
@@ -337,6 +384,10 @@ object CqlParser {
             if (p.trySym("*")) { p.sym(")"); CountStar(parseAlias(p)) }
             else { val arg = p.ident(); p.sym(")"); FnSel(id, arg, parseAlias(p)) }
           sels :+= sel
+        } else if (p.trySym("[")) {
+          val key = p.literal()
+          p.sym("]")
+          sels :+= ElementSel(id, key, parseAlias(p))
         } else sels :+= ColSel(id, parseAlias(p))
         more = p.trySym(",")
       }

@@ -245,4 +245,32 @@ class CqlEngineSpec extends SparkSpec {
     assert(rows(e.execute("SELECT k FROM t16 WHERE v = 1 AND w = 4 ALLOW FILTERING")) ===
       Set(Seq(4)))
   }
+
+  test("collections: frozen list/set/map, CONTAINS, element selection (CollectionsTest)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t17 (k int PRIMARY KEY, l list<int>, st set<text>, m map<text, int>)")
+    e.execute("INSERT INTO t17 (k, l, st, m) VALUES (1, [3, 1, 3], {'b', 'a', 'b'}, {'x': 1, 'y': 2})")
+    e.execute("INSERT INTO t17 (k, l, st, m) VALUES (2, [9], {'c'}, {'x': 9})")
+    // lists keep order/dups; sets are sorted + deduped
+    val r = e.execute("SELECT l, st FROM t17 WHERE k = 1").head()
+    assert(r.getSeq[Int](0) === Seq(3, 1, 3))
+    assert(r.getSeq[String](1) === Seq("a", "b"))
+    // CONTAINS / CONTAINS KEY need ALLOW FILTERING, then work
+    assertInvalid(e, "SELECT k FROM t17 WHERE st CONTAINS 'a'", "ALLOW FILTERING")
+    assert(rows(e.execute("SELECT k FROM t17 WHERE st CONTAINS 'a' ALLOW FILTERING")) ===
+      Set(Seq(1)))
+    assert(rows(e.execute("SELECT k FROM t17 WHERE m CONTAINS KEY 'y' ALLOW FILTERING")) ===
+      Set(Seq(1)))
+    assert(rows(e.execute("SELECT k FROM t17 WHERE m CONTAINS 9 ALLOW FILTERING")) ===
+      Set(Seq(2)))
+    assert(rows(e.execute("SELECT k FROM t17 WHERE l CONTAINS 3 ALLOW FILTERING")) ===
+      Set(Seq(1)))
+    // element selection: map by key, list by 0-based index
+    assert(rows(e.execute("SELECT m['y'] FROM t17 WHERE k = 1")) === Set(Seq(2)))
+    assert(rows(e.execute("SELECT l[0] FROM t17 WHERE k = 1")) === Set(Seq(3)))
+    // frozen full-replacement write semantics
+    e.execute("UPDATE t17 SET m = {'z': 7} WHERE k = 1")
+    assert(rows(e.execute("SELECT m['z'], m['x'] FROM t17 WHERE k = 1")) ===
+      Set(Seq(7, null)))
+  }
 }
