@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, partial aggregation) are asserted so
+  * a refactor can't silently trade them away.
+  */
+class PlanSpec extends SparkSpec {
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("single-partition read pushes the key filter into the parquet scan") {
+    val p = plan("q_single_partition")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,7)]"), p)
+  }
+
+  test("column pruning reaches the scan (no over-read)") {
+    val p = plan("q_partition_in")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("multiway join broadcasts dimensions, never cartesian") {
+    val p = plan("q_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("group-by aggregates partially before the shuffle") {
+    val p = plan("q_group_pk_prefix")
+    // partial + final HashAggregate pair around a single exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("tuple-relation DNF pushes the leading column range to the scan") {
+    val p = plan("q_multicol_tuple")
+    assert(p.contains("PushedFilters: [Or(GreaterThan(l_orderkey,5)"), p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan("q_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ANN brute force broadcasts the query side") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}
