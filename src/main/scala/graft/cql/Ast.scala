@@ -14,6 +14,10 @@ object Ast {
   case object CqlDouble extends CqlType { val name = "double" }
   case object CqlFloat extends CqlType { val name = "float" }
   case object CqlBoolean extends CqlType { val name = "boolean" }
+  /** Counter column (db/marshal/CounterColumnType.java): reads are sums of
+    * update deltas; only `c = c + n` / `c = c - n` writes are legal.
+    */
+  case object CqlCounter extends CqlType { val name = "counter" }
   /** Collections — frozen (single-cell, full-replacement) semantics in v1;
     * multi-cell element ops (`cql3/Lists.java:379-600`) are future work.
     */
@@ -49,6 +53,8 @@ object Ast {
   final case class BoolLit(value: Boolean) extends Literal
   case object NullLit extends Literal { val value: Any = null }
   final case class ListLit(items: Seq[Literal]) extends Literal { def value: Any = items.map(_.value) }
+  /** counter increment/decrement in UPDATE SET c = c +/- n */
+  final case class CounterDeltaLit(delta: Long) extends Literal { def value: Any = delta }
   final case class SetLit(items: Seq[Literal]) extends Literal { def value: Any = items.map(_.value) }
   final case class MapLit(pairs: Seq[(Literal, Literal)]) extends Literal {
     def value: Any = pairs.map { case (k, v) => k.value -> v.value }

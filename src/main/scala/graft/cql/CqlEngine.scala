@@ -53,6 +53,7 @@ class CqlEngine(val spark: SparkSession) {
     case CqlDouble => DoubleType
     case CqlFloat => FloatType
     case CqlBoolean => BooleanType
+    case CqlCounter => LongType
     case CqlList(e) => ArrayType(sparkType(e))
     case CqlSet(e) => ArrayType(sparkType(e))
     case CqlMap(k, v) => MapType(sparkType(k), sparkType(v))
@@ -189,6 +190,11 @@ class CqlEngine(val spark: SparkSession) {
     case (DoubleLit(v), CqlFloat) => v.toFloat
     case (StringLit(v), CqlText) => v
     case (BoolLit(v), CqlBoolean) => v
+    case (CounterDeltaLit(d), CqlCounter) => d
+    case (_, CqlCounter) =>
+      throw InvalidRequest(s"Cannot set the value of counter column $col (counters can only be incremented/decremented)")
+    case (CounterDeltaLit(_), t) =>
+      throw InvalidRequest(s"Invalid operation for non counter column $col of type ${t.name}")
     case (ListLit(items), CqlList(e)) => items.map(coerce(_, e, col))
     // sets are kept sorted + deduped (SetType comparator order)
     case (SetLit(items), CqlSet(e)) =>
@@ -218,13 +224,17 @@ class CqlEngine(val spark: SparkSession) {
     val td = table(i.table)
     val pairs = i.columns.zip(i.values)
     pairs.foreach { case (c, _) =>
-      if (td.column(c).isEmpty) throw InvalidRequest(s"Undefined column name $c")
+      val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+      if (cd.tpe == CqlCounter)
+        throw InvalidRequest("INSERT statements are not allowed on counter tables, use UPDATE instead")
     }
     val vals = pairs.map { case (c, l) => c -> coerce(l, td.column(c).get.tpe, c) }.toMap
     td.partitionKey.foreach { c =>
       if (!vals.contains(c.name) || vals(c.name) == null)
         throw InvalidRequest(s"Some partition key parts are missing: ${c.name}")
     }
+    if (td.regulars.exists(c => c.tpe == CqlCounter && vals.contains(c.name)))
+      throw InvalidRequest("INSERT statements are not allowed on counter tables, use UPDATE instead")
     val setCells = (td.statics ++ td.regulars).map(_.name).filter(vals.contains).toSet
     logs(i.table) += mutationRow(td, vals, vals, setCells, "insert",
       i.timestamp.getOrElse(nextTs()), i.ttl.getOrElse(0L))
@@ -313,15 +323,23 @@ class CqlEngine(val spark: SparkSession) {
     def reconcile(df: DataFrame, keys: Seq[String], cols: Seq[ColumnDef],
                   withLiveness: Boolean, delOps: Seq[String]): DataFrame = {
       val cellAggs = cols.flatMap { c =>
-        // MapType is not orderable in Spark; order by a JSON surrogate of the
-        // value for the reconcile tie-break instead (Cells.reconcile compares
-        // serialized bytes — same effect: deterministic value-tie winner)
-        val needsSurrogate = td.column(c.name).exists(_.tpe.isInstanceOf[CqlMap])
-        if (needsSurrogate) {
-          val ordKey = when(cellStruct(c).isNotNull,
-            struct(col("_ts"), cellStruct(c)("tomb"), to_json(col(c.name))))
-          Seq(max_by(cellStruct(c), ordKey).as("_cell_" + c.name))
-        } else Seq(max(cellStruct(c)).as("_cell_" + c.name))
+        if (c.tpe == CqlCounter) {
+          // counter read = sum of update deltas (CounterColumnType); the
+          // newest delta ts doubles as the cell's writetime
+          val isSet = col(c.name + "__set")
+          Seq(sum(when(isSet && col("_op") === "update", col(c.name))).as("_csum_" + c.name),
+            max(when(isSet && col("_op") === "update", col("_ts"))).as("_cts_" + c.name))
+        } else {
+          // MapType is not orderable in Spark; order by a JSON surrogate of
+          // the value for the reconcile tie-break instead (Cells.reconcile
+          // compares serialized bytes — same deterministic value-tie winner)
+          val needsSurrogate = td.column(c.name).exists(_.tpe.isInstanceOf[CqlMap])
+          if (needsSurrogate) {
+            val ordKey = when(cellStruct(c).isNotNull,
+              struct(col("_ts"), cellStruct(c)("tomb"), to_json(col(c.name))))
+            Seq(max_by(cellStruct(c), ordKey).as("_cell_" + c.name))
+          } else Seq(max(cellStruct(c)).as("_cell_" + c.name))
+        }
       }
       val delAgg = max(when(col("_op").isin(delOps: _*), col("_ts"))).as("_del_ts")
       val liveAgg = max(when(col("_op") === "insert",
@@ -330,20 +348,32 @@ class CqlEngine(val spark: SparkSession) {
       val g = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       val delTs = coalesce(col("_del_ts"), lit(Long.MinValue))
       val valueCols = cols.map { c =>
-        val cell = col("_cell_" + c.name)
-        when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs, cell("v"))
-          .as(c.name)
+        if (c.tpe == CqlCounter)
+          when(col("_cts_" + c.name) > delTs, col("_csum_" + c.name)).as(c.name)
+        else {
+          val cell = col("_cell_" + c.name)
+          when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs, cell("v"))
+            .as(c.name)
+        }
       }
       val wtCols = cols.map { c =>
-        val cell = col("_cell_" + c.name)
-        when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs, cell("ts"))
-          .as("_wt_" + c.name)
+        if (c.tpe == CqlCounter)
+          when(col("_cts_" + c.name) > delTs, col("_cts_" + c.name)).as("_wt_" + c.name)
+        else {
+          val cell = col("_cell_" + c.name)
+          when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs, cell("ts"))
+            .as("_wt_" + c.name)
+        }
       }
       val ttlCols = cols.map { c =>
-        val cell = col("_cell_" + c.name)
-        when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs && cell("ttl") > 0,
-          ceil((cell("ts") + cell("ttl") * 1000000L - lit(nowMicros)) / 1000000.0).cast("int"))
-          .as("_ttlr_" + c.name)
+        if (c.tpe == CqlCounter)
+          lit(null).cast("int").as("_ttlr_" + c.name)
+        else {
+          val cell = col("_cell_" + c.name)
+          when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs && cell("ttl") > 0,
+            ceil((cell("ts") + cell("ttl") * 1000000L - lit(nowMicros)) / 1000000.0).cast("int"))
+            .as("_ttlr_" + c.name)
+        }
       }
       val liveCol =
         if (withLiveness) {
@@ -456,9 +486,9 @@ class CqlEngine(val spark: SparkSession) {
         if (cols0 != td.partitionKey.map(_.name))
           throw InvalidRequest(
             s"The token function arguments must be in the partition key order: ${td.partitionKey.map(_.name).mkString(", ")}")
-        if (cols0.length != 1)
-          throw InvalidRequest("composite-partition-key token ranges not supported yet")
-        val tok = F.cassandra_token(col(cols0.head))
+        val tok =
+          if (cols0.length == 1) F.cassandra_token(col(cols0.head))
+          else call_function("cassandra_token", cols0.map(col): _*)
         val lcol = lit(v.value)
         filters :+= (op match {
           case "=" => tok === lcol

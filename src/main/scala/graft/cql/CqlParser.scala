@@ -112,7 +112,7 @@ object CqlParser {
   }
 
   private val types: Map[String, CqlType] = Map(
-    "int" -> CqlInt, "bigint" -> CqlBigint, "counter" -> CqlBigint,
+    "int" -> CqlInt, "bigint" -> CqlBigint, "counter" -> CqlCounter,
     "text" -> CqlText, "varchar" -> CqlText, "ascii" -> CqlText,
     "double" -> CqlDouble, "float" -> CqlFloat, "boolean" -> CqlBoolean)
 
@@ -294,7 +294,14 @@ object CqlParser {
     var assigns = Vector.empty[(String, Literal)]
     var more = true
     while (more) {
-      val c = p.ident(); p.sym("="); assigns :+= (c -> anyLiteral(p))
+      val c = p.ident(); p.sym("=")
+      if (p.tryKw(c)) {
+        // counter delta: SET c = c + n / c = c - n
+        val sign = p.next().text
+        if (sign != "+" && sign != "-") throw ParseException(s"expected + or - after counter column $c")
+        val n = p.long()
+        assigns :+= (c -> CounterDeltaLit(if (sign == "-") -n else n))
+      } else assigns :+= (c -> anyLiteral(p))
       more = p.trySym(",")
     }
     p.eatKw("where")

@@ -112,6 +112,41 @@ object CassandraMurmur3 {
 
   def tokenOfString(s: String): Long = tokenOfBytes(s.getBytes(StandardCharsets.UTF_8))
 
+  def serializeLong(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+    b
+  }
+
+  def serializeInt(v: Int): Array[Byte] = {
+    val b = new Array[Byte](4)
+    var i = 0
+    while (i < 4) { b(i) = (v >>> (24 - 8 * i)).toByte; i += 1 }
+    b
+  }
+
+  /** Composite partition key serialization (reference
+    * `db/marshal/CompositeType.java:343-370`): per component a 2-byte
+    * big-endian length, the component bytes, and a 0x00 end-of-component
+    * marker. The token is the murmur of the composite buffer.
+    */
+  def compositeBytes(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val total = parts.map(_.length + 3).sum
+    val out = new Array[Byte](total)
+    var o = 0
+    parts.foreach { p =>
+      out(o) = ((p.length >> 8) & 0xff).toByte
+      out(o + 1) = (p.length & 0xff).toByte
+      System.arraycopy(p, 0, out, o + 2, p.length)
+      out(o + 2 + p.length) = 0
+      o += p.length + 3
+    }
+    out
+  }
+
+  def tokenOfComposite(parts: Seq[Array[Byte]]): Long = tokenOfBytes(compositeBytes(parts))
+
   /** Plain 64-bit murmur of a string with an arbitrary seed — used as the
     * base hash for MinHash/SimHash shingles (scale path: one pass, no UDF).
     */

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions.call_function
 object Functions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cassandra_token" -> (es => CassandraToken(es.head)),
+    "cassandra_token" -> (es =>
+      if (es.length == 1) CassandraToken(es.head) else CassandraTokenComposite(es)),
     "murmur64"        -> (es => Murmur64(es(0), es(1))),
     "cosine_sim"      -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product"     -> (es => DotProduct(es(0), es(1))),

@@ -284,3 +284,47 @@ case class TimeUuidMillis(child: Expression) extends UnaryExpression {
       s"graft.functions.TimeUuid.unixMillisOf($c.toString())")
   override protected def withNewChildInternal(c: Expression): TimeUuidMillis = copy(c)
 }
+
+/** Variadic `cassandra_token(pk1, pk2, ...)` for composite partition keys:
+  * components serialized per the reference CompositeType layout
+  * (2-byte length + bytes + 0x00 each) before hashing.
+  */
+case class CassandraTokenComposite(children: Seq[Expression])
+    extends Expression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = children.map(_.dataType).find {
+      case LongType | IntegerType | BinaryType | _: StringType => false
+      case _ => true
+    }
+    bad match {
+      case Some(t) => TypeCheckResult.TypeCheckFailure(
+        s"cassandra_token components must be bigint/int/text/binary, got $t")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cassandra_token"
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val parts = new Array[Array[Byte]](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      parts(i) = children(i).dataType match {
+        case LongType => CassandraMurmur3.serializeLong(v.asInstanceOf[Long])
+        case IntegerType => CassandraMurmur3.serializeInt(v.asInstanceOf[Int])
+        case _: StringType => v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case BinaryType => v.asInstanceOf[Array[Byte]]
+      }
+      i += 1
+    }
+    CassandraMurmur3.tokenOfComposite(parts.toSeq)
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): CassandraTokenComposite = copy(children = cs)
+}

@@ -273,4 +273,35 @@ class CqlEngineSpec extends SparkSpec {
     assert(rows(e.execute("SELECT m['z'], m['x'] FROM t17 WHERE k = 1")) ===
       Set(Seq(7, null)))
   }
+
+  test("token restriction over a composite partition key") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t18 (a bigint, b int, v int, PRIMARY KEY ((a, b)))")
+    e.execute("INSERT INTO t18 (a, b, v) VALUES (1, 2, 42)")
+    e.execute("INSERT INTO t18 (a, b, v) VALUES (3, 4, 43)")
+    // token(1,2) = -5927342534679261077 (vector cross-checked in TokenSpec)
+    assert(rows(e.execute(
+      "SELECT v FROM t18 WHERE token(a, b) = -5927342534679261077")) === Set(Seq(42)))
+    assertInvalid(e, "SELECT v FROM t18 WHERE token(b, a) = 0",
+      "token function arguments must be in the partition key order")
+  }
+
+  test("counter columns: delta sums, validation (CountersTest)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t19 (k int PRIMARY KEY, c counter)")
+    e.execute("UPDATE t19 SET c = c + 5 WHERE k = 1")
+    e.execute("UPDATE t19 SET c = c + 3 WHERE k = 1")
+    e.execute("UPDATE t19 SET c = c - 2 WHERE k = 1")
+    e.execute("UPDATE t19 SET c = c + 7 WHERE k = 2")
+    assert(rows(e.execute("SELECT k, c FROM t19")) === Set(Seq(1, 6L), Seq(2, 7L)))
+    // aggregate over counters reads as bigint
+    assert(e.execute("SELECT sum(c) FROM t19").head().getLong(0) === 13L)
+    assertInvalid(e, "UPDATE t19 SET c = 5 WHERE k = 1",
+      "Cannot set the value of counter column")
+    assertInvalid(e, "INSERT INTO t19 (k, c) VALUES (3, 1)",
+      "INSERT statements are not allowed on counter tables")
+    // delete removes the counter row
+    e.execute("DELETE FROM t19 WHERE k = 1")
+    assert(rows(e.execute("SELECT k, c FROM t19")) === Set(Seq(2, 7L)))
+  }
 }
