@@ -114,7 +114,7 @@ object Dedup {
     * fan out.
     */
   def minhashLsh(docs: DataFrame, id: String, text: String, k: Int,
-                 threshold: Double, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+                 threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val sh = explodedShingles(docs, id, text, k).cache()
     val cands = lshCandidates(lshBuckets(minhashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand))
     val common = sh.as("x")
