@@ -68,6 +68,8 @@ object Ast {
   final case class TokenRel(columns: Seq[String], op: String, value: Literal) extends Relation
   /** CONTAINS / CONTAINS KEY (cql3/Operator.java:117-161) */
   final case class Contains(column: String, value: Literal, isKey: Boolean) extends Relation
+  /** LIKE 'x%'/'%x'/'%x%'/'x' — SASI semantics (index/sasi/plan/Expression.java:50-160) */
+  final case class Like(column: String, pattern: String) extends Relation
 
   sealed trait Selector
   case object Star extends Selector
@@ -90,6 +92,10 @@ object Ast {
   final case class Insert(table: String, columns: Seq[String], values: Seq[Literal],
                           ttl: Option[Long], timestamp: Option[Long],
                           ifNotExists: Boolean = false) extends Statement
+
+  /** INSERT INTO t JSON '...' (cql3/Json.java; Parser.g insertStatement) */
+  final case class InsertJson(table: String, json: String, ttl: Option[Long],
+                              timestamp: Option[Long]) extends Statement
 
   /** UPDATE: per-cell upsert, NO row liveness. */
   final case class Update(table: String, assignments: Seq[(String, Literal)],

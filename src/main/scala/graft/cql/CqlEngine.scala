@@ -90,6 +90,30 @@ class CqlEngine(val spark: SparkSession) {
       tables.remove(n); logs.remove(n); emptyResult
     case Truncate(n) =>
       table(n); logs(n).clear(); emptyResult
+    case InsertJson(tbl, js, ttl, ts) =>
+      val td = table(tbl)
+      val parsed = try {
+        org.json4s.jackson.JsonMethods.parse(js)
+      } catch { case e: Exception => throw InvalidRequest(s"Could not decode JSON string: ${e.getMessage}") }
+      import org.json4s._
+      val fields = parsed match {
+        case JObject(fs) => fs
+        case _ => throw InvalidRequest("INSERT JSON expects a JSON object")
+      }
+      val (cols, vals) = fields.map { case (k, jv) =>
+        val lit: Literal = jv match {
+          case JInt(n) => IntLit(n.toLong)
+          case JLong(n) => IntLit(n)
+          case JDouble(d) => DoubleLit(d)
+          case JDecimal(d) => DoubleLit(d.toDouble)
+          case JString(v) => StringLit(v)
+          case JBool(b) => BoolLit(b)
+          case JNull => NullLit
+          case other => throw InvalidRequest(s"Unsupported JSON value for column $k: $other")
+        }
+        (k.toLowerCase, lit)
+      }.unzip
+      run(Insert(tbl, cols, vals, ttl, ts))
     case i: Insert if i.ifNotExists => executeLwtInsert(i)
     case i: Insert => executeInsert(i); emptyResult
     case u: Update if u.condition.nonEmpty => executeLwt(u.table, u.where, u.condition.get, () => executeUpdate(u))
@@ -470,6 +494,16 @@ class CqlEngine(val spark: SparkSession) {
         restricted(c) = "eq"
         if (cd.kind == Regular || cd.kind == Static) needsFiltering = true
         filters :+= col(c).isin(vs.map(v => coerce(v, cd.tpe, c)): _*)
+      case Like(c, pat) =>
+        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        if (cd.tpe != CqlText)
+          throw InvalidRequest(s"LIKE is allowed only on text columns, got $c of type ${cd.tpe.name}")
+        // SASI-style prefix/suffix/contains/match, served by an index when
+        // one exists on the column, otherwise post-filtering
+        val indexServed = indexBudget > 0 && indexes.getOrElse(s.table, Set.empty).contains(c)
+        if (indexServed) indexBudget -= 1 else needsFiltering = true
+        restricted(c) = "like"
+        filters :+= col(c).like(pat)
       case Contains(c, v, isKey) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         needsFiltering = true

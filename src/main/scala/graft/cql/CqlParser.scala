@@ -271,6 +271,14 @@ object CqlParser {
   private def parseInsert(p: P): Statement = {
     p.eatKw("insert"); p.eatKw("into")
     val name = p.ident()
+    if (p.tryKw("json")) {
+      val js = p.literal() match {
+        case StringLit(v) => v
+        case other => throw ParseException(s"INSERT JSON expects a string literal, got $other")
+      }
+      val (jttl, jts) = parseUsing(p)
+      return InsertJson(name, js, jttl, jts)
+    }
     p.sym("(")
     var cols = Vector(p.ident())
     while (p.trySym(",")) cols :+= p.ident()
@@ -358,6 +366,12 @@ object CqlParser {
       if (p.tryKw("contains")) {
         val isKey = p.tryKw("key")
         return Contains(c, p.literal(), isKey)
+      }
+      if (p.tryKw("like")) {
+        p.literal() match {
+          case StringLit(pat) => return Like(c, pat)
+          case other => throw ParseException(s"LIKE pattern must be a string, got $other")
+        }
       }
       if (p.tryKw("in")) {
         p.sym("(")

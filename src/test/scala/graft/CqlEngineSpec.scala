@@ -304,4 +304,32 @@ class CqlEngineSpec extends SparkSpec {
     e.execute("DELETE FROM t19 WHERE k = 1")
     assert(rows(e.execute("SELECT k, c FROM t19")) === Set(Seq(2, 7L)))
   }
+
+  test("LIKE: SASI prefix/suffix/contains semantics") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t20 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO t20 (k, v) VALUES (1, 'apple pie')")
+    e.execute("INSERT INTO t20 (k, v) VALUES (2, 'crab apple')")
+    e.execute("INSERT INTO t20 (k, v) VALUES (3, 'cherry')")
+    assertInvalid(e, "SELECT k FROM t20 WHERE v LIKE 'apple%'", "ALLOW FILTERING")
+    assert(rows(e.execute("SELECT k FROM t20 WHERE v LIKE 'apple%' ALLOW FILTERING")) ===
+      Set(Seq(1)))
+    assert(rows(e.execute("SELECT k FROM t20 WHERE v LIKE '%apple' ALLOW FILTERING")) ===
+      Set(Seq(2)))
+    assert(rows(e.execute("SELECT k FROM t20 WHERE v LIKE '%app%' ALLOW FILTERING")) ===
+      Set(Seq(1), Seq(2)))
+    // a SASI-style index serves LIKE without filtering
+    e.execute("CREATE INDEX ON t20 (v)")
+    assert(rows(e.execute("SELECT k FROM t20 WHERE v LIKE 'che%'")) === Set(Seq(3)))
+  }
+
+  test("INSERT JSON round-trips through SELECT JSON (JsonTest)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t21 (k int PRIMARY KEY, v text, d double)")
+    e.execute("""INSERT INTO t21 JSON '{"k": 1, "v": "hi", "d": 2.5}'""")
+    assert(rows(e.execute("SELECT k, v, d FROM t21")) === Set(Seq(1, "hi", 2.5)))
+    val js = e.execute("SELECT JSON k, v, d FROM t21").head().getString(0)
+    assert(js.contains("\"k\":1") && js.contains("\"v\":\"hi\"") && js.contains("\"d\":2.5"))
+    assertInvalid(e, "INSERT INTO t21 JSON 'not json'", "Could not decode JSON string")
+  }
 }

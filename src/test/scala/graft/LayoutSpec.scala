@@ -14,6 +14,17 @@ class LayoutSpec extends SparkSpec {
     df.queryExecution.explainString(FormattedMode)
 
   lazy val setup: Unit = {
+    // a previous JVM's managed-table locations survive in spark-warehouse/
+    // while the in-memory catalog does not — clear both
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val li = Tables.lineitem(spark, sf)
     Layout.writeBucketed(li, "li_bucketed", Seq("l_orderkey"), Seq("l_orderkey", "l_linenumber"), 8)
     val ord = Tables.orders(spark, sf)
