@@ -34,6 +34,8 @@ object GraftSession {
       // (reference AggregateFcts.java sum(int) behavior; also required for
       // the wrapping 64-bit double-hashing in MinHash signatures)
       .config("spark.sql.ansi.enabled", "false")
+      // CQL map put semantics: m + {k:v} overwrites existing keys
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .withExtensions(new graft.functions.GraftExtensions)
 
   def get(appName: String = "graft"): SparkSession = {

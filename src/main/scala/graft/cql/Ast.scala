@@ -55,6 +55,12 @@ object Ast {
   final case class ListLit(items: Seq[Literal]) extends Literal { def value: Any = items.map(_.value) }
   /** counter increment/decrement in UPDATE SET c = c +/- n */
   final case class CounterDeltaLit(delta: Long) extends Literal { def value: Any = delta }
+  /** multi-cell collection op in UPDATE SET: op ∈ set/append/prepend/add/
+    * remove/put/delkey (cql3/Lists.java, Sets.java, Maps.java).
+    */
+  final case class CollectionOpLit(op: String, payload: Literal) extends Literal {
+    def value: Any = payload.value
+  }
   final case class SetLit(items: Seq[Literal]) extends Literal { def value: Any = items.map(_.value) }
   final case class MapLit(pairs: Seq[(Literal, Literal)]) extends Literal {
     def value: Any = pairs.map { case (k, v) => k.value -> v.value }

@@ -62,13 +62,42 @@ class CqlEngine(val spark: SparkSession) {
   private def logSchema(td: TableDef): StructType = {
     val keys = td.primaryKey.map(c => StructField(c.name, sparkType(c.tpe)))
     val cells = (td.statics ++ td.regulars).flatMap { c =>
-      Seq(StructField(c.name, sparkType(c.tpe)),
+      val base = Seq(StructField(c.name, sparkType(c.tpe)),
         StructField(c.name + "__set", BooleanType, nullable = false))
+      if (isCollection(c.tpe)) base :+ StructField(c.name + "__op", StringType) else base
     }
     StructType(keys ++ cells ++ Seq(
       StructField("_op", StringType, nullable = false),
       StructField("_ts", LongType, nullable = false),
       StructField("_ttl", LongType, nullable = false)))
+  }
+
+  def isCollection(t: CqlType): Boolean = t match {
+    case _: CqlList | _: CqlSet | _: CqlMap => true
+    case _ => false
+  }
+
+  /** Resolve a SET assignment on a collection column to (op, payload)
+    * (cql3/Lists.java append/prepend, Sets.java add/remove, Maps.java
+    * put/delete-key — multi-cell semantics, no read-before-write).
+    */
+  private def collectionAssign(cd: ColumnDef, l: Literal): (String, Any) = (l, cd.tpe) match {
+    case (CollectionOpLit("addappend", pl), t: CqlList) => ("append", coerce(pl, t, cd.name))
+    case (CollectionOpLit("prepend", pl), t: CqlList) => ("prepend", coerce(pl, t, cd.name))
+    case (CollectionOpLit("addappend", pl), t: CqlSet) => ("add", coerce(pl, t, cd.name))
+    case (CollectionOpLit("addappend", pl), t: CqlMap) => ("put", coerce(pl, t, cd.name))
+    case (CollectionOpLit("put", pl), t: CqlMap) => ("put", coerce(pl, t, cd.name))
+    case (CollectionOpLit("remove", pl), t: CqlList) =>
+      ("remove", coerce(pl, CqlList(t.elem), cd.name))
+    case (CollectionOpLit("remove", pl), t: CqlSet) =>
+      ("remove", coerce(pl, CqlSet(t.elem), cd.name))
+    case (CollectionOpLit("remove", SetLit(ks)), t: CqlMap) =>
+      ("delkey", coerce(MapLit(ks.map(_ -> NullLit)), t, cd.name))
+    case (CollectionOpLit("delkey", SetLit(ks)), t: CqlMap) =>
+      ("delkey", coerce(MapLit(ks.map(_ -> NullLit)), t, cd.name))
+    case (CollectionOpLit(op, _), t) =>
+      throw InvalidRequest(s"Invalid operation $op for column ${cd.name} of type ${t.name}")
+    case (lit, t) => ("set", coerce(lit, t, cd.name))
   }
 
   def table(name: String): TableDef =
@@ -236,10 +265,12 @@ class CqlEngine(val spark: SparkSession) {
 
   private def mutationRow(td: TableDef, keyVals: Map[String, Any],
                           cellVals: Map[String, Any], setCols: Set[String],
-                          op: String, ts: Long, ttl: Long): Row = {
+                          op: String, ts: Long, ttl: Long,
+                          collOps: Map[String, String] = Map.empty): Row = {
     val keyPart = td.primaryKey.map(c => keyVals.getOrElse(c.name, null))
     val cellPart = (td.statics ++ td.regulars).flatMap { c =>
-      Seq(cellVals.getOrElse(c.name, null), setCols.contains(c.name))
+      val base = Seq(cellVals.getOrElse(c.name, null), setCols.contains(c.name))
+      if (isCollection(c.tpe)) base :+ collOps.getOrElse(c.name, "set") else base
     }
     Row.fromSeq(keyPart ++ cellPart ++ Seq(op, ts, ttl))
   }
@@ -291,14 +322,19 @@ class CqlEngine(val spark: SparkSession) {
       td.column(c).exists(_.kind == Regular)
     }
     val (keys, _) = mutationKeys(td, u.where, requireCk = hasRegular && td.clustering.nonEmpty)
-    val vals = u.assignments.map { case (c, l) =>
+    val resolved = u.assignments.map { case (c, l) =>
       val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
       if (cd.kind == PartitionKey || cd.kind == Clustering)
         throw InvalidRequest(s"PRIMARY KEY part $c found in SET part")
-      c -> coerce(l, cd.tpe, c)
-    }.toMap
+      if (isCollection(cd.tpe)) {
+        val (op, v) = collectionAssign(cd, l)
+        (c, v, Some(op))
+      } else (c, coerce(l, cd.tpe, c), None)
+    }
+    val vals = resolved.map { case (c, v, _) => c -> v }.toMap
+    val collOps = resolved.collect { case (c, _, Some(op)) => c -> op }.toMap
     logs(u.table) += mutationRow(td, keys, vals, vals.keySet, "update",
-      u.timestamp.getOrElse(nextTs()), u.ttl.getOrElse(0L))
+      u.timestamp.getOrElse(nextTs()), u.ttl.getOrElse(0L), collOps)
   }
 
   private def executeDelete(d: Delete): Unit = {
@@ -331,9 +367,20 @@ class CqlEngine(val spark: SparkSession) {
     */
   def read(name: String): DataFrame = {
     val td = table(name)
-    val log = logDf(name)
+    val rawLog = logDf(name)
     val pk = td.partitionKey.map(_.name)
     val rowKeys = td.primaryKey.map(_.name)
+
+    // Partition-level tombstones shadow everything with ts <= deletion ts —
+    // equivalent to dropping those mutations before reconciliation (cells at
+    // <= pdel are dead; delrow/liveness records at <= pdel are themselves
+    // shadowed). One small per-pk aggregate + broadcastable join.
+    val partDelPre = rawLog.filter(col("_op") === "delpart")
+      .groupBy(pk.map(col): _*)
+      .agg(max(col("_ts")).as("_pdel"))
+    val log = rawLog.join(partDelPre, pk, "left")
+      .filter(col("_pdel").isNull || col("_ts") > col("_pdel"))
+      .drop("_pdel")
 
     def cellStruct(c: ColumnDef): Column = {
       // tombstone if explicit null write or expired TTL at read time
@@ -347,7 +394,22 @@ class CqlEngine(val spark: SparkSession) {
     def reconcile(df: DataFrame, keys: Seq[String], cols: Seq[ColumnDef],
                   withLiveness: Boolean, delOps: Seq[String]): DataFrame = {
       val cellAggs = cols.flatMap { c =>
-        if (c.tpe == CqlCounter) {
+        if (isCollection(c.tpe)) {
+          // multi-cell collections: collect the timestamped op log and fold
+          // it in timestamp order (Lists/Sets/Maps semantics). Fully-expired
+          // TTL'd mutations drop out up front.
+          val isSet = col(c.name + "__set")
+          val expired = col("_ttl") > 0L &&
+            (col("_ts") + col("_ttl") * 1000000L) <= lit(nowMicros)
+          val opc = when(col("_op") === "delrow", lit("clear"))
+            .otherwise(coalesce(col(c.name + "__op"), lit("set")))
+          val relevant = (col("_op").isin("insert", "update") && isSet && !expired) ||
+            col("_op") === "delrow"
+          Seq(collect_list(when(relevant,
+            struct(col("_ts").as("ts"),
+              when(col("_op") === "delrow", 1).otherwise(0).as("prio"),
+              opc.as("op"), col(c.name).as("v")))).as("_muts_" + c.name))
+        } else if (c.tpe == CqlCounter) {
           // counter read = sum of update deltas (CounterColumnType); the
           // newest delta ts doubles as the cell's writetime
           val isSet = col(c.name + "__set")
@@ -372,7 +434,44 @@ class CqlEngine(val spark: SparkSession) {
       val g = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       val delTs = coalesce(col("_del_ts"), lit(Long.MinValue))
       val valueCols = cols.map { c =>
-        if (c.tpe == CqlCounter)
+        if (isCollection(c.tpe)) {
+          val sorted = array_sort(col("_muts_" + c.name), (l, r) =>
+            when(l("ts") < r("ts"), -1).when(l("ts") > r("ts"), 1)
+              .otherwise(l("prio") - r("prio")).cast("int"))
+          val sparkT = sparkType(c.tpe)
+          val folded = aggregate(sorted, lit(null).cast(sparkT), (acc, m) => {
+            val v = m("v"); val op = m("op")
+            val cleared = op === "clear" || (op === "set" && v.isNull)
+            c.tpe match {
+              case _: CqlList =>
+                when(cleared, lit(null).cast(sparkT))
+                  .when(op === "set", v)
+                  .when(op === "append", when(acc.isNull, v).otherwise(concat(acc, v)))
+                  .when(op === "prepend", when(acc.isNull, v).otherwise(concat(v, acc)))
+                  .when(op === "remove",
+                    filter(coalesce(acc, v), e => !array_contains(v, e)))
+                  .otherwise(acc)
+              case _: CqlSet =>
+                when(cleared, lit(null).cast(sparkT))
+                  .when(op === "set", v)
+                  .when(op === "add", array_sort(array_distinct(
+                    when(acc.isNull, v).otherwise(concat(acc, v)))))
+                  .when(op === "remove",
+                    filter(coalesce(acc, v), e => !array_contains(v, e)))
+                  .otherwise(acc)
+              case _: CqlMap =>
+                when(cleared, lit(null).cast(sparkT))
+                  .when(op === "set", v)
+                  .when(op === "put", when(acc.isNull, v).otherwise(map_concat(acc, v)))
+                  .when(op === "delkey", when(acc.isNull, acc).otherwise(
+                    map_filter(acc, (k, _) => !array_contains(map_keys(v), k))))
+                  .otherwise(acc)
+              case _ => acc
+            }
+          })
+          // empty collections read back as null (CQL convention)
+          when(folded.isNotNull && size(folded) > 0, folded).as(c.name)
+        } else if (c.tpe == CqlCounter)
           when(col("_cts_" + c.name) > delTs, col("_csum_" + c.name)).as(c.name)
         else {
           val cell = col("_cell_" + c.name)
@@ -381,7 +480,9 @@ class CqlEngine(val spark: SparkSession) {
         }
       }
       val wtCols = cols.map { c =>
-        if (c.tpe == CqlCounter)
+        if (isCollection(c.tpe))
+          lit(null).cast("long").as("_wt_" + c.name)
+        else if (c.tpe == CqlCounter)
           when(col("_cts_" + c.name) > delTs, col("_cts_" + c.name)).as("_wt_" + c.name)
         else {
           val cell = col("_cell_" + c.name)
@@ -390,7 +491,7 @@ class CqlEngine(val spark: SparkSession) {
         }
       }
       val ttlCols = cols.map { c =>
-        if (c.tpe == CqlCounter)
+        if (isCollection(c.tpe) || c.tpe == CqlCounter)
           lit(null).cast("int").as("_ttlr_" + c.name)
         else {
           val cell = col("_cell_" + c.name)
@@ -409,52 +510,25 @@ class CqlEngine(val spark: SparkSession) {
       g.select((keys.map(col) ++ valueCols ++ wtCols ++ ttlCols ++ liveCol): _*)
     }
 
-    // partition-level tombstones shadow both rows and statics
-    val partDel = log.filter(col("_op") === "delpart")
-      .groupBy(pk.map(col): _*)
-      .agg(max(col("_ts")).as("_part_del_ts"))
-
-    def applyPartDel(df: DataFrame, keys: Seq[String], cols: Seq[ColumnDef]): DataFrame = {
-      val joined = df.join(partDel, pk, "left")
-      val pdel = coalesce(col("_part_del_ts"), lit(Long.MinValue))
-      val masked = cols.flatMap { c =>
-        Seq(when(col("_wt_" + c.name) > pdel, col(c.name)).as(c.name),
-          when(col("_wt_" + c.name) > pdel, col("_wt_" + c.name)).as("_wt_" + c.name),
-          when(col("_wt_" + c.name) > pdel, col("_ttlr_" + c.name)).as("_ttlr_" + c.name))
-      }
-      joined.select((keys.map(col) ++ masked ++
-        Seq((col("_row_live") && !(col("_part_del_ts").isNotNull &&
-          pdel >= col("_live_ts"))).as("_row_live"), col("_live_ts"))): _*)
-    }
-
     val rowMuts = log.filter(col("_op").isin("insert", "update", "delrow"))
-    val rows0 = reconcile(rowMuts, rowKeys, td.regulars, withLiveness = true,
+    val rows = reconcile(rowMuts, rowKeys, td.regulars, withLiveness = true,
         delOps = Seq("delrow"))
-      .withColumn("_live_ts", lit(Long.MinValue))
-    // keep liveness ts for partition-delete comparison
-    val liveTs = rowMuts.filter(col("_op") === "insert")
-      .groupBy(rowKeys.map(col): _*).agg(max(col("_ts")).as("_lts"))
-    val rows1 = rows0.drop("_live_ts").join(liveTs, rowKeys, "left")
-      .withColumn("_live_ts", coalesce(col("_lts"), lit(Long.MinValue))).drop("_lts")
-    val rows = applyPartDel(rows1, rowKeys, td.regulars)
       .withColumn("_any_cell",
         td.regulars.map(c => col(c.name).isNotNull).foldLeft(lit(false))(_ || _))
       .filter(col("_row_live") || col("_any_cell"))
-      .drop("_row_live", "_any_cell", "_part_del_ts", "_live_ts")
+      .drop("_row_live", "_any_cell")
 
     if (td.statics.isEmpty) rows
     else {
       // statics reconcile per PARTITION; a statics-only partition still
       // yields one (null-clustering) row on unrestricted reads
       // (SelectStatement.java:807-850)
-      val statics0 = reconcile(log.filter(col("_op").isin("insert", "update")),
+      val statics = reconcile(log.filter(col("_op").isin("insert", "update")),
           pk, td.statics, withLiveness = false, delOps = Seq.empty)
-        .withColumn("_live_ts", lit(Long.MinValue))
-      val statics = applyPartDel(statics0, pk, td.statics)
         .withColumn("_any_static",
           td.statics.map(c => col(c.name).isNotNull).foldLeft(lit(false))(_ || _))
         .filter(col("_any_static"))
-        .drop("_row_live", "_any_static", "_part_del_ts", "_live_ts")
+        .drop("_row_live", "_any_static")
       rows.join(statics, pk, "full_outer")
     }
   }
@@ -709,6 +783,8 @@ class CqlEngine(val spark: SparkSession) {
     val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
     if (cd.kind == PartitionKey || cd.kind == Clustering)
       throw InvalidRequest(s"Cannot use selection function $fn on PRIMARY KEY part $c")
+    if (isCollection(cd.tpe))
+      throw InvalidRequest(s"Cannot use selection function $fn on non-frozen collections")
   }
 
   /** CQL-typed aggregates (AggregateFcts.java): sum keeps the argument type

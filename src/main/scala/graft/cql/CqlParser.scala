@@ -302,14 +302,32 @@ object CqlParser {
     var assigns = Vector.empty[(String, Literal)]
     var more = true
     while (more) {
-      val c = p.ident(); p.sym("=")
-      if (p.tryKw(c)) {
-        // counter delta: SET c = c + n / c = c - n
-        val sign = p.next().text
-        if (sign != "+" && sign != "-") throw ParseException(s"expected + or - after counter column $c")
-        val n = p.long()
-        assigns :+= (c -> CounterDeltaLit(if (sign == "-") -n else n))
-      } else assigns :+= (c -> anyLiteral(p))
+      val c = p.ident()
+      if (p.trySym("[")) {
+        // element assignment m[k] = v → single-entry put
+        val key = p.literal(); p.sym("]"); p.sym("=")
+        assigns :+= (c -> CollectionOpLit("put", MapLit(Seq(key -> anyLiteral(p)))))
+      } else {
+        p.sym("=")
+        if (p.tryKw(c)) {
+          // c = c + X / c = c - X: counter delta or collection append/add/remove
+          val sign = p.next().text
+          if (sign != "+" && sign != "-")
+            throw ParseException(s"expected + or - after column $c")
+          anyLiteral(p) match {
+            case IntLit(n) => assigns :+= (c -> CounterDeltaLit(if (sign == "-") -n else n))
+            case payload if sign == "+" => assigns :+= (c -> CollectionOpLit("addappend", payload))
+            case payload => assigns :+= (c -> CollectionOpLit("remove", payload))
+          }
+        } else {
+          val first = anyLiteral(p)
+          if (p.trySym("+")) {
+            // X + c: list prepend
+            p.eatKw(c)
+            assigns :+= (c -> CollectionOpLit("prepend", first))
+          } else assigns :+= (c -> first)
+        }
+      }
       more = p.trySym(",")
     }
     p.eatKw("where")
@@ -335,16 +353,29 @@ object CqlParser {
   private def parseDelete(p: P): Statement = {
     p.eatKw("delete")
     var cols = Vector.empty[String]
+    var elementDeletes = Vector.empty[(String, Literal)]
+    def deleteItem(): Unit = {
+      val c = p.ident()
+      if (p.trySym("[")) { val k = p.literal(); p.sym("]"); elementDeletes :+= (c -> k) }
+      else cols :+= c
+    }
     if (!p.kw("from")) {
-      cols :+= p.ident()
-      while (p.trySym(",")) cols :+= p.ident()
+      deleteItem()
+      while (p.trySym(",")) deleteItem()
     }
     p.eatKw("from")
     val name = p.ident()
     val (_, ts) = parseUsing(p)
     p.eatKw("where")
     val where = parseWhere(p)
-    Delete(name, cols, where, ts, parseCondition(p))
+    if (elementDeletes.nonEmpty) {
+      // lower element deletes onto the UPDATE path as delkey ops
+      val assigns = elementDeletes.map { case (c, k) =>
+        c -> (CollectionOpLit("delkey", SetLit(Seq(k))): Literal)
+      }
+      if (cols.nonEmpty) throw ParseException("mixed element and column deletions unsupported")
+      Update(name, assigns, where, None, ts, parseCondition(p))
+    } else Delete(name, cols, where, ts, parseCondition(p))
   }
 
   private def parseWhere(p: P): Seq[Relation] = {

@@ -332,4 +332,41 @@ class CqlEngineSpec extends SparkSpec {
     assert(js.contains("\"k\":1") && js.contains("\"v\":\"hi\"") && js.contains("\"d\":2.5"))
     assertInvalid(e, "INSERT INTO t21 JSON 'not json'", "Could not decode JSON string")
   }
+
+  test("multi-cell collections: append/prepend/add/remove/put/delkey (CollectionsTest)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t22 (k int PRIMARY KEY, l list<int>, st set<text>, m map<text, int>)")
+    e.execute("INSERT INTO t22 (k, l, st, m) VALUES (1, [1, 2], {'a'}, {'x': 1})")
+    e.execute("UPDATE t22 SET l = l + [3, 2] WHERE k = 1")     // append (dups kept)
+    e.execute("UPDATE t22 SET l = [0] + l WHERE k = 1")        // prepend
+    e.execute("UPDATE t22 SET st = st + {'c', 'b'} WHERE k = 1")
+    e.execute("UPDATE t22 SET st = st - {'a'} WHERE k = 1")
+    e.execute("UPDATE t22 SET m = m + {'y': 2} WHERE k = 1")
+    e.execute("UPDATE t22 SET m['x'] = 9 WHERE k = 1")          // element put wins
+    val r = e.execute("SELECT l, st, m FROM t22 WHERE k = 1").head()
+    assert(r.getSeq[Int](0) === Seq(0, 1, 2, 3, 2))
+    assert(r.getSeq[String](1) === Seq("b", "c"))
+    assert(r.getMap[String, Int](2).toMap === Map("x" -> 9, "y" -> 2))
+    // list remove drops ALL occurrences, keeps order
+    e.execute("UPDATE t22 SET l = l - [2] WHERE k = 1")
+    assert(e.execute("SELECT l FROM t22 WHERE k = 1").head().getSeq[Int](0) === Seq(0, 1, 3))
+    // map key delete
+    e.execute("DELETE m['x'] FROM t22 WHERE k = 1")
+    assert(e.execute("SELECT m FROM t22 WHERE k = 1").head()
+      .getMap[String, Int](0).toMap === Map("y" -> 2))
+    // full replacement clears prior elements; empty collection reads as null
+    e.execute("UPDATE t22 SET st = {'z'} WHERE k = 1")
+    assert(e.execute("SELECT st FROM t22 WHERE k = 1").head().getSeq[String](0) === Seq("z"))
+    e.execute("UPDATE t22 SET st = st - {'z'} WHERE k = 1")
+    assert(e.execute("SELECT st FROM t22 WHERE k = 1").head().isNullAt(0))
+    // writetime rejected on multi-cell collections
+    assertInvalid(e, "SELECT writetime(l) FROM t22",
+      "Cannot use selection function writetime on non-frozen collections")
+    // out-of-order timestamps: older append lands in timestamp order
+    e.execute("CREATE TABLE t23 (k int PRIMARY KEY, l list<int>)")
+    e.execute("INSERT INTO t23 (k, l) VALUES (1, [5]) USING TIMESTAMP 100")
+    e.execute("UPDATE t23 USING TIMESTAMP 300 SET l = l + [7] WHERE k = 1")
+    e.execute("UPDATE t23 USING TIMESTAMP 200 SET l = l + [6] WHERE k = 1")
+    assert(e.execute("SELECT l FROM t23 WHERE k = 1").head().getSeq[Int](0) === Seq(5, 6, 7))
+  }
 }
