@@ -458,6 +458,58 @@ object Queries {
         .distinct()
         .orderBy("id")),
 
+    QueryDef("q_window_lead_lag",
+      // lead/lag window functions (native surface)
+      Some("""SELECT user_id, event_id,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+                     lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v
+              FROM events WHERE user_id < 5 ORDER BY user_id, event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d, "events").filter(col("user_id") < 5)
+          .select(col("user_id"), col("event_id"),
+            lag(col("value"), 1).over(w).as("prev_v"),
+            lead(col("value"), 1).over(w).as("next_v"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    QueryDef("q_group_composite",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus"""),
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sumD(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    QueryDef("q_case_when",
+      Some("""SELECT event_id,
+                     CASE WHEN value >= 150 THEN 'high' WHEN value >= 75 THEN 'mid' ELSE 'low' END AS band
+              FROM events WHERE user_id < 5 ORDER BY event_id"""),
+      (s, d) => t(s, d, "events").filter(col("user_id") < 5)
+        .select(col("event_id"),
+          when(col("value") >= 150, "high").when(col("value") >= 75, "mid")
+            .otherwise("low").as("band"))
+        .orderBy("event_id")),
+
+    QueryDef("q_string_funcs",
+      Some("""SELECT p_partkey, upper(p_name) AS u, substr(p_name, 1, 4) AS s4,
+                     length(p_name) AS ln, concat(p_brand, ':', p_type) AS bt
+              FROM part ORDER BY p_partkey"""),
+      (s, d) => t(s, d, "part").select(col("p_partkey"),
+          upper(col("p_name")).as("u"), substring(col("p_name"), 1, 4).as("s4"),
+          length(col("p_name")).as("ln"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("bt"))
+        .orderBy("p_partkey")),
+
+    QueryDef("q_date_funcs",
+      Some("""SELECT CAST(year(l_shipdate) AS INTEGER) AS y, CAST(month(l_shipdate) AS INTEGER) AS m,
+                     count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY y, m"""),
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("y", "m")),
+
     // ── extensions: dedup ──────────────────────────────────────────────
     QueryDef("q_dedup_exact",
       Some("""SELECT md5(lower(text)) AS h, count(*) AS cnt, min(doc_id) AS canonical_id
