@@ -586,6 +586,18 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_ivf",
+      // IVF probe search (scale path; approximate → rows-only check;
+      // exactness at nprobe == nlist asserted in SimilaritySpec)
+      None,
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 8), 10)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     // ── extensions: text analysis ──────────────────────────────────────
     QueryDef("q_text_stats",
       Some("""SELECT doc_id,

@@ -52,6 +52,10 @@ object Ast {
   final case class StringLit(value: String) extends Literal
   final case class BoolLit(value: Boolean) extends Literal
   case object NullLit extends Literal { val value: Any = null }
+  /** positional bind marker `?` (Parser.g:41-74; bound at EXECUTE time) */
+  final case class BindMarker(index: Int) extends Literal {
+    def value: Any = throw new IllegalStateException(s"unbound marker $index")
+  }
   final case class ListLit(items: Seq[Literal]) extends Literal { def value: Any = items.map(_.value) }
   /** counter increment/decrement in UPDATE SET c = c +/- n */
   final case class CounterDeltaLit(delta: Long) extends Literal { def value: Any = delta }

@@ -79,7 +79,10 @@ object CqlParser {
       case Ident(t) => t.toLowerCase
       case other => throw ParseException(s"expected identifier, got ${other.text}")
     }
+    var bindCount = 0
     def literal(): Literal = next() match {
+      case Sym("?") =>
+        val m = BindMarker(bindCount); bindCount += 1; m
       case Num(t) =>
         if (t.contains('.') || t.toLowerCase.contains('e')) DoubleLit(t.toDouble)
         else IntLit(t.toLong)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Functions.cosine_sim
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,5 +92,65 @@ object Similarity {
       .distinct()
       .select(col("a"), col("b"), round(cosine_sim(col("ea"), col("eb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** IVF (inverted-file) index: deterministic seeded centroids refined with
+    * `iters` Lloyd steps, every corpus vector assigned to its nearest list.
+    * Centroids live on the driver (nlist × dim floats — tiny) exactly as a
+    * production IVF keeps them in the index header; assignment and probing
+    * are distributed scans.
+    */
+  def ivfAssign(spark: SparkSession, corpus: DataFrame, nlist: Int,
+                iters: Int = 1): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val n = corpus.count()
+    val stride = math.max(n / nlist, 1L)
+    // deterministic seeds: every stride-th vec_id
+    val wSeed = Window.orderBy("vec_id")
+    var centroids = corpus.filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").limit(nlist)
+      .select((row_number().over(wSeed) - 1).as("cid"), col("embedding").as("centroid"))
+    var assigned: DataFrame = null
+    (0 to iters).foreach { it =>
+      val scored = corpus.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cosine_sim(col("embedding"), col("centroid")).as("sim"))
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)
+      assigned = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      if (it < iters) {
+        // Lloyd refinement: mean of member vectors per list (array average
+        // via exploded position aggregation), deterministic
+        val dims = assigned.select(posexplode(col("embedding")).as(Seq("pos", "x")),
+            col("cid"))
+          .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+          .select(col("cid"), transform(col("ps"), p => p("m").cast("float")).as("centroid"))
+        centroids = dims
+      }
+    }
+    (centroids, assigned.select("vec_id", "cid", "embedding"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest lists per query, exact re-score
+    * within probed lists only. nprobe == nlist degenerates to exact search.
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (centroids, assigned) = ivfAssign(spark, corpus, nlist)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cid"),
+        cosine_sim(col("q_emb"), col("centroid")).as("csim"))
+    val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
+    val probed = probes.withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cid"))
+    val scored = probed.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("embedding"), col("q_emb")), 6).as("sim"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 }

@@ -369,4 +369,22 @@ class CqlEngineSpec extends SparkSpec {
     e.execute("UPDATE t23 USING TIMESTAMP 200 SET l = l + [6] WHERE k = 1")
     assert(e.execute("SELECT l FROM t23 WHERE k = 1").head().getSeq[Int](0) === Seq(5, 6, 7))
   }
+
+  test("prepared statements: digest cache + positional binds (QueryProcessor)") {
+    val e = mkEngine
+    val ps = new graft.cql.PreparedStatements(e)
+    e.execute("CREATE TABLE t24 (k int, c int, v text, PRIMARY KEY (k, c))")
+    val ins = ps.prepare("INSERT INTO t24 (k, c, v) VALUES (?, ?, ?)")
+    for (i <- 0 until 5) ps.execute(ins.id, 1, i, s"v$i")
+    val sel = ps.prepare("SELECT v FROM t24 WHERE k = ? AND c >= ? LIMIT 2")
+    assert(rowsInOrder(ps.execute(sel.id, 1, 2)) === Seq(Seq("v2"), Seq("v3")))
+    // same CQL string → same cached id
+    assert(ps.prepare("INSERT INTO t24 (k, c, v) VALUES (?, ?, ?)").id === ins.id)
+    // wrong arity rejected
+    val ex = intercept[RuntimeException](ps.execute(sel.id, 1))
+    assert(ex.getMessage.contains("Invalid amount of bind variables"))
+    // unknown id rejected
+    val ex2 = intercept[RuntimeException](ps.execute("deadbeef", 1))
+    assert(ex2.getMessage.contains("Prepared query with ID"))
+  }
 }

@@ -63,4 +63,20 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
     assert(a.toSeq !== c.toSeq)
   }
+
+  test("IVF with exhaustive probing equals brute force; partial probing is deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exhaustive = Similarity.ivfTopK(spark, emb, queries, 10, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exhaustive === exact, "nprobe == nlist must be exact search")
+    val a = Similarity.ivfTopK(spark, emb, queries, 10, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val b = Similarity.ivfTopK(spark, emb, queries, 10, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(a === b, "deterministic across runs")
+    assert(a.size === exact.size)
+  }
 }
