@@ -46,6 +46,60 @@ class CqlEngine(val spark: SparkSession) {
   /** "now" for TTL expiry — settable for tests. */
   var nowMicros: Long = 0L
 
+  /** Optional durable storage root: parquet mutation-log segments +
+    * JSON schema catalog (see [[Storage]]).
+    */
+  private var storageDir: Option[String] = None
+  private var segmentSeq: Long = 0L
+
+  /** Attach a storage root; loads any tables previously persisted there. */
+  def attachStorage(dir: String): Unit = {
+    storageDir = Some(dir)
+    val root = new java.io.File(dir)
+    if (root.isDirectory) {
+      root.listFiles().filter(_.isDirectory).foreach { tdir =>
+        val schemaFile = new java.io.File(tdir, "schema.json")
+        if (schemaFile.isFile) {
+          val td = Storage.tableFromJson(
+            new String(java.nio.file.Files.readAllBytes(schemaFile.toPath), "UTF-8"))
+          tables(td.name) = td
+          logs.getOrElseUpdate(td.name, scala.collection.mutable.ArrayBuffer.empty[Row])
+          val segs = new java.io.File(tdir, "segments")
+          segmentSeq = math.max(segmentSeq, Option(segs.list()).map(_.length.toLong).getOrElse(0L))
+          // client timestamps must stay monotonic across engine restarts
+          if (segs.isDirectory && segs.list().exists(_.endsWith(".parquet"))) {
+            val maxTs = spark.read.schema(logSchema(td)).parquet(segs.getPath)
+              .agg(max(col("_ts"))).head().getLong(0)
+            tsCounter = math.max(tsCounter, maxTs)
+          }
+        }
+      }
+    }
+  }
+
+  /** Flush a table's in-memory mutation tail to an immutable parquet
+    * segment (commit-log-segment analog); the buffer is cleared and reads
+    * merge segments + tail transparently.
+    */
+  def flush(name: String): Unit = {
+    val dir = storageDir.getOrElse(
+      throw InvalidRequest("no storage attached — call attachStorage first"))
+    val td = table(name)
+    val tdir = new java.io.File(dir, name)
+    tdir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tdir, "schema.json").toPath,
+      Storage.tableToJson(td).getBytes("UTF-8"))
+    if (logs(name).nonEmpty) {
+      segmentSeq += 1
+      spark.createDataFrame(
+          java.util.Arrays.asList(logs(name).toSeq: _*), logSchema(td))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(new java.io.File(tdir, "segments").getPath)
+      logs(name).clear()
+    }
+  }
+
   def sparkType(t: CqlType): DataType = t match {
     case CqlInt => IntegerType
     case CqlBigint => LongType
@@ -358,8 +412,12 @@ class CqlEngine(val spark: SparkSession) {
   // ── read path: per-cell reconcile ─────────────────────────────────────
   def logDf(name: String): DataFrame = {
     val td = table(name)
-    spark.createDataFrame(
+    val tail = spark.createDataFrame(
       java.util.Arrays.asList(logs(name).toSeq: _*), logSchema(td))
+    val segments = storageDir.map(d => new java.io.File(new java.io.File(d, name), "segments"))
+      .filter(f => f.isDirectory && f.list().exists(_.endsWith(".parquet")))
+      .map(f => spark.read.schema(logSchema(td)).parquet(f.getPath))
+    segments.map(_.unionByName(tail)).getOrElse(tail)
   }
 
   /** Reconciled live rows of a table with shadow columns `_wt_<c>` (cell

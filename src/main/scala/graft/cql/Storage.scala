@@ -1,0 +1,75 @@
+package graft.cql
+
+import graft.cql.Ast._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** Durable storage for the CQL engine: parquet mutation-log segments plus a
+  * JSON schema catalog (≈ the reference's commit-log segments +
+  * `system_schema`). Each flush writes one immutable segment directory —
+  * append-only, so the CDC stream (`streaming/MutationStream`) can tail the
+  * same files; reads merge all segments with the in-memory tail.
+  */
+object Storage {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def typeName(t: CqlType): String = t.name
+
+  private def parseType(s: String): CqlType = {
+    val trimmed = s.trim
+    def inner(prefix: String): String =
+      trimmed.stripPrefix(prefix + "<").stripSuffix(">")
+    if (trimmed.startsWith("list<")) CqlList(parseType(inner("list")))
+    else if (trimmed.startsWith("set<")) CqlSet(parseType(inner("set")))
+    else if (trimmed.startsWith("map<")) {
+      val body = inner("map")
+      val depth = body.foldLeft((0, -1, 0)) { case ((d, pos, i), ch) =>
+        val nd = ch match { case '<' => d + 1; case '>' => d - 1; case _ => d }
+        val np = if (ch == ',' && d == 0 && pos < 0) i else pos
+        (nd, np, i + 1)
+      }._2
+      CqlMap(parseType(body.take(depth)), parseType(body.drop(depth + 1)))
+    } else trimmed match {
+      case "int" => CqlInt
+      case "bigint" => CqlBigint
+      case "text" => CqlText
+      case "double" => CqlDouble
+      case "float" => CqlFloat
+      case "boolean" => CqlBoolean
+      case "counter" => CqlCounter
+      case other => throw new IllegalArgumentException(s"unknown stored type $other")
+    }
+  }
+
+  private def kindName(k: ColumnKind): String = k match {
+    case PartitionKey => "partition_key"
+    case Clustering => "clustering"
+    case Static => "static"
+    case Regular => "regular"
+  }
+
+  private def parseKind(s: String): ColumnKind = s match {
+    case "partition_key" => PartitionKey
+    case "clustering" => Clustering
+    case "static" => Static
+    case "regular" => Regular
+  }
+
+  def tableToJson(td: TableDef): String = Serialization.write(Map(
+    "name" -> td.name,
+    "clustering_desc" -> td.clusteringDesc,
+    "columns" -> td.columns.map(c => Map(
+      "name" -> c.name, "type" -> typeName(c.tpe), "kind" -> kindName(c.kind)))))
+
+  def tableFromJson(json: String): TableDef = {
+    val j = JsonMethods.parse(json)
+    val name = (j \ "name").extract[String]
+    val desc = (j \ "clustering_desc").extract[Seq[Boolean]]
+    val cols = (j \ "columns").extract[Seq[Map[String, String]]].map { m =>
+      ColumnDef(m("name"), parseType(m("type")), parseKind(m("kind")))
+    }
+    TableDef(name, cols, desc)
+  }
+}
