@@ -45,6 +45,9 @@ def main(sf_dir: str, out_dir: str) -> int:
         if list(got.columns) != list(want.columns):
             ok = False
             msgs.append(f"columns {list(got.columns)} != {list(want.columns)}")
+        elif [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
+            ok = False
+            msgs.append(f"dtypes {list(map(str, got.dtypes))} != {list(map(str, want.dtypes))}")
         elif len(got) != len(want):
             ok = False
             msgs.append(f"rows {len(got)} != {len(want)}")

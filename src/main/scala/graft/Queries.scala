@@ -116,7 +116,7 @@ object Queries {
       // PER PARTITION LIMIT n (DataLimits.java:632-1041)
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, rn FROM (
                 SELECT l_orderkey, l_linenumber, l_quantity,
-                       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
+                       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS INTEGER) AS rn
                 FROM lineitem) t
               WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber"""),
       (s, d) => CqlOps.perPartitionLimit(t(s, d, "lineitem"), Seq("l_orderkey"),
@@ -494,7 +494,7 @@ object Queries {
 
     QueryDef("q_string_funcs",
       Some("""SELECT p_partkey, upper(p_name) AS u, substr(p_name, 1, 4) AS s4,
-                     length(p_name) AS ln, concat(p_brand, ':', p_type) AS bt
+                     CAST(length(p_name) AS INTEGER) AS ln, concat(p_brand, ':', p_type) AS bt
               FROM part ORDER BY p_partkey"""),
       (s, d) => t(s, d, "part").select(col("p_partkey"),
           upper(col("p_name")).as("u"), substring(col("p_name"), 1, 4).as("s4"),
@@ -565,7 +565,7 @@ object Queries {
               r AS (SELECT query_id, neighbor_id, sim,
                            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
                     FROM sc)
-              SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 10
+              SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 10
               ORDER BY query_id, rnk"""),
       (s, d) => {
         prep(s)
@@ -601,9 +601,9 @@ object Queries {
     // ── extensions: text analysis ──────────────────────────────────────
     QueryDef("q_text_stats",
       Some("""SELECT doc_id,
-                     len(string_split(lower(text), ' ')) AS n_words,
-                     length(text) AS n_chars_m,
-                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words,
+                     CAST(length(text) AS INTEGER) AS n_chars_m,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
                      round(least(1.0, len(string_split(lower(text), ' ')) * 1.0 / 100.0) * 0.4
                            + (len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','to','a','in','is'], x))) * 1.0 / len(string_split(lower(text), ' '))) * 0.3
                            + (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)) * 0.3, 6) AS quality
@@ -647,7 +647,7 @@ object Queries {
     QueryDef("q_multimodal_features",
       // binary payload column + deterministic stub features (decode stubbed;
       // schema/batch plumbing real — see operators/Multimodal.scala)
-      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS sig,
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, md5(text) AS sig,
                      concat('img/', CAST(doc_id % 3 AS VARCHAR)) AS kind
               FROM documents ORDER BY doc_id"""),
       (s, d) => t(s, d, "documents").select(col("doc_id"),
