@@ -7,19 +7,43 @@ package graft.cql
   */
 object Ast {
 
+  /** One case per reference marshal class (`db/marshal/<Type>Type.java`). */
   sealed trait CqlType { def name: String }
   case object CqlInt extends CqlType { val name = "int" }
   case object CqlBigint extends CqlType { val name = "bigint" }
+  case object CqlSmallint extends CqlType { val name = "smallint" }
+  case object CqlTinyint extends CqlType { val name = "tinyint" }
   case object CqlText extends CqlType { val name = "text" }
+  /** ascii = text restricted to 7-bit characters (AsciiType.validate). */
+  case object CqlAscii extends CqlType { val name = "ascii" }
   case object CqlDouble extends CqlType { val name = "double" }
   case object CqlFloat extends CqlType { val name = "float" }
   case object CqlBoolean extends CqlType { val name = "boolean" }
+  /** arbitrary-precision decimal/varint (DecimalType/IntegerType.java),
+    * carried as Spark decimal(38,18)/(38,0).
+    */
+  case object CqlDecimal extends CqlType { val name = "decimal" }
+  case object CqlVarint extends CqlType { val name = "varint" }
+  /** millis-precision epoch timestamp (TimestampType.java). */
+  case object CqlTimestamp extends CqlType { val name = "timestamp" }
+  /** day-precision date (SimpleDateType.java). */
+  case object CqlDate extends CqlType { val name = "date" }
+  /** nanos-of-day, carried as bigint (TimeType.java). */
+  case object CqlTime extends CqlType { val name = "time" }
+  /** uuid/timeuuid carried in canonical lowercase string form; timeuuid
+    * comparisons go through the embedded-time sort key (TimeUUIDType.java).
+    */
+  case object CqlUuid extends CqlType { val name = "uuid" }
+  case object CqlTimeuuid extends CqlType { val name = "timeuuid" }
+  case object CqlBlob extends CqlType { val name = "blob" }
+  case object CqlInet extends CqlType { val name = "inet" }
   /** Counter column (db/marshal/CounterColumnType.java): reads are sums of
     * update deltas; only `c = c + n` / `c = c - n` writes are legal.
     */
   case object CqlCounter extends CqlType { val name = "counter" }
-  /** Collections — frozen (single-cell, full-replacement) semantics in v1;
-    * multi-cell element ops (`cql3/Lists.java:379-600`) are future work.
+  /** Collections — multi-cell semantics: element-level ops (append/prepend/
+    * add/remove/put/delkey, `cql3/Lists.java:379-600`) fold in timestamp
+    * order at read time; `frozen<>` collapses to the same storage here.
     */
   final case class CqlList(elem: CqlType) extends CqlType { def name = s"list<${elem.name}>" }
   final case class CqlSet(elem: CqlType) extends CqlType { def name = s"set<${elem.name}>" }
@@ -51,6 +75,10 @@ object Ast {
   final case class DoubleLit(value: Double) extends Literal
   final case class StringLit(value: String) extends Literal
   final case class BoolLit(value: Boolean) extends Literal
+  /** unquoted uuid literal token (Parser.g uuid rule). */
+  final case class UuidLit(value: String) extends Literal
+  /** 0x... hex blob literal (Parser.g HEXNUMBER). */
+  final case class BlobLit(bytes: Array[Byte]) extends Literal { def value: Any = bytes }
   case object NullLit extends Literal { val value: Any = null }
   /** positional bind marker `?` (Parser.g:41-74; bound at EXECUTE time) */
   final case class BindMarker(index: Int) extends Literal {

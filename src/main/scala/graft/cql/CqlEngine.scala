@@ -103,10 +103,20 @@ class CqlEngine(val spark: SparkSession) {
   def sparkType(t: CqlType): DataType = t match {
     case CqlInt => IntegerType
     case CqlBigint => LongType
-    case CqlText => StringType
+    case CqlSmallint => ShortType
+    case CqlTinyint => ByteType
+    case CqlText | CqlAscii => StringType
     case CqlDouble => DoubleType
     case CqlFloat => FloatType
     case CqlBoolean => BooleanType
+    case CqlDecimal => DecimalType(38, 18)
+    case CqlVarint => DecimalType(38, 0)
+    case CqlTimestamp => TimestampType
+    case CqlDate => DateType
+    case CqlTime => LongType
+    case CqlUuid | CqlTimeuuid => StringType
+    case CqlBlob => BinaryType
+    case CqlInet => StringType
     case CqlCounter => LongType
     case CqlList(e) => ArrayType(sparkType(e))
     case CqlSet(e) => ArrayType(sparkType(e))
@@ -244,31 +254,52 @@ class CqlEngine(val spark: SparkSession) {
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         val cur = rows.head.getAs[Any](c)
         val want = coerce(v, cd.tpe, c)
-        val cmp = (cur, want) match {
-          case (null, _) | (_, null) => if (op == "=") cur == want else return mkLwtResult(applied = false, rows)
-          case (a: Comparable[_], b) =>
-            a.asInstanceOf[Comparable[Any]].compareTo(b)
-        }
-        cmp match {
-          case b: Boolean => b
-          case n: Int => op match {
-            case "=" => n == 0
-            case "!=" => n != 0
-            case "<" => n < 0
-            case "<=" => n <= 0
-            case ">" => n > 0
-            case ">=" => n >= 0
-          }
+        // ColumnCondition.Bound.compareWithOperator: null operands satisfy
+        // only (in)equality; ranges with a null side are never satisfied
+        (cur, want) match {
+          case (null, w) => if (op == "=") w == null else if (op == "!=") w != null else false
+          case (_, null) => op == "!="
+          case (cu, w) if isCollection(cd.tpe) =>
+            if (op != "=" && op != "!=")
+              throw InvalidRequest(s"Invalid comparison on collection column $c")
+            val eq = normalizeColl(cu) == normalizeColl(w)
+            if (op == "=") eq else !eq
+          case (cu, w) =>
+            val n = CqlValues.compareValues(cu, w, cd.tpe)
+            op match {
+              case "=" => n == 0
+              case "!=" => n != 0
+              case "<" => n < 0
+              case "<=" => n <= 0
+              case ">" => n > 0
+              case ">=" => n >= 0
+            }
         }
       }
     }
     if (ok) apply()
-    mkLwtResult(ok, rows)
+    mkLwtResult(td, ok, rows)
   }
 
-  private def mkLwtResult(applied: Boolean, rows: Array[Row]): DataFrame = {
+  private def normalizeColl(v: Any): Any = v match {
+    case s: scala.collection.Seq[_] => s.toList
+    case m: scala.collection.Map[_, _] => m.toMap
+    case other => other
+  }
+
+  /** Reference-shaped CAS result (`CQL3CasRequest`/`StorageProxy.cas`):
+    * `[applied]` alone on success; `[applied]=false` plus the live row's
+    * current column values on a failed condition.
+    */
+  private def mkLwtResult(td: TableDef, applied: Boolean, rows: Array[Row]): DataFrame = {
     import spark.implicits._
-    Seq(applied).toDF("[applied]")
+    if (applied || rows.isEmpty) Seq(applied).toDF("[applied]")
+    else {
+      val schema = StructType(StructField("[applied]", BooleanType, nullable = false) +:
+        td.columns.map(c => StructField(c.name, sparkType(c.tpe))))
+      val vals = (false: Any) +: td.columns.map(c => rows.head.getAs[Any](c.name))
+      spark.createDataFrame(java.util.Arrays.asList(Row.fromSeq(vals)), schema)
+    }
   }
 
   private def executeLwtInsert(i: Insert): DataFrame = this.synchronized {
@@ -280,9 +311,9 @@ class CqlEngine(val spark: SparkSession) {
     }.toMap
     val keyFilter = td.primaryKey.map(c => col(c.name) === lit(vals.getOrElse(c.name,
       throw InvalidRequest(s"Some primary key parts are missing: ${c.name}")))).reduce(_ && _)
-    val exists = read(i.table).filter(keyFilter).limit(1).count() > 0
-    if (!exists) executeInsert(i.copy(ifNotExists = false))
-    mkLwtResult(!exists, Array.empty)
+    val rows = read(i.table).filter(keyFilter).limit(1).collect()
+    if (rows.isEmpty) executeInsert(i.copy(ifNotExists = false))
+    mkLwtResult(td, rows.isEmpty, rows)
   }
 
   private def emptyResult: DataFrame = spark.emptyDataFrame
@@ -291,31 +322,68 @@ class CqlEngine(val spark: SparkSession) {
     case (NullLit, _) => null
     case (IntLit(v), CqlInt) => v.toInt
     case (IntLit(v), CqlBigint) => v
+    case (IntLit(v), CqlSmallint) =>
+      if (v < Short.MinValue || v > Short.MaxValue)
+        throw InvalidRequest(s"Unable to make short from '$v'")
+      v.toShort
+    case (IntLit(v), CqlTinyint) =>
+      if (v < Byte.MinValue || v > Byte.MaxValue)
+        throw InvalidRequest(s"Unable to make tinyint from '$v'")
+      v.toByte
     case (IntLit(v), CqlDouble) => v.toDouble
     case (IntLit(v), CqlFloat) => v.toFloat
     case (DoubleLit(v), CqlDouble) => v
     case (DoubleLit(v), CqlFloat) => v.toFloat
+    // decimal/varint carry exact values at the fixed Spark scale (38,18)/(38,0)
+    case (IntLit(v), CqlDecimal) => java.math.BigDecimal.valueOf(v).setScale(18)
+    case (DoubleLit(v), CqlDecimal) =>
+      new java.math.BigDecimal(v.toString).setScale(18, java.math.RoundingMode.HALF_UP)
+    case (IntLit(v), CqlVarint) => java.math.BigDecimal.valueOf(v)
     case (StringLit(v), CqlText) => v
+    case (StringLit(v), CqlAscii) => vv(CqlValues.validateAscii(v, col))
     case (BoolLit(v), CqlBoolean) => v
+    // timestamp: quoted date string or epoch-millis integer
+    // (TimestampSerializer); date/time/uuid/inet per their serializers
+    case (StringLit(v), CqlTimestamp) => vv(CqlValues.timestampOf(CqlValues.parseTimestampMillis(v)))
+    case (IntLit(v), CqlTimestamp) => CqlValues.timestampOf(v)
+    case (StringLit(v), CqlDate) => vv(CqlValues.parseDate(v))
+    case (StringLit(v), CqlTime) => vv(CqlValues.parseTimeNanos(v))
+    case (IntLit(v), CqlTime) =>
+      if (v < 0L || v >= 86400000000000L)
+        throw InvalidRequest(s"Invalid time value $v (nanos of day)")
+      v
+    case (UuidLit(v), CqlUuid) => v
+    case (StringLit(v), CqlUuid) => vv(CqlValues.parseUuid(v))
+    case (UuidLit(v), CqlTimeuuid) => vv(CqlValues.parseTimeUuid(v))
+    case (StringLit(v), CqlTimeuuid) => vv(CqlValues.parseTimeUuid(v))
+    case (BlobLit(b), CqlBlob) => b
+    case (StringLit(v), CqlInet) => vv(CqlValues.parseInet(v))
     case (CounterDeltaLit(d), CqlCounter) => d
     case (_, CqlCounter) =>
       throw InvalidRequest(s"Cannot set the value of counter column $col (counters can only be incremented/decremented)")
     case (CounterDeltaLit(_), t) =>
       throw InvalidRequest(s"Invalid operation for non counter column $col of type ${t.name}")
     case (ListLit(items), CqlList(e)) => items.map(coerce(_, e, col))
-    // sets are kept sorted + deduped (SetType comparator order)
+    // sets are kept in the element type's comparator order, deduped
+    // (SetType element comparator — numerics numerically, NOT by toString)
     case (SetLit(items), CqlSet(e)) =>
-      items.map(coerce(_, e, col)).distinct.sortBy(_.toString)
+      CqlValues.sortedSet(items.map(coerce(_, e, col)), e)
     case (ListLit(items), CqlSet(e)) =>
-      items.map(coerce(_, e, col)).distinct.sortBy(_.toString)
+      CqlValues.sortedSet(items.map(coerce(_, e, col)), e)
     case (MapLit(pairs), CqlMap(k, v)) =>
+      val ord = CqlValues.elemOrdering(k)
       scala.collection.immutable.ListMap(pairs.map { case (kk, vv) =>
         coerce(kk, k, col) -> coerce(vv, v, col)
-      }.sortBy(_._1.toString): _*)
+      }.sortWith((a, b) => ord.compare(a._1, b._1) < 0): _*)
     case (SetLit(items), CqlMap(_, _)) if items.isEmpty =>
       scala.collection.immutable.ListMap.empty[Any, Any]
     case (l, t) => throw InvalidRequest(s"Invalid ${l.value} for column $col of type ${t.name}")
   }
+
+  /** Run a CqlValues parser, rethrowing as InvalidRequest. */
+  private def vv(f: => Any): Any =
+    try f
+    catch { case e: CqlValues.ValueException => throw InvalidRequest(e.msg) }
 
   private def mutationRow(td: TableDef, keyVals: Map[String, Any],
                           cellVals: Map[String, Any], setCols: Set[String],
@@ -613,13 +681,20 @@ class CqlEngine(val spark: SparkSession) {
         if (indexServed) indexBudget -= 1
         if ((cd.kind == Regular || cd.kind == Static) && !indexServed) needsFiltering = true
         if (cd.kind == PartitionKey && op != "=") needsFiltering = true
-        val lcol = lit(coerce(v, cd.tpe, c))
+        // timeuuid ranges compare via the embedded-time sort key
+        // (TimeUUIDType comparator), not uuid-string order
+        val coerced = coerce(v, cd.tpe, c)
+        val (lhs, lcol) =
+          if (cd.tpe == CqlTimeuuid && op != "=")
+            (F.timeuuid_sort_key(col(c)),
+              lit(graft.functions.TimeUuid.sortKey(coerced.toString)))
+          else (col(c), lit(coerced))
         filters :+= (op match {
-          case "=" => col(c) === lcol
-          case "<" => col(c) < lcol
-          case "<=" => col(c) <= lcol
-          case ">" => col(c) > lcol
-          case ">=" => col(c) >= lcol
+          case "=" => lhs === lcol
+          case "<" => lhs < lcol
+          case "<=" => lhs <= lcol
+          case ">" => lhs > lcol
+          case ">=" => lhs >= lcol
         })
       case In(c, vs) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
@@ -703,7 +778,8 @@ class CqlEngine(val spark: SparkSession) {
     }
 
     val clusterSort: Seq[Column] = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
-      .collect { case (n, desc) if n.nonEmpty => if (desc) col(n).desc else col(n).asc }
+      .collect { case (n, desc) if n.nonEmpty =>
+        if (desc) orderCol(td, n).desc else orderCol(td, n).asc }
 
     // DISTINCT (only pk + statics selectable; SelectStatement.java:1111-1134)
     if (s.distinct) {
@@ -712,7 +788,7 @@ class CqlEngine(val spark: SparkSession) {
       if (s.selectors.contains(Star) || sel.forall(legal.contains)) {
         val cols = if (s.selectors.contains(Star)) pkNames else sel
         var out = df.select(cols.map(col): _*).distinct()
-          .orderBy(cols.filter(pkNames.contains).map(col): _*)
+          .orderBy(cols.filter(pkNames.contains).map(orderCol(td, _)): _*)
         s.limit.foreach(n => out = out.limit(checkLimit(n)))
         return out
       } else throw InvalidRequest(
@@ -763,7 +839,7 @@ class CqlEngine(val spark: SparkSession) {
         else if (s.groupBy.nonEmpty)
           df.select(s.groupBy.map(col): _*).distinct()
         else df.agg(aggCols.head, aggCols.tail: _*)
-      if (s.groupBy.nonEmpty) out = out.orderBy(s.groupBy.map(col): _*)
+      if (s.groupBy.nonEmpty) out = out.orderBy(s.groupBy.map(orderCol(td, _)): _*)
       out = out.select(s.selectors.zipWithIndex.map {
         case (ColSel(n, alias), _) if s.groupBy.contains(n) => col(n).as(alias.getOrElse(n))
         case (sel, i) => col(aggOutName(sel, i))
@@ -784,10 +860,10 @@ class CqlEngine(val spark: SparkSession) {
         val base = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
           .collect { case (n, desc) if n.nonEmpty =>
             val effDesc = if (reversed) !desc else desc
-            if (effDesc) col(n).desc else col(n).asc
+            if (effDesc) orderCol(td, n).desc else orderCol(td, n).asc
           }
-        pkNames.map(col(_).asc) ++ base
-      } else pkNames.map(col(_).asc) ++ clusterSort
+        pkNames.map(orderCol(td, _).asc) ++ base
+      } else pkNames.map(orderCol(td, _).asc) ++ clusterSort
     out = out.orderBy(sortCols: _*)
 
     val projected = out.select(s.selectors.flatMap(lowerRowSelector(td, _)): _*)
@@ -796,6 +872,12 @@ class CqlEngine(val spark: SparkSession) {
     if (s.json) res = res.select(to_json(struct(res.columns.map(col): _*)).as("[json]"))
     res
   }
+
+  /** Sort expression honoring the column type's comparator: timeuuid orders
+    * by embedded time (sort key), everything else by its Spark-native order.
+    */
+  private def orderCol(td: TableDef, n: String): Column =
+    if (td.column(n).exists(_.tpe == CqlTimeuuid)) F.timeuuid_sort_key(col(n)) else col(n)
 
   private def aggOutName(sel: Selector, idx: Int): String = sel match {
     case CountStar(alias) => alias.getOrElse("count")
@@ -870,8 +952,8 @@ class CqlEngine(val spark: SparkSession) {
     case ColSel(n, alias) if groupBy.contains(n) => first(col(n)).as(alias.getOrElse(n))
     case ColSel(n, alias) =>
       // first-row-in-clustering-order semantics for mixed selects
-      val ord = if (td.clustering.nonEmpty) struct(td.clustering.map(c => col(c.name)): _*)
-        else struct(td.partitionKey.map(c => col(c.name)): _*)
+      val ord = if (td.clustering.nonEmpty) struct(td.clustering.map(c => orderCol(td, c.name)): _*)
+        else struct(td.partitionKey.map(c => orderCol(td, c.name)): _*)
       min_by(col(n), ord).as(alias.getOrElse(n))
     case other => throw InvalidRequest(s"unsupported selector $other in aggregate")
   }

@@ -17,6 +17,20 @@ object CqlParser {
   private case class Num(text: String) extends Tok
   private case class Str(text: String) extends Tok
   private case class Sym(text: String) extends Tok
+  /** unquoted uuid literal (Parser.g uuid rule; must win over Num/Ident). */
+  private case class UuidTok(text: String) extends Tok
+  /** 0x hex blob literal (Parser.g HEXNUMBER). */
+  private case class HexTok(text: String) extends Tok
+
+  private def isHex(c: Char): Boolean = Character.digit(c, 16) >= 0
+
+  /** 36-char uuid shape at position i (8-4-4-4-12 hex groups)? */
+  private def uuidAt(s: String, i: Int): Boolean =
+    i + 36 <= s.length && {
+      val groups = Seq((0, 8), (9, 4), (14, 4), (19, 4), (24, 12))
+      Seq(8, 13, 18, 23).forall(d => s(i + d) == '-') &&
+        groups.forall { case (off, len) => (off until off + len).forall(j => isHex(s(i + j))) }
+    }
 
   private def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -24,6 +38,13 @@ object CqlParser {
     while (i < s.length) {
       val c = s(i)
       if (c.isWhitespace) i += 1
+      else if (uuidAt(s, i)) { out += UuidTok(s.substring(i, i + 36)); i += 36 }
+      else if (c == '0' && i + 2 < s.length && (s(i + 1) == 'x' || s(i + 1) == 'X') && isHex(s(i + 2))) {
+        val j = i + 2
+        var k = j
+        while (k < s.length && isHex(s(k))) k += 1
+        out += HexTok(s.substring(j, k)); i = k
+      }
       else if (c == '\'') {
         val sb = new StringBuilder
         i += 1
@@ -87,6 +108,8 @@ object CqlParser {
         if (t.contains('.') || t.toLowerCase.contains('e')) DoubleLit(t.toDouble)
         else IntLit(t.toLong)
       case Str(t) => StringLit(t)
+      case UuidTok(t) => UuidLit(t.toLowerCase)
+      case HexTok(t) => BlobLit(CqlValues.parseBlob(t))
       case Ident(t) if t.equalsIgnoreCase("true") => BoolLit(true)
       case Ident(t) if t.equalsIgnoreCase("false") => BoolLit(false)
       case Ident(t) if t.equalsIgnoreCase("null") => NullLit
@@ -116,8 +139,13 @@ object CqlParser {
 
   private val types: Map[String, CqlType] = Map(
     "int" -> CqlInt, "bigint" -> CqlBigint, "counter" -> CqlCounter,
-    "text" -> CqlText, "varchar" -> CqlText, "ascii" -> CqlText,
-    "double" -> CqlDouble, "float" -> CqlFloat, "boolean" -> CqlBoolean)
+    "smallint" -> CqlSmallint, "tinyint" -> CqlTinyint,
+    "text" -> CqlText, "varchar" -> CqlText, "ascii" -> CqlAscii,
+    "double" -> CqlDouble, "float" -> CqlFloat, "boolean" -> CqlBoolean,
+    "decimal" -> CqlDecimal, "varint" -> CqlVarint,
+    "timestamp" -> CqlTimestamp, "date" -> CqlDate, "time" -> CqlTime,
+    "uuid" -> CqlUuid, "timeuuid" -> CqlTimeuuid,
+    "blob" -> CqlBlob, "inet" -> CqlInet)
 
   private def parseType(p: P): CqlType = {
     val tn = p.ident()

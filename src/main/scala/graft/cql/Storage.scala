@@ -34,10 +34,22 @@ object Storage {
     } else trimmed match {
       case "int" => CqlInt
       case "bigint" => CqlBigint
+      case "smallint" => CqlSmallint
+      case "tinyint" => CqlTinyint
       case "text" => CqlText
+      case "ascii" => CqlAscii
       case "double" => CqlDouble
       case "float" => CqlFloat
       case "boolean" => CqlBoolean
+      case "decimal" => CqlDecimal
+      case "varint" => CqlVarint
+      case "timestamp" => CqlTimestamp
+      case "date" => CqlDate
+      case "time" => CqlTime
+      case "uuid" => CqlUuid
+      case "timeuuid" => CqlTimeuuid
+      case "blob" => CqlBlob
+      case "inet" => CqlInet
       case "counter" => CqlCounter
       case other => throw new IllegalArgumentException(s"unknown stored type $other")
     }

@@ -28,7 +28,8 @@ object Functions {
     "simhash_agg"     -> (es => SimHashAgg(es(0))),
     "min_timeuuid"    -> (es => MinTimeUuid(es.head)),
     "max_timeuuid"    -> (es => MaxTimeUuid(es.head)),
-    "timeuuid_unix_millis" -> (es => TimeUuidMillis(es.head))
+    "timeuuid_unix_millis" -> (es => TimeUuidMillis(es.head)),
+    "timeuuid_sort_key" -> (es => TimeUuidSortKey(es.head))
   )
 
   def install(e: SparkSessionExtensions): Unit =
@@ -79,6 +80,7 @@ object Functions {
   def min_timeuuid(ms: Column): Column = call_function("min_timeuuid", ms)
   def max_timeuuid(ms: Column): Column = call_function("max_timeuuid", ms)
   def timeuuid_unix_millis(u: Column): Column = call_function("timeuuid_unix_millis", u)
+  def timeuuid_sort_key(u: Column): Column = call_function("timeuuid_sort_key", u)
 }
 
 /** `SparkSessionExtensions` hook: functions (and, in later rounds, rules). */

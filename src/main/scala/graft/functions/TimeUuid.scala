@@ -53,6 +53,19 @@ object TimeUuid {
     }
   }
 
+  /** 24-byte sort key whose unsigned-lexicographic (Spark BinaryType) order
+    * equals [[compare]]: big-endian (ticks, msb, lsb) with sign bits flipped
+    * so signed longs order as unsigned.
+    */
+  def sortKey(uuidStr: String): Array[Byte] = {
+    val u = UUID.fromString(uuidStr)
+    val buf = java.nio.ByteBuffer.allocate(24)
+    buf.putLong(u.timestamp() ^ Long.MinValue)
+    buf.putLong(u.getMostSignificantBits ^ Long.MinValue)
+    buf.putLong(u.getLeastSignificantBits ^ Long.MinValue)
+    buf.array()
+  }
+
   /** Random v4 uuid (UuidFcts.java). */
   def randomUuid(): String = UUID.randomUUID().toString
 }

@@ -285,6 +285,25 @@ case class TimeUuidMillis(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TimeUuidMillis = copy(c)
 }
 
+/** `timeuuid_sort_key(u)` — 24-byte binary key whose unsigned-lexicographic
+  * order equals the reference TimeUUIDType comparator (embedded 100ns time,
+  * then unsigned uuid bytes — `db/marshal/TimeUUIDType.java:39-73`). Used
+  * for clustering sorts and range predicates over timeuuid columns, where
+  * uuid-string order would be wrong (time_low serializes first).
+  */
+case class TimeUuidSortKey(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"timeuuid_sort_key requires uuid string, got $t")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "timeuuid_sort_key"
+  override def nullSafeEval(v: Any): Any = TimeUuid.sortKey(v.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TimeUuid.sortKey($c.toString())")
+  override protected def withNewChildInternal(c: Expression): TimeUuidSortKey = copy(c)
+}
+
 /** Variadic `cassandra_token(pk1, pk2, ...)` for composite partition keys:
   * components serialized per the reference CompositeType layout
   * (2-byte length + bytes + 0x00 each) before hashing.
