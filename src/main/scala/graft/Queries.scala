@@ -276,6 +276,43 @@ object Queries {
           (-col("l_linenumber")).as("neg_ln"))
         .orderBy("l_linenumber")),
 
+    QueryDef("q_cql_arith",
+      // selection arithmetic + cast through the FULL CQL engine path
+      // (parser → analyzer → mutation log → reconcile → selection exprs);
+      // DuckDB reproduces from the same parquet rows. Spark's double→int
+      // cast truncates; totalprice > 0 so floor == trunc in the oracle.
+      Some("""SELECT o_orderkey, o_totalprice * 2 + 1 AS tp2,
+                     o_orderkey % 7 AS m7, CAST(floor(o_totalprice) AS INTEGER) AS tp_int
+              FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_ord (o_orderkey bigint PRIMARY KEY, o_totalprice double)")
+        t(s, d, "orders").filter(col("o_orderkey") < 500)
+          .select("o_orderkey", "o_totalprice").collect().foreach { r =>
+            e.execute(s"INSERT INTO cql_ord (o_orderkey, o_totalprice) VALUES (${r.getLong(0)}, ${r.getDouble(1)})")
+          }
+        e.execute("SELECT o_orderkey, o_totalprice * 2 + 1 AS tp2, " +
+          "o_orderkey % 7 AS m7, cast(o_totalprice AS int) AS tp_int FROM cql_ord")
+      }),
+
+    QueryDef("q_cql_timestamp",
+      // timestamp column + TimeFcts conversions through CqlEngine.execute
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, epoch_ms(o_orderdate) AS ms
+              FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_odate (o_orderkey bigint PRIMARY KEY, o_orderdate timestamp)")
+        t(s, d, "orders").filter(col("o_orderkey") < 300)
+          // parquet timestamp[ms] reads as TIMESTAMP_NTZ; session tz is UTC,
+          // so the cast to ltz preserves the instant DuckDB's epoch_ms sees
+          .select(col("o_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
+          .collect().foreach { r =>
+            e.execute(s"INSERT INTO cql_odate (o_orderkey, o_orderdate) VALUES (${r.getLong(0)}, ${r.getLong(1)})")
+          }
+        e.execute("SELECT o_orderkey, todate(o_orderdate) AS d, " +
+          "tounixtimestamp(o_orderdate) AS ms FROM cql_odate")
+      }),
+
     QueryDef("q_contains",
       // CONTAINS on a collection column (RowFilter.java:625-680)
       Some("""SELECT p_partkey, p_name FROM part

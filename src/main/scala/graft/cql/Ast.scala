@@ -84,6 +84,12 @@ object Ast {
   final case class BindMarker(index: Int) extends Literal {
     def value: Any = throw new IllegalStateException(s"unbound marker $index")
   }
+  /** constant function call as a term — now(), mintimeuuid('...'), uuid()
+    * (Parser.g function term; evaluated once per statement by the engine).
+    */
+  final case class FnLit(fn: String, args: Seq[Literal]) extends Literal {
+    def value: Any = s"$fn(${args.mkString(", ")})"
+  }
   final case class ListLit(items: Seq[Literal]) extends Literal { def value: Any = items.map(_.value) }
   /** counter increment/decrement in UPDATE SET c = c +/- n */
   final case class CounterDeltaLit(delta: Long) extends Literal { def value: Any = delta }
@@ -109,14 +115,35 @@ object Ast {
   /** LIKE 'x%'/'%x'/'%x%'/'x' — SASI semantics (index/sasi/plan/Expression.java:50-160) */
   final case class Like(column: String, pattern: String) extends Relation
 
+  /** Selection expression tree (reference `cql3/selection/Selectable.java`:
+    * columns, function calls, casts, arithmetic and element selection
+    * compose; grammar `Parser.g:315-348` unaliasedSelector).
+    */
+  sealed trait SelExpr
+  final case class ColRef(name: String) extends SelExpr
+  final case class LitRef(lit: Literal) extends SelExpr
+  /** `*` as a function argument — only legal in count(*). */
+  case object StarRef extends SelExpr
+  /** fn(args...) — scalar (TimeFcts, OperationFcts, casts) or aggregate
+    * (AggregateFcts); writetime/ttl/token are resolved by the engine.
+    */
+  final case class FnCall(name: String, args: Seq[SelExpr]) extends SelExpr
+  /** cast(x AS t) (CastFcts.java) */
+  final case class CastCall(e: SelExpr, to: CqlType) extends SelExpr
+  /** binary arithmetic + - * / % (OperationFcts.java:36-185) */
+  final case class Arith(op: String, l: SelExpr, r: SelExpr) extends SelExpr
+  /** unary minus (OperationFcts negation) */
+  final case class Neg(e: SelExpr) extends SelExpr
+  /** map/set element selection c[k] (cql3/selection/ElementsSelector.java) */
+  final case class ElementRef(name: String, key: Literal) extends SelExpr
+
   sealed trait Selector
   case object Star extends Selector
-  final case class ColSel(name: String, alias: Option[String]) extends Selector
-  /** count/sum/avg/min/max/writetime/ttl/token(col) */
-  final case class FnSel(fn: String, arg: String, alias: Option[String]) extends Selector
-  final case class CountStar(alias: Option[String]) extends Selector
-  /** map/set element selection c[k] (cql3/selection/ElementsSelector.java) */
-  final case class ElementSel(name: String, key: Literal, alias: Option[String]) extends Selector
+  final case class ExprSel(expr: SelExpr, alias: Option[String]) extends Selector
+  object Selector {
+    /** convenience for engine internals/tests */
+    def col(n: String): Selector = ExprSel(ColRef(n), None)
+  }
 
   sealed trait Statement
   final case class CreateTable(table: TableDef, ifNotExists: Boolean) extends Statement

@@ -320,6 +320,7 @@ class CqlEngine(val spark: SparkSession) {
 
   private def coerce(lit: Literal, tpe: CqlType, col: String): Any = (lit, tpe) match {
     case (NullLit, _) => null
+    case (FnLit(f, args), t) => coerce(evalFnLit(f, args), t, col)
     case (IntLit(v), CqlInt) => v.toInt
     case (IntLit(v), CqlBigint) => v
     case (IntLit(v), CqlSmallint) =>
@@ -384,6 +385,38 @@ class CqlEngine(val spark: SparkSession) {
   private def vv(f: => Any): Any =
     try f
     catch { case e: CqlValues.ValueException => throw InvalidRequest(e.msg) }
+
+  /** Constant function terms (now-family per TimeFcts, uuid per UuidFcts):
+    * evaluated once per statement, then coerced like any literal.
+    */
+  private def evalFnLit(f: String, args: Seq[Literal]): Literal = {
+    def argMs: Long = args match {
+      case Seq(StringLit(s)) => vv(CqlValues.parseTimestampMillis(s)).asInstanceOf[Long]
+      case Seq(IntLit(ms)) => ms
+      case other => throw InvalidRequest(s"Invalid arguments $other for function $f")
+    }
+    f match {
+      case "now" | "currenttimeuuid" =>
+        UuidLit(graft.functions.TimeUuid.minTimeUuid(nowMs))
+      case "currenttimestamp" => IntLit(nowMs)
+      case "currentdate" => StringLit(java.time.Instant.ofEpochMilli(nowMs)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+      case "currenttime" => IntLit(java.time.Instant.ofEpochMilli(nowMs)
+        .atZone(java.time.ZoneOffset.UTC).toLocalTime.toNanoOfDay)
+      case "mintimeuuid" => UuidLit(graft.functions.TimeUuid.minTimeUuid(argMs))
+      case "maxtimeuuid" => UuidLit(graft.functions.TimeUuid.maxTimeUuid(argMs))
+      case "uuid" => UuidLit(graft.functions.TimeUuid.randomUuid())
+      case "tounixtimestamp" | "unixtimestampof" => args match {
+        case Seq(UuidLit(u)) => IntLit(graft.functions.TimeUuid.unixMillisOf(u))
+        case _ => IntLit(argMs)
+      }
+      case "totimestamp" | "dateof" => args match {
+        case Seq(UuidLit(u)) => IntLit(graft.functions.TimeUuid.unixMillisOf(u))
+        case _ => IntLit(argMs)
+      }
+      case other => throw InvalidRequest(s"Unknown function '$other'")
+    }
+  }
 
   private def mutationRow(td: TableDef, keyVals: Map[String, Any],
                           cellVals: Map[String, Any], setCols: Set[String],
@@ -783,7 +816,7 @@ class CqlEngine(val spark: SparkSession) {
 
     // DISTINCT (only pk + statics selectable; SelectStatement.java:1111-1134)
     if (s.distinct) {
-      val sel = s.selectors.collect { case ColSel(n, _) => n }
+      val sel = s.selectors.collect { case ExprSel(ColRef(n), _) => n }
       val legal = (td.partitionKey ++ td.statics).map(_.name).toSet
       if (s.selectors.contains(Star) || sel.forall(legal.contains)) {
         val cols = if (s.selectors.contains(Star)) pkNames else sel
@@ -796,10 +829,11 @@ class CqlEngine(val spark: SparkSession) {
     }
 
     val hasAgg = s.selectors.exists {
-      case CountStar(_) => true
-      case FnSel(fn, _, _) => Set("count", "sum", "avg", "min", "max").contains(fn)
+      case ExprSel(e, _) => containsAgg(e)
       case _ => false
     }
+    if (hasAgg && s.selectors.contains(Star))
+      throw InvalidRequest("Cannot mix * with aggregate functions")
 
     // GROUP BY validation: pk-prefix, gaps only when EQ-restricted
     // (SelectStatement.java:1145-1191)
@@ -823,15 +857,13 @@ class CqlEngine(val spark: SparkSession) {
     if (hasAgg || s.groupBy.nonEmpty) {
       // grouping columns come through the groupBy itself; everything else is
       // an aggregate expression. The final select restores selector order.
-      val outNames = s.selectors.zipWithIndex.map {
-        case (ColSel(n, alias), _) if s.groupBy.contains(n) => alias.getOrElse(n)
-        case (sel, i) => aggOutName(sel, i)
+      def isGroupCol(sel: Selector) = sel match {
+        case ExprSel(ColRef(n), _) => s.groupBy.contains(n)
+        case _ => false
       }
       val aggCols = s.selectors.zipWithIndex.collect {
-        case (sel, i) if !(sel match {
-          case ColSel(n, _) => s.groupBy.contains(n)
-          case _ => false
-        }) => lowerAggSelector(td, sel, i, s.groupBy).as(aggOutName(sel, i))
+        case (sel @ ExprSel(e, _), i) if !isGroupCol(sel) =>
+          lowerAggExpr(td, e, s.groupBy).as(aggOutName(sel, i))
       }
       var out =
         if (s.groupBy.nonEmpty && aggCols.nonEmpty)
@@ -841,7 +873,7 @@ class CqlEngine(val spark: SparkSession) {
         else df.agg(aggCols.head, aggCols.tail: _*)
       if (s.groupBy.nonEmpty) out = out.orderBy(s.groupBy.map(orderCol(td, _)): _*)
       out = out.select(s.selectors.zipWithIndex.map {
-        case (ColSel(n, alias), _) if s.groupBy.contains(n) => col(n).as(alias.getOrElse(n))
+        case (ExprSel(ColRef(n), alias), _) if s.groupBy.contains(n) => col(n).as(alias.getOrElse(n))
         case (sel, i) => col(aggOutName(sel, i))
       }: _*)
       s.limit.foreach(n => out = out.limit(checkLimit(n)))
@@ -880,9 +912,7 @@ class CqlEngine(val spark: SparkSession) {
     if (td.column(n).exists(_.tpe == CqlTimeuuid)) F.timeuuid_sort_key(col(n)) else col(n)
 
   private def aggOutName(sel: Selector, idx: Int): String = sel match {
-    case CountStar(alias) => alias.getOrElse("count")
-    case FnSel(fn, c, alias) => alias.getOrElse(s"system_${fn}_$c")
-    case ColSel(n, alias) => alias.getOrElse(n)
+    case ExprSel(e, alias) => alias.getOrElse(exprName(e))
     case Star => s"_sel_$idx"
   }
 
@@ -893,30 +923,9 @@ class CqlEngine(val spark: SparkSession) {
 
   private def lowerRowSelector(td: TableDef, sel: Selector): Seq[Column] = sel match {
     case Star => td.columns.map(c => col(c.name))
-    case ColSel(n, alias) =>
-      if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
-      Seq(col(n).as(alias.getOrElse(n)))
-    case ElementSel(n, key, alias) =>
-      val cd = td.column(n).getOrElse(throw InvalidRequest(s"Undefined column name $n"))
-      cd.tpe match {
-        case CqlMap(k, _) =>
-          Seq(element_at(col(n), lit(coerce(key, k, n))).as(alias.getOrElse(s"$n[${key.value}]")))
-        case CqlList(_) =>
-          // CQL list indexes are 0-based; Spark element_at is 1-based
-          Seq(element_at(col(n), lit(key.value.asInstanceOf[Long].toInt + 1))
-            .as(alias.getOrElse(s"$n[${key.value}]")))
-        case other => throw InvalidRequest(s"Invalid element selection on $n of type ${other.name}")
-      }
-    case FnSel("writetime", c, alias) =>
-      requireCell(td, c, "writetime")
-      Seq(col("_wt_" + c).as(alias.getOrElse(s"writetime($c)")))
-    case FnSel("ttl", c, alias) =>
-      requireCell(td, c, "ttl")
-      Seq(col("_ttlr_" + c).as(alias.getOrElse(s"ttl($c)")))
-    case FnSel("token", c, alias) =>
-      Seq(F.cassandra_token(col(c)).as(alias.getOrElse(s"token($c)")))
-    case CountStar(_) | FnSel(_, _, _) =>
-      throw InvalidRequest("aggregate in non-aggregate select")
+    case ExprSel(e, alias) =>
+      if (containsAgg(e)) throw InvalidRequest("aggregate in non-aggregate select")
+      Seq(lowerExpr(td, e, null).as(alias.getOrElse(exprName(e))))
   }
 
   private def requireCell(td: TableDef, c: String, fn: String): Unit = {
@@ -927,34 +936,230 @@ class CqlEngine(val spark: SparkSession) {
       throw InvalidRequest(s"Cannot use selection function $fn on non-frozen collections")
   }
 
+  // ── selection expression lowering ─────────────────────────────────────
+  private val aggFnNames = Set("count", "sum", "avg", "min", "max")
+
+  private def containsAgg(e: SelExpr): Boolean = e match {
+    case FnCall(f, args) => aggFnNames.contains(f) || args.exists(containsAgg)
+    case CastCall(x, _) => containsAgg(x)
+    case Arith(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Neg(x) => containsAgg(x)
+    case _ => false
+  }
+
+  /** Deterministic output name mirroring the reference's generated selector
+    * names where the old surface had them (`system_max_a`, `count`, ...).
+    */
+  private def exprName(e: SelExpr): String = e match {
+    case ColRef(n) => n
+    case LitRef(l) => String.valueOf(l.value)
+    case StarRef => "*"
+    case FnCall("count", Seq(StarRef)) => "count"
+    case FnCall(f, args) => s"system_${f}_${args.map(exprName).mkString("_")}"
+    case CastCall(x, t) => s"cast_${exprName(x)}_as_${t.name.replaceAll("[<>, ]", "_")}"
+    case Arith(op, l, r) =>
+      val o = op match {
+        case "+" => "plus"; case "-" => "minus"; case "*" => "times"
+        case "/" => "div"; case "%" => "mod"
+      }
+      s"${exprName(l)}_${o}_${exprName(r)}"
+    case Neg(x) => s"neg_${exprName(x)}"
+    case ElementRef(n, k) => s"$n[${k.value}]"
+  }
+
+  /** CQL numeric type promotion for arithmetic (OperationFcts.java:36-185):
+    * decimal > double > float > varint > bigint > int > smallint > tinyint.
+    */
+  private def promote(a: CqlType, b: CqlType): CqlType = {
+    def rank(t: CqlType): Int = t match {
+      case CqlTinyint => 0; case CqlSmallint => 1; case CqlInt => 2
+      case CqlBigint | CqlCounter | CqlTime => 3; case CqlVarint => 4
+      case CqlFloat => 5; case CqlDouble => 6; case CqlDecimal => 7
+      case _ => -1
+    }
+    if (rank(a) < 0 || rank(b) < 0)
+      throw InvalidRequest(s"Invalid arithmetic between ${a.name} and ${b.name}")
+    if (rank(a) >= rank(b)) a else b
+  }
+
+  private def exprType(td: TableDef, e: SelExpr): Option[CqlType] = e match {
+    case ColRef(n) => td.column(n).map(_.tpe)
+    case LitRef(IntLit(v)) => Some(if (v.isValidInt) CqlInt else CqlBigint)
+    case LitRef(DoubleLit(_)) => Some(CqlDouble)
+    case LitRef(StringLit(_)) => Some(CqlText)
+    case LitRef(BoolLit(_)) => Some(CqlBoolean)
+    case LitRef(UuidLit(_)) => Some(CqlUuid)
+    case LitRef(BlobLit(_)) => Some(CqlBlob)
+    case LitRef(_) | StarRef => None
+    case CastCall(_, t) => Some(t)
+    case Neg(x) => exprType(td, x)
+    case Arith(_, l, r) =>
+      for { a <- exprType(td, l); b <- exprType(td, r) } yield promote(a, b)
+    case ElementRef(n, _) => td.column(n).map(_.tpe).collect {
+      case CqlMap(_, v) => v
+      case CqlList(el) => el
+    }
+    case FnCall(f, args) => f match {
+      case "count" | "tounixtimestamp" | "unixtimestampof" | "token" | "writetime" => Some(CqlBigint)
+      case "sum" | "min" | "max" | "avg" => args.headOption.flatMap(exprType(td, _))
+      case "ttl" => Some(CqlInt)
+      case "now" | "currenttimeuuid" | "mintimeuuid" | "maxtimeuuid" => Some(CqlTimeuuid)
+      case "currenttimestamp" | "totimestamp" | "dateof" => Some(CqlTimestamp)
+      case "currentdate" | "todate" => Some(CqlDate)
+      case "currenttime" => Some(CqlTime)
+      case "uuid" => Some(CqlUuid)
+      case _ => None
+    }
+  }
+
+  /** Statement-evaluation-time millis ("now"); pinned by tests via
+    * [[nowMicros]] (reference: now()-family functions evaluate once per
+    * statement — cql3/functions/TimeFcts).
+    */
+  private def nowMs: Long =
+    if (nowMicros > 0) nowMicros / 1000 else System.currentTimeMillis()
+
+  /** Millis-since-epoch column of a timestamp/timeuuid/date-typed arg
+    * (shared by the TimeFcts conversions).
+    */
+  private def millisOf(td: TableDef, e: SelExpr, lower: SelExpr => Column): Column = {
+    val c = lower(e)
+    exprType(td, e) match {
+      case Some(CqlTimestamp) => unix_millis(c)
+      case Some(CqlTimeuuid) => F.timeuuid_unix_millis(c)
+      case Some(CqlDate) => unix_date(c).cast("long") * lit(86400000L)
+      case Some(CqlBigint) | Some(CqlInt) => c.cast("long")
+      case Some(CqlText) => e match {
+        case LitRef(StringLit(s0)) => lit(vv(CqlValues.parseTimestampMillis(s0)))
+        case _ => throw InvalidRequest("cannot interpret text column as timestamp")
+      }
+      case other => throw InvalidRequest(s"Invalid temporal argument of type ${other.map(_.name).getOrElse("?")}")
+    }
+  }
+
+  /** Lower one expression node; `rec` lowers children (scalar or aggregate
+    * context — the shared scalar-function dispatch stays identical).
+    */
+  private def lowerExpr(td: TableDef, e: SelExpr, rec0: SelExpr => Column): Column = {
+    val rec: SelExpr => Column = if (rec0 == null) lowerExpr(td, _, null) else rec0
+    e match {
+      case ColRef(n) =>
+        if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
+        col(n)
+      case LitRef(IntLit(v)) => if (v.isValidInt) lit(v.toInt) else lit(v)
+      case LitRef(NullLit) => lit(null)
+      case LitRef(BindMarker(i)) => throw InvalidRequest(s"unbound marker $i")
+      case LitRef(l) => lit(l.value)
+      case StarRef => throw InvalidRequest("* is only valid in count(*)")
+      case ElementRef(n, key) =>
+        val cd = td.column(n).getOrElse(throw InvalidRequest(s"Undefined column name $n"))
+        cd.tpe match {
+          case CqlMap(k, _) => element_at(col(n), lit(coerce(key, k, n)))
+          case CqlList(_) =>
+            // CQL list indexes are 0-based; Spark element_at is 1-based
+            element_at(col(n), lit(key.value.asInstanceOf[Long].toInt + 1))
+          case other => throw InvalidRequest(s"Invalid element selection on $n of type ${other.name}")
+        }
+      case CastCall(x, t) => rec(x).cast(sparkType(t))
+      case Neg(x) => -rec(x)
+      case Arith(op, l, r) =>
+        val (lc, rc) = (rec(l), rec(r))
+        val rt = for { a <- exprType(td, l); b <- exprType(td, r) } yield promote(a, b)
+        val integral = rt.exists {
+          case CqlTinyint | CqlSmallint | CqlInt | CqlBigint | CqlCounter | CqlTime => true
+          case _ => false
+        }
+        val raw = op match {
+          case "+" => lc + rc
+          case "-" => lc - rc
+          case "*" => lc * rc
+          case "%" => lc % rc
+          // CQL integer division truncates toward zero in the operand type
+          case "/" if integral => call_function("cql_div", lc, rc)
+          case "/" => lc / rc
+        }
+        rt.map(t => raw.cast(sparkType(t))).getOrElse(raw)
+      // ── engine-resolved selectors ──
+      case FnCall("writetime", Seq(ColRef(c))) =>
+        requireCell(td, c, "writetime"); col("_wt_" + c)
+      case FnCall("ttl", Seq(ColRef(c))) =>
+        requireCell(td, c, "ttl"); col("_ttlr_" + c)
+      case FnCall("token", args) if args.nonEmpty =>
+        if (args.length == 1) F.cassandra_token(rec(args.head))
+        else call_function("cassandra_token", args.map(rec): _*)
+      // ── TimeFcts (reference cql3/functions/TimeFcts.java) ──
+      case FnCall("now", Seq()) | FnCall("currenttimeuuid", Seq()) =>
+        lit(graft.functions.TimeUuid.minTimeUuid(nowMs))
+      case FnCall("currenttimestamp", Seq()) => lit(CqlValues.timestampOf(nowMs))
+      case FnCall("currentdate", Seq()) =>
+        lit(java.sql.Date.valueOf(java.time.Instant.ofEpochMilli(nowMs)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate))
+      case FnCall("currenttime", Seq()) =>
+        lit(java.time.Instant.ofEpochMilli(nowMs).atZone(java.time.ZoneOffset.UTC)
+          .toLocalTime.toNanoOfDay)
+      case FnCall("totimestamp", Seq(a)) => timestamp_millis(millisOf(td, a, rec))
+      case FnCall("dateof", Seq(a)) => timestamp_millis(millisOf(td, a, rec))
+      case FnCall("todate", Seq(a)) => timestamp_millis(millisOf(td, a, rec)).cast(DateType)
+      case FnCall("tounixtimestamp", Seq(a)) => millisOf(td, a, rec)
+      case FnCall("unixtimestampof", Seq(a)) => millisOf(td, a, rec)
+      case FnCall("mintimeuuid", Seq(a)) => F.min_timeuuid(millisOf(td, a, rec))
+      case FnCall("maxtimeuuid", Seq(a)) => F.max_timeuuid(millisOf(td, a, rec))
+      case FnCall("uuid", Seq()) => call_function("uuid_v4")
+      // blob conversion family (BytesConversionFcts) — CQL camelCase names
+      // map onto the registered snake_case udfs
+      case FnCall(BlobFn(sparkFn), args) => call_function(sparkFn, args.map(rec): _*)
+      case FnCall(f, _) if aggFnNames.contains(f) =>
+        throw InvalidRequest(s"aggregate function $f in scalar context")
+      case FnCall(f, _) => throw InvalidRequest(s"Unknown function '$f'")
+    }
+  }
+
+  /** CQL camelCase → registered snake_case blob-conversion names. */
+  private object BlobFn {
+    private val all: Map[String, String] = (Seq("int", "bigint", "double",
+      "float", "boolean", "text").flatMap { t =>
+        Seq(s"${t}asblob" -> s"${t}_as_blob", s"blobas$t" -> s"blob_as_$t")
+      }).toMap
+    def unapply(name: String): Option[String] = all.get(name)
+  }
+
   /** CQL-typed aggregates (AggregateFcts.java): sum keeps the argument type
     * (wrapping), avg over integer types truncates, count is bigint, empty
     * input sums/avgs are 0 (not null). Non-aggregated columns return the
     * first row in clustering order (min_by over the clustering struct).
+    * Scalar functions and arithmetic compose over aggregates
+    * (e.g. max(a) - min(a), todate(max(ts))).
     */
-  private def lowerAggSelector(td: TableDef, sel: Selector, idx: Int,
-                               groupBy: Seq[String]): Column = sel match {
-    case CountStar(alias) => count(lit(1)).as(alias.getOrElse("count"))
-    case FnSel("count", c, alias) => count(col(c)).as(alias.getOrElse(s"system_count_$c"))
-    case FnSel("sum", c, alias) =>
-      val tpe = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c")).tpe
-      coalesce(sum(col(c)), lit(0)).cast(sparkType(tpe)).as(alias.getOrElse(s"system_sum_$c"))
-    case FnSel("avg", c, alias) =>
-      val tpe = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c")).tpe
-      val raw = tpe match {
-        case CqlInt | CqlBigint =>
-          floor(coalesce(sum(col(c)), lit(0)) / greatest(count(col(c)), lit(1)))
-        case _ => coalesce(avg(col(c)), lit(0.0))
-      }
-      raw.cast(sparkType(tpe)).as(alias.getOrElse(s"system_avg_$c"))
-    case FnSel("min", c, alias) => min(col(c)).as(alias.getOrElse(s"system_min_$c"))
-    case FnSel("max", c, alias) => max(col(c)).as(alias.getOrElse(s"system_max_$c"))
-    case ColSel(n, alias) if groupBy.contains(n) => first(col(n)).as(alias.getOrElse(n))
-    case ColSel(n, alias) =>
-      // first-row-in-clustering-order semantics for mixed selects
-      val ord = if (td.clustering.nonEmpty) struct(td.clustering.map(c => orderCol(td, c.name)): _*)
-        else struct(td.partitionKey.map(c => orderCol(td, c.name)): _*)
-      min_by(col(n), ord).as(alias.getOrElse(n))
-    case other => throw InvalidRequest(s"unsupported selector $other in aggregate")
+  private def lowerAggExpr(td: TableDef, e: SelExpr, groupBy: Seq[String]): Column = {
+    lazy val firstRowOrd =
+      if (td.clustering.nonEmpty) struct(td.clustering.map(c => orderCol(td, c.name)): _*)
+      else struct(td.partitionKey.map(c => orderCol(td, c.name)): _*)
+    def rec(x: SelExpr): Column = x match {
+      case FnCall("count", Seq(StarRef)) => count(lit(1))
+      case FnCall("count", Seq(a)) => count(lowerExpr(td, a, null))
+      case FnCall("sum", Seq(a)) =>
+        val s = coalesce(sum(lowerExpr(td, a, null)), lit(0))
+        exprType(td, a).map(t => s.cast(sparkType(t))).getOrElse(s)
+      case FnCall("avg", Seq(a)) =>
+        val c = lowerExpr(td, a, null)
+        val t = exprType(td, a)
+        val raw = t match {
+          case Some(CqlInt | CqlBigint | CqlSmallint | CqlTinyint | CqlCounter) =>
+            floor(coalesce(sum(c), lit(0)) / greatest(count(c), lit(1)))
+          case _ => coalesce(avg(c), lit(0.0))
+        }
+        t.map(tt => raw.cast(sparkType(tt))).getOrElse(raw)
+      case FnCall("min", Seq(a)) => min(lowerExpr(td, a, null))
+      case FnCall("max", Seq(a)) => max(lowerExpr(td, a, null))
+      case ColRef(n) if groupBy.contains(n) => first(col(n))
+      case ColRef(n) =>
+        // first-row-in-clustering-order semantics for mixed selects
+        if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
+        min_by(col(n), firstRowOrd)
+      case ElementRef(_, _) | FnCall("writetime", _) | FnCall("ttl", _) =>
+        min_by(lowerExpr(td, x, null), firstRowOrd)
+      case other => lowerExpr(td, other, rec)
+    }
+    rec(e)
   }
 }

@@ -56,7 +56,9 @@ object CqlParser {
           else { sb += s(i); i += 1 }
         }
         out += Str(sb.toString)
-      } else if (c.isDigit || (c == '-' && i + 1 < s.length && s(i + 1).isDigit)) {
+      } else if (c.isDigit) {
+        // '-' is always its own token; negative literals re-attach in
+        // literal() so selection arithmetic (a - 5) parses unambiguously
         val j = i
         i += 1
         while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' ||
@@ -104,6 +106,11 @@ object CqlParser {
     def literal(): Literal = next() match {
       case Sym("?") =>
         val m = BindMarker(bindCount); bindCount += 1; m
+      case Sym("-") => literal() match {
+        case IntLit(v) => IntLit(-v)
+        case DoubleLit(v) => DoubleLit(-v)
+        case other => throw ParseException(s"expected number after '-', got $other")
+      }
       case Num(t) =>
         if (t.contains('.') || t.toLowerCase.contains('e')) DoubleLit(t.toDouble)
         else IntLit(t.toLong)
@@ -113,6 +120,15 @@ object CqlParser {
       case Ident(t) if t.equalsIgnoreCase("true") => BoolLit(true)
       case Ident(t) if t.equalsIgnoreCase("false") => BoolLit(false)
       case Ident(t) if t.equalsIgnoreCase("null") => NullLit
+      case Ident(t) if trySym("(") =>
+        // constant function term: now(), mintimeuuid('...'), uuid()
+        var args = Vector.empty[Literal]
+        if (!trySym(")")) {
+          args :+= literal()
+          while (trySym(",")) args :+= literal()
+          sym(")")
+        }
+        FnLit(t.toLowerCase, args)
       case other => throw ParseException(s"expected literal, got ${other.text}")
     }
     def long(): Long = literal() match {
@@ -450,7 +466,72 @@ object CqlParser {
     }
   }
 
-  private val aggFns = Set("count", "sum", "avg", "min", "max", "writetime", "ttl", "token")
+  // ── selection expression grammar (Parser.g:315-348 unaliasedSelector:
+  // column | literal | fn(args) | cast(x AS t) | c[k] | arithmetic) ───────
+  private def parseSelExpr(p: P): SelExpr = {
+    var e = parseTerm(p)
+    var cont = true
+    while (cont) {
+      if (p.trySym("+")) e = Arith("+", e, parseTerm(p))
+      else if (p.trySym("-")) e = Arith("-", e, parseTerm(p))
+      else cont = false
+    }
+    e
+  }
+
+  private def parseTerm(p: P): SelExpr = {
+    var e = parseFactor(p)
+    var cont = true
+    while (cont) {
+      if (p.trySym("*")) e = Arith("*", e, parseFactor(p))
+      else if (p.trySym("/")) e = Arith("/", e, parseFactor(p))
+      else if (p.trySym("%")) e = Arith("%", e, parseFactor(p))
+      else cont = false
+    }
+    e
+  }
+
+  private def parseFactor(p: P): SelExpr =
+    if (p.peek.exists { case Sym("-") => true; case _ => false }) {
+      // lookahead: '-' directly before a number is a negative literal,
+      // otherwise unary negation of the following factor
+      p.sym("-")
+      p.peek match {
+        case Some(Num(_)) => LitRef(p.literal() match {
+          case IntLit(v) => IntLit(-v)
+          case DoubleLit(v) => DoubleLit(-v)
+          case other => other
+        })
+        case _ => Neg(parseFactor(p))
+      }
+    } else parsePrimary(p)
+
+  private val literalWords = Set("true", "false", "null")
+
+  private def parsePrimary(p: P): SelExpr = p.peek match {
+    case Some(Sym("(")) => p.sym("("); val e = parseSelExpr(p); p.sym(")"); e
+    case Some(Ident(t)) if !literalWords.contains(t.toLowerCase) =>
+      val id = p.ident()
+      if (id == "cast" && p.trySym("(")) {
+        val e = parseSelExpr(p)
+        p.eatKw("as")
+        val tpe = parseType(p)
+        p.sym(")")
+        CastCall(e, tpe)
+      } else if (p.trySym("(")) {
+        if (p.trySym("*")) { p.sym(")"); FnCall(id, Seq(StarRef)) }
+        else if (p.trySym(")")) FnCall(id, Seq.empty)
+        else {
+          var args = Vector(parseSelExpr(p))
+          while (p.trySym(",")) args :+= parseSelExpr(p)
+          p.sym(")")
+          FnCall(id, args)
+        }
+      } else if (p.trySym("[")) {
+        val key = p.literal(); p.sym("]"); ElementRef(id, key)
+      } else ColRef(id)
+    case _ => LitRef(p.literal())
+  }
 
   private def parseSelect(p: P): Statement = {
     p.eatKw("select")
@@ -461,17 +542,8 @@ object CqlParser {
     else {
       var more = true
       while (more) {
-        val id = p.ident()
-        if (aggFns.contains(id) && p.trySym("(")) {
-          val sel: Selector =
-            if (p.trySym("*")) { p.sym(")"); CountStar(parseAlias(p)) }
-            else { val arg = p.ident(); p.sym(")"); FnSel(id, arg, parseAlias(p)) }
-          sels :+= sel
-        } else if (p.trySym("[")) {
-          val key = p.literal()
-          p.sym("]")
-          sels :+= ElementSel(id, key, parseAlias(p))
-        } else sels :+= ColSel(id, parseAlias(p))
+        val e = parseSelExpr(p)
+        sels :+= ExprSel(e, parseAlias(p))
         more = p.trySym(",")
       }
     }

@@ -29,7 +29,10 @@ object Functions {
     "min_timeuuid"    -> (es => MinTimeUuid(es.head)),
     "max_timeuuid"    -> (es => MaxTimeUuid(es.head)),
     "timeuuid_unix_millis" -> (es => TimeUuidMillis(es.head)),
-    "timeuuid_sort_key" -> (es => TimeUuidSortKey(es.head))
+    "timeuuid_sort_key" -> (es => TimeUuidSortKey(es.head)),
+    // CQL integer division truncates toward zero in the operand type
+    // (OperationFcts) — Catalyst's `div` has exactly those semantics
+    "cql_div" -> (es => new org.apache.spark.sql.catalyst.expressions.IntegralDivide(es(0), es(1)))
   )
 
   def install(e: SparkSessionExtensions): Unit =
