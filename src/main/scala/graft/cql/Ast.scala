@@ -48,6 +48,18 @@ object Ast {
   final case class CqlList(elem: CqlType) extends CqlType { def name = s"list<${elem.name}>" }
   final case class CqlSet(elem: CqlType) extends CqlType { def name = s"set<${elem.name}>" }
   final case class CqlMap(key: CqlType, value: CqlType) extends CqlType { def name = s"map<${key.name}, ${value.name}>" }
+  /** anonymous tuple (db/marshal/TupleType.java) — frozen, lexicographic
+    * compare; carried as a Spark struct with positional field names.
+    */
+  final case class CqlTuple(elems: Seq[CqlType]) extends CqlType {
+    def name = s"tuple<${elems.map(_.name).mkString(", ")}>"
+  }
+  /** user-defined type (db/marshal/UserType.java; CREATE TYPE) — frozen,
+    * carried as a Spark struct with the declared field names.
+    */
+  final case class CqlUdt(typeName: String, fields: Seq[(String, CqlType)]) extends CqlType {
+    def name: String = typeName
+  }
 
   sealed trait ColumnKind
   case object PartitionKey extends ColumnKind
@@ -103,11 +115,24 @@ object Ast {
   final case class MapLit(pairs: Seq[(Literal, Literal)]) extends Literal {
     def value: Any = pairs.map { case (k, v) => k.value -> v.value }
   }
+  /** (v1, v2, ...) tuple literal (Parser.g tupleLiteral). */
+  final case class TupleLit(items: Seq[Literal]) extends Literal { def value: Any = items.map(_.value) }
+  /** {field: v, ...} UDT literal (Parser.g usertypeLiteral). */
+  final case class UdtLit(fields: Seq[(String, Literal)]) extends Literal {
+    def value: Any = fields.map { case (f, v) => f -> v.value }
+  }
 
   sealed trait Relation
   /** col op literal; op in = < <= > >= != */
   final case class Rel(column: String, op: String, value: Literal) extends Relation
   final case class In(column: String, values: Seq[Literal]) extends Relation
+  /** multi-column tuple relation `(c1, c2) >= (v1, v2)`
+    * (cql3/MultiColumnRelation.java): lexicographic over a clustering prefix.
+    */
+  final case class MultiColRel(columns: Seq[String], op: String,
+                               values: Seq[Literal]) extends Relation
+  /** map-entry equality `m[k] = v` (db/filter/RowFilter.java:725-817). */
+  final case class MapEntryEq(column: String, key: Literal, value: Literal) extends Relation
   /** token(pk...) op literal (cql3/TokenRelation.java) */
   final case class TokenRel(columns: Seq[String], op: String, value: Literal) extends Relation
   /** CONTAINS / CONTAINS KEY (cql3/Operator.java:117-161) */
@@ -136,6 +161,8 @@ object Ast {
   final case class Neg(e: SelExpr) extends SelExpr
   /** map/set element selection c[k] (cql3/selection/ElementsSelector.java) */
   final case class ElementRef(name: String, key: Literal) extends SelExpr
+  /** UDT field selection u.f (cql3/selection/FieldSelector.java) */
+  final case class FieldRef(column: String, field: String) extends SelExpr
 
   sealed trait Selector
   case object Star extends Selector
@@ -147,6 +174,8 @@ object Ast {
 
   sealed trait Statement
   final case class CreateTable(table: TableDef, ifNotExists: Boolean) extends Statement
+  /** CREATE TYPE name (f1 t1, ...) (Parser.g:894-918, UserType.java). */
+  final case class CreateType(udt: CqlUdt, ifNotExists: Boolean) extends Statement
   final case class DropTable(name: String) extends Statement
   final case class Truncate(name: String) extends Statement
 

@@ -35,6 +35,8 @@ class CqlEngine(val spark: SparkSession) {
 
   // ── catalog (≈ system_schema) ─────────────────────────────────────────
   private val tables = scala.collection.mutable.LinkedHashMap.empty[String, TableDef]
+  /** user-defined types (CREATE TYPE; system_schema.types). */
+  private val udts = scala.collection.mutable.LinkedHashMap.empty[String, CqlUdt]
   private val logs = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Row]]
   /** table → secondary-indexed columns (2i emulation). */
   private val indexes = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
@@ -121,6 +123,14 @@ class CqlEngine(val spark: SparkSession) {
     case CqlList(e) => ArrayType(sparkType(e))
     case CqlSet(e) => ArrayType(sparkType(e))
     case CqlMap(k, v) => MapType(sparkType(k), sparkType(v))
+    // tuples get positional field names; struct comparison in Spark is
+    // field-ordered = the reference's lexicographic tuple compare
+    case CqlTuple(es) => StructType(es.zipWithIndex.map {
+      case (t0, i) => StructField(s"f$i", sparkType(t0))
+    })
+    case CqlUdt(_, fields) => StructType(fields.map {
+      case (f, t0) => StructField(f, sparkType(t0))
+    })
   }
 
   private def logSchema(td: TableDef): StructType = {
@@ -168,9 +178,14 @@ class CqlEngine(val spark: SparkSession) {
     tables.getOrElse(name, throw InvalidRequest(s"unconfigured table $name"))
 
   // ── statement execution ───────────────────────────────────────────────
-  def execute(cql: String): DataFrame = run(CqlParser.parse(cql))
+  def execute(cql: String): DataFrame = run(CqlParser.parse(cql, udts.toMap))
 
   def run(stmt: Statement): DataFrame = stmt match {
+    case CreateType(u, ifNotExists) =>
+      if (udts.contains(u.typeName)) {
+        if (!ifNotExists) throw InvalidRequest(s"A user type of name ${u.typeName} already exists")
+      } else udts(u.typeName) = u
+      emptyResult
     case CreateTable(td, ifNotExists) =>
       if (tables.contains(td.name)) {
         if (!ifNotExists) throw InvalidRequest(s"Table ${td.name} already exists")
@@ -378,7 +393,36 @@ class CqlEngine(val spark: SparkSession) {
       }.sortWith((a, b) => ord.compare(a._1, b._1) < 0): _*)
     case (SetLit(items), CqlMap(_, _)) if items.isEmpty =>
       scala.collection.immutable.ListMap.empty[Any, Any]
+    case (TupleLit(items), CqlTuple(es)) =>
+      if (items.length > es.length)
+        throw InvalidRequest(s"Invalid tuple literal for $col: too many elements (expected ${es.length})")
+      // missing trailing elements read back null (TupleType allows shorter)
+      Row.fromSeq(es.zipWithIndex.map { case (t0, i) =>
+        if (i < items.length) coerce(items(i), t0, col) else null
+      })
+    case (UdtLit(fs), CqlUdt(tn, fields)) =>
+      val declared = fields.map(_._1)
+      fs.foreach { case (f, _) =>
+        if (!declared.contains(f))
+          throw InvalidRequest(s"Unknown field '$f' in value of user defined type $tn")
+      }
+      val byName = fs.toMap
+      Row.fromSeq(fields.map { case (f, t0) =>
+        byName.get(f).map(coerce(_, t0, s"$col.$f")).orNull
+      })
     case (l, t) => throw InvalidRequest(s"Invalid ${l.value} for column $col of type ${t.name}")
+  }
+
+  /** Literal column for a coerced value; struct types (tuple/UDT) build a
+    * field-named struct literal so EqualTo's type check passes.
+    */
+  private def litValue(v: Any, tpe: CqlType): Column = (v, tpe) match {
+    case (r: Row, t) =>
+      val st = sparkType(t).asInstanceOf[StructType]
+      struct(r.toSeq.zip(st.fields).map { case (fv, sf) =>
+        lit(fv).cast(sf.dataType).as(sf.name)
+      }: _*)
+    case (other, _) => lit(other)
   }
 
   /** Run a CqlValues parser, rethrowing as InvalidRequest. */
@@ -721,7 +765,7 @@ class CqlEngine(val spark: SparkSession) {
           if (cd.tpe == CqlTimeuuid && op != "=")
             (F.timeuuid_sort_key(col(c)),
               lit(graft.functions.TimeUuid.sortKey(coerced.toString)))
-          else (col(c), lit(coerced))
+          else (col(c), litValue(coerced, cd.tpe))
         filters :+= (op match {
           case "=" => lhs === lcol
           case "<" => lhs < lcol
@@ -734,6 +778,44 @@ class CqlEngine(val spark: SparkSession) {
         restricted(c) = "eq"
         if (cd.kind == Regular || cd.kind == Static) needsFiltering = true
         filters :+= col(c).isin(vs.map(v => coerce(v, cd.tpe, c)): _*)
+      case MultiColRel(cols0, op, values) =>
+        // lexicographic relation over a clustering prefix
+        // (MultiColumnRelation.java; lowered to the per-column DNF so the
+        // leading column's range reaches parquet stats)
+        val cds = cols0.map(c => td.column(c).getOrElse(
+          throw InvalidRequest(s"Undefined column name $c")))
+        if (!cds.forall(_.kind == Clustering))
+          throw InvalidRequest(
+            s"Multi-column relations can only be applied to clustering columns but was applied to: ${cols0.mkString(", ")}")
+        val ckOrder = td.clustering.map(_.name)
+        val start = ckOrder.indexOf(cols0.head)
+        if (start < 0 || ckOrder.slice(start, start + cols0.length) != cols0)
+          throw InvalidRequest(
+            s"Clustering columns must appear in the PRIMARY KEY order in multi-column relations: ${cols0.mkString(", ")}")
+        // a range over the tuple is ONE range on the clustering prefix: only
+        // the leading column registers as range-restricted (the prefix rule
+        // must not see the trailing columns as independent ranges)
+        if (op == "=") cols0.foreach(c => restricted(c) = "eq")
+        else restricted(cols0.head) = "range"
+        val pairs = cds.zip(values).map { case (cd, v) =>
+          val coerced = coerce(v, cd.tpe, cd.name)
+          if (cd.tpe == CqlTimeuuid)
+            (F.timeuuid_sort_key(col(cd.name)),
+              lit(graft.functions.TimeUuid.sortKey(coerced.toString)))
+          else (col(cd.name), lit(coerced))
+        }
+        filters :+= (if (op == "=") pairs.map(p => p._1 === p._2).reduce(_ && _)
+          else CqlOps.tupleCompare(pairs.map(_._1), pairs.map(_._2), op))
+      case MapEntryEq(c, key, v) =>
+        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        cd.tpe match {
+          case CqlMap(kt, vt) =>
+            needsFiltering = true
+            restricted(c) = "entry"
+            filters :+= (element_at(col(c), lit(coerce(key, kt, c))) === lit(coerce(v, vt, c)))
+          case _ => throw InvalidRequest(
+            s"Map-entry equality predicates are only supported on map columns, got $c")
+        }
       case Like(c, pat) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         if (cd.tpe != CqlText)
@@ -965,6 +1047,7 @@ class CqlEngine(val spark: SparkSession) {
       s"${exprName(l)}_${o}_${exprName(r)}"
     case Neg(x) => s"neg_${exprName(x)}"
     case ElementRef(n, k) => s"$n[${k.value}]"
+    case FieldRef(n, f) => s"$n.$f"
   }
 
   /** CQL numeric type promotion for arithmetic (OperationFcts.java:36-185):
@@ -999,6 +1082,9 @@ class CqlEngine(val spark: SparkSession) {
       case CqlMap(_, v) => v
       case CqlList(el) => el
     }
+    case FieldRef(n, f) => td.column(n).map(_.tpe).collect {
+      case CqlUdt(_, fields) => fields.collectFirst { case (`f`, t) => t }
+    }.flatten
     case FnCall(f, args) => f match {
       case "count" | "tounixtimestamp" | "unixtimestampof" | "token" | "writetime" => Some(CqlBigint)
       case "sum" | "min" | "max" | "avg" => args.headOption.flatMap(exprType(td, _))
@@ -1059,6 +1145,16 @@ class CqlEngine(val spark: SparkSession) {
             // CQL list indexes are 0-based; Spark element_at is 1-based
             element_at(col(n), lit(key.value.asInstanceOf[Long].toInt + 1))
           case other => throw InvalidRequest(s"Invalid element selection on $n of type ${other.name}")
+        }
+      case FieldRef(n, f) =>
+        val cd = td.column(n).getOrElse(throw InvalidRequest(s"Undefined column name $n"))
+        cd.tpe match {
+          case CqlUdt(tn, fields) =>
+            if (!fields.exists(_._1 == f))
+              throw InvalidRequest(s"Unknown field '$f' in user defined type $tn")
+            col(n).getField(f)
+          case other => throw InvalidRequest(
+            s"Invalid field selection: $n of type ${other.name} is not a user type")
         }
       case CastCall(x, t) => rec(x).cast(sparkType(t))
       case Neg(x) => -rec(x)
@@ -1156,7 +1252,7 @@ class CqlEngine(val spark: SparkSession) {
         // first-row-in-clustering-order semantics for mixed selects
         if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
         min_by(col(n), firstRowOrd)
-      case ElementRef(_, _) | FnCall("writetime", _) | FnCall("ttl", _) =>
+      case ElementRef(_, _) | FieldRef(_, _) | FnCall("writetime", _) | FnCall("ttl", _) =>
         min_by(lowerExpr(td, x, null), firstRowOrd)
       case other => lowerExpr(td, other, rec)
     }

@@ -76,9 +76,11 @@ object CqlParser {
   }
 
   // ── parser state ─────────────────────────────────────────────────────
-  private final class P(toks: Vector[Tok]) {
+  private final class P(toks: Vector[Tok], val udts: Map[String, CqlUdt]) {
     private var pos = 0
     def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def peekAt(n: Int): Option[Tok] =
+      if (pos + n < toks.length) Some(toks(pos + n)) else None
     def next(): Tok = { val t = toks(pos); pos += 1; t }
     def done: Boolean = pos >= toks.length || toks(pos).text == ";"
 
@@ -137,8 +139,11 @@ object CqlParser {
     }
   }
 
-  def parse(cql: String): Statement = {
-    val p = new P(tokenize(cql))
+  def parse(cql: String): Statement = parse(cql, Map.empty)
+
+  /** Parse with a UDT registry (engine catalog) for resolving type names. */
+  def parse(cql: String, udts: Map[String, CqlUdt]): Statement = {
+    val p = new P(tokenize(cql), udts)
     val stmt =
       if (p.kw("begin")) parseBatch(p)
       else if (p.kw("create")) parseCreate(p)
@@ -171,9 +176,15 @@ object CqlParser {
       case "map" =>
         p.sym("<"); val k = parseType(p); p.sym(","); val v = parseType(p); p.sym(">")
         CqlMap(k, v)
+      case "tuple" =>
+        p.sym("<")
+        var es = Vector(parseType(p))
+        while (p.trySym(",")) es :+= parseType(p)
+        p.sym(">")
+        CqlTuple(es)
       case "frozen" => p.sym("<"); val e = parseType(p); p.sym(">"); e
-      case other => types.getOrElse(other,
-        throw ParseException(s"unsupported type $other (supported: ${types.keys.toSeq.sorted.mkString(", ")}, list<>, set<>, map<>, frozen<>)"))
+      case other => types.get(other).orElse(p.udts.get(other)).getOrElse(
+        throw ParseException(s"unsupported type $other (supported: ${types.keys.toSeq.sorted.mkString(", ")}, list<>, set<>, map<>, tuple<>, frozen<>, or a CREATEd TYPE)"))
     }
   }
 
@@ -197,6 +208,20 @@ object CqlParser {
 
   private def parseCreate(p: P): Statement = {
     p.eatKw("create")
+    if (p.tryKw("type")) {
+      val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
+      val name = p.ident()
+      p.sym("(")
+      var fields = Vector.empty[(String, CqlType)]
+      var first = true
+      while (!p.trySym(")")) {
+        if (!first) p.sym(",")
+        first = false
+        val fn = p.ident()
+        fields :+= (fn -> parseType(p))
+      }
+      return CreateType(CqlUdt(name, fields), ifNotExists)
+    }
     if (p.tryKw("index")) {
       if (!p.kw("on")) p.ident() // optional index name
       p.eatKw("on")
@@ -269,7 +294,7 @@ object CqlParser {
     CreateTable(TableDef(name, ordered, desc), ifNotExists)
   }
 
-  /** Scalar or collection literal. */
+  /** Scalar, collection, tuple or UDT literal. */
   private def anyLiteral(p: P): Literal = {
     if (p.trySym("[")) {
       var items = Vector.empty[Literal]
@@ -279,22 +304,47 @@ object CqlParser {
         p.sym("]")
       }
       ListLit(items)
+    } else if (p.peek.exists { case Sym("(") => true; case _ => false }) {
+      // (v1, v2, ...) tuple literal
+      p.sym("(")
+      var items = Vector(anyLiteral(p))
+      while (p.trySym(",")) items :+= anyLiteral(p)
+      p.sym(")")
+      TupleLit(items)
     } else if (p.trySym("{")) {
       if (p.trySym("}")) SetLit(Seq.empty)
       else {
-        val first = anyLiteral(p)
-        if (p.trySym(":")) {
-          var pairs = Vector(first -> anyLiteral(p))
-          while (p.trySym(",")) {
-            val k = anyLiteral(p); p.sym(":"); pairs :+= (k -> anyLiteral(p))
+        // {ident: v} is a UDT literal (field names are identifiers, not
+        // literals — Parser.g usertypeLiteral vs mapLiteral)
+        val isUdt = (p.peek, p.peekAt(1)) match {
+          case (Some(Ident(t)), Some(Sym(":"))) if !literalWords.contains(t.toLowerCase) => true
+          case _ => false
+        }
+        if (isUdt) {
+          var fields = Vector.empty[(String, Literal)]
+          var first = true
+          while (!p.trySym("}")) {
+            if (!first) p.sym(",")
+            first = false
+            val f = p.ident(); p.sym(":")
+            fields :+= (f -> anyLiteral(p))
           }
-          p.sym("}")
-          MapLit(pairs)
+          UdtLit(fields)
         } else {
-          var items = Vector(first)
-          while (p.trySym(",")) items :+= anyLiteral(p)
-          p.sym("}")
-          SetLit(items)
+          val first = anyLiteral(p)
+          if (p.trySym(":")) {
+            var pairs = Vector(first -> anyLiteral(p))
+            while (p.trySym(",")) {
+              val k = anyLiteral(p); p.sym(":"); pairs :+= (k -> anyLiteral(p))
+            }
+            p.sym("}")
+            MapLit(pairs)
+          } else {
+            var items = Vector(first)
+            while (p.trySym(",")) items :+= anyLiteral(p)
+            p.sym("}")
+            SetLit(items)
+          }
         }
       }
     } else p.literal()
@@ -439,8 +489,32 @@ object CqlParser {
       p.sym(")")
       val op = p.next().text
       TokenRel(cols, op, p.literal())
+    } else if (p.peek.exists { case Sym("(") => true; case _ => false }) {
+      // (c1, c2) op (v1, v2) — multi-column tuple relation
+      p.sym("(")
+      var cols = Vector(p.ident())
+      while (p.trySym(",")) cols :+= p.ident()
+      p.sym(")")
+      val op = p.next().text
+      if (!Set("=", "<", "<=", ">", ">=").contains(op))
+        throw ParseException(s"unsupported multi-column operator $op")
+      anyLiteral(p) match {
+        case TupleLit(items) =>
+          if (items.length != cols.length)
+            throw ParseException(
+              s"Expected ${cols.length} elements in value tuple, but got ${items.length}")
+          MultiColRel(cols, op, items)
+        case other => throw ParseException(s"expected tuple value, got $other")
+      }
     } else {
       val c = p.ident()
+      if (p.trySym("[")) {
+        // m[k] = v map-entry restriction
+        val key = p.literal()
+        p.sym("]")
+        p.sym("=")
+        return MapEntryEq(c, key, p.literal())
+      }
       if (p.tryKw("contains")) {
         val isKey = p.tryKw("key")
         return Contains(c, p.literal(), isKey)
@@ -461,7 +535,7 @@ object CqlParser {
         val op = p.next().text
         if (!Set("=", "<", "<=", ">", ">=", "!=").contains(op))
           throw ParseException(s"unsupported operator $op")
-        Rel(c, op, p.literal())
+        Rel(c, op, anyLiteral(p))
       }
     }
   }
@@ -529,6 +603,8 @@ object CqlParser {
         }
       } else if (p.trySym("[")) {
         val key = p.literal(); p.sym("]"); ElementRef(id, key)
+      } else if (p.trySym(".")) {
+        FieldRef(id, p.ident())
       } else ColRef(id)
     case _ => LitRef(p.literal())
   }

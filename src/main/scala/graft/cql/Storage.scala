@@ -15,7 +15,32 @@ object Storage {
 
   private implicit val formats: Formats = DefaultFormats
 
-  private def typeName(t: CqlType): String = t.name
+  private def typeName(t: CqlType): String = t match {
+    // UDTs serialize structurally so the catalog round-trips without a
+    // separate type registry
+    case CqlUdt(n, fields) =>
+      s"udt<$n;${fields.map { case (f, ft) => s"$f ${typeName(ft)}" }.mkString(", ")}>"
+    case CqlTuple(es) => s"tuple<${es.map(typeName).mkString(", ")}>"
+    case CqlList(e) => s"list<${typeName(e)}>"
+    case CqlSet(e) => s"set<${typeName(e)}>"
+    case CqlMap(k, v) => s"map<${typeName(k)}, ${typeName(v)}>"
+    case other => other.name
+  }
+
+  /** split on top-level commas (nested <> stay intact) */
+  private def splitTop(body: String): Seq[String] = {
+    val parts = Vector.newBuilder[String]
+    var depth = 0
+    val sb = new StringBuilder
+    body.foreach {
+      case '<' => depth += 1; sb += '<'
+      case '>' => depth -= 1; sb += '>'
+      case ',' if depth == 0 => parts += sb.toString.trim; sb.clear()
+      case ch => sb += ch
+    }
+    if (sb.nonEmpty) parts += sb.toString.trim
+    parts.result()
+  }
 
   private def parseType(s: String): CqlType = {
     val trimmed = s.trim
@@ -23,14 +48,19 @@ object Storage {
       trimmed.stripPrefix(prefix + "<").stripSuffix(">")
     if (trimmed.startsWith("list<")) CqlList(parseType(inner("list")))
     else if (trimmed.startsWith("set<")) CqlSet(parseType(inner("set")))
-    else if (trimmed.startsWith("map<")) {
-      val body = inner("map")
-      val depth = body.foldLeft((0, -1, 0)) { case ((d, pos, i), ch) =>
-        val nd = ch match { case '<' => d + 1; case '>' => d - 1; case _ => d }
-        val np = if (ch == ',' && d == 0 && pos < 0) i else pos
-        (nd, np, i + 1)
-      }._2
-      CqlMap(parseType(body.take(depth)), parseType(body.drop(depth + 1)))
+    else if (trimmed.startsWith("tuple<"))
+      CqlTuple(splitTop(inner("tuple")).map(parseType))
+    else if (trimmed.startsWith("udt<")) {
+      val body = inner("udt")
+      val sep = body.indexOf(';')
+      val fields = splitTop(body.drop(sep + 1)).map { f =>
+        val sp = f.indexOf(' ')
+        f.take(sp) -> parseType(f.drop(sp + 1))
+      }
+      CqlUdt(body.take(sep), fields)
+    } else if (trimmed.startsWith("map<")) {
+      val parts = splitTop(inner("map"))
+      CqlMap(parseType(parts(0)), parseType(parts(1)))
     } else trimmed match {
       case "int" => CqlInt
       case "bigint" => CqlBigint

@@ -1,0 +1,93 @@
+package graft
+
+import graft.cql.CqlEngine
+import org.apache.spark.sql.Row
+
+/** Tuples, user-defined types, multi-column tuple relations and map-entry
+  * restrictions. Cases mined from `cql3/validation/entities/UserTypesTest
+  * .java`, `TupleTypeTest.java`, `operations/SelectMultiColumnRelationTest
+  * .java`, `SecondaryIndexOnMapEntriesTest.java`.
+  */
+class CqlUdtSpec extends SparkSpec {
+
+  def mkEngine: CqlEngine = new CqlEngine(spark)
+
+  def rowsInOrder(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  def assertInvalid(e: CqlEngine, cql: String, msgPart: String): Unit = {
+    val ex = intercept[RuntimeException](e.execute(cql).collect())
+    assert(ex.getMessage.contains(msgPart), s"got: ${ex.getMessage}")
+  }
+
+  test("frozen tuple round trip, shorter literal, lexicographic compare") {
+    val e = mkEngine
+    e.execute("CREATE TABLE tp1 (k int PRIMARY KEY, t tuple<int, text, double>)")
+    e.execute("INSERT INTO tp1 (k, t) VALUES (1, (3, 'foo', 2.5))")
+    e.execute("INSERT INTO tp1 (k, t) VALUES (2, (3, 'bar'))")
+    val got = rowsInOrder(e.execute("SELECT k, t FROM tp1"))
+    assert(got(0)(1).asInstanceOf[Row].toSeq === Seq(3, "foo", 2.5))
+    assert(got(1)(1).asInstanceOf[Row].toSeq === Seq(3, "bar", null))
+    // full-value equality needs filtering
+    assert(rowsInOrder(e.execute(
+      "SELECT k FROM tp1 WHERE t = (3, 'foo', 2.5) ALLOW FILTERING")) === Seq(Seq(1)))
+    assertInvalid(e, "INSERT INTO tp1 (k, t) VALUES (3, (1, 'x', 2.0, 9))", "too many")
+  }
+
+  test("CREATE TYPE + UDT round trip and field selection") {
+    val e = mkEngine
+    e.execute("CREATE TYPE address (street text, city text, zip int)")
+    e.execute("CREATE TABLE u1 (k int PRIMARY KEY, a frozen<address>)")
+    e.execute("INSERT INTO u1 (k, a) VALUES (1, {street: '12 Main', city: 'Springfield', zip: 12345})")
+    // partial literal: missing fields null
+    e.execute("INSERT INTO u1 (k, a) VALUES (2, {city: 'Shelbyville'})")
+    val got = rowsInOrder(e.execute("SELECT k, a FROM u1"))
+    assert(got(0)(1).asInstanceOf[Row].toSeq === Seq("12 Main", "Springfield", 12345))
+    assert(got(1)(1).asInstanceOf[Row].toSeq === Seq(null, "Shelbyville", null))
+    // field selection u.f
+    assert(rowsInOrder(e.execute("SELECT k, a.city, a.zip FROM u1")) ===
+      Seq(Seq(1, "Springfield", 12345), Seq(2, "Shelbyville", null)))
+    assertInvalid(e, "INSERT INTO u1 (k, a) VALUES (3, {country: 'US'})", "Unknown field")
+    assertInvalid(e, "SELECT a.nope FROM u1", "Unknown field")
+    assertInvalid(e, "CREATE TYPE address (x int)", "already exists")
+  }
+
+  test("UDT inside collections and as clustering-ish value") {
+    val e = mkEngine
+    e.execute("CREATE TYPE pt (x int, y int)")
+    e.execute("CREATE TABLE u2 (k int PRIMARY KEY, pts list<frozen<pt>>)")
+    e.execute("INSERT INTO u2 (k, pts) VALUES (1, [{x: 1, y: 2}, {x: 3, y: 4}])")
+    val got = rowsInOrder(e.execute("SELECT pts FROM u2")).head.head
+      .asInstanceOf[scala.collection.Seq[Row]]
+    assert(got.map(_.toSeq) === Seq(Seq(1, 2), Seq(3, 4)))
+  }
+
+  test("multi-column tuple relations on clustering prefix") {
+    val e = mkEngine
+    e.execute("CREATE TABLE mc1 (k int, c1 int, c2 int, v int, PRIMARY KEY (k, c1, c2))")
+    for (c1 <- 0 until 3; c2 <- 0 until 3)
+      e.execute(s"INSERT INTO mc1 (k, c1, c2, v) VALUES (1, $c1, $c2, ${c1 * 10 + c2})")
+    assert(rowsInOrder(e.execute(
+      "SELECT v FROM mc1 WHERE k = 1 AND (c1, c2) > (1, 1) AND (c1, c2) <= (2, 1)")) ===
+      Seq(Seq(12), Seq(20), Seq(21)))
+    assert(rowsInOrder(e.execute(
+      "SELECT v FROM mc1 WHERE k = 1 AND (c1, c2) = (2, 2)")) === Seq(Seq(22)))
+    assertInvalid(e, "SELECT v FROM mc1 WHERE k = 1 AND (c2, c1) > (1, 1)",
+      "PRIMARY KEY order")
+    assertInvalid(e, "SELECT v FROM mc1 WHERE k = 1 AND (k, c1) > (1, 1)",
+      "clustering columns")
+  }
+
+  test("map-entry equality m[k] = v requires filtering and matches entries") {
+    val e = mkEngine
+    e.execute("CREATE TABLE me1 (k int PRIMARY KEY, m map<text, int>)")
+    e.execute("INSERT INTO me1 (k, m) VALUES (1, {'a': 1, 'b': 2})")
+    e.execute("INSERT INTO me1 (k, m) VALUES (2, {'a': 2})")
+    e.execute("INSERT INTO me1 (k, m) VALUES (3, {'b': 1})")
+    assert(rowsInOrder(e.execute(
+      "SELECT k FROM me1 WHERE m['a'] = 1 ALLOW FILTERING")) === Seq(Seq(1)))
+    assert(rowsInOrder(e.execute(
+      "SELECT k FROM me1 WHERE m['b'] = 2 ALLOW FILTERING")) === Seq(Seq(1)))
+    assertInvalid(e, "SELECT k FROM me1 WHERE m['a'] = 1", "ALLOW FILTERING")
+  }
+}
