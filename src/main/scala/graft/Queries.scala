@@ -313,6 +313,25 @@ object Queries {
           "tounixtimestamp(o_orderdate) AS ms FROM cql_odate")
       }),
 
+    QueryDef("q_cql_mv",
+      // CREATE MATERIALIZED VIEW re-keyed batch read through the engine:
+      // orders re-keyed by (o_custkey, o_orderkey), low-key slice
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey < 400 AND o_custkey IS NOT NULL
+              ORDER BY o_custkey, o_orderkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_ord_mv (o_orderkey bigint PRIMARY KEY, o_custkey bigint, o_totalprice double)")
+        t(s, d, "orders").filter(col("o_orderkey") < 400)
+          .select("o_orderkey", "o_custkey", "o_totalprice").collect().foreach { r =>
+            e.execute(s"INSERT INTO cql_ord_mv (o_orderkey, o_custkey, o_totalprice) VALUES (${r.getLong(0)}, ${r.getLong(1)}, ${r.getDouble(2)})")
+          }
+        e.execute("CREATE MATERIALIZED VIEW cql_by_cust AS SELECT * FROM cql_ord_mv " +
+          "WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL " +
+          "PRIMARY KEY (o_custkey, o_orderkey)")
+        e.execute("SELECT o_custkey, o_orderkey, o_totalprice FROM cql_by_cust")
+      }),
+
     QueryDef("q_contains",
       // CONTAINS on a collection column (RowFilter.java:625-680)
       Some("""SELECT p_partkey, p_name FROM part

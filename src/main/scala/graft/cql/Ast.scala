@@ -139,6 +139,8 @@ object Ast {
   final case class Contains(column: String, value: Literal, isKey: Boolean) extends Relation
   /** LIKE 'x%'/'%x'/'%x%'/'x' — SASI semantics (index/sasi/plan/Expression.java:50-160) */
   final case class Like(column: String, pattern: String) extends Relation
+  /** IS NOT NULL — materialized-view WHERE only (Parser.g:1644). */
+  final case class IsNotNull(column: String) extends Relation
 
   /** Selection expression tree (reference `cql3/selection/Selectable.java`:
     * columns, function calls, casts, arithmetic and element selection
@@ -176,6 +178,18 @@ object Ast {
   final case class CreateTable(table: TableDef, ifNotExists: Boolean) extends Statement
   /** CREATE TYPE name (f1 t1, ...) (Parser.g:894-918, UserType.java). */
   final case class CreateType(udt: CqlUdt, ifNotExists: Boolean) extends Statement
+
+  /** CREATE MATERIALIZED VIEW v AS SELECT ... FROM base WHERE ... PRIMARY
+    * KEY (...) (Parser.g:858-893; maintenance semantics per
+    * `db/view/ViewUpdateGenerator.java` — here views derive from the base
+    * reconcile at read time, so base mutations/deletes reflect immediately).
+    */
+  final case class CreateView(name: String, baseTable: String,
+                              selectors: Seq[Selector], where: Seq[Relation],
+                              partitionKey: Seq[String], clustering: Seq[String],
+                              clusteringDesc: Seq[Boolean],
+                              ifNotExists: Boolean) extends Statement
+  final case class DropView(name: String) extends Statement
   final case class DropTable(name: String) extends Statement
   final case class Truncate(name: String) extends Statement
 

@@ -37,6 +37,14 @@ class CqlEngine(val spark: SparkSession) {
   private val tables = scala.collection.mutable.LinkedHashMap.empty[String, TableDef]
   /** user-defined types (CREATE TYPE; system_schema.types). */
   private val udts = scala.collection.mutable.LinkedHashMap.empty[String, CqlUdt]
+  /** materialized views (CREATE MATERIALIZED VIEW) — views derive from the
+    * base table's reconcile at read time, so base mutations and deletes
+    * reflect immediately (the maintenance the reference does at write time
+    * via ViewUpdateGenerator falls out of the log-reconcile design; the
+    * streaming incremental form lives in streaming/MutationStream).
+    * Session-scoped (not persisted by attachStorage).
+    */
+  private val views = scala.collection.mutable.LinkedHashMap.empty[String, CreateView]
   private val logs = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Row]]
   /** table → secondary-indexed columns (2i emulation). */
   private val indexes = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
@@ -177,6 +185,94 @@ class CqlEngine(val spark: SparkSession) {
   def table(name: String): TableDef =
     tables.getOrElse(name, throw InvalidRequest(s"unconfigured table $name"))
 
+  /** table() + reject mutations addressed at a materialized view. */
+  private def mutableTable(name: String): TableDef = {
+    if (views.contains(name))
+      throw InvalidRequest(s"Cannot directly modify a materialised view")
+    table(name)
+  }
+
+  /** CREATE MATERIALIZED VIEW validation (reference
+    * `cql3/statements/schema/CreateViewStatement.java`): view PK ⊇ base PK,
+    * at most one extra column, every view-PK column IS NOT NULL-restricted.
+    */
+  private def createView(v: CreateView): DataFrame = {
+    if (tables.contains(v.name) || views.contains(v.name)) {
+      if (!v.ifNotExists) throw InvalidRequest(s"Materialized view ${v.name} already exists")
+      return emptyResult
+    }
+    if (views.contains(v.baseTable))
+      throw InvalidRequest("Materialized views cannot be created against other materialized views")
+    val base = table(v.baseTable)
+    val basePk = base.primaryKey.map(_.name)
+    val viewPk = v.partitionKey ++ v.clustering
+    val missing = basePk.filterNot(viewPk.contains)
+    if (missing.nonEmpty)
+      throw InvalidRequest(
+        s"Cannot create Materialized View ${v.name} without primary key columns from base ${v.baseTable} (${missing.mkString(", ")})")
+    val extra = viewPk.filterNot(basePk.contains)
+    if (extra.length > 1)
+      throw InvalidRequest(
+        s"Cannot include more than one non-primary key column '${extra.mkString(", ")}' in materialized view primary key")
+    viewPk.foreach { c =>
+      if (base.column(c).isEmpty) throw InvalidRequest(s"Undefined column name $c")
+      val restrictedNonNull = v.where.exists {
+        case IsNotNull(`c`) => true
+        case Rel(`c`, "=", _) => true
+        case _ => false
+      }
+      if (!restrictedNonNull)
+        throw InvalidRequest(s"Primary key column '$c' is required to be filtered by 'IS NOT NULL'")
+    }
+    val selCols: Seq[String] =
+      if (v.selectors.contains(Star)) base.columns.map(_.name)
+      else (viewPk ++ v.selectors.collect { case ExprSel(ColRef(n), _) => n }).distinct
+    val defs = selCols.map { n =>
+      val cd = base.column(n).getOrElse(throw InvalidRequest(s"Undefined column name $n"))
+      val kind =
+        if (v.partitionKey.contains(n)) PartitionKey
+        else if (v.clustering.contains(n)) Clustering
+        else Regular
+      ColumnDef(n, cd.tpe, kind)
+    }
+    val ordered = v.partitionKey.map(n => defs.find(_.name == n).get) ++
+      v.clustering.map(n => defs.find(_.name == n).get) ++
+      defs.filterNot(c => viewPk.contains(c.name))
+    views(v.name) = v
+    tables(v.name) = TableDef(v.name, ordered, v.clusteringDesc)
+    emptyResult
+  }
+
+  /** View read = base reconcile → WHERE filter → re-keyed projection. */
+  private def readView(v: CreateView): DataFrame = {
+    val base = table(v.baseTable)
+    var df = read(v.baseTable)
+    val filters = v.where.map {
+      case IsNotNull(c) => col(c).isNotNull
+      case Rel(c, op, value) =>
+        val cd = base.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        val l = litValue(coerce(value, cd.tpe, c), cd.tpe)
+        op match {
+          case "=" => col(c) === l
+          case "<" => col(c) < l
+          case "<=" => col(c) <= l
+          case ">" => col(c) > l
+          case ">=" => col(c) >= l
+          case other => throw InvalidRequest(s"Unsupported operator $other in materialized view WHERE")
+        }
+      case In(c, vs) =>
+        val cd = base.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        col(c).isin(vs.map(coerce(_, cd.tpe, c)): _*)
+      case other => throw InvalidRequest(s"Unsupported restriction in materialized view WHERE: $other")
+    }
+    if (filters.nonEmpty) df = df.filter(filters.reduce(_ && _))
+    val td = tables(v.name)
+    val shadows = td.columns.filter(c => c.kind == Regular || c.kind == Static)
+      .flatMap(c => Seq("_wt_" + c.name, "_ttlr_" + c.name))
+      .filter(df.columns.contains)
+    df.select((td.columns.map(_.name) ++ shadows).distinct.map(col): _*)
+  }
+
   // ── statement execution ───────────────────────────────────────────────
   def execute(cql: String): DataFrame = run(CqlParser.parse(cql, udts.toMap))
 
@@ -194,10 +290,14 @@ class CqlEngine(val spark: SparkSession) {
         logs(td.name) = scala.collection.mutable.ArrayBuffer.empty[Row]
       }
       emptyResult
+    case v: CreateView => createView(v)
+    case DropView(n) =>
+      if (!views.contains(n)) throw InvalidRequest(s"Materialized view $n doesn't exist")
+      views.remove(n); tables.remove(n); emptyResult
     case DropTable(n) =>
       tables.remove(n); logs.remove(n); emptyResult
     case Truncate(n) =>
-      table(n); logs(n).clear(); emptyResult
+      mutableTable(n); logs(n).clear(); emptyResult
     case InsertJson(tbl, js, ttl, ts) =>
       val td = table(tbl)
       val parsed = try {
@@ -475,7 +575,7 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   private def executeInsert(i: Insert): Unit = {
-    val td = table(i.table)
+    val td = mutableTable(i.table)
     val pairs = i.columns.zip(i.values)
     pairs.foreach { case (c, _) =>
       val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
@@ -516,7 +616,7 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   private def executeUpdate(u: Update): Unit = {
-    val td = table(u.table)
+    val td = mutableTable(u.table)
     val hasRegular = u.assignments.exists { case (c, _) =>
       td.column(c).exists(_.kind == Regular)
     }
@@ -537,7 +637,7 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   private def executeDelete(d: Delete): Unit = {
-    val td = table(d.table)
+    val td = mutableTable(d.table)
     val (keys, fullCk) = mutationKeys(td, d.where, requireCk = d.columns.nonEmpty)
     val ts = d.timestamp.getOrElse(nextTs())
     if (d.columns.nonEmpty) {
@@ -569,6 +669,7 @@ class CqlEngine(val spark: SparkSession) {
     * writetime µs) and `_ttlr_<c>` (remaining ttl seconds).
     */
   def read(name: String): DataFrame = {
+    views.get(name).foreach(v => return readView(v))
     val td = table(name)
     val rawLog = logDf(name)
     val pk = td.partitionKey.map(_.name)
@@ -806,6 +907,9 @@ class CqlEngine(val spark: SparkSession) {
         }
         filters :+= (if (op == "=") pairs.map(p => p._1 === p._2).reduce(_ && _)
           else CqlOps.tupleCompare(pairs.map(_._1), pairs.map(_._2), op))
+      case IsNotNull(c) =>
+        throw InvalidRequest(
+          s"Unsupported restriction: IS NOT NULL is only supported in materialized view creation ($c)")
       case MapEntryEq(c, key, v) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         cd.tpe match {

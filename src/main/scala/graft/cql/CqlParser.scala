@@ -147,7 +147,11 @@ object CqlParser {
     val stmt =
       if (p.kw("begin")) parseBatch(p)
       else if (p.kw("create")) parseCreate(p)
-      else if (p.kw("drop")) { p.eatKw("drop"); p.eatKw("table"); DropTable(p.ident()) }
+      else if (p.kw("drop")) {
+        p.eatKw("drop")
+        if (p.tryKw("materialized")) { p.eatKw("view"); DropView(p.ident()) }
+        else { p.eatKw("table"); DropTable(p.ident()) }
+      }
       else if (p.kw("truncate")) { p.eatKw("truncate"); p.tryKw("table"); Truncate(p.ident()) }
       else if (p.kw("insert")) parseInsert(p)
       else if (p.kw("update")) parseUpdate(p)
@@ -206,8 +210,51 @@ object CqlParser {
     Batch(stmts)
   }
 
+  /** `PRIMARY KEY ((pk...), ck...)` | `PRIMARY KEY (pk, ck...)` */
+  private def parsePkSpec(p: P): (Seq[String], Seq[String]) = {
+    p.eatKw("primary"); p.eatKw("key"); p.sym("(")
+    val pk =
+      if (p.trySym("(")) {
+        var ks = Vector(p.ident())
+        while (p.trySym(",")) ks :+= p.ident()
+        p.sym(")")
+        ks
+      } else Vector(p.ident())
+    var cks = Vector.empty[String]
+    while (p.trySym(",")) cks :+= p.ident()
+    p.sym(")")
+    (pk, cks)
+  }
+
+  private def parseClusteringOrder(p: P): Seq[Boolean] = {
+    if (!p.tryKw("with")) return Seq.empty
+    p.eatKw("clustering"); p.eatKw("order"); p.eatKw("by"); p.sym("(")
+    var order = Vector.empty[Boolean]
+    var f = true
+    while (!p.trySym(")")) {
+      if (!f) p.sym(","); f = false
+      p.ident()
+      order :+= (if (p.tryKw("desc")) true else { p.tryKw("asc"); false })
+    }
+    order
+  }
+
   private def parseCreate(p: P): Statement = {
     p.eatKw("create")
+    if (p.tryKw("materialized")) {
+      p.eatKw("view")
+      val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
+      val name = p.ident()
+      p.eatKw("as")
+      val sel = parseSelect(p) match {
+        case s: Select => s
+        case other => throw ParseException(s"expected SELECT in CREATE MATERIALIZED VIEW, got $other")
+      }
+      val (pk, ck) = parsePkSpec(p)
+      val desc = parseClusteringOrder(p)
+      return CreateView(name, sel.table, sel.selectors, sel.where, pk, ck,
+        if (desc.nonEmpty) desc else ck.map(_ => false), ifNotExists)
+    }
     if (p.tryKw("type")) {
       val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
       val name = p.ident()
@@ -514,6 +561,10 @@ object CqlParser {
         p.sym("]")
         p.sym("=")
         return MapEntryEq(c, key, p.literal())
+      }
+      if (p.tryKw("is")) {
+        p.eatKw("not"); p.eatKw("null")
+        return IsNotNull(c)
       }
       if (p.tryKw("contains")) {
         val isKey = p.tryKw("key")
