@@ -164,6 +164,19 @@ class CqlEngine(val spark: SparkSession) {
     * put/delete-key — multi-cell semantics, no read-before-write).
     */
   private def collectionAssign(cd: ColumnDef, l: Literal): (String, Any) = (l, cd.tpe) match {
+    // list index ops (Lists.java:408-460 SetterByIndex/DiscarderByIndex):
+    // the op string carries the index; bounds check happens read-before-write
+    // in executeUpdate, the element substitution folds at read time
+    case (CollectionOpLit("put", MapLit(Seq((k, value)))), t: CqlList) =>
+      val idx = coerce(k, CqlInt, cd.name) match {
+        case i: Int => i
+        case other => throw InvalidRequest(s"Invalid list index $other for column ${cd.name}")
+      }
+      if (value == NullLit) (s"delidx:$idx", Seq.empty[Any])
+      else (s"setidx:$idx", Seq(coerce(value, t.elem, cd.name)))
+    case (CollectionOpLit("delkey", SetLit(Seq(k))), t: CqlList) =>
+      val idx = coerce(k, CqlInt, cd.name).asInstanceOf[Int]
+      (s"delidx:$idx", Seq.empty[Any])
     case (CollectionOpLit("addappend", pl), t: CqlList) => ("append", coerce(pl, t, cd.name))
     case (CollectionOpLit("prepend", pl), t: CqlList) => ("prepend", coerce(pl, t, cd.name))
     case (CollectionOpLit("addappend", pl), t: CqlSet) => ("add", coerce(pl, t, cd.name))
@@ -632,6 +645,25 @@ class CqlEngine(val spark: SparkSession) {
     }
     val vals = resolved.map { case (c, v, _) => c -> v }.toMap
     val collOps = resolved.collect { case (c, _, Some(op)) => c -> op }.toMap
+    // list index ops are THE read-before-write op (Lists.java:408): read the
+    // current list to bounds-check before appending the mutation
+    val idxOps = resolved.collect {
+      case (c, _, Some(op)) if op.startsWith("setidx:") || op.startsWith("delidx:") =>
+        (c, op.substring(op.indexOf(':') + 1).toInt)
+    }
+    if (idxOps.nonEmpty) {
+      val keyFilter = td.primaryKey.map(c => col(c.name) === lit(keys(c.name))).reduce(_ && _)
+      val row = read(u.table).filter(keyFilter)
+        .select(idxOps.map { case (c, _) => size(col(c)).as(c) }: _*)
+        .collect().headOption
+      idxOps.foreach { case (c, i) =>
+        val sz = row.map(_.getAs[Int](c)).getOrElse(-1)
+        if (sz < 0)
+          throw InvalidRequest("Attempted to set an element on a list which is null")
+        if (i < 0 || i >= sz)
+          throw InvalidRequest(s"List index $i out of bound, list has size $sz")
+      }
+    }
     logs(u.table) += mutationRow(td, keys, vals, vals.keySet, "update",
       u.timestamp.getOrElse(nextTs()), u.ttl.getOrElse(0L), collOps)
   }
@@ -748,12 +780,18 @@ class CqlEngine(val spark: SparkSession) {
             val cleared = op === "clear" || (op === "set" && v.isNull)
             c.tpe match {
               case _: CqlList =>
+                // index ops carry the index in the op string ("setidx:3")
+                val opName = substring_index(op, ":", 1)
+                val opIdx = substring_index(op, ":", -1).cast("int")
                 when(cleared, lit(null).cast(sparkT))
                   .when(op === "set", v)
-                  .when(op === "append", when(acc.isNull, v).otherwise(concat(acc, v)))
-                  .when(op === "prepend", when(acc.isNull, v).otherwise(concat(v, acc)))
-                  .when(op === "remove",
+                  .when(opName === "append", when(acc.isNull, v).otherwise(concat(acc, v)))
+                  .when(opName === "prepend", when(acc.isNull, v).otherwise(concat(v, acc)))
+                  .when(opName === "remove",
                     filter(coalesce(acc, v), e => !array_contains(v, e)))
+                  .when(opName === "setidx",
+                    transform(acc, (el, j) => when(j === opIdx, element_at(v, 1)).otherwise(el)))
+                  .when(opName === "delidx", filter(acc, (el, j) => j =!= opIdx))
                   .otherwise(acc)
               case _: CqlSet =>
                 when(cleared, lit(null).cast(sparkT))
