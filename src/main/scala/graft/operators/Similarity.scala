@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * Two paths:
   *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set,
   *    score every corpus vector with the codegen'd [[graft.functions.CosineSimilarity]]
-  *    kernel, per-query rank window. Linear in corpus size; the right answer
-  *    whenever the query set is small enough to broadcast (it usually is).
+  *    kernel, then a map-side partial top-k per input partition before the
+  *    per-query merge (never all |corpus| rows through one reducer). Linear
+  *    in corpus size; the right answer whenever the query set is small
+  *    enough to broadcast (it usually is).
   *  - [[lshTopK]] — scale path: sign-random-projection (hyperplane) codes,
   *    candidate join on code chunks (multi-band), exact re-scoring of
   *    candidates only. Sub-linear candidate volume; recall tunable via
@@ -23,6 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-query top-k of a (query_id, neighbor_id, sim) relation WITHOUT
+    * funneling all scored rows for one query through one reducer: a
+    * map-side partial top-k per (query, input partition) bounds the final
+    * per-query merge to k × numPartitions rows. Ordering is (sim desc,
+    * neighbor_id asc) as a total order, so truncation is exact — any global
+    * top-k row is in its partition's top-k.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val partial = scored
+      .groupBy(col("query_id"), spark_partition_id().as("_pid"))
+      // struct(-sim, neighbor) sorts naturally as (sim desc, neighbor asc)
+      .agg(slice(array_sort(collect_list(
+        struct((-col("sim")).as("ns"), col("neighbor_id").as("n")))), 1, k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.n").as("neighbor_id"), (-col("t.ns")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    partial.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.as("c")
@@ -31,8 +52,7 @@ object Similarity {
       .filter(col("c.vec_id") =!= col("query_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         round(cosine_sim(col("c.embedding"), col("q_emb")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Hyperplane LSH code of every embedding (bits-wide sign code). */
@@ -40,56 +60,62 @@ object Similarity {
     df.withColumn("lsh_code",
       call_function("lsh_code", col("embedding"), lit(bits), lit(seed)))
 
-  /** ANN top-k: candidates = corpus vectors sharing >= 1 of `bands` code
-    * chunks with the query, re-scored exactly, per-query rank window.
+  /** (vec_id, ci, cv) chunk table — ids only; embeddings never ride the
+    * chunk explode (they would duplicate `bands`× into the shuffle).
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bits: Int = 32, bands: Int = 8, seed: Long = 7L): DataFrame = {
+  private def chunkedIds(df: DataFrame, bits: Int, bands: Int, seed: Long,
+                         idAs: String): DataFrame = {
     val chunkBits = bits / bands
     val mask = (1L << chunkBits) - 1
-    def chunked(df: DataFrame, idAs: String, embAs: String) = {
-      val coded = withLshCode(df, bits, seed)
-      val chunks = (0 until bands).map { c =>
-        struct(lit(c).as("ci"),
-          shiftright(col("lsh_code"), c * chunkBits).bitwiseAND(lit(mask)).as("cv"))
-      }
-      coded.select(col("vec_id").as(idAs), col("embedding").as(embAs),
-          explode(array(chunks: _*)).as("ch"))
-        .select(col(idAs), col(embAs), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    }
-    val cands = chunked(corpus, "neighbor_id", "n_emb").as("c")
-      .join(broadcast(chunked(queries, "query_id", "q_emb")).as("q"), Seq("ci", "cv"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("n_emb"))
-      .distinct()
-    val scored = cands.select(col("query_id"), col("neighbor_id"),
-      round(cosine_sim(col("n_emb"), col("q_emb")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-  }
-
-  /** Embedding near-duplicate pairs: cosine >= threshold, LSH-bucketed
-    * candidate generation (same chunk trick as [[lshTopK]], corpus vs
-    * corpus), exact verification. Output (a, b, sim), a < b.
-    */
-  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
-                            bits: Int = 32, bands: Int = 8, seed: Long = 7L): DataFrame = {
-    val chunkBits = bits / bands
-    val mask = (1L << chunkBits) - 1
-    val coded = withLshCode(corpus, bits, seed)
     val chunks = (0 until bands).map { c =>
       struct(lit(c).as("ci"),
         shiftright(col("lsh_code"), c * chunkBits).bitwiseAND(lit(mask)).as("cv"))
     }
-    val chunked = coded.select(col("vec_id"), col("embedding"),
-        explode(array(chunks: _*)).as("ch"))
-      .select(col("vec_id"), col("embedding"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    chunked.as("x").join(chunked.as("y"),
+    withLshCode(df, bits, seed)
+      .select(col("vec_id").as(idAs), explode(array(chunks: _*)).as("ch"))
+      .select(col(idAs), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+  }
+
+  /** ANN top-k: candidates = corpus vectors sharing >= 1 of `bands` code
+    * chunks with the query. The chunk join and the candidate distinct carry
+    * IDS ONLY (fixed-width keys); embeddings join back exactly once for the
+    * re-score — at 100 TB the wide column crosses the wire once per vector,
+    * not once per band.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 32, bands: Int = 8, seed: Long = 7L): DataFrame = {
+    val cands = chunkedIds(corpus, bits, bands, seed, "neighbor_id")
+      .join(broadcast(chunkedIds(queries, bits, bands, seed, "query_id")), Seq("ci", "cv"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = cands
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine_sim(col("n_emb"), col("q_emb")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, LSH-bucketed
+    * candidate generation (same chunk trick as [[lshTopK]], corpus vs
+    * corpus), exact verification. Candidate join + distinct are id-only;
+    * embeddings re-join once per side. Output (a, b, sim), a < b.
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+                            bits: Int = 32, bands: Int = 8, seed: Long = 7L): DataFrame = {
+    val chunked = chunkedIds(corpus, bits, bands, seed, "vec_id")
+    val pairs = chunked.as("x").join(chunked.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .select(col("a"), col("b"), round(cosine_sim(col("ea"), col("eb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
@@ -115,8 +141,12 @@ object Similarity {
       val scored = corpus.crossJoin(broadcast(centroids))
         .select(col("vec_id"), col("embedding"), col("cid"),
           cosine_sim(col("embedding"), col("centroid")).as("sim"))
-      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)
-      assigned = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // nearest centroid via max_by — aggregates map-side (all nlist rows of
+      // a vector sit in its input partition), so only one row per vector
+      // shuffles instead of the corpus×nlist rank-window explosion
+      assigned = scored.groupBy("vec_id").agg(
+          max_by(col("cid"), struct(col("sim"), (-col("cid")).cast("double"))).as("cid"),
+          first(col("embedding")).as("embedding"))
         .select(col("vec_id"), col("cid"), col("embedding"))
       if (it < iters) {
         // Lloyd refinement: mean of member vectors per list (array average
@@ -145,12 +175,12 @@ object Similarity {
     val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
     val probed = probes.withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cid"))
+    // every vector lives in exactly one list, so (query, neighbor) pairs are
+    // already unique — no distinct needed
     val scored = probed.join(assigned, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("embedding"), col("q_emb")), 6).as("sim"))
-      .distinct()
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    topKPerQuery(scored, k)
   }
 }

@@ -49,4 +49,24 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("LSH candidate shuffles carry ids only, embeddings cross once") {
+    // the chunk join + candidate distinct must NOT shuffle array<float>
+    // payloads (they'd duplicate bands×); only the single embedding re-join
+    // may move vectors
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val df = SparkEntry.queries("q_ann_lsh")(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case s: ShuffleExchangeExec => Seq(s)
+      }.flatten
+    val withArrays = shuffles(df.queryExecution.executedPlan)
+      .filter(_.output.exists(_.dataType == ArrayType(FloatType)))
+    assert(withArrays.size <= 1,
+      s"expected at most one embedding-carrying shuffle, got ${withArrays.size}")
+  }
 }
