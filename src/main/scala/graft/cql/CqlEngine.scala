@@ -82,6 +82,12 @@ class CqlEngine(val spark: SparkSession) {
               .agg(max(col("_ts"))).head().getLong(0)
             tsCounter = math.max(tsCounter, maxTs)
           }
+          val meta = new java.io.File(tdir, "meta.json")
+          if (meta.isFile) {
+            val js = new String(java.nio.file.Files.readAllBytes(meta.toPath), "UTF-8")
+            "\"max_ts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(js)
+              .foreach(m => tsCounter = math.max(tsCounter, m.group(1).toLong))
+          }
         }
       }
     }
@@ -686,7 +692,18 @@ class CqlEngine(val spark: SparkSession) {
     }
   }
 
-  // ── read path: per-cell reconcile ─────────────────────────────────────
+  // ── read path: per-cell reconcile as an algebraic state aggregation ───
+  // Every piece of the reconcile is a semigroup over mutation records:
+  //  - scalar cell: max over (ts, tomb, value, ttl) structs
+  //  - counter: (sum of deltas, max delta ts)
+  //  - collection: concat of timestamped op entries (folded at finalize)
+  //  - row deletion / liveness: max ts
+  // So a compacted CHECKPOINT can persist the aggregation state and reads
+  // merge it with the state of only the post-checkpoint tail — the
+  // memtable + compacted-sstable shape of the reference (compaction:
+  // `db/compaction/CompactionTask.java`; reads never replay the full
+  // commit log).
+
   def logDf(name: String): DataFrame = {
     val td = table(name)
     val tail = spark.createDataFrame(
@@ -697,182 +714,402 @@ class CqlEngine(val spark: SparkSession) {
     segments.map(_.unionByName(tail)).getOrElse(tail)
   }
 
+  private def cellStruct(c: ColumnDef): Column = {
+    // tombstone if explicit null write or expired TTL at aggregation time
+    // (finalize re-checks expiry so checkpointed cells still expire later)
+    val isSet = col(c.name + "__set")
+    val expired = col("_ttl") > 0L && (col("_ts") + col("_ttl") * 1000000L) <= lit(nowMicros)
+    val tomb = when(col(c.name).isNull || expired, 1).otherwise(0)
+    when(isSet && col("_op").isin("insert", "update"),
+      struct(col("_ts").as("ts"), tomb.as("tomb"), col(c.name).as("v"), col("_ttl").as("ttl")))
+  }
+
+  /** State columns of the reconcile aggregation for (cols, withLiveness). */
+  private def stateSchema(td: TableDef, keys: Seq[ColumnDef], cols: Seq[ColumnDef],
+                          withLiveness: Boolean): StructType = {
+    val keyFields = keys.map(c => StructField(c.name, sparkType(c.tpe)))
+    val stateFields = cols.flatMap { c =>
+      if (isCollection(c.tpe))
+        Seq(StructField("_muts_" + c.name, ArrayType(StructType(Seq(
+          StructField("ts", LongType), StructField("prio", IntegerType),
+          StructField("op", StringType), StructField("v", sparkType(c.tpe)),
+          StructField("ttl", LongType))))))
+      else if (c.tpe == CqlCounter)
+        Seq(StructField("_csum_" + c.name, LongType), StructField("_cts_" + c.name, LongType))
+      else
+        Seq(StructField("_cell_" + c.name, StructType(Seq(
+          StructField("ts", LongType), StructField("tomb", IntegerType),
+          StructField("v", sparkType(c.tpe)), StructField("ttl", LongType)))))
+    }
+    val tailFields = StructField("_del_ts", LongType) +:
+      (if (withLiveness) Seq(StructField("_live", StructType(Seq(
+        StructField("ts", LongType), StructField("ttl", LongType))))) else Nil)
+    StructType(keyFields ++ stateFields ++ tailFields)
+  }
+
+  /** groupBy(keys) → one state row per key. */
+  private def aggState(td: TableDef, df: DataFrame, keys: Seq[String],
+                       cols: Seq[ColumnDef], withLiveness: Boolean,
+                       delOps: Seq[String]): DataFrame = {
+    val cellAggs = cols.flatMap { c =>
+      if (isCollection(c.tpe)) {
+        // multi-cell collections: collect the timestamped op log (folded in
+        // finalize). Entries keep their TTL so expiry re-evaluates at read.
+        val isSet = col(c.name + "__set")
+        val expired = col("_ttl") > 0L &&
+          (col("_ts") + col("_ttl") * 1000000L) <= lit(nowMicros)
+        val opc = when(col("_op") === "delrow", lit("clear"))
+          .otherwise(coalesce(col(c.name + "__op"), lit("set")))
+        val relevant = (col("_op").isin("insert", "update") && isSet && !expired) ||
+          col("_op") === "delrow"
+        Seq(collect_list(when(relevant,
+          struct(col("_ts").as("ts"),
+            when(col("_op") === "delrow", 1).otherwise(0).as("prio"),
+            opc.as("op"), col(c.name).as("v"),
+            col("_ttl").as("ttl")))).as("_muts_" + c.name))
+      } else if (c.tpe == CqlCounter) {
+        // counter read = sum of update deltas (CounterColumnType); the
+        // newest delta ts doubles as the cell's writetime
+        val isSet = col(c.name + "__set")
+        Seq(sum(when(isSet && col("_op") === "update", col(c.name))).as("_csum_" + c.name),
+          max(when(isSet && col("_op") === "update", col("_ts"))).as("_cts_" + c.name))
+      } else {
+        // MapType is not orderable in Spark; order by a JSON surrogate of
+        // the value for the reconcile tie-break instead (Cells.reconcile
+        // compares serialized bytes — same deterministic value-tie winner)
+        if (hasMapValue(c.tpe)) {
+          val ordKey = when(cellStruct(c).isNotNull,
+            struct(col("_ts"), cellStruct(c)("tomb"), to_json(col(c.name))))
+          Seq(max_by(cellStruct(c), ordKey).as("_cell_" + c.name))
+        } else Seq(max(cellStruct(c)).as("_cell_" + c.name))
+      }
+    }
+    val delAgg = max(when(col("_op").isin(delOps: _*), col("_ts"))).as("_del_ts")
+    val liveAgg = max(when(col("_op") === "insert",
+      struct(col("_ts").as("ts"), col("_ttl").as("ttl")))).as("_live")
+    val aggs = cellAggs ++ Seq(delAgg) ++ (if (withLiveness) Seq(liveAgg) else Nil)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def hasMapValue(t: CqlType): Boolean = t match {
+    case _: CqlMap => true
+    case CqlTuple(es) => es.exists(hasMapValue)
+    case CqlUdt(_, fs) => fs.exists(f => hasMapValue(f._2))
+    case _ => false
+  }
+
+  /** Merge two state relations of the same shape: per-cell max, counter
+    * partial-sum add, op-list concat — `Cells.reconcile` across a
+    * checkpoint and the tail.
+    */
+  private def mergeState(a: DataFrame, b: DataFrame, keys: Seq[String],
+                         cols: Seq[ColumnDef], withLiveness: Boolean): DataFrame = {
+    val rSuffix = "_r_"
+    val bRenamed = b.columns.foldLeft(b) { (df, c) =>
+      if (keys.contains(c)) df else df.withColumnRenamed(c, rSuffix + c)
+    }
+    val joined = a.join(bRenamed, keys, "full_outer")
+    def two(n: String): (Column, Column) = (col(n), col(rSuffix + n))
+    val merged = cols.flatMap { c =>
+      if (isCollection(c.tpe)) {
+        val (l, r) = two("_muts_" + c.name)
+        val mutsType = ArrayType(StructType(Seq(
+          StructField("ts", LongType), StructField("prio", IntegerType),
+          StructField("op", StringType), StructField("v", sparkType(c.tpe)),
+          StructField("ttl", LongType))))
+        Seq(when(l.isNull && r.isNull, lit(null).cast(mutsType))
+          .otherwise(concat(coalesce(l, array().cast(mutsType)),
+            coalesce(r, array().cast(mutsType)))).as("_muts_" + c.name))
+      } else if (c.tpe == CqlCounter) {
+        val (ls, rs) = two("_csum_" + c.name)
+        val (lt, rt) = two("_cts_" + c.name)
+        Seq(when(ls.isNull && rs.isNull, lit(null).cast("long"))
+            .otherwise(coalesce(ls, lit(0L)) + coalesce(rs, lit(0L))).as("_csum_" + c.name),
+          greatest(lt, rt).as("_cts_" + c.name))
+      } else {
+        val (l, r) = two("_cell_" + c.name)
+        if (hasMapValue(c.tpe)) {
+          // maps aren't orderable: compare via the same JSON-surrogate key
+          // the aggregation tie-break uses
+          def k(x: Column) = struct(x("ts"), x("tomb"), to_json(x("v")))
+          Seq(when(l.isNull, r).when(r.isNull, l)
+            .otherwise(when(k(l) >= k(r), l).otherwise(r)).as("_cell_" + c.name))
+        } else Seq(greatest(l, r).as("_cell_" + c.name))
+      }
+    }
+    val delMerged = { val (l, r) = two("_del_ts"); Seq(greatest(l, r).as("_del_ts")) }
+    val liveMerged = if (withLiveness) {
+      val (l, r) = two("_live"); Seq(greatest(l, r).as("_live"))
+    } else Nil
+    joined.select((keys.map(col) ++ merged ++ delMerged ++ liveMerged): _*)
+  }
+
+  /** Shadow a state relation by partition-deletion watermarks: everything
+    * with ts <= the partition's max delete-ts is dead (DeletionTime).
+    */
+  private def applyPdel(state: DataFrame, pdel: DataFrame, pk: Seq[String],
+                        keys: Seq[String], cols: Seq[ColumnDef],
+                        withLiveness: Boolean): DataFrame = {
+    val joined = state.join(pdel, pk, "left")
+    val p = coalesce(col("_pdel"), lit(Long.MinValue))
+    val shadowed = cols.flatMap { c =>
+      if (isCollection(c.tpe)) {
+        val m = col("_muts_" + c.name)
+        Seq(when(m.isNull, m).otherwise(filter(m, e => e("ts") > p)).as("_muts_" + c.name))
+      } else if (c.tpe == CqlCounter) {
+        val ct = col("_cts_" + c.name)
+        Seq(when(ct > p, col("_csum_" + c.name)).as("_csum_" + c.name),
+          when(ct > p, ct).as("_cts_" + c.name))
+      } else {
+        val cell = col("_cell_" + c.name)
+        Seq(when(cell.isNotNull && cell("ts") > p, cell).as("_cell_" + c.name))
+      }
+    }
+    val delC = Seq(when(col("_del_ts") > p, col("_del_ts")).as("_del_ts"))
+    val liveC = if (withLiveness)
+      Seq(when(col("_live").isNotNull && col("_live")("ts") > p, col("_live")).as("_live"))
+    else Nil
+    joined.select((keys.map(col) ++ shadowed ++ delC ++ liveC): _*)
+  }
+
+  /** State → live values + `_wt_`/`_ttlr_` shadow columns + `_row_live`. */
+  private def finalizeState(g: DataFrame, keys: Seq[String], cols: Seq[ColumnDef],
+                            withLiveness: Boolean): DataFrame = {
+    val delTs = coalesce(col("_del_ts"), lit(Long.MinValue))
+    def cellExpired(cell: Column): Column =
+      cell("ttl") > 0L && (cell("ts") + cell("ttl") * 1000000L) <= lit(nowMicros)
+    def cellLive(cell: Column): Column =
+      cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs && !cellExpired(cell)
+    val valueCols = cols.map { c =>
+      if (isCollection(c.tpe)) {
+        val unexpired = filter(col("_muts_" + c.name),
+          m => !(m("ttl") > 0L && (m("ts") + m("ttl") * 1000000L) <= lit(nowMicros)))
+        val sorted = array_sort(unexpired, (l, r) =>
+          when(l("ts") < r("ts"), -1).when(l("ts") > r("ts"), 1)
+            .otherwise(l("prio") - r("prio")).cast("int"))
+        val sparkT = sparkType(c.tpe)
+        val folded = aggregate(sorted, lit(null).cast(sparkT), (acc, m) => {
+          val v = m("v"); val op = m("op")
+          val cleared = op === "clear" || (op === "set" && v.isNull)
+          c.tpe match {
+            case _: CqlList =>
+              // index ops carry the index in the op string ("setidx:3")
+              val opName = substring_index(op, ":", 1)
+              val opIdx = substring_index(op, ":", -1).cast("int")
+              when(cleared, lit(null).cast(sparkT))
+                .when(op === "set", v)
+                .when(opName === "append", when(acc.isNull, v).otherwise(concat(acc, v)))
+                .when(opName === "prepend", when(acc.isNull, v).otherwise(concat(v, acc)))
+                .when(opName === "remove",
+                  filter(coalesce(acc, v), e => !array_contains(v, e)))
+                .when(opName === "setidx",
+                  transform(acc, (el, j) => when(j === opIdx, element_at(v, 1)).otherwise(el)))
+                .when(opName === "delidx", filter(acc, (el, j) => j =!= opIdx))
+                .otherwise(acc)
+            case _: CqlSet =>
+              when(cleared, lit(null).cast(sparkT))
+                .when(op === "set", v)
+                .when(op === "add", array_sort(array_distinct(
+                  when(acc.isNull, v).otherwise(concat(acc, v)))))
+                .when(op === "remove",
+                  filter(coalesce(acc, v), e => !array_contains(v, e)))
+                .otherwise(acc)
+            case _: CqlMap =>
+              when(cleared, lit(null).cast(sparkT))
+                .when(op === "set", v)
+                .when(op === "put", when(acc.isNull, v).otherwise(map_concat(acc, v)))
+                .when(op === "delkey", when(acc.isNull, acc).otherwise(
+                  map_filter(acc, (k, _) => !array_contains(map_keys(v), k))))
+                .otherwise(acc)
+            case _ => acc
+          }
+        })
+        // empty collections read back as null (CQL convention)
+        when(folded.isNotNull && size(folded) > 0, folded).as(c.name)
+      } else if (c.tpe == CqlCounter)
+        when(col("_cts_" + c.name) > delTs, col("_csum_" + c.name)).as(c.name)
+      else {
+        val cell = col("_cell_" + c.name)
+        when(cellLive(cell), cell("v")).as(c.name)
+      }
+    }
+    val wtCols = cols.map { c =>
+      if (isCollection(c.tpe))
+        lit(null).cast("long").as("_wt_" + c.name)
+      else if (c.tpe == CqlCounter)
+        when(col("_cts_" + c.name) > delTs, col("_cts_" + c.name)).as("_wt_" + c.name)
+      else {
+        val cell = col("_cell_" + c.name)
+        when(cellLive(cell), cell("ts")).as("_wt_" + c.name)
+      }
+    }
+    val ttlCols = cols.map { c =>
+      if (isCollection(c.tpe) || c.tpe == CqlCounter)
+        lit(null).cast("int").as("_ttlr_" + c.name)
+      else {
+        val cell = col("_cell_" + c.name)
+        when(cellLive(cell) && cell("ttl") > 0,
+          ceil((cell("ts") + cell("ttl") * 1000000L - lit(nowMicros)) / 1000000.0).cast("int"))
+          .as("_ttlr_" + c.name)
+      }
+    }
+    val liveCol =
+      if (withLiveness) {
+        val lv = col("_live")
+        val liveOk = lv.isNotNull && lv("ts") > delTs &&
+          (lv("ttl") === 0L || (lv("ts") + lv("ttl") * 1000000L) > lit(nowMicros))
+        Seq(liveOk.as("_row_live"))
+      } else Seq(lit(false).as("_row_live"))
+    g.select((keys.map(col) ++ valueCols ++ wtCols ++ ttlCols ++ liveCol): _*)
+  }
+
+  private def checkpointDir(name: String): Option[java.io.File] =
+    storageDir.map(d => new java.io.File(new java.io.File(d, name), "checkpoint"))
+
+  private def readCkptPart(dir: java.io.File, part: String,
+                           schema: StructType): Option[DataFrame] = {
+    val f = new java.io.File(dir, part)
+    if (f.isDirectory && f.list().exists(_.endsWith(".parquet")))
+      Some(spark.read.schema(schema).parquet(f.getPath))
+    else None
+  }
+
+  /** Merged (rowState, staticsState, pdel) over checkpoint + tail — the
+    * single source for both read() and compact().
+    */
+  private def fullState(name: String): (DataFrame, Option[DataFrame], DataFrame) = {
+    val td = table(name)
+    val pk = td.partitionKey.map(_.name)
+    val rowKeys = td.primaryKey.map(_.name)
+    val rawTail = logDf(name)
+    val pdelSchema = StructType(td.partitionKey.map(c =>
+      StructField(c.name, sparkType(c.tpe))) :+ StructField("_pdel", LongType))
+    val ckdir = checkpointDir(name).filter(_.isDirectory)
+    val ckptPdel = ckdir.flatMap(readCkptPart(_, "pdel", pdelSchema))
+    val ckptRows = ckdir.flatMap(readCkptPart(_, "rows",
+      stateSchema(td, td.primaryKey, td.regulars, withLiveness = true)))
+    val ckptStatics = ckdir.flatMap(readCkptPart(_, "statics",
+      stateSchema(td, td.partitionKey, td.statics, withLiveness = false)))
+
+    // combined partition-deletion watermark: checkpoint's + the tail's
+    val tailPdel = rawTail.filter(col("_op") === "delpart")
+      .groupBy(pk.map(col): _*).agg(max(col("_ts")).as("_pdel"))
+    val pdel = ckptPdel.map(c => tailPdel.unionByName(c)
+        .groupBy(pk.map(col): _*).agg(max(col("_pdel")).as("_pdel")))
+      .getOrElse(tailPdel)
+
+    // tail mutations prefilter exactly as before (cells at <= pdel are dead)
+    val log = rawTail.join(pdel, pk, "left")
+      .filter(col("_pdel").isNull || col("_ts") > col("_pdel"))
+      .drop("_pdel")
+
+    val rowMuts = log.filter(col("_op").isin("insert", "update", "delrow"))
+    var rowState = aggState(td, rowMuts, rowKeys, td.regulars,
+      withLiveness = true, delOps = Seq("delrow"))
+    ckptRows.foreach { ck =>
+      val shadowed = applyPdel(ck, pdel, pk, rowKeys, td.regulars, withLiveness = true)
+      rowState = mergeState(shadowed, rowState, rowKeys, td.regulars, withLiveness = true)
+    }
+
+    val staticState =
+      if (td.statics.isEmpty) None
+      else {
+        var st = aggState(td, log.filter(col("_op").isin("insert", "update")),
+          pk, td.statics, withLiveness = false, delOps = Seq.empty)
+        ckptStatics.foreach { ck =>
+          val shadowed = applyPdel(ck, pdel, pk, pk, td.statics, withLiveness = false)
+          st = mergeState(shadowed, st, pk, td.statics, withLiveness = false)
+        }
+        Some(st)
+      }
+    (rowState, staticState, pdel)
+  }
+
   /** Reconciled live rows of a table with shadow columns `_wt_<c>` (cell
-    * writetime µs) and `_ttlr_<c>` (remaining ttl seconds).
+    * writetime µs) and `_ttlr_<c>` (remaining ttl seconds). With a
+    * checkpoint present, only the post-checkpoint tail re-aggregates.
     */
   def read(name: String): DataFrame = {
     views.get(name).foreach(v => return readView(v))
     val td = table(name)
-    val rawLog = logDf(name)
     val pk = td.partitionKey.map(_.name)
     val rowKeys = td.primaryKey.map(_.name)
-
-    // Partition-level tombstones shadow everything with ts <= deletion ts —
-    // equivalent to dropping those mutations before reconciliation (cells at
-    // <= pdel are dead; delrow/liveness records at <= pdel are themselves
-    // shadowed). One small per-pk aggregate + broadcastable join.
-    val partDelPre = rawLog.filter(col("_op") === "delpart")
-      .groupBy(pk.map(col): _*)
-      .agg(max(col("_ts")).as("_pdel"))
-    val log = rawLog.join(partDelPre, pk, "left")
-      .filter(col("_pdel").isNull || col("_ts") > col("_pdel"))
-      .drop("_pdel")
-
-    def cellStruct(c: ColumnDef): Column = {
-      // tombstone if explicit null write or expired TTL at read time
-      val isSet = col(c.name + "__set")
-      val expired = col("_ttl") > 0L && (col("_ts") + col("_ttl") * 1000000L) <= lit(nowMicros)
-      val tomb = when(col(c.name).isNull || expired, 1).otherwise(0)
-      when(isSet && col("_op").isin("insert", "update"),
-        struct(col("_ts").as("ts"), tomb.as("tomb"), col(c.name).as("v"), col("_ttl").as("ttl")))
-    }
-
-    def reconcile(df: DataFrame, keys: Seq[String], cols: Seq[ColumnDef],
-                  withLiveness: Boolean, delOps: Seq[String]): DataFrame = {
-      val cellAggs = cols.flatMap { c =>
-        if (isCollection(c.tpe)) {
-          // multi-cell collections: collect the timestamped op log and fold
-          // it in timestamp order (Lists/Sets/Maps semantics). Fully-expired
-          // TTL'd mutations drop out up front.
-          val isSet = col(c.name + "__set")
-          val expired = col("_ttl") > 0L &&
-            (col("_ts") + col("_ttl") * 1000000L) <= lit(nowMicros)
-          val opc = when(col("_op") === "delrow", lit("clear"))
-            .otherwise(coalesce(col(c.name + "__op"), lit("set")))
-          val relevant = (col("_op").isin("insert", "update") && isSet && !expired) ||
-            col("_op") === "delrow"
-          Seq(collect_list(when(relevant,
-            struct(col("_ts").as("ts"),
-              when(col("_op") === "delrow", 1).otherwise(0).as("prio"),
-              opc.as("op"), col(c.name).as("v")))).as("_muts_" + c.name))
-        } else if (c.tpe == CqlCounter) {
-          // counter read = sum of update deltas (CounterColumnType); the
-          // newest delta ts doubles as the cell's writetime
-          val isSet = col(c.name + "__set")
-          Seq(sum(when(isSet && col("_op") === "update", col(c.name))).as("_csum_" + c.name),
-            max(when(isSet && col("_op") === "update", col("_ts"))).as("_cts_" + c.name))
-        } else {
-          // MapType is not orderable in Spark; order by a JSON surrogate of
-          // the value for the reconcile tie-break instead (Cells.reconcile
-          // compares serialized bytes — same deterministic value-tie winner)
-          val needsSurrogate = td.column(c.name).exists(_.tpe.isInstanceOf[CqlMap])
-          if (needsSurrogate) {
-            val ordKey = when(cellStruct(c).isNotNull,
-              struct(col("_ts"), cellStruct(c)("tomb"), to_json(col(c.name))))
-            Seq(max_by(cellStruct(c), ordKey).as("_cell_" + c.name))
-          } else Seq(max(cellStruct(c)).as("_cell_" + c.name))
-        }
-      }
-      val delAgg = max(when(col("_op").isin(delOps: _*), col("_ts"))).as("_del_ts")
-      val liveAgg = max(when(col("_op") === "insert",
-        struct(col("_ts").as("ts"), col("_ttl").as("ttl")))).as("_live")
-      val aggs = cellAggs ++ Seq(delAgg) ++ (if (withLiveness) Seq(liveAgg) else Nil)
-      val g = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      val delTs = coalesce(col("_del_ts"), lit(Long.MinValue))
-      val valueCols = cols.map { c =>
-        if (isCollection(c.tpe)) {
-          val sorted = array_sort(col("_muts_" + c.name), (l, r) =>
-            when(l("ts") < r("ts"), -1).when(l("ts") > r("ts"), 1)
-              .otherwise(l("prio") - r("prio")).cast("int"))
-          val sparkT = sparkType(c.tpe)
-          val folded = aggregate(sorted, lit(null).cast(sparkT), (acc, m) => {
-            val v = m("v"); val op = m("op")
-            val cleared = op === "clear" || (op === "set" && v.isNull)
-            c.tpe match {
-              case _: CqlList =>
-                // index ops carry the index in the op string ("setidx:3")
-                val opName = substring_index(op, ":", 1)
-                val opIdx = substring_index(op, ":", -1).cast("int")
-                when(cleared, lit(null).cast(sparkT))
-                  .when(op === "set", v)
-                  .when(opName === "append", when(acc.isNull, v).otherwise(concat(acc, v)))
-                  .when(opName === "prepend", when(acc.isNull, v).otherwise(concat(v, acc)))
-                  .when(opName === "remove",
-                    filter(coalesce(acc, v), e => !array_contains(v, e)))
-                  .when(opName === "setidx",
-                    transform(acc, (el, j) => when(j === opIdx, element_at(v, 1)).otherwise(el)))
-                  .when(opName === "delidx", filter(acc, (el, j) => j =!= opIdx))
-                  .otherwise(acc)
-              case _: CqlSet =>
-                when(cleared, lit(null).cast(sparkT))
-                  .when(op === "set", v)
-                  .when(op === "add", array_sort(array_distinct(
-                    when(acc.isNull, v).otherwise(concat(acc, v)))))
-                  .when(op === "remove",
-                    filter(coalesce(acc, v), e => !array_contains(v, e)))
-                  .otherwise(acc)
-              case _: CqlMap =>
-                when(cleared, lit(null).cast(sparkT))
-                  .when(op === "set", v)
-                  .when(op === "put", when(acc.isNull, v).otherwise(map_concat(acc, v)))
-                  .when(op === "delkey", when(acc.isNull, acc).otherwise(
-                    map_filter(acc, (k, _) => !array_contains(map_keys(v), k))))
-                  .otherwise(acc)
-              case _ => acc
-            }
-          })
-          // empty collections read back as null (CQL convention)
-          when(folded.isNotNull && size(folded) > 0, folded).as(c.name)
-        } else if (c.tpe == CqlCounter)
-          when(col("_cts_" + c.name) > delTs, col("_csum_" + c.name)).as(c.name)
-        else {
-          val cell = col("_cell_" + c.name)
-          when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs, cell("v"))
-            .as(c.name)
-        }
-      }
-      val wtCols = cols.map { c =>
-        if (isCollection(c.tpe))
-          lit(null).cast("long").as("_wt_" + c.name)
-        else if (c.tpe == CqlCounter)
-          when(col("_cts_" + c.name) > delTs, col("_cts_" + c.name)).as("_wt_" + c.name)
-        else {
-          val cell = col("_cell_" + c.name)
-          when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs, cell("ts"))
-            .as("_wt_" + c.name)
-        }
-      }
-      val ttlCols = cols.map { c =>
-        if (isCollection(c.tpe) || c.tpe == CqlCounter)
-          lit(null).cast("int").as("_ttlr_" + c.name)
-        else {
-          val cell = col("_cell_" + c.name)
-          when(cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs && cell("ttl") > 0,
-            ceil((cell("ts") + cell("ttl") * 1000000L - lit(nowMicros)) / 1000000.0).cast("int"))
-            .as("_ttlr_" + c.name)
-        }
-      }
-      val liveCol =
-        if (withLiveness) {
-          val lv = col("_live")
-          val liveOk = lv.isNotNull && lv("ts") > delTs &&
-            (lv("ttl") === 0L || (lv("ts") + lv("ttl") * 1000000L) > lit(nowMicros))
-          Seq(liveOk.as("_row_live"))
-        } else Seq(lit(false).as("_row_live"))
-      g.select((keys.map(col) ++ valueCols ++ wtCols ++ ttlCols ++ liveCol): _*)
-    }
-
-    val rowMuts = log.filter(col("_op").isin("insert", "update", "delrow"))
-    val rows = reconcile(rowMuts, rowKeys, td.regulars, withLiveness = true,
-        delOps = Seq("delrow"))
+    val (rowState, staticState, _) = fullState(name)
+    val rows = finalizeState(rowState, rowKeys, td.regulars, withLiveness = true)
       .withColumn("_any_cell",
         td.regulars.map(c => col(c.name).isNotNull).foldLeft(lit(false))(_ || _))
       .filter(col("_row_live") || col("_any_cell"))
       .drop("_row_live", "_any_cell")
 
-    if (td.statics.isEmpty) rows
-    else {
-      // statics reconcile per PARTITION; a statics-only partition still
-      // yields one (null-clustering) row on unrestricted reads
-      // (SelectStatement.java:807-850)
-      val statics = reconcile(log.filter(col("_op").isin("insert", "update")),
-          pk, td.statics, withLiveness = false, delOps = Seq.empty)
-        .withColumn("_any_static",
-          td.statics.map(c => col(c.name).isNotNull).foldLeft(lit(false))(_ || _))
-        .filter(col("_any_static"))
-        .drop("_row_live", "_any_static")
-      rows.join(statics, pk, "full_outer")
+    staticState match {
+      case None => rows
+      case Some(st) =>
+        // statics reconcile per PARTITION; a statics-only partition still
+        // yields one (null-clustering) row on unrestricted reads
+        // (SelectStatement.java:807-850)
+        val statics = finalizeState(st, pk, td.statics, withLiveness = false)
+          .withColumn("_any_static",
+            td.statics.map(c => col(c.name).isNotNull).foldLeft(lit(false))(_ || _))
+          .filter(col("_any_static"))
+          .drop("_row_live", "_any_static")
+        rows.join(statics, pk, "full_outer")
     }
+  }
+
+  /** Compact a table: persist the merged reconcile state as the new
+    * checkpoint, then drop the consumed segments + tail. Reads after this
+    * aggregate only post-compact mutations (the reference's
+    * compacted-sstables + memtable read shape). Collection op-lists are
+    * pruned to the suffix after their last full overwrite (set/clear).
+    */
+  def compact(name: String): Unit = {
+    val dir = storageDir.getOrElse(
+      throw InvalidRequest("no storage attached — call attachStorage first"))
+    val td = table(name)
+    val (rowState0, staticState, pdel) = fullState(name)
+    // prune collection op-lists: everything before the last set/clear is
+    // overwritten by the fold anyway
+    val rowState = td.regulars.filter(c => isCollection(c.tpe)).foldLeft(rowState0) {
+      (df, c) => df.withColumn("_muts_" + c.name, pruneMuts(col("_muts_" + c.name)))
+    }
+    val tdir = new java.io.File(dir, name)
+    tdir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tdir, "schema.json").toPath,
+      Storage.tableToJson(td).getBytes("UTF-8"))
+    val tmp = new java.io.File(tdir, "checkpoint_tmp")
+    if (tmp.isDirectory) deleteRec(tmp)
+    rowState.write.parquet(new java.io.File(tmp, "rows").getPath)
+    staticState.foreach(_.write.parquet(new java.io.File(tmp, "statics").getPath))
+    pdel.write.parquet(new java.io.File(tmp, "pdel").getPath)
+    // swap in, then drop consumed inputs
+    val ck = new java.io.File(tdir, "checkpoint")
+    if (ck.isDirectory) deleteRec(ck)
+    if (!tmp.renameTo(ck))
+      throw new java.io.IOException(s"could not activate checkpoint for $name")
+    val segs = new java.io.File(tdir, "segments")
+    if (segs.isDirectory) deleteRec(segs)
+    logs(name).clear()
+    // segments carried the ts high-water mark for restarts; the checkpoint
+    // must carry it now
+    java.nio.file.Files.write(new java.io.File(tdir, "meta.json").toPath,
+      s"""{"max_ts": $tsCounter}""".getBytes("UTF-8"))
+  }
+
+  /** Drop op-list entries overwritten by a later set/clear. */
+  private def pruneMuts(m: Column): Column = {
+    val sorted = array_sort(m, (l, r) =>
+      when(l("ts") < r("ts"), -1).when(l("ts") > r("ts"), 1)
+        .otherwise(l("prio") - r("prio")).cast("int"))
+    val n = size(sorted)
+    val overwriteAt = zip_with(sorted, sequence(lit(0), greatest(n - 1, lit(0))),
+      (e, i) => when(substring_index(e("op"), ":", 1).isin("set", "clear"), i))
+    val from = coalesce(array_max(overwriteAt), lit(0))
+    when(m.isNull || n === 0, m).otherwise(slice(sorted, from + 1, n))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
   }
 
   // ── SELECT lowering + restriction validation ──────────────────────────

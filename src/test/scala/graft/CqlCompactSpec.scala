@@ -1,0 +1,101 @@
+package graft
+
+import graft.cql.CqlEngine
+
+/** Compaction checkpoint: `compact(table)` persists the reconcile STATE;
+  * reads afterwards aggregate only the post-compact tail and must be
+  * indistinguishable from the full-log reconcile (the reference's
+  * compacted-sstables + memtable read shape, `db/compaction`).
+  */
+class CqlCompactSpec extends SparkSpec {
+
+  def mkEngine(dir: String): CqlEngine = {
+    val e = new CqlEngine(spark)
+    e.attachStorage(dir)
+    e
+  }
+
+  def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-compact").toString
+
+  def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case s: scala.collection.Seq[_] => s.toList
+      case m: scala.collection.Map[_, _] => m.toMap
+      case v => v
+    }).toSet
+
+  test("read-after-compact equals full-log reconcile (LWW + tombstones)") {
+    val e = mkEngine(tmpDir())
+    e.execute("CREATE TABLE ct1 (a int, b int, c int, PRIMARY KEY (a, b))")
+    for (a <- 0 until 3; b <- 0 until 3)
+      e.execute(s"INSERT INTO ct1 (a, b, c) VALUES ($a, $b, ${a * 10 + b})")
+    e.execute("UPDATE ct1 SET c = 99 WHERE a = 0 AND b = 0")
+    e.execute("DELETE FROM ct1 WHERE a = 1 AND b = 1")   // row tombstone
+    e.execute("DELETE c FROM ct1 WHERE a = 1 AND b = 2") // cell tombstone
+    e.execute("DELETE FROM ct1 WHERE a = 2")             // partition tombstone
+    val before = rows(e.execute("SELECT a, b, c FROM ct1"))
+    e.compact("ct1")
+    assert(rows(e.execute("SELECT a, b, c FROM ct1")) === before)
+    // post-compact writes reconcile against the checkpoint
+    e.execute("UPDATE ct1 SET c = 7 WHERE a = 0 AND b = 1")
+    e.execute("INSERT INTO ct1 (a, b, c) VALUES (2, 5, 5)") // revive deleted partition
+    e.execute("DELETE FROM ct1 WHERE a = 0 AND b = 0")      // delete checkpointed row
+    assert(rows(e.execute("SELECT a, b, c FROM ct1")) ===
+      Set(Seq(0, 1, 7), Seq(0, 2, 2), Seq(1, 0, 10), Seq(1, 2, null), Seq(2, 5, 5)))
+    // out-of-order write below the checkpointed partition tombstone stays dead
+    e.execute("INSERT INTO ct1 (a, b, c) VALUES (2, 6, 6) USING TIMESTAMP 1")
+    assert(!rows(e.execute("SELECT a, b, c FROM ct1")).contains(Seq(2, 6, 6)))
+  }
+
+  test("collections, counters and statics survive compaction") {
+    val e = mkEngine(tmpDir())
+    e.execute("CREATE TABLE ct2 (k int, c int, s text static, l list<int>, st set<int>, m map<text, int>, PRIMARY KEY (k, c))")
+    e.execute("INSERT INTO ct2 (k, c, s, l, st, m) VALUES (1, 1, 'stat', [1, 2], {5, 3}, {'a': 1})")
+    e.execute("UPDATE ct2 SET l = l + [3], st = st + {9}, m['b'] = 2 WHERE k = 1 AND c = 1")
+    val before = rows(e.execute("SELECT k, c, s, l, st, m FROM ct2"))
+    e.compact("ct2")
+    assert(rows(e.execute("SELECT k, c, s, l, st, m FROM ct2")) === before)
+    // collection ops after compact fold onto the checkpointed op list
+    e.execute("UPDATE ct2 SET l[0] = 100, st = st - {3}, m['a'] = 11 WHERE k = 1 AND c = 1")
+    val after = rows(e.execute("SELECT l, st, m FROM ct2"))
+    assert(after === Set(Seq(List(100, 2, 3), List(5, 9), Map("a" -> 11, "b" -> 2))))
+    // counters keep summing across the checkpoint
+    e.execute("CREATE TABLE ct3 (k int PRIMARY KEY, n counter)")
+    e.execute("UPDATE ct3 SET n = n + 5 WHERE k = 1")
+    e.compact("ct3")
+    e.execute("UPDATE ct3 SET n = n + 2 WHERE k = 1")
+    assert(rows(e.execute("SELECT k, n FROM ct3")) === Set(Seq(1, 7L)))
+  }
+
+  test("TTL'd cells expire after the checkpoint was written") {
+    val e = mkEngine(tmpDir())
+    e.nowMicros = 1000000L
+    e.execute("CREATE TABLE ct4 (k int PRIMARY KEY, v int, w int)")
+    e.execute("INSERT INTO ct4 (k, v, w) VALUES (1, 1, 1)")
+    e.execute("UPDATE ct4 USING TTL 10 SET w = 2 WHERE k = 1")
+    e.compact("ct4")
+    assert(rows(e.execute("SELECT k, v, w FROM ct4")) === Set(Seq(1, 1, 2)))
+    // advance past expiry: the checkpointed cell must die at read time
+    e.nowMicros += 11000000L
+    assert(rows(e.execute("SELECT k, v, w FROM ct4")) === Set(Seq(1, 1, null)))
+  }
+
+  test("checkpoint + segments + tail survive an engine restart") {
+    val dir = tmpDir()
+    val e = mkEngine(dir)
+    e.execute("CREATE TABLE ct5 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO ct5 (k, v) VALUES (1, 'ckpt')")
+    e.compact("ct5")
+    e.execute("INSERT INTO ct5 (k, v) VALUES (2, 'segment')")
+    e.flush("ct5")
+    e.execute("INSERT INTO ct5 (k, v) VALUES (3, 'tail')")
+    e.flush("ct5")
+    val e2 = mkEngine(dir)
+    assert(rows(e2.execute("SELECT k, v FROM ct5")) ===
+      Set(Seq(1, "ckpt"), Seq(2, "segment"), Seq(3, "tail")))
+    // restart keeps timestamps monotonic: a new write beats the old one
+    e2.execute("INSERT INTO ct5 (k, v) VALUES (1, 'newer')")
+    assert(rows(e2.execute("SELECT v FROM ct5 WHERE k = 1")) === Set(Seq("newer")))
+  }
+}
