@@ -5,7 +5,7 @@ import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructField, StructType}
 
 /** The operator inventory (SURVEY §2) as named queries over the driver's
   * parquet tables, each paired (where SQL-expressible) with a DuckDB oracle.
@@ -353,14 +353,20 @@ object Queries {
         .orderBy("p_partkey")),
 
     QueryDef("q_json_extract",
-      // fromJson/toJson surface (cql3/Json.java) over the events props column
+      // fromJson/toJson surface (cql3/Json.java) over the events props
+      // column — ONE from_json parse into a pruned struct feeds both the
+      // filter and the projection (get_json_object would re-parse per use)
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
               FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
               ORDER BY event_id"""),
-      (s, d) => t(s, d, "events")
-        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
-        .filter(col("k") >= 95)
-        .orderBy("event_id")),
+      (s, d) => {
+        val kSchema = StructType(Seq(StructField("k", IntegerType)))
+        t(s, d, "events")
+          .withColumn("_p", from_json(col("props"), kSchema))
+          .filter(col("_p")("k") >= 95)
+          .select(col("event_id"), col("_p")("k").as("k"))
+          .orderBy("event_id")
+      }),
 
     QueryDef("q_map_element",
       // map element selection m['k'] (ElementsSelector.java) via from_json map
