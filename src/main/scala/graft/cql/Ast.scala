@@ -165,6 +165,11 @@ object Ast {
   final case class ElementRef(name: String, key: Literal) extends SelExpr
   /** UDT field selection u.f (cql3/selection/FieldSelector.java) */
   final case class FieldRef(column: String, field: String) extends SelExpr
+  /** map/set slice selection c[a..b] with optional open ends
+    * (cql3/selection/ElementsSelector.java:40-325).
+    */
+  final case class SliceRef(name: String, from: Option[Literal],
+                            to: Option[Literal]) extends SelExpr
 
   sealed trait Selector
   case object Star extends Selector
@@ -178,6 +183,25 @@ object Ast {
   final case class CreateTable(table: TableDef, ifNotExists: Boolean) extends Statement
   /** CREATE TYPE name (f1 t1, ...) (Parser.g:894-918, UserType.java). */
   final case class CreateType(udt: CqlUdt, ifNotExists: Boolean) extends Statement
+
+  /** CREATE FUNCTION (Parser.g:652-685, UDFunction.java). The reference
+    * compiles Java/JS bodies; this engine accepts LANGUAGE spark — the body
+    * is a Spark SQL expression over the named arguments (registered as a
+    * Spark SQL UDF, so it inlines into codegen instead of interpreting).
+    */
+  final case class CreateFunction(name: String, args: Seq[(String, CqlType)],
+                                  returnsNullOnNull: Boolean, returns: CqlType,
+                                  language: String, body: String,
+                                  orReplace: Boolean, ifNotExists: Boolean) extends Statement
+
+  /** CREATE AGGREGATE (Parser.g:686-727, UDAggregate.java:44-120):
+    * fold = SFUNC(state, value) per row in clustering order, INITCOND seed,
+    * optional FINALFUNC.
+    */
+  final case class CreateAggregate(name: String, argType: CqlType, sfunc: String,
+                                   stype: CqlType, finalFunc: Option[String],
+                                   initCond: Option[Literal],
+                                   orReplace: Boolean, ifNotExists: Boolean) extends Statement
 
   /** CREATE MATERIALIZED VIEW v AS SELECT ... FROM base WHERE ... PRIMARY
     * KEY (...) (Parser.g:858-893; maintenance semantics per

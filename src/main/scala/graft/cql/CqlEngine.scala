@@ -45,6 +45,11 @@ class CqlEngine(val spark: SparkSession) {
     * Session-scoped (not persisted by attachStorage).
     */
   private val views = scala.collection.mutable.LinkedHashMap.empty[String, CreateView]
+  /** CREATE FUNCTION / CREATE AGGREGATE registries (system_schema.functions/
+    * aggregates analog). Function bodies are Spark SQL expressions.
+    */
+  private val udfs = scala.collection.mutable.LinkedHashMap.empty[String, CreateFunction]
+  private val udas = scala.collection.mutable.LinkedHashMap.empty[String, CreateAggregate]
   private val logs = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Row]]
   /** table → secondary-indexed columns (2i emulation). */
   private val indexes = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
@@ -202,13 +207,85 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   def table(name: String): TableDef =
-    tables.getOrElse(name, throw InvalidRequest(s"unconfigured table $name"))
+    tables.getOrElse(name, virtualDefs.getOrElse(name,
+      throw InvalidRequest(s"unconfigured table $name")))
 
-  /** table() + reject mutations addressed at a materialized view. */
+  /** table() + reject mutations addressed at a materialized view or a
+    * virtual table.
+    */
   private def mutableTable(name: String): TableDef = {
     if (views.contains(name))
       throw InvalidRequest(s"Cannot directly modify a materialised view")
+    if (virtualDefs.contains(name))
+      throw InvalidRequest(s"Modification is not supported by table $name")
     table(name)
+  }
+
+  // ── virtual tables (db/virtual/SystemViewsKeyspace.java) ──────────────
+  /** Introspection views over the engine catalog, matching the reference's
+    * system_schema layout (`schema/SchemaKeyspace.java`).
+    */
+  private val virtualDefs: Map[String, TableDef] = Map(
+    "system.local" -> TableDef("system.local", Seq(
+      ColumnDef("key", CqlText, PartitionKey),
+      ColumnDef("cluster_name", CqlText, Regular),
+      ColumnDef("partitioner", CqlText, Regular),
+      ColumnDef("release_version", CqlText, Regular)), Seq.empty),
+    "system_schema.tables" -> TableDef("system_schema.tables", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("table_name", CqlText, Clustering)), Seq(false)),
+    "system_schema.columns" -> TableDef("system_schema.columns", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("table_name", CqlText, Clustering),
+      ColumnDef("column_name", CqlText, Clustering),
+      ColumnDef("kind", CqlText, Regular),
+      ColumnDef("position", CqlInt, Regular),
+      ColumnDef("type", CqlText, Regular)), Seq(false, false)),
+    "system_schema.types" -> TableDef("system_schema.types", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("type_name", CqlText, Clustering),
+      ColumnDef("field_names", CqlList(CqlText), Regular),
+      ColumnDef("field_types", CqlList(CqlText), Regular)), Seq(false)))
+
+  private val keyspace = "graft"
+
+  private def virtualDf(name: String): Option[DataFrame] = {
+    def mk(td: TableDef, data: Seq[Row]): DataFrame = {
+      // read()-compatible shape: value columns plus null shadow columns
+      val base = StructType(td.columns.map(c => StructField(c.name, sparkType(c.tpe))))
+      val df = spark.createDataFrame(java.util.Arrays.asList(data: _*), base)
+      (td.regulars ++ td.statics).foldLeft(df) { (d, c) =>
+        d.withColumn("_wt_" + c.name, lit(null).cast(LongType))
+          .withColumn("_ttlr_" + c.name, lit(null).cast(IntegerType))
+      }
+    }
+    name match {
+      case "system.local" => Some(mk(virtualDefs(name), Seq(
+        Row("local", keyspace, "graft.functions.CassandraMurmur3", "4.1-graft"))))
+      case "system_schema.tables" => Some(mk(virtualDefs(name),
+        tables.keys.filterNot(virtualDefs.contains).toSeq.map(t => Row(keyspace, t))))
+      case "system_schema.columns" => Some(mk(virtualDefs(name),
+        tables.values.filterNot(t => virtualDefs.contains(t.name)).toSeq.flatMap { td =>
+          td.columns.map { c =>
+            val kind = c.kind match {
+              case PartitionKey => "partition_key"
+              case Clustering => "clustering"
+              case Static => "static"
+              case Regular => "regular"
+            }
+            val pos = c.kind match {
+              case PartitionKey => td.partitionKey.indexWhere(_.name == c.name)
+              case Clustering => td.clustering.indexWhere(_.name == c.name)
+              case _ => -1
+            }
+            Row(keyspace, td.name, c.name, kind, pos, c.tpe.name)
+          }
+        }))
+      case "system_schema.types" => Some(mk(virtualDefs(name),
+        udts.values.toSeq.map(u =>
+          Row(keyspace, u.typeName, u.fields.map(_._1), u.fields.map(_._2.name)))))
+      case _ => None
+    }
   }
 
   /** CREATE MATERIALIZED VIEW validation (reference
@@ -310,6 +387,42 @@ class CqlEngine(val spark: SparkSession) {
       }
       emptyResult
     case v: CreateView => createView(v)
+    case f: CreateFunction =>
+      if (udfs.contains(f.name) && !f.orReplace) {
+        if (!f.ifNotExists) throw InvalidRequest(s"Function ${f.name} already exists")
+      } else {
+        if (f.language != "spark" && f.language != "sql")
+          throw InvalidRequest(s"Unsupported language '${f.language}' " +
+            "(this engine accepts LANGUAGE spark: the body is a Spark SQL expression over the arguments)")
+        // registered as a Spark SQL UDF: the body inlines at analysis time
+        // into whole-stage codegen instead of interpreting per row
+        val argDdl = f.args.map { case (n, t) => s"$n ${sparkType(t).sql}" }.mkString(", ")
+        val ret = sparkType(f.returns).sql
+        val body =
+          if (f.returnsNullOnNull && f.args.nonEmpty)
+            s"CASE WHEN ${f.args.map(a => s"${a._1} IS NULL").mkString(" OR ")} " +
+              s"THEN NULL ELSE CAST((${f.body}) AS $ret) END"
+          else s"CAST((${f.body}) AS $ret)"
+        spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION ${f.name}($argDdl) RETURNS $ret RETURN $body")
+        udfs(f.name) = f
+      }
+      emptyResult
+    case a: CreateAggregate =>
+      if (udas.contains(a.name) && !a.orReplace) {
+        if (!a.ifNotExists) throw InvalidRequest(s"Aggregate ${a.name} already exists")
+      } else {
+        val sf = udfs.getOrElse(a.sfunc,
+          throw InvalidRequest(s"Unknown SFUNC ${a.sfunc}"))
+        if (sf.args.length != 2)
+          throw InvalidRequest(s"SFUNC ${a.sfunc} must take (state, value) arguments")
+        a.finalFunc.foreach { fn =>
+          val ff = udfs.getOrElse(fn, throw InvalidRequest(s"Unknown FINALFUNC $fn"))
+          if (ff.args.length != 1)
+            throw InvalidRequest(s"FINALFUNC $fn must take a single state argument")
+        }
+        udas(a.name) = a
+      }
+      emptyResult
     case DropView(n) =>
       if (!views.contains(n)) throw InvalidRequest(s"Materialized view $n doesn't exist")
       views.remove(n); tables.remove(n); emptyResult
@@ -544,6 +657,25 @@ class CqlEngine(val spark: SparkSession) {
     case (other, _) => lit(other)
   }
 
+  /** Parameter-name → replacement substitution in a SQL body (word-bounded,
+    * case-insensitive).
+    */
+  private def substParams(body: String, subs: Seq[(String, String)]): String =
+    subs.foldLeft(body) { case (b, (from, to)) =>
+      b.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(to))
+    }
+
+  /** SQL literal rendering for INITCOND values. */
+  private def sqlLit(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Array[Byte] => "X'" + b.map("%02x".format(_)).mkString + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case other => String.valueOf(other)
+  }
+
   /** Run a CqlValues parser, rethrowing as InvalidRequest. */
   private def vv(f: => Any): Any =
     try f
@@ -581,6 +713,18 @@ class CqlEngine(val spark: SparkSession) {
     }
   }
 
+  /** Auto-flush the in-memory tail to a parquet segment once it exceeds
+    * this many records (requires attached storage). Bounds driver memory:
+    * durable segments are the primary log at scale, the tail is a
+    * memtable-sized buffer.
+    */
+  var autoFlushRows: Int = 50000
+
+  private def appendMutation(name: String, row: Row): Unit = {
+    logs(name) += row
+    if (storageDir.isDefined && logs(name).size >= autoFlushRows) flush(name)
+  }
+
   private def mutationRow(td: TableDef, keyVals: Map[String, Any],
                           cellVals: Map[String, Any], setCols: Set[String],
                           op: String, ts: Long, ttl: Long,
@@ -609,8 +753,8 @@ class CqlEngine(val spark: SparkSession) {
     if (td.regulars.exists(c => c.tpe == CqlCounter && vals.contains(c.name)))
       throw InvalidRequest("INSERT statements are not allowed on counter tables, use UPDATE instead")
     val setCells = (td.statics ++ td.regulars).map(_.name).filter(vals.contains).toSet
-    logs(i.table) += mutationRow(td, vals, vals, setCells, "insert",
-      i.timestamp.getOrElse(nextTs()), i.ttl.getOrElse(0L))
+    appendMutation(i.table, mutationRow(td, vals, vals, setCells, "insert",
+      i.timestamp.getOrElse(nextTs()), i.ttl.getOrElse(0L)))
   }
 
   /** WHERE of a mutation must bind the full primary key with EQ. */
@@ -670,8 +814,8 @@ class CqlEngine(val spark: SparkSession) {
           throw InvalidRequest(s"List index $i out of bound, list has size $sz")
       }
     }
-    logs(u.table) += mutationRow(td, keys, vals, vals.keySet, "update",
-      u.timestamp.getOrElse(nextTs()), u.ttl.getOrElse(0L), collOps)
+    appendMutation(u.table, mutationRow(td, keys, vals, vals.keySet, "update",
+      u.timestamp.getOrElse(nextTs()), u.ttl.getOrElse(0L), collOps))
   }
 
   private def executeDelete(d: Delete): Unit = {
@@ -685,10 +829,10 @@ class CqlEngine(val spark: SparkSession) {
         if (cd.kind != Regular && cd.kind != Static)
           throw InvalidRequest(s"Invalid identifier $c for deletion (should not be a PRIMARY KEY part)")
       }
-      logs(d.table) += mutationRow(td, keys, Map.empty, d.columns.toSet, "update", ts, 0L)
+      appendMutation(d.table, mutationRow(td, keys, Map.empty, d.columns.toSet, "update", ts, 0L))
     } else {
       val op = if (td.clustering.nonEmpty && !fullCk) "delpart" else "delrow"
-      logs(d.table) += mutationRow(td, keys, Map.empty, Set.empty, op, ts, 0L)
+      appendMutation(d.table, mutationRow(td, keys, Map.empty, Set.empty, op, ts, 0L))
     }
   }
 
@@ -1031,6 +1175,7 @@ class CqlEngine(val spark: SparkSession) {
     */
   def read(name: String): DataFrame = {
     views.get(name).foreach(v => return readView(v))
+    virtualDf(name).foreach(v => return v)
     val td = table(name)
     val pk = td.partitionKey.map(_.name)
     val rowKeys = td.primaryKey.map(_.name)
@@ -1401,7 +1546,7 @@ class CqlEngine(val spark: SparkSession) {
   private val aggFnNames = Set("count", "sum", "avg", "min", "max")
 
   private def containsAgg(e: SelExpr): Boolean = e match {
-    case FnCall(f, args) => aggFnNames.contains(f) || args.exists(containsAgg)
+    case FnCall(f, args) => aggFnNames.contains(f) || udas.contains(f) || args.exists(containsAgg)
     case CastCall(x, _) => containsAgg(x)
     case Arith(_, l, r) => containsAgg(l) || containsAgg(r)
     case Neg(x) => containsAgg(x)
@@ -1427,6 +1572,8 @@ class CqlEngine(val spark: SparkSession) {
     case Neg(x) => s"neg_${exprName(x)}"
     case ElementRef(n, k) => s"$n[${k.value}]"
     case FieldRef(n, f) => s"$n.$f"
+    case SliceRef(n, f, t) =>
+      s"$n[${f.map(x => String.valueOf(x.value)).getOrElse("")}..${t.map(x => String.valueOf(x.value)).getOrElse("")}]"
   }
 
   /** CQL numeric type promotion for arithmetic (OperationFcts.java:36-185):
@@ -1464,6 +1611,7 @@ class CqlEngine(val spark: SparkSession) {
     case FieldRef(n, f) => td.column(n).map(_.tpe).collect {
       case CqlUdt(_, fields) => fields.collectFirst { case (`f`, t) => t }
     }.flatten
+    case SliceRef(n, _, _) => td.column(n).map(_.tpe)
     case FnCall(f, args) => f match {
       case "count" | "tounixtimestamp" | "unixtimestampof" | "token" | "writetime" => Some(CqlBigint)
       case "sum" | "min" | "max" | "avg" => args.headOption.flatMap(exprType(td, _))
@@ -1473,7 +1621,9 @@ class CqlEngine(val spark: SparkSession) {
       case "currentdate" | "todate" => Some(CqlDate)
       case "currenttime" => Some(CqlTime)
       case "uuid" => Some(CqlUuid)
-      case _ => None
+      case other => udfs.get(other).map(_.returns)
+        .orElse(udas.get(other).map(u =>
+          u.finalFunc.flatMap(udfs.get).map(_.returns).getOrElse(u.stype)))
     }
   }
 
@@ -1525,6 +1675,22 @@ class CqlEngine(val spark: SparkSession) {
             element_at(col(n), lit(key.value.asInstanceOf[Long].toInt + 1))
           case other => throw InvalidRequest(s"Invalid element selection on $n of type ${other.name}")
         }
+      case SliceRef(n, fromK, toK) =>
+        // key/element-range sub-collection (ElementsSelector slice); empty
+        // results read back null like every CQL collection
+        val cd = td.column(n).getOrElse(throw InvalidRequest(s"Undefined column name $n"))
+        def bounds(t: CqlType, x: Column): Column = {
+          val lo = fromK.map(l => x >= lit(coerce(l, t, n))).getOrElse(lit(true))
+          val hi = toK.map(l => x <= lit(coerce(l, t, n))).getOrElse(lit(true))
+          lo && hi
+        }
+        val sliced = cd.tpe match {
+          case CqlMap(k, _) => map_filter(col(n), (key, _) => bounds(k, key))
+          case CqlSet(e) => filter(col(n), el => bounds(e, el))
+          case other => throw InvalidRequest(
+            s"Invalid slice selection on $n of type ${other.name} (only set/map)")
+        }
+        when(size(sliced) > 0, sliced)
       case FieldRef(n, f) =>
         val cd = td.column(n).getOrElse(throw InvalidRequest(s"Undefined column name $n"))
         cd.tpe match {
@@ -1583,8 +1749,13 @@ class CqlEngine(val spark: SparkSession) {
       // blob conversion family (BytesConversionFcts) — CQL camelCase names
       // map onto the registered snake_case udfs
       case FnCall(BlobFn(sparkFn), args) => call_function(sparkFn, args.map(rec): _*)
-      case FnCall(f, _) if aggFnNames.contains(f) =>
+      case FnCall(f, _) if aggFnNames.contains(f) || udas.contains(f) =>
         throw InvalidRequest(s"aggregate function $f in scalar context")
+      case FnCall(f, args) if udfs.contains(f) =>
+        if (args.length != udfs(f).args.length)
+          throw InvalidRequest(s"Invalid number of arguments for function $f " +
+            s"(expected ${udfs(f).args.length}, got ${args.length})")
+        call_function(f, args.map(rec): _*)
       case FnCall(f, _) => throw InvalidRequest(s"Unknown function '$f'")
     }
   }
@@ -1626,12 +1797,44 @@ class CqlEngine(val spark: SparkSession) {
         t.map(tt => raw.cast(sparkType(tt))).getOrElse(raw)
       case FnCall("min", Seq(a)) => min(lowerExpr(td, a, null))
       case FnCall("max", Seq(a)) => max(lowerExpr(td, a, null))
+      case FnCall(f, args) if udas.contains(f) =>
+        // user aggregate = fold of the SFUNC body over values in clustering
+        // order (UDAggregate.java:44-120). The body is a SQL expression, so
+        // it textually inlines into an aggregate() lambda — all codegen, no
+        // per-row interpretation.
+        val u = udas(f)
+        val cn = args match {
+          case Seq(ColRef(n)) =>
+            if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
+            n
+          case other => throw InvalidRequest(
+            s"User aggregate $f takes a single column argument, got $other")
+        }
+        val sf = udfs(u.sfunc)
+        val stateSql = sparkType(u.stype).sql
+        val init = u.initCond.map(l => sqlLit(coerce(l, u.stype, f))).getOrElse("NULL")
+        val ordCols = (if (td.clustering.nonEmpty) td.clustering else td.partitionKey).map(_.name)
+        val collected = s"array_sort(collect_list(struct(${ordCols.mkString(", ")}, $cn AS _v)))"
+        val rawBody = substParams(sf.body,
+          Seq(sf.args(0)._1 -> "acc", sf.args(1)._1 -> "x._v"))
+        // RETURNS NULL ON NULL INPUT sfunc: null inputs skip the call,
+        // leaving the state unchanged (UDAggregate contract)
+        val sBody =
+          if (sf.returnsNullOnNull)
+            s"CASE WHEN x._v IS NULL THEN acc ELSE CAST(($rawBody) AS $stateSql) END"
+          else s"CAST(($rawBody) AS $stateSql)"
+        val finBody = u.finalFunc.map { fn =>
+          val ff = udfs(fn)
+          s"CAST((${substParams(ff.body, Seq(ff.args(0)._1 -> "acc"))}) AS ${sparkType(ff.returns).sql})"
+        }.getOrElse("acc")
+        expr(s"aggregate($collected, CAST($init AS $stateSql), (acc, x) -> $sBody, acc -> $finBody)")
       case ColRef(n) if groupBy.contains(n) => first(col(n))
       case ColRef(n) =>
         // first-row-in-clustering-order semantics for mixed selects
         if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
         min_by(col(n), firstRowOrd)
-      case ElementRef(_, _) | FieldRef(_, _) | FnCall("writetime", _) | FnCall("ttl", _) =>
+      case ElementRef(_, _) | FieldRef(_, _) | SliceRef(_, _, _) |
+           FnCall("writetime", _) | FnCall("ttl", _) =>
         min_by(lowerExpr(td, x, null), firstRowOrd)
       case other => lowerExpr(td, other, rec)
     }

@@ -21,6 +21,8 @@ object CqlParser {
   private case class UuidTok(text: String) extends Tok
   /** 0x hex blob literal (Parser.g HEXNUMBER). */
   private case class HexTok(text: String) extends Tok
+  /** :name named bind marker (Parser.g:41-74). */
+  private case class NamedTok(text: String) extends Tok
 
   private def isHex(c: Char): Boolean = Character.digit(c, 16) >= 0
 
@@ -39,6 +41,14 @@ object CqlParser {
       val c = s(i)
       if (c.isWhitespace) i += 1
       else if (uuidAt(s, i)) { out += UuidTok(s.substring(i, i + 36)); i += 36 }
+      else if (c == ':' && i + 1 < s.length && (s(i + 1).isLetter || s(i + 1) == '_')) {
+        // ':' directly before an identifier is a named marker; map-literal
+        // colons are followed by whitespace/quotes/digits
+        val j = i + 1
+        var k = j
+        while (k < s.length && (s(k).isLetterOrDigit || s(k) == '_')) k += 1
+        out += NamedTok(s.substring(j, k)); i = k
+      }
       else if (c == '0' && i + 2 < s.length && (s(i + 1) == 'x' || s(i + 1) == 'X') && isHex(s(i + 2))) {
         val j = i + 2
         var k = j
@@ -61,7 +71,11 @@ object CqlParser {
         // literal() so selection arithmetic (a - 5) parses unambiguously
         val j = i
         i += 1
-        while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' ||
+        // a '.' followed by another '.' is the slice range operator (2..8),
+        // not a decimal point
+        while (i < s.length && (s(i).isDigit ||
+          (s(i) == '.' && !(i + 1 < s.length && s(i + 1) == '.')) ||
+          s(i) == 'e' || s(i) == 'E' ||
           ((s(i) == '-' || s(i) == '+') && (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
         out += Num(s.substring(j, i))
       } else if (c.isLetter || c == '_') {
@@ -104,10 +118,29 @@ object CqlParser {
       case Ident(t) => t.toLowerCase
       case other => throw ParseException(s"expected identifier, got ${other.text}")
     }
+    /** table name, optionally keyspace-qualified (`system_schema.tables`). */
+    def tableName(): String = {
+      val first = ident()
+      if (trySym(".")) s"$first.${ident()}" else first
+    }
     var bindCount = 0
+    /** index → marker name (None for positional `?`). */
+    var bindNames = Vector.empty[Option[String]]
     def literal(): Literal = next() match {
       case Sym("?") =>
-        val m = BindMarker(bindCount); bindCount += 1; m
+        val m = BindMarker(bindCount); bindCount += 1
+        bindNames :+= None
+        m
+      case NamedTok(n) =>
+        // a repeated :name re-uses its first index (ExecuteMessage binds
+        // named values once)
+        val existing = bindNames.indexOf(Some(n.toLowerCase))
+        if (existing >= 0) BindMarker(existing)
+        else {
+          val m = BindMarker(bindCount); bindCount += 1
+          bindNames :+= Some(n.toLowerCase)
+          m
+        }
       case Sym("-") => literal() match {
         case IntLit(v) => IntLit(-v)
         case DoubleLit(v) => DoubleLit(-v)
@@ -142,7 +175,14 @@ object CqlParser {
   def parse(cql: String): Statement = parse(cql, Map.empty)
 
   /** Parse with a UDT registry (engine catalog) for resolving type names. */
-  def parse(cql: String, udts: Map[String, CqlUdt]): Statement = {
+  def parse(cql: String, udts: Map[String, CqlUdt]): Statement =
+    parseWithBinds(cql, udts)._1
+
+  /** Parse plus bind-marker metadata: total marker count and, per index,
+    * the marker's name (None for positional `?`).
+    */
+  def parseWithBinds(cql: String,
+                     udts: Map[String, CqlUdt]): (Statement, Int, Seq[Option[String]]) = {
     val p = new P(tokenize(cql), udts)
     val stmt =
       if (p.kw("begin")) parseBatch(p)
@@ -159,7 +199,7 @@ object CqlParser {
       else if (p.kw("select")) parseSelect(p)
       else throw ParseException(s"unsupported statement: $cql")
     if (!p.done) throw ParseException(s"trailing input after statement")
-    stmt
+    (stmt, p.bindCount, p.bindNames)
   }
 
   private val types: Map[String, CqlType] = Map(
@@ -241,6 +281,48 @@ object CqlParser {
 
   private def parseCreate(p: P): Statement = {
     p.eatKw("create")
+    val orReplace = if (p.tryKw("or")) { p.eatKw("replace"); true } else false
+    if (p.tryKw("function")) {
+      val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
+      val name = p.ident()
+      p.sym("(")
+      var args = Vector.empty[(String, CqlType)]
+      var first = true
+      while (!p.trySym(")")) {
+        if (!first) p.sym(",")
+        first = false
+        val an = p.ident()
+        args :+= (an -> parseType(p))
+      }
+      val returnsNull =
+        if (p.tryKw("returns")) { p.eatKw("null"); p.eatKw("on"); p.eatKw("null"); p.eatKw("input"); true }
+        else { p.eatKw("called"); p.eatKw("on"); p.eatKw("null"); p.eatKw("input"); false }
+      p.eatKw("returns")
+      val ret = parseType(p)
+      p.eatKw("language")
+      val lang = p.ident()
+      p.eatKw("as")
+      val body = p.literal() match {
+        case StringLit(b) => b
+        case other => throw ParseException(s"function body must be a string literal, got $other")
+      }
+      return CreateFunction(name, args, returnsNull, ret, lang, body, orReplace, ifNotExists)
+    }
+    if (p.tryKw("aggregate")) {
+      val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
+      val name = p.ident()
+      p.sym("(")
+      val argType = parseType(p)
+      p.sym(")")
+      p.eatKw("sfunc")
+      val sfunc = p.ident()
+      p.eatKw("stype")
+      val stype = parseType(p)
+      val finalFunc = if (p.tryKw("finalfunc")) Some(p.ident()) else None
+      val init = if (p.tryKw("initcond")) Some(anyLiteral(p)) else None
+      return CreateAggregate(name, argType, sfunc, stype, finalFunc, init, orReplace, ifNotExists)
+    }
+    if (orReplace) throw ParseException("OR REPLACE is only valid for functions and aggregates")
     if (p.tryKw("materialized")) {
       p.eatKw("view")
       val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
@@ -414,7 +496,7 @@ object CqlParser {
 
   private def parseInsert(p: P): Statement = {
     p.eatKw("insert"); p.eatKw("into")
-    val name = p.ident()
+    val name = p.tableName()
     if (p.tryKw("json")) {
       val js = p.literal() match {
         case StringLit(v) => v
@@ -440,7 +522,7 @@ object CqlParser {
 
   private def parseUpdate(p: P): Statement = {
     p.eatKw("update")
-    val name = p.ident()
+    val name = p.tableName()
     val (ttl, ts) = parseUsing(p)
     p.eatKw("set")
     var assigns = Vector.empty[(String, Literal)]
@@ -508,7 +590,7 @@ object CqlParser {
       while (p.trySym(",")) deleteItem()
     }
     p.eatKw("from")
-    val name = p.ident()
+    val name = p.tableName()
     val (_, ts) = parseUsing(p)
     p.eatKw("where")
     val where = parseWhere(p)
@@ -653,7 +735,19 @@ object CqlParser {
           FnCall(id, args)
         }
       } else if (p.trySym("[")) {
-        val key = p.literal(); p.sym("]"); ElementRef(id, key)
+        // c[k] element, or c[a..b] / c[a..] / c[..b] slice
+        if (p.trySym(".")) {
+          p.sym(".")
+          val to = p.literal(); p.sym("]")
+          SliceRef(id, None, Some(to))
+        } else {
+          val key = p.literal()
+          if (p.trySym(".")) {
+            p.sym(".")
+            if (p.trySym("]")) SliceRef(id, Some(key), None)
+            else { val to = p.literal(); p.sym("]"); SliceRef(id, Some(key), Some(to)) }
+          } else { p.sym("]"); ElementRef(id, key) }
+        }
       } else if (p.trySym(".")) {
         FieldRef(id, p.ident())
       } else ColRef(id)
@@ -675,7 +769,7 @@ object CqlParser {
       }
     }
     p.eatKw("from")
-    val name = p.ident()
+    val name = p.tableName()
     val where = if (p.tryKw("where")) parseWhere(p) else Seq.empty
     var groupBy = Vector.empty[String]
     if (p.tryKw("group")) {

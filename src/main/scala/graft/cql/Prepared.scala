@@ -7,12 +7,14 @@ import org.apache.spark.sql.DataFrame
 
 /** Prepared-statement surface (reference `QueryProcessor.java:460-490`,
   * `transport/messages/ExecuteMessage.java`): statements parse once, cache
-  * by MD5 digest of the CQL string, and execute with positional bind values
-  * substituted for `?` markers.
+  * by MD5 digest of the CQL string, and execute with bind values
+  * substituted — positional `?` markers or named `:name` markers (a
+  * repeated name binds once, at its first index).
   */
 final class PreparedStatements(engine: CqlEngine) {
 
-  final case class Prepared(id: String, statement: Statement, numBinds: Int)
+  final case class Prepared(id: String, statement: Statement, numBinds: Int,
+                            bindNames: Seq[Option[String]])
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Prepared]()
 
@@ -20,40 +22,13 @@ final class PreparedStatements(engine: CqlEngine) {
     MessageDigest.getInstance("MD5").digest(cql.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  private def countBinds(stmt: Statement): Int = {
-    var n = 0
-    def lit(l: Literal): Unit = l match {
-      case BindMarker(_) => n += 1
-      case ListLit(xs) => xs.foreach(lit)
-      case SetLit(xs) => xs.foreach(lit)
-      case MapLit(ps) => ps.foreach { case (k, v) => lit(k); lit(v) }
-      case CollectionOpLit(_, pl) => lit(pl)
-      case _ =>
-    }
-    def rel(r: Relation): Unit = r match {
-      case Rel(_, _, v) => lit(v)
-      case In(_, vs) => vs.foreach(lit)
-      case TokenRel(_, _, v) => lit(v)
-      case Contains(_, v, _) => lit(v)
-      case Like(_, _) =>
-    }
-    stmt match {
-      case i: Insert => i.values.foreach(lit)
-      case u: Update => u.assignments.foreach(a => lit(a._2)); u.where.foreach(rel)
-      case d: Delete => d.where.foreach(rel)
-      case sel: Select => sel.where.foreach(rel)
-      case _ =>
-    }
-    n
-  }
-
   /** Parse + cache; returns the statement id (the reference returns the MD5
     * digest to the client the same way).
     */
   def prepare(cql: String): Prepared =
     cache.computeIfAbsent(digest(cql), id => {
-      val stmt = CqlParser.parse(cql)
-      Prepared(id, stmt, countBinds(stmt))
+      val (stmt, n, names) = CqlParser.parseWithBinds(cql, Map.empty)
+      Prepared(id, stmt, n, names)
     })
 
   /** Execute a prepared id with positional bind values. */
@@ -66,6 +41,19 @@ final class PreparedStatements(engine: CqlEngine) {
     engine.run(bind(prep.statement, binds.toIndexedSeq))
   }
 
+  /** Execute a prepared id with named bind values (`:name` markers). */
+  def executeNamed(id: String, binds: Map[String, Any]): DataFrame = {
+    val prep = Option(cache.get(id)).getOrElse(
+      throw engine.InvalidRequest(s"Prepared query with ID $id not found"))
+    val positional = prep.bindNames.zipWithIndex.map {
+      case (Some(n), _) => binds.getOrElse(n,
+        throw engine.InvalidRequest(s"Missing value for bind marker :$n"))
+      case (None, i) => throw engine.InvalidRequest(
+        s"Positional marker at index $i cannot be bound by name")
+    }
+    engine.run(bind(prep.statement, positional.toIndexedSeq))
+  }
+
   private def toLiteral(v: Any): Literal = v match {
     case null => NullLit
     case i: Int => IntLit(i.toLong)
@@ -74,6 +62,7 @@ final class PreparedStatements(engine: CqlEngine) {
     case f: Float => DoubleLit(f.toDouble)
     case s: String => StringLit(s)
     case b: Boolean => BoolLit(b)
+    case b: Array[Byte] => BlobLit(b)
     case xs: Seq[_] => ListLit(xs.map(toLiteral))
     case m: Map[_, _] => MapLit(m.toSeq.map { case (k, vv) => toLiteral(k) -> toLiteral(vv) })
     case other => throw engine.InvalidRequest(s"Unsupported bind value: $other")
@@ -85,6 +74,9 @@ final class PreparedStatements(engine: CqlEngine) {
       case ListLit(xs) => ListLit(xs.map(lit))
       case SetLit(xs) => SetLit(xs.map(lit))
       case MapLit(ps) => MapLit(ps.map { case (k, v) => lit(k) -> lit(v) })
+      case TupleLit(xs) => TupleLit(xs.map(lit))
+      case UdtLit(fs) => UdtLit(fs.map { case (f, v) => f -> lit(v) })
+      case FnLit(f, args) => FnLit(f, args.map(lit))
       case CollectionOpLit(op, pl) => CollectionOpLit(op, lit(pl))
       case other => other
     }
@@ -93,15 +85,24 @@ final class PreparedStatements(engine: CqlEngine) {
       case In(c, vs) => In(c, vs.map(lit))
       case TokenRel(cs, op, v) => TokenRel(cs, op, lit(v))
       case Contains(c, v, k) => Contains(c, lit(v), k)
+      case MultiColRel(cs, op, vs) => MultiColRel(cs, op, vs.map(lit))
+      case MapEntryEq(c, k, v) => MapEntryEq(c, lit(k), lit(v))
       case other => other
     }
     stmt match {
       case i: Insert => i.copy(values = i.values.map(lit))
       case u: Update => u.copy(assignments = u.assignments.map(a => a._1 -> lit(a._2)),
-        where = u.where.map(rel))
-      case d: Delete => d.copy(where = d.where.map(rel))
+        where = u.where.map(rel),
+        condition = u.condition.map(bindCond(_, lit)))
+      case d: Delete => d.copy(where = d.where.map(rel),
+        condition = d.condition.map(bindCond(_, lit)))
       case sel: Select => sel.copy(where = sel.where.map(rel))
       case other => other
     }
+  }
+
+  private def bindCond(c: LwtCondition, lit: Literal => Literal): LwtCondition = c match {
+    case IfColumns(conds) => IfColumns(conds.map { case (n, op, v) => (n, op, lit(v)) })
+    case other => other
   }
 }

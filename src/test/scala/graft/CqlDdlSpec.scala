@@ -1,0 +1,92 @@
+package graft
+
+import graft.cql.CqlEngine
+
+/** Virtual tables, collection slice selection, CREATE FUNCTION and CREATE
+  * AGGREGATE (reference `db/virtual/SystemViewsKeyspace.java`,
+  * `cql3/selection/ElementsSelector.java:40-325`, `UDFunction.java`,
+  * `UDAggregate.java:44-120`; UDA cases mirror `cql3/validation/operations/
+  * AggregationTest.java` user-aggregate basics).
+  */
+class CqlDdlSpec extends SparkSpec {
+
+  def mkEngine: CqlEngine = new CqlEngine(spark)
+
+  def rowsInOrder(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  def assertInvalid(e: CqlEngine, cql: String, msgPart: String): Unit = {
+    val ex = intercept[RuntimeException](e.execute(cql).collect())
+    assert(ex.getMessage.contains(msgPart), s"got: ${ex.getMessage}")
+  }
+
+  test("system_schema virtual tables reflect the catalog") {
+    val e = mkEngine
+    e.execute("CREATE TABLE vt_a (k int, c text, v double, PRIMARY KEY (k, c))")
+    e.execute("CREATE TYPE vt_t (x int, y text)")
+    assert(rowsInOrder(e.execute(
+      "SELECT table_name FROM system_schema.tables")).contains(Seq("vt_a")))
+    val cols = rowsInOrder(e.execute(
+      "SELECT column_name, kind, position, type FROM system_schema.columns " +
+        "WHERE keyspace_name = 'graft' AND table_name = 'vt_a'"))
+    assert(cols.contains(Seq("k", "partition_key", 0, "int")))
+    assert(cols.contains(Seq("c", "clustering", 0, "text")))
+    assert(cols.contains(Seq("v", "regular", -1, "double")))
+    val types = rowsInOrder(e.execute("SELECT type_name FROM system_schema.types"))
+    assert(types.contains(Seq("vt_t")))
+    assert(rowsInOrder(e.execute("SELECT key FROM system.local")) === Seq(Seq("local")))
+    assertInvalid(e, "INSERT INTO system_schema.tables (keyspace_name, table_name) VALUES ('x', 'y')",
+      "Modification is not supported")
+  }
+
+  test("collection slice selection m[a..b], s[a..], s[..b]") {
+    val e = mkEngine
+    e.execute("CREATE TABLE sl1 (k int PRIMARY KEY, m map<int, text>, s set<int>)")
+    e.execute("INSERT INTO sl1 (k, m, s) VALUES (1, {1: 'a', 5: 'b', 9: 'c'}, {2, 4, 6, 8})")
+    val r = e.execute("SELECT m[2..8], s[4..], s[..5] FROM sl1").collect().head
+    assert(r.getAs[Map[Int, String]](0) === Map(5 -> "b"))
+    assert(r.getAs[scala.collection.Seq[Int]](1).toSeq === Seq(4, 6, 8))
+    assert(r.getAs[scala.collection.Seq[Int]](2).toSeq === Seq(2, 4))
+    // empty slice reads back null, like every CQL collection
+    assert(e.execute("SELECT m[6..7] FROM sl1").collect().head.isNullAt(0))
+  }
+
+  test("CREATE FUNCTION: scalar SQL-expression body, null contract") {
+    val e = mkEngine
+    e.execute("CREATE TABLE f1 (k int PRIMARY KEY, v int)")
+    e.execute("INSERT INTO f1 (k, v) VALUES (1, 6)")
+    e.execute("INSERT INTO f1 (k, v) VALUES (2, null)")
+    e.execute("CREATE FUNCTION double_it (x int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS int LANGUAGE spark AS 'x * 2'")
+    assert(rowsInOrder(e.execute("SELECT k, double_it(v) FROM f1")) ===
+      Seq(Seq(1, 12), Seq(2, null)))
+    // CALLED ON NULL INPUT runs the body with the null
+    e.execute("CREATE FUNCTION or_zero (x int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE spark AS 'coalesce(x, 0) + 1'")
+    assert(rowsInOrder(e.execute("SELECT k, or_zero(v) FROM f1")) ===
+      Seq(Seq(1, 7), Seq(2, 1)))
+    assertInvalid(e, "CREATE FUNCTION j (x int) CALLED ON NULL INPUT RETURNS int LANGUAGE java AS 'return x;'",
+      "Unsupported language")
+    assertInvalid(e, "SELECT double_it(v, v) FROM f1", "Invalid number of arguments")
+  }
+
+  test("CREATE AGGREGATE: SFUNC fold + FINALFUNC + INITCOND") {
+    val e = mkEngine
+    e.execute("CREATE TABLE ag1 (k int, c int, v int, PRIMARY KEY (k, c))")
+    for (c <- 1 to 4) e.execute(s"INSERT INTO ag1 (k, c, v) VALUES (1, $c, $c)")
+    e.execute("CREATE FUNCTION sum_sq_state (st bigint, val int) CALLED ON NULL INPUT " +
+      "RETURNS bigint LANGUAGE spark AS 'st + val * val'")
+    e.execute("CREATE AGGREGATE sum_sq (int) SFUNC sum_sq_state STYPE bigint INITCOND 0")
+    // 1 + 4 + 9 + 16
+    assert(rowsInOrder(e.execute("SELECT sum_sq(v) FROM ag1")) === Seq(Seq(30L)))
+    // with FINALFUNC and per-group fold
+    e.execute("CREATE FUNCTION halve (st bigint) CALLED ON NULL INPUT " +
+      "RETURNS double LANGUAGE spark AS 'st / 2.0'")
+    e.execute("CREATE AGGREGATE half_sum_sq (int) SFUNC sum_sq_state STYPE bigint " +
+      "FINALFUNC halve INITCOND 0")
+    assert(rowsInOrder(e.execute("SELECT half_sum_sq(v) FROM ag1")) === Seq(Seq(15.0)))
+    assert(rowsInOrder(e.execute("SELECT k, sum_sq(v) FROM ag1 GROUP BY k")) ===
+      Seq(Seq(1, 30L)))
+    assertInvalid(e, "CREATE AGGREGATE bad (int) SFUNC nope STYPE bigint", "Unknown SFUNC")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.cql.{CqlEngine, PreparedStatements}
+
+/** Named bind markers and the bounded auto-flushing mutation tail. */
+class CqlPreparedSpec extends SparkSpec {
+
+  def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("named markers :name bind by name; repeats bind once") {
+    val e = new CqlEngine(spark)
+    val ps = new PreparedStatements(e)
+    e.execute("CREATE TABLE np1 (k int, c int, v int, PRIMARY KEY (k, c))")
+    val ins = ps.prepare("INSERT INTO np1 (k, c, v) VALUES (:key, :c, :val)")
+    assert(ins.numBinds === 3)
+    ps.executeNamed(ins.id, Map("key" -> 1, "c" -> 2, "val" -> 20))
+    ps.executeNamed(ins.id, Map("key" -> 1, "c" -> 3, "val" -> 30))
+    // a repeated :name occupies one bind slot
+    val sel = ps.prepare("SELECT v FROM np1 WHERE k = :x AND c >= :x ALLOW FILTERING")
+    assert(sel.numBinds === 1)
+    assert(rows(ps.executeNamed(sel.id, Map("x" -> 1))) === Set(Seq(20), Seq(30)))
+    // missing name errors
+    val ex = intercept[RuntimeException](ps.executeNamed(ins.id, Map("key" -> 9)))
+    assert(ex.getMessage.contains("Missing value for bind marker"))
+  }
+
+  test("LWT condition values bind through prepared statements") {
+    val e = new CqlEngine(spark)
+    val ps = new PreparedStatements(e)
+    e.execute("CREATE TABLE np2 (k int PRIMARY KEY, v int)")
+    e.execute("INSERT INTO np2 (k, v) VALUES (1, 5)")
+    val cas = ps.prepare("UPDATE np2 SET v = ? WHERE k = ? IF v = ?")
+    assert(cas.numBinds === 3)
+    assert(ps.execute(cas.id, 9, 1, 4).collect().head.getBoolean(0) === false)
+    assert(ps.execute(cas.id, 9, 1, 5).collect().head.getBoolean(0) === true)
+    assert(rows(e.execute("SELECT v FROM np2")) === Set(Seq(9)))
+  }
+
+  test("tail auto-flushes to segments once it exceeds the bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-autoflush").toString
+    val e = new CqlEngine(spark)
+    e.attachStorage(dir)
+    e.autoFlushRows = 50
+    e.execute("CREATE TABLE af1 (k int PRIMARY KEY, v int)")
+    for (k <- 1 to 120) e.execute(s"INSERT INTO af1 (k, v) VALUES ($k, $k)")
+    val segs = new java.io.File(new java.io.File(dir, "af1"), "segments")
+    assert(segs.isDirectory && segs.list().exists(_.endsWith(".parquet")),
+      "expected auto-flushed segments")
+    assert(e.execute("SELECT count(*) AS n FROM af1").collect().head.getLong(0) === 120L)
+  }
+}
