@@ -1701,6 +1701,26 @@ class CqlEngine(val spark: SparkSession) {
           case other => throw InvalidRequest(
             s"Invalid field selection: $n of type ${other.name} is not a user type")
         }
+      case CastCall(x, t @ (CqlText | CqlAscii)) =>
+        // cast-to-text produces the CQL literal form (CastAsTextFunction →
+        // serializer.toCQLLiteral), not Spark's default rendering, where
+        // the two differ
+        exprType(td, x) match {
+          case Some(CqlTimestamp) =>
+            date_format(rec(x), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+          case Some(CqlTime) =>
+            val n = rec(x)
+            format_string("%02d:%02d:%02d.%09d",
+              (n / lit(3600000000000L)).cast("long"),
+              (n / lit(60000000000L)).cast("long") % 60,
+              (n / lit(1000000000L)).cast("long") % 60, n % lit(1000000000L))
+          case Some(CqlDecimal) =>
+            // our decimals carry a fixed scale of 18; the CQL literal drops
+            // the zero tail (BigDecimal.toPlainString of the exact value)
+            regexp_replace(regexp_replace(rec(x).cast(sparkType(t)),
+              lit("(\\.\\d*?)0+$"), lit("$1")), lit("\\.$"), lit(""))
+          case _ => rec(x).cast(sparkType(t))
+        }
       case CastCall(x, t) => rec(x).cast(sparkType(t))
       case Neg(x) => -rec(x)
       case Arith(op, l, r) =>

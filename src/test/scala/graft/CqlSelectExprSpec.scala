@@ -45,6 +45,15 @@ class CqlSelectExprSpec extends SparkSpec {
     assert(r === Seq(3.0, 7, "3", 42))
   }
 
+  test("cast to text renders CQL literal forms (CastAsTextFunction)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE c2 (k int PRIMARY KEY, ts timestamp, t time, d decimal, b boolean)")
+    e.execute("INSERT INTO c2 (k, ts, t, d, b) VALUES (1, '2011-02-03 04:05:00.250Z', '08:12:54.123456789', 12.3450, true)")
+    val r = first(e.execute(
+      "SELECT cast(ts AS text), cast(t AS text), cast(d AS text), cast(b AS text) FROM c2"))
+    assert(r === Seq("2011-02-03T04:05:00.250Z", "08:12:54.123456789", "12.345", "true"))
+  }
+
   test("todate/totimestamp/tounixtimestamp over timestamp and timeuuid") {
     val e = mkEngine
     e.execute("CREATE TABLE tf1 (k int PRIMARY KEY, ts timestamp, tu timeuuid)")
