@@ -36,6 +36,12 @@ object Ast {
   case object CqlUuid extends CqlType { val name = "uuid" }
   case object CqlTimeuuid extends CqlType { val name = "timeuuid" }
   case object CqlBlob extends CqlType { val name = "blob" }
+  /** (months, days, nanos) duration triple (DurationType.java,
+    * cql3/Duration.java:72-94) — not comparable, never in a PK; carried as
+    * a Spark struct, converted to a calendar interval for ts arithmetic
+    * (nanos narrow to micros there).
+    */
+  case object CqlDuration extends CqlType { val name = "duration" }
   case object CqlInet extends CqlType { val name = "inet" }
   /** Counter column (db/marshal/CounterColumnType.java): reads are sums of
     * update deltas; only `c = c + n` / `c = c - n` writes are legal.
@@ -91,6 +97,10 @@ object Ast {
   final case class UuidLit(value: String) extends Literal
   /** 0x... hex blob literal (Parser.g HEXNUMBER). */
   final case class BlobLit(bytes: Array[Byte]) extends Literal { def value: Any = bytes }
+  /** duration literal 1y2mo3d4h5m6s (Parser.g durationUnit). */
+  final case class DurationLit(months: Int, days: Int, nanos: Long) extends Literal {
+    def value: Any = s"${months}mo${days}d${nanos}ns"
+  }
   case object NullLit extends Literal { val value: Any = null }
   /** positional bind marker `?` (Parser.g:41-74; bound at EXECUTE time) */
   final case class BindMarker(index: Int) extends Literal {
@@ -170,6 +180,12 @@ object Ast {
     */
   final case class SliceRef(name: String, from: Option[Literal],
                             to: Option[Literal]) extends SelExpr
+  /** collection/tuple constructors in selection (Parser.g:361-403;
+    * ListSelector/SetSelector/MapSelector/TupleSelector.java). kind ∈
+    * list/set/tuple for Ctor; maps get their own node.
+    */
+  final case class CollectionCtor(kind: String, items: Seq[SelExpr]) extends SelExpr
+  final case class MapCtor(pairs: Seq[(SelExpr, SelExpr)]) extends SelExpr
 
   sealed trait Selector
   case object Star extends Selector

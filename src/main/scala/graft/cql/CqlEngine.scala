@@ -138,6 +138,9 @@ class CqlEngine(val spark: SparkSession) {
     case CqlUuid | CqlTimeuuid => StringType
     case CqlBlob => BinaryType
     case CqlInet => StringType
+    case CqlDuration => StructType(Seq(
+      StructField("months", IntegerType), StructField("days", IntegerType),
+      StructField("nanos", LongType)))
     case CqlCounter => LongType
     case CqlList(e) => ArrayType(sparkType(e))
     case CqlSet(e) => ArrayType(sparkType(e))
@@ -379,6 +382,15 @@ class CqlEngine(val spark: SparkSession) {
       } else udts(u.typeName) = u
       emptyResult
     case CreateTable(td, ifNotExists) =>
+      // durations are not comparable: never a PK part, set element or map
+      // key (DurationType.isCompatibleWith → false for ordered positions)
+      td.primaryKey.find(_.tpe == CqlDuration).foreach(c =>
+        throw InvalidRequest(s"duration type is not supported for PRIMARY KEY column '${c.name}'"))
+      td.columns.map(_.tpe).foreach {
+        case CqlSet(CqlDuration) | CqlMap(CqlDuration, _) =>
+          throw InvalidRequest("Durations are not allowed as set elements or map keys")
+        case _ =>
+      }
       if (tables.contains(td.name)) {
         if (!ifNotExists) throw InvalidRequest(s"Table ${td.name} already exists")
       } else {
@@ -605,6 +617,10 @@ class CqlEngine(val spark: SparkSession) {
     case (UuidLit(v), CqlTimeuuid) => vv(CqlValues.parseTimeUuid(v))
     case (StringLit(v), CqlTimeuuid) => vv(CqlValues.parseTimeUuid(v))
     case (BlobLit(b), CqlBlob) => b
+    case (DurationLit(mo, d, n), CqlDuration) => Row(mo, d, n)
+    case (StringLit(v), CqlDuration) =>
+      CqlValues.parseDuration(v).map { case (mo, d, n) => Row(mo, d, n) }
+        .getOrElse(throw InvalidRequest(s"Unable to convert '$v' to a duration"))
     case (StringLit(v), CqlInet) => vv(CqlValues.parseInet(v))
     case (CounterDeltaLit(d), CqlCounter) => d
     case (_, CqlCounter) =>
@@ -1511,6 +1527,14 @@ class CqlEngine(val spark: SparkSession) {
     res
   }
 
+  private def isTemporal(t: Option[CqlType]): Boolean =
+    t.contains(CqlTimestamp) || t.contains(CqlDate)
+
+  /** duration struct → calendar interval (nanos narrow to micros). */
+  private def durInterval(d: Column): Column =
+    make_interval(lit(0), d("months"), lit(0), d("days"), lit(0), lit(0),
+      d("nanos").cast("decimal(38,9)") / lit(1000000000L))
+
   /** Sort expression honoring the column type's comparator: timeuuid orders
     * by embedded time (sort key), everything else by its Spark-native order.
     */
@@ -1550,6 +1574,8 @@ class CqlEngine(val spark: SparkSession) {
     case CastCall(x, _) => containsAgg(x)
     case Arith(_, l, r) => containsAgg(l) || containsAgg(r)
     case Neg(x) => containsAgg(x)
+    case CollectionCtor(_, items) => items.exists(containsAgg)
+    case MapCtor(ps) => ps.exists { case (k, v) => containsAgg(k) || containsAgg(v) }
     case _ => false
   }
 
@@ -1574,6 +1600,8 @@ class CqlEngine(val spark: SparkSession) {
     case FieldRef(n, f) => s"$n.$f"
     case SliceRef(n, f, t) =>
       s"$n[${f.map(x => String.valueOf(x.value)).getOrElse("")}..${t.map(x => String.valueOf(x.value)).getOrElse("")}]"
+    case CollectionCtor(k, items) => s"${k}_${items.map(exprName).mkString("_")}"
+    case MapCtor(ps) => s"map_${ps.map(p => exprName(p._1)).mkString("_")}"
   }
 
   /** CQL numeric type promotion for arithmetic (OperationFcts.java:36-185):
@@ -1599,9 +1627,14 @@ class CqlEngine(val spark: SparkSession) {
     case LitRef(BoolLit(_)) => Some(CqlBoolean)
     case LitRef(UuidLit(_)) => Some(CqlUuid)
     case LitRef(BlobLit(_)) => Some(CqlBlob)
+    case LitRef(DurationLit(_, _, _)) => Some(CqlDuration)
     case LitRef(_) | StarRef => None
     case CastCall(_, t) => Some(t)
     case Neg(x) => exprType(td, x)
+    case Arith(_, l, r) if isTemporal(exprType(td, l)) && exprType(td, r).contains(CqlDuration) =>
+      exprType(td, l)
+    case Arith(_, l, r) if exprType(td, l).contains(CqlDuration) && isTemporal(exprType(td, r)) =>
+      exprType(td, r)
     case Arith(_, l, r) =>
       for { a <- exprType(td, l); b <- exprType(td, r) } yield promote(a, b)
     case ElementRef(n, _) => td.column(n).map(_.tpe).collect {
@@ -1612,6 +1645,7 @@ class CqlEngine(val spark: SparkSession) {
       case CqlUdt(_, fields) => fields.collectFirst { case (`f`, t) => t }
     }.flatten
     case SliceRef(n, _, _) => td.column(n).map(_.tpe)
+    case CollectionCtor(_, _) | MapCtor(_) => None
     case FnCall(f, args) => f match {
       case "count" | "tounixtimestamp" | "unixtimestampof" | "token" | "writetime" => Some(CqlBigint)
       case "sum" | "min" | "max" | "avg" => args.headOption.flatMap(exprType(td, _))
@@ -1662,6 +1696,8 @@ class CqlEngine(val spark: SparkSession) {
         if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
         col(n)
       case LitRef(IntLit(v)) => if (v.isValidInt) lit(v.toInt) else lit(v)
+      case LitRef(DurationLit(mo, d, n)) =>
+        struct(lit(mo).as("months"), lit(d).as("days"), lit(n).as("nanos"))
       case LitRef(NullLit) => lit(null)
       case LitRef(BindMarker(i)) => throw InvalidRequest(s"unbound marker $i")
       case LitRef(l) => lit(l.value)
@@ -1701,6 +1737,17 @@ class CqlEngine(val spark: SparkSession) {
           case other => throw InvalidRequest(
             s"Invalid field selection: $n of type ${other.name} is not a user type")
         }
+      // collection/tuple constructors in selection (ListSelector/
+      // SetSelector/MapSelector/TupleSelector): sets sort+dedup like stored
+      // sets, tuples take positional struct fields like stored tuples
+      case CollectionCtor("list", items) => array(items.map(rec): _*)
+      case CollectionCtor("set", items) =>
+        array_sort(array_distinct(array(items.map(rec): _*)))
+      case CollectionCtor("tuple", items) =>
+        struct(items.zipWithIndex.map { case (it, i) => rec(it).as(s"f$i") }: _*)
+      case CollectionCtor(k, _) => throw InvalidRequest(s"unknown constructor $k")
+      case MapCtor(pairs) =>
+        map(pairs.flatMap { case (k, v) => Seq(rec(k), rec(v)) }: _*)
       case CastCall(x, t @ (CqlText | CqlAscii)) =>
         // cast-to-text produces the CQL literal form (CastAsTextFunction →
         // serializer.toCQLLiteral), not Spark's default rendering, where
@@ -1723,6 +1770,19 @@ class CqlEngine(val spark: SparkSession) {
         }
       case CastCall(x, t) => rec(x).cast(sparkType(t))
       case Neg(x) => -rec(x)
+      case Arith(op @ ("+" | "-"), l, r)
+          if isTemporal(exprType(td, l)) && exprType(td, r).contains(CqlDuration) =>
+        // ts ± duration (OperationFcts temporal arithmetic): months/days go
+        // through a calendar interval so month lengths are honored; nanos
+        // narrow to micros (documented in SURVEY §1.2)
+        val iv = durInterval(rec(r))
+        val base = rec(l)
+        val res = if (op == "+") base.cast(TimestampType) + iv else base.cast(TimestampType) - iv
+        if (exprType(td, l).contains(CqlDate)) res.cast(DateType) else res
+      case Arith("+", l, r)
+          if exprType(td, l).contains(CqlDuration) && isTemporal(exprType(td, r)) =>
+        val res = rec(r).cast(TimestampType) + durInterval(rec(l))
+        if (exprType(td, r).contains(CqlDate)) res.cast(DateType) else res
       case Arith(op, l, r) =>
         val (lc, rc) = (rec(l), rec(r))
         val rt = for { a <- exprType(td, l); b <- exprType(td, r) } yield promote(a, b)

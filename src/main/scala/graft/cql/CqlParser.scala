@@ -147,8 +147,20 @@ object CqlParser {
         case other => throw ParseException(s"expected number after '-', got $other")
       }
       case Num(t) =>
-        if (t.contains('.') || t.toLowerCase.contains('e')) DoubleLit(t.toDouble)
-        else IntLit(t.toLong)
+        // a number directly followed by unit identifiers is a duration
+        // literal (1h, 2mo3d...; tokenizer splits them Num+Ident)
+        val durTail = peek match {
+          case Some(Ident(u)) => CqlValues.parseDuration(t + u)
+          case _ => None
+        }
+        durTail match {
+          case Some((mo, d, n)) if !t.contains('.') =>
+            next() // consume the unit tail
+            DurationLit(mo, d, n)
+          case _ =>
+            if (t.contains('.') || t.toLowerCase.contains('e')) DoubleLit(t.toDouble)
+            else IntLit(t.toLong)
+        }
       case Str(t) => StringLit(t)
       case UuidTok(t) => UuidLit(t.toLowerCase)
       case HexTok(t) => BlobLit(CqlValues.parseBlob(t))
@@ -210,7 +222,7 @@ object CqlParser {
     "decimal" -> CqlDecimal, "varint" -> CqlVarint,
     "timestamp" -> CqlTimestamp, "date" -> CqlDate, "time" -> CqlTime,
     "uuid" -> CqlUuid, "timeuuid" -> CqlTimeuuid,
-    "blob" -> CqlBlob, "inet" -> CqlInet)
+    "blob" -> CqlBlob, "inet" -> CqlInet, "duration" -> CqlDuration)
 
   private def parseType(p: P): CqlType = {
     val tn = p.ident()
@@ -716,7 +728,54 @@ object CqlParser {
   private val literalWords = Set("true", "false", "null")
 
   private def parsePrimary(p: P): SelExpr = p.peek match {
-    case Some(Sym("(")) => p.sym("("); val e = parseSelExpr(p); p.sym(")"); e
+    case Some(Sym("(")) =>
+      p.sym("(")
+      // three "(": type hint (int)x, tuple constructor (a, b), grouping (e)
+      val isTypeHint = (p.peek, p.peekAt(1)) match {
+        case (Some(Ident(t)), Some(Sym(")"))) =>
+          types.contains(t.toLowerCase) || p.udts.contains(t.toLowerCase)
+        case _ => false
+      }
+      if (isTypeHint) {
+        val tpe = parseType(p); p.sym(")")
+        CastCall(parseFactor(p), tpe)
+      } else {
+        val e = parseSelExpr(p)
+        if (p.trySym(",")) {
+          var items = Vector(e, parseSelExpr(p))
+          while (p.trySym(",")) items :+= parseSelExpr(p)
+          p.sym(")")
+          CollectionCtor("tuple", items)
+        } else { p.sym(")"); e }
+      }
+    case Some(Sym("[")) =>
+      p.sym("[")
+      var items = Vector.empty[SelExpr]
+      if (!p.trySym("]")) {
+        items :+= parseSelExpr(p)
+        while (p.trySym(",")) items :+= parseSelExpr(p)
+        p.sym("]")
+      }
+      CollectionCtor("list", items)
+    case Some(Sym("{")) =>
+      p.sym("{")
+      if (p.trySym("}")) CollectionCtor("set", Seq.empty)
+      else {
+        val first = parseSelExpr(p)
+        if (p.trySym(":")) {
+          var pairs = Vector(first -> parseSelExpr(p))
+          while (p.trySym(",")) {
+            val k = parseSelExpr(p); p.sym(":"); pairs :+= (k -> parseSelExpr(p))
+          }
+          p.sym("}")
+          MapCtor(pairs)
+        } else {
+          var items = Vector(first)
+          while (p.trySym(",")) items :+= parseSelExpr(p)
+          p.sym("}")
+          CollectionCtor("set", items)
+        }
+      }
     case Some(Ident(t)) if !literalWords.contains(t.toLowerCase) =>
       val id = p.ident()
       if (id == "cast" && p.trySym("(")) {

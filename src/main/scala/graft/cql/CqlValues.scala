@@ -85,6 +85,34 @@ object CqlValues {
 
   def blobHex(b: Array[Byte]): String = "0x" + b.map("%02x".format(_)).mkString
 
+  // ── duration: 1y2mo3d4h5m6s7ms8us9ns (cql3/Duration.java:72-94) ───────
+  private val DurUnitRe = "(\\d+)(y|mo|w|d|h|ms|us|ns|m|s)".r
+  private val DurAllRe = "^(\\d+(y|mo|w|d|h|ms|us|ns|m|s))+$"
+
+  /** (months, days, nanos) of a duration string, None if not one. */
+  def parseDuration(s: String): Option[(Int, Int, Long)] = {
+    if (!s.matches(DurAllRe)) None
+    else {
+      var months = 0; var days = 0; var nanos = 0L
+      DurUnitRe.findAllMatchIn(s).foreach { m =>
+        val n = m.group(1).toLong
+        m.group(2) match {
+          case "y" => months += (n * 12).toInt
+          case "mo" => months += n.toInt
+          case "w" => days += (n * 7).toInt
+          case "d" => days += n.toInt
+          case "h" => nanos += n * 3600000000000L
+          case "m" => nanos += n * 60000000000L
+          case "s" => nanos += n * 1000000000L
+          case "ms" => nanos += n * 1000000L
+          case "us" => nanos += n * 1000L
+          case "ns" => nanos += n
+        }
+      }
+      Some((months, days, nanos))
+    }
+  }
+
   // ── inet: IPv4/IPv6 literal, stored normalized-lowercase ──────────────
   private val Ipv4Re = """^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$""".r
   private val Ipv6Re = """^[0-9a-fA-F:]{2,39}$""".r

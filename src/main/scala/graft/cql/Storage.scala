@@ -80,6 +80,7 @@ object Storage {
       case "timeuuid" => CqlTimeuuid
       case "blob" => CqlBlob
       case "inet" => CqlInet
+      case "duration" => CqlDuration
       case "counter" => CqlCounter
       case other => throw new IllegalArgumentException(s"unknown stored type $other")
     }
