@@ -313,6 +313,63 @@ object Queries {
           "tounixtimestamp(o_orderdate) AS ms FROM cql_odate")
       }),
 
+    QueryDef("q_cql_group",
+      // GROUP BY pk-prefix + typed aggregates through the engine; money
+      // sums routed through decimal inside CQL (cast matrix) for
+      // cross-engine exactness
+      // oracle money sum at DECIMAL(18,2): DuckDB's cast to scale 18 would
+      // expand the double's binary tail, Spark's uses shortest-repr — at
+      // scale 2 both land on the exact cents value
+      Some("""SELECT o_custkey, count(*) AS cnt,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                     CAST(max(o_totalprice) AS DOUBLE) AS top
+              FROM orders WHERE o_orderkey < 2000 GROUP BY o_custkey ORDER BY o_custkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_og (o_custkey bigint, o_orderkey bigint, o_totalprice double, PRIMARY KEY (o_custkey, o_orderkey))")
+        t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select("o_custkey", "o_orderkey", "o_totalprice").collect().foreach { r =>
+            e.execute(s"INSERT INTO cql_og (o_custkey, o_orderkey, o_totalprice) VALUES (${r.getLong(0)}, ${r.getLong(1)}, ${r.getDouble(2)})")
+          }
+        e.execute("SELECT o_custkey, count(*) AS cnt, " +
+          "cast(sum(cast(o_totalprice AS decimal)) AS double) AS total, " +
+          "max(o_totalprice) AS top FROM cql_og GROUP BY o_custkey")
+      }),
+
+    QueryDef("q_cql_ppl",
+      // PER PARTITION LIMIT through the engine clustering order
+      Some("""SELECT o_custkey, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+                FROM orders WHERE o_orderkey < 2000) t
+              WHERE rn <= 2 ORDER BY o_custkey, o_orderkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_op (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
+        t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select("o_custkey", "o_orderkey").collect().foreach { r =>
+            e.execute(s"INSERT INTO cql_op (o_custkey, o_orderkey) VALUES (${r.getLong(0)}, ${r.getLong(1)})")
+          }
+        e.execute("SELECT o_custkey, o_orderkey FROM cql_op PER PARTITION LIMIT 2")
+      }),
+
+    QueryDef("q_cql_writetime",
+      // writetime() through the engine, with USING TIMESTAMP carrying the
+      // source event time in micros
+      Some("""SELECT o_orderkey, epoch_us(o_orderdate) AS wt FROM orders
+              WHERE o_orderkey < 400 ORDER BY o_orderkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_wt (o_orderkey bigint PRIMARY KEY, o_totalprice double)")
+        t(s, d, "orders").filter(col("o_orderkey") < 400)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+          .collect().foreach { r =>
+            e.execute(s"INSERT INTO cql_wt (o_orderkey, o_totalprice) VALUES (${r.getLong(0)}, ${r.getDouble(1)}) USING TIMESTAMP ${r.getLong(2)}")
+          }
+        e.execute("SELECT o_orderkey, writetime(o_totalprice) AS wt FROM cql_wt")
+      }),
+
     QueryDef("q_cql_mv",
       // CREATE MATERIALIZED VIEW re-keyed batch read through the engine:
       // orders re-keyed by (o_custkey, o_orderkey), low-key slice
