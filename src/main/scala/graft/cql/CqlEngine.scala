@@ -736,6 +736,17 @@ class CqlEngine(val spark: SparkSession) {
     */
   var autoFlushRows: Int = 50000
 
+  /** CDC mode (CommitLogSegmentManagerCDC): when on, compact() ARCHIVES
+    * consumed segments into `<table>/cdc/` instead of deleting them, so a
+    * streaming consumer (`MutationStream.engineCdc`) can still drain the
+    * full mutation history; consumers truncate `cdc/` when done, like the
+    * reference's cdc_raw contract.
+    */
+  var cdcEnabled: Boolean = false
+
+  /** Public mutation-record schema of a table's log (for CDC consumers). */
+  def mutationSchema(name: String): StructType = logSchema(table(name))
+
   private def appendMutation(name: String, row: Row): Unit = {
     logs(name) += row
     if (storageDir.isDefined && logs(name).size >= autoFlushRows) flush(name)
@@ -1247,8 +1258,22 @@ class CqlEngine(val spark: SparkSession) {
     if (ck.isDirectory) deleteRec(ck)
     if (!tmp.renameTo(ck))
       throw new java.io.IOException(s"could not activate checkpoint for $name")
+    // before dropping the tail, flush it so CDC consumers see every record
+    if (cdcEnabled && logs(name).nonEmpty) flush(name)
     val segs = new java.io.File(tdir, "segments")
-    if (segs.isDirectory) deleteRec(segs)
+    if (segs.isDirectory) {
+      if (cdcEnabled) {
+        // archive consumed segments for CDC draining (cdc_raw contract)
+        val cdc = new java.io.File(tdir, "cdc")
+        cdc.mkdirs()
+        Option(segs.listFiles()).foreach(_.filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            if (!f.renameTo(new java.io.File(cdc, s"seg${System.nanoTime()}_${f.getName}")))
+              throw new java.io.IOException(s"could not archive segment ${f.getName}")
+          })
+      }
+      deleteRec(segs)
+    }
     logs(name).clear()
     // segments carried the ts high-water mark for restarts; the checkpoint
     // must carry it now

@@ -67,4 +67,18 @@ object MutationStream {
     events
       .withWatermark("ts_ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
+
+  /** CDC over a [[graft.cql.CqlEngine]] table's own mutation log: streams
+    * the durable segments PLUS the compaction-archived `cdc/` directory
+    * (reference `CommitLogSegmentManagerCDC` keeps consumed segments in
+    * cdc_raw until drained), so a compact() between micro-batches never
+    * loses mutations. Schema = `engine.mutationSchema(table)`; every record
+    * carries `_op`/`_ts`/`_ttl` plus per-column cell values.
+    */
+  def engineCdc(spark: SparkSession, storageDir: String, table: String,
+                schema: StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      // glob over live segments and the compaction archive
+      .parquet(s"$storageDir/$table/{segments,cdc}")
 }

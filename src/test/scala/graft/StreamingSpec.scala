@@ -47,6 +47,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("engine CDC stream survives compaction (cdc_raw archiving)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val e = new graft.cql.CqlEngine(spark)
+    e.attachStorage(dir)
+    e.cdcEnabled = true
+    e.execute("CREATE TABLE cdc1 (k int PRIMARY KEY, v int)")
+    for (k <- 1 to 10) e.execute(s"INSERT INTO cdc1 (k, v) VALUES ($k, $k)")
+    e.flush("cdc1")
+    for (k <- 11 to 15) e.execute(s"INSERT INTO cdc1 (k, v) VALUES ($k, $k)")
+    // compact consumes segments + tail; with CDC on they archive, not drop
+    e.compact("cdc1")
+    for (k <- 16 to 20) e.execute(s"INSERT INTO cdc1 (k, v) VALUES ($k, $k)")
+    e.flush("cdc1")
+    val stream = MutationStream.engineCdc(spark, dir, "cdc1", e.mutationSchema("cdc1"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("cdc_out").start()
+    try {
+      q.processAllAvailable()
+      // the full mutation history is visible: pre-compact (archived) and
+      // post-compact segments
+      assert(spark.sql("SELECT count(*) FROM cdc_out").collect().head.getLong(0) === 20L)
+      assert(spark.sql("SELECT count(DISTINCT k) FROM cdc_out").collect().head.getLong(0) === 20L)
+    } finally q.stop()
+  }
+
   test("streaming LWW dedup emits at most one row per key") {
     val stream = MutationStream.eventStream(spark, logDir)
     val q = MutationStream.lwwStream(stream)
