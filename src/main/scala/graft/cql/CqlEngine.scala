@@ -617,6 +617,7 @@ class CqlEngine(val spark: SparkSession) {
     case (UuidLit(v), CqlTimeuuid) => vv(CqlValues.parseTimeUuid(v))
     case (StringLit(v), CqlTimeuuid) => vv(CqlValues.parseTimeUuid(v))
     case (BlobLit(b), CqlBlob) => b
+    case (StringLit(v), CqlBlob) => vv(CqlValues.parseBlob(v))
     case (DurationLit(mo, d, n), CqlDuration) => Row(mo, d, n)
     case (StringLit(v), CqlDuration) =>
       CqlValues.parseDuration(v).map { case (mo, d, n) => Row(mo, d, n) }
@@ -1548,12 +1549,36 @@ class CqlEngine(val spark: SparkSession) {
     val projected = out.select(s.selectors.flatMap(lowerRowSelector(td, _)): _*)
     var res = projected
     s.limit.foreach(n => res = res.limit(checkLimit(n)))
-    if (s.json) res = res.select(to_json(struct(res.columns.map(col): _*)).as("[json]"))
+    if (s.json) {
+      // SELECT JSON renders each column in its CQL toJson form (Json.java):
+      // timestamps as "yyyy-mm-dd HH:mm:ss.SSSZ" strings, time as the
+      // literal form, blobs as 0x-hex — not Spark's default JSON encoding
+      val outTypes: Seq[Option[CqlType]] = s.selectors.flatMap {
+        case Star => td.columns.map(c => Some(c.tpe))
+        case ExprSel(e2, _) => Seq(exprType(td, e2))
+      }
+      val jsonCols = res.columns.zip(outTypes).map { case (n, t) =>
+        (t match {
+          case Some(CqlTimestamp) => date_format(col(n), "yyyy-MM-dd HH:mm:ss.SSS'Z'")
+          case Some(CqlTime) => timeText(col(n))
+          case Some(CqlBlob) => concat(lit("0x"), lower(hex(col(n))))
+          case _ => col(n)
+        }).as(n)
+      }
+      res = res.select(to_json(struct(jsonCols: _*)).as("[json]"))
+    }
     res
   }
 
   private def isTemporal(t: Option[CqlType]): Boolean =
     t.contains(CqlTimestamp) || t.contains(CqlDate)
+
+  /** nanos-of-day → CQL time literal text (TimeSerializer format). */
+  private def timeText(n: Column): Column =
+    format_string("%02d:%02d:%02d.%09d",
+      (n / lit(3600000000000L)).cast("long"),
+      (n / lit(60000000000L)).cast("long") % 60,
+      (n / lit(1000000000L)).cast("long") % 60, n % lit(1000000000L))
 
   /** duration struct → calendar interval (nanos narrow to micros). */
   private def durInterval(d: Column): Column =
@@ -1780,12 +1805,7 @@ class CqlEngine(val spark: SparkSession) {
         exprType(td, x) match {
           case Some(CqlTimestamp) =>
             date_format(rec(x), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-          case Some(CqlTime) =>
-            val n = rec(x)
-            format_string("%02d:%02d:%02d.%09d",
-              (n / lit(3600000000000L)).cast("long"),
-              (n / lit(60000000000L)).cast("long") % 60,
-              (n / lit(1000000000L)).cast("long") % 60, n % lit(1000000000L))
+          case Some(CqlTime) => timeText(rec(x))
           case Some(CqlDecimal) =>
             // our decimals carry a fixed scale of 18; the CQL literal drops
             // the zero tail (BigDecimal.toPlainString of the exact value)

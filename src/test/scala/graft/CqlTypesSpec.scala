@@ -124,6 +124,23 @@ class CqlTypesSpec extends SparkSpec {
     assert(rowsInOrder(e.execute("SELECT s FROM s2")).head.head === Seq(2, 5, 10))
   }
 
+  test("SELECT JSON / INSERT JSON round-trip the new types in CQL forms") {
+    val e = mkEngine
+    e.execute("CREATE TABLE js1 (k int PRIMARY KEY, ts timestamp, t time, b blob, u uuid)")
+    e.execute("INSERT INTO js1 (k, ts, t, b, u) VALUES " +
+      "(1, '2011-02-03 04:05:00.250Z', '08:12:54.123456789', 0xCAFE, 550e8400-e29b-41d4-a716-446655440000)")
+    val js = e.execute("SELECT JSON k, ts, t, b, u FROM js1").collect().head.getString(0)
+    assert(js.contains(""""ts":"2011-02-03 04:05:00.250Z""""), js)
+    assert(js.contains(""""t":"08:12:54.123456789""""), js)
+    assert(js.contains(""""b":"0xcafe""""), js)
+    assert(js.contains(""""u":"550e8400-e29b-41d4-a716-446655440000""""), js)
+    // INSERT JSON accepts the same string forms back
+    e.execute("""INSERT INTO js1 JSON '{"k": 2, "ts": "2011-02-03 04:05:00.250Z", "b": "0xCAFE"}'""")
+    val r = rowsInOrder(e.execute("SELECT ts, b FROM js1 WHERE k = 2")).head
+    assert(r(0).asInstanceOf[java.sql.Timestamp].getTime === 1296705900250L)
+    assert(CqlValues.blobHex(r(1).asInstanceOf[Array[Byte]]) === "0xcafe")
+  }
+
   test("failed LWT returns [applied]=false plus current values") {
     val e = mkEngine
     e.execute("CREATE TABLE lw1 (k int PRIMARY KEY, v int, w text)")
