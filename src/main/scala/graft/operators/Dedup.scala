@@ -106,23 +106,51 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
+  /** Candidate verification by per-doc shingle-set intersection: the pair
+    * list joins each side's shingle array once (candidates are few; each
+    * doc's array ships once per side), and jaccard = |a∩b|/(|a|+|b|-|a∩b|)
+    * — the same arithmetic as [[jaccardOfPairs]], without re-joining the
+    * full exploded shingle table per side.
+    */
+  private def verifyByShingleSets(cands: DataFrame, perDoc: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cands
+      .join(perDoc.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+      .join(perDoc.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      .select(col("a"), col("b"),
+        round(inter * lit(1.0) / (size(col("sa")) + size(col("sb")) - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Full MinHash+LSH dedup: candidates by banding, verified by exact
     * Jaccard on candidate pairs only. Output identical in shape (and, when
     * band/row parameters give ~1.0 recall at the threshold, in content) to
     * [[ngramJaccardPairs]] — but the join is on constant-size band keys, not
     * on raw shingles, so it scales to corpora where the shingle join would
-    * fan out.
+    * fan out. ONE aggregation pass computes signatures and shingle sets, so
+    * the exploded table is consumed exactly once — no cache to spill at
+    * 100 TB.
     */
   def minhashLsh(docs: DataFrame, id: String, text: String, k: Int,
                  threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sh = explodedShingles(docs, id, text, k).cache()
-    val cands = lshCandidates(lshBuckets(minhashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand))
-    val common = sh.as("x")
-      .join(cands.as("p"), col("x.doc_id") === col("p.a"))
-      .join(sh.as("y"), col("y.doc_id") === col("p.b") && col("y.s") === col("x.s"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("c"))
-    jaccardOfPairs(sh, common, threshold)
+    val sh = explodedShingles(docs, id, text, k)
+    // the shingle SET rides as the already-computed 64-bit murmurs — an
+    // 8-byte element instead of the string (collision odds ~n²/2^64,
+    // negligible against the 6dp jaccard rounding)
+    val perDoc = sh
+      .withColumn("h1", murmur64(col("s"), lit(1L)))
+      .withColumn("h2", murmur64(col("s"), lit(2L)))
+      .groupBy("doc_id")
+      .agg(call_function("minhash_agg", col("h1"), col("h2"),
+        lit(bands * rowsPerBand)).as("sig"),
+        collect_list(col("h1")).as("shingles"))
+      // reused by banding + both verify sides; spillable, and ~8B/shingle
+      // per doc — the compact stage table a production pipeline would
+      // materialize, NOT the exploded string shingles
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(lshBuckets(perDoc.select("doc_id", "sig"), bands, rowsPerBand))
+    verifyByShingleSets(cands, perDoc.select("doc_id", "shingles"), threshold)
   }
 
   /** 64-bit SimHash from per-shingle murmurs: bit j of the signature is set
@@ -138,12 +166,18 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: String, text: String, k: Int,
                    maxHamming: Int, threshold: Double): DataFrame = {
-    val sh = explodedShingles(docs, id, text, k).cache()
-    val sig = simhashSignatures(sh)
+    val sh = explodedShingles(docs, id, text, k)
+    // one aggregation pass: simhash signature + the doc's hashed shingle set
+    val perDoc = sh
+      .withColumn("h", murmur64(col("s"), lit(0x51c0L)))
+      .groupBy("doc_id")
+      .agg(call_function("simhash_agg", col("h")).as("simhash"),
+        collect_list(col("h")).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("ci"), shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xffffL)).as("cv"))
     }
-    val chunked = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ch"))
+    val chunked = perDoc.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
     val cands = chunked.as("x").join(chunked.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
@@ -151,11 +185,6 @@ object Dedup {
       .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val common = sh.as("x")
-      .join(cands.as("p"), col("x.doc_id") === col("p.a"))
-      .join(sh.as("y"), col("y.doc_id") === col("p.b") && col("y.s") === col("x.s"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("c"))
-    jaccardOfPairs(sh, common, threshold)
+    verifyByShingleSets(cands, perDoc.select("doc_id", "shingles"), threshold)
   }
 }
