@@ -1408,9 +1408,10 @@ class CqlEngine(val spark: SparkSession) {
         if (cols0 != td.partitionKey.map(_.name))
           throw InvalidRequest(
             s"The token function arguments must be in the partition key order: ${td.partitionKey.map(_.name).mkString(", ")}")
+        val tokIns = cols0.map(c => tokenInput(td.column(c).get))
         val tok =
-          if (cols0.length == 1) F.cassandra_token(col(cols0.head))
-          else call_function("cassandra_token", cols0.map(col): _*)
+          if (tokIns.length == 1) F.cassandra_token(tokIns.head)
+          else call_function("cassandra_token", tokIns: _*)
         val lcol = lit(v.value)
         filters :+= (op match {
           case "=" => tok === lcol
@@ -1568,6 +1569,25 @@ class CqlEngine(val spark: SparkSession) {
       res = res.select(to_json(struct(jsonCols: _*)).as("[json]"))
     }
     res
+  }
+
+  /** Column pre-serialized to the type's CQL wire bytes where the token
+    * expression doesn't natively cover the Spark type — the Murmur3
+    * partitioner hashes the marshal serialization (8-byte millis for
+    * timestamps, 16-byte uuids, 2^31-centered day counts, ...).
+    */
+  private def tokenInput(cd: ColumnDef): Column = cd.tpe match {
+    case CqlInt | CqlBigint | CqlText | CqlAscii | CqlBlob => col(cd.name)
+    case CqlTimestamp => call_function("bigint_as_blob", unix_millis(col(cd.name)))
+    case CqlTime | CqlCounter => call_function("bigint_as_blob", col(cd.name))
+    case CqlSmallint => call_function("smallint_as_blob", col(cd.name))
+    case CqlTinyint => call_function("tinyint_as_blob", col(cd.name))
+    case CqlDouble => call_function("double_as_blob", col(cd.name))
+    case CqlFloat => call_function("float_as_blob", col(cd.name))
+    case CqlBoolean => call_function("boolean_as_blob", col(cd.name))
+    case CqlUuid | CqlTimeuuid => call_function("uuid_as_blob", col(cd.name))
+    case CqlDate => call_function("date_as_blob", unix_date(col(cd.name)))
+    case other => throw InvalidRequest(s"token() is not supported on type ${other.name}")
   }
 
   private def isTemporal(t: Option[CqlType]): Boolean =
@@ -1851,8 +1871,13 @@ class CqlEngine(val spark: SparkSession) {
       case FnCall("ttl", Seq(ColRef(c))) =>
         requireCell(td, c, "ttl"); col("_ttlr_" + c)
       case FnCall("token", args) if args.nonEmpty =>
-        if (args.length == 1) F.cassandra_token(rec(args.head))
-        else call_function("cassandra_token", args.map(rec): _*)
+        val ins = args.map {
+          case ColRef(cn) => tokenInput(td.column(cn).getOrElse(
+            throw InvalidRequest(s"Undefined column name $cn")))
+          case other => rec(other)
+        }
+        if (ins.length == 1) F.cassandra_token(ins.head)
+        else call_function("cassandra_token", ins: _*)
       // ── TimeFcts (reference cql3/functions/TimeFcts.java) ──
       case FnCall("now", Seq()) | FnCall("currenttimeuuid", Seq()) =>
         lit(graft.functions.TimeUuid.minTimeUuid(nowMs))

@@ -16,6 +16,20 @@ object BlobConversions {
   def booleanAsBlob(v: Boolean): Array[Byte] = Array(if (v) 1.toByte else 0.toByte)
   def textAsBlob(v: String): Array[Byte] = v.getBytes(StandardCharsets.UTF_8)
 
+  def smallintAsBlob(v: Short): Array[Byte] = ByteBuffer.allocate(2).putShort(v).array()
+  def tinyintAsBlob(v: Byte): Array[Byte] = Array(v)
+  /** 16-byte uuid wire form (UUIDType serialization). */
+  def uuidAsBlob(v: String): Array[Byte] = {
+    val u = java.util.UUID.fromString(v)
+    ByteBuffer.allocate(16).putLong(u.getMostSignificantBits)
+      .putLong(u.getLeastSignificantBits).array()
+  }
+  /** 4-byte unsigned day count centered at 2^31 (SimpleDateType wire form);
+    * input is days since unix epoch.
+    */
+  def dateAsBlob(days: Int): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(days + Int.MinValue).array()
+
   def blobAsInt(b: Array[Byte]): Int = ByteBuffer.wrap(b).getInt
   def blobAsBigint(b: Array[Byte]): Long = ByteBuffer.wrap(b).getLong
   def blobAsDouble(b: Array[Byte]): Double = ByteBuffer.wrap(b).getDouble

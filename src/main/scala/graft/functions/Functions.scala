@@ -70,6 +70,10 @@ object Functions {
     spark.udf.register("blob_as_float", udf(blobAsFloat _))
     spark.udf.register("blob_as_boolean", udf(blobAsBoolean _))
     spark.udf.register("blob_as_text", udf(blobAsText _))
+    spark.udf.register("smallint_as_blob", udf(smallintAsBlob _))
+    spark.udf.register("tinyint_as_blob", udf(tinyintAsBlob _))
+    spark.udf.register("uuid_as_blob", udf(uuidAsBlob _))
+    spark.udf.register("date_as_blob", udf(dateAsBlob _))
     spark.udf.register("uuid_v4", udf(() => TimeUuid.randomUuid()).asNondeterministic())
   }
 

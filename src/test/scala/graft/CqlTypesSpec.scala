@@ -156,6 +156,23 @@ class CqlTypesSpec extends SparkSpec {
     assert(rowsInOrder(dup) === Seq(Seq(false, 1, 99, "x")))
   }
 
+  test("token() hashes the marshal wire form for every PK type") {
+    import graft.functions.{BlobConversions => B, CassandraMurmur3 => M}
+    val e = mkEngine
+    e.execute("CREATE TABLE tk1 (u uuid PRIMARY KEY, v int)")
+    e.execute("INSERT INTO tk1 (u, v) VALUES (550e8400-e29b-41d4-a716-446655440000, 1)")
+    val uuidTok = e.execute("SELECT token(u) FROM tk1").collect().head.getLong(0)
+    assert(uuidTok === M.tokenOfBytes(B.uuidAsBlob("550e8400-e29b-41d4-a716-446655440000")))
+    e.execute("CREATE TABLE tk2 (t timestamp PRIMARY KEY, v int)")
+    e.execute("INSERT INTO tk2 (t, v) VALUES (1296705900000, 1)")
+    val tsTok = e.execute("SELECT token(t) FROM tk2").collect().head.getLong(0)
+    assert(tsTok === M.tokenOfBytes(B.bigintAsBlob(1296705900000L)))
+    e.execute("CREATE TABLE tk3 (d date PRIMARY KEY, v int)")
+    e.execute("INSERT INTO tk3 (d, v) VALUES ('1970-01-11', 1)")
+    val dTok = e.execute("SELECT token(d) FROM tk3").collect().head.getLong(0)
+    assert(dTok === M.tokenOfBytes(B.dateAsBlob(10)))
+  }
+
   test("LWT on timestamp/decimal columns compares by type order") {
     val e = mkEngine
     e.execute("CREATE TABLE lw2 (k int PRIMARY KEY, t timestamp, d decimal)")

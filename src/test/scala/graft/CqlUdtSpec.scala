@@ -62,6 +62,31 @@ class CqlUdtSpec extends SparkSpec {
     assert(got.map(_.toSeq) === Seq(Seq(1, 2), Seq(3, 4)))
   }
 
+  test("tuple as clustering column orders and ranges lexicographically") {
+    val e = mkEngine
+    e.execute("CREATE TABLE tc1 (k int, t frozen<tuple<int, text>>, v int, PRIMARY KEY (k, t))")
+    e.execute("INSERT INTO tc1 (k, t, v) VALUES (1, (2, 'b'), 1)")
+    e.execute("INSERT INTO tc1 (k, t, v) VALUES (1, (1, 'z'), 2)")
+    e.execute("INSERT INTO tc1 (k, t, v) VALUES (1, (2, 'a'), 3)")
+    // clustering order = lexicographic tuple order
+    assert(rowsInOrder(e.execute("SELECT v FROM tc1 WHERE k = 1")) ===
+      Seq(Seq(2), Seq(3), Seq(1)))
+    assert(rowsInOrder(e.execute("SELECT v FROM tc1 WHERE k = 1 AND t > (1, 'z')")) ===
+      Seq(Seq(3), Seq(1)))
+  }
+
+  test("nested UDTs resolve through the type catalog") {
+    val e = mkEngine
+    e.execute("CREATE TYPE inner_pt (x int, y int)")
+    e.execute("CREATE TYPE shape (name text, center frozen<inner_pt>)")
+    e.execute("CREATE TABLE nu1 (k int PRIMARY KEY, s frozen<shape>)")
+    e.execute("INSERT INTO nu1 (k, s) VALUES (1, {name: 'dot', center: {x: 3, y: 4}})")
+    val r = rowsInOrder(e.execute("SELECT s FROM nu1")).head.head
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(r.getString(0) === "dot")
+    assert(r.getStruct(1).toSeq === Seq(3, 4))
+  }
+
   test("multi-column tuple relations on clustering prefix") {
     val e = mkEngine
     e.execute("CREATE TABLE mc1 (k int, c1 int, c2 int, v int, PRIMARY KEY (k, c1, c2))")
