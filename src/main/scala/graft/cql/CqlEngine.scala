@@ -1941,7 +1941,9 @@ class CqlEngine(val spark: SparkSession) {
         val t = exprType(td, a)
         val raw = t match {
           case Some(CqlInt | CqlBigint | CqlSmallint | CqlTinyint | CqlCounter) =>
-            floor(coalesce(sum(c), lit(0)) / greatest(count(c), lit(1)))
+            // integer avg truncates TOWARD ZERO (AggregateFcts Java division
+            // semantics) — floor would round negative averages down
+            call_function("cql_div", coalesce(sum(c), lit(0)), greatest(count(c), lit(1)))
           case _ => coalesce(avg(c), lit(0.0))
         }
         t.map(tt => raw.cast(sparkType(tt))).getOrElse(raw)

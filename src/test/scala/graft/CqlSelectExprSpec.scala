@@ -34,6 +34,11 @@ class CqlSelectExprSpec extends SparkSpec {
     assert(first(e.execute("SELECT max(v) - min(v) FROM ar2")) === Seq(30))
     assert(first(e.execute("SELECT sum(v + c) FROM ar2")) === Seq(110))
     assert(first(e.execute("SELECT avg(v) FROM ar2")) === Seq(25))
+    // integer avg truncates toward zero, not floor (Java division)
+    e.execute("CREATE TABLE ar3 (k int, c int, v int, PRIMARY KEY (k, c))")
+    e.execute("INSERT INTO ar3 (k, c, v) VALUES (1, 1, -7)")
+    e.execute("INSERT INTO ar3 (k, c, v) VALUES (1, 2, 0)")
+    assert(first(e.execute("SELECT avg(v) FROM ar3")) === Seq(-3))
   }
 
   test("cast(x AS t) matrix basics (CastTest shapes)") {
