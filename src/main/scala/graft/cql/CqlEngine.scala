@@ -486,6 +486,9 @@ class CqlEngine(val spark: SparkSession) {
       val batchTs = nextTs()
       val staged = stmts.map {
         case i: Insert => i.copy(timestamp = Some(i.timestamp.getOrElse(batchTs)))
+        // counter updates never take a timestamp (deltas sum regardless);
+        // a COUNTER batch leaves them unstamped
+        case u: Update if u.assignments.exists(_._2.isInstanceOf[CounterDeltaLit]) => u
         case u: Update => u.copy(timestamp = Some(u.timestamp.getOrElse(batchTs)))
         case d: Delete => d.copy(timestamp = Some(d.timestamp.getOrElse(batchTs)))
         case other => throw InvalidRequest(s"illegal statement in batch: $other")
@@ -778,6 +781,13 @@ class CqlEngine(val spark: SparkSession) {
       if (!vals.contains(c.name) || vals(c.name) == null)
         throw InvalidRequest(s"Some partition key parts are missing: ${c.name}")
     }
+    // clustering must be fully bound when regular columns are written;
+    // static-only inserts address the partition (UpdateStatement.java)
+    val writesRegular = pairs.exists { case (c, _) => td.column(c).exists(_.kind == Regular) }
+    if (writesRegular) td.clustering.foreach { c =>
+      if (!vals.contains(c.name) || vals(c.name) == null)
+        throw InvalidRequest(s"Some clustering keys are missing: ${c.name}")
+    }
     if (td.regulars.exists(c => c.tpe == CqlCounter && vals.contains(c.name)))
       throw InvalidRequest("INSERT statements are not allowed on counter tables, use UPDATE instead")
     val setCells = (td.statics ++ td.regulars).map(_.name).filter(vals.contains).toSet
@@ -821,6 +831,11 @@ class CqlEngine(val spark: SparkSession) {
         (c, v, Some(op))
       } else (c, coerce(l, cd.tpe, c), None)
     }
+    // counter mutations take neither TTL nor a custom timestamp
+    // (ModificationStatement counter validation)
+    if (u.assignments.exists(_._2.isInstanceOf[CounterDeltaLit]) &&
+        (u.ttl.nonEmpty || u.timestamp.nonEmpty))
+      throw InvalidRequest("Cannot provide custom timestamp or TTL for counter updates")
     val vals = resolved.map { case (c, v, _) => c -> v }.toMap
     val collOps = resolved.collect { case (c, _, Some(op)) => c -> op }.toMap
     // list index ops are THE read-before-write op (Lists.java:408): read the

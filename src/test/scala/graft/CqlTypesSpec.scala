@@ -173,6 +173,24 @@ class CqlTypesSpec extends SparkSpec {
     assert(dTok === M.tokenOfBytes(B.dateAsBlob(10)))
   }
 
+  test("write-path validation: counter TTL/timestamp, clustering on INSERT") {
+    val e = mkEngine
+    e.execute("CREATE TABLE wv1 (k int, c int, v int, s text static, PRIMARY KEY (k, c))")
+    assertInvalid(e, "INSERT INTO wv1 (k, v) VALUES (1, 5)", "clustering keys are missing")
+    // static-only insert addresses the partition — no clustering needed
+    e.execute("INSERT INTO wv1 (k, s) VALUES (1, 'static-only')")
+    assert(rowsInOrder(e.execute("SELECT k, s FROM wv1")) === Seq(Seq(1, "static-only")))
+    e.execute("CREATE TABLE wv2 (k int PRIMARY KEY, n counter)")
+    assertInvalid(e, "UPDATE wv2 USING TTL 5 SET n = n + 1 WHERE k = 1",
+      "counter updates")
+    assertInvalid(e, "UPDATE wv2 USING TIMESTAMP 99 SET n = n + 1 WHERE k = 1",
+      "counter updates")
+    // counter updates inside a batch stay legal (COUNTER batch)
+    e.execute("BEGIN COUNTER BATCH UPDATE wv2 SET n = n + 2 WHERE k = 1; " +
+      "UPDATE wv2 SET n = n + 3 WHERE k = 1; APPLY BATCH")
+    assert(rowsInOrder(e.execute("SELECT n FROM wv2")) === Seq(Seq(5L)))
+  }
+
   test("LWT on timestamp/decimal columns compares by type order") {
     val e = mkEngine
     e.execute("CREATE TABLE lw2 (k int PRIMARY KEY, t timestamp, d decimal)")
