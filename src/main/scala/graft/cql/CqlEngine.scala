@@ -105,7 +105,7 @@ class CqlEngine(val spark: SparkSession) {
   def flush(name: String): Unit = {
     val dir = storageDir.getOrElse(
       throw InvalidRequest("no storage attached — call attachStorage first"))
-    val td = table(name)
+    val td = mutableTable(name)
     val tdir = new java.io.File(dir, name)
     tdir.mkdirs()
     java.nio.file.Files.write(new java.io.File(tdir, "schema.json").toPath,
@@ -439,6 +439,10 @@ class CqlEngine(val spark: SparkSession) {
       if (!views.contains(n)) throw InvalidRequest(s"Materialized view $n doesn't exist")
       views.remove(n); tables.remove(n); emptyResult
     case DropTable(n) =>
+      if (views.contains(n))
+        throw InvalidRequest(s"Cannot use DROP TABLE on Materialized View (use DROP MATERIALIZED VIEW)")
+      if (virtualDefs.contains(n))
+        throw InvalidRequest(s"Cannot DROP virtual table $n")
       tables.remove(n); logs.remove(n); emptyResult
     case Truncate(n) =>
       mutableTable(n); logs(n).clear(); emptyResult
@@ -1253,7 +1257,7 @@ class CqlEngine(val spark: SparkSession) {
   def compact(name: String): Unit = {
     val dir = storageDir.getOrElse(
       throw InvalidRequest("no storage attached — call attachStorage first"))
-    val td = table(name)
+    val td = mutableTable(name)
     val (rowState0, staticState, pdel) = fullState(name)
     // prune collection op-lists: everything before the last set/clear is
     // overwritten by the fold anyway
