@@ -81,6 +81,24 @@ object CqlOps {
   def distinctPartitions(df: DataFrame, pk: Seq[String]): DataFrame =
     df.select(pk.map(col): _*).distinct()
 
+  /** Paging analog (`service/pager/PartitionRangeQueryPager.java`): the
+    * reference pages with protocol-level PagingState cursors; the Spark
+    * shape is a stateless RESTART — each page selects rows with
+    * `token(pk) > last seen token` in token order, limited to the page
+    * size. The token predicate is a codegen'd scan filter, so each page is
+    * a pruned scan, not a skip-scan: the standard huge-export pattern.
+    */
+  def tokenPage(df: DataFrame, pk: Seq[Column], afterToken: Option[Long],
+                pageSize: Int): DataFrame = {
+    val tok =
+      if (pk.length == 1) graft.functions.Functions.cassandra_token(pk.head)
+      else call_function("cassandra_token", pk: _*)
+    val paged = afterToken.map(t => df.filter(tok > lit(t))).getOrElse(df)
+    paged.withColumn("_tok", tok)
+      .orderBy(col("_tok").asc +: pk: _*)
+      .limit(pageSize)
+  }
+
   /** Static-column emulation (`SelectStatement.java:807-850`): one value per
     * partition attached to every row — `first_value` over the partition
     * window in clustering order.

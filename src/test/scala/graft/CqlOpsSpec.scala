@@ -14,6 +14,28 @@ class CqlOpsSpec extends SparkSpec {
     assert(got === Set((1, 1), (1, 2), (2, 5)))
   }
 
+  test("tokenPage pages the whole relation without overlap or loss") {
+    graft.functions.Functions.ensure(spark)
+    val df = (1 to 97).map(i => (i.toLong, s"v$i")).toDF("pk", "v")
+    var after: Option[Long] = None
+    var seen = Vector.empty[Long]
+    var pages = 0
+    var done = false
+    while (!done && pages < 50) {
+      val page = CqlOps.tokenPage(df, Seq(col("pk")), after, 10)
+        .select("pk", "_tok").collect()
+      pages += 1
+      if (page.isEmpty) done = true
+      else {
+        seen ++= page.map(_.getLong(0))
+        after = Some(page.map(_.getLong(1)).max)
+      }
+    }
+    // every row exactly once, in ~10 pages
+    assert(seen.distinct.length === 97 && seen.length === 97)
+    assert(pages >= 10 && pages <= 12)
+  }
+
   test("lwwLatest keeps the newest version per key") {
     val df = Seq((1, 10L, "old"), (1, 20L, "new"), (2, 5L, "only"))
       .toDF("pk", "ts", "v")
