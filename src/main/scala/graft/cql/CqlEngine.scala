@@ -1984,8 +1984,20 @@ class CqlEngine(val spark: SparkSession) {
         val sf = udfs(u.sfunc)
         val stateSql = sparkType(u.stype).sql
         val init = u.initCond.map(l => sqlLit(coerce(l, u.stype, f))).getOrElse("NULL")
-        val ordCols = (if (td.clustering.nonEmpty) td.clustering else td.partitionKey).map(_.name)
-        val collected = s"array_sort(collect_list(struct(${ordCols.mkString(", ")}, $cn AS _v)))"
+        // fold order = the rows' SELECTION order: clustering columns in
+        // their declared directions (DESC tables fold descending)
+        val ordSpecs =
+          if (td.clustering.nonEmpty)
+            td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
+              .collect { case (n, desc) if n.nonEmpty => n -> desc }
+          else td.partitionKey.map(_.name -> false)
+        val cmp = ordSpecs.map { case (n, desc) =>
+          val (lt, gt) = if (desc) (1, -1) else (-1, 1)
+          s"WHEN l.$n < r.$n THEN $lt WHEN l.$n > r.$n THEN $gt"
+        }.mkString(" ")
+        val collected =
+          s"array_sort(collect_list(struct(${ordSpecs.map(_._1).mkString(", ")}, $cn AS _v)), " +
+            s"(l, r) -> CASE $cmp ELSE 0 END)"
         val rawBody = substParams(sf.body,
           Seq(sf.args(0)._1 -> "acc", sf.args(1)._1 -> "x._v"))
         // RETURNS NULL ON NULL INPUT sfunc: null inputs skip the call,

@@ -89,4 +89,25 @@ class CqlDdlSpec extends SparkSpec {
       Seq(Seq(1, 30L)))
     assertInvalid(e, "CREATE AGGREGATE bad (int) SFUNC nope STYPE bigint", "Unknown SFUNC")
   }
+
+  test("UDA folds in clustering order (non-commutative SFUNC)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE ag2 (k int, c int, v text, PRIMARY KEY (k, c)) " +
+      "WITH CLUSTERING ORDER BY (c DESC)")
+    // insert out of clustering order on purpose
+    e.execute("INSERT INTO ag2 (k, c, v) VALUES (1, 2, 'b')")
+    e.execute("INSERT INTO ag2 (k, c, v) VALUES (1, 3, 'a')")
+    e.execute("INSERT INTO ag2 (k, c, v) VALUES (1, 1, 'c')")
+    e.execute("CREATE FUNCTION cat_state (st text, val text) CALLED ON NULL INPUT " +
+      "RETURNS text LANGUAGE spark AS 'concat(st, val)'")
+    e.execute("CREATE AGGREGATE cat_all (text) SFUNC cat_state STYPE text INITCOND ''")
+    // fold order = selection order: this table clusters c DESC, so the
+    // fold sees c=3 ('a') first
+    assert(rowsInOrder(e.execute("SELECT cat_all(v) FROM ag2")) === Seq(Seq("abc")))
+    // an ASC table folds ascending
+    e.execute("CREATE TABLE ag3 (k int, c int, v text, PRIMARY KEY (k, c))")
+    e.execute("INSERT INTO ag3 (k, c, v) VALUES (1, 2, 'y')")
+    e.execute("INSERT INTO ag3 (k, c, v) VALUES (1, 1, 'x')")
+    assert(rowsInOrder(e.execute("SELECT cat_all(v) FROM ag3")) === Seq(Seq("xy")))
+  }
 }
