@@ -1946,9 +1946,16 @@ class CqlEngine(val spark: SparkSession) {
     * (e.g. max(a) - min(a), todate(max(ts))).
     */
   private def lowerAggExpr(td: TableDef, e: SelExpr, groupBy: Seq[String]): Column = {
+    // "first row" = first in SELECTION order; a DESC-clustered table's
+    // first row is the max of the clustering struct (single-direction
+    // tables only — mixed ASC/DESC clustering falls back to ascending)
+    lazy val allDesc = td.clustering.nonEmpty && td.clusteringDesc.nonEmpty &&
+      td.clusteringDesc.forall(identity)
     lazy val firstRowOrd =
       if (td.clustering.nonEmpty) struct(td.clustering.map(c => orderCol(td, c.name)): _*)
       else struct(td.partitionKey.map(c => orderCol(td, c.name)): _*)
+    def firstBy(v: Column): Column =
+      if (allDesc) max_by(v, firstRowOrd) else min_by(v, firstRowOrd)
     def rec(x: SelExpr): Column = x match {
       case FnCall("count", Seq(StarRef)) => count(lit(1))
       case FnCall("count", Seq(a)) => count(lowerExpr(td, a, null))
@@ -2015,10 +2022,10 @@ class CqlEngine(val spark: SparkSession) {
       case ColRef(n) =>
         // first-row-in-clustering-order semantics for mixed selects
         if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
-        min_by(col(n), firstRowOrd)
+        firstBy(col(n))
       case ElementRef(_, _) | FieldRef(_, _) | SliceRef(_, _, _) |
            FnCall("writetime", _) | FnCall("ttl", _) =>
-        min_by(lowerExpr(td, x, null), firstRowOrd)
+        firstBy(lowerExpr(td, x, null))
       case other => lowerExpr(td, other, rec)
     }
     rec(e)

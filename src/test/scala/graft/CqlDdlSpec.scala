@@ -109,5 +109,8 @@ class CqlDdlSpec extends SparkSpec {
     e.execute("INSERT INTO ag3 (k, c, v) VALUES (1, 2, 'y')")
     e.execute("INSERT INTO ag3 (k, c, v) VALUES (1, 1, 'x')")
     assert(rowsInOrder(e.execute("SELECT cat_all(v) FROM ag3")) === Seq(Seq("xy")))
+    // mixed aggregate + plain column: "first row" honors DESC clustering
+    assert(rowsInOrder(e.execute("SELECT v, count(*) FROM ag2")) === Seq(Seq("a", 3L)))
+    assert(rowsInOrder(e.execute("SELECT v, count(*) FROM ag3")) === Seq(Seq("x", 2L)))
   }
 }
