@@ -190,10 +190,6 @@ object Ast {
   sealed trait Selector
   case object Star extends Selector
   final case class ExprSel(expr: SelExpr, alias: Option[String]) extends Selector
-  object Selector {
-    /** convenience for engine internals/tests */
-    def col(n: String): Selector = ExprSel(ColRef(n), None)
-  }
 
   sealed trait Statement
   final case class CreateTable(table: TableDef, ifNotExists: Boolean) extends Statement
