@@ -162,7 +162,15 @@ class CqlEngine(val spark: SparkSession) {
         StructField(c.name + "__set", BooleanType, nullable = false))
       if (isCollection(c.tpe)) base :+ StructField(c.name + "__op", StringType) else base
     }
-    StructType(keys ++ cells ++ Seq(
+    // range-tombstone bounds (delrange op): per clustering column a lo/hi
+    // value (null = unbounded from that component on) + end inclusivity
+    val ranges =
+      if (td.clustering.isEmpty) Nil
+      else td.clustering.flatMap(c => Seq(
+        StructField(c.name + "__rlo", sparkType(c.tpe)),
+        StructField(c.name + "__rhi", sparkType(c.tpe)))) ++ Seq(
+        StructField("_rloi", BooleanType), StructField("_rhii", BooleanType))
+    StructType(keys ++ cells ++ ranges ++ Seq(
       StructField("_op", StringType, nullable = false),
       StructField("_ts", LongType, nullable = false),
       StructField("_ttl", LongType, nullable = false)))
@@ -763,13 +771,21 @@ class CqlEngine(val spark: SparkSession) {
   private def mutationRow(td: TableDef, keyVals: Map[String, Any],
                           cellVals: Map[String, Any], setCols: Set[String],
                           op: String, ts: Long, ttl: Long,
-                          collOps: Map[String, String] = Map.empty): Row = {
+                          collOps: Map[String, String] = Map.empty,
+                          rangeLo: Map[String, Any] = Map.empty,
+                          rangeHi: Map[String, Any] = Map.empty,
+                          rangeIncl: (Boolean, Boolean) = (true, true)): Row = {
     val keyPart = td.primaryKey.map(c => keyVals.getOrElse(c.name, null))
     val cellPart = (td.statics ++ td.regulars).flatMap { c =>
       val base = Seq(cellVals.getOrElse(c.name, null), setCols.contains(c.name))
       if (isCollection(c.tpe)) base :+ collOps.getOrElse(c.name, "set") else base
     }
-    Row.fromSeq(keyPart ++ cellPart ++ Seq(op, ts, ttl))
+    val rangePart =
+      if (td.clustering.isEmpty) Nil
+      else td.clustering.flatMap(c =>
+        Seq(rangeLo.getOrElse(c.name, null), rangeHi.getOrElse(c.name, null))) ++
+        Seq(rangeIncl._1, rangeIncl._2)
+    Row.fromSeq(keyPart ++ cellPart ++ rangePart ++ Seq(op, ts, ttl))
   }
 
   private def executeInsert(i: Insert): Unit = {
@@ -867,6 +883,56 @@ class CqlEngine(val spark: SparkSession) {
 
   private def executeDelete(d: Delete): Unit = {
     val td = mutableTable(d.table)
+    // clustering RANGE delete → range tombstone (DeleteStatement slice
+    // deletions; db/rows/RangeTombstoneMarker): pk fully EQ-bound, a
+    // clustering prefix EQ-bound, range relations on the next column
+    val rangeRels = d.where.collect {
+      case r @ Rel(_, op, _) if op != "=" => r
+    }
+    if (rangeRels.nonEmpty) {
+      if (d.columns.nonEmpty)
+        throw InvalidRequest("Range deletions are not supported for specific columns")
+      val eqs = d.where.collect { case Rel(c, "=", v) =>
+        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        if (cd.kind != PartitionKey && cd.kind != Clustering)
+          throw InvalidRequest(s"Non PRIMARY KEY columns found in where clause: $c")
+        c -> coerce(v, cd.tpe, c)
+      }.toMap
+      td.partitionKey.foreach { c =>
+        if (!eqs.contains(c.name))
+          throw InvalidRequest(s"Some partition key parts are missing: ${c.name}")
+      }
+      val ckNames = td.clustering.map(_.name)
+      val prefix = ckNames.takeWhile(eqs.contains)
+      if (td.clustering.isEmpty || prefix.length >= ckNames.length)
+        throw InvalidRequest("Invalid range deletion (no free clustering column)")
+      val ranged = ckNames(prefix.length)
+      rangeRels.foreach { r =>
+        if (r.column != ranged)
+          throw InvalidRequest(
+            s"Range deletions must restrict the clustering column following the EQ prefix, got ${r.column}")
+      }
+      val rangedType = td.column(ranged).get.tpe
+      var lo: Option[Any] = None; var hi: Option[Any] = None
+      var loi = true; var hii = true
+      rangeRels.foreach { r =>
+        val v = coerce(r.value, rangedType, ranged)
+        r.op match {
+          case ">" => lo = Some(v); loi = false
+          case ">=" => lo = Some(v); loi = true
+          case "<" => hi = Some(v); hii = false
+          case "<=" => hi = Some(v); hii = true
+          case other => throw InvalidRequest(s"unsupported range-delete operator $other")
+        }
+      }
+      val prefixVals = prefix.map(c => c -> eqs(c)).toMap
+      val loMap = prefixVals ++ lo.map(ranged -> _).toMap
+      val hiMap = prefixVals ++ hi.map(ranged -> _).toMap
+      appendMutation(d.table, mutationRow(td, eqs, Map.empty, Set.empty, "delrange",
+        d.timestamp.getOrElse(nextTs()), 0L,
+        rangeLo = loMap, rangeHi = hiMap, rangeIncl = (loi, hii)))
+      return
+    }
     val (keys, fullCk) = mutationKeys(td, d.where, requireCk = d.columns.nonEmpty)
     val ts = d.timestamp.getOrElse(nextTs())
     if (d.columns.nonEmpty) {
@@ -1035,14 +1101,11 @@ class CqlEngine(val spark: SparkSession) {
     joined.select((keys.map(col) ++ merged ++ delMerged ++ liveMerged): _*)
   }
 
-  /** Shadow a state relation by partition-deletion watermarks: everything
-    * with ts <= the partition's max delete-ts is dead (DeletionTime).
+  /** Shadow a (joined) state relation by a per-row deletion watermark:
+    * everything with ts <= the watermark is dead (DeletionTime).
     */
-  private def applyPdel(state: DataFrame, pdel: DataFrame, pk: Seq[String],
-                        keys: Seq[String], cols: Seq[ColumnDef],
-                        withLiveness: Boolean): DataFrame = {
-    val joined = state.join(pdel, pk, "left")
-    val p = coalesce(col("_pdel"), lit(Long.MinValue))
+  private def shadowState(joined: DataFrame, p: Column, keys: Seq[String],
+                          cols: Seq[ColumnDef], withLiveness: Boolean): DataFrame = {
     val shadowed = cols.flatMap { c =>
       if (isCollection(c.tpe)) {
         val m = col("_muts_" + c.name)
@@ -1062,6 +1125,57 @@ class CqlEngine(val spark: SparkSession) {
     else Nil
     joined.select((keys.map(col) ++ shadowed ++ delC ++ liveC): _*)
   }
+
+  /** Partition-deletion watermarks (max delete-ts per pk). */
+  private def applyPdel(state: DataFrame, pdel: DataFrame, pk: Seq[String],
+                        keys: Seq[String], cols: Seq[ColumnDef],
+                        withLiveness: Boolean): DataFrame =
+    shadowState(state.join(pdel, pk, "left"),
+      coalesce(col("_pdel"), lit(Long.MinValue)), keys, cols, withLiveness)
+
+  /** timeuuid clustering values order by their embedded-time sort key. */
+  private def orderValue(cd: ColumnDef, v: Column): Column =
+    if (cd.tpe == CqlTimeuuid) call_function("timeuuid_sort_key", v) else v
+
+  /** row-clustering ∈ [lo, hi] of a range-tombstone struct `r` (fields
+    * `<ck>__rlo`/`<ck>__rhi`, `_rloi`/`_rhii`): lexicographic against the
+    * bound components, a null component meaning unbounded from there.
+    */
+  private def withinRange(td: TableDef, r: Column): Column = {
+    def side(suffix: String, incl: Column, gt: Boolean): Column = {
+      def cmp(i: Int): Column =
+        if (i >= td.clustering.length) incl
+        else {
+          val c = td.clustering(i)
+          val b = r(c.name + suffix)
+          val rowV = orderValue(c, col(c.name))
+          val bV = orderValue(c, b)
+          when(b.isNull, incl)
+            .otherwise(
+              when(if (gt) rowV > bV else rowV < bV, lit(true))
+                .when(if (gt) rowV < bV else rowV > bV, lit(false))
+                .otherwise(cmp(i + 1)))
+        }
+      cmp(0)
+    }
+    side("__rlo", r("_rloi"), gt = true) && side("__rhi", r("_rhii"), gt = false)
+  }
+
+  /** Max matching range-tombstone ts for the current row's clustering. */
+  private def rangeWatermark(td: TableDef): Column =
+    coalesce(
+      array_max(transform(filter(col("_rts"), r => withinRange(td, r)), r => r("_ts"))),
+      lit(Long.MinValue))
+
+  /** Range tombstones: per-pk bound list shadowing matching-clustering
+    * state at ts <= the tombstone's (RangeTombstoneMarker semantics).
+    */
+  private def applyRangeTombs(state: DataFrame, rts: DataFrame, pk: Seq[String],
+                              td: TableDef, keys: Seq[String], cols: Seq[ColumnDef],
+                              withLiveness: Boolean): DataFrame =
+    shadowState(state.join(rts, pk, "left"),
+      when(col("_rts").isNull, lit(Long.MinValue)).otherwise(rangeWatermark(td)),
+      keys, cols, withLiveness)
 
   /** State → live values + `_wt_`/`_ttlr_` shadow columns + `_row_live`. */
   private def finalizeState(g: DataFrame, keys: Seq[String], cols: Seq[ColumnDef],
@@ -1165,10 +1279,21 @@ class CqlEngine(val spark: SparkSession) {
     else None
   }
 
-  /** Merged (rowState, staticsState, pdel) over checkpoint + tail — the
-    * single source for both read() and compact().
+  /** pk + per-ck lo/hi bounds + inclusivity + ts — the persisted shape of
+    * range tombstones.
     */
-  private def fullState(name: String): (DataFrame, Option[DataFrame], DataFrame) = {
+  private def rangeSchema(td: TableDef): StructType =
+    StructType(td.partitionKey.map(c => StructField(c.name, sparkType(c.tpe))) ++
+      td.clustering.flatMap(c => Seq(
+        StructField(c.name + "__rlo", sparkType(c.tpe)),
+        StructField(c.name + "__rhi", sparkType(c.tpe)))) ++
+      Seq(StructField("_rloi", BooleanType), StructField("_rhii", BooleanType),
+        StructField("_ts", LongType)))
+
+  /** Merged (rowState, staticsState, pdel, rangeTombs) over checkpoint +
+    * tail — the single source for both read() and compact().
+    */
+  private def fullState(name: String): (DataFrame, Option[DataFrame], DataFrame, Option[DataFrame]) = {
     val td = table(name)
     val pk = td.partitionKey.map(_.name)
     val rowKeys = td.primaryKey.map(_.name)
@@ -1181,6 +1306,7 @@ class CqlEngine(val spark: SparkSession) {
       stateSchema(td, td.primaryKey, td.regulars, withLiveness = true)))
     val ckptStatics = ckdir.flatMap(readCkptPart(_, "statics",
       stateSchema(td, td.partitionKey, td.statics, withLiveness = false)))
+    val ckptRanges = ckdir.flatMap(readCkptPart(_, "ranges", rangeSchema(td)))
 
     // combined partition-deletion watermark: checkpoint's + the tail's
     val tailPdel = rawTail.filter(col("_op") === "delpart")
@@ -1194,11 +1320,37 @@ class CqlEngine(val spark: SparkSession) {
       .filter(col("_pdel").isNull || col("_ts") > col("_pdel"))
       .drop("_pdel")
 
-    val rowMuts = log.filter(col("_op").isin("insert", "update", "delrow"))
+    // range tombstones (checkpoint's + the tail's, both beyond pdel) as a
+    // per-pk bound list; shadow matching-clustering tail mutations up front
+    val rangeCols = rangeSchema(td).fields.map(f => col(f.name)).toSeq
+    val rtsRaw: Option[DataFrame] =
+      if (td.clustering.isEmpty) None
+      else {
+        val tail = log.filter(col("_op") === "delrange").select(rangeCols: _*)
+        Some(ckptRanges.map(c => tail.unionByName(c)).getOrElse(tail))
+      }
+    val rts = rtsRaw.map(_.groupBy(pk.map(col): _*)
+      .agg(collect_list(struct(rangeCols.drop(pk.length): _*)).as("_rts")))
+
+    val logR = rts match {
+      case None => log
+      case Some(r) =>
+        log.join(r, pk, "left")
+          .filter(col("_rts").isNull ||
+            !col("_op").isin("insert", "update", "delrow") ||
+            rangeWatermark(td) < col("_ts"))
+          .drop("_rts")
+    }
+
+    val rowMuts = logR.filter(col("_op").isin("insert", "update", "delrow"))
     var rowState = aggState(td, rowMuts, rowKeys, td.regulars,
       withLiveness = true, delOps = Seq("delrow"))
     ckptRows.foreach { ck =>
-      val shadowed = applyPdel(ck, pdel, pk, rowKeys, td.regulars, withLiveness = true)
+      var shadowed = applyPdel(ck, pdel, pk, rowKeys, td.regulars, withLiveness = true)
+      rts.foreach { r =>
+        shadowed = applyRangeTombs(shadowed, r, pk, td, rowKeys, td.regulars,
+          withLiveness = true)
+      }
       rowState = mergeState(shadowed, rowState, rowKeys, td.regulars, withLiveness = true)
     }
 
@@ -1213,7 +1365,7 @@ class CqlEngine(val spark: SparkSession) {
         }
         Some(st)
       }
-    (rowState, staticState, pdel)
+    (rowState, staticState, pdel, rtsRaw)
   }
 
   /** Reconciled live rows of a table with shadow columns `_wt_<c>` (cell
@@ -1226,7 +1378,7 @@ class CqlEngine(val spark: SparkSession) {
     val td = table(name)
     val pk = td.partitionKey.map(_.name)
     val rowKeys = td.primaryKey.map(_.name)
-    val (rowState, staticState, _) = fullState(name)
+    val (rowState, staticState, _, _) = fullState(name)
     val rows = finalizeState(rowState, rowKeys, td.regulars, withLiveness = true)
       .withColumn("_any_cell",
         td.regulars.map(c => col(c.name).isNotNull).foldLeft(lit(false))(_ || _))
@@ -1258,7 +1410,7 @@ class CqlEngine(val spark: SparkSession) {
     val dir = storageDir.getOrElse(
       throw InvalidRequest("no storage attached — call attachStorage first"))
     val td = mutableTable(name)
-    val (rowState0, staticState, pdel) = fullState(name)
+    val (rowState0, staticState, pdel, rangeTombs) = fullState(name)
     // prune collection op-lists: everything before the last set/clear is
     // overwritten by the fold anyway
     val rowState = td.regulars.filter(c => isCollection(c.tpe)).foldLeft(rowState0) {
@@ -1273,6 +1425,9 @@ class CqlEngine(val spark: SparkSession) {
     rowState.write.parquet(new java.io.File(tmp, "rows").getPath)
     staticState.foreach(_.write.parquet(new java.io.File(tmp, "statics").getPath))
     pdel.write.parquet(new java.io.File(tmp, "pdel").getPath)
+    // range tombstones persist like the pdel watermark: out-of-order
+    // writes below an absorbed range must stay dead after compaction
+    rangeTombs.foreach(_.write.parquet(new java.io.File(tmp, "ranges").getPath))
     // swap in, then drop consumed inputs
     val ck = new java.io.File(tdir, "checkpoint")
     if (ck.isDirectory) deleteRec(ck)
