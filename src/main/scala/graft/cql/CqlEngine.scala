@@ -889,7 +889,8 @@ class CqlEngine(val spark: SparkSession) {
     val rangeRels = d.where.collect {
       case r @ Rel(_, op, _) if op != "=" => r
     }
-    if (rangeRels.nonEmpty) {
+    val multiRels = d.where.collect { case m: MultiColRel => m }
+    if (rangeRels.nonEmpty || multiRels.nonEmpty) {
       if (d.columns.nonEmpty)
         throw InvalidRequest("Range deletions are not supported for specific columns")
       val eqs = d.where.collect { case Rel(c, "=", v) =>
@@ -912,22 +913,39 @@ class CqlEngine(val spark: SparkSession) {
           throw InvalidRequest(
             s"Range deletions must restrict the clustering column following the EQ prefix, got ${r.column}")
       }
-      val rangedType = td.column(ranged).get.tpe
-      var lo: Option[Any] = None; var hi: Option[Any] = None
+      var loMap = Map.empty[String, Any]
+      var hiMap = Map.empty[String, Any]
       var loi = true; var hii = true
       rangeRels.foreach { r =>
-        val v = coerce(r.value, rangedType, ranged)
+        val v = coerce(r.value, td.column(ranged).get.tpe, ranged)
         r.op match {
-          case ">" => lo = Some(v); loi = false
-          case ">=" => lo = Some(v); loi = true
-          case "<" => hi = Some(v); hii = false
-          case "<=" => hi = Some(v); hii = true
+          case ">" => loMap = Map(ranged -> v); loi = false
+          case ">=" => loMap = Map(ranged -> v); loi = true
+          case "<" => hiMap = Map(ranged -> v); hii = false
+          case "<=" => hiMap = Map(ranged -> v); hii = true
           case other => throw InvalidRequest(s"unsupported range-delete operator $other")
         }
       }
+      // multi-column tuple bounds: (c1, c2) > (v1, v2) — the columns must
+      // start at the first free clustering position
+      multiRels.foreach { m =>
+        if (ckNames.slice(prefix.length, prefix.length + m.columns.length) != m.columns)
+          throw InvalidRequest(
+            s"Multi-column range deletions must restrict the clustering columns following the EQ prefix, got ${m.columns.mkString(", ")}")
+        val vals = m.columns.zip(m.values).map { case (c, v) =>
+          c -> coerce(v, td.column(c).get.tpe, c)
+        }
+        m.op match {
+          case ">" => loMap = vals.toMap; loi = false
+          case ">=" => loMap = vals.toMap; loi = true
+          case "<" => hiMap = vals.toMap; hii = false
+          case "<=" => hiMap = vals.toMap; hii = true
+          case "=" => loMap = vals.toMap; hiMap = vals.toMap; loi = true; hii = true
+        }
+      }
       val prefixVals = prefix.map(c => c -> eqs(c)).toMap
-      val loMap = prefixVals ++ lo.map(ranged -> _).toMap
-      val hiMap = prefixVals ++ hi.map(ranged -> _).toMap
+      loMap = prefixVals ++ loMap
+      hiMap = prefixVals ++ hiMap
       appendMutation(d.table, mutationRow(td, eqs, Map.empty, Set.empty, "delrange",
         d.timestamp.getOrElse(nextTs()), 0L,
         rangeLo = loMap, rangeHi = hiMap, rangeIncl = (loi, hii)))

@@ -57,6 +57,19 @@ class CqlRangeDeleteSpec extends SparkSpec {
       "following the EQ prefix")
   }
 
+  test("multi-column tuple range deletes") {
+    val e = mkEngine
+    e.execute("CREATE TABLE rd4 (k int, c1 int, c2 int, v int, PRIMARY KEY (k, c1, c2))")
+    for (c1 <- 1 to 3; c2 <- 1 to 3)
+      e.execute(s"INSERT INTO rd4 (k, c1, c2, v) VALUES (1, $c1, $c2, ${c1 * 10 + c2})")
+    e.execute("DELETE FROM rd4 WHERE k = 1 AND (c1, c2) > (2, 1)")
+    assert(rowsInOrder(e.execute("SELECT c1, c2 FROM rd4 WHERE k = 1")) ===
+      Seq(Seq(1, 1), Seq(1, 2), Seq(1, 3), Seq(2, 1)))
+    e.execute("DELETE FROM rd4 WHERE k = 1 AND (c1, c2) <= (1, 2)")
+    assert(rowsInOrder(e.execute("SELECT c1, c2 FROM rd4 WHERE k = 1")) ===
+      Seq(Seq(1, 3), Seq(2, 1)))
+  }
+
   test("range tombstones survive compaction and shadow late writes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rdel").toString
     val e = mkEngine
