@@ -836,7 +836,24 @@ class CqlEngine(val spark: SparkSession) {
     (eqs, fullCk)
   }
 
+  /** IN restrictions in DML WHERE expand to the cartesian set of EQ-bound
+    * mutations, all sharing the statement's timestamp
+    * (StatementRestrictions multi-key updates/deletes).
+    */
+  private def expandIn(where: Seq[Relation]): Seq[Seq[Relation]] =
+    where.foldLeft(Seq(Seq.empty[Relation])) { (acc, rel) =>
+      rel match {
+        case In(c, vs) => for { w <- acc; v <- vs } yield w :+ Rel(c, "=", v)
+        case other => acc.map(_ :+ other)
+      }
+    }
+
   private def executeUpdate(u: Update): Unit = {
+    if (u.where.exists(_.isInstanceOf[In])) {
+      val ts = Some(u.timestamp.getOrElse(nextTs()))
+      expandIn(u.where).foreach(w => executeUpdate(u.copy(where = w, timestamp = ts)))
+      return
+    }
     val td = mutableTable(u.table)
     val hasRegular = u.assignments.exists { case (c, _) =>
       td.column(c).exists(_.kind == Regular)
@@ -882,6 +899,11 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   private def executeDelete(d: Delete): Unit = {
+    if (d.where.exists(_.isInstanceOf[In])) {
+      val ts = Some(d.timestamp.getOrElse(nextTs()))
+      expandIn(d.where).foreach(w => executeDelete(d.copy(where = w, timestamp = ts)))
+      return
+    }
     val td = mutableTable(d.table)
     // clustering RANGE delete → range tombstone (DeleteStatement slice
     // deletions; db/rows/RangeTombstoneMarker): pk fully EQ-bound, a

@@ -70,6 +70,19 @@ class CqlRangeDeleteSpec extends SparkSpec {
       Seq(Seq(1, 3), Seq(2, 1)))
   }
 
+  test("IN restrictions expand DML to multi-key mutations") {
+    val e = mkEngine
+    e.execute("CREATE TABLE rd5 (k int, c int, v int, PRIMARY KEY (k, c))")
+    for (k <- 1 to 3; c <- 1 to 2)
+      e.execute(s"INSERT INTO rd5 (k, c, v) VALUES ($k, $c, ${k * 10 + c})")
+    e.execute("DELETE FROM rd5 WHERE k IN (1, 3) AND c = 2")
+    assert(rowsInOrder(e.execute("SELECT k, c FROM rd5")) ===
+      Seq(Seq(1, 1), Seq(2, 1), Seq(2, 2), Seq(3, 1)))
+    e.execute("UPDATE rd5 SET v = 0 WHERE k = 2 AND c IN (1, 2)")
+    assert(rowsInOrder(e.execute("SELECT v FROM rd5 WHERE k = 2")) ===
+      Seq(Seq(0), Seq(0)))
+  }
+
   test("range tombstones survive compaction and shadow late writes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rdel").toString
     val e = mkEngine
