@@ -227,6 +227,11 @@ object Ast {
                               ifNotExists: Boolean) extends Statement
   final case class DropView(name: String) extends Statement
   final case class DropTable(name: String) extends Statement
+  /** ALTER TABLE t ADD c type [, ...] | DROP c [, ...] (Parser.g
+    * alterTableStatement; schema/AlterTableStatement.java).
+    */
+  final case class AlterTable(name: String, add: Seq[(String, CqlType)],
+                              drop: Seq[String]) extends Statement
   final case class Truncate(name: String) extends Statement
 
   /** INSERT: full-row upsert, sets primary-key liveness

@@ -446,6 +446,35 @@ class CqlEngine(val spark: SparkSession) {
     case DropView(n) =>
       if (!views.contains(n)) throw InvalidRequest(s"Materialized view $n doesn't exist")
       views.remove(n); tables.remove(n); emptyResult
+    case AlterTable(n, adds, drops) =>
+      val td = mutableTable(n)
+      adds.foreach { case (c, _) =>
+        if (td.column(c).isDefined)
+          throw InvalidRequest(s"Invalid column name $c because it conflicts with an existing column")
+      }
+      drops.foreach { c =>
+        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
+        if (cd.kind == PartitionKey || cd.kind == Clustering)
+          throw InvalidRequest(s"Cannot drop PRIMARY KEY part $c")
+      }
+      val newTd = TableDef(n,
+        td.columns.filterNot(c => drops.contains(c.name)) ++
+          adds.map { case (c, t) => ColumnDef(c, t, Regular) },
+        td.clusteringDesc)
+      // re-shape the in-memory tail to the new record layout; durable
+      // segments and checkpoints re-project BY NAME on read, so added
+      // columns surface as null and dropped columns vanish without rewrite
+      val oldIdx = logSchema(td).fieldNames.zipWithIndex.toMap
+      val newFields = logSchema(newTd).fieldNames
+      val reshaped = logs(n).map { r =>
+        Row.fromSeq(newFields.map { f =>
+          oldIdx.get(f).map(r.get).getOrElse(
+            if (f.endsWith("__set")) false else null)
+        }.toSeq)
+      }
+      logs(n) = scala.collection.mutable.ArrayBuffer(reshaped.toSeq: _*)
+      tables(n) = newTd
+      emptyResult
     case DropTable(n) =>
       if (views.contains(n))
         throw InvalidRequest(s"Cannot use DROP TABLE on Materialized View (use DROP MATERIALIZED VIEW)")

@@ -198,6 +198,19 @@ object CqlParser {
     val p = new P(tokenize(cql), udts)
     val stmt =
       if (p.kw("begin")) parseBatch(p)
+      else if (p.kw("alter")) {
+        p.eatKw("alter"); p.eatKw("table")
+        val n = p.tableName()
+        if (p.tryKw("add")) {
+          var adds = Vector(p.ident() -> parseType(p))
+          while (p.trySym(",")) adds :+= (p.ident() -> parseType(p))
+          AlterTable(n, adds, Seq.empty)
+        } else if (p.tryKw("drop")) {
+          var drops = Vector(p.ident())
+          while (p.trySym(",")) drops :+= p.ident()
+          AlterTable(n, Seq.empty, drops)
+        } else throw ParseException("expected ADD or DROP in ALTER TABLE")
+      }
       else if (p.kw("create")) parseCreate(p)
       else if (p.kw("drop")) {
         p.eatKw("drop")
