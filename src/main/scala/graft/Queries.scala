@@ -370,6 +370,27 @@ object Queries {
         e.execute("SELECT o_orderkey, writetime(o_totalprice) AS wt FROM cql_wt")
       }),
 
+    QueryDef("q_cql_range_delete",
+      // clustering range delete (range tombstone) through the engine: the
+      // busiest customer's high orders vanish; DuckDB reproduces with an
+      // anti-predicate against the same deterministic key
+      Some("""WITH victim AS (SELECT min(o_custkey) AS vk FROM orders WHERE o_orderkey < 2000)
+              SELECT o_custkey, o_orderkey FROM orders, victim
+              WHERE o_orderkey < 2000 AND NOT (o_custkey = vk AND o_orderkey > 1000)
+              ORDER BY o_custkey, o_orderkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_rd (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
+        val rows = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select("o_custkey", "o_orderkey").collect()
+        rows.foreach { r =>
+          e.execute(s"INSERT INTO cql_rd (o_custkey, o_orderkey) VALUES (${r.getLong(0)}, ${r.getLong(1)})")
+        }
+        val victim = rows.map(_.getLong(0)).min
+        e.execute(s"DELETE FROM cql_rd WHERE o_custkey = $victim AND o_orderkey > 1000")
+        e.execute("SELECT o_custkey, o_orderkey FROM cql_rd")
+      }),
+
     QueryDef("q_cql_mv",
       // CREATE MATERIALIZED VIEW re-keyed batch read through the engine:
       // orders re-keyed by (o_custkey, o_orderkey), low-key slice
