@@ -480,6 +480,10 @@ class CqlEngine(val spark: SparkSession) {
         throw InvalidRequest(s"Cannot use DROP TABLE on Materialized View (use DROP MATERIALIZED VIEW)")
       if (virtualDefs.contains(n))
         throw InvalidRequest(s"Cannot DROP virtual table $n")
+      val dependents = views.values.filter(_.baseTable == n).map(_.name)
+      if (dependents.nonEmpty)
+        throw InvalidRequest(
+          s"Cannot drop table when materialized views still depend on it (${dependents.mkString(", ")})")
       tables.remove(n); logs.remove(n); emptyResult
     case Truncate(n) =>
       mutableTable(n); logs(n).clear(); emptyResult
@@ -753,7 +757,7 @@ class CqlEngine(val spark: SparkSession) {
     }
     f match {
       case "now" | "currenttimeuuid" =>
-        UuidLit(graft.functions.TimeUuid.minTimeUuid(nowMs))
+        UuidLit(nextNowTimeUuid())
       case "currenttimestamp" => IntLit(nowMs)
       case "currentdate" => StringLit(java.time.Instant.ofEpochMilli(nowMs)
         .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
@@ -959,6 +963,15 @@ class CqlEngine(val spark: SparkSession) {
       if (td.clustering.isEmpty || prefix.length >= ckNames.length)
         throw InvalidRequest("Invalid range deletion (no free clustering column)")
       val ranged = ckNames(prefix.length)
+      // an EQ restriction on a clustering column AFTER the ranged one would be
+      // silently unbounded by the tombstone — the reference rejects it
+      // (restrictions/ClusteringColumnRestrictions: preceding column restricted
+      // by a non-EQ relation)
+      eqs.keys.filter(ckNames.contains).foreach { c =>
+        if (!prefix.contains(c))
+          throw InvalidRequest(
+            s"""PRIMARY KEY column "$c" cannot be restricted (preceding column "$ranged" is restricted by a non-EQ relation)""")
+      }
       rangeRels.foreach { r =>
         if (r.column != ranged)
           throw InvalidRequest(
@@ -1769,7 +1782,7 @@ class CqlEngine(val spark: SparkSession) {
         case (sel, i) => col(aggOutName(sel, i))
       }: _*)
       s.limit.foreach(n => out = out.limit(checkLimit(n)))
-      return out
+      return if (s.json) jsonWrap(td, s, out) else out
     }
 
     // plain row select: default order = pk, then clustering order
@@ -1793,25 +1806,29 @@ class CqlEngine(val spark: SparkSession) {
     val projected = out.select(s.selectors.flatMap(lowerRowSelector(td, _)): _*)
     var res = projected
     s.limit.foreach(n => res = res.limit(checkLimit(n)))
-    if (s.json) {
-      // SELECT JSON renders each column in its CQL toJson form (Json.java):
-      // timestamps as "yyyy-mm-dd HH:mm:ss.SSSZ" strings, time as the
-      // literal form, blobs as 0x-hex — not Spark's default JSON encoding
-      val outTypes: Seq[Option[CqlType]] = s.selectors.flatMap {
-        case Star => td.columns.map(c => Some(c.tpe))
-        case ExprSel(e2, _) => Seq(exprType(td, e2))
-      }
-      val jsonCols = res.columns.zip(outTypes).map { case (n, t) =>
-        (t match {
-          case Some(CqlTimestamp) => date_format(col(n), "yyyy-MM-dd HH:mm:ss.SSS'Z'")
-          case Some(CqlTime) => timeText(col(n))
-          case Some(CqlBlob) => concat(lit("0x"), lower(hex(col(n))))
-          case _ => col(n)
-        }).as(n)
-      }
-      res = res.select(to_json(struct(jsonCols: _*)).as("[json]"))
-    }
+    if (s.json) res = jsonWrap(td, s, res)
     res
+  }
+
+  /** SELECT JSON projection (applied to plain AND aggregate selects): renders
+    * each column in its CQL toJson form (Json.java) — timestamps as
+    * "yyyy-mm-dd HH:mm:ss.SSSZ" strings, time as the literal form, blobs as
+    * 0x-hex — not Spark's default JSON encoding.
+    */
+  private def jsonWrap(td: TableDef, s: Select, res: DataFrame): DataFrame = {
+    val outTypes: Seq[Option[CqlType]] = s.selectors.flatMap {
+      case Star => td.columns.map(c => Some(c.tpe))
+      case ExprSel(e2, _) => Seq(exprType(td, e2))
+    }
+    val jsonCols = res.columns.zip(outTypes).map { case (n, t) =>
+      (t match {
+        case Some(CqlTimestamp) => date_format(col(n), "yyyy-MM-dd HH:mm:ss.SSS'Z'")
+        case Some(CqlTime) => timeText(col(n))
+        case Some(CqlBlob) => concat(lit("0x"), lower(hex(col(n))))
+        case _ => col(n)
+      }).as(n)
+    }
+    res.select(to_json(struct(jsonCols: _*)).as("[json]"))
   }
 
   /** Column pre-serialized to the type's CQL wire bytes where the token
@@ -1981,6 +1998,21 @@ class CqlEngine(val spark: SparkSession) {
   private def nowMs: Long =
     if (nowMicros > 0) nowMicros / 1000 else System.currentTimeMillis()
 
+  /** Monotonic 100ns-tick counter behind now()/currenttimeuuid(): repeated
+    * calls within the same millisecond advance one tick each, so every call
+    * yields a DISTINCT v1 uuid (the reference guarantees per-call uniqueness
+    * via UUIDGen's clock-seq/node + tick counter). Stays test-pinnable: the
+    * first call at a pinned [[nowMicros]] embeds exactly that millisecond,
+    * and up to 10,000 calls/ms stay inside it.
+    */
+  private var lastNowTicks: Long = 0L
+  private def nextNowTimeUuid(): String = {
+    val base = graft.functions.TimeUuid.ticksAtMillis(nowMs)
+    val ticks = if (base > lastNowTicks) base else lastNowTicks + 1
+    lastNowTicks = ticks
+    graft.functions.TimeUuid.fromTicks(ticks, graft.functions.TimeUuid.GeneratedClockSeqAndNode)
+  }
+
   /** Millis-since-epoch column of a timestamp/timeuuid/date-typed arg
     * (shared by the TimeFcts conversions).
     */
@@ -2123,7 +2155,7 @@ class CqlEngine(val spark: SparkSession) {
         else call_function("cassandra_token", ins: _*)
       // ── TimeFcts (reference cql3/functions/TimeFcts.java) ──
       case FnCall("now", Seq()) | FnCall("currenttimeuuid", Seq()) =>
-        lit(graft.functions.TimeUuid.minTimeUuid(nowMs))
+        lit(nextNowTimeUuid())
       case FnCall("currenttimestamp", Seq()) => lit(CqlValues.timestampOf(nowMs))
       case FnCall("currentdate", Seq()) =>
         lit(java.sql.Date.valueOf(java.time.Instant.ofEpochMilli(nowMs)

@@ -34,26 +34,46 @@ object CqlParser {
         groups.forall { case (off, len) => (off until off + len).forall(j => isHex(s(i + j))) }
     }
 
+  /** Keywords after which a term (and hence a `:name` marker) may directly
+    * follow, even though the keyword lexes as an Ident.
+    */
+  private val preTermKeywords =
+    Set("limit", "in", "ttl", "timestamp", "contains", "key", "like")
+
+  /** Is a ':' at this point a named-marker prefix (expression position) or a
+    * map/UDT key-value separator? A separator can only follow a completed key
+    * term (identifier/literal); everything else — `{`, `,`, operators, a
+    * term-introducing keyword — is expression position (Parser.g:41-74 vs
+    * mapLiteral / usertypeLiteral).
+    */
+  private def markerPosition(prev: Option[Tok]): Boolean = prev match {
+    case None => true
+    case Some(Sym(t)) => t != ")" && t != "]" && t != "}"
+    case Some(Ident(t)) => preTermKeywords.contains(t.toLowerCase)
+    case _ => false // Num, Str, UuidTok, HexTok, NamedTok end a value
+  }
+
   private def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
+    var prev: Option[Tok] = None
+    def emit(t: Tok): Unit = { out += t; prev = Some(t) }
     var i = 0
     while (i < s.length) {
       val c = s(i)
       if (c.isWhitespace) i += 1
-      else if (uuidAt(s, i)) { out += UuidTok(s.substring(i, i + 36)); i += 36 }
-      else if (c == ':' && i + 1 < s.length && (s(i + 1).isLetter || s(i + 1) == '_')) {
-        // ':' directly before an identifier is a named marker; map-literal
-        // colons are followed by whitespace/quotes/digits
+      else if (uuidAt(s, i)) { emit(UuidTok(s.substring(i, i + 36))); i += 36 }
+      else if (c == ':' && i + 1 < s.length && (s(i + 1).isLetter || s(i + 1) == '_')
+               && markerPosition(prev)) {
         val j = i + 1
         var k = j
         while (k < s.length && (s(k).isLetterOrDigit || s(k) == '_')) k += 1
-        out += NamedTok(s.substring(j, k)); i = k
+        emit(NamedTok(s.substring(j, k))); i = k
       }
       else if (c == '0' && i + 2 < s.length && (s(i + 1) == 'x' || s(i + 1) == 'X') && isHex(s(i + 2))) {
         val j = i + 2
         var k = j
         while (k < s.length && isHex(s(k))) k += 1
-        out += HexTok(s.substring(j, k)); i = k
+        emit(HexTok(s.substring(j, k))); i = k
       }
       else if (c == '\'') {
         val sb = new StringBuilder
@@ -65,7 +85,7 @@ object CqlParser {
           else if (s(i) == '\'') { i += 1; done = true }
           else { sb += s(i); i += 1 }
         }
-        out += Str(sb.toString)
+        emit(Str(sb.toString))
       } else if (c.isDigit) {
         // '-' is always its own token; negative literals re-attach in
         // literal() so selection arithmetic (a - 5) parses unambiguously
@@ -77,14 +97,14 @@ object CqlParser {
           (s(i) == '.' && !(i + 1 < s.length && s(i + 1) == '.')) ||
           s(i) == 'e' || s(i) == 'E' ||
           ((s(i) == '-' || s(i) == '+') && (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
-        out += Num(s.substring(j, i))
+        emit(Num(s.substring(j, i)))
       } else if (c.isLetter || c == '_') {
         val j = i
         while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
-        out += Ident(s.substring(j, i))
+        emit(Ident(s.substring(j, i)))
       } else if ("<>!=".contains(c) && i + 1 < s.length && s(i + 1) == '=') {
-        out += Sym(s.substring(i, i + 2)); i += 2
-      } else { out += Sym(c.toString); i += 1 }
+        emit(Sym(s.substring(i, i + 2))); i += 2
+      } else { emit(Sym(c.toString)); i += 1 }
     }
     out.result()
   }

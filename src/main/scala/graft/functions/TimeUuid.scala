@@ -22,6 +22,20 @@ object TimeUuid {
 
   private def ticksFromUnixMillis(ms: Long): Long = (ms - StartEpochMillis) * 10000L
 
+  /** First 100ns tick of a unix millisecond (for generator counters). */
+  def ticksAtMillis(ms: Long): Long = ticksFromUnixMillis(ms)
+
+  /** Fixed clock-seq/node for GENERATED (non-boundary) v1 uuids: variant bits
+    * `10`, multicast bit set in the node's first octet so it cannot collide
+    * with a real MAC — mirroring UUIDGen's hashed-pseudo-node approach without
+    * a host identity, keeping generated values deterministic modulo ticks.
+    */
+  val GeneratedClockSeqAndNode: Long = 0x8000000000000000L | 0x116772616674L
+
+  /** v1 uuid from explicit 100ns ticks + clock-seq/node (UUIDGen layout). */
+  def fromTicks(ticks: Long, clockSeqAndNode: Long): String =
+    new UUID(msbFromTicks(ticks), clockSeqAndNode).toString
+
   /** Standard v1 MSB layout from 100ns ticks. */
   private def msbFromTicks(ticks: Long): Long =
     ((ticks & 0xffffffffL) << 32) |

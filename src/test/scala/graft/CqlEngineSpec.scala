@@ -187,6 +187,13 @@ class CqlEngineSpec extends SparkSpec {
     e.execute("INSERT INTO t12 (k, v) VALUES (1, 'hi')")
     val json = e.execute("SELECT JSON k, v FROM t12").head().getString(0)
     assert(json.contains("\"k\":1") && json.contains("\"v\":\"hi\""))
+    // SELECT JSON applies to aggregate selects too (JsonTest countJson)
+    val aggDf = e.execute("SELECT JSON count(*) FROM t12")
+    assert(aggDf.columns.toSeq === Seq("[json]"))
+    assert(aggDf.head().getString(0).contains("1"))
+    val grpDf = e.execute("SELECT JSON k, count(*) FROM t12 GROUP BY k")
+    assert(grpDf.columns.toSeq === Seq("[json]"))
+    assert(grpDf.head().getString(0).contains("\"k\":1"))
   }
 
   test("TRUNCATE and composite partition keys") {

@@ -55,6 +55,10 @@ class CqlRangeDeleteSpec extends SparkSpec {
     // range on a non-following column is invalid
     assertInvalid(e, "DELETE FROM rd2 WHERE k = 1 AND c2 > 1",
       "following the EQ prefix")
+    // an EQ on a clustering column AFTER the ranged one must be rejected, not
+    // silently dropped (the tombstone would be unbounded in c2)
+    assertInvalid(e, "DELETE FROM rd2 WHERE k = 1 AND c1 > 1 AND c2 = 3",
+      "cannot be restricted")
   }
 
   test("multi-column tuple range deletes") {

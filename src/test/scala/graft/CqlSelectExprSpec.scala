@@ -84,6 +84,22 @@ class CqlSelectExprSpec extends SparkSpec {
     assert(r(2) === 1296705900000L)
   }
 
+  test("now() yields a distinct timeuuid per call, even within one millisecond") {
+    val e = mkEngine
+    e.nowMicros = 1296705900000000L
+    e.execute("CREATE TABLE nw2 (id timeuuid PRIMARY KEY, v int)")
+    // two INSERTs keyed by now() in the same pinned ms must NOT collide
+    // (reference UUIDGen guarantees per-call uniqueness via the tick counter)
+    e.execute("INSERT INTO nw2 (id, v) VALUES (now(), 1)")
+    e.execute("INSERT INTO nw2 (id, v) VALUES (now(), 2)")
+    e.execute("INSERT INTO nw2 (id, v) VALUES (now(), 3)")
+    val got = e.execute("SELECT id, v FROM nw2").collect()
+    assert(got.length === 3)
+    assert(got.map(_.getString(0)).distinct.length === 3)
+    // all three still embed the pinned millisecond
+    got.foreach(r => assert(TimeUuid.unixMillisOf(r.getString(0)) === 1296705900000L))
+  }
+
   test("mintimeuuid/maxtimeuuid boundaries filter a timeuuid clustering") {
     val e = mkEngine
     e.execute("CREATE TABLE tb1 (k int, tu timeuuid, v int, PRIMARY KEY (k, tu))")

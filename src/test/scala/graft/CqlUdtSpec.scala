@@ -50,6 +50,16 @@ class CqlUdtSpec extends SparkSpec {
     assertInvalid(e, "INSERT INTO u1 (k, a) VALUES (3, {country: 'US'})", "Unknown field")
     assertInvalid(e, "SELECT a.nope FROM u1", "Unknown field")
     assertInvalid(e, "CREATE TYPE address (x int)", "already exists")
+    // unspaced field:value — the ':' here is a separator, not a bind marker
+    e.execute("INSERT INTO u1 (k, a) VALUES (4, {street:'1 Elm', zip:99})")
+    assert(rowsInOrder(e.execute("SELECT a.street, a.zip FROM u1 WHERE k = 4")) ===
+      Seq(Seq("1 Elm", 99)))
+    // ... including boolean/ident-looking values ({active:true} shape)
+    e.execute("CREATE TYPE flags (active boolean, level int)")
+    e.execute("CREATE TABLE u1b (k int PRIMARY KEY, f frozen<flags>)")
+    e.execute("INSERT INTO u1b (k, f) VALUES (1, {active:true, level:2})")
+    assert(rowsInOrder(e.execute("SELECT f.active, f.level FROM u1b")) ===
+      Seq(Seq(true, 2)))
   }
 
   test("UDT inside collections and as clustering-ish value") {

@@ -68,8 +68,16 @@ class CqlViewSpec extends SparkSpec {
     e.execute("CREATE MATERIALIZED VIEW mv3 AS SELECT * FROM vt3 " +
       "WHERE k IS NOT NULL AND a IS NOT NULL PRIMARY KEY (a, k)")
     assertInvalid(e, "INSERT INTO mv3 (a, k) VALUES (1, 1)", "Cannot directly modify")
+    // a base table with live dependent views cannot be dropped (reference:
+    // "Cannot drop table when materialized views still depend on it")
+    e.execute("CREATE MATERIALIZED VIEW mv3b AS SELECT * FROM vt3 " +
+      "WHERE k IS NOT NULL AND b IS NOT NULL PRIMARY KEY (b, k)")
+    assertInvalid(e, "DROP TABLE vt3", "materialized views still depend")
+    e.execute("DROP MATERIALIZED VIEW mv3b")
     e.execute("DROP MATERIALIZED VIEW mv3")
     assertInvalid(e, "SELECT * FROM mv3", "unconfigured table")
+    e.execute("DROP TABLE vt3")
+    assertInvalid(e, "SELECT * FROM vt3", "unconfigured table")
   }
 
   test("reversed clustering order in a view") {
