@@ -410,6 +410,51 @@ object Queries {
         e.execute("SELECT o_custkey, o_orderkey, o_totalprice FROM cql_by_cust")
       }),
 
+    QueryDef("q_cql_floor_month",
+      // GROUP BY floor(date, 1mo) time-bucketing through the engine
+      // (Cassandra 4.1 CASSANDRA-11871 forward-port); calendar-month
+      // buckets == DuckDB date_trunc('month')
+      Some("""SELECT CAST(o_custkey % 8 AS INTEGER) AS k,
+                     date_trunc('month', CAST(o_orderdate AS DATE)) AS bucket,
+                     count(*) AS n,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders WHERE o_orderkey < 3000
+              GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_flm (k int, d date, o_orderkey bigint, o_totalprice double, PRIMARY KEY (k, d, o_orderkey))")
+        t(s, d, "orders").filter(col("o_orderkey") < 3000)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM-dd").as("ds"))
+          .collect().foreach { r =>
+            e.execute(s"INSERT INTO cql_flm (k, d, o_orderkey, o_totalprice) VALUES (${r.getLong(0) % 8}, '${r.getString(3)}', ${r.getLong(1)}, ${r.getDouble(2)})")
+          }
+        e.execute("SELECT k, floor(d, 1mo) AS bucket, count(*) AS n, " +
+          "cast(sum(cast(o_totalprice AS decimal)) AS double) AS total " +
+          "FROM cql_flm GROUP BY k, floor(d, 1mo)")
+      }),
+
+    QueryDef("q_cql_floor_week",
+      // precise-duration floor: epoch-anchored 7-day grid over a date
+      // clustering column; DuckDB reproduces with day arithmetic from epoch
+      Some("""SELECT CAST(o_custkey % 8 AS INTEGER) AS k,
+                     DATE '1970-01-01' + CAST((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7) * 7 AS INTEGER) AS bucket,
+                     count(*) AS n
+              FROM orders WHERE o_orderkey < 3000
+              GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_flw (k int, d date, o_orderkey bigint, PRIMARY KEY (k, d, o_orderkey))")
+        t(s, d, "orders").filter(col("o_orderkey") < 3000)
+          .select(col("o_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM-dd").as("ds"))
+          .collect().foreach { r =>
+            e.execute(s"INSERT INTO cql_flw (k, d, o_orderkey) VALUES (${r.getLong(0) % 8}, '${r.getString(2)}', ${r.getLong(1)})")
+          }
+        e.execute("SELECT k, floor(d, 7d) AS bucket, count(*) AS n " +
+          "FROM cql_flw GROUP BY k, floor(d, 7d)")
+      }),
+
     QueryDef("q_contains",
       // CONTAINS on a collection column (RowFilter.java:625-680)
       Some("""SELECT p_partkey, p_name FROM part

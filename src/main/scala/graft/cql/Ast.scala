@@ -274,8 +274,16 @@ object Ast {
                           timestamp: Option[Long],
                           condition: Option[LwtCondition] = None) extends Statement
 
+  /** One GROUP BY element: a bare PK column, or `floor(col, duration[, start])`
+    * time-bucketing (Cassandra 4.1 CASSANDRA-11871 forward-port; the
+    * reference snapshot predates it). Only the LAST element may carry floor.
+    */
+  final case class GroupByEl(column: String,
+                             floorDur: Option[Literal] = None,
+                             floorStart: Option[Literal] = None)
+
   final case class Select(table: String, selectors: Seq[Selector], distinct: Boolean,
-                          where: Seq[Relation], groupBy: Seq[String],
+                          where: Seq[Relation], groupBy: Seq[GroupByEl],
                           orderBy: Seq[(String, Boolean)], // (col, desc?)
                           perPartitionLimit: Option[Long], limit: Option[Long],
                           allowFiltering: Boolean, json: Boolean) extends Statement

@@ -1741,44 +1741,78 @@ class CqlEngine(val spark: SparkSession) {
       throw InvalidRequest("Cannot mix * with aggregate functions")
 
     // GROUP BY validation: pk-prefix, gaps only when EQ-restricted
-    // (SelectStatement.java:1145-1191)
+    // (SelectStatement.java:1145-1191); floor() buckets only on the last
+    // element over a temporal column (4.1 GroupByTimeRange rules)
     if (s.groupBy.nonEmpty) {
       val pkAll = (pkNames ++ ckNames)
       var idx = 0
       s.groupBy.foreach { g =>
-        if (!pkAll.contains(g))
-          throw InvalidRequest(s"Group by is currently only supported on the columns of the PRIMARY KEY, got $g")
+        if (!pkAll.contains(g.column))
+          throw InvalidRequest(s"Group by is currently only supported on the columns of the PRIMARY KEY, got ${g.column}")
         var found = false
         while (!found && idx < pkAll.length) {
-          if (pkAll(idx) == g) found = true
+          if (pkAll(idx) == g.column) found = true
           else if (restricted.get(pkAll(idx)).contains("eq")) idx += 1
           else throw InvalidRequest(s"Group by currently only support groups of columns following their declared order in the PRIMARY KEY")
         }
         if (!found) throw InvalidRequest(s"Group by currently only support groups of columns following their declared order in the PRIMARY KEY")
         idx += 1
       }
+      s.groupBy.dropRight(1).foreach { g =>
+        if (g.floorDur.nonEmpty)
+          throw InvalidRequest("Functions are only supported on the last element of the GROUP BY clause")
+      }
     }
 
     if (hasAgg || s.groupBy.nonEmpty) {
       // grouping columns come through the groupBy itself; everything else is
       // an aggregate expression. The final select restores selector order.
-      def isGroupCol(sel: Selector) = sel match {
-        case ExprSel(ColRef(n), _) => s.groupBy.contains(n)
+      // floor()-bucketed keys materialize as derived __floor_<col> columns.
+      val plainGroupNames = s.groupBy.collect { case GroupByEl(n, None, _) => n }
+      var dfg = df
+      val keyCols: Seq[String] = s.groupBy.map { g =>
+        g.floorDur match {
+          case Some(d) =>
+            val kn = s"__floor_${g.column}"
+            dfg = dfg.withColumn(kn, floorColumn(td, g.column, d, g.floorStart))
+            kn
+          case None => g.column
+        }
+      }
+      def floorSelMatches(args: Seq[SelExpr], g: GroupByEl): Boolean = args match {
+        case Seq(ColRef(n), LitRef(d)) =>
+          n == g.column && g.floorDur.contains(d) && g.floorStart.isEmpty
+        case Seq(ColRef(n), LitRef(d), LitRef(st)) =>
+          n == g.column && g.floorDur.contains(d) && g.floorStart.contains(st)
         case _ => false
       }
+      def groupKeyOf(sel: Selector): Option[String] = sel match {
+        case ExprSel(ColRef(n), _)
+            if s.groupBy.exists(g => g.column == n && g.floorDur.isEmpty) => Some(n)
+        case ExprSel(FnCall("floor", args), _) =>
+          s.groupBy.find(g => g.floorDur.nonEmpty && floorSelMatches(args, g))
+            .map(g => s"__floor_${g.column}")
+        case _ => None
+      }
       val aggCols = s.selectors.zipWithIndex.collect {
-        case (sel @ ExprSel(e, _), i) if !isGroupCol(sel) =>
-          lowerAggExpr(td, e, s.groupBy).as(aggOutName(sel, i))
+        case (sel @ ExprSel(e, _), i) if groupKeyOf(sel).isEmpty =>
+          lowerAggExpr(td, e, s.groupBy.map(_.column)).as(aggOutName(sel, i))
+      }
+      val keyOrder = s.groupBy.zip(keyCols).map { case (g, kn) =>
+        if (g.floorDur.isEmpty) orderCol(td, kn) else col(kn).asc
       }
       var out =
         if (s.groupBy.nonEmpty && aggCols.nonEmpty)
-          df.groupBy(s.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+          dfg.groupBy(keyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
         else if (s.groupBy.nonEmpty)
-          df.select(s.groupBy.map(col): _*).distinct()
-        else df.agg(aggCols.head, aggCols.tail: _*)
-      if (s.groupBy.nonEmpty) out = out.orderBy(s.groupBy.map(orderCol(td, _)): _*)
+          dfg.select(keyCols.map(col): _*).distinct()
+        else dfg.agg(aggCols.head, aggCols.tail: _*)
+      if (s.groupBy.nonEmpty) out = out.orderBy(keyOrder: _*)
       out = out.select(s.selectors.zipWithIndex.map {
-        case (ExprSel(ColRef(n), alias), _) if s.groupBy.contains(n) => col(n).as(alias.getOrElse(n))
+        case (sel: ExprSel, i) => groupKeyOf(sel) match {
+          case Some(kn) => col(kn).as(aggOutName(sel, i))
+          case None => col(aggOutName(sel, i))
+        }
         case (sel, i) => col(aggOutName(sel, i))
       }: _*)
       s.limit.foreach(n => out = out.limit(checkLimit(n)))
@@ -1981,6 +2015,11 @@ class CqlEngine(val spark: SparkSession) {
       case "sum" | "min" | "max" | "avg" => args.headOption.flatMap(exprType(td, _))
       case "ttl" => Some(CqlInt)
       case "now" | "currenttimeuuid" | "mintimeuuid" | "maxtimeuuid" => Some(CqlTimeuuid)
+      case "floor" => args.headOption.flatMap(exprType(td, _)).map {
+        case CqlDate => CqlDate
+        case CqlTime => CqlTime
+        case _ => CqlTimestamp
+      }
       case "currenttimestamp" | "totimestamp" | "dateof" => Some(CqlTimestamp)
       case "currentdate" | "todate" => Some(CqlDate)
       case "currenttime" => Some(CqlTime)
@@ -2028,6 +2067,66 @@ class CqlEngine(val spark: SparkSession) {
         case _ => throw InvalidRequest("cannot interpret text column as timestamp")
       }
       case other => throw InvalidRequest(s"Invalid temporal argument of type ${other.map(_.name).getOrElse("?")}")
+    }
+  }
+
+  /** floor(col, duration[, start]) — time-bucket floor (Cassandra 4.1
+    * CASSANDRA-11871, TimeFcts floor family; forward-port — the reference
+    * snapshot predates 4.1). Precise durations bucket as
+    * `start + floor((v-start)/d)*d`, computed with pmod so values before
+    * `start` still floor mathematically (the reference errors per-row there
+    * — documented narrowing). Month durations bucket on calendar months from
+    * the epoch; mixing months with day/sub-day parts is rejected.
+    */
+  private def floorColumn(td: TableDef, cn: String, dur: Literal,
+                          start: Option[Literal]): Column = {
+    val cd = td.column(cn).getOrElse(throw InvalidRequest(s"Undefined column name $cn"))
+    val (months, days, nanos) = dur match {
+      case DurationLit(mo, d, n) => (mo, d, n)
+      case other => throw InvalidRequest(s"floor() expects a duration literal, got ${other.value}")
+    }
+    if (months < 0 || days < 0 || nanos < 0)
+      throw InvalidRequest("Negative durations are not allowed in floor()")
+    cd.tpe match {
+      case CqlTime =>
+        if (months != 0 || days != 0)
+          throw InvalidRequest("floor() on a time column requires a sub-day duration")
+        if (start.nonEmpty)
+          throw InvalidRequest("floor() on a time column does not accept a custom start")
+        if (nanos <= 0) throw InvalidRequest("floor() duration must be positive")
+        col(cn) - pmod(col(cn), lit(nanos))
+      case t @ (CqlTimestamp | CqlDate | CqlTimeuuid) =>
+        val ms: Column = t match {
+          case CqlTimestamp => unix_millis(col(cn))
+          case CqlDate => unix_date(col(cn)).cast("long") * lit(86400000L)
+          case _ => F.timeuuid_unix_millis(col(cn))
+        }
+        val startMs: Long = start.map {
+          case IntLit(v) => v
+          case StringLit(s0) => vv(CqlValues.parseTimestampMillis(s0)).asInstanceOf[Long]
+          case UuidLit(u) => graft.functions.TimeUuid.unixMillisOf(u)
+          case other => throw InvalidRequest(s"Invalid floor() start ${other.value}")
+        }.getOrElse(0L)
+        if (months > 0) {
+          if (days != 0 || nanos != 0)
+            throw InvalidRequest("floor() durations mixing months with days/sub-day parts are not supported")
+          if (startMs != 0L)
+            throw InvalidRequest("floor() month durations do not accept a custom start")
+          val tc = timestamp_millis(ms)
+          val monthsSince = (year(tc) - lit(1970)) * lit(12) + month(tc) - lit(1)
+          val bm = monthsSince - pmod(monthsSince, lit(months))
+          val y = lit(1970) + ((bm - pmod(bm, lit(12))) / lit(12)).cast("int")
+          val mo = pmod(bm, lit(12)) + lit(1)
+          val res = to_timestamp(make_date(y, mo, lit(1)))
+          if (t == CqlDate) res.cast(DateType) else res
+        } else {
+          val dm = days * 86400000L + nanos / 1000000L
+          if (dm <= 0) throw InvalidRequest("floor() duration must be at least 1 millisecond")
+          val floored = ms - pmod(ms - lit(startMs), lit(dm))
+          if (t == CqlDate) timestamp_millis(floored).cast(DateType)
+          else timestamp_millis(floored)
+        }
+      case other => throw InvalidRequest(s"floor() is not supported on type ${other.name}")
     }
   }
 
@@ -2170,6 +2269,13 @@ class CqlEngine(val spark: SparkSession) {
       case FnCall("unixtimestampof", Seq(a)) => millisOf(td, a, rec)
       case FnCall("mintimeuuid", Seq(a)) => F.min_timeuuid(millisOf(td, a, rec))
       case FnCall("maxtimeuuid", Seq(a)) => F.max_timeuuid(millisOf(td, a, rec))
+      case FnCall("floor", ColRef(n) +: rest) if rest.nonEmpty =>
+        val (d, st) = rest match {
+          case Seq(LitRef(dl)) => (dl, None)
+          case Seq(LitRef(dl), LitRef(sl)) => (dl, Some(sl))
+          case _ => throw InvalidRequest("Invalid arguments to floor()")
+        }
+        floorColumn(td, n, d, st)
       case FnCall("uuid", Seq()) => call_function("uuid_v4")
       // blob conversion family (BytesConversionFcts) — CQL camelCase names
       // map onto the registered snake_case udfs

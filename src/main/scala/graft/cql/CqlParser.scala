@@ -863,11 +863,24 @@ object CqlParser {
     p.eatKw("from")
     val name = p.tableName()
     val where = if (p.tryKw("where")) parseWhere(p) else Seq.empty
-    var groupBy = Vector.empty[String]
+    var groupBy = Vector.empty[GroupByEl]
     if (p.tryKw("group")) {
       p.eatKw("by")
-      groupBy :+= p.ident()
-      while (p.trySym(",")) groupBy :+= p.ident()
+      // element = ident | [system.]floor(col, duration [, start])
+      def groupEl(): GroupByEl = {
+        val first = p.ident()
+        val fn = if (first == "system" && p.trySym(".")) p.ident() else first
+        if (fn == "floor" && p.trySym("(")) {
+          val c = p.ident()
+          p.sym(",")
+          val dur = p.literal()
+          val start = if (p.trySym(",")) Some(p.literal()) else None
+          p.sym(")")
+          GroupByEl(c, floorDur = Some(dur), floorStart = start)
+        } else GroupByEl(fn)
+      }
+      groupBy :+= groupEl()
+      while (p.trySym(",")) groupBy :+= groupEl()
     }
     var orderBy = Vector.empty[(String, Boolean)]
     if (p.tryKw("order")) {
