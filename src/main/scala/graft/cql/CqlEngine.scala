@@ -375,7 +375,8 @@ class CqlEngine(val spark: SparkSession) {
     if (filters.nonEmpty) df = df.filter(filters.reduce(_ && _))
     val td = tables(v.name)
     val shadows = td.columns.filter(c => c.kind == Regular || c.kind == Static)
-      .flatMap(c => Seq("_wt_" + c.name, "_ttlr_" + c.name))
+      .flatMap(c => Seq("_wt_" + c.name, "_ttlr_" + c.name,
+        "_wtl_" + c.name, "_ttlrl_" + c.name))
       .filter(df.columns.contains)
     df.select((td.columns.map(_.name) ++ shadows).distinct.map(col): _*)
   }
@@ -1267,52 +1268,102 @@ class CqlEngine(val spark: SparkSession) {
       cell("ttl") > 0L && (cell("ts") + cell("ttl") * 1000000L) <= lit(nowMicros)
     def cellLive(cell: Column): Column =
       cell.isNotNull && cell("tomb") === 0 && cell("ts") > delTs && !cellExpired(cell)
+    def collSorted(c: ColumnDef): Column = {
+      val unexpired = filter(col("_muts_" + c.name),
+        m => !(m("ttl") > 0L && (m("ts") + m("ttl") * 1000000L) <= lit(nowMicros)))
+      array_sort(unexpired, (l, r) =>
+        when(l("ts") < r("ts"), -1).when(l("ts") > r("ts"), 1)
+          .otherwise(l("prio") - r("prio")).cast("int"))
+    }
+    def collValue(c: ColumnDef): Column = {
+      val sorted = collSorted(c)
+      val sparkT = sparkType(c.tpe)
+      val folded = aggregate(sorted, lit(null).cast(sparkT), (acc, m) => {
+        val v = m("v"); val op = m("op")
+        val cleared = op === "clear" || (op === "set" && v.isNull)
+        c.tpe match {
+          case _: CqlList =>
+            // index ops carry the index in the op string ("setidx:3")
+            val opName = substring_index(op, ":", 1)
+            val opIdx = substring_index(op, ":", -1).cast("int")
+            when(cleared, lit(null).cast(sparkT))
+              .when(op === "set", v)
+              .when(opName === "append", when(acc.isNull, v).otherwise(concat(acc, v)))
+              .when(opName === "prepend", when(acc.isNull, v).otherwise(concat(v, acc)))
+              .when(opName === "remove",
+                filter(coalesce(acc, v), e => !array_contains(v, e)))
+              .when(opName === "setidx",
+                transform(acc, (el, j) => when(j === opIdx, element_at(v, 1)).otherwise(el)))
+              .when(opName === "delidx", filter(acc, (el, j) => j =!= opIdx))
+              .otherwise(acc)
+          case _: CqlSet =>
+            when(cleared, lit(null).cast(sparkT))
+              .when(op === "set", v)
+              .when(op === "add", array_sort(array_distinct(
+                when(acc.isNull, v).otherwise(concat(acc, v)))))
+              .when(op === "remove",
+                filter(coalesce(acc, v), e => !array_contains(v, e)))
+              .otherwise(acc)
+          case _: CqlMap =>
+            when(cleared, lit(null).cast(sparkT))
+              .when(op === "set", v)
+              .when(op === "put", when(acc.isNull, v).otherwise(map_concat(acc, v)))
+              .when(op === "delkey", when(acc.isNull, acc).otherwise(
+                map_filter(acc, (k, _) => !array_contains(map_keys(v), k))))
+              .otherwise(acc)
+          case _ => acc
+        }
+      })
+      // empty collections read back as null (CQL convention)
+      when(folded.isNotNull && size(folded) > 0, folded)
+    }
+    /** Per-element cell metadata fold for sets/maps: element (or map key) →
+      * (writetime µs, ttl) of the mutation that last wrote it — the state
+      * behind multi-cell writetime()/ttl() list selectors (CASSANDRA-8877
+      * forward-port; the 4.0 reference rejects these selectors).
+      */
+    def collMeta(c: ColumnDef): Column = {
+      val keyT = c.tpe match {
+        case CqlSet(e) => sparkType(e)
+        case CqlMap(k, _) => sparkType(k)
+        case other => throw new IllegalStateException(s"collMeta on ${other.name}")
+      }
+      val metaT = MapType(keyT, StructType(Seq(
+        StructField("ts", LongType), StructField("ttl", LongType))))
+      aggregate(collSorted(c), lit(null).cast(metaT), (acc, m) => {
+        val v = m("v"); val op = m("op")
+        val cleared = op === "clear" || (op === "set" && v.isNull)
+        val ks = c.tpe match {
+          case _: CqlSet => v
+          case _ => map_keys(v)
+        }
+        val entries = map_from_entries(transform(ks,
+          k => struct(k, struct(m("ts").as("ts"), m("ttl").as("ttl")))))
+        val upsertOp = c.tpe match {
+          case _: CqlSet => lit("add")
+          case _ => lit("put")
+        }
+        when(cleared, lit(null).cast(metaT))
+          .when(op === "set", entries)
+          .when(op === upsertOp, when(acc.isNull, entries).otherwise(
+            map_concat(map_filter(acc, (k, _) => !array_contains(ks, k)), entries)))
+          .when(op === (c.tpe match { case _: CqlSet => lit("remove"); case _ => lit("delkey") }),
+            when(acc.isNull, acc).otherwise(
+              map_filter(acc, (k, _) => !array_contains(ks, k))))
+          .otherwise(acc)
+      })
+    }
+    /** set/map columns whose element/key admits a Spark map key (maps can't
+      * key maps) — only these carry writetime/ttl list shadows.
+      */
+    def hasElemMeta(c: ColumnDef): Boolean = c.tpe match {
+      case CqlSet(e) => !hasMapValue(e)
+      case CqlMap(k, _) => !hasMapValue(k)
+      case _ => false
+    }
     val valueCols = cols.map { c =>
       if (isCollection(c.tpe)) {
-        val unexpired = filter(col("_muts_" + c.name),
-          m => !(m("ttl") > 0L && (m("ts") + m("ttl") * 1000000L) <= lit(nowMicros)))
-        val sorted = array_sort(unexpired, (l, r) =>
-          when(l("ts") < r("ts"), -1).when(l("ts") > r("ts"), 1)
-            .otherwise(l("prio") - r("prio")).cast("int"))
-        val sparkT = sparkType(c.tpe)
-        val folded = aggregate(sorted, lit(null).cast(sparkT), (acc, m) => {
-          val v = m("v"); val op = m("op")
-          val cleared = op === "clear" || (op === "set" && v.isNull)
-          c.tpe match {
-            case _: CqlList =>
-              // index ops carry the index in the op string ("setidx:3")
-              val opName = substring_index(op, ":", 1)
-              val opIdx = substring_index(op, ":", -1).cast("int")
-              when(cleared, lit(null).cast(sparkT))
-                .when(op === "set", v)
-                .when(opName === "append", when(acc.isNull, v).otherwise(concat(acc, v)))
-                .when(opName === "prepend", when(acc.isNull, v).otherwise(concat(v, acc)))
-                .when(opName === "remove",
-                  filter(coalesce(acc, v), e => !array_contains(v, e)))
-                .when(opName === "setidx",
-                  transform(acc, (el, j) => when(j === opIdx, element_at(v, 1)).otherwise(el)))
-                .when(opName === "delidx", filter(acc, (el, j) => j =!= opIdx))
-                .otherwise(acc)
-            case _: CqlSet =>
-              when(cleared, lit(null).cast(sparkT))
-                .when(op === "set", v)
-                .when(op === "add", array_sort(array_distinct(
-                  when(acc.isNull, v).otherwise(concat(acc, v)))))
-                .when(op === "remove",
-                  filter(coalesce(acc, v), e => !array_contains(v, e)))
-                .otherwise(acc)
-            case _: CqlMap =>
-              when(cleared, lit(null).cast(sparkT))
-                .when(op === "set", v)
-                .when(op === "put", when(acc.isNull, v).otherwise(map_concat(acc, v)))
-                .when(op === "delkey", when(acc.isNull, acc).otherwise(
-                  map_filter(acc, (k, _) => !array_contains(map_keys(v), k))))
-                .otherwise(acc)
-            case _ => acc
-          }
-        })
-        // empty collections read back as null (CQL convention)
-        when(folded.isNotNull && size(folded) > 0, folded).as(c.name)
+        collValue(c).as(c.name)
       } else if (c.tpe == CqlCounter)
         when(col("_cts_" + c.name) > delTs, col("_csum_" + c.name)).as(c.name)
       else {
@@ -1340,6 +1391,24 @@ class CqlEngine(val spark: SparkSession) {
           .as("_ttlr_" + c.name)
       }
     }
+    // per-element writetime/ttl lists for sets and maps, ordered like the
+    // collection iterates (set elements in order; map keys sorted)
+    val metaCols = cols.filter(hasElemMeta).flatMap { c =>
+      val meta = collMeta(c)
+      val value = collValue(c)
+      val iterKeys = c.tpe match {
+        case _: CqlSet => value
+        case _ => sort_array(map_keys(value))
+      }
+      def entry(k: Column): Column = element_at(meta, k)
+      val wtl = when(value.isNotNull, transform(iterKeys, k => entry(k)("ts")))
+      val ttll = when(value.isNotNull, transform(iterKeys, k => {
+        val e = entry(k)
+        when(e("ttl") > 0L,
+          ceil((e("ts") + e("ttl") * 1000000L - lit(nowMicros)) / 1000000.0).cast("int"))
+      }))
+      Seq(wtl.as("_wtl_" + c.name), ttll.as("_ttlrl_" + c.name))
+    }
     val liveCol =
       if (withLiveness) {
         val lv = col("_live")
@@ -1347,7 +1416,7 @@ class CqlEngine(val spark: SparkSession) {
           (lv("ttl") === 0L || (lv("ts") + lv("ttl") * 1000000L) > lit(nowMicros))
         Seq(liveOk.as("_row_live"))
       } else Seq(lit(false).as("_row_live"))
-    g.select((keys.map(col) ++ valueCols ++ wtCols ++ ttlCols ++ liveCol): _*)
+    g.select((keys.map(col) ++ valueCols ++ wtCols ++ ttlCols ++ metaCols ++ liveCol): _*)
   }
 
   private def checkpointDir(name: String): Option[java.io.File] =
@@ -1926,8 +1995,18 @@ class CqlEngine(val spark: SparkSession) {
     val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
     if (cd.kind == PartitionKey || cd.kind == Clustering)
       throw InvalidRequest(s"Cannot use selection function $fn on PRIMARY KEY part $c")
-    if (isCollection(cd.tpe))
-      throw InvalidRequest(s"Cannot use selection function $fn on non-frozen collections")
+    cd.tpe match {
+      // set/map get per-element list selectors (CASSANDRA-8877); lists and
+      // map-keyed elements have no cell-metadata shadow
+      case CqlSet(e) if hasMapValue(e) =>
+        throw InvalidRequest(s"Cannot use selection function $fn on sets of maps")
+      case CqlMap(k, _) if hasMapValue(k) =>
+        throw InvalidRequest(s"Cannot use selection function $fn on map-keyed maps")
+      case CqlSet(_) | CqlMap(_, _) => ()
+      case t if isCollection(t) =>
+        throw InvalidRequest(s"Cannot use selection function $fn on lists")
+      case _ => ()
+    }
   }
 
   // ── selection expression lowering ─────────────────────────────────────
@@ -2011,9 +2090,16 @@ class CqlEngine(val spark: SparkSession) {
     case SliceRef(n, _, _) => td.column(n).map(_.tpe)
     case CollectionCtor(_, _) | MapCtor(_) => None
     case FnCall(f, args) => f match {
-      case "count" | "tounixtimestamp" | "unixtimestampof" | "token" | "writetime" => Some(CqlBigint)
+      case "writetime" => args.headOption.flatMap(exprType(td, _)) match {
+        case Some(CqlSet(_) | CqlMap(_, _)) => Some(CqlList(CqlBigint))
+        case _ => Some(CqlBigint)
+      }
+      case "count" | "tounixtimestamp" | "unixtimestampof" | "token" => Some(CqlBigint)
       case "sum" | "min" | "max" | "avg" => args.headOption.flatMap(exprType(td, _))
-      case "ttl" => Some(CqlInt)
+      case "ttl" => args.headOption.flatMap(exprType(td, _)) match {
+        case Some(CqlSet(_) | CqlMap(_, _)) => Some(CqlList(CqlInt))
+        case _ => Some(CqlInt)
+      }
       case "now" | "currenttimeuuid" | "mintimeuuid" | "maxtimeuuid" => Some(CqlTimeuuid)
       case "floor" => args.headOption.flatMap(exprType(td, _)).map {
         case CqlDate => CqlDate
@@ -2240,10 +2326,21 @@ class CqlEngine(val spark: SparkSession) {
         }
         rt.map(t => raw.cast(sparkType(t))).getOrElse(raw)
       // ── engine-resolved selectors ──
+      // multi-cell set/map writetime/ttl return per-element LISTS
+      // (CASSANDRA-8877 forward-port; lists stay rejected — positional
+      // cell metadata doesn't survive this engine's list fold)
       case FnCall("writetime", Seq(ColRef(c))) =>
-        requireCell(td, c, "writetime"); col("_wt_" + c)
+        requireCell(td, c, "writetime")
+        td.column(c).map(_.tpe) match {
+          case Some(CqlSet(_) | CqlMap(_, _)) => col("_wtl_" + c)
+          case _ => col("_wt_" + c)
+        }
       case FnCall("ttl", Seq(ColRef(c))) =>
-        requireCell(td, c, "ttl"); col("_ttlr_" + c)
+        requireCell(td, c, "ttl")
+        td.column(c).map(_.tpe) match {
+          case Some(CqlSet(_) | CqlMap(_, _)) => col("_ttlrl_" + c)
+          case _ => col("_ttlr_" + c)
+        }
       case FnCall("token", args) if args.nonEmpty =>
         val ins = args.map {
           case ColRef(cn) => tokenInput(td.column(cn).getOrElse(

@@ -366,9 +366,10 @@ class CqlEngineSpec extends SparkSpec {
     assert(e.execute("SELECT st FROM t22 WHERE k = 1").head().getSeq[String](0) === Seq("z"))
     e.execute("UPDATE t22 SET st = st - {'z'} WHERE k = 1")
     assert(e.execute("SELECT st FROM t22 WHERE k = 1").head().isNullAt(0))
-    // writetime rejected on multi-cell collections
+    // writetime on multi-cell LISTS stays rejected (sets/maps return
+    // per-element lists — CqlCollWritetimeSpec)
     assertInvalid(e, "SELECT writetime(l) FROM t22",
-      "Cannot use selection function writetime on non-frozen collections")
+      "Cannot use selection function writetime on lists")
     // out-of-order timestamps: older append lands in timestamp order
     e.execute("CREATE TABLE t23 (k int PRIMARY KEY, l list<int>)")
     e.execute("INSERT INTO t23 (k, l) VALUES (1, [5]) USING TIMESTAMP 100")
