@@ -25,10 +25,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
 
-    // Warm the JVM/codegen once on the smallest sf so per-query numbers
-    // measure the plan, not first-use class loading.
-    SparkEntry.queries("q_group_pk_prefix")(spark, sfDir).write
-      .format("noop").mode("overwrite").save()
+    // Warm the JVM/codegen once PER QUERY so the timed runs measure the
+    // plan, not janino compilation of each query's generated classes (the
+    // heavier pipelines carry multi-second first-run codegen).
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).write
+        .format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
+    }
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -36,6 +36,10 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       // CQL map put semantics: m + {k:v} overwrites existing keys
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // the default 100-entry codegen cache thrashes across this library's
+      // many generated plans (sketch aggregates, CQL folds, bucket joins),
+      // forcing multi-second janino recompiles mid-benchmark
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .withExtensions(new graft.functions.GraftExtensions)
 
   def get(appName: String = "graft"): SparkSession = {

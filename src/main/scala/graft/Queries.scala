@@ -484,7 +484,7 @@ object Queries {
               ORDER BY event_id"""),
       (s, d) => {
         val kSchema = StructType(Seq(StructField("k", IntegerType)))
-        t(s, d, "events")
+        Tables.spread(t(s, d, "events"))
           .withColumn("_p", from_json(col("props"), kSchema))
           .filter(col("_p")("k") >= 95)
           .select(col("event_id"), col("_p")("k").as("k"))
@@ -793,7 +793,7 @@ object Queries {
                            + (len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','to','a','in','is'], x))) * 1.0 / len(string_split(lower(text), ' '))) * 0.3
                            + (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)) * 0.3, 6) AS quality
               FROM documents ORDER BY doc_id"""),
-      (s, d) => t(s, d, "documents").select(col("doc_id"),
+      (s, d) => Tables.spread(t(s, d, "documents")).select(col("doc_id"),
           size(TextAnalysis.words(col("text"))).as("n_words"),
           length(col("text")).as("n_chars_m"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -801,7 +801,7 @@ object Queries {
         .orderBy("doc_id")),
 
     QueryDef("q_text_langid", Some(langIdOracle),
-      (s, d) => t(s, d, "documents")
+      (s, d) => Tables.spread(t(s, d, "documents"))
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
@@ -809,7 +809,7 @@ object Queries {
       Some("""SELECT doc_id,
                      md5(array_to_string(list_sort(list_distinct(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '))), ' ')) AS fp
               FROM documents ORDER BY doc_id"""),
-      (s, d) => t(s, d, "documents")
+      (s, d) => Tables.spread(t(s, d, "documents"))
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 

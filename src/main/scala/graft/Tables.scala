@@ -15,6 +15,18 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a narrow scan across the cluster before compute-heavy map
+    * stages. Single-row-group parquet files read as ONE split, which would
+    * serialize shingle/sketch/regex work on one core; at production scale
+    * inputs arrive in many splits and this is a no-op (the repartition only
+    * fires when the scan has fewer partitions than the session's
+    * parallelism).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")

@@ -41,16 +41,18 @@ object Dedup {
   /** Exact dedup: digest-group. Output one row per distinct digest with the
     * canonical (minimum) doc id and the group size.
     */
-  def exact(docs: DataFrame, id: String, text: String): DataFrame =
+  def exact(docs0: DataFrame, id: String, text: String): DataFrame = {
+    val docs = graft.Tables.spread(docs0)
     docs.groupBy(md5(lower(col(text))).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col(id)).as("canonical_id"))
+  }
 
   /** Exact n-gram Jaccard similar pairs (jaccard >= threshold).
     * Output: (a, b, jaccard rounded to 6dp), a < b.
     */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         k: Int, threshold: Double): DataFrame = {
-    val sh = explodedShingles(docs, id, text, k)
+    val sh = explodedShingles(graft.Tables.spread(docs), id, text, k)
     jaccardOfPairs(sh, commonShinglePairs(sh), threshold)
   }
 
@@ -123,34 +125,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-doc hashed distinct-shingle set, computed inside the scan stage
+    * (an 8-byte murmur per shingle instead of the string; collision odds
+    * ~n²/2^64, negligible against the 6dp jaccard rounding).
+    */
+  private def hashedShingleSet(text: Column, k: Int, seed: Long): Column =
+    transform(array_distinct(shingles(text, k)), s => murmur64(s, lit(seed)))
+
   /** Full MinHash+LSH dedup: candidates by banding, verified by exact
     * Jaccard on candidate pairs only. Output identical in shape (and, when
     * band/row parameters give ~1.0 recall at the threshold, in content) to
     * [[ngramJaccardPairs]] — but the join is on constant-size band keys, not
     * on raw shingles, so it scales to corpora where the shingle join would
-    * fan out. ONE aggregation pass computes signatures and shingle sets, so
-    * the exploded table is consumed exactly once — no cache to spill at
-    * 100 TB.
+    * fan out.
+    *
+    * 100 TB shape: [[MinHashAgg]] partially aggregates map-side, so the
+    * signature shuffle carries one fixed 512-byte buffer per (doc,
+    * partition) — never raw shingles; verification re-derives shingle sets
+    * ONLY for candidate documents via a semi-join into a second scan — no
+    * corpus-wide cache or collect_list to spill, ever.
     */
   def minhashLsh(docs: DataFrame, id: String, text: String, k: Int,
                  threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sh = explodedShingles(docs, id, text, k)
-    // the shingle SET rides as the already-computed 64-bit murmurs — an
-    // 8-byte element instead of the string (collision odds ~n²/2^64,
-    // negligible against the 6dp jaccard rounding)
-    val perDoc = sh
-      .withColumn("h1", murmur64(col("s"), lit(1L)))
-      .withColumn("h2", murmur64(col("s"), lit(2L)))
-      .groupBy("doc_id")
-      .agg(call_function("minhash_agg", col("h1"), col("h2"),
-        lit(bands * rowsPerBand)).as("sig"),
-        collect_list(col("h1")).as("shingles"))
-      // reused by banding + both verify sides; spillable, and ~8B/shingle
-      // per doc — the compact stage table a production pipeline would
-      // materialize, NOT the exploded string shingles
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(lshBuckets(perDoc.select("doc_id", "sig"), bands, rowsPerBand))
-    verifyByShingleSets(cands, perDoc.select("doc_id", "shingles"), threshold)
+    val docsS = graft.Tables.spread(docs)
+    val sigs = minhashSignatures(explodedShingles(docsS, id, text, k), bands * rowsPerBand)
+    val cands = lshCandidates(lshBuckets(sigs, bands, rowsPerBand))
+    val candIds = cands.select(col("a").as("doc_id"))
+      .union(cands.select(col("b").as("doc_id"))).distinct()
+    val candSets = docsS.join(candIds, docsS(id) === candIds("doc_id"), "left_semi")
+      .select(col(id).as("doc_id"), hashedShingleSet(col(text), k, 1L).as("shingles"))
+    verifyByShingleSets(cands, candSets, threshold)
   }
 
   /** 64-bit SimHash from per-shingle murmurs: bit j of the signature is set
@@ -166,14 +170,10 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: String, text: String, k: Int,
                    maxHamming: Int, threshold: Double): DataFrame = {
-    val sh = explodedShingles(docs, id, text, k)
-    // one aggregation pass: simhash signature + the doc's hashed shingle set
-    val perDoc = sh
-      .withColumn("h", murmur64(col("s"), lit(0x51c0L)))
-      .groupBy("doc_id")
-      .agg(call_function("simhash_agg", col("h")).as("simhash"),
-        collect_list(col("h")).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SimHashAgg partially aggregates its vote buffer map-side — the
+    // signature shuffle carries 256-byte buffers, never raw shingles
+    val docsS = graft.Tables.spread(docs)
+    val perDoc = simhashSignatures(explodedShingles(docsS, id, text, k))
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("ci"), shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xffffL)).as("cv"))
     }
@@ -185,6 +185,10 @@ object Dedup {
       .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifyByShingleSets(cands, perDoc.select("doc_id", "shingles"), threshold)
+    val candIds = cands.select(col("a").as("doc_id"))
+      .union(cands.select(col("b").as("doc_id"))).distinct()
+    val candSets = docsS.join(candIds, docsS(id) === candIds("doc_id"), "left_semi")
+      .select(col(id).as("doc_id"), hashedShingleSet(col(text), k, 0x51c0L).as("shingles"))
+    verifyByShingleSets(cands, candSets, threshold)
   }
 }
