@@ -287,10 +287,8 @@ object Queries {
       (s, d) => {
         val e = new graft.cql.CqlEngine(s)
         e.execute("CREATE TABLE cql_ord (o_orderkey bigint PRIMARY KEY, o_totalprice double)")
-        t(s, d, "orders").filter(col("o_orderkey") < 500)
-          .select("o_orderkey", "o_totalprice").collect().foreach { r =>
-            e.execute(s"INSERT INTO cql_ord (o_orderkey, o_totalprice) VALUES (${r.getLong(0)}, ${r.getDouble(1)})")
-          }
+        e.bulkInsert("cql_ord", t(s, d, "orders").filter(col("o_orderkey") < 500)
+          .select("o_orderkey", "o_totalprice"))
         e.execute("SELECT o_orderkey, o_totalprice * 2 + 1 AS tp2, " +
           "o_orderkey % 7 AS m7, cast(o_totalprice AS int) AS tp_int FROM cql_ord")
       }),
@@ -302,13 +300,10 @@ object Queries {
       (s, d) => {
         val e = new graft.cql.CqlEngine(s)
         e.execute("CREATE TABLE cql_odate (o_orderkey bigint PRIMARY KEY, o_orderdate timestamp)")
-        t(s, d, "orders").filter(col("o_orderkey") < 300)
-          // parquet timestamp[ms] reads as TIMESTAMP_NTZ; session tz is UTC,
-          // so the cast to ltz preserves the instant DuckDB's epoch_ms sees
-          .select(col("o_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
-          .collect().foreach { r =>
-            e.execute(s"INSERT INTO cql_odate (o_orderkey, o_orderdate) VALUES (${r.getLong(0)}, ${r.getLong(1)})")
-          }
+        // parquet timestamp[ms] reads as TIMESTAMP_NTZ; session tz is UTC,
+        // so the cast to ltz preserves the instant DuckDB's epoch_ms sees
+        e.bulkInsert("cql_odate", t(s, d, "orders").filter(col("o_orderkey") < 300)
+          .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_orderdate")))
         e.execute("SELECT o_orderkey, todate(o_orderdate) AS d, " +
           "tounixtimestamp(o_orderdate) AS ms FROM cql_odate")
       }),
@@ -327,10 +322,8 @@ object Queries {
       (s, d) => {
         val e = new graft.cql.CqlEngine(s)
         e.execute("CREATE TABLE cql_og (o_custkey bigint, o_orderkey bigint, o_totalprice double, PRIMARY KEY (o_custkey, o_orderkey))")
-        t(s, d, "orders").filter(col("o_orderkey") < 2000)
-          .select("o_custkey", "o_orderkey", "o_totalprice").collect().foreach { r =>
-            e.execute(s"INSERT INTO cql_og (o_custkey, o_orderkey, o_totalprice) VALUES (${r.getLong(0)}, ${r.getLong(1)}, ${r.getDouble(2)})")
-          }
+        e.bulkInsert("cql_og", t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select("o_custkey", "o_orderkey", "o_totalprice"))
         e.execute("SELECT o_custkey, count(*) AS cnt, " +
           "cast(sum(cast(o_totalprice AS decimal)) AS double) AS total, " +
           "max(o_totalprice) AS top FROM cql_og GROUP BY o_custkey")
@@ -346,10 +339,8 @@ object Queries {
       (s, d) => {
         val e = new graft.cql.CqlEngine(s)
         e.execute("CREATE TABLE cql_op (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
-        t(s, d, "orders").filter(col("o_orderkey") < 2000)
-          .select("o_custkey", "o_orderkey").collect().foreach { r =>
-            e.execute(s"INSERT INTO cql_op (o_custkey, o_orderkey) VALUES (${r.getLong(0)}, ${r.getLong(1)})")
-          }
+        e.bulkInsert("cql_op", t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select("o_custkey", "o_orderkey"))
         e.execute("SELECT o_custkey, o_orderkey FROM cql_op PER PARTITION LIMIT 2")
       }),
 
@@ -361,12 +352,10 @@ object Queries {
       (s, d) => {
         val e = new graft.cql.CqlEngine(s)
         e.execute("CREATE TABLE cql_wt (o_orderkey bigint PRIMARY KEY, o_totalprice double)")
-        t(s, d, "orders").filter(col("o_orderkey") < 400)
+        e.bulkInsert("cql_wt", t(s, d, "orders").filter(col("o_orderkey") < 400)
           .select(col("o_orderkey"), col("o_totalprice"),
-            unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
-          .collect().foreach { r =>
-            e.execute(s"INSERT INTO cql_wt (o_orderkey, o_totalprice) VALUES (${r.getLong(0)}, ${r.getDouble(1)}) USING TIMESTAMP ${r.getLong(2)}")
-          }
+            unix_micros(col("o_orderdate").cast("timestamp")).as("us")),
+          timestampCol = Some("us"))
         e.execute("SELECT o_orderkey, writetime(o_totalprice) AS wt FROM cql_wt")
       }),
 
@@ -381,12 +370,10 @@ object Queries {
       (s, d) => {
         val e = new graft.cql.CqlEngine(s)
         e.execute("CREATE TABLE cql_rd (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
-        val rows = t(s, d, "orders").filter(col("o_orderkey") < 2000)
-          .select("o_custkey", "o_orderkey").collect()
-        rows.foreach { r =>
-          e.execute(s"INSERT INTO cql_rd (o_custkey, o_orderkey) VALUES (${r.getLong(0)}, ${r.getLong(1)})")
-        }
-        val victim = rows.map(_.getLong(0)).min
+        val src = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select("o_custkey", "o_orderkey")
+        e.bulkInsert("cql_rd", src)
+        val victim = src.agg(min(col("o_custkey"))).head().getLong(0)
         e.execute(s"DELETE FROM cql_rd WHERE o_custkey = $victim AND o_orderkey > 1000")
         e.execute("SELECT o_custkey, o_orderkey FROM cql_rd")
       }),
@@ -400,10 +387,8 @@ object Queries {
       (s, d) => {
         val e = new graft.cql.CqlEngine(s)
         e.execute("CREATE TABLE cql_ord_mv (o_orderkey bigint PRIMARY KEY, o_custkey bigint, o_totalprice double)")
-        t(s, d, "orders").filter(col("o_orderkey") < 400)
-          .select("o_orderkey", "o_custkey", "o_totalprice").collect().foreach { r =>
-            e.execute(s"INSERT INTO cql_ord_mv (o_orderkey, o_custkey, o_totalprice) VALUES (${r.getLong(0)}, ${r.getLong(1)}, ${r.getDouble(2)})")
-          }
+        e.bulkInsert("cql_ord_mv", t(s, d, "orders").filter(col("o_orderkey") < 400)
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
         e.execute("CREATE MATERIALIZED VIEW cql_by_cust AS SELECT * FROM cql_ord_mv " +
           "WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL " +
           "PRIMARY KEY (o_custkey, o_orderkey)")
@@ -423,12 +408,10 @@ object Queries {
       (s, d) => {
         val e = new graft.cql.CqlEngine(s)
         e.execute("CREATE TABLE cql_flm (k int, d date, o_orderkey bigint, o_totalprice double, PRIMARY KEY (k, d, o_orderkey))")
-        t(s, d, "orders").filter(col("o_orderkey") < 3000)
-          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-            date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM-dd").as("ds"))
-          .collect().foreach { r =>
-            e.execute(s"INSERT INTO cql_flm (k, d, o_orderkey, o_totalprice) VALUES (${r.getLong(0) % 8}, '${r.getString(3)}', ${r.getLong(1)}, ${r.getDouble(2)})")
-          }
+        e.bulkInsert("cql_flm", t(s, d, "orders").filter(col("o_orderkey") < 3000)
+          .select((col("o_custkey") % 8).cast("int").as("k"),
+            col("o_orderdate").cast("timestamp").cast("date").as("d"),
+            col("o_orderkey"), col("o_totalprice")))
         e.execute("SELECT k, floor(d, 1mo) AS bucket, count(*) AS n, " +
           "cast(sum(cast(o_totalprice AS decimal)) AS double) AS total " +
           "FROM cql_flm GROUP BY k, floor(d, 1mo)")
@@ -445,12 +428,10 @@ object Queries {
       (s, d) => {
         val e = new graft.cql.CqlEngine(s)
         e.execute("CREATE TABLE cql_flw (k int, d date, o_orderkey bigint, PRIMARY KEY (k, d, o_orderkey))")
-        t(s, d, "orders").filter(col("o_orderkey") < 3000)
-          .select(col("o_custkey"), col("o_orderkey"),
-            date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM-dd").as("ds"))
-          .collect().foreach { r =>
-            e.execute(s"INSERT INTO cql_flw (k, d, o_orderkey) VALUES (${r.getLong(0) % 8}, '${r.getString(2)}', ${r.getLong(1)})")
-          }
+        e.bulkInsert("cql_flw", t(s, d, "orders").filter(col("o_orderkey") < 3000)
+          .select((col("o_custkey") % 8).cast("int").as("k"),
+            col("o_orderdate").cast("timestamp").cast("date").as("d"),
+            col("o_orderkey")))
         e.execute("SELECT k, floor(d, 7d) AS bucket, count(*) AS n " +
           "FROM cql_flw GROUP BY k, floor(d, 7d)")
       }),

@@ -121,6 +121,62 @@ class CqlEngine(val spark: SparkSession) {
     }
   }
 
+  /** Bulk-load a DataFrame as INSERT mutations — the scale-path mutation
+    * sink (the reference's sstable bulk loader shape, vs. per-row INSERT
+    * statements through the parser). Columns are matched BY NAME; absent
+    * columns stay unwritten. Every row in one call shares one write
+    * timestamp (pass `timestamp` to pin it), like a bulk-loaded sstable
+    * generation. With storage attached the mutations are written directly
+    * as a parquet log segment — fully distributed, never through the
+    * driver; otherwise they land in the in-memory tail.
+    */
+  def bulkInsert(name: String, df: DataFrame, timestamp: Option[Long] = None,
+                 ttl: Long = 0L, timestampCol: Option[String] = None): Unit = {
+    val td = mutableTable(name)
+    val present = df.columns.toSet -- timestampCol
+    td.partitionKey.foreach { c =>
+      if (!present(c.name))
+        throw InvalidRequest(s"Some partition key parts are missing: ${c.name}")
+    }
+    val writesRegular = td.regulars.exists(c => present(c.name))
+    if (writesRegular) td.clustering.foreach { c =>
+      if (!present(c.name))
+        throw InvalidRequest(s"Some clustering keys are missing: ${c.name}")
+    }
+    if (td.regulars.exists(c => c.tpe == CqlCounter && present(c.name)))
+      throw InvalidRequest("INSERT statements are not allowed on counter tables, use UPDATE instead")
+    val ts = timestamp.getOrElse(nextTs())
+    def in(c: ColumnDef): Column =
+      (if (present(c.name)) df(c.name) else lit(null)).cast(sparkType(c.tpe)).as(c.name)
+    val keys = td.primaryKey.map(in)
+    val cells = (td.statics ++ td.regulars).flatMap { c =>
+      val base = Seq(in(c), lit(present(c.name)).as(c.name + "__set"))
+      if (isCollection(c.tpe)) base :+ lit("set").as(c.name + "__op") else base
+    }
+    val ranges =
+      if (td.clustering.isEmpty) Nil
+      else td.clustering.flatMap(c => Seq(
+        lit(null).cast(sparkType(c.tpe)).as(c.name + "__rlo"),
+        lit(null).cast(sparkType(c.tpe)).as(c.name + "__rhi"))) ++ Seq(
+        lit(true).as("_rloi"), lit(true).as("_rhii"))
+    // per-row event-time write timestamps (µs) via timestampCol — the bulk
+    // analog of per-statement USING TIMESTAMP
+    val tsCol = timestampCol.map(c => df(c).cast(LongType)).getOrElse(lit(ts))
+    val mdf = df.select(keys ++ cells ++ ranges ++ Seq(
+      lit("insert").as("_op"), tsCol.as("_ts"), lit(ttl).as("_ttl")): _*)
+    storageDir match {
+      case Some(dir) =>
+        val tdir = new java.io.File(dir, name)
+        tdir.mkdirs()
+        java.nio.file.Files.write(new java.io.File(tdir, "schema.json").toPath,
+          Storage.tableToJson(td).getBytes("UTF-8"))
+        segmentSeq += 1
+        mdf.write.mode("append").parquet(new java.io.File(tdir, "segments").getPath)
+      case None =>
+        logs(name) ++= mdf.collect()
+    }
+  }
+
   def sparkType(t: CqlType): DataType = t match {
     case CqlInt => IntegerType
     case CqlBigint => LongType
