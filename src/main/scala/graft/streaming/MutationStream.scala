@@ -81,4 +81,39 @@ object MutationStream {
       .option("maxFilesPerTrigger", "4")
       // glob over live segments and the compaction archive
       .parquet(s"$storageDir/$table/{segments,cdc}")
+
+  /** Snapshot-then-follow bootstrap of a downstream view over an engine
+    * table — the scale shape for standing up a NEW consumer against a table
+    * with history: one batch upsert of the COMPACTED checkpoint state
+    * (`batchId = -1`), then a micro-batched LWW stream over the
+    * post-checkpoint segment files only (no replay of absorbed history).
+    *
+    * Contract: call right after `engine.compact(table)` with CDC mode off —
+    * the segments directory then contains exactly the post-checkpoint
+    * mutations, so snapshot ∪ stream = the table, with no double-count.
+    * Per-batch reconciliation is row-granularity LWW: the sink receives the
+    * LATEST mutation record per primary key (including `delrow`/`delpart`
+    * records, so it can remove keys) — cell-granularity merge stays the
+    * engine's job at read time.
+    */
+  def bootstrapEngineView(spark: SparkSession, engine: graft.cql.CqlEngine,
+                          storageDir: String, table: String, keys: Seq[String],
+                          upsert: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // snapshot rows carry the same `_op` marker shape as tail records
+    upsert(engine.execute(s"SELECT * FROM $table").withColumn("_op", lit("insert")), -1L)
+    val tail = spark.readStream.schema(engine.mutationSchema(table))
+      .option("maxFilesPerTrigger", "4")
+      .parquet(s"$storageDir/$table/segments")
+    tail.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col("_ts").desc, col("_op").desc)
+        val latest = batch.toDF()
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        upsert(latest, id)
+      }
+  }
 }

@@ -72,6 +72,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bootstrapEngineView: checkpoint snapshot + post-compact tail = table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot").toString
+    val e = new graft.cql.CqlEngine(spark)
+    e.attachStorage(dir)
+    e.execute("CREATE TABLE bt1 (k int PRIMARY KEY, v int)")
+    for (k <- 1 to 5) e.execute(s"INSERT INTO bt1 (k, v) VALUES ($k, ${k * 10})")
+    // absorb history into the checkpoint; segments dir now holds only what
+    // comes after
+    e.compact("bt1")
+    e.execute("UPDATE bt1 SET v = 222 WHERE k = 2")
+    e.execute("INSERT INTO bt1 (k, v) VALUES (6, 60)")
+    e.execute("DELETE FROM bt1 WHERE k = 3")
+    e.flush("bt1")
+    // a view store applying the sink contract: latest record per key,
+    // delete records remove
+    val state = scala.collection.mutable.Map.empty[Int, Int]
+    val q = MutationStream.bootstrapEngineView(spark, e, dir, "bt1", Seq("k"),
+      (batch, _) => batch.select("k", "v", "_op").collect().foreach { r =>
+        if (Set("delrow", "delpart").contains(r.getString(2))) state.remove(r.getInt(0))
+        else state(r.getInt(0)) = r.getInt(1)
+      }).start()
+    try {
+      q.processAllAvailable()
+      val expected = e.execute("SELECT k, v FROM bt1").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(state.toMap === expected)
+      assert(expected === Map(1 -> 10, 2 -> 222, 4 -> 40, 5 -> 50, 6 -> 60))
+    } finally q.stop()
+  }
+
   test("streaming LWW dedup emits at most one row per key") {
     val stream = MutationStream.eventStream(spark, logDir)
     val q = MutationStream.lwwStream(stream)
