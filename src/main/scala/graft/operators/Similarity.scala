@@ -162,25 +162,63 @@ object Similarity {
     (centroids, assigned.select("vec_id", "cid", "embedding"))
   }
 
-  /** IVF top-k: probe the `nprobe` nearest lists per query, exact re-score
-    * within probed lists only. nprobe == nlist degenerates to exact search.
+  /** Persistent IVF index: the centroid header (nlist × dim — tiny,
+    * broadcastable) plus the inverted lists. [[save]] partitions the lists
+    * by `cid`, so a probe's scan prunes to the probed `lists/cid=K/`
+    * directories at the parquet level — a 100 TB corpus search reads only
+    * nprobe/nlist of the index, like a real IVF reads only probed posting
+    * lists.
     */
-  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val (centroids, assigned) = ivfAssign(spark, corpus, nlist)
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
+    def save(dir: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+    }
+  }
+
+  /** Train an IVF index: seeded centroids + `iters` Lloyd refinement steps
+    * (re-train with higher `iters` to tighten lists as the corpus drifts).
+    */
+  def ivfTrain(spark: SparkSession, corpus: DataFrame, nlist: Int = 16,
+               iters: Int = 1): IvfIndex = {
+    val (centroids, assigned) = ivfAssign(spark, corpus, nlist, iters)
+    IvfIndex(centroids, assigned)
+  }
+
+  def ivfLoad(spark: SparkSession, dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/lists"))
+
+  /** Probe search against a (trained or loaded) index: nprobe nearest lists
+    * per query, exact re-score within probed lists only. The probed list-id
+    * set (≤ nlist ints) is collected to prune the inverted-list scan —
+    * bounded driver traffic by construction. nprobe == nlist degenerates to
+    * exact search.
+    */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int,
+                nprobe: Int = 4): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val probes = q.crossJoin(broadcast(centroids))
+    val probes = q.crossJoin(broadcast(index.centroids))
       .select(col("query_id"), col("q_emb"), col("cid"),
         cosine_sim(col("q_emb"), col("centroid")).as("csim"))
     val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
     val probed = probes.withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cid"))
+    val cids = probed.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = index.assigned.filter(col("cid").isin(cids: _*))
     // every vector lives in exactly one list, so (query, neighbor) pairs are
     // already unique — no distinct needed
-    val scored = probed.join(assigned, "cid")
+    val scored = probed.join(lists, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("embedding"), col("q_emb")), 6).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** IVF top-k: one-shot train + probe (see [[ivfTrain]]/[[ivfSearch]] for
+    * the train-once / search-many production path).
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfSearch(ivfTrain(spark, corpus, nlist), queries, k, nprobe)
 }

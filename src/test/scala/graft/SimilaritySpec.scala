@@ -79,4 +79,27 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b, "deterministic across runs")
     assert(a.size === exact.size)
   }
+
+  test("IVF index persists: save/load search == fresh search; lists pruned by cid") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val idx = Similarity.ivfTrain(spark, emb, nlist = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.save(dir)
+    // the inverted lists are laid out one directory per list id, so a probe
+    // scan prunes to the probed lists at the parquet level
+    val listDirs = new java.io.File(s"$dir/lists").list().filter(_.startsWith("cid="))
+    assert(listDirs.length === 8)
+    val fresh = Similarity.ivfSearch(idx, queries, 10, nprobe = 3)
+      .select("query_id", "neighbor_id", "sim").collect().map(_.toSeq).toSet
+    val loaded = Similarity.ivfSearch(Similarity.ivfLoad(spark, dir), queries, 10, nprobe = 3)
+      .select("query_id", "neighbor_id", "sim").collect().map(_.toSeq).toSet
+    assert(loaded === fresh, "a reloaded index answers identically")
+    // extra Lloyd refinement keeps the exhaustive-probe exactness
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exhaustive = Similarity.ivfSearch(idx, queries, 10, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exhaustive === exact)
+  }
 }
