@@ -243,7 +243,8 @@ object Ast {
                           ifNotExists: Boolean = false) extends Statement
 
   /** INSERT INTO t JSON '...' (cql3/Json.java; Parser.g insertStatement) */
-  final case class InsertJson(table: String, json: String, ttl: Option[Long],
+  final case class InsertJson(table: String, json: String, defaultUnset: Boolean,
+                              ttl: Option[Long],
                               timestamp: Option[Long]) extends Statement
 
   /** UPDATE: per-cell upsert, NO row liveness. */
@@ -256,7 +257,19 @@ object Ast {
   sealed trait LwtCondition
   case object IfExists extends LwtCondition
   case object IfNotExists extends LwtCondition
-  final case class IfColumns(conds: Seq[(String, String, Literal)]) extends LwtCondition
+
+  /** LHS of one LWT column condition: a plain column, a collection element
+    * (`m['k']`, `l[0]`), or a UDT field (`u.f`) — Parser.g columnCondition.
+    */
+  sealed trait CondLhs { def column: String }
+  final case class CondCol(column: String) extends CondLhs
+  final case class CondElem(column: String, key: Literal) extends CondLhs
+  final case class CondField(column: String, field: String) extends CondLhs
+
+  /** Conditions as (lhs, op, values): ops `= != < <= > >=` carry one value,
+    * `in` carries the whole list (ColumnCondition.Bound.appliesTo).
+    */
+  final case class IfColumns(conds: Seq[(CondLhs, String, Seq[Literal])]) extends LwtCondition
 
   /** LOGGED/UNLOGGED batch (cql3/statements/BatchStatement.java:58-60):
     * mutations applied atomically with a shared default timestamp.

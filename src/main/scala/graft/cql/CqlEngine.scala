@@ -544,7 +544,7 @@ class CqlEngine(val spark: SparkSession) {
       tables.remove(n); logs.remove(n); emptyResult
     case Truncate(n) =>
       mutableTable(n); logs(n).clear(); emptyResult
-    case InsertJson(tbl, js, ttl, ts) =>
+    case InsertJson(tbl, js, defaultUnset, ttl, ts) =>
       val td = table(tbl)
       val parsed = try {
         org.json4s.jackson.JsonMethods.parse(js)
@@ -567,7 +567,15 @@ class CqlEngine(val spark: SparkSession) {
         }
         (k.toLowerCase, lit)
       }.unzip
-      run(Insert(tbl, cols, vals, ttl, ts))
+      // DEFAULT NULL (the reference default): every omitted non-PK column is
+      // written null — a cell tombstone — so the JSON row fully replaces the
+      // stored row; DEFAULT UNSET leaves omitted columns untouched
+      // (Json.java / UpdateStatement.ParsedInsertJson)
+      val omitted =
+        if (defaultUnset) Nil
+        else (td.statics ++ td.regulars).map(_.name)
+          .filterNot(cols.contains).filterNot(c => td.column(c).exists(_.tpe == CqlCounter))
+      run(Insert(tbl, cols ++ omitted, vals ++ omitted.map(_ => NullLit), ttl, ts))
     case i: Insert if i.ifNotExists => executeLwtInsert(i)
     case i: Insert => executeInsert(i); emptyResult
     case u: Update if u.condition.nonEmpty => executeLwt(u.table, u.where, u.condition.get, () => executeUpdate(u))
@@ -614,31 +622,67 @@ class CqlEngine(val spark: SparkSession) {
     val ok = cond match {
       case IfExists => rows.nonEmpty
       case IfNotExists => rows.isEmpty
-      case IfColumns(conds) => rows.nonEmpty && conds.forall { case (c, op, v) =>
-        val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
-        val cur = rows.head.getAs[Any](c)
-        val want = coerce(v, cd.tpe, c)
-        // ColumnCondition.Bound.compareWithOperator: null operands satisfy
-        // only (in)equality; ranges with a null side are never satisfied
-        (cur, want) match {
-          case (null, w) => if (op == "=") w == null else if (op == "!=") w != null else false
-          case (_, null) => op == "!="
-          case (cu, w) if isCollection(cd.tpe) =>
-            if (op != "=" && op != "!=")
-              throw InvalidRequest(s"Invalid comparison on collection column $c")
-            val eq = normalizeColl(cu) == normalizeColl(w)
-            if (op == "=") eq else !eq
-          case (cu, w) =>
-            val n = CqlValues.compareValues(cu, w, cd.tpe)
-            op match {
-              case "=" => n == 0
-              case "!=" => n != 0
-              case "<" => n < 0
-              case "<=" => n <= 0
-              case ">" => n > 0
-              case ">=" => n >= 0
-            }
+      case IfColumns(conds) => rows.nonEmpty && conds.forall { case (lhs, op, vs) =>
+        val cn = lhs.column
+        val cd = td.column(cn).getOrElse(throw InvalidRequest(s"Undefined column name $cn"))
+        val colCur = rows.head.getAs[Any](cn)
+        // resolve the compared value + its type for the lhs shape: whole
+        // column, collection element (m['k'] / l[i]), or UDT field
+        // (ColumnCondition element/field access)
+        val (cur, cmpT) = lhs match {
+          case CondCol(_) => (colCur, cd.tpe)
+          case CondElem(c, key) => cd.tpe match {
+            case CqlMap(kT, vT) =>
+              val k = coerce(key, kT, c)
+              val m = colCur.asInstanceOf[scala.collection.Map[Any, Any]]
+              (if (m == null) null else m.getOrElse(k, null), vT)
+            case CqlList(eT) =>
+              val i = key match {
+                case IntLit(x) => x.toInt
+                case other => throw InvalidRequest(s"Invalid list index $other on $c")
+              }
+              val l = colCur.asInstanceOf[scala.collection.Seq[Any]]
+              (if (l == null || i < 0 || i >= l.length) null else l(i), eT)
+            case other => throw InvalidRequest(
+              s"Invalid element access on ${other.name} column $c")
+          }
+          case CondField(c, f) => cd.tpe match {
+            case CqlUdt(tn, fields) =>
+              val idx = fields.indexWhere(_._1 == f)
+              if (idx < 0) throw InvalidRequest(s"Unknown field '$f' in user defined type $tn")
+              val r = colCur.asInstanceOf[org.apache.spark.sql.Row]
+              (if (r == null) null else r.get(idx), fields(idx)._2)
+            case other => throw InvalidRequest(
+              s"Invalid field selection on ${other.name} column $c")
+          }
         }
+        // ColumnCondition.Bound.compareWithOperator: null operands satisfy
+        // only (in)equality; ranges with a null side are never satisfied.
+        // IN = any list element satisfies equality.
+        def one(wLit: Literal, cop: String): Boolean = {
+          val want = coerce(wLit, cmpT, cn)
+          (cur, want) match {
+            case (null, w) => if (cop == "=") w == null else if (cop == "!=") w != null else false
+            case (_, null) => cop == "!="
+            case (cu, w) if isCollection(cmpT) =>
+              if (cop != "=" && cop != "!=")
+                throw InvalidRequest(s"Invalid comparison on collection column $cn")
+              val eq = normalizeColl(cu) == normalizeColl(w)
+              if (cop == "=") eq else !eq
+            case (cu, w) =>
+              val n = CqlValues.compareValues(cu, w, cmpT)
+              cop match {
+                case "=" => n == 0
+                case "!=" => n != 0
+                case "<" => n < 0
+                case "<=" => n <= 0
+                case ">" => n > 0
+                case ">=" => n >= 0
+                case other => throw InvalidRequest(s"Invalid condition operator $other")
+              }
+          }
+        }
+        if (op == "in") vs.exists(one(_, "=")) else one(vs.head, op)
       }
     }
     if (ok) apply()

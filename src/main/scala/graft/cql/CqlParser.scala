@@ -102,7 +102,7 @@ object CqlParser {
         val j = i
         while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
         emit(Ident(s.substring(j, i)))
-      } else if ("<>!=".contains(c) && i + 1 < s.length && s(i + 1) == '=') {
+      } else if ("<>!=+-".contains(c) && i + 1 < s.length && s(i + 1) == '=') {
         emit(Sym(s.substring(i, i + 2))); i += 2
       } else { emit(Sym(c.toString)); i += 1 }
     }
@@ -547,8 +547,16 @@ object CqlParser {
         case StringLit(v) => v
         case other => throw ParseException(s"INSERT JSON expects a string literal, got $other")
       }
+      // DEFAULT NULL (the reference default: omitted columns are deleted)
+      // vs DEFAULT UNSET (omitted columns left untouched) — Parser.g
+      // jsonInsertStatement
+      val defaultUnset =
+        if (p.tryKw("default")) {
+          if (p.tryKw("unset")) true
+          else { p.eatKw("null"); false }
+        } else false
       val (jttl, jts) = parseUsing(p)
-      return InsertJson(name, js, jttl, jts)
+      return InsertJson(name, js, defaultUnset, jttl, jts)
     }
     p.sym("(")
     var cols = Vector(p.ident())
@@ -574,22 +582,33 @@ object CqlParser {
     var more = true
     while (more) {
       val c = p.ident()
+      // c = c ± X and the += / -= shorthand share one lowering
+      // (Parser.g shorthandColumnOperation → Operation.Addition/Substraction)
+      def sign(sg: String): Unit = anyLiteral(p) match {
+        case IntLit(n) => assigns :+= (c -> CounterDeltaLit(if (sg == "-") -n else n))
+        case payload if sg == "+" => assigns :+= (c -> CollectionOpLit("addappend", payload))
+        case payload => assigns :+= (c -> CollectionOpLit("remove", payload))
+      }
       if (p.trySym("[")) {
         // element assignment m[k] = v → single-entry put
         val key = p.literal(); p.sym("]"); p.sym("=")
         assigns :+= (c -> CollectionOpLit("put", MapLit(Seq(key -> anyLiteral(p)))))
-      } else {
+      } else if (p.trySym(".")) {
+        // udtColumnOperation u.f = v: our UDTs are frozen-storage, which the
+        // reference rejects for per-field writes
+        val f = p.ident(); p.sym("="); anyLiteral(p)
+        throw ParseException(
+          s"Invalid operation ($c.$f = ...) for frozen UDT column $c (set the whole value)")
+      } else if (p.trySym("+=")) sign("+")
+      else if (p.trySym("-=")) sign("-")
+      else {
         p.sym("=")
         if (p.tryKw(c)) {
           // c = c + X / c = c - X: counter delta or collection append/add/remove
-          val sign = p.next().text
-          if (sign != "+" && sign != "-")
+          val sg = p.next().text
+          if (sg != "+" && sg != "-")
             throw ParseException(s"expected + or - after column $c")
-          anyLiteral(p) match {
-            case IntLit(n) => assigns :+= (c -> CounterDeltaLit(if (sign == "-") -n else n))
-            case payload if sign == "+" => assigns :+= (c -> CollectionOpLit("addappend", payload))
-            case payload => assigns :+= (c -> CollectionOpLit("remove", payload))
-          }
+          sign(sg)
         } else {
           val first = anyLiteral(p)
           if (p.trySym("+")) {
@@ -610,12 +629,24 @@ object CqlParser {
     if (!p.tryKw("if")) return None
     if (p.tryKw("exists")) return Some(IfExists)
     if (p.tryKw("not")) { p.eatKw("exists"); return Some(IfNotExists) }
-    var conds = Vector.empty[(String, String, Literal)]
+    var conds = Vector.empty[(CondLhs, String, Seq[Literal])]
     var more = true
     while (more) {
       val c = p.ident()
-      val op = p.next().text
-      conds :+= ((c, op, p.literal()))
+      val lhs: CondLhs =
+        if (p.trySym("[")) { val k = p.literal(); p.sym("]"); CondElem(c, k) }
+        else if (p.trySym(".")) CondField(c, p.ident())
+        else CondCol(c)
+      if (p.tryKw("in")) {
+        p.sym("(")
+        var vs = Vector(p.literal())
+        while (p.trySym(",")) vs :+= p.literal()
+        p.sym(")")
+        conds :+= ((lhs, "in", vs))
+      } else {
+        val op = p.next().text
+        conds :+= ((lhs, op, Seq(p.literal())))
+      }
       more = p.tryKw("and")
     }
     Some(IfColumns(conds))

@@ -102,7 +102,13 @@ final class PreparedStatements(engine: CqlEngine) {
   }
 
   private def bindCond(c: LwtCondition, lit: Literal => Literal): LwtCondition = c match {
-    case IfColumns(conds) => IfColumns(conds.map { case (n, op, v) => (n, op, lit(v)) })
+    case IfColumns(conds) => IfColumns(conds.map { case (lhs, op, vs) =>
+      val boundLhs = lhs match {
+        case CondElem(n, k) => CondElem(n, lit(k))
+        case other => other
+      }
+      (boundLhs, op, vs.map(lit))
+    })
     case other => other
   }
 }

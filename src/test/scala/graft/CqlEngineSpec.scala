@@ -224,6 +224,32 @@ class CqlEngineSpec extends SparkSpec {
     assert(e.execute("SELECT * FROM t14").count() === 0)
   }
 
+  test("LWT: element, UDT-field and IN conditions (ColumnCondition access)") {
+    val e = mkEngine
+    e.execute("CREATE TYPE cfg (mode text, level int)")
+    e.execute("CREATE TABLE t14b (k int PRIMARY KEY, m map<text, int>, l list<int>, u frozen<cfg>, v int)")
+    e.execute("INSERT INTO t14b (k, m, l, u, v) VALUES (1, {'a': 1, 'b': 2}, [10, 20], {mode: 'on', level: 3}, 7)")
+    // map element conditions
+    assert(e.execute("UPDATE t14b SET v = 8 WHERE k = 1 IF m['a'] = 1").head().getBoolean(0))
+    assert(!e.execute("UPDATE t14b SET v = 9 WHERE k = 1 IF m['a'] = 2").head().getBoolean(0))
+    // missing key compares as null: only = null / != x satisfy
+    assert(!e.execute("UPDATE t14b SET v = 9 WHERE k = 1 IF m['zz'] = 1").head().getBoolean(0))
+    assert(e.execute("UPDATE t14b SET v = 9 WHERE k = 1 IF m['zz'] != 1").head().getBoolean(0))
+    // list index conditions (0-based), out-of-bounds = null
+    assert(e.execute("UPDATE t14b SET v = 10 WHERE k = 1 IF l[1] = 20").head().getBoolean(0))
+    assert(!e.execute("UPDATE t14b SET v = 11 WHERE k = 1 IF l[5] = 20").head().getBoolean(0))
+    // UDT field conditions, including range ops on the field type
+    assert(e.execute("UPDATE t14b SET v = 12 WHERE k = 1 IF u.mode = 'on'").head().getBoolean(0))
+    assert(e.execute("UPDATE t14b SET v = 13 WHERE k = 1 IF u.level >= 3").head().getBoolean(0))
+    assert(!e.execute("UPDATE t14b SET v = 14 WHERE k = 1 IF u.level > 3").head().getBoolean(0))
+    // IN conditions: any listed value satisfies
+    assert(e.execute("UPDATE t14b SET v = 15 WHERE k = 1 IF v IN (12, 13)").head().getBoolean(0))
+    assert(!e.execute("UPDATE t14b SET v = 16 WHERE k = 1 IF v IN (1, 2)").head().getBoolean(0))
+    assert(rows(e.execute("SELECT v FROM t14b")) === Set(Seq(15)))
+    // element condition on a non-collection column is rejected
+    assertInvalid(e, "UPDATE t14b SET v = 0 WHERE k = 1 IF v['x'] = 1", "Invalid element access")
+  }
+
   test("BATCH applies mutations atomically with a shared timestamp") {
     val e = mkEngine
     e.execute("CREATE TABLE t15 (k int, c int, v int, PRIMARY KEY (k, c))")
@@ -338,6 +364,12 @@ class CqlEngineSpec extends SparkSpec {
     val js = e.execute("SELECT JSON k, v, d FROM t21").head().getString(0)
     assert(js.contains("\"k\":1") && js.contains("\"v\":\"hi\"") && js.contains("\"d\":2.5"))
     assertInvalid(e, "INSERT INTO t21 JSON 'not json'", "Could not decode JSON string")
+    // DEFAULT NULL is the default: omitted columns are deleted by the new row
+    e.execute("""INSERT INTO t21 JSON '{"k": 1, "v": "replaced"}'""")
+    assert(rows(e.execute("SELECT v, d FROM t21 WHERE k = 1")) === Set(Seq("replaced", null)))
+    // DEFAULT UNSET leaves omitted columns untouched
+    e.execute("""INSERT INTO t21 JSON '{"k": 1, "d": 9.5}' DEFAULT UNSET""")
+    assert(rows(e.execute("SELECT v, d FROM t21 WHERE k = 1")) === Set(Seq("replaced", 9.5)))
   }
 
   test("multi-cell collections: append/prepend/add/remove/put/delkey (CollectionsTest)") {
@@ -361,6 +393,15 @@ class CqlEngineSpec extends SparkSpec {
     e.execute("DELETE m['x'] FROM t22 WHERE k = 1")
     assert(e.execute("SELECT m FROM t22 WHERE k = 1").head()
       .getMap[String, Int](0).toMap === Map("y" -> 2))
+    // += / -= shorthand (Parser.g shorthandColumnOperation)
+    e.execute("UPDATE t22 SET l += [8] WHERE k = 1")
+    e.execute("UPDATE t22 SET l -= [0] WHERE k = 1")
+    assert(e.execute("SELECT l FROM t22 WHERE k = 1").head().getSeq[Int](0) === Seq(1, 3, 8))
+    e.execute("UPDATE t22 SET m += {'z': 5} WHERE k = 1")
+    assert(e.execute("SELECT m FROM t22 WHERE k = 1").head()
+      .getMap[String, Int](0).toMap === Map("y" -> 2, "z" -> 5))
+    // per-field writes on (frozen) UDT columns are rejected
+    assertInvalid(e, "UPDATE t22 SET m.x = 1 WHERE k = 1", "frozen UDT")
     // full replacement clears prior elements; empty collection reads as null
     e.execute("UPDATE t22 SET st = {'z'} WHERE k = 1")
     assert(e.execute("SELECT st FROM t22 WHERE k = 1").head().getSeq[String](0) === Seq("z"))
