@@ -79,7 +79,8 @@ object Ast {
     * columns, clustering columns with per-column reversal, statics, regulars.
     */
   final case class TableDef(name: String, columns: Seq[ColumnDef],
-                            clusteringDesc: Seq[Boolean]) {
+                            clusteringDesc: Seq[Boolean],
+                            defaultTtl: Long = 0L) {
     val partitionKey: Seq[ColumnDef] = columns.filter(_.kind == PartitionKey)
     val clustering: Seq[ColumnDef] = columns.filter(_.kind == Clustering)
     val statics: Seq[ColumnDef] = columns.filter(_.kind == Static)
@@ -227,11 +228,14 @@ object Ast {
                               ifNotExists: Boolean) extends Statement
   final case class DropView(name: String) extends Statement
   final case class DropTable(name: String) extends Statement
-  /** ALTER TABLE t ADD c type [, ...] | DROP c [, ...] (Parser.g
-    * alterTableStatement; schema/AlterTableStatement.java).
+  /** ALTER TABLE t ADD c type [, ...] | DROP c [, ...] | RENAME a TO b |
+    * WITH option = v (Parser.g alterTableStatement;
+    * schema/AlterTableStatement.java).
     */
   final case class AlterTable(name: String, add: Seq[(String, CqlType)],
-                              drop: Seq[String]) extends Statement
+                              drop: Seq[String],
+                              renames: Seq[(String, String)] = Nil,
+                              withDttl: Option[Long] = None) extends Statement
   final case class Truncate(name: String) extends Statement
 
   /** INSERT: full-row upsert, sets primary-key liveness

@@ -503,8 +503,38 @@ class CqlEngine(val spark: SparkSession) {
     case DropView(n) =>
       if (!views.contains(n)) throw InvalidRequest(s"Materialized view $n doesn't exist")
       views.remove(n); tables.remove(n); emptyResult
-    case AlterTable(n, adds, drops) =>
+    case AlterTable(n, adds, drops, renames, withDttl) =>
       val td = mutableTable(n)
+      if (withDttl.nonEmpty && adds.isEmpty && drops.isEmpty && renames.isEmpty) {
+        tables(n) = td.copy(defaultTtl = withDttl.get)
+        return emptyResult
+      }
+      if (renames.nonEmpty) {
+        // RENAME is PRIMARY-KEY-only in the reference (regular cells are
+        // addressed by name on disk); here durable segments/checkpoints are
+        // also by-name, so renames only apply before any flush
+        renames.foreach { case (from, to) =>
+          val cd = td.column(from).getOrElse(
+            throw InvalidRequest(s"Undefined column name $from"))
+          if (cd.kind != PartitionKey && cd.kind != Clustering)
+            throw InvalidRequest(s"Cannot rename non PRIMARY KEY part $from")
+          if (td.column(to).isDefined)
+            throw InvalidRequest(s"Cannot rename to $to: a column of that name already exists")
+        }
+        if (views.values.exists(_.baseTable == n))
+          throw InvalidRequest("Cannot rename columns of a table with materialized views")
+        storageDir.foreach { dir =>
+          val tdir = new java.io.File(dir, n)
+          if (new java.io.File(tdir, "segments").isDirectory ||
+              new java.io.File(tdir, "checkpoint").isDirectory)
+            throw InvalidRequest(
+              s"Cannot rename columns of $n: durable log segments address columns by name")
+        }
+        val rmap = renames.toMap
+        tables(n) = td.copy(columns = td.columns.map(c =>
+          c.copy(name = rmap.getOrElse(c.name, c.name))))
+        return emptyResult
+      }
       adds.foreach { case (c, _) =>
         if (td.column(c).isDefined)
           throw InvalidRequest(s"Invalid column name $c because it conflicts with an existing column")
@@ -946,7 +976,7 @@ class CqlEngine(val spark: SparkSession) {
       throw InvalidRequest("INSERT statements are not allowed on counter tables, use UPDATE instead")
     val setCells = (td.statics ++ td.regulars).map(_.name).filter(vals.contains).toSet
     appendMutation(i.table, mutationRow(td, vals, vals, setCells, "insert",
-      i.timestamp.getOrElse(nextTs()), i.ttl.getOrElse(0L)))
+      i.timestamp.getOrElse(nextTs()), i.ttl.getOrElse(td.defaultTtl)))
   }
 
   /** WHERE of a mutation must bind the full primary key with EQ. */
@@ -1029,7 +1059,7 @@ class CqlEngine(val spark: SparkSession) {
       }
     }
     appendMutation(u.table, mutationRow(td, keys, vals, vals.keySet, "update",
-      u.timestamp.getOrElse(nextTs()), u.ttl.getOrElse(0L), collOps))
+      u.timestamp.getOrElse(nextTs()), u.ttl.getOrElse(td.defaultTtl), collOps))
   }
 
   private def executeDelete(d: Delete): Unit = {

@@ -187,6 +187,13 @@ object CqlParser {
       case Ident(t) if t.equalsIgnoreCase("true") => BoolLit(true)
       case Ident(t) if t.equalsIgnoreCase("false") => BoolLit(false)
       case Ident(t) if t.equalsIgnoreCase("null") => NullLit
+      case Ident(t) if t.equalsIgnoreCase("system") && trySym(".") =>
+        // `system.` function-namespace prefix on constant terms
+        // (Parser.g functionName): system.now(), system.uuid()
+        literal() match {
+          case f: FnLit => f
+          case other => throw ParseException(s"expected function after system., got $other")
+        }
       case Ident(t) if trySym("(") =>
         // constant function term: now(), mintimeuuid('...'), uuid()
         var args = Vector.empty[Literal]
@@ -229,7 +236,30 @@ object CqlParser {
           var drops = Vector(p.ident())
           while (p.trySym(",")) drops :+= p.ident()
           AlterTable(n, Seq.empty, drops)
-        } else throw ParseException("expected ADD or DROP in ALTER TABLE")
+        } else if (p.tryKw("rename")) {
+          def one(): (String, String) = {
+            val a = p.ident(); p.eatKw("to"); (a, p.ident())
+          }
+          var rs = Vector(one())
+          while (p.tryKw("and")) rs :+= one()
+          AlterTable(n, Seq.empty, Seq.empty, renames = rs)
+        } else if (p.tryKw("with")) {
+          var dttl: Option[Long] = None
+          var moreOpts = true
+          while (moreOpts) {
+            val opt = p.ident(); p.sym("=")
+            val v = anyLiteral(p)
+            opt match {
+              case "default_time_to_live" => v match {
+                case IntLit(x) if x >= 0 => dttl = Some(x)
+                case other => throw ParseException(s"Invalid default_time_to_live value $other")
+              }
+              case _ => ()
+            }
+            moreOpts = p.tryKw("and")
+          }
+          AlterTable(n, Seq.empty, Seq.empty, withDttl = dttl)
+        } else throw ParseException("expected ADD, DROP, RENAME or WITH in ALTER TABLE")
       }
       else if (p.kw("create")) parseCreate(p)
       else if (p.kw("drop")) {
@@ -439,16 +469,39 @@ object CqlParser {
       }
     }
     var clusteringDesc = Seq.empty[Boolean]
+    var defaultTtl = 0L
+    // WITH clause: CLUSTERING ORDER BY and table options chained with AND
+    // (Parser.g cfamProperty); default_time_to_live affects write semantics,
+    // the remaining storage-tuning options parse and are ignored
     if (p.tryKw("with")) {
-      p.eatKw("clustering"); p.eatKw("order"); p.eatKw("by"); p.sym("(")
-      var order = Vector.empty[Boolean]
-      var f = true
-      while (!p.trySym(")")) {
-        if (!f) p.sym(","); f = false
-        p.ident()
-        order :+= (if (p.tryKw("desc")) true else { p.tryKw("asc"); false })
+      var moreOpts = true
+      while (moreOpts) {
+        if (p.tryKw("clustering")) {
+          p.eatKw("order"); p.eatKw("by"); p.sym("(")
+          var order = Vector.empty[Boolean]
+          var f = true
+          while (!p.trySym(")")) {
+            if (!f) p.sym(","); f = false
+            p.ident()
+            order :+= (if (p.tryKw("desc")) true else { p.tryKw("asc"); false })
+          }
+          clusteringDesc = order
+        } else {
+          val opt = p.ident()
+          p.sym("=")
+          val v = anyLiteral(p)
+          opt match {
+            case "default_time_to_live" => v match {
+              case IntLit(n) =>
+                if (n < 0) throw ParseException("default_time_to_live must be >= 0")
+                defaultTtl = n
+              case other => throw ParseException(s"Invalid default_time_to_live value $other")
+            }
+            case _ => () // comment / gc_grace_seconds / compaction / ...
+          }
+        }
+        moreOpts = p.tryKw("and")
       }
-      clusteringDesc = order
     }
     val (pk, ck) = pkSpec.getOrElse((inlinePk, Vector.empty[String]))
     if (pk.isEmpty) throw ParseException("No PRIMARY KEY specified")
@@ -465,7 +518,7 @@ object CqlParser {
       defs.filter(_.kind == Clustering).sortBy(c => ck.indexOf(c.name)) ++
       defs.filter(c => c.kind == Static || c.kind == Regular)
     val desc = if (clusteringDesc.nonEmpty) clusteringDesc else ck.map(_ => false)
-    CreateTable(TableDef(name, ordered, desc), ifNotExists)
+    CreateTable(TableDef(name, ordered, desc, defaultTtl), ifNotExists)
   }
 
   /** Scalar, collection, tuple or UDT literal. */
@@ -841,7 +894,10 @@ object CqlParser {
         }
       }
     case Some(Ident(t)) if !literalWords.contains(t.toLowerCase) =>
-      val id = p.ident()
+      val id0 = p.ident()
+      // `system.` function-namespace prefix (Parser.g functionName —
+      // system.now(), system.floor(...), system.token(...))
+      val id = if (id0 == "system" && p.trySym(".")) p.ident() else id0
       if (id == "cast" && p.trySym("(")) {
         val e = parseSelExpr(p)
         p.eatKw("as")

@@ -103,6 +103,7 @@ object Storage {
   def tableToJson(td: TableDef): String = Serialization.write(Map(
     "name" -> td.name,
     "clustering_desc" -> td.clusteringDesc,
+    "default_ttl" -> td.defaultTtl,
     "columns" -> td.columns.map(c => Map(
       "name" -> c.name, "type" -> typeName(c.tpe), "kind" -> kindName(c.kind)))))
 
@@ -110,9 +111,10 @@ object Storage {
     val j = JsonMethods.parse(json)
     val name = (j \ "name").extract[String]
     val desc = (j \ "clustering_desc").extract[Seq[Boolean]]
+    val dttl = (j \ "default_ttl").extractOpt[Long].getOrElse(0L)
     val cols = (j \ "columns").extract[Seq[Map[String, String]]].map { m =>
       ColumnDef(m("name"), parseType(m("type")), parseKind(m("kind")))
     }
-    TableDef(name, cols, desc)
+    TableDef(name, cols, desc, dttl)
   }
 }

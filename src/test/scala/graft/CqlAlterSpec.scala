@@ -56,4 +56,43 @@ class CqlAlterSpec extends SparkSpec {
     assert(rowsInOrder(e.execute("SELECT k, tag FROM al2")) ===
       Seq(Seq(1, "t1"), Seq(2, null), Seq(3, "t3")))
   }
+
+  test("RENAME primary key columns; regulars and durable tables rejected") {
+    val e = mkEngine
+    e.execute("CREATE TABLE al3 (k int, c int, v int, PRIMARY KEY (k, c))")
+    e.execute("INSERT INTO al3 (k, c, v) VALUES (1, 2, 3)")
+    e.execute("ALTER TABLE al3 RENAME c TO pos")
+    assert(rowsInOrder(e.execute("SELECT k, pos, v FROM al3 WHERE k = 1 AND pos = 2")) ===
+      Seq(Seq(1, 2, 3)))
+    assertInvalid(e, "SELECT c FROM al3", "Undefined column name c")
+    assertInvalid(e, "ALTER TABLE al3 RENAME v TO w", "non PRIMARY KEY")
+    assertInvalid(e, "ALTER TABLE al3 RENAME k TO pos", "already exists")
+    // by-name durable segments cannot alias old names
+    val dir = java.nio.file.Files.createTempDirectory("graft-ren").toString
+    val e2 = mkEngine
+    e2.attachStorage(dir)
+    e2.execute("CREATE TABLE al4 (k int, c int, PRIMARY KEY (k, c))")
+    e2.execute("INSERT INTO al4 (k, c) VALUES (1, 1)")
+    e2.flush("al4")
+    assertInvalid(e2, "ALTER TABLE al4 RENAME c TO d", "address columns by name")
+  }
+
+  test("default_time_to_live applies to writes without explicit TTL") {
+    val e = mkEngine
+    e.nowMicros = 1000L * 1000000L
+    e.execute("CREATE TABLE al5 (k int PRIMARY KEY, v int) WITH default_time_to_live = 60 AND comment = 'x'")
+    e.execute("INSERT INTO al5 (k, v) VALUES (1, 1) USING TIMESTAMP " + (1000L * 1000000L))
+    // explicit TTL overrides; TTL 0 cancels the default entirely
+    e.execute("INSERT INTO al5 (k, v) VALUES (2, 2) USING TIMESTAMP " + (1000L * 1000000L) + " AND TTL 7200")
+    e.execute("INSERT INTO al5 (k, v) VALUES (3, 3) USING TIMESTAMP " + (1000L * 1000000L) + " AND TTL 0")
+    assert(rowsInOrder(e.execute("SELECT k, ttl(v) FROM al5")) ===
+      Seq(Seq(1, 60), Seq(2, 7200), Seq(3, null)))
+    // past the default TTL only the longer-lived and immortal rows survive
+    e.nowMicros = 1061L * 1000000L
+    assert(rowsInOrder(e.execute("SELECT k FROM al5")) === Seq(Seq(2), Seq(3)))
+    // ALTER WITH changes the default for subsequent writes
+    e.execute("ALTER TABLE al5 WITH default_time_to_live = 0")
+    e.execute("INSERT INTO al5 (k, v) VALUES (4, 4)")
+    assert(rowsInOrder(e.execute("SELECT ttl(v) FROM al5 WHERE k = 4")) === Seq(Seq(null)))
+  }
 }

@@ -84,6 +84,17 @@ class CqlSelectExprSpec extends SparkSpec {
     assert(r(2) === 1296705900000L)
   }
 
+  test("system. function-namespace prefix resolves in terms and selection") {
+    val e = mkEngine
+    e.nowMicros = 1296705900000000L
+    e.execute("CREATE TABLE sysfn (k int PRIMARY KEY, id timeuuid, v int)")
+    e.execute("INSERT INTO sysfn (k, id, v) VALUES (1, system.now(), 5)")
+    val r = first(e.execute(
+      "SELECT system.tounixtimestamp(id), system.token(k), token(k) FROM sysfn"))
+    assert(r(0) === 1296705900000L)
+    assert(r(1) === r(2))
+  }
+
   test("now() yields a distinct timeuuid per call, even within one millisecond") {
     val e = mkEngine
     e.nowMicros = 1296705900000000L
