@@ -395,6 +395,67 @@ object Queries {
         e.execute("SELECT o_custkey, o_orderkey, o_totalprice FROM cql_by_cust")
       }),
 
+    QueryDef("q_cql_in",
+      // multi-partition IN fan-out through the engine (StorageProxy
+      // concatenation): post-IN rows come back in (pk, ck) order
+      Some("""SELECT o_custkey, o_orderkey FROM orders
+              WHERE o_orderkey < 2000 AND o_custkey <= 100
+              ORDER BY o_custkey, o_orderkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_in (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
+        e.bulkInsert("cql_in", t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select("o_custkey", "o_orderkey"))
+        e.execute("SELECT o_custkey, o_orderkey FROM cql_in WHERE o_custkey IN (" +
+          (1L to 100L).mkString(", ") + ")")
+      }),
+
+    QueryDef("q_cql_orderby_desc",
+      // reversed read through the engine (ORDER BY ck DESC, single pk)
+      Some("""WITH victim AS (
+                SELECT o_custkey AS vk FROM orders WHERE o_orderkey < 20000
+                GROUP BY o_custkey ORDER BY count(*) DESC, o_custkey LIMIT 1)
+              SELECT o_orderkey FROM orders, victim
+              WHERE o_orderkey < 20000 AND o_custkey = vk
+              ORDER BY o_orderkey DESC"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_od (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
+        val src = t(s, d, "orders").filter(col("o_orderkey") < 20000)
+          .select("o_custkey", "o_orderkey")
+        e.bulkInsert("cql_od", src)
+        // the busiest customer, deterministic tie-break on the key
+        val victim = src.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("o_custkey").asc).head().getLong(0)
+        e.execute(s"SELECT o_orderkey FROM cql_od WHERE o_custkey = $victim ORDER BY o_orderkey DESC")
+      }),
+
+    QueryDef("q_cql_distinct",
+      // SELECT DISTINCT pk through the engine (one row per partition)
+      Some("""SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey < 2000
+              ORDER BY o_custkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_dk (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
+        e.bulkInsert("cql_dk", t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select("o_custkey", "o_orderkey"))
+        e.execute("SELECT DISTINCT o_custkey FROM cql_dk")
+      }),
+
+    QueryDef("q_cql_like",
+      // SASI-style LIKE prefix/contains through the engine parser+filter
+      Some("""SELECT p_partkey, p_type FROM part
+              WHERE p_type LIKE 'ECO%' OR p_name LIKE '%bolt%'
+              ORDER BY p_partkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_pt (p_partkey bigint PRIMARY KEY, p_type text, p_name text)")
+        e.bulkInsert("cql_pt", t(s, d, "part").select("p_partkey", "p_type", "p_name"))
+        val a = e.execute("SELECT p_partkey, p_type FROM cql_pt WHERE p_type LIKE 'ECO%' ALLOW FILTERING")
+        val b = e.execute("SELECT p_partkey, p_type FROM cql_pt WHERE p_name LIKE '%bolt%' ALLOW FILTERING")
+        a.union(b).distinct().orderBy("p_partkey")
+      }),
+
     QueryDef("q_cql_floor_month",
       // GROUP BY floor(date, 1mo) time-bucketing through the engine
       // (Cassandra 4.1 CASSANDRA-11871 forward-port); calendar-month

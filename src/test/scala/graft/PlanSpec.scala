@@ -69,4 +69,15 @@ class PlanSpec extends SparkSpec {
     assert(withArrays.size <= 1,
       s"expected at most one embedding-carrying shuffle, got ${withArrays.size}")
   }
+
+  test("minhash signature shuffle carries sketch buffers, never shingle lists") {
+    // the round-3 shape: no corpus-wide persist, no collect_list of
+    // shingles through the exchange — every shuffle either moves the
+    // fixed-width minhash_agg partial buffer or id/band keys
+    val df = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("collect_list"), "no collect_list anywhere in the minhash plan")
+    assert(!p.contains("InMemoryTableScan"), "no persisted corpus table in the minhash plan")
+  }
 }
