@@ -633,9 +633,74 @@ class CqlEngine(val spark: SparkSession) {
         case d: Delete => d.copy(timestamp = Some(d.timestamp.getOrElse(batchTs)))
         case other => throw InvalidRequest(s"illegal statement in batch: $other")
       }
-      staged.foreach(run)
-      emptyResult
+      def condOf(s: Statement): Option[LwtCondition] = s match {
+        case i: Insert => if (i.ifNotExists) Some(IfNotExists) else None
+        case u: Update => u.condition
+        case d: Delete => d.condition
+        case _ => None
+      }
+      if (staged.exists(condOf(_).nonEmpty)) executeBatchLwt(staged, condOf)
+      else { staged.foreach(run); emptyResult }
   }
+
+  /** Conditional batch (BatchStatement with conditions / CAS batch): every
+    * statement must address ONE partition of one table; all conditions
+    * evaluate against the same pre-state, and the whole batch applies only
+    * if every condition holds (`StorageProxy.cas` over the batched
+    * `CQL3CasRequest`).
+    */
+  private def executeBatchLwt(staged: Seq[Statement],
+                              condOf: Statement => Option[LwtCondition]): DataFrame =
+    this.synchronized {
+      def tblOf(s: Statement): String = s match {
+        case i: Insert => i.table
+        case u: Update => u.table
+        case d: Delete => d.table
+        case other => throw InvalidRequest(s"illegal statement in batch: $other")
+      }
+      val tbls = staged.map(tblOf).distinct
+      if (tbls.length != 1)
+        throw InvalidRequest("Batch with conditions cannot span multiple tables")
+      val td = table(tbls.head)
+      // per-statement primary-key values; partition key must agree
+      def keysOf(s: Statement): Map[String, Any] = s match {
+        case i: Insert =>
+          i.columns.zip(i.values).collect {
+            case (c, v) if td.column(c).exists(cd =>
+              cd.kind == PartitionKey || cd.kind == Clustering) =>
+              c -> coerce(v, td.column(c).get.tpe, c)
+          }.toMap
+        case u: Update => mutationKeys(td, u.where, requireCk = td.clustering.nonEmpty)._1
+        case d: Delete => mutationKeys(td, d.where, requireCk = d.columns.nonEmpty)._1
+      }
+      val allKeys = staged.map(keysOf)
+      val pkNames = td.partitionKey.map(_.name)
+      val pkVals = allKeys.map(k => pkNames.map(k.get))
+      if (pkVals.distinct.length != 1 || pkVals.head.exists(_.isEmpty))
+        throw InvalidRequest("Batch with conditions cannot span multiple partitions")
+      // one partition read; each condition evaluates on ITS clustering row
+      val partRows = read(td.name).filter(
+        pkNames.zip(pkVals.head.map(_.get)).map { case (c, v) => col(c) === lit(v) }
+          .reduce(_ && _)).collect()
+      def rowsFor(keys: Map[String, Any]): Array[Row] =
+        partRows.filter(r => td.clustering.forall { c =>
+          keys.get(c.name).forall(v =>
+            r.getAs[Any](c.name) != null &&
+              CqlValues.compareValues(r.getAs[Any](c.name), v, c.tpe) == 0)
+        })
+      val ok = staged.zip(allKeys).forall { case (s, keys) =>
+        condOf(s).forall(evalCondition(td, _, rowsFor(keys)))
+      }
+      if (ok) staged.foreach {
+        // conditions were checked batch-wide; strip them so run() applies
+        // the mutations unconditionally
+        case i: Insert => executeInsert(i.copy(ifNotExists = false))
+        case u: Update => executeUpdate(u.copy(condition = None))
+        case d: Delete => executeDelete(d.copy(condition = None))
+        case _ => ()
+      }
+      mkLwtResult(td, ok, partRows)
+    }
 
   /** LWT: serialized read-check-write (reference goes through Paxos,
     * StorageProxy.cas; single-JVM engine serializes trivially). Returns the
@@ -649,7 +714,15 @@ class CqlEngine(val spark: SparkSession) {
     val current = read(tbl).filter(
       td.primaryKey.map(c => col(c.name) === lit(keys(c.name))).reduce(_ && _))
     val rows = current.collect()
-    val ok = cond match {
+    val ok = evalCondition(td, cond, rows)
+    if (ok) apply()
+    mkLwtResult(td, ok, rows)
+  }
+
+  /** One LWT condition against the addressed row(s) (ColumnCondition). */
+  private def evalCondition(td: TableDef, cond: LwtCondition,
+                            rows: Array[Row]): Boolean = {
+    cond match {
       case IfExists => rows.nonEmpty
       case IfNotExists => rows.isEmpty
       case IfColumns(conds) => rows.nonEmpty && conds.forall { case (lhs, op, vs) =>
@@ -715,8 +788,6 @@ class CqlEngine(val spark: SparkSession) {
         if (op == "in") vs.exists(one(_, "=")) else one(vs.head, op)
       }
     }
-    if (ok) apply()
-    mkLwtResult(td, ok, rows)
   }
 
   private def normalizeColl(v: Any): Any = v match {

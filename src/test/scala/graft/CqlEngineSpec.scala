@@ -265,6 +265,44 @@ class CqlEngineSpec extends SparkSpec {
       Set(Seq(1, 11), Seq(2, 20)))
   }
 
+  test("conditional BATCH: all-or-nothing against one partition's pre-state") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t15b (k int, c int, v int, PRIMARY KEY (k, c))")
+    e.execute("INSERT INTO t15b (k, c, v) VALUES (1, 1, 10)")
+    e.execute("INSERT INTO t15b (k, c, v) VALUES (1, 2, 20)")
+    // both conditions hold → both mutations apply
+    assert(e.execute(
+      """BEGIN BATCH
+        |  UPDATE t15b SET v = 11 WHERE k = 1 AND c = 1 IF v = 10;
+        |  UPDATE t15b SET v = 21 WHERE k = 1 AND c = 2 IF v = 20;
+        |APPLY BATCH""".stripMargin).head().getBoolean(0) === true)
+    assert(rows(e.execute("SELECT c, v FROM t15b WHERE k = 1")) ===
+      Set(Seq(1, 11), Seq(2, 21)))
+    // ONE failing condition rejects the WHOLE batch (including the
+    // unconditional statement)
+    assert(e.execute(
+      """BEGIN BATCH
+        |  UPDATE t15b SET v = 99 WHERE k = 1 AND c = 1;
+        |  UPDATE t15b SET v = 22 WHERE k = 1 AND c = 2 IF v = 20;
+        |APPLY BATCH""".stripMargin).head().getBoolean(0) === false)
+    assert(rows(e.execute("SELECT c, v FROM t15b WHERE k = 1")) ===
+      Set(Seq(1, 11), Seq(2, 21)))
+    // IF NOT EXISTS inside a batch checks its own clustering row
+    assert(e.execute(
+      """BEGIN BATCH
+        |  INSERT INTO t15b (k, c, v) VALUES (1, 3, 30) IF NOT EXISTS;
+        |  UPDATE t15b SET v = 12 WHERE k = 1 AND c = 1 IF v = 11;
+        |APPLY BATCH""".stripMargin).head().getBoolean(0) === true)
+    assert(rows(e.execute("SELECT c, v FROM t15b WHERE k = 1")) ===
+      Set(Seq(1, 12), Seq(2, 21), Seq(3, 30)))
+    // conditions across partitions are rejected
+    assertInvalid(e,
+      """BEGIN BATCH
+        |  UPDATE t15b SET v = 0 WHERE k = 1 AND c = 1 IF v = 12;
+        |  UPDATE t15b SET v = 0 WHERE k = 2 AND c = 1 IF v = 1;
+        |APPLY BATCH""".stripMargin, "multiple partitions")
+  }
+
   test("secondary index allows EQ on a regular column without ALLOW FILTERING") {
     val e = mkEngine
     e.execute("CREATE TABLE t16 (k int PRIMARY KEY, v int, w int)")

@@ -74,6 +74,7 @@ class PlanSpec extends SparkSpec {
     // the round-3 shape: no corpus-wide persist, no collect_list of
     // shingles through the exchange — every shuffle either moves the
     // fixed-width minhash_agg partial buffer or id/band keys
+    spark.catalog.clearCache() // other suites may have cached source tables
     val df = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
     df.collect()
     val p = df.queryExecution.explainString(FormattedMode)
