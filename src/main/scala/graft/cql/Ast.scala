@@ -228,6 +228,15 @@ object Ast {
                               ifNotExists: Boolean) extends Statement
   final case class DropView(name: String) extends Statement
   final case class DropTable(name: String) extends Statement
+
+  /** Keyspace DDL (Parser.g createKeyspaceStatement / useStatement;
+    * replication/durable_writes options are distribution plumbing — parsed
+    * and ignored).
+    */
+  final case class CreateKeyspace(name: String, ifNotExists: Boolean) extends Statement
+  final case class DropKeyspace(name: String, ifExists: Boolean) extends Statement
+  final case class AlterKeyspace(name: String) extends Statement
+  final case class UseKeyspace(name: String) extends Statement
   /** ALTER TABLE t ADD c type [, ...] | DROP c [, ...] | RENAME a TO b |
     * WITH option = v (Parser.g alterTableStatement;
     * schema/AlterTableStatement.java).

@@ -54,6 +54,52 @@ class CqlEngine(val spark: SparkSession) {
   /** table → secondary-indexed columns (2i emulation). */
   private val indexes = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
 
+  /** Keyspaces (CREATE KEYSPACE / USE). The default keyspace's tables keep
+    * UNQUALIFIED catalog keys (back-compat with storage layouts and every
+    * pre-keyspace caller); other keyspaces key as `ks.table`.
+    */
+  private val keyspaces =
+    scala.collection.mutable.LinkedHashSet("graft", "system", "system_schema")
+  val defaultKeyspace = "graft"
+  var currentKeyspace: String = defaultKeyspace
+
+  /** Canonical catalog key of a possibly-qualified table name. */
+  private def canon(n: String): String = {
+    val full = if (n.contains('.')) n else s"$currentKeyspace.$n"
+    if (full.startsWith(defaultKeyspace + ".")) full.drop(defaultKeyspace.length + 1)
+    else full
+  }
+
+  /** (keyspace, bare table name) of a canonical catalog key. */
+  private def splitName(key: String): (String, String) = {
+    val i = key.indexOf('.')
+    if (i < 0) (defaultKeyspace, key) else (key.take(i), key.drop(i + 1))
+  }
+
+  private def requireKeyspace(key: String): Unit = {
+    val ks = splitName(key)._1
+    if (!keyspaces.contains(ks))
+      throw InvalidRequest(s"Keyspace '$ks' does not exist")
+  }
+
+  /** Rewrite a statement's table references to canonical catalog keys. */
+  private def canonStmt(s: Statement): Statement = s match {
+    case c: CreateTable => c.copy(table = c.table.copy(name = canon(c.table.name)))
+    case i: Insert => i.copy(table = canon(i.table))
+    case ij: InsertJson => ij.copy(table = canon(ij.table))
+    case u: Update => u.copy(table = canon(u.table))
+    case d: Delete => d.copy(table = canon(d.table))
+    case sel: Select => sel.copy(table = canon(sel.table))
+    case t: Truncate => t.copy(name = canon(t.name))
+    case dt: DropTable => dt.copy(name = canon(dt.name))
+    case dv: DropView => dv.copy(name = canon(dv.name))
+    case at: AlterTable => at.copy(name = canon(at.name))
+    case ci: CreateIndex => ci.copy(table = canon(ci.table))
+    case cv: CreateView => cv.copy(name = canon(cv.name), baseTable = canon(cv.baseTable))
+    case b: Batch => b.copy(statements = b.statements.map(canonStmt))
+    case other => other
+  }
+
   /** Monotonic client-timestamp micros (QueryOptions default behavior). */
   private var tsCounter: Long = 1000L
   private def nextTs(): Long = { tsCounter += 1; tsCounter }
@@ -102,7 +148,8 @@ class CqlEngine(val spark: SparkSession) {
     * segment (commit-log-segment analog); the buffer is cleared and reads
     * merge segments + tail transparently.
     */
-  def flush(name: String): Unit = {
+  def flush(name0: String): Unit = {
+    val name = canon(name0)
     val dir = storageDir.getOrElse(
       throw InvalidRequest("no storage attached — call attachStorage first"))
     val td = mutableTable(name)
@@ -130,8 +177,9 @@ class CqlEngine(val spark: SparkSession) {
     * as a parquet log segment — fully distributed, never through the
     * driver; otherwise they land in the in-memory tail.
     */
-  def bulkInsert(name: String, df: DataFrame, timestamp: Option[Long] = None,
+  def bulkInsert(name0: String, df: DataFrame, timestamp: Option[Long] = None,
                  ttl: Long = 0L, timestampCol: Option[String] = None): Unit = {
+    val name = canon(name0)
     val td = mutableTable(name)
     val present = df.columns.toSet -- timestampCol
     td.partitionKey.foreach { c =>
@@ -298,6 +346,8 @@ class CqlEngine(val spark: SparkSession) {
       ColumnDef("cluster_name", CqlText, Regular),
       ColumnDef("partitioner", CqlText, Regular),
       ColumnDef("release_version", CqlText, Regular)), Seq.empty),
+    "system_schema.keyspaces" -> TableDef("system_schema.keyspaces", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey)), Seq.empty),
     "system_schema.tables" -> TableDef("system_schema.tables", Seq(
       ColumnDef("keyspace_name", CqlText, PartitionKey),
       ColumnDef("table_name", CqlText, Clustering)), Seq(false)),
@@ -329,8 +379,12 @@ class CqlEngine(val spark: SparkSession) {
     name match {
       case "system.local" => Some(mk(virtualDefs(name), Seq(
         Row("local", keyspace, "graft.functions.CassandraMurmur3", "4.1-graft"))))
+      case "system_schema.keyspaces" => Some(mk(virtualDefs(name),
+        keyspaces.toSeq.map(Row(_))))
       case "system_schema.tables" => Some(mk(virtualDefs(name),
-        tables.keys.filterNot(virtualDefs.contains).toSeq.map(t => Row(keyspace, t))))
+        tables.keys.filterNot(virtualDefs.contains).toSeq.map { t =>
+          val (ks, tn) = splitName(t); Row(ks, tn)
+        }))
       case "system_schema.columns" => Some(mk(virtualDefs(name),
         tables.values.filterNot(t => virtualDefs.contains(t.name)).toSeq.flatMap { td =>
           td.columns.map { c =>
@@ -345,7 +399,8 @@ class CqlEngine(val spark: SparkSession) {
               case Clustering => td.clustering.indexWhere(_.name == c.name)
               case _ => -1
             }
-            Row(keyspace, td.name, c.name, kind, pos, c.tpe.name)
+            val (ks, tn) = splitName(td.name)
+            Row(ks, tn, c.name, kind, pos, c.tpe.name)
           }
         }))
       case "system_schema.types" => Some(mk(virtualDefs(name),
@@ -360,6 +415,7 @@ class CqlEngine(val spark: SparkSession) {
     * at most one extra column, every view-PK column IS NOT NULL-restricted.
     */
   private def createView(v: CreateView): DataFrame = {
+    requireKeyspace(v.name)
     if (tables.contains(v.name) || views.contains(v.name)) {
       if (!v.ifNotExists) throw InvalidRequest(s"Materialized view ${v.name} already exists")
       return emptyResult
@@ -409,7 +465,7 @@ class CqlEngine(val spark: SparkSession) {
   /** View read = base reconcile → WHERE filter → re-keyed projection. */
   private def readView(v: CreateView): DataFrame = {
     val base = table(v.baseTable)
-    var df = read(v.baseTable)
+    var df = readCanonical(v.baseTable)
     val filters = v.where.map {
       case IsNotNull(c) => col(c).isNotNull
       case Rel(c, op, value) =>
@@ -440,13 +496,39 @@ class CqlEngine(val spark: SparkSession) {
   // ── statement execution ───────────────────────────────────────────────
   def execute(cql: String): DataFrame = run(CqlParser.parse(cql, udts.toMap))
 
-  def run(stmt: Statement): DataFrame = stmt match {
+  def run(stmt0: Statement): DataFrame = canonStmt(stmt0) match {
+    case CreateKeyspace(n, ifNotExists) =>
+      if (keyspaces.contains(n)) {
+        if (!ifNotExists) throw InvalidRequest(s"Keyspace $n already exists")
+      } else keyspaces += n
+      emptyResult
+    case AlterKeyspace(n) =>
+      if (!keyspaces.contains(n)) throw InvalidRequest(s"Keyspace '$n' does not exist")
+      emptyResult
+    case UseKeyspace(n) =>
+      if (!keyspaces.contains(n)) throw InvalidRequest(s"Keyspace '$n' does not exist")
+      currentKeyspace = n
+      emptyResult
+    case DropKeyspace(n, ifExists) =>
+      if (n == "system" || n == "system_schema")
+        throw InvalidRequest(s"Cannot drop system keyspace $n")
+      if (!keyspaces.contains(n)) {
+        if (!ifExists) throw InvalidRequest(s"Keyspace '$n' does not exist")
+      } else {
+        keyspaces -= n
+        val doomed = tables.keys.filter(splitName(_)._1 == n).toList
+        doomed.foreach { t => tables.remove(t); logs.remove(t); indexes.remove(t) }
+        views.keys.filter(splitName(_)._1 == n).toList.foreach(views.remove)
+        if (currentKeyspace == n) currentKeyspace = defaultKeyspace
+      }
+      emptyResult
     case CreateType(u, ifNotExists) =>
       if (udts.contains(u.typeName)) {
         if (!ifNotExists) throw InvalidRequest(s"A user type of name ${u.typeName} already exists")
       } else udts(u.typeName) = u
       emptyResult
     case CreateTable(td, ifNotExists) =>
+      requireKeyspace(td.name)
       // durations are not comparable: never a PK part, set element or map
       // key (DurationType.isCompatibleWith → false for ordered positions)
       td.primaryKey.find(_.tpe == CqlDuration).foreach(c =>
@@ -679,7 +761,7 @@ class CqlEngine(val spark: SparkSession) {
       if (pkVals.distinct.length != 1 || pkVals.head.exists(_.isEmpty))
         throw InvalidRequest("Batch with conditions cannot span multiple partitions")
       // one partition read; each condition evaluates on ITS clustering row
-      val partRows = read(td.name).filter(
+      val partRows = readCanonical(td.name).filter(
         pkNames.zip(pkVals.head.map(_.get)).map { case (c, v) => col(c) === lit(v) }
           .reduce(_ && _)).collect()
       def rowsFor(keys: Map[String, Any]): Array[Row] =
@@ -711,7 +793,7 @@ class CqlEngine(val spark: SparkSession) {
     import spark.implicits._
     val td = table(tbl)
     val (keys, _) = mutationKeys(td, where, requireCk = td.clustering.nonEmpty)
-    val current = read(tbl).filter(
+    val current = readCanonical(tbl).filter(
       td.primaryKey.map(c => col(c.name) === lit(keys(c.name))).reduce(_ && _))
     val rows = current.collect()
     val ok = evalCondition(td, cond, rows)
@@ -820,7 +902,7 @@ class CqlEngine(val spark: SparkSession) {
     }.toMap
     val keyFilter = td.primaryKey.map(c => col(c.name) === lit(vals.getOrElse(c.name,
       throw InvalidRequest(s"Some primary key parts are missing: ${c.name}")))).reduce(_ && _)
-    val rows = read(i.table).filter(keyFilter).limit(1).collect()
+    val rows = readCanonical(i.table).filter(keyFilter).limit(1).collect()
     if (rows.isEmpty) executeInsert(i.copy(ifNotExists = false))
     mkLwtResult(td, rows.isEmpty, rows)
   }
@@ -996,7 +1078,7 @@ class CqlEngine(val spark: SparkSession) {
   var cdcEnabled: Boolean = false
 
   /** Public mutation-record schema of a table's log (for CDC consumers). */
-  def mutationSchema(name: String): StructType = logSchema(table(name))
+  def mutationSchema(name: String): StructType = logSchema(table(canon(name)))
 
   private def appendMutation(name: String, row: Row): Unit = {
     logs(name) += row
@@ -1118,7 +1200,7 @@ class CqlEngine(val spark: SparkSession) {
     }
     if (idxOps.nonEmpty) {
       val keyFilter = td.primaryKey.map(c => col(c.name) === lit(keys(c.name))).reduce(_ && _)
-      val row = read(u.table).filter(keyFilter)
+      val row = readCanonical(u.table).filter(keyFilter)
         .select(idxOps.map { case (c, _) => size(col(c)).as(c) }: _*)
         .collect().headOption
       idxOps.foreach { case (c, i) =>
@@ -1724,7 +1806,12 @@ class CqlEngine(val spark: SparkSession) {
     * writetime µs) and `_ttlr_<c>` (remaining ttl seconds). With a
     * checkpoint present, only the post-checkpoint tail re-aggregates.
     */
-  def read(name: String): DataFrame = {
+  def read(name0: String): DataFrame = readCanonical(canon(name0))
+
+  /** [[read]] on an already-canonical catalog key (internal call sites —
+    * statement names canonicalize exactly once in [[run]]).
+    */
+  private[cql] def readCanonical(name: String): DataFrame = {
     views.get(name).foreach(v => return readView(v))
     virtualDf(name).foreach(v => return v)
     val td = table(name)
@@ -1758,7 +1845,8 @@ class CqlEngine(val spark: SparkSession) {
     * compacted-sstables + memtable read shape). Collection op-lists are
     * pruned to the suffix after their last full overwrite (set/clear).
     */
-  def compact(name: String): Unit = {
+  def compact(name0: String): Unit = {
+    val name = canon(name0)
     val dir = storageDir.getOrElse(
       throw InvalidRequest("no storage attached — call attachStorage first"))
     val td = mutableTable(name)
@@ -1828,7 +1916,7 @@ class CqlEngine(val spark: SparkSession) {
   // ── SELECT lowering + restriction validation ──────────────────────────
   private def executeSelect(s: Select): DataFrame = {
     val td = table(s.table)
-    var df = read(s.table)
+    var df = readCanonical(s.table)
 
     // validate + apply WHERE (StatementRestrictions.java:195-271)
     val restricted = scala.collection.mutable.Map.empty[String, String] // col -> kind of restriction

@@ -225,8 +225,44 @@ object CqlParser {
     val p = new P(tokenize(cql), udts)
     val stmt =
       if (p.kw("begin")) parseBatch(p)
+      else if (p.kw("use")) {
+        p.eatKw("use"); UseKeyspace(p.ident())
+      }
       else if (p.kw("alter")) {
-        p.eatKw("alter"); p.eatKw("table")
+        p.eatKw("alter")
+        if (p.tryKw("keyspace")) {
+          val n = p.ident()
+          if (p.tryKw("with")) skipOptions(p)
+          AlterKeyspace(n)
+        } else parseAlterTable(p)
+      }
+      else if (p.kw("create")) parseCreate(p)
+      else if (p.kw("drop")) {
+        p.eatKw("drop")
+        if (p.tryKw("materialized")) { p.eatKw("view"); DropView(p.tableName()) }
+        else if (p.tryKw("keyspace")) {
+          val ifExists = if (p.tryKw("if")) { p.eatKw("exists"); true } else false
+          DropKeyspace(p.ident(), ifExists)
+        }
+        else { p.eatKw("table"); DropTable(p.tableName()) }
+      }
+      else parseDml(p)
+    if (!p.done) throw ParseException(s"unexpected trailing input at ${p.peek.map(_.text).getOrElse("")}")
+    (stmt, p.bindCount, p.bindNames)
+  }
+
+  /** `opt = literal [AND ...]` chains whose values we don't act on. */
+  private def skipOptions(p: P): Unit = {
+    var more = true
+    while (more) {
+      p.ident(); p.sym("=")
+      anyLiteral(p)
+      more = p.tryKw("and")
+    }
+  }
+
+  private def parseAlterTable(p: P): Statement = {
+        p.eatKw("table")
         val n = p.tableName()
         if (p.tryKw("add")) {
           var adds = Vector(p.ident() -> parseType(p))
@@ -260,22 +296,16 @@ object CqlParser {
           }
           AlterTable(n, Seq.empty, Seq.empty, withDttl = dttl)
         } else throw ParseException("expected ADD, DROP, RENAME or WITH in ALTER TABLE")
-      }
-      else if (p.kw("create")) parseCreate(p)
-      else if (p.kw("drop")) {
-        p.eatKw("drop")
-        if (p.tryKw("materialized")) { p.eatKw("view"); DropView(p.ident()) }
-        else { p.eatKw("table"); DropTable(p.ident()) }
-      }
-      else if (p.kw("truncate")) { p.eatKw("truncate"); p.tryKw("table"); Truncate(p.ident()) }
-      else if (p.kw("insert")) parseInsert(p)
-      else if (p.kw("update")) parseUpdate(p)
-      else if (p.kw("delete")) parseDelete(p)
-      else if (p.kw("select")) parseSelect(p)
-      else throw ParseException(s"unsupported statement: $cql")
-    if (!p.done) throw ParseException(s"trailing input after statement")
-    (stmt, p.bindCount, p.bindNames)
   }
+
+  private def parseDml(p: P): Statement =
+    if (p.kw("truncate")) { p.eatKw("truncate"); p.tryKw("table"); Truncate(p.tableName()) }
+    else if (p.kw("insert")) parseInsert(p)
+    else if (p.kw("update")) parseUpdate(p)
+    else if (p.kw("delete")) parseDelete(p)
+    else if (p.kw("select")) parseSelect(p)
+    else throw ParseException(
+      s"unsupported statement: ${p.peek.map(_.text).getOrElse("<eof>")}")
 
   private val types: Map[String, CqlType] = Map(
     "int" -> CqlInt, "bigint" -> CqlBigint, "counter" -> CqlCounter,
@@ -398,10 +428,18 @@ object CqlParser {
       return CreateAggregate(name, argType, sfunc, stype, finalFunc, init, orReplace, ifNotExists)
     }
     if (orReplace) throw ParseException("OR REPLACE is only valid for functions and aggregates")
+    if (p.tryKw("keyspace")) {
+      val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
+      val name = p.ident()
+      // WITH replication = {...} [AND durable_writes = ...]: distribution
+      // plumbing, parsed and ignored
+      if (p.tryKw("with")) skipOptions(p)
+      return CreateKeyspace(name, ifNotExists)
+    }
     if (p.tryKw("materialized")) {
       p.eatKw("view")
       val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
-      val name = p.ident()
+      val name = p.tableName()
       p.eatKw("as")
       val sel = parseSelect(p) match {
         case s: Select => s
@@ -429,7 +467,7 @@ object CqlParser {
     if (p.tryKw("index")) {
       if (!p.kw("on")) p.ident() // optional index name
       p.eatKw("on")
-      val tbl = p.ident()
+      val tbl = p.tableName()
       p.sym("(")
       val c = p.ident()
       p.sym(")")
@@ -437,7 +475,7 @@ object CqlParser {
     }
     p.eatKw("table")
     val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
-    val name = p.ident()
+    val name = p.tableName()
     p.sym("(")
     var cols = Vector.empty[(String, CqlType)]
     var inlinePk = Vector.empty[String]

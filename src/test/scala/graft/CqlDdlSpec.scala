@@ -39,6 +39,43 @@ class CqlDdlSpec extends SparkSpec {
       "Modification is not supported")
   }
 
+  test("keyspaces: CREATE / USE / qualified names / DROP cascade") {
+    val e = mkEngine
+    e.execute("CREATE KEYSPACE ks1 WITH replication = {'class': 'SimpleStrategy', 'replication_factor': 1}")
+    assertInvalid(e, "CREATE KEYSPACE ks1", "already exists")
+    e.execute("CREATE KEYSPACE IF NOT EXISTS ks1")
+    // qualified DDL/DML from the default keyspace
+    e.execute("CREATE TABLE ks1.t (k int PRIMARY KEY, v int)")
+    e.execute("INSERT INTO ks1.t (k, v) VALUES (1, 10)")
+    assert(rowsInOrder(e.execute("SELECT v FROM ks1.t")) === Seq(Seq(10)))
+    // USE switches the unqualified namespace
+    e.execute("USE ks1")
+    assert(rowsInOrder(e.execute("SELECT v FROM t")) === Seq(Seq(10)))
+    e.execute("CREATE TABLE t2 (k int PRIMARY KEY, v int)")
+    e.execute("USE graft")
+    assertInvalid(e, "SELECT * FROM t2", "unconfigured table")
+    assert(e.execute("SELECT * FROM ks1.t2").count() === 0)
+    // same bare name in two keyspaces stays distinct
+    e.execute("CREATE TABLE t2 (k int PRIMARY KEY, w text)")
+    e.execute("INSERT INTO t2 (k, w) VALUES (1, 'default')")
+    assert(rowsInOrder(e.execute("SELECT w FROM t2")) === Seq(Seq("default")))
+    // catalog introspection
+    assert(rowsInOrder(e.execute("SELECT keyspace_name FROM system_schema.keyspaces"))
+      .contains(Seq("ks1")))
+    assert(rowsInOrder(e.execute(
+      "SELECT table_name FROM system_schema.tables WHERE keyspace_name = 'ks1'"))
+      .map(_.head).toSet === Set("t", "t2"))
+    // DROP cascades the keyspace's tables and validates
+    assertInvalid(e, "DROP KEYSPACE system", "Cannot drop system keyspace")
+    e.execute("DROP KEYSPACE ks1")
+    assertInvalid(e, "SELECT * FROM ks1.t", "unconfigured table")
+    assertInvalid(e, "USE ks1", "does not exist")
+    assertInvalid(e, "CREATE TABLE ks9.t (k int PRIMARY KEY)", "does not exist")
+    e.execute("DROP KEYSPACE IF EXISTS ks1")
+    // default-keyspace tables are untouched
+    assert(rowsInOrder(e.execute("SELECT w FROM graft.t2")) === Seq(Seq("default")))
+  }
+
   test("collection slice selection m[a..b], s[a..], s[..b]") {
     val e = mkEngine
     e.execute("CREATE TABLE sl1 (k int PRIMARY KEY, m map<int, text>, s set<int>)")
