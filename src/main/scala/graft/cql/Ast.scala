@@ -311,6 +311,6 @@ object Ast {
   final case class Select(table: String, selectors: Seq[Selector], distinct: Boolean,
                           where: Seq[Relation], groupBy: Seq[GroupByEl],
                           orderBy: Seq[(String, Boolean)], // (col, desc?)
-                          perPartitionLimit: Option[Long], limit: Option[Long],
+                          perPartitionLimit: Option[Literal], limit: Option[Literal],
                           allowFiltering: Boolean, json: Boolean) extends Statement
 }

@@ -2268,9 +2268,12 @@ class CqlEngine(val spark: SparkSession) {
     case Star => s"_sel_$idx"
   }
 
-  private def checkLimit(n: Long): Int = {
-    if (n <= 0) throw InvalidRequest("LIMIT must be strictly positive")
-    n.toInt
+  private def checkLimit(l: Literal): Int = l match {
+    case IntLit(n) =>
+      if (n <= 0) throw InvalidRequest("LIMIT must be strictly positive")
+      n.toInt
+    case BindMarker(i) => throw InvalidRequest(s"unbound marker $i in LIMIT")
+    case other => throw InvalidRequest(s"Invalid limit ${other.value}")
   }
 
   private def lowerRowSelector(td: TableDef, sel: Selector): Seq[Column] = sel match {
@@ -2721,8 +2724,18 @@ class CqlEngine(val spark: SparkSession) {
           case _ => coalesce(avg(c), lit(0.0))
         }
         t.map(tt => raw.cast(sparkType(tt))).getOrElse(raw)
-      case FnCall("min", Seq(a)) => min(lowerExpr(td, a, null))
-      case FnCall("max", Seq(a)) => max(lowerExpr(td, a, null))
+      case FnCall("min", Seq(a)) =>
+        val c = lowerExpr(td, a, null)
+        // timeuuids order by embedded time, not by their string form
+        // (TimeUUIDType comparator; AggregateFcts min/max use the type's)
+        if (exprType(td, a).contains(CqlTimeuuid))
+          min_by(c, call_function("timeuuid_sort_key", c))
+        else min(c)
+      case FnCall("max", Seq(a)) =>
+        val c = lowerExpr(td, a, null)
+        if (exprType(td, a).contains(CqlTimeuuid))
+          max_by(c, call_function("timeuuid_sort_key", c))
+        else max(c)
       case FnCall(f, args) if udas.contains(f) =>
         // user aggregate = fold of the SFUNC body over values in clustering
         // order (UDAggregate.java:44-120). The body is a SQL expression, so

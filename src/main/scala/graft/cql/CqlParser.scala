@@ -1018,13 +1018,14 @@ object CqlParser {
         more = p.trySym(",")
       }
     }
-    var perPartitionLimit: Option[Long] = None
-    var limit: Option[Long] = None
+    // LIMIT / PER PARTITION LIMIT are bind-able terms (Parser.g:280-281)
+    var perPartitionLimit: Option[Literal] = None
+    var limit: Option[Literal] = None
     if (p.tryKw("per")) {
       p.eatKw("partition"); p.eatKw("limit")
-      perPartitionLimit = Some(p.long())
+      perPartitionLimit = Some(p.literal())
     }
-    if (p.tryKw("limit")) limit = Some(p.long())
+    if (p.tryKw("limit")) limit = Some(p.literal())
     val allowFiltering = if (p.tryKw("allow")) { p.eatKw("filtering"); true } else false
     Select(name, sels, distinct, where, groupBy, orderBy, perPartitionLimit,
       limit, allowFiltering, json)

@@ -96,7 +96,9 @@ final class PreparedStatements(engine: CqlEngine) {
         condition = u.condition.map(bindCond(_, lit)))
       case d: Delete => d.copy(where = d.where.map(rel),
         condition = d.condition.map(bindCond(_, lit)))
-      case sel: Select => sel.copy(where = sel.where.map(rel))
+      case sel: Select => sel.copy(where = sel.where.map(rel),
+        perPartitionLimit = sel.perPartitionLimit.map(lit),
+        limit = sel.limit.map(lit))
       case other => other
     }
   }

@@ -37,6 +37,20 @@ class CqlPreparedSpec extends SparkSpec {
     assert(rows(e.execute("SELECT v FROM np2")) === Set(Seq(9)))
   }
 
+  test("LIMIT and PER PARTITION LIMIT bind through markers") {
+    val e = new CqlEngine(spark)
+    val ps = new PreparedStatements(e)
+    e.execute("CREATE TABLE np3 (k int, c int, PRIMARY KEY (k, c))")
+    for (k <- 1 to 2; c <- 1 to 4) e.execute(s"INSERT INTO np3 (k, c) VALUES ($k, $c)")
+    val lim = ps.prepare("SELECT k, c FROM np3 LIMIT ?")
+    assert(ps.execute(lim.id, 3).count() === 3)
+    assert(ps.execute(lim.id, 8).count() === 8)
+    val ex = intercept[RuntimeException](ps.execute(lim.id, 0).collect())
+    assert(ex.getMessage.contains("strictly positive"))
+    val ppl = ps.prepare("SELECT k, c FROM np3 PER PARTITION LIMIT :n")
+    assert(ps.executeNamed(ppl.id, Map("n" -> 2)).count() === 4)
+  }
+
   test("tail auto-flushes to segments once it exceeds the bound") {
     val dir = java.nio.file.Files.createTempDirectory("graft-autoflush").toString
     val e = new CqlEngine(spark)

@@ -79,6 +79,10 @@ class CqlTypesSpec extends SparkSpec {
       Seq(Seq(2)))
     assert(rowsInOrder(e.execute(s"SELECT v FROM tu1 WHERE k = 1 AND tu < $bound")) ===
       Seq(Seq(1)))
+    // min/max aggregate over timeuuid follow embedded time, not string order
+    val mm = rowsInOrder(e.execute("SELECT min(tu), max(tu) FROM tu1")).head
+    assert(mm(0).toString === early)
+    assert(mm(1).toString === late)
   }
 
   test("blob round trip and smallint/tinyint ranges") {
