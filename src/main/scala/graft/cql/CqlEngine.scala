@@ -2166,6 +2166,18 @@ class CqlEngine(val spark: SparkSession) {
           dfg.select(keyCols.map(col): _*).distinct()
         else dfg.agg(aggCols.head, aggCols.tail: _*)
       if (s.groupBy.nonEmpty) out = out.orderBy(keyOrder: _*)
+      // PER PARTITION LIMIT under GROUP BY caps the number of GROUPS per
+      // partition (DataLimits group-aware per-partition counting)
+      s.perPartitionLimit.foreach { n =>
+        if (!pkNames.forall(keyCols.contains))
+          throw InvalidRequest(
+            "PER PARTITION LIMIT with GROUP BY requires grouping by the full partition key")
+        val rest = keyCols.filterNot(pkNames.contains)
+        val w = Window.partitionBy(pkNames.map(col): _*)
+          .orderBy((if (rest.nonEmpty) rest.map(col(_).asc) else Seq(lit(1).asc)): _*)
+        out = out.withColumn("_gn", row_number().over(w))
+          .filter(col("_gn") <= checkLimit(n)).drop("_gn")
+      }
       out = out.select(s.selectors.zipWithIndex.map {
         case (sel: ExprSel, i) => groupKeyOf(sel) match {
           case Some(kn) => col(kn).as(aggOutName(sel, i))

@@ -102,6 +102,12 @@ class CqlEngineSpec extends SparkSpec {
     // group by partition key; mixed plain column = first row in clustering order
     assert(rowsInOrder(e.execute("SELECT a, c, count(*) FROM t6 GROUP BY a")) ===
       Seq(Seq(1, 11.5, 2L), Seq(2, 2.0, 1L)))
+    // PER PARTITION LIMIT with GROUP BY caps GROUPS per partition
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, count(*) FROM t6 GROUP BY a, b PER PARTITION LIMIT 1")) ===
+      Seq(Seq(1, 1, 1L), Seq(2, 4, 1L)))
+    assertInvalid(e, "SELECT count(*) FROM t6 PER PARTITION LIMIT 1",
+      "requires grouping by the full partition key")
   }
 
   test("writetime and ttl selectors with USING TIMESTAMP/TTL (TTLTest)") {
