@@ -855,6 +855,52 @@ object Queries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    QueryDef("q_text_normalize",
+      // corpus text normalization: lowercase, URL/email placeholders,
+      // control-char strip, whitespace collapse — byte-identical regexp
+      // chain in both engines
+      Some("""SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                       'https?://[^\s]+', '<url>', 'g'),
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+                       '[\x00-\x1f]', ' ', 'g'),
+                       ' {2,}', ' ', 'g')) AS norm
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => Tables.spread(t(s, d, "documents"))
+        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm"))
+        .orderBy("doc_id")),
+
+    QueryDef("q_text_chunks",
+      // overlapping word-window chunking (context-length-bounded training
+      // corpora): starts at 0, 16, 32, … while start < |words|, 32-word
+      // windows; chunk fan-out happens inside the scan stage
+      Some("""SELECT d.doc_id, gs.i AS chunk_idx,
+                     array_to_string(list_slice(string_split(lower(d.text), ' '), gs.i*16+1, gs.i*16+32), ' ') AS chunk
+              FROM documents d,
+                   LATERAL (SELECT unnest(range(0, greatest(CAST(ceil(len(string_split(lower(d.text), ' ')) / 16.0) AS BIGINT), 1))) AS i) gs
+              ORDER BY doc_id, chunk_idx"""),
+      (s, d) => Tables.spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunks(col("text"), window = 32, stride = 16)).as("c"))
+        .select(col("doc_id"), col("c.idx").cast("long").as("chunk_idx"), col("c.chunk").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    QueryDef("q_embed_quantize",
+      // symmetric int8 scalar quantization of the embedding corpus (4x
+      // smaller at 100 TB); floor(x*s + 0.5) rounding is engine-identical.
+      // Arrays stringify for the oracle compare.
+      Some("""SELECT vec_id,
+                     array_to_string(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30)) + 0.5) AS INTEGER)), ',') AS q,
+                     round(127.0 / greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30), 6) AS scale
+              FROM embeddings ORDER BY vec_id"""),
+      (s, d) => {
+        val (q, scale) = Similarity.quantize(col("embedding"))
+        t(s, d, "embeddings")
+          .select(col("vec_id"), concat_ws(",", q).as("q"), round(scale, 6).as("scale"))
+          .orderBy("vec_id")
+      }),
+
     QueryDef("q_timeuuid_bounds",
       // mintimeuuid/maxtimeuuid boundary pattern (TimeFcts.java:69-91) —
       // uuid construction has no DuckDB equivalent → rows-only check;

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Functions.cosine_sim
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -214,6 +214,23 @@ object Similarity {
         round(cosine_sim(col("embedding"), col("q_emb")), 6).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Symmetric int8 scalar quantization of an embedding column: per-vector
+    * scale = 127 / max|x|, elements stored as round-half-up ints — 4× less
+    * storage/bandwidth for a 100 TB embedding corpus; [[dequantize]]
+    * reconstructs x' = q/scale. floor(x·s + 0.5) keeps the rounding
+    * bit-identical across engines (no ties-to-even ambiguity).
+    */
+  def quantize(embedding: Column): (Column, Column) = {
+    val scale = lit(127.0) / greatest(array_max(transform(embedding,
+      x => abs(x.cast("double")))), lit(1e-30))
+    val q = transform(embedding, x =>
+      floor(x.cast("double") * scale + lit(0.5)).cast("int"))
+    (q, scale)
+  }
+
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => (x.cast("double") / scale).cast("float"))
 
   /** IVF top-k: one-shot train + probe (see [[ivfTrain]]/[[ivfSearch]] for
     * the train-once / search-many production path).

@@ -78,4 +78,31 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(words(text), lit(0L),
       (acc, w) => acc * lit(31L) + graft.functions.Functions.murmur64(w, lit(5L)))
+
+  /** Training-corpus text normalization: lowercase, URLs/emails replaced by
+    * placeholder tokens, non-text control characters stripped, whitespace
+    * collapsed. Pure regexp chain — fuses into the scan, byte-identical to
+    * the same chain in any engine.
+    */
+  def normalize(text: Column): Column = {
+    val lowered = lower(text)
+    val noUrl = regexp_replace(lowered, "https?://[^\\s]+", "<url>")
+    val noMail = regexp_replace(noUrl, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>")
+    val noCtl = regexp_replace(noMail, "[\\x00-\\x1f]", " ")
+    trim(regexp_replace(noCtl, " {2,}", " "))
+  }
+
+  /** Overlapping word-window chunks for context-length-bounded training:
+    * starts at 0, stride, 2·stride, … while start < |words|; each chunk is
+    * the (clamped) `window`-word slice. Returns array<struct<idx, chunk>> —
+    * explode it for the (doc, chunk) relation. Pure per-row expression: the
+    * chunk fan-out happens inside the scan stage, no shuffle.
+    */
+  def chunks(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0)
+    val w = words(text)
+    val n = ceil(size(w) / lit(stride.toDouble)).cast("int")
+    transform(sequence(lit(0), greatest(n, lit(1)) - 1), i =>
+      struct(i.as("idx"), array_join(slice(w, i * stride + 1, lit(window)), " ").as("chunk")))
+  }
 }

@@ -51,6 +51,24 @@ class DedupSpec extends SparkSpec {
     assert(sim.nonEmpty, "simhash should catch the tightest dups")
   }
 
+  test("chunking covers every word; chunks overlap by window - stride") {
+    import org.apache.spark.sql.functions._
+    val chunked = docs.select(col("doc_id"), lower(col("text")).as("t"),
+        explode(graft.operators.TextAnalysis.chunks(col("text"), 32, 16)).as("c"))
+      .select(col("doc_id"), col("t"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+    // chunk 0 is a prefix of the document for every doc
+    val badPrefix = chunked.filter(col("idx") === 0)
+      .filter(!col("t").startsWith(col("chunk"))).count()
+    assert(badPrefix === 0L)
+    // concatenating EVEN chunks (stride 16, window 32 → chunks 0,2,4 are
+    // disjoint and contiguous) reconstructs the document
+    val rebuilt = chunked.filter(col("idx") % 2 === 0)
+      .groupBy("doc_id", "t")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("idx"), col("chunk"))))
+        .getField("chunk")).as("joined"))
+    assert(rebuilt.filter(concat_ws(" ", col("t")) =!= col("joined")).count() === 0L)
+  }
+
   test("shingles clamp short documents to one shingle") {
     val df = Seq((1L, "only two")).toDF("doc_id", "text")
     val s = df.select(Dedup.shingles(col("text"), 3).as("s"))

@@ -80,6 +80,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a.size === exact.size)
   }
 
+  test("int8 quantization: bounded reconstruction error, exact range") {
+    val emb = Tables.embeddings(spark, sf)
+    val (q, scale) = Similarity.quantize(col("embedding"))
+    val qd = emb.select(col("vec_id"), col("embedding"), q.as("q"), scale.as("s"))
+      .withColumn("deq", Similarity.dequantize(col("q"), col("s")))
+    // every quantized element fits int8's symmetric range
+    val outOfRange = qd.select(explode(col("q")).as("x"))
+      .filter(col("x") > 127 || col("x") < -127).count()
+    assert(outOfRange === 0L)
+    // max |x - x'| <= 0.5/scale per vector (half a quantization step)
+    val bad = qd.select(
+        array_max(zip_with(col("embedding"), col("deq"),
+          (a, b) => abs(a.cast("double") - b.cast("double")))).as("err"),
+        (lit(0.5) / col("s")).as("bound"))
+      .filter(col("err") > col("bound") + 1e-12).count()
+    assert(bad === 0L)
+  }
+
   test("IVF index persists: save/load search == fresh search; lists pruned by cid") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 4)
