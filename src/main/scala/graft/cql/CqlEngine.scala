@@ -781,7 +781,11 @@ class CqlEngine(val spark: SparkSession) {
         case d: Delete => executeDelete(d.copy(condition = None))
         case _ => ()
       }
-      mkLwtResult(td, ok, partRows)
+      // a failed CAS reports the current row of every CONDITIONED statement
+      val involved = staged.zip(allKeys)
+        .filter { case (s, _) => condOf(s).nonEmpty }
+        .flatMap { case (_, keys) => rowsFor(keys) }.distinct.toArray
+      mkLwtResult(td, ok, involved)
     }
 
   /** LWT: serialized read-check-write (reference goes through Paxos,
@@ -886,10 +890,13 @@ class CqlEngine(val spark: SparkSession) {
     import spark.implicits._
     if (applied || rows.isEmpty) Seq(applied).toDF("[applied]")
     else {
+      // one result row per current row involved in the failed CAS (a
+      // conditional BATCH reports every conditioned clustering row)
       val schema = StructType(StructField("[applied]", BooleanType, nullable = false) +:
         td.columns.map(c => StructField(c.name, sparkType(c.tpe))))
-      val vals = (false: Any) +: td.columns.map(c => rows.head.getAs[Any](c.name))
-      spark.createDataFrame(java.util.Arrays.asList(Row.fromSeq(vals)), schema)
+      val out = rows.map(r =>
+        Row.fromSeq((false: Any) +: td.columns.map(c => r.getAs[Any](c.name))))
+      spark.createDataFrame(java.util.Arrays.asList(out.toSeq: _*), schema)
     }
   }
 

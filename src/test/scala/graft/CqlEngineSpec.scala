@@ -285,12 +285,16 @@ class CqlEngineSpec extends SparkSpec {
     assert(rows(e.execute("SELECT c, v FROM t15b WHERE k = 1")) ===
       Set(Seq(1, 11), Seq(2, 21)))
     // ONE failing condition rejects the WHOLE batch (including the
-    // unconditional statement)
-    assert(e.execute(
+    // unconditional statement); the result reports every conditioned
+    // row's current values
+    val failed = e.execute(
       """BEGIN BATCH
-        |  UPDATE t15b SET v = 99 WHERE k = 1 AND c = 1;
+        |  UPDATE t15b SET v = 99 WHERE k = 1 AND c = 1 IF v = 11;
         |  UPDATE t15b SET v = 22 WHERE k = 1 AND c = 2 IF v = 20;
-        |APPLY BATCH""".stripMargin).head().getBoolean(0) === false)
+        |APPLY BATCH""".stripMargin).collect()
+    assert(failed.forall(!_.getBoolean(0)))
+    assert(failed.map(r => (r.getAs[Int]("c"), r.getAs[Int]("v"))).toSet ===
+      Set((1, 11), (2, 21)))
     assert(rows(e.execute("SELECT c, v FROM t15b WHERE k = 1")) ===
       Set(Seq(1, 11), Seq(2, 21)))
     // IF NOT EXISTS inside a batch checks its own clustering row
