@@ -517,7 +517,9 @@ class CqlEngine(val spark: SparkSession) {
       } else {
         keyspaces -= n
         val doomed = tables.keys.filter(splitName(_)._1 == n).toList
-        doomed.foreach { t => tables.remove(t); logs.remove(t); indexes.remove(t) }
+        doomed.foreach { t =>
+          tables.remove(t); logs.remove(t); indexes.remove(t); dropStorage(t)
+        }
         views.keys.filter(splitName(_)._1 == n).toList.foreach(views.remove)
         if (currentKeyspace == n) currentKeyspace = defaultKeyspace
       }
@@ -653,9 +655,21 @@ class CqlEngine(val spark: SparkSession) {
       if (dependents.nonEmpty)
         throw InvalidRequest(
           s"Cannot drop table when materialized views still depend on it (${dependents.mkString(", ")})")
-      tables.remove(n); logs.remove(n); emptyResult
+      tables.remove(n); logs.remove(n); indexes.remove(n)
+      dropStorage(n)
+      emptyResult
     case Truncate(n) =>
-      mutableTable(n); logs(n).clear(); emptyResult
+      mutableTable(n); logs(n).clear()
+      // durable segments and checkpoints are data too (TruncateStatement
+      // discards sstables); the schema survives
+      storageDir.foreach { dir =>
+        val tdir = new java.io.File(dir, n)
+        Seq("segments", "checkpoint", "cdc").foreach { part =>
+          val f = new java.io.File(tdir, part)
+          if (f.isDirectory) deleteRec(f)
+        }
+      }
+      emptyResult
     case InsertJson(tbl, js, defaultUnset, ttl, ts) =>
       val td = table(tbl)
       val parsed = try {
@@ -1914,6 +1928,15 @@ class CqlEngine(val spark: SparkSession) {
     val from = coalesce(array_max(overwriteAt), lit(0))
     when(m.isNull || n === 0, m).otherwise(slice(sorted, from + 1, n))
   }
+
+  /** Remove a dropped table's durable data — otherwise it would resurrect
+    * on the next attachStorage (the reference removes sstables on DROP).
+    */
+  private def dropStorage(name: String): Unit =
+    storageDir.foreach { dir =>
+      val tdir = new java.io.File(dir, name)
+      if (tdir.isDirectory) deleteRec(tdir)
+    }
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))

@@ -81,6 +81,29 @@ class CqlCompactSpec extends SparkSpec {
     assert(rows(e.execute("SELECT k, v, w FROM ct4")) === Set(Seq(1, 1, null)))
   }
 
+  test("TRUNCATE and DROP discard durable data — nothing resurrects on restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drop").toString
+    val e = new CqlEngine(spark)
+    e.attachStorage(dir)
+    e.execute("CREATE TABLE dr1 (k int PRIMARY KEY, v int)")
+    for (k <- 1 to 5) e.execute(s"INSERT INTO dr1 (k, v) VALUES ($k, $k)")
+    e.flush("dr1")
+    e.execute("INSERT INTO dr1 (k, v) VALUES (6, 6)")
+    e.compact("dr1")
+    // TRUNCATE removes checkpointed + segment rows, not just the tail
+    e.execute("TRUNCATE dr1")
+    assert(e.execute("SELECT * FROM dr1").count() === 0)
+    e.execute("INSERT INTO dr1 (k, v) VALUES (9, 9)")
+    assert(e.execute("SELECT k FROM dr1").collect().map(_.getInt(0)).toSeq === Seq(9))
+    // DROP removes the durable table entirely: a fresh engine on the same
+    // storage must not see it
+    e.execute("DROP TABLE dr1")
+    val e2 = new CqlEngine(spark)
+    e2.attachStorage(dir)
+    val ex = intercept[RuntimeException](e2.execute("SELECT * FROM dr1"))
+    assert(ex.getMessage.contains("unconfigured table"))
+  }
+
   test("checkpoint + segments + tail survive an engine restart") {
     val dir = tmpDir()
     val e = mkEngine(dir)
