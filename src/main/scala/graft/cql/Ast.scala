@@ -80,7 +80,8 @@ object Ast {
     */
   final case class TableDef(name: String, columns: Seq[ColumnDef],
                             clusteringDesc: Seq[Boolean],
-                            defaultTtl: Long = 0L) {
+                            defaultTtl: Long = 0L,
+                            dropped: Seq[String] = Nil) {
     val partitionKey: Seq[ColumnDef] = columns.filter(_.kind == PartitionKey)
     val clustering: Seq[ColumnDef] = columns.filter(_.kind == Clustering)
     val statics: Seq[ColumnDef] = columns.filter(_.kind == Static)

@@ -622,6 +622,12 @@ class CqlEngine(val spark: SparkSession) {
       adds.foreach { case (c, _) =>
         if (td.column(c).isDefined)
           throw InvalidRequest(s"Invalid column name $c because it conflicts with an existing column")
+        // durable segments address cells BY NAME: re-adding a dropped name
+        // would resurrect its pre-drop values (the reference hides them via
+        // per-column drop timestamps; this engine refuses instead)
+        if (td.dropped.contains(c))
+          throw InvalidRequest(
+            s"Cannot re-add previously dropped column $c (dropped cells would resurrect)")
       }
       drops.foreach { c =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
@@ -631,7 +637,8 @@ class CqlEngine(val spark: SparkSession) {
       val newTd = TableDef(n,
         td.columns.filterNot(c => drops.contains(c.name)) ++
           adds.map { case (c, t) => ColumnDef(c, t, Regular) },
-        td.clusteringDesc)
+        td.clusteringDesc, td.defaultTtl,
+        dropped = (td.dropped ++ drops).distinct)
       // re-shape the in-memory tail to the new record layout; durable
       // segments and checkpoints re-project BY NAME on read, so added
       // columns surface as null and dropped columns vanish without rewrite

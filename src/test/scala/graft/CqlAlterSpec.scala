@@ -57,6 +57,25 @@ class CqlAlterSpec extends SparkSpec {
       Seq(Seq(1, "t1"), Seq(2, null), Seq(3, "t3")))
   }
 
+  test("re-adding a dropped column is rejected (no cell resurrection)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-readd").toString
+    val e = mkEngine
+    e.attachStorage(dir)
+    e.execute("CREATE TABLE ra1 (k int PRIMARY KEY, v int, w int)")
+    e.execute("INSERT INTO ra1 (k, v, w) VALUES (1, 10, 20)")
+    e.flush("ra1")
+    e.execute("ALTER TABLE ra1 DROP w")
+    assertInvalid(e, "ALTER TABLE ra1 ADD w int", "would resurrect")
+    // the guard survives an engine restart (dropped set persists)
+    e.flush("ra1")
+    val e2 = mkEngine
+    e2.attachStorage(dir)
+    assertInvalid(e2, "ALTER TABLE ra1 ADD w int", "would resurrect")
+    // a fresh name is fine
+    e.execute("ALTER TABLE ra1 ADD w2 int")
+    assert(rowsInOrder(e.execute("SELECT k, v, w2 FROM ra1")) === Seq(Seq(1, 10, null)))
+  }
+
   test("RENAME primary key columns; regulars and durable tables rejected") {
     val e = mkEngine
     e.execute("CREATE TABLE al3 (k int, c int, v int, PRIMARY KEY (k, c))")
