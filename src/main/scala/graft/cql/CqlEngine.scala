@@ -178,9 +178,11 @@ class CqlEngine(val spark: SparkSession) {
     * driver; otherwise they land in the in-memory tail.
     */
   def bulkInsert(name0: String, df: DataFrame, timestamp: Option[Long] = None,
-                 ttl: Long = 0L, timestampCol: Option[String] = None): Unit = {
+                 ttl: Option[Long] = None, timestampCol: Option[String] = None): Unit = {
     val name = canon(name0)
     val td = mutableTable(name)
+    // absent TTL → the table's default_time_to_live, like statement inserts
+    val effTtl = ttl.getOrElse(td.defaultTtl)
     val present = df.columns.toSet -- timestampCol
     td.partitionKey.foreach { c =>
       if (!present(c.name))
@@ -211,7 +213,7 @@ class CqlEngine(val spark: SparkSession) {
     // analog of per-statement USING TIMESTAMP
     val tsCol = timestampCol.map(c => df(c).cast(LongType)).getOrElse(lit(ts))
     val mdf = df.select(keys ++ cells ++ ranges ++ Seq(
-      lit("insert").as("_op"), tsCol.as("_ts"), lit(ttl).as("_ttl")): _*)
+      lit("insert").as("_op"), tsCol.as("_ts"), lit(effTtl).as("_ttl")): _*)
     storageDir match {
       case Some(dir) =>
         val tdir = new java.io.File(dir, name)

@@ -43,6 +43,16 @@ object MutationStream {
       .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** Session-window aggregation (native Structured Streaming extra): events
+    * group into per-user sessions that close after `gap` of event-time
+    * silence; watermark bounds the session state.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(session_window(col("ts_ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
   /** Materialized-view maintenance: each micro-batch is LWW-compacted
     * (newest mutation per key wins, deletes drop the row) and upserted into
     * the view store. `upsert` receives (batchDf, batchId) — production sinks

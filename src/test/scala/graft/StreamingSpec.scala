@@ -102,6 +102,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows partition each user's events and preserve totals") {
+    val stream = MutationStream.eventStream(spark, logDir)
+    val q = MutationStream.sessionCounts(stream, gap = "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_counts")
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT user_id, sum(n) AS n, count(*) AS sessions FROM sess_counts GROUP BY user_id")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val batch = Tables.events(spark, sf).groupBy("user_id").count()
+        .as[(Long, Long)].collect().toMap
+      // every event lands in exactly one session; sessions per user >= 1
+      assert(out.view.mapValues(_._1).toMap === batch)
+      assert(out.values.forall(_._2 >= 1))
+      // sessions never overlap per user: starts are strictly increasing and
+      // separated by at least the gap from the previous end
+      val overlaps = spark.sql(
+        """SELECT count(*) FROM (
+          |  SELECT user_id, session_window.start AS s,
+          |         lag(session_window.end) OVER (PARTITION BY user_id ORDER BY session_window.start) AS prev_end
+          |  FROM sess_counts) WHERE prev_end IS NOT NULL AND s < prev_end""".stripMargin)
+        .collect().head.getLong(0)
+      assert(overlaps === 0L)
+    } finally q.stop()
+  }
+
   test("streaming LWW dedup emits at most one row per key") {
     val stream = MutationStream.eventStream(spark, logDir)
     val q = MutationStream.lwwStream(stream)
