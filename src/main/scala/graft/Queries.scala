@@ -456,6 +456,27 @@ object Queries {
         a.union(b).distinct().orderBy("p_partkey")
       }),
 
+    QueryDef("q_cql_coll_writetime",
+      // per-element writetime() list on a multi-cell set through the engine
+      // (CASSANDRA-8877 forward-port): bulk-loaded with per-row event-time
+      // stamps, every element of a row's set carries that row's timestamp
+      Some("""SELECT p_partkey,
+                     array_to_string(list_transform(list_sort(list_distinct(string_split(p_name, ' '))),
+                       x -> CAST(p_partkey * 1000 + 17 AS VARCHAR)), ',') AS wt
+              FROM part WHERE p_partkey < 500 ORDER BY p_partkey"""),
+      (s, d) => {
+        val e = new graft.cql.CqlEngine(s)
+        e.execute("CREATE TABLE cql_cw (p_partkey bigint PRIMARY KEY, words set<text>)")
+        e.bulkInsert("cql_cw", t(s, d, "part").filter(col("p_partkey") < 500)
+          .select(col("p_partkey"),
+            array_distinct(split(col("p_name"), " ")).as("words"),
+            (col("p_partkey") * 1000 + 17).as("us")),
+          timestampCol = Some("us"))
+        e.execute("SELECT p_partkey, writetime(words) AS wt FROM cql_cw")
+          .select(col("p_partkey"), concat_ws(",", col("wt")).as("wt"))
+          .orderBy("p_partkey")
+      }),
+
     QueryDef("q_cql_floor_month",
       // GROUP BY floor(date, 1mo) time-bucketing through the engine
       // (Cassandra 4.1 CASSANDRA-11871 forward-port); calendar-month

@@ -196,8 +196,17 @@ class CqlEngine(val spark: SparkSession) {
     if (td.regulars.exists(c => c.tpe == CqlCounter && present(c.name)))
       throw InvalidRequest("INSERT statements are not allowed on counter tables, use UPDATE instead")
     val ts = timestamp.getOrElse(nextTs())
-    def in(c: ColumnDef): Column =
-      (if (present(c.name)) df(c.name) else lit(null)).cast(sparkType(c.tpe)).as(c.name)
+    def in(c: ColumnDef): Column = {
+      val base = (if (present(c.name)) df(c.name) else lit(null)).cast(sparkType(c.tpe))
+      // normalize collection values like the literal-insert coerce path:
+      // sets sort + dedup, maps sort by key
+      val v = c.tpe match {
+        case _: CqlSet => array_sort(array_distinct(base))
+        case _: CqlMap => map_from_entries(array_sort(map_entries(base)))
+        case _ => base
+      }
+      v.as(c.name)
+    }
     val keys = td.primaryKey.map(in)
     val cells = (td.statics ++ td.regulars).flatMap { c =>
       val base = Seq(in(c), lit(present(c.name)).as(c.name + "__set"))
