@@ -775,6 +775,11 @@ class CqlEngine(val spark: SparkSession) {
       val tbls = staged.map(tblOf).distinct
       if (tbls.length != 1)
         throw InvalidRequest("Batch with conditions cannot span multiple tables")
+      // counter mutations are commutative deltas with no CAS semantics
+      if (staged.exists {
+        case u: Update => u.assignments.exists(_._2.isInstanceOf[CounterDeltaLit])
+        case _ => false
+      }) throw InvalidRequest("Cannot include a counter statement in a conditional batch")
       val td = table(tbls.head)
       // per-statement primary-key values; partition key must agree
       def keysOf(s: Statement): Map[String, Any] = s match {

@@ -311,6 +311,12 @@ class CqlEngineSpec extends SparkSpec {
         |  UPDATE t15b SET v = 0 WHERE k = 1 AND c = 1 IF v = 12;
         |  UPDATE t15b SET v = 0 WHERE k = 2 AND c = 1 IF v = 1;
         |APPLY BATCH""".stripMargin, "multiple partitions")
+    // counters have no CAS semantics
+    e.execute("CREATE TABLE t15c (k int PRIMARY KEY, n counter)")
+    assertInvalid(e,
+      """BEGIN BATCH
+        |  UPDATE t15c SET n = n + 1 WHERE k = 1 IF EXISTS;
+        |APPLY BATCH""".stripMargin, "counter statement in a conditional batch")
   }
 
   test("secondary index allows EQ on a regular column without ALLOW FILTERING") {
