@@ -63,6 +63,11 @@ class CqlEngine(val spark: SparkSession) {
   val defaultKeyspace = "graft"
   var currentKeyspace: String = defaultKeyspace
 
+  /** Canonical catalog key of a possibly-qualified table name (public for
+    * consumers that build storage paths, e.g. streaming CDC).
+    */
+  def canonicalName(n: String): String = canon(n)
+
   /** Canonical catalog key of a possibly-qualified table name. */
   private def canon(n: String): String = {
     val full = if (n.contains('.')) n else s"$currentKeyspace.$n"
@@ -2526,7 +2531,10 @@ class CqlEngine(val spark: SparkSession) {
     val cd = td.column(cn).getOrElse(throw InvalidRequest(s"Undefined column name $cn"))
     val (months, days, nanos) = dur match {
       case DurationLit(mo, d, n) => (mo, d, n)
-      case other => throw InvalidRequest(s"floor() expects a duration literal, got ${other.value}")
+      // bound markers deliver durations as strings ("12h", "1mo")
+      case StringLit(s0) => CqlValues.parseDuration(s0).getOrElse(
+        throw InvalidRequest(s"Invalid duration '$s0' in floor()"))
+      case other => throw InvalidRequest(s"floor() expects a duration literal, got $other")
     }
     if (months < 0 || days < 0 || nanos < 0)
       throw InvalidRequest("Negative durations are not allowed in floor()")

@@ -96,9 +96,29 @@ final class PreparedStatements(engine: CqlEngine) {
         condition = u.condition.map(bindCond(_, lit)))
       case d: Delete => d.copy(where = d.where.map(rel),
         condition = d.condition.map(bindCond(_, lit)))
-      case sel: Select => sel.copy(where = sel.where.map(rel),
-        perPartitionLimit = sel.perPartitionLimit.map(lit),
-        limit = sel.limit.map(lit))
+      case sel: Select =>
+        def selExpr(e: SelExpr): SelExpr = e match {
+          case LitRef(l) => LitRef(lit(l))
+          case FnCall(f, args) => FnCall(f, args.map(selExpr))
+          case CastCall(x, t) => CastCall(selExpr(x), t)
+          case Arith(op, l, r) => Arith(op, selExpr(l), selExpr(r))
+          case Neg(x) => Neg(selExpr(x))
+          case CollectionCtor(k, items) => CollectionCtor(k, items.map(selExpr))
+          case MapCtor(ps) => MapCtor(ps.map { case (k, v) => (selExpr(k), selExpr(v)) })
+          case ElementRef(c, k) => ElementRef(c, lit(k))
+          case SliceRef(c, a, b) => SliceRef(c, a.map(lit), b.map(lit))
+          case other => other
+        }
+        sel.copy(
+          selectors = sel.selectors.map {
+            case ExprSel(e, a) => ExprSel(selExpr(e), a)
+            case s => s
+          },
+          where = sel.where.map(rel),
+          groupBy = sel.groupBy.map(g => g.copy(
+            floorDur = g.floorDur.map(lit), floorStart = g.floorStart.map(lit))),
+          perPartitionLimit = sel.perPartitionLimit.map(lit),
+          limit = sel.limit.map(lit))
       case other => other
     }
   }

@@ -92,6 +92,15 @@ object MutationStream {
       // glob over live segments and the compaction archive
       .parquet(s"$storageDir/$table/{segments,cdc}")
 
+  /** [[engineCdc]] resolving the table through the engine's catalog — use
+    * this form for tables outside the default keyspace (their storage
+    * directories carry the `ks.table` canonical name).
+    */
+  def engineCdc(spark: SparkSession, engine: graft.cql.CqlEngine,
+                storageDir: String, table: String): DataFrame =
+    engineCdc(spark, storageDir, engine.canonicalName(table),
+      engine.mutationSchema(table))
+
   /** Snapshot-then-follow bootstrap of a downstream view over an engine
     * table — the scale shape for standing up a NEW consumer against a table
     * with history: one batch upsert of the COMPACTED checkpoint state

@@ -79,6 +79,20 @@ class CqlFloorSpec extends SparkSpec {
     assert(r(1) === (13L * 3600 + 45 * 60) * 1000000000L)
   }
 
+  test("floor durations bind through prepared statements as duration strings") {
+    val e = mkEngine
+    val ps = new graft.cql.PreparedStatements(e)
+    e.execute("CREATE TABLE flp (k int, t timestamp, v int, PRIMARY KEY (k, t))")
+    Seq("2020-01-01 01:00:00Z", "2020-01-01 13:00:00Z").zipWithIndex.foreach {
+      case (t, i) => e.execute(s"INSERT INTO flp (k, t, v) VALUES (1, '$t', $i)") }
+    val q = ps.prepare("SELECT floor(t, :dur) AS bucket, count(*) AS n FROM flp GROUP BY k, floor(t, :dur)")
+    val got = ps.executeNamed(q.id, Map("dur" -> "12h")).collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    assert(got === Map(
+      java.time.Instant.parse("2020-01-01T00:00:00Z").toEpochMilli -> 1L,
+      java.time.Instant.parse("2020-01-01T12:00:00Z").toEpochMilli -> 1L))
+  }
+
   test("floor validation: last-element-only, temporal-only, sane durations") {
     val e = mkEngine
     e.execute("CREATE TABLE fl5 (k int, t timestamp, c int, v int, PRIMARY KEY (k, t, c))")
