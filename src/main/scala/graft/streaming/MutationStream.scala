@@ -122,7 +122,7 @@ object MutationStream {
     upsert(engine.execute(s"SELECT * FROM $table").withColumn("_op", lit("insert")), -1L)
     val tail = spark.readStream.schema(engine.mutationSchema(table))
       .option("maxFilesPerTrigger", "4")
-      .parquet(s"$storageDir/$table/segments")
+      .parquet(s"$storageDir/${engine.canonicalName(table)}/segments")
     tail.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
