@@ -239,6 +239,15 @@ class CqlEngine(val spark: SparkSession) {
       case None =>
         logs(name) ++= mdf.collect()
     }
+    // keep the session clock ahead of event-time bulk generations: a later
+    // statement write must out-timestamp what was just loaded (mirrors the
+    // attachStorage max_ts recalibration), else it silently loses LWW
+    val maxWritten: Option[Long] = timestampCol match {
+      case Some(c) =>
+        Option(df.agg(max(df(c).cast(LongType))).head.get(0)).map(_.asInstanceOf[Long])
+      case None => Some(ts)
+    }
+    maxWritten.foreach(m => tsCounter = math.max(tsCounter, m))
   }
 
   def sparkType(t: CqlType): DataType = t match {
@@ -795,7 +804,14 @@ class CqlEngine(val spark: SparkSession) {
               c -> coerce(v, td.column(c).get.tpe, c)
           }.toMap
         case u: Update => mutationKeys(td, u.where, requireCk = td.clustering.nonEmpty)._1
-        case d: Delete => mutationKeys(td, d.where, requireCk = d.columns.nonEmpty)._1
+        case d: Delete =>
+          // a conditioned DELETE must address exactly one row — all PRIMARY
+          // KEY columns EQ-restricted (CQL3CasRequest.addConditions requires
+          // a fully-bound clustering); unconditioned deletes in a CAS batch
+          // may still be partition/range deletes (addRangeDeletion)
+          val requireCk =
+            if (condOf(d).nonEmpty) td.clustering.nonEmpty else d.columns.nonEmpty
+          mutationKeys(td, d.where, requireCk = requireCk)._1
       }
       val allKeys = staged.map(keysOf)
       val pkNames = td.partitionKey.map(_.name)
@@ -2227,12 +2243,26 @@ class CqlEngine(val spark: SparkSession) {
       // PER PARTITION LIMIT under GROUP BY caps the number of GROUPS per
       // partition (DataLimits group-aware per-partition counting)
       s.perPartitionLimit.foreach { n =>
-        if (!pkNames.forall(keyCols.contains))
+        // EQ-restricted partition-key columns count as implicitly grouped
+        // (same gap rule the GROUP BY validation above applies); being
+        // constant, the remaining grouped pk columns partition equivalently
+        if (!pkNames.forall(c => keyCols.contains(c) || restricted.get(c).contains("eq")))
           throw InvalidRequest(
             "PER PARTITION LIMIT with GROUP BY requires grouping by the full partition key")
-        val rest = keyCols.filterNot(pkNames.contains)
-        val w = Window.partitionBy(pkNames.map(col): _*)
-          .orderBy((if (rest.nonEmpty) rest.map(col(_).asc) else Seq(lit(1).asc)): _*)
+        val pkPresent = pkNames.filter(keyCols.contains)
+        // which groups survive follows clustering order (DESC clustering
+        // yields the LAST groups), like the row-level PPL path
+        val restOrder = s.groupBy.zip(keyCols).collect {
+          case (g, kn) if !pkNames.contains(kn) =>
+            if (g.floorDur.nonEmpty) col(kn).asc
+            else {
+              val desc = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
+                .collectFirst { case (nm, d) if nm == kn => d }.getOrElse(false)
+              if (desc) orderCol(td, kn).desc else orderCol(td, kn).asc
+            }
+        }
+        val w = Window.partitionBy(pkPresent.map(col): _*)
+          .orderBy((if (restOrder.nonEmpty) restOrder else Seq(lit(1).asc)): _*)
         out = out.withColumn("_gn", row_number().over(w))
           .filter(col("_gn") <= checkLimit(n)).drop("_gn")
       }

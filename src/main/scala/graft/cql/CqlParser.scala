@@ -56,14 +56,28 @@ object CqlParser {
   private def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var prev: Option[Tok] = None
-    def emit(t: Tok): Unit = { out += t; prev = Some(t) }
+    // inside a {...} map/UDT literal a ':' directly after an identifier is
+    // ALWAYS the key-value separator, even when the field happens to be
+    // named like a term-introducing keyword (`{key:true}`, `{ttl:5}`) —
+    // track brace depth so keyword-named fields don't lex ':true' as a
+    // named marker (mapLiteral / usertypeLiteral vs Parser.g marker rule)
+    var braceDepth = 0
+    def emit(t: Tok): Unit = {
+      t match {
+        case Sym("{") => braceDepth += 1
+        case Sym("}") => braceDepth = math.max(0, braceDepth - 1)
+        case _ => ()
+      }
+      out += t; prev = Some(t)
+    }
     var i = 0
     while (i < s.length) {
       val c = s(i)
       if (c.isWhitespace) i += 1
       else if (uuidAt(s, i)) { emit(UuidTok(s.substring(i, i + 36))); i += 36 }
       else if (c == ':' && i + 1 < s.length && (s(i + 1).isLetter || s(i + 1) == '_')
-               && markerPosition(prev)) {
+               && markerPosition(prev)
+               && !(braceDepth > 0 && prev.exists(_.isInstanceOf[Ident]))) {
         val j = i + 1
         var k = j
         while (k < s.length && (s(k).isLetterOrDigit || s(k) == '_')) k += 1

@@ -126,9 +126,14 @@ object MutationStream {
     tail.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // timestamp ties: deletes beat writes (the engine's — and
+        // Cassandra's — tomb-over-cell reconciliation), so rank delete ops
+        // explicitly rather than relying on lexicographic _op order (which
+        // would sort 'update' above 'delrow' and lose a same-ts delete)
+        val opRank = when(col("_op").isin("delpart", "delrow"), 1).otherwise(0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
-          .orderBy(col("_ts").desc, col("_op").desc)
+          .orderBy(col("_ts").desc, opRank.desc, col("_op").desc)
         val latest = batch.toDF()
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")

@@ -45,6 +45,23 @@ class CqlBulkInsertSpec extends SparkSpec {
     assert(rowsInOrder(e.execute("SELECT v FROM bi2 WHERE k = 1")) === Seq(Seq("new")))
   }
 
+  test("bulk event-time load advances the session clock: later statements still win LWW") {
+    import spark.implicits._
+    val e = mkEngine
+    e.execute("CREATE TABLE bi2b (k int PRIMARY KEY, v text)")
+    // event-time stamps far ahead of the fresh engine's counter (~1000µs)
+    e.bulkInsert("bi2b", Seq((1, "bulk", 5_000_000L)).toDF("k", "v", "us"),
+      timestampCol = Some("us"))
+    // a subsequent statement write must out-timestamp the loaded generation
+    e.execute("UPDATE bi2b SET v = 'later' WHERE k = 1")
+    assert(rowsInOrder(e.execute("SELECT v FROM bi2b")) === Seq(Seq("later")))
+    // same for an explicit whole-load timestamp
+    e.bulkInsert("bi2b", Seq((2, "bulk2")).toDF("k", "v"),
+      timestamp = Some(9_000_000L))
+    e.execute("UPDATE bi2b SET v = 'later2' WHERE k = 2")
+    assert(rowsInOrder(e.execute("SELECT v FROM bi2b WHERE k = 2")) === Seq(Seq("later2")))
+  }
+
   test("with storage attached the bulk generation lands as a parquet segment") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bulk").toString

@@ -513,4 +513,52 @@ class CqlEngineSpec extends SparkSpec {
     e2.execute("UPDATE t25 USING TIMESTAMP 1 SET v = 'stale' WHERE k = 1 AND c = 1")
     assert(rows(e2.execute("SELECT v FROM t25")) === Set(Seq("a2")))
   }
+
+  test("conditional BATCH: conditioned DELETE must bind the full primary key") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t26 (k int, c int, v int, PRIMARY KEY (k, c))")
+    e.execute("INSERT INTO t26 (k, c, v) VALUES (1, 1, 10)")
+    e.execute("INSERT INTO t26 (k, c, v) VALUES (1, 2, 20)")
+    // a conditioned DELETE without its clustering key would match every row
+    // in the partition — the reference requires the full PRIMARY KEY to be
+    // EQ-restricted for IF conditions (CQL3CasRequest.addConditions)
+    assertInvalid(e,
+      """BEGIN BATCH
+        |  DELETE FROM t26 WHERE k = 1 IF v = 10;
+        |APPLY BATCH""".stripMargin, "clustering keys are missing")
+    // fully-bound conditioned delete addresses exactly its row
+    assert(e.execute(
+      """BEGIN BATCH
+        |  DELETE FROM t26 WHERE k = 1 AND c = 2 IF v = 20;
+        |APPLY BATCH""".stripMargin).head().getBoolean(0))
+    assert(rows(e.execute("SELECT c, v FROM t26")) === Set(Seq(1, 10)))
+    // an UNconditioned partition delete in a CAS batch is still legal
+    // (CQL3CasRequest.addRangeDeletion)
+    assert(e.execute(
+      """BEGIN BATCH
+        |  UPDATE t26 SET v = 11 WHERE k = 1 AND c = 1 IF v = 10;
+        |  DELETE FROM t26 WHERE k = 1;
+        |APPLY BATCH""".stripMargin).head().getBoolean(0))
+    // shared batch timestamp: the partition delete ties the update and wins
+    assert(e.execute("SELECT * FROM t26").count() === 0)
+  }
+
+  test("PER PARTITION LIMIT + GROUP BY: EQ-restricted pk implicitly grouped, DESC clustering order") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t27 (a int, b int, v int, PRIMARY KEY (a, b)) " +
+      "WITH CLUSTERING ORDER BY (b DESC)")
+    for (a <- 0 until 2; b <- 0 until 3)
+      e.execute(s"INSERT INTO t27 (a, b, v) VALUES ($a, $b, 1)")
+    // partition key EQ-restricted in WHERE and skipped in GROUP BY — the
+    // same gap rule the plain GROUP BY validation allows
+    assert(rows(e.execute(
+      "SELECT b, count(*) FROM t27 WHERE a = 1 GROUP BY b PER PARTITION LIMIT 2")) ===
+      Set(Seq(2, 1L), Seq(1, 1L)))
+    // DESC clustering: the FIRST groups per partition follow clustering
+    // order, so b = 2 and b = 1 survive (not b = 0 and b = 1)
+    assert(rows(e.execute(
+      "SELECT a, b, count(*) FROM t27 GROUP BY a, b PER PARTITION LIMIT 2"))
+      .map(r => (r(0), r(1))) ===
+      Set((0, 2), (0, 1), (1, 2), (1, 1)))
+  }
 }

@@ -60,6 +60,14 @@ class CqlUdtSpec extends SparkSpec {
     e.execute("INSERT INTO u1b (k, f) VALUES (1, {active:true, level:2})")
     assert(rowsInOrder(e.execute("SELECT f.active, f.level FROM u1b")) ===
       Seq(Seq(true, 2)))
+    // fields named like term-introducing keywords (key/ttl/like/contains)
+    // with unspaced ident-like values: inside {...} the ':' is a separator,
+    // never a bind-marker prefix
+    e.execute("CREATE TYPE kwf (key boolean, ttl int, contains text)")
+    e.execute("CREATE TABLE u1c (k int PRIMARY KEY, f frozen<kwf>)")
+    e.execute("INSERT INTO u1c (k, f) VALUES (1, {key:true, ttl:5, contains:'x'})")
+    assert(rowsInOrder(e.execute("SELECT f.key, f.ttl, f.contains FROM u1c")) ===
+      Seq(Seq(true, 5, "x")))
   }
 
   test("UDT inside collections and as clustering-ish value") {

@@ -102,6 +102,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bootstrapEngineView: same-timestamp delete beats the write in the view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot-tie").toString
+    val e = new graft.cql.CqlEngine(spark)
+    e.attachStorage(dir)
+    e.execute("CREATE TABLE bt2 (k int PRIMARY KEY, v int)")
+    e.execute("INSERT INTO bt2 (k, v) VALUES (1, 10)")
+    e.execute("INSERT INTO bt2 (k, v) VALUES (2, 20)")
+    e.compact("bt2")
+    // write + delete of k=1 carry the SAME timestamp: engine reconciliation
+    // (and Cassandra's) resolves ties deletes-first, so the view must too
+    e.execute("INSERT INTO bt2 (k, v) VALUES (1, 11) USING TIMESTAMP 777000")
+    e.execute("DELETE FROM bt2 USING TIMESTAMP 777000 WHERE k = 1")
+    e.flush("bt2")
+    val state = scala.collection.mutable.Map.empty[Int, Int]
+    val q = MutationStream.bootstrapEngineView(spark, e, dir, "bt2", Seq("k"),
+      (batch, _) => batch.select("k", "v", "_op").collect().foreach { r =>
+        if (Set("delrow", "delpart").contains(r.getString(2))) state.remove(r.getInt(0))
+        else state(r.getInt(0)) = r.getInt(1)
+      }).start()
+    try {
+      q.processAllAvailable()
+      val engineRows = e.execute("SELECT k, v FROM bt2").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(engineRows === Map(2 -> 20)) // delete won the tie on read path
+      assert(state.toMap === engineRows)  // ...and in the streamed view
+    } finally q.stop()
+  }
+
   test("session windows partition each user's events and preserve totals") {
     val stream = MutationStream.eventStream(spark, logDir)
     val q = MutationStream.sessionCounts(stream, gap = "30 minutes")
