@@ -32,6 +32,19 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  /** Engine with durable storage attached (fresh temp dir per query run):
+    * `bulkInsert` writes distributed parquet log segments and reads merge
+    * checkpoint ∪ segments ∪ tail — the 100 TB shape — instead of the
+    * storage-less driver-tail fallback. The oracle gate therefore proves
+    * the durable path end-to-end.
+    */
+  private def storedEngine(s: SparkSession): graft.cql.CqlEngine = {
+    val e = new graft.cql.CqlEngine(s)
+    e.attachStorage(
+      java.nio.file.Files.createTempDirectory("graft-qeng").toString)
+    e
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── §2.1 sources/scans ──────────────────────────────────────────────
@@ -285,7 +298,7 @@ object Queries {
                      o_orderkey % 7 AS m7, CAST(floor(o_totalprice) AS INTEGER) AS tp_int
               FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_ord (o_orderkey bigint PRIMARY KEY, o_totalprice double)")
         e.bulkInsert("cql_ord", t(s, d, "orders").filter(col("o_orderkey") < 500)
           .select("o_orderkey", "o_totalprice"))
@@ -298,7 +311,7 @@ object Queries {
       Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, epoch_ms(o_orderdate) AS ms
               FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_odate (o_orderkey bigint PRIMARY KEY, o_orderdate timestamp)")
         // parquet timestamp[ms] reads as TIMESTAMP_NTZ; session tz is UTC,
         // so the cast to ltz preserves the instant DuckDB's epoch_ms sees
@@ -320,7 +333,7 @@ object Queries {
                      CAST(max(o_totalprice) AS DOUBLE) AS top
               FROM orders WHERE o_orderkey < 2000 GROUP BY o_custkey ORDER BY o_custkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_og (o_custkey bigint, o_orderkey bigint, o_totalprice double, PRIMARY KEY (o_custkey, o_orderkey))")
         e.bulkInsert("cql_og", t(s, d, "orders").filter(col("o_orderkey") < 2000)
           .select("o_custkey", "o_orderkey", "o_totalprice"))
@@ -337,7 +350,7 @@ object Queries {
                 FROM orders WHERE o_orderkey < 2000) t
               WHERE rn <= 2 ORDER BY o_custkey, o_orderkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_op (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
         e.bulkInsert("cql_op", t(s, d, "orders").filter(col("o_orderkey") < 2000)
           .select("o_custkey", "o_orderkey"))
@@ -350,7 +363,7 @@ object Queries {
       Some("""SELECT o_orderkey, epoch_us(o_orderdate) AS wt FROM orders
               WHERE o_orderkey < 400 ORDER BY o_orderkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_wt (o_orderkey bigint PRIMARY KEY, o_totalprice double)")
         e.bulkInsert("cql_wt", t(s, d, "orders").filter(col("o_orderkey") < 400)
           .select(col("o_orderkey"), col("o_totalprice"),
@@ -368,7 +381,7 @@ object Queries {
               WHERE o_orderkey < 2000 AND NOT (o_custkey = vk AND o_orderkey > 1000)
               ORDER BY o_custkey, o_orderkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_rd (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
         val src = t(s, d, "orders").filter(col("o_orderkey") < 2000)
           .select("o_custkey", "o_orderkey")
@@ -385,7 +398,7 @@ object Queries {
               WHERE o_orderkey < 400 AND o_custkey IS NOT NULL
               ORDER BY o_custkey, o_orderkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_ord_mv (o_orderkey bigint PRIMARY KEY, o_custkey bigint, o_totalprice double)")
         e.bulkInsert("cql_ord_mv", t(s, d, "orders").filter(col("o_orderkey") < 400)
           .select("o_orderkey", "o_custkey", "o_totalprice"))
@@ -402,7 +415,7 @@ object Queries {
               WHERE o_orderkey < 2000 AND o_custkey <= 100
               ORDER BY o_custkey, o_orderkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_in (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
         e.bulkInsert("cql_in", t(s, d, "orders").filter(col("o_orderkey") < 2000)
           .select("o_custkey", "o_orderkey"))
@@ -419,7 +432,7 @@ object Queries {
               WHERE o_orderkey < 20000 AND o_custkey = vk
               ORDER BY o_orderkey DESC"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_od (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
         val src = t(s, d, "orders").filter(col("o_orderkey") < 20000)
           .select("o_custkey", "o_orderkey")
@@ -435,7 +448,7 @@ object Queries {
       Some("""SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey < 2000
               ORDER BY o_custkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_dk (o_custkey bigint, o_orderkey bigint, PRIMARY KEY (o_custkey, o_orderkey))")
         e.bulkInsert("cql_dk", t(s, d, "orders").filter(col("o_orderkey") < 2000)
           .select("o_custkey", "o_orderkey"))
@@ -448,7 +461,7 @@ object Queries {
               WHERE p_type LIKE 'ECO%' OR p_name LIKE '%bolt%'
               ORDER BY p_partkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_pt (p_partkey bigint PRIMARY KEY, p_type text, p_name text)")
         e.bulkInsert("cql_pt", t(s, d, "part").select("p_partkey", "p_type", "p_name"))
         val a = e.execute("SELECT p_partkey, p_type FROM cql_pt WHERE p_type LIKE 'ECO%' ALLOW FILTERING")
@@ -465,7 +478,7 @@ object Queries {
                        x -> CAST(p_partkey * 1000 + 17 AS VARCHAR)), ',') AS wt
               FROM part WHERE p_partkey < 500 ORDER BY p_partkey"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_cw (p_partkey bigint PRIMARY KEY, words set<text>)")
         e.bulkInsert("cql_cw", t(s, d, "part").filter(col("p_partkey") < 500)
           .select(col("p_partkey"),
@@ -488,7 +501,7 @@ object Queries {
               FROM orders WHERE o_orderkey < 3000
               GROUP BY 1, 2 ORDER BY 1, 2"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_flm (k int, d date, o_orderkey bigint, o_totalprice double, PRIMARY KEY (k, d, o_orderkey))")
         e.bulkInsert("cql_flm", t(s, d, "orders").filter(col("o_orderkey") < 3000)
           .select((col("o_custkey") % 8).cast("int").as("k"),
@@ -508,7 +521,7 @@ object Queries {
               FROM orders WHERE o_orderkey < 3000
               GROUP BY 1, 2 ORDER BY 1, 2"""),
       (s, d) => {
-        val e = new graft.cql.CqlEngine(s)
+        val e = storedEngine(s)
         e.execute("CREATE TABLE cql_flw (k int, d date, o_orderkey bigint, PRIMARY KEY (k, d, o_orderkey))")
         e.bulkInsert("cql_flw", t(s, d, "orders").filter(col("o_orderkey") < 3000)
           .select((col("o_custkey") % 8).cast("int").as("k"),

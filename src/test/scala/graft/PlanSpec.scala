@@ -81,4 +81,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("collect_list"), "no collect_list anywhere in the minhash plan")
     assert(!p.contains("InMemoryTableScan"), "no persisted corpus table in the minhash plan")
   }
+
+  test("engine-path inventory queries read bulk data from parquet segments, not a driver tail") {
+    // the graded q_cql_* queries run with storage attached: bulkInsert must
+    // land as distributed parquet segments and the read plan must scan those
+    // files — a LocalTableScan of the bulk rows would mean the data went
+    // through the driver (the storage-less fallback)
+    val df = SparkEntry.queries("q_cql_group")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("Scan parquet"), p.take(2000))
+    assert(!p.contains("LocalTableScan"),
+      "bulk rows must not round-trip through the driver:\n" + p.take(2000))
+  }
 }
