@@ -44,11 +44,15 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(1)
+      (name, times(1), times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // med is the headline number; min is the contention self-diagnostic —
+    // a med far above min flags a contended recording, not a plan change
+    val qs  = results.map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }.mkString("{", ",", "}")
+    val qsM = results.map { case (k, _, mn)  => "\"" + k + f"\":$mn%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMin = results.map(_._3).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","min":$totalMin%.3f,"queries":$qs,"queries_min":$qsM,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

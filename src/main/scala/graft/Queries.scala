@@ -38,10 +38,26 @@ object Queries {
     * storage-less driver-tail fallback. The oracle gate therefore proves
     * the durable path end-to-end.
     */
+  private val storedDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val storedDirsHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      storedDirs.forEach { d =>
+        try {
+          import java.nio.file._
+          Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+    }))
+
   private def storedEngine(s: SparkSession): graft.cql.CqlEngine = {
     val e = new graft.cql.CqlEngine(s)
-    e.attachStorage(
-      java.nio.file.Files.createTempDirectory("graft-qeng").toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft-qeng")
+    // bench/correctness runs re-invoke each query several times; reap the
+    // per-run segment dirs at JVM exit instead of leaking them in /tmp
+    storedDirsHook
+    storedDirs.add(dir.toFile)
+    e.attachStorage(dir.toString)
     e
   }
 

@@ -226,8 +226,13 @@ class CqlEngine(val spark: SparkSession) {
     // per-row event-time write timestamps (µs) via timestampCol — the bulk
     // analog of per-statement USING TIMESTAMP
     val tsCol = timestampCol.map(c => df(c).cast(LongType)).getOrElse(lit(ts))
-    val mdf = df.select(keys ++ cells ++ ranges ++ Seq(
+    val mdf0 = df.select(keys ++ cells ++ ranges ++ Seq(
       lit("insert").as("_op"), tsCol.as("_ts"), lit(effTtl).as("_ttl")): _*)
+    // event-time generations observe max(_ts) in the SAME pass as the write
+    // (one scan, and the max is of what was actually written even when df
+    // is non-deterministic) instead of a second full aggregation action
+    val obs = timestampCol.map(_ => org.apache.spark.sql.Observation())
+    val mdf = obs.map(o => mdf0.observe(o, max(col("_ts")).as("max_ts"))).getOrElse(mdf0)
     storageDir match {
       case Some(dir) =>
         val tdir = new java.io.File(dir, name)
@@ -242,9 +247,8 @@ class CqlEngine(val spark: SparkSession) {
     // keep the session clock ahead of event-time bulk generations: a later
     // statement write must out-timestamp what was just loaded (mirrors the
     // attachStorage max_ts recalibration), else it silently loses LWW
-    val maxWritten: Option[Long] = timestampCol match {
-      case Some(c) =>
-        Option(df.agg(max(df(c).cast(LongType))).head.get(0)).map(_.asInstanceOf[Long])
+    val maxWritten: Option[Long] = obs match {
+      case Some(o) => o.get.get("max_ts").flatMap(Option(_)).map(_.asInstanceOf[Long])
       case None => Some(ts)
     }
     maxWritten.foreach(m => tsCounter = math.max(tsCounter, m))
@@ -2254,12 +2258,13 @@ class CqlEngine(val spark: SparkSession) {
         // yields the LAST groups), like the row-level PPL path
         val restOrder = s.groupBy.zip(keyCols).collect {
           case (g, kn) if !pkNames.contains(kn) =>
-            if (g.floorDur.nonEmpty) col(kn).asc
-            else {
-              val desc = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
-                .collectFirst { case (nm, d) if nm == kn => d }.getOrElse(false)
-              if (desc) orderCol(td, kn).desc else orderCol(td, kn).asc
-            }
+            // floor() buckets inherit the direction of their SOURCE
+            // clustering column: a DESC clustering read visits the highest
+            // buckets first, so those are the groups PPL keeps
+            val desc = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
+              .collectFirst { case (nm, d) if nm == g.column => d }.getOrElse(false)
+            val c = if (g.floorDur.nonEmpty) col(kn) else orderCol(td, kn)
+            if (desc) c.desc else c.asc
         }
         val w = Window.partitionBy(pkPresent.map(col): _*)
           .orderBy((if (restOrder.nonEmpty) restOrder else Seq(lit(1).asc)): _*)

@@ -41,13 +41,23 @@ object Functions {
         new ExpressionInfo(classOf[CassandraToken].getName, name), b))
     }
 
-  /** Idempotent in-session registration (for externally-built sessions). */
+  /** Idempotent in-session registration (for externally-built sessions).
+    * Sessions already ensured are skipped entirely, so repeated `prep()`
+    * calls don't re-replace functions (which logs a WARN per function per
+    * query on the driver).
+    */
+  private val ensured = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def ensure(spark: SparkSession): Unit = {
+    if (!ensured.add(spark)) return
     val registry =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      registry.createOrReplaceTempFunction(name, b, "built-in")
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, b, "built-in")
     }
     registerBlobConversions(spark)
   }

@@ -36,8 +36,16 @@ object Uda {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Idempotent registration (the CQL-compat `CREATE AGGREGATE` analog). */
+  /** Idempotent registration (the CQL-compat `CREATE AGGREGATE` analog).
+    * Skips sessions already registered so repeated prep() calls don't log
+    * a "function replaced" WARN per query.
+    */
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     spark.udf.register("uda_sum_sq", udaf(SumOfSquares))
     spark.udf.register("uda_mean", udaf(MeanFold))
   }

@@ -41,11 +41,11 @@ object Dedup {
   /** Exact dedup: digest-group. Output one row per distinct digest with the
     * canonical (minimum) doc id and the group size.
     */
-  def exact(docs0: DataFrame, id: String, text: String): DataFrame = {
-    val docs = graft.Tables.spread(docs0)
+  def exact(docs: DataFrame, id: String, text: String): DataFrame =
+    // no spread(): the partial hash-agg combines map-side, so a pre-shuffle
+    // of the full text corpus costs a corpus-wide exchange and buys nothing
     docs.groupBy(md5(lower(col(text))).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col(id)).as("canonical_id"))
-  }
 
   /** Exact n-gram Jaccard similar pairs (jaccard >= threshold).
     * Output: (a, b, jaccard rounded to 6dp), a < b.

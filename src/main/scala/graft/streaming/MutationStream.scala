@@ -129,7 +129,13 @@ object MutationStream {
         // timestamp ties: deletes beat writes (the engine's — and
         // Cassandra's — tomb-over-cell reconciliation), so rank delete ops
         // explicitly rather than relying on lexicographic _op order (which
-        // would sort 'update' above 'delrow' and lose a same-ts delete)
+        // would sort 'update' above 'delrow' and lose a same-ts delete).
+        // Residual write-vs-write ties (same _ts, both non-delete) fall to
+        // lexicographic _op desc — arbitrary but DETERMINISTIC. The engine's
+        // cell-level reconciliation breaks such ties by VALUE (Cells
+        // .reconcile), which a row-granular view cannot reproduce without
+        // per-cell history; same-ts same-key writes are already undefined
+        // order in the reference unless values are compared.
         val opRank = when(col("_op").isin("delpart", "delrow"), 1).otherwise(0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)

@@ -561,4 +561,22 @@ class CqlEngineSpec extends SparkSpec {
       .map(r => (r(0), r(1))) ===
       Set((0, 2), (0, 1), (1, 2), (1, 1)))
   }
+
+  test("PER PARTITION LIMIT + GROUP BY floor() follows the source clustering direction") {
+    val e = mkEngine
+    e.execute("CREATE TABLE t28 (k int, t timestamp, v int, PRIMARY KEY (k, t)) " +
+      "WITH CLUSTERING ORDER BY (t DESC)")
+    for (k <- 0 until 2; h <- Seq(1, 5, 13, 18, 25))
+      e.execute(f"INSERT INTO t28 (k, t, v) VALUES ($k, '2020-01-0${h / 24 + 1}%d ${h % 24}%02d:00:00Z', 1)")
+    // 12h buckets per partition: 00:00, 12:00 (day 1), 00:00 (day 2); a
+    // DESC clustering read visits the HIGHEST buckets first, so PPL 2
+    // keeps day-2 00:00 and day-1 12:00 — not the two lowest
+    val got = rows(e.execute(
+      "SELECT k, floor(t, 12h) AS bucket, count(*) AS n " +
+        "FROM t28 GROUP BY k, floor(t, 12h) PER PARTITION LIMIT 2"))
+      .map(r => (r(0), r(1).asInstanceOf[java.sql.Timestamp].toInstant.toString))
+    assert(got === Set(
+      (0, "2020-01-02T00:00:00Z"), (0, "2020-01-01T12:00:00Z"),
+      (1, "2020-01-02T00:00:00Z"), (1, "2020-01-01T12:00:00Z")))
+  }
 }
