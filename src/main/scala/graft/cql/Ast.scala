@@ -290,11 +290,29 @@ object Ast {
     */
   final case class Batch(statements: Seq[Statement]) extends Statement
 
-  /** CREATE INDEX: marks a column as secondary-indexed
-    * (index/internal/CassandraIndexSearcher.java) — EQ restrictions on it no
-    * longer require ALLOW FILTERING.
+  /** One CREATE INDEX target (Parser.g:843-849 indexIdent): a bare column
+    * (simple) or keys(c)/values(c)/entries(c)/full(c) on a collection.
+    * `kind` ∈ simple|keys|values|entries|full; a simple target on a
+    * collection column is corrected to values at CREATE time
+    * (IndexTarget.Raw.prepare, statements/schema/IndexTarget.java:81-91).
     */
-  final case class CreateIndex(table: String, column: String) extends Statement
+  final case class IndexTargetAst(column: String, kind: String)
+
+  /** CREATE [CUSTOM] INDEX (Parser.g:826-841; statements/schema/
+    * CreateIndexStatement.java): registers a secondary index — restrictions
+    * it serves (EQ, map-entry EQ, CONTAINS [KEY], LIKE for custom/SASI) no
+    * longer require ALLOW FILTERING (index/internal/
+    * CassandraIndexSearcher.java, index/sasi/SASIIndex.java).
+    */
+  final case class CreateIndex(table: String, targets: Seq[IndexTargetAst],
+                               indexName: Option[String] = None,
+                               ifNotExists: Boolean = false,
+                               custom: Boolean = false,
+                               usingClass: Option[String] = None,
+                               options: Map[String, String] = Map.empty) extends Statement
+
+  /** DROP INDEX [IF EXISTS] name (Parser.g:1014-1018). */
+  final case class DropIndex(indexName: String, ifExists: Boolean) extends Statement
 
   /** DELETE: row tombstone (no columns) or cell tombstones (with columns). */
   final case class Delete(table: String, columns: Seq[String], where: Seq[Relation],

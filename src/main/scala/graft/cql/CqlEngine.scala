@@ -51,8 +51,29 @@ class CqlEngine(val spark: SparkSession) {
   private val udfs = scala.collection.mutable.LinkedHashMap.empty[String, CreateFunction]
   private val udas = scala.collection.mutable.LinkedHashMap.empty[String, CreateAggregate]
   private val logs = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Row]]
-  /** table → secondary-indexed columns (2i emulation). */
-  private val indexes = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
+  /** One registered secondary index (statements/schema/CreateIndexStatement
+    * .java; schema/IndexMetadata.java). `targets` are (column, kind) with
+    * kind ∈ simple|keys|values|entries|full; `custom` + `className` model
+    * CREATE CUSTOM INDEX ... USING (SASI-style indexes serve LIKE).
+    */
+  final case class IndexDef(name: String, table: String,
+                            targets: Seq[(String, String)],
+                            custom: Boolean, className: Option[String],
+                            options: Map[String, String])
+
+  /** index name → definition (names are unique per keyspace, like the
+    * reference's Indexes registry). Frozen-ness is erased in this type
+    * model (Ast.scala CqlType scaladoc), so full() is accepted on any
+    * collection and the frozen-only validations don't apply.
+    */
+  private val indexDefs = scala.collection.mutable.LinkedHashMap.empty[String, IndexDef]
+
+  private def tableIndexes(tbl: String): Iterable[IndexDef] =
+    indexDefs.values.filter(_.table == tbl)
+
+  /** Is there an index on (tbl, column) with one of these target kinds? */
+  private def hasIndex(tbl: String, c: String, kinds: Set[String]): Boolean =
+    tableIndexes(tbl).exists(_.targets.exists(t => t._1 == c && kinds(t._2)))
 
   /** Keyspaces (CREATE KEYSPACE / USE). The default keyspace's tables keep
     * UNQUALIFIED catalog keys (back-compat with storage layouts and every
@@ -391,7 +412,13 @@ class CqlEngine(val spark: SparkSession) {
       ColumnDef("keyspace_name", CqlText, PartitionKey),
       ColumnDef("type_name", CqlText, Clustering),
       ColumnDef("field_names", CqlList(CqlText), Regular),
-      ColumnDef("field_types", CqlList(CqlText), Regular)), Seq(false)))
+      ColumnDef("field_types", CqlList(CqlText), Regular)), Seq(false)),
+    "system_schema.indexes" -> TableDef("system_schema.indexes", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("table_name", CqlText, Clustering),
+      ColumnDef("index_name", CqlText, Clustering),
+      ColumnDef("kind", CqlText, Regular),
+      ColumnDef("options", CqlMap(CqlText, CqlText), Regular)), Seq(false, false)))
 
   private val keyspace = "graft"
 
@@ -435,6 +462,19 @@ class CqlEngine(val spark: SparkSession) {
       case "system_schema.types" => Some(mk(virtualDefs(name),
         udts.values.toSeq.map(u =>
           Row(keyspace, u.typeName, u.fields.map(_._1), u.fields.map(_._2.name)))))
+      case "system_schema.indexes" => Some(mk(virtualDefs(name),
+        indexDefs.values.toSeq.map { d =>
+          val (ks, tn) = splitName(d.table)
+          // SchemaKeyspace.java indexes layout: kind COMPOSITES|CUSTOM,
+          // options carries target (+ class_name for custom)
+          val target = d.targets.map {
+            case (c, "simple") => c
+            case (c, k) => s"$k($c)"
+          }.mkString(", ")
+          val opts = d.options ++ Map("target" -> target) ++
+            d.className.map("class_name" -> _)
+          Row(ks, tn, d.name, if (d.custom) "CUSTOM" else "COMPOSITES", opts)
+        }))
       case _ => None
     }
   }
@@ -547,7 +587,8 @@ class CqlEngine(val spark: SparkSession) {
         keyspaces -= n
         val doomed = tables.keys.filter(splitName(_)._1 == n).toList
         doomed.foreach { t =>
-          tables.remove(t); logs.remove(t); indexes.remove(t); dropStorage(t)
+          tables.remove(t); logs.remove(t); dropStorage(t)
+          indexDefs.filterInPlace((_, d) => d.table != t)
         }
         views.keys.filter(splitName(_)._1 == n).toList.foreach(views.remove)
         if (currentKeyspace == n) currentKeyspace = defaultKeyspace
@@ -691,7 +732,8 @@ class CqlEngine(val spark: SparkSession) {
       if (dependents.nonEmpty)
         throw InvalidRequest(
           s"Cannot drop table when materialized views still depend on it (${dependents.mkString(", ")})")
-      tables.remove(n); logs.remove(n); indexes.remove(n)
+      tables.remove(n); logs.remove(n)
+      indexDefs.filterInPlace((_, d) => d.table != n)
       dropStorage(n)
       emptyResult
     case Truncate(n) =>
@@ -745,12 +787,12 @@ class CqlEngine(val spark: SparkSession) {
     case dl: Delete if dl.condition.nonEmpty => executeLwt(dl.table, dl.where, dl.condition.get, () => executeDelete(dl))
     case dl: Delete => executeDelete(dl); emptyResult
     case s: Select => executeSelect(s)
-    case CreateIndex(tbl, c) =>
-      val td = table(tbl)
-      val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
-      if (cd.kind == PartitionKey || cd.kind == Clustering)
-        throw InvalidRequest(s"Cannot create secondary index on PRIMARY KEY column $c")
-      indexes(tbl) = indexes.getOrElse(tbl, Set.empty) + c
+    case ci: CreateIndex => executeCreateIndex(ci)
+    case DropIndex(n0, ifExists) =>
+      // accept an optional keyspace qualifier (Parser.g indexName)
+      val n = if (n0.contains('.')) splitName(n0)._2 else n0
+      if (indexDefs.remove(n).isEmpty && !ifExists)
+        throw InvalidRequest(s"Index '$n' could not be found")
       emptyResult
     case Batch(stmts) =>
       // atomic batch: buffer all mutations, append together, one shared
@@ -1072,6 +1114,15 @@ class CqlEngine(val spark: SparkSession) {
       struct(r.toSeq.zip(st.fields).map { case (fv, sf) =>
         lit(fv).cast(sf.dataType).as(sf.name)
       }: _*)
+    // collection literals (whole-value EQ against a full()-indexed or
+    // filtered collection column): element-wise literal arrays/maps
+    case (s: Seq[_], CqlList(et)) =>
+      array(s.map(e => litValue(e, et)): _*).cast(sparkType(tpe))
+    case (s: Seq[_], CqlSet(et)) =>
+      array(s.map(e => litValue(e, et)): _*).cast(sparkType(tpe))
+    case (m: Map[_, _], CqlMap(kt, vt)) =>
+      map(m.toSeq.flatMap { case (k, vv) =>
+        Seq(litValue(k, kt), litValue(vv, vt)) }: _*).cast(sparkType(tpe))
     case (other, _) => lit(other)
   }
 
@@ -1992,6 +2043,96 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   // ── SELECT lowering + restriction validation ──────────────────────────
+  /** CREATE [CUSTOM] INDEX — validation order and messages follow
+    * statements/schema/CreateIndexStatement.java:90-190; simple targets on
+    * collection columns are corrected to values() like IndexTarget.Raw
+    * .prepare (statements/schema/IndexTarget.java:81-91). Frozen-ness is
+    * erased in this type model, so the frozen-only/full-only checks don't
+    * apply: full() is accepted on any collection (serves whole-value EQ).
+    */
+  private def executeCreateIndex(ci: CreateIndex): DataFrame = {
+    val tbl = ci.table
+    if (views.contains(tbl))
+      throw InvalidRequest("Secondary indexes on materialized views aren't supported")
+    if (virtualDefs.contains(tbl))
+      throw InvalidRequest(s"Secondary indexes are not supported on virtual tables")
+    val td = table(tbl)
+    if (td.columns.exists(_.tpe == CqlCounter))
+      throw InvalidRequest("Secondary indexes on counter tables aren't supported")
+    if (ci.custom && ci.usingClass.isEmpty)
+      throw InvalidRequest("CUSTOM index requires specifying the index class")
+    if (!ci.custom && ci.usingClass.nonEmpty)
+      throw InvalidRequest("Cannot specify index class for a non-CUSTOM index")
+    if (ci.targets.isEmpty)
+      throw InvalidRequest("Index created with no target columns")
+    if (ci.targets.length > 1 && !ci.custom)
+      throw InvalidRequest("Only CUSTOM indexes support multiple columns")
+    def containsDuration(tp: CqlType): Boolean = tp match {
+      case CqlDuration => true
+      case CqlList(e) => containsDuration(e)
+      case CqlSet(e) => containsDuration(e)
+      case CqlMap(k, v) => containsDuration(k) || containsDuration(v)
+      case CqlTuple(es) => es.exists(containsDuration)
+      case u: CqlUdt => u.fields.exists(f => containsDuration(f._2))
+      case _ => false
+    }
+    val resolved = ci.targets.map { t =>
+      val cd = td.column(t.column).getOrElse(
+        throw InvalidRequest(s"Undefined column name ${t.column}"))
+      cd.tpe match {
+        case CqlDuration =>
+          throw InvalidRequest("Secondary indexes are not supported on duration columns")
+        case tp @ (_: CqlList | _: CqlSet | _: CqlMap) if containsDuration(tp) =>
+          throw InvalidRequest("Secondary indexes are not supported on collections containing durations")
+        case tp: CqlTuple if containsDuration(tp) =>
+          throw InvalidRequest("Secondary indexes are not supported on tuples containing durations")
+        case tp: CqlUdt if containsDuration(tp) =>
+          throw InvalidRequest("Secondary indexes are not supported on UDTs containing durations")
+        case _ => ()
+      }
+      if (cd.kind == PartitionKey && td.partitionKey.length == 1)
+        throw InvalidRequest(s"Cannot create secondary index on the only partition key column ${t.column}")
+      val isColl = cd.tpe match {
+        case _: CqlList | _: CqlSet | _: CqlMap => true
+        case _ => false
+      }
+      val isMap = cd.tpe.isInstanceOf[CqlMap]
+      val kind = if (t.kind == "simple" && isColl) "values" else t.kind
+      kind match {
+        case "keys" | "entries" if !isMap =>
+          throw InvalidRequest(s"Cannot create index on $kind of column ${t.column} with non-map type")
+        case "values" if !isColl =>
+          throw InvalidRequest(s"Cannot create values() index on ${t.column}. Non-collection columns only support simple indexes")
+        case "full" if !isColl =>
+          throw InvalidRequest("full() indexes can only be created on frozen collections")
+        case _ => ()
+      }
+      (t.column, kind)
+    }
+    // generateIndexName: <table>_<firstColumn>_idx, disambiguated by suffix
+    val name = ci.indexName.getOrElse {
+      val base = s"${splitName(tbl)._2}_${resolved.head._1}_idx"
+      if (!indexDefs.contains(base)) base
+      else {
+        var i = 1
+        while (indexDefs.contains(s"${base}_$i")) i += 1
+        s"${base}_$i"
+      }
+    }
+    if (indexDefs.contains(name)) {
+      if (!ci.ifNotExists) throw InvalidRequest(s"Index '$name' already exists")
+    } else indexDefs.values.find(d =>
+      d.table == tbl && d.targets == resolved && d.custom == ci.custom &&
+        d.className == ci.usingClass) match {
+      case Some(dup) =>
+        if (!ci.ifNotExists)
+          throw InvalidRequest(s"Index $name is a duplicate of existing index ${dup.name}")
+      case None =>
+        indexDefs(name) = IndexDef(name, tbl, resolved, ci.custom, ci.usingClass, ci.options)
+    }
+    emptyResult
+  }
+
   private def executeSelect(s: Select): DataFrame = {
     val td = table(s.table)
     var df = readCanonical(s.table)
@@ -2000,17 +2141,28 @@ class CqlEngine(val spark: SparkSession) {
     val restricted = scala.collection.mutable.Map.empty[String, String] // col -> kind of restriction
     var filters = Vector.empty[Column]
     var needsFiltering = false
-    // one EQ restriction on a secondary-indexed column is index-served
-    // (IndexRegistry.getBestIndexFor); everything further needs filtering
+    // ONE restriction is index-served (IndexRegistry.getBestIndexFor);
+    // everything further needs filtering. Which restriction an index can
+    // serve depends on its target kind: simple → EQ, entries → m[k]=v,
+    // values → CONTAINS, keys → CONTAINS KEY, full → whole-collection EQ,
+    // custom (SASI) → LIKE and EQ.
     var indexBudget = 1
+    val indexServedCols = scala.collection.mutable.Set.empty[String]
     s.where.foreach {
       case Rel(c, op, v) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         if (op == "!=") throw InvalidRequest("Unsupported '!=' relation")
         restricted(c) = if (op == "=") "eq" else "range"
+        // whole-value EQ on a collection column is served by a full()
+        // index; scalar EQ by a simple or custom index
+        val eqKinds = cd.tpe match {
+          case _: CqlList | _: CqlSet | _: CqlMap => Set("full")
+          case _ => Set("simple")
+        }
         val indexServed = op == "=" && indexBudget > 0 &&
-          indexes.getOrElse(s.table, Set.empty).contains(c)
-        if (indexServed) indexBudget -= 1
+          (hasIndex(s.table, c, eqKinds) ||
+            tableIndexes(s.table).exists(d => d.custom && d.targets.exists(_._1 == c)))
+        if (indexServed) { indexBudget -= 1; indexServedCols += c }
         if ((cd.kind == Regular || cd.kind == Static) && !indexServed) needsFiltering = true
         if (cd.kind == PartitionKey && op != "=") needsFiltering = true
         // timeuuid ranges compare via the embedded-time sort key
@@ -2068,7 +2220,12 @@ class CqlEngine(val spark: SparkSession) {
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         cd.tpe match {
           case CqlMap(kt, vt) =>
-            needsFiltering = true
+            // served by an entries() index (SecondaryIndexOnMapEntriesTest:
+            // a single v[k] = x needs no ALLOW FILTERING; a second
+            // restriction exhausts the budget and does)
+            val indexServed = indexBudget > 0 && hasIndex(s.table, c, Set("entries"))
+            if (indexServed) { indexBudget -= 1; indexServedCols += c }
+            else needsFiltering = true
             restricted(c) = "entry"
             filters :+= (element_at(col(c), lit(coerce(key, kt, c))) === lit(coerce(v, vt, c)))
           case _ => throw InvalidRequest(
@@ -2078,15 +2235,24 @@ class CqlEngine(val spark: SparkSession) {
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         if (cd.tpe != CqlText)
           throw InvalidRequest(s"LIKE is allowed only on text columns, got $c of type ${cd.tpe.name}")
-        // SASI-style prefix/suffix/contains/match, served by an index when
-        // one exists on the column, otherwise post-filtering
-        val indexServed = indexBudget > 0 && indexes.getOrElse(s.table, Set.empty).contains(c)
-        if (indexServed) indexBudget -= 1 else needsFiltering = true
+        // SASI-style prefix/suffix/contains/match: served only by a CUSTOM
+        // index (index/sasi/SASIIndex.java; plain 2i has no LIKE support),
+        // otherwise post-filtering
+        val indexServed = indexBudget > 0 &&
+          tableIndexes(s.table).exists(d => d.custom && d.targets.exists(_._1 == c))
+        if (indexServed) { indexBudget -= 1; indexServedCols += c }
+        else needsFiltering = true
         restricted(c) = "like"
         filters :+= col(c).like(pat)
       case Contains(c, v, isKey) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
-        needsFiltering = true
+        // CONTAINS is served by a values() index (the default target of
+        // CREATE INDEX on a collection), CONTAINS KEY by a keys() index
+        // (index/internal/composites/CollectionKeyIndex.java / CollectionValueIndex.java)
+        val indexServed = indexBudget > 0 &&
+          hasIndex(s.table, c, if (isKey) Set("keys") else Set("values"))
+        if (indexServed) { indexBudget -= 1; indexServedCols += c }
+        else needsFiltering = true
         restricted(c) = "contains"
         filters :+= (cd.tpe match {
           case CqlList(e) if !isKey => array_contains(col(c), coerce(v, e, c))
@@ -2114,21 +2280,27 @@ class CqlEngine(val spark: SparkSession) {
           case other => throw InvalidRequest(s"unsupported token operator $other")
         })
     }
-    // partition key: all-or-nothing EQ addressing
+    // partition key: all-or-nothing EQ addressing — except a component
+    // served by its own 2i (a composite-pk component CAN be indexed;
+    // CreateIndexStatement only rejects the ONLY pk column)
     val pkNames = td.partitionKey.map(_.name)
     val pkRestricted = pkNames.count(restricted.contains)
-    if (pkRestricted > 0 && pkRestricted < pkNames.length)
+    if (pkNames.exists(c => restricted.contains(c) && !indexServedCols(c)) &&
+        pkRestricted < pkNames.length)
       needsFiltering = true
     // clustering prefix rule: a clustering column may be restricted only if
     // all previous clustering columns have EQ restrictions; clustering
-    // restrictions without full partition addressing are also filtering
+    // restrictions without full partition addressing are also filtering —
+    // both waived for a restriction served by an index on that column
+    // (SecondaryIndexTest: an indexed clustering column is queryable alone)
     val ckNames = td.clustering.map(_.name)
     var prevEq = true
     ckNames.foreach { c =>
-      if (restricted.contains(c) && !prevEq) needsFiltering = true
+      if (restricted.contains(c) && !prevEq && !indexServedCols(c)) needsFiltering = true
       prevEq = prevEq && restricted.get(c).contains("eq")
     }
-    if (ckNames.exists(restricted.contains) && pkRestricted < pkNames.length)
+    if (ckNames.exists(c => restricted.contains(c) && !indexServedCols(c)) &&
+        pkRestricted < pkNames.length)
       needsFiltering = true
     if (needsFiltering && !s.allowFiltering)
       throw InvalidRequest(

@@ -258,6 +258,11 @@ object CqlParser {
           val ifExists = if (p.tryKw("if")) { p.eatKw("exists"); true } else false
           DropKeyspace(p.ident(), ifExists)
         }
+        else if (p.tryKw("index")) {
+          val ifExists = if (p.tryKw("if")) { p.eatKw("exists"); true } else false
+          // index names may be keyspace-qualified (Parser.g indexName)
+          DropIndex(p.tableName(), ifExists)
+        }
         else { p.eatKw("table"); DropTable(p.tableName()) }
       }
       else parseDml(p)
@@ -398,6 +403,62 @@ object CqlParser {
     order
   }
 
+  /** createIndexStatement (Parser.g:826-841): CREATE [CUSTOM] INDEX
+    * [IF NOT EXISTS] [name] ON tbl (target, ...) [USING 'class']
+    * [WITH OPTIONS = {...} [AND ...]].
+    */
+  private def parseCreateIndex(p: P, custom: Boolean): Statement = {
+    val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
+    val name = if (!p.kw("on")) Some(p.ident()) else None
+    p.eatKw("on")
+    val tbl = p.tableName()
+    p.sym("(")
+    var targets = Vector.empty[IndexTargetAst]
+    var first = true
+    while (!p.trySym(")")) {
+      if (!first) p.sym(",")
+      first = false
+      targets :+= parseIndexTarget(p)
+    }
+    val usingClass = if (p.tryKw("using")) p.literal() match {
+      case StringLit(s) => Some(s)
+      case other => throw ParseException(s"expected index class string after USING, got $other")
+    } else None
+    var options = Map.empty[String, String]
+    if (p.tryKw("with")) {
+      var more = true
+      while (more) {
+        val prop = p.ident()
+        p.sym("=")
+        val v = anyLiteral(p)
+        if (prop == "options") v match {
+          case MapLit(pairs) => options ++= pairs.map {
+            case (StringLit(k), StringLit(s)) => k -> s
+            case (StringLit(k), IntLit(n)) => k -> n.toString
+            case (StringLit(k), DoubleLit(d)) => k -> d.toString
+            case (StringLit(k), BoolLit(b)) => k -> b.toString
+            case (k, _) => throw ParseException(s"index OPTIONS keys must be string literals, got $k")
+          }
+          case SetLit(Seq()) => () // `{}` lexes as an empty set literal
+          case other => throw ParseException(s"index OPTIONS must be a map literal, got $other")
+        } // other index properties are accepted and ignored
+        more = p.tryKw("and")
+      }
+    }
+    CreateIndex(tbl, targets, name, ifNotExists, custom, usingClass, options)
+  }
+
+  /** indexIdent (Parser.g:843-849). */
+  private def parseIndexTarget(p: P): IndexTargetAst = {
+    val kinds = Set("keys", "values", "entries", "full")
+    (p.peek, p.peekAt(1)) match {
+      case (Some(Ident(t)), Some(Sym("("))) if kinds(t.toLowerCase) =>
+        val k = p.ident(); p.sym("("); val c = p.ident(); p.sym(")")
+        IndexTargetAst(c, k)
+      case _ => IndexTargetAst(p.ident(), "simple")
+    }
+  }
+
   private def parseCreate(p: P): Statement = {
     p.eatKw("create")
     val orReplace = if (p.tryKw("or")) { p.eatKw("replace"); true } else false
@@ -478,15 +539,8 @@ object CqlParser {
       }
       return CreateType(CqlUdt(name, fields), ifNotExists)
     }
-    if (p.tryKw("index")) {
-      if (!p.kw("on")) p.ident() // optional index name
-      p.eatKw("on")
-      val tbl = p.tableName()
-      p.sym("(")
-      val c = p.ident()
-      p.sym(")")
-      return CreateIndex(tbl, c)
-    }
+    if (p.tryKw("custom")) { p.eatKw("index"); return parseCreateIndex(p, custom = true) }
+    if (p.tryKw("index")) return parseCreateIndex(p, custom = false)
     p.eatKw("table")
     val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
     val name = p.tableName()

@@ -405,8 +405,12 @@ class CqlEngineSpec extends SparkSpec {
       Set(Seq(2)))
     assert(rows(e.execute("SELECT k FROM t20 WHERE v LIKE '%app%' ALLOW FILTERING")) ===
       Set(Seq(1), Seq(2)))
-    // a SASI-style index serves LIKE without filtering
+    // a SASI custom index serves LIKE without filtering; a plain 2i
+    // does NOT (SASIIndex.java is the only LIKE-capable index)
     e.execute("CREATE INDEX ON t20 (v)")
+    assertInvalid(e, "SELECT k FROM t20 WHERE v LIKE 'che%'", "ALLOW FILTERING")
+    e.execute("CREATE CUSTOM INDEX t20_v_sasi ON t20 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' WITH OPTIONS = {'mode': 'CONTAINS'}")
     assert(rows(e.execute("SELECT k FROM t20 WHERE v LIKE 'che%'")) === Set(Seq(3)))
   }
 

@@ -1,0 +1,166 @@
+package graft
+
+import graft.cql.CqlEngine
+
+/** Secondary-index DDL surface: CREATE [CUSTOM] INDEX with map targets
+  * keys()/values()/entries()/full(), DROP INDEX, naming, duplicates, and
+  * which restrictions each target kind serves without ALLOW FILTERING.
+  *
+  * Shapes mined from the reference's
+  * test/unit/.../entities/SecondaryIndexOnMapEntriesTest.java and
+  * SecondaryIndexTest.java; validation messages follow
+  * statements/schema/CreateIndexStatement.java:90-190.
+  */
+class CqlIndexSpec extends SparkSpec {
+
+  def mkEngine: CqlEngine = new CqlEngine(spark)
+
+  def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  def assertInvalid(e: CqlEngine, cql: String, msgPart: String): Unit = {
+    val ex = intercept[RuntimeException](e.execute(cql).collect())
+    assert(ex.getMessage.contains(msgPart), s"got: ${ex.getMessage}")
+  }
+
+  test("entries() index serves map-entry EQ without ALLOW FILTERING") {
+    val e = mkEngine
+    e.execute("CREATE TABLE mi1 (k text PRIMARY KEY, v map<text, int>)")
+    e.execute("INSERT INTO mi1 (k, v) VALUES ('foo', {'a': 1, 'c': 3})")
+    e.execute("INSERT INTO mi1 (k, v) VALUES ('bar', {'a': 1, 'b': 2})")
+    e.execute("INSERT INTO mi1 (k, v) VALUES ('baz', {'b': 2, 'c': 5, 'd': 4})")
+    e.execute("INSERT INTO mi1 (k, v) VALUES ('qux', {'b': 2, 'd': 4})")
+    // without the index: filtering required
+    assertInvalid(e, "SELECT k FROM mi1 WHERE v['a'] = 1", "ALLOW FILTERING")
+    e.execute("CREATE INDEX ON mi1 (entries(v))")
+    // SecondaryIndexOnMapEntriesTest.testShouldFindRowsMatchingSingleEqualityRestriction
+    assert(rows(e.execute("SELECT k FROM mi1 WHERE v['a'] = 1")) ===
+      Set(Seq("foo"), Seq("bar")))
+    assert(rows(e.execute("SELECT k FROM mi1 WHERE v['b'] = 2")) ===
+      Set(Seq("bar"), Seq("baz"), Seq("qux")))
+    assert(rows(e.execute("SELECT k FROM mi1 WHERE v['c'] = 3")) === Set(Seq("foo")))
+    assert(rows(e.execute("SELECT k FROM mi1 WHERE v['c'] = 5")) === Set(Seq("baz")))
+    // testRequireFilteringDirectiveIfMultipleRestrictionsSpecified: the
+    // single index serves ONE restriction; a second needs filtering
+    assertInvalid(e,
+      "SELECT k FROM mi1 WHERE v['b'] = 2 AND v['d'] = 4", "ALLOW FILTERING")
+    assert(rows(e.execute(
+      "SELECT k FROM mi1 WHERE v['b'] = 2 AND v['d'] = 4 ALLOW FILTERING")) ===
+      Set(Seq("baz"), Seq("qux")))
+  }
+
+  test("keys()/values() indexes serve CONTAINS KEY / CONTAINS") {
+    val e = mkEngine
+    e.execute("CREATE TABLE mi2 (k int PRIMARY KEY, m map<text, int>, l list<int>)")
+    e.execute("INSERT INTO mi2 (k, m, l) VALUES (1, {'x': 1}, [1, 2])")
+    e.execute("INSERT INTO mi2 (k, m, l) VALUES (2, {'y': 2}, [2, 3])")
+    assertInvalid(e, "SELECT k FROM mi2 WHERE m CONTAINS KEY 'x'", "ALLOW FILTERING")
+    assertInvalid(e, "SELECT k FROM mi2 WHERE l CONTAINS 3", "ALLOW FILTERING")
+    e.execute("CREATE INDEX ON mi2 (keys(m))")
+    // a plain CREATE INDEX on a collection is a values() index
+    // (IndexTarget.Raw.prepare corrects SIMPLE → VALUES)
+    e.execute("CREATE INDEX ON mi2 (l)")
+    assert(rows(e.execute("SELECT k FROM mi2 WHERE m CONTAINS KEY 'x'")) === Set(Seq(1)))
+    assert(rows(e.execute("SELECT k FROM mi2 WHERE l CONTAINS 3")) === Set(Seq(2)))
+    // keys() does not serve CONTAINS (value side): still filtering
+    assertInvalid(e, "SELECT k FROM mi2 WHERE m CONTAINS 2", "ALLOW FILTERING")
+    e.execute("CREATE INDEX ON mi2 (values(m))")
+    assert(rows(e.execute("SELECT k FROM mi2 WHERE m CONTAINS 2")) === Set(Seq(2)))
+  }
+
+  test("full() index serves whole-collection EQ") {
+    val e = mkEngine
+    e.execute("CREATE TABLE mi3 (k int PRIMARY KEY, l frozen<list<int>>)")
+    e.execute("INSERT INTO mi3 (k, l) VALUES (1, [1, 2])")
+    e.execute("INSERT INTO mi3 (k, l) VALUES (2, [3])")
+    assertInvalid(e, "SELECT k FROM mi3 WHERE l = [1, 2]", "ALLOW FILTERING")
+    e.execute("CREATE INDEX ON mi3 (full(l))")
+    assert(rows(e.execute("SELECT k FROM mi3 WHERE l = [1, 2]")) === Set(Seq(1)))
+  }
+
+  test("an indexed clustering column is queryable without the partition key") {
+    val e = mkEngine
+    e.execute("CREATE TABLE mi4 (a int, b int, v int, PRIMARY KEY (a, b))")
+    for (a <- 0 until 3; b <- 0 until 3)
+      e.execute(s"INSERT INTO mi4 (a, b, v) VALUES ($a, $b, ${a * 10 + b})")
+    assertInvalid(e, "SELECT v FROM mi4 WHERE b = 1", "ALLOW FILTERING")
+    e.execute("CREATE INDEX ON mi4 (b)")
+    assert(rows(e.execute("SELECT v FROM mi4 WHERE b = 1")) ===
+      Set(Seq(1), Seq(11), Seq(21)))
+  }
+
+  test("CREATE INDEX validation follows CreateIndexStatement") {
+    val e = mkEngine
+    e.execute("CREATE TABLE mi5 (k int PRIMARY KEY, v int, d duration, " +
+      "m map<text, duration>, s set<text>)")
+    // only partition key column (CreateIndexStatement.java:175)
+    assertInvalid(e, "CREATE INDEX ON mi5 (k)",
+      "Cannot create secondary index on the only partition key column")
+    // durations (:163-171)
+    assertInvalid(e, "CREATE INDEX ON mi5 (d)",
+      "not supported on duration columns")
+    assertInvalid(e, "CREATE INDEX ON mi5 (values(m))",
+      "collections containing durations")
+    // target-kind / column-type mismatches (:184-187)
+    assertInvalid(e, "CREATE INDEX ON mi5 (keys(s))", "non-map type")
+    assertInvalid(e, "CREATE INDEX ON mi5 (entries(s))", "non-map type")
+    assertInvalid(e, "CREATE INDEX ON mi5 (values(v))",
+      "Non-collection columns only support simple indexes")
+    assertInvalid(e, "CREATE INDEX ON mi5 (full(v))",
+      "can only be created on frozen collections")
+    // counter tables (:94)
+    e.execute("CREATE TABLE mi5c (k int PRIMARY KEY, c counter)")
+    assertInvalid(e, "CREATE INDEX ON mi5c (c)",
+      "counter tables aren't supported")
+    // custom without a class / class on a non-custom index
+    assertInvalid(e, "CREATE CUSTOM INDEX ON mi5 (v)",
+      "requires specifying the index class")
+    assertInvalid(e, "CREATE INDEX ON mi5 (v) USING 'SomeClass'",
+      "Cannot specify index class for a non-CUSTOM index")
+    // a composite-pk COMPONENT is indexable (only the sole pk column isn't)
+    e.execute("CREATE TABLE mi5p (a int, b int, v int, PRIMARY KEY ((a, b)))")
+    e.execute("CREATE INDEX ON mi5p (a)")
+  }
+
+  test("index naming, duplicates, IF NOT EXISTS, and DROP INDEX") {
+    val e = mkEngine
+    e.execute("CREATE TABLE mi6 (k int PRIMARY KEY, v int, w int)")
+    e.execute("CREATE INDEX ON mi6 (v)")           // generated: mi6_v_idx
+    // same name again
+    assertInvalid(e, "CREATE INDEX mi6_v_idx ON mi6 (w)", "already exists")
+    e.execute("CREATE INDEX IF NOT EXISTS mi6_v_idx ON mi6 (w)") // no-op
+    // duplicate target under a different name (:128-135)
+    assertInvalid(e, "CREATE INDEX other_name ON mi6 (v)",
+      "is a duplicate of existing index mi6_v_idx")
+    e.execute("CREATE INDEX IF NOT EXISTS other_name ON mi6 (v)") // no-op
+    // drop restores the filtering requirement
+    e.execute("INSERT INTO mi6 (k, v, w) VALUES (1, 10, 100)")
+    assert(rows(e.execute("SELECT k FROM mi6 WHERE v = 10")) === Set(Seq(1)))
+    e.execute("DROP INDEX mi6_v_idx")
+    assertInvalid(e, "SELECT k FROM mi6 WHERE v = 10", "ALLOW FILTERING")
+    assertInvalid(e, "DROP INDEX mi6_v_idx", "could not be found")
+    e.execute("DROP INDEX IF EXISTS mi6_v_idx") // no-op
+  }
+
+  test("system_schema.indexes lists definitions with target and class options") {
+    val e = mkEngine
+    e.execute("CREATE TABLE mi7 (k int PRIMARY KEY, v text, m map<text, int>)")
+    e.execute("CREATE INDEX ON mi7 (entries(m))")
+    e.execute("CREATE CUSTOM INDEX mi7_sasi ON mi7 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'mode': 'CONTAINS', 'case_sensitive': 'false'}")
+    val got = e.execute(
+      "SELECT index_name, kind, options FROM system_schema.indexes")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getMap[String, String](2).toMap)).toSet
+    assert(got === Set(
+      ("mi7_m_idx", "COMPOSITES", Map("target" -> "entries(m)")),
+      ("mi7_sasi", "CUSTOM", Map(
+        "target" -> "v",
+        "class_name" -> "org.apache.cassandra.index.sasi.SASIIndex",
+        "mode" -> "CONTAINS", "case_sensitive" -> "false"))))
+    // dropping the table drops its indexes
+    e.execute("DROP TABLE mi7")
+    assert(e.execute("SELECT index_name FROM system_schema.indexes").count() === 0)
+  }
+}
