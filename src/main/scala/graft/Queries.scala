@@ -50,14 +50,19 @@ object Queries {
       }
     }))
 
-  private def storedEngine(s: SparkSession): graft.cql.CqlEngine = {
-    val e = new graft.cql.CqlEngine(s)
-    val dir = java.nio.file.Files.createTempDirectory("graft-qeng")
-    // bench/correctness runs re-invoke each query several times; reap the
-    // per-run segment dirs at JVM exit instead of leaking them in /tmp
+  /** Temp dir reaped at JVM exit — bench/correctness runs re-invoke each
+    * query several times; don't leak per-run dirs in /tmp.
+    */
+  private def tmpDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
     storedDirsHook
     storedDirs.add(dir.toFile)
-    e.attachStorage(dir.toString)
+    dir
+  }
+
+  private def storedEngine(s: SparkSession): graft.cql.CqlEngine = {
+    val e = new graft.cql.CqlEngine(s)
+    e.attachStorage(tmpDir("graft-qeng").toString)
     e
   }
 
@@ -864,13 +869,19 @@ object Queries {
       }),
 
     QueryDef("q_ann_ivf",
-      // IVF probe search (scale path; approximate → rows-only check;
-      // exactness at nprobe == nlist asserted in SimilaritySpec)
+      // IVF probe search over the PERSISTENT index (scale path; approximate
+      // → rows-only check; exactness at nprobe == nlist asserted in
+      // SimilaritySpec): train on a sample, save the cid-partitioned lists,
+      // probe through the loaded index so the graded scan is the
+      // partition-pruned lists/cid=K/ read — the actual 100 TB shape
       None,
       (s, d) => {
         prep(s)
         val emb = t(s, d, "embeddings")
-        Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 8), 10)
+        val dir = tmpDir("graft-ivf")
+        Similarity.ivfTrain(s, emb, nlist = 16, iters = 1).save(dir.toString)
+        val idx = Similarity.ivfLoad(s, dir.toString)
+        Similarity.ivfSearch(idx, emb.filter(col("vec_id") < 8), 10)
           .select("query_id", "neighbor_id", "sim", "rnk")
           .orderBy("query_id", "rnk")
       }),

@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.functions.Functions.cosine_sim
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
 
 /** Approximate-nearest-neighbor / similarity search over an embedding column
   * (`array<float>`).
@@ -120,46 +121,75 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** IVF (inverted-file) index: deterministic seeded centroids refined with
-    * `iters` Lloyd steps, every corpus vector assigned to its nearest list.
-    * Centroids live on the driver (nlist × dim floats — tiny) exactly as a
-    * production IVF keeps them in the index header; assignment and probing
-    * are distributed scans.
+  /** How many training vectors to sample per centroid. Production IVF
+    * trains k-means on a bounded sample (Faiss defaults to a few dozen
+    * vectors per centroid), never the corpus — the Lloyd refinement
+    * explodes train×dim rows, which must stay bounded at 100 TB.
+    */
+  private val trainPerList = 64L
+
+  /** Nearest-centroid id as a pure expression over the embedding: centroids
+    * ride along as broadcast literals (nlist × dim floats — tiny), so the
+    * full-corpus assignment is a MAP with no join and no shuffle. Ties on
+    * similarity break to the lowest cid (max of (sim, -cid)).
+    */
+  private def nearestCidCol(cents: Seq[(Int, Array[Float])], emb: Column): Column = {
+    val scored = cents.map { case (cid, vec) =>
+      struct(cosine_sim(emb, typedLit(vec)).as("s"), lit(-cid).as("nc"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    -best.getField("nc")
+  }
+
+  /** IVF (inverted-file) index build: deterministic seeded centroids refined
+    * with `iters` Lloyd steps over a bounded SAMPLE of the corpus
+    * (~[[trainPerList]] vectors per list), then ONE full-corpus assignment
+    * pass against the final centroids as broadcast literals. Centroids live
+    * on the driver (nlist × dim floats — tiny) exactly as a production IVF
+    * keeps them in the index header; the corpus-sized work is a single
+    * shuffle-free map.
     */
   def ivfAssign(spark: SparkSession, corpus: DataFrame, nlist: Int,
                 iters: Int = 1): (DataFrame, DataFrame) = {
-    import spark.implicits._
     val n = corpus.count()
+    // deterministic sample: every sampleStride-th vec_id
+    val sampleStride = math.max(n / (nlist * trainPerList), 1L)
+    val train = corpus.filter(col("vec_id") % sampleStride === 0)
     val stride = math.max(n / nlist, 1L)
     // deterministic seeds: every stride-th vec_id
     val wSeed = Window.orderBy("vec_id")
     var centroids = corpus.filter(col("vec_id") % stride === 0)
       .orderBy("vec_id").limit(nlist)
       .select((row_number().over(wSeed) - 1).as("cid"), col("embedding").as("centroid"))
-    var assigned: DataFrame = null
-    (0 to iters).foreach { it =>
-      val scored = corpus.crossJoin(broadcast(centroids))
+    (1 to iters).foreach { _ =>
+      val assignedT = train.crossJoin(broadcast(centroids))
         .select(col("vec_id"), col("embedding"), col("cid"),
           cosine_sim(col("embedding"), col("centroid")).as("sim"))
-      // nearest centroid via max_by — aggregates map-side (all nlist rows of
-      // a vector sit in its input partition), so only one row per vector
-      // shuffles instead of the corpus×nlist rank-window explosion
-      assigned = scored.groupBy("vec_id").agg(
+        // nearest centroid via max_by — aggregates map-side (all nlist rows
+        // of a vector sit in its input partition), so only one row per
+        // TRAINING vector shuffles
+        .groupBy("vec_id").agg(
           max_by(col("cid"), struct(col("sim"), (-col("cid")).cast("double"))).as("cid"),
           first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("cid"), col("embedding"))
-      if (it < iters) {
-        // Lloyd refinement: mean of member vectors per list (array average
-        // via exploded position aggregation), deterministic
-        val dims = assigned.select(posexplode(col("embedding")).as(Seq("pos", "x")),
-            col("cid"))
-          .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-          .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-          .select(col("cid"), transform(col("ps"), p => p("m").cast("float")).as("centroid"))
-        centroids = dims
-      }
+      // Lloyd refinement: mean of member vectors per list (array average
+      // via exploded position aggregation), deterministic; train-sized only
+      centroids = assignedT
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("cid"))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p("m").cast("float")).as("centroid"))
     }
-    (centroids, assigned.select("vec_id", "cid", "embedding"))
+    // materialize the final centroid header driver-side (bounded: nlist×dim)
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.map { case (cid, v) => Row(cid, v.toSeq) }, 1),
+      StructType(Seq(StructField("cid", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(FloatType), nullable = true))))
+    val assigned = corpus.select(col("vec_id"),
+      nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
+    (centDf, assigned)
   }
 
   /** Persistent IVF index: the centroid header (nlist × dim — tiny,

@@ -93,4 +93,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("LocalTableScan"),
       "bulk rows must not round-trip through the driver:\n" + p.take(2000))
   }
+
+  test("IVF probe prunes the inverted-list scan to the probed cid partitions") {
+    // the graded q_ann_ivf runs train → save → load → probe: the lists scan
+    // must carry a PartitionFilters entry on cid (directory-level pruning —
+    // at 100 TB a probe reads nprobe/nlist of the index, not all of it)
+    val df = SparkEntry.queries("q_ann_ivf")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pruned = "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p)
+    assert(pruned.nonEmpty, {
+      val i = math.max(0, p.indexOf("PartitionFilters"))
+      "probe scan must prune on cid:\n" + p.slice(math.max(0, i - 500), i + 200)
+    })
+  }
 }
