@@ -198,6 +198,14 @@ object Ast {
   /** CREATE TYPE name (f1 t1, ...) (Parser.g:894-918, UserType.java). */
   final case class CreateType(udt: CqlUdt, ifNotExists: Boolean) extends Statement
 
+  /** ALTER TYPE name ADD f t | RENAME f TO g [AND ...] | ALTER f TYPE t
+    * (Parser.g:975-985; statements/schema/AlterTypeStatement.java). ALTER
+    * field is parsed but rejected like the reference (:165-175).
+    */
+  final case class AlterType(name: String, add: Option[(String, CqlType)],
+                             renames: Seq[(String, String)] = Nil,
+                             alterField: Boolean = false) extends Statement
+
   /** CREATE FUNCTION (Parser.g:652-685, UDFunction.java). The reference
     * compiles Java/JS bodies; this engine accepts LANGUAGE spark — the body
     * is a Spark SQL expression over the named arguments (registered as a

@@ -599,6 +599,7 @@ class CqlEngine(val spark: SparkSession) {
         if (!ifNotExists) throw InvalidRequest(s"A user type of name ${u.typeName} already exists")
       } else udts(u.typeName) = u
       emptyResult
+    case at: AlterType => executeAlterType(at)
     case CreateTable(td, ifNotExists) =>
       requireKeyspace(td.name)
       // durations are not comparable: never a PK part, set element or map
@@ -2043,6 +2044,131 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   // ── SELECT lowering + restriction validation ──────────────────────────
+  /** Does this type reference (contain) the named UDT anywhere? */
+  private def referencesUdt(t: CqlType, name: String): Boolean = t match {
+    case u: CqlUdt => u.typeName == name || u.fields.exists(f => referencesUdt(f._2, name))
+    case CqlList(e) => referencesUdt(e, name)
+    case CqlSet(e) => referencesUdt(e, name)
+    case CqlMap(k, v) => referencesUdt(k, name) || referencesUdt(v, name)
+    case CqlTuple(es) => es.exists(referencesUdt(_, name))
+    case _ => false
+  }
+
+  /** Replace every embedded copy of UDT `name` with its new definition. */
+  private def rewriteUdt(t: CqlType, name: String, nu: CqlUdt): CqlType = t match {
+    case u: CqlUdt if u.typeName == name => nu
+    case u: CqlUdt => u.copy(fields = u.fields.map { case (f, ft) => (f, rewriteUdt(ft, name, nu)) })
+    case CqlList(e) => CqlList(rewriteUdt(e, name, nu))
+    case CqlSet(e) => CqlSet(rewriteUdt(e, name, nu))
+    case CqlMap(k, v) => CqlMap(rewriteUdt(k, name, nu), rewriteUdt(v, name, nu))
+    case CqlTuple(es) => CqlTuple(es.map(rewriteUdt(_, name, nu)))
+    case other => other
+  }
+
+  /** Reshape an in-memory tail value from the old type to the widened one:
+    * UDT structs gain trailing null fields by NAME (renames never reach
+    * here — they're positional and leave values untouched).
+    */
+  private def widenValue(v: Any, o: CqlType, n: CqlType): Any =
+    if (v == null) null else (o, n) match {
+      case (ou: CqlUdt, nu: CqlUdt) =>
+        val r = v.asInstanceOf[Row]
+        val byName = ou.fields.zip(r.toSeq).map { case ((f, ft), fv) => f -> (ft, fv) }.toMap
+        Row.fromSeq(nu.fields.map { case (f, ft) =>
+          byName.get(f) match {
+            case Some((oft, fv)) => widenValue(fv, oft, ft)
+            case None => null
+          }
+        })
+      case (CqlList(oe), CqlList(ne)) =>
+        v.asInstanceOf[scala.collection.Seq[Any]].map(widenValue(_, oe, ne)).toSeq
+      case (CqlSet(oe), CqlSet(ne)) =>
+        v.asInstanceOf[scala.collection.Seq[Any]].map(widenValue(_, oe, ne)).toSeq
+      case (CqlMap(ok, ov), CqlMap(nk, nv)) =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].map { case (k, vv) =>
+          widenValue(k, ok, nk) -> widenValue(vv, ov, nv) }.toMap
+      case (CqlTuple(oes), CqlTuple(nes)) =>
+        Row.fromSeq(v.asInstanceOf[Row].toSeq.zip(oes).zip(nes).map {
+          case ((fv, oe), ne) => widenValue(fv, oe, ne) })
+      case _ => v
+    }
+
+  /** ALTER TYPE ADD/RENAME (statements/schema/AlterTypeStatement.java):
+    * rewrites the type registry and every table column embedding the type.
+    * ADD widens stored structs BY NAME at read time — parquet fills the
+    * missing trailing field with null (schema evolution), the in-memory
+    * tail is reshaped here. RENAME is metadata-only in the reference
+    * (positional serialization), but our durable parquet addresses struct
+    * fields by name, so renames are refused once a using table has flushed
+    * (same rule as ALTER TABLE RENAME). ALTER field type is rejected
+    * (:165-175: "Altering field types is no longer supported").
+    */
+  private def executeAlterType(at: AlterType): DataFrame = {
+    val tn = at.name
+    val old = udts.getOrElse(tn, throw InvalidRequest(s"Type $tn doesn't exist"))
+    if (at.alterField)
+      throw InvalidRequest("Altering field types is no longer supported")
+    val nu: CqlUdt = at.add match {
+      case Some((f, ft)) =>
+        if (old.fields.exists(_._1 == f))
+          throw InvalidRequest(
+            s"Cannot add field $f to type $tn: a field with name $f already exists")
+        if (ft == CqlDuration || referencesUdt(ft, tn))
+          throw InvalidRequest(
+            if (ft == CqlDuration) s"Cannot add field $f of type duration to type $tn"
+            else s"Cannot add new field $f of type ${ft.name} to user type $tn as it would create a circular reference")
+        old.copy(fields = old.fields :+ (f -> ft))
+      case None =>
+        val rmap = at.renames.toMap
+        rmap.keys.foreach(f => if (!old.fields.exists(_._1 == f))
+          throw InvalidRequest(s"Unkown field $f in user type $tn"))
+        val newFields = old.fields.map { case (f, ft) => (rmap.getOrElse(f, f), ft) }
+        val names = newFields.map(_._1)
+        names.foreach(nm => if (names.count(_ == nm) > 1)
+          throw InvalidRequest(s"Duplicate field name $nm in type $tn"))
+        old.copy(fields = newFields)
+    }
+    val users = tables.keys.filter(t => !virtualDefs.contains(t) &&
+      tables(t).columns.exists(c => referencesUdt(c.tpe, tn))).toList
+    if (at.renames.nonEmpty) storageDir.foreach { dir =>
+      users.foreach { t =>
+        val tdir = new java.io.File(dir, t)
+        if (new java.io.File(tdir, "segments").isDirectory ||
+            new java.io.File(tdir, "checkpoint").isDirectory)
+          throw InvalidRequest(
+            s"Cannot rename fields of type $tn: durable log segments of $t address fields by name")
+      }
+    }
+    udts(tn) = nu
+    // other registered UDTs embedding this one carry structural copies
+    udts.keys.toList.foreach { k =>
+      if (k != tn) udts(k) = rewriteUdt(udts(k), tn, nu).asInstanceOf[CqlUdt]
+    }
+    users.foreach { t =>
+      val td = tables(t)
+      val newTd = td.copy(columns = td.columns.map(c =>
+        if (referencesUdt(c.tpe, tn)) c.copy(tpe = rewriteUdt(c.tpe, tn, nu)) else c))
+      // reshape in-memory tail values for ADD (nested structs gain fields);
+      // renames are positional, values unchanged
+      if (at.add.nonEmpty && logs.contains(t) && logs(t).nonEmpty) {
+        val colTypes = td.columns.map(c => c.name -> c.tpe).toMap
+        val newColTypes = newTd.columns.map(c => c.name -> c.tpe).toMap
+        val fieldNames = logSchema(td).fieldNames
+        val reshaped = logs(t).map { r =>
+          Row.fromSeq(fieldNames.zip(r.toSeq).map { case (fn, v) =>
+            (colTypes.get(fn), newColTypes.get(fn)) match {
+              case (Some(ot), Some(nt)) if referencesUdt(ot, tn) => widenValue(v, ot, nt)
+              case _ => v
+            }
+          }.toSeq)
+        }
+        logs(t) = scala.collection.mutable.ArrayBuffer(reshaped.toSeq: _*)
+      }
+      tables(t) = newTd
+    }
+    emptyResult
+  }
+
   /** CREATE [CUSTOM] INDEX — validation order and messages follow
     * statements/schema/CreateIndexStatement.java:90-190; simple targets on
     * collection columns are corrected to values() like IndexTarget.Raw

@@ -248,7 +248,8 @@ object CqlParser {
           val n = p.ident()
           if (p.tryKw("with")) skipOptions(p)
           AlterKeyspace(n)
-        } else parseAlterTable(p)
+        } else if (p.tryKw("type")) parseAlterType(p)
+        else parseAlterTable(p)
       }
       else if (p.kw("create")) parseCreate(p)
       else if (p.kw("drop")) {
@@ -278,6 +279,25 @@ object CqlParser {
       anyLiteral(p)
       more = p.tryKw("and")
     }
+  }
+
+  /** alterTypeStatement (Parser.g:975-985). */
+  private def parseAlterType(p: P): Statement = {
+    val name = p.ident()
+    if (p.tryKw("add")) {
+      val f = p.ident()
+      AlterType(name, Some(f -> parseType(p)))
+    } else if (p.tryKw("rename")) {
+      def one(): (String, String) = {
+        val a = p.ident(); p.eatKw("to"); (a, p.ident())
+      }
+      var rs = Vector(one())
+      while (p.tryKw("and")) rs :+= one()
+      AlterType(name, None, renames = rs)
+    } else if (p.tryKw("alter")) {
+      p.ident(); p.eatKw("type"); parseType(p)
+      AlterType(name, None, alterField = true)
+    } else throw ParseException("expected ADD, RENAME or ALTER after ALTER TYPE <name>")
   }
 
   private def parseAlterTable(p: P): Statement = {

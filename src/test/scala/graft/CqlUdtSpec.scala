@@ -133,4 +133,67 @@ class CqlUdtSpec extends SparkSpec {
       "SELECT k FROM me1 WHERE m['b'] = 2 ALLOW FILTERING")) === Seq(Seq(1)))
     assertInvalid(e, "SELECT k FROM me1 WHERE m['a'] = 1", "ALLOW FILTERING")
   }
+
+  test("ALTER TYPE ADD widens populated tables; old rows read null for the new field") {
+    val e = mkEngine
+    e.execute("CREATE TYPE pt (x int, y int)")
+    e.execute("CREATE TABLE at1 (k int PRIMARY KEY, p frozen<pt>, ps list<frozen<pt>>)")
+    e.execute("INSERT INTO at1 (k, p, ps) VALUES (1, {x: 1, y: 2}, [{x: 3, y: 4}])")
+    e.execute("ALTER TYPE pt ADD z text")
+    // pre-ALTER rows surface the new field as null — top-level and nested
+    val got = rowsInOrder(e.execute("SELECT k, p.x, p.z, ps FROM at1 WHERE k = 1")).head
+    assert(got(1) === 1 && got(2) === null)
+    assert(got(3).asInstanceOf[scala.collection.Seq[Row]].head.toSeq === Seq(3, 4, null))
+    // post-ALTER inserts can set it
+    e.execute("INSERT INTO at1 (k, p) VALUES (2, {x: 9, y: 8, z: 'hi'})")
+    assert(rowsInOrder(e.execute("SELECT p.z FROM at1 WHERE k = 2")) === Seq(Seq("hi")))
+  }
+
+  test("ALTER TYPE ADD after a durable flush: parquet structs widen by name") {
+    val e = mkEngine
+    val dir = java.nio.file.Files.createTempDirectory("graft-altertype").toString
+    e.attachStorage(dir)
+    e.execute("CREATE TYPE dt (a int, b text)")
+    e.execute("CREATE TABLE at2 (k int PRIMARY KEY, d frozen<dt>)")
+    e.execute("INSERT INTO at2 (k, d) VALUES (1, {a: 1, b: 'one'})")
+    e.flush("at2") // rows now live in a parquet segment with the OLD struct
+    e.execute("ALTER TYPE dt ADD c double")
+    e.execute("INSERT INTO at2 (k, d) VALUES (2, {a: 2, b: 'two', c: 2.5})")
+    val got = rowsInOrder(e.execute("SELECT k, d.a, d.c FROM at2"))
+    assert(got === Seq(Seq(1, 1, null), Seq(2, 2, 2.5)))
+    // RENAME is refused once a using table has flushed (fields are
+    // addressed by name in the durable parquet)
+    assertInvalid(e, "ALTER TYPE dt RENAME a TO alpha", "address fields by name")
+  }
+
+  test("ALTER TYPE RENAME is metadata-only on unflushed tables") {
+    val e = mkEngine
+    e.execute("CREATE TYPE rt (a int, b text)")
+    e.execute("CREATE TABLE at3 (k int PRIMARY KEY, r frozen<rt>)")
+    e.execute("INSERT INTO at3 (k, r) VALUES (1, {a: 7, b: 'x'})")
+    e.execute("ALTER TYPE rt RENAME a TO alpha AND b TO beta")
+    assert(rowsInOrder(e.execute("SELECT r.alpha, r.beta FROM at3")) === Seq(Seq(7, "x")))
+    assertInvalid(e, "SELECT r.a FROM at3", "Unknown field")
+    // new literals use the new field names
+    e.execute("INSERT INTO at3 (k, r) VALUES (2, {alpha: 8, beta: 'y'})")
+    assert(rowsInOrder(e.execute("SELECT r.alpha FROM at3 WHERE k = 2")) === Seq(Seq(8)))
+  }
+
+  test("ALTER TYPE validation follows AlterTypeStatement") {
+    val e = mkEngine
+    e.execute("CREATE TYPE vt (a int)")
+    assertInvalid(e, "ALTER TYPE nosuch ADD x int", "doesn't exist")
+    assertInvalid(e, "ALTER TYPE vt ADD a text", "already exists")
+    assertInvalid(e, "ALTER TYPE vt RENAME q TO r", "field q")
+    e.execute("CREATE TYPE vt2 (p frozen<vt>)")
+    assertInvalid(e, "ALTER TYPE vt ADD self frozen<vt>", "circular reference")
+    // AlterTypeStatement.java:165-175
+    assertInvalid(e, "ALTER TYPE vt ALTER a TYPE text", "no longer supported")
+    // a rename propagates into OTHER UDTs embedding this one
+    e.execute("ALTER TYPE vt RENAME a TO z")
+    e.execute("CREATE TABLE at4 (k int PRIMARY KEY, w frozen<vt2>)")
+    e.execute("INSERT INTO at4 (k, w) VALUES (1, {p: {z: 5}})")
+    assert(rowsInOrder(e.execute("SELECT w.p FROM at4")).head.head
+      .asInstanceOf[Row].toSeq === Seq(5))
+  }
 }
