@@ -565,6 +565,20 @@ class CqlEngine(val spark: SparkSession) {
   // ── statement execution ───────────────────────────────────────────────
   def execute(cql: String): DataFrame = run(CqlParser.parse(cql, udts.toMap))
 
+  /** Run with unqualified-name resolution pinned to `ks`: prepared
+    * statements resolve against the keyspace current at PREPARE time
+    * (QueryProcessor.java:460-490), whatever the session keyspace is now.
+    * A USE statement still switches the session keyspace.
+    */
+  private[cql] def runPinned(ks: String, stmt: Statement): DataFrame = stmt match {
+    case _: UseKeyspace => run(stmt)
+    case _ =>
+      val saved = currentKeyspace
+      currentKeyspace = ks
+      try run(stmt)
+      finally if (currentKeyspace == ks) currentKeyspace = saved
+  }
+
   def run(stmt0: Statement): DataFrame = canonStmt(stmt0) match {
     case CreateKeyspace(n, ifNotExists) =>
       if (keyspaces.contains(n)) {
@@ -850,7 +864,14 @@ class CqlEngine(val spark: SparkSession) {
               cd.kind == PartitionKey || cd.kind == Clustering) =>
               c -> coerce(v, td.column(c).get.tpe, c)
           }.toMap
-        case u: Update => mutationKeys(td, u.where, requireCk = td.clustering.nonEmpty)._1
+        case u: Update =>
+          // static-only updates address the PARTITION — no clustering
+          // required (UpdateStatement; the static row is the CAS target)
+          val staticOnly = u.assignments.nonEmpty && u.assignments.forall {
+            case (c, _) => td.column(c).exists(_.kind == Static)
+          }
+          mutationKeys(td, u.where,
+            requireCk = td.clustering.nonEmpty && !staticOnly)._1
         case d: Delete =>
           // a conditioned DELETE must address exactly one row — all PRIMARY
           // KEY columns EQ-restricted (CQL3CasRequest.addConditions requires
@@ -869,8 +890,26 @@ class CqlEngine(val spark: SparkSession) {
       val partRows = readCanonical(td.name).filter(
         pkNames.zip(pkVals.head.map(_.get)).map { case (c, v) => col(c) === lit(v) }
           .reduce(_ && _)).collect()
+      // partition rows in clustering order (CLUSTERING ORDER aware; the
+      // null-clustering statics-only row sorts first, like the reference's
+      // static row preceding all clusterings)
+      def cmpVal(x: Any, y: Any, c: ColumnDef): Int =
+        if (x == null && y == null) 0 else if (x == null) -1 else if (y == null) 1
+        else CqlValues.compareValues(x, y, c.tpe)
+      val partRowsOrdered = partRows.sortWith { (a, b) =>
+        td.clustering.zip(td.clusteringDesc).iterator.map { case (c, desc) =>
+          val cmp = cmpVal(a.getAs[Any](c.name), b.getAs[Any](c.name), c)
+          if (desc) -cmp else cmp
+        }.find(_ != 0).getOrElse(0) < 0
+      }
       def rowsFor(keys: Map[String, Any]): Array[Row] =
-        partRows.filter(r => td.clustering.forall { c =>
+        if (td.clustering.nonEmpty && !td.clustering.exists(c => keys.contains(c.name)))
+          // static-only addressing: the reference reads (and a failed CAS
+          // therefore reports) only the FIRST live row of the partition —
+          // enough to tell a live partition without static content from a
+          // missing one (CQL3CasRequest.readCommand:191-200 limit-1 slice)
+          partRowsOrdered.take(1)
+        else partRows.filter(r => td.clustering.forall { c =>
           keys.get(c.name).forall(v =>
             r.getAs[Any](c.name) != null &&
               CqlValues.compareValues(r.getAs[Any](c.name), v, c.tpe) == 0)
@@ -1757,10 +1796,47 @@ class CqlEngine(val spark: SparkSession) {
           .otherwise(acc)
       })
     }
-    /** set/map columns whose element/key admits a Spark map key (maps can't
-      * key maps) — only these carry writetime/ttl list shadows.
+    /** Per-POSITION cell metadata fold for lists (WritetimeOrTTLSelector:
+      * the reference returns one writetime/ttl per list cell): re-runs the
+      * value fold over (element, ts, ttl) triples so every surviving
+      * element keeps the stamp of the mutation that wrote it — append/
+      * prepend stamp the new elements, setidx re-stamps one position,
+      * remove/delidx drop positions, set re-stamps everything.
+      */
+    def listMeta(c: ColumnDef): Column = {
+      val eT = c.tpe match {
+        case CqlList(e) => sparkType(e)
+        case other => throw new IllegalStateException(s"listMeta on ${other.name}")
+      }
+      val zT = ArrayType(StructType(Seq(StructField("e", eT),
+        StructField("ts", LongType), StructField("ttl", LongType))))
+      val folded = aggregate(collSorted(c), lit(null).cast(zT), (acc, m) => {
+        val v = m("v"); val op = m("op")
+        val cleared = op === "clear" || (op === "set" && v.isNull)
+        val zipped = transform(v, e =>
+          struct(e.as("e"), m("ts").as("ts"), m("ttl").as("ttl")))
+        val opName = substring_index(op, ":", 1)
+        val opIdx = substring_index(op, ":", -1).cast("int")
+        when(cleared, lit(null).cast(zT))
+          .when(op === "set", zipped)
+          .when(opName === "append", when(acc.isNull, zipped).otherwise(concat(acc, zipped)))
+          .when(opName === "prepend", when(acc.isNull, zipped).otherwise(concat(zipped, acc)))
+          .when(opName === "remove",
+            filter(coalesce(acc, zipped), p => !array_contains(v, p("e"))))
+          .when(opName === "setidx", transform(acc, (p, j) =>
+            when(j === opIdx,
+              struct(element_at(v, 1).as("e"), m("ts").as("ts"), m("ttl").as("ttl")))
+              .otherwise(p)))
+          .when(opName === "delidx", filter(acc, (p, j) => j =!= opIdx))
+          .otherwise(acc)
+      })
+      when(folded.isNotNull && size(folded) > 0, folded)
+    }
+    /** collection columns whose element/key admits Spark equality (maps
+      * can't) — only these carry writetime/ttl list shadows.
       */
     def hasElemMeta(c: ColumnDef): Boolean = c.tpe match {
+      case CqlList(e) => !hasMapValue(e)
       case CqlSet(e) => !hasMapValue(e)
       case CqlMap(k, _) => !hasMapValue(k)
       case _ => false
@@ -1795,23 +1871,31 @@ class CqlEngine(val spark: SparkSession) {
           .as("_ttlr_" + c.name)
       }
     }
-    // per-element writetime/ttl lists for sets and maps, ordered like the
-    // collection iterates (set elements in order; map keys sorted)
+    // per-element writetime/ttl lists, ordered like the collection
+    // iterates (lists by position; set elements in order; map keys sorted)
+    def remTtl(ts: Column, ttl: Column): Column =
+      when(ttl > 0L, ceil((ts + ttl * 1000000L - lit(nowMicros)) / 1000000.0).cast("int"))
     val metaCols = cols.filter(hasElemMeta).flatMap { c =>
-      val meta = collMeta(c)
-      val value = collValue(c)
-      val iterKeys = c.tpe match {
-        case _: CqlSet => value
-        case _ => sort_array(map_keys(value))
+      c.tpe match {
+        case _: CqlList =>
+          val zipped = listMeta(c)
+          val wtl = when(zipped.isNotNull, transform(zipped, p => p("ts")))
+          val ttll = when(zipped.isNotNull,
+            transform(zipped, p => remTtl(p("ts"), p("ttl"))))
+          Seq(wtl.as("_wtl_" + c.name), ttll.as("_ttlrl_" + c.name))
+        case _ =>
+          val meta = collMeta(c)
+          val value = collValue(c)
+          val iterKeys = c.tpe match {
+            case _: CqlSet => value
+            case _ => sort_array(map_keys(value))
+          }
+          def entry(k: Column): Column = element_at(meta, k)
+          val wtl = when(value.isNotNull, transform(iterKeys, k => entry(k)("ts")))
+          val ttll = when(value.isNotNull,
+            transform(iterKeys, k => remTtl(entry(k)("ts"), entry(k)("ttl"))))
+          Seq(wtl.as("_wtl_" + c.name), ttll.as("_ttlrl_" + c.name))
       }
-      def entry(k: Column): Column = element_at(meta, k)
-      val wtl = when(value.isNotNull, transform(iterKeys, k => entry(k)("ts")))
-      val ttll = when(value.isNotNull, transform(iterKeys, k => {
-        val e = entry(k)
-        when(e("ttl") > 0L,
-          ceil((e("ts") + e("ttl") * 1000000L - lit(nowMicros)) / 1000000.0).cast("int"))
-      }))
-      Seq(wtl.as("_wtl_" + c.name), ttll.as("_ttlrl_" + c.name))
     }
     val liveCol =
       if (withLiveness) {
@@ -2691,15 +2775,15 @@ class CqlEngine(val spark: SparkSession) {
     if (cd.kind == PartitionKey || cd.kind == Clustering)
       throw InvalidRequest(s"Cannot use selection function $fn on PRIMARY KEY part $c")
     cd.tpe match {
-      // set/map get per-element list selectors (CASSANDRA-8877); lists and
-      // map-keyed elements have no cell-metadata shadow
+      // multi-cell collections get per-element list selectors
+      // (CASSANDRA-8877 / WritetimeOrTTLSelector); map-valued elements
+      // have no cell-metadata shadow (no Spark equality)
       case CqlSet(e) if hasMapValue(e) =>
         throw InvalidRequest(s"Cannot use selection function $fn on sets of maps")
       case CqlMap(k, _) if hasMapValue(k) =>
         throw InvalidRequest(s"Cannot use selection function $fn on map-keyed maps")
-      case CqlSet(_) | CqlMap(_, _) => ()
-      case t if isCollection(t) =>
-        throw InvalidRequest(s"Cannot use selection function $fn on lists")
+      case CqlList(e) if hasMapValue(e) =>
+        throw InvalidRequest(s"Cannot use selection function $fn on lists of maps")
       case _ => ()
     }
   }
@@ -2786,13 +2870,13 @@ class CqlEngine(val spark: SparkSession) {
     case CollectionCtor(_, _) | MapCtor(_) => None
     case FnCall(f, args) => f match {
       case "writetime" => args.headOption.flatMap(exprType(td, _)) match {
-        case Some(CqlSet(_) | CqlMap(_, _)) => Some(CqlList(CqlBigint))
+        case Some(CqlList(_) | CqlSet(_) | CqlMap(_, _)) => Some(CqlList(CqlBigint))
         case _ => Some(CqlBigint)
       }
       case "count" | "tounixtimestamp" | "unixtimestampof" | "token" => Some(CqlBigint)
       case "sum" | "min" | "max" | "avg" => args.headOption.flatMap(exprType(td, _))
       case "ttl" => args.headOption.flatMap(exprType(td, _)) match {
-        case Some(CqlSet(_) | CqlMap(_, _)) => Some(CqlList(CqlInt))
+        case Some(CqlList(_) | CqlSet(_) | CqlMap(_, _)) => Some(CqlList(CqlInt))
         case _ => Some(CqlInt)
       }
       case "now" | "currenttimeuuid" | "mintimeuuid" | "maxtimeuuid" => Some(CqlTimeuuid)
@@ -3024,19 +3108,19 @@ class CqlEngine(val spark: SparkSession) {
         }
         rt.map(t => raw.cast(sparkType(t))).getOrElse(raw)
       // ── engine-resolved selectors ──
-      // multi-cell set/map writetime/ttl return per-element LISTS
-      // (CASSANDRA-8877 forward-port; lists stay rejected — positional
-      // cell metadata doesn't survive this engine's list fold)
+      // multi-cell collection writetime/ttl return per-element LISTS
+      // (CASSANDRA-8877 forward-port; lists are position-keyed through the
+      // zipped listMeta fold)
       case FnCall("writetime", Seq(ColRef(c))) =>
         requireCell(td, c, "writetime")
         td.column(c).map(_.tpe) match {
-          case Some(CqlSet(_) | CqlMap(_, _)) => col("_wtl_" + c)
+          case Some(CqlList(_) | CqlSet(_) | CqlMap(_, _)) => col("_wtl_" + c)
           case _ => col("_wt_" + c)
         }
       case FnCall("ttl", Seq(ColRef(c))) =>
         requireCell(td, c, "ttl")
         td.column(c).map(_.tpe) match {
-          case Some(CqlSet(_) | CqlMap(_, _)) => col("_ttlrl_" + c)
+          case Some(CqlList(_) | CqlSet(_) | CqlMap(_, _)) => col("_ttlrl_" + c)
           case _ => col("_ttlr_" + c)
         }
       case FnCall("token", args) if args.nonEmpty =>

@@ -7,14 +7,20 @@ import org.apache.spark.sql.DataFrame
 
 /** Prepared-statement surface (reference `QueryProcessor.java:460-490`,
   * `transport/messages/ExecuteMessage.java`): statements parse once, cache
-  * by MD5 digest of the CQL string, and execute with bind values
+  * by MD5 digest of (keyspace, CQL string), and execute with bind values
   * substituted — positional `?` markers or named `:name` markers (a
   * repeated name binds once, at its first index).
+  *
+  * The session keyspace is PINNED at prepare time (QueryProcessor
+  * .computeId hashes keyspace + query; StatementRestrictions resolve
+  * against the prepare-time keyspace): `USE other` after `prepare` does
+  * not change which table an unqualified prepared name addresses, and the
+  * same query prepared under two keyspaces yields two distinct ids.
   */
 final class PreparedStatements(engine: CqlEngine) {
 
   final case class Prepared(id: String, statement: Statement, numBinds: Int,
-                            bindNames: Seq[Option[String]])
+                            bindNames: Seq[Option[String]], keyspace: String)
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Prepared]()
 
@@ -23,13 +29,15 @@ final class PreparedStatements(engine: CqlEngine) {
       .map("%02x".format(_)).mkString
 
   /** Parse + cache; returns the statement id (the reference returns the MD5
-    * digest to the client the same way).
+    * digest of keyspace + query to the client the same way).
     */
-  def prepare(cql: String): Prepared =
-    cache.computeIfAbsent(digest(cql), id => {
+  def prepare(cql: String): Prepared = {
+    val ks = engine.currentKeyspace
+    cache.computeIfAbsent(digest(ks + " " + cql), id => {
       val (stmt, n, names) = CqlParser.parseWithBinds(cql, Map.empty)
-      Prepared(id, stmt, n, names)
+      Prepared(id, stmt, n, names, ks)
     })
+  }
 
   /** Execute a prepared id with positional bind values. */
   def execute(id: String, binds: Any*): DataFrame = {
@@ -38,7 +46,7 @@ final class PreparedStatements(engine: CqlEngine) {
     if (binds.length != prep.numBinds)
       throw engine.InvalidRequest(
         s"Invalid amount of bind variables: expected ${prep.numBinds}, got ${binds.length}")
-    engine.run(bind(prep.statement, binds.toIndexedSeq))
+    engine.runPinned(prep.keyspace, bind(prep.statement, binds.toIndexedSeq))
   }
 
   /** Execute a prepared id with named bind values (`:name` markers). */
@@ -51,7 +59,7 @@ final class PreparedStatements(engine: CqlEngine) {
       case (None, i) => throw engine.InvalidRequest(
         s"Positional marker at index $i cannot be bound by name")
     }
-    engine.run(bind(prep.statement, positional.toIndexedSeq))
+    engine.runPinned(prep.keyspace, bind(prep.statement, positional.toIndexedSeq))
   }
 
   private def toLiteral(v: Any): Literal = v match {

@@ -69,7 +69,7 @@ class CqlCollWritetimeSpec extends SparkSpec {
     assert(r2(1).asInstanceOf[scala.collection.Seq[Any]].toSeq === Seq(null))
   }
 
-  test("collection writetime survives compaction; lists stay rejected") {
+  test("collection writetime survives compaction (sets and lists)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cwt").toString
     val e = mkEngine
     e.attachStorage(dir)
@@ -77,10 +77,48 @@ class CqlCollWritetimeSpec extends SparkSpec {
     e.execute("INSERT INTO cw4 (k, s, l) VALUES (1, {'x'}, [1]) USING TIMESTAMP 7")
     e.compact("cw4")
     e.execute("UPDATE cw4 USING TIMESTAMP 9 SET s = s + {'y'} WHERE k = 1")
-    val r = first(e.execute("SELECT writetime(s) FROM cw4"))
+    e.execute("UPDATE cw4 USING TIMESTAMP 9 SET l = l + [2] WHERE k = 1")
+    val r = first(e.execute("SELECT writetime(s), writetime(l) FROM cw4"))
     assert(longs(r(0)) === Seq(7L, 9L))
-    assertInvalid(e, "SELECT writetime(l) FROM cw4", "on lists")
-    assertInvalid(e, "SELECT ttl(l) FROM cw4", "on lists")
+    assert(longs(r(1)) === Seq(7L, 9L))
     assertInvalid(e, "SELECT writetime(k) FROM cw4", "PRIMARY KEY part")
+  }
+
+  test("writetime(list) is position-keyed: append/prepend/set-by-index stamps") {
+    val e = mkEngine
+    e.execute("CREATE TABLE cw5 (k int PRIMARY KEY, l list<text>)")
+    e.execute("INSERT INTO cw5 (k, l) VALUES (1, ['a', 'b']) USING TIMESTAMP 100")
+    e.execute("UPDATE cw5 USING TIMESTAMP 200 SET l = l + ['c'] WHERE k = 1")
+    e.execute("UPDATE cw5 USING TIMESTAMP 300 SET l = ['z'] + l WHERE k = 1")
+    // list is now [z, a, b, c]; each position keeps its writing stamp
+    val r = first(e.execute("SELECT l, writetime(l) FROM cw5"))
+    assert(r(0).asInstanceOf[scala.collection.Seq[Any]].toSeq === Seq("z", "a", "b", "c"))
+    assert(longs(r(1)) === Seq(300L, 100L, 100L, 200L))
+    // set-by-index re-stamps ONE position (duplicate values keep their own
+    // stamps — position-keyed, unlike the set/map element fold)
+    e.execute("UPDATE cw5 USING TIMESTAMP 400 SET l[2] = 'b2' WHERE k = 1")
+    val r2 = first(e.execute("SELECT l, writetime(l) FROM cw5"))
+    assert(r2(0).asInstanceOf[scala.collection.Seq[Any]].toSeq === Seq("z", "a", "b2", "c"))
+    assert(longs(r2(1)) === Seq(300L, 100L, 400L, 200L))
+    // delete-by-index drops the position's stamp (pinned timestamp, so the
+    // later full overwrite below still wins LWW)
+    e.execute("DELETE l[0] FROM cw5 USING TIMESTAMP 450 WHERE k = 1")
+    assert(longs(first(e.execute("SELECT writetime(l) FROM cw5"))(0)) ===
+      Seq(100L, 400L, 200L))
+    // full overwrite re-stamps everything
+    e.execute("UPDATE cw5 USING TIMESTAMP 500 SET l = ['q'] WHERE k = 1")
+    assert(longs(first(e.execute("SELECT writetime(l) FROM cw5"))(0)) === Seq(500L))
+  }
+
+  test("ttl(list) lists remaining per-position ttls, null for no-ttl cells") {
+    val e = mkEngine
+    e.execute("CREATE TABLE cw6 (k int PRIMARY KEY, l list<int>)")
+    e.execute("INSERT INTO cw6 (k, l) VALUES (1, [1, 2])")
+    e.execute("UPDATE cw6 USING TTL 10000 SET l = l + [3] WHERE k = 1")
+    val r = first(e.execute("SELECT ttl(l) FROM cw6"))
+      .head.asInstanceOf[scala.collection.Seq[Any]].toSeq
+    assert(r.length === 3)
+    assert(r(0) === null && r(1) === null)
+    assert(r(2).asInstanceOf[Number].intValue() > 9000)
   }
 }

@@ -465,10 +465,9 @@ class CqlEngineSpec extends SparkSpec {
     assert(e.execute("SELECT st FROM t22 WHERE k = 1").head().getSeq[String](0) === Seq("z"))
     e.execute("UPDATE t22 SET st = st - {'z'} WHERE k = 1")
     assert(e.execute("SELECT st FROM t22 WHERE k = 1").head().isNullAt(0))
-    // writetime on multi-cell LISTS stays rejected (sets/maps return
-    // per-element lists — CqlCollWritetimeSpec)
-    assertInvalid(e, "SELECT writetime(l) FROM t22",
-      "Cannot use selection function writetime on lists")
+    // writetime on multi-cell LISTS returns a per-position list
+    // (CqlCollWritetimeSpec covers the stamp semantics)
+    assert(e.execute("SELECT writetime(l) FROM t22").count() === 1)
     // out-of-order timestamps: older append lands in timestamp order
     e.execute("CREATE TABLE t23 (k int PRIMARY KEY, l list<int>)")
     e.execute("INSERT INTO t23 (k, l) VALUES (1, [5]) USING TIMESTAMP 100")
@@ -564,6 +563,42 @@ class CqlEngineSpec extends SparkSpec {
       "SELECT a, b, count(*) FROM t27 GROUP BY a, b PER PARTITION LIMIT 2"))
       .map(r => (r(0), r(1))) ===
       Set((0, 2), (0, 1), (1, 2), (1, 1)))
+  }
+
+  test("failed static-only CAS reports the partition's FIRST live row only") {
+    // CQL3CasRequest.readCommand:191-200: with only static conditions the
+    // read is a limit-1 slice over the partition (first live row in
+    // clustering order), so that's what a failed CAS reports — not every
+    // row of the partition
+    val e = mkEngine
+    e.execute("CREATE TABLE t29 (k int, c int, s int static, v int, PRIMARY KEY (k, c))")
+    for (c <- 1 to 3) e.execute(s"INSERT INTO t29 (k, c, v) VALUES (1, $c, ${c * 10})")
+    e.execute("UPDATE t29 SET s = 5 WHERE k = 1")
+    val res = e.execute(
+      """BEGIN BATCH
+        |  UPDATE t29 SET s = 9 WHERE k = 1 IF s = 99;
+        |APPLY BATCH""".stripMargin).collect()
+    assert(!res.head.getBoolean(0))
+    assert(res.length === 1, s"one reported row, got ${res.length}")
+    assert(res.head.getAs[Int]("c") === 1, "first row in clustering order")
+    // DESC clustering: the first live row is the HIGHEST clustering value
+    e.execute("CREATE TABLE t29d (k int, c int, s int static, v int, " +
+      "PRIMARY KEY (k, c)) WITH CLUSTERING ORDER BY (c DESC)")
+    for (c <- 1 to 3) e.execute(s"INSERT INTO t29d (k, c, v) VALUES (1, $c, $c)")
+    val resD = e.execute(
+      """BEGIN BATCH
+        |  UPDATE t29d SET s = 9 WHERE k = 1 IF s = 99;
+        |APPLY BATCH""".stripMargin).collect()
+    assert(!resD.head.getBoolean(0) && resD.length === 1)
+    assert(resD.head.getAs[Int]("c") === 3, "DESC clustering reads c=3 first")
+    // an applying static CAS still applies
+    val ok = e.execute(
+      """BEGIN BATCH
+        |  UPDATE t29 SET s = 7 WHERE k = 1 IF s = 5;
+        |APPLY BATCH""".stripMargin).collect()
+    assert(ok.head.getBoolean(0))
+    assert(e.execute("SELECT s FROM t29 WHERE k = 1 LIMIT 1").collect()
+      .head.getInt(0) === 7)
   }
 
   test("PER PARTITION LIMIT + GROUP BY floor() follows the source clustering direction") {

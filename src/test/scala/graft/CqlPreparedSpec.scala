@@ -51,6 +51,37 @@ class CqlPreparedSpec extends SparkSpec {
     assert(ps.executeNamed(ppl.id, Map("n" -> 2)).count() === 4)
   }
 
+  test("prepared statements pin the keyspace current at PREPARE time") {
+    val e = new CqlEngine(spark)
+    val ps = new PreparedStatements(e)
+    e.execute("CREATE TABLE pin1 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO pin1 (k, v) VALUES (1, 'default-ks')")
+    e.execute("CREATE KEYSPACE ksp WITH replication = {'class': 'SimpleStrategy'}")
+    e.execute("CREATE TABLE ksp.pin1 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO ksp.pin1 (k, v) VALUES (1, 'other-ks')")
+    // prepare in the default keyspace, then switch: the prepared statement
+    // must keep addressing the PREPARE-time table (QueryProcessor pins the
+    // keyspace into the statement id and resolution)
+    val sel = ps.prepare("SELECT v FROM pin1 WHERE k = ?")
+    e.execute("USE ksp")
+    assert(ps.execute(sel.id, 1).collect().head.getString(0) === "default-ks")
+    // the same query prepared under the new keyspace is a DIFFERENT id
+    // hitting the new keyspace's table
+    val sel2 = ps.prepare("SELECT v FROM pin1 WHERE k = ?")
+    assert(sel2.id !== sel.id)
+    assert(ps.execute(sel2.id, 1).collect().head.getString(0) === "other-ks")
+    // pinned writes land in the prepare-time keyspace too
+    e.execute("USE " + "graft")
+    val ins = ps.prepare("INSERT INTO pin1 (k, v) VALUES (?, ?)")
+    e.execute("USE ksp")
+    ps.execute(ins.id, 2, "from-pinned")
+    e.execute("USE graft")
+    assert(e.execute("SELECT v FROM pin1 WHERE k = 2").collect()
+      .head.getString(0) === "from-pinned")
+    assert(e.execute("SELECT count(*) AS n FROM ksp.pin1").collect()
+      .head.getLong(0) === 1L)
+  }
+
   test("tail auto-flushes to segments once it exceeds the bound") {
     val dir = java.nio.file.Files.createTempDirectory("graft-autoflush").toString
     val e = new CqlEngine(spark)

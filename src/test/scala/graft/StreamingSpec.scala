@@ -72,6 +72,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("engineCdc and bootstrapEngineView resolve qualified ks.table storage paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcq").toString
+    val e = new graft.cql.CqlEngine(spark)
+    e.attachStorage(dir)
+    e.cdcEnabled = true
+    e.execute("CREATE KEYSPACE cks WITH replication = {'class': 'SimpleStrategy'}")
+    e.execute("CREATE TABLE cks.qt (k int PRIMARY KEY, v int)")
+    for (k <- 1 to 8) e.execute(s"INSERT INTO cks.qt (k, v) VALUES ($k, $k)")
+    e.flush("cks.qt")
+    // the catalog-resolving overload maps cks.qt -> the ks-qualified
+    // storage directory (MutationStream.scala engineCdc(engine, ...))
+    val stream = MutationStream.engineCdc(spark, e, dir, "cks.qt")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("cdcq_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cdcq_out").collect().head.getLong(0) === 8L)
+    } finally q.stop()
+    // bootstrap over the same qualified table: snapshot + tail = table
+    e.compact("cks.qt")
+    e.execute("UPDATE cks.qt SET v = 99 WHERE k = 2")
+    e.execute("DELETE FROM cks.qt WHERE k = 3")
+    e.flush("cks.qt")
+    val state = scala.collection.mutable.Map.empty[Int, Int]
+    val q2 = MutationStream.bootstrapEngineView(spark, e, dir, "cks.qt", Seq("k"),
+      (batch, _) => batch.select("k", "v", "_op").collect().foreach { r =>
+        if (Set("delrow", "delpart").contains(r.getString(2))) state.remove(r.getInt(0))
+        else state(r.getInt(0)) = r.getInt(1)
+      }).start()
+    try {
+      q2.processAllAvailable()
+      val expected = e.execute("SELECT k, v FROM cks.qt").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(state.toMap === expected)
+      assert(expected(2) === 99 && !expected.contains(3))
+    } finally q2.stop()
+  }
+
   test("bootstrapEngineView: checkpoint snapshot + post-compact tail = table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-boot").toString
     val e = new graft.cql.CqlEngine(spark)
