@@ -127,9 +127,14 @@ object Queries {
 
     QueryDef("q_token_range",
       // token-range scan (TokenRelation; dht/Murmur3Partitioner.java) —
-      // no DuckDB oracle (murmur3 token not expressible there); covered by
-      // TokenSpec vectors instead.
-      None,
+      // murmur3 is not expressible in DuckDB, so the oracle compares against
+      // a fixture of driver-side-computed tokens written by Verify (the
+      // Scala function is pinned to reference vectors in TokenSpec; this
+      // check pins the codegen'd expression + range pipeline to it).
+      Some("""SELECT o_orderkey, tok
+              FROM parquet_scan('{OUT}/_fixture_tokens/*.parquet')
+              WHERE tok > -4611686018427387904 AND tok <= 0
+              ORDER BY tok, o_orderkey LIMIT 100"""),
       (s, d) => {
         prep(s)
         t(s, d, "orders").select(col("o_orderkey"),
@@ -964,9 +969,13 @@ object Queries {
 
     QueryDef("q_timeuuid_bounds",
       // mintimeuuid/maxtimeuuid boundary pattern (TimeFcts.java:69-91) —
-      // uuid construction has no DuckDB equivalent → rows-only check;
-      // layout/ordering vectors live in FunctionsSpec
-      None,
+      // uuid construction has no DuckDB equivalent, so the oracle compares
+      // against a Verify-written fixture computed driver-side via
+      // TimeUuid.minTimeUuid/unixMillisOf (pinned to reference vectors in
+      // FunctionsSpec); the check pins the codegen'd expressions to it.
+      Some("""SELECT event_id, u, u_millis
+              FROM parquet_scan('{OUT}/_fixture_timeuuid/*.parquet')
+              ORDER BY event_id LIMIT 200"""),
       (s, d) => {
         prep(s)
         val ms = expr("(ts div 1000000) * 1000")

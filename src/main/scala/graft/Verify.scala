@@ -8,6 +8,7 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.get("graft-verify")
     new java.io.File(outDir).mkdirs()
+    writeFixtures(spark, sfDir, outDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -28,8 +29,40 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Reference fixtures for queries whose core function DuckDB cannot
+    * express (murmur3 token, v1 timeuuid construction). Values are computed
+    * OUTSIDE the Catalyst expressions under test — driver-side through the
+    * plain Scala functions that TokenSpec/FunctionsSpec pin to reference
+    * vectors — so the DuckDB compare checks the codegen'd expression
+    * pipeline against an independent evaluation path. Oracle SQL reads them
+    * via `parquet_scan('{OUT}/_fixture_*')`; `{OUT}` is substituted with the
+    * runtime outDir when oracle_sql.json is dumped.
+    */
+  private def writeFixtures(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val toks = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey").as[Long].collect().toIndexedSeq
+      .map(k => (k, graft.functions.CassandraMurmur3.tokenOfLong(k)))
+    toks.toDF("o_orderkey", "tok").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_fixture_tokens")
+    // input prep (ms derivation) is shared with q_timeuuid_bounds; the
+    // operators under test (MinTimeUuid/TimeUuidMillis codegen) are not.
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("user_id") < 5)
+      .select(col("event_id"), expr("(ts div 1000000) * 1000").cast("long").as("ms"))
+      .as[(Long, Long)].collect().toIndexedSeq
+      .map { case (id, ms) =>
+        val u = graft.functions.TimeUuid.minTimeUuid(ms)
+        (id, u, graft.functions.TimeUuid.unixMillisOf(u))
+      }
+    ev.toDF("event_id", "u", "u_millis").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_fixture_timeuuid")
   }
 }
