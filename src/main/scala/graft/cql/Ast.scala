@@ -237,6 +237,25 @@ object Ast {
                               ifNotExists: Boolean) extends Statement
   final case class DropView(name: String) extends Statement
   final case class DropTable(name: String) extends Statement
+  /** DROP TYPE [IF EXISTS] name (Parser.g:233-249 st27;
+    * statements/schema/DropTypeStatement.java — refused while the type is
+    * still referenced by functions, other types, or tables).
+    */
+  final case class DropType(name: String, ifExists: Boolean) extends Statement
+  /** DROP FUNCTION / DROP AGGREGATE with an optional explicit
+    * argument-type signature (DropFunctionStatement.java /
+    * DropAggregateStatement.java; the reference disambiguates overloads
+    * with it — here a mismatched signature is simply "doesn't exist").
+    */
+  final case class DropFunction(name: String, argTypes: Option[Seq[CqlType]],
+                                ifExists: Boolean) extends Statement
+  final case class DropAggregate(name: String, argTypes: Option[Seq[CqlType]],
+                                 ifExists: Boolean) extends Statement
+  /** ALTER MATERIALIZED VIEW v WITH opt = val [AND ...]
+    * (AlterViewStatement.java — gc_grace_seconds=0 and any
+    * default_time_to_live are rejected; other params are stored).
+    */
+  final case class AlterView(name: String, options: Seq[(String, Literal)]) extends Statement
 
   /** Keyspace DDL (Parser.g createKeyspaceStatement / useStatement;
     * replication/durable_writes options are distribution plumbing — parsed

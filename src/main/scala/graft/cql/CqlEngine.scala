@@ -45,6 +45,11 @@ class CqlEngine(val spark: SparkSession) {
     * Session-scoped (not persisted by attachStorage).
     */
   private val views = scala.collection.mutable.LinkedHashMap.empty[String, CreateView]
+  /** per-view table params set via ALTER MATERIALIZED VIEW ... WITH
+    * (AlterViewStatement.java swaps TableParams; stored here for
+    * introspection — read-path semantics don't depend on them).
+    */
+  private val viewOptions = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
   /** CREATE FUNCTION / CREATE AGGREGATE registries (system_schema.functions/
     * aggregates analog). Function bodies are Spark SQL expressions.
     */
@@ -119,6 +124,7 @@ class CqlEngine(val spark: SparkSession) {
     case t: Truncate => t.copy(name = canon(t.name))
     case dt: DropTable => dt.copy(name = canon(dt.name))
     case dv: DropView => dv.copy(name = canon(dv.name))
+    case av: AlterView => av.copy(name = canon(av.name))
     case at: AlterTable => at.copy(name = canon(at.name))
     case ci: CreateIndex => ci.copy(table = canon(ci.table))
     case cv: CreateView => cv.copy(name = canon(cv.name), baseTable = canon(cv.baseTable))
@@ -604,7 +610,9 @@ class CqlEngine(val spark: SparkSession) {
           tables.remove(t); logs.remove(t); dropStorage(t)
           indexDefs.filterInPlace((_, d) => d.table != t)
         }
-        views.keys.filter(splitName(_)._1 == n).toList.foreach(views.remove)
+        views.keys.filter(splitName(_)._1 == n).toList.foreach { v =>
+          views.remove(v); viewOptions.remove(v)
+        }
         if (currentKeyspace == n) currentKeyspace = defaultKeyspace
       }
       emptyResult
@@ -671,7 +679,86 @@ class CqlEngine(val spark: SparkSession) {
       emptyResult
     case DropView(n) =>
       if (!views.contains(n)) throw InvalidRequest(s"Materialized view $n doesn't exist")
-      views.remove(n); tables.remove(n); emptyResult
+      views.remove(n); tables.remove(n); viewOptions.remove(n); emptyResult
+    case AlterView(n, opts) =>
+      // AlterViewStatement.java:44-75 — view must exist; gc_grace_seconds=0
+      // and any default_time_to_live are rejected (view rows must expire
+      // with their base rows); remaining params are stored.
+      if (!views.contains(n)) throw InvalidRequest(s"Materialized view $n doesn't exist")
+      def intOpt(o: String): Option[Long] = opts.collectFirst { case (`o`, IntLit(v)) => v }
+      if (intOpt("gc_grace_seconds").contains(0L))
+        throw InvalidRequest(
+          "Cannot alter gc_grace_seconds of a materialized view to 0, since this " +
+            "value is used to TTL undelivered updates. Setting gc_grace_seconds too " +
+            "low might cause undelivered updates to expire before being replayed.")
+      if (intOpt("default_time_to_live").exists(_ > 0))
+        throw InvalidRequest(
+          "Cannot set or alter default_time_to_live for a materialized view. " +
+            "Data in a materialized view always expire at the same time than " +
+            "the corresponding data in the parent table.")
+      viewOptions(n) = viewOptions.getOrElse(n, Map.empty) ++
+        opts.map { case (k, v) => k -> v.toString }
+      emptyResult
+    case DropType(n, ifExists) =>
+      if (!udts.contains(n)) {
+        if (!ifExists) throw InvalidRequest(s"Type '$currentKeyspace.$n' doesn't exist")
+      } else {
+        // still-in-use checks, DropTypeStatement.java:58-110: a type cannot
+        // be dropped while functions/aggregates, other user types, or
+        // tables still reference it (nested references included).
+        val byFns = (udfs.values.collect {
+          case f if f.args.exists(a => typeRefs(a._2, n)) || typeRefs(f.returns, n) => f.name
+        } ++ udas.values.collect {
+          case a if typeRefs(a.argType, n) || typeRefs(a.stype, n) => a.name
+        }).toSeq.distinct
+        if (byFns.nonEmpty)
+          throw InvalidRequest(s"Cannot drop user type '$currentKeyspace.$n' " +
+            s"as it is still used by functions ${byFns.mkString(", ")}")
+        val byTypes = udts.values.collect {
+          case u if u.typeName != n && u.fields.exists(f => typeRefs(f._2, n)) => u.typeName
+        }.toSeq
+        if (byTypes.nonEmpty)
+          throw InvalidRequest(s"Cannot drop user type '$currentKeyspace.$n' " +
+            s"as it is still used by user types ${byTypes.mkString(", ")}")
+        val byTables = tables.values.collect {
+          case t if t.columns.exists(c => typeRefs(c.tpe, n)) => t.name
+        }.toSeq
+        if (byTables.nonEmpty)
+          throw InvalidRequest(s"Cannot drop user type '$currentKeyspace.$n' " +
+            s"as it is still used by tables ${byTables.mkString(", ")}")
+        udts.remove(n)
+      }
+      emptyResult
+    case DropFunction(n, argTypes, ifExists) =>
+      // DropFunctionStatement.java:66-120 — unknown name/signature is an
+      // error unless IF EXISTS; refused while an aggregate references it.
+      val sig = argTypes.map(ts => s"$n(${ts.map(_.name).mkString(", ")})").getOrElse(n)
+      udfs.get(n) match {
+        case None =>
+          if (!ifExists) throw InvalidRequest(s"Function '$currentKeyspace.$sig' doesn't exist")
+        case Some(f) if argTypes.exists(_.map(_.name) != f.args.map(_._2.name)) =>
+          if (!ifExists) throw InvalidRequest(s"Function '$currentKeyspace.$sig' doesn't exist")
+        case Some(_) =>
+          val deps = udas.values
+            .filter(a => a.sfunc == n || a.finalFunc.contains(n)).map(_.name).toSeq
+          if (deps.nonEmpty)
+            throw InvalidRequest(s"Function '$currentKeyspace.$sig' is still " +
+              s"referenced by aggregates ${deps.mkString(", ")}")
+          udfs.remove(n)
+          spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $n")
+      }
+      emptyResult
+    case DropAggregate(n, argTypes, ifExists) =>
+      // DropAggregateStatement.java:68-115
+      val sig = argTypes.map(ts => s"$n(${ts.map(_.name).mkString(", ")})").getOrElse(n)
+      udas.get(n) match {
+        case None =>
+          if (!ifExists) throw InvalidRequest(s"Aggregate '$currentKeyspace.$sig' doesn't exist")
+        case Some(a) if argTypes.exists(_.map(_.name) != Seq(a.argType.name)) =>
+          if (!ifExists) throw InvalidRequest(s"Aggregate '$currentKeyspace.$sig' doesn't exist")
+        case Some(_) => udas.remove(n)
+      }
+      emptyResult
     case AlterTable(n, adds, drops, renames, withDttl) =>
       val td = mutableTable(n)
       if (withDttl.nonEmpty && adds.isEmpty && drops.isEmpty && renames.isEmpty) {
@@ -2139,6 +2226,19 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   /** Replace every embedded copy of UDT `name` with its new definition. */
+  /** Does `t` reference user type `tn`, possibly nested through
+    * collections/tuples/other UDTs? (Types/Tables.referencingUserType
+    * analog, schema/Types.java.)
+    */
+  private def typeRefs(t: CqlType, tn: String): Boolean = t match {
+    case u: CqlUdt => u.typeName == tn || u.fields.exists(f => typeRefs(f._2, tn))
+    case CqlList(e) => typeRefs(e, tn)
+    case CqlSet(e) => typeRefs(e, tn)
+    case CqlMap(k, v) => typeRefs(k, tn) || typeRefs(v, tn)
+    case CqlTuple(es) => es.exists(typeRefs(_, tn))
+    case _ => false
+  }
+
   private def rewriteUdt(t: CqlType, name: String, nu: CqlUdt): CqlType = t match {
     case u: CqlUdt if u.typeName == name => nu
     case u: CqlUdt => u.copy(fields = u.fields.map { case (f, ft) => (f, rewriteUdt(ft, name, nu)) })

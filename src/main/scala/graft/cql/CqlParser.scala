@@ -249,6 +249,20 @@ object CqlParser {
           if (p.tryKw("with")) skipOptions(p)
           AlterKeyspace(n)
         } else if (p.tryKw("type")) parseAlterType(p)
+        else if (p.tryKw("materialized")) {
+          // alterMaterializedViewStatement (Parser.g; AlterViewStatement.java)
+          p.eatKw("view")
+          val n = p.tableName()
+          p.eatKw("with")
+          var opts = Vector.empty[(String, Literal)]
+          var more = true
+          while (more) {
+            val o = p.ident(); p.sym("=")
+            opts :+= (o -> anyLiteral(p))
+            more = p.tryKw("and")
+          }
+          AlterView(n, opts)
+        }
         else parseAlterTable(p)
       }
       else if (p.kw("create")) parseCreate(p)
@@ -264,11 +278,37 @@ object CqlParser {
           // index names may be keyspace-qualified (Parser.g indexName)
           DropIndex(p.tableName(), ifExists)
         }
+        else if (p.tryKw("type")) {
+          val ifExists = if (p.tryKw("if")) { p.eatKw("exists"); true } else false
+          DropType(p.ident(), ifExists)
+        }
+        else if (p.tryKw("function")) parseDropFunctionLike(p, agg = false)
+        else if (p.tryKw("aggregate")) parseDropFunctionLike(p, agg = true)
         else { p.eatKw("table"); DropTable(p.tableName()) }
       }
       else parseDml(p)
     if (!p.done) throw ParseException(s"unexpected trailing input at ${p.peek.map(_.text).getOrElse("")}")
     (stmt, p.bindCount, p.bindNames)
+  }
+
+  /** dropFunctionStatement / dropAggregateStatement (Parser.g:233-249):
+    * name plus an optional explicit argument-type signature.
+    */
+  private def parseDropFunctionLike(p: P, agg: Boolean): Statement = {
+    val ifExists = if (p.tryKw("if")) { p.eatKw("exists"); true } else false
+    val name = p.ident()
+    val argTypes =
+      if (p.trySym("(")) {
+        var ts = Vector.empty[CqlType]
+        if (!p.trySym(")")) {
+          ts :+= parseType(p)
+          while (p.trySym(",")) ts :+= parseType(p)
+          p.sym(")")
+        }
+        Some(ts: Seq[CqlType])
+      } else None
+    if (agg) DropAggregate(name, argTypes, ifExists)
+    else DropFunction(name, argTypes, ifExists)
   }
 
   /** `opt = literal [AND ...]` chains whose values we don't act on. */

@@ -150,4 +150,67 @@ class CqlDdlSpec extends SparkSpec {
     assert(rowsInOrder(e.execute("SELECT v, count(*) FROM ag2")) === Seq(Seq("a", 3L)))
     assert(rowsInOrder(e.execute("SELECT v, count(*) FROM ag3")) === Seq(Seq("x", 2L)))
   }
+
+  test("DROP TYPE: still-in-use checks, nested references, IF EXISTS " +
+    "(DropTypeStatement.java:58-110; entities/UserTypesTest.java shapes)") {
+    val e = mkEngine
+    e.execute("CREATE TYPE dt_addr (street text, zip int)")
+    e.execute("CREATE TYPE dt_person (name text, home dt_addr)")
+    e.execute("CREATE TABLE dt_tbl (k int PRIMARY KEY, p dt_person)")
+    // dt_person referenced directly by the table; dt_addr nested through it
+    assertInvalid(e, "DROP TYPE dt_person", "still used by tables dt_tbl")
+    assertInvalid(e, "DROP TYPE dt_addr", "still used by user types dt_person")
+    // functions are checked before types/tables, like the reference
+    e.execute("CREATE FUNCTION dt_fn (a dt_addr) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE spark AS 'a.zip'")
+    assertInvalid(e, "DROP TYPE dt_addr", "still used by functions dt_fn")
+    e.execute("DROP FUNCTION dt_fn")
+    e.execute("DROP TABLE dt_tbl")
+    e.execute("DROP TYPE dt_person")
+    e.execute("DROP TYPE dt_addr")
+    assertInvalid(e, "DROP TYPE dt_addr", "doesn't exist")
+    e.execute("DROP TYPE IF EXISTS dt_addr")
+    // the name is free again after the drop
+    e.execute("CREATE TYPE dt_addr (a int)")
+  }
+
+  test("DROP FUNCTION / DROP AGGREGATE: aggregate dependency + signature " +
+    "checks (DropFunctionStatement.java:66-120, DropAggregateStatement.java:68-115)") {
+    val e = mkEngine
+    e.execute("CREATE FUNCTION df_add (state bigint, v bigint) CALLED ON NULL INPUT " +
+      "RETURNS bigint LANGUAGE spark AS 'state + v'")
+    e.execute("CREATE AGGREGATE df_sum (bigint) SFUNC df_add STYPE bigint INITCOND 0")
+    assertInvalid(e, "DROP FUNCTION df_add", "still referenced by aggregates df_sum")
+    // a mismatched explicit signature is "doesn't exist", not a drop
+    assertInvalid(e, "DROP FUNCTION df_add (int, int)", "doesn't exist")
+    assertInvalid(e, "DROP AGGREGATE df_sum (text)", "doesn't exist")
+    e.execute("DROP AGGREGATE df_sum (bigint)")
+    e.execute("DROP FUNCTION df_add (bigint, bigint)")
+    assertInvalid(e, "DROP AGGREGATE df_sum", "doesn't exist")
+    assertInvalid(e, "DROP FUNCTION df_add", "doesn't exist")
+    e.execute("DROP FUNCTION IF EXISTS df_add")
+    e.execute("DROP AGGREGATE IF EXISTS df_sum")
+    // the name is free again after the drop (different signature is fine)
+    e.execute("CREATE FUNCTION df_add (a int, b int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE spark AS 'a + b'")
+  }
+
+  test("ALTER MATERIALIZED VIEW: param validation (AlterViewStatement.java:44-75)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE amv_base (k int, c int, v int, PRIMARY KEY (k, c))")
+    e.execute("CREATE MATERIALIZED VIEW amv_v AS SELECT k, c, v FROM amv_base " +
+      "WHERE k IS NOT NULL AND c IS NOT NULL PRIMARY KEY (c, k)")
+    e.execute("ALTER MATERIALIZED VIEW amv_v WITH gc_grace_seconds = 864000 AND comment = 'x'")
+    assertInvalid(e, "ALTER MATERIALIZED VIEW amv_v WITH gc_grace_seconds = 0",
+      "Cannot alter gc_grace_seconds of a materialized view to 0")
+    assertInvalid(e, "ALTER MATERIALIZED VIEW amv_v WITH default_time_to_live = 300",
+      "Cannot set or alter default_time_to_live for a materialized view")
+    // dttl = 0 is the reference's "unset" and passes validation
+    e.execute("ALTER MATERIALIZED VIEW amv_v WITH default_time_to_live = 0")
+    assertInvalid(e, "ALTER MATERIALIZED VIEW amv_nope WITH gc_grace_seconds = 1",
+      "doesn't exist")
+    // the altered view still serves reads
+    e.execute("INSERT INTO amv_base (k, c, v) VALUES (1, 2, 3)")
+    assert(rowsInOrder(e.execute("SELECT c, k, v FROM amv_v")) === Seq(Seq(2, 1, 3)))
+  }
 }
