@@ -2545,11 +2545,35 @@ class CqlEngine(val spark: SparkSession) {
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         if (cd.tpe != CqlText)
           throw InvalidRequest(s"LIKE is allowed only on text columns, got $c of type ${cd.tpe.name}")
-        // SASI-style prefix/suffix/contains/match: served only by a CUSTOM
-        // index (index/sasi/SASIIndex.java; plain 2i has no LIKE support),
-        // otherwise post-filtering
-        val indexServed = indexBudget > 0 &&
-          tableIndexes(s.table).exists(d => d.custom && d.targets.exists(_._1 == c))
+        // Classify into LIKE_PREFIX/SUFFIX/CONTAINS/MATCHES by the wildcard
+        // positions and trim them from the term
+        // (SingleColumnRestriction.java:741-779 makeSpecific).
+        val likeOp =
+          if (pat.endsWith("%")) { if (pat.startsWith("%")) "contains" else "prefix" }
+          else if (pat.startsWith("%")) "suffix"
+          else "match"
+        if (pat.stripPrefix("%").stripSuffix("%").isEmpty)
+          throw InvalidRequest("LIKE value can't be empty.")
+        // A SASI custom index serves only the ops its mode supports:
+        // PREFIX (default) → prefix/match; CONTAINS → all four when not
+        // tokenized; SPARSE → no LIKE op (sasi/conf/IndexMode.java:196-200,
+        // sasi/disk/OnDiskIndexBuilder.java:52-56). An index that exists on
+        // the column but can't serve the op is a hard error even with
+        // ALLOW FILTERING (SASIIndexTest prefix-mode '%U' case); with NO
+        // index this engine still accepts LIKE under ALLOW FILTERING — a
+        // documented superset of the reference, which requires an index for
+        // any LIKE (StatementRestrictions.java:174-183).
+        val candidates = tableIndexes(s.table).filter(d => d.custom && d.targets.exists(_._1 == c))
+        val servable = candidates.filter { d =>
+          d.options.getOrElse("mode", "PREFIX").toUpperCase match {
+            case "PREFIX" => likeOp == "prefix" || likeOp == "match"
+            case "CONTAINS" => true
+            case _ => false
+          }
+        }
+        if (candidates.nonEmpty && servable.isEmpty)
+          throw InvalidRequest(s"$c LIKE '$pat' is only supported on properly indexed columns")
+        val indexServed = indexBudget > 0 && servable.nonEmpty
         if (indexServed) { indexBudget -= 1; indexServedCols += c }
         else needsFiltering = true
         restricted(c) = "like"

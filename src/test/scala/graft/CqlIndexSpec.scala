@@ -163,4 +163,44 @@ class CqlIndexSpec extends SparkSpec {
     e.execute("DROP TABLE mi7")
     assert(e.execute("SELECT index_name FROM system_schema.indexes").count() === 0)
   }
+
+  test("SASI mode gates LIKE serving: PREFIX default vs CONTAINS " +
+    "(sasi/conf/IndexMode.java, OnDiskIndexBuilder.Mode; SASIIndexTest.java:1806-1846,2146-2196)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE sm1 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO sm1 (k, v) VALUES (1, 'Pavel')")
+    e.execute("INSERT INTO sm1 (k, v) VALUES (2, 'Jordan')")
+    // default mode is PREFIX: 'x%' and exact-term match served...
+    e.execute("CREATE CUSTOM INDEX sm1_pref ON sm1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex'")
+    assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE 'Pav%'")) === Set(Seq(1)))
+    assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE 'Pavel'")) === Set(Seq(1)))
+    // ...but suffix/contains are a hard error, even with ALLOW FILTERING
+    // (SASIIndexTest.java:1824-1831: '%U' on a prefix-mode index)
+    assertInvalid(e, "SELECT k FROM sm1 WHERE v LIKE '%vel'", "only supported")
+    assertInvalid(e, "SELECT k FROM sm1 WHERE v LIKE '%vel' ALLOW FILTERING", "only supported")
+    assertInvalid(e, "SELECT k FROM sm1 WHERE v LIKE '%ave%'", "only supported")
+    // empty term after trimming wildcards (SingleColumnRestriction.java:771)
+    assertInvalid(e, "SELECT k FROM sm1 WHERE v LIKE '%'", "empty")
+    assertInvalid(e, "SELECT k FROM sm1 WHERE v LIKE '%%'", "empty")
+    e.execute("DROP INDEX sm1_pref")
+    // non-tokenized CONTAINS mode serves prefix, suffix, contains AND match
+    // (SASIIndexTest.java:2146-2196)
+    e.execute("CREATE CUSTOM INDEX sm1_cont ON sm1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' WITH OPTIONS = {'mode': 'CONTAINS'}")
+    assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE 'Pav%'")) === Set(Seq(1)))
+    assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE '%vel'")) === Set(Seq(1)))
+    assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE '%ave%'")) === Set(Seq(1)))
+    assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE 'Pav'")) === Set.empty[Seq[Any]])
+    assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE 'Pavel'")) === Set(Seq(1)))
+    e.execute("DROP INDEX sm1_cont")
+    // SPARSE mode supports no LIKE op at all
+    e.execute("CREATE CUSTOM INDEX sm1_sparse ON sm1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' WITH OPTIONS = {'mode': 'SPARSE'}")
+    assertInvalid(e, "SELECT k FROM sm1 WHERE v LIKE 'Pav%'", "only supported")
+    e.execute("DROP INDEX sm1_sparse")
+    // with no index at all, this engine's documented superset still accepts
+    // LIKE under ALLOW FILTERING
+    assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE '%vel' ALLOW FILTERING")) === Set(Seq(1)))
+  }
 }
