@@ -141,6 +141,28 @@ object Similarity {
     -best.getField("nc")
   }
 
+  /** Above this many lists the literal-expression assignment would embed
+    * nlist × dim float constants into one generated method — past Janino's
+    * 64 KB method / constant-pool limits long before the 10³-10⁵ lists a
+    * 100 TB corpus wants. Assignment then switches to a broadcast join +
+    * map-side max_by: same result and tie-break, one row per vector
+    * shuffles (vs zero), bounded codegen.
+    */
+  private val literalAssignMaxLists = 256
+
+  /** Broadcast-join assignment (the same shape the Lloyd training pass
+    * uses): nlist scored rows per vector combine map-side via partial
+    * max_by, so the shuffle carries one row per corpus vector.
+    */
+  private def assignByJoin(corpus: DataFrame, centDf: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centDf))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine_sim(col("embedding"), col("centroid")).as("sim"))
+      .groupBy("vec_id").agg(
+        max_by(col("cid"), struct(col("sim"), (-col("cid")).cast("double"))).as("cid"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("cid"), col("embedding"))
+
   /** IVF (inverted-file) index build: deterministic seeded centroids refined
     * with `iters` Lloyd steps over a bounded SAMPLE of the corpus
     * (~[[trainPerList]] vectors per list), then ONE full-corpus assignment
@@ -187,8 +209,11 @@ object Similarity {
       spark.sparkContext.parallelize(cents.map { case (cid, v) => Row(cid, v.toSeq) }, 1),
       StructType(Seq(StructField("cid", IntegerType, nullable = false),
         StructField("centroid", ArrayType(FloatType), nullable = true))))
-    val assigned = corpus.select(col("vec_id"),
-      nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
+    val assigned =
+      if (cents.length <= literalAssignMaxLists)
+        corpus.select(col("vec_id"),
+          nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
+      else assignByJoin(corpus, centDf)
     (centDf, assigned)
   }
 

@@ -80,6 +80,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a.size === exact.size)
   }
 
+  test("high-nlist IVF assigns via broadcast join, not centroid literals; still exact at nprobe==nlist") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 2)
+    val idx = Similarity.ivfTrain(spark, emb, nlist = 512, iters = 1)
+    // above the literal threshold the assignment must not embed a constant
+    // per centroid (Janino method/constant-pool cliff) — it joins against
+    // the broadcast centroid header instead
+    val plan = idx.assigned.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), "expected broadcast-join assignment above the literal threshold")
+    assert(!plan.toLowerCase.contains("greatest"), "no literal-per-centroid greatest() at high nlist")
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val nl = idx.centroids.count().toInt
+    val exhaustive = Similarity.ivfSearch(idx, queries, 10, nprobe = nl)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exhaustive === exact, "nprobe == nlist must be exact search")
+  }
+
   test("int8 quantization: bounded reconstruction error, exact range") {
     val emb = Tables.embeddings(spark, sf)
     val (q, scale) = Similarity.quantize(col("embedding"))
