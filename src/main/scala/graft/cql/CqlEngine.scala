@@ -2145,8 +2145,38 @@ class CqlEngine(val spark: SparkSession) {
     val (rowState0, staticState, pdel, rangeTombs) = fullState(name)
     // prune collection op-lists: everything before the last set/clear is
     // overwritten by the fold anyway
-    val rowState = td.regulars.filter(c => isCollection(c.tpe)).foldLeft(rowState0) {
+    val rowStatePruned = td.regulars.filter(c => isCollection(c.tpe)).foldLeft(rowState0) {
       (df, c) => df.withColumn("_muts_" + c.name, pruneMuts(col("_muts_" + c.name)))
+    }
+    // Physically purge rows that are fully dead by TTL EXPIRY at compact
+    // time: liveness absent-or-expired and every cell an expired-TTL
+    // tombstone. Compaction consumes every older input in one pass, so
+    // nothing in storage still needs the shadowing — the same purge the
+    // reference performs for expired cells once gc_grace passes
+    // (db/compaction; CASSANDRA-14092 expiration handling). gc_grace is not
+    // modeled: expiry alone gates, so a late USING TIMESTAMP write below an
+    // expired cell's timestamp behaves like a post-gc_grace write would.
+    // Explicit tombstones (_del_ts, null-write cells, collection clears)
+    // are NEVER purged — they still shadow late writes.
+    val rowState = {
+      def cellExpired(cell: Column): Column =
+        cell("ttl") > 0L && (cell("ts") + cell("ttl") * 1000000L) <= lit(nowMicros)
+      val liveDead = col("_live").isNull || cellExpired(col("_live"))
+      val colsDead = td.regulars.map { c =>
+        if (isCollection(c.tpe)) {
+          val m = col("_muts_" + c.name)
+          m.isNull || forall(m, e => e("op") =!= "clear" && cellExpired(e))
+        } else if (c.tpe == CqlCounter) col("_csum_" + c.name).isNull
+        else {
+          // expiry alone gates (tomb may be 0 if the cell was still live
+          // when an earlier compact aggregated it); explicit null-write
+          // tombstones carry ttl=0 and never satisfy cellExpired
+          val cell = col("_cell_" + c.name)
+          cell.isNull || cellExpired(cell)
+        }
+      }
+      val purgeable = (Seq(col("_del_ts").isNull, liveDead) ++ colsDead).reduce(_ && _)
+      rowStatePruned.filter(!purgeable)
     }
     val tdir = new java.io.File(dir, name)
     tdir.mkdirs()

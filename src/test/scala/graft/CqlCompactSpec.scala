@@ -81,6 +81,32 @@ class CqlCompactSpec extends SparkSpec {
     assert(rows(e.execute("SELECT k, v, w FROM ct4")) === Set(Seq(1, 1, null)))
   }
 
+  test("compact physically purges fully TTL-expired rows from the checkpoint " +
+    "(post-gc_grace expired-cell purge; CASSANDRA-14092 expiration handling)") {
+    val dir = tmpDir()
+    val e = mkEngine(dir)
+    e.nowMicros = 1000000L
+    e.execute("CREATE TABLE ct6 (k int PRIMARY KEY, v int)")
+    for (k <- 1 to 4) e.execute(s"INSERT INTO ct6 (k, v) VALUES ($k, $k) USING TTL 10")
+    e.execute("INSERT INTO ct6 (k, v) VALUES (5, 5)") // no TTL — survives
+    e.compact("ct6")
+    // nothing expired yet: all five rows checkpointed
+    assert(spark.read.parquet(s"$dir/ct6/checkpoint/rows").count() === 5)
+    e.nowMicros += 11000000L
+    // reads already hide the expired rows...
+    assert(rows(e.execute("SELECT k, v FROM ct6")) === Set(Seq(5, 5)))
+    e.compact("ct6")
+    // ...and a post-expiry compact physically drops them from storage
+    assert(spark.read.parquet(s"$dir/ct6/checkpoint/rows").count() === 1)
+    assert(rows(e.execute("SELECT k, v FROM ct6")) === Set(Seq(5, 5)))
+    // an explicit DELETE's tombstone is NOT purged (it must keep shadowing
+    // late USING TIMESTAMP writes; gc_grace is not modeled)
+    e.execute("DELETE FROM ct6 WHERE k = 5")
+    e.compact("ct6")
+    assert(spark.read.parquet(s"$dir/ct6/checkpoint/rows").count() === 1)
+    assert(e.execute("SELECT k, v FROM ct6").count() === 0)
+  }
+
   test("TRUNCATE and DROP discard durable data — nothing resurrects on restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-drop").toString
     val e = new CqlEngine(spark)
