@@ -495,6 +495,28 @@ object Queries {
         a.union(b).distinct().orderBy("p_partkey")
       }),
 
+    QueryDef("q_cql_index",
+      // entries() secondary index serves m[k]=v WITHOUT ALLOW FILTERING
+      // through the durable engine path (CreateIndexStatement.java;
+      // index/internal/composites/CollectionEntryIndex.java) — the whole
+      // create-table → bulk-load → create-index → index-served-select
+      // pipeline under the oracle gate
+      Some("""SELECT event_id, user_id FROM events
+              WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) = 3
+                AND user_id < 50
+              ORDER BY event_id"""),
+      (s, d) => {
+        val e = storedEngine(s)
+        e.execute("CREATE TABLE cql_ix (event_id bigint PRIMARY KEY, user_id bigint, m map<text, int>)")
+        e.bulkInsert("cql_ix", t(s, d, "events").filter(col("user_id") < 50)
+          .select(col("event_id"), col("user_id"),
+            from_json(col("props"), MapType(StringType, IntegerType)).as("m")))
+        e.execute("CREATE INDEX ON cql_ix (entries(m))")
+        // no ALLOW FILTERING: the entries() index serves the restriction
+        e.execute("SELECT event_id, user_id FROM cql_ix WHERE m['k'] = 3")
+          .orderBy("event_id")
+      }),
+
     QueryDef("q_cql_coll_writetime",
       // per-element writetime() list on a multi-cell set through the engine
       // (CASSANDRA-8877 forward-port): bulk-loaded with per-row event-time

@@ -94,6 +94,17 @@ class PlanSpec extends SparkSpec {
       "bulk rows must not round-trip through the driver:\n" + p.take(2000))
   }
 
+  test("index-served engine query reads durable segments, not the driver") {
+    // q_cql_index: entries() index serves m[k]=v without ALLOW FILTERING;
+    // the data must come off parquet segment files (distributed sink), not
+    // a LocalTableScan of driver-collected rows
+    val df = SparkEntry.queries("q_cql_index")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("Scan parquet"), p.take(2000))
+    assert(!p.contains("LocalTableScan"),
+      "index-served read must come off durable segments:\n" + p.take(2000))
+  }
+
   test("IVF probe prunes the inverted-list scan to the probed cid partitions") {
     // the graded q_ann_ivf runs train → save → load → probe: the lists scan
     // must carry a PartitionFilters entry on cid (directory-level pruning —
