@@ -81,7 +81,8 @@ object Ast {
   final case class TableDef(name: String, columns: Seq[ColumnDef],
                             clusteringDesc: Seq[Boolean],
                             defaultTtl: Long = 0L,
-                            dropped: Seq[String] = Nil) {
+                            dropped: Seq[String] = Nil,
+                            gcGraceSeconds: Long = 864000L) {
     val partitionKey: Seq[ColumnDef] = columns.filter(_.kind == PartitionKey)
     val clustering: Seq[ColumnDef] = columns.filter(_.kind == Clustering)
     val statics: Seq[ColumnDef] = columns.filter(_.kind == Static)
@@ -272,7 +273,8 @@ object Ast {
   final case class AlterTable(name: String, add: Seq[(String, CqlType)],
                               drop: Seq[String],
                               renames: Seq[(String, String)] = Nil,
-                              withDttl: Option[Long] = None) extends Statement
+                              withDttl: Option[Long] = None,
+                              withGc: Option[Long] = None) extends Statement
   final case class Truncate(name: String) extends Statement
 
   /** INSERT: full-row upsert, sets primary-key liveness

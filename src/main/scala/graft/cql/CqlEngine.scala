@@ -759,10 +759,13 @@ class CqlEngine(val spark: SparkSession) {
         case Some(_) => udas.remove(n)
       }
       emptyResult
-    case AlterTable(n, adds, drops, renames, withDttl) =>
+    case AlterTable(n, adds, drops, renames, withDttl, withGc) =>
       val td = mutableTable(n)
-      if (withDttl.nonEmpty && adds.isEmpty && drops.isEmpty && renames.isEmpty) {
-        tables(n) = td.copy(defaultTtl = withDttl.get)
+      if ((withDttl.nonEmpty || withGc.nonEmpty) &&
+          adds.isEmpty && drops.isEmpty && renames.isEmpty) {
+        tables(n) = td.copy(
+          defaultTtl = withDttl.getOrElse(td.defaultTtl),
+          gcGraceSeconds = withGc.getOrElse(td.gcGraceSeconds))
         return emptyResult
       }
       if (renames.nonEmpty) {
@@ -810,7 +813,8 @@ class CqlEngine(val spark: SparkSession) {
         td.columns.filterNot(c => drops.contains(c.name)) ++
           adds.map { case (c, t) => ColumnDef(c, t, Regular) },
         td.clusteringDesc, td.defaultTtl,
-        dropped = (td.dropped ++ drops).distinct)
+        dropped = (td.dropped ++ drops).distinct,
+        gcGraceSeconds = td.gcGraceSeconds)
       // re-shape the in-memory tail to the new record layout; durable
       // segments and checkpoints re-project BY NAME on read, so added
       // columns surface as null and dropped columns vanish without rewrite
@@ -2149,18 +2153,22 @@ class CqlEngine(val spark: SparkSession) {
       (df, c) => df.withColumn("_muts_" + c.name, pruneMuts(col("_muts_" + c.name)))
     }
     // Physically purge rows that are fully dead by TTL EXPIRY at compact
-    // time: liveness absent-or-expired and every cell an expired-TTL
-    // tombstone. Compaction consumes every older input in one pass, so
-    // nothing in storage still needs the shadowing — the same purge the
-    // reference performs for expired cells once gc_grace passes
-    // (db/compaction; CASSANDRA-14092 expiration handling). gc_grace is not
-    // modeled: expiry alone gates, so a late USING TIMESTAMP write below an
-    // expired cell's timestamp behaves like a post-gc_grace write would.
-    // Explicit tombstones (_del_ts, null-write cells, collection clears)
-    // are NEVER purged — they still shadow late writes.
+    // time AND past the table's gc_grace window: liveness absent-or-expired
+    // and every cell an expired-TTL tombstone whose expiry is older than
+    // now - gc_grace_seconds. Compaction consumes every older input in one
+    // pass, so nothing in storage still needs the shadowing — the same
+    // purge the reference performs for expired cells once gc_grace passes
+    // (db/compaction CompactionController.getPurgeEvaluator;
+    // CASSANDRA-14092 expiration handling). Until gc_grace elapses the
+    // expired cells stay checkpointed and keep shadowing late
+    // USING TIMESTAMP writes, exactly like the reference. Explicit
+    // tombstones (_del_ts, null-write cells, collection clears) are NEVER
+    // purged here.
     val rowState = {
+      val graceMicros = td.gcGraceSeconds * 1000000L
       def cellExpired(cell: Column): Column =
-        cell("ttl") > 0L && (cell("ts") + cell("ttl") * 1000000L) <= lit(nowMicros)
+        cell("ttl") > 0L &&
+          (cell("ts") + cell("ttl") * 1000000L + lit(graceMicros)) <= lit(nowMicros)
       val liveDead = col("_live").isNull || cellExpired(col("_live"))
       val colsDead = td.regulars.map { c =>
         if (isCollection(c.tpe)) {

@@ -360,6 +360,7 @@ object CqlParser {
           AlterTable(n, Seq.empty, Seq.empty, renames = rs)
         } else if (p.tryKw("with")) {
           var dttl: Option[Long] = None
+          var gc: Option[Long] = None
           var moreOpts = true
           while (moreOpts) {
             val opt = p.ident(); p.sym("=")
@@ -369,11 +370,15 @@ object CqlParser {
                 case IntLit(x) if x >= 0 => dttl = Some(x)
                 case other => throw ParseException(s"Invalid default_time_to_live value $other")
               }
+              case "gc_grace_seconds" => v match {
+                case IntLit(x) if x >= 0 => gc = Some(x)
+                case other => throw ParseException(s"Invalid gc_grace_seconds value $other")
+              }
               case _ => ()
             }
             moreOpts = p.tryKw("and")
           }
-          AlterTable(n, Seq.empty, Seq.empty, withDttl = dttl)
+          AlterTable(n, Seq.empty, Seq.empty, withDttl = dttl, withGc = gc)
         } else throw ParseException("expected ADD, DROP, RENAME or WITH in ALTER TABLE")
   }
 
@@ -636,6 +641,7 @@ object CqlParser {
     }
     var clusteringDesc = Seq.empty[Boolean]
     var defaultTtl = 0L
+    var gcGrace = 864000L // TableParams.DEFAULT_GC_GRACE_SECONDS (10 days)
     // WITH clause: CLUSTERING ORDER BY and table options chained with AND
     // (Parser.g cfamProperty); default_time_to_live affects write semantics,
     // the remaining storage-tuning options parse and are ignored
@@ -663,7 +669,13 @@ object CqlParser {
                 defaultTtl = n
               case other => throw ParseException(s"Invalid default_time_to_live value $other")
             }
-            case _ => () // comment / gc_grace_seconds / compaction / ...
+            case "gc_grace_seconds" => v match {
+              case IntLit(n) =>
+                if (n < 0) throw ParseException("gc_grace_seconds must be greater than or equal to 0")
+                gcGrace = n
+              case other => throw ParseException(s"Invalid gc_grace_seconds value $other")
+            }
+            case _ => () // comment / compaction / caching / ...
           }
         }
         moreOpts = p.tryKw("and")
@@ -684,7 +696,8 @@ object CqlParser {
       defs.filter(_.kind == Clustering).sortBy(c => ck.indexOf(c.name)) ++
       defs.filter(c => c.kind == Static || c.kind == Regular)
     val desc = if (clusteringDesc.nonEmpty) clusteringDesc else ck.map(_ => false)
-    CreateTable(TableDef(name, ordered, desc, defaultTtl), ifNotExists)
+    CreateTable(TableDef(name, ordered, desc, defaultTtl, gcGraceSeconds = gcGrace),
+      ifNotExists)
   }
 
   /** Scalar, collection, tuple or UDT literal. */

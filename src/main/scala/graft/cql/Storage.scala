@@ -104,6 +104,7 @@ object Storage {
     "name" -> td.name,
     "clustering_desc" -> td.clusteringDesc,
     "default_ttl" -> td.defaultTtl,
+    "gc_grace" -> td.gcGraceSeconds,
     "dropped" -> td.dropped,
     "columns" -> td.columns.map(c => Map(
       "name" -> c.name, "type" -> typeName(c.tpe), "kind" -> kindName(c.kind)))))
@@ -113,10 +114,11 @@ object Storage {
     val name = (j \ "name").extract[String]
     val desc = (j \ "clustering_desc").extract[Seq[Boolean]]
     val dttl = (j \ "default_ttl").extractOpt[Long].getOrElse(0L)
+    val gcGrace = (j \ "gc_grace").extractOpt[Long].getOrElse(864000L)
     val droppedCols = (j \ "dropped").extractOpt[Seq[String]].getOrElse(Nil)
     val cols = (j \ "columns").extract[Seq[Map[String, String]]].map { m =>
       ColumnDef(m("name"), parseType(m("type")), parseKind(m("kind")))
     }
-    TableDef(name, cols, desc, dttl, droppedCols)
+    TableDef(name, cols, desc, dttl, droppedCols, gcGrace)
   }
 }

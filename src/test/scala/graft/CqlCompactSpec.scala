@@ -81,12 +81,12 @@ class CqlCompactSpec extends SparkSpec {
     assert(rows(e.execute("SELECT k, v, w FROM ct4")) === Set(Seq(1, 1, null)))
   }
 
-  test("compact physically purges fully TTL-expired rows from the checkpoint " +
-    "(post-gc_grace expired-cell purge; CASSANDRA-14092 expiration handling)") {
+  test("compact physically purges fully TTL-expired rows once gc_grace passes " +
+    "(CompactionController purge evaluator; CASSANDRA-14092 expiration handling)") {
     val dir = tmpDir()
     val e = mkEngine(dir)
     e.nowMicros = 1000000L
-    e.execute("CREATE TABLE ct6 (k int PRIMARY KEY, v int)")
+    e.execute("CREATE TABLE ct6 (k int PRIMARY KEY, v int) WITH gc_grace_seconds = 0")
     for (k <- 1 to 4) e.execute(s"INSERT INTO ct6 (k, v) VALUES ($k, $k) USING TTL 10")
     e.execute("INSERT INTO ct6 (k, v) VALUES (5, 5)") // no TTL — survives
     e.compact("ct6")
@@ -96,15 +96,37 @@ class CqlCompactSpec extends SparkSpec {
     // reads already hide the expired rows...
     assert(rows(e.execute("SELECT k, v FROM ct6")) === Set(Seq(5, 5)))
     e.compact("ct6")
-    // ...and a post-expiry compact physically drops them from storage
+    // ...and with gc_grace elapsed (0 here) a compact physically drops them
     assert(spark.read.parquet(s"$dir/ct6/checkpoint/rows").count() === 1)
     assert(rows(e.execute("SELECT k, v FROM ct6")) === Set(Seq(5, 5)))
-    // an explicit DELETE's tombstone is NOT purged (it must keep shadowing
-    // late USING TIMESTAMP writes; gc_grace is not modeled)
+    // an explicit DELETE's tombstone is NOT purged — it must keep
+    // shadowing late USING TIMESTAMP writes
     e.execute("DELETE FROM ct6 WHERE k = 5")
     e.compact("ct6")
     assert(spark.read.parquet(s"$dir/ct6/checkpoint/rows").count() === 1)
     assert(e.execute("SELECT k, v FROM ct6").count() === 0)
+  }
+
+  test("gc_grace window delays the physical purge (default 10 days; ALTER shortens)") {
+    val dir = tmpDir()
+    val e = mkEngine(dir)
+    e.nowMicros = 1000000L
+    // default gc_grace_seconds = 864000 (TableParams.DEFAULT_GC_GRACE_SECONDS)
+    e.execute("CREATE TABLE ct7 (k int PRIMARY KEY, v int)")
+    e.execute("INSERT INTO ct7 (k, v) VALUES (1, 1) USING TTL 10")
+    e.nowMicros += 11000000L // expired, but well inside gc_grace
+    e.compact("ct7")
+    // hidden from reads, still physically present (it must shadow late writes)
+    assert(e.execute("SELECT k FROM ct7").count() === 0)
+    assert(spark.read.parquet(s"$dir/ct7/checkpoint/rows").count() === 1)
+    // a late write BELOW the expired cell's timestamp stays shadowed
+    e.execute("INSERT INTO ct7 (k, v) VALUES (1, 9) USING TIMESTAMP 1")
+    assert(e.execute("SELECT k FROM ct7").count() === 0)
+    // shorten the window and advance past it: the next compact purges
+    e.execute("ALTER TABLE ct7 WITH gc_grace_seconds = 5")
+    e.nowMicros += 10000000L
+    e.compact("ct7")
+    assert(spark.read.parquet(s"$dir/ct7/checkpoint/rows").count() === 0)
   }
 
   test("TRUNCATE and DROP discard durable data — nothing resurrects on restart") {
