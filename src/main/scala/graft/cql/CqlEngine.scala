@@ -76,9 +76,28 @@ class CqlEngine(val spark: SparkSession) {
   private def tableIndexes(tbl: String): Iterable[IndexDef] =
     indexDefs.values.filter(_.table == tbl)
 
-  /** Is there an index on (tbl, column) with one of these target kinds? */
+  /** Is there a PLAIN (non-custom) index on (tbl, column) with one of these
+    * target kinds? Custom (SASI) serving goes through the mode-aware rules
+    * at the call sites — a tokenized SASI index must not pass as a simple
+    * EQ index.
+    */
   private def hasIndex(tbl: String, c: String, kinds: Set[String]): Boolean =
-    tableIndexes(tbl).exists(_.targets.exists(t => t._1 == c && kinds(t._2)))
+    tableIndexes(tbl).exists(d =>
+      !d.custom && d.targets.exists(t => t._1 == c && kinds(t._2)))
+
+  /** SASI custom-index option resolution (sasi/conf/IndexMode.java:134-194):
+    * mode defaults to PREFIX; analyzed defaults to true when an
+    * analyzer_class is present; literal-ness defaults to the column being
+    * text/ascii unless 'is_literal' overrides.
+    */
+  private def sasiMode(d: IndexDef): String =
+    d.options.getOrElse("mode", "PREFIX").toUpperCase
+  private def sasiAnalyzed(d: IndexDef): Boolean =
+    d.options.get("analyzed").map(_.equalsIgnoreCase("true"))
+      .getOrElse(d.options.contains("analyzer_class"))
+  private def sasiLiteral(d: IndexDef, tpe: CqlType): Boolean =
+    d.options.get("is_literal").map(_.equalsIgnoreCase("true"))
+      .getOrElse(tpe == CqlText || tpe == CqlAscii)
 
   /** Keyspaces (CREATE KEYSPACE / USE). The default keyspace's tables keep
     * UNQUALIFIED catalog keys (back-compat with storage layouts and every
@@ -2457,6 +2476,28 @@ class CqlEngine(val spark: SparkSession) {
       }
       (t.column, kind)
     }
+    // SASI option validation (SASIIndex.java:140-165, IndexMode.getMode):
+    // complex (multi-cell collection) targets are unsupported; mode must be
+    // a known one; SPARSE is numeric-only and analyzer-free
+    if (ci.custom) {
+      resolved.foreach { case (cn, _) =>
+        td.column(cn).map(_.tpe).foreach {
+          case _: CqlList | _: CqlSet | _: CqlMap =>
+            throw InvalidRequest("complex columns are not yet supported by SASI")
+          case _ => ()
+        }
+      }
+      val mode = ci.options.getOrElse("mode", "PREFIX").toUpperCase
+      if (!Set("PREFIX", "CONTAINS", "SPARSE")(mode))
+        throw InvalidRequest(s"Incorrect index mode: ${ci.options.getOrElse("mode", "")}")
+      if (mode == "SPARSE") {
+        val probe = IndexDef("", tbl, resolved, custom = true, ci.usingClass, ci.options)
+        if (resolved.exists(t => sasiLiteral(probe, td.column(t._1).get.tpe)))
+          throw InvalidRequest("SPARSE mode is only supported on non-literal columns.")
+        if (sasiAnalyzed(probe))
+          throw InvalidRequest("SPARSE mode doesn't support analyzers.")
+      }
+    }
     // generateIndexName: <table>_<firstColumn>_idx, disambiguated by suffix
     val name = ci.indexName.getOrElse {
       val base = s"${splitName(tbl)._2}_${resolved.head._1}_idx"
@@ -2493,7 +2534,7 @@ class CqlEngine(val spark: SparkSession) {
     // everything further needs filtering. Which restriction an index can
     // serve depends on its target kind: simple → EQ, entries → m[k]=v,
     // values → CONTAINS, keys → CONTAINS KEY, full → whole-collection EQ,
-    // custom (SASI) → LIKE and EQ.
+    // custom (SASI) → LIKE/EQ plus numeric ranges, gated by index mode.
     var indexBudget = 1
     val indexServedCols = scala.collection.mutable.Set.empty[String]
     s.where.foreach {
@@ -2502,14 +2543,24 @@ class CqlEngine(val spark: SparkSession) {
         if (op == "!=") throw InvalidRequest("Unsupported '!=' relation")
         restricted(c) = if (op == "=") "eq" else "range"
         // whole-value EQ on a collection column is served by a full()
-        // index; scalar EQ by a simple or custom index
+        // index; scalar EQ by a simple or custom index. A SASI custom
+        // index additionally serves inequality RANGES on non-literal
+        // (numeric) columns in PREFIX or SPARSE mode, and drops EQ serving
+        // when tokenized (sasi/conf/ColumnIndex.java:219-228,
+        // OnDiskIndexBuilder.Mode op sets).
         val eqKinds = cd.tpe match {
           case _: CqlList | _: CqlSet | _: CqlMap => Set("full")
           case _ => Set("simple")
         }
-        val indexServed = op == "=" && indexBudget > 0 &&
-          (hasIndex(s.table, c, eqKinds) ||
-            tableIndexes(s.table).exists(d => d.custom && d.targets.exists(_._1 == c)))
+        val customServes = tableIndexes(s.table).exists { d =>
+          d.custom && d.targets.exists(_._1 == c) && {
+            if (op == "=") !sasiAnalyzed(d)
+            else Set("PREFIX", "SPARSE")(sasiMode(d)) &&
+              !sasiLiteral(d, cd.tpe) && !sasiAnalyzed(d)
+          }
+        }
+        val indexServed = indexBudget > 0 &&
+          ((op == "=" && hasIndex(s.table, c, eqKinds)) || customServes)
         if (indexServed) { indexBudget -= 1; indexServedCols += c }
         if ((cd.kind == Regular || cd.kind == Static) && !indexServed) needsFiltering = true
         if (cd.kind == PartitionKey && op != "=") needsFiltering = true
@@ -2603,9 +2654,11 @@ class CqlEngine(val spark: SparkSession) {
         // any LIKE (StatementRestrictions.java:174-183).
         val candidates = tableIndexes(s.table).filter(d => d.custom && d.targets.exists(_._1 == c))
         val servable = candidates.filter { d =>
-          d.options.getOrElse("mode", "PREFIX").toUpperCase match {
+          sasiMode(d) match {
             case "PREFIX" => likeOp == "prefix" || likeOp == "match"
-            case "CONTAINS" => true
+            // tokenized CONTAINS loses PREFIX serving
+            // (ColumnIndex.supports:226)
+            case "CONTAINS" => likeOp != "prefix" || !sasiAnalyzed(d)
             case _ => false
           }
         }

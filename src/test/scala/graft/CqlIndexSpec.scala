@@ -194,13 +194,49 @@ class CqlIndexSpec extends SparkSpec {
     assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE 'Pav'")) === Set.empty[Seq[Any]])
     assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE 'Pavel'")) === Set(Seq(1)))
     e.execute("DROP INDEX sm1_cont")
-    // SPARSE mode supports no LIKE op at all
-    e.execute("CREATE CUSTOM INDEX sm1_sparse ON sm1 (v) " +
-      "USING 'org.apache.cassandra.index.sasi.SASIIndex' WITH OPTIONS = {'mode': 'SPARSE'}")
-    assertInvalid(e, "SELECT k FROM sm1 WHERE v LIKE 'Pav%'", "only supported")
-    e.execute("DROP INDEX sm1_sparse")
+    // (SPARSE on a text column is rejected at CREATE — see the SPARSE case
+    // below — so no LIKE-on-SPARSE serving question arises for literals)
     // with no index at all, this engine's documented superset still accepts
     // LIKE under ALLOW FILTERING
     assert(rows(e.execute("SELECT k FROM sm1 WHERE v LIKE '%vel' ALLOW FILTERING")) === Set(Seq(1)))
+  }
+
+  test("SASI SPARSE serves numeric ranges; tokenized indexes drop EQ/PREFIX " +
+    "(SASIIndex.java:140-165 validation; ColumnIndex.supports:219-228)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE sp1 (k int PRIMARY KEY, age int, v text)")
+    (1 to 5).foreach(i => e.execute(s"INSERT INTO sp1 (k, age, v) VALUES ($i, ${i * 10}, 'n$i')"))
+    // range on an unindexed regular column requires filtering
+    assertInvalid(e, "SELECT k FROM sp1 WHERE age > 25", "ALLOW FILTERING")
+    // SPARSE is numeric-only and analyzer-free; unknown modes are rejected
+    assertInvalid(e, "CREATE CUSTOM INDEX sp1_bad ON sp1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' WITH OPTIONS = {'mode': 'SPARSE'}",
+      "SPARSE mode is only supported on non-literal columns")
+    assertInvalid(e, "CREATE CUSTOM INDEX sp1_bad2 ON sp1 (age) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'mode': 'SPARSE', 'analyzed': 'true'}",
+      "SPARSE mode doesn't support analyzers")
+    assertInvalid(e, "CREATE CUSTOM INDEX sp1_bad3 ON sp1 (age) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' WITH OPTIONS = {'mode': 'BOGUS'}",
+      "Incorrect index mode")
+    // a SPARSE index serves numeric ranges and EQ without ALLOW FILTERING
+    e.execute("CREATE CUSTOM INDEX sp1_age ON sp1 (age) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' WITH OPTIONS = {'mode': 'SPARSE'}")
+    assert(rows(e.execute("SELECT k FROM sp1 WHERE age > 25")) ===
+      Set(Seq(3), Seq(4), Seq(5)))
+    assert(rows(e.execute("SELECT k FROM sp1 WHERE age = 20")) === Set(Seq(2)))
+    // tokenized (analyzed) CONTAINS: suffix/contains still served, PREFIX
+    // is a hard error and EQ falls back to requiring ALLOW FILTERING
+    e.execute("CREATE CUSTOM INDEX sp1_tok ON sp1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'mode': 'CONTAINS', 'analyzed': 'true'}")
+    assert(rows(e.execute("SELECT k FROM sp1 WHERE v LIKE '%1'")) === Set(Seq(1)))
+    assertInvalid(e, "SELECT k FROM sp1 WHERE v LIKE 'n%'", "only supported")
+    assertInvalid(e, "SELECT k FROM sp1 WHERE v = 'n1'", "ALLOW FILTERING")
+    // custom indexes reject multi-cell collection targets
+    e.execute("CREATE TABLE sp2 (k int PRIMARY KEY, tags set<text>)")
+    assertInvalid(e, "CREATE CUSTOM INDEX sp2_bad ON sp2 (tags) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex'",
+      "complex columns are not yet supported by SASI")
   }
 }
