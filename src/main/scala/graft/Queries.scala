@@ -132,7 +132,7 @@ object Queries {
       // Scala function is pinned to reference vectors in TokenSpec; this
       // check pins the codegen'd expression + range pipeline to it).
       Some("""SELECT o_orderkey, tok
-              FROM parquet_scan('{OUT}/_fixture_tokens/*.parquet')
+              FROM parquet_scan('{FIX}/_fixture_tokens/*.parquet')
               WHERE tok > -4611686018427387904 AND tok <= 0
               ORDER BY tok, o_orderkey LIMIT 100"""),
       (s, d) => {
@@ -508,9 +508,13 @@ object Queries {
       (s, d) => {
         val e = storedEngine(s)
         e.execute("CREATE TABLE cql_ix (event_id bigint PRIMARY KEY, user_id bigint, m map<text, int>)")
+        // extract ONLY $.k (get_json_object = DuckDB json_extract_string):
+        // a whole-map from_json would null the entire map if any OTHER
+        // props value were non-integer (ADVICE r6). event_id is unique in
+        // the fixture, so the PRIMARY KEY collapses nothing the oracle keeps.
         e.bulkInsert("cql_ix", t(s, d, "events").filter(col("user_id") < 50)
           .select(col("event_id"), col("user_id"),
-            from_json(col("props"), MapType(StringType, IntegerType)).as("m")))
+            map(lit("k"), get_json_object(col("props"), "$.k").cast("int")).as("m")))
         e.execute("CREATE INDEX ON cql_ix (entries(m))")
         // no ALLOW FILTERING: the entries() index serves the restriction
         e.execute("SELECT event_id, user_id FROM cql_ix WHERE m['k'] = 3")
@@ -996,7 +1000,7 @@ object Queries {
       // TimeUuid.minTimeUuid/unixMillisOf (pinned to reference vectors in
       // FunctionsSpec); the check pins the codegen'd expressions to it.
       Some("""SELECT event_id, u, u_millis
-              FROM parquet_scan('{OUT}/_fixture_timeuuid/*.parquet')
+              FROM parquet_scan('{FIX}/_fixture_timeuuid/*.parquet')
               ORDER BY event_id LIMIT 200"""),
       (s, d) => {
         prep(s)

@@ -8,7 +8,12 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.get("graft-verify")
     new java.io.File(outDir).mkdirs()
-    writeFixtures(spark, sfDir, outDir)
+    // Fixtures live in a SIBLING dir, not outDir: the correctness driver
+    // enumerates outDir/<name> as query results, and fixture dumps would
+    // surface as spurious no_oracle rows (ADVICE r6). Oracle SQL reaches
+    // them via the {FIX} placeholder.
+    val fixDir = outDir.stripSuffix("/") + ".fixtures"
+    writeFixtures(spark, sfDir, fixDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -29,7 +34,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outDir))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{FIX}", fixDir).replace("{OUT}", outDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
@@ -40,9 +45,12 @@ object Verify {
     * OUTSIDE the Catalyst expressions under test — driver-side through the
     * plain Scala functions that TokenSpec/FunctionsSpec pin to reference
     * vectors — so the DuckDB compare checks the codegen'd expression
-    * pipeline against an independent evaluation path. Oracle SQL reads them
-    * via `parquet_scan('{OUT}/_fixture_*')`; `{OUT}` is substituted with the
-    * runtime outDir when oracle_sql.json is dumped.
+    * pipeline against an independent evaluation path — weaker than a true
+    * third-party oracle (the fixture generator shares this repo's Scala
+    * functions), but those functions are themselves pinned to published
+    * reference vectors. Oracle SQL reads them via
+    * `parquet_scan('{FIX}/_fixture_*')`; `{FIX}` is substituted with the
+    * runtime fixture dir when oracle_sql.json is dumped.
     */
   private def writeFixtures(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     import org.apache.spark.sql.functions._

@@ -126,6 +126,24 @@ class CqlEngine(val spark: SparkSession) {
     if (i < 0) (defaultKeyspace, key) else (key.take(i), key.drop(i + 1))
   }
 
+  /** Resolve an optionally ks-qualified schema-object name (type/function/
+    * aggregate — `Parser.g` userTypeName/functionName accept `ks.name`).
+    * Types, functions and aggregates live in per-keyspace registries in
+    * the reference; here the registries are unqualified (canon-once
+    * design), so a qualified name resolves by its bare part after the
+    * keyspace is validated. Returns (keyspace-for-messages, bare name).
+    */
+  private def schemaObjectName(n: String): (String, String) = {
+    val i = n.indexOf('.')
+    if (i < 0) (currentKeyspace, n)
+    else {
+      val ks = n.take(i)
+      if (!keyspaces.contains(ks))
+        throw InvalidRequest(s"Keyspace '$ks' does not exist")
+      (ks, n.drop(i + 1))
+    }
+  }
+
   private def requireKeyspace(key: String): Unit = {
     val ks = splitName(key)._1
     if (!keyspaces.contains(ks))
@@ -718,9 +736,10 @@ class CqlEngine(val spark: SparkSession) {
       viewOptions(n) = viewOptions.getOrElse(n, Map.empty) ++
         opts.map { case (k, v) => k -> v.toString }
       emptyResult
-    case DropType(n, ifExists) =>
+    case DropType(n0, ifExists) =>
+      val (tks, n) = schemaObjectName(n0)
       if (!udts.contains(n)) {
-        if (!ifExists) throw InvalidRequest(s"Type '$currentKeyspace.$n' doesn't exist")
+        if (!ifExists) throw InvalidRequest(s"Type '$tks.$n' doesn't exist")
       } else {
         // still-in-use checks, DropTypeStatement.java:58-110: a type cannot
         // be dropped while functions/aggregates, other user types, or
@@ -731,50 +750,52 @@ class CqlEngine(val spark: SparkSession) {
           case a if typeRefs(a.argType, n) || typeRefs(a.stype, n) => a.name
         }).toSeq.distinct
         if (byFns.nonEmpty)
-          throw InvalidRequest(s"Cannot drop user type '$currentKeyspace.$n' " +
+          throw InvalidRequest(s"Cannot drop user type '$tks.$n' " +
             s"as it is still used by functions ${byFns.mkString(", ")}")
         val byTypes = udts.values.collect {
           case u if u.typeName != n && u.fields.exists(f => typeRefs(f._2, n)) => u.typeName
         }.toSeq
         if (byTypes.nonEmpty)
-          throw InvalidRequest(s"Cannot drop user type '$currentKeyspace.$n' " +
+          throw InvalidRequest(s"Cannot drop user type '$tks.$n' " +
             s"as it is still used by user types ${byTypes.mkString(", ")}")
         val byTables = tables.values.collect {
           case t if t.columns.exists(c => typeRefs(c.tpe, n)) => t.name
         }.toSeq
         if (byTables.nonEmpty)
-          throw InvalidRequest(s"Cannot drop user type '$currentKeyspace.$n' " +
+          throw InvalidRequest(s"Cannot drop user type '$tks.$n' " +
             s"as it is still used by tables ${byTables.mkString(", ")}")
         udts.remove(n)
       }
       emptyResult
-    case DropFunction(n, argTypes, ifExists) =>
+    case DropFunction(n0, argTypes, ifExists) =>
       // DropFunctionStatement.java:66-120 — unknown name/signature is an
       // error unless IF EXISTS; refused while an aggregate references it.
+      val (fks, n) = schemaObjectName(n0)
       val sig = argTypes.map(ts => s"$n(${ts.map(_.name).mkString(", ")})").getOrElse(n)
       udfs.get(n) match {
         case None =>
-          if (!ifExists) throw InvalidRequest(s"Function '$currentKeyspace.$sig' doesn't exist")
+          if (!ifExists) throw InvalidRequest(s"Function '$fks.$sig' doesn't exist")
         case Some(f) if argTypes.exists(_.map(_.name) != f.args.map(_._2.name)) =>
-          if (!ifExists) throw InvalidRequest(s"Function '$currentKeyspace.$sig' doesn't exist")
+          if (!ifExists) throw InvalidRequest(s"Function '$fks.$sig' doesn't exist")
         case Some(_) =>
           val deps = udas.values
             .filter(a => a.sfunc == n || a.finalFunc.contains(n)).map(_.name).toSeq
           if (deps.nonEmpty)
-            throw InvalidRequest(s"Function '$currentKeyspace.$sig' is still " +
+            throw InvalidRequest(s"Function '$fks.$sig' is still " +
               s"referenced by aggregates ${deps.mkString(", ")}")
           udfs.remove(n)
           spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $n")
       }
       emptyResult
-    case DropAggregate(n, argTypes, ifExists) =>
+    case DropAggregate(n0, argTypes, ifExists) =>
       // DropAggregateStatement.java:68-115
+      val (aks, n) = schemaObjectName(n0)
       val sig = argTypes.map(ts => s"$n(${ts.map(_.name).mkString(", ")})").getOrElse(n)
       udas.get(n) match {
         case None =>
-          if (!ifExists) throw InvalidRequest(s"Aggregate '$currentKeyspace.$sig' doesn't exist")
+          if (!ifExists) throw InvalidRequest(s"Aggregate '$aks.$sig' doesn't exist")
         case Some(a) if argTypes.exists(_.map(_.name) != Seq(a.argType.name)) =>
-          if (!ifExists) throw InvalidRequest(s"Aggregate '$currentKeyspace.$sig' doesn't exist")
+          if (!ifExists) throw InvalidRequest(s"Aggregate '$aks.$sig' doesn't exist")
         case Some(_) => udas.remove(n)
       }
       emptyResult
@@ -2545,9 +2566,11 @@ class CqlEngine(val spark: SparkSession) {
         // whole-value EQ on a collection column is served by a full()
         // index; scalar EQ by a simple or custom index. A SASI custom
         // index additionally serves inequality RANGES on non-literal
-        // (numeric) columns in PREFIX or SPARSE mode, and drops EQ serving
-        // when tokenized (sasi/conf/ColumnIndex.java:219-228,
-        // OnDiskIndexBuilder.Mode op sets).
+        // (numeric) columns in PREFIX or SPARSE mode
+        // (sasi/conf/ColumnIndex.java:219-229: tokenized indexes drop only
+        // EQ and CONTAINS-mode PREFIX serving; RANGE is gated on
+        // literal-ness alone, so an analyzed numeric index still serves
+        // ranges — ADVICE r6).
         val eqKinds = cd.tpe match {
           case _: CqlList | _: CqlSet | _: CqlMap => Set("full")
           case _ => Set("simple")
@@ -2556,7 +2579,7 @@ class CqlEngine(val spark: SparkSession) {
           d.custom && d.targets.exists(_._1 == c) && {
             if (op == "=") !sasiAnalyzed(d)
             else Set("PREFIX", "SPARSE")(sasiMode(d)) &&
-              !sasiLiteral(d, cd.tpe) && !sasiAnalyzed(d)
+              !sasiLiteral(d, cd.tpe)
           }
         }
         val indexServed = indexBudget > 0 &&

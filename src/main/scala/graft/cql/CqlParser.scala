@@ -257,7 +257,7 @@ object CqlParser {
           var opts = Vector.empty[(String, Literal)]
           var more = true
           while (more) {
-            val o = p.ident(); p.sym("=")
+            val o = tableParam(p); p.sym("=")
             opts :+= (o -> anyLiteral(p))
             more = p.tryKw("and")
           }
@@ -280,7 +280,8 @@ object CqlParser {
         }
         else if (p.tryKw("type")) {
           val ifExists = if (p.tryKw("if")) { p.eatKw("exists"); true } else false
-          DropType(p.ident(), ifExists)
+          // userTypeName in the grammar is ks-qualifiable (Parser.g:1116)
+          DropType(p.tableName(), ifExists)
         }
         else if (p.tryKw("function")) parseDropFunctionLike(p, agg = false)
         else if (p.tryKw("aggregate")) parseDropFunctionLike(p, agg = true)
@@ -296,7 +297,8 @@ object CqlParser {
     */
   private def parseDropFunctionLike(p: P, agg: Boolean): Statement = {
     val ifExists = if (p.tryKw("if")) { p.eatKw("exists"); true } else false
-    val name = p.ident()
+    // functionName is ks-qualifiable (Parser.g functionName rule)
+    val name = p.tableName()
     val argTypes =
       if (p.trySym("(")) {
         var ts = Vector.empty[CqlType]
@@ -363,7 +365,7 @@ object CqlParser {
           var gc: Option[Long] = None
           var moreOpts = true
           while (moreOpts) {
-            val opt = p.ident(); p.sym("=")
+            val opt = tableParam(p); p.sym("=")
             val v = anyLiteral(p)
             opt match {
               case "default_time_to_live" => v match {
@@ -380,6 +382,24 @@ object CqlParser {
           }
           AlterTable(n, Seq.empty, Seq.empty, withDttl = dttl, withGc = gc)
         } else throw ParseException("expected ADD, DROP, RENAME or WITH in ALTER TABLE")
+  }
+
+  /** Recognized table/view params — TableParams.Option
+    * (schema/TableParams.java:40-57). Unknown names are rejected like the
+    * reference's PropertyDefinitions.validate
+    * (PropertyDefinitions.java:58) instead of being stored or silently
+    * dropped (ADVICE r6: a typo like 'gc_graceseconds' must not succeed).
+    */
+  private val tableParams = Set(
+    "bloom_filter_fp_chance", "caching", "comment", "compaction",
+    "compression", "crc_check_chance", "default_time_to_live", "extensions",
+    "gc_grace_seconds", "max_index_interval", "memtable_flush_period_in_ms",
+    "min_index_interval", "speculative_retry", "additional_write_policy",
+    "cdc", "read_repair")
+  private def tableParam(p: P): String = {
+    val o = p.ident()
+    if (!tableParams(o)) throw ParseException(s"Unknown property '$o'")
+    o
   }
 
   private def parseDml(p: P): Statement =
@@ -659,7 +679,7 @@ object CqlParser {
           }
           clusteringDesc = order
         } else {
-          val opt = p.ident()
+          val opt = tableParam(p)
           p.sym("=")
           val v = anyLiteral(p)
           opt match {

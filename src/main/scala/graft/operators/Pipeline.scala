@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's query surface:
+  * deterministic sampling, benchmark decontamination, mixture weighting and
+  * sequence packing. These are the corpus-curation steps a 100 TB pretraining
+  * pipeline runs between ingestion and tokenization.
+  *
+  * Design rules shared by all four:
+  *  - determinism without RNG state: selection decisions are pure functions
+  *    of row content (md5), so re-runs, backfills and per-executor retries
+  *    select identical rows with no seed coordination;
+  *  - no corpus-wide shuffle unless semantically required: sampling and
+  *    mixing are scan-fused map-side transforms, decontamination broadcasts
+  *    the (small) benchmark gram set, packing shuffles once on its
+  *    partitioning column only.
+  */
+object Pipeline {
+
+  /** 8-hex-digit upper bound such that P[md5 hex < bound] == fraction.
+    * Fixed-width lowercase hex compares lexicographically as unsigned
+    * numeric, so the gate is a plain codegen'd string compare.
+    */
+  private def hexBound(fraction: Double): String = {
+    val f = math.max(0.0, math.min(1.0, fraction))
+    f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** Deterministic hash gate: true iff md5(key) falls below `fraction`'s
+    * boundary. The sampling primitive — content-addressed, uniform,
+    * reproducible across engines (any md5 implementation agrees).
+    */
+  def hashGate(key: Column, fraction: Double): Column =
+    md5(key.cast("string")) < lit(hexBound(fraction))
+
+  /** Stratified deterministic sampling: per-stratum keep-fractions with a
+    * default for unlisted strata. One codegen'd predicate fused into the
+    * scan — no shuffle, no RNG, safe at any scale.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, key: Column,
+                       fractions: Seq[(String, Double)],
+                       default: Double): DataFrame = {
+    val bound = fractions.foldLeft(lit(hexBound(default))) {
+      case (acc, (s, f)) => when(col(strataCol) === s, lit(hexBound(f))).otherwise(acc)
+    }
+    docs.filter(md5(key.cast("string")) < bound)
+  }
+
+  /** IDs of corpus docs sharing at least one k-word-gram with the benchmark
+    * set. The benchmark gram set is broadcast (eval suites are tiny next to
+    * a training corpus), so contamination detection is a map-side semi-join
+    * over the corpus scan; only the matched id set is distinct-shuffled.
+    */
+  def contaminatedIds(corpus: DataFrame, bench: DataFrame, id: String,
+                      text: String, k: Int): DataFrame = {
+    val bg = Dedup.explodedShingles(bench, id, text, k).select("s").distinct()
+    Dedup.explodedShingles(corpus, id, text, k)
+      .join(broadcast(bg), "s")
+      .select("doc_id").distinct()
+  }
+
+  /** Benchmark decontamination: drop every corpus doc sharing a k-gram with
+    * the benchmark set (the standard eval-overlap guard before training).
+    * Anti-join on the (small) contaminated-id set.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, id: String,
+                    text: String, k: Int): DataFrame =
+    corpus.join(
+      broadcast(contaminatedIds(corpus, bench, id, text, k)),
+      corpus(id) === col("doc_id"), "left_anti")
+
+  /** Mixture weighting by integer epoch counts: repeat each source's docs
+    * `weights(source)` times (default 1), tagging each copy with its epoch
+    * index. The explode is map-side — upsampling never shuffles the corpus;
+    * downstream training-order shuffles are the consumer's choice.
+    */
+  def mixEpochs(docs: DataFrame, sourceCol: String,
+                weights: Seq[(String, Int)]): DataFrame = {
+    val reps = weights.foldLeft(lit(1L)) {
+      case (acc, (s, n)) => when(col(sourceCol) === s, lit(n.toLong)).otherwise(acc)
+    }
+    docs.withColumn("epoch", explode(sequence(lit(1L), reps)))
+  }
+
+  /** Budget-chunked sequence packing: within each `partCol` group, assign
+    * docs (in `orderCol` order) to consecutive packs of cumulative `sizeCol`
+    * up to `budget` — pack_id = floor(exclusive-prefix-sum / budget). One
+    * window shuffle on the partitioning column; pack numbering never needs
+    * a global order, so the plan holds at any corpus size.
+    */
+  def packSequences(docs: DataFrame, partCol: String, orderCol: String,
+                    sizeCol: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("pack_id",
+      floor((sum(sizeCol).over(w) - sizeCol) / lit(budget.toDouble)).cast("long"))
+  }
+}

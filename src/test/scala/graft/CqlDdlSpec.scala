@@ -213,4 +213,46 @@ class CqlDdlSpec extends SparkSpec {
     e.execute("INSERT INTO amv_base (k, c, v) VALUES (1, 2, 3)")
     assert(rowsInOrder(e.execute("SELECT c, k, v FROM amv_v")) === Seq(Seq(2, 1, 3)))
   }
+
+  test("unknown table params are rejected, not stored " +
+    "(PropertyDefinitions.java:58; TableParams.Option set)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE up_base (k int, c int, v int, PRIMARY KEY (k, c))")
+    e.execute("CREATE MATERIALIZED VIEW up_v AS SELECT k, c, v FROM up_base " +
+      "WHERE k IS NOT NULL AND c IS NOT NULL PRIMARY KEY (c, k)")
+    // a typo'd param name must fail on every WITH surface (ADVICE r6)
+    assertInvalid(e, "ALTER MATERIALIZED VIEW up_v WITH gc_graceseconds = 1",
+      "Unknown property 'gc_graceseconds'")
+    assertInvalid(e, "ALTER TABLE up_base WITH gc_graceseconds = 1",
+      "Unknown property 'gc_graceseconds'")
+    assertInvalid(e, "CREATE TABLE up_bad (k int PRIMARY KEY) WITH read_repairs = 'x'",
+      "Unknown property 'read_repairs'")
+    // every reference TableParams.Option name still parses
+    e.execute("ALTER TABLE up_base WITH bloom_filter_fp_chance = 0.01 " +
+      "AND caching = {'keys': 'ALL'} AND comment = 'c' AND crc_check_chance = 1.0 " +
+      "AND max_index_interval = 2048 AND memtable_flush_period_in_ms = 0 " +
+      "AND min_index_interval = 128 AND speculative_retry = '99p' " +
+      "AND additional_write_policy = '99p' AND cdc = false AND read_repair = 'BLOCKING'")
+  }
+
+  test("DROP TYPE/FUNCTION/AGGREGATE accept keyspace-qualified names " +
+    "(Parser.g userTypeName/functionName; unqualified registries resolve " +
+    "the bare part after keyspace validation)") {
+    val e = mkEngine
+    e.execute("CREATE TYPE dq_t (x int)")
+    e.execute("CREATE FUNCTION dq_f (a int, b int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE spark AS 'a + b'")
+    e.execute("CREATE AGGREGATE dq_a (int) SFUNC dq_f STYPE int INITCOND 0")
+    // an unknown keyspace is rejected before name resolution
+    assertInvalid(e, "DROP TYPE nosuchks.dq_t", "Keyspace 'nosuchks' does not exist")
+    assertInvalid(e, "DROP FUNCTION nosuchks.dq_f", "Keyspace 'nosuchks' does not exist")
+    assertInvalid(e, "DROP AGGREGATE nosuchks.dq_a", "Keyspace 'nosuchks' does not exist")
+    // a missing name reports the keyspace it was addressed under
+    assertInvalid(e, "DROP TYPE graft.dq_nope", "Type 'graft.dq_nope' doesn't exist")
+    // qualified drops resolve and apply
+    e.execute("DROP AGGREGATE graft.dq_a (int)")
+    e.execute("DROP FUNCTION graft.dq_f")
+    e.execute("DROP TYPE graft.dq_t")
+    assertInvalid(e, "DROP TYPE dq_t", "doesn't exist")
+  }
 }

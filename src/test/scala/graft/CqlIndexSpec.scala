@@ -239,4 +239,20 @@ class CqlIndexSpec extends SparkSpec {
       "USING 'org.apache.cassandra.index.sasi.SASIIndex'",
       "complex columns are not yet supported by SASI")
   }
+
+  test("analyzed non-literal SASI index still serves ranges " +
+    "(ColumnIndex.supports:219-229 — tokenization drops only EQ and " +
+    "CONTAINS-mode PREFIX serving, never RANGE)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE sr1 (k int PRIMARY KEY, age int)")
+    (1 to 5).foreach(i => e.execute(s"INSERT INTO sr1 (k, age) VALUES ($i, ${i * 10})"))
+    e.execute("CREATE CUSTOM INDEX sr1_age ON sr1 (age) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'mode': 'PREFIX', 'analyzed': 'true'}")
+    // ranges are served by the tokenized numeric index...
+    assert(rows(e.execute("SELECT k FROM sr1 WHERE age > 25")) ===
+      Set(Seq(3), Seq(4), Seq(5)))
+    // ...but EQ serving is dropped by tokenization
+    assertInvalid(e, "SELECT k FROM sr1 WHERE age = 20", "ALLOW FILTERING")
+  }
 }
