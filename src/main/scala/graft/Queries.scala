@@ -868,6 +868,77 @@ object Queries {
         Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), 0.9).orderBy("a", "b")
       }),
 
+    // ── extensions: corpus curation (sampling / decontamination / mix) ──
+    QueryDef("q_sample_stratified",
+      // deterministic md5-gate stratified sampling: per-source keep
+      // fractions as a codegen'd predicate fused into the scan — re-runs
+      // and backfills select identical rows with no RNG/seed coordination
+      // (Pipeline.stratifiedSample; bounds are 8-hex-digit md5 prefixes)
+      Some("""SELECT doc_id, source FROM documents
+              WHERE md5(CAST(doc_id AS VARCHAR)) <
+                CASE source WHEN 'src0' THEN '80000000'
+                            WHEN 'src1' THEN '40000000'
+                            ELSE '19999999' END
+              ORDER BY doc_id"""),
+      (s, d) => Pipeline.stratifiedSample(t(s, d, "documents"), "source",
+          col("doc_id"), Seq("src0" -> 0.5, "src1" -> 0.25), 0.1)
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    QueryDef("q_decontaminate",
+      // benchmark decontamination: drop corpus docs sharing any 3-word-gram
+      // with the eval slice (doc_id % 97 == 0). The gram set of the (small)
+      // benchmark is broadcast; the corpus is filtered map-side
+      // (Pipeline.decontaminate; 3-grams are fixture-scaled — a real
+      // pipeline uses 8-13-gram overlap, same plan shape)
+      Some("""WITH bench AS (SELECT doc_id, string_split(lower(text), ' ') w
+                             FROM documents WHERE doc_id % 97 = 0),
+              bgrams AS (SELECT DISTINCT array_to_string(w[i:i+2], ' ') g
+                         FROM bench, UNNEST(range(1, greatest(len(w)-2, 1)+1)) t(i)),
+              corpus AS (SELECT doc_id, source, string_split(lower(text), ' ') w
+                         FROM documents WHERE doc_id % 97 <> 0),
+              bad AS (SELECT DISTINCT doc_id
+                      FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') g
+                            FROM corpus, UNNEST(range(1, greatest(len(w)-2, 1)+1)) t(i))
+                      WHERE g IN (SELECT g FROM bgrams))
+              SELECT doc_id, source FROM corpus
+              WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+              ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.decontaminate(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3)
+          .select("doc_id", "source").orderBy("doc_id")
+      }),
+
+    QueryDef("q_mix_weighted",
+      // mixture weighting by integer epoch counts: src0 ×3, src1 ×2,
+      // everything else ×1 — the map-side explode that data-mixing recipes
+      // use to upsample high-quality sources (Pipeline.mixEpochs)
+      Some("""SELECT doc_id, source, epoch
+              FROM documents,
+                   UNNEST(range(1, (CASE source WHEN 'src0' THEN 3
+                                                WHEN 'src1' THEN 2
+                                                ELSE 1 END) + 1)) t(epoch)
+              ORDER BY doc_id, epoch"""),
+      (s, d) => Pipeline.mixEpochs(t(s, d, "documents"), "source",
+          Seq("src0" -> 3, "src1" -> 2))
+        .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")),
+
+    QueryDef("q_pack_sequences",
+      // budget-chunked sequence packing: per-source prefix-sum windows
+      // assign docs to consecutive ~2000-char packs — the tokenizer-feed
+      // step; one window shuffle on source, no global order
+      // (Pipeline.packSequences)
+      Some("""SELECT doc_id, source,
+                     CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                                    ROWS UNBOUNDED PRECEDING) - n_chars)
+                                / 2000.0) AS BIGINT) AS pack_id
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => Pipeline.packSequences(t(s, d, "documents"), "source", "doc_id",
+          col("n_chars"), 2000)
+        .select("doc_id", "source", "pack_id").orderBy("doc_id")),
+
     // ── extensions: similarity search ──────────────────────────────────
     QueryDef("q_ann_topk",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -67,10 +67,11 @@ object Pipeline {
     * Anti-join on the (small) contaminated-id set.
     */
   def decontaminate(corpus: DataFrame, bench: DataFrame, id: String,
-                    text: String, k: Int): DataFrame =
-    corpus.join(
-      broadcast(contaminatedIds(corpus, bench, id, text, k)),
-      corpus(id) === col("doc_id"), "left_anti")
+                    text: String, k: Int): DataFrame = {
+    val bad = contaminatedIds(corpus, bench, id, text, k)
+      .withColumnRenamed("doc_id", "_contaminated_id")
+    corpus.join(broadcast(bad), corpus(id) === col("_contaminated_id"), "left_anti")
+  }
 
   /** Mixture weighting by integer epoch counts: repeat each source's docs
     * `weights(source)` times (default 1), tagging each copy with its epoch

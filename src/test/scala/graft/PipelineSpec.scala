@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators (operators/Pipeline.scala): deterministic
+  * stratified sampling, benchmark decontamination, mixture weighting and
+  * budget-chunked sequence packing.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf, "documents")
+
+  test("hash-gate sampling is deterministic and nested: the 25% sample is " +
+    "a subset of the 50% sample, rates track fractions") {
+    val half = docs.filter(Pipeline.hashGate(col("doc_id"), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val halfAgain = docs.filter(Pipeline.hashGate(col("doc_id"), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val quarter = docs.filter(Pipeline.hashGate(col("doc_id"), 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    assert(half === halfAgain) // no RNG state anywhere
+    assert(quarter.subsetOf(half)) // gates nest: smaller fraction ⊂ larger
+    val n = docs.count().toDouble
+    assert(math.abs(half.size / n - 0.5) < 0.2)
+    // fraction edge cases: 0 keeps nothing, 1 keeps everything
+    assert(docs.filter(Pipeline.hashGate(col("doc_id"), 0.0)).count() === 0L)
+    assert(docs.filter(Pipeline.hashGate(col("doc_id"), 1.0)).count() === docs.count())
+  }
+
+  test("stratified sampling applies per-stratum fractions and the default") {
+    val sampled = Pipeline.stratifiedSample(docs, "source", col("doc_id"),
+      Seq("src0" -> 1.0, "src1" -> 0.0), 0.5)
+    val bySrc = sampled.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("src0") === totals("src0")) // fraction 1.0 keeps all
+    assert(!bySrc.contains("src1")) // fraction 0.0 keeps none
+  }
+
+  test("decontaminate drops exactly the docs sharing a k-gram with the " +
+    "benchmark, keeps the rest, and broadcasts the gram set") {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val clean = Pipeline.decontaminate(corpus, bench, "doc_id", "text", 3)
+    val cleanIds = clean.select("doc_id").as[Long].collect().toSet
+    val badIds = Pipeline.contaminatedIds(corpus, bench, "doc_id", "text", 3)
+      .as[Long].collect().toSet
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(cleanIds === (corpusIds -- badIds))
+    assert(badIds.subsetOf(corpusIds))
+    // independent recheck of one contaminated doc: it really shares a gram
+    if (badIds.nonEmpty) {
+      val one = badIds.head
+      val benchGrams = graft.operators.Dedup
+        .explodedShingles(bench, "doc_id", "text", 3)
+        .select("s").as[String].collect().toSet
+      val docGrams = graft.operators.Dedup
+        .explodedShingles(corpus.filter(col("doc_id") === one), "doc_id", "text", 3)
+        .select("s").as[String].collect().toSet
+      assert(docGrams.intersect(benchGrams).nonEmpty)
+    }
+    // the corpus-side plan must not shuffle the corpus for the semi-join
+    val plan = clean.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins in:\n$plan")
+  }
+
+  test("mixEpochs repeats sources by weight with 1-based epoch tags") {
+    val mixed = Pipeline.mixEpochs(docs, "source", Seq("src0" -> 3, "src1" -> 2))
+    val perEpoch = mixed.groupBy("epoch").count()
+      .as[(Long, Long)].collect().toMap
+    val totals = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val all = totals.values.sum
+    assert(perEpoch(1L) === all) // every doc appears in epoch 1
+    assert(perEpoch(2L) === totals("src0") + totals("src1"))
+    assert(perEpoch(3L) === totals("src0"))
+    assert(!perEpoch.contains(4L))
+    assert(mixed.count() === all + totals("src0") * 2 + totals("src1"))
+  }
+
+  test("packSequences chunks by exclusive prefix sum within each group") {
+    val df = Seq(
+      ("a", 1L, 900L), ("a", 2L, 900L), ("a", 3L, 900L), ("a", 4L, 900L),
+      ("b", 1L, 2500L), ("b", 2L, 100L)
+    ).toDF("src", "id", "sz")
+    val packed = Pipeline.packSequences(df, "src", "id", col("sz"), 2000L)
+      .select("src", "id", "pack_id").as[(String, Long, Long)]
+      .collect().toSet
+    // a: exclusive prefix sums 0,900,1800,2700 → packs 0,0,0,1
+    // b: 0,2500 → packs 0,1 (an oversized doc owns its pack and overflows it)
+    assert(packed === Set(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 1L),
+      ("b", 1L, 0L), ("b", 2L, 1L)))
+    // pack ids are dense and non-decreasing in doc order within a group
+    val ids = Pipeline.packSequences(docs, "source", "doc_id", col("n_chars"), 2000L)
+      .groupBy("source").agg(max("pack_id").as("mx"), countDistinct("pack_id").as("n"))
+      .as[(String, Long, Long)].collect()
+    ids.foreach { case (_, mx, n) => assert(n === mx + 1) }
+  }
+}
