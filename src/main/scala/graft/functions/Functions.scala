@@ -26,6 +26,14 @@ object Functions {
     "minhash_agg"     -> (es => MinHashAgg(es(0), es(1),
       es(2).eval().asInstanceOf[Int])),
     "simhash_agg"     -> (es => SimHashAgg(es(0))),
+    // topk_rows_agg(struct, k, sort_ordinals, desc_flags) — constant args
+    // evaluated at build time (array literals)
+    "topk_rows_agg"   -> (es => TopKRowsAgg(es(0),
+      es(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray.toIndexedSeq,
+      es(3).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toBooleanArray.toIndexedSeq,
+      es(1).eval().asInstanceOf[Int])),
     "min_timeuuid"    -> (es => MinTimeUuid(es.head)),
     "max_timeuuid"    -> (es => MaxTimeUuid(es.head)),
     "timeuuid_unix_millis" -> (es => TimeUuidMillis(es.head)),

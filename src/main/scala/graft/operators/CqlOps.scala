@@ -26,6 +26,30 @@ object CqlOps {
     df.withColumn(rowNumberCol, row_number().over(w)).filter(col(rowNumberCol) <= n)
   }
 
+  /** PER PARTITION LIMIT as a bounded top-k aggregate
+    * ([[graft.functions.TopKRowsAgg]]): identical semantics to
+    * [[perPartitionLimit]], but the map-side partial buffer keeps only n
+    * rows per key, so the shuffle ships ≤ n rows × keys-per-task instead
+    * of every clustering row — the winning shape when partitions are wide
+    * (the reference's data model) and n is small. Requires
+    * `Functions.ensure` on the session. `clustering` is (column, desc).
+    */
+  def perPartitionLimitAgg(df: DataFrame, pk: Seq[String],
+                           clustering: Seq[(String, Boolean)], n: Int,
+                           rowNumberCol: String = "rn"): DataFrame = {
+    val payload = df.columns.filterNot(pk.contains).toSeq
+    val sortIdx = clustering.map { case (c, _) => payload.indexOf(c) }
+    require(sortIdx.forall(_ >= 0), s"clustering columns $clustering must be non-key columns")
+    val topk = call_function("topk_rows_agg",
+      struct(payload.map(col): _*), lit(n),
+      lit(sortIdx.toArray), lit(clustering.map(_._2).toArray))
+    df.groupBy(pk.map(col): _*)
+      .agg(topk.as("_topk"))
+      .select(pk.map(col) :+ posexplode(col("_topk")): _*)
+      .select(pk.map(col) ++ payload.map(c => col(s"col.$c")) :+
+        (col("pos") + 1).cast("int").as(rowNumberCol): _*)
+  }
+
   /** Last-write-wins reconciliation (reference `db/rows/Cells.java:115-160`):
     * keep the newest version of each row key; on timestamp tie a tombstone
     * beats a live cell, then higher value wins. `orderCols` must encode that

@@ -14,6 +14,38 @@ class CqlOpsSpec extends SparkSpec {
     assert(got === Set((1, 1), (1, 2), (2, 5)))
   }
 
+  test("perPartitionLimitAgg matches the window form: asc/desc directions, " +
+    "null ordering, tie handling, and real data") {
+    graft.functions.Functions.ensure(spark)
+    val df = Seq(
+      (1, Some(1), "a"), (1, Some(2), "b"), (1, Some(3), "c"),
+      (2, Some(5), "d"), (2, None, "e"), (3, None, "f")
+    ).toDF("pk", "ck", "v")
+    def norm(d: org.apache.spark.sql.DataFrame): Set[(Int, Option[Int], String, Int)] =
+      d.select("pk", "ck", "v", "rn").as[(Int, Option[Int], String, Int)].collect().toSet
+    // ascending: nulls first (Spark asc default)
+    assert(norm(CqlOps.perPartitionLimitAgg(df, Seq("pk"), Seq("ck" -> false), 2)) ===
+      norm(CqlOps.perPartitionLimit(df, Seq("pk"), Seq(col("ck").asc), 2)))
+    // descending: nulls last
+    assert(norm(CqlOps.perPartitionLimitAgg(df, Seq("pk"), Seq("ck" -> true), 2)) ===
+      norm(CqlOps.perPartitionLimit(df, Seq("pk"), Seq(col("ck").desc), 2)))
+    // two-column clustering with mixed directions on real data
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    def normLi(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      d.select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rn", lit(0)) // rank is tie-arbitrary; compare kept row sets
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val aggd = CqlOps.perPartitionLimitAgg(li, Seq("l_orderkey"),
+      Seq("l_linenumber" -> false, "l_quantity" -> true), 3)
+    val wind = CqlOps.perPartitionLimit(li, Seq("l_orderkey"),
+      Seq(col("l_linenumber").asc, col("l_quantity").desc), 3)
+    assert(normLi(aggd) === normLi(wind))
+    // the aggregate plan partially aggregates before the exchange
+    val plan = aggd.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("tokenPage pages the whole relation without overlap or loss") {
     graft.functions.Functions.ensure(spark)
     val df = (1 to 97).map(i => (i.toLong, s"v$i")).toDF("pk", "v")
