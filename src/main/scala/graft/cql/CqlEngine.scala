@@ -98,6 +98,16 @@ class CqlEngine(val spark: SparkSession) {
   private def sasiLiteral(d: IndexDef, tpe: CqlType): Boolean =
     d.options.get("is_literal").map(_.equalsIgnoreCase("true"))
       .getOrElse(tpe == CqlText || tpe == CqlAscii)
+  /** The index's analyzer normalizes case (NonTokenizingOptions:104-138:
+    * case_sensitive=false, normalize_lowercase or normalize_uppercase) —
+    * both indexed terms and query terms pass through the analyzer
+    * (NonTokenizingAnalyzer.java:91), so LIKE served by such an index
+    * matches case-insensitively.
+    */
+  private def sasiCaseInsensitive(d: IndexDef): Boolean =
+    d.options.get("case_sensitive").exists(_.equalsIgnoreCase("false")) ||
+    d.options.get("normalize_lowercase").exists(_.equalsIgnoreCase("true")) ||
+    d.options.get("normalize_uppercase").exists(_.equalsIgnoreCase("true"))
 
   /** Keyspaces (CREATE KEYSPACE / USE). The default keyspace's tables keep
     * UNQUALIFIED catalog keys (back-compat with storage layouts and every
@@ -2511,6 +2521,13 @@ class CqlEngine(val spark: SparkSession) {
       val mode = ci.options.getOrElse("mode", "PREFIX").toUpperCase
       if (!Set("PREFIX", "CONTAINS", "SPARSE")(mode))
         throw InvalidRequest(s"Incorrect index mode: ${ci.options.getOrElse("mode", "")}")
+      // NonTokenizingOptions.buildFromMap:108-111 — case_sensitive is an
+      // alias of the normalize options and cannot be combined with them
+      if (ci.options.contains("case_sensitive") &&
+          (ci.options.contains("normalize_lowercase") ||
+           ci.options.contains("normalize_uppercase")))
+        throw InvalidRequest("case_sensitive option cannot be specified together " +
+          "with either normalize_lowercase or normalize_uppercase")
       if (mode == "SPARSE") {
         val probe = IndexDef("", tbl, resolved, custom = true, ci.usingClass, ci.options)
         if (resolved.exists(t => sasiLiteral(probe, td.column(t._1).get.tpe)))
@@ -2691,7 +2708,12 @@ class CqlEngine(val spark: SparkSession) {
         if (indexServed) { indexBudget -= 1; indexServedCols += c }
         else needsFiltering = true
         restricted(c) = "like"
-        filters :+= col(c).like(pat)
+        // a case-normalizing analyzer on the serving index makes the match
+        // case-insensitive (both sides pass through the analyzer)
+        filters :+=
+          (if (indexServed && servable.headOption.exists(sasiCaseInsensitive))
+            lower(col(c)).like(pat.toLowerCase)
+          else col(c).like(pat))
       case Contains(c, v, isKey) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         // CONTAINS is served by a values() index (the default target of

@@ -240,6 +240,40 @@ class CqlIndexSpec extends SparkSpec {
       "complex columns are not yet supported by SASI")
   }
 
+  test("case-normalizing SASI analyzer makes served LIKE case-insensitive " +
+    "(NonTokenizingOptions:104-138, NonTokenizingAnalyzer.java:91; " +
+    "SASIIndexTest case-sensitivity shapes)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE cs1 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO cs1 (k, v) VALUES (1, 'Quick Brown Fox')")
+    e.execute("INSERT INTO cs1 (k, v) VALUES (2, 'quick brown fox')")
+    e.execute("CREATE CUSTOM INDEX cs1_ci ON cs1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'mode': 'CONTAINS', 'case_sensitive': 'false'}")
+    // both casings match through the normalizing analyzer
+    assert(rows(e.execute("SELECT k FROM cs1 WHERE v LIKE 'QUICK%'")) ===
+      Set(Seq(1), Seq(2)))
+    assert(rows(e.execute("SELECT k FROM cs1 WHERE v LIKE '%FOX'")) ===
+      Set(Seq(1), Seq(2)))
+    // a case-sensitive index (the default) matches exactly
+    e.execute("CREATE TABLE cs2 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO cs2 (k, v) VALUES (1, 'Quick')")
+    e.execute("INSERT INTO cs2 (k, v) VALUES (2, 'quick')")
+    e.execute("CREATE CUSTOM INDEX cs2_cs ON cs2 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex'")
+    assert(rows(e.execute("SELECT k FROM cs2 WHERE v LIKE 'quick%'")) === Set(Seq(2)))
+    // normalize_* is an alias family that cannot combine with case_sensitive
+    assertInvalid(e, "CREATE CUSTOM INDEX cs2_bad ON cs2 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'case_sensitive': 'false', 'normalize_lowercase': 'true'}",
+      "cannot be specified together")
+    // unserved LIKE (no index) stays case-exact under ALLOW FILTERING
+    e.execute("CREATE TABLE cs3 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO cs3 (k, v) VALUES (1, 'Quick')")
+    assert(rows(e.execute("SELECT k FROM cs3 WHERE v LIKE 'quick%' ALLOW FILTERING")) ===
+      Set.empty[Seq[Any]])
+  }
+
   test("analyzed non-literal SASI index still serves ranges " +
     "(ColumnIndex.supports:219-229 — tokenization drops only EQ and " +
     "CONTAINS-mode PREFIX serving, never RANGE)") {
