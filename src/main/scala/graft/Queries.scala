@@ -853,6 +853,18 @@ object Queries {
           .orderBy("a", "b")
       }),
 
+    QueryDef("q_dedup_groups",
+      // pairs → canonical duplicate GROUPS: connected components by
+      // min-label propagation (Dedup.dupGroups); the oracle computes the
+      // same components as a DuckDB recursive transitive closure
+      Some(dupGroupsOracle),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.dupGroups(docs.select("doc_id"),
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_dedup_simhash",
       // SimHash trades recall for cost (hamming<=3 pigeonhole join) — not
       // oracle-expressible; content checked in DedupSpec instead.
@@ -1114,6 +1126,19 @@ object Queries {
       |j AS (SELECT p.a, p.b, round(p.c * 1.0 / (sx.n + sy.n - p.c), 6) AS jaccard
       |      FROM p JOIN sz sx ON p.a = sx.doc_id JOIN sz sy ON p.b = sy.doc_id)
       |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin
+
+  private lazy val dupGroupsOracle: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))])) AS s FROM d),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT p.a, p.b FROM p JOIN sz sx ON p.a = sx.doc_id JOIN sz sy ON p.b = sy.doc_id
+      |          WHERE round(p.c * 1.0 / (sx.n + sy.n - p.c), 6) >= 0.7),
+      |e AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      |reach(a, b) AS (SELECT doc_id, doc_id FROM d UNION
+      |                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+      |SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   private lazy val langIdOracle: String =
     """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

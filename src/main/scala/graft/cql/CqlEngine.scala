@@ -2927,8 +2927,31 @@ class CqlEngine(val spark: SparkSession) {
     // plain row select: default order = pk, then clustering order
     var out = df
     s.perPartitionLimit.foreach { n =>
-      out = CqlOps.perPartitionLimit(out, pkNames, clusterSort, checkLimit(n))
-        .drop("rn")
+      // bounded top-k aggregate, not a rank window: the map-side partial
+      // buffer keeps ≤ n rows per partition key, so wide partitions
+      // (the data model this engine exists for) never shuffle whole
+      // (TopKRowsAgg; equality with the window form proven in CqlOpsSpec).
+      // timeuuid clustering orders by the embedded-time sort key — added
+      // as a transient payload column for the ordinal-addressed compare.
+      val cl = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
+        .collect { case (cn, desc) if cn.nonEmpty => (cn, desc) }
+      if (cl.isEmpty)
+        out = CqlOps.perPartitionLimit(out, pkNames, clusterSort, checkLimit(n))
+          .drop("rn")
+      else {
+        var base = out
+        val skCols = scala.collection.mutable.ArrayBuffer.empty[String]
+        val clustering = cl.map { case (cn, desc) =>
+          if (td.column(cn).exists(_.tpe == CqlTimeuuid)) {
+            val sk = s"_sk_$cn"
+            base = base.withColumn(sk, F.timeuuid_sort_key(col(cn)))
+            skCols += sk
+            (sk, desc)
+          } else (cn, desc)
+        }
+        out = CqlOps.perPartitionLimitAgg(base, pkNames, clustering, checkLimit(n))
+          .drop("rn").drop(skCols.toSeq: _*)
+      }
     }
     val sortCols: Seq[Column] =
       if (s.orderBy.nonEmpty) {

@@ -75,6 +75,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate-group labeling: connected components over a near-dup pair
+    * set — every doc labeled with its component's minimum id (singletons
+    * label themselves). Min-label propagation: each round spreads labels
+    * one hop along the undirected edge set and keeps the per-node minimum;
+    * rounds-to-fixpoint = component diameter (near-dup clusters are dense,
+    * diameters of 2-4 in practice). Each round is two narrow id-keyed
+    * shuffles; the convergence probe is an `isEmpty` on the
+    * still-improving set, never a data collect; `localCheckpoint`
+    * truncates the iterative lineage so the plan stays bounded at any
+    * round count.
+    */
+  def dupGroups(nodes: DataFrame, pairs: DataFrame,
+                id: String = "doc_id", maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = nodes.select(col(id).as("doc_id"), col(id).as("group_id"))
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val spread = edges.join(labels, edges("b") === labels("doc_id"))
+        .select(edges("a").as("doc_id"), col("group_id"))
+      val next = labels.union(spread)
+        .groupBy("doc_id").agg(min("group_id").as("group_id"))
+        .localCheckpoint()
+      // labels only ever decrease — fixpoint when no node improved
+      done = next.join(labels.withColumnRenamed("group_id", "_prev"), "doc_id")
+        .filter(col("group_id") < col("_prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   /** MinHash signature: perm_j(s) = h1(s) + j * h2(s) (double hashing over
     * two 64-bit murmurs — 2 hash evaluations per shingle regardless of the
     * number of permutations). Computed by the one-pass

@@ -42,6 +42,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("dupGroups labels connected components with the component minimum " +
+    "(chains resolve transitively; singletons label themselves)") {
+    // chain 1-2-3 (1-3 not directly paired), island 10-11, singleton 12
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.dupGroups(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 12L))
+    // real corpus: endpoints of every pair share a group, and each group's
+    // id is its own minimum member
+    val corpusPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+    val labels = Dedup.dupGroups(docs.select("doc_id"), corpusPairs)
+      .as[(Long, Long)].collect().toMap
+    corpusPairs.select("a", "b").as[(Long, Long)].collect().foreach {
+      case (a, b) => assert(labels(a) === labels(b), s"pair ($a,$b) split")
+    }
+    labels.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.keys.min === g, s"group $g is not its min member")
+    }
+  }
+
   test("simhash finds the tight near-duplicates (hamming <= 3 subset)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .select("a", "b").as[(Long, Long)].collect().toSet
