@@ -2709,10 +2709,14 @@ class CqlEngine(val spark: SparkSession) {
         else needsFiltering = true
         restricted(c) = "like"
         // a case-normalizing analyzer on the serving index makes the match
-        // case-insensitive (both sides pass through the analyzer)
+        // case-insensitive (both sides pass through the analyzer). When
+        // several custom indexes could serve, the first by creation order
+        // serves (deterministic; the reference ranks candidate indexes by
+        // selectivity estimate instead — documented deviation).
+        // Locale.ROOT pairs with Spark's locale-independent lower().
         filters :+=
           (if (indexServed && servable.headOption.exists(sasiCaseInsensitive))
-            lower(col(c)).like(pat.toLowerCase)
+            lower(col(c)).like(pat.toLowerCase(java.util.Locale.ROOT))
           else col(c).like(pat))
       case Contains(c, v, isKey) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
@@ -2927,18 +2931,33 @@ class CqlEngine(val spark: SparkSession) {
     // plain row select: default order = pk, then clustering order
     var out = df
     s.perPartitionLimit.foreach { n =>
-      // bounded top-k aggregate, not a rank window: the map-side partial
-      // buffer keeps ≤ n rows per partition key, so wide partitions
-      // (the data model this engine exists for) never shuffle whole
-      // (TopKRowsAgg; equality with the window form proven in CqlOpsSpec).
-      // timeuuid clustering orders by the embedded-time sort key — added
-      // as a transient payload column for the ordinal-addressed compare.
+      val limit = checkLimit(n)
+      // ORDER BY in the fully-reversed clustering order reverses the READ,
+      // and per-partition limits apply to the reversed iteration
+      // (SelectStatement isReversed + DataLimits): PPL 2 under ORDER BY
+      // c DESC keeps the 2 LARGEST c, not the 2 smallest.
+      val pplReversed = s.orderBy.nonEmpty &&
+        s.orderBy.head._2 != td.clusteringDesc.headOption.getOrElse(false)
       val cl = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
-        .collect { case (cn, desc) if cn.nonEmpty => (cn, desc) }
-      if (cl.isEmpty)
-        out = CqlOps.perPartitionLimit(out, pkNames, clusterSort, checkLimit(n))
-          .drop("rn")
-      else {
+        .collect { case (cn, desc) if cn.nonEmpty =>
+          (cn, if (pplReversed) !desc else desc) }
+      if (cl.isEmpty) {
+        // no clustering columns → one row per partition; the (validated
+        // strictly positive) limit keeps it — nothing to do
+      } else if (limit > 1024) {
+        // huge limits degrade the bounded buffer (O(limit) insert,
+        // limit-row spill units) below the window's sort — fall back
+        val sort = cl.map { case (cn, desc) =>
+          if (desc) orderCol(td, cn).desc else orderCol(td, cn).asc }
+        out = CqlOps.perPartitionLimit(out, pkNames, sort, limit).drop("rn")
+      } else {
+        // bounded top-k aggregate, not a rank window: the map-side partial
+        // buffer keeps ≤ limit rows per partition key, so wide partitions
+        // (the data model this engine exists for) never shuffle whole
+        // (TopKRowsAgg; equality with the window form proven in
+        // CqlOpsSpec). timeuuid clustering orders by the embedded-time
+        // sort key — added as a transient payload column for the
+        // ordinal-addressed compare.
         var base = out
         val skCols = scala.collection.mutable.ArrayBuffer.empty[String]
         val clustering = cl.map { case (cn, desc) =>
@@ -2949,7 +2968,7 @@ class CqlEngine(val spark: SparkSession) {
             (sk, desc)
           } else (cn, desc)
         }
-        out = CqlOps.perPartitionLimitAgg(base, pkNames, clustering, checkLimit(n))
+        out = CqlOps.perPartitionLimitAgg(base, pkNames, clustering, limit)
           .drop("rn").drop(skCols.toSeq: _*)
       }
     }

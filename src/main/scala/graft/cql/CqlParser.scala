@@ -385,7 +385,8 @@ object CqlParser {
   }
 
   /** Recognized table/view params — TableParams.Option
-    * (schema/TableParams.java:40-57). Unknown names are rejected like the
+    * (schema/TableParams.java:40-57) plus the ID keyword
+    * (TableAttributes.java:41-51). Unknown names are rejected like the
     * reference's PropertyDefinitions.validate
     * (PropertyDefinitions.java:58) instead of being stored or silently
     * dropped (ADVICE r6: a typo like 'gc_graceseconds' must not succeed).
@@ -395,7 +396,7 @@ object CqlParser {
     "compression", "crc_check_chance", "default_time_to_live", "extensions",
     "gc_grace_seconds", "max_index_interval", "memtable_flush_period_in_ms",
     "min_index_interval", "speculative_retry", "additional_write_policy",
-    "cdc", "read_repair")
+    "cdc", "read_repair", "id")
   private def tableParam(p: P): String = {
     val o = p.ident()
     if (!tableParams(o)) throw ParseException(s"Unknown property '$o'")

@@ -43,7 +43,9 @@ case class TopKRowsAgg(row: Expression, sortIdx: Seq[Int], desc: Seq[Boolean],
   require(k > 0, "PER PARTITION LIMIT must be strictly positive")
   require(sortIdx.length == desc.length, "one direction per sort field")
 
-  private val rowType: StructType = row.dataType.asInstanceOf[StructType]
+  // lazy: a non-struct argument must reach checkInputDataTypes as a
+  // TypeCheckFailure, not blow up as a cast during construction
+  private lazy val rowType: StructType = row.dataType.asInstanceOf[StructType]
 
   override def children: Seq[Expression] = Seq(row)
 

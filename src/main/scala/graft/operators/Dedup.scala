@@ -106,6 +106,11 @@ object Dedup {
       labels = next
       round += 1
     }
+    // silent non-convergence would mis-split groups (a >maxRounds-diameter
+    // chain keeps stale labels) — refuse rather than return wrong labels
+    if (!done) throw new IllegalStateException(
+      s"dupGroups did not converge within $maxRounds rounds " +
+        "(component diameter exceeds maxRounds)")
     labels
   }
 

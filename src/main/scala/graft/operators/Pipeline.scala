@@ -26,7 +26,11 @@ object Pipeline {
     */
   private def hexBound(fraction: Double): String = {
     val f = math.max(0.0, math.min(1.0, fraction))
-    f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
+    // fraction 1.0 must keep EVERY row: "g" sorts after any hex digest
+    // (a clamped "ffffffff" bound would strictly-compare away the ~2^-32
+    // of rows whose md5 starts with ffffffff)
+    if (f >= 1.0) "g"
+    else f"${(f * 4294967296.0).toLong}%08x"
   }
 
   /** Deterministic hash gate: true iff md5(key) falls below `fraction`'s
@@ -80,10 +84,15 @@ object Pipeline {
     */
   def mixEpochs(docs: DataFrame, sourceCol: String,
                 weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.forall(_._2 >= 0), s"epoch weights must be >= 0: $weights")
     val reps = weights.foldLeft(lit(1L)) {
       case (acc, (s, n)) => when(col(sourceCol) === s, lit(n.toLong)).otherwise(acc)
     }
-    docs.withColumn("epoch", explode(sequence(lit(1L), reps)))
+    // weight 0 = drop the source: sequence(1, 0) would count DOWN ([1, 0]),
+    // so gate on reps >= 1 and let explode discard the empty arrays
+    docs.withColumn("epoch",
+      explode(when(reps >= 1L, sequence(lit(1L), reps))
+        .otherwise(array().cast("array<bigint>"))))
   }
 
   /** Budget-chunked sequence packing: within each `partCol` group, assign

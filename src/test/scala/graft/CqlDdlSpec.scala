@@ -227,6 +227,10 @@ class CqlDdlSpec extends SparkSpec {
       "Unknown property 'gc_graceseconds'")
     assertInvalid(e, "CREATE TABLE up_bad (k int PRIMARY KEY) WITH read_repairs = 'x'",
       "Unknown property 'read_repairs'")
+    // WITH ID = <uuid> is valid (TableAttributes.java:41-51 adds ID on
+    // top of the TableParams.Option set; parsed and ignored here)
+    e.execute("CREATE TABLE up_id (k int PRIMARY KEY) " +
+      "WITH id = '5a1c395e-b41f-11e5-9f22-ba0be0483c18'")
     // every reference TableParams.Option name still parses
     e.execute("ALTER TABLE up_base WITH bloom_filter_fp_chance = 0.01 " +
       "AND caching = {'keys': 'ALL'} AND comment = 'c' AND crc_check_chance = 1.0 " +

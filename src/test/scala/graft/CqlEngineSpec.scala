@@ -82,7 +82,19 @@ class CqlEngineSpec extends SparkSpec {
     assert(e.execute("SELECT * FROM t5 PER PARTITION LIMIT 2 LIMIT 6").count() === 6)
     assert(rowsInOrder(e.execute("SELECT b FROM t5 WHERE a = 3 PER PARTITION LIMIT 2")) ===
       Seq(Seq(0), Seq(1)))
+    // ORDER BY in reversed clustering order reverses the READ, and the
+    // per-partition limit applies to the reversed iteration (SelectStatement
+    // isReversed + DataLimits): the 2 LARGEST b, reported descending
+    assert(rowsInOrder(e.execute(
+      "SELECT b FROM t5 WHERE a = 3 ORDER BY b DESC PER PARTITION LIMIT 2")) ===
+      Seq(Seq(4), Seq(3)))
     assertInvalid(e, "SELECT * FROM t5 LIMIT 0", "LIMIT must be strictly positive")
+    // no clustering columns → one row per partition; PPL is a no-op, not
+    // an unordered-window error
+    e.execute("CREATE TABLE t5b (k int PRIMARY KEY, v int)")
+    e.execute("INSERT INTO t5b (k, v) VALUES (1, 10)")
+    e.execute("INSERT INTO t5b (k, v) VALUES (2, 20)")
+    assert(e.execute("SELECT * FROM t5b PER PARTITION LIMIT 1").count() === 2)
   }
 
   test("aggregates: CQL-typed results, empty-table behavior (AggregationTest)") {

@@ -61,6 +61,11 @@ class DedupSpec extends SparkSpec {
     labels.groupBy(_._2).foreach { case (g, members) =>
       assert(members.keys.min === g, s"group $g is not its min member")
     }
+    // refusing beats silently mis-splitting when rounds run out
+    val ex = intercept[IllegalStateException] {
+      Dedup.dupGroups(nodes, pairs, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("simhash finds the tight near-duplicates (hamming <= 3 subset)") {

@@ -80,6 +80,13 @@ class PipelineSpec extends SparkSpec {
     assert(perEpoch(3L) === totals("src0"))
     assert(!perEpoch.contains(4L))
     assert(mixed.count() === all + totals("src0") * 2 + totals("src1"))
+    // weight 0 drops the source entirely (not sequence(1,0) = [1,0])
+    val dropped = Pipeline.mixEpochs(docs, "source", Seq("src0" -> 0))
+    assert(dropped.filter(col("source") === "src0").count() === 0L)
+    assert(dropped.count() === all - totals("src0"))
+    intercept[IllegalArgumentException] {
+      Pipeline.mixEpochs(docs, "source", Seq("src0" -> -1))
+    }
   }
 
   test("packSequences chunks by exclusive prefix sum within each group") {
