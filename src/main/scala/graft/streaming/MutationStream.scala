@@ -78,6 +78,23 @@ object MutationStream {
       .withWatermark("ts_ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
+  /** Streaming exact content dedup — the streaming analog of
+    * [[graft.operators.Dedup.exact]]: drop records whose content digest
+    * was already emitted, with the dedup state BOUNDED by the watermark
+    * (`dropDuplicatesWithinWatermark`; a plain dropDuplicates would grow
+    * state with every distinct document ever seen — unbounded on an
+    * ingest stream). Duplicates arriving later than the watermark delay
+    * re-emit: at 100 TB/day ingest that is the right trade — bounded
+    * state, and the batch dedup (digest group over the landed corpus)
+    * catches stragglers downstream.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("_h", md5(lower(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+
   /** CDC over a [[graft.cql.CqlEngine]] table's own mutation log: streams
     * the durable segments PLUS the compaction-archived `cdc/` directory
     * (reference `CommitLogSegmentManagerCDC` keeps consumed segments in

@@ -89,6 +89,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: sampling and mixing are scan-fused (no exchange); " +
+    "packing shuffles exactly once, on its partitioning column") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val sampled = Pipeline.stratifiedSample(docs, "source", col("doc_id"),
+      Seq("src0" -> 0.5), 0.1)
+    assert(!planOf(sampled).contains("Exchange"), planOf(sampled))
+    val mixed = Pipeline.mixEpochs(docs, "source", Seq("src0" -> 2))
+    assert(!planOf(mixed).contains("Exchange"), planOf(mixed))
+    val packed = Pipeline.packSequences(docs, "source", "doc_id", col("n_chars"), 2000L)
+    assert("Exchange".r.findAllIn(planOf(packed)).size === 1, planOf(packed))
+  }
+
   test("packSequences chunks by exclusive prefix sum within each group") {
     val df = Seq(
       ("a", 1L, 900L), ("a", 2L, 900L), ("a", 3L, 900L), ("a", 4L, 900L),

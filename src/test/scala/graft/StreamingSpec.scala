@@ -208,4 +208,31 @@ class StreamingSpec extends SparkSpec {
       assert(out.filter(col("c") > 1).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming content dedup emits one row per digest, bounded by the " +
+    "watermark (dropDuplicatesWithinWatermark)") {
+    import spark.implicits._
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    // 3 distinct texts, each written twice (second copy differs only in id)
+    val now = new java.sql.Timestamp(1700000000000L)
+    Seq(
+      (1L, "alpha beta", now), (2L, "alpha beta", now),
+      (3L, "gamma delta", now), (4L, "gamma delta", now),
+      (5L, "epsilon", now), (6L, "epsilon", now)
+    ).toDF("doc_id", "text", "ts")
+      .write.mode("overwrite").parquet(docsDir)
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q = MutationStream.dedupStream(stream, "ts", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sdedup_out")
+      assert(out.count() === 3)
+      assert(out.select("text").as[String].collect().toSet ===
+        Set("alpha beta", "gamma delta", "epsilon"))
+    } finally q.stop()
+  }
 }
