@@ -1009,6 +1009,20 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_multimodal_frames",
+      // frame-sampling fan-out: every stride-th frame index per video,
+      // exploded map-side with no payload duplication before slicing
+      // (Multimodal.sampleFrames; decode stubbed, fan-out shape real)
+      Some("""SELECT doc_id AS media_id,
+                     CAST(doc_id % 30 + 1 AS INTEGER) AS frames,
+                     CAST(f AS INTEGER) AS frame_idx,
+                     concat(CAST(doc_id AS VARCHAR), ':', CAST(f AS VARCHAR)) AS frame_key
+              FROM documents, UNNEST(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 4)) t(f)
+              ORDER BY media_id, frame_idx"""),
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(s, t(s, d, "documents")).toDF, 4)
+        .orderBy("media_id", "frame_idx")),
+
     // ── extensions: text analysis ──────────────────────────────────────
     QueryDef("q_text_stats",
       Some("""SELECT doc_id,
