@@ -2803,6 +2803,8 @@ class CqlEngine(val spark: SparkSession) {
 
     // DISTINCT (only pk + statics selectable; SelectStatement.java:1111-1134)
     if (s.distinct) {
+      if (s.perPartitionLimit.nonEmpty)
+        throw InvalidRequest("PER PARTITION LIMIT is not allowed with SELECT DISTINCT queries")
       val sel = s.selectors.collect { case ExprSel(ColRef(n), _) => n }
       val legal = (td.partitionKey ++ td.statics).map(_.name).toSet
       if (s.selectors.contains(Star) || sel.forall(legal.contains)) {
@@ -2847,6 +2849,11 @@ class CqlEngine(val spark: SparkSession) {
     }
 
     if (hasAgg || s.groupBy.nonEmpty) {
+      // aggregate-everything collapses partitions, so a per-partition
+      // limit is meaningless without GROUP BY
+      // (SelectStatement.getDataLimits; SelectLimitTest:154-155)
+      if (s.groupBy.isEmpty && s.perPartitionLimit.nonEmpty)
+        throw InvalidRequest("PER PARTITION LIMIT is not allowed with aggregate queries.")
       // grouping columns come through the groupBy itself; everything else is
       // an aggregate expression. The final select restores selector order.
       // floor()-bucketed keys materialize as derived __floor_<col> columns.
@@ -2876,13 +2883,58 @@ class CqlEngine(val spark: SparkSession) {
             .map(g => s"__floor_${g.column}")
         case _ => None
       }
+      // ORDER BY in the reversed clustering order reverses the READ the
+      // groups form over (SelectGroupByTest:329-342): the "first row" of
+      // each group, the group output order, and which groups a
+      // per-partition limit keeps all follow the reversed iteration.
+      val readReversed = s.orderBy.nonEmpty &&
+        s.orderBy.head._2 != td.clusteringDesc.headOption.getOrElse(false)
+      def natDescOf(cn: String): Boolean =
+        td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
+          .collectFirst { case (nm, dsc) if nm == cn => dsc }.getOrElse(false)
       val aggCols = s.selectors.zipWithIndex.collect {
         case (sel @ ExprSel(e, _), i) if groupKeyOf(sel).isEmpty =>
-          lowerAggExpr(td, e, s.groupBy.map(_.column)).as(aggOutName(sel, i))
+          lowerAggExpr(td, e, s.groupBy.map(_.column), readReversed)
+            .as(aggOutName(sel, i))
       }
-      val keyOrder = s.groupBy.zip(keyCols).map { case (g, kn) =>
-        if (g.floorDur.isEmpty) orderCol(td, kn) else col(kn).asc
-      }
+      val keyOrder: Seq[Column] =
+        if (s.orderBy.nonEmpty) {
+          // explicit ORDER BY sorts group rows by the ORDER BY COLUMNS
+          // THEMSELVES across all partitions — group keys where grouped,
+          // the group's first-row value where only selected — then stable
+          // input (ring) order (SelectStatement.orderResults;
+          // SelectGroupByTest:401-415: IN (1,2,4) GROUP BY a, b ORDER BY
+          // b DESC, c DESC interleaves (4,8),(2,4),(1,4),(2,2),(1,2) —
+          // the b=4 tie breaks on the first-row c, 3 before 2)
+          def orderVal(cn: String, c: Column): Column =
+            if (td.column(cn).exists(_.tpe == CqlTimeuuid))
+              F.timeuuid_sort_key(c)
+            else c
+          val obCols = s.orderBy.flatMap { case (cn, wantDesc) =>
+            val value: Option[Column] =
+              if (s.groupBy.exists(g => g.column == cn)) Some(
+                keyCols(s.groupBy.indexWhere(_.column == cn))).map(kn =>
+                  orderVal(cn, col(kn)))
+              else s.selectors.zipWithIndex.collectFirst {
+                case (sel @ ExprSel(ColRef(n), _), i) if n == cn =>
+                  orderVal(cn, col(aggOutName(sel, i)))
+              }
+            value.map(c => if (wantDesc) c.desc else c.asc)
+          }
+          // ring-order tie-break needs the pk columns in the grouped frame;
+          // when they are EQ-restricted instead, the partition is unique
+          // and no tie-break is needed
+          val pkTies =
+            if (pkNames.forall(keyCols.contains)) {
+              val ins = td.partitionKey.map(tokenInput)
+              val tok = if (ins.length == 1) F.cassandra_token(ins.head)
+                        else call_function("cassandra_token", ins: _*)
+              tok.asc +: pkNames.map(orderCol(td, _).asc)
+            } else Seq.empty
+          obCols ++ pkTies
+        } else s.groupBy.zip(keyCols).map { case (g, kn) =>
+          if (g.floorDur.isEmpty) orderCol(td, kn) else col(kn).asc
+        }
       var out =
         if (s.groupBy.nonEmpty && aggCols.nonEmpty)
           dfg.groupBy(keyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -2906,9 +2958,9 @@ class CqlEngine(val spark: SparkSession) {
           case (g, kn) if !pkNames.contains(kn) =>
             // floor() buckets inherit the direction of their SOURCE
             // clustering column: a DESC clustering read visits the highest
-            // buckets first, so those are the groups PPL keeps
-            val desc = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
-              .collectFirst { case (nm, d) if nm == g.column => d }.getOrElse(false)
+            // buckets first, so those are the groups PPL keeps; a reversed
+            // ORDER BY read flips the direction the same way
+            val desc = natDescOf(g.column) != readReversed
             val c = if (g.floorDur.nonEmpty) col(kn) else orderCol(td, kn)
             if (desc) c.desc else c.asc
         }
@@ -2975,12 +3027,27 @@ class CqlEngine(val spark: SparkSession) {
     val sortCols: Seq[Column] =
       if (s.orderBy.nonEmpty) {
         val reversed = s.orderBy.head._2 != td.clusteringDesc.headOption.getOrElse(false)
-        val base = td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
+        // explicit ORDER BY sorts across ALL selected partitions by the
+        // ORDER BY columns only (SelectStatement.orderResults;
+        // SelectOrderByTest testOrderByForInClause: IN over 3 partitions
+        // interleaves rows by clustering, not pk-first); ties keep the
+        // coordinator's stable fetch order = ring/token order (reproduced
+        // bit-exactly by cassandra_token), then the remaining clustering
+        // columns in the reversed-read direction within each partition.
+        val listed = s.orderBy.map(_._1).toSet
+        val (obPart, restPart) = td.clustering.map(_.name)
+          .zipAll(td.clusteringDesc, "", false)
           .collect { case (n, desc) if n.nonEmpty =>
             val effDesc = if (reversed) !desc else desc
-            if (effDesc) orderCol(td, n).desc else orderCol(td, n).asc
-          }
-        pkNames.map(orderCol(td, _).asc) ++ base
+            (n, if (effDesc) orderCol(td, n).desc else orderCol(td, n).asc)
+          }.partition { case (n, _) => listed.contains(n) }
+        val tokenOrder = {
+          val ins = td.partitionKey.map(tokenInput)
+          if (ins.length == 1) F.cassandra_token(ins.head)
+          else call_function("cassandra_token", ins: _*)
+        }
+        obPart.map(_._2) ++ (tokenOrder.asc +: pkNames.map(orderCol(td, _).asc)) ++
+          restPart.map(_._2)
       } else pkNames.map(orderCol(td, _).asc) ++ clusterSort
     out = out.orderBy(sortCols: _*)
 
@@ -3488,17 +3555,19 @@ class CqlEngine(val spark: SparkSession) {
     * Scalar functions and arithmetic compose over aggregates
     * (e.g. max(a) - min(a), todate(max(ts))).
     */
-  private def lowerAggExpr(td: TableDef, e: SelExpr, groupBy: Seq[String]): Column = {
+  private def lowerAggExpr(td: TableDef, e: SelExpr, groupBy: Seq[String],
+                           reversed: Boolean = false): Column = {
     // "first row" = first in SELECTION order; a DESC-clustered table's
     // first row is the max of the clustering struct (single-direction
-    // tables only — mixed ASC/DESC clustering falls back to ascending)
+    // tables only — mixed ASC/DESC clustering falls back to ascending).
+    // A reversed ORDER BY read flips which end is "first".
     lazy val allDesc = td.clustering.nonEmpty && td.clusteringDesc.nonEmpty &&
       td.clusteringDesc.forall(identity)
     lazy val firstRowOrd =
       if (td.clustering.nonEmpty) struct(td.clustering.map(c => orderCol(td, c.name)): _*)
       else struct(td.partitionKey.map(c => orderCol(td, c.name)): _*)
     def firstBy(v: Column): Column =
-      if (allDesc) max_by(v, firstRowOrd) else min_by(v, firstRowOrd)
+      if (allDesc != reversed) max_by(v, firstRowOrd) else min_by(v, firstRowOrd)
     def rec(x: SelExpr): Column = x match {
       case FnCall("count", Seq(StarRef)) => count(lit(1))
       case FnCall("count", Seq(a)) => count(lowerExpr(td, a, null))

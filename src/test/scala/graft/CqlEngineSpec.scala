@@ -89,12 +89,84 @@ class CqlEngineSpec extends SparkSpec {
       "SELECT b FROM t5 WHERE a = 3 ORDER BY b DESC PER PARTITION LIMIT 2")) ===
       Seq(Seq(4), Seq(3)))
     assertInvalid(e, "SELECT * FROM t5 LIMIT 0", "LIMIT must be strictly positive")
+    // PPL composes with GROUP BY (groups per partition) but is rejected
+    // with DISTINCT and with aggregate-everything (SelectLimitTest:150-155)
+    assertInvalid(e, "SELECT DISTINCT a FROM t5 PER PARTITION LIMIT 3",
+      "PER PARTITION LIMIT is not allowed with SELECT DISTINCT queries")
+    assertInvalid(e, "SELECT COUNT(*) FROM t5 PER PARTITION LIMIT 3",
+      "PER PARTITION LIMIT is not allowed with aggregate queries.")
     // no clustering columns → one row per partition; PPL is a no-op, not
     // an unordered-window error
     e.execute("CREATE TABLE t5b (k int PRIMARY KEY, v int)")
     e.execute("INSERT INTO t5b (k, v) VALUES (1, 10)")
     e.execute("INSERT INTO t5b (k, v) VALUES (2, 20)")
     assert(e.execute("SELECT * FROM t5b PER PARTITION LIMIT 1").count() === 2)
+  }
+
+  test("IN + ORDER BY interleaves rows by clustering across partitions " +
+    "(SelectOrderByTest.testOrderByForInClause:258-284; " +
+    "SelectLimitTest.testPerPartitionLimit:124-128)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE inob (my_id text, col1 int, value text, PRIMARY KEY (my_id, col1))")
+    e.execute("INSERT INTO inob (my_id, col1, value) VALUES ('key1', 1, 'a')")
+    e.execute("INSERT INTO inob (my_id, col1, value) VALUES ('key2', 3, 'c')")
+    e.execute("INSERT INTO inob (my_id, col1, value) VALUES ('key3', 2, 'b')")
+    e.execute("INSERT INTO inob (my_id, col1, value) VALUES ('key4', 4, 'd')")
+    // rows come back sorted by the CLUSTERING column across partitions,
+    // not grouped per partition key
+    assert(rowsInOrder(e.execute(
+      "SELECT my_id, col1 FROM inob WHERE my_id IN ('key1', 'key2', 'key3') ORDER BY col1")) ===
+      Seq(Seq("key1", 1), Seq("key3", 2), Seq("key2", 3)))
+    assert(rowsInOrder(e.execute(
+      "SELECT col1 FROM inob WHERE my_id IN ('key1', 'key2', 'key3') ORDER BY col1 LIMIT 2")) ===
+      Seq(Seq(1), Seq(2)))
+    // PPL under the reversed multi-partition read: largest b per
+    // partition, interleaved by b DESC with ring-order ties — the
+    // reference's literal expected rows
+    e.execute("CREATE TABLE inppl (a int, b int, c int, PRIMARY KEY (a, b))")
+    for (a <- 0 until 5; b <- 0 until 5)
+      e.execute(s"INSERT INTO inppl (a, b, c) VALUES ($a, $b, $b)")
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, c FROM inppl WHERE a IN (3, 2) ORDER BY b DESC PER PARTITION LIMIT 2")) ===
+      Seq(Seq(2, 4, 4), Seq(3, 4, 4), Seq(2, 3, 3), Seq(3, 3, 3)))
+  }
+
+  test("GROUP BY under a reversed ORDER BY read: first-row selection, group " +
+    "output order and PPL group choice all follow the reversed iteration " +
+    "(SelectGroupByTest.testGroupByWithoutPaging:329-342)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE gbr (a int, b int, c int, d int, e int, PRIMARY KEY (a, b, c, d))")
+    Seq((1, 2, 1, 3, 6), (1, 2, 2, 6, 12), (1, 3, 2, 12, 24), (1, 4, 2, 12, 24),
+        (1, 4, 2, 6, 12), (2, 2, 3, 3, 6), (2, 4, 3, 6, 12), (3, 3, 2, 12, 24),
+        (4, 8, 2, 12, 24)).foreach { case (a, b, c, d, ee) =>
+      e.execute(s"INSERT INTO gbr (a, b, c, d, e) VALUES ($a, $b, $c, $d, $ee)")
+    }
+    // the reference test's deletes (lines 42-43)
+    e.execute("DELETE FROM gbr WHERE a = 1 AND b = 3 AND c = 2 AND d = 12")
+    e.execute("DELETE FROM gbr WHERE a = 3")
+    // the reference's literal expected rows
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, e, count(b), max(e) FROM gbr WHERE a = 1 GROUP BY a, b, c ORDER BY b DESC, c DESC")) ===
+      Seq(Seq(1, 4, 24, 2L, 24), Seq(1, 2, 12, 1L, 12), Seq(1, 2, 6, 1L, 6)))
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, e, count(b), max(e) FROM gbr WHERE a = 1 GROUP BY a, b, c ORDER BY b DESC, c DESC PER PARTITION LIMIT 1")) ===
+      Seq(Seq(1, 4, 24, 2L, 24)))
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, e, count(b), max(e) FROM gbr WHERE a = 1 GROUP BY a, b, c ORDER BY b DESC, c DESC LIMIT 2")) ===
+      Seq(Seq(1, 4, 24, 2L, 24), Seq(1, 2, 12, 1L, 12)))
+    // multi-partition IN: group rows interleave by the clustering group
+    // keys DESC across partitions, ring-order ties (lines 401-415)
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, c, count(b), max(e) FROM gbr WHERE a IN (1, 2, 4) GROUP BY a, b ORDER BY b DESC, c DESC")) ===
+      Seq(Seq(4, 8, 2, 1L, 24), Seq(2, 4, 3, 1L, 12), Seq(1, 4, 2, 2L, 24),
+        Seq(2, 2, 3, 1L, 6), Seq(1, 2, 2, 2L, 12)))
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, c, d FROM gbr WHERE a IN (1, 2, 4) GROUP BY a, b ORDER BY b DESC, c DESC LIMIT 3")) ===
+      Seq(Seq(4, 8, 2, 12), Seq(2, 4, 3, 6), Seq(1, 4, 2, 12)))
+    // range query + GROUP BY + ORDER BY stays rejected (lines 199-201)
+    assertInvalid(e,
+      "SELECT a, b, c, count(b), max(e) FROM gbr GROUP BY a, b ORDER BY b DESC, c DESC",
+      "ORDER BY is only supported when the partition key is restricted")
   }
 
   test("aggregates: CQL-typed results, empty-table behavior (AggregationTest)") {
@@ -118,8 +190,10 @@ class CqlEngineSpec extends SparkSpec {
     assert(rowsInOrder(e.execute(
       "SELECT a, b, count(*) FROM t6 GROUP BY a, b PER PARTITION LIMIT 1")) ===
       Seq(Seq(1, 1, 1L), Seq(2, 4, 1L)))
+    // aggregate-everything + PPL is the reference's dedicated error, not
+    // the GROUP-BY-shape one (SelectLimitTest:154-155)
     assertInvalid(e, "SELECT count(*) FROM t6 PER PARTITION LIMIT 1",
-      "requires grouping by the full partition key")
+      "PER PARTITION LIMIT is not allowed with aggregate queries.")
   }
 
   test("writetime and ttl selectors with USING TIMESTAMP/TTL (TTLTest)") {
