@@ -40,6 +40,11 @@ object GraftSession {
       // many generated plans (sketch aggregates, CQL folds, bucket joins),
       // forcing multi-second janino recompiles mid-benchmark
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // ObjectHashAggregate (sketch aggregates, collect_set buckets) falls
+      // back to sort-based aggregation after 128 distinct groups per task —
+      // far too eager for the fixed-width MinHash/SimHash/top-k buffers
+      // (≤512 B each; 4096 groups ≈ 2 MB per task before safe fallback)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .withExtensions(new graft.functions.GraftExtensions)
 
   def get(appName: String = "graft"): SparkSession = {

@@ -139,13 +139,30 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
-  /** Candidate pairs from shared LSH buckets (distinct, a < b). */
+  /** Candidate pairs from shared LSH buckets (distinct, a < b).
+    *
+    * One aggregation on (band, bkey) emitting each bucket's id-ordered
+    * pairs, not a bucket self-join: the self-join evaluates the whole
+    * shingle→signature pipeline once per side (Spark's exchange reuse does
+    * not unify the two aliased subtrees), so the aggregate halves the
+    * sketch work and shuffles the narrow (doc_id, band, bkey) rows exactly
+    * once. Per-bucket memory is one id per member; a bucket of m docs
+    * emits m(m-1)/2 pairs under either formulation — that fan-out is
+    * intrinsic to LSH candidates (see SCALE.md for the skew knob).
+    */
   def lshCandidates(buckets: DataFrame): DataFrame =
-    buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    buckets.groupBy("band", "bkey")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b"))
       .distinct()
+
+  /** All (a, b) element pairs of a sorted array, a before b. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
 
   /** Candidate verification by per-doc shingle-set intersection: the pair
     * list joins each side's shingle array once (candidates are few; each
@@ -218,11 +235,15 @@ object Dedup {
     }
     val chunked = perDoc.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    val cands = chunked.as("x").join(chunked.as("y"),
-        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // same one-pass bucket aggregation as lshCandidates (signature pipeline
+    // evaluated once, one narrow shuffle); members carry their simhash so
+    // the hamming filter runs inside the pair expansion
+    val cands = chunked.groupBy("ci", "cv")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(pairsOf(col("ms"))).as("p"))
+      .filter(bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))) <= maxHamming)
+      .select(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b"))
       .distinct()
     val candIds = cands.select(col("a").as("doc_id"))
       .union(cands.select(col("b").as("doc_id"))).distinct()
