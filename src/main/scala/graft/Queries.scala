@@ -1083,6 +1083,70 @@ object Queries {
         .select(col("doc_id"), col("c.idx").cast("long").as("chunk_idx"), col("c.chunk").as("chunk"))
         .orderBy("doc_id", "chunk_idx")),
 
+    QueryDef("q_quality_repetition",
+      // Gopher repetition signals (Rae et al. 2021 §A1.1): top/duplicate
+      // n-gram character fractions + duplicate-line fractions over
+      // synthetic 8-word lines (corpus has no newlines). All per-row
+      // sorted-run-length folds inside the scan — zero shuffles.
+      Some(repetitionOracle),
+      (s, d) => {
+        val nc = length(col("text"))
+        val lines = transform(TextAnalysis.chunks(col("text"), 8, 8), c => c.getField("chunk"))
+        val s2 = Quality.ngramRunStats(col("text"), 2)
+        val s3 = Quality.ngramRunStats(col("text"), 3)
+        val ls = Quality.lineRunStats(lines)
+        Tables.spread(t(s, d, "documents")).select(col("doc_id"),
+            round(s2.getField("top_chars") * lit(1.0) / nc, 6).as("top2gram_char_frac"),
+            round(s2.getField("dup_chars") * lit(1.0) / nc, 6).as("dup2gram_char_frac"),
+            round(s3.getField("dup_chars") * lit(1.0) / nc, 6).as("dup3gram_char_frac"),
+            Quality.duplicateLineFrac(lines).as("dup_line_frac"),
+            round(ls.getField("dup_chars") * lit(1.0) / Quality.lineCharTotal(lines), 6)
+              .as("dup_line_char_frac"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_pii_redact",
+      // regex PII detect + redact. The corpus carries no PII, so the query
+      // plants deterministic emails/IPs/phones keyed off doc_id — the SAME
+      // derivation in both engines — and the operator under test counts and
+      // redacts them. Patterns are RE2-and-Java-compatible.
+      Some(piiOracle),
+      (s, d) => {
+        val ptext = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" host 192.168."), (col("doc_id") % 256).cast("string"),
+              lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" tel +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        val cnt = Quality.piiCounts(col("ptext"))
+        Tables.spread(t(s, d, "documents")).withColumn("ptext", ptext)
+          .select(col("doc_id"),
+            cnt.getField("n_emails").as("n_emails"),
+            cnt.getField("n_ipv4").as("n_ipv4"),
+            cnt.getField("n_phones").as("n_phones"),
+            Quality.piiRedact(col("ptext")).as("redacted"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_clean_lines",
+      // C4-style line filtering (Raffel et al. 2020 §2.2) over the same
+      // synthetic 8-word lines: keep lines with >= 8 words and no
+      // blacklisted word; per-row filter() fused into the scan.
+      Some(cleanLinesOracle),
+      (s, d) => {
+        val lines = transform(TextAnalysis.chunks(col("text"), 8, 8), c => c.getField("chunk"))
+        val kept = Quality.cleanLines(lines, 8, Seq("slow", "big"))
+        Tables.spread(t(s, d, "documents")).select(col("doc_id"),
+            size(lines).as("n_lines"), size(kept).as("n_kept"),
+            array_join(kept, " ").as("cleaned"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_embed_quantize",
       // symmetric int8 scalar quantization of the embedding corpus (4x
       // smaller at 100 TB); floor(x*s + 0.5) rounding is engine-identical.
@@ -1153,6 +1217,59 @@ object Queries {
       |reach(a, b) AS (SELECT doc_id, doc_id FROM d UNION
       |                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
       |SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** Gopher repetition signals: the per-doc n-gram/line frequency tables
+    * the Spark side folds inside the row are computed relationally here
+    * (unnest → group → max/sum) — an independent formulation of the same
+    * definition. N-gram construction mirrors jaccardOracle's clamped
+    * comprehension (= Dedup.shingles).
+    */
+  private lazy val repetitionOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS w, length(text) AS nc FROM documents),
+      |g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, greatest(len(w), 2))]) AS g FROM d),
+      |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1,2),
+      |s2 AS (SELECT doc_id, max(cnt*length(g)) AS top2,
+      |              sum(CASE WHEN cnt>1 THEN cnt*length(g) ELSE 0 END) AS dup2 FROM c2 GROUP BY 1),
+      |g3 AS (SELECT doc_id, unnest([array_to_string(w[i:i+2],' ') for i in range(1, greatest(len(w)-1, 2))]) AS g FROM d),
+      |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1,2),
+      |s3 AS (SELECT doc_id, sum(CASE WHEN cnt>1 THEN cnt*length(g) ELSE 0 END) AS dup3 FROM c3 GROUP BY 1),
+      |lx AS (SELECT doc_id, unnest([array_to_string(list_slice(w, i*8+1, i*8+8),' ') for i in range(0, greatest(CAST(ceil(len(w)/8.0) AS BIGINT),1))]) AS l FROM d),
+      |lc AS (SELECT doc_id, l, count(*) AS cnt, length(l) AS ln FROM lx GROUP BY 1,2),
+      |lstat AS (SELECT doc_id, sum(cnt*ln) AS total_chars,
+      |                 sum(CASE WHEN cnt>1 THEN cnt*ln ELSE 0 END) AS dup_chars,
+      |                 count(*) AS n_distinct, sum(cnt) AS n_lines FROM lc GROUP BY 1)
+      |SELECT d.doc_id, round(s2.top2 * 1.0 / d.nc, 6) AS top2gram_char_frac,
+      |       round(s2.dup2 * 1.0 / d.nc, 6) AS dup2gram_char_frac,
+      |       round(s3.dup3 * 1.0 / d.nc, 6) AS dup3gram_char_frac,
+      |       round((lstat.n_lines - lstat.n_distinct) * 1.0 / lstat.n_lines, 6) AS dup_line_frac,
+      |       round(lstat.dup_chars * 1.0 / lstat.total_chars, 6) AS dup_line_char_frac
+      |FROM d JOIN s2 USING (doc_id) JOIN s3 USING (doc_id) JOIN lstat USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  private lazy val piiOracle: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d-\\d{3}-\\d{4}"
+    s"""WITH p AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id*7) % 256 AS VARCHAR) ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 0 THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS ptext
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(ptext, '$email')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(ptext, '$ip')) AS INTEGER) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(ptext, '$phone')) AS INTEGER) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(ptext, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val cleanLinesOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+      |l AS (SELECT doc_id, [array_to_string(list_slice(w, i*8+1, i*8+8),' ') for i in range(0, greatest(CAST(ceil(len(w)/8.0) AS BIGINT),1))] AS ls FROM d),
+      |k AS (SELECT doc_id, ls, list_filter(ls, x -> len(string_split(x,' ')) >= 8 AND NOT list_has_any(string_split(x,' '), ['slow','big'])) AS kept FROM l)
+      |SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines, CAST(len(kept) AS INTEGER) AS n_kept,
+      |       coalesce(array_to_string(kept, ' '), '') AS cleaned
+      |FROM k ORDER BY doc_id""".stripMargin
 
   private lazy val langIdOracle: String =
     """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality signals and cleaning for LLM training-data pipelines:
+  * the repetition measures of Rae et al. 2021 (Gopher, §A1.1), regex PII
+  * detection/redaction, and C4-style (Raffel et al. 2020, §2.2) line
+  * filtering.
+  *
+  * Every operator here is a pure per-row expression over the document —
+  * signals fuse into the scan stage with zero shuffles (the per-doc
+  * n-gram/line frequency tables are computed by a sorted run-length fold
+  * *inside* the row, never by an explode + groupBy), so at 100 TB each
+  * is a single bandwidth-bound map pass.
+  */
+object Quality {
+
+  /** Run-length stats over a pre-sorted array: struct(top_chars, dup_chars)
+    * where top_chars = max over distinct elements of count*length (the
+    * character mass of the most repeated element) and dup_chars = total
+    * character mass of elements occurring more than once. One fold, no
+    * per-row hash map.
+    */
+  private def runCharStats(sorted: Column): Column = {
+    def flushBest(acc: Column) =
+      greatest(acc.getField("best"), acc.getField("run") * length(acc.getField("prev")))
+    def flushDup(acc: Column) =
+      acc.getField("dup") + when(acc.getField("run") > 1,
+        acc.getField("run") * length(acc.getField("prev"))).otherwise(lit(0L))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit(0L).as("dup"))
+    aggregate(sorted, zero,
+      (acc, x) => {
+        val same = acc.getField("prev") === x
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("best")).otherwise(flushBest(acc)).as("best"),
+          when(same, acc.getField("dup")).otherwise(flushDup(acc)).as("dup"))
+      },
+      acc => struct(flushBest(acc).as("top_chars"), flushDup(acc).as("dup_chars")))
+  }
+
+  /** struct(top_chars, dup_chars) over the document's word n-grams
+    * (shared shingle definition with [[Dedup.shingles]] — includes
+    * duplicate occurrences). Divide by length(text) for the Gopher
+    * top-/duplicate-n-gram character fractions.
+    */
+  def ngramRunStats(text: Column, n: Int): Column =
+    runCharStats(array_sort(Dedup.shingles(text, n)))
+
+  /** struct(top_chars, dup_chars) over an array of lines. */
+  def lineRunStats(lines: Column): Column = runCharStats(array_sort(lines))
+
+  /** Fraction of lines that are repeats of an earlier line. */
+  def duplicateLineFrac(lines: Column): Column =
+    round((size(lines) - size(array_distinct(lines))) * lit(1.0) / size(lines), 6)
+
+  /** Total characters across an array of lines. */
+  def lineCharTotal(lines: Column): Column =
+    aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+
+  // PII patterns: RE2-and-Java-compatible (no lookaround, explicit
+  // classes) so the same pattern string runs in Spark and the DuckDB
+  // oracle.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d-\\d{3}-\\d{4}"
+
+  /** struct(n_emails, n_ipv4, n_phones) match counts. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailRe)).as("n_emails"),
+    regexp_count(text, lit(Ipv4Re)).as("n_ipv4"),
+    regexp_count(text, lit(PhoneRe)).as("n_phones"))
+
+  /** Redact PII spans with typed placeholders (email → ip → phone order;
+    * the placeholders contain no digits, so later passes cannot re-match
+    * inside an earlier replacement).
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** C4-style line filter: keep lines with at least `minWords` words and
+    * no blacklisted word (Raffel et al. drop short lines and pages with
+    * "bad words"; the terminal-punctuation rule is omitted — the caller
+    * can pre-filter with a regex when the corpus carries punctuation).
+    */
+  def cleanLines(lines: Column, minWords: Int, blacklist: Seq[String]): Column = {
+    val bl = array(blacklist.map(lit): _*)
+    filter(lines, l => {
+      val ws = split(l, " ")
+      size(ws) >= minWords && !arrays_overlap(ws, bl)
+    })
+  }
+}

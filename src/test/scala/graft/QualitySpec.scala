@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramRunStats: top and duplicate 2-gram character mass") {
+    // "a b a b a" 2-grams: [a b, b a, a b, b a] — both occur twice,
+    // each 3 chars: top = 2*3 = 6, dup = 2*3 + 2*3 = 12
+    val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val r = df.select(Quality.ngramRunStats(col("text"), 2).as("s"))
+      .select(col("s.top_chars"), col("s.dup_chars")).as[(Long, Long)].head()
+    assert(r === ((6L, 12L)))
+  }
+
+  test("ngramRunStats: all-distinct grams have zero dup mass") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val r = df.select(Quality.ngramRunStats(col("text"), 2).as("s"))
+      .select(col("s.top_chars"), col("s.dup_chars")).as[(Long, Long)].head()
+    assert(r === ((3L, 0L))) // top single occurrence: "a b" (3 chars)
+  }
+
+  test("ngramRunStats clamps short docs to one shingle") {
+    val df = Seq((1L, "hi")).toDF("doc_id", "text")
+    val r = df.select(Quality.ngramRunStats(col("text"), 3).as("s"))
+      .select(col("s.top_chars"), col("s.dup_chars")).as[(Long, Long)].head()
+    assert(r === ((2L, 0L)))
+  }
+
+  test("line stats: duplicate-line fractions") {
+    val df = Seq((1L, Seq("x y", "a b", "x y", "c d"))).toDF("doc_id", "lines")
+    val got = df.select(
+        Quality.duplicateLineFrac(col("lines")).as("f"),
+        Quality.lineRunStats(col("lines")).getField("dup_chars").as("dc"),
+        Quality.lineCharTotal(col("lines")).as("tc"))
+      .as[(Double, Long, Long)].head()
+    assert(got._1 === 0.25) // 4 lines, 3 distinct
+    assert(got._2 === 6L)   // "x y" twice, 3 chars each
+    assert(got._3 === 12L)
+  }
+
+  test("piiCounts and piiRedact find and replace emails, IPs, phones") {
+    val df = Seq((1L, "mail a.user+x@sub.example.org then 10.0.255.3 or +1-555-0199 end"),
+                 (2L, "clean text only")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Quality.piiCounts(col("text")).as("c"),
+        Quality.piiRedact(col("text")).as("r"))
+      .select(col("doc_id"), col("c.n_emails"), col("c.n_ipv4"), col("c.n_phones"), col("r"))
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 1, 1, 1, "mail <EMAIL> then <IP> or <PHONE> end")))
+    assert(got(1) === ((2L, 0, 0, 0, "clean text only")))
+  }
+
+  test("cleanLines drops short and blacklisted lines, keeps order") {
+    val df = Seq((1L, Seq("one two three", "too short", "bad slow line", "four five six")))
+      .toDF("doc_id", "lines")
+    val got = df.select(Quality.cleanLines(col("lines"), 3, Seq("slow", "big")).as("k"))
+      .as[Seq[String]].head()
+    assert(got === Seq("one two three", "four five six"))
+  }
+
+  test("q_quality_repetition signals stay in [0, +) and 2-gram dup >= 3-gram dup") {
+    val out = Queries.byName("q_quality_repetition").impl(spark, sf).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val d2 = r.getAs[Double]("dup2gram_char_frac")
+      val d3 = r.getAs[Double]("dup3gram_char_frac")
+      assert(d2 >= 0 && d3 >= 0 && r.getAs[Double]("top2gram_char_frac") > 0)
+      // a duplicated 3-gram implies duplicated 2-grams inside it
+      assert(d3 === 0.0 || d2 > 0.0)
+    }
+  }
+
+  test("q_pii_redact leaves no pattern unredacted") {
+    val out = Queries.byName("q_pii_redact").impl(spark, sf)
+    val leftover = out.filter(
+      col("redacted").rlike(Quality.EmailRe) ||
+      col("redacted").rlike(Quality.Ipv4Re) ||
+      col("redacted").rlike(Quality.PhoneRe))
+    assert(leftover.isEmpty)
+    assert(out.filter(col("n_emails") > 0).count() > 0)
+  }
+}
