@@ -117,4 +117,16 @@ class PlanSpec extends SparkSpec {
       "probe scan must prune on cid:\n" + p.slice(math.max(0, i - 500), i + 200)
     })
   }
+
+  test("quality signals compute in one projection — no hash shuffle, pruned scan") {
+    // the Gopher repetition folds replace the naive explode+groupBy(doc,
+    // gram) shape; the only exchanges allowed are spread's round-robin and
+    // the final sort's range partitioning
+    for (q <- Seq("q_quality_repetition", "q_clean_lines", "q_pii_redact")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("hashpartitioning"), s"$q shuffles on a key:\n$p")
+      assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"), s"$q aggregates:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"$q over-reads:\n$p")
+    }
+  }
 }
