@@ -1009,6 +1009,22 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_pq",
+      // product-quantization ANN (memory-bound scale path; approximate →
+      // rows-only check; recall + determinism + compression asserted in
+      // SimilaritySpec): codebooks train on a bounded sample, the corpus is
+      // scanned as the 32×-smaller code table, scoring is
+      // cosine(query, reconstruction) in one shuffle-free map
+      None,
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val cb = Similarity.pqTrain(emb, m = 8, ksub = 16)
+        Similarity.pqSearch(Similarity.pqEncode(emb, cb), emb.filter(col("vec_id") < 8), cb, 10)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_multimodal_frames",
       // frame-sampling fan-out: every stride-th frame index per video,
       // exploded map-side with no payload duplication before slicing

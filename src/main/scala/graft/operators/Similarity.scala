@@ -293,4 +293,134 @@ object Similarity {
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame =
     ivfSearch(ivfTrain(spark, corpus, nlist), queries, k, nprobe)
+
+  // ── Product quantization (Jégou, Douze, Schmid 2011) ──────────────────
+  //
+  // The memory-bound ANN path: the corpus is stored as m per-subspace
+  // centroid codes (m bytes-worth of ints vs dim floats — 32× smaller at
+  // dim=64, m=8), so a 100 TB float corpus becomes a ~3 TB code table that
+  // scans at memory-bandwidth speed. Codebooks are trained per subspace on
+  // a BOUNDED deterministic sample (≤ ksub × pqTrainPerCent vectors —
+  // a few hundred KB however big the corpus is), Lloyd-refined driver-side
+  // exactly like a production PQ trainer, then ride every encode/search
+  // plan as broadcast literals. Encode and search are single shuffle-free
+  // map passes; search scores cosine(query, reconstruct(codes)) — the
+  // table-free form of asymmetric-distance computation with identical
+  // ranking.
+
+  private val pqTrainPerCent = 64
+
+  /** Trained PQ codebooks: `books(j)(c)` is the dsub-wide centroid c of
+    * subspace j. Bounded: m × ksub × (dim/m) floats, always driver-safe.
+    */
+  final case class PqCodebooks(dim: Int, m: Int, books: Array[Array[Array[Float]]]) {
+    def ksub: Int = books.head.length
+    def dsub: Int = dim / m
+  }
+
+  /** Train per-subspace codebooks with `iters` Lloyd steps over a
+    * deterministic strided sample. Ties (equal L2) break to the lowest
+    * code, and empty cells keep their previous centroid, so training is
+    * bit-reproducible run-to-run.
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+              iters: Int = 3): PqCodebooks = {
+    val n = corpus.count()
+    val stride = math.max(n / (ksub.toLong * pqTrainPerCent), 1L)
+    val sample = corpus.filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { j =>
+      val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
+      // seed spread across the sample, like the IVF seeding stride
+      val seedStride = math.max(subs.length / ksub, 1)
+      var cents = Array.tabulate(math.min(ksub, subs.length))(c => subs(c * seedStride).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { s =>
+          val c = nearestSub(cents, s)
+          counts(c) += 1
+          var i = 0; while (i < dsub) { sums(c)(i) += s(i); i += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+      }
+      cents
+    }
+    PqCodebooks(dim, m, books)
+  }
+
+  private def nearestSub(cents: Array[Array[Float]], s: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < s.length) { val t = s(i) - cents(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
+      c += 1
+    }
+    best
+  }
+
+  /** Squared-L2 between a dsub-slice of the embedding and a centroid
+    * literal, as a pure fold expression.
+    */
+  private def l2SqCol(sub: Column, cent: Array[Float]): Column =
+    aggregate(zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v.cast("double"))
+
+  /** Encode the corpus: (vec_id, codes array<int> of length m). A single
+    * shuffle-free projection; the codebooks are plan literals (m × ksub ×
+    * dsub floats — same order of constants as the nlist≤256 IVF assign).
+    */
+  def pqEncode(corpus: DataFrame, cb: PqCodebooks): DataFrame = {
+    val codeCols = (0 until cb.m).map { j =>
+      val sub = slice(col("embedding"), j * cb.dsub + 1, cb.dsub)
+      val scored = cb.books(j).zipWithIndex.map { case (cent, c) =>
+        struct((-l2SqCol(sub, cent)).as("nd"), lit(-c).as("nc"))
+      }
+      val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+      (-best.getField("nc")).as(s"c$j")
+    }
+    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Reconstruct the quantized vector from its codes (concatenated
+    * per-subspace centroids) — the decode side of the code table.
+    */
+  def pqReconstruct(codes: Column, cb: PqCodebooks): Column =
+    flatten(transform(sequence(lit(0), lit(cb.m - 1)), j =>
+      element_at(typedLit(cb.books.map(_.map(_.toSeq).toSeq).toSeq), j + 1)
+        .getItem(element_at(codes, j + 1))))
+
+  /** ANN top-k over the code table: broadcast queries, score each corpus
+    * code row by cosine(query, reconstruction) — one shuffle-free map over
+    * the (32× smaller) codes, then the bounded per-query top-k merge.
+    * Exactness is traded for the code-table scan: recall is governed by
+    * (m, ksub); PqSpec measures it against brute force.
+    */
+  def pqSearch(codes: DataFrame, queries: DataFrame, cb: PqCodebooks,
+               k: Int): DataFrame = {
+    val scored = codes
+      .crossJoin(broadcast(queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(pqReconstruct(col("codes"), cb), col("q_emb")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** One-shot PQ top-k (train → encode → search). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16): DataFrame = {
+    val cb = pqTrain(corpus, m, ksub)
+    pqSearch(pqEncode(corpus, cb), queries, cb, k)
+  }
 }
