@@ -40,11 +40,14 @@ object GraftSession {
       // many generated plans (sketch aggregates, CQL folds, bucket joins),
       // forcing multi-second janino recompiles mid-benchmark
       .config("spark.sql.codegen.cache.maxEntries", "2000")
-      // ObjectHashAggregate (sketch aggregates, collect_set buckets) falls
-      // back to sort-based aggregation after 128 distinct groups per task —
-      // far too eager for the fixed-width MinHash/SimHash/top-k buffers
-      // (≤512 B each; 4096 groups ≈ 2 MB per task before safe fallback)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // ObjectHashAggregate falls back to sort-based aggregation after 128
+      // distinct groups per task — far too eager for the fixed-width
+      // MinHash/SimHash/top-k sketch buffers (≤512 B each: 1024 groups ≈
+      // 0.5 MB). The same knob governs variable-size states (the LSH
+      // bucket collect_sets), where a single hot bucket's state dwarfs the
+      // group-count term at ANY threshold — 1024 keeps the spill valve
+      // within ~0.5 GB even if every resident group held ~512 KB of ids
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1024")
       .withExtensions(new graft.functions.GraftExtensions)
 
   def get(appName: String = "graft"): SparkSession = {

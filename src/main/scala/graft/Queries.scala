@@ -1263,9 +1263,11 @@ object Queries {
       |ORDER BY doc_id""".stripMargin
 
   private lazy val piiOracle: String = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val phone = "\\+\\d-\\d{3}-\\d{4}"
+    // the SAME pattern strings the Spark side compiles (RE2-and-Java
+    // compatible by construction) — an edit there is an edit here
+    val email = Quality.EmailRe
+    val ip = Quality.Ipv4Re
+    val phone = Quality.PhoneRe
     s"""WITH p AS (SELECT doc_id, text ||
        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
        |  CASE WHEN doc_id % 5 = 0 THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id*7) % 256 AS VARCHAR) ELSE '' END ||

@@ -297,7 +297,7 @@ object Similarity {
   // ── Product quantization (Jégou, Douze, Schmid 2011) ──────────────────
   //
   // The memory-bound ANN path: the corpus is stored as m per-subspace
-  // centroid codes (m bytes-worth of ints vs dim floats — 32× smaller at
+  // centroid codes (array<tinyint>: m bytes vs dim floats — 32× smaller at
   // dim=64, m=8), so a 100 TB float corpus becomes a ~3 TB code table that
   // scans at memory-bandwidth speed. Codebooks are trained per subspace on
   // a BOUNDED deterministic sample (≤ ksub × pqTrainPerCent vectors —
@@ -325,6 +325,9 @@ object Similarity {
     */
   def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
               iters: Int = 3): PqCodebooks = {
+    // codes are stored as signed bytes; ksub=256 (classic 8-bit PQ) would
+    // need an offset encoding — not worth it at embedding dims this small
+    require(ksub >= 1 && ksub <= 128, s"pqTrain: ksub=$ksub must fit a signed byte")
     val n = corpus.count()
     val stride = math.max(n / (ksub.toLong * pqTrainPerCent), 1L)
     val sample = corpus.filter(col("vec_id") % stride === 0)
@@ -376,7 +379,8 @@ object Similarity {
     aggregate(zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, v) => acc + v.cast("double"))
 
-  /** Encode the corpus: (vec_id, codes array<int> of length m). A single
+  /** Encode the corpus: (vec_id, codes array<tinyint> of length m — one
+    * byte per code, the 32× compression at dim=64/m=8). A single
     * shuffle-free projection; the codebooks are plan literals (m × ksub ×
     * dsub floats — same order of constants as the nlist≤256 IVF assign).
     */
@@ -387,7 +391,7 @@ object Similarity {
         struct((-l2SqCol(sub, cent)).as("nd"), lit(-c).as("nc"))
       }
       val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
-      (-best.getField("nc")).as(s"c$j")
+      (-best.getField("nc")).cast("tinyint").as(s"c$j")
     }
     corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
@@ -398,7 +402,7 @@ object Similarity {
   def pqReconstruct(codes: Column, cb: PqCodebooks): Column =
     flatten(transform(sequence(lit(0), lit(cb.m - 1)), j =>
       element_at(typedLit(cb.books.map(_.map(_.toSeq).toSeq).toSeq), j + 1)
-        .getItem(element_at(codes, j + 1))))
+        .getItem(element_at(codes, j + 1).cast("int"))))
 
   /** ANN top-k over the code table: broadcast queries, score each corpus
     * code row by cosine(query, reconstruction) — one shuffle-free map over
@@ -408,12 +412,16 @@ object Similarity {
     */
   def pqSearch(codes: DataFrame, queries: DataFrame, cb: PqCodebooks,
                k: Int): DataFrame = {
-    val scored = codes
+    // reconstruct BEFORE the query join: once per corpus row, not once per
+    // (row, query) pair — the join only multiplies the cheap cosine
+    val recon = codes.select(col("vec_id"),
+      pqReconstruct(col("codes"), cb).as("recon"))
+    val scored = recon
       .crossJoin(broadcast(queries.select(
         col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine_sim(pqReconstruct(col("codes"), cb), col("q_emb")), 6).as("sim"))
+        round(cosine_sim(col("recon"), col("q_emb")), 6).as("sim"))
     topKPerQuery(scored, k)
   }
 

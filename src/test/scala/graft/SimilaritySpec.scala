@@ -144,7 +144,10 @@ class SimilaritySpec extends SparkSpec {
     val cb = Similarity.pqTrain(emb, m = 8, ksub = 16)
     assert(cb.books.length === 8 && cb.ksub === 16 && cb.dsub === 8)
     val codes = Similarity.pqEncode(emb, cb)
-    val row = codes.select("codes").as[Seq[Int]].head()
+    // one BYTE per code — the 32× compression claim rests on this type
+    assert(codes.schema("codes").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false))
+    val row = codes.select("codes").as[Seq[Byte]].head()
     assert(row.length === 8 && row.forall(c => c >= 0 && c < 16), s"codes $row")
     // reconstruction correlates with the original (codebooks are useful)
     val fid = emb.join(codes, "vec_id")
