@@ -154,6 +154,16 @@ class CqlEngine(val spark: SparkSession) {
     }
   }
 
+  /** DROP ... IF EXISTS variant: an unknown keyspace is a no-op (None),
+    * not an error — DropTypeStatement/DropFunctionStatement.apply return
+    * the schema unchanged when the keyspace is missing under IF EXISTS.
+    */
+  private def schemaObjectNameIfExists(n: String, ifExists: Boolean): Option[(String, String)] = {
+    val i = n.indexOf('.')
+    if (ifExists && i >= 0 && !keyspaces.contains(n.take(i))) None
+    else Some(schemaObjectName(n))
+  }
+
   private def requireKeyspace(key: String): Unit = {
     val ks = splitName(key)._1
     if (!keyspaces.contains(ks))
@@ -747,7 +757,7 @@ class CqlEngine(val spark: SparkSession) {
         opts.map { case (k, v) => k -> v.toString }
       emptyResult
     case DropType(n0, ifExists) =>
-      val (tks, n) = schemaObjectName(n0)
+      schemaObjectNameIfExists(n0, ifExists).foreach { case (tks, n) =>
       if (!udts.contains(n)) {
         if (!ifExists) throw InvalidRequest(s"Type '$tks.$n' doesn't exist")
       } else {
@@ -776,11 +786,12 @@ class CqlEngine(val spark: SparkSession) {
             s"as it is still used by tables ${byTables.mkString(", ")}")
         udts.remove(n)
       }
+      }
       emptyResult
     case DropFunction(n0, argTypes, ifExists) =>
       // DropFunctionStatement.java:66-120 — unknown name/signature is an
       // error unless IF EXISTS; refused while an aggregate references it.
-      val (fks, n) = schemaObjectName(n0)
+      schemaObjectNameIfExists(n0, ifExists).foreach { case (fks, n) =>
       val sig = argTypes.map(ts => s"$n(${ts.map(_.name).mkString(", ")})").getOrElse(n)
       udfs.get(n) match {
         case None =>
@@ -796,10 +807,11 @@ class CqlEngine(val spark: SparkSession) {
           udfs.remove(n)
           spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $n")
       }
+      }
       emptyResult
     case DropAggregate(n0, argTypes, ifExists) =>
       // DropAggregateStatement.java:68-115
-      val (aks, n) = schemaObjectName(n0)
+      schemaObjectNameIfExists(n0, ifExists).foreach { case (aks, n) =>
       val sig = argTypes.map(ts => s"$n(${ts.map(_.name).mkString(", ")})").getOrElse(n)
       udas.get(n) match {
         case None =>
@@ -807,6 +819,7 @@ class CqlEngine(val spark: SparkSession) {
         case Some(a) if argTypes.exists(_.map(_.name) != Seq(a.argType.name)) =>
           if (!ifExists) throw InvalidRequest(s"Aggregate '$aks.$sig' doesn't exist")
         case Some(_) => udas.remove(n)
+      }
       }
       emptyResult
     case AlterTable(n, adds, drops, renames, withDttl, withGc) =>
@@ -2912,9 +2925,14 @@ class CqlEngine(val spark: SparkSession) {
             else c
           val obCols = s.orderBy.flatMap { case (cn, wantDesc) =>
             val value: Option[Column] =
-              if (s.groupBy.exists(g => g.column == cn)) Some(
-                keyCols(s.groupBy.indexWhere(_.column == cn))).map(kn =>
-                  orderVal(cn, col(kn)))
+              if (s.groupBy.exists(g => g.column == cn)) {
+                val gi = s.groupBy.indexWhere(_.column == cn)
+                val kn = keyCols(gi)
+                // a floor() bucket column holds the bucket value, not the
+                // source type — never re-wrap it in timeuuid_sort_key
+                Some(if (s.groupBy(gi).floorDur.nonEmpty) col(kn)
+                     else orderVal(cn, col(kn)))
+              }
               else s.selectors.zipWithIndex.collectFirst {
                 case (sel @ ExprSel(ColRef(n), _), i) if n == cn =>
                   orderVal(cn, col(aggOutName(sel, i)))
@@ -2925,13 +2943,19 @@ class CqlEngine(val spark: SparkSession) {
           // when they are EQ-restricted instead, the partition is unique
           // and no tie-break is needed
           val pkTies =
-            if (pkNames.forall(keyCols.contains)) {
-              val ins = td.partitionKey.map(tokenInput)
-              val tok = if (ins.length == 1) F.cassandra_token(ins.head)
-                        else call_function("cassandra_token", ins: _*)
-              tok.asc +: pkNames.map(orderCol(td, _).asc)
-            } else Seq.empty
-          obCols ++ pkTies
+            if (pkNames.forall(keyCols.contains)) ringOrder(td, pkNames)
+            else Seq.empty
+          // grouped clustering columns NOT named in ORDER BY still decide
+          // ties within a partition, in the reversed-read direction — the
+          // grouped analog of the plain path's restPart
+          val listedOb = s.orderBy.map(_._1).toSet
+          val restTies = s.groupBy.zip(keyCols).collect {
+            case (g, kn) if !pkNames.contains(kn) && !listedOb.contains(g.column) =>
+              val desc = natDescOf(g.column) != readReversed
+              val c = if (g.floorDur.nonEmpty) col(kn) else orderCol(td, kn)
+              if (desc) c.desc else c.asc
+          }
+          obCols ++ pkTies ++ restTies
         } else s.groupBy.zip(keyCols).map { case (g, kn) =>
           if (g.floorDur.isEmpty) orderCol(td, kn) else col(kn).asc
         }
@@ -2941,9 +2965,10 @@ class CqlEngine(val spark: SparkSession) {
         else if (s.groupBy.nonEmpty)
           dfg.select(keyCols.map(col): _*).distinct()
         else dfg.agg(aggCols.head, aggCols.tail: _*)
-      if (s.groupBy.nonEmpty) out = out.orderBy(keyOrder: _*)
       // PER PARTITION LIMIT under GROUP BY caps the number of GROUPS per
-      // partition (DataLimits group-aware per-partition counting)
+      // partition (DataLimits group-aware per-partition counting); it runs
+      // BEFORE the final sort — its row_number window repartitions by pk,
+      // which would destroy an already-applied cross-partition ORDER BY
       s.perPartitionLimit.foreach { n =>
         // EQ-restricted partition-key columns count as implicitly grouped
         // (same gap rule the GROUP BY validation above applies); being
@@ -2969,6 +2994,7 @@ class CqlEngine(val spark: SparkSession) {
         out = out.withColumn("_gn", row_number().over(w))
           .filter(col("_gn") <= checkLimit(n)).drop("_gn")
       }
+      if (s.groupBy.nonEmpty) out = out.orderBy(keyOrder: _*)
       out = out.select(s.selectors.zipWithIndex.map {
         case (sel: ExprSel, i) => groupKeyOf(sel) match {
           case Some(kn) => col(kn).as(aggOutName(sel, i))
@@ -3041,13 +3067,7 @@ class CqlEngine(val spark: SparkSession) {
             val effDesc = if (reversed) !desc else desc
             (n, if (effDesc) orderCol(td, n).desc else orderCol(td, n).asc)
           }.partition { case (n, _) => listed.contains(n) }
-        val tokenOrder = {
-          val ins = td.partitionKey.map(tokenInput)
-          if (ins.length == 1) F.cassandra_token(ins.head)
-          else call_function("cassandra_token", ins: _*)
-        }
-        obPart.map(_._2) ++ (tokenOrder.asc +: pkNames.map(orderCol(td, _).asc)) ++
-          restPart.map(_._2)
+        obPart.map(_._2) ++ ringOrder(td, pkNames) ++ restPart.map(_._2)
       } else pkNames.map(orderCol(td, _).asc) ++ clusterSort
     out = out.orderBy(sortCols: _*)
 
@@ -3077,6 +3097,19 @@ class CqlEngine(val spark: SparkSession) {
       }).as(n)
     }
     res.select(to_json(struct(jsonCols: _*)).as("[json]"))
+  }
+
+  /** Coordinator fetch-order (ring) tie-break: the bit-exact murmur3 token
+    * first, then the pk values. For partition-key types the token
+    * expression doesn't serialize (decimal/varint/...), the token term is
+    * dropped and ring order degrades to pk-VALUE order — a documented
+    * deviation preferred over refusing the ORDER BY outright.
+    */
+  private def ringOrder(td: TableDef, pkNames: Seq[String]): Seq[Column] = {
+    val tok =
+      try Some(call_function("cassandra_token", td.partitionKey.map(tokenInput): _*))
+      catch { case _: InvalidRequest => None }
+    tok.map(_.asc).toSeq ++ pkNames.map(orderCol(td, _).asc)
   }
 
   /** Column pre-serialized to the type's CQL wire bytes where the token

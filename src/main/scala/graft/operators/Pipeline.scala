@@ -30,7 +30,13 @@ object Pipeline {
     // (a clamped "ffffffff" bound would strictly-compare away the ~2^-32
     // of rows whose md5 starts with ffffffff)
     if (f >= 1.0) "g"
-    else f"${(f * 4294967296.0).toLong}%08x"
+    // f*2^32 can ROUND to 2^32 for f just below 1.0 — %08x would then
+    // print 9 digits ("100000000") and the gate would keep only ~1/16 of
+    // rows; such fractions mean "keep everything", same as f == 1.0
+    else {
+      val scaled = (f * 4294967296.0).toLong
+      if (scaled >= 4294967296L) "g" else f"$scaled%08x"
+    }
   }
 
   /** Deterministic hash gate: true iff md5(key) falls below `fraction`'s
@@ -103,6 +109,7 @@ object Pipeline {
     */
   def packSequences(docs: DataFrame, partCol: String, orderCol: String,
                     sizeCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"packSequences: budget must be positive, got $budget")
     val w = Window.partitionBy(partCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.withColumn("pack_id",

@@ -259,4 +259,15 @@ class CqlDdlSpec extends SparkSpec {
     e.execute("DROP TYPE graft.dq_t")
     assertInvalid(e, "DROP TYPE dq_t", "doesn't exist")
   }
+
+  test("DROP ... IF EXISTS with an unknown keyspace is a no-op, not an error") {
+    // DropTypeStatement/DropFunctionStatement.apply: missing keyspace under
+    // IF EXISTS returns the schema unchanged
+    val e = mkEngine
+    e.execute("DROP TYPE IF EXISTS nosuchks.t")
+    e.execute("DROP FUNCTION IF EXISTS nosuchks.f")
+    e.execute("DROP AGGREGATE IF EXISTS nosuchks.agg")
+    // without IF EXISTS the unknown keyspace still errors
+    assertInvalid(e, "DROP TYPE nosuchks.t", "does not exist")
+  }
 }

@@ -704,4 +704,60 @@ class CqlEngineSpec extends SparkSpec {
       (0, "2020-01-02T00:00:00Z"), (0, "2020-01-01T12:00:00Z"),
       (1, "2020-01-02T00:00:00Z"), (1, "2020-01-01T12:00:00Z")))
   }
+
+  test("ORDER BY works on pk types the token expression cannot serialize (decimal pk)") {
+    // ring-order tie-break degrades to pk-value order for such types
+    // instead of refusing the query (documented deviation in ringOrder)
+    val e = mkEngine
+    e.execute("CREATE TABLE dpk (k decimal, c int, v int, PRIMARY KEY (k, c))")
+    e.execute("INSERT INTO dpk (k, c, v) VALUES (1.5, 2, 20)")
+    e.execute("INSERT INTO dpk (k, c, v) VALUES (1.5, 1, 10)")
+    assert(rowsInOrder(e.execute("SELECT c, v FROM dpk WHERE k = 1.5 ORDER BY c DESC")) ===
+      Seq(Seq(2, 20), Seq(1, 10)))
+  }
+
+  test("grouped ORDER BY: trailing grouped clustering columns tie-break in the reversed-read direction") {
+    // groups (1,2,1) and (1,2,2) tie on ORDER BY b DESC; the reversed read
+    // emits them c DESC — the grouped analog of the plain path's restPart
+    val e = mkEngine
+    e.execute("CREATE TABLE gtt (a int, b int, c int, v int, PRIMARY KEY (a, b, c))")
+    Seq((1, 2, 1, 10), (1, 2, 2, 20), (1, 3, 1, 30)).foreach { case (a, b, c, v) =>
+      e.execute(s"INSERT INTO gtt (a, b, c, v) VALUES ($a, $b, $c, $v)")
+    }
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, c, count(*) FROM gtt WHERE a = 1 GROUP BY a, b, c ORDER BY b DESC")) ===
+      Seq(Seq(1, 3, 1, 1L), Seq(1, 2, 2, 1L), Seq(1, 2, 1, 1L)))
+  }
+
+  test("GROUP BY + ORDER BY + PER PARTITION LIMIT keeps the cross-partition sort after the group cap") {
+    // the group-PPL window repartitions by pk; the final sort must run
+    // AFTER it or rows come back in hash-partition order
+    val e = mkEngine
+    e.execute("CREATE TABLE gpo (a int, b int, c int, PRIMARY KEY (a, b))")
+    Seq((1, 1), (1, 3), (2, 2), (2, 4), (4, 5), (4, 8)).foreach { case (a, b) =>
+      e.execute(s"INSERT INTO gpo (a, b, c) VALUES ($a, $b, $b)")
+    }
+    // reversed read keeps the HIGHEST b group per partition; output
+    // interleaves those by b DESC across partitions
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, count(b) FROM gpo WHERE a IN (1, 2, 4) " +
+        "GROUP BY a, b ORDER BY b DESC PER PARTITION LIMIT 1")) ===
+      Seq(Seq(4, 8, 1L), Seq(2, 4, 1L), Seq(1, 3, 1L)))
+  }
+
+  test("ORDER BY a floor-grouped timeuuid clustering sorts by the bucket value") {
+    // the group key holds the BUCKET (a timestamp), not the source
+    // timeuuid — it must not be re-wrapped in timeuuid_sort_key
+    val e = mkEngine
+    e.execute("CREATE TABLE ftu (k int, tu timeuuid, v int, PRIMARY KEY (k, tu))")
+    for (ms <- Seq(1000L, 3601000L, 7201000L)) // three distinct 1h buckets
+      e.execute(s"INSERT INTO ftu (k, tu, v) VALUES (1, " +
+        s"${graft.functions.TimeUuid.minTimeUuid(ms)}, 1)")
+    val got = rowsInOrder(e.execute(
+      "SELECT floor(tu, 1h) AS bucket, count(*) AS n FROM ftu " +
+        "WHERE k = 1 GROUP BY k, floor(tu, 1h) ORDER BY tu DESC"))
+      .map(r => (r(0).asInstanceOf[java.sql.Timestamp].toInstant.toString, r(1)))
+    assert(got === Seq(("1970-01-01T02:00:00Z", 1L),
+      ("1970-01-01T01:00:00Z", 1L), ("1970-01-01T00:00:00Z", 1L)))
+  }
 }
