@@ -1009,6 +1009,23 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_ivfpq",
+      // IVF-PQ (Faiss IndexIVFPQ shape): probe prunes to nprobe/nlist of
+      // the code table, which is itself 32× smaller than the floats — the
+      // savings multiply. Approximate → rows-only; save/load equivalence
+      // and exhaustive-probe == pure-PQ asserted in SimilaritySpec.
+      None,
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-ivfpq")
+        Similarity.ivfPqTrain(s, emb, nlist = 16, m = 8, ksub = 16).save(dir.toString)
+        val idx = Similarity.ivfPqLoad(s, dir.toString)
+        Similarity.ivfPqSearch(idx, emb.filter(col("vec_id") < 8), 10)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_pq",
       // product-quantization ANN (memory-bound scale path; approximate →
       // rows-only check; recall + determinism + compression asserted in

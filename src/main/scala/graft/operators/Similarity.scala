@@ -384,7 +384,8 @@ object Similarity {
     * shuffle-free projection; the codebooks are plan literals (m × ksub ×
     * dsub floats — same order of constants as the nlist≤256 IVF assign).
     */
-  def pqEncode(corpus: DataFrame, cb: PqCodebooks): DataFrame = {
+  def pqEncode(corpus: DataFrame, cb: PqCodebooks,
+               keep: Seq[String] = Nil): DataFrame = {
     val codeCols = (0 until cb.m).map { j =>
       val sub = slice(col("embedding"), j * cb.dsub + 1, cb.dsub)
       val scored = cb.books(j).zipWithIndex.map { case (cent, c) =>
@@ -393,7 +394,7 @@ object Similarity {
       val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
       (-best.getField("nc")).cast("tinyint").as(s"c$j")
     }
-    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    corpus.select(col("vec_id") +: keep.map(col) :+ array(codeCols: _*).as("codes"): _*)
   }
 
   /** Reconstruct the quantized vector from its codes (concatenated
@@ -430,5 +431,76 @@ object Similarity {
              m: Int = 8, ksub: Int = 16): DataFrame = {
     val cb = pqTrain(corpus, m, ksub)
     pqSearch(pqEncode(corpus, cb), queries, cb, k)
+  }
+
+  // ── IVF-PQ: pruning AND compression ───────────────────────────────────
+  //
+  // The classic composition (Faiss IndexIVFPQ): the inverted lists store
+  // PQ codes instead of raw vectors, so a probe reads nprobe/nlist of a
+  // code table that is itself 32× smaller than the float corpus — the
+  // two savings multiply. Lists are cid-partitioned parquet exactly like
+  // [[IvfIndex.save]] (directory-level pruning); the codebooks and
+  // centroid header are both bounded and broadcast.
+
+  final case class IvfPqIndex(centroids: DataFrame, codes: DataFrame, cb: PqCodebooks) {
+    def save(dir: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      codes.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+      val spark = codes.sparkSession
+      val rows = for {
+        (book, j) <- cb.books.zipWithIndex
+        (cent, c) <- book.zipWithIndex
+      } yield Row(j, c, cent.toSeq)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        StructType(Seq(StructField("j", IntegerType, nullable = false),
+          StructField("c", IntegerType, nullable = false),
+          StructField("centroid", ArrayType(FloatType), nullable = true))))
+        .write.mode("overwrite").parquet(s"$dir/codebooks")
+    }
+  }
+
+  /** Train IVF lists and PQ codebooks, then store each list as codes. */
+  def ivfPqTrain(spark: SparkSession, corpus: DataFrame, nlist: Int = 16,
+                 m: Int = 8, ksub: Int = 16, iters: Int = 1): IvfPqIndex = {
+    val (centroids, assigned) = ivfAssign(spark, corpus, nlist, iters)
+    val cb = pqTrain(corpus, m, ksub)
+    // encode carries cid through — one projection, no re-join
+    IvfPqIndex(centroids, pqEncode(assigned, cb, keep = Seq("cid")), cb)
+  }
+
+  def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {
+    val bookRows = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val books = Array.tabulate(m)(j =>
+      bookRows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    val dim = books.head.head.length * m
+    IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codes"), PqCodebooks(dim, m, books))
+  }
+
+  /** Probe search: nprobe nearest lists per query (same routing as
+    * [[ivfSearch]] — the probed cid set prunes the codes scan at the
+    * directory level), scored on the PQ reconstruction.
+    */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
+                  nprobe: Int = 4): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .select(col("query_id"), col("q_emb"), col("cid"),
+        cosine_sim(col("q_emb"), col("centroid")).as("csim"))
+    val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
+    val probed = probes.withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cid"))
+    val cids = probed.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = index.codes.filter(col("cid").isin(cids: _*))
+      .select(col("cid"), col("vec_id"),
+        pqReconstruct(col("codes"), index.cb).as("recon"))
+    val scored = probed.join(lists, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("recon"), col("q_emb")), 6).as("sim"))
+    topKPerQuery(scored, k)
   }
 }

@@ -176,4 +176,27 @@ class SimilaritySpec extends SparkSpec {
     // table ranks genuinely near vectors, not exact ordering
     assert(recall > 0.2, s"PQ recall $recall")
   }
+
+  test("IVF-PQ: save/load answers identically; codes partitioned by cid; exhaustive probe == pure PQ") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val idx = Similarity.ivfPqTrain(spark, emb, nlist = 8, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    idx.save(dir)
+    val listDirs = new java.io.File(s"$dir/codes").list().filter(_.startsWith("cid="))
+    assert(listDirs.length === 8)
+    val fresh = Similarity.ivfPqSearch(idx, queries, 10, nprobe = 3)
+      .select("query_id", "neighbor_id", "sim").collect().map(_.toSeq).toSet
+    val loaded = Similarity.ivfPqSearch(Similarity.ivfPqLoad(spark, dir), queries, 10, nprobe = 3)
+      .select("query_id", "neighbor_id", "sim").collect().map(_.toSeq).toSet
+    assert(loaded === fresh, "a reloaded index answers identically")
+    // probing every list degenerates to plain PQ over the whole code table
+    // (same codebooks: both sides score identical reconstructions)
+    val cb = idx.cb
+    val pq = Similarity.pqSearch(Similarity.pqEncode(emb, cb), queries, cb, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exhaustive = Similarity.ivfPqSearch(idx, queries, 10, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exhaustive === pq)
+  }
 }
