@@ -844,7 +844,7 @@ object Queries {
 
     QueryDef("q_dedup_minhash_lsh",
       // MinHash+LSH with exact verification: same contract as the exact
-      // n-gram query (recall at 32 bands × 4 rows is 1 - ~1e-15 at j>=0.9),
+      // n-gram query (recall at 16 bands × 4 rows is 1 - ~4e-8 at j>=0.9),
       // but bucket-join scalable. Oracle: the exact all-pairs SQL.
       Some(jaccardOracle),
       (s, d) => {
