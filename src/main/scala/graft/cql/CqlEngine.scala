@@ -2910,6 +2910,17 @@ class CqlEngine(val spark: SparkSession) {
           lowerAggExpr(td, e, s.groupBy.map(_.column), readReversed)
             .as(aggOutName(sel, i))
       }
+      // grouped CLUSTERING key columns in the read-iteration direction
+      // (floor() buckets inherit their source column's direction; a
+      // reversed ORDER BY read flips it) — used both as the order the PPL
+      // group cap walks and as trailing ORDER BY tie-breaks
+      def clusteringGroupOrder(exclude: Set[String]): Seq[Column] =
+        s.groupBy.zip(keyCols).collect {
+          case (g, kn) if !pkNames.contains(kn) && !exclude.contains(g.column) =>
+            val desc = natDescOf(g.column) != readReversed
+            val c = if (g.floorDur.nonEmpty) col(kn) else orderCol(td, kn)
+            if (desc) c.desc else c.asc
+        }
       val keyOrder: Seq[Column] =
         if (s.orderBy.nonEmpty) {
           // explicit ORDER BY sorts group rows by the ORDER BY COLUMNS
@@ -2948,14 +2959,7 @@ class CqlEngine(val spark: SparkSession) {
           // grouped clustering columns NOT named in ORDER BY still decide
           // ties within a partition, in the reversed-read direction — the
           // grouped analog of the plain path's restPart
-          val listedOb = s.orderBy.map(_._1).toSet
-          val restTies = s.groupBy.zip(keyCols).collect {
-            case (g, kn) if !pkNames.contains(kn) && !listedOb.contains(g.column) =>
-              val desc = natDescOf(g.column) != readReversed
-              val c = if (g.floorDur.nonEmpty) col(kn) else orderCol(td, kn)
-              if (desc) c.desc else c.asc
-          }
-          obCols ++ pkTies ++ restTies
+          obCols ++ pkTies ++ clusteringGroupOrder(s.orderBy.map(_._1).toSet)
         } else s.groupBy.zip(keyCols).map { case (g, kn) =>
           if (g.floorDur.isEmpty) orderCol(td, kn) else col(kn).asc
         }
@@ -2979,16 +2983,7 @@ class CqlEngine(val spark: SparkSession) {
         val pkPresent = pkNames.filter(keyCols.contains)
         // which groups survive follows clustering order (DESC clustering
         // yields the LAST groups), like the row-level PPL path
-        val restOrder = s.groupBy.zip(keyCols).collect {
-          case (g, kn) if !pkNames.contains(kn) =>
-            // floor() buckets inherit the direction of their SOURCE
-            // clustering column: a DESC clustering read visits the highest
-            // buckets first, so those are the groups PPL keeps; a reversed
-            // ORDER BY read flips the direction the same way
-            val desc = natDescOf(g.column) != readReversed
-            val c = if (g.floorDur.nonEmpty) col(kn) else orderCol(td, kn)
-            if (desc) c.desc else c.asc
-        }
+        val restOrder = clusteringGroupOrder(Set.empty)
         val w = Window.partitionBy(pkPresent.map(col): _*)
           .orderBy((if (restOrder.nonEmpty) restOrder else Seq(lit(1).asc)): _*)
         out = out.withColumn("_gn", row_number().over(w))
@@ -3108,7 +3103,13 @@ class CqlEngine(val spark: SparkSession) {
   private def ringOrder(td: TableDef, pkNames: Seq[String]): Seq[Column] = {
     val tok =
       try Some(call_function("cassandra_token", td.partitionKey.map(tokenInput): _*))
-      catch { case _: InvalidRequest => None }
+      catch {
+        case e: InvalidRequest =>
+          // a map pk can neither token nor sort in Spark — keep the
+          // targeted token error rather than an opaque analysis failure
+          if (td.partitionKey.exists(_.tpe.isInstanceOf[CqlMap])) throw e
+          None
+      }
     tok.map(_.asc).toSeq ++ pkNames.map(orderCol(td, _).asc)
   }
 

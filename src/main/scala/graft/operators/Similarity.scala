@@ -172,8 +172,8 @@ object Similarity {
     * shuffle-free map.
     */
   def ivfAssign(spark: SparkSession, corpus: DataFrame, nlist: Int,
-                iters: Int = 1): (DataFrame, DataFrame) = {
-    val n = corpus.count()
+                iters: Int = 1, knownCount: Option[Long] = None): (DataFrame, DataFrame) = {
+    val n = knownCount.getOrElse(corpus.count())
     // deterministic sample: every sampleStride-th vec_id
     val sampleStride = math.max(n / (nlist * trainPerList), 1L)
     val train = corpus.filter(col("vec_id") % sampleStride === 0)
@@ -225,10 +225,18 @@ object Similarity {
     * lists.
     */
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
-    def save(dir: String): Unit = {
-      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-      assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
-    }
+    def save(dir: String): Unit =
+      saveCentroidsAndLists(centroids, assigned, dir, "lists")
+  }
+
+  /** Shared on-disk layout for IVF-family indexes: a centroid header plus
+    * a cid-partitioned payload directory (the pruning structure both
+    * loaders rely on — change it here and in both loads together).
+    */
+  private def saveCentroidsAndLists(centroids: DataFrame, payload: DataFrame,
+                                    dir: String, listsName: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    payload.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/$listsName")
   }
 
   /** Train an IVF index: seeded centroids + `iters` Lloyd refinement steps
@@ -250,16 +258,25 @@ object Similarity {
     * bounded driver traffic by construction. nprobe == nlist degenerates to
     * exact search.
     */
-  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int,
-                nprobe: Int = 4): DataFrame = {
+  /** Probe routing shared by the IVF and IVF-PQ searches: the nprobe
+    * nearest lists per query, plus the distinct probed-cid set (≤ nlist
+    * ints — bounded driver traffic) for directory-level list pruning.
+    */
+  private def probeRoutes(centroids: DataFrame, queries: DataFrame,
+                          nprobe: Int): (DataFrame, Seq[Int]) = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val probes = q.crossJoin(broadcast(index.centroids))
+    val probes = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_emb"), col("cid"),
         cosine_sim(col("q_emb"), col("centroid")).as("csim"))
     val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
     val probed = probes.withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cid"))
-    val cids = probed.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    (probed, probed.select("cid").distinct().collect().map(_.getInt(0)).toSeq)
+  }
+
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int,
+                nprobe: Int = 4): DataFrame = {
+    val (probed, cids) = probeRoutes(index.centroids, queries, nprobe)
     val lists = index.assigned.filter(col("cid").isin(cids: _*))
     // every vector lives in exactly one list, so (query, neighbor) pairs are
     // already unique — no distinct needed
@@ -324,11 +341,11 @@ object Similarity {
     * bit-reproducible run-to-run.
     */
   def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
-              iters: Int = 3): PqCodebooks = {
+              iters: Int = 3, knownCount: Option[Long] = None): PqCodebooks = {
     // codes are stored as signed bytes; ksub=256 (classic 8-bit PQ) would
     // need an offset encoding — not worth it at embedding dims this small
     require(ksub >= 1 && ksub <= 128, s"pqTrain: ksub=$ksub must fit a signed byte")
-    val n = corpus.count()
+    val n = knownCount.getOrElse(corpus.count())
     val stride = math.max(n / (ksub.toLong * pqTrainPerCent), 1L)
     val sample = corpus.filter(col("vec_id") % stride === 0)
       .orderBy("vec_id").select("embedding")
@@ -444,8 +461,7 @@ object Similarity {
 
   final case class IvfPqIndex(centroids: DataFrame, codes: DataFrame, cb: PqCodebooks) {
     def save(dir: String): Unit = {
-      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-      codes.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+      saveCentroidsAndLists(centroids, codes, dir, "codes")
       val spark = codes.sparkSession
       val rows = for {
         (book, j) <- cb.books.zipWithIndex
@@ -463,8 +479,10 @@ object Similarity {
   /** Train IVF lists and PQ codebooks, then store each list as codes. */
   def ivfPqTrain(spark: SparkSession, corpus: DataFrame, nlist: Int = 16,
                  m: Int = 8, ksub: Int = 16, iters: Int = 1): IvfPqIndex = {
-    val (centroids, assigned) = ivfAssign(spark, corpus, nlist, iters)
-    val cb = pqTrain(corpus, m, ksub)
+    // one corpus count shared by both trainers (each would otherwise scan)
+    val n = corpus.count()
+    val (centroids, assigned) = ivfAssign(spark, corpus, nlist, iters, Some(n))
+    val cb = pqTrain(corpus, m, ksub, knownCount = Some(n))
     // encode carries cid through — one projection, no re-join
     IvfPqIndex(centroids, pqEncode(assigned, cb, keep = Seq("cid")), cb)
   }
@@ -486,14 +504,7 @@ object Similarity {
     */
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
                   nprobe: Int = 4): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val probes = q.crossJoin(broadcast(index.centroids))
-      .select(col("query_id"), col("q_emb"), col("cid"),
-        cosine_sim(col("q_emb"), col("centroid")).as("csim"))
-    val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
-    val probed = probes.withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("cid"))
-    val cids = probed.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    val (probed, cids) = probeRoutes(index.centroids, queries, nprobe)
     val lists = index.codes.filter(col("cid").isin(cids: _*))
       .select(col("cid"), col("vec_id"),
         pqReconstruct(col("codes"), index.cb).as("recon"))
