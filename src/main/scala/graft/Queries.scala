@@ -1226,7 +1226,33 @@ object Queries {
           length(encode(col("text"), "UTF-8").cast("binary")).as("n_bytes"),
           md5(col("text")).as("sig"),
           concat(lit("img/"), (col("doc_id") % 3).cast("string")).as("kind"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    QueryDef("q_multimodal_resize",
+      // aspect-fit batch resize through the REAL mapPartitions path
+      // (resample stubbed to the byte-budget prefix — ASCII payloads make
+      // the byte prefix comparable as a text prefix in DuckDB); the box
+      // arithmetic, byte budget, and digest are oracle-checked
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                     greatest(CAST(n_chars % 640 AS INTEGER), 1) AS w0,
+                     greatest(CAST(n_chars % 480 AS INTEGER), 1) AS h0,
+                     text, length(text) AS len FROM documents),
+              f AS (SELECT media_id, text, len, w0, h0,
+                     least(least(224.0 / w0, 224.0 / h0), 1.0) AS sc FROM m),
+              r AS (SELECT media_id, text, len,
+                     CAST(greatest(floor(w0 * sc), 1) AS INTEGER) AS width,
+                     CAST(greatest(floor(h0 * sc), 1) AS INTEGER) AS height FROM f)
+              SELECT media_id, width, height,
+                     CAST(least(len, greatest((width * height) // 256, 1)) AS INTEGER) AS n_bytes,
+                     md5(substring(text, 1, least(len, greatest((width * height) // 256, 1)))) AS digest
+              FROM r ORDER BY media_id"""),
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
+        Multimodal.resize(s, media, 224, 224).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            length(col("payload")).as("n_bytes"), md5(col("payload")).as("digest"))
+          .orderBy("media_id")
+      })
   )
 
   private lazy val jaccardOracle: String =

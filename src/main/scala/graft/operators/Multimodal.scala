@@ -44,6 +44,42 @@ object Multimodal {
     def signature(payload: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(payload).map("%02x".format(_)).mkString
+
+    /** STUB resample: the target-size byte budget (w·h/256, ≥1) prefix of
+      * the payload — a real codec rescales pixels; the contract (bytes in,
+      * target-sized bytes out) and the budget arithmetic are what the
+      * pipeline relies on. `take` clamps to the payload length.
+      */
+    def resample(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      payload.take(math.max(1, w * h / 256))
+  }
+
+  /** Resized media row (payload re-encoded to the fitted dimensions). */
+  case class ResizedItem(media_id: Long, kind: String, payload: Array[Byte],
+                         width: Int, height: Int)
+
+  /** Aspect-fit target size inside a maxW×maxH box — never upscales,
+    * never collapses below 1×1 (degenerate source dims count as 1).
+    */
+  def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val w0 = math.max(w, 1); val h0 = math.max(h, 1)
+    val scale = math.min(math.min(maxW.toDouble / w0, maxH.toDouble / h0), 1.0)
+    (math.max(1, math.floor(w0 * scale).toInt), math.max(1, math.floor(h0 * scale).toInt))
+  }
+
+  /** Partition-local batch resize (same `mapPartitions` shape as
+    * [[extractFeatures]] — codec init amortizes per partition; payloads
+    * never leave the executors).
+    */
+  def resize(spark: SparkSession, media: Dataset[MediaItem],
+             maxW: Int, maxH: Int): Dataset[ResizedItem] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h) = fitBox(m.width, m.height, maxW, maxH)
+        ResizedItem(m.media_id, m.kind, FakeCodec.resample(m.payload, w, h), w, h)
+      }
+    }
   }
 
   /** Build a media table from the documents fixture (payload = UTF-8 bytes

@@ -33,4 +33,22 @@ class MultimodalSpec extends SparkSpec {
     assert(one.count() === 3) // frames 0, 10, 20
     assert(sampled.count() >= media.count())
   }
+
+  test("fitBox aspect-fits without upscaling or collapsing") {
+    assert(Multimodal.fitBox(640, 480, 224, 224) === ((224, 168)))
+    assert(Multimodal.fitBox(480, 640, 224, 224) === ((168, 224)))
+    assert(Multimodal.fitBox(100, 50, 224, 224) === ((100, 50)))  // never upscale
+    assert(Multimodal.fitBox(0, 480, 224, 224) === ((1, 224)))    // degenerate dim
+    assert(Multimodal.fitBox(10000, 1, 224, 224) === ((224, 1)))  // floor clamps to >= 1
+  }
+
+  test("resize re-encodes payloads to the fitted byte budget per partition") {
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
+    val resized = Multimodal.resize(spark, media, 224, 224).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.width >= 1 && r.width <= 224 && r.height >= 1 && r.height <= 224)
+      assert(r.payload.length <= math.max(1, r.width * r.height / 256))
+    }
+  }
 }
