@@ -118,6 +118,18 @@ class PlanSpec extends SparkSpec {
     })
   }
 
+  test("IVF-PQ probe prunes the code-table scan to the probed cid partitions") {
+    // same contract as the IVF guard: a probe reads nprobe/nlist of the
+    // CODES, which are themselves 32× smaller than the float corpus
+    val df = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pruned = "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p)
+    assert(pruned.nonEmpty, {
+      val i = math.max(0, p.indexOf("PartitionFilters"))
+      "codes scan must prune on cid:\n" + p.slice(math.max(0, i - 500), i + 200)
+    })
+  }
+
   test("quality signals compute in one projection — no hash shuffle, pruned scan") {
     // the Gopher repetition folds replace the naive explode+groupBy(doc,
     // gram) shape; the only exchanges allowed are spread's round-robin and
