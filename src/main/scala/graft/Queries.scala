@@ -1138,6 +1138,27 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_quality_filter",
+      // the composed keep/drop verdict a curation pipeline runs: word-count
+      // bounds + repetition + quality score, each failure carrying its
+      // reason tag (concat_ws skips the null non-failures in both engines).
+      // Still one shuffle-free projection over the scan.
+      Some(qualityFilterOracle),
+      (s, d) => {
+        val nw = size(TextAnalysis.words(col("text")))
+        val nc = length(col("text"))
+        val dupf = Quality.ngramRunStats(col("text"), 2).getField("dup_chars") * lit(1.0) / nc
+        val qual = TextAnalysis.qualityScore(col("text"))
+        val reasons = concat_ws(",",
+          when(nw < 30, lit("too_short")),
+          when(nw > 70, lit("too_long")),
+          when(dupf >= 0.2, lit("repetitive")),
+          when(qual < 0.45, lit("low_quality")))
+        Tables.spread(t(s, d, "documents")).select(col("doc_id"),
+            (reasons === "").as("keep"), reasons.as("reasons"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_pii_redact",
       // regex PII detect + redact. The corpus carries no PII, so the query
       // plants deterministic emails/IPs/phones keyed off doc_id — the SAME
@@ -1304,6 +1325,27 @@ object Queries {
       |       round(lstat.dup_chars * 1.0 / lstat.total_chars, 6) AS dup_line_char_frac
       |FROM d JOIN s2 USING (doc_id) JOIN s3 USING (doc_id) JOIN lstat USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** Composed curation verdict — reuses q_text_stats's quality fragment and
+    * the repetition CTEs, relationally (the independent formulation of the
+    * per-row folds).
+    */
+  private lazy val qualityFilterOracle: String =
+    """WITH d AS (SELECT doc_id, text, string_split(lower(text),' ') AS w, length(text) AS nc FROM documents),
+      |g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, greatest(len(w), 2))]) AS g FROM d),
+      |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1,2),
+      |s2 AS (SELECT doc_id, sum(CASE WHEN cnt>1 THEN cnt*length(g) ELSE 0 END) AS dup2 FROM c2 GROUP BY 1),
+      |q AS (SELECT d.doc_id, len(d.w) AS nw, s2.dup2 * 1.0 / d.nc AS dupf,
+      |        round(least(1.0, len(d.w) * 1.0 / 100.0) * 0.4
+      |          + (len(list_filter(d.w, x -> list_contains(['the','and','of','to','a','in','is'], x))) * 1.0 / len(d.w)) * 0.3
+      |          + (1.0 - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) * 1.0 / d.nc) * 0.3, 6) AS qual
+      |      FROM d JOIN s2 USING (doc_id)),
+      |r AS (SELECT doc_id, concat_ws(',',
+      |        CASE WHEN nw < 30 THEN 'too_short' END,
+      |        CASE WHEN nw > 70 THEN 'too_long' END,
+      |        CASE WHEN dupf >= 0.2 THEN 'repetitive' END,
+      |        CASE WHEN qual < 0.45 THEN 'low_quality' END) AS reasons FROM q)
+      |SELECT doc_id, reasons = '' AS keep, reasons FROM r ORDER BY doc_id""".stripMargin
 
   private lazy val piiOracle: String = {
     // the SAME pattern strings the Spark side compiles (RE2-and-Java

@@ -134,7 +134,7 @@ class PlanSpec extends SparkSpec {
     // the Gopher repetition folds replace the naive explode+groupBy(doc,
     // gram) shape; the only exchanges allowed are spread's round-robin and
     // the final sort's range partitioning
-    for (q <- Seq("q_quality_repetition", "q_clean_lines", "q_pii_redact")) {
+    for (q <- Seq("q_quality_repetition", "q_clean_lines", "q_pii_redact", "q_quality_filter")) {
       val p = plan(q)
       assert(!p.toLowerCase.contains("hashpartitioning"), s"$q shuffles on a key:\n$p")
       assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"), s"$q aggregates:\n$p")

@@ -72,6 +72,19 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_quality_filter splits the corpus and tags each drop with its reasons") {
+    val out = Queries.byName("q_quality_filter").impl(spark, sf).collect()
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < out.length, s"degenerate split: $kept/${out.length}")
+    out.foreach { r =>
+      val reasons = r.getAs[String]("reasons")
+      assert(r.getAs[Boolean]("keep") === reasons.isEmpty)
+      if (reasons.nonEmpty)
+        reasons.split(",").foreach(t =>
+          assert(Set("too_short", "too_long", "repetitive", "low_quality")(t), t))
+    }
+  }
+
   test("q_pii_redact leaves no pattern unredacted") {
     val out = Queries.byName("q_pii_redact").impl(spark, sf)
     val leftover = out.filter(
