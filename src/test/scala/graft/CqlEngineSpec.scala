@@ -705,6 +705,49 @@ class CqlEngineSpec extends SparkSpec {
       (1, "2020-01-02T00:00:00Z"), (1, "2020-01-01T12:00:00Z")))
   }
 
+  test("composite pk: EQ + IN with multi-column ORDER BY and LIMIT " +
+    "(SelectOrderByTest.testOrderByForInClause:324-375 golden rows)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE cob (pk1 int, pk2 int, c1 int, c2 int, v text, " +
+      "PRIMARY KEY ((pk1, pk2), c1, c2))")
+    Seq((1, 1, 4, 4, "A"), (1, 2, 1, 2, "B"), (1, 3, 3, 3, "C"), (1, 1, 4, 1, "D"))
+      .foreach { case (p1, p2, c1, c2, v) =>
+        e.execute(s"INSERT INTO cob (pk1, pk2, c1, c2, v) VALUES ($p1, $p2, $c1, $c2, '$v')")
+      }
+    assert(rowsInOrder(e.execute(
+      "SELECT v, ttl(v), c1, c2 FROM cob WHERE pk1 = 1 AND pk2 IN (1, 2) ORDER BY c1, c2")) ===
+      Seq(Seq("B", null, 1, 2), Seq("D", null, 4, 1), Seq("A", null, 4, 4)))
+    assert(rowsInOrder(e.execute(
+      "SELECT v FROM cob WHERE pk1 = 1 AND pk2 IN (1, 2) ORDER BY c1, c2 LIMIT 2")) ===
+      Seq(Seq("B"), Seq("D")))
+    assert(rowsInOrder(e.execute(
+      "SELECT v FROM cob WHERE pk1 = 1 AND pk2 IN (1, 2) ORDER BY c1 DESC, c2 DESC")) ===
+      Seq(Seq("A"), Seq("D"), Seq("B")))
+    assert(rowsInOrder(e.execute(
+      "SELECT v FROM cob WHERE pk1 = 1 AND pk2 IN (1, 2) ORDER BY c1 DESC, c2 DESC LIMIT 2")) ===
+      Seq(Seq("A"), Seq("D")))
+  }
+
+  test("IN + ORDER BY over a static-only partition: null clustering sorts " +
+    "first ASC / last DESC (SelectOrderByTest.testOrderByForInClauseWithNullValue)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE sob (a int, b int, c int, s int static, d int, PRIMARY KEY (a, b, c))")
+    Seq((1, 1, 1, 1), (1, 1, 2, 1), (2, 2, 1, 1), (2, 2, 2, 1)).foreach { case (a, b, c, d) =>
+      e.execute(s"INSERT INTO sob (a, b, c, d) VALUES ($a, $b, $c, $d)")
+    }
+    e.execute("UPDATE sob SET s = 1 WHERE a = 1")
+    e.execute("UPDATE sob SET s = 2 WHERE a = 2")
+    e.execute("UPDATE sob SET s = 3 WHERE a = 3")
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, c, d, s FROM sob WHERE a IN (1, 2, 3) ORDER BY b DESC")) ===
+      Seq(Seq(2, 2, 2, 1, 2), Seq(2, 2, 1, 1, 2), Seq(1, 1, 2, 1, 1),
+        Seq(1, 1, 1, 1, 1), Seq(3, null, null, null, 3)))
+    assert(rowsInOrder(e.execute(
+      "SELECT a, b, c, d, s FROM sob WHERE a IN (1, 2, 3) ORDER BY b ASC, c ASC")) ===
+      Seq(Seq(3, null, null, null, 3), Seq(1, 1, 1, 1, 1), Seq(1, 1, 2, 1, 1),
+        Seq(2, 2, 1, 1, 2), Seq(2, 2, 2, 1, 2)))
+  }
+
   test("ORDER BY works on pk types the token expression cannot serialize (decimal pk)") {
     // ring-order tie-break degrades to pk-value order for such types
     // instead of refusing the query (documented deviation in ringOrder)
