@@ -170,12 +170,31 @@ class CqlEngine(val spark: SparkSession) {
       throw InvalidRequest(s"Keyspace '$ks' does not exist")
   }
 
+  /** Prepared counter deltas arrive as collection-op payloads — the parser
+    * cannot type a bind marker in `c = c + ?` / `c += ?`, so it emits the
+    * collection form (Parser.g shorthandColumnOperation does the same and
+    * Operation.Addition re-types against the column later). Once the table
+    * is known, rewrite them into the counter-delta literal the execution
+    * and batch-classification paths expect.
+    */
+  private def normalizeCounterOps(u: Update): Update =
+    tables.get(u.table).fold(u) { td =>
+      u.copy(assignments = u.assignments.map {
+        case (c, CollectionOpLit(op, inner))
+            if td.column(c).exists(_.tpe == CqlCounter) &&
+               (op == "addappend" || op == "remove") =>
+          val d = coerce(inner, CqlBigint, c).asInstanceOf[Long]
+          (c, CounterDeltaLit(if (op == "remove") -d else d))
+        case other => other
+      })
+    }
+
   /** Rewrite a statement's table references to canonical catalog keys. */
   private def canonStmt(s: Statement): Statement = s match {
     case c: CreateTable => c.copy(table = c.table.copy(name = canon(c.table.name)))
     case i: Insert => i.copy(table = canon(i.table))
     case ij: InsertJson => ij.copy(table = canon(ij.table))
-    case u: Update => u.copy(table = canon(u.table))
+    case u: Update => normalizeCounterOps(u.copy(table = canon(u.table)))
     case d: Delete => d.copy(table = canon(d.table))
     case sel: Select => sel.copy(table = canon(sel.table))
     case t: Truncate => t.copy(name = canon(t.name))
@@ -951,7 +970,14 @@ class CqlEngine(val spark: SparkSession) {
       run(Insert(tbl, cols ++ omitted, vals ++ omitted.map(_ => NullLit), ttl, ts))
     case i: Insert if i.ifNotExists => executeLwtInsert(i)
     case i: Insert => executeInsert(i); emptyResult
-    case u: Update if u.condition.nonEmpty => executeLwt(u.table, u.where, u.condition.get, () => executeUpdate(u))
+    case u: Update if u.condition.nonEmpty =>
+      // static-only updates address the PARTITION — same carve-out as the
+      // CAS-batch path (UpdateStatement; the static row is the CAS target)
+      val staticOnly = u.assignments.nonEmpty && u.assignments.forall {
+        case (c, _) => tables.get(u.table).exists(_.column(c).exists(_.kind == Static))
+      }
+      executeLwt(u.table, u.where, u.condition.get, () => executeUpdate(u),
+        staticOnly = staticOnly)
     case u: Update => executeUpdate(u); emptyResult
     case dl: Delete if dl.condition.nonEmpty => executeLwt(dl.table, dl.where, dl.condition.get, () => executeDelete(dl))
     case dl: Delete => executeDelete(dl); emptyResult
@@ -1030,10 +1056,16 @@ class CqlEngine(val spark: SparkSession) {
           // a conditioned DELETE must address exactly one row — all PRIMARY
           // KEY columns EQ-restricted (CQL3CasRequest.addConditions requires
           // a fully-bound clustering); unconditioned deletes in a CAS batch
-          // may still be partition/range deletes (addRangeDeletion)
-          val requireCk =
-            if (condOf(d).nonEmpty) td.clustering.nonEmpty else d.columns.nonEmpty
-          mutationKeys(td, d.where, requireCk = requireCk)._1
+          // may be partition/RANGE deletes (addRangeDeletion), so only
+          // their EQ-bound keys participate in the single-partition check
+          // and any range relations pass through to the delete lowering
+          if (condOf(d).nonEmpty)
+            mutationKeys(td, d.where, requireCk = td.clustering.nonEmpty)._1
+          else d.where.collect {
+            case Rel(c, "=", v) if td.column(c).exists(cd =>
+              cd.kind == PartitionKey || cd.kind == Clustering) =>
+              c -> coerce(v, td.column(c).get.tpe, c)
+          }.toMap
       }
       val allKeys = staged.map(keysOf)
       val pkNames = td.partitionKey.map(_.name)
@@ -1091,13 +1123,25 @@ class CqlEngine(val spark: SparkSession) {
     * reference-shaped result: `[applied]` plus current values on failure.
     */
   private def executeLwt(tbl: String, where: Seq[Relation], cond: LwtCondition,
-                         apply: () => Unit): DataFrame = this.synchronized {
+                         apply: () => Unit, staticOnly: Boolean = false): DataFrame =
+    this.synchronized {
     import spark.implicits._
     val td = table(tbl)
-    val (keys, _) = mutationKeys(td, where, requireCk = td.clustering.nonEmpty)
+    val (keys, _) = mutationKeys(td, where,
+      requireCk = td.clustering.nonEmpty && !staticOnly)
     val current = readCanonical(tbl).filter(
-      td.primaryKey.map(c => col(c.name) === lit(keys(c.name))).reduce(_ && _))
-    val rows = current.collect()
+      td.primaryKey.filter(c => keys.contains(c.name))
+        .map(c => col(c.name) === lit(keys(c.name))).reduce(_ && _))
+    val rows =
+      if (td.clustering.nonEmpty && !td.clustering.forall(c => keys.contains(c.name))) {
+        // static-only addressing: the reference's limit-1 first-live-row
+        // slice in clustering order (CQL3CasRequest.readCommand:191-200)
+        val ord = td.clustering.zip(td.clusteringDesc).map { case (c, desc) =>
+          val oc = orderCol(td, c.name)
+          if (desc) oc.desc else oc.asc
+        }
+        current.orderBy(ord: _*).limit(1).collect()
+      } else current.collect()
     val ok = evalCondition(td, cond, rows)
     if (ok) apply()
     mkLwtResult(td, ok, rows)
@@ -1205,7 +1249,15 @@ class CqlEngine(val spark: SparkSession) {
       c -> coerce(l, td.column(c).getOrElse(
         throw InvalidRequest(s"Undefined column name $c")).tpe, c)
     }.toMap
-    val keyFilter = td.primaryKey.map(c => col(c.name) === lit(vals.getOrElse(c.name,
+    // a static-only INSERT ... IF NOT EXISTS addresses the partition (the
+    // static row is the CAS target) — the reference applies it when the
+    // limit-1 partition read comes back empty
+    def kindOf(c: String) = td.column(c).map(_.kind)
+    val staticOnly = pairs.exists(p => kindOf(p._1).contains(Static)) &&
+      !pairs.exists(p => kindOf(p._1).contains(Regular)) &&
+      !pairs.exists(p => kindOf(p._1).contains(Clustering))
+    val keyCols = if (staticOnly) td.partitionKey else td.primaryKey
+    val keyFilter = keyCols.map(c => col(c.name) === lit(vals.getOrElse(c.name,
       throw InvalidRequest(s"Some primary key parts are missing: ${c.name}")))).reduce(_ && _)
     val rows = readCanonical(i.table).filter(keyFilter).limit(1).collect()
     if (rows.isEmpty) executeInsert(i.copy(ifNotExists = false))
@@ -1432,10 +1484,15 @@ class CqlEngine(val spark: SparkSession) {
       if (!vals.contains(c.name) || vals(c.name) == null)
         throw InvalidRequest(s"Some partition key parts are missing: ${c.name}")
     }
-    // clustering must be fully bound when regular columns are written;
-    // static-only inserts address the partition (UpdateStatement.java)
+    // clustering must be fully bound UNLESS the insert is static-only
+    // (>=1 static, no regular, no clustering column — such inserts address
+    // the partition's static row); a bare-pk insert is an error, like the
+    // reference (UpdateStatement.java)
     val writesRegular = pairs.exists { case (c, _) => td.column(c).exists(_.kind == Regular) }
-    if (writesRegular) td.clustering.foreach { c =>
+    val writesStatic = pairs.exists { case (c, _) => td.column(c).exists(_.kind == Static) }
+    val writesClustering = pairs.exists { case (c, _) => td.column(c).exists(_.kind == Clustering) }
+    val staticOnlyInsert = writesStatic && !writesRegular && !writesClustering
+    if (!staticOnlyInsert) td.clustering.foreach { c =>
       if (!vals.contains(c.name) || vals(c.name) == null)
         throw InvalidRequest(s"Some clustering keys are missing: ${c.name}")
     }
@@ -1454,7 +1511,11 @@ class CqlEngine(val spark: SparkSession) {
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         if (cd.kind != PartitionKey && cd.kind != Clustering)
           throw InvalidRequest(s"Non PRIMARY KEY columns found in where clause: $c")
-        c -> coerce(v, cd.tpe, c)
+        val coerced = coerce(v, cd.tpe, c)
+        if (coerced == null)
+          throw InvalidRequest(s"Invalid null value for ${
+            if (cd.kind == PartitionKey) "partition key" else "clustering"} part $c")
+        c -> coerced
       case other => throw InvalidRequest(s"Invalid restriction in DML WHERE: $other")
     }.toMap
     td.partitionKey.foreach { c =>
@@ -2181,6 +2242,12 @@ class CqlEngine(val spark: SparkSession) {
       .withColumn("_any_cell",
         td.regulars.map(c => col(c.name).isNotNull).foldLeft(lit(false))(_ || _))
       .filter(col("_row_live") || col("_any_cell"))
+      // a REGULAR row can never have null clustering (mutations bind the
+      // full clustering): a null-clustering entry is a static-only insert's
+      // liveness marker, whose visibility the statics join below decides —
+      // without this, a static insert shows a phantom row NEXT TO the
+      // partition's live regular rows (StaticColumnsTest merges instead)
+      .filter(td.clustering.map(c => col(c.name).isNotNull).foldLeft(lit(true))(_ && _))
       .drop("_row_live", "_any_cell")
 
     staticState match {
@@ -2626,7 +2693,13 @@ class CqlEngine(val spark: SparkSession) {
               lit(graft.functions.TimeUuid.sortKey(coerced.toString)))
           else (col(c), litValue(coerced, cd.tpe))
         filters :+= (op match {
-          case "=" => lhs === lcol
+          case "=" =>
+            // Spark disallows EqualTo on MapType (maps are unorderable):
+            // whole-map equality compares the key-sorted entry arrays —
+            // the full()-index EQ the reference serves on frozen maps
+            if (cd.tpe.isInstanceOf[CqlMap])
+              sort_array(map_entries(lhs)) === sort_array(map_entries(lcol))
+            else lhs === lcol
           case "<" => lhs < lcol
           case "<=" => lhs <= lcol
           case ">" => lhs > lcol
@@ -2727,10 +2800,22 @@ class CqlEngine(val spark: SparkSession) {
         // serves (deterministic; the reference ranks candidate indexes by
         // selectivity estimate instead — documented deviation).
         // Locale.ROOT pairs with Spark's locale-independent lower().
-        filters :+=
-          (if (indexServed && servable.headOption.exists(sasiCaseInsensitive))
-            lower(col(c)).like(pat.toLowerCase(java.util.Locale.ROOT))
-          else col(c).like(pat))
+        // The trimmed TERM matches literally — CQL LIKE has no '_'
+        // wildcard and treats inner '%' as a plain character
+        // (LikeRestriction only strips the leading/trailing '%'), so the
+        // match lowers to startswith/endswith/contains/= rather than
+        // Spark's SQL-LIKE pattern language.
+        val term = pat.stripPrefix("%").stripSuffix("%")
+        val (lhs, needle) =
+          if (indexServed && servable.headOption.exists(sasiCaseInsensitive))
+            (lower(col(c)), term.toLowerCase(java.util.Locale.ROOT))
+          else (col(c), term)
+        filters :+= (likeOp match {
+          case "prefix" => lhs.startsWith(needle)
+          case "suffix" => lhs.endsWith(needle)
+          case "contains" => lhs.contains(needle)
+          case _ => lhs === needle
+        })
       case Contains(c, v, isKey) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))
         // CONTAINS is served by a values() index (the default target of
@@ -3648,11 +3733,13 @@ class CqlEngine(val spark: SparkSession) {
         val stateSql = sparkType(u.stype).sql
         val init = u.initCond.map(l => sqlLit(coerce(l, u.stype, f))).getOrElse("NULL")
         // fold order = the rows' SELECTION order: clustering columns in
-        // their declared directions (DESC tables fold descending)
+        // their declared directions (DESC tables fold descending), each
+        // flipped when a reversed ORDER BY read flips the iteration —
+        // same rule as firstBy above
         val ordSpecs =
           if (td.clustering.nonEmpty)
             td.clustering.map(_.name).zipAll(td.clusteringDesc, "", false)
-              .collect { case (n, desc) if n.nonEmpty => n -> desc }
+              .collect { case (n, desc) if n.nonEmpty => n -> (desc != reversed) }
           else td.partitionKey.map(_.name -> false)
         val cmp = ordSpecs.map { case (n, desc) =>
           val (lt, gt) = if (desc) (1, -1) else (-1, 1)

@@ -819,10 +819,15 @@ object CqlParser {
     var vals = Vector(anyLiteral(p))
     while (p.trySym(",")) vals :+= anyLiteral(p)
     p.sym(")")
-    val (ttl, ts) = parseUsing(p)
+    // reference grammar order is IF NOT EXISTS then usingClause
+    // (Parser.g normalInsertStatement:491-492); the reversed order is
+    // accepted too as a harmless superset
+    val (ttl0, ts0) = parseUsing(p)
     if (cols.length != vals.length)
       throw ParseException("Unmatched column names/values")
     val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
+    val (ttl, ts) =
+      if (ttl0.isEmpty && ts0.isEmpty) parseUsing(p) else (ttl0, ts0)
     Insert(name, cols, vals, ttl, ts, ifNotExists)
   }
 
