@@ -77,6 +77,21 @@ object CqlOps {
       .drop("_rn", "_is_del")
   }
 
+  /** The MERGE form of [[compactLog]]: the winning record per key INCLUDING
+    * deletes, flagged `_deleted` — a view sink must SEE the delete to remove
+    * the key (WHEN MATCHED AND _deleted THEN DELETE); dropping it upstream
+    * leaves the stale pre-delete row in the view forever.
+    */
+  def compactLogForMerge(log: DataFrame, keys: Seq[String], tsCol: Column,
+                         tieBreak: Seq[Column], isDelete: Column): DataFrame = {
+    val ord = (tsCol.desc +: isDelete.cast("int").desc +: tieBreak.map(_.desc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    log.withColumn("_deleted", isDelete)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Multi-column (tuple) relation on a clustering prefix
     * (`cql3/MultiColumnRelation.java`): lexicographic `(c1,c2) op (v1,v2)`
     * expanded to the boolean DNF Catalyst can push down per-column:
@@ -112,12 +127,22 @@ object CqlOps {
     * size. The token predicate is a codegen'd scan filter, so each page is
     * a pruned scan, not a skip-scan: the standard huge-export pattern.
     */
-  def tokenPage(df: DataFrame, pk: Seq[Column], afterToken: Option[Long],
+  def tokenPage(df: DataFrame, pk: Seq[Column], after: Option[(Long, Seq[Any])],
                 pageSize: Int): DataFrame = {
     val tok =
       if (pk.length == 1) graft.functions.Functions.cassandra_token(pk.head)
       else call_function("cassandra_token", pk: _*)
-    val paged = afterToken.map(t => df.filter(tok > lit(t))).getOrElse(df)
+    // the restart cursor is (token, pk) like the reference's PagingState —
+    // a token-only cursor would skip rows whose key COLLIDES on the
+    // page-boundary token (expected at 10^10 rows over a 64-bit space)
+    val paged = after.map { case (t, lastPk) =>
+      require(lastPk.length == pk.length,
+        s"cursor carries ${lastPk.length} pk values for ${pk.length} pk columns")
+      val pkAfter = pk.zip(lastPk).foldRight(lit(false)) {
+        case ((c, v), acc) => c > lit(v) || (c === lit(v) && acc)
+      }
+      df.filter(tok > lit(t) || (tok === lit(t) && pkAfter))
+    }.getOrElse(df)
     paged.withColumn("_tok", tok)
       .orderBy(col("_tok").asc +: pk: _*)
       .limit(pageSize)

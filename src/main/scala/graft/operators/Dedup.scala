@@ -158,8 +158,10 @@ object Dedup {
       .select(col("p.a"), col("p.b"))
       .distinct()
 
-  /** All (a, b) element pairs of a sorted array, a before b. */
-  private def pairsOf(ids: Column): Column =
+  /** All (a, b) element pairs of a sorted array, a before b (shared with
+    * [[Similarity.embeddingNearDupPairs]]'s bucket aggregation).
+    */
+  private[operators] def pairsOf(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("a"), y.as("b")))))

@@ -119,6 +119,10 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media.select(col("media_id"), col("frames"),
-        explode(sequence(lit(0), col("frames") - 1, lit(stride))).as("frame_idx"))
+        // a frameless item (still image, frames = 0) yields zero rows —
+        // sequence(0, -1) would throw on inconsistent boundaries
+        explode(when(col("frames") > 0,
+            sequence(lit(0), col("frames") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .withColumn("frame_key", concat_ws(":", col("media_id"), col("frame_idx")))
 }

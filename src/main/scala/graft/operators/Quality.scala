@@ -90,10 +90,12 @@ object Quality {
     * can pre-filter with a regex when the corpus carries punctuation).
     */
   def cleanLines(lines: Column, minWords: Int, blacklist: Seq[String]): Column = {
-    val bl = array(blacklist.map(lit): _*)
+    // case-insensitive, like C4's bad-word filter (and the rest of this
+    // module's lowercased matching)
+    val bl = array(blacklist.map(w => lit(w.toLowerCase(java.util.Locale.ROOT))): _*)
     filter(lines, l => {
       val ws = split(l, " ")
-      size(ws) >= minWords && !arrays_overlap(ws, bl)
+      size(ws) >= minWords && !arrays_overlap(split(lower(l), " "), bl)
     })
   }
 }

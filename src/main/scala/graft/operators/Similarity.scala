@@ -26,24 +26,18 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructFiel
   */
 object Similarity {
 
-  /** Per-query top-k of a (query_id, neighbor_id, sim) relation WITHOUT
-    * funneling all scored rows for one query through one reducer: a
-    * map-side partial top-k per (query, input partition) bounds the final
-    * per-query merge to k × numPartitions rows. Ordering is (sim desc,
-    * neighbor_id asc) as a total order, so truncation is exact — any global
-    * top-k row is in its partition's top-k.
+  /** Per-query top-k of a (query_id, neighbor_id, sim) relation with
+    * BOUNDED memory everywhere: [[graft.functions.TopKRowsAgg]] keeps only
+    * k rows per query in each map-side partial buffer (ordering (sim desc,
+    * neighbor_id asc) — a total order, so truncation is exact), and the
+    * shuffle carries at most k rows × queries per task. The old
+    * collect_list form materialized EVERY scored row of a partition per
+    * query before slicing — unbounded aggregation memory at corpus scale.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val partial = scored
-      .groupBy(col("query_id"), spark_partition_id().as("_pid"))
-      // struct(-sim, neighbor) sorts naturally as (sim desc, neighbor asc)
-      .agg(slice(array_sort(collect_list(
-        struct((-col("sim")).as("ns"), col("neighbor_id").as("n")))), 1, k).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), col("t.n").as("neighbor_id"), (-col("t.ns")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    partial.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-  }
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    CqlOps.perPartitionLimitAgg(
+      scored.select("query_id", "neighbor_id", "sim"), Seq("query_id"),
+      Seq(("sim", true), ("neighbor_id", false)), k, rowNumberCol = "rnk")
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -107,11 +101,15 @@ object Similarity {
     */
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
                             bits: Int = 32, bands: Int = 8, seed: Long = 7L): DataFrame = {
-    val chunked = chunkedIds(corpus, bits, bands, seed, "vec_id")
-    val pairs = chunked.as("x").join(chunked.as("y"),
-        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    // one bucket aggregation, not a chunk self-join — the self-join
+    // evaluates the lsh_code+explode pipeline once per aliased side (the
+    // cost Dedup.lshCandidates' rewrite documents); identical pair set
+    val pairs = chunkedIds(corpus, bits, bands, seed, "vec_id")
+      .groupBy("ci", "cv")
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(Dedup.pairsOf(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b"))
       .distinct()
     val emb = corpus.select(col("vec_id"), col("embedding"))
     pairs
@@ -194,12 +192,19 @@ object Similarity {
           max_by(col("cid"), struct(col("sim"), (-col("cid")).cast("double"))).as("cid"),
           first(col("embedding")).as("embedding"))
       // Lloyd refinement: mean of member vectors per list (array average
-      // via exploded position aggregation), deterministic; train-sized only
-      centroids = assignedT
+      // via exploded position aggregation), deterministic; train-sized
+      // only. A cell that wins zero training vectors KEEPS its previous
+      // centroid (same rule as pqTrain) — dropping it would silently
+      // shrink nlist below what the caller asked for.
+      val refined = assignedT
         .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("cid"))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), transform(col("ps"), p => p("m").cast("float")).as("centroid"))
+      centroids = centroids.as("prev")
+        .join(refined.as("nw"), Seq("cid"), "left_outer")
+        .select(col("cid"),
+          coalesce(col("nw.centroid"), col("prev.centroid")).as("centroid"))
     }
     // materialize the final centroid header driver-side (bounded: nlist×dim)
     val cents = centroids.collect()

@@ -20,7 +20,7 @@ object TextAnalysis {
     * count (the actual BPE merge table would be a broadcast lookup).
     */
   def subTokenCount(text: Column): Column =
-    size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"), w => w =!= "" && w =!= " "))
+    size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"), w => trim(w) =!= ""))
 
   /** Stopword lists for the n-gram language-ID heuristic. */
   val stopwords: Seq[(String, Seq[String])] = Seq(

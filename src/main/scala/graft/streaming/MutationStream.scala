@@ -54,29 +54,38 @@ object MutationStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
   /** Materialized-view maintenance: each micro-batch is LWW-compacted
-    * (newest mutation per key wins, deletes drop the row) and upserted into
-    * the view store. `upsert` receives (batchDf, batchId) — production sinks
-    * MERGE into the view table; tests collect into memory.
+    * (newest mutation per key wins) and handed to `upsert` WITH deletes
+    * flagged `_deleted` — the sink's MERGE removes matched keys where the
+    * flag is set (dropping deletes upstream would leave stale pre-delete
+    * rows in the view forever). `upsert` receives (batchDf, batchId) —
+    * production sinks MERGE into the view table; tests collect into memory.
     */
   def maintainView(events: DataFrame, keys: Seq[String],
                    upsert: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val compacted = CqlOps.compactLog(
+        val compacted = CqlOps.compactLogForMerge(
           batch.toDF(), keys, col("ts"), Seq(col("event_id")),
           col("event_type") === "error")
         upsert(compacted, id)
       }
 
-  /** Streaming LWW dedup of the mutation stream itself: latest record per
-    * (user_id, event_type) within the watermark, via dropDuplicates on the
-    * stream (state bounded by the watermark).
+  /** Streaming LWW: the LATEST record per (user_id, event_type) as a
+    * running aggregation (`max_by` over (ts, event_id); update mode).
+    * dropDuplicates would keep the FIRST-arriving record — the opposite of
+    * last-write-wins. State is one row per live key — ∝ key cardinality,
+    * not history; an unwindowed per-key aggregation cannot be evicted by a
+    * watermark, so key-unbounded streams should window the aggregation or
+    * rely on the downstream batch LWW over the landed log.
     */
-  def lwwStream(events: DataFrame): DataFrame =
+  def lwwStream(events: DataFrame): DataFrame = {
+    val payload = struct(events.columns.map(col): _*)
     events
-      .withWatermark("ts_ts", "10 minutes")
-      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(payload, struct(col("ts"), col("event_id"))).as("_r"))
+      .select(col("_r.*"))
+  }
 
   /** Streaming exact content dedup — the streaming analog of
     * [[graft.operators.Dedup.exact]]: drop records whose content digest

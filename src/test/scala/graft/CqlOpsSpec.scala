@@ -49,7 +49,7 @@ class CqlOpsSpec extends SparkSpec {
   test("tokenPage pages the whole relation without overlap or loss") {
     graft.functions.Functions.ensure(spark)
     val df = (1 to 97).map(i => (i.toLong, s"v$i")).toDF("pk", "v")
-    var after: Option[Long] = None
+    var after: Option[(Long, Seq[Any])] = None
     var seen = Vector.empty[Long]
     var pages = 0
     var done = false
@@ -60,7 +60,9 @@ class CqlOpsSpec extends SparkSpec {
       if (page.isEmpty) done = true
       else {
         seen ++= page.map(_.getLong(0))
-        after = Some(page.map(_.getLong(1)).max)
+        // cursor = (token, pk) of the page's LAST row in page order
+        val last = page.last
+        after = Some((last.getLong(1), Seq(last.getLong(0))))
       }
     }
     // every row exactly once, in ~10 pages

@@ -32,11 +32,15 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("materialized-view maintenance upserts LWW-compacted batches") {
+  test("materialized-view maintenance upserts LWW-compacted batches, deletes flagged") {
     var total = 0L
+    var deletes = 0L
     val stream = MutationStream.eventStream(spark, logDir)
     val q = MutationStream.maintainView(stream, Seq("user_id"),
-      (batch, _) => total += batch.count()).start()
+      (batch, _) => {
+        total += batch.count()
+        deletes += batch.filter(col("_deleted")).count()
+      }).start()
     try {
       q.processAllAvailable()
       // each micro-batch compacts to <= 1 row per user (15 users at sf0.001);
@@ -44,6 +48,9 @@ class StreamingSpec extends SparkSpec {
       assert(total >= 1)
       val users = Tables.events(spark, sf).select("user_id").distinct().count()
       assert(total <= users * 10, "per-batch compaction bounded by users x batches")
+      // delete markers REACH the sink (a MERGE needs them to remove keys):
+      // the fixture has 'error' mutations, so some batch's winner is one
+      assert(deletes > 0, "no flagged delete ever reached the upsert sink")
     } finally q.stop()
   }
 
@@ -196,16 +203,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming LWW dedup emits at most one row per key") {
+  test("streaming LWW keeps the LATEST record per key (not the first-arriving)") {
+    import spark.implicits._
     val stream = MutationStream.eventStream(spark, logDir)
     val q = MutationStream.lwwStream(stream)
-      .writeStream.outputMode("append")
+      .writeStream.outputMode("update")
       .format("memory").queryName("lww_out")
       .start()
     try {
       q.processAllAvailable()
-      val out = spark.sql("SELECT user_id, event_type, count(*) c FROM lww_out GROUP BY 1,2")
-      assert(out.filter(col("c") > 1).count() === 0)
+      // the newest mutation per key must have reached the output — the old
+      // dropDuplicates form emitted the FIRST-arriving record and silently
+      // dropped every newer one from later micro-batches
+      val got = spark.sql(
+        "SELECT user_id, event_type, max(ts) AS ts FROM lww_out GROUP BY 1, 2")
+        .as[(Long, String, Long)].collect().toSet
+      val want = Tables.events(spark, sf)
+        .groupBy("user_id", "event_type").agg(max("ts").as("ts"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === want)
     } finally q.stop()
   }
 
