@@ -28,10 +28,12 @@ object Bench {
     // Warm the JVM/codegen once PER QUERY so the timed runs measure the
     // plan, not janino compilation of each query's generated classes (the
     // heavier pipelines carry multi-second first-run codegen).
+    // a broken query must fail the bench LOUDLY (nonzero exit, no JSON) —
+    // swallowing the error would report its ~instant failure time as a
+    // large speedup in the headline numbers
     headline.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).write
+      SparkEntry.queries(name)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
     }
 
     val results = headline.map { name =>
@@ -40,19 +42,21 @@ object Bench {
       // are noisy) and keeps first-use codegen out of per-query numbers
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       (name, times(1), times.head)
     }
+    // locale-pinned number formatting: a comma decimal separator under a
+    // non-English default JVM locale would make the JSON unparseable
+    def n3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // med is the headline number; min is the contention self-diagnostic —
     // a med far above min flags a contended recording, not a plan change
-    val qs  = results.map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }.mkString("{", ",", "}")
-    val qsM = results.map { case (k, _, mn)  => "\"" + k + f"\":$mn%.3f" }.mkString("{", ",", "}")
+    val qs  = results.map { case (k, med, _) => "\"" + k + "\":" + n3(med) }.mkString("{", ",", "}")
+    val qsM = results.map { case (k, _, mn)  => "\"" + k + "\":" + n3(mn) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","min":$totalMin%.3f,"queries":$qs,"queries_min":$qsM,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","min":${n3(totalMin)},"queries":$qs,"queries_min":$qsM,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -629,13 +629,18 @@ object Queries {
       }),
 
     QueryDef("q_map_element",
-      // map element selection m['k'] (ElementsSelector.java) via from_json map
+      // map element selection m['k'] (ElementsSelector.java): element_at
+      // over a map built from ONLY $.k — a whole-map from_json would null
+      // the entire map if any OTHER props value were non-integer (the
+      // q_cql_index / ADVICE r6 hazard), diverging from the oracle's
+      // single-path extraction
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
               FROM events WHERE event_type = 'click' AND user_id < 20 ORDER BY event_id"""),
       (s, d) => t(s, d, "events")
         .filter(col("event_type") === "click" && col("user_id") < 20)
         .select(col("event_id"),
-          element_at(from_json(col("props"), MapType(StringType, IntegerType)), "k").as("k_val"))
+          element_at(map(lit("k"), get_json_object(col("props"), "$.k").cast("int")),
+            lit("k")).as("k_val"))
         .orderBy("event_id")),
 
     QueryDef("q_writetime",
@@ -1228,7 +1233,8 @@ object Queries {
               ORDER BY event_id LIMIT 200"""),
       (s, d) => {
         prep(s)
-        val ms = expr("(ts div 1000000) * 1000")
+        // events.ts is NANOS; min_timeuuid takes epoch MILLIS
+        val ms = expr("ts div 1000000")
         t(s, d, "events").filter(col("user_id") < 5)
           .select(col("event_id"), F.min_timeuuid(ms).as("u"))
           .withColumn("u_millis", F.timeuuid_unix_millis(col("u")))

@@ -14,9 +14,17 @@ object Verify {
     // them via the {FIX} placeholder.
     val fixDir = outDir.stripSuffix("/") + ".fixtures"
     writeFixtures(spark, sfDir, fixDir)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // a stale run-N dump must not survive a run-N+1 failure — the
+      // correctness gate would silently PASS on the old results
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) deleteRec(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(target.getPath)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -64,7 +72,9 @@ object Verify {
     // operators under test (MinTimeUuid/TimeUuidMillis codegen) are not.
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .filter(col("user_id") < 5)
-      .select(col("event_id"), expr("(ts div 1000000) * 1000").cast("long").as("ms"))
+      // ts is NANOS → epoch millis (the unit min_timeuuid takes; the old
+      // *1000 form fed MICROS and pinned overflow-wrapped uuids)
+      .select(col("event_id"), expr("ts div 1000000").cast("long").as("ms"))
       .as[(Long, Long)].collect().toIndexedSeq
       .map { case (id, ms) =>
         val u = graft.functions.TimeUuid.minTimeUuid(ms)

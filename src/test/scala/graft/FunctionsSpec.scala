@@ -50,4 +50,22 @@ class FunctionsSpec extends SparkSpec {
     val r = spark.sql("SELECT blob_as_int(int_as_blob(7)) AS v, blob_as_text(text_as_blob('x')) AS t").head()
     assert(r.getInt(0) === 7 && r.getString(1) === "x")
   }
+
+  test("q_timeuuid_bounds embeds the event's epoch millis (ns→ms, no overflow)") {
+    // regression: the old '(ts div 1000000) * 1000' derivation fed MICROS
+    // to min_timeuuid (which takes millis) and the v1 tick math
+    // overflow-wrapped into year-4821 uuids — undetected because the
+    // Verify fixture shared the same wrong input derivation
+    import org.apache.spark.sql.functions._
+    val out = Queries.byName("q_timeuuid_bounds").impl(spark, sf)
+    val bad = out.join(
+        Tables.events(spark, sf).select(col("event_id"), expr("ts div 1000000").as("ms")),
+        "event_id")
+      .filter(col("u_millis") =!= col("ms"))
+    assert(bad.isEmpty, "u_millis must round-trip the source epoch millis")
+    // and the values are in a sane modern range (not overflow-wrapped)
+    val r = out.agg(min(col("u_millis")), max(col("u_millis"))).head()
+    assert(r.getLong(0) > 1000000000000L && r.getLong(1) < 4102444800000L,
+      s"u_millis out of 2001..2100 range: $r")
+  }
 }
