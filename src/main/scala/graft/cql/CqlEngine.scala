@@ -1674,7 +1674,13 @@ class CqlEngine(val spark: SparkSession) {
         rangeLo = loMap, rangeHi = hiMap, rangeIncl = (loi, hii)))
       return
     }
-    val (keys, fullCk) = mutationKeys(td, d.where, requireCk = d.columns.nonEmpty)
+    // a column-list delete of ONLY static columns addresses the partition —
+    // no clustering required (DeleteStatement: static cell tombstones live
+    // on the static row)
+    val staticOnlyDelete = d.columns.nonEmpty && d.columns.forall(c =>
+      td.column(c).exists(_.kind == Static))
+    val (keys, fullCk) = mutationKeys(td, d.where,
+      requireCk = d.columns.nonEmpty && !staticOnlyDelete)
     val ts = d.timestamp.getOrElse(nextTs())
     if (d.columns.nonEmpty) {
       // cell tombstones = writes of null

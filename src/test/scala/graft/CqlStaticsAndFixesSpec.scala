@@ -122,6 +122,33 @@ class CqlStaticsAndFixesSpec extends SparkSpec {
     assert(ttl != null && ttl.asInstanceOf[Int] > 0)
   }
 
+  test("StaticColumnsTest.testStaticColumns golden flow: merge, slice, delete interactions") {
+    val e = mkEngine
+    e.execute("CREATE TABLE stg (k int, p int, s int static, v int, PRIMARY KEY (k, p))")
+    e.execute("INSERT INTO stg (k, s) VALUES (0, 42)")
+    assert(rows(e.execute("SELECT * FROM stg")) === Set(Seq(0, null, 42, null)))
+    // writetime(s) is non-zero
+    val wt = e.execute("SELECT s, writetime(s) FROM stg WHERE k = 0").collect().head
+    assert(wt.get(0) === 42 && wt.getLong(1) > 0)
+    e.execute("INSERT INTO stg (k, p, s, v) VALUES (0, 0, 12, 0)")
+    e.execute("INSERT INTO stg (k, p, s, v) VALUES (0, 1, 24, 1)")
+    // statics are indeed static: latest write visible on every row
+    assert(rows(e.execute("SELECT * FROM stg")) === Set(Seq(0, 0, 24, 0), Seq(0, 1, 24, 1)))
+    assert(rows(e.execute("SELECT * FROM stg WHERE k = 0 AND p = 0")) === Set(Seq(0, 0, 24, 0)))
+    assert(rows(e.execute("SELECT * FROM stg WHERE k = 0 AND p IN (0, 1)")) ===
+      Set(Seq(0, 0, 24, 0), Seq(0, 1, 24, 1)))
+    assert(rows(e.execute("SELECT p, v FROM stg WHERE k = 0 AND p = 1")) === Set(Seq(1, 1)))
+    // one s per row without DISTINCT
+    assert(rowsInOrder(e.execute("SELECT s FROM stg WHERE k = 0")).map(_.head) === Seq(24, 24))
+    assert(rows(e.execute("SELECT s, v FROM stg WHERE k = 0")) === Set(Seq(24, 0), Seq(24, 1)))
+    // deleting a row does NOT implicitly delete statics
+    e.execute("DELETE FROM stg WHERE k = 0 AND p = 0")
+    assert(rows(e.execute("SELECT * FROM stg")) === Set(Seq(0, 1, 24, 1)))
+    // explicitly deleting the static column removes it
+    e.execute("DELETE s FROM stg WHERE k = 0")
+    assert(rows(e.execute("SELECT * FROM stg")) === Set(Seq(0, 1, null, 1)))
+  }
+
   test("prepared counter increments and decrements work (bind-marker deltas)") {
     val e = mkEngine
     e.execute("CREATE TABLE pc1 (k int PRIMARY KEY, c counter)")
