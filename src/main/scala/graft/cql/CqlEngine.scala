@@ -2911,6 +2911,14 @@ class CqlEngine(val spark: SparkSession) {
         throw InvalidRequest("PER PARTITION LIMIT is not allowed with SELECT DISTINCT queries")
       val sel = s.selectors.collect { case ExprSel(ColRef(n), _) => n }
       val legal = (td.partitionKey ++ td.statics).map(_.name).toSet
+      // an UNRESTRICTED distinct must request every partition key column —
+      // statics alone are only addressable within named partitions
+      // (SelectStatement.validateDistinctSelection)
+      val pkRestricted = pkNames.forall(c => restricted.get(c).contains("eq"))
+      if (!pkRestricted && !s.selectors.contains(Star) &&
+          !pkNames.forall(sel.contains))
+        throw InvalidRequest(
+          "SELECT DISTINCT queries must request all the partition key columns")
       if (s.selectors.contains(Star) || sel.forall(legal.contains)) {
         val cols = if (s.selectors.contains(Star)) pkNames else sel
         var out = df.select(cols.map(col): _*).distinct()

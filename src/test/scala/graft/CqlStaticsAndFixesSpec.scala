@@ -149,6 +149,34 @@ class CqlStaticsAndFixesSpec extends SparkSpec {
     assert(rows(e.execute("SELECT * FROM stg")) === Set(Seq(0, 1, null, 1)))
   }
 
+  test("DISTINCT over partition key + statics (StaticColumnsTest.testStaticColumnsWithDistinct)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE std (k int, p int, s int static, PRIMARY KEY (k, p))")
+    e.execute("INSERT INTO std (k, p) VALUES (1, 1)")
+    e.execute("INSERT INTO std (k, p) VALUES (1, 2)")
+    assert(rowsInOrder(e.execute("SELECT k, s FROM std")) === Seq(Seq(1, null), Seq(1, null)))
+    assert(rows(e.execute("SELECT DISTINCT k, s FROM std")) === Set(Seq(1, null)))
+    assert(rowsInOrder(e.execute("SELECT DISTINCT s FROM std WHERE k = 1")) === Seq(Seq(null)))
+    assert(e.execute("SELECT DISTINCT s FROM std WHERE k = 2").count() === 0)
+    e.execute("INSERT INTO std (k, p, s) VALUES (2, 1, 3)")
+    e.execute("INSERT INTO std (k, p) VALUES (2, 2)")
+    assert(rows(e.execute("SELECT DISTINCT k, s FROM std")) === Set(Seq(1, null), Seq(2, 3)))
+    assert(rowsInOrder(e.execute("SELECT DISTINCT s FROM std WHERE k = 2")) === Seq(Seq(3)))
+    // unrestricted DISTINCT on a static alone is invalid
+    assertInvalid(e, "SELECT DISTINCT s FROM std", "DISTINCT")
+  }
+
+  test("statics under LIMIT ride every returned row (StaticColumnsTest.testStaticColumnsWithLimit)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE stl (k int, s int static, v int, PRIMARY KEY (k, v))")
+    e.execute("INSERT INTO stl (k, s) VALUES (0, 42)")
+    for (i <- 0 until 4) e.execute(s"INSERT INTO stl (k, v) VALUES (0, $i)")
+    assert(rowsInOrder(e.execute("SELECT * FROM stl WHERE k = 0 LIMIT 2")) ===
+      Seq(Seq(0, 0, 42), Seq(0, 1, 42)))
+    assert(rowsInOrder(e.execute("SELECT * FROM stl WHERE k = 0 LIMIT 3")) ===
+      Seq(Seq(0, 0, 42), Seq(0, 1, 42), Seq(0, 2, 42)))
+  }
+
   test("prepared counter increments and decrements work (bind-marker deltas)") {
     val e = mkEngine
     e.execute("CREATE TABLE pc1 (k int PRIMARY KEY, c counter)")
