@@ -177,6 +177,21 @@ class CqlStaticsAndFixesSpec extends SparkSpec {
       Seq(Seq(0, 0, 42), Seq(0, 1, 42), Seq(0, 2, 42)))
   }
 
+  test("2i on a regular column returns statics on matched rows " +
+    "(StaticColumnsTest.testStaticColumnsWithSecondaryIndex)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE sti (k int, p int, s int static, v int, PRIMARY KEY (k, p))")
+    e.execute("CREATE INDEX ON sti (v)")
+    e.execute("INSERT INTO sti (k, p, s, v) VALUES (0, 0, 42, 1)")
+    e.execute("INSERT INTO sti (k, p, v) VALUES (0, 1, 1)")
+    e.execute("INSERT INTO sti (k, p, v) VALUES (0, 2, 2)")
+    assert(rows(e.execute("SELECT * FROM sti WHERE v = 1")) ===
+      Set(Seq(0, 0, 42, 1), Seq(0, 1, 42, 1)))
+    assert(rows(e.execute("SELECT p, s FROM sti WHERE v = 1")) ===
+      Set(Seq(0, 42), Seq(1, 42)))
+    assert(rows(e.execute("SELECT p FROM sti WHERE v = 1")) === Set(Seq(0), Seq(1)))
+  }
+
   test("prepared counter increments and decrements work (bind-marker deltas)") {
     val e = mkEngine
     e.execute("CREATE TABLE pc1 (k int PRIMARY KEY, c counter)")
