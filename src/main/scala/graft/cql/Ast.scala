@@ -88,6 +88,11 @@ object Ast {
     val statics: Seq[ColumnDef] = columns.filter(_.kind == Static)
     val regulars: Seq[ColumnDef] = columns.filter(_.kind == Regular)
     val primaryKey: Seq[ColumnDef] = partitionKey ++ clustering
+    /** The reference's SELECT * order (TableMetadata column comparator):
+      * partition key, clustering, then remaining columns BY NAME — not
+      * declaration order.
+      */
+    val cqlOrder: Seq[ColumnDef] = primaryKey ++ (statics ++ regulars).sortBy(_.name)
     def column(n: String): Option[ColumnDef] = columns.find(_.name == n)
   }
 

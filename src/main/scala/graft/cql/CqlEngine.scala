@@ -3179,7 +3179,7 @@ class CqlEngine(val spark: SparkSession) {
     */
   private def jsonWrap(td: TableDef, s: Select, res: DataFrame): DataFrame = {
     val outTypes: Seq[Option[CqlType]] = s.selectors.flatMap {
-      case Star => td.columns.map(c => Some(c.tpe))
+      case Star => td.cqlOrder.map(c => Some(c.tpe))
       case ExprSel(e2, _) => Seq(exprType(td, e2))
     }
     val jsonCols = res.columns.zip(outTypes).map { case (n, t) =>
@@ -3266,7 +3266,7 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   private def lowerRowSelector(td: TableDef, sel: Selector): Seq[Column] = sel match {
-    case Star => td.columns.map(c => col(c.name))
+    case Star => td.cqlOrder.map(c => col(c.name))
     case ExprSel(e, alias) =>
       if (containsAgg(e)) throw InvalidRequest("aggregate in non-aggregate select")
       Seq(lowerExpr(td, e, null).as(alias.getOrElse(exprName(e))))

@@ -192,6 +192,23 @@ class CqlStaticsAndFixesSpec extends SparkSpec {
     assert(rows(e.execute("SELECT p FROM sti WHERE v = 1")) === Set(Seq(0), Seq(1)))
   }
 
+  test("empty-string clustering is a real row, distinct from the static marker " +
+    "(StaticColumnsTest.testStaticColumnsWithEmptyClustering)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE sec (pkey text, ckey text, value text, " +
+      "static_value text static, PRIMARY KEY (pkey, ckey))")
+    e.execute("INSERT INTO sec (pkey, static_value) VALUES ('partition1', 'static value')")
+    e.execute("INSERT INTO sec (pkey, ckey, value) VALUES ('partition1', '', 'value')")
+    assert(rows(e.execute("SELECT * FROM sec")) ===
+      Set(Seq("partition1", "", "static value", "value")))
+  }
+
+  test("static columns require clustering columns (AlterTableStatement)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE nck (bar int PRIMARY KEY)")
+    assertInvalid(e, "ALTER TABLE nck ADD bar2 text static", "static")
+  }
+
   test("prepared counter increments and decrements work (bind-marker deltas)") {
     val e = mkEngine
     e.execute("CREATE TABLE pc1 (k int PRIMARY KEY, c counter)")
