@@ -109,6 +109,24 @@ class CqlEngine(val spark: SparkSession) {
     d.options.get("normalize_lowercase").exists(_.equalsIgnoreCase("true")) ||
     d.options.get("normalize_uppercase").exists(_.equalsIgnoreCase("true"))
 
+  /** Is this analyzed index TOKENIZING? IndexMode.getAnalyzer:74-86: an
+    * analyzed index with no analyzer_class defaults to StandardAnalyzer on
+    * text/ascii; an explicit StandardAnalyzer class tokenizes; the
+    * NonTokenizingAnalyzer only case-normalizes the whole value.
+    */
+  private def sasiTokenizing(d: IndexDef): Boolean =
+    sasiAnalyzed(d) &&
+      d.options.get("analyzer_class").forall(_.endsWith("StandardAnalyzer"))
+  /** StandardTokenizerOptions: lowercase normalization is opt-in. */
+  private def sasiTokenLowercase(d: IndexDef): Boolean =
+    d.options.get("tokenization_normalize_lowercase").exists(_.equalsIgnoreCase("true"))
+  /** Word-split approximating the reference's JFlex standard tokenizer
+    * (StandardAnalyzer.java:42, StandardTokenizerImpl grammar): runs of
+    * Unicode letters/digits are terms, everything else splits. (Optional
+    * stemming/stop-word filters are out of scope — documented.)
+    */
+  private val sasiTokenSplit = "[^\\p{L}\\p{N}]+"
+
   /** Keyspaces (CREATE KEYSPACE / USE). The default keyspace's tables keep
     * UNQUALIFIED catalog keys (back-compat with storage layouts and every
     * pre-keyspace caller); other keyspaces key as `ks.table`.
@@ -2285,43 +2303,90 @@ class CqlEngine(val spark: SparkSession) {
     val (rowState0, staticState, pdel, rangeTombs) = fullState(name)
     // prune collection op-lists: everything before the last set/clear is
     // overwritten by the fold anyway
-    val rowStatePruned = td.regulars.filter(c => isCollection(c.tpe)).foldLeft(rowState0) {
-      (df, c) => df.withColumn("_muts_" + c.name, pruneMuts(col("_muts_" + c.name)))
-    }
-    // Physically purge rows that are fully dead by TTL EXPIRY at compact
-    // time AND past the table's gc_grace window: liveness absent-or-expired
-    // and every cell an expired-TTL tombstone whose expiry is older than
-    // now - gc_grace_seconds. Compaction consumes every older input in one
-    // pass, so nothing in storage still needs the shadowing — the same
-    // purge the reference performs for expired cells once gc_grace passes
-    // (db/compaction CompactionController.getPurgeEvaluator;
-    // CASSANDRA-14092 expiration handling). Until gc_grace elapses the
-    // expired cells stay checkpointed and keep shadowing late
-    // USING TIMESTAMP writes, exactly like the reference. Explicit
-    // tombstones (_del_ts, null-write cells, collection clears) are NEVER
-    // purged here.
-    val rowState = {
-      val graceMicros = td.gcGraceSeconds * 1000000L
-      def cellExpired(cell: Column): Column =
-        cell("ttl") > 0L &&
-          (cell("ts") + cell("ttl") * 1000000L + lit(graceMicros)) <= lit(nowMicros)
-      val liveDead = col("_live").isNull || cellExpired(col("_live"))
-      val colsDead = td.regulars.map { c =>
+    def pruneColls(df: DataFrame, cols: Seq[ColumnDef]): DataFrame =
+      cols.filter(c => isCollection(c.tpe)).foldLeft(df) {
+        (d, c) => d.withColumn("_muts_" + c.name, pruneMuts(col("_muts_" + c.name)))
+      }
+    val rowStatePruned = pruneColls(rowState0, td.regulars)
+    // Physical tombstone/expiry purge, the reference's purge-evaluator rule
+    // (db/compaction CompactionController.getPurgeEvaluator,
+    // db/DeletionTime.java, CASSANDRA-14092): compaction here consumes
+    // EVERY older input in one pass, so any tombstone older than gc_grace
+    // no longer shadows anything still in storage and is physically
+    // dropped — row tombstones (_del_ts), explicit null-write cells
+    // (tomb != 0), collection clears/element-removes, partition-deletion
+    // watermarks and range tombstones alike. Fully TTL-expired cells purge
+    // once expiry itself is gc_grace old. Until gc_grace elapses every
+    // tombstone stays checkpointed and keeps shadowing late USING
+    // TIMESTAMP writes, exactly like the reference; after the purge a
+    // sufficiently old late write can resurrect — the documented
+    // Cassandra gc_grace contract. (The reference gates on the cell's
+    // localDeletionTime; mutations here are stamped on the same µs
+    // timeline as [[nowMicros]], so the write timestamp plays that role.)
+    // Data SHADOWED by a retained row tombstone (cell ts <= _del_ts) is
+    // dropped regardless of grace: its timestamp can never exceed the
+    // tombstone's again, so it is dead forever.
+    val graceMicros = td.gcGraceSeconds * 1000000L
+    val tombCutoff = nowMicros - graceMicros // write-ts <= cutoff ⇒ past grace
+    def purgeState(df: DataFrame, keys: Seq[String], cols: Seq[ColumnDef],
+                   withLiveness: Boolean): DataFrame = {
+      val delTs = coalesce(col("_del_ts"), lit(Long.MinValue))
+      def ttlPurged(ts: Column, ttl: Column): Column =
+        ttl > 0L && (ts + ttl * 1000000L + lit(graceMicros)) <= lit(nowMicros)
+      val purged = cols.flatMap { c =>
         if (isCollection(c.tpe)) {
           val m = col("_muts_" + c.name)
-          m.isNull || forall(m, e => e("op") =!= "clear" && cellExpired(e))
-        } else if (c.tpe == CqlCounter) col("_csum_" + c.name).isNull
-        else {
-          // expiry alone gates (tomb may be 0 if the cell was still live
-          // when an earlier compact aggregated it); explicit null-write
-          // tombstones carry ttl=0 and never satisfy cellExpired
+          // entries strictly below the row tombstone are dead forever (the
+          // clear marker AT _del_ts stays while the tombstone stays — the
+          // fold relies on it); then drop the longest purgeable PREFIX of
+          // the sorted list: tombstone ops past grace shadow nothing ahead
+          // of them once nothing remains behind them
+          val shadowDropped = when(m.isNull, m)
+            .otherwise(filter(m, e => e("ts") >= delTs))
+          Seq(purgeMutsPrefix(shadowDropped, tombCutoff).as("_muts_" + c.name))
+        } else if (c.tpe == CqlCounter) {
+          val ct = col("_cts_" + c.name)
+          Seq(when(ct > delTs, col("_csum_" + c.name)).as("_csum_" + c.name),
+            when(ct > delTs, ct).as("_cts_" + c.name))
+        } else {
+          // tomb may be 0 on an expired cell that was still live when an
+          // earlier compact aggregated it — the expiry clause covers it;
+          // explicit null-write tombstones carry ttl=0, the tomb clause
+          // covers them
           val cell = col("_cell_" + c.name)
-          cell.isNull || cellExpired(cell)
+          val dead = cell("ts") <= delTs ||
+            ttlPurged(cell("ts"), cell("ttl")) ||
+            (cell("tomb") =!= 0 && cell("ts") <= lit(tombCutoff))
+          Seq(when(cell.isNotNull && !dead, cell).as("_cell_" + c.name))
         }
       }
-      val purgeable = (Seq(col("_del_ts").isNull, liveDead) ++ colsDead).reduce(_ && _)
-      rowStatePruned.filter(!purgeable)
+      val delPurged = Seq(when(col("_del_ts") > lit(tombCutoff), col("_del_ts")).as("_del_ts"))
+      val livePurged = if (withLiveness) {
+        val lv = col("_live")
+        val dead = lv("ts") <= delTs || ttlPurged(lv("ts"), lv("ttl"))
+        Seq(when(lv.isNotNull && !dead, lv).as("_live"))
+      } else Nil
+      val projected = df.select(
+        (keys.map(col) ++ purged ++ delPurged ++ livePurged): _*)
+      // a row whose entire state purged away carries no information —
+      // physically drop it (this is what shrinks the checkpoint)
+      val anyState = cols.map { c =>
+        if (isCollection(c.tpe)) {
+          val m = col("_muts_" + c.name)
+          m.isNotNull && size(m) > 0
+        } else if (c.tpe == CqlCounter) col("_csum_" + c.name).isNotNull
+        else col("_cell_" + c.name).isNotNull
+      } ++ Seq(col("_del_ts").isNotNull) ++
+        (if (withLiveness) Seq(col("_live").isNotNull) else Nil)
+      projected.filter(anyState.reduce(_ || _))
     }
+    val rowKeys = td.primaryKey.map(_.name)
+    val pkNames = td.partitionKey.map(_.name)
+    val rowState = purgeState(rowStatePruned, rowKeys, td.regulars, withLiveness = true)
+    val staticsPurged = staticState.map(st =>
+      purgeState(pruneColls(st, td.statics), pkNames, td.statics, withLiveness = false))
+    val pdelPurged = pdel.filter(col("_pdel") > lit(tombCutoff))
+    val rangesPurged = rangeTombs.map(_.filter(col("_ts") > lit(tombCutoff)))
     val tdir = new java.io.File(dir, name)
     tdir.mkdirs()
     java.nio.file.Files.write(new java.io.File(tdir, "schema.json").toPath,
@@ -2329,11 +2394,12 @@ class CqlEngine(val spark: SparkSession) {
     val tmp = new java.io.File(tdir, "checkpoint_tmp")
     if (tmp.isDirectory) deleteRec(tmp)
     rowState.write.parquet(new java.io.File(tmp, "rows").getPath)
-    staticState.foreach(_.write.parquet(new java.io.File(tmp, "statics").getPath))
-    pdel.write.parquet(new java.io.File(tmp, "pdel").getPath)
+    staticsPurged.foreach(_.write.parquet(new java.io.File(tmp, "statics").getPath))
+    pdelPurged.write.parquet(new java.io.File(tmp, "pdel").getPath)
     // range tombstones persist like the pdel watermark: out-of-order
     // writes below an absorbed range must stay dead after compaction
-    rangeTombs.foreach(_.write.parquet(new java.io.File(tmp, "ranges").getPath))
+    // (both purge past gc_grace like any other tombstone)
+    rangesPurged.foreach(_.write.parquet(new java.io.File(tmp, "ranges").getPath))
     // swap in, then drop consumed inputs
     val ck = new java.io.File(tdir, "checkpoint")
     if (ck.isDirectory) deleteRec(ck)
@@ -2360,6 +2426,26 @@ class CqlEngine(val spark: SparkSession) {
     // must carry it now
     java.nio.file.Files.write(new java.io.File(tdir, "meta.json").toPath,
       s"""{"max_ts": $tsCounter}""".getBytes("UTF-8"))
+  }
+
+  /** Drop the longest PREFIX of a (sorted) op-list made of pure tombstone
+    * ops — clear / null set / element removes — written at or before the
+    * gc_grace cutoff. A tombstone op only shadows entries BEHIND it in the
+    * fold, so once nothing precedes it and it is grace-old, dropping it is
+    * the reference's tombstone purge for collection cells. Ops after the
+    * first survivor are kept verbatim (they may still shadow it).
+    */
+  private def purgeMutsPrefix(m: Column, cutoffMicros: Long): Column = {
+    def purgeable(e: Column): Column = {
+      val opName = substring_index(e("op"), ":", 1)
+      (opName.isin("clear", "remove", "delkey", "delidx") ||
+        (opName === "set" && e("v").isNull)) && e("ts") <= lit(cutoffMicros)
+    }
+    val flags = transform(m, e => when(purgeable(e), 1).otherwise(0))
+    val firstKeep = array_position(flags, 0) // 1-based; 0 ⇒ all purgeable
+    val start = when(firstKeep === 0L, lit(1)).otherwise(firstKeep.cast("int"))
+    val len = when(firstKeep === 0L, lit(0)).otherwise(size(m))
+    when(m.isNull, m).otherwise(slice(m, start, len))
   }
 
   /** Drop op-list entries overwritten by a later set/clear. */
@@ -2812,15 +2898,44 @@ class CqlEngine(val spark: SparkSession) {
         // match lowers to startswith/endswith/contains/= rather than
         // Spark's SQL-LIKE pattern language.
         val term = pat.stripPrefix("%").stripSuffix("%")
-        val (lhs, needle) =
-          if (indexServed && servable.headOption.exists(sasiCaseInsensitive))
-            (lower(col(c)), term.toLowerCase(java.util.Locale.ROOT))
-          else (col(c), term)
-        filters :+= (likeOp match {
-          case "prefix" => lhs.startsWith(needle)
-          case "suffix" => lhs.endsWith(needle)
-          case "contains" => lhs.contains(needle)
-          case _ => lhs === needle
+        val servingIdx = if (indexServed) servable.headOption else None
+        filters :+= (servingIdx match {
+          case Some(d) if sasiTokenizing(d) =>
+            // TOKENIZED matching (Expression.validateStringValue:272-308 +
+            // Operation.analyzeGroup:288-338): BOTH sides pass the
+            // analyzer. The stored value becomes a term stream and the op
+            // applies PER TERM (any term matching suffices); the query
+            // term itself tokenizes too, each token an OR'd expression —
+            // LIKE 'Jean-Claude' on an analyzed PREFIX index hits the
+            // terms [Jean, Claude] (SASIIndexTest analyzed-prefix cases).
+            val lc = sasiTokenLowercase(d)
+            val vTerms = filter(
+              split(if (lc) lower(col(c)) else col(c), sasiTokenSplit),
+              t => length(t) > 0)
+            val qTokens0 = term.split(sasiTokenSplit).filter(_.nonEmpty).toSeq
+            val qTokens =
+              if (lc) qTokens0.map(_.toLowerCase(java.util.Locale.ROOT)) else qTokens0
+            def termMatch(q: String): Column = exists(vTerms, t => likeOp match {
+              case "prefix" => t.startsWith(lit(q))
+              case "suffix" => t.endsWith(lit(q))
+              case "contains" => t.contains(lit(q))
+              case _ => t === lit(q)
+            })
+            // an all-punctuation term yields no tokens — no expression to
+            // satisfy, no rows (the reference's analyzer emits nothing)
+            if (qTokens.isEmpty) lit(false)
+            else qTokens.map(termMatch).reduce(_ || _)
+          case _ =>
+            val (lhs, needle) =
+              if (servingIdx.exists(sasiCaseInsensitive))
+                (lower(col(c)), term.toLowerCase(java.util.Locale.ROOT))
+              else (col(c), term)
+            likeOp match {
+              case "prefix" => lhs.startsWith(needle)
+              case "suffix" => lhs.endsWith(needle)
+              case "contains" => lhs.contains(needle)
+              case _ => lhs === needle
+            }
         })
       case Contains(c, v, isKey) =>
         val cd = td.column(c).getOrElse(throw InvalidRequest(s"Undefined column name $c"))

@@ -99,12 +99,91 @@ class CqlCompactSpec extends SparkSpec {
     // ...and with gc_grace elapsed (0 here) a compact physically drops them
     assert(spark.read.parquet(s"$dir/ct6/checkpoint/rows").count() === 1)
     assert(rows(e.execute("SELECT k, v FROM ct6")) === Set(Seq(5, 5)))
-    // an explicit DELETE's tombstone is NOT purged — it must keep
-    // shadowing late USING TIMESTAMP writes
+    // an explicit DELETE's tombstone purges too once past gc_grace (0
+    // here): with every older input consumed by the compaction it shadows
+    // nothing still in storage (CompactionController purge evaluator)
     e.execute("DELETE FROM ct6 WHERE k = 5")
     e.compact("ct6")
-    assert(spark.read.parquet(s"$dir/ct6/checkpoint/rows").count() === 1)
+    assert(spark.read.parquet(s"$dir/ct6/checkpoint/rows").count() === 0)
     assert(e.execute("SELECT k, v FROM ct6").count() === 0)
+  }
+
+  test("explicit tombstones purge only after gc_grace; pre-grace they keep " +
+    "shadowing late USING TIMESTAMP writes (CompactionController purge evaluator)") {
+    val dir = tmpDir()
+    val e = mkEngine(dir)
+    e.nowMicros = 1000000L
+    e.execute("CREATE TABLE tp1 (k int, c int, v int, PRIMARY KEY (k, c)) WITH gc_grace_seconds = 5")
+    e.execute("INSERT INTO tp1 (k, c, v) VALUES (1, 1, 1)")
+    e.execute("INSERT INTO tp1 (k, c, v) VALUES (2, 1, 2)")
+    e.execute("DELETE FROM tp1 WHERE k = 1 AND c = 1") // row tombstone
+    e.execute("DELETE v FROM tp1 WHERE k = 2 AND c = 1") // cell tombstone
+    e.compact("tp1")
+    // PRE-grace: both tombstones checkpointed; the row-deleted row kept
+    // only for its _del_ts (shadowed cells are already dropped), and a
+    // late old-timestamp write stays dead
+    assert(spark.read.parquet(s"$dir/tp1/checkpoint/rows").count() === 2)
+    e.execute("INSERT INTO tp1 (k, c, v) VALUES (1, 1, 9) USING TIMESTAMP 1")
+    assert(!rows(e.execute("SELECT k, c, v FROM tp1")).contains(Seq(1, 1, 9)))
+    // POST-grace: both tombstones physically purge; the cell-tombstoned
+    // row loses the cell but keeps its live primary key row
+    e.nowMicros += 10000000L
+    e.compact("tp1")
+    assert(spark.read.parquet(s"$dir/tp1/checkpoint/rows").count() === 1)
+    assert(rows(e.execute("SELECT k, c, v FROM tp1")) === Set(Seq(2, 1, null)))
+    // the purge is the documented Cassandra gc_grace contract: a
+    // sufficiently old late write CAN now resurrect
+    e.execute("INSERT INTO tp1 (k, c, v) VALUES (1, 1, 9) USING TIMESTAMP 1")
+    assert(rows(e.execute("SELECT k, c, v FROM tp1")).contains(Seq(1, 1, 9)))
+  }
+
+  test("partition-deletion watermarks and range tombstones purge past gc_grace") {
+    val dir = tmpDir()
+    val e = mkEngine(dir)
+    e.nowMicros = 1000000L
+    e.execute("CREATE TABLE tp2 (k int, c int, v int, PRIMARY KEY (k, c)) WITH gc_grace_seconds = 5")
+    for (c <- 1 to 3) e.execute(s"INSERT INTO tp2 (k, c, v) VALUES (1, $c, $c)")
+    for (c <- 1 to 3) e.execute(s"INSERT INTO tp2 (k, c, v) VALUES (2, $c, $c)")
+    e.execute("DELETE FROM tp2 WHERE k = 1")           // partition tombstone
+    e.execute("DELETE FROM tp2 WHERE k = 2 AND c > 1") // range tombstone
+    e.compact("tp2")
+    // pre-grace: watermark + range rows persisted, shadowed data dropped
+    assert(spark.read.parquet(s"$dir/tp2/checkpoint/pdel").count() === 1)
+    assert(spark.read.parquet(s"$dir/tp2/checkpoint/ranges").count() === 1)
+    assert(rows(e.execute("SELECT k, c, v FROM tp2")) === Set(Seq(2, 1, 1)))
+    e.nowMicros += 10000000L
+    e.compact("tp2")
+    // post-grace: both tombstone stores physically empty, reads unchanged
+    assert(spark.read.parquet(s"$dir/tp2/checkpoint/pdel").count() === 0)
+    assert(spark.read.parquet(s"$dir/tp2/checkpoint/ranges").count() === 0)
+    assert(rows(e.execute("SELECT k, c, v FROM tp2")) === Set(Seq(2, 1, 1)))
+  }
+
+  test("collection tombstones (clears and element removes) purge past gc_grace") {
+    val dir = tmpDir()
+    val e = mkEngine(dir)
+    e.nowMicros = 1000000L
+    e.execute("CREATE TABLE tp3 (k int PRIMARY KEY, st set<int>, m map<text,int>) WITH gc_grace_seconds = 5")
+    e.execute("INSERT INTO tp3 (k, st, m) VALUES (1, {1, 2}, {'a': 1})")
+    e.execute("DELETE FROM tp3 WHERE k = 1") // row delete → clear markers
+    e.execute("INSERT INTO tp3 (k, st) VALUES (2, {1, 2})")
+    e.execute("UPDATE tp3 SET st = st - {1} WHERE k = 2") // element remove
+    e.compact("tp3")
+    // pre-grace: row 1 is held alive purely by its tombstones
+    assert(spark.read.parquet(s"$dir/tp3/checkpoint/rows").count() === 2)
+    e.nowMicros += 10000000L
+    e.compact("tp3")
+    // post-grace: row 1's clear markers and del_ts purge → the row drops;
+    // row 2's remove-op prefix... the remove follows the surviving add, so
+    // only grace-old PREFIX tombstones purge — the add stays, remove stays
+    // behind it only if something precedes it
+    val ck = spark.read.parquet(s"$dir/tp3/checkpoint/rows")
+    assert(ck.count() === 1)
+    assert(rows(e.execute("SELECT k, st FROM tp3")) === Set(Seq(2, List(2))))
+    // after another grace window with no new writes the state is stable
+    e.nowMicros += 10000000L
+    e.compact("tp3")
+    assert(rows(e.execute("SELECT k, st FROM tp3")) === Set(Seq(2, List(2))))
   }
 
   test("gc_grace window delays the physical purge (default 10 days; ALTER shortens)") {

@@ -274,6 +274,54 @@ class CqlIndexSpec extends SparkSpec {
       Set.empty[Seq[Any]])
   }
 
+  test("tokenized SASI matching is per-term: both sides pass the analyzer " +
+    "(Expression.validateStringValue:272-308, Operation.analyzeGroup:288-338; " +
+    "SASIIndexTest analyzed-prefix + tokenized-contains cases)") {
+    val e = mkEngine
+    // PREFIX + analyzed (no analyzer_class → StandardAnalyzer per
+    // IndexMode.getAnalyzer:74-86): 'Jean-Claude' indexes as [Jean, Claude]
+    e.execute("CREATE TABLE tk1 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO tk1 (k, v) VALUES (0, 'Jean-Claude')")
+    e.execute("CREATE CUSTOM INDEX tk1_v ON tk1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'mode': 'PREFIX', 'analyzed': 'true'}")
+    // LIKE '<term>' (match) equals ANY token — the full-text hit the
+    // whole-value match can't produce (SASIIndexTest:2248-2256)
+    assert(rows(e.execute("SELECT k FROM tk1 WHERE v LIKE 'Jean'")) === Set(Seq(0)))
+    assert(rows(e.execute("SELECT k FROM tk1 WHERE v LIKE 'Claude'")) === Set(Seq(0)))
+    // the QUERY term tokenizes too; its tokens are OR'd expressions
+    assert(rows(e.execute("SELECT k FROM tk1 WHERE v LIKE 'Jean-Claude'")) === Set(Seq(0)))
+    // prefix applies per token: 'Claude%' hits though the VALUE starts 'Jean'
+    assert(rows(e.execute("SELECT k FROM tk1 WHERE v LIKE 'Jean%'")) === Set(Seq(0)))
+    assert(rows(e.execute("SELECT k FROM tk1 WHERE v LIKE 'Claude%'")) === Set(Seq(0)))
+    // no token equals a partial word
+    assert(rows(e.execute("SELECT k FROM tk1 WHERE v LIKE 'Jea'")) === Set.empty[Seq[Any]])
+
+    // CONTAINS + StandardAnalyzer with lowercase normalization
+    e.execute("CREATE TABLE tk2 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO tk2 (k, v) VALUES (1, 'The Quick Brown fox jumps')")
+    e.execute("INSERT INTO tk2 (k, v) VALUES (2, 'lazy dogs sleep')")
+    e.execute("CREATE CUSTOM INDEX tk2_v ON tk2 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'mode': 'CONTAINS', 'analyzer_class': " +
+      "'org.apache.cassandra.index.sasi.analyzer.StandardAnalyzer', " +
+      "'analyzed': 'true', 'tokenization_normalize_lowercase': 'true'}")
+    // LIKE '%word%' term-hits the word, case-normalized both sides
+    assert(rows(e.execute("SELECT k FROM tk2 WHERE v LIKE '%QUICK%'")) === Set(Seq(1)))
+    // match op equals a whole token ('fox' is mid-value — whole-value
+    // equality would miss)
+    assert(rows(e.execute("SELECT k FROM tk2 WHERE v LIKE 'fox'")) === Set(Seq(1)))
+    // suffix applies per token ('quick' ends in 'ick'; the raw value ends
+    // in 'jumps')
+    assert(rows(e.execute("SELECT k FROM tk2 WHERE v LIKE '%ick'")) === Set(Seq(1)))
+    // a needle crossing a token boundary with no split char matches no term
+    assert(rows(e.execute("SELECT k FROM tk2 WHERE v LIKE '%quickbrown%'")) ===
+      Set.empty[Seq[Any]])
+    // EQ and PREFIX serving stay dropped on tokenized CONTAINS
+    assertInvalid(e, "SELECT k FROM tk2 WHERE v LIKE 'fox%'", "only supported")
+    assertInvalid(e, "SELECT k FROM tk2 WHERE v = 'fox'", "ALLOW FILTERING")
+  }
+
   test("analyzed non-literal SASI index still serves ranges " +
     "(ColumnIndex.supports:219-229 — tokenization drops only EQ and " +
     "CONTAINS-mode PREFIX serving, never RANGE)") {
