@@ -1026,7 +1026,10 @@ object Queries {
         val dir = tmpDir("graft-ivfpq")
         Similarity.ivfPqTrain(s, emb, nlist = 16, m = 8, ksub = 16).save(dir.toString)
         val idx = Similarity.ivfPqLoad(s, dir.toString)
-        Similarity.ivfPqSearch(idx, emb.filter(col("vec_id") < 8), 10)
+        // exact re-rank tail (Jégou 2011 §VI): candidates come off the
+        // pruned code table, only rerank×k true vectors are touched
+        Similarity.ivfPqSearchRerank(idx, emb.filter(col("vec_id") < 8), emb, 10,
+            nprobe = 4, rerank = 4)
           .select("query_id", "neighbor_id", "sim", "rnk")
           .orderBy("query_id", "rnk")
       }),
@@ -1042,7 +1045,10 @@ object Queries {
         prep(s)
         val emb = t(s, d, "embeddings")
         val cb = Similarity.pqTrain(emb, m = 8, ksub = 16)
-        Similarity.pqSearch(Similarity.pqEncode(emb, cb), emb.filter(col("vec_id") < 8), cb, 10)
+        // exact re-rank tail: the code-table scan proposes 4×k candidates,
+        // only those fetch true embeddings (Faiss IndexRefineFlat shape)
+        Similarity.pqSearchRerank(Similarity.pqEncode(emb, cb),
+            emb.filter(col("vec_id") < 8), emb, cb, 10)
           .select("query_id", "neighbor_id", "sim", "rnk")
           .orderBy("query_id", "rnk")
       }),

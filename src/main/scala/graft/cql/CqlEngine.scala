@@ -76,6 +76,52 @@ class CqlEngine(val spark: SparkSession) {
   private def tableIndexes(tbl: String): Iterable[IndexDef] =
     indexDefs.values.filter(_.table == tbl)
 
+  /** Estimated mean rows per indexed term, snapshotted at index BUILD time
+    * (Index.getEstimatedResultRows; SASIIndex.java:227-229 divides row
+    * count by term count). Candidate indexes rank ascending by this —
+    * fewest estimated rows = most selective wins
+    * (SecondaryIndexManager.getBestIndexFor:1047-1052) — with creation
+    * order as the tie-break. 0.0 (empty table at build) ties everything,
+    * so DDL-before-data flows keep the deterministic creation-order pick.
+    * Deviation (documented): the reference re-estimates from live sstable
+    * metadata per query; this snapshot is not refreshed by later writes.
+    */
+  private val indexStats = scala.collection.mutable.Map.empty[String, Double]
+
+  /** Mean rows per term for one index: total analyzed terms / distinct
+    * analyzed terms over the CURRENT table data. The term stream matches
+    * what the index's analyzer would store — tokenized indexes count word
+    * terms, case-normalizing ones count lowered values, everything else
+    * counts raw values (JSON surrogate so non-orderable types count too).
+    */
+  private def computeIndexStat(d: IndexDef): Double = {
+    val hasData = logs.get(d.table).exists(_.nonEmpty) ||
+      storageDir.exists(dir => new java.io.File(dir, d.table).isDirectory)
+    if (!hasData) return 0.0
+    val c = d.targets.head._1
+    val cd = table(d.table).column(c).get
+    val base = readCanonical(d.table).select(col(c)).filter(col(c).isNotNull)
+    val terms =
+      if (d.custom && sasiTokenizing(d) && cd.tpe == CqlText) {
+        val lc = sasiTokenLowercase(d)
+        base.select(explode(filter(
+          split(if (lc) lower(col(c)) else col(c), sasiTokenSplit),
+          t => length(t) > 0)).as("_t"))
+      } else if (d.custom && sasiCaseInsensitive(d) && cd.tpe == CqlText)
+        base.select(lower(col(c)).as("_t"))
+      else base.select(to_json(struct(col(c))).as("_t"))
+    val r = terms.agg(count(lit(1)).as("n"), countDistinct(col("_t")).as("d")).head()
+    val (n, dist) = (r.getLong(0), r.getLong(1))
+    if (dist == 0L) 0.0 else n.toDouble / dist
+  }
+
+  /** Rank servable candidates: most selective first, creation order as the
+    * tie-break (candidates arrive in creation order and sortBy is stable).
+    */
+  private def rankBySelectivity(candidates: Seq[IndexDef]): Seq[IndexDef] =
+    if (candidates.lengthCompare(1) <= 0) candidates
+    else candidates.sortBy(d => indexStats.getOrElse(d.name, 0.0))
+
   /** Is there a PLAIN (non-custom) index on (tbl, column) with one of these
     * target kinds? Custom (SASI) serving goes through the mode-aware rules
     * at the call sites — a tokenized SASI index must not pass as a simple
@@ -702,7 +748,10 @@ class CqlEngine(val spark: SparkSession) {
         val doomed = tables.keys.filter(splitName(_)._1 == n).toList
         doomed.foreach { t =>
           tables.remove(t); logs.remove(t); dropStorage(t)
-          indexDefs.filterInPlace((_, d) => d.table != t)
+          indexDefs.filterInPlace { (nm, d) =>
+            if (d.table == t) indexStats.remove(nm)
+            d.table != t
+          }
         }
         views.keys.filter(splitName(_)._1 == n).toList.foreach { v =>
           views.remove(v); viewOptions.remove(v)
@@ -939,7 +988,10 @@ class CqlEngine(val spark: SparkSession) {
         throw InvalidRequest(
           s"Cannot drop table when materialized views still depend on it (${dependents.mkString(", ")})")
       tables.remove(n); logs.remove(n)
-      indexDefs.filterInPlace((_, d) => d.table != n)
+      indexDefs.filterInPlace { (nm, d) =>
+        if (d.table == n) indexStats.remove(nm)
+        d.table != n
+      }
       dropStorage(n)
       emptyResult
     case Truncate(n) =>
@@ -1006,6 +1058,7 @@ class CqlEngine(val spark: SparkSession) {
       val n = if (n0.contains('.')) splitName(n0)._2 else n0
       if (indexDefs.remove(n).isEmpty && !ifExists)
         throw InvalidRequest(s"Index '$n' could not be found")
+      indexStats.remove(n)
       emptyResult
     case Batch(stmts) =>
       // atomic batch: buffer all mutations, append together, one shared
@@ -2721,13 +2774,20 @@ class CqlEngine(val spark: SparkSession) {
     if (indexDefs.contains(name)) {
       if (!ci.ifNotExists) throw InvalidRequest(s"Index '$name' already exists")
     } else indexDefs.values.find(d =>
+      // duplicate = same kind + same options incl. target
+      // (IndexMetadata.equalsWithoutName:196-200 — two indexes on one
+      // column with different analyzer options are NOT duplicates)
       d.table == tbl && d.targets == resolved && d.custom == ci.custom &&
-        d.className == ci.usingClass) match {
+        d.className == ci.usingClass && d.options == ci.options) match {
       case Some(dup) =>
         if (!ci.ifNotExists)
           throw InvalidRequest(s"Index $name is a duplicate of existing index ${dup.name}")
       case None =>
-        indexDefs(name) = IndexDef(name, tbl, resolved, ci.custom, ci.usingClass, ci.options)
+        val d = IndexDef(name, tbl, resolved, ci.custom, ci.usingClass, ci.options)
+        indexDefs(name) = d
+        // index build scans the base data once; the selectivity estimate
+        // snapshots here (getEstimatedResultRows analog)
+        indexStats(name) = computeIndexStat(d)
     }
     emptyResult
   }
@@ -2888,9 +2948,9 @@ class CqlEngine(val spark: SparkSession) {
         restricted(c) = "like"
         // a case-normalizing analyzer on the serving index makes the match
         // case-insensitive (both sides pass through the analyzer). When
-        // several custom indexes could serve, the first by creation order
-        // serves (deterministic; the reference ranks candidate indexes by
-        // selectivity estimate instead — documented deviation).
+        // several custom indexes could serve, the most selective by the
+        // build-time estimate serves, creation order breaking ties
+        // (SecondaryIndexManager.getBestIndexFor:1047-1052).
         // Locale.ROOT pairs with Spark's locale-independent lower().
         // The trimmed TERM matches literally — CQL LIKE has no '_'
         // wildcard and treats inner '%' as a plain character
@@ -2898,7 +2958,8 @@ class CqlEngine(val spark: SparkSession) {
         // match lowers to startswith/endswith/contains/= rather than
         // Spark's SQL-LIKE pattern language.
         val term = pat.stripPrefix("%").stripSuffix("%")
-        val servingIdx = if (indexServed) servable.headOption else None
+        val servingIdx =
+          if (indexServed) rankBySelectivity(servable.toSeq).headOption else None
         filters :+= (servingIdx match {
           case Some(d) if sasiTokenizing(d) =>
             // TOKENIZED matching (Expression.validateStringValue:272-308 +

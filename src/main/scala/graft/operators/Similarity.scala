@@ -448,6 +448,46 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** PQ search with exact re-ranking (Jégou, Douze, Schmid 2011 §VI —
+    * "IVFADC+R"; Faiss IndexRefineFlat): the code-table scan proposes
+    * rerank×k candidates per query, whose TRUE embeddings are then
+    * fetched by id and re-scored exactly. Recall approaches exact search
+    * while the full-corpus pass still reads only the 32×-smaller codes —
+    * the exact pass touches rerank×k rows per query, an id-keyed join
+    * that stays negligible at any corpus size.
+    */
+  def pqSearchRerank(codes: DataFrame, queries: DataFrame, corpus: DataFrame,
+                     cb: PqCodebooks, k: Int, rerank: Int = 4): DataFrame = {
+    val cands = pqSearch(codes, queries, cb, k * rerank)
+      .select("query_id", "neighbor_id")
+    rescoreExact(cands, queries, corpus, k)
+  }
+
+  /** IVF-PQ search with the same exact re-ranking tail. */
+  def ivfPqSearchRerank(index: IvfPqIndex, queries: DataFrame,
+                        corpus: DataFrame, k: Int, nprobe: Int = 4,
+                        rerank: Int = 4): DataFrame = {
+    val cands = ivfPqSearch(index, queries, k * rerank, nprobe)
+      .select("query_id", "neighbor_id")
+    rescoreExact(cands, queries, corpus, k)
+  }
+
+  /** Exact-cosine re-score of an id-only candidate set: fetch the true
+    * embeddings by id, score against the broadcast queries, keep top-k.
+    * The same tail lshTopK uses — candidates in, exact ranks out.
+    */
+  private def rescoreExact(cands: DataFrame, queries: DataFrame,
+                           corpus: DataFrame, k: Int): DataFrame = {
+    val rescored = cands
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine_sim(col("n_emb"), col("q_emb")), 6).as("sim"))
+    topKPerQuery(rescored, k)
+  }
+
   /** One-shot PQ top-k (train → encode → search). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, ksub: Int = 16): DataFrame = {

@@ -274,6 +274,34 @@ class CqlIndexSpec extends SparkSpec {
       Set.empty[Seq[Any]])
   }
 
+  test("index selection ranks by build-time selectivity estimate, creation " +
+    "order breaking ties (SecondaryIndexManager.getBestIndexFor:1047-1052; " +
+    "SASIIndex.getEstimatedResultRows)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE sel1 (k int PRIMARY KEY, v text)")
+    // case-folding collapses distinctness: the case-insensitive index
+    // stores 2 distinct terms over 5 rows (2.5 rows/term), the
+    // case-sensitive one 5 over 5 (1.0 rows/term) — more selective
+    Seq("Quick", "quick", "QUICK", "Brown", "brown").zipWithIndex.foreach {
+      case (v, i) => e.execute(s"INSERT INTO sel1 (k, v) VALUES ($i, '$v')")
+    }
+    // the LESS selective index is created FIRST — creation order alone
+    // would pick it
+    e.execute("CREATE CUSTOM INDEX sel1_ci ON sel1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'mode': 'CONTAINS', 'case_sensitive': 'false'}")
+    e.execute("CREATE CUSTOM INDEX sel1_cs ON sel1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex'")
+    // the later, more-selective case-sensitive index serves → exact match
+    assert(rows(e.execute("SELECT k FROM sel1 WHERE v LIKE 'quick%'")) ===
+      Set(Seq(1)))
+    // equal estimates (same analyzer shape) fall back to creation order:
+    // drop the case-sensitive one, the case-insensitive pick returns
+    e.execute("DROP INDEX sel1_cs")
+    assert(rows(e.execute("SELECT k FROM sel1 WHERE v LIKE 'quick%'")) ===
+      Set(Seq(0), Seq(1), Seq(2)))
+  }
+
   test("tokenized SASI matching is per-term: both sides pass the analyzer " +
     "(Expression.validateStringValue:272-308, Operation.analyzeGroup:288-338; " +
     "SASIIndexTest analyzed-prefix + tokenized-contains cases)") {

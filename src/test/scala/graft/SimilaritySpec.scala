@@ -177,6 +177,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"PQ recall $recall")
   }
 
+  test("recall gate: all four approximate paths reach >= 0.9 of brute force " +
+    "at their generous-parameter settings (one table, recorded in SCALE.md)") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val queries = emb.filter(col("vec_id") < 8)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, queries, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    // generous-but-approximate parameters: none of these degenerate to the
+    // exact path (LSH still bands, IVF probes 6 of 8 lists, PQ quantizes
+    // 64 dims to m=16 sub-codes, IVF-PQ both prunes and quantizes)
+    val recalls = Seq(
+      "ann_lsh" -> recallOf(Similarity.lshTopK(emb, queries, k,
+        bits = 32, bands = 16)),
+      "ann_ivf" -> recallOf(Similarity.ivfTopK(spark, emb, queries, k,
+        nlist = 8, nprobe = 6)),
+      "ann_pq" -> recallOf {
+        val cb = Similarity.pqTrain(emb, m = 32, ksub = 32)
+        Similarity.pqSearchRerank(Similarity.pqEncode(emb, cb), queries, emb, cb, k,
+          rerank = 8)
+      },
+      "ann_ivfpq" -> recallOf {
+        val idx = Similarity.ivfPqTrain(spark, emb, nlist = 8, m = 32, ksub = 32)
+        Similarity.ivfPqSearchRerank(idx, queries, emb, k, nprobe = 7, rerank = 8)
+      })
+    emb.unpersist()
+    recalls.foreach { case (name, r) => info(f"$name recall $r%.3f") }
+    recalls.foreach { case (name, r) =>
+      assert(r >= 0.9, f"$name recall $r%.3f below the 0.9 floor")
+    }
+  }
+
   test("IVF-PQ: save/load answers identically; codes partitioned by cid; exhaustive probe == pure PQ") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 4)
