@@ -228,6 +228,31 @@ class CqlEngine(val spark: SparkSession) {
     else Some(schemaObjectName(n))
   }
 
+  /** Canonical per-keyspace registry key `ks.name` for a type/function/
+    * aggregate — the reference keeps these per-keyspace in system_schema
+    * (SchemaKeyspace.java types/functions/aggregates tables), so the same
+    * bare name may exist independently in two keyspaces.
+    */
+  private def objKey(n: String): String = {
+    val (ks, bare) = schemaObjectName(n)
+    s"$ks.$bare"
+  }
+
+  /** [[objKey]] that yields None instead of throwing on an unknown
+    * keyspace qualifier — for use in match GUARDS, where an unknown name
+    * must fall through to the site's own "Unknown function" error.
+    */
+  private def objKeyOpt(n: String): Option[String] = {
+    val i = n.indexOf('.')
+    if (i >= 0 && !keyspaces.contains(n.take(i))) None else Some(objKey(n))
+  }
+
+  /** Spark temp functions cannot be keyspace-qualified, so the registered
+    * name mangles the canonical key's dot. Call sites go through this
+    * mapping; CQL-side names never see it.
+    */
+  private def sparkFnName(key: String): String = key.replace(".", "__")
+
   private def requireKeyspace(key: String): Unit = {
     val ks = splitName(key)._1
     if (!keyspaces.contains(ks))
@@ -606,8 +631,10 @@ class CqlEngine(val spark: SparkSession) {
           }
         }))
       case "system_schema.types" => Some(mk(virtualDefs(name),
-        udts.values.toSeq.map(u =>
-          Row(keyspace, u.typeName, u.fields.map(_._1), u.fields.map(_._2.name)))))
+        udts.values.toSeq.map { u =>
+          val (ks, tn) = splitName(u.typeName)
+          Row(ks, tn, u.fields.map(_._1), u.fields.map(_._2.name))
+        }))
       case "system_schema.indexes" => Some(mk(virtualDefs(name),
         indexDefs.values.toSeq.map { d =>
           val (ks, tn) = splitName(d.table)
@@ -709,7 +736,18 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   // ── statement execution ───────────────────────────────────────────────
-  def execute(cql: String): DataFrame = run(CqlParser.parse(cql, udts.toMap))
+  def execute(cql: String): DataFrame = run(CqlParser.parse(cql, parseUdts))
+
+  /** Type-resolution map for the parser: every type under its canonical
+    * `ks.name` key, plus bare-name aliases for the CURRENT keyspace (an
+    * unqualified type name resolves there, like the reference's
+    * per-keyspace Types lookup).
+    */
+  private def parseUdts: Map[String, CqlUdt] =
+    udts.toMap ++ udts.collect {
+      case (k, u) if k.startsWith(currentKeyspace + ".") =>
+        k.drop(currentKeyspace.length + 1) -> u
+    }
 
   /** Run with unqualified-name resolution pinned to `ks`: prepared
     * statements resolve against the keyspace current at PREPARE time
@@ -756,13 +794,23 @@ class CqlEngine(val spark: SparkSession) {
         views.keys.filter(splitName(_)._1 == n).toList.foreach { v =>
           views.remove(v); viewOptions.remove(v)
         }
+        // the keyspace's schema objects go with it (DropKeyspaceStatement
+        // drops the whole keyspace subtree of system_schema)
+        udts.filterInPlace((k, _) => splitName(k)._1 != n)
+        udas.filterInPlace((k, _) => splitName(k)._1 != n)
+        udfs.filterInPlace { (k, _) =>
+          val gone = splitName(k)._1 == n
+          if (gone) spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS ${sparkFnName(k)}")
+          !gone
+        }
         if (currentKeyspace == n) currentKeyspace = defaultKeyspace
       }
       emptyResult
     case CreateType(u, ifNotExists) =>
-      if (udts.contains(u.typeName)) {
-        if (!ifNotExists) throw InvalidRequest(s"A user type of name ${u.typeName} already exists")
-      } else udts(u.typeName) = u
+      val tkey = objKey(u.typeName)
+      if (udts.contains(tkey)) {
+        if (!ifNotExists) throw InvalidRequest(s"A user type of name $tkey already exists")
+      } else udts(tkey) = u.copy(typeName = tkey) // embedded refs carry ks.name
       emptyResult
     case at: AlterType => executeAlterType(at)
     case CreateTable(td, ifNotExists) =>
@@ -785,8 +833,9 @@ class CqlEngine(val spark: SparkSession) {
       emptyResult
     case v: CreateView => createView(v)
     case f: CreateFunction =>
-      if (udfs.contains(f.name) && !f.orReplace) {
-        if (!f.ifNotExists) throw InvalidRequest(s"Function ${f.name} already exists")
+      val fkey = objKey(f.name)
+      if (udfs.contains(fkey) && !f.orReplace) {
+        if (!f.ifNotExists) throw InvalidRequest(s"Function $fkey already exists")
       } else {
         if (f.language != "spark" && f.language != "sql")
           throw InvalidRequest(s"Unsupported language '${f.language}' " +
@@ -800,24 +849,30 @@ class CqlEngine(val spark: SparkSession) {
             s"CASE WHEN ${f.args.map(a => s"${a._1} IS NULL").mkString(" OR ")} " +
               s"THEN NULL ELSE CAST((${f.body}) AS $ret) END"
           else s"CAST((${f.body}) AS $ret)"
-        spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION ${f.name}($argDdl) RETURNS $ret RETURN $body")
-        udfs(f.name) = f
+        spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION ${sparkFnName(fkey)}($argDdl) RETURNS $ret RETURN $body")
+        udfs(fkey) = f.copy(name = fkey)
       }
       emptyResult
     case a: CreateAggregate =>
-      if (udas.contains(a.name) && !a.orReplace) {
-        if (!a.ifNotExists) throw InvalidRequest(s"Aggregate ${a.name} already exists")
+      val akey = objKey(a.name)
+      if (udas.contains(akey) && !a.orReplace) {
+        if (!a.ifNotExists) throw InvalidRequest(s"Aggregate $akey already exists")
       } else {
-        val sf = udfs.getOrElse(a.sfunc,
+        // SFUNC/FINALFUNC resolve in the aggregate's keyspace unless
+        // qualified (UDAggregate resolves against its own keyspace)
+        val sfKey = objKeyOpt(a.sfunc).filter(udfs.contains).getOrElse(
           throw InvalidRequest(s"Unknown SFUNC ${a.sfunc}"))
+        val sf = udfs(sfKey)
         if (sf.args.length != 2)
           throw InvalidRequest(s"SFUNC ${a.sfunc} must take (state, value) arguments")
-        a.finalFunc.foreach { fn =>
-          val ff = udfs.getOrElse(fn, throw InvalidRequest(s"Unknown FINALFUNC $fn"))
-          if (ff.args.length != 1)
+        val ffKey = a.finalFunc.map { fn =>
+          val k = objKeyOpt(fn).filter(udfs.contains).getOrElse(
+            throw InvalidRequest(s"Unknown FINALFUNC $fn"))
+          if (udfs(k).args.length != 1)
             throw InvalidRequest(s"FINALFUNC $fn must take a single state argument")
+          k
         }
-        udas(a.name) = a
+        udas(akey) = a.copy(name = akey, sfunc = sfKey, finalFunc = ffKey)
       }
       emptyResult
     case DropView(n) =>
@@ -844,33 +899,34 @@ class CqlEngine(val spark: SparkSession) {
       emptyResult
     case DropType(n0, ifExists) =>
       schemaObjectNameIfExists(n0, ifExists).foreach { case (tks, n) =>
-      if (!udts.contains(n)) {
+      val key = s"$tks.$n"
+      if (!udts.contains(key)) {
         if (!ifExists) throw InvalidRequest(s"Type '$tks.$n' doesn't exist")
       } else {
         // still-in-use checks, DropTypeStatement.java:58-110: a type cannot
         // be dropped while functions/aggregates, other user types, or
         // tables still reference it (nested references included).
         val byFns = (udfs.values.collect {
-          case f if f.args.exists(a => typeRefs(a._2, n)) || typeRefs(f.returns, n) => f.name
+          case f if f.args.exists(a => typeRefs(a._2, key)) || typeRefs(f.returns, key) => f.name
         } ++ udas.values.collect {
-          case a if typeRefs(a.argType, n) || typeRefs(a.stype, n) => a.name
+          case a if typeRefs(a.argType, key) || typeRefs(a.stype, key) => a.name
         }).toSeq.distinct
         if (byFns.nonEmpty)
           throw InvalidRequest(s"Cannot drop user type '$tks.$n' " +
             s"as it is still used by functions ${byFns.mkString(", ")}")
         val byTypes = udts.values.collect {
-          case u if u.typeName != n && u.fields.exists(f => typeRefs(f._2, n)) => u.typeName
+          case u if u.typeName != key && u.fields.exists(f => typeRefs(f._2, key)) => u.typeName
         }.toSeq
         if (byTypes.nonEmpty)
           throw InvalidRequest(s"Cannot drop user type '$tks.$n' " +
             s"as it is still used by user types ${byTypes.mkString(", ")}")
         val byTables = tables.values.collect {
-          case t if t.columns.exists(c => typeRefs(c.tpe, n)) => t.name
+          case t if t.columns.exists(c => typeRefs(c.tpe, key)) => t.name
         }.toSeq
         if (byTables.nonEmpty)
           throw InvalidRequest(s"Cannot drop user type '$tks.$n' " +
             s"as it is still used by tables ${byTables.mkString(", ")}")
-        udts.remove(n)
+        udts.remove(key)
       }
       }
       emptyResult
@@ -878,33 +934,35 @@ class CqlEngine(val spark: SparkSession) {
       // DropFunctionStatement.java:66-120 — unknown name/signature is an
       // error unless IF EXISTS; refused while an aggregate references it.
       schemaObjectNameIfExists(n0, ifExists).foreach { case (fks, n) =>
+      val key = s"$fks.$n"
       val sig = argTypes.map(ts => s"$n(${ts.map(_.name).mkString(", ")})").getOrElse(n)
-      udfs.get(n) match {
+      udfs.get(key) match {
         case None =>
           if (!ifExists) throw InvalidRequest(s"Function '$fks.$sig' doesn't exist")
         case Some(f) if argTypes.exists(_.map(_.name) != f.args.map(_._2.name)) =>
           if (!ifExists) throw InvalidRequest(s"Function '$fks.$sig' doesn't exist")
         case Some(_) =>
           val deps = udas.values
-            .filter(a => a.sfunc == n || a.finalFunc.contains(n)).map(_.name).toSeq
+            .filter(a => a.sfunc == key || a.finalFunc.contains(key)).map(_.name).toSeq
           if (deps.nonEmpty)
             throw InvalidRequest(s"Function '$fks.$sig' is still " +
               s"referenced by aggregates ${deps.mkString(", ")}")
-          udfs.remove(n)
-          spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $n")
+          udfs.remove(key)
+          spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS ${sparkFnName(key)}")
       }
       }
       emptyResult
     case DropAggregate(n0, argTypes, ifExists) =>
       // DropAggregateStatement.java:68-115
       schemaObjectNameIfExists(n0, ifExists).foreach { case (aks, n) =>
+      val key = s"$aks.$n"
       val sig = argTypes.map(ts => s"$n(${ts.map(_.name).mkString(", ")})").getOrElse(n)
-      udas.get(n) match {
+      udas.get(key) match {
         case None =>
           if (!ifExists) throw InvalidRequest(s"Aggregate '$aks.$sig' doesn't exist")
         case Some(a) if argTypes.exists(_.map(_.name) != Seq(a.argType.name)) =>
           if (!ifExists) throw InvalidRequest(s"Aggregate '$aks.$sig' doesn't exist")
-        case Some(_) => udas.remove(n)
+        case Some(_) => udas.remove(key)
       }
       }
       emptyResult
@@ -2601,7 +2659,7 @@ class CqlEngine(val spark: SparkSession) {
     * (:165-175: "Altering field types is no longer supported").
     */
   private def executeAlterType(at: AlterType): DataFrame = {
-    val tn = at.name
+    val tn = objKey(at.name)
     val old = udts.getOrElse(tn, throw InvalidRequest(s"Type $tn doesn't exist"))
     if (at.alterField)
       throw InvalidRequest("Altering field types is no longer supported")
@@ -3470,7 +3528,8 @@ class CqlEngine(val spark: SparkSession) {
   private val aggFnNames = Set("count", "sum", "avg", "min", "max")
 
   private def containsAgg(e: SelExpr): Boolean = e match {
-    case FnCall(f, args) => aggFnNames.contains(f) || udas.contains(f) || args.exists(containsAgg)
+    case FnCall(f, args) => aggFnNames.contains(f) ||
+      objKeyOpt(f).exists(udas.contains) || args.exists(containsAgg)
     case CastCall(x, _) => containsAgg(x)
     case Arith(_, l, r) => containsAgg(l) || containsAgg(r)
     case Neg(x) => containsAgg(x)
@@ -3567,9 +3626,9 @@ class CqlEngine(val spark: SparkSession) {
       case "currentdate" | "todate" => Some(CqlDate)
       case "currenttime" => Some(CqlTime)
       case "uuid" => Some(CqlUuid)
-      case other => udfs.get(other).map(_.returns)
-        .orElse(udas.get(other).map(u =>
-          u.finalFunc.flatMap(udfs.get).map(_.returns).getOrElse(u.stype)))
+      case other => objKeyOpt(other).flatMap(k => udfs.get(k).map(_.returns)
+        .orElse(udas.get(k).map(u =>
+          u.finalFunc.flatMap(udfs.get).map(_.returns).getOrElse(u.stype))))
     }
   }
 
@@ -3837,13 +3896,15 @@ class CqlEngine(val spark: SparkSession) {
       // blob conversion family (BytesConversionFcts) — CQL camelCase names
       // map onto the registered snake_case udfs
       case FnCall(BlobFn(sparkFn), args) => call_function(sparkFn, args.map(rec): _*)
-      case FnCall(f, _) if aggFnNames.contains(f) || udas.contains(f) =>
+      case FnCall(f, _) if aggFnNames.contains(f) ||
+          objKeyOpt(f).exists(udas.contains) =>
         throw InvalidRequest(s"aggregate function $f in scalar context")
-      case FnCall(f, args) if udfs.contains(f) =>
-        if (args.length != udfs(f).args.length)
+      case FnCall(f, args) if objKeyOpt(f).exists(udfs.contains) =>
+        val fkey = objKey(f)
+        if (args.length != udfs(fkey).args.length)
           throw InvalidRequest(s"Invalid number of arguments for function $f " +
-            s"(expected ${udfs(f).args.length}, got ${args.length})")
-        call_function(f, args.map(rec): _*)
+            s"(expected ${udfs(fkey).args.length}, got ${args.length})")
+        call_function(sparkFnName(fkey), args.map(rec): _*)
       case FnCall(f, _) => throw InvalidRequest(s"Unknown function '$f'")
     }
   }
@@ -3906,12 +3967,12 @@ class CqlEngine(val spark: SparkSession) {
         if (exprType(td, a).contains(CqlTimeuuid))
           max_by(c, call_function("timeuuid_sort_key", c))
         else max(c)
-      case FnCall(f, args) if udas.contains(f) =>
+      case FnCall(f, args) if objKeyOpt(f).exists(udas.contains) =>
         // user aggregate = fold of the SFUNC body over values in clustering
         // order (UDAggregate.java:44-120). The body is a SQL expression, so
         // it textually inlines into an aggregate() lambda — all codegen, no
         // per-row interpretation.
-        val u = udas(f)
+        val u = udas(objKey(f))
         val cn = args match {
           case Seq(ColRef(n)) =>
             if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")

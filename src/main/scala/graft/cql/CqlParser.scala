@@ -1133,7 +1133,21 @@ object CqlParser {
           } else { p.sym("]"); ElementRef(id, key) }
         }
       } else if (p.trySym(".")) {
-        FieldRef(id, p.ident())
+        val f2 = p.ident()
+        if (p.trySym("(")) {
+          // keyspace-qualified function call (Parser.g functionName:
+          // (keyspaceName '.')? allowedFunctionName) — never ambiguous
+          // with UDT field access, which is not followed by '('
+          val fname = s"$id.$f2"
+          if (p.trySym("*")) { p.sym(")"); FnCall(fname, Seq(StarRef)) }
+          else if (p.trySym(")")) FnCall(fname, Seq.empty)
+          else {
+            var args = Vector(parseSelExpr(p))
+            while (p.trySym(",")) args :+= parseSelExpr(p)
+            p.sym(")")
+            FnCall(fname, args)
+          }
+        } else FieldRef(id, f2)
       } else ColRef(id)
     case _ => LitRef(p.literal())
   }

@@ -159,11 +159,11 @@ class CqlDdlSpec extends SparkSpec {
     e.execute("CREATE TABLE dt_tbl (k int PRIMARY KEY, p dt_person)")
     // dt_person referenced directly by the table; dt_addr nested through it
     assertInvalid(e, "DROP TYPE dt_person", "still used by tables dt_tbl")
-    assertInvalid(e, "DROP TYPE dt_addr", "still used by user types dt_person")
+    assertInvalid(e, "DROP TYPE dt_addr", "still used by user types graft.dt_person")
     // functions are checked before types/tables, like the reference
     e.execute("CREATE FUNCTION dt_fn (a dt_addr) CALLED ON NULL INPUT " +
       "RETURNS int LANGUAGE spark AS 'a.zip'")
-    assertInvalid(e, "DROP TYPE dt_addr", "still used by functions dt_fn")
+    assertInvalid(e, "DROP TYPE dt_addr", "still used by functions graft.dt_fn")
     e.execute("DROP FUNCTION dt_fn")
     e.execute("DROP TABLE dt_tbl")
     e.execute("DROP TYPE dt_person")
@@ -180,7 +180,7 @@ class CqlDdlSpec extends SparkSpec {
     e.execute("CREATE FUNCTION df_add (state bigint, v bigint) CALLED ON NULL INPUT " +
       "RETURNS bigint LANGUAGE spark AS 'state + v'")
     e.execute("CREATE AGGREGATE df_sum (bigint) SFUNC df_add STYPE bigint INITCOND 0")
-    assertInvalid(e, "DROP FUNCTION df_add", "still referenced by aggregates df_sum")
+    assertInvalid(e, "DROP FUNCTION df_add", "still referenced by aggregates graft.df_sum")
     // a mismatched explicit signature is "doesn't exist", not a drop
     assertInvalid(e, "DROP FUNCTION df_add (int, int)", "doesn't exist")
     assertInvalid(e, "DROP AGGREGATE df_sum (text)", "doesn't exist")
@@ -258,6 +258,47 @@ class CqlDdlSpec extends SparkSpec {
     e.execute("DROP FUNCTION graft.dq_f")
     e.execute("DROP TYPE graft.dq_t")
     assertInvalid(e, "DROP TYPE dq_t", "doesn't exist")
+  }
+
+  test("types, functions and aggregates are per-keyspace: the same bare " +
+    "name lives independently in two keyspaces (SchemaKeyspace types/" +
+    "functions/aggregates are keyspace-keyed)") {
+    val e = mkEngine
+    e.execute("CREATE KEYSPACE ns1 WITH replication = {'class': 'SimpleStrategy', 'replication_factor': 1}")
+    e.execute("CREATE KEYSPACE ns2 WITH replication = {'class': 'SimpleStrategy', 'replication_factor': 1}")
+    // same-named TYPE with different shapes in each keyspace
+    e.execute("USE ns1")
+    e.execute("CREATE TYPE pt (a int)")
+    e.execute("CREATE TABLE t1 (k int PRIMARY KEY, v pt)")
+    e.execute("USE ns2")
+    e.execute("CREATE TYPE pt (a text, b text)")
+    e.execute("CREATE TABLE t2 (k int PRIMARY KEY, v pt)")
+    // each table resolved ITS keyspace's type
+    e.execute("INSERT INTO ns1.t1 (k, v) VALUES (1, {a: 7})")
+    e.execute("INSERT INTO t2 (k, v) VALUES (1, {a: 'x', b: 'y'})")
+    assert(e.execute("SELECT v.a FROM ns1.t1 WHERE k = 1").collect()(0).get(0) === 7)
+    assert(e.execute("SELECT v.b FROM ns2.t2 WHERE k = 1").collect()(0).getString(0) === "y")
+    // same-named FUNCTION with different bodies per keyspace
+    e.execute("USE ns1")
+    e.execute("CREATE FUNCTION pf (a int) CALLED ON NULL INPUT RETURNS int LANGUAGE spark AS 'a * 2'")
+    e.execute("USE ns2")
+    e.execute("CREATE FUNCTION pf (a int) CALLED ON NULL INPUT RETURNS int LANGUAGE spark AS 'a * 10'")
+    assert(e.execute("SELECT pf(k) FROM t2 WHERE k = 1").collect()(0).getInt(0) === 10)
+    assert(e.execute("SELECT ns1.pf(k) FROM t2 WHERE k = 1").collect()(0).getInt(0) === 2)
+    // dropping ns1's copy leaves ns2's intact
+    e.execute("DROP FUNCTION ns1.pf")
+    assert(e.execute("SELECT pf(k) FROM t2 WHERE k = 1").collect()(0).getInt(0) === 10)
+    // an AGGREGATE resolves its SFUNC in its own keyspace
+    e.execute("CREATE FUNCTION pag (acc int, x int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE spark AS 'acc + x'")
+    e.execute("CREATE AGGREGATE pa (int) SFUNC pag STYPE int INITCOND 0")
+    assert(e.execute("SELECT pa(k) FROM t2").collect()(0).getInt(0) === 1)
+    // the same aggregate name registers independently in ns1
+    e.execute("USE ns1")
+    e.execute("CREATE FUNCTION pag (acc int, x int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE spark AS 'acc + 2 * x'")
+    e.execute("CREATE AGGREGATE pa (int) SFUNC pag STYPE int INITCOND 0")
+    assert(e.execute("SELECT pa(k) FROM t1").collect()(0).getInt(0) === 2)
   }
 
   test("DROP ... IF EXISTS with an unknown keyspace is a no-op, not an error") {
