@@ -105,7 +105,7 @@ class CqlEngine(val spark: SparkSession) {
       if (d.custom && sasiTokenizing(d) && cd.tpe == CqlText) {
         val lc = sasiTokenLowercase(d)
         base.select(explode(filter(
-          split(if (lc) lower(col(c)) else col(c), sasiTokenSplit),
+          split(if (lc) lower(col(c)) else col(c), sasiSplitPattern(d)),
           t => length(t) > 0)).as("_t"))
       } else if (d.custom && sasiCaseInsensitive(d) && cd.tpe == CqlText)
         base.select(lower(col(c)).as("_t"))
@@ -157,12 +157,24 @@ class CqlEngine(val spark: SparkSession) {
 
   /** Is this analyzed index TOKENIZING? IndexMode.getAnalyzer:74-86: an
     * analyzed index with no analyzer_class defaults to StandardAnalyzer on
-    * text/ascii; an explicit StandardAnalyzer class tokenizes; the
-    * NonTokenizingAnalyzer only case-normalizes the whole value.
+    * text/ascii; explicit StandardAnalyzer and DelimiterAnalyzer classes
+    * tokenize (both return isTokenizing=true); the NonTokenizingAnalyzer
+    * only case-normalizes the whole value.
     */
   private def sasiTokenizing(d: IndexDef): Boolean =
-    sasiAnalyzed(d) &&
-      d.options.get("analyzer_class").forall(_.endsWith("StandardAnalyzer"))
+    sasiAnalyzed(d) && d.options.get("analyzer_class").forall(c =>
+      c.endsWith("StandardAnalyzer") || c.endsWith("DelimiterAnalyzer"))
+
+  /** Term-split regex for a tokenizing index: DelimiterAnalyzer splits on
+    * its single configured character (default ',' —
+    * DelimiterTokenizingOptions:42, empty tokens skipped per
+    * DelimiterAnalyzer.java:95-98); StandardAnalyzer splits on word
+    * boundaries.
+    */
+  private def sasiSplitPattern(d: IndexDef): String =
+    if (d.options.get("analyzer_class").exists(_.endsWith("DelimiterAnalyzer")))
+      java.util.regex.Pattern.quote(d.options.getOrElse("delimiter", ","))
+    else sasiTokenSplit
   /** StandardTokenizerOptions: lowercase normalization is opt-in. */
   private def sasiTokenLowercase(d: IndexDef): Boolean =
     d.options.get("tokenization_normalize_lowercase").exists(_.equalsIgnoreCase("true"))
@@ -252,6 +264,27 @@ class CqlEngine(val spark: SparkSession) {
     * mapping; CQL-side names never see it.
     */
   private def sparkFnName(key: String): String = key.replace(".", "__")
+
+  /** User types are keyspace-local: a statement in keyspace A cannot embed
+    * a type of keyspace B (CQL3Type.java:753-762, CASSANDRA-6643).
+    */
+  private def requireSameKeyspaceTypes(ks: String, types: Seq[CqlType]): Unit = {
+    def udtsIn(t: CqlType): Seq[CqlUdt] = t match {
+      case u: CqlUdt => u +: u.fields.flatMap(f => udtsIn(f._2))
+      case CqlList(e) => udtsIn(e)
+      case CqlSet(e) => udtsIn(e)
+      case CqlMap(k, v) => udtsIn(k) ++ udtsIn(v)
+      case CqlTuple(es) => es.flatMap(udtsIn)
+      case _ => Seq.empty
+    }
+    types.flatMap(udtsIn).foreach { u =>
+      val uks = splitName(u.typeName)._1
+      if (uks != ks)
+        throw InvalidRequest(s"Statement on keyspace $ks cannot refer to a " +
+          s"user type in keyspace $uks; user types can only be used in the " +
+          "keyspace they are defined in")
+    }
+  }
 
   private def requireKeyspace(key: String): Unit = {
     val ks = splitName(key)._1
@@ -808,6 +841,7 @@ class CqlEngine(val spark: SparkSession) {
       emptyResult
     case CreateType(u, ifNotExists) =>
       val tkey = objKey(u.typeName)
+      requireSameKeyspaceTypes(splitName(tkey)._1, u.fields.map(_._2))
       if (udts.contains(tkey)) {
         if (!ifNotExists) throw InvalidRequest(s"A user type of name $tkey already exists")
       } else udts(tkey) = u.copy(typeName = tkey) // embedded refs carry ks.name
@@ -815,6 +849,7 @@ class CqlEngine(val spark: SparkSession) {
     case at: AlterType => executeAlterType(at)
     case CreateTable(td, ifNotExists) =>
       requireKeyspace(td.name)
+      requireSameKeyspaceTypes(splitName(td.name)._1, td.columns.map(_.tpe))
       // durations are not comparable: never a PK part, set element or map
       // key (DurationType.isCompatibleWith → false for ordered positions)
       td.primaryKey.find(_.tpe == CqlDuration).foreach(c =>
@@ -2818,6 +2853,9 @@ class CqlEngine(val spark: SparkSession) {
         if (sasiAnalyzed(probe))
           throw InvalidRequest("SPARSE mode doesn't support analyzers.")
       }
+      // DelimiterTokenizingOptions:58-64: the delimiter is one character
+      ci.options.get("delimiter").filter(_.length != 1).foreach(v =>
+        throw InvalidRequest(s"Only single character delimiters supported, was $v"))
     }
     // generateIndexName: <table>_<firstColumn>_idx, disambiguated by suffix
     val name = ci.indexName.getOrElse {
@@ -3028,10 +3066,11 @@ class CqlEngine(val spark: SparkSession) {
             // LIKE 'Jean-Claude' on an analyzed PREFIX index hits the
             // terms [Jean, Claude] (SASIIndexTest analyzed-prefix cases).
             val lc = sasiTokenLowercase(d)
+            val splitPat = sasiSplitPattern(d)
             val vTerms = filter(
-              split(if (lc) lower(col(c)) else col(c), sasiTokenSplit),
+              split(if (lc) lower(col(c)) else col(c), splitPat),
               t => length(t) > 0)
-            val qTokens0 = term.split(sasiTokenSplit).filter(_.nonEmpty).toSeq
+            val qTokens0 = term.split(splitPat).filter(_.nonEmpty).toSeq
             val qTokens =
               if (lc) qTokens0.map(_.toLowerCase(java.util.Locale.ROOT)) else qTokens0
             def termMatch(q: String): Column = exists(vTerms, t => likeOp match {

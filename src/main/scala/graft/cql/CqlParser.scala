@@ -437,8 +437,12 @@ object CqlParser {
         p.sym(">")
         CqlTuple(es)
       case "frozen" => p.sym("<"); val e = parseType(p); p.sym(">"); e
-      case other => types.get(other).orElse(p.udts.get(other)).getOrElse(
-        throw ParseException(s"unsupported type $other (supported: ${types.keys.toSeq.sorted.mkString(", ")}, list<>, set<>, map<>, tuple<>, frozen<>, or a CREATEd TYPE)"))
+      case other =>
+        // user types may be keyspace-qualified (Parser.g userTypeName:
+        // (ks '.')? non_type_ident)
+        val full = if (p.trySym(".")) s"$other.${p.ident()}" else other
+        types.get(full).orElse(p.udts.get(full)).getOrElse(
+          throw ParseException(s"unsupported type $full (supported: ${types.keys.toSeq.sorted.mkString(", ")}, list<>, set<>, map<>, tuple<>, frozen<>, or a CREATEd TYPE)"))
     }
   }
 

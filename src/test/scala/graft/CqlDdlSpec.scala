@@ -301,6 +301,27 @@ class CqlDdlSpec extends SparkSpec {
     assert(e.execute("SELECT pa(k) FROM t1").collect()(0).getInt(0) === 2)
   }
 
+  test("user types are keyspace-local: a table cannot embed another " +
+    "keyspace's type (CQL3Type.java:753-762, CASSANDRA-6643)") {
+    val e = mkEngine
+    e.execute("CREATE KEYSPACE xk1 WITH replication = {'class': 'SimpleStrategy', 'replication_factor': 1}")
+    e.execute("CREATE KEYSPACE xk2 WITH replication = {'class': 'SimpleStrategy', 'replication_factor': 1}")
+    e.execute("USE xk1")
+    e.execute("CREATE TYPE xt (a int)")
+    e.execute("USE xk2")
+    assertInvalid(e, "CREATE TABLE bad (k int PRIMARY KEY, v xk1.xt)",
+      "cannot refer to a user type in keyspace xk1")
+    // nested through a collection too
+    assertInvalid(e, "CREATE TABLE bad2 (k int PRIMARY KEY, v list<frozen<xk1.xt>>)",
+      "cannot refer to a user type in keyspace xk1")
+    // a type of xk2 cannot embed xk1's type either
+    assertInvalid(e, "CREATE TYPE xt2 (f frozen<xk1.xt>)",
+      "cannot refer to a user type in keyspace xk1")
+    // same-keyspace use stays fine
+    e.execute("USE xk1")
+    e.execute("CREATE TABLE ok (k int PRIMARY KEY, v xt)")
+  }
+
   test("DROP ... IF EXISTS with an unknown keyspace is a no-op, not an error") {
     // DropTypeStatement/DropFunctionStatement.apply: missing keyspace under
     // IF EXISTS returns the schema unchanged

@@ -350,6 +350,38 @@ class CqlIndexSpec extends SparkSpec {
     assertInvalid(e, "SELECT k FROM tk2 WHERE v = 'fox'", "ALLOW FILTERING")
   }
 
+  test("DelimiterAnalyzer tokenizes on the configured character " +
+    "(DelimiterAnalyzer.java:80-100, DelimiterTokenizingOptions:42-64; " +
+    "comma default, single-char validation, no case folding)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE da1 (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO da1 (k, v) VALUES (1, 'apple,Banana,,cherry')")
+    e.execute("INSERT INTO da1 (k, v) VALUES (2, 'dog;cat')")
+    e.execute("CREATE CUSTOM INDEX da1_v ON da1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'mode': 'CONTAINS', 'analyzer_class': " +
+      "'org.apache.cassandra.index.sasi.analyzer.DelimiterAnalyzer', " +
+      "'analyzed': 'true', 'delimiter': ','}")
+    // match equals a whole comma-term; the empty token between ',,' is
+    // skipped, and ';' is NOT a split point under a ',' delimiter
+    assert(rows(e.execute("SELECT k FROM da1 WHERE v LIKE 'cherry'")) === Set(Seq(1)))
+    assert(rows(e.execute("SELECT k FROM da1 WHERE v LIKE 'dog;cat'")) === Set(Seq(2)))
+    assert(rows(e.execute("SELECT k FROM da1 WHERE v LIKE 'dog'")) === Set.empty[Seq[Any]])
+    // no case normalization: 'banana' misses the stored 'Banana'
+    assert(rows(e.execute("SELECT k FROM da1 WHERE v LIKE 'banana'")) === Set.empty[Seq[Any]])
+    assert(rows(e.execute("SELECT k FROM da1 WHERE v LIKE 'Banana'")) === Set(Seq(1)))
+    // contains/suffix apply per comma-term
+    assert(rows(e.execute("SELECT k FROM da1 WHERE v LIKE '%err%'")) === Set(Seq(1)))
+    assert(rows(e.execute("SELECT k FROM da1 WHERE v LIKE '%cat'")) === Set(Seq(2)))
+    // a multi-character delimiter is rejected at CREATE
+    assertInvalid(e, "CREATE CUSTOM INDEX da1_bad ON da1 (v) " +
+      "USING 'org.apache.cassandra.index.sasi.SASIIndex' " +
+      "WITH OPTIONS = {'mode': 'CONTAINS', 'analyzer_class': " +
+      "'org.apache.cassandra.index.sasi.analyzer.DelimiterAnalyzer', " +
+      "'analyzed': 'true', 'delimiter': ',,'}",
+      "Only single character delimiters supported")
+  }
+
   test("analyzed non-literal SASI index still serves ranges " +
     "(ColumnIndex.supports:219-229 — tokenization drops only EQ and " +
     "CONTAINS-mode PREFIX serving, never RANGE)") {
