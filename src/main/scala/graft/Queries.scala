@@ -426,6 +426,60 @@ object Queries {
         e.execute("SELECT o_custkey, o_orderkey FROM cql_rd")
       }),
 
+    QueryDef("q_cql_purge_compact",
+      // explicit tombstones purge past gc_grace at compact (round 8;
+      // CompactionController purge evaluator): partition-delete five
+      // victims, compact with gc_grace 0 and the clock past every
+      // mutation — reads stay anti-filtered AND the pdel watermark store
+      // is physically empty (guarded by the require below)
+      Some("""WITH victims AS (
+                SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey < 1500
+                ORDER BY o_custkey LIMIT 5)
+              SELECT o_custkey, o_orderkey FROM orders
+              WHERE o_orderkey < 1500
+                AND o_custkey NOT IN (SELECT o_custkey FROM victims)
+              ORDER BY o_custkey, o_orderkey"""),
+      (s, d) => {
+        val dir = tmpDir("graft-purge").toString
+        val e = new graft.cql.CqlEngine(s)
+        e.attachStorage(dir)
+        e.execute("CREATE TABLE cql_pg (o_custkey bigint, o_orderkey bigint, " +
+          "PRIMARY KEY (o_custkey, o_orderkey)) WITH gc_grace_seconds = 0")
+        val src = t(s, d, "orders").filter(col("o_orderkey") < 1500)
+          .select("o_custkey", "o_orderkey")
+        e.bulkInsert("cql_pg", src)
+        val victims = src.select("o_custkey").distinct().orderBy("o_custkey")
+          .limit(5).collect().map(_.getLong(0))
+        victims.foreach(v => e.execute(s"DELETE FROM cql_pg WHERE o_custkey = $v"))
+        e.nowMicros = 1000000000000L // past every mutation ts; grace is 0
+        e.compact("cql_pg")
+        val pdel = s.read.parquet(s"$dir/cql_pg/checkpoint/pdel")
+        require(pdel.count() == 0,
+          "gc_grace-expired partition tombstones must purge physically at compact")
+        e.execute("SELECT o_custkey, o_orderkey FROM cql_pg")
+      }),
+
+    QueryDef("q_cql_like_tokenized",
+      // tokenized SASI term matching (round 8; Expression
+      // .validateStringValue, Operation.analyzeGroup): LIKE '<term>' on a
+      // StandardAnalyzer CONTAINS index equals ANY case-normalized word
+      // token — the full-text hit whole-value matching cannot produce.
+      // DuckDB reproduces with the same split regex.
+      Some("""SELECT doc_id FROM documents
+              WHERE list_contains(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), 'window')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        val e = storedEngine(s)
+        e.execute("CREATE TABLE cql_tok (doc_id bigint PRIMARY KEY, text text)")
+        e.bulkInsert("cql_tok", t(s, d, "documents").select("doc_id", "text"))
+        e.execute("CREATE CUSTOM INDEX cql_tok_t ON cql_tok (text) " +
+          "USING 'org.apache.cassandra.index.sasi.SASIIndex' WITH OPTIONS = " +
+          "{'mode': 'CONTAINS', 'analyzer_class': " +
+          "'org.apache.cassandra.index.sasi.analyzer.StandardAnalyzer', " +
+          "'analyzed': 'true', 'tokenization_normalize_lowercase': 'true'}")
+        e.execute("SELECT doc_id FROM cql_tok WHERE text LIKE 'WINDOW'")
+      }),
+
     QueryDef("q_cql_mv",
       // CREATE MATERIALIZED VIEW re-keyed batch read through the engine:
       // orders re-keyed by (o_custkey, o_orderkey), low-key slice
