@@ -474,13 +474,16 @@ object Similarity {
 
   /** Exact-cosine re-score of an id-only candidate set: fetch the true
     * embeddings by id, score against the broadcast queries, keep top-k.
-    * The same tail lshTopK uses — candidates in, exact ranks out.
+    * The candidate set is bounded by construction (|queries| × rerank × k
+    * id pairs), so it BROADCASTS into the corpus join — the 100 TB corpus
+    * is never shuffled for the re-rank; each scan task filters its rows
+    * against the broadcast ids.
     */
   private def rescoreExact(cands: DataFrame, queries: DataFrame,
                            corpus: DataFrame, k: Int): DataFrame = {
-    val rescored = cands
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("n_emb")), "neighbor_id")
+    val rescored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cands), "neighbor_id")
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))), "query_id")
       .select(col("query_id"), col("neighbor_id"),

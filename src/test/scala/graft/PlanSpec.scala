@@ -50,6 +50,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("PQ re-rank tail broadcasts the bounded candidate set — the corpus " +
+    "is never shuffled for the exact re-score") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("LSH candidate shuffles carry ids only, embeddings cross once") {
     // the chunk join + candidate distinct must NOT shuffle array<float>
     // payloads (they'd duplicate bands×); only the single embedding re-join
