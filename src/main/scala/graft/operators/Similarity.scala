@@ -284,8 +284,10 @@ object Similarity {
     val (probed, cids) = probeRoutes(index.centroids, queries, nprobe)
     val lists = index.assigned.filter(col("cid").isin(cids: _*))
     // every vector lives in exactly one list, so (query, neighbor) pairs are
-    // already unique — no distinct needed
-    val scored = probed.join(lists, "cid")
+    // already unique — no distinct needed. The probe-route set is bounded
+    // (|queries| × nprobe rows) and BROADCASTS into the list scan — the
+    // inverted lists are read in place, never shuffled for the join.
+    val scored = lists.join(broadcast(probed), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("embedding"), col("q_emb")), 6).as("sim"))
@@ -556,7 +558,9 @@ object Similarity {
     val lists = index.codes.filter(col("cid").isin(cids: _*))
       .select(col("cid"), col("vec_id"),
         pqReconstruct(col("codes"), index.cb).as("recon"))
-    val scored = probed.join(lists, "cid")
+    // bounded probe-route set broadcasts into the code-table scan (same
+    // rationale as ivfSearch — the lists are never shuffled for the join)
+    val scored = lists.join(broadcast(probed), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("recon"), col("q_emb")), 6).as("sim"))
