@@ -924,6 +924,40 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_dedup_spans",
+      // exact-substring dedup (Lee et al. 2021 ExactSubstr): 8-token
+      // windows occurring >= 2 times anywhere in the corpus, merged into
+      // maximal per-document spans. The oracle replays the same window
+      // fingerprint + gaps-and-islands merge in DuckDB.
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+              ), win AS (
+                SELECT doc_id, i AS s, i + 7 AS e,
+                       md5(array_to_string(t[i:i+7], ' ')) AS fp
+                FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+                WHERE len(t) >= 8
+              ), dupfp AS (
+                SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2
+              ), hits AS (
+                SELECT w.doc_id, w.s, w.e FROM win w JOIN dupfp d USING (fp)
+              ), isl AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s - 1
+                            THEN 0 ELSE 1 END AS flag
+                FROM hits
+              ), grp AS (
+                SELECT doc_id, s, e,
+                       sum(flag) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM isl
+              )
+              SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+                     CAST(count(*) AS BIGINT) AS dup_windows
+              FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
+      (s, d) => Dedup.duplicatedSpans(t(s, d, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id", "span_start")),
+
     QueryDef("q_dedup_simhash",
       // SimHash trades recall for cost (hamming<=3 pigeonhole join) — not
       // oracle-expressible; content checked in DedupSpec instead.

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Functions.murmur64
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for LLM-pipeline workloads.
@@ -252,5 +253,61 @@ object Dedup {
     val candSets = docsS.join(candIds, docsS(id) === candIds("doc_id"), "left_semi")
       .select(col(id).as("doc_id"), hashedShingleSet(col(text), k, 0x51c0L).as("shingles"))
     verifyByShingleSets(cands, candSets, threshold)
+  }
+
+  /** Exact-substring duplicated spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr variant):
+    * every `w`-token window that occurs at least twice anywhere in the
+    * corpus is a duplicated window; per document, overlapping-or-adjacent
+    * duplicated windows merge into maximal spans. Output one row per span:
+    * (doc_id, span_start, span_end, dup_windows) with 1-based inclusive
+    * token positions.
+    *
+    * Shape at scale: the window explode restates the corpus ~w tokens deep;
+    * `stride` thins it (stride s only guarantees detection of duplicated
+    * regions of >= w + s - 1 tokens — the standard trade). Fingerprints are
+    * 16-byte binary md5 digests, so the one corpus-sized shuffle (groupBy
+    * fp) carries fixed-width keys, never window text. Duplicated
+    * fingerprints are found and fanned back out in a single aggregation
+    * (same bounded-bucket shape as [[lshCandidates]] — no second
+    * corpus-wide shuffle for a semi-join probe); a pathological boilerplate
+    * window shared by very many documents makes a hot bucket — pre-filter
+    * such windows upstream if the corpus has one. The span merge is a
+    * narrow per-document window over only the duplicated hits.
+    */
+  def duplicatedSpans(docs: DataFrame, id: String, text: String,
+                      w: Int, stride: Int = 1): DataFrame = {
+    require(w >= 2, s"window width must be >= 2 tokens, got $w")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val toks = words(col(text))
+    val win = docs
+      .select(col(id).as("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= w)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (w - 1), lit(stride))).as("s"),
+        col("t"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        unhex(md5(array_join(slice(col("t"), col("s"), lit(w)), " "))).as("fp"))
+    val hits = win.groupBy("fp")
+      .agg(collect_list(struct(col("doc_id"), col("s"))).as("occ"))
+      .where(size(col("occ")) >= 2)
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.s").as("s"),
+        (col("o.s") + (w - 1)).as("e"))
+    // gaps-and-islands: a hit starts a new span unless it overlaps or abuts
+    // the running max of merged span ends
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val prevEnd = max(col("e")).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("flag",
+        when(prevEnd.isNull || prevEnd < col("s") - 1, 1).otherwise(0))
+      .withColumn("island", sum(col("flag")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("span_start"), max("e").as("span_end"),
+        count(lit(1)).as("dup_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("dup_windows"))
   }
 }

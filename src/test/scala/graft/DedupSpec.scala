@@ -95,6 +95,33 @@ class DedupSpec extends SparkSpec {
     assert(rebuilt.filter(concat_ws(" ", col("t")) =!= col("joined")).count() === 0L)
   }
 
+  test("duplicatedSpans finds planted cross-doc substrings, merges overlaps, " +
+      "and skips short docs") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ") // 10 shared tokens
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"one two three four $shared five six"),
+      (3L, "totally unrelated text with no repeated windows here at all"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // the 10 shared tokens yield 7 four-token windows per doc, all
+    // overlapping -> exactly ONE merged span per doc, token-exact:
+    // doc 1: shared starts at token 3 (1-based) -> [3, 12]
+    // doc 2: shared starts at token 5           -> [5, 14]
+    assert(spans === Seq((1L, 3L, 12L, 7L), (2L, 5L, 14L, 7L)))
+
+    // disjoint duplicated regions stay separate spans
+    val df2 = Seq(
+      (1L, "a b c d X Y Z p q r s"),
+      (2L, "a b c d unrelated filler words p q r s")).toDF("doc_id", "text")
+    val spans2 = Dedup.duplicatedSpans(df2, "doc_id", "text", 4)
+      .filter($"doc_id" === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(spans2 === Seq((1L, 4L), (8L, 11L)))
+  }
+
   test("shingles clamp short documents to one shingle") {
     val df = Seq((1L, "only two")).toDF("doc_id", "text")
     val s = df.select(Dedup.shingles(col("text"), 3).as("s"))
