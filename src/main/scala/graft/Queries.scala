@@ -1200,6 +1200,36 @@ object Queries {
         .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm"))
         .orderBy("doc_id")),
 
+    QueryDef("q_tfidf_topterms",
+      // TF-IDF keyword extraction: top-5 terms per doc, ranked on the
+      // 6-dp-rounded score with term-ascending tie-break (ln bit-parity
+      // between DuckDB and the JVM verified over every N/df operand).
+      // Spark side cuts per-doc via the bounded TopKRowsAgg, not a window.
+      Some("""WITH terms AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+              ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+              ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+              ), n AS (SELECT count(*) AS n_docs FROM documents),
+              scored AS (
+                SELECT doc_id, term,
+                       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+              ), ranked AS (
+                SELECT doc_id, term, score,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS INTEGER) AS rank
+                FROM scored
+              )
+              SELECT doc_id, term, score, rank FROM ranked
+              WHERE rank <= 5 ORDER BY doc_id, rank"""),
+      (s, d) => {
+        prep(s)
+        TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 5)
+          .orderBy("doc_id", "rank")
+      }),
+
     QueryDef("q_text_chunks",
       // overlapping word-window chunking (context-length-bounded training
       // corpora): starts at 0, 16, 32, … while start < |words|, 32-word

@@ -105,4 +105,31 @@ object TextAnalysis {
     transform(sequence(lit(0), greatest(n, lit(1)) - 1), i =>
       struct(i.as("idx"), array_join(slice(w, i * stride + 1, lit(window)), " ").as("chunk")))
   }
+
+  /** TF-IDF top-k terms per document (keyword extraction): tf = raw term
+    * count in the doc, idf = ln(N / df) with N the corpus document count
+    * and df the number of documents containing the term. Ranking is on the
+    * 6-dp-ROUNDED score (ties broken by term ascending) so the order is
+    * reproducible across engines.
+    *
+    * Shape at scale: two hash aggregations ((doc, term) then term), a
+    * term-keyed join of the doc-term table with the vocabulary-sized df
+    * table, a 1-row broadcast for N, and a bounded top-k aggregate
+    * ([[graft.functions.TopKRowsAgg]]) for the per-doc cut — the final
+    * shuffle ships <= k rows per document, never the full term table.
+    * Requires [[graft.functions.Functions.ensure]] on the session.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, id: String,
+                    text: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    val terms = docs.select(col(id).as("doc_id"), explode(words(col(text))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("score"))
+    CqlOps.perPartitionLimitAgg(scored, Seq("doc_id"),
+      Seq(("score", true), ("term", false)), topK, "rank")
+  }
 }

@@ -102,6 +102,29 @@ class PipelineSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(planOf(packed)).size === 1, planOf(packed))
   }
 
+  test("tfidfTopTerms ranks corpus-distinctive terms above ubiquitous ones " +
+      "and bounds output at k per doc") {
+    graft.functions.Functions.ensure(spark)
+    val df = Seq(
+      (1L, "the quark the quark the boson"),
+      (2L, "the boson the boson the lepton"),
+      (3L, "the lepton the quark the gluon")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4))
+    assert(got.count(_._1 == 1L) === 2)
+    // "the" appears in every doc -> idf 0 -> never a top term; doc 1's top
+    // term is quark (tf=2, df=2), doc 3's gluon (tf=1, df=1) beats
+    // quark (tf=1, df=2) because ln(3/1) > ln(3/2)
+    assert(got.filter(_._1 == 1L).head._2 === "quark")
+    assert(got.filter(_._1 == 3L).head._2 === "gluon")
+    assert(got.forall(_._2 != "the"))
+    // score sanity: doc1 quark = 2 * ln(3/2)
+    val expected = BigDecimal(2 * math.log(3.0 / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.filter(_._1 == 1L).head._3 === expected)
+  }
+
   test("packSequences chunks by exclusive prefix sum within each group") {
     val df = Seq(
       ("a", 1L, 900L), ("a", 2L, 900L), ("a", 3L, 900L), ("a", 4L, 900L),
