@@ -1288,6 +1288,28 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_quality_unigram_lp",
+      // CCNet-style perplexity proxy: mean token log-prob under corpus
+      // unigram frequencies. Per-token ln p is rounded then summed as
+      // DECIMAL(18,6) in BOTH engines — exact and summation-order-
+      // independent — so the hash compare is immune to partition order.
+      Some("""WITH terms AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+              ), freq AS (
+                SELECT term, count(*) AS tf_corpus FROM terms GROUP BY 1
+              ), total AS (SELECT sum(tf_corpus) AS t_total FROM freq),
+              lp AS (
+                SELECT doc_id,
+                       CAST(round(ln(CAST(tf_corpus AS DOUBLE) / t_total), 6) AS DECIMAL(18,6)) AS lp
+                FROM terms JOIN freq USING (term) CROSS JOIN total
+              )
+              SELECT doc_id,
+                     round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
+                     count(*) AS n_tok
+              FROM lp GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => Quality.unigramLogProb(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     QueryDef("q_pii_redact",
       // regex PII detect + redact. The corpus carries no PII, so the query
       // plants deterministic emails/IPs/phones keyed off doc_id — the SAME

@@ -98,4 +98,38 @@ object Quality {
       size(ws) >= minWords && !arrays_overlap(split(lower(l), " "), bl)
     })
   }
+
+  /** Unigram-LM document score (the CCNet / Wenzek et al. 2020 perplexity
+    * filter, with the corpus itself as the LM): mean token log-probability
+    * under corpus unigram frequencies. More-negative = rarer tokens;
+    * pipelines keep the mid band and drop both tails.
+    *
+    * Determinism: per-token ln p is rounded to 6 dp and summed as
+    * DECIMAL(18,6) — an exact, summation-order-independent aggregate — then
+    * the mean is computed once in double at the end. A float sum here would
+    * hash-differ per partition order.
+    *
+    * Shape at scale: one term-keyed aggregation for corpus frequencies (a
+    * vocabulary-sized table), a 1-row total broadcast, a term-keyed join of
+    * the exploded corpus against the frequency table, one doc-keyed
+    * aggregation. No corpus self-joins; the frequency join key is the term
+    * the row already carries.
+    */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, id: String,
+                     text: String): org.apache.spark.sql.DataFrame = {
+    val terms = docs.select(col(id).as("doc_id"),
+      explode(split(lower(col(text)), " ")).as("term"))
+    val freq = terms.groupBy("term").agg(count(lit(1)).as("tf_corpus"))
+    val total = freq.agg(sum(col("tf_corpus")).as("t_total"))
+    terms.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("tf_corpus").cast("double") / col("t_total")), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(sum(col("lp")).as("sum_lp"), count(lit(1)).as("n_tok"))
+      .select(col("doc_id"),
+        round(col("sum_lp").cast("double") / col("n_tok"), 6).as("mean_logprob"),
+        col("n_tok"))
+  }
 }

@@ -85,6 +85,27 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProb: uniform corpus scores ln(1/V); rare-token docs " +
+      "score lower than common-token docs") {
+    import spark.implicits._
+    // 4 distinct tokens, each appearing exactly twice -> p = 1/4 everywhere
+    val uniform = Seq((1L, "a b"), (2L, "c d"), (3L, "a b"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val u = Quality.unigramLogProb(uniform, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val lnQuarter = BigDecimal(math.log(0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(u.forall { case (_, lp, n) => lp === lnQuarter && n === 2L })
+
+    // doc of ubiquitous tokens scores higher (less negative) than a doc of
+    // tokens unique to it
+    val skewed = Seq((1L, "the the the the"), (2L, "the the the the"),
+      (3L, "zyx wvu tsr qpo")).toDF("doc_id", "text")
+    val s = Quality.unigramLogProb(skewed, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(s(1L) > s(3L))
+  }
+
   test("q_pii_redact leaves no pattern unredacted") {
     val out = Queries.byName("q_pii_redact").impl(spark, sf)
     val leftover = out.filter(
