@@ -148,4 +148,28 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"$q over-reads:\n$p")
     }
   }
+
+  test("exact-substring spans: no join anywhere — duplicated fingerprints " +
+    "fan out of ONE bucket aggregation; span merge is a per-doc window") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ObjectHashAggregate"), p) // collect_list bucket agg
+    assert(p.contains("Window"), p)              // gaps-and-islands merge
+  }
+
+  test("tfidf: corpus count broadcasts; the per-doc cut is the bounded " +
+    "top-k aggregate, not a rank window") {
+    val p = plan("q_tfidf_topterms")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("topk_rows_agg"), p)
+    assert(!p.contains("RunningWindowFunction"), p)
+  }
+
+  test("unigram log-prob: token total broadcasts, no cartesian product, " +
+    "decimal partial aggregation before the doc shuffle") {
+    val p = plan("q_quality_unigram_lp")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
