@@ -1102,6 +1102,34 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_ivf_exhaustive",
+      // the SAME persistent-IVF machinery as q_ann_ivf but probing every
+      // list (nprobe == nlist): distances inside probed lists are exact, so
+      // an exhaustive probe must reproduce brute force bit-for-bit — which
+      // IS SQL-expressible. This puts the whole train/save/load/probe path
+      // under the DuckDB hash gate; only the recall trade of partial
+      // probing remains spec-gated.
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+              sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+                            round(list_dot_product(e.emb, qe) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(qe, qe))), 6) AS sim
+                     FROM e, q WHERE e.vec_id <> query_id),
+              r AS (SELECT query_id, neighbor_id, sim,
+                           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                    FROM sc)
+              SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 10
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-ivf-ex")
+        Similarity.ivfTrain(s, emb, nlist = 16, iters = 1).save(dir.toString)
+        val idx = Similarity.ivfLoad(s, dir.toString)
+        Similarity.ivfSearch(idx, emb.filter(col("vec_id") < 8), 10, nprobe = 16)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_ivfpq",
       // IVF-PQ (Faiss IndexIVFPQ shape): probe prunes to nprobe/nlist of
       // the code table, which is itself 32× smaller than the floats — the
