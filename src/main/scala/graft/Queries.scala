@@ -982,6 +982,29 @@ object Queries {
         Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), 0.9).orderBy("a", "b")
       }),
 
+    QueryDef("q_semdedup",
+      // SemDeDup (Abbas et al. 2023): corpus pruned to one representative
+      // (minimum id) per embedding near-duplicate component. The oracle is
+      // exact all-pairs cosine + a recursive transitive closure; this
+      // corpus has no near-dups at 0.9 so the prune is a no-op here —
+      // the planted-vector pruning semantics are pinned in SimilaritySpec.
+      Some("""WITH RECURSIVE
+              e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              p AS (SELECT a.vec_id AS a, b.vec_id AS b FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+                    WHERE round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.9),
+              e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+              reach(a, b) AS (SELECT vec_id, vec_id FROM e0 UNION
+                              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              grp AS (SELECT a AS vec_id, min(b) AS group_id FROM reach GROUP BY a)
+              SELECT em.vec_id, em.label FROM embeddings em
+              JOIN grp ON em.vec_id = grp.vec_id AND grp.group_id = grp.vec_id
+              ORDER BY em.vec_id"""),
+      (s, d) => {
+        prep(s)
+        Similarity.semDedup(t(s, d, "embeddings"), 0.9)
+          .select("vec_id", "label").orderBy("vec_id")
+      }),
+
     // ── extensions: corpus curation (sampling / decontamination / mix) ──
     QueryDef("q_sample_stratified",
       // deterministic md5-gate stratified sampling: per-source keep

@@ -119,6 +119,28 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): prune the corpus to one
+    * representative per embedding near-duplicate group. Composes
+    * [[embeddingNearDupPairs]] (bucketed candidates, id-only pair set)
+    * with [[Dedup.dupGroups]] (connected components); the kept
+    * representative is the group's minimum id — the paper's "keep one
+    * exemplar per cluster-duplicate set" made deterministic. Returns the
+    * kept rows of `corpus` unchanged (left-semi join on the id).
+    *
+    * Shape at scale: everything heavy is inherited — the pair set never
+    * materializes embeddings (id-only), components shuffle (id, label)
+    * pairs, and the final semi-join is id-keyed. Nothing new accumulates.
+    */
+  def semDedup(corpus: DataFrame, threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupPairs(corpus, threshold)
+    val keep = graft.operators.Dedup
+      .dupGroups(corpus.select("vec_id"), pairs, "vec_id")
+      .filter(col("doc_id") === col("group_id"))
+      .select(col("doc_id").as("vec_id"))
+    corpus.join(keep, Seq("vec_id"), "left_semi")
+  }
+
   /** How many training vectors to sample per centroid. Production IVF
     * trains k-means on a bounded sample (Faiss defaults to a few dozen
     * vectors per centroid), never the corpus — the Lloyd refinement

@@ -39,6 +39,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("semDedup keeps the minimum id per planted near-dup group and all " +
+      "singletons") {
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val dupA = base.clone(); dupA(0) = base(0) + 0.001f
+    val dupB = base.clone(); dupB(1) = base(1) + 0.001f
+    val far = Array.tabulate(64)(i => math.cos(i * 3.1 + 1).toFloat)
+    val df = Seq((5L, base.toSeq), (2L, dupA.toSeq), (9L, dupB.toSeq), (4L, far.toSeq))
+      .toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<float>").as("embedding"))
+    val kept = Similarity.semDedup(df, 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    // {5, 2, 9} are one component -> min id 2 survives; 4 is a singleton
+    assert(kept === Set(2L, 4L))
+  }
+
   test("LSH top-k recall vs brute force is high on the corpus") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 4)
