@@ -1076,6 +1076,51 @@ object Queries {
           col("n_chars"), 2000)
         .select("doc_id", "source", "pack_id").orderBy("doc_id")),
 
+    QueryDef("q_pipeline_e2e",
+      // the four curation stages COMPOSED as one DAG, the way a real
+      // pipeline runs them: quality keep-filter → exact-dedup prune
+      // (canonical id per digest) → deterministic stratified sample →
+      // budget-chunked packing. Every stage reuses its graded operator;
+      // the oracle chains the same stage fragments as CTEs.
+      Some("""WITH d AS (SELECT doc_id, source, n_chars, text, string_split(lower(text),' ') AS w, length(text) AS nc FROM documents),
+              g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, greatest(len(w), 2))]) AS g FROM d),
+              c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1,2),
+              s2 AS (SELECT doc_id, sum(CASE WHEN cnt>1 THEN cnt*length(g) ELSE 0 END) AS dup2 FROM c2 GROUP BY 1),
+              q AS (SELECT d.doc_id, len(d.w) AS nw, s2.dup2 * 1.0 / d.nc AS dupf,
+                      round(least(1.0, len(d.w) * 1.0 / 100.0) * 0.4
+                        + (len(list_filter(d.w, x -> list_contains(['the','and','of','to','a','in','is'], x))) * 1.0 / len(d.w)) * 0.3
+                        + (1.0 - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) * 1.0 / d.nc) * 0.3, 6) AS qual
+                    FROM d JOIN s2 USING (doc_id)),
+              kept AS (SELECT d.doc_id, d.source, d.n_chars, d.text FROM d JOIN q USING (doc_id)
+                       WHERE q.nw >= 30 AND q.nw <= 70 AND q.dupf < 0.2 AND q.qual >= 0.45),
+              canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(text))),
+              dd AS (SELECT k.doc_id, k.source, k.n_chars FROM kept k JOIN canon USING (doc_id)),
+              samp AS (SELECT doc_id, source, n_chars FROM dd
+                       WHERE md5(CAST(doc_id AS VARCHAR)) <
+                         CASE source WHEN 'src0' THEN '80000000'
+                                     WHEN 'src1' THEN '40000000'
+                                     ELSE '19999999' END)
+              SELECT doc_id, source,
+                     CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                                    ROWS UNBOUNDED PRECEDING) - n_chars)
+                                / 2000.0) AS BIGINT) AS pack_id
+              FROM samp ORDER BY doc_id"""),
+      (s, d) => {
+        val nw = size(TextAnalysis.words(col("text")))
+        val nc = length(col("text"))
+        val dupf = Quality.ngramRunStats(col("text"), 2).getField("dup_chars") * lit(1.0) / nc
+        val qual = TextAnalysis.qualityScore(col("text"))
+        val kept = Tables.spread(t(s, d, "documents"))
+          .filter(nw >= 30 && nw <= 70 && dupf < 0.2 && qual >= 0.45)
+        val canon = Dedup.exact(kept, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"))
+        val dd = kept.join(canon, Seq("doc_id"), "left_semi")
+        val sampled = Pipeline.stratifiedSample(dd, "source", col("doc_id"),
+          Seq("src0" -> 0.5, "src1" -> 0.25), 0.1)
+        Pipeline.packSequences(sampled, "source", "doc_id", col("n_chars"), 2000)
+          .select("doc_id", "source", "pack_id").orderBy("doc_id")
+      }),
+
     // ── extensions: similarity search ──────────────────────────────────
     QueryDef("q_ann_topk",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
