@@ -958,6 +958,37 @@ object Queries {
       (s, d) => Dedup.duplicatedSpans(t(s, d, "documents"), "doc_id", "text", 8)
         .orderBy("doc_id", "span_start")),
 
+    QueryDef("q_dedup_spans_winnow",
+      // winnowed exact-substring spans (Schleimer et al. 2003 / MOSS
+      // selection): only the leftmost-minimum md5 of each sliding group of
+      // 4 window hashes is fingerprinted — ~2.6x fewer shuffled windows on
+      // this corpus with the alignment-free >= w+s-1 detection guarantee.
+      // The oracle replays selection + merge with DuckDB list comprehensions.
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents),
+              h AS (SELECT doc_id,
+                      [md5(array_to_string(t[i:i+7],' ')) for i in range(1, len(t) - 6)] AS hs
+                    FROM toks WHERE len(t) >= 8),
+              selpos AS (SELECT doc_id, hs,
+                      list_distinct([j - 1 + list_position(hs[j:j+3], list_aggregate(hs[j:j+3], 'min'))
+                                     for j in range(1, greatest(len(hs)-3, 1)+1)]) AS sel
+                    FROM h),
+              win AS (SELECT doc_id, CAST(u.s0 AS BIGINT) AS s, CAST(u.s0 AS BIGINT) + 7 AS e, hs[u.s0] AS fp
+                      FROM selpos, UNNEST(sel) AS u(s0)),
+              dupfp AS (SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
+              hits AS (SELECT w.doc_id, w.s, w.e FROM win w JOIN dupfp d USING (fp)),
+              isl AS (SELECT doc_id, s, e,
+                      CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s - 1
+                           THEN 0 ELSE 1 END AS flag FROM hits),
+              grp AS (SELECT doc_id, s, e,
+                      sum(flag) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl)
+              SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+                     CAST(count(*) AS BIGINT) AS dup_windows
+              FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
+      (s, d) => Dedup.winnowedSpans(t(s, d, "documents"), "doc_id", "text", 8, 4)
+        .orderBy("doc_id", "span_start")),
+
     QueryDef("q_dedup_simhash",
       // SimHash trades recall for cost (hamming<=3 pigeonhole join) — not
       // oracle-expressible; content checked in DedupSpec instead.

@@ -264,16 +264,19 @@ object Dedup {
     * token positions.
     *
     * Shape at scale: the window explode restates the corpus ~w tokens deep;
-    * `stride` thins it (stride s only guarantees detection of duplicated
-    * regions of >= w + s - 1 tokens — the standard trade). Fingerprints are
-    * 16-byte binary md5 digests, so the one corpus-sized shuffle (groupBy
-    * fp) carries fixed-width keys, never window text. Duplicated
-    * fingerprints are found and fanned back out in a single aggregation
-    * (same bounded-bucket shape as [[lshCandidates]] — no second
-    * corpus-wide shuffle for a semi-join probe); a pathological boilerplate
-    * window shared by very many documents makes a hot bucket — pre-filter
-    * such windows upstream if the corpus has one. The span merge is a
-    * narrow per-document window over only the duplicated hits.
+    * fingerprints are 16-byte binary md5 digests, so the one corpus-sized
+    * shuffle (groupBy fp) carries fixed-width keys, never window text.
+    * Duplicated fingerprints are found and fanned back out in a single
+    * aggregation (same bounded-bucket shape as [[lshCandidates]] — no
+    * second corpus-wide shuffle for a semi-join probe); a pathological
+    * boilerplate window shared by very many documents makes a hot bucket —
+    * pre-filter such windows upstream if the corpus has one. The span
+    * merge is a narrow per-document window over only the duplicated hits.
+    *
+    * `stride > 1` thins the explode by offset — it only matches duplicates
+    * whose regions are ALIGNED mod stride across documents (identical
+    * re-crawls, shared prefixes). For alignment-free thinning with a real
+    * guarantee use [[winnowedSpans]].
     */
   def duplicatedSpans(docs: DataFrame, id: String, text: String,
                       w: Int, stride: Int = 1): DataFrame = {
@@ -288,6 +291,55 @@ object Dedup {
         col("t"))
       .select(col("doc_id"), col("s").cast("long").as("s"),
         unhex(md5(array_join(slice(col("t"), col("s"), lit(w)), " "))).as("fp"))
+    mergeDupSpans(win, w)
+  }
+
+  /** Winnowed duplicated spans (Schleimer et al. 2003, "Winnowing: Local
+    * Algorithms for Document Fingerprinting" — the MOSS selection): instead
+    * of every window, keep only the window whose md5 is the (leftmost)
+    * minimum of each sliding group of `s` consecutive window hashes. The
+    * selection depends on content, not offset, so it is ALIGNMENT-FREE and
+    * carries winnowing's guarantee: any duplicated region of
+    * >= w + s - 1 tokens shares at least one selected fingerprint. Expected
+    * selection density is 2/(s+1) — the corpus-sized fingerprint shuffle
+    * shrinks by ~s/2 while the guarantee holds, which strided thinning
+    * cannot offer (see [[duplicatedSpans]]).
+    *
+    * The per-row selection is an O(n·s) fold over the row's hash array —
+    * scan-fused, no extra shuffle. `s <= w` keeps selected windows of one
+    * region overlapping-or-adjacent so the island merge still emits one
+    * span per region.
+    */
+  def winnowedSpans(docs: DataFrame, id: String, text: String,
+                    w: Int, s: Int): DataFrame = {
+    require(w >= 2, s"window width must be >= 2 tokens, got $w")
+    require(s >= 1 && s <= w,
+      s"winnow window must be in [1, $w] so selected spans still merge, got $s")
+    val toks = words(col(text))
+    val hashed = docs
+      .select(col(id).as("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= w)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("t")) - (w - 1)),
+          i => md5(array_join(slice(col("t"), i, lit(w)), " "))).as("hs"))
+    val sel = hashed.select(col("doc_id"), col("hs"),
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(col("hs")) - (s - 1), lit(1))),
+        j => (j - 1 + array_position(slice(col("hs"), j, lit(s)),
+          array_min(slice(col("hs"), j, lit(s))))).cast("int"))).as("sel"))
+    val win = sel
+      .select(col("doc_id"), col("hs"), explode(col("sel")).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("s"),
+        unhex(element_at(col("hs"), col("p"))).as("fp"))
+    mergeDupSpans(win, w)
+  }
+
+  /** Shared tail of the span operators: windows (doc_id, s, fp) → spans.
+    * One bucket aggregation finds+fans-out duplicated fingerprints; then a
+    * narrow per-doc gaps-and-islands window merges overlapping-or-adjacent
+    * hits into maximal spans.
+    */
+  private def mergeDupSpans(win: DataFrame, w: Int): DataFrame = {
     val hits = win.groupBy("fp")
       .agg(collect_list(struct(col("doc_id"), col("s"))).as("occ"))
       .where(size(col("occ")) >= 2)

@@ -122,6 +122,27 @@ class DedupSpec extends SparkSpec {
     assert(spans2 === Seq((1L, 4L), (8L, 11L)))
   }
 
+  test("winnowing is alignment-free: misaligned duplicated regions that a " +
+      "strided explode misses are caught with the >= w+s-1 guarantee") {
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ") // 12 shared tokens
+    // doc 1 places the region at token 3, doc 2 at token 4 — opposite
+    // parities, so stride=2 windows NEVER land on a common fingerprint
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"one two three $shared four")).toDF("doc_id", "text")
+    val strided = Dedup.duplicatedSpans(df, "doc_id", "text", 4, stride = 2)
+    assert(strided.isEmpty, "stride misses misaligned duplicates by design")
+    // winnowing selects by content, not offset: the 12-token region
+    // (>= w+s-1 = 5) must surface in BOTH docs, within the planted bounds
+    val spans = Dedup.winnowedSpans(df, "doc_id", "text", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.map(_._1).toSet === Set(1L, 2L))
+    val s1 = spans.filter(_._1 == 1L)
+    assert(s1.forall(x => x._2 >= 3L && x._3 <= 14L), s1.toSeq.toString)
+    val s2 = spans.filter(_._1 == 2L)
+    assert(s2.forall(x => x._2 >= 4L && x._3 <= 15L), s2.toSeq.toString)
+  }
+
   test("shingles clamp short documents to one shingle") {
     val df = Seq((1L, "only two")).toDF("doc_id", "text")
     val s = df.select(Dedup.shingles(col("text"), 3).as("s"))
