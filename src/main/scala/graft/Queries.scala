@@ -1415,6 +1415,23 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_corpus_report",
+      // per-(source, lang) corpus analytics: doc counts, exact char/token
+      // totals, and a mean computed as one division over exact long sums
+      // (never a float avg — order-independent by construction)
+      Some("""SELECT source, lang, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars,
+                     CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+              FROM documents GROUP BY 1, 2 ORDER BY source, lang"""),
+      (s, d) => t(s, d, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(col("n_chars")) * lit(1.0) / count(lit(1)), 6).as("avg_chars"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy("source", "lang")),
+
     QueryDef("q_quality_unigram_lp",
       // CCNet-style perplexity proxy: mean token log-prob under corpus
       // unigram frequencies. Per-token ln p is rounded then summed as
