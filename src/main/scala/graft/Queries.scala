@@ -986,8 +986,11 @@ object Queries {
               SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
                      CAST(count(*) AS BIGINT) AS dup_windows
               FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
-      (s, d) => Dedup.winnowedSpans(t(s, d, "documents"), "doc_id", "text", 8, 4)
-        .orderBy("doc_id", "span_start")),
+      (s, d) => {
+        prep(s)
+        Dedup.winnowedSpans(t(s, d, "documents"), "doc_id", "text", 8, 4)
+          .orderBy("doc_id", "span_start")
+      }),
 
     QueryDef("q_dedup_simhash",
       // SimHash trades recall for cost (hamming<=3 pigeonhole join) — not

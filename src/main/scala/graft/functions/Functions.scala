@@ -34,6 +34,9 @@ object Functions {
       es(3).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toBooleanArray.toIndexedSeq,
       es(1).eval().asInstanceOf[Int])),
+    // winnow_fps(tokens, w, s) — constant w/s evaluated at build time
+    "winnow_fps"      -> (es => WinnowFps(es(0),
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "min_timeuuid"    -> (es => MinTimeUuid(es.head)),
     "max_timeuuid"    -> (es => MaxTimeUuid(es.head)),
     "timeuuid_unix_millis" -> (es => TimeUuidMillis(es.head)),

@@ -305,32 +305,27 @@ object Dedup {
     * shrinks by ~s/2 while the guarantee holds, which strided thinning
     * cannot offer (see [[duplicatedSpans]]).
     *
-    * The per-row selection is an O(n·s) fold over the row's hash array —
-    * scan-fused, no extra shuffle. `s <= w` keeps selected windows of one
-    * region overlapping-or-adjacent so the island merge still emits one
-    * span per region.
+    * Selection runs in the native one-pass
+    * [[graft.functions.WinnowFps]] expression (window md5s computed once,
+    * monotonic-deque sliding min) — scan-fused, no extra shuffle. The
+    * equivalent declarative transform/slice/array_min form goes quadratic
+    * under Catalyst's projection collapse (each lambda step re-inlines the
+    * whole hash-array expression). Requires
+    * [[graft.functions.Functions.ensure]] on the session. `s <= w` keeps
+    * selected windows of one region overlapping-or-adjacent so the island
+    * merge still emits one span per region.
     */
   def winnowedSpans(docs: DataFrame, id: String, text: String,
                     w: Int, s: Int): DataFrame = {
     require(w >= 2, s"window width must be >= 2 tokens, got $w")
     require(s >= 1 && s <= w,
       s"winnow window must be in [1, $w] so selected spans still merge, got $s")
-    val toks = words(col(text))
-    val hashed = docs
-      .select(col(id).as("doc_id"), toks.as("t"))
+    val win = docs
+      .select(col(id).as("doc_id"), words(col(text)).as("t"))
       .where(size(col("t")) >= w)
       .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("t")) - (w - 1)),
-          i => md5(array_join(slice(col("t"), i, lit(w)), " "))).as("hs"))
-    val sel = hashed.select(col("doc_id"), col("hs"),
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(col("hs")) - (s - 1), lit(1))),
-        j => (j - 1 + array_position(slice(col("hs"), j, lit(s)),
-          array_min(slice(col("hs"), j, lit(s))))).cast("int"))).as("sel"))
-    val win = sel
-      .select(col("doc_id"), col("hs"), explode(col("sel")).as("p"))
-      .select(col("doc_id"), col("p").cast("long").as("s"),
-        unhex(element_at(col("hs"), col("p"))).as("fp"))
+        explode(call_function("winnow_fps", col("t"), lit(w), lit(s))).as("o"))
+      .select(col("doc_id"), col("o.pos").cast("long").as("s"), col("o.fp").as("fp"))
     mergeDupSpans(win, w)
   }
 

@@ -6,6 +6,39 @@ import org.apache.spark.sql.functions._
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("winnow_fps matches a brute-force reference on the corpus: leftmost " +
+      "sliding-window-min md5s, every window covered") {
+    import java.security.MessageDigest
+    val (w, s) = (8, 4)
+    def refWinnow(tokens: Array[String]): Seq[(Int, Seq[Byte])] = {
+      val m = tokens.length - w + 1
+      if (m <= 0) return Nil
+      val md = MessageDigest.getInstance("MD5")
+      val fps = Array.tabulate(m)(i =>
+        md.digest(tokens.slice(i, i + w).mkString(" ").getBytes("UTF-8")).toSeq)
+      implicit val ord: Ordering[Seq[Byte]] =
+        Ordering.Implicits.seqOrdering(Ordering.by((b: Byte) => b & 0xff))
+      val win = math.min(s, m)
+      (0 to m - win).map { j =>
+        val sl = fps.slice(j, j + win).toSeq
+        j + sl.indexOf(sl.min) // leftmost min
+      }.distinct.map(p => (p + 1, fps(p)))
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().take(50)
+    val native = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*))
+      .select(col("doc_id"),
+        call_function("winnow_fps", split(lower(col("text")), " "), lit(w), lit(s)).as("o"))
+      .as[(Long, Seq[(Int, Array[Byte])])].collect().toMap
+    for ((id, text) <- docs) {
+      val expect = refWinnow(text.toLowerCase.split(" ", -1))
+      val act = native(id).map { case (p, fp) => (p, fp.toSeq) }
+      assert(act === expect, s"doc $id")
+    }
+    assert(docs.exists(_._2.split(" ").length >= w), "fixture has long docs")
+  }
+
   test("timeuuid boundary values bracket every uuid of the millisecond") {
     val lo = TimeUuid.minTimeUuid(1000L)
     val hi = TimeUuid.maxTimeUuid(1000L)
