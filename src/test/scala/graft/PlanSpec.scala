@@ -151,10 +151,15 @@ class PlanSpec extends SparkSpec {
 
   test("exact-substring spans: no join anywhere — duplicated fingerprints " +
     "fan out of ONE bucket aggregation; span merge is a per-doc window") {
-    val p = plan("q_dedup_spans")
-    assert(!p.contains("Join"), p)
-    assert(p.contains("ObjectHashAggregate"), p) // collect_list bucket agg
-    assert(p.contains("Window"), p)              // gaps-and-islands merge
+    for (q <- Seq("q_dedup_spans", "q_dedup_spans_winnow")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$q:\n$p") // collect_list bucket agg
+      assert(p.contains("Window"), s"$q:\n$p")              // gaps-and-islands merge
+    }
+    // the winnowed variant must select via the native one-pass expression,
+    // never the quadratic-under-collapse declarative form
+    assert(plan("q_dedup_spans_winnow").contains("winnow_fps"))
   }
 
   test("tfidf: corpus count broadcasts; the per-doc cut is the bounded " +
