@@ -61,23 +61,33 @@ case class WinnowFps(child: Expression, w: Int, s: Int)
     false
   }
 
+  // per-instance digest: expressions are deserialized per task, so access
+  // is single-threaded; reset() between windows avoids the per-row JCA
+  // provider lookup on this hot scan path
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(v: Any): Any = {
     val toks = v.asInstanceOf[ArrayData]
     val n = toks.numElements()
     val m = n - w + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     // md5 of every w-token window, space-joined — byte-identical to
-    // unhex(md5(array_join(slice(tokens, i, w), " ")))
-    val md = MessageDigest.getInstance("MD5")
+    // unhex(md5(array_join(slice(tokens, i, w), " "))), including
+    // array_join's null rule: a null element is skipped together with its
+    // delimiter (unreachable from split() tokens, kept for the contract)
     val fps = new Array[Array[Byte]](m)
     var i = 0
     while (i < m) {
       md.reset()
       var j = 0
+      var written = false
       while (j < w) {
-        if (j > 0) md.update(' '.toByte)
         val t = toks.getUTF8String(i + j)
-        if (t != null) md.update(t.getBytes)
+        if (t != null) {
+          if (written) md.update(' '.toByte)
+          md.update(t.getBytes)
+          written = true
+        }
         j += 1
       }
       fps(i) = md.digest()

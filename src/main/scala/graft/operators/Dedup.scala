@@ -314,6 +314,11 @@ object Dedup {
     * [[graft.functions.Functions.ensure]] on the session. `s <= w` keeps
     * selected windows of one region overlapping-or-adjacent so the island
     * merge still emits one span per region.
+    *
+    * Output contract caveat: `dup_windows` counts only winnow-SELECTED
+    * duplicated windows (expected ~2/(s+1) of [[duplicatedSpans]]'s count
+    * for the same region) — span boundaries are comparable across the two
+    * operators, window counts are not.
     */
   def winnowedSpans(docs: DataFrame, id: String, text: String,
                     w: Int, s: Int): DataFrame = {

@@ -118,7 +118,7 @@ object Quality {
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, id: String,
                      text: String): org.apache.spark.sql.DataFrame = {
     val terms = docs.select(col(id).as("doc_id"),
-      explode(split(lower(col(text)), " ")).as("term"))
+      explode(TextAnalysis.words(col(text))).as("term"))
     val freq = terms.groupBy("term").agg(count(lit(1)).as("tf_corpus"))
     val total = freq.agg(sum(col("tf_corpus")).as("t_total"))
     terms.join(freq, "term")
