@@ -1082,6 +1082,29 @@ object Queries {
           .select("doc_id", "source").orderBy("doc_id")
       }),
 
+    QueryDef("q_contamination_report",
+      // per-doc benchmark-overlap FRACTION (threshold-style contamination
+      // reporting, vs q_decontaminate's binary drop): distinct 3-gram
+      // count, contaminated count, fraction — benchmark grams broadcast,
+      // counted inside the per-doc aggregate the gram explode feeds
+      Some("""WITH bench AS (SELECT string_split(lower(text), ' ') w FROM documents WHERE doc_id % 97 = 0),
+              bg AS (SELECT DISTINCT array_to_string(w[i:i+2], ' ') g
+                     FROM bench, UNNEST(range(1, greatest(len(w)-2, 1)+1)) t(i)),
+              cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, greatest(len(w)-2, 1)+1)])) AS g
+                     FROM (SELECT doc_id, string_split(lower(text),' ') w FROM documents WHERE doc_id % 97 <> 0))
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+                     round(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS frac
+              FROM cg GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.contaminationReport(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", 3)
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_mix_weighted",
       // mixture weighting by integer epoch counts: src0 ×3, src1 ×2,
       // everything else ×1 — the map-side explode that data-mixing recipes

@@ -83,6 +83,28 @@ object Pipeline {
     corpus.join(broadcast(bad), corpus(id) === col("_contaminated_id"), "left_anti")
   }
 
+  /** Contamination REPORT: per-doc benchmark-overlap fraction instead of a
+    * binary drop — (doc_id, n_grams, n_contaminated, frac) for every corpus
+    * doc with at least one distinct k-gram. Pipelines threshold on `frac`
+    * (drop > x%, flag the rest) rather than dropping on any single shared
+    * gram; the PaLM/GPT-3 reports count overlapped grams the same way.
+    * Same shape as [[contaminatedIds]]: benchmark grams broadcast, overlap
+    * counted map-side into the per-doc aggregate the gram explode already
+    * feeds — no extra corpus shuffle.
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame, id: String,
+                          text: String, k: Int): DataFrame = {
+    val bg = Dedup.explodedShingles(bench, id, text, k).select("s").distinct()
+      .withColumn("_hit", lit(1L))
+    Dedup.explodedShingles(corpus, id, text, k)
+      .join(broadcast(bg), Seq("s"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated") * lit(1.0) / col("n_grams"), 6).as("frac"))
+  }
+
   /** Mixture weighting by integer epoch counts: repeat each source's docs
     * `weights(source)` times (default 1), tagging each copy with its epoch
     * index. The explode is map-side — upsampling never shuffles the corpus;

@@ -102,6 +102,22 @@ class PipelineSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(planOf(packed)).size === 1, planOf(packed))
   }
 
+  test("contaminationReport frac>0 set equals contaminatedIds; fractions " +
+      "bounded and grams counted distinct") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val report = Pipeline.contaminationReport(corpus, bench, "doc_id", "text", 3)
+    val flagged = report.filter(col("frac") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    val ids = Pipeline.contaminatedIds(corpus, bench, "doc_id", "text", 3)
+      .as[Long].collect().toSet
+    assert(flagged === ids)
+    assert(report.filter(col("frac") < 0 || col("frac") > 1).isEmpty)
+    assert(report.filter(col("n_contaminated") > col("n_grams")).isEmpty)
+    assert(report.count() === corpus.count(), "one row per corpus doc")
+  }
+
   test("tfidfTopTerms ranks corpus-distinctive terms above ubiquitous ones " +
       "and bounds output at k per doc") {
     graft.functions.Functions.ensure(spark)
