@@ -912,6 +912,31 @@ object Queries {
           .orderBy("a", "b")
       }),
 
+    QueryDef("q_dedup_cross_corpus",
+      // incremental-ingest dedup: near-dups BETWEEN the odd-id "new crawl"
+      // and the even-id "existing corpus" only, oriented new -> corpus.
+      // Oracle: the exact all-pairs jaccard SQL restricted to cross-parity
+      // pairs (LSH recall contract identical to q_dedup_minhash_lsh).
+      Some("""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+              sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))])) AS s FROM d),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+              j AS (SELECT p.a, p.b, round(p.c * 1.0 / (sx.n + sy.n - p.c), 6) AS jaccard
+                    FROM p JOIN sz sx ON p.a = sx.doc_id JOIN sz sy ON p.b = sy.doc_id
+                    WHERE round(p.c * 1.0 / (sx.n + sy.n - p.c), 6) >= 0.7)
+              SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS new_id,
+                     CASE WHEN a % 2 = 1 THEN b ELSE a END AS corpus_id, jaccard
+              FROM j WHERE (a % 2) <> (b % 2) ORDER BY new_id, corpus_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = t(s, d, "documents")
+        Dedup.crossCorpusNearDups(
+            docs.filter(col("doc_id") % 2 === 1),
+            docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", 3, 0.7)
+          .orderBy("new_id", "corpus_id")
+      }),
+
     QueryDef("q_dedup_groups",
       // pairs → canonical duplicate GROUPS: connected components by
       // min-label propagation (Dedup.dupGroups); the oracle computes the

@@ -216,6 +216,42 @@ object Dedup {
     verifyByShingleSets(cands, candSets, threshold)
   }
 
+  /** Cross-corpus near-duplicate pairs: near-dups BETWEEN `newDocs` and
+    * `corpus` only — the incremental-ingest shape (dedup a fresh crawl
+    * against the already-ingested corpus; drop new docs with a match).
+    * Runs the shared MinHash+LSH pipeline over the tagged union, then
+    * keeps only pairs straddling the sides, oriented (new_id, corpus_id,
+    * jaccard). Within-side duplicates are intentionally ignored — dedupe
+    * each side with [[minhashLsh]] first if needed.
+    *
+    * Ids must be unique ACROSS both inputs (namespace upstream when two
+    * crawls share an id space). Cost is one LSH pass over new+corpus; at
+    * steady state the corpus side's signatures are worth persisting, the
+    * same incremental trade as the IVF index.
+    */
+  def crossCorpusNearDups(newDocs: DataFrame, corpus: DataFrame, id: String,
+                          text: String, k: Int, threshold: Double): DataFrame = {
+    val union = newDocs.select(col(id), col(text))
+      .unionByName(corpus.select(col(id), col(text)))
+    val pairs = minhashLsh(union, id, text, k, threshold)
+    // near-dup pairs are tiny next to the corpora: id-keyed joins tag each
+    // end, then cross-side pairs orient new -> corpus
+    val newIds = newDocs.select(col(id).as("_id")).withColumn("_new", lit(true))
+    val tagged = pairs
+      .join(newIds.withColumnRenamed("_id", "a").withColumnRenamed("_new", "_na"),
+        Seq("a"), "left_outer")
+      .join(newIds.withColumnRenamed("_id", "b").withColumnRenamed("_new", "_nb"),
+        Seq("b"), "left_outer")
+      .select(col("a"), col("b"), col("jaccard"),
+        coalesce(col("_na"), lit(false)).as("_na"),
+        coalesce(col("_nb"), lit(false)).as("_nb"))
+    tagged.filter(col("_na") =!= col("_nb"))
+      .select(
+        when(col("_na"), col("a")).otherwise(col("b")).as("new_id"),
+        when(col("_na"), col("b")).otherwise(col("a")).as("corpus_id"),
+        col("jaccard"))
+  }
+
   /** 64-bit SimHash from per-shingle murmurs: bit j of the signature is set
     * iff the sum of ±1 votes of that bit across shingles is >= 0.
     */

@@ -122,6 +122,22 @@ class DedupSpec extends SparkSpec {
     assert(spans2 === Seq((1L, 4L), (8L, 11L)))
   }
 
+  test("crossCorpusNearDups reports only pairs straddling the sides, " +
+      "oriented new -> corpus") {
+    val newSide = docs.filter($"doc_id" % 2 === 1)
+    val oldSide = docs.filter($"doc_id" % 2 === 0)
+    val cross = Dedup.crossCorpusNearDups(newSide, oldSide, "doc_id", "text", 3, 0.7)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect()
+    assert(cross.nonEmpty, "fixture corpus has cross-parity near-dups")
+    assert(cross.forall { case (n, c) => n % 2 == 1 && c % 2 == 0 })
+    // exactly the cross-parity subset of the full pair set
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("a", "b").as[(Long, Long)].collect()
+      .filter { case (a, b) => a % 2 != b % 2 }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }.toSet
+    assert(cross.toSet === full)
+  }
+
   test("winnowing is alignment-free: misaligned duplicated regions that a " +
       "strided explode misses are caught with the >= w+s-1 guarantee") {
     val shared = (1 to 12).map(i => s"dup$i").mkString(" ") // 12 shared tokens
