@@ -937,6 +937,31 @@ object Queries {
           .orderBy("new_id", "corpus_id")
       }),
 
+    QueryDef("q_dedup_bloom_ingest",
+      // exact-match tier of incremental ingest: a crawl of re-crawled pages
+      // (even doc_id % 4 == 0, identical text under a fresh id) + genuinely
+      // new pages (odd ids) deduped against the even-id corpus. The Bloom
+      // prefilter keeps bloom-negative docs map-side; only positives reach
+      // the verification anti-join, so the result is EXACTLY the digest
+      // anti-join the oracle computes (fpp never leaks into the answer).
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+              crawl AS (SELECT doc_id + 100000 AS doc_id, source, text FROM documents WHERE doc_id % 4 = 0
+                        UNION ALL SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 1)
+              SELECT c.doc_id, c.source FROM crawl c
+              WHERE NOT EXISTS (SELECT 1 FROM corpus k WHERE lower(k.text) = lower(c.text))
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = t(s, d, "documents")
+        val crawl = docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 2 === 1)
+            .select("doc_id", "source", "text"))
+        Dedup.bloomIngestDedup(crawl, docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", 5000L, 0.03)
+          .select("doc_id", "source").orderBy("doc_id")
+      }),
+
     QueryDef("q_dedup_groups",
       // pairs → canonical duplicate GROUPS: connected components by
       // min-label propagation (Dedup.dupGroups); the oracle computes the
@@ -1544,6 +1569,28 @@ object Queries {
         Tables.spread(t(s, d, "documents")).select(col("doc_id"),
             size(lines).as("n_lines"), size(kept).as("n_kept"),
             array_join(kept, " ").as("cleaned"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_boilerplate_lines",
+      // CCNet-style corpus-wide boilerplate removal: a line (8-word chunk,
+      // same line convention as q_clean_lines) occurring in >= 3 distinct
+      // documents is dropped from every document. The boilerplate set is a
+      // single-row broadcast; the drop is a per-row filter in a second
+      // scan (Quality.removeBoilerplateLines).
+      Some("""WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+              l AS (SELECT doc_id, [array_to_string(list_slice(w, i*8+1, i*8+8),' ') for i in range(0, greatest(CAST(ceil(len(w)/8.0) AS BIGINT),1))] AS ls FROM d),
+              c AS (SELECT line FROM (SELECT DISTINCT doc_id, unnest(ls) AS line FROM l) GROUP BY line HAVING count(*) >= 3),
+              b AS (SELECT coalesce(list(line), []) AS boiler FROM c)
+              SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines,
+                     CAST(len(list_filter(ls, x -> list_contains(boiler, x))) AS INTEGER) AS n_dropped,
+                     array_to_string(list_filter(ls, x -> NOT list_contains(boiler, x)), ' ') AS cleaned
+              FROM l CROSS JOIN b ORDER BY doc_id"""),
+      (s, d) => {
+        val lines = transform(TextAnalysis.chunks(col("text"), 8, 8),
+          c => c.getField("chunk"))
+        Quality.removeBoilerplateLines(Tables.spread(t(s, d, "documents")),
+            "doc_id", lines, 3)
           .orderBy("doc_id")
       }),
 

@@ -252,6 +252,45 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Bloom-prefiltered EXACT ingest dedup: keep the new-crawl docs whose
+    * (lowercased) text does not already exist in the corpus. The companion
+    * of [[crossCorpusNearDups]] for the exact-match tier of incremental
+    * ingest — the result is IDENTICAL to a plain digest anti-join; the
+    * Bloom filter only changes the cost shape:
+    *
+    *  - corpus digests fold into one bounded Bloom sketch (a tree-reduce;
+    *    at steady state the sketch persists alongside the corpus and this
+    *    build step disappears, the same incremental trade as the IVF
+    *    index);
+    *  - bloom-NEGATIVE new docs — at a real ingest ratio, almost all of
+    *    them — are kept map-side with zero shuffle (a Bloom miss proves
+    *    absence);
+    *  - only bloom-POSITIVE docs (true re-crawls + the fpp sliver) reach
+    *    the verification anti-join, so the join's left side is ~|dups|,
+    *    not |crawl|. False positives are eliminated there: exactness
+    *    never depends on the sketch.
+    *
+    * Size `expectedItems` to the corpus row count; the sketch is ~1.2 GB
+    * per 10^9 docs at fpp=0.01 — broadcastable. The membership probe is a
+    * Scala UDF (the sketch lives outside codegen); it gates rows only, so
+    * the scan/prune pipeline around it is unaffected.
+    */
+  def bloomIngestDedup(newDocs: DataFrame, corpus: DataFrame, id: String,
+                       text: String, expectedItems: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    val digest = md5(lower(col(text)))
+    val corpusDigests = corpus.select(digest.as("_digest"))
+    val bloom = corpusDigests.stat.bloomFilter("_digest", expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))
+    val tagged = newDocs.withColumn("_digest", digest)
+      .withColumn("_maybe", mightContain(col("_digest")))
+    val cleanFastPath = tagged.filter(!col("_maybe"))
+    val verified = tagged.filter(col("_maybe"))
+      .join(corpusDigests, Seq("_digest"), "left_anti")
+    cleanFastPath.unionByName(verified).drop("_digest", "_maybe")
+  }
+
   /** 64-bit SimHash from per-shingle murmurs: bit j of the signature is set
     * iff the sum of ±1 votes of that bit across shingles is >= 0.
     */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-quality signals and cleaning for LLM training-data pipelines:
@@ -97,6 +97,40 @@ object Quality {
       val ws = split(l, " ")
       size(ws) >= minWords && !arrays_overlap(split(lower(l), " "), bl)
     })
+  }
+
+  /** Corpus-wide boilerplate-line removal (the CCNet dedup stage, Wenzek
+    * et al. 2020 §4.1 — common crawl pipelines drop lines repeated across
+    * documents: nav bars, cookie banners, legal footers). A line occurring
+    * in >= `minDocs` DISTINCT documents is boilerplate and is dropped from
+    * every document. Output: (id, n_lines, n_dropped, cleaned).
+    *
+    * The one corpus-level operator in this module (the others are per-row):
+    * one line-keyed count aggregation (map-side partial combine;
+    * `array_distinct` inside the row keeps within-doc repeats from
+    * inflating the doc count), then the boilerplate set — bounded by the
+    * threshold, tiny next to the corpus — comes back as a single-row
+    * broadcast and the drop is a per-row `filter()` fused into a second
+    * scan. No join against the corpus, no second shuffle. At extreme
+    * vocabulary the membership probe is the knob: `array_contains` is
+    * linear in the set, so shard the count by line hash and swap in a
+    * hashed-set probe when the boilerplate set stops being small.
+    */
+  def removeBoilerplateLines(docs: DataFrame, id: String, lines: Column,
+                             minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val withLines = docs.select(col(id), lines.as("_lines"))
+    val boiler = withLines
+      .select(explode(array_distinct(col("_lines"))).as("_line"))
+      .groupBy("_line").agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .agg(sort_array(collect_set(col("_line"))).as("_boiler"))
+    withLines.crossJoin(broadcast(boiler))
+      .select(col(id), size(col("_lines")).as("n_lines"),
+        size(filter(col("_lines"), l => array_contains(col("_boiler"), l)))
+          .as("n_dropped"),
+        array_join(filter(col("_lines"),
+          l => !array_contains(col("_boiler"), l)), " ").as("cleaned"))
   }
 
   /** Unigram-LM document score (the CCNet / Wenzek et al. 2020 perplexity

@@ -138,6 +138,28 @@ class DedupSpec extends SparkSpec {
     assert(cross.toSet === full)
   }
 
+  test("bloomIngestDedup equals the exact digest anti-join even when the " +
+      "undersized sketch forces false positives") {
+    val corpus = docs.filter($"doc_id" % 2 === 0).select("doc_id", "text")
+    val crawl = docs.filter($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" % 2 === 1).select("doc_id", "text"))
+    val expected = crawl.join(
+        corpus.select(md5(lower($"text")).as("_d")).distinct(),
+        md5(lower(crawl("text"))) === col("_d"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    // 4 bits/doc at fpp=0.5: a sketch this small false-positives heavily,
+    // so the verification anti-join — not the sketch — carries exactness
+    for ((items, fpp) <- Seq((5000L, 0.01), (10L, 0.5))) {
+      val kept = Dedup.bloomIngestDedup(crawl, corpus, "doc_id", "text", items, fpp)
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept === expected, s"items=$items fpp=$fpp")
+    }
+    // non-degenerate: every re-crawl dropped, every fresh page kept
+    assert(expected.forall(id => id % 2 == 1))
+    assert(expected.length === docs.filter($"doc_id" % 2 === 1).count())
+  }
+
   test("winnowing is alignment-free: misaligned duplicated regions that a " +
       "strided explode misses are caught with the >= w+s-1 guarantee") {
     val shared = (1 to 12).map(i => s"dup$i").mkString(" ") // 12 shared tokens

@@ -177,4 +177,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("boilerplate removal: line counts combine map-side; the boilerplate " +
+    "set returns as a 1-row broadcast, never a corpus-keyed join") {
+    val p = plan("q_boilerplate_lines")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bloom ingest dedup: bloom-negative fast path unions with an " +
+    "anti-join verify tail — no cartesian, no full-crawl join") {
+    val p = plan("q_dedup_bloom_ingest")
+    assert(p.contains("Union"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -106,6 +106,33 @@ class QualitySpec extends SparkSpec {
     assert(s(1L) > s(3L))
   }
 
+  test("removeBoilerplateLines drops lines in >= minDocs distinct docs, " +
+      "counts within-doc repeats once, keeps everything else in order") {
+    // "nav" appears in docs 1,2,3 (twice in doc 1 — distinct-doc count is
+    // still 3); "rare" appears in docs 1,2 only (below minDocs=3)
+    val df = Seq(
+      (1L, Seq("nav", "body one", "nav", "rare")),
+      (2L, Seq("nav", "rare", "body two")),
+      (3L, Seq("body three", "nav")),
+      (4L, Seq("body four"))).toDF("doc_id", "lines")
+    val got = Quality.removeBoilerplateLines(df, "doc_id", col("lines"), 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 4, 2, "body one rare"),
+      (2L, 3, 1, "rare body two"),
+      (3L, 2, 1, "body three"),
+      (4L, 1, 0, "body four")))
+  }
+
+  test("removeBoilerplateLines with no boilerplate is the identity") {
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq("c"))).toDF("doc_id", "lines")
+    val got = Quality.removeBoilerplateLines(df, "doc_id", col("lines"), 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    assert(got === Array((1L, 0, "a b"), (2L, 0, "c")))
+  }
+
   test("q_pii_redact leaves no pattern unredacted") {
     val out = Queries.byName("q_pii_redact").impl(spark, sf)
     val leftover = out.filter(
