@@ -1105,6 +1105,21 @@ object Queries {
           col("doc_id"), Seq("src0" -> 0.5, "src1" -> 0.25), 0.1)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    QueryDef("q_sample_weighted",
+      // quality-PROPORTIONAL sampling (DCLM-style soft filter): each doc
+      // keeps with probability = its quality score — better docs survive
+      // more often but nothing is hard-cut. hashUniform's 60-bit md5
+      // variate against the same rounded score formula q_text_stats pins.
+      Some("""SELECT doc_id, source FROM documents
+              WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) / 1152921504606846976.0
+                    < round(least(1.0, len(string_split(lower(text),' ')) * 1.0 / 100.0) * 0.4
+                         + (len(list_filter(string_split(lower(text),' '), x -> list_contains(['the','and','of','to','a','in','is'], x))) * 1.0 / len(string_split(lower(text),' '))) * 0.3
+                         + (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)) * 0.3, 6)
+              ORDER BY doc_id"""),
+      (s, d) => Pipeline.weightedSample(Tables.spread(t(s, d, "documents")),
+          col("doc_id"), TextAnalysis.qualityScore(col("text")))
+        .select("doc_id", "source").orderBy("doc_id")),
+
     QueryDef("q_decontaminate",
       // benchmark decontamination: drop corpus docs sharing any 3-word-gram
       // with the eval slice (doc_id % 97 == 0). The gram set of the (small)

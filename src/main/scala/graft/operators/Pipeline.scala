@@ -46,6 +46,30 @@ object Pipeline {
   def hashGate(key: Column, fraction: Double): Column =
     md5(key.cast("string")) < lit(hexBound(fraction))
 
+  /** Uniform [0,1) variate from the row key: the first 15 md5 hex digits
+    * as a 60-bit integer over 2^60. Pure codegen'd expression, engine-
+    * portable (any md5 agrees; 60 bits fit a signed 64-bit int in both
+    * Spark and the DuckDB oracle — 16 digits would not). For dyadic
+    * fractions this refines [[hashGate]] exactly: `hashUniform(k) < 0.5`
+    * selects precisely the `hashGate(k, 0.5)` rows.
+    */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") /
+      lit(1152921504606846976.0)
+
+  /** Probability-proportional deterministic sampling — the soft quality
+    * filter of DCLM/DataComp-style curation (keep each doc with
+    * probability equal to its quality score, rather than a hard
+    * threshold): keep iff hashUniform(key) < p, with `p` a per-row column
+    * in [0,1] (p <= 0 drops, p >= 1 keeps — the variate never reaches
+    * 1.0). Same contract as the other samplers: selection is a pure
+    * function of row content, so re-runs/backfills/retries agree with no
+    * seed coordination, and the gate is one codegen'd predicate fused
+    * into the scan — no shuffle at any scale.
+    */
+  def weightedSample(docs: DataFrame, key: Column, p: Column): DataFrame =
+    docs.filter(hashUniform(key) < p)
+
   /** Stratified deterministic sampling: per-stratum keep-fractions with a
     * default for unlisted strata. One codegen'd predicate fused into the
     * scan — no shuffle, no RNG, safe at any scale.

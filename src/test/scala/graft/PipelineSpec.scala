@@ -29,6 +29,28 @@ class PipelineSpec extends SparkSpec {
     assert(docs.filter(Pipeline.hashGate(col("doc_id"), 1.0)).count() === docs.count())
   }
 
+  test("weightedSample: p=0 drops all, p>=1 keeps all, higher p is a " +
+      "superset, and dyadic constants agree exactly with hashGate") {
+    assert(Pipeline.weightedSample(docs, col("doc_id"), lit(0.0)).isEmpty)
+    assert(Pipeline.weightedSample(docs, col("doc_id"), lit(1.0)).count()
+      === docs.count())
+    val at25 = Pipeline.weightedSample(docs, col("doc_id"), lit(0.25))
+      .select("doc_id").as[Long].collect().toSet
+    val at50 = Pipeline.weightedSample(docs, col("doc_id"), lit(0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(at25.subsetOf(at50))
+    // hashUniform < dyadic f inspects exactly the hex prefix hashGate
+    // compares, so the two samplers select identical row sets
+    val gate50 = docs.filter(Pipeline.hashGate(col("doc_id"), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(at50 === gate50)
+    // per-row p: quality-proportional keep rate sits strictly between
+    // the all-drop and all-keep poles on the fixture corpus
+    val q = graft.operators.TextAnalysis.qualityScore(col("text"))
+    val kept = Pipeline.weightedSample(docs, col("doc_id"), q).count()
+    assert(kept > 0 && kept < docs.count())
+  }
+
   test("stratified sampling applies per-stratum fractions and the default") {
     val sampled = Pipeline.stratifiedSample(docs, "source", col("doc_id"),
       Seq("src0" -> 1.0, "src1" -> 0.0), 0.5)
