@@ -1624,7 +1624,7 @@ object Queries {
               b AS (SELECT coalesce(list(line), []) AS boiler FROM c)
               SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines,
                      CAST(len(list_filter(ls, x -> list_contains(boiler, x))) AS INTEGER) AS n_dropped,
-                     array_to_string(list_filter(ls, x -> NOT list_contains(boiler, x)), ' ') AS cleaned
+                     coalesce(array_to_string(list_filter(ls, x -> NOT list_contains(boiler, x)), ' '), '') AS cleaned
               FROM l CROSS JOIN b ORDER BY doc_id"""),
       (s, d) => {
         val lines = transform(TextAnalysis.chunks(col("text"), 8, 8),
