@@ -1120,6 +1120,33 @@ object Queries {
           col("doc_id"), TextAnalysis.qualityScore(col("text")))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    QueryDef("q_split_fractions",
+      // deterministic 80/10/10 train/val/test assignment: one codegen'd
+      // CASE over the shared md5-uniform variate — a doc's split never
+      // changes across re-runs or corpus growth (Pipeline.splitByHash)
+      Some("""SELECT doc_id,
+                     CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT doc_id, CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) / 1152921504606846976.0 AS u
+                    FROM documents) ORDER BY doc_id"""),
+      (s, d) => Pipeline.splitByHash(t(s, d, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.9), "test")
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    QueryDef("q_budget_cap",
+      // per-source token-budget enforcement: keep each source's maximal
+      // hash-ordered prefix within an 800-token budget — the mixture-spec
+      // cap, deterministic with no RNG (Pipeline.capTokenBudget)
+      Some("""WITH t AS (SELECT doc_id, source,
+                               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+                               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) / 1152921504606846976.0 AS u
+                        FROM documents),
+              c AS (SELECT doc_id, source, sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum FROM t)
+              SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens
+              FROM c WHERE cum <= 800 ORDER BY doc_id"""),
+      (s, d) => Pipeline.capTokenBudget(t(s, d, "documents"), "source",
+          col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long"), 800L)
+        .select("doc_id", "source", "cum_tokens").orderBy("doc_id")),
+
     QueryDef("q_decontaminate",
       // benchmark decontamination: drop corpus docs sharing any 3-word-gram
       // with the eval slice (doc_id % 97 == 0). The gram set of the (small)

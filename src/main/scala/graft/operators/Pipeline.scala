@@ -70,6 +70,47 @@ object Pipeline {
   def weightedSample(docs: DataFrame, key: Column, p: Column): DataFrame =
     docs.filter(hashUniform(key) < p)
 
+  /** Deterministic dataset split (train/val/test): tag each row with the
+    * first split whose strict upper [[hashUniform]] bound exceeds the
+    * row's variate; rows past the last bound take `rest`. Bounds are
+    * ascending cumulative boundaries on [0,1) (e.g. train->0.8, val->0.9,
+    * rest "test" = 80/10/10). One codegen'd CASE fused into the scan — no
+    * shuffle — and because the variate is shared with the samplers, a
+    * doc's split never changes across re-runs, backfills, or corpus
+    * growth, and splits compose consistently with `hashGate` samples.
+    */
+  def splitByHash(docs: DataFrame, key: Column, bounds: Seq[(String, Double)],
+                  rest: String): DataFrame = {
+    require(bounds.nonEmpty, "at least one split bound")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted, "bounds must ascend")
+    val u = hashUniform(key)
+    val tag = bounds.reverse.foldLeft(lit(rest)) { case (acc, (name, b)) =>
+      when(u < lit(b), lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", tag)
+  }
+
+  /** Per-stratum token-budget cap: walk each stratum's rows in the
+    * deterministic [[hashUniform]] order and keep the maximal PREFIX whose
+    * running token total stays within `budget` (prefix semantics: the row
+    * that crosses the budget and everything after it drop — not a
+    * knapsack). The standard per-domain token-budget enforcement of a
+    * mixture spec, reproducible with no RNG.
+    *
+    * Shape: one shuffle on the stratum key plus an in-partition sort for
+    * the prefix-sum window — the [[packSequences]] shape. A stratum is a
+    * window partition, so a single colossal source serializes its own
+    * prefix sum; if one stratum dominates the corpus, pre-bucket it
+    * (stratum, hashUniform-range) and cap buckets against a per-bucket
+    * budget share instead.
+    */
+  def capTokenBudget(docs: DataFrame, strataCol: String, key: Column,
+                     tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(hashUniform(key), key)
+    docs.withColumn("cum_tokens", sum(tokens).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Stratified deterministic sampling: per-stratum keep-fractions with a
     * default for unlisted strata. One codegen'd predicate fused into the
     * scan — no shuffle, no RNG, safe at any scale.

@@ -51,6 +51,54 @@ class PipelineSpec extends SparkSpec {
     assert(kept > 0 && kept < docs.count())
   }
 
+  test("splitByHash partitions exhaustively, is stable under corpus " +
+      "growth, and nests with hashGate samples") {
+    val split = Pipeline.splitByHash(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.9), "test")
+    val by = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(by.keySet === Set("train", "val", "test"))
+    assert(by.values.sum === docs.count())
+    assert(by("train") > by("val") && by("train") > by("test"))
+    // a doc's split is a pure function of its id: the half-corpus
+    // assignment agrees with the full-corpus one
+    val full = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    Pipeline.splitByHash(docs.filter($"doc_id" % 2 === 0), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.9), "test")
+      .select("doc_id", "split").as[(Long, String)].collect()
+      .foreach { case (id, sp) => assert(full(id) === sp) }
+    // the 50% hashGate sample keeps train/val/test membership intact
+    val sampled = docs.filter(Pipeline.hashGate(col("doc_id"), 0.5))
+    Pipeline.splitByHash(sampled, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.9), "test")
+      .select("doc_id", "split").as[(Long, String)].collect()
+      .foreach { case (id, sp) => assert(full(id) === sp) }
+  }
+
+  test("capTokenBudget keeps each stratum's maximal hash-ordered prefix " +
+      "within budget") {
+    val toks = graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+    val kept = Pipeline.capTokenBudget(docs, "source", col("doc_id"), toks, 800L)
+    // every stratum stays within budget and is non-empty on this corpus
+    val caps = kept.groupBy("source").agg(max("cum_tokens").as("mx"))
+      .as[(String, Long)].collect()
+    assert(caps.nonEmpty)
+    caps.foreach { case (src, mx) => assert(mx <= 800L, src) }
+    // prefix property: adding any dropped doc's tokens to its stratum's
+    // total would cross the budget (the cut really is the maximal prefix)
+    val u = Pipeline.hashUniform(col("doc_id"))
+    val ordered = docs.select(col("source"), col("doc_id"), toks.as("tk"), u.as("u"))
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._4, r._2))).toMap
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    ordered.foreach { case (src, rows) =>
+      var cum = 0L
+      rows.foreach { case (_, id, tk, _) =>
+        cum += tk
+        assert(keptIds.contains(id) === (cum <= 800L), s"$src/$id")
+      }
+    }
+  }
+
   test("stratified sampling applies per-stratum fractions and the default") {
     val sampled = Pipeline.stratifiedSample(docs, "source", col("doc_id"),
       Seq("src0" -> 1.0, "src1" -> 0.0), 0.5)
