@@ -1270,6 +1270,51 @@ object Queries {
           .select("doc_id", "source", "pack_id").orderBy("doc_id")
       }),
 
+    QueryDef("q_ingest_e2e",
+      // the incremental-ingest tier COMPOSED as one DAG: crawl (re-crawled
+      // pages under fresh ids + genuinely new pages) → Bloom-prefiltered
+      // exact dedup vs the corpus → cross-corpus near-dup drop (LSH with
+      // the same recall contract as q_dedup_cross_corpus) → deterministic
+      // 90/10 train/val tagging. Every stage reuses its graded operator;
+      // the oracle chains the exact-SQL stage fragments. After exact dedup
+      // all surviving crawl ids are odd, so the cross-parity orientation
+      // of the near-dup oracle carries over unchanged.
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+              crawl AS (SELECT doc_id + 100000 AS doc_id, source, text FROM documents WHERE doc_id % 4 = 0
+                        UNION ALL SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 1),
+              ek AS (SELECT c.* FROM crawl c WHERE NOT EXISTS (SELECT 1 FROM corpus k WHERE lower(k.text) = lower(c.text))),
+              u AS (SELECT doc_id, text FROM ek UNION ALL SELECT doc_id, text FROM corpus),
+              d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM u),
+              sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))])) AS s FROM d),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+              j AS (SELECT p.a, p.b FROM p JOIN sz sx ON p.a = sx.doc_id JOIN sz sy ON p.b = sy.doc_id
+                    WHERE round(p.c * 1.0 / (sx.n + sy.n - p.c), 6) >= 0.7),
+              dup_new AS (SELECT DISTINCT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id
+                          FROM j WHERE (a % 2) <> (b % 2)),
+              surv AS (SELECT doc_id, source FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM dup_new))
+              SELECT doc_id, source,
+                     CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) / 1152921504606846976.0 < 0.9
+                          THEN 'train' ELSE 'val' END AS split
+              FROM surv ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val crawl = docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 2 === 1)
+            .select("doc_id", "source", "text"))
+        val exactKept = Dedup.bloomIngestDedup(crawl, corpus, "doc_id", "text",
+          5000L, 0.03)
+        val dupNew = Dedup.crossCorpusNearDups(exactKept, corpus,
+            "doc_id", "text", 3, 0.7)
+          .select(col("new_id").as("doc_id")).distinct()
+        val surv = exactKept.join(dupNew, Seq("doc_id"), "left_anti")
+        Pipeline.splitByHash(surv, col("doc_id"), Seq("train" -> 0.9), "val")
+          .select("doc_id", "source", "split").orderBy("doc_id")
+      }),
+
     // ── extensions: similarity search ──────────────────────────────────
     QueryDef("q_ann_topk",
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
