@@ -193,4 +193,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("composed ingest DAG inherits every stage's shape: anti-join " +
+    "prunes, no cartesian anywhere") {
+    val p = plan("q_ingest_e2e")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
