@@ -1111,10 +1111,10 @@ object Queries {
       // more often but nothing is hard-cut. hashUniform's 60-bit md5
       // variate against the same rounded score formula q_text_stats pins.
       Some("""SELECT doc_id, source FROM documents
-              WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) / 1152921504606846976.0
-                    < round(least(1.0, len(string_split(lower(text),' ')) * 1.0 / 100.0) * 0.4
+              WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+                    < CAST(ceil(round(least(1.0, len(string_split(lower(text),' ')) * 1.0 / 100.0) * 0.4
                          + (len(list_filter(string_split(lower(text),' '), x -> list_contains(['the','and','of','to','a','in','is'], x))) * 1.0 / len(string_split(lower(text),' '))) * 0.3
-                         + (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)) * 0.3, 6)
+                         + (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)) * 0.3, 6) * 1152921504606846976.0) AS BIGINT)
               ORDER BY doc_id"""),
       (s, d) => Pipeline.weightedSample(Tables.spread(t(s, d, "documents")),
           col("doc_id"), TextAnalysis.qualityScore(col("text")))
@@ -1125,8 +1125,10 @@ object Queries {
       // CASE over the shared md5-uniform variate — a doc's split never
       // changes across re-runs or corpus growth (Pipeline.splitByHash)
       Some("""SELECT doc_id,
-                     CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
-              FROM (SELECT doc_id, CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) / 1152921504606846976.0 AS u
+                     CASE WHEN m < CAST(ceil(0.8 * 1152921504606846976.0) AS BIGINT) THEN 'train'
+                          WHEN m < CAST(ceil(0.9 * 1152921504606846976.0) AS BIGINT) THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id, CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS m
                     FROM documents) ORDER BY doc_id"""),
       (s, d) => Pipeline.splitByHash(t(s, d, "documents"), col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.9), "test")
@@ -1294,7 +1296,8 @@ object Queries {
                           FROM j WHERE (a % 2) <> (b % 2)),
               surv AS (SELECT doc_id, source FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM dup_new))
               SELECT doc_id, source,
-                     CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) / 1152921504606846976.0 < 0.9
+                     CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+                               < CAST(ceil(0.9 * 1152921504606846976.0) AS BIGINT)
                           THEN 'train' ELSE 'val' END AS split
               FROM surv ORDER BY doc_id"""),
       (s, d) => {
@@ -1305,8 +1308,13 @@ object Queries {
           .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text"))
           .unionByName(docs.filter(col("doc_id") % 2 === 1)
             .select("doc_id", "source", "text"))
+        // the exact-dedup output feeds four downstream subplans (LSH
+        // union, candidate rescan, new-side tagging, final anti-join);
+        // Spark reuses exchanges, not arbitrary subtrees, so materialize
+        // the stage once — the single-JVM stand-in for the durable
+        // stage-output write a production pipeline does here anyway
         val exactKept = Dedup.bloomIngestDedup(crawl, corpus, "doc_id", "text",
-          5000L, 0.03)
+          5000L, 0.03).localCheckpoint()
         val dupNew = Dedup.crossCorpusNearDups(exactKept, corpus,
             "doc_id", "text", 3, 0.7)
           .select(col("new_id").as("doc_id")).distinct()

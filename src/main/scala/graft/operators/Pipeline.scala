@@ -46,29 +46,45 @@ object Pipeline {
   def hashGate(key: Column, fraction: Double): Column =
     md5(key.cast("string")) < lit(hexBound(fraction))
 
-  /** Uniform [0,1) variate from the row key: the first 15 md5 hex digits
-    * as a 60-bit integer over 2^60. Pure codegen'd expression, engine-
-    * portable (any md5 agrees; 60 bits fit a signed 64-bit int in both
-    * Spark and the DuckDB oracle — 16 digits would not). For dyadic
-    * fractions this refines [[hashGate]] exactly: `hashUniform(k) < 0.5`
-    * selects precisely the `hashGate(k, 0.5)` rows.
+  /** The first 15 md5 hex digits of the key as a 60-bit long — the
+    * numerator of [[hashUniform]]. 60 bits fit a signed 64-bit int in
+    * both Spark and the DuckDB oracle (16 digits would not).
+    */
+  private def hashPrefix60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Uniform [0,1) variate from the row key: [[hashPrefix60]] over 2^60.
+    * Pure codegen'd expression, engine-portable. Use for ORDERING (the
+    * double division is monotone in the prefix); for threshold tests use
+    * [[uBelow]] — the long→double conversion rounds the 60-bit numerator
+    * to 53 bits, so a raw `hashUniform(k) < bound` flips a ~2^-55 band
+    * of keys at each dyadic boundary relative to [[hashGate]].
     */
   def hashUniform(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") /
-      lit(1152921504606846976.0)
+    hashPrefix60(key) / lit(1152921504606846976.0)
+
+  /** Exact integer-domain test for "variate below p": prefix < ceil(p·2^60)
+    * compared as longs, no double rounding of the variate. For dyadic `p`
+    * this selects EXACTLY the [[hashGate]] rows (p·2^60 is an exact power
+    * of two), so samples, splits and gates built on the shared variate
+    * compose without boundary drift.
+    */
+  private[operators] def uBelow(key: Column, p: Column): Column =
+    hashPrefix60(key) < ceil(p * lit(1152921504606846976.0))
 
   /** Probability-proportional deterministic sampling — the soft quality
     * filter of DCLM/DataComp-style curation (keep each doc with
     * probability equal to its quality score, rather than a hard
-    * threshold): keep iff hashUniform(key) < p, with `p` a per-row column
-    * in [0,1] (p <= 0 drops, p >= 1 keeps — the variate never reaches
-    * 1.0). Same contract as the other samplers: selection is a pure
-    * function of row content, so re-runs/backfills/retries agree with no
-    * seed coordination, and the gate is one codegen'd predicate fused
-    * into the scan — no shuffle at any scale.
+    * threshold): keep iff the key's variate falls below `p` ([[uBelow]],
+    * exact in the integer domain), with `p` a per-row column in [0,1]
+    * (p <= 0 drops, p >= 1 keeps — the variate never reaches 1.0). Same
+    * contract as the other samplers: selection is a pure function of row
+    * content, so re-runs/backfills/retries agree with no seed
+    * coordination, and the gate is one codegen'd predicate fused into
+    * the scan — no shuffle at any scale.
     */
   def weightedSample(docs: DataFrame, key: Column, p: Column): DataFrame =
-    docs.filter(hashUniform(key) < p)
+    docs.filter(uBelow(key, p))
 
   /** Deterministic dataset split (train/val/test): tag each row with the
     * first split whose strict upper [[hashUniform]] bound exceeds the
@@ -83,9 +99,8 @@ object Pipeline {
                   rest: String): DataFrame = {
     require(bounds.nonEmpty, "at least one split bound")
     require(bounds.map(_._2) == bounds.map(_._2).sorted, "bounds must ascend")
-    val u = hashUniform(key)
     val tag = bounds.reverse.foldLeft(lit(rest)) { case (acc, (name, b)) =>
-      when(u < lit(b), lit(name)).otherwise(acc)
+      when(uBelow(key, lit(b)), lit(name)).otherwise(acc)
     }
     docs.withColumn("split", tag)
   }
