@@ -1227,6 +1227,25 @@ object Queries {
           col("n_chars"), 2000)
         .select("doc_id", "source", "pack_id").orderBy("doc_id")),
 
+    QueryDef("q_pack_emit",
+      // pack EMISSION: concatenate each pack's docs in doc order into one
+      // training record (the step after q_pack_sequences assigns ids).
+      // One hash agg on (source, pack_id); per-group state is bounded by
+      // the pack budget (Pipeline.emitPacked).
+      Some("""WITH p AS (SELECT doc_id, source, text,
+                     CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                                    ROWS UNBOUNDED PRECEDING) - n_chars)
+                                / 2000.0) AS BIGINT) AS pack_id
+              FROM documents)
+              SELECT source, pack_id, count(*) AS n_docs,
+                     string_agg(text, ' ' ORDER BY doc_id) AS pack_text
+              FROM p GROUP BY source, pack_id ORDER BY source, pack_id"""),
+      (s, d) => Pipeline.emitPacked(
+          Pipeline.packSequences(t(s, d, "documents"), "source", "doc_id",
+            col("n_chars"), 2000),
+          "source", "doc_id", "text")
+        .orderBy("source", "pack_id")),
+
     QueryDef("q_pipeline_e2e",
       // the four curation stages COMPOSED as one DAG, the way a real
       // pipeline runs them: quality keep-filter → exact-dedup prune

@@ -185,6 +185,22 @@ object Pipeline {
         round(col("n_contaminated") * lit(1.0) / col("n_grams"), 6).as("frac"))
   }
 
+  /** Materialize packed training records: concatenate each pack's docs in
+    * `orderCol` order into one text per (partition, pack) — the emission
+    * step after [[packSequences]] assigns pack ids. One hash aggregation
+    * on (partition, pack_id); each group holds ~budget characters by
+    * construction, so per-group state is bounded by the pack budget, not
+    * the corpus. The array_sort-then-join inside the aggregate makes the
+    * concatenation order deterministic regardless of arrival order.
+    */
+  def emitPacked(packed: DataFrame, partCol: String, orderCol: String,
+                 text: String): DataFrame =
+    packed.groupBy(col(partCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col(orderCol), col(text)))),
+            p => p.getField(text)), " ").as("pack_text"))
+
   /** Mixture weighting by integer epoch counts: repeat each source's docs
     * `weights(source)` times (default 1), tagging each copy with its epoch
     * index. The explode is map-side — upsampling never shuffles the corpus;

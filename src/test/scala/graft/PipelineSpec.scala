@@ -211,6 +211,22 @@ class PipelineSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).head._3 === expected)
   }
 
+  test("emitPacked reassembles each source exactly: pack texts in pack " +
+      "order concatenate to the docs in doc order, nothing lost") {
+    val packed = Pipeline.packSequences(docs, "source", "doc_id",
+      col("n_chars"), 2000)
+    val emitted = Pipeline.emitPacked(packed, "source", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(emitted.map(_._3).sum === docs.count())
+    val reassembled = emitted.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._4).mkString(" ")).toMap
+    val expected = docs.select("source", "doc_id", "text")
+      .as[(String, Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    assert(reassembled === expected)
+  }
+
   test("packSequences chunks by exclusive prefix sum within each group") {
     val df = Seq(
       ("a", 1L, 900L), ("a", 2L, 900L), ("a", 3L, 900L), ("a", 4L, 900L),
