@@ -1213,6 +1213,27 @@ object Queries {
           Seq("src0" -> 3, "src1" -> 2))
         .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")),
 
+    QueryDef("q_mix_fractional",
+      // FRACTIONAL mixture weights (DoReMi/LLaMA-style "2.5 epochs of
+      // src0"): floor(w) full copies + an extra epoch holding an md5
+      // hash-gated frac(w) sample — src0 ×2.5, src1 ×0.25, rest ×1
+      // (Pipeline.mixEpochsFractional; bounds are 8-hex md5 prefixes)
+      Some("""WITH w AS (SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                                 ELSE 1 END AS n_full,
+                     CASE source WHEN 'src0' THEN '80000000'
+                                 WHEN 'src1' THEN '40000000'
+                                 ELSE '00000000' END AS bound
+              FROM documents)
+              SELECT doc_id, source, epoch
+              FROM w, UNNEST(range(1, n_full + 1 +
+                     CASE WHEN md5(CAST(doc_id AS VARCHAR)) < bound
+                          THEN 1 ELSE 0 END)) t(epoch)
+              ORDER BY doc_id, epoch"""),
+      (s, d) => Pipeline.mixEpochsFractional(t(s, d, "documents"), "source",
+          col("doc_id"), Seq("src0" -> 2.5, "src1" -> 0.25))
+        .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")),
+
     QueryDef("q_pack_sequences",
       // budget-chunked sequence packing: per-source prefix-sum windows
       // assign docs to consecutive ~2000-char packs — the tokenizer-feed

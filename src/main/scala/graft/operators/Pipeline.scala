@@ -219,6 +219,34 @@ object Pipeline {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Mixture weighting by FRACTIONAL epoch counts — the shape real mixture
+    * recipes use (DoReMi / LLaMA-style weights like "2.3 epochs of web"):
+    * weight w yields floor(w) full copies of the source plus one extra
+    * epoch holding a deterministic [[hashGate]](frac(w)) sample of its
+    * docs. Unlisted sources default to exactly one epoch; weight 0 drops
+    * the source. Same map-side explode as [[mixEpochs]] — upsampling never
+    * shuffles the corpus — and the fractional epoch's membership is
+    * content-addressed, so re-runs and backfills pick identical rows.
+    */
+  def mixEpochsFractional(docs: DataFrame, sourceCol: String, idCol: Column,
+                          weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.forall(_._2 >= 0.0), s"epoch weights must be >= 0: $weights")
+    val full = weights.foldLeft(lit(1L)) {
+      case (acc, (s, w)) =>
+        when(col(sourceCol) === s, lit(math.floor(w).toLong)).otherwise(acc)
+    }
+    val fracKeep = weights.foldLeft(lit(false)) {
+      case (acc, (s, w)) =>
+        val frac = w - math.floor(w)
+        when(col(sourceCol) === s,
+          if (frac == 0.0) lit(false) else hashGate(idCol, frac)).otherwise(acc)
+    }
+    val base = when(full >= 1L, sequence(lit(1L), full))
+      .otherwise(array().cast("array<bigint>"))
+    docs.withColumn("epoch",
+      explode(when(fracKeep, concat(base, array(full + 1L))).otherwise(base)))
+  }
+
   /** Budget-chunked sequence packing: within each `partCol` group, assign
     * docs (in `orderCol` order) to consecutive packs of cumulative `sizeCol`
     * up to `budget` — pack_id = floor(exclusive-prefix-sum / budget). One

@@ -68,6 +68,17 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("dupGroups pointer jumping: a 40-node chain converges in O(log d) " +
+    "rounds, far under its diameter") {
+    // path graph 0-1-...-39: one-hop propagation needs 39 rounds; path
+    // halving must land every node on 0 within 10
+    val nodes = (0L to 39L).toDF("doc_id")
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.dupGroups(nodes, pairs, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 40 && got.values.forall(_ === 0L))
+  }
+
   test("simhash finds the tight near-duplicates (hamming <= 3 subset)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .select("a", "b").as[(Long, Long)].collect().toSet

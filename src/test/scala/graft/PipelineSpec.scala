@@ -159,6 +159,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mixEpochsFractional: integer weights reduce to mixEpochs; the " +
+    "fractional epoch is the source's hash-gated sample") {
+    val intFrac = Pipeline.mixEpochsFractional(docs, "source", col("doc_id"),
+        Seq("src0" -> 3.0, "src1" -> 2.0))
+      .select("doc_id", "source", "epoch").as[(Long, String, Long)].collect().toSet
+    val intExact = Pipeline.mixEpochs(docs, "source",
+        Seq("src0" -> 3, "src1" -> 2))
+      .select("doc_id", "source", "epoch").as[(Long, String, Long)].collect().toSet
+    assert(intFrac === intExact)
+
+    val mixed = Pipeline.mixEpochsFractional(docs, "source", col("doc_id"),
+      Seq("src0" -> 2.5, "src1" -> 0.25))
+    val src0 = docs.filter(col("source") === "src0")
+    val src1 = docs.filter(col("source") === "src1")
+    // src0: epochs 1 and 2 hold every doc; epoch 3 holds exactly the
+    // hashGate(0.5) subset
+    val byEpoch = mixed.filter(col("source") === "src0")
+      .groupBy("epoch").count().as[(Long, Long)].collect().toMap
+    assert(byEpoch(1L) === src0.count() && byEpoch(2L) === src0.count())
+    val gated0 = src0.filter(Pipeline.hashGate(col("doc_id"), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val epoch3 = mixed.filter(col("source") === "src0" && col("epoch") === 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(epoch3 === gated0 && !byEpoch.contains(4L))
+    // src1 (weight < 1): only the gated sample survives, in epoch 1
+    val gated1 = src1.filter(Pipeline.hashGate(col("doc_id"), 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    val src1Rows = mixed.filter(col("source") === "src1")
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+    assert(src1Rows.map(_._1).toSet === gated1 && src1Rows.forall(_._2 === 1L))
+    // unlisted sources keep exactly one epoch
+    val rest = mixed.filter(!col("source").isin("src0", "src1"))
+    assert(rest.count() ===
+      docs.filter(!col("source").isin("src0", "src1")).count())
+    assert(rest.filter(col("epoch") =!= 1L).count() === 0L)
+  }
+
   test("plan shapes: sampling and mixing are scan-fused (no exchange); " +
     "packing shuffles exactly once, on its partitioning column") {
     def planOf(df: org.apache.spark.sql.DataFrame): String =
