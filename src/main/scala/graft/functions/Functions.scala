@@ -25,6 +25,7 @@ object Functions {
     "lsh_code"        -> (es => LshCode(es(0), es(1), es(2))),
     "minhash_agg"     -> (es => MinHashAgg(es(0), es(1),
       es(2).eval().asInstanceOf[Int])),
+    "minhash_sig"     -> (es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int])),
     "simhash_agg"     -> (es => SimHashAgg(es(0))),
     // topk_rows_agg(struct, k, sort_ordinals, desc_flags) — constant args
     // evaluated at build time (array literals)

@@ -148,3 +148,55 @@ case class SimHashAgg(h: Expression,
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): SimHashAgg =
     copy(h = cs(0))
 }
+
+/** `minhash_sig(shingles, numPerms)` — the whole MinHash signature computed
+  * in ONE pass over a document's shingle array, per row, inside the scan
+  * stage. Permutation convention identical to [[MinHashAgg]] fed by
+  * `murmur64(s, 1)` / `murmur64(s, 2)`: perm_j(s) = h1(s) + j*h2(s),
+  * wrapping 64-bit, buffer keeps per-permutation minima. min() is
+  * duplicate-invariant, so feeding raw (non-distinct) shingles yields the
+  * same bits as the exploded-distinct aggregate — without materializing a
+  * row per shingle or paying the hash-aggregate machinery, and with no
+  * shuffle at all in the signature stage.
+  */
+case class MinHashSig(child: Expression, numPerms: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(numPerms >= 1, s"minhash_sig needs >= 1 permutation, got $numPerms")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string> shingles, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val buf = Array.fill(numPerms)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        val a = CassandraMurmur3.hashString(s, 1L)
+        val b = CassandraMurmur3.hashString(s, 2L)
+        var j = 0
+        var v = a
+        while (j < numPerms) {
+          if (v < buf(j)) buf(j) = v
+          v += b // (a + j*b) by strength reduction, wrapping like MinHashAgg
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

@@ -145,6 +145,18 @@ object Dedup {
       .groupBy("doc_id")
       .agg(call_function("minhash_agg", col("h1"), col("h2"), lit(numPerms)).as("sig"))
 
+  /** Scan-fused signatures: the whole signature per doc in one row-local
+    * pass (`minhash_sig` native expression) — bit-identical to
+    * [[minhashSignatures]] over [[explodedShingles]] (min is duplicate-
+    * invariant) with NO shuffle and no per-shingle row materialization.
+    * Null texts yield no signature row, matching the explode path's drop.
+    */
+  def minhashSignaturesFused(docs: DataFrame, id: String, text: String,
+                             k: Int, numPerms: Int): DataFrame =
+    docs.select(col(id).as("doc_id"),
+        call_function("minhash_sig", shingles(col(text), k), lit(numPerms)).as("sig"))
+      .filter(col("sig").isNotNull)
+
   /** Banded LSH buckets: (doc_id, band, bkey). bkey digests the band's rows
     * so the bucket join key is constant-width however many rows per band.
     */
@@ -225,8 +237,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, id: String, text: String, k: Int,
                  threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val docsS = graft.Tables.spread(docs)
-    val sigs = minhashSignatures(explodedShingles(docsS, id, text, k), bands * rowsPerBand)
+    val sigs = minhashSignaturesFused(docsS, id, text, k, bands * rowsPerBand)
+    // the candidate set is consumed three times below (both union branches
+    // of candIds + the verify join) and Spark re-evaluates the whole
+    // sketch pipeline per consumer — materialize the tiny (a, b) table
+    // once; its measured size also lets AQE broadcast the verify joins
     val cands = lshCandidates(lshBuckets(sigs, bands, rowsPerBand))
+      .localCheckpoint()
     val candIds = cands.select(col("a").as("doc_id"))
       .union(cands.select(col("b").as("doc_id"))).distinct()
     val candSets = docsS.join(candIds, docsS(id) === candIds("doc_id"), "left_semi")
@@ -341,6 +358,8 @@ object Dedup {
       .filter(bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))) <= maxHamming)
       .select(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b"))
       .distinct()
+      // consumed three times below — materialize once (see minhashLsh)
+      .localCheckpoint()
     val candIds = cands.select(col("a").as("doc_id"))
       .union(cands.select(col("b").as("doc_id"))).distinct()
     val candSets = docsS.join(candIds, docsS(id) === candIds("doc_id"), "left_semi")

@@ -68,6 +68,16 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("minhash_sig fused signatures are bit-identical to the exploded " +
+    "minhash_agg aggregate") {
+    val viaAgg = Dedup.minhashSignatures(
+        Dedup.explodedShingles(docs, "doc_id", "text", 3), 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    val fused = Dedup.minhashSignaturesFused(docs, "doc_id", "text", 3, 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused === viaAgg)
+  }
+
   test("dupGroups pointer jumping: a 40-node chain converges in O(log d) " +
     "rounds, far under its diameter") {
     // path graph 0-1-...-39: one-hop propagation needs 39 rounds; path
