@@ -1248,6 +1248,49 @@ object Queries {
           col("n_chars"), 2000)
         .select("doc_id", "source", "pack_id").orderBy("doc_id")),
 
+    QueryDef("q_length_quantiles",
+      // sequence-length distribution per source — the analytic that sizes
+      // packing budgets and max-sequence-length cuts. EXACT interpolated
+      // percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
+      // linear interpolation at rank (n-1)p), rounded 6dp against float
+      // artifacts; one partial->final agg, sort state bounded per source
+      Some("""SELECT source,
+                     round(quantile_cont(n_chars, 0.5),  6) AS p50,
+                     round(quantile_cont(n_chars, 0.9),  6) AS p90,
+                     round(quantile_cont(n_chars, 0.99), 6) AS p99,
+                     CAST(min(n_chars) AS BIGINT) AS min_chars,
+                     CAST(max(n_chars) AS BIGINT) AS max_chars
+              FROM documents GROUP BY source ORDER BY source"""),
+      (s, d) => t(s, d, "documents")
+        .groupBy("source")
+        .agg(
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(n_chars, 0.99D)"), 6).as("p99"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source")),
+
+    QueryDef("q_pack_shuffled",
+      // shuffle-then-pack: the training-order shape — docs pack in
+      // DETERMINISTIC md5 hash order within each source (content-addressed
+      // shuffle; no RNG, no global sort), then chunk into ~2000-char packs.
+      // Same single window shuffle as q_pack_sequences, just keyed on the
+      // hash order column
+      Some("""WITH sh AS (SELECT doc_id, source, n_chars,
+                     md5('s7:' || CAST(doc_id AS VARCHAR)) AS sk
+              FROM documents)
+              SELECT doc_id, source,
+                     CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY sk
+                                                    ROWS UNBOUNDED PRECEDING) - n_chars)
+                                / 2000.0) AS BIGINT) AS pack_id
+              FROM sh ORDER BY doc_id"""),
+      (s, d) => Pipeline.packSequences(
+          t(s, d, "documents")
+            .withColumn("sk", md5(concat(lit("s7:"), col("doc_id").cast("string")))),
+          "source", "sk", col("n_chars"), 2000)
+        .select("doc_id", "source", "pack_id").orderBy("doc_id")),
+
     QueryDef("q_pack_emit",
       // pack EMISSION: concatenate each pack's docs in doc order into one
       // training record (the step after q_pack_sequences assigns ids).
