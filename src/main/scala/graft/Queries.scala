@@ -1636,6 +1636,23 @@ object Queries {
           .orderBy("doc_id", "rank")
       }),
 
+    QueryDef("q_vocab_bigrams",
+      // vocabulary induction / BPE merge-candidate ranking: the corpus's
+      // top-100 adjacent-token pairs. One partial->final hash agg + a
+      // bounded TakeOrderedAndProject cut; cnt-desc/gram-asc tie-break
+      // makes the selected set engine-deterministic
+      // (TextAnalysis.topNgrams)
+      Some("""WITH toks AS (
+                SELECT string_split(lower(text), ' ') AS t FROM documents
+              ), g AS (
+                SELECT t[i] || ' ' || t[i + 1] AS gram
+                FROM toks, UNNEST(range(1, len(t))) u(i)
+                WHERE len(t) >= 2
+              )
+              SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+              ORDER BY cnt DESC, gram LIMIT 100"""),
+      (s, d) => TextAnalysis.topNgrams(t(s, d, "documents"), "text", 2, 100)),
+
     QueryDef("q_text_chunks",
       // overlapping word-window chunking (context-length-bounded training
       // corpora): starts at 0, 16, 32, … while start < |words|, 32-word

@@ -132,4 +132,30 @@ object TextAnalysis {
     CqlOps.perPartitionLimitAgg(scored, Seq("doc_id"),
       Seq(("score", true), ("term", false)), topK, "rank")
   }
+
+  /** Corpus-global top-k n-gram counts — the vocabulary-induction /
+    * BPE-merge-candidate analytic (rank the adjacent-token pairs a first
+    * merge step would consider). Docs shorter than n words contribute
+    * nothing (no clamping — this is a corpus statistic, not a dedup key).
+    * Ties at the cut break by gram ascending, so the selected SET is
+    * deterministic and engine-reproducible.
+    *
+    * Shape at scale: the explode restates the corpus n tokens deep, the
+    * count is one partial→final hash aggregation (hot grams combine
+    * map-side), and the cut is TakeOrderedAndProject — k rows per
+    * partition then k at the driver, never a full sort of the vocabulary.
+    */
+  def topNgrams(docs: org.apache.spark.sql.DataFrame, text: String,
+                n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && k >= 1, s"topNgrams: need n >= 1 and k >= 1, got ($n, $k)")
+    val w = words(col(text))
+    val grams = when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
 }

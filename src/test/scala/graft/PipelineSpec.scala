@@ -248,6 +248,20 @@ class PipelineSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).head._3 === expected)
   }
 
+  test("topNgrams counts corpus bigrams exactly, cuts at k with a " +
+    "deterministic tie-break, and plans a bounded TakeOrdered") {
+    import graft.operators.TextAnalysis
+    val tiny = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, "y")).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(tiny, "text", 2, 3)
+      .as[(String, Long)].collect().toSeq
+    // bigrams: doc1 {a b, b a, a b, b c}, doc2 {a b, b x}, doc3 none;
+    // k=3 cut takes "b a","b c" from the cnt=1 tie group, drops "b x"
+    assert(got === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+    val plan = TextAnalysis.topNgrams(docs, "text", 2, 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("emitPacked reassembles each source exactly: pack texts in pack " +
       "order concatenate to the docs in doc order, nothing lost") {
     val packed = Pipeline.packSequences(docs, "source", "doc_id",
