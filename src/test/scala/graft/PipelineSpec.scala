@@ -205,8 +205,15 @@ class PipelineSpec extends SparkSpec {
     assert(!planOf(sampled).contains("Exchange"), planOf(sampled))
     val mixed = Pipeline.mixEpochs(docs, "source", Seq("src0" -> 2))
     assert(!planOf(mixed).contains("Exchange"), planOf(mixed))
+    val mixedFrac = Pipeline.mixEpochsFractional(docs, "source", col("doc_id"),
+      Seq("src0" -> 2.5))
+    assert(!planOf(mixedFrac).contains("Exchange"), planOf(mixedFrac))
     val packed = Pipeline.packSequences(docs, "source", "doc_id", col("n_chars"), 2000L)
     assert("Exchange".r.findAllIn(planOf(packed)).size === 1, planOf(packed))
+    // emission adds NO exchange: partitioning by source already co-locates
+    // every (source, pack_id) group, so the agg reuses the window shuffle
+    val emitted = Pipeline.emitPacked(packed, "source", "doc_id", "text")
+    assert("Exchange".r.findAllIn(planOf(emitted)).size === 1, planOf(emitted))
   }
 
   test("contaminationReport frac>0 set equals contaminatedIds; fractions " +
