@@ -1216,7 +1216,9 @@ object Queries {
     QueryDef("q_mix_fractional",
       // FRACTIONAL mixture weights (DoReMi/LLaMA-style "2.5 epochs of
       // src0"): floor(w) full copies + an extra epoch holding an md5
-      // hash-gated frac(w) sample — src0 ×2.5, src1 ×0.25, rest ×1
+      // hash-gated frac(w) sample — src0 ×2.5, src1 ×0.25, rest ×1.
+      // The gate key is salted ('mix:') so the draw is independent of the
+      // samplers/splits sharing the raw md5(id) variate
       // (Pipeline.mixEpochsFractional; bounds are 8-hex md5 prefixes)
       Some("""WITH w AS (SELECT doc_id, source,
                      CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
@@ -1227,7 +1229,7 @@ object Queries {
               FROM documents)
               SELECT doc_id, source, epoch
               FROM w, UNNEST(range(1, n_full + 1 +
-                     CASE WHEN md5(CAST(doc_id AS VARCHAR)) < bound
+                     CASE WHEN md5('mix:' || CAST(doc_id AS VARCHAR)) < bound
                           THEN 1 ELSE 0 END)) t(epoch)
               ORDER BY doc_id, epoch"""),
       (s, d) => Pipeline.mixEpochsFractional(t(s, d, "documents"), "source",

@@ -108,11 +108,12 @@ object Dedup {
       // pointer jump: label(u) := label(label(u)). Every label IS a node
       // id of the same component (initialized to self, min over member
       // ids), so the lookup is total and the adopted label stays in the
-      // component. The lookup side gets fresh attributes straight off the
-      // checkpointed RDD — a plain self-join of the checkpointed union
-      // plan trips Catalyst's union constraint rewrite on the shared ids
-      val jumpMap = hop.sparkSession.createDataFrame(hop.rdd, hop.schema)
-        .toDF("_jd", "_jg")
+      // component. The lookup side is a plain toDF rename of the
+      // checkpointed frame — Catalyst's relation dedup handles the
+      // self-join; both sides scan the stored blocks (no re-aggregation,
+      // no row round-trip). (A subquery-alias self-join of the same plan
+      // trips the union constraint rewrite — keep the bare rename.)
+      val jumpMap = hop.toDF("_jd", "_jg")
       val next = hop.join(jumpMap, col("group_id") === col("_jd"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("_jg"), col("group_id")))
@@ -240,10 +241,12 @@ object Dedup {
     val sigs = minhashSignaturesFused(docsS, id, text, k, bands * rowsPerBand)
     // the candidate set is consumed three times below (both union branches
     // of candIds + the verify join) and Spark re-evaluates the whole
-    // sketch pipeline per consumer — materialize the tiny (a, b) table
-    // once; its measured size also lets AQE broadcast the verify joins
+    // sketch pipeline per consumer — checkpoint the tiny (a, b) table so
+    // it materializes once (lazily: construction/explain stay free of
+    // jobs; the first action computes it and every consumer reads the
+    // stored blocks)
     val cands = lshCandidates(lshBuckets(sigs, bands, rowsPerBand))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val candIds = cands.select(col("a").as("doc_id"))
       .union(cands.select(col("b").as("doc_id"))).distinct()
     val candSets = docsS.join(candIds, docsS(id) === candIds("doc_id"), "left_semi")
@@ -358,8 +361,8 @@ object Dedup {
       .filter(bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))) <= maxHamming)
       .select(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b"))
       .distinct()
-      // consumed three times below — materialize once (see minhashLsh)
-      .localCheckpoint()
+      // consumed three times below — lazily materialize once (see minhashLsh)
+      .localCheckpoint(eager = false)
     val candIds = cands.select(col("a").as("doc_id"))
       .union(cands.select(col("b").as("doc_id"))).distinct()
     val candSets = docsS.join(candIds, docsS(id) === candIds("doc_id"), "left_semi")

@@ -227,6 +227,13 @@ object Pipeline {
     * the source. Same map-side explode as [[mixEpochs]] — upsampling never
     * shuffles the corpus — and the fractional epoch's membership is
     * content-addressed, so re-runs and backfills pick identical rows.
+    *
+    * The gate key is SALTED (`mix:` prefix): the raw md5(id) variate is
+    * shared by [[stratifiedSample]]/[[splitByHash]]/[[weightedSample]], and
+    * an unsalted gate would be fully correlated with any upstream sampler —
+    * e.g. after a 0.5 stratified sample, an unsalted 0.5 fractional epoch
+    * would keep EVERY survivor (effective weight w+0.5, not w+0.25 of the
+    * original). The salt makes this operator's draw independent.
     */
   def mixEpochsFractional(docs: DataFrame, sourceCol: String, idCol: Column,
                           weights: Seq[(String, Double)]): DataFrame = {
@@ -235,11 +242,12 @@ object Pipeline {
       case (acc, (s, w)) =>
         when(col(sourceCol) === s, lit(math.floor(w).toLong)).otherwise(acc)
     }
+    val saltedId = concat(lit("mix:"), idCol.cast("string"))
     val fracKeep = weights.foldLeft(lit(false)) {
       case (acc, (s, w)) =>
         val frac = w - math.floor(w)
         when(col(sourceCol) === s,
-          if (frac == 0.0) lit(false) else hashGate(idCol, frac)).otherwise(acc)
+          if (frac == 0.0) lit(false) else hashGate(saltedId, frac)).otherwise(acc)
     }
     val base = when(full >= 1L, sequence(lit(1L), full))
       .otherwise(array().cast("array<bigint>"))

@@ -178,13 +178,21 @@ class PipelineSpec extends SparkSpec {
     val byEpoch = mixed.filter(col("source") === "src0")
       .groupBy("epoch").count().as[(Long, Long)].collect().toMap
     assert(byEpoch(1L) === src0.count() && byEpoch(2L) === src0.count())
-    val gated0 = src0.filter(Pipeline.hashGate(col("doc_id"), 0.5))
+    def mixKey = concat(lit("mix:"), col("doc_id").cast("string"))
+    val gated0 = src0.filter(Pipeline.hashGate(mixKey, 0.5))
       .select("doc_id").as[Long].collect().toSet
     val epoch3 = mixed.filter(col("source") === "src0" && col("epoch") === 3L)
       .select("doc_id").as[Long].collect().toSet
     assert(epoch3 === gated0 && !byEpoch.contains(4L))
+    // the salted gate is decorrelated from the raw md5(id) variate the
+    // samplers/splits use: after an upstream 0.5 stratified sample, the
+    // 0.5 fractional epoch must NOT keep every survivor
+    val rawGated0 = src0.filter(Pipeline.hashGate(col("doc_id"), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(epoch3 !== rawGated0)
+    assert((epoch3 & rawGated0).size < rawGated0.size)
     // src1 (weight < 1): only the gated sample survives, in epoch 1
-    val gated1 = src1.filter(Pipeline.hashGate(col("doc_id"), 0.25))
+    val gated1 = src1.filter(Pipeline.hashGate(mixKey, 0.25))
       .select("doc_id").as[Long].collect().toSet
     val src1Rows = mixed.filter(col("source") === "src1")
       .select("doc_id", "epoch").as[(Long, Long)].collect()

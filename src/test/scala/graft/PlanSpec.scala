@@ -80,13 +80,32 @@ class PlanSpec extends SparkSpec {
   test("minhash signature shuffle carries sketch buffers, never shingle lists") {
     // the round-3 shape: no corpus-wide persist, no collect_list of
     // shingles through the exchange — every shuffle either moves the
-    // fixed-width minhash_agg partial buffer or id/band keys
+    // fixed-width signature or id/band keys
     spark.catalog.clearCache() // other suites may have cached source tables
     val df = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
     df.collect()
     val p = df.queryExecution.explainString(FormattedMode)
     assert(!p.contains("collect_list"), "no collect_list anywhere in the minhash plan")
     assert(!p.contains("InMemoryTableScan"), "no persisted corpus table in the minhash plan")
+    // the final plan stops at the candidate checkpoint boundary (Scan
+    // ExistingRDD), so ALSO inspect the pre-checkpoint sketch pipeline the
+    // operator builds internally: signatures must be scan-fused (zero
+    // exchanges — the minhash_sig expression, not an explode + aggregate)
+    // and the candidate stage must not collect shingle lists either
+    val docs = graft.Tables.documents(spark, sf)
+    val sigs = graft.operators.Dedup
+      .minhashSignaturesFused(docs, "doc_id", "text", 3, 64)
+    val sigPlan = sigs.queryExecution.explainString(FormattedMode)
+    assert(!sigPlan.contains("Exchange"),
+      "fused signatures must not shuffle:\n" + sigPlan.take(2000))
+    assert(sigPlan.contains("minhash_sig"), sigPlan.take(2000))
+    val sketch = graft.operators.Dedup.lshCandidates(
+      graft.operators.Dedup.lshBuckets(sigs, 16, 4))
+    val sketchPlan = sketch.queryExecution.explainString(FormattedMode)
+    assert(!sketchPlan.contains("collect_list"),
+      "no shingle lists through the candidate exchange")
+    assert(!sketchPlan.contains("InMemoryTableScan"),
+      "no persisted corpus in the candidate pipeline")
   }
 
   test("engine-path inventory queries read bulk data from parquet segments, not a driver tail") {
