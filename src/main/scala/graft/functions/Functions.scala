@@ -27,6 +27,7 @@ object Functions {
       es(2).eval().asInstanceOf[Int])),
     "minhash_sig"     -> (es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int])),
     "simhash_agg"     -> (es => SimHashAgg(es(0))),
+    "simhash_sig"     -> (es => SimHashSig(es(0))),
     // topk_rows_agg(struct, k, sort_ordinals, desc_flags) — constant args
     // evaluated at build time (array literals)
     "topk_rows_agg"   -> (es => TopKRowsAgg(es(0),

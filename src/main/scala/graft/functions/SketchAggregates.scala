@@ -200,3 +200,53 @@ case class MinHashSig(child: Expression, numPerms: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
+
+/** `simhash_sig(shingles)` — the 64-bit SimHash computed in one row-local
+  * pass, scan-fused like [[MinHashSig]]. Votes over the DISTINCT shingles
+  * of the row (an internal string set — SimHash is NOT duplicate-invariant,
+  * so the dedup that [[graft.operators.Dedup.explodedShingles]] performs
+  * must happen here too for bit-parity with the exploded [[SimHashAgg]]
+  * route) with the same `murmur64(s, 0x51c0)` base hash and >= 0 bit rule.
+  */
+case class SimHashSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig requires array<string> shingles, got $t")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[String]()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        if (seen.add(s)) {
+          val hv = CassandraMurmur3.hashString(s, 0x51c0L)
+          var j = 0
+          while (j < 64) {
+            if (((hv >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) >= 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}

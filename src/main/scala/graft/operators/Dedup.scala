@@ -336,16 +336,26 @@ object Dedup {
     sh.groupBy("doc_id")
       .agg(call_function("simhash_agg", murmur64(col("s"), lit(0x51c0L))).as("simhash"))
 
+  /** Scan-fused SimHash: one row-local pass (`simhash_sig` expression,
+    * internal distinct — bit-identical to [[simhashSignatures]] over
+    * [[explodedShingles]]), no shuffle, no per-shingle rows.
+    */
+  def simhashSignaturesFused(docs: DataFrame, id: String, text: String,
+                             k: Int): DataFrame =
+    docs.select(col(id).as("doc_id"),
+        call_function("simhash_sig", shingles(col(text), k)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
   /** SimHash near-dup pairs: pigeonhole candidate join (any of four 16-bit
     * chunks equal ⇒ covers all pairs with hamming distance <= 3), hamming
     * filter, then exact-Jaccard verification like the other paths.
     */
   def simhashPairs(docs: DataFrame, id: String, text: String, k: Int,
                    maxHamming: Int, threshold: Double): DataFrame = {
-    // SimHashAgg partially aggregates its vote buffer map-side — the
-    // signature shuffle carries 256-byte buffers, never raw shingles
+    // signatures are scan-fused (simhash_sig) — no shingle rows, no
+    // shuffle at all in the signature stage
     val docsS = graft.Tables.spread(docs)
-    val perDoc = simhashSignatures(explodedShingles(docsS, id, text, k))
+    val perDoc = simhashSignaturesFused(docsS, id, text, k)
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("ci"), shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xffffL)).as("cv"))
     }

@@ -78,6 +78,25 @@ class DedupSpec extends SparkSpec {
     assert(fused === viaAgg)
   }
 
+  test("simhash_sig fused signatures are bit-identical to the exploded " +
+    "simhash_agg aggregate (internal distinct included)") {
+    val viaAgg = Dedup.simhashSignatures(
+        Dedup.explodedShingles(docs, "doc_id", "text", 3))
+      .as[(Long, Long)].collect().toMap
+    val fused = Dedup.simhashSignaturesFused(docs, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(fused === viaAgg)
+    // a doc with repeated shingles exercises the internal dedup: votes
+    // must count each distinct shingle once, like explodedShingles does
+    val rep = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val a = Dedup.simhashSignatures(
+        Dedup.explodedShingles(rep, "doc_id", "text", 2))
+      .as[(Long, Long)].collect().toMap
+    val f = Dedup.simhashSignaturesFused(rep, "doc_id", "text", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(f === a)
+  }
+
   test("dupGroups pointer jumping: a 40-node chain converges in O(log d) " +
     "rounds, far under its diameter") {
     // path graph 0-1-...-39: one-hop propagation needs 39 rounds; path
