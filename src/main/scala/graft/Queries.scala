@@ -937,6 +937,34 @@ object Queries {
           .orderBy("new_id", "corpus_id")
       }),
 
+    QueryDef("q_dedup_lsh_index",
+      // the SAME cross-corpus contract served through the persistent LSH
+      // index: build + save the even-id corpus's buckets/shingle-sets,
+      // reload, then ingest the odd-id crawl against the loaded index —
+      // only the crawl is sketched; the corpus side is the stored parquet.
+      // Oracle: identical to q_dedup_cross_corpus (bit-equal output is the
+      // index's whole point)
+      Some("""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+              sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))])) AS s FROM d),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+              j AS (SELECT p.a, p.b, round(p.c * 1.0 / (sx.n + sy.n - p.c), 6) AS jaccard
+                    FROM p JOIN sz sx ON p.a = sx.doc_id JOIN sz sy ON p.b = sy.doc_id
+                    WHERE round(p.c * 1.0 / (sx.n + sy.n - p.c), 6) >= 0.7)
+              SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS new_id,
+                     CASE WHEN a % 2 = 1 THEN b ELSE a END AS corpus_id, jaccard
+              FROM j WHERE (a % 2) <> (b % 2) ORDER BY new_id, corpus_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = t(s, d, "documents")
+        val dir = tmpDir("graft-lshidx")
+        Dedup.lshIndexBuild(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", 3).save(dir.toString)
+        Dedup.ingestAgainstLshIndex(docs.filter(col("doc_id") % 2 === 1),
+            Dedup.lshIndexLoad(s, dir.toString), "doc_id", "text", 3, 0.7)
+          .orderBy("new_id", "corpus_id")
+      }),
+
     QueryDef("q_dedup_bloom_ingest",
       // exact-match tier of incremental ingest: a crawl of re-crawled pages
       // (even doc_id % 4 == 0, identical text under a fresh id) + genuinely

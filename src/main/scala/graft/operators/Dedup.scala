@@ -290,6 +290,71 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Persistent LSH dedup index: the corpus's banded buckets plus its
+    * hashed shingle sets — the steady-state structure
+    * [[crossCorpusNearDups]]'s doc promises. Built once per corpus epoch;
+    * each ingest then sketches ONLY the crawl (see
+    * [[ingestAgainstLshIndex]]) and never re-reads corpus text. [[save]]
+    * partitions buckets by band (co-locates each band's bucket join) and
+    * writes the shingle sets id-keyed; both reload with
+    * [[lshIndexLoad]].
+    */
+  final case class LshIndex(buckets: DataFrame, shingleSets: DataFrame) {
+    def save(dir: String): Unit = {
+      buckets.write.mode("overwrite").partitionBy("band").parquet(s"$dir/buckets")
+      shingleSets.write.mode("overwrite").parquet(s"$dir/shingles")
+    }
+  }
+
+  /** Build the [[LshIndex]] for a corpus: scan-fused signatures → banded
+    * buckets, plus the per-doc hashed shingle sets the verification stage
+    * needs (seed matches [[minhashLsh]]'s verify pass, so index-served
+    * results are bit-identical to the from-scratch pipeline).
+    */
+  def lshIndexBuild(corpus: DataFrame, id: String, text: String, k: Int,
+                    bands: Int = 16, rowsPerBand: Int = 4): LshIndex = {
+    val sigs = minhashSignaturesFused(corpus, id, text, k, bands * rowsPerBand)
+    LshIndex(lshBuckets(sigs, bands, rowsPerBand),
+      corpus.select(col(id).as("doc_id"),
+        hashedShingleSet(col(text), k, 1L).as("shingles")))
+  }
+
+  def lshIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex =
+    LshIndex(spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/shingles"))
+
+  /** Incremental-ingest near-dup detection against a persistent
+    * [[LshIndex]]: same output as
+    * `crossCorpusNearDups(newDocs, corpus, ...)` — (new_id, corpus_id,
+    * jaccard >= threshold), cross-side pairs only — but the corpus side
+    * costs ZERO text scans: the crawl alone is sketched, its buckets
+    * equi-join the saved bucket table on (band, bkey), and verification
+    * joins the saved shingle sets. Bucket/verify parameters must match the
+    * ones the index was built with; ids must be unique across crawl and
+    * corpus.
+    */
+  def ingestAgainstLshIndex(newDocs: DataFrame, index: LshIndex, id: String,
+                            text: String, k: Int, threshold: Double,
+                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val newSigs = minhashSignaturesFused(newDocs, id, text, k, bands * rowsPerBand)
+    val cands = lshBuckets(newSigs, bands, rowsPerBand)
+      .join(index.buckets.withColumnRenamed("doc_id", "b"), Seq("band", "bkey"))
+      .select(col("doc_id").as("a"), col("b"))
+      .distinct()
+      .localCheckpoint(eager = false) // consumed by both verify joins
+    val newSets = newDocs.select(col(id).as("doc_id"),
+      hashedShingleSet(col(text), k, 1L).as("shingles"))
+    // semi-join the (big) stored set table down to candidate ids before the
+    // verify joins — the id set is tiny and broadcasts, so the corpus-side
+    // sets are scanned once and never shuffled in full
+    val candIds = cands.select(col("a").as("doc_id"))
+      .union(cands.select(col("b").as("doc_id"))).distinct()
+    val perDoc = newSets.unionByName(index.shingleSets)
+      .join(candIds, Seq("doc_id"), "left_semi")
+    verifyByShingleSets(cands, perDoc, threshold)
+      .select(col("a").as("new_id"), col("b").as("corpus_id"), col("jaccard"))
+  }
+
   /** Bloom-prefiltered EXACT ingest dedup: keep the new-crawl docs whose
     * (lowercased) text does not already exist in the corpus. The companion
     * of [[crossCorpusNearDups]] for the exact-match tier of incremental

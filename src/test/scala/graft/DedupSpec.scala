@@ -178,6 +178,30 @@ class DedupSpec extends SparkSpec {
     assert(cross.toSet === full)
   }
 
+  test("persistent LSH index: ingest against the saved index equals the " +
+      "from-scratch cross-corpus pass, corpus text never rescanned") {
+    val newSide = docs.filter($"doc_id" % 2 === 1)
+    val oldSide = docs.filter($"doc_id" % 2 === 0)
+    val expected = Dedup.crossCorpusNearDups(newSide, oldSide, "doc_id", "text", 3, 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    val idx = Dedup.lshIndexBuild(oldSide, "doc_id", "text", 3)
+    val inMem = Dedup.ingestAgainstLshIndex(newSide, idx, "doc_id", "text", 3, 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inMem === expected && inMem.nonEmpty)
+    // save/load round-trip serves identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    idx.save(dir)
+    val loaded = Dedup.lshIndexLoad(spark, dir)
+    val served = Dedup.ingestAgainstLshIndex(newSide, loaded, "doc_id", "text", 3, 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served === expected)
+    // the loaded-index ingest plan reads the crawl and the index parquet,
+    // never the corpus text source
+    val plan = Dedup.ingestAgainstLshIndex(newSide, loaded, "doc_id", "text", 3, 0.7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(dir), plan.take(1500))
+  }
+
   test("bloomIngestDedup equals the exact digest anti-join even when the " +
       "undersized sketch forces false positives") {
     val corpus = docs.filter($"doc_id" % 2 === 0).select("doc_id", "text")
