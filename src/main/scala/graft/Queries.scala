@@ -1860,6 +1860,32 @@ object Queries {
           .orderBy("vec_id")
       }),
 
+    QueryDef("q_embed_normalize",
+      // L2 normalization to the unit sphere (post-normalize, dot == cosine
+      // so ANN scoring drops the per-pair norms). Unit components ship as
+      // round-half-up micros (integer stringify — engine-identical, no
+      // float formatting ambiguity); the norm compares as a 6dp double
+      // (Similarity.l2Normalize; per-vector sequential fold, no cross-row
+      // float accumulation)
+      Some("""WITH n AS (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+              FROM embeddings)
+              SELECT vec_id,
+                     array_to_string(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / greatest(norm, 1e-30) * 1000000.0 + 0.5) AS BIGINT)), ',') AS unit_micro,
+                     round(norm, 6) AS norm
+              FROM n ORDER BY vec_id"""),
+      (s, d) => {
+        val (unit, norm) = Similarity.l2Normalize(col("embedding"))
+        t(s, d, "embeddings")
+          .select(col("vec_id"),
+            concat_ws(",", transform(unit,
+              x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))).as("unit_micro"),
+            round(norm, 6).as("norm"))
+          .orderBy("vec_id")
+      }),
+
     QueryDef("q_timeuuid_bounds",
       // mintimeuuid/maxtimeuuid boundary pattern (TimeFcts.java:69-91) —
       // uuid construction has no DuckDB equivalent, so the oracle compares

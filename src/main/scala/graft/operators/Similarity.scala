@@ -352,6 +352,22 @@ object Similarity {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => (x.cast("double") / scale).cast("float"))
 
+  /** L2 normalization to the unit sphere — the preprocessing step cosine
+    * ANN geometry assumes (post-normalization, dot product == cosine, so
+    * the scorer can skip the per-pair norm work). Purely per-vector: the
+    * squared-sum folds sequentially in ascending index order (double
+    * accumulation), so results are deterministic and engine-reproducible;
+    * no cross-row float accumulation anywhere. Returns (unit vector,
+    * norm). Zero vectors stay zero via the epsilon guard.
+    */
+  def l2Normalize(embedding: Column): (Column, Column) = {
+    val norm = sqrt(aggregate(embedding, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val unit = transform(embedding,
+      x => x.cast("double") / greatest(norm, lit(1e-30)))
+    (unit, norm)
+  }
+
   /** IVF top-k: one-shot train + probe (see [[ivfTrain]]/[[ivfSearch]] for
     * the train-once / search-many production path).
     */

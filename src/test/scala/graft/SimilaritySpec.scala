@@ -14,6 +14,25 @@ class SimilaritySpec extends SparkSpec {
     assert(VectorMath.cosineF(Array(0f, 0f), Array(1f, 1f)) === 0.0)
   }
 
+  test("l2Normalize lands on the unit sphere and makes dot == cosine") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val (unit, norm) = Similarity.l2Normalize(col("embedding"))
+    val rows = emb.select(col("vec_id"), unit.as("u"), norm.as("n"),
+        col("embedding"))
+      .collect()
+    rows.foreach { r =>
+      val u = r.getSeq[Double](1)
+      val unitNorm = math.sqrt(u.map(x => x * x).sum)
+      assert(math.abs(unitNorm - 1.0) < 1e-9, s"vec ${r.getLong(0)}: $unitNorm")
+      // dot of unit vectors == cosine of the originals
+      val e = r.getSeq[Float](3).map(_.toDouble)
+      val cos = graft.functions.VectorMath.cosineF(
+        r.getSeq[Float](3).toArray, r.getSeq[Float](3).toArray)
+      assert(math.abs(cos - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(2) - math.sqrt(e.map(x => x * x).sum)) < 1e-6)
+    }
+  }
+
   test("brute-force top-k ranks by similarity with id tie-break") {
     val emb = Tables.embeddings(spark, sf)
     val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), 5)
