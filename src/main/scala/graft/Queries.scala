@@ -1036,6 +1036,52 @@ object Queries {
       (s, d) => Dedup.duplicatedSpans(t(s, d, "documents"), "doc_id", "text", 8)
         .orderBy("doc_id", "span_start")),
 
+    QueryDef("q_dedup_spans_remove",
+      // the REMOVAL step of ExactSubstr dedup: drop every token inside a
+      // duplicated span, rejoin the survivors (canonical lowercase token
+      // stream for all docs; fully-duplicated docs come back empty). The
+      // oracle replays the span chain then anti-filters token positions.
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+              ), win AS (
+                SELECT doc_id, i AS s, i + 7 AS e,
+                       md5(array_to_string(t[i:i+7], ' ')) AS fp
+                FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+                WHERE len(t) >= 8
+              ), dupfp AS (
+                SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2
+              ), hits AS (
+                SELECT w.doc_id, w.s, w.e FROM win w JOIN dupfp d USING (fp)
+              ), isl AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s - 1
+                            THEN 0 ELSE 1 END AS flag
+                FROM hits
+              ), grp AS (
+                SELECT doc_id, s, e,
+                       sum(flag) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM isl
+              ), spans AS (
+                SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+                FROM grp GROUP BY doc_id, island
+              ), tok_i AS (
+                SELECT doc_id, t[i] AS tok, i
+                FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+              ), kept AS (
+                SELECT ti.doc_id, ti.tok, ti.i FROM tok_i ti
+                WHERE NOT EXISTS (SELECT 1 FROM spans s
+                  WHERE s.doc_id = ti.doc_id
+                    AND ti.i BETWEEN s.span_start AND s.span_end)
+              )
+              SELECT t.doc_id,
+                     coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
+                               FROM kept k WHERE k.doc_id = t.doc_id), '') AS clean_text
+              FROM toks t ORDER BY t.doc_id"""),
+      (s, d) => Dedup.removeDuplicatedSpans(t(s, d, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")),
+
     QueryDef("q_dedup_spans_winnow",
       // winnowed exact-substring spans (Schleimer et al. 2003 / MOSS
       // selection): only the leftmost-minimum md5 of each sliding group of

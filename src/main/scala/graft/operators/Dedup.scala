@@ -484,6 +484,40 @@ object Dedup {
     mergeDupSpans(win, w)
   }
 
+  /** Excise duplicated spans — the REMOVAL step of Lee et al. 2021's
+    * ExactSubstr dedup (the paper cuts the duplicated substrings out of
+    * the corpus; [[duplicatedSpans]] only reports them). Every token
+    * inside any of the doc's duplicated spans is dropped and the
+    * survivors rejoin in order. Output text is the canonical lowercase
+    * single-space token stream for EVERY doc (span-free docs included) so
+    * the two branches agree; a fully-duplicated doc comes back empty.
+    *
+    * Shape at scale: the span table is tiny next to the corpus and joins
+    * id-keyed; the excision itself is row-local (zip, per-token
+    * span-membership test against the doc's own span array, rejoin) — no
+    * explode of the corpus beyond the fingerprint pass already inside
+    * [[duplicatedSpans]].
+    */
+  def removeDuplicatedSpans(docs: DataFrame, id: String, text: String,
+                            w: Int): DataFrame = {
+    val spans = duplicatedSpans(docs, id, text, w)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    val toks = words(col(text))
+    val indexed = zip_with(toks, sequence(lit(1), size(toks)),
+      (t, i) => struct(t.as("t"), i.cast("long").as("i")))
+    val sp = coalesce(col("_spans"),
+      array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    docs.join(spans, docs(id) === spans("doc_id"), "left")
+      .select(docs(id).as("doc_id"),
+        array_join(
+          transform(
+            filter(indexed, p => !exists(sp,
+              s => p("i") >= s("span_start") && p("i") <= s("span_end"))),
+            p => p("t")),
+          " ").as("clean_text"))
+  }
+
   /** Winnowed duplicated spans (Schleimer et al. 2003, "Winnowing: Local
     * Algorithms for Document Fingerprinting" — the MOSS selection): instead
     * of every window, keep only the window whose md5 is the (leftmost)

@@ -162,6 +162,26 @@ class DedupSpec extends SparkSpec {
     assert(spans2 === Seq((1L, 4L), (8L, 11L)))
   }
 
+  test("removeDuplicatedSpans excises exactly the span tokens and keeps " +
+    "everything else in order") {
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
+    val cleaned = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", 8)
+      .as[(Long, String)].collect().toMap
+    val original = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(cleaned.keySet === original.keySet)
+    assert(spans.nonEmpty, "fixture corpus has duplicated spans")
+    original.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1)
+      val keep = toks.zipWithIndex.collect {
+        case (t, ix) if !spans.getOrElse(id, Array.empty[(Long, Long)])
+          .exists { case (s, e) => ix + 1 >= s && ix + 1 <= e } => t
+      }
+      assert(cleaned(id) === keep.mkString(" "), s"doc $id")
+    }
+  }
+
   test("crossCorpusNearDups reports only pairs straddling the sides, " +
       "oriented new -> corpus") {
     val newSide = docs.filter($"doc_id" % 2 === 1)
