@@ -129,7 +129,11 @@ object CqlParser {
     def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     def peekAt(n: Int): Option[Tok] =
       if (pos + n < toks.length) Some(toks(pos + n)) else None
-    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    // EOF must surface as the parser's own error, not an
+    // IndexOutOfBounds (every truncated statement funnels through here)
+    def next(): Tok =
+      if (pos < toks.length) { val t = toks(pos); pos += 1; t }
+      else throw ParseException("unexpected <eof>")
     def done: Boolean = pos >= toks.length || toks(pos).text == ";"
 
     def kw(word: String): Boolean = peek.exists {
@@ -192,8 +196,15 @@ object CqlParser {
             next() // consume the unit tail
             DurationLit(mo, d, n)
           case _ =>
-            if (t.contains('.') || t.toLowerCase.contains('e')) DoubleLit(t.toDouble)
-            else IntLit(t.toLong)
+            // malformed numerics ("1e", "9"*30) must fail as CQL syntax
+            // errors, not NumberFormatException
+            try {
+              if (t.contains('.') || t.toLowerCase.contains('e')) DoubleLit(t.toDouble)
+              else IntLit(t.toLong)
+            } catch {
+              case _: NumberFormatException =>
+                throw ParseException(s"invalid number literal '$t'")
+            }
         }
       case Str(t) => StringLit(t)
       case UuidTok(t) => UuidLit(t.toLowerCase)
