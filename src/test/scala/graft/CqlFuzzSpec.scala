@@ -1,0 +1,80 @@
+package graft
+
+import graft.cql.{CqlEngine, CqlParser}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Grammar-driven engine fuzz: random clause combinations — valid, invalid
+  * and nonsensical alike — must either execute or fail with the engine's
+  * TYPED errors (ParseException / InvalidRequest), never an untyped crash
+  * out of the analyzer or restriction walk. Complements the golden
+  * CQLTester cases with combinations nobody thought to write down.
+  * Fixed-seed generators keep failures reproducible.
+  */
+class CqlFuzzSpec extends SparkSpec {
+
+  private val selectors = Gen.oneOf(
+    "*", "pk", "v", "pk, ck, v", "count(*)", "writetime(v)", "ttl(v)",
+    "m[1]", "CAST(v AS text)", "toJson(v)", "s", "zz", "v + 1", "-v",
+    "sum(v)", "min(ck)", "pk AS alias", "m", "token(pk)")
+  private val relations = Gen.oneOf(
+    "pk = 1", "pk = zz", "ck > 0", "ck < 'x'", "v = 5", "token(pk) > 0",
+    "m CONTAINS 1", "m CONTAINS KEY 1", "m[1] = 2", "ck IN (1, 2)",
+    "(ck) IN ((1))", "pk IN (1, 2, 3)", "v != 3", "ck >= 1 AND ck <= 5",
+    "s = 9", "pk = 1 AND pk = 2", "ck = 1 AND ck > 0", "zz = 1")
+  private val tails = Gen.someOf(
+    "GROUP BY pk", "ORDER BY ck DESC", "ORDER BY zz ASC",
+    "PER PARTITION LIMIT 1", "LIMIT 1", "LIMIT 0", "ALLOW FILTERING")
+
+  private val selectGen: Gen[String] = for {
+    dist <- Gen.oneOf("", "DISTINCT ")
+    sel <- selectors
+    nRel <- Gen.chooseNum(0, 3)
+    rels <- Gen.listOfN(nRel, relations)
+    tail <- tails
+  } yield {
+    val where = if (rels.isEmpty) "" else rels.mkString(" WHERE ", " AND ", "")
+    s"SELECT $dist$sel FROM fz$where ${tail.mkString(" ")}"
+  }
+
+  private val mutationGen: Gen[String] = Gen.oneOf(
+    for (c <- Gen.oneOf("v", "zz", "s", "m"); x <- Gen.chooseNum(-5, 5))
+      yield s"UPDATE fz SET $c = $x WHERE pk = 1 AND ck = 2",
+    for (ts <- Gen.chooseNum(-1L, 10L))
+      yield s"UPDATE fz USING TIMESTAMP $ts SET v = 1 WHERE pk = 1 AND ck = 2",
+    for (w <- Gen.oneOf("pk = 1", "pk = 1 AND ck = 2", "ck = 2", "v = 1",
+      "pk = 1 AND ck > 0", "pk IN (1, 2)"))
+      yield s"DELETE FROM fz WHERE $w",
+    for (cols <- Gen.oneOf("(pk, ck, v)", "(pk, ck)", "(pk, v)", "(pk, ck, zz)");
+         vals <- Gen.oneOf("(1, 2, 3)", "(1, 2)", "(1)", "(null, 2, 3)"))
+      yield s"INSERT INTO fz $cols VALUES $vals",
+    for (c <- Gen.oneOf("v", "m[1]", "m", "s", "ck"))
+      yield s"DELETE $c FROM fz WHERE pk = 1 AND ck = 2")
+
+  test("random SELECT/UPDATE/DELETE/INSERT combinations execute or fail " +
+    "with typed errors only") {
+    val e = new CqlEngine(spark)
+    e.execute("CREATE TABLE fz (pk int, ck int, v int, s int static, " +
+      "m map<int, int>, PRIMARY KEY (pk, ck))")
+    for (pk <- 0 to 2; ck <- 0 to 2)
+      e.execute(s"INSERT INTO fz (pk, ck, v, m) VALUES ($pk, $ck, ${pk + ck}, {1: $ck})")
+    val gen = Gen.frequency(3 -> selectGen, 2 -> mutationGen)
+    var executed = 0
+    var rejected = 0
+    (0 until 120).foreach { i =>
+      gen(Gen.Parameters.default.withSize(1 + i % 20), Seed(0xF0220L + i))
+        .foreach { stmt =>
+          try { e.execute(stmt).collect(); executed += 1 }
+          catch {
+            case _: CqlParser.ParseException => rejected += 1
+            case _: e.InvalidRequest => rejected += 1
+            case ex: Throwable =>
+              fail(s"untyped ${ex.getClass.getSimpleName} on: $stmt\n${ex.getMessage}")
+          }
+        }
+    }
+    // the grammar must actually exercise both paths, or the fuzz is dead
+    assert(executed > 10, s"only $executed statements executed")
+    assert(rejected > 10, s"only $rejected statements rejected")
+  }
+}
