@@ -49,7 +49,21 @@ class CqlFuzzSpec extends SparkSpec {
          vals <- Gen.oneOf("(1, 2, 3)", "(1, 2)", "(1)", "(null, 2, 3)"))
       yield s"INSERT INTO fz $cols VALUES $vals",
     for (c <- Gen.oneOf("v", "m[1]", "m", "s", "ck"))
-      yield s"DELETE $c FROM fz WHERE pk = 1 AND ck = 2")
+      yield s"DELETE $c FROM fz WHERE pk = 1 AND ck = 2",
+    // LWT / CAS analyzer paths
+    for (cond <- Gen.oneOf("IF v = 1", "IF v != 1", "IF v > 0", "IF zz = 1",
+      "IF EXISTS", "IF s = 9", "IF m[1] = 2", "IF v = 1 AND s = 2"))
+      yield s"UPDATE fz SET v = 7 WHERE pk = 1 AND ck = 2 $cond",
+    Gen.oneOf(
+      "INSERT INTO fz (pk, ck, v) VALUES (1, 2, 3) IF NOT EXISTS",
+      "DELETE FROM fz WHERE pk = 1 AND ck = 2 IF EXISTS",
+      "DELETE FROM fz WHERE pk = 1 AND ck = 2 IF v = 1",
+      "DELETE FROM fz WHERE pk = 1 IF EXISTS",
+      "BEGIN BATCH INSERT INTO fz (pk, ck, v) VALUES (1, 2, 3); " +
+        "UPDATE fz SET v = 4 WHERE pk = 1 AND ck = 2; APPLY BATCH",
+      "BEGIN UNLOGGED BATCH DELETE FROM fz WHERE pk = 1; APPLY BATCH",
+      "BEGIN BATCH SELECT * FROM fz; APPLY BATCH",
+      "BEGIN COUNTER BATCH UPDATE fz SET v = v + 1 WHERE pk = 1 AND ck = 2; APPLY BATCH"))
 
   test("random SELECT/UPDATE/DELETE/INSERT combinations execute or fail " +
     "with typed errors only") {
