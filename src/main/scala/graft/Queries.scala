@@ -1431,6 +1431,41 @@ object Queries {
           .select("doc_id", "source", "pack_id").orderBy("doc_id")
       }),
 
+    QueryDef("q_feed_e2e",
+      // corpus → TRAINING RECORDS end-to-end: quality gate → exact-dedup
+      // prune → content-addressed shuffle order → budget packing → pack
+      // emission. Extends q_pipeline_e2e's pack-id DAG to the emitted
+      // feed; one corpus scan, one dedup agg, one window shuffle, one
+      // (source, pack) agg that reuses the window's partitioning.
+      Some("""WITH q AS (SELECT doc_id, source, n_chars, text FROM documents
+                     WHERE round(least(1.0, len(string_split(lower(text),' ')) * 1.0 / 100.0) * 0.4
+                       + (len(list_filter(string_split(lower(text),' '), x -> list_contains(['the','and','of','to','a','in','is'], x))) * 1.0 / len(string_split(lower(text),' '))) * 0.3
+                       + (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)) * 0.3, 6) >= 0.5),
+              canon AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(lower(text))),
+              dd AS (SELECT k.* FROM q k JOIN canon USING (doc_id)),
+              sh AS (SELECT doc_id, source, n_chars, text,
+                       md5('s7:' || CAST(doc_id AS VARCHAR)) AS sk FROM dd),
+              p AS (SELECT doc_id, source, text,
+                       CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY sk
+                                                      ROWS UNBOUNDED PRECEDING) - n_chars)
+                                  / 2000.0) AS BIGINT) AS pack_id
+                    FROM sh)
+              SELECT source, pack_id, count(*) AS n_docs,
+                     string_agg(text, ' ' ORDER BY doc_id) AS pack_text
+              FROM p GROUP BY source, pack_id ORDER BY source, pack_id"""),
+      (s, d) => {
+        val q = Tables.spread(t(s, d, "documents"))
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        val canon = Dedup.exact(q, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"))
+        val dd = q.join(canon, Seq("doc_id"), "left_semi")
+        val packed = Pipeline.packSequences(
+          dd.withColumn("sk", md5(concat(lit("s7:"), col("doc_id").cast("string")))),
+          "source", "sk", col("n_chars"), 2000)
+        Pipeline.emitPacked(packed, "source", "doc_id", "text")
+          .orderBy("source", "pack_id")
+      }),
+
     QueryDef("q_ingest_e2e",
       // the incremental-ingest tier COMPOSED as one DAG: crawl (re-crawled
       // pages under fresh ids + genuinely new pages) → Bloom-prefiltered
