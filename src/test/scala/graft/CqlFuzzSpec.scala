@@ -91,4 +91,58 @@ class CqlFuzzSpec extends SparkSpec {
     assert(executed > 10, s"only $executed statements executed")
     assert(rejected > 10, s"only $rejected statements rejected")
   }
+
+  test("counter and collection mutations execute or fail typed across " +
+    "random op/table combinations") {
+    val e = new CqlEngine(spark)
+    e.execute("CREATE TABLE fzc (pk int PRIMARY KEY, c counter)")
+    e.execute("CREATE TABLE fzl (pk int PRIMARY KEY, l list<int>, " +
+      "st set<text>, mp map<text, int>)")
+    e.execute("UPDATE fzc SET c = c + 1 WHERE pk = 1")
+    e.execute("INSERT INTO fzl (pk, l, st, mp) VALUES (1, [1, 2], {'a'}, {'k': 1})")
+    val stmtGen = Gen.oneOf(
+      // counter paths: deltas valid, plain sets / inserts / mixes invalid
+      Gen.oneOf(
+        "UPDATE fzc SET c = c + 2 WHERE pk = 1",
+        "UPDATE fzc SET c = c - 1 WHERE pk = 1",
+        "UPDATE fzc SET c = 5 WHERE pk = 1",
+        "UPDATE fzc SET c = c + c WHERE pk = 1",
+        "INSERT INTO fzc (pk, c) VALUES (1, 2)",
+        "UPDATE fzc SET c = c + 1 WHERE pk = 1 IF c = 1",
+        "DELETE c FROM fzc WHERE pk = 1",
+        "SELECT sum(c) FROM fzc",
+        "UPDATE fzl SET l = l + [1] WHERE pk = 1 IF EXISTS"),
+      // collection element ops: appends/prepends/indexing/removals
+      for (op <- Gen.oneOf("l = l + [9]", "l = [0] + l", "l[0] = 7",
+        "l[9] = 1", "l = l - [2]", "st = st + {'z'}", "st = st - {'a'}",
+        "mp['k'] = 3", "mp = mp + {'j': 2}", "l = 5", "st = st + ['x']",
+        "mp['k'] = 'wrong'", "l[-1] = 0"))
+        yield s"UPDATE fzl SET $op WHERE pk = 1",
+      for (sel <- Gen.oneOf("l[0]", "st", "mp['k']", "mp[1]", "l[0..2]",
+        "writetime(l)", "ttl(mp['k'])", "c"))
+        yield s"SELECT $sel FROM fzl WHERE pk = 1",
+      Gen.oneOf(
+        "DELETE l[0] FROM fzl WHERE pk = 1",
+        "DELETE l[5] FROM fzl WHERE pk = 1",
+        "DELETE mp['k'] FROM fzl WHERE pk = 1",
+        "DELETE st['a'] FROM fzl WHERE pk = 1",
+        "SELECT * FROM fzl WHERE l CONTAINS 1 ALLOW FILTERING",
+        "SELECT * FROM fzl WHERE mp CONTAINS KEY 'k' ALLOW FILTERING"))
+    var executed = 0
+    var rejected = 0
+    (0 until 150).foreach { i =>
+      stmtGen(Gen.Parameters.default.withSize(1 + i % 20), Seed(0xC0107L + i))
+        .foreach { stmt =>
+          try { e.execute(stmt).collect(); executed += 1 }
+          catch {
+            case _: CqlParser.ParseException => rejected += 1
+            case _: e.InvalidRequest => rejected += 1
+            case ex: Throwable =>
+              fail(s"untyped ${ex.getClass.getSimpleName} on: $stmt\n${ex.getMessage}")
+          }
+        }
+    }
+    assert(executed > 10, s"only $executed executed")
+    assert(rejected > 5, s"only $rejected rejected")
+  }
 }
