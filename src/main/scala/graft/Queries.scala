@@ -1822,6 +1822,103 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_quality_gopher",
+      // the FULL Gopher rule set (Rae et al. 2021 §A1.1) beyond the
+      // repetition signals: word count, mean word length, symbol ratio,
+      // alphabetic-word fraction, required-stop-word count, bullet/ellipsis
+      // line fractions, composed into the published keep/drop thresholds.
+      // The corpus is clean word soup, so the query plants each rule's
+      // failure material keyed off doc_id — the SAME derivation in the
+      // oracle: '#' runs (%4), numeric words (%5), the required stop words
+      // (%2; odd docs keep the corpus's natural <2 hits), per-line bullets
+      // (%3, first doc_id%10 lines) and ellipses (%7, every third line).
+      // Still one shuffle-free projection fused into the scan.
+      Some(gopherOracle),
+      (s, d) => {
+        val ptext = concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            call_function("repeat", lit(" #"), (col("doc_id") % 9 + 1).cast("int")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            call_function("repeat", lit(" 12345"), (col("doc_id") % 30).cast("int")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit(" and with that")).otherwise(lit("")))
+        val lines0 = transform(TextAnalysis.chunks(col("ptext"), 8, 8),
+          c => c.getField("chunk"))
+        val lines = transform(col("lines0"), (l0, i) => {
+          val b = when(col("doc_id") % 3 === 0 && i < col("doc_id") % 10,
+            concat(lit("- "), l0)).otherwise(l0)
+          when(col("doc_id") % 7 === 0 && (i + col("doc_id")) % 3 === 0,
+            concat(b, lit("..."))).otherwise(b)
+        })
+        val reasons = Quality.gopherReasons(col("ws"), col("lsig"))
+        Tables.spread(t(s, d, "documents"))
+          .withColumn("ptext", ptext)
+          .withColumn("lines0", lines0)
+          .withColumn("lines", lines)
+          .withColumn("ws", Quality.gopherWordSignals(col("ptext")))
+          .withColumn("lsig", Quality.gopherLineSignals(col("lines")))
+          .select(col("doc_id"),
+            col("ws.n_words").as("n_words"),
+            col("ws.mean_word_len").as("mean_word_len"),
+            col("ws.symbol_ratio").as("symbol_ratio"),
+            col("ws.alpha_frac").as("alpha_frac"),
+            col("ws.stop_hits").as("stop_hits"),
+            col("lsig.n_lines").as("n_lines"),
+            col("lsig.bullet_frac").as("bullet_frac"),
+            col("lsig.ellipsis_frac").as("ellipsis_frac"),
+            (reasons === "").as("keep"), reasons.as("reasons"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_url_domains",
+      // URL extraction + registered-domain normalization (the key C4-style
+      // URL dedup and RefinedWeb domain filtering group on). The corpus
+      // carries no URLs, so the query plants one per doc (+ a www-prefixed
+      // mirror on every third) keyed off doc_id — the SAME derivation in
+      // the oracle — then extracts, normalizes, and aggregates per domain.
+      // Scan-fused regexps + one partial->final hash agg on the (tiny)
+      // domain key space.
+      Some(urlDomainsOracle),
+      (s, d) => {
+        val ptext = concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" ref http://www.mirror"), (col("doc_id") % 7).cast("string"),
+              lit(".org/x?q=1")))
+            .otherwise(lit("")))
+        Tables.spread(t(s, d, "documents")).withColumn("ptext", ptext)
+          .select(col("doc_id"),
+            explode(WebCuration.extractUrls(col("ptext"))).as("url"))
+          .select(col("doc_id"),
+            WebCuration.domainOf(WebCuration.hostOf(col("url"))).as("domain"))
+          .groupBy("domain")
+          .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_urls"))
+          .orderBy("domain")
+      }),
+
+    QueryDef("q_domain_cap",
+      // per-domain document cap (RefinedWeb-style domain balancing): keep
+      // at most 10 docs per planted domain, survivors chosen by the shared
+      // 60-bit md5 variate (deterministic, content-unbiased). The cap is
+      // the bounded top-k aggregate — the shuffle ships <= 10 rows per
+      // domain, never the corpus; the oracle is the equivalent rank
+      // window over the same integer variate.
+      Some(domainCapOracle),
+      (s, d) => {
+        prep(s)
+        val url = concat(lit("https://site"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"))
+        val docs = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            WebCuration.domainOf(WebCuration.hostOf(col("url"))).as("domain"))
+        WebCuration.capPerDomain(docs, "domain", "doc_id", 10)
+          .select(col("domain"), col("doc_id"), col("rn"))
+          .orderBy("domain", "rn")
+      }),
+
     QueryDef("q_corpus_report",
       // per-(source, lang) corpus analytics: doc counts, exact char/token
       // totals, and a mean computed as one division over exact long sums
@@ -2097,6 +2194,67 @@ object Queries {
       |        CASE WHEN dupf >= 0.2 THEN 'repetitive' END,
       |        CASE WHEN qual < 0.45 THEN 'low_quality' END) AS reasons FROM q)
       |SELECT doc_id, reasons = '' AS keep, reasons FROM r ORDER BY doc_id""".stripMargin
+
+  private lazy val gopherOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, lower(text ||
+      |    CASE WHEN doc_id % 4 = 0 THEN repeat(' #', CAST(doc_id % 9 + 1 AS INTEGER)) ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN repeat(' 12345', CAST(doc_id % 30 AS INTEGER)) ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ' and with that' ELSE '' END) AS ptext
+      |  FROM documents),
+      |w AS (SELECT doc_id, ptext, string_split(ptext, ' ') AS pw FROM p),
+      |l0 AS (SELECT doc_id, ptext, pw,
+      |  [array_to_string(list_slice(pw, i*8+1, i*8+8), ' ') for i in range(0, greatest(CAST(ceil(len(pw)/8.0) AS BIGINT), 1))] AS ls0
+      |  FROM w),
+      |l1 AS (SELECT doc_id, ptext, pw,
+      |  [CASE WHEN doc_id % 7 = 0 AND (i + doc_id) % 3 = 0
+      |        THEN (CASE WHEN doc_id % 3 = 0 AND i < doc_id % 10 THEN '- ' || ls0[i+1] ELSE ls0[i+1] END) || '...'
+      |        ELSE (CASE WHEN doc_id % 3 = 0 AND i < doc_id % 10 THEN '- ' || ls0[i+1] ELSE ls0[i+1] END) END
+      |   for i in range(0, len(ls0))] AS ls
+      |  FROM l0),
+      |sig AS (SELECT doc_id,
+      |  CAST(len(pw) AS INTEGER) AS n_words,
+      |  round(list_sum(list_transform(pw, x -> length(x))) * 1.0 / len(pw), 6) AS mean_word_len,
+      |  round((len(regexp_extract_all(ptext, '#')) + len(regexp_extract_all(ptext, '\.\.\.'))) * 1.0 / len(pw), 6) AS symbol_ratio,
+      |  round(len(list_filter(pw, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(pw), 6) AS alpha_frac,
+      |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(pw, s))) AS INTEGER) AS stop_hits,
+      |  CAST(len(ls) AS INTEGER) AS n_lines,
+      |  round(len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '• '))) * 1.0 / len(ls), 6) AS bullet_frac,
+      |  round(len(list_filter(ls, x -> ends_with(x, '...'))) * 1.0 / len(ls), 6) AS ellipsis_frac
+      |  FROM l1),
+      |r AS (SELECT *, concat_ws(',',
+      |    CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count' END,
+      |    CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_len' END,
+      |    CASE WHEN symbol_ratio > 0.1 THEN 'symbols' END,
+      |    CASE WHEN alpha_frac < 0.8 THEN 'non_alpha' END,
+      |    CASE WHEN stop_hits < 2 THEN 'stop_words' END,
+      |    CASE WHEN bullet_frac > 0.9 THEN 'bullets' END,
+      |    CASE WHEN ellipsis_frac > 0.3 THEN 'ellipses' END) AS reasons
+      |  FROM sig)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+      |       n_lines, bullet_frac, ellipsis_frac, reasons = '' AS keep, reasons
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  private lazy val urlDomainsOracle: String =
+    """WITH p AS (SELECT doc_id, text || ' see https://site' || CAST(doc_id % 13 AS VARCHAR)
+      |    || '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' ref http://www.mirror' || CAST(doc_id % 7 AS VARCHAR) || '.org/x?q=1' ELSE '' END AS ptext
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(regexp_extract_all(ptext, 'https?://[^\s]+')) AS url FROM p),
+      |d AS (SELECT doc_id, regexp_replace(regexp_extract(url, 'https?://([^/\s]+)', 1), '^www\.', '') AS domain FROM u)
+      |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+      |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+
+  private lazy val domainCapOracle: String =
+    """WITH p AS (SELECT doc_id,
+      |    regexp_replace(regexp_extract('https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+      |      'https?://([^/\s]+)', 1), '^www\.', '') AS domain
+      |  FROM documents),
+      |o AS (SELECT doc_id, domain,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS m FROM p),
+      |r AS (SELECT domain, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY domain ORDER BY m, doc_id) AS INTEGER) AS rn FROM o)
+      |SELECT domain, doc_id, rn FROM r WHERE rn <= 10 ORDER BY domain, rn""".stripMargin
 
   private lazy val piiOracle: String = {
     // the SAME pattern strings the Spark side compiles (RE2-and-Java

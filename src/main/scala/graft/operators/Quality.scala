@@ -166,4 +166,65 @@ object Quality {
         round(col("sum_lp").cast("double") / col("n_tok"), 6).as("mean_logprob"),
         col("n_tok"))
   }
+
+  /** The stop words Gopher's "at least 2 of" rule requires (Rae et al.
+    * 2021, §A1.1: the, be, to, of, and, that, have, with).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The word-level Gopher quality signals (Rae et al. 2021, §A1.1) the
+    * repetition measures above don't cover: word count, mean word length,
+    * symbol-to-word ratio (`#` or `...`), fraction of words with at least
+    * one alphabetic character, and the count of distinct required stop
+    * words present. One struct-valued per-row expression — fuses into the
+    * scan like every other signal in this module. Ratios round to 6 dp so
+    * threshold comparisons are engine-portable.
+    */
+  def gopherWordSignals(text: Column): Column = {
+    val w = TextAnalysis.words(text)
+    val n = size(w)
+    val charTotal = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    val symbols = regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\."))
+    val stopLits = array(GopherStopwords.map(lit): _*)
+    struct(
+      n.as("n_words"),
+      round(charTotal * lit(1.0) / n, 6).as("mean_word_len"),
+      round(symbols * lit(1.0) / n, 6).as("symbol_ratio"),
+      round(size(filter(w, x => x.rlike("[a-z]"))) * lit(1.0) / n, 6).as("alpha_frac"),
+      size(filter(stopLits, s => array_contains(w, s))).as("stop_hits"))
+  }
+
+  /** The line-level Gopher signals: fraction of lines starting with a
+    * bullet (`- ` or `• `) and fraction ending with an ellipsis. The
+    * caller derives `lines` however its corpus delimits them (newline
+    * split, fixed word windows, …).
+    */
+  def gopherLineSignals(lines: Column): Column = {
+    val n = size(lines)
+    struct(
+      n.as("n_lines"),
+      round(size(filter(lines, l => l.startsWith("- ") || l.startsWith("• ")))
+        * lit(1.0) / n, 6).as("bullet_frac"),
+      round(size(filter(lines, l => l.endsWith("..."))) * lit(1.0) / n, 6)
+        .as("ellipsis_frac"))
+  }
+
+  /** The composed Gopher keep/drop verdict over [[gopherWordSignals]] +
+    * [[gopherLineSignals]], published thresholds: 50 <= words <= 100000,
+    * 3 <= mean word length <= 10, symbol ratio <= 0.1, >= 80% alphabetic
+    * words, >= 2 required stop words, <= 90% bullet lines, <= 30%
+    * ellipsis lines. Returns the comma-joined failure reasons (empty =
+    * keep), reason order fixed for reproducibility.
+    */
+  def gopherReasons(wordSig: Column, lineSig: Column): Column = concat_ws(",",
+    when(wordSig.getField("n_words") < 50 || wordSig.getField("n_words") > 100000,
+      lit("word_count")),
+    when(wordSig.getField("mean_word_len") < 3.0 || wordSig.getField("mean_word_len") > 10.0,
+      lit("word_len")),
+    when(wordSig.getField("symbol_ratio") > 0.1, lit("symbols")),
+    when(wordSig.getField("alpha_frac") < 0.8, lit("non_alpha")),
+    when(wordSig.getField("stop_hits") < 2, lit("stop_words")),
+    when(lineSig.getField("bullet_frac") > 0.9, lit("bullets")),
+    when(lineSig.getField("ellipsis_frac") > 0.3, lit("ellipses")))
 }

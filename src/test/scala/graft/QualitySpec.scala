@@ -52,6 +52,48 @@ class QualitySpec extends SparkSpec {
     assert(got(1) === ((2L, 0, 0, 0, "clean text only")))
   }
 
+  test("gopherWordSignals: counts, symbol ratio, alpha fraction, stop hits") {
+    // words (lowered): the cat ### sat on 42 mats that have fur with... style
+    // n=12; '#'×3 + '...'×1 → 4/12; non-alpha words: ###, 42 → 10/12;
+    // stop hits: the, that, have (with... != with) → 3; char total 43
+    val df = Seq((1L, "The cat ### sat on 42 mats that have fur with... style"))
+      .toDF("doc_id", "text")
+    val got = df.select(Quality.gopherWordSignals(col("text")).as("s"))
+      .select(col("s.n_words"), col("s.mean_word_len"), col("s.symbol_ratio"),
+        col("s.alpha_frac"), col("s.stop_hits"))
+      .as[(Int, Double, Double, Double, Int)].head()
+    assert(got === ((12, 3.583333, 0.333333, 0.833333, 3)))
+  }
+
+  test("gopherLineSignals: bullet and ellipsis line fractions") {
+    val df = Seq((1L, Seq("- intro", "plain line", "trailing...")))
+      .toDF("doc_id", "lines")
+    val got = df.select(Quality.gopherLineSignals(col("lines")).as("s"))
+      .select(col("s.n_lines"), col("s.bullet_frac"), col("s.ellipsis_frac"))
+      .as[(Int, Double, Double)].head()
+    assert(got === ((3, 0.333333, 0.333333)))
+  }
+
+  test("gopherReasons composes threshold failures in fixed order") {
+    val df = Seq((1L, "a b", Seq("- x"))).toDF("doc_id", "text", "lines")
+    val got = df.select(Quality.gopherReasons(
+        Quality.gopherWordSignals(col("text")),
+        Quality.gopherLineSignals(col("lines"))).as("r"))
+      .as[String].head()
+    // n_words=2 <50; mean_word_len=1 <3; stop_hits=0 <2; bullet_frac=1 >0.9
+    assert(got === "word_count,word_len,stop_words,bullets")
+  }
+
+  test("q_quality_gopher splits the corpus; every reason fires somewhere") {
+    val r = Queries.byName("q_quality_gopher").impl(spark, sf)
+      .select(col("keep"), col("reasons")).as[(Boolean, String)].collect()
+    assert(r.exists(_._1) && r.exists(!_._1))
+    val fired = r.flatMap(_._2.split(",")).filter(_.nonEmpty).toSet
+    for (reason <- Seq("word_count", "symbols", "non_alpha", "stop_words",
+        "bullets", "ellipses"))
+      assert(fired.contains(reason), s"reason $reason never fired")
+  }
+
   test("cleanLines drops short and blacklisted lines, keeps order") {
     val df = Seq((1L, Seq("one two three", "too short", "bad slow line", "four five six")))
       .toDF("doc_id", "lines")
