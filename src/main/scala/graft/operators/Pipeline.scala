@@ -50,7 +50,7 @@ object Pipeline {
     * numerator of [[hashUniform]]. 60 bits fit a signed 64-bit int in
     * both Spark and the DuckDB oracle (16 digits would not).
     */
-  private def hashPrefix60(key: Column): Column =
+  private[operators] def hashPrefix60(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Uniform [0,1) variate from the row key: [[hashPrefix60]] over 2^60.
