@@ -1919,6 +1919,23 @@ object Queries {
           .orderBy("domain", "rn")
       }),
 
+    QueryDef("q_dsir_select",
+      // DSIR importance weighting (Xie et al. 2023): hashed-bigram bag
+      // distributions for the target (source='src0') vs the whole corpus,
+      // per-doc log importance ratio, keep = more-target-like-than-corpus
+      // (log_ratio > 0 — no global pass). 64 md5 buckets; bucket ratios
+      // round to 6dp and the per-doc sum runs in DECIMAL(18,6), so the
+      // weights are partitioning-independent and engine-bit-equal.
+      Some(dsirOracle),
+      (s, d) => {
+        val docs = Tables.spread(t(s, d, "documents"))
+        val scored = Pipeline.dsirLogRatio(docs,
+          docs.filter(col("source") === "src0"), "doc_id", "text", 64)
+        scored.select(col("doc_id"), col("log_ratio"),
+            (col("log_ratio") > 0).as("keep"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_corpus_report",
       // per-(source, lang) corpus analytics: doc counts, exact char/token
       // totals, and a mean computed as one division over exact long sums
@@ -2255,6 +2272,22 @@ object Queries {
       |r AS (SELECT domain, doc_id,
       |    CAST(row_number() OVER (PARTITION BY domain ORDER BY m, doc_id) AS INTEGER) AS rn FROM o)
       |SELECT domain, doc_id, rn FROM r WHERE rn <= 10 ORDER BY domain, rn""".stripMargin
+
+  private lazy val dsirOracle: String =
+    """WITH d AS (SELECT doc_id, source, string_split(lower(text),' ') AS w FROM documents),
+      |g AS (SELECT doc_id, source, unnest([array_to_string(w[i:i+1],' ') for i in range(1, greatest(len(w), 2))]) AS gram FROM d),
+      |bb AS (SELECT doc_id, source, CAST(concat('0x', substring(md5(gram),1,15)) AS BIGINT) % 64 AS b FROM g),
+      |tc AS (SELECT b, count(*) AS c FROM bb WHERE source = 'src0' GROUP BY b),
+      |cc AS (SELECT b, count(*) AS c FROM bb GROUP BY b),
+      |tt AS (SELECT sum(c) AS t FROM tc),
+      |ct AS (SELECT sum(c) AS t FROM cc),
+      |lr AS (SELECT r.b,
+      |    CAST(round(ln((coalesce(tc.c, 0) + 1.0) / (tt.t + 64.0))
+      |             - ln((coalesce(cc.c, 0) + 1.0) / (ct.t + 64.0)), 6) AS DECIMAL(18,6)) AS v
+      |  FROM range(0, 64) r(b) LEFT JOIN tc ON tc.b = r.b LEFT JOIN cc ON cc.b = r.b, tt, ct),
+      |s AS (SELECT bb.doc_id, sum(lr.v) AS s FROM bb JOIN lr ON lr.b = bb.b GROUP BY 1)
+      |SELECT doc_id, CAST(s AS DOUBLE) AS log_ratio, s > 0 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
 
   private lazy val piiOracle: String = {
     // the SAME pattern strings the Spark side compiles (RE2-and-Java

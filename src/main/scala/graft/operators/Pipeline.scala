@@ -269,4 +269,53 @@ object Pipeline {
     docs.withColumn("pack_id",
       floor((sum(sizeCol).over(w) - sizeCol) / lit(budget.toDouble)).cast("long"))
   }
+
+  /** DSIR importance weight (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): documents are bags of hashed
+    * word-bigram features over `buckets` md5 buckets; the target corpus
+    * and the raw corpus each induce an add-1-smoothed categorical
+    * distribution over buckets, and a document's log importance weight is
+    * the sum over its bigrams of ln p_target(b) − ln p_corpus(b).
+    * Documents that look more like the target than the raw corpus score
+    * > 0 — DSIR resamples by these weights; the deterministic selection
+    * rule `log_ratio > 0` needs no global pass at all.
+    *
+    * Determinism: each bucket's log ratio is rounded to 6 dp and the
+    * per-doc sum runs in DECIMAL(18,6) — exact, so the result is
+    * independent of partitioning and bit-equal across engines. The
+    * bucket hash is the shared md5 60-bit prefix (engine-portable), not
+    * a JVM-specific hash.
+    *
+    * Shape at scale: two bucket-count aggregations whose key space is
+    * `buckets` (map-side partials, bounded result), the dense log-ratio
+    * array returns as ONE broadcast row, and scoring is a per-row fold
+    * fused into the corpus scan — no corpus-keyed shuffle anywhere.
+    * Output: (id, log_ratio double).
+    */
+  def dsirLogRatio(corpus: DataFrame, target: DataFrame, id: String,
+                   text: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"dsirLogRatio: buckets must be positive, got $buckets")
+    def bucketOf(g: Column): Column = hashPrefix60(g) % buckets
+    def bucketCounts(df: DataFrame): DataFrame = df
+      .select(explode(Dedup.shingles(col(text), 2)).as("_g"))
+      .select(bucketOf(col("_g")).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("_c"))
+    def logProbArr(counts: DataFrame, name: String): DataFrame = counts
+      .agg(map_from_arrays(collect_list(col("_b")), collect_list(col("_c"))).as("_m"),
+        coalesce(sum(col("_c")), lit(0L)).as("_t"))
+      .select(transform(sequence(lit(0), lit(buckets - 1)), i =>
+        log((coalesce(element_at(col("_m"), i.cast("long")), lit(0L)) + lit(1.0)) /
+          (col("_t") + lit(buckets.toDouble)))).as(name))
+    val lr = logProbArr(bucketCounts(target), "_lp")
+      .crossJoin(logProbArr(bucketCounts(corpus), "_lq"))
+      .select(zip_with(col("_lp"), col("_lq"),
+        (p, q) => round(p - q, 6).cast("decimal(18,6)")).as("_lr"))
+    corpus.crossJoin(broadcast(lr))
+      .select(col(id),
+        aggregate(Dedup.shingles(col(text), 2),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"),
+          (acc, g) => (acc + element_at(col("_lr"), (bucketOf(g) + 1).cast("int")))
+            .cast("decimal(18,6)"))
+          .cast("double").as("log_ratio"))
+  }
 }

@@ -312,4 +312,30 @@ class PipelineSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     ids.foreach { case (_, mx, n) => assert(n === mx + 1) }
   }
+
+  test("dsirLogRatio scores target-like docs above target-disjoint docs, " +
+      "independent of partitioning") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),   // = target vocabulary
+      (2L, "gamma delta gamma delta gamma delta"), // disjoint from target
+      (3L, "alpha beta gamma delta alpha beta")    // mixed
+    ).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") === 1L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.dsirLogRatio(df, target, "doc_id", "text", 16)
+        .as[(Long, Double)].collect().sortBy(_._1)
+    val got = run(corpus)
+    assert(got(0)._2 > got(2)._2 && got(2)._2 > got(1)._2,
+      s"expected target > mixed > disjoint, got $got")
+    assert(got(0)._2 > 0 && got(1)._2 < 0)
+    // decimal-summed fold: bit-identical under a different partitioning
+    assert(run(corpus.repartition(7)).toSeq === got.toSeq)
+  }
+
+  test("q_dsir_select keeps a nonempty strict subset; keep == log_ratio > 0") {
+    val r = Queries.byName("q_dsir_select").impl(spark, sf)
+      .as[(Long, Double, Boolean)].collect()
+    assert(r.exists(_._3) && r.exists(!_._3))
+    r.foreach { case (_, lr, k) => assert(k === (lr > 0)) }
+  }
 }
