@@ -1764,6 +1764,27 @@ object Queries {
               ORDER BY cnt DESC, gram LIMIT 100"""),
       (s, d) => TextAnalysis.topNgrams(t(s, d, "documents"), "text", 2, 100)),
 
+    QueryDef("q_vocab_heavy",
+      // exact heavy hitters via a bounded-memory Misra-Gries candidate
+      // pass + exact verify count (TextAnalysis.heavyHitters): all bigrams
+      // with count >= 40. The sketch keys on 1024 counters per task, the
+      // exact pass on the broadcast candidate set — never the corpus
+      // vocabulary. Output is exact, so the oracle is a plain HAVING.
+      Some("""WITH toks AS (
+                SELECT string_split(lower(text), ' ') AS t FROM documents
+              ), g AS (
+                SELECT t[i] || ' ' || t[i + 1] AS gram
+                FROM toks, UNNEST(range(1, len(t))) u(i)
+                WHERE len(t) >= 2
+              )
+              SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+              HAVING count(*) >= 40 ORDER BY cnt DESC, gram"""),
+      (s, d) => {
+        prep(s)
+        TextAnalysis.heavyHitters(t(s, d, "documents"), "text", 2,
+          sketchK = 1024, threshold = 40L)
+      }),
+
     QueryDef("q_text_chunks",
       // overlapping word-window chunking (context-length-bounded training
       // corpora): starts at 0, 16, 32, … while start < |words|, 32-word

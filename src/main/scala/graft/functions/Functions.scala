@@ -28,6 +28,8 @@ object Functions {
     "minhash_sig"     -> (es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int])),
     "simhash_agg"     -> (es => SimHashAgg(es(0))),
     "simhash_sig"     -> (es => SimHashSig(es(0))),
+    "freq_items_agg"  -> (es => FreqItemsAgg(es(0),
+      es(1).eval().asInstanceOf[Int])),
     // topk_rows_agg(struct, k, sort_ordinals, desc_flags) — constant args
     // evaluated at build time (array literals)
     "topk_rows_agg"   -> (es => TopKRowsAgg(es(0),

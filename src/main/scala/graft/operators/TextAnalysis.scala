@@ -158,4 +158,39 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
   }
+
+  /** Exact corpus heavy hitters with a bounded-memory candidate pass: all
+    * n-grams with count >= `threshold`, found WITHOUT aggregating the full
+    * vocabulary. Pass 1 is a Misra-Gries summary
+    * ([[graft.functions.FreqItemsAgg]], O(sketchK) memory per task) whose
+    * candidate set provably contains every item above n_total/(sketchK+1);
+    * pass 2 filters the gram stream to the broadcast candidate array and
+    * counts exactly, so the final aggregation keys on <= sketchK grams
+    * instead of the corpus vocabulary (~10^10 at web scale for
+    * [[topNgrams]]' full group-by). The output is exact and deterministic
+    * even though the sketch's internal counts are partitioning-dependent.
+    *
+    * The caller must pick `sketchK` so that threshold >= n_total/(sketchK+1)
+    * — below that the guarantee lapses; the require can only check it
+    * after the fact, so it is documented, not enforced.
+    * Requires [[graft.functions.Functions.ensure]] on the session.
+    */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame, text: String,
+                   n: Int, sketchK: Int, threshold: Long): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && sketchK >= 1 && threshold >= 1,
+      s"heavyHitters: need n, sketchK, threshold >= 1, got ($n, $sketchK, $threshold)")
+    val w = words(col(text))
+    val gramsCol = when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs.select(explode(gramsCol).as("gram"))
+    val candidates = grams
+      .agg(call_function("freq_items_agg", col("gram"), lit(sketchK)).as("_cand"))
+    grams.crossJoin(broadcast(candidates))
+      .filter(array_contains(col("_cand"), col("gram")))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy(col("cnt").desc, col("gram"))
+  }
 }

@@ -277,6 +277,38 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("heavyHitters returns exactly the >=threshold grams with exact " +
+      "counts, under any partitioning and a tiny sketch") {
+    import graft.operators.TextAnalysis
+    graft.functions.Functions.ensure(spark)
+    // 60 'hot pair' + 30 'warm pair' bigram occurrences drowned in noise
+    val docsHh = (
+      (1 to 60).map(i => (i.toLong, "hot pair")) ++
+      (61 to 90).map(i => (i.toLong, "warm pair")) ++
+      (91 to 290).map(i => (i.toLong, s"n${i} x${i % 7} m${i % 13}"))
+    ).toDF("doc_id", "text")
+    // n_total = 90 + 200*2 = 490; sketchK=48 → guarantee floor 490/49 = 10
+    val exact = docsHh
+      .select(explode(graft.operators.Dedup.shingles(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") >= 30)
+      .as[(String, Long)].collect().toSet
+    for (parts <- Seq(1, 7)) {
+      val got = TextAnalysis.heavyHitters(docsHh.repartition(parts), "text",
+          n = 2, sketchK = 48, threshold = 30L)
+        .as[(String, Long)].collect().toSet
+      assert(got === exact, s"parts=$parts")
+    }
+  }
+
+  test("q_vocab_heavy matches the full-aggregation answer") {
+    import graft.operators.TextAnalysis
+    val got = Queries.byName("q_vocab_heavy").impl(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val full = TextAnalysis.topNgrams(docs, "text", 2, Int.MaxValue)
+      .filter(col("cnt") >= 40).as[(String, Long)].collect().toSeq
+    assert(got === full)
+  }
+
   test("emitPacked reassembles each source exactly: pack texts in pack " +
       "order concatenate to the docs in doc order, nothing lost") {
     val packed = Pipeline.packSequences(docs, "source", "doc_id",
