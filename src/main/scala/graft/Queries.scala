@@ -1940,6 +1940,35 @@ object Queries {
           .orderBy("domain", "rn")
       }),
 
+    QueryDef("q_web_e2e",
+      // the web-curation stages COMPOSED as one DAG, the way a crawl
+      // pipeline runs them: Gopher word-signal keep-filter → exact-dedup
+      // prune (canonical id per digest) → per-domain cap (10, md5-variate
+      // order) → per-domain report. Every stage reuses its graded
+      // operator; the oracle chains the same stage fragments as CTEs.
+      // One scan + one digest agg + one bounded domain-keyed top-k agg +
+      // one domain-keyed report agg — no corpus self-joins.
+      Some(webE2eOracle),
+      (s, d) => {
+        prep(s)
+        val url = concat(lit("https://site"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"))
+        val base = Tables.spread(t(s, d, "documents"))
+          .withColumn("domain", WebCuration.domainOf(WebCuration.hostOf(url)))
+          .withColumn("ws", Quality.gopherWordSignals(col("text")))
+          .filter(col("ws.n_words") >= 50 && col("ws.alpha_frac") >= 0.8 &&
+            col("ws.mean_word_len").between(3.0, 10.0))
+        val canon = Dedup.exact(base, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"))
+        val dd = base.join(canon, Seq("doc_id"), "left_semi")
+        val capped = WebCuration.capPerDomain(
+          dd.select("doc_id", "domain", "n_chars"), "domain", "doc_id", 10)
+        capped.groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("domain")
+      }),
+
     QueryDef("q_dsir_select",
       // DSIR importance weighting (Xie et al. 2023): hashed-bigram bag
       // distributions for the target (source='src0') vs the whole corpus,
@@ -2293,6 +2322,29 @@ object Queries {
       |r AS (SELECT domain, doc_id,
       |    CAST(row_number() OVER (PARTITION BY domain ORDER BY m, doc_id) AS INTEGER) AS rn FROM o)
       |SELECT domain, doc_id, rn FROM r WHERE rn <= 10 ORDER BY domain, rn""".stripMargin
+
+  private lazy val webE2eOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars, text, string_split(lower(text),' ') AS w FROM documents),
+      |sig AS (SELECT doc_id, n_chars, text, len(w) AS nw,
+      |    round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 6) AS mwl,
+      |    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(w), 6) AS af
+      |  FROM d),
+      |kept AS (SELECT doc_id, n_chars, text FROM sig
+      |         WHERE nw >= 50 AND af >= 0.8 AND mwl BETWEEN 3.0 AND 10.0),
+      |canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(text))),
+      |dd AS (SELECT k.doc_id, k.n_chars FROM kept k JOIN canon USING (doc_id)),
+      |dom AS (SELECT doc_id, n_chars,
+      |    regexp_replace(regexp_extract('https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+      |      'https?://([^/\s]+)', 1), '^www\.', '') AS domain
+      |  FROM dd),
+      |rk AS (SELECT domain, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY domain
+      |      ORDER BY CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
+      |  FROM dom),
+      |cap AS (SELECT * FROM rk WHERE rn <= 10)
+      |SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       min(doc_id) AS first_doc
+      |FROM cap GROUP BY domain ORDER BY domain""".stripMargin
 
   private lazy val dsirOracle: String =
     """WITH d AS (SELECT doc_id, source, string_split(lower(text),' ') AS w FROM documents),

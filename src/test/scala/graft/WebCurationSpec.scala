@@ -53,6 +53,20 @@ class WebCurationSpec extends SparkSpec {
     assert(got === Set(("a", 1L), ("a", 2L), ("b", 3L)))
   }
 
+  test("q_web_e2e: per-domain counts respect the cap; the DAG plans the " +
+      "bounded aggregate and no rank window") {
+    val df = Queries.byName("q_web_e2e").impl(spark, sf)
+    val rows = df.as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (dom, n, chars, first) =>
+      assert(n >= 1L && n <= 10L, s"$dom kept $n docs")
+      assert(chars > 0L && first >= 0L)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "cap must not plan a rank window")
+    assert(plan.contains("ObjectHashAggregate"), "cap should use TopKRowsAgg")
+  }
+
   test("q_domain_cap plans the bounded aggregate, not a rank window") {
     val df = Queries.byName("q_domain_cap").impl(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
