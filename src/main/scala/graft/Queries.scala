@@ -1940,6 +1940,16 @@ object Queries {
           .orderBy("domain", "rn")
       }),
 
+    QueryDef("q_quality_bigram_lp",
+      // bigram-LM document score (Quality.bigramLogProb, the CCNet/KenLM
+      // perplexity-filter ladder's next rung above q_quality_unigram_lp):
+      // mean conditional log-prob under corpus bigram stats, add-0.5
+      // smoothing. Decimal-summed per doc so hashes are partition-stable.
+      Some(bigramLpOracle),
+      (s, d) => Quality.bigramLogProb(
+          Tables.spread(t(s, d, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
     QueryDef("q_web_e2e",
       // the web-curation stages COMPOSED as one DAG, the way a crawl
       // pipeline runs them: Gopher word-signal keep-filter → exact-dedup
@@ -2322,6 +2332,21 @@ object Queries {
       |r AS (SELECT domain, doc_id,
       |    CAST(row_number() OVER (PARTITION BY domain ORDER BY m, doc_id) AS INTEGER) AS rn FROM o)
       |SELECT domain, doc_id, rn FROM r WHERE rn <= 10 ORDER BY domain, rn""".stripMargin
+
+  private lazy val bigramLpOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+      |u AS (SELECT unnest(w) AS w1 FROM d),
+      |uc AS (SELECT w1, count(*) AS c1 FROM u GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM uc),
+      |pr AS (SELECT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS bg
+      |       FROM d WHERE len(w) >= 2),
+      |bc AS (SELECT bg, count(*) AS c2 FROM pr GROUP BY 1),
+      |lp AS (SELECT pr.doc_id,
+      |    CAST(round(ln((bc.c2 + 0.5) / (uc.c1 + 0.5 * v.v)), 6) AS DECIMAL(18,6)) AS lp
+      |  FROM pr JOIN bc USING (bg) JOIN uc ON uc.w1 = split_part(pr.bg, ' ', 1), v),
+      |s AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n_bigrams FROM lp GROUP BY 1)
+      |SELECT doc_id, round(CAST(slp AS DOUBLE) / n_bigrams, 6) AS mean_lp, n_bigrams
+      |FROM s ORDER BY doc_id""".stripMargin
 
   private lazy val webE2eOracle: String =
     """WITH d AS (SELECT doc_id, n_chars, text, string_split(lower(text),' ') AS w FROM documents),

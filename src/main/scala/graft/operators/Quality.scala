@@ -167,6 +167,46 @@ object Quality {
         col("n_tok"))
   }
 
+  /** Bigram-LM document score — the next step up from [[unigramLogProb]]
+    * toward CCNet's KenLM perplexity filter: mean conditional token
+    * log-probability under corpus bigram statistics with add-α smoothing,
+    * ln((c(w1 w2) + α) / (c(w1) + α·V)). Documents of improbable word
+    * SEQUENCES (not just rare words) score low. Docs with fewer than two
+    * words have no bigrams and drop out.
+    *
+    * Determinism: per-bigram ln rounds to 6 dp and sums as DECIMAL(18,6)
+    * (order-independent); the mean divides once in double at the end.
+    *
+    * Shape at scale: two vocabulary-keyed count aggregations (map-side
+    * partials), a 1-row vocab-size broadcast, two key-carried joins of
+    * the exploded corpus (bigram, then its leading word — each row
+    * already holds both keys), one doc-keyed aggregation. No corpus
+    * self-joins. Output: (id, mean_lp, n_bigrams).
+    */
+  def bigramLogProb(docs: DataFrame, id: String, text: String,
+                    alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"bigramLogProb: alpha must be positive, got $alpha")
+    val pairs = docs
+      .select(col(id).as("doc_id"),
+        explode(Dedup.shingles(col(text), 2)).as("bg"))
+      .filter(col("bg").contains(" ")) // 1-word docs yield a degenerate shingle
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val uni = docs.select(explode(TextAnalysis.words(col(text))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("_c1"))
+    val vocab = uni.agg(count(lit(1)).as("_v"))
+    val bi = pairs.groupBy("bg").agg(count(lit(1)).as("_c2"))
+    pairs.join(bi, "bg").join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("_c2") + lit(alpha)) / (col("_c1") + lit(alpha) * col("_v"))), 6)
+          .cast("decimal(18,6)").as("_lp"))
+      .groupBy("doc_id")
+      .agg(sum(col("_lp")).as("_slp"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"),
+        round(col("_slp").cast("double") / col("n_bigrams"), 6).as("mean_lp"),
+        col("n_bigrams"))
+  }
+
   /** The stop words Gopher's "at least 2 of" rule requires (Rae et al.
     * 2021, §A1.1: the, be, to, of, and, that, have, with).
     */

@@ -110,4 +110,34 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("freq_items_agg candidates contain every item above n/(k+1) for " +
+    "random streams, random merge trees, and serialize round-trips") {
+    import graft.functions.FreqItemsAgg
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    forAllSamples(Gen.zip(Gen.nonEmptyListOf(wordGen), Gen.chooseNum(1, 16)),
+        n = 200) { case (streams, k) =>
+      val agg = FreqItemsAgg(BoundReference(0, StringType, nullable = true), k)
+      val bufs = streams.map { ws =>
+        val b = agg.createAggregationBuffer()
+        ws.foreach(w => agg.update(b, InternalRow(UTF8String.fromString(w))))
+        b
+      }
+      // merge right-to-left through a serialize round-trip (the partial →
+      // final path Spark drives); the guarantee must hold for any tree
+      val merged = bufs.reduce((a, b) =>
+        agg.merge(a, agg.deserialize(agg.serialize(b))))
+      val cands = agg.eval(merged).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSet
+      assert(cands.size <= k)
+      val all = streams.flatten
+      val n = all.size
+      all.groupBy(identity).foreach { case (w, occ) =>
+        if (occ.size > n.toDouble / (k + 1))
+          assert(cands.contains(w),
+            s"item $w (count ${occ.size} of $n, k=$k) missing from $cands")
+      }
+    }
+  }
 }

@@ -52,6 +52,26 @@ class QualitySpec extends SparkSpec {
     assert(got(1) === ((2L, 0, 0, 0, "clean text only")))
   }
 
+  test("bigramLogProb: common-sequence docs outscore rare-sequence docs; " +
+      "short docs drop; partition-stable") {
+    val corpus = Seq(
+      (1L, "a b a b"), (2L, "a b a b"), (3L, "x q"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Quality.bigramLogProb(df, "doc_id", "text")
+        .as[(Long, Double, Long)].collect().sortBy(_._1)
+    val got = run(corpus)
+    // doc 4 has no bigram; docs 1/2 share common bigrams, doc 3's is unique
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(got(0)._2 === got(1)._2 && got(0)._2 > got(2)._2)
+    assert(got(0)._3 === 3L && got(2)._3 === 1L)
+    // doc 3: single bigram "x q", c2=1, c1(x)=1, V=5 → ln(1.5/(1+2.5))
+    val expected = BigDecimal(math.log(1.5 / 3.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2)._2 === expected)
+    assert(run(corpus.repartition(5)).toSeq === got.toSeq)
+  }
+
   test("gopherWordSignals: counts, symbol ratio, alpha fraction, stop hits") {
     // words (lowered): the cat ### sat on 42 mats that have fur with... style
     // n=12; '#'×3 + '...'×1 → 4/12; non-alpha words: ###, 42 → 10/12;
