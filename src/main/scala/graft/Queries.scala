@@ -15,7 +15,14 @@ import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructField
   *    to DOUBLE at the end — identical bits in both engines;
   *  - every LIMIT/top-k query carries a total-order tie-break;
   *  - double ratios are computed with the same association order and
-  *    rounded to 6dp in both engines.
+  *    rounded to 6dp in both engines;
+  *  - never ROUND a double quotient for a hash-compared column: when the
+  *    quotient lands within an ulp of a .5e-6 boundary, the JVM
+  *    (HALF_UP on the exact binary value) and DuckDB
+  *    (shortest-representation rounding) disagree by 1e-6. Round/decimal
+  *    the OPERANDS, then emit the raw IEEE quotient — identical operands
+  *    divide to identical bits in every engine (bitten once at sf0.1,
+  *    q_quality_bigram_lp doc 1417: sum -34.144135 / 10).
   */
 object Queries {
 
@@ -2345,7 +2352,7 @@ object Queries {
       |    CAST(round(ln((bc.c2 + 0.5) / (uc.c1 + 0.5 * v.v)), 6) AS DECIMAL(18,6)) AS lp
       |  FROM pr JOIN bc USING (bg) JOIN uc ON uc.w1 = split_part(pr.bg, ' ', 1), v),
       |s AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n_bigrams FROM lp GROUP BY 1)
-      |SELECT doc_id, round(CAST(slp AS DOUBLE) / n_bigrams, 6) AS mean_lp, n_bigrams
+      |SELECT doc_id, CAST(slp AS DOUBLE) / n_bigrams AS mean_lp, n_bigrams
       |FROM s ORDER BY doc_id""".stripMargin
 
   private lazy val webE2eOracle: String =

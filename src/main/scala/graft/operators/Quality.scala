@@ -175,7 +175,12 @@ object Quality {
     * words have no bigrams and drop out.
     *
     * Determinism: per-bigram ln rounds to 6 dp and sums as DECIMAL(18,6)
-    * (order-independent); the mean divides once in double at the end.
+    * (order-independent); the mean divides once in double at the end and
+    * is NOT re-rounded — a 6-dp round after the division can land on a
+    * rounding boundary where the JVM (exact binary HALF_UP) and other
+    * engines (shortest-representation rounding) disagree by 1e-6, while
+    * the raw IEEE quotient of identical operands is bit-identical
+    * everywhere (observed once in 5000 docs at sf0.1 before the fix).
     *
     * Shape at scale: two vocabulary-keyed count aggregations (map-side
     * partials), a 1-row vocab-size broadcast, two key-carried joins of
@@ -203,7 +208,7 @@ object Quality {
       .groupBy("doc_id")
       .agg(sum(col("_lp")).as("_slp"), count(lit(1)).as("n_bigrams"))
       .select(col("doc_id"),
-        round(col("_slp").cast("double") / col("n_bigrams"), 6).as("mean_lp"),
+        (col("_slp").cast("double") / col("n_bigrams")).as("mean_lp"),
         col("n_bigrams"))
   }
 
