@@ -219,4 +219,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("gopher verdict is one shuffle-free projection over the scan") {
+    val p = plan("q_quality_gopher")
+    // the only exchange is the final presentation orderBy's range partition
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dsir scoring: bucket arrays broadcast as one row; the corpus is " +
+    "never sort-merge-joined or windowed") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("heavy hitters: MG candidates return as a 1-row broadcast; the " +
+    "exact pass aggregates partially map-side") {
+    val p = plan("q_vocab_heavy")
+    assert(p.contains("freq_items_agg") || p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bigram log-prob: vocab broadcasts, corpus joins carry their own " +
+    "keys — no cartesian beyond the 1-row vocab, no window") {
+    val p = plan("q_quality_bigram_lp")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
