@@ -1986,6 +1986,33 @@ object Queries {
           .orderBy("domain")
       }),
 
+    QueryDef("q_dedup_url",
+      // C4-style URL dedup (Raffel et al. §2.2 keep one page per URL):
+      // normalize the planted URL to its registered domain + path, keep
+      // the HIGHEST doc_id per normalized URL (the newest-crawl rule).
+      // Planting maps ~3 docs onto each URL (doc_id % 167); the cap is
+      // the bounded top-k aggregate with n=1 — map-side buffers hold one
+      // row per URL, the shuffle ships one survivor per key.
+      Some("""WITH p AS (SELECT doc_id,
+                  'site' || CAST((doc_id % 167) % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 167 AS VARCHAR) AS url
+                FROM documents),
+              r AS (SELECT url, doc_id,
+                  row_number() OVER (PARTITION BY url ORDER BY doc_id DESC) AS rn FROM p)
+              SELECT url, doc_id AS kept_doc FROM r WHERE rn = 1 ORDER BY url"""),
+      (s, d) => {
+        prep(s)
+        val raw = concat(lit("https://www.site"), ((col("doc_id") % 167) % 13).cast("string"),
+          lit(".example.com/p/"), (col("doc_id") % 167).cast("string"))
+        val docs = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            concat(WebCuration.domainOf(WebCuration.hostOf(raw)),
+              regexp_extract(raw, "https?://[^/]+(/[^\\s]*)", 1)).as("url"))
+        CqlOps.perPartitionLimitAgg(docs, Seq("url"),
+            Seq(("doc_id", true)), 1)
+          .select(col("url"), col("doc_id").as("kept_doc"))
+          .orderBy("url")
+      }),
+
     QueryDef("q_dsir_select",
       // DSIR importance weighting (Xie et al. 2023): hashed-bigram bag
       // distributions for the target (source='src0') vs the whole corpus,

@@ -314,4 +314,33 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch && streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming heavy-hitter candidates: the MG aggregate runs under " +
+    "complete-mode streaming and keeps its superset guarantee") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, explode}
+    graft.functions.Functions.ensure(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shh").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = stream
+      .select(explode(graft.operators.Dedup.shingles(col("text"), 2)).as("gram"))
+      .agg(call_function("freq_items_agg", col("gram"), org.apache.spark.sql.functions.lit(2048)).as("cands"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("shh_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val cands = spark.table("shh_out").as[Seq[String]].head().toSet
+      // every gram above n/(k+1) in the batch truth must be a candidate
+      val counts = docs
+        .select(explode(graft.operators.Dedup.shingles(col("text"), 2)).as("g"))
+        .groupBy("g").count().as[(String, Long)].collect()
+      val n = counts.map(_._2).sum
+      val must = counts.filter(_._2 > n / 2049.0).map(_._1).toSet
+      assert(must.nonEmpty && must.subsetOf(cands))
+    } finally q.stop()
+  }
 }
