@@ -27,8 +27,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent;
-      // read as long nanos (DuckDB oracles see the same instants in µs)
+      // Driver testdata generations have shipped events.ts both as parquet
+      // TIMESTAMP(NANOS) (unrepresentable in Spark; this flag reads it as
+      // long nanos) and as a plain micros timestamp (flag is then a no-op).
+      // Keep the flag so EITHER layout analyzes; all ts consumers go through
+      // the schema-adaptive Tables.tsEpochUs/tsEpochMs/tsAsTimestamp.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // CQL semantics: fixed-width integer arithmetic wraps on overflow
       // (reference AggregateFcts.java sum(int) behavior; also required for

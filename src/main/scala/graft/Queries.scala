@@ -709,9 +709,12 @@ object Queries {
       // (selection/WritetimeOrTTLSelector.java)
       Some("""SELECT event_id, epoch_us(ts) AS writetime_v FROM events
               WHERE user_id = 7 ORDER BY event_id"""),
-      (s, d) => t(s, d, "events").filter(col("user_id") === 7)
-        .select(col("event_id"), expr("ts div 1000").as("writetime_v"))
-        .orderBy("event_id")),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        ev.filter(col("user_id") === 7)
+          .select(col("event_id"), Tables.tsEpochUs(ev).as("writetime_v"))
+          .orderBy("event_id")
+      }),
 
     QueryDef("q_ttl_expiry",
       // TTL semantics: rows expire at write-ts + ttl; remaining ttl in
@@ -722,9 +725,9 @@ object Queries {
               WHERE epoch_us(ts) + 864000000000 > 1705708800000000 AND user_id < 10
               ORDER BY event_id"""),
       (s, d) => {
-        val rem = expr("ts div 1000") + lit(864000000000L) - lit(1705708800000000L)
-        t(s, d, "events")
-          .filter(rem > 0 && col("user_id") < 10)
+        val ev = t(s, d, "events")
+        val rem = Tables.tsEpochUs(ev) + lit(864000000000L) - lit(1705708800000000L)
+        ev.filter(rem > 0 && col("user_id") < 10)
           .select(col("event_id"), col("user_id"),
             floor(rem / lit(1000000.0)).cast("long").as("ttl_remaining_s"))
           .orderBy("event_id")
@@ -2186,9 +2189,10 @@ object Queries {
               ORDER BY event_id LIMIT 200"""),
       (s, d) => {
         prep(s)
-        // events.ts is NANOS; min_timeuuid takes epoch MILLIS
-        val ms = expr("ts div 1000000")
-        t(s, d, "events").filter(col("user_id") < 5)
+        // min_timeuuid takes epoch MILLIS; derive schema-adaptively
+        val ev = t(s, d, "events")
+        val ms = Tables.tsEpochMs(ev)
+        ev.filter(col("user_id") < 5)
           .select(col("event_id"), F.min_timeuuid(ms).as("u"))
           .withColumn("u_millis", F.timeuuid_unix_millis(col("u")))
           .orderBy("event_id")

@@ -17,22 +17,31 @@ import org.apache.spark.sql.types._
   */
 object MutationStream {
 
-  // ts arrives as long nanos (see GraftSession nanosAsLong); a derived
+  // `ts` has shipped as both long nanos (TIMESTAMP(NANOS) parquet under
+  // nanosAsLong) and a micros timestamp across testdata generations; the
+  // stream schema adapts by peeking at the landed files, and a derived
   // event-time timestamp column `ts_ts` is added for watermarks/windows.
-  val eventSchema: StructType = StructType(Seq(
+  def eventSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** CDC source: stream of mutations from the append-only log directory. */
-  def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema)
+  /** CDC source: stream of mutations from the append-only log directory.
+    * readStream needs a declared schema; `ts`'s physical type is taken from
+    * the files already in the log (falling back to micros TIMESTAMP_NTZ for
+    * an empty dir — the current generation's layout).
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
+    val raw = spark.readStream.schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", "4")
       .parquet(dir)
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    raw.withColumn("ts_ts", graft.Tables.tsAsTimestamp(raw))
+  }
 
   /** Tumbling-window per-type counts with a watermark (late data dropped
     * after 10 minutes of event time).

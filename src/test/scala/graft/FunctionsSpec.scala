@@ -91,8 +91,9 @@ class FunctionsSpec extends SparkSpec {
     // Verify fixture shared the same wrong input derivation
     import org.apache.spark.sql.functions._
     val out = Queries.byName("q_timeuuid_bounds").impl(spark, sf)
+    val ev = Tables.events(spark, sf)
     val bad = out.join(
-        Tables.events(spark, sf).select(col("event_id"), expr("ts div 1000000").as("ms")),
+        ev.select(col("event_id"), Tables.tsEpochMs(ev).as("ms")),
         "event_id")
       .filter(col("u_millis") =!= col("ms"))
     assert(bad.isEmpty, "u_millis must round-trip the source epoch millis")

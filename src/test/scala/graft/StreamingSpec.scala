@@ -215,11 +215,16 @@ class StreamingSpec extends SparkSpec {
       // the newest mutation per key must have reached the output — the old
       // dropDuplicates form emitted the FIRST-arriving record and silently
       // dropped every newer one from later micro-batches
-      val got = spark.sql(
-        "SELECT user_id, event_type, max(ts) AS ts FROM lww_out GROUP BY 1, 2")
+      // normalize ts to epoch µs so the compare is physical-type-agnostic
+      // (long nanos vs timestamp — see Tables.tsEpochUs)
+      val lwwOut = spark.table("lww_out")
+      val got = lwwOut
+        .groupBy("user_id", "event_type")
+        .agg(max(Tables.tsEpochUs(lwwOut)).as("us"))
         .as[(Long, String, Long)].collect().toSet
-      val want = Tables.events(spark, sf)
-        .groupBy("user_id", "event_type").agg(max("ts").as("ts"))
+      val ev = Tables.events(spark, sf)
+      val want = ev
+        .groupBy("user_id", "event_type").agg(max(Tables.tsEpochUs(ev)).as("us"))
         .as[(Long, String, Long)].collect().toSet
       assert(got === want)
     } finally q.stop()
