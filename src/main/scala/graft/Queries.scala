@@ -1127,9 +1127,14 @@ object Queries {
       }),
 
     QueryDef("q_dedup_simhash",
-      // SimHash trades recall for cost (hamming<=3 pigeonhole join) — not
-      // oracle-expressible; content checked in DedupSpec instead.
-      None,
+      // SimHash is not DuckDB-expressible, so the oracle compares against a
+      // Verify-written fixture: a plain-Scala driver-side re-run of the
+      // whole pipeline (shingle → distinct-vote simhash → pigeonhole →
+      // hamming<=3 → exact-Jaccard verify), independent of the Catalyst
+      // expressions under test (see Verify.writeFixtures).
+      Some("""SELECT a, b, jaccard
+              FROM parquet_scan('{FIX}/_fixture_simhash/*.parquet')
+              ORDER BY a, b"""),
       (s, d) => {
         prep(s)
         Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3, 3, 0.7)

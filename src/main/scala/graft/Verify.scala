@@ -82,6 +82,58 @@ object Verify {
       toks.toDF("o_orderkey", "tok").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_tokens")
     }
+    fixture("_fixture_simhash") {
+      // Plain-Scala re-run of the ENTIRE simhash near-dup pipeline
+      // (shingle → distinct-vote simhash → 16-bit pigeonhole candidates →
+      // hamming<=3 → exact-Jaccard verify) over the corpus, driver-side.
+      // Independent of every Catalyst expression under test
+      // (SimHashSig/Murmur64/pairsOf/array_intersect verify); shares only
+      // CassandraMurmur3.hashString, which TokenSpec pins to reference
+      // vectors. Parameters mirror q_dedup_simhash: k=3, maxHamming=3,
+      // threshold=0.7.
+      val k = 3
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      def shingleList(text: String): IndexedSeq[String] = {
+        // exact split(lower(text), ' ') semantics: Java limit -1 keeps
+        // interior AND trailing empty tokens, like Spark's StringSplit
+        val w = text.toLowerCase.split(" ", -1).toIndexedSeq
+        (1 to math.max(w.length - (k - 1), 1))
+          .map(i => w.slice(i - 1, i - 1 + k).mkString(" "))
+      }
+      val sigs = docs.map { case (id, text) =>
+        val distinctShingles = shingleList(text).distinct
+        val votes = new Array[Int](64)
+        distinctShingles.foreach { s =>
+          val hv = graft.functions.CassandraMurmur3.hashString(s, 0x51c0L)
+          (0 until 64).foreach { j =>
+            if (((hv >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          }
+        }
+        val sig = (0 until 64).foldLeft(0L) { (acc, j) =>
+          if (votes(j) >= 0) acc | (1L << j) else acc
+        }
+        val hashedSet = distinctShingles
+          .map(s => graft.functions.CassandraMurmur3.hashString(s, 0x51c0L)).toSet
+        (id, sig, hashedSet)
+      }
+      val pairs = for {
+        i <- sigs.indices.iterator
+        j <- (i + 1) until sigs.length
+        (ida, siga, seta) = sigs(i)
+        (idb, sigb, setb) = sigs(j)
+        (a, sa, sb) = if (ida < idb) (ida, seta, setb) else (idb, setb, seta)
+        b = math.max(ida, idb)
+        if (0 until 4).exists(c => ((siga >>> (16 * c)) & 0xffffL) == ((sigb >>> (16 * c)) & 0xffffL))
+        if java.lang.Long.bitCount(siga ^ sigb) <= 3
+        inter = (seta & setb).size
+        jac = BigDecimal(inter.toDouble / (seta.size + setb.size - inter))
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jac >= 0.7
+      } yield (a, b, jac)
+      pairs.toIndexedSeq.toDF("a", "b", "jaccard").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_simhash")
+    }
     fixture("_fixture_timeuuid") {
       // input prep (ms derivation) is shared with q_timeuuid_bounds; the
       // operators under test (MinTimeUuid/TimeUuidMillis codegen) are not.
