@@ -50,30 +50,46 @@ object Dedup {
 
   /** Exact n-gram Jaccard similar pairs (jaccard >= threshold).
     * Output: (a, b, jaccard rounded to 6dp), a < b.
+    *
+    * This is the exact baseline (LSH is the approximate scale path), but
+    * it is skew-safe at corpus scale too: candidates come from a
+    * per-shingle GROUP (never a raw shingle self-join, whose hot-shingle
+    * fan-out goes quadratic), each group's doc list is collected through a
+    * BOUNDED aggregate (`topk_rows_agg`, buffer capped at maxShingleDf+1 —
+    * a boilerplate shingle in 10M docs costs a fixed-size buffer, not an
+    * OOM), and groups hotter than `maxShingleDf` are discarded before pair
+    * expansion — a shingle shared by that many documents carries no
+    * near-dup signal (standard document-frequency cutoff, as in Lee et al.
+    * 2022's suffix/ngram dedup pipelines). Verification then computes the
+    * EXACT jaccard — hot shingles included — per candidate pair via
+    * [[verifyByShingleSets]], so the cutoff only bounds candidate
+    * generation; it never perturbs reported similarity values. The only
+    * pairs the cutoff can lose are those sharing NOTHING but
+    * above-cutoff boilerplate shingles — at the default cutoff such a
+    * pair's distinctive content is disjoint, which no near-dup definition
+    * should match.
     */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
-                        k: Int, threshold: Double): DataFrame = {
-    val sh = explodedShingles(graft.Tables.spread(docs), id, text, k)
-    jaccardOfPairs(sh, commonShinglePairs(sh), threshold)
-  }
-
-  /** All pairs sharing >= 1 shingle with their common-shingle count. */
-  private def commonShinglePairs(sh: DataFrame): DataFrame =
-    sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("c"))
-
-  /** Exact jaccard for given pairs (a, b, c=common count), thresholded. */
-  private def jaccardOfPairs(sh: DataFrame, pairs: DataFrame,
-                             threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-      .select(col("a"), col("b"),
-        round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+                        k: Int, threshold: Double,
+                        maxShingleDf: Int = 5000): DataFrame = {
+    val docsS = graft.Tables.spread(docs)
+    val sh = explodedShingles(docsS, id, text, k)
+    // bounded per-shingle doc list: ≤ maxShingleDf+1 ids buffered per
+    // group; df counts ALL occurrences so an over-cap group is detected
+    // and dropped while every surviving group's list is complete
+    val bounded = call_function("topk_rows_agg",
+      struct(col("doc_id")), lit(maxShingleDf + 1), array(lit(0)), array(lit(false)))
+    val cands = sh.groupBy("s")
+      .agg(count(lit(1)).as("df"), bounded.as("ids"))
+      .filter(col("df") > 1 && col("df") <= maxShingleDf)
+      .select(explode(pairsOf(transform(col("ids"), r => r.getField("doc_id")))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .distinct()
+    val candIds = cands.select(col("a").as("doc_id"))
+      .union(cands.select(col("b").as("doc_id"))).distinct()
+    val candSets = docsS.join(candIds, docsS(id) === candIds("doc_id"), "left_semi")
+      .select(col(id).as("doc_id"), hashedShingleSet(col(text), k, 0x51c0L).as("shingles"))
+    verifyByShingleSets(cands, candSets, threshold)
   }
 
   /** Duplicate-group labeling: connected components over a near-dup pair

@@ -77,6 +77,41 @@ class PlanSpec extends SparkSpec {
       s"expected at most one embedding-carrying shuffle, got ${withArrays.size}")
   }
 
+  test("exact ngram-jaccard candidates come from a DF-bounded group, " +
+    "never a raw shingle self-join") {
+    // a hot boilerplate shingle must cost a bounded aggregation buffer,
+    // not a quadratic join fan-out: the plan groups shingles through the
+    // bounded topk_rows_agg (+ df cutoff) and the only joins are the
+    // candidate-id semi-join and the two per-side verify joins
+    val df = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("topk_rows_agg"),
+      "candidate doc lists must go through the bounded aggregate:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "no shingle sort-merge self-join:\n" + p.take(2000))
+    assert(!p.contains("collect_list") && !p.contains("collect_set"),
+      "no unbounded per-shingle collection:\n" + p.take(2000))
+    // and the cutoff preserves the exact result on this corpus
+    val legacy = {
+      import org.apache.spark.sql.functions._
+      val sh = graft.operators.Dedup.explodedShingles(
+        graft.Tables.documents(spark, sf), "doc_id", "text", 3)
+      val pairs = sh.as("x").join(sh.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .select(col("a"), col("b"),
+          round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.7)
+    }
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = legacy.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want, "DF-bounded path must reproduce the exact pair set")
+  }
+
   test("minhash signature shuffle carries sketch buffers, never shingle lists") {
     // the round-3 shape: no corpus-wide persist, no collect_list of
     // shingles through the exchange — every shuffle either moves the
