@@ -872,18 +872,33 @@ class CqlEngine(val spark: SparkSession) {
       if (udfs.contains(fkey) && !f.orReplace) {
         if (!f.ifNotExists) throw InvalidRequest(s"Function $fkey already exists")
       } else {
-        if (f.language != "spark" && f.language != "sql")
-          throw InvalidRequest(s"Unsupported language '${f.language}' " +
-            "(this engine accepts LANGUAGE spark: the body is a Spark SQL expression over the arguments)")
-        // registered as a Spark SQL UDF: the body inlines at analysis time
-        // into whole-stage codegen instead of interpreting per row
+        // LANGUAGE spark/sql: the body IS a Spark SQL expression.
+        // LANGUAGE java: expression-shaped bodies (single return statement —
+        // the reference validation suite's universal shape) translate
+        // through JavaUdfShim into equivalent Spark SQL; larger bodies are
+        // rejected with the reference's compile-error text
+        // (JavaBasedUDFunction.java:351,360). Either way the registered
+        // function inlines at analysis time into whole-stage codegen
+        // instead of interpreting per row.
+        val exprBody = f.language match {
+          case "spark" | "sql" => f.body
+          case "java" =>
+            try JavaUdfShim.translate(f.body, f.args)
+            catch { case JavaUdfShim.Untranslatable(detail) =>
+              throw InvalidRequest(
+                s"Could not compile function '$fkey' from Java source: $detail")
+            }
+          case other => throw InvalidRequest(s"Unsupported language '$other' " +
+            "(this engine accepts LANGUAGE spark — a Spark SQL expression over " +
+            "the arguments — or LANGUAGE java limited to a single return statement)")
+        }
         val argDdl = f.args.map { case (n, t) => s"$n ${sparkType(t).sql}" }.mkString(", ")
         val ret = sparkType(f.returns).sql
         val body =
           if (f.returnsNullOnNull && f.args.nonEmpty)
             s"CASE WHEN ${f.args.map(a => s"${a._1} IS NULL").mkString(" OR ")} " +
-              s"THEN NULL ELSE CAST((${f.body}) AS $ret) END"
-          else s"CAST((${f.body}) AS $ret)"
+              s"THEN NULL ELSE CAST(($exprBody) AS $ret) END"
+          else s"CAST(($exprBody) AS $ret)"
         spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION ${sparkFnName(fkey)}($argDdl) RETURNS $ret RETURN $body")
         udfs(fkey) = f.copy(name = fkey)
       }

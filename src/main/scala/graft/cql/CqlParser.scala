@@ -89,6 +89,15 @@ object CqlParser {
         while (k < s.length && isHex(s(k))) k += 1
         emit(HexTok(s.substring(j, k))); i = k
       }
+      else if (c == '$' && i + 1 < s.length && s(i + 1) == '$') {
+        // PG-style dollar-quoted string (Lexer.g STRING_LITERAL $$..$$ —
+        // the conventional quoting for UDF bodies, which contain quotes);
+        // no escape processing inside
+        val end = s.indexOf("$$", i + 2)
+        if (end < 0) throw ParseException("unterminated $$ string literal")
+        emit(Str(s.substring(i + 2, end)))
+        i = end + 2
+      }
       else if (c == '\'') {
         val sb = new StringBuilder
         i += 1

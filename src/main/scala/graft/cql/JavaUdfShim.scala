@@ -1,0 +1,388 @@
+package graft.cql
+
+import graft.cql.Ast._
+
+/** `LANGUAGE java` UDF translation shim.
+  *
+  * The reference compiles arbitrary sandboxed Java source per function
+  * (`cql3/functions/JavaBasedUDFunction.java:1-696`, javassist-built class
+  * around the body). A Spark-side engine gains nothing from interpreting
+  * Java per row — the right execution shape is a Spark SQL expression that
+  * inlines into whole-stage codegen like every `LANGUAGE spark` body. So
+  * this shim translates the overwhelmingly-common body shape — a single
+  * `return <expression>;` statement (every UDF in the reference's
+  * validation suite, `test/unit/.../entities/UFTest.java` et al., is this
+  * shape) — into the equivalent Spark SQL, and rejects anything beyond it
+  * with the reference's error text
+  * (`Could not compile function '<name>' from Java source: ...`).
+  *
+  * Translated surface (typed bottom-up from the declared argument types, so
+  * Java's string-concatenation overload of `+` resolves correctly):
+  *  - literals: int/long(L)/double(d|decimal)/float(f), "str", 'c', null,
+  *    true/false
+  *  - arguments by name; parenthesized expressions
+  *  - `+ - * / %`, comparisons, `&& || !`, ternary `c ? a : b`
+  *  - `x == null` / `x != null` → IS [NOT] NULL
+  *  - string `+` concat (any String operand stringifies the other side,
+  *    null prints "null" — Java `String.valueOf` semantics)
+  *  - boxing `Integer/Long/Double/Float/Short/Byte/Boolean/String.valueOf`
+  *    and unboxing `.intValue()/.longValue()/.doubleValue()/...` → CAST
+  *  - `Math.*` (sin cos tan asin acos atan sqrt cbrt exp log log10 pow abs
+  *    floor ceil signum max min copySign round)
+  *  - `e.toString()`, `new String(blobArg)` → CAST AS STRING
+  *  - `m.get(k)` on map args (absent key → null, like Java `Map.get`),
+  *    `l.get(i)` on list args (0-based)
+  *  - `udt.getString/getInt/getLong/getDouble/getFloat/getBoolean("f")`
+  *    field access on UDT args
+  */
+object JavaUdfShim {
+
+  final case class Untranslatable(detail: String) extends Exception(detail)
+
+  /** Translate `body` (a Java method body) to a Spark SQL expression over
+    * the named arguments. Throws [[Untranslatable]] when the body is not a
+    * single expression-shaped return statement.
+    */
+  def translate(body: String, args: Seq[(String, CqlType)]): String = {
+    val argTypes = args.toMap
+    val trimmed = body.trim
+    val toks = tokenize(trimmed)
+    toks match {
+      case Ident("return") :: rest if rest.lastOption.contains(Op(";")) =>
+        val p = new Parser(rest.dropRight(1), argTypes)
+        val (sql, _) = p.expression()
+        p.expectEnd()
+        sql
+      case _ :: _ => throw Untranslatable(
+        "only a single 'return <expression>;' statement is supported by " +
+          "this engine's translation shim (the reference compiles full Java " +
+          "bodies; rewrite the function as LANGUAGE spark for anything larger)")
+      case Nil => throw Untranslatable("empty function body")
+    }
+  }
+
+  // ── shim-internal value typing (drives + overload resolution) ───────
+  private sealed trait T
+  private case object TStr extends T
+  private case object TNum extends T
+  private case object TBool extends T
+  private case object TNull extends T
+  private final case class TMap(value: CqlType) extends T
+  private final case class TList(elem: CqlType) extends T
+  private final case class TUdtT(udt: CqlUdt) extends T
+  private case object TOther extends T
+
+  private def ofCql(t: CqlType): T = t match {
+    case CqlText | CqlAscii => TStr
+    case CqlInt | CqlBigint | CqlSmallint | CqlTinyint | CqlDouble |
+         CqlFloat | CqlDecimal | CqlVarint | CqlCounter => TNum
+    case CqlBoolean => TBool
+    case m: CqlMap => TMap(m.value)
+    case l: CqlList => TList(l.elem)
+    case s: CqlSet => TList(s.elem)
+    case u: CqlUdt => TUdtT(u)
+    case _ => TOther
+  }
+
+  // ── tokens ──────────────────────────────────────────────────────────
+  private sealed trait Tok
+  private final case class Ident(s: String) extends Tok
+  private final case class NumLit(sql: String) extends Tok
+  private final case class StrLit(sql: String) extends Tok
+  private final case class Op(s: String) extends Tok
+
+  private def tokenize(s: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    def err(msg: String) = throw Untranslatable(s"$msg (at offset $i)")
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        out += Ident(s.substring(j, i))
+      } else if (c.isDigit || (c == '.' && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
+        val j = i
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        val digits = s.substring(j, i)
+        val suffix = if (i < s.length) s.charAt(i) match {
+          case 'd' | 'D' => i += 1; "d"
+          case 'f' | 'F' => i += 1; "f"
+          case 'l' | 'L' => i += 1; "l"
+          case _ => ""
+        } else ""
+        val isFractional = digits.contains('.')
+        val sql = suffix match {
+          case "d" => s"CAST($digits AS DOUBLE)"
+          case "f" => s"CAST($digits AS FLOAT)"
+          case "l" => s"${digits}L"
+          // Java fractional literals are double; Spark's bare decimals are
+          // DECIMAL — cast to keep Java arithmetic semantics
+          case _ if isFractional => s"CAST($digits AS DOUBLE)"
+          case _ => digits
+        }
+        out += NumLit(sql)
+      } else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+              case other => sb += other
+            }
+            i += 2
+          } else if (ch == quote) { closed = true; i += 1 }
+          else { sb += ch; i += 1 }
+        }
+        if (!closed) err("unterminated string literal")
+        out += StrLit("'" + sb.result().replace("'", "''") + "'")
+      } else {
+        val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+        if (Set("==", "!=", "<=", ">=", "&&", "||").contains(two)) { out += Op(two); i += 2 }
+        else { out += Op(c.toString); i += 1 }
+      }
+    }
+    out.toList
+  }
+
+  // ── recursive-descent over the Java expression grammar ──────────────
+  private final class Parser(var toks: List[Tok], argTypes: Map[String, CqlType]) {
+    private def fail(msg: String): Nothing = throw Untranslatable(msg)
+    private def peek: Option[Tok] = toks.headOption
+    private def next(): Tok = toks match {
+      case h :: t => toks = t; h
+      case Nil => fail("unexpected end of expression")
+    }
+    private def eat(op: String): Unit = next() match {
+      case Op(`op`) =>
+      case other => fail(s"expected '$op', found $other")
+    }
+    def expectEnd(): Unit =
+      if (toks.nonEmpty) fail(s"trailing tokens after expression: $toks")
+
+    def expression(): (String, T) = ternary()
+
+    private def ternary(): (String, T) = {
+      val c = or()
+      peek match {
+        case Some(Op("?")) =>
+          eat("?")
+          val (a, ta) = ternary()
+          eat(":")
+          val (b, tb) = ternary()
+          val t = if (ta == TNull) tb else ta
+          (s"IF(${c._1}, $a, $b)", t)
+        case _ => c
+      }
+    }
+
+    private def binaryChain(sub: () => (String, T), ops: Set[String])
+                           (combine: (String, (String, T), (String, T)) => (String, T)): (String, T) = {
+      var left = sub()
+      var continue = true
+      while (continue) peek match {
+        case Some(Op(o)) if ops.contains(o) =>
+          next()
+          left = combine(o, left, sub())
+        case _ => continue = false
+      }
+      left
+    }
+
+    private def or(): (String, T) =
+      binaryChain(() => and(), Set("||")) { (_, l, r) => (s"(${l._1} OR ${r._1})", TBool) }
+
+    private def and(): (String, T) =
+      binaryChain(() => equality(), Set("&&")) { (_, l, r) => (s"(${l._1} AND ${r._1})", TBool) }
+
+    private def equality(): (String, T) =
+      binaryChain(() => relational(), Set("==", "!=")) { (o, l, r) =>
+        val sql = (o, r._2) match {
+          case ("==", TNull) => s"(${l._1} IS NULL)"
+          case ("!=", TNull) => s"(${l._1} IS NOT NULL)"
+          case ("==", _) => s"(${l._1} = ${r._1})"
+          case _ => s"(${l._1} != ${r._1})"
+        }
+        (sql, TBool)
+      }
+
+    private def relational(): (String, T) =
+      binaryChain(() => additive(), Set("<", "<=", ">", ">=")) { (o, l, r) =>
+        (s"(${l._1} $o ${r._1})", TBool)
+      }
+
+    private def additive(): (String, T) =
+      binaryChain(() => multiplicative(), Set("+", "-")) { (o, l, r) =>
+        if (o == "+" && (l._2 == TStr || r._2 == TStr)) {
+          // Java String + : String.valueOf both sides; null prints "null"
+          def str(e: (String, T)) = e._2 match {
+            case TStr => s"COALESCE(${e._1}, 'null')"
+            case _ => s"COALESCE(CAST(${e._1} AS STRING), 'null')"
+          }
+          (s"concat(${str(l)}, ${str(r)})", TStr)
+        } else (s"(${l._1} $o ${r._1})", numT(l, r))
+      }
+
+    private def multiplicative(): (String, T) =
+      binaryChain(() => unary(), Set("*", "/", "%")) { (o, l, r) =>
+        (s"(${l._1} $o ${r._1})", numT(l, r))
+      }
+
+    private def numT(l: (String, T), r: (String, T)): T =
+      if (l._2 == TNum || r._2 == TNum) TNum else TOther
+
+    private def unary(): (String, T) = peek match {
+      case Some(Op("!")) => next(); val (e, _) = unary(); (s"(NOT $e)", TBool)
+      case Some(Op("-")) => next(); val (e, t) = unary(); (s"(- $e)", t)
+      case Some(Op("+")) => next(); unary()
+      case _ => postfix()
+    }
+
+    private def postfix(): (String, T) = {
+      var cur = primary()
+      var continue = true
+      while (continue) peek match {
+        case Some(Op(".")) =>
+          next()
+          cur = methodCall(cur)
+        case _ => continue = false
+      }
+      cur
+    }
+
+    private def callArgs(): List[(String, T)] = {
+      eat("(")
+      if (peek.contains(Op(")"))) { next(); Nil }
+      else {
+        val args = scala.collection.mutable.ListBuffer(expression())
+        while (peek.contains(Op(","))) { next(); args += expression() }
+        eat(")")
+        args.toList
+      }
+    }
+
+    /** `.name(args)` on `recv` — the typed-receiver method table. */
+    private def methodCall(recv: (String, T)): (String, T) = {
+      val name = next() match {
+        case Ident(n) => n
+        case other => fail(s"expected method name after '.', found $other")
+      }
+      val args = callArgs()
+      val (r, rt) = recv
+      (name, args) match {
+        case ("toString", Nil) => (s"CAST($r AS STRING)", TStr)
+        case ("intValue", Nil) => (s"CAST($r AS INT)", TNum)
+        case ("longValue", Nil) => (s"CAST($r AS BIGINT)", TNum)
+        case ("doubleValue", Nil) => (s"CAST($r AS DOUBLE)", TNum)
+        case ("floatValue", Nil) => (s"CAST($r AS FLOAT)", TNum)
+        case ("shortValue", Nil) => (s"CAST($r AS SMALLINT)", TNum)
+        case ("byteValue", Nil) => (s"CAST($r AS TINYINT)", TNum)
+        case ("booleanValue", Nil) => (s"CAST($r AS BOOLEAN)", TBool)
+        case ("get", List(k)) => rt match {
+          // Java Map.get: absent key → null (Spark [] does the same with
+          // ANSI off); Java List.get is 0-based like Spark's [] on arrays
+          case TMap(v) => (s"$r[${k._1}]", ofCql(v))
+          case TList(e) => (s"$r[${k._1}]", ofCql(e))
+          case _ => fail(s"get() on a non-collection receiver '$r'")
+        }
+        case (g, List((f, _))) if g.startsWith("get") && rt.isInstanceOf[TUdtT] =>
+          val fieldName = f.stripPrefix("'").stripSuffix("'")
+          val udt = rt.asInstanceOf[TUdtT].udt
+          val ft = udt.fields.collectFirst { case (n, t) if n == fieldName => t }
+            .getOrElse(fail(s"UDT ${udt.typeName} has no field '$fieldName'"))
+          val cast = g match {
+            case "getString" => "STRING"
+            case "getInt" => "INT"
+            case "getLong" => "BIGINT"
+            case "getDouble" => "DOUBLE"
+            case "getFloat" => "FLOAT"
+            case "getBoolean" => "BOOLEAN"
+            case other => fail(s"unsupported UDT accessor '$other'")
+          }
+          (s"CAST($r.`$fieldName` AS $cast)", ofCql(ft))
+        case (m, _) => fail(s"unsupported method call '.$m' on '$r'")
+      }
+    }
+
+    private val boxClasses: Map[String, (String, T)] = Map(
+      "Integer" -> ("INT", TNum), "Long" -> ("BIGINT", TNum),
+      "Double" -> ("DOUBLE", TNum), "Float" -> ("FLOAT", TNum),
+      "Short" -> ("SMALLINT", TNum), "Byte" -> ("TINYINT", TNum),
+      "Boolean" -> ("BOOLEAN", TBool), "String" -> ("STRING", TStr))
+
+    private val mathFns: Map[String, String] = Map(
+      "sin" -> "sin", "cos" -> "cos", "tan" -> "tan", "asin" -> "asin",
+      "acos" -> "acos", "atan" -> "atan", "sqrt" -> "sqrt", "cbrt" -> "cbrt",
+      "exp" -> "exp", "log" -> "ln", "log10" -> "log10", "pow" -> "power",
+      "abs" -> "abs", "floor" -> "floor", "ceil" -> "ceil",
+      "signum" -> "sign", "max" -> "greatest", "min" -> "least",
+      "round" -> "round")
+
+    private def primary(): (String, T) = next() match {
+      case NumLit(sql) => (sql, TNum)
+      case StrLit(sql) => (sql, TStr)
+      case Op("(") =>
+        val e = expression()
+        eat(")")
+        (s"(${e._1})", e._2)
+      case Ident("null") => ("NULL", TNull)
+      case Ident("true") => ("true", TBool)
+      case Ident("false") => ("false", TBool)
+      // an argument named like a class ("Math") must resolve as the
+      // argument — declared names shadow the static tables
+      case Ident(name) if argTypes.contains(name) => (s"`$name`", ofCql(argTypes(name)))
+      case Ident("new") => next() match {
+        case Ident("String") =>
+          callArgs() match {
+            case List((a, _)) => (s"CAST($a AS STRING)", TStr)
+            case _ => fail("new String(..) supports exactly one argument")
+          }
+        case other => fail(s"unsupported constructor 'new $other'")
+      }
+      case Ident("Math") =>
+        eat(".")
+        val fn = next() match {
+          case Ident(n) => n
+          case other => fail(s"expected Math method, found $other")
+        }
+        val args = callArgs()
+        fn match {
+          case "copySign" => args match {
+            case List((m, _), (s, _)) =>
+              (s"(abs(CAST($m AS DOUBLE)) * IF(sign(CAST($s AS DOUBLE)) < 0, -1.0D, 1.0D))", TNum)
+            case _ => fail("Math.copySign takes (magnitude, sign)")
+          }
+          case f => mathFns.get(f) match {
+            case Some(sqlFn) => (s"$sqlFn(${args.map(_._1).mkString(", ")})", TNum)
+            case None => fail(s"unsupported Math method '$f'")
+          }
+        }
+      case Ident(cls) if boxClasses.contains(cls) && peek.contains(Op(".")) =>
+        eat(".")
+        next() match {
+          case Ident("valueOf") =>
+            callArgs() match {
+              case List((a, _)) =>
+                val (sqlT, t) = boxClasses(cls)
+                (s"CAST($a AS $sqlT)", t)
+              case _ => fail(s"$cls.valueOf takes one argument")
+            }
+          case Ident("MAX_VALUE") | Ident("MIN_VALUE") =>
+            fail(s"unsupported constant on $cls")
+          case other => fail(s"unsupported static call '$cls.$other'")
+        }
+      case Ident(name) =>
+        argTypes.get(name) match {
+          case Some(t) => (s"`$name`", ofCql(t))
+          case None => fail(s"unknown identifier '$name' (arguments: " +
+            s"${argTypes.keys.toSeq.sorted.mkString(", ")})")
+        }
+      case other => fail(s"unexpected token $other")
+    }
+  }
+}

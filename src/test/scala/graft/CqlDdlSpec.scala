@@ -102,9 +102,66 @@ class CqlDdlSpec extends SparkSpec {
       "RETURNS int LANGUAGE spark AS 'coalesce(x, 0) + 1'")
     assert(rowsInOrder(e.execute("SELECT k, or_zero(v) FROM f1")) ===
       Seq(Seq(1, 7), Seq(2, 1)))
-    assertInvalid(e, "CREATE FUNCTION j (x int) CALLED ON NULL INPUT RETURNS int LANGUAGE java AS 'return x;'",
-      "Unsupported language")
     assertInvalid(e, "SELECT double_it(v, v) FROM f1", "Invalid number of arguments")
+  }
+
+  test("CREATE FUNCTION LANGUAGE java: expression-shaped bodies translate; " +
+    "larger bodies get the reference's compile-error text") {
+    // bodies ported from the reference validation suite (UFTest.java,
+    // AggregationTest.java) — the single-return shape every test UDF uses
+    val e = mkEngine
+    e.execute("CREATE TABLE jf1 (k int PRIMARY KEY, v int, d double, s text, " +
+      "m map<text, int>, l list<int>)")
+    e.execute("INSERT INTO jf1 (k, v, d, s, m, l) VALUES " +
+      "(1, 6, 0.5, 'ab', {'x': 7}, [5, 9])")
+    e.execute("INSERT INTO jf1 (k, v) VALUES (2, 2)")
+
+    // identity + literals
+    e.execute("CREATE FUNCTION jid (arg int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS 'return arg;'")
+    e.execute("CREATE FUNCTION jconst () CALLED ON NULL INPUT " +
+      "RETURNS double LANGUAGE java AS 'return 10.0d;'")
+    // boxing/unboxing + Math (UFTest 'sin' shape)
+    e.execute("CREATE FUNCTION jsin (input double) RETURNS NULL ON NULL INPUT " +
+      "RETURNS double LANGUAGE java AS " +
+      "'return Double.valueOf(Math.sin(input.doubleValue()));'")
+    // null-guard ternary fold state (AggregationTest's universal SFUNC)
+    e.execute("CREATE FUNCTION jsum (a int, b int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS " +
+      "'return Integer.valueOf((a!=null?a.intValue():0) + b.intValue());'")
+    // Java string concat: non-strings stringify, null prints "null"
+    e.execute("CREATE FUNCTION jcat (a text, b int) CALLED ON NULL INPUT " +
+      "RETURNS text LANGUAGE java AS $$return a + \"x\" + b + \"y\";$$")
+    // toString + map/list element access
+    e.execute("CREATE FUNCTION jts (a int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS text LANGUAGE java AS 'return a.toString();'")
+    e.execute("CREATE FUNCTION jget (m map<text, int>, k text) RETURNS NULL ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS 'return m.get(k);'")
+    e.execute("CREATE FUNCTION jidx (l list<int>) RETURNS NULL ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS 'return l.get(1);'")
+
+    val r = e.execute("SELECT jid(v), jconst(), jsin(d), jsum(v, k), " +
+      "jcat(s, v), jts(v), jget(m, 'x'), jidx(l) FROM jf1 WHERE k = 1").collect().head
+    assert(r.getInt(0) === 6)
+    assert(r.getDouble(1) === 10.0)
+    assert(math.abs(r.getDouble(2) - math.sin(0.5)) < 1e-12)
+    assert(r.getInt(3) === 7)   // 6 + 1
+    assert(r.getString(4) === "abx6y")
+    assert(r.getString(5) === "6")
+    assert(r.getInt(6) === 7)
+    assert(r.getInt(7) === 9)   // Java List.get is 0-based
+    // CALLED ON NULL INPUT string concat prints "null" like Java
+    val r2 = e.execute("SELECT jcat(s, v) FROM jf1 WHERE k = 2").collect().head
+    assert(r2.getString(0) === "nullx2y")
+
+    // beyond the expression shape → the reference's error text
+    assertInvalid(e, "CREATE FUNCTION jloop (x int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS 'int s = 0; for (int i = 0; i < x; i++) s += i; return s;'",
+      "Could not compile function")
+    assertInvalid(e, "CREATE FUNCTION jwho (x int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS 'return y;'", "Could not compile function")
+    assertInvalid(e, "CREATE FUNCTION jlang (x int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE javascript AS 'x'", "Unsupported language")
   }
 
   test("CREATE AGGREGATE: SFUNC fold + FINALFUNC + INITCOND") {
