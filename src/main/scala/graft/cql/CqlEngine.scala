@@ -622,7 +622,51 @@ class CqlEngine(val spark: SparkSession) {
       ColumnDef("table_name", CqlText, Clustering),
       ColumnDef("index_name", CqlText, Clustering),
       ColumnDef("kind", CqlText, Regular),
-      ColumnDef("options", CqlMap(CqlText, CqlText), Regular)), Seq(false, false)))
+      ColumnDef("options", CqlMap(CqlText, CqlText), Regular)), Seq(false, false)),
+    // system_views.* (SystemViewsKeyspace.java:30-38) — the reference's
+    // node-introspection keyspace, served here from the LIVE Spark session
+    // and engine state (never canned rows): settings = session SQL config,
+    // clients = this driver connection, caches = block-manager storage +
+    // the engine's in-memory log tails, thread_pools = the task scheduler,
+    // sstable_tasks = per-table progress toward the next auto-compaction.
+    "system_views.settings" -> TableDef("system_views.settings", Seq(
+      ColumnDef("name", CqlText, PartitionKey),
+      ColumnDef("value", CqlText, Regular)), Seq.empty),
+    "system_views.clients" -> TableDef("system_views.clients", Seq(
+      ColumnDef("address", CqlText, PartitionKey),
+      ColumnDef("port", CqlInt, Clustering),
+      ColumnDef("hostname", CqlText, Regular),
+      ColumnDef("username", CqlText, Regular),
+      ColumnDef("connection_stage", CqlText, Regular),
+      ColumnDef("protocol_version", CqlInt, Regular),
+      ColumnDef("driver_name", CqlText, Regular),
+      ColumnDef("driver_version", CqlText, Regular),
+      ColumnDef("request_count", CqlBigint, Regular),
+      ColumnDef("ssl_enabled", CqlBoolean, Regular)), Seq(false)),
+    "system_views.caches" -> TableDef("system_views.caches", Seq(
+      ColumnDef("name", CqlText, PartitionKey),
+      ColumnDef("capacity_bytes", CqlBigint, Regular),
+      ColumnDef("entry_count", CqlInt, Regular),
+      ColumnDef("size_bytes", CqlBigint, Regular),
+      ColumnDef("request_count", CqlBigint, Regular),
+      ColumnDef("hit_count", CqlBigint, Regular),
+      ColumnDef("hit_ratio", CqlDouble, Regular)), Seq.empty),
+    "system_views.thread_pools" -> TableDef("system_views.thread_pools", Seq(
+      ColumnDef("name", CqlText, PartitionKey),
+      ColumnDef("active_tasks", CqlInt, Regular),
+      ColumnDef("active_tasks_limit", CqlInt, Regular),
+      ColumnDef("pending_tasks", CqlInt, Regular),
+      ColumnDef("completed_tasks", CqlBigint, Regular),
+      ColumnDef("blocked_tasks", CqlInt, Regular),
+      ColumnDef("blocked_tasks_all_time", CqlBigint, Regular)), Seq.empty),
+    "system_views.sstable_tasks" -> TableDef("system_views.sstable_tasks", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("table_name", CqlText, Clustering),
+      ColumnDef("task_id", CqlText, Clustering),
+      ColumnDef("kind", CqlText, Regular),
+      ColumnDef("progress", CqlBigint, Regular),
+      ColumnDef("total", CqlBigint, Regular),
+      ColumnDef("unit", CqlText, Regular)), Seq(false, false)))
 
   private val keyspace = "graft"
 
@@ -681,6 +725,59 @@ class CqlEngine(val spark: SparkSession) {
             d.className.map("class_name" -> _)
           Row(ks, tn, d.name, if (d.custom) "CUSTOM" else "COMPOSITES", opts)
         }))
+      case "system_views.settings" =>
+        // SettingsTable.java — node config as (name, value); here the live
+        // session SQL config (runtime-mutable entries included), sorted
+        Some(mk(virtualDefs(name),
+          spark.conf.getAll.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }))
+      case "system_views.clients" =>
+        // ClientsTable.java — connected clients; the Spark analog is this
+        // driver connection with the engine's live statement counter
+        val sc = spark.sparkContext
+        val host = sc.getConf.get("spark.driver.host", "127.0.0.1")
+        val port = sc.getConf.getInt("spark.driver.port", 0)
+        Some(mk(virtualDefs(name), Seq(Row(
+          host, port, java.net.InetAddress.getLocalHost.getHostName,
+          sc.sparkUser, "READY", 5, "graft", sc.version,
+          statementCount, false))))
+      case "system_views.caches" =>
+        // CachesTable.java — cache occupancy; served from the live block
+        // manager (cached RDD/table blocks) and the engine's in-memory
+        // mutation-log tails. Hit counters aren't tracked → null, like the
+        // reference's NaN-when-unmeasured ratio.
+        val sc = spark.sparkContext
+        val storage = sc.getRDDStorageInfo
+        val maxMem = sc.getExecutorMemoryStatus.values.map(_._1).sum
+        val tailRows = logs.values.map(_.size.toLong).sum
+        Some(mk(virtualDefs(name), Seq(
+          Row("block_manager_storage", maxMem,
+            storage.map(_.numCachedPartitions).sum,
+            storage.map(s => s.memSize + s.diskSize).sum, null, null, null),
+          Row("mutation_log_tails", autoFlushRows.toLong * tables.size,
+            tailRows.toInt, null, null, null, null))))
+      case "system_views.thread_pools" =>
+        // ThreadPoolsTable.java — executor pool gauges; the Spark analog is
+        // the task scheduler, read from the public status tracker
+        val t = spark.sparkContext.statusTracker
+        val active = t.getExecutorInfos.map(_.numRunningTasks()).sum
+        val stages = t.getActiveStageIds.flatMap(id => t.getStageInfo(id))
+        val pending = stages.map(s =>
+          math.max(0, s.numTasks - s.numActiveTasks - s.numCompletedTasks)).sum
+        Some(mk(virtualDefs(name), Seq(Row(
+          "task-scheduler", active, spark.sparkContext.defaultParallelism,
+          pending, TaskCounter.completed(spark.sparkContext), 0, 0L))))
+      case "system_views.sstable_tasks" =>
+        // SSTableTasksTable.java — in-flight compactions; the engine's
+        // analog is each storage-attached table's progress toward its next
+        // auto-flush compaction (tail rows vs the flush threshold)
+        Some(mk(virtualDefs(name),
+          if (storageDir.isEmpty) Seq.empty
+          else logs.toSeq.sortBy(_._1).collect {
+            case (tbl, tail) if !virtualDefs.contains(tbl) =>
+              val (ks, tn) = splitName(tbl)
+              Row(ks, tn, "pending-flush", "compaction",
+                tail.size.toLong, autoFlushRows.toLong, "rows")
+          }))
       case _ => None
     }
   }
@@ -769,7 +866,14 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   // ── statement execution ───────────────────────────────────────────────
-  def execute(cql: String): DataFrame = run(CqlParser.parse(cql, parseUdts))
+  def execute(cql: String): DataFrame = {
+    statementCount += 1
+    run(CqlParser.parse(cql, parseUdts))
+  }
+
+  // served by system_views.clients as request_count, like the reference's
+  // per-connection counter (db/virtual/ClientsTable.java)
+  private var statementCount: Long = 0L
 
   /** Type-resolution map for the parser: every type under its canonical
     * `ks.name` key, plus bare-name aliases for the CURRENT keyspace (an
@@ -4077,5 +4181,28 @@ class CqlEngine(val spark: SparkSession) {
       case other => lowerExpr(td, other, rec)
     }
     rec(e)
+  }
+}
+
+/** App-wide completed-task counter behind `system_views.thread_pools`
+  * (the reference's ThreadPoolsTable "completed" gauge,
+  * `db/virtual/ThreadPoolsTable.java`): the public SparkStatusTracker has
+  * no all-time counter, so one listener per application accumulates it.
+  */
+private[cql] object TaskCounter {
+  private val completedCount = new java.util.concurrent.atomic.AtomicLong
+  private val registeredApps =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  def completed(sc: org.apache.spark.SparkContext): Long = {
+    if (registeredApps.add(sc.applicationId)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          completedCount.incrementAndGet(); ()
+        }
+      })
+    }
+    completedCount.get()
   }
 }

@@ -371,6 +371,55 @@ object Dedup {
       .select(col("a").as("new_id"), col("b").as("corpus_id"), col("jaccard"))
   }
 
+  /** Streaming-native LSH ingest: [[ingestAgainstLshIndex]] as an UNBOUNDED
+    * append-mode stream — safe on a never-ending crawl, unlike the
+    * foreachBatch form (which is still right when each micro-batch should
+    * run the full batch operator).
+    *
+    * Unbounded-stream safety by construction:
+    *  - signature AND hashed shingle set are sketched in ONE stateless
+    *    projection per row (the stream never self-joins for verification —
+    *    a stream-stream join would hold state forever);
+    *  - the bucket lookup and the corpus shingle-set fetch are
+    *    stream-STATIC equi-joins: stateless, append-safe, and the only
+    *    corpus-side cost is the saved index, never the corpus text;
+    *  - the one stateful op — collapsing the same pair surfacing from
+    *    several bands — is `dropDuplicatesWithinWatermark`, so its state is
+    *    BOUNDED by the event-time watermark instead of growing with every
+    *    pair ever seen.
+    */
+  def ingestAgainstLshIndexStream(newDocs: DataFrame, index: LshIndex,
+                                  id: String, text: String, tsCol: String,
+                                  k: Int, threshold: Double,
+                                  bands: Int = 16, rowsPerBand: Int = 4,
+                                  watermarkDelay: String = "10 minutes"): DataFrame = {
+    val sk = newDocs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(id).as("doc_id"),
+        call_function("minhash_sig", shingles(col(text), k),
+          lit(bands * rowsPerBand)).as("sig"),
+        hashedShingleSet(col(text), k, 1L).as("sa"))
+      .filter(col("sig").isNotNull)
+    val bandStructs = (0 until bands).map { b =>
+      val rowCols = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bkey"))
+    }
+    val bucketed = sk
+      .select(col(tsCol), col("doc_id"), col("sa"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(tsCol), col("doc_id"), col("sa"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cands = bucketed
+      .join(index.buckets.withColumnRenamed("doc_id", "b"), Seq("band", "bkey"))
+      .select(col(tsCol), col("doc_id").as("a"), col("b"), col("sa"))
+      .dropDuplicatesWithinWatermark("a", "b")
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cands
+      .join(index.shingleSets.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      .select(col("a").as("new_id"), col("b").as("corpus_id"),
+        round(inter * lit(1.0) / (size(col("sa")) + size(col("sb")) - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Bloom-prefiltered EXACT ingest dedup: keep the new-crawl docs whose
     * (lowercased) text does not already exist in the corpus. The companion
     * of [[crossCorpusNearDups]] for the exact-match tier of incremental

@@ -39,6 +39,56 @@ class CqlDdlSpec extends SparkSpec {
       "Modification is not supported")
   }
 
+  test("system_views virtual tables serve live session and engine state " +
+    "(SystemViewsKeyspace.java catalog)") {
+    val e = mkEngine
+    // settings = the LIVE session SQL config: a conf set through Spark must
+    // be visible on the next read
+    spark.conf.set("spark.sql.graft.vt.probe", "on")
+    try {
+      val settings = rowsInOrder(e.execute(
+        "SELECT value FROM system_views.settings WHERE name = 'spark.sql.graft.vt.probe'"))
+      assert(settings === Seq(Seq("on")))
+      val shuffle = rowsInOrder(e.execute(
+        "SELECT value FROM system_views.settings WHERE name = 'spark.sql.shuffle.partitions'"))
+      assert(shuffle === Seq(Seq(spark.conf.get("spark.sql.shuffle.partitions"))))
+    } finally spark.conf.unset("spark.sql.graft.vt.probe")
+
+    // clients: one row for this driver connection; request_count is the
+    // engine's live statement counter (monotonic across executes)
+    val c1 = e.execute("SELECT request_count, username FROM system_views.clients")
+      .collect().head
+    assert(c1.getString(1) === spark.sparkContext.sparkUser)
+    val c2 = e.execute("SELECT request_count FROM system_views.clients")
+      .collect().head
+    assert(c2.getLong(0) > c1.getLong(0), "statement counter must advance")
+
+    // thread_pools: scheduler gauges with the session's real parallelism cap
+    val tp = e.execute("SELECT name, active_tasks_limit, completed_tasks " +
+      "FROM system_views.thread_pools").collect().head
+    assert(tp.getString(0) === "task-scheduler")
+    assert(tp.getInt(1) === spark.sparkContext.defaultParallelism)
+
+    // caches: block-manager capacity is the executor max-memory sum (> 0)
+    val caches = rowsInOrder(e.execute("SELECT name FROM system_views.caches"))
+    assert(caches.contains(Seq("block_manager_storage")))
+
+    // sstable_tasks: with durable storage attached, a table's tail rows
+    // report progress toward the flush threshold
+    val dir = java.nio.file.Files.createTempDirectory("graft-vt").toString
+    val es = new CqlEngine(spark)
+    es.attachStorage(dir)
+    es.execute("CREATE TABLE vt_s (k int PRIMARY KEY, v int)")
+    es.execute("INSERT INTO vt_s (k, v) VALUES (1, 1)")
+    es.execute("INSERT INTO vt_s (k, v) VALUES (2, 2)")
+    val tasks = rowsInOrder(es.execute(
+      "SELECT table_name, kind, progress, unit FROM system_views.sstable_tasks"))
+    assert(tasks.contains(Seq("vt_s", "compaction", 2L, "rows")))
+    // virtual keyspaces reject writes like every other virtual table
+    assertInvalid(e, "INSERT INTO system_views.settings (name, value) VALUES ('x', 'y')",
+      "Modification is not supported")
+  }
+
   test("keyspaces: CREATE / USE / qualified names / DROP cascade") {
     val e = mkEngine
     e.execute("CREATE KEYSPACE ks1 WITH replication = {'class': 'SimpleStrategy', 'replication_factor': 1}")

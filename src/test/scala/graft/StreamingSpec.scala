@@ -291,6 +291,42 @@ class StreamingSpec extends SparkSpec {
     assert(found.asScala.toSet === expected && expected.nonEmpty)
   }
 
+  test("streaming-native LSH ingest: watermark + append mode over an " +
+    "unbounded crawl matches the batch cross-corpus pair set") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val crawl = all.filter(col("doc_id") % 2 === 1)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-wlshidx").toString
+    Dedup.lshIndexBuild(corpus, "doc_id", "text", 3).save(idxDir)
+    val idx = Dedup.lshIndexLoad(spark, idxDir)
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-wcrawl").toString
+    // event-time arrival stamps; several files force several micro-batches
+    crawl.withColumn("arrived",
+        org.apache.spark.sql.functions.timestamp_micros(lit(1700000000000000L) + col("doc_id")))
+      .repartition(4)
+      .write.mode("overwrite").parquet(crawlDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(crawlDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(crawlDir)
+    val q = Dedup.ingestAgainstLshIndexStream(
+        stream, idx, "doc_id", "text", "arrived", 3, 0.7)
+      .writeStream.outputMode("append") // the point: NOT complete/foreachBatch
+      .format("memory").queryName("wlsh_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("wlsh_out")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect()
+    val expected = Dedup.crossCorpusNearDups(crawl, corpus, "doc_id", "text", 3, 0.7)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got.length === got.toSet.size, "watermarked dedup: no pair emitted twice")
+    assert(got.toSet === expected && expected.nonEmpty)
+  }
+
   test("curation tier is streaming-safe: hash-gate sampling and the " +
     "quality keep-verdict run stateless under readStream and match batch") {
     import spark.implicits._
