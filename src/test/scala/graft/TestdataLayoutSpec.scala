@@ -20,6 +20,56 @@ class TestdataLayoutSpec extends SparkSpec {
         s"tsEpochMs/tsAsTimestamp the new form. Full schema: ${schema.treeString}")
   }
 
+  test("every driver table reads with the column names and value semantics " +
+    "the queries assume (regeneration tripwire)") {
+    // Pin names + a semantic type class per column (exact physical types
+    // may legitimately drift between generations — e.g. timestamps — but a
+    // renamed/retyped-beyond-recognition column must fail HERE, not as a
+    // scattered analyzer error). Timestamp-or-long unions cover the known
+    // regeneration history.
+    import org.apache.spark.sql.types._
+    def cls(dt: DataType): String = dt match {
+      case _: IntegerType | _: LongType | _: ShortType => "int"
+      case _: DoubleType | _: FloatType | _: DecimalType => "fp"
+      case _: StringType => "str"
+      case _: TimestampType | _: TimestampNTZType | _: DateType => "time"
+      case ArrayType(e, _) => s"arr<${cls(e)}>"
+      case other => other.catalogString
+    }
+    val expected = Map(
+      "region" -> "r_regionkey:int,r_name:str",
+      "nation" -> "n_nationkey:int,n_name:str,n_regionkey:int",
+      "customer" -> "c_custkey:int,c_name:str,c_nationkey:int,c_acctbal:fp,c_mktsegment:str",
+      "supplier" -> "s_suppkey:int,s_name:str,s_nationkey:int,s_acctbal:fp",
+      "part" -> "p_partkey:int,p_name:str,p_brand:str,p_type:str,p_size:int,p_retailprice:fp",
+      "orders" -> ("o_orderkey:int,o_custkey:int,o_orderstatus:str,o_totalprice:fp," +
+        "o_orderdate:time,o_orderpriority:str"),
+      "lineitem" -> ("l_orderkey:int,l_partkey:int,l_suppkey:int,l_linenumber:int," +
+        "l_quantity:fp,l_extendedprice:fp,l_discount:fp,l_tax:fp,l_returnflag:str," +
+        "l_linestatus:str,l_shipdate:time"),
+      // ts admits int OR time: the TIMESTAMP(NANOS) generations read as
+      // long nanos under nanosAsLong (Tables.tsEpochUs adapts)
+      "events" -> "event_id:int,ts:int|time,user_id:int,event_type:str,value:fp,props:str",
+      "documents" -> "doc_id:int,text:str,lang:str,source:str,n_chars:int",
+      "embeddings" -> "vec_id:int,embedding:arr<fp>,label:int")
+    val problems = Tables.all.flatMap { t =>
+      val got = Tables(spark, sf, t).schema.map(f => s"${f.name}:${cls(f.dataType)}")
+      val want = expected(t).split(",").toSeq
+      def mismatch(g: String, w: String): Boolean = {
+        val Array(gName, gType) = g.split(":", 2)
+        val Array(wName, wTypes) = w.split(":", 2)
+        gName != wName || !wTypes.split("\\|").contains(gType)
+      }
+      if (got.size != want.size || got.zip(want).exists((mismatch _).tupled))
+        Some(s"$t: expected [${want.mkString(", ")}] but the parquet reads as " +
+          s"[${got.mkString(", ")}]")
+      else None
+    }
+    assert(problems.isEmpty,
+      "driver testdata layout drifted — adapt the affected readers " +
+        "(see Tables.tsEpochUs for the pattern):\n" + problems.mkString("\n"))
+  }
+
   test("tsEpochUs/tsEpochMs/tsAsTimestamp agree with each other on events") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
