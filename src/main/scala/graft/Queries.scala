@@ -1553,8 +1553,13 @@ object Queries {
       }),
 
     QueryDef("q_ann_lsh",
-      // LSH-bucketed ANN (scale path; approximate → rows-only check)
-      None,
+      // LSH-bucketed ANN (scale path). Approximate vs brute force but
+      // DETERMINISTIC (seeded hyperplanes), so the oracle compares against
+      // a Verify-written fixture: a plain-Scala driver-side re-run of
+      // chunk candidates + exact re-score + top-k (see Verify.writeFixtures)
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annlsh/*.parquet')
+              ORDER BY query_id, rnk"""),
       (s, d) => {
         prep(s)
         val emb = t(s, d, "embeddings")

@@ -134,6 +134,42 @@ object Verify {
       pairs.toIndexedSeq.toDF("a", "b", "jaccard").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_simhash")
     }
+    fixture("_fixture_annlsh") {
+      // Plain-Scala driver-side re-run of the LSH ANN pipeline — chunked
+      // candidate generation over seeded sign-random-projection codes,
+      // exact cosine re-score, bounded top-k — mirroring q_ann_lsh's
+      // parameters (bits=32, bands=8, seed=7, k=10, queries vec_id<8).
+      // Deterministic because the hyperplanes derive from the seed; shares
+      // only VectorMath's scalar kernels with the expressions under test,
+      // so the distributed plan (band join, distinct, bounded top-k agg)
+      // is checked against an independent evaluation path.
+      val bits = 32; val bands = 8; val seed = 7L; val k = 10
+      val chunkBits = bits / bands
+      val mask = (1L << chunkBits) - 1
+      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      val codes = vecs.map { case (id, e) =>
+        (id, e, graft.functions.VectorMath.lshCode(e, bits, seed))
+      }
+      def chunks(code: Long): Set[(Int, Long)] =
+        (0 until bands).map(c => (c, (code >>> (c * chunkBits)) & mask)).toSet
+      val rows = for {
+        (qid, qe, qc) <- codes.filter(_._1 < 8).sortBy(_._1)
+        qch = chunks(qc)
+        ranked = codes.iterator
+          .filter { case (nid, _, nc) => nid != qid && chunks(nc).exists(qch) }
+          .map { case (nid, ne, _) =>
+            val sim = BigDecimal(graft.functions.VectorMath.cosineF(ne, qe))
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+            (nid, sim)
+          }
+          .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
+          .take(k)
+        ((nid, sim), i) <- ranked.zipWithIndex
+      } yield (qid, nid, sim, i + 1)
+      rows.toIndexedSeq.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annlsh")
+    }
     fixture("_fixture_timeuuid") {
       // input prep (ms derivation) is shared with q_timeuuid_bounds; the
       // operators under test (MinTimeUuid/TimeUuidMillis codegen) are not.
