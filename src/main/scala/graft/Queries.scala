@@ -1569,12 +1569,18 @@ object Queries {
       }),
 
     QueryDef("q_ann_ivf",
-      // IVF probe search over the PERSISTENT index (scale path; approximate
-      // → rows-only check; exactness at nprobe == nlist asserted in
-      // SimilaritySpec): train on a sample, save the cid-partitioned lists,
-      // probe through the loaded index so the graded scan is the
-      // partition-pruned lists/cid=K/ read — the actual 100 TB shape
-      None,
+      // IVF probe search over the PERSISTENT index (scale path): train on a
+      // sample, save the cid-partitioned lists, probe through the loaded
+      // index so the graded scan is the partition-pruned lists/cid=K/ read
+      // — the actual 100 TB shape. Approximate vs brute force but
+      // REPRODUCIBLE (fixed-point Lloyd means, strided seeds), so the
+      // oracle compares against a Verify-written plain-Scala re-run of the
+      // whole train/assign/probe/rescore path (see Verify.writeFixtures);
+      // exactness at nprobe == nlist additionally asserted in
+      // SimilaritySpec and oracle-checked via q_ann_ivf_exhaustive.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annivf/*.parquet')
+              ORDER BY query_id, rnk"""),
       (s, d) => {
         prep(s)
         val emb = t(s, d, "embeddings")
@@ -1642,9 +1648,15 @@ object Queries {
     QueryDef("q_ann_ivfpq",
       // IVF-PQ (Faiss IndexIVFPQ shape): probe prunes to nprobe/nlist of
       // the code table, which is itself 32× smaller than the floats — the
-      // savings multiply. Approximate → rows-only; save/load equivalence
-      // and exhaustive-probe == pure-PQ asserted in SimilaritySpec.
-      None,
+      // savings multiply. Approximate vs brute force but REPRODUCIBLE
+      // (fixed-point Lloyd means + driver-side sequential PQ training), so
+      // the oracle compares against a Verify-written plain-Scala re-run of
+      // the whole train/encode/probe/rescore/rerank path; save/load
+      // equivalence and exhaustive-probe == pure-PQ asserted in
+      // SimilaritySpec.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annivfpq/*.parquet')
+              ORDER BY query_id, rnk"""),
       (s, d) => {
         prep(s)
         val emb = t(s, d, "embeddings")
@@ -1660,12 +1672,15 @@ object Queries {
       }),
 
     QueryDef("q_ann_pq",
-      // product-quantization ANN (memory-bound scale path; approximate →
-      // rows-only check; recall + determinism + compression asserted in
-      // SimilaritySpec): codebooks train on a bounded sample, the corpus is
-      // scanned as the 32×-smaller code table, scoring is
-      // cosine(query, reconstruction) in one shuffle-free map
-      None,
+      // product-quantization ANN (memory-bound scale path): codebooks train
+      // on a bounded sample, the corpus is scanned as the 32×-smaller code
+      // table, scoring is cosine(query, reconstruction) in one shuffle-free
+      // map. Deterministic end-to-end → oracle-checked against a
+      // Verify-written plain-Scala re-run (train/encode/score/rerank);
+      // recall + compression asserted in SimilaritySpec.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annpq/*.parquet')
+              ORDER BY query_id, rnk"""),
       (s, d) => {
         prep(s)
         val emb = t(s, d, "embeddings")

@@ -63,6 +63,146 @@ object Verify {
     * `parquet_scan('{FIX}/_fixture_*')`; `{FIX}` is substituted with the
     * runtime fixture dir when oracle_sql.json is dumped.
     */
+  // ── plain-Scala ANN replication (fixture oracles; deterministic) ────
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def collectEmbeddings(spark: SparkSession,
+                                sfDir: String): IndexedSeq[(Long, Array[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1).toIndexedSeq
+  }
+
+  /** Nearest IVF centroid: max cosine, ties to the lowest cid (the engine's
+    * `max_by(cid, struct(sim, -cid))` / `greatest` tie rule).
+    */
+  private def nearestCentRef(e: Array[Float], cs: Seq[(Int, Array[Float])]): Int =
+    cs.maxBy { case (cid, c) => (graft.functions.VectorMath.cosineF(e, c), -cid) }._1
+
+  /** Strided seeding + one fixed-point Lloyd iteration —
+    * `Similarity.ivfAssign`'s exact arithmetic at iters=1 (scaled-long
+    * component sums make the distributed mean order-independent, which is
+    * what lets this driver-side replica match bit-for-bit).
+    */
+  private def ivfCentroidsRef(vecs: IndexedSeq[(Long, Array[Float])],
+                              nlist: Int): IndexedSeq[(Int, Array[Float])] = {
+    val fp = graft.operators.Similarity.fixedPointScale
+    val n = vecs.length.toLong
+    val sampleStride = math.max(n / (nlist * 64L), 1L)
+    val train = vecs.filter(_._1 % sampleStride == 0)
+    val stride = math.max(n / nlist, 1L)
+    val init: IndexedSeq[(Int, Array[Float])] = vecs.filter(_._1 % stride == 0)
+      .take(nlist).zipWithIndex.map { case ((_, e), i) => (i, e) }
+    val byCid = train.map { case (_, e) => (nearestCentRef(e, init), e) }.groupBy(_._1)
+    init.map { case (cid, prev) =>
+      byCid.get(cid) match {
+        case Some(members) =>
+          val c = Array.tabulate(prev.length) { pos =>
+            val sfx = members.iterator.map { case (_, e) =>
+              BigDecimal(e(pos).toDouble * fp)
+                .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+            }.sum
+            ((sfx.toDouble / members.size) / fp).toFloat
+          }
+          (cid, c)
+        case None => (cid, prev)
+      }
+    }
+  }
+
+  /** PQ codebook training — `Similarity.pqTrain`'s exact sequential
+    * arithmetic re-derived independently: vec_id-ordered sample, float
+    * subtract/square accumulated in double, strict-< ties.
+    */
+  private def pqTrainRef(vecs: IndexedSeq[(Long, Array[Float])], m: Int,
+                         ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    val n = vecs.length.toLong
+    val stride = math.max(n / (ksub.toLong * 64L), 1L)
+    val sample = vecs.filter(_._1 % stride == 0).map(_._2)
+    val dsub = sample.head.length / m
+    Array.tabulate(m) { j =>
+      val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
+      val seedStride = math.max(subs.length / ksub, 1)
+      var cents = Array.tabulate(math.min(ksub, subs.length))(c => subs(c * seedStride).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { s =>
+          val c = nearestSubRef(cents, s, 0)
+          counts(c) += 1
+          var i = 0; while (i < dsub) { sums(c)(i) += s(i); i += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+      }
+      cents
+    }
+  }
+
+  /** Nearest sub-centroid by L2²: float subtract/square summed in double,
+    * strict `<` so ties keep the lowest code — matching both pqTrain's
+    * training loop and pqEncode's `greatest(struct(-d, -c))`.
+    */
+  private def nearestSubRef(cents: Array[Array[Float]], v: Array[Float],
+                            off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < cents(c).length) {
+        val t = v(off + i) - cents(c)(i)
+        d += (t * t).toDouble
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode then reconstruct: per-subspace nearest code, concatenated
+    * centroid slices (pqEncode + pqReconstruct).
+    */
+  private def pqReconstructRef(e: Array[Float],
+                               books: Array[Array[Array[Float]]]): Array[Float] = {
+    val dsub = books(0)(0).length
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book(nearestSubRef(book, e, j * dsub))
+    }
+  }
+
+  /** Candidate scoring on reconstructions (top k×rerank per query), then
+    * the exact re-rank tail on true embeddings (top k) — pqSearchRerank's
+    * shape; `probeFilter` restricts candidates to probed lists (IVF-PQ).
+    */
+  private def annRerankRef(vecs: IndexedSeq[(Long, Array[Float])],
+                           recon: IndexedSeq[(Long, Array[Float])],
+                           queryMax: Long, k: Int, rerank: Int,
+                           probeFilter: Option[Array[Float] => Long => Boolean] = None)
+      : IndexedSeq[(Long, Long, Double, Int)] = {
+    import graft.functions.VectorMath
+    val byId = vecs.toMap
+    for {
+      (qid, qe) <- vecs.filter(_._1 < queryMax)
+      keep = probeFilter.map(_(qe)).getOrElse((_: Long) => true)
+      cands = recon.iterator
+        .filter { case (nid, _) => nid != qid && keep(nid) }
+        .map { case (nid, re) => (nid, round6(VectorMath.cosineF(re, qe))) }
+        .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
+        .take(k * rerank)
+      ranked = cands
+        .map { case (nid, _) => (nid, round6(VectorMath.cosineF(byId(nid), qe))) }
+        .sortBy { case (nid, sim) => (-sim, nid) }
+        .take(k)
+      ((nid, sim), i) <- ranked.zipWithIndex
+    } yield (qid, nid, sim, i + 1)
+  }
+
   private def writeFixtures(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -169,6 +309,67 @@ object Verify {
       } yield (qid, nid, sim, i + 1)
       rows.toIndexedSeq.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annlsh")
+    }
+    fixture("_fixture_annivf") {
+      // Plain-Scala driver-side re-run of the WHOLE persistent-IVF path —
+      // strided seeding, one Lloyd iteration with the fixed-point mean,
+      // full-corpus assignment, probe routing, exact re-score, top-k —
+      // with q_ann_ivf's parameters (nlist=16, iters=1, k=10, nprobe=4).
+      // Reproducible because ivfAssign accumulates centroid sums as scaled
+      // longs (order-independent addition); shares only VectorMath's
+      // scalar kernels with the expressions under test.
+      import graft.functions.VectorMath
+      val k = 10; val nprobe = 4
+      val vecs = collectEmbeddings(spark, sfDir)
+      val cents = ivfCentroidsRef(vecs, nlist = 16)
+      val assigned = vecs.map { case (id, e) => (id, nearestCentRef(e, cents), e) }
+      val rows = for {
+        (qid, _, qe) <- assigned.filter(_._1 < 8)
+        probed = cents
+          .map { case (cid, c) => (cid, VectorMath.cosineF(qe, c)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
+        ranked = assigned.iterator
+          .filter { case (nid, ncid, _) => nid != qid && probed(ncid) }
+          .map { case (nid, _, ne) => (nid, round6(VectorMath.cosineF(ne, qe))) }
+          .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
+          .take(k)
+        ((nid, sim), i) <- ranked.zipWithIndex
+      } yield (qid, nid, sim, i + 1)
+      rows.toIndexedSeq.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annivf")
+    }
+    fixture("_fixture_annpq") {
+      // Plain-Scala re-run of the PQ + exact-rerank pipeline with
+      // q_ann_pq's parameters (m=8, ksub=16, iters=3, k=10, rerank=4).
+      // Deterministic end-to-end: codebooks train sequentially over the
+      // vec_id-ordered sample, encode/score ties break on lowest code.
+      val vecs = collectEmbeddings(spark, sfDir)
+      val books = pqTrainRef(vecs, m = 8, ksub = 16, iters = 3)
+      val recon = vecs.map { case (id, e) => (id, pqReconstructRef(e, books)) }
+      val rows = annRerankRef(vecs, recon, queryMax = 8, k = 10, rerank = 4)
+      rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annpq")
+    }
+    fixture("_fixture_annivfpq") {
+      // Plain-Scala re-run of IVF-PQ + exact rerank with q_ann_ivfpq's
+      // parameters (nlist=16, iters=1, m=8, ksub=16, k=10, nprobe=4,
+      // rerank=4): IVF centroids via the fixed-point Lloyd step (see
+      // _fixture_annivf), PQ codebooks as in _fixture_annpq, probe-pruned
+      // reconstruction scoring, exact re-rank tail.
+      val vecs = collectEmbeddings(spark, sfDir)
+      val cents = ivfCentroidsRef(vecs, nlist = 16)
+      val assigned = vecs.map { case (id, e) => (id, nearestCentRef(e, cents)) }.toMap
+      val books = pqTrainRef(vecs, m = 8, ksub = 16, iters = 3)
+      val recon = vecs.map { case (id, e) => (id, pqReconstructRef(e, books)) }
+      val rows = annRerankRef(vecs, recon, queryMax = 8, k = 10, rerank = 4,
+        probeFilter = Some { qe =>
+          val probed = cents
+            .map { case (cid, c) => (cid, graft.functions.VectorMath.cosineF(qe, c)) }
+            .sortBy { case (cid, s) => (-s, cid) }.take(4).map(_._1).toSet
+          nid => probed(assigned(nid))
+        })
+      rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annivfpq")
     }
     fixture("_fixture_timeuuid") {
       // input prep (ms derivation) is shared with q_timeuuid_bounds; the

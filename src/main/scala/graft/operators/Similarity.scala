@@ -148,6 +148,13 @@ object Similarity {
     */
   private val trainPerList = 64L
 
+  /** Scaling for the fixed-point Lloyd mean (see [[ivfAssign]]): centroid
+    * component sums ride as `round(x * 2^24)` longs, whose addition is
+    * order-independent — the reproducibility contract the Verify fixture
+    * oracle relies on.
+    */
+  private[graft] val fixedPointScale: Double = (1L << 24).toDouble
+
   /** Nearest-centroid id as a pure expression over the embedding: centroids
     * ride along as broadcast literals (nlist × dim floats — tiny), so the
     * full-corpus assignment is a MAP with no join and no shuffle. Ties on
@@ -213,14 +220,24 @@ object Similarity {
         .groupBy("vec_id").agg(
           max_by(col("cid"), struct(col("sim"), (-col("cid")).cast("double"))).as("cid"),
           first(col("embedding")).as("embedding"))
-      // Lloyd refinement: mean of member vectors per list (array average
-      // via exploded position aggregation), deterministic; train-sized
-      // only. A cell that wins zero training vectors KEEPS its previous
+      // Lloyd refinement: mean of member vectors per list (exploded
+      // position aggregation), train-sized only. The mean accumulates in
+      // FIXED-POINT (scaled-long) arithmetic: long addition is associative,
+      // so the refined centroid is bit-identical whatever partition/merge
+      // order a cluster's members arrive in — a double `avg` drifts with
+      // reduction order, making the trained index irreproducible across
+      // runs and cluster sizes (and un-oracle-able). 2^24 scaling keeps ~7
+      // significant digits per component, well inside the float cast that
+      // follows. A cell that wins zero training vectors KEEPS its previous
       // centroid (same rule as pqTrain) — dropping it would silently
       // shrink nlist below what the caller asked for.
       val refined = assignedT
         .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("cid"))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid", "pos").agg(
+          sum(round(col("x").cast("double") * lit(fixedPointScale)).cast("long")).as("sfx"),
+          count(lit(1)).as("cnt"))
+        .select(col("cid"), col("pos"),
+          (col("sfx").cast("double") / col("cnt") / lit(fixedPointScale)).as("m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), transform(col("ps"), p => p("m").cast("float")).as("centroid"))
       centroids = centroids.as("prev")
