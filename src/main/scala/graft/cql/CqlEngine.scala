@@ -1004,7 +1004,10 @@ class CqlEngine(val spark: SparkSession) {
               s"THEN NULL ELSE CAST(($exprBody) AS $ret) END"
           else s"CAST(($exprBody) AS $ret)"
         spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION ${sparkFnName(fkey)}($argDdl) RETURNS $ret RETURN $body")
-        udfs(fkey) = f.copy(name = fkey)
+        // store the TRANSLATED expression body: UDA lowering substitutes
+        // the stored body into aggregate() lambdas as Spark SQL, so a
+        // LANGUAGE java SFUNC/FINALFUNC must not keep raw Java source here
+        udfs(fkey) = f.copy(name = fkey, language = "spark", body = exprBody)
       }
       emptyResult
     case a: CreateAggregate =>

@@ -335,7 +335,7 @@ object JavaUdfShim {
       case Ident("false") => ("false", TBool)
       // an argument named like a class ("Math") must resolve as the
       // argument — declared names shadow the static tables
-      case Ident(name) if argTypes.contains(name) => (s"`$name`", ofCql(argTypes(name)))
+      case Ident(name) if argTypes.contains(name) => (name, ofCql(argTypes(name)))
       case Ident("new") => next() match {
         case Ident("String") =>
           callArgs() match {
@@ -378,7 +378,7 @@ object JavaUdfShim {
         }
       case Ident(name) =>
         argTypes.get(name) match {
-          case Some(t) => (s"`$name`", ofCql(t))
+          case Some(t) => (name, ofCql(t))
           case None => fail(s"unknown identifier '$name' (arguments: " +
             s"${argTypes.keys.toSeq.sorted.mkString(", ")})")
         }

@@ -204,6 +204,21 @@ class CqlDdlSpec extends SparkSpec {
     val r2 = e.execute("SELECT jcat(s, v) FROM jf1 WHERE k = 2").collect().head
     assert(r2.getString(0) === "nullx2y")
 
+    // LANGUAGE java SFUNC/FINALFUNC compose into CREATE AGGREGATE — the
+    // reference AggregationTest's universal shape (null-guard ternary
+    // state fold + stringifying finalfunc)
+    e.execute("CREATE TABLE jag (k int, c int, v int, PRIMARY KEY (k, c))")
+    for (c <- 1 to 4) e.execute(s"INSERT INTO jag (k, c, v) VALUES (1, $c, $c)")
+    e.execute("CREATE FUNCTION jagg_state (a int, b int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS " +
+      "'return Integer.valueOf((a!=null?a.intValue():0) + b.intValue());'")
+    e.execute("CREATE FUNCTION jagg_fin (a int) CALLED ON NULL INPUT " +
+      "RETURNS text LANGUAGE java AS $$return \"fin\" + a;$$")
+    e.execute("CREATE AGGREGATE jagg (int) SFUNC jagg_state STYPE int " +
+      "FINALFUNC jagg_fin INITCOND null")
+    val ar = e.execute("SELECT jagg(v) FROM jag").collect().head
+    assert(ar.getString(0) === "fin10")
+
     // beyond the expression shape → the reference's error text
     assertInvalid(e, "CREATE FUNCTION jloop (x int) CALLED ON NULL INPUT " +
       "RETURNS int LANGUAGE java AS 'int s = 0; for (int i = 0; i < x; i++) s += i; return s;'",
