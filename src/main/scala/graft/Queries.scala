@@ -907,7 +907,7 @@ object Queries {
               FROM documents GROUP BY 1 ORDER BY h"""),
       (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy("h")),
 
-    QueryDef("q_dedup_ngram_jaccard", Some(jaccardOracle),
+    QueryDef("q_dedup_ngram_jaccard", Some(jaccardDfOracle),
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.7)
         .orderBy("a", "b")),
 
@@ -2273,13 +2273,37 @@ object Queries {
       |      FROM p JOIN sz sx ON p.a = sx.doc_id JOIN sz sy ON p.b = sy.doc_id)
       |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin
 
+  /** [[jaccardOracle]] with the exact path's documented document-frequency
+    * cutoff mirrored relationally: candidate pairs must share at least one
+    * shingle with df <= maxShingleDf (Dedup.ngramJaccardPairs), while the
+    * jaccard itself still counts ALL shingles. On corpora where no shingle
+    * crosses the cutoff (every driver SF) this is value-identical to the
+    * uncut oracle.
+    */
+  private lazy val jaccardDfOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))])) AS s FROM d),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 5000),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |         FROM sh x JOIN rare ON x.s = rare.s JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id),
+      |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |j AS (SELECT p.a, p.b, round(p.c * 1.0 / (sx.n + sy.n - p.c), 6) AS jaccard
+      |      FROM p JOIN cand ON p.a = cand.a AND p.b = cand.b
+      |      JOIN sz sx ON p.a = sx.doc_id JOIN sz sy ON p.b = sy.doc_id)
+      |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY a, b""".stripMargin
+
   private lazy val dupGroupsOracle: String =
     """WITH RECURSIVE
       |d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 2))])) AS s FROM d),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 5000),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |         FROM sh x JOIN rare ON x.s = rare.s JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id),
       |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
-      |pairs AS (SELECT p.a, p.b FROM p JOIN sz sx ON p.a = sx.doc_id JOIN sz sy ON p.b = sy.doc_id
+      |pairs AS (SELECT p.a, p.b FROM p JOIN cand ON p.a = cand.a AND p.b = cand.b
+      |          JOIN sz sx ON p.a = sx.doc_id JOIN sz sy ON p.b = sy.doc_id
       |          WHERE round(p.c * 1.0 / (sx.n + sy.n - p.c), 6) >= 0.7),
       |e AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
       |reach(a, b) AS (SELECT doc_id, doc_id FROM d UNION

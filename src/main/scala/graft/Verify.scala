@@ -13,13 +13,12 @@ object Verify {
     // surface as spurious no_oracle rows (ADVICE r6). Oracle SQL reaches
     // them via the {FIX} placeholder.
     val fixDir = outDir.stripSuffix("/") + ".fixtures"
+    // NonFatal only: an OOM/VM error must abort the run — continuing from
+    // a heap-exhausted JVM would attribute arbitrary downstream failures
+    // to innocent queries
     try writeFixtures(spark, sfDir, fixDir)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] fixture stage failed: ${e.getMessage}")
-    }
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRec)
-      f.delete(); ()
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       // a stale run-N dump must not survive a run-N+1 failure — the
@@ -28,7 +27,7 @@ object Verify {
       if (target.exists()) deleteRec(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(target.getPath)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -49,6 +48,11 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(); ()
   }
 
   /** Reference fixtures for queries whose core function DuckDB cannot
@@ -210,11 +214,26 @@ object Verify {
     // queries whose oracle reads it, never the whole gate. Round 8's gate
     // zeroed because a single analysis error here aborted main() before any
     // query dump or oracle_sql.json was written (VERDICT r8 §wrong 1).
-    def fixture(name: String)(body: => Unit): Unit =
+    // A failed fixture must also not leave the PREVIOUS run's dump behind
+    // — the oracle would silently compare against stale expectations — so
+    // the stale target is deleted before the body runs. NonFatal only:
+    // VM errors abort the run (see main).
+    def fixture(name: String)(body: => Unit): Unit = {
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) deleteRec(target)
       try body
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] fixture $name failed: ${e.getMessage}")
       }
+    }
+    // shared by the ANN fixtures below — collected/trained once, lazily so
+    // fixture isolation still applies (a failure surfaces inside the first
+    // fixture that forces it; later users re-throw the same error, which
+    // is correct: their inputs genuinely are unavailable)
+    lazy val annVecs = collectEmbeddings(spark, sfDir)
+    lazy val annIvfCents = ivfCentroidsRef(annVecs, nlist = 16)
+    lazy val annPqBooks = pqTrainRef(annVecs, m = 8, ksub = 16, iters = 3)
+    lazy val annPqRecon = annVecs.map { case (id, e) => (id, pqReconstructRef(e, annPqBooks)) }
     fixture("_fixture_tokens") {
       val toks = spark.read.parquet(s"$sfDir/orders.parquet")
         .select("o_orderkey").as[Long].collect().toIndexedSeq
@@ -234,6 +253,8 @@ object Verify {
       val k = 3
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text").as[(Long, String)].collect()
+        // engine path drops null-signature (null-text) rows; mirror it
+        .filter(_._2 != null)
       def shingleList(text: String): IndexedSeq[String] = {
         // exact split(lower(text), ' ') semantics: Java limit -1 keeps
         // interior AND trailing empty tokens, like Spark's StringSplit
@@ -286,23 +307,17 @@ object Verify {
       val bits = 32; val bands = 8; val seed = 7L; val k = 10
       val chunkBits = bits / bands
       val mask = (1L << chunkBits) - 1
-      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-      val codes = vecs.map { case (id, e) =>
+      val codes = annVecs.map { case (id, e) =>
         (id, e, graft.functions.VectorMath.lshCode(e, bits, seed))
       }
       def chunks(code: Long): Set[(Int, Long)] =
         (0 until bands).map(c => (c, (code >>> (c * chunkBits)) & mask)).toSet
       val rows = for {
-        (qid, qe, qc) <- codes.filter(_._1 < 8).sortBy(_._1)
+        (qid, qe, qc) <- codes.filter(_._1 < 8)
         qch = chunks(qc)
         ranked = codes.iterator
           .filter { case (nid, _, nc) => nid != qid && chunks(nc).exists(qch) }
-          .map { case (nid, ne, _) =>
-            val sim = BigDecimal(graft.functions.VectorMath.cosineF(ne, qe))
-              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-            (nid, sim)
-          }
+          .map { case (nid, ne, _) => (nid, round6(graft.functions.VectorMath.cosineF(ne, qe))) }
           .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
           .take(k)
         ((nid, sim), i) <- ranked.zipWithIndex
@@ -320,9 +335,8 @@ object Verify {
       // scalar kernels with the expressions under test.
       import graft.functions.VectorMath
       val k = 10; val nprobe = 4
-      val vecs = collectEmbeddings(spark, sfDir)
-      val cents = ivfCentroidsRef(vecs, nlist = 16)
-      val assigned = vecs.map { case (id, e) => (id, nearestCentRef(e, cents), e) }
+      val cents = annIvfCents
+      val assigned = annVecs.map { case (id, e) => (id, nearestCentRef(e, cents), e) }
       val rows = for {
         (qid, _, qe) <- assigned.filter(_._1 < 8)
         probed = cents
@@ -343,10 +357,7 @@ object Verify {
       // q_ann_pq's parameters (m=8, ksub=16, iters=3, k=10, rerank=4).
       // Deterministic end-to-end: codebooks train sequentially over the
       // vec_id-ordered sample, encode/score ties break on lowest code.
-      val vecs = collectEmbeddings(spark, sfDir)
-      val books = pqTrainRef(vecs, m = 8, ksub = 16, iters = 3)
-      val recon = vecs.map { case (id, e) => (id, pqReconstructRef(e, books)) }
-      val rows = annRerankRef(vecs, recon, queryMax = 8, k = 10, rerank = 4)
+      val rows = annRerankRef(annVecs, annPqRecon, queryMax = 8, k = 10, rerank = 4)
       rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annpq")
     }
@@ -356,12 +367,9 @@ object Verify {
       // rerank=4): IVF centroids via the fixed-point Lloyd step (see
       // _fixture_annivf), PQ codebooks as in _fixture_annpq, probe-pruned
       // reconstruction scoring, exact re-rank tail.
-      val vecs = collectEmbeddings(spark, sfDir)
-      val cents = ivfCentroidsRef(vecs, nlist = 16)
-      val assigned = vecs.map { case (id, e) => (id, nearestCentRef(e, cents)) }.toMap
-      val books = pqTrainRef(vecs, m = 8, ksub = 16, iters = 3)
-      val recon = vecs.map { case (id, e) => (id, pqReconstructRef(e, books)) }
-      val rows = annRerankRef(vecs, recon, queryMax = 8, k = 10, rerank = 4,
+      val cents = annIvfCents
+      val assigned = annVecs.map { case (id, e) => (id, nearestCentRef(e, cents)) }.toMap
+      val rows = annRerankRef(annVecs, annPqRecon, queryMax = 8, k = 10, rerank = 4,
         probeFilter = Some { qe =>
           val probed = cents
             .map { case (cid, c) => (cid, graft.functions.VectorMath.cosineF(qe, c)) }

@@ -64,7 +64,7 @@ object JavaUdfShim {
   // ── shim-internal value typing (drives + overload resolution) ───────
   private sealed trait T
   private case object TStr extends T
-  private case object TNum extends T
+  private final case class TNum(integral: Boolean) extends T
   private case object TBool extends T
   private case object TNull extends T
   private final case class TMap(value: CqlType) extends T
@@ -74,8 +74,9 @@ object JavaUdfShim {
 
   private def ofCql(t: CqlType): T = t match {
     case CqlText | CqlAscii => TStr
-    case CqlInt | CqlBigint | CqlSmallint | CqlTinyint | CqlDouble |
-         CqlFloat | CqlDecimal | CqlVarint | CqlCounter => TNum
+    case CqlInt | CqlBigint | CqlSmallint | CqlTinyint | CqlVarint |
+         CqlCounter => TNum(integral = true)
+    case CqlDouble | CqlFloat | CqlDecimal => TNum(integral = false)
     case CqlBoolean => TBool
     case m: CqlMap => TMap(m.value)
     case l: CqlList => TList(l.elem)
@@ -87,7 +88,7 @@ object JavaUdfShim {
   // ── tokens ──────────────────────────────────────────────────────────
   private sealed trait Tok
   private final case class Ident(s: String) extends Tok
-  private final case class NumLit(sql: String) extends Tok
+  private final case class NumLit(sql: String, integral: Boolean) extends Tok
   private final case class StrLit(sql: String) extends Tok
   private final case class Op(s: String) extends Tok
 
@@ -113,16 +114,16 @@ object JavaUdfShim {
           case _ => ""
         } else ""
         val isFractional = digits.contains('.')
-        val sql = suffix match {
-          case "d" => s"CAST($digits AS DOUBLE)"
-          case "f" => s"CAST($digits AS FLOAT)"
-          case "l" => s"${digits}L"
+        val (sql, integral) = suffix match {
+          case "d" => (s"CAST($digits AS DOUBLE)", false)
+          case "f" => (s"CAST($digits AS FLOAT)", false)
+          case "l" => (s"${digits}L", true)
           // Java fractional literals are double; Spark's bare decimals are
           // DECIMAL — cast to keep Java arithmetic semantics
-          case _ if isFractional => s"CAST($digits AS DOUBLE)"
-          case _ => digits
+          case _ if isFractional => (s"CAST($digits AS DOUBLE)", false)
+          case _ => (digits, true)
         }
-        out += NumLit(sql)
+        out += NumLit(sql, integral)
       } else if (c == '"' || c == '\'') {
         val quote = c
         val sb = new StringBuilder
@@ -202,10 +203,12 @@ object JavaUdfShim {
 
     private def equality(): (String, T) =
       binaryChain(() => relational(), Set("==", "!=")) { (o, l, r) =>
-        val sql = (o, r._2) match {
-          case ("==", TNull) => s"(${l._1} IS NULL)"
-          case ("!=", TNull) => s"(${l._1} IS NOT NULL)"
-          case ("==", _) => s"(${l._1} = ${r._1})"
+        val sql = (o, l._2, r._2) match {
+          case ("==", _, TNull) => s"(${l._1} IS NULL)"
+          case ("!=", _, TNull) => s"(${l._1} IS NOT NULL)"
+          case ("==", TNull, _) => s"(${r._1} IS NULL)"
+          case ("!=", TNull, _) => s"(${r._1} IS NOT NULL)"
+          case ("==", _, _) => s"(${l._1} = ${r._1})"
           case _ => s"(${l._1} != ${r._1})"
         }
         (sql, TBool)
@@ -230,11 +233,20 @@ object JavaUdfShim {
 
     private def multiplicative(): (String, T) =
       binaryChain(() => unary(), Set("*", "/", "%")) { (o, l, r) =>
-        (s"(${l._1} $o ${r._1})", numT(l, r))
+        // Java / on two integral operands TRUNCATES; Spark's fractional /
+        // would promote — emit integer division to keep e.g. the avg-style
+        // 'sum / count * n' SFUNC shapes exact
+        val t = numT(l, r)
+        if (o == "/" && t == TNum(integral = true))
+          (s"(${l._1} div ${r._1})", t)
+        else (s"(${l._1} $o ${r._1})", t)
       }
 
-    private def numT(l: (String, T), r: (String, T)): T =
-      if (l._2 == TNum || r._2 == TNum) TNum else TOther
+    private def numT(l: (String, T), r: (String, T)): T = (l._2, r._2) match {
+      case (TNum(a), TNum(b)) => TNum(a && b)
+      case (TNum(_), _) | (_, TNum(_)) => TNum(integral = false)
+      case _ => TOther
+    }
 
     private def unary(): (String, T) = peek match {
       case Some(Op("!")) => next(); val (e, _) = unary(); (s"(NOT $e)", TBool)
@@ -276,12 +288,12 @@ object JavaUdfShim {
       val (r, rt) = recv
       (name, args) match {
         case ("toString", Nil) => (s"CAST($r AS STRING)", TStr)
-        case ("intValue", Nil) => (s"CAST($r AS INT)", TNum)
-        case ("longValue", Nil) => (s"CAST($r AS BIGINT)", TNum)
-        case ("doubleValue", Nil) => (s"CAST($r AS DOUBLE)", TNum)
-        case ("floatValue", Nil) => (s"CAST($r AS FLOAT)", TNum)
-        case ("shortValue", Nil) => (s"CAST($r AS SMALLINT)", TNum)
-        case ("byteValue", Nil) => (s"CAST($r AS TINYINT)", TNum)
+        case ("intValue", Nil) => (s"CAST($r AS INT)", TNum(integral = true))
+        case ("longValue", Nil) => (s"CAST($r AS BIGINT)", TNum(integral = true))
+        case ("doubleValue", Nil) => (s"CAST($r AS DOUBLE)", TNum(integral = false))
+        case ("floatValue", Nil) => (s"CAST($r AS FLOAT)", TNum(integral = false))
+        case ("shortValue", Nil) => (s"CAST($r AS SMALLINT)", TNum(integral = true))
+        case ("byteValue", Nil) => (s"CAST($r AS TINYINT)", TNum(integral = true))
         case ("booleanValue", Nil) => (s"CAST($r AS BOOLEAN)", TBool)
         case ("get", List(k)) => rt match {
           // Java Map.get: absent key → null (Spark [] does the same with
@@ -310,9 +322,9 @@ object JavaUdfShim {
     }
 
     private val boxClasses: Map[String, (String, T)] = Map(
-      "Integer" -> ("INT", TNum), "Long" -> ("BIGINT", TNum),
-      "Double" -> ("DOUBLE", TNum), "Float" -> ("FLOAT", TNum),
-      "Short" -> ("SMALLINT", TNum), "Byte" -> ("TINYINT", TNum),
+      "Integer" -> ("INT", TNum(integral = true)), "Long" -> ("BIGINT", TNum(integral = true)),
+      "Double" -> ("DOUBLE", TNum(integral = false)), "Float" -> ("FLOAT", TNum(integral = false)),
+      "Short" -> ("SMALLINT", TNum(integral = true)), "Byte" -> ("TINYINT", TNum(integral = true)),
       "Boolean" -> ("BOOLEAN", TBool), "String" -> ("STRING", TStr))
 
     private val mathFns: Map[String, String] = Map(
@@ -320,11 +332,10 @@ object JavaUdfShim {
       "acos" -> "acos", "atan" -> "atan", "sqrt" -> "sqrt", "cbrt" -> "cbrt",
       "exp" -> "exp", "log" -> "ln", "log10" -> "log10", "pow" -> "power",
       "abs" -> "abs", "floor" -> "floor", "ceil" -> "ceil",
-      "signum" -> "sign", "max" -> "greatest", "min" -> "least",
-      "round" -> "round")
+      "signum" -> "sign", "max" -> "greatest", "min" -> "least")
 
     private def primary(): (String, T) = next() match {
-      case NumLit(sql) => (sql, TNum)
+      case NumLit(sql, integral) => (sql, TNum(integral))
       case StrLit(sql) => (sql, TStr)
       case Op("(") =>
         val e = expression()
@@ -354,11 +365,21 @@ object JavaUdfShim {
         fn match {
           case "copySign" => args match {
             case List((m, _), (s, _)) =>
-              (s"(abs(CAST($m AS DOUBLE)) * IF(sign(CAST($s AS DOUBLE)) < 0, -1.0D, 1.0D))", TNum)
+              (s"(abs(CAST($m AS DOUBLE)) * IF(sign(CAST($s AS DOUBLE)) < 0, -1.0D, 1.0D))",
+                TNum(integral = false))
             case _ => fail("Math.copySign takes (magnitude, sign)")
           }
+          case "round" => args match {
+            // Java Math.round is floor(x + 0.5) returning long — NOT the
+            // HALF_UP (away-from-zero) rounding of SQL round(): they differ
+            // on negative exact halves (Java round(-2.5) = -2)
+            case List((x, _)) =>
+              (s"CAST(FLOOR(CAST($x AS DOUBLE) + 0.5D) AS BIGINT)", TNum(integral = true))
+            case _ => fail("Math.round takes one argument")
+          }
           case f => mathFns.get(f) match {
-            case Some(sqlFn) => (s"$sqlFn(${args.map(_._1).mkString(", ")})", TNum)
+            case Some(sqlFn) => (s"$sqlFn(${args.map(_._1).mkString(", ")})",
+              TNum(integral = false))
             case None => fail(s"unsupported Math method '$f'")
           }
         }

@@ -66,8 +66,13 @@ object Dedup {
     * generation; it never perturbs reported similarity values. The only
     * pairs the cutoff can lose are those sharing NOTHING but
     * above-cutoff boilerplate shingles — at the default cutoff such a
-    * pair's distinctive content is disjoint, which no near-dup definition
-    * should match.
+    * pair's every shared shingle occurs in >maxShingleDf documents. That
+    * deliberately excludes mass-duplicated boilerplate clusters (thousands
+    * of near-identical copies): finding those via pair expansion would be
+    * quadratic in the cluster size no matter what, and they are the job of
+    * the exact digest tier ([[exact]]) and the span/URL tiers — not of an
+    * all-pairs jaccard report. The cutoff is part of the operator's
+    * contract and the DuckDB oracle mirrors it (Queries.jaccardDfOracle).
     */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         k: Int, threshold: Double,
@@ -177,15 +182,21 @@ object Dedup {
   /** Banded LSH buckets: (doc_id, band, bkey). bkey digests the band's rows
     * so the bucket join key is constant-width however many rows per band.
     */
-  def lshBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandStructs = (0 until bands).map { b =>
-      val rowCols = (0 until rowsPerBand).map(r =>
-        element_at(col("sig"), b * rowsPerBand + r + 1).cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bkey"))
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+  def lshBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"), explode(bandKeyStructs(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-  }
+
+  /** The (band, bkey) struct array for one signature — ONE definition
+    * shared by the batch bucket builder and the streaming ingest: a saved
+    * index is only as good as its keys, so the key format must not be able
+    * to drift between the writer and a reader.
+    */
+  private def bandKeyStructs(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val rowCols = (0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bkey"))
+    }: _*)
 
   /** Candidate pairs from shared LSH buckets (distinct, a < b).
     *
@@ -399,13 +410,9 @@ object Dedup {
           lit(bands * rowsPerBand)).as("sig"),
         hashedShingleSet(col(text), k, 1L).as("sa"))
       .filter(col("sig").isNotNull)
-    val bandStructs = (0 until bands).map { b =>
-      val rowCols = (0 until rowsPerBand).map(r =>
-        element_at(col("sig"), b * rowsPerBand + r + 1).cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("bkey"))
-    }
     val bucketed = sk
-      .select(col(tsCol), col("doc_id"), col("sa"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(tsCol), col("doc_id"), col("sa"),
+        explode(bandKeyStructs(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col(tsCol), col("doc_id"), col("sa"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cands = bucketed

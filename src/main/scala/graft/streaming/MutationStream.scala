@@ -31,12 +31,17 @@ object MutationStream {
 
   /** CDC source: stream of mutations from the append-only log directory.
     * readStream needs a declared schema; `ts`'s physical type is taken from
-    * the files already in the log (falling back to micros TIMESTAMP_NTZ for
-    * an empty dir — the current generation's layout).
+    * the files already in the log. For a dir that is still EMPTY at stream
+    * construction (the normal CDC startup order: open the stream, then
+    * mutations land) the peek cannot know what layout will arrive — pass
+    * `emptyDirTsType` to pin it (e.g. LongType for a nanos-parquet writer);
+    * the default matches the current testdata generation (micros
+    * TIMESTAMP_NTZ).
     */
-  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventStream(spark: SparkSession, dir: String,
+                  emptyDirTsType: DataType = TimestampNTZType): DataFrame = {
     val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
-      .getOrElse(TimestampNTZType)
+      .getOrElse(emptyDirTsType)
     val raw = spark.readStream.schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", "4")
       .parquet(dir)

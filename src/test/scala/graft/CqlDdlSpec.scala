@@ -204,6 +204,22 @@ class CqlDdlSpec extends SparkSpec {
     val r2 = e.execute("SELECT jcat(s, v) FROM jf1 WHERE k = 2").collect().head
     assert(r2.getString(0) === "nullx2y")
 
+    // Java semantics preserved through translation: int division
+    // truncates BEFORE further arithmetic, Math.round is floor(x+0.5)
+    // (differs from SQL round on negative halves), and the null-literal
+    // guard works with null on either side
+    e.execute("CREATE FUNCTION jdiv (a int, b int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS 'return a / b * 2;'")
+    e.execute("CREATE FUNCTION jround (x double) RETURNS NULL ON NULL INPUT " +
+      "RETURNS bigint LANGUAGE java AS 'return Math.round(x);'")
+    e.execute("CREATE FUNCTION jnullleft (a int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS 'return null == a ? 0 : a.intValue();'")
+    val sem = e.execute("SELECT jdiv(7, 2), jround(-2.5), jnullleft(null), jnullleft(4) " +
+      "FROM jf1 WHERE k = 1").collect().head
+    assert(sem.getInt(0) === 6, "Java (7/2)*2 truncates to 6")
+    assert(sem.getLong(1) === -2L, "Java Math.round(-2.5) is -2")
+    assert(sem.getInt(2) === 0 && sem.getInt(3) === 4)
+
     // LANGUAGE java SFUNC/FINALFUNC compose into CREATE AGGREGATE — the
     // reference AggregationTest's universal shape (null-guard ternary
     // state fold + stringifying finalfunc)
