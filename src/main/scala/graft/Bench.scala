@@ -91,7 +91,16 @@ object Bench {
     // machine-detectable (elevated loadavg, calibration well above its
     // ~0.05-0.15 s band) instead of needing a judge re-run
     val sentinel = s""""sentinel":{"loadavg_before":${n3(loadBefore)},"loadavg_after":${n3(loadAfter)},"calib_sec_before":${n3(calibBefore)},"calib_sec_after":${n3(calibAfter)}}"""
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","min":${n3(totalMin)},"queries":$qs,"queries_min":$qsM,$sentinel,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${n3(total)},"unit":"sec","min":${n3(totalMin)},"queries":$qs,"queries_min":$qsM,$sentinel,"sf":"$sfDir"}"""
+    println(json)
+    // stdout reaches consumers through sbt's "[info] " log prefix, which
+    // broke the round-8 driver's JSON parse (ADVICE r8: "parsed": null) —
+    // also land the line in a file so downstream tooling has a clean copy
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.cql.Ast._
+import graft.cql.JavaUdfShim
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-translation unit tests for the LANGUAGE java shim: every body shape
+  * the reference validation suite uses (UFTest/AggregationTest/
+  * UserTypesTest grep over `LANGUAGE java AS`), plus the rejection
+  * contract. No SparkSession — `translate` is pure; end-to-end execution
+  * is covered in CqlDdlSpec.
+  */
+class JavaUdfShimSpec extends AnyFunSuite {
+
+  private def tr(body: String, args: (String, CqlType)*): String =
+    JavaUdfShim.translate(body, args)
+
+  private def rejects(body: String, args: (String, CqlType)*): String = {
+    val e = intercept[JavaUdfShim.Untranslatable](JavaUdfShim.translate(body, args))
+    e.detail
+  }
+
+  test("reference-suite body shapes all translate") {
+    // identity / passthrough (15× 'return values;', 'return val;', ...)
+    assert(tr("return arg;", "arg" -> CqlInt) === "arg")
+    assert(tr("return val;", "val" -> CqlText) === "val")
+    // literals: 'return 10.0d;', 'return 0;', 'return 1L;', 'return null;'
+    assert(tr("return 10.0d;") === "CAST(10.0 AS DOUBLE)")
+    assert(tr("return 0;") === "0")
+    assert(tr("return 1L;") === "1L")
+    assert(tr("return null;") === "NULL")
+    assert(tr("return \"foo bar\";") === "'foo bar'")
+    // boxing + Math ('return Double.valueOf(Math.sin(input.doubleValue()));')
+    assert(tr("return Double.valueOf(Math.sin(input.doubleValue()));",
+      "input" -> CqlDouble) === "CAST(sin(CAST(input AS DOUBLE)) AS DOUBLE)")
+    assert(tr("return Math.sin(input);", "input" -> CqlDouble) === "sin(input)")
+    // the universal SFUNC null-guard ternary
+    assert(tr("return Integer.valueOf((a!=null?a.intValue():0) + b.intValue());",
+      "a" -> CqlInt, "b" -> CqlInt) ===
+      "CAST(((IF((a IS NOT NULL), CAST(a AS INT), 0)) + CAST(b AS INT)) AS INT)")
+    // toString / new String ('return a.toString();', 'return new String(a);')
+    assert(tr("return a.toString();", "a" -> CqlInt) === "CAST(a AS STRING)")
+    assert(tr("return new String(a);", "a" -> CqlBlob) === "CAST(a AS STRING)")
+    // string concat stringifies and null-guards ('return \"fin\" + a;')
+    assert(tr("return \"fin\" + a;", "a" -> CqlInt) ===
+      "concat(COALESCE('fin', 'null'), COALESCE(CAST(a AS STRING), 'null'))")
+    // collection access ($$return m;$$, $$return k + c;$$, m1.get shapes)
+    assert(tr("return m.get(k);",
+      "m" -> CqlMap(CqlText, CqlInt), "k" -> CqlText) === "m[k]")
+    assert(tr("return l.get(1);", "l" -> CqlList(CqlInt)) === "l[1]")
+    // UDT accessors ($$return udt.getString(\"txt\");$$)
+    assert(tr("""return udt.getString("txt");""",
+      "udt" -> CqlUdt("t", Seq("txt" -> CqlText, "i" -> CqlInt))) ===
+      "CAST(udt.`txt` AS STRING)")
+    assert(tr("""return Integer.valueOf(udt.getInt("i"));""",
+      "udt" -> CqlUdt("t", Seq("txt" -> CqlText, "i" -> CqlInt))) ===
+      "CAST(CAST(udt.`i` AS INT) AS INT)")
+  }
+
+  test("Java semantics: int division, Math.round, char concat, null on left") {
+    assert(tr("return a / b * 2;", "a" -> CqlInt, "b" -> CqlInt) ===
+      "((a div b) * 2)")
+    // fractional operand switches back to true division
+    assert(tr("return a / b;", "a" -> CqlDouble, "b" -> CqlInt) === "(a / b)")
+    assert(tr("return Math.round(x);", "x" -> CqlDouble) ===
+      "CAST(FLOOR(CAST(x AS DOUBLE) + 0.5D) AS BIGINT)")
+    assert(tr("return null == a ? 0 : a.intValue();", "a" -> CqlInt) ===
+      "IF((a IS NULL), 0, CAST(a AS INT))")
+    // char literals concat as strings ($$return m1.get(1) + ':' + ...$$)
+    assert(tr("return s + ':' + k;", "s" -> CqlText, "k" -> CqlInt) ===
+      "concat(COALESCE(concat(COALESCE(s, 'null'), COALESCE(':', 'null')), 'null'), " +
+        "COALESCE(CAST(k AS STRING), 'null'))")
+  }
+
+  test("rejection contract: anything beyond one return statement") {
+    assert(rejects("int s = 0; return s;").contains("single 'return"))
+    assert(rejects("for (int i = 0; i < x; i++) {} return 0;", "x" -> CqlInt)
+      .contains("single 'return"))
+    assert(rejects("return y;", "x" -> CqlInt).contains("unknown identifier 'y'"))
+    assert(rejects("return x.frobnicate();", "x" -> CqlInt)
+      .contains("unsupported method call"))
+    assert(rejects("return new java.util.ArrayList();").nonEmpty)
+    assert(rejects("").contains("empty"))
+    // declared argument names shadow the static tables
+    assert(tr("return Math;", "Math" -> CqlInt) === "Math")
+  }
+}
