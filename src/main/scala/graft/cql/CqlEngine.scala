@@ -872,8 +872,10 @@ class CqlEngine(val spark: SparkSession) {
   }
 
   // served by system_views.clients as request_count, like the reference's
-  // per-connection counter (db/virtual/ClientsTable.java)
+  // per-connection counter (db/virtual/ClientsTable.java); prepared
+  // executions count too (Prepared.execute calls noteStatement)
   private var statementCount: Long = 0L
+  private[cql] def noteStatement(): Unit = statementCount += 1
 
   /** Type-resolution map for the parser: every type under its canonical
     * `ks.name` key, plus bare-name aliases for the CURRENT keyspace (an

@@ -46,6 +46,7 @@ final class PreparedStatements(engine: CqlEngine) {
     if (binds.length != prep.numBinds)
       throw engine.InvalidRequest(
         s"Invalid amount of bind variables: expected ${prep.numBinds}, got ${binds.length}")
+    engine.noteStatement()
     engine.runPinned(prep.keyspace, bind(prep.statement, binds.toIndexedSeq))
   }
 
@@ -59,6 +60,7 @@ final class PreparedStatements(engine: CqlEngine) {
       case (None, i) => throw engine.InvalidRequest(
         s"Positional marker at index $i cannot be bound by name")
     }
+    engine.noteStatement()
     engine.runPinned(prep.keyspace, bind(prep.statement, positional.toIndexedSeq))
   }
 
