@@ -623,6 +623,38 @@ class CqlEngine(val spark: SparkSession) {
       ColumnDef("index_name", CqlText, Clustering),
       ColumnDef("kind", CqlText, Regular),
       ColumnDef("options", CqlMap(CqlText, CqlText), Regular)), Seq(false, false)),
+    // system.peers: topology the drivers query at connect — EMPTY on a
+    // single-node ring, exactly like the reference with no peers
+    // (db/SystemKeyspace.java Peers table)
+    "system.peers" -> TableDef("system.peers", Seq(
+      ColumnDef("peer", CqlText, PartitionKey),
+      ColumnDef("data_center", CqlText, Regular),
+      ColumnDef("rack", CqlText, Regular),
+      ColumnDef("release_version", CqlText, Regular)), Seq.empty),
+    "system_schema.views" -> TableDef("system_schema.views", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("view_name", CqlText, Clustering),
+      ColumnDef("base_table_name", CqlText, Regular)), Seq(false)),
+    // SchemaKeyspace.java Functions/Aggregates layouts (argument_types in
+    // the clustering key like the reference; served flattened)
+    "system_schema.functions" -> TableDef("system_schema.functions", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("function_name", CqlText, Clustering),
+      ColumnDef("argument_types", CqlList(CqlText), Regular),
+      ColumnDef("argument_names", CqlList(CqlText), Regular),
+      ColumnDef("body", CqlText, Regular),
+      ColumnDef("language", CqlText, Regular),
+      ColumnDef("return_type", CqlText, Regular),
+      ColumnDef("called_on_null_input", CqlBoolean, Regular)), Seq(false)),
+    "system_schema.aggregates" -> TableDef("system_schema.aggregates", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("aggregate_name", CqlText, Clustering),
+      ColumnDef("argument_types", CqlList(CqlText), Regular),
+      ColumnDef("final_func", CqlText, Regular),
+      ColumnDef("initcond", CqlText, Regular),
+      ColumnDef("return_type", CqlText, Regular),
+      ColumnDef("state_func", CqlText, Regular),
+      ColumnDef("state_type", CqlText, Regular)), Seq(false)),
     // system_views.* (SystemViewsKeyspace.java:30-38) — the reference's
     // node-introspection keyspace, served here from the LIVE Spark session
     // and engine state (never canned rows): settings = session SQL config,
@@ -724,6 +756,26 @@ class CqlEngine(val spark: SparkSession) {
           val opts = d.options ++ Map("target" -> target) ++
             d.className.map("class_name" -> _)
           Row(ks, tn, d.name, if (d.custom) "CUSTOM" else "COMPOSITES", opts)
+        }))
+      case "system.peers" => Some(mk(virtualDefs(name), Seq.empty))
+      case "system_schema.views" => Some(mk(virtualDefs(name),
+        views.values.toSeq.map { v =>
+          val (ks, vn) = splitName(v.name)
+          Row(ks, vn, splitName(v.baseTable)._2)
+        }))
+      case "system_schema.functions" => Some(mk(virtualDefs(name),
+        udfs.values.toSeq.map { f =>
+          val (ks, fn) = splitName(f.name)
+          Row(ks, fn, f.args.map(_._2.name), f.args.map(_._1), f.body,
+            f.language, f.returns.name, !f.returnsNullOnNull)
+        }))
+      case "system_schema.aggregates" => Some(mk(virtualDefs(name),
+        udas.values.toSeq.map { a =>
+          val (ks, an) = splitName(a.name)
+          Row(ks, an, Seq(a.argType.name), a.finalFunc.map(splitName(_)._2).orNull,
+            a.initCond.map(_.toString).orNull, udfs.get(a.finalFunc.getOrElse(""))
+              .map(_.returns.name).getOrElse(a.stype.name),
+            splitName(a.sfunc)._2, a.stype.name)
         }))
       case "system_views.settings" =>
         // SettingsTable.java — node config as (name, value); here the live

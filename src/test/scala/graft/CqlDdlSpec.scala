@@ -35,6 +35,25 @@ class CqlDdlSpec extends SparkSpec {
     val types = rowsInOrder(e.execute("SELECT type_name FROM system_schema.types"))
     assert(types.contains(Seq("vt_t")))
     assert(rowsInOrder(e.execute("SELECT key FROM system.local")) === Seq(Seq("local")))
+    // single-node ring: peers exists and is empty (drivers query it at connect)
+    assert(e.execute("SELECT peer FROM system.peers").collect().isEmpty)
+    // views/functions/aggregates reflect the live registries
+    e.execute("CREATE MATERIALIZED VIEW vt_mv AS SELECT c, k, v FROM vt_a " +
+      "WHERE c IS NOT NULL AND k IS NOT NULL PRIMARY KEY (c, k)")
+    assert(rowsInOrder(e.execute(
+      "SELECT view_name, base_table_name FROM system_schema.views"))
+      .contains(Seq("vt_mv", "vt_a")))
+    e.execute("CREATE FUNCTION vt_f (x int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS int LANGUAGE spark AS 'x + 1'")
+    e.execute("CREATE FUNCTION vt_sf (st int, v int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE spark AS 'coalesce(st, 0) + v'")
+    e.execute("CREATE AGGREGATE vt_agg (int) SFUNC vt_sf STYPE int")
+    val fr = e.execute("SELECT function_name, language, return_type, called_on_null_input " +
+      "FROM system_schema.functions WHERE keyspace_name = 'graft' AND function_name = 'vt_f'").collect().head
+    assert(fr.getString(1) === "spark" && fr.getString(2) === "int" && !fr.getBoolean(3))
+    val agr = e.execute("SELECT aggregate_name, state_func, state_type " +
+      "FROM system_schema.aggregates WHERE keyspace_name = 'graft' AND aggregate_name = 'vt_agg'").collect().head
+    assert(agr.getString(1) === "vt_sf" && agr.getString(2) === "int")
     assertInvalid(e, "INSERT INTO system_schema.tables (keyspace_name, table_name) VALUES ('x', 'y')",
       "Modification is not supported")
   }
