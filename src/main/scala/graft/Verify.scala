@@ -288,8 +288,7 @@ object Verify {
         if (0 until 4).exists(c => ((siga >>> (16 * c)) & 0xffffL) == ((sigb >>> (16 * c)) & 0xffffL))
         if java.lang.Long.bitCount(siga ^ sigb) <= 3
         inter = (seta & setb).size
-        jac = BigDecimal(inter.toDouble / (seta.size + setb.size - inter))
-          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        jac = round6(inter.toDouble / (seta.size + setb.size - inter))
         if jac >= 0.7
       } yield (a, b, jac)
       pairs.toIndexedSeq.toDF("a", "b", "jaccard").coalesce(1)

@@ -79,17 +79,36 @@ object Dedup {
                         maxShingleDf: Int = 5000): DataFrame = {
     val docsS = graft.Tables.spread(docs)
     val sh = explodedShingles(docsS, id, text, k)
+    verifyCandidatePairs(docsS, id, text, k,
+      ngramCandidates(sh, maxShingleDf), threshold)
+  }
+
+  /** DF-bounded candidate pairs from a per-shingle group (package-visible
+    * so PlanSpec can assert the pre-checkpoint pipeline shape).
+    */
+  private[graft] def ngramCandidates(sh: DataFrame, maxShingleDf: Int): DataFrame = {
     // bounded per-shingle doc list: ≤ maxShingleDf+1 ids buffered per
     // group; df counts ALL occurrences so an over-cap group is detected
     // and dropped while every surviving group's list is complete
     val bounded = call_function("topk_rows_agg",
       struct(col("doc_id")), lit(maxShingleDf + 1), array(lit(0)), array(lit(false)))
-    val cands = sh.groupBy("s")
+    sh.groupBy("s")
       .agg(count(lit(1)).as("df"), bounded.as("ids"))
       .filter(col("df") > 1 && col("df") <= maxShingleDf)
       .select(explode(pairsOf(transform(col("ids"), r => r.getField("doc_id")))).as("p"))
       .select(col("p.a"), col("p.b"))
       .distinct()
+  }
+
+  /** Shared verification tail for candidate-pair generators: lazily
+    * materialize the candidates (consumed three times), semi-join the
+    * corpus down to candidate docs, and score the exact jaccard on their
+    * hashed shingle sets.
+    */
+  private def verifyCandidatePairs(docsS: DataFrame, id: String, text: String,
+                                   k: Int, cands0: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val cands = cands0.localCheckpoint(eager = false)
     val candIds = cands.select(col("a").as("doc_id"))
       .union(cands.select(col("b").as("doc_id"))).distinct()
     val candSets = docsS.join(candIds, docsS(id) === candIds("doc_id"), "left_semi")
@@ -508,13 +527,7 @@ object Dedup {
       .filter(bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))) <= maxHamming)
       .select(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b"))
       .distinct()
-      // consumed three times below — lazily materialize once (see minhashLsh)
-      .localCheckpoint(eager = false)
-    val candIds = cands.select(col("a").as("doc_id"))
-      .union(cands.select(col("b").as("doc_id"))).distinct()
-    val candSets = docsS.join(candIds, docsS(id) === candIds("doc_id"), "left_semi")
-      .select(col(id).as("doc_id"), hashedShingleSet(col(text), k, 0x51c0L).as("shingles"))
-    verifyByShingleSets(cands, candSets, threshold)
+    verifyCandidatePairs(docsS, id, text, k, cands, threshold)
   }
 
   /** Exact-substring duplicated spans (Lee et al. 2021, "Deduplicating

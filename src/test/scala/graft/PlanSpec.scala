@@ -85,8 +85,20 @@ class PlanSpec extends SparkSpec {
     // candidate-id semi-join and the two per-side verify joins
     val df = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
     val p = df.queryExecution.explainString(FormattedMode)
-    assert(p.contains("topk_rows_agg"),
-      "candidate doc lists must go through the bounded aggregate:\n" + p.take(2000))
+    // the final plan stops at the candidate checkpoint boundary, so the
+    // candidate pipeline is inspected pre-checkpoint (like the minhash
+    // guard below): the bounded aggregate, no shingle self-join
+    val candPlan = graft.operators.Dedup.ngramCandidates(
+        graft.operators.Dedup.explodedShingles(
+          graft.Tables.documents(spark, sf), "doc_id", "text", 3), 5000)
+      .queryExecution.explainString(FormattedMode)
+    assert(candPlan.contains("topk_rows_agg"),
+      "candidate doc lists must go through the bounded aggregate:\n" + candPlan.take(2000))
+    assert(!candPlan.contains("SortMergeJoin"),
+      "no shingle sort-merge self-join:\n" + candPlan.take(2000))
+    assert(!candPlan.contains("collect_list") && !candPlan.contains("collect_set"),
+      "no unbounded per-shingle collection:\n" + candPlan.take(2000))
+    // and the verify tail never re-joins raw shingle rows
     assert(!p.contains("SortMergeJoin"), "no shingle sort-merge self-join:\n" + p.take(2000))
     assert(!p.contains("collect_list") && !p.contains("collect_set"),
       "no unbounded per-shingle collection:\n" + p.take(2000))
