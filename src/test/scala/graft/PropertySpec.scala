@@ -111,6 +111,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("$$-quoted strings round-trip arbitrary content through the lexer " +
+    "(PG dollar quoting for UDF bodies — no escape processing inside)") {
+    val bodyGen = Gen.asciiPrintableStr
+      .map(_.replace("$$", "$").stripSuffix("$"))
+    forAllSamples(bodyGen, n = 300) { body =>
+      CqlParser.parse(
+        s"CREATE FUNCTION ff (x int) CALLED ON NULL INPUT RETURNS int " +
+          s"LANGUAGE spark AS $$$$$body$$$$") match {
+        case f: graft.cql.Ast.CreateFunction => assert(f.body === body)
+        case other => fail(s"unexpected statement $other")
+      }
+    }
+  }
+
   test("freq_items_agg candidates contain every item above n/(k+1) for " +
     "random streams, random merge trees, and serialize round-trips") {
     import graft.functions.FreqItemsAgg
