@@ -70,6 +70,14 @@ class TestdataLayoutSpec extends SparkSpec {
         "(see Tables.tsEpochUs for the pattern):\n" + problems.mkString("\n"))
   }
 
+  test("query inventory names are unique (SparkEntry.queries is a Map — a " +
+    "duplicate name would silently drop a query from the oracle gate)") {
+    val names = Queries.all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, occ) if occ.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size === names.size)
+  }
+
   test("tsEpochUs/tsEpochMs/tsAsTimestamp agree with each other on events") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
