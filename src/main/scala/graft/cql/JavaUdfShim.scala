@@ -30,6 +30,10 @@ import graft.cql.Ast._
   *  - `Math.*` (sin cos tan asin acos atan sqrt cbrt exp log log10 pow abs
   *    floor ceil signum max min copySign round)
   *  - `e.toString()`, `new String(blobArg)` → CAST AS STRING
+  *  - `String` methods on string-typed receivers: length isEmpty
+  *    toLowerCase toUpperCase trim concat contains startsWith endsWith
+  *    indexOf (0-based, -1 on miss) replace substring (0-based, end
+  *    exclusive) equals equalsIgnoreCase
   *  - `m.get(k)` on map args (absent key → null, like Java `Map.get`),
   *    `l.get(i)` on list args (0-based)
   *  - `udt.getString/getInt/getLong/getDouble/getFloat/getBoolean("f")`
@@ -288,6 +292,37 @@ object JavaUdfShim {
       val (r, rt) = recv
       (name, args) match {
         case ("toString", Nil) => (s"CAST($r AS STRING)", TStr)
+        // java.lang.String methods on string-typed receivers
+        case ("length", Nil) if rt == TStr => (s"length($r)", TNum(integral = true))
+        case ("toLowerCase", Nil) if rt == TStr => (s"lower($r)", TStr)
+        case ("toUpperCase", Nil) if rt == TStr => (s"upper($r)", TStr)
+        case ("trim", Nil) if rt == TStr => (s"trim($r)", TStr)
+        case ("concat", List(a)) if rt == TStr =>
+          // Java String.concat does NOT stringify null (it NPEs) — but it
+          // only accepts a String argument, so plain concat() matches
+          (s"concat($r, ${a._1})", TStr)
+        case ("isEmpty", Nil) if rt == TStr => (s"(length($r) = 0)", TBool)
+        case ("contains", List(a)) if rt == TStr =>
+          (s"contains($r, ${a._1})", TBool)
+        case ("startsWith", List(a)) if rt == TStr =>
+          (s"startswith($r, ${a._1})", TBool)
+        case ("endsWith", List(a)) if rt == TStr =>
+          (s"endswith($r, ${a._1})", TBool)
+        case ("indexOf", List(a)) if rt == TStr =>
+          // Java is 0-based with -1 on miss; SQL instr is 1-based with 0
+          (s"(instr($r, ${a._1}) - 1)", TNum(integral = true))
+        case ("replace", List(a, b)) if rt == TStr =>
+          (s"replace($r, ${a._1}, ${b._1})", TStr)
+        case ("substring", List(a)) if rt == TStr =>
+          // Java substring(begin) is 0-based to end; substr is 1-based
+          (s"substr($r, ${a._1} + 1)", TStr)
+        case ("substring", List(a, b)) if rt == TStr =>
+          // Java substring(begin, end): length = end - begin
+          (s"substr($r, ${a._1} + 1, ${b._1} - ${a._1})", TStr)
+        case ("equals", List(a)) if rt == TStr =>
+          (s"($r = ${a._1})", TBool)
+        case ("equalsIgnoreCase", List(a)) if rt == TStr =>
+          (s"(lower($r) = lower(${a._1}))", TBool)
         case ("intValue", Nil) => (s"CAST($r AS INT)", TNum(integral = true))
         case ("longValue", Nil) => (s"CAST($r AS BIGINT)", TNum(integral = true))
         case ("doubleValue", Nil) => (s"CAST($r AS DOUBLE)", TNum(integral = false))

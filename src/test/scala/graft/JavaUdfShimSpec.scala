@@ -72,6 +72,24 @@ class JavaUdfShimSpec extends AnyFunSuite {
         "COALESCE(CAST(k AS STRING), 'null'))")
   }
 
+  test("String methods translate with Java index/semantics conventions") {
+    assert(tr("return s.length();", "s" -> CqlText) === "length(s)")
+    assert(tr("return s.toLowerCase();", "s" -> CqlText) === "lower(s)")
+    assert(tr("return s.trim().toUpperCase();", "s" -> CqlText) === "upper(trim(s))")
+    assert(tr("return s.substring(2);", "s" -> CqlText) === "substr(s, 2 + 1)")
+    assert(tr("return s.substring(1, 4);", "s" -> CqlText) ===
+      "substr(s, 1 + 1, 4 - 1)")
+    assert(tr("""return s.indexOf("x");""", "s" -> CqlText) === "(instr(s, 'x') - 1)")
+    assert(tr("""return s.replace("a", "b");""", "s" -> CqlText) ===
+      "replace(s, 'a', 'b')")
+    assert(tr("""return s.equalsIgnoreCase(t) ? 1 : 0;""",
+      "s" -> CqlText, "t" -> CqlText) === "IF((lower(s) = lower(t)), 1, 0)")
+    assert(tr("""return s.startsWith("p") ? s.concat(t) : t;""",
+      "s" -> CqlText, "t" -> CqlText) === "IF(startswith(s, 'p'), concat(s, t), t)")
+    // string methods on non-string receivers stay unsupported
+    assert(rejects("return x.length();", "x" -> CqlInt).contains("unsupported method"))
+  }
+
   test("rejection contract: anything beyond one return statement") {
     assert(rejects("int s = 0; return s;").contains("single 'return"))
     assert(rejects("for (int i = 0; i < x; i++) {} return 0;", "x" -> CqlInt)
