@@ -55,6 +55,33 @@ object DocumentIngest {
     (good, quarantine)
   }
 
+  /** CSV twin of [[jsonl]]: same split/quarantine contract through
+    * `from_csv`. Header handling stays distributed — pass the known header
+    * text as `headerLine` and it filters as a plain predicate on the line
+    * scan (no per-file driver pass, no split-order dependence); rows that
+    * fail type coercion land in quarantine with the raw line.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          delimiter: String = ",",
+          headerLine: Option[String] = None): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not predeclare _corrupt_record")
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    val lines0 = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+    val lines = headerLine.fold(lines0)(h => lines0.filter(col("value") =!= h))
+    val parsed = lines.select(col("value"),
+      from_csv(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "sep" -> delimiter,
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+    val good = parsed.filter(col("p._corrupt_record").isNull)
+      .select("p.*").drop("_corrupt_record")
+    val quarantine = parsed.filter(col("p._corrupt_record").isNotNull)
+      .select(col("value").as("raw_line"))
+    (good, quarantine)
+  }
+
   /** Deterministic 63-bit nonnegative document id from a key column
     * (url, content digest, ...): murmur64 masked to Long.MaxValue.
     * Collision odds ~n²/2^64 — negligible against crawl-scale corpora's

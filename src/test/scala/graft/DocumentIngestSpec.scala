@@ -26,6 +26,25 @@ class DocumentIngestSpec extends SparkSpec {
       "quarantine must carry the raw unparseable line")
   }
 
+  test("csv: header filters distributed, bad type coercion quarantines") {
+    val csvSchema = StructType(Seq(
+      StructField("url", StringType),
+      StructField("n_tokens", IntegerType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"),
+      """url,n_tokens
+        |http://x/1,42
+        |http://x/2,notanint
+        |http://x/3,7
+        |""".stripMargin)
+    val (good, quarantine) = DocumentIngest.csv(
+      spark, s"$dir/a.csv", csvSchema, headerLine = Some("url,n_tokens"))
+    val g = good.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(g === Map("http://x/1" -> 42, "http://x/3" -> 7))
+    val q = quarantine.collect().map(_.getString(0))
+    assert(q.toSeq === Seq("http://x/2,notanint"))
+  }
+
   test("stableId is deterministic across re-reads and partition layouts") {
     import spark.implicits._
     val docs = Seq("http://x/1", "http://x/2", "http://x/3").toDF("url")
