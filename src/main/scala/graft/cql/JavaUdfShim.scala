@@ -313,12 +313,14 @@ object JavaUdfShim {
           (s"(instr($r, ${a._1}) - 1)", TNum(integral = true))
         case ("replace", List(a, b)) if rt == TStr =>
           (s"replace($r, ${a._1}, ${b._1})", TStr)
+        // index args parenthesize defensively: composed offsets must not
+        // reassociate with the +1/length arithmetic added here
         case ("substring", List(a)) if rt == TStr =>
           // Java substring(begin) is 0-based to end; substr is 1-based
-          (s"substr($r, ${a._1} + 1)", TStr)
+          (s"substr($r, (${a._1}) + 1)", TStr)
         case ("substring", List(a, b)) if rt == TStr =>
           // Java substring(begin, end): length = end - begin
-          (s"substr($r, ${a._1} + 1, ${b._1} - ${a._1})", TStr)
+          (s"substr($r, (${a._1}) + 1, (${b._1}) - (${a._1}))", TStr)
         case ("equals", List(a)) if rt == TStr =>
           (s"($r = ${a._1})", TBool)
         case ("equalsIgnoreCase", List(a)) if rt == TStr =>

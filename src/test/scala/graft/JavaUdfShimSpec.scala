@@ -76,9 +76,9 @@ class JavaUdfShimSpec extends AnyFunSuite {
     assert(tr("return s.length();", "s" -> CqlText) === "length(s)")
     assert(tr("return s.toLowerCase();", "s" -> CqlText) === "lower(s)")
     assert(tr("return s.trim().toUpperCase();", "s" -> CqlText) === "upper(trim(s))")
-    assert(tr("return s.substring(2);", "s" -> CqlText) === "substr(s, 2 + 1)")
+    assert(tr("return s.substring(2);", "s" -> CqlText) === "substr(s, (2) + 1)")
     assert(tr("return s.substring(1, 4);", "s" -> CqlText) ===
-      "substr(s, 1 + 1, 4 - 1)")
+      "substr(s, (1) + 1, (4) - (1))")
     assert(tr("""return s.indexOf("x");""", "s" -> CqlText) === "(instr(s, 'x') - 1)")
     assert(tr("""return s.replace("a", "b");""", "s" -> CqlText) ===
       "replace(s, 'a', 'b')")
