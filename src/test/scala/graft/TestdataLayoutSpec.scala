@@ -52,19 +52,25 @@ class TestdataLayoutSpec extends SparkSpec {
       "events" -> "event_id:int,ts:int|time,user_id:int,event_type:str,value:fp,props:str",
       "documents" -> "doc_id:int,text:str,lang:str,source:str,n_chars:int",
       "embeddings" -> "vec_id:int,embedding:arr<fp>,label:int")
-    val problems = Tables.all.flatMap { t =>
-      val got = Tables(spark, sf, t).schema.map(f => s"${f.name}:${cls(f.dataType)}")
-      val want = expected(t).split(",").toSeq
-      def mismatch(g: String, w: String): Boolean = {
+    // every SF dir present: the gate runs at 0.01, bench at 0.1 — a
+    // generation that drifted only one SF must still trip here
+    val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory)
+    assert(sfDirs.nonEmpty, "no testdata dirs found")
+    val problems = for {
+      dir <- sfDirs
+      t <- Tables.all
+      got = Tables(spark, dir, t).schema.map(f => s"${f.name}:${cls(f.dataType)}")
+      want = expected(t).split(",").toSeq
+      mismatch = (g: String, w: String) => {
         val Array(gName, gType) = g.split(":", 2)
         val Array(wName, wTypes) = w.split(":", 2)
         gName != wName || !wTypes.split("\\|").contains(gType)
       }
-      if (got.size != want.size || got.zip(want).exists((mismatch _).tupled))
-        Some(s"$t: expected [${want.mkString(", ")}] but the parquet reads as " +
-          s"[${got.mkString(", ")}]")
-      else None
-    }
+      if got.size != want.size || got.zip(want).exists(mismatch.tupled)
+    } yield s"$dir/$t: expected [${want.mkString(", ")}] but the parquet " +
+      s"reads as [${got.mkString(", ")}]"
     assert(problems.isEmpty,
       "driver testdata layout drifted — adapt the affected readers " +
         "(see Tables.tsEpochUs for the pattern):\n" + problems.mkString("\n"))
