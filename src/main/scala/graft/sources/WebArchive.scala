@@ -20,6 +20,16 @@ import org.apache.spark.sql.types._
   *
   * WET ("conversion" records) carry extracted text; WARC response records
   * carry raw HTTP payloads. Both parse here — filter `warc_type`.
+  *
+  * Framing caveat: the delimiter split assumes payloads do not contain the
+  * literal `WARC/1.0` marker. A crawled page ABOUT the WARC format would
+  * split mid-record: the truncated record keeps its headers (and is cut to
+  * Content-Length where the remaining bytes allow), and the marker-less
+  * tail block carries no WARC-Type header, so it drops rather than
+  * surfacing as a phantom record. Byte-exact framing for adversarial
+  * payloads requires sequential Content-Length chaining — inherently
+  * single-stream, the trade this reader deliberately refuses for free
+  * block-boundary parallelism.
   */
 object WebArchive {
 
