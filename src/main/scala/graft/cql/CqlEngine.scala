@@ -631,6 +631,16 @@ class CqlEngine(val spark: SparkSession) {
       ColumnDef("data_center", CqlText, Regular),
       ColumnDef("rack", CqlText, Regular),
       ColumnDef("release_version", CqlText, Regular)), Seq.empty),
+    // system.size_estimates: what the Cassandra Spark connector reads to
+    // plan input splits (db/SystemKeyspace.java:240-251); served from live
+    // table data as one full-token-range row per table
+    "system.size_estimates" -> TableDef("system.size_estimates", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("table_name", CqlText, Clustering),
+      ColumnDef("range_start", CqlText, Clustering),
+      ColumnDef("range_end", CqlText, Clustering),
+      ColumnDef("mean_partition_size", CqlBigint, Regular),
+      ColumnDef("partitions_count", CqlBigint, Regular)), Seq(false, false, false)),
     "system_schema.views" -> TableDef("system_schema.views", Seq(
       ColumnDef("keyspace_name", CqlText, PartitionKey),
       ColumnDef("view_name", CqlText, Clustering),
@@ -758,6 +768,29 @@ class CqlEngine(val spark: SparkSession) {
           Row(ks, tn, d.name, if (d.custom) "CUSTOM" else "COMPOSITES", opts)
         }))
       case "system.peers" => Some(mk(virtualDefs(name), Seq.empty))
+      case "system.size_estimates" =>
+        // one full-token-range row per table from the LIVE data: rows and
+        // approx-distinct partition keys counted on demand (the reference
+        // refreshes estimates at flush; an introspection query here is
+        // rare enough to pay the scan), partition size from the schema's
+        // default column widths
+        val rows = tables.keys.toSeq.sorted
+          .filterNot(t => virtualDefs.contains(t) || views.contains(t))
+          .map { t =>
+            val td = tables(t)
+            val (ks, tn) = splitName(t)
+            val data = read(t)
+            val pk = td.partitionKey.map(c => col(c.name))
+            val agg = data.agg(count(lit(1)).as("n"),
+              approx_count_distinct(struct(pk: _*)).as("parts")).head()
+            val n = agg.getLong(0)
+            val parts = agg.getLong(1)
+            val rowWidth = td.columns.map(c => sparkType(c.tpe).defaultSize.toLong).sum
+            val meanSize = if (parts == 0L) 0L else rowWidth * n / parts
+            Row(ks, tn, Long.MinValue.toString, Long.MaxValue.toString,
+              meanSize, parts)
+          }
+        Some(mk(virtualDefs(name), rows))
       case "system_schema.views" => Some(mk(virtualDefs(name),
         views.values.toSeq.map { v =>
           val (ks, vn) = splitName(v.name)

@@ -37,6 +37,18 @@ class CqlDdlSpec extends SparkSpec {
     assert(rowsInOrder(e.execute("SELECT key FROM system.local")) === Seq(Seq("local")))
     // single-node ring: peers exists and is empty (drivers query it at connect)
     assert(e.execute("SELECT peer FROM system.peers").collect().isEmpty)
+    // size_estimates serves live per-table stats over the full token range
+    // (what the Spark connector reads for split planning)
+    e.execute("INSERT INTO vt_a (k, c, v) VALUES (1, 'x', 1.0)")
+    e.execute("INSERT INTO vt_a (k, c, v) VALUES (1, 'y', 2.0)")
+    e.execute("INSERT INTO vt_a (k, c, v) VALUES (2, 'x', 3.0)")
+    val se = e.execute("SELECT range_start, range_end, partitions_count, mean_partition_size " +
+      "FROM system.size_estimates WHERE keyspace_name = 'graft' AND table_name = 'vt_a'")
+      .collect().head
+    assert(se.getString(0) === Long.MinValue.toString)
+    assert(se.getString(1) === Long.MaxValue.toString)
+    assert(se.getLong(2) === 2L, "two live partition keys")
+    assert(se.getLong(3) > 0L)
     // views/functions/aggregates reflect the live registries
     e.execute("CREATE MATERIALIZED VIEW vt_mv AS SELECT c, k, v FROM vt_a " +
       "WHERE c IS NOT NULL AND k IS NOT NULL PRIMARY KEY (c, k)")
