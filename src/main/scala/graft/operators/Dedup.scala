@@ -422,8 +422,11 @@ object Dedup {
                                   id: String, text: String, tsCol: String,
                                   k: Int, threshold: Double,
                                   bands: Int = 16, rowsPerBand: Int = 4,
-                                  watermarkDelay: String = "10 minutes"): DataFrame = {
-    val sk = newDocs.withWatermark(tsCol, watermarkDelay)
+                                  watermarkDelay: Option[String] = Some("10 minutes")): DataFrame = {
+    // None = the caller already watermarked tsCol upstream (Spark forbids
+    // redefining a watermark, and one definition propagates downstream —
+    // the composed-DAG case where an earlier dedup stage set it)
+    val sk = watermarkDelay.fold(newDocs)(newDocs.withWatermark(tsCol, _))
       .select(col(tsCol), col(id).as("doc_id"),
         call_function("minhash_sig", shingles(col(text), k),
           lit(bands * rowsPerBand)).as("sig"),

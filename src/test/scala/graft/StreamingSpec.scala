@@ -327,6 +327,60 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet === expected && expected.nonEmpty)
   }
 
+  test("full streaming curation DAG composes append-mode: quality gate → " +
+    "watermarked exact dedup → LSH near-dup ingest, one unbounded query") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.streaming.MutationStream
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-curidx").toString
+    Dedup.lshIndexBuild(corpus, "doc_id", "text", 3).save(idxDir)
+    val idx = Dedup.lshIndexLoad(spark, idxDir)
+    // crawl = odd docs, then each re-crawled under a new id in LATER files
+    // (the file source orders by modification time, so originals arrive
+    // first and the exact-dup tier must drop every re-crawl)
+    val crawl0 = all.filter(col("doc_id") % 2 === 1)
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-curcrawl").toString
+    crawl0.withColumn("arrived",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id")))
+      .coalesce(1).write.mode("overwrite").parquet(crawlDir)
+    Thread.sleep(1100) // distinct mtime second for deterministic ordering
+    crawl0.withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("arrived",
+        timestamp_micros(lit(1700000002000000L) + col("doc_id")))
+      .coalesce(1).write.mode("append").parquet(crawlDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(crawlDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(crawlDir)
+    // stage 1: stateless quality gate; stage 2: watermark-bounded exact
+    // content dedup; stage 3: stream-static LSH near-dup report against
+    // the saved corpus index — ALL in one append-mode streaming query
+    val gated = stream.filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+    val deduped = MutationStream.dedupStream(gated, "arrived", "text")
+    val q = Dedup.ingestAgainstLshIndexStream(
+        deduped, idx, "doc_id", "text", "arrived", 3, 0.7,
+        watermarkDelay = None) // dedupStream already watermarked 'arrived'
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cur_dag_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // batch reference: same three stages composed on static frames
+    val gatedB = crawl0.filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+    val expected = Dedup.crossCorpusNearDups(gatedB, corpus, "doc_id", "text", 3, 0.7)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val got = spark.table("cur_dag_out")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "no pair emitted twice")
+    // exact-dup suppression means only FIRST-arriving copies (original ids,
+    // which have the earlier event times) reach the near-dup tier
+    assert(got.toSet === expected && expected.nonEmpty,
+      "streaming DAG must match the batch composition on first-arriving docs")
+  }
+
   test("curation tier is streaming-safe: hash-gate sampling and the " +
     "quality keep-verdict run stateless under readStream and match batch") {
     import spark.implicits._
