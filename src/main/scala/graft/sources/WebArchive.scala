@@ -9,9 +9,9 @@ import org.apache.spark.sql.types._
   * source a 100 TB training-data pipeline actually starts from.
   *
   * Scale design: the archive is read through Hadoop's TextInputFormat with
-  * the record delimiter set to the WARC version header, so SPLITTING IS
+  * the record delimiter set to the WARC version prefix, so SPLITTING IS
   * FREE — every HDFS/S3 block boundary starts scanning forward to the next
-  * `WARC/1.0` marker exactly like line-splitting does for `\n`, records
+  * `WARC/1.` marker exactly like line-splitting does for `\n`, records
   * parse independently per partition, and a 100 TB crawl fans out across
   * every executor with no pre-parse, no index, and no driver involvement.
   * Header parsing is a per-record scalar pass; the result is a plain
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * carry raw HTTP payloads. Both parse here — filter `warc_type`.
   *
   * Framing caveat: the delimiter split assumes payloads do not contain the
-  * literal `WARC/1.0` marker. A crawled page ABOUT the WARC format would
+  * literal `WARC/1.` marker. A crawled page ABOUT the WARC format would
   * split mid-record: the truncated record keeps its headers (and is cut to
   * Content-Length where the remaining bytes allow), and the marker-less
   * tail block carries no WARC-Type header, so it drops rather than
@@ -33,6 +33,8 @@ import org.apache.spark.sql.types._
   */
 object WebArchive {
 
+  private val versionMarker = java.util.regex.Pattern.compile("(?m)^WARC/\\d")
+
   val recordSchema: StructType = StructType(Seq(
     StructField("warc_type", StringType),
     StructField("url", StringType),
@@ -42,17 +44,59 @@ object WebArchive {
     StructField("content_length", LongType),
     StructField("text", StringType)))
 
-  /** All records of the WARC/WET files under `path` (glob ok). */
-  def records(spark: SparkSession, path: String): DataFrame = {
+  /** All records of the WARC/WET files under `path` (glob ok). Paths ending
+    * `.gz` route through the splittable per-member gzip reader
+    * ([[GzipMemberInputFormat]]); anything else uses plaintext delimiter
+    * framing. A glob mixing both should be read in two calls.
+    */
+  def records(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".gz")) gzipRecords(spark, path)
+    else plaintextRecords(spark, path)
+
+  /** Plaintext WARC/WET: delimiter-split on the `WARC/1.` version prefix —
+    * covers 1.0 and 1.1 archives (the version-digit remainder lands as the
+    * block's first line and drops in header parsing: no colon). An archive
+    * of another major version never splits; [[parseRecord]] detects the
+    * swallowed records and fails loudly instead of silently truncating to
+    * the first record's Content-Length.
+    */
+  def plaintextRecords(spark: SparkSession, path: String): DataFrame = {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     // split on the version line; the leading block before the first marker
     // (empty, or a non-WARC preamble) parses to None and drops out
-    conf.set("textinputformat.record.delimiter", "WARC/1.0")
+    conf.set("textinputformat.record.delimiter", "WARC/1.")
     val blocks = spark.sparkContext.newAPIHadoopFile(
       path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
       .map(_._2.toString)
     val rows = blocks.flatMap(parseRecord)
+    spark.createDataFrame(rows, recordSchema)
+  }
+
+  /** One decompressed gzip member usually frames exactly one record
+    * (Common Crawl convention), but nothing guarantees it — a producer may
+    * pack several records per member, so split on the version marker
+    * before parsing.
+    */
+  private val memberRecordSplit =
+    java.util.regex.Pattern.compile("(?m)^(?=WARC/\\d)")
+
+  /** Gzip'd WARC/WET (`*.warc.gz`): real Common Crawl ships one gzip MEMBER
+    * per record, members concatenated into one valid RFC 1952 stream.
+    * Hadoop's gzip codec would make each file one unsplittable task; the
+    * member reader instead splits on byte ranges and CRC-validates member
+    * boundaries, so the crawl fans out block-parallel like the plaintext
+    * path.
+    */
+  def gzipRecords(spark: SparkSession, path: String): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val members = spark.sparkContext.newAPIHadoopFile(
+      path, classOf[GzipMemberInputFormat], classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+    val rows = members.flatMap { m =>
+      memberRecordSplit.split(m).iterator.flatMap(parseRecord)
+    }
     spark.createDataFrame(rows, recordSchema)
   }
 
@@ -87,9 +131,42 @@ object WebArchive {
         val len = headers.get("content-length").flatMap(s => s.toLongOption)
         val body = len match {
           case Some(n) if n >= 0 =>
+            // Content-Length counts the ORIGINAL bytes; the cut below
+            // re-encodes the decoded text, so a payload that was not
+            // byte-faithful on decode (invalid UTF-8 became U+FFFD, 3
+            // bytes each) can drift the cut point — acceptable for WET
+            // text, where payloads are valid UTF-8 by construction.
             val bytes = rawBody.getBytes("UTF-8")
-            if (n < bytes.length) new String(bytes, 0, n.toInt, "UTF-8")
-            else rawBody.stripSuffix("\r\n\r\n").stripSuffix("\n\n")
+            if (n < bytes.length) {
+              // never cut inside a multibyte sequence: if the char whose
+              // lead byte precedes the cut extends past it, trim the whole
+              // incomplete sequence instead of emitting trailing U+FFFD
+              var cut = n.toInt
+              var lead = cut - 1
+              while (lead > 0 && (bytes(lead) & 0xc0) == 0x80) lead -= 1
+              if (lead >= 0) {
+                val b = bytes(lead) & 0xff
+                val seqLen =
+                  if (b < 0x80) 1
+                  else if ((b & 0xe0) == 0xc0) 2
+                  else if ((b & 0xf0) == 0xe0) 3
+                  else if ((b & 0xf8) == 0xf0) 4
+                  else 1
+                if (lead + seqLen > cut) cut = lead
+              }
+              // the discarded tail should only ever be record separators;
+              // a WARC version line in it means the delimiter never split
+              // this archive (unsupported major version) and every record
+              // after the first is being swallowed — refuse loudly
+              val tail = new String(bytes, cut, bytes.length - cut, "UTF-8")
+              if (versionMarker.matcher(tail).find())
+                throw new IllegalStateException(
+                  "WARC framing: payload tail beyond Content-Length contains another " +
+                  "WARC version header — this archive's version is not split by the " +
+                  "WARC/1.x delimiter and its records would be silently dropped. " +
+                  "Re-encode the archive as WARC/1.x or extend the delimiter framing.")
+              new String(bytes, 0, cut, "UTF-8")
+            } else rawBody.stripSuffix("\r\n\r\n").stripSuffix("\n\n")
           case _ => rawBody.stripSuffix("\r\n\r\n").stripSuffix("\n\n")
         }
         Row(wtype,

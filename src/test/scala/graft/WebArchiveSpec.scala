@@ -71,6 +71,95 @@ class WebArchiveSpec extends SparkSpec {
     assert(info.getString(6) === "info body")
   }
 
+  private def gzipMember(record: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record.getBytes("UTF-8"))
+    gz.finish()
+    bos.toByteArray
+  }
+
+  /** One gzip member per record, concatenated — the Common Crawl layout. */
+  private def writeWarcGz(dir: java.nio.file.Path, name: String, records: Seq[String]): Unit =
+    java.nio.file.Files.write(dir.resolve(name),
+      records.map(gzipMember).reduce(_ ++ _))
+
+  test("gzip member framing parses identically to plaintext") {
+    val recs = Seq(
+      wetRecord("http://gz.example/1", "alpha beta gamma"),
+      wetRecord("http://gz.example/2", "héllo wörld multibyte"),
+      wetRecord("http://gz.example/3", "the third record body"),
+      wetRecord("http://gz.example/4", "and a fourth one"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcgz")
+    java.nio.file.Files.writeString(dir.resolve("plain.warc"), recs.mkString)
+    val (a, b) = recs.splitAt(2)
+    writeWarcGz(dir, "part0.warc.gz", a)
+    writeWarcGz(dir, "part1.warc.gz", b)
+    def rows(path: String) =
+      WebArchive.records(spark, path).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+                   r.getString(4), r.getLong(5), r.getString(6)))
+        .sortBy(_._2)
+    val plain = rows(s"$dir/plain.warc")
+    val gz = rows(s"$dir/*.warc.gz")
+    assert(gz.length === 4)
+    assert(gz.toSeq === plain.toSeq)
+  }
+
+  test("gzip members decode across forced byte-range splits (sync scan)") {
+    val recs = (1 to 30).map(i => wetRecord(s"http://split.example/$i", s"document body number $i lorem ipsum dolor"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcgz-split")
+    writeWarcGz(dir, "many.warc.gz", recs)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prev = hconf.get("mapreduce.input.fileinputformat.split.maxsize")
+    hconf.set("mapreduce.input.fileinputformat.split.maxsize", "300")
+    try {
+      val df = WebArchive.records(spark, s"$dir/many.warc.gz")
+      assert(df.rdd.getNumPartitions > 1) // the point: member boundaries are split points
+      val urls = df.collect().map(_.getString(1)).sorted
+      assert(urls.toSeq === recs.indices.map(i => s"http://split.example/${i + 1}").sorted)
+    } finally {
+      if (prev == null) hconf.unset("mapreduce.input.fileinputformat.split.maxsize")
+      else hconf.set("mapreduce.input.fileinputformat.split.maxsize", prev)
+    }
+  }
+
+  test("WARC/1.1 archives split on the version prefix") {
+    val rec11 = wetRecord("http://v11.example/1", "a record in a 1.1 archive")
+      .replace("WARC/1.0", "WARC/1.1") +
+      wetRecord("http://v11.example/2", "second record").replace("WARC/1.0", "WARC/1.1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc11")
+    java.nio.file.Files.writeString(dir.resolve("v11.warc"), rec11)
+    val docs = WebArchive.wetDocuments(spark, s"$dir/v11.warc").collect()
+    assert(docs.length === 2)
+    assert(docs.map(_.getString(3)).toSet ===
+      Set("a record in a 1.1 archive", "second record"))
+  }
+
+  test("unsupported WARC major version fails loudly instead of dropping records") {
+    val rec2 = wetRecord("http://v2.example/1", "first").replace("WARC/1.0", "WARC/2.0") +
+      wetRecord("http://v2.example/2", "second").replace("WARC/1.0", "WARC/2.0")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc2")
+    java.nio.file.Files.writeString(dir.resolve("v2.warc"), rec2)
+    val e = intercept[org.apache.spark.SparkException] {
+      WebArchive.records(spark, s"$dir/v2.warc").collect()
+    }
+    assert(e.getMessage.contains("WARC framing") ||
+      Option(e.getCause).exists(_.getMessage.contains("WARC framing")))
+  }
+
+  test("Content-Length cut never lands inside a multibyte sequence") {
+    // 'é' is 2 bytes in UTF-8; a Content-Length ending one byte into it
+    // must trim the incomplete char, not emit a trailing U+FFFD
+    val body = "abcé tail"
+    val cutLen = "abc".getBytes("UTF-8").length + 1 // one byte into 'é'
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-cut")
+    java.nio.file.Files.writeString(dir.resolve("cut.warc"),
+      wetRecord("http://cut.example/1", body, extraLen = Some(cutLen)))
+    val doc = WebArchive.records(spark, s"$dir/cut.warc").collect().head
+    assert(doc.getString(6) === "abc")
+  }
+
   test("WET ingest composes with the curation tier (dedup + quality)") {
     val dir = writeWet(Seq(
       wetRecord("http://d.example/1", "the quick brown fox jumps over the lazy dog"),
