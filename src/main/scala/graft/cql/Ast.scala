@@ -217,10 +217,19 @@ object Ast {
     * is a Spark SQL expression over the named arguments (registered as a
     * Spark SQL UDF, so it inlines into codegen instead of interpreting).
     */
+  /** `sparkBody` carries the Spark SQL the body lowered to (identical to
+    * `body` for LANGUAGE spark; the shim's translation for LANGUAGE java) —
+    * kept separate so introspection (system_schema.functions) returns the
+    * language and source the client created, as the reference does.
+    */
   final case class CreateFunction(name: String, args: Seq[(String, CqlType)],
                                   returnsNullOnNull: Boolean, returns: CqlType,
                                   language: String, body: String,
-                                  orReplace: Boolean, ifNotExists: Boolean) extends Statement
+                                  orReplace: Boolean, ifNotExists: Boolean,
+                                  sparkBody: Option[String] = None) extends Statement {
+    /** The executable Spark SQL expression for this function's body. */
+    def exprBody: String = sparkBody.getOrElse(body)
+  }
 
   /** CREATE AGGREGATE (Parser.g:686-727, UDAggregate.java:44-120):
     * fold = SFUNC(state, value) per row in clustering order, INITCOND seed,

@@ -1064,13 +1064,13 @@ class CqlEngine(val spark: SparkSession) {
         if (!f.ifNotExists) throw InvalidRequest(s"Function $fkey already exists")
       } else {
         // LANGUAGE spark/sql: the body IS a Spark SQL expression.
-        // LANGUAGE java: expression-shaped bodies (single return statement —
-        // the reference validation suite's universal shape) translate
-        // through JavaUdfShim into equivalent Spark SQL; larger bodies are
-        // rejected with the reference's compile-error text
-        // (JavaBasedUDFunction.java:351,360). Either way the registered
-        // function inlines at analysis time into whole-stage codegen
-        // instead of interpreting per row.
+        // LANGUAGE java: expression-and-statement-shaped bodies (single
+        // return, local declarations, if/else — the reference validation
+        // suite's shapes) translate through JavaUdfShim into equivalent
+        // Spark SQL; anything larger is rejected with the reference's
+        // compile-error text (JavaBasedUDFunction.java:351,360). Either way
+        // the registered function inlines at analysis time into whole-stage
+        // codegen instead of interpreting per row.
         val exprBody = f.language match {
           case "spark" | "sql" => f.body
           case "java" =>
@@ -1081,7 +1081,8 @@ class CqlEngine(val spark: SparkSession) {
             }
           case other => throw InvalidRequest(s"Unsupported language '$other' " +
             "(this engine accepts LANGUAGE spark — a Spark SQL expression over " +
-            "the arguments — or LANGUAGE java limited to a single return statement)")
+            "the arguments — or LANGUAGE java limited to declarations, if/else " +
+            "and return statements)")
         }
         val argDdl = f.args.map { case (n, t) => s"$n ${sparkType(t).sql}" }.mkString(", ")
         val ret = sparkType(f.returns).sql
@@ -1091,10 +1092,11 @@ class CqlEngine(val spark: SparkSession) {
               s"THEN NULL ELSE CAST(($exprBody) AS $ret) END"
           else s"CAST(($exprBody) AS $ret)"
         spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION ${sparkFnName(fkey)}($argDdl) RETURNS $ret RETURN $body")
-        // store the TRANSLATED expression body: UDA lowering substitutes
-        // the stored body into aggregate() lambdas as Spark SQL, so a
-        // LANGUAGE java SFUNC/FINALFUNC must not keep raw Java source here
-        udfs(fkey) = f.copy(name = fkey, language = "spark", body = exprBody)
+        // keep the ORIGINAL language/body for introspection (the reference
+        // returns the source the client created) and carry the translated
+        // Spark SQL separately — UDA lowering substitutes exprBody into
+        // aggregate() lambdas, which must never see raw Java source
+        udfs(fkey) = f.copy(name = fkey, sparkBody = Some(exprBody))
       }
       emptyResult
     case a: CreateAggregate =>
@@ -4247,7 +4249,7 @@ class CqlEngine(val spark: SparkSession) {
         val collected =
           s"array_sort(collect_list(struct(${ordSpecs.map(_._1).mkString(", ")}, $cn AS _v)), " +
             s"(l, r) -> CASE $cmp ELSE 0 END)"
-        val rawBody = substParams(sf.body,
+        val rawBody = substParams(sf.exprBody,
           Seq(sf.args(0)._1 -> "acc", sf.args(1)._1 -> "x._v"))
         // RETURNS NULL ON NULL INPUT sfunc: null inputs skip the call,
         // leaving the state unchanged (UDAggregate contract)
@@ -4257,7 +4259,7 @@ class CqlEngine(val spark: SparkSession) {
           else s"CAST(($rawBody) AS $stateSql)"
         val finBody = u.finalFunc.map { fn =>
           val ff = udfs(fn)
-          s"CAST((${substParams(ff.body, Seq(ff.args(0)._1 -> "acc"))}) AS ${sparkType(ff.returns).sql})"
+          s"CAST((${substParams(ff.exprBody, Seq(ff.args(0)._1 -> "acc"))}) AS ${sparkType(ff.returns).sql})"
         }.getOrElse("acc")
         expr(s"aggregate($collected, CAST($init AS $stateSql), (acc, x) -> $sBody, acc -> $finBody)")
       case ColRef(n) if groupBy.contains(n) => first(col(n))

@@ -9,11 +9,13 @@ import graft.cql.Ast._
   * around the body). A Spark-side engine gains nothing from interpreting
   * Java per row — the right execution shape is a Spark SQL expression that
   * inlines into whole-stage codegen like every `LANGUAGE spark` body. So
-  * this shim translates the overwhelmingly-common body shape — a single
-  * `return <expression>;` statement (every UDF in the reference's
+  * this shim translates the realistic body shapes — single
+  * `return <expression>;` statements (every UDF in the reference's
   * validation suite, `test/unit/.../entities/UFTest.java` et al., is this
-  * shape) — into the equivalent Spark SQL, and rejects anything beyond it
-  * with the reference's error text
+  * shape), plus local-variable declarations and `if`/`else` chains (the
+  * remaining shapes that suite's style admits) — into the equivalent Spark
+  * SQL, and rejects anything beyond that surface (loops, try, assignment,
+  * switch) with the reference's error text
   * (`Could not compile function '<name>' from Java source: ...`).
   *
   * Translated surface (typed bottom-up from the declared argument types, so
@@ -28,7 +30,11 @@ import graft.cql.Ast._
   *  - boxing `Integer/Long/Double/Float/Short/Byte/Boolean/String.valueOf`
   *    and unboxing `.intValue()/.longValue()/.doubleValue()/...` → CAST
   *  - `Math.*` (sin cos tan asin acos atan sqrt cbrt exp log log10 pow abs
-  *    floor ceil signum max min copySign round)
+  *    floor ceil signum copySign round; min/max with Java's NaN
+  *    propagation and null poisoning rather than least/greatest skipping)
+  *  - statements: `[final] Type x = expr;` declarations (block-scoped,
+  *    initializers inline), `if`/`else if`/`else`, `return` — with javac's
+  *    definite-return and unreachable-code rules
   *  - `e.toString()`, `new String(blobArg)` → CAST AS STRING
   *  - `String` methods on string-typed receivers: length isEmpty
   *    toLowerCase toUpperCase trim concat contains startsWith endsWith
@@ -44,24 +50,27 @@ object JavaUdfShim {
   final case class Untranslatable(detail: String) extends Exception(detail)
 
   /** Translate `body` (a Java method body) to a Spark SQL expression over
-    * the named arguments. Throws [[Untranslatable]] when the body is not a
-    * single expression-shaped return statement.
+    * the named arguments. Accepted statement surface: local variable
+    * declarations (`[final] Type x = expr;` — pure, so each use inlines its
+    * initializer; Spark's codegen subexpression elimination dedupes),
+    * `if`/`else if`/`else` chains (lowered to nested `IF(...)` at the
+    * statement join points), and `return expr;`. Every path must return —
+    * the same definite-return rule javac enforces — and loops / try /
+    * assignment / switch reject with reference-style compile-error text.
+    * Throws [[Untranslatable]] on anything outside this surface.
     */
   def translate(body: String, args: Seq[(String, CqlType)]): String = {
     val argTypes = args.toMap
-    val trimmed = body.trim
-    val toks = tokenize(trimmed)
-    toks match {
-      case Ident("return") :: rest if rest.lastOption.contains(Op(";")) =>
-        val p = new Parser(rest.dropRight(1), argTypes)
-        val (sql, _) = p.expression()
-        p.expectEnd()
-        sql
-      case _ :: _ => throw Untranslatable(
-        "only a single 'return <expression>;' statement is supported by " +
-          "this engine's translation shim (the reference compiles full Java " +
-          "bodies; rewrite the function as LANGUAGE spark for anything larger)")
-      case Nil => throw Untranslatable("empty function body")
+    val toks = tokenize(body.trim)
+    if (toks.isEmpty) throw Untranslatable("empty function body")
+    val p = new Parser(toks, argTypes)
+    val stmts = p.parseStmts()
+    p.expectEnd()
+    p.lower(stmts, None) match {
+      case Some((sql, _)) => sql
+      case None => throw Untranslatable(
+        "missing return statement: not every path through the body returns " +
+          "a value")
     }
   }
 
@@ -155,6 +164,12 @@ object JavaUdfShim {
     out.toList
   }
 
+  // statement mini-AST: declarations resolve at parse time (the initializer
+  // inlines into the environment), so only control flow survives to lowering
+  private sealed trait Stmt
+  private final case class SRet(e: (String, T)) extends Stmt
+  private final case class SIf(cond: String, thn: List[Stmt], els: List[Stmt]) extends Stmt
+
   // ── recursive-descent over the Java expression grammar ──────────────
   private final class Parser(var toks: List[Tok], argTypes: Map[String, CqlType]) {
     private def fail(msg: String): Nothing = throw Untranslatable(msg)
@@ -169,6 +184,147 @@ object JavaUdfShim {
     }
     def expectEnd(): Unit =
       if (toks.nonEmpty) fail(s"trailing tokens after expression: $toks")
+
+    // ── statement layer ───────────────────────────────────────────────
+    /** Locals in scope: name → (inlined initializer SQL, shim type). Blocks
+      * save/restore around their body so declarations stay block-scoped.
+      */
+    private var locals: Map[String, (String, T)] = Map.empty
+
+    private val declTypes: Map[String, Option[(String, T)]] = Map(
+      "int" -> Some(("INT", TNum(integral = true))),
+      "long" -> Some(("BIGINT", TNum(integral = true))),
+      "short" -> Some(("SMALLINT", TNum(integral = true))),
+      "byte" -> Some(("TINYINT", TNum(integral = true))),
+      "double" -> Some(("DOUBLE", TNum(integral = false))),
+      "float" -> Some(("FLOAT", TNum(integral = false))),
+      "boolean" -> Some(("BOOLEAN", TBool)),
+      "Integer" -> Some(("INT", TNum(integral = true))),
+      "Long" -> Some(("BIGINT", TNum(integral = true))),
+      "Short" -> Some(("SMALLINT", TNum(integral = true))),
+      "Byte" -> Some(("TINYINT", TNum(integral = true))),
+      "Double" -> Some(("DOUBLE", TNum(integral = false))),
+      "Float" -> Some(("FLOAT", TNum(integral = false))),
+      "Boolean" -> Some(("BOOLEAN", TBool)),
+      "String" -> Some(("STRING", TStr)),
+      // `var`/`final var`: no conversion, the initializer's type stands
+      "var" -> None)
+
+    private val rejectedKeywords = Set(
+      "for", "while", "do", "try", "switch", "throw", "synchronized")
+
+    def parseStmts(): List[Stmt] = {
+      val out = scala.collection.mutable.ListBuffer.empty[Stmt]
+      while (toks.nonEmpty && !peek.contains(Op("}")))
+        parseStmt().foreach(out += _)
+      out.toList
+    }
+
+    /** One statement; None for a declaration (absorbed into [[locals]]). */
+    private def parseStmt(): Option[Stmt] = toks match {
+      case Ident("return") :: _ =>
+        next()
+        val e = expression()
+        eat(";")
+        Some(SRet(e))
+      case Ident("if") :: _ =>
+        next(); eat("(")
+        val (c, _) = expression()
+        eat(")")
+        val thn = parseBranch()
+        val els = peek match {
+          case Some(Ident("else")) => next(); parseBranch()
+          case _ => Nil
+        }
+        Some(SIf(c, thn, els))
+      case Ident(kw) :: _ if rejectedKeywords.contains(kw) =>
+        fail(s"'$kw' statements are not supported by this engine's " +
+          "translation shim (declarations, if/else and return only; rewrite " +
+          "the function as LANGUAGE spark for anything larger)")
+      case Ident("final") :: _ =>
+        next(); parseDecl(); None
+      case Ident(t) :: Ident(_) :: _ if declTypes.contains(t) =>
+        parseDecl(); None
+      case Ident(n) :: Op("=") :: _ if locals.contains(n) || argTypes.contains(n) =>
+        fail("assignment statements are not supported by this engine's " +
+          "translation shim (locals are single-assignment; use a new " +
+          "declaration or a ternary)")
+      case t :: _ => fail(s"unsupported statement starting at $t (declarations, " +
+        "if/else and return only)")
+      case Nil => fail("unexpected end of body")
+    }
+
+    private def parseDecl(): Unit = {
+      val declType = next() match {
+        case Ident(t) if declTypes.contains(t) => declTypes(t)
+        case Ident(t) => fail(s"unsupported declaration type '$t' (primitives, " +
+          "their boxes, String and var only)")
+        case other => fail(s"expected a type name, found $other")
+      }
+      val name = next() match {
+        case Ident(n) => n
+        case other => fail(s"expected a variable name, found $other")
+      }
+      if (locals.contains(name) || argTypes.contains(name))
+        fail(s"variable '$name' is already defined")
+      eat("=")
+      val (sql, t) = expression()
+      eat(";")
+      // the declared type is a real conversion in Java (int x = …; double y
+      // = intExpr;) — keep it so later arithmetic resolves like Java's
+      val bound = declType match {
+        case Some((sqlT, dt)) => (s"CAST(($sql) AS $sqlT)", dt)
+        case None => (s"($sql)", t)
+      }
+      locals = locals.updated(name, bound)
+    }
+
+    private def parseBranch(): List[Stmt] = peek match {
+      case Some(Op("{")) =>
+        next()
+        val saved = locals
+        val ss = parseStmts()
+        eat("}")
+        locals = saved
+        ss
+      case _ => parseStmt() match {
+        case Some(s) => List(s)
+        case None => fail("a declaration cannot be the sole statement of a branch")
+      }
+    }
+
+    /** Lower a statement sequence to the expression it returns. `cont` is
+      * the already-lowered continuation that runs if the sequence falls
+      * through; None = falling through reaches the end of the function
+      * (javac's missing-return error). Join points duplicate the
+      * continuation into both branches — expressions are pure and codegen
+      * eliminates the common subexpressions.
+      */
+    def lower(stmts: List[Stmt], cont: Option[(String, T)]): Option[(String, T)] =
+      stmts match {
+        case Nil => cont
+        case SRet(e) :: Nil => Some(e)
+        case SRet(_) :: _ => fail("unreachable code after return")
+        case SIf(c, thn, els) :: rest =>
+          val thnSolo = lower(thn, None)
+          val elsSolo = lower(els, None)
+          if (thnSolo.isDefined && elsSolo.isDefined && rest.nonEmpty)
+            fail("unreachable code after an if/else where both branches return")
+          val k = if (thnSolo.isDefined && elsSolo.isDefined) None
+                  else lower(rest, cont)
+          val tv = thnSolo.orElse(lower(thn, k))
+          val ev = elsSolo.orElse(lower(els, k))
+          (tv, ev) match {
+            case (Some(a), Some(b)) =>
+              val t = if (a._2 == TNull) b._2 else a._2
+              Some((s"IF($c, ${a._1}, ${b._1})", t))
+            // any None here means some path falls through with no
+            // continuation (cont was None — with a continuation, lowering
+            // is total by induction): propagate "does not return on every
+            // path" and let the top level report javac's missing-return
+            case _ => None
+          }
+      }
 
     def expression(): (String, T) = ternary()
 
@@ -369,7 +525,7 @@ object JavaUdfShim {
       "acos" -> "acos", "atan" -> "atan", "sqrt" -> "sqrt", "cbrt" -> "cbrt",
       "exp" -> "exp", "log" -> "ln", "log10" -> "log10", "pow" -> "power",
       "abs" -> "abs", "floor" -> "floor", "ceil" -> "ceil",
-      "signum" -> "sign", "max" -> "greatest", "min" -> "least")
+      "signum" -> "sign")
 
     private def primary(): (String, T) = next() match {
       case NumLit(sql, integral) => (sql, TNum(integral))
@@ -381,8 +537,9 @@ object JavaUdfShim {
       case Ident("null") => ("NULL", TNull)
       case Ident("true") => ("true", TBool)
       case Ident("false") => ("false", TBool)
-      // an argument named like a class ("Math") must resolve as the
-      // argument — declared names shadow the static tables
+      // an argument or local named like a class ("Math") must resolve as
+      // the variable — declared names shadow the static tables
+      case Ident(name) if locals.contains(name) => locals(name)
       case Ident(name) if argTypes.contains(name) => (name, ofCql(argTypes(name)))
       case Ident("new") => next() match {
         case Ident("String") =>
@@ -405,6 +562,29 @@ object JavaUdfShim {
               (s"(abs(CAST($m AS DOUBLE)) * IF(sign(CAST($s AS DOUBLE)) < 0, -1.0D, 1.0D))",
                 TNum(integral = false))
             case _ => fail("Math.copySign takes (magnitude, sign)")
+          }
+          case "min" | "max" => args match {
+            // NOT least/greatest: those skip NULLs (returning the other
+            // operand where Java NPEs at unboxing — modeled as NULL, like
+            // every other null-poisoned expression here) and order NaN as
+            // the largest value, where Java's Math.min/max PROPAGATE NaN.
+            // Signed-zero ordering (min(+0.0,-0.0) = -0.0 in Java) is the
+            // one remaining divergence, like the copySign/round notes.
+            case List((a, ta), (b, tb)) =>
+              val integral = (ta, tb) match {
+                case (TNum(true), TNum(true)) => true
+                case _ => false
+              }
+              val cmp = if (fn == "min") "<=" else ">="
+              if (integral)
+                (s"IF(($a) IS NULL OR ($b) IS NULL, NULL, IF(($a) $cmp ($b), $a, $b))",
+                  TNum(integral = true))
+              else
+                (s"IF(($a) IS NULL OR ($b) IS NULL, NULL, " +
+                  s"IF(isnan(CAST($a AS DOUBLE)) OR isnan(CAST($b AS DOUBLE)), " +
+                  s"CAST('NaN' AS DOUBLE), IF(($a) $cmp ($b), $a, $b)))",
+                  TNum(integral = false))
+            case _ => fail(s"Math.$fn takes two arguments")
           }
           case "round" => args match {
             // Java Math.round is floor(x + 0.5) returning long — NOT the
@@ -435,10 +615,10 @@ object JavaUdfShim {
           case other => fail(s"unsupported static call '$cls.$other'")
         }
       case Ident(name) =>
-        argTypes.get(name) match {
-          case Some(t) => (name, ofCql(t))
-          case None => fail(s"unknown identifier '$name' (arguments: " +
-            s"${argTypes.keys.toSeq.sorted.mkString(", ")})")
+        locals.get(name).orElse(argTypes.get(name).map(t => (name, ofCql(t)))) match {
+          case Some(v) => v
+          case None => fail(s"unknown identifier '$name' (in scope: " +
+            s"${(argTypes.keys ++ locals.keys).toSeq.sorted.mkString(", ")})")
         }
       case other => fail(s"unexpected token $other")
     }

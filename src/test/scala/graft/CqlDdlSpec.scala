@@ -266,7 +266,7 @@ class CqlDdlSpec extends SparkSpec {
     val ar = e.execute("SELECT jagg(v) FROM jag").collect().head
     assert(ar.getString(0) === "fin10")
 
-    // beyond the expression shape → the reference's error text
+    // beyond the statement surface → the reference's error text
     assertInvalid(e, "CREATE FUNCTION jloop (x int) CALLED ON NULL INPUT " +
       "RETURNS int LANGUAGE java AS 'int s = 0; for (int i = 0; i < x; i++) s += i; return s;'",
       "Could not compile function")
@@ -274,6 +274,55 @@ class CqlDdlSpec extends SparkSpec {
       "RETURNS int LANGUAGE java AS 'return y;'", "Could not compile function")
     assertInvalid(e, "CREATE FUNCTION jlang (x int) CALLED ON NULL INPUT " +
       "RETURNS int LANGUAGE javascript AS 'x'", "Unsupported language")
+  }
+
+  test("CREATE FUNCTION LANGUAGE java: statement bodies (locals, if/else) " +
+    "execute and introspect with the original Java source") {
+    val e = mkEngine
+    e.execute("CREATE TABLE jst (k int PRIMARY KEY, v int, d double)")
+    e.execute("INSERT INTO jst (k, v, d) VALUES (1, 7, 2.5)")
+
+    // declared local feeding a branching body (UFTest statement style)
+    e.execute("CREATE FUNCTION jclamp (x int, lo int, hi int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS " +
+      "$$int v = x; if (v < lo) return lo; if (v > hi) return hi; return v;$$")
+    // declared-type conversion drives later arithmetic (double local)
+    e.execute("CREATE FUNCTION jhalf (x int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS double LANGUAGE java AS $$double d = x; return d / 2;$$")
+    // else-if chain with block scoping
+    e.execute("CREATE FUNCTION jsgn (x int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS text LANGUAGE java AS " +
+      "$$if (x > 0) { return \"pos\"; } else if (x < 0) { return \"neg\"; } else { return \"zero\"; }$$")
+    // Math.min/max keep Java NaN propagation (not least/greatest)
+    e.execute("CREATE FUNCTION jmin (a double, b double) CALLED ON NULL INPUT " +
+      "RETURNS double LANGUAGE java AS 'return Math.min(a, b);'")
+
+    val r = e.execute("SELECT jclamp(v, 0, 5), jclamp(v, 0, 10), jhalf(v), " +
+      "jsgn(v), jsgn(0 - v), jsgn(0) FROM jst WHERE k = 1").collect().head
+    assert(r.getInt(0) === 5)
+    assert(r.getInt(1) === 7)
+    assert(r.getDouble(2) === 3.5)
+    assert(r.getString(3) === "pos")
+    assert(r.getString(4) === "neg")
+    assert(r.getString(5) === "zero")
+    e.execute("CREATE FUNCTION jnan () CALLED ON NULL INPUT " +
+      "RETURNS double LANGUAGE java AS 'return Math.sqrt(0.0 - 1.0);'")
+    val nan = e.execute("SELECT jmin(d, jnan()), jmin(d, 1.0) FROM jst WHERE k = 1")
+      .collect().head
+    assert(nan.getDouble(0).isNaN, "Java Math.min propagates NaN")
+    assert(nan.getDouble(1) === 1.0)
+
+    // introspection returns what the client created — original language and
+    // Java source, not the translated Spark SQL (SystemKeyspace behavior)
+    val row = e.execute("SELECT language, body FROM system_schema.functions " +
+      "WHERE keyspace_name = 'graft' AND function_name = 'jhalf'").collect().head
+    assert(row.getString(0) === "java")
+    assert(row.getString(1) === "double d = x; return d / 2;")
+
+    // assignment keeps the reference-style rejection
+    assertInvalid(e, "CREATE FUNCTION jassign (x int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE java AS 'int y = 0; y = x; return y;'",
+      "Could not compile function")
   }
 
   test("CREATE AGGREGATE: SFUNC fold + FINALFUNC + INITCOND") {

@@ -90,10 +90,75 @@ class JavaUdfShimSpec extends AnyFunSuite {
     assert(rejects("return x.length();", "x" -> CqlInt).contains("unsupported method"))
   }
 
-  test("rejection contract: anything beyond one return statement") {
-    assert(rejects("int s = 0; return s;").contains("single 'return"))
+  test("statement bodies: local declarations inline their initializers") {
+    assert(tr("int s = 0; return s;") === "CAST((0) AS INT)")
+    assert(tr("int twice = x + x; return twice * twice;", "x" -> CqlInt) ===
+      "(CAST(((x + x)) AS INT) * CAST(((x + x)) AS INT))")
+    // the declared type is a conversion: double d = intExpr switches later
+    // division to fractional
+    assert(tr("double d = x; return d / 2;", "x" -> CqlInt) ===
+      "(CAST((x) AS DOUBLE) / 2)")
+    // int-typed declaration keeps truncating division
+    assert(tr("int i = x; return i / 2;", "x" -> CqlInt) ===
+      "(CAST((x) AS INT) div 2)")
+    assert(tr("final String p = s.trim(); return p.length();", "s" -> CqlText) ===
+      "length(CAST((trim(s)) AS STRING))")
+    // var infers from the initializer
+    assert(tr("var v = s.length(); return v / 2;", "s" -> CqlText) ===
+      "((length(s)) div 2)")
+    // chained locals
+    assert(tr("int a2 = x * x; int a4 = a2 * a2; return a4;", "x" -> CqlInt) ===
+      "CAST(((CAST(((x * x)) AS INT) * CAST(((x * x)) AS INT))) AS INT)")
+  }
+
+  test("statement bodies: if/else chains lower to nested IF") {
+    assert(tr("if (x > 0) return 1; return 0;", "x" -> CqlInt) ===
+      "IF((x > 0), 1, 0)")
+    assert(tr("if (x > 0) { return 1; } else { return 0; }", "x" -> CqlInt) ===
+      "IF((x > 0), 1, 0)")
+    assert(tr("if (x > 10) return 2; else if (x > 0) return 1; return 0;",
+      "x" -> CqlInt) === "IF((x > 10), 2, IF((x > 0), 1, 0))")
+    // fall-through join point: the continuation duplicates into the
+    // non-returning path
+    assert(tr("if (x > 0) { if (x > 10) return 2; } return 0;", "x" -> CqlInt) ===
+      "IF((x > 0), IF((x > 10), 2, 0), 0)")
+    // declarations inside a branch stay block-scoped
+    assert(tr("if (x > 0) { int y = x * 2; return y; } return 0;", "x" -> CqlInt) ===
+      "IF((x > 0), CAST(((x * 2)) AS INT), 0)")
+    assert(rejects("if (x > 0) { int y = 1; return y; } return y;", "x" -> CqlInt)
+      .contains("unknown identifier 'y'"))
+  }
+
+  test("statement bodies: javac's definite-return and unreachable rules") {
+    assert(rejects("if (x > 0) return 1;", "x" -> CqlInt)
+      .contains("missing return"))
+    assert(rejects("int y = 1;").contains("missing return"))
+    assert(rejects("return 1; return 2;").contains("unreachable"))
+    assert(rejects("if (x > 0) return 1; else return 2; return 3;", "x" -> CqlInt)
+      .contains("unreachable"))
+    assert(rejects("int x2 = 1; int x2 = 2; return x2;")
+      .contains("already defined"))
+    assert(rejects("int x = 1; return x;", "x" -> CqlInt)
+      .contains("already defined"))
+  }
+
+  test("Math.min/max keep Java NaN propagation and null poisoning") {
+    assert(tr("return Math.min(a, b);", "a" -> CqlInt, "b" -> CqlInt) ===
+      "IF((a) IS NULL OR (b) IS NULL, NULL, IF((a) <= (b), a, b))")
+    assert(tr("return Math.max(a, b);", "a" -> CqlInt, "b" -> CqlInt) ===
+      "IF((a) IS NULL OR (b) IS NULL, NULL, IF((a) >= (b), a, b))")
+    val dmin = tr("return Math.min(a, b);", "a" -> CqlDouble, "b" -> CqlDouble)
+    assert(dmin.contains("isnan"))
+    assert(dmin.contains("CAST('NaN' AS DOUBLE)"))
+  }
+
+  test("rejection contract: anything beyond the statement surface") {
     assert(rejects("for (int i = 0; i < x; i++) {} return 0;", "x" -> CqlInt)
-      .contains("single 'return"))
+      .contains("not supported"))
+    assert(rejects("while (true) { } return 0;").contains("not supported"))
+    assert(rejects("try { return 1; } catch (Exception e) { return 0; }")
+      .contains("not supported"))
+    assert(rejects("int y = 0; y = 1; return y;").contains("assignment"))
     assert(rejects("return y;", "x" -> CqlInt).contains("unknown identifier 'y'"))
     assert(rejects("return x.frobnicate();", "x" -> CqlInt)
       .contains("unsupported method call"))
