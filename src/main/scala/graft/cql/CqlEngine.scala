@@ -631,6 +631,15 @@ class CqlEngine(val spark: SparkSession) {
       ColumnDef("data_center", CqlText, Regular),
       ColumnDef("rack", CqlText, Regular),
       ColumnDef("release_version", CqlText, Regular)), Seq.empty),
+    // system.prepared_statements: the reference PERSISTS the prepared
+    // cache as a real system table (db/SystemKeyspace.java:108,299 —
+    // prepared_id blob PK, logged_keyspace, query_string) so driver
+    // tooling can introspect it; served here from the live prepare
+    // registry
+    "system.prepared_statements" -> TableDef("system.prepared_statements", Seq(
+      ColumnDef("prepared_id", CqlBlob, PartitionKey),
+      ColumnDef("logged_keyspace", CqlText, Regular),
+      ColumnDef("query_string", CqlText, Regular)), Seq.empty),
     // system.size_estimates: what the Cassandra Spark connector reads to
     // plan input splits (db/SystemKeyspace.java:240-251); served from live
     // table data as one full-token-range row per table
@@ -768,6 +777,15 @@ class CqlEngine(val spark: SparkSession) {
           Row(ks, tn, d.name, if (d.custom) "CUSTOM" else "COMPOSITES", opts)
         }))
       case "system.peers" => Some(mk(virtualDefs(name), Seq.empty))
+      case "system.prepared_statements" =>
+        val rows = preparedRegistry.synchronized {
+          import scala.jdk.CollectionConverters._
+          preparedRegistry.entrySet().asScala.toSeq.map { e =>
+            val idBytes = e.getKey.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+            Row(idBytes, e.getValue._1, e.getValue._2)
+          }
+        }
+        Some(mk(virtualDefs(name), rows))
       case "system.size_estimates" =>
         // one full-token-range row per table from the LIVE data: rows and
         // approx-distinct partition keys counted on demand (the reference
@@ -961,6 +979,14 @@ class CqlEngine(val spark: SparkSession) {
   // executions count too (Prepared.execute calls noteStatement)
   private var statementCount: Long = 0L
   private[cql] def noteStatement(): Unit = statementCount += 1
+
+  // system.prepared_statements backing: every prepare registers its
+  // (id → logged keyspace, query string) here; insertion-ordered for
+  // deterministic introspection reads
+  private val preparedRegistry =
+    new java.util.LinkedHashMap[String, (String, String)]()
+  private[cql] def notePrepared(id: String, ks: String, query: String): Unit =
+    preparedRegistry.synchronized { preparedRegistry.put(id, (ks, query)); () }
 
   /** Type-resolution map for the parser: every type under its canonical
     * `ks.name` key, plus bare-name aliases for the CURRENT keyspace (an

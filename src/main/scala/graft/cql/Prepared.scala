@@ -33,10 +33,14 @@ final class PreparedStatements(engine: CqlEngine) {
     */
   def prepare(cql: String): Prepared = {
     val ks = engine.currentKeyspace
-    cache.computeIfAbsent(digest(ks + " " + cql), id => {
+    val p = cache.computeIfAbsent(digest(ks + " " + cql), id => {
       val (stmt, n, names) = CqlParser.parseWithBinds(cql, Map.empty)
       Prepared(id, stmt, n, names, ks)
     })
+    // surfaces in system.prepared_statements, like the reference's
+    // persisted prepared cache (db/SystemKeyspace.java:108,299)
+    engine.notePrepared(p.id, p.keyspace, cql)
+    p
   }
 
   /** Execute a prepared id with positional bind values. */

@@ -25,6 +25,27 @@ class CqlPreparedSpec extends SparkSpec {
     assert(ex.getMessage.contains("Missing value for bind marker"))
   }
 
+  test("system.prepared_statements serves the live prepare registry " +
+    "(SystemKeyspace.java:108,299 — exact reference column names)") {
+    val e = new CqlEngine(spark)
+    val ps = new PreparedStatements(e)
+    e.execute("CREATE TABLE pst (k int PRIMARY KEY, v int)")
+    val p1 = ps.prepare("SELECT v FROM pst WHERE k = ?")
+    val p2 = ps.prepare("INSERT INTO pst (k, v) VALUES (?, ?)")
+    val df = e.execute("SELECT prepared_id, logged_keyspace, query_string " +
+      "FROM system.prepared_statements")
+    val got = df.collect().map(r =>
+      (r.getAs[Array[Byte]](0).map("%02x".format(_)).mkString,
+        r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      (p1.id, "graft", "SELECT v FROM pst WHERE k = ?"),
+      (p2.id, "graft", "INSERT INTO pst (k, v) VALUES (?, ?)")))
+    // re-preparing the same statement does not duplicate the row
+    ps.prepare("SELECT v FROM pst WHERE k = ?")
+    assert(e.execute("SELECT count(*) FROM system.prepared_statements")
+      .collect().head.getLong(0) === 2L)
+  }
+
   test("LWT condition values bind through prepared statements") {
     val e = new CqlEngine(spark)
     val ps = new PreparedStatements(e)
