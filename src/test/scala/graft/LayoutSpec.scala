@@ -52,6 +52,73 @@ class LayoutSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("scan parallelism tracks parquet row-group count (SCALE.md §Layout " +
+    "pinned as an executable fact)") {
+    // The round driver has regenerated testdata as ONE row group per
+    // table, serializing scans onto one task and producing bench numbers
+    // that look like plan regressions. This pins the causal chain: same
+    // bytes, same plan — task parallelism is decided by the file's
+    // row-group count, which is an input-layout property, not a plan one.
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.{Path => HPath}
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-rowgroups")
+    val rows = 2000000L
+    val df = spark.range(0L, rows, 1L, 1)
+      .selectExpr("id % 1000 AS k", "CAST(id AS DOUBLE) * 1.5 AS v")
+
+    // same data, one file each: many small row groups vs one big one
+    df.coalesce(1).write.option("parquet.block.size", 512 * 1024)
+      .parquet(s"$dir/multi")
+    df.coalesce(1).write.option("parquet.block.size", 1024 * 1024 * 1024)
+      .parquet(s"$dir/single")
+
+    def rowGroups(sub: String): Int = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new HPath(f.getAbsolutePath), spark.sparkContext.hadoopConfiguration))
+      try rd.getFooter.getBlocks.size finally rd.close()
+    }
+    val nMulti = rowGroups("multi")
+    val nSingle = rowGroups("single")
+    assert(nMulti > 4, s"expected many row groups, got $nMulti")
+    assert(nSingle === 1)
+
+    // count the tasks that actually produce rows: Spark makes byte-range
+    // splits regardless of layout, but a row group is consumed entirely by
+    // the split holding its midpoint — so row groups, not split count,
+    // bound scan parallelism
+    val savedMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
+    try {
+      def tasksWithRows(sub: String): Long =
+        spark.read.parquet(s"$dir/$sub")
+          .groupBy(spark_partition_id().as("pid")).count().count()
+      assert(tasksWithRows("single") === 1L,
+        "a single-row-group file must serialize onto one task no matter how many splits exist")
+      assert(tasksWithRows("multi") === nMulti.toLong,
+        s"a $nMulti-row-group file must fan out to $nMulti tasks")
+
+      // and the parallelism is real wall-clock, not bookkeeping: the same
+      // group-by over the same bytes scales down when row groups fan out
+      def timeAgg(sub: String): Double = {
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          spark.read.parquet(s"$dir/$sub").groupBy("k")
+            .agg(sum("v")).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        t.min
+      }
+      val tSingle = timeAgg("single")
+      val tMulti = timeAgg("multi")
+      assert(tMulti < tSingle,
+        f"multi-row-group scan ($tMulti%.3f s) should beat the serialized single-group scan ($tSingle%.3f s)")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", savedMax)
+  }
+
   test("bucketed results equal plain results") {
     setup
     val a = Tables.lineitem(spark, sf).groupBy("l_orderkey")
