@@ -381,6 +381,75 @@ class StreamingSpec extends SparkSpec {
       "streaming DAG must match the batch composition on first-arriving docs")
   }
 
+  test("curation DAG restarts from its checkpoint: source offsets, dedup " +
+    "state and sink exactly-once all survive a stop/restart") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.streaming.MutationStream
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-rcidx").toString
+    Dedup.lshIndexBuild(corpus, "doc_id", "text", 3).save(idxDir)
+    val idx = Dedup.lshIndexLoad(spark, idxDir)
+    val crawl0 = all.filter(col("doc_id") % 2 === 1)
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-rccrawl").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rcout").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-rccp").toString
+    crawl0.withColumn("arrived",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id")))
+      .coalesce(1).write.mode("overwrite").parquet(crawlDir)
+
+    // a 100 TB ingest WILL be killed mid-run; the whole DAG (stateless
+    // gate → stateful watermarked dedup → stream-static LSH join) must
+    // resume from its checkpoint with a durable sink, not a memory table
+    def startDag() = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(crawlDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(crawlDir)
+      val gated = stream.filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+      val deduped = MutationStream.dedupStream(gated, "arrived", "text")
+      Dedup.ingestAgainstLshIndexStream(
+          deduped, idx, "doc_id", "text", "arrived", 3, 0.7,
+          watermarkDelay = None)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cpDir)
+        .format("parquet").option("path", outDir)
+        .start()
+    }
+    val q1 = startDag()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // the query is DOWN while every original re-arrives under a new id
+    // with a later event time — classic crawler re-fetch
+    crawl0.withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("arrived",
+        timestamp_micros(lit(1700000002000000L) + col("doc_id")))
+      .coalesce(1).write.mode("append").parquet(crawlDir)
+
+    val q2 = startDag()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // recovery contract, all three layers at once:
+    //  - source offsets recovered → the first file is not reprocessed
+    //    (a replay would duplicate pairs into the append sink)
+    //  - dedup state recovered → every re-crawl's digest is still in the
+    //    state store, so nothing with a +100000 id reaches the LSH tier
+    //  - sink exactly-once → output equals the batch composition exactly
+    val gatedB = crawl0.filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+    val expected = Dedup.crossCorpusNearDups(gatedB, corpus, "doc_id", "text", 3, 0.7)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val got = spark.read.parquet(outDir)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "a replayed batch would duplicate pairs")
+    assert(!got.exists(_._1 >= 100000L),
+      "a re-crawl surviving dedup means the state store did not recover")
+    assert(got.toSet === expected && expected.nonEmpty,
+      "restarted DAG must end at exactly the batch composition")
+  }
+
   test("curation tier is streaming-safe: hash-gate sampling and the " +
     "quality keep-verdict run stateless under readStream and match batch") {
     import spark.implicits._
