@@ -1693,6 +1693,49 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_recall",
+      // recall@10 of every approximate ANN method against the exhaustive
+      // brute-force baseline — the approximate/exact quality trade as one
+      // regression-guarded number per method. Each method is reproducible
+      // (seeded hyperplanes, fixed-point IVF Lloyd means, sequential PQ
+      // training), so the oracle compares against a Verify fixture derived
+      // from the SAME plain-Scala replicas that gate q_ann_{lsh,ivf,
+      // ivfpq,pq}. The recall joins are id-pair sets of size queries×k —
+      // driver-trivial at any corpus scale; the heavy lifting stays in the
+      // underlying bucketed/pruned searches.
+      Some("""SELECT method, matched, total, recall
+              FROM parquet_scan('{FIX}/_fixture_annrecall/*.parquet')
+              ORDER BY method"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 8)
+        val exact = Similarity.bruteForceTopK(emb, queries, 10)
+          .select("query_id", "neighbor_id")
+        def recallRow(method: String, approx: DataFrame): DataFrame =
+          approx.select("query_id", "neighbor_id")
+            .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).as("matched"))
+            .crossJoin(exact.agg(count(lit(1)).as("total")))
+            .select(lit(method).as("method"), col("matched"), col("total"),
+              round(col("matched") / col("total"), 6).as("recall"))
+        val lsh = Similarity.lshTopK(emb, queries, 10)
+        val ivfDir = tmpDir("graft-ivf-rec")
+        Similarity.ivfTrain(s, emb, nlist = 16, iters = 1).save(ivfDir.toString)
+        val ivf = Similarity.ivfSearch(Similarity.ivfLoad(s, ivfDir.toString), queries, 10)
+        val ivfpqDir = tmpDir("graft-ivfpq-rec")
+        Similarity.ivfPqTrain(s, emb, nlist = 16, m = 8, ksub = 16).save(ivfpqDir.toString)
+        val ivfpq = Similarity.ivfPqSearchRerank(
+          Similarity.ivfPqLoad(s, ivfpqDir.toString), queries, emb, 10,
+          nprobe = 4, rerank = 4)
+        val cb = Similarity.pqTrain(emb, m = 8, ksub = 16)
+        val pq = Similarity.pqSearchRerank(Similarity.pqEncode(emb, cb),
+          queries, emb, cb, 10)
+        recallRow("ivf", ivf).union(recallRow("ivfpq", ivfpq))
+          .union(recallRow("lsh", lsh)).union(recallRow("pq", pq))
+          .orderBy("method")
+      }),
+
     QueryDef("q_multimodal_frames",
       // frame-sampling fan-out: every stride-th frame index per video,
       // exploded map-side with no payload duplication before slicing

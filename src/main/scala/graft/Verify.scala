@@ -234,6 +234,77 @@ object Verify {
     lazy val annIvfCents = ivfCentroidsRef(annVecs, nlist = 16)
     lazy val annPqBooks = pqTrainRef(annVecs, m = 8, ksub = 16, iters = 3)
     lazy val annPqRecon = annVecs.map { case (id, e) => (id, pqReconstructRef(e, annPqBooks)) }
+    // per-method result rows, shared between each method's own fixture and
+    // _fixture_annrecall (which derives recall@k from the same replicas)
+    lazy val annLshRows: IndexedSeq[(Long, Long, Double, Int)] = {
+      // Plain-Scala driver-side re-run of the LSH ANN pipeline — chunked
+      // candidate generation over seeded sign-random-projection codes,
+      // exact cosine re-score, bounded top-k — mirroring q_ann_lsh's
+      // parameters (bits=32, bands=8, seed=7, k=10, queries vec_id<8).
+      // Deterministic because the hyperplanes derive from the seed; shares
+      // only VectorMath's scalar kernels with the expressions under test,
+      // so the distributed plan (band join, distinct, bounded top-k agg)
+      // is checked against an independent evaluation path.
+      val bits = 32; val bands = 8; val seed = 7L; val k = 10
+      val chunkBits = bits / bands
+      val mask = (1L << chunkBits) - 1
+      val codes = annVecs.map { case (id, e) =>
+        (id, e, graft.functions.VectorMath.lshCode(e, bits, seed))
+      }
+      def chunks(code: Long): Set[(Int, Long)] =
+        (0 until bands).map(c => (c, (code >>> (c * chunkBits)) & mask)).toSet
+      (for {
+        (qid, qe, qc) <- codes.filter(_._1 < 8)
+        qch = chunks(qc)
+        ranked = codes.iterator
+          .filter { case (nid, _, nc) => nid != qid && chunks(nc).exists(qch) }
+          .map { case (nid, ne, _) => (nid, round6(graft.functions.VectorMath.cosineF(ne, qe))) }
+          .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
+          .take(k)
+        ((nid, sim), i) <- ranked.zipWithIndex
+      } yield (qid, nid, sim, i + 1)).toIndexedSeq
+    }
+    lazy val annIvfRows: IndexedSeq[(Long, Long, Double, Int)] = {
+      // Plain-Scala driver-side re-run of the WHOLE persistent-IVF path —
+      // strided seeding, one Lloyd iteration with the fixed-point mean,
+      // full-corpus assignment, probe routing, exact re-score, top-k —
+      // with q_ann_ivf's parameters (nlist=16, iters=1, k=10, nprobe=4).
+      // Reproducible because ivfAssign accumulates centroid sums as scaled
+      // longs (order-independent addition); shares only VectorMath's
+      // scalar kernels with the expressions under test.
+      import graft.functions.VectorMath
+      val k = 10; val nprobe = 4
+      val cents = annIvfCents
+      val assigned = annVecs.map { case (id, e) => (id, nearestCentRef(e, cents), e) }
+      (for {
+        (qid, _, qe) <- assigned.filter(_._1 < 8)
+        probed = cents
+          .map { case (cid, c) => (cid, VectorMath.cosineF(qe, c)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
+        ranked = assigned.iterator
+          .filter { case (nid, ncid, _) => nid != qid && probed(ncid) }
+          .map { case (nid, _, ne) => (nid, round6(VectorMath.cosineF(ne, qe))) }
+          .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
+          .take(k)
+        ((nid, sim), i) <- ranked.zipWithIndex
+      } yield (qid, nid, sim, i + 1)).toIndexedSeq
+    }
+    lazy val annPqRows: IndexedSeq[(Long, Long, Double, Int)] =
+      annRerankRef(annVecs, annPqRecon, queryMax = 8, k = 10, rerank = 4)
+    lazy val annIvfPqRows: IndexedSeq[(Long, Long, Double, Int)] = {
+      // IVF centroids via the fixed-point Lloyd step (see annIvfRows), PQ
+      // codebooks as in annPqRows, probe-pruned reconstruction scoring,
+      // exact re-rank tail — q_ann_ivfpq's parameters (nprobe=4, rerank=4)
+      val cents = annIvfCents
+      val assigned = annVecs.map { case (id, e) => (id, nearestCentRef(e, cents)) }.toMap
+      annRerankRef(annVecs, annPqRecon, queryMax = 8, k = 10, rerank = 4,
+        probeFilter = Some { qe =>
+          val probed = cents
+            .map { case (cid, c) => (cid, graft.functions.VectorMath.cosineF(qe, c)) }
+            .sortBy { case (cid, s) => (-s, cid) }.take(4).map(_._1).toSet
+          nid => probed(assigned(nid))
+        })
+    }
     fixture("_fixture_tokens") {
       val toks = spark.read.parquet(s"$sfDir/orders.parquet")
         .select("o_orderkey").as[Long].collect().toIndexedSeq
@@ -295,60 +366,11 @@ object Verify {
         .write.mode("overwrite").parquet(s"$outDir/_fixture_simhash")
     }
     fixture("_fixture_annlsh") {
-      // Plain-Scala driver-side re-run of the LSH ANN pipeline — chunked
-      // candidate generation over seeded sign-random-projection codes,
-      // exact cosine re-score, bounded top-k — mirroring q_ann_lsh's
-      // parameters (bits=32, bands=8, seed=7, k=10, queries vec_id<8).
-      // Deterministic because the hyperplanes derive from the seed; shares
-      // only VectorMath's scalar kernels with the expressions under test,
-      // so the distributed plan (band join, distinct, bounded top-k agg)
-      // is checked against an independent evaluation path.
-      val bits = 32; val bands = 8; val seed = 7L; val k = 10
-      val chunkBits = bits / bands
-      val mask = (1L << chunkBits) - 1
-      val codes = annVecs.map { case (id, e) =>
-        (id, e, graft.functions.VectorMath.lshCode(e, bits, seed))
-      }
-      def chunks(code: Long): Set[(Int, Long)] =
-        (0 until bands).map(c => (c, (code >>> (c * chunkBits)) & mask)).toSet
-      val rows = for {
-        (qid, qe, qc) <- codes.filter(_._1 < 8)
-        qch = chunks(qc)
-        ranked = codes.iterator
-          .filter { case (nid, _, nc) => nid != qid && chunks(nc).exists(qch) }
-          .map { case (nid, ne, _) => (nid, round6(graft.functions.VectorMath.cosineF(ne, qe))) }
-          .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
-          .take(k)
-        ((nid, sim), i) <- ranked.zipWithIndex
-      } yield (qid, nid, sim, i + 1)
-      rows.toIndexedSeq.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+      annLshRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annlsh")
     }
     fixture("_fixture_annivf") {
-      // Plain-Scala driver-side re-run of the WHOLE persistent-IVF path —
-      // strided seeding, one Lloyd iteration with the fixed-point mean,
-      // full-corpus assignment, probe routing, exact re-score, top-k —
-      // with q_ann_ivf's parameters (nlist=16, iters=1, k=10, nprobe=4).
-      // Reproducible because ivfAssign accumulates centroid sums as scaled
-      // longs (order-independent addition); shares only VectorMath's
-      // scalar kernels with the expressions under test.
-      import graft.functions.VectorMath
-      val k = 10; val nprobe = 4
-      val cents = annIvfCents
-      val assigned = annVecs.map { case (id, e) => (id, nearestCentRef(e, cents), e) }
-      val rows = for {
-        (qid, _, qe) <- assigned.filter(_._1 < 8)
-        probed = cents
-          .map { case (cid, c) => (cid, VectorMath.cosineF(qe, c)) }
-          .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
-        ranked = assigned.iterator
-          .filter { case (nid, ncid, _) => nid != qid && probed(ncid) }
-          .map { case (nid, _, ne) => (nid, round6(VectorMath.cosineF(ne, qe))) }
-          .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
-          .take(k)
-        ((nid, sim), i) <- ranked.zipWithIndex
-      } yield (qid, nid, sim, i + 1)
-      rows.toIndexedSeq.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+      annIvfRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annivf")
     }
     fixture("_fixture_annpq") {
@@ -356,27 +378,38 @@ object Verify {
       // q_ann_pq's parameters (m=8, ksub=16, iters=3, k=10, rerank=4).
       // Deterministic end-to-end: codebooks train sequentially over the
       // vec_id-ordered sample, encode/score ties break on lowest code.
-      val rows = annRerankRef(annVecs, annPqRecon, queryMax = 8, k = 10, rerank = 4)
-      rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+      annPqRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annpq")
     }
     fixture("_fixture_annivfpq") {
-      // Plain-Scala re-run of IVF-PQ + exact rerank with q_ann_ivfpq's
-      // parameters (nlist=16, iters=1, m=8, ksub=16, k=10, nprobe=4,
-      // rerank=4): IVF centroids via the fixed-point Lloyd step (see
-      // _fixture_annivf), PQ codebooks as in _fixture_annpq, probe-pruned
-      // reconstruction scoring, exact re-rank tail.
-      val cents = annIvfCents
-      val assigned = annVecs.map { case (id, e) => (id, nearestCentRef(e, cents)) }.toMap
-      val rows = annRerankRef(annVecs, annPqRecon, queryMax = 8, k = 10, rerank = 4,
-        probeFilter = Some { qe =>
-          val probed = cents
-            .map { case (cid, c) => (cid, graft.functions.VectorMath.cosineF(qe, c)) }
-            .sortBy { case (cid, s) => (-s, cid) }.take(4).map(_._1).toSet
-          nid => probed(assigned(nid))
-        })
-      rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+      annIvfPqRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annivfpq")
+    }
+    fixture("_fixture_annrecall") {
+      // recall@k of each approximate method against the exhaustive
+      // baseline, derived from the SAME plain-Scala replicas the per-method
+      // fixtures write — q_ann_recall turns the approximate/exact quality
+      // trade into a regression-guarded number
+      import graft.functions.VectorMath
+      val exact = (for {
+        (qid, qe) <- annVecs.filter(_._1 < 8)
+        ranked = annVecs.iterator
+          .filter(_._1 != qid)
+          .map { case (nid, ne) => (nid, round6(VectorMath.cosineF(ne, qe))) }
+          .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
+          .take(10)
+        (nid, _) <- ranked
+      } yield (qid, nid)).toSet
+      val total = exact.size.toLong
+      def recallOf(rows: IndexedSeq[(Long, Long, Double, Int)]): (Long, Long, Double) = {
+        val matched = rows.iterator.map(r => (r._1, r._2)).toSet.count(exact).toLong
+        (matched, total, round6(matched.toDouble / total))
+      }
+      Seq("ivf" -> recallOf(annIvfRows), "ivfpq" -> recallOf(annIvfPqRows),
+          "lsh" -> recallOf(annLshRows), "pq" -> recallOf(annPqRows))
+        .map { case (m, (a, b, r)) => (m, a, b, r) }
+        .toDF("method", "matched", "total", "recall").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annrecall")
     }
     fixture("_fixture_timeuuid") {
       // input prep (ms derivation) is shared with q_timeuuid_bounds; the
