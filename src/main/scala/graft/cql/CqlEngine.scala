@@ -56,6 +56,17 @@ class CqlEngine(val spark: SparkSession) {
   private val udfs = scala.collection.mutable.LinkedHashMap.empty[String, CreateFunction]
   private val udas = scala.collection.mutable.LinkedHashMap.empty[String, CreateAggregate]
   private val logs = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Row]]
+  /** Data-generation counters backing the system.size_estimates cache.
+    * The Spark/Cassandra connector reads size_estimates during input-split
+    * planning, so serving it must not scan every table per query; the
+    * reference refreshes estimates out-of-band (db/SizeEstimatesRecorder
+    * .java runs at flush). Here each table's estimate row is recomputed
+    * lazily on read, and only when its generation moved since the last
+    * computation — cold tables answer from the cache indefinitely. */
+  private val dataGen = scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+  private val sizeEstCache = scala.collection.mutable.HashMap.empty[String, (Long, Row)]
+  private def noteDataChange(name: String): Unit = dataGen(name) = dataGen(name) + 1L
+  private def dropDataGen(name: String): Unit = { dataGen.remove(name); sizeEstCache.remove(name) }
   /** One registered secondary index (statements/schema/CreateIndexStatement
     * .java; schema/IndexMetadata.java). `targets` are (column, kind) with
     * kind ∈ simple|keys|values|entries|full; `custom` + `className` model
@@ -355,6 +366,7 @@ class CqlEngine(val spark: SparkSession) {
             new String(java.nio.file.Files.readAllBytes(schemaFile.toPath), "UTF-8"))
           tables(td.name) = td
           logs.getOrElseUpdate(td.name, scala.collection.mutable.ArrayBuffer.empty[Row])
+          noteDataChange(td.name) // durable segments may have moved while detached
           val segs = new java.io.File(tdir, "segments")
           segmentSeq = math.max(segmentSeq, Option(segs.list()).map(_.length.toLong).getOrElse(0L))
           // client timestamps must stay monotonic across engine restarts
@@ -469,6 +481,7 @@ class CqlEngine(val spark: SparkSession) {
       case None =>
         logs(name) ++= mdf.collect()
     }
+    noteDataChange(name)
     // keep the session clock ahead of event-time bulk generations: a later
     // statement write must out-timestamp what was just loaded (mirrors the
     // attachStorage max_ts recalibration), else it silently loses LWW
@@ -787,26 +800,34 @@ class CqlEngine(val spark: SparkSession) {
         }
         Some(mk(virtualDefs(name), rows))
       case "system.size_estimates" =>
-        // one full-token-range row per table from the LIVE data: rows and
-        // approx-distinct partition keys counted on demand (the reference
-        // refreshes estimates at flush; an introspection query here is
-        // rare enough to pay the scan), partition size from the schema's
-        // default column widths
+        // one full-token-range row per table: rows and approx-distinct
+        // partition keys from the live data, partition size from the
+        // schema's default column widths. Recompute only for tables whose
+        // data generation moved since the last read (split-planning clients
+        // poll this table — see dataGen scaladoc); everything else answers
+        // from the cached row.
         val rows = tables.keys.toSeq.sorted
           .filterNot(t => virtualDefs.contains(t) || views.contains(t))
           .map { t =>
-            val td = tables(t)
-            val (ks, tn) = splitName(t)
-            val data = read(t)
-            val pk = td.partitionKey.map(c => col(c.name))
-            val agg = data.agg(count(lit(1)).as("n"),
-              approx_count_distinct(struct(pk: _*)).as("parts")).head()
-            val n = agg.getLong(0)
-            val parts = agg.getLong(1)
-            val rowWidth = td.columns.map(c => sparkType(c.tpe).defaultSize.toLong).sum
-            val meanSize = if (parts == 0L) 0L else rowWidth * n / parts
-            Row(ks, tn, Long.MinValue.toString, Long.MaxValue.toString,
-              meanSize, parts)
+            val gen = dataGen(t)
+            sizeEstCache.get(t) match {
+              case Some((g, row)) if g == gen => row
+              case _ =>
+                val td = tables(t)
+                val (ks, tn) = splitName(t)
+                val data = read(t)
+                val pk = td.partitionKey.map(c => col(c.name))
+                val agg = data.agg(count(lit(1)).as("n"),
+                  approx_count_distinct(struct(pk: _*)).as("parts")).head()
+                val n = agg.getLong(0)
+                val parts = agg.getLong(1)
+                val rowWidth = td.columns.map(c => sparkType(c.tpe).defaultSize.toLong).sum
+                val meanSize = if (parts == 0L) 0L else rowWidth * n / parts
+                val row = Row(ks, tn, Long.MinValue.toString, Long.MaxValue.toString,
+                  meanSize, parts)
+                sizeEstCache(t) = (gen, row)
+                row
+            }
           }
         Some(mk(virtualDefs(name), rows))
       case "system_schema.views" => Some(mk(virtualDefs(name),
@@ -1035,7 +1056,7 @@ class CqlEngine(val spark: SparkSession) {
         keyspaces -= n
         val doomed = tables.keys.filter(splitName(_)._1 == n).toList
         doomed.foreach { t =>
-          tables.remove(t); logs.remove(t); dropStorage(t)
+          tables.remove(t); logs.remove(t); dropDataGen(t); dropStorage(t)
           indexDefs.filterInPlace { (nm, d) =>
             if (d.table == t) indexStats.remove(nm)
             d.table != t
@@ -1149,7 +1170,7 @@ class CqlEngine(val spark: SparkSession) {
       emptyResult
     case DropView(n) =>
       if (!views.contains(n)) throw InvalidRequest(s"Materialized view $n doesn't exist")
-      views.remove(n); tables.remove(n); viewOptions.remove(n); emptyResult
+      views.remove(n); tables.remove(n); viewOptions.remove(n); dropDataGen(n); emptyResult
     case AlterView(n, opts) =>
       // AlterViewStatement.java:44-75 — view must exist; gc_grace_seconds=0
       // and any default_time_to_live are rejected (view rows must expire
@@ -1307,6 +1328,7 @@ class CqlEngine(val spark: SparkSession) {
       }
       logs(n) = scala.collection.mutable.ArrayBuffer(reshaped.toSeq: _*)
       tables(n) = newTd
+      noteDataChange(n) // schema width feeds the size estimate
       emptyResult
     case DropTable(n) =>
       if (views.contains(n))
@@ -1317,7 +1339,7 @@ class CqlEngine(val spark: SparkSession) {
       if (dependents.nonEmpty)
         throw InvalidRequest(
           s"Cannot drop table when materialized views still depend on it (${dependents.mkString(", ")})")
-      tables.remove(n); logs.remove(n)
+      tables.remove(n); logs.remove(n); dropDataGen(n)
       indexDefs.filterInPlace { (nm, d) =>
         if (d.table == n) indexStats.remove(nm)
         d.table != n
@@ -1325,7 +1347,7 @@ class CqlEngine(val spark: SparkSession) {
       dropStorage(n)
       emptyResult
     case Truncate(n) =>
-      mutableTable(n); logs(n).clear()
+      mutableTable(n); logs(n).clear(); noteDataChange(n)
       // durable segments and checkpoints are data too (TruncateStatement
       // discards sstables); the schema survives
       storageDir.foreach { dir =>
@@ -1849,6 +1871,7 @@ class CqlEngine(val spark: SparkSession) {
 
   private def appendMutation(name: String, row: Row): Unit = {
     logs(name) += row
+    noteDataChange(name)
     if (storageDir.isDefined && logs(name).size >= autoFlushRows) flush(name)
   }
 
@@ -2805,6 +2828,8 @@ class CqlEngine(val spark: SparkSession) {
       deleteRec(segs)
     }
     logs(name).clear()
+    // compaction purges gc_grace-expired tombstones, so counts can change
+    noteDataChange(name)
     // segments carried the ts high-water mark for restarts; the checkpoint
     // must carry it now
     java.nio.file.Files.write(new java.io.File(tdir, "meta.json").toPath,
@@ -2992,6 +3017,7 @@ class CqlEngine(val spark: SparkSession) {
         logs(t) = scala.collection.mutable.ArrayBuffer(reshaped.toSeq: _*)
       }
       tables(t) = newTd
+      noteDataChange(t)
     }
     emptyResult
   }

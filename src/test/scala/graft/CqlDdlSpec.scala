@@ -550,4 +550,43 @@ class CqlDdlSpec extends SparkSpec {
     // without IF EXISTS the unknown keyspace still errors
     assertInvalid(e, "DROP TYPE nosuchks.t", "does not exist")
   }
+
+  test("size_estimates answers from cache until a table's data changes " +
+    "(split-planning clients poll it — must not rescan cold tables)") {
+    val e = mkEngine
+    (1 to 5).foreach { i =>
+      e.execute(s"CREATE TABLE vt_se_$i (k int PRIMARY KEY, v int)")
+      e.execute(s"INSERT INTO vt_se_$i (k, v) VALUES (1, 1)")
+    }
+    def parts(t: String): Long = e.execute(
+      "SELECT partitions_count FROM system.size_estimates " +
+        s"WHERE keyspace_name = 'graft' AND table_name = '$t'")
+      .collect().head.getLong(0)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    }
+    // the listener bus delivers asynchronously; settle before sampling
+    def settledJobs(): Int = { Thread.sleep(800); jobCount.get() }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(parts("vt_se_1") === 1L) // cold: scans all five tables
+      val afterCold = settledJobs()
+      assert(parts("vt_se_1") === 1L) // warm: zero per-table scan jobs
+      val afterWarm = settledJobs()
+      val warmDelta = afterWarm - afterCold
+      val coldDelta = afterCold
+      assert(warmDelta <= coldDelta - 4,
+        s"warm size_estimates read re-scanned tables: cold=$coldDelta jobs, warm=$warmDelta")
+      // a mutation moves only that table's generation: the next read
+      // recomputes vt_se_2 and sees the new partition, others stay cached
+      e.execute("INSERT INTO vt_se_2 (k, v) VALUES (2, 2)")
+      assert(parts("vt_se_2") === 2L)
+      assert(parts("vt_se_1") === 1L)
+      // TRUNCATE invalidates too
+      e.execute("TRUNCATE vt_se_3")
+      assert(parts("vt_se_3") === 0L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -102,12 +102,17 @@ class LayoutSpec extends SparkSpec {
         s"a $nMulti-row-group file must fan out to $nMulti tasks")
 
       // and the parallelism is real wall-clock, not bookkeeping: the same
-      // group-by over the same bytes scales down when row groups fan out
+      // scan-fused aggregation over the same bytes scales down when row
+      // groups fan out. The per-row payload is deliberately compute-heavy
+      // (sha2) so the parallelism gain dwarfs per-task scheduling overhead
+      // and machine noise — a cheap sum over 2M rows finishes so fast that
+      // the fan-out's task overhead can win, making the comparison flaky.
       def timeAgg(sub: String): Double = {
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           spark.read.parquet(s"$dir/$sub").groupBy("k")
-            .agg(sum("v")).write.format("noop").mode("overwrite").save()
+            .agg(sum(length(sha2(concat_ws(":", col("k"), col("v")), 256))))
+            .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         t.min
