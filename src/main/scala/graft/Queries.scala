@@ -2140,6 +2140,68 @@ object Queries {
       (s, d) => Quality.unigramLogProb(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    QueryDef("q_ccnet_buckets",
+      // CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+      // §4.3): per-language LM-score terciles tag each doc head (most
+      // probable third) / middle / tail. Thresholds are exact interpolated
+      // quantiles (percentile == quantile_cont, the q_length_quantiles
+      // parity) rounded 6dp; the score rounds 6dp before the >= compare so
+      // the band can't flip on a sub-ulp disagreement.
+      Some("""WITH terms AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+              ), freq AS (
+                SELECT term, count(*) AS tf_corpus FROM terms GROUP BY 1
+              ), total AS (SELECT sum(tf_corpus) AS t_total FROM freq),
+              lp AS (
+                SELECT doc_id,
+                       CAST(round(ln(CAST(tf_corpus AS DOUBLE) / t_total), 6) AS DECIMAL(18,6)) AS lp
+                FROM terms JOIN freq USING (term) CROSS JOIN total
+              ), scored AS (
+                SELECT l.doc_id, d.lang,
+                       round(CAST(sum(l.lp) AS DOUBLE) / count(*), 6) AS mean_logprob
+                FROM lp l JOIN documents d USING (doc_id)
+                GROUP BY l.doc_id, d.lang
+              ), thr AS (
+                SELECT lang,
+                       round(quantile_cont(mean_logprob, 0.3333333333333333), 6) AS t_lo,
+                       round(quantile_cont(mean_logprob, 0.6666666666666666), 6) AS t_hi
+                FROM scored GROUP BY lang
+              )
+              SELECT s.doc_id, s.lang, s.mean_logprob,
+                     CASE WHEN round(s.mean_logprob, 6) >= t.t_hi THEN 'head'
+                          WHEN round(s.mean_logprob, 6) >= t.t_lo THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM scored s JOIN thr t USING (lang) ORDER BY s.doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = Quality.unigramLogProb(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select("doc_id", "lang", "mean_logprob")
+        Quality.ccnetBuckets(scored, "lang", "mean_logprob")
+          .select("doc_id", "lang", "mean_logprob", "bucket")
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_quality_compress",
+      // compression-ratio quality signal: deflate_len(text)/octet_length —
+      // repetitive spam compresses far below natural prose. DEFLATE has no
+      // SQL formulation, so the integer byte counts come from a
+      // Verify-written fixture (a plain java.util.zip re-run outside any
+      // Catalyst machinery); the ratio is the raw IEEE quotient of those
+      // exact ints in both engines (never a rounded quotient — see the
+      // determinism rules above).
+      Some("""SELECT doc_id, n_bytes, deflate_bytes,
+                     CASE WHEN n_bytes = 0 THEN 0.0
+                          ELSE CAST(deflate_bytes AS DOUBLE) / n_bytes END AS ratio
+              FROM parquet_scan('{FIX}/_fixture_compress/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => Tables.spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          F.deflate_len(col("text")).as("deflate_bytes"),
+          TextAnalysis.compressionRatio(col("text")).as("ratio"))
+        .orderBy("doc_id")),
+
     QueryDef("q_pii_redact",
       // regex PII detect + redact. The corpus carries no PII, so the query
       // plants deterministic emails/IPs/phones keyed off doc_id — the SAME

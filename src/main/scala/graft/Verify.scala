@@ -312,6 +312,33 @@ object Verify {
       toks.toDF("o_orderkey", "tok").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_tokens")
     }
+    fixture("_fixture_compress") {
+      // Plain java.util.zip re-run of the compression-ratio byte counts
+      // (q_quality_compress), driver-side and outside any Catalyst
+      // machinery — a fresh Deflater per doc with the same parameters the
+      // DeflateLen expression pins (level 6, nowrap), so the expression's
+      // thread-local reset()/buffer reuse is independently checked. Only
+      // the two integer counts land in the fixture; the ratio is derived
+      // in SQL so no float crosses the fixture boundary.
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect().toIndexedSeq
+        .map { case (id, text) =>
+          val bytesOpt = Option(text)
+            .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val dl = bytesOpt.map { bytes =>
+            val d = new java.util.zip.Deflater(6, true)
+            d.setInput(bytes); d.finish()
+            val buf = new Array[Byte](8192)
+            var n = 0
+            while (!d.finished()) n += d.deflate(buf)
+            d.end()
+            n
+          }
+          (id, bytesOpt.map(_.length), dl)
+        }
+      rows.toDF("doc_id", "n_bytes", "deflate_bytes").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_compress")
+    }
     fixture("_fixture_simhash") {
       // Plain-Scala re-run of the ENTIRE simhash near-dup pipeline
       // (shingle → distinct-vote simhash → 16-bit pigeonhole candidates →

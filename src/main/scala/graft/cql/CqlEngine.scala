@@ -644,6 +644,39 @@ class CqlEngine(val spark: SparkSession) {
       ColumnDef("data_center", CqlText, Regular),
       ColumnDef("rack", CqlText, Regular),
       ColumnDef("release_version", CqlText, Regular)), Seq.empty),
+    // system.peers_v2 (SystemKeyspace.java PeersV2): the non-deprecated
+    // peers table 4.x drivers query first at connect; single-node ring =
+    // present and empty, like system.peers
+    "system.peers_v2" -> TableDef("system.peers_v2", Seq(
+      ColumnDef("peer", CqlInet, PartitionKey),
+      ColumnDef("peer_port", CqlInt, Clustering),
+      ColumnDef("data_center", CqlText, Regular),
+      ColumnDef("host_id", CqlUuid, Regular),
+      ColumnDef("preferred_ip", CqlInet, Regular),
+      ColumnDef("preferred_port", CqlInt, Regular),
+      ColumnDef("rack", CqlText, Regular),
+      ColumnDef("release_version", CqlText, Regular),
+      ColumnDef("native_address", CqlInet, Regular),
+      ColumnDef("native_port", CqlInt, Regular),
+      ColumnDef("schema_version", CqlUuid, Regular),
+      ColumnDef("tokens", CqlSet(CqlText), Regular)), Seq(false)),
+    // system.built_views (SystemKeyspace.java BuiltViews): which MVs have
+    // finished building — served from the live view registry (engine MVs
+    // are derivation-based, so a created view is built by definition)
+    "system.built_views" -> TableDef("system.built_views", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("view_name", CqlText, Clustering),
+      ColumnDef("status_replicated", CqlBoolean, Regular)), Seq(false)),
+    // system.compaction_history (SystemKeyspace.java CompactionHistory):
+    // one row per compact() with measured input/output bytes
+    "system.compaction_history" -> TableDef("system.compaction_history", Seq(
+      ColumnDef("id", CqlUuid, PartitionKey),
+      ColumnDef("bytes_in", CqlBigint, Regular),
+      ColumnDef("bytes_out", CqlBigint, Regular),
+      ColumnDef("columnfamily_name", CqlText, Regular),
+      ColumnDef("compacted_at", CqlTimestamp, Regular),
+      ColumnDef("keyspace_name", CqlText, Regular),
+      ColumnDef("rows_merged", CqlMap(CqlInt, CqlBigint), Regular)), Seq.empty),
     // system.prepared_statements: the reference PERSISTS the prepared
     // cache as a real system table (db/SystemKeyspace.java:108,299 —
     // prepared_id blob PK, logged_keyspace, query_string) so driver
@@ -730,7 +763,48 @@ class CqlEngine(val spark: SparkSession) {
       ColumnDef("kind", CqlText, Regular),
       ColumnDef("progress", CqlBigint, Regular),
       ColumnDef("total", CqlBigint, Regular),
-      ColumnDef("unit", CqlText, Regular)), Seq(false, false)))
+      ColumnDef("unit", CqlText, Regular)), Seq(false, false)),
+    // system_virtual_schema (db/virtual/VirtualSchemaKeyspace.java:33-152):
+    // the self-description of the VIRTUAL keyspaces — 4.0 drivers read it
+    // at connect to discover virtual tables. Only registry keyspaces
+    // appear (system_views + system_virtual_schema itself), exactly like
+    // VirtualKeyspaceRegistry; system/system_schema are node-local tables,
+    // not registry entries.
+    "system_virtual_schema.keyspaces" -> TableDef("system_virtual_schema.keyspaces", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey)), Seq.empty),
+    "system_virtual_schema.tables" -> TableDef("system_virtual_schema.tables", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("table_name", CqlText, Clustering),
+      ColumnDef("comment", CqlText, Regular)), Seq(false)),
+    "system_virtual_schema.columns" -> TableDef("system_virtual_schema.columns", Seq(
+      ColumnDef("keyspace_name", CqlText, PartitionKey),
+      ColumnDef("table_name", CqlText, Clustering),
+      ColumnDef("column_name", CqlText, Clustering),
+      ColumnDef("clustering_order", CqlText, Regular),
+      ColumnDef("column_name_bytes", CqlBlob, Regular),
+      ColumnDef("kind", CqlText, Regular),
+      ColumnDef("position", CqlInt, Regular),
+      ColumnDef("type", CqlText, Regular)), Seq(false, false)))
+
+  /** Virtual-registry keyspaces served by system_virtual_schema (the
+    * reference's VirtualKeyspaceRegistry holds exactly these two).
+    */
+  private val virtualRegistryKs = Seq("system_views", "system_virtual_schema")
+  private def virtualRegistryDefs: Seq[TableDef] =
+    virtualDefs.values.toSeq
+      .filter(td => virtualRegistryKs.contains(splitName(td.name)._1))
+      .sortBy(_.name)
+  /** Reference table comments (each *Table.java's .comment(...); absent =
+    * the TableParams default "").
+    */
+  private val virtualComments = Map(
+    "system_views.settings" -> "current settings",
+    "system_views.clients" -> "currently connected clients",
+    "system_views.caches" -> "system caches",
+    "system_views.sstable_tasks" -> "current sstable tasks",
+    "system_virtual_schema.keyspaces" -> "virtual keyspace definitions",
+    "system_virtual_schema.tables" -> "virtual table definitions",
+    "system_virtual_schema.columns" -> "virtual column definitions")
 
   private val keyspace = "graft"
 
@@ -790,6 +864,14 @@ class CqlEngine(val spark: SparkSession) {
           Row(ks, tn, d.name, if (d.custom) "CUSTOM" else "COMPOSITES", opts)
         }))
       case "system.peers" => Some(mk(virtualDefs(name), Seq.empty))
+      case "system.peers_v2" => Some(mk(virtualDefs(name), Seq.empty))
+      case "system.built_views" => Some(mk(virtualDefs(name),
+        views.keys.toSeq.sorted.map { v =>
+          val (ks, vn) = splitName(v)
+          Row(ks, vn, true)
+        }))
+      case "system.compaction_history" =>
+        Some(mk(virtualDefs(name), compactionHistory.toSeq))
       case "system.prepared_statements" =>
         val rows = preparedRegistry.synchronized {
           import scala.jdk.CollectionConverters._
@@ -902,6 +984,42 @@ class CqlEngine(val spark: SparkSession) {
               Row(ks, tn, "pending-flush", "compaction",
                 tail.size.toLong, autoFlushRows.toLong, "rows")
           }))
+      case "system_virtual_schema.keyspaces" =>
+        Some(mk(virtualDefs(name), virtualRegistryKs.sorted.map(Row(_))))
+      case "system_virtual_schema.tables" =>
+        Some(mk(virtualDefs(name), virtualRegistryDefs.map { td =>
+          val (ks, tn) = splitName(td.name)
+          Row(ks, tn, virtualComments.getOrElse(td.name, ""))
+        }))
+      case "system_virtual_schema.columns" =>
+        // VirtualSchemaKeyspace.java:139-146 row shape: clustering_order
+        // none/asc/desc, raw name bytes, lowercase kind, position within
+        // its key (-1 otherwise), CQL type name
+        Some(mk(virtualDefs(name), virtualRegistryDefs.flatMap { td =>
+          val (ks, tn) = splitName(td.name)
+          td.columns.map { c =>
+            val kind = c.kind match {
+              case PartitionKey => "partition_key"
+              case Clustering => "clustering"
+              case Static => "static"
+              case Regular => "regular"
+            }
+            val pos = c.kind match {
+              case PartitionKey => td.partitionKey.indexWhere(_.name == c.name)
+              case Clustering => td.clustering.indexWhere(_.name == c.name)
+              case _ => -1
+            }
+            val order = c.kind match {
+              case Clustering =>
+                val ci = td.clustering.indexWhere(_.name == c.name)
+                if (td.clusteringDesc.lift(ci).getOrElse(false)) "desc" else "asc"
+              case _ => "none"
+            }
+            Row(ks, tn, c.name, order,
+              c.name.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              kind, pos, c.tpe.name)
+          }
+        }))
       case _ => None
     }
   }
@@ -2808,6 +2926,12 @@ class CqlEngine(val spark: SparkSession) {
     rangesPurged.foreach(_.write.parquet(new java.io.File(tmp, "ranges").getPath))
     // swap in, then drop consumed inputs
     val ck = new java.io.File(tdir, "checkpoint")
+    val segsDir = new java.io.File(tdir, "segments")
+    // history inputs measured before the consumed artifacts disappear
+    val histBytesIn = dirBytes(ck) + dirBytes(segsDir)
+    val histInputs = (if (ck.isDirectory) 1 else 0) +
+      Option(segsDir.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0) +
+      (if (logs(name).nonEmpty) 1 else 0)
     if (ck.isDirectory) deleteRec(ck)
     if (!tmp.renameTo(ck))
       throw new java.io.IOException(s"could not activate checkpoint for $name")
@@ -2834,7 +2958,39 @@ class CqlEngine(val spark: SparkSession) {
     // must carry it now
     java.nio.file.Files.write(new java.io.File(tdir, "meta.json").toPath,
       s"""{"max_ts": $tsCounter}""".getBytes("UTF-8"))
+    // system.compaction_history record (SystemKeyspace.java
+    // CompactionHistory): every output row went through one
+    // histInputs-way merge, so rows_merged carries {inputs -> output
+    // rows} — the reference histograms per-partition input counts from
+    // its merge listener, which this single-map merge doesn't observe
+    val (ksH, tnH) = splitName(name)
+    compactionHistory += Row(
+      java.util.UUID.randomUUID().toString,
+      histBytesIn, dirBytes(ck), tnH,
+      new java.sql.Timestamp(System.currentTimeMillis()), ksH,
+      Map(histInputs -> ckRowCount(ck)))
   }
+
+  /** Recursive on-disk byte count (compaction-history accounting). */
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+
+  /** Output row count of a checkpoint's rows table, read from parquet
+    * footers — local metadata IO, no Spark job.
+    */
+  private def ckRowCount(ck: java.io.File): Long = {
+    val rows = new java.io.File(ck, "rows")
+    Option(rows.listFiles()).map(_.filter(_.getName.endsWith(".parquet")).map { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration))
+      try rd.getRecordCount finally rd.close()
+    }.sum).getOrElse(0L)
+  }
+
+  private val compactionHistory = scala.collection.mutable.ArrayBuffer.empty[Row]
 
   /** Drop the longest PREFIX of a (sorted) op-list made of pure tombstone
     * ops — clear / null set / element removes — written at or before the

@@ -347,3 +347,61 @@ case class CassandraTokenComposite(children: Seq[Expression])
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): CassandraTokenComposite = copy(children = cs)
 }
+
+/** DEFLATE worker behind [[DeflateLen]]. The Deflater is native-backed and
+  * expensive to construct, so one per thread is reused via reset() — at
+  * scan speed the per-row cost is the compression itself, not allocation.
+  * Level 6 (zlib default), nowrap (raw stream, no 11-byte zlib/gzip
+  * framing skewing short texts). Output length for a given input is a
+  * pure function of (input, level, strategy) for a given zlib build, so
+  * results are deterministic across partitions and retries within a
+  * deployment.
+  */
+object Deflate {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+  private val sink = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
+  }
+  def length(bytes: Array[Byte]): Int = {
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = sink.get()
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf)
+    n
+  }
+}
+
+/** `deflate_len(text)` — DEFLATE-compressed byte length of the UTF-8 text.
+  * The compression-ratio quality signal (deflate_len / octet_length):
+  * highly repetitive machine-generated text and template spam compress far
+  * below natural prose, and near-random gibberish compresses above it —
+  * the cheap single-pass complement to the Gopher repetition measures
+  * (used as a doc-level filter in the Dolma/RedPajama pipelines).
+  * Codegen'd so the signal fuses into the corpus scan.
+  */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"deflate_len requires text or binary input, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_len"
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case BinaryType => Deflate.length(v.asInstanceOf[Array[Byte]])
+    case _ => Deflate.length(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => child.dataType match {
+      case BinaryType => s"graft.functions.Deflate.length($c)"
+      case _ => s"graft.functions.Deflate.length($c.getBytes())"
+    })
+  override protected def withNewChildInternal(c: Expression): DeflateLen = copy(c)
+}

@@ -212,6 +212,41 @@ object Quality {
         col("n_bigrams"))
   }
 
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): within
+    * each language, split documents into three equal-count bands by their
+    * LM score — "head" = the most-probable third (score ≥ the language's
+    * 2/3 quantile), "tail" = the least; CCNet keeps head(+middle) for
+    * pretraining. Any per-doc score works ([[unigramLogProb]] /
+    * [[bigramLogProb]] are the in-repo LMs; higher = more probable —
+    * CCNet ranks by perplexity, which is a monotone flip of mean log-prob,
+    * so the band boundaries are identical).
+    *
+    * Determinism: thresholds are EXACT interpolated quantiles (Spark
+    * `percentile` == DuckDB `quantile_cont`, the q_length_quantiles
+    * parity) rounded to 6 dp, and the score is rounded to 6 dp before the
+    * ≥ comparison, so a band assignment can't flip on a sub-ulp
+    * disagreement between engines.
+    *
+    * Shape at scale: one language-keyed quantile aggregation (per-group
+    * sort state is that language's score multiset — swap
+    * `percentile_approx` in at the 100 TB tier, the documented
+    * q_length_quantiles trade), the |languages|-row threshold table
+    * broadcast back, and the band tag is a scan-fused CASE. No corpus
+    * self-joins; the only corpus-sized shuffle is whatever produced the
+    * score.
+    */
+  def ccnetBuckets(scored: DataFrame, lang: String, score: String): DataFrame = {
+    val thr = scored.groupBy(col(lang))
+      .agg(round(expr(s"percentile($score, 0.3333333333333333D)"), 6).as("_t_lo"),
+           round(expr(s"percentile($score, 0.6666666666666666D)"), 6).as("_t_hi"))
+    scored.join(broadcast(thr), lang)
+      .withColumn("bucket",
+        when(round(col(score), 6) >= col("_t_hi"), "head")
+          .when(round(col(score), 6) >= col("_t_lo"), "middle")
+          .otherwise("tail"))
+      .drop("_t_lo", "_t_hi")
+  }
+
   /** The stop words Gopher's "at least 2 of" rule requires (Rae et al.
     * 2021, §A1.1: the, be, to, of, and, that, have, with).
     */

@@ -22,6 +22,23 @@ object TextAnalysis {
   def subTokenCount(text: Column): Column =
     size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"), w => trim(w) =!= ""))
 
+  /** Compression-ratio quality signal: DEFLATE-compressed size over raw
+    * UTF-8 size. Template spam and machine-generated repetition compress
+    * far below natural prose (~0.4–0.7); random gibberish sits near/above
+    * 1.0 — the cheap single-pass complement to the Gopher repetition
+    * measures (a doc-level filter in the Dolma/RedPajama pipelines).
+    * Native codegen'd `deflate_len` expression, so the signal fuses into
+    * the corpus scan; empty text is defined as ratio 0.0 rather than a
+    * 0/0 null. The ratio is the RAW IEEE quotient of the two exact integer
+    * operands (never a rounded quotient — the Queries.scala determinism
+    * rule), so it is bit-identical in every engine given the same ints.
+    */
+  def compressionRatio(text: Column): Column = {
+    import graft.functions.Functions.deflate_len
+    when(octet_length(text) === 0, lit(0.0))
+      .otherwise(deflate_len(text).cast("double") / octet_length(text))
+  }
+
   /** Stopword lists for the n-gram language-ID heuristic. */
   val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),

@@ -248,4 +248,29 @@ class CqlCompactSpec extends SparkSpec {
     e2.execute("INSERT INTO ct5 (k, v) VALUES (1, 'newer')")
     assert(rows(e2.execute("SELECT v FROM ct5 WHERE k = 1")) === Set(Seq("newer")))
   }
+
+  test("system.compaction_history records each compact with measured " +
+    "bytes and the merge-width row count (SystemKeyspace.java layout)") {
+    val e = mkEngine(tmpDir())
+    e.execute("CREATE TABLE ch1 (k int PRIMARY KEY, v text)")
+    (1 to 5).foreach(i => e.execute(s"INSERT INTO ch1 (k, v) VALUES ($i, 'v$i')"))
+    assert(e.execute("SELECT id FROM system.compaction_history").collect().isEmpty)
+    e.compact("ch1")
+    val h1 = e.execute("SELECT keyspace_name, columnfamily_name, bytes_in, " +
+      "bytes_out, rows_merged FROM system.compaction_history").collect()
+    assert(h1.length === 1)
+    assert(h1.head.getString(0) === "graft" && h1.head.getString(1) === "ch1")
+    assert(h1.head.getLong(3) > 0L, "checkpoint bytes_out")
+    val merged = h1.head.getMap[Int, Long](4)
+    // one input (the in-memory tail), five output rows
+    assert(merged === Map(1 -> 5L), merged)
+    // second compact consumes the first checkpoint + the new tail: 2-way
+    e.execute("INSERT INTO ch1 (k, v) VALUES (6, 'v6')")
+    e.compact("ch1")
+    val h2 = e.execute("SELECT rows_merged, bytes_in FROM system.compaction_history")
+      .collect()
+    assert(h2.length === 2)
+    assert(h2.map(_.getMap[Int, Long](0)).toSet === Set(Map(1 -> 5L), Map(2 -> 6L)))
+    assert(h2.exists(_.getLong(1) > 0L), "second compact measured input bytes")
+  }
 }

@@ -551,6 +551,50 @@ class CqlDdlSpec extends SparkSpec {
     assertInvalid(e, "DROP TYPE nosuchks.t", "does not exist")
   }
 
+  test("peers_v2 and built_views serve driver-connect introspection " +
+    "(SystemKeyspace.java PeersV2/BuiltViews)") {
+    val e = mkEngine
+    // single-node ring: peers_v2 exists and is empty (4.x drivers query it
+    // before falling back to the deprecated peers)
+    assert(e.execute("SELECT peer, peer_port FROM system.peers_v2").collect().isEmpty)
+    // built_views reflects the live registry; derivation-based MVs are
+    // built the moment they exist
+    e.execute("CREATE TABLE bv_base (k int, c text, PRIMARY KEY (k))")
+    e.execute("CREATE MATERIALIZED VIEW bv_mv AS SELECT c, k FROM bv_base " +
+      "WHERE c IS NOT NULL AND k IS NOT NULL PRIMARY KEY (c, k)")
+    assert(rowsInOrder(e.execute(
+      "SELECT keyspace_name, view_name, status_replicated FROM system.built_views"))
+      === Seq(Seq("graft", "bv_mv", true)))
+  }
+
+  test("system_virtual_schema describes the virtual registry keyspaces " +
+    "(VirtualSchemaKeyspace.java — drivers discover virtual tables here)") {
+    val e = mkEngine
+    // only the registry keyspaces appear, like VirtualKeyspaceRegistry:
+    // system/system_schema are node-local tables, not registry entries
+    assert(rowsInOrder(e.execute(
+      "SELECT keyspace_name FROM system_virtual_schema.keyspaces"))
+      === Seq(Seq("system_views"), Seq("system_virtual_schema")))
+    val tbls = rowsInOrder(e.execute(
+      "SELECT keyspace_name, table_name, comment FROM system_virtual_schema.tables"))
+    assert(tbls.contains(Seq("system_views", "settings", "current settings")))
+    assert(tbls.contains(Seq("system_views", "clients", "currently connected clients")))
+    assert(tbls.contains(Seq("system_virtual_schema", "columns", "virtual column definitions")))
+    assert(!tbls.exists(_.head == "system_schema"))
+    // exact reference row shape for a known column (clients.port is the
+    // first clustering column, int, ascending)
+    val col = rowsInOrder(e.execute(
+      "SELECT clustering_order, kind, position, type FROM system_virtual_schema.columns " +
+        "WHERE keyspace_name = 'system_views' AND table_name = 'clients' " +
+        "AND column_name = 'port'"))
+    assert(col === Seq(Seq("asc", "clustering", 0, "int")))
+    val pk = rowsInOrder(e.execute(
+      "SELECT clustering_order, kind, position FROM system_virtual_schema.columns " +
+        "WHERE keyspace_name = 'system_views' AND table_name = 'settings' " +
+        "AND column_name = 'name'"))
+    assert(pk === Seq(Seq("none", "partition_key", 0)))
+  }
+
   test("size_estimates answers from cache until a table's data changes " +
     "(split-planning clients poll it — must not rescan cold tables)") {
     val e = mkEngine

@@ -299,4 +299,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("ccnet buckets: the per-language threshold table broadcasts; the " +
+    "band tag never sort-merge-joins or windows the corpus") {
+    val p = plan("q_ccnet_buckets")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("compression ratio is one scan-fused projection — deflate_len stays " +
+    "inside codegen, no shuffle but the final sort, pruned scan") {
+    val p = plan("q_quality_compress")
+    assert(!p.toLowerCase.contains("hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("deflate_len"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
 }

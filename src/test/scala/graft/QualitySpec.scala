@@ -204,4 +204,95 @@ class QualitySpec extends SparkSpec {
     assert(leftover.isEmpty)
     assert(out.filter(col("n_emails") > 0).count() > 0)
   }
+
+  test("ccnetBuckets: per-language terciles are equal-count bands and " +
+    "thresholds are language-local") {
+    // language A: scores 1..9 — head {7,8,9}, middle {4,5,6}, tail {1,2,3}
+    // language B: scores 101..106 — its OWN terciles, not A's (a global
+    // cut would put every B doc in head)
+    val rows = (1 to 9).map(i => (i.toLong, "A", i.toDouble)) ++
+      (101 to 106).map(i => (i.toLong, "B", i.toDouble))
+    val scored = rows.toDF("doc_id", "lang", "score")
+    val got = Quality.ccnetBuckets(scored, "lang", "score")
+      .select("doc_id", "lang", "bucket")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val a = got.filter(_._2 == "A")
+    assert(a.filter(_._3 == "head").map(_._1).toSet === Set(7L, 8L, 9L))
+    assert(a.filter(_._3 == "middle").map(_._1).toSet === Set(4L, 5L, 6L))
+    assert(a.filter(_._3 == "tail").map(_._1).toSet === Set(1L, 2L, 3L))
+    val b = got.filter(_._2 == "B")
+    assert(b.filter(_._3 == "head").map(_._1).toSet === Set(105L, 106L))
+    assert(b.filter(_._3 == "tail").map(_._1).toSet === Set(101L, 102L))
+    // within every language, the worst head score beats the best tail score
+    // (the defining CCNet property)
+    for (lang <- Seq("A", "B")) {
+      val sc = rows.filter(_._2 == lang).map(r => r._1 -> r._3).toMap
+      val perLang = got.filter(_._2 == lang)
+      val minHead = perLang.filter(_._3 == "head").map(r => sc(r._1)).min
+      val maxTail = perLang.filter(_._3 == "tail").map(r => sc(r._1)).max
+      assert(minHead > maxTail)
+    }
+  }
+
+  test("q_ccnet_buckets: every (lang, bucket) cell is populated and bands " +
+    "are balanced within interpolation slack") {
+    val out = Queries.byName("q_ccnet_buckets").impl(spark, sf)
+    val cells = out.groupBy("lang", "bucket").count()
+      .as[(String, String, Long)].collect()
+    val langs = cells.map(_._1).distinct
+    assert(langs.length >= 2)
+    for (l <- langs; b <- Seq("head", "middle", "tail"))
+      assert(cells.exists(c => c._1 == l && c._2 == b), s"empty cell ($l, $b)")
+    // tercile cut: each band holds a third of its language ±2 (ties at an
+    // interpolated threshold can move a doc across the boundary)
+    for (l <- langs) {
+      val n = cells.filter(_._1 == l).map(_._3).sum
+      for (b <- Seq("head", "middle", "tail")) {
+        val c = cells.find(x => x._1 == l && x._2 == b).get._3
+        assert(math.abs(c - n / 3.0) <= 2.0, s"($l, $b): $c of $n")
+      }
+    }
+  }
+
+  test("compressionRatio: repetition compresses below prose, prose below " +
+    "high-entropy text; empty is 0; null propagates") {
+    import graft.operators.TextAnalysis
+    val spam = "buy now " * 60
+    val prose = "The four distributed quality measures above need per-doc " +
+      "frequency tables computed without a corpus-wide shuffle of every " +
+      "n-gram occurrence, which is why each document sorts its grams " +
+      "in the row and extracts run lengths in a single fold expression. " +
+      "A second scan then re-derives hashed shingle sets for candidate " +
+      "documents only, so nothing corpus-sized is ever pinned in memory " +
+      "and both passes stay bandwidth-bound on an ordinary disk array. " +
+      "Survivor choice orders on the exact integer variate rather than " +
+      "its floating projection, keeping every engine's kept set equal."
+    // base64 of md5 digest bytes: ~6 bits of entropy per character —
+    // deterministic stand-in for high-entropy text (hex would be only
+    // 4 bits/char and deflate exploits that below prose level)
+    val noise = java.util.Base64.getEncoder.encodeToString(
+      (1 to 40).flatMap(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).toSeq).toArray)
+    val df = Seq((1L, spam), (2L, prose), (3L, noise), (4L, ""), (5L, null))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).get < got(2L).get, s"spam ${got(1L)} !< prose ${got(2L)}")
+    assert(got(2L).get < got(3L).get, s"prose ${got(2L)} !< noise ${got(3L)}")
+    assert(got(4L) === Some(0.0))
+    assert(got(5L) === None)
+    // the expression matches a plain java.util.zip run byte-for-byte
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(prose.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    val exprLen = df.filter(col("doc_id") === 2L)
+      .select(graft.functions.Functions.deflate_len(col("text")))
+      .head().getInt(0)
+    assert(exprLen === n)
+  }
 }
