@@ -232,10 +232,13 @@ object Ast {
   }
 
   /** CREATE AGGREGATE (Parser.g:686-727, UDAggregate.java:44-120):
-    * fold = SFUNC(state, value) per row in clustering order, INITCOND seed,
-    * optional FINALFUNC.
+    * fold = SFUNC(state, arg1, ..., argN) per row in clustering order,
+    * INITCOND seed, optional FINALFUNC. Multi-argument aggregates fold all
+    * argument columns of the row through one SFUNC call
+    * (CreateAggregateStatement.java:110-115 — state-function arguments are
+    * the state type prepended to the argument list).
     */
-  final case class CreateAggregate(name: String, argType: CqlType, sfunc: String,
+  final case class CreateAggregate(name: String, argTypes: Seq[CqlType], sfunc: String,
                                    stype: CqlType, finalFunc: Option[String],
                                    initCond: Option[Literal],
                                    orReplace: Boolean, ifNotExists: Boolean) extends Statement

@@ -926,7 +926,7 @@ class CqlEngine(val spark: SparkSession) {
       case "system_schema.aggregates" => Some(mk(virtualDefs(name),
         udas.values.toSeq.map { a =>
           val (ks, an) = splitName(a.name)
-          Row(ks, an, Seq(a.argType.name), a.finalFunc.map(splitName(_)._2).orNull,
+          Row(ks, an, a.argTypes.map(_.name), a.finalFunc.map(splitName(_)._2).orNull,
             a.initCond.map(_.toString).orNull, udfs.get(a.finalFunc.getOrElse(""))
               .map(_.returns.name).getOrElse(a.stype.name),
             splitName(a.sfunc)._2, a.stype.name)
@@ -1274,8 +1274,11 @@ class CqlEngine(val spark: SparkSession) {
         val sfKey = objKeyOpt(a.sfunc).filter(udfs.contains).getOrElse(
           throw InvalidRequest(s"Unknown SFUNC ${a.sfunc}"))
         val sf = udfs(sfKey)
-        if (sf.args.length != 2)
-          throw InvalidRequest(s"SFUNC ${a.sfunc} must take (state, value) arguments")
+        // state-function arguments = state type prepended to the aggregate
+        // argument list (CreateAggregateStatement.java:110-115)
+        if (sf.args.length != 1 + a.argTypes.length)
+          throw InvalidRequest(s"SFUNC ${a.sfunc} must take (state" +
+            a.argTypes.map(t => s", ${t.name}").mkString + ") arguments")
         val ffKey = a.finalFunc.map { fn =>
           val k = objKeyOpt(fn).filter(udfs.contains).getOrElse(
             throw InvalidRequest(s"Unknown FINALFUNC $fn"))
@@ -1320,7 +1323,7 @@ class CqlEngine(val spark: SparkSession) {
         val byFns = (udfs.values.collect {
           case f if f.args.exists(a => typeRefs(a._2, key)) || typeRefs(f.returns, key) => f.name
         } ++ udas.values.collect {
-          case a if typeRefs(a.argType, key) || typeRefs(a.stype, key) => a.name
+          case a if a.argTypes.exists(typeRefs(_, key)) || typeRefs(a.stype, key) => a.name
         }).toSeq.distinct
         if (byFns.nonEmpty)
           throw InvalidRequest(s"Cannot drop user type '$tks.$n' " +
@@ -1371,7 +1374,7 @@ class CqlEngine(val spark: SparkSession) {
       udas.get(key) match {
         case None =>
           if (!ifExists) throw InvalidRequest(s"Aggregate '$aks.$sig' doesn't exist")
-        case Some(a) if argTypes.exists(_.map(_.name) != Seq(a.argType.name)) =>
+        case Some(a) if argTypes.exists(_.map(_.name) != a.argTypes.map(_.name)) =>
           if (!ifExists) throw InvalidRequest(s"Aggregate '$aks.$sig' doesn't exist")
         case Some(_) => udas.remove(key)
       }
@@ -1916,11 +1919,19 @@ class CqlEngine(val spark: SparkSession) {
   /** Parameter-name → replacement substitution in a SQL body (word-bounded,
     * case-insensitive).
     */
-  private def substParams(body: String, subs: Seq[(String, String)]): String =
-    subs.foldLeft(body) { case (b, (from, to)) =>
-      b.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(to))
-    }
+  private def substParams(body: String, subs: Seq[(String, String)]): String = {
+    // simultaneous single-pass substitution: sequential replaceAll would
+    // rescan earlier replacements, so a parameter named like a fragment of
+    // a replacement target (e.g. an sfunc arg `x` vs the fold lambda's
+    // `x._v0`) corrupts the body. Longest name first so an overlapping
+    // shorter name can't shadow it in the alternation.
+    if (subs.isEmpty) return body
+    val byName = subs.map { case (k, v) => k.toLowerCase -> v }.toMap
+    val pattern = ("(?i)\\b(" + subs.map(_._1).sortBy(-_.length)
+      .map(java.util.regex.Pattern.quote).mkString("|") + ")\\b").r
+    pattern.replaceAllIn(body, m =>
+      java.util.regex.Matcher.quoteReplacement(byName(m.group(1).toLowerCase)))
+  }
 
   /** SQL literal rendering for INITCOND values. */
   private def sqlLit(v: Any): String = v match {
@@ -4431,13 +4442,16 @@ class CqlEngine(val spark: SparkSession) {
         // it textually inlines into an aggregate() lambda — all codegen, no
         // per-row interpretation.
         val u = udas(objKey(f))
-        val cn = args match {
-          case Seq(ColRef(n)) =>
+        val cns: Seq[String] = args.map {
+          case ColRef(n) =>
             if (td.column(n).isEmpty) throw InvalidRequest(s"Undefined column name $n")
             n
           case other => throw InvalidRequest(
-            s"User aggregate $f takes a single column argument, got $other")
+            s"User aggregate $f takes column arguments, got $other")
         }
+        if (cns.length != u.argTypes.length)
+          throw InvalidRequest(s"Invalid number of arguments for user aggregate $f: " +
+            s"expected ${u.argTypes.length}, got ${cns.length}")
         val sf = udfs(u.sfunc)
         val stateSql = sparkType(u.stype).sql
         val init = u.initCond.map(l => sqlLit(coerce(l, u.stype, f))).getOrElse("NULL")
@@ -4454,16 +4468,20 @@ class CqlEngine(val spark: SparkSession) {
           val (lt, gt) = if (desc) (1, -1) else (-1, 1)
           s"WHEN l.$n < r.$n THEN $lt WHEN l.$n > r.$n THEN $gt"
         }.mkString(" ")
+        val valAliases = cns.indices.map(i => s"_v$i")
+        val valFields = cns.zip(valAliases).map { case (c, a) => s"$c AS $a" }
         val collected =
-          s"array_sort(collect_list(struct(${ordSpecs.map(_._1).mkString(", ")}, $cn AS _v)), " +
-            s"(l, r) -> CASE $cmp ELSE 0 END)"
+          s"array_sort(collect_list(struct(${ordSpecs.map(_._1).mkString(", ")}, " +
+            s"${valFields.mkString(", ")})), (l, r) -> CASE $cmp ELSE 0 END)"
         val rawBody = substParams(sf.exprBody,
-          Seq(sf.args(0)._1 -> "acc", sf.args(1)._1 -> "x._v"))
-        // RETURNS NULL ON NULL INPUT sfunc: null inputs skip the call,
-        // leaving the state unchanged (UDAggregate contract)
+          (sf.args(0)._1 -> "acc") +:
+            valAliases.zipWithIndex.map { case (a, i) => sf.args(i + 1)._1 -> s"x.$a" })
+        // RETURNS NULL ON NULL INPUT sfunc: a null in ANY argument skips
+        // the call, leaving the state unchanged (UDAggregate contract)
+        val anyNull = valAliases.map(a => s"x.$a IS NULL").mkString(" OR ")
         val sBody =
           if (sf.returnsNullOnNull)
-            s"CASE WHEN x._v IS NULL THEN acc ELSE CAST(($rawBody) AS $stateSql) END"
+            s"CASE WHEN $anyNull THEN acc ELSE CAST(($rawBody) AS $stateSql) END"
           else s"CAST(($rawBody) AS $stateSql)"
         val finBody = u.finalFunc.map { fn =>
           val ff = udfs(fn)

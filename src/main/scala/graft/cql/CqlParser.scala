@@ -602,7 +602,8 @@ object CqlParser {
       val ifNotExists = if (p.tryKw("if")) { p.eatKw("not"); p.eatKw("exists"); true } else false
       val name = p.ident()
       p.sym("(")
-      val argType = parseType(p)
+      val argTypes = scala.collection.mutable.ArrayBuffer(parseType(p))
+      while (p.trySym(",")) argTypes += parseType(p)
       p.sym(")")
       p.eatKw("sfunc")
       val sfunc = p.ident()
@@ -610,7 +611,7 @@ object CqlParser {
       val stype = parseType(p)
       val finalFunc = if (p.tryKw("finalfunc")) Some(p.ident()) else None
       val init = if (p.tryKw("initcond")) Some(anyLiteral(p)) else None
-      return CreateAggregate(name, argType, sfunc, stype, finalFunc, init, orReplace, ifNotExists)
+      return CreateAggregate(name, argTypes.toSeq, sfunc, stype, finalFunc, init, orReplace, ifNotExists)
     }
     if (orReplace) throw ParseException("OR REPLACE is only valid for functions and aggregates")
     if (p.tryKw("keyspace")) {

@@ -551,6 +551,34 @@ class CqlDdlSpec extends SparkSpec {
     assertInvalid(e, "DROP TYPE nosuchks.t", "does not exist")
   }
 
+  test("CREATE AGGREGATE with multiple arguments folds every argument " +
+    "column through one SFUNC call (CreateAggregateStatement.java:110-115)") {
+    val e = mkEngine
+    e.execute("CREATE TABLE ma_t (k int, c int, w text, x int, PRIMARY KEY (k, c))")
+    e.execute("INSERT INTO ma_t (k, c, w, x) VALUES (1, 1, 'a', 10)")
+    e.execute("INSERT INTO ma_t (k, c, w, x) VALUES (1, 2, 'b', 20)")
+    e.execute("INSERT INTO ma_t (k, c, w, x) VALUES (1, 3, null, 30)")
+    // state function = state prepended to the aggregate's argument list
+    e.execute("CREATE FUNCTION ma_sf (st text, w text, x int) " +
+      "RETURNS NULL ON NULL INPUT RETURNS text LANGUAGE spark " +
+      "AS 'concat(st, w, x)'")
+    e.execute("CREATE AGGREGATE ma_agg (text, int) SFUNC ma_sf STYPE text INITCOND ''")
+    // clustering-order fold; the null-w row is skipped whole (RETURNS NULL
+    // ON NULL INPUT sfunc: a null in ANY argument leaves the state as-is)
+    assert(rowsInOrder(e.execute("SELECT ma_agg(w, x) FROM ma_t WHERE k = 1"))
+      === Seq(Seq("a10b20")))
+    // introspection carries the full signature
+    val agr = e.execute("SELECT argument_types, state_func FROM system_schema.aggregates " +
+      "WHERE keyspace_name = 'graft' AND aggregate_name = 'ma_agg'").collect().head
+    assert(agr.getSeq[String](0) === Seq("text", "int"))
+    // arity is validated at create (SFUNC must take state + each arg)...
+    assertInvalid(e, "CREATE AGGREGATE ma_bad (text) SFUNC ma_sf STYPE text",
+      "must take (state, text) arguments")
+    // ...and at call
+    assertInvalid(e, "SELECT ma_agg(w) FROM ma_t WHERE k = 1",
+      "Invalid number of arguments")
+  }
+
   test("peers_v2 and built_views serve driver-connect introspection " +
     "(SystemKeyspace.java PeersV2/BuiltViews)") {
     val e = mkEngine
