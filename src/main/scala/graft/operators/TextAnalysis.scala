@@ -150,6 +150,83 @@ object TextAnalysis {
       Seq(("score", true), ("term", false)), topK, "rank")
   }
 
+  /** BM25 keyword search (Robertson et al.; the Lucene-practical variant):
+    * top-k documents per query for a small set of keyword queries — the
+    * sparse-retrieval complement to the ANN stack (fuse the two ranked
+    * lists with [[rrfFuse]] for hybrid retrieval). idf is Lucene's
+    * non-negative form ln(1 + (N − df + 0.5)/(df + 0.5)); tf saturates
+    * under k1 with b-weighted length normalization against the mean
+    * token count.
+    *
+    * Determinism: avgdl is an exact long sum divided once; per-term
+    * scores round to 6 dp and sum as DECIMAL(18,6)
+    * (term-order-independent); every float step is double-double (never
+    * a decimal-typed intermediate) and the constants combine inside the
+    * expression ((k1 + 1.0), (1.0 − b)) so both engines run the
+    * identical IEEE op sequence; ranks tie-break doc_id ascending.
+    *
+    * Shape at scale: the corpus token explode joins the BROADCAST query
+    * term table, so only matching rows survive map-side — the only
+    * corpus-sized shuffle is the (query, doc, term) tf aggregation over
+    * MATCHES; df/N/avgdl are bounded aggregates riding broadcasts; the
+    * per-query cut is the bounded top-k aggregate, never a rank window.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+               queries: Seq[(Long, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"bm25TopK: need k >= 1, got $k")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val qdf = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val w = words(col(text))
+    val toks = docs.select(col(id).as("doc_id"), size(w).as("dl"),
+      explode(w).as("term"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(size(w)).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.join(broadcast(qdf), "term")
+      .groupBy("query_id", "doc_id", "term")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val dfreq = tf.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val num = col("tf").cast("double") * (lit(k1) + lit(1.0))
+    val den = col("tf").cast("double") +
+      lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl").cast("double") / col("avgdl")))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round((idf * num) / den, 6).cast("decimal(18,6)").as("_s"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_s")).as("_sd"))
+      .select(col("query_id"), col("doc_id"), col("_sd").cast("double").as("score"))
+    CqlOps.perPartitionLimitAgg(scored, Seq("query_id"),
+      Seq(("score", true), ("doc_id", false)), k, "rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): merge two ranked
+    * retrieval lists per query by Σ 1/(c + rank) — the standard way to
+    * combine BM25 and embedding-ANN results without score calibration.
+    * Ids missing from one list contribute nothing for it. Both inputs are
+    * already bounded (k rows per query), so the join and re-rank touch
+    * k-sized frames however large the corpus behind them was; the cut is
+    * the bounded top-k aggregate, ties break id-ascending.
+    */
+  def rrfFuse(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+              queryCol: String, idCol: String, rankCol: String,
+              k: Int, c: Int = 60): org.apache.spark.sql.DataFrame = {
+    val fa = a.select(col(queryCol), col(idCol), col(rankCol).as("_ra"))
+    val fb = b.select(col(queryCol), col(idCol), col(rankCol).as("_rb"))
+    val fused = fa.join(fb, Seq(queryCol, idCol), "full_outer")
+      .select(col(queryCol), col(idCol),
+        (coalesce(lit(1.0) / (lit(c) + col("_ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("_rb")), lit(0.0))).as("rrf"))
+    CqlOps.perPartitionLimitAgg(fused, Seq(queryCol),
+      Seq(("rrf", true), (idCol, false)), k, "rank")
+  }
+
   /** Corpus-global top-k n-gram counts — the vocabulary-induction /
     * BPE-merge-candidate analytic (rank the adjacent-token pairs a first
     * merge step would consider). Docs shorter than n words contribute

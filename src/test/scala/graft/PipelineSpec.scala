@@ -370,4 +370,50 @@ class PipelineSpec extends SparkSpec {
     assert(r.exists(_._3) && r.exists(!_._3))
     r.foreach { case (_, lr, k) => assert(k === (lr > 0)) }
   }
+
+  test("bm25TopK: tf raises, length normalization penalizes, non-matching " +
+      "docs are absent, ranks are contiguous per query") {
+    graft.functions.Functions.ensure(spark)
+    val pad = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "quark quark boson"),            // tf=2, short
+      (2L, "quark boson lepton"),           // tf=1, short
+      (3L, s"quark $pad"),                  // tf=1, long — length-normalized down
+      (4L, "boson lepton gluon")            // no match for 'quark'
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq(7L -> Seq("quark")), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._4)
+    assert(got.forall(_._1 === 7L))
+    assert(got.map(_._2).toSet === Set(1L, 2L, 3L), "only matching docs surface")
+    assert(got.map(_._4).toSeq === Seq(1, 2, 3), "contiguous ranks")
+    assert(got(0)._2 === 1L, "tf=2 wins")
+    assert(got(1)._2 === 2L, "short tf=1 beats long tf=1 (b-normalization)")
+    assert(got(2)._2 === 3L)
+    assert(got.forall(_._3 > 0.0))
+  }
+
+  test("rrfFuse: 1/(60+rank) sums are exact, single-list ids keep one " +
+      "contribution, ties break id-ascending") {
+    graft.functions.Functions.ensure(spark)
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 11L, 1), (0L, 13L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = graft.operators.TextAnalysis.rrfFuse(a, b, "query_id", "doc_id", "rank", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3)
+    // 11: 1/62 + 1/61 (both lists) — the winner; 10: 1/61; 13: 1/62; 12: 1/63
+    assert(got.map(_._1).toSeq === Seq(11L, 10L, 13L, 12L))
+    assert(got(0)._2 === 1.0 / 62 + 1.0 / 61)
+    assert(got(1)._2 === 1.0 / 61)
+    assert(got(2)._2 === 1.0 / 62)
+    assert(got(3)._2 === 1.0 / 63)
+    // equal contributions tie-break on id: two single-list ids at the same
+    // rank order ascending
+    val a2 = Seq((0L, 5L, 1)).toDF("query_id", "doc_id", "rank")
+    val b2 = Seq((0L, 3L, 1)).toDF("query_id", "doc_id", "rank")
+    val tied = graft.operators.TextAnalysis.rrfFuse(a2, b2, "query_id", "doc_id", "rank", 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
+    assert(tied.map(_._1).toSeq === Seq(3L, 5L))
+  }
 }

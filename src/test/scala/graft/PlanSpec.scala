@@ -308,6 +308,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("bm25: query terms broadcast into the corpus token stream; per-query " +
+    "cut is the bounded top-k aggregate, never a rank window") {
+    val p = plan("q_bm25_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("topk_rows_agg"), p)
+  }
+
+  test("hybrid rrf composes two bounded lists: no window, no cartesian " +
+    "beyond the ANN query broadcast") {
+    val p = plan("q_hybrid_rrf")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("topk_rows_agg"), p)
+  }
+
   test("compression ratio is one scan-fused projection — deflate_len stays " +
     "inside codegen, no shuffle but the final sort, pruned scan") {
     val p = plan("q_quality_compress")
