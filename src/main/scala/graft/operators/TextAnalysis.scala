@@ -175,20 +175,33 @@ object TextAnalysis {
                queries: Seq[(Long, Seq[String])], k: Int,
                k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"bm25TopK: need k >= 1, got $k")
-    val ss = docs.sparkSession
-    import ss.implicits._
-    val qdf = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
-      .toDF("query_id", "term")
     val w = words(col(text))
     val toks = docs.select(col(id).as("doc_id"), size(w).as("dl"),
       explode(w).as("term"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       (sum(size(w)).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.join(broadcast(qdf), "term")
+    val tf = toks.join(broadcast(queryTermsDf(docs.sparkSession, queries)), "term")
       .groupBy("query_id", "doc_id", "term")
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
     val dfreq = tf.select("term", "doc_id").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Rank(tf, dfreq, stats, k, k1, b)
+  }
+
+  private def queryTermsDf(ss: org.apache.spark.sql.SparkSession,
+                           queries: Seq[(Long, Seq[String])]): org.apache.spark.sql.DataFrame = {
+    import ss.implicits._
+    queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "term")
+  }
+
+  /** Shared BM25 scoring tail: per-term score (rounded 6 dp, summed as
+    * DECIMAL(18,6)) then the bounded per-query top-k cut.
+    */
+  private def bm25Rank(tf: org.apache.spark.sql.DataFrame,
+                       dfreq: org.apache.spark.sql.DataFrame,
+                       stats: org.apache.spark.sql.DataFrame,
+                       k: Int, k1: Double, b: Double): org.apache.spark.sql.DataFrame = {
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
@@ -204,6 +217,88 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), col("_sd").cast("double").as("score"))
     CqlOps.perPartitionLimitAgg(scored, Seq("query_id"),
       Seq(("score", true), ("doc_id", false)), k, "rank")
+  }
+
+  /** Persistent BM25 inverted index — the IVF-list design for sparse
+    * retrieval: postings and per-term document frequencies live
+    * term-BUCKET-partitioned on disk, so a keyword query reads only the
+    * handful of `bucket=K/` directories its terms hash into (parquet
+    * partition pruning — the posting-list read of a real inverted index),
+    * never the corpus and never the full vocabulary. Build once per
+    * corpus epoch, search many.
+    *
+    * The bucket hash is the seeded murmur64 the engine pins bit-exact
+    * (expression and JVM sides agree), so the driver can compute a
+    * query's bucket set without touching the index.
+    */
+  final case class Bm25Index(postings: org.apache.spark.sql.DataFrame,
+                             dfreq: org.apache.spark.sql.DataFrame,
+                             stats: org.apache.spark.sql.DataFrame) {
+    def save(dir: String): Unit = {
+      postings.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      dfreq.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    }
+  }
+
+  private val Bm25BucketSeed = 97L
+
+  private def bm25Bucket(term: org.apache.spark.sql.Column,
+                         buckets: Int): org.apache.spark.sql.Column = {
+    import graft.functions.Functions.murmur64
+    pmod(murmur64(term, lit(Bm25BucketSeed)), lit(buckets.toLong)).cast("int")
+  }
+
+  def bm25IndexBuild(docs: org.apache.spark.sql.DataFrame, id: String,
+                     text: String, buckets: Int = 64): Bm25Index = {
+    require(buckets >= 1, s"bm25IndexBuild: need buckets >= 1, got $buckets")
+    val w = words(col(text))
+    val toks = docs.select(col(id).as("doc_id"), size(w).as("dl"),
+      explode(w).as("term"))
+    val postings = toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      .withColumn("bucket", bm25Bucket(col("term"), buckets))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bm25Bucket(col("term"), buckets))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(size(w)).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("buckets", lit(buckets))
+    Bm25Index(postings, dfreq, stats)
+  }
+
+  def bm25IndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index =
+    Bm25Index(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/df"),
+      spark.read.parquet(s"$dir/stats"))
+
+  /** Search a (built or loaded) [[Bm25Index]] — bit-identical results to
+    * the from-scratch [[bm25TopK]] over the same corpus, but the scan is
+    * pruned to the query terms' bucket partitions: at any corpus size a
+    * q-term query reads ≤ q posting buckets of vocabulary-sized tables.
+    * The bucket count travels in the stats row, so the caller can't probe
+    * with the wrong modulus.
+    */
+  def bm25SearchIndex(index: Bm25Index, queries: Seq[(Long, Seq[String])],
+                      k: Int, k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"bm25SearchIndex: need k >= 1, got $k")
+    val ss = index.postings.sparkSession
+    val buckets = index.stats.select(col("buckets")).head().getInt(0)
+    val terms = queries.flatMap(_._2).distinct
+    val qBuckets = terms
+      .map(t => ((graft.functions.CassandraMurmur3.hashString(t, Bm25BucketSeed)
+        % buckets + buckets) % buckets).toInt).distinct
+    // bucket filter prunes at the partition-directory level; the term
+    // filter prunes residual same-bucket terms inside the read files
+    val postings = index.postings
+      .filter(col("bucket").isin(qBuckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val dfreq = index.dfreq
+      .filter(col("bucket").isin(qBuckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select("term", "df")
+    val tf = postings.join(broadcast(queryTermsDf(ss, queries)), "term")
+      .select("query_id", "doc_id", "term", "tf", "dl")
+    bm25Rank(tf, dfreq, index.stats.select("n_docs", "avgdl"), k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): merge two ranked

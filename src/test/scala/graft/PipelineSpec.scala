@@ -394,6 +394,23 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall(_._3 > 0.0))
   }
 
+  test("bm25 persistent index: save/load search equals the from-scratch " +
+      "search bit-for-bit; stats carry the bucket modulus") {
+    graft.functions.Functions.ensure(spark)
+    val docs = Tables.documents(spark, sf)
+    val queries = Seq(0L -> Seq("hash", "join"), 1L -> Seq("fast", "scan"))
+    val fresh = graft.operators.TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, 10)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("bm25-idx").toString
+    graft.operators.TextAnalysis.bm25IndexBuild(docs, "doc_id", "text", buckets = 8)
+      .save(dir)
+    val idx = graft.operators.TextAnalysis.bm25IndexLoad(spark, dir)
+    val viaIndex = graft.operators.TextAnalysis.bm25SearchIndex(idx, queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex === fresh)
+    assert(idx.stats.head().getAs[Int]("buckets") === 8)
+  }
+
   test("rrfFuse: 1/(60+rank) sums are exact, single-list ids keep one " +
       "contribution, ties break id-ascending") {
     graft.functions.Functions.ensure(spark)

@@ -316,6 +316,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("topk_rows_agg"), p)
   }
 
+  test("bm25 index search prunes the postings scan to the query terms' " +
+    "bucket partitions (the inverted-index posting-list read)") {
+    val df = SparkEntry.queries("q_bm25_index")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pruned = "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p)
+    assert(pruned.nonEmpty, {
+      val i = math.max(0, p.indexOf("PartitionFilters"))
+      "postings scan must prune on bucket:\n" + p.slice(math.max(0, i - 500), i + 200)
+    })
+    assert(!p.contains("Window"), p)
+  }
+
   test("hybrid rrf composes two bounded lists: no window, no cartesian " +
     "beyond the ANN query broadcast") {
     val p = plan("q_hybrid_rrf")
