@@ -1620,6 +1620,37 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_ivf_append",
+      // the INCREMENTAL-ingest IVF path: train+save on the first 400
+      // vectors, ivfAppend the rest against the saved centroids (no
+      // retrain — the steady-state crawl shape), then probe every list of
+      // the appended index. Exhaustive probing is exact, so the result
+      // must equal brute force over the UNION corpus bit-for-bit — which
+      // is SQL-expressible, putting append placement + scoring under the
+      // DuckDB hash gate.
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+              sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+                            round(list_dot_product(e.emb, qe) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(qe, qe))), 6) AS sim
+                     FROM e, q WHERE e.vec_id <> query_id),
+              r AS (SELECT query_id, neighbor_id, sim,
+                           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                    FROM sc)
+              SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 10
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-ivf-app")
+        Similarity.ivfTrain(s, emb.filter(col("vec_id") < 400), nlist = 16, iters = 1)
+          .save(dir.toString)
+        Similarity.ivfAppend(s, dir.toString, emb.filter(col("vec_id") >= 400))
+        Similarity.ivfSearch(Similarity.ivfLoad(s, dir.toString),
+            emb.filter(col("vec_id") < 8), 10, nprobe = 16)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_sample_clustered",
       // cluster-balanced sampling (DataComp-style diversity cut): k-means
       // assignment with seeds-as-centroids (iters=0 — the Lloyd-refined

@@ -315,6 +315,33 @@ object Similarity {
     IvfIndex(spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/lists"))
 
+  /** Incremental IVF ingest: assign NEW vectors to a saved index's
+    * existing centroids and APPEND them to its cid-partitioned lists on
+    * disk — no retrain, no rewrite of existing lists. This is the
+    * steady-state crawl path (the same trade as the persistent LSH
+    * ingest): each epoch appends its vectors in one shuffle-free
+    * assignment map + partitioned write, and the index retrains only when
+    * centroid drift demands it. Assignment reuses the builder's machinery
+    * (broadcast literals under the codegen cliff, broadcast-join above),
+    * so an appended index answers searches exactly as if its lists had
+    * been built from the union corpus with the same centroids
+    * (spec-pinned via exhaustive-probe == brute-force equality). A
+    * streaming crawl runs this per micro-batch inside `foreachBatch`,
+    * like the LSH ingest.
+    */
+  def ivfAppend(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val centDf = spark.read.parquet(s"$dir/centroids")
+    val cents = centDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val assigned =
+      if (cents.length <= literalAssignMaxLists)
+        newVecs.select(col("vec_id"),
+          nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
+      else assignByJoin(newVecs, centDf)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+    assigned.write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+  }
+
   /** Probe search against a (trained or loaded) index: nprobe nearest lists
     * per query, exact re-score within probed lists only. The probed list-id
     * set (≤ nlist ints) is collected to prune the inverted-list scan —

@@ -297,4 +297,30 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(exhaustive === pq)
   }
+
+  test("ivfAppend: incrementally appended index answers exactly like one " +
+    "covering the union corpus (exhaustive probe == brute force over all)") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 400)
+    val extra = emb.filter(col("vec_id") >= 400)
+    assert(extra.count() > 0, "fixture must cover the append slice")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    Similarity.ivfTrain(spark, base, nlist = 8, iters = 1).save(dir)
+    Similarity.ivfAppend(spark, dir, extra)
+    val idx = Similarity.ivfLoad(spark, dir)
+    val queries = emb.filter(col("vec_id") < 4)
+    // exhaustive probing over the appended index must equal brute force
+    // over the UNION — proves appended vectors landed in real lists and
+    // score identically to built-in-one-shot members
+    val got = Similarity.ivfSearch(idx, queries, 10, nprobe = 8)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want)
+    // appended vectors are themselves findable under partial probing
+    val fromAppended = Similarity.ivfSearch(idx, extra.filter(col("vec_id") < 405), 10, nprobe = 4)
+    assert(fromAppended.count() > 0)
+  }
 }
