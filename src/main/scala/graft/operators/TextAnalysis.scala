@@ -260,8 +260,11 @@ object TextAnalysis {
       .withColumn("bucket", bm25Bucket(col("term"), buckets))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("bucket", bm25Bucket(col("term"), buckets))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      (sum(size(w)).cast("double") / count(lit(1))).as("avgdl"))
+    // sum_dl rides along so incremental appends can re-derive avgdl from
+    // exact integer sums (avgdl = CAST(sum_dl AS DOUBLE)/n_docs — the
+    // identical operands an all-at-once build divides)
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(size(w)).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("buckets", lit(buckets))
     Bm25Index(postings, dfreq, stats)
   }
@@ -270,6 +273,48 @@ object TextAnalysis {
     Bm25Index(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/df"),
       spark.read.parquet(s"$dir/stats"))
+
+  /** Incremental BM25 index ingest: append a NEW batch of documents (ids
+    * must be disjoint from the indexed corpus — exact-dedup upstream) to
+    * a saved index. Postings for the batch append into their bucket
+    * partitions untouched-in-place; the df table merges by term-wise
+    * integer addition (disjoint doc sets, so df_union = df_old + df_new
+    * exactly); stats re-derive from summed longs. Every stored quantity
+    * equals the all-at-once union build's, so a search over the appended
+    * index is bit-identical to a from-scratch search over the union
+    * (spec-pinned). The df/stats rewrites touch vocabulary-sized and
+    * 1-row tables — the corpus-sized postings are append-only.
+    */
+  def bm25IndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      newDocs: org.apache.spark.sql.DataFrame, id: String,
+                      text: String): Unit = {
+    val oldStats = spark.read.parquet(s"$dir/stats").head()
+    val buckets = oldStats.getAs[Int]("buckets")
+    val w = words(col(text))
+    val toks = newDocs.select(col(id).as("doc_id"), size(w).as("dl"),
+      explode(w).as("term"))
+    val newPostings = toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      .withColumn("bucket", bm25Bucket(col("term"), buckets))
+    newPostings.write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    // merge df term-wise; localCheckpoint breaks the lineage on the path
+    // being overwritten (vocabulary-sized — tiny next to postings)
+    val newDf = newPostings.groupBy("term").agg(count(lit(1)).as("df"))
+    val merged = spark.read.parquet(s"$dir/df").select("term", "df")
+      .unionByName(newDf)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .withColumn("bucket", bm25Bucket(col("term"), buckets))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
+    val delta = newDocs.agg(count(lit(1)).as("n"), sum(size(w)).as("s")).head()
+    val nDocs = oldStats.getAs[Long]("n_docs") + delta.getLong(0)
+    val sumDl = oldStats.getAs[Long]("sum_dl") + delta.getLong(1)
+    import spark.implicits._
+    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
 
   /** Search a (built or loaded) [[Bm25Index]] — bit-identical results to
     * the from-scratch [[bm25TopK]] over the same corpus, but the scan is

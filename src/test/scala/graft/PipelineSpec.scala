@@ -411,6 +411,27 @@ class PipelineSpec extends SparkSpec {
     assert(idx.stats.head().getAs[Int]("buckets") === 8)
   }
 
+  test("bm25IndexAppend: incrementally appended index searches bit-equal " +
+      "to a from-scratch search over the union corpus") {
+    graft.functions.Functions.ensure(spark)
+    val docs = Tables.documents(spark, sf)
+    val queries = Seq(0L -> Seq("hash", "join"), 1L -> Seq("fast", "scan"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25-app").toString
+    graft.operators.TextAnalysis.bm25IndexBuild(
+      docs.filter(col("doc_id") < 200), "doc_id", "text", buckets = 8).save(dir)
+    graft.operators.TextAnalysis.bm25IndexAppend(spark, dir,
+      docs.filter(col("doc_id") >= 200), "doc_id", "text")
+    val idx = graft.operators.TextAnalysis.bm25IndexLoad(spark, dir)
+    val viaIndex = graft.operators.TextAnalysis.bm25SearchIndex(idx, queries, 10)
+      .collect().map(_.toSeq).toSet
+    val fresh = graft.operators.TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex === fresh)
+    // stats carry exact integer sums for the union
+    val st = idx.stats.head()
+    assert(st.getAs[Long]("n_docs") === docs.count())
+  }
+
   test("rrfFuse: 1/(60+rank) sums are exact, single-list ids keep one " +
       "contribution, ties break id-ascending") {
     graft.functions.Functions.ensure(spark)
