@@ -871,6 +871,12 @@ class CqlEngine(val spark: SparkSession) {
           Row(ks, vn, true)
         }))
       case "system.compaction_history" =>
+        // the reference table carries default_time_to_live = 7 days
+        // ("week-long compaction history") — expire records at read and
+        // drop them from the buffer so it can't grow unboundedly
+        val cutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+        compactionHistory.filterInPlace(
+          _.getAs[java.sql.Timestamp](4).getTime >= cutoff)
         Some(mk(virtualDefs(name), compactionHistory.toSeq))
       case "system.prepared_statements" =>
         val rows = preparedRegistry.synchronized {
