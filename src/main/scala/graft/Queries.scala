@@ -60,6 +60,72 @@ object Queries {
   /** Temp dir reaped at JVM exit — bench/correctness runs re-invoke each
     * query several times; don't leak per-run dirs in /tmp.
     */
+  /** Shared oracle for q_hybrid_rrf and q_hybrid_indexed: the indexed
+    * path is bit-equal to the from-scratch one (index-build equivalence
+    * + exhaustive IVF probe == brute force), so one SQL gates both.
+    */
+  private val hybridRrfOracle: String =
+    """WITH q(query_id, term) AS (VALUES
+                (CAST(0 AS BIGINT), 'hash'), (0, 'join'),
+                (1, 'fast'), (1, 'scan'), (1, 'filter'),
+                (2, 'customer'), (2, 'order'), (2, 'data')),
+              toks AS (
+                SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+                       unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+              ), stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE) / count(*) AS avgdl
+                FROM documents
+              ), tf AS (
+                SELECT query_id, doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM toks JOIN q USING (term) GROUP BY 1, 2, 3
+              ), dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+              ), scored AS (
+                SELECT query_id, doc_id,
+                       CAST(round(
+                         (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                          * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+                         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                            ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+                             CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))),
+                         6) AS DECIMAL(18,6)) AS s
+                FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+              ), bagg AS (
+                SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+                FROM scored GROUP BY 1, 2
+              ), sr AS (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+                FROM bagg QUALIFY rank <= 10
+              ), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              qv AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 3),
+              sc AS (SELECT query_id, e.vec_id AS doc_id,
+                            round(list_dot_product(e.emb, qe) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(qe, qe))), 6) AS sim
+                     FROM e, qv WHERE e.vec_id <> query_id),
+              ar AS (SELECT query_id, doc_id,
+                            CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, doc_id) AS INTEGER) AS rank
+                     FROM sc QUALIFY rank <= 10),
+              fused AS (
+                SELECT COALESCE(s.query_id, a.query_id) AS query_id,
+                       COALESCE(s.doc_id, a.doc_id) AS doc_id,
+                       (COALESCE(CAST(1 AS DOUBLE) / (60 + s.rank), CAST(0 AS DOUBLE)) +
+                        COALESCE(CAST(1 AS DOUBLE) / (60 + a.rank), CAST(0 AS DOUBLE))) AS rrf
+                FROM sr s FULL OUTER JOIN ar a
+                  ON s.query_id = a.query_id AND s.doc_id = a.doc_id
+              ), fr AS (
+                SELECT query_id, doc_id, rrf,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+                FROM fused
+              )
+              SELECT query_id, doc_id, rrf, rank FROM fr
+              WHERE rank <= 10 ORDER BY query_id, rank"""
+
   private def tmpDir(prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     storedDirsHook
@@ -1974,66 +2040,7 @@ object Queries {
       // al. 2009, c=60) — shared id space (vec_id == doc_id), score =
       // sum of 1/(60+rank) contributions in fixed left-to-right order,
       // both operands bit-identical across engines.
-      Some("""WITH q(query_id, term) AS (VALUES
-                (CAST(0 AS BIGINT), 'hash'), (0, 'join'),
-                (1, 'fast'), (1, 'scan'), (1, 'filter'),
-                (2, 'customer'), (2, 'order'), (2, 'data')),
-              toks AS (
-                SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
-                       unnest(string_split(lower(text), ' ')) AS term
-                FROM documents
-              ), stats AS (
-                SELECT count(*) AS n_docs,
-                       CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE) / count(*) AS avgdl
-                FROM documents
-              ), tf AS (
-                SELECT query_id, doc_id, term, count(*) AS tf, min(dl) AS dl
-                FROM toks JOIN q USING (term) GROUP BY 1, 2, 3
-              ), dfreq AS (
-                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
-              ), scored AS (
-                SELECT query_id, doc_id,
-                       CAST(round(
-                         (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                                   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-                          * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
-                         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-                            ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
-                             CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))),
-                         6) AS DECIMAL(18,6)) AS s
-                FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-              ), bagg AS (
-                SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
-                FROM scored GROUP BY 1, 2
-              ), sr AS (
-                SELECT query_id, doc_id,
-                       CAST(row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-                FROM bagg QUALIFY rank <= 10
-              ), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-              qv AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 3),
-              sc AS (SELECT query_id, e.vec_id AS doc_id,
-                            round(list_dot_product(e.emb, qe) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(qe, qe))), 6) AS sim
-                     FROM e, qv WHERE e.vec_id <> query_id),
-              ar AS (SELECT query_id, doc_id,
-                            CAST(row_number() OVER (PARTITION BY query_id
-                                 ORDER BY sim DESC, doc_id) AS INTEGER) AS rank
-                     FROM sc QUALIFY rank <= 10),
-              fused AS (
-                SELECT COALESCE(s.query_id, a.query_id) AS query_id,
-                       COALESCE(s.doc_id, a.doc_id) AS doc_id,
-                       (COALESCE(CAST(1 AS DOUBLE) / (60 + s.rank), CAST(0 AS DOUBLE)) +
-                        COALESCE(CAST(1 AS DOUBLE) / (60 + a.rank), CAST(0 AS DOUBLE))) AS rrf
-                FROM sr s FULL OUTER JOIN ar a
-                  ON s.query_id = a.query_id AND s.doc_id = a.doc_id
-              ), fr AS (
-                SELECT query_id, doc_id, rrf,
-                       CAST(row_number() OVER (PARTITION BY query_id
-                            ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
-                FROM fused
-              )
-              SELECT query_id, doc_id, rrf, rank FROM fr
-              WHERE rank <= 10 ORDER BY query_id, rank"""),
+      Some(hybridRrfOracle),
       (s, d) => {
         prep(s)
         val sparse = TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", "text",
@@ -2042,6 +2049,35 @@ object Queries {
           .select(col("query_id"), col("doc_id"), col("rank"))
         val emb = t(s, d, "embeddings")
         val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk").as("rank"))
+        TextAnalysis.rrfFuse(sparse, dense, "query_id", "doc_id", "rank", 10)
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q_hybrid_indexed",
+      // the PRODUCTION hybrid path: both retrieval sides run off saved,
+      // partition-pruned disk indexes — BM25 from the bucket-partitioned
+      // inverted index, dense from the cid-partitioned IVF index probed
+      // exhaustively — then rank-fuse. Both sides are bit-equal to their
+      // from-scratch forms (index-build equivalence + exhaustive probe ==
+      // brute force), so the oracle is q_hybrid_rrf's SQL verbatim: the
+      // whole two-index composition lands under the same hash gate.
+      Some(hybridRrfOracle),
+      (s, d) => {
+        prep(s)
+        val terms = Seq(0L -> Seq("hash", "join"), 1L -> Seq("fast", "scan", "filter"),
+          2L -> Seq("customer", "order", "data"))
+        val bmDir = tmpDir("graft-hyb-bm25")
+        TextAnalysis.bm25IndexBuild(t(s, d, "documents"), "doc_id", "text", buckets = 16)
+          .save(bmDir.toString)
+        val sparse = TextAnalysis.bm25SearchIndex(
+            TextAnalysis.bm25IndexLoad(s, bmDir.toString), terms, 10)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val emb = t(s, d, "embeddings")
+        val ivfDir = tmpDir("graft-hyb-ivf")
+        Similarity.ivfTrain(s, emb, nlist = 16, iters = 1).save(ivfDir.toString)
+        val dense = Similarity.ivfSearch(Similarity.ivfLoad(s, ivfDir.toString),
+            emb.filter(col("vec_id") < 3), 10, nprobe = 16)
           .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk").as("rank"))
         TextAnalysis.rrfFuse(sparse, dense, "query_id", "doc_id", "rank", 10)
           .orderBy("query_id", "rank")
