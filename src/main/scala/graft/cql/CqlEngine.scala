@@ -4376,9 +4376,24 @@ class CqlEngine(val spark: SparkSession) {
         throw InvalidRequest(s"aggregate function $f in scalar context")
       case FnCall(f, args) if objKeyOpt(f).exists(udfs.contains) =>
         val fkey = objKey(f)
-        if (args.length != udfs(fkey).args.length)
+        val fd = udfs(fkey)
+        if (args.length != fd.args.length)
           throw InvalidRequest(s"Invalid number of arguments for function $f " +
-            s"(expected ${udfs(fkey).args.length}, got ${args.length})")
+            s"(expected ${fd.args.length}, got ${args.length})")
+        // column arguments must match the declared signature exactly —
+        // CQL function resolution has no implicit numeric widening
+        // (FunctionResolver.java:163); literals stay lenient (they are
+        // assigned by receiver context, like everywhere else in CQL)
+        args.zip(fd.args).foreach {
+          case (ColRef(n), (_, declared)) =>
+            td.column(n).map(_.tpe).foreach { actual =>
+              if (actual.name != declared.name)
+                throw InvalidRequest(s"Invalid call to function $f, none of its " +
+                  s"type signatures match (known type signatures: $fkey : " +
+                  s"(${fd.args.map(_._2.name).mkString(", ")}) -> ${fd.returns.name})")
+            }
+          case _ => ()
+        }
         call_function(sparkFnName(fkey), args.map(rec): _*)
       case FnCall(f, _) => throw InvalidRequest(s"Unknown function '$f'")
     }
@@ -4458,6 +4473,16 @@ class CqlEngine(val spark: SparkSession) {
         if (cns.length != u.argTypes.length)
           throw InvalidRequest(s"Invalid number of arguments for user aggregate $f: " +
             s"expected ${u.argTypes.length}, got ${cns.length}")
+        // exact signature match on column arguments, like scalar UDFs
+        // (FunctionResolver.java:163 — no implicit widening)
+        cns.zip(u.argTypes).foreach { case (n, declared) =>
+          td.column(n).map(_.tpe).foreach { actual =>
+            if (actual.name != declared.name)
+              throw InvalidRequest(s"Invalid call to function $f, none of its " +
+                s"type signatures match (known type signatures: ${objKey(f)} : " +
+                s"(${u.argTypes.map(_.name).mkString(", ")}) -> ${u.stype.name})")
+          }
+        }
         val sf = udfs(u.sfunc)
         val stateSql = sparkType(u.stype).sql
         val init = u.initCond.map(l => sqlLit(coerce(l, u.stype, f))).getOrElse("NULL")

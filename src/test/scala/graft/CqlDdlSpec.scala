@@ -574,9 +574,12 @@ class CqlDdlSpec extends SparkSpec {
     // arity is validated at create (SFUNC must take state + each arg)...
     assertInvalid(e, "CREATE AGGREGATE ma_bad (text) SFUNC ma_sf STYPE text",
       "must take (state, text) arguments")
-    // ...and at call
+    // ...and at call: wrong arity, then wrong column type (exact-match
+    // resolution, FunctionResolver.java:163 — no implicit widening)
     assertInvalid(e, "SELECT ma_agg(w) FROM ma_t WHERE k = 1",
       "Invalid number of arguments")
+    assertInvalid(e, "SELECT ma_agg(w, w) FROM ma_t WHERE k = 1",
+      "none of its type signatures match")
   }
 
   test("peers_v2 and built_views serve driver-connect introspection " +

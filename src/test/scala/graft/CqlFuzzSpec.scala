@@ -145,4 +145,53 @@ class CqlFuzzSpec extends SparkSpec {
     assert(executed > 10, s"only $executed executed")
     assert(rejected > 5, s"only $rejected rejected")
   }
+
+  test("UDF/UDA DDL and aggregate calls (incl. multi-argument signatures) " +
+    "execute or fail typed across random shapes") {
+    val e = new CqlEngine(spark)
+    e.execute("CREATE TABLE fzu (pk int, ck int, v int, w text, PRIMARY KEY (pk, ck))")
+    for (ck <- 0 to 3)
+      e.execute(s"INSERT INTO fzu (pk, ck, v, w) VALUES (1, $ck, ${ck * 2}, 't$ck')")
+    e.execute("CREATE FUNCTION fz_sf1 (st int, x int) CALLED ON NULL INPUT " +
+      "RETURNS int LANGUAGE spark AS 'coalesce(st, 0) + x'")
+    e.execute("CREATE FUNCTION fz_sf2 (st text, a text, b int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS text LANGUAGE spark AS 'concat(st, a, b)'")
+    e.execute("CREATE AGGREGATE fz_agg1 (int) SFUNC fz_sf1 STYPE int")
+    e.execute("CREATE AGGREGATE fz_agg2 (text, int) SFUNC fz_sf2 STYPE text INITCOND ''")
+    val ddlGen = Gen.oneOf(
+      // arity / type / resolution edges: valid and invalid alike
+      "CREATE AGGREGATE fz_x1 (int) SFUNC fz_sf2 STYPE text",
+      "CREATE AGGREGATE fz_x2 (text, int) SFUNC fz_sf1 STYPE int",
+      "CREATE AGGREGATE fz_x3 (int, int, int) SFUNC fz_sf1 STYPE int",
+      "CREATE OR REPLACE AGGREGATE fz_agg1 (int) SFUNC fz_sf1 STYPE int",
+      "CREATE AGGREGATE fz_x4 (int) SFUNC nosuch STYPE int",
+      "CREATE AGGREGATE IF NOT EXISTS fz_agg1 (int) SFUNC fz_sf1 STYPE int",
+      "DROP AGGREGATE fz_agg2 (text)",
+      "DROP AGGREGATE IF EXISTS fz_nope (int, text)",
+      "CREATE FUNCTION fz_sf1 (st int, x int) CALLED ON NULL INPUT " +
+        "RETURNS int LANGUAGE spark AS 'st + x'",
+      "DROP FUNCTION fz_sf2 (text, text, int)")
+    val callGen = for (call <- Gen.oneOf(
+      "fz_agg1(v)", "fz_agg1(w)", "fz_agg1(v, v)", "fz_agg1()",
+      "fz_agg2(w, v)", "fz_agg2(v, w)", "fz_agg2(w)", "fz_agg2(w, v, v)",
+      "fz_agg2(zz, v)", "fz_agg2(w, ck)"))
+      yield s"SELECT $call FROM fzu WHERE pk = 1"
+    var executed = 0
+    var rejected = 0
+    (0 until 100).foreach { i =>
+      Gen.frequency(2 -> callGen, 1 -> ddlGen)(
+        Gen.Parameters.default.withSize(1 + i % 10), Seed(0xADA17L + i))
+        .foreach { stmt =>
+          try { e.execute(stmt).collect(); executed += 1 }
+          catch {
+            case _: CqlParser.ParseException => rejected += 1
+            case _: e.InvalidRequest => rejected += 1
+            case ex: Throwable =>
+              fail(s"untyped ${ex.getClass.getSimpleName} on: $stmt\n${ex.getMessage}")
+          }
+        }
+    }
+    assert(executed > 10, s"only $executed executed")
+    assert(rejected > 10, s"only $rejected rejected")
+  }
 }
