@@ -4428,13 +4428,24 @@ class CqlEngine(val spark: SparkSession) {
       else struct(td.partitionKey.map(c => orderCol(td, c.name)): _*)
     def firstBy(v: Column): Column =
       if (allDesc != reversed) max_by(v, firstRowOrd) else min_by(v, firstRowOrd)
+    // AbstractFunctionSelector.java:52 — aggregation of aggregation is
+    // not supported; arithmetic OVER aggregates (max(a) - min(a)) is fine,
+    // so the guard sits only on aggregate ARGUMENT positions
+    def noNestedAgg(a: SelExpr): SelExpr = {
+      if (containsAgg(a))
+        throw InvalidRequest(
+          "aggregate functions cannot be used as arguments of aggregate functions")
+      a
+    }
     def rec(x: SelExpr): Column = x match {
       case FnCall("count", Seq(StarRef)) => count(lit(1))
-      case FnCall("count", Seq(a)) => count(lowerExpr(td, a, null))
-      case FnCall("sum", Seq(a)) =>
+      case FnCall("count", Seq(a0)) => count(lowerExpr(td, noNestedAgg(a0), null))
+      case FnCall("sum", Seq(a0)) =>
+        val a = noNestedAgg(a0)
         val s = coalesce(sum(lowerExpr(td, a, null)), lit(0))
         exprType(td, a).map(t => s.cast(sparkType(t))).getOrElse(s)
-      case FnCall("avg", Seq(a)) =>
+      case FnCall("avg", Seq(a0)) =>
+        val a = noNestedAgg(a0)
         val c = lowerExpr(td, a, null)
         val t = exprType(td, a)
         val raw = t match {
@@ -4445,14 +4456,16 @@ class CqlEngine(val spark: SparkSession) {
           case _ => coalesce(avg(c), lit(0.0))
         }
         t.map(tt => raw.cast(sparkType(tt))).getOrElse(raw)
-      case FnCall("min", Seq(a)) =>
+      case FnCall("min", Seq(a0)) =>
+        val a = noNestedAgg(a0)
         val c = lowerExpr(td, a, null)
         // timeuuids order by embedded time, not by their string form
         // (TimeUUIDType comparator; AggregateFcts min/max use the type's)
         if (exprType(td, a).contains(CqlTimeuuid))
           min_by(c, call_function("timeuuid_sort_key", c))
         else min(c)
-      case FnCall("max", Seq(a)) =>
+      case FnCall("max", Seq(a0)) =>
+        val a = noNestedAgg(a0)
         val c = lowerExpr(td, a, null)
         if (exprType(td, a).contains(CqlTimeuuid))
           max_by(c, call_function("timeuuid_sort_key", c))

@@ -580,6 +580,15 @@ class CqlDdlSpec extends SparkSpec {
       "Invalid number of arguments")
     assertInvalid(e, "SELECT ma_agg(w, w) FROM ma_t WHERE k = 1",
       "none of its type signatures match")
+    // aggregation of aggregation is rejected with the reference's text
+    // (AbstractFunctionSelector.java:52); arithmetic OVER aggregates stays
+    // legal
+    assertInvalid(e, "SELECT sum(max(x)) FROM ma_t WHERE k = 1",
+      "aggregate functions cannot be used as arguments of aggregate functions")
+    assertInvalid(e, "SELECT count(ma_agg(w, x)) FROM ma_t WHERE k = 1",
+      "aggregate functions cannot be used as arguments")
+    assert(rowsInOrder(e.execute("SELECT max(x) - min(x) FROM ma_t WHERE k = 1"))
+      === Seq(Seq(20)))
   }
 
   test("peers_v2 and built_views serve driver-connect introspection " +
