@@ -1877,6 +1877,36 @@ object Queries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    QueryDef("q_text_nfc",
+      // Unicode NFC normalization (native codegen'd expression ==
+      // DuckDB's nfc_normalize — both implement Unicode canonical
+      // composition). The corpus is ASCII, so decomposed sequences
+      // ("e" + U+0301) are planted per row; the md5 over the normalized
+      // text is the dedup-key the pipeline wants: canonically-equal texts
+      // hash equal after NFC, byte-different before.
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       text || ' caf' || 'e' || chr(769) || ' r' || 'e' || chr(769) ||
+                         'sume' || chr(769) AS ptext
+                FROM documents
+              )
+              SELECT doc_id, nfc_normalize(ptext) AS norm,
+                     md5(nfc_normalize(ptext)) AS nkey
+              FROM p ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        // DECOMPOSED plants (e + combining acute U+0301, raw in this
+        // literal) so the expression's composition step is what the hash
+        // gate exercises; DuckDB builds the same bytes via chr(769)
+        val planted = concat(col("text"),
+          lit(" café résumé"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.nfcNormalize(planted).as("norm"),
+            md5(TextAnalysis.nfcNormalize(planted)).as("nkey"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_text_normalize",
       // corpus text normalization: lowercase, URL/email placeholders,
       // control-char strip, whitespace collapse — byte-identical regexp

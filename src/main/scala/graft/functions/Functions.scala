@@ -42,6 +42,7 @@ object Functions {
     "winnow_fps"      -> (es => WinnowFps(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "deflate_len"     -> (es => DeflateLen(es.head)),
+    "nfc_normalize"   -> (es => NfcNormalize(es.head)),
     "min_timeuuid"    -> (es => MinTimeUuid(es.head)),
     "max_timeuuid"    -> (es => MaxTimeUuid(es.head)),
     "timeuuid_unix_millis" -> (es => TimeUuidMillis(es.head)),
@@ -106,6 +107,7 @@ object Functions {
   // Column-level helpers (work in any session where the fns are registered).
   def cassandra_token(c: Column): Column = call_function("cassandra_token", c)
   def deflate_len(c: Column): Column = call_function("deflate_len", c)
+  def nfc_normalize(c: Column): Column = call_function("nfc_normalize", c)
   def murmur64(c: Column, seed: Column): Column = call_function("murmur64", c, seed)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)

@@ -348,6 +348,29 @@ case class CassandraTokenComposite(children: Seq[Expression])
       cs: IndexedSeq[Expression]): CassandraTokenComposite = copy(children = cs)
 }
 
+/** `nfc_normalize(text)` — Unicode NFC normalization (canonical
+  * decomposition + composition, java.text.Normalizer). Text pipelines
+  * normalize BEFORE hashing/dedup so "é" and "e"+U+0301 — byte-different,
+  * canonically equal — produce one dedup key and one vocabulary entry.
+  * Codegen'd; scan-fused like the rest of the normalization chain.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nfc_normalize requires text input, got $t")
+  }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(v.toString, java.text.Normalizer.Form.NFC))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+}
+
 /** DEFLATE worker behind [[DeflateLen]]. The Deflater is native-backed and
   * expensive to construct, so one per thread is reused via reset() — at
   * scan speed the per-row cost is the compression itself, not allocation.

@@ -39,6 +39,16 @@ object TextAnalysis {
       .otherwise(deflate_len(text).cast("double") / octet_length(text))
   }
 
+  /** Unicode NFC normalization (canonical decomposition + composition) —
+    * apply before digest/dedup keys and vocabulary counts so
+    * canonically-equal texts ("é" vs "e"+U+0301) produce one key and one
+    * vocabulary entry. Native codegen'd expression, scan-fused; DuckDB's
+    * nfc_normalize implements the same Unicode algorithm, so outputs are
+    * oracle-comparable byte-for-byte.
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.Functions.nfc_normalize(text)
+
   /** Stopword lists for the n-gram language-ID heuristic. */
   val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
