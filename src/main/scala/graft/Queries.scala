@@ -1877,6 +1877,44 @@ object Queries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    QueryDef("q_fuzzy_match",
+      // typo-tolerant vocabulary matching (SymSpell deletion
+      // neighborhoods): candidates from an equi-join on {self} ∪
+      // {1-deletion} variant sets — never a vocabulary cross join — then
+      // an exact Levenshtein verify. 'haxh' (substitution), 'joinn'
+      // (insertion), 'custommer' (insertion) and exact 'hash' all land on
+      // corpus vocabulary.
+      Some("""WITH qs(q) AS (VALUES ('haxh'), ('joinn'), ('custommer'), ('hash')),
+              qv AS (
+                SELECT q, q AS variant FROM qs
+                UNION
+                SELECT q, substr(q, 1, CAST(i AS INTEGER) - 1) ||
+                          substr(q, CAST(i AS INTEGER) + 1) AS variant
+                FROM qs, UNNEST(range(1, len(q) + 1)) u(i)
+              ), vocab AS (
+                SELECT term, count(*) AS tf_corpus FROM (
+                  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+                GROUP BY 1
+              ), vv AS (
+                SELECT term, tf_corpus, term AS variant FROM vocab
+                UNION
+                SELECT term, tf_corpus,
+                       substr(term, 1, CAST(i AS INTEGER) - 1) ||
+                       substr(term, CAST(i AS INTEGER) + 1) AS variant
+                FROM vocab, UNNEST(range(1, len(term) + 1)) u(i)
+              ), cand AS (
+                SELECT DISTINCT q, term, tf_corpus FROM vv JOIN qv USING (variant)
+              )
+              SELECT q, term, CAST(levenshtein(q, term) AS INTEGER) AS dist, tf_corpus
+              FROM cand WHERE levenshtein(q, term) <= 1
+              ORDER BY q, term"""),
+      (s, d) => {
+        prep(s)
+        TextAnalysis.fuzzyTermMatch(t(s, d, "documents"), "text",
+          Seq("haxh", "joinn", "custommer", "hash"))
+          .orderBy("q", "term")
+      }),
+
     QueryDef("q_text_nfc",
       // Unicode NFC normalization (native codegen'd expression ==
       // DuckDB's nfc_normalize — both implement Unicode canonical

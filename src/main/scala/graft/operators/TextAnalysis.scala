@@ -356,6 +356,45 @@ object TextAnalysis {
     bm25Rank(tf, dfreq, index.stats.select("n_docs", "avgdl"), k, k1, b)
   }
 
+  /** Typo-tolerant vocabulary matching via deletion neighborhoods (the
+    * SymSpell candidate scheme, Garbe): two terms within edit distance 1
+    * share a member of each other's {self} ∪ {1-deletion} sets, so
+    * candidates come from an equi-join on variants — never a cross join
+    * against the vocabulary — and an exact Levenshtein pass keeps
+    * precision (the deletion join admits a few distance-2 shapes, e.g.
+    * transpositions). Query-expansion / OCR-cleanup primitive: map a
+    * misspelled keyword onto the corpus vocabulary with its frequencies.
+    *
+    * Shape at scale: the vocabulary aggregation is the only corpus-keyed
+    * shuffle; the variant explode multiplies the VOCABULARY (≤ len+1
+    * rows per term), the tiny query-variant table broadcasts, and the
+    * verify runs on the candidate set only. Output: (q, term, dist,
+    * tf_corpus).
+    */
+  def fuzzyTermMatch(docs: org.apache.spark.sql.DataFrame, text: String,
+                     queryTerms: Seq[String], maxEdits: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(maxEdits == 1,
+      "deletion-neighborhood candidates cover edit distance 1; higher radii need k-deletion sets")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val qv = queryTerms.distinct.flatMap { q =>
+      val dels = (0 until q.length).map(i => q.substring(0, i) + q.substring(i + 1))
+      (q +: dels).distinct.map(v => (q, v))
+    }.toDF("q", "variant")
+    val vocab = docs.select(explode(words(col(text))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf_corpus"))
+    val t = col("term")
+    val variants = array_distinct(concat(array(t),
+      transform(sequence(lit(1), length(t)), i =>
+        concat(t.substr(lit(1), i - lit(1)), t.substr(i + lit(1), length(t))))))
+    vocab.select(col("term"), col("tf_corpus"), explode(variants).as("variant"))
+      .join(broadcast(qv), "variant")
+      .select("q", "term", "tf_corpus").distinct()
+      .filter(levenshtein(col("q"), col("term")) <= maxEdits)
+      .select(col("q"), col("term"),
+        levenshtein(col("q"), col("term")).as("dist"), col("tf_corpus"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): merge two ranked
     * retrieval lists per query by Σ 1/(c + rank) — the standard way to
     * combine BM25 and embedding-ANN results without score calibration.

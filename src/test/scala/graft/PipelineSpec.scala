@@ -394,6 +394,27 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall(_._3 > 0.0))
   }
 
+  test("fuzzyTermMatch: insertion/deletion/substitution hit at distance 1, " +
+      "transpositions and distance-2 shapes are verified away") {
+    graft.functions.Functions.ensure(spark)
+    val docs = Seq((1L, "hash join scan merge"), (2L, "hash batch filter"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.fuzzyTermMatch(docs, "text",
+      Seq("hash", "hxsh", "joinn", "scn", "mergee", "bacth", "zzz"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ("hash").map(x => (x._2, x._3, x._4)).toSet === Set(("hash", 0, 2L)))
+    assert(byQ("hxsh").map(_._2).toSet === Set("hash"))   // substitution
+    assert(byQ("joinn").map(_._2).toSet === Set("join"))  // insertion
+    assert(byQ("scn").map(_._2).toSet === Set("scan"))    // deletion
+    assert(byQ("mergee").map(_._2).toSet === Set("merge"))
+    // 'bacth' is a TRANSPOSITION of 'batch' — classic Levenshtein distance
+    // 2, so the deletion-join candidate must be verified away
+    assert(!byQ.contains("bacth"))
+    assert(!byQ.contains("zzz"))
+    assert(got.forall(x => x._3 <= 1))
+  }
+
   test("bm25 persistent index: save/load search equals the from-scratch " +
       "search bit-for-bit; stats carry the bucket modulus") {
     graft.functions.Functions.ensure(spark)
