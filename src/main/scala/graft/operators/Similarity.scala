@@ -333,6 +333,16 @@ object Similarity {
     val centDf = spark.read.parquet(s"$dir/centroids")
     val cents = centDf.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    // a batch with a different embedding width would land in the lists but
+    // score nonsense against the centroids — fail loudly, on the BATCH
+    // scan only (the index is never touched for the check)
+    val dim = cents.head._2.length
+    val bad = newVecs.filter(size(col("embedding")) =!= dim).limit(1)
+      .select(col("vec_id"), size(col("embedding")).as("d")).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"ivfAppend: vec_id ${bad.head.getLong(0)} has dimension " +
+          s"${bad.head.getInt(1)}, index expects $dim")
     val assigned =
       if (cents.length <= literalAssignMaxLists)
         newVecs.select(col("vec_id"),

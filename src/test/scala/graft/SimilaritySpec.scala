@@ -322,5 +322,11 @@ class SimilaritySpec extends SparkSpec {
     // appended vectors are themselves findable under partial probing
     val fromAppended = Similarity.ivfSearch(idx, extra.filter(col("vec_id") < 405), 10, nprobe = 4)
     assert(fromAppended.count() > 0)
+    // a wrong-width batch fails loudly before touching the lists
+    import spark.implicits._
+    val badBatch = Seq((9999L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      Similarity.ivfAppend(spark, dir, badBatch))
+    assert(ex.getMessage.contains("dimension"))
   }
 }
