@@ -1244,6 +1244,24 @@ object Queries {
           .select("vec_id", "label").orderBy("vec_id")
       }),
 
+    QueryDef("q_cluster_prune",
+      // prototype-based pruning (Sorscher 2022): k-means lists via the
+      // reproducible fixed-point IVF training (same centroids as
+      // q_ann_ivf), cosine-to-centroid prototypicality, floor(n×0.25)
+      // most-prototypical rows of each cluster marked dropped. Broadcast
+      // header join + one cid shuffle; the oracle compares against a
+      // Verify-written plain-Scala replica sharing only the Lloyd-mean
+      // arithmetic contract.
+      Some("""SELECT vec_id, cid, proto_sim, rnk, kept
+              FROM parquet_scan('{FIX}/_fixture_clusterprune/*.parquet')
+              ORDER BY vec_id"""),
+      (s, d) => {
+        prep(s)
+        Similarity.prototypePrune(s, t(s, d, "embeddings"), nlist = 16,
+            dropFrac = 0.25, iters = 1)
+          .orderBy("vec_id")
+      }),
+
     // ── extensions: corpus curation (sampling / decontamination / mix) ──
     QueryDef("q_sample_stratified",
       // deterministic md5-gate stratified sampling: per-source keep
@@ -2203,6 +2221,45 @@ object Queries {
           explode(TextAnalysis.chunks(col("text"), window = 32, stride = 16)).as("c"))
         .select(col("doc_id"), col("c.idx").cast("long").as("chunk_idx"), col("c.chunk").as("chunk"))
         .orderBy("doc_id", "chunk_idx")),
+
+    QueryDef("q_bpe_train",
+      // LEARNED BPE merge table over the corpus (Sennrich 2016, the
+      // GPT-2 trainer shape): one distributed word-histogram shuffle over
+      // the raw text — the only pass that touches the corpus — then the
+      // inherently-sequential merge loop on the bounded top-V histogram
+      // driver-side, exactly how HF tokenizers/SentencePiece split the
+      // work. Exact integer counts + lexicographic tie-break make the
+      // table reproducible; the oracle compares against a Verify-written
+      // independent replica of the whole histogram+merge path.
+      Some("""SELECT rank, lhs, rhs, pair_freq
+              FROM parquet_scan('{FIX}/_fixture_bpetrain/*.parquet')
+              ORDER BY rank"""),
+      (s, d) => {
+        val docs = Tables.spread(t(s, d, "documents"))
+        Tokenizer.mergesDf(docs, Tokenizer.bpeTrain(docs, "text", 60))
+          .orderBy("rank")
+      }),
+
+    QueryDef("q_bpe_encode",
+      // tokenize the corpus under the learned merge table: the encode is
+      // a codegen-fused scan expression (BpeEncode) with a per-thread
+      // word memo — fully distributed, no shuffle; only the tiny merge
+      // table ships to tasks. n_tokens is the number a packing/budget
+      // pipeline consumes; head pins the actual segmentation.
+      Some("""SELECT doc_id, n_tokens, head
+              FROM parquet_scan('{FIX}/_fixture_bpeencode/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val merges = Tokenizer.bpeTrain(docs, "text", 60)
+        val toks = Tokenizer.encode(col("text"), merges)
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            concat_ws("|", slice(toks, 1, 12)).as("head"))
+          .orderBy("doc_id")
+      }),
 
     QueryDef("q_quality_repetition",
       // Gopher repetition signals (Rae et al. 2021 §A1.1): top/duplicate

@@ -305,6 +305,88 @@ object Verify {
           nid => probed(assigned(nid))
         })
     }
+    // ── plain-Scala BPE replication (fixture oracles; deterministic) ──
+    // Independent re-run of the whole BPE path — histogram via Scala
+    // groupMapReduce, merge loop over List symbols with recursive apply,
+    // encode via the GPT-2 lowest-rank-bigram loop — structurally
+    // different from Tokenizer.trainOnHistogram's array scans and
+    // BpeEncode's codegen'd kernel, sharing no code with them.
+    lazy val bpeDocs: IndexedSeq[(Long, String)] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect().toIndexedSeq
+        .sortBy(_._1).filter(_._2 != null)
+    def bpeSymsOf(w: String): List[String] = {
+      val b = List.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b += "</w>"
+      b.result()
+    }
+    def bpeApplyMerge(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: bpeApplyMerge(rest, l, r)
+        case a :: rest => a :: bpeApplyMerge(rest, l, r)
+        case Nil => Nil
+      }
+    def bpeWords(text: String): Seq[String] =
+      text.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq.filter(_.nonEmpty)
+    lazy val bpeMergesRef: Seq[(Int, String, String, Long)] = {
+      val hist = bpeDocs.iterator.flatMap(d => bpeWords(d._2))
+        .toSeq.groupMapReduce(identity)(_ => 1L)(_ + _)
+        .toSeq.sortBy { case (w, f) => (-f, w) }.take(50000)
+      var cur = hist.map { case (w, f) => (bpeSymsOf(w), f) }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var rank = 1
+      var stop = false
+      while (rank <= 60 && !stop) {
+        val counts = cur.iterator.flatMap { case (syms, f) =>
+          syms.sliding(2).collect { case List(a, b) => ((a, b), f) }
+        }.toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+        if (counts.isEmpty) stop = true
+        else {
+          val ((l, r), f) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          if (f < 2) stop = true
+          else {
+            out += ((rank, l, r, f))
+            cur = cur.map { case (syms, fr) => (bpeApplyMerge(syms, l, r), fr) }
+            rank += 1
+          }
+        }
+      }
+      out.result()
+    }
+    fixture("_fixture_bpetrain") {
+      bpeMergesRef.toDF("rank", "lhs", "rhs", "pair_freq").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_bpetrain")
+    }
+    fixture("_fixture_bpeencode") {
+      val rankMap = bpeMergesRef.map { case (rk, l, r, _) => ((l, r), rk) }.toMap
+      def encodeWord(word: String): List[String] = {
+        var syms = bpeSymsOf(word)
+        var done = false
+        while (!done && syms.lengthCompare(1) > 0) {
+          val ranked = syms.sliding(2)
+            .collect { case List(a, b) => (a, b) }
+            .flatMap(p => rankMap.get(p).map(p -> _)).toList
+          if (ranked.isEmpty) done = true
+          else {
+            val (p, _) = ranked.minBy(_._2)
+            syms = bpeApplyMerge(syms, p._1, p._2)
+          }
+        }
+        syms
+      }
+      val rows = bpeDocs.map { case (id, text) =>
+        val toks = bpeWords(text).flatMap(encodeWord)
+        (id, toks.length, toks.take(12).mkString("|"))
+      }
+      rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_bpeencode")
+    }
     fixture("_fixture_tokens") {
       val toks = spark.read.parquet(s"$sfDir/orders.parquet")
         .select("o_orderkey").as[Long].collect().toIndexedSeq
@@ -437,6 +519,27 @@ object Verify {
         .map { case (m, (a, b, r)) => (m, a, b, r) }
         .toDF("method", "matched", "total", "recall").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annrecall")
+    }
+    fixture("_fixture_clusterprune") {
+      // prototype-prune replica: same centroids as the IVF fixtures
+      // (nlist=16, iters=1), cosine-to-centroid prototypicality, per-
+      // cluster rank on (rounded sim desc, vec_id), floor(n×0.25) dropped
+      val cents = annIvfCents
+      val centById = cents.toMap
+      val rows = annVecs
+        .map { case (id, e) =>
+          val cid = nearestCentRef(e, cents)
+          (id, cid, round6(graft.functions.VectorMath.cosineF(e, centById(cid))))
+        }
+        .groupBy(_._2).iterator.flatMap { case (_, members) =>
+          val ranked = members.sortBy { case (id, _, sim) => (-sim, id) }
+          val dropN = math.floor(ranked.size * 0.25).toInt
+          ranked.zipWithIndex.map { case ((id, cid, sim), i) =>
+            (id, cid, sim, i + 1, i + 1 > dropN)
+          }
+        }.toIndexedSeq.sortBy(_._1)
+      rows.toDF("vec_id", "cid", "proto_sim", "rnk", "kept").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_clusterprune")
     }
     fixture("_fixture_timeuuid") {
       // input prep (ms derivation) is shared with q_timeuuid_bounds; the

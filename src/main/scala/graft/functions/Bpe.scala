@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenization kernels (Sennrich 2016 / GPT-2 shape).
+  *
+  * A [[Bpe.Model]] is an ordered merge list; encoding a word repeatedly
+  * merges the adjacent symbol pair with the LOWEST merge rank until none
+  * applies — equivalent to replaying the merges in training order, which
+  * is how the training loop in `operators/Tokenizer` derives them.
+  *
+  * Determinism contract (shared with the training loop and the Verify
+  * replica): lowercase via Locale.ROOT, whitespace pre-tokenization
+  * (`\s+`), code-point symbol granularity (never splits surrogate
+  * pairs), `</w>` as an explicit end-of-word symbol.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** Initial symbol sequence of a word: one symbol per code point, then
+    * the end-of-word marker.
+    */
+  def initialSymbols(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.toArray
+  }
+
+  /** Serializable merge table. Encoding state (rank map, per-thread word
+    * cache) rebuilds lazily on each executor.
+    */
+  final class Model(val lefts: Array[String], val rights: Array[String])
+      extends Serializable {
+    require(lefts.length == rights.length,
+      s"merge table arity mismatch: ${lefts.length} lefts, ${rights.length} rights")
+
+    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](lefts.length * 2)
+      var i = 0
+      while (i < lefts.length) {
+        // NUL never occurs in a symbol (symbols come from real text code
+        // points), so it is a safe pair separator for the rank key
+        m.putIfAbsent(lefts(i) + "\u0000" + rights(i), Integer.valueOf(i))
+        i += 1
+      }
+      m
+    }
+
+    /** Word→tokens memo: corpora repeat words heavily (Zipf), so the memo
+      * turns the per-row cost into a hash probe for all but the first
+      * sighting of each word on the thread. Access-ordered, bounded.
+      */
+    @transient private lazy val cache =
+      new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
+        override def initialValue(): java.util.LinkedHashMap[String, Array[String]] =
+          new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 32768
+          }
+      }
+
+    private def rankOf(a: String, b: String): Int = {
+      val r = rank.get(a + "\u0000" + b)
+      if (r == null) Int.MaxValue else r.intValue()
+    }
+
+    /** Tokens of one (already lowercased) word. */
+    def encodeWord(word: String): Array[String] = {
+      val memo = cache.get()
+      val hit = memo.get(word)
+      if (hit != null) return hit
+      var syms = initialSymbols(word)
+      var done = false
+      while (!done && syms.length > 1) {
+        // lowest-rank adjacent pair this round
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rankOf(syms(i), syms(i + 1))
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          // merge every occurrence of that pair, greedy left-to-right
+          val l = lefts(best); val r = rights(best)
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+              out += l + r
+              j += 2
+            } else {
+              out += syms(j)
+              j += 1
+            }
+          }
+          syms = out.toArray
+        }
+      }
+      memo.put(word, syms)
+      syms
+    }
+
+    /** Tokens of a whole text: lowercase, `\s+`-split, per-word encode,
+      * concatenated. Returns Catalyst array data (UTF8String elements).
+      */
+    def encodeText(text: String): GenericArrayData = {
+      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val out = new scala.collection.mutable.ArrayBuffer[AnyRef](words.length * 2)
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty) {
+          val toks = encodeWord(words(i))
+          var j = 0
+          while (j < toks.length) { out += UTF8String.fromString(toks(j)); j += 1 }
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+}
+
+/** `bpe_encode(text, lefts, rights)` — BPE tokens of `text` under the
+  * merge table given as two aligned constant string arrays (the shape
+  * `Tokenizer.bpeTrain` emits). Codegen'd: the model is attached to the
+  * generated class as a reference object, so encoding fuses into the
+  * corpus scan like the rest of the text stack; the per-thread word memo
+  * makes the steady-state cost a hash probe per word.
+  */
+case class BpeEncode(child: Expression, lefts: Seq[String], rights: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_encode requires text input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val model = new Bpe.Model(lefts.toArray, rights.toArray)
+
+  override def nullSafeEval(v: Any): Any = model.encodeText(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeModel", model, classOf[Bpe.Model].getName)
+    defineCodeGen(ctx, ev, c => s"$m.encodeText($c.toString())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
+}

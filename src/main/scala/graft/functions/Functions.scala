@@ -42,6 +42,9 @@ object Functions {
     "winnow_fps"      -> (es => WinnowFps(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "deflate_len"     -> (es => DeflateLen(es.head)),
+    // bpe_encode(text, lefts, rights) — merge table as two aligned
+    // constant string arrays, evaluated at build time
+    "bpe_encode"      -> (es => BpeEncode(es(0), constStrings(es(1)), constStrings(es(2)))),
     "nfc_normalize"   -> (es => NfcNormalize(es.head)),
     "min_timeuuid"    -> (es => MinTimeUuid(es.head)),
     "max_timeuuid"    -> (es => MaxTimeUuid(es.head)),
@@ -51,6 +54,12 @@ object Functions {
     // (OperationFcts) — Catalyst's `div` has exactly those semantics
     "cql_div" -> (es => new org.apache.spark.sql.catalyst.expressions.IntegralDivide(es(0), es(1)))
   )
+
+  private def constStrings(e: Expression): Seq[String] =
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
 
   def install(e: SparkSessionExtensions): Unit =
     builders.foreach { case (name, b) =>
@@ -117,6 +126,8 @@ object Functions {
   def max_timeuuid(ms: Column): Column = call_function("max_timeuuid", ms)
   def timeuuid_unix_millis(u: Column): Column = call_function("timeuuid_unix_millis", u)
   def timeuuid_sort_key(u: Column): Column = call_function("timeuuid_sort_key", u)
+  def bpe_encode(text: Column, lefts: Column, rights: Column): Column =
+    call_function("bpe_encode", text, lefts, rights)
 }
 
 /** `SparkSessionExtensions` hook: functions (and, in later rounds, rules). */

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.functions.Bpe
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer TRAINING over a document corpus (Sennrich 2016; the
+  * GPT-2/RoBERTa tokenizer shape) — the missing half next to
+  * `TextAnalysis.subTokenCount`'s fixed regex: here the merge table is
+  * LEARNED from the corpus.
+  *
+  * Scale shape (the same split every production trainer uses —
+  * HuggingFace tokenizers, SentencePiece): the corpus scan collapses to a
+  * WORD HISTOGRAM first — one distributed `groupBy(word)` over the 100 TB
+  * input, the only pass that touches raw text — and the merge loop then
+  * runs on the bounded top-`maxWords` histogram driver-side. A vocabulary
+  * histogram is Zipf-bounded (tens of millions of distinct words for a
+  * web-scale corpus; top-50k covers the training mass), so the collect is
+  * a bounded-header pull exactly like the IVF centroid / PQ codebook
+  * collects in [[Similarity]], not a corpus materialization. The merge
+  * loop itself is inherently sequential (merge r+1's pair counts depend
+  * on merge r having been applied) — no distributed formulation avoids
+  * that dependency; distributing it would add a shuffle barrier per merge
+  * for less work per round than a task launch costs.
+  *
+  * Encoding (the per-row hot path) stays fully distributed and
+  * codegen-fused: [[graft.functions.BpeEncode]] replays the learned
+  * merges inside the corpus scan with a per-thread word memo.
+  */
+object Tokenizer {
+
+  /** Whitespace pre-tokenization: lowercase, `\s+`-split, empties dropped
+    * (leading whitespace yields an empty head token in both Spark and
+    * java.lang.String.split — filtered identically here and in the
+    * driver-side loop).
+    */
+  def preTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Distributed word histogram — the single pass over raw text. One
+    * shuffle, map-side partial aggregation, no driver involvement.
+    */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(preTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** One learned merge: rank (1-based, training order), the two merged
+    * symbols, and the pair's corpus frequency when chosen.
+    */
+  final case class Merge(rank: Int, left: String, right: String, pair_freq: Long)
+
+  /** Driver-side merge loop over a word histogram. Deterministic: each
+    * round picks the max-frequency adjacent pair, ties broken by
+    * lexicographically smallest (left, right); stops early when the best
+    * pair occurs fewer than 2 times (a frequency-1 merge memorizes a
+    * single word — every real trainer cuts there or higher).
+    */
+  def trainOnHistogram(hist: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    var words: Array[(Array[String], Long)] =
+      hist.iterator.map { case (w, f) => (Bpe.initialSymbols(w), f) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), f, (a, b) => a + b)
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestF = 0L
+      counts.forEach { (p, f) =>
+        if (f > bestF || (f == bestF && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestF = f
+        }
+      }
+      if (best == null || bestF < 2) exhausted = true
+      else {
+        merges += Merge(rank, best._1, best._2, bestF)
+        val (l, r) = best
+        words = words.map { case (syms, f) =>
+          if (!hasPair(syms, l, r)) (syms, f)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                out += l + r; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.toArray, f)
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def hasPair(syms: Array[String], l: String, r: String): Boolean = {
+    var i = 0
+    while (i < syms.length - 1) {
+      if (syms(i) == l && syms(i + 1) == r) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Train `numMerges` BPE merges on the corpus: distributed histogram,
+    * bounded top-`maxWords` collect (total order: freq desc, word asc —
+    * a boundary tie never flips the selection), driver merge loop.
+    * Returns (rank, left, right, pair_freq) in training order.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 50000): Seq[Merge] = {
+    val hist = wordHistogram(docs, textCol)
+      .orderBy(desc("freq"), asc("word"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    trainOnHistogram(hist, numMerges)
+  }
+
+  /** Learned merges as a DataFrame (for persistence or the oracle gate).
+    * Columns lhs/rhs, not left/right — those are SQL keywords downstream.
+    */
+  def mergesDf(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs", "pair_freq")
+  }
+
+  /** Tokens column under a trained merge table — codegen-fused scan work,
+    * merges shipped once per task as a reference object.
+    */
+  def encode(text: Column, merges: Seq[Merge]): Column = {
+    val lefts = merges.map(_.left).toArray
+    val rights = merges.map(_.right).toArray
+    call_function("bpe_encode", text, lit(lefts), lit(rights))
+  }
+}

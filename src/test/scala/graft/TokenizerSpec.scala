@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.Bpe
+import graft.operators.Tokenizer
+import org.apache.spark.sql.functions._
+
+class TokenizerSpec extends SparkSpec {
+
+  private def mergesOf(texts: Seq[String], n: Int): Seq[Tokenizer.Merge] = {
+    import spark.implicits._
+    Tokenizer.bpeTrain(texts.toDF("text"), "text", n)
+  }
+
+  test("bpeTrain learns the classic merges on a toy corpus") {
+    // Sennrich's worked example shape: 'low' x5, 'lower' x2, 'newest' x6,
+    // 'widest' x3 — the first merges must assemble 'est</w>' because
+    // (e,s) then (es,t) then (est,</w>) dominate the pair counts.
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val merges = mergesOf(Seq(corpus.mkString(" ")), 4)
+    assert(merges.map(m => (m.left, m.right)) ===
+      Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")))
+    assert(merges.map(_.pair_freq) === Seq(9L, 9L, 9L, 7L))
+  }
+
+  test("encode replays the learned merges; concatenation reconstructs the word") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val merges = mergesOf(Seq(corpus.mkString(" ")), 10)
+    val model = new Bpe.Model(merges.map(_.left).toArray, merges.map(_.right).toArray)
+    assert(model.encodeWord("newest").toSeq === Seq("n", "e", "w", "est</w>")
+      || model.encodeWord("newest").mkString === "newest" + Bpe.EndOfWord)
+    // reconstruction invariant: tokens concatenate back to word + </w>
+    for (w <- Seq("low", "lower", "newest", "widest", "lowest", "unseen"))
+      assert(model.encodeWord(w).mkString === w + Bpe.EndOfWord)
+  }
+
+  test("zero merges yields code-point symbols; surrogate pairs stay whole") {
+    val model = new Bpe.Model(Array.empty, Array.empty)
+    assert(model.encodeWord("ab").toSeq === Seq("a", "b", Bpe.EndOfWord))
+    // U+1F600 is a surrogate pair in UTF-16; code-point granularity keeps it
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(model.encodeWord(s"a$emoji").toSeq === Seq("a", emoji, Bpe.EndOfWord))
+  }
+
+  test("bpe_encode expression matches the model driver-side, through codegen") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val merges = mergesOf(Seq("low low lower newest newest widest"), 6)
+    val model = new Bpe.Model(merges.map(_.left).toArray, merges.map(_.right).toArray)
+    val docs = Seq((1L, "Low lowest NEWEST"), (2L, "  widest  wide "), (3L, null))
+      .toDF("id", "text")
+    val got = docs.select(col("id"),
+        Tokenizer.encode(col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    def ref(s: String): Seq[String] =
+      s.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+        .filter(_.nonEmpty).flatMap(model.encodeWord(_).toSeq)
+    assert(got(1L) === Some(ref("Low lowest NEWEST")))
+    assert(got(2L) === Some(ref("  widest  wide ")))
+    assert(got(3L) === None)
+  }
+
+  test("trainOnHistogram is deterministic under histogram order and ties") {
+    val hist = Seq(("ab", 3L), ("ba", 3L), ("aa", 2L))
+    val m1 = Tokenizer.trainOnHistogram(hist, 5)
+    val m2 = Tokenizer.trainOnHistogram(hist.reverse, 5)
+    assert(m1 === m2)
+    // (a,</w>) dominates at 3+2=5 ('ba' tail + 'aa' tail)
+    assert((m1.head.left, m1.head.right, m1.head.pair_freq) === ("a", "</w>", 5L))
+    // pure tie: 'abab'/'baba' give (a,b)@6 vs (b,a)@6, above every </w>
+    // pair — resolves to the lexicographically smallest pair
+    val tied = Tokenizer.trainOnHistogram(Seq(("abab", 2L), ("baba", 2L)), 1)
+    assert((tied.head.left, tied.head.right, tied.head.pair_freq) === ("a", "b", 6L))
+  }
+
+  test("corpus training end-to-end: merges are well-formed, encode covers the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Tokenizer.bpeTrain(docs, "text", 40)
+    assert(merges.nonEmpty && merges.size <= 40)
+    assert(merges.map(_.rank) === (1 to merges.size))
+    // pair frequencies never increase as training proceeds? NOT guaranteed
+    // by BPE (later merges can create denser pairs), but every chosen pair
+    // must have been seen at least twice
+    assert(merges.forall(_.pair_freq >= 2))
+    val withToks = docs.select(
+        Tokenizer.encode(col("text"), merges).as("toks"),
+        Tokenizer.preTokens(col("text")).as("words"))
+      .filter(col("toks").isNotNull)
+    // token streams reconstruct the pre-tokenized text exactly
+    val bad = withToks.filter(
+      concat_ws("", col("toks")) =!=
+        concat_ws("", transform(col("words"), w => concat(w, lit(Bpe.EndOfWord)))))
+    assert(bad.count() === 0L)
+  }
+}
