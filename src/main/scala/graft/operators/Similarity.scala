@@ -280,6 +280,44 @@ object Similarity {
       Seq(cid), Seq(("_u", false), (key, false)), perCluster, "rnk")
       .drop("_u")
 
+  /** Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws": keep-hard pruning beats random subsampling once the
+    * corpus is large): assign each vector to its k-means list
+    * ([[ivfAssign]] — reproducible fixed-point training), score
+    * prototypicality as cosine to the assigned centroid, and mark the
+    * most prototypical `dropFrac` of EVERY cluster as dropped — the
+    * near-centroid mass is the redundant "easy" data; the kept tail
+    * preserves coverage of the embedding space. Complements [[semDedup]]
+    * (which removes near-DUPLICATES; this removes near-PROTOTYPES).
+    *
+    * Scale: assignment is ivfAssign's shuffle-free broadcast map; scoring
+    * joins only the nlist-row centroid header (broadcast); the ranking is
+    * ONE shuffle on cid with a cluster-local sort — clusters are
+    * corpus/nlist-sized by construction, so partitions stay bounded as
+    * long as nlist scales with the corpus (the same knob the IVF index
+    * already turns). The drop threshold needs every cluster member
+    * ranked, so a bounded top-k aggregate can't replace the window here.
+    *
+    * Deterministic: rank on (6dp-rounded sim DESC, vec_id) — a total
+    * order over exactly the values the output carries.
+    * Output: (vec_id, cid, proto_sim, rnk, kept);
+    * drop count per cluster = floor(cluster_n × dropFrac).
+    */
+  def prototypePrune(spark: SparkSession, corpus: DataFrame, nlist: Int,
+                     dropFrac: Double, iters: Int = 1): DataFrame = {
+    val (centDf, assigned) = ivfAssign(spark, corpus, nlist, iters)
+    val scored = assigned.join(broadcast(centDf), "cid")
+      .select(col("vec_id"), col("cid"),
+        round(cosine_sim(col("embedding"), col("centroid")), 6).as("proto_sim"))
+    val w = Window.partitionBy("cid").orderBy(desc("proto_sim"), asc("vec_id"))
+    scored
+      .select(col("vec_id"), col("cid"), col("proto_sim"),
+        row_number().over(w).as("rnk"),
+        count(lit(1)).over(Window.partitionBy("cid")).as("cluster_n"))
+      .withColumn("kept", col("rnk") > floor(col("cluster_n") * lit(dropFrac)))
+      .drop("cluster_n")
+  }
+
   /** Persistent IVF index: the centroid header (nlist × dim — tiny,
     * broadcastable) plus the inverted lists. [[save]] partitions the lists
     * by `cid`, so a probe's scan prunes to the probed `lists/cid=K/`

@@ -345,4 +345,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
+
+  test("BPE word histogram aggregates partially before its single shuffle; " +
+    "the scan reads only the text column") {
+    val p = graft.operators.Tokenizer
+      .wordHistogram(Tables(spark, sf, "documents"), "text")
+      .queryExecution.explainString(FormattedMode)
+    // partial + final HashAggregate around one exchange: the 100 TB corpus
+    // collapses map-side to per-partition word counts before anything moves
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // formatted mode prints each node twice (tree + detail): 2 hits = ONE
+    // exchange in the plan
+    assert("Exchange".r.findAllIn(p).size === 2 && p.contains("hashpartitioning"), p)
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+  }
+
+  test("BPE encode is one scan-fused projection: merges ship as a task " +
+    "constant, no shuffle, no codegen fallback") {
+    val p = plan("q_bpe_encode")
+    // the orderBy is the query's presentation sort; the encode itself adds
+    // no exchange beyond it and no aggregate
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("bpe_encode"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
+  }
 }

@@ -329,4 +329,30 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfAppend(spark, dir, badBatch))
     assert(ex.getMessage.contains("dimension"))
   }
+
+  test("prototypePrune drops floor(n*frac) most-prototypical rows per cluster") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.prototypePrune(spark, emb, nlist = 8, dropFrac = 0.25)
+      .as[(Long, Int, Double, Int, Boolean)].collect()
+    assert(out.length === emb.count())
+    out.groupBy(_._2).foreach { case (_, members) =>
+      val n = members.length
+      val dropN = math.floor(n * 0.25).toInt
+      // exactly the dropN lowest ranks (most prototypical) are dropped
+      assert(members.count(!_._5) === dropN)
+      assert(members.filter(!_._5).map(_._4).sorted.toSeq === (1 to dropN))
+      // ranks are a 1..n permutation ordered by (sim desc, vec_id)
+      assert(members.map(_._4).sorted.toSeq === (1 to n))
+      val byRank = members.sortBy(_._4)
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+        case _ => ()
+      }
+      // dropped rows are at least as prototypical as every kept row
+      if (dropN > 0 && dropN < n)
+        assert(byRank(dropN - 1)._3 >= byRank.drop(dropN).map(_._3).max)
+    }
+  }
 }
