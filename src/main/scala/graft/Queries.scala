@@ -2261,6 +2261,34 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_quality_model",
+      // TRAINED document classifier (the fastText-linear/FineWeb-Edu
+      // shape): logistic regression over hashed bag-of-words, full-batch
+      // gradient descent with fixed-point (scaled-long) margin/gradient
+      // accumulation — order-independent, so the learned weights are
+      // bit-reproducible and the whole train+score path sits inside the
+      // oracle gate. Demonstrated distilling a topic-presence rule (doc
+      // mentions 'spark' — the corpus' lang column is independent of its
+      // synthetic text, so it is unlearnable by construction); scoring
+      // is a shuffle-free codegen-fused fold. Oracle = Verify-written
+      // plain-Scala re-run of the identical arithmetic.
+      Some("""SELECT doc_id, y, p, pred
+              FROM parquet_scan('{FIX}/_fixture_qualitymodel/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .withColumn("y_b",
+            array_contains(Tokenizer.preTokens(col("text")), "spark"))
+        val w = QualityModel.train(docs, "doc_id", "text", "y_b",
+          dim = 1024, iters = 24, lr = 3.0)
+        docs.select(col("doc_id"), col("y_b").cast("int").as("y"),
+            round(QualityModel.score(col("text"), w, 1024), 6).as("p"))
+          .withColumn("pred", (col("p") >= 0.5).cast("int"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_quality_repetition",
       // Gopher repetition signals (Rae et al. 2021 §A1.1): top/duplicate
       // n-gram character fractions + duplicate-line fractions over

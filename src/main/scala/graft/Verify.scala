@@ -520,6 +520,63 @@ object Verify {
         .toDF("method", "matched", "total", "recall").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annrecall")
     }
+    fixture("_fixture_qualitymodel") {
+      // plain-Scala re-run of the hashed-BoW logistic-regression
+      // train+score path (q_quality_model's parameters: dim=1024,
+      // iters=24, lr=3.0, momentum 0.9, label = doc contains 'spark').
+      // Shares only the murmur64 scalar kernel (TokenSpec-pinned) with
+      // the expressions under test; L2-normalized margins, fixed-point
+      // gradients and the momentum recurrence re-derive independently.
+      val dim = 1024; val iters = 24; val lr = 3.0; val beta = 0.9
+      val fp = graft.operators.Similarity.fixedPointScale
+      // scaled-long encode: round(x·2^24) HALF_UP on the double product,
+      // matching the engine's round(col * lit(fixedPointScale))
+      def fpl(x: Double): Long =
+        BigDecimal(x * fp).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      def featOf(w: String): Int = {
+        val h = graft.functions.CassandraMurmur3.hashString(w, 0x9e37L)
+        (((h % dim) + dim) % dim).toInt
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .toIndexedSeq.sortBy(_._1).filter(_._2 != null)
+      val byDoc = docs.map { case (id, text) =>
+        val ws = bpeWords(text)
+        // distinct feature ids; Spark's array_distinct keeps first-seen
+        // order but the margin is an order-free sum
+        val fs = ws.map(featOf).distinct
+        val y = if (ws.contains("spark")) 1.0 else 0.0
+        (id, y, fs, math.sqrt(fs.length.toDouble))
+      }
+      val trainable = byDoc.filter(_._3.nonEmpty)
+      val nDocs = trainable.length.toDouble
+      val w = new Array[Double](dim)
+      val v = new Array[Double](dim)
+      for (_ <- 1 to iters) {
+        val wFp = w.map(fpl)
+        val grad = new Array[Long](dim)
+        trainable.foreach { case (_, y, fs, sm) =>
+          val mfp = fs.iterator.map(wFp(_)).sum
+          val p = 1.0 / (1.0 + StrictMath.exp(-(mfp.toDouble / fp / sm)))
+          fs.foreach { f => grad(f) += fpl((p - y) / sm) }
+        }
+        var f = 0
+        while (f < dim) {
+          v(f) = beta * v(f) + (grad(f).toDouble / fp) / nDocs
+          w(f) = w(f) - lr * v(f)
+          f += 1
+        }
+      }
+      val wFp = w.map(fpl)
+      val rows = byDoc.map { case (id, y, fs, sm) =>
+        val mfp = fs.iterator.map(wFp(_)).sum
+        val margin = if (fs.nonEmpty) mfp.toDouble / fp / sm else 0.0
+        val p = round6(1.0 / (1.0 + StrictMath.exp(-margin)))
+        (id, y.toInt, p, if (p >= 0.5) 1 else 0)
+      }
+      rows.toDF("doc_id", "y", "p", "pred").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_qualitymodel")
+    }
     fixture("_fixture_clusterprune") {
       // prototype-prune replica: same centroids as the IVF fixtures
       // (nlist=16, iters=1), cosine-to-centroid prototypicality, per-

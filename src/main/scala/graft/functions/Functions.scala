@@ -46,6 +46,7 @@ object Functions {
     // constant string arrays, evaluated at build time
     "bpe_encode"      -> (es => BpeEncode(es(0), constStrings(es(1)), constStrings(es(2)))),
     "nfc_normalize"   -> (es => NfcNormalize(es.head)),
+    "strict_exp"      -> (es => StrictExp(es.head)),
     "min_timeuuid"    -> (es => MinTimeUuid(es.head)),
     "max_timeuuid"    -> (es => MaxTimeUuid(es.head)),
     "timeuuid_unix_millis" -> (es => TimeUuidMillis(es.head)),
@@ -128,6 +129,7 @@ object Functions {
   def timeuuid_sort_key(u: Column): Column = call_function("timeuuid_sort_key", u)
   def bpe_encode(text: Column, lefts: Column, rights: Column): Column =
     call_function("bpe_encode", text, lefts, rights)
+  def strict_exp(x: Column): Column = call_function("strict_exp", x)
 }
 
 /** `SparkSessionExtensions` hook: functions (and, in later rounds, rules). */

@@ -371,6 +371,28 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
 }
 
+/** `strict_exp(x)` — StrictMath.exp. java.lang.Math.exp is only
+  * quasi-deterministic: the JIT intrinsic and the interpreted fallback
+  * may differ in the last ulp for the SAME input in the SAME JVM, which
+  * is enough to break bit-reproducibility contracts (seen: one doc in
+  * 500 scoring 1 ulp apart between a codegen'd plan and driver-side
+  * Scala). StrictMath is fully specified (fdlibm), so results are
+  * identical everywhere — the logistic-regression trainer's sigmoid
+  * rides on this.
+  */
+case class StrictExp(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"strict_exp requires double input, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "strict_exp"
+  override def nullSafeEval(v: Any): Any = StrictMath.exp(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.StrictMath.exp($c)")
+  override protected def withNewChildInternal(c: Expression): StrictExp = copy(c)
+}
+
 /** DEFLATE worker behind [[DeflateLen]]. The Deflater is native-backed and
   * expensive to construct, so one per thread is reused via reset() — at
   * scan speed the per-row cost is the compression itself, not allocation.

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.functions.Functions.{murmur64, strict_exp}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRAINABLE document classifier: logistic regression with heavy-ball
+  * momentum over hashed, L2-normalized binary bag-of-words features (the
+  * fastText-linear /
+  * FineWeb-Edu-distillation shape — modern curation pipelines score
+  * documents with a small learned model distilled from expensive labels,
+  * not just hand rules).
+  *
+  * Scale + reproducibility design:
+  *  - Features are murmur-hashed token ids mod `dim`, binary presence
+  *    scaled by 1/sqrt(m) (m = the doc's distinct-feature count) — no
+  *    vocabulary table, no dictionary shuffle, dimensionality fixed up
+  *    front (hashing trick, Weinberger 2009). The L2 normalization is
+  *    load-bearing: it makes a gradient step move every doc's margin by
+  *    ~lr*(mean error) regardless of how many features the doc carries,
+  *    where raw binary features give the shared-word direction an
+  *    m-times-larger effective step and full-batch GD oscillates
+  *    without ever refining the discriminative weights.
+  *  - The token stream collapses ONCE to a cached distinct (doc, feature)
+  *    table partitioned by doc id; every iteration's per-doc margin
+  *    aggregation reuses that partitioning (no re-shuffle), and the
+  *    gradient reduce is keyed by feature id — at most `dim` rows out,
+  *    whatever the corpus size.
+  *  - Weights travel as a broadcast scaled-long literal (dim-bounded);
+  *    the corpus never moves for them.
+  *  - Everything that crosses a merge tree accumulates in FIXED-POINT
+  *    (scaled-long) arithmetic, the same contract as the IVF trainer:
+  *    long addition is associative+commutative, so margins, gradients —
+  *    and therefore the trained weights — are bit-identical under any
+  *    partitioning/AQE decision. A double `sum` would drift with
+  *    reduction order and make the model un-oracle-able.
+  *  - Full-batch gradient descent, `iters` passes over the cached
+  *    feature table. At 100 TB the standard move is training on a
+  *    bounded sample of the corpus and scoring everything — scoring
+  *    ([[score]]) is a shuffle-free codegen-fused fold over the token
+  *    array.
+  */
+object QualityModel {
+
+  /** Fixed-point scale shared by margins and gradients (2^24 ≈ 7
+    * significant digits — matches [[Similarity.fixedPointScale]]).
+    */
+  val fixedPointScale: Double = Similarity.fixedPointScale
+
+  private val hashSeed = 0x9e37L
+
+  /** Scaled-long encoding: round(x·2^24), HALF_UP on the double product —
+    * the same arithmetic Spark's `round(col * lit(fixedPointScale))`
+    * performs, so driver-side and in-plan encodings agree bit-for-bit.
+    */
+  private def fpLong(x: Double): Long =
+    BigDecimal(x * fixedPointScale)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Feature id of a token: pmod(murmur64(token), dim). */
+  private def featCol(word: Column, dim: Int): Column =
+    pmod(murmur64(word, lit(hashSeed)), lit(dim.toLong)).cast("int")
+
+  /** Heavy-ball momentum coefficient: logistic loss over near-duplicate
+    * feature vectors is ill-conditioned (one shared direction, weak
+    * discriminative ones) and plain full-batch GD needs ~10× the passes.
+    */
+  private val momentum = 0.9
+
+  /** Train logistic-regression weights on (textCol, labelCol) where
+    * labelCol is boolean/0-1 and idCol uniquely keys a document. Returns
+    * the dense weight vector (length `dim`). Deterministic for a given
+    * input set.
+    */
+  def train(docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+            dim: Int = 1024, iters: Int = 24, lr: Double = 3.0): Array[Double] = {
+    val words = Tokenizer.preTokens(col(textCol))
+    // one pass over raw text: distinct (doc, feature) presence pairs;
+    // token-less docs carry no gradient
+    val feats = docs
+      .select(col(idCol).as("did"), col(labelCol).cast("double").as("y"), words.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("did"), col("y"),
+        array_distinct(transform(col("ws"), w => featCol(w, dim))).as("fs"))
+      .select(col("did"), col("y"),
+        sqrt(size(col("fs")).cast("double")).as("sm"), explode(col("fs")).as("f"))
+      .repartition(col("did")).cache()
+    val nDocs = feats.select(countDistinct(col("did"))).head().getLong(0).toDouble
+    val w = new Array[Double](dim)
+    val v = new Array[Double](dim)
+    try {
+      (1 to iters).foreach { _ =>
+        val wFp = w.map(fpLong)
+        // margin_fp(doc) = Σ_{f present} round(w_f·FP): exact integer
+        // sum, order-independent; reuses the did partitioning. The
+        // 1/sqrt(m) feature scale divides once outside the sum.
+        val margins = feats
+          .select(col("did"), col("sm"), element_at(lit(wFp), col("f") + 1).as("mfp"))
+          .groupBy("did").agg(sum(col("mfp")).as("mfp"), first(col("sm")).as("sm"))
+          .select(col("did"),
+            (lit(1.0) / (lit(1.0) + strict_exp(
+              -(col("mfp").cast("double") / lit(fixedPointScale) / col("sm"))))).as("p"))
+        // grad_f = Σ_{docs containing f} (p-y)/sqrt(m): per-row double
+        // rounds to a scaled long BEFORE the cross-partition sum
+        val grad = feats.join(margins, Seq("did"))
+          .select(col("f"),
+            round((col("p") - col("y")) / col("sm") * lit(fixedPointScale)).cast("long").as("gfp"))
+          .groupBy("f").agg(sum(col("gfp")).as("gfp"))
+          .collect()
+        // dense driver-side update: the velocity decays on EVERY
+        // dimension each pass, including zero-gradient ones
+        val g = new Array[Double](dim)
+        grad.foreach { r =>
+          g(r.getInt(0)) = (r.getLong(1).toDouble / fixedPointScale) / nDocs
+        }
+        var f = 0
+        while (f < dim) {
+          v(f) = momentum * v(f) + g(f)
+          w(f) = w(f) - lr * v(f)
+          f += 1
+        }
+      }
+    } finally feats.unpersist()
+    w
+  }
+
+  /** Scan-fused scoring under trained weights: the margin folds the
+    * doc's distinct feature ids against the broadcast scaled-long weight
+    * literal — zero shuffles, exactly the arithmetic [[train]] used, so
+    * a doc's training-time probability is its scoring-time probability.
+    */
+  def score(text: Column, weights: Array[Double], dim: Int): Column = {
+    val wFp = weights.map(fpLong)
+    val fs = array_distinct(transform(Tokenizer.preTokens(text), w => featCol(w, dim)))
+    val mfp = aggregate(fs, lit(0L), (acc, f) => acc + element_at(lit(wFp), f + 1))
+    val margin = when(size(fs) > 0,
+      mfp.cast("double") / lit(fixedPointScale) / sqrt(size(fs).cast("double")))
+      .otherwise(lit(0.0))
+    // StrictMath sigmoid: Math.exp's JIT intrinsic is not bit-stable
+    lit(1.0) / (lit(1.0) + strict_exp(-margin))
+  }
+}

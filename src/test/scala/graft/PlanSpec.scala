@@ -360,6 +360,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<text:string>"), p)
   }
 
+  test("quality-model scoring is a scan-fused fold: weights ride as a " +
+    "literal, no aggregate, no codegen fallback") {
+    graft.functions.Functions.ensure(spark)
+    val w = Array.tabulate(64)(i => (i % 7 - 3) * 0.1)
+    val p = Tables(spark, sf, "documents")
+      .select(graft.operators.QualityModel.score(org.apache.spark.sql.functions.col("text"), w, 64).as("p"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("HashAggregate") && !p.contains("Exchange"), p)
+    assert(p.contains("strict_exp"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
+  }
+
   test("BPE encode is one scan-fused projection: merges ship as a task " +
     "constant, no shuffle, no codegen fallback") {
     val p = plan("q_bpe_encode")
