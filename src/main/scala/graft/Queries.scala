@@ -2261,6 +2261,36 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_bpe_fertility",
+      // tokenizer-quality analytic teams actually track: per-language
+      // corpus fertility (tokens/word, tokens/100 chars) under the
+      // learned merge table. Exact long sums aggregate per language
+      // (map-side partial), dividing ONCE at the end — no rounding,
+      // identical operands divide to identical bits. Merges train on the
+      // same corpus as q_bpe_train.
+      Some("""SELECT lang, n_docs, tokens_per_word, tokens_per_100chars
+              FROM parquet_scan('{FIX}/_fixture_bpefertility/*.parquet')
+              ORDER BY lang"""),
+      (s, d) => {
+        prep(s)
+        val all = Tables.spread(t(s, d, "documents"))
+        val merges = Tokenizer.bpeTrain(all, "text", 60)
+        val toks = Tokenizer.encode(col("text"), merges)
+        all.filter(col("text").isNotNull && col("lang").isNotNull)
+          .select(col("lang"), size(toks).cast("long").as("nt"),
+            size(Tokenizer.preTokens(col("text"))).cast("long").as("nw"),
+            length(col("text")).cast("long").as("nc"))
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("snt"), sum(col("nw")).as("snw"),
+            sum(col("nc")).as("snc"))
+          .select(col("lang"), col("n_docs"),
+            (col("snt").cast("double") / col("snw").cast("double"))
+              .as("tokens_per_word"),
+            (col("snt").cast("double") * lit(100.0) / col("snc").cast("double"))
+              .as("tokens_per_100chars"))
+          .orderBy("lang")
+      }),
+
     QueryDef("q_quality_model",
       // TRAINED document classifier (the fastText-linear/FineWeb-Edu
       // shape): logistic regression over hashed bag-of-words, full-batch

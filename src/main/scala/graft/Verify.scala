@@ -359,33 +359,60 @@ object Verify {
       }
       out.result()
     }
+    // GPT-2-style encoder over the trained merges (lowest-rank bigram
+    // loop — the same semantics BpeEncode implements, independently)
+    lazy val bpeRankMap: Map[(String, String), Int] =
+      bpeMergesRef.map { case (rk, l, r, _) => ((l, r), rk) }.toMap
+    def bpeEncodeWordRef(word: String): List[String] = {
+      var syms = bpeSymsOf(word)
+      var done = false
+      while (!done && syms.lengthCompare(1) > 0) {
+        val ranked = syms.sliding(2)
+          .collect { case List(a, b) => (a, b) }
+          .flatMap(p => bpeRankMap.get(p).map(p -> _)).toList
+        if (ranked.isEmpty) done = true
+        else {
+          val (p, _) = ranked.minBy(_._2)
+          syms = bpeApplyMerge(syms, p._1, p._2)
+        }
+      }
+      syms
+    }
     fixture("_fixture_bpetrain") {
       bpeMergesRef.toDF("rank", "lhs", "rhs", "pair_freq").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpetrain")
     }
     fixture("_fixture_bpeencode") {
-      val rankMap = bpeMergesRef.map { case (rk, l, r, _) => ((l, r), rk) }.toMap
-      def encodeWord(word: String): List[String] = {
-        var syms = bpeSymsOf(word)
-        var done = false
-        while (!done && syms.lengthCompare(1) > 0) {
-          val ranked = syms.sliding(2)
-            .collect { case List(a, b) => (a, b) }
-            .flatMap(p => rankMap.get(p).map(p -> _)).toList
-          if (ranked.isEmpty) done = true
-          else {
-            val (p, _) = ranked.minBy(_._2)
-            syms = bpeApplyMerge(syms, p._1, p._2)
-          }
-        }
-        syms
-      }
       val rows = bpeDocs.map { case (id, text) =>
-        val toks = bpeWords(text).flatMap(encodeWord)
+        val toks = bpeWords(text).flatMap(bpeEncodeWordRef)
         (id, toks.length, toks.take(12).mkString("|"))
       }
       rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpeencode")
+    }
+    fixture("_fixture_bpefertility") {
+      // per-language corpus fertility under the learned merges: exact
+      // integer sums divide once at the end (raw IEEE quotient of
+      // identical operands — the house determinism rule)
+      val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "lang").as[(Long, String)].collect()
+        .filter(_._2 != null).toMap
+      val perLang = bpeDocs.filter(d => langs.contains(d._1))
+        .groupBy(d => langs(d._1)).toSeq.map { case (lang, ds) =>
+          var nt = 0L; var nw = 0L; var nc = 0L
+          ds.foreach { case (_, text) =>
+            val ws = bpeWords(text)
+            nt += ws.iterator.map(bpeEncodeWordRef(_).length).sum
+            nw += ws.length
+            // Spark length() counts code points, not UTF-16 units
+            nc += text.codePointCount(0, text.length)
+          }
+          (lang, ds.length.toLong, nt.toDouble / nw.toDouble,
+            nt.toDouble * 100.0 / nc.toDouble)
+        }.sortBy(_._1)
+      perLang.toDF("lang", "n_docs", "tokens_per_word", "tokens_per_100chars")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_bpefertility")
     }
     fixture("_fixture_tokens") {
       val toks = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -154,4 +154,43 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BPE: random corpora train deterministically; encoding always " +
+    "reconstructs the word and replaying merges in rank order agrees " +
+    "with the lowest-rank-first encoder") {
+    import graft.functions.Bpe
+    import graft.operators.Tokenizer
+    // words over a tiny alphabet force heavy merge interaction; include a
+    // multibyte char so code-point granularity is exercised
+    val bpeWordGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "é")).map(_.mkString)))
+    forAllSamples(Gen.zip(bpeWordGen, Gen.chooseNum(0, 12)), n = 200) {
+      case (ws, nMerges) =>
+        val hist = ws.groupMapReduce(identity)(_ => 1L)(_ + _).toSeq
+        val merges = Tokenizer.trainOnHistogram(hist, nMerges)
+        assert(merges === Tokenizer.trainOnHistogram(hist.reverse, nMerges))
+        assert(merges.map(_.rank) === (1 to merges.size))
+        val model = new Bpe.Model(merges.map(_.left).toArray, merges.map(_.right).toArray)
+        ws.distinct.foreach { w =>
+          val toks = model.encodeWord(w)
+          // reconstruction invariant
+          assert(toks.mkString === w + Bpe.EndOfWord, s"word $w -> ${toks.toSeq}")
+          // sequential replay of the merge list (the training-side
+          // formulation) must agree with the encoder's
+          // lowest-rank-first loop
+          var syms: List[String] = Bpe.initialSymbols(w).toList
+          merges.foreach { m =>
+            def apply(l: List[String]): List[String] = l match {
+              case a :: b :: rest if a == m.left && b == m.right =>
+                (a + b) :: apply(rest)
+              case a :: rest => a :: apply(rest)
+              case Nil => Nil
+            }
+            syms = apply(syms)
+          }
+          assert(toks.toSeq === syms, s"word $w: rank-replay $syms vs encoder ${toks.toSeq}")
+        }
+    }
+  }
 }

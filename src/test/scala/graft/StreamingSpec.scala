@@ -542,4 +542,39 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(got === want, "exhaustive probe over the streamed-in index must equal brute force")
   }
+
+  test("trained quality-model scores a stream statelessly: streaming " +
+    "inference is bit-equal to batch scoring") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.Functions.ensure(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+      .withColumn("y_b", org.apache.spark.sql.functions.array_contains(
+        graft.operators.Tokenizer.preTokens(col("text")), "spark"))
+    // train once on the batch table (the production shape: train on a
+    // bounded sample, score the firehose)
+    val w = graft.operators.QualityModel.train(
+      docs, "doc_id", "text", "y_b", dim = 256, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqm").toString
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(docs.select("doc_id", "text").schema).parquet(dir)
+    val q = stream
+      .select(col("doc_id"),
+        graft.operators.QualityModel.score(col("text"), w, 256).as("p"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sqm_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sqm_out").as[(Long, Double)].collect().toMap
+      val batch = docs.select(col("doc_id"),
+          graft.operators.QualityModel.score(col("text"), w, 256).as("p"))
+        .as[(Long, Double)].collect().toMap
+      // the scan-fused fold is stateless and strict_exp is bit-stable, so
+      // micro-batching cannot change a single bit
+      assert(streamed === batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
