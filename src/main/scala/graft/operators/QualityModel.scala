@@ -124,6 +124,24 @@ object QualityModel {
     w
   }
 
+  /** Persist trained weights (index-keyed parquet): the classifier
+    * artifact — train once on a bounded sample, load everywhere.
+    */
+  def saveWeights(spark: org.apache.spark.sql.SparkSession, weights: Array[Double],
+                  dir: String): Unit = {
+    import spark.implicits._
+    weights.zipWithIndex.map { case (x, i) => (i, x) }.toSeq.toDF("f", "w")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load persisted weights as the dense vector [[score]] takes. */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, dir: String): Array[Double] = {
+    val rows = spark.read.parquet(dir).select("f", "w").collect()
+    val w = new Array[Double](rows.length)
+    rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    w
+  }
+
   /** Scan-fused scoring under trained weights: the margin folds the
     * doc's distinct feature ids against the broadcast scaled-long weight
     * literal — zero shuffles, exactly the arithmetic [[train]] used, so

@@ -143,4 +143,22 @@ object Tokenizer {
     val rights = merges.map(_.right).toArray
     call_function("bpe_encode", text, lit(lefts), lit(rights))
   }
+
+  /** Persist a trained merge table (rank-ordered parquet — the tokenizer
+    * artifact a pipeline trains once and every later job loads).
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
+                 dir: String): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs", "pair_freq")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted merge table, rank order restored. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Merge] =
+    spark.read.parquet(dir)
+      .select("rank", "lhs", "rhs", "pair_freq")
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
 }

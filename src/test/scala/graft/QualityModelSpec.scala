@@ -40,6 +40,20 @@ class QualityModelSpec extends SparkSpec {
       s"train accuracy ${correct / n} vs majority baseline $base")
   }
 
+  test("weights round-trip through parquet; loaded model scores identically") {
+    import spark.implicits._
+    val w = QualityModel.train(docs, "doc_id", "text", "y_b", dim = 128, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-qm-save").toString
+    QualityModel.saveWeights(spark, w, dir)
+    val loaded = QualityModel.loadWeights(spark, dir)
+    assert(loaded.toSeq === w.toSeq)
+    val a = docs.select(col("doc_id"), QualityModel.score(col("text"), w, 128))
+      .as[(Long, Double)].collect().toMap
+    val b = docs.select(col("doc_id"), QualityModel.score(col("text"), loaded, 128))
+      .as[(Long, Double)].collect().toMap
+    assert(a === b)
+  }
+
   test("scoring fold reproduces the training-time probability") {
     import spark.implicits._
     val dim = 256

@@ -61,6 +61,18 @@ class TokenizerSpec extends SparkSpec {
     assert(got(3L) === None)
   }
 
+  test("merge table round-trips through parquet; loaded model encodes identically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Tokenizer.bpeTrain(docs, "text", 30)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-save").toString
+    Tokenizer.saveMerges(spark, merges, dir)
+    val loaded = Tokenizer.loadMerges(spark, dir)
+    assert(loaded === merges)
+    val a = docs.select(Tokenizer.encode(col("text"), merges).as("t")).collect().map(_.toSeq)
+    val b = docs.select(Tokenizer.encode(col("text"), loaded).as("t")).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("trainOnHistogram is deterministic under histogram order and ties") {
     val hist = Seq(("ab", 3L), ("ba", 3L), ("aa", 2L))
     val m1 = Tokenizer.trainOnHistogram(hist, 5)
