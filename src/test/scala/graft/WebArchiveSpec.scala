@@ -124,6 +124,62 @@ class WebArchiveSpec extends SparkSpec {
     }
   }
 
+  test("gzip member reader: randomized payloads, arbitrary split points and " +
+    "injected garbage still yield every member exactly once") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.mapreduce.lib.input.FileSplit
+    import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+    import org.apache.hadoop.mapreduce.TaskAttemptID
+    val rnd = new scala.util.Random(0x6Eed)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gzprop")
+    (1 to 12).foreach { trial =>
+      // members with payloads from empty to multi-KB binary-ish text;
+      // some trials inject garbage between members (mid-file corruption:
+      // robust-lossy resync must skip it without losing real members)
+      val n = 1 + rnd.nextInt(6)
+      val payloads = (1 to n).map { i =>
+        val len = rnd.nextInt(3000)
+        val sb = new StringBuilder(s"member-$trial-$i:")
+        (0 until len).foreach(_ => sb.append((32 + rnd.nextInt(90)).toChar))
+        sb.toString
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      payloads.foreach { p =>
+        if (rnd.nextInt(3) == 0) {
+          // garbage that may even contain the gzip magic prefix — the
+          // CRC-validated decode must reject it and rescan
+          val g = new Array[Byte](1 + rnd.nextInt(40))
+          rnd.nextBytes(g)
+          if (g.length > 2 && rnd.nextBoolean()) { g(0) = 0x1f; g(1) = 0x8b.toByte; g(2) = 0x08 }
+          bos.write(g)
+        }
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(p.getBytes("UTF-8")); gz.finish()
+      }
+      val bytes = bos.toByteArray
+      val f = dir.resolve(s"t$trial.gz")
+      java.nio.file.Files.write(f, bytes)
+      // random 2-3 way split points — ownership rule must hand every
+      // member to exactly one range, wherever the cut lands
+      val cuts = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(bytes.length + 1)).sorted.distinct
+      val bounds = (0 +: cuts :+ bytes.length).distinct.sliding(2).toSeq
+      val got = bounds.flatMap { case Seq(s, e) =>
+        val split = new FileSplit(new Path(f.toUri), s.toLong, (e - s).toLong, Array.empty)
+        val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
+        val reader = new graft.sources.GzipMemberInputFormat().createRecordReader(split, ctx)
+        reader.initialize(split, ctx)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (reader.nextKeyValue()) out += reader.getCurrentValue.toString
+        reader.close()
+        out
+      }
+      assert(got.sorted === payloads.sorted,
+        s"trial $trial: splits at $cuts of ${bytes.length}B")
+    }
+  }
+
   test("WARC/1.1 archives split on the version prefix") {
     val rec11 = wetRecord("http://v11.example/1", "a record in a 1.1 archive")
       .replace("WARC/1.0", "WARC/1.1") +
