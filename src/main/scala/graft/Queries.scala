@@ -2235,8 +2235,9 @@ object Queries {
               FROM parquet_scan('{FIX}/_fixture_bpetrain/*.parquet')
               ORDER BY rank"""),
       (s, d) => {
+        prep(s)
         val docs = Tables.spread(t(s, d, "documents"))
-        Tokenizer.mergesDf(docs, Tokenizer.bpeTrain(docs, "text", 60))
+        Tokenizer.mergesDf(s, Tokenizer.bpeTrain(docs, "text", 60))
           .orderBy("rank")
       }),
 

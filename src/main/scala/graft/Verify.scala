@@ -326,18 +326,32 @@ object Verify {
       b += "</w>"
       b.result()
     }
-    def bpeApplyMerge(syms: List[String], l: String, r: String): List[String] =
-      syms match {
-        case a :: b :: rest if a == l && b == r => (l + r) :: bpeApplyMerge(rest, l, r)
-        case a :: rest => a :: bpeApplyMerge(rest, l, r)
-        case Nil => Nil
+    // iterative, not recursive: a single multi-100k-code-point token
+    // (base64 blob in crawled text) would blow the stack on recursion
+    def bpeApplyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = List.newBuilder[String]
+      var cur = syms
+      while (cur.nonEmpty) cur match {
+        case a :: b :: rest if a == l && b == r => out += (a + b); cur = rest
+        case a :: rest => out += a; cur = rest
+        case Nil => ()
       }
+      out.result()
+    }
     def bpeWords(text: String): Seq[String] =
       text.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq.filter(_.nonEmpty)
+    // engine histogram cut orders by Spark string sort = binary UTF-8;
+    // Scala's String ordering is UTF-16 code-unit and diverges for
+    // supplementary-plane words at the truncation boundary
+    def utf8Less(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
     lazy val bpeMergesRef: Seq[(Int, String, String, Long)] = {
       val hist = bpeDocs.iterator.flatMap(d => bpeWords(d._2))
         .toSeq.groupMapReduce(identity)(_ => 1L)(_ + _)
-        .toSeq.sortBy { case (w, f) => (-f, w) }.take(50000)
+        .toSeq.sortWith { case ((w1, f1), (w2, f2)) =>
+          f1 > f2 || (f1 == f2 && utf8Less(w1, w2)) }.take(50000)
       var cur = hist.map { case (w, f) => (bpeSymsOf(w), f) }
       val out = Seq.newBuilder[(Int, String, String, Long)]
       var rank = 1

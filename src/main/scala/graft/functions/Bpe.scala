@@ -46,13 +46,15 @@ object Bpe {
     require(lefts.length == rights.length,
       s"merge table arity mismatch: ${lefts.length} lefts, ${rights.length} rights")
 
-    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-      val m = new java.util.HashMap[String, Integer](lefts.length * 2)
+    // nested left -> (right -> rank): a flat concatenated-string key
+    // would collide for pairs whose symbols contain the separator (text
+    // CAN carry any code point, including NUL)
+    @transient private lazy val rank: java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+      val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]](lefts.length * 2)
       var i = 0
       while (i < lefts.length) {
-        // NUL never occurs in a symbol (symbols come from real text code
-        // points), so it is a safe pair separator for the rank key
-        m.putIfAbsent(lefts(i) + "\u0000" + rights(i), Integer.valueOf(i))
+        m.computeIfAbsent(lefts(i), _ => new java.util.HashMap[String, Integer]())
+          .putIfAbsent(rights(i), Integer.valueOf(i))
         i += 1
       }
       m
@@ -72,7 +74,9 @@ object Bpe {
       }
 
     private def rankOf(a: String, b: String): Int = {
-      val r = rank.get(a + "\u0000" + b)
+      val inner = rank.get(a)
+      if (inner == null) return Int.MaxValue
+      val r = inner.get(b)
       if (r == null) Int.MaxValue else r.intValue()
     }
 

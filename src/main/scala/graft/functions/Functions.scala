@@ -47,6 +47,7 @@ object Functions {
     "bpe_encode"      -> (es => BpeEncode(es(0), constStrings(es(1)), constStrings(es(2)))),
     "nfc_normalize"   -> (es => NfcNormalize(es.head)),
     "strict_exp"      -> (es => StrictExp(es.head)),
+    "java_lower"      -> (es => JavaLower(es.head)),
     "min_timeuuid"    -> (es => MinTimeUuid(es.head)),
     "max_timeuuid"    -> (es => MaxTimeUuid(es.head)),
     "timeuuid_unix_millis" -> (es => TimeUuidMillis(es.head)),
@@ -56,11 +57,23 @@ object Functions {
     "cql_div" -> (es => new org.apache.spark.sql.catalyst.expressions.IntegralDivide(es(0), es(1)))
   )
 
-  private def constStrings(e: Expression): Seq[String] =
-    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toArray[org.apache.spark.unsafe.types.UTF8String](
-        org.apache.spark.sql.types.StringType)
-      .map(_.toString).toSeq
+  private def constStrings(e: Expression): Seq[String] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        "bpe_encode merge tables must be constant string arrays (foldable), " +
+          s"got non-constant argument: ${e.sql}")
+    val arr = e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case other => throw new IllegalArgumentException(
+        s"bpe_encode merge tables must be string arrays, got: $other")
+    }
+    val out = arr.toArray[org.apache.spark.unsafe.types.UTF8String](
+      org.apache.spark.sql.types.StringType)
+    if (out.exists(_ == null))
+      throw new IllegalArgumentException(
+        "bpe_encode merge tables must not contain NULL symbols")
+    out.map(_.toString).toSeq
+  }
 
   def install(e: SparkSessionExtensions): Unit =
     builders.foreach { case (name, b) =>
@@ -130,6 +143,7 @@ object Functions {
   def bpe_encode(text: Column, lefts: Column, rights: Column): Column =
     call_function("bpe_encode", text, lefts, rights)
   def strict_exp(x: Column): Column = call_function("strict_exp", x)
+  def java_lower(text: Column): Column = call_function("java_lower", text)
 }
 
 /** `SparkSessionExtensions` hook: functions (and, in later rounds, rules). */

@@ -371,6 +371,31 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
 }
 
+/** `java_lower(text)` — String.toLowerCase(Locale.ROOT). Spark 4's
+  * `lower()` lowercases through ICU (spark.sql.icu.caseMappings.enabled
+  * defaults true), whose tables differ from the JVM's for recent code
+  * points (e.g. U+A7D0, U+10570) — so a pipeline whose driver-side
+  * kernels lowercase with the JVM (BPE training replay, oracle
+  * replicas) must lowercase the in-plan side with the SAME tables or
+  * the two halves disagree on exotic scripts. Codegen'd, scan-fused.
+  */
+case class JavaLower(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"java_lower requires text input, got $t")
+  }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "java_lower"
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      v.toString.toLowerCase(java.util.Locale.ROOT))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"$c.toString().toLowerCase(java.util.Locale.ROOT))")
+  override protected def withNewChildInternal(c: Expression): JavaLower = copy(c)
+}
+
 /** `strict_exp(x)` — StrictMath.exp. java.lang.Math.exp is only
   * quasi-deterministic: the JIT intrinsic and the interpreted fallback
   * may differ in the last ulp for the SAME input in the SAME JVM, which

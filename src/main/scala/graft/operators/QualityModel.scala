@@ -151,9 +151,11 @@ object QualityModel {
     val wFp = weights.map(fpLong)
     val fs = array_distinct(transform(Tokenizer.preTokens(text), w => featCol(w, dim)))
     val mfp = aggregate(fs, lit(0L), (acc, f) => acc + element_at(lit(wFp), f + 1))
+    // null text -> null score (not 0.5: a silent p=0.5 would sail
+    // through a keep-if-positive curation gate); token-less text -> 0.5
     val margin = when(size(fs) > 0,
       mfp.cast("double") / lit(fixedPointScale) / sqrt(size(fs).cast("double")))
-      .otherwise(lit(0.0))
+      .when(size(fs) === 0, lit(0.0))
     // StrictMath sigmoid: Math.exp's JIT intrinsic is not bit-stable
     lit(1.0) / (lit(1.0) + strict_exp(-margin))
   }

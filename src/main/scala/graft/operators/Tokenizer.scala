@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Bpe
+import graft.functions.Functions.java_lower
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -32,10 +33,14 @@ object Tokenizer {
   /** Whitespace pre-tokenization: lowercase, `\s+`-split, empties dropped
     * (leading whitespace yields an empty head token in both Spark and
     * java.lang.String.split — filtered identically here and in the
-    * driver-side loop).
+    * driver-side loop). Lowercasing is `java_lower`, NOT Spark's ICU
+    * `lower()`: the driver-side halves of this pipeline (merge replay,
+    * oracle replicas, Bpe.Model.encodeText) lowercase with the JVM
+    * tables, and the two disagree on recent code points (U+A7D0 etc.) —
+    * both sides must share one semantic. Requires `Functions.ensure`.
     */
   def preTokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+    filter(split(java_lower(text), "\\s+"), w => length(w) > 0)
 
   /** Distributed word histogram — the single pass over raw text. One
     * shuffle, map-side partial aggregation, no driver involvement.
@@ -129,8 +134,7 @@ object Tokenizer {
   /** Learned merges as a DataFrame (for persistence or the oracle gate).
     * Columns lhs/rhs, not left/right — those are SQL keywords downstream.
     */
-  def mergesDf(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val spark = docs.sparkSession
+  def mergesDf(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._
     merges.toDF("rank", "lhs", "rhs", "pair_freq")
   }
@@ -148,11 +152,8 @@ object Tokenizer {
     * artifact a pipeline trains once and every later job loads).
     */
   def saveMerges(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
-                 dir: String): Unit = {
-    import spark.implicits._
-    merges.toDF("rank", "lhs", "rhs", "pair_freq")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-  }
+                 dir: String): Unit =
+    mergesDf(spark, merges).coalesce(1).write.mode("overwrite").parquet(dir)
 
   /** Load a persisted merge table, rank order restored. */
   def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Merge] =

@@ -348,6 +348,7 @@ class PlanSpec extends SparkSpec {
 
   test("BPE word histogram aggregates partially before its single shuffle; " +
     "the scan reads only the text column") {
+    graft.functions.Functions.ensure(spark)
     val p = graft.operators.Tokenizer
       .wordHistogram(Tables(spark, sf, "documents"), "text")
       .queryExecution.explainString(FormattedMode)

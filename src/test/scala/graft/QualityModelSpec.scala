@@ -40,6 +40,19 @@ class QualityModelSpec extends SparkSpec {
       s"train accuracy ${correct / n} vs majority baseline $base")
   }
 
+  test("null text scores null (not a silent 0.5); empty text scores 0.5") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val w = Array.fill(16)(0.3)
+    val got = Seq((1L, "some text"), (2L, null), (3L, "  "))
+      .toDF("id", "text")
+      .select(col("id"), QualityModel.score(col("text"), w, 16).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got(1L).exists(_.asInstanceOf[Double] > 0.5))
+    assert(got(2L).isEmpty, "null text must score null")
+    assert(got(3L).contains(0.5), "token-less text is margin 0")
+  }
+
   test("weights round-trip through parquet; loaded model scores identically") {
     import spark.implicits._
     val w = QualityModel.train(docs, "doc_id", "text", "y_b", dim = 128, iters = 2)

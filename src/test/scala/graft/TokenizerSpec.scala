@@ -8,6 +8,7 @@ class TokenizerSpec extends SparkSpec {
 
   private def mergesOf(texts: Seq[String], n: Int): Seq[Tokenizer.Merge] = {
     import spark.implicits._
+    graft.functions.Functions.ensure(spark)
     Tokenizer.bpeTrain(texts.toDF("text"), "text", n)
   }
 
@@ -28,8 +29,9 @@ class TokenizerSpec extends SparkSpec {
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
     val merges = mergesOf(Seq(corpus.mkString(" ")), 10)
     val model = new Bpe.Model(merges.map(_.left).toArray, merges.map(_.right).toArray)
-    assert(model.encodeWord("newest").toSeq === Seq("n", "e", "w", "est</w>")
-      || model.encodeWord("newest").mkString === "newest" + Bpe.EndOfWord)
+    // ranks 1-8 assemble newest</w> completely (worked through by hand:
+    // es, est, est</w>, lo, low, ew, ewest</w>, newest</w>)
+    assert(model.encodeWord("newest").toSeq === Seq("newest" + Bpe.EndOfWord))
     // reconstruction invariant: tokens concatenate back to word + </w>
     for (w <- Seq("low", "lower", "newest", "widest", "lowest", "unseen"))
       assert(model.encodeWord(w).mkString === w + Bpe.EndOfWord)
@@ -62,6 +64,7 @@ class TokenizerSpec extends SparkSpec {
   }
 
   test("merge table round-trips through parquet; loaded model encodes identically") {
+    graft.functions.Functions.ensure(spark)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val merges = Tokenizer.bpeTrain(docs, "text", 30)
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-save").toString
@@ -71,6 +74,22 @@ class TokenizerSpec extends SparkSpec {
     val a = docs.select(Tokenizer.encode(col("text"), merges).as("t")).collect().map(_.toSeq)
     val b = docs.select(Tokenizer.encode(col("text"), loaded).as("t")).collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
+  }
+
+  test("bpe_encode rejects non-constant and null-bearing merge tables with typed errors") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val df = Seq(("a", "b")).toDF("text", "lhs")
+    val nonConst = intercept[Exception] {
+      df.select(graft.functions.Functions.bpe_encode(
+        col("text"), array(col("lhs")), array(lit("b")))).collect()
+    }
+    assert(nonConst.getMessage.contains("constant string arrays"), nonConst.getMessage)
+    val withNull = intercept[Exception] {
+      df.select(graft.functions.Functions.bpe_encode(
+        col("text"), array(lit("a"), lit(null).cast("string")), array(lit("b"), lit("c")))).collect()
+    }
+    assert(withNull.getMessage.contains("NULL symbols"), withNull.getMessage)
   }
 
   test("trainOnHistogram is deterministic under histogram order and ties") {
@@ -87,6 +106,7 @@ class TokenizerSpec extends SparkSpec {
   }
 
   test("corpus training end-to-end: merges are well-formed, encode covers the corpus") {
+    graft.functions.Functions.ensure(spark)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val merges = Tokenizer.bpeTrain(docs, "text", 40)
     assert(merges.nonEmpty && merges.size <= 40)
