@@ -872,11 +872,9 @@ class CqlEngine(val spark: SparkSession) {
         }))
       case "system.compaction_history" =>
         // the reference table carries default_time_to_live = 7 days
-        // ("week-long compaction history") — expire records at read and
-        // drop them from the buffer so it can't grow unboundedly
-        val cutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
-        compactionHistory.filterInPlace(
-          _.getAs[java.sql.Timestamp](4).getTime >= cutoff)
+        // ("week-long compaction history") — records also expire at each
+        // compact() append, so the buffer is bounded even if never read
+        pruneCompactionHistory()
         Some(mk(virtualDefs(name), compactionHistory.toSeq))
       case "system.prepared_statements" =>
         val rows = preparedRegistry.synchronized {
@@ -2981,11 +2979,24 @@ class CqlEngine(val spark: SparkSession) {
     // rows} — the reference histograms per-partition input counts from
     // its merge listener, which this single-map merge doesn't observe
     val (ksH, tnH) = splitName(name)
+    // prune on APPEND too, not just on read: an engine that compacts
+    // frequently but never queries the table must not accumulate rows
+    // without bound
+    pruneCompactionHistory()
     compactionHistory += Row(
       java.util.UUID.randomUUID().toString,
       histBytesIn, dirBytes(ck), tnH,
       new java.sql.Timestamp(System.currentTimeMillis()), ksH,
       Map(histInputs -> ckRowCount(ck)))
+  }
+
+  /** Expire compaction-history records past the reference table's 7-day
+    * default TTL ("week-long compaction history").
+    */
+  private def pruneCompactionHistory(): Unit = {
+    val cutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    compactionHistory.filterInPlace(
+      _.getAs[java.sql.Timestamp](4).getTime >= cutoff)
   }
 
   /** Recursive on-disk byte count (compaction-history accounting). */

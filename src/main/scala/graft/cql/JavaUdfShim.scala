@@ -10,12 +10,14 @@ import graft.cql.Ast._
   * Java per row — the right execution shape is a Spark SQL expression that
   * inlines into whole-stage codegen like every `LANGUAGE spark` body. So
   * this shim translates the realistic body shapes — single
-  * `return <expression>;` statements (every UDF in the reference's
-  * validation suite, `test/unit/.../entities/UFTest.java` et al., is this
-  * shape), plus local-variable declarations and `if`/`else` chains (the
-  * remaining shapes that suite's style admits) — into the equivalent Spark
-  * SQL, and rejects anything beyond that surface (loops, try, assignment,
-  * switch) with the reference's error text
+  * `return <expression>;` statements (most UDFs in the reference's
+  * validation suite, `test/unit/.../entities/UFTest.java` et al., are this
+  * shape), plus local-variable declarations, `if`/`else` chains, and
+  * counted `for` loops whose body accumulates into one local (the
+  * UFTest.java:441 StringBuilder repeat shape, lowered to
+  * `aggregate(sequence(lo, hi), init, fold)`) — into the equivalent Spark
+  * SQL, and rejects anything beyond that surface (while/do, try,
+  * free-form assignment, switch) with the reference's error text
   * (`Could not compile function '<name>' from Java source: ...`).
   *
   * Translated surface (typed bottom-up from the declared argument types, so
@@ -35,6 +37,10 @@ import graft.cql.Ast._
   *  - statements: `[final] Type x = expr;` declarations (block-scoped,
   *    initializers inline), `if`/`else if`/`else`, `return` — with javac's
   *    definite-return and unreachable-code rules
+  *  - counted `for` loops: `for (int i = A; i </<= B; i++)` with a body of
+  *    accumulation statements (`x = ...`, `x += ...`, `sb.append(...)`)
+  *    into ONE same-block local, lowered to an `aggregate(sequence)` fold;
+  *    `StringBuilder` declarations and `.append` chains
   *  - `e.toString()`, `new String(blobArg)` → CAST AS STRING
   *  - `String` methods on string-typed receivers: length isEmpty
   *    toLowerCase toUpperCase trim concat contains startsWith endsWith
@@ -190,6 +196,22 @@ object JavaUdfShim {
       * save/restore around their body so declarations stay block-scoped.
       */
     private var locals: Map[String, (String, T)] = Map.empty
+    /** Scope bookkeeping for the counted-loop translation: a loop may only
+      * accumulate into a local declared at the loop's own block depth —
+      * branch exits restore [[locals]], so a mutation of an outer-scope
+      * variable from inside a branch would silently vanish instead of
+      * translating wrong.
+      */
+    private var scopeDepth = 0
+    private var declDepth: Map[String, Int] = Map.empty
+    /** Declared SQL type per local (accumulator casts keep Java's
+      * declared-type arithmetic through the fold).
+      */
+    private var declSqlType: Map[String, String] = Map.empty
+    /** Locals declared as StringBuilder — the only receivers `.append` is
+      * legal on.
+      */
+    private var sbLocals: Set[String] = Set.empty
 
     private val declTypes: Map[String, Option[(String, T)]] = Map(
       "int" -> Some(("INT", TNum(integral = true))),
@@ -207,11 +229,15 @@ object JavaUdfShim {
       "Float" -> Some(("FLOAT", TNum(integral = false))),
       "Boolean" -> Some(("BOOLEAN", TBool)),
       "String" -> Some(("STRING", TStr)),
+      // StringBuilder is a String with value semantics here: the shim only
+      // admits mutation through counted-loop accumulation, which the fold
+      // translation threads explicitly
+      "StringBuilder" -> Some(("STRING", TStr)),
       // `var`/`final var`: no conversion, the initializer's type stands
       "var" -> None)
 
     private val rejectedKeywords = Set(
-      "for", "while", "do", "try", "switch", "throw", "synchronized")
+      "while", "do", "try", "switch", "throw", "synchronized")
 
     def parseStmts(): List[Stmt] = {
       val out = scala.collection.mutable.ListBuffer.empty[Stmt]
@@ -237,10 +263,13 @@ object JavaUdfShim {
           case _ => Nil
         }
         Some(SIf(c, thn, els))
+      case Ident("for") :: _ =>
+        next(); parseFor(); None
       case Ident(kw) :: _ if rejectedKeywords.contains(kw) =>
         fail(s"'$kw' statements are not supported by this engine's " +
-          "translation shim (declarations, if/else and return only; rewrite " +
-          "the function as LANGUAGE spark for anything larger)")
+          "translation shim (declarations, if/else, counted for-loops and " +
+          "return only; rewrite the function as LANGUAGE spark for anything " +
+          "larger)")
       case Ident("final") :: _ =>
         next(); parseDecl(); None
       case Ident(t) :: Ident(_) :: _ if declTypes.contains(t) =>
@@ -268,6 +297,10 @@ object JavaUdfShim {
       if (locals.contains(name) || argTypes.contains(name))
         fail(s"variable '$name' is already defined")
       eat("=")
+      val isSb = toks match {
+        case Ident("new") :: Ident("StringBuilder") :: _ => true
+        case _ => false
+      }
       val (sql, t) = expression()
       eat(";")
       // the declared type is a real conversion in Java (int x = …; double y
@@ -277,20 +310,213 @@ object JavaUdfShim {
         case None => (s"($sql)", t)
       }
       locals = locals.updated(name, bound)
+      declDepth = declDepth.updated(name, scopeDepth)
+      declSqlType = declSqlType.updated(name, declType match {
+        case Some((sqlT, _)) => sqlT
+        case None => t match { // var: infer the fold type from the initializer
+          case TStr => "STRING"
+          case TBool => "BOOLEAN"
+          case TNum(true) => "BIGINT"
+          case TNum(false) => "DOUBLE"
+          case _ => "STRING"
+        }
+      })
+      if (isSb) sbLocals += name
     }
 
     private def parseBranch(): List[Stmt] = peek match {
       case Some(Op("{")) =>
         next()
-        val saved = locals
+        val saved = (locals, declDepth, declSqlType, sbLocals)
+        scopeDepth += 1
         val ss = parseStmts()
         eat("}")
-        locals = saved
+        scopeDepth -= 1
+        locals = saved._1; declDepth = saved._2
+        declSqlType = saved._3; sbLocals = saved._4
         ss
       case _ => parseStmt() match {
         case Some(s) => List(s)
         case None => fail("a declaration cannot be the sole statement of a branch")
       }
+    }
+
+    // ── counted-loop translation ──────────────────────────────────────
+    /** `for (int i = A; i < B; i++) <accumulation>` — the UFTest.java:441
+      * shape (`cassandra/test/unit/org/apache/cassandra/cql3/validation/
+      * entities/UFTest.java:441`: StringBuilder repeat-append). The loop
+      * must be a counted ascending scan (`<`/`<=` bound, `i++`/`++i`/
+      * `i += 1`/`i = i + 1` step) whose body only folds into ONE local
+      * declared at the loop's own scope depth — then it lowers exactly to
+      *   IF(upper < lower, init,
+      *      aggregate(sequence(lower, upper), init, (acc, i) -> step))
+      * with the accumulator cast to its declared Java type at every step so
+      * int/long/double arithmetic resolves like javac's. Anything else —
+      * while, decrementing or data-dependent loops, multi-variable bodies,
+      * mutation of an outer-branch local (which the branch-exit restore
+      * would silently discard) — rejects with the shim's compile-error
+      * text, exactly as before.
+      */
+    private def parseFor(): Unit = {
+      eat("(")
+      next() match {
+        case Ident("int") | Ident("long") =>
+        case other => fail("only counted 'for (int i = ...; i < bound; i++)' " +
+          s"loops translate; found loop variable type $other")
+      }
+      val lv = next() match {
+        case Ident(n) => n
+        case other => fail(s"expected a loop variable name, found $other")
+      }
+      if (locals.contains(lv) || argTypes.contains(lv))
+        fail(s"variable '$lv' is already defined")
+      eat("=")
+      val (lo, _) = expression()
+      eat(";")
+      next() match {
+        case Ident(`lv`) =>
+        case other => fail(s"counted-loop condition must test '$lv', found $other")
+      }
+      val cmp = next() match {
+        case Op("<") => "<"
+        case Op("<=") => "<="
+        case other => fail("counted-loop condition must be an ascending " +
+          s"'<' or '<=' bound, found $other")
+      }
+      val (hi, _) = expression()
+      eat(";")
+      toks match {
+        case Ident(`lv`) :: Op("+") :: Op("+") :: Op(")") :: rest => toks = Op(")") :: rest
+        case Op("+") :: Op("+") :: Ident(`lv`) :: Op(")") :: rest => toks = Op(")") :: rest
+        case Ident(`lv`) :: Op("+") :: Op("=") :: NumLit("1", true) :: Op(")") :: rest =>
+          toks = Op(")") :: rest
+        case Ident(`lv`) :: Op("=") :: Ident(`lv`) :: Op("+") :: NumLit("1", true) :: Op(")") :: rest =>
+          toks = Op(")") :: rest
+        case _ => fail(s"counted-loop increment must step '$lv' by exactly one " +
+          "('i++', '++i', 'i += 1' or 'i = i + 1')")
+      }
+      eat(")")
+      // collect the body's accumulation statements (single or braced)
+      val braced = peek.contains(Op("{"))
+      if (braced) next()
+      val saved = (locals, declDepth, declSqlType, sbLocals)
+      locals = locals.updated(lv, (lv, TNum(integral = true)))
+      var accName: Option[String] = None
+      var done = false
+      while (!done) {
+        toks match {
+          case Op("}") :: rest if braced => toks = rest; done = true
+          case _ =>
+            val name = toks match {
+              case Ident(n) :: _ => n
+              case t :: _ => fail(s"unsupported loop-body statement starting at $t " +
+                "(a counted loop may only accumulate into one local)")
+              case Nil => fail("unexpected end of loop body")
+            }
+            if (Set("return", "if", "for") (name) || rejectedKeywords(name))
+              fail(s"'$name' inside a counted loop is not supported by this " +
+                "engine's translation shim (loop bodies may only accumulate " +
+                "into one local)")
+            if (name == lv) fail("the loop variable cannot be reassigned")
+            if (!locals.contains(name) && !saved._1.contains(name))
+              fail(s"unknown identifier '$name' in loop body")
+            if (!saved._2.get(name).contains(scopeDepth))
+              fail(s"loop accumulation into '$name' is not supported: the " +
+                "accumulator must be a local declared in the same block as " +
+                "the loop itself")
+            accName match {
+              case Some(a) if a != name =>
+                fail("a counted loop may only accumulate into one local " +
+                  s"(saw both '$a' and '$name')")
+              case None =>
+                accName = Some(name)
+                // inside the body, the accumulator IS the fold's lambda
+                // variable; its pre-loop value becomes the fold's init
+                locals = locals.updated(name, (name, saved._1(name)._2))
+              case _ =>
+            }
+            parseAccumStmt(name)
+            if (!braced) done = true
+        }
+      }
+      locals = accName match {
+        case None => saved._1 // empty body: the loop is a no-op
+        case Some(a) =>
+          val stepSql = locals(a)._1
+          val t = saved._1(a)._2
+          val sqlT = declSqlType.getOrElse(a, "STRING")
+          val init = s"CAST((${saved._1(a)._1}) AS $sqlT)"
+          val lower = s"CAST(($lo) AS BIGINT)"
+          val upper =
+            if (cmp == "<") s"(CAST(($hi) AS BIGINT) - 1L)"
+            else s"CAST(($hi) AS BIGINT)"
+          val agg = s"IF($upper < $lower, $init, aggregate(sequence($lower, " +
+            s"$upper), $init, ($a, $lv) -> CAST(($stepSql) AS $sqlT)))"
+          saved._1.updated(a, (agg, t))
+      }
+      declDepth = saved._2; declSqlType = saved._3; sbLocals = saved._4
+    }
+
+    /** One loop-body accumulation statement over accumulator `acc` (bound
+      * in [[locals]] to its in-fold value): `acc = expr;`, `acc <op>= expr;`
+      * or `acc.append(e1).append(e2)...;` on a StringBuilder. Rebinds
+      * [[locals]] so sequential statements thread acc' = f2(f1(acc)).
+      */
+    private def parseAccumStmt(acc: String): Unit = {
+      val cur = locals(acc)
+      toks match {
+        case Ident(_) :: Op("=") :: rest =>
+          toks = rest
+          val e = expression()
+          eat(";")
+          locals = locals.updated(acc, e)
+        case Ident(_) :: Op(op @ ("+" | "-" | "*" | "/")) :: Op("=") :: rest =>
+          toks = rest
+          val e = expression()
+          eat(";")
+          locals = locals.updated(acc, compoundCombine(op, cur, e))
+        case Ident(_) :: Op(".") :: Ident("append") :: _ if sbLocals.contains(acc) =>
+          toks = toks.drop(3)
+          var v = cur
+          var more = true
+          while (more) {
+            callArgs() match {
+              case List(a) => v = (s"concat(${v._1}, ${javaStr(a)})", TStr)
+              case _ => fail("StringBuilder.append takes exactly one argument")
+            }
+            toks match {
+              case Op(".") :: Ident("append") :: rest => toks = rest
+              case _ => more = false
+            }
+          }
+          eat(";")
+          locals = locals.updated(acc, v)
+        case _ => fail("a counted-loop body may only contain accumulation " +
+          s"statements over '$acc' ('$acc = ...', '$acc += ...' or " +
+          s"'$acc.append(...)')")
+      }
+    }
+
+    /** Java compound-assignment combine — same semantics as the binary
+      * operator table: String `+=` stringifies like `String +`, integral
+      * `/` truncates.
+      */
+    private def compoundCombine(op: String, l: (String, T), r: (String, T)): (String, T) =
+      if (op == "+" && (l._2 == TStr || r._2 == TStr))
+        (s"concat(${javaStr(l)}, ${javaStr(r)})", TStr)
+      else {
+        val t = numT(l, r)
+        if (op == "/" && t == TNum(integral = true))
+          (s"(${l._1} div ${r._1})", t)
+        else (s"(${l._1} $op ${r._1})", t)
+      }
+
+    /** Java `String.valueOf` of an expression: non-strings stringify, null
+      * prints "null".
+      */
+    private def javaStr(e: (String, T)): String = e._2 match {
+      case TStr => s"COALESCE(${e._1}, 'null')"
+      case _ => s"COALESCE(CAST(${e._1} AS STRING), 'null')"
     }
 
     /** Lower a statement sequence to the expression it returns. `cont` is
@@ -381,14 +607,10 @@ object JavaUdfShim {
 
     private def additive(): (String, T) =
       binaryChain(() => multiplicative(), Set("+", "-")) { (o, l, r) =>
-        if (o == "+" && (l._2 == TStr || r._2 == TStr)) {
+        if (o == "+" && (l._2 == TStr || r._2 == TStr))
           // Java String + : String.valueOf both sides; null prints "null"
-          def str(e: (String, T)) = e._2 match {
-            case TStr => s"COALESCE(${e._1}, 'null')"
-            case _ => s"COALESCE(CAST(${e._1} AS STRING), 'null')"
-          }
-          (s"concat(${str(l)}, ${str(r)})", TStr)
-        } else (s"(${l._1} $o ${r._1})", numT(l, r))
+          (s"concat(${javaStr(l)}, ${javaStr(r)})", TStr)
+        else (s"(${l._1} $o ${r._1})", numT(l, r))
       }
 
     private def multiplicative(): (String, T) =
@@ -546,6 +768,14 @@ object JavaUdfShim {
           callArgs() match {
             case List((a, _)) => (s"CAST($a AS STRING)", TStr)
             case _ => fail("new String(..) supports exactly one argument")
+          }
+        case Ident("StringBuilder") =>
+          callArgs() match {
+            case Nil => ("''", TStr)
+            // StringBuilder(int) is a capacity hint — still empty
+            case List((_, TNum(_))) => ("''", TStr)
+            case List((a, _)) => (s"CAST($a AS STRING)", TStr)
+            case _ => fail("new StringBuilder(..) supports at most one argument")
           }
         case other => fail(s"unsupported constructor 'new $other'")
       }

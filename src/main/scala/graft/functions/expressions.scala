@@ -428,6 +428,11 @@ case class StrictExp(child: Expression) extends UnaryExpression {
   * deployment.
   */
 object Deflate {
+  // no explicit end(): since JDK 12 (JDK-8185582) Deflater releases its
+  // native zlib state through an internal Cleaner once the instance is
+  // unreachable, so a dying executor thread's value is reclaimed — the
+  // ThreadLocal only pins native memory for LIVE threads (bounded by the
+  // executor pool), not churned ones
   private val local = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(6, true)

@@ -239,12 +239,15 @@ object Quality {
     val thr = scored.groupBy(col(lang))
       .agg(round(expr(s"percentile($score, 0.3333333333333333D)"), 6).as("_t_lo"),
            round(expr(s"percentile($score, 0.6666666666666666D)"), 6).as("_t_hi"))
-    scored.join(broadcast(thr), lang)
+      .withColumnRenamed(lang, "_thr_lang")
+    // null-safe join key: docs with a null language form their own quantile
+    // group and must bucket against it, not vanish from the output
+    scored.join(broadcast(thr), col(lang) <=> col("_thr_lang"))
       .withColumn("bucket",
         when(round(col(score), 6) >= col("_t_hi"), "head")
           .when(round(col(score), 6) >= col("_t_lo"), "middle")
           .otherwise("tail"))
-      .drop("_t_lo", "_t_hi")
+      .drop("_t_lo", "_t_hi", "_thr_lang")
   }
 
   /** The stop words Gopher's "at least 2 of" rule requires (Rae et al.

@@ -375,12 +375,18 @@ object Similarity {
     // score nonsense against the centroids — fail loudly, on the BATCH
     // scan only (the index is never touched for the check)
     val dim = cents.head._2.length
-    val bad = newVecs.filter(size(col("embedding")) =!= dim).limit(1)
-      .select(col("vec_id"), size(col("embedding")).as("d")).collect()
-    if (bad.nonEmpty)
+    // size(null) is null, so `=!= dim` alone would let null embeddings slip
+    // past the guard and fail (or land as garbage) during assignment
+    val bad = newVecs
+      .filter(col("embedding").isNull || size(col("embedding")) =!= dim).limit(1)
+      .select(col("vec_id"), coalesce(size(col("embedding")), lit(-1)).as("d"))
+      .collect()
+    if (bad.nonEmpty) {
+      val d = bad.head.getInt(1)
+      val what = if (d < 0) "a null embedding" else s"dimension $d"
       throw new IllegalArgumentException(
-        s"ivfAppend: vec_id ${bad.head.getLong(0)} has dimension " +
-          s"${bad.head.getInt(1)}, index expects $dim")
+        s"ivfAppend: vec_id ${bad.head.getLong(0)} has $what, index expects $dim")
+    }
     val assigned =
       if (cents.length <= literalAssignMaxLists)
         newVecs.select(col("vec_id"),

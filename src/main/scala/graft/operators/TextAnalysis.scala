@@ -301,6 +301,12 @@ object TextAnalysis {
     val oldStats = spark.read.parquet(s"$dir/stats").head()
     val buckets = oldStats.getAs[Int]("buckets")
     val w = words(col(text))
+    // batch stats BEFORE any write: an empty (or all-null-text) batch must
+    // be a no-op, not a half-applied append — and sum() over zero rows is
+    // null, so coalesce to 0
+    val delta = newDocs
+      .agg(count(lit(1)).as("n"), coalesce(sum(size(w)), lit(0L)).as("s")).head()
+    if (delta.getLong(0) == 0L) return
     val toks = newDocs.select(col(id).as("doc_id"), size(w).as("dl"),
       explode(w).as("term"))
     val newPostings = toks.groupBy("term", "doc_id")
@@ -316,7 +322,6 @@ object TextAnalysis {
       .withColumn("bucket", bm25Bucket(col("term"), buckets))
       .localCheckpoint(true)
     merged.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
-    val delta = newDocs.agg(count(lit(1)).as("n"), sum(size(w)).as("s")).head()
     val nDocs = oldStats.getAs[Long]("n_docs") + delta.getLong(0)
     val sumDl = oldStats.getAs[Long]("sum_dl") + delta.getLong(1)
     import spark.implicits._

@@ -119,7 +119,11 @@ private[sources] object GzipMember {
     }
     if ((flg & 8) != 0) { var b = u8(); while (b > 0) b = u8(); if (b < 0) return None } // FNAME
     if ((flg & 16) != 0) { var b = u8(); while (b > 0) b = u8(); if (b < 0) return None } // FCOMMENT
-    if ((flg & 2) != 0) { if (w.get(i + 1) < 0) return None; i += 2 } // FHCRC
+    // FHCRC: deliberately skipped (not verified) — it only checks the
+    // header bytes, and the CRC32+ISIZE trailer below already validates
+    // the full payload; a corrupt header either fails to parse here or
+    // fails the trailer check
+    if ((flg & 2) != 0) { if (w.get(i + 1) < 0) return None; i += 2 }
 
     val inf = new Inflater(true)
     val out = new java.io.ByteArrayOutputStream(1 << 16)

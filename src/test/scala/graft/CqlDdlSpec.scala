@@ -266,9 +266,26 @@ class CqlDdlSpec extends SparkSpec {
     val ar = e.execute("SELECT jagg(v) FROM jag").collect().head
     assert(ar.getString(0) === "fin10")
 
+    // counted for-loops translate: the reference suite's own loop UDF
+    // (UFTest.java:441 — StringBuilder repeat-append), plus a numeric fold
+    e.execute("CREATE FUNCTION jrepeat (v text, n int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS text LANGUAGE java AS $$StringBuilder sb = new StringBuilder();\n" +
+      "    for (int i = 0; i < n; i++)\n" +
+      "        sb.append(v);\n" +
+      "    return sb.toString();$$")
+    e.execute("CREATE FUNCTION jtri (n int) RETURNS NULL ON NULL INPUT " +
+      "RETURNS bigint LANGUAGE java AS " +
+      "$$long s = 0; for (int i = 1; i <= n; i++) { s += i; } return s;$$")
+    val lr = e.execute("SELECT jrepeat('a', 3), jrepeat('ab', 0), jtri(4), jtri(0) " +
+      "FROM jf1 WHERE k = 1").collect().head
+    assert(lr.getString(0) === "aaa", "UFTest.java:441: repeat('a', 3) = aaa")
+    assert(lr.getString(1) === "", "zero iterations leave the builder empty")
+    assert(lr.getLong(2) === 10L)
+    assert(lr.getLong(3) === 0L)
+
     // beyond the statement surface → the reference's error text
     assertInvalid(e, "CREATE FUNCTION jloop (x int) CALLED ON NULL INPUT " +
-      "RETURNS int LANGUAGE java AS 'int s = 0; for (int i = 0; i < x; i++) s += i; return s;'",
+      "RETURNS int LANGUAGE java AS 'int s = 0; while (s < x) s += 1; return s;'",
       "Could not compile function")
     assertInvalid(e, "CREATE FUNCTION jwho (x int) CALLED ON NULL INPUT " +
       "RETURNS int LANGUAGE java AS 'return y;'", "Could not compile function")

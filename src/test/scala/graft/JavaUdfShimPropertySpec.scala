@@ -168,6 +168,182 @@ class JavaUdfShimPropertySpec extends SparkSpec {
     }.getOrElse(eval(b.fin, args, env))
   }
 
+  // ── counted-loop grammar: int folds and StringBuilder appends ────────
+
+  /** `int s = init; for (int i = lo; i </<= hi; i++) { s = e1; s = e2; }
+    * return s;` — loop-body expressions are total (guarded args, + - *
+    * only: Java would abort the whole call on /0 where the SQL fold nulls
+    * one step, so division stays out of the loop grammar) and int + - *
+    * agree mod 2^32 between Java's int ops and the fold's BIGINT-then-CAST
+    * arithmetic.
+    */
+  private case class NumLoop(init: E, lo: Int, hi: E, incl: Boolean, steps: List[E])
+
+  private def genLoopExpr(depth: Int): Gen[E] = {
+    val leaves: Gen[E] = Gen.oneOf(
+      Gen.chooseNum(-9, 9).map(Lit.apply),
+      Gen.oneOf(argNames).map(GArg.apply),
+      Gen.oneOf("s", "i").map(LRef.apply))
+    if (depth <= 0) leaves
+    else Gen.frequency(
+      3 -> leaves,
+      4 -> (for {
+        op <- Gen.oneOf("+", "-", "*")
+        l <- genLoopExpr(depth - 1); r <- genLoopExpr(depth - 1)
+      } yield Bin(op, l, r)))
+  }
+
+  private def genNumLoop: Gen[NumLoop] = for {
+    init <- genSafe(1)
+    lo <- Gen.chooseNum(-2, 2)
+    hi <- genSafe(1)
+    incl <- Gen.oneOf(true, false)
+    steps <- Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, genLoopExpr(2)))
+  } yield NumLoop(init, lo, hi, incl, steps)
+
+  private def renderNumLoop(b: NumLoop): String = {
+    val cmp = if (b.incl) "<=" else "<"
+    val stmts = b.steps.map(e => s"s = ${render(e)};").mkString(" ")
+    s"int s = ${render(b.init)}; " +
+      s"for (int i = ${if (b.lo < 0) s"(${b.lo})" else b.lo}; i $cmp ${render(b.hi)}; i++) " +
+      s"{ $stmts } return s;"
+  }
+
+  private def evalNumLoop(b: NumLoop, args: Map[String, Option[Int]]): Option[Int] = {
+    var env: Map[String, Option[Int]] = Map("s" -> eval(b.init, args))
+    val hiV = eval(b.hi, args).get // total by construction
+    var i = b.lo
+    while (if (b.incl) i <= hiV else i < hiV) {
+      env = env.updated("i", Some(i))
+      for (st <- b.steps) env = env.updated("s", eval(st, args, env))
+      i += 1
+    }
+    env("s")
+  }
+
+  test("random counted int-fold loops translate with Java semantics " +
+    "(including empty iteration ranges)") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val cqlArgs = argNames.map(_ -> (CqlInt: CqlType))
+    val argSets: Seq[Map[String, Option[Int]]] = Seq(
+      Map("a" -> Some(7), "b" -> Some(-3), "c" -> Some(2)),
+      Map("a" -> None, "b" -> Some(5), "c" -> Some(11)),
+      Map("a" -> Some(0), "b" -> None, "c" -> Some(-8)))
+    val base = argSets.map(m =>
+      (m("a").map(Int.box).orNull, m("b").map(Int.box).orNull, m("c").map(Int.box).orNull))
+      .toDF("a", "b", "c")
+    val cases = (0 until 90).flatMap { i =>
+      genNumLoop(Gen.Parameters.default.withSize(1 + i % 10), Seed(0x100FL + i))
+    }
+    cases.zipWithIndex.grouped(30).foreach { group =>
+      val cols = group.map { case (b, i) =>
+        val sql = JavaUdfShim.translate(renderNumLoop(b), cqlArgs)
+        expr(sql).cast("int").as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case (b, i) =>
+        argSets.zipWithIndex.foreach { case (m, row) =>
+          val want = evalNumLoop(b, m)
+          val gi = got(row).fieldIndex(s"e$i")
+          val gotV = if (got(row).isNullAt(gi)) None else Some(got(row).getInt(gi))
+          assert(gotV === want,
+            s"body ${renderNumLoop(b)}\nsql ${JavaUdfShim.translate(renderNumLoop(b), cqlArgs)}\nargs $m")
+        }
+      }
+    }
+  }
+
+  /** StringBuilder repeat-append loops (the UFTest.java:441 shape):
+    * append operands are leaves only — a null Integer append prints "null"
+    * on both sides, a null unboxed in arithmetic would NPE in Java.
+    */
+  private sealed trait SbItem
+  private case class SbLit(v: Int) extends SbItem
+  private case class SbArg(n: String) extends SbItem
+  private case object SbI extends SbItem
+  private case class SbStr(s: String) extends SbItem
+
+  private case class SbLoop(lo: Int, hi: E, incl: Boolean,
+                            appends: List[SbItem], chained: Boolean)
+
+  private def genSbLoop: Gen[SbLoop] = for {
+    lo <- Gen.chooseNum(-1, 2)
+    hi <- genSafe(1)
+    incl <- Gen.oneOf(true, false)
+    appends <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      Gen.chooseNum(-9, 9).map(SbLit.apply),
+      Gen.oneOf(argNames).map(SbArg.apply),
+      Gen.const(SbI),
+      Gen.oneOf("x", "-", "#").map(SbStr.apply))))
+    chained <- Gen.oneOf(true, false)
+  } yield SbLoop(lo, hi, incl, appends, chained)
+
+  private def renderSbItem(it: SbItem): String = it match {
+    case SbLit(v) if v < 0 => s"($v)"
+    case SbLit(v) => v.toString
+    case SbArg(n) => n
+    case SbI => "i"
+    case SbStr(s) => "\"" + s + "\""
+  }
+
+  private def renderSbLoop(b: SbLoop): String = {
+    val cmp = if (b.incl) "<=" else "<"
+    val body =
+      if (b.chained) s"sb${b.appends.map(a => s".append(${renderSbItem(a)})").mkString};"
+      else b.appends.map(a => s"sb.append(${renderSbItem(a)});").mkString(" ")
+    s"StringBuilder sb = new StringBuilder(); " +
+      s"for (int i = ${if (b.lo < 0) s"(${b.lo})" else b.lo}; i $cmp ${render(b.hi)}; i++) " +
+      s"{ $body } return sb.toString();"
+  }
+
+  private def evalSbLoop(b: SbLoop, args: Map[String, Option[Int]]): String = {
+    val sb = new StringBuilder
+    val hiV = eval(b.hi, args).get
+    var i = b.lo
+    while (if (b.incl) i <= hiV else i < hiV) {
+      b.appends.foreach {
+        case SbLit(v) => sb.append(v)
+        case SbArg(n) => sb.append(args(n).map(_.toString).getOrElse("null"))
+        case SbI => sb.append(i)
+        case SbStr(s) => sb.append(s)
+      }
+      i += 1
+    }
+    sb.result()
+  }
+
+  test("random StringBuilder repeat loops (UFTest.java:441 shape) translate " +
+    "with Java append semantics") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val cqlArgs = argNames.map(_ -> (CqlInt: CqlType))
+    val argSets: Seq[Map[String, Option[Int]]] = Seq(
+      Map("a" -> Some(7), "b" -> Some(-3), "c" -> Some(2)),
+      Map("a" -> None, "b" -> Some(5), "c" -> Some(11)))
+    val base = argSets.map(m =>
+      (m("a").map(Int.box).orNull, m("b").map(Int.box).orNull, m("c").map(Int.box).orNull))
+      .toDF("a", "b", "c")
+    val cases = (0 until 60).flatMap { i =>
+      genSbLoop(Gen.Parameters.default.withSize(1 + i % 10), Seed(0x5BL + i))
+    }
+    cases.zipWithIndex.grouped(30).foreach { group =>
+      val cols = group.map { case (b, i) =>
+        val sql = JavaUdfShim.translate(renderSbLoop(b), cqlArgs)
+        expr(sql).as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case (b, i) =>
+        argSets.zipWithIndex.foreach { case (m, row) =>
+          val want = evalSbLoop(b, m)
+          val gi = got(row).fieldIndex(s"e$i")
+          assert(!got(row).isNullAt(gi) && got(row).getString(gi) === want,
+            s"body ${renderSbLoop(b)}\nsql ${JavaUdfShim.translate(renderSbLoop(b), cqlArgs)}\nargs $m")
+        }
+      }
+    }
+  }
+
   test("random Java statement bodies (decls + if/return chains) translate " +
     "with Java semantics") {
     import org.apache.spark.sql.functions.expr

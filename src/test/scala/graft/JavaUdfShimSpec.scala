@@ -152,9 +152,39 @@ class JavaUdfShimSpec extends AnyFunSuite {
     assert(dmin.contains("CAST('NaN' AS DOUBLE)"))
   }
 
+  test("counted for-loops lower to aggregate(sequence) folds") {
+    // UFTest.java:441 — the reference suite's StringBuilder repeat UDF
+    val repeat = tr(
+      "StringBuilder sb = new StringBuilder();\n" +
+        "for (int i = 0; i < n; i++)\n" +
+        "    sb.append(v);\n" +
+        "return sb.toString();",
+      "v" -> CqlText, "n" -> CqlInt)
+    assert(repeat.contains("aggregate(sequence("))
+    assert(repeat.contains("concat("))
+    // numeric accumulation, braced body, compound assignment
+    val tri = tr("long s = 0; for (int i = 1; i <= n; i++) { s += i; } return s;",
+      "n" -> CqlInt)
+    assert(tri.contains("aggregate(sequence("))
+    // loop-shape and body restrictions keep their rejection contract
+    assert(rejects("int s = 0; for (int i = n; i > 0; i--) s += i; return s;",
+      "n" -> CqlInt).contains("ascending"))
+    assert(rejects("int s = 0; for (int i = 0; i < n; i += 2) s += i; return s;",
+      "n" -> CqlInt).contains("by exactly one"))
+    assert(rejects("int s = 0; int t = 0; for (int i = 0; i < n; i++) { s += i; t += i; } return s + t;",
+      "n" -> CqlInt).contains("one local"))
+    assert(rejects("for (int i = 0; i < n; i++) return i; return 0;",
+      "n" -> CqlInt).contains("not supported"))
+    assert(rejects("int s = 0; for (int i = 0; i < n; i++) s += n.frobnicate(); return s;",
+      "n" -> CqlInt).contains("unsupported method call"))
+    // mutating an outer-scope local from a branch-nested loop would be
+    // discarded by the branch-exit restore — must reject, not mistranslate
+    assert(rejects(
+      "int s = 0; if (n > 0) { for (int i = 0; i < n; i++) s += i; } return s;",
+      "n" -> CqlInt).contains("same block"))
+  }
+
   test("rejection contract: anything beyond the statement surface") {
-    assert(rejects("for (int i = 0; i < x; i++) {} return 0;", "x" -> CqlInt)
-      .contains("not supported"))
     assert(rejects("while (true) { } return 0;").contains("not supported"))
     assert(rejects("try { return 1; } catch (Exception e) { return 0; }")
       .contains("not supported"))
