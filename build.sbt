@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through verbatim instead of re-logging each
+// line with an "[info] " prefix: the bench driver parses graft.Bench's
+// single JSON line from stdout, and the prefix broke that parse for three
+// rounds ("parsed": null in BENCH_r8..r10).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
