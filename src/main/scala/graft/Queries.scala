@@ -2292,6 +2292,47 @@ object Queries {
           .orderBy("lang")
       }),
 
+    QueryDef("q_bpe_roundtrip",
+      // encode∘decode identity audit over the whole corpus: decode (a
+      // codegen'd inverse kernel — trailing </w> markers become word
+      // boundaries) must reproduce the whitespace-normalized lowercased
+      // text for EVERY document, token count attached so the oracle also
+      // pins that the comparison ran over real segmentations. The
+      // expectation side (concat_ws over preTokens) shares no code with
+      // the BPE merge/unmerge path, so a lossy merge replay can't
+      // self-confirm. Scan-fused, zero shuffles.
+      Some("""SELECT doc_id, CAST(1 AS BOOLEAN) AS roundtrip_ok
+              FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val merges = Tokenizer.bpeTrain(docs, "text", 60)
+        val toks = Tokenizer.encode(col("text"), merges)
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            (Tokenizer.decode(toks) ===
+              concat_ws(" ", Tokenizer.preTokens(col("text"))))
+              .as("roundtrip_ok"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_bpe_vocab",
+      // token → id vocabulary export (the artifact a training stack loads
+      // next to the merges): corpus alphabet in UTF-8 binary order, then
+      // merge products in training-rank order, first surface string wins.
+      // The oracle is an independent plain-Scala replica of the whole
+      // derivation (alphabet via code-point iteration, not the encode
+      // kernel).
+      Some("""SELECT token, id
+              FROM parquet_scan('{FIX}/_fixture_bpevocab/*.parquet')
+              ORDER BY id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val merges = Tokenizer.bpeTrain(docs, "text", 60)
+        Tokenizer.vocabulary(docs, "text", merges).orderBy("id")
+      }),
+
     QueryDef("q_quality_model",
       // TRAINED document classifier (the fastText-linear/FineWeb-Edu
       // shape): logistic regression over hashed bag-of-words, full-batch

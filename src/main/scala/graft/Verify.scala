@@ -404,6 +404,21 @@ object Verify {
       rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpeencode")
     }
+    fixture("_fixture_bpevocab") {
+      // independent vocabulary derivation: alphabet via plain code-point
+      // iteration over every word (NOT the encode kernel the query's
+      // alphabet pass reuses), UTF-8 binary sort, then merge products in
+      // rank order with first-string-wins dedup
+      val alphabet = bpeDocs.iterator.flatMap(d => bpeWords(d._2))
+        .flatMap(bpeSymsOf).toSeq.distinct
+        .sortWith(utf8Less)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      alphabet.foreach(seen += _)
+      bpeMergesRef.foreach { case (_, l, r, _) => seen += l + r }
+      seen.iterator.zipWithIndex.map { case (t, i) => (t, i) }.toSeq
+        .toDF("token", "id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_bpevocab")
+    }
     fixture("_fixture_bpefertility") {
       // per-language corpus fertility under the learned merges: exact
       // integer sums divide once at the end (raw IEEE quotient of

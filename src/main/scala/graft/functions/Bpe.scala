@@ -23,6 +23,34 @@ object Bpe {
 
   val EndOfWord = "</w>"
 
+  /** Inverse of encoding: concatenate tokens, turning each token's
+    * trailing `</w>` marker into a word boundary. `decodeTokens(
+    * encodeText(t))` equals the whitespace-normalized lowercased input:
+    * every word's final token carries the `</w>` suffix, and the genuine
+    * marker symbol never gains a right neighbor, so merge products end in
+    * the marker only at word end. The one boundary (inherent to Sennrich-
+    * style markers; byte-level BPE exists to avoid it): a corpus whose
+    * raw text trains merges assembling a LITERAL `</w>` surface string
+    * from `<`, `/`, `w`, `>` characters is ambiguous to any marker-based
+    * decoder. Null elements poison the result to null, like every other
+    * null-poisoned kernel here.
+    */
+  def decodeTokens(arr: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val t = arr.getUTF8String(i).toString
+      if (t.endsWith(EndOfWord)) {
+        sb.append(t, 0, t.length - EndOfWord.length)
+        if (i < n - 1) sb.append(' ')
+      } else sb.append(t)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Initial symbol sequence of a word: one symbol per code point, then
     * the end-of-word marker.
     */
@@ -166,4 +194,34 @@ case class BpeEncode(child: Expression, lefts: Seq[String], rights: Seq[String])
   }
 
   override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
+}
+
+/** `bpe_decode(tokens)` — inverse of `bpe_encode`: joins the token array
+  * back into text, turning trailing `</w>` markers into word boundaries.
+  * The handoff direction a training stack needs (detokenize samples,
+  * round-trip audits); codegen'd so it fuses into the scan like encode.
+  */
+case class BpeDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode requires an array<string> of tokens, got $t")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode"
+
+  override def nullSafeEval(v: Any): Any =
+    Bpe.decodeTokens(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // not defineCodeGen: decodeTokens returns null on a null token element,
+    // which must set isNull rather than leak a null value
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Bpe.decodeTokens($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(c: Expression): BpeDecode = copy(child = c)
 }

@@ -45,6 +45,7 @@ object Functions {
     // bpe_encode(text, lefts, rights) — merge table as two aligned
     // constant string arrays, evaluated at build time
     "bpe_encode"      -> (es => BpeEncode(es(0), constStrings(es(1)), constStrings(es(2)))),
+    "bpe_decode"      -> (es => BpeDecode(es.head)),
     "nfc_normalize"   -> (es => NfcNormalize(es.head)),
     "strict_exp"      -> (es => StrictExp(es.head)),
     "java_lower"      -> (es => JavaLower(es.head)),

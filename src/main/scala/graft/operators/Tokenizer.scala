@@ -148,6 +148,44 @@ object Tokenizer {
     call_function("bpe_encode", text, lit(lefts), lit(rights))
   }
 
+  /** Inverse of [[encode]]: join a token array back into text, trailing
+    * `</w>` markers becoming word boundaries. `decode(encode(text)) ==
+    * concat_ws(' ', preTokens(text))` for any merge table (round-trip
+    * spec-pinned) — the detokenize direction a training stack needs.
+    */
+  def decode(tokens: Column): Column = call_function("bpe_decode", tokens)
+
+  /** Token → id vocabulary of a trained tokenizer — the export a training
+    * stack consumes next to the merge table. Ids are assigned the way BPE
+    * vocabularies are built: the base ALPHABET first (every single
+    * code-point symbol in the corpus plus `</w>`, in UTF-8 binary order —
+    * Spark's string sort, so the assignment is engine-reproducible), then
+    * one token per merge in training-rank order, skipping strings already
+    * present (two merge chains can assemble the same surface string; first
+    * rank wins, like GPT-2's vocab json).
+    *
+    * Scale shape: the alphabet pass reuses the codegen'd encode kernel
+    * with an EMPTY merge table (= code-point symbols), so it's one
+    * distributed distinct over the corpus scan; the distinct result is
+    * alphabet-sized (bounded by the charset, not the corpus) and the only
+    * driver materialization.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    val alphabet = docs.filter(col(textCol).isNotNull)
+      .select(explode(encode(col(textCol), Nil)).as("token"))
+      .distinct()
+      .orderBy("token")
+      .collect()
+      .map(_.getString(0))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    alphabet.foreach(seen += _)
+    merges.sortBy(_.rank).foreach(m => seen += m.left + m.right)
+    import spark.implicits._
+    seen.iterator.zipWithIndex.map { case (t, i) => (t, i) }
+      .toSeq.toDF("token", "id")
+  }
+
   /** Persist a trained merge table (rank-ordered parquet — the tokenizer
     * artifact a pipeline trains once and every later job loads).
     */

@@ -125,4 +125,58 @@ class TokenizerSpec extends SparkSpec {
         concat_ws("", transform(col("words"), w => concat(w, lit(Bpe.EndOfWord)))))
     assert(bad.count() === 0L)
   }
+
+  test("decode inverts encode: randomized round-trip property through codegen") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    // multi-word, unicode (incl. a surrogate pair), punctuation runs,
+    // mixed whitespace forms. Angle characters stay out: a corpus whose
+    // merges assemble a literal '</w>' surface string is ambiguous to ANY
+    // marker-based decoder (the documented Sennrich-marker boundary).
+    val rnd = new scala.util.Random(0xB9E)
+    val pieces = Seq("low", "lower", "newest", "éclair", "𝄞note",
+      "a", "!!", "x9", "ABC", "ab", "..", "::x")
+    val texts = (0 until 200).map { _ =>
+      (0 until 1 + rnd.nextInt(8)).map { _ =>
+        pieces(rnd.nextInt(pieces.length))
+      }.mkString(Seq(" ", "  ", "\t", " \n ")(rnd.nextInt(4)))
+    } :+ "" :+ "   "
+    val merges = mergesOf(texts, 50)
+    val df = texts.toDF("text")
+    val toks = Tokenizer.encode(col("text"), merges)
+    val bad = df.select(col("text"),
+        Tokenizer.decode(toks).as("rt"),
+        concat_ws(" ", Tokenizer.preTokens(col("text"))).as("want"))
+      .filter(col("rt") =!= col("want"))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("; "))
+    // null text → null tokens → null decode (null-poisoning, not crash)
+    val nr = Seq((1, Option.empty[String])).toDF("k", "text")
+      .select(Tokenizer.decode(Tokenizer.encode(col("text"), merges)).as("rt"))
+      .collect().head
+    assert(nr.isNullAt(0))
+  }
+
+  test("vocabulary export: alphabet first in binary order, then merges by " +
+    "rank, first surface string wins") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val texts = Seq("low lower newest widest", "low low newest")
+    val merges = mergesOf(texts, 10)
+    val vocab = Tokenizer.vocabulary(texts.toDF("text"), "text", merges)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getInt(1)))
+    // ids are dense from 0
+    assert(vocab.map(_._2).toSeq === vocab.indices.toSeq)
+    // the alphabet prefix is exactly the distinct code points + </w>,
+    // sorted in UTF-8 binary order ('<' (0x3c) sorts before letters)
+    val alphaWant = texts.flatMap(_.split("\\s+")).flatMap(Bpe.initialSymbols)
+      .distinct.sorted
+    assert(vocab.take(alphaWant.size).map(_._1).toSeq === alphaWant)
+    // every merge product appears exactly once, after the alphabet, in
+    // rank order (no duplicates on this corpus)
+    val tail = vocab.drop(alphaWant.size).map(_._1).toSeq
+    assert(tail === merges.sortBy(_.rank).map(m => m.left + m.right)
+      .filterNot(alphaWant.contains).distinct)
+    // tokens are unique across the whole vocab
+    assert(vocab.map(_._1).distinct.length === vocab.length)
+  }
 }
