@@ -1933,6 +1933,54 @@ object Queries {
           .orderBy("q", "term")
       }),
 
+    QueryDef("q_fuzzy_match2",
+      // radius-2 SymSpell: candidates from {self} ∪ {deletions to depth
+      // 2} on both sides ('hsah' transposition, 'joinnn' double
+      // insertion, 'filtre' transposed suffix — all Levenshtein-2 from
+      // vocabulary), verified by an exact Levenshtein <= 2 pass. The
+      // oracle rebuilds both 2-deletion closures recursively in SQL.
+      Some("""WITH qs(q) AS (VALUES ('hsah'), ('joinnn'), ('filtre'), ('hash')),
+              qv1 AS (
+                SELECT q, substr(q, 1, CAST(i AS INTEGER) - 1) ||
+                          substr(q, CAST(i AS INTEGER) + 1) AS variant
+                FROM qs, UNNEST(range(1, len(q) + 1)) u(i)
+              ), qv AS (
+                SELECT q, q AS variant FROM qs
+                UNION SELECT q, variant FROM qv1
+                UNION
+                SELECT q, substr(variant, 1, CAST(i AS INTEGER) - 1) ||
+                          substr(variant, CAST(i AS INTEGER) + 1) AS variant
+                FROM qv1, UNNEST(range(1, len(variant) + 1)) u(i)
+              ), vocab AS (
+                SELECT term, count(*) AS tf_corpus FROM (
+                  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+                GROUP BY 1
+              ), vv1 AS (
+                SELECT term, tf_corpus,
+                       substr(term, 1, CAST(i AS INTEGER) - 1) ||
+                       substr(term, CAST(i AS INTEGER) + 1) AS variant
+                FROM vocab, UNNEST(range(1, len(term) + 1)) u(i)
+              ), vv AS (
+                SELECT term, tf_corpus, term AS variant FROM vocab
+                UNION SELECT term, tf_corpus, variant FROM vv1
+                UNION
+                SELECT term, tf_corpus,
+                       substr(variant, 1, CAST(i AS INTEGER) - 1) ||
+                       substr(variant, CAST(i AS INTEGER) + 1) AS variant
+                FROM vv1, UNNEST(range(1, len(variant) + 1)) u(i)
+              ), cand AS (
+                SELECT DISTINCT q, term, tf_corpus FROM vv JOIN qv USING (variant)
+              )
+              SELECT q, term, CAST(levenshtein(q, term) AS INTEGER) AS dist, tf_corpus
+              FROM cand WHERE levenshtein(q, term) <= 2
+              ORDER BY q, term"""),
+      (s, d) => {
+        prep(s)
+        TextAnalysis.fuzzyTermMatch(t(s, d, "documents"), "text",
+          Seq("hsah", "joinnn", "filtre", "hash"), maxEdits = 2)
+          .orderBy("q", "term")
+      }),
+
     QueryDef("q_text_nfc",
       // Unicode NFC normalization (native codegen'd expression ==
       // DuckDB's nfc_normalize — both implement Unicode canonical

@@ -362,36 +362,62 @@ object TextAnalysis {
   }
 
   /** Typo-tolerant vocabulary matching via deletion neighborhoods (the
-    * SymSpell candidate scheme, Garbe): two terms within edit distance 1
-    * share a member of each other's {self} ∪ {1-deletion} sets, so
-    * candidates come from an equi-join on variants — never a cross join
-    * against the vocabulary — and an exact Levenshtein pass keeps
-    * precision (the deletion join admits a few distance-2 shapes, e.g.
-    * transpositions). Query-expansion / OCR-cleanup primitive: map a
-    * misspelled keyword onto the corpus vocabulary with its frequencies.
+    * SymSpell candidate scheme, Garbe): two terms within edit distance k
+    * share a member of each other's {self} ∪ {deletions to depth k} sets,
+    * so candidates come from an equi-join on variants — never a cross
+    * join against the vocabulary — and an exact Levenshtein pass keeps
+    * precision (the deletion join admits some shapes past the radius,
+    * e.g. transpositions at k=1). `maxEdits` ∈ {1, 2} — SymSpell's
+    * practical range, since the variant fan-out grows O(len^k).
+    * Query-expansion / OCR-cleanup primitive: map a misspelled keyword
+    * onto the corpus vocabulary with its frequencies.
     *
     * Shape at scale: the vocabulary aggregation is the only corpus-keyed
     * shuffle; the variant explode multiplies the VOCABULARY (≤ len+1
-    * rows per term), the tiny query-variant table broadcasts, and the
-    * verify runs on the candidate set only. Output: (q, term, dist,
-    * tf_corpus).
+    * rows per term at k=1, ≤ 1+len+len(len-1)/2 at k=2), the tiny
+    * query-variant table broadcasts, and the verify runs on the candidate
+    * set only. Output: (q, term, dist, tf_corpus).
     */
   def fuzzyTermMatch(docs: org.apache.spark.sql.DataFrame, text: String,
                      queryTerms: Seq[String], maxEdits: Int = 1): org.apache.spark.sql.DataFrame = {
-    require(maxEdits == 1,
-      "deletion-neighborhood candidates cover edit distance 1; higher radii need k-deletion sets")
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"fuzzyTermMatch: SymSpell deletion neighborhoods support maxEdits 1 or 2 " +
+        s"(the scheme's practical radius — variant fan-out is O(len^k)), got $maxEdits")
     val ss = docs.sparkSession
     import ss.implicits._
-    val qv = queryTerms.distinct.flatMap { q =>
-      val dels = (0 until q.length).map(i => q.substring(0, i) + q.substring(i + 1))
-      (q +: dels).distinct.map(v => (q, v))
-    }.toDF("q", "variant")
+    // driver side: {self} ∪ deletions to depth maxEdits for each query term
+    def delClosure(s: String, k: Int): Set[String] = {
+      var cur = Set(s)
+      var all = Set(s)
+      (1 to k).foreach { _ =>
+        cur = cur.flatMap(w => (0 until w.length).map(i =>
+          w.substring(0, i) + w.substring(i + 1)))
+        all ++= cur
+      }
+      all
+    }
+    val qv = queryTerms.distinct
+      .flatMap(q => delClosure(q, maxEdits).toSeq.map(v => (q, v)))
+      .toDF("q", "variant")
     val vocab = docs.select(explode(words(col(text))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("tf_corpus"))
     val t = col("term")
-    val variants = array_distinct(concat(array(t),
-      transform(sequence(lit(1), length(t)), i =>
-        concat(t.substr(lit(1), i - lit(1)), t.substr(i + lit(1), length(t))))))
+    // vocabulary side, as scan expressions: single deletions, and for
+    // radius 2 the delete-at-(i<j) pairs — fan-out 1 + L + L(L-1)/2 per
+    // term, multiplying the VOCABULARY (never the corpus, never a cross
+    // join). sequence() guards keep short terms off descending ranges.
+    val del1 = transform(sequence(lit(1), length(t)), i =>
+      concat(t.substr(lit(1), i - lit(1)), t.substr(i + lit(1), length(t))))
+    val del2 = flatten(transform(sequence(lit(1), length(t) - 1), i =>
+      transform(sequence(i + lit(1), length(t)), j =>
+        concat(t.substr(lit(1), i - lit(1)),
+          t.substr(i + lit(1), j - i - lit(1)),
+          t.substr(j + lit(1), length(t) - j)))))
+    val variants = array_distinct(maxEdits match {
+      case 1 => concat(array(t), del1)
+      case _ => concat(array(t), del1,
+        when(length(t) >= 2, del2).otherwise(array().cast("array<string>")))
+    })
     vocab.select(col("term"), col("tf_corpus"), explode(variants).as("variant"))
       .join(broadcast(qv), "variant")
       .select("q", "term", "tf_corpus").distinct()

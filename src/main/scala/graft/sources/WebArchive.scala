@@ -44,14 +44,35 @@ object WebArchive {
     StructField("content_length", LongType),
     StructField("text", StringType)))
 
-  /** All records of the WARC/WET files under `path` (glob ok). Paths ending
-    * `.gz` route through the splittable per-member gzip reader
-    * ([[GzipMemberInputFormat]]); anything else uses plaintext delimiter
-    * framing. A glob mixing both should be read in two calls.
+  /** All records of the WARC/WET files under `path` (file, directory, or
+    * glob). Routing is PER MATCHED FILE: names ending `.gz` go through the
+    * splittable per-member gzip reader ([[GzipMemberInputFormat]]),
+    * everything else through plaintext delimiter framing — so a directory
+    * or glob mixing both forms (a real crawl drop often does) reads
+    * correctly in one call instead of mis-framing one kind. Directories
+    * expand one level, like Hadoop's non-recursive input listing. The
+    * listing is driver-side metadata IO only (one globStatus), not a data
+    * pass.
     */
-  def records(spark: SparkSession, path: String): DataFrame =
-    if (path.endsWith(".gz")) gzipRecords(spark, path)
-    else plaintextRecords(spark, path)
+  def records(spark: SparkSession, path: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.map(_.getPath.toString)
+    if (files.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"WebArchive.records: no input files match '$path'")
+    val (gz, plain) = files.partition(_.endsWith(".gz"))
+    val parts = Seq(
+      if (gz.nonEmpty) Some(gzipRecords(spark, gz.mkString(","))) else None,
+      if (plain.nonEmpty) Some(plaintextRecords(spark, plain.mkString(","))) else None
+    ).flatten
+    parts.reduce(_ unionByName _)
+  }
 
   /** Plaintext WARC/WET: delimiter-split on the `WARC/1.` version prefix —
     * covers 1.0 and 1.1 archives (the version-digit remainder lands as the

@@ -543,6 +543,70 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "exhaustive probe over the streamed-in index must equal brute force")
   }
 
+  test("classifier-gated curation DAG recovers from its checkpoint: the " +
+    "trained-model gate composes with stateful dedup, stop/restart " +
+    "exactly-once") {
+    import spark.implicits._
+    import graft.streaming.MutationStream
+    import org.apache.spark.sql.functions.{col, lit, md5, lower, min, timestamp_micros}
+    graft.functions.Functions.ensure(spark)
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+      .withColumn("y_b", org.apache.spark.sql.functions.array_contains(
+        graft.operators.Tokenizer.preTokens(col("text")), "spark"))
+    // train on the even half (the bounded sample), stream the odd half
+    val w = graft.operators.QualityModel.train(
+      all.filter(col("doc_id") % 2 === 0), "doc_id", "text", "y_b",
+      dim = 256, iters = 4)
+    val crawl0 = all.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-qmcrawl").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-qmout").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-qmcp").toString
+    crawl0.withColumn("arrived",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id")))
+      .coalesce(1).write.mode("overwrite").parquet(crawlDir)
+    val thresh = 0.35
+    def startDag() = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(crawlDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(crawlDir)
+      val gated = stream.filter(
+        graft.operators.QualityModel.score(col("text"), w, 256) >= thresh)
+      MutationStream.dedupStream(gated, "arrived", "text")
+        .select("doc_id", "text")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cpDir)
+        .format("parquet").option("path", outDir)
+        .start()
+    }
+    val q1 = startDag()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the query is down, every original re-arrives under a new id
+    // with a later event time (crawler re-fetch); the recovered dedup
+    // state must still drop all of them, and the recovered source offsets
+    // must not replay file one into the append sink
+    crawl0.withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("arrived",
+        timestamp_micros(lit(1700000002000000L) + col("doc_id")))
+      .coalesce(1).write.mode("append").parquet(crawlDir)
+    val q2 = startDag()
+    try q2.processAllAvailable() finally q2.stop()
+    // batch composition: gate, then first-arrival-per-digest (arrived
+    // increases with doc_id, so min doc_id per digest)
+    val gatedB = crawl0.filter(
+      graft.operators.QualityModel.score(col("text"), w, 256) >= thresh)
+    val expected = gatedB.withColumn("_h", md5(lower(col("text"))))
+      .groupBy("_h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val got = spark.read.parquet(outDir).select("doc_id").as[Long].collect()
+    assert(got.length === got.toSet.size, "a replayed batch would duplicate rows")
+    assert(!got.exists(_ >= 100000L),
+      "a re-crawl surviving dedup means the state store did not recover")
+    assert(got.toSet === expected && expected.nonEmpty,
+      "restarted classifier-gated DAG must end at exactly the batch composition")
+  }
+
   test("trained quality-model scores a stream statelessly: streaming " +
     "inference is bit-equal to batch scoring") {
     import spark.implicits._

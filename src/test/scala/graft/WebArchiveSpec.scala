@@ -106,6 +106,36 @@ class WebArchiveSpec extends SparkSpec {
     assert(gz.toSeq === plain.toSeq)
   }
 
+  test("mixed directories route per matched file: plaintext and gzip forms " +
+    "read correctly in one call") {
+    val recsA = Seq(
+      wetRecord("http://mix.example/p1", "plain one"),
+      wetRecord("http://mix.example/p2", "plain two"))
+    val recsB = Seq(
+      wetRecord("http://mix.example/g1", "gzipped one"),
+      wetRecord("http://mix.example/g2", "gzipped twö multibyte"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcmix")
+    java.nio.file.Files.writeString(dir.resolve("plain.warc"), recsA.mkString)
+    writeWarcGz(dir, "packed.warc.gz", recsB)
+    // one DIRECTORY read covers both forms (the pre-round-11 suffix-of-
+    // the-whole-path routing would have mis-framed one kind)
+    val both = WebArchive.records(spark, dir.toString).collect()
+      .map(r => (r.getString(1), r.getString(6))).sortBy(_._1)
+    assert(both.length === 4)
+    assert(both.map(_._1).toSeq === Seq("http://mix.example/g1",
+      "http://mix.example/g2", "http://mix.example/p1", "http://mix.example/p2"))
+    assert(both.collect { case (u, t) if u.endsWith("g2") => t }.head ===
+      "gzipped twö multibyte")
+    // a glob matching both forms routes identically
+    val glob = WebArchive.records(spark, s"$dir/*.warc*").count()
+    assert(glob === 4)
+    // no matching files fails loudly, not silently-empty
+    val e = intercept[java.io.FileNotFoundException] {
+      WebArchive.records(spark, s"$dir/nothing-here-*.warc")
+    }
+    assert(e.getMessage.contains("no input files"))
+  }
+
   test("gzip members decode across forced byte-range splits (sync scan)") {
     val recs = (1 to 30).map(i => wetRecord(s"http://split.example/$i", s"document body number $i lorem ipsum dolor"))
     val dir = java.nio.file.Files.createTempDirectory("graft-warcgz-split")
