@@ -2381,6 +2381,30 @@ object Queries {
         Tokenizer.vocabulary(docs, "text", merges).orderBy("id")
       }),
 
+    QueryDef("q_bpe_encode_ids",
+      // the id-array handoff: tokenize the corpus straight to vocabulary
+      // ids (array<int> per doc — what a training stack's data loader
+      // reads), codegen-fused like the token encode. n_unk pins that the
+      // training corpus has no out-of-vocabulary tokens (the vocab was
+      // derived from it); the head sample pins actual id assignment.
+      Some("""SELECT doc_id, n_ids, n_unk, head
+              FROM parquet_scan('{FIX}/_fixture_bpeids/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val merges = Tokenizer.bpeTrain(docs, "text", 60)
+        val vocab = Tokenizer.vocabulary(docs, "text", merges)
+          .orderBy("id").collect().map(_.getString(0)).toSeq
+        val ids = Tokenizer.encodeIds(col("text"), merges, vocab)
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(ids).as("n_ids"),
+            size(filter(ids, i => i === -1)).as("n_unk"),
+            concat_ws("|", slice(ids, 1, 12)).as("head"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_quality_model",
       // TRAINED document classifier (the fastText-linear/FineWeb-Edu
       // shape): logistic regression over hashed bag-of-words, full-batch

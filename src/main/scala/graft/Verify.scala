@@ -419,6 +419,24 @@ object Verify {
         .toDF("token", "id").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpevocab")
     }
+    fixture("_fixture_bpeids") {
+      // id-array handoff replica: the same independent vocab derivation as
+      // _fixture_bpevocab, then ids of the independent encoder's tokens
+      val alphabet = bpeDocs.iterator.flatMap(d => bpeWords(d._2))
+        .flatMap(bpeSymsOf).toSeq.distinct
+        .sortWith(utf8Less)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      alphabet.foreach(seen += _)
+      bpeMergesRef.foreach { case (_, l, r, _) => seen += l + r }
+      val idOf = seen.iterator.zipWithIndex.toMap
+      val rows = bpeDocs.map { case (id, text) =>
+        val ids = bpeWords(text).flatMap(bpeEncodeWordRef)
+          .map(t => idOf.getOrElse(t, -1))
+        (id, ids.length, ids.count(_ == -1), ids.take(12).mkString("|"))
+      }
+      rows.toDF("doc_id", "n_ids", "n_unk", "head").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_bpeids")
+    }
     fixture("_fixture_bpefertility") {
       // per-language corpus fertility under the learned merges: exact
       // integer sums divide once at the end (raw IEEE quotient of

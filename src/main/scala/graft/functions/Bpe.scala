@@ -196,6 +196,72 @@ case class BpeEncode(child: Expression, lefts: Seq[String], rights: Seq[String])
   override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
 }
 
+object BpeIds {
+  /** [[Bpe.Model]] plus a token → id table (the `Tokenizer.vocabulary`
+    * export): encodes straight to the id arrays a training stack consumes.
+    * Tokens outside the vocabulary — unseen code points at inference time
+    * — emit `-1`, the documented UNK sentinel the consumer remaps.
+    */
+  final class IdModel(lefts: Array[String], rights: Array[String],
+                      vocab: Array[String]) extends Serializable {
+    private val model = new Bpe.Model(lefts, rights)
+    @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+      var i = 0
+      while (i < vocab.length) { m.putIfAbsent(vocab(i), Integer.valueOf(i)); i += 1 }
+      m
+    }
+    def encodeTextIds(text: String): GenericArrayData = {
+      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty) {
+          val toks = model.encodeWord(words(i))
+          var j = 0
+          while (j < toks.length) {
+            val id = ids.get(toks(j))
+            out += (if (id == null) -1 else id.intValue())
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+}
+
+/** `bpe_encode_ids(text, lefts, rights, vocab)` — tokens of `text` as ids
+  * into the vocabulary table (`Tokenizer.vocabulary` order), the handoff
+  * format a training stack consumes. Unknown tokens emit -1 (UNK
+  * sentinel). Codegen'd like `bpe_encode`, same per-thread word memo.
+  */
+case class BpeEncodeIds(child: Expression, lefts: Seq[String],
+                        rights: Seq[String], vocab: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_encode_ids requires text input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  @transient private lazy val model =
+    new BpeIds.IdModel(lefts.toArray, rights.toArray, vocab.toArray)
+
+  override def nullSafeEval(v: Any): Any = model.encodeTextIds(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeIdModel", model, classOf[BpeIds.IdModel].getName)
+    defineCodeGen(ctx, ev, c => s"$m.encodeTextIds($c.toString())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncodeIds = copy(child = c)
+}
+
 /** `bpe_decode(tokens)` — inverse of `bpe_encode`: joins the token array
   * back into text, turning trailing `</w>` markers into word boundaries.
   * The handoff direction a training stack needs (detokenize samples,

@@ -46,6 +46,8 @@ object Functions {
     // constant string arrays, evaluated at build time
     "bpe_encode"      -> (es => BpeEncode(es(0), constStrings(es(1)), constStrings(es(2)))),
     "bpe_decode"      -> (es => BpeDecode(es.head)),
+    "bpe_encode_ids"  -> (es => BpeEncodeIds(es(0), constStrings(es(1)),
+      constStrings(es(2)), constStrings(es(3)))),
     "nfc_normalize"   -> (es => NfcNormalize(es.head)),
     "strict_exp"      -> (es => StrictExp(es.head)),
     "java_lower"      -> (es => JavaLower(es.head)),

@@ -148,6 +148,17 @@ object Tokenizer {
     call_function("bpe_encode", text, lit(lefts), lit(rights))
   }
 
+  /** Tokens as ids into a [[vocabulary]] export — the handoff format a
+    * training stack consumes (`array<int>` per document; unknown tokens,
+    * i.e. unseen code points at inference, emit the -1 UNK sentinel).
+    * Codegen-fused like [[encode]]; the vocab ships once per task inside
+    * the expression's reference object.
+    */
+  def encodeIds(text: Column, merges: Seq[Merge], vocab: Seq[String]): Column =
+    call_function("bpe_encode_ids", text,
+      lit(merges.map(_.left).toArray), lit(merges.map(_.right).toArray),
+      lit(vocab.toArray))
+
   /** Inverse of [[encode]]: join a token array back into text, trailing
     * `</w>` markers becoming word boundaries. `decode(encode(text)) ==
     * concat_ws(' ', preTokens(text))` for any merge table (round-trip

@@ -1,0 +1,147 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry, Bench}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity proof: derive a `factor`× dataset from an existing
+  * scale-factor directory, run the headline bench queries at BOTH scales,
+  * and flag any query whose wall-time grew super-linearly. local[32] at
+  * sf0.1 finishes most headline queries in under a second — too fast to
+  * expose a nonlinearity — so this is the executable form of the "would
+  * this plan survive a 10× scale-up" review.
+  *
+  * Derivation (deterministic, no RNG): fact tables (orders, lineitem,
+  * documents, embeddings, events) are replicated `factor`× with
+  * replica-shifted keys so per-key group sizes and join fan-outs stay
+  * constant — growth adds KEYS, the way a real corpus grows, instead of
+  * deepening every group. Dimension tables copy through unchanged (the
+  * TPC-H convention — dims grow sublinearly in practice, and a fixed dim
+  * keeps the broadcast side a broadcast). Document text gets a
+  * replica-specific token spliced after every 3rd word, which drops
+  * cross-replica 3-shingle Jaccard to ~0.2 (< the 0.7 dedup threshold):
+  * without it every document would gain `factor-1` near-duplicates and
+  * the candidate-pair count would grow quadratically BY CONSTRUCTION of
+  * the data — a data artifact, not an algorithmic regression, and it
+  * would mask one.
+  *
+  * Usage: `runMain graft.tools.ScaleProof [srcDir dstDir factor]`
+  * (defaults /root/testdata/sf0.1 → /tmp/graft-sf1 ×10). Prints one JSON
+  * line per query plus a `scale_proof` summary line; exits nonzero if any
+  * query exceeds `factor × 1.5` (the slack absorbs constant overheads
+  * that amortize differently at the two scales).
+  */
+object ScaleProof {
+
+  private val dimTables = Seq("region", "nation", "customer", "supplier", "part")
+  private val factTables = Seq("orders", "lineitem", "documents", "embeddings", "events")
+
+  /** Key offset per replica: beyond any key in the source tables, round so
+    * shifted ids stay readable in plans/debug output.
+    */
+  private def keyOffset(spark: SparkSession, src: String): Long = {
+    val maxes = Seq(
+      ("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+      ("documents", "doc_id"), ("embeddings", "vec_id"), ("events", "event_id"))
+      .map { case (t, k) =>
+        spark.read.parquet(s"$src/$t.parquet").agg(max(col(k))).head().getLong(0)
+      }
+    val m = maxes.max
+    var off = 10L
+    while (off <= m) off *= 10
+    off
+  }
+
+  /** Splice `salt` after every 3rd word — kills 3-shingle overlap between
+    * replicas (see class doc) while preserving word-count and length
+    * distributions to within the salt tokens.
+    */
+  private def perturbText(text: org.apache.spark.sql.Column, salt: String) = {
+    val w = split(text, "\\s+")
+    array_join(flatten(transform(sequence(lit(0), ((size(w) - 1) / 3).cast("int")),
+      i => concat(slice(w, i * 3 + 1, lit(3)), array(lit(salt))))), " ")
+  }
+
+  def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    val off = keyOffset(spark, src)
+    dimTables.foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    def replicate(t: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      (0 until factor).map(k => shift(base, k))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    replicate("orders") { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * off))
+    }
+    replicate("lineitem") { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * off))
+    }
+    replicate("documents") { (df, k) =>
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(k * off))
+      if (k == 0) shifted
+      else shifted
+        .withColumn("text", perturbText(col("text"), s"zr$k"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    replicate("embeddings") { (df, k) =>
+      df.withColumn("vec_id", col("vec_id") + lit(k * off))
+    }
+    replicate("events") { (df, k) =>
+      df.withColumn("event_id", col("event_id") + lit(k * off))
+        .withColumn("user_id", col("user_id") + lit(k * off))
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dst/_SCALE_META.json"),
+      s"""{"src":"$src","factor":$factor,"key_offset":$off}""" + "\n")
+  }
+
+  /** Median-of-3 + min wall times after one warm pass, Bench's protocol. */
+  private def time(spark: SparkSession, name: String, dir: String): (Double, Double) = {
+    val fn = SparkEntry.queries(name)
+    fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    (ts(1), ts.head)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.get("graft-scale-proof")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/_SCALE_META.json"))) {
+      System.err.println(s"[scale] generating ${factor}x dataset at $dst from $src")
+      generate(spark, src, dst, factor)
+    }
+    def n3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val slack = 1.5
+    var weak = List.empty[String]
+    val rows = Bench.headline.map { q =>
+      val (srcMed, srcMin) = time(spark, q, src)
+      val (dstMed, dstMin) = time(spark, q, dst)
+      // compare on min (the contention-robust reading, README bench note)
+      val ratio = dstMin / srcMin
+      if (ratio > factor * slack) weak ::= q
+      println(s"""{"query":"$q","src_min":${n3(srcMin)},"src_med":${n3(srcMed)},""" +
+        s""""dst_min":${n3(dstMin)},"dst_med":${n3(dstMed)},"ratio":${n3(ratio)}}""")
+      (q, srcMin, dstMin, ratio)
+    }
+    val totalRatio = rows.map(_._3).sum / rows.map(_._2).sum
+    println(s"""{"metric":"scale_proof","factor":$factor,""" +
+      s""""total_ratio":${n3(totalRatio)},"bound":${n3(factor * slack)},""" +
+      s""""weak":[${weak.map("\"" + _ + "\"").mkString(",")}]}""")
+    spark.stop()
+    if (weak.nonEmpty) {
+      System.err.println(s"[scale] SUPER-LINEAR queries at ${factor}x: $weak")
+      sys.exit(1)
+    }
+  }
+}

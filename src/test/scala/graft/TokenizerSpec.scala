@@ -179,4 +179,31 @@ class TokenizerSpec extends SparkSpec {
     // tokens are unique across the whole vocab
     assert(vocab.map(_._1).distinct.length === vocab.length)
   }
+
+  test("encodeIds maps tokens through the vocabulary; unseen code points " +
+    "emit the -1 UNK sentinel") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val texts = Seq("low lower newest widest", "low low newest")
+    val docs = texts.toDF("text")
+    val merges = mergesOf(texts, 10)
+    val vocab = Tokenizer.vocabulary(docs, "text", merges)
+      .orderBy("id").collect().map(_.getString(0)).toSeq
+    val got = docs.select(
+        Tokenizer.encode(col("text"), merges).as("toks"),
+        Tokenizer.encodeIds(col("text"), merges, vocab).as("ids"))
+      .collect()
+    got.foreach { r =>
+      val toks = r.getSeq[String](0)
+      val ids = r.getSeq[Int](1)
+      // ids are exactly the vocab positions of the token encode
+      assert(ids === toks.map(vocab.indexOf))
+      assert(!ids.contains(-1), "training corpus must be fully in-vocab")
+    }
+    // a character never seen in training has no vocab entry -> -1
+    val unk = Seq("low qqq").toDF("text")
+      .select(Tokenizer.encodeIds(col("text"), merges, vocab).as("ids"))
+      .collect().head.getSeq[Int](0)
+    assert(unk.contains(-1))
+  }
 }
