@@ -1808,6 +1808,27 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_sq8",
+      // scalar-quantization ANN (Faiss QT_8bit): one byte per DIMENSION
+      // via exact per-dim min/max buckets — the 4× compression tier
+      // between float32 and PQ's 32×, trained by ONE aggregation, decode
+      // two FMAs per element. Code scan proposes 4×k candidates, true
+      // embeddings re-rank (IndexRefineFlat shape). Bit-deterministic
+      // (double arithmetic, floor(v+0.5)) → oracle-checked against the
+      // plain-Scala replica.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annsq8/*.parquet')
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val p = Similarity.sq8Train(emb)
+        Similarity.sq8SearchRerank(Similarity.sq8EncodeCorpus(emb, p),
+            emb.filter(col("vec_id") < 8), emb, p, 10)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_recall",
       // recall@10 of every approximate ANN method against the exhaustive
       // brute-force baseline — the approximate/exact quality trade as one
@@ -1846,8 +1867,12 @@ object Queries {
         val cb = Similarity.pqTrain(emb, m = 8, ksub = 16)
         val pq = Similarity.pqSearchRerank(Similarity.pqEncode(emb, cb),
           queries, emb, cb, 10)
+        val sp = Similarity.sq8Train(emb)
+        val sq8 = Similarity.sq8SearchRerank(
+          Similarity.sq8EncodeCorpus(emb, sp), queries, emb, sp, 10)
         recallRow("ivf", ivf).union(recallRow("ivfpq", ivfpq))
           .union(recallRow("lsh", lsh)).union(recallRow("pq", pq))
+          .union(recallRow("sq8", sq8))
           .orderBy("method")
       }),
 

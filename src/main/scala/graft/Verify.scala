@@ -564,6 +564,32 @@ object Verify {
       annPqRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annpq")
     }
+    // Plain-Scala re-run of the SQ8 scalar-quantization + exact-rerank
+    // pipeline (q_ann_sq8's parameters: k=10, rerank=4). The quantizer is
+    // exact per-dim min/max; codes and reconstructions replay the
+    // expression's double-arithmetic order exactly (floor(v + 0.5) clamp,
+    // −128 offset, float cast at the end). Shared with _fixture_annrecall.
+    lazy val annSq8Rows: IndexedSeq[(Long, Long, Double, Int)] = {
+      val dim = annVecs.head._2.length
+      val mins = Array.tabulate(dim)(i => annVecs.iterator.map(_._2(i)).min)
+      val maxs = Array.tabulate(dim)(i => annVecs.iterator.map(_._2(i)).max)
+      val spans = Array.tabulate(dim)(i => maxs(i) - mins(i)) // Float, like Sq8Params
+      def codeOf(x: Float, i: Int): Int = {
+        val v = if (spans(i) > 0f)
+          (x.toDouble - mins(i).toDouble) / spans(i).toDouble * 255.0 else 0.0
+        (math.min(255.0, math.max(0.0, math.floor(v + 0.5))) - 128.0).toInt
+      }
+      def deq(c: Int, i: Int): Float =
+        (mins(i).toDouble + (c + 128).toDouble / 255.0 * spans(i).toDouble).toFloat
+      val recon = annVecs.map { case (id, e) =>
+        (id, Array.tabulate(dim)(i => deq(codeOf(e(i), i), i)))
+      }
+      annRerankRef(annVecs, recon, queryMax = 8, k = 10, rerank = 4)
+    }
+    fixture("_fixture_annsq8") {
+      annSq8Rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annsq8")
+    }
     fixture("_fixture_annivfpq") {
       annIvfPqRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annivfpq")
@@ -589,7 +615,8 @@ object Verify {
         (matched, total, round6(matched.toDouble / total))
       }
       Seq("ivf" -> recallOf(annIvfRows), "ivfpq" -> recallOf(annIvfPqRows),
-          "lsh" -> recallOf(annLshRows), "pq" -> recallOf(annPqRows))
+          "lsh" -> recallOf(annLshRows), "pq" -> recallOf(annPqRows),
+          "sq8" -> recallOf(annSq8Rows))
         .map { case (m, (a, b, r)) => (m, a, b, r) }
         .toDF("method", "matched", "total", "recall").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annrecall")

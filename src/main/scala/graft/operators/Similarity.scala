@@ -655,6 +655,109 @@ object Similarity {
     pqSearch(pqEncode(corpus, cb), queries, cb, k)
   }
 
+  // ── SQ8: scalar quantization (Faiss IndexScalarQuantizer QT_8bit) ────
+  //
+  // The simplest compression tier: one byte per DIMENSION via per-dim
+  // linear [min, max] buckets — 4× smaller than float32 (vs PQ's 32× at
+  // much higher reconstruction fidelity), trained by ONE min/max
+  // aggregation instead of k-means, and decode is two FMAs per element.
+  // The standard first stop when a float corpus stops fitting the page
+  // cache but PQ recall is not acceptable.
+
+  /** Per-dimension quantization bounds. Bounded header (2 × dim floats) —
+    * broadcasts as plan literals like the IVF centroids.
+    */
+  final case class Sq8Params(mins: Array[Float], maxs: Array[Float]) {
+    require(mins.length == maxs.length,
+      s"sq8: ${mins.length} mins vs ${maxs.length} maxs")
+    def dim: Int = mins.length
+    /** span 0 (constant dimension) encodes to code 0 and decodes to min. */
+    def spans: Array[Float] = Array.tabulate(dim)(i => maxs(i) - mins(i))
+  }
+
+  /** Train = exact per-dimension min/max in ONE aggregation over the
+    * corpus scan (no sampling, no iterations — the quantizer is as
+    * deterministic as the data). 2×dim agg columns; dim is a bounded
+    * header by the same argument as the IVF/PQ collects.
+    */
+  def sq8Train(corpus: DataFrame): Sq8Params = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col("embedding"), i + 1)).as(s"mn$i"),
+      max(element_at(col("embedding"), i + 1)).as(s"mx$i")))
+    val r = corpus.filter(col("embedding").isNotNull)
+      .agg(aggs.head, aggs.tail: _*).head()
+    Sq8Params(
+      Array.tabulate(dim)(i => r.getFloat(2 * i)),
+      Array.tabulate(dim)(i => r.getFloat(2 * i + 1)))
+  }
+
+  /** Quantize: code_i = round((x_i − min_i) / span_i × 255), stored with a
+    * −128 offset so the full 0..255 range fits a signed byte (PQ caps at
+    * ksub ≤ 128 instead — SQ needs all 8 bits). The arithmetic runs in
+    * DOUBLE with an explicit floor(… + 0.5), so the codes are
+    * bit-reproducible and the Verify replica can reproduce them exactly.
+    * Out-of-range values at encode time (vectors unseen at train) clamp.
+    */
+  def sq8Encode(embedding: Column, p: Sq8Params): Column =
+    transform(embedding, (x, i) => {
+      val mn = element_at(typedLit(p.mins.toSeq), i + 1).cast("double")
+      val span = element_at(typedLit(p.spans.toSeq), i + 1).cast("double")
+      (least(lit(255.0d), greatest(lit(0.0d),
+        floor(when(span > 0.0d, (x.cast("double") - mn) / span * 255.0d)
+          .otherwise(0.0d) + 0.5d))) - 128.0d).cast("tinyint")
+    })
+
+  /** Decode: min_i + (code_i + 128) / 255 × span_i, in double, cast float
+    * — two FMAs per element, shuffle-free.
+    */
+  def sq8Reconstruct(codes: Column, p: Sq8Params): Column =
+    transform(codes, (c, i) => {
+      val mn = element_at(typedLit(p.mins.toSeq), i + 1).cast("double")
+      val span = element_at(typedLit(p.spans.toSeq), i + 1).cast("double")
+      (mn + (c.cast("double") + 128.0d) / 255.0d * span).cast("float")
+    })
+
+  /** Corpus → (vec_id, codes array<tinyint>) — the 4×-smaller scan table. */
+  def sq8EncodeCorpus(corpus: DataFrame, p: Sq8Params,
+                      keep: Seq[String] = Nil): DataFrame =
+    corpus.select(col("vec_id") +: keep.map(col) :+
+      sq8Encode(col("embedding"), p).as("codes"): _*)
+
+  /** ANN top-k over the SQ8 code table: reconstruct once per corpus row,
+    * cosine against the broadcast queries, bounded per-query top-k —
+    * [[pqSearch]]'s shape over the higher-fidelity codes.
+    */
+  def sq8Search(codes: DataFrame, queries: DataFrame, p: Sq8Params,
+                k: Int): DataFrame = {
+    val recon = codes.select(col("vec_id"),
+      sq8Reconstruct(col("codes"), p).as("recon"))
+    val scored = recon
+      .crossJoin(broadcast(queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("recon"), col("q_emb")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** SQ8 search with the exact re-ranking tail (Faiss IndexRefineFlat
+    * composition, like [[pqSearchRerank]]): the 4×-smaller code scan
+    * proposes rerank×k candidates, true embeddings re-score them.
+    */
+  def sq8SearchRerank(codes: DataFrame, queries: DataFrame, corpus: DataFrame,
+                      p: Sq8Params, k: Int, rerank: Int = 4): DataFrame = {
+    val cands = sq8Search(codes, queries, p, k * rerank)
+      .select("query_id", "neighbor_id")
+    rescoreExact(cands, queries, corpus, k)
+  }
+
+  /** One-shot SQ8 top-k (train → encode → search). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val p = sq8Train(corpus)
+    sq8Search(sq8EncodeCorpus(corpus, p), queries, p, k)
+  }
+
   // ── IVF-PQ: pruning AND compression ───────────────────────────────────
   //
   // The classic composition (Faiss IndexIVFPQ): the inverted lists store

@@ -198,6 +198,36 @@ class SimilaritySpec extends SparkSpec {
     assert(run1.size === 40) // 4 queries × k=10, self excluded
   }
 
+  test("SQ8: full signed-byte range, per-dim half-step reconstruction " +
+    "error, reranked search ~= brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = Similarity.sq8Train(emb)
+    val codes = Similarity.sq8EncodeCorpus(emb, p)
+    // 4x compression: one tinyint per dimension
+    assert(codes.select(size(col("codes"))).head().getInt(0) === p.dim)
+    val spans = p.spans
+    val recon = codes.select(col("vec_id"),
+      Similarity.sq8Reconstruct(col("codes"), p).as("deq"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    // |x - x'| <= max span/255/2 + eps (half a quantization bucket)
+    val viol = recon.select(explode(
+        zip_with(col("embedding"), col("deq"),
+          (a, b) => abs(a.cast("double") - b.cast("double")))).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(viol <= spans.map(_.toDouble).max / 255.0 / 2.0 + 1e-9,
+      s"max reconstruction error $viol exceeds half a bucket")
+    // reranked SQ8 recovers brute-force results almost exactly (the
+    // quantizer's half-step error rarely flips a top-10 boundary, and the
+    // exact rerank fixes those it does)
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.sq8SearchRerank(codes, queries, emb, p, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8+rerank recall $recall")
+  }
+
   test("PQ recall vs brute force is meaningful at m=8, ksub=16") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 4)
