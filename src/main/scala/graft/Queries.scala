@@ -1808,6 +1808,26 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_ivf_drift",
+      // centroid-drift monitor — the measurement behind "retrain only
+      // when drift demands it": per-list count + mean cosine of a vector
+      // batch to its assigned centroid (here the odd-id half as a stand-in
+      // ingest epoch against an index trained on everything). Broadcast
+      // assignment, one nlist-keyed agg; 6-dp rounds + DECIMAL sums make
+      // the stats engine-reproducible → plain-Scala fixture oracle.
+      Some("""SELECT cid, n, mean_cos
+              FROM parquet_scan('{FIX}/_fixture_ivfdrift/*.parquet')
+              ORDER BY cid"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-ivf-drift")
+        Similarity.ivfTrain(s, emb, nlist = 16, iters = 1).save(dir.toString)
+        val idx = Similarity.ivfLoad(s, dir.toString)
+        Similarity.ivfDriftStats(idx, emb.filter(col("vec_id") % 2 === 1))
+          .orderBy("cid")
+      }),
+
     QueryDef("q_ann_sq8",
       // scalar-quantization ANN (Faiss QT_8bit): one byte per DIMENSION
       // via exact per-dim min/max buckets — the 4× compression tier
@@ -2033,6 +2053,50 @@ object Queries {
           .select(col("doc_id"),
             TextAnalysis.nfcNormalize(planted).as("norm"),
             md5(TextAnalysis.nfcNormalize(planted)).as("nkey"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_html_extract",
+      // HTML → text for raw WARC response records (the lexical layer the
+      // WET conversion applies): script/style/comment blocks drop, tags
+      // become word boundaries, entities decode one level (&amp; last),
+      // whitespace collapses. Every pattern is RE2-compatible, so the
+      // oracle runs the IDENTICAL specification in DuckDB over the same
+      // planted markup — two engines, one spec.
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       '<html><head><script type="text/javascript">var x = 1 < 2;</script>' ||
+                       '<style>.a { color: red }</style></head><body><!-- nav -->' ||
+                       '<h1>Title &amp; More</h1><p>' || text ||
+                       '</p><div class="x">tail &lt;kept&gt;&nbsp;&#39;q&#39; &amp;lt;once</div></body></html>'
+                       AS html
+                FROM documents WHERE text IS NOT NULL
+              )
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(html,
+                               '<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'gis'),
+                             '<!--.*?-->', ' ', 'gs'),
+                           '<[^>]+>', ' ', 'gs'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                         '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS extracted
+              FROM p ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val html = concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+            "<style>.a { color: red }</style></head><body><!-- nav -->" +
+            "<h1>Title &amp; More</h1><p>"),
+          col("text"),
+          lit("</p><div class=\"x\">tail &lt;kept&gt;&nbsp;&#39;q&#39; &amp;lt;once</div></body></html>"))
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            TextAnalysis.htmlToText(html).as("extracted"))
           .orderBy("doc_id")
       }),
 

@@ -586,6 +586,25 @@ object Verify {
       }
       annRerankRef(annVecs, recon, queryMax = 8, k = 10, rerank = 4)
     }
+    fixture("_fixture_ivfdrift") {
+      // drift-stat replica: assign the odd-id half to the replica-trained
+      // centroids, mean of 6-dp cosines per list via exact BigDecimal sum
+      val cents = annIvfCents
+      val rows = annVecs.filter(_._1 % 2 == 1)
+        .map { case (_, e) =>
+          val cid = nearestCentRef(e, cents)
+          val c = cents.find(_._1 == cid).get._2
+          (cid, round6(graft.functions.VectorMath.cosineF(e, c)))
+        }
+        .groupBy(_._1).toSeq
+        .map { case (cid, vs) =>
+          val s = vs.map(v => BigDecimal(v._2).setScale(6)).sum
+          (cid, vs.length.toLong, round6(s.toDouble / vs.length))
+        }
+        .sortBy(_._1)
+      rows.toDF("cid", "n", "mean_cos").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_ivfdrift")
+    }
     fixture("_fixture_annsq8") {
       annSq8Rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annsq8")

@@ -655,6 +655,38 @@ object Similarity {
     pqSearch(pqEncode(corpus, cb), queries, cb, k)
   }
 
+  /** Centroid-drift monitor — the measurement behind "the index retrains
+    * only when centroid drift demands it" ([[ivfAppend]]): per-list count
+    * and mean cosine of a vector batch to its ASSIGNED centroid. Run it
+    * over each ingest epoch (or the accumulated lists) and retrain when
+    * mean cosine sinks below the train-time recording — rising distance
+    * to the nearest centroid is exactly what degrades probe recall.
+    * Shape: shuffle-free broadcast assignment (the [[ivfAppend]]
+    * machinery), then one nlist-keyed aggregation; per-vector cosines
+    * round to 6 dp and sum as DECIMAL(18,6), dividing once — the house
+    * determinism rule, so the stats are engine-reproducible.
+    */
+  def ivfDriftStats(index: IvfIndex, vecs: DataFrame): DataFrame = {
+    val cents = index.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val assigned =
+      if (cents.length <= literalAssignMaxLists)
+        vecs.select(col("vec_id"),
+          nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
+      else assignByJoin(vecs, index.centroids)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+    val centLit = typedLit(cents.map(_._2.toSeq))
+    assigned
+      .select(col("cid"),
+        round(cosine_sim(col("embedding"),
+          element_at(centLit, col("cid") + 1)), 6).as("cos"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cos").cast("decimal(18,6)")).as("_s"))
+      .select(col("cid"), col("n"),
+        round(col("_s").cast("double") / col("n"), 6).as("mean_cos"))
+  }
+
   // ── SQ8: scalar quantization (Faiss IndexScalarQuantizer QT_8bit) ────
   //
   // The simplest compression tier: one byte per DIMENSION via per-dim

@@ -49,6 +49,35 @@ object TextAnalysis {
   def nfcNormalize(text: Column): Column =
     graft.functions.Functions.nfc_normalize(text)
 
+  /** HTML → text extraction for raw `response` WARC records (the step
+    * WET files have already had applied — this makes the raw `.warc`
+    * ingest path end at the same plain text): drop `<script>`/`<style>`
+    * blocks and comments wholesale, turn every remaining tag into a word
+    * boundary (a space — `<p>a</p><p>b</p>` must not fuse "ab"), decode
+    * the HTML entities that appear in running text (`&amp;` LAST, so
+    * double-escaped text un-escapes exactly one level, like a browser),
+    * and collapse whitespace. Pure scan-fused regexp/replace work — one
+    * WholeStageCodegen span, zero shuffles; all patterns are
+    * RE2-compatible (no lookaround), so DuckDB executes the identical
+    * specification for the oracle.
+    *
+    * Deliberately NOT a DOM parse: boilerplate/main-content extraction is
+    * the job of the quality tier ([[graft.operators.Quality]] boilerplate
+    * lines); this is the lexical layer under it.
+    */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&" // last: one un-escape level, browser-like
+    ).foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Stopword lists for the n-gram language-ID heuristic. */
   val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),

