@@ -2701,6 +2701,44 @@ object Queries {
           .orderBy("domain")
       }),
 
+    QueryDef("q_web_html_e2e",
+      // the RAW-crawl composition q_web_e2e's WET path skips: planted
+      // HTML responses → htmlToText extraction → Gopher keep-filter over
+      // the EXTRACTED text → exact-dedup prune → per-domain cap → report.
+      // Every stage reuses its graded operator; the oracle prepends the
+      // q_html_extract extraction CTE to the same stage chain. One scan
+      // (extraction fused) + one digest agg + bounded domain top-k +
+      // report agg — no corpus self-joins.
+      Some(webHtmlE2eOracle),
+      (s, d) => {
+        prep(s)
+        val html = concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+            "<style>.a { color: red }</style></head><body><!-- nav -->" +
+            "<h1>Title &amp; More</h1><p>"),
+          col("text"),
+          lit("</p><div class=\"x\">tail &lt;kept&gt;&nbsp;&#39;q&#39; &amp;lt;once</div></body></html>"))
+        val url = concat(lit("https://site"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"))
+        val base = Tables.spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .withColumn("xtext", TextAnalysis.htmlToText(html))
+          .withColumn("n_chars", length(col("xtext")).cast("long"))
+          .withColumn("domain", WebCuration.domainOf(WebCuration.hostOf(url)))
+          .withColumn("ws", Quality.gopherWordSignals(col("xtext")))
+          .filter(col("ws.n_words") >= 50 && col("ws.alpha_frac") >= 0.8 &&
+            col("ws.mean_word_len").between(3.0, 10.0))
+        val canon = Dedup.exact(base, "doc_id", "xtext")
+          .select(col("canonical_id").as("doc_id"))
+        val dd = base.join(canon, Seq("doc_id"), "left_semi")
+        val capped = WebCuration.capPerDomain(
+          dd.select("doc_id", "domain", "n_chars"), "domain", "doc_id", 10)
+        capped.groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("domain")
+      }),
+
     QueryDef("q_dedup_url",
       // C4-style URL dedup (Raffel et al. §2.2 keep one page per URL):
       // normalize the planted URL to its registered domain + path, keep
@@ -3189,6 +3227,48 @@ object Queries {
       |sig AS (SELECT doc_id, n_chars, text, len(w) AS nw,
       |    round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 6) AS mwl,
       |    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(w), 6) AS af
+      |  FROM d),
+      |kept AS (SELECT doc_id, n_chars, text FROM sig
+      |         WHERE nw >= 50 AND af >= 0.8 AND mwl BETWEEN 3.0 AND 10.0),
+      |canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(text))),
+      |dd AS (SELECT k.doc_id, k.n_chars FROM kept k JOIN canon USING (doc_id)),
+      |dom AS (SELECT doc_id, n_chars,
+      |    regexp_replace(regexp_extract('https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+      |      'https?://([^/\s]+)', 1), '^www\.', '') AS domain
+      |  FROM dd),
+      |rk AS (SELECT domain, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY domain
+      |      ORDER BY CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
+      |  FROM dom),
+      |cap AS (SELECT * FROM rk WHERE rn <= 10)
+      |SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       min(doc_id) AS first_doc
+      |FROM cap GROUP BY domain ORDER BY domain""".stripMargin
+
+  private lazy val webHtmlE2eOracle: String =
+    """WITH p AS (SELECT doc_id,
+      |    '<html><head><script type="text/javascript">var x = 1 < 2;</script>' ||
+      |    '<style>.a { color: red }</style></head><body><!-- nav -->' ||
+      |    '<h1>Title &amp; More</h1><p>' || text ||
+      |    '</p><div class="x">tail &lt;kept&gt;&nbsp;&#39;q&#39; &amp;lt;once</div></body></html>' AS html
+      |  FROM documents WHERE text IS NOT NULL),
+      |x AS (SELECT doc_id,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(regexp_replace(regexp_replace(html,
+      |          '<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'gis'),
+      |          '<!--.*?-->', ' ', 'gs'),
+      |          '<[^>]+>', ' ', 'gs'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+      |        '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS text
+      |  FROM p),
+      |d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text,
+      |    string_split(lower(text),' ') AS w FROM x),
+      |sig AS (SELECT doc_id, n_chars, text, len(w) AS nw,
+      |    round(list_sum(list_transform(w, x2 -> length(x2))) * 1.0 / len(w), 6) AS mwl,
+      |    round(len(list_filter(w, x2 -> regexp_matches(x2, '[a-z]'))) * 1.0 / len(w), 6) AS af
       |  FROM d),
       |kept AS (SELECT doc_id, n_chars, text FROM sig
       |         WHERE nw >= 50 AND af >= 0.8 AND mwl BETWEEN 3.0 AND 10.0),

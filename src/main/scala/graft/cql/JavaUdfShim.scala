@@ -505,6 +505,11 @@ object JavaUdfShim {
       if (op == "+" && (l._2 == TStr || r._2 == TStr))
         (s"concat(${javaStr(l)}, ${javaStr(r)})", TStr)
       else {
+        // javac rejects e.g. String *= int; don't emit nonsense SQL for it
+        (l._2, r._2) match {
+          case (TNum(_), TNum(_)) =>
+          case _ => fail(s"operator '$op=' requires numeric operands")
+        }
         val t = numT(l, r)
         if (op == "/" && t == TNum(integral = true))
           (s"(${l._1} div ${r._1})", t)

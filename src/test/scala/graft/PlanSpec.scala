@@ -57,6 +57,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("SQ8 re-rank: queries broadcast over the code scan, candidates " +
+    "broadcast for the exact tail, corpus never sort-merge shuffled") {
+    val p = plan("q_ann_sq8")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("IVF drift stats: broadcast assignment, one bounded aggregation, " +
+    "no corpus join") {
+    val p = plan("q_ann_ivf_drift")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("radius-2 fuzzy match: variant equi-join with a broadcast query " +
+    "table, never a vocabulary cross join") {
+    val p = plan("q_fuzzy_match2")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("html extraction is one scan-fused projection: no hash shuffle, " +
+    "no join, only the oracle-ordering range exchange") {
+    val p = plan("q_html_extract")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
   test("LSH candidate shuffles carry ids only, embeddings cross once") {
     // the chunk join + candidate distinct must NOT shuffle array<float>
     // payloads (they'd duplicate bands×); only the single embedding re-join
