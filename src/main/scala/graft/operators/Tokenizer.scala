@@ -166,6 +166,17 @@ object Tokenizer {
     */
   def decode(tokens: Column): Column = call_function("bpe_decode", tokens)
 
+  /** Inverse of [[encodeIds]]: id arrays back to text through the vocab
+    * table. The -1 UNK sentinel (and any id outside the vocab) renders as
+    * `<unk>` — lossy exactly where encoding was.
+    */
+  def decodeIds(ids: Column, vocab: Seq[String]): Column = {
+    val vlit = typedLit(vocab)
+    decode(transform(ids, i =>
+      when(i >= 0 && i < vocab.size, element_at(vlit, i + 1))
+        .otherwise(lit("<unk>"))))
+  }
+
   /** Token → id vocabulary of a trained tokenizer — the export a training
     * stack consumes next to the merge table. Ids are assigned the way BPE
     * vocabularies are built: the base ALPHABET first (every single
@@ -211,4 +222,29 @@ object Tokenizer {
       .collect()
       .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_.rank).toSeq
+
+  /** The full tokenizer artifact — merges + vocab under one directory,
+    * what a training stack checks out: `dir/merges` (rank-ordered) and
+    * `dir/vocab` (token, id). Train once, every later job loads.
+    */
+  def saveTokenizer(docs: DataFrame, textCol: String, numMerges: Int,
+                    dir: String): (Seq[Merge], Seq[String]) = {
+    val spark = docs.sparkSession
+    val merges = bpeTrain(docs, textCol, numMerges)
+    saveMerges(spark, merges, s"$dir/merges")
+    val vocabDf = vocabulary(docs, textCol, merges)
+    vocabDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    (merges, vocabDf.orderBy("id").collect().map(_.getString(0)).toSeq)
+  }
+
+  /** Load a [[saveTokenizer]] artifact: (merges rank-ordered, vocab
+    * id-ordered).
+    */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): (Seq[Merge], Seq[String]) = {
+    val merges = loadMerges(spark, s"$dir/merges")
+    val vocab = spark.read.parquet(s"$dir/vocab")
+      .orderBy("id").collect().map(_.getString(0)).toSeq
+    (merges, vocab)
+  }
 }

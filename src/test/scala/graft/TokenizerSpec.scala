@@ -206,4 +206,29 @@ class TokenizerSpec extends SparkSpec {
       .collect().head.getSeq[Int](0)
     assert(unk.contains(-1))
   }
+
+  test("tokenizer artifact: save/load bundle, id round-trip through the " +
+    "vocab, UNK renders as <unk>") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val texts = Seq("low lower newest widest", "low low newest wide")
+    val docs = texts.toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    val (merges, vocab) = Tokenizer.saveTokenizer(docs, "text", 10, dir)
+    val (m2, v2) = Tokenizer.loadTokenizer(spark, dir)
+    assert(m2 === merges && v2 === vocab)
+    // decodeIds ∘ encodeIds == the normalized text (full id round-trip)
+    val rt = docs.select(col("text"),
+        Tokenizer.decodeIds(
+          Tokenizer.encodeIds(col("text"), m2, v2), v2).as("rt"),
+        concat_ws(" ", Tokenizer.preTokens(col("text"))).as("want"))
+      .filter(col("rt") =!= col("want")).count()
+    assert(rt === 0L)
+    // out-of-vocab ids surface as <unk>, not a crash or a silent drop
+    val unk = Seq("low qqq").toDF("text")
+      .select(Tokenizer.decodeIds(
+        Tokenizer.encodeIds(col("text"), m2, v2), v2).as("rt"))
+      .collect().head.getString(0)
+    assert(unk.startsWith("low") && unk.contains("<unk>"))
+  }
 }
