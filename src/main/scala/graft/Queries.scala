@@ -2088,15 +2088,9 @@ object Queries {
               FROM p ORDER BY doc_id"""),
       (s, d) => {
         prep(s)
-        val html = concat(
-          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
-            "<style>.a { color: red }</style></head><body><!-- nav -->" +
-            "<h1>Title &amp; More</h1><p>"),
-          col("text"),
-          lit("</p><div class=\"x\">tail &lt;kept&gt;&nbsp;&#39;q&#39; &amp;lt;once</div></body></html>"))
         t(s, d, "documents").filter(col("text").isNotNull)
           .select(col("doc_id"),
-            TextAnalysis.htmlToText(html).as("extracted"))
+            TextAnalysis.htmlToText(plantedHtml(col("text"))).as("extracted"))
           .orderBy("doc_id")
       }),
 
@@ -2712,17 +2706,11 @@ object Queries {
       Some(webHtmlE2eOracle),
       (s, d) => {
         prep(s)
-        val html = concat(
-          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
-            "<style>.a { color: red }</style></head><body><!-- nav -->" +
-            "<h1>Title &amp; More</h1><p>"),
-          col("text"),
-          lit("</p><div class=\"x\">tail &lt;kept&gt;&nbsp;&#39;q&#39; &amp;lt;once</div></body></html>"))
         val url = concat(lit("https://site"), (col("doc_id") % 13).cast("string"),
           lit(".example.com/p/"), col("doc_id").cast("string"))
         val base = Tables.spread(t(s, d, "documents"))
           .filter(col("text").isNotNull)
-          .withColumn("xtext", TextAnalysis.htmlToText(html))
+          .withColumn("xtext", TextAnalysis.htmlToText(plantedHtml(col("text"))))
           .withColumn("n_chars", length(col("xtext")).cast("long"))
           .withColumn("domain", WebCuration.domainOf(WebCuration.hostOf(url)))
           .withColumn("ws", Quality.gopherWordSignals(col("xtext")))
@@ -3244,6 +3232,17 @@ object Queries {
       |SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |       min(doc_id) AS first_doc
       |FROM cap GROUP BY domain ORDER BY domain""".stripMargin
+
+  /** The planted HTML wrapper shared by q_html_extract and
+    * q_web_html_e2e (their SQL oracles duplicate it by design — two
+    * engines, one spec — but the Scala sides must not drift apart).
+    */
+  private def plantedHtml(text: Column): Column = concat(
+    lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+      "<style>.a { color: red }</style></head><body><!-- nav -->" +
+      "<h1>Title &amp; More</h1><p>"),
+    text,
+    lit("</p><div class=\"x\">tail &lt;kept&gt;&nbsp;&#39;q&#39; &amp;lt;once</div></body></html>"))
 
   private lazy val webHtmlE2eOracle: String =
     """WITH p AS (SELECT doc_id,

@@ -404,31 +404,28 @@ object Verify {
       rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpeencode")
     }
-    fixture("_fixture_bpevocab") {
-      // independent vocabulary derivation: alphabet via plain code-point
-      // iteration over every word (NOT the encode kernel the query's
-      // alphabet pass reuses), UTF-8 binary sort, then merge products in
-      // rank order with first-string-wins dedup
+    // independent vocabulary derivation: alphabet via plain code-point
+    // iteration over every word (NOT the encode kernel the query's
+    // alphabet pass reuses), UTF-8 binary sort, then merge products in
+    // rank order with first-string-wins dedup. Shared by the vocab and
+    // encode-ids fixtures so the two can't drift apart.
+    lazy val bpeVocabRef: Seq[String] = {
       val alphabet = bpeDocs.iterator.flatMap(d => bpeWords(d._2))
         .flatMap(bpeSymsOf).toSeq.distinct
         .sortWith(utf8Less)
       val seen = scala.collection.mutable.LinkedHashSet.empty[String]
       alphabet.foreach(seen += _)
       bpeMergesRef.foreach { case (_, l, r, _) => seen += l + r }
-      seen.iterator.zipWithIndex.map { case (t, i) => (t, i) }.toSeq
-        .toDF("token", "id").coalesce(1)
+      seen.toSeq
+    }
+    fixture("_fixture_bpevocab") {
+      bpeVocabRef.zipWithIndex.toDF("token", "id").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpevocab")
     }
     fixture("_fixture_bpeids") {
-      // id-array handoff replica: the same independent vocab derivation as
-      // _fixture_bpevocab, then ids of the independent encoder's tokens
-      val alphabet = bpeDocs.iterator.flatMap(d => bpeWords(d._2))
-        .flatMap(bpeSymsOf).toSeq.distinct
-        .sortWith(utf8Less)
-      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-      alphabet.foreach(seen += _)
-      bpeMergesRef.foreach { case (_, l, r, _) => seen += l + r }
-      val idOf = seen.iterator.zipWithIndex.toMap
+      // id-array handoff replica: the shared independent vocab (above),
+      // then ids of the independent encoder's tokens
+      val idOf = bpeVocabRef.zipWithIndex.toMap
       val rows = bpeDocs.map { case (id, text) =>
         val ids = bpeWords(text).flatMap(bpeEncodeWordRef)
           .map(t => idOf.getOrElse(t, -1))

@@ -383,7 +383,16 @@ object JavaUdfShim {
         case other => fail("counted-loop condition must be an ascending " +
           s"'<' or '<=' bound, found $other")
       }
+      // keep the bound's raw identifiers: Java re-evaluates the condition
+      // every iteration, so a bound that reads the accumulator is a
+      // data-dependent loop — the fold (which snapshots the bound once)
+      // would translate it with silently wrong semantics. Rejected below
+      // once the accumulator is known.
+      val boundStart = toks
       val (hi, _) = expression()
+      val boundIdents =
+        boundStart.take(boundStart.length - toks.length)
+          .collect { case Ident(n) => n }.toSet
       eat(";")
       toks match {
         case Ident(`lv`) :: Op("+") :: Op("+") :: Op(")") :: rest => toks = Op(")") :: rest
@@ -429,6 +438,10 @@ object JavaUdfShim {
                 fail("a counted loop may only accumulate into one local " +
                   s"(saw both '$a' and '$name')")
               case None =>
+                if (boundIdents.contains(name))
+                  fail(s"the loop bound reads '$name', which the body " +
+                    "mutates — data-dependent loops are not supported by " +
+                    "this engine's translation shim")
                 accName = Some(name)
                 // inside the body, the accumulator IS the fold's lambda
                 // variable; its pre-loop value becomes the fold's init

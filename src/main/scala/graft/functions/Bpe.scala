@@ -277,6 +277,10 @@ case class BpeDecode(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "bpe_decode"
+  // a null token ELEMENT null-poisons the result even when the array
+  // itself is non-nullable — without this the optimizer could fold
+  // IsNull(bpe_decode(...)) to false and mis-report a null value
+  override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
     Bpe.decodeTokens(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])

@@ -375,18 +375,7 @@ object Similarity {
     // score nonsense against the centroids — fail loudly, on the BATCH
     // scan only (the index is never touched for the check)
     val dim = cents.head._2.length
-    // size(null) is null, so `=!= dim` alone would let null embeddings slip
-    // past the guard and fail (or land as garbage) during assignment
-    val bad = newVecs
-      .filter(col("embedding").isNull || size(col("embedding")) =!= dim).limit(1)
-      .select(col("vec_id"), coalesce(size(col("embedding")), lit(-1)).as("d"))
-      .collect()
-    if (bad.nonEmpty) {
-      val d = bad.head.getInt(1)
-      val what = if (d < 0) "a null embedding" else s"dimension $d"
-      throw new IllegalArgumentException(
-        s"ivfAppend: vec_id ${bad.head.getLong(0)} has $what, index expects $dim")
-    }
+    failOnBadEmbeddings(newVecs, dim, "ivfAppend")
     val assigned =
       if (cents.length <= literalAssignMaxLists)
         newVecs.select(col("vec_id"),
@@ -655,6 +644,25 @@ object Similarity {
     pqSearch(pqEncode(corpus, cb), queries, cb, k)
   }
 
+  /** Batch-hygiene guard shared by the index-maintenance operators: a
+    * null or wrong-width embedding would land in lists / score garbage /
+    * bias statistics downstream — fail loudly, on the BATCH scan only
+    * (`size(null)` is null, so a bare `=!= dim` filter would let null
+    * embeddings slip past).
+    */
+  private def failOnBadEmbeddings(vecs: DataFrame, dim: Int, op: String): Unit = {
+    val bad = vecs
+      .filter(col("embedding").isNull || size(col("embedding")) =!= dim).limit(1)
+      .select(col("vec_id"), coalesce(size(col("embedding")), lit(-1)).as("d"))
+      .collect()
+    if (bad.nonEmpty) {
+      val d = bad.head.getInt(1)
+      val what = if (d < 0) "a null embedding" else s"dimension $d"
+      throw new IllegalArgumentException(
+        s"$op: vec_id ${bad.head.getLong(0)} has $what, index expects $dim")
+    }
+  }
+
   /** Centroid-drift monitor — the measurement behind "the index retrains
     * only when centroid drift demands it" ([[ivfAppend]]): per-list count
     * and mean cosine of a vector batch to its ASSIGNED centroid. Run it
@@ -669,6 +677,10 @@ object Similarity {
   def ivfDriftStats(index: IvfIndex, vecs: DataFrame): DataFrame = {
     val cents = index.centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    // same hygiene as ivfAppend: a null embedding would be counted in n
+    // while its null cosine drops from the sum, silently deflating
+    // mean_cos and triggering spurious retrains
+    failOnBadEmbeddings(vecs, cents.head._2.length, "ivfDriftStats")
     val assigned =
       if (cents.length <= literalAssignMaxLists)
         vecs.select(col("vec_id"),
@@ -713,12 +725,17 @@ object Similarity {
     * header by the same argument as the IVF/PQ collects.
     */
   def sq8Train(corpus: DataFrame): Sq8Params = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val vecs = corpus.filter(col("embedding").isNotNull)
+    val probe = vecs.select(size(col("embedding"))).limit(1).collect()
+    require(probe.nonEmpty, "sq8Train: empty corpus (no non-null embeddings)")
+    val dim = probe.head.getInt(0)
+    // a shorter vector would leave null min/max holes in some dimension;
+    // fail loudly like the other index builders
+    failOnBadEmbeddings(vecs, dim, "sq8Train")
     val aggs = (0 until dim).flatMap(i => Seq(
       min(element_at(col("embedding"), i + 1)).as(s"mn$i"),
       max(element_at(col("embedding"), i + 1)).as(s"mx$i")))
-    val r = corpus.filter(col("embedding").isNotNull)
-      .agg(aggs.head, aggs.tail: _*).head()
+    val r = vecs.agg(aggs.head, aggs.tail: _*).head()
     Sq8Params(
       Array.tabulate(dim)(i => r.getFloat(2 * i)),
       Array.tabulate(dim)(i => r.getFloat(2 * i + 1)))

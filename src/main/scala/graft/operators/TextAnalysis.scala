@@ -330,9 +330,11 @@ object TextAnalysis {
     val oldStats = spark.read.parquet(s"$dir/stats").head()
     val buckets = oldStats.getAs[Int]("buckets")
     val w = words(col(text))
-    // batch stats BEFORE any write: an empty (or all-null-text) batch must
-    // be a no-op, not a half-applied append — and sum() over zero rows is
-    // null, so coalesce to 0
+    // batch stats BEFORE any write: an EMPTY batch must be a no-op, not a
+    // half-applied append — and sum() over zero rows is null, so coalesce
+    // to 0. (An all-null-text batch is NOT a no-op: its rows still count
+    // into n_docs with dl 0, exactly as a from-scratch union build would
+    // count them.)
     val delta = newDocs
       .agg(count(lit(1)).as("n"), coalesce(sum(size(w)), lit(0L)).as("s")).head()
     if (delta.getLong(0) == 0L) return

@@ -67,9 +67,13 @@ object WebArchive {
       throw new java.io.FileNotFoundException(
         s"WebArchive.records: no input files match '$path'")
     val (gz, plain) = files.partition(_.endsWith(".gz"))
+    // FileInputFormat splits its input string on bare commas — escape each
+    // path so an archive named 'seg-1,2.warc.gz' stays one file
+    def joined(ps: Seq[String]) =
+      ps.map(org.apache.hadoop.util.StringUtils.escapeString).mkString(",")
     val parts = Seq(
-      if (gz.nonEmpty) Some(gzipRecords(spark, gz.mkString(","))) else None,
-      if (plain.nonEmpty) Some(plaintextRecords(spark, plain.mkString(","))) else None
+      if (gz.nonEmpty) Some(gzipRecords(spark, joined(gz))) else None,
+      if (plain.nonEmpty) Some(plaintextRecords(spark, joined(plain))) else None
     ).flatten
     parts.reduce(_ unionByName _)
   }

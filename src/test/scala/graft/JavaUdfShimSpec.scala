@@ -177,6 +177,12 @@ class JavaUdfShimSpec extends AnyFunSuite {
       "n" -> CqlInt).contains("not supported"))
     assert(rejects("int s = 0; for (int i = 0; i < n; i++) s += n.frobnicate(); return s;",
       "n" -> CqlInt).contains("unsupported method call"))
+    // Java re-evaluates the condition per iteration; a bound reading the
+    // accumulator is data-dependent and must reject, not mistranslate
+    assert(rejects("int s = 10; for (int i = 0; i < s; i++) s = s - 1; return s;")
+      .contains("data-dependent"))
+    assert(rejects("String a = \"x\"; for (int i = 0; i < n; i++) a *= 2; return a;",
+      "n" -> CqlInt).contains("numeric operands"))
     // mutating an outer-scope local from a branch-nested loop would be
     // discarded by the branch-exit restore — must reject, not mistranslate
     assert(rejects(
