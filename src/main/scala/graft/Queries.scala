@@ -2423,6 +2423,36 @@ object Queries {
           .orderBy("lang")
       }),
 
+    QueryDef("q_multiclass_model",
+      // TRAINED multiclass softmax classifier (the fastText-supervised /
+      // DoReMi domain-tagger shape): K margins from one did-keyed
+      // fixed-point aggregation per pass, softmax in fixed class order,
+      // one (f,k)-keyed gradient reduce — bit-reproducible like the
+      // binary QualityModel, so the whole train+predict+probability path
+      // oracle-checks against an independent plain-Scala replica. Labels
+      // planted (doc_id mod 3) with a class marker word so the task is
+      // genuinely learnable on the synthetic corpus.
+      Some("""SELECT doc_id, pred, p0, p1, p2
+              FROM parquet_scan('{FIX}/_fixture_multiclass/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .withColumn("label", concat(lit("c"), (col("doc_id") % 3).cast("string")))
+          .withColumn("ptext", concat(col("text"), lit(" mk"),
+            (col("doc_id") % 3).cast("string")))
+        val m = MulticlassModel.train(docs, "doc_id", "ptext", "label",
+          dim = 512, iters = 12)
+        val ps = MulticlassModel.scores(col("ptext"), m)
+        docs.select(col("doc_id"),
+            MulticlassModel.predict(col("ptext"), m).as("pred"),
+            round(element_at(ps, 1), 6).as("p0"),
+            round(element_at(ps, 2), 6).as("p1"),
+            round(element_at(ps, 3), 6).as("p2"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_bpe_roundtrip",
       // encode∘decode identity audit over the whole corpus: decode (a
       // codegen'd inverse kernel — trailing </w> markers become word

@@ -694,6 +694,69 @@ object Verify {
       rows.toDF("doc_id", "y", "p", "pred").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_qualitymodel")
     }
+    fixture("_fixture_multiclass") {
+      // plain-Scala re-run of the multiclass softmax train+predict path
+      // (q_multiclass_model's parameters: dim=512, iters=12, lr=3.0,
+      // momentum 0.9; label c(doc_id%3), marker word mk<k> appended).
+      // Shares only the murmur64 scalar kernel with the expressions under
+      // test; the K-margin sums, fixed-order softmax, (f,k) gradient
+      // reduce and momentum recurrence all re-derive independently.
+      val dim = 512; val iters = 12; val lr = 3.0; val beta = 0.9
+      val fp = graft.operators.Similarity.fixedPointScale
+      def fpl(x: Double): Long =
+        BigDecimal(x * fp).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      def featOf(w: String): Int = {
+        val h = graft.functions.CassandraMurmur3.hashString(w, 0x9e37L)
+        (((h % dim) + dim) % dim).toInt
+      }
+      val classes = Seq("c0", "c1", "c2")
+      val k = classes.length
+      val byDoc = bpeDocs.map { case (id, text) =>
+        val y = (id % 3).toInt
+        val fs = bpeWords(text + " mk" + y).map(featOf).distinct
+        (id, y, fs, math.sqrt(fs.length.toDouble))
+      }
+      val nDocs = byDoc.length.toDouble // marker word => never token-less
+      val w = Array.fill(k)(new Array[Double](dim))
+      val v = Array.fill(k)(new Array[Double](dim))
+      def softmax(mfps: Seq[Long], sm: Double): Seq[Double] = {
+        val zs = mfps.map(_.toDouble / fp / sm)
+        val zmax = zs.max
+        val exps = zs.map(z => StrictMath.exp(z - zmax))
+        val denom = exps.reduce(_ + _) // left fold, class order — like the SQL
+        exps.map(_ / denom)
+      }
+      for (_ <- 1 to iters) {
+        val wFp = w.map(_.map(fpl))
+        val grad = Array.fill(k)(new Array[Long](dim))
+        byDoc.foreach { case (_, y, fs, sm) =>
+          val mfps = (0 until k).map(ki => fs.iterator.map(wFp(ki)(_)).sum)
+          val ps = softmax(mfps, sm)
+          (0 until k).foreach { ki =>
+            val gg = fpl((ps(ki) - (if (y == ki) 1.0 else 0.0)) / sm)
+            fs.foreach { f => grad(ki)(f) += gg }
+          }
+        }
+        (0 until k).foreach { ki =>
+          var f = 0
+          while (f < dim) {
+            v(ki)(f) = beta * v(ki)(f) + (grad(ki)(f).toDouble / fp) / nDocs
+            w(ki)(f) = w(ki)(f) - lr * v(ki)(f)
+            f += 1
+          }
+        }
+      }
+      val wFp = w.map(_.map(fpl))
+      val rows = byDoc.map { case (id, _, fs, sm) =>
+        val mfps = (0 until k).map(ki => fs.iterator.map(wFp(ki)(_)).sum)
+        // argmax on EXACT integer margins, ties to the lowest class index
+        val pred = classes(mfps.zipWithIndex.maxBy { case (m, i) => (m, -i) }._2)
+        val ps = softmax(mfps, sm).map(round6)
+        (id, pred, ps(0), ps(1), ps(2))
+      }
+      rows.toDF("doc_id", "pred", "p0", "p1", "p2").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_multiclass")
+    }
     fixture("_fixture_clusterprune") {
       // prototype-prune replica: same centroids as the IVF fixtures
       // (nlist=16, iters=1), cosine-to-centroid prototypicality, per-

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.functions.Functions.strict_exp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRAINABLE multiclass document classifier: softmax regression with
+  * heavy-ball momentum over hashed, L2-normalized binary bag-of-words
+  * features — the fastText-supervised shape, generalizing
+  * [[QualityModel]]'s binary gate to K labels. The curation uses are the
+  * multiclass ones: domain/source tagging for mixture rebalancing
+  * (DoReMi-style), topic routing, language identification once labeled
+  * text exists.
+  *
+  * Scale + reproducibility design (inherited from [[QualityModel]], see
+  * its scaladoc for the why of each piece):
+  *  - hashed features, no vocabulary shuffle; 1/sqrt(m) L2 presence
+  *    scaling; one cached did-partitioned (doc, feature) table reused by
+  *    every pass.
+  *  - per-iteration work: ONE groupBy(did) computing all K margins as
+  *    exact scaled-long sums, softmax in a FIXED class order (the
+  *    left-fold denominator makes the double arithmetic
+  *    order-deterministic), then ONE (f, k)-keyed gradient reduce — at
+  *    most dim×K rows out, whatever the corpus size.
+  *  - weights ride as K broadcast scaled-long literals; everything that
+  *    crosses a merge tree is fixed-point, so the trained model is
+  *    bit-identical under any partitioning.
+  *  - prediction ([[predict]]) is a shuffle-free scan-fused fold; the
+  *    argmax compares EXACT integer margins (the 1/sqrt(m) scale is
+  *    class-independent, so it cancels and never touches the
+  *    comparison), ties break to the lowest class index.
+  */
+object MulticlassModel {
+
+  /** Trained model: class labels in sorted order, one weight row per
+    * class. The artifact is bounded (K × dim doubles) — train once on a
+    * bounded labeled sample, broadcast everywhere.
+    */
+  final case class Model(classes: Seq[String], weights: Array[Array[Double]], dim: Int) {
+    require(classes.nonEmpty && classes.length == weights.length,
+      s"MulticlassModel: ${classes.length} classes vs ${weights.length} weight rows")
+  }
+
+  import QualityModel.{featCol, fpLong, momentum}
+
+  private val fpScale = QualityModel.fixedPointScale
+
+  /** Train softmax weights on (textCol, labelCol); rows with a null label
+    * or no tokens carry no gradient. Class order is the sorted distinct
+    * label set, so the model layout is input-determined. Deterministic
+    * for a given input set.
+    */
+  def train(docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+            dim: Int = 1024, iters: Int = 24, lr: Double = 3.0): Model = {
+    val classes = docs.select(col(labelCol).cast("string").as("c"))
+      .filter(col("c").isNotNull).distinct()
+      .orderBy("c").collect().map(_.getString(0)).toSeq
+    require(classes.size >= 2,
+      s"MulticlassModel.train: need >= 2 classes, got ${classes.size}")
+    val k = classes.size
+    val words = Tokenizer.preTokens(col(textCol))
+    val feats = docs
+      .select(col(idCol).as("did"),
+        (array_position(typedLit(classes), col(labelCol).cast("string")) - 1)
+          .cast("int").as("y"),
+        words.as("ws"))
+      .filter(col("y") >= 0 && size(col("ws")) > 0)
+      .select(col("did"), col("y"),
+        array_distinct(transform(col("ws"), w => featCol(w, dim))).as("fs"))
+      .select(col("did"), col("y"),
+        sqrt(size(col("fs")).cast("double")).as("sm"), explode(col("fs")).as("f"))
+      .repartition(col("did")).cache()
+    val nDocs = feats.select(countDistinct(col("did"))).head().getLong(0).toDouble
+    val w = Array.fill(k)(new Array[Double](dim))
+    val v = Array.fill(k)(new Array[Double](dim))
+    try {
+      (1 to iters).foreach { _ =>
+        val wFp = w.map(_.map(fpLong))
+        // all K margins in ONE did-keyed aggregation (exact integer sums)
+        val aggCols = (0 until k).map(i =>
+          sum(element_at(lit(wFp(i)), col("f") + 1)).as(s"m$i")) :+
+          first(col("sm")).as("sm")
+        val margins = feats.groupBy("did").agg(aggCols.head, aggCols.tail: _*)
+        // softmax in FIXED class order: zmax guard, left-fold denominator
+        val zs = (0 until k).map(i =>
+          col(s"m$i").cast("double") / lit(fpScale) / col("sm"))
+        val zmax = greatest(zs: _*)
+        val exps = zs.map(z => strict_exp(z - zmax))
+        val denom = exps.reduce(_ + _)
+        // only did + probabilities: y and sm come back from the feats
+        // side of the join below (duplicating them here would make the
+        // gradient's column references ambiguous)
+        val ps = margins.select(
+          col("did") +: (0 until k).map(i => (exps(i) / denom).as(s"p$i")): _*)
+        // grad_{f,k} = Σ_docs (p_k - [y==k])/sqrt(m), rounded to a scaled
+        // long per row BEFORE the cross-partition sum
+        val gCols = (0 until k).map(i =>
+          round((col(s"p$i") - when(col("y") === i, 1.0).otherwise(0.0)) /
+            col("sm") * lit(fpScale)).cast("long"))
+        val grad = feats.join(ps, Seq("did"))
+          .select(col("f"), posexplode(array(gCols: _*)))
+          .toDF("f", "k", "gfp")
+          .groupBy("f", "k").agg(sum(col("gfp")).as("gfp"))
+          .collect()
+        val g = Array.fill(k)(new Array[Double](dim))
+        grad.foreach { r =>
+          g(r.getInt(1))(r.getInt(0)) = (r.getLong(2).toDouble / fpScale) / nDocs
+        }
+        var ki = 0
+        while (ki < k) {
+          var f = 0
+          while (f < dim) {
+            v(ki)(f) = momentum * v(ki)(f) + g(ki)(f)
+            w(ki)(f) = w(ki)(f) - lr * v(ki)(f)
+            f += 1
+          }
+          ki += 1
+        }
+      }
+    } finally feats.unpersist()
+    Model(classes, w, dim)
+  }
+
+  /** Per-class scaled-long margins of a text — the shared fold under
+    * [[predict]] and [[scores]]; exact integers, shuffle-free.
+    */
+  private def marginCols(text: Column, model: Model): (Column, Seq[Column]) = {
+    val fs = array_distinct(transform(Tokenizer.preTokens(text),
+      w => featCol(w, model.dim)))
+    val mfps = model.weights.toSeq.map { wk =>
+      val wFp = wk.map(fpLong)
+      aggregate(fs, lit(0L), (acc, f) => acc + element_at(lit(wFp), f + 1))
+    }
+    (fs, mfps)
+  }
+
+  /** Predicted class label. The argmax compares the EXACT integer
+    * margins (1/sqrt(m) cancels across classes), ties break to the
+    * lowest class index — fully deterministic. Null text and token-less
+    * text predict null (no evidence — a silent majority-class answer
+    * would sail through a routing gate).
+    */
+  def predict(text: Column, model: Model): Column = {
+    val (fs, mfps) = marginCols(text, model)
+    val packed = mfps.zipWithIndex.map { case (m, i) =>
+      struct(m.as("m"), lit(-i).as("nk"))
+    }
+    val best =
+      if (packed.length == 1) packed.head
+      else greatest(packed: _*)
+    when(size(fs) > 0,
+      element_at(typedLit(model.classes), -best.getField("nk") + 1))
+  }
+
+  /** Softmax probabilities, classes in [[Model.classes]] order — the
+    * same fixed-order arithmetic training used, so a doc's training-time
+    * distribution is its scoring-time distribution. Null/token-less
+    * text yields null.
+    */
+  def scores(text: Column, model: Model): Column = {
+    val (fs, mfps) = marginCols(text, model)
+    val sm = sqrt(size(fs).cast("double"))
+    val zs = mfps.map(m => m.cast("double") / lit(fpScale) / sm)
+    val zmax = if (zs.length == 1) zs.head else greatest(zs: _*)
+    val exps = zs.map(z => strict_exp(z - zmax))
+    val denom = exps.reduce(_ + _)
+    when(size(fs) > 0, array(exps.map(_ / denom): _*))
+  }
+
+  /** Persist the model (classes + weight rows, one parquet). */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    model.classes.indices.flatMap { ki =>
+      model.weights(ki).zipWithIndex.map { case (x, f) =>
+        (ki, model.classes(ki), f, x)
+      }
+    }.toDF("k", "label", "f", "w")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[save]]d model. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val rows = spark.read.parquet(dir).select("k", "label", "f", "w").collect()
+    val k = rows.iterator.map(_.getInt(0)).max + 1
+    val dim = rows.iterator.map(_.getInt(2)).max + 1
+    val classes = new Array[String](k)
+    val w = Array.fill(k)(new Array[Double](dim))
+    rows.foreach { r =>
+      classes(r.getInt(0)) = r.getString(1)
+      w(r.getInt(0))(r.getInt(2)) = r.getDouble(3)
+    }
+    Model(classes.toSeq, w, dim)
+  }
+}

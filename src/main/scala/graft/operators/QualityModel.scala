@@ -47,25 +47,26 @@ object QualityModel {
     */
   val fixedPointScale: Double = Similarity.fixedPointScale
 
-  private val hashSeed = 0x9e37L
+  private[operators] val hashSeed = 0x9e37L
 
   /** Scaled-long encoding: round(x·2^24), HALF_UP on the double product —
     * the same arithmetic Spark's `round(col * lit(fixedPointScale))`
     * performs, so driver-side and in-plan encodings agree bit-for-bit.
+    * Shared with [[MulticlassModel]].
     */
-  private def fpLong(x: Double): Long =
+  private[operators] def fpLong(x: Double): Long =
     BigDecimal(x * fixedPointScale)
       .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
 
   /** Feature id of a token: pmod(murmur64(token), dim). */
-  private def featCol(word: Column, dim: Int): Column =
+  private[operators] def featCol(word: Column, dim: Int): Column =
     pmod(murmur64(word, lit(hashSeed)), lit(dim.toLong)).cast("int")
 
   /** Heavy-ball momentum coefficient: logistic loss over near-duplicate
     * feature vectors is ill-conditioned (one shared direction, weak
     * discriminative ones) and plain full-batch GD needs ~10× the passes.
     */
-  private val momentum = 0.9
+  private[operators] val momentum = 0.9
 
   /** Train logistic-regression weights on (textCol, labelCol) where
     * labelCol is boolean/0-1 and idCol uniquely keys a document. Returns
