@@ -1423,6 +1423,31 @@ object Queries {
           col("n_chars"), 2000)
         .select("doc_id", "source", "pack_id").orderBy("doc_id")),
 
+    QueryDef("q_pack_bpe",
+      // packing by LEARNED-tokenizer token counts — the actual
+      // tokenizer-feed composition (train merges -> codegen-fused encode
+      // -> budget-chunked packs of <= 1024 tokens). Same single window
+      // shuffle as q_pack_sequences; the token counts fuse into the scan.
+      // The oracle windows over the independently-replicated encode
+      // fixture joined back to the corpus.
+      Some("""WITH tok AS (SELECT doc_id, n_tokens
+                           FROM parquet_scan('{FIX}/_fixture_bpeencode/*.parquet'))
+              SELECT d.doc_id, d.source,
+                     CAST(floor((sum(t.n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                                                       ROWS UNBOUNDED PRECEDING) - t.n_tokens)
+                                / 1024.0) AS BIGINT) AS pack_id
+              FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+              ORDER BY d.doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents")).filter(col("text").isNotNull)
+        val merges = Tokenizer.bpeTrain(docs, "text", 60)
+        val withToks = docs.withColumn("n_tokens",
+          size(Tokenizer.encode(col("text"), merges)).cast("long"))
+        Pipeline.packSequences(withToks, "source", "doc_id", col("n_tokens"), 1024)
+          .select("doc_id", "source", "pack_id").orderBy("doc_id")
+      }),
+
     QueryDef("q_length_quantiles",
       // sequence-length distribution per source — the analytic that sizes
       // packing budgets and max-sequence-length cuts. EXACT interpolated

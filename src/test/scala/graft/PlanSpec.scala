@@ -89,6 +89,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("BPE-token packing: counts fuse into the scan, one window " +
+    "shuffle on the partitioning column, no join") {
+    val p = plan("q_pack_bpe")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    // the encode rides the scan — no extra hash-partitioned exchange
+    // beyond the window's own partitioning
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("LSH candidate shuffles carry ids only, embeddings cross once") {
     // the chunk join + candidate distinct must NOT shuffle array<float>
     // payloads (they'd duplicate bands×); only the single embedding re-join

@@ -642,6 +642,38 @@ class StreamingSpec extends SparkSpec {
       "restarted classifier-gated DAG must end at exactly the batch composition")
   }
 
+  test("trained multiclass model routes a stream statelessly: streaming " +
+    "predictions are identical to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    graft.functions.Functions.ensure(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+      .withColumn("label", concat(lit("c"), (col("doc_id") % 3).cast("string")))
+      .withColumn("ptext", concat(col("text"), lit(" mk"),
+        (col("doc_id") % 3).cast("string")))
+    val m = graft.operators.MulticlassModel.train(
+      docs, "doc_id", "ptext", "label", dim = 256, iters = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-smc").toString
+    docs.select("doc_id", "ptext").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(docs.select("doc_id", "ptext").schema).parquet(dir)
+    val q = stream
+      .select(col("doc_id"),
+        graft.operators.MulticlassModel.predict(col("ptext"), m).as("pred"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("smc_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("smc_out").as[(Long, String)].collect().toMap
+      val batch = docs.select(col("doc_id"),
+          graft.operators.MulticlassModel.predict(col("ptext"), m).as("pred"))
+        .as[(Long, String)].collect().toMap
+      assert(streamed === batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("trained quality-model scores a stream statelessly: streaming " +
     "inference is bit-equal to batch scoring") {
     import spark.implicits._
