@@ -2478,6 +2478,57 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_domain_remix",
+      // the DoReMi-style composition the classifier exists for: predicted
+      // domains feed fractional mixture reweighting toward a TARGET
+      // distribution (c0 50% / c1 30% / c2 20%): w_c = target_c × N /
+      // count_c, then floor(w) full epochs + an md5-hash-gated frac(w)
+      // epoch per doc. The only corpus-sized work is the scan-fused
+      // predict and the explode; counts are a K-row collect. Oracle:
+      // the fixture predictions + the same weight arithmetic and gate
+      // formula (truncated 2^32 hex bound) in SQL.
+      Some("""WITH pr AS (SELECT doc_id, pred
+                          FROM parquet_scan('{FIX}/_fixture_multiclass/*.parquet')),
+              cnt AS (SELECT pred, count(*) AS c FROM pr GROUP BY pred),
+              tot AS (SELECT count(*) AS n FROM pr),
+              wt AS (SELECT pred,
+                       (CAST(CASE pred WHEN 'c0' THEN 0.5 WHEN 'c1' THEN 0.3
+                             ELSE 0.2 END AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(c AS DOUBLE) AS w
+                     FROM cnt, tot),
+              ep AS (SELECT pr.doc_id, pr.pred,
+                       CAST(floor(w) AS BIGINT) AS n_full, w - floor(w) AS frac
+                     FROM pr JOIN wt USING (pred)),
+              g AS (SELECT doc_id, pred, n_full,
+                       CASE WHEN frac > 0 AND md5('mix:' || CAST(doc_id AS VARCHAR)) <
+                         CASE WHEN floor(frac * 4294967296.0) >= 4294967296.0 THEN 'g'
+                              ELSE lpad(lower(to_hex(CAST(floor(frac * 4294967296.0) AS BIGINT))), 8, '0') END
+                       THEN 1 ELSE 0 END AS extra
+                     FROM ep)
+              SELECT doc_id, pred, epoch
+              FROM g, UNNEST(range(1, n_full + extra + 1)) t(epoch)
+              ORDER BY doc_id, epoch"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .withColumn("label", concat(lit("c"), (col("doc_id") % 3).cast("string")))
+          .withColumn("ptext", concat(col("text"), lit(" mk"),
+            (col("doc_id") % 3).cast("string")))
+        val m = MulticlassModel.train(docs, "doc_id", "ptext", "label",
+          dim = 512, iters = 12)
+        val preds = docs.select(col("doc_id"),
+          MulticlassModel.predict(col("ptext"), m).as("pred"))
+        val target = Map("c0" -> 0.5, "c1" -> 0.3, "c2" -> 0.2)
+        val counts = preds.groupBy("pred").count().collect()
+        val n = counts.map(_.getLong(1)).sum
+        val weights = counts
+          .map(r => r.getString(0) ->
+            (target(r.getString(0)) * n.toDouble / r.getLong(1)))
+          .toSeq.sortBy(_._1)
+        Pipeline.mixEpochsFractional(preds, "pred", col("doc_id"), weights)
+          .select("doc_id", "pred", "epoch").orderBy("doc_id", "epoch")
+      }),
+
     QueryDef("q_bpe_roundtrip",
       // encode∘decode identity audit over the whole corpus: decode (a
       // codegen'd inverse kernel — trailing </w> markers become word
