@@ -194,4 +194,51 @@ class CqlFuzzSpec extends SparkSpec {
     assert(executed > 10, s"only $executed executed")
     assert(rejected > 10, s"only $rejected rejected")
   }
+
+  test("LANGUAGE java bodies including counted loops execute or fail with " +
+    "the reference's typed compile error across random shapes") {
+    val e = new CqlEngine(spark)
+    e.execute("CREATE TABLE fzj (pk int PRIMARY KEY, v int, t text)")
+    e.execute("INSERT INTO fzj (pk, v, t) VALUES (1, 3, 'ab')")
+    e.execute("INSERT INTO fzj (pk, v, t) VALUES (2, 0, 'x')")
+    // every body RETURNS text; half translate and execute, half hit the
+    // shim's rejection boundary with the reference's compile-error text
+    val bodies = Seq(
+      "int r = 0; for (int i = 0; i <= x; i++) { r += i; } return \"\" + r;",
+      "StringBuilder sb = new StringBuilder(); for (int i = 0; i < x; i++) sb.append(s); return sb.toString();",
+      "long p = 1; for (int i = 1; i < 4; i++) { p = p * 2; } return \"\" + (p + x);",
+      "int r = x; for (int i = 0; i < 3; i++) { r = r + i; r += 1; } return \"\" + r;",
+      // reference-style rejections: while, decrement, stride, two
+      // accumulators, return-in-body, accumulator-dependent bound
+      "int r = 0; while (r < x) r += 1; return \"\" + r;",
+      "int r = 0; for (int i = x; i > 0; i--) r += i; return \"\" + r;",
+      "int r = 0; for (int i = 0; i < x; i += 2) r += i; return \"\" + r;",
+      "int r = 0; int q = 0; for (int i = 0; i < x; i++) { r += i; q += i; } return \"\" + (r + q);",
+      "for (int i = 0; i < x; i++) return \"\" + i; return \"z\";",
+      "int r = 10; for (int i = 0; i < r; i++) r -= 1; return \"\" + r;")
+    var executed = 0
+    var rejected = 0
+    val rnd = new scala.util.Random(0xF22)
+    (0 until 60).foreach { i =>
+      val body = bodies(rnd.nextInt(bodies.length))
+      val (sig, call) =
+        if (body.contains("(s)")) ("(x int, s text)", "(v, t)")
+        else ("(x int)", "(v)")
+      val stmt = s"CREATE OR REPLACE FUNCTION fzj_f$i $sig " +
+        "RETURNS NULL ON NULL INPUT RETURNS text LANGUAGE java AS " +
+        "$$" + body + "$$"
+      try {
+        e.execute(stmt).collect()
+        e.execute(s"SELECT fzj_f$i$call FROM fzj WHERE pk = 1").collect()
+        executed += 1
+      } catch {
+        case ex: e.InvalidRequest
+          if ex.getMessage.contains("Could not compile function") => rejected += 1
+        case ex: Throwable =>
+          fail(s"untyped ${ex.getClass.getSimpleName} on: $stmt\n${ex.getMessage}")
+      }
+    }
+    assert(executed > 5, s"only $executed executed")
+    assert(rejected > 5, s"only $rejected rejected")
+  }
 }
