@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   * the data — a data artifact, not an algorithmic regression, and it
   * would mask one.
   *
-  * Usage: `runMain graft.tools.ScaleProof [srcDir dstDir factor]`
-  * (defaults /root/testdata/sf0.1 → /tmp/graft-sf1 ×10). Prints one JSON
-  * line per query plus a `scale_proof` summary line; exits nonzero if any
-  * query exceeds `factor × 1.5` (the slack absorbs constant overheads
-  * that amortize differently at the two scales).
+  * Usage: `runMain graft.tools.ScaleProof [srcDir dstDir factor]
+  * [--extended]` (defaults /root/testdata/sf0.1 → /tmp/graft-sf1 ×10;
+  * `--extended` adds one representative per index-build/model-training
+  * family on top of the bench headline). Prints one JSON line per query
+  * plus a `scale_proof` summary line; exits nonzero if any query exceeds
+  * `factor × 1.5` (the slack absorbs constant overheads that amortize
+  * differently at the two scales).
   */
 object ScaleProof {
 
@@ -111,10 +113,24 @@ object ScaleProof {
     (ts(1), ts.head)
   }
 
+  /** Opt-in second tier (`--extended`): one representative per NEW
+    * operator family whose scale shape the headline set doesn't cover —
+    * index builds and model training, the operators with corpus-sized
+    * aggregations rather than scans.
+    */
+  val extended: Seq[String] = Seq(
+    "q_bm25_index",       // inverted-index build (token explode + two aggs)
+    "q_bpe_train",        // word-histogram shuffle + driver merge loop
+    "q_quality_model",    // 24 fixed-point GD passes over cached features
+    "q_ann_sq8",          // min/max train + code scan + rerank
+    "q_html_extract")     // scan-fused extraction + oracle sort
+
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dst = args.lift(1).getOrElse("/tmp/graft-sf1")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val ext = args.contains("--extended")
+    val pos = args.filterNot(_.startsWith("--"))
+    val src = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = pos.lift(1).getOrElse("/tmp/graft-sf1")
+    val factor = pos.lift(2).map(_.toInt).getOrElse(10)
     val spark = GraftSession.get("graft-scale-proof")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/_SCALE_META.json"))) {
       System.err.println(s"[scale] generating ${factor}x dataset at $dst from $src")
@@ -124,7 +140,8 @@ object ScaleProof {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slack = 1.5
     var weak = List.empty[String]
-    val rows = Bench.headline.map { q =>
+    val queryList = if (ext) Bench.headline ++ extended else Bench.headline
+    val rows = queryList.map { q =>
       val (srcMed, srcMin) = time(spark, q, src)
       val (dstMed, dstMin) = time(spark, q, dst)
       // compare on min (the contention-robust reading, README bench note)
