@@ -1874,6 +1874,31 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_sq8_append",
+      // the SQ8 steady-state path: save the bounds + a base code table,
+      // sq8Append the rest of the corpus (encode under SAVED bounds,
+      // append-only — no retrain, no rewrite), search through the LOADED
+      // index. Bounds train on the full corpus here, so the appended
+      // index must answer bit-identically to the from-scratch replica —
+      // the same oracle as q_ann_sq8, which is the point.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annsq8/*.parquet')
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val p = Similarity.sq8Train(emb)
+        val dir = tmpDir("graft-sq8-app")
+        Similarity.sq8Save(s, p,
+          Similarity.sq8EncodeCorpus(emb.filter(col("vec_id") % 3 === 0), p),
+          dir.toString)
+        Similarity.sq8Append(s, dir.toString, emb.filter(col("vec_id") % 3 =!= 0))
+        val (p2, codes) = Similarity.sq8Load(s, dir.toString)
+        Similarity.sq8SearchRerank(codes, emb.filter(col("vec_id") < 8), emb, p2, 10)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_recall",
       // recall@10 of every approximate ANN method against the exhaustive
       // brute-force baseline — the approximate/exact quality trade as one

@@ -807,6 +807,42 @@ object Similarity {
     sq8Search(sq8EncodeCorpus(corpus, p), queries, p, k)
   }
 
+  /** Persist an SQ8 index: the 2×dim bounds header plus the code table —
+    * the steady-state artifact ([[sq8Append]] ingests into it without
+    * retraining, like the IVF/BM25/LSH indexes).
+    */
+  def sq8Save(spark: SparkSession, p: Sq8Params, codes: DataFrame,
+              dir: String): Unit = {
+    import spark.implicits._
+    (0 until p.dim).map(i => (i, p.mins(i), p.maxs(i)))
+      .toDF("i", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def sq8Load(spark: SparkSession, dir: String): (Sq8Params, DataFrame) = {
+    val rows = spark.read.parquet(s"$dir/params").select("i", "mn", "mx").collect()
+    val dim = rows.length
+    val mins = new Array[Float](dim); val maxs = new Array[Float](dim)
+    rows.foreach { r => mins(r.getInt(0)) = r.getFloat(1); maxs(r.getInt(0)) = r.getFloat(2) }
+    (Sq8Params(mins, maxs), spark.read.parquet(s"$dir/codes"))
+  }
+
+  /** Incremental SQ8 ingest: encode NEW vectors under the SAVED bounds and
+    * append their codes — no retrain, no rewrite (vectors outside the
+    * trained range clamp to the boundary bucket, the quantizer's standard
+    * out-of-range behavior; re-train when [[ivfDriftStats]]-style
+    * monitoring says the distribution moved). Appended codes are
+    * bit-identical to what a from-scratch encode of the union under the
+    * same bounds produces, so searches answer exactly alike (spec-pinned).
+    */
+  def sq8Append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val (p, _) = sq8Load(spark, dir)
+    failOnBadEmbeddings(newVecs, p.dim, "sq8Append")
+    sq8EncodeCorpus(newVecs, p)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   // ── IVF-PQ: pruning AND compression ───────────────────────────────────
   //
   // The classic composition (Faiss IndexIVFPQ): the inverted lists store

@@ -228,6 +228,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8+rerank recall $recall")
   }
 
+  test("SQ8 index persists and appends: saved-params ingest answers " +
+    "bit-identically to a from-scratch union encode") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+    // bounds train on the BASE only — the steady-state artifact
+    val p = Similarity.sq8Train(base)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    Similarity.sq8Save(spark, p, Similarity.sq8EncodeCorpus(base, p), dir)
+    Similarity.sq8Append(spark, dir, rest)
+    val (p2, codes2) = Similarity.sq8Load(spark, dir)
+    assert(p2.mins.toSeq === p.mins.toSeq && p2.maxs.toSeq === p.maxs.toSeq)
+    // appended code table == union encode under the same bounds
+    val got = codes2.collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq)).toMap
+    val want = Similarity.sq8EncodeCorpus(emb, p).collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq)).toMap
+    assert(got === want && got.nonEmpty)
+    // and the loaded index searches exactly like the in-memory one
+    val queries = emb.filter(col("vec_id") < 4)
+    val a = Similarity.sq8SearchRerank(codes2, queries, emb, p2, 10)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.sq8SearchRerank(
+        Similarity.sq8EncodeCorpus(emb, p), queries, emb, p, 10)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    // the hygiene guard covers the append path too
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sq8Append(spark, dir,
+        Seq((99999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("null embedding"))
+  }
+
   test("PQ recall vs brute force is meaningful at m=8, ksub=16") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 4)
