@@ -2541,8 +2541,10 @@ object Queries {
             (col("doc_id") % 3).cast("string")))
         val m = MulticlassModel.train(docs, "doc_id", "ptext", "label",
           dim = 512, iters = 12)
+        // cache: the scan-fused predict feeds BOTH the K-row count collect
+        // and the epoch explode — without it the corpus scan runs twice
         val preds = docs.select(col("doc_id"),
-          MulticlassModel.predict(col("ptext"), m).as("pred"))
+          MulticlassModel.predict(col("ptext"), m).as("pred")).cache()
         val target = Map("c0" -> 0.5, "c1" -> 0.3, "c2" -> 0.2)
         val counts = preds.groupBy("pred").count().collect()
         val n = counts.map(_.getLong(1)).sum

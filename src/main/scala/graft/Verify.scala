@@ -637,6 +637,19 @@ object Verify {
         .toDF("method", "matched", "total", "recall").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annrecall")
     }
+    // replica-side fixed-point/hashing helpers shared by BOTH trained-model
+    // fixtures (sharing loses no independence from the code under test —
+    // they are the replica's own arithmetic; diverging copies would let
+    // the two fixtures silently disagree about the same contract)
+    // scaled-long encode: round(x·2^24) HALF_UP on the double product,
+    // matching the engine's round(col * lit(fixedPointScale))
+    val repFp = graft.operators.Similarity.fixedPointScale
+    def repFpl(x: Double): Long =
+      BigDecimal(x * repFp).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    def repFeatOf(w: String, dim: Int): Int = {
+      val h = graft.functions.CassandraMurmur3.hashString(w, 0x9e37L)
+      (((h % dim) + dim) % dim).toInt
+    }
     fixture("_fixture_qualitymodel") {
       // plain-Scala re-run of the hashed-BoW logistic-regression
       // train+score path (q_quality_model's parameters: dim=1024,
@@ -645,15 +658,9 @@ object Verify {
       // the expressions under test; L2-normalized margins, fixed-point
       // gradients and the momentum recurrence re-derive independently.
       val dim = 1024; val iters = 24; val lr = 3.0; val beta = 0.9
-      val fp = graft.operators.Similarity.fixedPointScale
-      // scaled-long encode: round(x·2^24) HALF_UP on the double product,
-      // matching the engine's round(col * lit(fixedPointScale))
-      def fpl(x: Double): Long =
-        BigDecimal(x * fp).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
-      def featOf(w: String): Int = {
-        val h = graft.functions.CassandraMurmur3.hashString(w, 0x9e37L)
-        (((h % dim) + dim) % dim).toInt
-      }
+      val fp = repFp
+      def fpl(x: Double): Long = repFpl(x)
+      def featOf(w: String): Int = repFeatOf(w, dim)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text").as[(Long, String)].collect()
         .toIndexedSeq.sortBy(_._1).filter(_._2 != null)
@@ -702,13 +709,9 @@ object Verify {
       // test; the K-margin sums, fixed-order softmax, (f,k) gradient
       // reduce and momentum recurrence all re-derive independently.
       val dim = 512; val iters = 12; val lr = 3.0; val beta = 0.9
-      val fp = graft.operators.Similarity.fixedPointScale
-      def fpl(x: Double): Long =
-        BigDecimal(x * fp).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
-      def featOf(w: String): Int = {
-        val h = graft.functions.CassandraMurmur3.hashString(w, 0x9e37L)
-        (((h % dim) + dim) % dim).toInt
-      }
+      val fp = repFp
+      def fpl(x: Double): Long = repFpl(x)
+      def featOf(w: String): Int = repFeatOf(w, dim)
       val classes = Seq("c0", "c1", "c2")
       val k = classes.length
       val byDoc = bpeDocs.map { case (id, text) =>

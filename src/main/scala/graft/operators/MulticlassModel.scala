@@ -58,18 +58,11 @@ object MulticlassModel {
     require(classes.size >= 2,
       s"MulticlassModel.train: need >= 2 classes, got ${classes.size}")
     val k = classes.size
-    val words = Tokenizer.preTokens(col(textCol))
-    val feats = docs
-      .select(col(idCol).as("did"),
-        (array_position(typedLit(classes), col(labelCol).cast("string")) - 1)
-          .cast("int").as("y"),
-        words.as("ws"))
-      .filter(col("y") >= 0 && size(col("ws")) > 0)
-      .select(col("did"), col("y"),
-        array_distinct(transform(col("ws"), w => featCol(w, dim))).as("fs"))
-      .select(col("did"), col("y"),
-        sqrt(size(col("fs")).cast("double")).as("sm"), explode(col("fs")).as("f"))
-      .repartition(col("did")).cache()
+    val feats = QualityModel.featureTable(docs, idCol, textCol,
+      (array_position(typedLit(classes), col(labelCol).cast("string")) - 1)
+        .cast("int"),
+      // array_position is 0 (so y = -1) for null/unknown labels
+      col("y") >= 0, dim)
     val nDocs = feats.select(countDistinct(col("did"))).head().getLong(0).toDouble
     val w = Array.fill(k)(new Array[Double](dim))
     val v = Array.fill(k)(new Array[Double](dim))

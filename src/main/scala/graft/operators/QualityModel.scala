@@ -68,6 +68,26 @@ object QualityModel {
     */
   private[operators] val momentum = 0.9
 
+  /** The cached (did, y, sm, f) feature table both trainers iterate: one
+    * pass over raw text to distinct hashed-feature presence pairs,
+    * did-partitioned so every pass's margin aggregation reuses the
+    * partitioning. Token-less docs (and rows failing `yFilter`, which is
+    * evaluated against the projected `y` column — the multiclass
+    * null-label cut) carry no gradient. Caller unpersists.
+    */
+  private[operators] def featureTable(docs: DataFrame, idCol: String,
+                                      textCol: String, yCol: Column,
+                                      yFilter: Column, dim: Int): DataFrame =
+    docs
+      .select(col(idCol).as("did"), yCol.as("y"),
+        Tokenizer.preTokens(col(textCol)).as("ws"))
+      .filter(yFilter && size(col("ws")) > 0)
+      .select(col("did"), col("y"),
+        array_distinct(transform(col("ws"), w => featCol(w, dim))).as("fs"))
+      .select(col("did"), col("y"),
+        sqrt(size(col("fs")).cast("double")).as("sm"), explode(col("fs")).as("f"))
+      .repartition(col("did")).cache()
+
   /** Train logistic-regression weights on (textCol, labelCol) where
     * labelCol is boolean/0-1 and idCol uniquely keys a document. Returns
     * the dense weight vector (length `dim`). Deterministic for a given
@@ -75,17 +95,8 @@ object QualityModel {
     */
   def train(docs: DataFrame, idCol: String, textCol: String, labelCol: String,
             dim: Int = 1024, iters: Int = 24, lr: Double = 3.0): Array[Double] = {
-    val words = Tokenizer.preTokens(col(textCol))
-    // one pass over raw text: distinct (doc, feature) presence pairs;
-    // token-less docs carry no gradient
-    val feats = docs
-      .select(col(idCol).as("did"), col(labelCol).cast("double").as("y"), words.as("ws"))
-      .filter(size(col("ws")) > 0)
-      .select(col("did"), col("y"),
-        array_distinct(transform(col("ws"), w => featCol(w, dim))).as("fs"))
-      .select(col("did"), col("y"),
-        sqrt(size(col("fs")).cast("double")).as("sm"), explode(col("fs")).as("f"))
-      .repartition(col("did")).cache()
+    val feats = featureTable(docs, idCol, textCol,
+      col(labelCol).cast("double"), lit(true), dim)
     val nDocs = feats.select(countDistinct(col("did"))).head().getLong(0).toDouble
     val w = new Array[Double](dim)
     val v = new Array[Double](dim)
