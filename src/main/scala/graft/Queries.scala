@@ -2789,6 +2789,19 @@ object Queries {
           .orderBy("domain", "rn")
       }),
 
+    QueryDef("q_quality_reference_lp",
+      // CCNet's ACTUAL arrangement: the bigram LM trains on a reference
+      // corpus (source='src0' standing in for Wikipedia) and the whole
+      // crawl is scored by how reference-like it reads — the left-join
+      // backoff paths (unseen bigram, unseen leading word) that the
+      // self-trained q_quality_bigram_lp never exercises
+      // (Quality.bigramLogProbAgainst).
+      Some(referenceLpOracle),
+      (s, d) => Quality.bigramLogProbAgainst(
+          t(s, d, "documents").filter(col("source") === "src0"),
+          t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     QueryDef("q_quality_bigram_lp",
       // bigram-LM document score (Quality.bigramLogProb, the CCNet/KenLM
       // perplexity-filter ladder's next rung above q_quality_unigram_lp):
@@ -3339,6 +3352,25 @@ object Queries {
       |lp AS (SELECT pr.doc_id,
       |    CAST(round(ln((bc.c2 + 0.5) / (uc.c1 + 0.5 * v.v)), 6) AS DECIMAL(18,6)) AS lp
       |  FROM pr JOIN bc USING (bg) JOIN uc ON uc.w1 = split_part(pr.bg, ' ', 1), v),
+      |s AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n_bigrams FROM lp GROUP BY 1)
+      |SELECT doc_id, CAST(slp AS DOUBLE) / n_bigrams AS mean_lp, n_bigrams
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  private lazy val referenceLpOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+      |ref AS (SELECT string_split(lower(text),' ') AS w FROM documents WHERE source = 'src0'),
+      |u AS (SELECT unnest(w) AS w1 FROM ref),
+      |uc AS (SELECT w1, count(*) AS c1 FROM u GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM uc),
+      |rp AS (SELECT unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS bg
+      |       FROM ref WHERE len(w) >= 2),
+      |bc AS (SELECT bg, count(*) AS c2 FROM rp GROUP BY 1),
+      |pr AS (SELECT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS bg
+      |       FROM d WHERE len(w) >= 2),
+      |lp AS (SELECT pr.doc_id,
+      |    CAST(round(ln((coalesce(bc.c2, 0) + 0.5) / (coalesce(uc.c1, 0) + 0.5 * v.v)), 6) AS DECIMAL(18,6)) AS lp
+      |  FROM pr LEFT JOIN bc USING (bg)
+      |          LEFT JOIN uc ON uc.w1 = split_part(pr.bg, ' ', 1), v),
       |s AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n_bigrams FROM lp GROUP BY 1)
       |SELECT doc_id, CAST(slp AS DOUBLE) / n_bigrams AS mean_lp, n_bigrams
       |FROM s ORDER BY doc_id""".stripMargin

@@ -189,21 +189,39 @@ object Quality {
     * self-joins. Output: (id, mean_lp, n_bigrams).
     */
   def bigramLogProb(docs: DataFrame, id: String, text: String,
-                    alpha: Double = 0.5): DataFrame = {
-    require(alpha > 0, s"bigramLogProb: alpha must be positive, got $alpha")
+                    alpha: Double = 0.5): DataFrame =
+    bigramLogProbAgainst(docs, docs, id, text, alpha)
+
+  /** [[bigramLogProb]] with the LM statistics trained on a SEPARATE
+    * reference corpus — CCNet's actual arrangement (Wenzek et al. 2020:
+    * the LM trains on Wikipedia, the crawl is scored by how target-like
+    * it reads). Bigrams and leading words the reference never saw take
+    * the pure add-α backoff, ln(α / (c(w1) + α·V)) with c(w1) possibly 0
+    * — the left joins are what the self-trained path (where every scored
+    * bigram exists in the statistics, so inner == left) never exercises.
+    * Same determinism and shape: reference-keyed count aggs, a 1-row
+    * vocab broadcast, key-carried joins of the exploded scored corpus.
+    */
+  def bigramLogProbAgainst(reference: DataFrame, docs: DataFrame, id: String,
+                           text: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"bigramLogProbAgainst: alpha must be positive, got $alpha")
     val pairs = docs
       .select(col(id).as("doc_id"),
         explode(Dedup.shingles(col(text), 2)).as("bg"))
       .filter(col("bg").contains(" ")) // 1-word docs yield a degenerate shingle
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val uni = docs.select(explode(TextAnalysis.words(col(text))).as("w1"))
+    val uni = reference.select(explode(TextAnalysis.words(col(text))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("_c1"))
     val vocab = uni.agg(count(lit(1)).as("_v"))
-    val bi = pairs.groupBy("bg").agg(count(lit(1)).as("_c2"))
-    pairs.join(bi, "bg").join(uni, "w1")
+    val bi = reference
+      .select(explode(Dedup.shingles(col(text), 2)).as("bg"))
+      .filter(col("bg").contains(" "))
+      .groupBy("bg").agg(count(lit(1)).as("_c2"))
+    pairs.join(bi, Seq("bg"), "left").join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        round(log((col("_c2") + lit(alpha)) / (col("_c1") + lit(alpha) * col("_v"))), 6)
+        round(log((coalesce(col("_c2"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("_c1"), lit(0L)) + lit(alpha) * col("_v"))), 6)
           .cast("decimal(18,6)").as("_lp"))
       .groupBy("doc_id")
       .agg(sum(col("_lp")).as("_slp"), count(lit(1)).as("n_bigrams"))
