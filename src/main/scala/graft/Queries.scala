@@ -2802,6 +2802,52 @@ object Queries {
           t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    QueryDef("q_ccnet_reference_e2e",
+      // the complete CCNet pipeline as published: bigram LM trained on
+      // the reference corpus (src0), every doc scored by
+      // reference-likelihood, then per-language head/middle/tail
+      // terciles — the composition of q_quality_reference_lp and
+      // q_ccnet_buckets, which is exactly how Wenzek et al. run it.
+      Some("""WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+              ref AS (SELECT string_split(lower(text),' ') AS w FROM documents WHERE source = 'src0'),
+              u AS (SELECT unnest(w) AS w1 FROM ref),
+              uc AS (SELECT w1, count(*) AS c1 FROM u GROUP BY 1),
+              v AS (SELECT count(*) AS v FROM uc),
+              rp AS (SELECT unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS bg
+                     FROM ref WHERE len(w) >= 2),
+              bc AS (SELECT bg, count(*) AS c2 FROM rp GROUP BY 1),
+              pr AS (SELECT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS bg
+                     FROM d WHERE len(w) >= 2),
+              lp AS (SELECT pr.doc_id,
+                  CAST(round(ln((coalesce(bc.c2, 0) + 0.5) / (coalesce(uc.c1, 0) + 0.5 * v.v)), 6) AS DECIMAL(18,6)) AS lp
+                FROM pr LEFT JOIN bc USING (bg)
+                        LEFT JOIN uc ON uc.w1 = split_part(pr.bg, ' ', 1), v),
+              sm AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n FROM lp GROUP BY 1),
+              scored AS (SELECT sm.doc_id, d2.lang, CAST(slp AS DOUBLE) / n AS score
+                         FROM sm JOIN (SELECT doc_id, lang FROM documents) d2 USING (doc_id)),
+              thr AS (SELECT lang,
+                             round(quantile_cont(score, 0.3333333333333333), 6) AS t_lo,
+                             round(quantile_cont(score, 0.6666666666666666), 6) AS t_hi
+                      FROM scored GROUP BY lang)
+              SELECT sc.doc_id, sc.lang, round(sc.score, 6) AS score,
+                     CASE WHEN round(sc.score, 6) >= t.t_hi THEN 'head'
+                          WHEN round(sc.score, 6) >= t.t_lo THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM scored sc JOIN thr t USING (lang)
+              ORDER BY sc.doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = t(s, d, "documents")
+        val scored = Quality.bigramLogProbAgainst(
+            docs.filter(col("source") === "src0"), docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("mean_lp").as("score"))
+        Quality.ccnetBuckets(scored, "lang", "score")
+          .select(col("doc_id"), col("lang"),
+            round(col("score"), 6).as("score"), col("bucket"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_quality_bigram_lp",
       // bigram-LM document score (Quality.bigramLogProb, the CCNet/KenLM
       // perplexity-filter ladder's next rung above q_quality_unigram_lp):
