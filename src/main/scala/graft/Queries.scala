@@ -2127,8 +2127,10 @@ object Queries {
                        replace(replace(replace(replace(replace(replace(replace(
                          regexp_replace(
                            regexp_replace(
-                             regexp_replace(html,
-                               '<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'gis'),
+                             regexp_replace(
+                               regexp_replace(html,
+                                 '<script[^>]*>.*?</script\s*>', ' ', 'gis'),
+                               '<style[^>]*>.*?</style\s*>', ' ', 'gis'),
                              '<!--.*?-->', ' ', 'gs'),
                            '<[^>]+>', ' ', 'gs'),
                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
@@ -2552,8 +2554,16 @@ object Queries {
           .map(r => r.getString(0) ->
             (target(r.getString(0)) * n.toDouble / r.getLong(1)))
           .toSeq.sortBy(_._1)
-        Pipeline.mixEpochsFractional(preds, "pred", col("doc_id"), weights)
+        // the result is tiny (doc_id, pred, epoch); localCheckpoint
+        // materializes it eagerly THROUGH the cache so preds can unpersist
+        // here instead of leaking a corpus-sized cached DataFrame into the
+        // shared bench/verify session (its own blocks are ContextCleaner-
+        // reclaimed once the result is dropped, unlike CacheManager entries)
+        val out = Pipeline.mixEpochsFractional(preds, "pred", col("doc_id"), weights)
           .select("doc_id", "pred", "epoch").orderBy("doc_id", "epoch")
+          .localCheckpoint()
+        preds.unpersist()
+        out
       }),
 
     QueryDef("q_bpe_roundtrip",
@@ -2833,7 +2843,7 @@ object Queries {
                      CASE WHEN round(sc.score, 6) >= t.t_hi THEN 'head'
                           WHEN round(sc.score, 6) >= t.t_lo THEN 'middle'
                           ELSE 'tail' END AS bucket
-              FROM scored sc JOIN thr t USING (lang)
+              FROM scored sc JOIN thr t ON sc.lang IS NOT DISTINCT FROM t.lang
               ORDER BY sc.doc_id"""),
       (s, d) => {
         prep(s)
@@ -3033,7 +3043,8 @@ object Queries {
                      CASE WHEN round(s.mean_logprob, 6) >= t.t_hi THEN 'head'
                           WHEN round(s.mean_logprob, 6) >= t.t_lo THEN 'middle'
                           ELSE 'tail' END AS bucket
-              FROM scored s JOIN thr t USING (lang) ORDER BY s.doc_id"""),
+              FROM scored s JOIN thr t ON s.lang IS NOT DISTINCT FROM t.lang
+              ORDER BY s.doc_id"""),
       (s, d) => {
         val docs = t(s, d, "documents")
         val scored = Quality.unigramLogProb(docs, "doc_id", "text")
@@ -3465,8 +3476,9 @@ object Queries {
       |x AS (SELECT doc_id,
       |    trim(regexp_replace(
       |      replace(replace(replace(replace(replace(replace(replace(
-      |        regexp_replace(regexp_replace(regexp_replace(html,
-      |          '<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'gis'),
+      |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |          '<script[^>]*>.*?</script\s*>', ' ', 'gis'),
+      |          '<style[^>]*>.*?</style\s*>', ' ', 'gis'),
       |          '<!--.*?-->', ' ', 'gs'),
       |          '<[^>]+>', ' ', 'gs'),
       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

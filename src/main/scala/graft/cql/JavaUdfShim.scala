@@ -335,10 +335,20 @@ object JavaUdfShim {
         locals = saved._1; declDepth = saved._2
         declSqlType = saved._3; sbLocals = saved._4
         ss
-      case _ => parseStmt() match {
-        case Some(s) => List(s)
-        case None => fail("a declaration cannot be the sole statement of a branch")
-      }
+      case _ =>
+        // classify BEFORE consuming: parseStmt returns None for both
+        // declarations and for-loops, and the two need different error
+        // text (a sole-statement for-loop's accumulation would be
+        // silently discarded by the branch-exit locals restore)
+        val isFor = toks match { case Ident("for") :: _ => true; case _ => false }
+        parseStmt() match {
+          case Some(s) => List(s)
+          case None if isFor => fail("a for-loop cannot be the sole " +
+            "statement of a branch: its accumulation would not survive the " +
+            "branch (brace the branch and declare the accumulator inside it, " +
+            "or restructure with a ternary)")
+          case None => fail("a declaration cannot be the sole statement of a branch")
+        }
     }
 
     // ── counted-loop translation ──────────────────────────────────────
@@ -426,6 +436,12 @@ object JavaUdfShim {
               fail(s"'$name' inside a counted loop is not supported by this " +
                 "engine's translation shim (loop bodies may only accumulate " +
                 "into one local)")
+            // a declaration's leading type name would otherwise fall through
+            // to the misleading "unknown identifier 'int'" rejection below
+            if (declTypes.contains(name) || name == "final")
+              fail("declarations inside a counted loop are not supported by " +
+                "this engine's translation shim (declare the accumulator in " +
+                "the loop's own block and accumulate into it)")
             if (name == lv) fail("the loop variable cannot be reassigned")
             if (!locals.contains(name) && !saved._1.contains(name))
               fail(s"unknown identifier '$name' in loop body")
@@ -482,6 +498,15 @@ object JavaUdfShim {
           toks = rest
           val e = expression()
           eat(";")
+          // javac rejects e.g. `int s; s = "a" + s;` — without this guard
+          // the fold's trailing CAST would lower it to CAST(<string> AS
+          // INT) and produce null/garbage per step instead of an error
+          (cur._2, e._2) match {
+            case (_, TNull) => // null assigns to any reference type in Java
+            case (TNum(_), TNum(_)) | (TStr, TStr) | (TBool, TBool) =>
+            case (at, et) => fail(s"incompatible types in loop body: cannot " +
+              s"assign ${tName(et)} value to '$acc' (declared ${tName(at)})")
+          }
           locals = locals.updated(acc, e)
         case Ident(_) :: Op(op @ ("+" | "-" | "*" | "/")) :: Op("=") :: rest =>
           toks = rest
@@ -508,6 +533,16 @@ object JavaUdfShim {
           s"statements over '$acc' ('$acc = ...', '$acc += ...' or " +
           s"'$acc.append(...)')")
       }
+    }
+
+    /** Human-readable shim-type name for error text. */
+    private def tName(t: T): String = t match {
+      case TStr => "a String"
+      case TNum(true) => "an integral"
+      case TNum(false) => "a floating-point"
+      case TBool => "a boolean"
+      case TNull => "a null"
+      case _ => "an unsupported-type"
     }
 
     /** Java compound-assignment combine — same semantics as the binary

@@ -66,8 +66,14 @@ object TextAnalysis {
     * lines); this is the lexical layer under it.
     */
   def htmlToText(html: Column): Column = {
-    val noBlocks = regexp_replace(html,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    // one pass per tag (not an open/close alternation): a script block must
+    // only be closed by </script>, or `<script>…</style>x</script>` would
+    // leak trailing script content into the extracted text on malformed
+    // real-crawl HTML
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noBlocks = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
     val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComments, "(?s)<[^>]+>", " ")
     val decoded = Seq(

@@ -203,4 +203,34 @@ class JavaUdfShimSpec extends AnyFunSuite {
     // declared argument names shadow the static tables
     assert(tr("return Math;", "Math" -> CqlInt) === "Math")
   }
+
+  test("loop rejections name what they reject; body assignments type-check") {
+    // a for-loop as an unbraced branch body gets loop-specific text (its
+    // accumulation would be discarded by the branch-exit locals restore),
+    // not the old "a declaration cannot be the sole statement" message
+    assert(rejects(
+      "int s = 0; if (n > 0) for (int i = 0; i < n; i++) s += i; return s;",
+      "n" -> CqlInt).contains("for-loop cannot be the sole statement"))
+    // a declaration inside a loop body names declarations, not the
+    // misleading "unknown identifier 'int'"
+    assert(rejects(
+      "int s = 0; for (int i = 0; i < n; i++) { int j = i; s += j; } return s;",
+      "n" -> CqlInt).contains("declarations inside a counted loop"))
+    // javac-invalid `int s; s = "a" + s;` fails with a type error instead
+    // of lowering to CAST(<string> AS INT) null/garbage per step
+    assert(rejects(
+      "int s = 0; for (int i = 0; i < n; i++) { s = \"a\" + s; } return s;",
+      "n" -> CqlInt).contains("incompatible types"))
+    assert(rejects(
+      "String a = \"x\"; for (int i = 0; i < n; i++) { a = i * 2; } return a;",
+      "n" -> CqlInt).contains("incompatible types"))
+    // the compatible directions keep translating: numeric->numeric
+    // (widening int step into a double accumulator) and String->String
+    assert(tr(
+      "double s = 0; for (int i = 0; i < n; i++) { s = s + i; } return s;",
+      "n" -> CqlInt).contains("aggregate(sequence("))
+    assert(tr(
+      "String a = \"\"; for (int i = 0; i < n; i++) { a = a + i; } return a;",
+      "n" -> CqlInt).contains("aggregate(sequence("))
+  }
 }

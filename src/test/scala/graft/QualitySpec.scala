@@ -295,4 +295,16 @@ class QualitySpec extends SparkSpec {
       .head().getInt(0)
     assert(exprLen === n)
   }
+
+  test("htmlToText: a script block is only closed by </script>, a style " +
+      "block only by </style> (malformed-crawl containment)") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "<p>a</p><script>evil();</style>x</script><p>b</p>"),
+      (2L, "<style>.c{}</script>y</style><p>ok</p>")).toDF("doc_id", "html")
+    val got = df.orderBy("doc_id")
+      .select(TextAnalysis.htmlToText(col("html"))).as[String].collect()
+    assert(got(0) === "a b") // 'x' must not leak out of the script block
+    assert(got(1) === "ok")  // 'y' must not leak out of the style block
+  }
 }
