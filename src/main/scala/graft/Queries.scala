@@ -1899,6 +1899,37 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_ivf_sq8",
+      // IVF×SQ8 (Faiss IndexIVFScalarQuantizer): the inverted lists store
+      // SQ8 codes, so a probe reads nprobe/nlist of a table that is
+      // itself 4× smaller than the floats at much higher fidelity than
+      // PQ — the production shape the flat q_ann_sq8 scan lacks at
+      // 100 TB. Save→append→load exercises the steady-state artifact:
+      // a third of the corpus lands via ivfSq8Append (assigned to SAVED
+      // centroids, encoded under SAVED bounds) and must answer
+      // bit-identically to a from-scratch build — the same plain-Scala
+      // replica oracle either way, which is the point. Probe-pruned code
+      // scan + exact re-rank tail; partition pruning plan-guarded in
+      // PlanSpec.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annivfsq8/*.parquet')
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-ivfsq8")
+        val full = Similarity.ivfSq8Train(s, emb, nlist = 16, iters = 1)
+        Similarity.IvfSq8Index(full.centroids,
+            full.codes.filter(col("vec_id") % 3 === 0), full.p)
+          .save(dir.toString)
+        Similarity.ivfSq8Append(s, dir.toString, emb.filter(col("vec_id") % 3 =!= 0))
+        val idx = Similarity.ivfSq8Load(s, dir.toString)
+        Similarity.ivfSq8SearchRerank(idx, emb.filter(col("vec_id") < 8), emb, 10,
+            nprobe = 4, rerank = 4)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_recall",
       // recall@10 of every approximate ANN method against the exhaustive
       // brute-force baseline — the approximate/exact quality trade as one
@@ -1940,7 +1971,13 @@ object Queries {
         val sp = Similarity.sq8Train(emb)
         val sq8 = Similarity.sq8SearchRerank(
           Similarity.sq8EncodeCorpus(emb, sp), queries, emb, sp, 10)
-        recallRow("ivf", ivf).union(recallRow("ivfpq", ivfpq))
+        val ivfSq8Dir = tmpDir("graft-ivfsq8-rec")
+        Similarity.ivfSq8Train(s, emb, nlist = 16, iters = 1).save(ivfSq8Dir.toString)
+        val ivfSq8 = Similarity.ivfSq8SearchRerank(
+          Similarity.ivfSq8Load(s, ivfSq8Dir.toString), queries, emb, 10,
+          nprobe = 4, rerank = 4)
+        recallRow("ivf", ivf).union(recallRow("ivf_sq8", ivfSq8))
+          .union(recallRow("ivfpq", ivfpq))
           .union(recallRow("lsh", lsh)).union(recallRow("pq", pq))
           .union(recallRow("sq8", sq8))
           .orderBy("method")

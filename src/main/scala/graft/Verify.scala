@@ -566,7 +566,7 @@ object Verify {
     // exact per-dim min/max; codes and reconstructions replay the
     // expression's double-arithmetic order exactly (floor(v + 0.5) clamp,
     // −128 offset, float cast at the end). Shared with _fixture_annrecall.
-    lazy val annSq8Rows: IndexedSeq[(Long, Long, Double, Int)] = {
+    lazy val annSq8Recon: IndexedSeq[(Long, Array[Float])] = {
       val dim = annVecs.head._2.length
       val mins = Array.tabulate(dim)(i => annVecs.iterator.map(_._2(i)).min)
       val maxs = Array.tabulate(dim)(i => annVecs.iterator.map(_._2(i)).max)
@@ -578,10 +578,25 @@ object Verify {
       }
       def deq(c: Int, i: Int): Float =
         (mins(i).toDouble + (c + 128).toDouble / 255.0 * spans(i).toDouble).toFloat
-      val recon = annVecs.map { case (id, e) =>
+      annVecs.map { case (id, e) =>
         (id, Array.tabulate(dim)(i => deq(codeOf(e(i), i), i)))
       }
-      annRerankRef(annVecs, recon, queryMax = 8, k = 10, rerank = 4)
+    }
+    lazy val annSq8Rows: IndexedSeq[(Long, Long, Double, Int)] =
+      annRerankRef(annVecs, annSq8Recon, queryMax = 8, k = 10, rerank = 4)
+    // IVF×SQ8: probe-pruned candidates over the SQ8 reconstructions —
+    // the IVF-PQ replica's probe filter composed with the SQ8 decode
+    // (q_ann_ivf_sq8's parameters: nlist=16, nprobe=4, rerank=4)
+    lazy val annIvfSq8Rows: IndexedSeq[(Long, Long, Double, Int)] = {
+      val cents = annIvfCents
+      val assigned = annVecs.map { case (id, e) => (id, nearestCentRef(e, cents)) }.toMap
+      annRerankRef(annVecs, annSq8Recon, queryMax = 8, k = 10, rerank = 4,
+        probeFilter = Some { qe =>
+          val probed = cents
+            .map { case (cid, c) => (cid, graft.functions.VectorMath.cosineF(qe, c)) }
+            .sortBy { case (cid, s) => (-s, cid) }.take(4).map(_._1).toSet
+          nid => probed(assigned(nid))
+        })
     }
     fixture("_fixture_ivfdrift") {
       // drift-stat replica: assign the odd-id half to the replica-trained
@@ -610,6 +625,10 @@ object Verify {
       annIvfPqRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annivfpq")
     }
+    fixture("_fixture_annivfsq8") {
+      annIvfSq8Rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annivfsq8")
+    }
     fixture("_fixture_annrecall") {
       // recall@k of each approximate method against the exhaustive
       // baseline, derived from the SAME plain-Scala replicas the per-method
@@ -630,7 +649,8 @@ object Verify {
         val matched = rows.iterator.map(r => (r._1, r._2)).toSet.count(exact).toLong
         (matched, total, round6(matched.toDouble / total))
       }
-      Seq("ivf" -> recallOf(annIvfRows), "ivfpq" -> recallOf(annIvfPqRows),
+      Seq("ivf" -> recallOf(annIvfRows), "ivf_sq8" -> recallOf(annIvfSq8Rows),
+          "ivfpq" -> recallOf(annIvfPqRows),
           "lsh" -> recallOf(annLshRows), "pq" -> recallOf(annPqRows),
           "sq8" -> recallOf(annSq8Rows))
         .map { case (m, (a, b, r)) => (m, a, b, r) }

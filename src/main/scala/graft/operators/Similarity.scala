@@ -367,22 +367,29 @@ object Similarity {
     * streaming crawl runs this per micro-batch inside `foreachBatch`,
     * like the LSH ingest.
     */
-  def ivfAppend(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+  def ivfAppend(spark: SparkSession, dir: String, newVecs: DataFrame): Unit =
+    assignToSaved(spark, dir, newVecs, "ivfAppend")
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+
+  /** Assign a vector batch to a SAVED centroid header — the shared
+    * ingest-time machinery of [[ivfAppend]] and [[ivfSq8Append]]:
+    * broadcast literals under the codegen cliff, broadcast-join above.
+    * A batch with a different embedding width (or null embeddings) would
+    * land in the lists but score nonsense against the centroids — fail
+    * loudly, on the BATCH scan only (the index is never touched for the
+    * check). Output: (vec_id, cid, embedding).
+    */
+  private def assignToSaved(spark: SparkSession, dir: String, vecs: DataFrame,
+                            op: String): DataFrame = {
     val centDf = spark.read.parquet(s"$dir/centroids")
     val cents = centDf.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
-    // a batch with a different embedding width would land in the lists but
-    // score nonsense against the centroids — fail loudly, on the BATCH
-    // scan only (the index is never touched for the check)
-    val dim = cents.head._2.length
-    failOnBadEmbeddings(newVecs, dim, "ivfAppend")
-    val assigned =
-      if (cents.length <= literalAssignMaxLists)
-        newVecs.select(col("vec_id"),
-          nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
-      else assignByJoin(newVecs, centDf)
-        .select(col("vec_id"), col("cid"), col("embedding"))
-    assigned.write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+    failOnBadEmbeddings(vecs, cents.head._2.length, op)
+    if (cents.length <= literalAssignMaxLists)
+      vecs.select(col("vec_id"),
+        nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
+    else assignByJoin(vecs, centDf)
+      .select(col("vec_id"), col("cid"), col("embedding"))
   }
 
   /** Probe search against a (trained or loaded) index: nprobe nearest lists
@@ -719,10 +726,15 @@ object Similarity {
     def spans: Array[Float] = Array.tabulate(dim)(i => maxs(i) - mins(i))
   }
 
-  /** Train = exact per-dimension min/max in ONE aggregation over the
-    * corpus scan (no sampling, no iterations — the quantizer is as
-    * deterministic as the data). 2×dim agg columns; dim is a bounded
-    * header by the same argument as the IVF/PQ collects.
+  /** Train = exact per-dimension min/max over the corpus scan (no
+    * sampling, no iterations — the quantizer is as deterministic as the
+    * data), computed as a posexplode + dimension-keyed aggregation: the
+    * shuffle carries at most partitions × dim partial rows and the output
+    * is the dim-bounded header. The obvious alternative — one agg with
+    * 2×dim min/max columns — is fine at fixture widths but bloats codegen
+    * and planning quadratically at production embedding widths
+    * (1024-4096 → a 2048-8192-column aggregate); min/max are exact and
+    * order-independent, so both forms produce identical bounds.
     */
   def sq8Train(corpus: DataFrame): Sq8Params = {
     val vecs = corpus.filter(col("embedding").isNotNull)
@@ -732,13 +744,16 @@ object Similarity {
     // a shorter vector would leave null min/max holes in some dimension;
     // fail loudly like the other index builders
     failOnBadEmbeddings(vecs, dim, "sq8Train")
-    val aggs = (0 until dim).flatMap(i => Seq(
-      min(element_at(col("embedding"), i + 1)).as(s"mn$i"),
-      max(element_at(col("embedding"), i + 1)).as(s"mx$i")))
-    val r = vecs.agg(aggs.head, aggs.tail: _*).head()
-    Sq8Params(
-      Array.tabulate(dim)(i => r.getFloat(2 * i)),
-      Array.tabulate(dim)(i => r.getFloat(2 * i + 1)))
+    val rows = vecs
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val mins = new Array[Float](dim); val maxs = new Array[Float](dim)
+    rows.foreach { r =>
+      mins(r.getInt(0)) = r.getFloat(1); maxs(r.getInt(0)) = r.getFloat(2)
+    }
+    Sq8Params(mins, maxs)
   }
 
   /** Quantize: code_i = round((x_i − min_i) / span_i × 255), stored with a
@@ -811,22 +826,32 @@ object Similarity {
     * the steady-state artifact ([[sq8Append]] ingests into it without
     * retraining, like the IVF/BM25/LSH indexes).
     */
-  def sq8Save(spark: SparkSession, p: Sq8Params, codes: DataFrame,
-              dir: String): Unit = {
+  /** On-disk bounds header shared by the flat SQ8 and IVF-SQ8 indexes
+    * (change it here and in [[sq8LoadParams]] together).
+    */
+  private def sq8SaveParams(spark: SparkSession, p: Sq8Params, dir: String): Unit = {
     import spark.implicits._
     (0 until p.dim).map(i => (i, p.mins(i), p.maxs(i)))
       .toDF("i", "mn", "mx")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
   }
 
-  def sq8Load(spark: SparkSession, dir: String): (Sq8Params, DataFrame) = {
+  private def sq8LoadParams(spark: SparkSession, dir: String): Sq8Params = {
     val rows = spark.read.parquet(s"$dir/params").select("i", "mn", "mx").collect()
     val dim = rows.length
     val mins = new Array[Float](dim); val maxs = new Array[Float](dim)
     rows.foreach { r => mins(r.getInt(0)) = r.getFloat(1); maxs(r.getInt(0)) = r.getFloat(2) }
-    (Sq8Params(mins, maxs), spark.read.parquet(s"$dir/codes"))
+    Sq8Params(mins, maxs)
   }
+
+  def sq8Save(spark: SparkSession, p: Sq8Params, codes: DataFrame,
+              dir: String): Unit = {
+    sq8SaveParams(spark, p, dir)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def sq8Load(spark: SparkSession, dir: String): (Sq8Params, DataFrame) =
+    (sq8LoadParams(spark, dir), spark.read.parquet(s"$dir/codes"))
 
   /** Incremental SQ8 ingest: encode NEW vectors under the SAVED bounds and
     * append their codes — no retrain, no rewrite (vectors outside the
@@ -908,5 +933,87 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("recon"), col("q_emb")), 6).as("sim"))
     topKPerQuery(scored, k)
+  }
+
+  // ── IVF-SQ8: pruning + the higher-fidelity compression tier ──────────
+  //
+  // Faiss IndexIVFScalarQuantizer: the inverted lists store SQ8 codes —
+  // a probe reads nprobe/nlist of a table that is itself 4× smaller than
+  // the float corpus, at much higher reconstruction fidelity than PQ's
+  // 32×. This closes the flat-SQ8 gap at 100 TB (a flat code scan still
+  // reads everything; the cid-partitioned lists prune at the parquet
+  // directory level exactly like IvfIndex / IvfPqIndex). Bounds header
+  // (2×dim) and centroid header (nlist×dim) are both driver-bounded and
+  // broadcast; append-time ingest shares [[assignToSaved]] and encodes
+  // under the SAVED bounds like [[sq8Append]] — no retrain, no rewrite.
+
+  final case class IvfSq8Index(centroids: DataFrame, codes: DataFrame, p: Sq8Params) {
+    def save(dir: String): Unit = {
+      saveCentroidsAndLists(centroids, codes, dir, "codes")
+      sq8SaveParams(codes.sparkSession, p, dir)
+    }
+  }
+
+  /** Train IVF lists and SQ8 bounds, then store each list as codes. The
+    * two training passes are independent single aggregations (assignment
+    * map + per-dim min/max); the encode carries cid through in one
+    * projection, no re-join.
+    */
+  def ivfSq8Train(spark: SparkSession, corpus: DataFrame, nlist: Int = 16,
+                  iters: Int = 1): IvfSq8Index = {
+    val (centroids, assigned) = ivfAssign(spark, corpus, nlist, iters)
+    val p = sq8Train(corpus)
+    IvfSq8Index(centroids, sq8EncodeCorpus(assigned, p, keep = Seq("cid")), p)
+  }
+
+  def ivfSq8Load(spark: SparkSession, dir: String): IvfSq8Index =
+    IvfSq8Index(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codes"), sq8LoadParams(spark, dir))
+
+  /** Incremental IVF-SQ8 ingest: assign NEW vectors to the saved
+    * centroids, encode under the SAVED bounds (out-of-range clamps, the
+    * quantizer's standard behavior), append to the cid-partitioned code
+    * lists — the steady-state crawl path, per micro-batch inside
+    * `foreachBatch` like the IVF/SQ8/LSH/BM25 ingests. Appended codes
+    * are bit-identical to a from-scratch encode of the union under the
+    * same header (spec-pinned), so searches answer exactly alike.
+    */
+  def ivfSq8Append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val p = sq8LoadParams(spark, dir)
+    // batch hygiene runs inside assignToSaved (centroid width == bounds
+    // width by construction of save)
+    val assigned = assignToSaved(spark, dir, newVecs, "ivfSq8Append")
+    sq8EncodeCorpus(assigned, p, keep = Seq("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
+  /** Probe search: nprobe nearest lists per query (same routing as
+    * [[ivfSearch]] — the probed cid set prunes the codes scan at the
+    * directory level), scored on the SQ8 reconstruction.
+    */
+  def ivfSq8Search(index: IvfSq8Index, queries: DataFrame, k: Int,
+                   nprobe: Int = 4): DataFrame = {
+    val (probed, cids) = probeRoutes(index.centroids, queries, nprobe)
+    val lists = index.codes.filter(col("cid").isin(cids: _*))
+      .select(col("cid"), col("vec_id"),
+        sq8Reconstruct(col("codes"), index.p).as("recon"))
+    // bounded probe-route set broadcasts into the code-table scan (same
+    // rationale as ivfSearch — the lists are never shuffled for the join)
+    val scored = lists.join(broadcast(probed), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("recon"), col("q_emb")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-SQ8 search with the exact re-ranking tail (IndexRefineFlat
+    * composition, like [[ivfPqSearchRerank]]).
+    */
+  def ivfSq8SearchRerank(index: IvfSq8Index, queries: DataFrame,
+                         corpus: DataFrame, k: Int, nprobe: Int = 4,
+                         rerank: Int = 4): DataFrame = {
+    val cands = ivfSq8Search(index, queries, k * rerank, nprobe)
+      .select("query_id", "neighbor_id")
+    rescoreExact(cands, queries, corpus, k)
   }
 }

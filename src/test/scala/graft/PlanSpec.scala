@@ -245,6 +245,20 @@ class PlanSpec extends SparkSpec {
     })
   }
 
+  test("IVF-SQ8 probe prunes the code-table scan to the probed cid partitions") {
+    // the IndexIVFScalarQuantizer composition: a probe reads nprobe/nlist
+    // of the 4×-compressed codes — directory-level pruning like IVF/IVF-PQ
+    val df = SparkEntry.queries("q_ann_ivf_sq8")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pruned = "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p)
+    assert(pruned.nonEmpty, {
+      val i = math.max(0, p.indexOf("PartitionFilters"))
+      "codes scan must prune on cid:\n" + p.slice(math.max(0, i - 500), i + 200)
+    })
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("quality signals compute in one projection — no hash shuffle, pruned scan") {
     // the Gopher repetition folds replace the naive explode+groupBy(doc,
     // gram) shape; the only exchanges allowed are spread's round-robin and

@@ -263,6 +263,55 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("null embedding"))
   }
 
+  test("sq8Train: posexplode-keyed bounds match a plain per-dimension fold " +
+    "at dim 1024 (the production-width scale-safe form)") {
+    import spark.implicits._
+    val dim = 1024
+    // deterministic synthetic vectors at a production embedding width
+    val vecs = (0L until 40L).map { id =>
+      (id, Array.tabulate(dim)(j => (((id * 31 + j * 17) % 97).toFloat - 48f) / 7f))
+    }
+    val p = Similarity.sq8Train(vecs.toDF("vec_id", "embedding"))
+    assert(p.dim === dim)
+    assert(p.mins.toSeq === Array.tabulate(dim)(j => vecs.map(_._2(j)).min).toSeq)
+    assert(p.maxs.toSeq === Array.tabulate(dim)(j => vecs.map(_._2(j)).max).toSeq)
+  }
+
+  test("IVF-SQ8: appended index answers identically to a from-scratch " +
+    "build; codes partitioned by cid; exhaustive probe == flat SQ8 scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val full = Similarity.ivfSq8Train(spark, emb, nlist = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq8").toString
+    // persist only a third, append the rest under the SAVED header —
+    // the steady-state crawl path
+    Similarity.IvfSq8Index(full.centroids,
+      full.codes.filter(col("vec_id") % 3 === 0), full.p).save(dir)
+    Similarity.ivfSq8Append(spark, dir, emb.filter(col("vec_id") % 3 =!= 0))
+    val idx = Similarity.ivfSq8Load(spark, dir)
+    val listDirs = new java.io.File(s"$dir/codes").list().filter(_.startsWith("cid="))
+    assert(listDirs.nonEmpty && listDirs.length <= 8)
+    val fresh = Similarity.ivfSq8Search(full, queries, 10, nprobe = 3)
+      .select("query_id", "neighbor_id", "sim").collect().map(_.toSeq).toSet
+    val loaded = Similarity.ivfSq8Search(idx, queries, 10, nprobe = 3)
+      .select("query_id", "neighbor_id", "sim").collect().map(_.toSeq).toSet
+    assert(loaded === fresh, "append+load answers exactly like from-scratch")
+    // probing every list degenerates to the flat SQ8 code scan (same
+    // bounds: both sides score identical reconstructions)
+    val flat = Similarity.sq8Search(
+        Similarity.sq8EncodeCorpus(emb, full.p), queries, full.p, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exhaustive = Similarity.ivfSq8Search(idx, queries, 10, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exhaustive === flat)
+    // batch hygiene on the append path
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException](
+      Similarity.ivfSq8Append(spark, dir,
+        Seq((9999L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")))
+    assert(ex.getMessage.contains("dimension"))
+  }
+
   test("PQ recall vs brute force is meaningful at m=8, ksub=16") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 4)
@@ -303,6 +352,10 @@ class SimilaritySpec extends SparkSpec {
       "ann_ivfpq" -> recallOf {
         val idx = Similarity.ivfPqTrain(spark, emb, nlist = 8, m = 32, ksub = 32)
         Similarity.ivfPqSearchRerank(idx, queries, emb, k, nprobe = 7, rerank = 8)
+      },
+      "ann_ivf_sq8" -> recallOf {
+        val idx = Similarity.ivfSq8Train(spark, emb, nlist = 8)
+        Similarity.ivfSq8SearchRerank(idx, queries, emb, k, nprobe = 7, rerank = 8)
       })
     emb.unpersist()
     recalls.foreach { case (name, r) => info(f"$name recall $r%.3f") }

