@@ -2482,6 +2482,43 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_bpe_cjk",
+      // space-free-script (CJK) tokenization: the corpus carries no
+      // whitespace word boundaries, so preTokens falls back to character
+      // isolation (WordPiece tokenize_chinese_chars — per-character
+      // tokens, the BERT convention) — without the fallback the trainer
+      // would see ONE unique giant word per document, whose pair counts
+      // never reach the freq-2 training floor, and learn nothing.
+      // The planted corpus derives from doc_id alone (rotated 12-char
+      // Han alphabet, repeated; every 3rd doc gains a Latin tail to pin
+      // mixed-script behavior) — the SAME derivation in the Verify
+      // replica, which trains and encodes through its own merge loop.
+      // Train histogram + codegen-fused encode, unchanged shapes.
+      Some("""SELECT doc_id, n_tokens, head
+              FROM parquet_scan('{FIX}/_fixture_bpecjk/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val alpha = "的一是不了人我在有他这中"
+        val rot = (col("doc_id") % 12).cast("int")
+        val ptext = concat(
+          call_function("repeat",
+            concat(lit(alpha).substr(rot + lit(1), lit(12) - rot),
+              lit(alpha).substr(lit(1), rot)),
+            (col("doc_id") % 4 + 2).cast("int")),
+          when(col("doc_id") % 3 === 0, lit(" mixed latin tail"))
+            .otherwise(lit("")))
+        val docs = Tables.spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .withColumn("ptext", ptext)
+        val merges = Tokenizer.bpeTrain(docs, "ptext", 30)
+        val toks = Tokenizer.encode(col("ptext"), merges)
+        docs.select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            concat_ws("|", slice(toks, 1, 12)).as("head"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_bpe_fertility",
       // tokenizer-quality analytic teams actually track: per-language
       // corpus fertility (tokens/word, tokens/100 chars) under the

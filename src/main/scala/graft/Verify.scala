@@ -338,8 +338,14 @@ object Verify {
       }
       out.result()
     }
+    // same pre-tokenization SPEC as Bpe.preTokenize, re-stated (lowercase,
+    // CJK/Thai char isolation, \s+ split) — two evaluations of one spec,
+    // like the RE2 oracle chains
     def bpeWords(text: String): Seq[String] =
-      text.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq.filter(_.nonEmpty)
+      text.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("([\\x{0e00}-\\x{0e7f}\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}" +
+          "\\x{4e00}-\\x{9fff}\\x{f900}-\\x{faff}])", " $1 ")
+        .split("\\s+").toSeq.filter(_.nonEmpty)
     // engine histogram cut orders by Spark string sort = binary UTF-8;
     // Scala's String ordering is UTF-16 code-unit and diverges for
     // supplementary-plane words at the truncation boundary
@@ -347,8 +353,9 @@ object Verify {
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-    lazy val bpeMergesRef: Seq[(Int, String, String, Long)] = {
-      val hist = bpeDocs.iterator.flatMap(d => bpeWords(d._2))
+    def trainMergesRefOn(docs: IndexedSeq[(Long, String)],
+                         numMerges: Int): Seq[(Int, String, String, Long)] = {
+      val hist = docs.iterator.flatMap(d => bpeWords(d._2))
         .toSeq.groupMapReduce(identity)(_ => 1L)(_ + _)
         .toSeq.sortWith { case ((w1, f1), (w2, f2)) =>
           f1 > f2 || (f1 == f2 && utf8Less(w1, w2)) }.take(50000)
@@ -356,7 +363,7 @@ object Verify {
       val out = Seq.newBuilder[(Int, String, String, Long)]
       var rank = 1
       var stop = false
-      while (rank <= 60 && !stop) {
+      while (rank <= numMerges && !stop) {
         val counts = cur.iterator.flatMap { case (syms, f) =>
           syms.sliding(2).collect { case List(a, b) => ((a, b), f) }
         }.toSeq.groupMapReduce(_._1)(_._2)(_ + _)
@@ -373,17 +380,20 @@ object Verify {
       }
       out.result()
     }
+    lazy val bpeMergesRef: Seq[(Int, String, String, Long)] =
+      trainMergesRefOn(bpeDocs, 60)
     // GPT-2-style encoder over the trained merges (lowest-rank bigram
     // loop — the same semantics BpeEncode implements, independently)
     lazy val bpeRankMap: Map[(String, String), Int] =
       bpeMergesRef.map { case (rk, l, r, _) => ((l, r), rk) }.toMap
-    def bpeEncodeWordRef(word: String): List[String] = {
+    def bpeEncodeWordRefWith(rankMap: Map[(String, String), Int])
+                            (word: String): List[String] = {
       var syms = bpeSymsOf(word)
       var done = false
       while (!done && syms.lengthCompare(1) > 0) {
         val ranked = syms.sliding(2)
           .collect { case List(a, b) => (a, b) }
-          .flatMap(p => bpeRankMap.get(p).map(p -> _)).toList
+          .flatMap(p => rankMap.get(p).map(p -> _)).toList
         if (ranked.isEmpty) done = true
         else {
           val (p, _) = ranked.minBy(_._2)
@@ -392,6 +402,8 @@ object Verify {
       }
       syms
     }
+    def bpeEncodeWordRef(word: String): List[String] =
+      bpeEncodeWordRefWith(bpeRankMap)(word)
     fixture("_fixture_bpetrain") {
       bpeMergesRef.toDF("rank", "lhs", "rhs", "pair_freq").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpetrain")
@@ -403,6 +415,30 @@ object Verify {
       }
       rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpeencode")
+    }
+    fixture("_fixture_bpecjk") {
+      // space-free-script corpus planted from doc_id alone (the SAME
+      // derivation as q_bpe_cjk's Column expression: rotate a 12-char Han
+      // alphabet by doc_id%12, repeat doc_id%4+2 times, every 3rd doc
+      // gains a Latin tail to prove mixed-script handling), trained and
+      // encoded through the replica's own merge loop — the whole
+      // char-fallback path (isolation → histogram → merges → replay)
+      // checked end-to-end against the distributed engine
+      val alpha = "的一是不了人我在有他这中"
+      val cjkDocs: IndexedSeq[(Long, String)] = bpeDocs.map { case (id, _) =>
+        val rot = (id % 12).toInt
+        val base = alpha.substring(rot) + alpha.substring(0, rot)
+        val reps = (id % 4).toInt + 2
+        (id, base * reps + (if (id % 3 == 0) " mixed latin tail" else ""))
+      }
+      val merges = trainMergesRefOn(cjkDocs, 30)
+      val rm = merges.map { case (rk, l, r, _) => ((l, r), rk) }.toMap
+      val rows = cjkDocs.map { case (id, text) =>
+        val toks = bpeWords(text).flatMap(bpeEncodeWordRefWith(rm))
+        (id, toks.length, toks.take(12).mkString("|"))
+      }
+      rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_bpecjk")
     }
     // independent vocabulary derivation: alphabet via plain code-point
     // iteration over every word (NOT the encode kernel the query's

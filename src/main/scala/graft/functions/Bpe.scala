@@ -23,6 +23,55 @@ object Bpe {
 
   val EndOfWord = "</w>"
 
+  /** Space-free-script character class (BERT-style CJK isolation): Thai,
+    * Hiragana/Katakana, Han (unified + ext A + compatibility). Text in
+    * these scripts carries no whitespace word boundaries, so a pure
+    * `\s+` split would hand the trainer one giant "word" per line;
+    * isolating each such character (space on both sides, the WordPiece
+    * `tokenize_chinese_chars` move) makes every character its own
+    * pre-token — per-character tokens, the BERT convention for
+    * space-free scripts — so histograms, token counts, and fertility
+    * stay meaningful (character-frequency Zipf instead of one unique
+    * giant word per document whose pair counts never reach the
+    * training floor). BMP ranges only
+    * (ext-B+ supplementary Han is vanishingly rare in web text and
+    * would need surrogate-pair classes in every engine that shares
+    * this spec).
+    */
+  val CjkCharClass: String =
+    "[\\x{0e00}-\\x{0e7f}\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}" +
+      "\\x{4e00}-\\x{9fff}\\x{f900}-\\x{faff}]"
+
+  private val cjkPattern = java.util.regex.Pattern.compile(s"($CjkCharClass)")
+
+  /** True if `c` can possibly need isolation — a cheap prefilter so the
+    * regex pass only runs on rows that contain candidate characters
+    * (everything below U+0E00, i.e. virtually all Latin/Cyrillic/Greek
+    * text, skips it).
+    */
+  private def mayHaveCjk(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x0E00) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Shared pre-tokenization of the whole BPE stack (training histogram,
+    * encode kernels, ids kernel, and — as the same spec re-stated — the
+    * Verify replica): lowercase via Locale.ROOT, CJK/Thai character
+    * isolation, `\s+` split. May return empty strings at the edges;
+    * callers skip empties.
+    */
+  def preTokenize(text: String): Array[String] = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val isolated =
+      if (mayHaveCjk(lower)) cjkPattern.matcher(lower).replaceAll(" $1 ")
+      else lower
+    isolated.split("\\s+")
+  }
+
   /** Inverse of encoding: concatenate tokens, turning each token's
     * trailing `</w>` marker into a word boundary. `decodeTokens(
     * encodeText(t))` equals the whitespace-normalized lowercased input:
@@ -146,11 +195,12 @@ object Bpe {
       syms
     }
 
-    /** Tokens of a whole text: lowercase, `\s+`-split, per-word encode,
-      * concatenated. Returns Catalyst array data (UTF8String elements).
+    /** Tokens of a whole text: lowercase, CJK isolation, `\s+`-split,
+      * per-word encode, concatenated ([[Bpe.preTokenize]]). Returns
+      * Catalyst array data (UTF8String elements).
       */
     def encodeText(text: String): GenericArrayData = {
-      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val words = Bpe.preTokenize(text)
       val out = new scala.collection.mutable.ArrayBuffer[AnyRef](words.length * 2)
       var i = 0
       while (i < words.length) {
@@ -212,7 +262,7 @@ object BpeIds {
       m
     }
     def encodeTextIds(text: String): GenericArrayData = {
-      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val words = Bpe.preTokenize(text)
       val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
       var i = 0
       while (i < words.length) {

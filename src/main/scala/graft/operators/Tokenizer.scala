@@ -30,17 +30,30 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer {
 
-  /** Whitespace pre-tokenization: lowercase, `\s+`-split, empties dropped
-    * (leading whitespace yields an empty head token in both Spark and
-    * java.lang.String.split — filtered identically here and in the
-    * driver-side loop). Lowercasing is `java_lower`, NOT Spark's ICU
-    * `lower()`: the driver-side halves of this pipeline (merge replay,
-    * oracle replicas, Bpe.Model.encodeText) lowercase with the JVM
-    * tables, and the two disagree on recent code points (U+A7D0 etc.) —
-    * both sides must share one semantic. Requires `Functions.ensure`.
+  /** Pre-tokenization: lowercase, CJK/Thai character isolation, `\s+`-
+    * split, empties dropped (leading whitespace yields an empty head
+    * token in both Spark and java.lang.String.split — filtered
+    * identically here and in the driver-side loop). Lowercasing is
+    * `java_lower`, NOT Spark's ICU `lower()`: the driver-side halves of
+    * this pipeline (merge replay, oracle replicas, Bpe.Model.encodeText)
+    * lowercase with the JVM tables, and the two disagree on recent code
+    * points (U+A7D0 etc.) — both sides must share one semantic.
+    * Requires `Functions.ensure`.
+    *
+    * Space-free scripts (Chinese/Japanese/Thai — [[Bpe.CjkCharClass]])
+    * carry no whitespace word boundaries; each such character becomes
+    * its own pre-token (space isolated on both sides, the WordPiece
+    * `tokenize_chinese_chars` move — per-character tokens, the BERT
+    * convention), so the trainer sees a meaningful character-frequency
+    * histogram instead of one unique giant "word" per line, and word
+    * counts / fertility / packing budgets count characters rather than
+    * lines. Same spec as the codegen'd encode kernels
+    * ([[Bpe.preTokenize]]) — training and encoding must agree on word
+    * boundaries or the merge replay diverges.
     */
   def preTokens(text: Column): Column =
-    filter(split(java_lower(text), "\\s+"), w => length(w) > 0)
+    filter(split(regexp_replace(java_lower(text),
+      s"(${Bpe.CjkCharClass})", " $1 "), "\\s+"), w => length(w) > 0)
 
   /** Distributed word histogram — the single pass over raw text. One
     * shuffle, map-side partial aggregation, no driver involvement.

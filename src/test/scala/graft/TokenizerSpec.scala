@@ -231,4 +231,46 @@ class TokenizerSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(unk.startsWith("low") && unk.contains("<unk>"))
   }
+
+  test("space-free scripts fall back to character pre-tokens; training " +
+      "learns multi-character merges; Latin text is untouched") {
+    import spark.implicits._
+    // pre-tokens: each CJK/Thai char isolates; Latin words split on \s+
+    val pt = Seq("Hello 今天天气 world ไทยดี").toDF("text")
+      .select(Tokenizer.preTokens(col("text")).as("w"))
+      .as[Seq[String]].head()
+    assert(pt === Seq("hello", "今", "天", "天", "气", "world", "ไ", "ท", "ย", "ด", "ี"))
+    // a pure-Latin corpus pre-tokenizes exactly as before
+    val latin = Seq("Low lower NEWEST").toDF("text")
+      .select(Tokenizer.preTokens(col("text")).as("w")).as[Seq[String]].head()
+    assert(latin === Seq("low", "lower", "newest"))
+    // training on a space-free corpus sees per-character words (the BERT
+    // per-char convention) with a meaningful Zipf histogram — 天 occurs
+    // 2× as often as 今/气 — instead of one giant unique word per doc
+    // whose pair counts never reach the freq-2 training floor
+    val docs = Seq.fill(4)("今天天气今天天气").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(docs, "text", 10)
+    assert(merges.nonEmpty, "char fallback must yield trainable pairs")
+    // highest-frequency merge is the most common character's eow-attach
+    assert(merges.head.left === "天" && merges.head.right === Bpe.EndOfWord)
+    // the codegen'd encode kernel shares the isolation spec: one token
+    // per character (8 chars -> 8 tokens), so token counts / fertility /
+    // packing budgets stay honest on space-free text
+    val toks = docs.select(Tokenizer.encode(col("text"), merges).as("t"))
+      .as[Seq[String]].head()
+    assert(toks.length === 8)
+    val rt = docs.limit(1)
+      .select(Tokenizer.decode(Tokenizer.encode(col("text"), merges)).as("rt"))
+      .as[String].head()
+    assert(rt === "今 天 天 气 今 天 天 气",
+      "decode must reproduce the isolated pre-token stream")
+    // encodeIds flows through the same pre-tokenization
+    val vocab = Tokenizer.vocabulary(docs, "text", merges)
+      .orderBy("id").collect().map(_.getString(0)).toSeq
+    val ids = docs.limit(1)
+      .select(Tokenizer.encodeIds(col("text"), merges, vocab).as("ids"))
+      .as[Seq[Int]].head()
+    assert(ids.nonEmpty && ids.forall(_ >= 0))
+  }
 }
