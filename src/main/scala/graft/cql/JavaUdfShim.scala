@@ -39,8 +39,10 @@ import graft.cql.Ast._
   *    definite-return and unreachable-code rules
   *  - counted `for` loops: `for (int i = A; i </<= B; i++)` with a body of
   *    accumulation statements (`x = ...`, `x += ...`, `sb.append(...)`)
-  *    into ONE same-block local, lowered to an `aggregate(sequence)` fold;
-  *    `StringBuilder` declarations and `.append` chains
+  *    into same-block locals, lowered to an `aggregate(sequence)` fold (a
+  *    scalar fold for one accumulator, a `named_struct` fold threading all
+  *    of them for several); `StringBuilder` declarations and `.append`
+  *    chains; declared-type conversion applied per statement, like javac
   *  - `e.toString()`, `new String(blobArg)` → CAST AS STRING
   *  - `String` methods on string-typed receivers: length isEmpty
   *    toLowerCase toUpperCase trim concat contains startsWith endsWith
@@ -356,16 +358,18 @@ object JavaUdfShim {
       * shape (`cassandra/test/unit/org/apache/cassandra/cql3/validation/
       * entities/UFTest.java:441`: StringBuilder repeat-append). The loop
       * must be a counted ascending scan (`<`/`<=` bound, `i++`/`++i`/
-      * `i += 1`/`i = i + 1` step) whose body only folds into ONE local
-      * declared at the loop's own scope depth — then it lowers exactly to
+      * `i += 1`/`i = i + 1` step) whose body folds into locals declared at
+      * the loop's own scope depth. One accumulator lowers exactly to
       *   IF(upper < lower, init,
       *      aggregate(sequence(lower, upper), init, (acc, i) -> step))
-      * with the accumulator cast to its declared Java type at every step so
-      * int/long/double arithmetic resolves like javac's. Anything else —
-      * while, decrementing or data-dependent loops, multi-variable bodies,
-      * mutation of an outer-branch local (which the branch-exit restore
-      * would silently discard) — rejects with the shim's compile-error
-      * text, exactly as before.
+      * and several lower to ONE `named_struct` fold threading them all
+      * (each post-loop value is a field of the CSE-deduped fold) — in both
+      * forms every statement casts to its accumulator's declared Java type
+      * so int/long/double arithmetic and per-statement narrowing resolve
+      * like javac's. Anything else — while, decrementing or
+      * data-dependent loops, mutation of an outer-branch local (which the
+      * branch-exit restore would silently discard) — rejects with the
+      * shim's compile-error text, exactly as before.
       */
     private def parseFor(): Unit = {
       eat("(")
@@ -420,7 +424,44 @@ object JavaUdfShim {
       if (braced) next()
       val saved = (locals, declDepth, declSqlType, sbLocals)
       locals = locals.updated(lv, (lv, TNum(integral = true)))
-      var accName: Option[String] = None
+      // Pre-scan the statement heads: a multi-accumulator body lowers to a
+      // STRUCT fold (named_struct per iteration), so every accumulated
+      // local must be bound to its in-fold value — `<lam>.name` — BEFORE
+      // the first statement's right-hand side is parsed (statement 2 may
+      // read accumulator 1 and vice versa). Single-accumulator bodies keep
+      // the direct scalar fold (the lambda variable IS the accumulator).
+      val headNames: Seq[String] = {
+        val out = scala.collection.mutable.LinkedHashSet.empty[String]
+        var cur = toks
+        var scanning = true
+        while (scanning) cur match {
+          case Op("}") :: _ => scanning = false
+          case Ident(n) :: rest =>
+            out += n
+            cur = rest.dropWhile(_ != Op(";")) match {
+              case Op(";") :: r => r
+              case other => other // malformed stmt: the main loop reports it
+            }
+            if (cur.isEmpty || !braced) scanning = false
+          case _ => scanning = false
+        }
+        out.toSeq
+      }
+      val multi = headNames.count(n =>
+        saved._1.contains(n) && saved._2.get(n).contains(scopeDepth)) > 1
+      // fold lambda variable for the struct form — any free identifier
+      val lamAcc = {
+        var n = "fold_acc"
+        while (saved._1.contains(n) || argTypes.contains(n) || n == lv) n += "_"
+        n
+      }
+      headNames.foreach { a =>
+        if (saved._1.contains(a) && saved._2.get(a).contains(scopeDepth)) {
+          val inFold = if (multi) s"$lamAcc.$a" else a
+          locals = locals.updated(a, (inFold, saved._1(a)._2))
+        }
+      }
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
       var done = false
       while (!done) {
         toks match {
@@ -429,13 +470,13 @@ object JavaUdfShim {
             val name = toks match {
               case Ident(n) :: _ => n
               case t :: _ => fail(s"unsupported loop-body statement starting at $t " +
-                "(a counted loop may only accumulate into one local)")
+                "(loop bodies may only contain accumulation statements)")
               case Nil => fail("unexpected end of loop body")
             }
             if (Set("return", "if", "for") (name) || rejectedKeywords(name))
               fail(s"'$name' inside a counted loop is not supported by this " +
-                "engine's translation shim (loop bodies may only accumulate " +
-                "into one local)")
+                "engine's translation shim (loop bodies may only contain " +
+                "accumulation statements over same-block locals)")
             // a declaration's leading type name would otherwise fall through
             // to the misleading "unknown identifier 'int'" rejection below
             if (declTypes.contains(name) || name == "final")
@@ -449,28 +490,21 @@ object JavaUdfShim {
               fail(s"loop accumulation into '$name' is not supported: the " +
                 "accumulator must be a local declared in the same block as " +
                 "the loop itself")
-            accName match {
-              case Some(a) if a != name =>
-                fail("a counted loop may only accumulate into one local " +
-                  s"(saw both '$a' and '$name')")
-              case None =>
-                if (boundIdents.contains(name))
-                  fail(s"the loop bound reads '$name', which the body " +
-                    "mutates — data-dependent loops are not supported by " +
-                    "this engine's translation shim")
-                accName = Some(name)
-                // inside the body, the accumulator IS the fold's lambda
-                // variable; its pre-loop value becomes the fold's init
-                locals = locals.updated(name, (name, saved._1(name)._2))
-              case _ =>
+            if (!seen.contains(name)) {
+              if (boundIdents.contains(name))
+                fail(s"the loop bound reads '$name', which the body " +
+                  "mutates — data-dependent loops are not supported by " +
+                  "this engine's translation shim")
+              seen += name
             }
             parseAccumStmt(name)
             if (!braced) done = true
         }
       }
-      locals = accName match {
-        case None => saved._1 // empty body: the loop is a no-op
-        case Some(a) =>
+      val accs = seen.toSeq
+      locals = accs match {
+        case Seq() => saved._1 // empty body: the loop is a no-op
+        case Seq(a) =>
           val stepSql = locals(a)._1
           val t = saved._1(a)._2
           val sqlT = declSqlType.getOrElse(a, "STRING")
@@ -482,6 +516,26 @@ object JavaUdfShim {
           val agg = s"IF($upper < $lower, $init, aggregate(sequence($lower, " +
             s"$upper), $init, ($a, $lv) -> CAST(($stepSql) AS $sqlT)))"
           saved._1.updated(a, (agg, t))
+        case _ =>
+          // struct fold: one named_struct threads every accumulator; the
+          // post-loop value of each is a field of the (CSE-deduped) fold
+          def sqlTOf(a: String) = declSqlType.getOrElse(a, "STRING")
+          val lower = s"CAST(($lo) AS BIGINT)"
+          val upper =
+            if (cmp == "<") s"(CAST(($hi) AS BIGINT) - 1L)"
+            else s"CAST(($hi) AS BIGINT)"
+          val initStruct = accs
+            .map(a => s"'$a', CAST((${saved._1(a)._1}) AS ${sqlTOf(a)})")
+            .mkString("named_struct(", ", ", ")")
+          val stepStruct = accs
+            .map(a => s"'$a', CAST((${locals(a)._1}) AS ${sqlTOf(a)})")
+            .mkString("named_struct(", ", ", ")")
+          val fold = s"IF($upper < $lower, $initStruct, " +
+            s"aggregate(sequence($lower, $upper), $initStruct, " +
+            s"($lamAcc, $lv) -> $stepStruct))"
+          accs.foldLeft(saved._1) { (ls, a) =>
+            ls.updated(a, (s"($fold).$a", saved._1(a)._2))
+          }
       }
       declDepth = saved._2; declSqlType = saved._3; sbLocals = saved._4
     }
@@ -493,13 +547,21 @@ object JavaUdfShim {
       */
     private def parseAccumStmt(acc: String): Unit = {
       val cur = locals(acc)
+      // Java applies the declared-type conversion at EVERY statement
+      // (compound assignment narrows per step: `int s; s += 0.7; s += 0.7;`
+      // is 0, not (int)1.4), and later statements read the CONVERTED
+      // value — so the cast lands here, per statement, not only at the
+      // fold's end. cur._2 stays the declared shim type by this invariant.
+      val sqlT = declSqlType.getOrElse(acc, "STRING")
+      def rebind(e: (String, T)): Unit =
+        locals = locals.updated(acc, (s"CAST((${e._1}) AS $sqlT)", cur._2))
       toks match {
         case Ident(_) :: Op("=") :: rest =>
           toks = rest
           val e = expression()
           eat(";")
           // javac rejects e.g. `int s; s = "a" + s;` — without this guard
-          // the fold's trailing CAST would lower it to CAST(<string> AS
+          // the per-statement CAST would lower it to CAST(<string> AS
           // INT) and produce null/garbage per step instead of an error
           (cur._2, e._2) match {
             case (_, TNull) => // null assigns to any reference type in Java
@@ -507,12 +569,12 @@ object JavaUdfShim {
             case (at, et) => fail(s"incompatible types in loop body: cannot " +
               s"assign ${tName(et)} value to '$acc' (declared ${tName(at)})")
           }
-          locals = locals.updated(acc, e)
+          rebind(e)
         case Ident(_) :: Op(op @ ("+" | "-" | "*" | "/")) :: Op("=") :: rest =>
           toks = rest
           val e = expression()
           eat(";")
-          locals = locals.updated(acc, compoundCombine(op, cur, e))
+          rebind(compoundCombine(op, cur, e))
         case Ident(_) :: Op(".") :: Ident("append") :: _ if sbLocals.contains(acc) =>
           toks = toks.drop(3)
           var v = cur
@@ -528,7 +590,7 @@ object JavaUdfShim {
             }
           }
           eat(";")
-          locals = locals.updated(acc, v)
+          rebind(v)
         case _ => fail("a counted-loop body may only contain accumulation " +
           s"statements over '$acc' ('$acc = ...', '$acc += ...' or " +
           s"'$acc.append(...)')")

@@ -254,6 +254,97 @@ class JavaUdfShimPropertySpec extends SparkSpec {
     }
   }
 
+  // ── two-accumulator loop grammar (the named_struct fold) ─────────────
+
+  /** `int s = i1; int t = i2; for (int i = lo; i </<= hi; i++) { <steps> }
+    * return s * 31 + t;` — each step assigns one of the two accumulators
+    * and its RHS may read BOTH (plus the loop variable), in Java's
+    * sequential statement order: a later step sees the earlier step's
+    * already-updated value, which is exactly what the struct fold must
+    * thread. Total expressions only (+ - * on guarded args), like the
+    * single-accumulator grammar.
+    */
+  private case class TwoLoop(initS: E, initT: E, lo: Int, hi: E, incl: Boolean,
+                             steps: List[(String, E)])
+
+  private def genTwoLoopExpr(depth: Int): Gen[E] = {
+    val leaves: Gen[E] = Gen.oneOf(
+      Gen.chooseNum(-9, 9).map(Lit.apply),
+      Gen.oneOf(argNames).map(GArg.apply),
+      Gen.oneOf("s", "t", "i").map(LRef.apply))
+    if (depth <= 0) leaves
+    else Gen.frequency(
+      3 -> leaves,
+      4 -> (for {
+        op <- Gen.oneOf("+", "-", "*")
+        l <- genTwoLoopExpr(depth - 1); r <- genTwoLoopExpr(depth - 1)
+      } yield Bin(op, l, r)))
+  }
+
+  private def genTwoLoop: Gen[TwoLoop] = for {
+    initS <- genSafe(1)
+    initT <- genSafe(1)
+    lo <- Gen.chooseNum(-2, 2)
+    hi <- genSafe(1)
+    incl <- Gen.oneOf(true, false)
+    steps <- Gen.choose(2, 4).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("s", "t").flatMap(tgt => genTwoLoopExpr(2).map(tgt -> _))))
+  } yield TwoLoop(initS, initT, lo, hi, incl, steps)
+
+  private def renderTwoLoop(b: TwoLoop): String = {
+    val cmp = if (b.incl) "<=" else "<"
+    val stmts = b.steps.map { case (tgt, e) => s"$tgt = ${render(e)};" }.mkString(" ")
+    s"int s = ${render(b.initS)}; int t = ${render(b.initT)}; " +
+      s"for (int i = ${if (b.lo < 0) s"(${b.lo})" else b.lo}; i $cmp ${render(b.hi)}; i++) " +
+      s"{ $stmts } return s * 31 + t;"
+  }
+
+  private def evalTwoLoop(b: TwoLoop, args: Map[String, Option[Int]]): Option[Int] = {
+    var env: Map[String, Option[Int]] =
+      Map("s" -> eval(b.initS, args), "t" -> eval(b.initT, args))
+    val hiV = eval(b.hi, args).get // total by construction
+    var i = b.lo
+    while (if (b.incl) i <= hiV else i < hiV) {
+      env = env.updated("i", Some(i))
+      for ((tgt, st) <- b.steps) env = env.updated(tgt, eval(st, args, env))
+      i += 1
+    }
+    for (s <- env("s"); t <- env("t")) yield s * 31 + t
+  }
+
+  test("random two-accumulator counted loops translate to a struct fold " +
+    "with Java sequential-statement semantics") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val cqlArgs = argNames.map(_ -> (CqlInt: CqlType))
+    val argSets: Seq[Map[String, Option[Int]]] = Seq(
+      Map("a" -> Some(7), "b" -> Some(-3), "c" -> Some(2)),
+      Map("a" -> None, "b" -> Some(5), "c" -> Some(11)),
+      Map("a" -> Some(0), "b" -> None, "c" -> Some(-8)))
+    val base = argSets.map(m =>
+      (m("a").map(Int.box).orNull, m("b").map(Int.box).orNull, m("c").map(Int.box).orNull))
+      .toDF("a", "b", "c")
+    val cases = (0 until 60).flatMap { i =>
+      genTwoLoop(Gen.Parameters.default.withSize(1 + i % 10), Seed(0x200FL + i))
+    }
+    cases.zipWithIndex.grouped(20).foreach { group =>
+      val cols = group.map { case (b, i) =>
+        val sql = JavaUdfShim.translate(renderTwoLoop(b), cqlArgs)
+        expr(sql).cast("int").as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case (b, i) =>
+        argSets.zipWithIndex.foreach { case (m, row) =>
+          val want = evalTwoLoop(b, m)
+          val gi = got(row).fieldIndex(s"e$i")
+          val gotV = if (got(row).isNullAt(gi)) None else Some(got(row).getInt(gi))
+          assert(gotV === want,
+            s"body ${renderTwoLoop(b)}\nsql ${JavaUdfShim.translate(renderTwoLoop(b), cqlArgs)}\nargs $m")
+        }
+      }
+    }
+  }
+
   /** StringBuilder repeat-append loops (the UFTest.java:441 shape):
     * append operands are leaves only — a null Integer append prints "null"
     * on both sides, a null unboxed in arithmetic would NPE in Java.

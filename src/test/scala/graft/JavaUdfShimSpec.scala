@@ -171,8 +171,11 @@ class JavaUdfShimSpec extends AnyFunSuite {
       "n" -> CqlInt).contains("ascending"))
     assert(rejects("int s = 0; for (int i = 0; i < n; i += 2) s += i; return s;",
       "n" -> CqlInt).contains("by exactly one"))
-    assert(rejects("int s = 0; int t = 0; for (int i = 0; i < n; i++) { s += i; t += i; } return s + t;",
-      "n" -> CqlInt).contains("one local"))
+    // multi-accumulator bodies lower to a struct fold (named_struct
+    // threading both locals through one aggregate)
+    val two = tr("int s = 0; int t = 0; for (int i = 0; i < n; i++) { s += i; t += i; } return s + t;",
+      "n" -> CqlInt)
+    assert(two.contains("aggregate(sequence(") && two.contains("named_struct("))
     assert(rejects("for (int i = 0; i < n; i++) return i; return 0;",
       "n" -> CqlInt).contains("not supported"))
     assert(rejects("int s = 0; for (int i = 0; i < n; i++) s += n.frobnicate(); return s;",
