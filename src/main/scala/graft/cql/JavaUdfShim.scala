@@ -39,10 +39,13 @@ import graft.cql.Ast._
   *    definite-return and unreachable-code rules
   *  - counted `for` loops: `for (int i = A; i </<= B; i++)` with a body of
   *    accumulation statements (`x = ...`, `x += ...`, `sb.append(...)`)
-  *    into same-block locals, lowered to an `aggregate(sequence)` fold (a
-  *    scalar fold for one accumulator, a `named_struct` fold threading all
-  *    of them for several); `StringBuilder` declarations and `.append`
-  *    chains; declared-type conversion applied per statement, like javac
+  *    into same-block locals — optionally guarded by one level of
+  *    `if (cond) <accum>; [else <accum>;]` whose condition evaluates per
+  *    iteration and may read the accumulators — lowered to an
+  *    `aggregate(sequence)` fold (a scalar fold for one accumulator, a
+  *    `named_struct` fold threading all of them for several);
+  *    `StringBuilder` declarations and `.append` chains; declared-type
+  *    conversion applied per statement, like javac
   *  - `e.toString()`, `new String(blobArg)` → CAST AS STRING
   *  - `String` methods on string-typed receivers: length isEmpty
   *    toLowerCase toUpperCase trim concat contains startsWith endsWith
@@ -423,85 +426,135 @@ object JavaUdfShim {
       val braced = peek.contains(Op("{"))
       if (braced) next()
       val saved = (locals, declDepth, declSqlType, sbLocals)
-      locals = locals.updated(lv, (lv, TNum(integral = true)))
-      // Pre-scan the statement heads: a multi-accumulator body lowers to a
-      // STRUCT fold (named_struct per iteration), so every accumulated
-      // local must be bound to its in-fold value — `<lam>.name` — BEFORE
-      // the first statement's right-hand side is parsed (statement 2 may
-      // read accumulator 1 and vice versa). Single-accumulator bodies keep
-      // the direct scalar fold (the lambda variable IS the accumulator).
-      val headNames: Seq[String] = {
-        val out = scala.collection.mutable.LinkedHashSet.empty[String]
-        var cur = toks
-        var scanning = true
-        while (scanning) cur match {
-          case Op("}") :: _ => scanning = false
-          case Ident(n) :: rest =>
-            out += n
-            cur = rest.dropWhile(_ != Op(";")) match {
-              case Op(";") :: r => r
-              case other => other // malformed stmt: the main loop reports it
-            }
-            if (cur.isEmpty || !braced) scanning = false
-          case _ => scanning = false
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+
+      /** One accumulation statement at [[toks]]; returns the accumulator. */
+      def parseSimpleAccum(): String = {
+        val name = toks match {
+          case Ident(n) :: _ => n
+          case t :: _ => fail(s"unsupported loop-body statement starting at $t " +
+            "(loop bodies may only contain accumulation statements)")
+          case Nil => fail("unexpected end of loop body")
         }
-        out.toSeq
+        if (Set("return", "for") (name) || rejectedKeywords(name))
+          fail(s"'$name' inside a counted loop is not supported by this " +
+            "engine's translation shim (loop bodies may only contain " +
+            "accumulation statements over same-block locals)")
+        // a declaration's leading type name would otherwise fall through
+        // to the misleading "unknown identifier 'int'" rejection below
+        if (declTypes.contains(name) || name == "final")
+          fail("declarations inside a counted loop are not supported by " +
+            "this engine's translation shim (declare the accumulator in " +
+            "the loop's own block and accumulate into it)")
+        if (name == lv) fail("the loop variable cannot be reassigned")
+        if (!locals.contains(name) && !saved._1.contains(name))
+          fail(s"unknown identifier '$name' in loop body")
+        if (!saved._2.get(name).contains(scopeDepth))
+          fail(s"loop accumulation into '$name' is not supported: the " +
+            "accumulator must be a local declared in the same block as " +
+            "the loop itself")
+        if (!seen.contains(name)) {
+          if (boundIdents.contains(name))
+            fail(s"the loop bound reads '$name', which the body " +
+              "mutates — data-dependent loops are not supported by " +
+              "this engine's translation shim")
+          seen += name
+        }
+        parseAccumStmt(name)
+        name
       }
-      val multi = headNames.count(n =>
-        saved._1.contains(n) && saved._2.get(n).contains(scopeDepth)) > 1
+
+      /** An if-branch inside the loop body: a braced run of accumulation
+        * statements or a single one. Returns the updated accumulators.
+        */
+      def parseLoopBranch(): Seq[String] = {
+        val updated = scala.collection.mutable.ListBuffer.empty[String]
+        if (peek.contains(Op("{"))) {
+          next()
+          while (!peek.contains(Op("}"))) {
+            toks match {
+              case Ident("if") :: _ => fail("nested branches inside a counted " +
+                "loop are not supported by this engine's translation shim")
+              case Nil => fail("unexpected end of loop body")
+              case _ => updated += parseSimpleAccum()
+            }
+          }
+          eat("}")
+        } else toks match {
+          case Ident("if") :: _ => fail("nested branches inside a counted " +
+            "loop are not supported by this engine's translation shim")
+          case _ => updated += parseSimpleAccum()
+        }
+        updated.toSeq
+      }
+
+      /** `if (cond) <accum> [else <accum>]` inside the loop body: the
+        * condition evaluates PER ITERATION at its statement position
+        * (after earlier statements' updates — it may read accumulators,
+        * unlike the loop bound, which Java snapshots only conceptually);
+        * each branch threads from the same entry state, and accumulators
+        * updated by either branch merge as IF(cond, then', else').
+        */
+      def parseLoopIf(): Unit = {
+        toks = toks.tail // 'if'
+        eat("(")
+        val (c, _) = expression()
+        eat(")")
+        val snap = locals
+        val thenBind = parseLoopBranch().map(n => n -> locals(n)).toMap
+        locals = snap
+        val elseBind = peek match {
+          case Some(Ident("else")) =>
+            next(); parseLoopBranch().map(n => n -> locals(n)).toMap
+          case _ => Map.empty[String, (String, T)]
+        }
+        locals = snap
+        (thenBind.keySet ++ elseBind.keySet).foreach { n =>
+          val (tv, tt) = thenBind.getOrElse(n, snap(n))
+          val (ev, _) = elseBind.getOrElse(n, snap(n))
+          locals = locals.updated(n, (s"IF(($c), ($tv), ($ev))", tt))
+        }
+      }
+
+      def parseLoopStmts(): Unit = {
+        var done = false
+        while (!done) {
+          toks match {
+            case Op("}") :: rest if braced => toks = rest; done = true
+            case Nil => fail("unexpected end of loop body")
+            case Ident("if") :: _ => parseLoopIf(); if (!braced) done = true
+            case _ => parseSimpleAccum(); if (!braced) done = true
+          }
+        }
+      }
+
+      // Two passes over the same body tokens: a multi-accumulator body
+      // lowers to a STRUCT fold (named_struct per iteration), so every
+      // accumulated local must be bound to its in-fold value —
+      // `<lam>.name` — BEFORE the first statement's right-hand side is
+      // parsed (statement 2 may read accumulator 1 and vice versa). The
+      // discovery pass finds the accumulator set (same validation, wrong
+      // bindings, output discarded); the real pass then parses with the
+      // correct in-fold bindings. Single-accumulator bodies keep the
+      // direct scalar fold (the lambda variable IS the accumulator).
+      val bodyStart = toks
+      locals = saved._1.updated(lv, (lv, TNum(integral = true)))
+      parseLoopStmts()
+      val accs = seen.toSeq
+      val multi = accs.size > 1
       // fold lambda variable for the struct form — any free identifier
       val lamAcc = {
         var n = "fold_acc"
         while (saved._1.contains(n) || argTypes.contains(n) || n == lv) n += "_"
         n
       }
-      headNames.foreach { a =>
-        if (saved._1.contains(a) && saved._2.get(a).contains(scopeDepth)) {
-          val inFold = if (multi) s"$lamAcc.$a" else a
-          locals = locals.updated(a, (inFold, saved._1(a)._2))
-        }
+      toks = bodyStart
+      seen.clear()
+      locals = saved._1.updated(lv, (lv, TNum(integral = true)))
+      accs.foreach { a =>
+        locals = locals.updated(a, (if (multi) s"$lamAcc.$a" else a, saved._1(a)._2))
       }
-      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-      var done = false
-      while (!done) {
-        toks match {
-          case Op("}") :: rest if braced => toks = rest; done = true
-          case _ =>
-            val name = toks match {
-              case Ident(n) :: _ => n
-              case t :: _ => fail(s"unsupported loop-body statement starting at $t " +
-                "(loop bodies may only contain accumulation statements)")
-              case Nil => fail("unexpected end of loop body")
-            }
-            if (Set("return", "if", "for") (name) || rejectedKeywords(name))
-              fail(s"'$name' inside a counted loop is not supported by this " +
-                "engine's translation shim (loop bodies may only contain " +
-                "accumulation statements over same-block locals)")
-            // a declaration's leading type name would otherwise fall through
-            // to the misleading "unknown identifier 'int'" rejection below
-            if (declTypes.contains(name) || name == "final")
-              fail("declarations inside a counted loop are not supported by " +
-                "this engine's translation shim (declare the accumulator in " +
-                "the loop's own block and accumulate into it)")
-            if (name == lv) fail("the loop variable cannot be reassigned")
-            if (!locals.contains(name) && !saved._1.contains(name))
-              fail(s"unknown identifier '$name' in loop body")
-            if (!saved._2.get(name).contains(scopeDepth))
-              fail(s"loop accumulation into '$name' is not supported: the " +
-                "accumulator must be a local declared in the same block as " +
-                "the loop itself")
-            if (!seen.contains(name)) {
-              if (boundIdents.contains(name))
-                fail(s"the loop bound reads '$name', which the body " +
-                  "mutates — data-dependent loops are not supported by " +
-                  "this engine's translation shim")
-              seen += name
-            }
-            parseAccumStmt(name)
-            if (!braced) done = true
-        }
-      }
-      val accs = seen.toSeq
+      parseLoopStmts()
       locals = accs match {
         case Seq() => saved._1 // empty body: the loop is a no-op
         case Seq(a) =>

@@ -345,6 +345,107 @@ class JavaUdfShimPropertySpec extends SparkSpec {
     }
   }
 
+  /** [[TwoLoop]] with optionally GUARDED steps: `if ((l) < (r)) tgt = e;
+    * [else tgt = e2;]` — the guard may read both accumulators and the
+    * loop variable, and Java evaluates it per iteration at its statement
+    * position, threading earlier statements' updates. Exercises the
+    * loop-body if/else lowering (IF(cond, then', else') merge).
+    */
+  private case class CondStep(tgt: String, guard: Option[(E, E)], e: E, els: Option[E])
+  private case class CondLoop(initS: E, initT: E, lo: Int, hi: E, incl: Boolean,
+                              steps: List[CondStep])
+
+  private def genCondStep: Gen[CondStep] = for {
+    tgt <- Gen.oneOf("s", "t")
+    guarded <- Gen.oneOf(true, false)
+    guard <- if (guarded)
+      Gen.zip(genTwoLoopExpr(1), genTwoLoopExpr(1)).map(Some(_))
+    else Gen.const(None)
+    e <- genTwoLoopExpr(2)
+    els <- if (guarded) Gen.option(genTwoLoopExpr(2)) else Gen.const(None)
+  } yield CondStep(tgt, guard, e, els)
+
+  private def genCondLoop: Gen[CondLoop] = for {
+    initS <- genSafe(1)
+    initT <- genSafe(1)
+    lo <- Gen.chooseNum(-2, 2)
+    hi <- genSafe(1)
+    incl <- Gen.oneOf(true, false)
+    steps <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genCondStep))
+  } yield CondLoop(initS, initT, lo, hi, incl, steps)
+
+  private def renderCondLoop(b: CondLoop): String = {
+    val cmp = if (b.incl) "<=" else "<"
+    val stmts = b.steps.map {
+      case CondStep(tgt, None, e, _) => s"$tgt = ${render(e)};"
+      case CondStep(tgt, Some((l, r)), e, None) =>
+        s"if ((${render(l)}) < (${render(r)})) $tgt = ${render(e)};"
+      case CondStep(tgt, Some((l, r)), e, Some(e2)) =>
+        s"if ((${render(l)}) < (${render(r)})) $tgt = ${render(e)}; " +
+          s"else $tgt = ${render(e2)};"
+    }.mkString(" ")
+    s"int s = ${render(b.initS)}; int t = ${render(b.initT)}; " +
+      s"for (int i = ${if (b.lo < 0) s"(${b.lo})" else b.lo}; i $cmp ${render(b.hi)}; i++) " +
+      s"{ $stmts } return s * 31 + t;"
+  }
+
+  private def evalCondLoop(b: CondLoop, args: Map[String, Option[Int]]): Option[Int] = {
+    var env: Map[String, Option[Int]] =
+      Map("s" -> eval(b.initS, args), "t" -> eval(b.initT, args))
+    val hiV = eval(b.hi, args).get
+    var i = b.lo
+    while (if (b.incl) i <= hiV else i < hiV) {
+      env = env.updated("i", Some(i))
+      for (st <- b.steps) {
+        val fire = st.guard match {
+          case None => true
+          case Some((l, r)) =>
+            (eval(l, args, env), eval(r, args, env)) match {
+              case (Some(lv), Some(rv)) => lv < rv
+              case _ => false // total by construction; never hit
+            }
+        }
+        if (fire) env = env.updated(st.tgt, eval(st.e, args, env))
+        else st.els.foreach(e2 => env = env.updated(st.tgt, eval(e2, args, env)))
+      }
+      i += 1
+    }
+    for (s <- env("s"); t <- env("t")) yield s * 31 + t
+  }
+
+  test("random conditionally-guarded loop bodies translate with Java " +
+    "sequential-statement semantics (guards read accumulators per iteration)") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val cqlArgs = argNames.map(_ -> (CqlInt: CqlType))
+    val argSets: Seq[Map[String, Option[Int]]] = Seq(
+      Map("a" -> Some(7), "b" -> Some(-3), "c" -> Some(2)),
+      Map("a" -> None, "b" -> Some(5), "c" -> Some(11)),
+      Map("a" -> Some(0), "b" -> None, "c" -> Some(-8)))
+    val base = argSets.map(m =>
+      (m("a").map(Int.box).orNull, m("b").map(Int.box).orNull, m("c").map(Int.box).orNull))
+      .toDF("a", "b", "c")
+    val cases = (0 until 60).flatMap { i =>
+      genCondLoop(Gen.Parameters.default.withSize(1 + i % 10), Seed(0x300FL + i))
+    }
+    cases.zipWithIndex.grouped(20).foreach { group =>
+      val cols = group.map { case (b, i) =>
+        val sql = JavaUdfShim.translate(renderCondLoop(b), cqlArgs)
+        expr(sql).cast("int").as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case (b, i) =>
+        argSets.zipWithIndex.foreach { case (m, row) =>
+          val want = evalCondLoop(b, m)
+          val gi = got(row).fieldIndex(s"e$i")
+          val gotV = if (got(row).isNullAt(gi)) None else Some(got(row).getInt(gi))
+          assert(gotV === want,
+            s"body ${renderCondLoop(b)}\nsql ${JavaUdfShim.translate(renderCondLoop(b), cqlArgs)}\nargs $m")
+        }
+      }
+    }
+  }
+
   /** StringBuilder repeat-append loops (the UFTest.java:441 shape):
     * append operands are leaves only — a null Integer append prints "null"
     * on both sides, a null unboxed in arithmetic would NPE in Java.

@@ -236,4 +236,36 @@ class JavaUdfShimSpec extends AnyFunSuite {
       "String a = \"\"; for (int i = 0; i < n; i++) { a = a + i; } return a;",
       "n" -> CqlInt).contains("aggregate(sequence("))
   }
+
+  test("conditional accumulation inside counted loops") {
+    // guard on the loop variable
+    val evens = tr(
+      "int s = 0; for (int i = 0; i < n; i++) { if (i % 2 == 0) s += i; } return s;",
+      "n" -> CqlInt)
+    assert(evens.contains("aggregate(sequence(") && evens.contains("IF("))
+    // guard reading the ACCUMULATOR: evaluated per iteration at its
+    // statement position (unlike the loop bound, which must not read it)
+    assert(tr(
+      "int s = 0; for (int i = 0; i < n; i++) { if (s < 5) s += i; } return s;",
+      "n" -> CqlInt).contains("aggregate(sequence("))
+    // if/else touching DIFFERENT accumulators lowers to the struct fold
+    val split = tr(
+      "int lo2 = 0; int hi2 = 0; " +
+        "for (int i = 0; i < n; i++) { if (i < 5) lo2 += i; else hi2 += i; } " +
+        "return lo2 * 100 + hi2;",
+      "n" -> CqlInt)
+    assert(split.contains("named_struct(") && split.contains("IF("))
+    // unbraced if as the whole loop body
+    assert(tr(
+      "int s = 0; for (int i = 0; i < n; i++) if (i > 2) s += i; return s;",
+      "n" -> CqlInt).contains("aggregate(sequence("))
+    // nested branches stay out of the grammar
+    assert(rejects(
+      "int s = 0; for (int i = 0; i < n; i++) { if (i > 2) { if (i > 4) s += i; } } return s;",
+      "n" -> CqlInt).contains("nested branches"))
+    // validation still applies inside branches
+    assert(rejects(
+      "int s = 0; for (int i = 0; i < n; i++) { if (i > 2) { int j = i; s += j; } } return s;",
+      "n" -> CqlInt).contains("declarations inside a counted loop"))
+  }
 }
