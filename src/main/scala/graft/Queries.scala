@@ -2519,6 +2519,112 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_gopher_cjk",
+      // Gopher word signals made honest on space-free scripts: the same
+      // planted Han corpus as q_bpe_cjk (plus stopword tails and '#'
+      // plants), segmented by wordsSegmented — every Han character is
+      // one (alphabetic) word, so n_words/alpha_frac/stop_hits carry
+      // signal instead of reading one giant non-alpha word per doc.
+      // Same regexp chain in DuckDB — two engines, one spec. Scan-fused,
+      // zero shuffles beyond the oracle sort.
+      Some(gopherCjkOracle),
+      (s, d) => {
+        prep(s)
+        val alpha = "的一是不了人我在有他这中"
+        val rot = (col("doc_id") % 12).cast("int")
+        val ptext = concat(
+          call_function("repeat",
+            concat(lit(alpha).substr(rot + lit(1), lit(12) - rot),
+              lit(alpha).substr(lit(1), rot)),
+            (col("doc_id") % 4 + 2).cast("int")),
+          when(col("doc_id") % 3 === 0, lit(" and with that")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(" #")).otherwise(lit("")))
+        val docs = Tables.spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .withColumn("ptext", ptext)
+        val sig = Quality.gopherWordSignalsOf(col("ptext"),
+          TextAnalysis.wordsSegmented(col("ptext")))
+        docs.select(col("doc_id"),
+            sig.getField("n_words").as("n_words"),
+            sig.getField("mean_word_len").as("mean_word_len"),
+            sig.getField("symbol_ratio").as("symbol_ratio"),
+            sig.getField("alpha_frac").as("alpha_frac"),
+            sig.getField("stop_hits").as("stop_hits"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_langid_cjk",
+      // language-ID on space-free text: the zh stopword list is single
+      // characters (的是了在我), which the whitespace split can never
+      // surface from unspaced Chinese — segmented words make them
+      // countable, so Han docs route zh while the planted every-5th
+      // English doc still routes en. Same segmentation + argmax chain in
+      // DuckDB.
+      Some(langIdCjkOracle),
+      (s, d) => {
+        prep(s)
+        val alpha = "的一是不了人我在有他这中"
+        val rot = (col("doc_id") % 12).cast("int")
+        val han = call_function("repeat",
+          concat(lit(alpha).substr(rot + lit(1), lit(12) - rot),
+            lit(alpha).substr(lit(1), rot)),
+          (col("doc_id") % 4 + 2).cast("int"))
+        val ptext = when(col("doc_id") % 5 === 0,
+            lit("the cat and the dog is in a tree of leaves"))
+          .otherwise(concat(han,
+            when(col("doc_id") % 3 === 0, lit(" the and is")).otherwise(lit(""))))
+        Tables.spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .withColumn("ptext", ptext)
+          .select(col("doc_id"),
+            TextAnalysis.langIdOf(
+              TextAnalysis.wordsSegmented(col("ptext"))).as("lang_pred"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_quality_encoding",
+      // encoding-sanity curation signals (ftfy/CCNet preprocessing tier)
+      // over a corpus with planted decode damage: every 3rd doc gets a
+      // U+FFFD replacement char, every 4th a C0 control spill, every 5th
+      // a Latin-1 double-decode ("cafÃ© nÃ£o"). Scan-fused struct
+      // expression, RE2-safe classes — two engines, one spec.
+      Some(encodingOracle),
+      (s, d) => {
+        prep(s)
+        val ptext = concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("�")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("\u0001\u0002")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" cafÃ© nÃ£o")).otherwise(lit("")))
+        val sig = Quality.encodingSignals(col("ptext"))
+        Tables.spread(t(s, d, "documents")).filter(col("text").isNotNull)
+          .withColumn("ptext", ptext)
+          .select(col("doc_id"),
+            sig.getField("n_chars").as("n_chars"),
+            sig.getField("replacement_hits").as("replacement_hits"),
+            sig.getField("replacement_frac").as("replacement_frac"),
+            sig.getField("ctrl_hits").as("ctrl_hits"),
+            sig.getField("ctrl_frac").as("ctrl_frac"),
+            sig.getField("mojibake_hits").as("mojibake_hits"),
+            sig.getField("clean").as("clean"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_sessionize",
+      // gap-based sessionization over the event log (2 h inactivity gap):
+      // the clickstream/telemetry operator engagement features and
+      // per-session corpus sampling hang off. One hash shuffle on
+      // user_id — the boundary lag, the running session number, and the
+      // per-session aggregate all reuse the same partitioning
+      // (plan-guarded in PlanSpec). Deterministic under replay: total
+      // order (ts_us, event_id) inside each key.
+      Some(sessionizeOracle),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Sessionize.sessions(ev, "user_id", Tables.tsEpochUs(ev), "event_id",
+            gapUs = 7200000000L)
+          .orderBy("user_id", "session_seq")
+      }),
+
     QueryDef("q_bpe_fertility",
       // tokenizer-quality analytic teams actually track: per-language
       // corpus fertility (tokens/word, tokens/100 chars) under the
@@ -3625,6 +3731,98 @@ object Queries {
       |SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines, CAST(len(kept) AS INTEGER) AS n_kept,
       |       coalesce(array_to_string(kept, ' '), '') AS cleaned
       |FROM k ORDER BY doc_id""".stripMargin
+
+  /** The CJK isolation class — the SAME spec as Bpe.CjkCharClass /
+    * wordsSegmented, re-stated for DuckDB (two engines, one spec).
+    */
+  private lazy val cjkClassSql: String =
+    "[\\x{0e00}-\\x{0e7f}\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}" +
+      "\\x{4e00}-\\x{9fff}\\x{f900}-\\x{faff}]"
+
+  /** doc_id-derived planted Han text (rotation + repeat) — the SAME
+    * derivation as the Scala sides of q_gopher_cjk / q_langid_cjk.
+    */
+  private lazy val hanSql: String =
+    "repeat(substring('的一是不了人我在有他这中', CAST(doc_id % 12 AS INTEGER) + 1, " +
+      "12 - CAST(doc_id % 12 AS INTEGER)) || " +
+      "substring('的一是不了人我在有他这中', 1, CAST(doc_id % 12 AS INTEGER)), " +
+      "CAST(doc_id % 4 + 2 AS INTEGER))"
+
+  private lazy val gopherCjkOracle: String =
+    s"""WITH p AS (SELECT doc_id, $hanSql ||
+      |      CASE WHEN doc_id % 3 = 0 THEN ' and with that' ELSE '' END ||
+      |      CASE WHEN doc_id % 4 = 0 THEN ' #' ELSE '' END AS ptext
+      |    FROM documents WHERE text IS NOT NULL),
+      |w AS (SELECT doc_id, ptext,
+      |    list_filter(string_split_regex(
+      |      regexp_replace(lower(ptext), '($cjkClassSql)', ' \\1 ', 'g'),
+      |      '\\s+'), x -> x <> '') AS pw
+      |  FROM p)
+      |SELECT doc_id,
+      |  CAST(len(pw) AS INTEGER) AS n_words,
+      |  round(list_sum(list_transform(pw, x -> length(x))) * 1.0 / len(pw), 6) AS mean_word_len,
+      |  round((len(regexp_extract_all(ptext, '#')) + len(regexp_extract_all(ptext, '\\.\\.\\.'))) * 1.0 / len(pw), 6) AS symbol_ratio,
+      |  round(len(list_filter(pw, x -> regexp_matches(x, '[a-z]|$cjkClassSql'))) * 1.0 / len(pw), 6) AS alpha_frac,
+      |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(pw, s))) AS INTEGER) AS stop_hits
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  private lazy val encodingOracle: String =
+    """WITH p AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '�' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN chr(1) || chr(2) ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' cafÃ© nÃ£o' ELSE '' END AS ptext
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id,
+      |  CAST(length(ptext) AS INTEGER) AS n_chars,
+      |  CAST(len(regexp_extract_all(ptext, '�')) AS INTEGER) AS replacement_hits,
+      |  round(len(regexp_extract_all(ptext, '�')) * 1.0 / greatest(length(ptext), 1), 6) AS replacement_frac,
+      |  CAST(len(regexp_extract_all(ptext, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS INTEGER) AS ctrl_hits,
+      |  round(len(regexp_extract_all(ptext, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) * 1.0 / greatest(length(ptext), 1), 6) AS ctrl_frac,
+      |  CAST(len(regexp_extract_all(ptext, '[ÃÂâ][\x{0080}-\x{00bf}]')) AS INTEGER) AS mojibake_hits,
+      |  (len(regexp_extract_all(ptext, '�')) = 0
+      |    AND len(regexp_extract_all(ptext, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) = 0
+      |    AND len(regexp_extract_all(ptext, '[ÃÂâ][\x{0080}-\x{00bf}]')) = 0) AS clean
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  private lazy val sessionizeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |l AS (SELECT user_id, event_id, ts_us,
+      |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) <= 7200000000 THEN 0 ELSE 1 END AS new_sess
+      |  FROM e),
+      |a AS (SELECT user_id, event_id, ts_us,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM l)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |       max(ts_us) - min(ts_us) AS duration_us
+      |FROM a GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+
+  private lazy val langIdCjkOracle: String =
+    s"""WITH base AS (SELECT doc_id, $hanSql AS han
+      |    FROM documents WHERE text IS NOT NULL),
+      |p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'the cat and the dog is in a tree of leaves'
+      |         ELSE han || CASE WHEN doc_id % 3 = 0 THEN ' the and is' ELSE '' END END AS ptext
+      |  FROM base),
+      |w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(
+      |      regexp_replace(lower(ptext), '($cjkClassSql)', ' \\1 ', 'g'),
+      |      '\\s+'), x -> x <> '') AS pw
+      |  FROM p),
+      |c AS (SELECT doc_id,
+      |  len(list_filter(pw, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS c_en,
+      |  len(list_filter(pw, x -> list_contains(['el','la','de','que','y','los'], x))) AS c_es,
+      |  len(list_filter(pw, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS c_de,
+      |  len(list_filter(pw, x -> list_contains(['le','les','et','des','une','est'], x))) AS c_fr,
+      |  len(list_filter(pw, x -> list_contains(['的','是','了','在','我'], x))) AS c_zh
+      | FROM w)
+      |SELECT doc_id, CASE
+      |  WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+      |  WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+      |  WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de'
+      |  WHEN c_fr >= c_zh THEN 'fr'
+      |  ELSE 'zh' END AS lang_pred
+      |FROM c ORDER BY doc_id""".stripMargin
 
   private lazy val langIdOracle: String =
     """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

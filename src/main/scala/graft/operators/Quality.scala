@@ -282,8 +282,21 @@ object Quality {
     * scan like every other signal in this module. Ratios round to 6 dp so
     * threshold comparisons are engine-portable.
     */
-  def gopherWordSignals(text: Column): Column = {
-    val w = TextAnalysis.words(text)
+  def gopherWordSignals(text: Column): Column =
+    gopherWordSignalsOf(text, TextAnalysis.words(text), "[a-z]")
+
+  /** [[gopherWordSignals]] over a CALLER-SUPPLIED segmentation — the
+    * space-free-script entry point: pass
+    * [[TextAnalysis.wordsSegmented]] and every Han/kana/Thai character
+    * counts as one word, with `alphaRe` widened so those characters
+    * count as alphabetic (Gopher's alpha rule means "carries a letter",
+    * and a Han character is one) — the published thresholds then stay
+    * meaningful on CJK text instead of reading one giant non-alpha word
+    * per document (re-tune the per-language cutoffs like Gopher's
+    * authors do; mean_word_len ≈ 1 by construction there).
+    */
+  def gopherWordSignalsOf(text: Column, w: Column,
+      alphaRe: String = s"[a-z]|${graft.functions.Bpe.CjkCharClass}"): Column = {
     val n = size(w)
     val charTotal = aggregate(w, lit(0L), (acc, x) => acc + length(x))
     val symbols = regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\."))
@@ -292,7 +305,7 @@ object Quality {
       n.as("n_words"),
       round(charTotal * lit(1.0) / n, 6).as("mean_word_len"),
       round(symbols * lit(1.0) / n, 6).as("symbol_ratio"),
-      round(size(filter(w, x => x.rlike("[a-z]"))) * lit(1.0) / n, 6).as("alpha_frac"),
+      round(size(filter(w, x => x.rlike(alphaRe))) * lit(1.0) / n, 6).as("alpha_frac"),
       size(filter(stopLits, s => array_contains(w, s))).as("stop_hits"))
   }
 
@@ -318,6 +331,33 @@ object Quality {
     * ellipsis lines. Returns the comma-joined failure reasons (empty =
     * keep), reason order fixed for reproducibility.
     */
+  /** Encoding-sanity signals (the ftfy/CCNet preprocessing tier): count +
+    * fraction of U+FFFD replacement characters (a decoder already gave
+    * up), count + fraction of C0 control characters other than
+    * tab/newline/CR (binary spill into "text"), and UTF-8-read-as-Latin-1
+    * mojibake marker hits (`Ã`/`Â`/`â` followed by a U+0080–U+00BF
+    * continuation form — the signature of a double-decoded page, e.g.
+    * `café` → `cafÃ©`). One struct-valued scan-fused expression, RE2-safe
+    * character classes so DuckDB shares the spec verbatim; fractions
+    * round to 6 dp over a max(len, 1) denominator.
+    */
+  def encodingSignals(text: Column): Column = {
+    val n = greatest(length(text), lit(1))
+    val repl = regexp_count(text, lit("�"))
+    val ctrl = regexp_count(text,
+      lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+    val moji = regexp_count(text,
+      lit("[ÃÂâ][\\x{0080}-\\x{00bf}]"))
+    struct(
+      length(text).as("n_chars"),
+      repl.cast("int").as("replacement_hits"),
+      round(repl * lit(1.0) / n, 6).as("replacement_frac"),
+      ctrl.cast("int").as("ctrl_hits"),
+      round(ctrl * lit(1.0) / n, 6).as("ctrl_frac"),
+      moji.cast("int").as("mojibake_hits"),
+      (repl === 0 && ctrl === 0 && moji === 0).as("clean"))
+  }
+
   def gopherReasons(wordSig: Column, lineSig: Column): Column = concat_ws(",",
     when(wordSig.getField("n_words") < 50 || wordSig.getField("n_words") > 100000,
       lit("word_count")),

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based event sessionization — the canonical clickstream/telemetry
+  * operator a training-data pipeline runs over interaction logs (session
+  * boundaries feed engagement features, per-session sampling, and
+  * burst/abuse filtering before log text enters a corpus).
+  *
+  * Shape at 100 TB: ONE hash shuffle on the session key. Both window
+  * passes (the lag that detects gaps and the running sum that numbers
+  * sessions) and the closing per-session aggregate all share
+  * `HashPartitioning(key)` — Catalyst plans a single Exchange + Sort and
+  * the aggregate reuses the key partitioning (`ClusteredDistribution`'s
+  * subset rule), so adding the aggregate costs no second shuffle. No
+  * self-join, no driver state, no per-key memory beyond the sort spill.
+  */
+object Sessionize {
+
+  /** Tag every event with its session ordinal per key: a new session
+    * starts when the event-time gap from the previous event exceeds
+    * `gapUs`. Total order inside a key is `(tsUs, idCol)` so replays and
+    * equal-timestamp events sessionize deterministically. Output adds
+    * `ts_us` (the resolved event time), `new_sess` (0/1 boundary flag)
+    * and `session_seq` (1-based running count of boundaries).
+    */
+  def assign(events: DataFrame, keyCol: String, tsUs: Column, idCol: String,
+             gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("ts_us").asc, col(idCol).asc)
+    events
+      .withColumn("ts_us", tsUs)
+      // first event of a key: lag is NULL, the <= comparison is NULL → 1
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) <= gapUs, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("session_seq",
+        sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** One row per session: event count, start/end event time (µs) and
+    * duration. `session_seq` is the key's 1-based session ordinal in
+    * event-time order — stable across partitioning because [[assign]]'s
+    * order is total.
+    */
+  def sessions(events: DataFrame, keyCol: String, tsUs: Column, idCol: String,
+               gapUs: Long): DataFrame =
+    assign(events, keyCol, tsUs, idCol, gapUs)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+}

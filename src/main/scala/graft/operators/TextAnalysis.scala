@@ -93,16 +93,42 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
   /** Number of words of `text` appearing in `list`. */
-  def stopwordCount(text: Column, list: Seq[String]): Column = {
+  def stopwordCount(text: Column, list: Seq[String]): Column =
+    stopwordCountOf(words(text), list)
+
+  /** [[stopwordCount]] over a caller-supplied word segmentation. */
+  def stopwordCountOf(w: Column, list: Seq[String]): Column = {
     val lits = array(list.map(lit): _*)
-    size(filter(words(text), w => array_contains(lits, w)))
+    size(filter(w, x => array_contains(lits, x)))
   }
+
+  /** CJK-isolated word segmentation — the quality-tier counterpart of
+    * the tokenizer's [[graft.functions.Bpe.preTokenize]] spec: every
+    * space-free-script character ([[graft.functions.Bpe.CjkCharClass]] —
+    * Han/kana/Thai) becomes its own word, Latin runs split on
+    * whitespace, empties dropped. Pass this to [[langIdOf]] /
+    * [[graft.operators.Quality.gopherWordSignalsOf]] so word counts,
+    * stopword hits (the zh list is single characters), and the Gopher
+    * thresholds stay meaningful on text that carries no whitespace word
+    * boundaries — [[words]]' plain space split would see one giant word
+    * per document there. Scan-fused regexp work, zero shuffles.
+    */
+  def wordsSegmented(text: Column): Column =
+    filter(split(regexp_replace(lower(text),
+      s"(${graft.functions.Bpe.CjkCharClass})", " $1 "), "\\s+"),
+      w => length(w) > 0)
 
   /** Language-ID: argmax of per-language stopword counts, deterministic
     * first-wins tie-break in declaration order (en, es, de, fr, zh).
     */
-  def langId(text: Column): Column = {
-    val counts = stopwords.map { case (lang, list) => lang -> stopwordCount(text, list) }
+  def langId(text: Column): Column = langIdOf(words(text))
+
+  /** [[langId]] over a caller-supplied segmentation — with
+    * [[wordsSegmented]], the single-character zh stopwords match inside
+    * space-free Chinese text, which the whitespace split never surfaces.
+    */
+  def langIdOf(w: Column): Column = {
+    val counts = stopwords.map { case (lang, list) => lang -> stopwordCountOf(w, list) }
     val branches = counts.zipWithIndex.dropRight(1).map { case ((lang, c), i) =>
       val later = counts.drop(i + 1).map(_._2)
       (later.map(o => c >= o).reduce(_ && _), lang)

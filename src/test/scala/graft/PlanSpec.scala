@@ -119,6 +119,30 @@ class PlanSpec extends SparkSpec {
       s"expected at most one embedding-carrying shuffle, got ${withArrays.size}")
   }
 
+  test("sessionize is ONE hash shuffle: both windows and the per-session " +
+    "aggregate reuse the user_id partitioning") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    val df = SparkEntry.queries("q_sessionize")(spark, sf)
+    df.collect()
+    // AQE wraps finalized stages in QueryStageExec leaves (Result/Shuffle)
+    // that plain collect() does not descend into
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case q: QueryStageExec => shuffles(q.plan)
+        case s: ShuffleExchangeExec => Seq(s)
+      }.flatten
+    val sh = shuffles(df.queryExecution.executedPlan)
+    val hash = sh.filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    // one hashpartitioning(user_id) moves the events; anything else is the
+    // oracle-determinism orderBy (range) — never a second data shuffle
+    assert(hash.size === 1, s"expected 1 hash shuffle, got ${hash.size}:\n$sh")
+    assert(sh.filterNot(hash.contains)
+      .forall(_.outputPartitioning.isInstanceOf[RangePartitioning]), sh.toString)
+  }
+
   test("exact ngram-jaccard candidates come from a DF-bounded group, " +
     "never a raw shingle self-join") {
     // a hot boilerplate shingle must cost a bounded aggregation buffer,

@@ -114,6 +114,74 @@ class QualitySpec extends SparkSpec {
       assert(fired.contains(reason), s"reason $reason never fired")
   }
 
+  test("wordsSegmented isolates CJK characters, leaves Latin runs intact") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "Abc的一de fg"), (2L, "plain latin words")).toDF("doc_id", "text")
+    val got = df.orderBy("doc_id")
+      .select(TextAnalysis.wordsSegmented(col("text"))).as[Seq[String]].collect()
+    assert(got(0) === Seq("abc", "的", "一", "de", "fg"))
+    // whitespace-only text: identical to the plain words() split
+    assert(got(1) === Seq("plain", "latin", "words"))
+  }
+
+  test("gopherWordSignalsOf + wordsSegmented: Han chars are alphabetic words") {
+    import graft.operators.TextAnalysis
+    // segmented: [的, 一, 是, the] — n=4, chars 1+1+1+3=6, all alpha, 1 stop hit
+    val df = Seq((1L, "的一是 the")).toDF("doc_id", "text")
+    val got = df.select(Quality.gopherWordSignalsOf(col("text"),
+        TextAnalysis.wordsSegmented(col("text"))).as("s"))
+      .select(col("s.n_words"), col("s.mean_word_len"), col("s.alpha_frac"),
+        col("s.stop_hits"))
+      .as[(Int, Double, Double, Int)].head()
+    assert(got === ((4, 1.5, 1.0, 1)))
+    // the plain whitespace path reads the same doc as 2 words, half non-alpha
+    val old = df.select(Quality.gopherWordSignals(col("text")).as("s"))
+      .select(col("s.n_words"), col("s.alpha_frac")).as[(Int, Double)].head()
+    assert(old === ((2, 0.5)))
+  }
+
+  test("langIdOf + wordsSegmented routes unspaced Chinese to zh") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "我是了的在他有"), (2L, "the cat and the dog is here"))
+      .toDF("doc_id", "text")
+    val got = df.orderBy("doc_id")
+      .select(TextAnalysis.langIdOf(TextAnalysis.wordsSegmented(col("text"))))
+      .as[String].collect()
+    assert(got.toSeq === Seq("zh", "en"))
+    // the whitespace split can never see the single-char zh stopwords:
+    // all counts zero → first-wins 'en' — the failure mode this closes
+    val blind = df.filter(col("doc_id") === 1)
+      .select(TextAnalysis.langId(col("text"))).as[String].head()
+    assert(blind === "en")
+  }
+
+  test("encodingSignals flags replacement, control, and mojibake damage") {
+    val df = Seq(
+      (1L, "clean text with\ttab and\nnewline"),
+      (2L, "bad � char"),
+      (3L, "ctrl \u0001 spill \u001f"),
+      (4L, "cafÃ© and nÃ£o"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = df.orderBy("doc_id")
+      .select(Quality.encodingSignals(col("text")).as("s"))
+      .select(col("s.replacement_hits"), col("s.ctrl_hits"),
+        col("s.mojibake_hits"), col("s.clean"))
+      .as[(Int, Int, Int, Boolean)].collect()
+    assert(got(0) === ((0, 0, 0, true))) // tab/newline are NOT damage
+    assert(got(1) === ((1, 0, 0, false)))
+    assert(got(2) === ((0, 2, 0, false)))
+    assert(got(3) === ((0, 0, 2, false))) // Ã© and Ã£ both hit
+    assert(got(4) === ((0, 0, 0, true))) // empty text: clean, no div-by-zero
+  }
+
+  test("encodingSignals fractions are 6-dp over the char count") {
+    val df = Seq((1L, "ab�")).toDF("doc_id", "text")
+    val got = df.select(Quality.encodingSignals(col("text")).as("s"))
+      .select(col("s.n_chars"), col("s.replacement_frac"), col("s.ctrl_frac"))
+      .as[(Int, Double, Double)].head()
+    assert(got === ((3, 0.333333, 0.0)))
+  }
+
   test("cleanLines drops short and blacklisted lines, keeps order") {
     val df = Seq((1L, Seq("one two three", "too short", "bad slow line", "four five six")))
       .toDF("doc_id", "lines")

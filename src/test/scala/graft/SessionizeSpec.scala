@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Sessionize
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gap = 7200000000L // 2 h in µs
+
+  test("sessions split on gaps > gap and number per-key ordinals in time order") {
+    // user 1: t=0, +10s (same session), +3h (new session)
+    // user 2: one event
+    val df = Seq(
+      (1L, 101L, 0L), (1L, 102L, 10000000L), (1L, 103L, 10810000000L),
+      (2L, 201L, 5000000L))
+      .toDF("user_id", "event_id", "ts_us_in")
+    val got = Sessionize.sessions(df, "user_id", col("ts_us_in"), "event_id", gap)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events", "start_us", "end_us", "duration_us")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 2L, 0L, 10000000L, 10000000L),
+      (1L, 2L, 1L, 10810000000L, 10810000000L, 0L),
+      (2L, 1L, 1L, 5000000L, 5000000L, 0L)))
+  }
+
+  test("boundary is strict: gap exactly equal to the threshold stays merged") {
+    val df = Seq((1L, 1L, 0L), (1L, 2L, gap), (1L, 3L, 2 * gap + 1))
+      .toDF("user_id", "event_id", "ts_us_in")
+    val got = Sessionize.sessions(df, "user_id", col("ts_us_in"), "event_id", gap)
+      .select("session_seq", "n_events").as[(Long, Long)].collect().toSet
+    // first two merge (gap == threshold); third starts session 2 (gap+1)
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("equal timestamps tie-break on event_id: deterministic under repartition") {
+    val ev = Tables.events(spark, sf)
+    val run1 = Sessionize.sessions(ev, "user_id", Tables.tsEpochUs(ev), "event_id", gap)
+      .orderBy("user_id", "session_seq").collect().toSeq
+    val shuffled = ev.repartition(7)
+    val run2 = Sessionize.sessions(shuffled, "user_id", Tables.tsEpochUs(shuffled),
+        "event_id", gap)
+      .orderBy("user_id", "session_seq").collect().toSeq
+    assert(run1 === run2 && run1.nonEmpty)
+  }
+
+  test("every event lands in exactly one session; durations are non-negative") {
+    val ev = Tables.events(spark, sf)
+    val out = Sessionize.sessions(ev, "user_id", Tables.tsEpochUs(ev), "event_id", gap)
+    val total = out.agg(sum("n_events")).as[Long].head()
+    assert(total === ev.count())
+    assert(out.filter(col("duration_us") < 0 ||
+      col("end_us") < col("start_us")).count() === 0)
+    // ordinals are 1..k dense per key
+    val dense = out.groupBy("user_id")
+      .agg(count(lit(1)).as("k"), min("session_seq").as("lo"), max("session_seq").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("k")).count()
+    assert(dense === 0)
+  }
+}

@@ -721,6 +721,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: streamed sessions equal the " +
+    "batch Sessionize output, per-key ordinals included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, ntile}
+    import graft.streaming.SessionStream
+    import graft.operators.Sessionize
+    val gapUs = 7200000000L
+    val ev = Tables.events(spark, sf)
+    val us = Tables.tsEpochUs(ev)
+    // 4 event-time-ordered arrival slices, landed and processed one at a
+    // time: per-key arrival order matches event-time order (the watermark
+    // contract a production log with bounded disorder provides)
+    val sliced = ev.withColumn("_slice", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.orderBy(us, col("event_id"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-log").toString
+    sliced.filter(col("_slice") === 1).drop("_slice")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = MutationStream.eventStream(spark, dir)
+    val q = SessionStream.sessions(
+        stream.withColumn("ts_us", Tables.tsEpochUs(stream)), gapUs,
+        watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_state_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      for (i <- 2 to 4) {
+        sliced.filter(col("_slice") === i).drop("_slice")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      // before the flush sentinel: only CLOSED sessions have been emitted
+      val batch = Sessionize.sessions(ev, "user_id", Tables.tsEpochUs(ev),
+          "event_id", gapUs)
+        .select("user_id", "session_seq", "n_events", "start_us", "end_us",
+          "duration_us")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val closed = spark.table("sess_state_out")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(closed.length === closed.toSet.size, "a session emitted twice")
+      assert(closed.toSet.subsetOf(batch))
+      // sentinel far past every end+gap: the event-time timeout closes and
+      // emits every key's final open session
+      val sentinel = ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts",
+          if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            col("ts") + lit(86400000000000L * 1000) // +1000 days of nanos
+          else col("ts") + org.apache.spark.sql.functions.expr("INTERVAL 1000 DAYS"))
+      sentinel.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val flushed = spark.table("sess_state_out").filter(col("user_id") >= 0)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(flushed.length === flushed.toSet.size)
+      assert(flushed.toSet === batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("trained quality-model scores a stream statelessly: streaming " +
     "inference is bit-equal to batch scoring") {
     import spark.implicits._
