@@ -1409,6 +1409,30 @@ object Queries {
           col("doc_id"), Seq("src0" -> 2.5, "src1" -> 0.25))
         .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")),
 
+    QueryDef("q_mix_temperature",
+      // temperature-scaled mixture (α-sampling, α=0.5) composed end to
+      // end: planted 50/30/20 source tiers → K-row count header →
+      // Pipeline.temperatureEpochs → fractional-epoch explode. The big
+      // tier lands w≈0.83 (<1: docs hash-gate DOWN to zero epochs), the
+      // tail w≈1.31 (>1: every doc + a 31% extra epoch) — both sides of
+      // the α curve in one oracle. Fixture oracle: the md5 gate bound for
+      // data-dependent fractions and the pinned FP summation order are
+      // not portably SQL-expressible (independent MessageDigest + weight
+      // replica in Verify).
+      Some("""SELECT doc_id, psrc, epoch
+              FROM parquet_scan('{FIX}/_fixture_mixtemp/*.parquet')
+              ORDER BY doc_id, epoch"""),
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("psrc",
+          when(col("doc_id") % 10 < 5, "big")
+            .when(col("doc_id") % 10 < 8, "mid").otherwise("small"))
+        val counts = docs.groupBy("psrc").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        val w = Pipeline.temperatureEpochs(counts, 0.5)
+        Pipeline.mixEpochsFractional(docs, "psrc", col("doc_id"), w)
+          .select("doc_id", "psrc", "epoch").orderBy("doc_id", "epoch")
+      }),
+
     QueryDef("q_pack_sequences",
       // budget-chunked sequence packing: per-source prefix-sum windows
       // assign docs to consecutive ~2000-char packs — the tokenizer-feed
@@ -2609,6 +2633,30 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_sketch_gates",
+      // sketch telemetry with exactness gates: HLL++ distinct (rsd 2%)
+      // and percentile_approx (accuracy 10k) verified per group against
+      // the exact answers. The 100 TB corpus-report shape is sketch-only
+      // — one pass, constant mergeable state per group, no distinct
+      // shuffle, no full sort — and this gate pins both sketches inside
+      // their published error bounds (3×rsd; ±0.02 quantile band) at
+      // test scale so an implementation change can't silently blow them.
+      Some(sketchOracle),
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_distinct"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("_hll"),
+          round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("p50_exact"),
+          expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("_pa"),
+          expr("percentile(l_extendedprice, 0.48D)").as("_lo"),
+          expr("percentile(l_extendedprice, 0.52D)").as("_hi"))
+        .select(col("l_returnflag"), col("exact_distinct"), col("p50_exact"),
+          (abs(col("_hll") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.06).as("hll_ok"),
+          (col("_pa") >= col("_lo") && col("_pa") <= col("_hi")).as("pa_ok"))
+        .orderBy("l_returnflag")),
+
     QueryDef("q_sessionize",
       // gap-based sessionization over the event log (2 h inactivity gap):
       // the clickstream/telemetry operator engagement features and
@@ -3783,6 +3831,13 @@ object Queries {
       |    AND len(regexp_extract_all(ptext, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) = 0
       |    AND len(regexp_extract_all(ptext, '[ÃÂâ][\x{0080}-\x{00bf}]')) = 0) AS clean
       |FROM p ORDER BY doc_id""".stripMargin
+
+  private lazy val sketchOracle: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_orderkey) AS exact_distinct,
+      |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+      |       TRUE AS hll_ok, TRUE AS pa_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   private lazy val sessionizeOracle: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

@@ -501,6 +501,53 @@ object Verify {
       toks.toDF("o_orderkey", "tok").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_tokens")
     }
+    fixture("_fixture_mixtemp") {
+      // Plain-Scala re-run of the α-sampling composition
+      // (q_mix_temperature): planted 50/30/20 tiers from doc_id, the
+      // temperature-weight formula (same JDK scalar kernels — pow, IEEE
+      // double ops — in the SAME pinned order: counts summed in
+      // source-name order, 6-dp HALF_UP round), and the fractional-epoch
+      // gate replayed with an INDEPENDENT MessageDigest md5 + its own
+      // hex-bound arithmetic — nothing from Pipeline's gate machinery is
+      // imported, so the salted-gate spec is checked, not echoed.
+      val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long].collect().toIndexedSeq.sorted
+      def tierOf(id: Long): String =
+        if (id % 10 < 5) "big" else if (id % 10 < 8) "mid" else "small"
+      val counts = ids.groupBy(tierOf).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val total = counts.map(_._2).sum.toDouble
+      val powed = counts.map { case (s, n) => (s, n, math.pow(n / total, 0.5)) }
+      val z = powed.map(_._3).sum
+      val w = powed.map { case (s, n, pw) =>
+        s -> BigDecimal(pw / z * total / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String = {
+        md.reset()
+        md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"${b & 0xff}%02x").mkString
+      }
+      def bound(f: Double): String = {
+        if (f >= 1.0) "g"
+        else {
+          val scaled = (f * 4294967296.0).toLong
+          if (scaled >= 4294967296L) "g" else f"$scaled%08x"
+        }
+      }
+      val rows = ids.flatMap { id =>
+        val src = tierOf(id)
+        val ws = w(src)
+        val full = math.floor(ws).toLong
+        val frac = ws - math.floor(ws)
+        val keep = frac > 0.0 && md5hex(s"mix:$id") < bound(frac)
+        val epochs = (1L to full) ++ (if (keep) Seq(full + 1L) else Nil)
+        epochs.map(e => (id, src, e))
+      }
+      rows.toDF("doc_id", "psrc", "epoch").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_mixtemp")
+    }
     fixture("_fixture_compress") {
       // Plain java.util.zip re-run of the compression-ratio byte counts
       // (q_quality_compress), driver-side and outside any Catalyst

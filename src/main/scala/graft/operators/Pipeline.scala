@@ -235,6 +235,34 @@ object Pipeline {
     * would keep EVERY survivor (effective weight w+0.5, not w+0.25 of the
     * original). The salt makes this operator's draw independent.
     */
+  /** Temperature-scaled mixture weights — the multilingual "α-sampling"
+    * recipe (Devlin et al. 2019 mBERT; Conneau et al. 2020 XLM-R §3):
+    * resample sources so the mixed corpus' share of source s is
+    * proportional to (n_s/N)^α. α = 1 keeps natural proportions (every
+    * weight 1); α → 0 approaches uniform across sources, upsampling the
+    * tail. Returns per-source FRACTIONAL epoch counts
+    * w_s = (p_s^α / Σ_t p_t^α) · N / n_s for [[mixEpochsFractional]].
+    *
+    * Pure driver arithmetic over the K-row per-source count header
+    * (K = number of sources, never corpus-sized). Determinism: counts
+    * are summed in source-name order and each weight rounds to 6 dp, so
+    * replays and independent replicas reproduce the exact doubles.
+    */
+  def temperatureEpochs(counts: Seq[(String, Long)],
+                        alpha: Double): Seq[(String, Double)] = {
+    require(counts.nonEmpty && counts.forall(_._2 > 0),
+      s"temperatureEpochs needs positive per-source counts: $counts")
+    require(alpha >= 0.0, s"alpha must be >= 0: $alpha")
+    val ordered = counts.sortBy(_._1)
+    val total = ordered.map(_._2).sum.toDouble
+    val powed = ordered.map { case (s, n) => (s, n, math.pow(n / total, alpha)) }
+    val z = powed.map(_._3).sum
+    powed.map { case (s, n, pw) =>
+      s -> BigDecimal(pw / z * total / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
   def mixEpochsFractional(docs: DataFrame, sourceCol: String, idCol: Column,
                           weights: Seq[(String, Double)]): DataFrame = {
     require(weights.forall(_._2 >= 0.0), s"epoch weights must be >= 0: $weights")

@@ -124,7 +124,8 @@ object ScaleProof {
     "q_quality_model",    // 24 fixed-point GD passes over cached features
     "q_ann_sq8",          // min/max train + code scan + rerank
     "q_ann_ivf_sq8",      // composed pruning+compression build/append/probe
-    "q_html_extract")     // scan-fused extraction + oracle sort
+    "q_html_extract",     // scan-fused extraction + oracle sort
+    "q_sessionize")       // key-partitioned windows + reused-partitioning agg
 
   def main(args: Array[String]): Unit = {
     val ext = args.contains("--extended")

@@ -12,6 +12,23 @@ class PipelineSpec extends SparkSpec {
 
   private lazy val docs = Tables(spark, sf, "documents")
 
+  test("temperatureEpochs: α=1 is the identity, α=0 equalizes shares, " +
+    "expected corpus mass is preserved") {
+    val counts = Seq("a" -> 50L, "b" -> 30L, "c" -> 20L)
+    val a1 = Pipeline.temperatureEpochs(counts, 1.0).toMap
+    assert(a1.values.forall(v => math.abs(v - 1.0) < 1e-9))
+    // α=0: every source converges to an equal N/K share → w_s = N/(K·n_s)
+    val a0 = Pipeline.temperatureEpochs(counts, 0.0).toMap
+    assert(math.abs(a0("a") - 100.0 / (3 * 50)) < 1e-6)
+    assert(math.abs(a0("c") - 100.0 / (3 * 20)) < 1e-6)
+    val a5 = Pipeline.temperatureEpochs(counts, 0.5).toMap
+    // Σ w_s·n_s == N: temperature re-shapes the mix, it never grows it
+    val mass = counts.map { case (s, n) => a5(s) * n }.sum
+    assert(math.abs(mass - 100.0) < 1e-3)
+    // the α curve: head source downweighted, tail upweighted, order kept
+    assert(a5("a") < 1.0 && a5("c") > 1.0 && a5("a") < a5("b") && a5("b") < a5("c"))
+  }
+
   test("hash-gate sampling is deterministic and nested: the 25% sample is " +
     "a subset of the 50% sample, rates track fractions") {
     val half = docs.filter(Pipeline.hashGate(col("doc_id"), 0.5))
