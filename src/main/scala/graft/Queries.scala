@@ -3096,6 +3096,32 @@ object Queries {
           Tables.spread(t(s, d, "documents")), "doc_id", "text")
         .orderBy("doc_id")),
 
+    QueryDef("q_quality_kn_lp",
+      // interpolated Kneser-Ney trigram LM score (Chen & Goodman 1999,
+      // D=0.75, add-0.5 unigram floor) — the smoothing family CCNet's
+      // KenLM scorer uses, one order above q_quality_bigram_lp.
+      // Continuation counts (N1+) reward words seen in many contexts,
+      // separating templated boilerplate from prose. Self-trained: the
+      // observed-trigram path dominates.
+      Some(knSelfLpOracle),
+      (s, d) => Quality.knTrigramLogProb(
+          Tables.spread(t(s, d, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    QueryDef("q_kn_reference_lp",
+      // the same KN scorer trained on the src0 slice only — the CCNet
+      // arrangement (LM on the reference corpus, crawl scored by how
+      // target-like it reads). Exercises every backoff rung the
+      // self-trained path never hits: unseen trigram, context seen with
+      // zero continuations (document-edge bigrams → full-order backoff
+      // instead of p=0), unseen middle word, OOV tail word on the add-α
+      // unigram floor.
+      Some(knRefLpOracle),
+      (s, d) => Quality.knTrigramLogProbAgainst(
+          t(s, d, "documents").filter(col("source") === "src0"),
+          Tables.spread(t(s, d, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
     QueryDef("q_web_e2e",
       // the web-curation stages COMPOSED as one DAG, the way a crawl
       // pipeline runs them: Gopher word-signal keep-filter → exact-dedup
@@ -3659,6 +3685,70 @@ object Queries {
       |s AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n_bigrams FROM lp GROUP BY 1)
       |SELECT doc_id, CAST(slp AS DOUBLE) / n_bigrams AS mean_lp, n_bigrams
       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Interpolated-KN trigram oracle (q_quality_kn_lp /
+    * q_kn_reference_lp): the SAME count tables and double-expression
+    * shapes as `Quality.knTrigramLogProbAgainst`, restated for DuckDB —
+    * two engines, one spec (ln/round parity per the bigram precedent).
+    */
+  private def knLpOracle(refWhere: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+      |ref AS (SELECT string_split(lower(text),' ') AS w FROM documents$refWhere),
+      |rtg AS (SELECT unnest([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS tg
+      |        FROM ref WHERE len(w) >= 3),
+      |t3 AS (SELECT tg, count(*) AS c3 FROM rtg GROUP BY 1),
+      |tt AS (SELECT tg, c3,
+      |    array_to_string((string_split(tg,' '))[1:2],' ') AS bg12,
+      |    array_to_string((string_split(tg,' '))[2:3],' ') AS bg23,
+      |    (string_split(tg,' '))[2] AS w2
+      |  FROM t3),
+      |rbg AS (SELECT unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS bg
+      |        FROM ref WHERE len(w) >= 2),
+      |bt AS (SELECT bg, c2tok,
+      |    (string_split(bg,' '))[1] AS bw1, (string_split(bg,' '))[2] AS bw2
+      |  FROM (SELECT bg, count(*) AS c2tok FROM rbg GROUP BY 1)),
+      |cx AS (SELECT coalesce(f.bg12, b.bg) AS bg12, f.f12, b.c2tok
+      |       FROM (SELECT bg12, count(*) AS f12 FROM tt GROUP BY 1) f
+      |       FULL JOIN bt b ON b.bg = f.bg12),
+      |cb AS (SELECT bg23, count(*) AS cb FROM tt GROUP BY 1),
+      |w2s AS (SELECT coalesce(m.w2, f.w2) AS w2, m.mc, f.fw2
+      |        FROM (SELECT w2, count(*) AS mc FROM tt GROUP BY 1) m
+      |        FULL JOIN (SELECT bw1 AS w2, count(*) AS fw2 FROM bt GROUP BY 1) f
+      |          ON m.w2 = f.w2),
+      |cu AS (SELECT bw2 AS w3, count(*) AS cu FROM bt GROUP BY 1),
+      |tot AS (SELECT (SELECT count(*) FROM bt) AS tc,
+      |               (SELECT count(DISTINCT x) FROM (SELECT unnest(w) AS x FROM ref)) AS v),
+      |pr AS (SELECT doc_id, unnest([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS tg
+      |       FROM d WHERE len(w) >= 3),
+      |ks AS (SELECT doc_id, tg,
+      |    array_to_string((string_split(tg,' '))[1:2],' ') AS bg12,
+      |    array_to_string((string_split(tg,' '))[2:3],' ') AS bg23,
+      |    (string_split(tg,' '))[2] AS w2,
+      |    (string_split(tg,' '))[3] AS w3
+      |  FROM pr),
+      |j AS (SELECT ks.doc_id,
+      |    coalesce(t3.c3, 0) AS c3, coalesce(cx.c2tok, 0) AS c2,
+      |    coalesce(cx.f12, 0) AS f12, coalesce(cb.cb, 0) AS cbv,
+      |    coalesce(w2s.mc, 0) AS mc, coalesce(w2s.fw2, 0) AS fw2,
+      |    coalesce(cu.cu, 0) AS cuv, tot.tc, tot.v
+      |  FROM ks LEFT JOIN t3 USING (tg)
+      |          LEFT JOIN cx ON cx.bg12 = ks.bg12
+      |          LEFT JOIN cb ON cb.bg23 = ks.bg23
+      |          LEFT JOIN w2s ON w2s.w2 = ks.w2
+      |          LEFT JOIN cu ON cu.w3 = ks.w3, tot),
+      |p1t AS (SELECT *, (cuv + 0.5) / (tc + 0.5 * (v + 1)) AS p1 FROM j),
+      |p2t AS (SELECT *, CASE WHEN mc > 0
+      |          THEN (greatest(cbv - 0.75, 0.0) + 0.75 * fw2 * p1) / mc
+      |          ELSE p1 END AS p2 FROM p1t),
+      |lp AS (SELECT doc_id, CAST(round(ln(CASE WHEN c2 > 0 AND f12 > 0
+      |          THEN (greatest(c3 - 0.75, 0.0) + 0.75 * f12 * p2) / c2
+      |          ELSE p2 END), 6) AS DECIMAL(18,6)) AS lp FROM p2t),
+      |s AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n_trigrams FROM lp GROUP BY 1)
+      |SELECT doc_id, CAST(slp AS DOUBLE) / n_trigrams AS mean_lp, n_trigrams
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  private lazy val knSelfLpOracle: String = knLpOracle("")
+  private lazy val knRefLpOracle: String = knLpOracle(" WHERE source = 'src0'")
 
   private lazy val webE2eOracle: String =
     """WITH d AS (SELECT doc_id, n_chars, text, string_split(lower(text),' ') AS w FROM documents),

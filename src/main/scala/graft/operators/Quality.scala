@@ -230,6 +230,111 @@ object Quality {
         col("n_bigrams"))
   }
 
+  /** Interpolated Kneser-Ney trigram log-probability (Chen & Goodman
+    * 1999 §3; the smoothing family CCNet's KenLM scorer uses, here at
+    * order 3 with a single fixed discount D) — the rank-quality step up
+    * from [[bigramLogProb]]: continuation counts reward words that
+    * appear in MANY contexts rather than often in one, which is what
+    * separates templated boilerplate from prose.
+    *
+    *   p(w3|w1w2) = (max(c(w1w2w3)−D, 0) + D·N1+(w1w2·)·p(w3|w2)) / c(w1w2)
+    *   p(w3|w2)   = (max(N1+(·w2w3)−D, 0) + D·N1+(w2·)·p(w3)) / N1+(·w2·)
+    *   p(w3)      = (N1+(·w3) + α) / (N1+(··) + α·(V+1))
+    *
+    * A context with no observed continuations (possible when scoring
+    * against a separate reference: c(w1w2) > 0 only at document edges)
+    * backs off a full order instead of emitting p = 0; the unigram level
+    * carries an add-α floor so OOV words stay finite. Everything is
+    * integer counts + one fixed double expression per trigram, ln rounded
+    * to 6 dp and DECIMAL-summed per doc — engine-portable like the
+    * bigram scorer.
+    *
+    * Shape at scale: reference-keyed type/token aggregations (trigram
+    * types, bigram types — each one shuffle), the scored corpus exploded
+    * once and joined on its four n-gram keys, a 1-row totals broadcast.
+    * No corpus self-joins.
+    */
+  def knTrigramLogProb(docs: DataFrame, id: String, text: String): DataFrame =
+    knTrigramLogProbAgainst(docs, docs, id, text)
+
+  /** [[knTrigramLogProb]] trained on a SEPARATE reference corpus — the
+    * CCNet arrangement; the left-join backoff paths (unseen trigram /
+    * context / word) only this variant exercises.
+    */
+  def knTrigramLogProbAgainst(reference: DataFrame, docs: DataFrame,
+                              id: String, text: String,
+                              discount: Double = 0.75,
+                              alpha: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val d = lit(discount)
+    // reference statistics: token counts + N1+ type counts
+    val tris = reference
+      .select(explode(Dedup.shingles(col(text), 3)).as("tg"))
+      .filter(size(split(col("tg"), " ")) === 3)
+    val triTypes = tris.groupBy("tg").agg(count(lit(1)).as("_c3"))
+      .withColumn("_bg12", substring_index(col("tg"), " ", 2))
+      .withColumn("_bg23", substring_index(col("tg"), " ", -2))
+      .withColumn("_w2", substring_index(col("_bg23"), " ", 1))
+    val bis = reference
+      .select(explode(Dedup.shingles(col(text), 2)).as("bg"))
+      .filter(col("bg").contains(" "))
+    val biTypes = bis.groupBy("bg").agg(count(lit(1)).as("_c2tok"))
+      .withColumn("_bw1", substring_index(col("bg"), " ", 1))
+      .withColumn("_bw2", substring_index(col("bg"), " ", -1))
+    // keyed stat tables (each bounded by the reference's type counts)
+    val ctx12 = triTypes.groupBy(col("_bg12").as("_bg12"))
+      .agg(count(lit(1)).as("_f12")) // N1+(w1w2·)
+      .join(biTypes.select(col("bg").as("_bg12"), col("_c2tok")), Seq("_bg12"), "outer")
+    val cont23 = triTypes.groupBy(col("_bg23").as("_bg23"))
+      .agg(count(lit(1)).as("_cb")) // N1+(·w2w3)
+    val w2Stats = triTypes.groupBy(col("_w2").as("_w2"))
+      .agg(count(lit(1)).as("_mc")) // N1+(·w2·)
+      .join(biTypes.groupBy(col("_bw1").as("_w2"))
+        .agg(count(lit(1)).as("_fw2")), Seq("_w2"), "outer") // N1+(w2·)
+    val contUni = biTypes.groupBy(col("_bw2").as("_w3"))
+      .agg(count(lit(1)).as("_cu")) // N1+(·w3)
+    val totals = biTypes.agg(count(lit(1)).as("_tc")) // N1+(··)
+      .crossJoin(reference.select(explode(TextAnalysis.words(col(text))).as("w"))
+        .agg(count_distinct(col("w")).as("_v")))
+    // scored corpus: one explode, four key joins, one broadcast
+    val scored = docs
+      .select(col(id).as("doc_id"), explode(Dedup.shingles(col(text), 3)).as("tg"))
+      .filter(size(split(col("tg"), " ")) === 3)
+      .withColumn("_bg12", substring_index(col("tg"), " ", 2))
+      .withColumn("_bg23", substring_index(col("tg"), " ", -2))
+      .withColumn("_w2", substring_index(col("_bg23"), " ", 1))
+      .withColumn("_w3", substring_index(col("tg"), " ", -1))
+    val joined = scored
+      .join(triTypes.select("tg", "_c3"), Seq("tg"), "left")
+      .join(ctx12, Seq("_bg12"), "left")
+      .join(cont23, Seq("_bg23"), "left")
+      .join(w2Stats, Seq("_w2"), "left")
+      .join(contUni, Seq("_w3"), "left")
+      .crossJoin(broadcast(totals))
+    val c3 = coalesce(col("_c3"), lit(0L))
+    val c2 = coalesce(col("_c2tok"), lit(0L))
+    val f12 = coalesce(col("_f12"), lit(0L))
+    val cb = coalesce(col("_cb"), lit(0L))
+    val mc = coalesce(col("_mc"), lit(0L))
+    val fw2 = coalesce(col("_fw2"), lit(0L))
+    val cu = coalesce(col("_cu"), lit(0L))
+    val p1 = (cu + lit(alpha)) / (col("_tc") + lit(alpha) * (col("_v") + lit(1L)))
+    val p2 = when(mc > 0, (greatest(cb - d, lit(0.0)) + d * fw2 * p1) / mc)
+      .otherwise(p1)
+    val p3 = when(c2 > 0 && f12 > 0,
+        (greatest(c3 - d, lit(0.0)) + d * f12 * p2) / c2)
+      .otherwise(p2)
+    joined
+      .select(col("doc_id"),
+        round(log(p3), 6).cast("decimal(18,6)").as("_lp"))
+      .groupBy("doc_id")
+      .agg(sum(col("_lp")).as("_slp"), count(lit(1)).as("n_trigrams"))
+      .select(col("doc_id"),
+        (col("_slp").cast("double") / col("n_trigrams")).as("mean_lp"),
+        col("n_trigrams"))
+  }
+
   /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): within
     * each language, split documents into three equal-count bands by their
     * LM score — "head" = the most-probable third (score ≥ the language's

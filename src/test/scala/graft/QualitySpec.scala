@@ -72,6 +72,36 @@ class QualitySpec extends SparkSpec {
     assert(run(corpus.repartition(5)).toSeq === got.toSeq)
   }
 
+  test("knTrigramLogProb: common-context docs outscore rare ones; every " +
+    "backoff rung stays finite; partition-stable") {
+    val corpus = Seq(
+      (1L, "a b c a b c a b c"), (2L, "a b c a b c"), (3L, "x q z w"),
+      (4L, "one two")).toDF("doc_id", "text")
+    val got = Quality.knTrigramLogProb(corpus, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    // doc 4 (two words) has no trigram and drops out
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // "a b c" repeats within and across docs; doc 3's trigrams are singletons
+    assert(got(0)._2 > got(2)._2)
+    assert(got.forall(r => !r._2.isNaN && !r._2.isInfinite))
+    // reference-trained on a DISJOINT vocabulary: every rung backs off to
+    // the add-α unigram floor and stays finite
+    val ref = Seq((9L, "p q r p q s")).toDF("doc_id", "text")
+    val oov = Quality.knTrigramLogProbAgainst(ref, corpus, "doc_id", "text")
+      .as[(Long, Double, Long)].collect()
+    assert(oov.nonEmpty && oov.forall(r => !r._2.isNaN && !r._2.isInfinite))
+    // the zero-continuation hole: "q s" occurs ONLY as the reference's
+    // final bigram (c2 > 0, no trigram continues it) — must take the
+    // full-order backoff, never ln(0)
+    val edge = Seq((1L, "q s t")).toDF("doc_id", "text")
+    val e = Quality.knTrigramLogProbAgainst(ref, edge, "doc_id", "text")
+      .as[(Long, Double, Long)].collect()
+    assert(e.length === 1 && !e(0)._2.isInfinite && !e(0)._2.isNaN)
+    val rep = Quality.knTrigramLogProb(corpus.repartition(5), "doc_id", "text")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq === got.toSeq)
+  }
+
   test("gopherWordSignals: counts, symbol ratio, alpha fraction, stop hits") {
     // words (lowered): the cat ### sat on 42 mats that have fur with... style
     // n=12; '#'×3 + '...'×1 → 4/12; non-alpha words: ###, 42 → 10/12;
