@@ -3086,6 +3086,28 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_ccnet_kn_e2e",
+      // the CCNet composition upgraded to the KN scorer: trigram
+      // Kneser-Ney LM trained on src0, every doc scored by
+      // reference-likelihood, per-language head/middle/tail terciles —
+      // q_kn_reference_lp feeding q_ccnet_buckets' tail.
+      Some(knCcnetOracle),
+      (s, d) => {
+        prep(s)
+        val docs = t(s, d, "documents")
+        val scored = Quality.knTrigramLogProbAgainst(
+            docs.filter(col("source") === "src0"), docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("mean_lp").as("score"))
+        // score ships UNROUNDED (unlike the bigram e2e): KN scores land on
+        // 6-dp rounding boundaries where Spark's exact-BigDecimal round and
+        // DuckDB's float-multiply round disagree by one last digit — the
+        // raw double is the value both engines agree on bit-for-bit
+        Quality.ccnetBuckets(scored, "lang", "score")
+          .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_quality_bigram_lp",
       // bigram-LM document score (Quality.bigramLogProb, the CCNet/KenLM
       // perplexity-filter ladder's next rung above q_quality_unigram_lp):
@@ -3691,7 +3713,7 @@ object Queries {
     * shapes as `Quality.knTrigramLogProbAgainst`, restated for DuckDB —
     * two engines, one spec (ln/round parity per the bigram precedent).
     */
-  private def knLpOracle(refWhere: String): String =
+  private def knLpCore(refWhere: String): String =
     s"""WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
       |ref AS (SELECT string_split(lower(text),' ') AS w FROM documents$refWhere),
       |rtg AS (SELECT unnest([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS tg
@@ -3743,12 +3765,33 @@ object Queries {
       |lp AS (SELECT doc_id, CAST(round(ln(CASE WHEN c2 > 0 AND f12 > 0
       |          THEN (greatest(c3 - 0.75, 0.0) + 0.75 * f12 * p2) / c2
       |          ELSE p2 END), 6) AS DECIMAL(18,6)) AS lp FROM p2t),
-      |s AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n_trigrams FROM lp GROUP BY 1)
-      |SELECT doc_id, CAST(slp AS DOUBLE) / n_trigrams AS mean_lp, n_trigrams
-      |FROM s ORDER BY doc_id""".stripMargin
+      |s AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n_trigrams FROM lp GROUP BY 1)""".stripMargin
+
+  private def knLpOracle(refWhere: String): String =
+    knLpCore(refWhere) +
+      "\nSELECT doc_id, CAST(slp AS DOUBLE) / n_trigrams AS mean_lp, n_trigrams" +
+      "\nFROM s ORDER BY doc_id"
 
   private lazy val knSelfLpOracle: String = knLpOracle("")
   private lazy val knRefLpOracle: String = knLpOracle(" WHERE source = 'src0'")
+
+  /** q_ccnet_kn_e2e: the KN score flowing into the per-language tercile
+    * bucketing — the same composition tail as q_ccnet_reference_e2e.
+    */
+  private lazy val knCcnetOracle: String =
+    knLpCore(" WHERE source = 'src0'") + """,
+      |scored AS (SELECT s.doc_id, d2.lang, CAST(slp AS DOUBLE) / n_trigrams AS score
+      |           FROM s JOIN (SELECT doc_id, lang FROM documents) d2 USING (doc_id)),
+      |thr AS (SELECT lang,
+      |               round(quantile_cont(score, 0.3333333333333333), 6) AS t_lo,
+      |               round(quantile_cont(score, 0.6666666666666666), 6) AS t_hi
+      |        FROM scored GROUP BY lang)
+      |SELECT sc.doc_id, sc.lang, sc.score AS score,
+      |       CASE WHEN round(sc.score, 6) >= t.t_hi THEN 'head'
+      |            WHEN round(sc.score, 6) >= t.t_lo THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM scored sc JOIN thr t ON sc.lang IS NOT DISTINCT FROM t.lang
+      |ORDER BY sc.doc_id""".stripMargin
 
   private lazy val webE2eOracle: String =
     """WITH d AS (SELECT doc_id, n_chars, text, string_split(lower(text),' ') AS w FROM documents),
