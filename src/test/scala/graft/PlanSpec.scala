@@ -119,6 +119,18 @@ class PlanSpec extends SparkSpec {
       s"expected at most one embedding-carrying shuffle, got ${withArrays.size}")
   }
 
+  test("KN trigram scorer: key joins only (no cartesian), totals ride a " +
+    "1-row broadcast, the scan reads just (doc_id, text)") {
+    val p = plan("q_quality_kn_lp")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // pruning reaches the source — the parquet scan when cold, or the
+    // column-pruned InMemoryTableScan when another suite cached documents
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>")
+      || ("InMemoryTableScan\\s+Output \\[2\\]: \\[doc_id#\\d+L, text#\\d+\\]".r
+        .findFirstIn(p).isDefined), p)
+  }
+
   test("sessionize is ONE hash shuffle: both windows and the per-session " +
     "aggregate reuse the user_id partitioning") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
