@@ -2818,6 +2818,72 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_unigram_train",
+      // LEARNED unigram-LM piece table (Kudo 2018, the SentencePiece
+      // unigram model — the second major tokenizer family next to BPE):
+      // the same single distributed word-histogram shuffle is the only
+      // corpus pass; seeding, EM forward-backward, and expected-count
+      // pruning run on the bounded histogram driver-side with a pinned
+      // float-op order (StrictMath, canonical UTF-8 piece order), so the
+      // table reproduces bit-exactly. The oracle is a Verify-written
+      // independent replica of the whole seed+EM+prune path.
+      Some("""SELECT piece, log_prob
+              FROM parquet_scan('{FIX}/_fixture_unigramtrain/*.parquet')
+              ORDER BY piece"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        Tokenizer.piecesDf(s,
+            Tokenizer.unigramTrain(docs, "text", vocabSize = 200))
+          .orderBy("piece")
+      }),
+
+    QueryDef("q_unigram_encode",
+      // tokenize the corpus under the trained piece table: Viterbi
+      // maximum-likelihood segmentation as a codegen-fused scan
+      // expression (UnigramEncode) with a per-thread word memo — fully
+      // distributed, no shuffle; only the piece table ships to tasks.
+      // Same output shape as q_bpe_encode so the two tokenizer families'
+      // fertility compares like-for-like.
+      Some("""SELECT doc_id, n_tokens, head
+              FROM parquet_scan('{FIX}/_fixture_unigramencode/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val pieces = Tokenizer.unigramTrain(docs, "text", vocabSize = 200)
+        val toks = Tokenizer.unigramEncode(col("text"), pieces)
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            concat_ws("|", slice(toks, 1, 12)).as("head"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_unigram_roundtrip",
+      // encode∘decode identity audit, unigram edition: concatenating the
+      // Viterbi pieces and turning ▁ markers into word boundaries must
+      // reproduce the whitespace-normalized lowercased text for EVERY
+      // document — including out-of-vocabulary code points, which emit
+      // their own surface form (not an <unk> sentinel) precisely so this
+      // identity holds corpus-wide. The expectation side (concat_ws over
+      // preTokens) shares no code with the Viterbi path. Scan-fused,
+      // zero shuffles; decode is built-in string ops (translate + trim).
+      Some("""SELECT doc_id, CAST(1 AS BOOLEAN) AS roundtrip_ok
+              FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val pieces = Tokenizer.unigramTrain(docs, "text", vocabSize = 200)
+        val toks = Tokenizer.unigramEncode(col("text"), pieces)
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            (Tokenizer.unigramDecode(toks) ===
+              concat_ws(" ", Tokenizer.preTokens(col("text"))))
+              .as("roundtrip_ok"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_bpe_vocab",
       // token → id vocabulary export (the artifact a training stack loads
       // next to the merges): corpus alphabet in UTF-8 binary order, then

@@ -470,6 +470,166 @@ object Verify {
       rows.toDF("doc_id", "n_ids", "n_unk", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpeids")
     }
+    // ── plain-Scala unigram-LM replication (fixture oracles) ──────────
+    // Independent re-run of the Kudo-2018 unigram trainer (seed → EM
+    // forward-backward → expected-count prune) and the Viterbi encoder —
+    // Vector-slice pieces and immutable-Map probability tables instead of
+    // the engine's StringBuilder lattices and java.util.HashMaps, sharing
+    // only the pre-tokenization / UTF-8-ordering spec helpers above. The
+    // float-op ORDER is part of the spec (words in histogram order,
+    // lattice edges end-ascending then start-ascending, logsumexp as
+    // max-shift + exp-sum in edge order, M-step totals in UTF-8 piece
+    // order, StrictMath throughout), so both sides produce identical
+    // doubles.
+    def uniCps(word: String): Vector[String] = {
+      val s = "▁" + word
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    def uniLse(ts: Seq[Double]): Double =
+      if (ts.isEmpty) Double.NegativeInfinity
+      else {
+        val m = ts.foldLeft(Double.NegativeInfinity)((a, t) => if (t > a) t else a)
+        if (m == Double.NegativeInfinity) m
+        else m + StrictMath.log(
+          ts.foldLeft(0.0)((s, t) => s + StrictMath.exp(t - m)))
+      }
+    def uniTrainRef(docs: IndexedSeq[(Long, String)], vocabSize: Int,
+                    seedSize: Int = 2000, maxLen: Int = 6,
+                    emRounds: Int = 2,
+                    shrink: Double = 0.75): Seq[(String, Double)] = {
+      val hist: Seq[(Vector[String], Long)] =
+        docs.iterator.flatMap(d => bpeWords(d._2))
+          .toSeq.groupMapReduce(identity)(_ => 1L)(_ + _)
+          .toSeq.sortWith { case ((w1, f1), (w2, f2)) =>
+            f1 > f2 || (f1 == f2 && utf8Less(w1, w2)) }.take(50000)
+          .map { case (w, f) => (uniCps(w), f) }
+      val counts: Map[String, Long] = hist.iterator.flatMap { case (c, f) =>
+        (0 until c.length).iterator.flatMap { j =>
+          (j + 1 to math.min(c.length, j + maxLen)).iterator
+            .map(i => (c.slice(j, i).mkString, f))
+        }
+      }.toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+      val (singles, multis) = counts.partition { case (p, _) =>
+        p.codePointCount(0, p.length) == 1 }
+      val keptMultis = multis.toSeq.sortWith { case ((p1, f1), (p2, f2)) =>
+        f1 > f2 || (f1 == f2 && utf8Less(p1, p2)) }
+        .take(math.max(0, seedSize - singles.size))
+      var vocab: Vector[String] =
+        (singles.keysIterator ++ keptMultis.iterator.map(_._1))
+          .toVector.sortWith(utf8Less)
+      val singleSet = singles.keySet
+      var lp: Map[String, Double] = {
+        val total = vocab.iterator.map(counts).sum
+        val lt = StrictMath.log(total.toDouble)
+        vocab.iterator
+          .map(p => p -> (StrictMath.log(counts(p).toDouble) - lt)).toMap
+      }
+      def emStep(): Map[String, Double] = {
+        val expected = new java.util.HashMap[String, java.lang.Double]()
+        hist.foreach { case (c, f) =>
+          val n = c.length
+          def pieceOf(j: Int, i: Int): String = c.slice(j, i).mkString
+          val alpha = new Array[Double](n + 1)
+          (1 to n).foreach { i =>
+            alpha(i) = uniLse((math.max(0, i - maxLen) until i).flatMap(j =>
+              lp.get(pieceOf(j, i)).map(alpha(j) + _)))
+          }
+          val beta = new Array[Double](n + 1)
+          (n - 1 to 0 by -1).foreach { i =>
+            beta(i) = uniLse((i + 1 to math.min(n, i + maxLen)).flatMap(j =>
+              lp.get(pieceOf(i, j)).map(_ + beta(j))))
+          }
+          val z = alpha(n)
+          if (z != Double.NegativeInfinity)
+            for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+              val pc = pieceOf(j, i)
+              lp.get(pc).foreach { p =>
+                val post = f * StrictMath.exp(alpha(j) + p + beta(i) - z)
+                expected.merge(pc, java.lang.Double.valueOf(post), (a, b) =>
+                  java.lang.Double.valueOf(a.doubleValue() + b.doubleValue()))
+              }
+            }
+        }
+        val e = vocab.iterator.map { p =>
+          val v = expected.get(p)
+          p -> math.max(if (v == null) 0.0 else v.doubleValue(), 1e-12)
+        }.toMap
+        val logT = StrictMath.log(
+          vocab.foldLeft(0.0)((s, p) => s + e(p)))
+        lp = vocab.iterator.map(p => p -> (StrictMath.log(e(p)) - logT)).toMap
+        e
+      }
+      def emPass(): Map[String, Double] =
+        (1 until emRounds).foldLeft(emStep())((_, _) => emStep())
+      var lastE = emPass()
+      var done = vocab.size <= vocabSize
+      while (!done) {
+        val target = math.max(vocabSize, (vocab.size * shrink).toInt)
+        val prunable = vocab.filterNot(singleSet)
+        val dropCount = math.min(vocab.size - target, prunable.size)
+        if (dropCount <= 0) done = true
+        else {
+          val dropped = prunable.sortWith { (p1, p2) =>
+            val e1 = lastE(p1); val e2 = lastE(p2)
+            e1 < e2 || (e1 == e2 && utf8Less(p2, p1))
+          }.take(dropCount).toSet
+          vocab = vocab.filterNot(dropped)
+          lp = lp -- dropped
+          lastE = emPass()
+          done = vocab.size <= vocabSize
+        }
+      }
+      vocab.map(p => p -> BigDecimal(lp(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    lazy val uniTableRef: Seq[(String, Double)] = uniTrainRef(bpeDocs, 200)
+    def uniEncodeWordRef(table: Map[String, Double])(word: String): List[String] = {
+      val maxCp = table.keysIterator
+        .map(p => p.codePointCount(0, p.length)).foldLeft(1)(math.max)
+      val c = uniCps(word)
+      val n = c.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      best(0) = 0.0
+      val prev = Array.fill(n + 1)(-1)
+      for (i <- 1 to n; j <- math.max(0, i - maxCp) until i) {
+        val piece = c.slice(j, i).mkString
+        val sc = table.get(piece) match {
+          case Some(p) => best(j) + p
+          case None if i - j == 1 => best(j) - 20.0
+          case None => Double.NegativeInfinity
+        }
+        if (sc > best(i)) { best(i) = sc; prev(i) = j }
+      }
+      var out = List.empty[String]
+      var pos = n
+      while (pos > 0) {
+        val j = prev(pos)
+        out ::= c.slice(j, pos).mkString
+        pos = j
+      }
+      out
+    }
+    fixture("_fixture_unigramtrain") {
+      uniTableRef.toDF("piece", "log_prob").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_unigramtrain")
+    }
+    fixture("_fixture_unigramencode") {
+      val table = uniTableRef.toMap
+      val enc = uniEncodeWordRef(table) _
+      val rows = bpeDocs.map { case (id, text) =>
+        val toks = bpeWords(text).flatMap(enc)
+        (id, toks.length, toks.take(12).mkString("|"))
+      }
+      rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_unigramencode")
+    }
     fixture("_fixture_bpefertility") {
       // per-language corpus fertility under the learned merges: exact
       // integer sums divide once at the end (raw IEEE quotient of

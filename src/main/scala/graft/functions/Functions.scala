@@ -48,6 +48,10 @@ object Functions {
     "bpe_decode"      -> (es => BpeDecode(es.head)),
     "bpe_encode_ids"  -> (es => BpeEncodeIds(es(0), constStrings(es(1)),
       constStrings(es(2)), constStrings(es(3)))),
+    // unigram_encode(text, pieces, log_probs) — trained piece table as
+    // aligned constant arrays, evaluated at build time
+    "unigram_encode"  -> (es => UnigramEncode(es(0), constStrings(es(1)),
+      constDoubles(es(2)))),
     "nfc_normalize"   -> (es => NfcNormalize(es.head)),
     "strict_exp"      -> (es => StrictExp(es.head)),
     "java_lower"      -> (es => JavaLower(es.head)),
@@ -76,6 +80,19 @@ object Functions {
       throw new IllegalArgumentException(
         "bpe_encode merge tables must not contain NULL symbols")
     out.map(_.toString).toSeq
+  }
+
+  private def constDoubles(e: Expression): Seq[Double] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        "unigram_encode log-prob tables must be constant double arrays " +
+          s"(foldable), got non-constant argument: ${e.sql}")
+    val arr = e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case other => throw new IllegalArgumentException(
+        s"unigram_encode log-prob tables must be double arrays, got: $other")
+    }
+    arr.toDoubleArray().toSeq
   }
 
   def install(e: SparkSessionExtensions): Unit =

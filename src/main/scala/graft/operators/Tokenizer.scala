@@ -221,6 +221,270 @@ object Tokenizer {
       .toSeq.toDF("token", "id")
   }
 
+  // ── Unigram-LM (SentencePiece) trainer ─────────────────────────────
+
+  /** One trained unigram piece: surface string + log-probability (rounded
+    * to 6 dp — the rounded table IS the artifact; encoding replays it, so
+    * engine and oracle replica segment under identical doubles).
+    */
+  final case class Piece(piece: String, log_prob: Double)
+
+  private def utf8Less(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** Driver-side unigram-LM training over a word histogram (Kudo 2018,
+    * the SentencePiece unigram trainer, over the same bounded histogram
+    * the BPE loop uses — the corpus-scale pass stays the one distributed
+    * [[wordHistogram]] shuffle).
+    *
+    * Algorithm (each step's float-op ORDER is part of the spec — the
+    * Verify replica re-implements it independently and must reproduce
+    * the exact doubles):
+    *  1. SEED: count every code-point substring of `▁word` up to
+    *     `maxPieceLen` code points, weighted by word frequency (exact
+    *     long arithmetic). Keep ALL single-code-point pieces (never
+    *     pruned — they guarantee every word stays segmentable) plus the
+    *     top `seedSize - #singles` multi-character substrings by
+    *     (count desc, piece UTF-8 asc). Initial log-prob:
+    *     `log(count) - log(Σ counts over kept pieces)` (long total).
+    *  2. EM: `emRounds` iterations of forward-backward expected counts.
+    *     Words accumulate in histogram order; lattice edges enumerate by
+    *     end position ascending, then start ascending; logsumexp is
+    *     max-shift then exp-sum in edge order (StrictMath throughout).
+    *     M-step: `e(x) = max(expected(x), 1e-12)` (floor keeps an
+    *     underflowed piece finite), `T = Σ e(x)` in UTF-8 piece order,
+    *     `lp(x) = log(e(x)) - log(T)`.
+    *  3. PRUNE: drop the lowest-expected-count multi-character pieces
+    *     (ties: UTF-8-larger piece drops first) down to
+    *     `max(vocabSize, ⌊size·shrink⌋)`; each prune is followed by
+    *     another `emRounds` EM passes (the one after the last prune is
+    *     the final polish), until the vocabulary fits.
+    *     (Expected-count pruning is the standard approximation of
+    *     SentencePiece's per-piece likelihood-loss ranking; the loss
+    *     ranking needs a second Viterbi corpus pass per candidate.)
+    *  4. Output pieces in UTF-8 order with log-probs rounded to 6 dp.
+    */
+  def unigramTrainOnHistogram(hist: Seq[(String, Long)], vocabSize: Int,
+                              seedSize: Int = 2000, maxPieceLen: Int = 6,
+                              emRounds: Int = 2,
+                              shrink: Double = 0.75): Seq[Piece] = {
+    require(vocabSize > 0 && seedSize > 0 && maxPieceLen > 0 && emRounds > 0)
+    // code points of ▁word, one string per cp
+    def cps(word: String): Array[String] = {
+      val s = graft.functions.Unigram.Boundary + word
+      val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    val words: Array[(Array[String], Long)] =
+      hist.iterator.map { case (w, f) => (cps(w), f) }.toArray
+
+    // 1. seed counts (exact longs)
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    words.foreach { case (c, f) =>
+      var j = 0
+      while (j < c.length) {
+        val sb = new java.lang.StringBuilder
+        var i = j
+        val hi = math.min(c.length, j + maxPieceLen)
+        while (i < hi) {
+          sb.append(c(i))
+          counts.merge(sb.toString, java.lang.Long.valueOf(f), (a, b) =>
+            java.lang.Long.valueOf(a.longValue() + b.longValue()))
+          i += 1
+        }
+        j += 1
+      }
+    }
+    var singles = List.empty[(String, Long)]
+    var multis = List.empty[(String, Long)]
+    counts.forEach { (p, f) =>
+      if (p.codePointCount(0, p.length) == 1) singles ::= (p, f.longValue())
+      else multis ::= (p, f.longValue())
+    }
+    val keptMultis = multis
+      .sortWith { case ((p1, f1), (p2, f2)) =>
+        f1 > f2 || (f1 == f2 && utf8Less(p1, p2)) }
+      .take(math.max(0, seedSize - singles.size))
+    var vocab: Vector[String] =
+      (singles.map(_._1) ++ keptMultis.map(_._1)).sortWith(utf8Less).toVector
+    val singleSet = singles.map(_._1).toSet
+    val lp = new java.util.HashMap[String, java.lang.Double]()
+    locally {
+      val total = vocab.iterator.map(p => counts.get(p).longValue()).sum
+      val logTotal = StrictMath.log(total.toDouble)
+      vocab.foreach { p =>
+        lp.put(p, java.lang.Double.valueOf(
+          StrictMath.log(counts.get(p).longValue().toDouble) - logTotal))
+      }
+    }
+
+    // one E+M pass; returns the expected-count map (for pruning)
+    def emStep(): java.util.HashMap[String, Double] = {
+      val expected = new java.util.HashMap[String, Double]()
+      words.foreach { case (c, f) =>
+        val n = c.length
+        val alpha = new Array[Double](n + 1)
+        val beta = new Array[Double](n + 1)
+        val terms = new scala.collection.mutable.ArrayBuffer[Double](maxPieceLen)
+        def logsumexp(): Double = {
+          if (terms.isEmpty) return Double.NegativeInfinity
+          var m = Double.NegativeInfinity
+          terms.foreach(t => if (t > m) m = t)
+          if (m == Double.NegativeInfinity) return m
+          var s = 0.0
+          terms.foreach(t => s += StrictMath.exp(t - m))
+          m + StrictMath.log(s)
+        }
+        def piece(j: Int, i: Int): String = {
+          val sb = new java.lang.StringBuilder
+          var k = j
+          while (k < i) { sb.append(c(k)); k += 1 }
+          sb.toString
+        }
+        alpha(0) = 0.0
+        var i = 1
+        while (i <= n) {
+          terms.clear()
+          var j = math.max(0, i - maxPieceLen)
+          while (j < i) {
+            val p = lp.get(piece(j, i))
+            if (p != null) terms += alpha(j) + p.doubleValue()
+            j += 1
+          }
+          alpha(i) = logsumexp()
+          i += 1
+        }
+        beta(n) = 0.0
+        i = n - 1
+        while (i >= 0) {
+          terms.clear()
+          var j = i + 1
+          val hi = math.min(n, i + maxPieceLen)
+          while (j <= hi) {
+            val p = lp.get(piece(i, j))
+            if (p != null) terms += p.doubleValue() + beta(j)
+            j += 1
+          }
+          beta(i) = logsumexp()
+          i -= 1
+        }
+        val z = alpha(n)
+        if (z != Double.NegativeInfinity) {
+          i = 1
+          while (i <= n) {
+            var j = math.max(0, i - maxPieceLen)
+            while (j < i) {
+              val pc = piece(j, i)
+              val p = lp.get(pc)
+              if (p != null) {
+                val post = f * StrictMath.exp(alpha(j) + p.doubleValue() + beta(i) - z)
+                expected.merge(pc, post, (a, b) => a + b)
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      // M-step over the canonical (UTF-8-sorted) vocab order
+      val e = new java.util.HashMap[String, Double]()
+      vocab.foreach { p =>
+        val v = expected.get(p)
+        e.put(p, math.max(if (v == null) 0.0 else v, 1e-12))
+      }
+      var t = 0.0
+      vocab.foreach(p => t += e.get(p))
+      val logT = StrictMath.log(t)
+      lp.clear()
+      vocab.foreach(p => lp.put(p,
+        java.lang.Double.valueOf(StrictMath.log(e.get(p)) - logT)))
+      e
+    }
+
+    def emPass(): java.util.HashMap[String, Double] = {
+      var e = emStep()
+      var r = 1
+      while (r < emRounds) { e = emStep(); r += 1 }
+      e
+    }
+    var lastE = emPass()
+    var done = vocab.size <= vocabSize
+    while (!done) {
+      val target = math.max(vocabSize, (vocab.size * shrink).toInt)
+      val prunable = vocab.filterNot(singleSet)
+      val dropCount = math.min(vocab.size - target, prunable.size)
+      if (dropCount <= 0) {
+        // every droppable piece is gone yet size still exceeds the cap:
+        // more distinct characters than vocabSize. Keep them all —
+        // segmentability beats the size cap (SentencePiece's
+        // required_chars handling)
+        done = true
+      } else {
+        val dropped = prunable
+          .sortWith { (p1, p2) =>
+            val e1 = lastE.get(p1); val e2 = lastE.get(p2)
+            e1 < e2 || (e1 == e2 && utf8Less(p2, p1)) }
+          .take(dropCount).toSet
+        vocab = vocab.filterNot(dropped)
+        lp.keySet.removeIf(p => dropped(p))
+        lastE = emPass() // the pass after the LAST prune is the polish
+        done = vocab.size <= vocabSize
+      }
+    }
+    vocab.map(p => Piece(p,
+      BigDecimal(lp.get(p).doubleValue())
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toList
+  }
+
+  /** Train a unigram-LM piece table on the corpus: the same distributed
+    * histogram + bounded top-`maxWords` collect as [[bpeTrain]] (total
+    * order: freq desc, word UTF-8 asc), then the driver EM loop.
+    */
+  def unigramTrain(docs: DataFrame, textCol: String, vocabSize: Int,
+                   seedSize: Int = 2000, maxPieceLen: Int = 6,
+                   maxWords: Int = 50000): Seq[Piece] = {
+    val hist = wordHistogram(docs, textCol)
+      .orderBy(desc("freq"), asc("word"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    unigramTrainOnHistogram(hist, vocabSize, seedSize, maxPieceLen)
+  }
+
+  /** Trained piece table as a DataFrame (persistence / the oracle gate). */
+  def piecesDf(spark: org.apache.spark.sql.SparkSession,
+               pieces: Seq[Piece]): DataFrame = {
+    import spark.implicits._
+    pieces.map(p => (p.piece, p.log_prob)).toDF("piece", "log_prob")
+  }
+
+  /** Pieces column under a trained table — codegen-fused Viterbi in the
+    * scan ([[graft.functions.UnigramEncode]]), table shipped once per
+    * task as a reference object.
+    */
+  def unigramEncode(text: Column, pieces: Seq[Piece]): Column =
+    call_function("unigram_encode", text,
+      lit(pieces.map(_.piece).toArray), lit(pieces.map(_.log_prob).toArray))
+
+  /** Inverse of [[unigramEncode]]: concatenate pieces, `▁` markers become
+    * word boundaries. Built-in string ops end to end (translate + trim) —
+    * no custom kernel needed. Same inherent boundary caveat as BPE's
+    * `</w>`: raw text containing a literal U+2581 is ambiguous to any
+    * marker-based decoder.
+    */
+  def unigramDecode(tokens: Column): Column =
+    trim(translate(concat_ws("", tokens),
+      graft.functions.Unigram.Boundary, " "))
+
   /** Persist a trained merge table (rank-ordered parquet — the tokenizer
     * artifact a pipeline trains once and every later job loads).
     */

@@ -474,4 +474,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bpe_encode"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
   }
+
+  test("unigram encode is one scan-fused projection: the piece table ships " +
+    "as a task constant, no shuffle, no codegen fallback") {
+    val p = plan("q_unigram_encode")
+    // training's histogram shuffle runs eagerly at build time; the
+    // returned frame is Viterbi fused into the scan + presentation sort
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("unigram_encode"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
+  }
 }

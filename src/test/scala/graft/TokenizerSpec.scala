@@ -273,4 +273,96 @@ class TokenizerSpec extends SparkSpec {
       .as[Seq[Int]].head()
     assert(ids.nonEmpty && ids.forall(_ >= 0))
   }
+
+  // ── unigram-LM (SentencePiece) family ─────────────────────────────
+
+  test("unigram trainer keeps whole frequent words as pieces and gives " +
+    "them dominant probability") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    // 'aba' dominates, 'cd' second; singles (▁ a b c d) are always kept,
+    // so a vocab of 8 must fill its multi slots with the whole-word
+    // pieces the EM assigns the mass to
+    val corpus = (Seq.fill(8)("aba") ++ Seq.fill(5)("cd")).mkString(" ")
+    val pieces = Tokenizer.unigramTrain(Seq(corpus).toDF("text"), "text",
+      vocabSize = 8, seedSize = 40)
+    val table = pieces.map(p => p.piece -> p.log_prob).toMap
+    assert(table.contains("▁aba"), s"want ▁aba in ${pieces.map(_.piece)}")
+    assert(table.contains("▁cd"), s"want ▁cd in ${pieces.map(_.piece)}")
+    // the whole-word piece must outscore its own first character — the
+    // EM shifted the mass off the char decomposition
+    assert(table("▁aba") > table("▁") || table("▁cd") > table("▁"))
+    // log-probs are normalized (Σ exp ≤ 1 + rounding slack) and rounded
+    val mass = pieces.map(p => StrictMath.exp(p.log_prob)).sum
+    assert(mass > 0.5 && mass < 1.001, s"mass $mass")
+    assert(pieces.forall(p =>
+      BigDecimal(p.log_prob).scale <= 6), "log-probs must be 6dp-rounded")
+  }
+
+  test("unigram Viterbi: max-likelihood segmentation wins; exact ties keep " +
+    "the longer last piece; unknown code points emit their surface form") {
+    val m = new graft.functions.Unigram.Model(
+      Array("▁", "a", "b", "ab", "▁ab"),
+      Array(-2.0, -3.0, -3.0, -4.0, -1.5))
+    // ▁ab (-1.5) beats ▁+ab (-6) and ▁+a+b (-8)
+    assert(m.encodeWord("ab").toSeq === Seq("▁ab"))
+    // unknown q: best completion is ▁ab then q at the UNK penalty
+    assert(m.encodeWord("abq").toSeq === Seq("▁ab", "q"))
+    // exact tie: pieces x(-1) y(-1) xy(-2) and ▁(-1): '▁xy' can end in
+    // 'y' (total -3: ▁,x,y) or 'xy' (total -3: ▁,xy) — the longer last
+    // piece must win
+    val tie = new graft.functions.Unigram.Model(
+      Array("▁", "x", "y", "xy"), Array(-1.0, -1.0, -1.0, -2.0))
+    assert(tie.encodeWord("xy").toSeq === Seq("▁", "xy"))
+    // surrogate pairs stay whole through the lattice
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(m.encodeWord(s"a$emoji").toSeq.mkString === s"▁a$emoji")
+  }
+
+  test("unigram_encode expression matches the model driver-side, through " +
+    "codegen; nulls poison; decode inverts") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val corpus = (Seq.fill(8)("aba") ++ Seq.fill(5)("cd")).mkString(" ")
+    val pieces = Tokenizer.unigramTrain(Seq(corpus).toDF("text"), "text",
+      vocabSize = 8, seedSize = 40)
+    val model = new graft.functions.Unigram.Model(
+      pieces.map(_.piece).toArray, pieces.map(_.log_prob).toArray)
+    val docs = Seq((1L, "Aba CD aba"), (2L, "  cd  unseen☃ "), (3L, null))
+      .toDF("id", "text")
+    val got = docs.select(col("id"),
+        Tokenizer.unigramEncode(col("text"), pieces).as("toks"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    def ref(s: String): Seq[String] =
+      s.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+        .filter(_.nonEmpty).flatMap(model.encodeWord(_).toSeq)
+    assert(got(1L) === Some(ref("Aba CD aba")))
+    assert(got(2L) === Some(ref("  cd  unseen☃ ")))
+    assert(got(3L) === None)
+    // decode: ▁ markers back to spaces == normalized pre-token stream,
+    // including the out-of-vocabulary characters
+    val rt = docs.filter(col("text").isNotNull).select(col("id"),
+        (Tokenizer.unigramDecode(
+          Tokenizer.unigramEncode(col("text"), pieces)) ===
+          concat_ws(" ", Tokenizer.preTokens(col("text")))).as("ok"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(rt === Map(1L -> true, 2L -> true))
+  }
+
+  test("unigram trainer is deterministic and prunes to the requested size " +
+    "(singles never dropped)") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val texts = (1 to 40).map(i => s"pad${i % 7} word${i % 5} tail${i % 3}")
+    val df = texts.toDF("text")
+    val a = Tokenizer.unigramTrain(df, "text", vocabSize = 30, seedSize = 500)
+    val b = Tokenizer.unigramTrain(df, "text", vocabSize = 30, seedSize = 500)
+    assert(a === b, "same corpus must train the identical table")
+    val singles = a.map(_.piece).filter(p => p.codePointCount(0, p.length) == 1)
+    val distinctChars = texts.mkString.replace(" ", "").distinct.length + 1 // + ▁
+    assert(singles.size === distinctChars,
+      "every corpus code point (plus ▁) must survive pruning")
+    assert(a.size >= 30 && a.size <= math.max(30, distinctChars + 30),
+      s"prune must land near the cap, got ${a.size}")
+  }
 }
