@@ -2884,6 +2884,75 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_unigram_vocab",
+      // piece → id vocabulary export, unigram edition (the SentencePiece
+      // convention: <unk> = 0, then table order = UTF-8 piece order). A
+      // driver-side transform of the bounded trained table — the oracle
+      // is the independent trainer replica with the same id assignment.
+      Some("""SELECT piece, id
+              FROM parquet_scan('{FIX}/_fixture_unigramvocab/*.parquet')
+              ORDER BY id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val pieces = Tokenizer.unigramTrain(docs, "text", vocabSize = 200)
+        Tokenizer.unigramVocabulary(s, pieces).orderBy("id")
+      }),
+
+    QueryDef("q_unigram_encode_ids",
+      // the id-array handoff, unigram edition: Viterbi straight to
+      // vocabulary ids (array<int> per doc), codegen-fused in the scan.
+      // n_unk counts id-0 emissions — nonzero exactly where the corpus
+      // carries code points the piece table never saw; the head sample
+      // pins actual id assignment.
+      Some("""SELECT doc_id, n_ids, n_unk, head
+              FROM parquet_scan('{FIX}/_fixture_unigramids/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val pieces = Tokenizer.unigramTrain(docs, "text", vocabSize = 200)
+        val ids = Tokenizer.unigramEncodeIds(col("text"), pieces)
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(ids).as("n_ids"),
+            size(filter(ids, i => i === 0)).as("n_unk"),
+            concat_ws("|", slice(ids, 1, 12)).as("head"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_tokenizer_fertility",
+      // the two learned-tokenizer families side by side on the SAME
+      // corpus — the like-for-like fertility comparison (tokens/word,
+      // tokens/100 chars) a tokenizer-selection analysis runs. Exact
+      // long sums per family (map-side partial), each family divides
+      // ONCE at the end; the union is two one-row aggregates.
+      Some("""SELECT family, tokens_per_word, tokens_per_100chars
+              FROM parquet_scan('{FIX}/_fixture_tokfertility/*.parquet')
+              ORDER BY family"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val merges = Tokenizer.bpeTrain(docs, "text", 60)
+        val pieces = Tokenizer.unigramTrain(docs, "text", vocabSize = 200)
+        def fert(name: String, toks: Column) =
+          docs.filter(col("text").isNotNull)
+            .select(size(toks).cast("long").as("nt"),
+              size(Tokenizer.preTokens(col("text"))).cast("long").as("nw"),
+              length(col("text")).cast("long").as("nc"))
+            .agg(sum(col("nt")).as("snt"), sum(col("nw")).as("snw"),
+              sum(col("nc")).as("snc"))
+            .select(lit(name).as("family"),
+              (col("snt").cast("double") / col("snw").cast("double"))
+                .as("tokens_per_word"),
+              (col("snt").cast("double") * lit(100.0) / col("snc").cast("double"))
+                .as("tokens_per_100chars"))
+        fert("bpe", Tokenizer.encode(col("text"), merges))
+          .unionByName(fert("unigram",
+            Tokenizer.unigramEncode(col("text"), pieces)))
+          .orderBy("family")
+      }),
+
     QueryDef("q_bpe_vocab",
       // token → id vocabulary export (the artifact a training stack loads
       // next to the merges): corpus alphabet in UTF-8 binary order, then

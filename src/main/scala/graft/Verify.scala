@@ -630,6 +630,47 @@ object Verify {
       rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_unigramencode")
     }
+    fixture("_fixture_unigramvocab") {
+      // piece → id replica: <unk> 0, then the independent trainer's table
+      // order (already canonical UTF-8) at i+1
+      val rows = ("<unk>", 0) +:
+        uniTableRef.zipWithIndex.map { case ((p, _), i) => (p, i + 1) }
+      rows.toDF("piece", "id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_unigramvocab")
+    }
+    fixture("_fixture_unigramids") {
+      // id-array handoff replica: the independent Viterbi's pieces mapped
+      // through the same id assignment; OOV surface forms → 0
+      val table = uniTableRef.toMap
+      val idOf = uniTableRef.zipWithIndex
+        .map { case ((p, _), i) => (p, i + 1) }.toMap
+      val enc = uniEncodeWordRef(table) _
+      val rows = bpeDocs.map { case (id, text) =>
+        val ids = bpeWords(text).flatMap(enc).map(idOf.getOrElse(_, 0))
+        (id, ids.length, ids.count(_ == 0), ids.take(12).mkString("|"))
+      }
+      rows.toDF("doc_id", "n_ids", "n_unk", "head").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_unigramids")
+    }
+    fixture("_fixture_tokfertility") {
+      // both tokenizer families' corpus fertility from the independent
+      // replicas: exact long sums, one divide per family at the end
+      val uniTable = uniTableRef.toMap
+      val uniEnc = uniEncodeWordRef(uniTable) _
+      var bNt = 0L; var uNt = 0L; var nw = 0L; var nc = 0L
+      bpeDocs.foreach { case (_, text) =>
+        val ws = bpeWords(text)
+        bNt += ws.iterator.map(bpeEncodeWordRef(_).length).sum
+        uNt += ws.iterator.map(uniEnc(_).length).sum
+        nw += ws.length
+        nc += text.codePointCount(0, text.length)
+      }
+      Seq(
+        ("bpe", bNt.toDouble / nw.toDouble, bNt.toDouble * 100.0 / nc.toDouble),
+        ("unigram", uNt.toDouble / nw.toDouble, uNt.toDouble * 100.0 / nc.toDouble))
+        .toDF("family", "tokens_per_word", "tokens_per_100chars").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_tokfertility")
+    }
     fixture("_fixture_bpefertility") {
       // per-language corpus fertility under the learned merges: exact
       // integer sums divide once at the end (raw IEEE quotient of

@@ -52,6 +52,8 @@ object Functions {
     // aligned constant arrays, evaluated at build time
     "unigram_encode"  -> (es => UnigramEncode(es(0), constStrings(es(1)),
       constDoubles(es(2)))),
+    "unigram_encode_ids" -> (es => UnigramEncodeIds(es(0), constStrings(es(1)),
+      constDoubles(es(2)))),
     "nfc_normalize"   -> (es => NfcNormalize(es.head)),
     "strict_exp"      -> (es => StrictExp(es.head)),
     "java_lower"      -> (es => JavaLower(es.head)),

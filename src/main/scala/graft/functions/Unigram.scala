@@ -166,6 +166,47 @@ object Unigram {
       }
       new GenericArrayData(out.toArray)
     }
+
+    /** Piece → id under the SentencePiece id convention this engine
+      * exports ([[graft.operators.Tokenizer.unigramVocabulary]]): id 0 is
+      * `<unk>`, piece at table position i is id i+1 (the table is already
+      * in canonical UTF-8 order). First occurrence wins on a duplicate
+      * piece, mirroring the probability map.
+      */
+    @transient private lazy val idOf: java.util.HashMap[String, java.lang.Integer] = {
+      val m = new java.util.HashMap[String, java.lang.Integer](pieces.length * 2)
+      var i = 0
+      while (i < pieces.length) {
+        m.putIfAbsent(pieces(i), java.lang.Integer.valueOf(i + 1))
+        i += 1
+      }
+      m
+    }
+
+    /** Ids of a whole text: the same Viterbi segmentation as
+      * [[encodeText]], each piece mapped through [[idOf]]; an
+      * out-of-vocabulary surface form (the unknown-code-point emission)
+      * maps to the `<unk>` id 0 — HERE the id stream is lossy where the
+      * surface stream was not, exactly like BPE's -1 sentinel.
+      */
+    def encodeTextIds(text: String): GenericArrayData = {
+      val words = Bpe.preTokenize(text)
+      val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty) {
+          val toks = encodeWord(words(i))
+          var j = 0
+          while (j < toks.length) {
+            val id = idOf.get(toks(j))
+            out += (if (id == null) 0 else id.intValue())
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
   }
 }
 
@@ -200,5 +241,39 @@ case class UnigramEncode(child: Expression, pieces: Seq[String],
   }
 
   override protected def withNewChildInternal(c: Expression): UnigramEncode =
+    copy(child = c)
+}
+
+/** `unigram_encode_ids(text, pieces, log_probs)` — unigram-LM id arrays
+  * (`array<int>` per document, the training-stack handoff format): the
+  * same Viterbi segmentation as [[UnigramEncode]] with each piece mapped
+  * to its vocabulary id (`<unk>` = 0, table position i = i+1 — the
+  * assignment `Tokenizer.unigramVocabulary` exports). Codegen'd like the
+  * piece form; the id map rides inside the model reference object.
+  */
+case class UnigramEncodeIds(child: Expression, pieces: Seq[String],
+                            logProbs: Seq[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode_ids requires text input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "unigram_encode_ids"
+
+  @transient private lazy val model =
+    new Unigram.Model(pieces.toArray, logProbs.toArray)
+
+  override def nullSafeEval(v: Any): Any = model.encodeTextIds(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("unigramModel", model, classOf[Unigram.Model].getName)
+    defineCodeGen(ctx, ev, c => s"$m.encodeTextIds($c.toString())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnigramEncodeIds =
     copy(child = c)
 }

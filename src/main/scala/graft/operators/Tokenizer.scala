@@ -485,6 +485,83 @@ object Tokenizer {
     trim(translate(concat_ws("", tokens),
       graft.functions.Unigram.Boundary, " "))
 
+  /** Piece → id vocabulary of a trained unigram tokenizer — the export a
+    * training stack loads next to the piece table. Id assignment follows
+    * the SentencePiece convention: `<unk>` is id 0, then one id per piece
+    * in table order (which [[unigramTrain]] emits in canonical UTF-8
+    * binary order, so the assignment is engine-reproducible). Purely a
+    * driver-side transform of the bounded piece table — no corpus pass.
+    */
+  def unigramVocabulary(spark: org.apache.spark.sql.SparkSession,
+                        pieces: Seq[Piece]): DataFrame = {
+    import spark.implicits._
+    (("<unk>", 0) +: pieces.zipWithIndex.map { case (p, i) => (p.piece, i + 1) })
+      .toDF("piece", "id")
+  }
+
+  /** Ids column under a trained piece table (`array<int>` per document —
+    * what a training stack's data loader reads): codegen-fused Viterbi +
+    * id map ([[graft.functions.UnigramEncodeIds]]). Out-of-vocabulary
+    * code points emit the `<unk>` id 0 — the id stream is lossy exactly
+    * where the surface-piece stream ([[unigramEncode]]) is not.
+    */
+  def unigramEncodeIds(text: Column, pieces: Seq[Piece]): Column =
+    call_function("unigram_encode_ids", text,
+      lit(pieces.map(_.piece).toArray), lit(pieces.map(_.log_prob).toArray))
+
+  /** Inverse of [[unigramEncodeIds]]: id arrays back to text through the
+    * piece table. Id 0 (and any id outside the table) renders as `<unk>`
+    * — lossy exactly where encoding was; all in-vocabulary ids restore
+    * their surface pieces, so `unigramDecodeIds(unigramEncodeIds(t))`
+    * equals the normalized text wherever no OOV code point occurred.
+    */
+  def unigramDecodeIds(ids: Column, pieces: Seq[Piece]): Column = {
+    val plit = typedLit(pieces.map(_.piece))
+    unigramDecode(transform(ids, i =>
+      when(i >= 1 && i <= pieces.size, element_at(plit, i))
+        .otherwise(lit("<unk>"))))
+  }
+
+  /** Persist a trained piece table (UTF-8 piece order — the canonical
+    * table order ids are assigned in).
+    */
+  def savePieces(spark: org.apache.spark.sql.SparkSession, pieces: Seq[Piece],
+                 dir: String): Unit =
+    piecesDf(spark, pieces).coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted piece table, canonical order restored. Parquet
+    * round-trips the log-prob doubles bit-exactly, so a loaded table
+    * segments identically to the trained one.
+    */
+  def loadPieces(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Piece] =
+    spark.read.parquet(dir)
+      .select("piece", "log_prob")
+      .collect()
+      .map(r => Piece(r.getString(0), r.getDouble(1)))
+      .sortWith((a, b) => utf8Less(a.piece, b.piece)).toSeq
+
+  /** The full unigram tokenizer artifact — pieces + vocab under one
+    * directory, mirror of the BPE [[saveTokenizer]] bundle: `dir/pieces`
+    * (canonical order) and `dir/vocab` (piece, id; `<unk>` = 0). Train
+    * once, every later job loads.
+    */
+  def saveUnigramTokenizer(docs: DataFrame, textCol: String, vocabSize: Int,
+                           dir: String): Seq[Piece] = {
+    val spark = docs.sparkSession
+    val pieces = unigramTrain(docs, textCol, vocabSize)
+    savePieces(spark, pieces, s"$dir/pieces")
+    unigramVocabulary(spark, pieces)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    pieces
+  }
+
+  /** Load a [[saveUnigramTokenizer]] artifact (the vocab is derivable
+    * from the pieces, so the piece table alone restores the tokenizer).
+    */
+  def loadUnigramTokenizer(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Seq[Piece] =
+    loadPieces(spark, s"$dir/pieces")
+
   /** Persist a trained merge table (rank-ordered parquet — the tokenizer
     * artifact a pipeline trains once and every later job loads).
     */

@@ -484,4 +484,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("unigram_encode"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
   }
+
+  test("unigram id encode is scan-fused like the piece form; the fertility " +
+    "comparison is two partial-aggregated one-row folds, no window") {
+    val p = plan("q_unigram_encode_ids")
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("unigram_encode_ids"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
+    val f = plan("q_tokenizer_fertility")
+    // per-family global aggregate: partial + final HashAggregate pairs,
+    // never a rank window or a join between the families
+    assert(f.contains("HashAggregate"), f)
+    assert(!f.contains("Window") && !f.contains("SortMergeJoin"), f)
+    assert(!f.contains("CodegenFallback"), f)
+  }
 }

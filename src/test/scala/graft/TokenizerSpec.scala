@@ -349,6 +349,62 @@ class TokenizerSpec extends SparkSpec {
     assert(rt === Map(1L -> true, 2L -> true))
   }
 
+  test("unigram ids: <unk>=0 then table order; OOV code points emit 0; " +
+    "decodeIds restores text except at <unk>; vocab export matches the " +
+    "expression's assignment") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val corpus = (Seq.fill(8)("aba") ++ Seq.fill(5)("cd")).mkString(" ")
+    val pieces = Tokenizer.unigramTrain(Seq(corpus).toDF("text"), "text",
+      vocabSize = 8, seedSize = 40)
+    val vocab = Tokenizer.unigramVocabulary(spark, pieces)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(vocab.head === ("<unk>", 0))
+    assert(vocab.drop(1).map(_._1).toSeq === pieces.map(_.piece),
+      "ids 1..n must follow table order")
+    val docs = Seq((1L, "aba cd"), (2L, "ab☃a")).toDF("id", "text")
+    val got = docs.select(col("id"),
+        Tokenizer.unigramEncodeIds(col("text"), pieces).as("ids"),
+        Tokenizer.unigramEncode(col("text"), pieces).as("toks"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getSeq[String](2))).toMap
+    val idOf = vocab.toMap
+    // id stream == piece stream mapped through the vocab, OOV → 0
+    got.values.foreach { case (ids, toks) =>
+      assert(ids === toks.map(t => idOf.getOrElse(t, 0)))
+    }
+    assert(got(2L)._1.contains(0), "the ☃ code point must emit <unk>=0")
+    // decodeIds inverts exactly where no <unk> was emitted
+    val dec = docs.select(col("id"),
+        Tokenizer.unigramDecodeIds(
+          Tokenizer.unigramEncodeIds(col("text"), pieces), pieces).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec(1L) === "aba cd")
+    assert(dec(2L).contains("<unk>"))
+  }
+
+  test("unigram save/load bundle: a loaded piece table segments and " +
+    "id-encodes identically to the trained one") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val docs = (1 to 30).map(i => s"tok${i % 5} word${i % 3}").toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-unitok").toString
+    val trained = Tokenizer.saveUnigramTokenizer(docs, "text", 40, dir)
+    val loaded = Tokenizer.loadUnigramTokenizer(spark, dir)
+    assert(loaded === trained, "parquet must round-trip the table bit-exactly")
+    val probe = Seq("tok1 word2 tok4").toDF("text")
+    val a = probe.select(Tokenizer.unigramEncodeIds(col("text"), trained))
+      .as[Seq[Int]].head()
+    val b = probe.select(Tokenizer.unigramEncodeIds(col("text"), loaded))
+      .as[Seq[Int]].head()
+    assert(a === b && a.nonEmpty)
+    // the saved vocab parquet agrees with the in-memory derivation
+    val v = spark.read.parquet(s"$dir/vocab").orderBy("id")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(v === ("<unk>", 0) +:
+      trained.zipWithIndex.map { case (p, i) => (p.piece, i + 1) })
+  }
+
   test("unigram trainer is deterministic and prunes to the requested size " +
     "(singles never dropped)") {
     import spark.implicits._
