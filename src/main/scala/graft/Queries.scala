@@ -1515,6 +1515,54 @@ object Queries {
           "source", "sk", col("n_chars"), 2000)
         .select("doc_id", "source", "pack_id").orderBy("doc_id")),
 
+    QueryDef("q_shuffle_ordinal",
+      // seeded GLOBAL corpus shuffle with each row's 0-based position —
+      // the training-order checkpoint coordinate (where q_pack_shuffled
+      // orders within a source, this is the whole-corpus permutation).
+      // Two-level prefix sum: order-aligned md5-prefix buckets, ONE hash
+      // shuffle on 256 uniform keys + a bounded 256-row offset header —
+      // no single-partition window, no RangePartitioner sampling
+      // (Pipeline.shuffledOrdinal)
+      Some("""SELECT doc_id,
+                     row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                        doc_id) - 1 AS pos
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => Pipeline.shuffledOrdinal(t(s, d, "documents"), col("doc_id"), 42)
+        .select("doc_id", "pos").orderBy("doc_id")),
+
+    QueryDef("q_shard_budget",
+      // token-budget shard assignment over the seeded-shuffled order —
+      // the GLOBAL form of q_pack_sequences: shard i covers the docs
+      // whose cumulative size starts in [i·5000, (i+1)·5000). Same
+      // two-level prefix sum as q_shuffle_ordinal with per-bucket token
+      // sums as the bounded header (Pipeline.assignShardsByBudget)
+      Some("""SELECT doc_id, n_chars,
+                     CAST(floor((sum(n_chars) OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                                                    ROWS UNBOUNDED PRECEDING) - n_chars)
+                                / 5000.0) AS BIGINT) AS shard
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => Pipeline.assignShardsByBudget(t(s, d, "documents"),
+          col("doc_id"), 42, col("n_chars"), 5000)
+        .select("doc_id", "n_chars", "shard").orderBy("doc_id")),
+
+    QueryDef("q_shard_manifest",
+      // shard-level manifest (shard → docs + tokens): the sidecar a data
+      // loader reads next to the shard files. One shard-keyed aggregation
+      // over the assignment — manifest rows, not corpus rows, come back
+      // (Pipeline.shardManifest)
+      Some("""WITH a AS (SELECT doc_id, n_chars,
+                     CAST(floor((sum(n_chars) OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                                                    ROWS UNBOUNDED PRECEDING) - n_chars)
+                                / 5000.0) AS BIGINT) AS shard
+              FROM documents)
+              SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+              FROM a GROUP BY shard ORDER BY shard"""),
+      (s, d) => Pipeline.shardManifest(
+          Pipeline.assignShardsByBudget(t(s, d, "documents"),
+            col("doc_id"), 42, col("n_chars"), 5000),
+          col("n_chars"))
+        .orderBy("shard")),
+
     QueryDef("q_pack_emit",
       // pack EMISSION: concatenate each pack's docs in doc order into one
       // training record (the step after q_pack_sequences assigns ids).

@@ -298,6 +298,117 @@ object Pipeline {
       floor((sum(sizeCol).over(w) - sizeCol) / lit(budget.toDouble)).cast("long"))
   }
 
+  // ── seeded corpus shuffle + global prefix-sum sharding ─────────────
+
+  /** Seeded shuffle variate: md5 over `"<seed>:" + key` — a fresh
+    * deterministic permutation per seed, engine-portable like every gate
+    * in this file (DuckDB's `md5('<seed>:' || CAST(key AS VARCHAR))` is
+    * bit-identical). Ordering by (variate, key) is a uniform pseudorandom
+    * TOTAL order — the "shuffle the corpus once before sharding" step
+    * every training pipeline runs between curation and the data loader.
+    */
+  def shuffleVariate(key: Column, seed: Long): Column =
+    md5(concat(lit(s"$seed:"), key.cast("string")))
+
+  /** Order-aligned bucket of a shuffle variate: the first 4 hex digits
+    * as an integer (0..65535), floor-scaled to `buckets`. The scaling is
+    * monotone, so bucket order IS variate-prefix order and a per-bucket
+    * pass composes into a global one — the partitioning trick under
+    * [[shuffledOrdinal]] / [[assignShardsByBudget]]. Uniform by md5, so
+    * buckets balance at any corpus size (no range-sampling step, whose
+    * sampled boundaries would be job-order-dependent).
+    */
+  private def variateBucket(v: Column, buckets: Int): Column =
+    // prefix16·buckets ≤ 65535·65536 < 2^53: the double product is exact,
+    // so floor-scaling is the exact integer division (Column `/` is
+    // always double division in Spark — `div` would widen the plan)
+    floor(conv(substring(v, 1, 4), 16, 10).cast("long") * buckets / 65536.0)
+      .cast("int")
+
+  /** Per-bucket leading offsets of `agg` (count or token sum): ONE
+    * bucket-keyed aggregation (map-side partial, ≤ `buckets` rows back to
+    * the driver — the bounded-header pattern), cumulated in bucket order.
+    * Returns a dense offsets array literal indexed by bucket id.
+    */
+  private def bucketOffsets(df: DataFrame, bucket: Column, agg: Column,
+                            buckets: Int): Seq[Long] = {
+    val totals = df.groupBy(bucket.as("_b")).agg(agg.as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val out = new Array[Long](buckets)
+    var acc = 0L
+    var b = 0
+    while (b < buckets) { out(b) = acc; acc += totals.getOrElse(b, 0L); b += 1 }
+    out.toSeq
+  }
+
+  /** Deterministic seeded shuffle with each row's global 0-based position
+    * — the distributed ordinal a data loader checkpoints against.
+    * Implementation is the two-level prefix sum: bucket by the variate's
+    * order-aligned prefix ([[variateBucket]]), count per bucket (bounded
+    * driver header), rank within buckets (ONE hash shuffle on `buckets`
+    * uniform keys), add the bucket's leading offset. No corpus-wide
+    * single-partition window, no RangePartitioner sampling — the
+    * position is a pure function of row content, so re-runs and
+    * backfills agree. Output: input columns + `pos` (long).
+    */
+  def shuffledOrdinal(docs: DataFrame, key: Column, seed: Long,
+                      buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in 1..65536, got $buckets")
+    val withV = docs.withColumn("_v", shuffleVariate(key, seed))
+      .withColumn("_b", variateBucket(col("_v"), buckets))
+    val offsets = bucketOffsets(withV, col("_b"), count(lit(1)), buckets)
+    val w = Window.partitionBy("_b").orderBy(col("_v"), key)
+    withV.withColumn("pos",
+        element_at(typedLit(offsets), col("_b") + 1) +
+          row_number().over(w) - 1)
+      .drop("_v", "_b")
+  }
+
+  /** Token-budget shard assignment over the seeded-shuffled order — the
+    * GLOBAL form of [[packSequences]] (which packs within a partition
+    * column): shard i covers the docs whose cumulative token count
+    * starts in [i·budget, (i+1)·budget). Same two-level prefix sum as
+    * [[shuffledOrdinal]] with token sums instead of counts: per-bucket
+    * sums return as a bounded header, the in-bucket cumsum is one
+    * window over the bucket hash shuffle, and a doc's shard is
+    * `floor((global_cumsum − tokens) / budget)` — the shard its START
+    * falls into, so shards hold whole documents and overflow by at most
+    * one doc (standard cumulative-boundary sharding). Deterministic:
+    * shard ids are a pure function of corpus content and seed. Output:
+    * input columns + `shard` (long).
+    */
+  def assignShardsByBudget(docs: DataFrame, key: Column, seed: Long,
+                           tokens: Column, budget: Long,
+                           buckets: Int = 256): DataFrame = {
+    require(budget > 0, s"shard budget must be positive, got $budget")
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in 1..65536, got $buckets")
+    val withV = docs.withColumn("_v", shuffleVariate(key, seed))
+      .withColumn("_b", variateBucket(col("_v"), buckets))
+      .withColumn("_n", tokens.cast("long"))
+    val offsets = bucketOffsets(withV, col("_b"),
+      coalesce(sum(col("_n")), lit(0L)), buckets)
+    val w = Window.partitionBy("_b").orderBy(col("_v"), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withV.withColumn("shard",
+        floor((element_at(typedLit(offsets), col("_b") + 1) +
+          sum(col("_n")).over(w) - col("_n")).cast("double") /
+          lit(budget.toDouble)).cast("long"))
+      .drop("_v", "_b", "_n")
+  }
+
+  /** Shard-level manifest of an [[assignShardsByBudget]] assignment —
+    * the sidecar a training stack's loader reads (shard → doc count +
+    * token count). One bucket-bounded aggregation over the assignment;
+    * at 100 TB the manifest is shard-count rows, written once next to
+    * the shard files.
+    */
+  def shardManifest(assigned: DataFrame, tokens: Column): DataFrame =
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("n_tokens"))
+
   /** DSIR importance weight (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): documents are bags of hashed
     * word-bigram features over `buckets` md5 buckets; the target corpus

@@ -492,4 +492,67 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
     assert(tied.map(_._1).toSeq === Seq(3L, 5L))
   }
+
+  test("shuffledOrdinal: positions are the dense 0..n-1 ordinal of the " +
+    "seeded md5 order, independent of bucket count and partitioning") {
+    val df = (1L to 500L).map(i => (i, s"t$i")).toDF("id", "payload")
+    def posMap(buckets: Int, parts: Int) =
+      Pipeline.shuffledOrdinal(df.repartition(parts), col("id"), 42, buckets)
+        .select("id", "pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = posMap(256, 8)
+    // dense permutation of 0..499
+    assert(got.values.toSeq.sorted === (0L until 500L))
+    // matches the single-partition reference order
+    val ref = (1L to 500L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .zipWithIndex.map { case (i, p) => i -> p.toLong }.toMap
+    assert(got === ref)
+    // bucket count and input partitioning do not change the answer
+    assert(posMap(7, 3) === ref)
+    assert(posMap(65536, 1) === ref)
+    // a different seed is a different permutation
+    val other = Pipeline.shuffledOrdinal(df, col("id"), 43)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other !== ref)
+  }
+
+  test("assignShardsByBudget: shards cover the shuffled order in budget " +
+    "chunks; manifest totals reconcile exactly with the corpus") {
+    val df = (1L to 300L).map(i => (i, 10L + (i % 7))).toDF("id", "n")
+    val assigned = Pipeline.assignShardsByBudget(df, col("id"), 7, col("n"), 100)
+    val rows = assigned.select("id", "n", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: cumulative next-fit over the seeded order
+    val order = (1L to 300L).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString, i))
+    var cum = 0L
+    val ref = order.map { i =>
+      val n = 10L + (i % 7)
+      val s = cum / 100
+      cum += n
+      i -> s
+    }.toMap
+    assert(rows.map(r => r._1 -> r._3).toMap === ref)
+    // shard ids are dense from 0 and weakly increasing along the order
+    val shardsInOrder = order.map(ref)
+    assert(shardsInOrder.head === 0L)
+    assert(shardsInOrder.sliding(2).forall(p => p(1) - p(0) >= 0 && p(1) - p(0) <= 1))
+    // manifest reconciles: Σ n_docs == corpus rows, Σ n_tokens == Σ n
+    val m = Pipeline.shardManifest(assigned, col("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.map(_._2).sum === 300L)
+    assert(m.map(_._3).sum === rows.map(_._2).sum)
+    // every shard but possibly the last holds >= the budget's floor of docs
+    // only in aggregate: each full shard's tokens reach the budget once its
+    // straddling doc lands (overflow by at most one doc => tokens < budget + max n)
+    val lastShard = m.map(_._1).max
+    m.filter(_._1 != lastShard).foreach { case (_, _, toks) =>
+      assert(toks >= 100 - 16 && toks <= 100 + 16,
+        s"full shard tokens $toks should sit within one doc of the budget")
+    }
+  }
 }

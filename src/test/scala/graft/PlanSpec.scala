@@ -485,6 +485,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
   }
 
+  test("global shuffle ordinal and budget sharding ride the bucketed " +
+    "prefix sum: the window partitions on the md5-prefix bucket, never " +
+    "a whole-corpus single-partition window, and no join appears") {
+    Seq("q_shuffle_ordinal", "q_shard_budget", "q_shard_manifest").foreach { q =>
+      val p = plan(q)
+      // every Window/sort runs under the _b bucket partitioning; the
+      // offsets ride as an array literal, not a join
+      assert(p.contains("_b"), s"$q: bucket column missing from plan\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CodegenFallback"), s"$q:\n$p")
+    }
+  }
+
   test("unigram id encode is scan-fused like the piece form; the fertility " +
     "comparison is two partial-aggregated one-row folds, no window") {
     val p = plan("q_unigram_encode_ids")
