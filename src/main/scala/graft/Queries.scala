@@ -1563,6 +1563,32 @@ object Queries {
           col("n_chars"))
         .orderBy("shard")),
 
+    QueryDef("q_shard_append",
+      // the persistent-corpus steady-state path: save a sharded corpus
+      // (partitioned data + manifest + meta), APPEND a second batch —
+      // which continues the cumulative token line, topping up the last
+      // partial shard before opening new ones, with zero rewrite of
+      // existing partitions — and read the directory back. The oracle is
+      // an independent plain-Scala replica of the two-batch cumulative
+      // sharding (Pipeline.saveShardedCorpus / appendShardedCorpus)
+      Some("""SELECT doc_id, n_chars, shard
+              FROM parquet_scan('{FIX}/_fixture_shardappend/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = tmpDir("graft-shards")
+        Pipeline.saveShardedCorpus(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), 42, col("n_chars"), 5000, dir.toString)
+        Pipeline.appendShardedCorpus(s, dir.toString,
+          docs.filter(col("doc_id") % 2 =!= 0), col("doc_id"), col("n_chars"))
+        s.read.parquet(s"$dir/data")
+          // the shard partition directory reads back via partition-value
+          // inference (int for small ids) — pin the contract types
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("shard").cast("long").as("shard"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_pack_emit",
       // pack EMISSION: concatenate each pack's docs in doc order into one
       // training record (the step after q_pack_sequences assigns ids).

@@ -652,6 +652,35 @@ object Verify {
       rows.toDF("doc_id", "n_ids", "n_unk", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_unigramids")
     }
+    fixture("_fixture_shardappend") {
+      // two-batch persistent-shard replica: batch 1 (even doc ids) shards
+      // from token 0; batch 2 (odd ids) CONTINUES the cumulative token
+      // line where batch 1 stopped — plain-Scala md5 ordering and the
+      // same double-division floor as the engine
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val nchars = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect().map(r => (r.getLong(0), r.get(1) match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+        })).sortBy(_._1)
+      def assign(batch: Seq[(Long, Long)], start: Long): (Seq[(Long, Long, Long)], Long) = {
+        val order = batch.sortBy { case (id, _) => (md5hex(s"42:$id"), id) }
+        var cum = start
+        val out = order.map { case (id, n) =>
+          val s = StrictMath.floor(cum.toDouble / 5000.0).toLong
+          cum += n
+          (id, n, s)
+        }
+        (out, cum)
+      }
+      val (b1, t1) = assign(nchars.filter(_._1 % 2 == 0).toSeq, 0L)
+      val (b2, _) = assign(nchars.filter(_._1 % 2 != 0).toSeq, t1)
+      (b1 ++ b2).sortBy(_._1).toDF("doc_id", "n_chars", "shard").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_shardappend")
+    }
     fixture("_fixture_tokfertility") {
       // both tokenizer families' corpus fertility from the independent
       // replicas: exact long sums, one divide per family at the end

@@ -380,10 +380,12 @@ object Pipeline {
     */
   def assignShardsByBudget(docs: DataFrame, key: Column, seed: Long,
                            tokens: Column, budget: Long,
-                           buckets: Int = 256): DataFrame = {
+                           buckets: Int = 256,
+                           startTokens: Long = 0L): DataFrame = {
     require(budget > 0, s"shard budget must be positive, got $budget")
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in 1..65536, got $buckets")
+    require(startTokens >= 0, s"startTokens must be >= 0, got $startTokens")
     val withV = docs.withColumn("_v", shuffleVariate(key, seed))
       .withColumn("_b", variateBucket(col("_v"), buckets))
       .withColumn("_n", tokens.cast("long"))
@@ -392,10 +394,81 @@ object Pipeline {
     val w = Window.partitionBy("_b").orderBy(col("_v"), key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withV.withColumn("shard",
-        floor((element_at(typedLit(offsets), col("_b") + 1) +
+        floor((lit(startTokens) + element_at(typedLit(offsets), col("_b") + 1) +
           sum(col("_n")).over(w) - col("_n")).cast("double") /
           lit(budget.toDouble)).cast("long"))
       .drop("_v", "_b", "_n")
+  }
+
+  // ── persistent sharded corpus (save / append / load) ───────────────
+
+  /** Persist a budget-sharded training corpus: `dir/data` parquet
+    * PARTITIONED BY shard (the loader reads one shard = one directory),
+    * `dir/manifest` (shard, n_docs, n_tokens), `dir/meta` (seed, budget,
+    * buckets, cumulative token total — the position on the cumulative
+    * token line where the next append continues). Returns the assignment.
+    */
+  def saveShardedCorpus(docs: DataFrame, key: Column, seed: Long,
+                        tokens: Column, budget: Long, dir: String,
+                        buckets: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val assigned = assignShardsByBudget(docs, key, seed, tokens, budget, buckets)
+    assigned.write.partitionBy("shard").mode("overwrite").parquet(s"$dir/data")
+    val manifest = shardManifest(assigned, tokens)
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    val total = manifest.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head().getLong(0)
+    Seq((seed, budget, buckets, total)).toDF("seed", "budget", "buckets", "total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    assigned
+  }
+
+  /** Incremental append to a [[saveShardedCorpus]] directory — the
+    * steady-state ingest path of a persistent training corpus, exact by
+    * construction: the batch continues the cumulative token line where
+    * the previous write stopped (`startTokens` = the saved total), so
+    * its first docs TOP UP the last partial shard and the rest open new
+    * shards; every existing row's shard assignment is untouched (no
+    * re-shard, no rewrite — appended files land inside the partition
+    * directories). Appending batches b1 then b2 produces the identical
+    * data + manifest as appending them as one batch ONLY up to each
+    * batch's internal seeded order (each batch shuffles within itself,
+    * the stream-order semantics every batch-ingest pipeline has);
+    * what IS exact: determinism given the batch sequence, and the
+    * manifest/meta reconciling to the doc-level truth after every
+    * append ([[shardManifest]] totals == corpus totals). The manifest
+    * merge is driver-side over shard-count rows — the bounded-header
+    * pattern (shards are corpus_tokens/budget, the artifact a loader
+    * reads whole anyway). Returns the batch's assignment.
+    */
+  def appendShardedCorpus(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, newDocs: DataFrame, key: Column,
+                          tokens: Column): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("seed", "budget", "buckets", "total_tokens").head()
+    val (seed, budget, buckets, total) =
+      (meta.getLong(0), meta.getLong(1), meta.getInt(2), meta.getLong(3))
+    val assigned = assignShardsByBudget(newDocs, key, seed, tokens, budget,
+      buckets, startTokens = total)
+    assigned.write.partitionBy("shard").mode("append").parquet(s"$dir/data")
+    val old = spark.read.parquet(s"$dir/manifest")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val add = shardManifest(assigned, tokens)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = (old.keySet ++ add.keySet).toSeq.sorted.map { s =>
+      val (d1, t1) = old.getOrElse(s, (0L, 0L))
+      val (d2, t2) = add.getOrElse(s, (0L, 0L))
+      (s, d1 + d2, t1 + t2)
+    }
+    merged.toDF("shard", "n_docs", "n_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    val newTotal = total + merged.map(_._3).sum - old.values.map(_._2).sum
+    Seq((seed, budget, buckets, newTotal))
+      .toDF("seed", "budget", "buckets", "total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    assigned
   }
 
   /** Shard-level manifest of an [[assignShardsByBudget]] assignment —

@@ -519,6 +519,43 @@ class PipelineSpec extends SparkSpec {
     assert(other !== ref)
   }
 
+  test("sharded corpus save/append: existing rows never re-shard, the " +
+    "append tops up the last partial shard, manifest and meta reconcile " +
+    "after every batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardtest").toString
+    val b1 = (1L to 60L).map(i => (i, 10L + (i % 5))).toDF("id", "n")
+    val b2 = (61L to 100L).map(i => (i, 10L + (i % 5))).toDF("id", "n")
+    Pipeline.saveShardedCorpus(b1, col("id"), 9, col("n"), 100, dir)
+    val before = spark.read.parquet(s"$dir/data")
+      .select(col("id"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t1 = spark.read.parquet(s"$dir/meta").select("total_tokens")
+      .head().getLong(0)
+    assert(t1 === (1L to 60L).map(i => 10L + (i % 5)).sum)
+    Pipeline.appendShardedCorpus(spark, dir, b2, col("id"), col("n"))
+    val after = spark.read.parquet(s"$dir/data")
+      .select(col("id"), col("n"), col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // batch-1 rows keep their assignment bit-for-bit (no rewrite)
+    assert(after.filter(_._1 <= 60).map(r => r._1 -> r._3).toMap === before)
+    // batch 2 continues the token line: its first doc lands in the shard
+    // the cumulative position t1 falls into (topping up the partial one)
+    val minB2Shard = after.filter(_._1 > 60).map(_._3).min
+    assert(minB2Shard === t1 / 100)
+    // manifest reconciles exactly with the doc-level truth
+    val m = spark.read.parquet(s"$dir/manifest")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val truth = after.groupBy(_._3).map { case (s, rs) =>
+      s -> (rs.length.toLong, rs.map(_._2).sum) }
+    assert(m === truth)
+    // meta's token line advanced to the full corpus total
+    val t2 = spark.read.parquet(s"$dir/meta").select("total_tokens")
+      .head().getLong(0)
+    assert(t2 === after.map(_._2).sum)
+    // shard ids are dense 0..max
+    assert(m.keySet === (0L to m.keySet.max).toSet)
+  }
+
   test("assignShardsByBudget: shards cover the shuffled order in budget " +
     "chunks; manifest totals reconcile exactly with the corpus") {
     val df = (1L to 300L).map(i => (i, 10L + (i % 7))).toDF("id", "n")

@@ -813,4 +813,51 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch && streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming shard ingest: foreachBatch appendShardedCorpus per " +
+    "micro-batch — every batch continues the cumulative token line, " +
+    "existing partitions never rewrite, manifest/meta reconcile at the end") {
+    import graft.operators.Pipeline
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "n_chars")
+      .withColumn("n_chars", col("n_chars").cast("long"))
+    val base = docs.filter(col("doc_id") % 4 === 0)
+    val crawl = docs.filter(col("doc_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sshard").toString
+    Pipeline.saveShardedCorpus(base, col("doc_id"), 13, col("n_chars"), 3000, dir)
+    val baseAssign = spark.read.parquet(s"$dir/data")
+      .select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-sshardcrawl").toString
+    crawl.repartition(3).write.mode("overwrite").parquet(crawlDir)
+    val q = spark.readStream.schema(crawl.schema)
+      .option("maxFilesPerTrigger", 1).parquet(crawlDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Pipeline.appendShardedCorpus(spark, dir, batch,
+          col("doc_id"), col("n_chars"))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val after = spark.read.parquet(s"$dir/data")
+      .select(col("doc_id"), col("n_chars"), col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // nothing lost, nothing duplicated, base assignment untouched
+    assert(after.map(_._1).sorted.toSeq ===
+      docs.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(after.filter(r => baseAssign.contains(r._1))
+      .map(r => r._1 -> r._3).toMap === baseAssign)
+    // manifest reconciles with doc-level truth; meta holds the corpus total
+    val m = spark.table(s"parquet.`$dir/manifest`")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val truth = after.groupBy(_._3).map { case (s, rs) =>
+      s -> (rs.length.toLong, rs.map(_._2).sum) }
+    assert(m === truth)
+    assert(spark.read.parquet(s"$dir/meta").select("total_tokens")
+      .head().getLong(0) === after.map(_._2).sum)
+    // shard ids stay dense: the cumulative line never skips a shard
+    assert(m.keySet === (0L to m.keySet.max).toSet)
+  }
 }
