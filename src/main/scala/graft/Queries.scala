@@ -1775,6 +1775,28 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_knn_join",
+      // distributed KNN JOIN: top-k neighbors for EVERY vector of a
+      // corpus-sized query set (batch retrieval / cross-corpus SemDeDup
+      // shape). Same probes/candidates/scoring as q_ann_ivf but the
+      // probe routes stay DISTRIBUTED — a plain (cid, salt) equi-join
+      // against the cid-partitioned lists instead of a broadcast, with
+      // deterministic salt-2 list splitting (results salt-invariant).
+      // Oracle = the independent IVF replica run over every query.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annknnjoin/*.parquet')
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-knnj")
+        Similarity.ivfTrain(s, emb, nlist = 16, iters = 1).save(dir.toString)
+        val idx = Similarity.ivfLoad(s, dir.toString)
+        Similarity.ivfKnnJoin(idx, emb, k = 5, nprobe = 4, salt = 2)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_ivf",
       // IVF probe search over the PERSISTENT index (scale path): train on a
       // sample, save the cid-partitioned lists, probe through the loaded

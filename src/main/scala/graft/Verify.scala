@@ -289,6 +289,28 @@ object Verify {
         ((nid, sim), i) <- ranked.zipWithIndex
       } yield (qid, nid, sim, i + 1)).toIndexedSeq
     }
+    lazy val annKnnJoinRows: IndexedSeq[(Long, Long, Double, Int)] = {
+      // the KNN-JOIN replica: identical probe/candidate/scoring spec to
+      // annIvfRows, run for EVERY query (q_ann_knn_join's parameters:
+      // nlist=16, iters=1, k=5, nprobe=4; the engine's salt only changes
+      // the join strategy, never the result set)
+      import graft.functions.VectorMath
+      val k = 5; val nprobe = 4
+      val cents = annIvfCents
+      val assigned = annVecs.map { case (id, e) => (id, nearestCentRef(e, cents), e) }
+      (for {
+        (qid, _, qe) <- assigned
+        probed = cents
+          .map { case (cid, c) => (cid, VectorMath.cosineF(qe, c)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
+        ranked = assigned.iterator
+          .filter { case (nid, ncid, _) => nid != qid && probed(ncid) }
+          .map { case (nid, _, ne) => (nid, round6(VectorMath.cosineF(ne, qe))) }
+          .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
+          .take(k)
+        ((nid, sim), i) <- ranked.zipWithIndex
+      } yield (qid, nid, sim, i + 1)).toIndexedSeq
+    }
     lazy val annPqRows: IndexedSeq[(Long, Long, Double, Int)] =
       annRerankRef(annVecs, annPqRecon, queryMax = 8, k = 10, rerank = 4)
     lazy val annIvfPqRows: IndexedSeq[(Long, Long, Double, Int)] = {
@@ -865,6 +887,10 @@ object Verify {
     fixture("_fixture_annivf") {
       annIvfRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annivf")
+    }
+    fixture("_fixture_annknnjoin") {
+      annKnnJoinRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annknnjoin")
     }
     fixture("_fixture_annpq") {
       // Plain-Scala re-run of the PQ + exact-rerank pipeline with

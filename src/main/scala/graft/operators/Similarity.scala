@@ -429,6 +429,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Distributed KNN JOIN: top-k neighbors for EVERY query of a
+    * corpus-sized query set — the shape [[ivfSearch]] cannot take
+    * (it broadcasts the probe routes, which caps the query side at
+    * broadcast size). Used for batch retrieval over millions of queries
+    * and cross-corpus SemDeDup. Identical results to [[ivfSearch]] on
+    * the same queries (same probes, same candidates, same scoring —
+    * spec-pinned); only the join strategy changes: probe routes and
+    * inverted lists join as a plain cid equi-join, both sides staying
+    * distributed, and the per-query cut is the bounded top-k aggregate.
+    *
+    * `salt > 1` splits each inverted list into `salt` deterministic
+    * sub-lists (`vec_id mod salt`) and replicates each route across
+    * them — caps any single join key at list_size/salt rows when a few
+    * centroids own most of the corpus (the skew knob next to AQE's
+    * runtime skew-join split; results are salt-invariant, spec-pinned).
+    * At 100 TB: queries shuffle once on cid (×nprobe×salt fan-out),
+    * lists shuffle once — or zero times when the index is already
+    * cid-partitioned on read.
+    */
+  def ivfKnnJoin(index: IvfIndex, queries: DataFrame, k: Int,
+                 nprobe: Int = 4, salt: Int = 1): DataFrame = {
+    require(salt >= 1 && salt <= 4096, s"salt must be in 1..4096, got $salt")
+    val (probed, cids) = probeRoutes(index.centroids, queries, nprobe)
+    val lists = index.assigned.filter(col("cid").isin(cids: _*))
+      .withColumn("_s", pmod(col("vec_id"), lit(salt.toLong)).cast("int"))
+    val routes =
+      if (salt == 1) probed.withColumn("_s", lit(0))
+      else probed.withColumn("_s",
+        explode(sequence(lit(0), lit(salt - 1))))
+    val scored = lists.join(routes, Seq("cid", "_s"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("embedding"), col("q_emb")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column: per-vector
     * scale = 127 / max|x|, elements stored as round-half-up ints — 4× less
     * storage/bandwidth for a 100 TB embedding corpus; [[dequantize]]

@@ -295,6 +295,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("KNN join prunes the list scan to probed cids and keeps the " +
+    "routes-lists join an equi-join (no cartesian candidate generation)") {
+    val df = SparkEntry.queries("q_ann_knn_join")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pruned = "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p)
+    assert(pruned.nonEmpty, {
+      val i = math.max(0, p.indexOf("PartitionFilters"))
+      "list scan must prune on cid:\n" + p.slice(math.max(0, i - 500), i + 200)
+    })
+    // the only nested-loop is the tiny centroid header routing; the
+    // corpus-sized routes×lists candidate generation must be an equi-join
+    assert(!p.contains("CartesianProduct"), p)
+    // per-query cut is the bounded top-k aggregate, not a rank window
+    assert(p.contains("topk_rows_agg"), p)
+  }
+
   test("quality signals compute in one projection — no hash shuffle, pruned scan") {
     // the Gopher repetition folds replace the naive explode+groupBy(doc,
     // gram) shape; the only exchanges allowed are spread's round-robin and

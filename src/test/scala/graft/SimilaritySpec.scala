@@ -473,4 +473,20 @@ class SimilaritySpec extends SparkSpec {
         assert(byRank(dropN - 1)._3 >= byRank.drop(dropN).map(_._3).max)
     }
   }
+
+  test("ivfKnnJoin answers row-identically to ivfSearch on the same " +
+    "queries, and the salt knob never changes the result set") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.ivfTrain(spark, emb, nlist = 8, iters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "sim", "rnk")
+        .collect().map(_.toSeq).toSet
+    val viaSearch = rows(Similarity.ivfSearch(idx, emb, k = 5, nprobe = 3))
+    val viaJoin = rows(Similarity.ivfKnnJoin(idx, emb, k = 5, nprobe = 3))
+    assert(viaJoin === viaSearch && viaJoin.nonEmpty,
+      "the join strategy must not change a single row")
+    // salt splits lists deterministically; candidates/scores are identical
+    val salted = rows(Similarity.ivfKnnJoin(idx, emb, k = 5, nprobe = 3, salt = 5))
+    assert(salted === viaSearch)
+  }
 }
