@@ -2403,6 +2403,67 @@ object Queries {
           .orderBy("query_id", "rank")
       }),
 
+    QueryDef("q_hard_negatives",
+      // hard-negative mining (DPR/contrastive retrieval-training prep):
+      // per query, the strongest BM25 candidates that are NOT the known
+      // positive, re-ranked 1..5. Positives here are each query's top-1
+      // retrieval (the "gold" doc), so the oracle is the q_bm25_search
+      // chain with ranks 2..6 shifted down by one — an independent
+      // statement of the expected RESULT; the engine runs the general
+      // anti-join + bounded re-rank (TextAnalysis.hardNegatives).
+      Some("""WITH q(query_id, term) AS (VALUES
+                (CAST(0 AS BIGINT), 'hash'), (0, 'join'),
+                (1, 'fast'), (1, 'scan'), (1, 'filter'),
+                (2, 'customer'), (2, 'order'), (2, 'data')),
+              toks AS (
+                SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+                       unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+              ), stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE) / count(*) AS avgdl
+                FROM documents
+              ), tf AS (
+                SELECT query_id, doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM toks JOIN q USING (term) GROUP BY 1, 2, 3
+              ), dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+              ), scored AS (
+                SELECT query_id, doc_id,
+                       CAST(round(
+                         (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                          * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+                         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                            ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+                             CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))),
+                         6) AS DECIMAL(18,6)) AS s
+                FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+              ), agg AS (
+                SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+                FROM scored GROUP BY 1, 2
+              ), r AS (
+                SELECT query_id, doc_id, score,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+                FROM agg
+              )
+              SELECT query_id, doc_id, score,
+                     CAST(rank - 1 AS INTEGER) AS neg_rank
+              FROM r WHERE rank >= 2 AND rank <= 6
+              ORDER BY query_id, neg_rank"""),
+      (s, d) => {
+        prep(s)
+        val docs = t(s, d, "documents")
+        val qs = Seq(0L -> Seq("hash", "join"), 1L -> Seq("fast", "scan", "filter"),
+          2L -> Seq("customer", "order", "data"))
+        val positives = TextAnalysis.bm25TopK(docs, "doc_id", "text", qs, 1)
+          .select("query_id", "doc_id")
+        TextAnalysis.hardNegatives(docs, "doc_id", "text", qs, positives,
+          k = 11, kneg = 5)
+          .orderBy("query_id", "neg_rank")
+      }),
+
     QueryDef("q_bm25_index",
       // the PERSISTENT inverted-index path (scale shape): build the
       // term-bucket-partitioned postings once, save, load, search — the

@@ -259,6 +259,35 @@ object TextAnalysis {
     bm25Rank(tf, dfreq, stats, k, k1, b)
   }
 
+  /** Hard-negative mining for retrieval training (the DPR/contrastive
+    * data-prep shape): per query, the strongest BM25 candidates that are
+    * NOT known positives, re-ranked 1..kneg — the "close but wrong"
+    * documents a bi-encoder trains against. The anti-join removes
+    * positives AFTER the bounded top-k cut, so per-query state stays
+    * ≤ k rows and the re-rank window runs over those ≤ k survivors —
+    * bounded, never a corpus window. Choose k > |positives per query| +
+    * kneg so removals can't starve the negative set. `positives` is
+    * (query_id, doc_id) — corpus-sized is fine, the join carries ids
+    * only.
+    */
+  def hardNegatives(docs: org.apache.spark.sql.DataFrame, id: String,
+                    text: String, queries: Seq[(Long, Seq[String])],
+                    positives: org.apache.spark.sql.DataFrame,
+                    k: Int, kneg: Int,
+                    k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(kneg >= 1 && kneg <= k,
+      s"hardNegatives: need 1 <= kneg <= k, got kneg=$kneg k=$k")
+    val cand = bm25TopK(docs, id, text, queries, k, k1, b)
+    val neg = cand.join(
+      positives.select(col("query_id"), col("doc_id")),
+      Seq("query_id", "doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    neg.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= kneg)
+      .select("query_id", "doc_id", "score", "neg_rank")
+  }
+
   private def queryTermsDf(ss: org.apache.spark.sql.SparkSession,
                            queries: Seq[(Long, Seq[String])]): org.apache.spark.sql.DataFrame = {
     import ss.implicits._

@@ -493,6 +493,58 @@ class PipelineSpec extends SparkSpec {
     assert(tied.map(_._1).toSeq === Seq(3L, 5L))
   }
 
+  test("hardNegatives: every positive pair is excluded (not just top-1), " +
+    "survivors re-rank densely from 1 in score order") {
+    import graft.operators.TextAnalysis
+    graft.functions.Functions.ensure(spark)
+    val corpus = Seq(
+      (1L, "spark hash join plan"), (2L, "hash join hash join"),
+      (3L, "hash table scan"), (4L, "join order optimizer"),
+      (5L, "filter pushdown rule"), (6L, "hash partition shuffle"))
+      .toDF("doc_id", "text")
+    val qs = Seq(0L -> Seq("hash", "join"))
+    // positives are NOT the top hits: ids 3 and 4 from the middle
+    val pos = Seq((0L, 3L), (0L, 4L)).toDF("query_id", "doc_id")
+    val got = TextAnalysis.hardNegatives(corpus, "doc_id", "text", qs, pos,
+        k = 6, kneg = 3)
+      .orderBy("neg_rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length === 3)
+    assert(!got.map(_._1).toSet.exists(Set(3L, 4L)), "positives must be excluded")
+    assert(got.map(_._3).toSeq === Seq(1, 2, 3), "dense re-rank from 1")
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted.reverse,
+      "negatives ordered by descending score")
+    // and they really are the 3 best non-positive candidates
+    val full = TextAnalysis.bm25TopK(corpus, "doc_id", "text", qs, 6)
+      .orderBy("rank").collect().map(_.getLong(1)).filterNot(Set(3L, 4L)).take(3)
+    assert(got.map(_._1).toSeq === full.toSeq)
+  }
+
+  test("shuffledOrdinal and assignShardsByBudget handle negative and " +
+    "sparse keys against the MessageDigest reference") {
+    val keys = Seq(-987654321L, -5L, 0L, 3L, 7777777777L, 42L,
+      Long.MinValue / 2, 999999999999L)
+    val df = keys.map(k => (k, 3L + math.floorMod(k, 5))).toDF("id", "n")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val orderRef = keys.sortBy(k => (md5hex(s"11:$k"), k))
+    val pos = Pipeline.shuffledOrdinal(df, col("id"), 11, buckets = 4)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos === orderRef.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap)
+    var cum = 0L
+    val shardRef = orderRef.map { k =>
+      val n = 3L + math.floorMod(k, 5)
+      val s = cum / 7
+      cum += n
+      k -> s
+    }.toMap
+    val got = Pipeline.assignShardsByBudget(df, col("id"), 11, col("n"), 7,
+        buckets = 4)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === shardRef)
+  }
+
   test("shuffledOrdinal: positions are the dense 0..n-1 ordinal of the " +
     "seeded md5 order, independent of bucket count and partitioning") {
     val df = (1L to 500L).map(i => (i, s"t$i")).toDF("id", "payload")
