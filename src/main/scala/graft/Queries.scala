@@ -1608,6 +1608,35 @@ object Queries {
           "source", "doc_id", "text")
         .orderBy("source", "pack_id")),
 
+    QueryDef("q_pack_records",
+      // the END of the tokenizer feed: BPE-id packs emitted as training
+      // RECORDS — concatenated id stream + doc-boundary offsets per pack
+      // (the Megatron .bin/.idx shape; boundaries reset attention across
+      // packed docs). Train → encode-to-ids → budget-pack → one bounded
+      // (source, pack) aggregation. Oracle = independent replica of the
+      // whole chain (vocab, encoder, packing, boundary scan).
+      Some("""SELECT source, pack_id, n_docs, n_tokens, ids_head, boundaries
+              FROM parquet_scan('{FIX}/_fixture_packrecords/*.parquet')
+              ORDER BY source, pack_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents")).filter(col("text").isNotNull)
+        val merges = Tokenizer.bpeTrain(docs, "text", 60)
+        val vocab = Tokenizer.vocabulary(docs, "text", merges)
+          .orderBy("id").collect().map(_.getString(0)).toSeq
+        val withIds = docs
+          .withColumn("ids", Tokenizer.encodeIds(col("text"), merges, vocab))
+          .withColumn("n_tokens", size(col("ids")).cast("long"))
+        val packed = Pipeline.packSequences(withIds, "source", "doc_id",
+          col("n_tokens"), 1024)
+        Pipeline.emitPackedIds(packed, "source", "doc_id", "ids")
+          .select(col("source"), col("pack_id"), col("n_docs"),
+            size(col("token_ids")).cast("long").as("n_tokens"),
+            concat_ws("|", slice(col("token_ids"), 1, 12)).as("ids_head"),
+            concat_ws("|", col("boundaries")).as("boundaries"))
+          .orderBy("source", "pack_id")
+      }),
+
     QueryDef("q_pipeline_e2e",
       // the four curation stages COMPOSED as one DAG, the way a real
       // pipeline runs them: quality keep-filter → exact-dedup prune

@@ -492,6 +492,37 @@ object Verify {
       rows.toDF("doc_id", "n_ids", "n_unk", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpeids")
     }
+    fixture("_fixture_packrecords") {
+      // training-record replica: independent vocab + encoder, per-source
+      // doc_id-order packing (the q_pack_bpe budget arithmetic), boundary
+      // offsets as a plain scan
+      val idOf = bpeVocabRef.zipWithIndex.toMap
+      val srcOf = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source").as[(Long, String)].collect().toMap
+      val perDoc = bpeDocs.map { case (id, text) =>
+        val ids = bpeWords(text).flatMap(bpeEncodeWordRef)
+          .map(t => idOf.getOrElse(t, -1))
+        (srcOf(id), id, ids)
+      }
+      val rows = perDoc.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+        var cum = 0L
+        val packedDocs = ds.sortBy(_._2).map { case (_, id, ids) =>
+          val p = StrictMath.floor(cum.toDouble / 1024.0).toLong
+          cum += ids.length
+          (p, id, ids)
+        }
+        packedDocs.groupBy(_._1).toSeq.map { case (p, inPack) =>
+          val inOrder = inPack.sortBy(_._2)
+          val allIds = inOrder.flatMap(_._3)
+          val bounds = inOrder.scanLeft(0)((acc, d2) => acc + d2._3.length)
+          (src, p, inPack.length.toLong, allIds.length.toLong,
+            allIds.take(12).mkString("|"), bounds.mkString("|"))
+        }
+      }.sortBy(r => (r._1, r._2))
+      rows.toDF("source", "pack_id", "n_docs", "n_tokens", "ids_head", "boundaries")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_packrecords")
+    }
     // ── plain-Scala unigram-LM replication (fixture oracles) ──────────
     // Independent re-run of the Kudo-2018 unigram trainer (seed → EM
     // forward-backward → expected-count prune) and the Viterbi encoder —

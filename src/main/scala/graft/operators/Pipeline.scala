@@ -201,6 +201,28 @@ object Pipeline {
           transform(array_sort(collect_list(struct(col(orderCol), col(text)))),
             p => p.getField(text)), " ").as("pack_text"))
 
+  /** Pack emission in the TRAINING-RECORD shape (the Megatron-style
+    * .bin/.idx handoff): one row per (partCol, pack_id) with the pack's
+    * token ids concatenated in doc order plus the DOC-BOUNDARY offsets
+    * (every doc's start position and the total — length n_docs+1), which
+    * the loader needs to reset attention/loss across document boundaries
+    * inside a packed sequence. Same bounded aggregation as [[emitPacked]]
+    * — per-group state is capped by the pack budget, the grouping reuses
+    * the packing shuffle. Output: partCol, pack_id, n_docs, token_ids
+    * (array<int>), boundaries (array<int>).
+    */
+  def emitPackedIds(packed: DataFrame, partCol: String, orderCol: String,
+                    idsCol: String): DataFrame =
+    packed.groupBy(col(partCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_sort(collect_list(struct(col(orderCol), col(idsCol)))).as("_r"))
+      .select(col(partCol), col("pack_id"), col("n_docs"),
+        flatten(transform(col("_r"), p => p.getField(idsCol))).as("token_ids"),
+        aggregate(col("_r"), array(lit(0)),
+          (acc, p) => concat(acc,
+            array(element_at(acc, -1) + size(p.getField(idsCol)))))
+          .as("boundaries"))
+
   /** Mixture weighting by integer epoch counts: repeat each source's docs
     * `weights(source)` times (default 1), tagging each copy with its epoch
     * index. The explode is map-side — upsampling never shuffles the corpus;

@@ -493,6 +493,31 @@ class PipelineSpec extends SparkSpec {
     assert(tied.map(_._1).toSeq === Seq(3L, 5L))
   }
 
+  test("emitPackedIds: ids concatenate in doc order; boundaries are every " +
+    "doc's start offset plus the total; multi-pack budgets split correctly") {
+    val df = Seq((1L, "s", Seq(1, 2, 3)), (2L, "s", Seq(4, 5)), (3L, "s", Seq(6)),
+        (4L, "t", Seq(7, 8)))
+      .toDF("doc_id", "source", "ids")
+      .withColumn("n", size(col("ids")).cast("long"))
+    val one = Pipeline.emitPackedIds(
+        Pipeline.packSequences(df, "source", "doc_id", col("n"), 100),
+        "source", "doc_id", "ids")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3), r.getSeq[Int](4))).sortBy(r => (r._1, r._2))
+    assert(one === Array(
+      ("s", 0L, 3L, Seq(1, 2, 3, 4, 5, 6), Seq(0, 3, 5, 6)),
+      ("t", 0L, 1L, Seq(7, 8), Seq(0, 2))))
+    // budget 3: doc 1 fills pack 0 exactly; docs 2+3 go to pack 1
+    val split = Pipeline.emitPackedIds(
+        Pipeline.packSequences(df.filter(col("source") === "s"),
+          "source", "doc_id", col("n"), 3),
+        "source", "doc_id", "ids")
+      .collect().map(r => (r.getLong(1), r.getSeq[Int](3), r.getSeq[Int](4)))
+      .sortBy(_._1)
+    assert(split === Array(
+      (0L, Seq(1, 2, 3), Seq(0, 3)), (1L, Seq(4, 5, 6), Seq(0, 2, 3))))
+  }
+
   test("hardNegatives: every positive pair is excluded (not just top-1), " +
     "survivors re-rank densely from 1 in score order") {
     import graft.operators.TextAnalysis

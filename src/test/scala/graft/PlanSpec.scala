@@ -501,6 +501,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
   }
 
+  test("packed training records: id encode fuses into the scan, one " +
+    "source-keyed window + one bounded (source,pack) aggregation, no join") {
+    val p = plan("q_pack_records")
+    assert(p.contains("bpe_encode_ids"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("global shuffle ordinal and budget sharding ride the bucketed " +
     "prefix sum: the window partitions on the md5-prefix bucket, never " +
     "a whole-corpus single-partition window, and no join appears") {
