@@ -1682,6 +1682,60 @@ object Queries {
           .select("doc_id", "source", "pack_id").orderBy("doc_id")
       }),
 
+    QueryDef("q_curation_funnel",
+      // the FUNNEL REPORT over q_pipeline_e2e's stages — what survives
+      // quality → exact-dedup → stratified sampling, per source (the
+      // data card every curation run publishes). Stage verdicts compute
+      // as CUMULATIVE boolean flags in one DAG — one digest-keyed window
+      // for the canonical-id verdict, one source aggregation; no
+      // per-stage jobs, no re-scans.
+      Some("""WITH d AS (SELECT doc_id, source, text, string_split(lower(text),' ') AS w, length(text) AS nc FROM documents),
+              g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, greatest(len(w), 2))]) AS g FROM d),
+              c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1,2),
+              s2 AS (SELECT doc_id, sum(CASE WHEN cnt>1 THEN cnt*length(g) ELSE 0 END) AS dup2 FROM c2 GROUP BY 1),
+              q AS (SELECT d.doc_id, len(d.w) AS nw, s2.dup2 * 1.0 / d.nc AS dupf,
+                      round(least(1.0, len(d.w) * 1.0 / 100.0) * 0.4
+                        + (len(list_filter(d.w, x -> list_contains(['the','and','of','to','a','in','is'], x))) * 1.0 / len(d.w)) * 0.3
+                        + (1.0 - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) * 1.0 / d.nc) * 0.3, 6) AS qual
+                    FROM d JOIN s2 USING (doc_id)),
+              f AS (SELECT d.doc_id, d.source, d.text,
+                      COALESCE(q.nw >= 30 AND q.nw <= 70 AND q.dupf < 0.2 AND q.qual >= 0.45, false) AS pass_q
+                    FROM d LEFT JOIN q USING (doc_id)),
+              f2 AS (SELECT *, pass_q AND doc_id = min(CASE WHEN pass_q THEN doc_id END)
+                       OVER (PARTITION BY md5(lower(text))) AS pass_d FROM f),
+              f3 AS (SELECT *, pass_d AND md5(CAST(doc_id AS VARCHAR)) <
+                       (CASE source WHEN 'src0' THEN '80000000'
+                                    WHEN 'src1' THEN '40000000'
+                                    ELSE '19999999' END) AS pass_s FROM f2)
+              SELECT source, count(*) AS n_raw,
+                     CAST(sum(CAST(pass_q AS INT)) AS BIGINT) AS n_quality,
+                     CAST(sum(CAST(pass_d AS INT)) AS BIGINT) AS n_dedup,
+                     CAST(sum(CAST(pass_s AS INT)) AS BIGINT) AS n_sampled
+              FROM f3 GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        val nw = size(TextAnalysis.words(col("text")))
+        val nc = length(col("text"))
+        val dupf = Quality.ngramRunStats(col("text"), 2).getField("dup_chars") * lit(1.0) / nc
+        val qual = TextAnalysis.qualityScore(col("text"))
+        val passQ = coalesce(nw >= 30 && nw <= 70 && dupf < 0.2 && qual >= 0.45,
+          lit(false))
+        val wD = Window.partitionBy(md5(lower(col("text"))))
+        val gate = when(col("source") === "src0", Pipeline.hashGate(col("doc_id"), 0.5))
+          .when(col("source") === "src1", Pipeline.hashGate(col("doc_id"), 0.25))
+          .otherwise(Pipeline.hashGate(col("doc_id"), 0.1))
+        Tables.spread(t(s, d, "documents"))
+          .withColumn("pass_q", passQ)
+          .withColumn("pass_d", col("pass_q") &&
+            col("doc_id") === min(when(col("pass_q"), col("doc_id"))).over(wD))
+          .withColumn("pass_s", col("pass_d") && gate)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_raw"),
+            sum(col("pass_q").cast("long")).as("n_quality"),
+            sum(col("pass_d").cast("long")).as("n_dedup"),
+            sum(col("pass_s").cast("long")).as("n_sampled"))
+          .orderBy("source")
+      }),
+
     QueryDef("q_feed_e2e",
       // corpus → TRAINING RECORDS end-to-end: quality gate → exact-dedup
       // prune → content-addressed shuffle order → budget packing → pack
@@ -3067,6 +3121,38 @@ object Queries {
             (Tokenizer.unigramDecode(toks) ===
               concat_ws(" ", Tokenizer.preTokens(col("text"))))
               .as("roundtrip_ok"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_unigram_cjk",
+      // space-free-script (CJK) coverage for the SECOND tokenizer family:
+      // the same planted Han corpus as q_bpe_cjk (rotated 12-char
+      // alphabet, mixed-script tails) through the unigram EM trainer and
+      // Viterbi encode — character isolation feeds the lattice per-char
+      // pieces, EM then lifts multi-char pieces out of the histogram.
+      // Replica trains/encodes through its own seed→EM→prune loop.
+      Some("""SELECT doc_id, n_tokens, head
+              FROM parquet_scan('{FIX}/_fixture_unicjk/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val alpha = "的一是不了人我在有他这中"
+        val rot = (col("doc_id") % 12).cast("int")
+        val ptext = concat(
+          call_function("repeat",
+            concat(lit(alpha).substr(rot + lit(1), lit(12) - rot),
+              lit(alpha).substr(lit(1), rot)),
+            (col("doc_id") % 4 + 2).cast("int")),
+          when(col("doc_id") % 3 === 0, lit(" mixed latin tail"))
+            .otherwise(lit("")))
+        val docs = Tables.spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .withColumn("ptext", ptext)
+        val pieces = Tokenizer.unigramTrain(docs, "ptext", vocabSize = 40)
+        val toks = Tokenizer.unigramEncode(col("ptext"), pieces)
+        docs.select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            concat_ws("|", slice(toks, 1, 12)).as("head"))
           .orderBy("doc_id")
       }),
 

@@ -683,6 +683,25 @@ object Verify {
       rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_unigramencode")
     }
+    fixture("_fixture_unicjk") {
+      // unigram trainer/encoder over the SAME planted Han corpus as
+      // _fixture_bpecjk, through the replica's own seed→EM→prune loop
+      val alpha = "的一是不了人我在有他这中"
+      val cjkDocs: IndexedSeq[(Long, String)] = bpeDocs.map { case (id, _) =>
+        val rot = (id % 12).toInt
+        val base = alpha.substring(rot) + alpha.substring(0, rot)
+        val reps = (id % 4).toInt + 2
+        (id, base * reps + (if (id % 3 == 0) " mixed latin tail" else ""))
+      }
+      val table = uniTrainRef(cjkDocs, 40).toMap
+      val enc = uniEncodeWordRef(table) _
+      val rows = cjkDocs.map { case (id, text) =>
+        val toks = bpeWords(text).flatMap(enc)
+        (id, toks.length, toks.take(12).mkString("|"))
+      }
+      rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_unicjk")
+    }
     fixture("_fixture_unigramvocab") {
       // piece → id replica: <unk> 0, then the independent trainer's table
       // order (already canonical UTF-8) at i+1

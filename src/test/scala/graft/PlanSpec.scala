@@ -501,6 +501,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
   }
 
+  test("curation funnel is one DAG: stage flags inline over the scan, a " +
+    "single digest-keyed window for the canonical verdict, one source " +
+    "aggregation, zero joins") {
+    val p = plan("q_curation_funnel")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("packed training records: id encode fuses into the scan, one " +
     "source-keyed window + one bounded (source,pack) aggregation, no join") {
     val p = plan("q_pack_records")
