@@ -3124,6 +3124,41 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_bpe_bytes",
+      // BYTE-LEVEL BPE (the GPT-2/tiktoken mode, the third tokenizer
+      // mode next to char-BPE and unigram): corpus lowers to UTF-8 bytes
+      // through the published bytes_to_unicode bijection — case
+      // PRESERVED, every script uniform, and ids can never be <unk>
+      // because the 256 byte symbols seed the vocabulary. The planted
+      // tails force mixed case, Latin-1 accents, and Han through the
+      // pipeline; n_unk pins the zero-UNK guarantee and roundtrip_ok the
+      // byte-exact decode. Replica re-derives the byte table and runs
+      // its own histogram/merge/encode loop.
+      Some("""SELECT doc_id, n_tokens, n_unk, head, roundtrip_ok
+              FROM parquet_scan('{FIX}/_fixture_bpebytes/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val tail = when(col("doc_id") % 3 === 0, lit(" Grüße 雪"))
+          .when(col("doc_id") % 3 === 1, lit(" MiXeD CaSe"))
+          .otherwise(lit(" plain ascii"))
+        val docs = Tables.spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .withColumn("ptext", concat(col("text"), tail))
+        val merges = Tokenizer.bpeTrainBytes(docs, "ptext", 40)
+        val toks = Tokenizer.encodeBytes(col("ptext"), merges)
+        val vmap = typedLit(Tokenizer.byteVocabulary(merges).zipWithIndex.toMap)
+        val ids = transform(toks, tk => coalesce(element_at(vmap, tk), lit(-1)))
+        docs.select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            size(filter(ids, i => i === -1)).as("n_unk"),
+            concat_ws("|", slice(ids, 1, 10)).as("head"),
+            (Tokenizer.decodeBytes(toks) ===
+              trim(regexp_replace(col("ptext"), "\\s+", " ")))
+              .as("roundtrip_ok"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_unigram_cjk",
       // space-free-script (CJK) coverage for the SECOND tokenizer family:
       // the same planted Han corpus as q_bpe_cjk (rotated 12-char

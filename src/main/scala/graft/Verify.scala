@@ -375,10 +375,10 @@ object Verify {
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-    def trainMergesRefOn(docs: IndexedSeq[(Long, String)],
-                         numMerges: Int): Seq[(Int, String, String, Long)] = {
-      val hist = docs.iterator.flatMap(d => bpeWords(d._2))
-        .toSeq.groupMapReduce(identity)(_ => 1L)(_ + _)
+    def trainMergesRefOnWords(allWords: Seq[String],
+                              numMerges: Int): Seq[(Int, String, String, Long)] = {
+      val hist = allWords
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
         .toSeq.sortWith { case ((w1, f1), (w2, f2)) =>
           f1 > f2 || (f1 == f2 && utf8Less(w1, w2)) }.take(50000)
       var cur = hist.map { case (w, f) => (bpeSymsOf(w), f) }
@@ -402,6 +402,9 @@ object Verify {
       }
       out.result()
     }
+    def trainMergesRefOn(docs: IndexedSeq[(Long, String)],
+                         numMerges: Int): Seq[(Int, String, String, Long)] =
+      trainMergesRefOnWords(docs.flatMap(d => bpeWords(d._2)), numMerges)
     lazy val bpeMergesRef: Seq[(Int, String, String, Long)] =
       trainMergesRefOn(bpeDocs, 60)
     // GPT-2-style encoder over the trained merges (lowest-rank bigram
@@ -682,6 +685,69 @@ object Verify {
       }
       rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_unigramencode")
+    }
+    fixture("_fixture_bpebytes") {
+      // byte-level replica: the GPT-2 bytes_to_unicode table re-derived
+      // from its published spec, \s+-only pre-tokenization (case kept),
+      // the SHARED merge loop over mapped byte-chars, ids under the
+      // 256-seeded vocab (zero UNK by construction), and an independent
+      // decode (</w> → space, bytes un-mapped) for the round-trip bit
+      val b2c: Array[Char] = {
+        val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+        val out = new Array[Char](256)
+        var n = 0
+        (0 until 256).foreach { b =>
+          if (printable(b)) out(b) = b.toChar
+          else { out(b) = (256 + n).toChar; n += 1 }
+        }
+        out
+      }
+      val c2b: Map[Char, Int] = (0 until 256).map(b => b2c(b) -> b).toMap
+      def mapW(w: String): String =
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => b2c(b & 0xff)).mkString
+      def byteWords(text: String): Seq[String] =
+        text.split("\\s+").toSeq.filter(_.nonEmpty).map(mapW)
+      val byteDocs = bpeDocs.map { case (id, text) =>
+        val tail =
+          if (id % 3 == 0) " Grüße 雪"
+          else if (id % 3 == 1) " MiXeD CaSe"
+          else " plain ascii"
+        (id, text + tail)
+      }
+      val merges = trainMergesRefOnWords(byteDocs.flatMap(d => byteWords(d._2)), 40)
+      val rm = merges.map { case (rk, l, r, _) => ((l, r), rk) }.toMap
+      val vocab = {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        (0 until 256).foreach(b => seen += b2c(b).toString)
+        seen += "</w>"
+        merges.foreach { case (_, l, r, _) => seen += l + r }
+        seen.toSeq
+      }
+      val idOf = vocab.zipWithIndex.toMap
+      def decodeToks(toks: Seq[String]): String = {
+        val sb = new java.lang.StringBuilder
+        toks.zipWithIndex.foreach { case (tk, i) =>
+          if (tk.endsWith("</w>")) {
+            sb.append(tk, 0, tk.length - 4)
+            if (i < toks.length - 1) sb.append(' ')
+          } else sb.append(tk)
+        }
+        val bytes = new java.io.ByteArrayOutputStream
+        sb.toString.foreach { c =>
+          if (c == ' ') bytes.write(0x20) else bytes.write(c2b(c))
+        }
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      val rows = byteDocs.map { case (id, text) =>
+        val toks = byteWords(text).flatMap(bpeEncodeWordRefWith(rm))
+        val ids = toks.map(t => idOf.getOrElse(t, -1))
+        val rt = decodeToks(toks) ==
+          text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        (id, toks.length, ids.count(_ == -1), ids.take(10).mkString("|"), rt)
+      }
+      rows.toDF("doc_id", "n_tokens", "n_unk", "head", "roundtrip_ok").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_bpebytes")
     }
     fixture("_fixture_unicjk") {
       // unigram trainer/encoder over the SAME planted Han corpus as

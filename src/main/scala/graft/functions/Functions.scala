@@ -54,6 +54,10 @@ object Functions {
       constDoubles(es(2)))),
     "unigram_encode_ids" -> (es => UnigramEncodeIds(es(0), constStrings(es(1)),
       constDoubles(es(2)))),
+    "byte_remap"      -> (es => ByteRemap(es.head)),
+    "byte_unmap"      -> (es => ByteUnmap(es.head)),
+    "bpe_encode_bytes" -> (es => BpeEncodeBytes(es(0), constStrings(es(1)),
+      constStrings(es(2)))),
     "nfc_normalize"   -> (es => NfcNormalize(es.head)),
     "strict_exp"      -> (es => StrictExp(es.head)),
     "java_lower"      -> (es => JavaLower(es.head)),

@@ -562,6 +562,59 @@ object Tokenizer {
                            dir: String): Seq[Piece] =
     loadPieces(spark, s"$dir/pieces")
 
+  // ── byte-level BPE mode (GPT-2 / tiktoken family) ──────────────────
+
+  /** Train byte-level merges: the corpus lowers to GPT-2 byte-mapped
+    * pre-tokens in the scan (`byte_remap` — case-preserving, `\s+` only),
+    * then the SAME distributed histogram + bounded collect + driver merge
+    * loop as [[bpeTrain]] (the loop is pre-tokenization-agnostic: mapped
+    * byte-chars are ordinary single code points to it).
+    */
+  def bpeTrainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                    maxWords: Int = 50000): Seq[Merge] = {
+    val hist = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(call_function("byte_remap", col(textCol)), " "))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    trainOnHistogram(hist, numMerges)
+  }
+
+  /** Byte-mode tokens column — codegen-fused like [[encode]], but
+    * case-preserving and script-uniform (every word lowers to bytes).
+    */
+  def encodeBytes(text: Column, merges: Seq[Merge]): Column =
+    call_function("bpe_encode_bytes", text,
+      lit(merges.map(_.left).toArray), lit(merges.map(_.right).toArray))
+
+  /** Inverse of [[encodeBytes]]: shared `</w>`-aware concatenation
+    * ([[decode]]) then the byte bijection inverted — restores the
+    * whitespace-normalized RAW text byte-for-byte (case, emoji, any
+    * script; the property byte-level BPE exists for).
+    */
+  def decodeBytes(tokens: Column): Column =
+    call_function("byte_unmap", call_function("bpe_decode", tokens))
+
+  /** Byte-mode vocabulary: ALL 256 byte symbols (ascending byte order —
+    * seeded unconditionally, which is what makes UNK impossible), the
+    * end-of-word marker, then merge products in rank order
+    * (first-surface-string-wins like [[vocabulary]]). No corpus pass at
+    * all — the alphabet is the closed byte set, not a corpus scan.
+    */
+  def byteVocabulary(merges: Seq[Merge]): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    (0 until 256).foreach(b =>
+      seen += graft.functions.ByteLevel.byteToChar(b).toString)
+    seen += graft.functions.Bpe.EndOfWord
+    merges.sortBy(_.rank).foreach(m => seen += m.left + m.right)
+    seen.toSeq
+  }
+
   /** Persist a trained merge table (rank-ordered parquet — the tokenizer
     * artifact a pipeline trains once and every later job loads).
     */

@@ -532,6 +532,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("byte-level BPE encode is one scan-fused projection like the " +
+    "char-level form — merges ship as a task constant, no shuffle, no join") {
+    val p = plan("q_bpe_bytes")
+    assert(p.contains("bpe_encode_bytes"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("unigram id encode is scan-fused like the piece form; the fertility " +
     "comparison is two partial-aggregated one-row folds, no window") {
     val p = plan("q_unigram_encode_ids")

@@ -405,6 +405,41 @@ class TokenizerSpec extends SparkSpec {
       trained.zipWithIndex.map { case (p, i) => (p.piece, i + 1) })
   }
 
+  // ── byte-level BPE (GPT-2 / tiktoken mode) ────────────────────────
+
+  test("byte-level BPE: bijective byte table; case/scripts/emoji round-trip " +
+    "byte-exactly; zero UNK even on bytes unseen in training") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val bc = graft.functions.ByteLevel.byteToChar
+    assert(bc.distinct.length === 256, "byte table must be a bijection")
+    assert(!bc.contains(' '), "space must not be in the byte image")
+    val docs = Seq((1L, "MiXeD CaSe Grüße"), (2L, "雪 ☃ emoji 😀 end"),
+        (3L, "tab\tand  doubled spaces"))
+      .toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrainBytes(docs, "text", 20)
+    val toks = Tokenizer.encodeBytes(col("text"), merges)
+    val rt = docs.select(col("doc_id"),
+        (Tokenizer.decodeBytes(toks) ===
+          trim(regexp_replace(col("text"), "\\s+", " "))).as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rt === Map(1L -> true, 2L -> true, 3L -> true),
+      "decode must restore case, accents, Han, and emoji byte-for-byte")
+    // zero UNK: bytes the training corpus never saw still have vocab ids
+    val vocab = Tokenizer.byteVocabulary(merges).zipWithIndex.toMap
+    val probeToks = Seq("Ωznačka ţest").toDF("text")
+      .select(Tokenizer.encodeBytes(col("text"), merges))
+      .as[Seq[String]].head()
+    assert(probeToks.nonEmpty && probeToks.forall(vocab.contains),
+      s"every byte-mode token must be in-vocabulary, got $probeToks")
+    // case distinction survives (char-level BPE would fold these)
+    val cased = Seq(("Case", "case")).toDF("a", "b")
+      .select(Tokenizer.decodeBytes(Tokenizer.encodeBytes(col("a"), merges)).as("da"),
+        Tokenizer.decodeBytes(Tokenizer.encodeBytes(col("b"), merges)).as("db"))
+      .head()
+    assert(cased.getString(0) === "Case" && cased.getString(1) === "case")
+  }
+
   test("unigram trainer is deterministic and prunes to the requested size " +
     "(singles never dropped)") {
     import spark.implicits._
