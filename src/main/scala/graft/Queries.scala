@@ -1682,6 +1682,28 @@ object Queries {
           .select("doc_id", "source", "pack_id").orderBy("doc_id")
       }),
 
+    QueryDef("q_zorder",
+      // Morton z-values over (l_partkey, l_suppkey) — the 2-d clustering
+      // key under Layout.zorderRepartition (Delta OPTIMIZE ZORDER shape;
+      // LayoutSpec demonstrates the file-pruning win with footer
+      // min/max). The oracle restates the interleaving as the identical
+      // shift/mask chain; grouping by z totals every row's value.
+      Some {
+        val terms = (0 until 16).flatMap(i => Seq(
+          s"(((l_partkey >> $i) & 1) << ${2 * i})",
+          s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+        s"""SELECT ($terms) AS z, count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY z"""
+      },
+      (s, d) => {
+        prep(s)
+        t(s, d, "lineitem")
+          .select(call_function("z_value",
+            col("l_partkey"), col("l_suppkey"), lit(16)).as("z"))
+          .groupBy("z").agg(count(lit(1)).as("n"))
+          .orderBy("z")
+      }),
+
     QueryDef("q_curation_funnel",
       // the FUNNEL REPORT over q_pipeline_e2e's stages — what survives
       // quality → exact-dedup → stratified sampling, per source (the

@@ -54,6 +54,7 @@ object Functions {
       constDoubles(es(2)))),
     "unigram_encode_ids" -> (es => UnigramEncodeIds(es(0), constStrings(es(1)),
       constDoubles(es(2)))),
+    "z_value"         -> (es => ZValue(es(0), es(1), constInt(es(2)))),
     "byte_remap"      -> (es => ByteRemap(es.head)),
     "byte_unmap"      -> (es => ByteUnmap(es.head)),
     "bpe_encode_bytes" -> (es => BpeEncodeBytes(es(0), constStrings(es(1)),
@@ -69,6 +70,18 @@ object Functions {
     // (OperationFcts) — Catalyst's `div` has exactly those semantics
     "cql_div" -> (es => new org.apache.spark.sql.catalyst.expressions.IntegralDivide(es(0), es(1)))
   )
+
+  private def constInt(e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"expected a constant integer argument, got non-constant: ${e.sql}")
+    e.eval() match {
+      case i: Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case other => throw new IllegalArgumentException(
+        s"expected a constant integer argument, got: $other")
+    }
+  }
 
   private def constStrings(e: Expression): Seq[String] = {
     if (!e.foldable)

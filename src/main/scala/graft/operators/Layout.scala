@@ -33,4 +33,42 @@ object Layout {
   /** Load a bucketed table (bucket metadata flows from the catalog). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Z-ORDER clustering (the Delta `OPTIMIZE ZORDER BY` / Hudi / Iceberg
+    * layout move): range-partition + sort by the Morton interleaving of
+    * two dimensions ([[graft.functions.ZValue]]), so each written file
+    * covers a small BOX in (a, b) space and per-file min/max statistics
+    * prune 2-d box predicates — a single-column sort clusters only its
+    * leading column, leaving the second dimension's min/max spanning the
+    * whole domain in every file. One range shuffle, exactly what a plain
+    * global sort costs; the clustering is free at write time.
+    * LayoutSpec demonstrates the pruning win against footer statistics.
+    */
+  def zorderRepartition(df: DataFrame, a: org.apache.spark.sql.Column,
+                        b: org.apache.spark.sql.Column, bits: Int,
+                        numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // Range-normalize BOTH dimensions to the same `bits` width first (the
+    // Delta/Iceberg move): interleaving raw values lets the wider-domain
+    // column's high bits dominate the curve and the layout degenerates to
+    // a single-column sort — e.g. a 4-bit dim interleaved with a 16-bit
+    // dim clusters only the 16-bit one. The min/max header is one 4-value
+    // driver aggregate; layout choices never affect results, only which
+    // files a predicate has to read.
+    val mm = df.agg(min(a).cast("double"), max(a).cast("double"),
+      min(b).cast("double"), max(b).cast("double")).head()
+    val top = (1L << bits) - 1
+    def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      if (hi > lo)
+        floor((c.cast("double") - lit(lo)) * lit(top.toDouble) / lit(hi - lo))
+          .cast("long")
+      else lit(0L)
+    val z = call_function("z_value",
+      norm(a, mm.getDouble(0), mm.getDouble(1)),
+      norm(b, mm.getDouble(2), mm.getDouble(3)), lit(bits))
+    df.withColumn("_z", z)
+      .repartitionByRange(numPartitions, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
 }

@@ -132,4 +132,40 @@ class LayoutSpec extends SparkSpec {
       .agg(sum("l_quantity").as("q")).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(a === b)
   }
+
+  test("z-order layout: a second-dimension box predicate prunes to fewer " +
+    "files than a leading-column sort (real footer min/max statistics)") {
+    graft.functions.Functions.ensure(spark)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val ndir = java.nio.file.Files.createTempDirectory("graft-zorder-naive").toString
+    Layout.zorderRepartition(li, col("l_partkey"), col("l_suppkey"), 16, 16)
+      .write.mode("overwrite").parquet(zdir)
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(ndir)
+    // per-FILE min/max of the second dimension — what parquet footer
+    // pruning sees; a file overlapping the box must be read
+    def overlapping(dir: String, lo: Long, hi: Long): (Int, Int) = {
+      val st = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_suppkey").as("s0"), max("l_suppkey").as("s1"))
+        .collect()
+      (st.count(r => r.getLong(1) <= hi && r.getLong(2) >= lo), st.length)
+    }
+    val sMax = li.agg(max("l_suppkey")).head().getLong(0)
+    val (lo, hi) = (sMax / 4, sMax / 2) // a quarter-domain box on dim 2
+    val (zHit, zTotal) = overlapping(zdir, lo, hi)
+    val (nHit, nTotal) = overlapping(ndir, lo, hi)
+    // the leading-column sort leaves suppkey unclustered: essentially
+    // every file spans the domain and must be read
+    assert(nHit >= nTotal - 1, s"naive layout should not prune dim 2 ($nHit/$nTotal)")
+    // z-order clusters BOTH dimensions: the quarter-box touches a strict
+    // subset of the files
+    assert(zHit < nHit && zHit < zTotal,
+      s"z-order must prune dim-2 boxes: $zHit/$zTotal vs naive $nHit/$nTotal")
+    // layout never changes results
+    assert(spark.read.parquet(zdir).count() === li.count())
+  }
 }
