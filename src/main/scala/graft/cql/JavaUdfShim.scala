@@ -218,6 +218,13 @@ object JavaUdfShim {
       */
     private var sbLocals: Set[String] = Set.empty
 
+    /** Fold lambda variables of counted loops currently being lowered —
+      * a NESTED loop must pick a fresh name: re-using an enclosing fold's
+      * variable would capture the inner lambda's accumulator where the
+      * init expressions mean the outer one.
+      */
+    private var activeFoldVars: Set[String] = Set.empty
+
     private val declTypes: Map[String, Option[(String, T)]] = Map(
       "int" -> Some(("INT", TNum(integral = true))),
       "long" -> Some(("BIGINT", TNum(integral = true))),
@@ -369,12 +376,20 @@ object JavaUdfShim {
       * (each post-loop value is a field of the CSE-deduped fold) — in both
       * forms every statement casts to its accumulator's declared Java type
       * so int/long/double arithmetic and per-statement narrowing resolve
-      * like javac's. Anything else — while, decrementing or
-      * data-dependent loops, mutation of an outer-branch local (which the
-      * branch-exit restore would silently discard) — rejects with the
-      * shim's compile-error text, exactly as before.
+      * like javac's. NESTED counted loops lower recursively: the inner
+      * loop's fold (whose bounds may read the outer loop variable and
+      * accumulators — they evaluate inside the outer lambda, which is
+      * exactly Java's per-iteration re-evaluation) becomes one statement
+      * of the outer body, rebinding the accumulators it threads; its
+      * fold variable is chosen fresh against every enclosing fold's
+      * ([[activeFoldVars]]). Anything else — while, decrementing or
+      * data-dependent loops, loops inside a loop's if-branch, mutation
+      * of an outer-branch local (which the branch-exit restore would
+      * silently discard) — rejects with the shim's compile-error text,
+      * exactly as before. Returns the accumulator set the loop threads
+      * (the enclosing loop, if any, folds them into its own).
       */
-    private def parseFor(): Unit = {
+    private def parseFor(): Seq[String] = {
       eat("(")
       next() match {
         case Ident("int") | Ident("long") =>
@@ -436,7 +451,11 @@ object JavaUdfShim {
             "(loop bodies may only contain accumulation statements)")
           case Nil => fail("unexpected end of loop body")
         }
-        if (Set("return", "for") (name) || rejectedKeywords(name))
+        if (name == "for")
+          fail("a for-loop inside a counted-loop branch is not supported " +
+            "by this engine's translation shim (hoist the inner loop out " +
+            "of the branch, or guard each accumulation with a ternary)")
+        if (name == "return" || rejectedKeywords(name))
           fail(s"'$name' inside a counted loop is not supported by this " +
             "engine's translation shim (loop bodies may only contain " +
             "accumulation statements over same-block locals)")
@@ -523,6 +542,20 @@ object JavaUdfShim {
             case Op("}") :: rest if braced => toks = rest; done = true
             case Nil => fail("unexpected end of loop body")
             case Ident("if") :: _ => parseLoopIf(); if (!braced) done = true
+            case Ident("for") :: _ =>
+              // nested counted loop: lower recursively; the accumulators
+              // it threads are (same-block) accumulators of THIS loop too
+              next()
+              parseFor().foreach { a =>
+                if (!seen.contains(a)) {
+                  if (boundIdents.contains(a))
+                    fail(s"the loop bound reads '$a', which the body " +
+                      "mutates — data-dependent loops are not supported by " +
+                      "this engine's translation shim")
+                  seen += a
+                }
+              }
+              if (!braced) done = true
             case _ => parseSimpleAccum(); if (!braced) done = true
           }
         }
@@ -545,9 +578,11 @@ object JavaUdfShim {
       // fold lambda variable for the struct form — any free identifier
       val lamAcc = {
         var n = "fold_acc"
-        while (saved._1.contains(n) || argTypes.contains(n) || n == lv) n += "_"
+        while (saved._1.contains(n) || argTypes.contains(n) || n == lv ||
+          activeFoldVars.contains(n)) n += "_"
         n
       }
+      activeFoldVars += lamAcc
       toks = bodyStart
       seen.clear()
       locals = saved._1.updated(lv, (lv, TNum(integral = true)))
@@ -591,6 +626,8 @@ object JavaUdfShim {
           }
       }
       declDepth = saved._2; declSqlType = saved._3; sbLocals = saved._4
+      activeFoldVars -= lamAcc
+      accs
     }
 
     /** One loop-body accumulation statement over accumulator `acc` (bound

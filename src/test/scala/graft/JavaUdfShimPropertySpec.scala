@@ -606,4 +606,135 @@ class JavaUdfShimPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ── NESTED counted loops (recursive fold lowering) ────────────────────
+
+  /** `int s = i1; int t = i2; for (int i = lo1; i c1 h1; i++) { [pre]
+    * for (int j = lo2; j c2 h2; j++) { inner } [post] } return s*31+t;`
+    * — the inner bound may read the outer loop variable (and guarded
+    * args), which Java re-evaluates per outer iteration; inner/pre/post
+    * steps assign either accumulator and may read both plus i (and j
+    * inside the inner body), threading sequentially.
+    */
+  private case class NestedLoop(initS: E, initT: E,
+                                lo1: Int, hi1: E, incl1: Boolean,
+                                lo2: Int, hi2: E, incl2: Boolean,
+                                pre: List[(String, E)],
+                                inner: List[(String, E)],
+                                post: List[(String, E)])
+
+  private def genNestedStep(withJ: Boolean): Gen[(String, E)] = {
+    val refs = if (withJ) Seq("s", "t", "i", "j") else Seq("s", "t", "i")
+    def ex(depth: Int): Gen[E] = {
+      val leaves: Gen[E] = Gen.oneOf(
+        Gen.chooseNum(-9, 9).map(Lit.apply),
+        Gen.oneOf(argNames).map(GArg.apply),
+        Gen.oneOf(refs).map(LRef.apply))
+      if (depth <= 0) leaves
+      else Gen.frequency(
+        3 -> leaves,
+        4 -> (for {
+          op <- Gen.oneOf("+", "-", "*")
+          l <- ex(depth - 1); r <- ex(depth - 1)
+        } yield Bin(op, l, r)))
+    }
+    for { tgt <- Gen.oneOf("s", "t"); e <- ex(2) } yield tgt -> e
+  }
+
+  /** Inner bound: literals, guarded args, and the OUTER loop variable —
+    * never an accumulator (the inner body mutates them, which the shim
+    * correctly rejects as data-dependent).
+    */
+  private def genInnerBound: Gen[E] = Gen.frequency(
+    2 -> Gen.chooseNum(-2, 4).map(Lit.apply),
+    1 -> Gen.oneOf(argNames).map(GArg.apply),
+    2 -> Gen.const(LRef("i")),
+    2 -> (for {
+      op <- Gen.oneOf("+", "-")
+      r <- Gen.chooseNum(0, 3).map(Lit.apply)
+    } yield Bin(op, LRef("i"), r)))
+
+  private def genNestedLoop: Gen[NestedLoop] = for {
+    initS <- genSafe(1)
+    initT <- genSafe(1)
+    lo1 <- Gen.chooseNum(-1, 2)
+    hi1 <- genSafe(1)
+    incl1 <- Gen.oneOf(true, false)
+    lo2 <- Gen.chooseNum(-1, 2)
+    hi2 <- genInnerBound
+    incl2 <- Gen.oneOf(true, false)
+    pre <- Gen.choose(0, 1).flatMap(n => Gen.listOfN(n, genNestedStep(withJ = false)))
+    inner <- Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, genNestedStep(withJ = true)))
+    post <- Gen.choose(0, 1).flatMap(n => Gen.listOfN(n, genNestedStep(withJ = false)))
+  } yield NestedLoop(initS, initT, lo1, hi1, incl1, lo2, hi2, incl2, pre, inner, post)
+
+  private def renderNestedLoop(b: NestedLoop): String = {
+    val c1 = if (b.incl1) "<=" else "<"
+    val c2 = if (b.incl2) "<=" else "<"
+    def stmts(ss: List[(String, E)]) =
+      ss.map { case (tgt, e) => s"$tgt = ${render(e)};" }.mkString(" ")
+    s"int s = ${render(b.initS)}; int t = ${render(b.initT)}; " +
+      s"for (int i = ${if (b.lo1 < 0) s"(${b.lo1})" else b.lo1}; i $c1 ${render(b.hi1)}; i++) { " +
+      stmts(b.pre) +
+      s" for (int j = ${if (b.lo2 < 0) s"(${b.lo2})" else b.lo2}; j $c2 ${render(b.hi2)}; j++) { " +
+      stmts(b.inner) + " } " + stmts(b.post) +
+      " } return s * 31 + t;"
+  }
+
+  private def evalNestedLoop(b: NestedLoop, args: Map[String, Option[Int]]): Option[Int] = {
+    var env: Map[String, Option[Int]] =
+      Map("s" -> eval(b.initS, args), "t" -> eval(b.initT, args))
+    val h1 = eval(b.hi1, args).get // total by construction
+    var i = b.lo1
+    while (if (b.incl1) i <= h1 else i < h1) {
+      env = env.updated("i", Some(i))
+      for ((tgt, st) <- b.pre) env = env.updated(tgt, eval(st, args, env))
+      val h2 = eval(b.hi2, args, env).get // reads i at the CURRENT iteration
+      var j = b.lo2
+      while (if (b.incl2) j <= h2 else j < h2) {
+        env = env.updated("j", Some(j))
+        for ((tgt, st) <- b.inner) env = env.updated(tgt, eval(st, args, env))
+        j += 1
+      }
+      env = env - "j"
+      for ((tgt, st) <- b.post) env = env.updated(tgt, eval(st, args, env))
+      i += 1
+    }
+    for (s <- env("s"); t <- env("t")) yield s * 31 + t
+  }
+
+  test("random NESTED counted loops translate recursively with Java " +
+    "semantics: inner bounds read the outer variable per iteration, " +
+    "accumulators thread through both folds") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val cqlArgs = argNames.map(_ -> (CqlInt: CqlType))
+    val argSets: Seq[Map[String, Option[Int]]] = Seq(
+      Map("a" -> Some(4), "b" -> Some(-2), "c" -> Some(3)),
+      Map("a" -> None, "b" -> Some(2), "c" -> Some(5)),
+      Map("a" -> Some(1), "b" -> None, "c" -> Some(-3)))
+    val base = argSets.map(m =>
+      (m("a").map(Int.box).orNull, m("b").map(Int.box).orNull, m("c").map(Int.box).orNull))
+      .toDF("a", "b", "c")
+    val cases = (0 until 60).flatMap { i =>
+      genNestedLoop(Gen.Parameters.default.withSize(1 + i % 10), Seed(0x300FL + i))
+    }
+    assert(cases.size >= 50, "generator must produce the sweep")
+    cases.zipWithIndex.grouped(15).foreach { group =>
+      val cols = group.map { case (b, i) =>
+        val sql = JavaUdfShim.translate(renderNestedLoop(b), cqlArgs)
+        expr(sql).cast("int").as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case (b, i) =>
+        argSets.zipWithIndex.foreach { case (m, row) =>
+          val want = evalNestedLoop(b, m)
+          val gi = got(row).fieldIndex(s"e$i")
+          val gotV = if (got(row).isNullAt(gi)) None else Some(got(row).getInt(gi))
+          assert(gotV === want,
+            s"body ${renderNestedLoop(b)}\nsql ${JavaUdfShim.translate(renderNestedLoop(b), cqlArgs)}\nargs $m")
+        }
+      }
+    }
+  }
 }

@@ -193,6 +193,59 @@ class JavaUdfShimSpec extends AnyFunSuite {
       "n" -> CqlInt).contains("same block"))
   }
 
+  test("NESTED counted loops lower recursively: inner folds become outer " +
+    "fold statements; inner bounds may read the outer loop variable") {
+    // triangular-of-triangular: Σ_{i=1..n} Σ_{j=1..i} j — the inner bound
+    // reads i, so the inner fold's sequence upper end is an outer-lambda
+    // expression (Java's per-iteration bound re-evaluation)
+    val nested = tr(
+      "long s = 0; for (int i = 1; i <= n; i++) " +
+        "for (int j = 1; j <= i; j++) s += j; return s;",
+      "n" -> CqlInt)
+    assert("aggregate\\(sequence\\(".r.findAllIn(nested).size === 2,
+      s"expected two nested folds in:\n$nested")
+    // multi-accumulator outer + nested inner (struct fold nesting): the
+    // inner fold threads s, the outer threads s AND t
+    val mixed = tr(
+      "int s = 0; int t = 0; for (int i = 0; i < n; i++) { " +
+        "t += i; for (int j = 0; j < i; j++) s += j; } return s * 31 + t;",
+      "n" -> CqlInt)
+    assert(mixed.contains("named_struct("), mixed)
+    // each post-loop field access inlines a copy of the fold (Spark's
+    // codegen subexpression elimination dedupes) — two folds per copy
+    assert("aggregate\\(sequence\\(".r.findAllIn(mixed).size >= 2, mixed)
+    // three levels deep — the recursion has no depth cliff
+    val deep = tr(
+      "long s = 0; for (int i = 0; i < 3; i++) for (int j = 0; j <= i; j++) " +
+        "for (int k = 0; k < j; k++) s += 1; return s;")
+    assert("aggregate\\(sequence\\(".r.findAllIn(deep).size === 3, deep)
+    // StringBuilder accumulation through a nested loop
+    val sb = tr(
+      "StringBuilder b = new StringBuilder(); " +
+        "for (int i = 0; i < n; i++) for (int j = 0; j <= i; j++) " +
+        "b.append(v); return b.toString();",
+      "v" -> CqlText, "n" -> CqlInt)
+    assert(sb.contains("concat(") &&
+      "aggregate\\(sequence\\(".r.findAllIn(sb).size === 2, sb)
+    // rejections stay honest: inner loop var shadowing (javac rejects),
+    // inner decrementing loops, for-loops inside a loop's if-branch, and
+    // an inner bound reading an accumulator the inner body mutates
+    assert(rejects(
+      "int s = 0; for (int i = 0; i < n; i++) for (int i = 0; i < 2; i++) " +
+        "s += 1; return s;", "n" -> CqlInt).contains("already defined"))
+    assert(rejects(
+      "int s = 0; for (int i = 0; i < n; i++) for (int j = i; j > 0; j--) " +
+        "s += j; return s;", "n" -> CqlInt).contains("ascending"))
+    assert(rejects(
+      "int s = 0; for (int i = 0; i < n; i++) { if (i > 2) " +
+        "for (int j = 0; j < i; j++) s += j; } return s;",
+      "n" -> CqlInt).contains("branch"))
+    assert(rejects(
+      "int s = 3; for (int i = 0; i < n; i++) " +
+        "for (int j = 0; j < s; j++) s += 1; return s;",
+      "n" -> CqlInt).contains("data-dependent"))
+  }
+
   test("rejection contract: anything beyond the statement surface") {
     assert(rejects("while (true) { } return 0;").contains("not supported"))
     assert(rejects("try { return 1; } catch (Exception e) { return 0; }")
