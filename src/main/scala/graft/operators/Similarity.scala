@@ -1052,4 +1052,51 @@ object Similarity {
       .select("query_id", "neighbor_id")
     rescoreExact(cands, queries, corpus, k)
   }
+
+  /** [[ivfKnnJoin]] over the 4×-compressed SQ8 code lists: the
+    * corpus-sized-query join shape reading a quarter of the bytes —
+    * probe routes equi-join the cid-partitioned codes (scan pruned to
+    * probed cids, salt knob for skewed centroids), scoring on the SQ8
+    * reconstruction. Row-identical to [[ivfSq8Search]] on the same
+    * queries (spec-pinned), which carries the oracle.
+    */
+  def ivfSq8KnnJoin(index: IvfSq8Index, queries: DataFrame, k: Int,
+                    nprobe: Int = 4, salt: Int = 1): DataFrame = {
+    require(salt >= 1 && salt <= 4096, s"salt must be in 1..4096, got $salt")
+    val (probed, cids) = probeRoutes(index.centroids, queries, nprobe)
+    val lists = index.codes.filter(col("cid").isin(cids: _*))
+      .select(col("cid"), col("vec_id"),
+        sq8Reconstruct(col("codes"), index.p).as("recon"))
+      .withColumn("_s", pmod(col("vec_id"), lit(salt.toLong)).cast("int"))
+    val routes =
+      if (salt == 1) probed.withColumn("_s", lit(0))
+      else probed.withColumn("_s", explode(sequence(lit(0), lit(salt - 1))))
+    val scored = lists.join(routes, Seq("cid", "_s"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("recon"), col("q_emb")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** [[ivfSq8SearchRerank]] for corpus-sized query sets: SQ8 KNN-join
+    * candidates, then a fully DISTRIBUTED exact rescore — the candidate
+    * ids equi-join the corpus and the query set without broadcast hints
+    * (both sides may be corpus-sized; AQE still broadcasts when one fits).
+    * Row-identical to the broadcast rerank on the same inputs
+    * (spec-pinned).
+    */
+  def ivfSq8KnnJoinRerank(index: IvfSq8Index, queries: DataFrame,
+                          corpus: DataFrame, k: Int, nprobe: Int = 4,
+                          salt: Int = 1, rerank: Int = 4): DataFrame = {
+    val cands = ivfSq8KnnJoin(index, queries, k * rerank, nprobe, salt)
+      .select("query_id", "neighbor_id")
+    val rescored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(cands, "neighbor_id")
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine_sim(col("n_emb"), col("q_emb")), 6).as("sim"))
+    topKPerQuery(rescored, k)
+  }
 }

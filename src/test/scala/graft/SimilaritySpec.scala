@@ -489,4 +489,21 @@ class SimilaritySpec extends SparkSpec {
     val salted = rows(Similarity.ivfKnnJoin(idx, emb, k = 5, nprobe = 3, salt = 5))
     assert(salted === viaSearch)
   }
+
+  test("ivfSq8KnnJoin and its distributed rerank answer row-identically " +
+    "to the broadcast SQ8 probe search / rerank on the same queries") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.ivfSq8Train(spark, emb, nlist = 8, iters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "sim", "rnk")
+        .collect().map(_.toSeq).toSet
+    val viaSearch = rows(Similarity.ivfSq8Search(idx, emb, k = 5, nprobe = 3))
+    val viaJoin = rows(Similarity.ivfSq8KnnJoin(idx, emb, k = 5, nprobe = 3, salt = 3))
+    assert(viaJoin === viaSearch && viaJoin.nonEmpty)
+    val viaRerank = rows(Similarity.ivfSq8SearchRerank(idx, emb, emb,
+      k = 4, nprobe = 3, rerank = 3))
+    val viaJoinRerank = rows(Similarity.ivfSq8KnnJoinRerank(idx, emb, emb,
+      k = 4, nprobe = 3, salt = 3, rerank = 3))
+    assert(viaJoinRerank === viaRerank && viaJoinRerank.nonEmpty)
+  }
 }
