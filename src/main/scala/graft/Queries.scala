@@ -3250,12 +3250,81 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_wordpiece_train",
+      // LEARNED WordPiece vocabulary (Schuster & Nakajima 2012, the BERT
+      // tokenizer — the THIRD tokenizer family next to BPE and unigram):
+      // the same single distributed word-histogram shuffle is the only
+      // corpus pass; the likelihood-scored merge loop (score =
+      // pair_freq/(left_freq·right_freq), compared by exact BigInt
+      // cross-multiplication — no float ratio ever forms) runs on the
+      // bounded histogram driver-side. The oracle is a Verify-written
+      // independent replica of the whole score-merge path.
+      Some("""SELECT token, id
+              FROM parquet_scan('{FIX}/_fixture_wptrain/*.parquet')
+              ORDER BY id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val vocab = Tokenizer.wordpieceTrain(docs, "text", numMerges = 60)
+        Tokenizer.wordpieceVocabulary(s, vocab).orderBy("id")
+      }),
+
+    QueryDef("q_wordpiece_encode",
+      // tokenize the corpus under the trained vocabulary: greedy
+      // longest-match-first (BERT's WordpieceTokenizer) as a
+      // codegen-fused scan expression with a per-thread word memo —
+      // fully distributed, no shuffle; only the vocab ships to tasks.
+      // n_unk counts [UNK] emissions (whole-word, BERT's is_bad
+      // contract); roundtrip_ok pins decode∘encode == the normalized
+      // text exactly where no [UNK] fired — engine and replica must
+      // agree on the boolean row-for-row.
+      Some("""SELECT doc_id, n_tokens, n_unk, head, roundtrip_ok
+              FROM parquet_scan('{FIX}/_fixture_wpencode/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val vocab = Tokenizer.wordpieceTrain(docs, "text", numMerges = 60)
+        val toks = Tokenizer.wordpieceEncode(col("text"), vocab)
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            size(filter(toks, tk => tk === "[UNK]")).as("n_unk"),
+            concat_ws("|", slice(toks, 1, 12)).as("head"),
+            (Tokenizer.wordpieceDecode(toks) ===
+              concat_ws(" ", Tokenizer.preTokens(col("text"))))
+              .as("roundtrip_ok"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_wordpiece_encode_ids",
+      // the id-array handoff, WordPiece edition: greedy match straight
+      // to vocabulary ids (array<int> per doc, position = id — the
+      // vocab.txt line-number convention), codegen-fused in the scan.
+      // n_unk counts id-0 emissions ([UNK] rides at position 0 by the
+      // trainer's export); the head sample pins actual id assignment.
+      Some("""SELECT doc_id, n_ids, n_unk, head
+              FROM parquet_scan('{FIX}/_fixture_wpids/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val vocab = Tokenizer.wordpieceTrain(docs, "text", numMerges = 60)
+        val ids = Tokenizer.wordpieceEncodeIds(col("text"), vocab)
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(ids).as("n_ids"),
+            size(filter(ids, i => i === 0)).as("n_unk"),
+            concat_ws("|", slice(ids, 1, 12)).as("head"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_tokenizer_fertility",
-      // the two learned-tokenizer families side by side on the SAME
+      // the THREE learned-tokenizer families side by side on the SAME
       // corpus — the like-for-like fertility comparison (tokens/word,
       // tokens/100 chars) a tokenizer-selection analysis runs. Exact
       // long sums per family (map-side partial), each family divides
-      // ONCE at the end; the union is two one-row aggregates.
+      // ONCE at the end; the union is three one-row aggregates.
       Some("""SELECT family, tokens_per_word, tokens_per_100chars
               FROM parquet_scan('{FIX}/_fixture_tokfertility/*.parquet')
               ORDER BY family"""),
@@ -3264,6 +3333,7 @@ object Queries {
         val docs = Tables.spread(t(s, d, "documents"))
         val merges = Tokenizer.bpeTrain(docs, "text", 60)
         val pieces = Tokenizer.unigramTrain(docs, "text", vocabSize = 200)
+        val wpVocab = Tokenizer.wordpieceTrain(docs, "text", numMerges = 60)
         def fert(name: String, toks: Column) =
           docs.filter(col("text").isNotNull)
             .select(size(toks).cast("long").as("nt"),
@@ -3279,6 +3349,8 @@ object Queries {
         fert("bpe", Tokenizer.encode(col("text"), merges))
           .unionByName(fert("unigram",
             Tokenizer.unigramEncode(col("text"), pieces)))
+          .unionByName(fert("wordpiece",
+            Tokenizer.wordpieceEncode(col("text"), wpVocab)))
           .orderBy("family")
       }),
 

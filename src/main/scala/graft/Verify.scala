@@ -790,6 +790,132 @@ object Verify {
       rows.toDF("doc_id", "n_ids", "n_unk", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_unigramids")
     }
+    // ── plain-Scala WordPiece replication (fixture oracles) ───────────
+    // Independent re-run of the likelihood-scored merge trainer and the
+    // greedy longest-match encoder — List symbols + groupMapReduce
+    // counting + a reduce-based selection over an explicit total order,
+    // structurally different from Tokenizer.wordpieceTrainOnHistogram's
+    // HashMap scans and the codegen'd Wordpiece.Model; shares only the
+    // pre-tokenization / UTF-8-ordering spec helpers above.
+    def wpSymsOf(w: String): List[String] = {
+      val b = List.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val s = new String(Character.toChars(cp))
+        b += (if (i == 0) s else "##" + s)
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    def wpTrainRefOn(docs: IndexedSeq[(Long, String)],
+                     numMerges: Int): Seq[String] = {
+      val hist = docs.flatMap(d => bpeWords(d._2))
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+        .toSeq.sortWith { case ((w1, f1), (w2, f2)) =>
+          f1 > f2 || (f1 == f2 && utf8Less(w1, w2)) }.take(50000)
+      var cur = hist.map { case (w, f) => (wpSymsOf(w), f) }
+      val alphabet = cur.iterator.flatMap(_._1).toSet.toSeq.sortWith(utf8Less)
+      val products = Seq.newBuilder[String]
+      var rank = 1
+      var stop = false
+      while (rank <= numMerges && !stop) {
+        val symF = cur.iterator.flatMap { case (syms, f) =>
+          syms.iterator.map(_ -> f) }.toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+        val pairF = cur.iterator.flatMap { case (syms, f) =>
+          syms.sliding(2).collect { case List(a, b) => ((a, b), f) }
+        }.toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+        if (pairF.isEmpty) stop = true
+        else {
+          // total order: score = pf/(lf·rf) via exact cross products,
+          // then pf desc, then (left, right) UTF-8 asc
+          def better(x: ((String, String), Long), y: ((String, String), Long)): Boolean = {
+            val ((l1, r1), p1) = x; val ((l2, r2), p2) = y
+            val c = (BigInt(p1) * BigInt(symF(l2)) * BigInt(symF(r2)))
+              .compare(BigInt(p2) * BigInt(symF(l1)) * BigInt(symF(r1)))
+            c > 0 || (c == 0 && (p1 > p2 || (p1 == p2 &&
+              (utf8Less(l1, l2) || (l1 == l2 && utf8Less(r1, r2))))))
+          }
+          val ((l, r), f) = pairF.reduceLeft((a, b) => if (better(b, a)) b else a)
+          if (f < 2) stop = true
+          else {
+            val merged = l + (if (r.startsWith("##")) r.substring(2) else r)
+            products += merged
+            cur = cur.map { case (syms, fr) =>
+              val out = List.newBuilder[String]
+              var rest = syms
+              while (rest.nonEmpty) rest match {
+                case a :: b :: tl if a == l && b == r => out += merged; rest = tl
+                case a :: tl => out += a; rest = tl
+                case Nil => ()
+              }
+              (out.result(), fr)
+            }
+            rank += 1
+          }
+        }
+      }
+      ("[UNK]" +: alphabet ++: products.result()).distinct
+    }
+    lazy val wpVocabRef: Seq[String] = wpTrainRefOn(bpeDocs, 60)
+    def wpEncodeWordRef(vocabSet: Set[String])(word: String): List[String] = {
+      val cps = {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < word.length) {
+          val cp = word.codePointAt(i)
+          b += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        b.result()
+      }
+      val n = cps.length
+      if (n > 100) List("[UNK]")
+      else {
+        var out = List.empty[String]
+        var start = 0
+        var bad = false
+        while (start < n && !bad) {
+          var end = n
+          var found: String = null
+          while (found == null && end > start) {
+            val cand = (if (start > 0) "##" else "") +
+              cps.slice(start, end).mkString
+            if (vocabSet(cand)) found = cand else end -= 1
+          }
+          if (found == null) bad = true
+          else { out ::= found; start = end }
+        }
+        if (bad) List("[UNK]") else out.reverse
+      }
+    }
+    fixture("_fixture_wptrain") {
+      wpVocabRef.zipWithIndex.toDF("token", "id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_wptrain")
+    }
+    fixture("_fixture_wpencode") {
+      val enc = wpEncodeWordRef(wpVocabRef.toSet) _
+      val rows = bpeDocs.map { case (id, text) =>
+        val ws = bpeWords(text)
+        val toks = ws.flatMap(enc)
+        val rt = toks.mkString(" ").replace(" ##", "") == ws.mkString(" ")
+        (id, toks.length, toks.count(_ == "[UNK]"),
+          toks.take(12).mkString("|"), rt)
+      }
+      rows.toDF("doc_id", "n_tokens", "n_unk", "head", "roundtrip_ok")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_wpencode")
+    }
+    fixture("_fixture_wpids") {
+      val enc = wpEncodeWordRef(wpVocabRef.toSet) _
+      val idOf = wpVocabRef.zipWithIndex.toMap
+      val rows = bpeDocs.map { case (id, text) =>
+        val ids = bpeWords(text).flatMap(enc).map(idOf.getOrElse(_, 0))
+        (id, ids.length, ids.count(_ == 0), ids.take(12).mkString("|"))
+      }
+      rows.toDF("doc_id", "n_ids", "n_unk", "head").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_wpids")
+    }
     fixture("_fixture_shardappend") {
       // two-batch persistent-shard replica: batch 1 (even doc ids) shards
       // from token 0; batch 2 (odd ids) CONTINUES the cumulative token
@@ -820,21 +946,25 @@ object Verify {
         .write.mode("overwrite").parquet(s"$outDir/_fixture_shardappend")
     }
     fixture("_fixture_tokfertility") {
-      // both tokenizer families' corpus fertility from the independent
-      // replicas: exact long sums, one divide per family at the end
+      // all three tokenizer families' corpus fertility from the
+      // independent replicas: exact long sums, one divide per family at
+      // the end
       val uniTable = uniTableRef.toMap
       val uniEnc = uniEncodeWordRef(uniTable) _
-      var bNt = 0L; var uNt = 0L; var nw = 0L; var nc = 0L
+      val wpEnc = wpEncodeWordRef(wpVocabRef.toSet) _
+      var bNt = 0L; var uNt = 0L; var wNt = 0L; var nw = 0L; var nc = 0L
       bpeDocs.foreach { case (_, text) =>
         val ws = bpeWords(text)
         bNt += ws.iterator.map(bpeEncodeWordRef(_).length).sum
         uNt += ws.iterator.map(uniEnc(_).length).sum
+        wNt += ws.iterator.map(wpEnc(_).length).sum
         nw += ws.length
         nc += text.codePointCount(0, text.length)
       }
       Seq(
         ("bpe", bNt.toDouble / nw.toDouble, bNt.toDouble * 100.0 / nc.toDouble),
-        ("unigram", uNt.toDouble / nw.toDouble, uNt.toDouble * 100.0 / nc.toDouble))
+        ("unigram", uNt.toDouble / nw.toDouble, uNt.toDouble * 100.0 / nc.toDouble),
+        ("wordpiece", wNt.toDouble / nw.toDouble, wNt.toDouble * 100.0 / nc.toDouble))
         .toDF("family", "tokens_per_word", "tokens_per_100chars").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_tokfertility")
     }

@@ -54,6 +54,10 @@ object Functions {
       constDoubles(es(2)))),
     "unigram_encode_ids" -> (es => UnigramEncodeIds(es(0), constStrings(es(1)),
       constDoubles(es(2)))),
+    // wordpiece_encode(text, vocab) — trained vocabulary as one constant
+    // string array (position = id), evaluated at build time
+    "wordpiece_encode" -> (es => WordpieceEncode(es(0), constStrings(es(1)))),
+    "wordpiece_encode_ids" -> (es => WordpieceEncodeIds(es(0), constStrings(es(1)))),
     "z_value"         -> (es => ZValue(es(0), es(1), constInt(es(2)))),
     "byte_remap"      -> (es => ByteRemap(es.head)),
     "byte_unmap"      -> (es => ByteUnmap(es.head)),

@@ -562,6 +562,192 @@ object Tokenizer {
                            dir: String): Seq[Piece] =
     loadPieces(spark, s"$dir/pieces")
 
+  // ── WordPiece (BERT) trainer ───────────────────────────────────────
+
+  /** Initial symbols of a word under the WordPiece convention: the first
+    * code point bare, every later one `##`-prefixed (so "word" seeds as
+    * `w ##o ##r ##d` — position-dependent symbols, unlike BPE's flat
+    * code points + `</w>`).
+    */
+  private def wpInitialSymbols(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    var first = true
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val s = new String(Character.toChars(cp))
+      out += (if (first) s else graft.functions.Wordpiece.ContPrefix + s)
+      first = false
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** Driver-side WordPiece training over a word histogram — the
+    * likelihood-scored merge loop (Schuster & Nakajima 2012 as
+    * implemented by the published HuggingFace WordPiece trainer): like
+    * BPE each round merges one adjacent symbol pair corpus-wide, but the
+    * pair is chosen by the SCORE
+    *
+    *   score(a,b) = freq(a,b) / (freq(a) · freq(b))
+    *
+    * — the pointwise likelihood gain of fusing the pair under a unigram
+    * factorization — rather than raw pair frequency, so a pair of two
+    * already-frequent symbols must co-occur far more often to win than a
+    * pair of rare ones.
+    *
+    * Determinism contract (the Verify replica re-implements this spec
+    * independently): symbol and pair frequencies are exact longs
+    * recounted from the current segmentations each round; scores compare
+    * by exact integer cross-multiplication (`BigInt` — no float ratio
+    * ever forms), ties broken by higher pair frequency then
+    * lexicographically smallest (left, right) in UTF-8 byte order; the
+    * loop stops early when the best pair occurs fewer than 2 times (a
+    * frequency-1 merge memorizes one word — same cut as [[bpeTrain]]).
+    *
+    * Returns the VOCABULARY (the WordPiece artifact — encoding is greedy
+    * longest-match over a vocab, so no merge table survives training):
+    * `[UNK]` at id 0, then the alphabet (every initial symbol of the
+    * histogram, bare and `##` forms separately, UTF-8 order), then one
+    * token per merge in training order, first surface string wins (two
+    * merge chains can assemble the same surface, e.g. `a+##bc` and
+    * `ab+##c`).
+    */
+  def wordpieceTrainOnHistogram(hist: Seq[(String, Long)],
+                                numMerges: Int): Seq[String] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val cont = graft.functions.Wordpiece.ContPrefix
+    var words: Array[(Array[String], Long)] =
+      hist.iterator.map { case (w, f) => (wpInitialSymbols(w), f) }.toArray
+    val alphabet = words.iterator.flatMap(_._1).toSet.toSeq.sortWith(utf8Less)
+    val products = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val symFreq = new java.util.HashMap[String, Long]()
+      val pairFreq = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length) {
+          symFreq.merge(syms(i), f, (a, b) => a + b)
+          if (i < syms.length - 1)
+            pairFreq.merge((syms(i), syms(i + 1)), f, (a, b) => a + b)
+          i += 1
+        }
+      }
+      // best by score = pf/(lf·rf): s1 > s2 ⟺ p1·l2·r2 > p2·l1·r1 (exact)
+      var best: (String, String) = null
+      var bestP = 0L
+      var bestLR = BigInt(1)
+      pairFreq.forEach { (p, pf) =>
+        val lr = BigInt(symFreq.get(p._1)) * BigInt(symFreq.get(p._2))
+        val cmp =
+          if (best == null) 1
+          else (BigInt(pf) * bestLR).compare(BigInt(bestP) * lr)
+        val wins =
+          cmp > 0 || (cmp == 0 && (pf > bestP || (pf == bestP &&
+            (utf8Less(p._1, best._1) || (p._1 == best._1 &&
+              utf8Less(p._2, best._2))))))
+        if (wins) { best = p; bestP = pf; bestLR = lr }
+      }
+      if (best == null || bestP < 2) exhausted = true
+      else {
+        val (l, r) = best
+        val merged = l + r.stripPrefix(cont)
+        products += merged
+        words = words.map { case (syms, f) =>
+          if (!hasPair(syms, l, r)) (syms, f)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                out += merged; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.toArray, f)
+          }
+        }
+        rank += 1
+      }
+    }
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    seen += graft.functions.Wordpiece.Unk
+    alphabet.foreach(seen += _)
+    products.foreach(seen += _)
+    seen.toSeq
+  }
+
+  /** Train a WordPiece vocabulary on the corpus: the same distributed
+    * histogram + bounded top-`maxWords` collect as [[bpeTrain]] (total
+    * order: freq desc, word UTF-8 asc), then the driver score-merge loop.
+    * The alphabet derives from the bounded histogram, so a code point
+    * seen only in below-cutoff tail words is absent and its words encode
+    * to `[UNK]` — the documented vocabulary-coverage behavior of any
+    * frequency-cut WordPiece vocab.
+    */
+  def wordpieceTrain(docs: DataFrame, textCol: String, numMerges: Int,
+                     maxWords: Int = 50000): Seq[String] = {
+    val hist = wordHistogram(docs, textCol)
+      .orderBy(desc("freq"), asc("word"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    wordpieceTrainOnHistogram(hist, numMerges)
+  }
+
+  /** Pieces column under a trained vocabulary — codegen-fused greedy
+    * longest-match in the scan ([[graft.functions.WordpieceEncode]]),
+    * vocab shipped once per task as a reference object.
+    */
+  def wordpieceEncode(text: Column, vocab: Seq[String]): Column =
+    call_function("wordpiece_encode", text, lit(vocab.toArray))
+
+  /** Inverse of [[wordpieceEncode]]: join pieces with spaces, then every
+    * ` ##` seam closes its word — restores the whitespace-normalized
+    * lowercased text wherever no `[UNK]` was emitted (spec-pinned; an
+    * `[UNK]` is lossy by construction). Built-in string ops end to end;
+    * same literal-marker ambiguity as BPE's `</w>` if raw text contains
+    * `##` after a space.
+    */
+  def wordpieceDecode(tokens: Column): Column =
+    replace(concat_ws(" ", tokens), lit(" " + graft.functions.Wordpiece.ContPrefix),
+      lit(""))
+
+  /** Ids column under a trained vocabulary (`array<int>` per document —
+    * the training-stack handoff): the same greedy segmentation with each
+    * piece at vocab position i mapping to id i; `[UNK]` is id 0 by the
+    * trainer's export, so unknown words emit 0 like every vocab-file
+    * BERT checkpoint expects.
+    */
+  def wordpieceEncodeIds(text: Column, vocab: Seq[String]): Column =
+    call_function("wordpiece_encode_ids", text, lit(vocab.toArray))
+
+  /** Token → id vocabulary of a trained WordPiece tokenizer as a
+    * DataFrame (position = id — the vocab.txt line-number convention).
+    * Purely a driver-side transform of the bounded vocab.
+    */
+  def wordpieceVocabulary(spark: org.apache.spark.sql.SparkSession,
+                          vocab: Seq[String]): DataFrame = {
+    import spark.implicits._
+    vocab.zipWithIndex.toDF("token", "id")
+  }
+
+  /** Persist a trained WordPiece vocabulary (id order — the artifact a
+    * pipeline trains once and every later job loads).
+    */
+  def saveWordpiece(spark: org.apache.spark.sql.SparkSession,
+                    vocab: Seq[String], dir: String): Unit =
+    wordpieceVocabulary(spark, vocab)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted WordPiece vocabulary, id order restored. */
+  def loadWordpiece(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Seq[String] =
+    spark.read.parquet(dir)
+      .orderBy("id").collect().map(_.getString(0)).toSeq
+
   // ── byte-level BPE mode (GPT-2 / tiktoken family) ──────────────────
 
   /** Train byte-level merges: the corpus lowers to GPT-2 byte-mapped

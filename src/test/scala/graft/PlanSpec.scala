@@ -501,6 +501,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
   }
 
+  test("wordpiece encode is one scan-fused projection: the vocabulary ships " +
+    "as a task constant, no shuffle, no codegen fallback") {
+    val p = plan("q_wordpiece_encode")
+    // training's histogram shuffle runs eagerly at build time; the
+    // returned frame is the greedy match fused into the scan + the
+    // presentation sort
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("wordpiece_encode"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"), p)
+  }
+
   test("curation funnel is one DAG: stage flags inline over the scan, a " +
     "single digest-keyed window for the canonical verdict, one source " +
     "aggregation, zero joins") {

@@ -456,4 +456,93 @@ class TokenizerSpec extends SparkSpec {
     assert(a.size >= 30 && a.size <= math.max(30, distinctChars + 30),
       s"prune must land near the cap, got ${a.size}")
   }
+
+  // ── WordPiece (BERT) family ───────────────────────────────────────
+
+  test("wordpiece trainer scores pairs by likelihood, not raw frequency") {
+    // pair counts: (a,##b) appears 12 times but both symbols are very
+    // frequent; (x,##y) appears 4 times on rare symbols. Raw-frequency
+    // BPE would merge ab first; WordPiece's score pf/(lf·rf) must pick
+    // xy: 4/(4·4) = 0.25 vs 12/(24·12) ≈ 0.042.
+    val hist = Seq(("ab", 12L), ("ac", 6L), ("ad", 6L), ("xy", 4L))
+    val vocab = Tokenizer.wordpieceTrainOnHistogram(hist, 1)
+    assert(vocab.contains("xy") && !vocab.contains("ab"),
+      s"score must pick the rare-symbol pair, got $vocab")
+    // alphabet carries position-dependent forms: bare first chars,
+    // ##-prefixed continuations, [UNK] at id 0
+    assert(vocab.head === "[UNK]")
+    assert(vocab.contains("a") && vocab.contains("##b") &&
+      !vocab.contains("b") && !vocab.contains("##a"), vocab.toString)
+  }
+
+  test("wordpiece greedy encode: longest match first, continuation prefix, " +
+    "whole-word [UNK] on any gap, long-word guard") {
+    val m = new graft.functions.Wordpiece.Model(
+      Array("[UNK]", "un", "##aff", "##able", "##a", "u", "##u", "##n",
+        "##f", "##b", "##l", "##e"))
+    // the classic BERT example: un ##aff ##able
+    assert(m.encodeWord("unaffable").toSeq === Seq("un", "##aff", "##able"))
+    // greedy longest-first: '##able' beats '##a'+...
+    assert(m.encodeWord("unable").toSeq === Seq("un", "##able"))
+    // a gap anywhere UNKs the WHOLE word (no partial emission)
+    assert(m.encodeWord("unznown").toSeq === Seq("[UNK]"))
+    // >100 code points short-circuits to [UNK]
+    assert(m.encodeWord("u" * 101).toSeq === Seq("[UNK]"))
+    assert(m.encodeWord("u" * 100).toSeq.head === "u")
+    // surrogate pairs stay whole
+    val emoji = new String(Character.toChars(0x1F600))
+    val me = new graft.functions.Wordpiece.Model(Array("[UNK]", "a", "##" + emoji))
+    assert(me.encodeWord("a" + emoji).toSeq === Seq("a", "##" + emoji))
+  }
+
+  test("wordpiece_encode expression matches the model driver-side through " +
+    "codegen; ids map position-is-id; decode inverts where no UNK") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val corpus = (Seq.fill(9)("hugging") ++ Seq.fill(7)("hugs") ++
+      Seq.fill(5)("bugs")).mkString(" ")
+    val df = Seq(corpus).toDF("text")
+    val vocab = Tokenizer.wordpieceTrain(df, "text", numMerges = 8)
+    val model = new graft.functions.Wordpiece.Model(vocab.toArray)
+    val row = df.select(
+      Tokenizer.wordpieceEncode(col("text"), vocab).as("toks"),
+      Tokenizer.wordpieceEncodeIds(col("text"), vocab).as("ids"),
+      Tokenizer.wordpieceDecode(
+        Tokenizer.wordpieceEncode(col("text"), vocab)).as("dec")).head()
+    val toks = row.getSeq[String](0)
+    val ids = row.getSeq[Int](1)
+    val expected = corpus.split(" ").flatMap(model.encodeWord).toSeq
+    assert(toks === expected, "engine tokens must match the driver model")
+    val idOf = vocab.zipWithIndex.toMap
+    assert(ids === toks.map(idOf), "ids must be vocab positions")
+    assert(row.getString(2) === corpus,
+      "decode must reconstruct the normalized corpus (no UNK fired)")
+    // an out-of-alphabet word UNKs whole and maps to id 0
+    val unkRow = Seq("hugs qzqz").toDF("text")
+      .select(Tokenizer.wordpieceEncode(col("text"), vocab).as("t"),
+        Tokenizer.wordpieceEncodeIds(col("text"), vocab).as("i")).head()
+    assert(unkRow.getSeq[String](0).last === "[UNK]")
+    assert(unkRow.getSeq[Int](1).last === 0)
+  }
+
+  test("wordpiece trainer is deterministic; save/load restores id order " +
+    "and segments identically") {
+    import spark.implicits._
+    graft.functions.Functions.ensure(spark)
+    val texts = (1 to 40).map(i => s"pad${i % 7} word${i % 5} tail${i % 3}")
+    val df = texts.toDF("text")
+    val a = Tokenizer.wordpieceTrain(df, "text", numMerges = 20)
+    val b = Tokenizer.wordpieceTrain(df, "text", numMerges = 20)
+    assert(a === b, "same corpus must train the identical vocabulary")
+    val dir = java.nio.file.Files.createTempDirectory("wp").toString
+    Tokenizer.saveWordpiece(spark, a, s"$dir/vocab")
+    val loaded = Tokenizer.loadWordpiece(spark, s"$dir/vocab")
+    assert(loaded === a, "load must restore the exact id order")
+    val probe = Seq(texts.head).toDF("text")
+    val x = probe.select(Tokenizer.wordpieceEncodeIds(col("text"), a))
+      .as[Seq[Int]].head()
+    val y = probe.select(Tokenizer.wordpieceEncodeIds(col("text"), loaded))
+      .as[Seq[Int]].head()
+    assert(x === y)
+  }
 }
