@@ -2155,6 +2155,71 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_pca_train",
+      // PCA projection training over the embedding corpus (the Faiss
+      // PCAMatrix pre-transform tier): ONE gram_matrix_agg pass — count,
+      // per-dim sums, and the full upper-triangular Gram matrix as
+      // fixed-point longs in a single map-side-merged buffer, no
+      // posexplode, no shuffle wider than one dim-bounded buffer per
+      // partition — then the cyclic-Jacobi eigensolve driver-side. The
+      // fixed-point moments make the trained table bit-reproducible, so
+      // the oracle is a Verify-written independent replica of the whole
+      // moments→covariance→Jacobi→sign/round path.
+      Some("""SELECT component, dim_idx, weight, eigenvalue, mean
+              FROM parquet_scan('{FIX}/_fixture_pcatrain/*.parquet')
+              ORDER BY component, dim_idx"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val m = Pca.pcaTrain(emb, outDim = 8)
+        Pca.modelDf(s, m).orderBy("component", "dim_idx")
+      }),
+
+    QueryDef("q_ann_pca",
+      // ANN in PCA-reduced space: corpus and queries project through the
+      // trained 16-dim transform (codegen'd pca_project fused into each
+      // scan — the 4× shorter vectors are what a reduced-dimension index
+      // would store), then the brute-force cosine top-k runs in the
+      // reduced space. Save→load exercises the model artifact: the
+      // search runs through a LOADED model and must answer identically
+      // to the freshly-trained one (6-dp parquet round-trip). Replica
+      // re-trains and re-projects independently.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annpca/*.parquet')
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-pca")
+        Pca.savePca(s, Pca.pcaTrain(emb, outDim = 16), dir.toString)
+        val m = Pca.loadPca(s, dir.toString)
+        val proj = Pca.pcaProject(emb, m)
+        Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") < 8), 10)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
+    QueryDef("q_ann_pca_whiten",
+      // the WHITENED variant (components scaled by 1/√λ — cosine in
+      // whitened space is Mahalanobis-normalized similarity, the form
+      // retrieval stacks use when embedding dimensions carry very
+      // unequal variance). Same one-pass training, same reduced-space
+      // search; the ranking differs from q_ann_pca exactly where
+      // variance inequality matters, which is what the paired fixtures
+      // pin.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annpcawhiten/*.parquet')
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val m = Pca.pcaTrain(emb, outDim = 16, whiten = true)
+        val proj = Pca.pcaProject(emb, m)
+        Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") < 8), 10)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_recall",
       // recall@10 of every approximate ANN method against the exhaustive
       // brute-force baseline — the approximate/exact quality trade as one

@@ -1214,6 +1214,126 @@ object Verify {
       annIvfSq8Rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annivfsq8")
     }
+    // ── plain-Scala PCA replication (fixture oracles) ─────────────────
+    // Independent re-run of the moments→covariance→Jacobi→sign/round
+    // spec (operators/Pca.scala object doc): fixed-point long moments
+    // (one Math.round per per-row term — partitioning-independent by
+    // integer addition), covariance decode g/2^24/n − μᵢμⱼ, cyclic
+    // Jacobi with the documented rotation/op order, eigenvalue-desc
+    // selection, largest-|weight|-positive sign, 6-dp rounding. Shares
+    // only VectorMath.cosineF with the engine.
+    def pcaTrainRef(vecs: IndexedSeq[(Long, Array[Float])], outDim: Int,
+                    whiten: Boolean)
+        : (Array[Double], Array[Double], Array[Array[Double]]) = {
+      val dim = vecs.head._2.length
+      val n = vecs.length.toDouble
+      val scale = (1L << 24).toDouble
+      val sums = new Array[Long](dim)
+      val gram = Array.ofDim[Long](dim, dim) // full square; engine keeps tri
+      vecs.foreach { case (_, e) =>
+        var i = 0
+        while (i < dim) {
+          val xi = e(i).toDouble
+          sums(i) += Math.round(xi * scale)
+          var j = i
+          while (j < dim) {
+            gram(i)(j) += Math.round(xi * e(j).toDouble * scale)
+            j += 1
+          }
+          i += 1
+        }
+      }
+      val mean = sums.map(s => s.toDouble / scale / n)
+      val a = Array.tabulate(dim, dim) { (i, j) =>
+        val g = if (i <= j) gram(i)(j) else gram(j)(i)
+        g.toDouble / scale / n - mean(i) * mean(j)
+      }
+      val v = Array.tabulate(dim, dim)((r, c) => if (r == c) 1.0 else 0.0)
+      var sweep = 0
+      var converged = false
+      while (sweep < 100 && !converged) {
+        for (p <- 0 until dim - 1; q <- p + 1 until dim) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-12) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            for (k <- 0 until dim) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq; a(k)(q) = s * akp + c * akq
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq; v(k)(q) = s * vkp + c * vkq
+            }
+            for (k <- 0 until dim) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk; a(q)(k) = s * apk + c * aqk
+            }
+          }
+        }
+        converged = (for (r <- 0 until dim - 1; c <- r + 1 until dim)
+          yield a(r)(c) * a(r)(c)).sum < 1e-18
+        sweep += 1
+      }
+      val order = (0 until dim).sortBy(j => (-a(j)(j), j)).take(outDim)
+      val eig = order.map(j => a(j)(j)).toArray
+      val comps = order.zipWithIndex.map { case (j, k) =>
+        val vec = (0 until dim).map(r => v(r)(j)).toArray
+        val m = vec.indices.maxBy(r => (math.abs(vec(r)), -r))
+        val signed = if (vec(m) < 0) vec.map(x => -x) else vec
+        val scaled = if (whiten) {
+          val w = math.sqrt(math.max(eig(k), 1e-12))
+          signed.map(_ / w)
+        } else signed
+        scaled.map(round6)
+      }.toArray
+      (mean.map(round6), eig.map(round6), comps)
+    }
+    def pcaProjectRef(mean: Array[Double], comps: Array[Array[Double]])
+                     (e: Array[Float]): Array[Float] =
+      comps.map { row =>
+        var s = 0.0
+        var i = 0
+        while (i < row.length) { s += row(i) * (e(i).toDouble - mean(i)); i += 1 }
+        s.toFloat
+      }
+    def annPcaRows(outDim: Int, whiten: Boolean)
+        : IndexedSeq[(Long, Long, Double, Int)] = {
+      import graft.functions.VectorMath
+      val (mean, _, comps) = pcaTrainRef(annVecs, outDim, whiten)
+      val proj = annVecs.map { case (id, e) => (id, pcaProjectRef(mean, comps)(e)) }
+      for {
+        (qid, qe) <- proj.filter(_._1 < 8)
+        ranked = proj.iterator
+          .filter(_._1 != qid)
+          .map { case (nid, ne) => (nid, round6(VectorMath.cosineF(ne, qe))) }
+          .toIndexedSeq.sortBy { case (nid, sim) => (-sim, nid) }
+          .take(10)
+        ((nid, sim), i) <- ranked.zipWithIndex
+      } yield (qid, nid, sim, i + 1)
+    }
+    fixture("_fixture_pcatrain") {
+      val (mean, eig, comps) = pcaTrainRef(annVecs, outDim = 8, whiten = false)
+      val rows = for {
+        k <- comps.indices
+        i <- mean.indices
+      } yield (k, i, comps(k)(i), eig(k), mean(i))
+      rows.toDF("component", "dim_idx", "weight", "eigenvalue", "mean")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_pcatrain")
+    }
+    fixture("_fixture_annpca") {
+      annPcaRows(16, whiten = false)
+        .toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annpca")
+    }
+    fixture("_fixture_annpcawhiten") {
+      annPcaRows(16, whiten = true)
+        .toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annpcawhiten")
+    }
     fixture("_fixture_annrecall") {
       // recall@k of each approximate method against the exhaustive
       // baseline, derived from the SAME plain-Scala replicas the per-method

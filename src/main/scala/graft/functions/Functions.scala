@@ -58,6 +58,11 @@ object Functions {
     // string array (position = id), evaluated at build time
     "wordpiece_encode" -> (es => WordpieceEncode(es(0), constStrings(es(1)))),
     "wordpiece_encode_ids" -> (es => WordpieceEncodeIds(es(0), constStrings(es(1)))),
+    // PCA tier: one-pass fixed-point moment aggregate + the projection
+    // kernel (trained model as constant arrays, evaluated at build time)
+    "gram_matrix_agg" -> (es => GramMatrixAgg(es(0), constInt(es(1)))),
+    "pca_project" -> (es => PcaProject(es(0), constDoubles(es(1)),
+      constDoubles(es(2)), constInt(es(3)))),
     "z_value"         -> (es => ZValue(es(0), es(1), constInt(es(2)))),
     "byte_remap"      -> (es => ByteRemap(es.head)),
     "byte_unmap"      -> (es => ByteUnmap(es.head)),

@@ -693,7 +693,7 @@ object Similarity {
     * (`size(null)` is null, so a bare `=!= dim` filter would let null
     * embeddings slip past).
     */
-  private def failOnBadEmbeddings(vecs: DataFrame, dim: Int, op: String): Unit = {
+  private[operators] def failOnBadEmbeddings(vecs: DataFrame, dim: Int, op: String): Unit = {
     val bad = vecs
       .filter(col("embedding").isNull || size(col("embedding")) =!= dim).limit(1)
       .select(col("vec_id"), coalesce(size(col("embedding")), lit(-1)).as("d"))

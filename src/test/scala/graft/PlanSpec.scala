@@ -65,6 +65,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("PCA search: projection fuses into both scans (pca_project, no " +
+    "shuffle to transform), the reduced-space search broadcasts the " +
+    "query side, corpus never sort-merge shuffled") {
+    val p = plan("q_ann_pca")
+    assert(p.contains("pca_project"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("IVF drift stats: broadcast assignment, one bounded aggregation, " +
     "no corpus join") {
     val p = plan("q_ann_ivf_drift")
