@@ -2266,9 +2266,14 @@ object Queries {
         val ivfSq8 = Similarity.ivfSq8SearchRerank(
           Similarity.ivfSq8Load(s, ivfSq8Dir.toString), queries, emb, 10,
           nprobe = 4, rerank = 4)
+        val pm = Pca.pcaTrain(emb, outDim = 16)
+        val pemb = Pca.pcaProject(emb, pm)
+        val pca = Similarity.bruteForceTopK(pemb,
+          pemb.filter(col("vec_id") < 8), 10)
         recallRow("ivf", ivf).union(recallRow("ivf_sq8", ivfSq8))
           .union(recallRow("ivfpq", ivfpq))
-          .union(recallRow("lsh", lsh)).union(recallRow("pq", pq))
+          .union(recallRow("lsh", lsh)).union(recallRow("pca", pca))
+          .union(recallRow("pq", pq))
           .union(recallRow("sq8", sq8))
           .orderBy("method")
       }),
@@ -3626,6 +3631,46 @@ object Queries {
         WebCuration.capPerDomain(docs, "domain", "doc_id", 10)
           .select(col("domain"), col("doc_id"), col("rn"))
           .orderBy("domain", "rn")
+      }),
+
+    QueryDef("q_host_pagerank",
+      // host-level link-graph PageRank — the seed/harvest-quality prior
+      // web-curation stacks attach to every crawled page. The corpus
+      // carries no links, so the query plants a page URL plus 2-3
+      // outlinks per doc keyed off doc_id (a www-prefixed mirror host
+      // exercises normalization; every fifth doc links a `sink` host
+      // that never links out, exercising the dangling-mass term), builds
+      // the deduped host edge table, and runs 10 synchronous iterations.
+      // DETERMINISTIC (fixed-point per-edge contributions, long sums),
+      // so the oracle is a Verify-written fixture: an independent
+      // plain-Scala PageRank over the same planted derivation.
+      Some("""SELECT host, pagerank
+              FROM parquet_scan('{FIX}/_fixture_pagerank/*.parquet')
+              ORDER BY host"""),
+      (s, d) => {
+        prep(s)
+        val did = col("doc_id")
+        val pages = Tables.spread(t(s, d, "documents")).select(
+          did,
+          concat(lit("https://site"), (did % 13).cast("string"),
+            lit(".example.com/p/"), did.cast("string")).as("url"),
+          when(did % 5 === 0, array(
+              concat(lit("http://www.site"), ((did + 4) % 13).cast("string"),
+                lit(".example.com/a")),
+              concat(lit("https://site"), ((did * 3 + 5) % 13).cast("string"),
+                lit(".example.com/b/"), did.cast("string")),
+              concat(lit("https://sink"), (did % 3).cast("string"),
+                lit(".example.org/x"))))
+            .otherwise(array(
+              concat(lit("http://www.site"), ((did + 4) % 13).cast("string"),
+                lit(".example.com/a")),
+              concat(lit("https://site"), ((did * 3 + 5) % 13).cast("string"),
+                lit(".example.com/b/"), did.cast("string"))))
+            .as("links"))
+        WebCuration.pageRank(
+            WebCuration.hostEdges(pages, "url", "links"), iters = 10)
+          .select(col("host"), col("rank").as("pagerank"))
+          .orderBy("host")
       }),
 
     QueryDef("q_quality_reference_lp",

@@ -1356,7 +1356,9 @@ object Verify {
       }
       Seq("ivf" -> recallOf(annIvfRows), "ivf_sq8" -> recallOf(annIvfSq8Rows),
           "ivfpq" -> recallOf(annIvfPqRows),
-          "lsh" -> recallOf(annLshRows), "pq" -> recallOf(annPqRows),
+          "lsh" -> recallOf(annLshRows),
+          "pca" -> recallOf(annPcaRows(16, whiten = false)),
+          "pq" -> recallOf(annPqRows),
           "sq8" -> recallOf(annSq8Rows))
         .map { case (m, (a, b, r)) => (m, a, b, r) }
         .toDF("method", "matched", "total", "recall").coalesce(1)
@@ -1505,6 +1507,48 @@ object Verify {
         }.toIndexedSeq.sortBy(_._1)
       rows.toDF("vec_id", "cid", "proto_sim", "rnk", "kept").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_clusterprune")
+    }
+    fixture("_fixture_pagerank") {
+      // Host-graph PageRank replica: q_host_pagerank's planted outlink
+      // derivation (page host doc_id%13; outlinks at +4 and *3+5 mod 13;
+      // every fifth doc links a sink host that never links out) is
+      // re-derived here from the doc_ids alone, then ranked by an
+      // independent plain-Scala synchronous PageRank using the SAME
+      // fixed-point contribution arithmetic (per-edge scaled-long
+      // HALF_UP round, long sums) as WebCuration.pageRank — shares no
+      // code with the operator under test.
+      val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id")).as[Long].collect()
+      val edges = scala.collection.mutable.LinkedHashSet[(String, String)]()
+      for (id <- ids) {
+        val src = s"site${id % 13}.example.com"
+        val dsts = Seq(
+          s"site${(id + 4) % 13}.example.com",
+          s"site${(id * 3 + 5) % 13}.example.com") ++
+          (if (id % 5 == 0) Seq(s"sink${id % 3}.example.org") else Nil)
+        for (dst <- dsts if dst != src) edges += ((src, dst))
+      }
+      val scale = (1L << 24).toDouble
+      def fp(v: Double): Long =
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.distinct.sorted
+      val n = nodes.size
+      val outDeg = edges.toSeq.groupBy(_._1).map { case (s0, es) => (s0, es.size.toLong) }
+      val dangling = nodes.filterNot(outDeg.contains)
+      val damping = 0.85
+      val base = (1.0 - damping) / n
+      var ranks: Map[String, Double] = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 0 until 10) {
+        val contribs = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((s0, d0) <- edges)
+          contribs(d0) += fp(ranks(s0) / outDeg(s0) * scale)
+        val dmass = dangling.iterator.map(h => fp(ranks(h) * scale)).sum
+        val dterm = dmass.toDouble / scale / n
+        ranks = nodes.map(h =>
+          h -> (base + damping * (contribs(h).toDouble / scale + dterm))).toMap
+      }
+      nodes.map(h => (h, round6(ranks(h)))).toDF("host", "pagerank")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_fixture_pagerank")
     }
     fixture("_fixture_timeuuid") {
       // input prep (ms derivation) is shared with q_timeuuid_bounds; the

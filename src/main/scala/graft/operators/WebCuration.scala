@@ -56,4 +56,83 @@ object WebCuration {
       Seq(domainCol), Seq(("_m", false), (idCol, false)), n,
       rowNumberCol = "rn").drop("_m")
   }
+
+  /** Host-graph edges from a page table: page host × each outlink host,
+    * self-loops dropped, multi-edges collapsed. Both endpoints normalize
+    * through [[domainOf]]∘[[hostOf]]; the outlink explode is map-side
+    * (no payload duplicated — only the two host strings reach the
+    * distinct's shuffle).
+    */
+  def hostEdges(pages: DataFrame, urlCol: String, linksCol: String): DataFrame =
+    pages.select(
+        domainOf(hostOf(col(urlCol))).as("src"),
+        explode(col(linksCol)).as("_l"))
+      .select(col("src"), domainOf(hostOf(col("_l"))).as("dst"))
+      .filter(col("src") =!= "" && col("dst") =!= "" &&
+        col("src") =!= col("dst"))
+      .distinct()
+
+  /** Host-level PageRank over a (src, dst) edge table — the link-graph
+    * quality prior web-curation stacks attach to every crawled page
+    * (harvest-rank / seed-quality style host scoring: a host linked by
+    * many well-linked hosts outranks a link farm nobody references).
+    *
+    * Scale shape: the classic synchronous iteration — each round is ONE
+    * src-keyed join of the (deduped, checkpointed) edge table against
+    * the rank table and ONE dst-keyed aggregation; the edge table
+    * carries only (src, dst, deg) strings+long, never page payloads,
+    * and `localCheckpoint` truncates the growing lineage each round
+    * (the [[Dedup.dupGroups]] pattern). The dangling-mass probe
+    * collects a single long per round. Host graphs are node-bounded
+    * (~10^7 hosts for a full web crawl — each round's rank table is
+    * tiny next to the corpus the prior gets joined onto).
+    *
+    * Determinism (the house fixed-point recipe): every per-edge
+    * contribution rank/deg is scaled by 2^24 and rounded ONCE (Spark
+    * `round` = HALF_UP), then summed as longs — partitioning-
+    * independent; the dangling mass sums the same way. Rank update:
+    * r' = (1−d)/N + d·(Σc/2^24 + dangling/2^24/N), every double op in
+    * one fixed expression. Output ranks round to 6 dp and sum to ~1.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val scale = graft.operators.Similarity.fixedPointScale
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // reused every iteration — never recomputed
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val danglingNodes = nodes
+      .join(e.select(col("src").as("host")).distinct(), Seq("host"), "left_anti")
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("host"))
+        .select(col("dst"),
+          round(col("rank") / col("deg") * lit(scale)).cast("long").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      val dangling = danglingNodes
+        .join(ranks, Seq("host"))
+        .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")), lit(0L)))
+        .collect()(0).getLong(0)
+      ranks = nodes.join(contribs, nodes("host") === contribs("dst"), "left")
+        .select(nodes("host"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("cs"), lit(0L)).cast("double") / lit(scale) +
+              lit(dangling.toDouble / scale / n))).as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks.select(col("host"), round(col("rank"), 6).as("rank"))
+  }
 }

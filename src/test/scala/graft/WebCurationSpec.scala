@@ -67,6 +67,46 @@ class WebCurationSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), "cap should use TopKRowsAgg")
   }
 
+  test("hostEdges normalizes endpoints, drops self-loops, collapses multi-edges") {
+    val pages = Seq(
+      (1L, "https://www.a.com/x",
+        Seq("http://b.com/1", "https://www.b.com/2", "https://a.com/self")),
+      (2L, "https://b.com/y", Seq("https://a.com/z", "https://a.com/z2")))
+      .toDF("doc_id", "url", "links")
+    val got = WebCuration.hostEdges(pages, "url", "links")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("a.com", "b.com"), ("b.com", "a.com")))
+  }
+
+  test("pageRank: symmetric cycle is uniform and mass-conserving") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val got = WebCuration.pageRank(edges, iters = 10)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-5))
+  }
+
+  test("pageRank: well-linked host outranks leaves; dangling mass is redistributed") {
+    val edges = Seq(("l1", "hub"), ("l2", "hub"), ("l3", "hub"), ("l4", "hub"),
+      ("hub", "l1"), ("l1", "d1")).toDF("src", "dst")
+    val df = WebCuration.pageRank(edges, iters = 20)
+    val got = df.as[(String, Double)].collect().toMap
+    assert(got("hub") > got("l2") && got("hub") > got("d1"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-3,
+      s"dangling d1 must not leak mass: ${got.values.sum}")
+    // iteration lineage is truncated: the final plan reads checkpointed
+    // RDDs, not a 20-deep join/agg expression tree over the input
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"), "expected checkpointed lineage")
+  }
+
+  test("q_host_pagerank: planted host graph ranks sum to ~1") {
+    val rows = Queries.byName("q_host_pagerank").impl(spark, sf)
+      .as[(String, Double)].collect()
+    assert(rows.length >= 13, s"expected the 13 site hosts, got ${rows.length}")
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3)
+  }
+
   test("q_domain_cap plans the bounded aggregate, not a rank window") {
     val df = Queries.byName("q_domain_cap").impl(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
