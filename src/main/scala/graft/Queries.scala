@@ -126,6 +126,34 @@ object Queries {
               SELECT query_id, doc_id, rrf, rank FROM fr
               WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** Planted link-graph pages shared by q_host_pagerank / q_link_prior:
+    * page host doc_id%13, outlinks at +4 (www-prefixed mirror form,
+    * exercising normalization) and *3+5 mod 13 (self-loop at residue 4,
+    * exercising the drop), plus a never-linking-out sink host on every
+    * fifth doc (exercising the dangling-mass term). The Verify replica
+    * (_fixture_pagerank) re-derives the same graph from doc_ids alone.
+    */
+  private def plantedLinkPages(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    Tables.spread(t(s, d, "documents")).select(
+      did,
+      concat(lit("https://site"), (did % 13).cast("string"),
+        lit(".example.com/p/"), did.cast("string")).as("url"),
+      when(did % 5 === 0, array(
+          concat(lit("http://www.site"), ((did + 4) % 13).cast("string"),
+            lit(".example.com/a")),
+          concat(lit("https://site"), ((did * 3 + 5) % 13).cast("string"),
+            lit(".example.com/b/"), did.cast("string")),
+          concat(lit("https://sink"), (did % 3).cast("string"),
+            lit(".example.org/x"))))
+        .otherwise(array(
+          concat(lit("http://www.site"), ((did + 4) % 13).cast("string"),
+            lit(".example.com/a")),
+          concat(lit("https://site"), ((did * 3 + 5) % 13).cast("string"),
+            lit(".example.com/b/"), did.cast("string"))))
+        .as("links"))
+  }
+
   private def tmpDir(prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     storedDirsHook
@@ -2639,6 +2667,132 @@ object Queries {
           .orderBy("query_id", "neg_rank")
       }),
 
+    QueryDef("q_retrieval_eval",
+      // retrieval-quality metrics (trec_eval core set) of the BM25 run
+      // at k=10 against content-derived binary qrels: a doc is relevant
+      // iff it contains EVERY term of the query (boolean-AND relevance —
+      // derivable identically in both engines from the same
+      // tokenization) AND sits in the doc_id%3==0 slice, so the run has
+      // genuine misses and the partial-relevance paths (cum/rank AP
+      // terms, first-hit RR, nDCG < 1) are exercised on real data.
+      // Exercises hits/P@k/R@k/MRR/MAP/nDCG with the fixed-point
+      // micro-sum recipe; the oracle restates the full BM25 chain + the
+      // qrels derivation + every metric formula in SQL.
+      Some("""WITH q(query_id, term) AS (VALUES
+                (CAST(0 AS BIGINT), 'hash'), (0, 'join'),
+                (1, 'fast'), (1, 'scan'), (1, 'filter'),
+                (2, 'customer'), (2, 'order'), (2, 'data')),
+              toks AS (
+                SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+                       unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+              ), stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE) / count(*) AS avgdl
+                FROM documents
+              ), tf AS (
+                SELECT query_id, doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM toks JOIN q USING (term) GROUP BY 1, 2, 3
+              ), dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+              ), scored AS (
+                SELECT query_id, doc_id,
+                       CAST(round(
+                         (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                          * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+                         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                            ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+                             CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))),
+                         6) AS DECIMAL(18,6)) AS s
+                FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+              ), agg AS (
+                SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+                FROM scored GROUP BY 1, 2
+              ), run AS (
+                SELECT query_id, doc_id, rank FROM (
+                  SELECT query_id, doc_id,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+                  FROM agg) WHERE rank <= 10
+              ), qsize AS (
+                SELECT query_id, count(DISTINCT term) AS n_q FROM q GROUP BY 1
+              ), qr AS (
+                SELECT d.query_id, d.doc_id FROM (
+                  SELECT q.query_id, t.doc_id, count(DISTINCT q.term) AS nt
+                  FROM (SELECT DISTINCT doc_id, term FROM toks) t
+                  JOIN q ON t.term = q.term GROUP BY 1, 2) d
+                JOIN qsize USING (query_id)
+                WHERE d.nt = qsize.n_q AND d.doc_id % 3 = 0
+              ), nrel AS (
+                SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1
+              ), cumd AS (
+                SELECT r.query_id, r.rank,
+                       CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+                       sum(CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY r.query_id ORDER BY r.rank) AS cum
+                FROM run r LEFT JOIN qr
+                  ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+              ), per AS (
+                SELECT query_id,
+                       CAST(sum(rel) AS BIGINT) AS hits,
+                       min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+                       sum(CASE WHEN rel = 1 THEN CAST(round(
+                         CAST(cum AS DOUBLE) / rank * 1e6) AS BIGINT)
+                         ELSE 0 END) AS ap_sum,
+                       sum(CASE WHEN rel = 1 THEN CAST(round(
+                         ln(CAST(2 AS DOUBLE)) / ln(CAST(rank AS DOUBLE) + 1.0) * 1e6) AS BIGINT)
+                         ELSE 0 END) AS dcg_sum
+                FROM cumd GROUP BY 1
+              ), iterms AS (
+                SELECT i, CAST(round(ln(CAST(2 AS DOUBLE)) /
+                  ln(CAST(i AS DOUBLE) + 1.0) * 1e6) AS BIGINT) AS t
+                FROM generate_series(1, 10) AS g(i)
+              ), idcgt AS (
+                SELECT a.i AS m, sum(b.t) AS idcg
+                FROM iterms a JOIN iterms b ON b.i <= a.i GROUP BY 1
+              )
+              SELECT p.query_id,
+                     COALESCE(n.n_rel, 0) AS n_rel,
+                     p.hits,
+                     round(CAST(p.hits AS DOUBLE) / CAST(10 AS DOUBLE), 6) AS prec_k,
+                     CASE WHEN n.n_rel > 0
+                       THEN round(CAST(p.hits AS DOUBLE) / n.n_rel, 6)
+                       ELSE CAST(0 AS DOUBLE) END AS recall_k,
+                     COALESCE(round(CAST(1 AS DOUBLE) / p.first_rel, 6),
+                       CAST(0 AS DOUBLE)) AS rr,
+                     CASE WHEN n.n_rel > 0
+                       THEN round(CAST(p.ap_sum AS DOUBLE) /
+                         (CAST(least(n.n_rel, 10) AS DOUBLE) * 1e6), 6)
+                       ELSE CAST(0 AS DOUBLE) END AS ap,
+                     CASE WHEN n.n_rel > 0
+                       THEN round(CAST(p.dcg_sum AS DOUBLE) /
+                         CAST(it.idcg AS DOUBLE), 6)
+                       ELSE CAST(0 AS DOUBLE) END AS ndcg
+              FROM per p LEFT JOIN nrel n USING (query_id)
+              LEFT JOIN idcgt it ON it.m = least(n.n_rel, 10)
+              ORDER BY query_id"""),
+      (s, d) => {
+        prep(s)
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val qs = Seq(0L -> Seq("hash", "join"), 1L -> Seq("fast", "scan", "filter"),
+          2L -> Seq("customer", "order", "data"))
+        val qdf = qs.flatMap { case (q, ts) => ts.distinct.map(t0 => (q, t0)) }
+          .toDF("query_id", "term")
+        val qsize = qs.map { case (q, ts) => (q, ts.distinct.size.toLong) }
+          .toDF("query_id", "n_q")
+        val qrels = docs.select(col("doc_id"),
+            explode(array_distinct(TextAnalysis.words(col("text")))).as("term"))
+          .join(broadcast(qdf), "term")
+          .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nt"))
+          .join(broadcast(qsize), "query_id")
+          .filter(col("nt") === col("n_q") && col("doc_id") % 3 === 0)
+          .select("query_id", "doc_id")
+        val run = TextAnalysis.bm25TopK(docs, "doc_id", "text", qs, 10)
+        TextAnalysis.retrievalEval(run, qrels, 10).orderBy("query_id")
+      }),
+
     QueryDef("q_bm25_index",
       // the PERSISTENT inverted-index path (scale shape): build the
       // term-bucket-partitioned postings once, save, load, search — the
@@ -3649,28 +3803,95 @@ object Queries {
               ORDER BY host"""),
       (s, d) => {
         prep(s)
+        WebCuration.pageRank(
+            WebCuration.hostEdges(plantedLinkPages(s, d), "url", "links"),
+            iters = 10)
+          .select(col("host"), col("rank").as("pagerank"))
+          .orderBy("host")
+      }),
+
+    QueryDef("q_link_prior",
+      // the reason the host ranks exist: the node-bounded PageRank table
+      // joins back onto the corpus as a per-page quality prior — a
+      // BROADCAST join on the planted page host, so attaching the prior
+      // to 100 TB of pages costs one corpus scan and zero shuffles. The
+      // oracle re-derives each doc's host and joins the independent
+      // PageRank replica fixture.
+      Some("""SELECT d.doc_id,
+                     'site' || CAST(d.doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+                     f.pagerank
+              FROM documents d
+              JOIN parquet_scan('{FIX}/_fixture_pagerank/*.parquet') f
+                ON f.host = 'site' || CAST(d.doc_id % 13 AS VARCHAR) || '.example.com'
+              ORDER BY d.doc_id"""),
+      (s, d) => {
+        prep(s)
+        val ranks = WebCuration.pageRank(
+            WebCuration.hostEdges(plantedLinkPages(s, d), "url", "links"),
+            iters = 10)
+          .select(col("host"), col("rank").as("pagerank"))
+        Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            WebCuration.domainOf(WebCuration.hostOf(
+              concat(lit("https://site"), (col("doc_id") % 13).cast("string"),
+                lit(".example.com/p/"), col("doc_id").cast("string")))).as("host"))
+          .join(broadcast(ranks), "host")
+          .select(col("doc_id"), col("host"), col("pagerank"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_anchor_text",
+      // incoming anchor-text aggregation per target host (the
+      // query-log-substitute signal retrieval/curation stacks build from
+      // a crawl): planted per-doc HTML carries two cross-host <a> links
+      // with doc_id-keyed anchor tokens, a relative href (no host —
+      // dropped), and a self-link at residue 4 (dropped). The engine
+      // runs the real regex-pair extraction + host normalization +
+      // tokenization chain; the oracle derives the expected (host, term)
+      // stream independently from doc_id arithmetic — no shared regex.
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+              links AS (
+                SELECT 'site' || CAST((doc_id + 4) % 13 AS VARCHAR)
+                         || '.example.com' AS host, 'alpha' AS term FROM d
+                UNION ALL
+                SELECT 'site' || CAST((doc_id + 4) % 13 AS VARCHAR)
+                         || '.example.com',
+                       't' || CAST(doc_id % 7 AS VARCHAR) FROM d
+                UNION ALL
+                SELECT 'site' || CAST((doc_id * 3 + 5) % 13 AS VARCHAR)
+                         || '.example.com', 'beta'
+                FROM d WHERE (doc_id * 3 + 5) % 13 <> doc_id % 13
+                UNION ALL
+                SELECT 'site' || CAST((doc_id * 3 + 5) % 13 AS VARCHAR)
+                         || '.example.com', 'link'
+                FROM d WHERE (doc_id * 3 + 5) % 13 <> doc_id % 13
+                UNION ALL
+                SELECT 'site' || CAST((doc_id * 3 + 5) % 13 AS VARCHAR)
+                         || '.example.com',
+                       't' || CAST(doc_id % 5 AS VARCHAR)
+                FROM d WHERE (doc_id * 3 + 5) % 13 <> doc_id % 13
+              )
+              SELECT host, term, count(*) AS cnt
+              FROM links GROUP BY 1, 2 ORDER BY host, term"""),
+      (s, d) => {
+        prep(s)
         val did = col("doc_id")
         val pages = Tables.spread(t(s, d, "documents")).select(
           did,
           concat(lit("https://site"), (did % 13).cast("string"),
             lit(".example.com/p/"), did.cast("string")).as("url"),
-          when(did % 5 === 0, array(
-              concat(lit("http://www.site"), ((did + 4) % 13).cast("string"),
-                lit(".example.com/a")),
-              concat(lit("https://site"), ((did * 3 + 5) % 13).cast("string"),
-                lit(".example.com/b/"), did.cast("string")),
-              concat(lit("https://sink"), (did % 3).cast("string"),
-                lit(".example.org/x"))))
-            .otherwise(array(
-              concat(lit("http://www.site"), ((did + 4) % 13).cast("string"),
-                lit(".example.com/a")),
-              concat(lit("https://site"), ((did * 3 + 5) % 13).cast("string"),
-                lit(".example.com/b/"), did.cast("string"))))
-            .as("links"))
-        WebCuration.pageRank(
-            WebCuration.hostEdges(pages, "url", "links"), iters = 10)
-          .select(col("host"), col("rank").as("pagerank"))
-          .orderBy("host")
+          concat(
+            lit("<p>intro</p><a href=\"https://site"),
+            ((did + 4) % 13).cast("string"),
+            lit(".example.com/a\">alpha t"), (did % 7).cast("string"),
+            lit("</a><p>mid</p><a class=\"x\" href=\"https://site"),
+            ((did * 3 + 5) % 13).cast("string"),
+            lit(".example.com/b\">beta link t"), (did % 5).cast("string"),
+            lit("</a><a href=\"/rel\">skip me</a>")).as("html"))
+        WebCuration.anchorTermEdges(pages, "url", "html")
+          .groupBy(col("dst").as("host"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("host", "term")
       }),
 
     QueryDef("q_quality_reference_lp",

@@ -288,6 +288,75 @@ object TextAnalysis {
       .select("query_id", "doc_id", "score", "neg_rank")
   }
 
+  /** Retrieval-quality evaluation at cutoff `k` — the metric harness a
+    * retrieval stack ships with (trec_eval's core set): per query,
+    * hits / precision@k / recall@k / reciprocal rank / average precision
+    * / nDCG@k of a ranked run against a binary qrels table.
+    *
+    * `results` is any ranked run (query_id, doc_id, rank) — BM25, ANN,
+    * or RRF-fused; `qrels` is (query_id, doc_id) binary relevance.
+    *
+    * Shape at scale: the run is already top-k (≤ k rows per query), so
+    * the qrels join ships ids only, the cumulative-hits window runs
+    * over ≤ k rows per key, and the output is one row per query. n_rel
+    * is the only corpus-sized aggregation (one count per query).
+    *
+    * Determinism (house fixed-point recipe): each AP / DCG term rounds
+    * ONCE to integer micros (HALF_UP on the double, e.g.
+    * round(cum/rank·1e6)) and sums as longs — partitioning-independent;
+    * nDCG divides the two micro sums directly (the scale cancels), and
+    * every output metric rounds to 6 dp. IDCG folds over
+    * sequence(1, min(n_rel, k)) with a long accumulator, the same
+    * per-term rounding, guarded for n_rel = 0 (all metrics 0 when a
+    * query has no relevant documents).
+    */
+  def retrievalEval(results: org.apache.spark.sql.DataFrame,
+                    qrels: org.apache.spark.sql.DataFrame,
+                    k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"retrievalEval: need k >= 1, got $k")
+    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val flagged = results.select(col("query_id"), col("doc_id"), col("rank"))
+      .filter(col("rank") <= k)
+      .join(rel.withColumn("_r", lit(1)), Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("_r"), lit(0)).as("rel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rank")
+    val ln2 = log(lit(2.0))
+    def micros(x: org.apache.spark.sql.Column) =
+      round(x * lit(1e6)).cast("long")
+    val per = flagged.withColumn("cum", sum(col("rel")).over(w))
+      .groupBy("query_id").agg(
+        sum(col("rel")).as("hits"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        sum(when(col("rel") === 1,
+            micros(col("cum").cast("double") / col("rank")))
+          .otherwise(lit(0L))).as("ap_sum"),
+        sum(when(col("rel") === 1,
+            micros(ln2 / log(col("rank").cast("double") + lit(1.0))))
+          .otherwise(lit(0L))).as("dcg_sum"))
+    val lmin = least(col("n_rel"), lit(k))
+    val idcg = aggregate(sequence(lit(1), lmin.cast("int")), lit(0L),
+      (acc, i) => acc + micros(ln2 / log(i.cast("double") + lit(1.0))))
+    per.join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"),
+        round(col("hits").cast("double") / lit(k.toDouble), 6).as("prec_k"),
+        when(col("n_rel") > 0,
+            round(col("hits").cast("double") / col("n_rel"), 6))
+          .otherwise(lit(0.0)).as("recall_k"),
+        coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("rr"),
+        when(col("n_rel") > 0,
+            round(col("ap_sum").cast("double") /
+              (lmin.cast("double") * lit(1e6)), 6))
+          .otherwise(lit(0.0)).as("ap"),
+        when(col("n_rel") > 0,
+            round(col("dcg_sum").cast("double") / idcg.cast("double"), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
+
   private def queryTermsDf(ss: org.apache.spark.sql.SparkSession,
                            queries: Seq[(Long, Seq[String])]): org.apache.spark.sql.DataFrame = {
     import ss.implicits._

@@ -33,11 +33,13 @@ object WebCuration {
   def hostOf(url: Column): Column =
     regexp_extract(url, "https?://([^/\\s]+)", 1)
 
-  /** Registered domain: the host with a leading `www.` stripped (the
-    * normalization C4-style URL dedup keys on; full public-suffix-list
-    * resolution would be a broadcast lookup table in front of this).
+  /** Registered domain: the host lowercased (RFC 3986 — the authority is
+    * case-insensitive) with a leading `www.` stripped (the normalization
+    * C4-style URL dedup keys on; full public-suffix-list resolution
+    * would be a broadcast lookup table in front of this).
     */
-  def domainOf(host: Column): Column = regexp_replace(host, "^www\\.", "")
+  def domainOf(host: Column): Column =
+    regexp_replace(lower(host), "^www\\.", "")
 
   /** Keep at most `n` documents per domain — a deterministic
     * pseudo-random subset: survivors are the first `n` in (60-bit md5
@@ -71,6 +73,33 @@ object WebCuration {
       .filter(col("src") =!= "" && col("dst") =!= "" &&
         col("src") =!= col("dst"))
       .distinct()
+
+  /** Anchor-term stream from page HTML: one (src, dst, term) row per
+    * whitespace token of each cross-host link's anchor text — the
+    * incoming-anchor-text signal web curation and retrieval stacks
+    * aggregate per target host (anchors describe the TARGET better than
+    * its own boilerplate; the classic query-log substitute). Pairing is
+    * positional over the same RE2-and-Java-compatible pattern (no
+    * backrefs), hosts normalize through [[domainOf]]∘[[hostOf]],
+    * schemeless/relative hrefs and same-host self-links drop (nav links
+    * carry no cross-host signal). Everything fuses into the page scan —
+    * only (src, dst, term) strings survive the explode.
+    */
+  def anchorTermEdges(pages: DataFrame, urlCol: String,
+                      htmlCol: String): DataFrame = {
+    val pairRe = "<a [^>]*href=\"([^\"]+)\"[^>]*>([^<]*)</a>"
+    val hrefs = regexp_extract_all(col(htmlCol), lit(pairRe), lit(1))
+    val texts = regexp_extract_all(col(htmlCol), lit(pairRe), lit(2))
+    pages.select(
+        domainOf(hostOf(col(urlCol))).as("src"),
+        explode(zip_with(hrefs, texts,
+          (h, a) => struct(h.as("h"), a.as("a")))).as("_l"))
+      .select(col("src"),
+        domainOf(hostOf(col("_l.h"))).as("dst"),
+        explode(split(lower(col("_l.a")), " ")).as("term"))
+      .filter(col("src") =!= "" && col("dst") =!= "" &&
+        col("src") =!= col("dst") && col("term") =!= "")
+  }
 
   /** Host-level PageRank over a (src, dst) edge table — the link-graph
     * quality prior web-curation stacks attach to every crawled page

@@ -432,6 +432,35 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall(x => x._3 <= 1))
   }
 
+  test("retrievalEval: hand-computed MRR/MAP/nDCG on a mixed run; perfect " +
+      "and zero-relevant queries hit the boundary values") {
+    // q0: run = [10,11,12,13], relevant = {11,13,99} (99 never retrieved)
+    // q1: perfect run of its 3 relevant docs at k=3... (k shared = 4, so
+    //     prec_k uses 4; q1 has exactly 3 relevant, all in top 3)
+    // q2: nothing relevant
+    val run = Seq(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (0L, 13L, 4),
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3),
+      (2L, 30L, 1), (2L, 31L, 2)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (0L, 11L), (0L, 13L), (0L, 99L),
+      (1L, 20L), (1L, 21L), (1L, 22L)).toDF("query_id", "doc_id")
+    val got = graft.operators.TextAnalysis.retrievalEval(run, qrels, 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    // q0 by hand: hits 2/4; first rel at rank 2; AP terms 1/2 + 2/4 over
+    // min(3,4)=3; DCG micros 630930 (rank 2) + 430677 (rank 4); IDCG
+    // micros 1000000 + 630930 + 500000
+    val ndcg0 = BigDecimal((630930.0 + 430677.0) / 2130930.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L) === ((3L, 2L, 0.5, 0.666667, 0.5, 0.333333, ndcg0)))
+    // q1: all 3 relevant retrieved at 1..3 -> recall/rr/ap/ndcg all 1
+    assert(got(1L) === ((3L, 3L, 0.75, 1.0, 1.0, 1.0, 1.0)))
+    // q2: no relevant docs -> all metrics 0
+    assert(got(2L) === ((0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("bm25 persistent index: save/load search equals the from-scratch " +
       "search bit-for-bit; stats carry the bucket modulus") {
     graft.functions.Functions.ensure(spark)

@@ -560,6 +560,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("link-prior join attaches the node-bounded rank table by broadcast — " +
+    "the corpus is never shuffled for the prior") {
+    val p = plan("q_link_prior")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("anchor-term aggregation is scan-fused extraction + one partial " +
+    "hash aggregation — no joins, no window") {
+    val p = plan("q_anchor_text")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains("CodegenFallback"), p)
+  }
+
   test("unigram id encode is scan-fused like the piece form; the fertility " +
     "comparison is two partial-aggregated one-row folds, no window") {
     val p = plan("q_unigram_encode_ids")

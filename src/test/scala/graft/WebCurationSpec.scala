@@ -78,6 +78,21 @@ class WebCurationSpec extends SparkSpec {
     assert(got === Set(("a.com", "b.com"), ("b.com", "a.com")))
   }
 
+  test("anchorTermEdges pairs href/text positionally, drops relative and " +
+      "self-host links, tokenizes lowercase") {
+    val pages = Seq(
+      (1L, "https://www.a.com/p",
+        """<a href="https://B.com/x">Fast DB</a> mid <a href="/rel">skip</a>""" +
+          """<a class="y" href="http://a.com/self">self nav</a>""" +
+          """<a href="https://c.org/z">graft</a>"""))
+      .toDF("doc_id", "url", "html")
+    val got = WebCuration.anchorTermEdges(pages, "url", "html")
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("a.com", "b.com", "fast"), ("a.com", "b.com", "db"),
+      ("a.com", "c.org", "graft")))
+  }
+
   test("pageRank: symmetric cycle is uniform and mass-conserving") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
     val got = WebCuration.pageRank(edges, iters = 10)
