@@ -2506,6 +2506,61 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_boilerplate_blocks",
+      // jusText-style block-level content classification: the planted
+      // page wraps each doc's text in a body paragraph between a
+      // link-dense nav list, a too-short paragraph, and a link-dense
+      // footer — the engine splits rendering blocks, measures per-block
+      // anchor-text share, and flags content as (link_density <= 0.33
+      // AND n_chars >= 25) on the 6-dp-rounded density. Two engines,
+      // one RE2-compatible spec (the q_html_extract arrangement).
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       '<div class="nav"><ul><li><a href="/h">Home</a></li>' ||
+                       '<li><a href="/a">About us t' || CAST(doc_id % 7 AS VARCHAR) ||
+                       '</a></li></ul></div><p>' || text ||
+                       '</p><p>Short.</p><footer><a href="/c">contact</a> | ' ||
+                       '<a href="/p">privacy</a></footer>' AS html
+                FROM documents WHERE text IS NOT NULL
+              ), b AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, len(regexp_split_to_array(html,
+                         '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|blockquote|pre|section|article|aside|nav|footer|header|main|figure|figcaption|form|fieldset|br|hr)[^>]*>')))) AS block_idx,
+                       unnest(regexp_split_to_array(html,
+                         '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|blockquote|pre|section|article|aside|nav|footer|header|main|figure|figcaption|form|fieldset|br|hr)[^>]*>')) AS blk
+                FROM p
+              ), s AS (
+                SELECT doc_id, block_idx,
+                       trim(regexp_replace(regexp_replace(blk,
+                         '(?s)<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS text,
+                       CAST(coalesce(list_sum(list_transform(
+                         regexp_extract_all(blk, '(?is)<a [^>]*>([^<]*)</a>', 1),
+                         a -> len(trim(regexp_replace(a, '\s+', ' ', 'g'))))), 0)
+                         AS BIGINT) AS link_chars
+                FROM b
+              )
+              SELECT doc_id, block_idx, text,
+                     CAST(len(text) AS BIGINT) AS n_chars, link_chars,
+                     round(CAST(link_chars AS DOUBLE) / len(text), 6) AS link_density,
+                     (round(CAST(link_chars AS DOUBLE) / len(text), 6)
+                        <= CAST(0.33 AS DOUBLE)
+                      AND len(text) >= 25) AS is_content
+              FROM s WHERE len(text) > 0
+              ORDER BY doc_id, block_idx"""),
+      (s, d) => {
+        prep(s)
+        val pages = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), concat(
+            lit("<div class=\"nav\"><ul><li><a href=\"/h\">Home</a></li>" +
+              "<li><a href=\"/a\">About us t"),
+            (col("doc_id") % 7).cast("string"),
+            lit("</a></li></ul></div><p>"), col("text"),
+            lit("</p><p>Short.</p><footer><a href=\"/c\">contact</a> | " +
+              "<a href=\"/p\">privacy</a></footer>")).as("html"))
+        TextAnalysis.htmlBlockSignals(pages, "doc_id", "html")
+          .orderBy("doc_id", "block_idx")
+      }),
+
     QueryDef("q_text_normalize",
       // corpus text normalization: lowercase, URL/email placeholders,
       // control-char strip, whitespace collapse — byte-identical regexp

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional third arg: comma-separated query names — re-dump ONLY those
+    // (iteration aid; prior dumps stay valid for unchanged queries). The
+    // fixture stage is skipped in filtered mode — run the full gate before
+    // committing anything that touches a fixture replica.
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val spark = GraftSession.get("graft-verify")
     new java.io.File(outDir).mkdirs()
     // Fixtures live in a SIBLING dir, not outDir: the correctness driver
@@ -16,11 +21,15 @@ object Verify {
     // NonFatal only: an OOM/VM error must abort the run — continuing from
     // a heap-exhausted JVM would attribute arbitrary downstream failures
     // to innocent queries
-    try writeFixtures(spark, sfDir, fixDir)
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[verify] fixture stage failed: ${e.getMessage}")
+    if (only.isEmpty) {
+      try writeFixtures(spark, sfDir, fixDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] fixture stage failed: ${e.getMessage}")
+      }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // a stale run-N dump must not survive a run-N+1 failure — the
       // correctness gate would silently PASS on the old results
       val target = new java.io.File(s"$outDir/$name")

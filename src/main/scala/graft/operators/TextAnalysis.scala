@@ -84,6 +84,64 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Block-boundary tags for [[htmlBlockSignals]] — every tag that ends a
+    * text flow in HTML rendering; inline markup (`a`, `b`, `span`, …)
+    * stays inside its block. RE2-and-Java-compatible.
+    */
+  val HtmlBlockSplitRe: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+      "blockquote|pre|section|article|aside|nav|footer|header|main|figure|" +
+      "figcaption|form|fieldset|br|hr)[^>]*>"
+
+  /** jusText/trafilatura-style block-level content classification — the
+    * main-content extraction step between [[htmlToText]]'s lexical layer
+    * and the document-level quality tier: split the page into rendering
+    * blocks, measure each block's anchor-text share, and flag a block as
+    * content iff its link density stays under `maxLinkDensity` AND it
+    * carries at least `minChars` characters (nav bars, footers, and
+    * link-farm lists are short and link-dense; body paragraphs are long
+    * and link-sparse — Kohlschütter 2010 / Pomikálek 2011's core
+    * signal).
+    *
+    * Output one row per non-empty block: (id, block_idx, text, n_chars,
+    * link_chars, link_density, is_content); block_idx is the 1-based raw
+    * split position (stable even though empty blocks drop). `text` is
+    * tag-stripped and whitespace-collapsed; `link_chars` sums the
+    * collapsed anchor texts, so density compares like with like. The
+    * classification threshold compares the ROUNDED (6 dp) density, so
+    * both engines decide boundaries identically.
+    *
+    * Shape at scale: pure scan-fused regexp work + one posexplode — the
+    * page restates as its blocks, no shuffle, no join; classification is
+    * a per-row predicate. All patterns are RE2-compatible, so DuckDB
+    * executes the identical specification for the oracle.
+    */
+  def htmlBlockSignals(pages: org.apache.spark.sql.DataFrame, id: String,
+                       htmlCol: String, maxLinkDensity: Double = 0.33,
+                       minChars: Int = 25): org.apache.spark.sql.DataFrame = {
+    require(maxLinkDensity >= 0 && minChars >= 1,
+      s"htmlBlockSignals: bad thresholds ($maxLinkDensity, $minChars)")
+    val collapse = (c: Column) => trim(regexp_replace(c, "\\s+", " "))
+    val btext = collapse(regexp_replace(col("_blk"), "(?s)<[^>]+>", " "))
+    val linkChars = aggregate(
+      regexp_extract_all(col("_blk"), lit("(?is)<a [^>]*>([^<]*)</a>"), lit(1)),
+      lit(0L), (acc, a) => acc + length(collapse(a)).cast("long"))
+    pages
+      .select(col(id), posexplode(split(col(htmlCol), HtmlBlockSplitRe))
+        .as(Seq("_p", "_blk")))
+      .select(col(id), (col("_p") + 1).cast("long").as("block_idx"),
+        btext.as("text"), linkChars.as("link_chars"))
+      .filter(length(col("text")) > 0)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("link_density",
+        round(col("link_chars").cast("double") / col("n_chars"), 6))
+      .withColumn("is_content",
+        col("link_density") <= lit(maxLinkDensity) &&
+          col("n_chars") >= lit(minChars.toLong))
+      .select(col(id), col("block_idx"), col("text"), col("n_chars"),
+        col("link_chars"), col("link_density"), col("is_content"))
+  }
+
   /** Stopword lists for the n-gram language-ID heuristic. */
   val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),

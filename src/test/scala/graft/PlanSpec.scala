@@ -575,6 +575,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CodegenFallback"), p)
   }
 
+  test("block-level boilerplate classification is scan-fused regexp work " +
+    "+ one explode — no shuffle, no join") {
+    val p = plan("q_boilerplate_blocks")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), p)
+  }
+
   test("unigram id encode is scan-fused like the piece form; the fertility " +
     "comparison is two partial-aggregated one-row folds, no window") {
     val p = plan("q_unigram_encode_ids")

@@ -394,6 +394,35 @@ class QualitySpec extends SparkSpec {
     assert(exprLen === n)
   }
 
+  test("htmlBlockSignals: nav/footer blocks flag boilerplate, the body " +
+      "paragraph flags content, inline anchors stay in their block") {
+    import graft.operators.TextAnalysis
+    val body = "this paragraph carries enough plain prose to pass the " +
+      "twenty five character floor with a single inline <a href=\"/x\">link</a>."
+    val df = Seq((1L,
+      "<ul><li><a href=\"/h\">Home</a></li></ul>" +
+        s"<p>$body</p>" +
+        "<p>tiny</p>" +
+        "<footer><a href=\"/c\">contact us</a></footer>"))
+      .toDF("doc_id", "html")
+    val got = TextAnalysis.htmlBlockSignals(df, "doc_id", "html")
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getBoolean(6)))
+    val byText = got.map(g => g._1 -> g).toMap
+    assert(got.length === 4)
+    // nav item: all anchor, density 1.0
+    assert(byText("Home") === (("Home", 4L, 4L, 1.0, false)))
+    // body: long, 4 link chars out of >100
+    val bodyRow = got.find(_._1.startsWith("this paragraph")).get
+    assert(bodyRow._3 === 4L && bodyRow._5 === true,
+      s"body must classify as content: $bodyRow")
+    // short paragraph: no links but under the floor
+    assert(byText("tiny") === (("tiny", 4L, 0L, 0.0, false)))
+    // footer: pure link text
+    assert(byText("contact us")._5 === false)
+    assert(byText("contact us")._4 === 1.0)
+  }
+
   test("htmlToText: a script block is only closed by </script>, a style " +
       "block only by </style> (malformed-crawl containment)") {
     import graft.operators.TextAnalysis
