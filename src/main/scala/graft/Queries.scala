@@ -3214,6 +3214,42 @@ object Queries {
           .orderBy("user_id", "session_seq")
       }),
 
+    QueryDef("q_event_funnel",
+      // ordered-funnel conversion over the event log: users who viewed,
+      // then clicked strictly after their first view, then purchased
+      // strictly after that first qualifying click. The stream thins to
+      // the event_id%7 slice so per-user sequences are sparse enough for
+      // genuine step drop-off (the full log has every user doing
+      // everything). Per step: one type-filtered scan aggregated on
+      // user_id joined to the previous KEY-BOUNDED level
+      // (localCheckpoint'd — the report's union branches read
+      // materialized levels, not a recomputed prefix chain). The oracle
+      // restates the same strictly-after min chain as correlated CTEs.
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+                         FROM events WHERE event_id % 7 = 0),
+              s1 AS (SELECT user_id, min(ts_us) AS t FROM e
+                     WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.ts_us) AS t
+                     FROM e JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t
+                     WHERE e.event_type = 'click' GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(e.ts_us) AS t
+                     FROM e JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t
+                     WHERE e.event_type = 'purchase' GROUP BY 1)
+              SELECT 1 AS step, 'view' AS event_type,
+                     (SELECT count(*) FROM s1) AS users
+              UNION ALL
+              SELECT 2, 'click', (SELECT count(*) FROM s2)
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+              ORDER BY step"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Sessionize.funnel(ev.filter(col("event_id") % 7 === 0), "user_id",
+            Tables.tsEpochUs(ev), "event_type",
+            Seq("view", "click", "purchase"))
+          .orderBy("step")
+      }),
+
     QueryDef("q_bpe_fertility",
       // tokenizer-quality analytic teams actually track: per-language
       // corpus fertility (tokens/word, tokens/100 chars) under the

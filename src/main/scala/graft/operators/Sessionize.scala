@@ -53,4 +53,48 @@ object Sessionize {
         min(col("ts_us")).as("start_us"),
         max(col("ts_us")).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
+
+  /** Ordered-funnel conversion (the step-sequence analytic next to
+    * sessionization): one row per step with the count of keys that
+    * completed steps 1..i IN ORDER — step i counts only events STRICTLY
+    * after the key's earliest completion of step i-1 (an equal-timestamp
+    * event does not advance the funnel, so replays can't self-convert).
+    *
+    * Shape at scale: per step, one type-filtered event scan aggregated
+    * on the key, joined to the previous level's KEY-BOUNDED table (one
+    * row per surviving key — ≤ |keys|, tiny next to the event log;
+    * Spark broadcasts it once checkpointed). Each level
+    * `localCheckpoint`s so the K union branches of the report read
+    * materialized levels instead of recomputing the whole prefix chain
+    * K times — the [[WebCuration.pageRank]] lineage pattern. The
+    * per-key-sorted-fold alternative (one shuffle total) needs
+    * unbounded per-key state; this form's state is one timestamp per
+    * surviving key per level.
+    *
+    * Deterministic: every level reduces by `min` over a total order on
+    * event time; counts are partitioning-independent.
+    */
+  def funnel(events: DataFrame, keyCol: String, tsUs: Column,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    val ev = events.select(col(keyCol).as("_k"), tsUs.as("_ts"),
+      col(typeCol).as("_et"))
+    var cur = ev.filter(col("_et") === steps.head)
+      .groupBy("_k").agg(min(col("_ts")).as("_t"))
+      .localCheckpoint()
+    var levels = List(cur)
+    steps.drop(1).foreach { st =>
+      cur = ev.filter(col("_et") === st)
+        .join(cur, Seq("_k"))
+        .filter(col("_ts") > col("_t"))
+        .groupBy("_k").agg(min(col("_ts")).as("_t"))
+        .localCheckpoint()
+      levels ::= cur
+    }
+    levels.reverse.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -125,7 +125,10 @@ object ScaleProof {
     "q_ann_sq8",          // min/max train + code scan + rerank
     "q_ann_ivf_sq8",      // composed pruning+compression build/append/probe
     "q_html_extract",     // scan-fused extraction + oracle sort
-    "q_sessionize")       // key-partitioned windows + reused-partitioning agg
+    "q_sessionize",       // key-partitioned windows + reused-partitioning agg
+    "q_host_pagerank",    // corpus-scan edge derivation + node-bounded iters
+    "q_retrieval_eval",   // corpus-scan qrels + bounded per-query metrics
+    "q_boilerplate_blocks") // block explode + scan-fused classification
 
   def main(args: Array[String]): Unit = {
     val ext = args.contains("--extended")

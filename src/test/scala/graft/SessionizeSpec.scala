@@ -58,4 +58,30 @@ class SessionizeSpec extends SparkSpec {
       .filter(col("lo") =!= 1 || col("hi") =!= col("k")).count()
     assert(dense === 0)
   }
+
+  test("funnel: steps count only strictly-after completions in order") {
+    // u1 converts fully; u2's click precedes its first view; u3's click
+    // shares the view's timestamp (strict > — no advance); u4 purchases
+    // before clicking
+    val df = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 10L), (3L, "click", 10L), (3L, "purchase", 40L),
+      (4L, "view", 10L), (4L, "purchase", 12L), (4L, "click", 15L))
+      .toDF("user_id", "event_type", "ts_us_in")
+    val got = Sessionize.funnel(df, "user_id", col("ts_us_in"), "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: a step with zero survivors reports zero, not a missing row") {
+    val df = Seq((1L, "view", 10L)).toDF("user_id", "event_type", "ts_us_in")
+    val got = Sessionize.funnel(df, "user_id", col("ts_us_in"), "event_type",
+        Seq("view", "click"))
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((1, "view", 1L), (2, "click", 0L)))
+  }
 }
