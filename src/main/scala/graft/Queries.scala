@@ -3250,6 +3250,33 @@ object Queries {
           .orderBy("step")
       }),
 
+    QueryDef("q_retention",
+      // daily cohort retention over the sparse event_id%7 slice (the
+      // full log has every user active every day — no decay to measure):
+      // users bucket by first active day, then count per (cohort, day
+      // offset). Both engines run the identical floor(ts_us/86400e6)
+      // double-division bucket spec; activity dedupes to (user, day)
+      // before any join, the cohort table is key-bounded, and the final
+      // count groups on the tiny (cohort, offset) space.
+      Some("""WITH act AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                         AS BIGINT) AS w
+                FROM events WHERE event_id % 7 = 0
+              ), c AS (
+                SELECT user_id, min(w) AS c FROM act GROUP BY 1
+              )
+              SELECT c.c AS cohort, a.w - c.c AS period_offset,
+                     count(*) AS users
+              FROM act a JOIN c ON a.user_id = c.user_id
+              GROUP BY 1, 2 ORDER BY cohort, period_offset"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Sessionize.retention(ev.filter(col("event_id") % 7 === 0), "user_id",
+            Tables.tsEpochUs(ev), bucketUs = 86400000000L)
+          .orderBy("cohort", "period_offset")
+      }),
+
     QueryDef("q_bpe_fertility",
       // tokenizer-quality analytic teams actually track: per-language
       // corpus fertility (tokens/word, tokens/100 chars) under the

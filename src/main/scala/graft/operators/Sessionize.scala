@@ -97,4 +97,31 @@ object Sessionize {
           col("users"))
     }.reduce(_ unionByName _)
   }
+
+  /** Cohort retention: keys bucketed by their FIRST active period
+    * (cohort), then counted per (cohort, period offset) — the
+    * engagement-decay analytic next to [[funnel]]. Bucket index is
+    * floor(tsUs / bucketUs) as a double-division spec (exact for epoch-µs
+    * magnitudes: quotients sit ≥ 5e-16 relative from the nearest integer
+    * unless exact, beyond double rounding's reach — and the oracle runs
+    * the identical expression, so the spec can't skew).
+    *
+    * Shape at scale: the activity table dedupes to one row per
+    * (key, bucket) — bounded by keys × periods, far under the event
+    * log; the cohort table is key-bounded and joins co-partitioned on
+    * the key; the final count groups on the tiny (cohort, offset) space
+    * with map-side partials.
+    */
+  def retention(events: DataFrame, keyCol: String, tsUs: Column,
+                bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"retention: bucketUs must be positive, got $bucketUs")
+    val act = events
+      .select(col(keyCol).as("_k"),
+        floor(tsUs.cast("double") / lit(bucketUs.toDouble)).cast("long").as("_w"))
+      .distinct()
+    val cohorts = act.groupBy("_k").agg(min(col("_w")).as("_c"))
+    act.join(cohorts, Seq("_k"))
+      .groupBy(col("_c").as("cohort"), (col("_w") - col("_c")).as("period_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
 }

@@ -77,6 +77,23 @@ class SessionizeSpec extends SparkSpec {
       (1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("retention: cohort = first active bucket, offsets count returning keys") {
+    val day = 86400000000L
+    // u1 active days 0,1,3; u2 active days 1,2; u3 active day 0 only;
+    // duplicate events inside a day collapse
+    val df = Seq(
+      (1L, 0L), (1L, day + 5L), (1L, day + 9L), (1L, 3 * day),
+      (2L, day), (2L, 2 * day),
+      (3L, 100L))
+      .toDF("user_id", "ts_us_in")
+    val got = Sessionize.retention(df, "user_id", col("ts_us_in"), day)
+      .orderBy("cohort", "period_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
   test("funnel: a step with zero survivors reports zero, not a missing row") {
     val df = Seq((1L, "view", 10L)).toDF("user_id", "event_type", "ts_us_in")
     val got = Sessionize.funnel(df, "user_id", col("ts_us_in"), "event_type",
