@@ -4012,6 +4012,50 @@ object Queries {
           .orderBy("host", "term")
       }),
 
+    QueryDef("q_host_quality",
+      // RefinedWeb-style HOST-level filtering: per-page quality scores
+      // aggregate per planted host (text perturbed by a host-keyed
+      // punctuation tail so host means genuinely spread, 0.50-0.56 at
+      // sf0.01) and the keep/drop verdict lands on hosts, not pages —
+      // host-bounded state for a corpus-sized effect. Fixed-point mean
+      // (micro-rounded per-doc scores summed as longs, one division),
+      // keep compares the 6-dp-rounded mean at 0.52.
+      Some("""WITH d AS (
+                SELECT 'site' || CAST(doc_id % 13 AS VARCHAR)
+                         || '.example.com' AS host,
+                       text || repeat(' @@@@@', CAST(doc_id % 13 AS INT) * 2) AS ptext
+                FROM documents
+              ), s AS (
+                SELECT host,
+                       CAST(round(round(
+                         least(1.0, len(string_split(lower(ptext),' ')) * 1.0 / 100.0) * 0.4
+                         + (len(list_filter(string_split(lower(ptext),' '),
+                             x -> list_contains(['the','and','of','to','a','in','is'], x)))
+                            * 1.0 / len(string_split(lower(ptext),' '))) * 0.3
+                         + (1.0 - length(regexp_replace(lower(ptext), '[a-z0-9 ]', '', 'g'))
+                            * 1.0 / length(ptext)) * 0.3, 6) * 1e6) AS BIGINT) AS s
+                FROM d
+              )
+              SELECT host, count(*) AS n_docs,
+                     round(CAST(sum(s) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS mean_score,
+                     round(CAST(sum(s) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 1e6), 6)
+                       >= CAST(0.52 AS DOUBLE) AS keep
+              FROM s GROUP BY 1 ORDER BY host"""),
+      (s, d) => {
+        prep(s)
+        val did = col("doc_id")
+        val docs = Tables.spread(t(s, d, "documents")).select(
+          concat(lit("site"), (did % 13).cast("string"),
+            lit(".example.com")).as("host"),
+          TextAnalysis.qualityScore(concat(col("text"),
+            call_function("repeat", lit(" @@@@@"),
+              ((did % 13) * 2).cast("int")))).as("q"))
+        WebCuration.hostQualityStats(docs, "host", "q", minMean = 0.52)
+          .orderBy("host")
+      }),
+
     QueryDef("q_quality_reference_lp",
       // CCNet's ACTUAL arrangement: the bigram LM trains on a reference
       // corpus (source='src0' standing in for Wikipedia) and the whole

@@ -74,6 +74,35 @@ object WebCuration {
         col("src") =!= col("dst"))
       .distinct()
 
+  /** Host-level quality roll-up (the RefinedWeb-style host filter: page
+    * signals aggregate per host, and hosts — not pages — get the
+    * keep/drop decision; at 100 TB a host verdict is ~10^7 rows of state
+    * for a corpus-sized effect). One host-keyed aggregation; the mean is
+    * the house fixed-point form (per-doc scores round ONCE to integer
+    * micros, sum as longs, divide once) so it hashes identically under
+    * any partitioning. `keep` compares the 6-dp-rounded mean, so the
+    * decision is engine-portable at threshold boundaries.
+    */
+  def hostQualityStats(docs: DataFrame, hostCol: String, scoreCol: String,
+                       minMean: Double): DataFrame = {
+    val mean = round(col("_s").cast("double") /
+      (col("n_docs").cast("double") * lit(1e6)), 6)
+    docs.groupBy(col(hostCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col(scoreCol) * lit(1e6)).cast("long")).as("_s"))
+      .select(col(hostCol), col("n_docs"), mean.as("mean_score"),
+        (mean >= lit(minMean)).as("keep"))
+  }
+
+  /** Drop every page of a below-threshold host: the stats table is
+    * host-bounded, so the verdict attaches by broadcast semi-join — the
+    * corpus is never shuffled for the filter.
+    */
+  def hostQualityFilter(docs: DataFrame, hostCol: String,
+                        stats: DataFrame): DataFrame =
+    docs.join(broadcast(stats.filter(col("keep")).select(col(hostCol))),
+      Seq(hostCol), "left_semi")
+
   /** Anchor-term stream from page HTML: one (src, dst, term) row per
     * whitespace token of each cross-host link's anchor text — the
     * incoming-anchor-text signal web curation and retrieval stacks

@@ -78,6 +78,22 @@ class WebCurationSpec extends SparkSpec {
     assert(got === Set(("a.com", "b.com"), ("b.com", "a.com")))
   }
 
+  test("hostQualityStats: fixed-point mean and threshold verdict; the " +
+      "filter drops every page of a below-threshold host") {
+    val docs = Seq(
+      ("a.com", 1L, 0.9), ("a.com", 2L, 0.8),
+      ("b.com", 3L, 0.2), ("b.com", 4L, 0.3))
+      .toDF("host", "doc_id", "q")
+    val stats = WebCuration.hostQualityStats(docs, "host", "q", minMean = 0.5)
+    val m = stats.as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m("a.com") === (("a.com", 2L, 0.85, true)))
+    assert(m("b.com") === (("b.com", 2L, 0.25, false)))
+    val kept = WebCuration.hostQualityFilter(docs, "host", stats)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("anchorTermEdges pairs href/text positionally, drops relative and " +
       "self-host links, tokenizes lowercase") {
     val pages = Seq(
