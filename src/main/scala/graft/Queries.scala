@@ -4688,14 +4688,14 @@ object Queries {
       |  CASE WHEN doc_id % 3 = 0 THEN ' ref http://www.mirror' || CAST(doc_id % 7 AS VARCHAR) || '.org/x?q=1' ELSE '' END AS ptext
       |  FROM documents),
       |u AS (SELECT doc_id, unnest(regexp_extract_all(ptext, 'https?://[^\s]+')) AS url FROM p),
-      |d AS (SELECT doc_id, regexp_replace(regexp_extract(url, 'https?://([^/\s]+)', 1), '^www\.', '') AS domain FROM u)
+      |d AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\s]+)', 1)), '^www\.', '') AS domain FROM u)
       |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
       |FROM d GROUP BY domain ORDER BY domain""".stripMargin
 
   private lazy val domainCapOracle: String =
     """WITH p AS (SELECT doc_id,
-      |    regexp_replace(regexp_extract('https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR),
-      |      'https?://([^/\s]+)', 1), '^www\.', '') AS domain
+      |    regexp_replace(lower(regexp_extract('https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+      |      'https?://([^/\s]+)', 1)), '^www\.', '') AS domain
       |  FROM documents),
       |o AS (SELECT doc_id, domain,
       |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS m FROM p),
@@ -4833,8 +4833,8 @@ object Queries {
       |canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(text))),
       |dd AS (SELECT k.doc_id, k.n_chars FROM kept k JOIN canon USING (doc_id)),
       |dom AS (SELECT doc_id, n_chars,
-      |    regexp_replace(regexp_extract('https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR),
-      |      'https?://([^/\s]+)', 1), '^www\.', '') AS domain
+      |    regexp_replace(lower(regexp_extract('https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+      |      'https?://([^/\s]+)', 1)), '^www\.', '') AS domain
       |  FROM dd),
       |rk AS (SELECT domain, doc_id, n_chars,
       |    row_number() OVER (PARTITION BY domain
@@ -4887,8 +4887,8 @@ object Queries {
       |canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(text))),
       |dd AS (SELECT k.doc_id, k.n_chars FROM kept k JOIN canon USING (doc_id)),
       |dom AS (SELECT doc_id, n_chars,
-      |    regexp_replace(regexp_extract('https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR),
-      |      'https?://([^/\s]+)', 1), '^www\.', '') AS domain
+      |    regexp_replace(lower(regexp_extract('https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+      |      'https?://([^/\s]+)', 1)), '^www\.', '') AS domain
       |  FROM dd),
       |rk AS (SELECT domain, doc_id, n_chars,
       |    row_number() OVER (PARTITION BY domain

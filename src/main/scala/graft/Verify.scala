@@ -9,8 +9,17 @@ object Verify {
     // Optional third arg: comma-separated query names — re-dump ONLY those
     // (iteration aid; prior dumps stay valid for unchanged queries). The
     // fixture stage is skipped in filtered mode — run the full gate before
-    // committing anything that touches a fixture replica.
-    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    // committing anything that touches a fixture replica. Unknown names
+    // abort loudly: a typo would otherwise skip the re-dump silently and
+    // the checker would compare a STALE dump against the new oracle.
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty, "verify filter: no query names given")
+      require(unknown.isEmpty,
+        s"verify filter: unknown queries ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val spark = GraftSession.get("graft-verify")
     new java.io.File(outDir).mkdirs()
     // Fixtures live in a SIBLING dir, not outDir: the correctness driver

@@ -125,7 +125,7 @@ object WebCuration {
           (h, a) => struct(h.as("h"), a.as("a")))).as("_l"))
       .select(col("src"),
         domainOf(hostOf(col("_l.h"))).as("dst"),
-        explode(split(lower(col("_l.a")), " ")).as("term"))
+        explode(TextAnalysis.words(col("_l.a"))).as("term"))
       .filter(col("src") =!= "" && col("dst") =!= "" &&
         col("src") =!= col("dst") && col("term") =!= "")
   }
