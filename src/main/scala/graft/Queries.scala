@@ -4056,6 +4056,88 @@ object Queries {
           .orderBy("host")
       }),
 
+    QueryDef("q_snapshot_diff",
+      // crawl-snapshot diff — the incremental-ingest decision table: the
+      // new snapshot (planted: every doc except the doc_id%11==4 slice)
+      // full-outer-joins the standing corpus (every doc except the
+      // doc_id%7==3 slice, with the %5==0 slice's content digest mutated)
+      // on URL, classifying new / changed / unchanged / gone. Only
+      // (url, digest) pairs reach the join; payloads never move.
+      Some("""WITH s AS (
+                SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                         || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       md5(text) AS dg
+                FROM documents WHERE doc_id % 11 <> 4
+              ), c AS (
+                SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                         || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2')
+                            ELSE md5(text) END AS dg
+                FROM documents WHERE doc_id % 7 <> 3
+              ), d AS (
+                SELECT CASE WHEN c.url IS NULL THEN 'new'
+                            WHEN s.url IS NULL THEN 'gone'
+                            WHEN s.dg = c.dg THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM s FULL OUTER JOIN c ON s.url = c.url
+              )
+              SELECT status, count(*) AS n FROM d
+              GROUP BY 1 ORDER BY status"""),
+      (s, d) => {
+        prep(s)
+        val did = col("doc_id")
+        val url = concat(lit("https://site"), (did % 13).cast("string"),
+          lit(".example.com/p/"), did.cast("string"))
+        val docs = Tables.spread(t(s, d, "documents"))
+        val snap = docs.filter(did % 11 =!= 4)
+          .select(url.as("url"), md5(col("text")).as("dg"))
+        val corp = docs.filter(did % 7 =!= 3)
+          .select(url.as("url"),
+            when(did % 5 === 0, md5(concat(col("text"), lit("v2"))))
+              .otherwise(md5(col("text"))).as("dg"))
+        WebCuration.snapshotDiff(snap, corp, "url", "dg")
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      }),
+
+    QueryDef("q_corpus_drift",
+      // corpus-drift report between two snapshots (the pre-training
+      // "did the new crawl shift" monitor): per language, each half's
+      // doc count, corpus share, and absolute share delta — full-outer
+      // so appearing/vanishing groups surface. Group-bounded joins, two
+      // 1-row totals broadcast.
+      Some("""WITH a AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+              b AS (SELECT lang FROM documents WHERE doc_id % 2 = 1),
+              ca AS (SELECT lang, count(*) AS n_a FROM a GROUP BY 1),
+              cb AS (SELECT lang, count(*) AS n_b FROM b GROUP BY 1),
+              t AS (SELECT (SELECT count(*) FROM a) AS ta,
+                           (SELECT count(*) FROM b) AS tb),
+              j AS (SELECT COALESCE(ca.lang, cb.lang) AS lang,
+                           COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+                    FROM ca FULL OUTER JOIN cb ON ca.lang = cb.lang)
+              SELECT lang, n_a, n_b,
+                     CASE WHEN ta > 0
+                       THEN round(CAST(n_a AS DOUBLE) / ta, 6)
+                       ELSE CAST(0 AS DOUBLE) END AS share_a,
+                     CASE WHEN tb > 0
+                       THEN round(CAST(n_b AS DOUBLE) / tb, 6)
+                       ELSE CAST(0 AS DOUBLE) END AS share_b,
+                     round(abs(
+                       CASE WHEN ta > 0
+                         THEN round(CAST(n_a AS DOUBLE) / ta, 6)
+                         ELSE CAST(0 AS DOUBLE) END -
+                       CASE WHEN tb > 0
+                         THEN round(CAST(n_b AS DOUBLE) / tb, 6)
+                         ELSE CAST(0 AS DOUBLE) END), 6) AS share_delta
+              FROM j CROSS JOIN t ORDER BY lang"""),
+      (s, d) => {
+        val docs = Tables.spread(t(s, d, "documents"))
+        Pipeline.corpusDrift(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), "lang")
+          .orderBy("lang")
+      }),
+
     QueryDef("q_quality_reference_lp",
       // CCNet's ACTUAL arrangement: the bigram LM trains on a reference
       // corpus (source='src0' standing in for Wikipedia) and the whole

@@ -552,4 +552,37 @@ object Pipeline {
             .cast("decimal(18,6)"))
           .cast("double").as("log_ratio"))
   }
+
+  /** Corpus-drift report between two snapshots — the "did the new crawl
+    * shift" monitor run before a generation enters training: per group
+    * (language, source, domain tier…), each side's document count and
+    * corpus share, plus the absolute share delta. A group present in
+    * only one side reports zero on the other (full-outer, coalesced), so
+    * appearing/vanishing groups surface instead of dropping out.
+    *
+    * Shape at scale: one group-keyed count per side (map-side partials),
+    * a full-outer join on the group-bounded tables, and the two totals
+    * broadcast as a 1-row cross join. Shares round to 6 dp; the delta is
+    * |share_a − share_b| of the ROUNDED shares, so both engines agree at
+    * boundaries.
+    */
+  def corpusDrift(a: DataFrame, b: DataFrame, groupCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) = df
+      .groupBy(col(groupCol).as("_g")).agg(count(lit(1)).as(n))
+    def total(df: DataFrame, n: String) =
+      df.agg(count(lit(1)).as(n))
+    val joined = counts(a, "n_a").join(counts(b, "n_b"), Seq("_g"), "full_outer")
+      .crossJoin(broadcast(total(a, "_ta").crossJoin(total(b, "_tb"))))
+    val shareA = when(col("_ta") > 0,
+      round(coalesce(col("n_a"), lit(0L)).cast("double") / col("_ta"), 6))
+      .otherwise(lit(0.0))
+    val shareB = when(col("_tb") > 0,
+      round(coalesce(col("n_b"), lit(0L)).cast("double") / col("_tb"), 6))
+      .otherwise(lit(0.0))
+    joined.select(col("_g").as(groupCol),
+      coalesce(col("n_a"), lit(0L)).as("n_a"),
+      coalesce(col("n_b"), lit(0L)).as("n_b"),
+      shareA.as("share_a"), shareB.as("share_b"),
+      round(abs(shareA - shareB), 6).as("share_delta"))
+  }
 }

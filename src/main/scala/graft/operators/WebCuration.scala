@@ -74,6 +74,31 @@ object WebCuration {
         col("src") =!= col("dst"))
       .distinct()
 
+  /** Crawl-snapshot diff — the "what changed since the last crawl"
+    * decision table incremental ingest starts from: per key (URL), the
+    * new snapshot vs the standing corpus classifies as `new` (key absent
+    * from the corpus), `changed` (present, different content digest),
+    * `unchanged` (same digest), or `gone` (corpus key absent from the
+    * snapshot — the tombstone/recrawl candidate). Inputs must be
+    * key-deduped on their side (C4-style keep-one-page-per-URL upstream).
+    *
+    * Shape at scale: one co-partitioned full-outer join on the key — both
+    * sides carry only (key, digest), never payloads; downstream stages
+    * join the status back by key and reuse the partitioning, so only the
+    * `new`/`changed` slice ever reaches the expensive operators.
+    */
+  def snapshotDiff(snapshot: DataFrame, corpus: DataFrame, keyCol: String,
+                   digestCol: String): DataFrame = {
+    val s0 = snapshot.select(col(keyCol).as("_k"), col(digestCol).as("_dn"))
+    val c0 = corpus.select(col(keyCol).as("_k"), col(digestCol).as("_dc"))
+    s0.join(c0, Seq("_k"), "full_outer")
+      .select(col("_k").as(keyCol),
+        when(col("_dc").isNull, "new")
+          .when(col("_dn").isNull, "gone")
+          .when(col("_dn") === col("_dc"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Host-level quality roll-up (the RefinedWeb-style host filter: page
     * signals aggregate per host, and hosts — not pages — get the
     * keep/drop decision; at 100 TB a host verdict is ~10^7 rows of state

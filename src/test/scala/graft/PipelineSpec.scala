@@ -698,4 +698,16 @@ class PipelineSpec extends SparkSpec {
         s"full shard tokens $toks should sit within one doc of the budget")
     }
   }
+
+  test("corpusDrift: shares per side, one-sided groups report zero on the " +
+      "other, delta is the abs rounded-share gap") {
+    val a = Seq("en", "en", "en", "de").toDF("lang")
+    val b = Seq("en", "fr").toDF("lang")
+    val got = graft.operators.Pipeline.corpusDrift(a, b, "lang")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") === (("en", 3L, 1L, 0.75, 0.5, 0.25)))
+    assert(got("de") === (("de", 1L, 0L, 0.25, 0.0, 0.25)))
+    assert(got("fr") === (("fr", 0L, 1L, 0.0, 0.5, 0.5)))
+  }
 }
