@@ -1892,6 +1892,33 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_contamination_semantic",
+      // embedding-space benchmark decontamination (the semantic
+      // counterpart of n-gram q_contamination): corpus vectors whose max
+      // cosine against any benchmark vector (vec_id < 8 stands in for
+      // the test set) reaches 0.3 flag for removal. The benchmark ships
+      // as ONE broadcast row and the max fold fuses into the corpus
+      // scan — zero shuffles.
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                         FROM embeddings),
+              q AS (SELECT emb AS qe FROM e WHERE vec_id < 8),
+              c AS (SELECT vec_id, emb FROM e WHERE vec_id >= 8),
+              s AS (SELECT c.vec_id,
+                           max(round(list_dot_product(c.emb, qe) /
+                             (sqrt(list_dot_product(c.emb, c.emb)) *
+                              sqrt(list_dot_product(qe, qe))), 6)) AS max_sim
+                    FROM c, q GROUP BY 1)
+              SELECT vec_id, max_sim FROM s
+              WHERE max_sim >= CAST(0.3 AS DOUBLE) ORDER BY vec_id"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        Similarity.semanticContamination(
+            emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8),
+            threshold = 0.3)
+          .orderBy("vec_id")
+      }),
+
     QueryDef("q_ann_lsh",
       // LSH-bucketed ANN (scale path). Approximate vs brute force but
       // DETERMINISTIC (seeded hyperplanes), so the oracle compares against

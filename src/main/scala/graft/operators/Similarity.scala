@@ -50,6 +50,30 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Embedding-space benchmark decontamination — the semantic
+    * counterpart of the n-gram pass ([[Pipeline]] contamination):
+    * corpus vectors whose max cosine against ANY benchmark vector
+    * reaches `threshold` are flagged for removal (paraphrased test-set
+    * leakage that k-gram overlap never catches).
+    *
+    * Shape at scale: the benchmark set is bounded (test sets are small),
+    * so it collects to ONE row and ships broadcast as a task constant —
+    * the max-similarity fold fuses into the corpus scan; zero shuffles,
+    * no corpus-keyed aggregation (contrast the KNN-join shape, which
+    * exists for corpus×corpus). Max over 6-dp-rounded sims keeps the
+    * flag engine-portable at the threshold boundary.
+    */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double): DataFrame = {
+    val bench = benchmark.agg(collect_list(col("embedding")).as("_b"))
+    corpus.crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        aggregate(col("_b"), lit(-1.0),
+          (acc, b) => greatest(acc,
+            round(cosine_sim(col("embedding"), b), 6))).as("max_sim"))
+      .filter(col("max_sim") >= lit(threshold))
+  }
+
   /** Hyperplane LSH code of every embedding (bits-wide sign code). */
   def withLshCode(df: DataFrame, bits: Int, seed: Long): DataFrame =
     df.withColumn("lsh_code",

@@ -560,6 +560,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("semantic decontamination ships the benchmark as one broadcast row — " +
+    "the max fold fuses into the corpus scan, no corpus shuffle or sort join") {
+    val p = plan("q_contamination_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("link-prior join attaches the node-bounded rank table by broadcast — " +
     "the corpus is never shuffled for the prior") {
     val p = plan("q_link_prior")

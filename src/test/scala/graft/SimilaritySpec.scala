@@ -33,6 +33,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticContamination flags corpus vectors at/above the threshold " +
+      "max-cosine against any benchmark vector") {
+    val bench = Seq((0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(2f, 0f, 0f)),     // identical direction to bench 0 -> 1.0
+      (11L, Seq(0f, 0f, 5f)),     // orthogonal to both -> 0.0
+      (12L, Seq(1f, 1f, 0f)))     // cos 0.707107 to both
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(corpus, bench, threshold = 0.7)
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(10L -> 1.0, 12L -> 0.707107))
+  }
+
   test("brute-force top-k ranks by similarity with id tie-break") {
     val emb = Tables.embeddings(spark, sf)
     val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), 5)
