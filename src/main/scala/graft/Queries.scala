@@ -2932,6 +2932,37 @@ object Queries {
           .orderBy("query_id", "rank")
       }),
 
+    QueryDef("q_phrase_search",
+      // exact token-phrase search over the PERSISTENT positional
+      // inverted index (save → load → search): docs containing
+      // "slow hash batch" as consecutive tokens, with per-doc occurrence
+      // counts. The phrase's 3 posting lists prune to their bucket=K/
+      // partitions and join pairwise on (doc_id, pos − offset) — the
+      // feature BM25's bag-of-words scoring can't express. The oracle
+      // restates positions via the zipped generate_series unnest.
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w
+                         FROM documents),
+              p AS (SELECT doc_id,
+                           unnest(generate_series(1, len(w))) AS pos,
+                           unnest(w) AS term
+                    FROM t),
+              a AS (SELECT doc_id, pos FROM p WHERE term = 'slow'),
+              b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'hash'),
+              c AS (SELECT doc_id, pos - 2 AS pos FROM p WHERE term = 'batch')
+              SELECT a.doc_id, count(*) AS n_matches
+              FROM a JOIN b USING (doc_id, pos) JOIN c USING (doc_id, pos)
+              GROUP BY 1 ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val dir = tmpDir("graft-posidx").toString
+        TextAnalysis.positionalIndexSave(
+          TextAnalysis.positionalIndexBuild(t(s, d, "documents"),
+            "doc_id", "text", buckets = 16), dir)
+        TextAnalysis.phraseSearch(TextAnalysis.positionalIndexLoad(s, dir),
+            Seq("slow", "hash", "batch"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_hybrid_rrf",
       // hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
       // ranking with the exhaustive embedding-cosine ranking (Cormack et

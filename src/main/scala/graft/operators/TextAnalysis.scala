@@ -496,6 +496,70 @@ object TextAnalysis {
     Bm25Index(postings, dfreq, stats)
   }
 
+  /** Positional inverted index + exact token-phrase search — the IR
+    * feature BM25's bag-of-words scoring can't express ("slow hash
+    * batch" as a phrase, not three independent terms).
+    *
+    * Postings are one (term, doc_id, pos) row per token occurrence,
+    * bucket-partitioned by the same term hash as the BM25 index, so a
+    * k-term phrase query reads ≤ k posting buckets at any corpus size
+    * (partition-directory pruning + residual term filter). Phrase
+    * matching joins the k posting lists pairwise on (doc_id, pos −
+    * term offset): each join is keyed on (doc_id, pos) and carries
+    * df(term)-sized lists, never the corpus; after the first shuffle
+    * the chain stays co-partitioned. Repeated phrase terms work (the
+    * same posting list joins itself at different offsets); n_matches
+    * counts aligned occurrences per doc.
+    */
+  final case class PositionalIndex(postings: org.apache.spark.sql.DataFrame,
+                                   buckets: Int)
+
+  def positionalIndexBuild(docs: org.apache.spark.sql.DataFrame, id: String,
+                           text: String, buckets: Int = 64): PositionalIndex = {
+    require(buckets >= 1, s"positionalIndexBuild: need buckets >= 1, got $buckets")
+    val postings = docs
+      .select(col(id).as("doc_id"),
+        posexplode(words(col(text))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .withColumn("bucket", bm25Bucket(col("term"), buckets))
+    PositionalIndex(postings, buckets)
+  }
+
+  def positionalIndexSave(index: PositionalIndex, dir: String): Unit = {
+    index.postings.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/postings")
+    val ss = index.postings.sparkSession
+    import ss.implicits._
+    Seq(index.buckets).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def positionalIndexLoad(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): PositionalIndex =
+    PositionalIndex(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/meta").head().getInt(0))
+
+  /** Docs containing the exact token phrase, with per-doc occurrence
+    * counts — see [[PositionalIndex]] for the join shape.
+    */
+  def phraseSearch(index: PositionalIndex,
+                   phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val buckets = index.buckets
+    def side(t: String, off: Int) = {
+      val b = ((graft.functions.CassandraMurmur3.hashString(t, Bm25BucketSeed)
+        % buckets + buckets) % buckets).toInt
+      index.postings
+        .filter(col("bucket") === b && col("term") === t)
+        .select(col("doc_id"), (col("pos") - off).as("pos"))
+    }
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(side(phrase.head, 0)) { case (acc, (t0, i)) =>
+        acc.join(side(t0, i), Seq("doc_id", "pos"))
+      }
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
   def bm25IndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index =
     Bm25Index(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/df"),

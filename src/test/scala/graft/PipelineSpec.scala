@@ -461,6 +461,29 @@ class PipelineSpec extends SparkSpec {
     assert(got(2L) === ((0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("phraseSearch: consecutive positions only, overlapping occurrences " +
+      "count, repeated phrase terms join their own posting list") {
+    graft.functions.Functions.ensure(spark)
+    val docs = Seq(
+      (1L, "a b a b a"),   // 'a b a' matches at offsets 0 and 2
+      (2L, "b a x a b"),   // contains a,b but never the phrase
+      (3L, "x a b a y"))   // one match
+      .toDF("doc_id", "text")
+    val idx = graft.operators.TextAnalysis.positionalIndexBuild(
+      docs, "doc_id", "text", buckets = 4)
+    val got = graft.operators.TextAnalysis.phraseSearch(idx, Seq("a", "b", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 3L -> 1L))
+    // save/load round-trips bit-equal
+    val dir = java.nio.file.Files.createTempDirectory("pos-idx").toString
+    graft.operators.TextAnalysis.positionalIndexSave(idx, dir)
+    val loaded = graft.operators.TextAnalysis.positionalIndexLoad(spark, dir)
+    assert(loaded.buckets === 4)
+    val got2 = graft.operators.TextAnalysis.phraseSearch(loaded, Seq("a", "b", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === got)
+  }
+
   test("bm25 persistent index: save/load search equals the from-scratch " +
       "search bit-for-bit; stats carry the bucket modulus") {
     graft.functions.Functions.ensure(spark)

@@ -560,6 +560,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("phrase search prunes the positional postings to the phrase terms' " +
+    "bucket partitions and never sorts the corpus") {
+    val df = SparkEntry.queries("q_phrase_search")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pruned = "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p)
+    assert(pruned.nonEmpty, {
+      val i = math.max(0, p.indexOf("PartitionFilters"))
+      "postings scan must prune on bucket:\n" + p.slice(math.max(0, i - 500), i + 200)
+    })
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("semantic decontamination ships the benchmark as one broadcast row — " +
     "the max fold fuses into the corpus scan, no corpus shuffle or sort join") {
     val p = plan("q_contamination_semantic")
