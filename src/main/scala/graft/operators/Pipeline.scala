@@ -569,10 +569,16 @@ object Pipeline {
   def corpusDrift(a: DataFrame, b: DataFrame, groupCol: String): DataFrame = {
     def counts(df: DataFrame, n: String) = df
       .groupBy(col(groupCol).as("_g")).agg(count(lit(1)).as(n))
-    def total(df: DataFrame, n: String) =
-      df.agg(count(lit(1)).as(n))
-    val joined = counts(a, "n_a").join(counts(b, "n_b"), Seq("_g"), "full_outer")
-      .crossJoin(broadcast(total(a, "_ta").crossJoin(total(b, "_tb"))))
+    // totals re-aggregate the group-bounded count tables (a few rows),
+    // not the inputs — localCheckpoint materializes each side's count
+    // once, so each input is scanned exactly once
+    def total(cnts: DataFrame, src: String, n: String) =
+      cnts.agg(coalesce(sum(col(src)), lit(0L)).as(n))
+    val ca = counts(a, "n_a").localCheckpoint()
+    val cb = counts(b, "n_b").localCheckpoint()
+    val joined = ca.join(cb, Seq("_g"), "full_outer")
+      .crossJoin(broadcast(
+        total(ca, "n_a", "_ta").crossJoin(total(cb, "n_b", "_tb"))))
     val shareA = when(col("_ta") > 0,
       round(coalesce(col("n_a"), lit(0L)).cast("double") / col("_ta"), 6))
       .otherwise(lit(0.0))

@@ -476,6 +476,14 @@ object TextAnalysis {
     pmod(murmur64(term, lit(Bm25BucketSeed)), lit(buckets.toLong)).cast("int")
   }
 
+  /** Driver-side twin of [[bm25Bucket]] — MUST stay bit-identical to the
+    * Column form or partition pruning silently reads the wrong bucket
+    * (empty search results, no error). Shared by every index prober.
+    */
+  private def termBucket(t: String, buckets: Int): Int =
+    ((graft.functions.CassandraMurmur3.hashString(t, Bm25BucketSeed)
+      % buckets + buckets) % buckets).toInt
+
   def bm25IndexBuild(docs: org.apache.spark.sql.DataFrame, id: String,
                      text: String, buckets: Int = 64): Bm25Index = {
     require(buckets >= 1, s"bm25IndexBuild: need buckets >= 1, got $buckets")
@@ -547,10 +555,8 @@ object TextAnalysis {
     require(phrase.nonEmpty, "phraseSearch: empty phrase")
     val buckets = index.buckets
     def side(t: String, off: Int) = {
-      val b = ((graft.functions.CassandraMurmur3.hashString(t, Bm25BucketSeed)
-        % buckets + buckets) % buckets).toInt
       index.postings
-        .filter(col("bucket") === b && col("term") === t)
+        .filter(col("bucket") === termBucket(t, buckets) && col("term") === t)
         .select(col("doc_id"), (col("pos") - off).as("pos"))
     }
     phrase.zipWithIndex.drop(1)
@@ -627,9 +633,7 @@ object TextAnalysis {
     val ss = index.postings.sparkSession
     val buckets = index.stats.select(col("buckets")).head().getInt(0)
     val terms = queries.flatMap(_._2).distinct
-    val qBuckets = terms
-      .map(t => ((graft.functions.CassandraMurmur3.hashString(t, Bm25BucketSeed)
-        % buckets + buckets) % buckets).toInt).distinct
+    val qBuckets = terms.map(t => termBucket(t, buckets)).distinct
     // bucket filter prunes at the partition-directory level; the term
     // filter prunes residual same-bucket terms inside the read files
     val postings = index.postings

@@ -89,13 +89,19 @@ object WebCuration {
     */
   def snapshotDiff(snapshot: DataFrame, corpus: DataFrame, keyCol: String,
                    digestCol: String): DataFrame = {
-    val s0 = snapshot.select(col(keyCol).as("_k"), col(digestCol).as("_dn"))
-    val c0 = corpus.select(col(keyCol).as("_k"), col(digestCol).as("_dc"))
+    // presence rides as an explicit marker — classifying on digest
+    // nullness would misread a legitimately-null digest on a key present
+    // in BOTH sides as new/gone; digests compare null-safe (two missing
+    // digests are "unchanged", one missing is a change)
+    val s0 = snapshot.select(col(keyCol).as("_k"), col(digestCol).as("_dn"),
+      lit(true).as("_sp"))
+    val c0 = corpus.select(col(keyCol).as("_k"), col(digestCol).as("_dc"),
+      lit(true).as("_cp"))
     s0.join(c0, Seq("_k"), "full_outer")
       .select(col("_k").as(keyCol),
-        when(col("_dc").isNull, "new")
-          .when(col("_dn").isNull, "gone")
-          .when(col("_dn") === col("_dc"), "unchanged")
+        when(col("_cp").isNull, "new")
+          .when(col("_sp").isNull, "gone")
+          .when(col("_dn") <=> col("_dc"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -78,15 +78,17 @@ class WebCurationSpec extends SparkSpec {
     assert(got === Set(("a.com", "b.com"), ("b.com", "a.com")))
   }
 
-  test("snapshotDiff classifies new/changed/unchanged/gone per key") {
-    val snap = Seq(("u1", "d1"), ("u2", "d2x"), ("u3", "d3"))
-      .toDF("url", "dg")
-    val corp = Seq(("u2", "d2"), ("u3", "d3"), ("u4", "d4"))
-      .toDF("url", "dg")
+  test("snapshotDiff classifies new/changed/unchanged/gone per key; a null " +
+      "digest on a both-sides key is a change, not presence") {
+    val snap = Seq(("u1", "d1"), ("u2", "d2x"), ("u3", "d3"),
+      ("u5", null), ("u6", null)).toDF("url", "dg")
+    val corp = Seq(("u2", "d2"), ("u3", "d3"), ("u4", "d4"),
+      ("u5", "d5"), ("u6", null)).toDF("url", "dg")
     val got = WebCuration.snapshotDiff(snap, corp, "url", "dg")
       .as[(String, String)].collect().toMap
     assert(got === Map("u1" -> "new", "u2" -> "changed",
-      "u3" -> "unchanged", "u4" -> "gone"))
+      "u3" -> "unchanged", "u4" -> "gone",
+      "u5" -> "changed", "u6" -> "unchanged"))
   }
 
   test("hostQualityStats: fixed-point mean and threshold verdict; the " +
