@@ -4070,6 +4070,69 @@ object Queries {
           .orderBy("host", "term")
       }),
 
+    QueryDef("q_anchor_topk",
+      // per-host anchor-term PROFILE: the top-3 incoming anchor terms per
+      // target host by count — the keyword summary retrieval/curation
+      // attaches to a host. The cut is the bounded TopKRowsAgg (<= 3 rows
+      // per host through the shuffle), never a rank window; ties break
+      // term-ascending so the selected set is engine-reproducible. Same
+      // planted link derivation as q_anchor_text; the oracle ranks the
+      // independently-derived counts with a window.
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+              links AS (
+                SELECT 'site' || CAST((doc_id + 4) % 13 AS VARCHAR)
+                         || '.example.com' AS host, 'alpha' AS term FROM d
+                UNION ALL
+                SELECT 'site' || CAST((doc_id + 4) % 13 AS VARCHAR)
+                         || '.example.com',
+                       't' || CAST(doc_id % 7 AS VARCHAR) FROM d
+                UNION ALL
+                SELECT 'site' || CAST((doc_id * 3 + 5) % 13 AS VARCHAR)
+                         || '.example.com', 'beta'
+                FROM d WHERE (doc_id * 3 + 5) % 13 <> doc_id % 13
+                UNION ALL
+                SELECT 'site' || CAST((doc_id * 3 + 5) % 13 AS VARCHAR)
+                         || '.example.com', 'link'
+                FROM d WHERE (doc_id * 3 + 5) % 13 <> doc_id % 13
+                UNION ALL
+                SELECT 'site' || CAST((doc_id * 3 + 5) % 13 AS VARCHAR)
+                         || '.example.com',
+                       't' || CAST(doc_id % 5 AS VARCHAR)
+                FROM d WHERE (doc_id * 3 + 5) % 13 <> doc_id % 13
+              ), c AS (
+                SELECT host, term, count(*) AS cnt FROM links GROUP BY 1, 2
+              ), r AS (
+                SELECT host, term, cnt,
+                       CAST(row_number() OVER (PARTITION BY host
+                            ORDER BY cnt DESC, term) AS INTEGER) AS rnk
+                FROM c
+              )
+              SELECT host, term, cnt, rnk FROM r WHERE rnk <= 3
+              ORDER BY host, rnk"""),
+      (s, d) => {
+        prep(s)
+        val did = col("doc_id")
+        val pages = Tables.spread(t(s, d, "documents")).select(
+          did,
+          concat(lit("https://site"), (did % 13).cast("string"),
+            lit(".example.com/p/"), did.cast("string")).as("url"),
+          concat(
+            lit("<p>intro</p><a href=\"https://site"),
+            ((did + 4) % 13).cast("string"),
+            lit(".example.com/a\">alpha t"), (did % 7).cast("string"),
+            lit("</a><p>mid</p><a class=\"x\" href=\"https://site"),
+            ((did * 3 + 5) % 13).cast("string"),
+            lit(".example.com/b\">beta link t"), (did % 5).cast("string"),
+            lit("</a><a href=\"/rel\">skip me</a>")).as("html"))
+        val counts = WebCuration.anchorTermEdges(pages, "url", "html")
+          .groupBy(col("dst").as("host"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+        CqlOps.perPartitionLimitAgg(counts, Seq("host"),
+            Seq(("cnt", true), ("term", false)), 3, rowNumberCol = "rnk")
+          .select(col("host"), col("term"), col("cnt"), col("rnk"))
+          .orderBy("host", "rnk")
+      }),
+
     QueryDef("q_host_quality",
       // RefinedWeb-style HOST-level filtering: per-page quality scores
       // aggregate per planted host (text perturbed by a host-keyed

@@ -594,6 +594,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CodegenFallback"), p)
   }
 
+  test("per-host anchor profile cuts with the bounded top-k aggregate, " +
+    "not a rank window") {
+    val p = plan("q_anchor_topk")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("block-level boilerplate classification is scan-fused regexp work " +
     "+ one explode — no shuffle, no join") {
     val p = plan("q_boilerplate_blocks")
