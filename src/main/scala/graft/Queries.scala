@@ -3986,6 +3986,24 @@ object Queries {
           .orderBy("host")
       }),
 
+    QueryDef("q_host_hits",
+      // HITS hubs-and-authorities over the same planted host graph as
+      // q_host_pagerank — the companion link metric separating
+      // directory-like hosts (hubs) from content hosts (authorities).
+      // Deterministic fixed-point mutual iteration; the oracle is an
+      // independent plain-Scala replica fixture over the same planted
+      // derivation.
+      Some("""SELECT host, hub, authority
+              FROM parquet_scan('{FIX}/_fixture_hits/*.parquet')
+              ORDER BY host"""),
+      (s, d) => {
+        prep(s)
+        WebCuration.hits(
+            WebCuration.hostEdges(plantedLinkPages(s, d), "url", "links"),
+            iters = 10)
+          .orderBy("host")
+      }),
+
     QueryDef("q_link_prior",
       // the reason the host ranks exist: the node-bounded PageRank table
       // joins back onto the corpus as a per-page quality prior — a

@@ -1568,6 +1568,45 @@ object Verify {
       nodes.map(h => (h, round6(ranks(h)))).toDF("host", "pagerank")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_fixture_pagerank")
     }
+    fixture("_fixture_hits") {
+      // HITS replica over the same planted host graph as
+      // _fixture_pagerank (re-derived independently from doc_ids):
+      // synchronous mutual iteration, per-edge scaled-long HALF_UP
+      // contributions, exact long L1 totals, the single double division
+      // per node — mirrors WebCuration.hits' arithmetic while sharing no
+      // code with it.
+      val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id")).as[Long].collect()
+      val edges = scala.collection.mutable.LinkedHashSet[(String, String)]()
+      for (id <- ids) {
+        val src = s"site${id % 13}.example.com"
+        val dsts = Seq(
+          s"site${(id + 4) % 13}.example.com",
+          s"site${(id * 3 + 5) % 13}.example.com") ++
+          (if (id % 5 == 0) Seq(s"sink${id % 3}.example.org") else Nil)
+        for (dst <- dsts if dst != src) edges += ((src, dst))
+      }
+      val scale = (1L << 24).toDouble
+      def fp(v: Double): Long =
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.distinct.sorted
+      val n = nodes.size
+      var hub: Map[String, Double] = nodes.map(_ -> 1.0 / n).toMap
+      var auth: Map[String, Double] = hub
+      for (_ <- 0 until 10) {
+        val ac = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((s0, d0) <- edges) ac(d0) += fp(hub(s0) * scale)
+        val at = ac.values.sum
+        auth = nodes.map(h => h -> ac(h).toDouble / at.toDouble).toMap
+        val hc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((s0, d0) <- edges) hc(s0) += fp(auth(d0) * scale)
+        val ht = hc.values.sum
+        hub = nodes.map(h => h -> hc(h).toDouble / ht.toDouble).toMap
+      }
+      nodes.map(h => (h, round6(hub(h)), round6(auth(h))))
+        .toDF("host", "hub", "authority")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_fixture_hits")
+    }
     fixture("_fixture_timeuuid") {
       // input prep (ms derivation) is shared with q_timeuuid_bounds; the
       // operators under test (MinTimeUuid/TimeUuidMillis codegen) are not.

@@ -74,6 +74,66 @@ object WebCuration {
         col("src") =!= col("dst"))
       .distinct()
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a (src, dst) edge
+    * table — PageRank's companion link metric: an AUTHORITY is pointed
+    * to by good hubs, a HUB points to good authorities (directories vs
+    * content hosts — the distinction a single PageRank score blurs).
+    *
+    * Synchronous mutual iteration with L1 normalization each half-step:
+    * auth(v) = Σ_{u→v} hub(u) / Σ, then hub(u) = Σ_{u→v} auth(v) / Σ.
+    * Same scale shape as [[pageRank]]: each half-step is ONE keyed join
+    * of the checkpointed edge table against a node-bounded score table
+    * plus one keyed aggregation; the L1 total collects a single long.
+    *
+    * Determinism (house recipe): per-edge contributions round ONCE to
+    * 2^24-scaled longs and sum as longs (partitioning-independent); the
+    * normalizer is the exact long total, and the only double division is
+    * contribution/total. Output rounds to 6 dp; each of hub/authority
+    * sums to ~1.
+    */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val scale = graft.operators.Similarity.fixedPointScale
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "hits: empty graph")
+    // one half-step: scores keyed on `from` flow along (from -> to) edges
+    def halfStep(scores: DataFrame, scoreCol: String, from: String,
+                 to: String, outCol: String): DataFrame = {
+      val contribs = e.join(scores, e(from) === scores("host"))
+        .select(col(to),
+          round(col(scoreCol) * lit(scale)).cast("long").as("c"))
+        .groupBy(to).agg(sum(col("c")).as("cs"))
+      val total = contribs
+        .agg(coalesce(sum(col("cs")), lit(0L))).collect()(0).getLong(0)
+      require(total > 0, s"hits: zero $outCol mass (degenerate graph)")
+      nodes.join(contribs, nodes("host") === contribs(to), "left")
+        .select(nodes("host"),
+          (coalesce(col("cs"), lit(0L)).cast("double") /
+            lit(total.toDouble)).as(outCol))
+        .localCheckpoint()
+    }
+    var hub = nodes.withColumn("hub", lit(1.0 / n)).localCheckpoint()
+    var auth = hub.select(col("host"), col("hub").as("authority"))
+    var it = 0
+    while (it < iters) {
+      auth = halfStep(hub, "hub", "src", "dst", "authority")
+      hub = halfStep(auth, "authority", "dst", "src", "hub")
+      it += 1
+    }
+    hub.join(auth, "host")
+      .select(col("host"), round(col("hub"), 6).as("hub"),
+        round(col("authority"), 6).as("authority"))
+  }
+
   /** Crawl-snapshot diff — the "what changed since the last crawl"
     * decision table incremental ingest starts from: per key (URL), the
     * new snapshot vs the standing corpus classifies as `new` (key absent

@@ -144,6 +144,24 @@ class WebCurationSpec extends SparkSpec {
     assert(plan.contains("LogicalRDD"), "expected checkpointed lineage")
   }
 
+  test("hits: star graph concentrates authority; mutual reinforcement " +
+      "ranks the 2-link hub above the 1-link hub; masses sum to ~1") {
+    val star = Seq(("l1", "a"), ("l2", "a"), ("l3", "a")).toDF("src", "dst")
+    val s0 = WebCuration.hits(star, iters = 5)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(s0("a")._3 === 1.0 && s0("a")._2 === 0.0)
+    Seq("l1", "l2", "l3").foreach { l =>
+      assert(math.abs(s0(l)._2 - 1.0 / 3) < 1e-5 && s0(l)._3 === 0.0)
+    }
+    val bi = Seq(("l1", "a1"), ("l1", "a2"), ("l2", "a1")).toDF("src", "dst")
+    val s1 = WebCuration.hits(bi, iters = 10)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(s1("l1")._2 > s1("l2")._2, s"2-link hub must lead: $s1")
+    assert(s1("a1")._3 > s1("a2")._3, s"2-hub authority must lead: $s1")
+    assert(math.abs(s1.values.map(_._2).sum - 1.0) < 1e-3)
+    assert(math.abs(s1.values.map(_._3).sum - 1.0) < 1e-3)
+  }
+
   test("q_host_pagerank: planted host graph ranks sum to ~1") {
     val rows = Queries.byName("q_host_pagerank").impl(spark, sf)
       .as[(String, Double)].collect()
