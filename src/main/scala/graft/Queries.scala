@@ -3335,6 +3335,37 @@ object Queries {
           .orderBy("cohort", "period_offset")
       }),
 
+    QueryDef("q_active_users",
+      // rolling active users — DAU (win=1) and WAU (win=7) per day in
+      // one pass over the sparse event_id%7 slice (the full log has all
+      // users active daily — nothing to measure). Activity dedupes to
+      // (user, day) FIRST, each activity row explodes to the window
+      // buckets it covers, dedupes again, and counts per (day, window);
+      // output restricts to days with actual activity. Identical
+      // floor(ts/bucket) spec in both engines.
+      Some("""WITH act AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                         AS BIGINT) AS d
+                FROM events WHERE event_id % 7 = 0
+              ), days AS (SELECT DISTINCT d AS b FROM act),
+              w(win) AS (VALUES (1), (7)),
+              e0 AS (
+                SELECT win, user_id,
+                       d + unnest(generate_series(0, CAST(win - 1 AS BIGINT))) AS b
+                FROM act CROSS JOIN w
+              ), ex AS (SELECT DISTINCT win, user_id, b FROM e0)
+              SELECT b AS bucket, win, count(*) AS active
+              FROM ex JOIN days USING (b)
+              GROUP BY 1, 2 ORDER BY bucket, win"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Sessionize.activeUsers(ev.filter(col("event_id") % 7 === 0),
+            "user_id", Tables.tsEpochUs(ev), bucketUs = 86400000000L,
+            windows = Seq(1, 7))
+          .orderBy("bucket", "win")
+      }),
+
     QueryDef("q_bpe_fertility",
       // tokenizer-quality analytic teams actually track: per-language
       // corpus fertility (tokens/word, tokens/100 chars) under the

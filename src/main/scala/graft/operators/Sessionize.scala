@@ -124,4 +124,39 @@ object Sessionize {
       .groupBy(col("_c").as("cohort"), (col("_w") - col("_c")).as("period_offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Rolling active-user counts (DAU/WAU/MAU in one pass): for every
+    * period bucket and every window length w, the number of distinct
+    * keys active in the w buckets ENDING at that bucket. Buckets share
+    * [[retention]]'s floor(tsUs/bucketUs) double-division spec.
+    *
+    * Shape at scale: activity dedupes to one row per (key, bucket)
+    * FIRST — bounded by keys × periods, far under the event log; each
+    * (key, bucket, window) then explodes to the w buckets it keeps the
+    * key active in (Σw rows per activity row, windows are small
+    * constants), dedupes again (a key active twice inside a window
+    * counts once), and counts per (bucket, window). Output restricts to
+    * buckets with actual activity, so trailing windows past the log's
+    * end don't fabricate rows.
+    */
+  def activeUsers(events: DataFrame, keyCol: String, tsUs: Column,
+                  bucketUs: Long, windows: Seq[Int]): DataFrame = {
+    require(bucketUs > 0, s"activeUsers: bucketUs must be positive, got $bucketUs")
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      s"activeUsers: windows must be >= 1, got $windows")
+    val act = events
+      .select(col(keyCol).as("_k"),
+        floor(tsUs.cast("double") / lit(bucketUs.toDouble)).cast("long").as("_d"))
+      .distinct()
+    val days = act.select(col("_d").as("b")).distinct()
+    act
+      .select(col("_k"), col("_d"),
+        explode(array(windows.map(lit): _*)).as("win"))
+      .select(col("_k"), col("win"),
+        explode(sequence(col("_d"), col("_d") + col("win") - 1)).as("b"))
+      .distinct()
+      .join(days, "b")
+      .groupBy("b", "win").agg(count(lit(1)).as("active"))
+      .select(col("b").as("bucket"), col("win"), col("active"))
+  }
 }

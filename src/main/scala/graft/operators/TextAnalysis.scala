@@ -547,6 +547,22 @@ object TextAnalysis {
     PositionalIndex(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/meta").head().getInt(0))
 
+  /** Incremental positional-index ingest: append a NEW batch of documents
+    * (ids disjoint from the indexed corpus — exact-dedup upstream) under
+    * the saved bucket modulus. Positional postings carry no corpus-wide
+    * state (no df table, no avgdl), so the append is PURELY additive —
+    * new rows land in their bucket partitions and every existing file is
+    * untouched; a phrase search over the appended index is row-identical
+    * to a from-scratch build of the union (spec-pinned).
+    */
+  def positionalIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, newDocs: org.apache.spark.sql.DataFrame,
+                            id: String, text: String): Unit = {
+    val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    positionalIndexBuild(newDocs, id, text, buckets).postings
+      .write.partitionBy("bucket").mode("append").parquet(s"$dir/postings")
+  }
+
   /** Docs containing the exact token phrase, with per-doc occurrence
     * counts — see [[PositionalIndex]] for the join shape.
     */

@@ -484,6 +484,30 @@ class PipelineSpec extends SparkSpec {
     assert(got2 === got)
   }
 
+  test("positionalIndexAppend: appended index answers phrase searches " +
+      "identically to a from-scratch build of the union") {
+    graft.functions.Functions.ensure(spark)
+    val first = Seq((1L, "a b a"), (2L, "x a b")).toDF("doc_id", "text")
+    val more = Seq((3L, "a b a b"), (4L, "b a")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pos-app").toString
+    graft.operators.TextAnalysis.positionalIndexSave(
+      graft.operators.TextAnalysis.positionalIndexBuild(
+        first, "doc_id", "text", buckets = 4), dir)
+    graft.operators.TextAnalysis.positionalIndexAppend(
+      spark, dir, more, "doc_id", "text")
+    val appended = graft.operators.TextAnalysis.phraseSearch(
+        graft.operators.TextAnalysis.positionalIndexLoad(spark, dir),
+        Seq("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val fresh = graft.operators.TextAnalysis.phraseSearch(
+        graft.operators.TextAnalysis.positionalIndexBuild(
+          first.unionByName(more), "doc_id", "text", buckets = 4),
+        Seq("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(appended === fresh)
+    assert(appended === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("bm25 persistent index: save/load search equals the from-scratch " +
       "search bit-for-bit; stats carry the bucket modulus") {
     graft.functions.Functions.ensure(spark)

@@ -94,6 +94,21 @@ class SessionizeSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 1L, 1L)))
   }
 
+  test("activeUsers: rolling windows count distinct keys; trailing buckets " +
+      "past the log end are not fabricated") {
+    val day = 86400000000L
+    // u1 active days 0 and 1 (twice on day 0); u2 active day 0 only
+    val df = Seq((1L, 0L), (1L, 5L), (1L, day), (2L, 10L))
+      .toDF("user_id", "ts_us_in")
+    val got = Sessionize.activeUsers(df, "user_id", col("ts_us_in"), day,
+        windows = Seq(1, 2))
+      .orderBy("bucket", "win")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 1, 2L), (0L, 2, 2L),   // day 0: both active; 2-day window same
+      (1L, 1, 1L), (1L, 2, 2L)))  // day 1: only u1 daily; both in the 2-day
+  }
+
   test("funnel: a step with zero survivors reports zero, not a missing row") {
     val df = Seq((1L, "view", 10L)).toDF("user_id", "event_type", "ts_us_in")
     val got = Sessionize.funnel(df, "user_id", col("ts_us_in"), "event_type",
