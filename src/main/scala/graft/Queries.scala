@@ -4017,6 +4017,24 @@ object Queries {
           .orderBy("host")
       }),
 
+    QueryDef("q_host_pagerank_weighted",
+      // WEIGHTED PageRank over the same planted graph: rank splits
+      // across out-edges by multiplicity (#docs of src linking dst)
+      // instead of uniformly — the harvest-rank refinement. Oracle = an
+      // independent replica fixture carrying the same multiplicities.
+      Some("""SELECT host, pagerank
+              FROM parquet_scan('{FIX}/_fixture_pagerank_w/*.parquet')
+              ORDER BY host"""),
+      (s, d) => {
+        prep(s)
+        WebCuration.pageRankWeighted(
+            WebCuration.hostEdgesWeighted(plantedLinkPages(s, d),
+              "url", "links"),
+            "weight", iters = 10)
+          .select(col("host"), col("rank").as("pagerank"))
+          .orderBy("host")
+      }),
+
     QueryDef("q_host_hits",
       // HITS hubs-and-authorities over the same planted host graph as
       // q_host_pagerank — the companion link metric separating

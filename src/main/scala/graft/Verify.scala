@@ -1568,6 +1568,47 @@ object Verify {
       nodes.map(h => (h, round6(ranks(h)))).toDF("host", "pagerank")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_fixture_pagerank")
     }
+    fixture("_fixture_pagerank_w") {
+      // Weighted-PageRank replica over the planted graph WITH
+      // multiplicities (#docs producing each (src, dst) edge): the same
+      // independent fixed-point arithmetic as _fixture_pagerank but each
+      // contribution is rank·w/W(src).
+      val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id")).as[Long].collect()
+      val wts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for (id <- ids) {
+        val src = s"site${id % 13}.example.com"
+        val dsts = Seq(
+          s"site${(id + 4) % 13}.example.com",
+          s"site${(id * 3 + 5) % 13}.example.com") ++
+          (if (id % 5 == 0) Seq(s"sink${id % 3}.example.org") else Nil)
+        for (dst <- dsts if dst != src) wts((src, dst)) += 1L
+      }
+      val scale = (1L << 24).toDouble
+      def fp(v: Double): Long =
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val edges = wts.keySet.toSeq
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.size
+      val wsum = edges.groupBy(_._1)
+        .map { case (s0, es) => s0 -> es.map(wts).sum }
+      val dangling = nodes.filterNot(wsum.contains)
+      val damping = 0.85
+      val base = (1.0 - damping) / n
+      var ranks: Map[String, Double] = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 0 until 10) {
+        val contribs = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for (e @ (s0, d0) <- edges)
+          contribs(d0) += fp(ranks(s0) * wts(e) / wsum(s0) * scale)
+        val dmass = dangling.iterator.map(h => fp(ranks(h) * scale)).sum
+        val dterm = dmass.toDouble / scale / n
+        ranks = nodes.map(h =>
+          h -> (base + damping * (contribs(h).toDouble / scale + dterm))).toMap
+      }
+      nodes.map(h => (h, round6(ranks(h)))).toDF("host", "pagerank")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_fixture_pagerank_w")
+    }
     fixture("_fixture_hits") {
       // HITS replica over the same planted host graph as
       // _fixture_pagerank (re-derived independently from doc_ids):

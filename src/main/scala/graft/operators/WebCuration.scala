@@ -194,6 +194,21 @@ object WebCuration {
     docs.join(broadcast(stats.filter(col("keep")).select(col(hostCol))),
       Seq(hostCol), "left_semi")
 
+  /** [[hostEdges]] with multiplicity: multi-edges aggregate to a weight
+    * (#pages of src linking dst) instead of collapsing — the input
+    * [[pageRankWeighted]] splits rank over. Same normalization and
+    * map-side explode; only (src, dst) strings reach the count shuffle.
+    */
+  def hostEdgesWeighted(pages: DataFrame, urlCol: String,
+                        linksCol: String): DataFrame =
+    pages.select(
+        domainOf(hostOf(col(urlCol))).as("src"),
+        explode(col(linksCol)).as("_l"))
+      .select(col("src"), domainOf(hostOf(col("_l"))).as("dst"))
+      .filter(col("src") =!= "" && col("dst") =!= "" &&
+        col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+
   /** Anchor-term stream from page HTML: one (src, dst, term) row per
     * whitespace token of each cross-host link's anchor text — the
     * incoming-anchor-text signal web curation and retrieval stacks
@@ -244,13 +259,32 @@ object WebCuration {
     * one fixed expression. Output ranks round to 6 dp and sum to ~1.
     */
   def pageRank(edges: DataFrame, iters: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85): DataFrame =
+    pageRankWeighted(
+      edges.select(col("src"), col("dst")).distinct()
+        .withColumn("weight", lit(1L)),
+      "weight", iters, damping)
+
+  /** Weighted PageRank: a source's rank splits across its out-edges
+    * proportionally to edge weight (link multiplicity, anchor volume)
+    * instead of uniformly — the harvest-rank refinement where a host
+    * linking another 500 times endorses it more than a single footer
+    * link. Parallel (src, dst) rows sum their weights. With all weights
+    * 1 this IS [[pageRank]] bit-for-bit (rank·1 is exact, so the
+    * contribution expression degenerates to the uniform split).
+    * Same iteration shape and fixed-point recipe as [[pageRank]] —
+    * per-edge contribution rank·w/W(src) rounds ONCE to 2^24-scaled
+    * longs.
+    */
+  def pageRankWeighted(edges: DataFrame, weightCol: String, iters: Int = 10,
+                       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val scale = graft.operators.Similarity.fixedPointScale
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst"),
+        col(weightCol).cast("long").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct()
+        col("src") =!= col("dst") && col("w") > 0)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .localCheckpoint() // reused every iteration — never recomputed
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
@@ -258,17 +292,18 @@ object WebCuration {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val outW = e.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val eW = e.join(outW, "src").localCheckpoint()
     val danglingNodes = nodes
       .join(e.select(col("src").as("host")).distinct(), Seq("host"), "left_anti")
       .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var it = 0
     while (it < iters) {
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("host"))
+      val contribs = eW.join(ranks, eW("src") === ranks("host"))
         .select(col("dst"),
-          round(col("rank") / col("deg") * lit(scale)).cast("long").as("c"))
+          round(col("rank") * col("w") / col("wsum") * lit(scale))
+            .cast("long").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
       val dangling = danglingNodes
         .join(ranks, Seq("host"))

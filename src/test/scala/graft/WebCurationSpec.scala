@@ -144,6 +144,27 @@ class WebCurationSpec extends SparkSpec {
     assert(plan.contains("LogicalRDD"), "expected checkpointed lineage")
   }
 
+  test("pageRankWeighted: rank splits by weight; all-1 weights reproduce " +
+      "the unweighted form bit-for-bit; parallel edges sum") {
+    val w = Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "weight")
+    val got = WebCuration.pageRankWeighted(w, "weight", iters = 10)
+      .as[(String, Double)].collect().toMap
+    assert(got("b") > got("c"), s"the 9x-endorsed host must lead: $got")
+    val uw = WebCuration.pageRank(w.select("src", "dst"), iters = 10)
+      .as[(String, Double)].collect().toSet
+    val w1 = WebCuration.pageRankWeighted(
+        w.withColumn("weight", lit(1L)), "weight", iters = 10)
+      .as[(String, Double)].collect().toSet
+    assert(uw === w1)
+    // parallel (src, dst) rows aggregate: 4+5 behaves exactly like 9
+    val split = Seq(("a", "b", 4L), ("a", "b", 5L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L)).toDF("src", "dst", "weight")
+    val got2 = WebCuration.pageRankWeighted(split, "weight", iters = 10)
+      .as[(String, Double)].collect().toMap
+    assert(got2 === got)
+  }
+
   test("hits: star graph concentrates authority; mutual reinforcement " +
       "ranks the 2-link hub above the 1-link hub; masses sum to ~1") {
     val star = Seq(("l1", "a"), ("l2", "a"), ("l3", "a")).toDF("src", "dst")
