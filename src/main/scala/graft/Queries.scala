@@ -2275,6 +2275,35 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_opq",
+      // OPQ — rotation-optimized PQ (Faiss OPQMatrix / Ge et al.
+      // CVPR'13): an orthogonal rotation trained by Lloyd/Procrustes
+      // alternation over the bounded pqTrain sample re-axes the space
+      // before the subspace split, then encode/search ride the exact PQ
+      // plan shapes with the rotation fused into each scan as the
+      // codegen'd pca_project kernel (zero mean). Save→load exercises
+      // the one-directory artifact (6-dp rotation + codebooks): the
+      // search runs through a LOADED model and must answer identically.
+      // Oracle = Verify's independent replica (own Jacobi/SVD from the
+      // pinned spec, own Lloyd, own rotation arithmetic).
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annopq/*.parquet')
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-opq")
+        Similarity.opqSave(s,
+          Similarity.opqTrain(emb, m = 8, ksub = 16, iters = 3, opqIters = 3),
+          dir.toString)
+        val model = Similarity.opqLoad(s, dir.toString)
+        val codes = Similarity.opqEncodeCorpus(emb, model)
+        Similarity.opqSearchRerank(codes, emb.filter(col("vec_id") < 8),
+            emb, model, 10)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_recall",
       // recall@10 of every approximate ANN method against the exhaustive
       // brute-force baseline — the approximate/exact quality trade as one
@@ -2325,9 +2354,14 @@ object Queries {
         val pemb = Pca.pcaProject(emb, pm)
         val pca = Similarity.bruteForceTopK(pemb,
           pemb.filter(col("vec_id") < 8), 10)
+        val om = Similarity.opqTrain(emb, m = 8, ksub = 16)
+        val opq = Similarity.opqSearchRerank(
+          Similarity.opqEncodeCorpus(emb, om), queries, emb, om, 10)
         recallRow("ivf", ivf).union(recallRow("ivf_sq8", ivfSq8))
           .union(recallRow("ivfpq", ivfpq))
-          .union(recallRow("lsh", lsh)).union(recallRow("pca", pca))
+          .union(recallRow("lsh", lsh))
+          .union(recallRow("opq", opq))
+          .union(recallRow("pca", pca))
           .union(recallRow("pq", pq))
           .union(recallRow("sq8", sq8))
           .orderBy("method")

@@ -143,7 +143,15 @@ object Verify {
                          ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
     val n = vecs.length.toLong
     val stride = math.max(n / (ksub.toLong * 64L), 1L)
-    val sample = vecs.filter(_._1 % stride == 0).map(_._2)
+    lloydRef(vecs.filter(_._1 % stride == 0).map(_._2), m, ksub, iters)
+  }
+
+  /** Per-subspace Lloyd over an in-driver sample — the replica's k-means
+    * core, shared by the PQ and OPQ trainings (strided seeding, strict-<
+    * ties, empty cells keep their previous centroid).
+    */
+  private def lloydRef(sample: IndexedSeq[Array[Float]], m: Int, ksub: Int,
+                       iters: Int): Array[Array[Array[Float]]] = {
     val dsub = sample.head.length / m
     Array.tabulate(m) { j =>
       val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
@@ -164,6 +172,117 @@ object Verify {
       }
       cents
     }
+  }
+
+  /** Rotation of one vector under a row-major matrix with a ZERO mean —
+    * the `pca_project` kernel's op order exactly (double centering
+    * subtract, ascending-index double accumulate, float emit).
+    */
+  private def rotateZeroMeanRef(r: Array[Array[Double]])(e: Array[Float]): Array[Float] = {
+    val d = r.length
+    val centered = new Array[Double](d)
+    var i = 0
+    while (i < d) { centered(i) = e(i).toDouble - 0.0; i += 1 }
+    Array.tabulate(d) { k =>
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += r(k)(j) * centered(j); j += 1 }
+      s.toFloat
+    }
+  }
+
+  /** Cyclic-Jacobi symmetric eigensolve, re-derived from the pinned spec
+    * in [[graft.operators.Pca]]: diagonalizes `a` in place, returns V
+    * (eigenvector j = column j).
+    */
+  private def jacobiRef(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = a.length
+    val v = Array.tabulate(dim, dim)((r, c) => if (r == c) 1.0 else 0.0)
+    var sweep = 0
+    var converged = false
+    while (sweep < 100 && !converged) {
+      for (p <- 0 until dim - 1; q <- p + 1 until dim) {
+        val apq = a(p)(q)
+        if (math.abs(apq) > 1e-12) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+          val t =
+            if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until dim) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq; a(k)(q) = s * akp + c * akq
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq; v(k)(q) = s * vkp + c * vkq
+          }
+          for (k <- 0 until dim) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk; a(q)(k) = s * apk + c * aqk
+          }
+        }
+      }
+      converged = (for (r <- 0 until dim - 1; c <- r + 1 until dim)
+        yield a(r)(c) * a(r)(c)).sum < 1e-18
+      sweep += 1
+    }
+    v
+  }
+
+  /** Orthogonal Procrustes (R = U·Vᵀ from the SVD of M = Σ yᵢ·xᵢᵀ, the
+    * SVD via Jacobi on MᵀM); None when a singular value underflows 1e-9.
+    */
+  private def procrustesRef(xs: IndexedSeq[Array[Float]],
+                            ys: IndexedSeq[Array[Float]]): Option[Array[Array[Double]]] = {
+    val d = xs.head.length
+    val mMat = Array.ofDim[Double](d, d)
+    xs.indices.foreach { n =>
+      val x = xs(n); val y = ys(n)
+      for (i <- 0 until d; j <- 0 until d)
+        mMat(i)(j) += y(i).toDouble * x(j).toDouble
+    }
+    val g = Array.tabulate(d, d) { (i, j) =>
+      (0 until d).map(k => mMat(k)(i) * mMat(k)(j)).sum
+    }
+    val v = jacobiRef(g)
+    val sv = Array.tabulate(d)(j => math.sqrt(math.max(g(j)(j), 0.0)))
+    if (sv.exists(_ < 1e-9)) None
+    else {
+      val u = Array.tabulate(d, d) { (i, j) =>
+        (0 until d).map(k => mMat(i)(k) * v(k)(j)).sum / sv(j)
+      }
+      Some(Array.tabulate(d, d) { (a2, b) =>
+        (0 until d).map(k => u(a2)(k) * v(b)(k)).sum
+      })
+    }
+  }
+
+  /** OPQ training replica — `Similarity.opqTrain`'s exact sequence:
+    * strided sample, alternation of Lloyd refit and Procrustes update,
+    * 6-dp rounding of the final rotation, closing refit under it.
+    */
+  private def opqTrainRef(vecs: IndexedSeq[(Long, Array[Float])], m: Int,
+                          ksub: Int, iters: Int, opqIters: Int)
+      : (Array[Array[Double]], Array[Array[Array[Float]]]) = {
+    val n = vecs.length.toLong
+    val stride = math.max(n / (ksub.toLong * 64L), 1L)
+    val sample = vecs.filter(_._1 % stride == 0).map(_._2)
+    val dim = sample.head.length
+    var r = Array.tabulate(dim, dim)((a, b) => if (a == b) 1.0 else 0.0)
+    var it = 0
+    var stalled = false
+    while (it < opqIters && !stalled) {
+      val rot = sample.map(rotateZeroMeanRef(r))
+      val books = lloydRef(rot, m, ksub, iters)
+      val recon = rot.map(pqReconstructRef(_, books))
+      procrustesRef(sample, recon) match {
+        case Some(next) => r = next
+        case None => stalled = true
+      }
+      it += 1
+    }
+    val rounded = r.map(_.map(round6))
+    (rounded, lloydRef(sample.map(rotateZeroMeanRef(rounded)), m, ksub, iters))
   }
 
   /** Nearest sub-centroid by L2²: float subtract/square summed in double,
@@ -331,6 +450,18 @@ object Verify {
     }
     lazy val annPqRows: IndexedSeq[(Long, Long, Double, Int)] =
       annRerankRef(annVecs, annPqRecon, queryMax = 8, k = 10, rerank = 4)
+    // OPQ: rotated-space corpus/reconstructions with q_ann_opq's
+    // parameters (m=8, ksub=16, iters=3, opqIters=3, k=10, rerank=4) —
+    // candidate scoring AND the exact rerank both run in rotated space,
+    // mirroring Similarity.opqSearchRerank
+    lazy val annOpqModel = opqTrainRef(annVecs, m = 8, ksub = 16, iters = 3, opqIters = 3)
+    lazy val annOpqRot = annVecs.map { case (id, e) =>
+      (id, rotateZeroMeanRef(annOpqModel._1)(e)) }
+    lazy val annOpqRows: IndexedSeq[(Long, Long, Double, Int)] = {
+      val recon = annOpqRot.map { case (id, e) =>
+        (id, pqReconstructRef(e, annOpqModel._2)) }
+      annRerankRef(annOpqRot, recon, queryMax = 8, k = 10, rerank = 4)
+    }
     lazy val annIvfPqRows: IndexedSeq[(Long, Long, Double, Int)] = {
       // IVF centroids via the fixed-point Lloyd step (see annIvfRows), PQ
       // codebooks as in annPqRows, probe-pruned reconstruction scoring,
@@ -1164,6 +1295,13 @@ object Verify {
       annPqRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annpq")
     }
+    fixture("_fixture_annopq") {
+      // Plain-Scala re-run of the OPQ pipeline (rotation training by
+      // Lloyd/Procrustes alternation, rotated-space encode + rerank) —
+      // independent Jacobi/SVD from the pinned spec
+      annOpqRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annopq")
+    }
     // Plain-Scala re-run of the SQ8 scalar-quantization + exact-rerank
     // pipeline (q_ann_sq8's parameters: k=10, rerank=4). The quantizer is
     // exact per-dim min/max; codes and reconstructions replay the
@@ -1375,6 +1513,7 @@ object Verify {
       Seq("ivf" -> recallOf(annIvfRows), "ivf_sq8" -> recallOf(annIvfSq8Rows),
           "ivfpq" -> recallOf(annIvfPqRows),
           "lsh" -> recallOf(annLshRows),
+          "opq" -> recallOf(annOpqRows),
           "pca" -> recallOf(annPcaRows(16, whiten = false)),
           "pq" -> recallOf(annPqRows),
           "sq8" -> recallOf(annSq8Rows))

@@ -58,39 +58,18 @@ object Pca {
     def outDim: Int = components.length
   }
 
-  private def round6(v: Double): Double =
+  private[operators] def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Driver-side eigendecomposition + component selection from a raw
-    * moment buffer (the [[graft.functions.GramMatrixAgg]] layout). Split
-    * from [[pcaTrain]] so specs can exercise the solver on planted
-    * moments.
+  /** Cyclic-Jacobi symmetric eigensolve under the object-doc spec,
+    * shared by PCA training and the OPQ Procrustes SVD
+    * ([[Similarity.opqTrain]]): diagonalizes `a` IN PLACE (eigenvalues
+    * land on the diagonal) and returns the accumulated rotation V
+    * (eigenvector j is column j, `v(r)(j)`). Fully pinned op order —
+    * the Verify replicas re-derive it from the spec alone.
     */
-  def trainFromMoments(buf: Array[Long], dim: Int, outDim: Int,
-                       whiten: Boolean): PcaModel = {
-    require(buf.length == PcaKernel.bufLen(dim),
-      s"moment buffer has ${buf.length} entries, dim $dim needs " +
-        s"${PcaKernel.bufLen(dim)}")
-    val n = buf(0)
-    require(n >= 2, s"pcaTrain: need at least 2 vectors, got $n")
-    require(outDim >= 1 && outDim <= dim,
-      s"pcaTrain: outDim $outDim outside 1..$dim")
-    val nd = n.toDouble
-    val mean = Array.tabulate(dim)(i => buf(1 + i).toDouble / PcaKernel.Scale / nd)
-    val a = Array.ofDim[Double](dim, dim)
-    var i = 0
-    while (i < dim) {
-      var j = i
-      while (j < dim) {
-        val g = buf(1 + dim + PcaKernel.triIdx(dim, i, j)).toDouble
-        val c = g / PcaKernel.Scale / nd - mean(i) * mean(j)
-        a(i)(j) = c
-        a(j)(i) = c
-        j += 1
-      }
-      i += 1
-    }
-    // cyclic Jacobi (spec in the object doc)
+  private[operators] def jacobiEigInPlace(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = a.length
     val v = Array.tabulate(dim, dim)((r, c) => if (r == c) 1.0 else 0.0)
     var sweep = 0
     var converged = false
@@ -139,6 +118,40 @@ object Pca {
       converged = off < 1e-18
       sweep += 1
     }
+    v
+  }
+
+  /** Driver-side eigendecomposition + component selection from a raw
+    * moment buffer (the [[graft.functions.GramMatrixAgg]] layout). Split
+    * from [[pcaTrain]] so specs can exercise the solver on planted
+    * moments.
+    */
+  def trainFromMoments(buf: Array[Long], dim: Int, outDim: Int,
+                       whiten: Boolean): PcaModel = {
+    require(buf.length == PcaKernel.bufLen(dim),
+      s"moment buffer has ${buf.length} entries, dim $dim needs " +
+        s"${PcaKernel.bufLen(dim)}")
+    val n = buf(0)
+    require(n >= 2, s"pcaTrain: need at least 2 vectors, got $n")
+    require(outDim >= 1 && outDim <= dim,
+      s"pcaTrain: outDim $outDim outside 1..$dim")
+    val nd = n.toDouble
+    val mean = Array.tabulate(dim)(i => buf(1 + i).toDouble / PcaKernel.Scale / nd)
+    val a = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val g = buf(1 + dim + PcaKernel.triIdx(dim, i, j)).toDouble
+        val c = g / PcaKernel.Scale / nd - mean(i) * mean(j)
+        a(i)(j) = c
+        a(j)(i) = c
+        j += 1
+      }
+      i += 1
+    }
+    // cyclic Jacobi (spec in the object doc)
+    val v = jacobiEigInPlace(a)
     val order = (0 until dim).sortBy(j => (-a(j)(j), j)).take(outDim)
     val eig = order.map(j => a(j)(j)).toArray
     val comps = order.zipWithIndex.map { case (j, k) =>

@@ -571,8 +571,18 @@ object Similarity {
     require(sample.nonEmpty, "pqTrain: empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
-    val dsub = dim / m
-    val books = Array.tabulate(m) { j =>
+    PqCodebooks(dim, m, lloydSubBooks(sample, m, ksub, iters))
+  }
+
+  /** Per-subspace Lloyd training over an in-driver sample — the k-means
+    * core shared by [[pqTrain]] and the per-iteration codebook refit in
+    * [[opqTrain]]. Deterministic: strided seeding, strict-< tie-breaks,
+    * empty cells keep their previous centroid.
+    */
+  private def lloydSubBooks(sample: Array[Array[Float]], m: Int, ksub: Int,
+                            iters: Int): Array[Array[Array[Float]]] = {
+    val dsub = sample.head.length / m
+    Array.tabulate(m) { j =>
       val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
       // seed spread across the sample, like the IVF seeding stride
       val seedStride = math.max(subs.length / ksub, 1)
@@ -592,7 +602,6 @@ object Similarity {
       }
       cents
     }
-    PqCodebooks(dim, m, books)
   }
 
   private def nearestSub(cents: Array[Array[Float]], s: Array[Float]): Int = {
@@ -940,18 +949,35 @@ object Similarity {
   final case class IvfPqIndex(centroids: DataFrame, codes: DataFrame, cb: PqCodebooks) {
     def save(dir: String): Unit = {
       saveCentroidsAndLists(centroids, codes, dir, "codes")
-      val spark = codes.sparkSession
-      val rows = for {
-        (book, j) <- cb.books.zipWithIndex
-        (cent, c) <- book.zipWithIndex
-      } yield Row(j, c, cent.toSeq)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1),
-        StructType(Seq(StructField("j", IntegerType, nullable = false),
-          StructField("c", IntegerType, nullable = false),
-          StructField("centroid", ArrayType(FloatType), nullable = true))))
-        .write.mode("overwrite").parquet(s"$dir/codebooks")
+      saveCodebooks(codes.sparkSession, cb, s"$dir/codebooks")
     }
+  }
+
+  /** Codebook persistence shared by the IVF-PQ and OPQ artifacts: one
+    * row per (subspace, code) centroid slice.
+    */
+  private def saveCodebooks(spark: SparkSession, cb: PqCodebooks,
+                            dir: String): Unit = {
+    val rows = for {
+      (book, j) <- cb.books.zipWithIndex
+      (cent, c) <- book.zipWithIndex
+    } yield Row(j, c, cent.toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("j", IntegerType, nullable = false),
+        StructField("c", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(FloatType), nullable = true))))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private def loadCodebooks(spark: SparkSession, dir: String): PqCodebooks = {
+    val bookRows = spark.read.parquet(dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(bookRows.nonEmpty, s"loadCodebooks: no codebook rows under $dir")
+    val m = bookRows.map(_._1).max + 1
+    val books = Array.tabulate(m)(j =>
+      bookRows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    PqCodebooks(books.head.head.length * m, m, books)
   }
 
   /** Train IVF lists and PQ codebooks, then store each list as codes. */
@@ -965,16 +991,10 @@ object Similarity {
     IvfPqIndex(centroids, pqEncode(assigned, cb, keep = Seq("cid")), cb)
   }
 
-  def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {
-    val bookRows = spark.read.parquet(s"$dir/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val m = bookRows.map(_._1).max + 1
-    val books = Array.tabulate(m)(j =>
-      bookRows.filter(_._1 == j).sortBy(_._2).map(_._3))
-    val dim = books.head.head.length * m
+  def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex =
     IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/codes"), PqCodebooks(dim, m, books))
-  }
+      spark.read.parquet(s"$dir/codes"),
+      loadCodebooks(spark, s"$dir/codebooks"))
 
   /** Probe search: nprobe nearest lists per query (same routing as
     * [[ivfSearch]] — the probed cid set prunes the codes scan at the
@@ -1122,5 +1142,221 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosine_sim(col("n_emb"), col("q_emb")), 6).as("sim"))
     topKPerQuery(rescored, k)
+  }
+
+  // ── OPQ: rotation-optimized product quantization ─────────────────────
+  //
+  // Faiss OPQMatrix / Ge et al., "Optimized Product Quantization"
+  // (CVPR'13), the non-parametric alternation: learn an ORTHOGONAL
+  // rotation R that re-axes the embedding space so the PQ subspace split
+  // cuts across the data's correlated directions, alternating
+  //   (1) codebooks ← Lloyd on {R·x}   (the shared [[lloydSubBooks]])
+  //   (2) R ← argmin_R Σ‖R·xᵢ − x̂ᵢ‖²  (orthogonal Procrustes via SVD of
+  //       the cross-moment Σ x̂ᵢ·xᵢᵀ)
+  // over the same bounded strided sample pqTrain uses. Everything trains
+  // driver-side (sample ≤ ksub×64 vectors, moments are dim×dim); the
+  // rotation then rides every corpus scan as the codegen'd `pca_project`
+  // kernel with a ZERO mean (a rotation is a PCA transform without the
+  // centering), so encode and search keep the exact PQ plan shapes —
+  // shuffle-free code-table scans, broadcast queries, bounded rerank.
+  //
+  // Determinism contract (the Verify replica re-derives every step):
+  // sample is the vec_id-ordered stride, rotations/reconstructions use
+  // the Pca.Transform op order (double accumulate, ascending index,
+  // float emit), Lloyd ties break strict-<, the SVD rides the pinned
+  // cyclic-Jacobi spec on MᵀM, and the FINAL rotation rounds HALF_UP to
+  // 6 dp before the closing codebook refit — the rounded table IS the
+  // artifact, so a saved/loaded model encodes identically.
+
+  /** A trained OPQ model: the 6-dp-rounded orthogonal rotation (dim×dim,
+    * row-major — row k is output component k) and the codebooks trained
+    * in rotated space. Driver-bounded: dim² doubles + m×ksub×dsub floats.
+    */
+  final case class OpqModel(rotation: Array[Array[Double]], cb: PqCodebooks) {
+    def dim: Int = rotation.length
+    require(rotation.forall(_.length == dim),
+      s"opq rotation must be square, got ${rotation.map(_.length).toSeq}")
+    require(cb.dim == dim,
+      s"opq codebooks dim ${cb.dim} != rotation dim $dim")
+  }
+
+  /** Rotate one sample vector under R — bit-identical to what the
+    * `pca_project` kernel does on the cluster with a zero mean (same
+    * centering subtract, same double-accumulate order, same float emit),
+    * so driver-trained codebooks and cluster-encoded codes agree.
+    */
+  private def applyRotation(r: Array[Array[Double]], x: Array[Float]): Array[Float] = {
+    val d = r.length
+    val centered = new Array[Double](d)
+    var i = 0
+    while (i < d) { centered(i) = x(i).toDouble - 0.0; i += 1 }
+    Array.tabulate(d) { k =>
+      val row = r(k)
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += row(j) * centered(j); j += 1 }
+      s.toFloat
+    }
+  }
+
+  /** Encode-then-decode one rotated sample vector under the codebooks
+    * (per-subspace nearest centroid, concatenated) — the x̂ side of the
+    * Procrustes target.
+    */
+  private def reconstructSample(v: Array[Float],
+                                books: Array[Array[Array[Float]]]): Array[Float] = {
+    val dsub = books(0)(0).length
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book(nearestSub(book, v.slice(j * dsub, (j + 1) * dsub)))
+    }
+  }
+
+  /** Orthogonal Procrustes: the rotation minimizing Σ‖R·xᵢ − yᵢ‖², via
+    * SVD of the cross-moment M = Σ yᵢ·xᵢᵀ (R = U·Vᵀ). The SVD rides the
+    * shared cyclic-Jacobi solve on MᵀM ([[Pca.jacobiEigInPlace]], pinned
+    * spec); None when any singular value underflows 1e-9 — a
+    * rank-deficient moment makes further rotation updates numerically
+    * arbitrary, so training keeps the current R.
+    */
+  private def procrustesRotation(xs: Array[Array[Float]],
+                                 ys: Array[Array[Float]]): Option[Array[Array[Double]]] = {
+    val d = xs.head.length
+    val mMat = Array.ofDim[Double](d, d)
+    var nIdx = 0
+    while (nIdx < xs.length) {
+      val x = xs(nIdx); val y = ys(nIdx)
+      var i = 0
+      while (i < d) {
+        val yi = y(i).toDouble
+        var j = 0
+        while (j < d) { mMat(i)(j) += yi * x(j).toDouble; j += 1 }
+        i += 1
+      }
+      nIdx += 1
+    }
+    val g = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += mMat(k)(i) * mMat(k)(j); k += 1 }
+      s
+    }
+    val v = Pca.jacobiEigInPlace(g) // g := diag(λ) in place
+    val sv = Array.tabulate(d)(j => math.sqrt(math.max(g(j)(j), 0.0)))
+    if (sv.exists(_ < 1e-9)) None
+    else {
+      val u = Array.ofDim[Double](d, d) // column j = M·vⱼ / sⱼ
+      var j = 0
+      while (j < d) {
+        var i = 0
+        while (i < d) {
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += mMat(i)(k) * v(k)(j); k += 1 }
+          u(i)(j) = s / sv(j)
+          i += 1
+        }
+        j += 1
+      }
+      Some(Array.tabulate(d, d) { (a, b) =>
+        var s = 0.0
+        var k = 0
+        while (k < d) { s += u(a)(k) * v(b)(k); k += 1 }
+        s
+      })
+    }
+  }
+
+  /** Train an OPQ model: `opqIters` alternations of codebook refit and
+    * Procrustes rotation update over the pqTrain strided sample, then the
+    * 6-dp rounding and a final codebook refit under the ROUNDED rotation
+    * (so the persisted artifact and the training state are one thing).
+    */
+  def opqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+               iters: Int = 3, opqIters: Int = 3,
+               knownCount: Option[Long] = None): OpqModel = {
+    require(ksub >= 1 && ksub <= 128, s"opqTrain: ksub=$ksub must fit a signed byte")
+    require(opqIters >= 1, s"opqTrain: opqIters=$opqIters must be >= 1")
+    val n = knownCount.getOrElse(corpus.count())
+    val stride = math.max(n / (ksub.toLong * pqTrainPerCent), 1L)
+    val sample = corpus.filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "opqTrain: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"opqTrain: dim $dim not divisible by m=$m")
+    var r = Array.tabulate(dim, dim)((a, b) => if (a == b) 1.0 else 0.0)
+    var it = 0
+    var stalled = false
+    while (it < opqIters && !stalled) {
+      val rot = sample.map(applyRotation(r, _))
+      val books = lloydSubBooks(rot, m, ksub, iters)
+      val recon = rot.map(reconstructSample(_, books))
+      procrustesRotation(sample, recon) match {
+        case Some(next) => r = next
+        case None => stalled = true
+      }
+      it += 1
+    }
+    val rounded = r.map(_.map(Pca.round6))
+    val rotFinal = sample.map(applyRotation(rounded, _))
+    OpqModel(rounded, PqCodebooks(dim, m, lloydSubBooks(rotFinal, m, ksub, iters)))
+  }
+
+  /** The rotation as a codegen'd scan column — `pca_project` with a zero
+    * mean and outDim = dim. Fully distributed, shuffle-free; the dim²
+    * weight table ships once per task as a plan reference object.
+    */
+  def opqRotateCol(embedding: Column, model: OpqModel): Column =
+    call_function("pca_project", embedding,
+      lit(Array.fill(model.dim)(0.0)), lit(model.rotation.flatten),
+      lit(model.dim))
+
+  /** Replace `embedding` with its rotation (all other columns kept). */
+  def opqRotate(df: DataFrame, model: OpqModel): DataFrame =
+    df.withColumn("embedding", opqRotateCol(col("embedding"), model))
+
+  /** Encode the corpus in rotated space: rotation fuses into the same
+    * scan as the code assignment — one shuffle-free projection, exactly
+    * the [[pqEncode]] plan with the rotation kernel ahead of it.
+    */
+  def opqEncodeCorpus(corpus: DataFrame, model: OpqModel,
+                      keep: Seq[String] = Nil): DataFrame =
+    pqEncode(opqRotate(corpus, model), model.cb, keep)
+
+  /** OPQ search with the exact re-ranking tail, everything in rotated
+    * space (a rotation preserves cosine, so rotated-space similarities
+    * ARE the answer — and staying in one space keeps the candidate
+    * scoring and the rerank bit-consistent). Same plan as
+    * [[pqSearchRerank]]: shuffle-free code scan, broadcast queries,
+    * broadcast bounded candidate set into the corpus rerank.
+    */
+  def opqSearchRerank(codes: DataFrame, queries: DataFrame, corpus: DataFrame,
+                      model: OpqModel, k: Int, rerank: Int = 4): DataFrame =
+    pqSearchRerank(codes, opqRotate(queries, model), opqRotate(corpus, model),
+      model.cb, k, rerank)
+
+  /** One-directory OPQ artifact: rotation weights + codebooks. */
+  def opqSave(spark: SparkSession, model: OpqModel, dir: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      k <- 0 until model.dim
+      i <- 0 until model.dim
+    } yield (k, i, model.rotation(k)(i))
+    rows.toDF("row_idx", "dim_idx", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+    saveCodebooks(spark, model.cb, s"$dir/codebooks")
+  }
+
+  /** Load a persisted OPQ model (parquet round-trips the 6-dp doubles
+    * bit-exactly, so a loaded model rotates and encodes identically).
+    */
+  def opqLoad(spark: SparkSession, dir: String): OpqModel = {
+    val rows = spark.read.parquet(s"$dir/rotation")
+      .select("row_idx", "dim_idx", "weight").collect()
+    require(rows.nonEmpty, s"opqLoad: no rotation rows under $dir")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val rot = Array.ofDim[Double](dim, dim)
+    rows.foreach(r => rot(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    OpqModel(rot, loadCodebooks(spark, s"$dir/codebooks"))
   }
 }

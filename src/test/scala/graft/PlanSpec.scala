@@ -622,4 +622,14 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("Window") && !f.contains("SortMergeJoin"), f)
     assert(!f.contains("CodegenFallback"), f)
   }
+
+  test("OPQ keeps the PQ plan shape: the rotation fuses into the scans as " +
+    "the pca_project kernel, candidates broadcast for the rerank, never a " +
+    "sort-merge or cartesian join") {
+    val p = plan("q_ann_opq")
+    assert(p.contains("pca_project"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

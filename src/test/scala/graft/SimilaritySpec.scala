@@ -520,4 +520,90 @@ class SimilaritySpec extends SparkSpec {
       k = 4, nprobe = 3, salt = 3, rerank = 3))
     assert(viaJoinRerank === viaRerank && viaJoinRerank.nonEmpty)
   }
+
+  test("OPQ rotation is orthogonal (R·Rᵀ ≈ I) and preserves cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val m = Similarity.opqTrain(emb, m = 8, ksub = 16)
+    val d = m.dim
+    for (a <- 0 until d; b <- 0 until d) {
+      val dot = (0 until d).map(k => m.rotation(a)(k) * m.rotation(b)(k)).sum
+      val expect = if (a == b) 1.0 else 0.0
+      // 6-dp rounding of each entry perturbs the product by ≤ d·1e-6·|R|
+      assert(math.abs(dot - expect) < 1e-3, s"RRᵀ($a)($b) = $dot")
+    }
+    // rotated-space cosine == original cosine up to rounding
+    val rot = Similarity.opqRotate(emb, m)
+    val before = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).take(20)
+    val after = rot.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).take(20)
+    for (i <- before.indices; j <- i + 1 until before.length) {
+      val c0 = VectorMath.cosineF(before(i)._2, before(j)._2)
+      val c1 = VectorMath.cosineF(after(i)._2, after(j)._2)
+      assert(math.abs(c0 - c1) < 1e-3, s"cosine drifted: $c0 vs $c1")
+    }
+  }
+
+  test("OPQ model persists: loaded model rotates and encodes identically " +
+    "and the search answers match the fresh model's") {
+    val emb = Tables.embeddings(spark, sf)
+    val m = Similarity.opqTrain(emb, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq-spec").toString
+    Similarity.opqSave(spark, m, dir)
+    val loaded = Similarity.opqLoad(spark, dir)
+    assert(loaded.rotation.map(_.toSeq).toSeq === m.rotation.map(_.toSeq).toSeq)
+    assert(loaded.cb.books.map(_.map(_.toSeq).toSeq).toSeq ===
+      m.cb.books.map(_.map(_.toSeq).toSeq).toSeq)
+    def codes(model: Similarity.OpqModel) =
+      Similarity.opqEncodeCorpus(emb, model)
+        .select(col("vec_id"), col("codes").cast("array<int>"))
+        .as[(Long, Seq[Int])].collect().toSet
+    assert(codes(loaded) === codes(m) && codes(m).nonEmpty)
+  }
+
+  test("OPQ beats plain PQ where the subspace split cuts correlated " +
+    "directions (the rotation re-axes before the split)") {
+    // planted structure: duplicated coordinates land in DIFFERENT
+    // subspaces under the identity split, so plain PQ quantizes the same
+    // 2D distribution twice while OPQ can rotate the redundancy away
+    val n = 512
+    val dim = 8
+    val rows = (0 until n).map { i =>
+      val t = math.sin(i * 0.37) * 10.0
+      val u = math.cos(i * 0.83) * 10.0
+      val v = math.sin(i * 1.31) * 0.1
+      val w = math.cos(i * 2.17) * 0.1
+      val base = Array(t, u, v, w, t + 0.01 * v, u + 0.01 * w, v, w)
+      // full-rank jitter: a rank-deficient corpus stalls the Procrustes
+      // update (by design) and the rotation would stay identity
+      (i.toLong, Array.tabulate(dim)(k =>
+        (base(k) + math.sin(i * (3.7 + 0.41 * k)) * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def mse(recon: Map[Long, Array[Float]]): Double =
+      rows.map { case (id, e) =>
+        val r = recon(id)
+        e.indices.map(k => math.pow(e(k) - r(k), 2)).sum / dim
+      }.sum / n
+    val cb = Similarity.pqTrain(df, m = 4, ksub = 8)
+    val pqRecon = Similarity.pqEncode(df, cb)
+      .select(col("vec_id"), Similarity.pqReconstruct(col("codes"), cb).as("r"))
+      .as[(Long, Array[Float])].collect().toMap
+    val om = Similarity.opqTrain(df, m = 4, ksub = 8, opqIters = 5)
+    // reconstruct in rotated space, rotate back via Rᵀ to compare in the
+    // original space (orthogonal inverse = transpose)
+    val rt = Array.tabulate(om.dim, om.dim)((a, b) => om.rotation(b)(a))
+    val opqRecon = Similarity.opqEncodeCorpus(df, om)
+      .select(col("vec_id"),
+        Similarity.pqReconstruct(col("codes"), om.cb).as("r"))
+      .as[(Long, Array[Float])].collect().toMap
+      .map { case (id, r) =>
+        (id, Array.tabulate(om.dim) { a =>
+          (0 until om.dim).map(k => rt(a)(k) * r(k)).sum.toFloat
+        })
+      }
+    val (pqErr, opqErr) = (mse(pqRecon), mse(opqRecon))
+    assert(opqErr < pqErr,
+      s"OPQ mse $opqErr should beat PQ mse $pqErr on cross-subspace structure")
+  }
 }
