@@ -3400,6 +3400,32 @@ object Queries {
           .orderBy("bucket", "win")
       }),
 
+    QueryDef("q_event_transitions",
+      // first-order Markov next-step matrix over the event log: for each
+      // consecutive event pair inside a user's (ts, event_id)-ordered
+      // stream, the (from, to) count and per-from transition probability
+      // — the path analytic next to funnels. One key shuffle for the
+      // lead window (id/ts/type projected, no payload), then the pair
+      // aggregate reduces onto the |types|² space and the probability
+      // normalization windows over that tiny table, never the log.
+      Some("""WITH ordered AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS to_type
+                FROM events)
+              SELECT from_type, to_type, count(*) AS n,
+                     round(count(*) * 1.0 /
+                       sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
+              FROM ordered WHERE to_type IS NOT NULL
+              GROUP BY from_type, to_type
+              ORDER BY from_type, to_type"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Sessionize.transitions(ev, "user_id", Tables.tsEpochUs(ev),
+            "event_id", "event_type")
+          .orderBy("from_type", "to_type")
+      }),
+
     QueryDef("q_bpe_fertility",
       // tokenizer-quality analytic teams actually track: per-language
       // corpus fertility (tokens/word, tokens/100 chars) under the
@@ -4026,6 +4052,50 @@ object Queries {
         WebCuration.capPerDomain(docs, "domain", "doc_id", 10)
           .select(col("domain"), col("doc_id"), col("rn"))
           .orderBy("domain", "rn")
+      }),
+
+    QueryDef("q_url_blocklist",
+      // UT1-style domain-blocklist filtering (the RefinedWeb/FineWeb
+      // curation step): drop every document whose planted source host
+      // falls under a blocked domain at ANY suffix depth —
+      // `site3.com` blocks `deep.sub.site3.com` too, and matching is
+      // case-insensitive (the `Site…` variant plants that). Candidate
+      // ids ride one column-pruned scan with the blocklist broadcast
+      // into it; the survivors are a left-anti join against the small
+      // blocked-id set (plan-guarded). The oracle restates suffix
+      // matching as exact-or-dot-suffix predicates per entry.
+      Some("""WITH hosts AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                              THEN concat('deep.sub.site', CAST(doc_id % 13 AS VARCHAR), '.com')
+                            WHEN doc_id % 3 = 1
+                              THEN concat('Site', CAST(doc_id % 13 AS VARCHAR), '.com')
+                            ELSE concat('site', CAST(doc_id % 13 AS VARCHAR), '.com')
+                       END AS host
+                FROM documents)
+              SELECT doc_id, host FROM hosts
+              WHERE NOT (lower(host) = 'site3.com' OR lower(host) LIKE '%.site3.com'
+                     OR lower(host) = 'site7.com' OR lower(host) LIKE '%.site7.com'
+                     OR lower(host) = 'deep.sub.site1.com'
+                     OR lower(host) LIKE '%.deep.sub.site1.com'
+                     OR lower(host) = 'unused.example'
+                     OR lower(host) LIKE '%.unused.example')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val host = when(col("doc_id") % 3 === 0,
+            concat(lit("deep.sub.site"), (col("doc_id") % 13).cast("string"),
+              lit(".com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("Site"), (col("doc_id") % 13).cast("string"), lit(".com")))
+          .otherwise(concat(lit("site"), (col("doc_id") % 13).cast("string"),
+            lit(".com")))
+        val docs = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), host.as("host"))
+        val blocklist = Seq("site3.com", "site7.com", "deep.sub.site1.com",
+          "unused.example").toDF("domain")
+        WebCuration.urlBlocklistFilter(docs, "host", "doc_id", blocklist)
+          .select("doc_id", "host").orderBy("doc_id")
       }),
 
     QueryDef("q_host_pagerank",

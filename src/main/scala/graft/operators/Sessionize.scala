@@ -159,4 +159,31 @@ object Sessionize {
       .groupBy("b", "win").agg(count(lit(1)).as("active"))
       .select(col("b").as("bucket"), col("win"), col("active"))
   }
+
+  /** Next-event transition matrix (first-order Markov step analytics):
+    * one row per observed consecutive (from_type, to_type) pair inside a
+    * key's event-time-ordered stream, with the pair count and the
+    * per-from transition probability (count / all transitions out of
+    * from_type, rounded to 6 dp).
+    *
+    * Shape at scale: ONE hash shuffle on the key for the lead window
+    * (only key/ts/id/type project into it — no payload), then the pair
+    * aggregation reduces onto the |types|² key space (partial map-side),
+    * and the probability normalization windows over that tiny aggregate,
+    * never the event log. Deterministic: total order `(tsUs, idCol)`
+    * inside each key, so equal-timestamp events pair identically across
+    * partitionings.
+    */
+  def transitions(events: DataFrame, keyCol: String, tsUs: Column,
+                  idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy("_k").orderBy(col("_ts").asc, col(idCol).asc)
+    val pairs = events
+      .select(col(keyCol).as("_k"), tsUs.as("_ts"), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy("from_type")), 6))
+  }
 }

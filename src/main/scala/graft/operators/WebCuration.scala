@@ -41,6 +41,41 @@ object WebCuration {
   def domainOf(host: Column): Column =
     regexp_replace(lower(host), "^www\\.", "")
 
+  /** Every dot-suffix of a host, most-specific first (`a.b.c` →
+    * `["a.b.c", "b.c", "c"]`) — the candidate keys a domain-blocklist
+    * entry can match at any depth (an entry `b.c` blocks `a.b.c`).
+    */
+  def domainSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(0), size(labels) - 1), i =>
+      array_join(slice(labels, i + 1, size(labels) - i), "."))
+  }
+
+  /** UT1-style domain-blocklist filtering (the RefinedWeb/FineWeb
+    * curation step that drops documents whose source host falls under a
+    * blocked domain at ANY depth): keep exactly the docs none of whose
+    * host suffixes appears in the blocklist. Matching is
+    * case-insensitive on both sides (RFC 3986 authority).
+    *
+    * Shape at scale: candidate ids come from one COLUMN-PRUNED scan
+    * (only id + the ≤ label-count exploded suffixes travel — the
+    * document payload is never duplicated), the blocklist broadcasts
+    * into that scan, and the surviving corpus is a left-anti join
+    * against the DISTINCT blocked-id set — typically a small fraction
+    * of the corpus, which AQE broadcasts; the full corpus is never
+    * shuffled on content.
+    */
+  def urlBlocklistFilter(docs: DataFrame, hostCol: String, idCol: String,
+                         blocklist: DataFrame): DataFrame = {
+    val entries = blocklist
+      .select(lower(col(blocklist.columns.head)).as("_sfx")).distinct()
+    val blockedIds = docs
+      .select(col(idCol), explode(domainSuffixes(lower(col(hostCol)))).as("_sfx"))
+      .join(broadcast(entries), "_sfx")
+      .select(col(idCol)).distinct()
+    docs.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
   /** Keep at most `n` documents per domain — a deterministic
     * pseudo-random subset: survivors are the first `n` in (60-bit md5
     * variate, id) order, so the kept set is reproducible across runs and

@@ -623,6 +623,22 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("CodegenFallback"), f)
   }
 
+  test("event transitions: one key shuffle feeds the lead window; the " +
+    "probability normalization windows over the pair aggregate, and the " +
+    "event payload never joins anything") {
+    val p = plan("q_event_transitions")
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("URL blocklist: the entries broadcast into the column-pruned " +
+    "candidate scan; never a cartesian") {
+    val p = plan("q_url_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("OPQ keeps the PQ plan shape: the rotation fuses into the scans as " +
     "the pca_project kernel, candidates broadcast for the rerank, never a " +
     "sort-merge or cartesian join") {

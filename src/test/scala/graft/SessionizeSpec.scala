@@ -116,4 +116,22 @@ class SessionizeSpec extends SparkSpec {
       .orderBy("step").as[(Int, String, Long)].collect().toSeq
     assert(got === Seq((1, "view", 1L), (2, "click", 0L)))
   }
+
+  test("transitions: consecutive pairs per key in (ts, id) order, " +
+    "probabilities normalize per from_type, singletons contribute nothing") {
+    val ev = Seq(
+      (1L, 0L, 0L, "a"), (1L, 10L, 1L, "b"), (1L, 20L, 2L, "a"), // a→b, b→a
+      (2L, 0L, 3L, "a"), (2L, 10L, 4L, "b"),                     // a→b
+      (3L, 0L, 5L, "c"),                                         // no pair
+      (4L, 0L, 6L, "a"), (4L, 0L, 7L, "b"),                      // tie: id order
+      (5L, 0L, 8L, "a"), (5L, 10L, 9L, "c")                      // a→c
+    ).toDF("k", "ts", "id", "t")
+    val out = Sessionize.transitions(ev, "k", col("ts"), "id", "t")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out === Map(
+      ("a", "b") -> (3L, 0.75), ("a", "c") -> (1L, 0.25),
+      ("b", "a") -> (1L, 1.0)))
+  }
 }

@@ -196,4 +196,17 @@ class WebCurationSpec extends SparkSpec {
     assert(!plan.contains("Window"), "cap must not plan a rank window")
     assert(plan.contains("ObjectHashAggregate"), "cap should use TopKRowsAgg")
   }
+
+  test("blocklist filter drops any suffix depth case-insensitively and " +
+    "stays label-aligned (notbad.com is not under bad.com)") {
+    val sfx = Seq(Tuple1("a.b.c")).toDF("h")
+      .select(WebCuration.domainSuffixes(col("h"))).head.getSeq[String](0)
+    assert(sfx === Seq("a.b.c", "b.c", "c"))
+    val docs = Seq((1L, "x.Bad.com"), (2L, "bad.com"), (3L, "good.com"),
+      (4L, "notbad.com")).toDF("id", "host")
+    val bl = Seq("BAD.com").toDF("domain")
+    val kept = WebCuration.urlBlocklistFilter(docs, "host", "id", bl)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L))
+  }
 }
