@@ -4652,6 +4652,53 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_profile",
+      // column-level data profiling (the Deequ/SUMMARY-style dataset
+      // audit): one aggregation pass over the event log produces every
+      // column's row/null/distinct counts, numeric min/max/mean
+      // (DECIMAL-routed sum, ONE division by the non-null count), and
+      // lexicographic string bounds; the single result row explodes into
+      // the per-column report. exactDistinct audit mode here so DuckDB
+      // can restate it verbatim; the default approximate mode
+      // (approx_count_distinct) keeps the pass partial-aggregable at
+      // 100 TB (spec-checked against exact). ts profiles as the resolved
+      // epoch-µs long — the operator stays layout-agnostic.
+      Some(Seq(
+        ("event_id", "num"), ("event_type", "str"), ("props", "str"),
+        ("ts_us", "num"), ("user_id", "num"), ("value", "num"))
+        .map { case (c, k) =>
+          val src = if (c == "ts_us") "epoch_us(ts)" else c
+          val (numCols, strCols) =
+            if (k == "num")
+              (s"""CAST(min($src) AS DOUBLE) AS num_min,
+                   CAST(max($src) AS DOUBLE) AS num_max,
+                   CASE WHEN count($src) > 0 THEN
+                     round(CAST(sum(CAST($src AS DECIMAL(38,6))) AS DOUBLE)
+                           / count($src), 6) END AS num_avg,
+                   CAST(NULL AS VARCHAR) AS str_min,
+                   CAST(NULL AS VARCHAR) AS str_max""",
+                "")
+            else
+              (s"""CAST(NULL AS DOUBLE) AS num_min,
+                   CAST(NULL AS DOUBLE) AS num_max,
+                   CAST(NULL AS DOUBLE) AS num_avg,
+                   min($src) AS str_min, max($src) AS str_max""", "")
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+                     count(*) - count($src) AS n_nulls,
+                     count(DISTINCT $src) AS n_distinct,
+                     $numCols$strCols
+              FROM events"""
+        }.mkString("", " UNION ALL ", " ORDER BY col_name")),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val prepped = ev.select(col("event_id"), Tables.tsEpochUs(ev).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        Profile.profile(prepped,
+            Seq("event_id", "ts_us", "user_id", "event_type", "value", "props"),
+            exactDistinct = true)
+          .orderBy("col_name")
+      }),
+
     QueryDef("q_corpus_report",
       // per-(source, lang) corpus analytics: doc counts, exact char/token
       // totals, and a mean computed as one division over exact long sums

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level data profiling — the dataset-audit analytic (Deequ /
+  * `SUMMARY`-style) a pipeline runs before and after every major
+  * transform: one row per profiled column with row/null/distinct counts,
+  * numeric min/max/mean, and lexicographic string bounds. Drift between
+  * two profiles is the cheapest corruption alarm a 100 TB ingest has
+  * (see [[WebCuration.snapshotDiff]] for the row-level form).
+  *
+  * Shape at scale: ONE aggregation pass over the table produces every
+  * statistic (all columns' aggregates ride the same partial→final
+  * HashAggregate; the single result row then explodes into the
+  * per-column report — driver-bounded at |cols| rows). With the default
+  * approximate distinct counts (HLL++, `approx_count_distinct`) the pass
+  * is map-side partial-aggregable end to end. `exactDistinct = true` is
+  * the audit/oracle mode: Spark plans multi-column exact distincts via
+  * an Expand (one input replica per distinct aggregate), so reserve it
+  * for bounded audits — the approximate mode is the 100 TB default.
+  *
+  * Determinism/oracle parity: means route through DECIMAL(38,6) sums
+  * (exact for inputs with ≤ 6 dp of scale — counters, ids, money-style
+  * metrics) and divide ONCE by the non-null count, so engine and oracle
+  * divide identical operands; null-only columns report a null mean, not
+  * NaN.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns given")
+    val schema = df.schema
+    val missing = cols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"profile: unknown columns ${missing.mkString(", ")}")
+    def kind(dt: DataType): String = dt match {
+      case _: NumericType => "num"
+      case StringType     => "str"
+      case _              => "other"
+    }
+    val aggs: Seq[Column] = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      val dt = schema(c).dataType
+      val distinctAgg =
+        if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c))
+      val base = Seq(
+        count(col(c)).as(s"_nn_$c"), // non-null count
+        distinctAgg.as(s"_dist_$c"))
+      kind(dt) match {
+        case "num" => base ++ Seq(
+          min(col(c)).cast("double").as(s"_min_$c"),
+          max(col(c)).cast("double").as(s"_max_$c"),
+          sum(col(c).cast(DecimalType(38, 6))).as(s"_sum_$c"))
+        case "str" => base ++ Seq(
+          min(col(c)).as(s"_smin_$c"),
+          max(col(c)).as(s"_smax_$c"))
+        case _ => base
+      }
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val rows = cols.map { c =>
+      val (numMin, numMax, numAvg, strMin, strMax) = kind(schema(c).dataType) match {
+        case "num" => (col(s"_min_$c"), col(s"_max_$c"),
+          when(col(s"_nn_$c") > 0,
+            round(col(s"_sum_$c").cast("double") / col(s"_nn_$c"), 6)),
+          nullS, nullS)
+        case "str" => (nullD, nullD, nullD, col(s"_smin_$c"), col(s"_smax_$c"))
+        case _     => (nullD, nullD, nullD, nullS, nullS)
+      }
+      struct(lit(c).as("col_name"), col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_nulls"),
+        col(s"_dist_$c").cast("long").as("n_distinct"),
+        numMin.as("num_min"), numMax.as("num_max"), numAvg.as("num_avg"),
+        strMin.as("str_min"), strMax.as("str_max"))
+    }
+    agged.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

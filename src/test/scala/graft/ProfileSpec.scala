@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Profile
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile reports counts, nulls, distincts, numeric bounds/mean and " +
+    "string bounds; a null-only column reports null mean, not NaN") {
+    val df = Seq(
+      (Some(1L), Some("b"), Option.empty[Double]),
+      (Some(2L), Some("a"), Option.empty[Double]),
+      (Some(2L), None, Option.empty[Double]),
+      (None, Some("c"), Option.empty[Double])
+    ).toDF("n", "s", "z")
+    val p = Profile.profile(df, Seq("n", "s", "z"), exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = p("n")
+    assert(n.getLong(1) === 4L && n.getLong(2) === 1L && n.getLong(3) === 2L)
+    assert(n.getDouble(4) === 1.0 && n.getDouble(5) === 2.0)
+    assert(n.getDouble(6) === round6(5.0 / 3.0))
+    val s = p("s")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 3L)
+    assert(s.isNullAt(4) && s.isNullAt(6))
+    assert(s.getString(7) === "a" && s.getString(8) === "c")
+    val z = p("z")
+    assert(z.getLong(2) === 4L && z.getLong(3) === 0L)
+    assert(z.isNullAt(6), "null-only numeric column must report null mean")
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("approximate-distinct mode agrees with exact within HLL error and " +
+    "matches every non-distinct statistic exactly") {
+    val docs = Tables.spread(Tables.documents(spark, sf))
+    val cols = Seq("doc_id", "lang", "n_chars")
+    def byCol(exact: Boolean) =
+      Profile.profile(docs, cols, exactDistinct = exact)
+        .collect().map(r => r.getString(0) -> r).toMap
+    val (ex, ap) = (byCol(true), byCol(false))
+    cols.foreach { c =>
+      assert(ap(c).getLong(1) === ex(c).getLong(1))
+      assert(ap(c).getLong(2) === ex(c).getLong(2))
+      val (e, a) = (ex(c).getLong(3).toDouble, ap(c).getLong(3).toDouble)
+      assert(math.abs(a - e) / math.max(e, 1.0) < 0.1,
+        s"$c: approx distinct $a vs exact $e")
+    }
+  }
+}
