@@ -2275,6 +2275,33 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_ivf_opq",
+      // the full Faiss `OPQ,IVF,PQ` composition: the trained rotation
+      // re-axes the space, IVF probes prune the scan to nprobe/nlist of
+      // the code table, and the PQ codes shrink what remains 32× — the
+      // savings multiply, which is the production geometry for
+      // billion-vector corpora. Centroids/lists/codebooks all live in
+      // rotated space; queries rotate once (broadcast-sized) and the
+      // rerank runs on the rotated corpus. Save→load exercises the
+      // one-directory artifact (rotation + centroids + cid-partitioned
+      // codes + codebooks). Oracle = the Verify replica's rotated-space
+      // probe/rescore/rerank.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annivfopq/*.parquet')
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-ivfopq")
+        Similarity.ivfOpqTrain(s, emb, nlist = 16, m = 8, ksub = 16)
+          .save(dir.toString)
+        val idx = Similarity.ivfOpqLoad(s, dir.toString)
+        Similarity.ivfOpqSearchRerank(idx, emb.filter(col("vec_id") < 8),
+            emb, 10, nprobe = 4, rerank = 4)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_opq",
       // OPQ — rotation-optimized PQ (Faiss OPQMatrix / Ge et al.
       // CVPR'13): an orthogonal rotation trained by Lloyd/Procrustes
@@ -2357,7 +2384,12 @@ object Queries {
         val om = Similarity.opqTrain(emb, m = 8, ksub = 16)
         val opq = Similarity.opqSearchRerank(
           Similarity.opqEncodeCorpus(emb, om), queries, emb, om, 10)
-        recallRow("ivf", ivf).union(recallRow("ivf_sq8", ivfSq8))
+        val ivfOpq = Similarity.ivfOpqSearchRerank(
+          Similarity.ivfOpqTrain(s, emb, nlist = 16, m = 8, ksub = 16),
+          queries, emb, 10)
+        recallRow("ivf", ivf)
+          .union(recallRow("ivf_opq", ivfOpq))
+          .union(recallRow("ivf_sq8", ivfSq8))
           .union(recallRow("ivfpq", ivfpq))
           .union(recallRow("lsh", lsh))
           .union(recallRow("opq", opq))

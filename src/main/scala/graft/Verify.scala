@@ -462,6 +462,23 @@ object Verify {
         (id, pqReconstructRef(e, annOpqModel._2)) }
       annRerankRef(annOpqRot, recon, queryMax = 8, k = 10, rerank = 4)
     }
+    // IVF-OPQ: the same rotated-space model, with IVF centroids trained
+    // over the ROTATED corpus and the probe filter applied before the
+    // rerank — q_ann_ivf_opq's parameters (nlist=16, nprobe=4, rerank=4)
+    lazy val annIvfOpqRows: IndexedSeq[(Long, Long, Double, Int)] = {
+      val rot = annOpqRot
+      val cents = ivfCentroidsRef(rot, nlist = 16)
+      val assigned = rot.map { case (id, e) => (id, nearestCentRef(e, cents)) }.toMap
+      val recon = rot.map { case (id, e) =>
+        (id, pqReconstructRef(e, annOpqModel._2)) }
+      annRerankRef(rot, recon, queryMax = 8, k = 10, rerank = 4,
+        probeFilter = Some { qe =>
+          val probed = cents
+            .map { case (cid, c) => (cid, graft.functions.VectorMath.cosineF(qe, c)) }
+            .sortBy { case (cid, s) => (-s, cid) }.take(4).map(_._1).toSet
+          nid => probed(assigned(nid))
+        })
+    }
     lazy val annIvfPqRows: IndexedSeq[(Long, Long, Double, Int)] = {
       // IVF centroids via the fixed-point Lloyd step (see annIvfRows), PQ
       // codebooks as in annPqRows, probe-pruned reconstruction scoring,
@@ -1302,6 +1319,10 @@ object Verify {
       annOpqRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annopq")
     }
+    fixture("_fixture_annivfopq") {
+      annIvfOpqRows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_annivfopq")
+    }
     // Plain-Scala re-run of the SQ8 scalar-quantization + exact-rerank
     // pipeline (q_ann_sq8's parameters: k=10, rerank=4). The quantizer is
     // exact per-dim min/max; codes and reconstructions replay the
@@ -1510,7 +1531,9 @@ object Verify {
         val matched = rows.iterator.map(r => (r._1, r._2)).toSet.count(exact).toLong
         (matched, total, round6(matched.toDouble / total))
       }
-      Seq("ivf" -> recallOf(annIvfRows), "ivf_sq8" -> recallOf(annIvfSq8Rows),
+      Seq("ivf" -> recallOf(annIvfRows),
+          "ivf_opq" -> recallOf(annIvfOpqRows),
+          "ivf_sq8" -> recallOf(annIvfSq8Rows),
           "ivfpq" -> recallOf(annIvfPqRows),
           "lsh" -> recallOf(annLshRows),
           "opq" -> recallOf(annOpqRows),

@@ -1335,28 +1335,87 @@ object Similarity {
     pqSearchRerank(codes, opqRotate(queries, model), opqRotate(corpus, model),
       model.cb, k, rerank)
 
-  /** One-directory OPQ artifact: rotation weights + codebooks. */
-  def opqSave(spark: SparkSession, model: OpqModel, dir: String): Unit = {
+  private def saveRotation(spark: SparkSession, rotation: Array[Array[Double]],
+                           dir: String): Unit = {
     import spark.implicits._
     val rows = for {
-      k <- 0 until model.dim
-      i <- 0 until model.dim
-    } yield (k, i, model.rotation(k)(i))
+      k <- rotation.indices
+      i <- rotation.indices
+    } yield (k, i, rotation(k)(i))
     rows.toDF("row_idx", "dim_idx", "weight")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  private def loadRotation(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(dir)
+      .select("row_idx", "dim_idx", "weight").collect()
+    require(rows.nonEmpty, s"loadRotation: no rotation rows under $dir")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val rot = Array.ofDim[Double](dim, dim)
+    rows.foreach(r => rot(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    rot
+  }
+
+  /** One-directory OPQ artifact: rotation weights + codebooks. */
+  def opqSave(spark: SparkSession, model: OpqModel, dir: String): Unit = {
+    saveRotation(spark, model.rotation, s"$dir/rotation")
     saveCodebooks(spark, model.cb, s"$dir/codebooks")
   }
 
   /** Load a persisted OPQ model (parquet round-trips the 6-dp doubles
     * bit-exactly, so a loaded model rotates and encodes identically).
     */
-  def opqLoad(spark: SparkSession, dir: String): OpqModel = {
-    val rows = spark.read.parquet(s"$dir/rotation")
-      .select("row_idx", "dim_idx", "weight").collect()
-    require(rows.nonEmpty, s"opqLoad: no rotation rows under $dir")
-    val dim = rows.map(_.getInt(0)).max + 1
-    val rot = Array.ofDim[Double](dim, dim)
-    rows.foreach(r => rot(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    OpqModel(rot, loadCodebooks(spark, s"$dir/codebooks"))
+  def opqLoad(spark: SparkSession, dir: String): OpqModel =
+    OpqModel(loadRotation(spark, s"$dir/rotation"),
+      loadCodebooks(spark, s"$dir/codebooks"))
+
+  // ── IVF-OPQ: pruning + rotation + PQ, the full composition ──────────
+  //
+  // Faiss `OPQ..,IVF..,PQ..` index-factory shape: the rotation re-axes
+  // the space, the IVF lists prune the scan to nprobe/nlist, and the PQ
+  // codes shrink what remains 32× — the savings multiply, which is the
+  // production geometry for billion-vector corpora. Everything trains
+  // once in rotated space (centroids, lists, codebooks all live there),
+  // so search is: rotate the queries (broadcast-sized), probe, scan the
+  // cid-pruned code partitions, exact-rerank in rotated space.
+
+  final case class IvfOpqIndex(model: OpqModel, inner: IvfPqIndex) {
+    def save(dir: String): Unit = {
+      saveRotation(inner.codes.sparkSession, model.rotation, s"$dir/rotation")
+      inner.save(dir)
+    }
   }
+
+  /** Train the composed index: OPQ rotation+codebooks from the bounded
+    * sample, then IVF lists over the ROTATED corpus (one scan-fused
+    * rotation feeds both the centroid assignment and the code encode).
+    */
+  def ivfOpqTrain(spark: SparkSession, corpus: DataFrame, nlist: Int = 16,
+                  m: Int = 8, ksub: Int = 16, ivfIters: Int = 1,
+                  opqIters: Int = 3): IvfOpqIndex = {
+    val n = corpus.count()
+    val model = opqTrain(corpus, m, ksub, iters = 3, opqIters = opqIters,
+      knownCount = Some(n))
+    val rot = opqRotate(corpus, model)
+    val (centroids, assigned) = ivfAssign(spark, rot, nlist, ivfIters, Some(n))
+    IvfOpqIndex(model,
+      IvfPqIndex(centroids, pqEncode(assigned, model.cb, keep = Seq("cid")),
+        model.cb))
+  }
+
+  def ivfOpqLoad(spark: SparkSession, dir: String): IvfOpqIndex =
+    IvfOpqIndex(
+      OpqModel(loadRotation(spark, s"$dir/rotation"),
+        loadCodebooks(spark, s"$dir/codebooks")),
+      ivfPqLoad(spark, dir))
+
+  /** Probe-pruned search with the exact re-ranking tail, everything in
+    * rotated space (see [[opqSearchRerank]]) — the [[ivfPqSearchRerank]]
+    * plan with the query/corpus rotation fused into their scans.
+    */
+  def ivfOpqSearchRerank(index: IvfOpqIndex, queries: DataFrame,
+                         corpus: DataFrame, k: Int, nprobe: Int = 4,
+                         rerank: Int = 4): DataFrame =
+    ivfPqSearchRerank(index.inner, opqRotate(queries, index.model),
+      opqRotate(corpus, index.model), k, nprobe, rerank)
 }

@@ -639,6 +639,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("IVF-OPQ probe prunes the code-table scan to the probed cid " +
+    "partitions, with the rotation fused into the query/corpus scans") {
+    val df = SparkEntry.queries("q_ann_ivf_opq")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pruned = "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p)
+    assert(pruned.nonEmpty, {
+      val i = math.max(0, p.indexOf("PartitionFilters"))
+      "codes scan must prune on cid:\n" + p.slice(math.max(0, i - 500), i + 200)
+    })
+    assert(p.contains("pca_project"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("OPQ keeps the PQ plan shape: the rotation fuses into the scans as " +
     "the pca_project kernel, candidates broadcast for the rerank, never a " +
     "sort-merge or cartesian join") {

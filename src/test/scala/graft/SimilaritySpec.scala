@@ -561,6 +561,31 @@ class SimilaritySpec extends SparkSpec {
     assert(codes(loaded) === codes(m) && codes(m).nonEmpty)
   }
 
+  test("IVF-OPQ: save/load answers identically; exhaustive probing equals " +
+    "the flat OPQ search on the same model") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val idx = Similarity.ivfOpqTrain(spark, emb, nlist = 8, m = 8, ksub = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "sim", "rnk")
+        .collect().map(_.toSeq).toSet
+    val fresh = rows(Similarity.ivfOpqSearchRerank(idx, queries, emb, 5,
+      nprobe = 3, rerank = 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfopq-spec").toString
+    idx.save(dir)
+    val loaded = Similarity.ivfOpqLoad(spark, dir)
+    assert(rows(Similarity.ivfOpqSearchRerank(loaded, queries, emb, 5,
+      nprobe = 3, rerank = 4)) === fresh && fresh.nonEmpty)
+    // probing every list removes the pruning; what remains is exactly the
+    // flat OPQ rerank pipeline on the same rotation + codebooks
+    val exhaustive = rows(Similarity.ivfOpqSearchRerank(idx, queries, emb, 5,
+      nprobe = 8, rerank = 4))
+    val flat = rows(Similarity.opqSearchRerank(
+      Similarity.opqEncodeCorpus(emb, idx.model), queries, emb, idx.model, 5,
+      rerank = 4))
+    assert(exhaustive === flat)
+  }
+
   test("OPQ beats plain PQ where the subspace split cuts correlated " +
     "directions (the rotation re-axes before the split)") {
     // planted structure: duplicated coordinates land in DIFFERENT
