@@ -3432,6 +3432,46 @@ object Queries {
           .orderBy("bucket", "win")
       }),
 
+    QueryDef("q_asof_join",
+      // as-of join (time-series state attach): every purchase picks up
+      // the user's most recent prior-or-simultaneous view (price-at-
+      // trade-time semantics). NOT a range join and not a per-key
+      // collect: both sides union into one stream, one hash shuffle on
+      // the key sorts (ts, side, id), and a running last(payload)
+      // window carries each state forward — zero Join operators in the
+      // plan (plan-guarded). DuckDB restates it with its native
+      // ASOF LEFT JOIN, an independent implementation of the same
+      // semantics; the right side pre-aggregates to unique (key, ts) so
+      // the most-recent pick is unambiguous in both engines.
+      Some("""WITH states AS (
+                SELECT user_id, epoch_us(ts) AS state_ts_us,
+                       max(value) AS state_value
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, epoch_us(ts)),
+              purchases AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                FROM events WHERE event_type = 'purchase')
+              SELECT p.event_id, p.user_id, p.ts_us, p.value,
+                     s.state_ts_us AS asof_state_ts_us,
+                     s.state_value AS asof_state_value
+              FROM purchases p ASOF LEFT JOIN states s
+                ON p.user_id = s.user_id AND p.ts_us >= s.state_ts_us
+              ORDER BY p.event_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            Tables.tsEpochUs(ev).as("ts_us"), col("value"))
+        val states = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), Tables.tsEpochUs(ev).as("state_ts_us"),
+            col("value"))
+          .groupBy("user_id", "state_ts_us")
+          .agg(max("value").as("state_value"))
+        Joins.asofJoin(purchases, states, "user_id", "ts_us", "state_ts_us",
+            Seq("state_ts_us", "state_value"))
+          .orderBy("event_id")
+      }),
+
     QueryDef("q_event_transitions",
       // first-order Markov next-step matrix over the event log: for each
       // consecutive event pair inside a user's (ts, event_id)-ordered

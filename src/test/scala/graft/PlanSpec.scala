@@ -639,6 +639,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("as-of join compiles to zero Join operators: one key shuffle, " +
+    "one running-last window over the unioned stream") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p) // no SMJ, no BHJ, no BNLJ — none at all
+  }
+
   test("IVF-OPQ probe prunes the code-table scan to the probed cid " +
     "partitions, with the rotation fused into the query/corpus scans") {
     val df = SparkEntry.queries("q_ann_ivf_opq")(spark, sf)
