@@ -3472,6 +3472,54 @@ object Queries {
           .orderBy("event_id")
       }),
 
+    QueryDef("q_range_join",
+      // range (interval-containment) join: error events land in the
+      // session windows of the same user that contain them. A naive
+      // theta-join is a per-key cross product; here sessions explode to
+      // the one-week buckets they cover (keys+bounds only) and each point
+      // lives in exactly ONE bucket, so the match is a co-partitioned
+      // EQUI-join on (user, bucket) + the containment filter — no
+      // BroadcastNestedLoop, no cartesian (plan-guarded). Sessions come
+      // from the sparse event_id%7 slice with a 7-day gap (the sparse
+      // slice under the 2 h gap degenerates to single-instant windows
+      // that contain nothing); the points are errors OUTSIDE the slice.
+      // The oracle restates containment as a plain inequality join over
+      // the identical session derivation.
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                         FROM events WHERE event_id % 7 = 0),
+              l AS (SELECT user_id, event_id, ts_us,
+                  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) <= 604800000000 THEN 0 ELSE 1 END AS new_sess
+                FROM e),
+              a AS (SELECT user_id, ts_us,
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM l),
+              sess AS (SELECT user_id, session_seq,
+                              min(ts_us) AS start_us, max(ts_us) AS end_us
+                       FROM a GROUP BY 1, 2),
+              pts AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                      FROM events
+                      WHERE event_type = 'error' AND event_id % 7 <> 0)
+              SELECT p.event_id, p.user_id, p.ts_us,
+                     s.session_seq AS iv_session_seq,
+                     s.start_us AS iv_start_us, s.end_us AS iv_end_us
+              FROM pts p JOIN sess s ON p.user_id = s.user_id
+                AND p.ts_us BETWEEN s.start_us AND s.end_us
+              ORDER BY p.event_id, iv_session_seq"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val sess = Sessionize.sessions(ev.filter(col("event_id") % 7 === 0),
+            "user_id", Tables.tsEpochUs(ev), "event_id", gapUs = 604800000000L)
+          .select("user_id", "session_seq", "start_us", "end_us")
+        val pts = ev
+          .filter(col("event_type") === "error" && col("event_id") % 7 =!= 0)
+          .select(col("event_id"), col("user_id"),
+            Tables.tsEpochUs(ev).as("ts_us"))
+        Joins.rangeJoin(pts, sess, Seq("user_id"), "ts_us",
+            "start_us", "end_us", bucketWidth = 604800000000L,
+            attach = Seq("session_seq", "start_us", "end_us"))
+          .orderBy("event_id", "iv_session_seq")
+      }),
+
     QueryDef("q_event_transitions",
       // first-order Markov next-step matrix over the event log: for each
       // consecutive event pair inside a user's (ts, event_id)-ordered

@@ -58,4 +58,49 @@ object Joins {
       .select(col("_lrow.*") +:
         attach.map(a => col(s"_c.$a").as(prefix + a)): _*)
   }
+
+  /** Range (interval-containment) join: every point row pairs with the
+    * interval rows of its key that contain it (`start <= point <= end`)
+    * — events into session windows, readings into maintenance periods,
+    * IPs into CIDR ranges. Inner-join semantics: points in no interval
+    * drop; a point in k overlapping intervals emits k rows.
+    *
+    * Spark-first shape: a naive theta-join is a per-key cross product
+    * (BroadcastNestedLoop at best). Here both sides BUCKETIZE on
+    * `bucketWidth`: an interval explodes to the buckets it covers
+    * (ceil(len/width)+1 rows of just keys+bounds+payload, never the
+    * point payload), a point lands in exactly ONE bucket, and the match
+    * becomes a co-partitioned EQUI-join on (key..., bucket) with the
+    * containment filter on the survivors. Each (point, interval)
+    * containment meets in exactly one bucket — the point's — so no
+    * dedup pass is needed. Pick `bucketWidth` near the typical interval
+    * length: wider buckets fatten the filter's candidate lists, finer
+    * ones fatten the interval explode.
+    *
+    * Bucket indices use exact integer floor-division (no double
+    * rounding at bucket boundaries, negatives floor correctly).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+                pointCol: String, startCol: String, endCol: String,
+                bucketWidth: Long, attach: Seq[String],
+                prefix: String = "iv_"): DataFrame = {
+    require(bucketWidth > 0, s"rangeJoin: bucketWidth must be positive, got $bucketWidth")
+    require(attach.nonEmpty, "rangeJoin: no interval columns to attach")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    val pcols = points.columns
+    val pt = points.select(Seq(struct(pcols.map(col): _*).as("_prow"),
+        col(pointCol).cast("long").as("_p")) ++ keyCols.map(col): _*)
+      .withColumn("_b", bucketOf(col("_p")))
+    val iv = intervals.select(
+        keyCols.map(col) ++ Seq(col(startCol).cast("long").as("_s"),
+          col(endCol).cast("long").as("_e"),
+          struct(attach.map(col): _*).as("_pay")): _*)
+      .filter(col("_s") <= col("_e"))
+      .withColumn("_b", explode(sequence(bucketOf(col("_s")), bucketOf(col("_e")))))
+    pt.join(iv, keyCols :+ "_b")
+      .filter(col("_p") >= col("_s") && col("_p") <= col("_e"))
+      .select(col("_prow.*") +:
+        attach.map(a => col(s"_pay.$a").as(prefix + a)): _*)
+  }
 }

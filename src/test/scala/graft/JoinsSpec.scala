@@ -29,6 +29,29 @@ class JoinsSpec extends SparkSpec {
       "c" -> None, "d" -> None))
   }
 
+  test("rangeJoin: containment inclusive at both bounds, multi-bucket " +
+    "intervals match through the point's single bucket, overlapping " +
+    "intervals multiply, off-key and outside points drop") {
+    val pts = Seq((1L, 0L, "p0"), (1L, 10L, "p10"), (1L, 25L, "p25"),
+      (2L, 10L, "q10")).toDF("k", "t", "tag")
+    val ivs = Seq(
+      (1L, 0L, 10L, "A"),  // two buckets at w=8; both bounds inclusive
+      (1L, 5L, 30L, "B"),  // spans four buckets
+      (2L, 11L, 20L, "C")  // q10 falls outside
+    ).toDF("k", "s", "e", "name")
+    val out = Joins.rangeJoin(pts, ivs, Seq("k"), "t", "s", "e", 8L, Seq("name"))
+      .select("tag", "iv_name").as[(String, String)].collect().toSet
+    assert(out === Set(("p0", "A"), ("p10", "A"), ("p10", "B"), ("p25", "B")))
+  }
+
+  test("rangeJoin buckets floor correctly on negative coordinates") {
+    val pts = Seq((1L, -3L, "n")).toDF("k", "t", "tag")
+    val ivs = Seq((1L, -5L, -1L, "N")).toDF("k", "s", "e", "name")
+    val out = Joins.rangeJoin(pts, ivs, Seq("k"), "t", "s", "e", 4L, Seq("name"))
+      .select("tag", "iv_name").as[(String, String)].collect().toSet
+    assert(out === Set(("n", "N")))
+  }
+
   test("asofJoin preserves every left row and column (left-join card)") {
     val left = Seq((1L, 10L, 1.5), (1L, 20L, 2.5)).toDF("k", "ts", "v")
     val right = Seq((1L, 15L, "s")).toDF("k", "sts", "state")

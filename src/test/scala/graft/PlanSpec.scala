@@ -646,6 +646,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p) // no SMJ, no BHJ, no BNLJ — none at all
   }
 
+  test("range join bucketizes to a co-partitioned equi-join — no " +
+    "BroadcastNestedLoop, no cartesian") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("IVF-OPQ probe prunes the code-table scan to the probed cid " +
     "partitions, with the rotation fused into the query/corpus scans") {
     val df = SparkEntry.queries("q_ann_ivf_opq")(spark, sf)
