@@ -3150,6 +3150,30 @@ object Queries {
           .orderBy("rank")
       }),
 
+    QueryDef("q_bpe_truncate",
+      // vocabulary truncation as artifact surgery: greedy BPE's merge
+      // order is PREFIX-STABLE, so cutting the trained 60-merge table to
+      // its first 30 merges encodes exactly like retraining at 30 — a
+      // deploy-time vocab-size sweep costs zero retraining passes over
+      // the corpus. The oracle proves the property cross-engine: the
+      // fixture replica trains 30 merges FROM SCRATCH while the engine
+      // truncates its 60-merge table (TokenizerSpec pins the same
+      // equality engine-side on the merge tables themselves).
+      Some("""SELECT doc_id, n_tokens, head
+              FROM parquet_scan('{FIX}/_fixture_bpetruncate/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = Tables.spread(t(s, d, "documents"))
+        val merges = Tokenizer.bpeTrain(docs, "text", 60).take(30)
+        val toks = Tokenizer.encode(col("text"), merges)
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            concat_ws("|", slice(toks, 1, 12)).as("head"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_bpe_encode",
       // tokenize the corpus under the learned merge table: the encode is
       // a codegen-fused scan expression (BpeEncode) with a per-thread

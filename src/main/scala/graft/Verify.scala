@@ -607,6 +607,20 @@ object Verify {
       rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_bpeencode")
     }
+    fixture("_fixture_bpetruncate") {
+      // a FRESH 30-merge training — the oracle for the engine's
+      // truncated-merge-list deploy path: greedy BPE's merge order is
+      // prefix-stable, so truncating a 60-merge table to 30 must encode
+      // exactly like retraining at 30 (checked cross-engine here)
+      val rank30 = trainMergesRefOn(bpeDocs, 30)
+        .map { case (rk, l, r, _) => ((l, r), rk) }.toMap
+      val rows = bpeDocs.map { case (id, text) =>
+        val toks = bpeWords(text).flatMap(bpeEncodeWordRefWith(rank30))
+        (id, toks.length, toks.take(12).mkString("|"))
+      }
+      rows.toDF("doc_id", "n_tokens", "head").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_bpetruncate")
+    }
     fixture("_fixture_bpecjk") {
       // space-free-script corpus planted from doc_id alone (the SAME
       // derivation as q_bpe_cjk's Column expression: rotate a 12-char Han

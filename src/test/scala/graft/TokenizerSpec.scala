@@ -545,4 +545,12 @@ class TokenizerSpec extends SparkSpec {
       .as[Seq[Int]].head()
     assert(x === y)
   }
+
+  test("BPE merge order is prefix-stable: truncating a larger merge table " +
+    "equals retraining at the smaller size (deploy-time vocab surgery)") {
+    val docs = Tables.spread(Tables.documents(spark, sf))
+    val big = Tokenizer.bpeTrain(docs, "text", 40)
+    val small = Tokenizer.bpeTrain(docs, "text", 15)
+    assert(big.take(15) === small)
+  }
 }
