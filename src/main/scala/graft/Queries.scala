@@ -1892,6 +1892,46 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_mrl",
+      // Matryoshka prefix-dimension retrieval (Kusupati et al. 2022):
+      // candidates score on the first 16 of 64 coordinates (4× less
+      // scan arithmetic; a column-pruned store reads proportionally
+      // fewer bytes), then the bounded candidate set exact-reranks on
+      // the full vectors through the broadcast join. Unlike the trained
+      // ANN tiers this has no training state, so the oracle is DIRECT
+      // DuckDB SQL: prefix-slice cosine top-40, full-cosine rerank to
+      // top-10, identical tie-breaks.
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              p AS (SELECT vec_id, emb[1:16] AS pe, emb FROM e),
+              q AS (SELECT vec_id AS query_id, pe AS qpe, emb AS qe
+                    FROM p WHERE vec_id < 8),
+              sc AS (SELECT query_id, p.vec_id AS neighbor_id,
+                            round(list_dot_product(p.pe, qpe) / (sqrt(list_dot_product(p.pe, p.pe)) * sqrt(list_dot_product(qpe, qpe))), 6) AS psim
+                     FROM p, q WHERE p.vec_id <> query_id),
+              cand AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id ORDER BY psim DESC, neighbor_id) AS prnk
+                       FROM sc),
+              re AS (SELECT c.query_id, c.neighbor_id,
+                            round(list_dot_product(n.emb, q.qe) / (sqrt(list_dot_product(n.emb, n.emb)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim
+                     FROM cand c
+                     JOIN e n ON n.vec_id = c.neighbor_id
+                     JOIN q ON q.query_id = c.query_id
+                     WHERE c.prnk <= 40),
+              r AS (SELECT query_id, neighbor_id, sim,
+                           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                    FROM re)
+              SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rnk
+              FROM r WHERE rnk <= 10
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        Similarity.mrlTopK(emb, emb.filter(col("vec_id") < 8), 10,
+            prefixDim = 16, rerank = 4)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_contamination_semantic",
       // embedding-space benchmark decontamination (the semantic
       // counterpart of n-gram q_contamination): corpus vectors whose max

@@ -1144,6 +1144,26 @@ object Similarity {
     topKPerQuery(rescored, k)
   }
 
+  /** Matryoshka (MRL) prefix-dimension retrieval: score candidates on
+    * the FIRST `prefixDim` coordinates only (matryoshka-trained
+    * embeddings front-load their information, so the prefix preserves
+    * neighborhood structure), then exact-rerank the bounded candidate
+    * set on the full vectors — the adaptive-retrieval shape from
+    * Kusupati et al. 2022. The candidate scan reads dim/prefixDim×
+    * less arithmetic per row (and a column-pruned store would read
+    * proportionally fewer bytes); the rerank touches only
+    * queries×k×rerank true vectors via the broadcast candidate join.
+    */
+  def mrlTopK(corpus: DataFrame, queries: DataFrame, k: Int, prefixDim: Int,
+              rerank: Int = 4): DataFrame = {
+    require(prefixDim >= 1, s"mrlTopK: prefixDim must be >= 1, got $prefixDim")
+    def prefixed(df: DataFrame) =
+      df.withColumn("embedding", slice(col("embedding"), 1, prefixDim))
+    val cands = bruteForceTopK(prefixed(corpus), prefixed(queries), k * rerank)
+      .select("query_id", "neighbor_id")
+    rescoreExact(cands, queries, corpus, k)
+  }
+
   // ── OPQ: rotation-optimized product quantization ─────────────────────
   //
   // Faiss OPQMatrix / Ge et al., "Optimized Product Quantization"

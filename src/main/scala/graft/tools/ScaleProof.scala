@@ -128,7 +128,13 @@ object ScaleProof {
     "q_sessionize",       // key-partitioned windows + reused-partitioning agg
     "q_host_pagerank",    // corpus-scan edge derivation + node-bounded iters
     "q_retrieval_eval",   // corpus-scan qrels + bounded per-query metrics
-    "q_boilerplate_blocks") // block explode + scan-fused classification
+    "q_boilerplate_blocks", // block explode + scan-fused classification
+    "q_ann_ivf_opq",      // rotation + probe-pruned codes + rerank
+    "q_asof_join",        // union + one key shuffle + running-last window
+    "q_range_join",       // bucketized interval equi-join
+    "q_event_transitions", // lead window + tiny pair aggregate
+    "q_profile",          // one-pass multi-column audit (exact-distinct mode)
+    "q_url_blocklist")    // column-pruned suffix explode + anti-join
 
   def main(args: Array[String]): Unit = {
     val ext = args.contains("--extended")

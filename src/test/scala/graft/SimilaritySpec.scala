@@ -521,6 +521,27 @@ class SimilaritySpec extends SparkSpec {
     assert(viaJoinRerank === viaRerank && viaJoinRerank.nonEmpty)
   }
 
+  test("MRL prefix retrieval: full-prefix degenerates to exact brute " +
+    "force; the 16-dim prefix with rerank keeps recall high") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+    assert(pairs(Similarity.mrlTopK(emb, queries, 10, prefixDim = dim)) ===
+      pairs(exact))
+    // the synthetic embeddings are NOT matryoshka-trained — information
+    // spreads uniformly across dims, so prefix-d recall tracks d/dim
+    // (the operator's win depends on MRL-trained inputs); half-dim with
+    // a deeper rerank is the honest floor this corpus supports
+    val approx = pairs(Similarity.mrlTopK(emb, queries, 10, prefixDim = 32,
+      rerank = 8))
+    val recall = exact.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet.intersect(approx).size.toDouble / 80
+    assert(recall >= 0.8, s"MRL recall $recall")
+  }
+
   test("OPQ rotation is orthogonal (R·Rᵀ ≈ I) and preserves cosine") {
     val emb = Tables.embeddings(spark, sf)
     val m = Similarity.opqTrain(emb, m = 8, ksub = 16)
