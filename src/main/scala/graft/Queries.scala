@@ -4305,6 +4305,69 @@ object Queries {
           .orderBy("host")
       }),
 
+    QueryDef("q_host_components",
+      // weakly-connected components over a planted multi-island host
+      // graph (4 five-host link rings + 3 isolated hosts — the
+      // PageRank graph is a single component, so this query plants its
+      // own): mirror/site clusters are what host-level dedup and
+      // crawl-frontier partitioning group on. Runs the generic
+      // min-label CC operator (hop + pointer-jump per round, O(log
+      // diameter) rounds, three narrow id-keyed shuffles each —
+      // Dedup.dupGroups, shared with near-dup grouping; labels are
+      // host STRINGS, ordered lexicographically). The oracle computes
+      // the same components as a DuckDB recursive-CTE reachability
+      // closure — an independent algorithm (transitive closure, fine at
+      // the planted graph's size) agreeing on every label.
+      Some("""WITH RECURSIVE pages AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                              THEN concat('iso', CAST(doc_id % 3 AS VARCHAR), '.test')
+                            ELSE concat('c', CAST(doc_id % 4 AS VARCHAR), 'n',
+                                        CAST(doc_id % 5 AS VARCHAR), '.test')
+                       END AS host,
+                       CASE WHEN doc_id % 7 = 0 THEN NULL
+                            ELSE concat('c', CAST(doc_id % 4 AS VARCHAR), 'n',
+                                        CAST((doc_id + 1) % 5 AS VARCHAR), '.test')
+                       END AS dst
+                FROM documents),
+              nodes AS (SELECT DISTINCT host FROM pages
+                        UNION SELECT DISTINCT dst FROM pages WHERE dst IS NOT NULL),
+              edges AS (SELECT DISTINCT host AS a, dst AS b FROM pages
+                        WHERE dst IS NOT NULL AND dst <> host
+                        UNION
+                        SELECT DISTINCT dst AS a, host AS b FROM pages
+                        WHERE dst IS NOT NULL AND dst <> host),
+              reach(n, m) AS (
+                SELECT host, host FROM nodes
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+              SELECT n AS host, min(m) AS component
+              FROM reach GROUP BY n ORDER BY host"""),
+      (s, d) => {
+        prep(s)
+        val did = col("doc_id")
+        val hostCol = when(did % 7 === 0,
+            concat(lit("iso"), (did % 3).cast("string"), lit(".test")))
+          .otherwise(concat(lit("c"), (did % 4).cast("string"), lit("n"),
+            (did % 5).cast("string"), lit(".test")))
+        val dstHost = concat(lit("c"), (did % 4).cast("string"), lit("n"),
+          ((did + 1) % 5).cast("string"), lit(".test"))
+        val pages = Tables.spread(t(s, d, "documents")).select(did,
+          concat(lit("https://"), hostCol, lit("/p/"), did.cast("string"))
+            .as("url"),
+          when(did % 7 === 0, array().cast("array<string>"))
+            .otherwise(array(concat(lit("https://"), dstHost, lit("/x"))))
+            .as("links"))
+        val edges = WebCuration.hostEdges(pages, "url", "links")
+        val nodes = pages
+          .select(WebCuration.domainOf(WebCuration.hostOf(col("url"))).as("host"))
+          .union(edges.select(col("dst").as("host"))).distinct()
+        Dedup.dupGroups(nodes,
+            edges.select(col("src").as("a"), col("dst").as("b")), id = "host")
+          .select(col("doc_id").as("host"), col("group_id").as("component"))
+          .orderBy("host")
+      }),
+
     QueryDef("q_host_pagerank_weighted",
       // WEIGHTED PageRank over the same planted graph: rank splits
       // across out-edges by multiplicity (#docs of src linking dst)
