@@ -2342,6 +2342,34 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_ivf_opq_append",
+      // the composed index's steady-state ingest: persist a third of the
+      // codes, append the rest under the SAVED artifact (rotation →
+      // assignment → encode, no retrain), search the loaded result. The
+      // oracle is the SAME from-scratch replica fixture as
+      // q_ann_ivf_opq — append-then-load must be indistinguishable from
+      // a full build, which is exactly the incremental-ingest contract.
+      Some("""SELECT query_id, neighbor_id, sim, rnk
+              FROM parquet_scan('{FIX}/_fixture_annivfopq/*.parquet')
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val full = Similarity.ivfOpqTrain(s, emb, nlist = 16, m = 8, ksub = 16)
+        val dir = tmpDir("graft-ivfopq-app")
+        Similarity.IvfOpqIndex(full.model,
+          Similarity.IvfPqIndex(full.inner.centroids,
+            full.inner.codes.filter(col("vec_id") % 3 === 0),
+            full.inner.cb)).save(dir.toString)
+        Similarity.ivfOpqAppend(s, dir.toString,
+          emb.filter(col("vec_id") % 3 =!= 0))
+        val idx = Similarity.ivfOpqLoad(s, dir.toString)
+        Similarity.ivfOpqSearchRerank(idx, emb.filter(col("vec_id") < 8),
+            emb, 10, nprobe = 4, rerank = 4)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_opq",
       // OPQ — rotation-optimized PQ (Faiss OPQMatrix / Ge et al.
       // CVPR'13): an orthogonal rotation trained by Lloyd/Procrustes

@@ -1438,4 +1438,22 @@ object Similarity {
                          rerank: Int = 4): DataFrame =
     ivfPqSearchRerank(index.inner, opqRotate(queries, index.model),
       opqRotate(corpus, index.model), k, nprobe, rerank)
+
+  /** Incremental ingest for the composed index (the steady-state crawl
+    * path, like [[ivfAppend]]/[[ivfSq8Append]]): rotate the batch under
+    * the SAVED rotation, assign against the saved rotated-space
+    * centroids, encode with the saved codebooks, append to the cid
+    * partitions — no retrain, no rewrite of existing codes. Batch
+    * hygiene fails loudly on the raw batch before any index state is
+    * touched.
+    */
+  def ivfOpqAppend(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val model = OpqModel(loadRotation(spark, s"$dir/rotation"),
+      loadCodebooks(spark, s"$dir/codebooks"))
+    failOnBadEmbeddings(newVecs, model.dim, "ivfOpqAppend")
+    val assigned = assignToSaved(spark, dir, opqRotate(newVecs, model),
+      "ivfOpqAppend")
+    pqEncode(assigned, model.cb, keep = Seq("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+  }
 }

@@ -607,6 +607,32 @@ class SimilaritySpec extends SparkSpec {
     assert(exhaustive === flat)
   }
 
+  test("IVF-OPQ append: appended index answers identically to the " +
+    "from-scratch build; codes stay cid-partitioned; bad batches fail " +
+    "before touching the index") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val full = Similarity.ivfOpqTrain(spark, emb, nlist = 8, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfopq-app").toString
+    // persist only a third, append the rest under the SAVED artifact
+    Similarity.IvfOpqIndex(full.model,
+      Similarity.IvfPqIndex(full.inner.centroids,
+        full.inner.codes.filter(col("vec_id") % 3 === 0), full.inner.cb))
+      .save(dir)
+    Similarity.ivfOpqAppend(spark, dir, emb.filter(col("vec_id") % 3 =!= 0))
+    val idx = Similarity.ivfOpqLoad(spark, dir)
+    val listDirs = new java.io.File(s"$dir/codes").list().filter(_.startsWith("cid="))
+    assert(listDirs.nonEmpty && listDirs.length <= 8)
+    def rows(i: Similarity.IvfOpqIndex) =
+      Similarity.ivfOpqSearchRerank(i, queries, emb, 5, nprobe = 3, rerank = 4)
+        .select("query_id", "neighbor_id", "sim").collect().map(_.toSeq).toSet
+    assert(rows(idx) === rows(full) && rows(full).nonEmpty)
+    val ex = intercept[IllegalArgumentException](
+      Similarity.ivfOpqAppend(spark, dir,
+        Seq((9999L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")))
+    assert(ex.getMessage.contains("dimension"))
+  }
+
   test("OPQ beats plain PQ where the subspace split cuts correlated " +
     "directions (the rotation re-axes before the split)") {
     // planted structure: duplicated coordinates land in DIFFERENT

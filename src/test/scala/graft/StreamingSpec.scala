@@ -625,6 +625,43 @@ class StreamingSpec extends SparkSpec {
     assert(a === b, "the restarted index must answer searches identically")
   }
 
+  test("streaming IVF-OPQ ingest: foreachBatch ivfOpqAppend per " +
+    "micro-batch — the appended composed index answers identically to " +
+    "the from-scratch build through a fresh load") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // rotation/centroids/codebooks train once on the full corpus (the
+    // steady-state artifact); batches then rotate+assign+encode under it
+    val full = Similarity.ivfOpqTrain(spark, emb, nlist = 8, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sivfopq").toString
+    Similarity.IvfOpqIndex(full.model,
+      Similarity.IvfPqIndex(full.inner.centroids,
+        full.inner.codes.filter(col("vec_id") % 4 === 0), full.inner.cb))
+      .save(dir)
+    val crawl = emb.filter(col("vec_id") % 4 =!= 0)
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-sivfopqc").toString
+    crawl.repartition(3).write.mode("overwrite").parquet(crawlDir)
+    val q = spark.readStream.schema(crawl.schema)
+      .option("maxFilesPerTrigger", 1).parquet(crawlDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.ivfOpqAppend(spark, dir, batch)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val idx = Similarity.ivfOpqLoad(spark, dir)
+    val queries = emb.filter(col("vec_id") < 4)
+    def rows(i: Similarity.IvfOpqIndex) =
+      Similarity.ivfOpqSearchRerank(i, queries, emb, 5, nprobe = 3, rerank = 4)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(idx) === rows(full) && rows(full).nonEmpty,
+      "the restarted composed index must answer searches identically")
+  }
+
   test("classifier-gated curation DAG recovers from its checkpoint: the " +
     "trained-model gate composes with stateful dedup, stop/restart " +
     "exactly-once") {
