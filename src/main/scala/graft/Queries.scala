@@ -1892,6 +1892,39 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_ann_filtered",
+      // attribute-filtered vector search (the Faiss IDSelector shape):
+      // top-10 neighbors among label=1 vectors only. The predicate
+      // evaluates inside the cid-pruned LOADED list scan — it pushes
+      // into the parquet read (PushedFilters, plan-guarded), so a
+      // selective filter cuts bytes, not just scored rows. Probing is
+      // exhaustive here, which makes the composition exactly brute
+      // force over the filtered corpus — hence a DIRECT DuckDB oracle
+      // (queries stay unfiltered; only neighbors are).
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+              sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+                            round(list_dot_product(e.emb, qe) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(qe, qe))), 6) AS sim
+                     FROM e, q WHERE e.vec_id <> query_id AND e.label = 1),
+              r AS (SELECT query_id, neighbor_id, sim,
+                           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                    FROM sc)
+              SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rnk
+              FROM r WHERE rnk <= 10
+              ORDER BY query_id, rnk"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-ivf-filt")
+        Similarity.ivfTrain(s, emb, nlist = 16, iters = 1,
+          keep = Seq("label")).save(dir.toString)
+        val idx = Similarity.ivfLoad(s, dir.toString)
+        Similarity.ivfSearchWhere(idx, emb.filter(col("vec_id") < 8), 10,
+            col("label") === 1, nprobe = 16)
+          .select("query_id", "neighbor_id", "sim", "rnk")
+          .orderBy("query_id", "rnk")
+      }),
+
     QueryDef("q_ann_mrl",
       // Matryoshka prefix-dimension retrieval (Kusupati et al. 2022):
       // candidates score on the first 16 of 64 coordinates (4× less

@@ -205,14 +205,18 @@ object Similarity {
     * uses): nlist scored rows per vector combine map-side via partial
     * max_by, so the shuffle carries one row per corpus vector.
     */
-  private def assignByJoin(corpus: DataFrame, centDf: DataFrame): DataFrame =
+  private def assignByJoin(corpus: DataFrame, centDf: DataFrame,
+                           keep: Seq[String] = Nil): DataFrame =
     corpus.crossJoin(broadcast(centDf))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cosine_sim(col("embedding"), col("centroid")).as("sim"))
+      .select(Seq(col("vec_id"), col("embedding"), col("cid"),
+        cosine_sim(col("embedding"), col("centroid")).as("sim")) ++
+        keep.map(col): _*)
       .groupBy("vec_id").agg(
         max_by(col("cid"), struct(col("sim"), (-col("cid")).cast("double"))).as("cid"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("cid"), col("embedding"))
+        first(col("embedding")).as("embedding") +:
+          keep.map(c => first(col(c)).as(c)): _*)
+      .select(Seq(col("vec_id"), col("cid"), col("embedding")) ++
+        keep.map(col): _*)
 
   /** IVF (inverted-file) index build: deterministic seeded centroids refined
     * with `iters` Lloyd steps over a bounded SAMPLE of the corpus
@@ -223,7 +227,8 @@ object Similarity {
     * shuffle-free map.
     */
   def ivfAssign(spark: SparkSession, corpus: DataFrame, nlist: Int,
-                iters: Int = 1, knownCount: Option[Long] = None): (DataFrame, DataFrame) = {
+                iters: Int = 1, knownCount: Option[Long] = None,
+                keep: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val n = knownCount.getOrElse(corpus.count())
     // deterministic sample: every sampleStride-th vec_id
     val sampleStride = math.max(n / (nlist * trainPerList), 1L)
@@ -279,9 +284,10 @@ object Similarity {
         StructField("centroid", ArrayType(FloatType), nullable = true))))
     val assigned =
       if (cents.length <= literalAssignMaxLists)
-        corpus.select(col("vec_id"),
-          nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
-      else assignByJoin(corpus, centDf)
+        corpus.select(Seq(col("vec_id"),
+          nearestCidCol(cents, col("embedding")).as("cid"), col("embedding")) ++
+          keep.map(col): _*)
+      else assignByJoin(corpus, centDf, keep)
     (centDf, assigned)
   }
 
@@ -366,10 +372,13 @@ object Similarity {
 
   /** Train an IVF index: seeded centroids + `iters` Lloyd refinement steps
     * (re-train with higher `iters` to tighten lists as the corpus drifts).
+    * `keep` carries attribute columns into the lists so
+    * [[ivfSearchWhere]] predicates can filter inside the pruned scan.
     */
   def ivfTrain(spark: SparkSession, corpus: DataFrame, nlist: Int = 16,
-               iters: Int = 1): IvfIndex = {
-    val (centroids, assigned) = ivfAssign(spark, corpus, nlist, iters)
+               iters: Int = 1, keep: Seq[String] = Nil): IvfIndex = {
+    val (centroids, assigned) = ivfAssign(spark, corpus, nlist, iters,
+      keep = keep)
     IvfIndex(centroids, assigned)
   }
 
@@ -446,6 +455,29 @@ object Similarity {
     // already unique — no distinct needed. The probe-route set is bounded
     // (|queries| × nprobe rows) and BROADCASTS into the list scan — the
     // inverted lists are read in place, never shuffled for the join.
+    val scored = lists.join(broadcast(probed), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("embedding"), col("q_emb")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Attribute-FILTERED probe search (the filtered-vector-search /
+    * Faiss IDSelector shape): the row predicate evaluates INSIDE the
+    * cid-pruned list scan, BEFORE any scoring — on a loaded index the
+    * predicate pushes all the way into the parquet lists scan
+    * (`PushedFilters`), so a selective filter cuts bytes read, not just
+    * rows scored. The composition is exact: at nprobe == nlist this
+    * equals brute force over the predicate-matching corpus (spec- and
+    * oracle-pinned). Under partial probing a harsh filter can leave a
+    * probed list empty — raise nprobe with filter selectivity, the
+    * standard filtered-search trade.
+    */
+  def ivfSearchWhere(index: IvfIndex, queries: DataFrame, k: Int,
+                     predicate: Column, nprobe: Int = 4): DataFrame = {
+    val (probed, cids) = probeRoutes(index.centroids, queries, nprobe)
+    val lists = index.assigned.filter(col("cid").isin(cids: _*))
+      .filter(predicate)
     val scored = lists.join(broadcast(probed), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

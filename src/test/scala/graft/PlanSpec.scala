@@ -653,6 +653,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("filtered IVF search pushes the attribute predicate into the " +
+    "loaded lists scan — bytes are cut at the parquet read") {
+    val df = SparkEntry.queries("q_ann_filtered")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,1)"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("IVF-OPQ probe prunes the code-table scan to the probed cid " +
     "partitions, with the rotation fused into the query/corpus scans") {
     val df = SparkEntry.queries("q_ann_ivf_opq")(spark, sf)

@@ -521,6 +521,28 @@ class SimilaritySpec extends SparkSpec {
     assert(viaJoinRerank === viaRerank && viaJoinRerank.nonEmpty)
   }
 
+  test("filtered IVF search: every result satisfies the predicate; " +
+    "exhaustive probing equals brute force over the filtered corpus; " +
+    "kept attribute columns survive save/load") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-filt-spec").toString
+    Similarity.ivfTrain(spark, emb, nlist = 8, iters = 1,
+      keep = Seq("label")).save(dir)
+    val idx = Similarity.ivfLoad(spark, dir)
+    val got = Similarity.ivfSearchWhere(idx, queries, 10,
+        col("label") === 1, nprobe = 8)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val rows = got.as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty && rows.forall { case (_, nid, _, _) => labels(nid) == 1 })
+    val brute = Similarity.bruteForceTopK(emb.filter(col("label") === 1),
+        queries, 10)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows.toSet === brute)
+  }
+
   test("MRL prefix retrieval: full-prefix degenerates to exact brute " +
     "force; the 16-dim prefix with rerank keeps recall high") {
     val emb = Tables.embeddings(spark, sf)
