@@ -3499,6 +3499,40 @@ object Queries {
           .orderBy("step")
       }),
 
+    QueryDef("q_event_funnel_window",
+      // the same ordered funnel under a CONVERSION WINDOW: each step
+      // counts only within 7 days of the previous step's completion
+      // (the "convert within N days" product form — unbounded funnels
+      // overstate conversion on long logs). Same level-chain shape; the
+      // oracle adds the identical bound to each correlated CTE.
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+                         FROM events WHERE event_id % 7 = 0),
+              s1 AS (SELECT user_id, min(ts_us) AS t FROM e
+                     WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(e.ts_us) AS t
+                     FROM e JOIN s1 ON e.user_id = s1.user_id
+                       AND e.ts_us > s1.t AND e.ts_us - s1.t <= 604800000000
+                     WHERE e.event_type = 'click' GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(e.ts_us) AS t
+                     FROM e JOIN s2 ON e.user_id = s2.user_id
+                       AND e.ts_us > s2.t AND e.ts_us - s2.t <= 604800000000
+                     WHERE e.event_type = 'purchase' GROUP BY 1)
+              SELECT 1 AS step, 'view' AS event_type,
+                     (SELECT count(*) FROM s1) AS users
+              UNION ALL
+              SELECT 2, 'click', (SELECT count(*) FROM s2)
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+              ORDER BY step"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Sessionize.funnel(ev.filter(col("event_id") % 7 === 0), "user_id",
+            Tables.tsEpochUs(ev), "event_type",
+            Seq("view", "click", "purchase"),
+            maxStepGapUs = Some(604800000000L))
+          .orderBy("step")
+      }),
+
     QueryDef("q_retention",
       // daily cohort retention over the sparse event_id%7 slice (the
       // full log has every user active every day — no decay to measure):

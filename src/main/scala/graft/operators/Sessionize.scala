@@ -75,8 +75,11 @@ object Sessionize {
     * event time; counts are partitioning-independent.
     */
   def funnel(events: DataFrame, keyCol: String, tsUs: Column,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+             typeCol: String, steps: Seq[String],
+             maxStepGapUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel: need at least one step")
+    require(maxStepGapUs.forall(_ > 0),
+      s"funnel: maxStepGapUs must be positive, got $maxStepGapUs")
     val ev = events.select(col(keyCol).as("_k"), tsUs.as("_ts"),
       col(typeCol).as("_et"))
     var cur = ev.filter(col("_et") === steps.head)
@@ -84,9 +87,14 @@ object Sessionize {
       .localCheckpoint()
     var levels = List(cur)
     steps.drop(1).foreach { st =>
+      // conversion window: step i counts only within maxStepGapUs of the
+      // key's step-(i-1) completion — the "convert within N days" form;
+      // None keeps the unbounded strictly-after chain
+      val within = maxStepGapUs
+        .map(g => col("_ts") - col("_t") <= g).getOrElse(lit(true))
       cur = ev.filter(col("_et") === st)
         .join(cur, Seq("_k"))
-        .filter(col("_ts") > col("_t"))
+        .filter(col("_ts") > col("_t") && within)
         .groupBy("_k").agg(min(col("_ts")).as("_t"))
         .localCheckpoint()
       levels ::= cur

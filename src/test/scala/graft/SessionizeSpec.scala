@@ -117,6 +117,21 @@ class SessionizeSpec extends SparkSpec {
     assert(got === Seq((1, "view", 1L), (2, "click", 0L)))
   }
 
+  test("funnel conversion window: a step completed outside maxStepGapUs " +
+    "does not convert; inside it does; None keeps unbounded behavior") {
+    val df = Seq(
+      (1L, "view", 0L), (1L, "click", 50L),    // within the 100-window
+      (2L, "view", 0L), (2L, "click", 500L),   // outside it
+      (3L, "view", 0L)
+    ).toDF("user_id", "event_type", "ts_us_in")
+    def users(gap: Option[Long]) =
+      Sessionize.funnel(df, "user_id", col("ts_us_in"), "event_type",
+          Seq("view", "click"), maxStepGapUs = gap)
+        .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    assert(users(Some(100L)) === Seq((1, "view", 3L), (2, "click", 1L)))
+    assert(users(None) === Seq((1, "view", 3L), (2, "click", 2L)))
+  }
+
   test("transitions: consecutive pairs per key in (ts, id) order, " +
     "probabilities normalize per from_type, singletons contribute nothing") {
     val ev = Seq(
