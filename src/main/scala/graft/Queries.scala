@@ -4400,6 +4400,50 @@ object Queries {
           .orderBy("host")
       }),
 
+    QueryDef("q_robots_filter",
+      // crawl politeness end-to-end: per-host robots.txt content parses
+      // to wildcard-agent Allow/Disallow prefix rules (scan-fused
+      // split + multiline extraction, no UDF), then URLs filter by
+      // longest-prefix match with Allow winning ties. Planted: three
+      // hosts share a robots body whose wildcard section disallows
+      // /priv but allows back /priv/ok (the precedence case); a fourth
+      // host has only a named-agent section, so everything on it
+      // survives. The oracle restates the parsed rules' semantics —
+      // a parse bug surfaces as wrong survivors.
+      Some("""WITH urls AS (SELECT doc_id,
+                     concat('site', CAST(doc_id % 4 AS VARCHAR), '.test') AS host,
+                     CASE doc_id % 3
+                       WHEN 0 THEN concat('/p/', CAST(doc_id AS VARCHAR))
+                       WHEN 1 THEN concat('/priv/', CAST(doc_id AS VARCHAR))
+                       ELSE concat('/priv/ok/', CAST(doc_id AS VARCHAR))
+                     END AS path
+                FROM documents)
+              SELECT doc_id, concat('https://', host, path) AS url
+              FROM urls
+              WHERE host = 'site3.test' OR doc_id % 3 <> 1
+              ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val did = col("doc_id")
+        val host = concat(lit("site"), (did % 4).cast("string"), lit(".test"))
+        val path = when(did % 3 === 0, concat(lit("/p/"), did.cast("string")))
+          .when(did % 3 === 1, concat(lit("/priv/"), did.cast("string")))
+          .otherwise(concat(lit("/priv/ok/"), did.cast("string")))
+        val urls = Tables.spread(t(s, d, "documents"))
+          .select(did, concat(lit("https://"), host, path).as("url"))
+        val wildcardBody = "User-agent: crawler9\nDisallow: /\n\n" +
+          "USER-AGENT: *\nDisallow: /priv\nAllow: /priv/ok\n"
+        val namedOnlyBody = "User-agent: crawler9\nDisallow: /\n"
+        val robots = urls
+          .select(WebCuration.hostOf(col("url")).as("host")).distinct()
+          .withColumn("content",
+            when(col("host") === "site3.test", lit(namedOnlyBody))
+              .otherwise(lit(wildcardBody)))
+        val rules = WebCuration.robotsRules(robots, "host", "content")
+        WebCuration.robotsFilter(urls, "doc_id", "url", rules)
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_host_components",
       // weakly-connected components over a planted multi-island host
       // graph (4 five-host link rings + 3 isolated hosts — the

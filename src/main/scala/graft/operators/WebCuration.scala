@@ -76,6 +76,58 @@ object WebCuration {
     docs.join(blockedIds, Seq(idCol), "left_anti")
   }
 
+  /** robots.txt rules for the wildcard agent: one (host, allow, prefix)
+    * row per Allow/Disallow line inside any `User-agent: *` section of
+    * the host's robots.txt content. Scan-fused parse — a section split
+    * on `user-agent:` (case-insensitive) plus a per-section multiline
+    * rule extraction, no UDF; multiple wildcard sections merge. Lines
+    * with an EMPTY path value (`Disallow:` = allow everything) carry no
+    * restriction and are dropped; named-agent sections are out of scope
+    * (the pipeline crawls as `*`).
+    */
+  def robotsRules(robots: DataFrame, hostCol: String,
+                  contentCol: String): DataFrame =
+    robots
+      .select(col(hostCol).as("host"),
+        explode(split(col(contentCol), "(?i)user-agent:")).as("_sec"))
+      .filter(regexp_extract(col("_sec"), "^[ \\t]*\\*", 0) =!= "")
+      .select(col("host"), explode(regexp_extract_all(col("_sec"),
+        lit("(?im)^[ \\t]*(?:allow|disallow):[ \\t]*(\\S+)"), lit(0)))
+        .as("_line"))
+      .select(col("host"),
+        (lower(regexp_extract(col("_line"), "(?i)(allow|disallow)", 1))
+          === "allow").as("allow"),
+        regexp_extract(col("_line"), ":[ \\t]*(\\S+)", 1).as("prefix"))
+
+  /** Crawl-politeness filtering under parsed robots rules: a URL
+    * survives iff NO rule of its host matches its path, or the
+    * longest-prefix matching rule is an Allow (Allow wins equal-length
+    * ties — the Google precedence). A URL with no path normalizes to
+    * `/`.
+    *
+    * Shape at scale: the rule table is host-bounded (broadcast), the
+    * match scan is column-pruned (id/host/path only — no payload), the
+    * verdict reduces per id with a bounded max-of-struct, and survivors
+    * come from a left-anti join against the small blocked-id set —
+    * the [[urlBlocklistFilter]] geometry.
+    */
+  def robotsFilter(urls: DataFrame, idCol: String, urlCol: String,
+                   rules: DataFrame): DataFrame = {
+    val path = regexp_extract(col(urlCol), "https?://[^/\\s]+(/[^\\s]*)", 1)
+    val withHp = urls.select(col(idCol),
+      hostOf(col(urlCol)).as("_h"),
+      when(path === "", "/").otherwise(path).as("_p"))
+    val blocked = withHp
+      .join(broadcast(rules), withHp("_h") === rules("host"))
+      .filter(col("_p").startsWith(col("prefix")))
+      .groupBy(idCol)
+      .agg(max(struct(length(col("prefix")).as("l"), col("allow").as("a")))
+        .as("_w"))
+      .filter(!col("_w.a"))
+      .select(col(idCol))
+    urls.join(blocked, Seq(idCol), "left_anti")
+  }
+
   /** Keep at most `n` documents per domain — a deterministic
     * pseudo-random subset: survivors are the first `n` in (60-bit md5
     * variate, id) order, so the kept set is reproducible across runs and

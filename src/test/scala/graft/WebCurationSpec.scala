@@ -197,6 +197,40 @@ class WebCurationSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), "cap should use TopKRowsAgg")
   }
 
+  test("robots parse: wildcard sections (any case) merge, named agents " +
+    "ignored, empty-path lines dropped; filter honors longest-prefix " +
+    "with Allow winning ties and passes rule-less hosts") {
+    val robots = Seq(
+      ("a.test", "User-agent: bot\nDisallow: /\n\nUSER-agent: *\n" +
+        "Disallow: /x\nAllow: /x/ok\nDisallow:\n\nuser-agent: *\nDisallow: /y\n"),
+      ("b.test", "User-agent: bot\nDisallow: /\n")
+    ).toDF("host", "content")
+    val rules = WebCuration.robotsRules(robots, "host", "content")
+      .as[(String, Boolean, String)].collect().toSet
+    assert(rules === Set(("a.test", false, "/x"), ("a.test", true, "/x/ok"),
+      ("a.test", false, "/y")))
+    val urls = Seq(
+      (1L, "https://a.test/x/1"),     // disallowed by /x
+      (2L, "https://a.test/x/ok/2"),  // allowed back (longer Allow)
+      (3L, "https://a.test/z"),       // no matching rule
+      (4L, "https://a.test"),         // no path → '/': no rule matches
+      (5L, "https://b.test/x/5")      // only a named-agent section
+    ).toDF("id", "url")
+    val kept = WebCuration.robotsFilter(urls, "id", "url", robots
+        .transform(r => WebCuration.robotsRules(r, "host", "content")))
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 4L, 5L))
+  }
+
+  test("robots filter: equal-length Allow and Disallow → Allow wins") {
+    val rules = Seq(("h.test", false, "/ab"), ("h.test", true, "/ab"))
+      .toDF("host", "allow", "prefix")
+    val urls = Seq((1L, "https://h.test/ab/z")).toDF("id", "url")
+    val kept = WebCuration.robotsFilter(urls, "id", "url", rules)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
   test("blocklist filter drops any suffix depth case-insensitively and " +
     "stays label-aligned (notbad.com is not under bad.com)") {
     val sfx = Seq(Tuple1("a.b.c")).toDF("h")
