@@ -3130,6 +3130,39 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_proximity_search",
+      // NEAR/4 pair-proximity over the persistent positional index
+      // (save → load → search): docs where 'slow' and 'batch' co-occur
+      // within 4 tokens, with min distance and qualifying-pair count —
+      // looser than the exact phrase, stronger than bag-of-words. Two
+      // bucket-pruned posting reads, per-doc pair join bounded by
+      // tf_a × tf_b. Positions are 0-based engine-side and 1-based in
+      // the oracle's unnest — distances are shift-invariant.
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w
+                         FROM documents),
+              p AS (SELECT doc_id,
+                           unnest(generate_series(1, len(w))) AS pos,
+                           unnest(w) AS term
+                    FROM t),
+              a AS (SELECT doc_id, pos FROM p WHERE term = 'slow'),
+              b AS (SELECT doc_id, pos FROM p WHERE term = 'batch')
+              SELECT a.doc_id AS doc_id,
+                     CAST(min(abs(a.pos - b.pos)) AS INTEGER) AS min_dist,
+                     count(*) AS n_pairs
+              FROM a JOIN b ON a.doc_id = b.doc_id
+                AND abs(a.pos - b.pos) <= 4
+              GROUP BY a.doc_id ORDER BY a.doc_id"""),
+      (s, d) => {
+        prep(s)
+        val dir = tmpDir("graft-proxidx").toString
+        TextAnalysis.positionalIndexSave(
+          TextAnalysis.positionalIndexBuild(t(s, d, "documents"),
+            "doc_id", "text", buckets = 16), dir)
+        TextAnalysis.proximitySearch(
+            TextAnalysis.positionalIndexLoad(s, dir), "slow", "batch", 4)
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_hybrid_rrf",
       // hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
       // ranking with the exhaustive embedding-cosine ranking (Cormack et

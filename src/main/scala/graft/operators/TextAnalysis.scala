@@ -582,6 +582,29 @@ object TextAnalysis {
       .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Pair-proximity search over the positional index (the NEAR/n
+    * operator): docs where the two terms co-occur within `window` token
+    * positions, with the minimum absolute distance and the count of
+    * qualifying position pairs — looser than exact phrase, stronger
+    * than BM25's bag-of-words. Both posting lists prune to their bucket
+    * partitions; the per-doc pair join is bounded by the terms' per-doc
+    * frequencies (tf_a × tf_b), never the corpus.
+    */
+  def proximitySearch(index: PositionalIndex, termA: String, termB: String,
+                      window: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"proximitySearch: window must be >= 1, got $window")
+    require(termA != termB, "proximitySearch: terms must differ")
+    val buckets = index.buckets
+    def side(t: String, as: String) = index.postings
+      .filter(col("bucket") === termBucket(t, buckets) && col("term") === t)
+      .select(col("doc_id"), col("pos").as(as))
+    side(termA, "pa").join(side(termB, "pb"), "doc_id")
+      .withColumn("dist", abs(col("pa") - col("pb")))
+      .filter(col("dist") <= window)
+      .groupBy("doc_id")
+      .agg(min(col("dist")).as("min_dist"), count(lit(1)).as("n_pairs"))
+  }
+
   def bm25IndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index =
     Bm25Index(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/df"),
