@@ -4811,6 +4811,54 @@ object Queries {
           .orderBy("status")
       }),
 
+    QueryDef("q_corpus_divergence",
+      // one-row distribution-shift summary (the number a drift monitor
+      // pages on): JS divergence plus both KL directions between the
+      // full corpus's doc_id%6 group distribution and an even-ids
+      // slice. The slice only contains even groups, so KL(a||b) is
+      // INFINITE → null (the "a group vanished" alarm), KL(b||a) is
+      // finite, and JS stays finite by construction — every zero path
+      // exercised. ln terms round to integer micros and sum as longs
+      // (the retrievalEval fixed-point arrangement) over the 6-dp
+      // share table, so both engines sum identical operands.
+      Some("""WITH a AS (SELECT doc_id % 6 AS g FROM documents),
+              b AS (SELECT doc_id % 6 AS g FROM documents WHERE doc_id % 2 = 0),
+              ca AS (SELECT g, count(*) AS n_a FROM a GROUP BY 1),
+              cb AS (SELECT g, count(*) AS n_b FROM b GROUP BY 1),
+              t AS (SELECT (SELECT count(*) FROM a) AS ta,
+                           (SELECT count(*) FROM b) AS tb),
+              j AS (SELECT COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+                    FROM ca FULL OUTER JOIN cb ON ca.g = cb.g),
+              sh AS (SELECT
+                       CASE WHEN ta > 0 THEN round(CAST(n_a AS DOUBLE) / ta, 6)
+                            ELSE CAST(0 AS DOUBLE) END AS p,
+                       CASE WHEN tb > 0 THEN round(CAST(n_b AS DOUBLE) / tb, 6)
+                            ELSE CAST(0 AS DOUBLE) END AS q
+                     FROM j CROSS JOIN t),
+              terms AS (SELECT
+                CAST(round((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END) * 1000000) AS BIGINT)
+                + CAST(round((CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) * 1000000) AS BIGINT) AS jt,
+                CAST(round((CASE WHEN p > 0 AND q > 0 THEN p * ln(p / q) ELSE 0 END) * 1000000) AS BIGINT) AS kab,
+                CAST(round((CASE WHEN q > 0 AND p > 0 THEN q * ln(q / p) ELSE 0 END) * 1000000) AS BIGINT) AS kba,
+                CASE WHEN p > 0 AND q = 0 THEN 1 ELSE 0 END AS iab,
+                CASE WHEN q > 0 AND p = 0 THEN 1 ELSE 0 END AS iba
+                FROM sh)
+              SELECT count(*) AS n_groups,
+                     round(CAST(sum(jt) AS DOUBLE) / 2000000, 6) AS js,
+                     CASE WHEN max(iab) = 1 THEN NULL
+                          ELSE round(CAST(sum(kab) AS DOUBLE) / 1000000, 6)
+                     END AS kl_ab,
+                     CASE WHEN max(iba) = 1 THEN NULL
+                          ELSE round(CAST(sum(kba) AS DOUBLE) / 1000000, 6)
+                     END AS kl_ba
+              FROM terms"""),
+      (s, d) => {
+        val docs = Tables.spread(t(s, d, "documents"))
+          .withColumn("g", col("doc_id") % 6)
+        Pipeline.corpusDivergence(docs,
+          docs.filter(col("doc_id") % 2 === 0), "g")
+      }),
+
     QueryDef("q_corpus_drift",
       // corpus-drift report between two snapshots (the pre-training
       // "did the new crawl shift" monitor): per language, each half's

@@ -591,4 +591,38 @@ object Pipeline {
       shareA.as("share_a"), shareB.as("share_b"),
       round(abs(shareA - shareB), 6).as("share_delta"))
   }
+
+  /** One-row distribution-shift summary between two snapshots: group
+    * count, Jensen–Shannon divergence (nats — always finite, the
+    * alarm-threshold number a drift monitor pages on), and both KL
+    * directions. KL(a‖b) reports NULL when some group has mass in `a`
+    * but none in `b` (infinite divergence — the "a group vanished"
+    * signal); JS handles zeros by construction. Computed over the 6-dp
+    * share table ([[corpusDrift]], shares from identical long counts)
+    * with every ln term rounded to integer micros and summed as longs —
+    * the retrievalEval fixed-point arrangement, so both engines sum
+    * identical operands. Shape: the group-bounded drift table reduces
+    * to ONE row; nothing corpus-sized moves.
+    */
+  def corpusDivergence(a: DataFrame, b: DataFrame,
+                       groupCol: String): DataFrame = {
+    val d = corpusDrift(a, b, groupCol)
+    val p = col("share_a")
+    val q = col("share_b")
+    val m = (p + q) / 2.0
+    def micros(x: Column) = round(x * lit(1e6)).cast("long")
+    val jsTerm = micros(when(p > 0, p * log(p / m)).otherwise(lit(0.0))) +
+      micros(when(q > 0, q * log(q / m)).otherwise(lit(0.0)))
+    val klabTerm = micros(when(p > 0 && q > 0, p * log(p / q)).otherwise(lit(0.0)))
+    val klbaTerm = micros(when(q > 0 && p > 0, q * log(q / p)).otherwise(lit(0.0)))
+    d.agg(
+      count(lit(1)).as("n_groups"),
+      round(sum(jsTerm).cast("double") / 2e6, 6).as("js"),
+      when(max(when(p > 0 && q === 0, 1).otherwise(0)) === 1,
+        lit(null).cast("double"))
+        .otherwise(round(sum(klabTerm).cast("double") / 1e6, 6)).as("kl_ab"),
+      when(max(when(q > 0 && p === 0, 1).otherwise(0)) === 1,
+        lit(null).cast("double"))
+        .otherwise(round(sum(klbaTerm).cast("double") / 1e6, 6)).as("kl_ba"))
+  }
 }
