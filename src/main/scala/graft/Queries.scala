@@ -1321,6 +1321,31 @@ object Queries {
           col("doc_id"), TextAnalysis.qualityScore(col("text")))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    QueryDef("q_sample_reservoir",
+      // exact-k weighted sampling WITHOUT replacement per source (the
+      // Efraimidis–Spirakis A-ES reservoir): 20 docs per source with
+      // inclusion proportional to n_chars (token-budget-proportional
+      // selection) — unlike the Bernoulli q_sample_weighted the output
+      // size is exact. Deterministic: u = (md5-prefix + 1)/2^60, key =
+      // ln(u)/w compared in the log domain, id tie-break; the cut is
+      // the bounded top-k aggregate (≤ 20 rows per source through the
+      // shuffle). Identical formula in the oracle's rank window.
+      Some("""WITH w AS (SELECT doc_id, source,
+                     CAST(n_chars AS DOUBLE) AS wt,
+                     (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) + 1) / 1152921504606846976.0 AS u
+              FROM documents),
+              r AS (SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY ln(u)/wt DESC, doc_id) AS rn
+                    FROM w WHERE wt > 0)
+              SELECT source, doc_id, CAST(rn AS INTEGER) AS rn
+              FROM r WHERE rn <= 20 ORDER BY source, rn"""),
+      (s, d) => Pipeline.weightedReservoir(
+          Tables.spread(t(s, d, "documents")), "doc_id",
+          col("n_chars").cast("double"), 20, groupCols = Seq("source"))
+        .select(col("source"), col("doc_id"), col("rn").cast("int").as("rn"))
+        .orderBy("source", "rn")),
+
     QueryDef("q_split_fractions",
       // deterministic 80/10/10 train/val/test assignment: one codegen'd
       // CASE over the shared md5-uniform variate — a doc's split never

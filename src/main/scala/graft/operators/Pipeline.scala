@@ -72,6 +72,40 @@ object Pipeline {
   private[operators] def uBelow(key: Column, p: Column): Column =
     hashPrefix60(key) < ceil(p * lit(1152921504606846976.0))
 
+  /** EXACT-k weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis A-ES reservoir, deterministic: each row draws
+    * u from the shared md5 variate (nudged into (0,1] so ln never hits
+    * −∞) and the k largest u^(1/w) win, compared in the log domain
+    * (ln(u)/w — the same ordering with no pow underflow at small
+    * weights). Unlike [[weightedSample]] (Bernoulli, variable size)
+    * this returns exactly min(k, |group|) rows per group, inclusion
+    * probability proportional to weight. Rows with w ≤ 0 never sample.
+    *
+    * Shape at scale: grouped form cuts with the bounded top-k aggregate
+    * (≤ k rows per group through the shuffle); the global form is a
+    * TakeOrderedAndProject. Output adds `rn` (1-based rank by the A-ES
+    * key).
+    */
+  def weightedReservoir(df: DataFrame, idCol: String, weight: Column, k: Int,
+                        groupCols: Seq[String] = Nil): DataFrame = {
+    require(k > 0, s"weightedReservoir: k must be positive, got $k")
+    val safeU = (hashPrefix60(col(idCol)) + 1).cast("double") /
+      lit(1152921504606846976.0)
+    val marked = df.filter(weight > 0)
+      .withColumn("_aes", log(safeU) / weight)
+    if (groupCols.isEmpty) {
+      // TakeOrderedAndProject bounds the cut; the rank window then runs
+      // over ≤ k rows (single partition by construction — harmless)
+      val top = marked.orderBy(col("_aes").desc, col(idCol)).limit(k)
+      top.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("_aes").desc, col(idCol))).cast("int"))
+        .drop("_aes")
+    } else
+      CqlOps.perPartitionLimitAgg(marked, groupCols,
+        Seq(("_aes", true), (idCol, false)), k).drop("_aes")
+  }
+
   /** Probability-proportional deterministic sampling — the soft quality
     * filter of DCLM/DataComp-style curation (keep each doc with
     * probability equal to its quality score, rather than a hard

@@ -757,4 +757,24 @@ class PipelineSpec extends SparkSpec {
     assert(got("de") === (("de", 1L, 0L, 0.25, 0.0, 0.25)))
     assert(got("fr") === (("fr", 0L, 1L, 0.0, 0.5, 0.5)))
   }
+
+  test("weightedReservoir: exactly k per group, dominant weights rank " +
+    "first, nonpositive weights never sample, global form bounds + ranks") {
+    val df = Seq(
+      (1L, "a", 1e9), (2L, "a", 1e-9), (3L, "a", 1e-9), (4L, "a", 0.0),
+      (5L, "b", 1.0)
+    ).toDF("id", "g", "w")
+    val grouped = Pipeline.weightedReservoir(df, "id", col("w"), 2, Seq("g"))
+      .select("g", "id", "rn").as[(String, Long, Int)].collect()
+    assert(grouped.count(_._1 == "a") === 2)
+    assert(grouped.count(_._1 == "b") === 1, "exact size = min(k, |group|)")
+    assert(grouped.find(r => r._1 == "a" && r._3 == 1).get._2 === 1L,
+      "the 1e9-weight row must win rank 1 (ln(u)/w ≈ 0 beats huge negatives)")
+    assert(!grouped.exists(_._2 == 4L), "w = 0 must never sample")
+    val global = Pipeline.weightedReservoir(df, "id", col("w"), 3)
+    assert(global.count() === 3)
+    val g1 = global.select("id", "rn").as[(Long, Int)].collect()
+      .find(_._2 == 1).get._1
+    assert(g1 === 1L)
+  }
 }
