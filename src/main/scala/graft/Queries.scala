@@ -3155,6 +3155,45 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_collocations",
+      // top-20 PMI collocations within a 3-token window, min co-count 5
+      // — the multi-word-expression discovery analytic. Exact long
+      // counts feed ln terms in pinned left-to-right order; positions
+      // pair through one co-partitioned (doc, pos) equi-join (offsets
+      // explode keys only, never a per-doc cross product). The oracle
+      // restates the identical derivation: windowed self-join,
+      // canonical least/greatest pair, same PMI operand order.
+      Some("""WITH tt AS (SELECT doc_id, string_split(lower(text),' ') AS w
+                          FROM documents),
+              p0 AS (SELECT doc_id,
+                            unnest(generate_series(1, len(w))) AS pos,
+                            unnest(w) AS term
+                     FROM tt),
+              p AS (SELECT * FROM p0 WHERE term <> ''),
+              pr AS (SELECT least(a.term, b.term) AS term_a,
+                            greatest(a.term, b.term) AS term_b
+                     FROM p a JOIN p b ON a.doc_id = b.doc_id
+                       AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+                     WHERE a.term <> b.term),
+              nab AS (SELECT term_a, term_b, count(*) AS n_ab
+                      FROM pr GROUP BY 1, 2),
+              na AS (SELECT term, count(*) AS n FROM p GROUP BY 1),
+              tot AS (SELECT (SELECT sum(n_ab) FROM nab) AS t,
+                             (SELECT sum(n) FROM na) AS m)
+              SELECT term_a, term_b, n_ab,
+                     round(ln(CAST(n_ab AS DOUBLE)) + ln(CAST(m AS DOUBLE))
+                         + ln(CAST(m AS DOUBLE)) - ln(CAST(t AS DOUBLE))
+                         - ln(CAST(naa.n AS DOUBLE)) - ln(CAST(nb.n AS DOUBLE)),
+                       6) AS pmi
+              FROM nab
+              JOIN na naa ON naa.term = nab.term_a
+              JOIN na nb ON nb.term = nab.term_b
+              CROSS JOIN tot
+              WHERE n_ab >= 5
+              ORDER BY pmi DESC, term_a, term_b LIMIT 20"""),
+      (s, d) => TextAnalysis.collocations(t(s, d, "documents"),
+        "doc_id", "text", window = 3, minCount = 5L, k = 20)),
+
     QueryDef("q_proximity_search",
       // NEAR/4 pair-proximity over the persistent positional index
       // (save → load → search): docs where 'slow' and 'batch' co-occur

@@ -582,6 +582,55 @@ object TextAnalysis {
       .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Windowed collocation mining: the top-k term pairs by pointwise
+    * mutual information over co-occurrences within `window` token
+    * positions — the collocation/phrase-discovery analytic (tokenizer
+    * seeding, multi-word expression lists). PMI compares the pair's
+    * windowed co-occurrence rate against the independence baseline:
+    * ln(n_ab) + 2·ln(M) − ln(T) − ln(n_a) − ln(n_b) over exact long
+    * counts (identical operands in both engines, summed left to
+    * right), with a min-count floor so rare accidental pairs can't
+    * dominate.
+    *
+    * Shape at scale: positions explode to `window` offset rows (keys
+    * only, no payload) and pair up through ONE co-partitioned
+    * (doc, pos) equi-join — never a per-doc cross product; counts
+    * reduce onto the pair/vocab key spaces with map-side partials, the
+    * two totals broadcast as one row, and the final cut is a bounded
+    * top-k.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, id: String,
+                   text: String, window: Int, minCount: Long,
+                   k: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"collocations: window must be >= 1, got $window")
+    require(minCount >= 1 && k >= 1,
+      s"collocations: minCount/k must be >= 1, got $minCount/$k")
+    val p = docs
+      .select(col(id).as("_d"), posexplode(words(col(text))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val right = p.select(col("_d"), col("pos").as("_rp"), col("term").as("_rt"))
+    val pairs = p.withColumn("_o", explode(sequence(lit(1), lit(window))))
+      .select(col("_d"), (col("pos") + col("_o")).as("_rp"), col("term").as("_lt"))
+      .join(right, Seq("_d", "_rp"))
+      .filter(col("_lt") =!= col("_rt"))
+      .select(least(col("_lt"), col("_rt")).as("term_a"),
+        greatest(col("_lt"), col("_rt")).as("term_b"))
+    val nab = pairs.groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+    val na = p.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val totals = nab.agg(sum(col("n_ab")).as("t"))
+      .crossJoin(na.agg(sum(col("n")).as("m")))
+    def ln(c: org.apache.spark.sql.Column) = log(c.cast("double"))
+    nab.filter(col("n_ab") >= minCount)
+      .join(na.select(col("term").as("term_a"), col("n").as("n_a")), "term_a")
+      .join(na.select(col("term").as("term_b"), col("n").as("n_b")), "term_b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(ln(col("n_ab")) + ln(col("m")) + ln(col("m"))
+        - ln(col("t")) - ln(col("n_a")) - ln(col("n_b")), 6))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(k)
+      .select("term_a", "term_b", "n_ab", "pmi")
+  }
+
   /** Pair-proximity search over the positional index (the NEAR/n
     * operator): docs where the two terms co-occur within `window` token
     * positions, with the minimum absolute distance and the count of

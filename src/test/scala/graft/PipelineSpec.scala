@@ -758,6 +758,50 @@ class PipelineSpec extends SparkSpec {
     assert(got("fr") === (("fr", 0L, 1L, 0.0, 0.5, 0.5)))
   }
 
+  test("collocations: a planted always-adjacent pair outranks frequent " +
+    "independent terms; the min-count floor drops rare pairs") {
+    import graft.operators.TextAnalysis
+    // 'zig zag' always adjacent (10 co-occurrences, each term only in the
+    // pair); filler terms are frequent but combinatorially mixed
+    val fillers = Seq("red", "blue", "green", "gray", "cyan", "pink", "teal")
+    val docs = (0 until 10).map { i =>
+      (i.toLong, s"zig zag ${fillers((2 * i) % 7)} ${fillers((3 * i + 1) % 7)} " +
+        s"${fillers((5 * i + 2) % 7)} ${fillers((i + 3) % 7)}")
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.collocations(docs, "doc_id", "text",
+        window = 2, minCount = 5L, k = 10)
+      .select("term_a", "term_b", "n_ab", "pmi")
+      .as[(String, String, Long, Double)].collect()
+    val zz = top.find(r => r._1 == "zag" && r._2 == "zig")
+      .getOrElse(fail(s"planted pair missing: ${top.toSeq}"))
+    assert(zz._3 === 10L, "zig/zag co-occur once per doc")
+    // closed-form re-derivation from the planted corpus: an independent
+    // count of pairs/tokens through the operator's own PMI formula
+    val words = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).toSeq
+    val m = words.size.toDouble
+    val perDoc = docs.as[(Long, String)].collect().map(_._2.split(" "))
+    val allPairs = perDoc.flatMap { w =>
+      for {
+        i <- w.indices
+        o <- 1 to 2
+        if i + o < w.length && w(i) != w(i + o)
+      } yield (Seq(w(i), w(i + o)).min, Seq(w(i), w(i + o)).max)
+    }
+    val t = allPairs.length.toDouble
+    val nZig = words.count(_ == "zig").toDouble
+    val nZag = words.count(_ == "zag").toDouble
+    val expected = BigDecimal(math.log(10.0) + 2 * math.log(m) -
+        math.log(t) - math.log(nZig) - math.log(nZag))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(zz._4 - expected) < 2e-6,
+      s"pmi ${zz._4} != closed form $expected")
+    // a pair occurring fewer than minCount times never surfaces
+    val floored = TextAnalysis.collocations(docs, "doc_id", "text",
+        window = 2, minCount = 11L, k = 5)
+    assert(floored.count() === 0)
+  }
+
   test("weightedReservoir: exactly k per group, dominant weights rank " +
     "first, nonpositive weights never sample, global form bounds + ranks") {
     val df = Seq(
