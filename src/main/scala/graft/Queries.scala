@@ -3776,6 +3776,30 @@ object Queries {
           .orderBy("event_id", "iv_session_seq")
       }),
 
+    QueryDef("q_decay_score",
+      // exponentially-decayed per-user engagement (7-day half-life,
+      // scored as of the log's max event time — deterministic, no
+      // wall clock): each event contributes value·2^(−age/halfLife),
+      // terms rounded to integer micros and summed as longs so the
+      // hash is partitioning-independent, one division at the end.
+      // One partial→final aggregation on the key.
+      Some("""WITH t AS (SELECT (SELECT max(epoch_us(ts)) FROM events) AS t_ref)
+              SELECT user_id, count(*) AS n_events,
+                     round(CAST(sum(CAST(round(value * pow(2.0,
+                         -CAST(t_ref - epoch_us(ts) AS DOUBLE) / 604800000000.0)
+                         * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6)
+                       AS decay_score
+              FROM events CROSS JOIN t
+              WHERE epoch_us(ts) <= t_ref
+              GROUP BY user_id ORDER BY user_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val asOf = ev.agg(max(Tables.tsEpochUs(ev))).head.getLong(0)
+        Sessionize.decayScore(ev, "user_id", Tables.tsEpochUs(ev),
+            col("value"), halfLifeUs = 604800000000L, asOfUs = asOf)
+          .orderBy("user_id")
+      }),
+
     QueryDef("q_event_transitions",
       // first-order Markov next-step matrix over the event log: for each
       // consecutive event pair inside a user's (ts, event_id)-ordered

@@ -168,6 +168,31 @@ object Sessionize {
       .select(col("b").as("bucket"), col("win"), col("active"))
   }
 
+  /** Exponentially-decayed engagement score per key: each event
+    * contributes `value · 2^(−(asOf − t)/halfLife)` — the
+    * recency-weighted aggregate feature stores and engagement ranking
+    * use (an event `halfLife` ago counts half). `asOfUs` is
+    * caller-supplied (e.g. the log's max event time) so scoring is
+    * deterministic and replayable. Each term rounds to integer micros
+    * and sums as longs (order-independent across partitionings — a
+    * float sum would hash differently per shuffle), dividing once at
+    * the end. One partial→final aggregation on the key; events at or
+    * before `asOfUs` only (later events would exponentiate above 1 —
+    * they belong to the next scoring run).
+    */
+  def decayScore(events: DataFrame, keyCol: String, tsUs: Column,
+                 valueCol: Column, halfLifeUs: Long,
+                 asOfUs: Long): DataFrame = {
+    require(halfLifeUs > 0, s"decayScore: halfLifeUs must be positive, got $halfLifeUs")
+    val dt = (lit(asOfUs) - tsUs).cast("double")
+    val term = round(valueCol.cast("double") *
+      pow(lit(2.0), -dt / lit(halfLifeUs.toDouble)) * lit(1e6)).cast("long")
+    events.filter(tsUs <= asOfUs)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(term).cast("double") / 1e6, 6).as("decay_score"))
+  }
+
   /** Next-event transition matrix (first-order Markov step analytics):
     * one row per observed consecutive (from_type, to_type) pair inside a
     * key's event-time-ordered stream, with the pair count and the

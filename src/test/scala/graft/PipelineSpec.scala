@@ -758,8 +758,8 @@ class PipelineSpec extends SparkSpec {
     assert(got("fr") === (("fr", 0L, 1L, 0.0, 0.5, 0.5)))
   }
 
-  test("collocations: a planted always-adjacent pair outranks frequent " +
-    "independent terms; the min-count floor drops rare pairs") {
+  test("collocations: a planted always-adjacent pair scores its " +
+    "closed-form PMI; the min-count floor drops rare pairs") {
     import graft.operators.TextAnalysis
     // 'zig zag' always adjacent (10 co-occurrences, each term only in the
     // pair); filler terms are frequent but combinatorially mixed
