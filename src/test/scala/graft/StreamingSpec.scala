@@ -816,6 +816,120 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions: pairs emit exactly once across ordered " +
+    "arrival slices and match the batch lead-window pairs after the flush") {
+    import graft.streaming.TransitionStream
+    val ev = Tables.events(spark, sf)
+    val us = Tables.tsEpochUs(ev)
+    val sliced = ev.withColumn("_slice", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.orderBy(us, col("event_id"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans-log").toString
+    sliced.filter(col("_slice") === 1).drop("_slice")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = MutationStream.eventStream(spark, dir)
+    val q = TransitionStream.pairs(
+        stream.withColumn("ts_us", Tables.tsEpochUs(stream)),
+        watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      for (i <- 2 to 4) {
+        sliced.filter(col("_slice") === i).drop("_slice")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val expected = ev.select(col("user_id"), col("event_id"),
+          us.as("ts_us"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .select(col("user_id"), col("from_type"),
+          col("event_type").as("to_type"), col("ts_us"), col("event_id"))
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      val mid = spark.table("trans_out")
+        .as[(Long, String, String, Long, Long)].collect()
+      assert(mid.length === mid.toSet.size, "a pair emitted twice")
+      assert(mid.toSet.subsetOf(expected))
+      // watermark sentinel far past every event: drains every buffer
+      val sentinel = ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts",
+          if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            col("ts") + lit(86400000000000L * 1000)
+          else col("ts") + org.apache.spark.sql.functions.expr("INTERVAL 1000 DAYS"))
+      sentinel.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val flushed = spark.table("trans_out").filter(col("user_id") >= 0)
+        .as[(Long, String, String, Long, Long)].collect()
+      assert(flushed.length === flushed.toSet.size)
+      assert(flushed.toSet === expected && expected.nonEmpty)
+      // aggregated counts cross-check the batch operator
+      val streamCounts = spark.table("trans_out").filter(col("user_id") >= 0)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().toSet
+      val batchCounts = graft.operators.Sessionize.transitions(
+          ev, "user_id", us, "event_id", "event_type")
+        .select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamCounts === batchCounts)
+    } finally q.stop()
+  }
+
+  test("streaming transitions buffer within-watermark disorder: random " +
+    "arrival order still yields the exact batch pair set") {
+    import graft.streaming.TransitionStream
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 10)
+    val us = Tables.tsEpochUs(ev)
+    // slices by event_id — arrival order unrelated to event time; the
+    // 60-day watermark exceeds the log's span, so nothing is ever late
+    // and everything must buffer until the sentinel drains it
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans-ooo").toString
+    val q = {
+      val s0 = ev.filter(col("event_id") % 3 === 0)
+      s0.coalesce(1).write.mode("append").parquet(dir)
+      val stream = MutationStream.eventStream(spark, dir)
+      TransitionStream.pairs(
+          stream.withColumn("ts_us", Tables.tsEpochUs(stream)),
+          watermarkDelay = "60 days")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("trans_ooo_out")
+        .start()
+    }
+    try {
+      q.processAllAvailable()
+      for (r <- Seq(1, 2)) {
+        ev.filter(col("event_id") % 3 === r)
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val sentinel = ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts",
+          if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            col("ts") + lit(86400000000000L * 1000)
+          else col("ts") + org.apache.spark.sql.functions.expr("INTERVAL 1000 DAYS"))
+      sentinel.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val expected = ev.select(col("user_id"), col("event_id"),
+          us.as("ts_us"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .select(col("user_id"), col("from_type"),
+          col("event_type").as("to_type"), col("ts_us"), col("event_id"))
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      val got = spark.table("trans_ooo_out").filter(col("user_id") >= 0)
+        .as[(Long, String, String, Long, Long)].collect()
+      assert(got.length === got.toSet.size, "a pair emitted twice")
+      assert(got.toSet === expected && expected.nonEmpty,
+        "disordered arrival must still chain pairs in event-time order")
+    } finally q.stop()
+  }
+
   test("trained quality-model scores a stream statelessly: streaming " +
     "inference is bit-equal to batch scoring") {
     import spark.implicits._
