@@ -134,7 +134,10 @@ object ScaleProof {
     "q_range_join",       // bucketized interval equi-join
     "q_event_transitions", // lead window + tiny pair aggregate
     "q_profile",          // one-pass multi-column audit (exact-distinct mode)
-    "q_url_blocklist")    // column-pruned suffix explode + anti-join
+    "q_url_blocklist",    // column-pruned suffix explode + anti-join
+    "q_collocations",     // windowed pair join + PMI over pair/vocab aggs
+    "q_sample_reservoir", // A-ES key + bounded per-group top-k cut
+    "q_decay_score")      // scan-fused decay terms + keyed aggregation
 
   def main(args: Array[String]): Unit = {
     val ext = args.contains("--extended")
