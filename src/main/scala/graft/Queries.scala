@@ -1106,6 +1106,36 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_dedup_keep_best",
+      // quality-aware near-dup survivor selection: per connected
+      // component keep the LONGEST member (n_chars desc, id tie-break)
+      // instead of the min-id convention — the curation refinement that
+      // keeps the fullest rendition of a near-dup cluster. One join +
+      // one max-of-struct per group over the dupGroups labels. Oracle:
+      // the recursive-closure groups (shared derivation) with a rank
+      // window picking the same survivor.
+      Some(s"""WITH g AS (SELECT * FROM (
+                 ${dupGroupsOracle.replace("ORDER BY doc_id", "")}) gg),
+               s AS (SELECT doc_id, n_chars FROM documents),
+               j AS (SELECT g.group_id, g.doc_id, s.n_chars,
+                            row_number() OVER (PARTITION BY g.group_id
+                              ORDER BY s.n_chars DESC, g.doc_id) AS rn,
+                            count(*) OVER (PARTITION BY g.group_id) AS n_members
+                     FROM g JOIN s ON g.doc_id = s.doc_id)
+               SELECT group_id, doc_id, CAST(n_chars AS BIGINT) AS score,
+                      n_members
+               FROM j WHERE rn = 1 ORDER BY group_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val labels = Dedup.dupGroups(docs.select("doc_id"),
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7))
+        Dedup.keepBestPerGroup(labels,
+            docs.select(col("doc_id"), col("n_chars").as("score")))
+          .select(col("group_id"), col("doc_id"), col("score"),
+            col("n_members"))
+          .orderBy("group_id")
+      }),
+
     QueryDef("q_dedup_spans",
       // exact-substring dedup (Lee et al. 2021 ExactSubstr): 8-token
       // windows occurring >= 2 times anywhere in the corpus, merged into

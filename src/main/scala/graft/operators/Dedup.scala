@@ -174,6 +174,26 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware canonical selection: keep the BEST-scoring member of
+    * each duplicate group (score desc, lowest id on ties) instead of the
+    * min-id convention — near-dup groups contain genuinely different
+    * renditions, and curation wants the longest/cleanest one, not the
+    * one with the smallest id. `labels` is any (id, group_id) table
+    * ([[dupGroups]] output); `scored` carries the id and score. One
+    * co-partitioned join + one max-of-struct aggregate per group —
+    * nothing wider than the labels table moves. Output:
+    * (group_id, id, score, n_members).
+    */
+  def keepBestPerGroup(labels: DataFrame, scored: DataFrame,
+                       id: String = "doc_id",
+                       scoreCol: String = "score"): DataFrame =
+    labels.join(scored.select(col(id), col(scoreCol)), Seq(id))
+      .groupBy("group_id")
+      .agg(max(struct(col(scoreCol).as("s"), (-col(id)).as("nid"))).as("_w"),
+        count(lit(1)).as("n_members"))
+      .select(col("group_id"), (-col("_w.nid")).as(id),
+        col("_w.s").as(scoreCol), col("n_members"))
+
   /** MinHash signature: perm_j(s) = h1(s) + j * h2(s) (double hashing over
     * two 64-bit murmurs — 2 hash evaluations per shingle regardless of the
     * number of permutations). Computed by the one-pass
