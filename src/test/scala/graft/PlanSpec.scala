@@ -639,6 +639,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("A-ES reservoir cuts with the bounded top-k aggregate — no rank " +
+    "window over the corpus") {
+    val p = plan("q_sample_reservoir")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("collocations pair through a real equi-join (the only nested-loop " +
+    "joins are the one-row totals broadcasts) and aggregate with " +
+    "map-side partials") {
+    val p = plan("q_collocations")
+    assert(!p.contains("CartesianProduct"), p)
+    // the (doc, pos) pair match must plan as an equi-join, never a theta
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("decay scoring is one partial+final keyed aggregation — terms fuse " +
+    "into the scan, no window, no join") {
+    val p = plan("q_decay_score")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("as-of join compiles to zero Join operators: one key shuffle, " +
     "one running-last window over the unioned stream") {
     val p = plan("q_asof_join")
