@@ -1947,6 +1947,64 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_label_centroids",
+      // per-label mean embedding (the class-geometry table classifier
+      // diagnostics and per-class drift read): one posexplode
+      // aggregation onto the 10-label × 64-dim key space, fixed-point
+      // long sums, 6-dp means — the identical round/sum/divide chain in
+      // both engines.
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+                         FROM embeddings
+                         WHERE embedding IS NOT NULL AND label IS NOT NULL),
+              p AS (SELECT label,
+                           unnest(generate_series(1, len(emb))) - 1 AS pos,
+                           unnest(emb) AS x
+                    FROM e)
+              SELECT label, CAST(pos AS INTEGER) AS pos,
+                     round(CAST(sum(CAST(round(x * 16777216) AS BIGINT)) AS DOUBLE)
+                           / count(*) / 16777216, 6) AS m,
+                     count(*) AS n
+              FROM p GROUP BY 1, 2 ORDER BY label, pos"""),
+      (s, d) => Similarity.labelCentroids(t(s, d, "embeddings"), "label")
+        .orderBy("label", "pos")),
+
+    QueryDef("q_centroid_affinity",
+      // the confusable-class matrix: pairwise cosine between label
+      // centroids (close centroids = classes the space barely
+      // separates). Products and norms round to integer micros and sum
+      // as longs; everything runs on the labels×dim table, never the
+      // corpus.
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+                         FROM embeddings
+                         WHERE embedding IS NOT NULL AND label IS NOT NULL),
+              p AS (SELECT label,
+                           unnest(generate_series(1, len(emb))) - 1 AS pos,
+                           unnest(emb) AS x
+                    FROM e),
+              cent AS (SELECT label, pos,
+                              round(CAST(sum(CAST(round(x * 16777216) AS BIGINT)) AS DOUBLE)
+                                    / count(*) / 16777216, 6) AS m
+                       FROM p GROUP BY 1, 2),
+              n2 AS (SELECT label,
+                            sum(CAST(round(m * m * 1000000) AS BIGINT)) AS s2
+                     FROM cent GROUP BY 1),
+              ab AS (SELECT a.label AS label_a, b.label AS label_b,
+                            sum(CAST(round(a.m * b.m * 1000000) AS BIGINT)) AS sab
+                     FROM cent a JOIN cent b
+                       ON a.pos = b.pos AND a.label < b.label
+                     GROUP BY 1, 2)
+              SELECT label_a, label_b,
+                     round(CAST(sab AS DOUBLE) / 1000000 /
+                       sqrt((CAST(na.s2 AS DOUBLE) / 1000000) *
+                            (CAST(nb.s2 AS DOUBLE) / 1000000)), 6) AS sim
+              FROM ab
+              JOIN n2 na ON na.label = ab.label_a
+              JOIN n2 nb ON nb.label = ab.label_b
+              ORDER BY label_a, label_b"""),
+      (s, d) => Similarity.centroidAffinity(
+          Similarity.labelCentroids(t(s, d, "embeddings"), "label"))
+        .orderBy("label_a", "label_b")),
+
     QueryDef("q_ann_filtered",
       // attribute-filtered vector search (the Faiss IDSelector shape):
       // top-10 neighbors among label=1 vectors only. The predicate

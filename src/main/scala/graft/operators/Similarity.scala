@@ -1176,6 +1176,51 @@ object Similarity {
     topKPerQuery(rescored, k)
   }
 
+  /** Per-label centroid table — the class-geometry diagnostic for a
+    * labeled embedding corpus (classifier sanity, near-class detection,
+    * per-class drift): one posexplode aggregation onto the
+    * label×dim-bounded key space, fixed-point long sums
+    * (partitioning-independent by integer addition), means rounded
+    * HALF_UP to 6 dp. Output: (label, pos, m, n).
+    */
+  def labelCentroids(corpus: DataFrame, labelCol: String): DataFrame =
+    corpus.filter(col("embedding").isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("x").cast("double") * lit(fixedPointScale))
+        .cast("long")).as("sfx"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        round(col("sfx").cast("double") / col("n") / lit(fixedPointScale), 6)
+          .as("m"),
+        col("n"))
+
+  /** Pairwise cosine between label centroids (label_a < label_b) — the
+    * confusable-class matrix: close centroids mean classes the
+    * embedding space barely separates. Products round to integer
+    * micros and sum as longs (order-independent), the norms likewise;
+    * everything runs on the labels×dim table, never the corpus.
+    */
+  def centroidAffinity(centroids: DataFrame): DataFrame = {
+    def micros(x: Column) = round(x * lit(1e6)).cast("long")
+    val n2 = centroids.groupBy(col("label"))
+      .agg(sum(micros(col("m") * col("m"))).as("s2"))
+    val a = centroids.select(col("label").as("label_a"), col("pos"),
+      col("m").as("ma"))
+    val b = centroids.select(col("label").as("label_b"), col("pos"),
+      col("m").as("mb"))
+    a.join(b, "pos").filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(micros(col("ma") * col("mb"))).as("sab"))
+      .join(n2.select(col("label").as("label_a"), col("s2").as("saa")), "label_a")
+      .join(n2.select(col("label").as("label_b"), col("s2").as("sbb")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(col("sab").cast("double") / lit(1e6) /
+          sqrt((col("saa").cast("double") / lit(1e6)) *
+            (col("sbb").cast("double") / lit(1e6))), 6).as("sim"))
+  }
+
   /** Matryoshka (MRL) prefix-dimension retrieval: score candidates on
     * the FIRST `prefixDim` coordinates only (matryoshka-trained
     * embeddings front-load their information, so the prefix preserves
