@@ -4716,6 +4716,81 @@ object Queries {
           .orderBy("host")
       }),
 
+    QueryDef("q_label_propagation",
+      // semi-supervised LPA over the multi-island host graph: one seed
+      // host per ring (c{m}n0 → cat{m}) classifies its whole 5-host
+      // ring in 2 synchronous rounds (majority of labeled neighbors,
+      // ties to the smallest label, seeds clamped). Per round: one
+      // edge×labels join + a keyed count + a min_by winner — all
+      // node/edge-bounded. The oracle unrolls the same two rounds as
+      // CTEs with the identical mode/tie/clamp rules.
+      Some("""WITH pages AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                              THEN concat('iso', CAST(doc_id % 3 AS VARCHAR), '.test')
+                            ELSE concat('c', CAST(doc_id % 4 AS VARCHAR), 'n',
+                                        CAST(doc_id % 5 AS VARCHAR), '.test')
+                       END AS host,
+                       CASE WHEN doc_id % 7 = 0 THEN NULL
+                            ELSE concat('c', CAST(doc_id % 4 AS VARCHAR), 'n',
+                                        CAST((doc_id + 1) % 5 AS VARCHAR), '.test')
+                       END AS dst
+                FROM documents),
+              edges0 AS (SELECT DISTINCT host AS a, dst AS b FROM pages
+                         WHERE dst IS NOT NULL AND dst <> host
+                         UNION
+                         SELECT DISTINCT dst AS a, host AS b FROM pages
+                         WHERE dst IS NOT NULL AND dst <> host),
+              nodes AS (SELECT DISTINCT a AS host FROM edges0),
+              seeds(host, label) AS (VALUES
+                ('c0n0.test', 'cat0'), ('c1n0.test', 'cat1'),
+                ('c2n0.test', 'cat2'), ('c3n0.test', 'cat3')),
+              r0 AS (SELECT n.host, s.label
+                     FROM nodes n LEFT JOIN seeds s USING (host)),
+              w1 AS (SELECT e.a, p.label AS nl, count(*) AS c
+                     FROM edges0 e JOIN r0 p ON p.host = e.b
+                     WHERE p.label IS NOT NULL GROUP BY 1, 2),
+              b1 AS (SELECT a, nl AS prop FROM (
+                       SELECT a, nl, row_number() OVER (PARTITION BY a
+                         ORDER BY c DESC, nl) AS rn FROM w1) WHERE rn = 1),
+              r1 AS (SELECT n.host, COALESCE(s.label, b.prop, p.label) AS label
+                     FROM nodes n LEFT JOIN seeds s USING (host)
+                     LEFT JOIN r0 p ON p.host = n.host
+                     LEFT JOIN b1 b ON b.a = n.host),
+              w2 AS (SELECT e.a, p.label AS nl, count(*) AS c
+                     FROM edges0 e JOIN r1 p ON p.host = e.b
+                     WHERE p.label IS NOT NULL GROUP BY 1, 2),
+              b2 AS (SELECT a, nl AS prop FROM (
+                       SELECT a, nl, row_number() OVER (PARTITION BY a
+                         ORDER BY c DESC, nl) AS rn FROM w2) WHERE rn = 1),
+              r2 AS (SELECT n.host, COALESCE(s.label, b.prop, p.label) AS label
+                     FROM nodes n LEFT JOIN seeds s USING (host)
+                     LEFT JOIN r1 p ON p.host = n.host
+                     LEFT JOIN b2 b ON b.a = n.host)
+              SELECT host, label FROM r2 ORDER BY host"""),
+      (s, d) => {
+        prep(s)
+        import s.implicits._
+        val did = col("doc_id")
+        val hostCol = when(did % 7 === 0,
+            concat(lit("iso"), (did % 3).cast("string"), lit(".test")))
+          .otherwise(concat(lit("c"), (did % 4).cast("string"), lit("n"),
+            (did % 5).cast("string"), lit(".test")))
+        val dstHost = concat(lit("c"), (did % 4).cast("string"), lit("n"),
+          ((did + 1) % 5).cast("string"), lit(".test"))
+        val pages = Tables.spread(t(s, d, "documents")).select(did,
+          concat(lit("https://"), hostCol, lit("/p/"), did.cast("string"))
+            .as("url"),
+          when(did % 7 === 0, array().cast("array<string>"))
+            .otherwise(array(concat(lit("https://"), dstHost, lit("/x"))))
+            .as("links"))
+        val seeds = Seq(("c0n0.test", "cat0"), ("c1n0.test", "cat1"),
+          ("c2n0.test", "cat2"), ("c3n0.test", "cat3")).toDF("host", "label")
+        WebCuration.labelPropagation(
+            WebCuration.hostEdges(pages, "url", "links"), seeds, iters = 2)
+          .orderBy("host")
+      }),
+
     QueryDef("q_host_pagerank_weighted",
       // WEIGHTED PageRank over the same planted graph: rank splits
       // across out-edges by multiplicity (#docs of src linking dst)

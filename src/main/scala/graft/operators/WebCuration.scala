@@ -76,6 +76,52 @@ object WebCuration {
     docs.join(blockedIds, Seq(idCol), "left_anti")
   }
 
+  /** Semi-supervised label propagation (LPA with clamped seeds) over a
+    * (src, dst) edge table: each round, every NON-seed node takes the
+    * majority label among its labeled neighbors (ties break to the
+    * lexicographically smallest label; nodes with no labeled neighbor
+    * keep their current label), seeds never change. Deterministic by
+    * the pinned tie rules and synchronous rounds. The category-spread
+    * primitive: a handful of hand-labeled hosts classifies the
+    * connected neighborhood (domain topics, language communities,
+    * spam rings).
+    *
+    * Shape at scale: per round, ONE join of the edge table against the
+    * node-bounded label table (never edges×edges), a (node,
+    * label)-keyed count with map-side partials, a min_by winner per
+    * node, and the clamp join — all node/edge-bounded;
+    * `localCheckpoint` truncates the iterative lineage. Unreached
+    * nodes stay null.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val nodes = und.select(col("a").as("host")).distinct()
+    val seedTbl = seeds.select(col("host"), col("label").as("_seed"))
+    var labels = nodes.join(seedTbl, Seq("host"), "left")
+      .select(col("host"), col("_seed").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val winner = und
+        .join(labels.select(col("host").as("b"), col("label").as("nl")), "b")
+        .filter(col("nl").isNotNull)
+        .groupBy(col("a"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(min_by(col("nl"), struct((-col("c")).as("nc"), col("nl")))
+          .as("prop"))
+      labels = labels
+        .join(seedTbl, Seq("host"), "left")
+        .join(winner.withColumnRenamed("a", "host"), Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("_seed"), col("prop"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** robots.txt rules for the wildcard agent: one (host, allow, prefix)
     * row per Allow/Disallow line inside any `User-agent: *` section of
     * the host's robots.txt content. Scan-fused parse — a section split

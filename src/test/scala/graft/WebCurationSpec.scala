@@ -197,6 +197,29 @@ class WebCurationSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), "cap should use TopKRowsAgg")
   }
 
+  test("label propagation: majority wins, equal counts break to the " +
+    "smallest label, seeds stay clamped, unreached nodes stay null") {
+    // x sits between a 'zz'-seeded and a 'aa'-seeded neighbor (tie → aa);
+    // y has two 'zz' neighbors and one 'aa' (majority → zz); the seed s1
+    // is also y's neighbor but keeps its own label; lone-pair node u
+    // only reaches unlabeled v, so both stay null after round 1 and v
+    // picks nothing up in round 2 either
+    val edges = Seq(
+      ("s1", "x"), ("s2", "x"),
+      ("s1", "y"), ("s3", "y"), ("s4", "y"),
+      ("u", "v")
+    ).toDF("src", "dst")
+    val seeds = Seq(("s1", "zz"), ("s2", "aa"), ("s3", "zz"), ("s4", "zz"))
+      .toDF("host", "label")
+    val out = WebCuration.labelPropagation(edges, seeds, iters = 2)
+      .as[(String, Option[String])].collect().toMap
+    assert(out("x") === Some("aa"), "equal counts must break to the smallest label")
+    assert(out("y") === Some("zz"), "majority label must win")
+    assert(out("s1") === Some("zz") && out("s2") === Some("aa"),
+      "seeds stay clamped")
+    assert(out("u").isEmpty && out("v").isEmpty, "unreached nodes stay null")
+  }
+
   test("robots parse: wildcard sections (any case) merge, named agents " +
     "ignored, empty-path lines dropped; filter honors longest-prefix " +
     "with Allow winning ties and passes rule-less hosts") {
