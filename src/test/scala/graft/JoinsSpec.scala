@@ -52,6 +52,55 @@ class JoinsSpec extends SparkSpec {
     assert(out === Set(("n", "N")))
   }
 
+  test("rangeJoin equals the naive theta-join on seeded random instances " +
+    "across bucket widths (including width 1 and far-oversized)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val pts = (0 until 120).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(200).toLong - 100L)
+      }
+      val ivs = (0 until 40).map { i =>
+        val s = rnd.nextInt(220).toLong - 110L
+        (rnd.nextInt(5).toLong, s, s + rnd.nextInt(60), s"iv$i")
+      }
+      val ptsDf = pts.toDF("id", "k", "t")
+      val ivsDf = ivs.toDF("k", "s", "e", "name")
+      val naive = (for {
+        (id, pk, t) <- pts
+        (ik, s, e, name) <- ivs
+        if ik == pk && t >= s && t <= e
+      } yield (id, name)).toSet
+      val width = Seq(1L, 7L, 64L, 100000L)(trial % 4)
+      val got = Joins.rangeJoin(ptsDf, ivsDf, Seq("k"), "t", "s", "e",
+          width, Seq("name"))
+        .select("id", "iv_name").as[(Long, String)].collect().toSet
+      assert(got === naive, s"trial $trial width $width")
+    }
+  }
+
+  test("asofJoin equals the naive most-recent-scan on seeded random " +
+    "instances, including duplicate-timestamp right rows") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val left = (0 until 100).map { i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(50).toLong)
+      }
+      val right = (0 until 60).map { i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(50).toLong, i.toLong, s"v$i")
+      }
+      val naive = left.map { case (id, k, ts) =>
+        val best = right.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(r => (r._2, r._3)).lastOption
+        (id, best.map(_._4))
+      }.toMap
+      val got = Joins.asofJoin(left.toDF("id", "k", "ts"),
+          right.toDF("k", "sts", "rid", "v"), "k", "ts", "sts",
+          Seq("v"), rightIdCol = Some("rid"))
+        .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+      assert(got === naive, s"trial $trial")
+    }
+  }
+
   test("asofJoin preserves every left row and column (left-join card)") {
     val left = Seq((1L, 10L, 1.5), (1L, 20L, 2.5)).toDF("k", "ts", "v")
     val right = Seq((1L, 15L, "s")).toDF("k", "sts", "state")
