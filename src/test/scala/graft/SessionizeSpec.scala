@@ -132,6 +132,34 @@ class SessionizeSpec extends SparkSpec {
     assert(users(None) === Seq((1, "view", 3L), (2, "click", 2L)))
   }
 
+  test("transitions equals the naive per-key sorted scan on seeded " +
+    "random event streams (duplicate timestamps included)") {
+    val rnd = new scala.util.Random(13)
+    val types = Seq("a", "b", "c", "d")
+    for (trial <- 1 to 3) {
+      val ev = (0 until 300).map { i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong, i.toLong,
+          types(rnd.nextInt(4)))
+      }
+      val naivePairs = ev.groupBy(_._1).values.flatMap { es =>
+        es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+          case Seq(x, y) => (x._4, y._4)
+        }
+      }.toSeq
+      val naiveCounts = naivePairs.groupBy(identity).map { case (p, l) => p -> l.size.toLong }
+      val fromTotals = naivePairs.groupBy(_._1).map { case (f, l) => f -> l.size.toLong }
+      val naive = naiveCounts.map { case ((f, t2), n) =>
+        (f, t2) -> (n, BigDecimal(n.toDouble / fromTotals(f))
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val got = Sessionize.transitions(ev.toDF("k", "ts", "id", "t"),
+          "k", col("ts"), "id", "t")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got === naive, s"trial $trial")
+    }
+  }
+
   test("transitions: consecutive pairs per key in (ts, id) order, " +
     "probabilities normalize per from_type, singletons contribute nothing") {
     val ev = Seq(

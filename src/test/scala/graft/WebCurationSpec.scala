@@ -220,6 +220,42 @@ class WebCurationSpec extends SparkSpec {
     assert(out("u").isEmpty && out("v").isEmpty, "unreached nodes stay null")
   }
 
+  test("label propagation equals a naive synchronous iteration on seeded " +
+    "random graphs (3 rounds, clamped seeds, pinned tie rules)") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val n = 25
+      val edges = (0 until 60).map { _ =>
+        (s"h${rnd.nextInt(n)}", s"h${rnd.nextInt(n)}")
+      }.filter(e => e._1 != e._2).distinct
+      val seeds = (0 until 5).map(i => (s"h${rnd.nextInt(n)}", s"L${rnd.nextInt(3)}"))
+        .distinct.groupBy(_._1).map(_._2.head).toSeq // one label per seed host
+      val adj = (edges ++ edges.map(e => (e._2, e._1))).distinct
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val nodes = adj.keySet
+      val seedMap = seeds.toMap.view.filterKeys(nodes).toMap
+      var lab: Map[String, Option[String]] =
+        nodes.map(h => h -> seedMap.get(h)).toMap
+      for (_ <- 1 to 3) {
+        val next = nodes.map { h =>
+          h -> (seedMap.get(h) match {
+            case Some(s) => Some(s)
+            case None =>
+              val counts = adj(h).flatMap(lab(_)).groupBy(identity)
+                .map { case (l, occ) => (l, occ.size) }
+              if (counts.isEmpty) lab(h)
+              else Some(counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+          })
+        }.toMap
+        lab = next
+      }
+      val got = WebCuration.labelPropagation(edges.toDF("src", "dst"),
+          seeds.toDF("host", "label"), iters = 3)
+        .as[(String, Option[String])].collect().toMap
+      assert(got === lab, s"trial $trial")
+    }
+  }
+
   test("robots parse: wildcard sections (any case) merge, named agents " +
     "ignored, empty-path lines dropped; filter honors longest-prefix " +
     "with Allow winning ties and passes rule-less hosts") {
