@@ -4809,6 +4809,27 @@ object Queries {
           .orderBy("host")
       }),
 
+    QueryDef("q_host_ppr",
+      // personalized PageRank over the planted host graph with site0 +
+      // site7 as the topic seeds: rank measures link proximity to the
+      // seed set (Haveliwala's topic-sensitive form) — the crawl-
+      // prioritization / seed-expansion prior. Teleport and dangling
+      // mass return to the seeds, rank initializes to the seed
+      // distribution; same fixed-point recipe as q_host_pagerank.
+      // Oracle = an independent plain-Scala replica fixture.
+      Some("""SELECT host, rank
+              FROM parquet_scan('{FIX}/_fixture_ppr/*.parquet')
+              ORDER BY host"""),
+      (s, d) => {
+        prep(s)
+        import s.implicits._
+        val seeds = Seq("site0.example.com", "site7.example.com").toDF("host")
+        WebCuration.pageRankPersonalized(
+            WebCuration.hostEdges(plantedLinkPages(s, d), "url", "links"),
+            seeds, iters = 10)
+          .orderBy("host")
+      }),
+
     QueryDef("q_host_hits",
       // HITS hubs-and-authorities over the same planted host graph as
       // q_host_pagerank — the companion link metric separating

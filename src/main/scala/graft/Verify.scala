@@ -1785,6 +1785,47 @@ object Verify {
       nodes.map(h => (h, round6(ranks(h)))).toDF("host", "pagerank")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_fixture_pagerank_w")
     }
+    fixture("_fixture_ppr") {
+      // Personalized-PageRank replica over the planted host graph
+      // (seeds: site0 + site7): p uniform over present seeds, rank
+      // initialized to p, rank' = 0.15·p + 0.85·(inflow + dmass·p) —
+      // the same independent fixed-point arithmetic as
+      // _fixture_pagerank with the seed-teleport terms.
+      val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id")).as[Long].collect()
+      val edges = scala.collection.mutable.LinkedHashSet[(String, String)]()
+      for (id <- ids) {
+        val src = s"site${id % 13}.example.com"
+        val dsts = Seq(
+          s"site${(id + 4) % 13}.example.com",
+          s"site${(id * 3 + 5) % 13}.example.com") ++
+          (if (id % 5 == 0) Seq(s"sink${id % 3}.example.org") else Nil)
+        for (dst <- dsts if dst != src) edges += ((src, dst))
+      }
+      val scale = (1L << 24).toDouble
+      def fp(v: Double): Long =
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.distinct.sorted
+      val seeds = Seq("site0.example.com", "site7.example.com")
+        .filter(nodes.contains)
+      val p: Map[String, Double] =
+        nodes.map(h => h -> (if (seeds.contains(h)) 1.0 / seeds.size else 0.0)).toMap
+      val outDeg = edges.toSeq.groupBy(_._1).map { case (s0, es) => (s0, es.size.toLong) }
+      val dangling = nodes.filterNot(outDeg.contains)
+      val damping = 0.85
+      var ranks: Map[String, Double] = p
+      for (_ <- 0 until 10) {
+        val contribs = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((s0, d0) <- edges)
+          contribs(d0) += fp(ranks(s0) / outDeg(s0) * scale)
+        val dmass = dangling.iterator.map(h => fp(ranks(h) * scale)).sum
+        ranks = nodes.map(h =>
+          h -> ((1.0 - damping) * p(h) + damping *
+            (contribs(h).toDouble / scale + dmass.toDouble / scale * p(h)))).toMap
+      }
+      nodes.map(h => (h, round6(ranks(h)))).toDF("host", "rank")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_fixture_ppr")
+    }
     fixture("_fixture_hits") {
       // HITS replica over the same planted host graph as
       // _fixture_pagerank (re-derived independently from doc_ids):

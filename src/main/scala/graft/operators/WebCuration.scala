@@ -76,6 +76,63 @@ object WebCuration {
     docs.join(blockedIds, Seq(idCol), "left_anti")
   }
 
+  /** Personalized (topic-sensitive) PageRank: the random surfer
+    * teleports back to a SEED set instead of everywhere — rank measures
+    * proximity to the seeds, the topical-authority prior crawl
+    * prioritization and seed-expansion use (Haveliwala 2002). p is
+    * uniform over the seed hosts PRESENT in the graph (absent seeds are
+    * ignored; at least one must be present); rank initializes to p and
+    * iterates rank' = (1−d)·p + d·(in-flow + danglingMass·p). Same
+    * fixed-point per-edge contribution recipe and iteration shape as
+    * [[pageRank]] (scaled-long HALF_UP rounds, long sums,
+    * node-bounded tables, checkpointed lineage); kept separate so the
+    * uniform operator's pinned bit-exact fixtures stay untouched.
+    */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val scale = graft.operators.Similarity.fixedPointScale
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct().localCheckpoint()
+    val seedNodes = nodes
+      .join(seeds.select(col("host")).distinct(), Seq("host"), "left_semi")
+      .localCheckpoint()
+    val ns = seedNodes.count()
+    require(ns > 0, "pageRankPersonalized: no seed host present in the graph")
+    val pTbl = nodes.join(seedNodes.withColumn("_s", lit(1)), Seq("host"), "left")
+      .select(col("host"),
+        when(col("_s").isNotNull, lit(1.0 / ns)).otherwise(lit(0.0)).as("p"))
+      .localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eD = e.join(outDeg, "src").localCheckpoint()
+    val danglingNodes = nodes
+      .join(e.select(col("src").as("host")).distinct(), Seq("host"), "left_anti")
+      .localCheckpoint()
+    var ranks = pTbl.select(col("host"), col("p").as("rank")).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val contribs = eD.join(ranks, eD("src") === ranks("host"))
+        .select(col("dst"),
+          round(col("rank") / col("deg") * lit(scale)).cast("long").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      val dangling = danglingNodes.join(ranks, Seq("host"))
+        .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")), lit(0L)))
+        .collect()(0).getLong(0)
+      ranks = pTbl.join(contribs, pTbl("host") === contribs("dst"), "left")
+        .select(pTbl("host"),
+          (lit(1.0 - damping) * col("p") + lit(damping) *
+            (coalesce(col("cs"), lit(0L)).cast("double") / lit(scale) +
+              lit(dangling.toDouble / scale) * col("p"))).as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks.select(col("host"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Semi-supervised label propagation (LPA with clamped seeds) over a
     * (src, dst) edge table: each round, every NON-seed node takes the
     * majority label among its labeled neighbors (ties break to the

@@ -220,6 +220,21 @@ class WebCurationSpec extends SparkSpec {
     assert(out("u").isEmpty && out("v").isEmpty, "unreached nodes stay null")
   }
 
+  test("personalized PageRank conserves mass and concentrates it near " +
+    "the seeds; absent seeds are ignored, all-absent rejects") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "c")).toDF("src", "dst")
+    val out = WebCuration.pageRankPersonalized(edges,
+        Seq("a", "zz-not-in-graph").toDF("host"), iters = 20)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-3, s"mass must conserve: $out")
+    assert(out("a") > out("d"),
+      s"the seed must outrank the far node: $out")
+    val ex = intercept[IllegalArgumentException](
+      WebCuration.pageRankPersonalized(edges, Seq("zz").toDF("host"), 5))
+    assert(ex.getMessage.contains("seed"))
+  }
+
   test("label propagation equals a naive synchronous iteration on seeded " +
     "random graphs (3 rounds, clamped seeds, pinned tie rules)") {
     val rnd = new scala.util.Random(99)
