@@ -126,6 +126,130 @@ object Queries {
               SELECT query_id, doc_id, rrf, rank FROM fr
               WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** Shared oracle for q_bm25_search and q_bm25_merge: a merge of two
+    * disjoint-shard indexes stores every quantity the all-at-once union
+    * build stores (postings union, df added term-wise, stats re-derived
+    * from summed longs), so the from-scratch whole-corpus BM25 chain
+    * gates both. Every float step is double-double in BOTH engines
+    * (explicit CASTs — a bare 0.5/1.2 literal is DECIMAL in DuckDB);
+    * constants combine INSIDE the expression; per-term scores round 6dp
+    * and sum as DECIMAL(18,6).
+    */
+  private val bm25SearchOracle: String =
+    """WITH q(query_id, term) AS (VALUES
+                (CAST(0 AS BIGINT), 'hash'), (0, 'join'),
+                (1, 'fast'), (1, 'scan'), (1, 'filter'),
+                (2, 'customer'), (2, 'order'), (2, 'data')),
+              toks AS (
+                SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+                       unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+              ), stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE) / count(*) AS avgdl
+                FROM documents
+              ), tf AS (
+                SELECT query_id, doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM toks JOIN q USING (term) GROUP BY 1, 2, 3
+              ), dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+              ), scored AS (
+                SELECT query_id, doc_id,
+                       CAST(round(
+                         (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                          * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+                         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                            ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+                             CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))),
+                         6) AS DECIMAL(18,6)) AS s
+                FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+              ), agg AS (
+                SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+                FROM scored GROUP BY 1, 2
+              ), r AS (
+                SELECT query_id, doc_id, score,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+                FROM agg
+              )
+              SELECT query_id, doc_id, score, rank FROM r
+              WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** Generated oracle for q_retrieval_mmr: the greedy MMR selection
+    * unrolled to `k` CTE stages (greedy argmax has no closed SQL form —
+    * recursive CTEs can't aggregate over the recursive table, so the
+    * loop is stated step by step). cand = per-query top-`nCand`
+    * candidates by 6dp cosine, each carrying its EXACT micro-unit
+    * relevance relm = round(rel·1e6) AS BIGINT; pairs carry micro-unit
+    * cosines the same way; step 1 picks argmax num·relm, step i argmax
+    * num·relm − (den−num)·max(simm) — pure BIGINT scores, doc-asc ties,
+    * the identical total order the engine's integer greedy walks (a
+    * float λ-combination diverged from the JVM at a 6dp half boundary;
+    * integers can't). mmr = score / (den·1e6), one exact-operand IEEE
+    * divide.
+    */
+  private def mmrOracle(nQueries: Int, nCand: Int, k: Int,
+                        lambdaNum: Int, lambdaDen: Int): String = {
+    val cosRaw = (a: String, b: String) =>
+      s"list_dot_product($a.emb, $b.emb) / " +
+        s"(sqrt(list_dot_product($a.emb, $a.emb)) * sqrt(list_dot_product($b.emb, $b.emb)))"
+    val num = lambdaNum
+    val mu = lambdaDen - lambdaNum
+    val outScale = s"CAST(${lambdaDen} AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              qv AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < $nQueries),
+              sc AS (SELECT query_id, ce.vec_id AS doc_id, ce.emb,
+                            round(${cosRaw("ce", "qv")}, 6) AS rel
+                     FROM e ce, qv WHERE ce.vec_id <> query_id),
+              cand AS (SELECT query_id, doc_id, emb, rel,
+                              CAST(round(rel * 1000000) AS BIGINT) AS relm
+                       FROM (
+                         SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS rnk FROM sc)
+                       WHERE rnk <= $nCand),
+              pairs AS (SELECT ca.query_id, ca.doc_id AS da, cb.doc_id AS db,
+                               CAST(round((${cosRaw("ca", "cb")}) * 1000000) AS BIGINT) AS simm
+                        FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id
+                          AND ca.doc_id <> cb.doc_id),
+              s1 AS (SELECT query_id, doc_id, rel,
+                            CAST($num * relm AS DOUBLE) / ($outScale) AS mmr,
+                            1 AS rank
+                     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY relm DESC, doc_id) AS rr FROM cand)
+                     WHERE rr = 1),
+              sel1 AS (SELECT query_id, doc_id FROM s1)"""
+    for (i <- 2 to k) {
+      val p = i - 1
+      sb ++= s""",
+              m$i AS (SELECT c.query_id, c.doc_id, c.rel,
+                             $num * c.relm - $mu * max(p.simm) AS score
+                      FROM cand c
+                      JOIN sel$p sl ON sl.query_id = c.query_id
+                      JOIN pairs p ON p.query_id = c.query_id
+                        AND p.da = c.doc_id AND p.db = sl.doc_id
+                      WHERE NOT EXISTS (SELECT 1 FROM sel$p x
+                                        WHERE x.query_id = c.query_id
+                                          AND x.doc_id = c.doc_id)
+                      GROUP BY c.query_id, c.doc_id, c.rel, c.relm),
+              s$i AS (SELECT query_id, doc_id, rel,
+                             CAST(score AS DOUBLE) / ($outScale) AS mmr,
+                             $i AS rank
+                      FROM (
+                        SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS rr FROM m$i)
+                      WHERE rr = 1),
+              sel$i AS (SELECT query_id, doc_id FROM sel$p
+                        UNION ALL SELECT query_id, doc_id FROM s$i)"""
+    }
+    sb ++= (1 to k).map(i =>
+      s"SELECT query_id, doc_id, rel, mmr, CAST(rank AS INTEGER) AS rank FROM s$i")
+      .mkString("\n              ", "\n              UNION ALL ", "")
+    sb ++= "\n              ORDER BY query_id, rank"
+    sb.toString
+  }
+
   /** Planted link-graph pages shared by q_host_pagerank / q_link_prior:
     * page host doc_id%13, outlinks at +4 (www-prefixed mirror form,
     * exercising normalization) and *3+5 mod 13 (self-loop at residue 4,
@@ -1947,6 +2071,29 @@ object Queries {
           .orderBy("query_id", "rnk")
       }),
 
+    QueryDef("q_retrieval_mmr",
+      // MMR-diversified retrieval (Carbonell & Goldstein 1998): per
+      // query, greedily pick 5 of the top-12 ANN candidates maximizing
+      // λ·rel − (1−λ)·max-sim-to-selected (λ = 0.7) — the
+      // diversification pass between ANN and a consumer that wants
+      // coverage, not five near-duplicates of the best hit. The greedy
+      // runs per-query inside flatMapGroups over the BOUNDED candidate
+      // pool, comparing exact micro-unit LONG scores (λ = 7/10 as a
+      // rational); the oracle unrolls the same integer selection to
+      // five CTE stages with doc-asc ties — the identical total order.
+      Some(mmrOracle(nQueries = 3, nCand = 12, k = 5,
+        lambdaNum = 7, lambdaDen = 10)),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val cands = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 12)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("sim").as("rel"))
+          .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        Similarity.mmrRerank(cands, k = 5, lambdaNum = 7, lambdaDen = 10)
+          .orderBy("query_id", "rank")
+      }),
+
     QueryDef("q_label_centroids",
       // per-label mean embedding (the class-geometry table classifier
       // diagnostics and per-class drift read): one posexplode
@@ -2915,56 +3062,45 @@ object Queries {
 
     QueryDef("q_bm25_search",
       // BM25 keyword retrieval: top-10 docs for three keyword queries.
-      // Every float step is double-double in BOTH engines (explicit CASTs
-      // in the SQL — a bare 0.5/1.2 literal is DECIMAL in DuckDB and a
-      // decimal-typed intermediate would diverge); constants combine
-      // INSIDE the expression ((1.2 + 1.0), (1.0 - 0.75)) so both engines
-      // run the identical IEEE sequence; per-term scores round 6dp and
-      // sum as DECIMAL(18,6).
-      Some("""WITH q(query_id, term) AS (VALUES
-                (CAST(0 AS BIGINT), 'hash'), (0, 'join'),
-                (1, 'fast'), (1, 'scan'), (1, 'filter'),
-                (2, 'customer'), (2, 'order'), (2, 'data')),
-              toks AS (
-                SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
-                       unnest(string_split(lower(text), ' ')) AS term
-                FROM documents
-              ), stats AS (
-                SELECT count(*) AS n_docs,
-                       CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE) / count(*) AS avgdl
-                FROM documents
-              ), tf AS (
-                SELECT query_id, doc_id, term, count(*) AS tf, min(dl) AS dl
-                FROM toks JOIN q USING (term) GROUP BY 1, 2, 3
-              ), dfreq AS (
-                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
-              ), scored AS (
-                SELECT query_id, doc_id,
-                       CAST(round(
-                         (ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                                   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-                          * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
-                         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-                            ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
-                             CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))),
-                         6) AS DECIMAL(18,6)) AS s
-                FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-              ), agg AS (
-                SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
-                FROM scored GROUP BY 1, 2
-              ), r AS (
-                SELECT query_id, doc_id, score,
-                       CAST(row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-                FROM agg
-              )
-              SELECT query_id, doc_id, score, rank FROM r
-              WHERE rank <= 10 ORDER BY query_id, rank"""),
+      // Float determinism pinned in the shared bm25SearchOracle (explicit
+      // double CASTs, constants combined inside the expression, 6dp
+      // per-term rounding, DECIMAL(18,6) summation).
+      Some(bm25SearchOracle),
       (s, d) => {
         prep(s)
         TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", "text",
           Seq(0L -> Seq("hash", "join"), 1L -> Seq("fast", "scan", "filter"),
             2L -> Seq("customer", "order", "data")), 10)
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q_bm25_merge",
+      // the shard-then-merge index build a 100 TB corpus runs: each half
+      // of the corpus (doc_id parity) builds its BM25 index independently
+      // — zero cross-shard shuffle — then bm25IndexMerge combines the two
+      // directories (postings union under the shared bucket partitioning,
+      // df added term-wise over the disjoint doc sets, stats re-derived
+      // from summed exact longs). Every stored quantity equals the
+      // all-at-once union build's, so the oracle is q_bm25_search's
+      // whole-corpus SQL verbatim: the merged index must answer
+      // bit-identically to an index that never was sharded.
+      Some(bm25SearchOracle),
+      (s, d) => {
+        prep(s)
+        val docs = t(s, d, "documents")
+        val terms = Seq(0L -> Seq("hash", "join"),
+          1L -> Seq("fast", "scan", "filter"),
+          2L -> Seq("customer", "order", "data"))
+        val dirA = tmpDir("graft-bm25-sharda").toString
+        val dirB = tmpDir("graft-bm25-shardb").toString
+        val dirM = tmpDir("graft-bm25-merged").toString
+        TextAnalysis.bm25IndexBuild(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", buckets = 16).save(dirA)
+        TextAnalysis.bm25IndexBuild(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", buckets = 16).save(dirB)
+        TextAnalysis.bm25IndexMerge(s, dirA, dirB, dirM)
+        TextAnalysis.bm25SearchIndex(TextAnalysis.bm25IndexLoad(s, dirM),
+            terms, 10)
           .orderBy("query_id", "rank")
       }),
 
@@ -3282,6 +3418,53 @@ object Queries {
       (s, d) => TextAnalysis.collocations(t(s, d, "documents"),
         "doc_id", "text", window = 3, minCount = 5L, k = 20)),
 
+    QueryDef("q_collocations_pruned",
+      // the scale rung over q_collocations (its ScaleProof curve is the
+      // steepest in the set — exact pair counting grows with observed
+      // pair volume): prune the position stream to the top-30 terms
+      // (count-desc, term-asc deterministic cut) BEFORE the offset
+      // explode + pair join, so the quadratic stage sees only the head
+      // of the Zipf curve. Per-term counts stay exact (whole terms drop,
+      // never occurrences of kept ones); PMI is over the pruned event
+      // space — n_a/n_b/M/T all count kept-term events — and the oracle
+      // states the identical pruned derivation.
+      Some("""WITH tt AS (SELECT doc_id, string_split(lower(text),' ') AS w
+                          FROM documents),
+              p0 AS (SELECT doc_id,
+                            unnest(generate_series(1, len(w))) AS pos,
+                            unnest(w) AS term
+                     FROM tt),
+              pq AS (SELECT * FROM p0 WHERE term <> ''),
+              nall AS (SELECT term, count(*) AS n FROM pq GROUP BY 1),
+              kept AS (SELECT term, n FROM (
+                         SELECT term, n, row_number() OVER
+                             (ORDER BY n DESC, term) AS r FROM nall)
+                       WHERE r <= 30),
+              p AS (SELECT pq.doc_id, pq.pos, pq.term
+                    FROM pq JOIN kept ON pq.term = kept.term),
+              pr AS (SELECT least(a.term, b.term) AS term_a,
+                            greatest(a.term, b.term) AS term_b
+                     FROM p a JOIN p b ON a.doc_id = b.doc_id
+                       AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+                     WHERE a.term <> b.term),
+              nab AS (SELECT term_a, term_b, count(*) AS n_ab
+                      FROM pr GROUP BY 1, 2),
+              tot AS (SELECT (SELECT sum(n_ab) FROM nab) AS t,
+                             (SELECT sum(n) FROM kept) AS m)
+              SELECT term_a, term_b, n_ab,
+                     round(ln(CAST(n_ab AS DOUBLE)) + ln(CAST(m AS DOUBLE))
+                         + ln(CAST(m AS DOUBLE)) - ln(CAST(t AS DOUBLE))
+                         - ln(CAST(naa.n AS DOUBLE)) - ln(CAST(nb.n AS DOUBLE)),
+                       6) AS pmi
+              FROM nab
+              JOIN kept naa ON naa.term = nab.term_a
+              JOIN kept nb ON nb.term = nab.term_b
+              CROSS JOIN tot
+              WHERE n_ab >= 5
+              ORDER BY pmi DESC, term_a, term_b LIMIT 20"""),
+      (s, d) => TextAnalysis.collocationsPruned(t(s, d, "documents"),
+        "doc_id", "text", window = 3, minCount = 5L, k = 20, topVocab = 30)),
+
     QueryDef("q_proximity_search",
       // NEAR/4 pair-proximity over the persistent positional index
       // (save → load → search): docs where 'slow' and 'batch' co-occur
@@ -3400,6 +3583,40 @@ object Queries {
         prep(s)
         TextAnalysis.heavyHitters(t(s, d, "documents"), "text", 2,
           sketchK = 1024, threshold = 40L)
+      }),
+
+    QueryDef("q_vocab_coverage",
+      // vocabulary coverage / OOV analytics — "does the tokenizer built
+      // on corpus A still fit corpus B": the vocabulary is the train
+      // split's words at frequency >= 3 (docs with doc_id % 3 <> 0), and
+      // every held-out doc (doc_id % 3 = 0) reports token count, OOV
+      // count, and 6dp OOV rate. One term-keyed vocab aggregation, one
+      // co-partitioned left join on the term key, one doc-keyed reduce —
+      // the drift early-warning a frozen tokenizer needs before
+      // fertility degrades on a new crawl.
+      Some("""WITH tr AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+                          FROM documents WHERE doc_id % 3 <> 0),
+              v AS (SELECT word FROM (
+                      SELECT word, count(*) AS f FROM tr
+                      WHERE word <> '' GROUP BY 1)
+                    WHERE f >= 3),
+              ev AS (SELECT doc_id,
+                            unnest(string_split(lower(text), ' ')) AS word
+                     FROM documents WHERE doc_id % 3 = 0),
+              j AS (SELECT doc_id, ev.word, v.word AS iv
+                    FROM ev LEFT JOIN v ON ev.word = v.word
+                    WHERE ev.word <> '')
+              SELECT doc_id, count(*) AS n_tokens,
+                     CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                     round(CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+              FROM j GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val docs = t(s, d, "documents")
+        TextAnalysis.vocabCoverage(docs.filter(col("doc_id") % 3 =!= 0),
+            docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", minFreq = 3L)
+          .orderBy("doc_id")
       }),
 
     QueryDef("q_text_chunks",
@@ -4846,6 +5063,66 @@ object Queries {
             WebCuration.hostEdges(plantedLinkPages(s, d), "url", "links"),
             iters = 10)
           .orderBy("host")
+      }),
+
+    QueryDef("q_host_triangles",
+      // per-host triangle counts + local clustering coefficient — the
+      // graph-density spam signal (link farms are near-cliques, organic
+      // hub neighborhoods are sparse). Planted graph: overlapping
+      // mod-9 h-ring with ±1/±2 chords (every consecutive triple closes
+      // a triangle → 3 per node, degree 4, coefficient 0.5) plus
+      // pendant p/q pairs on every 7th doc (degree 1 → coefficient 0.0
+      // by the <2-degree definition). The engine enumerates via the
+      // degree-ordered compact-forward wedge join (per-source fan-out
+      // bounded O(√m)); the oracle closes triangles with the naive
+      // a<b<c three-way self-join — independent algorithms agreeing on
+      // every corner count.
+      Some("""WITH pages AS (
+                SELECT CASE WHEN doc_id % 7 = 0
+                            THEN concat('p', CAST(doc_id % 3 AS VARCHAR), '.test')
+                            ELSE concat('h', CAST(doc_id % 9 AS VARCHAR), '.test')
+                       END AS src,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN concat('q', CAST(doc_id % 3 AS VARCHAR), '.test')
+                            ELSE concat('h', CAST((doc_id + 1 + doc_id % 2) % 9 AS VARCHAR), '.test')
+                       END AS dst
+                FROM documents),
+              und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                      FROM pages WHERE src <> dst),
+              deg AS (SELECT v, count(*) AS degree FROM (
+                        SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                      GROUP BY 1),
+              tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                      FROM und e1
+                      JOIN und e2 ON e2.a = e1.b
+                      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+              tc AS (SELECT v, count(*) AS t FROM (
+                       SELECT x AS v FROM tri
+                       UNION ALL SELECT y FROM tri
+                       UNION ALL SELECT z FROM tri)
+                     GROUP BY 1)
+              SELECT deg.v AS host, deg.degree,
+                     CAST(coalesce(tc.t, 0) AS BIGINT) AS triangles,
+                     CASE WHEN deg.degree >= 2
+                          THEN round(CAST(coalesce(tc.t, 0) * 2 AS DOUBLE)
+                               / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+                          ELSE 0.0 END AS clustering
+              FROM deg LEFT JOIN tc ON tc.v = deg.v
+              ORDER BY host"""),
+      (s, d) => {
+        prep(s)
+        val did = col("doc_id")
+        val edges = t(s, d, "documents").select(
+          when(did % 7 === 0,
+              concat(lit("p"), (did % 3).cast("string"), lit(".test")))
+            .otherwise(concat(lit("h"), (did % 9).cast("string"), lit(".test")))
+            .as("src"),
+          when(did % 7 === 0,
+              concat(lit("q"), (did % 3).cast("string"), lit(".test")))
+            .otherwise(concat(lit("h"),
+              ((did + 1 + did % 2) % 9).cast("string"), lit(".test")))
+            .as("dst"))
+        WebCuration.triangleStats(edges).orderBy("host")
       }),
 
     QueryDef("q_link_prior",

@@ -50,6 +50,91 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversification pass between ANN retrieval and a consumer
+    * that wants coverage, not k near-duplicates of the best hit (RAG
+    * context assembly, dedup-aware few-shot selection): greedily pick
+    *   argmax_c  λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+    * where S is the already-picked set, until k rows per query.
+    *
+    * Input is (query_id, doc_id, rel, embedding) — the BOUNDED per-query
+    * candidate pool an ANN tier already produced (top-n), so the greedy
+    * runs inside `flatMapGroups` per query key: distributed across
+    * queries, never a driver collect, O(k·n) pair similarities per query
+    * with n bounded by construction (the same bounded-rerank-tail
+    * contract as the SQ8/PQ rerank stages).
+    *
+    * Determinism: λ is a RATIONAL (`lambdaNum`/`lambdaDen`) and the
+    * greedy compares EXACT LONGS — rel and each pair cosine (the same
+    * [[graft.functions.VectorMath.cosineF]] kernel as `cosine_sim`)
+    * quantize to micro-units with half-away-from-zero rounding (the
+    * round(x·1e6)-as-BIGINT recipe every fixed-point oracle in this
+    * repo uses), and the score is num·relµ − (den−num)·max simµ — no
+    * float combination step, so no decimal-rounding boundary can
+    * diverge between engines (a λ·rel − (1−λ)·sim double chain round-
+    * tripped through 6dp rounding DID diverge at a half boundary; the
+    * integer form can't). Ties break doc-ascending — a total order.
+    * Output mmr = score / (den·1e6) as one exact-operand IEEE divide.
+    * Columns: (query_id, doc_id, rel, mmr, rank) with rank 1..k in
+    * selection order.
+    */
+  def mmrRerank(candidates: DataFrame, k: Int, lambdaNum: Int,
+                lambdaDen: Int): DataFrame = {
+    require(k >= 1, s"mmrRerank: need k >= 1, got $k")
+    require(lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"mmrRerank: need 0 <= lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
+    val num = lambdaNum.toLong
+    val muNum = (lambdaDen - lambdaNum).toLong
+    val outScale = lambdaDen.toDouble * 1e6
+    // half away from zero at micro scale — DuckDB round() / Spark round()
+    def micro(x: Double): Long = {
+      val a = math.floor(math.abs(x) * 1e6 + 0.5).toLong
+      if (x < 0) -a else a
+    }
+    val ss = candidates.sparkSession
+    import ss.implicits._
+    val ds = candidates
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("rel").cast("double"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    ds.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cs = it.toArray.sortBy(_._2) // doc-asc scan order: strict > keeps the smallest doc on ties
+      val n = cs.length
+      val relM = cs.map(c => micro(c._3))
+      val taken = new Array[Boolean](n)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Int)]
+      var rank = 1
+      while (rank <= math.min(k, n)) {
+        var best = -1
+        var bestScore = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val score =
+              if (sel.isEmpty) num * relM(i)
+              else {
+                var maxSim = Long.MinValue
+                sel.foreach { j =>
+                  val s = micro(
+                    graft.functions.VectorMath.cosineF(cs(i)._4, cs(j)._4))
+                  if (s > maxSim) maxSim = s
+                }
+                num * relM(i) - muNum * maxSim
+              }
+            if (score > bestScore) { bestScore = score; best = i }
+          }
+          i += 1
+        }
+        taken(best) = true
+        sel += best
+        out += ((q, cs(best)._2, cs(best)._3, bestScore.toDouble / outScale, rank))
+        rank += 1
+      }
+      out.iterator
+    }.toDF("query_id", "doc_id", "rel", "mmr", "rank")
+  }
+
   /** Embedding-space benchmark decontamination — the semantic
     * counterpart of the n-gram pass ([[Pipeline]] contamination):
     * corpus vectors whose max cosine against ANY benchmark vector

@@ -605,9 +605,90 @@ object TextAnalysis {
     require(window >= 1, s"collocations: window must be >= 1, got $window")
     require(minCount >= 1 && k >= 1,
       s"collocations: minCount/k must be >= 1, got $minCount/$k")
-    val p = docs
+    val p = collocationStream(docs, id, text)
+    collocationsCore(p, p.groupBy(col("term")).agg(count(lit(1)).as("n")),
+      window, minCount, k)
+  }
+
+  /** Vocabulary-pruned collocation mining — the scale rung over
+    * [[collocations]]: exact pair counting grows with observed pair
+    * volume (the steepest curve in the ScaleProof set), and almost all
+    * of that volume is pairs that can never rank — one rare member
+    * caps n_ab below any useful floor. Pruning the position stream to
+    * the top-`topVocab` terms (count-desc, term-asc — a deterministic
+    * bounded cut) BEFORE the offset explode + pair join shrinks the
+    * quadratic stage to the head of the Zipf curve while the per-term
+    * counts stay exact (pruning drops whole terms, never occurrences of
+    * kept ones). PMI is over the pruned event space — n_a, n_b, M and T
+    * all count kept-term events, so the score is self-consistent and
+    * both engines state it identically. At full-corpus cadence the
+    * exact top-m vocabulary cut would swap for the Misra-Gries heavy
+    * hitters ([[heavyHitters]]) with identical downstream shape.
+    */
+  def collocationsPruned(docs: org.apache.spark.sql.DataFrame, id: String,
+                         text: String, window: Int, minCount: Long,
+                         k: Int, topVocab: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"collocationsPruned: window must be >= 1, got $window")
+    require(minCount >= 1 && k >= 1 && topVocab >= 2,
+      s"collocationsPruned: minCount/k/topVocab out of range: $minCount/$k/$topVocab")
+    val p0 = collocationStream(docs, id, text)
+    // bounded vocabulary header: topVocab rows through TakeOrderedAndProject
+    val kept = p0.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topVocab)
+    val p = p0.join(broadcast(kept.select("term")), "term")
+    collocationsCore(p, kept, window, minCount, k)
+  }
+
+  /** Vocabulary coverage / out-of-vocabulary analytics — the "will the
+    * tokenizer built on corpus A still fit corpus B" check run before
+    * reusing a trained vocabulary on a new crawl snapshot or domain mix:
+    * the vocabulary is corpus A's words at frequency ≥ `minFreq`, and
+    * each eval document reports its token count, OOV token count, and
+    * OOV rate. A drifting corpus (new language, new jargon, encoding
+    * rot) shows up as a per-doc oov_rate shift long before downstream
+    * fertility degrades; the per-doc table feeds the same
+    * quantile/drift reporting as the quality signals.
+    *
+    * Shape at scale: the vocabulary is ONE term-keyed aggregation over
+    * the train corpus (map-side partials); eval tokens left-join it on
+    * the term key — co-partitioned, vocabulary-sized build side, never
+    * a collect — and reduce onto the doc key. The rate is the raw IEEE
+    * quotient of the two exact longs, rounded 6 dp.
+    */
+  def vocabCoverage(train: org.apache.spark.sql.DataFrame,
+                    eval: org.apache.spark.sql.DataFrame, id: String,
+                    text: String, minFreq: Long): org.apache.spark.sql.DataFrame = {
+    require(minFreq >= 1, s"vocabCoverage: minFreq must be >= 1, got $minFreq")
+    val vocab = train
+      .select(explode(words(col(text))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .select(col("word"), lit(1).as("_in"))
+    val toks = eval
+      .select(col(id), explode(words(col(text))).as("word"))
+      .filter(col("word") =!= "")
+    val oov = sum(when(col("_in").isNull, lit(1L)).otherwise(lit(0L)))
+    toks.join(vocab, Seq("word"), "left")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_tokens"), oov.as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
+  private def collocationStream(docs: org.apache.spark.sql.DataFrame,
+                                id: String, text: String): org.apache.spark.sql.DataFrame =
+    docs
       .select(col(id).as("_d"), posexplode(words(col(text))).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
+
+  /** Shared pair-mining tail: windowed co-occurrence join over position
+    * stream `p`, PMI against unigram table `na` (term, n), bounded top-k.
+    */
+  private def collocationsCore(p: org.apache.spark.sql.DataFrame,
+                               na: org.apache.spark.sql.DataFrame,
+                               window: Int, minCount: Long,
+                               k: Int): org.apache.spark.sql.DataFrame = {
     val right = p.select(col("_d"), col("pos").as("_rp"), col("term").as("_rt"))
     val pairs = p.withColumn("_o", explode(sequence(lit(1), lit(window))))
       .select(col("_d"), (col("pos") + col("_o")).as("_rp"), col("term").as("_lt"))
@@ -616,7 +697,6 @@ object TextAnalysis {
       .select(least(col("_lt"), col("_rt")).as("term_a"),
         greatest(col("_lt"), col("_rt")).as("term_b"))
     val nab = pairs.groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
-    val na = p.groupBy(col("term")).agg(count(lit(1)).as("n"))
     val totals = nab.agg(sum(col("n_ab")).as("t"))
       .crossJoin(na.agg(sum(col("n")).as("m")))
     def ln(c: org.apache.spark.sql.Column) = log(c.cast("double"))
@@ -706,6 +786,47 @@ object TextAnalysis {
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("buckets", lit(buckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Merge two saved BM25 indexes over DISJOINT document sets into a
+    * third directory — the shard-then-merge build a 100 TB corpus needs:
+    * each ingest partition (crawl snapshot, corpus shard) builds its
+    * index independently with no cross-shard shuffle, and merges combine
+    * pairwise (or in a reduction tree) afterwards. Every stored quantity
+    * of the merged index equals the all-at-once union build's:
+    * postings rows are per-(term, doc) and doc sets are disjoint, so the
+    * union IS the build; df merges by term-wise integer addition; stats
+    * re-derive avgdl from the summed exact longs. The bucket moduli must
+    * agree (checked) — the merged postings keep their bucket partitioning
+    * so searches prune identically. The corpus-sized postings move
+    * through a partition-preserving union write (no shuffle — bucket is
+    * a partition column on both sides); only the vocabulary-sized df and
+    * the 1-row stats are recomputed.
+    */
+  def bm25IndexMerge(spark: org.apache.spark.sql.SparkSession, dirA: String,
+                     dirB: String, outDir: String): Unit = {
+    val statsA = spark.read.parquet(s"$dirA/stats").head()
+    val statsB = spark.read.parquet(s"$dirB/stats").head()
+    val buckets = statsA.getAs[Int]("buckets")
+    require(buckets == statsB.getAs[Int]("buckets"),
+      s"bm25IndexMerge: bucket moduli differ ($buckets vs " +
+        s"${statsB.getAs[Int]("buckets")}) — shards must be built with one " +
+        "modulus for the merged partitioning to prune correctly")
+    spark.read.parquet(s"$dirA/postings").unionByName(
+        spark.read.parquet(s"$dirB/postings"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/postings")
+    spark.read.parquet(s"$dirA/df").select("term", "df").unionByName(
+        spark.read.parquet(s"$dirB/df").select("term", "df"))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .withColumn("bucket", bm25Bucket(col("term"), buckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/df")
+    val nDocs = statsA.getAs[Long]("n_docs") + statsB.getAs[Long]("n_docs")
+    val sumDl = statsA.getAs[Long]("sum_dl") + statsB.getAs[Long]("sum_dl")
+    import spark.implicits._
+    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stats")
   }
 
   /** Search a (built or loaded) [[Bm25Index]] — bit-identical results to

@@ -136,6 +136,9 @@ object ScaleProof {
     "q_profile",          // one-pass multi-column audit (exact-distinct mode)
     "q_url_blocklist",    // column-pruned suffix explode + anti-join
     "q_collocations",     // windowed pair join + PMI over pair/vocab aggs
+    "q_collocations_pruned", // the scale rung: top-m vocab cut before the pair join
+    "q_host_triangles",   // degree-ordered wedge join (O(√m) fan-out bound)
+    "q_vocab_coverage",   // vocab-keyed left join + doc-keyed reduce
     "q_sample_reservoir", // A-ES key + bounded per-group top-k cut
     "q_decay_score")      // scan-fused decay terms + keyed aggregation
 

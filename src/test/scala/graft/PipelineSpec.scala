@@ -525,6 +525,86 @@ class PipelineSpec extends SparkSpec {
     assert(idx.stats.head().getAs[Int]("buckets") === 8)
   }
 
+  test("bm25IndexMerge: two disjoint-shard indexes merge into one that " +
+      "searches bit-equal to a from-scratch build of the union; bucket " +
+      "modulus mismatch rejects") {
+    graft.functions.Functions.ensure(spark)
+    val docs = Tables.documents(spark, sf)
+    val queries = Seq(0L -> Seq("hash", "join"), 1L -> Seq("fast", "scan"))
+    val dirA = java.nio.file.Files.createTempDirectory("bm25-ma").toString
+    val dirB = java.nio.file.Files.createTempDirectory("bm25-mb").toString
+    val dirM = java.nio.file.Files.createTempDirectory("bm25-mm").toString
+    graft.operators.TextAnalysis.bm25IndexBuild(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", buckets = 8).save(dirA)
+    graft.operators.TextAnalysis.bm25IndexBuild(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", buckets = 8).save(dirB)
+    graft.operators.TextAnalysis.bm25IndexMerge(spark, dirA, dirB, dirM)
+    val idx = graft.operators.TextAnalysis.bm25IndexLoad(spark, dirM)
+    val viaMerged = graft.operators.TextAnalysis.bm25SearchIndex(idx, queries, 10)
+      .collect().map(_.toSeq).toSet
+    val fresh = graft.operators.TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaMerged === fresh)
+    val st = idx.stats.head()
+    assert(st.getAs[Long]("n_docs") === docs.count())
+    // df merged term-wise: no duplicate term rows survive the merge
+    assert(idx.dfreq.groupBy("term").count().filter(col("count") > 1).count() === 0)
+    val dirC = java.nio.file.Files.createTempDirectory("bm25-mc").toString
+    graft.operators.TextAnalysis.bm25IndexBuild(
+      docs.limit(10), "doc_id", "text", buckets = 4).save(dirC)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.bm25IndexMerge(spark, dirA, dirC,
+        java.nio.file.Files.createTempDirectory("bm25-mx").toString)
+    }
+    assert(ex.getMessage.contains("bucket moduli differ"))
+  }
+
+  test("collocationsPruned: with topVocab covering the whole vocabulary " +
+      "it equals the unpruned miner; a tight cut keeps only head-term pairs") {
+    graft.functions.Functions.ensure(spark)
+    val docs = Tables.documents(spark, sf)
+    val full = graft.operators.TextAnalysis.collocations(docs, "doc_id", "text",
+      window = 3, minCount = 3L, k = 15).collect().map(_.toSeq).toSeq
+    val vocabSize = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").select("w").distinct().count().toInt
+    val unprunedEquiv = graft.operators.TextAnalysis.collocationsPruned(docs, "doc_id", "text",
+      window = 3, minCount = 3L, k = 15, topVocab = vocabSize)
+      .collect().map(_.toSeq).toSeq
+    assert(unprunedEquiv === full,
+      "a cut covering the whole vocabulary must be the identity")
+    // a tight cut: every surfaced term is within the top-5 unigram set
+    val top5 = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(5)
+      .select("w").as[String].collect().toSet
+    val pruned = graft.operators.TextAnalysis.collocationsPruned(docs, "doc_id", "text",
+      window = 3, minCount = 1L, k = 50, topVocab = 5)
+      .select("term_a", "term_b").as[(String, String)].collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(p => top5.contains(p._1) && top5.contains(p._2)))
+  }
+
+  test("vocabCoverage: OOV tokens are exactly the eval words under the " +
+      "train-frequency floor; rates are exact quotients") {
+    graft.functions.Functions.ensure(spark)
+    val train = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "alpha beta  beta")).toDF("doc_id", "text")
+    // vocab at minFreq 2: alpha (3), beta (3); gamma (1) drops
+    val eval = Seq(
+      (10L, "alpha beta gamma delta"), // 2 OOV of 4
+      (11L, "alpha alpha"),            // 0 OOV
+      (12L, "zeta")).toDF("doc_id", "text") // 1 OOV of 1
+    val got = graft.operators.TextAnalysis
+      .vocabCoverage(train, eval, "doc_id", "text", minFreq = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 4L, 2L, 0.5), (11L, 2L, 0L, 0.0),
+      (12L, 1L, 1L, 1.0)))
+  }
+
   test("bm25IndexAppend: incrementally appended index searches bit-equal " +
       "to a from-scratch search over the union corpus") {
     graft.functions.Functions.ensure(spark)

@@ -710,4 +710,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("pruned collocations broadcast the bounded vocabulary cut into the " +
+    "position stream before the pair join — no cartesian anywhere") {
+    val p = plan("q_collocations_pruned")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // the top-m vocab cut
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("triangle counting pairs wedges through equi-joins only (the " +
+    "degree-ordered orientation bounds fan-out; a theta/cartesian join " +
+    "would be the quadratic failure mode)") {
+    val p = plan("q_host_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("vocabulary coverage joins eval tokens to the vocab on the term " +
+    "key and reduces per doc with map-side partials — no cartesian") {
+    val p = plan("q_vocab_coverage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("merged BM25 index search keeps the bucket-pruned scan shape: the " +
+    "posting read prunes to the query terms' bucket partitions") {
+    val p = plan("q_bm25_merge")
+    assert(p.contains("PartitionFilters"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

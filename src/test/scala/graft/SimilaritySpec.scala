@@ -700,4 +700,68 @@ class SimilaritySpec extends SparkSpec {
     assert(opqErr < pqErr,
       s"OPQ mse $opqErr should beat PQ mse $pqErr on cross-subspace structure")
   }
+
+  test("mmrRerank: diversification demotes the near-duplicate of the top " +
+      "hit; λ = 1 degenerates to pure relevance order") {
+    graft.functions.Functions.ensure(spark)
+    // doc 2 is a near-duplicate of doc 1 (same direction); doc 3 is
+    // orthogonal with lower relevance
+    val cands = Seq(
+      (0L, 1L, 0.95, Array(1.0f, 0.0f)),
+      (0L, 2L, 0.94, Array(1.0f, 0.001f)),
+      (0L, 3L, 0.50, Array(0.0f, 1.0f)))
+      .toDF("query_id", "doc_id", "rel", "embedding")
+    val half = Similarity.mmrRerank(cands, k = 3, lambdaNum = 1, lambdaDen = 2)
+      .orderBy("rank").select("doc_id", "mmr").as[(Long, Double)].collect()
+    // step 1: doc 1 (rel max). step 2 at λ=1/2: doc 2 scores ≈ .94−1.0 < 0,
+    // doc 3 scores .50−0 → doc 3 wins; doc 2 last.
+    assert(half.map(_._1).toSeq === Seq(1L, 3L, 2L))
+    assert(half(0)._2 === 0.475, "mmr of the first pick is λ·rel exactly")
+    // λ = 1: no diversity penalty — pure relevance order
+    val pure = Similarity.mmrRerank(cands, k = 3, lambdaNum = 1, lambdaDen = 1)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(pure === Seq(1L, 2L, 3L))
+  }
+
+  test("mmrRerank equals a naive integer-greedy reference on seeded random " +
+      "pools") {
+    graft.functions.Functions.ensure(spark)
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val rows = for (q <- 0L until 4L; d <- 0 until 10) yield
+      (q, (q * 100 + d), math.floor(rnd.nextDouble() * 1e6) / 1e6,
+        Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val got = Similarity.mmrRerank(
+        rows.toDF("query_id", "doc_id", "rel", "embedding"),
+        k = 5, lambdaNum = 7, lambdaDen = 10)
+      .select("query_id", "doc_id", "mmr", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._4) }
+    // independent naive greedy re-derived from the spec
+    def micro(x: Double): Long = {
+      val a = math.floor(math.abs(x) * 1e6 + 0.5).toLong
+      if (x < 0) -a else a
+    }
+    rows.groupBy(_._1).foreach { case (q, pool0) =>
+      val pool = pool0.sortBy(_._2).toArray
+      var sel = Vector.empty[Int]
+      (1 to 5).foreach { rank =>
+        val scores = pool.indices.filterNot(sel.contains).map { i =>
+          val pen = if (sel.isEmpty) 0L
+            else sel.map(j => micro(VectorMath.cosineF(pool(i)._4, pool(j)._4))).max
+          (i, 7L * micro(pool(i)._3) - (if (sel.isEmpty) 0L else 3L * pen))
+        }
+        val best = scores.maxBy { case (i, s) => (s, -pool(i)._2) }
+        sel = sel :+ best._1
+        val row = got(q)(rank - 1)
+        assert(row._2 === pool(best._1)._2,
+          s"query $q rank $rank picked ${row._2}, naive ${pool(best._1)._2}")
+        assert(row._3 === best._2.toDouble / 1e7)
+      }
+      // NOTE: mmr scores are NOT monotone down the ranking in general —
+      // a negative max-cosine turns the diversity term into a bonus, so
+      // a later pick can out-score an earlier one. Only the per-step
+      // argmax (checked above) is the contract.
+    }
+  }
 }

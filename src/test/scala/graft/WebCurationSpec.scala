@@ -305,6 +305,52 @@ class WebCurationSpec extends SparkSpec {
     assert(kept === Set(1L))
   }
 
+  test("triangleStats: K4 counts 3 triangles per node at coefficient 1.0, " +
+    "a pendant reads 0.0, and duplicate/reversed edges canonicalize away") {
+    graft.functions.Functions.ensure(spark)
+    // K4 over {a,b,c,d} stated with duplicates and both directions,
+    // plus pendant d—e (degree-1 e defines coefficient 0.0)
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "c"), ("d", "e"), ("e", "e"))
+      .toDF("src", "dst")
+    val got = WebCuration.triangleStats(edges).orderBy("host")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // K4: each of a,b,c in 3 triangles at degree 3 → 2·3/(3·2) = 1.0;
+    // d: 3 triangles at degree 4 → 6/12 = 0.5; e: degree 1 → 0 by definition
+    assert(got === Seq(
+      ("a", 3L, 3L, 1.0), ("b", 3L, 3L, 1.0), ("c", 3L, 3L, 1.0),
+      ("d", 4L, 3L, 0.5), ("e", 1L, 0L, 0.0)))
+  }
+
+  test("triangleStats equals a naive per-node triple count on a seeded " +
+    "random graph (degree-ordered wedge enumeration is an optimization, " +
+    "not a semantics change)") {
+    graft.functions.Functions.ensure(spark)
+    val rnd = new scala.util.Random(42)
+    val n = 24
+    val edges = (0 until 140).map { _ =>
+      (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+    }
+    val got = WebCuration.triangleStats(edges.toDF("src", "dst"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // independent naive reference: adjacency sets, count triples
+    val und = edges.collect { case (a, b) if a != b =>
+      if (a < b) (a, b) else (b, a)
+    }.toSet
+    val adj = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val naive = adj.map { case (v, nb) =>
+      val t = nb.toSeq.combinations(2).count { pair =>
+        und.contains(if (pair(0) < pair(1)) (pair(0), pair(1))
+                     else (pair(1), pair(0)))
+      }
+      v -> ((nb.size.toLong, t.toLong))
+    }
+    assert(got === naive)
+  }
+
   test("blocklist filter drops any suffix depth case-insensitively and " +
     "stays label-aligned (notbad.com is not under bad.com)") {
     val sfx = Seq(Tuple1("a.b.c")).toDF("h")
