@@ -176,6 +176,25 @@ object Queries {
               SELECT query_id, doc_id, score, rank FROM r
               WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** Shared oracle for q_phrase_search and q_phrase_merge: positional
+    * postings carry no corpus-wide state, so a merge of disjoint-shard
+    * indexes is row-identical to the never-sharded build — one SQL gates
+    * both. Positions restate via the zipped generate_series unnest.
+    */
+  private val phraseSearchOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w
+                         FROM documents),
+              p AS (SELECT doc_id,
+                           unnest(generate_series(1, len(w))) AS pos,
+                           unnest(w) AS term
+                    FROM t),
+              a AS (SELECT doc_id, pos FROM p WHERE term = 'slow'),
+              b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'hash'),
+              c AS (SELECT doc_id, pos - 2 AS pos FROM p WHERE term = 'batch')
+              SELECT a.doc_id, count(*) AS n_matches
+              FROM a JOIN b USING (doc_id, pos) JOIN c USING (doc_id, pos)
+              GROUP BY 1 ORDER BY doc_id"""
+
   /** Generated oracle for q_retrieval_mmr: the greedy MMR selection
     * unrolled to `k` CTE stages (greedy argmax has no closed SQL form —
     * recursive CTEs can't aggregate over the recursive table, so the
@@ -3354,20 +3373,9 @@ object Queries {
       // "slow hash batch" as consecutive tokens, with per-doc occurrence
       // counts. The phrase's 3 posting lists prune to their bucket=K/
       // partitions and join pairwise on (doc_id, pos − offset) — the
-      // feature BM25's bag-of-words scoring can't express. The oracle
-      // restates positions via the zipped generate_series unnest.
-      Some("""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w
-                         FROM documents),
-              p AS (SELECT doc_id,
-                           unnest(generate_series(1, len(w))) AS pos,
-                           unnest(w) AS term
-                    FROM t),
-              a AS (SELECT doc_id, pos FROM p WHERE term = 'slow'),
-              b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'hash'),
-              c AS (SELECT doc_id, pos - 2 AS pos FROM p WHERE term = 'batch')
-              SELECT a.doc_id, count(*) AS n_matches
-              FROM a JOIN b USING (doc_id, pos) JOIN c USING (doc_id, pos)
-              GROUP BY 1 ORDER BY doc_id"""),
+      // feature BM25's bag-of-words scoring can't express. Oracle shared
+      // with q_phrase_merge (phraseSearchOracle).
+      Some(phraseSearchOracle),
       (s, d) => {
         prep(s)
         val dir = tmpDir("graft-posidx").toString
@@ -3375,6 +3383,32 @@ object Queries {
           TextAnalysis.positionalIndexBuild(t(s, d, "documents"),
             "doc_id", "text", buckets = 16), dir)
         TextAnalysis.phraseSearch(TextAnalysis.positionalIndexLoad(s, dir),
+            Seq("slow", "hash", "batch"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q_phrase_merge",
+      // the positional twin of q_bm25_merge: each doc-parity shard builds
+      // its positional index independently, positionalIndexMerge unions
+      // the bucket partitions (postings carry no corpus-wide state — the
+      // merge is purely additive, no recompute), and the merged index
+      // must answer the q_phrase_search phrase row-identically to an
+      // index that never was sharded — the oracle is that SQL verbatim.
+      Some(phraseSearchOracle),
+      (s, d) => {
+        prep(s)
+        val docs = t(s, d, "documents")
+        val dirA = tmpDir("graft-pos-sharda").toString
+        val dirB = tmpDir("graft-pos-shardb").toString
+        val dirM = tmpDir("graft-pos-merged").toString
+        TextAnalysis.positionalIndexSave(
+          TextAnalysis.positionalIndexBuild(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", buckets = 16), dirA)
+        TextAnalysis.positionalIndexSave(
+          TextAnalysis.positionalIndexBuild(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", buckets = 16), dirB)
+        TextAnalysis.positionalIndexMerge(s, dirA, dirB, dirM)
+        TextAnalysis.phraseSearch(TextAnalysis.positionalIndexLoad(s, dirM),
             Seq("slow", "hash", "batch"))
           .orderBy("doc_id")
       }),
@@ -5123,6 +5157,98 @@ object Queries {
               ((did + 1 + did % 2) % 9).cast("string"), lit(".test")))
             .as("dst"))
         WebCuration.triangleStats(edges).orderBy("host")
+      }),
+
+    QueryDef("q_link_reciprocity",
+      // per-host link reciprocity — the link-exchange signal (organic
+      // linking is one-way; "you link me, I link you" schemes push the
+      // ratio toward 1). Planted directed graph: a 10-host forward ring,
+      // plus reverse edges only where the source residue < 4 — so hosts
+      // carry mixed out-degrees (1 or 2) and reciprocity 0.5/1.0. The
+      // engine's reverse check is one co-partitioned self-semi-join on
+      // the flipped key; the oracle restates it as a join-count.
+      Some("""WITH raw AS (
+                SELECT concat('g', CAST(doc_id % 10 AS VARCHAR), '.test') AS src,
+                       concat('g', CAST((doc_id + 1) % 10 AS VARCHAR), '.test') AS dst
+                FROM documents
+                UNION ALL
+                SELECT concat('g', CAST((doc_id + 1) % 10 AS VARCHAR), '.test') AS src,
+                       concat('g', CAST(doc_id % 10 AS VARCHAR), '.test') AS dst
+                FROM documents WHERE doc_id % 10 < 4),
+              e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+              r AS (SELECT e.src, count(*) AS cnt
+                    FROM e JOIN e re ON e.src = re.dst AND e.dst = re.src
+                    GROUP BY e.src),
+              d AS (SELECT src, count(*) AS out_degree FROM e GROUP BY src)
+              SELECT d.src AS host, d.out_degree,
+                     CAST(coalesce(r.cnt, 0) AS BIGINT) AS reciprocal,
+                     round(CAST(coalesce(r.cnt, 0) AS DOUBLE)
+                           / CAST(d.out_degree AS DOUBLE), 6) AS reciprocity
+              FROM d LEFT JOIN r ON r.src = d.src
+              ORDER BY host"""),
+      (s, d) => {
+        prep(s)
+        val did = col("doc_id")
+        def g(c: org.apache.spark.sql.Column) =
+          concat(lit("g"), (c % 10).cast("string"), lit(".test"))
+        val docs = t(s, d, "documents")
+        val fwd = docs.select(g(did).as("src"), g(did + 1).as("dst"))
+        val rev = docs.filter(did % 10 < 4)
+          .select(g(did + 1).as("src"), g(did).as("dst"))
+        WebCuration.linkReciprocity(fwd.unionByName(rev)).orderBy("host")
+      }),
+
+    QueryDef("q_host_kcore",
+      // k-core decomposition (coreness) — the cohesion signal separating
+      // densely interlinked communities / link farms (high core) from
+      // tree-like organic periphery. Planted graph with KNOWN coreness:
+      // the mod-9 h-ring with ±1/±2 chords is 4-regular (whole graph =
+      // its own 4-core → coreness 4), the s square is a 4-cycle
+      // (coreness 2), p–q pendant pairs peel first (coreness 1). The
+      // engine runs the Matula-Beck peel (node-bounded degree agg +
+      // semi-join rounds); the oracle states the expected coreness per
+      // planted family independently — result-level agreement, no shared
+      // algorithm.
+      Some("""WITH pages AS (
+                SELECT CASE WHEN doc_id % 11 = 0
+                            THEN concat('s', CAST(doc_id % 4 AS VARCHAR), '.test')
+                            WHEN doc_id % 7 = 0
+                            THEN concat('p', CAST(doc_id % 3 AS VARCHAR), '.test')
+                            ELSE concat('h', CAST(doc_id % 9 AS VARCHAR), '.test')
+                       END AS src,
+                       CASE WHEN doc_id % 11 = 0
+                            THEN concat('s', CAST((doc_id + 1) % 4 AS VARCHAR), '.test')
+                            WHEN doc_id % 7 = 0
+                            THEN concat('q', CAST(doc_id % 3 AS VARCHAR), '.test')
+                            ELSE concat('h', CAST((doc_id + 1 + doc_id % 2) % 9 AS VARCHAR), '.test')
+                       END AS dst
+                FROM documents),
+              und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                      FROM pages WHERE src <> dst),
+              nodes AS (SELECT a AS host FROM und UNION SELECT b FROM und)
+              SELECT host,
+                     CAST(CASE WHEN host LIKE 'h%' THEN 4
+                               WHEN host LIKE 's%' THEN 2
+                               ELSE 1 END AS BIGINT) AS coreness
+              FROM nodes ORDER BY host"""),
+      (s, d) => {
+        prep(s)
+        val did = col("doc_id")
+        val edges = t(s, d, "documents").select(
+          when(did % 11 === 0,
+              concat(lit("s"), (did % 4).cast("string"), lit(".test")))
+            .when(did % 7 === 0,
+              concat(lit("p"), (did % 3).cast("string"), lit(".test")))
+            .otherwise(concat(lit("h"), (did % 9).cast("string"), lit(".test")))
+            .as("src"),
+          when(did % 11 === 0,
+              concat(lit("s"), ((did + 1) % 4).cast("string"), lit(".test")))
+            .when(did % 7 === 0,
+              concat(lit("q"), (did % 3).cast("string"), lit(".test")))
+            .otherwise(concat(lit("h"),
+              ((did + 1 + did % 2) % 9).cast("string"), lit(".test")))
+            .as("dst"))
+        WebCuration.kCore(edges).orderBy("host")
       }),
 
     QueryDef("q_link_prior",

@@ -547,6 +547,32 @@ object TextAnalysis {
     PositionalIndex(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/meta").head().getInt(0))
 
+  /** Merge two saved positional indexes over DISJOINT document sets into
+    * a third directory — the shard-then-merge companion of
+    * [[bm25IndexMerge]] for the phrase/proximity tier. Positional
+    * postings carry no corpus-wide state (no df, no avgdl), so the merge
+    * is PURELY a partition-preserving union of the bucket-partitioned
+    * posting files — no shuffle, no recompute; phrase and proximity
+    * searches over the merged index are row-identical to a from-scratch
+    * build of the union. Bucket moduli must agree (checked) so the
+    * merged partitioning prunes identically.
+    */
+  def positionalIndexMerge(spark: org.apache.spark.sql.SparkSession,
+                           dirA: String, dirB: String, outDir: String): Unit = {
+    val bucketsA = spark.read.parquet(s"$dirA/meta").head().getInt(0)
+    val bucketsB = spark.read.parquet(s"$dirB/meta").head().getInt(0)
+    require(bucketsA == bucketsB,
+      s"positionalIndexMerge: bucket moduli differ ($bucketsA vs $bucketsB) " +
+        "— shards must be built with one modulus for the merged " +
+        "partitioning to prune correctly")
+    spark.read.parquet(s"$dirA/postings").unionByName(
+        spark.read.parquet(s"$dirB/postings"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/postings")
+    import spark.implicits._
+    Seq(bucketsA).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
   /** Incremental positional-index ingest: append a NEW batch of documents
     * (ids disjoint from the indexed corpus — exact-dedup upstream) under
     * the saved bucket modulus. Positional postings carry no corpus-wide

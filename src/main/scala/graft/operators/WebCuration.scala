@@ -383,6 +383,97 @@ object WebCuration {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** Per-host link reciprocity over a DIRECTED (src, dst) edge table —
+    * the link-exchange signal: organic linking is largely one-way
+    * (content → reference), while reciprocal-link schemes ("you link me,
+    * I link you") push a host's reciprocity toward 1. For each host with
+    * outgoing edges: distinct out-degree, the count of those edges whose
+    * reverse edge also exists, and their exact-quotient ratio (6 dp).
+    *
+    * Shape at scale: edges dedup on their own key, the reverse check is
+    * ONE self-semi-join on the (dst, src) key — co-partitioned equi-join,
+    * never a matrix product — and the reduce is host-keyed.
+    */
+  def linkReciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val marked = e.join(rev, Seq("src", "dst"), "left_semi")
+      .select(col("src"), lit(1L).as("_r"))
+      .groupBy("src").agg(sum(col("_r")).as("reciprocal"))
+    e.groupBy("src").agg(count(lit(1)).as("out_degree"))
+      .join(marked, Seq("src"), "left")
+      .select(col("src").as("host"), col("out_degree"),
+        coalesce(col("reciprocal"), lit(0L)).as("reciprocal"),
+        round(coalesce(col("reciprocal"), lit(0L)).cast("double") /
+          col("out_degree").cast("double"), 6).as("reciprocity"))
+  }
+
+  /** k-core decomposition (coreness) over the undirected view of a
+    * (src, dst) edge table — the cohesion signal that separates densely
+    * interlinked communities (and link farms — a farm is a high-core
+    * near-clique) from tree-like organic periphery: a node's coreness is
+    * the largest k such that it survives in a subgraph of minimum degree
+    * k. Peeling algorithm (Matula & Beck): for k = 1, 2, …, repeatedly
+    * delete nodes of degree < k until stable; nodes deleted during stage
+    * k have coreness k − 1. Both loops are node-bounded DataFrame
+    * rounds: each inner step is one degree aggregation + one semi-join
+    * filter on the node key (edges carry no payload), checkpointed per
+    * round; the outer loop runs max-coreness times, the inner one peel
+    * depth per stage — at web scale both are small (coreness is bounded
+    * by √m and real host graphs peel in tens of rounds).
+    */
+  def kCore(edges: DataFrame): DataFrame = {
+    val und0 = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val ss = und0.sparkSession
+    import ss.implicits._
+    // explicit alive set: a node that loses its LAST edge mid-stage must
+    // still be peeled (degree 0 < k), not silently vanish from the edge
+    // table — a star center drains with its leaves, at the same coreness
+    var alive = und0.select(col("a").as("v"))
+      .union(und0.select(col("b").as("v")))
+      .distinct().localCheckpoint()
+    var aliveCount = alive.count()
+    var remaining = und0
+    var out: DataFrame = Seq.empty[(String, Long)].toDF("host", "coreness")
+    var k = 1L
+    while (aliveCount > 0) {
+      // peel everything that cannot sit in the k-core; what falls out
+      // during stage k has coreness k - 1. Terminates: each inner pass
+      // shrinks `alive` or goes stable; each stable stage bumps k, and
+      // k > max degree dooms everything.
+      var stable = false
+      while (!stable && aliveCount > 0) {
+        val deg = remaining.select(col("a").as("v"))
+          .union(remaining.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d"))
+        val doomed = alive.join(deg, Seq("v"), "left")
+          .filter(coalesce(col("d"), lit(0L)) < k)
+          .select("v").localCheckpoint()
+        if (doomed.isEmpty) stable = true
+        else {
+          out = out.unionByName(
+            doomed.select(col("v").as("host"), lit(k - 1).as("coreness")))
+            .localCheckpoint()
+          alive = alive.join(doomed, Seq("v"), "left_anti").localCheckpoint()
+          aliveCount = alive.count()
+          remaining = remaining
+            .join(doomed.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
+            .join(doomed.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
+            .localCheckpoint()
+        }
+      }
+      if (aliveCount > 0) k += 1
+    }
+    out
+  }
+
   /** Crawl-snapshot diff — the "what changed since the last crawl"
     * decision table incremental ingest starts from: per key (URL), the
     * new snapshot vs the standing corpus classifies as `new` (key absent

@@ -559,6 +559,44 @@ class PipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("bucket moduli differ"))
   }
 
+  test("positionalIndexMerge: merged shard indexes answer phrase and " +
+      "proximity searches identically to a from-scratch union build; " +
+      "modulus mismatch rejects") {
+    graft.functions.Functions.ensure(spark)
+    val docs = Tables.documents(spark, sf)
+    val dirA = java.nio.file.Files.createTempDirectory("pos-ma").toString
+    val dirB = java.nio.file.Files.createTempDirectory("pos-mb").toString
+    val dirM = java.nio.file.Files.createTempDirectory("pos-mm").toString
+    graft.operators.TextAnalysis.positionalIndexSave(
+      graft.operators.TextAnalysis.positionalIndexBuild(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", buckets = 8), dirA)
+    graft.operators.TextAnalysis.positionalIndexSave(
+      graft.operators.TextAnalysis.positionalIndexBuild(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", buckets = 8), dirB)
+    graft.operators.TextAnalysis.positionalIndexMerge(spark, dirA, dirB, dirM)
+    val merged = graft.operators.TextAnalysis.positionalIndexLoad(spark, dirM)
+    val fresh = graft.operators.TextAnalysis.positionalIndexBuild(
+      docs, "doc_id", "text", buckets = 8)
+    val phrase = Seq("slow", "hash", "batch")
+    assert(graft.operators.TextAnalysis.phraseSearch(merged, phrase)
+      .collect().map(_.toSeq).toSet ===
+      graft.operators.TextAnalysis.phraseSearch(fresh, phrase)
+        .collect().map(_.toSeq).toSet)
+    assert(graft.operators.TextAnalysis.proximitySearch(merged, "slow", "batch", 4)
+      .collect().map(_.toSeq).toSet ===
+      graft.operators.TextAnalysis.proximitySearch(fresh, "slow", "batch", 4)
+        .collect().map(_.toSeq).toSet)
+    val dirC = java.nio.file.Files.createTempDirectory("pos-mc").toString
+    graft.operators.TextAnalysis.positionalIndexSave(
+      graft.operators.TextAnalysis.positionalIndexBuild(
+        docs.limit(5), "doc_id", "text", buckets = 4), dirC)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.positionalIndexMerge(spark, dirA, dirC,
+        java.nio.file.Files.createTempDirectory("pos-mx").toString)
+    }
+    assert(ex.getMessage.contains("bucket moduli differ"))
+  }
+
   test("collocationsPruned: with topVocab covering the whole vocabulary " +
       "it equals the unpruned miner; a tight cut keeps only head-term pairs") {
     graft.functions.Functions.ensure(spark)

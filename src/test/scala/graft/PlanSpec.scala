@@ -742,4 +742,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("merged positional index keeps the bucket-pruned phrase plan: " +
+    "posting reads prune to the phrase terms' partitions, position " +
+    "alignment is an equi-join") {
+    val p = plan("q_phrase_merge")
+    assert(p.contains("PartitionFilters"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("link reciprocity's reverse check is a co-partitioned equi-join " +
+    "on the flipped key — never a nested-loop product") {
+    val p = plan("q_link_reciprocity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
 }

@@ -351,6 +351,69 @@ class WebCurationSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("linkReciprocity: reverse edges count once per deduped out-edge, " +
+    "hosts with no out-links are absent, self-loops drop") {
+    graft.functions.Functions.ensure(spark)
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"), ("c", "c"))
+      .toDF("src", "dst")
+    val got = WebCuration.linkReciprocity(edges).orderBy("host")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // a: out {b, c}, reciprocal {b} → 0.5; b: out {a}, reciprocal → 1.0;
+    // c has no real out-edge (self-loop dropped) → absent
+    assert(got === Seq(("a", 2L, 1L, 0.5), ("b", 1L, 1L, 1.0)))
+  }
+
+  test("kCore: K4 reads coreness 3, an attached tail peels at 1, a star " +
+    "drains center and leaves together at 1") {
+    graft.functions.Functions.ensure(spark)
+    val edges = Seq(
+      // K4 {a,b,c,d} with a tail d—e—f
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "f"),
+      // star: center x with leaves
+      ("x", "l1"), ("x", "l2"), ("x", "l3"))
+      .toDF("src", "dst")
+    val got = WebCuration.kCore(edges)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "e" -> 1L, "f" -> 1L, "x" -> 1L, "l1" -> 1L, "l2" -> 1L, "l3" -> 1L))
+  }
+
+  test("kCore equals the sequential min-degree-peel (degeneracy order) " +
+    "reference on a seeded random graph — independent algorithms, same " +
+    "core numbers") {
+    graft.functions.Functions.ensure(spark)
+    val rnd = new scala.util.Random(11)
+    val n = 20
+    val raw = (0 until 90).map { _ =>
+      (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+    }
+    val got = WebCuration.kCore(raw.toDF("src", "dst"))
+      .as[(String, Long)].collect().toMap
+    // textbook reference: repeatedly remove a minimum-degree vertex;
+    // coreness = running max of the min degree at removal time
+    val und = raw.collect { case (a, b) if a != b =>
+      if (a < b) (a, b) else (b, a)
+    }.toSet
+    val adj = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.Set[String]]
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val core = scala.collection.mutable.Map.empty[String, Long]
+    var kmax = 0L
+    while (adj.nonEmpty) {
+      val (v, nb) = adj.minBy { case (w, s) => (s.size, w) }
+      kmax = math.max(kmax, nb.size.toLong)
+      core(v) = kmax
+      nb.foreach(u => adj(u) -= v)
+      adj -= v
+    }
+    assert(got === core.toMap)
+  }
+
   test("blocklist filter drops any suffix depth case-insensitively and " +
     "stays label-aligned (notbad.com is not under bad.com)") {
     val sfx = Seq(Tuple1("a.b.c")).toDF("h")
