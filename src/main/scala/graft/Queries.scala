@@ -4115,6 +4115,29 @@ object Queries {
           .orderBy("event_id", "iv_session_seq")
       }),
 
+    QueryDef("q_salted_join",
+      // skew-salted fact⋈dim equi-join — the explicit hot-key treatment
+      // (one orderkey holding >1 task's worth of lineitems against a
+      // non-broadcastable orders side): fact rows spread across 8
+      // deterministic salt sub-keys, the dimension replicates ×8, the
+      // join runs on (key, salt) — and the RESULT is exactly the plain
+      // inner join's, which is what the oracle states (salt changes
+      // placement, never membership).
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+                     o.o_custkey, o.o_orderstatus
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity"""),
+      (s, d) => {
+        val dim = t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_custkey"), col("o_orderstatus"))
+        Joins.saltedJoin(t(s, d, "lineitem"), dim, Seq("l_orderkey"),
+            salt = 8, saltExpr = col("l_partkey"))
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "o_custkey", "o_orderstatus")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      }),
+
     QueryDef("q_decay_score",
       // exponentially-decayed per-user engagement (7-day half-life,
       // scored as of the log's max event time — deterministic, no
@@ -4223,6 +4246,96 @@ object Queries {
             round(element_at(ps, 2), 6).as("p1"),
             round(element_at(ps, 3), 6).as("p2"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q_classifier_eval",
+      // the per-class classification report a classifier-gated curation
+      // decision reads before the gate ships: planted truth c(doc_id%3),
+      // planted predictions that err on every 10th doc and ABSTAIN
+      // (null — the model's no-evidence answer) on every 17th, so the
+      // report exercises fp≠fn asymmetry and the abstention cost (fn
+      // without fp). Per-class tp/fp/fn from two class-keyed aggs + one
+      // outer join; __macro__ = fixed-point mean of the 6dp per-class
+      // metrics, __micro__ = pooled counts. The oracle restates the
+      // whole derivation.
+      Some("""WITH p AS (
+                SELECT concat('c', CAST(doc_id % 3 AS VARCHAR)) AS y,
+                       CASE WHEN doc_id % 17 = 0 THEN NULL
+                            ELSE concat('c', CAST((doc_id +
+                              CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) % 3 AS VARCHAR))
+                       END AS pred
+                FROM documents),
+              byl AS (SELECT y AS label, count(*) AS support,
+                             CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS tp
+                      FROM p GROUP BY 1),
+              byp AS (SELECT pred AS label, count(*) AS predn
+                      FROM p WHERE pred IS NOT NULL GROUP BY 1),
+              pc AS (SELECT coalesce(byl.label, byp.label) AS label,
+                            coalesce(support, 0) AS support,
+                            coalesce(tp, 0) AS tp,
+                            coalesce(predn, 0) - coalesce(tp, 0) AS fp,
+                            coalesce(support, 0) - coalesce(tp, 0) AS fn
+                     FROM byl FULL JOIN byp ON byl.label = byp.label),
+              pm AS (SELECT label, support, tp, fp, fn,
+                            CASE WHEN tp + fp > 0
+                                 THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+                                 ELSE 0.0 END AS precision,
+                            CASE WHEN tp + fn > 0
+                                 THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+                                 ELSE 0.0 END AS recall
+                     FROM pc),
+              pf AS (SELECT label, support, tp, fp, fn, precision, recall,
+                            CASE WHEN precision + recall > 0
+                                 THEN round(CAST(2.0 AS DOUBLE) * precision * recall
+                                            / (precision + recall), 6)
+                                 ELSE 0.0 END AS f1
+                     FROM pm),
+              mac AS (SELECT '__macro__' AS label,
+                             CAST(sum(support) AS BIGINT) AS support,
+                             CAST(sum(tp) AS BIGINT) AS tp,
+                             CAST(sum(fp) AS BIGINT) AS fp,
+                             CAST(sum(fn) AS BIGINT) AS fn,
+                             round(CAST(sum(CAST(round(precision * 1000000) AS BIGINT)) AS DOUBLE)
+                                   / CAST(count(*) AS DOUBLE) / 1000000, 6) AS precision,
+                             round(CAST(sum(CAST(round(recall * 1000000) AS BIGINT)) AS DOUBLE)
+                                   / CAST(count(*) AS DOUBLE) / 1000000, 6) AS recall,
+                             round(CAST(sum(CAST(round(f1 * 1000000) AS BIGINT)) AS DOUBLE)
+                                   / CAST(count(*) AS DOUBLE) / 1000000, 6) AS f1
+                      FROM pf),
+              mict AS (SELECT CAST(sum(support) AS BIGINT) AS support,
+                              CAST(sum(tp) AS BIGINT) AS tp,
+                              CAST(sum(fp) AS BIGINT) AS fp,
+                              CAST(sum(fn) AS BIGINT) AS fn
+                       FROM pf),
+              micp AS (SELECT '__micro__' AS label, support, tp, fp, fn,
+                              CASE WHEN tp + fp > 0
+                                   THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+                                   ELSE 0.0 END AS precision,
+                              CASE WHEN tp + fn > 0
+                                   THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+                                   ELSE 0.0 END AS recall
+                       FROM mict),
+              mic AS (SELECT label, support, tp, fp, fn, precision, recall,
+                             CASE WHEN precision + recall > 0
+                                  THEN round(CAST(2.0 AS DOUBLE) * precision * recall
+                                             / (precision + recall), 6)
+                                  ELSE 0.0 END AS f1
+                      FROM micp)
+              SELECT label, support, tp, fp, fn, precision, recall, f1 FROM pf
+              UNION ALL SELECT * FROM mac
+              UNION ALL SELECT * FROM mic
+              ORDER BY label"""),
+      (s, d) => {
+        prep(s)
+        val did = col("doc_id")
+        val pairs = t(s, d, "documents").select(
+          concat(lit("c"), (did % 3).cast("string")).as("y"),
+          when(did % 17 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("c"),
+              ((did + when(did % 10 === 0, 1L).otherwise(0L)) % 3)
+                .cast("string"))).as("pred"))
+        MulticlassModel.classificationReport(pairs, "y", "pred")
+          .orderBy("label")
       }),
 
     QueryDef("q_domain_remix",

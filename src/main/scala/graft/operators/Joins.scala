@@ -103,4 +103,35 @@ object Joins {
       .select(col("_prow.*") +:
         attach.map(a => col(s"_pay.$a").as(prefix + a)): _*)
   }
+
+  /** Skew-salted inner equi-join — the explicit answer to the hot-key
+    * problem AQE's skew split can't always reach (a single key holding
+    * >1 task's worth of rows on the FACT side against a non-broadcastable
+    * dimension): fact rows of one key spread across `salt` sub-keys by a
+    * deterministic hash of `saltExpr` (any fact-side expression with
+    * per-row spread — a row id, a timestamp), the dimension side
+    * replicates each row `salt` times, and the join runs on
+    * (keys, salt) — every reducer now holds ≤ 1/salt of the hot key.
+    * Result rows are EXACTLY the plain inner join's (the salt column
+    * never changes membership, only placement); output keeps the fact
+    * columns plus the dimension's non-key columns, like a plain
+    * `join(..., keys)`.
+    *
+    * Cost model: dimension inflates ×salt (choose salt ≈ hot-key rows /
+    * healthy-partition rows, not more); fact side is untouched. For a
+    * broadcastable dimension prefer `broadcast()` — salting is for the
+    * middle regime.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 salt: Int, saltExpr: org.apache.spark.sql.Column): DataFrame = {
+    require(salt >= 1, s"saltedJoin: need salt >= 1, got $salt")
+    require(keys.nonEmpty, "saltedJoin: no join keys")
+    import graft.functions.Functions.murmur64
+    val f = fact.withColumn("_salt",
+      pmod(murmur64(saltExpr.cast("string"), lit(1201L)),
+        lit(salt.toLong)).cast("int"))
+    val d = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    f.join(d, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -160,6 +160,73 @@ object MulticlassModel {
     when(size(fs) > 0, array(exps.map(_ / denom): _*))
   }
 
+  /** Per-class classification report over a (label, prediction) pair
+    * table — the evaluation table every classifier-gated curation
+    * decision should read before the gate ships: per class support,
+    * tp/fp/fn, precision, recall, F1, plus a `__macro__` row (fixed-
+    * point mean of the per-class 6dp metrics — micro-long sums, so the
+    * average is partitioning-independent) and a `__micro__` row (pooled
+    * tp/fp/fn; for single-label prediction micro-P = micro-R = micro-F1
+    * = accuracy). Null predictions (the classifier's no-evidence answer)
+    * count as fn for their true class and fp for no class — exactly how
+    * an abstaining gate costs you.
+    *
+    * Shape at scale: two class-keyed aggregations over the pair stream
+    * (map-side partials), one class-keyed outer join, and class-count-
+    * bounded summary rows — never a collect of the corpus.
+    */
+  def classificationReport(pairs: org.apache.spark.sql.DataFrame,
+                           labelCol: String,
+                           predCol: String): org.apache.spark.sql.DataFrame = {
+    val p = pairs.select(col(labelCol).as("_y"), col(predCol).as("_p"))
+    val byLabel = p.filter(col("_y").isNotNull).groupBy(col("_y").as("label"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("_p") === col("_y"), 1L).otherwise(0L)).as("_tpl"))
+    val byPred = p.filter(col("_p").isNotNull).groupBy(col("_p").as("label"))
+      .agg(count(lit(1)).as("_predn"))
+    val q = (x: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =>
+      when(d > 0, round(x.cast("double") / d.cast("double"), 6)).otherwise(lit(0.0))
+    val perClass = byLabel.join(byPred, Seq("label"), "full")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("_tpl"), lit(0L)).as("tp"),
+        (coalesce(col("_predn"), lit(0L)) - coalesce(col("_tpl"), lit(0L))).as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("_tpl"), lit(0L))).as("fn"))
+      .select(col("label"), col("support"), col("tp"), col("fp"), col("fn"),
+        q(col("tp"), col("tp") + col("fp")).as("precision"),
+        q(col("tp"), col("tp") + col("fn")).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6)).otherwise(lit(0.0)))
+    // macro: fixed-point mean of the per-class rounded metrics (micro-
+    // long sums — partitioning-independent); micro: pooled counts
+    def microMean(c: String) =
+      round((sum(round(col(c) * 1e6).cast("long")).cast("double") /
+        count(lit(1)).cast("double")) / 1e6, 6).as(c)
+    val macroRow = perClass.agg(sum(col("support")).as("support"),
+        sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+        sum(col("fn")).as("fn"), microMean("precision"),
+        microMean("recall"), microMean("f1"))
+      .withColumn("label", lit("__macro__"))
+    val microRow = perClass.agg(sum(col("support")).as("support"),
+        sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+        sum(col("fn")).as("fn"))
+      .select(lit("__micro__").as("label"), col("support"), col("tp"),
+        col("fp"), col("fn"),
+        q(col("tp"), col("tp") + col("fp")).as("precision"),
+        q(col("tp"), col("tp") + col("fn")).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6)).otherwise(lit(0.0)))
+    val cols = Seq("label", "support", "tp", "fp", "fn",
+      "precision", "recall", "f1").map(col)
+    perClass.select(cols: _*)
+      .unionByName(macroRow.select(cols: _*))
+      .unionByName(microRow.select(cols: _*))
+  }
+
   /** Persist the model (classes + weight rows, one parquet). */
   def save(spark: org.apache.spark.sql.SparkSession, model: Model, dir: String): Unit = {
     import spark.implicits._

@@ -110,4 +110,28 @@ class JoinsSpec extends SparkSpec {
     val byTs = out.collect().map(r => r.getLong(1) -> Option(r.getString(3))).toMap
     assert(byTs === Map(10L -> None, 20L -> Some("s")))
   }
+  test("saltedJoin: result rows and multiplicities equal the plain inner " +
+    "join on a hot-key fixture; salt 1 degenerates; dim fan-out preserved") {
+    graft.functions.Functions.ensure(spark)
+    import spark.implicits._
+    // hot key 1L holds 500 of 520 fact rows; dim has a duplicate key (7L)
+    val fact = ((1 to 500).map(i => (1L, i.toLong)) ++
+      (1 to 20).map(i => ((i % 4 + 2).toLong, (1000 + i).toLong)))
+      .toDF("k", "rid")
+    // key 2 duplicates in dim (fan-out ×2 per fact row); key 7 is
+    // dim-only, key 6 would be fact-only — inner-join membership only
+    val dim = Seq((1L, "hot"), (2L, "x"), (2L, "y"), (3L, "b"), (4L, "c"),
+      (5L, "d"), (7L, "never")).toDF("k", "tag")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "rid", "tag").collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val plain = canon(fact.join(dim, Seq("k")))
+    assert(canon(Joins.saltedJoin(fact, dim, Seq("k"), 8, col("rid"))) === plain)
+    assert(canon(Joins.saltedJoin(fact, dim, Seq("k"), 1, col("rid"))) === plain)
+    // the duplicate dim key really fanned out, the dim-only key never joined
+    assert(plain.keys.exists(k => k.head == 2L && k(2) == "x") &&
+      plain.keys.exists(k => k.head == 2L && k(2) == "y"))
+    assert(!plain.keySet.exists(_.head == 7L))
+  }
+
 }

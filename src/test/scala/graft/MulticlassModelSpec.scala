@@ -94,4 +94,32 @@ class MulticlassModelSpec extends SparkSpec {
     }
     assert(e.getMessage.contains(">= 2 classes"))
   }
+  test("classificationReport: hand-checked tp/fp/fn with abstentions and " +
+    "a predicted-only class; macro is the fixed-point mean, micro pools") {
+    graft.functions.Functions.ensure(spark)
+    import spark.implicits._
+    // truth: a,a,a,b,b ; preds: a,a,b,b,null ; plus one pred of a class
+    // never true ("c" on a true "a")
+    val pairs = Seq(
+      ("a", Some("a")), ("a", Some("a")), ("a", Some("b")),
+      ("b", Some("b")), ("b", None), ("a", Some("c")))
+      .toDF("y", "pred")
+    val got = MulticlassModel.classificationReport(pairs, "y", "pred")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // a: support 4, tp 2, fp 0, fn 2 -> p 1.0, r 0.5, f1 = 2*1*0.5/1.5
+    assert(got("a") === ((4L, 2L, 0L, 2L, 1.0, 0.5, 0.666667)))
+    // b: support 2, tp 1, fp 1 (the a->b miss), fn 1 -> p 0.5, r 0.5, f1 0.5
+    assert(got("b") === ((2L, 1L, 1L, 1L, 0.5, 0.5, 0.5)))
+    // c: never true -> support 0, tp 0, fp 1, fn 0 -> all metrics 0
+    assert(got("c") === ((0L, 0L, 1L, 0L, 0.0, 0.0, 0.0)))
+    // macro: mean of rounded per-class metrics over 3 classes
+    assert(got("__macro__")._5 === 0.5) // (1.0 + 0.5 + 0.0)/3
+    assert(got("__macro__")._6 === 0.333333) // (0.5+0.5+0)/3
+    assert(got("__macro__")._7 === 0.388889) // (0.666667+0.5+0)/3
+    // micro: pooled tp 3, fp 2, fn 3 -> p 0.6, r 0.5, f1 2*.6*.5/1.1
+    assert(got("__micro__") === ((6L, 3L, 2L, 3L, 0.6, 0.5, 0.545455)))
+  }
+
 }

@@ -759,4 +759,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("salted join keys on (key, _salt) — the hot key spreads across " +
+    "salt sub-keys — and stays an equi-join") {
+    val p = plan("q_salted_join")
+    assert(p.contains("_salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("classification report is two class-keyed aggregations + one " +
+    "class-keyed join — map-side partials, no corpus collect") {
+    val p = plan("q_classifier_eval")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final × 2
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
