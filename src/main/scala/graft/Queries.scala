@@ -1598,6 +1598,32 @@ object Queries {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q_ngram_novelty",
+      // per-doc 3-gram novelty against a CORPUS-SIZED reference (the
+      // previous crawl epoch — here every 5th doc): the fraction of a
+      // doc's distinct grams never seen before. Low novelty = redundant
+      // with what the model already trained on (repeat-budget data
+      // valuation); the reference joins on the GRAM KEY (co-partitioned
+      // shuffle equi-join — the scale path where the benchmark
+      // broadcast of q_contamination_report would OOM).
+      Some("""WITH ref AS (SELECT string_split(lower(text), ' ') w FROM documents WHERE doc_id % 5 = 0),
+              rg AS (SELECT DISTINCT array_to_string(w[i:i+2], ' ') g
+                     FROM ref, UNNEST(range(1, greatest(len(w)-2, 1)+1)) t(i)),
+              cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, greatest(len(w)-2, 1)+1)])) AS g
+                     FROM (SELECT doc_id, string_split(lower(text),' ') w FROM documents WHERE doc_id % 5 <> 0))
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN g IN (SELECT g FROM rg) THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+                     round(sum(CASE WHEN g IN (SELECT g FROM rg) THEN 0 ELSE 1 END) * 1.0 / count(*), 6) AS novelty
+              FROM cg GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.ngramNovelty(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", 3)
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_mix_weighted",
       // mixture weighting by integer epoch counts: src0 ×3, src1 ×2,
       // everything else ×1 — the map-side explode that data-mixing recipes
@@ -1720,6 +1746,23 @@ object Queries {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("source")),
+
+    QueryDef("q_quality_keep_rate",
+      // "keep the best 25%" stated directly: the gate threshold is the
+      // exact interpolated 75th percentile of the score (the
+      // quantile_cont/percentile parity q_length_quantiles pins),
+      // computed in one global agg and broadcast back over the scan —
+      // no hand-tuned absolute threshold to rot between crawl epochs.
+      // Ties at the threshold keep everything equal to it.
+      Some("""WITH t AS (SELECT quantile_cont(n_chars, 0.75) AS thr
+                         FROM documents)
+              SELECT doc_id, n_chars, round(thr, 6) AS thr
+              FROM documents, t WHERE n_chars >= thr
+              ORDER BY doc_id"""),
+      (s, d) => Quality.gateAtKeepRate(
+          t(s, d, "documents").select("doc_id", "n_chars"),
+          "n_chars", keepRate = 0.25)
+        .orderBy("doc_id")),
 
     QueryDef("q_pack_shuffled",
       // shuffle-then-pack: the training-order shape — docs pack in
@@ -3667,6 +3710,33 @@ object Queries {
           explode(TextAnalysis.chunks(col("text"), window = 32, stride = 16)).as("c"))
         .select(col("doc_id"), col("c.idx").cast("long").as("chunk_idx"), col("c.chunk").as("chunk"))
         .orderBy("doc_id", "chunk_idx")),
+
+    QueryDef("q_text_sentences",
+      // sentence segmentation — the boundary layer under alignment /
+      // sentence-dedup / citation chunking: split after terminal
+      // punctuation + whitespace (separator injection, RE2-compatible —
+      // no lookbehind — so both engines state the identical lexical
+      // spec), trim, drop empties, index 0-based. Scan-fused regexp +
+      // one posexplode; the only shuffle is the oracle sort.
+      Some("""WITH s AS (SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+                       x -> trim(x)), x -> x <> '') AS fs
+              FROM documents),
+              e AS (SELECT doc_id,
+                           unnest(generate_series(1, len(fs))) - 1 AS sent_idx,
+                           unnest(fs) AS sentence
+                    FROM s)
+              SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
+                     CAST(len(sentence) AS BIGINT) AS n_chars
+              FROM e ORDER BY doc_id, sent_idx"""),
+      (s, d) => Tables.spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.sentenceSplit(col("text")))
+            .as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx"), col("sentence"),
+          length(col("sentence")).cast("long").as("n_chars"))
+        .orderBy("doc_id", "sent_idx")),
 
     QueryDef("q_bpe_train",
       // LEARNED BPE merge table over the corpus (Sennrich 2016, the

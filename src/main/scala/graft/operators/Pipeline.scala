@@ -219,6 +219,32 @@ object Pipeline {
         round(col("n_contaminated") * lit(1.0) / col("n_grams"), 6).as("frac"))
   }
 
+  /** Per-doc k-gram NOVELTY against a CORPUS-SIZED reference — the
+    * complement of [[contaminationReport]] for references too big to
+    * broadcast (the previous crawl epoch, the already-trained-on corpus):
+    * the fraction of a document's distinct k-grams never seen in the
+    * reference. Low novelty = redundant with what the model already has
+    * (dedup-adjacent data valuation, Muennighoff-style repeat budgeting);
+    * high novelty = new material. Same math as the contamination
+    * fraction, different join physics: the reference gram set reduces to
+    * distinct rows and joins on the GRAM KEY — a co-partitioned shuffle
+    * equi-join that scales with gram volume, where the benchmark path's
+    * broadcast would OOM. Pick by reference size; both are this one
+    * derivation.
+    */
+  def ngramNovelty(corpus: DataFrame, reference: DataFrame, id: String,
+                   text: String, k: Int): DataFrame = {
+    val rg = Dedup.explodedShingles(reference, id, text, k).select("s").distinct()
+      .withColumn("_seen", lit(1L))
+    Dedup.explodedShingles(corpus, id, text, k)
+      .join(rg, Seq("s"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_seen").isNull, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel") * lit(1.0) / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Materialize packed training records: concatenate each pack's docs in
     * `orderCol` order into one text per (partition, pack) — the emission
     * step after [[packSequences]] assigns pack ids. One hash aggregation

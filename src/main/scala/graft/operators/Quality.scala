@@ -463,6 +463,31 @@ object Quality {
       (repl === 0 && ctrl === 0 && moji === 0).as("clean"))
   }
 
+  /** Quality gate at a TARGET KEEP RATE — "keep the best 25%" stated
+    * directly instead of hand-tuning an absolute threshold that rots as
+    * the score distribution drifts between crawl epochs: the threshold
+    * is the exact interpolated (1 − keepRate) percentile of the score
+    * (Spark `percentile` == DuckDB `quantile_cont`, the parity
+    * q_length_quantiles pins), computed in ONE global aggregation whose
+    * single-row result broadcasts back over the scan; rows at or above
+    * it survive. Ties at the threshold keep everything equal to it, so
+    * the realized rate can exceed the target on heavy ties — the
+    * deterministic choice both engines state identically. Output keeps
+    * the input columns plus `thr` (6 dp) for observability.
+    */
+  def gateAtKeepRate(docs: org.apache.spark.sql.DataFrame, scoreCol: String,
+                     keepRate: Double): org.apache.spark.sql.DataFrame = {
+    require(keepRate > 0.0 && keepRate <= 1.0,
+      s"gateAtKeepRate: keepRate must be in (0, 1], got $keepRate")
+    val p = 1.0 - keepRate
+    val thr = docs.agg(
+      org.apache.spark.sql.functions.expr(s"percentile($scoreCol, ${p}D)").as("_thr"))
+    docs.crossJoin(org.apache.spark.sql.functions.broadcast(thr))
+      .filter(col(scoreCol) >= col("_thr"))
+      .withColumn("thr", round(col("_thr"), 6))
+      .drop("_thr")
+  }
+
   def gopherReasons(wordSig: Column, lineSig: Column): Column = concat_ws(",",
     when(wordSig.getField("n_words") < 50 || wordSig.getField("n_words") > 100000,
       lit("word_count")),

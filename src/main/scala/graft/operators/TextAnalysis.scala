@@ -665,6 +665,23 @@ object TextAnalysis {
     collocationsCore(p, kept, window, minCount, k)
   }
 
+  /** Sentence segmentation as a scan-fused expression — the boundary
+    * layer between document-level curation and sentence-level consumers
+    * (alignment, sentence-dedup, citation chunking): split after
+    * terminal punctuation ([.!?]) followed by whitespace, trim, drop
+    * empties. Deliberately regex-lexical (RE2-compatible — no
+    * lookbehind, so DuckDB states the identical spec): abbreviation
+    * handling belongs to a model-based splitter, not this layer. The
+    * separator is injected (punct + U+0001) rather than split-with-
+    * lookbehind, keeping the terminal punctuation inside its sentence.
+    */
+  def sentenceSplit(text: Column): Column =
+    filter(
+      transform(
+        split(regexp_replace(text, "([.!?])\\s+", "$1\u0001"), "\u0001"),
+        s => trim(s)),
+      s => s =!= "")
+
   /** Vocabulary coverage / out-of-vocabulary analytics — the "will the
     * tokenizer built on corpus A still fit corpus B" check run before
     * reusing a trained vocabulary on a new crawl snapshot or domain mix:

@@ -559,6 +559,68 @@ class PipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("bucket moduli differ"))
   }
 
+  test("sentenceSplit: terminal punctuation + whitespace bounds, inner " +
+      "periods stay, no-terminal text is one sentence, empties drop") {
+    graft.functions.Functions.ensure(spark)
+    val df = Seq(
+      (1L, "A b. C d! E? F"),
+      (2L, "pi is 3.14 exactly"),
+      (3L, "x.  y.\t z."),
+      (4L, ""),
+      (5L, "...")).toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.operators.TextAnalysis.sentenceSplit(col("text")).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("A b.", "C d!", "E?", "F"))
+    assert(got(2L) === Seq("pi is 3.14 exactly"), "3.14 has no space after the dot")
+    assert(got(3L) === Seq("x.", "y.", "z."))
+    assert(got(4L) === Seq.empty)
+    assert(got(5L) === Seq("..."))
+  }
+
+  test("ngramNovelty complements contaminationReport: n_novel + " +
+      "n_contaminated = n_grams on identical inputs; all-seen scores 0, " +
+      "all-new scores 1") {
+    graft.functions.Functions.ensure(spark)
+    val ref = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),          // both grams seen → novelty 0
+      (2L, "zeta eta theta iota"),       // nothing seen → novelty 1
+      (3L, "alpha beta zeta eta")).toDF("doc_id", "text") // 1 of 3? check below
+    val nov = Pipeline.ngramNovelty(corpus, ref, "doc_id", "text", 3)
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(nov(1L)._2 === 0L && nov(1L)._3 === 0.0)
+    assert(nov(2L)._2 === nov(2L)._1 && nov(2L)._3 === 1.0)
+    // cross-check against the broadcast-path contamination fraction
+    val cont = Pipeline.contaminationReport(corpus, ref, "doc_id", "text", 3)
+      .select("doc_id", "n_grams", "n_contaminated")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    nov.foreach { case (id, (ng, nn, _)) =>
+      assert(cont(id)._1 === ng)
+      assert(cont(id)._2 + nn === ng, s"doc $id")
+    }
+  }
+
+  test("gateAtKeepRate: threshold is the exact (1-rate) percentile, " +
+      "rate 1.0 keeps everything, survivors all clear the threshold") {
+    graft.functions.Functions.ensure(spark)
+    val kept = graft.operators.Quality.gateAtKeepRate(
+      docs.select("doc_id", "n_chars"), "n_chars", 0.25)
+    val thr = kept.select("thr").head().getDouble(0)
+    val want = docs.agg(expr("round(percentile(n_chars, 0.75D), 6)"))
+      .head().getDouble(0)
+    assert(thr === want)
+    val n = docs.count()
+    val k = kept.count()
+    assert(k >= n / 4 - 1 && k <= n / 2, s"kept $k of $n")
+    assert(kept.filter(col("n_chars") < col("thr")).count() === 0)
+    assert(graft.operators.Quality.gateAtKeepRate(
+      docs.select("doc_id", "n_chars"), "n_chars", 1.0).count() === n)
+  }
+
   test("positionalIndexMerge: merged shard indexes answer phrase and " +
       "proximity searches identically to a from-scratch union build; " +
       "modulus mismatch rejects") {

@@ -774,4 +774,29 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final × 2
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("sentence segmentation is scan-fused regexp + one posexplode — " +
+    "the only exchange is the oracle sort") {
+    val p = plan("q_text_sentences")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("ngram novelty joins the reference grams on the gram KEY — an " +
+    "equi-join that degrades gracefully from broadcast (small reference " +
+    "at this SF) to shuffle at scale; never a nested loop") {
+    val p = plan("q_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("keep-rate gate: one global percentile aggregation broadcast back " +
+    "over the scan — no per-row window, no corpus sort") {
+    val p = plan("q_quality_keep_rate")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p) // the 1-row threshold attach
+    assert(!p.contains("Window"), p)
+  }
 }
