@@ -3738,6 +3738,49 @@ object Queries {
           length(col("sentence")).cast("long").as("n_chars"))
         .orderBy("doc_id", "sent_idx")),
 
+    QueryDef("q_dedup_sentences",
+      // sentence-level cross-doc dedup (the RefinedWeb/CCNet line-dedup
+      // move): two boilerplate sentences stamped onto EVERY page
+      // ("subscribe…", "visit our sponsor…") exceed the doc-frequency
+      // cap and vanish from every doc; each page rebuilds from its
+      // surviving sentences in original order. Sentence-keyed
+      // distinct-doc count + sentence-keyed flag join + doc-keyed
+      // rebuild; the oracle restates the identical derivation with
+      // string_agg ORDER BY sent_idx.
+      Some("""WITH pages AS (SELECT doc_id,
+                     text || '. Subscribe to our newsletter today. Visit our sponsor now.' AS page
+              FROM documents),
+              s0 AS (SELECT doc_id,
+                            list_filter(list_transform(
+                              string_split(regexp_replace(page, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+                              x -> trim(x)), x -> x <> '') AS fs
+                     FROM pages),
+              sents AS (SELECT doc_id,
+                               unnest(generate_series(1, len(fs))) - 1 AS sent_idx,
+                               unnest(fs) AS sentence
+                        FROM s0),
+              common AS (SELECT sentence FROM (
+                           SELECT sentence, count(DISTINCT doc_id) AS df
+                           FROM sents GROUP BY 1)
+                         WHERE df > 5)
+              SELECT doc_id,
+                     coalesce(string_agg(CASE WHEN sentence NOT IN (SELECT sentence FROM common)
+                                              THEN sentence END, ' ' ORDER BY sent_idx), '') AS clean_text,
+                     CAST(sum(CASE WHEN sentence NOT IN (SELECT sentence FROM common)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     CAST(sum(CASE WHEN sentence IN (SELECT sentence FROM common)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+              FROM sents GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        prep(s)
+        val pages = Tables.spread(t(s, d, "documents")).select(col("doc_id"),
+          concat(col("text"),
+            lit(". Subscribe to our newsletter today. Visit our sponsor now."))
+            .as("page"))
+        Dedup.dedupSentences(pages, "doc_id", "page", maxDocFreq = 5L)
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q_bpe_train",
       // LEARNED BPE merge table over the corpus (Sennrich 2016, the
       // GPT-2 trainer shape): one distributed word-histogram shuffle over

@@ -511,6 +511,44 @@ object Dedup {
   /** 64-bit SimHash from per-shingle murmurs: bit j of the signature is set
     * iff the sum of ±1 votes of that bit across shingles is >= 0.
     */
+  /** Sentence-level cross-document dedup — the RefinedWeb/CCNet
+    * line-dedup move at sentence granularity: a sentence appearing in
+    * MORE THAN `maxDocFreq` distinct documents is boilerplate
+    * ("subscribe to our newsletter", cookie banners, share-bar text)
+    * and every occurrence is removed; each document rebuilds from its
+    * surviving sentences in original order. Complements the span tier
+    * ([[duplicatedSpans]] catches verbatim RUNS across doc pairs; this
+    * catches short TEMPLATED sentences stamped across thousands of
+    * docs).
+    *
+    * Shape at scale: one sentence-keyed distinct-doc count (map-side
+    * partials), the over-frequency set joins back on the SENTENCE KEY
+    * (co-partitioned; bounded by the boilerplate vocabulary, and only
+    * the flag travels), and the rebuild is one doc-keyed aggregation
+    * whose per-group state is the document's own sentence list. Output:
+    * (doc_id, clean_text, n_kept, n_dropped) for every doc with ≥ 1
+    * sentence.
+    */
+  def dedupSentences(docs: DataFrame, id: String, text: String,
+                     maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"dedupSentences: maxDocFreq must be >= 1, got $maxDocFreq")
+    val sents = docs.select(col(id).as("doc_id"),
+      posexplode(TextAnalysis.sentenceSplit(col(text))).as(Seq("sent_idx", "sentence")))
+    val common = sents.groupBy("sentence")
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("sentence"), lit(1).as("_dup"))
+    sents.join(common, Seq("sentence"), "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("_dup").isNull,
+            struct(col("sent_idx"), col("sentence"))))),
+          x => x.getField("sentence")), " ").as("clean_text"),
+        count(when(col("_dup").isNull, lit(1))).as("n_kept"),
+        count(when(col("_dup").isNotNull, lit(1))).as("n_dropped"))
+  }
+
   def simhashSignatures(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id")
       .agg(call_function("simhash_agg", murmur64(col("s"), lit(0x51c0L))).as("simhash"))

@@ -271,4 +271,27 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(s === Seq("only two"))
   }
+
+  test("dedupSentences: over-frequency sentences vanish from every doc, " +
+    "survivors rebuild in original order, all-boilerplate docs go empty") {
+    graft.functions.Functions.ensure(spark)
+    val boiler = "Subscribe now."
+    val docs = Seq(
+      (1L, s"Alpha beta. $boiler Gamma delta."),
+      (2L, s"$boiler Epsilon zeta."),
+      (3L, s"Eta theta. $boiler"),
+      (4L, boiler)).toDF("doc_id", "text")
+    val got = Dedup.dedupSentences(docs, "doc_id", "text", maxDocFreq = 2L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "Alpha beta. Gamma delta.", 2L, 1L),
+      (2L, "Epsilon zeta.", 1L, 1L),
+      (3L, "Eta theta.", 1L, 1L),
+      (4L, "", 0L, 1L)))
+    // below the cap nothing is touched
+    val loose = Dedup.dedupSentences(docs, "doc_id", "text", maxDocFreq = 4L)
+      .agg(sum(col("n_dropped"))).head().getLong(0)
+    assert(loose === 0L)
+  }
 }

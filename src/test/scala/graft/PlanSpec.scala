@@ -799,4 +799,12 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p) // the 1-row threshold attach
     assert(!p.contains("Window"), p)
   }
+
+  test("sentence dedup: sentence-keyed flag join (equi, never nested " +
+    "loop) + doc-keyed rebuild with map-side partials") {
+    val p = plan("q_dedup_sentences")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

@@ -1011,4 +1011,38 @@ class StreamingSpec extends SparkSpec {
     // shard ids stay dense: the cumulative line never skips a shard
     assert(m.keySet === (0L to m.keySet.max).toSet)
   }
+
+  test("streaming novelty gate: per-micro-batch ngramNovelty against a " +
+    "static reference equals the batch run over the union — the ingest " +
+    "filter 'only train on sufficiently new docs' streams as-is") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Pipeline
+    graft.functions.Functions.ensure(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    val reference = docs.filter(col("doc_id") % 4 === 0)
+    val crawl = docs.filter(col("doc_id") % 4 =!= 0)
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-snov").toString
+    crawl.repartition(3).write.mode("overwrite").parquet(crawlDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-snovout").toString
+    // per-doc novelty is a pure function of (doc, reference): batching
+    // cannot change it, so the streamed gate IS the batch gate
+    val q = spark.readStream.schema(crawl.schema)
+      .option("maxFilesPerTrigger", 1).parquet(crawlDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Pipeline.ngramNovelty(batch, reference, "doc_id", "text", 3)
+          .filter(col("novelty") >= 0.5)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outDir).collect().map(_.toSeq).toSet
+    val want = Pipeline.ngramNovelty(crawl, reference, "doc_id", "text", 3)
+      .filter(col("novelty") >= 0.5).collect().map(_.toSeq).toSet
+    assert(got === want && got.nonEmpty,
+      "streamed novelty-gated ingest must keep exactly the batch gate's docs")
+    // the gate actually gates on this corpus: some docs fell below 0.5
+    assert(want.size < crawl.count())
+  }
 }
