@@ -187,12 +187,17 @@ object Dedup {
   def keepBestPerGroup(labels: DataFrame, scored: DataFrame,
                        id: String = "doc_id",
                        scoreCol: String = "score"): DataFrame =
+    // min_by over (−score, id) keeps the winner's id intact for ANY id
+    // type (string host labels included — unary minus on the id itself
+    // would cast strings to double and null out every winner); the
+    // winner's score is just the group max
     labels.join(scored.select(col(id), col(scoreCol)), Seq(id))
       .groupBy("group_id")
-      .agg(max(struct(col(scoreCol).as("s"), (-col(id)).as("nid"))).as("_w"),
+      .agg(min_by(col(id),
+          struct((-col(scoreCol)).as("ns"), col(id).as("i"))).as(id),
+        max(col(scoreCol)).as(scoreCol),
         count(lit(1)).as("n_members"))
-      .select(col("group_id"), (-col("_w.nid")).as(id),
-        col("_w.s").as(scoreCol), col("n_members"))
+      .select(col("group_id"), col(id), col(scoreCol), col("n_members"))
 
   /** MinHash signature: perm_j(s) = h1(s) + j * h2(s) (double hashing over
     * two 64-bit murmurs — 2 hash evaluations per shingle regardless of the

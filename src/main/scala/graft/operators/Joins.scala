@@ -37,7 +37,7 @@ object Joins {
                prefix: String = "asof_"): DataFrame = {
     require(attach.nonEmpty, "asofJoin: no columns to attach")
     val lcols = left.columns
-    require(!lcols.exists(c => attach.contains(prefix + c)),
+    require(!attach.exists(a => lcols.contains(prefix + a)),
       s"asofJoin: prefix '$prefix' collides with a left column")
     val l = left.select(col(keyCol).as("_k"),
       col(leftTsCol).cast("long").as("_ts"), lit(0).as("_isR"),
@@ -86,8 +86,12 @@ object Joins {
                 prefix: String = "iv_"): DataFrame = {
     require(bucketWidth > 0, s"rangeJoin: bucketWidth must be positive, got $bucketWidth")
     require(attach.nonEmpty, "rangeJoin: no interval columns to attach")
+    // (c - pmod(c, W)) is an exact multiple of W in LongType; `div` keeps
+    // the quotient integral (Column./ is double division — loses exactness
+    // past 2^53, so boundary points could land one bucket off)
     def bucketOf(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+      call_function("div", (c - pmod(c, lit(bucketWidth))).cast("long"),
+        lit(bucketWidth))
     val pcols = points.columns
     val pt = points.select(Seq(struct(pcols.map(col): _*).as("_prow"),
         col(pointCol).cast("long").as("_p")) ++ keyCols.map(col): _*)
@@ -127,8 +131,11 @@ object Joins {
     require(salt >= 1, s"saltedJoin: need salt >= 1, got $salt")
     require(keys.nonEmpty, "saltedJoin: no join keys")
     import graft.functions.Functions.murmur64
+    // murmur64 is null-intolerant: without the coalesce a fact row with a
+    // null saltExpr would get _salt = null and silently DROP from the
+    // inner join — breaking the membership contract above
     val f = fact.withColumn("_salt",
-      pmod(murmur64(saltExpr.cast("string"), lit(1201L)),
+      pmod(murmur64(coalesce(saltExpr.cast("string"), lit("")), lit(1201L)),
         lit(salt.toLong)).cast("int"))
     val d = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))

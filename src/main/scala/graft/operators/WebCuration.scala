@@ -431,8 +431,6 @@ object WebCuration {
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    val ss = und0.sparkSession
-    import ss.implicits._
     // explicit alive set: a node that loses its LAST edge mid-stage must
     // still be peeled (degree 0 < k), not silently vanish from the edge
     // table — a star center drains with its leaves, at the same coreness
@@ -441,7 +439,10 @@ object WebCuration {
       .distinct().localCheckpoint()
     var aliveCount = alive.count()
     var remaining = und0
-    var out: DataFrame = Seq.empty[(String, Long)].toDF("host", "coreness")
+    // seed schema derives from the edge table's node type — a hardcoded
+    // String seed would coerce numeric node ids to string via unionByName
+    var out: DataFrame = und0.select(col("a").as("host")).limit(0)
+      .withColumn("coreness", lit(0L))
     var k = 1L
     while (aliveCount > 0) {
       // peel everything that cannot sit in the k-core; what falls out

@@ -68,6 +68,23 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("keepBestPerGroup works with STRING ids (host labels): winner id " +
+    "survives intact, highest score wins, score ties break on lowest id") {
+    val labels = Seq(("hostA", "g1"), ("hostB", "g1"), ("hostC", "g1"),
+      ("solo", "g2"), ("tieB", "g3"), ("tieA", "g3"))
+      .toDF("doc_id", "group_id")
+    val scored = Seq(("hostA", 1.0), ("hostB", 9.0), ("hostC", 3.0),
+      ("solo", 2.0), ("tieB", 5.0), ("tieA", 5.0))
+      .toDF("doc_id", "score")
+    val got = Dedup.keepBestPerGroup(labels, scored)
+      .as[(String, String, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "g1" -> (("hostB", 9.0, 3L)),
+      "g2" -> (("solo", 2.0, 1L)),
+      "g3" -> (("tieA", 5.0, 2L))))
+  }
+
   test("minhash_sig fused signatures are bit-identical to the exploded " +
     "minhash_agg aggregate") {
     val viaAgg = Dedup.minhashSignatures(

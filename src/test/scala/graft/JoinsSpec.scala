@@ -134,4 +134,43 @@ class JoinsSpec extends SparkSpec {
     assert(!plain.keySet.exists(_.head == 7L))
   }
 
+  test("saltedJoin keeps fact rows whose salt expression is null (salt " +
+    "changes placement, never membership)") {
+    graft.functions.Functions.ensure(spark)
+    val fact = Seq((1L, Some(10L)), (1L, None), (2L, None))
+      .toDF("k", "rid")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
+    val got = Joins.saltedJoin(fact, dim, Seq("k"), 8, col("rid"))
+      .select("k", "tag").as[(Long, String)].collect().toSeq.sorted
+    assert(got === Seq((1L, "a"), (1L, "a"), (2L, "b")))
+  }
+
+  test("asofJoin rejects a LEFT column that collides with a prefixed " +
+    "attach name (duplicate output columns)") {
+    val left = Seq((1L, 5L, "x")).toDF("k", "ts", "asof_state")
+    val right = Seq((1L, 3L, "s")).toDF("k", "sts", "state")
+    val ex = intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, "k", "ts", "sts", Seq("state"))
+    }
+    assert(ex.getMessage.contains("collides"))
+  }
+
+  test("rangeJoin stays exact past 2^53 (integer bucket division, no " +
+    "double rounding): equals the naive theta-join at huge coordinates") {
+    val base = Long.MaxValue / 4 // ~2^61, far beyond double's exact range
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 40).map(i => (1L, base + rnd.nextInt(60).toLong, i.toLong))
+      .toDF("k", "t", "pid")
+    val ivs = (0 until 12).map { i =>
+      val s = base + rnd.nextInt(50).toLong
+      (1L, s, s + rnd.nextInt(12).toLong, i.toLong)
+    }.toDF("k", "s", "e", "iid")
+    val got = Joins.rangeJoin(pts, ivs, Seq("k"), "t", "s", "e", 3L, Seq("iid"))
+      .select("pid", "iv_iid").as[(Long, Long)].collect().toSet
+    val naive = pts.join(ivs, Seq("k"))
+      .filter(col("t") >= col("s") && col("t") <= col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === naive && naive.nonEmpty)
+  }
+
 }

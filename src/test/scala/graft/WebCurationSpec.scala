@@ -380,6 +380,18 @@ class WebCurationSpec extends SparkSpec {
       "e" -> 1L, "f" -> 1L, "x" -> 1L, "l1" -> 1L, "l2" -> 1L, "l3" -> 1L))
   }
 
+  test("kCore preserves NUMERIC node-id types (no silent string coercion " +
+    "of the seed schema)") {
+    graft.functions.Functions.ensure(spark)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = WebCuration.kCore(edges)
+    assert(got.schema("host").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(got.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("kCore equals the sequential min-degree-peel (degeneracy order) " +
     "reference on a seeded random graph — independent algorithms, same " +
     "core numbers") {
