@@ -2528,6 +2528,74 @@ object Queries {
           .orderBy("cid")
       }),
 
+    QueryDef("q_ann_ivf_sq8_drift",
+      // drift monitor for the COMPOSED index a steady-state crawl
+      // actually appends to (ivfSq8Append): index trains on the even-id
+      // half only, the odd half plays the ingest epoch — so both signals
+      // move: per-list mean cosine to the assigned centroid AND
+      // clamp_frac, the mean fraction of components outside the saved
+      // per-dim [min,max] bounds (those clamp at encode and lose
+      // fidelity — the quantizer-retrain trigger centroid cosine can't
+      // see). Shuffle-free assignment + one nlist-keyed agg; exact
+      // counts + 6-dp/DECIMAL means → plain-Scala fixture oracle.
+      Some("""SELECT cid, n, mean_cos, clamp_frac
+              FROM parquet_scan('{FIX}/_fixture_ivfsq8drift/*.parquet')
+              ORDER BY cid"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-ivfsq8-drift")
+        Similarity.ivfSq8Train(s, emb.filter(col("vec_id") % 2 === 0),
+            nlist = 16, iters = 1)
+          .save(dir.toString)
+        val idx = Similarity.ivfSq8Load(s, dir.toString)
+        Similarity.ivfSq8DriftStats(idx, emb.filter(col("vec_id") % 2 === 1))
+          .orderBy("cid")
+      }),
+
+    QueryDef("q_ann_ivfpq_drift",
+      // drift monitor for the IVF×PQ composition: same even/odd split;
+      // the PQ-specific signal is mean_qcos — each epoch vector's cosine
+      // to its OWN reconstruction under the SAVED codebooks. Sinking
+      // reconstruction fidelity on new data is the codebook-retrain
+      // trigger even while list balance stays healthy. Encode+decode
+      // fuse into the assignment scan (no shuffle, no join).
+      Some("""SELECT cid, n, mean_cos, mean_qcos
+              FROM parquet_scan('{FIX}/_fixture_ivfpqdrift/*.parquet')
+              ORDER BY cid"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-ivfpq-drift")
+        Similarity.ivfPqTrain(s, emb.filter(col("vec_id") % 2 === 0),
+            nlist = 16, m = 8, ksub = 16)
+          .save(dir.toString)
+        val idx = Similarity.ivfPqLoad(s, dir.toString)
+        Similarity.ivfPqDriftStats(idx, emb.filter(col("vec_id") % 2 === 1))
+          .orderBy("cid")
+      }),
+
+    QueryDef("q_ann_ivf_opq_drift",
+      // drift monitor for the OPQ-rotated composition, measured in
+      // ROTATED space — where the saved centroids and codebooks actually
+      // live (raw-space drift against rotated headers would read noise).
+      // The epoch batch rotates under the SAVED rotation, then the same
+      // two signals as q_ann_ivfpq_drift.
+      Some("""SELECT cid, n, mean_cos, mean_qcos
+              FROM parquet_scan('{FIX}/_fixture_ivfopqdrift/*.parquet')
+              ORDER BY cid"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-ivfopq-drift")
+        Similarity.ivfOpqTrain(s, emb.filter(col("vec_id") % 2 === 0),
+            nlist = 16, m = 8, ksub = 16)
+          .save(dir.toString)
+        val idx = Similarity.ivfOpqLoad(s, dir.toString)
+        Similarity.ivfOpqDriftStats(idx, emb.filter(col("vec_id") % 2 === 1))
+          .orderBy("cid")
+      }),
+
     QueryDef("q_ann_sq8",
       // scalar-quantization ANN (Faiss QT_8bit): one byte per DIMENSION
       // via exact per-dim min/max buckets — the 4× compression tier

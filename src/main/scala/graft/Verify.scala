@@ -1393,6 +1393,73 @@ object Verify {
       rows.toDF("cid", "n", "mean_cos").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_ivfdrift")
     }
+    // ── composed-index drift replicas: the index trains on the EVEN-id
+    // half, the odd half plays the ingest epoch (so both the centroid
+    // cosine and the quantizer-fidelity signal actually move). Shared
+    // deterministic mean: 6-dp per-vector values, exact BigDecimal sums,
+    // one divide, 6-dp result — the engine's DECIMAL(18,6) rule.
+    lazy val driftEven = annVecs.filter(_._1 % 2 == 0)
+    lazy val driftOdd = annVecs.filter(_._1 % 2 == 1)
+    lazy val driftCents = ivfCentroidsRef(driftEven, nlist = 16)
+    def driftMeans(rows: Seq[(Int, Double, Double)])
+        : Seq[(Int, Long, Double, Double)] =
+      rows.groupBy(_._1).toSeq.map { case (cid, vs) =>
+        val s1 = vs.map(v => BigDecimal(v._2).setScale(6)).sum
+        val s2 = vs.map(v => BigDecimal(v._3).setScale(6)).sum
+        (cid, vs.length.toLong, round6(s1.toDouble / vs.length),
+          round6(s2.toDouble / vs.length))
+      }.sortBy(_._1)
+    fixture("_fixture_ivfsq8drift") {
+      // SQ8 bounds = exact per-dim min/max of the even half; clamp_frac =
+      // per-vector fraction of components outside those bounds
+      val dim = annVecs.head._2.length
+      val mins = Array.tabulate(dim)(i => driftEven.iterator.map(_._2(i)).min)
+      val maxs = Array.tabulate(dim)(i => driftEven.iterator.map(_._2(i)).max)
+      val rows = driftMeans(driftOdd.map { case (_, e) =>
+        val cid = nearestCentRef(e, driftCents)
+        val c = driftCents.find(_._1 == cid).get._2
+        val oob = e.indices.count(i => e(i) < mins(i) || e(i) > maxs(i))
+        (cid, round6(graft.functions.VectorMath.cosineF(e, c)),
+          round6(oob.toDouble / dim))
+      })
+      rows.toDF("cid", "n", "mean_cos", "clamp_frac").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_ivfsq8drift")
+    }
+    fixture("_fixture_ivfpqdrift") {
+      // PQ codebooks train on the even half (q_ann_ivfpq_drift's
+      // parameters m=8, ksub=16, iters=3); mean_qcos = cosine of each
+      // odd-half vector to its own reconstruction under those codebooks
+      val books = pqTrainRef(driftEven, m = 8, ksub = 16, iters = 3)
+      val rows = driftMeans(driftOdd.map { case (_, e) =>
+        val cid = nearestCentRef(e, driftCents)
+        val c = driftCents.find(_._1 == cid).get._2
+        (cid, round6(graft.functions.VectorMath.cosineF(e, c)),
+          round6(graft.functions.VectorMath.cosineF(e,
+            pqReconstructRef(e, books))))
+      })
+      rows.toDF("cid", "n", "mean_cos", "mean_qcos").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_ivfpqdrift")
+    }
+    fixture("_fixture_ivfopqdrift") {
+      // OPQ model trains on the even half; EVERYTHING measures in
+      // rotated space — rotated-corpus centroids, rotated epoch batch,
+      // reconstruction under the rotated-space codebooks
+      val model = opqTrainRef(driftEven, m = 8, ksub = 16, iters = 3,
+        opqIters = 3)
+      val rot = rotateZeroMeanRef(model._1)(_)
+      val rotEven = driftEven.map { case (id, e) => (id, rot(e)) }
+      val cents = ivfCentroidsRef(rotEven, nlist = 16)
+      val rows = driftMeans(driftOdd.map { case (_, e0) =>
+        val e = rot(e0)
+        val cid = nearestCentRef(e, cents)
+        val c = cents.find(_._1 == cid).get._2
+        (cid, round6(graft.functions.VectorMath.cosineF(e, c)),
+          round6(graft.functions.VectorMath.cosineF(e,
+            pqReconstructRef(e, model._2))))
+      })
+      rows.toDF("cid", "n", "mean_cos", "mean_qcos").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_ivfopqdrift")
+    }
     fixture("_fixture_annsq8") {
       annSq8Rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annsq8")

@@ -498,16 +498,27 @@ object Similarity {
     * check). Output: (vec_id, cid, embedding).
     */
   private def assignToSaved(spark: SparkSession, dir: String, vecs: DataFrame,
-                            op: String): DataFrame = {
-    val centDf = spark.read.parquet(s"$dir/centroids")
+                            op: String): DataFrame =
+    assignToHeader(spark.read.parquet(s"$dir/centroids"), vecs, op)._2
+
+  /** Assign a vector batch to an in-memory centroid header — the core
+    * [[assignToSaved]] and every drift monitor share: collect the
+    * (bounded) header, fail loudly on a mis-sized batch, then the literal
+    * kernel under the codegen cliff / broadcast join above. Returns the
+    * sorted header rows alongside the (vec_id, cid, embedding) batch.
+    */
+  private def assignToHeader(centDf: DataFrame, vecs: DataFrame, op: String)
+      : (Seq[(Int, Array[Float])], DataFrame) = {
     val cents = centDf.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
     failOnBadEmbeddings(vecs, cents.head._2.length, op)
-    if (cents.length <= literalAssignMaxLists)
-      vecs.select(col("vec_id"),
-        nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
-    else assignByJoin(vecs, centDf)
-      .select(col("vec_id"), col("cid"), col("embedding"))
+    val assigned =
+      if (cents.length <= literalAssignMaxLists)
+        vecs.select(col("vec_id"),
+          nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
+      else assignByJoin(vecs, centDf)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+    (cents, assigned)
   }
 
   /** Probe search against a (trained or loaded) index: nprobe nearest lists
@@ -746,17 +757,23 @@ object Similarity {
     * dsub floats — same order of constants as the nlist≤256 IVF assign).
     */
   def pqEncode(corpus: DataFrame, cb: PqCodebooks,
-               keep: Seq[String] = Nil): DataFrame = {
-    val codeCols = (0 until cb.m).map { j =>
-      val sub = slice(col("embedding"), j * cb.dsub + 1, cb.dsub)
+               keep: Seq[String] = Nil): DataFrame =
+    corpus.select(col("vec_id") +: keep.map(col) :+
+      pqEncodeCol(col("embedding"), cb).as("codes"): _*)
+
+  /** The code-assignment expression behind [[pqEncode]], reusable inside
+    * any scan (the drift monitors fuse encode+decode into the assignment
+    * projection).
+    */
+  def pqEncodeCol(embedding: Column, cb: PqCodebooks): Column =
+    array((0 until cb.m).map { j =>
+      val sub = slice(embedding, j * cb.dsub + 1, cb.dsub)
       val scored = cb.books(j).zipWithIndex.map { case (cent, c) =>
         struct((-l2SqCol(sub, cent)).as("nd"), lit(-c).as("nc"))
       }
       val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
       (-best.getField("nc")).cast("tinyint").as(s"c$j")
-    }
-    corpus.select(col("vec_id") +: keep.map(col) :+ array(codeCols: _*).as("codes"): _*)
-  }
+    }: _*)
 
   /** Reconstruct the quantized vector from its codes (concatenated
     * per-subspace centroids) — the decode side of the code table.
@@ -868,28 +885,96 @@ object Similarity {
     * determinism rule, so the stats are engine-reproducible.
     */
   def ivfDriftStats(index: IvfIndex, vecs: DataFrame): DataFrame = {
-    val cents = index.centroids.collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
-    // same hygiene as ivfAppend: a null embedding would be counted in n
-    // while its null cosine drops from the sum, silently deflating
-    // mean_cos and triggering spurious retrains
-    failOnBadEmbeddings(vecs, cents.head._2.length, "ivfDriftStats")
-    val assigned =
-      if (cents.length <= literalAssignMaxLists)
-        vecs.select(col("vec_id"),
-          nearestCidCol(cents, col("embedding")).as("cid"), col("embedding"))
-      else assignByJoin(vecs, index.centroids)
-        .select(col("vec_id"), col("cid"), col("embedding"))
+    // batch hygiene runs inside assignToHeader: a null embedding would be
+    // counted in n while its null cosine drops from the sum, silently
+    // deflating mean_cos and triggering spurious retrains
+    val (cents, assigned) = assignToHeader(index.centroids, vecs,
+      "ivfDriftStats")
+    driftStatsFrom(cents, assigned)
+  }
+
+  /** Shared drift-aggregation tail for every IVF-family monitor: cosine
+    * of each batch vector to its ASSIGNED centroid plus any
+    * index-specific per-vector `extras`, reduced to per-list means under
+    * the house determinism rule (6-dp rounds, DECIMAL(18,6) sums, divide
+    * once) — the stats stay engine-reproducible and fixture-oracleable.
+    */
+  private def driftStatsFrom(cents: Seq[(Int, Array[Float])],
+                             assigned: DataFrame,
+                             extras: Seq[(String, Column)] = Nil): DataFrame = {
     val centLit = typedLit(cents.map(_._2.toSeq))
-    assigned
-      .select(col("cid"),
-        round(cosine_sim(col("embedding"),
-          element_at(centLit, col("cid") + 1)), 6).as("cos"))
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n"),
-        sum(col("cos").cast("decimal(18,6)")).as("_s"))
-      .select(col("cid"), col("n"),
-        round(col("_s").cast("double") / col("n"), 6).as("mean_cos"))
+    val perVec = assigned.select(
+      col("cid") +:
+      round(cosine_sim(col("embedding"),
+        element_at(centLit, col("cid") + 1)), 6).as("cos") +:
+      extras.map { case (nme, c) => round(c, 6).as(nme) }: _*)
+    val sums = sum(col("cos").cast("decimal(18,6)")).as("_s") +:
+      extras.map { case (nme, _) =>
+        sum(col(nme).cast("decimal(18,6)")).as(s"_$nme") }
+    perVec.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cid") +: col("n") +:
+        round(col("_s").cast("double") / col("n"), 6).as("mean_cos") +:
+        extras.map { case (nme, _) =>
+          round(col(s"_$nme").cast("double") / col("n"), 6).as(nme) }: _*)
+  }
+
+  /** [[ivfDriftStats]] for the composed IVF×SQ8 tier — the retrain
+    * decision for the index a steady-state crawl actually appends to
+    * ([[ivfSq8Append]]). Adds the quantizer-specific signal the centroid
+    * cosine cannot see: `clamp_frac`, the mean fraction of vector
+    * components falling OUTSIDE the saved per-dimension [min, max]
+    * bounds — those clamp at encode time ([[sq8Encode]]) and lose
+    * fidelity, so a rising clamp_frac means the BOUNDS need retraining
+    * even while list balance still looks healthy (the Faiss practice:
+    * re-check the scalar quantizer's ranges on every composed index, not
+    * just the coarse centroids). Same shuffle-free shape: one scan, one
+    * nlist-keyed aggregation; component counts are exact integers so the
+    * fraction is as reproducible as the cosines.
+    */
+  def ivfSq8DriftStats(index: IvfSq8Index, vecs: DataFrame): DataFrame = {
+    val (cents, assigned) = assignToHeader(index.centroids, vecs,
+      "ivfSq8DriftStats")
+    val minsLit = typedLit(index.p.mins.toSeq)
+    val maxsLit = typedLit(index.p.maxs.toSeq)
+    val oobFrac = size(filter(
+        transform(col("embedding"), (x, i) =>
+          x < element_at(minsLit, i + 1) || x > element_at(maxsLit, i + 1)),
+        b => b)).cast("double") / lit(index.p.dim.toDouble)
+    driftStatsFrom(cents, assigned, Seq("clamp_frac" -> oobFrac))
+  }
+
+  /** [[ivfDriftStats]] for the composed IVF×PQ tier: adds `mean_qcos`,
+    * the mean cosine of each batch vector to its OWN PQ reconstruction
+    * under the saved codebooks — sinking reconstruction fidelity on new
+    * data is the codebook-retrain trigger (list balance can stay perfect
+    * while the codebooks stop describing the vectors). Encode + decode
+    * fuse into the same shuffle-free scan as the assignment.
+    */
+  def ivfPqDriftStats(index: IvfPqIndex, vecs: DataFrame): DataFrame = {
+    val (cents, assigned) = assignToHeader(index.centroids, vecs,
+      "ivfPqDriftStats")
+    val qcos = cosine_sim(col("embedding"),
+      pqReconstruct(pqEncodeCol(col("embedding"), index.cb), index.cb))
+    driftStatsFrom(cents, assigned, Seq("mean_qcos" -> qcos))
+  }
+
+  /** [[ivfPqDriftStats]] for the OPQ-rotated composition: the batch
+    * rotates under the SAVED rotation first, then assignment, centroid
+    * cosine, and reconstruction fidelity all measure in ROTATED space —
+    * where this index's centroids and codebooks actually live (drift
+    * measured in raw space would compare against headers from a
+    * different basis and read noise). Batch hygiene fails on the RAW
+    * batch before the rotation kernel ever runs.
+    */
+  def ivfOpqDriftStats(index: IvfOpqIndex, vecs: DataFrame): DataFrame = {
+    failOnBadEmbeddings(vecs, index.model.dim, "ivfOpqDriftStats")
+    val (cents, assigned) = assignToHeader(index.inner.centroids,
+      opqRotate(vecs, index.model), "ivfOpqDriftStats")
+    val qcos = cosine_sim(col("embedding"),
+      pqReconstruct(pqEncodeCol(col("embedding"), index.model.cb),
+        index.model.cb))
+    driftStatsFrom(cents, assigned, Seq("mean_qcos" -> qcos))
   }
 
   // ── SQ8: scalar quantization (Faiss IndexScalarQuantizer QT_8bit) ────

