@@ -1973,6 +1973,30 @@ object Queries {
           .orderBy("z")
       }),
 
+    QueryDef("q_zorder_nd",
+      // N-dimensional Morton z-values (Delta's OPTIMIZE ZORDER takes 3-4
+      // columns, not 2): bit i·3+k of z is dimension k's bit i — the
+      // generalized z_value kernel over (l_partkey, l_suppkey,
+      // l_linenumber) at 10 bits/dim (bits×dims ≤ 63). The oracle
+      // restates the 3-way shift/mask chain term by term; LayoutSpec
+      // demonstrates 3-d box pruning against real footer statistics.
+      Some {
+        val terms = (0 until 10).flatMap(i => Seq(
+          s"(((l_partkey >> $i) & 1) << ${3 * i})",
+          s"(((l_suppkey >> $i) & 1) << ${3 * i + 1})",
+          s"(((l_linenumber >> $i) & 1) << ${3 * i + 2})")).mkString(" | ")
+        s"""SELECT ($terms) AS z, count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY z"""
+      },
+      (s, d) => {
+        prep(s)
+        t(s, d, "lineitem")
+          .select(call_function("z_value", col("l_partkey"),
+            col("l_suppkey"), col("l_linenumber"), lit(10)).as("z"))
+          .groupBy("z").agg(count(lit(1)).as("n"))
+          .orderBy("z")
+      }),
+
     QueryDef("q_curation_funnel",
       // the FUNNEL REPORT over q_pipeline_e2e's stages — what survives
       // quality → exact-dedup → stratified sampling, per source (the

@@ -63,7 +63,7 @@ object Functions {
     "gram_matrix_agg" -> (es => GramMatrixAgg(es(0), constInt(es(1)))),
     "pca_project" -> (es => PcaProject(es(0), constDoubles(es(1)),
       constDoubles(es(2)), constInt(es(3)))),
-    "z_value"         -> (es => ZValue(es(0), es(1), constInt(es(2)))),
+    "z_value"         -> (es => ZValueN(es.init, constInt(es.last))),
     "byte_remap"      -> (es => ByteRemap(es.head)),
     "byte_unmap"      -> (es => ByteUnmap(es.head)),
     "bpe_encode_bytes" -> (es => BpeEncodeBytes(es(0), constStrings(es(1)),

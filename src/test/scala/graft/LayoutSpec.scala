@@ -168,4 +168,47 @@ class LayoutSpec extends SparkSpec {
     // layout never changes results
     assert(spark.read.parquet(zdir).count() === li.count())
   }
+
+  test("3-d z-order layout: box predicates on the SECOND and THIRD " +
+    "dimensions both prune to fewer files than the leading-column sort; " +
+    "the kernel interleaves all three dimensions' bits") {
+    // kernel sanity on the generalized interleave: stride-3 bit layout
+    assert(graft.functions.ZOrder.spread(0x7L, 3, 3, 0) === 0x49L) // 1001001b
+    assert(graft.functions.ZOrder.spread(0x7L, 3, 3, 2) === 0x124L)
+    // N=2 layout unchanged (the q_zorder oracle depends on it)
+    assert(graft.functions.ZOrder.interleave(5L, 3L, 3) ===
+      (graft.functions.ZOrder.spread(5L, 3, 2, 0) |
+        graft.functions.ZOrder.spread(3L, 3, 2, 1)))
+
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_linenumber")
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    val ndir = java.nio.file.Files.createTempDirectory("graft-zorder3-naive").toString
+    Layout.zorderRepartitionN(li,
+        Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")), 10, 16)
+      .write.mode("overwrite").parquet(zdir)
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(ndir)
+    def overlapping(dir: String, dim: String, lo: Long, hi: Long): (Int, Int) = {
+      val st = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(dim).cast("long").as("s0"), max(dim).cast("long").as("s1"))
+        .collect()
+      (st.count(r => r.getLong(1) <= hi && r.getLong(2) >= lo), st.length)
+    }
+    val sMax = li.agg(max("l_suppkey")).head().getLong(0)
+    val (zHit2, zTotal) = overlapping(zdir, "l_suppkey", sMax / 4, sMax / 2)
+    val (nHit2, nTotal) = overlapping(ndir, "l_suppkey", sMax / 4, sMax / 2)
+    assert(nHit2 >= nTotal - 1, s"naive layout should not prune dim 2 ($nHit2/$nTotal)")
+    assert(zHit2 < nHit2 && zHit2 < zTotal,
+      s"3-d z-order must prune dim-2 boxes: $zHit2/$zTotal vs naive $nHit2/$nTotal")
+    // third dimension (l_linenumber spans 1..7): a single-value box
+    val (zHit3, _) = overlapping(zdir, "l_linenumber", 1L, 1L)
+    val (nHit3, _) = overlapping(ndir, "l_linenumber", 1L, 1L)
+    assert(nHit3 >= nTotal - 1, s"naive layout should not prune dim 3 ($nHit3/$nTotal)")
+    assert(zHit3 < nHit3,
+      s"3-d z-order must prune dim-3 boxes: $zHit3/$zTotal vs naive $nHit3/$nTotal")
+    assert(spark.read.parquet(zdir).count() === li.count())
+  }
 }
