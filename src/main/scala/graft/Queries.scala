@@ -2928,6 +2928,43 @@ object Queries {
           Multimodal.mediaFromDocuments(s, t(s, d, "documents")).toDF, 4)
         .orderBy("media_id", "frame_idx")),
 
+    QueryDef("q_multimodal_audio",
+      // the audio tier is STUB-FREE: planted full-range PCM samples (one
+      // per text char, LCG-scrambled) wrap in a real RIFF/WAVE container,
+      // a real chunk-walking parser decodes them back, and the standard
+      // curation signals (duration µs, normalized RMS, peak, silence and
+      // clipping ratios) compute in one fixed-order pass per clip —
+      // engine-reproducible, so the oracle is a plain-Scala replica of
+      // the whole plant→encode→decode→measure chain.
+      Some("""SELECT media_id, sample_rate, n_samples, duration_us, rms,
+                     peak, silence_ratio, clipping_ratio
+              FROM parquet_scan('{FIX}/_fixture_audio/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val audio = Multimodal.audioFromDocuments(s, t(s, d, "documents"))
+        Multimodal.audioFeatures(s, audio).toDF().orderBy("media_id")
+      }),
+
+    QueryDef("q_multimodal_audio_windows",
+      // speech-style framing fan-out (25 ms windows, 10 ms hop at 16 kHz
+      // → 400/160 samples): pure metadata arithmetic on the sample count
+      // derived from the WAV layout — the payload column is never read.
+      // Clips shorter than one window yield no rows; integral `div`
+      // keeps hop indices exact.
+      Some("""WITH d AS (SELECT doc_id AS media_id, length(text) AS n FROM documents),
+              w AS (SELECT media_id, n, unnest(range(0, (n - 400) // 160 + 1)) AS wi
+                    FROM d WHERE n >= 400)
+              SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+                     CAST(wi AS BIGINT) AS window_idx,
+                     CAST(wi * 160 AS BIGINT) AS start_sample,
+                     CAST(wi * 160 + 400 AS BIGINT) AS end_sample
+              FROM w ORDER BY media_id, window_idx"""),
+      (s, d) => {
+        val audio = Multimodal.audioFromDocuments(s, t(s, d, "documents"))
+        Multimodal.audioWindows(audio.toDF(), 25, 10)
+          .orderBy("media_id", "window_idx")
+      }),
+
     // ── extensions: text analysis ──────────────────────────────────────
     QueryDef("q_text_stats",
       Some("""SELECT doc_id,

@@ -1460,6 +1460,40 @@ object Verify {
       rows.toDF("cid", "n", "mean_cos", "mean_qcos").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_ivfopqdrift")
     }
+    fixture("_fixture_audio") {
+      // audio-signal replica: re-derive the planted PCM samples from the
+      // documents text by the documented LCG formula and re-measure the
+      // signals independently (no WAV container round-trip here — the
+      // container encode/decode identity is MultimodalSpec's job; the
+      // measured values must agree with the engine's decode-then-measure)
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .map { case (id, text0) =>
+          val text = Option(text0).getOrElse("")
+          val xs = text.map(c =>
+            ((((c.toInt * 1103515245 + 12345) >>> 8) & 0xffff) - 32768))
+          val n = xs.length
+          var sumSq = 0.0; var peak = 0; var silent = 0; var clipped = 0
+          xs.foreach { v =>
+            val av = math.abs(v)
+            sumSq += v.toDouble * v.toDouble
+            if (av > peak) peak = av
+            if (av < 328) silent += 1
+            if (av >= 32440) clipped += 1
+          }
+          (id, 16000,
+            n,
+            if (n == 0) 0L else n.toLong * 1000000L / 16000L,
+            if (n == 0) 0.0 else round6(math.sqrt(sumSq / n) / 32768.0),
+            peak,
+            if (n == 0) 0.0 else round6(silent.toDouble / n),
+            if (n == 0) 0.0 else round6(clipped.toDouble / n))
+        }
+      rows.toDF("media_id", "sample_rate", "n_samples", "duration_us",
+          "rms", "peak", "silence_ratio", "clipping_ratio").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_audio")
+    }
     fixture("_fixture_annsq8") {
       annSq8Rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annsq8")

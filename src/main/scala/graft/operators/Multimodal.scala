@@ -125,4 +125,174 @@ object Multimodal {
             sequence(lit(0), col("frames") - 1, lit(stride)))
           .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .withColumn("frame_key", concat_ws(":", col("media_id"), col("frame_idx")))
+
+  // ── Audio columns ─────────────────────────────────────────────────────
+  //
+  // Unlike image/video, 16-bit PCM needs NO codec library — the decode is
+  // pure byte arithmetic — so this tier is stub-free end to end: a real
+  // canonical RIFF/WAVE writer+parser, real sample decode, and the
+  // standard audio-curation signals (duration, RMS energy, peak, silence
+  // ratio, clipping ratio) computed per row inside the same
+  // `mapPartitions` batch shape as [[extractFeatures]]. Payloads stay
+  // columnar in parquet; window fan-out is metadata arithmetic that never
+  // touches the bytes.
+
+  /** Audio row: a WAV payload + its declared sample rate. */
+  case class AudioItem(media_id: Long, payload: Array[Byte], sample_rate: Int)
+
+  /** Audio curation signals (the per-clip quality row a training-data
+    * pipeline filters on). Ratios are 6-dp rounded; duration is exact
+    * integer microseconds.
+    */
+  case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Int,
+                           duration_us: Long, rms: Double, peak: Int,
+                           silence_ratio: Double, clipping_ratio: Double)
+
+  /** Samples with |x| below ~1% of full scale count as silence; at or
+    * above ~99% they count as clipped (the usual loudness-gate defaults).
+    */
+  val silenceFloor = 328   // ceil(32768 * 0.01)
+  val clipCeiling = 32440  // floor(32767 * 0.99)
+
+  /** Build a canonical 44-byte-header mono 16-bit RIFF/WAVE payload. */
+  def wavFromSamples(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                       // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)     // byte rate
+      .putShort(2).putShort(16)                      // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL WAV parse: walk the RIFF chunks to the `data` chunk and decode
+    * its 16-bit little-endian PCM samples; returns (sampleRate, samples).
+    * Fails loudly on non-WAV bytes, non-PCM encodings, or bit depths
+    * other than 16 — a silent skip would deflate every downstream ratio.
+    */
+  def wavDecode(payload: Array[Byte]): (Int, Array[Short]) = {
+    require(payload.length >= 44 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WAVE",
+      "wavDecode: not a RIFF/WAVE payload")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = -1
+    var out: Array[Short] = null
+    while (pos + 8 <= payload.length && (rate < 0 || out == null)) {
+      val tag = new String(payload, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      require(len >= 0 && pos + 8 + len <= payload.length,
+        s"wavDecode: chunk '$tag' overruns the payload")
+      tag match {
+        case "fmt " =>
+          require(bb.getShort(pos + 8) == 1, "wavDecode: not PCM")
+          require(bb.getShort(pos + 22) == 16, "wavDecode: not 16-bit")
+          rate = bb.getInt(pos + 12)
+        case "data" =>
+          out = Array.tabulate(len / 2)(i => bb.getShort(pos + 8 + i * 2))
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks pad to even
+    }
+    require(rate > 0 && out != null, "wavDecode: missing fmt/data chunk")
+    (rate, out)
+  }
+
+  /** Plant deterministic audio rows from the documents fixture: each text
+    * character LCG-scrambles to one full-range PCM sample (so silence and
+    * clipping both actually occur), wrapped in a real WAV container. A
+    * real pipeline reads audio files the same way (`binaryFile` source →
+    * binary column + metadata).
+    */
+  def audioFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[AudioItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        // a null text plants an empty (0-sample) clip, not a crash —
+        // the features path reports it as duration 0
+        val samples = Option(text).getOrElse("")
+          .toCharArray.map(c => sampleOfChar(c))
+        AudioItem(id, wavFromSamples(samples, 16000), 16000)
+    }
+  }
+
+  /** The planted-sample formula (spec for the fixture replica): LCG
+    * scramble of the character code, middle 16 bits, centered.
+    */
+  def sampleOfChar(c: Char): Short =
+    ((((c.toInt * 1103515245 + 12345) >>> 8) & 0xffff) - 32768).toShort
+
+  /** Decode + signal extraction over WAV payload batches — the same
+    * partition-local shape as [[extractFeatures]]. All arithmetic is
+    * fixed-order per row (one sequential pass), so the signals are
+    * engine-reproducible: duration in exact integer µs, RMS over
+    * double-accumulated squares rounded 6 dp, ratios as exact counts
+    * over n rounded 6 dp.
+    */
+  def audioFeatures(spark: SparkSession, audio: Dataset[AudioItem]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      it.map { a =>
+        val (rate, xs) = wavDecode(a.payload)
+        val n = xs.length
+        var sumSq = 0.0; var peak = 0; var silent = 0L; var clipped = 0L
+        var i = 0
+        while (i < n) {
+          val v = xs(i).toInt
+          val av = math.abs(v)
+          sumSq += v.toDouble * v.toDouble
+          if (av > peak) peak = av
+          if (av < silenceFloor) silent += 1
+          if (av >= clipCeiling) clipped += 1
+          i += 1
+        }
+        def r6(d: Double): Double =
+          BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        AudioFeatures(a.media_id, rate, n,
+          if (n == 0) 0L else n.toLong * 1000000L / rate,
+          if (n == 0) 0.0 else r6(math.sqrt(sumSq / n) / 32768.0),
+          peak,
+          if (n == 0) 0.0 else r6(silent.toDouble / n),
+          if (n == 0) 0.0 else r6(clipped.toDouble / n))
+      }
+    }
+  }
+
+  /** Window fan-out over audio METADATA (the [[sampleFrames]] analog):
+    * one row per (windowMs, strideMs) hop that fits entirely inside the
+    * clip — pure arithmetic on the sample count, the payload bytes are
+    * never touched (at 100 TB the planner prunes them out of the scan).
+    * n_samples derives from the canonical WAV layout (header + 2-byte
+    * samples) columnar-ly; clips shorter than one window yield no rows.
+    */
+  def audioWindows(audio: DataFrame, windowMs: Int, strideMs: Int): DataFrame = {
+    require(windowMs > 0 && strideMs > 0,
+      s"audioWindows: window/stride must be positive, got $windowMs/$strideMs")
+    val nSamples = ((length(col("payload")) - 44) / 2).cast("long")
+    val win = (col("sample_rate") * windowMs / 1000).cast("long")
+    val hop = (col("sample_rate") * strideMs / 1000).cast("long")
+    audio
+      .select(col("media_id"), col("sample_rate"), nSamples.as("n_samples"),
+        win.as("_w"), hop.as("_h"))
+      .select(col("media_id"), col("n_samples"),
+        // `div`, not `/`: Column./ on longs is double division (loses
+        // integral exactness; same fix as rangeJoin's bucket index)
+        explode(when(col("n_samples") >= col("_w"),
+            sequence(lit(0L),
+              call_function("div", col("n_samples") - col("_w"), col("_h")),
+              lit(1L)))
+          .otherwise(array().cast("array<bigint>"))).as("window_idx"),
+        (col("_h")).as("_hop"), col("_w").as("_win"))
+      .select(col("media_id"), col("n_samples"), col("window_idx"),
+        (col("window_idx") * col("_hop")).as("start_sample"),
+        (col("window_idx") * col("_hop") + col("_win")).as("end_sample"))
+  }
 }

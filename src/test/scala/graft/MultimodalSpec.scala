@@ -51,4 +51,71 @@ class MultimodalSpec extends SparkSpec {
       assert(r.payload.length <= math.max(1, r.width * r.height / 256))
     }
   }
+
+  test("WAV container round-trips: encode→decode is the identity on " +
+    "samples and rate; unknown chunks skip; junk bytes reject loudly") {
+    val xs = Array[Short](0, 1, -1, 32767, -32768, 100, -12345)
+    val (rate, back) = Multimodal.wavDecode(Multimodal.wavFromSamples(xs, 22050))
+    assert(rate === 22050 && back.toSeq === xs.toSeq)
+    // empty clip round-trips too
+    val (_, e) = Multimodal.wavDecode(Multimodal.wavFromSamples(Array.empty, 16000))
+    assert(e.isEmpty)
+    // a LIST chunk between fmt and data must be walked over, not choked on
+    val canon = Multimodal.wavFromSamples(xs, 16000)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withList = canon.slice(0, 36) ++ listChunk ++ canon.drop(36)
+    // RIFF size field grows by the inserted chunk
+    val bb = java.nio.ByteBuffer.wrap(withList).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + listChunk.length)
+    val (r2, back2) = Multimodal.wavDecode(withList)
+    assert(r2 === 16000 && back2.toSeq === xs.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDecode("definitely not a wav payload ............".getBytes)
+    }
+  }
+
+  test("audio features measure a crafted clip exactly: duration, RMS, " +
+    "peak, silence and clipping ratios") {
+    // 8 samples: 4 silent (|x| < 328), 2 clipped (|x| >= 32440), peak 32767
+    val xs = Array[Short](0, 100, -200, 327, 32767, -32440, 1000, -1000)
+    val audio = Seq(Multimodal.AudioItem(7L,
+      Multimodal.wavFromSamples(xs, 16000), 16000)).toDS()
+    val f = Multimodal.audioFeatures(spark, audio).head()
+    assert(f.media_id === 7L && f.sample_rate === 16000 && f.n_samples === 8)
+    assert(f.duration_us === 500L) // 8 / 16000 s = 500 µs
+    assert(f.peak === 32767)
+    assert(f.silence_ratio === 0.5)
+    assert(f.clipping_ratio === 0.25)
+    val expRms = BigDecimal(math.sqrt(
+        xs.map(v => v.toDouble * v.toDouble).sum / 8) / 32768.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(f.rms === expRms)
+    // planted docs decode end-to-end and stay deterministic
+    val docs = Tables.documents(spark, sf).limit(50)
+    val a1 = Multimodal.audioFeatures(spark,
+      Multimodal.audioFromDocuments(spark, docs)).collect().sortBy(_.media_id)
+    val a2 = Multimodal.audioFeatures(spark,
+      Multimodal.audioFromDocuments(spark, docs)).collect().sortBy(_.media_id)
+    assert(a1.toSeq === a2.toSeq)
+    assert(a1.forall(f => f.n_samples > 0 && f.rms > 0.0))
+  }
+
+  test("audio window fan-out: exact hop count, short clips yield no " +
+    "rows, bounds stay inside the clip, payload bytes never read") {
+    def clip(id: Long, n: Int) = Multimodal.AudioItem(id,
+      Multimodal.wavFromSamples(Array.fill[Short](n)(1), 16000), 16000)
+    val audio = Seq(clip(1, 1000), clip(2, 400), clip(3, 399), clip(4, 0))
+      .toDS().toDF()
+    val w = Multimodal.audioWindows(audio, 25, 10) // win 400, hop 160
+      .collect().groupBy(_.getLong(0))
+    // clip 1: indices 0..floor((1000-400)/160)=3 → 4 windows
+    assert(w(1L).length === 4)
+    assert(w(1L).map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq ===
+      Seq((0L, 0L, 400L), (1L, 160L, 560L), (2L, 320L, 720L), (3L, 480L, 880L)))
+    // exactly one full window fits clip 2; clip 3 and the empty clip get none
+    assert(w(2L).length === 1 && w(2L).head.getLong(4) === 400L)
+    assert(!w.contains(3L) && !w.contains(4L))
+    w(1L).foreach(r => assert(r.getLong(4) <= 1000L))
+  }
 }
