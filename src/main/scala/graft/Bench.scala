@@ -10,7 +10,14 @@ import scala.jdk.CollectionConverters._
   */
 object Bench {
 
-  /** Headline subset: one representative per operator family. */
+  /** Headline subset: one representative per operator family. The first
+    * ten are the round-1 regression set; the last five (added r13) cover
+    * the r7-r12 operator tiers the original set predates — a plan
+    * regression in ANN-index / graph / tokenizer / sessionization /
+    * profiling land is otherwise invisible to the round gate (ScaleProof
+    * sees ratios, not absolute drift). The prior cross-check tolerates
+    * queries absent from an older artifact.
+    */
   val headline: Seq[String] = Seq(
     "q_group_pk_prefix",      // shuffle aggregation
     "q_join_multiway",        // multiway join, broadcast dims
@@ -21,7 +28,12 @@ object Bench {
     "q_dedup_minhash_lsh",    // MinHash+LSH dedup (sketch + bucket join)
     "q_ann_topk",             // brute-force ANN baseline
     "q_text_fingerprint",     // text canonicalization + digest
-    "q_json_extract")         // JSON path extraction
+    "q_json_extract",         // JSON path extraction
+    "q_ann_ivf_sq8",          // composed persistent ANN index (train+save+append+probe)
+    "q_host_pagerank",        // iterative graph analytics
+    "q_bpe_encode_ids",       // trained-tokenizer codegen encode
+    "q_sessionize",           // event-stream sessionization window
+    "q_profile")              // one-pass column profiling
 
   /** 1-minute system load average (machine-wide, not just this JVM). */
   private def loadAvg(): Double =
@@ -178,19 +190,6 @@ object Bench {
         .format("noop").mode("overwrite").save()
     }
 
-    def timeOne(name: String, probeBefore: Double,
-                rerecorded: Boolean = false): QRec = {
-      val fn = SparkEntry.queries(name)
-      // median of 3 runs pins run-to-run variance (the sketch-heavy queries
-      // are noisy) and keeps first-use codegen out of per-query numbers
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      QRec(name, times(1), times.head, probeBefore, probeCalib(spark), rerecorded)
-    }
-
     // Three ROTATED passes, one timed run per query per pass, probes
     // interleaved (query i's trailing probe is query i+1's leading one).
     // Rotation is the r12 methodology fix: a fixed execution order times
@@ -202,10 +201,13 @@ object Bench {
     // different positions converges to the query's plan cost instead of
     // its slot cost. Each reading keeps its own probe brackets; the
     // reported min carries the brackets of the pass that PRODUCED it.
-    def timedPass(): Seq[QRec] = {
-      val n = headline.size
+    // The same machinery serves the per-query re-record path (r12 left
+    // re-records timed back-to-back in ONE slot — precisely the position
+    // bias rotation exists to kill), so it takes the query list as input.
+    def timedPass(names: Seq[String], rerecorded: Boolean = false): Seq[QRec] = {
+      val n = names.size
       val readings = (0 until 3).map { pass =>
-        val order = headline.drop(pass * n / 3) ++ headline.take(pass * n / 3)
+        val order = names.drop(pass * n / 3) ++ names.take(pass * n / 3)
         var p = probeCalib(spark)
         order.map { name =>
           val fn = SparkEntry.queries(name)
@@ -218,11 +220,11 @@ object Bench {
           r
         }
       }
-      headline.map { name =>
+      names.map { name =>
         val rs = readings.flatMap(_.filter(_._1 == name))
         val sorted = rs.sortBy(_._2)
         val best = sorted.head
-        QRec(name, sorted(1)._2, best._2, best._3, best._4)
+        QRec(name, sorted(1)._2, best._2, best._3, best._4, rerecorded)
       }
     }
 
@@ -230,35 +232,54 @@ object Bench {
     // the numbers are suspect — sleep and re-record (queries stay warm, so
     // a retry costs only the timed passes). Give up after 3 attempts and
     // mark the artifact contended rather than silently shipping it.
-    var results = timedPass()
+    var results = timedPass(headline)
     var calibAfterV = stableCalib(spark)
     var recTries = 1
     while (calibAfterV > calibBandHi && recTries < 3) {
       System.err.println(f"[bench] calib_after $calibAfterV%.3f out of band; re-recording (try $recTries)")
       Thread.sleep(15000)
       calibBefore = stableCalib(spark)
-      results = timedPass()
+      results = timedPass(headline)
       calibAfterV = stableCalib(spark)
       recTries += 1
     }
 
     // Per-query qualification (the r11 blind spot): after the pass,
-    // re-record once any query whose own probes flagged contention OR
-    // whose min reads > 1.5× its prior-round artifact minimum, and keep
-    // the better (smaller-min) recording. A genuinely regressed query
-    // re-records once and still ships its honest slow number — flagged by
-    // the cross-round delta in review, not hidden.
+    // re-record any query whose own probes flagged contention OR whose
+    // min reads > 1.5× its prior-round artifact minimum, and keep the
+    // better (smaller-min) recording. The re-record is itself a ROTATED
+    // mini-pass over the flagged set — back-to-back repeats in one slot
+    // would reintroduce the exact position bias rotation kills; a lone
+    // flagged query borrows the fastest unflagged one as a position
+    // spacer so its three readings still land in different JVM states. A
+    // genuinely regressed query re-records once and still ships its
+    // honest slow number — flagged by the cross-round delta in review,
+    // not hidden.
     val outlierSlack = 1.5
-    results = results.map { r =>
-      val priorOutlier = priorMins.get(r.name).exists(p => r.min > p * outlierSlack)
-      if (!r.contended && !priorOutlier) r
-      else {
+    val flagged = results.filter { r =>
+      r.contended || priorMins.get(r.name).exists(p => r.min > p * outlierSlack)
+    }
+    if (flagged.nonEmpty) {
+      flagged.foreach { r =>
         val why = if (r.contended) "probes out of band" else
           f"min ${r.min}%.3f > ${outlierSlack}x prior ${priorMins(r.name)}%.3f"
         System.err.println(s"[bench] re-recording ${r.name}: $why")
-        if (r.contended) Thread.sleep(10000) // let the external load drain
-        val redo = timeOne(r.name, probeCalib(spark), rerecorded = true)
-        if (redo.min < r.min) redo else r.copy(rerecorded = true)
+      }
+      if (flagged.exists(_.contended)) Thread.sleep(10000) // let the load drain
+      val spacer =
+        if (flagged.size > 1) Nil
+        else results.filterNot(r => flagged.exists(_.name == r.name))
+          .sortBy(_.min).take(1).map(_.name)
+      val redoNames = flagged.map(_.name) ++ spacer
+      val redone = timedPass(redoNames, rerecorded = true)
+        .filter(r => flagged.exists(_.name == r.name))
+        .map(r => r.name -> r).toMap
+      results = results.map { r =>
+        redone.get(r.name) match {
+          case Some(redo) if redo.min < r.min => redo
+          case Some(_) => r.copy(rerecorded = true)
+          case None => r
+        }
       }
     }
 
