@@ -434,11 +434,20 @@ object Pipeline {
     * backfills agree. Output: input columns + `pos` (long).
     */
   def shuffledOrdinal(docs: DataFrame, key: Column, seed: Long,
-                      buckets: Int = 256): DataFrame = {
+                      buckets: Int = 256,
+                      materialize: Boolean = false): DataFrame = {
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in 1..65536, got $buckets")
-    val withV = docs.withColumn("_v", shuffleVariate(key, seed))
+    val withV0 = docs.withColumn("_v", shuffleVariate(key, seed))
       .withColumn("_b", variateBucket(col("_v"), buckets))
+    // The two-phase shape reads the source twice by construction: once
+    // for the offsets header (column-pruned to the key), once for the
+    // ranking window. `materialize` checkpoints the variate projection so
+    // the source is scanned ONCE — the right trade when the scan is
+    // expensive (remote object store) or when a save/append action chains
+    // right behind this call; the default keeps the cheap pruned re-scan
+    // and writes nothing.
+    val withV = if (materialize) withV0.localCheckpoint() else withV0
     val offsets = bucketOffsets(withV, col("_b"), count(lit(1)), buckets)
     val w = Window.partitionBy("_b").orderBy(col("_v"), key)
     withV.withColumn("pos",
@@ -463,14 +472,20 @@ object Pipeline {
   def assignShardsByBudget(docs: DataFrame, key: Column, seed: Long,
                            tokens: Column, budget: Long,
                            buckets: Int = 256,
-                           startTokens: Long = 0L): DataFrame = {
+                           startTokens: Long = 0L,
+                           materialize: Boolean = false): DataFrame = {
     require(budget > 0, s"shard budget must be positive, got $budget")
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in 1..65536, got $buckets")
     require(startTokens >= 0, s"startTokens must be >= 0, got $startTokens")
-    val withV = docs.withColumn("_v", shuffleVariate(key, seed))
+    val withV0 = docs.withColumn("_v", shuffleVariate(key, seed))
       .withColumn("_b", variateBucket(col("_v"), buckets))
       .withColumn("_n", tokens.cast("long"))
+    // see shuffledOrdinal: `materialize` collapses the offsets-header scan
+    // and the window scan into ONE source read via a local checkpoint —
+    // saveShardedCorpus/appendShardedCorpus turn it on because their
+    // write action would otherwise be the source's SECOND full read
+    val withV = if (materialize) withV0.localCheckpoint() else withV0
     val offsets = bucketOffsets(withV, col("_b"),
       coalesce(sum(col("_n")), lit(0L)), buckets)
     val w = Window.partitionBy("_b").orderBy(col("_v"), key)
@@ -495,7 +510,8 @@ object Pipeline {
                         buckets: Int = 256): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val assigned = assignShardsByBudget(docs, key, seed, tokens, budget, buckets)
+    val assigned = assignShardsByBudget(docs, key, seed, tokens, budget,
+      buckets, materialize = true)
     assigned.write.partitionBy("shard").mode("overwrite").parquet(s"$dir/data")
     val manifest = shardManifest(assigned, tokens)
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
@@ -533,7 +549,7 @@ object Pipeline {
     val (seed, budget, buckets, total) =
       (meta.getLong(0), meta.getLong(1), meta.getInt(2), meta.getLong(3))
     val assigned = assignShardsByBudget(newDocs, key, seed, tokens, budget,
-      buckets, startTokens = total)
+      buckets, startTokens = total, materialize = true)
     assigned.write.partitionBy("shard").mode("append").parquet(s"$dir/data")
     val old = spark.read.parquet(s"$dir/manifest")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -241,6 +241,35 @@ class PipelineSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(planOf(emitted)).size === 1, planOf(emitted))
   }
 
+  test("materialized shuffle/shard: the variate projection checkpoints, " +
+    "so the ranking window reads the checkpoint instead of re-scanning " +
+    "the source — identical output either way") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val src = docs // parquet-backed
+    val lazyOrd = Pipeline.shuffledOrdinal(src, col("doc_id"), seed = 5L)
+    val matOrd = Pipeline.shuffledOrdinal(src, col("doc_id"), seed = 5L,
+      materialize = true)
+    // the lazy form's remaining plan re-scans parquet; the materialized
+    // form's scan is the checkpoint RDD (source was read exactly once,
+    // during the eager offsets pass)
+    assert(planOf(lazyOrd).toLowerCase.contains("parquet"), planOf(lazyOrd))
+    assert(!planOf(matOrd).toLowerCase.contains("parquet"), planOf(matOrd))
+    assert(planOf(matOrd).contains("ExistingRDD") ||
+      planOf(matOrd).contains("Scan ExistingRDD"), planOf(matOrd))
+    val a = lazyOrd.select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = matOrd.select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.toSeq === b.toSeq)
+    val lazySh = Pipeline.assignShardsByBudget(src, col("doc_id"), 5L,
+      col("n_chars"), 4000L)
+    val matSh = Pipeline.assignShardsByBudget(src, col("doc_id"), 5L,
+      col("n_chars"), 4000L, materialize = true)
+    assert(!planOf(matSh).toLowerCase.contains("parquet"), planOf(matSh))
+    val c = lazySh.select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val e = matSh.select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(c.toSeq === e.toSeq)
+  }
+
   test("contaminationReport frac>0 set equals contaminatedIds; fractions " +
       "bounded and grams counted distinct") {
     val docs = Tables.documents(spark, sf)
