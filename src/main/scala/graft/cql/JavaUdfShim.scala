@@ -484,7 +484,8 @@ object JavaUdfShim {
       }
 
       /** An if-branch inside the loop body: a braced run of accumulation
-        * statements or a single one. Returns the updated accumulators.
+        * statements (each of which may itself be an `if` — branches nest
+        * recursively) or a single one. Returns the updated accumulators.
         */
       def parseLoopBranch(): Seq[String] = {
         val updated = scala.collection.mutable.ListBuffer.empty[String]
@@ -492,29 +493,31 @@ object JavaUdfShim {
           next()
           while (!peek.contains(Op("}"))) {
             toks match {
-              case Ident("if") :: _ => fail("nested branches inside a counted " +
-                "loop are not supported by this engine's translation shim")
+              case Ident("if") :: _ => updated ++= parseLoopIf()
               case Nil => fail("unexpected end of loop body")
               case _ => updated += parseSimpleAccum()
             }
           }
           eat("}")
         } else toks match {
-          case Ident("if") :: _ => fail("nested branches inside a counted " +
-            "loop are not supported by this engine's translation shim")
+          case Ident("if") :: _ => updated ++= parseLoopIf()
           case _ => updated += parseSimpleAccum()
         }
         updated.toSeq
       }
 
-      /** `if (cond) <accum> [else <accum>]` inside the loop body: the
+      /** `if (cond) <branch> [else <branch>]` inside the loop body: the
         * condition evaluates PER ITERATION at its statement position
         * (after earlier statements' updates — it may read accumulators,
         * unlike the loop bound, which Java snapshots only conceptually);
         * each branch threads from the same entry state, and accumulators
         * updated by either branch merge as IF(cond, then', else').
+        * Branches may contain further `if`s — an inner if merges into
+        * its branch's running state first, so nesting lowers to nested
+        * IF() terms with Java's statement-order semantics. Returns the
+        * accumulators either branch updated.
         */
-      def parseLoopIf(): Unit = {
+      def parseLoopIf(): Seq[String] = {
         toks = toks.tail // 'if'
         eat("(")
         val (c, _) = expression()
@@ -528,11 +531,13 @@ object JavaUdfShim {
           case _ => Map.empty[String, (String, T)]
         }
         locals = snap
-        (thenBind.keySet ++ elseBind.keySet).foreach { n =>
+        val touched = (thenBind.keySet ++ elseBind.keySet).toSeq.sorted
+        touched.foreach { n =>
           val (tv, tt) = thenBind.getOrElse(n, snap(n))
           val (ev, _) = elseBind.getOrElse(n, snap(n))
           locals = locals.updated(n, (s"IF(($c), ($tv), ($ev))", tt))
         }
+        touched
       }
 
       def parseLoopStmts(): Unit = {

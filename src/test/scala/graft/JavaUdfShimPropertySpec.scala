@@ -446,6 +446,140 @@ class JavaUdfShimPropertySpec extends SparkSpec {
     }
   }
 
+  /** Nested branches inside counted-loop bodies (the r13 grammar rung):
+    * statements are assignments or `if`s whose branches recursively hold
+    * more statements — depth-2 and depth-3 ifs lower to nested IF()
+    * terms in the struct fold. Branches that are a single assignment
+    * render unbraced; anything else braces, which also sidesteps Java's
+    * dangling-else binding so the model and javac agree by construction.
+    */
+  private sealed trait LStmt
+  private case class LAssign(tgt: String, e: E) extends LStmt
+  private case class LIf(l: E, r: E, thn: List[LStmt], els: List[LStmt]) extends LStmt
+
+  private def genLStmt(depth: Int): Gen[LStmt] = {
+    val assign = for {
+      tgt <- Gen.oneOf("s", "t"); e <- genTwoLoopExpr(2)
+    } yield LAssign(tgt, e)
+    if (depth <= 0) assign
+    else Gen.frequency(
+      2 -> assign,
+      3 -> (for {
+        l <- genTwoLoopExpr(1); r <- genTwoLoopExpr(1)
+        nt <- Gen.choose(1, 2)
+        thn <- Gen.listOfN(nt, genLStmt(depth - 1))
+        hasElse <- Gen.oneOf(true, false)
+        els <- if (hasElse)
+          Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, genLStmt(depth - 1)))
+        else Gen.const(List.empty[LStmt])
+      } yield LIf(l, r, thn, els)))
+  }
+
+  private case class NestedIfLoop(initS: E, initT: E, lo: Int, hi: E,
+                                  incl: Boolean, steps: List[LStmt])
+
+  private def genNestedIfLoop: Gen[NestedIfLoop] = for {
+    initS <- genSafe(1)
+    initT <- genSafe(1)
+    lo <- Gen.chooseNum(-2, 2)
+    hi <- genSafe(1)
+    incl <- Gen.oneOf(true, false)
+    n <- Gen.choose(1, 3)
+    // force at least one nested if into every case: this test exists to
+    // cover the depth-2+ grammar, not to re-run the flat cond-loop one
+    forced <- for {
+      l <- genTwoLoopExpr(1); r <- genTwoLoopExpr(1)
+      il <- genTwoLoopExpr(1); ir <- genTwoLoopExpr(1)
+      a1 <- genLStmt(0); a2 <- genLStmt(0); a3 <- genLStmt(1)
+      deepElse <- Gen.oneOf(true, false)
+    } yield LIf(l, r,
+      List(LIf(il, ir, List(a1), if (deepElse) List(a3) else Nil)),
+      List(a2))
+    rest <- Gen.listOfN(n - 1, genLStmt(2))
+  } yield NestedIfLoop(initS, initT, lo, hi, incl, forced :: rest)
+
+  private def renderLStmt(s: LStmt): String = s match {
+    case LAssign(t, e) => s"$t = ${render(e)};"
+    case LIf(l, r, thn, els) =>
+      val tb = thn match {
+        case (a: LAssign) :: Nil => renderLStmt(a)
+        case _ => thn.map(renderLStmt).mkString("{ ", " ", " }")
+      }
+      val eb = els match {
+        case Nil => ""
+        case (a: LAssign) :: Nil => s" else ${renderLStmt(a)}"
+        case _ => s" else ${els.map(renderLStmt).mkString("{ ", " ", " }")}"
+      }
+      s"if ((${render(l)}) < (${render(r)})) $tb$eb"
+  }
+
+  private def renderNestedIfLoop(b: NestedIfLoop): String = {
+    val cmp = if (b.incl) "<=" else "<"
+    s"int s = ${render(b.initS)}; int t = ${render(b.initT)}; " +
+      s"for (int i = ${if (b.lo < 0) s"(${b.lo})" else b.lo}; i $cmp ${render(b.hi)}; i++) " +
+      s"{ ${b.steps.map(renderLStmt).mkString(" ")} } return s * 31 + t;"
+  }
+
+  private def evalLStmt(s: LStmt, args: Map[String, Option[Int]],
+                        env: Map[String, Option[Int]]): Map[String, Option[Int]] =
+    s match {
+      case LAssign(t, e) => env.updated(t, eval(e, args, env))
+      case LIf(l, r, thn, els) =>
+        val fire = (eval(l, args, env), eval(r, args, env)) match {
+          case (Some(lv), Some(rv)) => lv < rv
+          case _ => false // total by construction; never hit
+        }
+        (if (fire) thn else els).foldLeft(env)((en, st) => evalLStmt(st, args, en))
+    }
+
+  private def evalNestedIfLoop(b: NestedIfLoop,
+                               args: Map[String, Option[Int]]): Option[Int] = {
+    var env: Map[String, Option[Int]] =
+      Map("s" -> eval(b.initS, args), "t" -> eval(b.initT, args))
+    val hiV = eval(b.hi, args).get
+    var i = b.lo
+    while (if (b.incl) i <= hiV else i < hiV) {
+      env = env.updated("i", Some(i))
+      env = b.steps.foldLeft(env)((en, st) => evalLStmt(st, args, en))
+      i += 1
+    }
+    for (s <- env("s"); t <- env("t")) yield s * 31 + t
+  }
+
+  test("random NESTED-branch loop bodies (if within if, both arms, " +
+    "braced and unbraced) translate to nested IF() terms with Java " +
+    "sequential-statement semantics") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val cqlArgs = argNames.map(_ -> (CqlInt: CqlType))
+    val argSets: Seq[Map[String, Option[Int]]] = Seq(
+      Map("a" -> Some(7), "b" -> Some(-3), "c" -> Some(2)),
+      Map("a" -> None, "b" -> Some(5), "c" -> Some(11)),
+      Map("a" -> Some(0), "b" -> None, "c" -> Some(-8)))
+    val base = argSets.map(m =>
+      (m("a").map(Int.box).orNull, m("b").map(Int.box).orNull, m("c").map(Int.box).orNull))
+      .toDF("a", "b", "c")
+    val cases = (0 until 60).flatMap { i =>
+      genNestedIfLoop(Gen.Parameters.default.withSize(1 + i % 10), Seed(0x1300FL + i))
+    }
+    cases.zipWithIndex.grouped(20).foreach { group =>
+      val cols = group.map { case (b, i) =>
+        val sql = JavaUdfShim.translate(renderNestedIfLoop(b), cqlArgs)
+        expr(sql).cast("int").as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case (b, i) =>
+        argSets.zipWithIndex.foreach { case (m, row) =>
+          val want = evalNestedIfLoop(b, m)
+          val gi = got(row).fieldIndex(s"e$i")
+          val gotV = if (got(row).isNullAt(gi)) None else Some(got(row).getInt(gi))
+          assert(gotV === want,
+            s"body ${renderNestedIfLoop(b)}\nsql ${JavaUdfShim.translate(renderNestedIfLoop(b), cqlArgs)}\nargs $m")
+        }
+      }
+    }
+  }
+
   /** StringBuilder repeat-append loops (the UFTest.java:441 shape):
     * append operands are leaves only — a null Integer append prints "null"
     * on both sides, a null unboxed in arithmetic would NPE in Java.

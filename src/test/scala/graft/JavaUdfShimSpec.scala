@@ -312,10 +312,12 @@ class JavaUdfShimSpec extends AnyFunSuite {
     assert(tr(
       "int s = 0; for (int i = 0; i < n; i++) if (i > 2) s += i; return s;",
       "n" -> CqlInt).contains("aggregate(sequence("))
-    // nested branches stay out of the grammar
-    assert(rejects(
-      "int s = 0; for (int i = 0; i < n; i++) { if (i > 2) { if (i > 4) s += i; } } return s;",
-      "n" -> CqlInt).contains("nested branches"))
+    // nested branches (r13 rung) lower to nested IF() terms
+    val nested = tr(
+      "int s = 0; for (int i = 0; i < n; i++) { if (i > 2) { if (i > 4) s += i; else s += 100; } } return s;",
+      "n" -> CqlInt)
+    assert(nested.contains("aggregate(sequence(") &&
+      "IF\\(".r.findAllIn(nested).size >= 2, nested)
     // validation still applies inside branches
     assert(rejects(
       "int s = 0; for (int i = 0; i < n; i++) { if (i > 2) { int j = i; s += j; } } return s;",
