@@ -744,8 +744,12 @@ object Queries {
     QueryDef("q_cql_in",
       // multi-partition IN fan-out through the engine (StorageProxy
       // concatenation): post-IN rows come back in (pk, ck) order
+      // BETWEEN 1 AND 100, not <= 100: the IN list starts at 1, and the
+      // driver's corpus DOES mint o_custkey = 0 at some scales (11 such
+      // rows at sf0.001 made the old oracle read 1021 vs the engine's
+      // correct 1010)
       Some("""SELECT o_custkey, o_orderkey FROM orders
-              WHERE o_orderkey < 2000 AND o_custkey <= 100
+              WHERE o_orderkey < 2000 AND o_custkey BETWEEN 1 AND 100
               ORDER BY o_custkey, o_orderkey"""),
       (s, d) => {
         val e = storedEngine(s)
@@ -6165,13 +6169,22 @@ object Queries {
         ("ts_us", "num"), ("user_id", "num"), ("value", "num"))
         .map { case (c, k) =>
           val src = if (c == "ts_us") "epoch_us(ts)" else c
+          // mean = qi + rem/n with qi the exact truncating integral
+          // quotient (duck: trunc + hugeint //; engine: decimal div) and
+          // rem the exact small remainder — casting the raw epoch-µs-scale
+          // decimal SUM to double hits DuckDB's non-correctly-rounded
+          // conversion (one-ulp off at sf0.001); qi < 2^53 and a small rem
+          // make every double op correctly rounded in both engines
+          val sumE = s"sum(CAST($src AS DECIMAL(38,6)))"
+          val qiE = s"(CAST(trunc($sumE) AS HUGEINT) // CAST(count($src) AS HUGEINT))"
           val (numCols, strCols) =
             if (k == "num")
               (s"""CAST(min($src) AS DOUBLE) AS num_min,
                    CAST(max($src) AS DOUBLE) AS num_max,
                    CASE WHEN count($src) > 0 THEN
-                     round(CAST(sum(CAST($src AS DECIMAL(38,6))) AS DOUBLE)
-                           / count($src), 6) END AS num_avg,
+                     CAST($qiE AS DOUBLE) +
+                     CAST($sumE - CAST($qiE AS DECIMAL(38,6)) * count($src) AS DOUBLE)
+                       / count($src) END AS num_avg,
                    CAST(NULL AS VARCHAR) AS str_min,
                    CAST(NULL AS VARCHAR) AS str_max""",
                 "")

@@ -23,9 +23,15 @@ import org.apache.spark.sql.types._
   *
   * Determinism/oracle parity: means route through DECIMAL(38,6) sums
   * (exact for inputs with ≤ 6 dp of scale — counters, ids, money-style
-  * metrics) and divide ONCE by the non-null count, so engine and oracle
-  * divide identical operands; null-only columns report a null mean, not
-  * NaN.
+  * metrics) and reconstruct the mean as `qi + rem/n` where `qi` is the
+  * EXACT integral quotient (truncating div) and `rem = sum − qi·n` the
+  * exact small remainder. Casting the raw decimal sum to double and
+  * dividing would hand the engines an epoch-µs-scale (≥2^63 after
+  * scaling) decimal→double conversion, which DuckDB does not correctly
+  * round (observed one-ulp disagreement at sf0.001); `qi` stays under
+  * 2^53 (exact in double) and `rem` is small, so both engines perform
+  * the identical correctly-rounded IEEE ops. Null-only columns report a
+  * null mean, not NaN.
   */
 object Profile {
 
@@ -63,10 +69,16 @@ object Profile {
     val nullS = lit(null).cast("string")
     val rows = cols.map { c =>
       val (numMin, numMax, numAvg, strMin, strMax) = kind(schema(c).dataType) match {
-        case "num" => (col(s"_min_$c"), col(s"_max_$c"),
-          when(col(s"_nn_$c") > 0,
-            round(col(s"_sum_$c").cast("double") / col(s"_nn_$c"), 6)),
-          nullS, nullS)
+        case "num" =>
+          val s = col(s"_sum_$c"); val nn = col(s"_nn_$c")
+          // exact integral quotient (long, ≤2^53-exact in double) + exact
+          // small remainder — see the class doc's determinism note
+          val qi = call_function("div", s, nn)
+          val rem = s - qi.cast(DecimalType(38, 6)) * nn
+          (col(s"_min_$c"), col(s"_max_$c"),
+            when(nn > 0,
+              qi.cast("double") + rem.cast("double") / nn.cast("double")),
+            nullS, nullS)
         case "str" => (nullD, nullD, nullD, col(s"_smin_$c"), col(s"_smax_$c"))
         case _     => (nullD, nullD, nullD, nullS, nullS)
       }

@@ -140,7 +140,10 @@ object ScaleProof {
     "q_host_triangles",   // degree-ordered wedge join (O(√m) fan-out bound)
     "q_vocab_coverage",   // vocab-keyed left join + doc-keyed reduce
     "q_sample_reservoir", // A-ES key + bounded per-group top-k cut
-    "q_decay_score")      // scan-fused decay terms + keyed aggregation
+    "q_decay_score",      // scan-fused decay terms + keyed aggregation
+    "q_ann_ivf_sq8_drift", // composed-index drift monitor (assign+agg, r13)
+    "q_multimodal_audio", // WAV decode + fixed-order signal pass (r13)
+    "q_zorder_nd")        // 3-d Morton kernel + z-keyed aggregation (r13)
 
   def main(args: Array[String]): Unit = {
     val ext = args.contains("--extended")

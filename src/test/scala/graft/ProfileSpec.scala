@@ -19,7 +19,9 @@ class ProfileSpec extends SparkSpec {
     val n = p("n")
     assert(n.getLong(1) === 4L && n.getLong(2) === 1L && n.getLong(3) === 2L)
     assert(n.getDouble(4) === 1.0 && n.getDouble(5) === 2.0)
-    assert(n.getDouble(6) === round6(5.0 / 3.0))
+    // mean = qi + rem/n reconstruction (exact integral quotient 1,
+    // remainder 2): the raw IEEE value, not a 6-dp round — sum 5, n 3
+    assert(n.getDouble(6) === 1.0 + 2.0 / 3.0)
     val s = p("s")
     assert(s.getLong(2) === 1L && s.getLong(3) === 3L)
     assert(s.isNullAt(4) && s.isNullAt(6))
@@ -31,6 +33,19 @@ class ProfileSpec extends SparkSpec {
 
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("profile mean stays exact at epoch-µs magnitudes: the decimal SUM " +
+    "exceeds double precision, but qi + rem/n reconstructs the correctly " +
+    "rounded mean (the raw-sum double cast is where DuckDB diverges)") {
+    val vals = Seq(1705320648565608007L, 1705320648565608000L,
+      1705320648565608014L, 1705320648565608010L)
+    val df = vals.map(Some(_)).toDF("ts_us")
+    val got = Profile.profile(df, Seq("ts_us"), exactDistinct = true)
+      .head().getDouble(6)
+    // independent exact expectation: BigDecimal mean, correctly rounded
+    val want = (BigDecimal(vals.sum) / vals.length).toDouble
+    assert(got === want) // qi = ...007, rem/n = 0.75 — both IEEE-exact here
+  }
 
   test("approximate-distinct mode agrees with exact within HLL error and " +
     "matches every non-distinct statistic exactly") {
