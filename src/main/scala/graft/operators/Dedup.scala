@@ -190,11 +190,15 @@ object Dedup {
     // min_by over (−score, id) keeps the winner's id intact for ANY id
     // type (string host labels included — unary minus on the id itself
     // would cast strings to double and null out every winner); the
-    // winner's score is just the group max
+    // winner's score is just the group max. A null score coalesces to
+    // +∞ in the ordering so it LOSES (a bare null would sort first
+    // under min_by and a scoreless doc would beat every scored one —
+    // paired with another row's max score, a frankenrow).
     labels.join(scored.select(col(id), col(scoreCol)), Seq(id))
       .groupBy("group_id")
       .agg(min_by(col(id),
-          struct((-col(scoreCol)).as("ns"), col(id).as("i"))).as(id),
+          struct(coalesce((-col(scoreCol)).cast("double"),
+            lit(Double.MaxValue)).as("ns"), col(id).as("i"))).as(id),
         max(col(scoreCol)).as(scoreCol),
         count(lit(1)).as("n_members"))
       .select(col("group_id"), col(id), col(scoreCol), col("n_members"))

@@ -66,11 +66,9 @@ object Layout {
     // dim clusters only the 16-bit one. The min/max header is one
     // 2N-value driver aggregate; layout choices never affect results,
     // only which files a predicate has to read.
-    val mm = df.agg(
-      dims.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double")))
-        .zipWithIndex.map { case (c, i) => c.as(s"_m$i") }.head,
-      dims.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double")))
-        .zipWithIndex.map { case (c, i) => c.as(s"_m$i") }.tail: _*).head()
+    val aggs = dims.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double")))
+      .zipWithIndex.map { case (c, i) => c.as(s"_m$i") }
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
     val top = (1L << bits) - 1
     def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
       if (hi > lo)

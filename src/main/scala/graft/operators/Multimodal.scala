@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
@@ -188,7 +188,9 @@ object Multimodal {
     while (pos + 8 <= payload.length && (rate < 0 || out == null)) {
       val tag = new String(payload, pos, 4, "US-ASCII")
       val len = bb.getInt(pos + 4)
-      require(len >= 0 && pos + 8 + len <= payload.length,
+      // long arithmetic: a crafted len near Int.MaxValue would wrap
+      // pos+8+len negative and sneak past an int-typed bound check
+      require(len >= 0 && pos.toLong + 8L + len.toLong <= payload.length,
         s"wavDecode: chunk '$tag' overruns the payload")
       tag match {
         case "fmt " =>
@@ -270,15 +272,29 @@ object Multimodal {
     * one row per (windowMs, strideMs) hop that fits entirely inside the
     * clip — pure arithmetic on the sample count, the payload bytes are
     * never touched (at 100 TB the planner prunes them out of the scan).
-    * n_samples derives from the canonical WAV layout (header + 2-byte
-    * samples) columnar-ly; clips shorter than one window yield no rows.
+    * By default n_samples derives from the CANONICAL 44-byte-header WAV
+    * layout ([[wavFromSamples]]' output); payloads with extra RIFF
+    * chunks need `nSamplesCol` — the sample-count metadata column a real
+    * ingest carries — or the derived count silently includes chunk
+    * bytes. Clips shorter than one window yield no rows; a sample_rate
+    * too low for the stride (hop would truncate to 0 samples) fails
+    * loudly at run time rather than silently emitting nothing.
     */
-  def audioWindows(audio: DataFrame, windowMs: Int, strideMs: Int): DataFrame = {
+  def audioWindows(audio: DataFrame, windowMs: Int, strideMs: Int,
+                   nSamplesCol: Option[Column] = None): DataFrame = {
     require(windowMs > 0 && strideMs > 0,
       s"audioWindows: window/stride must be positive, got $windowMs/$strideMs")
-    val nSamples = ((length(col("payload")) - 44) / 2).cast("long")
+    val nSamples = nSamplesCol.getOrElse(
+      ((length(col("payload")) - 44) / 2).cast("long"))
     val win = (col("sample_rate") * windowMs / 1000).cast("long")
-    val hop = (col("sample_rate") * strideMs / 1000).cast("long")
+    val hop0 = (col("sample_rate") * strideMs / 1000).cast("long")
+    // the guard is fused INTO the hop value (assert_true returns null on
+    // success, so the `when` passes hop through) — a standalone guard
+    // column would be pruned out of the plan and never execute
+    val hop = when(assert_true(hop0 >= 1 && win >= 1,
+        lit(s"audioWindows: window/stride ($windowMs ms/$strideMs ms) is " +
+          "shorter than one sample at this row's sample_rate")).isNull,
+      hop0)
     audio
       .select(col("media_id"), col("sample_rate"), nSamples.as("n_samples"),
         win.as("_w"), hop.as("_h"))

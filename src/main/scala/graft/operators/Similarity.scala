@@ -498,20 +498,25 @@ object Similarity {
     * check). Output: (vec_id, cid, embedding).
     */
   private def assignToSaved(spark: SparkSession, dir: String, vecs: DataFrame,
-                            op: String): DataFrame =
-    assignToHeader(spark.read.parquet(s"$dir/centroids"), vecs, op)._2
+                            op: String, checked: Boolean = false): DataFrame =
+    assignToHeader(spark.read.parquet(s"$dir/centroids"), vecs, op, checked)._2
 
   /** Assign a vector batch to an in-memory centroid header — the core
     * [[assignToSaved]] and every drift monitor share: collect the
     * (bounded) header, fail loudly on a mis-sized batch, then the literal
     * kernel under the codegen cliff / broadcast join above. Returns the
     * sorted header rows alongside the (vec_id, cid, embedding) batch.
+    * `checked = true` skips the batch hygiene scan — for callers that
+    * already validated the RAW batch and then rotated it (width is
+    * rotation-invariant, so re-checking would pay a second full pass
+    * that can never fire, plus a redundant full-batch rotation).
     */
-  private def assignToHeader(centDf: DataFrame, vecs: DataFrame, op: String)
+  private def assignToHeader(centDf: DataFrame, vecs: DataFrame, op: String,
+                             checked: Boolean = false)
       : (Seq[(Int, Array[Float])], DataFrame) = {
     val cents = centDf.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
-    failOnBadEmbeddings(vecs, cents.head._2.length, op)
+    if (!checked) failOnBadEmbeddings(vecs, cents.head._2.length, op)
     val assigned =
       if (cents.length <= literalAssignMaxLists)
         vecs.select(col("vec_id"),
@@ -970,7 +975,7 @@ object Similarity {
   def ivfOpqDriftStats(index: IvfOpqIndex, vecs: DataFrame): DataFrame = {
     failOnBadEmbeddings(vecs, index.model.dim, "ivfOpqDriftStats")
     val (cents, assigned) = assignToHeader(index.inner.centroids,
-      opqRotate(vecs, index.model), "ivfOpqDriftStats")
+      opqRotate(vecs, index.model), "ivfOpqDriftStats", checked = true)
     val qcos = cosine_sim(col("embedding"),
       pqReconstruct(pqEncodeCol(col("embedding"), index.model.cb),
         index.model.cb))
@@ -1699,7 +1704,7 @@ object Similarity {
       loadCodebooks(spark, s"$dir/codebooks"))
     failOnBadEmbeddings(newVecs, model.dim, "ivfOpqAppend")
     val assigned = assignToSaved(spark, dir, opqRotate(newVecs, model),
-      "ivfOpqAppend")
+      "ivfOpqAppend", checked = true)
     pqEncode(assigned, model.cb, keep = Seq("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
   }

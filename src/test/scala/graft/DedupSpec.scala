@@ -85,6 +85,23 @@ class DedupSpec extends SparkSpec {
       "g3" -> (("tieA", 5.0, 2L))))
   }
 
+  test("keepBestPerGroup: a null-scored member LOSES to any scored one " +
+    "(no frankenrow pairing a scoreless id with another row's score); " +
+    "an all-null group keeps its lowest id with a null score") {
+    val labels = Seq(("a", "g1"), ("b", "g1"), ("nB", "g2"), ("nA", "g2"))
+      .toDF("doc_id", "group_id")
+    val scored = Seq(("a", Option.empty[Double]), ("b", Some(5.0)),
+      ("nB", Option.empty[Double]), ("nA", Option.empty[Double]))
+      .toDF("doc_id", "score")
+    val got = Dedup.keepBestPerGroup(labels, scored)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getLong(3)))).toMap
+    assert(got === Map(
+      "g1" -> (("b", Some(5.0), 2L)),
+      "g2" -> (("nA", None, 2L))))
+  }
+
   test("minhash_sig fused signatures are bit-identical to the exploded " +
     "minhash_agg aggregate") {
     val viaAgg = Dedup.minhashSignatures(

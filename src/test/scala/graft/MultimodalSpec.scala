@@ -117,5 +117,20 @@ class MultimodalSpec extends SparkSpec {
     assert(w(2L).length === 1 && w(2L).head.getLong(4) === 400L)
     assert(!w.contains(3L) && !w.contains(4L))
     w(1L).foreach(r => assert(r.getLong(4) <= 1000L))
+    // an explicit n_samples column overrides the canonical-layout
+    // derivation (non-canonical containers carry their own metadata)
+    val w2 = Multimodal.audioWindows(audio, 25, 10,
+        nSamplesCol = Some(lit(400L)))
+      .collect().groupBy(_.getLong(0))
+    assert(Seq(1L, 2L, 3L, 4L).forall(id => w2(id).length === 1))
+    // a sample_rate too low for the stride fails LOUDLY, not silently empty
+    val lowRate = Seq(Multimodal.AudioItem(9L,
+      Multimodal.wavFromSamples(Array.fill[Short](500)(1), 80), 80)).toDS().toDF()
+    val ex = intercept[Exception] {
+      Multimodal.audioWindows(lowRate, 25, 10).collect()
+    }
+    assert(ex.getMessage.contains("shorter than one sample") ||
+      Option(ex.getCause).exists(_.getMessage.contains("shorter than one sample")),
+      ex.toString)
   }
 }
