@@ -2949,6 +2949,25 @@ object Queries {
         Multimodal.audioFeatures(s, audio).toDF().orderBy("media_id")
       }),
 
+    QueryDef("q_multimodal_audio_window_feats",
+      // per-WINDOW signals over the real decode (what a speech pipeline
+      // gates on): decode once per clip, one row per 25 ms/10 ms hop
+      // with fixed-order RMS, peak, zero crossings (sign flips, zeros
+      // signless), silence/clipping ratios. Engine-reproducible counts
+      // and pinned float order → plain-Scala replica oracle. Bounded to
+      // the first 40 docs — the full corpus would dump ~130k rows of
+      // identical code paths into the correctness artifact.
+      Some("""SELECT media_id, window_idx, start_sample, end_sample, rms,
+                     peak, zero_crossings, silence_ratio, clipping_ratio
+              FROM parquet_scan('{FIX}/_fixture_audiowin/*.parquet')
+              ORDER BY media_id, window_idx"""),
+      (s, d) => {
+        val audio = Multimodal.audioFromDocuments(s,
+          t(s, d, "documents").filter(col("doc_id") < 40))
+        Multimodal.audioWindowFeatures(s, audio, 25, 10).toDF()
+          .orderBy("media_id", "window_idx")
+      }),
+
     QueryDef("q_multimodal_audio_windows",
       // speech-style framing fan-out (25 ms windows, 10 ms hop at 16 kHz
       // → 400/160 samples): pure metadata arithmetic on the sample count

@@ -1494,6 +1494,37 @@ object Verify {
           "rms", "peak", "silence_ratio", "clipping_ratio").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_audio")
     }
+    fixture("_fixture_audiowin") {
+      // per-window replica (q_multimodal_audio_window_feats' parameters:
+      // first 40 docs, 25 ms windows / 10 ms hop at 16 kHz → 400/160)
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .filter(_._1 < 40).sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          val xs = Option(text0).getOrElse("").map(c =>
+            ((((c.toInt * 1103515245 + 12345) >>> 8) & 0xffff) - 32768))
+          val (win, hop) = (400, 160)
+          if (xs.length < win) Seq.empty
+          else (0 to (xs.length - win) / hop).map { wi =>
+            val s0 = wi * hop
+            val slice = xs.slice(s0, s0 + win)
+            var sumSq = 0.0
+            slice.foreach(v => sumSq += v.toDouble * v.toDouble)
+            val signs = slice.map(v => Integer.signum(v)).filter(_ != 0)
+            val zc = signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+            (id, wi.toLong, s0.toLong, (s0 + win).toLong,
+              round6(math.sqrt(sumSq / win) / 32768.0),
+              slice.map(math.abs).max,
+              zc,
+              round6(slice.count(v => math.abs(v) < 328).toDouble / win),
+              round6(slice.count(v => math.abs(v) >= 32440).toDouble / win))
+          }
+        }
+      rows.toDF("media_id", "window_idx", "start_sample", "end_sample",
+          "rms", "peak", "zero_crossings", "silence_ratio", "clipping_ratio")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_audiowin")
+    }
     fixture("_fixture_annsq8") {
       annSq8Rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annsq8")

@@ -268,6 +268,70 @@ object Multimodal {
     }
   }
 
+  /** Per-window feature row ([[audioWindowFeatures]]). */
+  case class AudioWindowFeatures(media_id: Long, window_idx: Long,
+                                 start_sample: Long, end_sample: Long,
+                                 rms: Double, peak: Int, zero_crossings: Int,
+                                 silence_ratio: Double, clipping_ratio: Double)
+
+  /** Per-window signal extraction over the REAL decode — the windowed
+    * form of [[audioFeatures]] (speech pipelines filter on per-window
+    * loudness/voicing, not whole-clip means): each clip decodes ONCE per
+    * row inside the [[extractFeatures]] mapPartitions batch shape, then
+    * emits one row per (windowMs, strideMs) hop that fits entirely in
+    * the clip — the same hop arithmetic as [[audioWindows]] (whose
+    * metadata-only fan-out is the planning face of this operator).
+    * Signals per window: fixed-order RMS, peak, ZERO CROSSINGS (the
+    * classic cheap voicing/noisiness cue — sign flips between adjacent
+    * samples, zeros carry no sign), silence and clipping ratios. All
+    * counts are exact integers and the RMS order is pinned, so the rows
+    * are engine-reproducible and fixture-oracleable.
+    */
+  def audioWindowFeatures(spark: SparkSession, audio: Dataset[AudioItem],
+                          windowMs: Int, strideMs: Int): Dataset[AudioWindowFeatures] = {
+    import spark.implicits._
+    require(windowMs > 0 && strideMs > 0,
+      s"audioWindowFeatures: window/stride must be positive, got $windowMs/$strideMs")
+    audio.flatMap { a =>
+      val (rate, xs) = wavDecode(a.payload)
+      val win = rate.toLong * windowMs / 1000
+      val hop = rate.toLong * strideMs / 1000
+      require(win >= 1 && hop >= 1,
+        s"audioWindowFeatures: window/stride ($windowMs ms/$strideMs ms) " +
+          s"is shorter than one sample at sample_rate $rate")
+      val n = xs.length.toLong
+      if (n < win) Iterator.empty
+      else (0L to (n - win) / hop).iterator.map { wi =>
+        val s0 = (wi * hop).toInt
+        val s1 = s0 + win.toInt
+        var sumSq = 0.0; var peak = 0; var silent = 0; var clipped = 0
+        var zc = 0; var prevSign = 0
+        var i = s0
+        while (i < s1) {
+          val v = xs(i).toInt
+          val av = math.abs(v)
+          sumSq += v.toDouble * v.toDouble
+          if (av > peak) peak = av
+          if (av < silenceFloor) silent += 1
+          if (av >= clipCeiling) clipped += 1
+          val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+          if (sign != 0) {
+            if (prevSign != 0 && sign != prevSign) zc += 1
+            prevSign = sign
+          }
+          i += 1
+        }
+        def r6(d: Double): Double =
+          BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        val w = win.toDouble
+        AudioWindowFeatures(a.media_id, wi, s0.toLong, s1.toLong,
+          r6(math.sqrt(sumSq / w) / 32768.0), peak, zc,
+          r6(silent / w), r6(clipped / w))
+      }
+    }
+  }
+
   /** Window fan-out over audio METADATA (the [[sampleFrames]] analog):
     * one row per (windowMs, strideMs) hop that fits entirely inside the
     * clip — pure arithmetic on the sample count, the payload bytes are

@@ -133,4 +133,38 @@ class MultimodalSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("shorter than one sample")),
       ex.toString)
   }
+
+  test("audioWindowFeatures: per-window RMS/peak/zero-crossing/ratio " +
+    "values match hand computation; window starts follow the hop; row " +
+    "count equals the metadata fan-out") {
+    // rate 1000 → windowMs counts samples directly: win 4, hop 3
+    val xs = Array[Short](1000, -1000, 0, 20000, -32767, 32767, 0, 0, 5000, -5000)
+    val audio = Seq(Multimodal.AudioItem(3L,
+      Multimodal.wavFromSamples(xs, 1000), 1000)).toDS()
+    val got = Multimodal.audioWindowFeatures(spark, audio, 4, 3)
+      .collect().sortBy(_.window_idx)
+    assert(got.map(w => (w.window_idx, w.start_sample, w.end_sample)).toSeq ===
+      Seq((0L, 0L, 4L), (1L, 3L, 7L), (2L, 6L, 10L)))
+    // window 0: [1000,-1000,0,20000] — zc: signs (+,-,+) → 2; silence: the 0
+    val w0 = got(0)
+    assert(w0.peak === 20000 && w0.zero_crossings === 2)
+    assert(w0.silence_ratio === 0.25 && w0.clipping_ratio === 0.0)
+    val rms0 = BigDecimal(math.sqrt(
+        (1000.0 * 1000 + 1000.0 * 1000 + 0 + 20000.0 * 20000) / 4) / 32768.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(w0.rms === rms0)
+    // window 1: [20000,-32767,32767,0] — two clipped, one silent, zc 2
+    val w1 = got(1)
+    assert(w1.peak === 32767 && w1.clipping_ratio === 0.5 &&
+      w1.silence_ratio === 0.25 && w1.zero_crossings === 2)
+    // window 2: [0,0,5000,-5000] — zeros carry no sign: one flip, two silent
+    val w2 = got(2)
+    assert(w2.zero_crossings === 1 && w2.silence_ratio === 0.5)
+    // row count equals the metadata-only fan-out on the same parameters
+    val docs = Tables.documents(spark, sf).limit(30)
+    val a2 = Multimodal.audioFromDocuments(spark, docs)
+    val nMeta = Multimodal.audioWindows(a2.toDF(), 25, 10).count()
+    val nFeat = Multimodal.audioWindowFeatures(spark, a2, 25, 10).count()
+    assert(nMeta === nFeat && nFeat > 0)
+  }
 }
