@@ -249,7 +249,7 @@ object JavaUdfShim {
       "var" -> None)
 
     private val rejectedKeywords = Set(
-      "while", "do", "try", "switch", "throw", "synchronized")
+      "do", "try", "switch", "throw", "synchronized")
 
     def parseStmts(): List[Stmt] = {
       val out = scala.collection.mutable.ListBuffer.empty[Stmt]
@@ -277,11 +277,13 @@ object JavaUdfShim {
         Some(SIf(c, thn, els))
       case Ident("for") :: _ =>
         next(); parseFor(); None
+      case Ident("while") :: _ =>
+        next(); parseWhile(); None
       case Ident(kw) :: _ if rejectedKeywords.contains(kw) =>
         fail(s"'$kw' statements are not supported by this engine's " +
-          "translation shim (declarations, if/else, counted for-loops and " +
-          "return only; rewrite the function as LANGUAGE spark for anything " +
-          "larger)")
+          "translation shim (declarations, if/else, counted for/while " +
+          "loops and return only; rewrite the function as LANGUAGE spark " +
+          "for anything larger)")
       case Ident("final") :: _ =>
         next(); parseDecl(); None
       case Ident(t) :: Ident(_) :: _ if declTypes.contains(t) =>
@@ -352,10 +354,13 @@ object JavaUdfShim {
         // declarations and for-loops, and the two need different error
         // text (a sole-statement for-loop's accumulation would be
         // silently discarded by the branch-exit locals restore)
-        val isFor = toks match { case Ident("for") :: _ => true; case _ => false }
+        val isLoop = toks match {
+          case Ident("for" | "while") :: _ => true
+          case _ => false
+        }
         parseStmt() match {
           case Some(s) => List(s)
-          case None if isFor => fail("a for-loop cannot be the sole " +
+          case None if isLoop => fail("a loop cannot be the sole " +
             "statement of a branch: its accumulation would not survive the " +
             "branch (brace the branch and declare the accumulator inside it, " +
             "or restructure with a ternary)")
@@ -633,6 +638,125 @@ object JavaUdfShim {
       declDepth = saved._2; declSqlType = saved._3; sbLocals = saved._4
       activeFoldVars -= lamAcc
       accs
+    }
+
+    /** `while (i < bound) { <accumulation...>; i++; }` — the counted
+      * loop written as a while (UDF authors write both): the variable is
+      * an int/long local declared BEFORE the loop, the bound is
+      * ascending, and the body's LAST top-level statement steps the
+      * variable by exactly one. Lowered by token-level desugaring to the
+      * counted `for` (fresh loop variable seeded with the local's
+      * current value, body references renamed — all of [[parseFor]]'s
+      * validation and fold machinery applies verbatim), after which the
+      * local REBINDS to its Java post-loop value GREATEST(start,
+      * bound[+1]) so later statements that read it see what javac's
+      * execution would leave. Anything else — a missing or mid-body
+      * increment, a bound reading the variable itself or an accumulator
+      * (data-dependent), an unbraced body — rejects with the shim's
+      * compile-error text.
+      */
+    private def parseWhile(): Unit = {
+      eat("(")
+      val lv = next() match {
+        case Ident(n) => n
+        case other => fail("while-loop condition must test an int/long " +
+          s"local, found $other")
+      }
+      val (loSql, lvT) = locals.getOrElse(lv, fail(s"while-loop variable " +
+        s"'$lv' must be a local declared before the loop"))
+      lvT match {
+        case TNum(true) =>
+        case _ => fail(s"while-loop variable '$lv' must be an int or long local")
+      }
+      val lvJavaT = declSqlType.get(lv) match {
+        case Some("INT") => "int"
+        case Some("BIGINT") => "long"
+        case other => fail(s"while-loop variable '$lv' must be declared " +
+          s"int or long, not ${other.getOrElse("an argument")}")
+      }
+      val cmp = next() match {
+        case Op("<") => "<"
+        case Op("<=") => "<="
+        case other => fail("while-loop condition must be an ascending " +
+          s"'<' or '<=' bound, found $other")
+      }
+      // capture the bound's tokens up to the matching ')'
+      val boundToks = scala.collection.mutable.ListBuffer.empty[Tok]
+      var depth = 0
+      var scanning = true
+      while (scanning) toks match {
+        case Op("(") :: rest => depth += 1; boundToks += Op("("); toks = rest
+        case Op(")") :: rest if depth == 0 => toks = rest; scanning = false
+        case Op(")") :: rest => depth -= 1; boundToks += Op(")"); toks = rest
+        case t :: rest => boundToks += t; toks = rest
+        case Nil => fail("unexpected end of while condition")
+      }
+      // a bound reading the variable re-evaluates against the moving value
+      // in Java; the fold snapshots it once — reject, like the
+      // accumulator-reading bound in parseFor
+      if (boundToks.exists { case Ident(`lv`) => true; case _ => false })
+        fail(s"the while bound reads '$lv' itself — data-dependent loops " +
+          "are not supported by this engine's translation shim")
+      // bound SQL for the post-loop rebind (same expression grammar)
+      val savedToks = toks
+      toks = boundToks.toList :+ Op(";")
+      val (boundSql, _) = expression()
+      toks = savedToks
+      if (!peek.contains(Op("{")))
+        fail("while-loop bodies must be braced, with the variable's " +
+          "increment as the last statement")
+      next()
+      // capture the body to the matching '}' and strip the trailing
+      // unit increment
+      val body = scala.collection.mutable.ListBuffer.empty[Tok]
+      depth = 0
+      scanning = true
+      while (scanning) toks match {
+        case Op("{") :: rest => depth += 1; body += Op("{"); toks = rest
+        case Op("}") :: rest if depth == 0 => toks = rest; scanning = false
+        case Op("}") :: rest => depth -= 1; body += Op("}"); toks = rest
+        case t :: rest => body += t; toks = rest
+        case Nil => fail("unexpected end of while body")
+      }
+      val b = body.toList
+      def strip(suffix: List[Tok]): Option[List[Tok]] =
+        if (b.endsWith(suffix)) Some(b.dropRight(suffix.length)) else None
+      val bodyNoInc = strip(List(Ident(lv), Op("+"), Op("+"), Op(";")))
+        .orElse(strip(List(Op("+"), Op("+"), Ident(lv), Op(";"))))
+        .orElse(strip(List(Ident(lv), Op("+"), Op("="), NumLit("1", integral = true), Op(";"))))
+        .orElse(strip(List(Ident(lv), Op("="), Ident(lv), Op("+"), NumLit("1", integral = true), Op(";"))))
+        .getOrElse(fail("while loops must step their variable by exactly " +
+          s"one ('$lv++', '++$lv', '$lv += 1' or '$lv = $lv + 1') as the " +
+          "LAST body statement"))
+      // fresh loop-variable name: collision-free against everything the
+      // synthesized body could reference
+      val taken = (locals.keySet ++ argTypes.keySet ++
+        bodyNoInc.collect { case Ident(n) => n }).toSet
+      val fresh = Iterator.from(0).map(i => s"__w$i").find(!taken(_)).get
+      val renamed = bodyNoInc.map {
+        case Ident(`lv`) => Ident(fresh)
+        case t => t
+      }
+      // desugar: for (<type> fresh = <lv's current value>; fresh cmp
+      // <bound>; fresh++) { renamed-body } <rest> — expression() resolves
+      // the init Ident(lv) to the local's pre-loop SQL, and everything
+      // after the while survives untouched at the tail
+      val rest = toks
+      toks = List(Op("("), Ident(lvJavaT), Ident(fresh), Op("="), Ident(lv),
+          Op(";"), Ident(fresh), Op(cmp)) ++ boundToks.toList ++
+        List(Op(";"), Ident(fresh), Op("+"), Op("+"), Op(")"), Op("{")) ++
+        renamed ++ List(Op("}")) ++ rest
+      parseFor()
+      // Java leaves the variable at the first bound-failing value: the
+      // start if the loop never ran, else the bound (exclusive) or
+      // bound+1 (inclusive) — the ascending unit step lands there exactly
+      val lvSqlT = declSqlType.getOrElse(lv, "BIGINT")
+      val post =
+        if (cmp == "<")
+          s"CAST(GREATEST(CAST(($loSql) AS BIGINT), CAST(($boundSql) AS BIGINT)) AS $lvSqlT)"
+        else
+          s"CAST(GREATEST(CAST(($loSql) AS BIGINT), CAST(($boundSql) AS BIGINT) + 1L) AS $lvSqlT)"
+      locals = locals.updated(lv, (post, TNum(integral = true)))
     }
 
     /** One loop-body accumulation statement over accumulator `acc` (bound

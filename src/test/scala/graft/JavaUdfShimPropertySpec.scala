@@ -446,6 +446,61 @@ class JavaUdfShimPropertySpec extends SparkSpec {
     }
   }
 
+  private def renderWhileLoop(b: TwoLoop): String = {
+    val cmp = if (b.incl) "<=" else "<"
+    val stmts = b.steps.map { case (tgt, e) => s"$tgt = ${render(e)};" }.mkString(" ")
+    s"int s = ${render(b.initS)}; int t = ${render(b.initT)}; " +
+      s"int i = ${if (b.lo < 0) s"(${b.lo})" else b.lo.toString}; " +
+      s"while (i $cmp ${render(b.hi)}) { $stmts i++; } " +
+      "return (s * 31 + t) * 7 + i;"
+  }
+
+  private def evalWhileLoop(b: TwoLoop, args: Map[String, Option[Int]]): Option[Int] = {
+    var env: Map[String, Option[Int]] =
+      Map("s" -> eval(b.initS, args), "t" -> eval(b.initT, args))
+    val hiV = eval(b.hi, args).get
+    var i = b.lo
+    while (if (b.incl) i <= hiV else i < hiV) {
+      env = env.updated("i", Some(i))
+      for ((tgt, st) <- b.steps) env = env.updated(tgt, eval(st, args, env))
+      i += 1
+    }
+    for (s <- env("s"); t <- env("t")) yield (s * 31 + t) * 7 + i
+  }
+
+  test("random while-loops (two accumulators, POST-LOOP variable read) " +
+    "translate with Java semantics via the counted-for desugar") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val cqlArgs = argNames.map(_ -> (CqlInt: CqlType))
+    val argSets: Seq[Map[String, Option[Int]]] = Seq(
+      Map("a" -> Some(7), "b" -> Some(-3), "c" -> Some(2)),
+      Map("a" -> None, "b" -> Some(5), "c" -> Some(11)),
+      Map("a" -> Some(0), "b" -> None, "c" -> Some(-8)))
+    val base = argSets.map(m =>
+      (m("a").map(Int.box).orNull, m("b").map(Int.box).orNull, m("c").map(Int.box).orNull))
+      .toDF("a", "b", "c")
+    val cases = (0 until 40).flatMap { i =>
+      genTwoLoop(Gen.Parameters.default.withSize(1 + i % 10), Seed(0x7713L + i))
+    }
+    cases.zipWithIndex.grouped(20).foreach { group =>
+      val cols = group.map { case (b, i) =>
+        val sql = JavaUdfShim.translate(renderWhileLoop(b), cqlArgs)
+        expr(sql).cast("int").as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case (b, i) =>
+        argSets.zipWithIndex.foreach { case (m, row) =>
+          val want = evalWhileLoop(b, m)
+          val gi = got(row).fieldIndex(s"e$i")
+          val gotV = if (got(row).isNullAt(gi)) None else Some(got(row).getInt(gi))
+          assert(gotV === want,
+            s"body ${renderWhileLoop(b)}\nsql ${JavaUdfShim.translate(renderWhileLoop(b), cqlArgs)}\nargs $m")
+        }
+      }
+    }
+  }
+
   /** Nested branches inside counted-loop bodies (the r13 grammar rung):
     * statements are assignments or `if`s whose branches recursively hold
     * more statements — depth-2 and depth-3 ifs lower to nested IF()

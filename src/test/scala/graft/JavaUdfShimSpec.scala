@@ -247,7 +247,9 @@ class JavaUdfShimSpec extends AnyFunSuite {
   }
 
   test("rejection contract: anything beyond the statement surface") {
-    assert(rejects("while (true) { } return 0;").contains("not supported"))
+    // while(true) is not a counted scan — rejected with while-specific text
+    assert(rejects("while (true) { } return 0;")
+      .contains("must be a local declared before the loop"))
     assert(rejects("try { return 1; } catch (Exception e) { return 0; }")
       .contains("not supported"))
     assert(rejects("int y = 0; y = 1; return y;").contains("assignment"))
@@ -266,7 +268,7 @@ class JavaUdfShimSpec extends AnyFunSuite {
     // not the old "a declaration cannot be the sole statement" message
     assert(rejects(
       "int s = 0; if (n > 0) for (int i = 0; i < n; i++) s += i; return s;",
-      "n" -> CqlInt).contains("for-loop cannot be the sole statement"))
+      "n" -> CqlInt).contains("loop cannot be the sole statement"))
     // a declaration inside a loop body names declarations, not the
     // misleading "unknown identifier 'int'"
     assert(rejects(
@@ -312,6 +314,31 @@ class JavaUdfShimSpec extends AnyFunSuite {
     assert(tr(
       "int s = 0; for (int i = 0; i < n; i++) if (i > 2) s += i; return s;",
       "n" -> CqlInt).contains("aggregate(sequence("))
+    // while loops desugar to the counted for; the variable rebinds to
+    // its Java post-loop value for later reads
+    val whl = tr(
+      "int i = 2; int s = 0; while (i < n) { s += i; i++; } return s * 100 + i;",
+      "n" -> CqlInt)
+    assert(whl.contains("aggregate(sequence("), whl)
+    // while rejections keep reference-style text
+    assert(rejects(
+      "int i = 0; int s = 0; while (i < n) s += i; return s;",
+      "n" -> CqlInt).contains("must be braced"))
+    assert(rejects(
+      "int i = 0; int s = 0; while (i < n) { s += i; } return s;",
+      "n" -> CqlInt).contains("step their variable"))
+    assert(rejects(
+      "int i = 0; int s = 1; while (i < s) { s += i; i++; } return s;",
+      "n" -> CqlInt).contains("data-dependent"))
+    assert(rejects(
+      "int i = 0; while (i < i + 3) { i++; } return i;",
+      "n" -> CqlInt).contains("data-dependent"))
+    assert(rejects(
+      "int s = 0; while (n < 5) { s += 1; } return s;",
+      "n" -> CqlInt).contains("declared before the loop") ||
+      rejects("int s = 0; while (n < 5) { s += 1; } return s;",
+        "n" -> CqlInt).contains("declared int or long"))
+
     // nested branches (r13 rung) lower to nested IF() terms
     val nested = tr(
       "int s = 0; for (int i = 0; i < n; i++) { if (i > 2) { if (i > 4) s += i; else s += 100; } } return s;",
