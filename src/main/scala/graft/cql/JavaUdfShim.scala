@@ -248,8 +248,11 @@ object JavaUdfShim {
       // `var`/`final var`: no conversion, the initializer's type stands
       "var" -> None)
 
+    // "while" stays here for the LOOP-BODY diagnostic (a while nested in
+    // a counted loop gets "not supported", not "unknown identifier") —
+    // top-level whiles never reach this set: parseStmt matches them first
     private val rejectedKeywords = Set(
-      "do", "try", "switch", "throw", "synchronized")
+      "while", "do", "try", "switch", "throw", "synchronized")
 
     def parseStmts(): List[Stmt] = {
       val out = scala.collection.mutable.ListBuffer.empty[Stmt]

@@ -186,22 +186,27 @@ object Dedup {
     */
   def keepBestPerGroup(labels: DataFrame, scored: DataFrame,
                        id: String = "doc_id",
-                       scoreCol: String = "score"): DataFrame =
+                       scoreCol: String = "score"): DataFrame = {
     // min_by over (−score, id) keeps the winner's id intact for ANY id
     // type (string host labels included — unary minus on the id itself
-    // would cast strings to double and null out every winner); the
-    // winner's score is just the group max. A null score coalesces to
-    // +∞ in the ordering so it LOSES (a bare null would sort first
-    // under min_by and a scoreless doc would beat every scored one —
-    // paired with another row's max score, a frankenrow).
+    // would cast strings to double and null out every winner). BOTH
+    // output columns come from the SAME winning row via the SAME
+    // ordering — a max(score) shortcut would pair the winner's id with
+    // another row's score whenever the ordering and max disagree (null
+    // scores, NaN — which sorts greatest, winning max while losing the
+    // negated ordering). A null score coalesces to +∞ in the ordering so
+    // it loses to every real score, including -Double.MaxValue (whose
+    // negation stays below +∞); NaN keeps Spark's greatest-value rank
+    // and loses to everything.
+    val ord = struct(coalesce((-col(scoreCol)).cast("double"),
+      lit(Double.PositiveInfinity)).as("ns"), col(id).as("i"))
     labels.join(scored.select(col(id), col(scoreCol)), Seq(id))
       .groupBy("group_id")
-      .agg(min_by(col(id),
-          struct(coalesce((-col(scoreCol)).cast("double"),
-            lit(Double.MaxValue)).as("ns"), col(id).as("i"))).as(id),
-        max(col(scoreCol)).as(scoreCol),
+      .agg(min_by(col(id), ord).as(id),
+        min_by(col(scoreCol), ord).as(scoreCol),
         count(lit(1)).as("n_members"))
       .select(col("group_id"), col(id), col(scoreCol), col("n_members"))
+  }
 
   /** MinHash signature: perm_j(s) = h1(s) + j * h2(s) (double hashing over
     * two 64-bit murmurs — 2 hash evaluations per shingle regardless of the

@@ -507,11 +507,17 @@ object Pipeline {
     */
   def saveShardedCorpus(docs: DataFrame, key: Column, seed: Long,
                         tokens: Column, budget: Long, dir: String,
-                        buckets: Int = 256): DataFrame = {
+                        buckets: Int = 256,
+                        materialize: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // materialize defaults ON here (the write action would otherwise be
+    // the source's second full read) but stays a caller choice: a local
+    // checkpoint trades the re-scan for executor-local blocks that are
+    // NOT recomputable on executor loss — long-running cluster jobs that
+    // prefer the fault-tolerant re-scan of durable source data pass false
     val assigned = assignShardsByBudget(docs, key, seed, tokens, budget,
-      buckets, materialize = true)
+      buckets, materialize = materialize)
     assigned.write.partitionBy("shard").mode("overwrite").parquet(s"$dir/data")
     val manifest = shardManifest(assigned, tokens)
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
@@ -542,14 +548,16 @@ object Pipeline {
     */
   def appendShardedCorpus(spark: org.apache.spark.sql.SparkSession,
                           dir: String, newDocs: DataFrame, key: Column,
-                          tokens: Column): DataFrame = {
+                          tokens: Column,
+                          materialize: Boolean = true): DataFrame = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta")
       .select("seed", "budget", "buckets", "total_tokens").head()
     val (seed, budget, buckets, total) =
       (meta.getLong(0), meta.getLong(1), meta.getInt(2), meta.getLong(3))
+    // see saveShardedCorpus on the materialize fault-tolerance trade
     val assigned = assignShardsByBudget(newDocs, key, seed, tokens, budget,
-      buckets, startTokens = total, materialize = true)
+      buckets, startTokens = total, materialize = materialize)
     assigned.write.partitionBy("shard").mode("append").parquet(s"$dir/data")
     val old = spark.read.parquet(s"$dir/manifest")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -160,7 +160,11 @@ object ScaleProof {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slack = 1.5
     var weak = List.empty[String]
-    val queryList = if (ext) Bench.headline ++ extended else Bench.headline
+    // distinct: the r13 bench headliners overlap the extended tier — a
+    // duplicate would be timed twice and emit duplicate JSON keys (last
+    // wins), silently discarding the first reading
+    val queryList =
+      if (ext) (Bench.headline ++ extended).distinct else Bench.headline
     val rows = queryList.map { q =>
       val (srcMed, srcMin) = time(spark, q, src)
       val (dstMed, dstMin) = time(spark, q, dst)

@@ -85,21 +85,26 @@ class DedupSpec extends SparkSpec {
       "g3" -> (("tieA", 5.0, 2L))))
   }
 
-  test("keepBestPerGroup: a null-scored member LOSES to any scored one " +
-    "(no frankenrow pairing a scoreless id with another row's score); " +
-    "an all-null group keeps its lowest id with a null score") {
-    val labels = Seq(("a", "g1"), ("b", "g1"), ("nB", "g2"), ("nA", "g2"))
+  test("keepBestPerGroup: null and NaN scores LOSE to any real one, the " +
+    "emitted id/score always come from the SAME row (no frankenrows), " +
+    "and a -Double.MaxValue score still beats null") {
+    val labels = Seq(("a", "g1"), ("b", "g1"), ("nB", "g2"), ("nA", "g2"),
+      ("nanDoc", "g3"), ("real", "g3"), ("worst", "g4"), ("none", "g4"))
       .toDF("doc_id", "group_id")
     val scored = Seq(("a", Option.empty[Double]), ("b", Some(5.0)),
-      ("nB", Option.empty[Double]), ("nA", Option.empty[Double]))
+      ("nB", Option.empty[Double]), ("nA", Option.empty[Double]),
+      ("nanDoc", Some(Double.NaN)), ("real", Some(5.0)),
+      ("worst", Some(-Double.MaxValue)), ("none", Option.empty[Double]))
       .toDF("doc_id", "score")
     val got = Dedup.keepBestPerGroup(labels, scored)
       .collect().map(r => r.getString(0) ->
         ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
           r.getLong(3)))).toMap
     assert(got === Map(
-      "g1" -> (("b", Some(5.0), 2L)),
-      "g2" -> (("nA", None, 2L))))
+      "g1" -> (("b", Some(5.0), 2L)),            // null loses to scored
+      "g2" -> (("nA", None, 2L)),                // all-null: lowest id, null score
+      "g3" -> (("real", Some(5.0), 2L)),         // NaN loses; score is the WINNER's
+      "g4" -> (("worst", Some(-Double.MaxValue), 2L)))) // worst real beats null
   }
 
   test("minhash_sig fused signatures are bit-identical to the exploded " +

@@ -338,6 +338,11 @@ class JavaUdfShimSpec extends AnyFunSuite {
       "n" -> CqlInt).contains("declared before the loop") ||
       rejects("int s = 0; while (n < 5) { s += 1; } return s;",
         "n" -> CqlInt).contains("declared int or long"))
+    // a while nested in a counted loop body keeps the not-supported
+    // diagnostic, not a misleading "unknown identifier 'while'"
+    assert(rejects(
+      "int s = 0; for (int i = 0; i < n; i++) { while (s < 5) { s += 1; } } return s;",
+      "n" -> CqlInt).contains("not supported"))
 
     // nested branches (r13 rung) lower to nested IF() terms
     val nested = tr(
