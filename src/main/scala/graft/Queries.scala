@@ -2968,6 +2968,24 @@ object Queries {
           .orderBy("media_id", "window_idx")
       }),
 
+    QueryDef("q_multimodal_audio_resample",
+      // rate conversion through the REAL linear resampler (16 kHz →
+      // 11025 Hz — a non-divisor target, so the fractional interpolation
+      // path actually runs), then the signal pass over the converted
+      // clips. Exact integer positions + one order-fixed float op per
+      // sample keep the payloads bit-reproducible → the oracle replays
+      // plant→resample→measure in plain Scala.
+      Some("""SELECT media_id, sample_rate, n_samples, duration_us, rms,
+                     peak, silence_ratio, clipping_ratio
+              FROM parquet_scan('{FIX}/_fixture_audiors/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val audio = Multimodal.audioFromDocuments(s, t(s, d, "documents"))
+        Multimodal.audioFeatures(s,
+            Multimodal.audioResample(s, audio, 11025)).toDF()
+          .orderBy("media_id")
+      }),
+
     QueryDef("q_multimodal_audio_windows",
       // speech-style framing fan-out (25 ms windows, 10 ms hop at 16 kHz
       // → 400/160 samples): pure metadata arithmetic on the sample count

@@ -1525,6 +1525,48 @@ object Verify {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_audiowin")
     }
+    fixture("_fixture_audiors") {
+      // resample replica (q_multimodal_audio_resample's parameters:
+      // 16000 → 11025): exact rational positions k·src/target, linear
+      // interpolation, floor(v+0.5) round, short clamp — then the same
+      // signal measures as _fixture_audio over the converted samples
+      val (src, tgt) = (16000, 11025)
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .map { case (id, text0) =>
+          val xs = Option(text0).getOrElse("").map(c =>
+            ((((c.toInt * 1103515245 + 12345) >>> 8) & 0xffff) - 32768))
+          val n = xs.length
+          val nOut = (n.toLong * tgt / src).toInt
+          val out = IndexedSeq.tabulate(nOut) { k =>
+            val num = k.toLong * src
+            val i0 = (num / tgt).toInt
+            val frac = (num % tgt).toDouble / tgt
+            val x0 = xs(i0).toDouble
+            val x1 = xs(math.min(i0 + 1, n - 1)).toDouble
+            val v = math.floor(x0 + (x1 - x0) * frac + 0.5)
+            math.max(-32768.0, math.min(32767.0, v)).toInt
+          }
+          var sumSq = 0.0; var peak = 0; var silent = 0; var clipped = 0
+          out.foreach { v =>
+            val av = math.abs(v)
+            sumSq += v.toDouble * v.toDouble
+            if (av > peak) peak = av
+            if (av < 328) silent += 1
+            if (av >= 32440) clipped += 1
+          }
+          (id, tgt, nOut,
+            if (nOut == 0) 0L else nOut.toLong * 1000000L / tgt,
+            if (nOut == 0) 0.0 else round6(math.sqrt(sumSq / nOut) / 32768.0),
+            peak,
+            if (nOut == 0) 0.0 else round6(silent.toDouble / nOut),
+            if (nOut == 0) 0.0 else round6(clipped.toDouble / nOut))
+        }
+      rows.toDF("media_id", "sample_rate", "n_samples", "duration_us",
+          "rms", "peak", "silence_ratio", "clipping_ratio").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_audiors")
+    }
     fixture("_fixture_annsq8") {
       annSq8Rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_annsq8")

@@ -268,6 +268,45 @@ object Multimodal {
     }
   }
 
+  /** REAL linear-interpolation rate conversion (the audio analog of the
+    * image tier's [[resize]], and like the rest of the audio tier it
+    * needs no codec): output sample k sits at exact rational source
+    * position k·srcRate/targetRate; the value interpolates between the
+    * two straddling samples with the fractional part, rounds half-up,
+    * and clamps to 16-bit range. nOut = ⌊n·target/src⌋ (truncating —
+    * never reads past the clip). All positions are exact integer
+    * arithmetic and the single float op per sample is order-fixed, so
+    * resampled payloads are bit-reproducible. Same-rate resample is the
+    * identity. Runs in the [[extractFeatures]] mapPartitions batch
+    * shape; payloads re-encode as canonical WAV at the target rate.
+    */
+  def audioResample(spark: SparkSession, audio: Dataset[AudioItem],
+                    targetRate: Int): Dataset[AudioItem] = {
+    import spark.implicits._
+    require(targetRate > 0, s"audioResample: targetRate must be positive, got $targetRate")
+    audio.mapPartitions { it =>
+      it.map { a =>
+        val (src, xs) = wavDecode(a.payload)
+        val out =
+          if (src == targetRate) xs
+          else {
+            val n = xs.length
+            val nOut = (n.toLong * targetRate / src).toInt
+            Array.tabulate(nOut) { k =>
+              val num = k.toLong * src
+              val i0 = (num / targetRate).toInt
+              val frac = (num % targetRate).toDouble / targetRate
+              val x0 = xs(i0).toDouble
+              val x1 = xs(math.min(i0 + 1, n - 1)).toDouble
+              val v = math.floor(x0 + (x1 - x0) * frac + 0.5)
+              math.max(-32768.0, math.min(32767.0, v)).toShort
+            }
+          }
+        AudioItem(a.media_id, wavFromSamples(out, targetRate), targetRate)
+      }
+    }
+  }
+
   /** Per-window feature row ([[audioWindowFeatures]]). */
   case class AudioWindowFeatures(media_id: Long, window_idx: Long,
                                  start_sample: Long, end_sample: Long,

@@ -134,6 +134,39 @@ class MultimodalSpec extends SparkSpec {
       ex.toString)
   }
 
+  test("audioResample: same-rate is the identity, a crafted ramp " +
+    "interpolates to hand values, downsample count floors, and the " +
+    "round-trip stays decodable at the target rate") {
+    val xs = Array[Short](0, 1000)
+    val clip = Seq(Multimodal.AudioItem(1L,
+      Multimodal.wavFromSamples(xs, 2), 2)).toDS()
+    // identity
+    val same = Multimodal.audioResample(spark, clip, 2).head()
+    val (rSame, sSame) = Multimodal.wavDecode(same.payload)
+    assert(rSame === 2 && sSame.toSeq === xs.toSeq)
+    // upsample 2 → 3: positions 0, 2/3, 4/3 → 0, 667, 1000 (k·src/target
+    // exact rational; floor(v+0.5); tail clamps to the last sample)
+    val up = Multimodal.audioResample(spark, clip, 3).head()
+    val (r3, s3) = Multimodal.wavDecode(up.payload)
+    assert(r3 === 3 && s3.toSeq === Seq[Short](0, 667, 1000))
+    // downsample 16000 → 11025 on planted audio: count floors, payload
+    // decodes, and resampling twice is deterministic
+    val docs = Tables.documents(spark, sf).limit(20)
+    val a = Multimodal.audioFromDocuments(spark, docs)
+    val rs1 = Multimodal.audioResample(spark, a, 11025)
+      .collect().sortBy(_.media_id)
+    val rs2 = Multimodal.audioResample(spark, a, 11025)
+      .collect().sortBy(_.media_id)
+    assert(rs1.map(_.payload.toSeq).toSeq === rs2.map(_.payload.toSeq).toSeq)
+    val srcN = Multimodal.audioFeatures(spark, a).collect()
+      .map(f => f.media_id -> f.n_samples).toMap
+    rs1.foreach { r =>
+      val (rate, out) = Multimodal.wavDecode(r.payload)
+      assert(rate === 11025)
+      assert(out.length === (srcN(r.media_id).toLong * 11025 / 16000).toInt)
+    }
+  }
+
   test("audioWindowFeatures: per-window RMS/peak/zero-crossing/ratio " +
     "values match hand computation; window starts follow the hop; row " +
     "count equals the metadata fan-out") {
