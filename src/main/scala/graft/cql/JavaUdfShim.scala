@@ -434,15 +434,23 @@ object JavaUdfShim {
         boundStart.take(boundStart.length - toks.length)
           .collect { case Ident(n) => n }.toSet
       eat(";")
-      toks match {
-        case Ident(`lv`) :: Op("+") :: Op("+") :: Op(")") :: rest => toks = Op(")") :: rest
-        case Op("+") :: Op("+") :: Ident(`lv`) :: Op(")") :: rest => toks = Op(")") :: rest
-        case Ident(`lv`) :: Op("+") :: Op("=") :: NumLit("1", true) :: Op(")") :: rest =>
-          toks = Op(")") :: rest
-        case Ident(`lv`) :: Op("=") :: Ident(`lv`) :: Op("+") :: NumLit("1", true) :: Op(")") :: rest =>
-          toks = Op(")") :: rest
-        case _ => fail(s"counted-loop increment must step '$lv' by exactly one " +
-          "('i++', '++i', 'i += 1' or 'i = i + 1')")
+      // any POSITIVE constant step translates (sequence(lo, hi, k) walks
+      // exactly Java's iterates); variable or non-positive steps reject
+      def stepOf(sql: String): Option[Long] =
+        sql.stripSuffix("L").toLongOption.filter(_ >= 1)
+      val step: Long = toks match {
+        case Ident(`lv`) :: Op("+") :: Op("+") :: Op(")") :: rest =>
+          toks = Op(")") :: rest; 1L
+        case Op("+") :: Op("+") :: Ident(`lv`) :: Op(")") :: rest =>
+          toks = Op(")") :: rest; 1L
+        case Ident(`lv`) :: Op("+") :: Op("=") :: NumLit(k, true) :: Op(")") :: rest
+            if stepOf(k).isDefined =>
+          toks = Op(")") :: rest; stepOf(k).get
+        case Ident(`lv`) :: Op("=") :: Ident(`lv`) :: Op("+") :: NumLit(k, true) :: Op(")") :: rest
+            if stepOf(k).isDefined =>
+          toks = Op(")") :: rest; stepOf(k).get
+        case _ => fail(s"counted-loop increment must step '$lv' by a positive " +
+          "constant ('i++', '++i', 'i += k' or 'i = i + k' with integer k >= 1)")
       }
       eat(")")
       // collect the body's accumulation statements (single or braced)
@@ -614,8 +622,9 @@ object JavaUdfShim {
           val upper =
             if (cmp == "<") s"(CAST(($hi) AS BIGINT) - 1L)"
             else s"CAST(($hi) AS BIGINT)"
+          val seqStep = if (step == 1L) "" else s", ${step}L"
           val agg = s"IF($upper < $lower, $init, aggregate(sequence($lower, " +
-            s"$upper), $init, ($a, $lv) -> CAST(($stepSql) AS $sqlT)))"
+            s"$upper$seqStep), $init, ($a, $lv) -> CAST(($stepSql) AS $sqlT)))"
           saved._1.updated(a, (agg, t))
         case _ =>
           // struct fold: one named_struct threads every accumulator; the
@@ -631,8 +640,9 @@ object JavaUdfShim {
           val stepStruct = accs
             .map(a => s"'$a', CAST((${locals(a)._1}) AS ${sqlTOf(a)})")
             .mkString("named_struct(", ", ", ")")
+          val seqStep = if (step == 1L) "" else s", ${step}L"
           val fold = s"IF($upper < $lower, $initStruct, " +
-            s"aggregate(sequence($lower, $upper), $initStruct, " +
+            s"aggregate(sequence($lower, $upper$seqStep), $initStruct, " +
             s"($lamAcc, $lv) -> $stepStruct))"
           accs.foldLeft(saved._1) { (ls, a) =>
             ls.updated(a, (s"($fold).$a", saved._1(a)._2))

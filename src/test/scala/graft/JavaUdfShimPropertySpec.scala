@@ -468,6 +468,59 @@ class JavaUdfShimPropertySpec extends SparkSpec {
     for (s <- env("s"); t <- env("t")) yield (s * 31 + t) * 7 + i
   }
 
+  test("random step-k counted loops (k in 2..4, two accumulators) " +
+    "translate with Java semantics — sequence(lo, hi, k) walks exactly " +
+    "the Java iterates under either bound form") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    def renderStep(b: TwoLoop, k: Int): String = {
+      val cmp = if (b.incl) "<=" else "<"
+      val stmts = b.steps.map { case (tgt, e) => s"$tgt = ${render(e)};" }.mkString(" ")
+      s"int s = ${render(b.initS)}; int t = ${render(b.initT)}; " +
+        s"for (int i = ${if (b.lo < 0) s"(${b.lo})" else b.lo.toString}; " +
+        s"i $cmp ${render(b.hi)}; i += $k) { $stmts } return s * 31 + t;"
+    }
+    def evalStep(b: TwoLoop, k: Int, args: Map[String, Option[Int]]): Option[Int] = {
+      var env: Map[String, Option[Int]] =
+        Map("s" -> eval(b.initS, args), "t" -> eval(b.initT, args))
+      val hiV = eval(b.hi, args).get
+      var i = b.lo
+      while (if (b.incl) i <= hiV else i < hiV) {
+        env = env.updated("i", Some(i))
+        for ((tgt, st) <- b.steps) env = env.updated(tgt, eval(st, args, env))
+        i += k
+      }
+      for (s <- env("s"); t <- env("t")) yield s * 31 + t
+    }
+    val cqlArgs = argNames.map(_ -> (CqlInt: CqlType))
+    val argSets: Seq[Map[String, Option[Int]]] = Seq(
+      Map("a" -> Some(7), "b" -> Some(-3), "c" -> Some(2)),
+      Map("a" -> None, "b" -> Some(5), "c" -> Some(11)),
+      Map("a" -> Some(0), "b" -> None, "c" -> Some(-8)))
+    val base = argSets.map(m =>
+      (m("a").map(Int.box).orNull, m("b").map(Int.box).orNull, m("c").map(Int.box).orNull))
+      .toDF("a", "b", "c")
+    val cases = (0 until 30).flatMap { i =>
+      genTwoLoop(Gen.Parameters.default.withSize(1 + i % 10), Seed(0x57E9L + i))
+        .map(b => (b, 2 + i % 3))
+    }
+    cases.zipWithIndex.grouped(15).foreach { group =>
+      val cols = group.map { case ((b, k), i) =>
+        expr(JavaUdfShim.translate(renderStep(b, k), cqlArgs)).cast("int").as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case ((b, k), i) =>
+        argSets.zipWithIndex.foreach { case (m, row) =>
+          val want = evalStep(b, k, m)
+          val gi = got(row).fieldIndex(s"e$i")
+          val gotV = if (got(row).isNullAt(gi)) None else Some(got(row).getInt(gi))
+          assert(gotV === want,
+            s"body ${renderStep(b, k)}\nsql ${JavaUdfShim.translate(renderStep(b, k), cqlArgs)}\nargs $m")
+        }
+      }
+    }
+  }
+
   test("random while-loops (two accumulators, POST-LOOP variable read) " +
     "translate with Java semantics via the counted-for desugar") {
     import org.apache.spark.sql.functions.expr

@@ -169,8 +169,13 @@ class JavaUdfShimSpec extends AnyFunSuite {
     // loop-shape and body restrictions keep their rejection contract
     assert(rejects("int s = 0; for (int i = n; i > 0; i--) s += i; return s;",
       "n" -> CqlInt).contains("ascending"))
-    assert(rejects("int s = 0; for (int i = 0; i < n; i += 2) s += i; return s;",
-      "n" -> CqlInt).contains("by exactly one"))
+    // positive constant steps translate (sequence walks Java's iterates)
+    val step2 = tr("int s = 0; for (int i = 0; i < n; i += 2) s += i; return s;",
+      "n" -> CqlInt)
+    assert(step2.contains("aggregate(sequence(") && step2.contains(", 2L)"), step2)
+    // variable and non-positive steps still reject
+    assert(rejects("int s = 0; for (int i = 0; i < n; i += n) s += i; return s;",
+      "n" -> CqlInt).contains("positive constant"))
     // multi-accumulator bodies lower to a struct fold (named_struct
     // threading both locals through one aggregate)
     val two = tr("int s = 0; int t = 0; for (int i = 0; i < n; i++) { s += i; t += i; } return s + t;",
