@@ -411,7 +411,13 @@ object JavaUdfShim {
       if (locals.contains(lv) || argTypes.contains(lv))
         fail(s"variable '$lv' is already defined")
       eat("=")
-      val (lo, _) = expression()
+      val (lo, loT) = expression()
+      // javac rejects a lossy `int i = <double>` init; translating it
+      // would silently truncate the starting point
+      loT match {
+        case TNum(true) | TNull =>
+        case t => fail(s"counted-loop start must be integral, got ${tName(t)}")
+      }
       eat(";")
       next() match {
         case Ident(`lv`) =>
@@ -429,7 +435,14 @@ object JavaUdfShim {
       // would translate it with silently wrong semantics. Rejected below
       // once the accumulator is known.
       val boundStart = toks
-      val (hi, _) = expression()
+      val (hi, hiT) = expression()
+      // a fractional bound iterates differently than the BIGINT cast in
+      // the fold (Java runs `i < 2.5` through i = 2; the cast would stop
+      // at 1) — reject rather than silently iterate one short
+      hiT match {
+        case TNum(true) | TNull =>
+        case t => fail(s"counted-loop bound must be integral, got ${tName(t)}")
+      }
       val boundIdents =
         boundStart.take(boundStart.length - toks.length)
           .collect { case Ident(n) => n }.toSet
@@ -681,6 +694,14 @@ object JavaUdfShim {
         case TNum(true) =>
         case _ => fail(s"while-loop variable '$lv' must be an int or long local")
       }
+      // same-block rule as the for-loop's accumulators: a while inside a
+      // branch whose variable lives OUTSIDE the branch would have its
+      // post-loop rebind silently discarded by the branch-exit locals
+      // restore — reject rather than return the pre-loop value
+      if (!declDepth.get(lv).contains(scopeDepth))
+        fail(s"while-loop variable '$lv' must be declared in the same " +
+          "block as the loop itself (a branch-exit restore would discard " +
+          "its post-loop value)")
       val lvJavaT = declSqlType.get(lv) match {
         case Some("INT") => "int"
         case Some("BIGINT") => "long"
@@ -762,13 +783,17 @@ object JavaUdfShim {
       parseFor()
       // Java leaves the variable at the first bound-failing value: the
       // start if the loop never ran, else the bound (exclusive) or
-      // bound+1 (inclusive) — the ascending unit step lands there exactly
+      // bound+1 (inclusive) — the ascending unit step lands there
+      // exactly. NULL-strict: Spark's GREATEST skips nulls, but a null
+      // start/bound must poison the variable like it poisons the fold's
+      // accumulators (Java would NPE on the unbox), not fall back to the
+      // non-null operand.
       val lvSqlT = declSqlType.getOrElse(lv, "BIGINT")
-      val post =
-        if (cmp == "<")
-          s"CAST(GREATEST(CAST(($loSql) AS BIGINT), CAST(($boundSql) AS BIGINT)) AS $lvSqlT)"
-        else
-          s"CAST(GREATEST(CAST(($loSql) AS BIGINT), CAST(($boundSql) AS BIGINT) + 1L) AS $lvSqlT)"
+      val loB = s"CAST(($loSql) AS BIGINT)"
+      val hiB = s"CAST(($boundSql) AS BIGINT)"
+      val top = if (cmp == "<") hiB else s"($hiB + 1L)"
+      val post = s"CAST(IF($loB IS NULL OR $hiB IS NULL, NULL, " +
+        s"GREATEST($loB, $top)) AS $lvSqlT)"
       locals = locals.updated(lv, (post, TNum(integral = true)))
     }
 

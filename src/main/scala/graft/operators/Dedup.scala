@@ -187,19 +187,19 @@ object Dedup {
   def keepBestPerGroup(labels: DataFrame, scored: DataFrame,
                        id: String = "doc_id",
                        scoreCol: String = "score"): DataFrame = {
-    // min_by over (−score, id) keeps the winner's id intact for ANY id
-    // type (string host labels included — unary minus on the id itself
-    // would cast strings to double and null out every winner). BOTH
-    // output columns come from the SAME winning row via the SAME
+    // min_by over (null-flag, −score, id) keeps the winner's id intact
+    // for ANY id type (string host labels included — unary minus on the
+    // id itself would cast strings to double and null out every winner).
+    // BOTH output columns come from the SAME winning row via the SAME
     // ordering — a max(score) shortcut would pair the winner's id with
     // another row's score whenever the ordering and max disagree (null
     // scores, NaN — which sorts greatest, winning max while losing the
-    // negated ordering). A null score coalesces to +∞ in the ordering so
-    // it loses to every real score, including -Double.MaxValue (whose
-    // negation stays below +∞); NaN keeps Spark's greatest-value rank
-    // and loses to everything.
-    val ord = struct(coalesce((-col(scoreCol)).cast("double"),
-      lit(Double.PositiveInfinity)).as("ns"), col(id).as("i"))
+    // negated ordering). The leading null FLAG (not a sentinel value —
+    // a -Infinity score negates to +∞ and would collide with any finite
+    // sentinel) makes every real score, -Infinity and NaN included,
+    // beat a null one; NaN ranks last among real scores.
+    val ord = struct(col(scoreCol).isNull.cast("int").as("nu"),
+      (-col(scoreCol)).cast("double").as("ns"), col(id).as("i"))
     labels.join(scored.select(col(id), col(scoreCol)), Seq(id))
       .groupBy("group_id")
       .agg(min_by(col(id), ord).as(id),

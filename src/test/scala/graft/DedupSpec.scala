@@ -89,12 +89,14 @@ class DedupSpec extends SparkSpec {
     "emitted id/score always come from the SAME row (no frankenrows), " +
     "and a -Double.MaxValue score still beats null") {
     val labels = Seq(("a", "g1"), ("b", "g1"), ("nB", "g2"), ("nA", "g2"),
-      ("nanDoc", "g3"), ("real", "g3"), ("worst", "g4"), ("none", "g4"))
+      ("nanDoc", "g3"), ("real", "g3"), ("worst", "g4"), ("none", "g4"),
+      ("zInf", "g5"), ("aNull", "g5"))
       .toDF("doc_id", "group_id")
     val scored = Seq(("a", Option.empty[Double]), ("b", Some(5.0)),
       ("nB", Option.empty[Double]), ("nA", Option.empty[Double]),
       ("nanDoc", Some(Double.NaN)), ("real", Some(5.0)),
-      ("worst", Some(-Double.MaxValue)), ("none", Option.empty[Double]))
+      ("worst", Some(-Double.MaxValue)), ("none", Option.empty[Double]),
+      ("zInf", Some(Double.NegativeInfinity)), ("aNull", Option.empty[Double]))
       .toDF("doc_id", "score")
     val got = Dedup.keepBestPerGroup(labels, scored)
       .collect().map(r => r.getString(0) ->
@@ -104,7 +106,10 @@ class DedupSpec extends SparkSpec {
       "g1" -> (("b", Some(5.0), 2L)),            // null loses to scored
       "g2" -> (("nA", None, 2L)),                // all-null: lowest id, null score
       "g3" -> (("real", Some(5.0), 2L)),         // NaN loses; score is the WINNER's
-      "g4" -> (("worst", Some(-Double.MaxValue), 2L)))) // worst real beats null
+      "g4" -> (("worst", Some(-Double.MaxValue), 2L)), // worst real beats null
+      // -Infinity negates to +Inf — a finite sentinel would collide and
+      // let the scoreless smaller id win; the null FLAG keeps it real
+      "g5" -> (("zInf", Some(Double.NegativeInfinity), 2L))))
   }
 
   test("minhash_sig fused signatures are bit-identical to the exploded " +

@@ -552,6 +552,14 @@ class JavaUdfShimPropertySpec extends SparkSpec {
         }
       }
     }
+    // directed: a NULL bound poisons the post-loop variable (Java would
+    // NPE on the unbox), matching the fold's accumulator semantics —
+    // Spark's null-skipping GREATEST must not smuggle the start back
+    val nullBound = JavaUdfShim.translate(
+      "int i = 0; int s = 0; while (i < a) { s += 1; i++; } return i;", cqlArgs)
+    val nb = base.select(expr(nullBound).cast("int").as("v")).collect()
+    assert(!nb(0).isNullAt(0) && nb(0).getInt(0) === 7) // a = 7 → i = 7
+    assert(nb(1).isNullAt(0), s"null bound must poison: $nullBound") // a = null
   }
 
   /** Nested branches inside counted-loop bodies (the r13 grammar rung):

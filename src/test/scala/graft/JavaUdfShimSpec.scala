@@ -348,6 +348,20 @@ class JavaUdfShimSpec extends AnyFunSuite {
     assert(rejects(
       "int s = 0; for (int i = 0; i < n; i++) { while (s < 5) { s += 1; } } return s;",
       "n" -> CqlInt).contains("not supported"))
+    // a while in a BRANCH whose variable lives outside it would have the
+    // post-loop rebind discarded by the branch-exit restore — reject,
+    // never return the pre-loop value
+    assert(rejects(
+      "int i = 0; if (n > 0) { while (i < 3) { i++; } } return i;",
+      "n" -> CqlInt).contains("same block"))
+    // fractional loop bounds would iterate one short of Java through the
+    // BIGINT cast — reject for both loop forms
+    assert(rejects(
+      "int s = 0; for (int i = 0; i < d; i++) s += 1; return s;",
+      "d" -> CqlDouble).contains("bound must be integral"))
+    assert(rejects(
+      "int i = 0; while (i < d) { i++; } return i;",
+      "d" -> CqlDouble).contains("bound must be integral"))
 
     // nested branches (r13 rung) lower to nested IF() terms
     val nested = tr(
