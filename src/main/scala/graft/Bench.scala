@@ -207,7 +207,12 @@ object Bench {
     def timedPass(names: Seq[String], rerecorded: Boolean = false): Seq[QRec] = {
       val n = names.size
       val readings = (0 until 3).map { pass =>
-        val order = names.drop(pass * n / 3) ++ names.take(pass * n / 3)
+        // `max pass min (n-1)`: for tiny re-record lists (n = 2..3) the
+        // raw pass*n/3 repeats offset 0, leaving two of the three
+        // readings in the same slot position — exactly the bias this
+        // rotation exists to kill. For n >= 3 the clamp is a no-op.
+        val off = (pass * n / 3).max(pass).min(math.max(n - 1, 0))
+        val order = names.drop(off) ++ names.take(off)
         var p = probeCalib(spark)
         order.map { name =>
           val fn = SparkEntry.queries(name)
@@ -266,10 +271,13 @@ object Bench {
         System.err.println(s"[bench] re-recording ${r.name}: $why")
       }
       if (flagged.exists(_.contended)) Thread.sleep(10000) // let the load drain
+      // pad the mini-pass to >= 3 names so each of the three rotated
+      // passes lands every flagged query in a distinct slot position
+      // (one spacer gave n = 2, where passes 0 and 1 ran identically)
       val spacer =
-        if (flagged.size > 1) Nil
+        if (flagged.size >= 3) Nil
         else results.filterNot(r => flagged.exists(_.name == r.name))
-          .sortBy(_.min).take(1).map(_.name)
+          .sortBy(_.min).take(3 - flagged.size).map(_.name)
       val redoNames = flagged.map(_.name) ++ spacer
       val redone = timedPass(redoNames, rerecorded = true)
         .filter(r => flagged.exists(_.name == r.name))

@@ -2968,6 +2968,28 @@ object Queries {
           .orderBy("media_id", "window_idx")
       }),
 
+    QueryDef("q_multimodal_audio_fft",
+      // per-window SPECTRAL signals (speech/music/noise separation —
+      // what real audio curation gates on): each 25 ms/10 ms window
+      // zero-pads to 512, runs the pinned-order radix-2 FFT
+      // (Multimodal.fftInPlace's doc comment is the bit-exact spec),
+      // and measures centroid/rolloff(0.85)/flatness over bins 0..N/2.
+      // The replica re-implements the pinned algorithm from the spec
+      // with no shared code, so agreement pins the whole chain
+      // plant→encode→decode→window→FFT→measure. Bounded to the first
+      // 40 docs like the time-domain window query.
+      Some("""SELECT media_id, window_idx, start_sample, end_sample,
+                     fft_n, spectral_centroid_hz, spectral_rolloff_hz,
+                     spectral_flatness
+              FROM parquet_scan('{FIX}/_fixture_audiofft/*.parquet')
+              ORDER BY media_id, window_idx"""),
+      (s, d) => {
+        val audio = Multimodal.audioFromDocuments(s,
+          t(s, d, "documents").filter(col("doc_id") < 40))
+        Multimodal.audioSpectralFeatures(s, audio, 25, 10).toDF()
+          .orderBy("media_id", "window_idx")
+      }),
+
     QueryDef("q_multimodal_audio_resample",
       // rate conversion through the REAL linear resampler (16 kHz →
       // 11025 Hz — a non-divisor target, so the fractional interpolation
@@ -6203,17 +6225,27 @@ object Queries {
       // epoch-µs long — the operator stays layout-agnostic.
       Some(Seq(
         ("event_id", "num"), ("event_type", "str"), ("props", "str"),
-        ("ts_us", "num"), ("user_id", "num"), ("value", "num"))
+        ("ts_us", "num"), ("user_id", "num"), ("value", "num"),
+        ("neg_value", "num")) // negative non-integral sum: pins the
+                              // toward-zero quotient convention below
         .map { case (c, k) =>
-          val src = if (c == "ts_us") "epoch_us(ts)" else c
-          // mean = qi + rem/n with qi the exact truncating integral
-          // quotient (duck: trunc + hugeint //; engine: decimal div) and
-          // rem the exact small remainder — casting the raw epoch-µs-scale
-          // decimal SUM to double hits DuckDB's non-correctly-rounded
-          // conversion (one-ulp off at sf0.001); qi < 2^53 and a small rem
-          // make every double op correctly rounded in both engines
+          val src = if (c == "ts_us") "epoch_us(ts)"
+                    else if (c == "neg_value") "(0 - value)" else c
+          // mean = qi + rem/n with qi the exact TOWARD-ZERO integral
+          // quotient and rem the exact small remainder — casting the raw
+          // epoch-µs-scale decimal SUM to double hits DuckDB's
+          // non-correctly-rounded conversion (one-ulp off at sf0.001);
+          // qi < 2^53 and a small rem make every double op correctly
+          // rounded in both engines. Spark's `div` truncates toward zero,
+          // DuckDB's hugeint `//` floors — for a NEGATIVE non-integral
+          // sum they differ by 1, so the oracle wraps `//` in a sign
+          // case (toward-zero(toward-zero(s)/n) = toward-zero(s/n) for
+          // n > 0, so trunc-then-divide matches div on the full decimal)
           val sumE = s"sum(CAST($src AS DECIMAL(38,6)))"
-          val qiE = s"(CAST(trunc($sumE) AS HUGEINT) // CAST(count($src) AS HUGEINT))"
+          val qiT = s"CAST(trunc($sumE) AS HUGEINT)"
+          val cntH = s"CAST(count($src) AS HUGEINT)"
+          val qiE = s"(CASE WHEN $qiT >= 0 THEN $qiT // $cntH " +
+            s"ELSE -((-($qiT)) // $cntH) END)"
           val (numCols, strCols) =
             if (k == "num")
               (s"""CAST(min($src) AS DOUBLE) AS num_min,
@@ -6239,9 +6271,11 @@ object Queries {
       (s, d) => {
         val ev = t(s, d, "events")
         val prepped = ev.select(col("event_id"), Tables.tsEpochUs(ev).as("ts_us"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
+          col("user_id"), col("event_type"), col("value"), col("props"),
+          (lit(0) - col("value")).as("neg_value"))
         Profile.profile(prepped,
-            Seq("event_id", "ts_us", "user_id", "event_type", "value", "props"),
+            Seq("event_id", "ts_us", "user_id", "event_type", "value", "props",
+              "neg_value"),
             exactDistinct = true)
           .orderBy("col_name")
       }),
@@ -6477,41 +6511,165 @@ object Queries {
 
     // ── extensions: multimodal plumbing ────────────────────────────────
     QueryDef("q_multimodal_features",
-      // binary payload column + deterministic stub features (decode stubbed;
-      // schema/batch plumbing real — see operators/Multimodal.scala)
-      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, md5(text) AS sig,
-                     concat('img/', CAST(doc_id % 3 AS VARCHAR)) AS kind
-              FROM documents ORDER BY doc_id"""),
-      (s, d) => t(s, d, "documents").select(col("doc_id"),
-          length(encode(col("text"), "UTF-8").cast("binary")).as("n_bytes"),
-          md5(col("text")).as("sig"),
-          concat(lit("img/"), (col("doc_id") % 3).cast("string")).as("kind"))
-        .orderBy("doc_id")),
-
-    QueryDef("q_multimodal_resize",
-      // aspect-fit batch resize through the REAL mapPartitions path
-      // (resample stubbed to the byte-budget prefix — ASCII payloads make
-      // the byte prefix comparable as a text prefix in DuckDB); the box
-      // arithmetic, byte budget, and digest are oracle-checked
-      Some("""WITH m AS (SELECT doc_id AS media_id,
-                     greatest(CAST(n_chars % 640 AS INTEGER), 1) AS w0,
-                     greatest(CAST(n_chars % 480 AS INTEGER), 1) AS h0,
-                     text, length(text) AS len FROM documents),
-              f AS (SELECT media_id, text, len, w0, h0,
-                     least(least(224.0 / w0, 224.0 / h0), 1.0) AS sc FROM m),
-              r AS (SELECT media_id, text, len,
-                     CAST(greatest(floor(w0 * sc), 1) AS INTEGER) AS width,
-                     CAST(greatest(floor(h0 * sc), 1) AS INTEGER) AS height FROM f)
-              SELECT media_id, width, height,
-                     CAST(least(len, greatest((width * height) // 256, 1)) AS INTEGER) AS n_bytes,
-                     md5(substring(text, 1, least(len, greatest((width * height) // 256, 1)))) AS digest
-              FROM r ORDER BY media_id"""),
+      // the image tier is STUB-FREE (the audio precedent, zero
+      // libraries): planted RGB noise pixels wrap in a REAL PNG container
+      // whose scanline filter rotates through all five types, a real
+      // CRC-verifying decoder (operators/Png.scala) defilters them back,
+      // and real pixel statistics (per-channel mean/variance, BT.601
+      // luma, edge density) compute in fixed order — the oracle is a
+      // plain-Scala replica of plant→measure that never touches PNG, so
+      // agreement proves encode∘decode is the identity on every filter
+      // path
+      Some("""SELECT media_id, kind, width, height, channels, mean_r,
+                     mean_g, mean_b, var_r, var_g, var_b, luma_mean,
+                     edge_density
+              FROM parquet_scan('{FIX}/_fixture_imgfeat/*.parquet')
+              ORDER BY media_id"""),
       (s, d) => {
         val media = Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
-        Multimodal.resize(s, media, 224, 224).toDF()
-          .select(col("media_id"), col("width"), col("height"),
-            length(col("payload")).as("n_bytes"), md5(col("payload")).as("digest"))
+        Multimodal.extractFeatures(s, media).toDF()
+          .drop("n_bytes") // payload size depends on DEFLATE, not pixels
           .orderBy("media_id")
+      }),
+
+    QueryDef("q_multimodal_image_png",
+      // byte-exact decode pinning: MD5 over the decoded pixel array vs
+      // the replica's MD5 over the PLANTED pixels (feature means could
+      // mask compensating byte errors; a digest can't)
+      Some("""SELECT media_id, width, height, pixel_md5
+              FROM parquet_scan('{FIX}/_fixture_imgpng/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
+        import s.implicits._
+        media.map { m =>
+          val img = graft.operators.Png.decode(m.payload)
+          (m.media_id, img.width, img.height,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(img.pixels).map("%02x".format(_)).mkString)
+        }.toDF("media_id", "width", "height", "pixel_md5")
+          .orderBy("media_id")
+      }),
+
+    QueryDef("q_multimodal_resize",
+      // REAL aspect-fit resize: PNG decode → bilinear on actual pixels →
+      // canonical re-encode, then the feature pass over the resized
+      // payloads. The replica replays plant→fit→bilinear→measure in
+      // plain Scala with no PNG round-trip, so the oracle covers the
+      // interpolation arithmetic AND both container directions
+      Some("""SELECT media_id, width, height, mean_r, mean_g, mean_b,
+                     var_r, var_g, var_b, luma_mean, edge_density
+              FROM parquet_scan('{FIX}/_fixture_imgresize/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
+        val resized = Multimodal.resize(s, media, 16, 16)
+        import s.implicits._
+        Multimodal.extractFeatures(s, resized.map(r =>
+            Multimodal.MediaItem(r.media_id, r.kind, r.payload,
+              r.width, r.height, 1, 16000)))
+          .toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("mean_r"), col("mean_g"), col("mean_b"),
+            col("var_r"), col("var_g"), col("var_b"),
+            col("luma_mean"), col("edge_density"))
+          .orderBy("media_id")
+      }),
+
+    QueryDef("q_multimodal_phash",
+      // DCT perceptual hash over the real decode (pHash family): gray →
+      // 32×32 bilinear → pinned separable DCT-II → 63-AC-median bits.
+      // The replica replays the pinned chain from plant with no PNG
+      // round-trip, so agreement pins gray/resize/DCT/median/bit layout.
+      Some("""SELECT media_id, phash
+              FROM parquet_scan('{FIX}/_fixture_phash/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
+        Multimodal.imagePHash(s, media).orderBy("media_id")
+      }),
+
+    QueryDef("q_dedup_phash",
+      // IMAGE near-dup detection — the visual SimHash: the corpus is the
+      // base images plus a brightness-shifted variant (+3 clamped) for
+      // every 5th doc, hashes pair through the exact pigeonhole chunk
+      // join (maxHamming+1 chunks ⇒ any pair within distance shares one),
+      // hamming filters inside the bounded buckets. The replica hashes
+      // the same planted corpus and takes ALL pairs ≤ 3 by brute force —
+      // agreement proves the pigeonhole recall is exact, not approximate.
+      Some("""SELECT a, b, hamming
+              FROM parquet_scan('{FIX}/_fixture_phashpairs/*.parquet')
+              ORDER BY a, b"""),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val media = Multimodal.mediaFromDocuments(s, docs)
+        val variants = docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+          .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 5 == 0)
+          .mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val (w, h) = Multimodal.plantDims(id, nChars)
+              val px = Array.tabulate(w * h * 3)(i =>
+                math.min(255, Multimodal.plantPixel(id, i) + 3).toByte)
+              Multimodal.MediaItem(id + 10000000L, s"img/${id % 3}",
+                graft.operators.Png.encode(w, h, 3, px), w, h, 1, 16000)
+            }
+          }
+        val hashes = Multimodal.imagePHash(s, media.union(variants))
+        Multimodal.phashPairs(hashes, maxHamming = 3).orderBy("a", "b")
+      }),
+
+    QueryDef("q_dedup_phash_groups",
+      // image dedup END-TO-END: hash → pigeonhole pair join → connected
+      // components (the generic Dedup.dupGroups pointer-jumping CC — the
+      // same operator the text paths use) → min-id canonical label per
+      // image. The replica union-finds the brute-force pair set, so
+      // agreement pins the whole composition, not just the pair stage.
+      Some("""SELECT media_id, group_id
+              FROM parquet_scan('{FIX}/_fixture_phashgroups/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val media = Multimodal.mediaFromDocuments(s, docs)
+        val variants = docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+          .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 5 == 0)
+          .mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val (w, h) = Multimodal.plantDims(id, nChars)
+              val px = Array.tabulate(w * h * 3)(i =>
+                math.min(255, Multimodal.plantPixel(id, i) + 3).toByte)
+              Multimodal.MediaItem(id + 10000000L, s"img/${id % 3}",
+                graft.operators.Png.encode(w, h, 3, px), w, h, 1, 16000)
+            }
+          }
+        val hashes = Multimodal.imagePHash(s, media.union(variants))
+        val pairs = Multimodal.phashPairs(hashes, maxHamming = 3)
+        Dedup.dupGroups(hashes.select(col("media_id")), pairs, id = "media_id")
+          .select(col("doc_id").as("media_id"), col("group_id"))
+          .orderBy("media_id")
+      }),
+
+    QueryDef("q_multimodal_video",
+      // the VIDEO tier is STUB-FREE too: planted RGB frames wrap in a
+      // REAL uncompressed AVI (bottom-up BGR padded DIB scanlines — the
+      // storage unswizzle is on the decode path of every clip), the real
+      // chunk-walking decoder recovers them, every 2nd frame samples out,
+      // and the pinned pixel-statistics pass measures the actual frame
+      // bytes. The replica replays plant→sample→measure with no AVI round
+      // trip, so agreement proves encode∘decode is the identity across
+      // the padding/flip/channel-swap storage convention.
+      Some("""SELECT media_id, frame_idx, width, height, n_frames, mean_r,
+                     mean_g, mean_b, var_r, var_g, var_b, luma_mean,
+                     edge_density
+              FROM parquet_scan('{FIX}/_fixture_videofeat/*.parquet')
+              ORDER BY media_id, frame_idx"""),
+      (s, d) => {
+        val media = Multimodal.videoFromDocuments(s, t(s, d, "documents"))
+        Multimodal.videoFrameFeatures(s, media, 2).toDF()
+          .orderBy("media_id", "frame_idx")
       })
   )
 

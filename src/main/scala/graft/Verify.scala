@@ -1525,6 +1525,84 @@ object Verify {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_audiowin")
     }
+    fixture("_fixture_audiofft") {
+      // spectral replica (q_multimodal_audio_fft's parameters: first 40
+      // docs, 25 ms/10 ms at 16 kHz → win 400, hop 160, fft 512): an
+      // independent radix-2 FFT written from the pinned spec in
+      // Multimodal.fftInPlace's doc comment — bit-reversal via
+      // Integer.reverse index math instead of the engine's carry walk
+      // (same permutation), for-comprehension butterflies (same
+      // arithmetic order) → bit-identical doubles by construction
+      def fftRef(re: Array[Double], im: Array[Double]): Unit = {
+        val n = re.length
+        val bits = Integer.numberOfTrailingZeros(n)
+        for (i <- 0 until n) {
+          val j = Integer.reverse(i) >>> (32 - bits)
+          if (i < j) {
+            val tr = re(i); re(i) = re(j); re(j) = tr
+            val ti = im(i); im(i) = im(j); im(j) = ti
+          }
+        }
+        var len = 2
+        while (len <= n) {
+          for (s <- 0 until n by len; k <- 0 until len / 2) {
+            val ang = -2.0 * math.Pi * k / len
+            val wr = math.cos(ang); val wi = math.sin(ang)
+            val b = s + k + len / 2
+            val tr = wr * re(b) - wi * im(b)
+            val ti = wr * im(b) + wi * re(b)
+            re(b) = re(s + k) - tr; im(b) = im(s + k) - ti
+            re(s + k) += tr; im(s + k) += ti
+          }
+          len <<= 1
+        }
+      }
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .filter(_._1 < 40).sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          val xs = Option(text0).getOrElse("").map(c =>
+            ((((c.toInt * 1103515245 + 12345) >>> 8) & 0xffff) - 32768))
+          val (win, hop, fftN, rate) = (400, 160, 512, 16000)
+          if (xs.length < win) Seq.empty
+          else (0 to (xs.length - win) / hop).map { wi =>
+            val s0 = wi * hop
+            val re = new Array[Double](fftN); val im = new Array[Double](fftN)
+            for (i <- 0 until win) re(i) = xs(s0 + i) / 32768.0
+            fftRef(re, im)
+            // bins 0..N/2 ascending; centroid/flatness exclude DC
+            var magSum = 0.0; var magW = 0.0; var pSum = 0.0
+            var logSum = 0.0; var epsSum = 0.0
+            for (k <- 0 to fftN / 2) {
+              val p = re(k) * re(k) + im(k) * im(k)
+              pSum += p
+              if (k >= 1) {
+                val m = math.sqrt(p)
+                magSum += m; magW += (k.toDouble * rate / fftN) * m
+                logSum += math.log(p + 1e-12); epsSum += p + 1e-12
+              }
+            }
+            val centroid = if (magSum == 0.0) 0.0 else magW / magSum
+            var rolloff = 0.0
+            if (pSum > 0.0) {
+              val target = 0.85 * pSum
+              var acc = 0.0; var kk = 0; var found = false
+              while (kk <= fftN / 2 && !found) {
+                acc += re(kk) * re(kk) + im(kk) * im(kk)
+                if (acc >= target) { rolloff = kk.toDouble * rate / fftN; found = true }
+                kk += 1
+              }
+            }
+            val flat = math.exp(logSum / (fftN / 2)) / (epsSum / (fftN / 2))
+            (id, wi.toLong, s0.toLong, (s0 + win).toLong, fftN,
+              round6(centroid), round6(rolloff), round6(flat))
+          }
+        }
+      rows.toDF("media_id", "window_idx", "start_sample", "end_sample",
+          "fft_n", "spectral_centroid_hz", "spectral_rolloff_hz",
+          "spectral_flatness").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_audiofft")
+    }
     fixture("_fixture_audiors") {
       // resample replica (q_multimodal_audio_resample's parameters:
       // 16000 → 11025): exact rational positions k·src/target, linear
@@ -1566,6 +1644,233 @@ object Verify {
       rows.toDF("media_id", "sample_rate", "n_samples", "duration_us",
           "rms", "peak", "silence_ratio", "clipping_ratio").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_audiors")
+    }
+    // ── image replicas: re-derive the planted pixels from the documented
+    // formulas (splitmix mix of (doc_id, index); dims 4+(id%29) ×
+    // 3+(n_chars%23); RGB) and re-measure independently — NO PNG round
+    // trip here, so oracle agreement proves the engine's encode∘decode
+    // (all five rotating scanline filters) is the identity
+    def imgPlant(spark: SparkSession): IndexedSeq[(Long, Int, Int, Array[Byte])] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        .as[(Long, Int)].collect().sortBy(_._1).toIndexedSeq
+        .map { case (id, nChars) =>
+          val w = 4 + (id % 29).toInt; val h = 3 + (nChars % 23)
+          val px = Array.tabulate(w * h * 3) { i =>
+            var z = id * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+            z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+            ((z >>> 40) & 0xff).toByte
+          }
+          (id, w, h, px)
+        }
+    // the pinned feature arithmetic (row-major accumulation, 6-dp LAST):
+    // (mean_r, mean_g, mean_b, var_r, var_g, var_b, luma_mean, edge_density)
+    def imgStats(w: Int, h: Int, px: Array[Byte]): Array[Double] = {
+      val n = w * h
+      val sum = new Array[Double](3); val sumSq = new Array[Double](3)
+      var lumaSum = 0.0
+      val luma = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val r = px(i * 3) & 0xff; val g = px(i * 3 + 1) & 0xff; val b = px(i * 3 + 2) & 0xff
+        sum(0) += r; sum(1) += g; sum(2) += b
+        sumSq(0) += r.toDouble * r; sumSq(1) += g.toDouble * g; sumSq(2) += b.toDouble * b
+        val lm = 299 * r + 587 * g + 114 * b
+        luma(i) = lm; lumaSum += lm / 1000.0
+        i += 1
+      }
+      var edges = 0L
+      if (w > 2 && h > 2)
+        for (y <- 1 until h - 1; x <- 1 until w - 1) {
+          val gx = math.abs(luma(y * w + x + 1) - luma(y * w + x - 1))
+          val gy = math.abs(luma((y + 1) * w + x) - luma((y - 1) * w + x))
+          if (gx + gy > 32000) edges += 1
+        }
+      val interior = (w - 2).toLong * (h - 2).toLong
+      Array(round6(sum(0) / n), round6(sum(1) / n), round6(sum(2) / n),
+        round6(sumSq(0) / n - (sum(0) / n) * (sum(0) / n)),
+        round6(sumSq(1) / n - (sum(1) / n) * (sum(1) / n)),
+        round6(sumSq(2) / n - (sum(2) / n) * (sum(2) / n)),
+        round6(lumaSum / n),
+        if (interior <= 0) 0.0 else round6(edges.toDouble / interior))
+    }
+    fixture("_fixture_imgfeat") {
+      val rows = imgPlant(spark).map { case (id, w, h, px) =>
+        val f = imgStats(w, h, px)
+        (id, s"img/${id % 3}", w, h, 3,
+          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+      rows.toDF("media_id", "kind", "width", "height", "channels",
+          "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
+          "luma_mean", "edge_density").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_imgfeat")
+    }
+    fixture("_fixture_imgpng") {
+      val rows = imgPlant(spark).map { case (id, w, h, px) =>
+        (id, w, h, java.security.MessageDigest.getInstance("MD5")
+          .digest(px).map("%02x".format(_)).mkString)
+      }
+      rows.toDF("media_id", "width", "height", "pixel_md5").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_imgpng")
+    }
+    fixture("_fixture_imgresize") {
+      // q_multimodal_resize's parameters: fit 16×16 box, bilinear with
+      // half-pixel centers, round half-up, clamp — independent replica
+      val rows = imgPlant(spark).map { case (id, w, h, px) =>
+        val scale = math.min(math.min(16.0 / w, 16.0 / h), 1.0)
+        val tw = math.max(1, math.floor(w * scale).toInt)
+        val th = math.max(1, math.floor(h * scale).toInt)
+        val out =
+          if (tw == w && th == h) px
+          else Array.tabulate(tw * th * 3) { oi =>
+            val c = oi % 3; val opix = oi / 3
+            val ox = opix % tw; val oy = opix / tw
+            val sy = (oy + 0.5) * h / th - 0.5
+            val y0 = math.max(0, math.min(h - 1, math.floor(sy).toInt))
+            val y1 = math.min(h - 1, y0 + 1)
+            val fy = math.max(0.0, sy - y0)
+            val sx = (ox + 0.5) * w / tw - 0.5
+            val x0 = math.max(0, math.min(w - 1, math.floor(sx).toInt))
+            val x1 = math.min(w - 1, x0 + 1)
+            val fx = math.max(0.0, sx - x0)
+            def at(yy: Int, xx: Int) = px((yy * w + xx) * 3 + c) & 0xff
+            val top = at(y0, x0) + (at(y0, x1) - at(y0, x0)) * fx
+            val bot = at(y1, x0) + (at(y1, x1) - at(y1, x0)) * fx
+            val v = math.floor(top + (bot - top) * fy + 0.5)
+            math.max(0.0, math.min(255.0, v)).toInt.toByte
+          }
+        val f = imgStats(tw, th, out)
+        (id, tw, th, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+      rows.toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+          "var_r", "var_g", "var_b", "luma_mean", "edge_density").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_imgresize")
+    }
+    // pinned pHash replica — the chain in Multimodal.imagePHash's doc
+    // comment re-derived with no engine code: integer gray, half-pixel
+    // bilinear to 32×32 (explicit per-pixel tabulate, not the engine's
+    // resize), separable DCT-II rows-then-columns in ascending order,
+    // 63-AC median (sorted element 31), bit u·8+v, DC bit 0
+    def pHashRef(w: Int, h: Int, px: Array[Byte]): Long = {
+      val gray = Array.tabulate(w * h) { i =>
+        val r = px(i * 3) & 0xff; val g = px(i * 3 + 1) & 0xff
+        val b = px(i * 3 + 2) & 0xff
+        math.min(255, (299 * r + 587 * g + 114 * b + 500) / 1000)
+      }
+      val small = Array.tabulate(32 * 32) { oi =>
+        val ox = oi % 32; val oy = oi / 32
+        val sy = (oy + 0.5) * h / 32 - 0.5
+        val y0 = math.max(0, math.min(h - 1, math.floor(sy).toInt))
+        val y1 = math.min(h - 1, y0 + 1)
+        val fy = math.max(0.0, sy - y0)
+        val sx = (ox + 0.5) * w / 32 - 0.5
+        val x0 = math.max(0, math.min(w - 1, math.floor(sx).toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val fx = math.max(0.0, sx - x0)
+        val top = gray(y0 * w + x0) + (gray(y0 * w + x1) - gray(y0 * w + x0)) * fx
+        val bot = gray(y1 * w + x0) + (gray(y1 * w + x1) - gray(y1 * w + x0)) * fx
+        val v = math.floor(top + (bot - top) * fy + 0.5)
+        math.max(0.0, math.min(255.0, v)).toInt
+      }
+      val rowPass = Array.tabulate(32, 8) { (y, u) =>
+        var s = 0.0
+        for (x <- 0 until 32)
+          s += small(y * 32 + x) * math.cos((2 * x + 1) * u * math.Pi / 64)
+        s
+      }
+      val coef = Array.tabulate(8, 8) { (u, v) =>
+        var s = 0.0
+        for (y <- 0 until 32)
+          s += rowPass(y)(u) * math.cos((2 * y + 1) * v * math.Pi / 64)
+        s
+      }
+      val flat = Array.tabulate(64)(k => coef(k / 8)(k % 8))
+      val median = flat.indices.filter(_ != 0).map(flat).sorted.apply(31)
+      (1 until 64).foldLeft(0L)((acc, k) =>
+        if (flat(k) > median) acc | (1L << k) else acc)
+    }
+    fixture("_fixture_phash") {
+      val rows = imgPlant(spark).map { case (id, w, h, px) =>
+        (id, pHashRef(w, h, px))
+      }
+      rows.toDF("media_id", "phash").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_phash")
+    }
+    fixture("_fixture_phashpairs") {
+      // q_dedup_phash's corpus: every base image plus a +3-clamped
+      // brightness variant for each 5th doc (id + 10^7); pairs by BRUTE
+      // FORCE at hamming ≤ 3 — the engine's pigeonhole join must find
+      // exactly these (exactness of the chunk cover, not approximation)
+      val base = imgPlant(spark).map { case (id, w, h, px) => (id, pHashRef(w, h, px)) }
+      val vars = imgPlant(spark).filter(_._1 % 5 == 0).map { case (id, w, h, px) =>
+        val shifted = px.map(p => math.min(255, (p & 0xff) + 3).toByte)
+        (id + 10000000L, pHashRef(w, h, shifted))
+      }
+      val all = (base ++ vars).sortBy(_._1)
+      val pairs = for {
+        i <- all.indices; j <- (i + 1) until all.size
+        d = java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) if d <= 3
+      } yield (all(i)._1, all(j)._1, d)
+      pairs.toDF("a", "b", "hamming").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_phashpairs")
+    }
+    fixture("_fixture_phashgroups") {
+      // union-find over the SAME brute-force pair derivation as
+      // _fixture_phashpairs; label = component minimum id
+      val base = imgPlant(spark).map { case (id, w, h, px) => (id, pHashRef(w, h, px)) }
+      val vars = imgPlant(spark).filter(_._1 % 5 == 0).map { case (id, w, h, px) =>
+        val shifted = px.map(p => math.min(255, (p & 0xff) + 3).toByte)
+        (id + 10000000L, pHashRef(w, h, shifted))
+      }
+      val all = (base ++ vars).sortBy(_._1)
+      val parent = scala.collection.mutable.Map(all.map(a => a._1 -> a._1): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      for {
+        i <- all.indices; j <- (i + 1) until all.size
+        if java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) <= 3
+      } {
+        val (ra, rb) = (find(all(i)._1), find(all(j)._1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = all.map(a => (a._1, find(a._1)))
+      rows.toDF("media_id", "group_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_phashgroups")
+    }
+    fixture("_fixture_videofeat") {
+      // video replica: re-derive every sampled frame's pixels from the
+      // documented formulas (frame folds into the splitmix key; dims
+      // 4+(id%9) × 3+(nChars%7); 2..6 frames; stride 2) and re-measure
+      // with the pinned statistics — NO AVI round-trip here, so oracle
+      // agreement proves the engine's encode∘decode is the identity
+      // across the bottom-up/BGR/padded DIB storage convention
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        .as[(Long, Int)].collect().sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, nChars) =>
+          val w = 4 + (id % 9).toInt; val h = 3 + (nChars % 7)
+          val nf = (id % 5 + 2).toInt
+          (0 until nf by 2).map { f =>
+            val px = Array.tabulate(w * h * 3) { i =>
+              var z = (id * 1000003L + f) * 0x9E3779B97F4A7C15L +
+                i.toLong * 0xBF58476D1CE4E5B9L
+              z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+              ((z >>> 40) & 0xff).toByte
+            }
+            val st = imgStats(w, h, px)
+            (id, f, w, h, nf,
+              st(0), st(1), st(2), st(3), st(4), st(5), st(6), st(7))
+          }
+        }
+      rows.toDF("media_id", "frame_idx", "width", "height", "n_frames",
+          "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
+          "luma_mean", "edge_density").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_videofeat")
     }
     fixture("_fixture_annsq8") {
       annSq8Rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)

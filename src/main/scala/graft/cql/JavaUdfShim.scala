@@ -78,6 +78,10 @@ object JavaUdfShim {
     val stmts = p.parseStmts()
     p.expectEnd()
     p.lower(stmts, None) match {
+      // a char-typed result can only be declared with a numeric CQL
+      // return (CQL has no char type; Java widens char to int there) —
+      // emit the code point so the engine's final CAST lands on a number
+      case Some((sql, TChar)) => s"ascii($sql)"
       case Some((sql, _)) => sql
       case None => throw Untranslatable(
         "missing return statement: not every path through the body returns " +
@@ -88,6 +92,15 @@ object JavaUdfShim {
   // ── shim-internal value typing (drives + overload resolution) ───────
   private sealed trait T
   private case object TStr extends T
+  /** Java `char`: carried as a 1-char STRING so equality/relational
+    * compare lexicographically (identical to code-point order for single
+    * chars), and converted to its code point with `ascii(...)` wherever
+    * Java would widen char to int — arithmetic, numeric comparisons,
+    * numeric declarations, and a top-level return (CQL has no char type,
+    * so a char-returning body can only be declared with a numeric CQL
+    * return, where Java widens).
+    */
+  private case object TChar extends T
   private final case class TNum(integral: Boolean) extends T
   private case object TBool extends T
   private case object TNull extends T
@@ -114,6 +127,11 @@ object JavaUdfShim {
   private final case class Ident(s: String) extends Tok
   private final case class NumLit(sql: String, integral: Boolean) extends Tok
   private final case class StrLit(sql: String) extends Tok
+  /** Java char literal ('x'): single-quoted, exactly one char after
+    * escape processing. Multi-char single-quoted text keeps tokenizing as
+    * a (lenient) string literal, as before.
+    */
+  private final case class CharLit(sql: String) extends Tok
   private final case class Op(s: String) extends Tok
 
   private def tokenize(s: String): List[Tok] = {
@@ -165,7 +183,9 @@ object JavaUdfShim {
           else { sb += ch; i += 1 }
         }
         if (!closed) err("unterminated string literal")
-        out += StrLit("'" + sb.result().replace("'", "''") + "'")
+        val sql = "'" + sb.result().replace("'", "''") + "'"
+        if (quote == '\'' && sb.length == 1) out += CharLit(sql)
+        else out += StrLit(sql)
       } else {
         val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
         if (Set("==", "!=", "<=", ">=", "&&", "||").contains(two)) { out += Op(two); i += 2 }
@@ -241,6 +261,8 @@ object JavaUdfShim {
       "Float" -> Some(("FLOAT", TNum(integral = false))),
       "Boolean" -> Some(("BOOLEAN", TBool)),
       "String" -> Some(("STRING", TStr)),
+      "char" -> Some(("STRING", TChar)),
+      "Character" -> Some(("STRING", TChar)),
       // StringBuilder is a String with value semantics here: the shim only
       // admits mutation through counted-loop accumulation, which the fold
       // translation threads explicitly
@@ -321,10 +343,25 @@ object JavaUdfShim {
       val (sql, t) = expression()
       eat(";")
       // the declared type is a real conversion in Java (int x = …; double y
-      // = intExpr;) — keep it so later arithmetic resolves like Java's
-      val bound = declType match {
-        case Some((sqlT, dt)) => (s"CAST(($sql) AS $sqlT)", dt)
-        case None => (s"($sql)", t)
+      // = intExpr;) — keep it so later arithmetic resolves like Java's.
+      // char crossings are where a silent CAST would lie: char→numeric is
+      // Java's code-point widening (ascii), numeric→char / char→String /
+      // char→boolean don't compile in Java — reject rather than emit a
+      // string-shaped cast that NULLs or stringifies at run time
+      val bound = (declType, t) match {
+        case (Some((sqlT, dt @ TNum(_))), TChar) =>
+          (s"CAST((ascii($sql)) AS $sqlT)", dt)
+        case (Some((_, TChar)), it) if it != TChar && it != TNull =>
+          fail(s"char declarations accept only char-typed initializers " +
+            s"(got ${tName(it)}; Java narrows to char only on constant " +
+            "expressions, which this shim does not model)")
+        case (Some((_, TStr)), TChar) =>
+          fail("a char initializer is not assignable to a String " +
+            "declaration in Java (use String.valueOf or concatenation)")
+        case (Some((_, TBool)), TChar) =>
+          fail("a char initializer is not assignable to a boolean declaration")
+        case (Some((sqlT, dt)), _) => (s"CAST(($sql) AS $sqlT)", dt)
+        case (None, _) => (s"($sql)", t)
       }
       locals = locals.updated(name, bound)
       declDepth = declDepth.updated(name, scopeDepth)
@@ -857,6 +894,7 @@ object JavaUdfShim {
     /** Human-readable shim-type name for error text. */
     private def tName(t: T): String = t match {
       case TStr => "a String"
+      case TChar => "a char"
       case TNum(true) => "an integral"
       case TNum(false) => "a floating-point"
       case TBool => "a boolean"
@@ -868,10 +906,20 @@ object JavaUdfShim {
       * operator table: String `+=` stringifies like `String +`, integral
       * `/` truncates.
       */
-    private def compoundCombine(op: String, l: (String, T), r: (String, T)): (String, T) =
-      if (op == "+" && (l._2 == TStr || r._2 == TStr))
-        (s"concat(${javaStr(l)}, ${javaStr(r)})", TStr)
+    private def compoundCombine(op: String, l0: (String, T), r0: (String, T)): (String, T) =
+      if (op == "+" && (l0._2 == TStr || r0._2 == TStr))
+        (s"concat(${javaStr(l0)}, ${javaStr(r0)})", TStr)
       else {
+        // a char-typed ACCUMULATOR narrows back to char after each
+        // compound step in Java (implicit cast) — the shim carries chars
+        // as strings and cannot model the wrap-around, so reject rather
+        // than silently promote to int
+        if (l0._2 == TChar)
+          fail(s"compound assignment on a char accumulator is not " +
+            "supported by this engine's translation shim (Java narrows " +
+            "the result back to char, which the translation cannot model)")
+        // a char OPERAND widens to its code point like any numeric context
+        val (l, r) = (widenChar(l0), widenChar(r0))
         // javac rejects e.g. String *= int; don't emit nonsense SQL for it
         (l._2, r._2) match {
           case (TNum(_), TNum(_)) =>
@@ -887,7 +935,8 @@ object JavaUdfShim {
       * prints "null".
       */
     private def javaStr(e: (String, T)): String = e._2 match {
-      case TStr => s"COALESCE(${e._1}, 'null')"
+      // a char is already its 1-char string; Java appends it verbatim
+      case TStr | TChar => s"COALESCE(${e._1}, 'null')"
       case _ => s"COALESCE(CAST(${e._1} AS STRING), 'null')"
     }
 
@@ -960,7 +1009,10 @@ object JavaUdfShim {
       binaryChain(() => equality(), Set("&&")) { (_, l, r) => (s"(${l._1} AND ${r._1})", TBool) }
 
     private def equality(): (String, T) =
-      binaryChain(() => relational(), Set("==", "!=")) { (o, l, r) =>
+      binaryChain(() => relational(), Set("==", "!=")) { (o, l0, r0) =>
+        // char == char compares as 1-char strings (code-point order);
+        // char == int is Java numeric promotion → ascii the char side
+        val (l, r) = charVsNum(l0, r0)
         val sql = (o, l._2, r._2) match {
           case ("==", _, TNull) => s"(${l._1} IS NULL)"
           case ("!=", _, TNull) => s"(${l._1} IS NOT NULL)"
@@ -973,20 +1025,39 @@ object JavaUdfShim {
       }
 
     private def relational(): (String, T) =
-      binaryChain(() => additive(), Set("<", "<=", ">", ">=")) { (o, l, r) =>
+      binaryChain(() => additive(), Set("<", "<=", ">", ">=")) { (o, l0, r0) =>
+        val (l, r) = charVsNum(l0, r0)
         (s"(${l._1} $o ${r._1})", TBool)
       }
 
+    /** Comparison-operand pairing for char: char-vs-numeric widens the
+      * char side to its code point (Java numeric promotion); char-vs-char
+      * stays a string comparison (lexicographic = code-point order for
+      * single chars). Everything else passes through untouched.
+      */
+    private def charVsNum(l: (String, T), r: (String, T)): ((String, T), (String, T)) =
+      (l._2, r._2) match {
+        case (TChar, TNum(_)) => (widenChar(l), r)
+        case (TNum(_), TChar) => (l, widenChar(r))
+        case _ => (l, r)
+      }
+
     private def additive(): (String, T) =
-      binaryChain(() => multiplicative(), Set("+", "-")) { (o, l, r) =>
-        if (o == "+" && (l._2 == TStr || r._2 == TStr))
+      binaryChain(() => multiplicative(), Set("+", "-")) { (o, l0, r0) =>
+        if (o == "+" && (l0._2 == TStr || r0._2 == TStr))
           // Java String + : String.valueOf both sides; null prints "null"
-          (s"concat(${javaStr(l)}, ${javaStr(r)})", TStr)
-        else (s"(${l._1} $o ${r._1})", numT(l, r))
+          // (a char appends as itself — no widening in string context)
+          (s"concat(${javaStr(l0)}, ${javaStr(r0)})", TStr)
+        else {
+          // char + char / char + int are INT arithmetic in Java
+          val (l, r) = (widenChar(l0), widenChar(r0))
+          (s"(${l._1} $o ${r._1})", numT(l, r))
+        }
       }
 
     private def multiplicative(): (String, T) =
-      binaryChain(() => unary(), Set("*", "/", "%")) { (o, l, r) =>
+      binaryChain(() => unary(), Set("*", "/", "%")) { (o, l0, r0) =>
+        val (l, r) = (widenChar(l0), widenChar(r0))
         // Java / on two integral operands TRUNCATES; Spark's fractional /
         // would promote — emit integer division to keep e.g. the avg-style
         // 'sum / count * n' SFUNC shapes exact
@@ -1002,10 +1073,17 @@ object JavaUdfShim {
       case _ => TOther
     }
 
+    /** Java's char→int widening for numeric contexts: a char operand
+      * becomes its code point (`ascii`), everything else passes through.
+      */
+    private def widenChar(e: (String, T)): (String, T) =
+      if (e._2 == TChar) (s"ascii(${e._1})", TNum(integral = true)) else e
+
     private def unary(): (String, T) = peek match {
       case Some(Op("!")) => next(); val (e, _) = unary(); (s"(NOT $e)", TBool)
-      case Some(Op("-")) => next(); val (e, t) = unary(); (s"(- $e)", t)
-      case Some(Op("+")) => next(); unary()
+      case Some(Op("-")) =>
+        next(); val (e, t) = widenChar(unary()); (s"(- $e)", t)
+      case Some(Op("+")) => next(); widenChar(unary())
       case _ => postfix()
     }
 
@@ -1059,8 +1137,23 @@ object JavaUdfShim {
         case ("endsWith", List(a)) if rt == TStr =>
           (s"endswith($r, ${a._1})", TBool)
         case ("indexOf", List(a)) if rt == TStr =>
-          // Java is 0-based with -1 on miss; SQL instr is 1-based with 0
+          // Java is 0-based with -1 on miss; SQL instr is 1-based with 0.
+          // A char argument searches for its 1-char string — same result.
           (s"(instr($r, ${a._1}) - 1)", TNum(integral = true))
+        case ("indexOf", List(a, from)) if rt == TStr =>
+          // Java indexOf(str, from): a negative from behaves as 0 — clamp
+          // the 1-based locate position to 1 or the miss case would
+          // surface as locate's pos<1 zero result (= a spurious -1 hit at
+          // "not found" even when the needle exists)
+          (s"(locate(${a._1}, $r, greatest((${from._1}) + 1, 1)) - 1)",
+            TNum(integral = true))
+        case ("charAt", List(i)) if rt == TStr =>
+          // Java charAt THROWS on out-of-bounds; an unguarded substr would
+          // return '' and flow on silently — raise like Java does
+          (s"(CASE WHEN (${i._1}) < 0 OR (${i._1}) >= length($r) " +
+            s"THEN raise_error(concat('String index out of range: ', " +
+            s"CAST(${i._1} AS STRING))) " +
+            s"ELSE substr($r, (${i._1}) + 1, 1) END)", TChar)
         case ("replace", List(a, b)) if rt == TStr =>
           (s"replace($r, ${a._1}, ${b._1})", TStr)
         // index args parenthesize defensively: composed offsets must not
@@ -1124,6 +1217,7 @@ object JavaUdfShim {
     private def primary(): (String, T) = next() match {
       case NumLit(sql, integral) => (sql, TNum(integral))
       case StrLit(sql) => (sql, TStr)
+      case CharLit(sql) => (sql, TChar)
       case Op("(") =>
         val e = expression()
         eat(")")

@@ -63,7 +63,17 @@ object Functions {
     "gram_matrix_agg" -> (es => GramMatrixAgg(es(0), constInt(es(1)))),
     "pca_project" -> (es => PcaProject(es(0), constDoubles(es(1)),
       constDoubles(es(2)), constInt(es(3)))),
-    "z_value"         -> (es => ZValueN(es.init, constInt(es.last))),
+    // guard BEFORE splitting off the trailing bits literal: a 0/1-arg
+    // call would otherwise throw a raw NoSuchElementException or build a
+    // 0-dimension ZValueN whose "got 0 dimensions" message hides that
+    // the lone argument was consumed as bits
+    "z_value"         -> (es => {
+      if (es.length < 3)
+        throw new IllegalArgumentException(
+          "z_value(c1, ..., cN, bits) needs at least two dimension " +
+            s"columns plus the bits literal, got ${es.length} argument(s)")
+      ZValueN(es.init, constInt(es.last))
+    }),
     "byte_remap"      -> (es => ByteRemap(es.head)),
     "byte_unmap"      -> (es => ByteUnmap(es.head)),
     "bpe_encode_bytes" -> (es => BpeEncodeBytes(es(0), constStrings(es(1)),

@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample run as partition-local batch
   * transforms.
   *
-  * The actual codec calls are STUBBED (this container has no image/audio
-  * libraries): [[FakeCodec]] derives deterministic pseudo-features from the
-  * payload digest. Everything around the stub — schema, encoders, batch
-  * shape, partition sizing — is real: swap [[FakeCodec]] for a JNI/FFM codec
-  * and the pipeline is production-shaped. At 100 TB the payloads stay
-  * columnar in parquet (no driver round-trip) and the transform is
-  * `mapPartitions`, so one task decodes a whole row-group batch.
+  * Both decodable tiers are STUB-FREE with the JDK alone: audio is real
+  * RIFF/WAVE parse + 16-bit PCM arithmetic, images are a real PNG codec
+  * ([[Png]] — DEFLATE via `java.util.zip`, all five scanline filters,
+  * CRC-verified chunks) feeding real bilinear resize and real pixel
+  * statistics. At 100 TB the payloads stay columnar in parquet (no driver
+  * round-trip) and every transform is `mapPartitions`, so one task decodes
+  * a whole row-group batch and the bytes never leave the executors.
   */
 object Multimodal {
 
@@ -22,37 +22,25 @@ object Multimodal {
   case class MediaItem(media_id: Long, kind: String, payload: Array[Byte],
                        width: Int, height: Int, frames: Int, sample_rate: Int)
 
-  /** Extracted feature row. */
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-                           sig: String, feature: Array[Float])
-
-  /** STUB codec — deterministic fake decode so tests are reproducible.
-    * A real deployment replaces `decode` with the actual library call;
-    * the signature (bytes in, fixed-width feature vector out) is the
-    * integration contract.
+  /** Per-image feature row over the REAL decode: per-channel mean and
+    * population variance (row-major fixed-order accumulation), mean
+    * BT.601 luminance, and edge density (fraction of interior pixels
+    * whose central-difference luminance gradient exceeds
+    * [[edgeThreshold]]). Gray images report the one channel in all three
+    * slots; RGBA ignores alpha in the statistics (documented contract).
+    * All ratios round 6 dp, all counts are exact integers.
     */
-  object FakeCodec {
-    val featureDim = 8
+  case class ImageFeatures(media_id: Long, kind: String, width: Int, height: Int,
+                           channels: Int, n_bytes: Int,
+                           mean_r: Double, mean_g: Double, mean_b: Double,
+                           var_r: Double, var_g: Double, var_b: Double,
+                           luma_mean: Double, edge_density: Double)
 
-    def decode(payload: Array[Byte]): Array[Float] = {
-      // pseudo-features from the murmur of the payload — stable stand-in
-      // for "decode then embed"
-      val h = graft.functions.CassandraMurmur3.tokenOfBytes(payload)
-      Array.tabulate(featureDim)(i => (((h >>> (i * 8)) & 0xff).toInt - 128) / 128.0f)
-    }
-
-    def signature(payload: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(payload).map("%02x".format(_)).mkString
-
-    /** STUB resample: the target-size byte budget (w·h/256, ≥1) prefix of
-      * the payload — a real codec rescales pixels; the contract (bytes in,
-      * target-sized bytes out) and the budget arithmetic are what the
-      * pipeline relies on. `take` clamps to the payload length.
-      */
-    def resample(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
-      payload.take(math.max(1, w * h / 256))
-  }
+  /** Edge gate: central-difference gradient (|dLx| + |dLy|) in integer
+    * luma-millis (299r+587g+114b, no division) must exceed 32 gray levels
+    * scaled by the same 1000.
+    */
+  val edgeThreshold = 32 * 1000
 
   /** Resized media row (payload re-encoded to the fitted dimensions). */
   case class ResizedItem(media_id: Long, kind: String, payload: Array[Byte],
@@ -67,48 +55,327 @@ object Multimodal {
     (math.max(1, math.floor(w0 * scale).toInt), math.max(1, math.floor(h0 * scale).toInt))
   }
 
-  /** Partition-local batch resize (same `mapPartitions` shape as
-    * [[extractFeatures]] — codec init amortizes per partition; payloads
-    * never leave the executors).
+  /** REAL aspect-fit batch resize: PNG decode → bilinear resample of the
+    * actual pixels ([[Png.resizeBilinear]]) → canonical PNG re-encode.
+    * Same `mapPartitions` shape as [[extractFeatures]] — codec state
+    * amortizes per partition; payloads never leave the executors. The
+    * reported width/height are the decoded-and-fitted truth, not the
+    * caller's metadata (a lying metadata column can't skew the output).
     */
   def resize(spark: SparkSession, media: Dataset[MediaItem],
              maxW: Int, maxH: Int): Dataset[ResizedItem] = {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val (w, h) = fitBox(m.width, m.height, maxW, maxH)
-        ResizedItem(m.media_id, m.kind, FakeCodec.resample(m.payload, w, h), w, h)
+        val img = Png.decode(m.payload)
+        val (w, h) = fitBox(img.width, img.height, maxW, maxH)
+        val fitted = if (w == img.width && h == img.height) img
+                     else Png.resizeBilinear(img, w, h)
+        ResizedItem(m.media_id, m.kind,
+          Png.encode(fitted.width, fitted.height, fitted.channels, fitted.pixels),
+          w, h)
       }
     }
   }
 
-  /** Build a media table from the documents fixture (payload = UTF-8 bytes
-    * of the text; real pipelines read image/audio files the same way:
-    * `binaryFile` source → binary column + metadata).
+  /** The planted-pixel formula (spec for the fixture replica): a
+    * splitmix-style mix of (doc id, flat sample index) → one 8-bit
+    * sample. Closed-form, so the replica needs no sequential state.
+    */
+  def plantPixel(docId: Long, i: Long): Int = {
+    var z = docId * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+    ((z >>> 40) & 0xff).toInt
+  }
+
+  /** Planted image dimensions from the documents fixture row (spec for
+    * the fixture replica): small enough that 60k payloads stay a few MB,
+    * varied enough that no two defilter/resize paths collapse.
+    */
+  def plantDims(docId: Long, nChars: Int): (Int, Int) =
+    (4 + (docId % 29).toInt, 3 + (nChars % 23))
+
+  /** Build a media table from the documents fixture: each row plants a
+    * deterministic RGB noise image (pixel = [[plantPixel]], dims =
+    * [[plantDims]]) wrapped in a REAL PNG container whose scanline filter
+    * rotates through all five types ((doc_id + y) mod 5) — so every
+    * defilter path sits inside the oracle gate. A real pipeline reads
+    * image files the same way (`binaryFile` source → binary column +
+    * metadata).
     */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
-    docs.select(
-        col("doc_id").as("media_id"),
-        concat(lit("img/"), (col("doc_id") % 3).cast("string")).as("kind"),
-        encode(col("text"), "UTF-8").cast("binary").as("payload"),
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"),
-        (col("doc_id") % 30 + 1).cast("int").as("frames"),
-        lit(16000).as("sample_rate"))
-      .as[MediaItem]
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .as[(Long, Int)].mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val (w, h) = plantDims(id, nChars)
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) { px(i) = plantPixel(id, i).toByte; i += 1 }
+          MediaItem(id, s"img/${id % 3}",
+            Png.encode(w, h, 3, px, y => ((id + y) % 5).toInt),
+            w, h, (id % 30 + 1).toInt, 16000)
+        }
+      }
   }
 
-  /** Partition-local batch feature extraction (the `mapPartitions` shape a
-    * real decoder needs — amortizes codec init per partition, not per row).
+  /** REAL per-image feature extraction: PNG decode then one fixed-order
+    * row-major pass for the channel statistics and one integer-luma pass
+    * for the edge density (the `mapPartitions` shape amortizes any codec
+    * state per partition, not per row).
     */
-  def extractFeatures(spark: SparkSession, media: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaItem]): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition codec init would go here
       it.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.payload.length,
-          FakeCodec.signature(m.payload), FakeCodec.decode(m.payload))
+        val img = Png.decode(m.payload)
+        val f = imageStats(img)
+        ImageFeatures(m.media_id, m.kind, img.width, img.height, img.channels,
+          m.payload.length,
+          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+    }
+  }
+
+  /** The feature arithmetic (shared spec for the fixture replica):
+    * returns (mean_r, mean_g, mean_b, var_r, var_g, var_b, luma_mean,
+    * edge_density), each rounded 6 dp LAST — intermediate sums accumulate
+    * in row-major order so the doubles are bit-reproducible.
+    */
+  def imageStats(img: Png.Image): Array[Double] = {
+    val Png.Image(w, h, ch, px) = img
+    val n = w * h
+    // channel → RGB slot map: gray broadcasts, RGBA drops alpha
+    def chanAt(idx: Int, slot: Int): Int =
+      if (ch == 1) px(idx) & 0xff else px(idx * ch + slot) & 0xff
+    val sum = new Array[Double](3); val sumSq = new Array[Double](3)
+    var lumaSum = 0.0
+    val luma = new Array[Int](n) // integer luma-millis for the edge pass
+    var i = 0
+    while (i < n) {
+      val r = chanAt(i, 0); val g = chanAt(i, 1); val b = chanAt(i, 2)
+      sum(0) += r; sum(1) += g; sum(2) += b
+      sumSq(0) += r.toDouble * r; sumSq(1) += g.toDouble * g; sumSq(2) += b.toDouble * b
+      val lm = 299 * r + 587 * g + 114 * b
+      luma(i) = lm
+      lumaSum += lm / 1000.0
+      i += 1
+    }
+    var edges = 0L
+    if (w > 2 && h > 2) {
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val gx = math.abs(luma(y * w + x + 1) - luma(y * w + x - 1))
+          val gy = math.abs(luma((y + 1) * w + x) - luma((y - 1) * w + x))
+          if (gx + gy > edgeThreshold) edges += 1
+          x += 1
+        }
+        y += 1
+      }
+    }
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val interior = (w - 2).toLong * (h - 2).toLong
+    Array(
+      r6(sum(0) / n), r6(sum(1) / n), r6(sum(2) / n),
+      r6(sumSq(0) / n - (sum(0) / n) * (sum(0) / n)),
+      r6(sumSq(1) / n - (sum(1) / n) * (sum(1) / n)),
+      r6(sumSq(2) / n - (sum(2) / n) * (sum(2) / n)),
+      r6(lumaSum / n),
+      if (interior <= 0) 0.0 else r6(edges.toDouble / interior))
+  }
+
+  /** Perceptual hash (pHash family, DCT variant) over the REAL decode —
+    * IMAGE near-duplicate detection for a training corpus, the visual
+    * analog of SimHash. The whole chain is pinned so the hash is
+    * engine-reproducible (this doc comment is the fixture-replica spec):
+    *   1. gray: per pixel g = (299r + 587g + 114b + 500) / 1000, integer
+    *      division, clamped 0..255 (gray inputs pass through; alpha
+    *      ignored);
+    *   2. [[Png.resizeBilinear]] the 1-channel image to 32×32;
+    *   3. separable 2-D DCT-II, rows then columns, plain cosine sums in
+    *      ascending index order, no normalization: C(u,v) = Σ_y Σ_x
+    *      p(y,x)·cos((2x+1)uπ/64)·cos((2y+1)vπ/64);
+    *   4. take the low-frequency 8×8 block, EXCLUDE the DC term, sort
+    *      the remaining 63 coefficients ascending, median = element 31;
+    *   5. bit u·8+v of the hash is set iff C(u,v) > median (the DC bit
+    *      position stays 0) — ~half the bits set by construction, so
+    *      random images land ~32 hamming apart while brightness shifts
+    *      (pure DC) land at 0.
+    */
+  def imagePHash(spark: SparkSession, media: Dataset[MediaItem]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m => (m.media_id, pHashOf(Png.decode(m.payload))) }
+    }.toDF("media_id", "phash")
+  }
+
+  /** The pinned hash arithmetic (shared spec for the fixture replica). */
+  def pHashOf(img: Png.Image): Long = {
+    val Png.Image(w, h, ch, px) = img
+    val gray = new Array[Byte](w * h)
+    var i = 0
+    while (i < w * h) {
+      val (r, g, b) =
+        if (ch == 1) { val v = px(i) & 0xff; (v, v, v) }
+        else ((px(i * ch) & 0xff), (px(i * ch + 1) & 0xff), (px(i * ch + 2) & 0xff))
+      val lm = (299 * r + 587 * g + 114 * b + 500) / 1000
+      gray(i) = math.min(255, lm).toByte
+      i += 1
+    }
+    val small = Png.resizeBilinear(Png.Image(w, h, 1, gray), 32, 32).pixels
+    // separable DCT-II: rows, then columns (ascending index order). Only
+    // u, v < 8 are ever read, so the row pass stops at 8 — coefficients
+    // are exactly the full transform's low block either way.
+    val rows = new Array[Double](32 * 8)
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 32) {
+          s += (small(y * 32 + x) & 0xff) * math.cos((2 * x + 1) * u * math.Pi / 64)
+          x += 1
+        }
+        rows(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](8 * 8)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 32) {
+          s += rows(yy * 8 + u) * math.cos((2 * yy + 1) * v * math.Pi / 64)
+          yy += 1
+        }
+        coef(u * 8 + v) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = coef.indices.filter(_ != 0).map(coef).sorted
+    val median = ac(31)
+    var hash = 0L
+    var k = 1
+    while (k < 64) {
+      if (coef(k) > median) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** Near-duplicate image pairs from [[imagePHash]] signatures: exact
+    * pigeonhole candidate join — the 64 bits split into maxHamming+1
+    * contiguous chunks (widths differ by at most one), so any pair within
+    * maxHamming hamming distance shares at least one identical chunk —
+    * then the hamming filter runs inside the bounded pair expansion.
+    * Same one-narrow-shuffle bucket shape as SimHash
+    * (`Dedup.simhashPairs`): the corpus shuffles once on (chunk index,
+    * chunk value), buckets expand locally, output is (a, b, hamming)
+    * with a < b.
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"phashPairs: maxHamming must be in [0, 63], got $maxHamming")
+    val n = maxHamming + 1
+    val base = 64 / n; val rem = 64 % n
+    // chunk i covers width base(+1 for the first rem chunks); offsets
+    // accumulate so the chunks tile all 64 bits exactly
+    val chunkDefs = (0 until n).scanLeft((0, 0)) { case ((off, wid), i) =>
+      (off + wid, base + (if (i < rem) 1 else 0))
+    }.tail
+    val chunks = chunkDefs.zipWithIndex.map { case ((off, wid), i) =>
+      val mask = if (wid == 64) -1L else (1L << wid) - 1L
+      struct(lit(i).as("ci"),
+        shiftrightunsigned(col("phash"), off).bitwiseAND(lit(mask)).as("cv"))
+    }
+    hashes
+      .select(col("media_id"), col("phash"), explode(array(chunks: _*)).as("ch"))
+      .select(col("media_id"), col("phash"),
+        col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+      .groupBy("ci", "cv")
+      .agg(sort_array(collect_set(struct(col("media_id"), col("phash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(Dedup.pairsOf(col("ms"))).as("p"))
+      .select(col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
+        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The planted-video-pixel formula (spec for the fixture replica): the
+    * frame index folds into the [[plantPixel]] key so every frame of
+    * every clip is distinct but closed-form.
+    */
+  def plantFramePixel(docId: Long, frame: Int, i: Long): Int =
+    plantPixel(docId * 1000003L + frame, i)
+
+  /** Planted video geometry (spec for the fixture replica): small frames,
+    * 2..6 of them, 25 fps.
+    */
+  def plantVideoDims(docId: Long, nChars: Int): (Int, Int, Int) =
+    (4 + (docId % 9).toInt, 3 + (nChars % 7), (docId % 5 + 2).toInt)
+
+  /** Build a VIDEO table from the documents fixture: each row plants
+    * deterministic RGB frames ([[plantFramePixel]]) wrapped in a REAL
+    * uncompressed AVI container ([[Avi.encode]] — bottom-up BGR padded
+    * DIB rows, so the decoder's unswizzle path is exercised on every
+    * clip). The `frames` metadata column carries the true frame count —
+    * the metadata-only [[sampleFrames]] planner face and the decoding
+    * [[videoFrameFeatures]] agree on fan-out by construction.
+    */
+  def videoFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .as[(Long, Int)].mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val (w, h, nf) = plantVideoDims(id, nChars)
+          val frames = (0 until nf).map { f =>
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < px.length) { px(i) = plantFramePixel(id, f, i).toByte; i += 1 }
+            px
+          }
+          MediaItem(id, s"vid/${id % 3}", Avi.encode(w, h, 40000, frames),
+            w, h, nf, 0)
+        }
+      }
+  }
+
+  /** Per-frame feature row ([[videoFrameFeatures]]). */
+  case class VideoFrameFeatures(media_id: Long, frame_idx: Int,
+                                width: Int, height: Int, n_frames: Int,
+                                mean_r: Double, mean_g: Double, mean_b: Double,
+                                var_r: Double, var_g: Double, var_b: Double,
+                                luma_mean: Double, edge_density: Double)
+
+  /** REAL frame sampling + per-frame features: decode the AVI ONCE per
+    * clip, keep every `stride`-th frame (0, stride, 2·stride, … — the
+    * same index arithmetic as the metadata-only [[sampleFrames]]), and
+    * run the pinned [[imageStats]] pass on each kept frame's actual
+    * pixels. Same `mapPartitions` batch shape as the rest of the tiers —
+    * payload bytes never leave the executor, one task decodes a
+    * row-group batch of clips.
+    */
+  def videoFrameFeatures(spark: SparkSession, media: Dataset[MediaItem],
+                         stride: Int): Dataset[VideoFrameFeatures] = {
+    import spark.implicits._
+    require(stride >= 1, s"videoFrameFeatures: stride must be >= 1, got $stride")
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val vid = Avi.decode(m.payload)
+        val nf = vid.frames.length
+        (0 until nf by stride).iterator.map { f =>
+          val st = imageStats(Png.Image(vid.width, vid.height, 3, vid.frames(f)))
+          VideoFrameFeatures(m.media_id, f, vid.width, vid.height, nf,
+            st(0), st(1), st(2), st(3), st(4), st(5), st(6), st(7))
+        }
       }
     }
   }
@@ -369,6 +636,160 @@ object Multimodal {
           r6(silent / w), r6(clipped / w))
       }
     }
+  }
+
+  /** Iterative radix-2 Cooley-Tukey FFT, in place, operation order PINNED
+    * (this doc comment is the spec for the fixture replica — any
+    * implementation following it is bit-identical):
+    *   1. N = re.length must be a power of two (im same length).
+    *   2. Bit-reversal permutation via the incremental-carry walk: for i
+    *      in 0 until N, maintain j; swap (re, im) at (i, j) when i < j;
+    *      advance j by flipping bits from the top (`bit = N >> 1; while
+    *      (j & bit) != 0 { j ^= bit; bit >>= 1 }; j |= bit`).
+    *   3. For len = 2, 4, ..., N (doubling): for each block start s (0,
+    *      len, 2·len, ...): for j = 0 until len/2: the twiddle angle is
+    *      `-2.0 * math.Pi * j / len` evaluated left-to-right, w =
+    *      (cos a, sin a); with b = index s+j+len/2: t_re = w_re·re(b) −
+    *      w_im·im(b); t_im = w_re·im(b) + w_im·re(b); re(b) = re(s+j) −
+    *      t_re; im(b) = im(s+j) − t_im; re(s+j) += t_re; im(s+j) += t_im.
+    * No scaling anywhere (features are ratio-shaped, so the constant
+    * cancels).
+    */
+  def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"fftInPlace: size $n is not a power of two")
+    require(im.length == n, "fftInPlace: re/im length mismatch")
+    var j = 0
+    var i = 0
+    while (i < n) {
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      var bit = n >> 1
+      while ((j & bit) != 0 && bit > 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val half = len >> 1
+      var s = 0
+      while (s < n) {
+        var k = 0
+        while (k < half) {
+          val ang = -2.0 * math.Pi * k / len
+          val wr = math.cos(ang); val wi = math.sin(ang)
+          val b = s + k + half
+          val tr = wr * re(b) - wi * im(b)
+          val ti = wr * im(b) + wi * re(b)
+          re(b) = re(s + k) - tr
+          im(b) = im(s + k) - ti
+          re(s + k) += tr
+          im(s + k) += ti
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Per-window spectral feature row ([[audioSpectralFeatures]]). */
+  case class AudioSpectralFeatures(media_id: Long, window_idx: Long,
+                                   start_sample: Long, end_sample: Long,
+                                   fft_n: Int,
+                                   spectral_centroid_hz: Double,
+                                   spectral_rolloff_hz: Double,
+                                   spectral_flatness: Double)
+
+  /** Per-window SPECTRAL features over the real decode — the signals
+    * audio curation actually gates on (speech/music/noise separation),
+    * extending [[audioWindowFeatures]]' time-domain set. Each window
+    * zero-pads to the next power of two, runs the pinned [[fftInPlace]],
+    * and measures bins 0..N/2 at f_k = k·rate/N (all sums ascending-k,
+    * 6-dp round LAST — the whole chain is fixture-oracleable):
+    *   - centroid  = Σ f_k·|X_k| / Σ |X_k| over k = 1..N/2 (DC excluded —
+    *     it has no frequency; 0.0 for an all-zero window);
+    *   - rolloff   = f of the smallest K with Σ_{k≤K} p_k ≥ 0.85·Σ p_k
+    *     over k = 0..N/2, p = |X|² (0.0 for an all-zero window);
+    *   - flatness  = geometric / arithmetic mean of (p_k + 1e-12) over
+    *     k = 1..N/2, geometric via exp(mean ln) — 1.0 means white-flat,
+    *     →0 means tonal.
+    * Samples normalize by /32768.0 before the FFT so the eps floor is
+    * scale-meaningful. Same mapPartitions batch shape as the rest of the
+    * tier; payload bytes never leave the executor.
+    */
+  def audioSpectralFeatures(spark: SparkSession, audio: Dataset[AudioItem],
+                            windowMs: Int, strideMs: Int): Dataset[AudioSpectralFeatures] = {
+    import spark.implicits._
+    require(windowMs > 0 && strideMs > 0,
+      s"audioSpectralFeatures: window/stride must be positive, got $windowMs/$strideMs")
+    audio.mapPartitions { it =>
+      it.flatMap { a =>
+        val (rate, xs) = wavDecode(a.payload)
+        val win = rate.toLong * windowMs / 1000
+        val hop = rate.toLong * strideMs / 1000
+        require(win >= 1 && hop >= 1,
+          s"audioSpectralFeatures: window/stride ($windowMs ms/$strideMs ms) " +
+            s"is shorter than one sample at sample_rate $rate")
+        val n = xs.length.toLong
+        if (n < win) Iterator.empty
+        else {
+          var fftN = 1
+          while (fftN < win) fftN <<= 1
+          (0L to (n - win) / hop).iterator.map { wi =>
+            val s0 = (wi * hop).toInt
+            val f = spectralOfWindow(xs, s0, win.toInt, fftN, rate)
+            AudioSpectralFeatures(a.media_id, wi, s0.toLong, s0 + win,
+              fftN, f(0), f(1), f(2))
+          }
+        }
+      }
+    }
+  }
+
+  /** The per-window spectral arithmetic (shared spec for the fixture
+    * replica): returns (centroid_hz, rolloff_hz, flatness), 6-dp LAST.
+    */
+  def spectralOfWindow(xs: Array[Short], s0: Int, win: Int, fftN: Int,
+                       rate: Int): Array[Double] = {
+    val re = new Array[Double](fftN); val im = new Array[Double](fftN)
+    var i = 0
+    while (i < win) { re(i) = xs(s0 + i) / 32768.0; i += 1 }
+    fftInPlace(re, im)
+    val half = fftN / 2
+    // power + magnitude over bins 0..N/2 (ascending k, pinned order)
+    var magSum = 0.0; var magWeighted = 0.0; var pSum = 0.0
+    var logSum = 0.0; var epsSum = 0.0
+    var k = 0
+    while (k <= half) {
+      val p = re(k) * re(k) + im(k) * im(k)
+      pSum += p
+      if (k >= 1) {
+        val m = math.sqrt(p)
+        magSum += m
+        magWeighted += (k.toDouble * rate / fftN) * m
+        logSum += math.log(p + 1e-12)
+        epsSum += p + 1e-12
+      }
+      k += 1
+    }
+    val centroid = if (magSum == 0.0) 0.0 else magWeighted / magSum
+    var rolloff = 0.0
+    if (pSum > 0.0) {
+      val target = 0.85 * pSum
+      var acc = 0.0; var kk = 0; var found = false
+      while (kk <= half && !found) {
+        acc += re(kk) * re(kk) + im(kk) * im(kk)
+        if (acc >= target) { rolloff = kk.toDouble * rate / fftN; found = true }
+        kk += 1
+      }
+    }
+    val flatness = math.exp(logSum / half) / (epsSum / half)
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    Array(r6(centroid), r6(rolloff), r6(flatness))
   }
 
   /** Window fan-out over audio METADATA (the [[sampleFrames]] analog):

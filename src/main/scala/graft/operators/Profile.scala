@@ -72,7 +72,11 @@ object Profile {
         case "num" =>
           val s = col(s"_sum_$c"); val nn = col(s"_nn_$c")
           // exact integral quotient (long, ≤2^53-exact in double) + exact
-          // small remainder — see the class doc's determinism note
+          // small remainder — see the class doc's determinism note. The
+          // quotient convention is pinned TOWARD ZERO (Spark `div`
+          // truncates); any cross-engine oracle must match it — a floor
+          // division differs by 1 on negative non-integral sums and the
+          // two double reconstructions then round differently
           val qi = call_function("div", s, nn)
           val rem = s - qi.cast(DecimalType(38, 6)) * nn
           (col(s"_min_$c"), col(s"_max_$c"),

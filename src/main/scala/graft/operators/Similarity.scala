@@ -319,11 +319,20 @@ object Similarity {
     val sampleStride = math.max(n / (nlist * trainPerList), 1L)
     val train = corpus.filter(col("vec_id") % sampleStride === 0)
     val stride = math.max(n / nlist, 1L)
-    // deterministic seeds: every stride-th vec_id
-    val wSeed = Window.orderBy("vec_id")
-    var centroids = corpus.filter(col("vec_id") % stride === 0)
+    // deterministic seeds: every stride-th vec_id, indexed DRIVER-side on
+    // the collected (nlist-bounded) header — a no-partition row_number
+    // window here was correct but logged the "moving all data to a single
+    // partition" WARN every train, burying the one time that warning
+    // would matter
+    val seedVecs = corpus.filter(col("vec_id") % stride === 0)
       .orderBy("vec_id").limit(nlist)
-      .select((row_number().over(wSeed) - 1).as("cid"), col("embedding").as("centroid"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0))
+    var centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        seedVecs.zipWithIndex.map { case (v, i) => Row(i, v) }.toSeq, 1),
+      StructType(Seq(StructField("cid", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(FloatType), nullable = true))))
     (1 to iters).foreach { _ =>
       val assignedT = train.crossJoin(broadcast(centroids))
         .select(col("vec_id"), col("embedding"), col("cid"),
@@ -893,34 +902,62 @@ object Similarity {
     // batch hygiene runs inside assignToHeader: a null embedding would be
     // counted in n while its null cosine drops from the sum, silently
     // deflating mean_cos and triggering spurious retrains
-    val (cents, assigned) = assignToHeader(index.centroids, vecs,
-      "ivfDriftStats")
-    driftStatsFrom(cents, assigned)
+    driftStatsFinalize(ivfDriftSums(index, vecs))
   }
 
-  /** Shared drift-aggregation tail for every IVF-family monitor: cosine
-    * of each batch vector to its ASSIGNED centroid plus any
-    * index-specific per-vector `extras`, reduced to per-list means under
-    * the house determinism rule (6-dp rounds, DECIMAL(18,6) sums, divide
-    * once) — the stats stay engine-reproducible and fixture-oracleable.
+  /** Sums-level face of [[ivfDriftStats]] — the STREAMING accumulator
+    * (see [[driftStatsFinalize]]).
     */
-  private def driftStatsFrom(cents: Seq[(Int, Array[Float])],
-                             assigned: DataFrame,
-                             extras: Seq[(String, Column)] = Nil): DataFrame = {
+  def ivfDriftSums(index: IvfIndex, vecs: DataFrame): DataFrame = {
+    val (cents, assigned) = assignToHeader(index.centroids, vecs,
+      "ivfDriftStats")
+    driftSumsFrom(cents, assigned)
+  }
+
+  /** Shared drift-aggregation tail for every IVF-family monitor, split
+    * into a SUMS stage and a FINALIZE stage so the monitors compose over
+    * a stream: cosine of each batch vector to its ASSIGNED centroid plus
+    * any index-specific per-vector `extras`, reduced per list to an
+    * exact count and DECIMAL(18,6) sums of the 6-dp per-vector signals.
+    * Decimal sums are associative — a foreachBatch crawl appends one
+    * sums frame per micro-batch and [[driftStatsFinalize]] divides ONCE
+    * over their union, so the accumulated stream stats are bit-equal to
+    * the batch monitor over the union of the batches.
+    */
+  private def driftSumsFrom(cents: Seq[(Int, Array[Float])],
+                            assigned: DataFrame,
+                            extras: Seq[(String, Column)] = Nil): DataFrame = {
     val centLit = typedLit(cents.map(_._2.toSeq))
     val perVec = assigned.select(
       col("cid") +:
       round(cosine_sim(col("embedding"),
         element_at(centLit, col("cid") + 1)), 6).as("cos") +:
       extras.map { case (nme, c) => round(c, 6).as(nme) }: _*)
-    val sums = sum(col("cos").cast("decimal(18,6)")).as("_s") +:
+    val sums = sum(col("cos").cast("decimal(18,6)")).as("sum_cos") +:
       extras.map { case (nme, _) =>
-        sum(col(nme).cast("decimal(18,6)")).as(s"_$nme") }
+        sum(col(nme).cast("decimal(18,6)")).as(s"sum_$nme") }
     perVec.groupBy("cid")
       .agg(count(lit(1)).as("n"), sums: _*)
+  }
+
+  /** Reduce drift SUMS rows (one or many micro-batches' worth, unioned)
+    * to the per-list mean stats: per cid, counts add, decimal sums add
+    * losslessly, and each mean divides+rounds ONCE at the end — the house
+    * determinism rule, so finalize(union of batch sums) is bit-equal to
+    * the one-shot batch monitor. Extra signal columns are discovered from
+    * the `sum_<name>` schema, so one finalize serves every tier.
+    */
+  def driftStatsFinalize(sums: DataFrame): DataFrame = {
+    val extraNames = sums.columns
+      .filter(c => c.startsWith("sum_") && c != "sum_cos")
+      .map(_.stripPrefix("sum_")).toSeq
+    sums.groupBy("cid")
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_cos")).as("_s") +:
+          extraNames.map(nme => sum(col(s"sum_$nme")).as(s"_$nme")): _*)
       .select(col("cid") +: col("n") +:
         round(col("_s").cast("double") / col("n"), 6).as("mean_cos") +:
-        extras.map { case (nme, _) =>
+        extraNames.map { nme =>
           round(col(s"_$nme").cast("double") / col("n"), 6).as(nme) }: _*)
   }
 
@@ -937,7 +974,13 @@ object Similarity {
     * nlist-keyed aggregation; component counts are exact integers so the
     * fraction is as reproducible as the cosines.
     */
-  def ivfSq8DriftStats(index: IvfSq8Index, vecs: DataFrame): DataFrame = {
+  def ivfSq8DriftStats(index: IvfSq8Index, vecs: DataFrame): DataFrame =
+    driftStatsFinalize(ivfSq8DriftSums(index, vecs))
+
+  /** Sums-level face of [[ivfSq8DriftStats]] — the STREAMING accumulator
+    * (see [[driftStatsFinalize]]).
+    */
+  def ivfSq8DriftSums(index: IvfSq8Index, vecs: DataFrame): DataFrame = {
     val (cents, assigned) = assignToHeader(index.centroids, vecs,
       "ivfSq8DriftStats")
     val minsLit = typedLit(index.p.mins.toSeq)
@@ -946,7 +989,7 @@ object Similarity {
         transform(col("embedding"), (x, i) =>
           x < element_at(minsLit, i + 1) || x > element_at(maxsLit, i + 1)),
         b => b)).cast("double") / lit(index.p.dim.toDouble)
-    driftStatsFrom(cents, assigned, Seq("clamp_frac" -> oobFrac))
+    driftSumsFrom(cents, assigned, Seq("clamp_frac" -> oobFrac))
   }
 
   /** [[ivfDriftStats]] for the composed IVF×PQ tier: adds `mean_qcos`,
@@ -956,12 +999,18 @@ object Similarity {
     * while the codebooks stop describing the vectors). Encode + decode
     * fuse into the same shuffle-free scan as the assignment.
     */
-  def ivfPqDriftStats(index: IvfPqIndex, vecs: DataFrame): DataFrame = {
+  def ivfPqDriftStats(index: IvfPqIndex, vecs: DataFrame): DataFrame =
+    driftStatsFinalize(ivfPqDriftSums(index, vecs))
+
+  /** Sums-level face of [[ivfPqDriftStats]] — the STREAMING accumulator
+    * (see [[driftStatsFinalize]]).
+    */
+  def ivfPqDriftSums(index: IvfPqIndex, vecs: DataFrame): DataFrame = {
     val (cents, assigned) = assignToHeader(index.centroids, vecs,
       "ivfPqDriftStats")
     val qcos = cosine_sim(col("embedding"),
       pqReconstruct(pqEncodeCol(col("embedding"), index.cb), index.cb))
-    driftStatsFrom(cents, assigned, Seq("mean_qcos" -> qcos))
+    driftSumsFrom(cents, assigned, Seq("mean_qcos" -> qcos))
   }
 
   /** [[ivfPqDriftStats]] for the OPQ-rotated composition: the batch
@@ -972,14 +1021,20 @@ object Similarity {
     * different basis and read noise). Batch hygiene fails on the RAW
     * batch before the rotation kernel ever runs.
     */
-  def ivfOpqDriftStats(index: IvfOpqIndex, vecs: DataFrame): DataFrame = {
+  def ivfOpqDriftStats(index: IvfOpqIndex, vecs: DataFrame): DataFrame =
+    driftStatsFinalize(ivfOpqDriftSums(index, vecs))
+
+  /** Sums-level face of [[ivfOpqDriftStats]] — the STREAMING accumulator
+    * (see [[driftStatsFinalize]]).
+    */
+  def ivfOpqDriftSums(index: IvfOpqIndex, vecs: DataFrame): DataFrame = {
     failOnBadEmbeddings(vecs, index.model.dim, "ivfOpqDriftStats")
     val (cents, assigned) = assignToHeader(index.inner.centroids,
       opqRotate(vecs, index.model), "ivfOpqDriftStats", checked = true)
     val qcos = cosine_sim(col("embedding"),
       pqReconstruct(pqEncodeCol(col("embedding"), index.model.cb),
         index.model.cb))
-    driftStatsFrom(cents, assigned, Seq("mean_qcos" -> qcos))
+    driftSumsFrom(cents, assigned, Seq("mean_qcos" -> qcos))
   }
 
   // ── SQ8: scalar quantization (Faiss IndexScalarQuantizer QT_8bit) ────

@@ -143,7 +143,12 @@ object ScaleProof {
     "q_decay_score",      // scan-fused decay terms + keyed aggregation
     "q_ann_ivf_sq8_drift", // composed-index drift monitor (assign+agg, r13)
     "q_multimodal_audio", // WAV decode + fixed-order signal pass (r13)
-    "q_zorder_nd")        // 3-d Morton kernel + z-keyed aggregation (r13)
+    "q_zorder_nd",        // 3-d Morton kernel + z-keyed aggregation (r13)
+    "q_shuffle_ordinal",  // two-level bucket prefix sum (the claimed scale
+                          // design vs a single-partition window) (r14)
+    "q_shard_budget",     // size-budgeted shard assignment over the same
+                          // bounded bucket header (r14)
+    "q_multimodal_features") // PNG decode + pixel statistics scan (r14)
 
   def main(args: Array[String]): Unit = {
     val ext = args.contains("--extended")

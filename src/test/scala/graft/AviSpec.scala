@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Avi, Multimodal, Png}
+import org.apache.spark.sql.functions._
+
+/** Pure-JVM AVI codec + video-tier spec: encode→decode identity across
+  * the bottom-up/BGR/padded DIB storage (odd widths exercise the row
+  * padding), loud rejection of junk/compressed/truncated payloads, and
+  * the real frame-sampling feature pass against hand computation.
+  */
+class AviSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted(w: Int, h: Int, seed: Long): Array[Byte] =
+    Array.tabulate(w * h * 3) { i =>
+      var z = seed * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+      ((z >>> 40) & 0xff).toByte
+    }
+
+  test("encode→decode is the identity on frames, dims and rate — " +
+    "including odd widths where DIB rows pad to 4-byte multiples") {
+    for (w <- Seq(3, 4, 5, 6, 7); h <- Seq(1, 2, 5)) {
+      val frames = (0 until 3).map(f => planted(w, h, w * 100 + h * 10 + f))
+      val v = Avi.decode(Avi.encode(w, h, 40000, frames))
+      assert(v.width === w && v.height === h && v.microSecPerFrame === 40000)
+      assert(v.frames.length === 3, s"${w}x$h")
+      frames.indices.foreach(f =>
+        assert(v.frames(f).toSeq === frames(f).toSeq, s"${w}x$h frame $f"))
+    }
+    // a zero-frame clip round-trips (header-only AVI)
+    val empty = Avi.decode(Avi.encode(4, 3, 40000, Nil))
+    assert(empty.frames.isEmpty && empty.width === 4)
+    // stride arithmetic: 3·w rounded up to 4
+    assert(Avi.strideOf(3) === 12 && Avi.strideOf(4) === 12 && Avi.strideOf(5) === 16)
+  }
+
+  test("decoder rejects junk, truncation, and compressed/non-24-bit " +
+    "streams by name; skips unknown chunks") {
+    intercept[IllegalArgumentException](
+      Avi.decode("definitely not an avi payload .................".getBytes))
+    val good = Avi.encode(5, 4, 40000, Seq(planted(5, 4, 1L)))
+    intercept[IllegalArgumentException](Avi.decode(good.take(good.length - 10)))
+    // flip biCompression to 1 (BI_RLE8) → loud reject naming compression
+    val strfPos = {
+      var p = -1
+      for (i <- 0 until good.length - 4)
+        if (p < 0 && new String(good, i, 4, "US-ASCII") == "strf") p = i
+      p
+    }
+    val comp = good.clone()
+    comp(strfPos + 8 + 16) = 1
+    val ex = intercept[IllegalArgumentException](Avi.decode(comp))
+    assert(ex.getMessage.contains("compressed"))
+    // a JUNK chunk between hdrl and movi is skipped by size
+    val moviPos = {
+      var p = -1
+      for (i <- 0 until good.length - 4)
+        if (p < 0 && new String(good, i, 4, "US-ASCII") == "movi") p = i
+      p - 8 // back to the LIST header
+    }
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4)
+    val withJunk = good.slice(0, moviPos) ++ junk ++ good.drop(moviPos)
+    val bb = java.nio.ByteBuffer.wrap(withJunk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + junk.length)
+    assert(Avi.decode(withJunk).frames.head.toSeq === planted(5, 4, 1L).toSeq)
+  }
+
+  test("videoFrameFeatures samples every stride-th frame of the real " +
+    "decode and measures the actual pixels; counts match the metadata " +
+    "planner face") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val media = Multimodal.videoFromDocuments(spark, docs)
+    // determinism + schema
+    val f1 = Multimodal.videoFrameFeatures(spark, media, 2)
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    val f2 = Multimodal.videoFrameFeatures(spark, media, 2)
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    assert(f1.toSeq === f2.toSeq && f1.nonEmpty)
+    // fan-out parity with the metadata-only planner face at the same stride
+    val meta = Multimodal.sampleFrames(media.toDF(), 2).count()
+    assert(f1.length.toLong === meta)
+    // hand-check one frame: decode directly, stats must match the row
+    val m = media.filter(col("media_id") === 7L).head()
+    val vid = Avi.decode(m.payload)
+    assert(vid.frames.length === m.frames)
+    val expect = Multimodal.imageStats(
+      Png.Image(vid.width, vid.height, 3, vid.frames(2)))
+    val row = f1.find(r => r.media_id == 7L && r.frame_idx == 2).get
+    assert((row.mean_r, row.var_g, row.luma_mean, row.edge_density) ===
+      ((expect(0), expect(4), expect(6), expect(7))))
+    // and the decoded frame equals the planted formula (container identity)
+    val want = Array.tabulate(vid.width * vid.height * 3)(i =>
+      Multimodal.plantFramePixel(7L, 2, i).toByte)
+    assert(vid.frames(2).toSeq === want.toSeq)
+    // stride 1 keeps every frame
+    val all = Multimodal.videoFrameFeatures(spark, media, 1).count()
+    val totalFrames = media.collect().map(_.frames.toLong).sum
+    assert(all === totalFrames)
+  }
+}

@@ -987,4 +987,57 @@ class JavaUdfShimPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ── char / String-method rung (r14): ground truth is Scala's own
+  // String methods, which ARE Java's ─────────────────────────────────
+
+  test("char literals, charAt and two-arg indexOf translate with Java " +
+    "semantics: code-point widening in arithmetic and numeric compares, " +
+    "string comparison between chars, char append in string context") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val cqlArgs = Seq("s" -> (CqlText: CqlType), "k" -> (CqlInt: CqlType))
+    val rowsIn = Seq(("alpha", 0), ("Bravo x", 1), ("zz", 2), ("m", 3))
+    val base = rowsIn.toDF("s", "k")
+    val rnd = new scala.util.Random(0xC4A7)
+    // each case: (java body, expected value per (s, k) as Any; null never
+    // arises — every receiver/index below is total over the fixture rows)
+    val cases: Seq[(String, (String, Int) => Any)] = (0 until 40).flatMap { _ =>
+      val c = ('a' + rnd.nextInt(26)).toChar
+      val d = ('a' + rnd.nextInt(26)).toChar
+      val f = rnd.nextInt(8) - 2 // negative froms behave as 0 in Java
+      Seq[(String, (String, Int) => Any)](
+        (s"return s.charAt(k % s.length());",
+          (s, k) => s.charAt(k % s.length).toInt),
+        (s"return s.charAt(0) == '$c';", (s, _) => s.charAt(0) == c),
+        (s"return s.charAt(0) < '$c';", (s, _) => s.charAt(0) < c),
+        (s"return s.charAt(k % s.length()) + 7;",
+          (s, k) => s.charAt(k % s.length) + 7),
+        (s"""return "p:" + s.charAt(0) + '$c';""",
+          (s, _) => "p:" + s.charAt(0) + c),
+        (s"""return s.indexOf("$c", $f);""", (s, _) => s.indexOf(c.toString, f)),
+        (s"char x = s.charAt(0); return x == '$c' ? 1 : 0;",
+          (s, _) => if (s.charAt(0) == c) 1 else 0),
+        (s"int x = '$c'; return x + k;", (_, k) => c.toInt + k),
+        (s"return ('$c' + 1) - '$d';", (_, _) => (c + 1) - d),
+        (s"return '$c' <= $f;", (_, _) => c.toInt <= f))
+    }
+    cases.zipWithIndex.grouped(40).foreach { group =>
+      val cols = group.map { case ((body, _), i) =>
+        expr(JavaUdfShim.translate(body, cqlArgs)).as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case ((body, want), i) =>
+        rowsIn.zipWithIndex.foreach { case ((s, k), row) =>
+          val gi = got(row).fieldIndex(s"e$i")
+          val gotV = got(row).get(gi) match {
+            case l: Long => l.toInt // SQL integer widths normalize to Int
+            case other => other
+          }
+          assert(gotV === want(s, k),
+            s"body $body\nsql ${JavaUdfShim.translate(body, cqlArgs)}\ns=$s k=$k")
+        }
+      }
+    }
+  }
 }

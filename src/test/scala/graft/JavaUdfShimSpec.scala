@@ -90,6 +90,35 @@ class JavaUdfShimSpec extends AnyFunSuite {
     assert(rejects("return x.length();", "x" -> CqlInt).contains("unsupported method"))
   }
 
+  test("char rung: literals, charAt, widening, declarations, rejections") {
+    // charAt guards the out-of-bounds throw like Java; returning the char
+    // itself widens to its code point (CQL has no char return type)
+    assert(tr("return s.charAt(2);", "s" -> CqlText) ===
+      "ascii((CASE WHEN (2) < 0 OR (2) >= length(s) " +
+        "THEN raise_error(concat('String index out of range: ', CAST(2 AS STRING))) " +
+        "ELSE substr(s, (2) + 1, 1) END))")
+    // char == char compares as 1-char strings (code-point order)
+    assert(tr("return s.charAt(0) == 'a';", "s" -> CqlText).endsWith("= 'a')"))
+    // char + int is Java INT arithmetic, not concat
+    assert(tr("return 'a' + 1;") === "(ascii('a') + 1)")
+    // char vs numeric comparison widens the char side
+    assert(tr("return 'a' < x;", "x" -> CqlInt) === "(ascii('a') < x)")
+    // String + char appends the char verbatim (no ascii)
+    assert(tr("""return "p" + 'q';""") ===
+      "concat(COALESCE('p', 'null'), COALESCE('q', 'null'))")
+    // two-arg indexOf: 1-based locate, negative from clamps to 0 like Java
+    assert(tr("""return s.indexOf("b", f);""", "s" -> CqlText, "f" -> CqlInt) ===
+      "(locate('b', s, greatest((f) + 1, 1)) - 1)")
+    // char declaration binds; numeric declaration widens a char initializer
+    assert(tr("char c = 'z'; return c == 'z';") === "(CAST(('z') AS STRING) = 'z')")
+    assert(tr("int x = 'a'; return x;") === "CAST((ascii('a')) AS INT)")
+    // Java-invalid char crossings reject by name
+    assert(rejects("char c = 5; return 0;").contains("char declarations"))
+    assert(rejects("String t = 'a'; return t;").contains("not assignable"))
+    // multi-char single-quoted text keeps the lenient string reading
+    assert(tr("return 'abc';") === "'abc'")
+  }
+
   test("statement bodies: local declarations inline their initializers") {
     assert(tr("int s = 0; return s;") === "CAST((0) AS INT)")
     assert(tr("int twice = x + x; return twice * twice;", "x" -> CqlInt) ===

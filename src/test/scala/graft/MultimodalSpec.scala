@@ -14,16 +14,32 @@ class MultimodalSpec extends SparkSpec {
     assert(media.schema("payload").dataType.typeName === "binary")
   }
 
-  test("feature extraction is deterministic and batch-shaped") {
+  test("feature extraction decodes the real PNG payloads deterministically " +
+    "and reports dims from the decode, not the metadata") {
     val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
     val f1 = Multimodal.extractFeatures(spark, media)
-      .select("media_id", "sig").as[(Long, String)].collect().toMap
+      .collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(spark, media)
-      .select("media_id", "sig").as[(Long, String)].collect().toMap
-    assert(f1 === f2)
-    assert(f1.values.forall(_.length === 32), "md5 hex signatures")
-    val feats = Multimodal.extractFeatures(spark, media).head()
-    assert(feats.feature.length === Multimodal.FakeCodec.featureDim)
+      .collect().sortBy(_.media_id)
+    assert(f1.toSeq === f2.toSeq)
+    f1.foreach { f =>
+      assert(f.channels === 3)
+      val (w, h) = Multimodal.plantDims(f.media_id, 0) // width only needs id
+      assert(f.width === w)
+      assert(f.mean_r >= 0.0 && f.mean_r <= 255.0)
+      assert(f.var_r >= 0.0 && f.edge_density >= 0.0 && f.edge_density <= 1.0)
+    }
+    // hand-check one image against a direct plant→measure replica
+    val m0 = media.filter(col("media_id") === 5L).head()
+    val img = graft.operators.Png.decode(m0.payload)
+    val expected = Array.tabulate(img.width * img.height * 3)(i =>
+      Multimodal.plantPixel(5L, i).toByte)
+    assert(img.pixels.toSeq === expected.toSeq,
+      "decode must invert the rotating-filter encode exactly")
+    val stats = Multimodal.imageStats(img)
+    val got = f1.find(_.media_id === 5L).get
+    assert((got.mean_r, got.var_g, got.luma_mean, got.edge_density) ===
+      ((stats(0), stats(4), stats(6), stats(7))))
   }
 
   test("frame sampling fans out one row per sampled frame") {
@@ -42,14 +58,69 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.fitBox(10000, 1, 224, 224) === ((224, 1)))  // floor clamps to >= 1
   }
 
-  test("resize re-encodes payloads to the fitted byte budget per partition") {
+  test("resize decodes, bilinearly resamples real pixels, and re-encodes " +
+    "a decodable PNG at the fitted dims; oversize box is the identity") {
     val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
-    val resized = Multimodal.resize(spark, media, 224, 224).collect()
+    val resized = Multimodal.resize(spark, media, 16, 16).collect()
     assert(resized.nonEmpty)
     resized.foreach { r =>
-      assert(r.width >= 1 && r.width <= 224 && r.height >= 1 && r.height <= 224)
-      assert(r.payload.length <= math.max(1, r.width * r.height / 256))
+      assert(r.width >= 1 && r.width <= 16 && r.height >= 1 && r.height <= 16)
+      val back = graft.operators.Png.decode(r.payload)
+      assert(back.width === r.width && back.height === r.height)
+      assert(back.channels === 3)
     }
+    // a box larger than every planted image (max 32x25) must be a pixel
+    // identity: decode(resized payload) == the planted pixels
+    val big = Multimodal.resize(spark, media, 256, 256).collect()
+    big.foreach { r =>
+      val back = graft.operators.Png.decode(r.payload)
+      val expected = Array.tabulate(back.width * back.height * 3)(i =>
+        Multimodal.plantPixel(r.media_id, i).toByte)
+      assert(back.pixels.toSeq === expected.toSeq)
+    }
+  }
+
+  test("imagePHash: deterministic, brightness-shift lands within the " +
+    "near-dup radius, distinct noise images land far; phashPairs' " +
+    "pigeonhole join equals brute force exactly") {
+    val docs = Tables.documents(spark, sf).limit(60)
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val h1 = Multimodal.imagePHash(spark, media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.imagePHash(spark, media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 === h2 && h1.size === 60)
+    // ~half the bits set by the median construction
+    h1.values.foreach { h =>
+      val bits = java.lang.Long.bitCount(h)
+      assert(bits >= 20 && bits <= 44, s"phash $h has $bits bits set")
+    }
+    // a brightness-shifted copy is a near-dup; a different noise image is
+    // not (hand-check via the hash arithmetic directly)
+    val m0 = media.filter(col("media_id") === 10L).head()
+    val img = graft.operators.Png.decode(m0.payload)
+    val shifted = img.pixels.map(p => math.min(255, (p & 0xff) + 3).toByte)
+    val dNear = java.lang.Long.bitCount(
+      Multimodal.pHashOf(img) ^
+      Multimodal.pHashOf(graft.operators.Png.Image(img.width, img.height, 3, shifted)))
+    assert(dNear <= 3, s"brightness shift drifted $dNear bits")
+    val dFar = java.lang.Long.bitCount(h1(10L) ^ h1(11L))
+    assert(dFar > 10, s"distinct noise images only $dFar bits apart")
+    // pigeonhole exactness: engine pairs == brute force at the same radius
+    import spark.implicits._
+    val withVariant = media.union(
+      Seq(Multimodal.MediaItem(900L, "img/0",
+        graft.operators.Png.encode(img.width, img.height, 3, shifted),
+        img.width, img.height, 1, 16000)).toDS())
+    val hashes = Multimodal.imagePHash(spark, withVariant)
+    val got = Multimodal.phashPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = hashes.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      d = java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) if d <= 3
+    } yield (all(i)._1, all(j)._1, d)).toSet
+    assert(got === want && want.exists(p => p._1 == 10L && p._2 == 900L))
   }
 
   test("WAV container round-trips: encode→decode is the identity on " +
@@ -164,6 +235,71 @@ class MultimodalSpec extends SparkSpec {
       val (rate, out) = Multimodal.wavDecode(r.payload)
       assert(rate === 11025)
       assert(out.length === (srcN(r.media_id).toLong * 11025 / 16000).toInt)
+    }
+  }
+
+  test("fftInPlace matches a naive DFT to 1e-9 and spectral features " +
+    "read crafted signals correctly: a pure tone centroids at its bin, " +
+    "silence is flat, tone flatness is near zero") {
+    // mathematical correctness: compare against an O(n^2) textbook DFT
+    // (genuinely independent arithmetic — tolerance, not bit-equality)
+    def dft(xs: Array[Double]): (Array[Double], Array[Double]) = {
+      val n = xs.length
+      val re = new Array[Double](n); val im = new Array[Double](n)
+      for (k <- 0 until n; t <- 0 until n) {
+        val ang = -2.0 * math.Pi * k * t / n
+        re(k) += xs(t) * math.cos(ang)
+        im(k) += xs(t) * math.sin(ang)
+      }
+      (re, im)
+    }
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(8, 64, 512)) {
+      val xs = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+      val re = xs.clone(); val im = new Array[Double](n)
+      Multimodal.fftInPlace(re, im)
+      val (er, ei) = dft(xs)
+      for (k <- 0 until n) {
+        assert(math.abs(re(k) - er(k)) < 1e-9, s"n=$n re k=$k")
+        assert(math.abs(im(k) - ei(k)) < 1e-9, s"n=$n im k=$k")
+      }
+    }
+    // non-power-of-two sizes reject loudly
+    intercept[IllegalArgumentException](
+      Multimodal.fftInPlace(new Array[Double](12), new Array[Double](12)))
+    // a pure tone exactly on bin 8 of a 512-sample window at 16 kHz
+    // (32 ms → win == fftN == 512, no zero-padding smear): the line
+    // spectrum sits in one bin, so centroid/rolloff pin to 250 Hz within
+    // a bin (toShort quantization noise is the only leakage), flatness ≈ 0
+    val rate = 16000; val freq = 250.0
+    val tone = Array.tabulate[Short](512)(i =>
+      (20000 * math.sin(2 * math.Pi * freq * i / rate)).toShort)
+    val toneDs = Seq(Multimodal.AudioItem(1L,
+      Multimodal.wavFromSamples(tone, rate), rate)).toDS()
+    val tf = Multimodal.audioSpectralFeatures(spark, toneDs, 32, 10).head()
+    assert(tf.fft_n === 512)
+    assert(math.abs(tf.spectral_centroid_hz - freq) < rate.toDouble / 512,
+      s"centroid ${tf.spectral_centroid_hz}")
+    assert(tf.spectral_rolloff_hz === freq, s"rolloff ${tf.spectral_rolloff_hz}")
+    assert(tf.spectral_flatness < 0.01, s"flatness ${tf.spectral_flatness}")
+    // pure silence: centroid/rolloff 0 by contract, flatness exactly 1
+    val silent = Seq(Multimodal.AudioItem(2L,
+      Multimodal.wavFromSamples(new Array[Short](512), rate), rate)).toDS()
+    val sf0 = Multimodal.audioSpectralFeatures(spark, silent, 32, 10).head()
+    assert(sf0.spectral_centroid_hz === 0.0 && sf0.spectral_rolloff_hz === 0.0)
+    assert(sf0.spectral_flatness === 1.0)
+    // planted docs: deterministic and row-parity with the metadata fan-out
+    val docs = Tables.documents(spark, sf).limit(30)
+    val a = Multimodal.audioFromDocuments(spark, docs)
+    val s1 = Multimodal.audioSpectralFeatures(spark, a, 25, 10)
+      .collect().sortBy(r => (r.media_id, r.window_idx))
+    val s2 = Multimodal.audioSpectralFeatures(spark, a, 25, 10)
+      .collect().sortBy(r => (r.media_id, r.window_idx))
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.length === Multimodal.audioWindows(a.toDF(), 25, 10).count())
+    s1.foreach { w =>
+      assert(w.spectral_flatness > 0.0 && w.spectral_flatness <= 1.0)
+      assert(w.spectral_centroid_hz >= 0.0 && w.spectral_centroid_hz <= rate / 2.0)
     }
   }
 

@@ -50,6 +50,23 @@ class ProfileSpec extends SparkSpec {
     assert(want !== math.floor(want), "fixture must exercise a fractional mean")
   }
 
+  test("profile mean convention on a NEGATIVE non-integral sum: qi is the " +
+    "toward-zero quotient (Spark div), so the reconstruction matches the " +
+    "correctly rounded mean — a floor-quotient oracle would differ by 1") {
+    // sum = -50050.19 over 4 rows: div → trunc(-12512.5475) = -12512,
+    // floor would give -12513; rem = -50050.19 − (−12512·4) = −2.19
+    val vals = Seq(-12512.5, -12512.5, -12512.59, -12512.6)
+    val df = vals.map(Some(_)).toDF("v")
+    val got = Profile.profile(df, Seq("v"), exactDistinct = true)
+      .head().getDouble(6)
+    val want = ((BigDecimal(-12512) * 4 +
+      (BigDecimal("-50050.19") - BigDecimal(-12512) * 4)) / 4).toDouble
+    assert(got === want)
+    // and the reconstruction is the correctly rounded true mean
+    assert(got === (BigDecimal("-50050.19") / 4).toDouble)
+    assert(got !== math.floor(got), "fixture must exercise a fractional mean")
+  }
+
   test("approximate-distinct mode agrees with exact within HLL error and " +
     "matches every non-distinct statistic exactly") {
     val docs = Tables.spread(Tables.documents(spark, sf))

@@ -625,6 +625,57 @@ class StreamingSpec extends SparkSpec {
     assert(a === b, "the restarted index must answer searches identically")
   }
 
+  test("streaming drift monitors: per-micro-batch DriftSums accumulate to " +
+    "stats bit-equal to the batch monitor over the union, for every " +
+    "composed tier (IVF-SQ8 clamp_frac, IVF-PQ and IVF-OPQ mean_qcos)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 4 === 0)
+    val crawl = emb.filter(col("vec_id") % 4 =!= 0)
+    // train each composed index once on the base slice (the steady-state
+    // artifact a crawl appends to); drift measures the crawl against it
+    val sq8 = Similarity.ivfSq8Train(spark, base, nlist = 4)
+    val pq = Similarity.ivfPqTrain(spark, base, nlist = 4, m = 4, ksub = 8)
+    val opq = Similarity.ivfOpqTrain(spark, base, nlist = 4, m = 4, ksub = 8,
+      opqIters = 1)
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-sdrift").toString
+    crawl.repartition(3).write.mode("overwrite").parquet(crawlDir)
+    def key(r: org.apache.spark.sql.Row): Int = r.getInt(0)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().sortBy(key).map(_.toSeq).toSeq
+    for ((label, sums, stats) <- Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      ("ivf-sq8", b => Similarity.ivfSq8DriftSums(sq8, b),
+        b => Similarity.ivfSq8DriftStats(sq8, b)),
+      ("ivf-pq", b => Similarity.ivfPqDriftSums(pq, b),
+        b => Similarity.ivfPqDriftStats(pq, b)),
+      ("ivf-opq", b => Similarity.ivfOpqDriftSums(opq, b),
+        b => Similarity.ivfOpqDriftStats(opq, b)))) {
+      val sumsDir = java.nio.file.Files.createTempDirectory(s"graft-dsums").toString
+      var batches = 0
+      val q = spark.readStream.schema(crawl.schema)
+        .option("maxFilesPerTrigger", 1).parquet(crawlDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the accumulator a steady-state crawl would keep: one bounded
+          // (≤ nlist rows) sums frame appended per micro-batch
+          sums(batch).write.mode("append").parquet(sumsDir)
+          batches += 1
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(batches >= 2, s"$label: want multiple micro-batches, got $batches")
+      val streamed = sorted(
+        Similarity.driftStatsFinalize(spark.read.parquet(sumsDir)))
+      val oneShot = sorted(stats(crawl))
+      assert(streamed === oneShot,
+        s"$label: accumulated stream drift stats must equal the batch call")
+    }
+  }
+
   test("streaming IVF-OPQ ingest: foreachBatch ivfOpqAppend per " +
     "micro-batch — the appended composed index answers identically to " +
     "the from-scratch build through a fresh load") {
