@@ -6652,6 +6652,85 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    QueryDef("q_dedup_video",
+      // VIDEO near-dup detection: per-sampled-frame pHash over the real
+      // AVI decode, frame-level pigeonhole pair join, clip pairs where
+      // BOTH sides match ≥ 1 sampled frame. Corpus = base clips plus a
+      // +3-brightness variant (every 5th doc, id + 10^7) — the variant's
+      // frames land within hamming 3 of the originals while independent
+      // noise clips stay ~32 apart. Replica: brute-force frame pairing
+      // over the planted pixels, no AVI/PNG round-trip.
+      Some("""SELECT a, b, matched_a, matched_b, n_a, n_b
+              FROM parquet_scan('{FIX}/_fixture_videodups/*.parquet')
+              ORDER BY a, b"""),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val media = Multimodal.videoFromDocuments(s, docs)
+        val variants = docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+          .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 5 == 0)
+          .mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val (w, h, nf) = Multimodal.plantVideoDims(id, nChars)
+              val frames = (0 until nf).map { f =>
+                Array.tabulate(w * h * 3)(i =>
+                  math.min(255, Multimodal.plantFramePixel(id, f, i) + 3).toByte)
+              }
+              Multimodal.MediaItem(id + 10000000L, s"vid/${id % 3}",
+                graft.operators.Avi.encode(w, h, 40000, frames), w, h, nf, 0)
+            }
+          }
+        val hashes = Multimodal.videoPHashes(s, media.union(variants), stride = 2)
+        Multimodal.videoNearDups(hashes, maxHamming = 3, minMatched = 1)
+          .orderBy("a", "b")
+      }),
+
+    QueryDef("q_multimodal_audio_fp",
+      // Haitsma–Kalker fingerprints over the pinned FFT: 32 band
+      // energies per 16 ms/8 ms window (256 samples at 16 kHz — the
+      // planted clips top out near 560 samples, so the 25 ms frame would
+      // leave almost no 2-window clips), bit = sign of the band-energy
+      // double difference vs the previous window (amplitude scaling
+      // cancels). First 200 docs; replica re-derives bands from the
+      // spec FFT.
+      Some("""SELECT media_id, window_idx, fingerprint
+              FROM parquet_scan('{FIX}/_fixture_audiofp/*.parquet')
+              ORDER BY media_id, window_idx"""),
+      (s, d) => {
+        val audio = Multimodal.audioFromDocuments(s,
+          t(s, d, "documents").filter(col("doc_id") < 200))
+        Multimodal.audioFingerprints(s, audio, 16, 8)
+          .orderBy("media_id", "window_idx")
+      }),
+
+    QueryDef("q_dedup_audio",
+      // AUDIO near-dup detection: clips pair when ≥ 2 time-aligned
+      // windows carry EQUAL fingerprints. Corpus = first 200 docs plus
+      // an amplitude-scaled copy of every other one (samples × 9 / 10,
+      // integer truncation, id + 10^7) — the sign construction makes the
+      // scaled copy fingerprint (almost everywhere) identically, while
+      // unrelated clips share no aligned window. Replica: plant → scale
+      // → fingerprint → brute-force count per pair.
+      Some("""SELECT a, b, matched_windows
+              FROM parquet_scan('{FIX}/_fixture_audiodups/*.parquet')
+              ORDER BY a, b"""),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        val audio = Multimodal.audioFromDocuments(s, docs)
+        val variants = docs.select(col("doc_id"), col("text"))
+          .as[(Long, String)].filter((t: (Long, String)) => t._1 % 2 == 0)
+          .map { case (id, text0) =>
+            val xs = Option(text0).getOrElse("").toCharArray
+              .map(c => ((Multimodal.sampleOfChar(c) * 9) / 10).toShort)
+            Multimodal.AudioItem(id + 10000000L,
+              Multimodal.wavFromSamples(xs, 16000), 16000)
+          }
+        val fps = Multimodal.audioFingerprints(s, audio.union(variants), 16, 8)
+        Multimodal.audioNearDups(fps, minMatched = 2).orderBy("a", "b")
+      }),
+
     QueryDef("q_multimodal_video",
       // the VIDEO tier is STUB-FREE too: planted RGB frames wrap in a
       // REAL uncompressed AVI (bottom-up BGR padded DIB scanlines — the

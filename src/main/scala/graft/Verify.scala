@@ -1525,38 +1525,68 @@ object Verify {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_audiowin")
     }
-    fixture("_fixture_audiofft") {
-      // spectral replica (q_multimodal_audio_fft's parameters: first 40
-      // docs, 25 ms/10 ms at 16 kHz → win 400, hop 160, fft 512): an
-      // independent radix-2 FFT written from the pinned spec in
-      // Multimodal.fftInPlace's doc comment — bit-reversal via
-      // Integer.reverse index math instead of the engine's carry walk
-      // (same permutation), for-comprehension butterflies (same
-      // arithmetic order) → bit-identical doubles by construction
-      def fftRef(re: Array[Double], im: Array[Double]): Unit = {
-        val n = re.length
-        val bits = Integer.numberOfTrailingZeros(n)
-        for (i <- 0 until n) {
-          val j = Integer.reverse(i) >>> (32 - bits)
-          if (i < j) {
-            val tr = re(i); re(i) = re(j); re(j) = tr
-            val ti = im(i); im(i) = im(j); im(j) = ti
-          }
-        }
-        var len = 2
-        while (len <= n) {
-          for (s <- 0 until n by len; k <- 0 until len / 2) {
-            val ang = -2.0 * math.Pi * k / len
-            val wr = math.cos(ang); val wi = math.sin(ang)
-            val b = s + k + len / 2
-            val tr = wr * re(b) - wi * im(b)
-            val ti = wr * im(b) + wi * re(b)
-            re(b) = re(s + k) - tr; im(b) = im(s + k) - ti
-            re(s + k) += tr; im(s + k) += ti
-          }
-          len <<= 1
+    // independent radix-2 FFT written from the pinned spec in
+    // Multimodal.fftInPlace's doc comment — bit-reversal via
+    // Integer.reverse index math instead of the engine's carry walk
+    // (same permutation), for-comprehension butterflies (same
+    // arithmetic order) → bit-identical doubles by construction.
+    // Shared by the spectral-feature and fingerprint replicas.
+    def fftRef(re: Array[Double], im: Array[Double]): Unit = {
+      val n = re.length
+      val bits = Integer.numberOfTrailingZeros(n)
+      for (i <- 0 until n) {
+        val j = Integer.reverse(i) >>> (32 - bits)
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
         }
       }
+      var len = 2
+      while (len <= n) {
+        for (s <- 0 until n by len; k <- 0 until len / 2) {
+          val ang = -2.0 * math.Pi * k / len
+          val wr = math.cos(ang); val wi = math.sin(ang)
+          val b = s + k + len / 2
+          val tr = wr * re(b) - wi * im(b)
+          val ti = wr * im(b) + wi * re(b)
+          re(b) = re(s + k) - tr; im(b) = im(s + k) - ti
+          re(s + k) += tr; im(s + k) += ti
+        }
+        len <<= 1
+      }
+    }
+    // planted samples → per-window 32-band energies (bins 1..N/2 of the
+    // next-pow2 spectrum, N/64 ascending bins per band) — the
+    // fingerprint replica's spectral stage
+    def bandsRef(xs: Array[Int], s0: Int, win: Int, fftN: Int): Array[Double] = {
+      val re = new Array[Double](fftN); val im = new Array[Double](fftN)
+      for (i <- 0 until win) re(i) = xs(s0 + i) / 32768.0
+      fftRef(re, im)
+      val pb = fftN / 2 / 32
+      Array.tabulate(32) { m =>
+        var s = 0.0
+        for (k <- (1 + m * pb) until (1 + (m + 1) * pb)) s += re(k) * re(k) + im(k) * im(k)
+        s
+      }
+    }
+    // per-clip Haitsma–Kalker fingerprints from planted samples (bit m =
+    // sign of the band double difference vs the previous window)
+    def fpsRef(xs: Array[Int], win: Int, hop: Int, fftN: Int): Seq[(Long, Long)] =
+      if (xs.length < win) Seq.empty
+      else {
+        val nWin = (xs.length - win) / hop + 1
+        val bands = (0 until nWin).map(wi => bandsRef(xs, wi * hop, win, fftN))
+        (1 until nWin).map { wi =>
+          var fp = 0L
+          for (m <- 0 until 31)
+            if ((bands(wi)(m) - bands(wi)(m + 1)) -
+                (bands(wi - 1)(m) - bands(wi - 1)(m + 1)) > 0) fp |= (1L << m)
+          (wi.toLong, fp)
+        }
+      }
+    fixture("_fixture_audiofft") {
+      // spectral replica (q_multimodal_audio_fft's parameters: first 40
+      // docs, 25 ms/10 ms at 16 kHz → win 400, hop 160, fft 512)
       val rows = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text").as[(Long, String)].collect()
         .filter(_._1 < 40).sortBy(_._1).toIndexedSeq
@@ -1602,6 +1632,90 @@ object Verify {
           "fft_n", "spectral_centroid_hz", "spectral_rolloff_hz",
           "spectral_flatness").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_audiofft")
+    }
+    // planted LCG samples for the fingerprint replicas (same formula as
+    // _fixture_audio)
+    def plantedSamples(text0: String): Array[Int] =
+      Option(text0).getOrElse("").toCharArray.map(c =>
+        ((((c.toInt * 1103515245 + 12345) >>> 8) & 0xffff) - 32768))
+    fixture("_fixture_audiofp") {
+      // 16 ms/8 ms at 16 kHz → win 256, hop 128, fft 256
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .filter(_._1 < 200).sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          fpsRef(plantedSamples(text0), 256, 128, 256)
+            .map { case (wi, fp) => (id, wi, fp) }
+        }
+      rows.toDF("media_id", "window_idx", "fingerprint").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_audiofp")
+    }
+    fixture("_fixture_audiodups") {
+      // q_dedup_audio's corpus: first 200 docs + an amplitude-scaled copy
+      // (samples × 9 / 10, toward-zero, id + 10^7) of every other one;
+      // pairs by brute force — clips sharing >= 2 equal (window_idx,
+      // fingerprint) positions
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .filter(_._1 < 200).sortBy(_._1).toIndexedSeq
+      val clips =
+        docs.map { case (id, t0) => (id, plantedSamples(t0)) } ++
+        docs.filter(_._1 % 2 == 0).map { case (id, t0) =>
+          (id + 10000000L,
+            plantedSamples(t0).map(v => (v.toShort * 9 / 10).toShort.toInt))
+        }
+      val fps = clips.map { case (id, xs) =>
+        (id, fpsRef(xs, 256, 128, 256).toSet) }
+        .sortBy(_._1)
+      val pairs = for {
+        i <- fps.indices; j <- (i + 1) until fps.size
+        m = (fps(i)._2 & fps(j)._2).size if m >= 2
+      } yield (fps(i)._1, fps(j)._1, m.toLong)
+      pairs.toDF("a", "b", "matched_windows").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_audiodups")
+    }
+    fixture("_fixture_videodups") {
+      // q_dedup_video's corpus: base clips + a +3-brightness variant for
+      // each 5th doc; frame pHashes by the pinned chain (stride 2), then
+      // brute-force frame pairing at hamming <= 3 across DIFFERENT clips
+      // with both-side distinct-matched counts
+      val metaRows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        .as[(Long, Int)].collect().sortBy(_._1).toIndexedSeq
+      def framePx(id: Long, f: Int, w: Int, h: Int, shift: Int): Array[Byte] =
+        Array.tabulate(w * h * 3) { i =>
+          var z = (id * 1000003L + f) * 0x9E3779B97F4A7C15L +
+            i.toLong * 0xBF58476D1CE4E5B9L
+          z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+          math.min(255, ((z >>> 40) & 0xff).toInt + shift).toByte
+        }
+      def clipHashes(vid: Long, base: Long, nChars: Int, shift: Int)
+        : (Long, IndexedSeq[(Int, Long)]) = {
+        val w = 4 + (base % 9).toInt; val h = 3 + (nChars % 7)
+        val nf = (base % 5 + 2).toInt
+        (vid, (0 until nf by 2).map(f =>
+          (f, pHashRef(w, h, framePx(base, f, w, h, shift)))))
+      }
+      val clips =
+        metaRows.map { case (id, nc) => clipHashes(id, id, nc, 0) } ++
+        metaRows.filter(_._1 % 5 == 0).map { case (id, nc) =>
+          clipHashes(id + 10000000L, id, nc, 3)
+        }
+      val sorted = clips.sortBy(_._1)
+      val rows = for {
+        i <- sorted.indices; j <- (i + 1) until sorted.size
+        (va, fa) = sorted(i); (vb, fb) = sorted(j)
+        hits = for {
+          (fia, ha) <- fa; (fib, hb) <- fb
+          if java.lang.Long.bitCount(ha ^ hb) <= 3
+        } yield (fia, fib)
+        if hits.nonEmpty
+        ma = hits.map(_._1).distinct.size.toLong
+        mb = hits.map(_._2).distinct.size.toLong
+        if ma >= 1 && mb >= 1
+      } yield (va, vb, ma, mb, fa.size, fb.size)
+      rows.toDF("a", "b", "matched_a", "matched_b", "n_a", "n_b").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_videodups")
     }
     fixture("_fixture_audiors") {
       // resample replica (q_multimodal_audio_resample's parameters:

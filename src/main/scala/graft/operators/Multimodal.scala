@@ -380,6 +380,179 @@ object Multimodal {
     }
   }
 
+  /** Per-sampled-frame perceptual hashes ([[videoNearDups]]' signature
+    * stage): decode the AVI once, hash every `stride`-th frame with the
+    * pinned [[pHashOf]] chain, and carry the clip's sampled-frame count
+    * on every row so the match stage needs no second scan. Same
+    * mapPartitions shape as the rest of the tier.
+    */
+  def videoPHashes(spark: SparkSession, media: Dataset[MediaItem],
+                   stride: Int): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1, s"videoPHashes: stride must be >= 1, got $stride")
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val vid = Avi.decode(m.payload)
+        val idxs = 0 until vid.frames.length by stride
+        idxs.iterator.map { f =>
+          (m.media_id, f,
+            pHashOf(Png.Image(vid.width, vid.height, 3, vid.frames(f))),
+            idxs.size)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "phash", "n_sampled")
+  }
+
+  /** VIDEO near-duplicate detection — frame-level pHash matching (the
+    * moving-picture analog of [[phashPairs]]): frame hashes pair through
+    * the same exact pigeonhole chunk join at `maxHamming`, then clip
+    * pairs aggregate DISTINCT matched frame indices per side; a pair
+    * reports when BOTH sides match at least `minMatched` of their
+    * sampled frames. Output (a, b, matched_a, matched_b, n_a, n_b) with
+    * a < b. Scale shape: one narrow shuffle on (chunk, value) over the
+    * frame-hash table, bounded bucket expansion, then one clip-pair
+    * aggregation — nothing corpus-wide beyond the hash table itself.
+    */
+  def videoNearDups(frameHashes: DataFrame, maxHamming: Int,
+                    minMatched: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"videoNearDups: maxHamming must be in [0, 63], got $maxHamming")
+    require(minMatched >= 1, s"videoNearDups: minMatched must be >= 1")
+    val n = maxHamming + 1
+    val base = 64 / n; val rem = 64 % n
+    val chunkDefs = (0 until n).scanLeft((0, 0)) { case ((off, wid), i) =>
+      (off + wid, base + (if (i < rem) 1 else 0))
+    }.tail
+    val chunks = chunkDefs.zipWithIndex.map { case ((off, wid), i) =>
+      val mask = if (wid == 64) -1L else (1L << wid) - 1L
+      struct(lit(i).as("ci"),
+        shiftrightunsigned(col("phash"), off).bitwiseAND(lit(mask)).as("cv"))
+    }
+    // rows carry (clip, frame, hash, count); buckets key on the chunk
+    val r = struct(col("media_id").as("v"), col("frame_idx").as("f"),
+      col("phash").as("h"), col("n_sampled").as("n"))
+    frameHashes
+      .select(r.as("r"), explode(array(chunks: _*)).as("ch"))
+      .select(col("r"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+      .groupBy("ci", "cv")
+      .agg(sort_array(collect_set(col("r"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(Dedup.pairsOf(col("ms"))).as("p"))
+      // frames of the SAME clip never pair (self-similar stills are not
+      // duplicates of another video); sort_array ordering gives a < b
+      .filter(col("p.a.v") < col("p.b.v") &&
+        bit_count(col("p.a.h").bitwiseXOR(col("p.b.h"))) <= maxHamming)
+      .select(col("p.a.v").as("a"), col("p.b.v").as("b"),
+        col("p.a.f").as("fa"), col("p.b.f").as("fb"),
+        col("p.a.n").as("n_a"), col("p.b.n").as("n_b"))
+      .distinct()
+      .groupBy("a", "b", "n_a", "n_b")
+      .agg(countDistinct(col("fa")).as("matched_a"),
+        countDistinct(col("fb")).as("matched_b"))
+      .filter(col("matched_a") >= minMatched && col("matched_b") >= minMatched)
+      .select(col("a"), col("b"), col("matched_a"), col("matched_b"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** Haitsma–Kalker-style audio fingerprints (the robust-hash family
+    * broadcast fingerprinting uses; Haitsma & Kalker 2002): per 25 ms-class
+    * window, the pinned FFT's power spectrum folds into 32 equal bands
+    * over bins 1..256 (ascending sums), and bit m of the window's
+    * 31-bit fingerprint is the SIGN of the band-energy double difference
+    * (E(t,m) − E(t,m+1)) − (E(t−1,m) − E(t−1,m+1)) — energy SCALING
+    * cancels entirely (an amplitude-scaled copy fingerprints
+    * identically), which is what makes exact fingerprint equality a
+    * meaningful match key. Window 0 of each clip has no predecessor and
+    * emits no fingerprint. Same decode-once mapPartitions shape as
+    * [[audioSpectralFeatures]].
+    */
+  def audioFingerprints(spark: SparkSession, audio: Dataset[AudioItem],
+                        windowMs: Int, strideMs: Int): DataFrame = {
+    import spark.implicits._
+    require(windowMs > 0 && strideMs > 0,
+      s"audioFingerprints: window/stride must be positive, got $windowMs/$strideMs")
+    audio.mapPartitions { it =>
+      it.flatMap { a =>
+        val (rate, xs) = wavDecode(a.payload)
+        val win = rate.toLong * windowMs / 1000
+        val hop = rate.toLong * strideMs / 1000
+        require(win >= 1 && hop >= 1,
+          s"audioFingerprints: window/stride ($windowMs ms/$strideMs ms) " +
+            s"is shorter than one sample at sample_rate $rate")
+        val nWin = if (xs.length < win) 0L else (xs.length - win) / hop + 1
+        var fftN = 1
+        while (fftN < win) fftN <<= 1
+        require(fftN >= 256,
+          s"audioFingerprints: window of $win samples pads to $fftN-point " +
+            "FFT — need >= 256 bins for the 32-band fold (use a longer window)")
+        var prev: Array[Double] = null
+        (0L until nWin).iterator.flatMap { wi =>
+          val bands = bandEnergies(xs, (wi * hop).toInt, win.toInt, fftN, rate)
+          val out =
+            if (prev == null) Iterator.empty
+            else {
+              var fp = 0L
+              var m = 0
+              while (m < 31) {
+                if ((bands(m) - bands(m + 1)) - (prev(m) - prev(m + 1)) > 0)
+                  fp |= (1L << m)
+                m += 1
+              }
+              Iterator.single((a.media_id, wi, fp))
+            }
+          prev = bands
+          out
+        }
+      }
+    }.toDF("media_id", "window_idx", "fingerprint")
+  }
+
+  /** The pinned band-energy arithmetic (shared spec for the fixture
+    * replica): run [[spectralOfWindow]]'s FFT setup, then fold the power
+    * spectrum's bins 1..256 into 32 ascending sums of 8·(N/512)
+    * consecutive bins each (so any pow2 N ≥ 256 tiles exactly).
+    */
+  def bandEnergies(xs: Array[Short], s0: Int, win: Int, fftN: Int,
+                   rate: Int): Array[Double] = {
+    val re = new Array[Double](fftN); val im = new Array[Double](fftN)
+    var i = 0
+    while (i < win) { re(i) = xs(s0 + i) / 32768.0; i += 1 }
+    fftInPlace(re, im)
+    val perBand = fftN / 2 / 32 // bins per band; fftN >= 256 → >= 4
+    val bands = new Array[Double](32)
+    var m = 0
+    while (m < 32) {
+      var s = 0.0
+      var k = 1 + m * perBand
+      val end = 1 + (m + 1) * perBand
+      while (k < end) { s += re(k) * re(k) + im(k) * im(k); k += 1 }
+      bands(m) = s
+      m += 1
+    }
+    bands
+  }
+
+  /** AUDIO near-duplicate detection over [[audioFingerprints]]: clips
+    * pair when at least `minMatched` window positions carry EQUAL
+    * fingerprints at the SAME window index (time-aligned copies — the
+    * re-encode/re-gain duplicate class; the sign construction makes
+    * amplitude scaling a non-event). One equi-join key (window_idx,
+    * fingerprint), bounded bucket expansion, one clip-pair aggregation.
+    */
+  def audioNearDups(fingerprints: DataFrame, minMatched: Int): DataFrame = {
+    require(minMatched >= 1, "audioNearDups: minMatched must be >= 1")
+    fingerprints
+      .groupBy("window_idx", "fingerprint")
+      .agg(sort_array(collect_set(col("media_id"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("window_idx"), explode(Dedup.pairsOf(col("ms"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("window_idx"))
+      .distinct()
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("matched_windows"))
+      .filter(col("matched_windows") >= minMatched)
+  }
+
   /** Frame sampling plumbing: every `stride`-th frame index of each video,
     * exploded to one row per sampled frame (a real impl slices the payload;
     * the index arithmetic and fan-out shape are what matters at scale).

@@ -68,6 +68,73 @@ class AviSpec extends SparkSpec {
     assert(Avi.decode(withJunk).frames.head.toSeq === planted(5, 4, 1L).toSeq)
   }
 
+  test("videoPHashes + videoNearDups: a brightness-shifted clip pairs " +
+    "with its original on every sampled frame; independent clips don't; " +
+    "the pigeonhole join equals brute force") {
+    val docs = Tables.documents(spark, sf).limit(30)
+    val media = Multimodal.videoFromDocuments(spark, docs)
+    // variant of clip 5: every frame +3
+    val m5 = media.filter(col("media_id") === 5L).head()
+    val vid = graft.operators.Avi.decode(m5.payload)
+    val shifted = vid.frames.map(f => f.map(p => math.min(255, (p & 0xff) + 3).toByte))
+    val variant = Seq(Multimodal.MediaItem(905L, "vid/0",
+      graft.operators.Avi.encode(vid.width, vid.height, 40000, shifted),
+      vid.width, vid.height, shifted.size, 0)).toDS()
+    val hashes = Multimodal.videoPHashes(spark, media.union(variant), stride = 2)
+    val dups = Multimodal.videoNearDups(hashes, maxHamming = 3, minMatched = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5)))
+    val hit = dups.find(p => p._1 == 5L && p._2 == 905L)
+    assert(hit.isDefined, s"variant pair missing from ${dups.toSeq}")
+    // both sides matched every sampled frame
+    assert(hit.get._3 === hit.get._5.toLong && hit.get._4 === hit.get._6.toLong)
+    // brute-force parity over the whole hash table
+    val all = hashes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val byClip = all.groupBy(_._1).toSeq.sortBy(_._1)
+    val want = (for {
+      i <- byClip.indices; j <- (i + 1) until byClip.size
+      (va, fa) = byClip(i); (vb, fb) = byClip(j)
+      hits = for {
+        a <- fa; b <- fb
+        if java.lang.Long.bitCount(a._3 ^ b._3) <= 3
+      } yield (a._2, b._2)
+      if hits.nonEmpty
+    } yield (va, vb, hits.map(_._1).distinct.length.toLong,
+      hits.map(_._2).distinct.length.toLong, fa.head._4, fb.head._4)).toSet
+    assert(dups.toSet === want)
+  }
+
+  test("audioFingerprints are amplitude-scale invariant and drive " +
+    "time-aligned near-dup detection") {
+    // clips need >= 2 windows (384 samples at 16 ms/8 ms) to fingerprint
+    val docs = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 400).limit(20)
+    val audio = Multimodal.audioFromDocuments(spark, docs)
+    val fps = Multimodal.audioFingerprints(spark, audio, 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fps.nonEmpty)
+    // window 0 never fingerprints (no predecessor)
+    assert(fps.forall(_._2 >= 1L))
+    // a scaled copy (x 0.9 with integer truncation) of a LONG clip
+    // (synthetic 5000 samples — the doc fixtures top out ~560) shares
+    // almost all aligned fingerprints
+    def clip(id: Long, scaleNum: Int) = Multimodal.AudioItem(id,
+      Multimodal.wavFromSamples(
+        Array.tabulate(5000)(i =>
+          ((Multimodal.sampleOfChar((i * 31 + 7).toChar).toInt * scaleNum) / 10)
+            .toShort),
+        16000), 16000)
+    val pairDs = Seq(clip(100L, 10), clip(200L, 9)).toDS()
+    val pairFps = Multimodal.audioFingerprints(spark, pairDs, 16, 8)
+    val dups = Multimodal.audioNearDups(pairFps, minMatched = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dups.length === 1 && dups.head._1 === 100L && dups.head._2 === 200L)
+    val total = pairFps.filter(col("media_id") === 100L).count()
+    assert(dups.head._3 >= (total * 8) / 10,
+      s"scaled copy matched only ${dups.head._3} of $total windows")
+  }
+
   test("videoFrameFeatures samples every stride-th frame of the real " +
     "decode and measures the actual pixels; counts match the metadata " +
     "planner face") {
