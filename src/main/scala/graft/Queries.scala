@@ -6223,59 +6223,33 @@ object Queries {
       // (approx_count_distinct) keeps the pass partial-aggregable at
       // 100 TB (spec-checked against exact). ts profiles as the resolved
       // epoch-µs long — the operator stays layout-agnostic.
-      Some(Seq(
+      Some(profileOracle(Seq(
         ("event_id", "num"), ("event_type", "str"), ("props", "str"),
-        ("ts_us", "num"), ("user_id", "num"), ("value", "num"),
-        ("neg_value", "num")) // negative non-integral sum: pins the
-                              // toward-zero quotient convention below
-        .map { case (c, k) =>
-          val src = if (c == "ts_us") "epoch_us(ts)"
-                    else if (c == "neg_value") "(0 - value)" else c
-          // mean = qi + rem/n with qi the exact TOWARD-ZERO integral
-          // quotient and rem the exact small remainder — casting the raw
-          // epoch-µs-scale decimal SUM to double hits DuckDB's
-          // non-correctly-rounded conversion (one-ulp off at sf0.001);
-          // qi < 2^53 and a small rem make every double op correctly
-          // rounded in both engines. Spark's `div` truncates toward zero,
-          // DuckDB's hugeint `//` floors — for a NEGATIVE non-integral
-          // sum they differ by 1, so the oracle wraps `//` in a sign
-          // case (toward-zero(toward-zero(s)/n) = toward-zero(s/n) for
-          // n > 0, so trunc-then-divide matches div on the full decimal)
-          val sumE = s"sum(CAST($src AS DECIMAL(38,6)))"
-          val qiT = s"CAST(trunc($sumE) AS HUGEINT)"
-          val cntH = s"CAST(count($src) AS HUGEINT)"
-          val qiE = s"(CASE WHEN $qiT >= 0 THEN $qiT // $cntH " +
-            s"ELSE -((-($qiT)) // $cntH) END)"
-          val (numCols, strCols) =
-            if (k == "num")
-              (s"""CAST(min($src) AS DOUBLE) AS num_min,
-                   CAST(max($src) AS DOUBLE) AS num_max,
-                   CASE WHEN count($src) > 0 THEN
-                     CAST($qiE AS DOUBLE) +
-                     CAST($sumE - CAST($qiE AS DECIMAL(38,6)) * count($src) AS DOUBLE)
-                       / count($src) END AS num_avg,
-                   CAST(NULL AS VARCHAR) AS str_min,
-                   CAST(NULL AS VARCHAR) AS str_max""",
-                "")
-            else
-              (s"""CAST(NULL AS DOUBLE) AS num_min,
-                   CAST(NULL AS DOUBLE) AS num_max,
-                   CAST(NULL AS DOUBLE) AS num_avg,
-                   min($src) AS str_min, max($src) AS str_max""", "")
-          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-                     count(*) - count($src) AS n_nulls,
-                     count(DISTINCT $src) AS n_distinct,
-                     $numCols$strCols
-              FROM events"""
-        }.mkString("", " UNION ALL ", " ORDER BY col_name")),
+        ("ts_us", "num"), ("user_id", "num"), ("value", "num")))),
       (s, d) => {
         val ev = t(s, d, "events")
         val prepped = ev.select(col("event_id"), Tables.tsEpochUs(ev).as("ts_us"),
-          col("user_id"), col("event_type"), col("value"), col("props"),
-          (lit(0) - col("value")).as("neg_value"))
+          col("user_id"), col("event_type"), col("value"), col("props"))
         Profile.profile(prepped,
-            Seq("event_id", "ts_us", "user_id", "event_type", "value", "props",
-              "neg_value"),
+            Seq("event_id", "ts_us", "user_id", "event_type", "value", "props"),
+            exactDistinct = true)
+          .orderBy("col_name")
+      }),
+
+    QueryDef("q_profile_neg",
+      // the NEGATIVE non-integral sum case, kept out of the bench
+      // headline's q_profile (one extra exact-distinct column would
+      // shift its timing for pure oracle-coverage reasons): (0 − value)
+      // sums to a negative fractional decimal, so this query is what
+      // pins the TOWARD-ZERO quotient convention — Spark's `div`
+      // truncates while a bare hugeint `//` floors, and the two double
+      // reconstructions then differ (see profileOracle's sign case).
+      Some(profileOracle(Seq(("value", "num"), ("neg_value", "num")))),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val prepped = ev.select(col("value"),
+          (lit(0) - col("value")).as("neg_value"))
+        Profile.profile(prepped, Seq("value", "neg_value"),
             exactDistinct = true)
           .orderBy("col_name")
       }),
@@ -6751,6 +6725,49 @@ object Queries {
           .orderBy("media_id", "frame_idx")
       })
   )
+
+  /** DuckDB restatement of Profile.profile over the events table for the
+    * given (column, kind) list. mean = qi + rem/n with qi the exact
+    * TOWARD-ZERO integral quotient and rem the exact small remainder —
+    * casting the raw epoch-µs-scale decimal SUM to double hits DuckDB's
+    * non-correctly-rounded conversion (one-ulp off at sf0.001); qi < 2^53
+    * and a small rem make every double op correctly rounded in both
+    * engines. Spark's `div` truncates toward zero, DuckDB's hugeint `//`
+    * floors — for a NEGATIVE non-integral sum they differ by 1, so the
+    * oracle wraps `//` in a sign case (toward-zero(toward-zero(s)/n) =
+    * toward-zero(s/n) for n > 0, so trunc-then-divide matches div on the
+    * full decimal).
+    */
+  private def profileOracle(cols: Seq[(String, String)]): String =
+    cols.map { case (c, k) =>
+      val src = if (c == "ts_us") "epoch_us(ts)"
+                else if (c == "neg_value") "(0 - value)" else c
+      val sumE = s"sum(CAST($src AS DECIMAL(38,6)))"
+      val qiT = s"CAST(trunc($sumE) AS HUGEINT)"
+      val cntH = s"CAST(count($src) AS HUGEINT)"
+      val qiE = s"(CASE WHEN $qiT >= 0 THEN $qiT // $cntH " +
+        s"ELSE -((-($qiT)) // $cntH) END)"
+      val numCols =
+        if (k == "num")
+          s"""CAST(min($src) AS DOUBLE) AS num_min,
+              CAST(max($src) AS DOUBLE) AS num_max,
+              CASE WHEN count($src) > 0 THEN
+                CAST($qiE AS DOUBLE) +
+                CAST($sumE - CAST($qiE AS DECIMAL(38,6)) * count($src) AS DOUBLE)
+                  / count($src) END AS num_avg,
+              CAST(NULL AS VARCHAR) AS str_min,
+              CAST(NULL AS VARCHAR) AS str_max"""
+        else
+          s"""CAST(NULL AS DOUBLE) AS num_min,
+              CAST(NULL AS DOUBLE) AS num_max,
+              CAST(NULL AS DOUBLE) AS num_avg,
+              min($src) AS str_min, max($src) AS str_max"""
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+                 count(*) - count($src) AS n_nulls,
+                 count(DISTINCT $src) AS n_distinct,
+                 $numCols
+          FROM events"""
+    }.mkString("", " UNION ALL ", " ORDER BY col_name")
 
   private lazy val jaccardOracle: String =
     """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
