@@ -6705,6 +6705,50 @@ object Queries {
         Multimodal.audioNearDups(fps, minMatched = 2).orderBy("a", "b")
       }),
 
+    QueryDef("q_multimodal_video_quality",
+      // video curation gates over the real decode: black-clip and
+      // still-clip detection plus motion level, all integer luma-millis
+      // accumulation with one division at the end. Corpus = base noise
+      // clips (never black/still) + a frozen-frame variant for every 7th
+      // doc (still_ratio 1, motion 0) + an all-black clip for every 11th
+      // (black 1, still 1) — both gate classes actually fire inside the
+      // oracle. Replica replays plant→measure with no AVI round-trip.
+      Some("""SELECT media_id, width, height, n_frames, luma_mean,
+                     black_frame_ratio, still_ratio, motion_mean
+              FROM parquet_scan('{FIX}/_fixture_videoqual/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val media = Multimodal.videoFromDocuments(s, docs)
+        val metaDs = docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+          .as[(Long, Int)]
+        val stills = metaDs.filter((t: (Long, Int)) => t._1 % 7 == 0)
+          .mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val (w, h, nf) = Multimodal.plantVideoDims(id, nChars)
+              val f0 = Array.tabulate(w * h * 3)(i =>
+                Multimodal.plantFramePixel(id, 0, i).toByte)
+              Multimodal.MediaItem(id + 20000000L, s"vid/${id % 3}",
+                graft.operators.Avi.encode(w, h, 40000, Seq.fill(nf)(f0)),
+                w, h, nf, 0)
+            }
+          }
+        val blacks = metaDs.filter((t: (Long, Int)) => t._1 % 11 == 0)
+          .mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val (w, h, nf) = Multimodal.plantVideoDims(id, nChars)
+              Multimodal.MediaItem(id + 30000000L, s"vid/${id % 3}",
+                graft.operators.Avi.encode(w, h, 40000,
+                  Seq.fill(nf)(new Array[Byte](w * h * 3))),
+                w, h, nf, 0)
+            }
+          }
+        Multimodal.videoQuality(s, media.union(stills).union(blacks))
+          .toDF().orderBy("media_id")
+      }),
+
     QueryDef("q_multimodal_video",
       // the VIDEO tier is STUB-FREE too: planted RGB frames wrap in a
       // REAL uncompressed AVI (bottom-up BGR padded DIB scanlines — the

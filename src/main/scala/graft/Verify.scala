@@ -1956,6 +1956,55 @@ object Verify {
       rows.toDF("media_id", "group_id").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_phashgroups")
     }
+    fixture("_fixture_videoqual") {
+      // per-clip quality replica: exact integer luma-millis accumulation
+      // per the videoQuality spec; corpus = base + frozen (id%7, +2·10^7,
+      // every frame = frame 0) + black (id%11, +3·10^7)
+      val metaRows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        .as[(Long, Int)].collect().sortBy(_._1).toIndexedSeq
+      def lumaFrame(px: Array[Byte], n: Int): Array[Int] =
+        Array.tabulate(n)(i => 299 * (px(i * 3) & 0xff) +
+          587 * (px(i * 3 + 1) & 0xff) + 114 * (px(i * 3 + 2) & 0xff))
+      def measure(vid: Long, w: Int, h: Int,
+                  frames: IndexedSeq[Array[Byte]]) = {
+        val n = w * h; val nf = frames.size
+        val lums = frames.map(f => lumaFrame(f, n))
+        val sums = lums.map(_.map(_.toLong).sum)
+        val lumaTotal = sums.sum
+        val black = sums.count(_ < 16000L * n)
+        val mads = (1 until nf).map(fi =>
+          (0 until n).map(i => math.abs(lums(fi)(i) - lums(fi - 1)(i)).toLong).sum)
+        (vid, w, h, nf,
+          if (nf == 0) 0.0 else round6(lumaTotal / (1000.0 * n * nf)),
+          if (nf == 0) 0.0 else round6(black.toDouble / nf),
+          if (nf < 2) 0.0 else round6(mads.count(_ < 2000L * n).toDouble / (nf - 1)),
+          if (nf < 2) 0.0 else round6(mads.sum / (1000.0 * n) / (nf - 1)))
+      }
+      def plantF(id: Long, f: Int, w: Int, h: Int): Array[Byte] =
+        Array.tabulate(w * h * 3) { i =>
+          var z = (id * 1000003L + f) * 0x9E3779B97F4A7C15L +
+            i.toLong * 0xBF58476D1CE4E5B9L
+          z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+          ((z >>> 40) & 0xff).toByte
+        }
+      val rows = metaRows.flatMap { case (id, nc) =>
+        val w = 4 + (id % 9).toInt; val h = 3 + (nc % 7)
+        val nf = (id % 5 + 2).toInt
+        val base = measure(id, w, h, (0 until nf).map(f => plantF(id, f, w, h)))
+        val extra =
+          (if (id % 7 == 0)
+            Seq(measure(id + 20000000L, w, h,
+              IndexedSeq.fill(nf)(plantF(id, 0, w, h)))) else Nil) ++
+          (if (id % 11 == 0)
+            Seq(measure(id + 30000000L, w, h,
+              IndexedSeq.fill(nf)(new Array[Byte](w * h * 3)))) else Nil)
+        base +: extra
+      }
+      rows.toDF("media_id", "width", "height", "n_frames", "luma_mean",
+          "black_frame_ratio", "still_ratio", "motion_mean").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_videoqual")
+    }
     fixture("_fixture_videofeat") {
       // video replica: re-derive every sampled frame's pixels from the
       // documented formulas (frame folds into the splitmix key; dims

@@ -1147,6 +1147,16 @@ object JavaUdfShim {
           // "not found" even when the needle exists)
           (s"(locate(${a._1}, $r, greatest((${from._1}) + 1, 1)) - 1)",
             TNum(integral = true))
+        case ("lastIndexOf", List(a)) if rt == TStr =>
+          // Java lastIndexOf: 0-based index of the LAST occurrence, -1 on
+          // miss. locate over the reversed pair measures the distance
+          // from the end: last = length(r) − pos_rev − length(needle) + 1.
+          // The empty needle lands on length(r) exactly like Java
+          // (locate('', x) is 1).
+          val rev = s"locate(reverse(${a._1}), reverse($r))"
+          (s"(CASE WHEN $rev = 0 THEN -1 " +
+            s"ELSE length($r) - $rev - length(${a._1}) + 1 END)",
+            TNum(integral = true))
         case ("charAt", List(i)) if rt == TStr =>
           // Java charAt THROWS on out-of-bounds; an unguarded substr would
           // return '' and flow on silently — raise like Java does
@@ -1280,6 +1290,25 @@ object JavaUdfShim {
                   s"IF(isnan(CAST($a AS DOUBLE)) OR isnan(CAST($b AS DOUBLE)), " +
                   s"CAST('NaN' AS DOUBLE), IF(($a) $cmp ($b), $a, $b)))",
                   TNum(integral = false))
+            case _ => fail(s"Math.$fn takes two arguments")
+          }
+          case "floorDiv" | "floorMod" => args match {
+            // Java floor division/modulus over integrals: derive from the
+            // truncating `div` with an exact sign correction — pmod would
+            // only match floorMod for a positive divisor. Division by
+            // zero nulls (the house model of a Java throw); char operands
+            // widen to code points like every numeric context.
+            case List(a0, b0) =>
+              val (a1, b1) = (widenChar(a0), widenChar(b0))
+              (a1._2, b1._2) match {
+                case (TNum(true), TNum(true)) =>
+                case _ => fail(s"Math.$fn requires integral operands")
+              }
+              val (a, b) = (a1._1, b1._1)
+              val fd = s"(($a div $b) - IF((($a % $b) != 0) AND " +
+                s"((($a) < 0) != (($b) < 0)), 1, 0))"
+              if (fn == "floorDiv") (fd, TNum(integral = true))
+              else (s"(($a) - $fd * ($b))", TNum(integral = true))
             case _ => fail(s"Math.$fn takes two arguments")
           }
           case "round" => args match {

@@ -553,6 +553,73 @@ object Multimodal {
       .filter(col("matched_windows") >= minMatched)
   }
 
+  /** Per-clip video QUALITY row ([[videoQuality]]). */
+  case class VideoQuality(media_id: Long, width: Int, height: Int,
+                          n_frames: Int, luma_mean: Double,
+                          black_frame_ratio: Double, still_ratio: Double,
+                          motion_mean: Double)
+
+  /** Video curation signals over the REAL decode — the gates a video
+    * training pipeline filters on (black/corrupt clips, stills
+    * masquerading as video, motion level). All accumulation is EXACT
+    * integer luma-millis (299r + 587g + 114b per pixel) with one double
+    * division + 6-dp round at the very end, so the signals are
+    * engine-reproducible (this doc comment is the fixture-replica spec):
+    *   - luma_mean: Σ over all frames' pixels of luma-millis, divided by
+    *     1000·n·nf;
+    *   - black_frame_ratio: fraction of frames whose mean luma is under
+    *     16 gray levels (integer compare: frame lumaSum < 16000·n);
+    *   - still_ratio: fraction of ADJACENT frame pairs whose mean
+    *     absolute per-pixel luma difference is under 2 gray levels
+    *     (pair madSum < 2000·n); 0.0 when nf < 2;
+    *   - motion_mean: mean over adjacent pairs of madSum/(1000·n) —
+    *     average per-pixel luma change in gray levels; 0.0 when nf < 2.
+    * One decode per clip in the tier's mapPartitions batch shape.
+    */
+  def videoQuality(spark: SparkSession, media: Dataset[MediaItem]): Dataset[VideoQuality] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val vid = Avi.decode(m.payload)
+        val n = vid.width * vid.height
+        val nf = vid.frames.length
+        def lumaOf(f: Array[Byte]): Array[Int] =
+          Array.tabulate(n) { i =>
+            299 * (f(i * 3) & 0xff) + 587 * (f(i * 3 + 1) & 0xff) +
+              114 * (f(i * 3 + 2) & 0xff)
+          }
+        var lumaTotal = 0L; var black = 0
+        var still = 0; var madTotal = 0L
+        var prev: Array[Int] = null
+        var fi = 0
+        while (fi < nf) {
+          val lum = lumaOf(vid.frames(fi))
+          var fs = 0L; var i = 0
+          while (i < n) { fs += lum(i); i += 1 }
+          lumaTotal += fs
+          if (fs < 16000L * n) black += 1
+          if (prev != null) {
+            var mad = 0L; var j = 0
+            while (j < n) { mad += math.abs(lum(j) - prev(j)); j += 1 }
+            madTotal += mad
+            if (mad < 2000L * n) still += 1
+          }
+          prev = lum
+          fi += 1
+        }
+        def r6(d: Double): Double =
+          BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        VideoQuality(m.media_id, vid.width, vid.height, nf,
+          if (nf == 0) 0.0 else r6(lumaTotal / (1000.0 * n * nf)),
+          if (nf == 0) 0.0 else r6(black.toDouble / nf),
+          if (nf < 2) 0.0 else r6(still.toDouble / (nf - 1)),
+          if (nf < 2) 0.0
+          else r6(madTotal / (1000.0 * n) / (nf - 1)))
+      }
+    }
+  }
+
   /** Frame sampling plumbing: every `stride`-th frame index of each video,
     * exploded to one row per sampled frame (a real impl slices the payload;
     * the index arithmetic and fan-out shape are what matters at scale).

@@ -135,6 +135,40 @@ class AviSpec extends SparkSpec {
       s"scaled copy matched only ${dups.head._3} of $total windows")
   }
 
+  test("videoQuality gates: a black clip reads black=1/still=1/motion=0, " +
+    "a frozen clip still=1, and a crafted 2-frame clip matches hand " +
+    "arithmetic exactly") {
+    def flat(v: Int): Array[Byte] = Array.fill[Byte](4 * 3 * 3)(v.toByte)
+    def clip(id: Long, frames: Seq[Array[Byte]]) = Multimodal.MediaItem(
+      id, "vid/0", graft.operators.Avi.encode(4, 3, 40000, frames),
+      4, 3, frames.size, 0)
+    val black = clip(1L, Seq(flat(0), flat(0), flat(0)))
+    val frozen = clip(2L, Seq(flat(200), flat(200)))
+    // f0 = rgb(10,10,10) → luma 10.000; f1 = rgb(12,13,14) → luma
+    // 299·12+587·13+114·14 = 12.815; |Δ| = 2.815 per pixel
+    val two = clip(3L, Seq(flat(10),
+      Array.tabulate[Byte](4 * 3 * 3)(i => Seq(12, 13, 14)(i % 3).toByte)))
+    val q = Multimodal.videoQuality(spark,
+        Seq(black, frozen, two).toDS())
+      .collect().map(v => v.media_id -> v).toMap
+    assert(q(1L).black_frame_ratio === 1.0 && q(1L).still_ratio === 1.0 &&
+      q(1L).motion_mean === 0.0 && q(1L).luma_mean === 0.0)
+    assert(q(2L).black_frame_ratio === 0.0 && q(2L).still_ratio === 1.0 &&
+      q(2L).motion_mean === 0.0 && q(2L).luma_mean === 200.0)
+    val t = q(3L)
+    assert(t.luma_mean === BigDecimal((10000.0 + 12815.0) / 2000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(t.black_frame_ratio === 1.0) // both frames under 16 gray levels
+    assert(t.still_ratio === 0.0 && t.motion_mean === 2.815)
+    // planted corpus: noise clips are never black or still
+    val docs = Tables.documents(spark, sf).limit(30)
+    val media = Multimodal.videoFromDocuments(spark, docs)
+    Multimodal.videoQuality(spark, media).collect().foreach { v =>
+      assert(v.black_frame_ratio === 0.0 && v.still_ratio === 0.0)
+      assert(v.motion_mean > 10.0, s"noise motion ${v.motion_mean}")
+    }
+  }
+
   test("videoFrameFeatures samples every stride-th frame of the real " +
     "decode and measures the actual pixels; counts match the metadata " +
     "planner face") {

@@ -988,6 +988,49 @@ class JavaUdfShimPropertySpec extends SparkSpec {
     }
   }
 
+  test("lastIndexOf and Math.floorDiv/floorMod translate with Java " +
+    "semantics over random operands (negatives, zero divisor, empty " +
+    "and missing needles)") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xF100D)
+    val one = Seq(Tuple1(1)).toDF("dummy")
+    // floorDiv/floorMod vs java.lang.Math — zero divisor models as NULL
+    val divCases = (0 until 80).map { _ =>
+      (rnd.nextInt(41) - 20, rnd.nextInt(9) - 4)
+    }
+    val divCols = divCases.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(expr(JavaUdfShim.translate(s"return Math.floorDiv(($a), ($b));", Nil))
+            .cast("long").as(s"d$i"),
+          expr(JavaUdfShim.translate(s"return Math.floorMod(($a), ($b));", Nil))
+            .cast("long").as(s"m$i"))
+    }
+    val row = one.select(divCols: _*).head()
+    divCases.zipWithIndex.foreach { case ((a, b), i) =>
+      val (gd, gm) = (row.fieldIndex(s"d$i"), row.fieldIndex(s"m$i"))
+      if (b == 0) assert(row.isNullAt(gd) && row.isNullAt(gm), s"($a, 0)")
+      else {
+        assert(row.getLong(gd) === Math.floorDiv(a, b).toLong, s"floorDiv($a, $b)")
+        assert(row.getLong(gm) === Math.floorMod(a, b).toLong, s"floorMod($a, $b)")
+      }
+    }
+    // lastIndexOf vs java.lang.String — small alphabet forces repeats
+    val strCases = (0 until 60).map { _ =>
+      val s = Seq.fill(rnd.nextInt(8))("ab".charAt(rnd.nextInt(2))).mkString
+      val n = Seq.fill(rnd.nextInt(3))("ab".charAt(rnd.nextInt(2))).mkString
+      (s, n)
+    } :+ (("", "")) :+ (("ab", "")) :+ (("", "a"))
+    val liCols = strCases.zipWithIndex.map { case ((s, n), i) =>
+      expr(JavaUdfShim.translate(s"""return "$s".lastIndexOf("$n");""", Nil))
+        .cast("int").as(s"l$i")
+    }
+    val lrow = one.select(liCols: _*).head()
+    strCases.zipWithIndex.foreach { case ((s, n), i) =>
+      assert(lrow.getInt(lrow.fieldIndex(s"l$i")) === s.lastIndexOf(n),
+        s"'$s'.lastIndexOf('$n')")
+    }
+  }
+
   // ── char / String-method rung (r14): ground truth is Scala's own
   // String methods, which ARE Java's ─────────────────────────────────
 
