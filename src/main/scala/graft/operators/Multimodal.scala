@@ -283,10 +283,24 @@ object Multimodal {
   def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"phashPairs: maxHamming must be in [0, 63], got $maxHamming")
+    phashChunked(hashes, maxHamming)
+      .groupBy("ci", "cv")
+      .agg(sort_array(collect_set(struct(col("media_id"), col("phash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(Dedup.pairsOf(col("ms"))).as("p"))
+      .select(col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
+        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Chunk fan-out shared by the pigeonhole machinery: one row per
+    * (chunk index, chunk value) of each hash, chunks tiling all 64 bits
+    * with widths differing by at most one.
+    */
+  private def phashChunked(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val n = maxHamming + 1
     val base = 64 / n; val rem = 64 % n
-    // chunk i covers width base(+1 for the first rem chunks); offsets
-    // accumulate so the chunks tile all 64 bits exactly
     val chunkDefs = (0 until n).scanLeft((0, 0)) { case ((off, wid), i) =>
       (off + wid, base + (if (i < rem) 1 else 0))
     }.tail
@@ -295,17 +309,40 @@ object Multimodal {
       struct(lit(i).as("ci"),
         shiftrightunsigned(col("phash"), off).bitwiseAND(lit(mask)).as("cv"))
     }
-    hashes
-      .select(col("media_id"), col("phash"), explode(array(chunks: _*)).as("ch"))
+    hashes.select(col("media_id"), col("phash"),
+      explode(array(chunks: _*)).as("ch"))
       .select(col("media_id"), col("phash"),
         col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-      .groupBy("ci", "cv")
-      .agg(sort_array(collect_set(struct(col("media_id"), col("phash")))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(Dedup.pairsOf(col("ms"))).as("p"))
-      .select(col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
-        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** STREAMING face of [[phashPairs]] — the crawl-time image-dedup gate:
+    * find every near-dup pair that INVOLVES the new micro-batch, i.e.
+    * batch×accumulated plus batch×batch, without re-pairing the
+    * accumulated corpus against itself. The batch's chunk rows equi-join
+    * the full side's (accumulated ∪ batch) on (chunk index, chunk value)
+    * — the same exact pigeonhole cover, so together with the earlier
+    * epochs' outputs the pair set over the whole corpus is complete:
+    * every pair surfaces exactly once, in the epoch its LATER member
+    * arrives (StreamingSpec proves batch-accumulated equality with the
+    * one-shot join). Scale shape: the probe side is batch-sized; the
+    * full side shuffles once on the chunk key per epoch — or bucket the
+    * accumulated hash table by (ci, cv) to make steady-state ingest
+    * shuffle-free on the big side.
+    */
+  def phashPairsIncremental(accumulated: DataFrame, batch: DataFrame,
+                            maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"phashPairsIncremental: maxHamming must be in [0, 63], got $maxHamming")
+    val probe = phashChunked(batch, maxHamming)
+      .toDF("x_id", "x_hash", "ci", "cv")
+    val full = phashChunked(accumulated.unionByName(batch), maxHamming)
+      .toDF("y_id", "y_hash", "ci", "cv")
+    probe.join(full, Seq("ci", "cv"))
+      .filter(col("x_id") =!= col("y_id") &&
+        bit_count(col("x_hash").bitwiseXOR(col("y_hash"))) <= maxHamming)
+      .select(least(col("x_id"), col("y_id")).as("a"),
+        greatest(col("x_id"), col("y_id")).as("b"),
+        bit_count(col("x_hash").bitwiseXOR(col("y_hash"))).as("hamming"))
       .distinct()
   }
 

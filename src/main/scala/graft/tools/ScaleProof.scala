@@ -148,7 +148,12 @@ object ScaleProof {
                           // design vs a single-partition window) (r14)
     "q_shard_budget",     // size-budgeted shard assignment over the same
                           // bounded bucket header (r14)
-    "q_multimodal_features") // PNG decode + pixel statistics scan (r14)
+    "q_multimodal_features", // PNG decode + pixel statistics scan (r14)
+    "q_dedup_phash",      // DCT pHash + pigeonhole hamming join (r14)
+    "q_dedup_video",      // frame-level pHash near-dup matching (r14)
+    "q_multimodal_video_quality") // AVI decode + integer luma gates (r14)
+    // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded by
+    // construction — a flat ratio would be trivial, not evidence)
 
   def main(args: Array[String]): Unit = {
     val ext = args.contains("--extended")

@@ -676,6 +676,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming image-dedup ingest: phashPairsIncremental per " +
+    "micro-batch finds each near-dup pair exactly once (in the epoch " +
+    "its later member arrives) and the union equals the one-shot join") {
+    import graft.operators.{Multimodal, Png}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    // brightness variants of every 5th image → guaranteed near-dups that
+    // land in a DIFFERENT micro-batch than their originals sometimes
+    val variants = docs
+      .select(col("doc_id"), org.apache.spark.sql.functions
+        .coalesce(col("n_chars"), org.apache.spark.sql.functions.lit(0)).cast("int"))
+      .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 5 == 0)
+      .map { case (id, nChars) =>
+        val (w, h) = Multimodal.plantDims(id, nChars)
+        val px = Array.tabulate(w * h * 3)(i =>
+          math.min(255, Multimodal.plantPixel(id, i) + 3).toByte)
+        Multimodal.MediaItem(id + 900L, s"img/${id % 3}",
+          Png.encode(w, h, 3, px), w, h, 1, 16000)
+      }
+    val corpus = media.union(variants)
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-simg").toString
+    corpus.toDF().repartition(3).write.mode("overwrite").parquet(crawlDir)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-simgstate").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft-simgpairs").toString
+    // seed an empty hash table so epoch 0 reads a valid relation
+    Multimodal.imagePHash(spark, corpus.limit(0))
+      .write.mode("overwrite").parquet(stateDir)
+    val q = spark.readStream.schema(corpus.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(crawlDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val h = Multimodal.imagePHash(spark, batch.as[Multimodal.MediaItem])
+          .localCheckpoint()
+        val acc = spark.read.parquet(stateDir)
+        // pairs involving THIS batch only; then the batch joins the state
+        Multimodal.phashPairsIncremental(acc, h, maxHamming = 3)
+          .write.mode("append").parquet(pairsDir)
+        h.write.mode("append").parquet(stateDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val streamed = pairSet(spark.read.parquet(pairsDir))
+    // exactly once: no pair may appear in two epochs' outputs
+    assert(streamed.length === streamed.distinct.length,
+      "a pair surfaced in more than one epoch")
+    val oneShot = pairSet(Multimodal.phashPairs(
+      Multimodal.imagePHash(spark, corpus), maxHamming = 3))
+    assert(streamed.toSet === oneShot.toSet && oneShot.nonEmpty)
+  }
+
   test("streaming IVF-OPQ ingest: foreachBatch ivfOpqAppend per " +
     "micro-batch — the appended composed index answers identically to " +
     "the from-scratch build through a fresh load") {
