@@ -819,4 +819,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("image feature extraction never reads document text: the planting " +
+    "scan prunes to (doc_id, n_chars); decode/measure is map-only (no " +
+    "hash shuffle anywhere)") {
+    val p = plan("q_multimodal_features")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("video quality gates are one map-only pass per clip branch: no " +
+    "hash shuffle, no join, text column pruned out of every scan") {
+    val p = plan("q_multimodal_video_quality")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("text"), p) // planting reads doc_id + n_chars only
+  }
+
+  test("image near-dup pairs are join-free: the pigeonhole buckets are a " +
+    "grouped aggregation (one chunk-keyed shuffle + the bounded distinct), " +
+    "never a pairwise join operator") {
+    val p = plan("q_dedup_phash")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
 }
