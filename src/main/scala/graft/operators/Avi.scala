@@ -66,8 +66,12 @@ object Avi {
     def list(kind: String, body: Array[Byte]): Array[Byte] =
       chunk("LIST", fourCC(kind) ++ body)
 
+    // advisory field; long arithmetic + clamp — a large frame times 10^6
+    // overflows Int and would store garbage
+    val maxBps = math.min(Int.MaxValue.toLong,
+      frameBytes.toLong * 1000000L / microSecPerFrame).toInt
     val avih = le32(microSecPerFrame) ++
-      le32(frameBytes * 1000000 / math.max(microSecPerFrame, 1)) ++ // maxBytesPerSec
+      le32(maxBps) ++                          // maxBytesPerSec
       le32(0) ++ le32(0) ++                   // padding, flags
       le32(frames.length) ++ le32(0) ++       // totalFrames, initialFrames
       le32(1) ++ le32(frameBytes) ++          // streams, suggestedBufferSize
@@ -88,7 +92,11 @@ object Avi {
 
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi", frames.map { f =>
+    // stream the frame chunks into one buffer — a fold of array ++ would
+    // recopy the accumulated movi body once per frame (quadratic)
+    val moviBuf = new java.io.ByteArrayOutputStream(
+      frames.length * (8 + frameBytes) + 16)
+    frames.foreach { f =>
       val dib = new Array[Byte](frameBytes)
       var y = 0
       while (y < height) {
@@ -102,8 +110,10 @@ object Avi {
         }
         y += 1
       }
-      chunk("00db", dib)
-    }.foldLeft(Array.emptyByteArray)(_ ++ _))
+      val c = chunk("00db", dib)
+      moviBuf.write(c, 0, c.length)
+    }
+    val movi = list("movi", moviBuf.toByteArray)
 
     val body = fourCC("AVI ") ++ hdrl ++ movi
     fourCC("RIFF") ++ le32(body.length) ++ body
