@@ -9,9 +9,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * chunk-walking, CRC-verifying decoder whose defiltered pixels feed real
   * resize/feature extraction.
   *
-  * Scope (canonical subset, fails loudly outside it): 8-bit depth, color
-  * types 0 (gray), 2 (RGB), 6 (RGBA), no interlace, no palette. All five
-  * filter types (None/Sub/Up/Average/Paeth) encode AND decode — the
+  * Scope: the encoder writes the canonical 8-bit gray/RGB/RGBA subset;
+  * the decoder additionally accepts the common web variants — PALETTE
+  * images (color type 3, 8-bit indices, PLTE→RGB with tRNS→RGBA) and
+  * 16-BIT depths (defiltered at the full pixel stride, reduced to the
+  * high byte). Interlace and sub-byte palette packing fail loudly. All
+  * five filter types (None/Sub/Up/Average/Paeth) encode AND decode — the
   * planted fixtures rotate filters per scanline so every defilter path
   * sits inside the oracle gate, not just the spec suite.
   *
@@ -124,16 +127,22 @@ object Png {
   /** REAL decoder: signature + chunk walk (every chunk CRC-verified, a
     * corrupt payload fails loudly rather than yielding garbage pixels),
     * multi-IDAT concatenation, INFLATE, and per-scanline defilter of all
-    * five filter types. Rejects interlace, palette, and non-8-bit depths
-    * by name — a silent partial decode would poison every downstream
-    * feature.
+    * five filter types. Accepts the common web variants — 8-bit
+    * gray/RGB/RGBA, PALETTE (color type 3 with 8-bit indices; PLTE
+    * expanded to RGB, tRNS to RGBA), and 16-BIT depths (defiltered at
+    * the 2-byte-per-sample stride, then reduced to the high byte, the
+    * standard 16→8 conversion). Interlace, sub-byte palette indices and
+    * other exotics reject by name — a silent partial decode would poison
+    * every downstream feature.
     */
   def decode(payload: Array[Byte]): Image = {
     require(payload.length >= 8 && signature.indices.forall(i => payload(i) == signature(i)),
       "Png.decode: not a PNG payload (bad signature)")
     val bb = java.nio.ByteBuffer.wrap(payload) // big-endian by default
     var pos = 8
-    var width = -1; var height = -1; var channels = -1
+    var width = -1; var height = -1; var colorType = -1; var depth = -1
+    var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -152,11 +161,26 @@ object Png {
         case "IHDR" =>
           width = bb.getInt(pos + 8); height = bb.getInt(pos + 12)
           require(width > 0 && height > 0, s"Png.decode: bad dims ${width}x$height")
-          require(bb.get(pos + 16) == 8, "Png.decode: only 8-bit depth supported")
-          channels = channelsOf(bb.get(pos + 17) & 0xff)
+          depth = bb.get(pos + 16) & 0xff
+          colorType = bb.get(pos + 17) & 0xff
+          require(Set(0, 2, 3, 6).contains(colorType),
+            s"Png.decode: unsupported color type $colorType " +
+              "(gray/RGB/palette/RGBA only)")
+          if (colorType == 3)
+            require(depth == 8, s"Png.decode: only 8-bit palette indices " +
+              s"supported (got $depth-bit — sub-byte packing not implemented)")
+          else
+            require(depth == 8 || depth == 16,
+              s"Png.decode: only 8/16-bit depths supported, got $depth")
           require(bb.get(pos + 18) == 0 && bb.get(pos + 19) == 0,
             "Png.decode: unknown compression/filter method")
           require(bb.get(pos + 20) == 0, "Png.decode: interlaced PNGs not supported")
+        case "PLTE" =>
+          require(len % 3 == 0 && len > 0 && len <= 768,
+            s"Png.decode: PLTE length $len is not a palette")
+          plte = payload.slice(pos + 8, pos + 8 + len)
+        case "tRNS" if colorType == 3 =>
+          trns = payload.slice(pos + 8, pos + 8 + len)
         case "IDAT" => idat.write(payload, pos + 8, len)
         case "IEND" => done = true
         case _ => // ancillary chunks (tEXt, gAMA, ...) skip
@@ -165,8 +189,14 @@ object Png {
     }
     require(width > 0, "Png.decode: missing IHDR chunk")
     require(idat.size() > 0, "Png.decode: missing IDAT chunk")
+    if (colorType == 3)
+      require(plte != null, "Png.decode: palette image without a PLTE chunk")
 
-    val rowLen = width * channels
+    // stored stream geometry: bytes per sample × samples per pixel
+    val storedChannels = if (colorType == 3) 1 else channelsOf(colorType)
+    val bytesPerSample = if (depth == 16) 2 else 1
+    val bpp = storedChannels * bytesPerSample
+    val rowLen = width * bpp
     val raw = new Array[Byte](height * (1 + rowLen))
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
@@ -181,6 +211,9 @@ object Png {
     require(off == raw.length,
       s"Png.decode: expected ${raw.length} raw bytes, inflated $off")
 
+    // defilter at the byte level with the FULL bytes-per-pixel offset
+    // (PNG filters treat the 2-byte samples of 16-bit images as bytes,
+    // with the left neighbor one whole pixel back)
     val px = new Array[Byte](height * rowLen)
     var y = 0
     while (y < height) {
@@ -190,9 +223,9 @@ object Png {
       var i = 0
       while (i < rowLen) {
         val v = raw(ro + i) & 0xff
-        val a = if (i >= channels) px(y * rowLen + i - channels) & 0xff else 0
+        val a = if (i >= bpp) px(y * rowLen + i - bpp) & 0xff else 0
         val b = if (y > 0) px((y - 1) * rowLen + i) & 0xff else 0
-        val c = if (y > 0 && i >= channels) px((y - 1) * rowLen + i - channels) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) px((y - 1) * rowLen + i - bpp) & 0xff else 0
         val x = f match {
           case 0 => v
           case 1 => v + a
@@ -205,7 +238,36 @@ object Png {
       }
       y += 1
     }
-    Image(width, height, channels, px)
+
+    if (colorType == 3) {
+      // palette expansion: index → PLTE triple; a tRNS chunk upgrades the
+      // output to RGBA (absent entries default opaque, per the spec)
+      val nEntries = plte.length / 3
+      val outCh = if (trns != null) 4 else 3
+      val out = new Array[Byte](width * height * outCh)
+      var k = 0
+      while (k < width * height) {
+        val idx = px(k) & 0xff
+        require(idx < nEntries,
+          s"Png.decode: palette index $idx outside the $nEntries-entry PLTE")
+        out(k * outCh) = plte(idx * 3)
+        out(k * outCh + 1) = plte(idx * 3 + 1)
+        out(k * outCh + 2) = plte(idx * 3 + 2)
+        if (outCh == 4)
+          out(k * outCh + 3) =
+            if (idx < trns.length) trns(idx) else 255.toByte
+        k += 1
+      }
+      Image(width, height, outCh, out)
+    } else if (depth == 16) {
+      // 16→8: keep each sample's high byte (the spec's recommended
+      // reduction; exact for images that were 8-bit scaled up by 257)
+      val n = width * height * storedChannels
+      val out = new Array[Byte](n)
+      var k = 0
+      while (k < n) { out(k) = px(k * 2); k += 1 }
+      Image(width, height, storedChannels, out)
+    } else Image(width, height, storedChannels, px)
   }
 
   /** REAL bilinear resize on decoded pixels (replaces the r13 byte-prefix
