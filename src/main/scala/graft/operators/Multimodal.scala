@@ -727,9 +727,11 @@ object Multimodal {
     val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var pos = 12
-    var rate = -1
-    var out: Array[Short] = null
-    while (pos + 8 <= payload.length && (rate < 0 || out == null)) {
+    var rate = -1; var fmtCode = -1; var nCh = -1; var bits = -1
+    var dataPos = -1; var dataLen = -1
+    // walk the WHOLE chunk list before decoding: the sample conversion
+    // depends on fmt fields, and RIFF does not promise fmt-before-data
+    while (pos + 8 <= payload.length && (rate < 0 || dataPos < 0)) {
       val tag = new String(payload, pos, 4, "US-ASCII")
       val len = bb.getInt(pos + 4)
       // long arithmetic: a crafted len near Int.MaxValue would wrap
@@ -738,16 +740,37 @@ object Multimodal {
         s"wavDecode: chunk '$tag' overruns the payload")
       tag match {
         case "fmt " =>
-          require(bb.getShort(pos + 8) == 1, "wavDecode: not PCM")
-          require(bb.getShort(pos + 22) == 16, "wavDecode: not 16-bit")
+          require(len >= 16, "wavDecode: fmt chunk too short")
+          fmtCode = bb.getShort(pos + 8)
+          nCh = bb.getShort(pos + 10)
           rate = bb.getInt(pos + 12)
-        case "data" =>
-          out = Array.tabulate(len / 2)(i => bb.getShort(pos + 8 + i * 2))
+          bits = bb.getShort(pos + 22)
+        case "data" => dataPos = pos + 8; dataLen = len
         case _ => // skip unknown chunks (LIST, fact, ...)
       }
       pos += 8 + len + (len & 1) // RIFF chunks pad to even
     }
-    require(rate > 0 && out != null, "wavDecode: missing fmt/data chunk")
+    require(rate > 0, "wavDecode: missing fmt chunk")
+    require(dataPos >= 0, "wavDecode: missing data chunk")
+    // interleaved multi-channel data read as mono would halve the
+    // effective rate and shuffle channels into the signal — reject loudly
+    require(nCh == 1, s"wavDecode: $nCh-channel audio not supported (mono only)")
+    val out = (fmtCode, bits) match {
+      case (1, 16) => // canonical PCM16 (what wavFromSamples writes)
+        Array.tabulate(dataLen / 2)(i => bb.getShort(dataPos + i * 2))
+      case (1, 8) => // PCM8 is UNSIGNED, centered at 128 → scale to 16-bit
+        Array.tabulate(dataLen)(i =>
+          (((payload(dataPos + i) & 0xff) - 128) << 8).toShort)
+      case (3, 32) => // IEEE float: scale by 2^15, round half-up, clamp
+        Array.tabulate(dataLen / 4) { i =>
+          val f = java.lang.Float.intBitsToFloat(bb.getInt(dataPos + i * 4))
+          math.max(-32768.0, math.min(32767.0,
+            math.floor(f * 32768.0 + 0.5))).toShort
+        }
+      case _ => throw new IllegalArgumentException(
+        s"wavDecode: format code $fmtCode at $bits bits not supported " +
+          "(PCM 8/16-bit and IEEE float32 only)")
+    }
     (rate, out)
   }
 

@@ -146,6 +146,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavDecode accepts the common web variants — unsigned PCM8 and " +
+    "IEEE float32 — and rejects stereo/exotic formats loudly") {
+    def wavRaw(fmtCode: Int, nCh: Int, rate: Int, bits: Int,
+               data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(44 + data.length + (data.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")); out.putInt(36 + data.length)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")); out.putInt(16)
+      out.putShort(fmtCode.toShort); out.putShort(nCh.toShort)
+      out.putInt(rate); out.putInt(rate * nCh * bits / 8)
+      out.putShort((nCh * bits / 8).toShort); out.putShort(bits.toShort)
+      out.put("data".getBytes("US-ASCII")); out.putInt(data.length); out.put(data)
+      out.array()
+    }
+    // PCM8 is unsigned, 128-centered → scaled to 16-bit by << 8
+    val (r8, s8) = Multimodal.wavDecode(wavRaw(1, 1, 8000, 8,
+      Array[Byte](0, 128.toByte, 255.toByte, 200.toByte)))
+    assert(r8 === 8000 && s8.toSeq === Seq[Short](-32768, 0, 32512, 18432))
+    // float32: scale 2^15, round half-up, clamp to 16-bit range
+    val fdata = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0.5f, -1.0f, 2.0f, 1e-5f).foreach(fdata.putFloat)
+    val (rf, sf32) = Multimodal.wavDecode(wavRaw(3, 1, 44100, 32, fdata.array()))
+    assert(rf === 44100 && sf32.toSeq === Seq[Short](16384, -32768, 32767, 0))
+    // stereo would silently interleave channels into the signal — reject
+    val st = intercept[IllegalArgumentException] {
+      Multimodal.wavDecode(wavRaw(1, 2, 16000, 16, new Array[Byte](8)))
+    }
+    assert(st.getMessage.contains("channel"))
+    // exotic format codes reject by name
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.wavDecode(wavRaw(2, 1, 16000, 16, new Array[Byte](8)))
+    }
+    assert(ex.getMessage.contains("format code"))
+  }
+
   test("audio features measure a crafted clip exactly: duration, RMS, " +
     "peak, silence and clipping ratios") {
     // 8 samples: 4 silent (|x| < 328), 2 clipped (|x| >= 32440), peak 32767
