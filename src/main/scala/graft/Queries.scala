@@ -2581,6 +2581,33 @@ object Queries {
           .orderBy("cid")
       }),
 
+    QueryDef("q_ann_drift_stream",
+      // the STREAMING face of the drift monitor, inside the oracle gate:
+      // the odd-id ingest epoch splits into three deterministic
+      // micro-batches (vec_id mod 6 ∈ {1, 3, 5}); each contributes one
+      // bounded ivfSq8DriftSums frame (exact counts + associative
+      // DECIMAL sums) and driftStatsFinalize divides ONCE over their
+      // union. The oracle is the SAME fixture as q_ann_ivf_sq8_drift —
+      // accumulated stream stats must be BIT-EQUAL to the one-shot batch
+      // monitor, the composition guarantee StreamingSpec also proves
+      // over a live foreachBatch crawl.
+      Some("""SELECT cid, n, mean_cos, clamp_frac
+              FROM parquet_scan('{FIX}/_fixture_ivfsq8drift/*.parquet')
+              ORDER BY cid"""),
+      (s, d) => {
+        prep(s)
+        val emb = t(s, d, "embeddings")
+        val dir = tmpDir("graft-drift-stream")
+        Similarity.ivfSq8Train(s, emb.filter(col("vec_id") % 2 === 0),
+            nlist = 16, iters = 1)
+          .save(dir.toString)
+        val idx = Similarity.ivfSq8Load(s, dir.toString)
+        val sums = Seq(1, 3, 5).map(m =>
+            Similarity.ivfSq8DriftSums(idx, emb.filter(col("vec_id") % 6 === m)))
+          .reduce(_ unionByName _)
+        Similarity.driftStatsFinalize(sums).orderBy("cid")
+      }),
+
     QueryDef("q_ann_ivfpq_drift",
       // drift monitor for the IVF×PQ composition: same even/odd split;
       // the PQ-specific signal is mean_qcos — each epoch vector's cosine
