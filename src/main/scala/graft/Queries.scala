@@ -6653,6 +6653,79 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    QueryDef("q_multimodal_jpeg",
+      // the SECOND image container goes stub-free: the same planted noise
+      // pixels wrapped in a REAL baseline JPEG (T.81 Huffman, pinned
+      // FDCT/IDCT, per-id gray/4:4:4/4:2:0, quality 35..95, DRI/RST on
+      // every 4th id), decoded by the real marker-walking decoder via the
+      // container sniff, then the SAME pixel-statistics pass as PNG. The
+      // replica re-derives decode∘encode as a pure pixel→pixel function
+      // (color convert → pad → FDCT → quant → dequant → IDCT → upsample)
+      // with NO entropy coding — agreement proves the Huffman/marker
+      // round trip is the identity on quantized coefficients.
+      Some("""SELECT media_id, kind, width, height, channels, mean_r,
+                     mean_g, mean_b, var_r, var_g, var_b, luma_mean,
+                     edge_density
+              FROM parquet_scan('{FIX}/_fixture_jpegfeat/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Multimodal.jpegMediaFromDocuments(s, t(s, d, "documents"))
+        Multimodal.extractFeatures(s, media).toDF()
+          .drop("n_bytes")
+          .orderBy("media_id")
+      }),
+
+    QueryDef("q_multimodal_image_jpeg",
+      // byte-exact JPEG decode pinning (the q_multimodal_image_png
+      // analog): MD5 over the decoded pixel array vs the replica's MD5
+      // over its closed-form round-trip pixels — feature means could mask
+      // compensating byte errors; a digest can't
+      Some("""SELECT media_id, width, height, channels, pixel_md5
+              FROM parquet_scan('{FIX}/_fixture_jpegpix/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Multimodal.jpegMediaFromDocuments(s, t(s, d, "documents"))
+        import s.implicits._
+        media.map { m =>
+          val img = Multimodal.decodeImage(m.payload)
+          (m.media_id, img.width, img.height, img.channels,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(img.pixels).map("%02x".format(_)).mkString)
+        }.toDF("media_id", "width", "height", "channels", "pixel_md5")
+          .orderBy("media_id")
+      }),
+
+    QueryDef("q_dedup_phash_cross",
+      // CROSS-CONTAINER near-dup detection — the real crawl case: the
+      // same image saved once as PNG and once as JPEG (quality 90, 4:4:4,
+      // id + 10^7) must pair up. One hash pass over the mixed-container
+      // corpus (decodeImage sniffs per payload), the exact pigeonhole
+      // hamming join at the measured cross-container radius. Replica:
+      // brute-force pairs over pHashRef(planted) ∪ pHashRef(closed-form
+      // JPEG round trip) — recall exactness, not approximation.
+      Some("""SELECT a, b, hamming
+              FROM parquet_scan('{FIX}/_fixture_phashcross/*.parquet')
+              ORDER BY a, b"""),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val media = Multimodal.mediaFromDocuments(s, docs)
+        val jpegTwins = docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+          .as[(Long, Int)].mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val (w, h) = Multimodal.plantDims(id, nChars)
+              val px = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < px.length) { px(i) = Multimodal.plantPixel(id, i).toByte; i += 1 }
+              Multimodal.MediaItem(id + 10000000L, s"jpg/${id % 3}",
+                Jpeg.encode(w, h, 3, px, quality = 90), w, h, 1, 16000)
+            }
+          }
+        val hashes = Multimodal.imagePHash(s, media.union(jpegTwins))
+        Multimodal.phashPairs(hashes, maxHamming = 10).orderBy("a", "b")
+      }),
+
     QueryDef("q_dedup_video",
       // VIDEO near-dup detection: per-sampled-frame pHash over the real
       // AVI decode, frame-level pigeonhole pair join, clip pairs where

@@ -1778,15 +1778,18 @@ object Verify {
           (id, w, h, px)
         }
     // the pinned feature arithmetic (row-major accumulation, 6-dp LAST):
-    // (mean_r, mean_g, mean_b, var_r, var_g, var_b, luma_mean, edge_density)
-    def imgStats(w: Int, h: Int, px: Array[Byte]): Array[Double] = {
+    // (mean_r, mean_g, mean_b, var_r, var_g, var_b, luma_mean, edge_density);
+    // ch == 1 broadcasts the one gray channel into all three slots (the
+    // engine's documented contract)
+    def imgStats(w: Int, h: Int, px: Array[Byte], ch: Int = 3): Array[Double] = {
       val n = w * h
       val sum = new Array[Double](3); val sumSq = new Array[Double](3)
       var lumaSum = 0.0
       val luma = new Array[Int](n)
       var i = 0
       while (i < n) {
-        val r = px(i * 3) & 0xff; val g = px(i * 3 + 1) & 0xff; val b = px(i * 3 + 2) & 0xff
+        def at(slot: Int) = if (ch == 1) px(i) & 0xff else px(i * ch + slot) & 0xff
+        val r = at(0); val g = at(1); val b = at(2)
         sum(0) += r; sum(1) += g; sum(2) += b
         sumSq(0) += r.toDouble * r; sumSq(1) += g.toDouble * g; sumSq(2) += b.toDouble * b
         val lm = 299 * r + 587 * g + 114 * b
@@ -1955,6 +1958,215 @@ object Verify {
       val rows = all.map(a => (a._1, find(a._1)))
       rows.toDF("media_id", "group_id").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_phashgroups")
+    }
+    // ── JPEG replica: decode∘encode re-derived as a pure pixel→pixel
+    // function per Jpeg.scala's pinned determinism contract — color
+    // convert, optional 4:2:0 downsample, MCU-grid padding, FDCT →
+    // quantize (Annex-K tables under IJG quality scaling) → dequantize →
+    // IDCT per 8×8 block, replication upsample, convert back. NO entropy
+    // coding and NO markers here, so oracle agreement proves the engine's
+    // Huffman/DRI/marker layer is the identity on quantized coefficients.
+    val jBaseL = Array(
+      16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+      14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+      18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+      49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99)
+    val jBaseC = Array(
+      17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+      24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99)
+    def jpegRoundTripRef(w: Int, h: Int, ch: Int, px: Array[Byte],
+                         quality: Int, subsample: Boolean): Array[Byte] = {
+      def clamp(v: Int) = math.max(0, math.min(255, v))
+      val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+      def qt(base: Array[Int]) =
+        base.map(b => math.max(1, math.min(255, (b * scale + 50) / 100)))
+      val qL = qt(jBaseL); val qC = qt(jBaseC)
+      val n = w * h
+      val yP = new Array[Int](n)
+      val cbP = new Array[Int](n); val crP = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        if (ch == 1) yP(i) = px(i) & 0xff
+        else {
+          val r = px(i * 3) & 0xff; val g = px(i * 3 + 1) & 0xff; val b = px(i * 3 + 2) & 0xff
+          yP(i) = clamp(math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).toInt)
+          cbP(i) = clamp(math.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5).toInt)
+          crP(i) = clamp(math.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5).toInt)
+        }
+        i += 1
+      }
+      val sub = subsample && ch == 3
+      def down(src: Array[Int]): (Array[Int], Int, Int) = {
+        val cw = (w + 1) / 2; val chh = (h + 1) / 2
+        val out = new Array[Int](cw * chh)
+        var cy = 0
+        while (cy < chh) {
+          var cx = 0
+          while (cx < cw) {
+            val x0 = 2 * cx; val x1 = math.min(2 * cx + 1, w - 1)
+            val y0 = 2 * cy; val y1 = math.min(2 * cy + 1, h - 1)
+            out(cy * cw + cx) = (src(y0 * w + x0) + src(y0 * w + x1) +
+              src(y1 * w + x0) + src(y1 * w + x1) + 2) / 4
+            cx += 1
+          }
+          cy += 1
+        }
+        (out, cw, chh)
+      }
+      // (plane, pw, ph, hf, vf, quant)
+      val comps: Seq[(Array[Int], Int, Int, Int, Int, Array[Int])] =
+        if (ch == 1) Seq((yP, w, h, 1, 1, qL))
+        else if (!sub) Seq((yP, w, h, 1, 1, qL), (cbP, w, h, 1, 1, qC), (crP, w, h, 1, 1, qC))
+        else {
+          val (cb, cw, chh) = down(cbP); val (cr, _, _) = down(crP)
+          Seq((yP, w, h, 2, 2, qL), (cb, cw, chh, 1, 1, qC), (cr, cw, chh, 1, 1, qC))
+        }
+      val hMax = comps.map(_._4).max; val vMax = comps.map(_._5).max
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      val outPlanes = comps.map { case (plane, pw, ph, hf, vf, q) =>
+        val padW = mcusX * hf * 8; val padH = mcusY * vf * 8
+        val out = new Array[Int](padW * padH)
+        var bR = 0
+        while (bR < padH / 8) {
+          var bC = 0
+          while (bC < padW / 8) {
+            val coefs = new Array[Int](64)
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                var sum = 0.0
+                var y = 0
+                while (y < 8) {
+                  val cy = math.cos((2 * y + 1) * v * math.Pi / 16)
+                  var x = 0
+                  while (x < 8) {
+                    val s = plane(math.min(bR * 8 + y, ph - 1) * pw +
+                      math.min(bC * 8 + x, pw - 1)) - 128
+                    sum += s * cy * math.cos((2 * x + 1) * u * math.Pi / 16)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val au = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+                val av = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+                val c = 0.25 * au * av * sum
+                coefs(v * 8 + u) = math.floor(c / q(v * 8 + u) + 0.5).toInt
+                u += 1
+              }
+              v += 1
+            }
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var sum = 0.0
+                var vv = 0
+                while (vv < 8) {
+                  val cy = math.cos((2 * y + 1) * vv * math.Pi / 16)
+                  var u = 0
+                  while (u < 8) {
+                    val au = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+                    val av = if (vv == 0) 1.0 / math.sqrt(2.0) else 1.0
+                    val dq = coefs(vv * 8 + u).toDouble * q(vv * 8 + u)
+                    sum += 0.25 * au * av * dq * math.cos((2 * x + 1) * u * math.Pi / 16) * cy
+                    u += 1
+                  }
+                  vv += 1
+                }
+                out((bR * 8 + y) * padW + bC * 8 + x) = clamp(math.floor(sum + 128.5).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            bC += 1
+          }
+          bR += 1
+        }
+        (out, padW, hf, vf)
+      }
+      val outPx = new Array[Byte](w * h * ch)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (ch == 1) outPx(y * w + x) = outPlanes(0)._1(y * outPlanes(0)._2 + x).toByte
+          else {
+            def samp(ci: Int): Int = {
+              val (pl, padW, hf, vf) = outPlanes(ci)
+              pl((y * vf / vMax) * padW + (x * hf / hMax))
+            }
+            val yv = samp(0); val cb = samp(1); val cr = samp(2)
+            val o = (y * w + x) * 3
+            outPx(o) = clamp(math.floor(yv + 1.402 * (cr - 128) + 0.5).toInt).toByte
+            outPx(o + 1) = clamp(math.floor(
+              yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt).toByte
+            outPx(o + 2) = clamp(math.floor(yv + 1.772 * (cb - 128) + 0.5).toInt).toByte
+          }
+          x += 1
+        }
+        y += 1
+      }
+      outPx
+    }
+    // the planted JPEG parameters (Multimodal.jpegPlantParams spec):
+    // gray for id%3==0 else RGB; 4:2:0 when id%3==2; quality 35+(id%13)·5;
+    // (the restart interval affects only the wire, never the pixels)
+    def jpegPlant(spark: SparkSession): IndexedSeq[(Long, Int, Int, Int, Array[Byte])] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        .as[(Long, Int)].collect().sortBy(_._1).toIndexedSeq
+        .map { case (id, nChars) =>
+          val w = 4 + (id % 29).toInt; val h = 3 + (nChars % 23)
+          val ch = if (id % 3 == 0) 1 else 3
+          val px = Array.tabulate(w * h * ch) { i =>
+            var z = id * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+            z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+            ((z >>> 40) & 0xff).toByte
+          }
+          val quality = 35 + (id % 13).toInt * 5
+          val decoded = jpegRoundTripRef(w, h, ch, px, quality, subsample = id % 3 == 2)
+          (id, w, h, ch, decoded)
+        }
+    fixture("_fixture_jpegfeat") {
+      val rows = jpegPlant(spark).map { case (id, w, h, ch, px) =>
+        val f = imgStats(w, h, px, ch)
+        (id, s"jpg/${id % 3}", w, h, ch,
+          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+      rows.toDF("media_id", "kind", "width", "height", "channels",
+          "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
+          "luma_mean", "edge_density").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_jpegfeat")
+    }
+    fixture("_fixture_jpegpix") {
+      val rows = jpegPlant(spark).map { case (id, w, h, ch, px) =>
+        (id, w, h, ch, java.security.MessageDigest.getInstance("MD5")
+          .digest(px).map("%02x".format(_)).mkString)
+      }
+      rows.toDF("media_id", "width", "height", "channels", "pixel_md5").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_jpegpix")
+    }
+    fixture("_fixture_phashcross") {
+      // q_dedup_phash_cross's corpus: PNG originals ∪ JPEG twins of the
+      // SAME planted RGB pixels (quality 90, 4:4:4, id + 10^7); pairs by
+      // brute force at hamming ≤ 10 — the pigeonhole join must find
+      // exactly these
+      val base = imgPlant(spark).map { case (id, w, h, px) => (id, pHashRef(w, h, px)) }
+      val twins = imgPlant(spark).map { case (id, w, h, px) =>
+        val jpx = jpegRoundTripRef(w, h, 3, px, 90, subsample = false)
+        (id + 10000000L, pHashRef(w, h, jpx))
+      }
+      val all = (base ++ twins).sortBy(_._1)
+      val pairs = for {
+        i <- all.indices; j <- (i + 1) until all.size
+        d = java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) if d <= 10
+      } yield (all(i)._1, all(j)._1, d)
+      pairs.toDF("a", "b", "hamming").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_phashcross")
     }
     fixture("_fixture_videoqual") {
       // per-clip quality replica: exact integer luma-millis accumulation

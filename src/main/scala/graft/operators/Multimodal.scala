@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * transforms.
   *
   * Both decodable tiers are STUB-FREE with the JDK alone: audio is real
-  * RIFF/WAVE parse + 16-bit PCM arithmetic, images are a real PNG codec
-  * ([[Png]] — DEFLATE via `java.util.zip`, all five scanline filters,
-  * CRC-verified chunks) feeding real bilinear resize and real pixel
-  * statistics. At 100 TB the payloads stay columnar in parquet (no driver
-  * round-trip) and every transform is `mapPartitions`, so one task decodes
-  * a whole row-group batch and the bytes never leave the executors.
+  * RIFF/WAVE parse + 16-bit PCM arithmetic, images are real codecs for
+  * BOTH dominant crawl containers — PNG ([[Png]]: DEFLATE via
+  * `java.util.zip`, all five scanline filters, CRC-verified chunks) and
+  * baseline JPEG ([[Jpeg]]: T.81 Huffman + pinned DCT, 4:2:0/4:4:4,
+  * restart markers) — sniffed per payload by [[decodeImage]] and feeding
+  * the same real bilinear resize and pixel statistics. At 100 TB the
+  * payloads stay columnar in parquet (no driver round-trip) and every
+  * transform is `mapPartitions`, so one task decodes a whole row-group
+  * batch and the bytes never leave the executors.
   */
 object Multimodal {
 
@@ -46,6 +49,23 @@ object Multimodal {
   case class ResizedItem(media_id: Long, kind: String, payload: Array[Byte],
                          width: Int, height: Int)
 
+  /** Container-agnostic image decode: sniffs the payload magic — PNG
+    * (`89 50`) or JPEG (SOI `FF D8`) — so PNG and JPEG columns mix freely
+    * in one media table, the way a real crawl's image bytes do. Anything
+    * else rejects by name rather than guessing.
+    */
+  def decodeImage(payload: Array[Byte]): Png.Image = {
+    require(payload != null && payload.length >= 2,
+      "decodeImage: payload too short to carry an image container")
+    if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte) Png.decode(payload)
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+      Jpeg.decode(payload)
+    else throw new IllegalArgumentException(
+      f"decodeImage: unrecognized image container (leading bytes " +
+        f"0x${payload(0) & 0xff}%02X${payload(1) & 0xff}%02X; " +
+        "PNG and baseline JPEG supported)")
+  }
+
   /** Aspect-fit target size inside a maxW×maxH box — never upscales,
     * never collapses below 1×1 (degenerate source dims count as 1).
     */
@@ -67,7 +87,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val img = Png.decode(m.payload)
+        val img = decodeImage(m.payload)
         val (w, h) = fitBox(img.width, img.height, maxW, maxH)
         val fitted = if (w == img.width && h == img.height) img
                      else Png.resizeBilinear(img, w, h)
@@ -119,7 +139,46 @@ object Multimodal {
       }
   }
 
-  /** REAL per-image feature extraction: PNG decode then one fixed-order
+  /** JPEG planting parameters (spec for the fixture replica): grayscale
+    * for doc_id % 3 == 0 else RGB; 4:2:0 subsampling when doc_id % 3 == 2
+    * (so 4:4:4 color and gray both stay covered); quality
+    * 35 + (doc_id % 13)·5 (35..95, sweeping the quant-table scaling);
+    * restart interval 2 MCUs when doc_id % 4 == 0 (so DRI/RST sits
+    * inside the oracle gate). Returns (channels, subsample, quality,
+    * restartMcus).
+    */
+  def jpegPlantParams(docId: Long): (Int, Boolean, Int, Int) = (
+    if (docId % 3 == 0) 1 else 3,
+    docId % 3 == 2,
+    35 + (docId % 13).toInt * 5,
+    if (docId % 4 == 0) 2 else 0)
+
+  /** The JPEG face of [[mediaFromDocuments]]: the same planted noise
+    * pixels ([[plantPixel]] / [[plantDims]]) wrapped in a REAL baseline
+    * JPEG container with per-id channel/sampling/quality/restart variety
+    * ([[jpegPlantParams]]) — every marker and entropy path the encoder
+    * can emit sits inside the oracle gate. Downstream operators don't
+    * know or care: [[decodeImage]] sniffs the container.
+    */
+  def jpegMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .as[(Long, Int)].mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val (w, h) = plantDims(id, nChars)
+          val (ch, sub, quality, rst) = jpegPlantParams(id)
+          val px = new Array[Byte](w * h * ch)
+          var i = 0
+          while (i < px.length) { px(i) = plantPixel(id, i).toByte; i += 1 }
+          MediaItem(id, s"jpg/${id % 3}",
+            Jpeg.encode(w, h, ch, px, quality, sub, rst),
+            w, h, (id % 30 + 1).toInt, 16000)
+        }
+      }
+  }
+
+  /** REAL per-image feature extraction: container-sniffed decode
+    * (PNG or baseline JPEG via [[decodeImage]]) then one fixed-order
     * row-major pass for the channel statistics and one integer-luma pass
     * for the edge density (the `mapPartitions` shape amortizes any codec
     * state per partition, not per row).
@@ -128,7 +187,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val img = Png.decode(m.payload)
+        val img = decodeImage(m.payload)
         val f = imageStats(img)
         ImageFeatures(m.media_id, m.kind, img.width, img.height, img.channels,
           m.payload.length,
@@ -208,7 +267,7 @@ object Multimodal {
   def imagePHash(spark: SparkSession, media: Dataset[MediaItem]): DataFrame = {
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { m => (m.media_id, pHashOf(Png.decode(m.payload))) }
+      it.map { m => (m.media_id, pHashOf(decodeImage(m.payload))) }
     }.toDF("media_id", "phash")
   }
 

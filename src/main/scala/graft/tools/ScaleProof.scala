@@ -151,7 +151,9 @@ object ScaleProof {
     "q_multimodal_features", // PNG decode + pixel statistics scan (r14)
     "q_dedup_phash",      // DCT pHash + pigeonhole hamming join (r14)
     "q_dedup_video",      // frame-level pHash near-dup matching (r14)
-    "q_multimodal_video_quality") // AVI decode + integer luma gates (r14)
+    "q_multimodal_video_quality", // AVI decode + integer luma gates (r14)
+    "q_multimodal_jpeg",  // baseline JPEG decode + pixel statistics (r14)
+    "q_dedup_phash_cross") // mixed-container pigeonhole at radius 10 (r14)
     // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded by
     // construction — a flat ratio would be trivial, not evidence)
 

@@ -123,6 +123,53 @@ class MultimodalSpec extends SparkSpec {
     assert(got === want && want.exists(p => p._1 == 10L && p._2 == 900L))
   }
 
+  test("JPEG tier: the container sniff decodes planted baseline JPEGs " +
+    "(gray/4:4:4/4:2:0, quality sweep, restart markers); a JPEG q90 twin " +
+    "of a PNG image stays inside the cross-container pHash radius") {
+    val docs = Tables.documents(spark, sf).limit(60)
+    val media = Multimodal.jpegMediaFromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length === 60)
+    feats.foreach { f =>
+      assert(f.channels === (if (f.media_id % 3 == 0) 1 else 3), s"id ${f.media_id}")
+      assert(f.mean_r >= 0 && f.mean_r <= 255 && f.var_r >= 0)
+    }
+    // resize round-trips through the sniff too (JPEG in → PNG out)
+    val resized = Multimodal.resize(spark, media, 8, 8).collect()
+    assert(resized.forall(r => r.width <= 8 && r.height <= 8))
+    // cross-container twins: the same planted pixels as PNG and as JPEG
+    // q90 4:4:4 must hash within the pigeonhole radius the dedup query
+    // uses, while unrelated noise images stay ~32 bits apart
+    val png = Multimodal.mediaFromDocuments(spark, docs)
+    val twins = docs
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .as[(Long, Int)].collect().toSeq.map { case (id, nChars) =>
+        val (w, h) = Multimodal.plantDims(id, nChars)
+        val px = Array.tabulate(w * h * 3)(i => Multimodal.plantPixel(id, i).toByte)
+        Multimodal.MediaItem(id + 10000000L, "jpg/x",
+          graft.operators.Jpeg.encode(w, h, 3, px, quality = 90), w, h, 1, 16000)
+      }
+    val hashes = Multimodal.imagePHash(spark, png.union(twins.toDS()))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = hashes.keys.filter(_ < 10000000L).toSeq.sorted
+    val dists = ids.map(id => java.lang.Long.bitCount(hashes(id) ^ hashes(id + 10000000L)))
+    info(s"cross-container twin hamming: max=${dists.max} " +
+      f"mean=${dists.sum.toDouble / dists.size}%.2f " +
+      s"histo=${dists.groupBy(identity).toSeq.sortBy(_._1).map(p => s"${p._1}:${p._2.size}").mkString(",")}")
+    // tiny noise images are pHash-hostile (a 4×3 block artifact dominates
+    // the 32×32 upscale), so the claim is distributional: ≥ 90% of twins
+    // inside the radius-10 dedup gate, median at 0-2, never a wholesale
+    // drift — while unrelated noise stays ~32 bits apart
+    assert(dists.count(_ <= 10) * 10 >= dists.size * 9,
+      s"only ${dists.count(_ <= 10)}/${dists.size} twins within hamming 10")
+    assert(dists.sorted.apply(dists.size / 2) <= 2,
+      s"median twin distance ${dists.sorted.apply(dists.size / 2)}")
+    assert(dists.max < 24, s"a twin drifted ${dists.max} bits — decode suspect")
+    val unrelated = ids.sliding(2).collect { case Seq(a, b) =>
+      java.lang.Long.bitCount(hashes(a) ^ hashes(b)) }.toSeq
+    assert(unrelated.min > 10, s"unrelated images only ${unrelated.min} bits apart")
+  }
+
   test("WAV container round-trips: encode→decode is the identity on " +
     "samples and rate; unknown chunks skip; junk bytes reject loudly") {
     val xs = Array[Short](0, 1, -1, 32767, -32768, 100, -12345)

@@ -845,4 +845,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
+
+  test("JPEG feature extraction keeps the PNG tier's shape: pruned " +
+    "(doc_id, n_chars) scan, map-only decode/measure, no shuffle") {
+    val p = plan("q_multimodal_jpeg")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("cross-container near-dup pairs stay join-free at the wider " +
+    "radius: 11 pigeonhole chunks are still one grouped aggregation") {
+    val p = plan("q_dedup_phash_cross")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
 }
