@@ -6867,6 +6867,47 @@ object Queries {
         val media = Multimodal.videoFromDocuments(s, t(s, d, "documents"))
         Multimodal.videoFrameFeatures(s, media, 2).toDF()
           .orderBy("media_id", "frame_idx")
+      }),
+
+    QueryDef("q_multimodal_gif",
+      // the THIRD image container: planted palette indices in a REAL
+      // GIF89a (LZW with sub-block framing, palette sizes 4..256,
+      // interlace every 5th id, a transparent index every 3rd — those
+      // pixels show the background color on a first frame), decoded
+      // through the container sniff into the SAME feature pass. The
+      // replica replays palette-lookup + background/transparency in plain
+      // Scala with no GIF round trip — GIF is lossless, so agreement is
+      // EXACT and proves LZW/interlace/framing end to end.
+      Some("""SELECT media_id, kind, width, height, channels, mean_r,
+                     mean_g, mean_b, var_r, var_g, var_b, luma_mean,
+                     edge_density
+              FROM parquet_scan('{FIX}/_fixture_giffeat/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Multimodal.gifMediaFromDocuments(s, t(s, d, "documents"))
+        Multimodal.extractFeatures(s, media).toDF()
+          .drop("n_bytes")
+          .orderBy("media_id")
+      }),
+
+    QueryDef("q_multimodal_gif_video",
+      // ANIMATED GIF as a video source: multi-frame clips with sub-rect
+      // draws, all four disposal methods and per-frame transparency
+      // compose into full RGB frames (the pinned contract in Gif.scala),
+      // then flow through the SAME per-frame feature operator the AVI
+      // tier uses (decodeVideo sniffs the container). The replica replays
+      // the composition from the planted formulas — canvas, draw, snap,
+      // dispose — with no GIF round trip; agreement pins the whole
+      // disposal/transparency state machine.
+      Some("""SELECT media_id, frame_idx, width, height, n_frames, mean_r,
+                     mean_g, mean_b, var_r, var_g, var_b, luma_mean,
+                     edge_density
+              FROM parquet_scan('{FIX}/_fixture_gifvideo/*.parquet')
+              ORDER BY media_id, frame_idx"""),
+      (s, d) => {
+        val media = Multimodal.gifVideoFromDocuments(s, t(s, d, "documents"))
+        Multimodal.videoFrameFeatures(s, media, 1).toDF()
+          .orderBy("media_id", "frame_idx")
       })
   )
 

@@ -2168,6 +2168,99 @@ object Verify {
       pairs.toDF("a", "b", "hamming").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_phashcross")
     }
+    // ── GIF replicas: GIF is lossless on palette indices, so the replica
+    // replays palette lookup + the pinned composition contract (canvas =
+    // background color; draw non-transparent indices; snapshot; dispose
+    // 0/1 keep, 2 rect→background, 3 restore-previous) straight from the
+    // planted formulas — no GIF round trip. Agreement proves LZW,
+    // sub-block framing, interlace and the composition state machine.
+    def gifPalette(id: Long): (Int, Array[Byte], Int) = {
+      val ps = Seq(4, 16, 64, 256)((id % 4).toInt)
+      def pp(a: Long, i: Long): Int = {
+        var z = a * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+        ((z >>> 40) & 0xff).toInt
+      }
+      val pal = Array.tabulate(ps * 3)(k => pp(id + 9000000L, k).toByte)
+      (ps, pal, pp(id + 13, 0) % ps)
+    }
+    fixture("_fixture_giffeat") {
+      def pp(a: Long, i: Long): Int = {
+        var z = a * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+        ((z >>> 40) & 0xff).toInt
+      }
+      val rows = imgPlant(spark).map { case (id, w, h, _) =>
+        val (ps, pal, bg) = gifPalette(id)
+        val trans = if (id % 3 == 1) pp(id + 77, 0) % ps else -1
+        val rgb = Array.tabulate(w * h * 3) { k =>
+          val i = k / 3; val c = k % 3
+          val idx0 = pp(id, i) % ps
+          val idx = if (idx0 == trans) bg else idx0
+          pal(idx * 3 + c)
+        }
+        val f = imgStats(w, h, rgb)
+        (id, s"gif/${id % 3}", w, h, 3,
+          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+      rows.toDF("media_id", "kind", "width", "height", "channels",
+          "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
+          "luma_mean", "edge_density").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_giffeat")
+    }
+    fixture("_fixture_gifvideo") {
+      def pp(a: Long, i: Long): Int = {
+        var z = a * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+        ((z >>> 40) & 0xff).toInt
+      }
+      val rows = imgPlant(spark).flatMap { case (id, w, h, _) =>
+        val (ps, pal, bg) = gifPalette(id)
+        val n = 2 + (id % 4).toInt
+        val canvas = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          canvas(i * 3) = pal(bg * 3); canvas(i * 3 + 1) = pal(bg * 3 + 1)
+          canvas(i * 3 + 2) = pal(bg * 3 + 2)
+          i += 1
+        }
+        (0 until n).map { f =>
+          val (left, top) =
+            if (f == 0) (0, 0)
+            else (f % math.max(w / 2, 1), f % math.max(h / 2, 1))
+          val fw = w - left; val fh = h - top
+          val trans = if ((id + f) % 3 == 0) pp(id + f, 7) % ps else -1
+          val disposal = ((id + f) % 4).toInt
+          val saved = if (disposal == 3) canvas.clone() else null
+          for (y <- 0 until fh; x <- 0 until fw) {
+            val idx = pp(id * 31 + f, y * fw + x) % ps
+            if (idx != trans) {
+              val o = ((top + y) * w + left + x) * 3
+              canvas(o) = pal(idx * 3); canvas(o + 1) = pal(idx * 3 + 1)
+              canvas(o + 2) = pal(idx * 3 + 2)
+            }
+          }
+          val snap = canvas.clone()
+          disposal match {
+            case 2 =>
+              for (y <- 0 until fh; x <- 0 until fw) {
+                val o = ((top + y) * w + left + x) * 3
+                canvas(o) = pal(bg * 3); canvas(o + 1) = pal(bg * 3 + 1)
+                canvas(o + 2) = pal(bg * 3 + 2)
+              }
+            case 3 => System.arraycopy(saved, 0, canvas, 0, canvas.length)
+            case _ => ()
+          }
+          val st = imgStats(w, h, snap)
+          (id, f, w, h, n,
+            st(0), st(1), st(2), st(3), st(4), st(5), st(6), st(7))
+        }
+      }
+      rows.toDF("media_id", "frame_idx", "width", "height", "n_frames",
+          "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
+          "luma_mean", "edge_density").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_gifvideo")
+    }
     fixture("_fixture_videoqual") {
       // per-clip quality replica: exact integer luma-millis accumulation
       // per the videoQuality spec; corpus = base + frozen (id%7, +2·10^7,

@@ -8,16 +8,18 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample run as partition-local batch
   * transforms.
   *
-  * Both decodable tiers are STUB-FREE with the JDK alone: audio is real
-  * RIFF/WAVE parse + 16-bit PCM arithmetic, images are real codecs for
-  * BOTH dominant crawl containers — PNG ([[Png]]: DEFLATE via
-  * `java.util.zip`, all five scanline filters, CRC-verified chunks) and
-  * baseline JPEG ([[Jpeg]]: T.81 Huffman + pinned DCT, 4:2:0/4:4:4,
-  * restart markers) — sniffed per payload by [[decodeImage]] and feeding
-  * the same real bilinear resize and pixel statistics. At 100 TB the
-  * payloads stay columnar in parquet (no driver round-trip) and every
-  * transform is `mapPartitions`, so one task decodes a whole row-group
-  * batch and the bytes never leave the executors.
+  * Every decodable tier is STUB-FREE with the JDK alone: audio is real
+  * RIFF/WAVE parse + 16-bit PCM arithmetic; images are real codecs for
+  * all three web containers — PNG ([[Png]]: DEFLATE via `java.util.zip`,
+  * all five scanline filters, CRC-verified chunks), JPEG ([[Jpeg]]: T.81
+  * Huffman + pinned DCT, baseline and progressive, 4:2:0/4:4:4, restart
+  * markers) and GIF ([[Gif]]: LZW, palettes, interlace) — sniffed per
+  * payload by [[decodeImage]] and feeding the same real bilinear resize
+  * and pixel statistics; video is uncompressed AVI or animated GIF
+  * (composed disposal/transparency frames) behind [[decodeVideo]]. At
+  * 100 TB the payloads stay columnar in parquet (no driver round-trip)
+  * and every transform is `mapPartitions`, so one task decodes a whole
+  * row-group batch and the bytes never leave the executors.
   */
 object Multimodal {
 
@@ -50,20 +52,46 @@ object Multimodal {
                          width: Int, height: Int)
 
   /** Container-agnostic image decode: sniffs the payload magic — PNG
-    * (`89 50`) or JPEG (SOI `FF D8`) — so PNG and JPEG columns mix freely
-    * in one media table, the way a real crawl's image bytes do. Anything
-    * else rejects by name rather than guessing.
+    * (`89 50`), JPEG (SOI `FF D8`) or GIF (`GIF8`, first composed frame)
+    * — so the three web image containers mix freely in one media table,
+    * the way a real crawl's image bytes do. Anything else rejects by
+    * name rather than guessing.
     */
   def decodeImage(payload: Array[Byte]): Png.Image = {
-    require(payload != null && payload.length >= 2,
+    require(payload != null && payload.length >= 4,
       "decodeImage: payload too short to carry an image container")
     if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte) Png.decode(payload)
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
       Jpeg.decode(payload)
+    else if (payload(0) == 'G'.toByte && payload(1) == 'I'.toByte &&
+      payload(2) == 'F'.toByte && payload(3) == '8'.toByte)
+      Gif.decodeImage(payload)
     else throw new IllegalArgumentException(
       f"decodeImage: unrecognized image container (leading bytes " +
         f"0x${payload(0) & 0xff}%02X${payload(1) & 0xff}%02X; " +
-        "PNG and baseline JPEG supported)")
+        "PNG, JPEG and GIF supported)")
+  }
+
+  /** Container-agnostic video decode: uncompressed AVI (`RIFF`) or
+    * animated GIF (`GIF8`, composed per the pinned contract — delays are
+    * centiseconds, so µs/frame = first delay ·10⁴, floored at one tick).
+    * Both yield the same top-down RGB [[Avi.Video]] shape, so every
+    * frame operator is container-blind.
+    */
+  def decodeVideo(payload: Array[Byte]): Avi.Video = {
+    require(payload != null && payload.length >= 4,
+      "decodeVideo: payload too short to carry a video container")
+    if (payload(0) == 'R'.toByte && payload(1) == 'I'.toByte &&
+      payload(2) == 'F'.toByte && payload(3) == 'F'.toByte) Avi.decode(payload)
+    else if (payload(0) == 'G'.toByte && payload(1) == 'I'.toByte &&
+      payload(2) == 'F'.toByte && payload(3) == '8'.toByte) {
+      val anim = Gif.decode(payload)
+      Avi.Video(anim.width, anim.height,
+        math.max(anim.delaysCs.head, 1) * 10000, anim.frames)
+    } else throw new IllegalArgumentException(
+      f"decodeVideo: unrecognized video container (leading bytes " +
+        f"0x${payload(0) & 0xff}%02X${payload(1) & 0xff}%02X; " +
+        "AVI and animated GIF supported)")
   }
 
   /** Aspect-fit target size inside a maxW×maxH box — never upscales,
@@ -173,6 +201,80 @@ object Multimodal {
           MediaItem(id, s"jpg/${id % 3}",
             Jpeg.encode(w, h, ch, px, quality, sub, rst),
             w, h, (id % 30 + 1).toInt, 16000)
+        }
+      }
+  }
+
+  /** GIF planting parameters (spec for the fixture replica):
+    * palette size 4/16/64/256 by doc_id % 4; palette bytes =
+    * [[plantPixel]](doc_id + 9·10⁶, k); background index =
+    * [[plantPixel]](doc_id + 13, 0) mod size; interlace when
+    * doc_id % 5 == 0; a transparent index ([[plantPixel]](doc_id + 77, 0)
+    * mod size) when doc_id % 3 == 1 — those pixels show the background
+    * color on the first frame. Returns (paletteSize, palette, bgIndex,
+    * interlace, transparentIdx).
+    */
+  def gifPlantParams(docId: Long): (Int, Array[Byte], Int, Boolean, Option[Int]) = {
+    val ps = Seq(4, 16, 64, 256)((docId % 4).toInt)
+    val pal = Array.tabulate(ps * 3)(k => plantPixel(docId + 9000000L, k).toByte)
+    val bg = plantPixel(docId + 13, 0) % ps
+    val trans = if (docId % 3 == 1) Some(plantPixel(docId + 77, 0) % ps) else None
+    (ps, pal, bg, docId % 5 == 0, trans)
+  }
+
+  /** The GIF face of [[mediaFromDocuments]]: planted palette indices
+    * (index i = [[plantPixel]](doc_id, i) mod paletteSize) in a REAL
+    * GIF89a container with per-id palette-size/interlace/transparency
+    * variety ([[gifPlantParams]]) — LZW, sub-block framing and the
+    * interlace row order all sit inside the oracle gate.
+    */
+  def gifMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .as[(Long, Int)].mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val (w, h) = plantDims(id, nChars)
+          val (ps, pal, bg, inter, trans) = gifPlantParams(id)
+          val idx = Array.tabulate(w * h)(i => (plantPixel(id, i) % ps).toByte)
+          MediaItem(id, s"gif/${id % 3}",
+            Gif.encode(w, h, pal, Seq(Gif.FrameSpec(0, 0, w, h, idx,
+              transparent = trans, interlace = inter)), bgIndex = bg),
+            w, h, 1, 16000)
+        }
+      }
+  }
+
+  /** Animated-GIF planting (spec for the fixture replica): frame count
+    * 2 + doc_id % 4; frame 0 covers the screen, frame f > 0 draws the
+    * sub-rectangle (left = f mod max(w/2,1), top = f mod max(h/2,1),
+    * w−left × h−top); frame f's indices are
+    * [[plantPixel]](doc_id·31 + f, i) mod paletteSize; disposal
+    * (doc_id + f) mod 4; a transparent index
+    * ([[plantPixel]](doc_id + f, 7) mod size) when (doc_id + f) % 3 == 0.
+    * Palette/background from [[gifPlantParams]]; delay 4 cs everywhere.
+    */
+  def gifVideoFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .as[(Long, Int)].mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val (w, h) = plantDims(id, nChars)
+          val (ps, pal, bg, _, _) = gifPlantParams(id)
+          val n = 2 + (id % 4).toInt
+          val frames = (0 until n).map { f =>
+            val (left, top) =
+              if (f == 0) (0, 0)
+              else (f % math.max(w / 2, 1), f % math.max(h / 2, 1))
+            val fw = w - left; val fh = h - top
+            val idx = Array.tabulate(fw * fh)(i =>
+              (plantPixel(id * 31 + f, i) % ps).toByte)
+            Gif.FrameSpec(left, top, fw, fh, idx,
+              transparent = if ((id + f) % 3 == 0)
+                Some(plantPixel(id + f, 7) % ps) else None,
+              disposal = ((id + f) % 4).toInt)
+          }
+          MediaItem(id, s"gifv/${id % 3}",
+            Gif.encode(w, h, pal, frames, bgIndex = bg), w, h, n, 16000)
         }
       }
   }
@@ -465,7 +567,7 @@ object Multimodal {
     require(stride >= 1, s"videoFrameFeatures: stride must be >= 1, got $stride")
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val vid = Avi.decode(m.payload)
+        val vid = decodeVideo(m.payload)
         val nf = vid.frames.length
         (0 until nf by stride).iterator.map { f =>
           val st = imageStats(Png.Image(vid.width, vid.height, 3, vid.frames(f)))
@@ -488,7 +590,7 @@ object Multimodal {
     require(stride >= 1, s"videoPHashes: stride must be >= 1, got $stride")
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val vid = Avi.decode(m.payload)
+        val vid = decodeVideo(m.payload)
         val idxs = 0 until vid.frames.length by stride
         idxs.iterator.map { f =>
           (m.media_id, f,
@@ -676,7 +778,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val vid = Avi.decode(m.payload)
+        val vid = decodeVideo(m.payload)
         val n = vid.width * vid.height
         val nf = vid.frames.length
         def lumaOf(f: Array[Byte]): Array[Int] =

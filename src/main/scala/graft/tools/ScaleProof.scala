@@ -153,7 +153,8 @@ object ScaleProof {
     "q_dedup_video",      // frame-level pHash near-dup matching (r14)
     "q_multimodal_video_quality", // AVI decode + integer luma gates (r14)
     "q_multimodal_jpeg",  // baseline JPEG decode + pixel statistics (r14)
-    "q_dedup_phash_cross") // mixed-container pigeonhole at radius 10 (r14)
+    "q_dedup_phash_cross", // mixed-container pigeonhole at radius 10 (r14)
+    "q_multimodal_gif_video") // GIF LZW + composition + frame fan-out (r14)
     // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded by
     // construction — a flat ratio would be trivial, not evidence)
 

@@ -170,6 +170,41 @@ class MultimodalSpec extends SparkSpec {
     assert(unrelated.min > 10, s"unrelated images only ${unrelated.min} bits apart")
   }
 
+  test("GIF tier: stills and animations flow through the container " +
+    "sniffs; an AVI re-encode of a GIF's composed frames is a frame-exact " +
+    "video twin (cross-container video dedup at hamming 0)") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val stills = Multimodal.gifMediaFromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(spark, stills).collect()
+    assert(feats.length === 40 && feats.forall(_.channels == 3))
+    // animated clips: composed frame count = 2 + id % 4, reported on
+    // every per-frame row
+    val clips = Multimodal.gifVideoFromDocuments(spark, docs)
+    val vf = Multimodal.videoFrameFeatures(spark, clips, 1).collect()
+    assert(vf.nonEmpty)
+    vf.groupBy(_.media_id).foreach { case (id, rows) =>
+      assert(rows.length === 2 + (id % 4).toInt, s"clip $id")
+      assert(rows.forall(_.n_frames == rows.length))
+    }
+    // cross-container twins: decode each animated GIF, re-encode the
+    // composed frames as uncompressed AVI — both containers must yield
+    // byte-identical frames, so every twin pair matches at hamming 0
+    val twins = clips.collect().toSeq.map { m =>
+      val vid = Multimodal.decodeVideo(m.payload)
+      Multimodal.MediaItem(m.media_id + 10000000L, "vid/x",
+        graft.operators.Avi.encode(vid.width, vid.height,
+          vid.microSecPerFrame, vid.frames),
+        vid.width, vid.height, vid.frames.length, 16000)
+    }
+    val hashes = Multimodal.videoPHashes(spark, clips.union(twins.toDS()), 1)
+    val dups = Multimodal.videoNearDups(hashes, maxHamming = 0, minMatched = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(dups.contains((id, id + 10000000L)),
+        s"GIF clip $id and its AVI twin failed to pair")
+    }
+  }
+
   test("WAV container round-trips: encode→decode is the identity on " +
     "samples and rate; unknown chunks skip; junk bytes reject loudly") {
     val xs = Array[Short](0, 1, -1, 32767, -32768, 100, -12345)

@@ -861,4 +861,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
+
+  test("GIF feature extraction and animated-GIF frame fan-out keep the " +
+    "map-only shape: pruned planting scan, no shuffle, no join") {
+    for (q <- Seq("q_multimodal_gif", "q_multimodal_gif_video")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), s"$q: $p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: $p")
+      assert(!p.contains("Join"), s"$q: $p")
+    }
+  }
 }
