@@ -2976,6 +2976,24 @@ object Queries {
         Multimodal.audioFeatures(s, audio).toDF().orderBy("media_id")
       }),
 
+    QueryDef("q_multimodal_audio_g711",
+      // TELEPHONY audio (call recordings): 8 kHz G.711 streams — µ-law
+      // for even ids, A-law for odd, planted so all 256 code points of
+      // both companding laws occur — decode through the pinned ITU
+      // expansion formulas inside the same WAV chunk walk, then the same
+      // one-pass curation signals. The replica re-derives code→sample
+      // from the published formulas (anchors: µ 0x00 → −32124, A 0x2A →
+      // −32256) with no container round trip; javax.sound interop in
+      // MultimodalSpec pins the formulas to the JDK's own G.711 tables.
+      Some("""SELECT media_id, sample_rate, n_samples, duration_us, rms,
+                     peak, silence_ratio, clipping_ratio
+              FROM parquet_scan('{FIX}/_fixture_audiog711/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val audio = Multimodal.g711AudioFromDocuments(s, t(s, d, "documents"))
+        Multimodal.audioFeatures(s, audio).toDF().orderBy("media_id")
+      }),
+
     QueryDef("q_multimodal_audio_window_feats",
       // per-WINDOW signals over the real decode (what a speech pipeline
       // gates on): decode once per clip, one row per 25 ms/10 ms hop

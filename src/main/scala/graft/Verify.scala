@@ -1494,6 +1494,55 @@ object Verify {
           "rms", "peak", "silence_ratio", "clipping_ratio").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_audio")
     }
+    fixture("_fixture_audiog711") {
+      // telephony replica: code bytes re-derived from the planted formula
+      // (plantPixel(id + 4·10⁶, i)), expanded by an INDEPENDENT statement
+      // of the published ITU G.711 formulas, then the same fixed-order
+      // signal pass as _fixture_audio at the 8 kHz telephony rate
+      def ulaw(code: Int): Int = {
+        val u = (~code) & 0xff
+        val t = ((((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        if ((u & 0x80) != 0) -t else t
+      }
+      def alaw(code: Int): Int = {
+        val a = code ^ 0x55
+        val seg = (a >> 4) & 7
+        val t =
+          if (seg == 0) ((a & 0x0f) << 4) + 8
+          else (((a & 0x0f) << 4) + 0x108) << (seg - 1)
+        if ((a & 0x80) != 0) t else -t
+      }
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        .as[(Long, Int)].collect().sortBy(_._1).toIndexedSeq
+        .map { case (id, nChars) =>
+          val xs = (0 until nChars).map { i =>
+            var z = (id + 4000000L) * 0x9E3779B97F4A7C15L +
+              i.toLong * 0xBF58476D1CE4E5B9L
+            z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+            val code = ((z >>> 40) & 0xff).toInt
+            if (id % 2 == 1) alaw(code) else ulaw(code)
+          }
+          val n = xs.length
+          var sumSq = 0.0; var peak = 0; var silent = 0; var clipped = 0
+          xs.foreach { v =>
+            val av = math.abs(v)
+            sumSq += v.toDouble * v.toDouble
+            if (av > peak) peak = av
+            if (av < 328) silent += 1
+            if (av >= 32440) clipped += 1
+          }
+          (id, 8000, n,
+            if (n == 0) 0L else n.toLong * 1000000L / 8000L,
+            if (n == 0) 0.0 else round6(math.sqrt(sumSq / n) / 32768.0),
+            peak,
+            if (n == 0) 0.0 else round6(silent.toDouble / n),
+            if (n == 0) 0.0 else round6(clipped.toDouble / n))
+        }
+      rows.toDF("media_id", "sample_rate", "n_samples", "duration_us",
+          "rms", "peak", "silence_ratio", "clipping_ratio").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_audiog711")
+    }
     fixture("_fixture_audiowin") {
       // per-window replica (q_multimodal_audio_window_feats' parameters:
       // first 40 docs, 25 ms windows / 10 ms hop at 16 kHz → 400/160)

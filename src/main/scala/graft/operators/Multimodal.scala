@@ -928,11 +928,76 @@ object Multimodal {
           math.max(-32768.0, math.min(32767.0,
             math.floor(f * 32768.0 + 0.5))).toShort
         }
+      case (6, 8) => // G.711 A-law (telephony)
+        Array.tabulate(dataLen)(i =>
+          g711Decode(payload(dataPos + i) & 0xff, aLaw = true).toShort)
+      case (7, 8) => // G.711 µ-law (telephony)
+        Array.tabulate(dataLen)(i =>
+          g711Decode(payload(dataPos + i) & 0xff, aLaw = false).toShort)
       case _ => throw new IllegalArgumentException(
         s"wavDecode: format code $fmtCode at $bits bits not supported " +
-          "(PCM 8/16-bit and IEEE float32 only)")
+          "(PCM 8/16-bit, IEEE float32 and G.711 A-law/µ-law only)")
     }
     (rate, out)
+  }
+
+  /** G.711 expansion (ITU G.711, the telephony companding in every call
+    * recording) — pinned formulas matching the classic reference tables
+    * (µ-law 0x00 → −32124; A-law 0x2A → −32256, 0x55 → −8):
+    *   µ-law: u = ~code; sample = ((132 << e) − 132 + (m << (e+3))),
+    *     negated when bit 7 of u is set (e = bits 4-6 of u, m = low 4);
+    *   A-law: a = code ⊕ 0x55; t = (m << 4) + 8 for segment 0, else
+    *     ((m << 4) + 0x108) << (seg − 1); positive when bit 7 of a is
+    *     set. Every byte 0..255 is a valid code, so planted noise bytes
+    *     are valid streams and all 256 code points sit inside the gate.
+    */
+  def g711Decode(code: Int, aLaw: Boolean): Int =
+    if (aLaw) {
+      val a = code ^ 0x55
+      val seg = (a >> 4) & 7
+      val m = a & 0x0f
+      val t = if (seg == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (seg - 1)
+      if ((a & 0x80) != 0) t else -t
+    } else {
+      val u = (~code) & 0xff
+      val e = (u >> 4) & 7
+      val m = u & 0x0f
+      val t = (132 << e) - 132 + (m << (e + 3))
+      if ((u & 0x80) != 0) -t else t
+    }
+
+  /** WAV container around RAW G.711 code bytes (fmt code 6 = A-law,
+    * 7 = µ-law, 8 bits per sample) — the fixture writer for the
+    * telephony decode path, the G.711 analog of [[wavFromSamples]].
+    */
+  def wavFromG711(codes: Array[Byte], sampleRate: Int, aLaw: Boolean): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + codes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + codes.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(if (aLaw) 6 else 7).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate) // byte rate = rate × 1 × 1
+      .putShort(1).putShort(8)               // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(codes.length)
+      .put(codes)
+    bb.array()
+  }
+
+  /** Telephony-audio planting (spec for the fixture replica): 8 kHz
+    * G.711 clips, one code byte per text position
+    * (code_i = [[plantPixel]](doc_id + 4·10⁶, i)), µ-law for even ids
+    * and A-law for odd — both expansions and the full code space sit
+    * inside the oracle gate.
+    */
+  def g711AudioFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[AudioItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .as[(Long, Int)].map { case (id, nChars) =>
+        val codes = Array.tabulate(nChars)(i =>
+          plantPixel(id + 4000000L, i).toByte)
+        AudioItem(id, wavFromG711(codes, 8000, aLaw = id % 2 == 1), 8000)
+      }
   }
 
   /** Plant deterministic audio rows from the documents fixture: each text

@@ -265,6 +265,36 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("format code"))
   }
 
+  test("G.711 expansion matches the JDK's own µ-law/A-law tables on all " +
+    "256 codes, and G.711 WAVs decode through the container walk") {
+    import javax.sound.sampled._
+    val codes = Array.tabulate(256)(_.toByte)
+    for (aLaw <- Seq(false, true)) {
+      val enc = if (aLaw) AudioFormat.Encoding.ALAW else AudioFormat.Encoding.ULAW
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+      val conv = AudioSystem.getAudioInputStream(dst,
+        new AudioInputStream(new java.io.ByteArrayInputStream(codes), src, 256))
+      val out = conv.readAllBytes()
+      assert(out.length === 512)
+      (0 until 256).foreach { c =>
+        val jdk = ((out(c * 2) & 0xff) | (out(c * 2 + 1) << 8)).toShort.toInt
+        assert(Multimodal.g711Decode(c, aLaw) === jdk,
+          s"code $c aLaw=$aLaw: ours ${Multimodal.g711Decode(c, aLaw)} vs JDK $jdk")
+      }
+      // and through the WAV container path end to end
+      val (rate, xs) = Multimodal.wavDecode(Multimodal.wavFromG711(codes, 8000, aLaw))
+      assert(rate === 8000 && xs.length === 256)
+      (0 until 256).foreach(c => assert(xs(c).toInt === Multimodal.g711Decode(c, aLaw)))
+    }
+    // published anchors guard both conventions independently of the JDK
+    assert(Multimodal.g711Decode(0x00, aLaw = false) === -32124)
+    assert(Multimodal.g711Decode(0x80, aLaw = false) === 32124)
+    assert(Multimodal.g711Decode(0x2a, aLaw = true) === -32256)
+    assert(Multimodal.g711Decode(0x55, aLaw = true) === -8)
+    assert(Multimodal.g711Decode(0xd5, aLaw = true) === 8)
+  }
+
   test("audio features measure a crafted clip exactly: duration, RMS, " +
     "peak, silence and clipping ratios") {
     // 8 samples: 4 silent (|x| < 328), 2 clipped (|x| >= 32440), peak 32767
