@@ -6908,6 +6908,62 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    QueryDef("q_multimodal_mixed",
+      // the real crawl shape: ONE media table whose payloads mix all
+      // three containers (PNG for id%3=0, JPEG for id%3=1, GIF for
+      // id%3=2), flowing through ONE feature scan — decodeImage
+      // dispatches per payload, no per-container branches in the query.
+      // The replica assembles the same rows from the three per-container
+      // replicas, so the oracle gates the dispatch itself.
+      Some("""SELECT media_id, kind, width, height, channels, mean_r,
+                     mean_g, mean_b, var_r, var_g, var_b, luma_mean,
+                     edge_density
+              FROM parquet_scan('{FIX}/_fixture_mixedfeat/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val media = Multimodal.mediaFromDocuments(s, docs.filter(col("doc_id") % 3 === 0))
+          .union(Multimodal.jpegMediaFromDocuments(s, docs.filter(col("doc_id") % 3 === 1)))
+          .union(Multimodal.gifMediaFromDocuments(s, docs.filter(col("doc_id") % 3 === 2)))
+        Multimodal.extractFeatures(s, media).toDF()
+          .drop("n_bytes")
+          .orderBy("media_id")
+      }),
+
+    QueryDef("q_multimodal_orient",
+      // EXIF orientation end to end — the transform a crawl pipeline must
+      // apply before features/hashing (a rotated phone photo otherwise
+      // near-dups with nothing): planted JPEGs carry a real APP1/TIFF
+      // segment (orientation 1 + id%8, all eight codes), the parser reads
+      // it back, and the pinned inverse-map transform re-orients the
+      // decoded pixels. MD5 pinning over the ORIENTED pixels: the replica
+      // applies the same inverse maps to its closed-form JPEG round-trip
+      // pixels with no container anywhere.
+      Some("""SELECT media_id, orientation, width, height, pixel_md5
+              FROM parquet_scan('{FIX}/_fixture_orient/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+          .as[(Long, Int)].mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val (w, h) = Multimodal.plantDims(id, nChars)
+              val px = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < px.length) { px(i) = Multimodal.plantPixel(id, i).toByte; i += 1 }
+              val payload = Jpeg.encode(w, h, 3, px, quality = 80,
+                exifOrientation = 1 + (id % 8).toInt)
+              val o = Jpeg.exifOrientation(payload)
+              val img = Multimodal.orientImage(Multimodal.decodeImage(payload), o)
+              (id, o, img.width, img.height,
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(img.pixels).map("%02x".format(_)).mkString)
+            }
+          }.toDF("media_id", "orientation", "width", "height", "pixel_md5")
+          .orderBy("media_id")
+      }),
+
     QueryDef("q_multimodal_gif_video",
       // ANIMATED GIF as a video source: multi-frame clips with sub-rect
       // draws, all four disposal methods and per-frame transparency

@@ -2310,6 +2310,82 @@ object Verify {
           "luma_mean", "edge_density").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_gifvideo")
     }
+    fixture("_fixture_orient") {
+      // EXIF-orientation replica: closed-form JPEG round trip (quality
+      // 80, 4:4:4) then the pinned inverse maps — output (x, y) reads
+      // input (per orientation o): 2 (W−1−x, y) · 3 (W−1−x, H−1−y) ·
+      // 4 (x, H−1−y) · 5 (y, x) · 6 (y, H−1−x) · 7 (W−1−y, H−1−x) ·
+      // 8 (W−1−y, x); 5-8 swap the output dims
+      val rows = imgPlant(spark).map { case (id, w, h, px) =>
+        val o = 1 + (id % 8).toInt
+        val jpx = jpegRoundTripRef(w, h, 3, px, 80, subsample = false)
+        val swap = o >= 5
+        val ow = if (swap) h else w
+        val oh = if (swap) w else h
+        val oriented =
+          if (o == 1) jpx
+          else Array.tabulate(ow * oh * 3) { k =>
+            val c = k % 3; val p = k / 3
+            val x = p % ow; val y = p / ow
+            val (sx, sy) = o match {
+              case 2 => (w - 1 - x, y)
+              case 3 => (w - 1 - x, h - 1 - y)
+              case 4 => (x, h - 1 - y)
+              case 5 => (y, x)
+              case 6 => (y, h - 1 - x)
+              case 7 => (w - 1 - y, h - 1 - x)
+              case 8 => (w - 1 - y, x)
+            }
+            jpx((sy * w + sx) * 3 + c)
+          }
+        (id, o, ow, oh, java.security.MessageDigest.getInstance("MD5")
+          .digest(oriented).map("%02x".format(_)).mkString)
+      }
+      rows.toDF("media_id", "orientation", "width", "height", "pixel_md5")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_orient")
+    }
+    fixture("_fixture_mixedfeat") {
+      // the mixed-container corpus (q_multimodal_mixed): per id % 3 pick
+      // the PNG / JPEG / GIF replica row — assembled from the SAME
+      // per-container derivations the dedicated fixtures use, so the
+      // oracle gates the payload-sniffing dispatch itself
+      def pp(a: Long, i: Long): Int = {
+        var z = a * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+        ((z >>> 40) & 0xff).toInt
+      }
+      val jpegById = jpegPlant(spark).map(r => r._1 -> r).toMap
+      val rows = imgPlant(spark).map { case (id, w, h, px) =>
+        (id % 3).toInt match {
+          case 0 =>
+            val f = imgStats(w, h, px)
+            (id, s"img/${id % 3}", w, h, 3,
+              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+          case 1 =>
+            val (_, jw, jh, ch, jpx) = jpegById(id)
+            val f = imgStats(jw, jh, jpx, ch)
+            (id, s"jpg/${id % 3}", jw, jh, ch,
+              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+          case _ =>
+            val (ps, pal, bg) = gifPalette(id)
+            val trans = if (id % 3 == 1) pp(id + 77, 0) % ps else -1
+            val rgb = Array.tabulate(w * h * 3) { k =>
+              val i = k / 3; val c = k % 3
+              val idx0 = pp(id, i) % ps
+              val idx = if (idx0 == trans) bg else idx0
+              pal(idx * 3 + c)
+            }
+            val f = imgStats(w, h, rgb)
+            (id, s"gif/${id % 3}", w, h, 3,
+              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+        }
+      }
+      rows.toDF("media_id", "kind", "width", "height", "channels",
+          "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
+          "luma_mean", "edge_density").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_mixedfeat")
+    }
     fixture("_fixture_videoqual") {
       // per-clip quality replica: exact integer luma-millis accumulation
       // per the videoQuality spec; corpus = base + frozen (id%7, +2·10^7,

@@ -303,7 +303,7 @@ object Jpeg {
     */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
              quality: Int = 75, subsample: Boolean = false,
-             restartMcus: Int = 0): Array[Byte] = {
+             restartMcus: Int = 0, exifOrientation: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, s"Jpeg.encode: bad dims ${width}x$height")
     require(channels == 1 || channels == 3,
       s"Jpeg.encode: unsupported channel count $channels (1 = gray, 3 = RGB)")
@@ -378,6 +378,7 @@ object Jpeg {
     // APP0 / JFIF 1.01, no thumbnail
     writeSeg(out, 0xe0,
       Array(0x4a, 0x46, 0x49, 0x46, 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    if (exifOrientation != 0) writeSeg(out, 0xe1, exifApp1(exifOrientation))
     // DQT: both tables in one segment (Pq=0 8-bit), zigzag order on the wire
     val dqt = Array(0) ++ zigzag.map(i => qLuma(i)) ++
       (if (channels == 3) Array(1) ++ zigzag.map(i => qChroma(i))
@@ -559,6 +560,85 @@ object Jpeg {
   /** Sign-extend a magnitude-coded value of the given category (F.12). */
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** The APP1/Exif segment body carrying ONE orientation tag (for the
+    * fixture planting path): `Exif\0\0` + a little-endian TIFF header
+    * whose IFD0 holds tag 0x0112 (SHORT, count 1). Public formats: EXIF
+    * 2.x over TIFF 6.0.
+    */
+  def exifApp1(orientation: Int): Array[Int] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"Jpeg.exifApp1: orientation $orientation out of 1..8")
+    Array(
+      'E'.toInt, 'x'.toInt, 'i'.toInt, 'f'.toInt, 0, 0,
+      'I'.toInt, 'I'.toInt, 0x2a, 0x00,       // II byte order, TIFF magic
+      8, 0, 0, 0,                             // IFD0 at offset 8
+      1, 0,                                   // one entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0,           // tag 0x0112, SHORT, count 1
+      orientation, 0, 0, 0,                   // value in the low 2 bytes
+      0, 0, 0, 0)                             // no next IFD
+  }
+
+  /** EXIF orientation (1..8) from a JPEG payload's APP1 segment — 1
+    * (upright) when no APP1/Exif/orientation tag is present. Both TIFF
+    * byte orders; offsets validated against the segment, corrupt TIFF
+    * structures reject by name rather than guessing upright.
+    */
+  def exifOrientation(payload: Array[Byte]): Int = {
+    require(payload.length >= 2 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
+      "Jpeg.exifOrientation: not a JPEG payload")
+    var pos = 2
+    while (pos + 3 < payload.length) {
+      if ((payload(pos) & 0xff) != 0xff) return 1 // entropy data reached
+      val marker = payload(pos + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { pos += 2 }
+      else if (marker == 0xd9 || marker == 0xda) return 1 // no APP1 before scan
+      else {
+        val len = ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+        require(len >= 2 && pos + 2 + len <= payload.length,
+          "Jpeg.exifOrientation: truncated segment")
+        if (marker == 0xe1 && len >= 16 &&
+          new String(payload, pos + 4, 4, "US-ASCII") == "Exif" &&
+          payload(pos + 8) == 0 && payload(pos + 9) == 0) {
+          val tiff = pos + 10 // TIFF header origin; offsets are relative here
+          val end = pos + 2 + len
+          val bo = new String(payload, tiff, 2, "US-ASCII")
+          require(bo == "II" || bo == "MM",
+            s"Jpeg.exifOrientation: bad TIFF byte order '$bo'")
+          val le = bo == "II"
+          def u16(p: Int): Int = {
+            require(p + 1 < end, "Jpeg.exifOrientation: TIFF read past APP1")
+            if (le) (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
+            else ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff)
+          }
+          def u32(p: Int): Long = {
+            require(p + 3 < end, "Jpeg.exifOrientation: TIFF read past APP1")
+            if (le) (u16(p) & 0xffffL) | ((u16(p + 2) & 0xffffL) << 16)
+            else ((u16(p) & 0xffffL) << 16) | (u16(p + 2) & 0xffffL)
+          }
+          require(u16(tiff + 2) == 0x2a, "Jpeg.exifOrientation: bad TIFF magic")
+          val ifdOff = u32(tiff + 4)
+          require(ifdOff >= 8 && tiff + ifdOff + 2 <= end,
+            s"Jpeg.exifOrientation: IFD0 offset $ifdOff outside the APP1 segment")
+          val ifd = tiff + ifdOff.toInt
+          val n = u16(ifd)
+          var e = 0
+          while (e < n) {
+            val at = ifd + 2 + e * 12
+            if (u16(at) == 0x0112) {
+              val v = u16(at + 8) // SHORT value sits in the value field
+              return if (v >= 1 && v <= 8) v else 1
+            }
+            e += 1
+          }
+          return 1
+        }
+        pos += 2 + len
+      }
+    }
+    1
+  }
 
   /** Per-scan entropy state: DC predictors (per scan-component slot),
     * the progressive EOB run, and the restart-marker cursor.

@@ -94,6 +94,47 @@ object Multimodal {
         "AVI and animated GIF supported)")
   }
 
+  /** Apply an EXIF orientation (1..8) to decoded pixels — the transform
+    * a crawl pipeline MUST run before features/hashing, or a rotated
+    * phone photo near-dups with nothing. Pinned inverse maps (output
+    * (x, y) reads the input at, with W×H the input dims; 5-8 swap dims):
+    * 1 (x,y) · 2 (W−1−x, y) · 3 (W−1−x, H−1−y) · 4 (x, H−1−y) ·
+    * 5 (y, x) · 6 (y, H−1−x) · 7 (W−1−y, H−1−x) · 8 (W−1−y, x).
+    */
+  def orientImage(img: Png.Image, orientation: Int): Png.Image = {
+    require(orientation >= 1 && orientation <= 8,
+      s"orientImage: orientation $orientation out of 1..8")
+    if (orientation == 1) return img
+    val Png.Image(w, h, ch, px) = img
+    val swap = orientation >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](px.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case 8 => (w - 1 - y, x)
+        }
+        var c = 0
+        while (c < ch) {
+          out((y * ow + x) * ch + c) = px((sy * w + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Png.Image(ow, oh, ch, out)
+  }
+
   /** Aspect-fit target size inside a maxW×maxH box — never upscales,
     * never collapses below 1×1 (degenerate source dims count as 1).
     */

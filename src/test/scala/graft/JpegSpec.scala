@@ -348,6 +348,35 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 16, s"max color error $maxDiff vs the source image")
   }
 
+  test("EXIF orientation: APP1 round trip for all eight codes, absent " +
+    "tag defaults upright, and the transform algebra holds") {
+    import graft.operators.Multimodal.orientImage
+    val px = planted(9, 7, 3)
+    val plain = Jpeg.encode(9, 7, 3, px, 80)
+    for (o <- 1 to 8) {
+      val enc = Jpeg.encode(9, 7, 3, px, 80, exifOrientation = o)
+      assert(Jpeg.exifOrientation(enc) === o)
+      // APP1 is metadata: the pixels decode identically
+      assert(Jpeg.decode(enc).pixels.toSeq === Jpeg.decode(plain).pixels.toSeq)
+    }
+    assert(Jpeg.exifOrientation(plain) === 1, "no APP1 → upright")
+    assert(Jpeg.exifOrientation(
+      imageIoEncodeGray(8, 8, planted(8, 8, 1))) === 1, "JFIF-only stream → upright")
+    // hand-checked 2x2 cases: rotate-90-CW and transpose
+    val t = Png.Image(2, 2, 1, Array[Byte](1, 2, 3, 4))
+    assert(orientImage(t, 6).pixels.toSeq === Seq[Byte](3, 1, 4, 2))
+    assert(orientImage(t, 5).pixels.toSeq === Seq[Byte](1, 3, 2, 4))
+    assert(orientImage(t, 3).pixels.toSeq === Seq[Byte](4, 3, 2, 1))
+    // algebra on a non-square image with distinct pixels: 2/3/4/5/7 are
+    // involutions, 6∘8 is the identity, and dims swap for 5-8
+    val img = Png.Image(5, 3, 1, Array.tabulate(15)(_.toByte))
+    for (o <- Seq(2, 3, 4, 5, 7))
+      assert(orientImage(orientImage(img, o), o).pixels.toSeq === img.pixels.toSeq, s"o=$o")
+    assert(orientImage(orientImage(img, 6), 8).pixels.toSeq === img.pixels.toSeq)
+    assert(orientImage(img, 6).width === 3 && orientImage(img, 6).height === 5)
+    intercept[IllegalArgumentException](orientImage(img, 9))
+  }
+
   test("unsupported formats and corruption reject by name") {
     val good = Jpeg.encode(16, 12, 3, planted(16, 12, 3), 75)
     // lossless / arithmetic SOF markers

@@ -871,4 +871,13 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q: $p")
     }
   }
+
+  test("the mixed-container scan is a shuffle-free union of three pruned " +
+    "planting scans — per-payload dispatch, not a per-container job") {
+    val p = plan("q_multimodal_mixed")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert("ReadSchema: struct<doc_id:bigint,n_chars:bigint>".r
+      .findAllIn(p).size === 3, p)
+  }
 }
