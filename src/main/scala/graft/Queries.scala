@@ -2994,6 +2994,65 @@ object Queries {
         Multimodal.audioFeatures(s, audio).toDF().orderBy("media_id")
       }),
 
+    QueryDef("q_multimodal_audio_adpcm",
+      // 4-bit IMA/DVI ADPCM (voice mail, game audio): planted full-scale
+      // noise compresses 4:1 through the real block-structured encoder
+      // (block align 256/64/32 by id — multi-block clips, partial final
+      // blocks, fact-chunk truncation), the chunk walk decodes it back
+      // through the published step/index tables, then the same one-pass
+      // curation signals. The replica replays quantize∘reconstruct as a
+      // pure sample→sample function (predictor re-anchored per block,
+      // step index carried across) with NO container round trip, so
+      // agreement pins the nibble packing, block layout and fact
+      // truncation end to end.
+      Some("""SELECT media_id, sample_rate, n_samples, duration_us, rms,
+                     peak, silence_ratio, clipping_ratio
+              FROM parquet_scan('{FIX}/_fixture_audioadpcm/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val audio = Multimodal.imaAdpcmAudioFromDocuments(s, t(s, d, "documents"))
+        Multimodal.audioFeatures(s, audio).toDF().orderBy("media_id")
+      }),
+
+    QueryDef("q_subtitles_parse",
+      // caption tracks — the TEXT side of the video tier: planted cues
+      // render as REAL SubRip (even ids) and WebVTT (odd ids — with a
+      // NOTE block, a cue identifier, a settings suffix and the
+      // optional-hours short timestamps), the sniffing parser reads
+      // them back, and the out-of-order plant (cue 2 of id%5==0 docs)
+      // drives the in_order curation flag. The replica derives cue rows
+      // straight from the document words with NO SRT/VTT round trip, so
+      // agreement proves format∘parse is the identity on both wire
+      // formats.
+      Some("""SELECT media_id, cue_idx, start_ms, end_ms, n_words,
+                     in_order, text
+              FROM parquet_scan('{FIX}/_fixture_subtitles/*.parquet')
+              ORDER BY media_id, cue_idx"""),
+      (s, d) => {
+        val subs = Subtitles.subtitlesFromDocuments(s, t(s, d, "documents"))
+        Subtitles.parseCues(s, subs).toDF().orderBy("media_id", "cue_idx")
+      }),
+
+    QueryDef("q_subtitle_frame_pairs",
+      // (frame, caption) pair generation for video-text training: cues
+      // align to a 4 fps sampled-frame timeline (250 ms/frame, clip
+      // length 40 + id%23 frames) by pure interval arithmetic — one
+      // broadcastable metadata join + one sequence() generator, the
+      // video payload never touched. The replica replays the same
+      // ceil/clip arithmetic per cue in plain Scala.
+      Some("""SELECT media_id, cue_idx, frame_idx, start_ms, end_ms, text
+              FROM parquet_scan('{FIX}/_fixture_subframes/*.parquet')
+              ORDER BY media_id, cue_idx, frame_idx"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val subs = Subtitles.subtitlesFromDocuments(s, docs)
+        val cues = Subtitles.parseCues(s, subs).toDF()
+        val clips = docs.select(col("doc_id").as("media_id"),
+          (lit(40) + pmod(col("doc_id"), lit(23))).cast("int").as("n_frames"))
+        Subtitles.cueFramePairs(cues, clips, 250000)
+          .orderBy("media_id", "cue_idx", "frame_idx")
+      }),
+
     QueryDef("q_multimodal_audio_window_feats",
       // per-WINDOW signals over the real decode (what a speech pipeline
       // gates on): decode once per clip, one row per 25 ms/10 ms hop
@@ -6908,13 +6967,33 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    QueryDef("q_multimodal_bmp",
+      // the FOURTH image container: planted pixels in a REAL BMP —
+      // doc_id % 3 sweeps 24-bit bottom-up / 24-bit top-down (negative
+      // biHeight) / 8-bit palettized (sizes 4..256, both row orders) —
+      // decoded through the container sniff into the SAME feature pass.
+      // BMP is lossless, so the replica is the planted formula (or one
+      // palette lookup) with no BMP round trip: agreement is EXACT and
+      // proves the row-order/BGR/palette storage walk end to end.
+      Some("""SELECT media_id, kind, width, height, channels, mean_r,
+                     mean_g, mean_b, var_r, var_g, var_b, luma_mean,
+                     edge_density
+              FROM parquet_scan('{FIX}/_fixture_bmpfeat/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Multimodal.bmpMediaFromDocuments(s, t(s, d, "documents"))
+        Multimodal.extractFeatures(s, media).toDF()
+          .drop("n_bytes")
+          .orderBy("media_id")
+      }),
+
     QueryDef("q_multimodal_mixed",
       // the real crawl shape: ONE media table whose payloads mix all
-      // three containers (PNG for id%3=0, JPEG for id%3=1, GIF for
-      // id%3=2), flowing through ONE feature scan — decodeImage
-      // dispatches per payload, no per-container branches in the query.
-      // The replica assembles the same rows from the three per-container
-      // replicas, so the oracle gates the dispatch itself.
+      // FOUR containers (PNG for id%4=0, JPEG for id%4=1, GIF for
+      // id%4=2, BMP for id%4=3), flowing through ONE feature scan —
+      // decodeImage dispatches per payload, no per-container branches in
+      // the query. The replica assembles the same rows from the four
+      // per-container replicas, so the oracle gates the dispatch itself.
       Some("""SELECT media_id, kind, width, height, channels, mean_r,
                      mean_g, mean_b, var_r, var_g, var_b, luma_mean,
                      edge_density
@@ -6922,9 +7001,10 @@ object Queries {
               ORDER BY media_id"""),
       (s, d) => {
         val docs = t(s, d, "documents")
-        val media = Multimodal.mediaFromDocuments(s, docs.filter(col("doc_id") % 3 === 0))
-          .union(Multimodal.jpegMediaFromDocuments(s, docs.filter(col("doc_id") % 3 === 1)))
-          .union(Multimodal.gifMediaFromDocuments(s, docs.filter(col("doc_id") % 3 === 2)))
+        val media = Multimodal.mediaFromDocuments(s, docs.filter(col("doc_id") % 4 === 0))
+          .union(Multimodal.jpegMediaFromDocuments(s, docs.filter(col("doc_id") % 4 === 1)))
+          .union(Multimodal.gifMediaFromDocuments(s, docs.filter(col("doc_id") % 4 === 2)))
+          .union(Multimodal.bmpMediaFromDocuments(s, docs.filter(col("doc_id") % 4 === 3)))
         Multimodal.extractFeatures(s, media).toDF()
           .drop("n_bytes")
           .orderBy("media_id")
@@ -6980,6 +7060,53 @@ object Queries {
               ORDER BY media_id, frame_idx"""),
       (s, d) => {
         val media = Multimodal.gifVideoFromDocuments(s, t(s, d, "documents"))
+        Multimodal.videoFrameFeatures(s, media, 1).toDF()
+          .orderBy("media_id", "frame_idx")
+      }),
+
+    QueryDef("q_multimodal_mjpeg",
+      // MJPEG-in-AVI — the webcam/capture-card format, and the first
+      // COMPRESSED video path: the same planted frames as q_multimodal
+      // _video wrap per-frame in baseline JPEGs inside '00dc' chunks
+      // (quality 55..95, 4:2:0 on even ids — mjpegPlantParams), the RIFF
+      // walk dispatches on biCompression, and every frame feeds the
+      // unchanged feature pass. The replica re-derives each frame's
+      // decode∘encode as the closed-form pixel function (the same
+      // jpegRoundTripRef the image tier pins — NO entropy coding), so
+      // agreement proves the container dispatch AND that the Huffman/
+      // marker layer stays the identity on quantized coefficients when
+      // streamed frame-per-chunk.
+      Some("""SELECT media_id, frame_idx, width, height, n_frames, mean_r,
+                     mean_g, mean_b, var_r, var_g, var_b, luma_mean,
+                     edge_density
+              FROM parquet_scan('{FIX}/_fixture_mjpegfeat/*.parquet')
+              ORDER BY media_id, frame_idx"""),
+      (s, d) => {
+        val media = Multimodal.mjpegVideoFromDocuments(s, t(s, d, "documents"))
+        Multimodal.videoFrameFeatures(s, media, 1).toDF()
+          .orderBy("media_id", "frame_idx")
+      }),
+
+    QueryDef("q_multimodal_video_mixed",
+      // the real crawl shape for VIDEO: one media table whose payloads
+      // mix all three clip containers (raw AVI for id%3=0, MJPEG for
+      // id%3=1, animated GIF for id%3=2), flowing through ONE frame
+      // feature scan — decodeVideo/decodeVideoStrided dispatch per
+      // payload (RIFF biCompression for the AVI pair, GIF8 for
+      // animations), no per-container branches in the query. The
+      // replica assembles rows from the three per-container derivations
+      // (planted formula / closed-form JPEG round trip / composition
+      // replay), so the oracle gates the video dispatch itself.
+      Some("""SELECT media_id, frame_idx, width, height, n_frames, mean_r,
+                     mean_g, mean_b, var_r, var_g, var_b, luma_mean,
+                     edge_density
+              FROM parquet_scan('{FIX}/_fixture_videomixed/*.parquet')
+              ORDER BY media_id, frame_idx"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val media = Multimodal.videoFromDocuments(s, docs.filter(col("doc_id") % 3 === 0))
+          .union(Multimodal.mjpegVideoFromDocuments(s, docs.filter(col("doc_id") % 3 === 1)))
+          .union(Multimodal.gifVideoFromDocuments(s, docs.filter(col("doc_id") % 3 === 2)))
         Multimodal.videoFrameFeatures(s, media, 1).toDF()
           .orderBy("media_id", "frame_idx")
       })

@@ -1543,6 +1543,131 @@ object Verify {
           "rms", "peak", "silence_ratio", "clipping_ratio").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_audiog711")
     }
+    fixture("_fixture_audioadpcm") {
+      // IMA ADPCM replica: planted samples re-derived from the formula
+      // (int16 from plantPixel(id + 5·10⁶, 2i | 2i+1) byte pairs), then
+      // quantize∘reconstruct replayed as a pure function per the
+      // published IMA tables — predictor re-anchors at each block's
+      // first sample, the step index carries across blocks, and the
+      // fact-truncation means padding nibbles never surface. NO WAV
+      // container or shared codec code anywhere.
+      val stepT = Array(
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767)
+      val idxT = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+      def pp(a: Long, i: Long): Int = {
+        var z = a * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+        ((z >>> 40) & 0xff).toInt
+      }
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        .as[(Long, Int)].collect().sortBy(_._1).toIndexedSeq
+        .map { case (id, nChars) =>
+          val nSamp = math.max(nChars, 1)
+          val samples = Array.tabulate(nSamp)(i =>
+            ((pp(id + 5000000L, 2L * i) << 8) | pp(id + 5000000L, 2L * i + 1)).toShort)
+          val ba = Seq(256, 64, 32)((id % 3).toInt)
+          val spb = (ba - 4) * 2 + 1
+          // pure quantize∘reconstruct replay (padding nibbles are cut by
+          // fact, so only the first nSamp reconstructions matter)
+          val xs = new Array[Int](nSamp)
+          var index = 0
+          var k = 0
+          while (k < nSamp) {
+            if (k % spb == 0) xs(k) = samples(k).toInt // block re-anchor
+            else {
+              val pred = xs(k - 1)
+              val step = stepT(index)
+              var diff = samples(k).toInt - pred
+              var nib = 0
+              if (diff < 0) { nib = 8; diff = -diff }
+              if (diff >= step) { nib |= 4; diff -= step }
+              if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+              if (diff >= (step >> 2)) nib |= 1
+              var d = step >> 3
+              if ((nib & 4) != 0) d += step
+              if ((nib & 2) != 0) d += step >> 1
+              if ((nib & 1) != 0) d += step >> 2
+              val p0 = if ((nib & 8) != 0) pred - d else pred + d
+              xs(k) = math.max(-32768, math.min(32767, p0))
+              index = math.max(0, math.min(88, index + idxT(nib & 7)))
+            }
+            k += 1
+          }
+          val n = xs.length
+          var sumSq = 0.0; var peak = 0; var silent = 0; var clipped = 0
+          xs.foreach { v =>
+            val av = math.abs(v)
+            sumSq += v.toDouble * v.toDouble
+            if (av > peak) peak = av
+            if (av < 328) silent += 1
+            if (av >= 32440) clipped += 1
+          }
+          (id, 16000, n, n.toLong * 1000000L / 16000L,
+            round6(math.sqrt(sumSq / n) / 32768.0),
+            peak,
+            round6(silent.toDouble / n),
+            round6(clipped.toDouble / n))
+        }
+      rows.toDF("media_id", "sample_rate", "n_samples", "duration_us",
+          "rms", "peak", "silence_ratio", "clipping_ratio").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_audioadpcm")
+    }
+    // shared by the two subtitle fixtures: cue rows derived STRAIGHT from
+    // the document words (groups of four; cue i starts at i·1700 +
+    // (id%7)·13 ms for 1400 ms; cue 2 of id%5==0 docs starts 100 ms
+    // before cue 1) — no SRT/VTT rendering or parsing anywhere
+    lazy val subtitleCueRows: IndexedSeq[(Long, Int, Long, Long, Int, Boolean, String)] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          val words = Option(text0).getOrElse("").trim
+            .split("\\s+").filter(_.nonEmpty)
+          if (words.isEmpty) IndexedSeq.empty
+          else {
+            val groups = words.grouped(4).toIndexedSeq
+            var prevStart = Long.MinValue
+            groups.zipWithIndex.map { case (g, i) =>
+              val base = i.toLong * 1700 + (id % 7) * 13
+              val start = if (i == 2 && id % 5 == 0 && groups.length >= 3)
+                1700 + (id % 7) * 13 - 100 else base
+              val end = start + 1400
+              val ctext = if (g.length == 4)
+                g.take(2).mkString(" ") + "\n" + g.drop(2).mkString(" ")
+              else g.mkString(" ")
+              val ord = start >= prevStart
+              prevStart = start
+              (id, i, start, end, g.length, ord, ctext)
+            }
+          }
+        }
+    fixture("_fixture_subtitles") {
+      subtitleCueRows.toDF("media_id", "cue_idx", "start_ms", "end_ms",
+          "n_words", "in_order", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_subtitles")
+    }
+    fixture("_fixture_subframes") {
+      // cue→frame pairs on the 4 fps sampled timeline: 250 ms per frame,
+      // clip length 40 + id%23; first = ceil(start_ms/250), last =
+      // ceil(end_ms/250) − 1 clipped to n−1 (exact integer ceil)
+      val rows = subtitleCueRows.flatMap { case (id, i, start, end, _, _, ctext) =>
+        val n = 40 + (id % 23)
+        val first = math.max(0L, (start + 249) / 250)
+        val last = math.min(n - 1, (end + 249) / 250 - 1)
+        (first to last).map(f => (id, i, f, start, end, ctext))
+      }
+      rows.toDF("media_id", "cue_idx", "frame_idx", "start_ms", "end_ms",
+          "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_subframes")
+    }
     fixture("_fixture_audiowin") {
       // per-window replica (q_multimodal_audio_window_feats' parameters:
       // first 40 docs, 25 ms windows / 10 ms hop at 16 kHz → 400/160)
@@ -2257,13 +2382,17 @@ object Verify {
           "luma_mean", "edge_density").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_giffeat")
     }
-    fixture("_fixture_gifvideo") {
+    // Animated-GIF composition replica rows (shared by _fixture_gifvideo
+    // and the mixed video fixture): canvas, draw, snap, dispose replayed
+    // from the planted formulas.
+    lazy val gifVideoRows: Seq[(Long, Int, Int, Int, Int, Double, Double,
+        Double, Double, Double, Double, Double, Double)] = {
       def pp(a: Long, i: Long): Int = {
         var z = a * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
         z ^= (z >>> 31); z *= 0x94D049BB133111EBL
         ((z >>> 40) & 0xff).toInt
       }
-      val rows = imgPlant(spark).flatMap { case (id, w, h, _) =>
+      imgPlant(spark).flatMap { case (id, w, h, _) =>
         val (ps, pal, bg) = gifPalette(id)
         val n = 2 + (id % 4).toInt
         val canvas = new Array[Byte](w * h * 3)
@@ -2305,7 +2434,9 @@ object Verify {
             st(0), st(1), st(2), st(3), st(4), st(5), st(6), st(7))
         }
       }
-      rows.toDF("media_id", "frame_idx", "width", "height", "n_frames",
+    }
+    fixture("_fixture_gifvideo") {
+      gifVideoRows.toDF("media_id", "frame_idx", "width", "height", "n_frames",
           "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
           "luma_mean", "edge_density").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_gifvideo")
@@ -2345,9 +2476,39 @@ object Verify {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_orient")
     }
+    fixture("_fixture_bmpfeat") {
+      // BMP replica (q_multimodal_bmp): lossless container, so the
+      // expected pixels are the planted formula itself for the 24-bit
+      // variants (id % 3 in {0, 1} — row order is the CODEC's concern,
+      // the decoded output is top-down either way) and one palette
+      // lookup for the 8-bit variant (palette bytes pp(id + 7e6, k),
+      // indices pp(id, p) mod size) — no BMP round trip anywhere
+      def pp(a: Long, i: Long): Int = {
+        var z = a * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+        ((z >>> 40) & 0xff).toInt
+      }
+      val rows = imgPlant(spark).map { case (id, w, h, px) =>
+        val rgb = if (id % 3 != 2) px
+        else {
+          val ps = Seq(4, 16, 64, 256)((id % 4).toInt)
+          val pal = Array.tabulate(ps * 3)(k => pp(id + 7000000L, k).toByte)
+          Array.tabulate(w * h * 3) { k =>
+            pal((pp(id, k / 3) % ps) * 3 + k % 3)
+          }
+        }
+        val f = imgStats(w, h, rgb)
+        (id, s"bmp/${id % 3}", w, h, 3,
+          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+      rows.toDF("media_id", "kind", "width", "height", "channels",
+          "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
+          "luma_mean", "edge_density").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_bmpfeat")
+    }
     fixture("_fixture_mixedfeat") {
-      // the mixed-container corpus (q_multimodal_mixed): per id % 3 pick
-      // the PNG / JPEG / GIF replica row — assembled from the SAME
+      // the mixed-container corpus (q_multimodal_mixed): per id % 4 pick
+      // the PNG / JPEG / GIF / BMP replica row — assembled from the SAME
       // per-container derivations the dedicated fixtures use, so the
       // oracle gates the payload-sniffing dispatch itself
       def pp(a: Long, i: Long): Int = {
@@ -2357,7 +2518,7 @@ object Verify {
       }
       val jpegById = jpegPlant(spark).map(r => r._1 -> r).toMap
       val rows = imgPlant(spark).map { case (id, w, h, px) =>
-        (id % 3).toInt match {
+        (id % 4).toInt match {
           case 0 =>
             val f = imgStats(w, h, px)
             (id, s"img/${id % 3}", w, h, 3,
@@ -2367,7 +2528,7 @@ object Verify {
             val f = imgStats(jw, jh, jpx, ch)
             (id, s"jpg/${id % 3}", jw, jh, ch,
               f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
-          case _ =>
+          case 2 =>
             val (ps, pal, bg) = gifPalette(id)
             val trans = if (id % 3 == 1) pp(id + 77, 0) % ps else -1
             val rgb = Array.tabulate(w * h * 3) { k =>
@@ -2378,6 +2539,18 @@ object Verify {
             }
             val f = imgStats(w, h, rgb)
             (id, s"gif/${id % 3}", w, h, 3,
+              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+          case _ =>
+            val rgb = if (id % 3 != 2) px
+            else {
+              val ps = Seq(4, 16, 64, 256)((id % 4).toInt)
+              val pal = Array.tabulate(ps * 3)(k => pp(id + 7000000L, k).toByte)
+              Array.tabulate(w * h * 3) { k =>
+                pal((pp(id, k / 3) % ps) * 3 + k % 3)
+              }
+            }
+            val f = imgStats(w, h, rgb)
+            (id, s"bmp/${id % 3}", w, h, 3,
               f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
         }
       }
@@ -2464,6 +2637,76 @@ object Verify {
           "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
           "luma_mean", "edge_density").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_videofeat")
+    }
+    // MJPEG replica rows (shared by _fixture_mjpegfeat and the mixed
+    // video fixture): the same planted frames as the videofeat fixture
+    // (splitmix over id·1000003+f), but each frame passes through the
+    // closed-form JPEG round trip (jpegRoundTripRef — color convert →
+    // MCU pad → FDCT → quant → dequant → IDCT → upsample, NO entropy
+    // coding) before the pinned statistics. quality 55+(id%5)·10,
+    // 4:2:0 on even ids (Multimodal.mjpegPlantParams); stride 1.
+    lazy val mjpegFeatRows: IndexedSeq[(Long, Int, Int, Int, Int, Double,
+        Double, Double, Double, Double, Double, Double, Double)] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        .as[(Long, Int)].collect().sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, nChars) =>
+          val w = 4 + (id % 9).toInt; val h = 3 + (nChars % 7)
+          val nf = (id % 5 + 2).toInt
+          val quality = 55 + (id % 5).toInt * 10
+          val sub = id % 2 == 0
+          (0 until nf).map { f =>
+            val px = Array.tabulate(w * h * 3) { i =>
+              var z = (id * 1000003L + f) * 0x9E3779B97F4A7C15L +
+                i.toLong * 0xBF58476D1CE4E5B9L
+              z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+              ((z >>> 40) & 0xff).toByte
+            }
+            val rt = jpegRoundTripRef(w, h, 3, px, quality, sub)
+            val st = imgStats(w, h, rt)
+            (id, f, w, h, nf,
+              st(0), st(1), st(2), st(3), st(4), st(5), st(6), st(7))
+          }
+        }
+    fixture("_fixture_mjpegfeat") {
+      mjpegFeatRows.toDF("media_id", "frame_idx", "width", "height", "n_frames",
+          "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
+          "luma_mean", "edge_density").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_mjpegfeat")
+    }
+    fixture("_fixture_videomixed") {
+      // the mixed-container VIDEO corpus (q_multimodal_video_mixed): per
+      // id % 3 pick the raw-AVI / MJPEG / animated-GIF replica rows —
+      // the same per-container derivations the dedicated fixtures use
+      // (raw rows re-derived at stride 1; the videofeat fixture's own
+      // stride-2 rows stay untouched), so the oracle gates the
+      // decodeVideo dispatch itself
+      val rawRows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        .as[(Long, Int)].collect().sortBy(_._1).toIndexedSeq
+        .filter(_._1 % 3 == 0)
+        .flatMap { case (id, nChars) =>
+          val w = 4 + (id % 9).toInt; val h = 3 + (nChars % 7)
+          val nf = (id % 5 + 2).toInt
+          (0 until nf).map { f =>
+            val px = Array.tabulate(w * h * 3) { i =>
+              var z = (id * 1000003L + f) * 0x9E3779B97F4A7C15L +
+                i.toLong * 0xBF58476D1CE4E5B9L
+              z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+              ((z >>> 40) & 0xff).toByte
+            }
+            val st = imgStats(w, h, px)
+            (id, f, w, h, nf,
+              st(0), st(1), st(2), st(3), st(4), st(5), st(6), st(7))
+          }
+        }
+      val rows = (rawRows ++
+        mjpegFeatRows.filter(_._1 % 3 == 1) ++
+        gifVideoRows.filter(_._1 % 3 == 2)).sortBy(r => (r._1, r._2))
+      rows.toDF("media_id", "frame_idx", "width", "height", "n_frames",
+          "mean_r", "mean_g", "mean_b", "var_r", "var_g", "var_b",
+          "luma_mean", "edge_density").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_videomixed")
     }
     fixture("_fixture_annsq8") {
       annSq8Rows.toDF("query_id", "neighbor_id", "sim", "rnk").coalesce(1)

@@ -1,19 +1,29 @@
 package graft.operators
 
-/** Pure-JVM AVI codec for UNCOMPRESSED (BI_RGB, 24-bit) video — no media
-  * library, just the RIFF chunk discipline the audio tier already proved
-  * out (`Multimodal.wavFromSamples`/`wavDecode`) applied to the public
-  * AVI/DIB layout: little-endian RIFF 'AVI ', an 'hdrl' LIST (avih main
-  * header + one 'vids' stream's strh/strf), a 'movi' LIST of one '00db'
-  * chunk per frame, frames stored as bottom-up BGR scanlines padded to
-  * 4-byte multiples. This makes the VIDEO tier stub-free end to end: a
-  * canonical encoder for planted fixtures and a chunk-walking decoder
-  * whose frames feed the real per-frame feature/statistics pass.
+/** Pure-JVM AVI codec — no media library, just the RIFF chunk discipline
+  * the audio tier already proved out (`Multimodal.wavFromSamples`/
+  * `wavDecode`) applied to the public AVI/DIB layout: little-endian RIFF
+  * 'AVI ', an 'hdrl' LIST (avih main header + one 'vids' stream's
+  * strh/strf), a 'movi' LIST of one frame chunk per frame. Two pixel
+  * formats:
+  *
+  *   - UNCOMPRESSED (BI_RGB, 24-bit): frames stored as bottom-up BGR
+  *     scanlines padded to 4-byte multiples ('00db' chunks).
+  *   - MJPEG ('MJPG' biCompression): each '00dc' chunk is a complete
+  *     baseline JPEG ([[Jpeg]]) — the classic webcam/capture-card format,
+  *     and the shape most surveillance/screen-recording crawl data
+  *     arrives in. Decode accepts both full JFIF frames (what
+  *     [[encodeMjpeg]] writes) and the AVI1-APP0 variant (the JPEG
+  *     decoder skips unknown APPn segments by size).
+  *
+  * This makes the VIDEO tier stub-free end to end: canonical encoders
+  * for planted fixtures and a chunk-walking decoder whose frames feed
+  * the real per-frame feature/statistics pass.
   *
   * Scope (canonical subset, fails loudly outside it): one video stream,
-  * BI_RGB 24-bit, no index required, no interleaved audio. Decode accepts
-  * '00db'/'00dc' frame chunks (both appear in the wild for uncompressed
-  * streams) and skips unknown chunks/LISTs — including 'idx1' — by size.
+  * BI_RGB 24-bit or MJPG, no index required, no interleaved audio. Decode
+  * accepts '00db'/'00dc' frame chunks (both appear in the wild) and skips
+  * unknown chunks/LISTs — including 'idx1' — by size.
   *
   * Reference behavior being matched: the reference treats blobs as opaque
   * bytes (serializers/BytesSerializer.java); media decode is a pipeline
@@ -40,6 +50,9 @@ object Avi {
 
   /** Bytes per stored scanline: 3·width rounded up to a 4-byte multiple. */
   def strideOf(width: Int): Int = (width * 3 + 3) & ~3
+
+  /** 'MJPG' as the little-endian biCompression / fccHandler value. */
+  val MjpgFourCC: Int = 0x47504A4D
 
   /** Canonical encoder. `frames` are row-major top-down RGB; storage
     * converts to the DIB convention (bottom-up, BGR, padded rows). Layout:
@@ -119,13 +132,76 @@ object Avi {
     fourCC("RIFF") ++ le32(body.length) ++ body
   }
 
-  /** REAL decoder: RIFF walk (long-arithmetic bounds like wavDecode — a
-    * crafted 32-bit size cannot wrap the check), avih/strh/strf parse with
-    * loud rejection of compressed or non-24-bit streams, '00db'/'00dc'
-    * frame collection from the 'movi' LIST, and the bottom-up/BGR/padded →
-    * top-down RGB unswizzle. Unknown chunks and LISTs skip by size.
+  /** MJPEG encoder: every frame compresses through [[Jpeg.encode]] and is
+    * stored as its own '00dc' chunk — fccHandler and biCompression both
+    * 'MJPG', biBitCount 24 (the decoded depth; the wire bytes are entropy
+    * coded). `frames` are row-major top-down RGB like [[encode]]'s; the
+    * JPEG layer owns the color convert, so no DIB swizzle exists on this
+    * path. suggestedBufferSize is the largest encoded frame.
     */
-  def decode(payload: Array[Byte]): Video = {
+  def encodeMjpeg(width: Int, height: Int, microSecPerFrame: Int,
+                  frames: Seq[Array[Byte]], quality: Int = 75,
+                  subsample: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"Avi.encodeMjpeg: bad dims ${width}x$height")
+    require(microSecPerFrame > 0,
+      s"Avi.encodeMjpeg: bad frame interval $microSecPerFrame")
+    frames.zipWithIndex.foreach { case (f, i) =>
+      require(f.length == width * height * 3,
+        s"Avi.encodeMjpeg: frame $i has ${f.length} bytes, want ${width * height * 3}")
+    }
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      fourCC(tag) ++ le32(data.length) ++ data ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourCC(kind) ++ body)
+
+    val encoded = frames.map(f =>
+      Jpeg.encode(width, height, 3, f, quality = quality, subsample = subsample))
+    val bufSize = if (encoded.isEmpty) 0 else encoded.map(_.length).max
+    val maxBps = math.min(Int.MaxValue.toLong,
+      bufSize.toLong * 1000000L / microSecPerFrame).toInt
+    val avih = le32(microSecPerFrame) ++
+      le32(maxBps) ++
+      le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++
+      le32(1) ++ le32(bufSize) ++
+      le32(width) ++ le32(height) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourCC("vids") ++ fourCC("MJPG") ++
+      le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++
+      le32(microSecPerFrame) ++ le32(1000000) ++
+      le32(0) ++ le32(frames.length) ++
+      le32(bufSize) ++ le32(-1) ++
+      le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      le16(1) ++ le16(24) ++
+      le32(MjpgFourCC) ++ le32(0) ++       // biCompression, biSizeImage (varies per frame)
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val moviBuf = new java.io.ByteArrayOutputStream(
+      encoded.map(e => 8 + e.length + (e.length & 1)).sum + 16)
+    encoded.foreach { e =>
+      val c = chunk("00dc", e)
+      moviBuf.write(c, 0, c.length)
+    }
+    val movi = list("movi", moviBuf.toByteArray)
+    val body = fourCC("AVI ") ++ hdrl ++ movi
+    fourCC("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Parsed container: header fields + the RAW movi frame chunks (DIB
+    * scanlines or standalone JPEGs — not yet pixel-converted, so strided
+    * consumers can skip the conversion work on unsampled frames).
+    */
+  private case class Parsed(width: Int, height: Int, uspf: Int,
+                            bitCount: Int, compression: Int,
+                            raw: IndexedSeq[Array[Byte]])
+
+  private def parse(payload: Array[Byte]): Parsed = {
     require(payload.length >= 12, "Avi.decode: payload too short for RIFF header")
     val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -172,30 +248,81 @@ object Avi {
     require(width > 0 && height > 0 && uspf > 0,
       "Avi.decode: missing or degenerate avih header")
     require(sawMovi, "Avi.decode: missing movi LIST")
-    require(compression == 0,
-      s"Avi.decode: compressed stream (biCompression $compression) not supported " +
-        "(uncompressed BI_RGB only)")
-    require(bitCount == 24,
-      s"Avi.decode: $bitCount-bit frames not supported (24-bit BI_RGB only)")
-    val stride = strideOf(width)
-    val out = frames.zipWithIndex.map { case (dib, i) =>
-      require(dib.length == stride * height,
-        s"Avi.decode: frame $i has ${dib.length} bytes, want ${stride * height}")
-      val rgb = new Array[Byte](width * height * 3)
+    if (compression != MjpgFourCC) {
+      require(compression == 0,
+        f"Avi.decode: compressed stream (biCompression 0x$compression%08X) not " +
+          "supported (BI_RGB and MJPG only)")
+      require(bitCount == 24,
+        s"Avi.decode: $bitCount-bit frames not supported (24-bit BI_RGB only)")
+    }
+    Parsed(width, height, uspf, bitCount, compression, frames.toIndexedSeq)
+  }
+
+  /** One frame → top-down RGB: the DIB unswizzle (bottom-up/BGR/padded)
+    * or, for MJPEG, the standalone JPEG decode with gray→RGB expansion
+    * (grayscale frames are legal MJPEG) and a dims-vs-header check.
+    */
+  private def frameToRgb(p: Parsed, i: Int): Array[Byte] = {
+    if (p.compression == MjpgFourCC) {
+      val img = Jpeg.decode(p.raw(i))
+      require(img.width == p.width && img.height == p.height,
+        s"Avi.decode: MJPEG frame $i is ${img.width}x${img.height}, " +
+          s"header says ${p.width}x${p.height}")
+      if (img.channels == 3) img.pixels
+      else {
+        val rgb = new Array[Byte](p.width * p.height * 3)
+        var q = 0
+        while (q < p.width * p.height) {
+          rgb(q * 3) = img.pixels(q); rgb(q * 3 + 1) = img.pixels(q)
+          rgb(q * 3 + 2) = img.pixels(q)
+          q += 1
+        }
+        rgb
+      }
+    } else {
+      val stride = strideOf(p.width)
+      val dib = p.raw(i)
+      require(dib.length == stride * p.height,
+        s"Avi.decode: frame $i has ${dib.length} bytes, want ${stride * p.height}")
+      val rgb = new Array[Byte](p.width * p.height * 3)
       var y = 0
-      while (y < height) {
-        val srcRow = height - 1 - y
+      while (y < p.height) {
+        val srcRow = p.height - 1 - y
         var x = 0
-        while (x < width) {
-          rgb((y * width + x) * 3) = dib(srcRow * stride + x * 3 + 2)     // R
-          rgb((y * width + x) * 3 + 1) = dib(srcRow * stride + x * 3 + 1) // G
-          rgb((y * width + x) * 3 + 2) = dib(srcRow * stride + x * 3)     // B
+        while (x < p.width) {
+          rgb((y * p.width + x) * 3) = dib(srcRow * stride + x * 3 + 2)     // R
+          rgb((y * p.width + x) * 3 + 1) = dib(srcRow * stride + x * 3 + 1) // G
+          rgb((y * p.width + x) * 3 + 2) = dib(srcRow * stride + x * 3)     // B
           x += 1
         }
         y += 1
       }
       rgb
     }
-    Video(width, height, uspf, out.toIndexedSeq)
+  }
+
+  /** REAL decoder: RIFF walk (long-arithmetic bounds like wavDecode — a
+    * crafted 32-bit size cannot wrap the check), avih/strh/strf parse with
+    * loud rejection outside the BI_RGB/MJPG subset, '00db'/'00dc' frame
+    * collection from the 'movi' LIST, and per-frame pixel conversion
+    * ([[frameToRgb]]). Unknown chunks and LISTs skip by size.
+    */
+  def decode(payload: Array[Byte]): Video = {
+    val p = parse(payload)
+    Video(p.width, p.height, p.uspf, p.raw.indices.map(frameToRgb(p, _)))
+  }
+
+  /** Strided decode — the sampling fast path: parses the container once
+    * and pixel-converts ONLY frames 0, stride, 2·stride, …. For MJPEG
+    * this skips the Huffman+IDCT work on every unsampled frame entirely
+    * (at stride s, ~1/s of the decode cost); frame chunks are
+    * independent, so skipping is exact, not approximate. Returns
+    * (width, height, totalFrames, sampled (index, topDownRgb) pairs).
+    */
+  def decodeStrided(payload: Array[Byte], stride: Int): (Int, Int, Int, IndexedSeq[(Int, Array[Byte])]) = {
+    require(stride >= 1, s"Avi.decodeStrided: stride must be >= 1, got $stride")
+    val p = parse(payload)
+    (p.width, p.height, p.raw.length,
+      (0 until p.raw.length by stride).map(i => (i, frameToRgb(p, i))))
   }
 }

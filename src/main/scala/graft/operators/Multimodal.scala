@@ -52,10 +52,10 @@ object Multimodal {
                          width: Int, height: Int)
 
   /** Container-agnostic image decode: sniffs the payload magic — PNG
-    * (`89 50`), JPEG (SOI `FF D8`) or GIF (`GIF8`, first composed frame)
-    * — so the three web image containers mix freely in one media table,
-    * the way a real crawl's image bytes do. Anything else rejects by
-    * name rather than guessing.
+    * (`89 50`), JPEG (SOI `FF D8`), GIF (`GIF8`, first composed frame)
+    * or BMP (`BM`) — so the four image containers mix freely in one
+    * media table, the way a real crawl's image bytes do. Anything else
+    * rejects by name rather than guessing.
     */
   def decodeImage(payload: Array[Byte]): Png.Image = {
     require(payload != null && payload.length >= 4,
@@ -66,10 +66,12 @@ object Multimodal {
     else if (payload(0) == 'G'.toByte && payload(1) == 'I'.toByte &&
       payload(2) == 'F'.toByte && payload(3) == '8'.toByte)
       Gif.decodeImage(payload)
+    else if (payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+      Bmp.decode(payload)
     else throw new IllegalArgumentException(
       f"decodeImage: unrecognized image container (leading bytes " +
         f"0x${payload(0) & 0xff}%02X${payload(1) & 0xff}%02X; " +
-        "PNG, JPEG and GIF supported)")
+        "PNG, JPEG, GIF and BMP supported)")
   }
 
   /** Container-agnostic video decode: uncompressed AVI (`RIFF`) or
@@ -92,6 +94,30 @@ object Multimodal {
       f"decodeVideo: unrecognized video container (leading bytes " +
         f"0x${payload(0) & 0xff}%02X${payload(1) & 0xff}%02X; " +
         "AVI and animated GIF supported)")
+  }
+
+  /** Strided video decode — the frame-sampling fast path behind
+    * [[videoFrameFeatures]] and [[videoPHashes]]: AVI chunks are
+    * independent, so [[Avi.decodeStrided]] pixel-converts ONLY the
+    * sampled frames (for MJPEG that skips the Huffman+IDCT on every
+    * skipped frame — at stride s, ~1/s of the decode cost; at crawl
+    * scale the stride IS the cost knob). GIF frames compose
+    * cumulatively (disposal/transparency), so GIF takes the full decode
+    * and samples after — correctness over speed where the format allows
+    * no better. Returns (width, height, totalFrames, sampled
+    * (index, rgb) pairs).
+    */
+  def decodeVideoStrided(payload: Array[Byte], stride: Int): (Int, Int, Int, IndexedSeq[(Int, Array[Byte])]) = {
+    require(payload != null && payload.length >= 4,
+      "decodeVideoStrided: payload too short to carry a video container")
+    if (payload(0) == 'R'.toByte && payload(1) == 'I'.toByte &&
+      payload(2) == 'F'.toByte && payload(3) == 'F'.toByte)
+      Avi.decodeStrided(payload, stride)
+    else {
+      val vid = decodeVideo(payload)
+      (vid.width, vid.height, vid.frames.length,
+        (0 until vid.frames.length by stride).map(i => (i, vid.frames(i))))
+    }
   }
 
   /** Apply an EXIF orientation (1..8) to decoded pixels — the transform
@@ -281,6 +307,48 @@ object Multimodal {
             Gif.encode(w, h, pal, Seq(Gif.FrameSpec(0, 0, w, h, idx,
               transparent = trans, interlace = inter)), bgIndex = bg),
             w, h, 1, 16000)
+        }
+      }
+  }
+
+  /** BMP planting parameters (spec for the fixture replica), sweeping
+    * every decoder path: doc_id % 3 picks 24-bit bottom-up / 24-bit
+    * TOP-DOWN (negative biHeight) / 8-bit palettized; the palette
+    * variant sizes 4/16/64/256 by doc_id % 4 with palette bytes
+    * [[plantPixel]](doc_id + 7·10⁶, k), indices
+    * [[plantPixel]](doc_id, p) mod size, and top-down storage when
+    * doc_id % 5 == 0. Returns (variant, paletteSize, palette, topDown).
+    */
+  def bmpPlantParams(docId: Long): (Int, Int, Array[Byte], Boolean) = {
+    val ps = Seq(4, 16, 64, 256)((docId % 4).toInt)
+    val pal = Array.tabulate(ps * 3)(k => plantPixel(docId + 7000000L, k).toByte)
+    ((docId % 3).toInt, ps, pal, docId % 5 == 0)
+  }
+
+  /** The BMP face of [[mediaFromDocuments]]: the same planted pixels
+    * wrapped in a REAL BMP per [[bmpPlantParams]] — both row orders,
+    * both depths and all palette sizes sit inside the oracle gate. BMP
+    * is lossless, so the replica is the planted formula itself (24-bit)
+    * or one palette lookup (8-bit). [[decodeImage]] sniffs 'BM'.
+    */
+  def bmpMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .as[(Long, Int)].mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val (w, h) = plantDims(id, nChars)
+          val (variant, ps, pal, topDown) = bmpPlantParams(id)
+          val payload = variant match {
+            case 0 | 1 =>
+              val px = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < px.length) { px(i) = plantPixel(id, i).toByte; i += 1 }
+              Bmp.encode(w, h, px, topDown = variant == 1)
+            case _ =>
+              val idx = Array.tabulate(w * h)(i => (plantPixel(id, i) % ps).toByte)
+              Bmp.encodePalette(w, h, idx, pal, topDown = topDown)
+          }
+          MediaItem(id, s"bmp/${id % 3}", payload, w, h, (id % 30 + 1).toInt, 16000)
         }
       }
   }
@@ -587,6 +655,42 @@ object Multimodal {
       }
   }
 
+  /** MJPEG planting parameters (spec for the fixture replica): quality
+    * 55 + (doc_id % 5)·10 (55..95) and 4:2:0 subsampling when
+    * doc_id % 2 == 0 — per-clip variety so both chroma paths and the
+    * full quant-scale sweep sit inside the oracle gate. Returns
+    * (quality, subsample).
+    */
+  def mjpegPlantParams(docId: Long): (Int, Boolean) =
+    (55 + (docId % 5).toInt * 10, docId % 2 == 0)
+
+  /** The MJPEG face of [[videoFromDocuments]]: the SAME planted frames
+    * ([[plantFramePixel]] / [[plantVideoDims]]) wrapped in an MJPEG AVI
+    * ([[Avi.encodeMjpeg]] — every '00dc' chunk a standalone baseline
+    * JPEG), the classic webcam/capture-card shape. Downstream operators
+    * don't know or care: [[decodeVideo]] sniffs RIFF and [[Avi.decode]]
+    * dispatches on biCompression, so MJPEG clips flow through the
+    * unchanged per-frame feature/pHash/dedup operators.
+    */
+  def mjpegVideoFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .as[(Long, Int)].mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val (w, h, nf) = plantVideoDims(id, nChars)
+          val (quality, sub) = mjpegPlantParams(id)
+          val frames = (0 until nf).map { f =>
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < px.length) { px(i) = plantFramePixel(id, f, i).toByte; i += 1 }
+            px
+          }
+          MediaItem(id, s"mjpg/${id % 3}",
+            Avi.encodeMjpeg(w, h, 40000, frames, quality, sub), w, h, nf, 0)
+        }
+      }
+  }
+
   /** Per-frame feature row ([[videoFrameFeatures]]). */
   case class VideoFrameFeatures(media_id: Long, frame_idx: Int,
                                 width: Int, height: Int, n_frames: Int,
@@ -594,13 +698,15 @@ object Multimodal {
                                 var_r: Double, var_g: Double, var_b: Double,
                                 luma_mean: Double, edge_density: Double)
 
-  /** REAL frame sampling + per-frame features: decode the AVI ONCE per
-    * clip, keep every `stride`-th frame (0, stride, 2·stride, … — the
-    * same index arithmetic as the metadata-only [[sampleFrames]]), and
-    * run the pinned [[imageStats]] pass on each kept frame's actual
-    * pixels. Same `mapPartitions` batch shape as the rest of the tiers —
-    * payload bytes never leave the executor, one task decodes a
-    * row-group batch of clips.
+  /** REAL frame sampling + per-frame features: parse the container ONCE
+    * per clip, pixel-convert ONLY every `stride`-th frame (0, stride,
+    * 2·stride, … — the same index arithmetic as the metadata-only
+    * [[sampleFrames]]; [[decodeVideoStrided]] skips the skipped frames'
+    * decode work outright where chunks are independent), and run the
+    * pinned [[imageStats]] pass on each kept frame's actual pixels. Same
+    * `mapPartitions` batch shape as the rest of the tiers — payload
+    * bytes never leave the executor, one task decodes a row-group batch
+    * of clips.
     */
   def videoFrameFeatures(spark: SparkSession, media: Dataset[MediaItem],
                          stride: Int): Dataset[VideoFrameFeatures] = {
@@ -608,11 +714,10 @@ object Multimodal {
     require(stride >= 1, s"videoFrameFeatures: stride must be >= 1, got $stride")
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val vid = decodeVideo(m.payload)
-        val nf = vid.frames.length
-        (0 until nf by stride).iterator.map { f =>
-          val st = imageStats(Png.Image(vid.width, vid.height, 3, vid.frames(f)))
-          VideoFrameFeatures(m.media_id, f, vid.width, vid.height, nf,
+        val (w, h, nf, sampled) = decodeVideoStrided(m.payload, stride)
+        sampled.iterator.map { case (f, rgb) =>
+          val st = imageStats(Png.Image(w, h, 3, rgb))
+          VideoFrameFeatures(m.media_id, f, w, h, nf,
             st(0), st(1), st(2), st(3), st(4), st(5), st(6), st(7))
         }
       }
@@ -631,12 +736,9 @@ object Multimodal {
     require(stride >= 1, s"videoPHashes: stride must be >= 1, got $stride")
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val vid = decodeVideo(m.payload)
-        val idxs = 0 until vid.frames.length by stride
-        idxs.iterator.map { f =>
-          (m.media_id, f,
-            pHashOf(Png.Image(vid.width, vid.height, 3, vid.frames(f))),
-            idxs.size)
+        val (w, h, _, sampled) = decodeVideoStrided(m.payload, stride)
+        sampled.iterator.map { case (f, rgb) =>
+          (m.media_id, f, pHashOf(Png.Image(w, h, 3, rgb)), sampled.size)
         }
       }
     }.toDF("media_id", "frame_idx", "phash", "n_sampled")
@@ -931,9 +1033,13 @@ object Multimodal {
     var pos = 12
     var rate = -1; var fmtCode = -1; var nCh = -1; var bits = -1
     var dataPos = -1; var dataLen = -1
+    var blockAlign = -1; var factSamples = -1
     // walk the WHOLE chunk list before decoding: the sample conversion
-    // depends on fmt fields, and RIFF does not promise fmt-before-data
-    while (pos + 8 <= payload.length && (rate < 0 || dataPos < 0)) {
+    // depends on fmt fields, and RIFF does not promise fmt-before-data.
+    // ADPCM streams keep walking past data for the 'fact' chunk (the
+    // true sample count — the final block is nibble-padded without it)
+    while (pos + 8 <= payload.length &&
+      (rate < 0 || dataPos < 0 || (fmtCode == 17 && factSamples < 0))) {
       val tag = new String(payload, pos, 4, "US-ASCII")
       val len = bb.getInt(pos + 4)
       // long arithmetic: a crafted len near Int.MaxValue would wrap
@@ -946,9 +1052,13 @@ object Multimodal {
           fmtCode = bb.getShort(pos + 8)
           nCh = bb.getShort(pos + 10)
           rate = bb.getInt(pos + 12)
+          blockAlign = bb.getShort(pos + 20) & 0xffff
           bits = bb.getShort(pos + 22)
+        case "fact" =>
+          require(len >= 4, "wavDecode: fact chunk too short")
+          factSamples = bb.getInt(pos + 8)
         case "data" => dataPos = pos + 8; dataLen = len
-        case _ => // skip unknown chunks (LIST, fact, ...)
+        case _ => // skip unknown chunks (LIST, ...)
       }
       pos += 8 + len + (len & 1) // RIFF chunks pad to even
     }
@@ -975,11 +1085,180 @@ object Multimodal {
       case (7, 8) => // G.711 µ-law (telephony)
         Array.tabulate(dataLen)(i =>
           g711Decode(payload(dataPos + i) & 0xff, aLaw = false).toShort)
+      case (17, 4) => // IMA/DVI ADPCM (voice mail, game audio, DVI capture)
+        require(blockAlign > 4,
+          s"wavDecode: ADPCM block align $blockAlign must exceed the 4-byte header")
+        imaAdpcmDecode(payload, dataPos, dataLen, blockAlign, factSamples)
       case _ => throw new IllegalArgumentException(
         s"wavDecode: format code $fmtCode at $bits bits not supported " +
-          "(PCM 8/16-bit, IEEE float32 and G.711 A-law/µ-law only)")
+          "(PCM 8/16-bit, IEEE float32, G.711 A-law/µ-law and IMA ADPCM only)")
     }
     (rate, out)
+  }
+
+  // ── IMA/DVI ADPCM (WAVE format 0x11) ─────────────────────────────────
+  //
+  // The 4-bit companding in voice mail, game engines and DVI capture
+  // cards: 4:1 compression, pure integer math, no library anywhere. Each
+  // mono block is a 4-byte header (int16 predictor = the block's first
+  // sample, uint8 step index, reserved) followed by packed nibbles (low
+  // nibble first), so samplesPerBlock = (blockAlign − 4)·2 + 1. The step
+  // walk is the published IMA table pair; encode and decode share the
+  // EXACT reconstruction arithmetic so the encoder's predictor tracks
+  // the decoder's bit for bit.
+
+  /** The 89-entry IMA step-size table (published constants). */
+  val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Index adjustment per nibble magnitude (published constants). */
+  val imaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One reconstruction step — THE shared arithmetic: returns the new
+    * (predictor, stepIndex) after consuming `nibble` with the given
+    * state. diff = (step·m)/4 + step/8 computed as shifts in the pinned
+    * published order (step>>3 + conditional step, step>>1, step>>2).
+    */
+  def imaStep(pred: Int, index: Int, nibble: Int): (Int, Int) = {
+    val step = imaStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val ix = math.max(0, math.min(88, index + imaIndexTable(nibble & 7)))
+    (p, ix)
+  }
+
+  private def imaAdpcmDecode(payload: Array[Byte], dataPos: Int, dataLen: Int,
+                             blockAlign: Int, factSamples: Int): Array[Short] = {
+    val spb = (blockAlign - 4) * 2 + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    var blockOff = 0
+    while (blockOff < dataLen) {
+      val blockLen = math.min(blockAlign, dataLen - blockOff)
+      require(blockLen > 4,
+        s"wavDecode: trailing $blockLen-byte ADPCM fragment is shorter than a block header")
+      val base = dataPos + blockOff
+      var pred = ((payload(base) & 0xff) | (payload(base + 1) << 8)).toShort.toInt
+      var index = payload(base + 2) & 0xff
+      require(index <= 88, s"wavDecode: ADPCM step index $index out of range")
+      out += pred.toShort
+      var b = 4
+      while (b < blockLen) {
+        val byte = payload(base + b) & 0xff
+        val (p1, i1) = imaStep(pred, index, byte & 0x0f)
+        pred = p1; index = i1; out += pred.toShort
+        val (p2, i2) = imaStep(pred, index, byte >> 4)
+        pred = p2; index = i2; out += pred.toShort
+        b += 1
+      }
+      blockOff += blockLen
+    }
+    // the final block nibble-pads to byte granularity; 'fact' carries the
+    // true count
+    if (factSamples >= 0) {
+      require(factSamples <= out.length,
+        s"wavDecode: fact claims $factSamples samples but only ${out.length} decode")
+      require(factSamples > out.length - spb ||
+        out.length == factSamples, // all-full-blocks case
+        s"wavDecode: fact count $factSamples drops more than the final block's padding")
+      out.take(factSamples).toArray
+    } else out.toArray
+  }
+
+  /** IMA ADPCM encoder + WAV container (fmt 0x11, the fixture writer for
+    * the 4-bit decode path). Every block header re-anchors the predictor
+    * at the block's first true sample (the canonical layout, making
+    * blocks independently seekable); the step index carries across
+    * blocks. The final block nibble-pads by encoding zero-diff
+    * continuations and a 'fact' chunk records the true sample count.
+    */
+  def wavFromImaAdpcm(samples: Array[Short], sampleRate: Int,
+                      blockAlign: Int = 256): Array[Byte] = {
+    require(blockAlign > 4 && blockAlign % 4 == 0,
+      s"wavFromImaAdpcm: bad block align $blockAlign")
+    require(samples.nonEmpty, "wavFromImaAdpcm: empty clip")
+    val spb = (blockAlign - 4) * 2 + 1
+    val nBlocks = (samples.length + spb - 1) / spb
+    val data = new Array[Byte](nBlocks * blockAlign)
+    var index = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val s0 = blk * spb
+      val base = blk * blockAlign
+      var pred = samples(s0).toInt
+      data(base) = (pred & 0xff).toByte
+      data(base + 1) = ((pred >> 8) & 0xff).toByte
+      data(base + 2) = index.toByte
+      var k = 1 // sample offset within the block
+      var b = 4
+      while (b < blockAlign) {
+        var byte = 0
+        var half = 0
+        while (half < 2) {
+          // past the end: encode the current predictor again (zero diff)
+          val target = if (s0 + k < samples.length) samples(s0 + k).toInt else pred
+          val step = imaStepTable(index)
+          var diff = target - pred
+          var nib = 0
+          if (diff < 0) { nib = 8; diff = -diff }
+          if (diff >= step) { nib |= 4; diff -= step }
+          if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+          if (diff >= (step >> 2)) nib |= 1
+          val (p, ix) = imaStep(pred, index, nib)
+          pred = p; index = ix
+          byte |= (if (half == 0) nib else nib << 4)
+          k += 1
+          half += 1
+        }
+        data(base + b) = byte.toByte
+        b += 1
+      }
+      blk += 1
+    }
+    val byteRate = (sampleRate.toLong * blockAlign / spb).toInt
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + 4 + 8 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 20 + 8 + 4 + 8 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(1)                       // IMA ADPCM, mono
+      .putInt(sampleRate).putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(4)       // block align, bits
+      .putShort(2).putShort(spb.toShort)              // cbSize, samplesPerBlock
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
+  /** ADPCM-audio planting (spec for the fixture replica): 16 kHz clips of
+    * nChars full-scale noise samples
+    * (sample_i = (([[plantPixel]](doc_id + 5·10⁶, 2i) << 8) |
+    * [[plantPixel]](doc_id + 5·10⁶, 2i+1)) as int16), block align
+    * 256/64/32 by doc_id % 3 — multi-block clips with partial final
+    * blocks and the fact-chunk truncation all sit inside the oracle
+    * gate. Empty docs keep a one-sample clip (the encoder rejects empty).
+    */
+  def imaAdpcmAudioFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[AudioItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .as[(Long, Int)].map { case (id, nChars) =>
+        val n = math.max(nChars, 1)
+        val samples = Array.tabulate(n)(i =>
+          ((plantPixel(id + 5000000L, 2L * i) << 8) |
+            plantPixel(id + 5000000L, 2L * i + 1)).toShort)
+        val ba = Seq(256, 64, 32)((id % 3).toInt)
+        AudioItem(id, wavFromImaAdpcm(samples, 16000, ba), 16000)
+      }
   }
 
   /** G.711 expansion (ITU G.711, the telephony companding in every call

@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Subtitle/caption parsing — the TEXT side of the video tier. A
+  * video-text training pipeline (contrastive pretraining, caption
+  * grounding, ASR supervision) starts from the two caption formats the
+  * web actually serves: SubRip (.srt) and WebVTT (.vtt). Both are plain
+  * text, so the parse is pure string discipline — no library anywhere —
+  * and the cue→frame alignment that produces (frame, text) training
+  * pairs is integer arithmetic over the clip's frame interval.
+  *
+  * Scope (canonical subset, fails loudly outside it): SRT blocks
+  * (index line, `HH:MM:SS,mmm --> HH:MM:SS,mmm`, text lines, blank-line
+  * separated) and WebVTT (the `WEBVTT` magic, `.` millisecond
+  * separator, optional cue identifiers, NOTE/STYLE/REGION blocks
+  * skipped, cue settings after the arrow ignored, optional hour field).
+  * Cues must be well-formed spans (end > start); out-of-order cues are
+  * accepted (the wild is full of them) but flagged in [[Cue.in_order]]
+  * so a curation gate can cut on it.
+  *
+  * Reference behavior being matched: the reference stores such payloads
+  * as text/blob columns (cql3 text type); caption parsing is a pipeline
+  * extension per the brief, wire formats from the public SubRip/WebVTT
+  * specs.
+  */
+object Subtitles {
+
+  /** One parsed cue. `in_order` is false when this cue starts before
+    * the previous cue's start (the monotonicity curation signal).
+    */
+  case class Cue(media_id: Long, cue_idx: Int, start_ms: Long, end_ms: Long,
+                 n_words: Int, in_order: Boolean, text: String)
+
+  /** A subtitle payload row (the caption analog of MediaItem). */
+  case class SubtitleItem(media_id: Long, payload: String)
+
+  private val SrtTime = """(\d+):(\d{2}):(\d{2})[,.](\d{3})""".r
+  private val VttShortTime = """(\d{2}):(\d{2})[.](\d{3})""".r
+
+  private def parseTime(s: String, what: String): Long = s.trim match {
+    case SrtTime(hh, mm, ss, ms) =>
+      require(mm.toInt < 60 && ss.toInt < 60,
+        s"$what: minutes/seconds out of range in '$s'")
+      ((hh.toLong * 60 + mm.toLong) * 60 + ss.toLong) * 1000 + ms.toLong
+    case VttShortTime(mm, ss, ms) => // WebVTT's optional-hours form
+      require(mm.toInt < 60 && ss.toInt < 60,
+        s"$what: minutes/seconds out of range in '$s'")
+      (mm.toLong * 60 + ss.toLong) * 1000 + ms.toLong
+    case _ => throw new IllegalArgumentException(
+      s"$what: unparseable timestamp '$s'")
+  }
+
+  private def wordCount(text: String): Int = {
+    val t = text.trim
+    if (t.isEmpty) 0 else t.split("\\s+").length
+  }
+
+  /** SubRip parse: blank-line-separated blocks of (numeric index,
+    * `start --> end`, text lines). The numeric index line is validated
+    * as numeric but its VALUE is ignored (real files renumber badly);
+    * cue_idx is positional.
+    */
+  def parseSrt(mediaId: Long, payload: String): Seq[Cue] = {
+    val blocks = payload.replace("\r\n", "\n").replace("\r", "\n")
+      .split("\n{2,}").iterator.map(_.strip).filter(_.nonEmpty).toSeq
+    var prevStart = Long.MinValue
+    blocks.zipWithIndex.map { case (block, i) =>
+      val lines = block.split("\n")
+      require(lines.length >= 2,
+        s"parseSrt: cue $i has ${lines.length} line(s), need index + timing")
+      require(lines(0).trim.forall(_.isDigit) && lines(0).trim.nonEmpty,
+        s"parseSrt: cue $i index line '${lines(0)}' is not numeric")
+      val arrow = lines(1).split("-->")
+      require(arrow.length == 2,
+        s"parseSrt: cue $i timing line '${lines(1)}' has no -->")
+      val start = parseTime(arrow(0), s"parseSrt cue $i")
+      val end = parseTime(arrow(1), s"parseSrt cue $i")
+      require(end > start,
+        s"parseSrt: cue $i is an empty/negative span ($start..$end ms)")
+      val text = lines.drop(2).mkString("\n")
+      val ord = start >= prevStart
+      prevStart = start
+      Cue(mediaId, i, start, end, wordCount(text), ord, text)
+    }
+  }
+
+  /** WebVTT parse: the `WEBVTT` magic (with optional trailing header
+    * text), then blank-line-separated blocks — NOTE/STYLE/REGION blocks
+    * skip whole; a cue block is an optional identifier line, the timing
+    * line (`.` millisecond separator, optional hours, settings after
+    * the end time ignored), then text lines.
+    */
+  def parseVtt(mediaId: Long, payload: String): Seq[Cue] = {
+    val norm = payload.replace("\uFEFF", "").replace("\r\n", "\n")
+      .replace("\r", "\n")
+    require(norm.startsWith("WEBVTT"),
+      "parseVtt: missing WEBVTT magic")
+    val blocks = norm.split("\n{2,}").iterator.map(_.strip)
+      .filter(_.nonEmpty).toSeq.drop(1) // the header block
+    var prevStart = Long.MinValue
+    var idx = 0
+    val out = Seq.newBuilder[Cue]
+    blocks.foreach { block =>
+      val lines = block.split("\n")
+      val kind = lines(0).takeWhile(!_.isWhitespace)
+      if (kind != "NOTE" && kind != "STYLE" && kind != "REGION") {
+        val timingLine = if (lines(0).contains("-->")) 0 else 1
+        require(timingLine < lines.length && lines(timingLine).contains("-->"),
+          s"parseVtt: cue block '${lines(0).take(40)}' has no timing line")
+        val arrow = lines(timingLine).split("-->")
+        require(arrow.length == 2,
+          s"parseVtt: malformed timing line '${lines(timingLine)}'")
+        val start = parseTime(arrow(0), s"parseVtt cue $idx")
+        // cue settings (position:, line:, align:, ...) follow the end
+        // time on the same line — split them off before parsing
+        val endTok = arrow(1).trim.split("\\s+")(0)
+        val end = parseTime(endTok, s"parseVtt cue $idx")
+        require(end > start,
+          s"parseVtt: cue $idx is an empty/negative span ($start..$end ms)")
+        val text = lines.drop(timingLine + 1).mkString("\n")
+        val ord = start >= prevStart
+        prevStart = start
+        out += Cue(mediaId, idx, start, end, wordCount(text), ord, text)
+        idx += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Container sniff: WebVTT magic → VTT, else SRT. */
+  def parse(mediaId: Long, payload: String): Seq[Cue] = {
+    val trimmed = payload.replace("\uFEFF", "")
+    if (trimmed.startsWith("WEBVTT")) parseVtt(mediaId, payload)
+    else parseSrt(mediaId, payload)
+  }
+
+  /** Parse a subtitle table into one row per cue — the same
+    * `mapPartitions` batch shape as the media tiers; payload text never
+    * leaves the executor.
+    */
+  def parseCues(spark: SparkSession, subs: Dataset[SubtitleItem]): Dataset[Cue] = {
+    import spark.implicits._
+    subs.mapPartitions(_.flatMap(s => parse(s.media_id, s.payload)))
+  }
+
+  /** Format milliseconds as an SRT/VTT timestamp. */
+  def formatTime(ms: Long, srt: Boolean): String = {
+    val h = ms / 3600000; val m = ms / 60000 % 60
+    val s = ms / 1000 % 60; val f = ms % 1000
+    f"$h%02d:$m%02d:$s%02d${if (srt) "," else "."}$f%03d"
+  }
+
+  /** Planted cue timing (spec for the fixture replica): cue i of doc
+    * `id` starts at i·1700 + (id mod 7)·13 ms and runs 1400 ms — except
+    * cue 2 of id % 5 == 0 docs, which starts 100 ms BEFORE cue 1 (a
+    * deliberately out-of-order cue, so the in_order curation flag sits
+    * inside the oracle gate). Cue text is the doc's whitespace words in
+    * groups of four (a full group renders as two lines of two words).
+    */
+  def plantCueTimes(id: Long, i: Int, nCues: Int): (Long, Long) = {
+    val base = i.toLong * 1700 + (id % 7) * 13
+    val start = if (i == 2 && id % 5 == 0 && nCues >= 3)
+      1L * 1700 + (id % 7) * 13 - 100 else base
+    (start, start + 1400)
+  }
+
+  /** Render the planted cues for one document as SRT (even ids) or
+    * WebVTT (odd ids). The VTT side plants the parser's edge paths: a
+    * NOTE block, a cue identifier line on cue 1, a settings suffix on
+    * cue 0, and the optional-hours short timestamp form on even cues.
+    * Returns None when the text has no words (no cues, no payload).
+    */
+  def plantSubtitle(id: Long, text: String): Option[String] = {
+    val words = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return None
+    val groups = words.grouped(4).toSeq
+    val srt = id % 2 == 0
+    val blocks = groups.zipWithIndex.map { case (g, i) =>
+      val (start, end) = plantCueTimes(id, i, groups.length)
+      val lines =
+        if (g.length == 4) Seq(g.take(2).mkString(" "), g.drop(2).mkString(" "))
+        else Seq(g.mkString(" "))
+      if (srt)
+        (Seq(s"${i + 1}",
+          s"${formatTime(start, srt = true)} --> ${formatTime(end, srt = true)}") ++
+          lines).mkString("\n")
+      else {
+        val shortForm = i % 2 == 0 && start < 3600000 && end < 3600000
+        def t(ms: Long) =
+          if (shortForm) formatTime(ms, srt = false).drop(3) else formatTime(ms, srt = false)
+        val timing = s"${t(start)} --> ${t(end)}" +
+          (if (i == 0) " align:start position:10%" else "")
+        val idLine = if (i == 1) Seq(s"cue-$id-1") else Nil
+        (idLine ++ Seq(timing) ++ lines).mkString("\n")
+      }
+    }
+    Some(
+      if (srt) blocks.mkString("\n\n")
+      else (Seq("WEBVTT - planted fixture", "NOTE synthetic caption track") ++
+        blocks).mkString("\n\n"))
+  }
+
+  /** Build a subtitle table from the documents fixture ([[plantSubtitle]]
+    * — SRT for even ids, WebVTT for odd, so both formats and every
+    * parser edge path sit inside the oracle gate).
+    */
+  def subtitlesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[SubtitleItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].flatMap { case (id, text) =>
+        plantSubtitle(id, text).map(SubtitleItem(id, _))
+      }
+  }
+
+  /** Cue→frame alignment — the (frame, caption) pair generator for
+    * video-text training: a cue spanning [start_ms, end_ms) covers the
+    * frames whose timestamps f·uspf fall inside it (uspf in
+    * MICROseconds per frame, the [[Avi.Video]] convention), clipped to
+    * the clip's n_frames. One metadata equi-join on media_id attaches
+    * the clip's frame count (broadcastable — it's id + one int, never
+    * the payload), then the fan-out is a single generator expression:
+    * frames = sequence(ceil(start_us/uspf), min(ceil(end_us/uspf)−1,
+    * n−1)). The video payload is never touched — pair rows carry frame
+    * INDICES; the consumer decodes only paired frames via the strided
+    * path.
+    */
+  def cueFramePairs(cues: DataFrame, clips: DataFrame,
+                    microSecPerFrame: Int): DataFrame = {
+    require(microSecPerFrame > 0,
+      s"cueFramePairs: bad frame interval $microSecPerFrame")
+    // timestamps in µs to stay integral: frame f sits at f·uspf µs;
+    // first covered frame = ceil(start_us / uspf), last = the final
+    // frame strictly before end_us, clipped to the clip bound
+    // exact integral ceil — (us + uspf − 1) div uspf — so the frame
+    // boundary arithmetic never routes through a double
+    val uspf = lit(microSecPerFrame.toLong)
+    def ceilDiv(us: org.apache.spark.sql.Column) =
+      call_function("div", us + uspf - 1, uspf)
+    cues.join(clips, "media_id")
+      .withColumn("_first",
+        greatest(lit(0L), ceilDiv(col("start_ms") * 1000)))
+      .withColumn("_last",
+        least(col("n_frames").cast("long") - 1,
+          ceilDiv(col("end_ms") * 1000) - 1))
+      .filter(col("_first") <= col("_last"))
+      .select(col("media_id"), col("cue_idx"),
+        explode(sequence(col("_first"), col("_last"))).as("frame_idx"),
+        col("start_ms"), col("end_ms"), col("text"))
+  }
+}

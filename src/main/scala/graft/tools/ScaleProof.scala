@@ -154,7 +154,12 @@ object ScaleProof {
     "q_multimodal_video_quality", // AVI decode + integer luma gates (r14)
     "q_multimodal_jpeg",  // baseline JPEG decode + pixel statistics (r14)
     "q_dedup_phash_cross", // mixed-container pigeonhole at radius 10 (r14)
-    "q_multimodal_gif_video") // GIF LZW + composition + frame fan-out (r14)
+    "q_multimodal_gif_video", // GIF LZW + composition + frame fan-out (r14)
+    "q_multimodal_mjpeg", // MJPEG AVI: per-frame JPEG decode fan-out (r14)
+    "q_multimodal_bmp",   // BMP decode + pixel statistics scan (r14)
+    "q_multimodal_audio_adpcm", // 4-bit ADPCM block decode + signals (r14)
+    "q_subtitles_parse",  // SRT/VTT parse: map-only content-bound scan (r14)
+    "q_subtitle_frame_pairs") // cue-frame alignment: equi-join + generator (r14)
     // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded by
     // construction — a flat ratio would be trivial, not evidence)
 

@@ -68,6 +68,125 @@ class AviSpec extends SparkSpec {
     assert(Avi.decode(withJunk).frames.head.toSeq === planted(5, 4, 1L).toSeq)
   }
 
+  test("MJPEG AVI: container round trip equals the per-frame JPEG round " +
+    "trip exactly; header dispatch reads biCompression; gray frames " +
+    "expand to RGB") {
+    for (w <- Seq(4, 7, 12); h <- Seq(3, 5); sub <- Seq(false, true)) {
+      val frames = (0 until 3).map(f => planted(w, h, w * 100 + h * 10 + f))
+      val v = Avi.decode(Avi.encodeMjpeg(w, h, 40000, frames, 80, sub))
+      assert(v.width === w && v.height === h && v.microSecPerFrame === 40000)
+      assert(v.frames.length === 3)
+      // frame i must equal Jpeg.decode(Jpeg.encode(frame_i)) BYTE FOR
+      // BYTE — the container adds nothing to (and loses nothing of) the
+      // per-frame codec
+      frames.indices.foreach { f =>
+        val want = graft.operators.Jpeg.decode(
+          graft.operators.Jpeg.encode(w, h, 3, frames(f), 80, sub)).pixels
+        assert(v.frames(f).toSeq === want.toSeq, s"${w}x$h sub=$sub frame $f")
+      }
+    }
+    // lossy but bounded on smooth content: a 32x24 gradient at q90 stays
+    // within a few gray levels per sample
+    val gw = 32; val gh = 24
+    val grad = Array.tabulate(gw * gh * 3) { i =>
+      val p = i / 3; ((p % gw) * 4 + (p / gw) * 3).toByte
+    }
+    val gv = Avi.decode(Avi.encodeMjpeg(gw, gh, 40000, Seq(grad), quality = 90))
+    val maxErr = gv.frames.head.zip(grad)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 8, s"gradient error $maxErr")
+    // a gray JPEG inside the movi expands to RGB triplets: splice a
+    // grayscale frame into a hand-assembled minimal MJPEG container
+    val gpx = Array.tabulate[Byte](4 * 3)(i => (i * 17).toByte)
+    val gjpg = graft.operators.Jpeg.encode(4, 3, 1, gpx, 90)
+    val mj = {
+      def cc(s: String) = s.getBytes("US-ASCII")
+      def le(v: Int) = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+      def chunk(tag: String, d: Array[Byte]) =
+        cc(tag) ++ le(d.length) ++ d ++
+          (if (d.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+      val avih = le(40000) ++ le(0) ++ le(0) ++ le(0) ++ le(1) ++ le(0) ++
+        le(1) ++ le(0) ++ le(4) ++ le(3) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+      val strf = le(40) ++ le(4) ++ le(3) ++
+        Array[Byte](1, 0, 24, 0) ++ le(Avi.MjpgFourCC) ++ le(0) ++
+        le(0) ++ le(0) ++ le(0) ++ le(0)
+      val hdrl = chunk("LIST", cc("hdrl") ++ chunk("avih", avih) ++
+        chunk("LIST", cc("strl") ++ chunk("strf", strf)))
+      val movi = chunk("LIST", cc("movi") ++ chunk("00dc", gjpg))
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ le(body.length) ++ body
+    }
+    val gdec = Avi.decode(mj)
+    val gray = graft.operators.Jpeg.decode(gjpg).pixels
+    val want = gray.flatMap(p => Array(p, p, p))
+    assert(gdec.frames.head.toSeq === want.toSeq)
+    // dimension mismatch between header and frame rejects loudly
+    val bad = Avi.encodeMjpeg(4, 3, 40000, Seq(planted(4, 3, 9L)))
+    val badHdr = bad.clone()
+    // avih width field: find 'avih', +8 (chunk hdr) +32
+    val avihPos = {
+      var p = -1
+      for (i <- 0 until bad.length - 4)
+        if (p < 0 && new String(bad, i, 4, "US-ASCII") == "avih") p = i
+      p
+    }
+    java.nio.ByteBuffer.wrap(badHdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(avihPos + 8 + 32, 5)
+    val ex = intercept[IllegalArgumentException](Avi.decode(badHdr))
+    assert(ex.getMessage.contains("header says"))
+  }
+
+  test("decodeStrided equals full-decode-then-sample on every container " +
+    "— the sampling fast path is exact, not approximate") {
+    val w = 6; val h = 5
+    val frames = (0 until 7).map(f => planted(w, h, 9000 + f))
+    for ((payload, name) <- Seq(
+      (Avi.encode(w, h, 40000, frames), "raw AVI"),
+      (Avi.encodeMjpeg(w, h, 40000, frames, 85), "MJPEG AVI"))) {
+      for (stride <- Seq(1, 2, 3, 7, 10)) {
+        val full = Avi.decode(payload)
+        val (sw, sh, nf, sampled) = Multimodal.decodeVideoStrided(payload, stride)
+        assert((sw, sh, nf) === ((w, h, 7)), s"$name stride=$stride")
+        assert(sampled.map(_._1) === (0 until 7 by stride), s"$name stride=$stride")
+        sampled.foreach { case (i, rgb) =>
+          assert(rgb.toSeq === full.frames(i).toSeq, s"$name stride=$stride frame $i")
+        }
+      }
+    }
+    // GIF clips route through the full compose (frames are cumulative)
+    val docs = Tables.documents(spark, sf).limit(6)
+    val gifs = Multimodal.gifVideoFromDocuments(spark, docs).collect()
+    gifs.foreach { m =>
+      val full = Multimodal.decodeVideo(m.payload)
+      val (_, _, nf, sampled) = Multimodal.decodeVideoStrided(m.payload, 2)
+      assert(nf === full.frames.length)
+      sampled.foreach { case (i, rgb) =>
+        assert(rgb.toSeq === full.frames(i).toSeq, s"gif ${m.media_id} frame $i")
+      }
+    }
+  }
+
+  test("MJPEG clips flow through the unchanged feature/pHash operators: " +
+    "an MJPEG re-encode of a raw clip near-dups with it frame-for-frame") {
+    // smooth frames (shifted gradients) so q95 compression moves the
+    // pHash by at most a couple of bits
+    val gw = 32; val gh = 24
+    def grad(f: Int) = Array.tabulate(gw * gh * 3) { i =>
+      val p = i / 3; (((p % gw) * 4 + (p / gw) * 3 + f * 5) % 250).toByte
+    }
+    val frames = (0 until 4).map(grad)
+    val raw = Multimodal.MediaItem(1L, "vid/0",
+      Avi.encode(gw, gh, 40000, frames), gw, gh, 4, 0)
+    val mj = Multimodal.MediaItem(2L, "vid/0",
+      Avi.encodeMjpeg(gw, gh, 40000, frames, quality = 95), gw, gh, 4, 0)
+    val hashes = Multimodal.videoPHashes(spark, Seq(raw, mj).toDS(), stride = 1)
+    val dups = Multimodal.videoNearDups(hashes, maxHamming = 3, minMatched = 4)
+      .collect()
+    assert(dups.length === 1)
+    assert(dups.head.getLong(0) === 1L && dups.head.getLong(1) === 2L)
+  }
+
   test("videoPHashes + videoNearDups: a brightness-shifted clip pairs " +
     "with its original on every sampled frame; independent clips don't; " +
     "the pigeonhole join equals brute force") {

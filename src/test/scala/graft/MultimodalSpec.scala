@@ -295,6 +295,65 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.g711Decode(0xd5, aLaw = true) === 8)
   }
 
+  test("IMA ADPCM: block re-anchoring is exact, reconstruction error is " +
+    "step-bounded, fact truncation preserves odd lengths, and corrupt " +
+    "streams reject by name") {
+    // a 440 Hz sine at 16 kHz — ADPCM's home turf; the step adapts and
+    // tracks within a small RMS error
+    val sine = Array.tabulate(1000)(i =>
+      (12000 * math.sin(2 * math.Pi * 440 * i / 16000)).toShort)
+    for (ba <- Seq(256, 64, 32)) {
+      val spb = (ba - 4) * 2 + 1
+      val (rate, back) = Multimodal.wavDecode(
+        Multimodal.wavFromImaAdpcm(sine, 16000, ba))
+      assert(rate === 16000 && back.length === sine.length, s"ba=$ba")
+      // every block's first sample is carried verbatim in the header
+      (0 until sine.length by spb).foreach(k =>
+        assert(back(k) === sine(k), s"ba=$ba block anchor $k"))
+      // 4-bit companding lands ~20-25 dB SNR on a full-swing tone; gate
+      // at 10% relative error (≈ 20 dB) so a tracking bug (which lands
+      // orders of magnitude off) fails loudly without pinning the codec
+      // to one step-table trajectory
+      val rmsErr = math.sqrt(sine.indices
+        .map(i => math.pow(back(i) - sine(i), 2)).sum / sine.length)
+      val sigRms = math.sqrt(sine.map(s => s.toDouble * s).sum / sine.length)
+      assert(rmsErr / sigRms < 0.1, s"ba=$ba sine relative RMS error ${rmsErr / sigRms}")
+    }
+    // full-scale noise: decode still returns, every nibble value occurs,
+    // and the decode is deterministic
+    val noise = Array.tabulate(777) { i =>
+      var z = 42L * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+      ((z >>> 40) & 0xffff).toShort
+    }
+    val enc = Multimodal.wavFromImaAdpcm(noise, 16000, 64)
+    val nibbles = {
+      // data chunk trails the payload (fmt, fact, data layout)
+      val dataPos = enc.length - (777 + 120) / 121 * 64 // ceil(777/121)=7 blocks
+      enc.drop(dataPos).grouped(64).flatMap(_.drop(4))
+        .flatMap(b => Seq(b & 0x0f, (b & 0xff) >> 4)).toSet
+    }
+    assert(nibbles === (0 to 15).toSet)
+    val (_, d1) = Multimodal.wavDecode(enc)
+    val (_, d2) = Multimodal.wavDecode(enc)
+    assert(d1.toSeq === d2.toSeq && d1.length === 777)
+    // a one-sample clip (nChars = 0 planting floor) round-trips its count
+    val (_, one) = Multimodal.wavDecode(
+      Multimodal.wavFromImaAdpcm(Array[Short](123), 16000, 32))
+    assert(one.toSeq === Seq[Short](123))
+    // corrupt step index (> 88) rejects by name
+    val bad = enc.clone()
+    bad(bad.length - 7 * 64 + 2) = 100 // first block's index byte
+    assert(intercept[IllegalArgumentException](Multimodal.wavDecode(bad))
+      .getMessage.contains("step index"))
+    // the planting source feeds the shared feature pass
+    val feats = Multimodal.audioFeatures(spark,
+      Multimodal.imaAdpcmAudioFromDocuments(spark,
+        Tables.documents(spark, sf).limit(20))).collect()
+    assert(feats.length === 20)
+    assert(feats.forall(f => f.sample_rate === 16000 && f.n_samples >= 1))
+  }
+
   test("audio features measure a crafted clip exactly: duration, RMS, " +
     "peak, silence and clipping ratios") {
     // 8 samples: 4 silent (|x| < 328), 2 clipped (|x| >= 32440), peak 32767

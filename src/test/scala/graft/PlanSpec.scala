@@ -872,12 +872,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("the mixed-container scan is a shuffle-free union of three pruned " +
+  test("the mixed-container scan is a shuffle-free union of four pruned " +
     "planting scans — per-payload dispatch, not a per-container job") {
     val p = plan("q_multimodal_mixed")
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Join"), p)
     assert("ReadSchema: struct<doc_id:bigint,n_chars:bigint>".r
+      .findAllIn(p).size === 4, p)
+  }
+
+  test("BMP feature extraction and MJPEG frame fan-out keep the map-only " +
+    "shape: pruned planting scan, no shuffle, no join") {
+    for (q <- Seq("q_multimodal_bmp", "q_multimodal_mjpeg")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), s"$q: $p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: $p")
+      assert(!p.contains("Join"), s"$q: $p")
+    }
+  }
+
+  test("the mixed-container VIDEO scan is a shuffle-free union of three " +
+    "pruned planting scans — per-payload dispatch across raw AVI, MJPEG " +
+    "and animated GIF") {
+    val p = plan("q_multimodal_video_mixed")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert("ReadSchema: struct<doc_id:bigint,n_chars:bigint>".r
       .findAllIn(p).size === 3, p)
+  }
+
+  test("subtitle parsing is map-only over a (doc_id, text) pruned scan; " +
+    "cue-frame pairing is one equi-join + one generator — never a " +
+    "nested-loop product, and no video payload anywhere") {
+    val p = plan("q_subtitles_parse")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    val q = plan("q_subtitle_frame_pairs")
+    assert(!q.contains("CartesianProduct") && !q.contains("BroadcastNestedLoop"), q)
+    assert(q.contains("Generate"), q) // the sequence() frame fan-out
   }
 }

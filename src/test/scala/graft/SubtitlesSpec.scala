@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.Subtitles
+import org.apache.spark.sql.functions._
+
+/** Subtitle/caption tier spec: hand-written SRT and WebVTT samples
+  * (CRLF, BOM, NOTE/STYLE blocks, cue identifiers, settings, the
+  * optional-hours form, out-of-order cues), loud rejection of malformed
+  * tracks, round trip of the planted renderer, and hand-checked
+  * cue→frame alignment.
+  */
+class SubtitlesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseSrt reads a canonical SubRip track: indices ignored, " +
+    "multi-line text joined, CRLF normalized, out-of-order flagged") {
+    val srt = "1\r\n00:00:01,500 --> 00:00:03,000\r\nHello there\r\n\r\n" +
+      "7\r\n00:00:03,200 --> 00:01:00,000\r\nsecond cue\r\nline two\r\n\r\n" +
+      "3\r\n00:00:02,000 --> 00:00:04,000\r\nrewound cue\r\n"
+    val cues = Subtitles.parseSrt(9L, srt)
+    assert(cues.map(_.cue_idx) === Seq(0, 1, 2)) // positional, not the file's 1/7/3
+    assert(cues(0).start_ms === 1500 && cues(0).end_ms === 3000)
+    assert(cues(1).start_ms === 3200 && cues(1).end_ms === 60000)
+    assert(cues(1).text === "second cue\nline two" && cues(1).n_words === 4)
+    assert(cues.map(_.in_order) === Seq(true, true, false)) // the rewind
+    assert(cues.forall(_.media_id === 9L))
+  }
+
+  test("parseVtt reads a WebVTT track: BOM + header text, NOTE/STYLE " +
+    "blocks skipped, cue identifiers, settings after the end time, " +
+    "optional-hours timestamps") {
+    val vtt = "\uFEFFWEBVTT - some header\n\n" +
+      "NOTE\nthis block is commentary\n\n" +
+      "STYLE\n::cue { color: red }\n\n" +
+      "01:30.000 --> 01:31.250 align:start position:10%\nshort form\n\n" +
+      "intro-cue\n00:01:31.500 --> 00:01:33,000\nnamed cue\n\n" +
+      "02:00.000 --> 02:01.000\nlast\n"
+    val cues = Subtitles.parseVtt(4L, vtt)
+    assert(cues.length === 3)
+    assert(cues(0).start_ms === 90000 && cues(0).end_ms === 91250)
+    assert(cues(0).text === "short form")
+    assert(cues(1).start_ms === 91500 && cues(1).text === "named cue")
+    assert(cues(2).start_ms === 120000)
+    assert(cues.forall(_.in_order))
+    // the sniff routes on the magic
+    assert(Subtitles.parse(4L, vtt).length === 3)
+    assert(Subtitles.parse(9L,
+      "1\n00:00:01,000 --> 00:00:02,000\nx\n").head.start_ms === 1000)
+  }
+
+  test("malformed tracks reject by name: missing arrow, bad timestamp, " +
+    "empty span, non-numeric SRT index, missing VTT magic") {
+    def bad(body: => Any, frag: String): Unit =
+      assert(intercept[IllegalArgumentException](body).getMessage.contains(frag))
+    bad(Subtitles.parseSrt(1L, "1\n00:00:01,000 00:00:02,000\nx"), "-->")
+    bad(Subtitles.parseSrt(1L, "1\n00:00:xx,000 --> 00:00:02,000\nx"),
+      "unparseable")
+    bad(Subtitles.parseSrt(1L, "1\n00:00:02,000 --> 00:00:02,000\nx"), "span")
+    bad(Subtitles.parseSrt(1L, "one\n00:00:01,000 --> 00:00:02,000\nx"),
+      "not numeric")
+    bad(Subtitles.parseVtt(1L, "1\n00:00:01,000 --> 00:00:02,000\nx"),
+      "WEBVTT")
+    bad(Subtitles.parseSrt(1L, "1\n00:61:01,000 --> 00:62:02,000\nx"),
+      "out of range")
+  }
+
+  test("the planted renderer round-trips through the parser on both " +
+    "formats — format∘parse is the identity on every cue field") {
+    val docs = Tables.documents(spark, sf).limit(40)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    var sawSrt = 0; var sawVtt = 0; var sawOutOfOrder = 0
+    docs.foreach { case (id, text) =>
+      Subtitles.plantSubtitle(id, Option(text).getOrElse("")).foreach { payload =>
+        if (payload.startsWith("WEBVTT")) sawVtt += 1 else sawSrt += 1
+        val words = text.trim.split("\\s+").filter(_.nonEmpty)
+        val groups = words.grouped(4).toIndexedSeq
+        val cues = Subtitles.parse(id, payload)
+        assert(cues.length === groups.length, s"doc $id")
+        cues.zip(groups).zipWithIndex.foreach { case ((c, g), i) =>
+          val (ws, we) = Subtitles.plantCueTimes(id, i, groups.length)
+          assert(c.start_ms === ws && c.end_ms === we, s"doc $id cue $i")
+          assert(c.n_words === g.length, s"doc $id cue $i")
+          assert(c.text.split("\\s+").toSeq === g.toSeq, s"doc $id cue $i")
+          if (!c.in_order) sawOutOfOrder += 1
+        }
+      }
+    }
+    assert(sawSrt > 0 && sawVtt > 0, s"srt=$sawSrt vtt=$sawVtt")
+    assert(sawOutOfOrder > 0, "the out-of-order plant never fired")
+  }
+
+  test("cueFramePairs aligns cue spans to the sampled-frame timeline by " +
+    "hand arithmetic: boundary frames, clipping, and off-clip cues") {
+    val cues = Seq(
+      // [1000, 2000) ms at 500 ms/frame → frames 2, 3 (frame 4 sits AT end)
+      (10L, 0, 1000L, 2000L, 2, true, "a b"),
+      // [1250, 1400) covers no frame timestamp: first=ceil(2.5)=3 but
+      // last=ceil(2.8)−1=2 → empty, no rows
+      (10L, 1, 1250L, 1400L, 1, true, "c"),
+      // [0, 10000) clipped to the 4-frame clip → frames 0..3
+      (10L, 2, 0L, 10000L, 1, true, "d"),
+      // beyond the clip entirely → no rows
+      (10L, 3, 99000L, 99500L, 1, true, "e"))
+      .toDF("media_id", "cue_idx", "start_ms", "end_ms", "n_words",
+        "in_order", "text")
+    val clips = Seq((10L, 4)).toDF("media_id", "n_frames")
+    val pairs = Subtitles.cueFramePairs(cues, clips, 500000)
+      .select("cue_idx", "frame_idx").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(pairs === Seq((0, 2L), (0, 3L), (2, 0L), (2, 1L), (2, 2L), (2, 3L)))
+  }
+}
