@@ -6776,10 +6776,14 @@ object Queries {
       // CROSS-CONTAINER near-dup detection — the real crawl case: the
       // same image saved once as PNG and once as JPEG (quality 90, 4:4:4,
       // id + 10^7) must pair up. One hash pass over the mixed-container
-      // corpus (decodeImage sniffs per payload), the exact pigeonhole
-      // hamming join at the measured cross-container radius. Replica:
-      // brute-force pairs over pHashRef(planted) ∪ pHashRef(closed-form
-      // JPEG round trip) — recall exactness, not approximation.
+      // corpus (decodeImage sniffs per payload), then the exact
+      // pigeonhole hamming join at the measured cross-container radius,
+      // BLOCKED on decoded (width, height): radius 10 leaves only ~6-bit
+      // chunk keys, so the unblocked join grows quadratically (ScaleProof
+      // measured 17× on 10× data) — codec twins always share dims, and
+      // the block key restores the linear curve. Replica: brute-force
+      // pairs over pHashRef(planted) ∪ pHashRef(closed-form JPEG round
+      // trip) within dims blocks — recall exactness, not approximation.
       Some("""SELECT a, b, hamming
               FROM parquet_scan('{FIX}/_fixture_phashcross/*.parquet')
               ORDER BY a, b"""),
@@ -6799,8 +6803,9 @@ object Queries {
                 Jpeg.encode(w, h, 3, px, quality = 90), w, h, 1, 16000)
             }
           }
-        val hashes = Multimodal.imagePHash(s, media.union(jpegTwins))
-        Multimodal.phashPairs(hashes, maxHamming = 10).orderBy("a", "b")
+        val hashes = Multimodal.imagePHashDims(s, media.union(jpegTwins))
+        Multimodal.phashPairsBlocked(hashes, maxHamming = 10,
+          blockCols = Seq("width", "height")).orderBy("a", "b")
       }),
 
     QueryDef("q_dedup_video",
@@ -6834,6 +6839,45 @@ object Queries {
           }
         val hashes = Multimodal.videoPHashes(s, media.union(variants), stride = 2)
         Multimodal.videoNearDups(hashes, maxHamming = 3, minMatched = 1)
+          .orderBy("a", "b")
+      }),
+
+    QueryDef("q_dedup_video_cross",
+      // CROSS-CODEC video near-dup: the same clip stored raw (AVI/DIB)
+      // and as an MJPEG q95 re-encode (every 5th doc, id + 2·10⁷) must
+      // pair through the one mixed-corpus pHash pass — the dedup gate a
+      // crawl needs when the same footage arrives through different
+      // capture stacks. Radius 10 (the image tier's cross-container
+      // setting — lossy twins sit a few bits apart, independent noise
+      // ~32). Deterministic either way: the replica's variant hashes run
+      // the closed-form JPEG round trip (the exact decode∘encode pixel
+      // function) before the pinned pHash chain, so the oracle is exact
+      // regardless of how many bits q95 moves.
+      Some("""SELECT a, b, matched_a, matched_b, n_a, n_b
+              FROM parquet_scan('{FIX}/_fixture_videodupscross/*.parquet')
+              ORDER BY a, b"""),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val media = Multimodal.videoFromDocuments(s, docs)
+        val variants = docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+          .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 5 == 0)
+          .mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val (w, h, nf) = Multimodal.plantVideoDims(id, nChars)
+              val frames = (0 until nf).map { f =>
+                Array.tabulate(w * h * 3)(i =>
+                  Multimodal.plantFramePixel(id, f, i).toByte)
+              }
+              Multimodal.MediaItem(id + 20000000L, s"vid/${id % 3}",
+                graft.operators.Avi.encodeMjpeg(w, h, 40000, frames,
+                  quality = 95, subsample = false), w, h, nf, 0)
+            }
+          }
+        val hashes = Multimodal.videoPHashes(s, media.union(variants), stride = 2)
+        Multimodal.videoNearDups(hashes, maxHamming = 10, minMatched = 1,
+            blockCols = Seq("width", "height"))
           .orderBy("a", "b")
       }),
 

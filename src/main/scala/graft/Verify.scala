@@ -2327,20 +2327,75 @@ object Verify {
     fixture("_fixture_phashcross") {
       // q_dedup_phash_cross's corpus: PNG originals ∪ JPEG twins of the
       // SAME planted RGB pixels (quality 90, 4:4:4, id + 10^7); pairs by
-      // brute force at hamming ≤ 10 — the pigeonhole join must find
-      // exactly these
-      val base = imgPlant(spark).map { case (id, w, h, px) => (id, pHashRef(w, h, px)) }
+      // brute force at hamming ≤ 10 WITHIN a (width, height) block —
+      // the blocked pigeonhole join must find exactly these (codec
+      // twins always share decoded dims; the block key is what keeps
+      // the radius-10 join linear at scale)
+      val base = imgPlant(spark).map { case (id, w, h, px) =>
+        (id, w, h, pHashRef(w, h, px)) }
       val twins = imgPlant(spark).map { case (id, w, h, px) =>
         val jpx = jpegRoundTripRef(w, h, 3, px, 90, subsample = false)
-        (id + 10000000L, pHashRef(w, h, jpx))
+        (id + 10000000L, w, h, pHashRef(w, h, jpx))
       }
       val all = (base ++ twins).sortBy(_._1)
       val pairs = for {
         i <- all.indices; j <- (i + 1) until all.size
-        d = java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) if d <= 10
+        if all(i)._2 == all(j)._2 && all(i)._3 == all(j)._3
+        d = java.lang.Long.bitCount(all(i)._4 ^ all(j)._4) if d <= 10
       } yield (all(i)._1, all(j)._1, d)
       pairs.toDF("a", "b", "hamming").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_phashcross")
+    }
+    fixture("_fixture_videodupscross") {
+      // q_dedup_video_cross's corpus: base clips + an MJPEG q95 twin for
+      // each 5th doc (id + 2·10⁷). The twin's frames pass through the
+      // closed-form JPEG round trip (jpegRoundTripRef == the engine's
+      // decode∘encode on pixels, proven by the MJPEG feature gate)
+      // before the pinned pHash — so the pair set is exact by
+      // construction, whatever q95 does to individual hash bits
+      val metaRows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        .as[(Long, Int)].collect().sortBy(_._1).toIndexedSeq
+      def framePx(id: Long, f: Int, w: Int, h: Int): Array[Byte] =
+        Array.tabulate(w * h * 3) { i =>
+          var z = (id * 1000003L + f) * 0x9E3779B97F4A7C15L +
+            i.toLong * 0xBF58476D1CE4E5B9L
+          z ^= (z >>> 31); z *= 0x94D049BB133111EBL
+          ((z >>> 40) & 0xff).toByte
+        }
+      def clipHashes(vid: Long, base: Long, nChars: Int, mjpeg: Boolean)
+        : (Long, Int, Int, IndexedSeq[(Int, Long)]) = {
+        val w = 4 + (base % 9).toInt; val h = 3 + (nChars % 7)
+        val nf = (base % 5 + 2).toInt
+        (vid, w, h, (0 until nf by 2).map { f =>
+          val px = framePx(base, f, w, h)
+          val seen = if (mjpeg) jpegRoundTripRef(w, h, 3, px, 95, subsample = false) else px
+          (f, pHashRef(w, h, seen))
+        })
+      }
+      val clips =
+        metaRows.map { case (id, nc) => clipHashes(id, id, nc, mjpeg = false) } ++
+        metaRows.filter(_._1 % 5 == 0).map { case (id, nc) =>
+          clipHashes(id + 20000000L, id, nc, mjpeg = true)
+        }
+      val sorted = clips.sortBy(_._1)
+      // pairs require equal frame dims — the blocking key the engine's
+      // radius-10 join uses (codec twins always share them)
+      val rows = for {
+        i <- sorted.indices; j <- (i + 1) until sorted.size
+        (va, wa, ha0, fa) = sorted(i); (vb, wb, hb0, fb) = sorted(j)
+        if wa == wb && ha0 == hb0
+        hits = for {
+          (fia, ha) <- fa; (fib, hb) <- fb
+          if java.lang.Long.bitCount(ha ^ hb) <= 10
+        } yield (fia, fib)
+        if hits.nonEmpty
+        ma = hits.map(_._1).distinct.size.toLong
+        mb = hits.map(_._2).distinct.size.toLong
+        if ma >= 1 && mb >= 1
+      } yield (va, vb, ma, mb, fa.size, fb.size)
+      rows.toDF("a", "b", "matched_a", "matched_b", "n_a", "n_b").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_videodupscross")
     }
     // ── GIF replicas: GIF is lossless on palette indices, so the replica
     // replays palette lookup + the pinned composition contract (canvas =

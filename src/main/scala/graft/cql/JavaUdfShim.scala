@@ -16,8 +16,8 @@ import graft.cql.Ast._
   * counted `for` loops whose body accumulates into one local (the
   * UFTest.java:441 StringBuilder repeat shape, lowered to
   * `aggregate(sequence(lo, hi), init, fold)`) — into the equivalent Spark
-  * SQL, and rejects anything beyond that surface (while/do, try,
-  * free-form assignment, switch) with the reference's error text
+  * SQL, and rejects anything beyond that surface (do, try, free-form
+  * assignment, data-dependent loops) with the reference's error text
   * (`Could not compile function '<name>' from Java source: ...`).
   *
   * Translated surface (typed bottom-up from the declared argument types, so
@@ -37,6 +37,10 @@ import graft.cql.Ast._
   *  - statements: `[final] Type x = expr;` declarations (block-scoped,
   *    initializers inline), `if`/`else if`/`else`, `return` — with javac's
   *    definite-return and unreachable-code rules
+  *  - `switch` in the RETURN-ARM form (every arm a single
+  *    `return <expr>;`, literal case labels, shared labels via
+  *    fall-through INTO a body, optional `default`) — lowered to the
+  *    equality `if` chain; `break`/statement arms reject
   *  - counted `for` loops: `for (int i = A; i </<= B; i++)` with a body of
   *    accumulation statements (`x = ...`, `x += ...`, `sb.append(...)`)
   *    into same-block locals — optionally guarded by one level of
@@ -304,11 +308,13 @@ object JavaUdfShim {
         next(); parseFor(); None
       case Ident("while") :: _ =>
         next(); parseWhile(); None
+      case Ident("switch") :: _ =>
+        next(); Some(parseSwitch())
       case Ident(kw) :: _ if rejectedKeywords.contains(kw) =>
         fail(s"'$kw' statements are not supported by this engine's " +
           "translation shim (declarations, if/else, counted for/while " +
-          "loops and return only; rewrite the function as LANGUAGE spark " +
-          "for anything larger)")
+          "loops, return-arm switch and return only; rewrite the function " +
+          "as LANGUAGE spark for anything larger)")
       case Ident("final") :: _ =>
         next(); parseDecl(); None
       case Ident(t) :: Ident(_) :: _ if declTypes.contains(t) =>
@@ -320,6 +326,106 @@ object JavaUdfShim {
       case t :: _ => fail(s"unsupported statement starting at $t (declarations, " +
         "if/else and return only)")
       case Nil => fail("unexpected end of body")
+    }
+
+    /** `switch` in its RETURN-ARM form — the shape UDF dispatch tables
+      * take in practice: every arm (and the optional `default`) is a
+      * single `return <expr>;`, case labels are literal constants
+      * (optionally negated numbers, chars, strings), and consecutive
+      * labels share the following arm (Java fall-through INTO a body;
+      * fall-through ACROSS statement bodies, `break`, and statement arms
+      * reject loudly — they need mutation the shim doesn't model). The
+      * lowering is the equality-based `if`/`else if` chain, so a switch
+      * with no `default` falls out to the statements after it, exactly
+      * like Java. Selector equality follows the `==` operator's rules
+      * (char↔int numeric promotion; String `switch` compares by value,
+      * Java's `.equals`). Null handling keeps the shim's convention for
+      * `if`: a null selector matches no case and lands in `default` /
+      * after the switch (Java would NPE unboxing it).
+      */
+    private def parseSwitch(): Stmt = {
+      eat("(")
+      val sel = expression()
+      eat(")")
+      sel._2 match {
+        case TNum(true) | TChar | TStr => ()
+        case TNum(false) => fail("switch on a floating-point selector is " +
+          "not legal Java (byte/short/char/int, their boxes, String or " +
+          "enum only)")
+        case _ => fail("switch selector must be an integral, char or " +
+          "String expression")
+      }
+      eat("{")
+      def caseLabel(): (String, T) = toks match {
+        case Op("-") :: NumLit(sql, integral) :: rest =>
+          toks = rest; (s"(- $sql)", TNum(integral))
+        case NumLit(sql, integral) :: rest => toks = rest; (sql, TNum(integral))
+        case StrLit(sql) :: rest => toks = rest; (sql, TStr)
+        case CharLit(sql) :: rest => toks = rest; (sql, TChar)
+        case t :: _ => fail(s"switch case labels must be literal constants, found $t")
+        case Nil => fail("unexpected end of body inside switch")
+      }
+      val arms = scala.collection.mutable.ListBuffer.empty[(List[(String, T)], List[Stmt])]
+      var defaultBody: Option[List[Stmt]] = None
+      while (!peek.contains(Op("}"))) {
+        val labels = scala.collection.mutable.ListBuffer.empty[(String, T)]
+        var isDefault = false
+        var labeling = true
+        while (labeling) {
+          toks match {
+            case Ident("case") :: _ =>
+              next()
+              val lbl = caseLabel()
+              (sel._2, lbl._2) match {
+                case (TNum(_), TNum(_)) | (TNum(_), TChar) | (TChar, TNum(_)) |
+                     (TChar, TChar) | (TStr, TStr) => ()
+                case _ => fail(s"switch case label ${lbl._1} is not " +
+                  "assignment-compatible with the selector (Java rejects " +
+                  "this at compile time)")
+              }
+              labels += lbl
+              eat(":")
+            case Ident("default") :: _ =>
+              next(); eat(":")
+              if (defaultBody.isDefined) fail("duplicate default label in switch")
+              isDefault = true
+            case _ => labeling = false
+          }
+        }
+        if (labels.isEmpty && !isDefault)
+          fail(s"expected 'case' or 'default' inside switch, found ${peek.getOrElse("}")}")
+        val body = toks match {
+          case Ident("return") :: _ =>
+            next()
+            val e = expression()
+            eat(";")
+            List(SRet(e): Stmt)
+          case _ => fail("switch arms must each be a single 'return " +
+            "<expr>;' in this shim (break, statement bodies and " +
+            "fall-through across bodies need mutation it doesn't model; " +
+            "rewrite the function as LANGUAGE spark)")
+        }
+        if (labels.nonEmpty) arms += ((labels.toList, body))
+        if (isDefault) defaultBody = Some(body)
+      }
+      eat("}")
+      if (arms.isEmpty && defaultBody.isEmpty)
+        fail("empty switch (no case or default arms)")
+      def armCond(labels: List[(String, T)]): String =
+        labels.map { lbl =>
+          val (l, r) = charVsNum(sel, lbl)
+          s"(${l._1} = ${r._1})"
+        }.mkString("(", " OR ", ")")
+      // all arms return, so arm order vs default position is immaterial:
+      // the chain tests every case and falls to default (or out) last
+      val chain = arms.toList.foldRight(defaultBody.getOrElse(Nil)) {
+        case ((labels, body), els) => List(SIf(armCond(labels), body, els): Stmt)
+      }
+      chain match {
+        case single :: Nil => single
+        case _ => // default-only switch: its single SRet is the statement
+          chain.headOption.getOrElse(fail("empty switch"))
+      }
     }
 
     private def parseDecl(): Unit = {

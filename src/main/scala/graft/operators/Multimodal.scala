@@ -482,6 +482,20 @@ object Multimodal {
     }.toDF("media_id", "phash")
   }
 
+  /** [[imagePHash]] + the DECODED dims — the blocking key for
+    * [[phashPairsBlocked]]. Dims come from the decode, not the metadata
+    * columns, so a mislabeled row can't cross blocks.
+    */
+  def imagePHashDims(spark: SparkSession, media: Dataset[MediaItem]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = decodeImage(m.payload)
+        (m.media_id, img.width, img.height, pHashOf(img))
+      }
+    }.toDF("media_id", "width", "height", "phash")
+  }
+
   /** The pinned hash arithmetic (shared spec for the fixture replica). */
   def pHashOf(img: Png.Image): Long = {
     val Png.Image(w, h, ch, px) = img
@@ -564,11 +578,43 @@ object Multimodal {
       .distinct()
   }
 
+  /** [[phashPairs]] with a metadata BLOCKING key — the scale design for
+    * wide radii. At radius r the pigeonhole chunks carry only
+    * 64/(r+1) bits (radius 10 → ~6-bit chunks, 64 buckets), so bucket
+    * populations grow linearly with the corpus and the within-bucket
+    * pairing quadratically — ScaleProof measured the unblocked radius-10
+    * join at 17× on 10× data. Codec twins (the radius-10 use case)
+    * always share DECODED dims, so blocking on (width, height) — or any
+    * twin-invariant metadata — multiplies the bucket key space by the
+    * corpus's dims diversity (thousands of distinct sizes in a real
+    * crawl) and restores the near-linear curve. Pairs are exact within a
+    * block; cross-dims near-dups (true resizes) are [[phashPairs]] at
+    * the tight radius or the embedding path's job.
+    */
+  def phashPairsBlocked(hashes: DataFrame, maxHamming: Int,
+                        blockCols: Seq[String]): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"phashPairsBlocked: maxHamming must be in [0, 63], got $maxHamming")
+    require(blockCols.nonEmpty,
+      "phashPairsBlocked: no blocking columns (use phashPairs)")
+    phashChunked(hashes.select((Seq("media_id", "phash") ++ blockCols)
+        .map(col): _*), maxHamming, keep = blockCols)
+      .groupBy((Seq("ci", "cv") ++ blockCols).map(col): _*)
+      .agg(sort_array(collect_set(struct(col("media_id"), col("phash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(Dedup.pairsOf(col("ms"))).as("p"))
+      .select(col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
+        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Chunk fan-out shared by the pigeonhole machinery: one row per
     * (chunk index, chunk value) of each hash, chunks tiling all 64 bits
     * with widths differing by at most one.
     */
-  private def phashChunked(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  private def phashChunked(hashes: DataFrame, maxHamming: Int,
+                           keep: Seq[String] = Nil): DataFrame = {
     val n = maxHamming + 1
     val base = 64 / n; val rem = 64 % n
     val chunkDefs = (0 until n).scanLeft((0, 0)) { case ((off, wid), i) =>
@@ -579,10 +625,11 @@ object Multimodal {
       struct(lit(i).as("ci"),
         shiftrightunsigned(col("phash"), off).bitwiseAND(lit(mask)).as("cv"))
     }
-    hashes.select(col("media_id"), col("phash"),
-      explode(array(chunks: _*)).as("ch"))
-      .select(col("media_id"), col("phash"),
-        col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    val kept = keep.map(col)
+    hashes.select(col("media_id") +: col("phash") +: kept :+
+        explode(array(chunks: _*)).as("ch"): _*)
+      .select(col("media_id") +: col("phash") +: kept :+
+        col("ch.ci").as("ci") :+ col("ch.cv").as("cv"): _*)
   }
 
   /** STREAMING face of [[phashPairs]] — the crawl-time image-dedup gate:
@@ -738,10 +785,10 @@ object Multimodal {
       it.flatMap { m =>
         val (w, h, _, sampled) = decodeVideoStrided(m.payload, stride)
         sampled.iterator.map { case (f, rgb) =>
-          (m.media_id, f, pHashOf(Png.Image(w, h, 3, rgb)), sampled.size)
+          (m.media_id, f, pHashOf(Png.Image(w, h, 3, rgb)), sampled.size, w, h)
         }
       }
-    }.toDF("media_id", "frame_idx", "phash", "n_sampled")
+    }.toDF("media_id", "frame_idx", "phash", "n_sampled", "width", "height")
   }
 
   /** VIDEO near-duplicate detection — frame-level pHash matching (the
@@ -755,7 +802,7 @@ object Multimodal {
     * aggregation — nothing corpus-wide beyond the hash table itself.
     */
   def videoNearDups(frameHashes: DataFrame, maxHamming: Int,
-                    minMatched: Int): DataFrame = {
+                    minMatched: Int, blockCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"videoNearDups: maxHamming must be in [0, 63], got $maxHamming")
     require(minMatched >= 1, s"videoNearDups: minMatched must be >= 1")
@@ -769,13 +816,17 @@ object Multimodal {
       struct(lit(i).as("ci"),
         shiftrightunsigned(col("phash"), off).bitwiseAND(lit(mask)).as("cv"))
     }
-    // rows carry (clip, frame, hash, count); buckets key on the chunk
+    // rows carry (clip, frame, hash, count); buckets key on the chunk —
+    // plus the blocking columns when given (wide radii need them: see
+    // phashPairsBlocked's scale note; codec twins share frame dims)
     val r = struct(col("media_id").as("v"), col("frame_idx").as("f"),
       col("phash").as("h"), col("n_sampled").as("n"))
     frameHashes
-      .select(r.as("r"), explode(array(chunks: _*)).as("ch"))
-      .select(col("r"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-      .groupBy("ci", "cv")
+      .select(r.as("r") +: blockCols.map(col) :+
+        explode(array(chunks: _*)).as("ch"): _*)
+      .select(col("r") +: blockCols.map(col) :+
+        col("ch.ci").as("ci") :+ col("ch.cv").as("cv"): _*)
+      .groupBy((Seq("ci", "cv") ++ blockCols).map(col): _*)
       .agg(sort_array(collect_set(col("r"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(Dedup.pairsOf(col("ms"))).as("p"))

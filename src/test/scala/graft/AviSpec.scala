@@ -187,6 +187,33 @@ class AviSpec extends SparkSpec {
     assert(dups.head.getLong(0) === 1L && dups.head.getLong(1) === 2L)
   }
 
+  test("cross-codec dedup at the planted dims: MJPEG q95 twins of raw " +
+    "noise clips pair at radius 10, and every reported pair IS a twin") {
+    val docs = Tables.documents(spark, sf).limit(30)
+    val media = Multimodal.videoFromDocuments(spark, docs)
+    val twinIds = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 5 == 0).toSet
+    val variants = media.filter(m => twinIds.contains(m.media_id)).map { m =>
+      val vid = Avi.decode(m.payload)
+      Multimodal.MediaItem(m.media_id + 20000000L, m.kind,
+        Avi.encodeMjpeg(vid.width, vid.height, 40000, vid.frames,
+          quality = 95, subsample = false),
+        m.width, m.height, m.frames, 0)
+    }
+    val hashes = Multimodal.videoPHashes(spark, media.union(variants), stride = 2)
+    val dups = Multimodal.videoNearDups(hashes, maxHamming = 10, minMatched = 1,
+        blockCols = Seq("width", "height"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // noise clips are mutually ~32 bits apart: any pair that forms must
+    // be a raw/MJPEG twin
+    dups.foreach { case (a, b) =>
+      assert(b - a === 20000000L && twinIds.contains(a), s"non-twin pair ($a, $b)")
+    }
+    // and most twins survive q95 (pHash moves a few bits, not past 10)
+    assert(dups.length * 2 >= twinIds.size,
+      s"only ${dups.length} of ${twinIds.size} twins paired")
+  }
+
   test("videoPHashes + videoNearDups: a brightness-shifted clip pairs " +
     "with its original on every sampled frame; independent clips don't; " +
     "the pigeonhole join equals brute force") {

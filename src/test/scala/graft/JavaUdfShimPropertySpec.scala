@@ -168,6 +168,86 @@ class JavaUdfShimPropertySpec extends SparkSpec {
     }.getOrElse(eval(b.fin, args, env))
   }
 
+  // ── return-arm switch grammar ────────────────────────────────────────
+
+  /** `switch (<total sel>) { case l…: return v; … [default: return d;] }
+    * [return fin;]` — the selector is TOTAL (guarded args, no division)
+    * so Java and SQL agree on arm selection; poison may appear only in
+    * the returned values, where both sides model it as None/NULL. Labels
+    * are distinct across arms (Java rejects duplicates at compile time);
+    * the trailing return exists exactly when there is no default (javac's
+    * definite-return/unreachable rules both ways).
+    */
+  private case class SwitchCase(sel: E, arms: List[(List[Int], E)],
+                                default: Option[E], fin: E)
+
+  private def genSwitch: Gen[SwitchCase] = for {
+    sel <- genSafe(2)
+    nArms <- Gen.choose(1, 3)
+    labelPool <- Gen.pick(6, (-15 to 15).toList)
+    sizes <- Gen.listOfN(nArms, Gen.choose(1, 2))
+    vals <- Gen.listOfN(nArms, genExpr(2))
+    hasDef <- Gen.oneOf(true, false)
+    defV <- genExpr(2)
+    fin <- genExpr(2)
+  } yield {
+    var pool = labelPool.toList
+    val arms = sizes.zip(vals).map { case (k, v) =>
+      val ls = pool.take(k); pool = pool.drop(k); (ls, v)
+    }
+    SwitchCase(sel, arms, if (hasDef) Some(defV) else None, fin)
+  }
+
+  private def renderSwitch(b: SwitchCase): String = {
+    val arms = b.arms.map { case (ls, v) =>
+      ls.map(l => s"case $l:").mkString(" ") + s" return ${render(v)};"
+    }.mkString(" ")
+    val d = b.default.map(v => s" default: return ${render(v)};").getOrElse("")
+    val tail = if (b.default.isDefined) "" else s" return ${render(b.fin)};"
+    s"switch (${render(b.sel)}) { $arms$d }$tail"
+  }
+
+  private def evalSwitch(b: SwitchCase, args: Map[String, Option[Int]]): Option[Int] = {
+    val v = eval(b.sel, args).get // total by construction
+    b.arms.collectFirst { case (ls, e) if ls.contains(v) => eval(e, args) }
+      .orElse(b.default.map(e => eval(e, args)))
+      .getOrElse(eval(b.fin, args))
+  }
+
+  test("random return-arm switches translate with Java arm-selection " +
+    "semantics (shared labels, default present/absent, poison values)") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val cqlArgs = argNames.map(_ -> (CqlInt: CqlType))
+    val argSets: Seq[Map[String, Option[Int]]] = Seq(
+      Map("a" -> Some(7), "b" -> Some(-3), "c" -> Some(2)),
+      Map("a" -> None, "b" -> Some(5), "c" -> Some(11)),
+      Map("a" -> Some(0), "b" -> None, "c" -> Some(-8)),
+      Map("a" -> Some(-15), "b" -> Some(15), "c" -> None))
+    val base = argSets.map(m =>
+      (m("a").map(Int.box).orNull, m("b").map(Int.box).orNull, m("c").map(Int.box).orNull))
+      .toDF("a", "b", "c")
+    val cases = (0 until 90).flatMap { i =>
+      genSwitch(Gen.Parameters.default.withSize(1 + i % 8), Seed(0x57117CL + i))
+    }
+    cases.zipWithIndex.grouped(30).foreach { group =>
+      val cols = group.map { case (b, i) =>
+        val sql = JavaUdfShim.translate(renderSwitch(b), cqlArgs)
+        expr(sql).cast("int").as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case (b, i) =>
+        argSets.zipWithIndex.foreach { case (m, row) =>
+          val want = evalSwitch(b, m)
+          val gi = got(row).fieldIndex(s"e$i")
+          val gotV = if (got(row).isNullAt(gi)) None else Some(got(row).getInt(gi))
+          assert(gotV === want,
+            s"body ${renderSwitch(b)}\nsql ${JavaUdfShim.translate(renderSwitch(b), cqlArgs)}\nargs $m")
+        }
+      }
+    }
+  }
+
   // ── counted-loop grammar: int folds and StringBuilder appends ────────
 
   /** `int s = init; for (int i = lo; i </<= hi; i++) { s = e1; s = e2; }

@@ -171,6 +171,56 @@ class JavaUdfShimSpec extends AnyFunSuite {
       .contains("already defined"))
   }
 
+  test("switch in the return-arm form lowers to the equality IF chain; " +
+    "anything needing mutation rejects") {
+    // dispatch table with shared labels and a default
+    assert(tr("switch (a) { case 1: case 2: return 10; case 3: return 20; " +
+      "default: return 0; }", "a" -> CqlInt) ===
+      "IF(((a = 1) OR (a = 2)), 10, IF(((a = 3)), 20, 0))")
+    // no default: falls out of the switch to the following statements
+    assert(tr("switch (a) { case -1: return 1; } return 9;", "a" -> CqlInt) ===
+      "IF(((a = (- 1))), 1, 9)")
+    // String switch compares by value (Java .equals)
+    assert(tr("""switch (s) { case "en": return 1; case "fr": return 2; """ +
+      "default: return 0; }", "s" -> CqlText) ===
+      "IF(((s = 'en')), 1, IF(((s = 'fr')), 2, 0))")
+    // char selector (charAt gives TChar): char label compares as a
+    // 1-char string; an int label promotes the selector through ascii
+    val chEq = tr("switch (s.charAt(0)) { case 'x': return 1; default: return 0; }",
+      "s" -> CqlText)
+    assert(chEq.contains("= 'x'") && chEq.startsWith("IF("), chEq)
+    val chNum = tr("switch (s.charAt(0)) { case 120: return 1; default: return 0; }",
+      "s" -> CqlText)
+    assert(chNum.contains("ascii(") && chNum.contains("= 120"), chNum)
+    // a String selector with a char label is illegal Java — reject
+    assert(rejects("switch (s) { case 'x': return 1; default: return 0; }",
+      "s" -> CqlText).contains("assignment-compatible"))
+    // default position is immaterial when every arm returns
+    assert(tr("switch (a) { default: return 0; case 7: return 1; }",
+      "a" -> CqlInt) === "IF(((a = 7)), 1, 0)")
+    // default sharing a case label maps both to the same body
+    assert(tr("switch (a) { case 5: default: return 3; case 6: return 4; }",
+      "a" -> CqlInt) === "IF(((a = 5)), 3, IF(((a = 6)), 4, 3))")
+    // javac rules still apply through the lowering
+    assert(rejects("switch (a) { case 1: return 1; default: return 0; } return 9;",
+      "a" -> CqlInt).contains("unreachable"))
+    assert(rejects("switch (a) { case 1: return 1; }", "a" -> CqlInt)
+      .contains("missing return"))
+    // rejection contract: statement arms, break, non-literal labels,
+    // floating selectors, incompatible labels, duplicate default
+    assert(rejects("switch (a) { case 1: a = 2; break; default: return 0; }",
+      "a" -> CqlInt).contains("return <expr>;"))
+    assert(rejects("switch (a) { case b: return 1; default: return 0; }",
+      "a" -> CqlInt, "b" -> CqlInt).contains("literal constants"))
+    assert(rejects("switch (d) { case 1: return 1; default: return 0; }",
+      "d" -> CqlDouble).contains("floating"))
+    assert(rejects("""switch (a) { case "x": return 1; default: return 0; }""",
+      "a" -> CqlInt).contains("assignment-compatible"))
+    assert(rejects("switch (a) { default: return 1; default: return 0; }",
+      "a" -> CqlInt).contains("duplicate default"))
+    assert(rejects("switch (a) { }", "a" -> CqlInt).contains("empty switch"))
+  }
+
   test("Math.min/max keep Java NaN propagation and null poisoning") {
     assert(tr("return Math.min(a, b);", "a" -> CqlInt, "b" -> CqlInt) ===
       "IF((a) IS NULL OR (b) IS NULL, NULL, IF((a) <= (b), a, b))")

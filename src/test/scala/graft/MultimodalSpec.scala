@@ -205,6 +205,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phashPairsBlocked equals phashPairs restricted to equal-dims " +
+    "pairs — blocking changes the plan's scale curve, not the twin set") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val twins = Multimodal.jpegMediaFromDocuments(spark, docs)
+      .map(m => m.copy(media_id = m.media_id + 10000000L))
+    val corpus = media.union(twins)
+    val dims = Multimodal.imagePHashDims(spark, corpus)
+    val blocked = Multimodal.phashPairsBlocked(dims, 10, Seq("width", "height"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dimOf = dims.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val plain = Multimodal.phashPairs(Multimodal.imagePHash(spark, corpus), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => dimOf(p._1) == dimOf(p._2)).toSet
+    assert(blocked === plain)
+    assert(blocked.nonEmpty, "no equal-dims pairs formed at all")
+  }
+
   test("WAV container round-trips: encode→decode is the identity on " +
     "samples and rate; unknown chunks skip; junk bytes reject loudly") {
     val xs = Array[Short](0, 1, -1, 32767, -32768, 100, -12345)
