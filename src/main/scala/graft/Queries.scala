@@ -3033,6 +3033,32 @@ object Queries {
         Subtitles.parseCues(s, subs).toDF().orderBy("media_id", "cue_idx")
       }),
 
+    QueryDef("q_subtitles_markup",
+      // cue-markup stripping — caption tracks carry voice spans, style
+      // tags, karaoke timestamps and entities that must not leak into
+      // training text: planted VTT cues with deterministic markup
+      // (plantMarkedSubtitle sweeps <v>, <b>/<i>/<c.cls>, <mm:ss.mmm>,
+      // &amp;) parse back and clean through the codegen'd
+      // regexp_replace chain. The replica re-derives marked text from
+      // the plant and cleans with java.util.regex — agreement pins
+      // Spark's codegen regex path against Java semantics, plus the
+      // parse round trip underneath.
+      Some("""SELECT media_id, cue_idx, clean_text, clean_words
+              FROM parquet_scan('{FIX}/_fixture_submarkup/*.parquet')
+              ORDER BY media_id, cue_idx"""),
+      (s, d) => {
+        import s.implicits._
+        val subs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)].flatMap { case (id, tx) =>
+            Subtitles.plantMarkedSubtitle(id, tx).map(Subtitles.SubtitleItem(id, _))
+          }
+        Subtitles.parseCues(s, subs).toDF()
+          .select(col("media_id"), col("cue_idx"),
+            Subtitles.cleanCueText(col("text")).as("clean_text"))
+          .withColumn("clean_words", size(split(col("clean_text"), " ")))
+          .orderBy("media_id", "cue_idx")
+      }),
+
     QueryDef("q_subtitle_frame_pairs",
       // (frame, caption) pair generation for video-text training: cues
       // align to a 4 fps sampled-frame timeline (250 ms/frame, clip

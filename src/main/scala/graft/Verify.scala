@@ -1654,6 +1654,50 @@ object Verify {
           "n_words", "in_order", "text").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_subtitles")
     }
+    fixture("_fixture_submarkup") {
+      // markup replica: re-derive each cue's MARKED text from the plant
+      // (voice span on cue 0, per-word <b>/<i>/<c.yellow> by
+      // (id+i+j) mod 4, karaoke stamp before word 1 of even cues, &amp;
+      // entity on word 0 of id%4==0 docs), then clean with
+      // java.util.regex (cleanCueTextRef) — no VTT parse, no Spark regex
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          val words = Option(text0).getOrElse("").trim
+            .split("\\s+").filter(_.nonEmpty)
+          if (words.isEmpty) IndexedSeq.empty
+          else {
+            val groups = words.grouped(4).toIndexedSeq
+            groups.zipWithIndex.map { case (g, i) =>
+              val base = i.toLong * 1700 + (id % 7) * 13
+              val start = if (i == 2 && id % 5 == 0 && groups.length >= 3)
+                1700 + (id % 7) * 13 - 100 else base
+              def fmt(ms: Long): String = {
+                val h = ms / 3600000; val m = ms / 60000 % 60
+                val sec = ms / 1000 % 60; val f = ms % 1000
+                f"$h%02d:$m%02d:$sec%02d.$f%03d"
+              }
+              val marked = g.zipWithIndex.map { case (w0, j) =>
+                val w = if (j == 0 && id % 4 == 0) w0 + "&amp;co" else w0
+                val core = ((id + i + j) % 4).toInt match {
+                  case 0 => s"<b>$w</b>"
+                  case 1 => s"<i>$w</i>"
+                  case 2 => s"<c.yellow>$w</c>"
+                  case _ => w
+                }
+                val karaoke = if (j == 1 && i % 2 == 0) s"<${fmt(start + 200)}>" else ""
+                val voice = if (i == 0 && j == 0) s"<v Speaker${id % 3}>" else ""
+                voice + karaoke + core
+              }.mkString(" ")
+              val clean = graft.operators.Subtitles.cleanCueTextRef(marked)
+              (id, i, clean, clean.split(" ").length)
+            }
+          }
+        }
+      rows.toDF("media_id", "cue_idx", "clean_text", "clean_words").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_submarkup")
+    }
     fixture("_fixture_subframes") {
       // cue→frame pairs on the 4 fps sampled timeline: 250 ms per frame,
       // clip length 40 + id%23; first = ceil(start_ms/250), last =

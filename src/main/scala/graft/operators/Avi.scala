@@ -193,13 +193,14 @@ object Avi {
     fourCC("RIFF") ++ le32(body.length) ++ body
   }
 
-  /** Parsed container: header fields + the RAW movi frame chunks (DIB
-    * scanlines or standalone JPEGs — not yet pixel-converted, so strided
-    * consumers can skip the conversion work on unsampled frames).
+  /** Parsed container: header fields + (offset, length) of each RAW movi
+    * frame chunk inside the payload (DIB scanlines or standalone JPEGs —
+    * neither copied nor pixel-converted yet, so strided consumers never
+    * touch an unsampled frame's bytes at all).
     */
-  private case class Parsed(width: Int, height: Int, uspf: Int,
-                            bitCount: Int, compression: Int,
-                            raw: IndexedSeq[Array[Byte]])
+  private case class Parsed(payload: Array[Byte], width: Int, height: Int,
+                            uspf: Int, bitCount: Int, compression: Int,
+                            raw: IndexedSeq[(Int, Int)])
 
   private def parse(payload: Array[Byte]): Parsed = {
     require(payload.length >= 12, "Avi.decode: payload too short for RIFF header")
@@ -210,7 +211,7 @@ object Avi {
       "Avi.decode: not an AVI payload (bad RIFF/AVI signature)")
     var width = -1; var height = -1; var uspf = -1
     var bitCount = -1; var compression = -1
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var sawMovi = false
 
     def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
@@ -238,7 +239,7 @@ object Avi {
             bitCount = bb.getShort(pos + 8 + 14) & 0xffff
             compression = bb.getInt(pos + 8 + 16)
           case "00db" | "00dc" if inMovi =>
-            frames += payload.slice(pos + 8, pos + 8 + len)
+            frames += ((pos + 8, len))
           case _ => // strh, idx1, JUNK, vendor chunks: skip by size
         }
         pos += 8 + len + (len & 1) // RIFF chunks pad to even offsets
@@ -255,7 +256,7 @@ object Avi {
       require(bitCount == 24,
         s"Avi.decode: $bitCount-bit frames not supported (24-bit BI_RGB only)")
     }
-    Parsed(width, height, uspf, bitCount, compression, frames.toIndexedSeq)
+    Parsed(payload, width, height, uspf, bitCount, compression, frames.toIndexedSeq)
   }
 
   /** One frame → top-down RGB: the DIB unswizzle (bottom-up/BGR/padded)
@@ -263,8 +264,9 @@ object Avi {
     * (grayscale frames are legal MJPEG) and a dims-vs-header check.
     */
   private def frameToRgb(p: Parsed, i: Int): Array[Byte] = {
+    val (off, len) = p.raw(i)
     if (p.compression == MjpgFourCC) {
-      val img = Jpeg.decode(p.raw(i))
+      val img = Jpeg.decode(java.util.Arrays.copyOfRange(p.payload, off, off + len))
       require(img.width == p.width && img.height == p.height,
         s"Avi.decode: MJPEG frame $i is ${img.width}x${img.height}, " +
           s"header says ${p.width}x${p.height}")
@@ -281,18 +283,18 @@ object Avi {
       }
     } else {
       val stride = strideOf(p.width)
-      val dib = p.raw(i)
-      require(dib.length == stride * p.height,
-        s"Avi.decode: frame $i has ${dib.length} bytes, want ${stride * p.height}")
+      require(len == stride * p.height,
+        s"Avi.decode: frame $i has $len bytes, want ${stride * p.height}")
+      val dib = p.payload
       val rgb = new Array[Byte](p.width * p.height * 3)
       var y = 0
       while (y < p.height) {
-        val srcRow = p.height - 1 - y
+        val srcRow = off + (p.height - 1 - y) * stride
         var x = 0
         while (x < p.width) {
-          rgb((y * p.width + x) * 3) = dib(srcRow * stride + x * 3 + 2)     // R
-          rgb((y * p.width + x) * 3 + 1) = dib(srcRow * stride + x * 3 + 1) // G
-          rgb((y * p.width + x) * 3 + 2) = dib(srcRow * stride + x * 3)     // B
+          rgb((y * p.width + x) * 3) = dib(srcRow + x * 3 + 2)     // R
+          rgb((y * p.width + x) * 3 + 1) = dib(srcRow + x * 3 + 1) // G
+          rgb((y * p.width + x) * 3 + 2) = dib(srcRow + x * 3)     // B
           x += 1
         }
         y += 1

@@ -145,6 +145,69 @@ object Subtitles {
     subs.mapPartitions(_.flatMap(s => parse(s.media_id, s.payload)))
   }
 
+  /** Strip WebVTT/SRT cue markup down to training text — voice spans
+    * (`<v Name>`), class/style spans (`<b> <i> <u> <c.cls>` and their
+    * closers), karaoke timestamps (`<00:01.500>`), and the five basic
+    * character entities — then collapse runs of whitespace. One
+    * codegen'd `regexp_replace` chain (Java regex on both engines), no
+    * UDF: markup density varies wildly across caption tracks, and at
+    * crawl scale this runs on every cue of every clip.
+    */
+  def cleanCueText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val untagged = regexp_replace(text, "<[^>]*>", "")
+    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&nbsp;" -> " ", "&lrm;" -> "", "&rlm;" -> "")
+    val decoded = entities.foldLeft(untagged) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Plain-Scala restatement of [[cleanCueText]] (the fixture replica's
+    * half — java.util.regex against Spark's codegen'd regexp_replace).
+    */
+  def cleanCueTextRef(text: String): String = {
+    var t = text.replaceAll("<[^>]*>", "")
+    Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&nbsp;" -> " ", "&lrm;" -> "", "&rlm;" -> "").foreach { case (from, to) =>
+      t = t.replace(from, to)
+    }
+    t.replaceAll("\\s+", " ").trim
+  }
+
+  /** Markup planting (spec for the fixture replica): the VTT render of
+    * every doc's cues with deterministic markup injected — cue 0 opens
+    * with a voice span `<v Speaker(id mod 3)>`, word j of cue i wraps in
+    * `<b>`/`<i>`/`<c.yellow>` when (id + i + j) mod 4 is 0/1/2 (mod 4 ==
+    * 3 stays bare), a karaoke timestamp precedes word 1 of even cues,
+    * and word 0 of id mod 4 == 0 docs carries an `&amp;` entity.
+    * Timing/grouping as [[plantCueTimes]].
+    */
+  def plantMarkedSubtitle(id: Long, text: String): Option[String] = {
+    val words = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return None
+    val groups = words.grouped(4).toSeq
+    val blocks = groups.zipWithIndex.map { case (g, i) =>
+      val (start, end) = plantCueTimes(id, i, groups.length)
+      val marked = g.zipWithIndex.map { case (w0, j) =>
+        val w = if (j == 0 && id % 4 == 0) w0 + "&amp;co" else w0
+        val core = ((id + i + j) % 4).toInt match {
+          case 0 => s"<b>$w</b>"
+          case 1 => s"<i>$w</i>"
+          case 2 => s"<c.yellow>$w</c>"
+          case _ => w
+        }
+        val karaoke = if (j == 1 && i % 2 == 0)
+          s"<${formatTime(start + 200, srt = false)}>" else ""
+        val voice = if (i == 0 && j == 0) s"<v Speaker${id % 3}>" else ""
+        voice + karaoke + core
+      }.mkString(" ")
+      s"${formatTime(start, srt = false)} --> ${formatTime(end, srt = false)}\n$marked"
+    }
+    Some((Seq("WEBVTT") ++ blocks).mkString("\n\n"))
+  }
+
   /** Format milliseconds as an SRT/VTT timestamp. */
   def formatTime(ms: Long, srt: Boolean): String = {
     val h = ms / 3600000; val m = ms / 60000 % 60

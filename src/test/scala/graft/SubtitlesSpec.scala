@@ -89,6 +89,59 @@ class SubtitlesSpec extends SparkSpec {
     assert(sawOutOfOrder > 0, "the out-of-order plant never fired")
   }
 
+  test("cleanCueText strips voice spans, style tags, karaoke stamps and " +
+    "entities — the Spark codegen chain equals the java.util.regex " +
+    "replica on hand samples and on the whole marked plant") {
+    val samples = Seq(
+      "<v Roger Bingham>We are in New York City",
+      "<b>bold</b> and <i>italic</i> and <c.yellow>classed</c>",
+      "word<00:01.500>karaoke <00:02.000>more",
+      "A&amp;B &lt;tag&gt; x&nbsp;y &lrm;rtl&rlm;",
+      "  spaces\tand\nnewlines  ",
+      "plain text stays")
+    val expected = Seq(
+      "We are in New York City",
+      "bold and italic and classed",
+      "wordkaraoke more",
+      "A&B <tag> x y rtl",
+      "spaces and newlines",
+      "plain text stays")
+    samples.zip(expected).foreach { case (s, want) =>
+      assert(Subtitles.cleanCueTextRef(s) === want, s)
+    }
+    val viaSpark = samples.toDF("t")
+      .select(Subtitles.cleanCueText(col("t"))).collect().map(_.getString(0))
+    assert(viaSpark.toSeq === expected)
+    // the marked plant is valid VTT: parses, and cleaning recovers the
+    // original words (modulo the planted entity suffix)
+    val docs = Tables.documents(spark, sf).limit(30)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    var sawMarkup = 0
+    docs.foreach { case (id, text) =>
+      Subtitles.plantMarkedSubtitle(id, Option(text).getOrElse("")).foreach { payload =>
+        val words = text.trim.split("\\s+").filter(_.nonEmpty)
+        val cues = Subtitles.parseVtt(id, payload)
+        assert(cues.length === words.grouped(4).size, s"doc $id")
+        // the recovers-original-words claim only holds for words that
+        // carry no markup-looking characters themselves (the oracle
+        // replica is parity-exact regardless — it cleans the same
+        // marked text)
+        if (!text.exists(c => c == '<' || c == '>' || c == '&')) {
+          val cleaned = cues.flatMap(c =>
+            Subtitles.cleanCueTextRef(c.text).split(" ")).toSeq
+          // word 0 of EVERY cue (k % 4 == 0) carries the entity on
+          // id % 4 == 0 docs
+          val want = words.zipWithIndex.map { case (w, k) =>
+            if (k % 4 == 0 && id % 4 == 0) w + "&co" else w
+          }.toSeq
+          assert(cleaned === want, s"doc $id")
+        }
+        if (cues.exists(_.text.contains("<"))) sawMarkup += 1
+      }
+    }
+    assert(sawMarkup > 0)
+  }
+
   test("cueFramePairs aligns cue spans to the sampled-frame timeline by " +
     "hand arithmetic: boundary frames, clipping, and off-clip cues") {
     val cues = Seq(
