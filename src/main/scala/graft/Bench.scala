@@ -11,12 +11,13 @@ import scala.jdk.CollectionConverters._
 object Bench {
 
   /** Headline subset: one representative per operator family. The first
-    * ten are the round-1 regression set; the last five (added r13) cover
+    * ten are the round-1 regression set; the next five (added r13) cover
     * the r7-r12 operator tiers the original set predates — a plan
     * regression in ANN-index / graph / tokenizer / sessionization /
     * profiling land is otherwise invisible to the round gate (ScaleProof
-    * sees ratios, not absolute drift). The prior cross-check tolerates
-    * queries absent from an older artifact.
+    * sees ratios, not absolute drift); the last two (added r14) put the
+    * media/caption tiers under the same absolute-drift watch. The prior
+    * cross-check tolerates queries absent from an older artifact.
     */
   val headline: Seq[String] = Seq(
     "q_group_pk_prefix",      // shuffle aggregation
@@ -33,7 +34,9 @@ object Bench {
     "q_host_pagerank",        // iterative graph analytics
     "q_bpe_encode_ids",       // trained-tokenizer codegen encode
     "q_sessionize",           // event-stream sessionization window
-    "q_profile")              // one-pass column profiling
+    "q_profile",              // one-pass column profiling
+    "q_multimodal_features",  // image tier: PNG decode + pixel statistics
+    "q_subtitles_parse")      // caption tier: SRT/VTT parse fan-out
 
   /** 1-minute system load average (machine-wide, not just this JVM). */
   private def loadAvg(): Double =
