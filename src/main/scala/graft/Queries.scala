@@ -3059,6 +3059,25 @@ object Queries {
           .orderBy("media_id", "cue_idx")
       }),
 
+    QueryDef("q_subtitles_quality",
+      // per-track caption QA — the gate before trusting a caption track
+      // for video-text pairs: cue count, covered span, out-of-order and
+      // overlapping cues (the planted out-of-order cue on id%5==0 docs
+      // produces exactly one of each), and reading speed in chars/sec
+      // (autogenerated junk runs far above human subtitling rates). One
+      // media_id key shuffle reused by the lag window and the
+      // aggregation. The replica re-derives every signal from the
+      // planted cue formulas.
+      Some("""SELECT media_id, n_cues, span_ms, out_of_order, overlap_cues,
+                     total_chars, cue_ms, chars_per_sec
+              FROM parquet_scan('{FIX}/_fixture_subquality/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val subs = Subtitles.subtitlesFromDocuments(s, t(s, d, "documents"))
+        Subtitles.cueQualityStats(Subtitles.parseCues(s, subs).toDF())
+          .orderBy("media_id")
+      }),
+
     QueryDef("q_subtitle_frame_pairs",
       // (frame, caption) pair generation for video-text training: cues
       // align to a 4 fps sampled-frame timeline (250 ms/frame, clip

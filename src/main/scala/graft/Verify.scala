@@ -1698,6 +1698,31 @@ object Verify {
       rows.toDF("media_id", "cue_idx", "clean_text", "clean_words").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_submarkup")
     }
+    fixture("_fixture_subquality") {
+      // caption-QA replica over the SAME derived cue rows: per track,
+      // counts/span/out-of-order/overlap (prev end vs start in cue
+      // order) and reading speed — chars are the rendered cue text's
+      // (two-line cues count their newline), cue_ms the sum of spans
+      val rows = subtitleCueRows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (id, cs0) =>
+          val cs = cs0.sortBy(_._2)
+          val nCues = cs.size.toLong
+          val span = cs.map(_._4).max - cs.map(_._3).min
+          val outOfOrder = cs.count(!_._6).toLong
+          val overlaps = cs.sliding(2).count {
+            case Seq(a, b) => b._3 < a._4
+            case _ => false
+          }.toLong
+          val totalChars = cs.map(_._7.length.toLong).sum
+          val cueMs = cs.map(c => c._4 - c._3).sum
+          val cps = BigDecimal(totalChars * 1000.0 / cueMs)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, nCues, span, outOfOrder, overlaps, totalChars, cueMs, cps)
+        }
+      rows.toDF("media_id", "n_cues", "span_ms", "out_of_order", "overlap_cues",
+          "total_chars", "cue_ms", "chars_per_sec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_subquality")
+    }
     fixture("_fixture_subframes") {
       // cue→frame pairs on the 4 fps sampled timeline: 250 ms per frame,
       // clip length 40 + id%23; first = ceil(start_ms/250), last =

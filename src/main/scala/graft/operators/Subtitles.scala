@@ -145,6 +145,30 @@ object Subtitles {
     subs.mapPartitions(_.flatMap(s => parse(s.media_id, s.payload)))
   }
 
+  /** Per-track caption QUALITY signals — what a video-text pipeline
+    * gates on before trusting a caption track: cue count, covered span,
+    * out-of-order and overlapping cue counts (machine-merged or
+    * double-encoded tracks), and reading speed (chars/sec over cue
+    * time — autogenerated junk tracks run far above human subtitling
+    * rates). One lag window + one aggregation, both keyed on media_id,
+    * so the single key shuffle is reused across the two stages.
+    */
+  def cueQualityStats(cues: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("cue_idx")
+    cues.withColumn("_prev_end", lag(col("end_ms"), 1).over(w))
+      .groupBy("media_id").agg(
+        count(lit(1)).as("n_cues"),
+        (max(col("end_ms")) - min(col("start_ms"))).as("span_ms"),
+        sum(when(col("in_order"), 0).otherwise(1)).as("out_of_order"),
+        sum(when(col("_prev_end").isNotNull &&
+          col("start_ms") < col("_prev_end"), 1).otherwise(0)).as("overlap_cues"),
+        sum(length(col("text"))).as("total_chars"),
+        sum(col("end_ms") - col("start_ms")).as("cue_ms"))
+      .withColumn("chars_per_sec",
+        round(col("total_chars") * 1000.0 / col("cue_ms"), 6))
+  }
+
   /** Strip WebVTT/SRT cue markup down to training text — voice spans
     * (`<v Name>`), class/style spans (`<b> <i> <u> <c.cls>` and their
     * closers), karaoke timestamps (`<00:01.500>`), and the five basic

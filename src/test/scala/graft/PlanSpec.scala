@@ -912,4 +912,11 @@ class PlanSpec extends SparkSpec {
     assert(!q.contains("CartesianProduct") && !q.contains("BroadcastNestedLoop"), q)
     assert(q.contains("Generate"), q) // the sequence() frame fan-out
   }
+
+  test("caption QA reuses ONE media_id shuffle across the lag window and " +
+    "the aggregation — no join, no second exchange") {
+    val p = plan("q_subtitles_quality")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
 }

@@ -142,6 +142,46 @@ class SubtitlesSpec extends SparkSpec {
     assert(sawMarkup > 0)
   }
 
+  test("cueQualityStats: hand-checked counts, cue-order overlap " +
+    "detection, and reading-speed arithmetic") {
+    val cues = Seq(
+      (1L, 0, 0L, 1000L, 2, true, "ab cd"),  // 5 chars, 1000 ms
+      (1L, 1, 900L, 2000L, 1, true, "efg"),  // overlaps cue 0 (900 < 1000)
+      (1L, 2, 500L, 2500L, 1, false, "h"),   // out-of-order AND overlaps (500 < 2000)
+      (2L, 0, 0L, 2000L, 1, true, "xxxx"))
+      .toDF("media_id", "cue_idx", "start_ms", "end_ms", "n_words",
+        "in_order", "text")
+    val q = Subtitles.cueQualityStats(cues).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val t1 = q(1L)
+    assert(t1.getLong(t1.fieldIndex("n_cues")) === 3)
+    assert(t1.getLong(t1.fieldIndex("span_ms")) === 2500)
+    assert(t1.getLong(t1.fieldIndex("out_of_order")) === 1)
+    assert(t1.getLong(t1.fieldIndex("overlap_cues")) === 2)
+    assert(t1.getLong(t1.fieldIndex("total_chars")) === 9)
+    assert(t1.getLong(t1.fieldIndex("cue_ms")) === 4100)
+    assert(t1.getDouble(t1.fieldIndex("chars_per_sec")) ===
+      BigDecimal(9 * 1000.0 / 4100)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val t2 = q(2L)
+    assert(t2.getLong(t2.fieldIndex("overlap_cues")) === 0)
+    assert(t2.getLong(t2.fieldIndex("out_of_order")) === 0)
+    assert(t2.getDouble(t2.fieldIndex("chars_per_sec")) === 2.0)
+    // the planted corpus: id%5==0 docs with >= 3 cues carry exactly one
+    // out-of-order cue and one overlap; everything else is clean
+    val docs = Tables.documents(spark, sf).limit(40)
+    val stats = Subtitles.cueQualityStats(
+      Subtitles.parseCues(spark,
+        Subtitles.subtitlesFromDocuments(spark, docs)).toDF())
+      .collect()
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val dirty = id % 5 == 0 && r.getLong(r.fieldIndex("n_cues")) >= 3
+      assert(r.getLong(r.fieldIndex("out_of_order")) === (if (dirty) 1L else 0L), s"doc $id")
+      assert(r.getLong(r.fieldIndex("overlap_cues")) === (if (dirty) 1L else 0L), s"doc $id")
+    }
+  }
+
   test("cueFramePairs aligns cue spans to the sampled-frame timeline by " +
     "hand arithmetic: boundary frames, clipping, and off-clip cues") {
     val cues = Seq(
