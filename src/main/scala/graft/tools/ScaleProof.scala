@@ -161,7 +161,8 @@ object ScaleProof {
     "q_subtitles_parse",  // SRT/VTT parse: map-only content-bound scan (r14)
     "q_subtitle_frame_pairs", // cue-frame alignment: equi-join + generator (r14)
     "q_dedup_video_cross", // dims-blocked radius-10 frame-hash join (r14)
-    "q_multimodal_video_mixed") // 3-container video dispatch scan (r14)
+    "q_multimodal_video_mixed", // 3-container video dispatch scan (r14)
+    "q_subtitles_quality") // caption QA: one reused media_id shuffle (r14)
     // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded by
     // construction — a flat ratio would be trivial, not evidence)
 
