@@ -67,6 +67,20 @@ object Bench {
   private val calibBandLo = 0.05
   private val calibBandHi = 0.15
 
+  /** Both stable marks in band is not enough: BENCH_r14 shipped
+    * calib_before 0.148 vs calib_after 0.076 (≈2×, loadavg 4.76) as
+    * `contended: false` because 0.148 sits just inside the band top —
+    * and its med columns carried +35% phantom regressions a judge re-run
+    * had to falsify. Two warmed readings of the SAME fixed job disagree
+    * by >1.5× only when external load moved between them, so treat that
+    * disagreement as contention. The `> midBand` guard keeps floor noise
+    * (0.05 vs 0.08 on an idle box) from tripping it.
+    */
+  private def marksDisagree(before: Double, after: Double): Boolean = {
+    val hi = math.max(before, after); val lo = math.min(before, after)
+    hi > lo * 1.5 && hi > (calibBandLo + calibBandHi) / 2
+  }
+
   /** One quick calibration probe (min of 2 runs of the fixed job, ~0.2 s)
     * — interleaved BETWEEN queries so contention that arrives and drains
     * MID-pass is pinned to the individual queries it touched. The round-11
@@ -168,7 +182,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
-    val loadBefore = loadAvg()
+    // loadavg drain-wait: recording while another process churns (r14:
+    // loadavg_before 4.76) inflates every med even when the calib marks
+    // squeak into band. The 1-min average decays slowly, so cap the wait.
+    var loadBefore = loadAvg()
+    var loadTries = 0
+    while (loadBefore > 2.0 && loadTries < 8) {
+      System.err.println(f"[bench] loadavg $loadBefore%.2f above idle; sleeping 15s (try $loadTries)")
+      Thread.sleep(15000)
+      loadBefore = loadAvg()
+      loadTries += 1
+    }
     val (priorFile, priorMins) = loadPriorMins(sfDir)
     // Gate the timed runs on an in-band "before" mark: if the machine is
     // busy, sleeping is cheaper than recording garbage (BENCH_r8/r9 both
@@ -243,8 +267,10 @@ object Bench {
     var results = timedPass(headline)
     var calibAfterV = stableCalib(spark)
     var recTries = 1
-    while (calibAfterV > calibBandHi && recTries < 3) {
-      System.err.println(f"[bench] calib_after $calibAfterV%.3f out of band; re-recording (try $recTries)")
+    while ((calibAfterV > calibBandHi || marksDisagree(calibBefore, calibAfterV))
+        && recTries < 3) {
+      System.err.println(f"[bench] calib_after $calibAfterV%.3f out of band or " +
+        f"disagrees with before $calibBefore%.3f; re-recording (try $recTries)")
       Thread.sleep(15000)
       calibBefore = stableCalib(spark)
       results = timedPass(headline)
@@ -295,7 +321,7 @@ object Bench {
     }
 
     val contended = calibBefore > calibBandHi || calibAfterV > calibBandHi ||
-      results.exists(_.contended)
+      marksDisagree(calibBefore, calibAfterV) || results.exists(_.contended)
     // locale-pinned number formatting: a comma decimal separator under a
     // non-English default JVM locale would make the JSON unparseable
     def n3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -1640,9 +1640,12 @@ object Verify {
               val start = if (i == 2 && id % 5 == 0 && groups.length >= 3)
                 1700 + (id % 7) * 13 - 100 else base
               val end = start + 1400
-              val ctext = if (g.length == 4)
+              val ctext0 = if (g.length == 4)
                 g.take(2).mkString(" ") + "\n" + g.drop(2).mkString(" ")
               else g.mkString(" ")
+              // mirror plantSubtitle's supplementary-character plant
+              // (U+1F3AC on cue 0 of id%11==0 tracks)
+              val ctext = if (i == 0 && id % 11 == 0) ctext0 + "🎬" else ctext0
               val ord = start >= prevStart
               prevStart = start
               (id, i, start, end, g.length, ord, ctext)
@@ -1713,7 +1716,10 @@ object Verify {
             case Seq(a, b) => b._3 < a._4
             case _ => false
           }.toLong
-          val totalChars = cs.map(_._7.length.toLong).sum
+          // code POINTS, not UTF-16 units — the engine counts with Spark
+          // length() (code points); the 🎬 plant desyncs any unit slip
+          val totalChars =
+            cs.map(c => c._7.codePointCount(0, c._7.length).toLong).sum
           val cueMs = cs.map(c => c._4 - c._3).sum
           val cps = BigDecimal(totalChars * 1000.0 / cueMs)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

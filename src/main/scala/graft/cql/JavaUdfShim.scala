@@ -367,6 +367,22 @@ object JavaUdfShim {
       }
       val arms = scala.collection.mutable.ListBuffer.empty[(List[(String, T)], List[Stmt])]
       var defaultBody: Option[List[Stmt]] = None
+      // javac rejects duplicate case labels at compile time (char and int
+      // labels that convert to the same value count as duplicates); compare
+      // by converted constant value, not by surface SQL text
+      val seenLabels = scala.collection.mutable.Set.empty[String]
+      def labelKey(sql: String, t: T): String = t match {
+        case TChar =>
+          val inner = sql.substring(1, sql.length - 1).replace("''", "'")
+          "n:" + inner.charAt(0).toInt
+        case TNum(true) =>
+          val neg = sql.startsWith("(- ")
+          val core = (if (neg) sql.stripPrefix("(- ").stripSuffix(")") else sql)
+            .stripSuffix("L")
+          try { "n:" + (if (neg) -core.toLong else core.toLong) }
+          catch { case _: NumberFormatException => "x:" + sql }
+        case _ => "s:" + sql
+      }
       while (!peek.contains(Op("}"))) {
         val labels = scala.collection.mutable.ListBuffer.empty[(String, T)]
         var isDefault = false
@@ -383,6 +399,8 @@ object JavaUdfShim {
                   "assignment-compatible with the selector (Java rejects " +
                   "this at compile time)")
               }
+              if (!seenLabels.add(labelKey(lbl._1, lbl._2)))
+                fail(s"duplicate case label ${lbl._1} in switch")
               labels += lbl
               eat(":")
             case Ident("default") :: _ =>

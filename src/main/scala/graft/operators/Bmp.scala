@@ -129,7 +129,7 @@ object Bmp {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val dataOff = bb.getInt(10)
     val biSize = bb.getInt(14)
-    require(biSize >= 40, s"Bmp.decode: info header of $biSize bytes " +
+    require(biSize >= 40 && biSize <= payload.length, s"Bmp.decode: info header of $biSize bytes " +
       "not supported (BITMAPINFOHEADER or the V4/V5 extensions only)")
     val width = bb.getInt(18)
     val rawHeight = bb.getInt(22)
@@ -149,7 +149,7 @@ object Bmp {
       s"Bmp.decode: $bpp-bit not supported (24-bit BI_RGB and 8-bit " +
         "palettized only)")
     val stride = strideOf(width, bpp)
-    require(dataOff >= 14 + biSize &&
+    require(dataOff.toLong >= 14L + biSize &&
       dataOff.toLong + stride.toLong * height <= payload.length,
       s"Bmp.decode: pixel array at $dataOff overruns the ${payload.length}-byte payload")
     val palette: Array[Byte] = if (bpp == 8) {

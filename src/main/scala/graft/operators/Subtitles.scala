@@ -133,7 +133,7 @@ object Subtitles {
   def parse(mediaId: Long, payload: String): Seq[Cue] = {
     val trimmed = payload.replace("\uFEFF", "")
     if (trimmed.startsWith("WEBVTT")) parseVtt(mediaId, payload)
-    else parseSrt(mediaId, payload)
+    else parseSrt(mediaId, trimmed)
   }
 
   /** Parse a subtitle table into one row per cue — the same
@@ -266,9 +266,15 @@ object Subtitles {
     val srt = id % 2 == 0
     val blocks = groups.zipWithIndex.map { case (g, i) =>
       val (start, end) = plantCueTimes(id, i, groups.length)
-      val lines =
+      val lines0 =
         if (g.length == 4) Seq(g.take(2).mkString(" "), g.drop(2).mkString(" "))
         else Seq(g.mkString(" "))
+      // plant a supplementary character (U+1F3AC, 2 UTF-16 units, 1 code
+      // point) on cue 0 of id%11==0 tracks: emoji are routine in real
+      // caption tracks, and the plant pins total_chars to CODE POINTS on
+      // both engines (Spark length() vs the replica's codePointCount)
+      val lines = if (i == 0 && id % 11 == 0)
+        lines0.init :+ (lines0.last + "🎬") else lines0
       if (srt)
         (Seq(s"${i + 1}",
           s"${formatTime(start, srt = true)} --> ${formatTime(end, srt = true)}") ++

@@ -105,6 +105,13 @@ class BmpSpec extends AnyFunSuite {
       .putInt(46, 8) // claim only 8 entries
     assert(intercept[IllegalArgumentException](Bmp.decode(pstream))
       .getMessage.contains("palette"))
+    // a crafted biSize near Int.MaxValue must not wrap `14 + biSize`
+    // negative and sneak the pixel array over the header — reject loudly
+    val crafted = good.clone()
+    java.nio.ByteBuffer.wrap(crafted).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(14, Int.MaxValue - 4)
+    assert(intercept[IllegalArgumentException](Bmp.decode(crafted))
+      .getMessage.contains("info header"))
   }
 
   test("interop: ImageIO (the JDK BMP plugin) reads our streams and we " +

@@ -219,6 +219,17 @@ class JavaUdfShimSpec extends AnyFunSuite {
     assert(rejects("switch (a) { default: return 1; default: return 0; }",
       "a" -> CqlInt).contains("duplicate default"))
     assert(rejects("switch (a) { }", "a" -> CqlInt).contains("empty switch"))
+    // javac rejects duplicate case labels — including across arms, and
+    // char/int labels that convert to the same constant
+    assert(rejects("switch (a) { case 1: return 1; case 1: return 2; " +
+      "default: return 0; }", "a" -> CqlInt).contains("duplicate case label"))
+    assert(rejects("switch (a) { case 2: case 2: return 1; default: return 0; }",
+      "a" -> CqlInt).contains("duplicate case label"))
+    assert(rejects("switch (s.charAt(0)) { case 'x': return 1; case 120: " +
+      "return 2; default: return 0; }", "s" -> CqlText)
+      .contains("duplicate case label"))
+    assert(rejects("""switch (s) { case "en": return 1; case "en": return 2; """ +
+      "default: return 0; }", "s" -> CqlText).contains("duplicate case label"))
   }
 
   test("Math.min/max keep Java NaN propagation and null poisoning") {

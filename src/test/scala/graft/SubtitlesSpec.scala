@@ -26,6 +26,14 @@ class SubtitlesSpec extends SparkSpec {
     assert(cues.forall(_.media_id === 9L))
   }
 
+  test("parse sniffs a BOM-prefixed SRT track (routine from Windows " +
+    "subtitle tools) — the BOM must not reach the numeric index check") {
+    val srt = "\uFEFF1\n00:00:01,000 --> 00:00:02,000\nbom cue\n"
+    val cues = Subtitles.parse(3L, srt)
+    assert(cues.length === 1)
+    assert(cues(0).text === "bom cue" && cues(0).start_ms === 1000)
+  }
+
   test("parseVtt reads a WebVTT track: BOM + header text, NOTE/STYLE " +
     "blocks skipped, cue identifiers, settings after the end time, " +
     "optional-hours timestamps") {
@@ -76,8 +84,10 @@ class SubtitlesSpec extends SparkSpec {
         val groups = words.grouped(4).toIndexedSeq
         val cues = Subtitles.parse(id, payload)
         assert(cues.length === groups.length, s"doc $id")
-        cues.zip(groups).zipWithIndex.foreach { case ((c, g), i) =>
+        cues.zip(groups).zipWithIndex.foreach { case ((c, g0), i) =>
           val (ws, we) = Subtitles.plantCueTimes(id, i, groups.length)
+          // the supplementary-character plant suffixes cue 0's last word
+          val g = if (i == 0 && id % 11 == 0) g0.init :+ (g0.last + "🎬") else g0
           assert(c.start_ms === ws && c.end_ms === we, s"doc $id cue $i")
           assert(c.n_words === g.length, s"doc $id cue $i")
           assert(c.text.split("\\s+").toSeq === g.toSeq, s"doc $id cue $i")
