@@ -3098,6 +3098,65 @@ object Queries {
           .orderBy("media_id", "cue_idx", "frame_idx")
       }),
 
+    QueryDef("q_multimodal_mp4",
+      // MP4/ISO-BMFF container metadata — the box walk a crawl runs
+      // before spending decode cycles: planted two-track containers
+      // (avc1 video + mp4a audio on even ids) in REAL ISO-BMFF wire
+      // forms (version-0/1 full boxes by id%7, co64 by id%9, largesize
+      // mdat by id%11), the strict moov descent reads back per-track
+      // codec/dims/timescale/duration and the stsc/stco/stsz/stss
+      // aggregates. The replica re-derives every field from the plant
+      // formulas with NO container round trip, so agreement proves
+      // encode∘parse is the identity across all planted wire forms.
+      Some("""SELECT media_id, brand, movie_duration_ms, track_id, handler,
+                     codec, width, height, channels, sample_rate, timescale,
+                     duration_ms, n_samples, n_chunks, n_sync, total_bytes
+              FROM parquet_scan('{FIX}/_fixture_mp4meta/*.parquet')
+              ORDER BY media_id, track_id"""),
+      (s, d) => {
+        val media = Mp4.mp4FromDocuments(s, t(s, d, "documents"))
+        Mp4.trackMeta(s, media).toDF().orderBy("media_id", "track_id")
+      }),
+
+    QueryDef("q_mp4_sample_table",
+      // the sample-table expansion — stsc run-length × chunk offsets ×
+      // per-sample sizes × stts deltas × stss sync flags resolved into
+      // one row per sample: the index a frame-level consumer needs to
+      // fetch exactly one sample's bytes without demuxing. Offsets are
+      // mdat-relative so the oracle pins LAYOUT, not header size. The
+      // replica replays the chunk/cumsum/ceil arithmetic in plain Scala
+      // from the plant formulas. Bounded to doc_id < 150 — the full
+      // corpus would dump ~50k rows of identical code paths.
+      Some("""SELECT media_id, track_id, sample_idx, chunk_idx, rel_offset,
+                     size, dts, is_sync
+              FROM parquet_scan('{FIX}/_fixture_mp4samples/*.parquet')
+              ORDER BY media_id, track_id, sample_idx"""),
+      (s, d) => {
+        val media = Mp4.mp4FromDocuments(s,
+          t(s, d, "documents").filter(col("doc_id") < 150))
+        Mp4.sampleRows(s, media).toDF()
+          .orderBy("media_id", "track_id", "sample_idx")
+      }),
+
+    QueryDef("q_mp4_gate",
+      // container-level curation — the decision a 100 TB crawl makes
+      // from moov alone (a few KB per clip; the mdat payload is never
+      // decoded): duration window, resolution floor, bitrate cap, and
+      // an audio-presence flag for AV-pair eligibility. One media_id
+      // key shuffle over the metadata rows. The replica replays the
+      // same thresholds over plant-derived metadata.
+      Some("""SELECT media_id, n_tracks, has_audio, video_codec, width,
+                     height, duration_ms, total_bytes, bitrate_bps, keep
+              FROM parquet_scan('{FIX}/_fixture_mp4gate/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Mp4.mp4FromDocuments(s, t(s, d, "documents"))
+        Mp4.curationGate(Mp4.trackMeta(s, media).toDF(),
+          minDurationMs = 1500, maxDurationMs = 600000,
+          minWidth = 384, minHeight = 270, maxBitrateBps = 10000000L)
+          .orderBy("media_id")
+      }),
+
     QueryDef("q_multimodal_audio_window_feats",
       // per-WINDOW signals over the real decode (what a speech pipeline
       // gates on): decode once per clip, one row per 25 ms/10 ms hop

@@ -1743,6 +1743,105 @@ object Verify {
           "text").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_subframes")
     }
+    // ---- MP4 container-tier replicas: per-track metadata, sample-table
+    // rows and the curation gate re-derived STRAIGHT from the plant
+    // formulas (Mp4.plantParams scaladoc is the spec) — no ISO-BMFF
+    // round trip anywhere in this block. Integer-division conventions
+    // (duration_ms, bitrate) are pinned toward zero on both engines.
+    lazy val mp4Docs: IndexedSeq[(Long, Int)] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "n_chars").as[(Long, Long)].collect()
+        .sortBy(_._1).map { case (id, nc) => (id, math.max(nc, 0L).toInt) }
+        .toIndexedSeq
+    def mp4VideoSizes(id: Long, nf: Int): IndexedSeq[Long] =
+      (0 until nf).map(s => 600L + (id * 31 + s * 97) % 1400)
+    def mp4AudioSizes(id: Long, nf: Int): IndexedSeq[Long] =
+      (0 until nf).map(s => 200L + (id * 13 + s * 53) % 300)
+    fixture("_fixture_mp4meta") {
+      val rows = mp4Docs.flatMap { case (id, nc) =>
+        val w = 320 + (id % 5).toInt * 64
+        val h = 180 + (id % 4).toInt * 90
+        val nf = 24 + nc % 96
+        val vSizes = mp4VideoSizes(id, nf)
+        val durV = nf.toLong * 3600 * 1000 / 90000
+        // mvhd duration in movie timescale 1000 = max over tracks of
+        // mediaDur·1000/trackTs; video (40·nf) always dominates audio
+        // (⌊1024·nf/48⌋ ≈ 21.3·nf)
+        val movieMs = durV
+        val k = 6 + (id % 5).toInt
+        val nSync = ((nf + k - 1) / k).toLong
+        val nChV = (3 + (nf - 15 + 7) / 8).toLong // chunks 5,5,5 then 8s (nf ≥ 24)
+        val video = (id, "isom", movieMs, 1L, "vide", "avc1", w, h, 0, 0,
+          90000L, durV, nf.toLong, nChV, nSync, vSizes.sum)
+        val audio = if (id % 2 == 0) {
+          val aSizes = mp4AudioSizes(id, nf)
+          val durA = nf.toLong * 1024 * 1000 / 48000
+          Seq((id, "isom", movieMs, 2L, "soun", "mp4a", 0, 0,
+            1 + ((id / 2) % 2).toInt, 48000, 48000L, durA, nf.toLong,
+            ((nf + 9) / 10).toLong, nf.toLong, aSizes.sum))
+        } else Nil
+        video +: audio
+      }
+      rows.toDF("media_id", "brand", "movie_duration_ms", "track_id",
+          "handler", "codec", "width", "height", "channels", "sample_rate",
+          "timescale", "duration_ms", "n_samples", "n_chunks", "n_sync",
+          "total_bytes").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_mp4meta")
+    }
+    fixture("_fixture_mp4samples") {
+      // sample-table replica (q_mp4_sample_table's bound: doc_id < 150):
+      // chunk index from the stsc runs ([(1,5),(4,8)] video, 10/chunk
+      // audio), rel offsets as size cumsums (video samples lie first in
+      // mdat), dts = s·delta, sync every 6+id%5 video samples (audio has
+      // no stss → all sync)
+      val rows = mp4Docs.filter(_._1 < 150).flatMap { case (id, nc) =>
+        val nf = 24 + nc % 96
+        val k = 6 + (id % 5).toInt
+        val vSizes = mp4VideoSizes(id, nf)
+        val vOff = vSizes.scanLeft(0L)(_ + _)
+        val video = (0 until nf).map { s =>
+          val chunk = if (s < 15) s / 5 + 1 else 4 + (s - 15) / 8
+          (id, 1L, s + 1L, chunk.toLong, vOff(s), vSizes(s), s * 3600L,
+            s % k == 0)
+        }
+        val audio = if (id % 2 == 0) {
+          val aSizes = mp4AudioSizes(id, nf)
+          val aOff = aSizes.scanLeft(vSizes.sum)(_ + _)
+          (0 until nf).map { s =>
+            (id, 2L, s + 1L, (s / 10 + 1).toLong, aOff(s), aSizes(s),
+              s * 1024L, true)
+          }
+        } else IndexedSeq.empty
+        video ++ audio
+      }
+      rows.toDF("media_id", "track_id", "sample_idx", "chunk_idx",
+          "rel_offset", "size", "dts", "is_sync").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_mp4samples")
+    }
+    fixture("_fixture_mp4gate") {
+      // curation-gate replica (q_mp4_gate's thresholds: duration in
+      // [1500, 600000] ms, ≥384×270, bitrate ≤ 10 Mbps); bitrate is
+      // total·8000/duration with the quotient truncated toward zero on
+      // both engines
+      val rows = mp4Docs.map { case (id, nc) =>
+        val w = 320 + (id % 5).toInt * 64
+        val h = 180 + (id % 4).toInt * 90
+        val nf = 24 + nc % 96
+        val hasAudio = id % 2 == 0
+        val durV = nf.toLong * 3600 * 1000 / 90000
+        val total = mp4VideoSizes(id, nf).sum +
+          (if (hasAudio) mp4AudioSizes(id, nf).sum else 0L)
+        val bitrate = total * 8 * 1000 / durV
+        val keep = durV >= 1500 && durV <= 600000 && w >= 384 && h >= 270 &&
+          bitrate <= 10000000L
+        (id, if (hasAudio) 2L else 1L, if (hasAudio) 1 else 0, "avc1",
+          w, h, durV, total, bitrate, keep)
+      }
+      rows.toDF("media_id", "n_tracks", "has_audio", "video_codec", "width",
+          "height", "duration_ms", "total_bytes", "bitrate_bps", "keep")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_mp4gate")
+    }
     fixture("_fixture_audiowin") {
       // per-window replica (q_multimodal_audio_window_feats' parameters:
       // first 40 docs, 25 ms windows / 10 ms hop at 16 kHz → 400/160)
