@@ -3157,6 +3157,37 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    QueryDef("q_pdf_extract",
+      // PDF text extraction — after HTML, the biggest non-HTML document
+      // source an LLM pipeline ingests: planted classic PDFs (real xref
+      // tables, FlateDecode streams on even ids, indirect /Length on
+      // id%7, nested page trees on id%9, octal-escaped and hex string
+      // forms on id%3/id%5) parse back through the startxref→xref→
+      // catalog→page-tree walk and the BT/ET text operators (all four
+      // show ops). The replica derives page text from the document
+      // words with NO PDF round trip, so agreement proves encode∘
+      // extract is the identity across every planted wire form.
+      Some("""SELECT doc_id, page_idx, text, n_words
+              FROM parquet_scan('{FIX}/_fixture_pdfpages/*.parquet')
+              ORDER BY doc_id, page_idx"""),
+      (s, d) => {
+        val pdfs = Pdf.pdfFromDocuments(s, t(s, d, "documents"))
+        Pdf.extractPages(s, pdfs).toDF().orderBy("doc_id", "page_idx")
+      }),
+
+    QueryDef("q_pdf_stats",
+      // per-document curation stats over the extraction (page count,
+      // words, chars — the gate row a text pipeline keeps or drops a
+      // crawl PDF on). One doc_id-keyed aggregation over the page rows.
+      Some("""SELECT doc_id, n_pages, total_words, total_chars,
+                     max_page_words
+              FROM parquet_scan('{FIX}/_fixture_pdfstats/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        val pdfs = Pdf.pdfFromDocuments(s, t(s, d, "documents"))
+        Pdf.docStats(Pdf.extractPages(s, pdfs)).orderBy("doc_id")
+      }),
+
     QueryDef("q_multimodal_audio_window_feats",
       // per-WINDOW signals over the real decode (what a speech pipeline
       // gates on): decode once per clip, one row per 25 ms/10 ms hop

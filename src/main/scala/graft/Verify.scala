@@ -1842,6 +1842,39 @@ object Verify {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp4gate")
     }
+    // ---- PDF tier replicas: page text re-derived STRAIGHT from the
+    // document words (groups of 12 per page, lines of 4 joined with \n;
+    // chars above U+00FF replaced with '?' — the plantPdf normalization)
+    // with NO PDF round trip anywhere in this block.
+    lazy val pdfPageRows: IndexedSeq[(Long, Int, String, Int)] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          val words = Option(text0).getOrElse("").trim
+            .split("\\s+").filter(_.nonEmpty)
+            .map(_.map(c => if (c > 0xFF) '?' else c))
+          words.grouped(12).zipWithIndex.map { case (pw, i) =>
+            val ptxt = pw.grouped(4).map(_.mkString(" ")).mkString("\n")
+            (id, i, ptxt, pw.length)
+          }
+        }
+    fixture("_fixture_pdfpages") {
+      pdfPageRows.toDF("doc_id", "page_idx", "text", "n_words").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_pdfpages")
+    }
+    fixture("_fixture_pdfstats") {
+      // chars via String.length — equal to code points here because the
+      // plant normalization caps every char at U+00FF
+      val rows = pdfPageRows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (id, ps) =>
+          (id, ps.length.toLong, ps.map(_._4.toLong).sum,
+            ps.map(_._3.length.toLong).sum, ps.map(_._4).max.toLong)
+        }
+      rows.toDF("doc_id", "n_pages", "total_words", "total_chars",
+          "max_page_words").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_pdfstats")
+    }
     fixture("_fixture_audiowin") {
       // per-window replica (q_multimodal_audio_window_feats' parameters:
       // first 40 docs, 25 ms windows / 10 ms hop at 16 kHz → 400/160)
