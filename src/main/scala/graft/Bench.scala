@@ -15,9 +15,10 @@ object Bench {
     * the r7-r12 operator tiers the original set predates — a plan
     * regression in ANN-index / graph / tokenizer / sessionization /
     * profiling land is otherwise invisible to the round gate (ScaleProof
-    * sees ratios, not absolute drift); the last two (added r14) put the
-    * media/caption tiers under the same absolute-drift watch. The prior
-    * cross-check tolerates queries absent from an older artifact.
+    * sees ratios, not absolute drift); the last four (r14/r15) put the
+    * media/caption/MP4/PDF tiers under the same absolute-drift watch.
+    * The prior cross-check tolerates queries absent from an older
+    * artifact.
     */
   val headline: Seq[String] = Seq(
     "q_group_pk_prefix",      // shuffle aggregation
@@ -36,7 +37,9 @@ object Bench {
     "q_sessionize",           // event-stream sessionization window
     "q_profile",              // one-pass column profiling
     "q_multimodal_features",  // image tier: PNG decode + pixel statistics
-    "q_subtitles_parse")      // caption tier: SRT/VTT parse fan-out
+    "q_subtitles_parse",      // caption tier: SRT/VTT parse fan-out
+    "q_multimodal_mp4",       // MP4 tier: ISO-BMFF box walk (r15)
+    "q_pdf_extract")          // PDF tier: xref walk + Flate + text ops (r15)
 
   /** 1-minute system load average (machine-wide, not just this JVM). */
   private def loadAvg(): Double =

@@ -1865,14 +1865,16 @@ object Verify {
     }
     fixture("_fixture_pdfstats") {
       // chars via String.length — equal to code points here because the
-      // plant normalization caps every char at U+00FF
+      // plant normalization caps every char at U+00FF; producer per the
+      // plant (" r2" suffix marks the id%13 incremental-update files)
       val rows = pdfPageRows.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (id, ps) =>
+          val producer = if (id % 13 == 0) s"graft-pdf $id r2" else s"graft-pdf $id"
           (id, ps.length.toLong, ps.map(_._4.toLong).sum,
-            ps.map(_._3.length.toLong).sum, ps.map(_._4).max.toLong)
+            ps.map(_._3.length.toLong).sum, ps.map(_._4).max.toLong, producer)
         }
       rows.toDF("doc_id", "n_pages", "total_words", "total_chars",
-          "max_page_words").coalesce(1)
+          "max_page_words", "producer").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_pdfstats")
     }
     fixture("_fixture_audiowin") {

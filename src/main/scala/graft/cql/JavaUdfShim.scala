@@ -37,6 +37,12 @@ import graft.cql.Ast._
   *  - statements: `[final] Type x = expr;` declarations (block-scoped,
   *    initializers inline), `if`/`else if`/`else`, `return` — with javac's
   *    definite-return and unreachable-code rules
+  *  - array locals as literal lookup tables: `[final] T[] t = {…};` /
+  *    `= new T[]{…};` with element-type conversion like javac, `t[i]`
+  *    reads (0-based; OOB raises like Java's AIOOBE via `raise_error`,
+  *    null index nulls), and `t.length` as a parse-time constant; sized
+  *    allocation (`new T[n]`) and element writes reject — they need
+  *    mutation the shim does not model
   *  - `switch` in the RETURN-ARM form (every arm a single
   *    `return <expr>;`, literal case labels, shared labels via
   *    fall-through INTO a body, optional `default`) — lowered to the
@@ -111,6 +117,13 @@ object JavaUdfShim {
   private final case class TMap(value: CqlType) extends T
   private final case class TList(elem: CqlType) extends T
   private final case class TUdtT(udt: CqlUdt) extends T
+  /** A local Java array (`int[] t = {…}`): element shim type, the
+    * declared element SQL type (each initializer converts through it,
+    * like scalar declarations), and the statically-known length —
+    * arrays here are parse-time literals, the lookup-table shape UDF
+    * bodies actually use.
+    */
+  private final case class TArr(elem: T, elemSql: String, n: Int) extends T
   private case object TOther extends T
 
   private def ofCql(t: CqlType): T = t match {
@@ -315,8 +328,12 @@ object JavaUdfShim {
           "translation shim (declarations, if/else, counted for/while " +
           "loops, return-arm switch and return only; rewrite the function " +
           "as LANGUAGE spark for anything larger)")
+      case Ident("final") :: Ident(t) :: Op("[") :: _ if declTypes.contains(t) =>
+        next(); parseArrayDecl(); None
       case Ident("final") :: _ =>
         next(); parseDecl(); None
+      case Ident(t) :: Op("[") :: Op("]") :: Ident(_) :: _ if declTypes.contains(t) =>
+        parseArrayDecl(); None
       case Ident(t) :: Ident(_) :: _ if declTypes.contains(t) =>
         parseDecl(); None
       case Ident(n) :: Op("=") :: _ if locals.contains(n) || argTypes.contains(n) =>
@@ -500,6 +517,76 @@ object JavaUdfShim {
         }
       })
       if (isSb) sbLocals += name
+    }
+
+    /** `int[] t = {…};` / `= new int[]{…};` — Java array locals as
+      * parse-time literal lookup tables (the dispatch-table shape real
+      * UDF bodies use). Initializer elements convert through the
+      * declared element type exactly like scalar declarations (char
+      * widens into numeric arrays via its code point; anything else
+      * cross-kind rejects as javac would). SIZED allocation
+      * (`new int[n]`) and element assignment reject loudly — they need
+      * the mutation this shim does not model — so every array's length
+      * is statically known at translation time.
+      */
+    private def parseArrayDecl(): Unit = {
+      val (elemSql, elemT) = next() match {
+        case Ident(t) => declTypes(t) match {
+          case Some(p) => p
+          case None => fail("'var[]' is not a Java declaration")
+        }
+        case other => fail(s"expected a type name, found $other")
+      }
+      eat("["); eat("]")
+      val name = next() match {
+        case Ident(n) => n
+        case other => fail(s"expected a variable name, found $other")
+      }
+      if (locals.contains(name) || argTypes.contains(name))
+        fail(s"variable '$name' is already defined")
+      eat("=")
+      toks match {
+        case Ident("new") :: _ =>
+          next()
+          next() match {
+            case Ident(t2) if declTypes.get(t2).flatten.exists(_._1 == elemSql) => ()
+            case other => fail(s"array constructor element type $other " +
+              "does not match the declaration")
+          }
+          eat("[")
+          if (!peek.contains(Op("]")))
+            fail("sized array allocation (new T[n]) is not supported by " +
+              "this engine's translation shim (the elements would need " +
+              "assignment statements; use an initializer list or rewrite " +
+              "the function as LANGUAGE spark)")
+          eat("]")
+        case _ => ()
+      }
+      eat("{")
+      val elems = scala.collection.mutable.ListBuffer.empty[String]
+      if (!peek.contains(Op("}"))) {
+        def one(): Unit = {
+          val (sql, t) = expression()
+          elems += ((elemT, t) match {
+            case (TNum(_), TChar) => s"CAST((ascii($sql)) AS $elemSql)"
+            case (TNum(_), TNum(_)) => s"CAST(($sql) AS $elemSql)"
+            case (TChar, TChar) | (TStr, TStr) | (TBool, TBool) => sql
+            case (_, other) => fail(s"array element of ${tName(other)} type " +
+              s"is not assignment-compatible with the $elemSql element " +
+              "declaration (Java rejects this at compile time)")
+          })
+        }
+        one()
+        while (peek.contains(Op(","))) { next(); one() }
+      }
+      eat("}")
+      eat(";")
+      if (elems.isEmpty)
+        fail("empty array initializers are not supported (no element " +
+          "assignment exists to fill one; rewrite as LANGUAGE spark)")
+      locals = locals.updated(name,
+        (s"ARRAY(${elems.mkString(", ")})", TArr(elemT, elemSql, elems.length)))
+      declDepth = declDepth.updated(name, scopeDepth)
     }
 
     private def parseBranch(): List[Stmt] = peek match {
@@ -1216,8 +1303,39 @@ object JavaUdfShim {
       var continue = true
       while (continue) peek match {
         case Some(Op(".")) =>
+          // array `.length` is a FIELD in Java, not a method call — and
+          // the length of a literal array is a parse-time constant
+          toks match {
+            case Op(".") :: Ident("length") :: rest
+                if cur._2.isInstanceOf[TArr] &&
+                  !rest.headOption.contains(Op("(")) =>
+              next(); next()
+              cur = (cur._2.asInstanceOf[TArr].n.toString, TNum(integral = true))
+            case _ =>
+              next()
+              cur = methodCall(cur)
+          }
+        case Some(Op("[")) if cur._2.isInstanceOf[TArr] =>
+          // Java indexing: 0-based; out of bounds THROWS (the reference
+          // UDF would raise AIOOBE) — modeled with raise_error so a bad
+          // index cannot silently read as NULL. A null index keeps the
+          // shim's null-poisoning convention.
           next()
-          cur = methodCall(cur)
+          val (i, it) = expression()
+          eat("]")
+          val arr = cur._2.asInstanceOf[TArr]
+          val idx = it match {
+            case TNum(true) => i
+            case TChar => s"ascii($i)"
+            case other => fail(s"array index of ${tName(other)} type " +
+              "(Java requires int)")
+          }
+          // element_at requires an INT position (a long-typed local would
+          // not implicitly narrow); literal arrays are tiny, so the cast
+          // is always in range once the bounds check passed
+          cur = (s"IF(($idx) IS NULL, NULL, IF(($idx) >= 0 AND ($idx) < ${arr.n}, " +
+            s"element_at(${cur._1}, CAST(($idx) + 1 AS INT)), " +
+            s"raise_error('Array index out of bounds')))", arr.elem)
         case _ => continue = false
       }
       cur

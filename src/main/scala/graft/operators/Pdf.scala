@@ -614,6 +614,48 @@ object Pdf {
   // plant + Spark ops
   // =====================================================================
 
+  /** Append an INCREMENTAL UPDATE (the classic save-in-place form real
+    * PDF editors produce): a replacement object, a new xref section
+    * covering only it, and a trailer whose /Prev points at the previous
+    * xref — readers must resolve the object through the NEWEST section.
+    * `objNum`'s new body is `objBody` (a dictionary line).
+    */
+  def appendUpdate(payload: Array[Byte], objNum: Long, objBody: String): Array[Byte] = {
+    val prev = {
+      val tail = new String(payload, math.max(0, payload.length - 2048),
+        math.min(2048, payload.length), "ISO-8859-1")
+      val at = tail.lastIndexOf("startxref")
+      require(at >= 0, "appendUpdate: no startxref in the base payload")
+      tail.substring(at + 9).trim.takeWhile(_.isDigit).toLong
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(payload)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("\n")
+    val objAt = out.size().toLong
+    w(s"$objNum 0 obj\n$objBody\nendobj\n")
+    val xrefAt = out.size().toLong
+    w(s"xref\n0 1\n0000000000 65535 f \n$objNum 1\n")
+    w(f"$objAt%010d 00000 n \n")
+    // /Size must still cover every object; copy the base trailer's Root
+    w(s"trailer\n<< /Size ${objNum + 1} /Root 1 0 R /Info $objNum 0 R " +
+      s"/Prev $prev >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The /Info /Producer string (resolved through the NEWEST xref
+    * section, so an incrementally-updated Info must win over the
+    * original). Empty when the trailer has no /Info.
+    */
+  def producerOf(doc: Doc): String =
+    doc.trailer.m.get("Info").map(doc.resolve) match {
+      case Some(d: PDict) => d.m.get("Producer").map(doc.resolve) match {
+        case Some(PStr(b)) => new String(b, "ISO-8859-1")
+        case _ => ""
+      }
+      case _ => ""
+    }
+
   /** Planted document parameters (spec for the fixture replica): the
     * doc's whitespace words page in groups of 12, each page renders as
     * lines of 4 words; wire-form variety by id — Flate compression on
@@ -625,7 +667,10 @@ object Pdf {
     * above U+00FF are replaced with '?' BEFORE rendering (classic PDF
     * string bytes are single-byte; representing CJK needs the ToUnicode
     * machinery this subset scopes out) — the replica applies the same
-    * replacement.
+    * replacement. On id%13==0 the file carries a real INCREMENTAL UPDATE
+    * replacing the Info object (producer suffixed " r2") behind a /Prev
+    * xref chain — the page text is unchanged, but the producer is only
+    * reachable through the newest section.
     */
   def plantPdf(id: Long, text: String): Option[Array[Byte]] = {
     val words = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
@@ -634,11 +679,27 @@ object Pdf {
     val pages = words.grouped(12).map { pw =>
       pw.grouped(4).map(_.mkString(" ")).toSeq
     }.toSeq
-    Some(encode(pages, s"graft-pdf $id",
+    val base = encode(pages, s"graft-pdf $id",
       compress = id % 2 == 0, indirectLength = id % 7 == 0,
       nestedKids = id % 9 == 0,
-      escapeFirst = id % 3 == 0, hexLines = id % 5 == 0))
+      escapeFirst = id % 3 == 0, hexLines = id % 5 == 0)
+    if (id % 13 != 0) Some(base)
+    else {
+      // the Info object is the last-numbered object of encode()'s layout;
+      // recover its number from the base trailer rather than re-deriving
+      val infoNum = {
+        val t = new String(base, "ISO-8859-1")
+        val at = t.lastIndexOf("/Info ")
+        t.substring(at + 6).trim.takeWhile(_.isDigit).toLong
+      }
+      Some(appendUpdate(base, infoNum,
+        s"<< /Producer (graft-pdf $id r2) >>"))
+    }
   }
+
+  /** Expected producer per the plant — the replica's one-liner. */
+  def plantProducer(id: Long): String =
+    if (id % 13 == 0) s"graft-pdf $id r2" else s"graft-pdf $id"
 
   /** A PDF payload row (binary column + id, the crawl shape). */
   case class PdfItem(doc_id: Long, payload: Array[Byte])
@@ -670,15 +731,28 @@ object Pdf {
     })
   }
 
-  /** Per-document stats over the extraction — the curation row (page
-    * count, words, chars) a text pipeline gates on before keeping a
-    * crawl PDF. One doc_id-keyed aggregation.
+  /** Per-document metadata (the /Info walk — resolves through the newest
+    * xref section, so incrementally-updated files report the update).
     */
-  def docStats(pages: Dataset[PdfPage]): DataFrame = {
+  def docMeta(spark: SparkSession, pdfs: Dataset[PdfItem]): DataFrame = {
+    import spark.implicits._
+    pdfs.mapPartitions(_.map { item =>
+      (item.doc_id, producerOf(open(item.payload)))
+    }).toDF("doc_id", "producer")
+  }
+
+  /** Per-document stats over the extraction — the curation row (page
+    * count, words, chars, producer) a text pipeline gates on before
+    * keeping a crawl PDF. One doc_id-keyed aggregation plus a
+    * same-keyed metadata join (co-partitioned — no extra shuffle shape
+    * at scale; both sides key on doc_id).
+    */
+  def docStats(pages: Dataset[PdfPage], meta: DataFrame): DataFrame = {
     pages.toDF().groupBy("doc_id").agg(
       count(lit(1)).cast("long").as("n_pages"),
       sum(col("n_words")).as("total_words"),
       sum(length(col("text"))).as("total_chars"),
       max(col("n_words")).cast("long").as("max_page_words"))
+      .join(meta, Seq("doc_id"))
   }
 }

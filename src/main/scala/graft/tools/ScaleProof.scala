@@ -162,9 +162,14 @@ object ScaleProof {
     "q_subtitle_frame_pairs", // cue-frame alignment: equi-join + generator (r14)
     "q_dedup_video_cross", // dims-blocked radius-10 frame-hash join (r14)
     "q_multimodal_video_mixed", // 3-container video dispatch scan (r14)
-    "q_subtitles_quality") // caption QA: one reused media_id shuffle (r14)
-    // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded by
-    // construction — a flat ratio would be trivial, not evidence)
+    "q_subtitles_quality", // caption QA: one reused media_id shuffle (r14)
+    "q_multimodal_mp4",   // ISO-BMFF box walk: metadata-bound scan (r15)
+    "q_mp4_gate",         // container curation: one media_id shuffle (r15)
+    "q_pdf_extract",      // xref walk + Flate + text ops: content scan (r15)
+    "q_pdf_stats")        // doc-keyed aggregation over page rows (r15)
+    // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded and
+    // q_mp4_sample_table doc_id<150-bounded by construction — a flat
+    // ratio would be trivial, not evidence)
 
   def main(args: Array[String]): Unit = {
     val ext = args.contains("--extended")

@@ -1163,4 +1163,84 @@ class JavaUdfShimPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ── array lookup tables ───────────────────────────────────────────────
+
+  /** `int[] t = {e0, …, ek-1}; return t[((idx) % k + k) % k];` — the
+    * double-mod keeps the index total and in bounds, so Java and SQL
+    * agree on the selected element. Elements are TOTAL (guarded args, no
+    * division): Java evaluates EVERY initializer at construction, so a
+    * /0 in an unselected element would abort the whole Java call while
+    * the SQL array just nulls that slot — the same reason division stays
+    * out of the loop grammar. OOB/null-index behavior is pinned by the
+    * deterministic test below instead.
+    */
+  private case class ArrCase(elems: List[E], idx: E)
+
+  private def genArr: Gen[ArrCase] = for {
+    k <- Gen.choose(1, 5)
+    elems <- Gen.listOfN(k, genSafe(2))
+    idx <- genSafe(2)
+  } yield ArrCase(elems, idx)
+
+  private def renderArr(b: ArrCase): String = {
+    val k = b.elems.length
+    s"int[] t = {${b.elems.map(render).mkString(", ")}}; " +
+      s"return t[((${render(b.idx)}) % $k + $k) % $k];"
+  }
+
+  private def evalArr(b: ArrCase, args: Map[String, Option[Int]]): Option[Int] = {
+    val k = b.elems.length
+    val i = eval(b.idx, args).get // total by construction
+    eval(b.elems(((i % k) + k) % k), args)
+  }
+
+  test("random array lookup tables translate with Java semantics: the " +
+    "double-mod index selects the same element across arg sets") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val cqlArgs = argNames.map(_ -> (CqlInt: CqlType))
+    val argSets: Seq[Map[String, Option[Int]]] = Seq(
+      Map("a" -> Some(7), "b" -> Some(-3), "c" -> Some(2)),
+      Map("a" -> None, "b" -> Some(5), "c" -> Some(11)),
+      Map("a" -> Some(-14), "b" -> None, "c" -> Some(0)))
+    val base = argSets.map(m =>
+      (m("a").map(Int.box).orNull, m("b").map(Int.box).orNull, m("c").map(Int.box).orNull))
+      .toDF("a", "b", "c")
+    val cases = (0 until 90).flatMap { i =>
+      genArr(Gen.Parameters.default.withSize(1 + i % 8), Seed(0xA88A1L + i))
+    }
+    cases.zipWithIndex.grouped(30).foreach { group =>
+      val cols = group.map { case (b, i) =>
+        val sql = JavaUdfShim.translate(renderArr(b), cqlArgs)
+        expr(sql).cast("int").as(s"e$i")
+      }
+      val got = base.select(cols: _*).collect()
+      group.foreach { case (b, i) =>
+        argSets.zipWithIndex.foreach { case (m, row) =>
+          val want = evalArr(b, m)
+          val gi = got(row).fieldIndex(s"e$i")
+          val gotV = if (got(row).isNullAt(gi)) None else Some(got(row).getInt(gi))
+          assert(gotV === want,
+            s"body ${renderArr(b)}\nsql ${JavaUdfShim.translate(renderArr(b), cqlArgs)}\nargs $m")
+        }
+      }
+    }
+  }
+
+  test("array indexing end-to-end: in-bounds reads evaluate, a null " +
+    "index nulls, out-of-bounds raises like Java's AIOOBE") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val sql = JavaUdfShim.translate("int[] t = {7, 11, 13}; return t[a];",
+      Seq("a" -> CqlInt))
+    val got = Seq[Option[Int]](Some(0), Some(2), None).toDF("a")
+      .select(expr(sql).cast("int")).collect()
+    assert(got.map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq ===
+      Seq(Some(7), Some(13), None))
+    val oob = intercept[Exception] {
+      Seq(5).toDF("a").select(expr(sql)).collect()
+    }
+    assert(oob.getMessage.contains("Array index out of bounds"), oob.getMessage)
+  }
 }

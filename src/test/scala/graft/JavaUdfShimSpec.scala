@@ -232,6 +232,41 @@ class JavaUdfShimSpec extends AnyFunSuite {
       "default: return 0; }", "s" -> CqlText).contains("duplicate case label"))
   }
 
+  test("array locals: literal lookup tables index with Java bounds " +
+    "semantics; sized allocation and element writes reject") {
+    // the dispatch-table shape: bounds guard + element_at + raise_error
+    val idx = tr("int[] t = {10, 20, 30}; return t[a];", "a" -> CqlInt)
+    assert(idx.contains("ARRAY(CAST((10) AS INT), CAST((20) AS INT), " +
+      "CAST((30) AS INT))"), idx)
+    assert(idx.contains("element_at(") && idx.contains("< 3") &&
+      idx.contains("raise_error('Array index out of bounds')"), idx)
+    // new T[]{...} form; char elements widen into numeric arrays
+    assert(tr("long[] t = new long[]{'a', 98}; return t[0];")
+      .contains("CAST((ascii('a')) AS BIGINT)"))
+    // .length is a parse-time constant
+    assert(tr("double[] w = {0.5, 0.25}; return w.length;") === "2")
+    assert(tr("String[] names = {\"x\", \"y\"}; return names[i];",
+      "i" -> CqlInt).contains("ARRAY('x', 'y')"))
+    // expressions as elements; arrays participate in larger expressions
+    val expr = tr("int[] t = {a + 1, a * 2}; return t[0] + t[1];", "a" -> CqlInt)
+    assert(expr.contains("ARRAY(CAST(((a + 1)) AS INT)"), expr)
+    // javac rules: element/declaration type mismatch, sized allocation,
+    // constructor type mismatch, duplicate names, writes
+    assert(rejects("int[] t = {\"x\"}; return t[0];")
+      .contains("assignment-compatible"))
+    assert(rejects("int[] t = new int[5]; return t[0];")
+      .contains("sized array allocation"))
+    assert(rejects("int[] t = new long[]{1}; return t[0];")
+      .contains("does not match the declaration"))
+    assert(rejects("int[] t = {1}; int t = 2; return t;")
+      .contains("already defined"))
+    assert(rejects("int[] t = {1, 2}; t[0] = 5; return t[0];", "a" -> CqlInt)
+      .contains("unsupported statement"))
+    assert(rejects("int[] t = {1}; return t[\"x\"];")
+      .contains("array index"))
+    assert(rejects("int[] t = {}; return t.length;").contains("empty array"))
+  }
+
   test("Math.min/max keep Java NaN propagation and null poisoning") {
     assert(tr("return Math.min(a, b);", "a" -> CqlInt, "b" -> CqlInt) ===
       "IF((a) IS NULL OR (b) IS NULL, NULL, IF((a) <= (b), a, b))")

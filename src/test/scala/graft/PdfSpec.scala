@@ -109,12 +109,33 @@ class PdfSpec extends SparkSpec {
         }
     }
     assert(sawCompressed > 0)
-    val stats = Pdf.docStats(Pdf.extractPages(spark, pdfs)).collect()
+    val stats = Pdf.docStats(Pdf.extractPages(spark, pdfs),
+      Pdf.docMeta(spark, pdfs)).collect()
     stats.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       val nw = got(id).map(_.n_words).sum
       assert(r.getAs[Long]("total_words") === nw.toLong)
       assert(r.getAs[Long]("n_pages") === got(id).length.toLong)
+      assert(r.getAs[String]("producer") === Pdf.plantProducer(id))
     }
+  }
+
+  test("incremental updates (save-in-place /Prev chains) resolve objects " +
+    "through the NEWEST xref section; page text is untouched") {
+    val base = Pdf.encode(pages, "orig-producer", compress = true,
+      indirectLength = false, nestedKids = false)
+    assert(Pdf.producerOf(Pdf.open(base)) === "orig-producer")
+    val infoNum = {
+      val t = new String(base, "ISO-8859-1")
+      t.substring(t.lastIndexOf("/Info ") + 6).trim.takeWhile(_.isDigit).toLong
+    }
+    val updated = Pdf.appendUpdate(base, infoNum, "<< /Producer (second-rev) >>")
+    val doc = Pdf.open(updated)
+    assert(Pdf.producerOf(doc) === "second-rev")
+    assert(Pdf.pageObjects(doc).map(p => Pdf.pageText(doc, p)) ===
+      pages.map(_.mkString("\n")))
+    // a second update stacks another /Prev link
+    val twice = Pdf.appendUpdate(updated, infoNum, "<< /Producer (third-rev) >>")
+    assert(Pdf.producerOf(Pdf.open(twice)) === "third-rev")
   }
 }
