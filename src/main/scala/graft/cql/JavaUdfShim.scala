@@ -37,6 +37,13 @@ import graft.cql.Ast._
   *  - statements: `[final] Type x = expr;` declarations (block-scoped,
   *    initializers inline), `if`/`else if`/`else`, `return` — with javac's
   *    definite-return and unreachable-code rules
+  *  - `Integer.parseInt` / `Long.parseLong` / `Double.parseDouble` /
+  *    `Float.parseFloat` / `Short.parseShort` / `Byte.parseByte` /
+  *    `Boolean.parseBoolean` (Java string grammars pinned: parseInt's
+  *    sign+digits-only via a regex guard, overflow → poison), and the
+  *    tolerant-parse `try { return X.parseY(s); } catch (E e) { return
+  *    <expr>; }` lowered to one COALESCE — sound because those calls
+  *    null exactly when Java throws; general try bodies reject
   *  - array locals as literal lookup tables: `[final] T[] t = {…};` /
   *    `= new T[]{…};` with element-type conversion like javac, `t[i]`
   *    reads (0-based; OOB raises like Java's AIOOBE via `raise_error`,
@@ -75,10 +82,12 @@ object JavaUdfShim {
     * declarations (`[final] Type x = expr;` — pure, so each use inlines its
     * initializer; Spark's codegen subexpression elimination dedupes),
     * `if`/`else if`/`else` chains (lowered to nested `IF(...)` at the
-    * statement join points), and `return expr;`. Every path must return —
-    * the same definite-return rule javac enforces — and loops / try /
-    * assignment / switch reject with reference-style compile-error text.
-    * Throws [[Untranslatable]] on anything outside this surface.
+    * statement join points), `return expr;`, counted loops, return-arm
+    * `switch`, array-literal locals, and tolerant-parse `try`/`catch`.
+    * Every path must return — the same definite-return rule javac
+    * enforces — and uncounted loops / general try / assignment reject
+    * with reference-style compile-error text. Throws [[Untranslatable]]
+    * on anything outside this surface.
     */
   def translate(body: String, args: Seq[(String, CqlType)]): String = {
     val argTypes = args.toMap
@@ -323,6 +332,8 @@ object JavaUdfShim {
         next(); parseWhile(); None
       case Ident("switch") :: _ =>
         next(); Some(parseSwitch())
+      case Ident("try") :: _ =>
+        next(); Some(parseTryCatch())
       case Ident(kw) :: _ if rejectedKeywords.contains(kw) =>
         fail(s"'$kw' statements are not supported by this engine's " +
           "translation shim (declarations, if/else, counted for/while " +
@@ -517,6 +528,71 @@ object JavaUdfShim {
         }
       })
       if (isSb) sbLocals += name
+    }
+
+    /** `try { return X.parseY(s); } catch (AnyException e) { return
+      * <expr>; }` — THE tolerant-parse shape real UDF bodies use. Sound
+      * because a parse call's SQL form is NULL exactly when the Java
+      * call throws (the guard regex pins parseInt's grammar; CAST
+      * overflow nulls where Java overflows; a null input throws in Java
+      * and nulls in SQL), so "took the catch branch" agrees between the
+      * engines, and the lowering is one COALESCE. GENERAL try bodies
+      * reject loudly: any expression that can be null WITHOUT a Java
+      * exception (a bare nullable arg, Map.get on an absent key, a null
+      * literal behind a ternary) would take the SQL catch branch where
+      * Java happily returns null.
+      */
+    private def parseTryCatch(): Stmt = {
+      eat("{")
+      toks match {
+        case Ident("return") :: Ident(cls) :: Op(".") :: Ident(m) :: Op("(") :: _
+            if parseStatics.get(cls).contains(m) => ()
+        case _ => fail("try blocks are supported only in the tolerant-parse " +
+          "form 'try { return Integer.parseInt(...); } catch " +
+          "(SomeException e) { return <expr>; }' — general exception flow " +
+          "needs runtime machinery this shim does not model; rewrite the " +
+          "function as LANGUAGE spark")
+      }
+      next() // 'return'
+      val tryE = expression()
+      eat(";"); eat("}")
+      toks match {
+        case Ident("catch") :: _ => next()
+        case _ => fail("try without catch (finally alone is not supported)")
+      }
+      eat("(")
+      next() match {
+        case Ident(_) => ()
+        case other => fail(s"expected an exception type in catch, found $other")
+      }
+      var closed = false
+      while (!closed) toks match {
+        case Op(".") :: Ident(_) :: _ => next(); next() // dotted exception name
+        case Op("|") :: _ => fail("multi-catch is not supported by this " +
+          "engine's translation shim (one catch clause only)")
+        case Ident(_) :: Op(")") :: _ => next(); closed = true
+        case other => fail(s"malformed catch parameter near $other")
+      }
+      eat(")")
+      eat("{")
+      toks match {
+        case Ident("return") :: _ => next()
+        case _ => fail("catch blocks must be a single 'return <expr>;'")
+      }
+      val catchE = expression()
+      eat(";"); eat("}")
+      // both arms feed the same Java return type; cross-kind arms are a
+      // compile error there too (a char catch widens into a numeric try
+      // via its code point, Java's char→int conversion)
+      val catchSql = (tryE._2, catchE._2) match {
+        case (_, TNull) => catchE._1
+        case (TNum(_), TChar) => s"ascii(${catchE._1})"
+        case (TNum(_), TNum(_)) | (TStr, TStr) | (TBool, TBool) => catchE._1
+        case _ => fail(s"catch arm of ${tName(catchE._2)} type is not " +
+          s"assignment-compatible with the try arm's ${tName(tryE._2)} result")
+      }
+      val t = if (tryE._2 == TNull) catchE._2 else tryE._2
+      SRet((s"COALESCE(${tryE._1}, $catchSql)", t))
     }
 
     /** `int[] t = {…};` / `= new int[]{…};` — Java array locals as
@@ -1453,6 +1529,16 @@ object JavaUdfShim {
       }
     }
 
+    /** The box classes' string-parse statics (Java's tolerant-input
+      * entry points — and the only exception source the try/catch rung
+      * admits, because their SQL form is NULL exactly when Java throws).
+      */
+    private val parseStatics: Map[String, String] = Map(
+      "Integer" -> "parseInt", "Long" -> "parseLong",
+      "Double" -> "parseDouble", "Float" -> "parseFloat",
+      "Short" -> "parseShort", "Byte" -> "parseByte",
+      "Boolean" -> "parseBoolean")
+
     private val boxClasses: Map[String, (String, T)] = Map(
       "Integer" -> ("INT", TNum(integral = true)), "Long" -> ("BIGINT", TNum(integral = true)),
       "Double" -> ("DOUBLE", TNum(integral = false)), "Float" -> ("FLOAT", TNum(integral = false)),
@@ -1576,6 +1662,30 @@ object JavaUdfShim {
                 val (sqlT, t) = boxClasses(cls)
                 (s"CAST($a AS $sqlT)", t)
               case _ => fail(s"$cls.valueOf takes one argument")
+            }
+          case Ident(pm) if parseStatics.get(cls).contains(pm) =>
+            callArgs() match {
+              case List((a, at)) if at == TStr || at == TNull =>
+                val (sqlT, t) = boxClasses(cls)
+                if (cls == "Boolean")
+                  // parseBoolean never throws: null input is simply not
+                  // "true" — Java returns false, so pin false, not NULL
+                  (s"COALESCE((lower($a) = 'true'), false)", TBool)
+                else if (cls == "Double" || cls == "Float")
+                  // Java parseDouble/parseFloat trim whitespace and accept
+                  // Infinity/NaN — CAST's string grammar matches (the 'd'/
+                  // 'f'-suffix and hex-float forms are the one divergence:
+                  // Java parses them, CAST nulls → catch)
+                  (s"CAST($a AS $sqlT)", t)
+                else
+                  // Java parseInt/parseLong/...: optional sign + digits
+                  // ONLY — CAST alone also accepts whitespace and decimal
+                  // points, so guard with the exact grammar; overflow
+                  // nulls via CAST where Java throws. NULL exactly when
+                  // Java throws — the property parseTryCatch relies on.
+                  (s"IF($a RLIKE '^[+-]?[0-9]+$$', CAST($a AS $sqlT), NULL)", t)
+              case List(_) => fail(s"$cls.$pm takes a String argument")
+              case _ => fail(s"$cls.$pm takes one argument")
             }
           case Ident("MAX_VALUE") | Ident("MIN_VALUE") =>
             fail(s"unsupported constant on $cls")

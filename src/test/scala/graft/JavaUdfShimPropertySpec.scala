@@ -1228,6 +1228,29 @@ class JavaUdfShimPropertySpec extends SparkSpec {
     }
   }
 
+  test("tolerant-parse try/catch end-to-end: the SQL catch branch fires " +
+    "exactly where the REAL Integer.parseInt throws") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val sql = JavaUdfShim.translate(
+      "try { return Integer.parseInt(s); } catch (NumberFormatException e) " +
+        "{ return -99; }", Seq("s" -> CqlText))
+    val inputs: Seq[Option[String]] = Seq(
+      Some("42"), Some("-7"), Some("+8"), Some("12.5"), Some(" 12"),
+      Some("12 "), Some(""), Some("abc"), Some("2147483647"),
+      Some("2147483648"), Some("-2147483648"), Some("0x1F"), Some("1e3"),
+      None)
+    val want = inputs.map { o =>
+      o.map { s =>
+        try Integer.parseInt(s)
+        catch { case _: NumberFormatException => -99 }
+      }.getOrElse(-99) // Java parseInt(null) throws NFE → catch
+    }
+    val got = inputs.toDF("s").select(expr(sql).cast("int")).collect()
+      .map(_.getInt(0)).toSeq
+    assert(got === want)
+  }
+
   test("array indexing end-to-end: in-bounds reads evaluate, a null " +
     "index nulls, out-of-bounds raises like Java's AIOOBE") {
     import org.apache.spark.sql.functions.expr

@@ -232,6 +232,48 @@ class JavaUdfShimSpec extends AnyFunSuite {
       "default: return 0; }", "s" -> CqlText).contains("duplicate case label"))
   }
 
+  test("parse statics pin Java's string grammars; tolerant-parse " +
+    "try/catch lowers to COALESCE; general try rejects") {
+    // parseInt: sign+digits only — the regex guard rejects what CAST
+    // would silently accept (whitespace, decimal points)
+    val pi = tr("return Integer.parseInt(s);", "s" -> CqlText)
+    assert(pi === "IF(s RLIKE '^[+-]?[0-9]+$', CAST(s AS INT), NULL)", pi)
+    assert(tr("return Long.parseLong(s);", "s" -> CqlText).contains("AS BIGINT"))
+    assert(tr("return Double.parseDouble(s);", "s" -> CqlText) ===
+      "CAST(s AS DOUBLE)")
+    // parseBoolean never throws: null input is false, like Java
+    assert(tr("return Boolean.parseBoolean(s);", "s" -> CqlText) ===
+      "COALESCE((lower(s) = 'true'), false)")
+    // the canonical tolerant-parse UDF
+    assert(tr("try { return Integer.parseInt(s); } " +
+      "catch (NumberFormatException e) { return -1; }", "s" -> CqlText) ===
+      "COALESCE(IF(s RLIKE '^[+-]?[0-9]+$', CAST(s AS INT), NULL), (- 1))")
+    // dotted exception names; char catch arm widens into a numeric try
+    assert(tr("try { return Integer.parseInt(s); } " +
+      "catch (java.lang.Exception e) { return 'x'; }", "s" -> CqlText)
+      .contains("ascii('x')"))
+    // a null catch arm is legal Java
+    assert(tr("try { return Integer.parseInt(s); } " +
+      "catch (Exception e) { return null; }", "s" -> CqlText)
+      .startsWith("COALESCE("))
+    // rejection contract: general try bodies, multi-catch, missing catch,
+    // cross-kind arms, statement catch bodies
+    assert(rejects("try { return a + 1; } catch (Exception e) { return 0; }",
+      "a" -> CqlInt).contains("tolerant-parse"))
+    assert(rejects("try { return Integer.parseInt(s); } catch " +
+      "(NumberFormatException | NullPointerException e) { return 0; }",
+      "s" -> CqlText).contains("multi-catch"))
+    assert(rejects("try { return Integer.parseInt(s); } return 0;",
+      "s" -> CqlText).contains("without catch"))
+    assert(rejects("try { return Integer.parseInt(s); } catch (Exception e) " +
+      "{ return \"no\"; }", "s" -> CqlText).contains("assignment-compatible"))
+    assert(rejects("try { return Integer.parseInt(s); } catch (Exception e) " +
+      "{ int x = 1; return x; }", "s" -> CqlText).contains("single"))
+    // unreachable code after an always-returning try/catch, like javac
+    assert(rejects("try { return Integer.parseInt(s); } catch (Exception e) " +
+      "{ return 0; } return 9;", "s" -> CqlText).contains("unreachable"))
+  }
+
   test("array locals: literal lookup tables index with Java bounds " +
     "semantics; sized allocation and element writes reject") {
     // the dispatch-table shape: bounds guard + element_at + raise_error
@@ -381,7 +423,7 @@ class JavaUdfShimSpec extends AnyFunSuite {
     assert(rejects("while (true) { } return 0;")
       .contains("must be a local declared before the loop"))
     assert(rejects("try { return 1; } catch (Exception e) { return 0; }")
-      .contains("not supported"))
+      .contains("tolerant-parse"))
     assert(rejects("int y = 0; y = 1; return y;").contains("assignment"))
     assert(rejects("return y;", "x" -> CqlInt).contains("unknown identifier 'y'"))
     assert(rejects("return x.frobnicate();", "x" -> CqlInt)
