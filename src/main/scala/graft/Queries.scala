@@ -3182,16 +3182,15 @@ object Queries {
       // the NEWEST xref section, so the id%13 incremental-update plant
       // (a real save-in-place trailer with /Prev) only matches the
       // oracle if the /Prev chain walk prefers newer sections — the
-      // update path sits inside the gate. One doc_id-keyed aggregation
-      // plus the same-keyed metadata join.
+      // update path sits inside the gate. ONE parse per payload and one
+      // doc_id-keyed shuffle (the producer rides the page rows).
       Some("""SELECT doc_id, n_pages, total_words, total_chars,
                      max_page_words, producer
               FROM parquet_scan('{FIX}/_fixture_pdfstats/*.parquet')
               ORDER BY doc_id"""),
       (s, d) => {
         val pdfs = Pdf.pdfFromDocuments(s, t(s, d, "documents"))
-        Pdf.docStats(Pdf.extractPages(s, pdfs), Pdf.docMeta(s, pdfs))
-          .orderBy("doc_id")
+        Pdf.docStats(s, pdfs).orderBy("doc_id")
       }),
 
     QueryDef("q_multimodal_audio_window_feats",

@@ -743,16 +743,28 @@ object Pdf {
 
   /** Per-document stats over the extraction — the curation row (page
     * count, words, chars, producer) a text pipeline gates on before
-    * keeping a crawl PDF. One doc_id-keyed aggregation plus a
-    * same-keyed metadata join (co-partitioned — no extra shuffle shape
-    * at scale; both sides key on doc_id).
+    * keeping a crawl PDF. ONE parse per payload (pages and /Info in the
+    * same walk — parsing twice would double the decompression bill at
+    * crawl scale) and ONE doc_id-keyed shuffle: the producer rides each
+    * page row and folds with max(), which is exact because it is
+    * constant per document.
     */
-  def docStats(pages: Dataset[PdfPage], meta: DataFrame): DataFrame = {
-    pages.toDF().groupBy("doc_id").agg(
-      count(lit(1)).cast("long").as("n_pages"),
-      sum(col("n_words")).as("total_words"),
-      sum(length(col("text"))).as("total_chars"),
-      max(col("n_words")).cast("long").as("max_page_words"))
-      .join(meta, Seq("doc_id"))
+  def docStats(spark: SparkSession, pdfs: Dataset[PdfItem]): DataFrame = {
+    import spark.implicits._
+    pdfs.mapPartitions(_.flatMap { item =>
+      val doc = open(item.payload)
+      val producer = producerOf(doc)
+      pageObjects(doc).map { pg =>
+        val txt = pageText(doc, pg)
+        val nw = { val t = txt.trim; if (t.isEmpty) 0 else t.split("\\s+").length }
+        (item.doc_id, nw, txt.codePointCount(0, txt.length), producer)
+      }
+    }).toDF("doc_id", "n_words", "n_chars", "producer")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_pages"),
+        sum(col("n_words")).cast("long").as("total_words"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        max(col("n_words")).cast("long").as("max_page_words"),
+        max(col("producer")).as("producer"))
   }
 }

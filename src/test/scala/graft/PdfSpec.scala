@@ -109,8 +109,11 @@ class PdfSpec extends SparkSpec {
         }
     }
     assert(sawCompressed > 0)
-    val stats = Pdf.docStats(Pdf.extractPages(spark, pdfs),
-      Pdf.docMeta(spark, pdfs)).collect()
+    // docMeta alone resolves producers (the metadata-only face)
+    Pdf.docMeta(spark, pdfs).collect().foreach { r =>
+      assert(r.getString(1) === Pdf.plantProducer(r.getLong(0)))
+    }
+    val stats = Pdf.docStats(spark, pdfs).collect()
     stats.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       val nw = got(id).map(_.n_words).sum
