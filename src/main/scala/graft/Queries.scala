@@ -3118,6 +3118,26 @@ object Queries {
         Mp4.trackMeta(s, media).toDF().orderBy("media_id", "track_id")
       }),
 
+    QueryDef("q_mp4_fragmented",
+      // fMP4/DASH — the layout streaming video actually ships: the SAME
+      // planted dims/sizes as q_multimodal_mp4 re-laid as moof/traf/trun
+      // fragments (empty stbls, mvex/trex defaults, mehd movie duration,
+      // per-sample video sizes + first-sample-flags keyframes, audio
+      // carried entirely by trex defaults), read back through the
+      // fragment walk into the SAME TrackMetaRow schema. The replica
+      // re-derives totals from the plant formulas with no container
+      // round trip, so agreement proves the fragment accumulation
+      // (counts, durations, bytes, truns, sync flags) end to end.
+      Some("""SELECT media_id, brand, movie_duration_ms, track_id, handler,
+                     codec, width, height, channels, sample_rate, timescale,
+                     duration_ms, n_samples, n_chunks, n_sync, total_bytes
+              FROM parquet_scan('{FIX}/_fixture_mp4frag/*.parquet')
+              ORDER BY media_id, track_id"""),
+      (s, d) => {
+        val media = Mp4.fmp4FromDocuments(s, t(s, d, "documents"))
+        Mp4.trackMeta(s, media).toDF().orderBy("media_id", "track_id")
+      }),
+
     QueryDef("q_mp4_sample_table",
       // the sample-table expansion — stsc run-length × chunk offsets ×
       // per-sample sizes × stts deltas × stss sync flags resolved into
@@ -3155,6 +3175,31 @@ object Queries {
           minDurationMs = 1500, maxDurationMs = 600000,
           minWidth = 384, minHeight = 270, maxBitrateBps = 10000000L)
           .orderBy("media_id")
+      }),
+
+    QueryDef("q_markdown_extract",
+      // Markdown→text — READMEs/docs/forums are the other big non-HTML
+      // text source: planted markdown (headings, blockquotes, lists,
+      // nested emphasis forms, inline/reference links, images, inline
+      // code, fenced code blocks with info strings, tables, rules,
+      // link-definition lines) extracts through the codegen'd
+      // regexp_replace chain. The replica is the normalized word stream
+      // itself — extraction must be the IDENTITY on content words while
+      // every URL and structural line vanishes, so any marker leaking
+      // or any word eaten hash-mismatches.
+      Some("""SELECT doc_id, text, n_words
+              FROM parquet_scan('{FIX}/_fixture_markdown/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        val md = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)].flatMap { case (id, tx) =>
+            TextAnalysis.plantMarkdown(id, tx).map(m => (id, m))
+          }.toDF("doc_id", "md")
+        md.select(col("doc_id"),
+            TextAnalysis.markdownToText(col("md")).as("text"))
+          .withColumn("n_words", size(split(col("text"), " ")))
+          .orderBy("doc_id")
       }),
 
     QueryDef("q_pdf_extract",

@@ -1788,6 +1788,35 @@ object Verify {
           "total_bytes").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp4meta")
     }
+    fixture("_fixture_mp4frag") {
+      // fragmented-layout replica: same dims/video sizes; fragment length
+      // k = 8 + id%5 gives n_chunks = ceil(nf/k) truns per track; video
+      // sync = one leading keyframe per fragment, audio all-sync via
+      // trex default flags; audio uniform 256 bytes; brand iso5; movie
+      // duration from mehd (= the video track's ms, always the max)
+      val rows = mp4Docs.flatMap { case (id, nc) =>
+        val w = 320 + (id % 5).toInt * 64
+        val h = 180 + (id % 4).toInt * 90
+        val nf = 24 + nc % 96
+        val k = 8 + (id % 5).toInt
+        val nFrags = ((nf + k - 1) / k).toLong
+        val durV = nf.toLong * 3600 * 1000 / 90000
+        val video = (id, "iso5", durV, 1L, "vide", "avc1", w, h, 0, 0,
+          90000L, durV, nf.toLong, nFrags, nFrags, mp4VideoSizes(id, nf).sum)
+        val audio = if (id % 2 == 0) {
+          val durA = nf.toLong * 1024 * 1000 / 48000
+          Seq((id, "iso5", durV, 2L, "soun", "mp4a", 0, 0,
+            1 + ((id / 2) % 2).toInt, 48000, 48000L, durA, nf.toLong,
+            nFrags, nf.toLong, 256L * nf))
+        } else Nil
+        video +: audio
+      }
+      rows.toDF("media_id", "brand", "movie_duration_ms", "track_id",
+          "handler", "codec", "width", "height", "channels", "sample_rate",
+          "timescale", "duration_ms", "n_samples", "n_chunks", "n_sync",
+          "total_bytes").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_mp4frag")
+    }
     fixture("_fixture_mp4samples") {
       // sample-table replica (q_mp4_sample_table's bound: doc_id < 150):
       // chunk index from the stsc runs ([(1,5),(4,8)] video, 10/chunk
@@ -1841,6 +1870,27 @@ object Verify {
           "height", "duration_ms", "total_bytes", "bitrate_bps", "keep")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp4gate")
+    }
+    fixture("_fixture_markdown") {
+      // markdown-extraction replica: the expected text IS the normalized
+      // word stream (metachars → ',' anywhere, '-'/'+' word-initial —
+      // plantMarkdown's pinned convention, inlined here independently)
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          val words = Option(text0).getOrElse("").trim
+            .split("\\s+").filter(_.nonEmpty)
+            .map { w =>
+              val c = w.map(ch => if ("*_`#>|![]()".indexOf(ch) >= 0) ',' else ch)
+              if (c.nonEmpty && (c(0) == '-' || c(0) == '+')) ',' + c.substring(1)
+              else c
+            }
+          if (words.isEmpty) None
+          else Some((id, words.mkString(" "), words.length))
+        }
+      rows.toDF("doc_id", "text", "n_words").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_markdown")
     }
     // ---- PDF tier replicas: page text re-derived STRAIGHT from the
     // document words (groups of 12 per page, lines of 4 joined with \n;

@@ -194,7 +194,7 @@ object Mp4 {
       val hdlrName = (t.handler match {
         case "vide" => "VideoHandler"; case "soun" => "SoundHandler"
         case other => other + "Handler"
-      }) + " "
+      }) + "\u0000" // NUL-terminated handler name, the common wire form
       val hdlr = fullBox("hdlr", 0, 0, be32(0), fourCC(t.handler),
         be32(0), be32(0), be32(0), hdlrName.getBytes("US-ASCII"))
       val mhd = t.handler match {
@@ -264,6 +264,135 @@ object Mp4 {
     ftyp ++ mdat ++ moov
   }
 
+  /** Write a FRAGMENTED container (fMP4 — the DASH/CMAF layout streaming
+    * video actually ships): ftyp, moov with EMPTY sample tables + mvex
+    * (mehd movie duration, trex per-track defaults), then one
+    * (moof, mdat) pair per `fragSamples`-sample run per track. The
+    * planted trun shapes cover the real spectrum:
+    *  - video: per-sample sizes in trun, duration from the tfhd default,
+    *    first-sample-flags marking the fragment's leading keyframe sync
+    *    while trex default flags mark the rest non-sync (the classic
+    *    closed-GOP segment shape);
+    *  - audio: size/duration/flags all from trex defaults (uniform
+    *    packets, all sync) — the trun carries only a count + offset.
+    */
+  def encodeFragmented(tracks: Seq[TrackSpec], movieTimescale: Long,
+                       fragSamples: Int,
+                       sampleByte: (Int, Long) => Byte = (_, _) => 0x5a): Array[Byte] = {
+    require(tracks.nonEmpty && fragSamples > 0, "encodeFragmented: bad args")
+    val ftyp = box("ftyp", fourCC("iso5"), be32(512),
+      fourCC("iso5"), fourCC("isom"), fourCC("mp41"))
+    def emptyStblTrak(t: TrackSpec): Array[Byte] = {
+      // reuse the progressive writer's boxes by building a spec with no
+      // samples: stts/stsc/stsz/stco all zero-entry, mdhd duration 0
+      val tkhdTail = be32(0) ++ be32(0) ++ be16(0) ++ be16(0) ++
+        be16(if (t.handler == "soun") 0x0100 else 0) ++ be16(0) ++
+        be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000L) ++
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000L) ++
+        be32(t.width.toLong << 16) ++ be32(t.height.toLong << 16)
+      val movieDur = t.sampleSizes.length.toLong * t.sampleDelta *
+        movieTimescale / t.timescale
+      val tkhd = fullBox("tkhd", 0, 3, be32(0), be32(0), be32(t.trackId),
+        be32(0), be32(movieDur), tkhdTail)
+      val mdhd = fullBox("mdhd", 0, 0, be32(0), be32(0), be32(t.timescale),
+        be32(0), be16(0x55c4), be16(0))
+      val hdlr = fullBox("hdlr", 0, 0, be32(0), fourCC(t.handler),
+        be32(0), be32(0), be32(0), (t.handler match {
+          case "vide" => "VideoHandler"; case "soun" => "SoundHandler"
+          case other => other + "Handler"
+        }).getBytes("US-ASCII") ++ Array(0.toByte))
+      val mhd = t.handler match {
+        case "vide" => fullBox("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
+        case "soun" => fullBox("smhd", 0, 0, be16(0), be16(0))
+        case _ => fullBox("nmhd", 0, 0)
+      }
+      val dinf = box("dinf", fullBox("dref", 0, 0, be32(1),
+        fullBox("url ", 0, 1)))
+      val sampleEntry = t.handler match {
+        case "vide" =>
+          box(t.codec, Array.fill(6)(0.toByte), be16(1),
+            be16(0), be16(0), be32(0), be32(0), be32(0),
+            be16(t.width), be16(t.height),
+            be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
+            Array.fill(32)(0.toByte), be16(24), be16(0xffff))
+        case "soun" =>
+          box(t.codec, Array.fill(6)(0.toByte), be16(1),
+            be32(0), be32(0), be16(t.channels), be16(16),
+            be16(0), be16(0), be32(t.sampleRate.toLong << 16))
+        case _ => box(t.codec, Array.fill(6)(0.toByte), be16(1))
+      }
+      val stbl = box("stbl",
+        fullBox("stsd", 0, 0, be32(1), sampleEntry),
+        fullBox("stts", 0, 0, be32(0)),
+        fullBox("stsc", 0, 0, be32(0)),
+        fullBox("stsz", 0, 0, be32(0), be32(0)),
+        fullBox("stco", 0, 0, be32(0)))
+      box("trak", tkhd, box("mdia", mdhd, hdlr, box("minf", mhd, dinf, stbl)))
+    }
+    val movieDurTotal = tracks.map(t =>
+      t.sampleSizes.length.toLong * t.sampleDelta * movieTimescale / t.timescale).max
+    val mvex = box("mvex",
+      (fullBox("mehd", 0, 0, be32(movieDurTotal)) +:
+        tracks.map { t =>
+          val (defDur, defSize, defFlags) = t.handler match {
+            case "vide" => (0L, 0L, NonSyncFlag) // non-sync unless overridden
+            case _ => (t.sampleDelta, t.sampleSizes.headOption.getOrElse(0).toLong, 0L)
+          }
+          fullBox("trex", 0, 0, be32(t.trackId), be32(1),
+            be32(defDur), be32(defSize), be32(defFlags))
+        }): _*)
+    val mvhdTail = be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000L) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000L) ++
+      Array.fill(6 * 4)(0.toByte) ++ be32(tracks.map(_.trackId).max + 1)
+    val moov = box("moov",
+      (fullBox("mvhd", 0, 0, be32(0), be32(0), be32(movieTimescale),
+        be32(0), mvhdTail) +: tracks.map(emptyStblTrak)) :+ mvex: _*)
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    var seq = 1L
+    tracks.zipWithIndex.foreach { case (t, ti) =>
+      t.sampleSizes.grouped(fragSamples).foreach { sizes =>
+        val isVideo = t.handler == "vide"
+        val mfhd = fullBox("mfhd", 0, 0, be32(seq)); seq += 1
+        // tfhd: default-base-is-moof (+ default duration for video)
+        val tfhd =
+          if (isVideo)
+            fullBox("tfhd", 0, 0x020008, be32(t.trackId), be32(t.sampleDelta))
+          else
+            fullBox("tfhd", 0, 0x020000, be32(t.trackId))
+        // trun flags: data-offset (+ per-sample sizes and
+        // first-sample-flags for video)
+        val trunFlags = if (isVideo) 0x1 | 0x4 | 0x200 else 0x1
+        // 12 box+fullbox header, 8 count+data-offset, video adds
+        // first-sample-flags + one u32 size per sample
+        val trunLen = 12 + 8 + (if (isVideo) 4 + 4 * sizes.length else 0)
+        val trafLen = 8 + tfhd.length + trunLen
+        val moofLen = 8 + mfhd.length + trafLen
+        val dataOffset = moofLen + 8 // into the following mdat's payload
+        val trun = fullBox("trun", 0, trunFlags,
+          be32(sizes.length.toLong), be32(dataOffset.toLong),
+          (if (isVideo) be32(0L) else Array.empty[Byte]), // first-sample-flags: sync
+          (if (isVideo) sizes.flatMap(s => be32(s.toLong)).toArray
+           else Array.empty[Byte]))
+        val moof = box("moof", mfhd, box("traf", tfhd, trun))
+        require(moof.length == moofLen,
+          s"encodeFragmented: moof size arithmetic drifted (${moof.length} vs $moofLen)")
+        val data = new java.io.ByteArrayOutputStream()
+        sizes.zipWithIndex.foreach { case (sz, si) =>
+          val b = new Array[Byte](if (isVideo) sz
+            else t.sampleSizes.headOption.getOrElse(0))
+          java.util.Arrays.fill(b, sampleByte(ti, si.toLong))
+          data.write(b)
+        }
+        out.write(moof)
+        out.write(box("mdat", data.toByteArray))
+      }
+    }
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------------
   // parse — the strict box walk
   // ---------------------------------------------------------------------
@@ -301,6 +430,127 @@ object Mp4 {
 
   /** Container boxes whose payload is child boxes (the descent set). */
   private val containers = Set("moov", "trak", "mdia", "minf", "stbl", "edts")
+
+  /** Per-track accumulator over the movie FRAGMENTS (moof/traf/trun —
+    * the fMP4/DASH layout streaming video actually ships): sample count,
+    * summed duration (media timescale), summed bytes, sync count, and
+    * trun count (the fragmented analog of a chunk).
+    */
+  private final class FragBuild {
+    var nSamples = 0L
+    var duration = 0L
+    var bytes = 0L
+    var nSync = 0L
+    var nRuns = 0L
+    /** (fragment ordinal for this track, absolute offset, size, duration,
+      * sync) per sample — kept for [[sampleTable]]; metadata-only callers
+      * pay a KB-scale list per clip, bounded by sample count.
+      */
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Boolean)]
+  }
+
+  /** trex defaults per track id: (duration, size, flags). */
+  private type TrexDefaults = Map[Long, (Long, Long, Long)]
+
+  private val NonSyncFlag = 0x00010000L
+
+  /** Walk one moof box: mfhd/traf/tfhd/trun per the 14496-12 fragment
+    * model. Canonical subset: every trun must carry a data offset and
+    * tfhd must use default-base-is-moof or an explicit base offset —
+    * implicit continue-after-previous-trun layouts reject loudly.
+    */
+  private def walkMoof(payload: Array[Byte], moofAt: Long, body: Long, end: Long,
+                       trex: TrexDefaults,
+                       frags: scala.collection.mutable.Map[Long, FragBuild]): Unit = {
+    val n = payload.length.toLong
+    def frame(at: Long, limit: Long): (Long, Long, String) = {
+      require(limit - at >= 8, s"Mp4.parse: truncated box header in moof at $at")
+      val size0 = u32(payload, at)
+      val tpe = tag(payload, at + 4)
+      require(size0 >= 8 && at + size0 <= limit,
+        s"Mp4.parse: box '$tpe' size $size0 overruns inside moof at $at")
+      (at + 8, at + size0, tpe)
+    }
+    var at = body
+    while (at < end) {
+      val (tBody, tEnd, tTpe) = frame(at, end)
+      if (tTpe == "traf") {
+        var trackId = -1L
+        var baseOffset = -1L
+        var tfhdFlags = 0L
+        var defDur = -1L
+        var defSize = -1L
+        var defFlags = -1L
+        var tAt = tBody
+        while (tAt < tEnd) {
+          val (bBody, bEnd, bTpe) = frame(tAt, tEnd)
+          bTpe match {
+            case "tfhd" =>
+              tfhdFlags = u32(payload, bBody) & 0xffffffL
+              trackId = u32(payload, bBody + 4)
+              var p = bBody + 8
+              if ((tfhdFlags & 0x1L) != 0) { baseOffset = u64(payload, p); p += 8 }
+              if ((tfhdFlags & 0x2L) != 0) p += 4 // sample-description-index
+              if ((tfhdFlags & 0x8L) != 0) { defDur = u32(payload, p); p += 4 }
+              if ((tfhdFlags & 0x10L) != 0) { defSize = u32(payload, p); p += 4 }
+              if ((tfhdFlags & 0x20L) != 0) { defFlags = u32(payload, p); p += 4 }
+              if ((tfhdFlags & 0x020000L) != 0) baseOffset = moofAt
+              require(baseOffset >= 0,
+                "Mp4.parse: tfhd without default-base-is-moof or an " +
+                  "explicit base-data-offset (implicit bases not supported)")
+            case "trun" =>
+              require(trackId > 0, "Mp4.parse: trun before tfhd in traf")
+              val fb = frags.getOrElseUpdate(trackId, new FragBuild)
+              val trunFlags = u32(payload, bBody) & 0xffffffL
+              val count = u32(payload, bBody + 4)
+              var p = bBody + 8
+              require((trunFlags & 0x1L) != 0,
+                "Mp4.parse: trun without a data offset (continue-after-" +
+                  "previous layouts not supported)")
+              val dataOff = u32(payload, p).toInt.toLong; p += 4 // SIGNED 32
+              var firstFlags = -1L
+              if ((trunFlags & 0x4L) != 0) { firstFlags = u32(payload, p); p += 4 }
+              val (dv, sv, fv, cv) =
+                ((trunFlags & 0x100L) != 0, (trunFlags & 0x200L) != 0,
+                 (trunFlags & 0x400L) != 0, (trunFlags & 0x800L) != 0)
+              val (trexDur, trexSize, trexFlags) =
+                trex.getOrElse(trackId, (-1L, -1L, 0L))
+              var off = baseOffset + dataOff
+              fb.nRuns += 1
+              var i = 0L
+              while (i < count) {
+                val dur = if (dv) { val v = u32(payload, p); p += 4; v }
+                  else if (defDur >= 0) defDur
+                  else { require(trexDur >= 0,
+                    s"Mp4.parse: no sample duration for track $trackId " +
+                      "(trun, tfhd and trex all silent)"); trexDur }
+                val size = if (sv) { val v = u32(payload, p); p += 4; v }
+                  else if (defSize >= 0) defSize
+                  else { require(trexSize >= 0,
+                    s"Mp4.parse: no sample size for track $trackId"); trexSize }
+                val flags = if (fv) { val v = u32(payload, p); p += 4; v }
+                  else if (i == 0 && firstFlags >= 0) firstFlags
+                  else if (defFlags >= 0) defFlags
+                  else trexFlags
+                if (cv) p += 4 // composition-time offset: skipped
+                require(off >= 0 && off + size <= n,
+                  s"Mp4.parse: fragment sample of track $trackId at " +
+                    s"[$off, ${off + size}) overruns the $n-byte payload")
+                val sync = (flags & NonSyncFlag) == 0
+                fb.samples += ((fb.nRuns, off, size, dur, sync))
+                fb.nSamples += 1; fb.duration += dur; fb.bytes += size
+                if (sync) fb.nSync += 1
+                off += size
+                i += 1
+              }
+            case _ => () // sbgp/subs/saiz/...: skipped per spec
+          }
+          tAt = bEnd
+        }
+      }
+      at = tEnd
+    }
+  }
 
   /** Parse a whole container. Rejects BY NAME outside the canonical
     * subset; skips unknown box types (spec behavior). All bounds in
@@ -435,7 +685,11 @@ object Mp4 {
       require(tb.stscRuns.nonEmpty && tb.chunkOffsets.nonEmpty || tb.nSamples == 0,
         s"Mp4.parse: track ${tb.trackId} missing stsc/stco")
       // every sample's data must sit inside the payload — walk chunks
-      val perChunk = chunksOf(tb.nSamples, tb.stscRuns.map(r => (r._1, r._2)))
+      // (an EMPTY stbl is the fragmented-movie shape: samples arrive in
+      // moof/trun boxes and are accounted for after the moov walk)
+      val perChunk =
+        if (tb.nSamples == 0) Seq.empty[Long]
+        else chunksOf(tb.nSamples, tb.stscRuns.map(r => (r._1, r._2)))
       require(perChunk.length <= tb.chunkOffsets.length,
         s"Mp4.parse: track ${tb.trackId} needs ${perChunk.length} chunks, " +
           s"stco lists ${tb.chunkOffsets.length}")
@@ -457,6 +711,10 @@ object Mp4 {
         tb.sampleSizes.sum)
     }
 
+    var trexDefaults: TrexDefaults = Map.empty
+    var mehdDuration = -1L
+    val frags = scala.collection.mutable.Map.empty[Long, FragBuild]
+
     var at = 0L
     while (at < n) {
       val (body, end, tpe) = frame(at, n)
@@ -477,19 +735,65 @@ object Mp4 {
                   movieDuration = u32(payload, p + 12)
                 }
               case "trak" => tracks += parseTrak(mBody, mEnd)
+              case "mvex" =>
+                // the fragmented-movie announcement: per-track defaults
+                // (trex) + optional whole-movie duration (mehd)
+                var xAt = mBody
+                while (xAt < mEnd) {
+                  val (xBody, xEnd, xTpe) = frame(xAt, mEnd)
+                  xTpe match {
+                    case "trex" =>
+                      val (_, p) = fullHeader(xBody)
+                      val tid = u32(payload, p)
+                      trexDefaults = trexDefaults.updated(tid,
+                        (u32(payload, p + 8), u32(payload, p + 12),
+                          u32(payload, p + 16)))
+                    case "mehd" =>
+                      val (v, p) = fullHeader(xBody)
+                      mehdDuration = if (v == 1) u64(payload, p) else u32(payload, p)
+                    case _ => ()
+                  }
+                  xAt = xEnd
+                }
               case _ => ()
             }
             mAt = mEnd
           }
+        case "moof" =>
+          require(sawMoov, "Mp4.parse: moof before moov (a media segment " +
+            "without its initialization segment — concatenate init + media " +
+            "segments before parsing)")
+          walkMoof(payload, at, body, end, trexDefaults, frags)
         case _ => () // ftyp handled above; mdat/free/etc skipped
       }
       at = end
     }
     require(sawMoov, "Mp4.parse: no moov box (not a complete MP4, or a " +
-      "fragmented/streaming layout this walk does not cover)")
+      "media segment without its initialization segment)")
     require(movieTimescale > 0, "Mp4.parse: mvhd timescale 0")
     require(tracks.nonEmpty, "Mp4.parse: moov with no trak")
-    Meta(brand, movieTimescale, movieDuration, tracks.toSeq)
+    // merge fragment stats into the moov-declared tracks (a progressive
+    // head plus fragments is legal; the planted fMP4s have empty stbls)
+    frags.keys.foreach { tid =>
+      require(tracks.exists(_.track_id == tid),
+        s"Mp4.parse: moof references track $tid with no trak in moov")
+    }
+    val merged = tracks.toSeq.map { t =>
+      frags.get(t.track_id) match {
+        case Some(fb) => t.copy(
+          duration = t.duration + fb.duration,
+          n_samples = t.n_samples + fb.nSamples,
+          n_chunks = t.n_chunks + fb.nRuns,
+          n_sync = t.n_sync + fb.nSync,
+          total_bytes = t.total_bytes + fb.bytes)
+        case None => t
+      }
+    }
+    // fragmented movies commonly write mvhd duration 0 and announce the
+    // whole-movie duration in mehd
+    val dur = if (movieDuration == 0 && mehdDuration >= 0) mehdDuration
+      else movieDuration
+    Meta(brand, movieTimescale, dur, merged)
   }
 
   /** Expand one container's sample tables into per-sample rows — the
@@ -499,19 +803,26 @@ object Mp4 {
     * [[SampleRow]].
     */
   def sampleTable(payload: Array[Byte]): Seq[SampleRow] = {
-    // re-walk with the same strict parse, then expand
+    // re-walk with the same strict parse (validates bounds), then expand
     val meta = parse(payload)
     val out = scala.collection.mutable.ArrayBuffer.empty[SampleRow]
     // need the raw tables again — cheapest is a second targeted walk;
     // containers are KBs of moov, so the double walk is noise
-    var base = Long.MaxValue
     val raw = rawTables(payload)
+    val frags = fragTables(payload)
+    var base = Long.MaxValue
     raw.foreach { case (_, (_, _, offs, _, _)) =>
       if (offs.nonEmpty) base = math.min(base, offs.min)
     }
+    frags.foreach { case (_, fb) =>
+      if (fb.samples.nonEmpty)
+        base = math.min(base, fb.samples.iterator.map(_._2).min)
+    }
     meta.tracks.foreach { t =>
       val (stsc, sizes, offs, stts, stss) = raw(t.track_id)
-      val perChunk = chunksOf(t.n_samples, stsc)
+      val stblSamples = sizes.length.toLong
+      val perChunk =
+        if (stblSamples == 0) Seq.empty[Long] else chunksOf(stblSamples, stsc)
       val syncSet = stss.map(_.toSet)
       // dts walk over stts runs
       val deltas = stts.iterator.flatMap { case (c, d) => Iterator.fill(c.toInt)(d) }
@@ -527,8 +838,61 @@ object Mp4 {
           off += sz; si += 1
         }
       }
+      // fragment samples continue AFTER the progressive head: sample and
+      // chunk indices keep counting, dts keeps accumulating
+      frags.get(t.track_id).foreach { fb =>
+        fb.samples.foreach { case (run, off, sz, dur, sync) =>
+          out += SampleRow(t.track_id, si + 1L, perChunk.length + run,
+            off - base, sz, dts, sync)
+          dts += dur; si += 1
+        }
+      }
     }
     out.toSeq
+  }
+
+  /** Re-walk only the fragment boxes (trex defaults + every moof) —
+    * [[sampleTable]]'s fragmented face; [[parse]] is the validated one.
+    */
+  private def fragTables(payload: Array[Byte]): Map[Long, FragBuild] = {
+    val n = payload.length.toLong
+    var trex: TrexDefaults = Map.empty
+    val frags = scala.collection.mutable.Map.empty[Long, FragBuild]
+    def frame(at: Long, limit: Long): (Long, Long, String) = {
+      val size0 = u32(payload, at)
+      val tpe = tag(payload, at + 4)
+      if (size0 == 1L) (at + 16, at + u64(payload, at + 8), tpe)
+      else if (size0 == 0L) (at + 8, limit, tpe)
+      else (at + 8, at + size0, tpe)
+    }
+    var at = 0L
+    while (at < n) {
+      val (body, end, tpe) = frame(at, n)
+      tpe match {
+        case "moov" =>
+          var mAt = body
+          while (mAt < end) {
+            val (mBody, mEnd, mTpe) = frame(mAt, end)
+            if (mTpe == "mvex") {
+              var xAt = mBody
+              while (xAt < mEnd) {
+                val (xBody, xEnd, xTpe) = frame(xAt, mEnd)
+                if (xTpe == "trex") {
+                  val p = xBody + 4
+                  trex = trex.updated(u32(payload, p),
+                    (u32(payload, p + 8), u32(payload, p + 12), u32(payload, p + 16)))
+                }
+                xAt = xEnd
+              }
+            }
+            mAt = mEnd
+          }
+        case "moof" => walkMoof(payload, at, body, end, trex, frags)
+        case _ => ()
+      }
+      at = end
+    }
+    frags.toMap
   }
 
   // ---------------------------------------------------------------------
@@ -562,10 +926,18 @@ object Mp4 {
   def plantAudioSize(id: Long, s: Int): Int = 200 + ((id * 13 + s * 53) % 300).toInt
   def plantSyncEvery(id: Long): Int = 6 + (id % 5).toInt
 
-  /** Build the planted container table from the documents fixture. */
+  /** Build the planted container table from the documents fixture.
+    * The metadata scan is a few hundred KB but each row fans out to a
+    * ~100 KB synthesized payload, so without a repartition the whole
+    * plant (and every downstream parse) runs as ONE task — the sf0.1
+    * fixture is a single parquet file. A real crawl's payloads arrive
+    * pre-distributed; the repartition shuffles only (id, n_chars) pairs
+    * and stands in for that distribution.
+    */
   def mp4FromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)].mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (w, h, nf, hasAudio) = plantParams(id, nChars)
@@ -582,6 +954,36 @@ object Mp4 {
           val payload = encode(Seq(video) ++ audio.toSeq, 1000L,
             use64 = id % 7 == 0, useCo64 = id % 9 == 0, largeMdat = id % 11 == 0)
           Multimodal.MediaItem(id, s"mp4/${id % 3}", payload, w, h, nf,
+            if (hasAudio) 48000 else 0)
+        }
+      }
+  }
+
+  /** The FRAGMENTED face of [[mp4FromDocuments]]: the same planted dims
+    * and video sample sizes (so the replica shares formulas) laid out as
+    * fMP4 — fragment length 8 + id%5 samples per trun, audio samples
+    * UNIFORM 256 bytes carried entirely by trex defaults (the trun is
+    * just a count + offset), video sizes per-sample in the trun with
+    * first-sample-flags marking each fragment's leading keyframe.
+    */
+  def fmp4FromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Int)].mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val (w, h, nf, hasAudio) = plantParams(id, nChars)
+          val video = TrackSpec(1L, "vide", "avc1", w, h, 0, 0,
+            90000L, 3600L, (0 until nf).map(s => plantVideoSize(id, s)),
+            Seq((1L, 1L)), 0) // chunk runs/stss unused by the fragmented writer
+          val audio = if (hasAudio)
+            Some(TrackSpec(2L, "soun", "mp4a", 0, 0,
+              1 + ((id / 2) % 2).toInt, 48000, 48000L, 1024L,
+              IndexedSeq.fill(nf)(256), Seq((1L, 1L)), 0))
+          else None
+          val payload = encodeFragmented(Seq(video) ++ audio.toSeq, 1000L,
+            fragSamples = 8 + (id % 5).toInt)
+          Multimodal.MediaItem(id, s"fmp4/${id % 3}", payload, w, h, nf,
             if (hasAudio) 48000 else 0)
         }
       }

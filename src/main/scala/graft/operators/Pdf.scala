@@ -704,9 +704,16 @@ object Pdf {
   /** A PDF payload row (binary column + id, the crawl shape). */
   case class PdfItem(doc_id: Long, payload: Array[Byte])
 
+  /** The (id, text) scan is small but each row synthesizes a multi-KB
+    * payload (Flate compression included) — repartition so the plant and
+    * every downstream parse parallelize instead of riding the fixture's
+    * single parquet split (see [[Mp4.mp4FromDocuments]]).
+    */
   def pdfFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[PdfItem] = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, tx) =>
         plantPdf(id, tx).map(PdfItem(id, _))
       })

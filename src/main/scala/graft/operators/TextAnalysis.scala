@@ -1046,4 +1046,109 @@ object TextAnalysis {
       .filter(col("cnt") >= threshold)
       .orderBy(col("cnt").desc, col("gram"))
   }
+
+  /** Markdown→text — the OTHER huge non-HTML document source (READMEs,
+    * docs sites, forum exports ship as Markdown): one codegen'd
+    * `regexp_replace` chain, no UDF, the [[htmlToText]] discipline. The
+    * lexical layer strips structure and keeps content: fence lines and
+    * their info strings, link definitions, table separator rows and
+    * horizontal rules vanish; links/images/reference links collapse to
+    * their text (URLs never leak into training text); inline code,
+    * emphasis (`**` `*` `__` `_`), heading/blockquote/list markers and
+    * table pipes unwrap to their content. Whitespace collapses to
+    * single spaces and trims, like [[htmlToText]]. Replacement ORDER is
+    * load-bearing: fences and definitions go first (line-anchored),
+    * list markers strip before emphasis (a `* item` bullet must not
+    * pair with a later `*`), pipes last before the collapse. Patterns
+    * are RE2-compatible (no lookaround) like the rest of the file.
+    */
+  def markdownToText(md: Column): Column = {
+    val lineDrops = Seq(
+      "(?m)^\\s*```[^\\n]*$",                 // code-fence lines (+ info string)
+      "(?m)^\\s*\\[[^\\]]+\\]:[^\\n]*$",      // reference-link definitions
+      "(?m)^\\s*\\|[\\s:|-]*\\|\\s*$",        // table separator rows
+      "(?m)^\\s*(?:[-*_]\\s*){3,}$"           // horizontal rules
+    ).foldLeft(md) { case (c, re) => regexp_replace(c, re, " ") }
+    val unwrapped = Seq(
+      "!\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",  // images → alt text
+      "\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",   // inline links → text
+      "\\[([^\\]]*)\\]\\[[^\\]]*\\]" -> "$1", // reference links → text
+      "`([^`\\n]*)`" -> "$1",                 // inline code
+      "(?m)^\\s{0,3}#{1,6}\\s+" -> "",        // ATX headings
+      "(?m)^\\s{0,3}>\\s?" -> "",             // blockquote markers
+      "(?m)^\\s*[-*+]\\s+" -> "",             // unordered list markers
+      "(?m)^\\s*[0-9]+\\.\\s+" -> "",         // ordered list markers
+      "\\*\\*([^*\\n]+)\\*\\*" -> "$1",       // strong
+      "__([^_\\n]+)__" -> "$1",
+      "\\*([^*\\n]+)\\*" -> "$1",             // emphasis
+      "(^|[^A-Za-z0-9_])_([^_\\n]+)_($|[^A-Za-z0-9_])" -> "$1$2$3",
+      "\\|" -> " "                            // table pipes
+    ).foldLeft(lineDrops) { case (c, (re, to)) => regexp_replace(c, re, to) }
+    trim(regexp_replace(unwrapped, "\\s+", " "))
+  }
+
+  /** Markdown plant (spec for the fixture replica): the doc's whitespace
+    * words — with markdown metacharacters normalized to ',' first
+    * (`*_\`#>|![]()` anywhere, `-`/`+` word-initial; ',' because it is
+    * the one punctuation mark markdown assigns no meaning, where '.'
+    * could fabricate an ordered-list marker from a digit word), the
+    * PDF-tier normalization convention — render in lines of 5, line i
+    * styled by i % 7: 0 heading (level 1 + id%3), 1 plain (wrapped in a
+    * code fence with info string `codetag` on id%4==0 docs), 2
+    * blockquote, 3 one-item unordered list, 4 per-word emphasis (j%3:
+    * `**w**`, `*w*`, plain), 5 a link/code/image/ref-link line
+    * (`[w0](url)`, w1, `` `w2` ``, `![w3](url)`, `[w4][rN]`), 6 a table
+    * row; id%7==0 docs append a horizontal rule, and every doc ends
+    * with the `[rN]:` link-definition line. Extraction must return
+    * EXACTLY the normalized words joined by single spaces: every
+    * construct preserves its content words, and every URL, info string,
+    * separator and definition line vanishes.
+    */
+  def normalizeMdWord(w: String): String = {
+    val cleaned = w.map(c => if ("*_`#>|![]()".indexOf(c) >= 0) ',' else c)
+    if (cleaned.nonEmpty && (cleaned(0) == '-' || cleaned(0) == '+'))
+      ',' + cleaned.substring(1)
+    else cleaned
+  }
+
+  def plantMarkdown(id: Long, text: String): Option[String] = {
+    val words = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+      .map(normalizeMdWord)
+    if (words.isEmpty) return None
+    val lines = words.grouped(5).toSeq.zipWithIndex.map { case (g, i) =>
+      i % 7 match {
+        case 0 => ("#" * (1 + (id % 3)).toInt) + " " + g.mkString(" ")
+        case 2 => "> " + g.mkString(" ")
+        case 3 => "- " + g.mkString(" ")
+        case 4 => g.zipWithIndex.map { case (w, j) =>
+          j % 3 match {
+            case 0 => s"**$w**"
+            case 1 => s"*$w*"
+            case _ => w
+          }
+        }.mkString(" ")
+        case 5 => g.zipWithIndex.map { case (w, j) =>
+          j % 5 match {
+            case 0 => s"[$w](https://ex.invalid/$id)"
+            case 2 => s"`$w`"
+            case 3 => s"![$w](https://img.invalid/$id.png)"
+            case 4 => s"[$w][r$id]"
+            case _ => w
+          }
+        }.mkString(" ")
+        case 6 => "| " + g.mkString(" | ") + " |"
+        case _ => g.mkString(" ")
+      }
+    }
+    val sb = new StringBuilder
+    lines.zipWithIndex.foreach { case (l, i) =>
+      // id%4==0 docs wrap plain line 1 in a code fence with an info
+      // string that must NOT leak into the extraction
+      if (i == 1 && id % 4 == 0) sb.append("```codetag\n").append(l).append("\n```\n")
+      else sb.append(l).append("\n\n")
+    }
+    if (id % 7 == 0) sb.append("---\n\n")      // horizontal rule: vanishes
+    sb.append(s"[r$id]: https://ref.invalid/$id\n") // ref-link definition: vanishes
+    Some(sb.toString)
+  }
 }

@@ -164,9 +164,11 @@ object ScaleProof {
     "q_multimodal_video_mixed", // 3-container video dispatch scan (r14)
     "q_subtitles_quality", // caption QA: one reused media_id shuffle (r14)
     "q_multimodal_mp4",   // ISO-BMFF box walk: metadata-bound scan (r15)
+    "q_mp4_fragmented",   // fMP4 moof/trun fragment accumulation (r15)
     "q_mp4_gate",         // container curation: one media_id shuffle (r15)
     "q_pdf_extract",      // xref walk + Flate + text ops: content scan (r15)
-    "q_pdf_stats")        // doc-keyed aggregation over page rows (r15)
+    "q_pdf_stats",        // doc-keyed aggregation over page rows (r15)
+    "q_markdown_extract") // codegen regex chain: content-bound scan (r15)
     // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded and
     // q_mp4_sample_table doc_id<150-bounded by construction — a flat
     // ratio would be trivial, not evidence)

@@ -114,6 +114,58 @@ class Mp4Spec extends SparkSpec {
     intercept[IllegalArgumentException](Mp4.parse(noMdat))
   }
 
+  test("fragmented MP4 (moof/traf/trun with trex defaults) parses to the " +
+    "same track totals as the progressive layout of the same samples") {
+    val tracks = Seq(videoSpec(40), audioSpec(40).copy(
+      sampleSizes = IndexedSeq.fill(40)(256))) // trex default size → uniform
+    val frag = Mp4.parse(Mp4.encodeFragmented(tracks, 1000L, fragSamples = 7))
+    assert(frag.brand === "iso5")
+    assert(frag.timescale === 1000L)
+    // mvhd is 0 for fragmented movies; mehd announces the duration
+    assert(frag.duration === 1600L)
+    val v = frag.tracks.find(_.handler == "vide").get
+    assert(v.codec === "avc1" && v.width === 640 && v.height === 360)
+    assert(v.n_samples === 40L && v.durationMs === 1600L)
+    // one trun per fragment: ceil(40/7) = 6
+    assert(v.n_chunks === 6L)
+    // first-sample-flags mark each fragment's leading keyframe; trex
+    // default flags mark the rest non-sync
+    assert(v.n_sync === 6L)
+    assert(v.total_bytes === (0 until 40).map(s => 700L + s * 3).sum)
+    val a = frag.tracks.find(_.handler == "soun").get
+    assert(a.n_samples === 40L && a.n_sync === 40L) // trex flags 0: all sync
+    assert(a.total_bytes === 256L * 40)
+    assert(a.durationMs === 853L)
+    // sample-table expansion over fragments: offsets, dts, sync flags
+    val rows = Mp4.sampleTable(Mp4.encodeFragmented(tracks, 1000L, 7))
+    val vr = rows.filter(_.track_id == 1L)
+    assert(vr.length === 40)
+    assert(vr.map(_.dts) === (0 until 40).map(_ * 3600L))
+    assert(vr.map(_.size) === (0 until 40).map(s => 700L + s * 3))
+    assert(vr.map(_.is_sync) === (0 until 40).map(_ % 7 == 0))
+    assert(vr.map(_.chunk_idx) === (0 until 40).map(_ / 7 + 1L))
+    // video fragments precede audio fragments per track-major layout,
+    // and within a track offsets are contiguous per fragment's mdat
+    assert(vr.head.rel_offset === 0L)
+    val ar = rows.filter(_.track_id == 2L)
+    assert(ar.forall(_.is_sync) && ar.map(_.dts) === (0 until 40).map(_ * 1024L))
+    // a media segment without its init segment rejects by name
+    val whole = Mp4.encodeFragmented(tracks, 1000L, 7)
+    val moofAt = {
+      var at = 0; var found = -1
+      while (found < 0 && at < whole.length - 8) {
+        val size = java.nio.ByteBuffer.wrap(whole, at, 4).getInt
+        if (new String(whole, at + 4, 4, "US-ASCII") == "moof") found = at
+        else at += size
+      }
+      found
+    }
+    val ftypLen = java.nio.ByteBuffer.wrap(whole, 0, 4).getInt
+    val m = intercept[IllegalArgumentException](
+      Mp4.parse(whole.take(ftypLen) ++ whole.drop(moofAt))).getMessage
+    assert(m.contains("initialization segment"), m)
+  }
+
   test("the Spark ops: planted containers → trackMeta / sampleRows / " +
     "curationGate agree with plant arithmetic on a sample of docs") {
     import spark.implicits._

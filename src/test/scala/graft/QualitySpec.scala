@@ -434,4 +434,44 @@ class QualitySpec extends SparkSpec {
     assert(got(0) === "a b") // 'x' must not leak out of the script block
     assert(got(1) === "ok")  // 'y' must not leak out of the style block
   }
+
+  test("markdownToText: structure strips, content survives, URLs and " +
+    "info strings never leak") {
+    import graft.operators.TextAnalysis
+    val samples = Seq(
+      "## Heading words here" -> "Heading words here",
+      "> quoted line" -> "quoted line",
+      "- item one\n- item two" -> "item one item two",
+      "3. ordered\n12. items" -> "ordered items",
+      "**bold** and *em* and __strong__ and _under_" ->
+        "bold and em and strong and under",
+      "[text](https://url.invalid/x) plain ![alt](https://i.invalid/p.png)" ->
+        "text plain alt",
+      "[ref style][r1] end\n\n[r1]: https://ref.invalid/1" -> "ref style end",
+      "`code span` outside" -> "code span outside",
+      "```scala\nval kept = 1\n```" -> "val kept = 1",
+      "| a | b |\n|---|---|\n| c | d |" -> "a b c d",
+      "before\n\n---\n\nafter" -> "before after",
+      // a bullet's * must not pair with a later emphasis *
+      "* bullet\nstill *em* here" -> "bullet still em here")
+    val got = samples.map(_._1).zipWithIndex.map { case (m, i) => (i, m) }
+      .toDF("i", "md").orderBy("i")
+      .select(TextAnalysis.markdownToText(col("md"))).as[String].collect()
+    samples.map(_._2).zip(got).foreach { case (want, g) => assert(g === want) }
+    // the plant round-trips to the normalized word stream on real docs
+    val docs = Tables.documents(spark, sf).limit(40)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    var planted = 0
+    docs.foreach { case (id, text) =>
+      TextAnalysis.plantMarkdown(id, Option(text).getOrElse("")).foreach { md =>
+        planted += 1
+        val want = Option(text).getOrElse("").trim.split("\\s+")
+          .filter(_.nonEmpty).map(TextAnalysis.normalizeMdWord).mkString(" ")
+        val extracted = Seq(md).toDF("md")
+          .select(TextAnalysis.markdownToText(col("md"))).as[String].head()
+        assert(extracted === want, s"doc $id\nmd:\n$md")
+      }
+    }
+    assert(planted > 0)
+  }
 }
