@@ -110,6 +110,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("container/document tiers: MP4 metadata and markdown extraction " +
+    "are map-only (no join, no aggregate); the MP4 gate and PDF stats " +
+    "aggregate once without any join") {
+    Seq("q_multimodal_mp4", "q_mp4_fragmented", "q_markdown_extract",
+        "q_pdf_extract").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+        s"$q:\n$p")
+    }
+    // the gate and stats rows fold in ONE keyed aggregation (hash or
+    // sort form) — the producer rides the page rows in q_pdf_stats, so
+    // the former parse-twice-and-join shape must not regress back in
+    Seq("q_mp4_gate", "q_pdf_stats").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$q:\n$p")
+    }
+  }
+
   test("BPE-token packing: counts fuse into the scan, one window " +
     "shuffle on the partitioning column, no join") {
     val p = plan("q_pack_bpe")
