@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{Functions => F, Uda}
 import graft.operators._
+import graft.sources.Archives
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3175,6 +3176,41 @@ object Queries {
           minDurationMs = 1500, maxDurationMs = 600000,
           minWidth = 384, minHeight = 270, maxBitrateBps = 10000000L)
           .orderBy("media_id")
+      }),
+
+    QueryDef("q_archive_entries",
+      // archive CATALOG — how code corpora arrive (one archive per
+      // repo): planted zip (even ids — central-directory walk, stored
+      // AND deflated members, EOCD found through the tail scan) and
+      // ustar tar (odd ids — 512-byte octal headers, checksum verified)
+      // enumerate WITHOUT touching content bytes; at 100 TB the catalog
+      // is KBs against GB archives and decides what gets extracted.
+      // The replica re-derives names/sizes/CRCs from the word plant
+      // (CRC-32 and deflate via the same JDK primitives the writer
+      // uses — the oracle pins the CONTAINER walk, not zlib).
+      Some("""SELECT doc_id, format, entry_idx, name, n_bytes,
+                     compressed_bytes, method, crc32
+              FROM parquet_scan('{FIX}/_fixture_archent/*.parquet')
+              ORDER BY doc_id, entry_idx"""),
+      (s, d) => {
+        val arch = Archives.archivesFromDocuments(s, t(s, d, "documents"))
+        Archives.entriesOf(s, arch).orderBy("doc_id", "entry_idx")
+      }),
+
+    QueryDef("q_archive_text",
+      // archive EXTRACTION — local-header walk + inflate with BOTH the
+      // declared size and the CRC-32 verified per member (a corrupt
+      // member must fail loudly, never feed garbage text downstream);
+      // tar members copy out by header arithmetic. The replica derives
+      // each member's text straight from the word plant, so agreement
+      // proves encode∘extract is the identity across stored, deflated
+      // and tar members.
+      Some("""SELECT doc_id, name, text, n_words, n_chars
+              FROM parquet_scan('{FIX}/_fixture_archtext/*.parquet')
+              ORDER BY doc_id, name"""),
+      (s, d) => {
+        val arch = Archives.archivesFromDocuments(s, t(s, d, "documents"))
+        Archives.extractText(s, arch).orderBy("doc_id", "name")
       }),
 
     QueryDef("q_markdown_extract",

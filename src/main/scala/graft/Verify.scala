@@ -1871,6 +1871,66 @@ object Verify {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp4gate")
     }
+    // ---- archive tier replicas: member names/sizes/CRCs re-derived
+    // from the word plant (three members: words 0,3,6,… / 1,4,7,… /
+    // 2,5,8,… as src/part0.txt, src/part1.txt, README.md; zip on even
+    // ids with README stored and the rest deflated, ustar tar on
+    // id%4==1, tar.gz on id%4==3).
+    // CRC-32 and the deflated size come from the same JDK primitives
+    // the writer uses — the oracle pins the CONTAINER walk, not zlib.
+    lazy val archiveMemberRows: IndexedSeq[(Long, Int, String, String)] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          val words = Option(text0).getOrElse("").trim
+            .split("\\s+").filter(_.nonEmpty)
+          if (words.isEmpty) IndexedSeq.empty
+          else {
+            val parts = (0 until 3).map { k =>
+              words.zipWithIndex.collect { case (w, i) if i % 3 == k => w }
+                .mkString(" ")
+            }
+            Seq("src/part0.txt" -> parts(0), "src/part1.txt" -> parts(1),
+              "README.md" -> parts(2)).filter(_._2.nonEmpty)
+              .zipWithIndex.map { case ((nm, c), i) => (id, i, nm, c) }
+          }
+        }
+    fixture("_fixture_archent") {
+      val rows = archiveMemberRows.map { case (id, i, nm, c) =>
+        val bytes = c.getBytes("UTF-8")
+        val zip = id % 2 == 0
+        val crc = if (zip) {
+          val k = new java.util.zip.CRC32(); k.update(bytes); k.getValue
+        } else -1L
+        val deflated = zip && nm != "README.md"
+        val comp =
+          if (!zip || !deflated) bytes.length.toLong
+          else {
+            val d = new java.util.zip.Deflater(
+              java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+            d.setInput(bytes); d.finish()
+            val o = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+            d.end(); o.size().toLong
+          }
+        val fmt = if (zip) "zip" else if (id % 4 == 1) "tar" else "tgz"
+        (id, fmt, i, nm, bytes.length.toLong, comp,
+          if (!zip) "tar" else if (deflated) "deflate" else "store", crc)
+      }
+      rows.toDF("doc_id", "format", "entry_idx", "name", "n_bytes",
+          "compressed_bytes", "method", "crc32").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_archent")
+    }
+    fixture("_fixture_archtext") {
+      val rows = archiveMemberRows.map { case (id, _, nm, c) =>
+        val words = { val t = c.trim; if (t.isEmpty) 0 else t.split("\\s+").length }
+        (id, nm, c, words, c.codePointCount(0, c.length))
+      }.sortBy(r => (r._1, r._2))
+      rows.toDF("doc_id", "name", "text", "n_words", "n_chars").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_archtext")
+    }
     fixture("_fixture_markdown") {
       // markdown-extraction replica: the expected text IS the normalized
       // word stream (metachars → ',' anywhere, '-'/'+' word-initial —

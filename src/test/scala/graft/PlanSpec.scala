@@ -114,7 +114,7 @@ class PlanSpec extends SparkSpec {
     "are map-only (no join, no aggregate); the MP4 gate and PDF stats " +
     "aggregate once without any join") {
     Seq("q_multimodal_mp4", "q_mp4_fragmented", "q_markdown_extract",
-        "q_pdf_extract").foreach { q =>
+        "q_pdf_extract", "q_archive_entries", "q_archive_text").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
         !p.contains("CartesianProduct"), s"$q:\n$p")
