@@ -3178,6 +3178,43 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    QueryDef("q_audio_mp3_meta",
+      // MP3 — the biggest non-MP4 audio transport: planted Layer III
+      // streams (MPEG-1 and MPEG-2, CBR and VBR bitrate cycles, padding
+      // bits, all four channel modes, syncsafe ID3v2 tags) walk frame to
+      // frame by the length arithmetic — headers only, payload bytes
+      // never read. The replica re-derives frame lengths from the
+      // public bitrate/samplerate tables with no container round trip,
+      // so agreement pins the header bit layout, the stepping
+      // arithmetic, duration and exact average bitrate end to end.
+      Some("""SELECT media_id, mpeg_version, sample_rate, channel_mode,
+                     n_frames, duration_ms, audio_bytes, bitrate_kbps,
+                     is_vbr, id3_bytes
+              FROM parquet_scan('{FIX}/_fixture_mp3meta/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = AudioContainers.mp3FromDocuments(s, t(s, d, "documents"))
+        AudioContainers.mp3Meta(s, media).orderBy("media_id")
+      }),
+
+    QueryDef("q_audio_flac_meta",
+      // FLAC — the lossless transport: planted header stacks (fLaC
+      // magic, STREAMINFO bit packing — 20-bit samplerate, 36-bit
+      // sample count — and Vorbis comments whose lengths are
+      // LITTLE-endian inside the big-endian container, the spec's
+      // classic trap) parse back to sample rate, channels, bits,
+      // duration and TITLE/ARTIST tags. The replica is plant formulas
+      // only, so agreement pins the bit layout and the endianness flip.
+      Some("""SELECT media_id, sample_rate, channels, bits_per_sample,
+                     total_samples, duration_ms, min_block, max_block,
+                     n_comments, vendor, title, artist
+              FROM parquet_scan('{FIX}/_fixture_flacmeta/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = AudioContainers.flacFromDocuments(s, t(s, d, "documents"))
+        AudioContainers.flacMeta(s, media).orderBy("media_id")
+      }),
+
     QueryDef("q_archive_entries",
       // archive CATALOG — how code corpora arrive (one archive per
       // repo): planted zip (even ids — central-directory walk, stored

@@ -1871,6 +1871,66 @@ object Verify {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp4gate")
     }
+    fixture("_fixture_mp3meta") {
+      // MP3 frame-walk replica: lengths from the PUBLIC Layer III
+      // tables (ISO 11172-3 / 13818-3), stepping arithmetic inlined —
+      // no container round trip. Plant: nf = 40 + nc%200 frames;
+      // MPEG-2 on id%5==0; CBR idx 9 on even ids, VBR cycling
+      // 5 + 2·((id+f)%5) on odd; padding f%3==0; channel mode id%4;
+      // ID3v2 of 10 + 57 + id%100 bytes on id%3==0.
+      val brM1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      val brM2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+      val modes = Array("stereo", "joint_stereo", "dual_channel", "mono")
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "n_chars").as[(Long, Long)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .map { case (id, nc0) =>
+          val nc = math.max(nc0, 0L).toInt
+          val nf = 40 + nc % 200
+          val mpeg1 = id % 5 != 0
+          val sr = if (mpeg1) 44100 else 22050
+          val spf = if (mpeg1) 1152L else 576L
+          var audio = 0L
+          var vbr = false
+          val seen = scala.collection.mutable.Set.empty[Int]
+          (0 until nf).foreach { f =>
+            val bi = if (id % 2 == 0) 9 else 5 + 2 * ((id + f) % 5).toInt
+            seen += bi
+            val kbps = (if (mpeg1) brM1 else brM2)(bi)
+            audio += (if (mpeg1) 144000 else 72000) * kbps / sr +
+              (if (f % 3 == 0) 1 else 0)
+          }
+          vbr = seen.size > 1
+          val durMs = nf.toLong * spf * 1000 / sr
+          (id, if (mpeg1) 1 else 2, sr, modes((id % 4).toInt), nf.toLong,
+            durMs, audio, audio * 8 / durMs, vbr,
+            if (id % 3 == 0) 10L + 57 + id % 100 else 0L)
+        }
+      rows.toDF("media_id", "mpeg_version", "sample_rate", "channel_mode",
+          "n_frames", "duration_ms", "audio_bytes", "bitrate_kbps", "is_vbr",
+          "id3_bytes").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_mp3meta")
+    }
+    fixture("_fixture_flacmeta") {
+      // FLAC replica: plant formulas only (samplerate 32000 + (id%3)·8000,
+      // channels 1 + id%2, bps 24 on id%3==0 else 16, samples
+      // 100000 + nc·31, tags TITLE/ARTIST + GENRE on even ids)
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "n_chars").as[(Long, Long)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .map { case (id, nc0) =>
+          val nc = math.max(nc0, 0L)
+          val sr = 32000 + (id % 3).toInt * 8000
+          val total = 100000L + nc * 31
+          (id, sr, 1 + (id % 2).toInt, if (id % 3 == 0) 24 else 16,
+            total, total * 1000 / sr, 4096, 4096,
+            if (id % 2 == 0) 3 else 2, "graft-flac", s"doc$id", s"corpus${id % 7}")
+        }
+      rows.toDF("media_id", "sample_rate", "channels", "bits_per_sample",
+          "total_samples", "duration_ms", "min_block", "max_block",
+          "n_comments", "vendor", "title", "artist").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_flacmeta")
+    }
     // ---- archive tier replicas: member names/sizes/CRCs re-derived
     // from the word plant (three members: words 0,3,6,… / 1,4,7,… /
     // 2,5,8,… as src/part0.txt, src/part1.txt, README.md; zip on even

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.AudioContainers
+
+/** MP3/FLAC container-metadata spec: hand-checked frame/block walks,
+  * bit-layout round trips, loud rejections, and the Spark ops.
+  */
+class AudioContainersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mp3: encode→parse round-trips version/rate/mode/frames/duration " +
+    "and detects CBR vs VBR; ID3v2 skipped by the syncsafe size") {
+    val cbr = AudioContainers.mp3Encode(mpeg1 = true, srIdx = 0, _ => 9,
+      _ % 3 == 0, channelMode = 1, frames = 50, id3Size = 123)
+    val m = AudioContainers.mp3Parse(cbr)
+    assert(m.mpeg_version === 1 && m.sample_rate === 44100)
+    assert(m.channel_mode === "joint_stereo")
+    assert(m.n_frames === 50L && !m.is_vbr)
+    assert(m.id3_bytes === 133L) // 10-byte header + body
+    assert(m.duration_ms === 50L * 1152 * 1000 / 44100)
+    // frame lengths: 144000·128/44100 = 417 (+1 on padded frames)
+    val plain = AudioContainers.mp3FrameLen(mpeg1 = true, 128, 44100, padding = false)
+    assert(plain === 417)
+    assert(m.audio_bytes === (0 until 50).map(f =>
+      417L + (if (f % 3 == 0) 1 else 0)).sum)
+    val vbr = AudioContainers.mp3Parse(AudioContainers.mp3Encode(
+      mpeg1 = false, srIdx = 0, f => 1 + f % 14, _ => false, 3, 30, 0))
+    assert(vbr.mpeg_version === 2 && vbr.sample_rate === 22050)
+    assert(vbr.is_vbr && vbr.channel_mode === "mono")
+    assert(vbr.duration_ms === 30L * 576 * 1000 / 22050)
+  }
+
+  test("mp3: crafted streams reject by name (lost sync, free-format, " +
+    "reserved indices, truncation, 2.5)") {
+    def rej(p: Array[Byte], frag: String): Unit = {
+      val m = intercept[IllegalArgumentException](AudioContainers.mp3Parse(p)).getMessage
+      assert(m.contains(frag), m)
+    }
+    val good = AudioContainers.mp3Encode(mpeg1 = true, 0, _ => 9, _ => false, 0, 10, 0)
+    rej("random bytes, definitely not mpeg audio....".getBytes, "sync")
+    rej(good.take(good.length - 9), "overruns")
+    val free = good.clone(); free(2) = (free(2) & 0x0f).toByte
+    rej(free, "free-format")
+    val resSr = good.clone(); resSr(2) = (resSr(2) | 0x0c).toByte
+    rej(resSr, "reserved samplerate")
+    val v25 = good.clone(); v25(1) = (v25(1) & ~0x18).toByte
+    rej(v25, "MPEG-2.5")
+    val layer2 = good.clone(); layer2(1) = ((layer2(1) & ~0x06) | 0x04).toByte
+    rej(layer2, "layer 2")
+    // an ID3 tag lying about its size
+    val id3 = AudioContainers.mp3Encode(mpeg1 = true, 0, _ => 9, _ => false, 0, 3, 40)
+    val lying = id3.clone(); lying(9) = 0x7f
+    rej(lying.take(60), "overruns")
+  }
+
+  test("flac: encode→parse round-trips the STREAMINFO bit packing and " +
+    "Vorbis comments (little-endian lengths); rejections by name") {
+    val p = AudioContainers.flacEncode(48000, 2, 24, 1234567890L,
+      "vend/1.0", Seq("TITLE" -> "a b", "ARTIST" -> "c", "DATE" -> "2026"),
+      audioBytes = 99)
+    val m = AudioContainers.flacParse(p)
+    assert(m.sample_rate === 48000 && m.channels === 2 && m.bits_per_sample === 24)
+    assert(m.total_samples === 1234567890L)
+    assert(m.duration_ms === 1234567890L * 1000 / 48000)
+    assert(m.min_block === 4096 && m.max_block === 4096)
+    assert(m.n_comments === 3 && m.vendor === "vend/1.0")
+    assert(m.title === "a b" && m.artist === "c")
+    // lowercase field names resolve case-insensitively per the spec
+    val lc = AudioContainers.flacParse(AudioContainers.flacEncode(
+      32000, 1, 16, 7L, "v", Seq("title" -> "x"), 8))
+    assert(lc.title === "x" && lc.artist === "")
+    def rej(bytes: Array[Byte], frag: String): Unit = {
+      val msg = intercept[IllegalArgumentException](
+        AudioContainers.flacParse(bytes)).getMessage
+      assert(msg.contains(frag), msg)
+    }
+    rej("not a flac file at all..................................".getBytes, "magic")
+    rej(p.take(50), "overruns") // cut mid-comment-block, past STREAMINFO
+    // a 36-bit sample count boundary: 2^36 - 1 survives the packing
+    val big = AudioContainers.flacParse(AudioContainers.flacEncode(
+      44100, 1, 16, (1L << 36) - 1, "v", Nil, 8))
+    assert(big.total_samples === (1L << 36) - 1)
+  }
+
+  test("the Spark ops agree with the plant formulas on a doc sample") {
+    val docs = Tables.documents(spark, sf).limit(25)
+    val mp3 = AudioContainers.mp3Meta(spark,
+      AudioContainers.mp3FromDocuments(spark, docs)).collect()
+    val flac = AudioContainers.flacMeta(spark,
+      AudioContainers.flacFromDocuments(spark, docs)).collect()
+    docs.select("doc_id", "n_chars").as[(Long, Long)].collect().foreach {
+      case (id, nc) =>
+        val m = mp3.find(_.getLong(0) == id).get
+        assert(m.getLong(4) === 40L + nc % 200, s"doc $id frames")
+        assert(m.getInt(1) === (if (id % 5 != 0) 1 else 2))
+        assert(m.getBoolean(8) === (id % 2 != 0), s"doc $id vbr")
+        val f = flac.find(_.getLong(0) == id).get
+        assert(f.getInt(1) === 32000 + (id % 3).toInt * 8000)
+        assert(f.getString(10) === s"doc$id")
+    }
+  }
+}
