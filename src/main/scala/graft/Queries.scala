@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Functions => F, Uda}
 import graft.operators._
-import graft.sources.Archives
+import graft.sources.{Archives, Epub}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3176,6 +3176,24 @@ object Queries {
           minDurationMs = 1500, maxDurationMs = 600000,
           minWidth = 384, minHeight = 270, maxBitrateBps = 10000000L)
           .orderBy("media_id")
+      }),
+
+    QueryDef("q_epub_extract",
+      // EPUB — the ebook corpus format, and the tier-composition proof:
+      // planted books (stored-mimetype-first zip skeleton,
+      // container.xml→OPF→spine resolution, XHTML chapters with tags
+      // and entities) walk through the Archives zip reader and extract
+      // through the SAME codegen htmlToText column the crawl HTML path
+      // uses. The replica derives chapter text from the word plant with
+      // no zip/XML round trip, so agreement proves the whole
+      // composition — container, spine order, CRC'd extraction, tag
+      // stripping, entity decoding — end to end.
+      Some("""SELECT doc_id, chapter_idx, href, text, n_words
+              FROM parquet_scan('{FIX}/_fixture_epub/*.parquet')
+              ORDER BY doc_id, chapter_idx"""),
+      (s, d) => {
+        val epubs = Epub.epubsFromDocuments(s, t(s, d, "documents"))
+        Epub.chapterText(s, epubs).orderBy("doc_id", "chapter_idx")
       }),
 
     QueryDef("q_audio_mp3_meta",

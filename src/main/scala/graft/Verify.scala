@@ -1871,6 +1871,25 @@ object Verify {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp4gate")
     }
+    fixture("_fixture_epub") {
+      // EPUB replica: chapter text from the word plant alone — chapters
+      // of 20 words; extraction = "ch<k> Chapter <k> & <words>" (the
+      // <title> text, the planted heading with its decoded &amp;, then
+      // the paragraph words, whitespace-collapsed by htmlToText)
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          val words = Option(text0).getOrElse("").trim
+            .split("\\s+").filter(_.nonEmpty)
+          words.grouped(20).zipWithIndex.map { case (cw, k) =>
+            val txt = s"ch$k Chapter $k & " + cw.mkString(" ")
+            (id, k, s"ch$k.xhtml", txt, 4 + cw.length)
+          }
+        }
+      rows.toDF("doc_id", "chapter_idx", "href", "text", "n_words").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_epub")
+    }
     fixture("_fixture_mp3meta") {
       // MP3 frame-walk replica: lengths from the PUBLIC Layer III
       // tables (ISO 11172-3 / 13818-3), stepping arithmetic inlined —

@@ -172,7 +172,8 @@ object ScaleProof {
     "q_archive_entries",  // zip/tar catalog walk: header-bound scan (r15)
     "q_archive_text",     // inflate + CRC-verified extraction (r15)
     "q_audio_mp3_meta",   // MP3 frame walk: header-stepping scan (r15)
-    "q_audio_flac_meta")  // FLAC STREAMINFO/comment walk (r15)
+    "q_audio_flac_meta",  // FLAC STREAMINFO/comment walk (r15)
+    "q_epub_extract")     // zip walk + spine + htmlToText composition (r15)
     // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded and
     // q_mp4_sample_table doc_id<150-bounded by construction — a flat
     // ratio would be trivial, not evidence)
