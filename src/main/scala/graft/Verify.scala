@@ -2022,8 +2022,14 @@ object Verify {
             .split("\\s+").filter(_.nonEmpty)
             .map { w =>
               val c = w.map(ch => if ("*_`#>|![]()".indexOf(ch) >= 0) ',' else ch)
-              if (c.nonEmpty && (c(0) == '-' || c(0) == '+')) ',' + c.substring(1)
-              else c
+              val d =
+                if (c.nonEmpty && (c(0) == '-' || c(0) == '+')) ',' + c.substring(1)
+                else c
+              // all-digit word + final '.' would read as an ordered-list
+              // marker at line start — neutralized to ',' like the metachars
+              if (d.length >= 2 && d.last == '.' &&
+                  d.init.forall(ch => ch >= '0' && ch <= '9')) d.init + ","
+              else d
             }
           if (words.isEmpty) None
           else Some((id, words.mkString(" "), words.length))

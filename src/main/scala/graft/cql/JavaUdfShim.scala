@@ -553,6 +553,30 @@ object JavaUdfShim {
           "needs runtime machinery this shim does not model; rewrite the " +
           "function as LANGUAGE spark")
       }
+      // the soundness argument ("SQL NULL exactly when Java throws") covers
+      // ONLY the bare parse call: a trailing operator — parseInt(s)/d,
+      // parseInt(s)+x.length() — can throw in Java for reasons the parse
+      // grammar never models (ArithmeticException, NullPointerException),
+      // and SQL would take the catch arm where Java propagates. Require the
+      // try body to be EXACTLY the call: the token after its balanced ')'
+      // must be the ';'.
+      locally {
+        @annotation.tailrec
+        def afterCall(ts: List[Tok], depth: Int): List[Tok] = ts match {
+          case Op("(") :: rest => afterCall(rest, depth + 1)
+          case Op(")") :: rest =>
+            if (depth == 1) rest else afterCall(rest, depth - 1)
+          case _ :: rest => afterCall(rest, depth)
+          case Nil => Nil
+        }
+        afterCall(toks.dropWhile(_ != Op("(")), 0) match {
+          case Op(";") :: _ => ()
+          case _ => fail("the try body must be exactly the parse call — an " +
+            "operator applied to its result can throw in Java for reasons " +
+            "the tolerant-parse lowering does not model (move the " +
+            "arithmetic outside the try, or rewrite as LANGUAGE spark)")
+        }
+      }
       next() // 'return'
       val tryE = expression()
       eat(";"); eat("}")
@@ -1683,7 +1707,11 @@ object JavaUdfShim {
                   // points, so guard with the exact grammar; overflow
                   // nulls via CAST where Java throws. NULL exactly when
                   // Java throws — the property parseTryCatch relies on.
-                  (s"IF($a RLIKE '^[+-]?[0-9]+$$', CAST($a AS $sqlT), NULL)", t)
+                  // \z, not $: java.util.regex '$' matches BEFORE a trailing
+                  // line terminator, so "12\n" would pass the guard while
+                  // Java's parseInt throws. (\\z below is the SQL-literal
+                  // escape — spark.sql unescapes it to \z.)
+                  (s"IF($a RLIKE '^[+-]?[0-9]+\\\\z', CAST($a AS $sqlT), NULL)", t)
               case List(_) => fail(s"$cls.$pm takes a String argument")
               case _ => fail(s"$cls.$pm takes one argument")
             }

@@ -486,8 +486,18 @@ object Mp4 {
           val (bBody, bEnd, bTpe) = frame(tAt, tEnd)
           bTpe match {
             case "tfhd" =>
+              require(bEnd - bBody >= 8, "Mp4.parse: truncated tfhd")
               tfhdFlags = u32(payload, bBody) & 0xffffffL
               trackId = u32(payload, bBody + 4)
+              val tfhdNeed = 8L +
+                (if ((tfhdFlags & 0x1L) != 0) 8 else 0) +
+                (if ((tfhdFlags & 0x2L) != 0) 4 else 0) +
+                (if ((tfhdFlags & 0x8L) != 0) 4 else 0) +
+                (if ((tfhdFlags & 0x10L) != 0) 4 else 0) +
+                (if ((tfhdFlags & 0x20L) != 0) 4 else 0)
+              require(bEnd - bBody >= tfhdNeed,
+                s"Mp4.parse: tfhd declares $tfhdNeed bytes of fields in a " +
+                  s"${bEnd - bBody}-byte box")
               var p = bBody + 8
               if ((tfhdFlags & 0x1L) != 0) { baseOffset = u64(payload, p); p += 8 }
               if ((tfhdFlags & 0x2L) != 0) p += 4 // sample-description-index
@@ -500,6 +510,7 @@ object Mp4 {
                   "explicit base-data-offset (implicit bases not supported)")
             case "trun" =>
               require(trackId > 0, "Mp4.parse: trun before tfhd in traf")
+              require(bEnd - bBody >= 12, "Mp4.parse: truncated trun")
               val fb = frags.getOrElseUpdate(trackId, new FragBuild)
               val trunFlags = u32(payload, bBody) & 0xffffffL
               val count = u32(payload, bBody + 4)
@@ -509,10 +520,27 @@ object Mp4 {
                   "previous layouts not supported)")
               val dataOff = u32(payload, p).toInt.toLong; p += 4 // SIGNED 32
               var firstFlags = -1L
-              if ((trunFlags & 0x4L) != 0) { firstFlags = u32(payload, p); p += 4 }
+              if ((trunFlags & 0x4L) != 0) {
+                require(bEnd - p >= 4, "Mp4.parse: truncated trun (first-sample-flags)")
+                firstFlags = u32(payload, p); p += 4
+              }
               val (dv, sv, fv, cv) =
                 ((trunFlags & 0x100L) != 0, (trunFlags & 0x200L) != 0,
                  (trunFlags & 0x400L) != 0, (trunFlags & 0x800L) != 0)
+              // gate the whole per-sample field region against the box end
+              // BEFORE the expansion loop — a crafted count must reject by
+              // name, not read sibling bytes or spin 4 billion iterations
+              val perSample = 4L * (Seq(dv, sv, fv, cv).count(identity))
+              if (perSample > 0)
+                require(count <= (bEnd - p) / perSample,
+                  s"Mp4.parse: trun sample count $count ($perSample B of " +
+                    s"fields each) overruns its ${bEnd - p}-byte field region")
+              else
+                // all-default samples carry no fields, so the box length
+                // can't vouch for the count — cap against the payload (a
+                // real sample occupies at least a byte of mdat)
+                require(count <= n,
+                  s"Mp4.parse: trun sample count $count exceeds the $n-byte payload")
               val (trexDur, trexSize, trexFlags) =
                 trex.getOrElse(trackId, (-1L, -1L, 0L))
               var off = baseOffset + dataOff
@@ -596,6 +624,15 @@ object Mp4 {
 
     def parseTrak(from: Long, to: Long): Track = {
       val tb = new TrackBuild
+      // every sample-table read is bounds-gated against ITS OWN box end
+      // BEFORE any expansion: a crafted count (e.g. stsz 0xFFFFFFFF)
+      // must reject by name, not materialize a 4-billion-element table
+      // or read into sibling bytes
+      def tbl(box: String, start: Long, count: Long, entrySize: Long,
+              boxEnd: Long): Unit =
+        require(start <= boxEnd && count <= (boxEnd - start) / entrySize,
+          s"Mp4.parse: $box entry count $count ($entrySize B each) overruns " +
+            s"its ${boxEnd - start}-byte box body")
       def walk(at0: Long, limit: Long): Unit = {
         var at = at0
         while (at < limit) {
@@ -640,32 +677,44 @@ object Mp4 {
             case "stts" =>
               val (_, p) = fullHeader(body)
               val c = u32(payload, p)
+              tbl("stts", p + 4, c, 8, end)
               tb.sttsRuns = (0L until c).map(i =>
                 (u32(payload, p + 4 + i * 8), u32(payload, p + 8 + i * 8)))
             case "stsc" =>
               val (_, p) = fullHeader(body)
               val c = u32(payload, p)
+              tbl("stsc", p + 4, c, 12, end)
               tb.stscRuns = (0L until c).map(i =>
                 (u32(payload, p + 4 + i * 12), u32(payload, p + 8 + i * 12)))
             case "stsz" =>
               val (_, p) = fullHeader(body)
               tb.uniformSize = u32(payload, p)
               tb.nSamples = u32(payload, p + 4)
-              if (tb.uniformSize == 0L)
+              if (tb.uniformSize == 0L) {
+                tbl("stsz", p + 8, tb.nSamples, 4, end)
                 tb.sampleSizes = (0L until tb.nSamples).map(i => u32(payload, p + 8 + i * 4))
-              else
+              } else {
+                // uniform-size stsz carries NO table, so the box length
+                // can't vouch for the count — cap against the payload
+                // itself (a sample can't be smaller than a byte)
+                require(tb.nSamples <= n,
+                  s"Mp4.parse: stsz sample count ${tb.nSamples} exceeds the $n-byte payload")
                 tb.sampleSizes = IndexedSeq.fill(tb.nSamples.toInt)(tb.uniformSize)
+              }
             case "stco" =>
               val (_, p) = fullHeader(body)
               val c = u32(payload, p)
+              tbl("stco", p + 4, c, 4, end)
               tb.chunkOffsets = (0L until c).map(i => u32(payload, p + 4 + i * 4))
             case "co64" =>
               val (_, p) = fullHeader(body)
               val c = u32(payload, p)
+              tbl("co64", p + 4, c, 8, end)
               tb.chunkOffsets = (0L until c).map(i => u64(payload, p + 4 + i * 8))
             case "stss" =>
               val (_, p) = fullHeader(body)
               val c = u32(payload, p)
+              tbl("stss", p + 4, c, 4, end)
               tb.syncSamples = Some((0L until c).map(i => u32(payload, p + 4 + i * 4)))
             case _ => () // spec §4.2: skip unrecognized boxes
           }

@@ -351,7 +351,19 @@ object Pdf {
   /** A parsed document: object fetch-by-ref plus the trailer dict. */
   final class Doc(payload: Array[Byte], xref: Map[Long, Long], val trailer: PDict) {
     private val cache = scala.collection.mutable.Map.empty[Long, PVal]
-    def fetch(ref: PRef): PVal = cache.getOrElseUpdate(ref.num, {
+    // objects currently BEING fetched: a crafted document whose object
+    // reaches itself while still parsing (e.g. a /Length chain back to the
+    // stream's own object) must reject by name, not StackOverflowError
+    private val inFlight = scala.collection.mutable.Set.empty[Long]
+    def fetch(ref: PRef): PVal = cache.get(ref.num) match {
+      case Some(v) => v
+      case None =>
+        require(inFlight.add(ref.num),
+          s"Pdf.parse: circular reference — object ${ref.num} reached " +
+            "while still being parsed")
+        try fetchUncached(ref) finally inFlight.remove(ref.num)
+    }
+    private def fetchUncached(ref: PRef): PVal = cache.getOrElseUpdate(ref.num, {
       val off = xref.getOrElse(ref.num,
         throw new IllegalArgumentException(
           s"Pdf.parse: object ${ref.num} not in xref"))
@@ -384,9 +396,20 @@ object Pdf {
         case other => other
       }
     })
-    def resolve(v: PVal): PVal = v match {
-      case r: PRef => resolve(fetch(r))
-      case other => other
+    def resolve(v: PVal): PVal = {
+      // ref→ref chains must terminate: a cached object whose VALUE is a
+      // reference back into the chain ("5 0 obj 5 0 R endobj") would spin
+      // forever without this guard (fetch's inFlight can't see it — the
+      // object parses fine; the cycle is in the resolved values)
+      @annotation.tailrec
+      def go(v: PVal, seen: Set[Long]): PVal = v match {
+        case r: PRef =>
+          require(!seen(r.num),
+            s"Pdf.parse: circular reference chain through object ${r.num}")
+          go(fetch(r), seen + r.num)
+        case other => other
+      }
+      go(v, Set.empty)
     }
     /** Decode a stream object's bytes through its /Filter. */
     def streamData(s: PStream): Array[Byte] = {
@@ -531,7 +554,13 @@ object Pdf {
         s"Pdf.parse: /Contents is $other")
       case None => Seq.empty
     }
-    val content = contents.map(doc.streamData).foldLeft(Array.empty[Byte])(_ ++ _)
+    // the spec treats a multi-part /Contents array as ONE stream with the
+    // parts whitespace-separated — join with '\n' so a token split across
+    // the part boundary can't fuse with the next part's first token
+    val content = contents.map(doc.streamData) match {
+      case Seq() => Array.empty[Byte]
+      case parts => parts.reduce((a, b) => a ++ Array('\n'.toByte) ++ b)
+    }
     extractText(content)
   }
 

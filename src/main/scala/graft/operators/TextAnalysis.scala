@@ -1089,10 +1089,10 @@ object TextAnalysis {
 
   /** Markdown plant (spec for the fixture replica): the doc's whitespace
     * words — with markdown metacharacters normalized to ',' first
-    * (`*_\`#>|![]()` anywhere, `-`/`+` word-initial; ',' because it is
-    * the one punctuation mark markdown assigns no meaning, where '.'
-    * could fabricate an ordered-list marker from a digit word), the
-    * PDF-tier normalization convention — render in lines of 5, line i
+    * (`*_\`#>|![]()` anywhere, `-`/`+` word-initial, and a final '.' on
+    * an all-digit word — "2021." WOULD fabricate an ordered-list marker
+    * at line start; ',' because it is the one punctuation mark markdown
+    * assigns no meaning), the PDF-tier normalization convention — render in lines of 5, line i
     * styled by i % 7: 0 heading (level 1 + id%3), 1 plain (wrapped in a
     * code fence with info string `codetag` on id%4==0 docs), 2
     * blockquote, 3 one-item unordered list, 4 per-word emphasis (j%3:
@@ -1106,9 +1106,17 @@ object TextAnalysis {
     */
   def normalizeMdWord(w: String): String = {
     val cleaned = w.map(c => if ("*_`#>|![]()".indexOf(c) >= 0) ',' else c)
-    if (cleaned.nonEmpty && (cleaned(0) == '-' || cleaned(0) == '+'))
-      ',' + cleaned.substring(1)
-    else cleaned
+    val dashed =
+      if (cleaned.nonEmpty && (cleaned(0) == '-' || cleaned(0) == '+'))
+        ',' + cleaned.substring(1)
+      else cleaned
+    // an all-digit word with a final '.' ("2021.") would fabricate an
+    // ordered-list marker at line start and be eaten by the extractor;
+    // neutralize the dot the same way the metachars neutralize (→ ',')
+    if (dashed.length >= 2 && dashed.last == '.' &&
+        dashed.init.forall(c => c >= '0' && c <= '9'))
+      dashed.init + ","
+    else dashed
   }
 
   def plantMarkdown(id: Long, text: String): Option[String] = {

@@ -236,8 +236,10 @@ class JavaUdfShimSpec extends AnyFunSuite {
     "try/catch lowers to COALESCE; general try rejects") {
     // parseInt: sign+digits only — the regex guard rejects what CAST
     // would silently accept (whitespace, decimal points)
+    // \z anchor, not $: java.util.regex '$' matches before a trailing
+    // newline, so "12\n" would pass the guard while Java's parseInt throws
     val pi = tr("return Integer.parseInt(s);", "s" -> CqlText)
-    assert(pi === "IF(s RLIKE '^[+-]?[0-9]+$', CAST(s AS INT), NULL)", pi)
+    assert(pi === "IF(s RLIKE '^[+-]?[0-9]+\\\\z', CAST(s AS INT), NULL)", pi)
     assert(tr("return Long.parseLong(s);", "s" -> CqlText).contains("AS BIGINT"))
     assert(tr("return Double.parseDouble(s);", "s" -> CqlText) ===
       "CAST(s AS DOUBLE)")
@@ -247,7 +249,7 @@ class JavaUdfShimSpec extends AnyFunSuite {
     // the canonical tolerant-parse UDF
     assert(tr("try { return Integer.parseInt(s); } " +
       "catch (NumberFormatException e) { return -1; }", "s" -> CqlText) ===
-      "COALESCE(IF(s RLIKE '^[+-]?[0-9]+$', CAST(s AS INT), NULL), (- 1))")
+      "COALESCE(IF(s RLIKE '^[+-]?[0-9]+\\\\z', CAST(s AS INT), NULL), (- 1))")
     // dotted exception names; char catch arm widens into a numeric try
     assert(tr("try { return Integer.parseInt(s); } " +
       "catch (java.lang.Exception e) { return 'x'; }", "s" -> CqlText)
@@ -260,6 +262,19 @@ class JavaUdfShimSpec extends AnyFunSuite {
     // cross-kind arms, statement catch bodies
     assert(rejects("try { return a + 1; } catch (Exception e) { return 0; }",
       "a" -> CqlInt).contains("tolerant-parse"))
+    // the try body must be EXACTLY the parse call: trailing operators can
+    // throw in Java (ArithmeticException on /0) where SQL would null and
+    // silently take the catch arm
+    assert(rejects("try { return Integer.parseInt(s) / a; } catch " +
+      "(Exception e) { return 0; }", "s" -> CqlText, "a" -> CqlInt)
+      .contains("exactly the parse call"))
+    assert(rejects("try { return Integer.parseInt(s) + 1; } catch " +
+      "(Exception e) { return 0; }", "s" -> CqlText)
+      .contains("exactly the parse call"))
+    // nested parens inside the argument are still the bare-call shape
+    assert(tr("try { return Integer.parseInt(s.substring((1), (3))); } " +
+      "catch (Exception e) { return 0; }", "s" -> CqlText)
+      .startsWith("COALESCE("))
     assert(rejects("try { return Integer.parseInt(s); } catch " +
       "(NumberFormatException | NullPointerException e) { return 0; }",
       "s" -> CqlText).contains("multi-catch"))

@@ -114,6 +114,39 @@ class Mp4Spec extends SparkSpec {
     intercept[IllegalArgumentException](Mp4.parse(noMdat))
   }
 
+  test("crafted sample-table entry counts reject by name BEFORE any " +
+    "expansion (no OOM, no sibling-byte reads)") {
+    val good = Mp4.encode(Seq(videoSpec(10)), 1000L)
+    def findTag(p: Array[Byte], tag: String, from: Int): Int = {
+      val t = tag.getBytes("US-ASCII")
+      var i = from
+      while (i < p.length - 4 &&
+        !(p(i) == t(0) && p(i + 1) == t(1) && p(i + 2) == t(2) && p(i + 3) == t(3))) i += 1
+      require(i < p.length - 4, s"fixture has no '$tag' box"); i
+    }
+    val moovAt = findTag(good, "moov", 0)
+    // stsz: [size][tag][ver/flags][uniform][count] — count at tag+12
+    locally {
+      val p = good.clone()
+      java.nio.ByteBuffer.wrap(p, findTag(p, "stsz", moovAt) + 12, 4).putInt(-1) // 0xFFFFFFFF
+      val m = intercept[IllegalArgumentException](Mp4.parse(p)).getMessage
+      assert(m.contains("stsz"), m)
+    }
+    // stts/stsc/stco: [size][tag][ver/flags][count] — count at tag+8
+    for (tag <- Seq("stts", "stsc", "stco", "stss")) {
+      val p = good.clone()
+      java.nio.ByteBuffer.wrap(p, findTag(p, tag, moovAt) + 8, 4).putInt(Int.MaxValue)
+      val m = intercept[IllegalArgumentException](Mp4.parse(p)).getMessage
+      assert(m.contains(tag), m)
+    }
+    // trun in a fragmented container: count at tag+8
+    val frag = Mp4.encodeFragmented(Seq(videoSpec(20)), 1000L, 5)
+    val p = frag.clone()
+    java.nio.ByteBuffer.wrap(p, findTag(p, "trun", 0) + 8, 4).putInt(Int.MaxValue)
+    val m = intercept[IllegalArgumentException](Mp4.parse(p)).getMessage
+    assert(m.contains("trun"), m)
+  }
+
   test("fragmented MP4 (moof/traf/trun with trex defaults) parses to the " +
     "same track totals as the progressive layout of the same samples") {
     val tracks = Seq(videoSpec(40), audioSpec(40).copy(

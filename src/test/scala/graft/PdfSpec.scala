@@ -88,6 +88,51 @@ class PdfSpec extends SparkSpec {
     assert(m.contains("not supported") || m.contains("expected"), m)
   }
 
+  test("reference cycles reject by name, not StackOverflowError; a " +
+    "multi-part /Contents array joins parts with whitespace") {
+    def mini(objs: Seq[(Int, String)]): Array[Byte] = {
+      val sb = new StringBuilder("%PDF-1.4\n")
+      val offs = objs.map { case (num, body) =>
+        val o = sb.length
+        sb.append(s"$num 0 obj\n").append(body).append("\nendobj\n")
+        num -> o
+      }
+      val xrefAt = sb.length
+      sb.append("xref\n0 1\n0000000000 65535 f \n")
+      offs.foreach { case (num, o) =>
+        sb.append(s"$num 1\n").append(f"$o%010d 00000 n \n")
+      }
+      sb.append("trailer\n<< /Root 1 0 R /Size 9 >>\nstartxref\n")
+        .append(xrefAt).append("\n%%EOF\n")
+      sb.toString.getBytes("ISO-8859-1")
+    }
+    // value-level ref cycle: object 1's VALUE is a ref to 2, whose value
+    // refs 1 — resolve must terminate by name
+    val m1 = intercept[IllegalArgumentException](
+      Pdf.pageObjects(Pdf.open(mini(Seq(1 -> "2 0 R", 2 -> "1 0 R"))))).getMessage
+    assert(m1.contains("circular"), m1)
+    // in-flight cycle: a stream whose /Length resolves through its own
+    // still-being-parsed object
+    val m2 = intercept[IllegalArgumentException](
+      Pdf.pageObjects(Pdf.open(mini(Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> "<< /Length 2 0 R >>\nstream\nxx\nendstream"))))).getMessage
+    assert(m2.contains("circular") || m2.contains("still being parsed"), m2)
+    // multi-part /Contents: both parts extract; a Tj split across the
+    // part boundary must NOT fuse (the spec treats parts as
+    // whitespace-separated)
+    def stream(data: String) = s"<< /Length ${data.length} >>\nstream\n$data\nendstream"
+    def contentsPdf(d1: String, d2: String) = mini(Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+      4 -> stream(d1), 5 -> stream(d2)))
+    val doc = Pdf.open(contentsPdf("BT (Hello) Tj ET", "BT (World) Tj ET"))
+    assert(Pdf.pageText(doc, Pdf.pageObjects(doc).head) === "HelloWorld")
+    val split = Pdf.open(contentsPdf("BT (Hello) Tj (X) T", "j ET"))
+    assert(Pdf.pageText(split, Pdf.pageObjects(split).head) === "Hello")
+  }
+
   test("the Spark ops: planted PDFs → extractPages / docStats agree with " +
     "the word plant on a sample of docs") {
     val docs = Tables.documents(spark, sf).limit(40)
