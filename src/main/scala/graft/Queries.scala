@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Functions => F, Uda}
 import graft.operators._
-import graft.sources.{Archives, Epub}
+import graft.sources.{Archives, Docx, Epub}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3060,6 +3060,28 @@ object Queries {
           .orderBy("media_id", "cue_idx")
       }),
 
+    QueryDef("q_subtitles_ass",
+      // ASS/SSA — the fansub/anime-corpus caption format: planted
+      // [Script Info]/[Events] sections with a Format-ordered Dialogue
+      // grid, centisecond H:MM:SS.cc timestamps, {\i1}/{\b1} style
+      // overrides, \N line breaks, a skipped Comment: event and the
+      // out-of-order cue plant. The sniffing parser routes by the
+      // ini-style section header, parses into the same Cue schema, and
+      // cleanCueText strips the override blocks — the replica derives
+      // rows straight from the document words with NO ASS round trip.
+      Some("""SELECT media_id, cue_idx, start_ms, end_ms, n_words,
+                     in_order, clean_text
+              FROM parquet_scan('{FIX}/_fixture_ass/*.parquet')
+              ORDER BY media_id, cue_idx"""),
+      (s, d) => {
+        val subs = Subtitles.assFromDocuments(s, t(s, d, "documents"))
+        Subtitles.parseCues(s, subs).toDF()
+          .select(col("media_id"), col("cue_idx"), col("start_ms"),
+            col("end_ms"), col("n_words"), col("in_order"),
+            Subtitles.cleanCueText(col("text")).as("clean_text"))
+          .orderBy("media_id", "cue_idx")
+      }),
+
     QueryDef("q_subtitles_quality",
       // per-track caption QA — the gate before trusting a caption track
       // for video-text pairs: cue count, covered span, out-of-order and
@@ -3178,6 +3200,24 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    QueryDef("q_docx_extract",
+      // DOCX — the #3 document source after HTML/PDF, and a pure
+      // composition of shipped parts: Archives.Zip walks the OPC
+      // container (CRC-verified), then the Epub-style anchored-regexp
+      // discipline reads word/document.xml — w:t runs concatenate
+      // VERBATIM (the plant splits every word into its own run with
+      // leading-space text, so re-spacing would double up), w:tab reads
+      // as a space, entities decode, paragraphs join with newlines.
+      // The replica derives text straight from the document words with
+      // NO DOCX round trip.
+      Some("""SELECT doc_id, text, n_words, n_chars
+              FROM parquet_scan('{FIX}/_fixture_docx/*.parquet')
+              ORDER BY doc_id"""),
+      (s, d) => {
+        val docx = Docx.docxFromDocuments(s, t(s, d, "documents"))
+        Docx.extractDocs(s, docx).orderBy("doc_id")
+      }),
+
     QueryDef("q_epub_extract",
       // EPUB — the ebook corpus format, and the tier-composition proof:
       // planted books (stored-mimetype-first zip skeleton,
@@ -3201,13 +3241,16 @@ object Queries {
       // streams (MPEG-1 and MPEG-2, CBR and VBR bitrate cycles, padding
       // bits, all four channel modes, syncsafe ID3v2 tags) walk frame to
       // frame by the length arithmetic — headers only, payload bytes
-      // never read. The replica re-derives frame lengths from the
+      // never read. Wild-data shapes are planted too: a leading
+      // Xing/Info VBR header frame (id%4==1) and a trailing ID3v1 TAG
+      // block (id%6==2), both recognized and EXCLUDED from the audio
+      // stats. The replica re-derives frame lengths from the
       // public bitrate/samplerate tables with no container round trip,
       // so agreement pins the header bit layout, the stepping
       // arithmetic, duration and exact average bitrate end to end.
       Some("""SELECT media_id, mpeg_version, sample_rate, channel_mode,
                      n_frames, duration_ms, audio_bytes, bitrate_kbps,
-                     is_vbr, id3_bytes
+                     is_vbr, id3_bytes, has_xing, has_id3v1
               FROM parquet_scan('{FIX}/_fixture_mp3meta/*.parquet')
               ORDER BY media_id"""),
       (s, d) => {
@@ -3231,6 +3274,24 @@ object Queries {
       (s, d) => {
         val media = AudioContainers.flacFromDocuments(s, t(s, d, "documents"))
         AudioContainers.flacMeta(s, media).orderBy("media_id")
+      }),
+
+    QueryDef("q_audio_ogg_meta",
+      // Ogg — the remaining major audio transport after MP4/MP3/FLAC:
+      // planted Opus (even ids) and Vorbis (odd) streams with real page
+      // framing — capture pattern, segment lacing, per-page CRC-32
+      // (0x04c11db7 UNreflected, not the zlib CRC), BOS/EOS flags —
+      // parse back to codec/channels/rate/duration/tags. The Opus
+      // granule clock is ALWAYS 48 kHz and preskip samples are warm-up,
+      // not audio: the duration arithmetic pins both traps. The replica
+      // is plant formulas only — no Ogg round trip.
+      Some("""SELECT media_id, codec, channels, sample_rate, duration_ms,
+                     n_pages, n_comments, vendor, title, artist
+              FROM parquet_scan('{FIX}/_fixture_oggmeta/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = AudioContainers.oggFromDocuments(s, t(s, d, "documents"))
+        AudioContainers.oggMeta(s, media).orderBy("media_id")
       }),
 
     QueryDef("q_archive_entries",

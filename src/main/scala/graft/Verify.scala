@@ -1701,6 +1701,37 @@ object Verify {
       rows.toDF("media_id", "cue_idx", "clean_text", "clean_words").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_submarkup")
     }
+    fixture("_fixture_ass") {
+      // ASS replica: rows straight from the document words — groups of
+      // four with '{'/'}'/'\' normalized to ',', centisecond timing
+      // (i·1700 + (id%7)·10 for 1400 ms; cue 2 of id%5==0 docs 100 ms
+      // before cue 1), visible text = the normalized words joined by
+      // single spaces. No ASS render or parse anywhere here.
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          val words = Option(text0).getOrElse("").trim
+            .split("\\s+").filter(_.nonEmpty)
+            .map(_.map(c => if (c == '{' || c == '}' || c == '\\') ',' else c))
+          if (words.isEmpty) IndexedSeq.empty
+          else {
+            val groups = words.grouped(4).toIndexedSeq
+            var prevStart = Long.MinValue
+            groups.zipWithIndex.map { case (g, i) =>
+              val base = i.toLong * 1700 + (id % 7) * 10
+              val start = if (i == 2 && id % 5 == 0 && groups.length >= 3)
+                1700 + (id % 7) * 10 - 100 else base
+              val ord = start >= prevStart
+              prevStart = start
+              (id, i, start, start + 1400, g.length, ord, g.mkString(" "))
+            }
+          }
+        }
+      rows.toDF("media_id", "cue_idx", "start_ms", "end_ms", "n_words",
+          "in_order", "clean_text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_ass")
+    }
     fixture("_fixture_subquality") {
       // caption-QA replica over the SAME derived cue rows: per track,
       // counts/span/out-of-order/overlap (prev end vs start in cue
@@ -1896,7 +1927,9 @@ object Verify {
       // no container round trip. Plant: nf = 40 + nc%200 frames;
       // MPEG-2 on id%5==0; CBR idx 9 on even ids, VBR cycling
       // 5 + 2·((id+f)%5) on odd; padding f%3==0; channel mode id%4;
-      // ID3v2 of 10 + 57 + id%100 bytes on id%3==0.
+      // ID3v2 of 10 + 57 + id%100 bytes on id%3==0. Wild-data shapes:
+      // a Xing/Info header frame on id%4==1 and an ID3v1 TAG trailer
+      // on id%6==2, both EXCLUDED from the audio stats by contract.
       val brM1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
       val brM2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
       val modes = Array("stereo", "joint_stereo", "dual_channel", "mono")
@@ -1923,12 +1956,36 @@ object Verify {
           val durMs = nf.toLong * spf * 1000 / sr
           (id, if (mpeg1) 1 else 2, sr, modes((id % 4).toInt), nf.toLong,
             durMs, audio, audio * 8 / durMs, vbr,
-            if (id % 3 == 0) 10L + 57 + id % 100 else 0L)
+            if (id % 3 == 0) 10L + 57 + id % 100 else 0L,
+            id % 4 == 1, id % 6 == 2)
         }
       rows.toDF("media_id", "mpeg_version", "sample_rate", "channel_mode",
           "n_frames", "duration_ms", "audio_bytes", "bitrate_kbps", "is_vbr",
-          "id3_bytes").coalesce(1)
+          "id3_bytes", "has_xing", "has_id3v1").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp3meta")
+    }
+    fixture("_fixture_oggmeta") {
+      // Ogg replica: plant formulas only (Opus on even ids with the
+      // 48 kHz granule clock and preskip excluded, Vorbis on odd at the
+      // media rate; rate 48000/44100/32000 by id%3; samples
+      // 96000 + nc·17; pages 2 + 3 + id%4; tags TITLE/ARTIST + ENCODER
+      // on id%3==0) — no Ogg round trip anywhere here
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "n_chars").as[(Long, Long)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .map { case (id, nc0) =>
+          val nc = math.max(nc0, 0L)
+          val opus = id % 2 == 0
+          val sr = Array(48000, 44100, 32000)((id % 3).toInt)
+          val total = 96000L + nc * 17
+          val durMs = if (opus) total * 1000L / 48000L else total * 1000L / sr
+          (id, if (opus) "opus" else "vorbis", 1 + (id % 2).toInt, sr, durMs,
+            2L + 3 + id % 4, if (id % 3 == 0) 3 else 2, "graft-ogg",
+            s"doc$id", s"corpus${id % 5}")
+        }
+      rows.toDF("media_id", "codec", "channels", "sample_rate", "duration_ms",
+          "n_pages", "n_comments", "vendor", "title", "artist").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_oggmeta")
     }
     fixture("_fixture_flacmeta") {
       // FLAC replica: plant formulas only (samplerate 32000 + (id%3)·8000,
@@ -2009,6 +2066,25 @@ object Verify {
       }.sortBy(r => (r._1, r._2))
       rows.toDF("doc_id", "name", "text", "n_words", "n_chars").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_archtext")
+    }
+    fixture("_fixture_docx") {
+      // DOCX replica: text straight from the document words — paragraphs
+      // of 6 joined by single spaces, paragraphs joined by '\n' (the
+      // plantDocx contract) — no DOCX/zip round trip anywhere here
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, text0) =>
+          val words = Option(text0).getOrElse("").trim
+            .split("\\s+").filter(_.nonEmpty)
+          if (words.isEmpty) None
+          else {
+            val text = words.grouped(6).map(_.mkString(" ")).mkString("\n")
+            Some((id, text, words.length, text.codePointCount(0, text.length)))
+          }
+        }
+      rows.toDF("doc_id", "text", "n_words", "n_chars").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_docx")
     }
     fixture("_fixture_markdown") {
       // markdown-extraction replica: the expected text IS the normalized

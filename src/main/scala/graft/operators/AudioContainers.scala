@@ -45,23 +45,39 @@ object AudioContainers {
   /** Per-file metadata from the frame walk. `is_vbr` = more than one
     * distinct bitrate index across frames; `bitrate_kbps` is the exact
     * average over audio bytes (total·8 / duration, integer division);
-    * `id3_bytes` counts the ID3v2 tag (0 when absent).
+    * `id3_bytes` counts the ID3v2 tag (0 when absent). Wild-data
+    * tolerance (the two shapes nearly every real MP3 carries): a
+    * trailing 128-byte ID3v1 `TAG` block is skipped (`has_id3v1`), and
+    * a leading Xing/Info VBR header frame is recognized (`has_xing`)
+    * and EXCLUDED from every audio stat — it carries no audio.
     */
   case class Mp3Meta(mpeg_version: Int, sample_rate: Int, channel_mode: String,
                      n_frames: Long, duration_ms: Long, audio_bytes: Long,
-                     bitrate_kbps: Long, is_vbr: Boolean, id3_bytes: Long)
+                     bitrate_kbps: Long, is_vbr: Boolean, id3_bytes: Long,
+                     has_xing: Boolean, has_id3v1: Boolean)
 
   /** Frame byte length for Layer III (the stepping arithmetic). */
   def mp3FrameLen(mpeg1: Boolean, kbps: Int, sampleRate: Int, padding: Boolean): Int =
     (if (mpeg1) 144000 else 72000) * kbps / sampleRate + (if (padding) 1 else 0)
 
-  /** Write one file: optional ID3v2 tag, then `frames` Layer III frames
-    * with the given per-frame bitrate INDICES; payload bytes planted
-    * deterministic. `mpeg1` picks the version; samplerate index 0.
+  /** Side-info byte count for Layer III — the fixed region between the
+    * 4-byte header and the Xing/Info tag position (ISO 11172-3 layout:
+    * MPEG-1 stereo 32 / mono 17; MPEG-2 stereo 17 / mono 9).
+    */
+  def mp3SideInfoLen(mpeg1: Boolean, mono: Boolean): Int =
+    if (mpeg1) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+
+  /** Write one file: optional ID3v2 tag, optional Xing VBR header frame
+    * (a real frame whose payload carries "Xing" at the side-info
+    * boundary and NO audio), then `frames` Layer III frames with the
+    * given per-frame bitrate INDICES, then an optional ID3v1 `TAG`
+    * trailer; payload bytes planted deterministic. `mpeg1` picks the
+    * version; samplerate index 0.
     */
   def mp3Encode(mpeg1: Boolean, srIdx: Int, bitrateIdx: Int => Int,
                 paddingOf: Int => Boolean, channelMode: Int, frames: Int,
-                id3Size: Int): Array[Byte] = {
+                id3Size: Int, xing: Boolean = false,
+                id3v1: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (id3Size > 0) {
       require(id3Size < (1 << 28), "mp3Encode: id3 size over syncsafe range")
@@ -75,11 +91,9 @@ object AudioContainers {
       out.write(body)
     }
     val sr = (if (mpeg1) SampleRateM1 else SampleRateM2)(srIdx)
-    (0 until frames).foreach { f =>
-      val bi = bitrateIdx(f)
+    def writeFrame(bi: Int, pad: Boolean, fill: Byte, tag: Option[String]): Unit = {
       require(bi >= 1 && bi <= 14, s"mp3Encode: bitrate index $bi")
       val kbps = (if (mpeg1) BitrateM1 else BitrateM2)(bi)
-      val pad = paddingOf(f)
       val len = mp3FrameLen(mpeg1, kbps, sr, pad)
       val h0 = 0xff
       val h1 = 0xe0 | (if (mpeg1) 0x18 else 0x10) | (0x01 << 1) | 0x1 // vers, layer III, no CRC
@@ -87,8 +101,29 @@ object AudioContainers {
       val h3 = (channelMode << 6)
       out.write(h0); out.write(h1); out.write(h2); out.write(h3)
       val body = new Array[Byte](len - 4)
-      java.util.Arrays.fill(body, ((f * 31 + 7) & 0x7f).toByte)
+      java.util.Arrays.fill(body, fill)
+      tag.foreach { t =>
+        val off = mp3SideInfoLen(mpeg1, channelMode == 3)
+        val tb = t.getBytes("US-ASCII")
+        System.arraycopy(tb, 0, body, off, tb.length)
+        // 4 flag bytes (frames/bytes/toc/quality all absent): zeros
+        java.util.Arrays.fill(body, off + 4, off + 8, 0.toByte)
+      }
       out.write(body)
+    }
+    // Xing header frames are written at the stream bitrate's first index
+    // (LAME uses the target bitrate); "Xing" on odd frame counts, the
+    // CBR spelling "Info" on even — both must be recognized
+    if (xing) writeFrame(bitrateIdx(0), pad = false, 0.toByte,
+      Some(if (frames % 2 == 1) "Xing" else "Info"))
+    (0 until frames).foreach { f =>
+      writeFrame(bitrateIdx(f), paddingOf(f), ((f * 31 + 7) & 0x7f).toByte, None)
+    }
+    if (id3v1) {
+      val tag = new Array[Byte](128)
+      tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+      (3 until 128).foreach(i => tag(i) = ((i * 7) & 0x7f).toByte)
+      out.write(tag)
     }
     out.toByteArray
   }
@@ -97,17 +132,22 @@ object AudioContainers {
     * arithmetic — payload bytes are never read.
     */
   def mp3Parse(payload: Array[Byte]): Mp3Meta = {
-    val n = payload.length.toLong
+    val n0 = payload.length.toLong
     var at = 0L
     var id3Bytes = 0L
-    if (n >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+    if (n0 >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
       val size = ((payload(6) & 0x7fL) << 21) | ((payload(7) & 0x7fL) << 14) |
         ((payload(8) & 0x7fL) << 7) | (payload(9) & 0x7fL)
       id3Bytes = 10L + size
-      require(id3Bytes <= n, s"Mp3.parse: ID3v2 tag of $id3Bytes bytes " +
-        s"overruns the $n-byte payload")
+      require(id3Bytes <= n0, s"Mp3.parse: ID3v2 tag of $id3Bytes bytes " +
+        s"overruns the ${n0}-byte payload")
       at = id3Bytes
     }
+    // a trailing 128-byte ID3v1 'TAG' block (present on a huge share of
+    // real MP3s) is metadata, not a lost frame — stop the walk before it
+    val hasId3v1 = n0 - at >= 128 && payload((n0 - 128).toInt) == 'T' &&
+      payload((n0 - 127).toInt) == 'A' && payload((n0 - 126).toInt) == 'G'
+    val n = if (hasId3v1) n0 - 128 else n0
     require(at < n, "Mp3.parse: no audio frames after the ID3 tag")
     var mpeg1 = false
     var sampleRate = 0
@@ -115,6 +155,8 @@ object AudioContainers {
     var frames = 0L
     var samplesTotal = 0L
     var audioBytes = 0L
+    var hasXing = false
+    var firstFrame = true
     val seenBitrates = scala.collection.mutable.Set.empty[Int]
     while (at < n) {
       require(at + 4 <= n, s"Mp3.parse: truncated frame header at offset $at")
@@ -124,11 +166,9 @@ object AudioContainers {
       val h1 = payload(at.toInt + 1) & 0xff
       val version = (h1 >> 3) & 0x3
       val layer = (h1 >> 1) & 0x3
-      version match {
-        case 0x3 => if (frames == 0) mpeg1 = true
-          else require(mpeg1, s"Mp3.parse: version change mid-stream at $at")
-        case 0x2 => if (frames == 0) mpeg1 = false
-          else require(!mpeg1, s"Mp3.parse: version change mid-stream at $at")
+      val isMpeg1 = version match {
+        case 0x3 => true
+        case 0x2 => false
         case 0x0 => throw new IllegalArgumentException(
           "Mp3.parse: MPEG-2.5 not supported (MPEG-1/2 Layer III only)")
         case _ => throw new IllegalArgumentException(
@@ -143,26 +183,41 @@ object AudioContainers {
         else s"Mp3.parse: reserved bitrate index at offset $at")
       val sri = (h2 >> 2) & 0x3
       require(sri <= 2, s"Mp3.parse: reserved samplerate index at offset $at")
-      val sr = (if (mpeg1) SampleRateM1 else SampleRateM2)(sri)
-      if (frames == 0) sampleRate = sr
-      else require(sr == sampleRate, s"Mp3.parse: samplerate change mid-stream at $at")
+      val sr = (if (isMpeg1) SampleRateM1 else SampleRateM2)(sri)
       val cm = (payload(at.toInt + 3) >> 6) & 0x3
-      if (frames == 0) channelMode = cm
-      val kbps = (if (mpeg1) BitrateM1 else BitrateM2)(bi)
-      val len = mp3FrameLen(mpeg1, kbps, sr, ((h2 >> 1) & 0x1) == 1)
+      val kbps = (if (isMpeg1) BitrateM1 else BitrateM2)(bi)
+      val len = mp3FrameLen(isMpeg1, kbps, sr, ((h2 >> 1) & 0x1) == 1)
       require(at + len <= n,
         s"Mp3.parse: frame of $len bytes at offset $at overruns the $n-byte payload")
-      seenBitrates += bi
-      frames += 1
-      samplesTotal += (if (mpeg1) 1152L else 576L)
-      audioBytes += len
+      // a LEADING Xing/Info VBR header frame carries no audio: recognize
+      // it by the tag at the side-info boundary and exclude it from every
+      // stat (counting it skews duration and bitrate)
+      val tagAt = at + 4 + mp3SideInfoLen(isMpeg1, cm == 3)
+      val isXing = firstFrame && tagAt + 4 <= n && {
+        val t = new String(payload, tagAt.toInt, 4, "US-ASCII")
+        t == "Xing" || t == "Info"
+      }
+      firstFrame = false
+      if (isXing) hasXing = true
+      else {
+        if (frames == 0) { mpeg1 = isMpeg1; sampleRate = sr; channelMode = cm }
+        else {
+          require(isMpeg1 == mpeg1, s"Mp3.parse: version change mid-stream at $at")
+          require(sr == sampleRate, s"Mp3.parse: samplerate change mid-stream at $at")
+        }
+        seenBitrates += bi
+        frames += 1
+        samplesTotal += (if (isMpeg1) 1152L else 576L)
+        audioBytes += len
+      }
       at += len
     }
+    require(frames > 0, "Mp3.parse: no audio frames (Xing header only)")
     val durMs = samplesTotal * 1000L / sampleRate
     Mp3Meta(if (mpeg1) 1 else 2, sampleRate, ChannelModes(channelMode),
       frames, durMs, audioBytes,
       if (durMs == 0) 0L else audioBytes * 8L / durMs,
-      seenBitrates.size > 1, id3Bytes)
+      seenBitrates.size > 1, id3Bytes, hasXing, hasId3v1)
   }
 
   // =====================================================================
@@ -284,8 +339,11 @@ object AudioContainers {
             val kv = new String(payload, p.toInt, clen.toInt, "UTF-8"); p += clen
             val eq = kv.indexOf('=')
             require(eq > 0, s"Flac.parse: comment without '=': '$kv'")
-            // field names are case-insensitive per the Vorbis spec
-            comments :+= (kv.substring(0, eq).toUpperCase -> kv.substring(eq + 1))
+            // field names are case-insensitive per the Vorbis spec;
+            // Locale.ROOT so a Turkish-locale JVM can't fold "title" to
+            // "TİTLE" and silently lose the tag
+            comments :+= (kv.substring(0, eq)
+              .toUpperCase(java.util.Locale.ROOT) -> kv.substring(eq + 1))
           }
         case t =>
           require(t != 127, "Flac.parse: invalid metadata block type 127")
@@ -303,6 +361,271 @@ object AudioContainers {
   }
 
   // =====================================================================
+  // Ogg (Opus / Vorbis) — the remaining major audio transport
+  // =====================================================================
+
+  /** Identification + comment headers and the granule arithmetic.
+    * `sample_rate` is the media rate (Vorbis) or the declared input
+    * rate (Opus — whose granule clock is ALWAYS 48 kHz, the spec's
+    * trap: duration divides by 48000 regardless of input rate).
+    */
+  case class OggMeta(codec: String, channels: Int, sample_rate: Int,
+                     duration_ms: Long, n_pages: Long,
+                     n_comments: Int, vendor: String,
+                     title: String, artist: String)
+
+  /** Ogg page CRC-32: polynomial 0x04c11db7, UNreflected, init 0, no
+    * final xor (RFC 3533 §6) — not the zlib CRC, so the JDK's CRC32
+    * cannot stand in.
+    */
+  private val OggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var j = 0
+      while (j < 8) {
+        r = (r << 1) ^ (if ((r & 0x80000000) != 0) 0x04c11db7 else 0); j += 1
+      }
+      t(i) = r; i += 1
+    }
+    t
+  }
+  private def oggCrc(page: Array[Byte]): Int = {
+    var crc = 0
+    var i = 0
+    while (i < page.length) {
+      // the CRC field itself (bytes 22..25) reads as zeros
+      val b = if (i >= 22 && i < 26) 0 else page(i) & 0xff
+      crc = (crc << 8) ^ OggCrcTable(((crc >>> 24) ^ b) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  private def wle16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+  private def wle32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+  }
+  private def wle64(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    wle32(o, v & 0xffffffffL); wle32(o, (v >>> 32) & 0xffffffffL)
+  }
+
+  /** Write one Ogg page (header + CRC + body). `packets` become the
+    * lacing run: each splits into 255-byte segments with a final
+    * short segment (a multiple-of-255 packet gets its 0 terminator).
+    */
+  private def oggPage(headerType: Int, granule: Long, serial: Long,
+                      seq: Long, packets: Seq[Array[Byte]]): Array[Byte] = {
+    val lacing = packets.flatMap { p =>
+      val full = Array.fill(p.length / 255)(255)
+      full.toSeq :+ (p.length % 255)
+    }
+    require(lacing.length <= 255, s"oggPage: ${lacing.length} segments (max 255)")
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("OggS".getBytes("US-ASCII")); o.write(0) // version 0
+    o.write(headerType)
+    wle64(o, granule); wle32(o, serial); wle32(o, seq)
+    wle32(o, 0L) // CRC placeholder
+    o.write(lacing.length)
+    lacing.foreach(o.write)
+    packets.foreach(p => o.write(p))
+    val page = o.toByteArray
+    val crc = oggCrc(page)
+    page(22) = (crc & 0xff).toByte; page(23) = ((crc >> 8) & 0xff).toByte
+    page(24) = ((crc >> 16) & 0xff).toByte; page(25) = ((crc >> 24) & 0xff).toByte
+    page
+  }
+
+  /** Write one Ogg Opus/Vorbis stream: BOS page with the identification
+    * header, a comment page, then `audioPages` pages of planted packet
+    * bytes whose granules step evenly to `totalSamples` (+preskip for
+    * Opus), EOS on the last.
+    */
+  def oggEncode(opus: Boolean, channels: Int, sampleRate: Int,
+                totalSamples: Long, vendor: String,
+                comments: Seq[(String, String)], audioPages: Int): Array[Byte] = {
+    require(audioPages >= 1, "oggEncode: need at least one audio page")
+    val preskip = 312
+    val idPacket = {
+      val o = new java.io.ByteArrayOutputStream()
+      if (opus) {
+        o.write("OpusHead".getBytes("US-ASCII"))
+        o.write(1); o.write(channels)
+        wle16(o, preskip); wle32(o, sampleRate.toLong)
+        wle16(o, 0); o.write(0) // gain, mapping family 0
+      } else {
+        o.write(0x01); o.write("vorbis".getBytes("US-ASCII"))
+        wle32(o, 0L); o.write(channels); wle32(o, sampleRate.toLong)
+        wle32(o, 0L); wle32(o, 0L); wle32(o, 0L) // bitrates
+        o.write(0xB8) // blocksizes (2^8 / 2^11)
+        o.write(0x01) // framing bit
+      }
+      o.toByteArray
+    }
+    val commentPacket = {
+      val o = new java.io.ByteArrayOutputStream()
+      if (opus) o.write("OpusTags".getBytes("US-ASCII"))
+      else { o.write(0x03); o.write("vorbis".getBytes("US-ASCII")) }
+      val vb = vendor.getBytes("UTF-8")
+      wle32(o, vb.length.toLong); o.write(vb)
+      wle32(o, comments.length.toLong)
+      comments.foreach { case (k, v) =>
+        val kv = s"$k=$v".getBytes("UTF-8")
+        wle32(o, kv.length.toLong); o.write(kv)
+      }
+      if (!opus) o.write(0x01) // framing bit
+      o.toByteArray
+    }
+    val serial = 0x6772616cL // deterministic
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(oggPage(0x02, if (opus) 0L else 0L, serial, 0, Seq(idPacket)))
+    out.write(oggPage(0x00, if (opus) 0L else 0L, serial, 1, Seq(commentPacket)))
+    val granuleEnd = if (opus) preskip.toLong + totalSamples else totalSamples
+    (0 until audioPages).foreach { k =>
+      val granule = granuleEnd * (k + 1) / audioPages
+      val body = new Array[Byte](40 + (k * 13) % 90)
+      java.util.Arrays.fill(body, ((k * 29 + 5) & 0x7f).toByte)
+      val ht = if (k == audioPages - 1) 0x04 else 0x00
+      out.write(oggPage(ht, granule, serial, 2L + k, Seq(body)))
+    }
+    out.toByteArray
+  }
+
+  /** The page walk: capture pattern + CRC verified per page, single
+    * logical stream only, identification + comment headers parsed from
+    * the first two pages, duration from the final granule position.
+    * Audio packet bytes are never interpreted — header-bytes cost only.
+    */
+  def oggParse(payload: Array[Byte]): OggMeta = {
+    val n = payload.length
+    require(n >= 28 + 19, s"Ogg.parse: $n bytes is smaller than a BOS page")
+    var at = 0
+    var pageIdx = 0L
+    var serial = -1L
+    var lastGranule = -1L
+    var sawEos = false
+    val headerPackets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (at < n) {
+      require(!sawEos, s"Ogg.parse: page after the EOS page at offset $at " +
+        "(chained streams not supported)")
+      require(at + 27 <= n, s"Ogg.parse: truncated page header at offset $at")
+      require(new String(payload, at, 4, "US-ASCII") == "OggS",
+        s"Ogg.parse: lost capture pattern at offset $at")
+      require(payload(at + 4) == 0, s"Ogg.parse: stream structure version " +
+        s"${payload(at + 4)} (0 only)")
+      val headerType = payload(at + 5) & 0xff
+      var granule = 0L
+      (0 until 8).foreach(i => granule |= (payload(at + 6 + i) & 0xffL) << (8 * i))
+      var ser = 0L
+      (0 until 4).foreach(i => ser |= (payload(at + 14 + i) & 0xffL) << (8 * i))
+      if (pageIdx == 0) {
+        require((headerType & 0x02) != 0, "Ogg.parse: first page is not BOS")
+        serial = ser
+      } else require(ser == serial,
+        "Ogg.parse: multiplexed/grouped streams not supported (one serial only)")
+      val nSegs = payload(at + 26) & 0xff
+      require(at + 27 + nSegs <= n, s"Ogg.parse: truncated segment table at $at")
+      var bodyLen = 0
+      (0 until nSegs).foreach(i => bodyLen += payload(at + 27 + i) & 0xff)
+      val pageLen = 27 + nSegs + bodyLen
+      require(at + pageLen <= n,
+        s"Ogg.parse: page of $pageLen bytes at offset $at overruns the payload")
+      val page = java.util.Arrays.copyOfRange(payload, at, at + pageLen)
+      val stored = (page(22) & 0xffL) | ((page(23) & 0xffL) << 8) |
+        ((page(24) & 0xffL) << 16) | ((page(25) & 0xffL) << 24)
+      require((oggCrc(page) & 0xffffffffL) == stored,
+        s"Ogg.parse: page CRC mismatch at offset $at (corrupt page)")
+      // the two header packets come whole from the first two pages
+      // (canonical subset: header packets that span pages reject)
+      if (pageIdx < 2) {
+        require((headerType & 0x01) == 0,
+          "Ogg.parse: header packet continued across pages not supported")
+        var p = at + 27 + nSegs
+        var seg = 0
+        var packet = new java.io.ByteArrayOutputStream()
+        while (seg < nSegs) {
+          val l = payload(at + 27 + seg) & 0xff
+          packet.write(payload, p, l)
+          p += l
+          if (l < 255) {
+            headerPackets += packet.toByteArray
+            packet = new java.io.ByteArrayOutputStream()
+          }
+          seg += 1
+        }
+        require(packet.size() == 0,
+          "Ogg.parse: header packet continued across pages not supported")
+      }
+      if (granule != -1L) lastGranule = granule
+      if ((headerType & 0x04) != 0) sawEos = true
+      pageIdx += 1
+      at += pageLen
+    }
+    require(sawEos, "Ogg.parse: no EOS page (truncated stream)")
+    require(headerPackets.length >= 2,
+      s"Ogg.parse: ${headerPackets.length} header packet(s), need " +
+        "identification + comment")
+    val id = headerPackets(0)
+    def sub(b: Array[Byte], from: Int, len: Int) = new String(b, from, len, "US-ASCII")
+    def le16at(b: Array[Byte], i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32at(b: Array[Byte], i: Int) = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    val (codec, channels, rate, preskip) =
+      if (id.length >= 19 && sub(id, 0, 8) == "OpusHead") {
+        require(id(8) == 1, s"Ogg.parse: OpusHead version ${id(8)} (1 only)")
+        ("opus", id(9) & 0xff, le32at(id, 12).toInt, le16at(id, 10))
+      } else if (id.length >= 30 && id(0) == 0x01 && sub(id, 1, 6) == "vorbis") {
+        require(le32at(id, 7) == 0L, "Ogg.parse: vorbis version != 0")
+        ("vorbis", id(11) & 0xff, le32at(id, 12).toInt, 0)
+      } else throw new IllegalArgumentException(
+        "Ogg.parse: unknown identification header (Opus/Vorbis only — " +
+          "Theora/Speex/FLAC-in-Ogg reject)")
+    require(rate > 0, s"Ogg.parse: $codec sample rate 0")
+    val cm = headerPackets(1)
+    val cmOff =
+      if (codec == "opus") {
+        require(cm.length >= 8 && sub(cm, 0, 8) == "OpusTags",
+          "Ogg.parse: second packet is not OpusTags")
+        8
+      } else {
+        require(cm.length >= 7 && cm(0) == 0x03 && sub(cm, 1, 6) == "vorbis",
+          "Ogg.parse: second packet is not a vorbis comment header")
+        7
+      }
+    var p = cmOff
+    def take32(): Long = { val v = le32at(cm, p); p += 4; v }
+    val vlen = take32()
+    require(p + vlen <= cm.length, "Ogg.parse: vendor string overruns the comment header")
+    val vendor = new String(cm, p, vlen.toInt, "UTF-8"); p += vlen.toInt
+    val count = take32()
+    require(count <= 10000, s"Ogg.parse: $count comments (cap 10000)")
+    var comments = Vector.empty[(String, String)]
+    (0L until count).foreach { _ =>
+      val clen = take32()
+      require(p + clen <= cm.length, "Ogg.parse: comment overruns the header")
+      val kv = new String(cm, p, clen.toInt, "UTF-8"); p += clen.toInt
+      val eq = kv.indexOf('=')
+      require(eq > 0, s"Ogg.parse: comment without '=': '$kv'")
+      comments :+= (kv.substring(0, eq)
+        .toUpperCase(java.util.Locale.ROOT) -> kv.substring(eq + 1))
+    }
+    require(lastGranule >= 0, "Ogg.parse: no granule position in the stream")
+    // Opus granules tick at 48 kHz no matter the input rate, and the
+    // preskip samples are decoder warm-up, not audio
+    val durMs =
+      if (codec == "opus") math.max(0L, lastGranule - preskip) * 1000L / 48000L
+      else lastGranule * 1000L / rate
+    OggMeta(codec, channels, rate, durMs, pageIdx,
+      comments.length, vendor,
+      comments.collectFirst { case ("TITLE", v) => v }.getOrElse(""),
+      comments.collectFirst { case ("ARTIST", v) => v }.getOrElse(""))
+  }
+
+  // =====================================================================
   // plant + Spark ops
   // =====================================================================
 
@@ -310,7 +633,11 @@ object AudioContainers {
     * frames; MPEG-2 on id%5==0 (else MPEG-1), samplerate index 0
     * (44100 / 22050); CBR at index 9 on even ids, VBR cycling index
     * 5 + 2·((id + f) mod 5) on odd; padding on f%3==0; channel mode
-    * id%4; ID3v2 of 57 + id%100 body bytes on id%3==0.
+    * id%4; ID3v2 of 57 + id%100 body bytes on id%3==0. Wild-data
+    * shapes: a leading Xing/Info VBR header frame on id%4==1 ("Xing"
+    * when nf is odd, "Info" when even) and a trailing 128-byte ID3v1
+    * TAG block on id%6==2 — both must be recognized and EXCLUDED from
+    * the audio stats.
     */
   def mp3FromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaItem] = {
     import spark.implicits._
@@ -322,7 +649,8 @@ object AudioContainers {
         val payload = mp3Encode(mpeg1, 0,
           f => if (id % 2 == 0) 9 else 5 + 2 * ((id + f) % 5).toInt,
           f => f % 3 == 0, (id % 4).toInt, nf,
-          if (id % 3 == 0) 57 + (id % 100).toInt else 0)
+          if (id % 3 == 0) 57 + (id % 100).toInt else 0,
+          xing = id % 4 == 1, id3v1 = id % 6 == 2)
         Multimodal.MediaItem(id, s"mp3/${id % 3}", payload, 0, 0, nf,
           if (mpeg1) 44100 else 22050)
       })
@@ -348,15 +676,47 @@ object AudioContainers {
       })
   }
 
+  /** Ogg plant: Opus on even ids, Vorbis on odd; channels 1 + id%2;
+    * sample rate 48000/44100/32000 by id%3 (the Opus input rate — its
+    * granule clock stays 48 kHz); total samples 96000 + nc·17; vendor
+    * "graft-ogg"; tags TITLE=doc<id>, ARTIST=corpus<id%5>, plus
+    * ENCODER=enc<id%3> on id%3==0; 3 + id%4 audio pages.
+    */
+  def oggFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Int)].mapPartitions(_.map { case (id, nc) =>
+        val sr = Array(48000, 44100, 32000)((id % 3).toInt)
+        val tags = Seq("TITLE" -> s"doc$id", "ARTIST" -> s"corpus${id % 5}") ++
+          (if (id % 3 == 0) Seq("ENCODER" -> s"enc${id % 3}") else Nil)
+        val payload = oggEncode(opus = id % 2 == 0, 1 + (id % 2).toInt, sr,
+          96000L + math.max(nc, 0).toLong * 17, "graft-ogg", tags,
+          3 + (id % 4).toInt)
+        Multimodal.MediaItem(id, s"ogg/${id % 3}", payload, 0, 0, 0, sr)
+      })
+  }
+
+  def oggMeta(spark: SparkSession, media: Dataset[Multimodal.MediaItem]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val x = oggParse(m.payload)
+      (m.media_id, x.codec, x.channels, x.sample_rate, x.duration_ms,
+        x.n_pages, x.n_comments, x.vendor, x.title, x.artist)
+    }).toDF("media_id", "codec", "channels", "sample_rate", "duration_ms",
+      "n_pages", "n_comments", "vendor", "title", "artist")
+  }
+
   def mp3Meta(spark: SparkSession, media: Dataset[Multimodal.MediaItem]): DataFrame = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val x = mp3Parse(m.payload)
       (m.media_id, x.mpeg_version, x.sample_rate, x.channel_mode, x.n_frames,
-        x.duration_ms, x.audio_bytes, x.bitrate_kbps, x.is_vbr, x.id3_bytes)
+        x.duration_ms, x.audio_bytes, x.bitrate_kbps, x.is_vbr, x.id3_bytes,
+        x.has_xing, x.has_id3v1)
     }).toDF("media_id", "mpeg_version", "sample_rate", "channel_mode",
       "n_frames", "duration_ms", "audio_bytes", "bitrate_kbps", "is_vbr",
-      "id3_bytes")
+      "id3_bytes", "has_xing", "has_id3v1")
   }
 
   def flacMeta(spark: SparkSession, media: Dataset[Multimodal.MediaItem]): DataFrame = {

@@ -129,10 +129,91 @@ object Subtitles {
     out.result()
   }
 
-  /** Container sniff: WebVTT magic → VTT, else SRT. */
+  // =====================================================================
+  // ASS/SSA (Advanced SubStation Alpha — the fansub/anime-corpus format)
+  // =====================================================================
+
+  private val AssTime = """(\d+):(\d{2}):(\d{2})\.(\d{2})""".r
+
+  /** ASS timestamps are `H:MM:SS.cc` — CENTIseconds, not milliseconds. */
+  private def parseAssTime(s: String, what: String): Long = s.trim match {
+    case AssTime(h, m, sec, cs) =>
+      require(m.toInt < 60 && sec.toInt < 60,
+        s"$what: minutes/seconds out of range in '$s'")
+      ((h.toLong * 60 + m.toLong) * 60 + sec.toLong) * 1000 + cs.toLong * 10
+    case _ => throw new IllegalArgumentException(
+      s"$what: unparseable ASS timestamp '$s'")
+  }
+
+  /** Visible text of one ASS dialogue line: `{\...}` style-override
+    * blocks vanish, the `\N`/`\n`/`\h` escapes read as spaces.
+    */
+  def assVisibleText(t: String): String =
+    t.replaceAll("\\{[^}]*\\}", "").replace("\\N", " ")
+      .replace("\\n", " ").replace("\\h", " ")
+
+  /** ASS/SSA parse into the same [[Cue]] schema: the `[Events]`
+    * section's `Format:` line fixes the field order (Text must be LAST —
+    * it is the one field that may contain commas, so each `Dialogue:`
+    * line splits with that bound); `Comment:` lines and every other
+    * section are skipped. `text` keeps the raw dialogue (override blocks
+    * included — [[cleanCueText]] strips them downstream, the SRT/VTT
+    * discipline); `n_words` counts the VISIBLE words.
+    */
+  def parseAss(mediaId: Long, payload: String): Seq[Cue] = {
+    val lines = payload.replace("\uFEFF", "").replace("\r\n", "\n")
+      .replace("\r", "\n").split("\n")
+    val evAt = lines.indexWhere(_.trim.equalsIgnoreCase("[Events]"))
+    require(evAt >= 0, "parseAss: no [Events] section")
+    val fmtAt = lines.indexWhere(l => l.trim.nonEmpty, evAt + 1)
+    require(fmtAt > evAt && lines(fmtAt).trim.startsWith("Format:"),
+      "parseAss: [Events] section without a leading Format: line")
+    val fields = lines(fmtAt).trim.stripPrefix("Format:").split(",").map(_.trim)
+    val startIdx = fields.indexOf("Start")
+    val endIdx = fields.indexOf("End")
+    val textIdx = fields.indexOf("Text")
+    require(startIdx >= 0 && endIdx >= 0 && textIdx >= 0,
+      s"parseAss: Format line lacks Start/End/Text: '${lines(fmtAt).trim}'")
+    require(textIdx == fields.length - 1,
+      "parseAss: Text must be the LAST Format field (dialogue text may " +
+        "contain commas)")
+    var prevStart = Long.MinValue
+    var idx = 0
+    val out = Seq.newBuilder[Cue]
+    var i = fmtAt + 1
+    var inEvents = true
+    while (inEvents && i < lines.length) {
+      val line = lines(i).trim
+      if (line.startsWith("[")) inEvents = false // next section
+      else if (line.startsWith("Dialogue:")) {
+        val parts = line.stripPrefix("Dialogue:").split(",", fields.length)
+        require(parts.length == fields.length,
+          s"parseAss: Dialogue line has ${parts.length} fields, Format " +
+            s"declares ${fields.length}: '${line.take(60)}'")
+        val start = parseAssTime(parts(startIdx), s"parseAss cue $idx")
+        val end = parseAssTime(parts(endIdx), s"parseAss cue $idx")
+        require(end > start,
+          s"parseAss: cue $idx is an empty/negative span ($start..$end ms)")
+        val text = parts(textIdx)
+        val ord = start >= prevStart
+        prevStart = start
+        out += Cue(mediaId, idx, start, end, wordCount(assVisibleText(text)),
+          ord, text)
+        idx += 1
+      }
+      // Comment:/Picture:/Sound: event lines and blanks: skipped per spec
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Container sniff: WebVTT magic → VTT; an ini-style `[...]` section
+    * header → ASS/SSA; else SRT. */
   def parse(mediaId: Long, payload: String): Seq[Cue] = {
     val trimmed = payload.replace("\uFEFF", "")
     if (trimmed.startsWith("WEBVTT")) parseVtt(mediaId, payload)
+    else if (trimmed.dropWhile(c => c == '\n' || c == '\r' || c == ' ')
+      .startsWith("[")) parseAss(mediaId, trimmed)
     else parseSrt(mediaId, trimmed)
   }
 
@@ -179,7 +260,11 @@ object Subtitles {
     */
   def cleanCueText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val untagged = regexp_replace(text, "<[^>]*>", "")
+    // ASS `{\...}` override blocks and `\N`/`\n`/`\h` escapes first (a
+    // no-op on SRT/VTT text), then the angle-bracket span markup
+    val unoverridden = regexp_replace(
+      regexp_replace(text, "\\{[^}]*\\}", ""), "\\\\[Nnh]", " ")
+    val untagged = regexp_replace(unoverridden, "<[^>]*>", "")
     val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
       "&nbsp;" -> " ", "&lrm;" -> "", "&rlm;" -> "")
     val decoded = entities.foldLeft(untagged) { case (c, (from, to)) =>
@@ -192,7 +277,8 @@ object Subtitles {
     * half — java.util.regex against Spark's codegen'd regexp_replace).
     */
   def cleanCueTextRef(text: String): String = {
-    var t = text.replaceAll("<[^>]*>", "")
+    var t = text.replaceAll("\\{[^}]*\\}", "").replaceAll("\\\\[Nnh]", " ")
+      .replaceAll("<[^>]*>", "")
     Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
       "&nbsp;" -> " ", "&lrm;" -> "", "&rlm;" -> "").foreach { case (from, to) =>
       t = t.replace(from, to)
@@ -293,6 +379,86 @@ object Subtitles {
       if (srt) blocks.mkString("\n\n")
       else (Seq("WEBVTT - planted fixture", "NOTE synthetic caption track") ++
         blocks).mkString("\n\n"))
+  }
+
+  /** ASS word normalization (spec for the fixture replica): '{', '}'
+    * and '\' map to ',' — a brace would open a style-override block the
+    * extractor strips (silent word loss), and a backslash could
+    * fabricate a `\N` escape.
+    */
+  def normalizeAssWord(w: String): String =
+    w.map(c => if (c == '{' || c == '}' || c == '\\') ',' else c)
+
+  /** ASS cue timing (spec for the fixture replica): centisecond
+    * resolution — ASS timestamps are `H:MM:SS.cc` — so everything is a
+    * multiple of 10 ms: cue i starts at i·1700 + (id%7)·10, runs 1400;
+    * cue 2 of id%5==0 docs starts 100 ms before cue 1 (the out-of-order
+    * plant, as the SRT/VTT side).
+    */
+  def plantAssCueTimes(id: Long, i: Int, nCues: Int): (Long, Long) = {
+    val base = i.toLong * 1700 + (id % 7) * 10
+    val start = if (i == 2 && id % 5 == 0 && nCues >= 3)
+      1L * 1700 + (id % 7) * 10 - 100 else base
+    (start, start + 1400)
+  }
+
+  /** Render the planted cues for one document as ASS (spec for the
+    * fixture replica): words normalized by [[normalizeAssWord]], groups
+    * of four per cue ([[plantAssCueTimes]] timing); word j of cue i
+    * wraps in `{\i1}..{\i0}` when (id+i+j)%3==0, `{\b1}..{\b0}` when
+    * ==1, bare otherwise; full 4-word cues join their halves with `\N`;
+    * a `Comment:` event precedes the cues on id%3==0 docs (skipped by
+    * contract). The visible text of cue i is EXACTLY its normalized
+    * words joined by single spaces.
+    */
+  def plantAssSubtitle(id: Long, text: String): Option[String] = {
+    val words = Option(text).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+      .map(normalizeAssWord)
+    if (words.isEmpty) return None
+    val groups = words.grouped(4).toSeq
+    def fmt(ms: Long): String = {
+      val h = ms / 3600000; val m = ms / 60000 % 60
+      val s = ms / 1000 % 60; val cc = ms % 1000 / 10
+      f"$h%01d:$m%02d:$s%02d.$cc%02d"
+    }
+    val dialogues = groups.zipWithIndex.map { case (g, i) =>
+      val (start, end) = plantAssCueTimes(id, i, groups.length)
+      val styled = g.zipWithIndex.map { case (w, j) =>
+        ((id + i + j) % 3).toInt match {
+          case 0 => s"{\\i1}$w{\\i0}"
+          case 1 => s"{\\b1}$w{\\b0}"
+          case _ => w
+        }
+      }
+      val body = if (styled.length == 4)
+        styled.take(2).mkString(" ") + "\\N" + styled.drop(2).mkString(" ")
+      else styled.mkString(" ")
+      s"Dialogue: 0,${fmt(start)},${fmt(end)},Default,,0,0,0,,$body"
+    }
+    val comment = if (id % 3 == 0)
+      Seq(s"Comment: 0,0:00:00.00,0:00:01.00,Default,,0,0,0,,planted note $id")
+    else Nil
+    Some((Seq(
+      "[Script Info]",
+      s"Title: doc$id",
+      "ScriptType: v4.00+",
+      "",
+      "[V4+ Styles]",
+      "Format: Name, Fontname, Fontsize",
+      "Style: Default,Arial,20",
+      "",
+      "[Events]",
+      "Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text") ++
+      comment ++ dialogues).mkString("\n") + "\n")
+  }
+
+  /** Build the ASS subtitle table from the documents fixture. */
+  def assFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[SubtitleItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].flatMap { case (id, text) =>
+        plantAssSubtitle(id, text).map(SubtitleItem(id, _))
+      }
   }
 
   /** Build a subtitle table from the documents fixture ([[plantSubtitle]]

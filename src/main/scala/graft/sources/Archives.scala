@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   * with data descriptors read fine because the central directory always
   * carries the real sizes/CRC), POSIX ustar for tar (512-byte
   * octal-field headers, content padded to block size, two zero blocks
-  * at end). Outside the canonical subset rejects LOUDLY BY NAME: zip64,
-  * encrypted entries, other compression methods, GNU tar
-  * longname/sparse extensions, header-checksum mismatches, and any
-  * size/offset that overruns the payload (all bounds in Long
-  * arithmetic). Extraction verifies both the CRC-32 and the declared
-  * uncompressed size — a silent mismatch would poison training text.
+  * at end). zip64 is supported — repo-scale corpora (one archive per
+  * repo) cross the classic 4 GiB / 65,535-member limits routinely, so
+  * the walk resolves 0xFFFF/0xFFFFFFFF markers through the EOCD64
+  * locator + record and per-entry 0x0001 extra fields. Outside the
+  * canonical subset rejects LOUDLY BY NAME: encrypted entries, other
+  * compression methods, multi-disk archives, GNU tar longname/sparse
+  * extensions, header-checksum mismatches, and any size/offset that
+  * overruns the payload (all bounds in Long arithmetic). Extraction
+  * verifies both the CRC-32 and the declared uncompressed size — a
+  * silent mismatch would poison training text.
   *
   * Reference behavior being matched: the reference stores such payloads
   * as opaque blobs; archive ingestion is a pipeline extension per the
@@ -157,12 +161,22 @@ object Archives {
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
   }
+  private def le64(b: Array[Byte], at: Long): Long =
+    le32(b, at) | (le32(b, at + 4) << 32)
 
   object Zip {
     /** Write a zip: (name, content, deflate?) members; deterministic
-      * (fixed dos time, no extra fields, no comment).
+      * (fixed dos time, no comment). `forceZip64` writes the zip64 wire
+      * form regardless of actual size — the Info-ZIP forced mode real
+      * tools use near the classic limits: central-directory sizes and
+      * local offsets masked to 0xFFFFFFFF with the real values in
+      * 0x0001 extra fields, classic EOCD counts/offsets masked to
+      * 0xFFFF/0xFFFFFFFF, and the EOCD64 record + locator written
+      * before the EOCD. Local headers stay classic either way (the
+      * central directory is this reader's single source of truth).
       */
-    def encode(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    def encode(members: Seq[(String, Array[Byte], Boolean)],
+               forceZip64: Boolean = false): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       val central = new java.io.ByteArrayOutputStream()
       def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
@@ -171,6 +185,9 @@ object Archives {
       def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
         o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
         o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+      }
+      def w64(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+        w32(o, v & 0xffffffffL); w32(o, (v >>> 32) & 0xffffffffL)
       }
       members.foreach { case (name, data, deflate) =>
         val nameB = name.getBytes("UTF-8")
@@ -190,20 +207,44 @@ object Archives {
         w32(out, crc); w32(out, packed.length.toLong); w32(out, data.length.toLong)
         w16(out, nameB.length); w16(out, 0)
         out.write(nameB); out.write(packed)
-        w32(central, 0x02014b50L); w16(central, 20); w16(central, 20)
+        val vers = if (forceZip64) 45 else 20
+        w32(central, 0x02014b50L); w16(central, vers); w16(central, vers)
         w16(central, 0); w16(central, method); w16(central, 0); w16(central, 0x21)
-        w32(central, crc); w32(central, packed.length.toLong)
-        w32(central, data.length.toLong)
-        w16(central, nameB.length); w16(central, 0); w16(central, 0)
-        w16(central, 0); w16(central, 0); w32(central, 0L); w32(central, localOff)
-        central.write(nameB)
+        w32(central, crc)
+        if (forceZip64) {
+          w32(central, 0xffffffffL); w32(central, 0xffffffffL) // sizes → extra
+          w16(central, nameB.length); w16(central, 28); w16(central, 0)
+          w16(central, 0); w16(central, 0); w32(central, 0L)
+          w32(central, 0xffffffffL)                            // offset → extra
+          central.write(nameB)
+          w16(central, 0x0001); w16(central, 24)               // zip64 extra field
+          w64(central, data.length.toLong); w64(central, packed.length.toLong)
+          w64(central, localOff)
+        } else {
+          w32(central, packed.length.toLong); w32(central, data.length.toLong)
+          w16(central, nameB.length); w16(central, 0); w16(central, 0)
+          w16(central, 0); w16(central, 0); w32(central, 0L); w32(central, localOff)
+          central.write(nameB)
+        }
       }
       val cdOff = out.size().toLong
       val cd = central.toByteArray
       out.write(cd)
-      w32(out, 0x06054b50L); w16(out, 0); w16(out, 0)
-      w16(out, members.length); w16(out, members.length)
-      w32(out, cd.length.toLong); w32(out, cdOff); w16(out, 0)
+      if (forceZip64) {
+        val e64At = out.size().toLong
+        w32(out, 0x06064b50L); w64(out, 44L) // EOCD64: size of remainder
+        w16(out, 45); w16(out, 45); w32(out, 0L); w32(out, 0L)
+        w64(out, members.length.toLong); w64(out, members.length.toLong)
+        w64(out, cd.length.toLong); w64(out, cdOff)
+        w32(out, 0x07064b50L); w32(out, 0L); w64(out, e64At); w32(out, 1L) // locator
+        w32(out, 0x06054b50L); w16(out, 0); w16(out, 0)
+        w16(out, 0xffff); w16(out, 0xffff)
+        w32(out, 0xffffffffL); w32(out, 0xffffffffL); w16(out, 0)
+      } else {
+        w32(out, 0x06054b50L); w16(out, 0); w16(out, 0)
+        w16(out, members.length); w16(out, members.length)
+        w32(out, cd.length.toLong); w32(out, cdOff); w16(out, 0)
+      }
       out.toByteArray
     }
 
@@ -225,18 +266,40 @@ object Archives {
       }
       require(eocd >= 0, "Zip.parse: no end-of-central-directory record " +
         "(not a zip, or a truncated one)")
-      val count = le16(payload, eocd + 10)
-      val cdSize = le32(payload, eocd + 12)
-      val cdOff = le32(payload, eocd + 16)
-      require(count == le16(payload, eocd + 8),
+      var count = le16(payload, eocd + 10).toLong
+      var cdSize = le32(payload, eocd + 12)
+      var cdOff = le32(payload, eocd + 16)
+      require(le16(payload, eocd + 8).toLong == count,
         "Zip.parse: multi-disk archives not supported")
-      require(cdOff != 0xffffffffL && count != 0xffff,
-        "Zip.parse: zip64 archives not supported (classic subset only)")
-      require(cdOff + cdSize <= eocd,
+      if (count == 0xffffL || cdOff == 0xffffffffL || cdSize == 0xffffffffL) {
+        // zip64: the EOCD64 locator sits immediately before the EOCD
+        val locAt = eocd - 20
+        require(locAt >= 0 && le32(payload, locAt) == 0x07064b50L,
+          "Zip.parse: zip64 markers in the EOCD but no EOCD64 locator before it")
+        require(le32(payload, locAt + 4) == 0L && le32(payload, locAt + 16) == 1L,
+          "Zip.parse: multi-disk zip64 archives not supported")
+        val e64 = le64(payload, locAt + 8)
+        require(e64 >= 0 && e64 + 56 <= locAt,
+          s"Zip.parse: EOCD64 record at $e64 overruns its locator at $locAt")
+        require(le32(payload, e64) == 0x06064b50L,
+          s"Zip.parse: bad EOCD64 signature at $e64")
+        count = le64(payload, e64 + 32)
+        require(le64(payload, e64 + 24) == count,
+          "Zip.parse: multi-disk zip64 archives not supported")
+        cdSize = le64(payload, e64 + 40)
+        cdOff = le64(payload, e64 + 48)
+      }
+      require(cdOff >= 0 && cdSize >= 0 && cdOff + cdSize <= eocd,
         s"Zip.parse: central directory [$cdOff, ${cdOff + cdSize}) overruns the EOCD at $eocd")
+      // a crafted entry count must reject before the walk (46 B is the
+      // minimum central-directory entry)
+      require(count >= 0 && count <= cdSize / 46,
+        s"Zip.parse: entry count $count overruns the $cdSize-byte central directory")
+      val cdEnd = cdOff + cdSize
       val out = scala.collection.mutable.ArrayBuffer.empty[(Entry, Long)]
       var p = cdOff
-      (0 until count).foreach { _ =>
+      (0L until count).foreach { _ =>
+        require(p + 46 <= cdEnd, s"Zip.parse: truncated central-directory entry at $p")
         require(le32(payload, p) == 0x02014b50L,
           s"Zip.parse: bad central-directory signature at $p")
         val flags = le16(payload, p + 8)
@@ -250,16 +313,44 @@ object Archives {
         require(method == 0 || method == 8,
           s"Zip.parse: compression method $method not supported (stored/deflate only)")
         val crc = le32(payload, p + 16)
-        val compSize = le32(payload, p + 20)
-        val uncompSize = le32(payload, p + 24)
+        var compSize = le32(payload, p + 20)
+        var uncompSize = le32(payload, p + 24)
         val nameLen = le16(payload, p + 28)
         val extraLen = le16(payload, p + 30)
         val commentLen = le16(payload, p + 32)
-        val localOff = le32(payload, p + 42)
-        require(compSize != 0xffffffffL && uncompSize != 0xffffffffL &&
-          localOff != 0xffffffffL, "Zip.parse: zip64 field markers not supported")
+        var localOff = le32(payload, p + 42)
+        require(p + 46 + nameLen + extraLen + commentLen <= cdEnd,
+          s"Zip.parse: central-directory entry at $p overruns the directory end $cdEnd")
         val name = new String(payload, (p + 46).toInt, nameLen, "UTF-8")
-        require(localOff + 30 <= n,
+        if (compSize == 0xffffffffL || uncompSize == 0xffffffffL ||
+            localOff == 0xffffffffL) {
+          // the real 64-bit values live in the 0x0001 extra field, holding
+          // ONLY the masked fields, in uncomp/comp/offset order (APPNOTE)
+          var q = p + 46 + nameLen
+          val extraEnd = q + extraLen
+          var found = false
+          while (!found && q + 4 <= extraEnd) {
+            val fid = le16(payload, q)
+            val fsz = le16(payload, q + 2)
+            require(q + 4 + fsz <= extraEnd,
+              s"Zip.parse: extra field on '$name' overruns its declared length")
+            if (fid == 0x0001) {
+              var r = q + 4
+              def take64(what: String): Long = {
+                require(r + 8 <= q + 4 + fsz,
+                  s"Zip.parse: zip64 extra field on '$name' too short for the $what")
+                val v = le64(payload, r); r += 8; v
+              }
+              if (uncompSize == 0xffffffffL) uncompSize = take64("uncompressed size")
+              if (compSize == 0xffffffffL) compSize = take64("compressed size")
+              if (localOff == 0xffffffffL) localOff = take64("local-header offset")
+              found = true
+            } else q += 4 + fsz
+          }
+          require(found,
+            s"Zip.parse: entry '$name' carries zip64 markers but no zip64 extra field")
+        }
+        require(localOff >= 0 && localOff + 30 <= n,
           s"Zip.parse: entry '$name' local header at $localOff overruns the payload")
         out += ((Entry(name, uncompSize, compSize,
           if (method == 8) "deflate" else "store", crc,
@@ -361,8 +452,10 @@ object Archives {
       s"Archives: unknown format '$other' (zip/tar/tgz)")
   }
 
-  /** Planted format by id: even → zip, id%4==1 → tar, id%4==3 → tar.gz
-    * (all three transports inside the oracle gate).
+  /** Planted format by id: even → zip (the id%10==4 subset in FORCED
+    * zip64 wire form — EOCD64 + locator + 0x0001 extra fields, same
+    * logical content), id%4==1 → tar, id%4==3 → tar.gz (all transports
+    * inside the oracle gate).
     */
   def archivesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[ArchiveItem] = {
     import spark.implicits._
@@ -374,7 +467,7 @@ object Archives {
           if (id % 2 == 0)
             ArchiveItem(id, "zip", Zip.encode(members.map { case (nm, c) =>
               (nm, c.getBytes("UTF-8"), nm != "README.md")
-            }))
+            }, forceZip64 = id % 10 == 4))
           else {
             val tar = Tar.encode(members.map { case (nm, c) =>
               (nm, c.getBytes("UTF-8"))

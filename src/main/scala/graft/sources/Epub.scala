@@ -41,9 +41,11 @@ object Epub {
 
   /** Walk one EPUB payload to its spine-ordered chapters. */
   def chapters(payload: Array[Byte]): Seq[Chapter] = {
-    val entries = Archives.Zip.entries(payload)
+    // index members by name once — chapter resolution does one lookup per
+    // spine item, and a book has hundreds of members
+    val byName = Archives.Zip.entries(payload).map(e => e._1.name -> e).toMap
     def member(name: String): Array[Byte] =
-      entries.find(_._1.name == name) match {
+      byName.get(name) match {
         case Some((e, off)) => Archives.Zip.extract(payload, e, off)
         case None => throw new IllegalArgumentException(
           s"Epub.parse: no '$name' member (not an EPUB, or a damaged one)")

@@ -72,6 +72,44 @@ class ArchivesSpec extends SparkSpec {
     }
   }
 
+  test("zip64: the forced wire form (EOCD64 + locator + 0x0001 extra " +
+    "fields) round-trips and interops with the JDK reader; crafted " +
+    "zip64 rejects by name") {
+    val z64 = Zip.encode(members.map { case (n, d) => (n, d, n != "README.md") },
+      forceZip64 = true)
+    // classic and zip64 wire forms of the same members yield the same catalog
+    val classic = Zip.encode(members.map { case (n, d) => (n, d, n != "README.md") })
+    assert(Zip.entries(z64).map(_._1) === Zip.entries(classic).map(_._1))
+    val es = Zip.entries(z64)
+    es.zip(members).foreach { case ((e, off), (_, data)) =>
+      assert(Zip.extract(z64, e, off).toSeq === data.toSeq)
+    }
+    // JDK interop: local headers stay classic, so ZipInputStream streams it
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(z64))
+    members.foreach { case (n, d) =>
+      val e = zin.getNextEntry
+      assert(e.getName === n)
+      assert(zin.readAllBytes().toSeq === d.toSeq, n)
+    }
+    // EOCD carries zip64 markers but the locator is missing → by name
+    val noLoc = {
+      val eocd = z64.length - 22
+      z64.take(eocd - 20 - 56) ++ z64.drop(eocd) // cut EOCD64 + locator
+    }
+    val m1 = intercept[IllegalArgumentException](Zip.entries(noLoc)).getMessage
+    assert(m1.contains("EOCD64 locator"), m1)
+    // an entry with markers but no 0x0001 extra field → by name
+    val sig = Array[Byte](0x50, 0x4b, 0x01, 0x02)
+    val cdAt = z64.indices.find(i => i + 4 <= z64.length &&
+      z64.slice(i, i + 4).sameElements(sig)).get
+    val noExtra = z64.clone()
+    val nameLen = (z64(cdAt + 28) & 0xff) | ((z64(cdAt + 29) & 0xff) << 8)
+    noExtra(cdAt + 46 + nameLen) = 0x7e // poison the extra field id (0x0001 → 0x007e)
+    val m2 = intercept[IllegalArgumentException](Zip.entries(noExtra)).getMessage
+    assert(m2.contains("no zip64 extra field"), m2)
+  }
+
   test("crafted and unsupported archives reject by name") {
     def zrej(p: Array[Byte], frag: String): Unit = {
       val m = intercept[IllegalArgumentException] {

@@ -28,6 +28,37 @@ class AudioContainersSpec extends SparkSpec {
     assert(vbr.mpeg_version === 2 && vbr.sample_rate === 22050)
     assert(vbr.is_vbr && vbr.channel_mode === "mono")
     assert(vbr.duration_ms === 30L * 576 * 1000 / 22050)
+    assert(!vbr.has_xing && !vbr.has_id3v1)
+  }
+
+  test("mp3 wild-data tolerance: a leading Xing/Info header frame and a " +
+    "trailing ID3v1 TAG block are recognized and excluded from the stats") {
+    val bare = AudioContainers.mp3Parse(
+      AudioContainers.mp3Encode(mpeg1 = true, 0, _ => 9, _ % 3 == 0, 1, 41, 0))
+    // Xing spelling (odd frame count) — stats must equal the bare stream's
+    val x = AudioContainers.mp3Parse(AudioContainers.mp3Encode(
+      mpeg1 = true, 0, _ => 9, _ % 3 == 0, 1, 41, 0, xing = true))
+    assert(x.has_xing && !x.has_id3v1)
+    assert(x.n_frames === bare.n_frames && x.duration_ms === bare.duration_ms)
+    assert(x.audio_bytes === bare.audio_bytes && x.is_vbr === bare.is_vbr)
+    // Info spelling (even frame count), MPEG-2 mono side-info offset
+    val i = AudioContainers.mp3Parse(AudioContainers.mp3Encode(
+      mpeg1 = false, 0, _ => 7, _ => false, 3, 30, 0, xing = true))
+    assert(i.has_xing && i.n_frames === 30L && !i.is_vbr)
+    // ID3v1 trailer: 128 bytes at EOF, skipped instead of "lost sync"
+    val v1 = AudioContainers.mp3Parse(AudioContainers.mp3Encode(
+      mpeg1 = true, 0, _ => 9, _ % 3 == 0, 1, 41, 57, id3v1 = true))
+    assert(v1.has_id3v1 && v1.id3_bytes === 67L)
+    assert(v1.n_frames === bare.n_frames && v1.audio_bytes === bare.audio_bytes)
+    // both at once (the LAME-encoded shape)
+    val both = AudioContainers.mp3Parse(AudioContainers.mp3Encode(
+      mpeg1 = true, 0, _ => 9, _ % 3 == 0, 1, 41, 0, xing = true, id3v1 = true))
+    assert(both.has_xing && both.has_id3v1 && both.n_frames === 41L)
+    // a Xing frame with NO audio after it rejects by name
+    val only = intercept[IllegalArgumentException](AudioContainers.mp3Parse(
+      AudioContainers.mp3Encode(mpeg1 = true, 0, _ => 9, _ => false, 1, 0,
+        0, xing = true))).getMessage
+    assert(only.contains("no audio frames"), only)
   }
 
   test("mp3: crafted streams reject by name (lost sync, free-format, " +
@@ -80,6 +111,53 @@ class AudioContainersSpec extends SparkSpec {
     val big = AudioContainers.flacParse(AudioContainers.flacEncode(
       44100, 1, 16, (1L << 36) - 1, "v", Nil, 8))
     assert(big.total_samples === (1L << 36) - 1)
+  }
+
+  test("ogg: encode→parse round-trips page framing, headers and tags " +
+    "for both codecs; the Opus 48 kHz granule clock and preskip are " +
+    "honored; crafted streams reject by name") {
+    val opus = AudioContainers.oggParse(AudioContainers.oggEncode(
+      opus = true, 2, 44100, 96000L, "v/1", Seq("TITLE" -> "t", "artist" -> "a"), 4))
+    assert(opus.codec === "opus" && opus.channels === 2)
+    assert(opus.sample_rate === 44100) // declared input rate
+    assert(opus.duration_ms === 96000L * 1000 / 48000) // granule clock 48k
+    assert(opus.n_pages === 6L && opus.n_comments === 2)
+    assert(opus.vendor === "v/1" && opus.title === "t" && opus.artist === "a")
+    val vorb = AudioContainers.oggParse(AudioContainers.oggEncode(
+      opus = false, 1, 32000, 64000L, "v/2", Seq("ARTIST" -> "b"), 3))
+    assert(vorb.codec === "vorbis" && vorb.channels === 1)
+    assert(vorb.duration_ms === 64000L * 1000 / 32000) // media rate
+    assert(vorb.title === "" && vorb.artist === "b")
+    def rej(p: Array[Byte], frag: String): Unit = {
+      val m = intercept[IllegalArgumentException](
+        AudioContainers.oggParse(p)).getMessage
+      assert(m.contains(frag), m)
+    }
+    val good = AudioContainers.oggEncode(opus = true, 1, 48000, 48000L,
+      "v", Seq("TITLE" -> "x"), 3)
+    rej("definitely not an ogg stream at all, not even close".getBytes,
+      "capture pattern")
+    rej(good.take(good.length - 10), "overruns")
+    // a flipped body byte breaks the page CRC
+    val corrupt = good.clone(); corrupt(good.length - 3) = 0x55
+    rej(corrupt, "CRC mismatch")
+    // dropping the EOS page leaves the stream unterminated
+    val lastPageAt = {
+      var at = 0; var prev = 0
+      while (at < good.length) {
+        prev = at
+        val nSegs = good(at + 26) & 0xff
+        var body = 0
+        (0 until nSegs).foreach(i => body += good(at + 27 + i) & 0xff)
+        at += 27 + nSegs + body
+      }
+      prev
+    }
+    rej(good.take(lastPageAt), "no EOS")
+    // a second serial rejects as multiplexed
+    val muxed = good.clone()
+    muxed(lastPageAt + 14) = (muxed(lastPageAt + 14) ^ 1).toByte
+    rej(muxed, "multiplexed")
   }
 
   test("the Spark ops agree with the plant formulas on a doc sample") {

@@ -72,6 +72,82 @@ class SubtitlesSpec extends SparkSpec {
       "out of range")
   }
 
+  test("parseAss reads an ASS track: Format-ordered Dialogue fields, " +
+    "centisecond timestamps, Comment lines skipped, overrides stripped " +
+    "from the visible word count; malformed tracks reject by name") {
+    val track =
+      """[Script Info]
+        |Title: t
+        |
+        |[Events]
+        |Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+        |Comment: 0,0:00:00.00,0:00:01.00,Default,,0,0,0,,a note
+        |Dialogue: 0,0:00:01.50,0:00:03.20,Default,,0,0,0,,Hello {\i1}styled{\i0} world
+        |Dialogue: 0,0:00:03.20,0:00:05.00,Default,,0,0,0,,two\Nlines, with a comma
+        |""".stripMargin
+    val cues = Subtitles.parseAss(7L, track)
+    assert(cues.length === 2)
+    assert(cues(0).start_ms === 1500L && cues(0).end_ms === 3200L)
+    assert(cues(0).n_words === 3) // overrides don't count as words
+    assert(cues(0).text === "Hello {\\i1}styled{\\i0} world") // raw kept
+    assert(cues(1).start_ms === 3200L && cues(1).n_words === 5)
+    assert(cues(1).in_order)
+    // the sniffing router takes the section header
+    assert(Subtitles.parse(7L, track) === cues)
+    // a reordered Format grid still resolves fields by name
+    val reordered = track.replace(
+      "Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text",
+      "Format: Start, End, Layer, Style, Name, MarginL, MarginR, MarginV, Effect, Text")
+      .replaceAll("(?m)^Dialogue: 0,(\\d:\\d{2}:\\d{2}\\.\\d{2}),(\\d:\\d{2}:\\d{2}\\.\\d{2})",
+        "Dialogue: $1,$2,0")
+      .replaceAll("(?m)^Comment: 0,(\\d:\\d{2}:\\d{2}\\.\\d{2}),(\\d:\\d{2}:\\d{2}\\.\\d{2})",
+        "Comment: $1,$2,0")
+    assert(Subtitles.parseAss(7L, reordered).map(c => (c.start_ms, c.n_words)) ===
+      cues.map(c => (c.start_ms, c.n_words)))
+    def bad(body: => Any, frag: String): Unit =
+      assert(intercept[IllegalArgumentException](body).getMessage.contains(frag), frag)
+    bad(Subtitles.parseAss(1L, "[Script Info]\nTitle: x\n"), "[Events]")
+    bad(Subtitles.parseAss(1L, "[Events]\nDialogue: 0,0:00:01.00,0:00:02.00,s,,0,0,0,,x"),
+      "Format:")
+    bad(Subtitles.parseAss(1L,
+      "[Events]\nFormat: Start, Text, End\nDialogue: 0:00:01.00,x,0:00:02.00"),
+      "LAST")
+    bad(Subtitles.parseAss(1L,
+      "[Events]\nFormat: Start, End, Text\nDialogue: 0:00:02.00,0:00:02.00,x"),
+      "span")
+    bad(Subtitles.parseAss(1L,
+      "[Events]\nFormat: Start, End, Text\nDialogue: 0:00:01.000,0:00:02.00,x"),
+      "unparseable")
+    // assVisibleText: overrides vanish, escapes become spaces
+    assert(Subtitles.assVisibleText("{\\pos(1,2)}a\\Nb\\hc") === "a b c")
+  }
+
+  test("the ASS plant round-trips: format∘parse is the identity and " +
+    "cleanCueTextRef recovers exactly the normalized words") {
+    val docs = Tables.documents(spark, sf).limit(30)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    var sawCues = 0; var sawOutOfOrder = 0
+    docs.foreach { case (id, text) =>
+      Subtitles.plantAssSubtitle(id, Option(text).getOrElse("")).foreach { payload =>
+        val words = text.trim.split("\\s+").filter(_.nonEmpty)
+          .map(Subtitles.normalizeAssWord)
+        val groups = words.grouped(4).toIndexedSeq
+        val cues = Subtitles.parse(id, payload)
+        assert(cues.length === groups.length, s"doc $id")
+        cues.zip(groups).zipWithIndex.foreach { case ((c, g), i) =>
+          val (ws, we) = Subtitles.plantAssCueTimes(id, i, groups.length)
+          assert(c.start_ms === ws && c.end_ms === we, s"doc $id cue $i")
+          assert(c.n_words === g.length, s"doc $id cue $i")
+          assert(Subtitles.cleanCueTextRef(c.text) === g.mkString(" "), s"doc $id cue $i")
+          if (!c.in_order) sawOutOfOrder += 1
+          sawCues += 1
+        }
+      }
+    }
+    assert(sawCues > 0)
+    assert(sawOutOfOrder > 0, "the out-of-order plant never fired")
+  }
+
   test("the planted renderer round-trips through the parser on both " +
     "formats — format∘parse is the identity on every cue field") {
     val docs = Tables.documents(spark, sf).limit(40)
