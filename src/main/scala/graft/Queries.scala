@@ -7089,6 +7089,43 @@ object Queries {
           .orderBy("media_id")
       }),
 
+    QueryDef("q_webp_meta",
+      // WebP container metadata — the decide-before-decode row for the
+      // web's #3 image format: planted lossy VP8 (keyframe header dims),
+      // bare VP8L (14-bit dims + alpha hint), static VP8X (flags, canvas,
+      // EXIF) and animated VP8X (ANMF frame count) all walk the RIFF
+      // chunks — header bytes only, map-only plan. The replica is route
+      // formulas only.
+      Some("""SELECT media_id, format, width, height, has_alpha,
+                     is_animated, n_frames, has_exif, has_icc
+              FROM parquet_scan('{FIX}/_fixture_webpmeta/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Webp.webpFromDocuments(s, t(s, d, "documents"))
+        Webp.webpMeta(s, media).orderBy("media_id")
+      }),
+
+    QueryDef("q_multimodal_webp",
+      // byte-exact VP8L lossless decode pinning (the
+      // q_multimodal_image_png discipline): planted gradients and
+      // palettes run through every encoder mode — color cache, LZ77
+      // against distance 1 and the row stride (the 2D distance-map
+      // head), subtract-green, palette bundling at every width — and
+      // MD5 over the decoded interleaved pixels must equal the
+      // replica's MD5 over the PLANTED pixels (no WebP round trip on
+      // the oracle side). Lossy/animated routes are metadata-only and
+      // excluded here.
+      Some("""SELECT media_id, width, height, channels, pixel_md5
+              FROM parquet_scan('{FIX}/_fixture_webppx/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(11)) =!= 5 &&
+            pmod(col("doc_id"), lit(11)) =!= 7)
+        val media = Webp.webpFromDocuments(s, docs)
+        Webp.webpPixelDigest(s, media).orderBy("media_id")
+      }),
+
     QueryDef("q_multimodal_image_jpeg",
       // byte-exact JPEG decode pinning (the q_multimodal_image_png
       // analog): MD5 over the decoded pixel array vs the replica's MD5

@@ -2465,6 +2465,70 @@ object Verify {
         round6(lumaSum / n),
         if (interior <= 0) 0.0 else round6(edges.toDouble / interior))
     }
+    // ---- WebP replicas: route/dims/pixels re-derived from the plant
+    // formulas (Webp.plantRoute/plantDims/plantArgb scaladoc is the
+    // spec) with NO WebP round trip anywhere in this block.
+    def webpDims(id: Long) = (20 + (id % 9).toInt, 14 + (id % 7).toInt)
+    def webpAlpha(id: Long) = id % 7 != 0 && id % 4 == 0
+    def webpPixels(id: Long): Array[Int] = {
+      val (w, h) = webpDims(id)
+      if (id % 7 == 0) {
+        val n = 2 + (id % 15).toInt
+        val pal = Array.tabulate(n)(c =>
+          0xff000000 | (((c * 37 + id) % 256).toInt << 16) |
+            (((c * 91 + 3 * id) % 256).toInt << 8) | ((c * 53 + 7 * id) % 256).toInt)
+        Array.tabulate(w * h)(i => pal(((i * 7 + i / w + id) % n).toInt))
+      } else {
+        val alpha = id % 4 == 0
+        Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          val r = ((x * 7 + y * 3 + id) % 256).toInt
+          val g = ((x * 3 + y * 11 + id * 5) % 256).toInt
+          val b = ((x * 13 + y * 5 + id * 7) % 256).toInt
+          val a = if (alpha && (x + y + id) % 3 == 0) 200 + (x % 55) else 255
+          (a << 24) | (r << 16) | (g << 8) | b
+        }
+      }
+    }
+    fixture("_fixture_webpmeta") {
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long].collect().sorted.toIndexedSeq
+        .map { id =>
+          val (w, h) = webpDims(id)
+          if (id % 11 == 5)
+            (id, "vp8", w, h, false, false, 1L, false, false)
+          else if (id % 11 == 7)
+            (id, "vp8x+anim", w, h, webpAlpha(id), true, 2L + id % 3, false, false)
+          else if (id % 9 == 4)
+            (id, "vp8x+vp8l", w, h, webpAlpha(id), false, 1L, true, false)
+          else
+            (id, "vp8l", w, h, webpAlpha(id), false, 1L, false, false)
+        }
+      rows.toDF("media_id", "format", "width", "height", "has_alpha",
+          "is_animated", "n_frames", "has_exif", "has_icc").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_webpmeta")
+    }
+    fixture("_fixture_webppx") {
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long].collect().sorted.toIndexedSeq
+        .filter(id => id % 11 != 5 && id % 11 != 7)
+        .map { id =>
+          val (w, h) = webpDims(id)
+          val argb = webpPixels(id)
+          val ch = if (webpAlpha(id)) 4 else 3
+          val px = new Array[Byte](w * h * ch)
+          argb.zipWithIndex.foreach { case (p, i) =>
+            px(i * ch) = ((p >> 16) & 0xff).toByte
+            px(i * ch + 1) = ((p >> 8) & 0xff).toByte
+            px(i * ch + 2) = (p & 0xff).toByte
+            if (ch == 4) px(i * ch + 3) = ((p >>> 24) & 0xff).toByte
+          }
+          (id, w, h, ch, java.security.MessageDigest.getInstance("MD5")
+            .digest(px).map("%02x".format(_)).mkString)
+        }
+      rows.toDF("media_id", "width", "height", "channels", "pixel_md5").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_webppx")
+    }
     fixture("_fixture_imgfeat") {
       val rows = imgPlant(spark).map { case (id, w, h, px) =>
         val f = imgStats(w, h, px)

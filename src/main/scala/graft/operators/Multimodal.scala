@@ -52,10 +52,11 @@ object Multimodal {
                          width: Int, height: Int)
 
   /** Container-agnostic image decode: sniffs the payload magic — PNG
-    * (`89 50`), JPEG (SOI `FF D8`), GIF (`GIF8`, first composed frame)
-    * or BMP (`BM`) — so the four image containers mix freely in one
-    * media table, the way a real crawl's image bytes do. Anything else
-    * rejects by name rather than guessing.
+    * (`89 50`), JPEG (SOI `FF D8`), GIF (`GIF8`, first composed frame),
+    * BMP (`BM`) or WebP (`RIFF....WEBP`, lossless VP8L; lossy rejects by
+    * codec name inside [[Webp.decodeImage]]) — so the five image
+    * containers mix freely in one media table, the way a real crawl's
+    * image bytes do. Anything else rejects by name rather than guessing.
     */
   def decodeImage(payload: Array[Byte]): Png.Image = {
     require(payload != null && payload.length >= 4,
@@ -68,10 +69,16 @@ object Multimodal {
       Gif.decodeImage(payload)
     else if (payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
       Bmp.decode(payload)
+    else if (payload.length >= 12 && payload(0) == 'R'.toByte &&
+      payload(1) == 'I'.toByte && payload(2) == 'F'.toByte &&
+      payload(3) == 'F'.toByte && payload(8) == 'W'.toByte &&
+      payload(9) == 'E'.toByte && payload(10) == 'B'.toByte &&
+      payload(11) == 'P'.toByte)
+      Webp.decodeImage(payload)
     else throw new IllegalArgumentException(
       f"decodeImage: unrecognized image container (leading bytes " +
         f"0x${payload(0) & 0xff}%02X${payload(1) & 0xff}%02X; " +
-        "PNG, JPEG, GIF and BMP supported)")
+        "PNG, JPEG, GIF, BMP and WebP supported)")
   }
 
   /** Container-agnostic video decode: uncompressed AVI (`RIFF`) or

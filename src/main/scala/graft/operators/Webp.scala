@@ -1,0 +1,1189 @@
+package graft.operators
+
+/** Pure-JVM WebP codec — the web's #3-and-rising image format, and the
+  * image tier's biggest real-world gap until now (PNG/JPEG/GIF/BMP
+  * covered ~90% of crawl images; WebP is most of the rest). Three faces:
+  *
+  *  - RIFF container walk (the [[Avi]] discipline): VP8 (lossy), VP8L
+  *    (lossless) and VP8X (extended — alpha/EXIF/ICC flags, animation
+  *    ANMF frames) all yield metadata rows for every WebP.
+  *  - Full VP8L LOSSLESS decode — canonical prefix codes (DEFLATE-style,
+  *    simple and full code-length forms with 16/17/18 repeats), color
+  *    cache, LZ77 backrefs with the 120-entry 2D distance mapping, meta
+  *    prefix-code images, and all four transforms (predictor's 14
+  *    modes, color transform, subtract-green, color-indexing incl.
+  *    sub-byte pixel bundling) — so lossless WebPs feed pHash/features
+  *    exactly like PNG does. Lossy VP8 stays metadata-only and decode
+  *    REJECTS BY CODEC NAME (the MP4/H.264 posture).
+  *  - A real VP8L encoder for planted fixtures (flat complete canonical
+  *    codes via the 2^L−n Kraft split, optional color cache, LZ77 runs
+  *    over distance 1 and the row stride — which exercises the 2D
+  *    distance table head — subtract-green, and palette mode with
+  *    bundling), so encode∘decode sits inside the oracle gate
+  *    byte-exactly.
+  *
+  * Wire format from the public WebP container + lossless bitstream
+  * specifications (RFC 9649). Crafted-payload hygiene: every size is
+  * bounds-checked before use, prefix codes must be COMPLETE (Kraft
+  * equality) outside the 1-symbol forms, backref distances are checked
+  * against decoded-so-far, and the pixel count is capped (a 14-bit
+  * width/height header can declare a 268M-pixel canvas — reject, don't
+  * allocate).
+  *
+  * Reference behavior being matched: the reference stores such payloads
+  * as opaque blobs (serializers/BytesSerializer.java); image decode is
+  * a pipeline extension per the brief.
+  */
+object Webp {
+
+  private val MaxPixels = 1 << 26 // 64M px — far above any sane crawl image
+
+  // =====================================================================
+  // bit I/O (VP8L: LSB-first bit packing; prefix codes read MSB-first
+  // bit by bit, the DEFLATE convention)
+  // =====================================================================
+
+  private final class BitReader(b: Array[Byte], startByte: Int) {
+    private var pos: Long = startByte.toLong * 8
+    private val end: Long = b.length.toLong * 8
+    def readBit(): Int = {
+      require(pos < end, "Webp.decode: VP8L bitstream exhausted mid-read")
+      val v = (b((pos >> 3).toInt) >> (pos & 7).toInt) & 1
+      pos += 1
+      v
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v |= readBit() << i; i += 1 }
+      v
+    }
+  }
+
+  final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << nBits
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        i += 1
+      }
+    }
+    /** Prefix code bits go MSB-first into the LSB-first stream. */
+    def writeCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { writeBits((code >> i) & 1, 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      if (nBits > 0) { buf.write(cur); cur = 0; nBits = 0 }
+      buf.toByteArray
+    }
+  }
+
+  // =====================================================================
+  // canonical prefix codes
+  // =====================================================================
+
+  /** Prefix-code decoder. Three shapes:
+    *  - a 0-bit always-one-symbol code (the simple form's 1-symbol case);
+    *  - an explicit 2-symbol pair in WRITTEN order (the simple form's
+    *    2-symbol case — code 0 goes to the FIRST-written symbol, which
+    *    need not be the smaller one);
+    *  - canonical code lengths (DEFLATE assignment: codes in symbol
+    *    order within each length), which must be COMPLETE — Kraft
+    *    equality — and carry >= 2 symbols, or the payload rejects by
+    *    name (a single-symbol full-form code is ambiguous across
+    *    implementations; no real encoder emits one).
+    */
+  private final class Huff private (lengths: Array[Int], what: String,
+                                    pair: Array[Int]) {
+    private val maxLen = 15
+    private val counts = new Array[Int](maxLen + 1)
+    private val single = pair != null && pair.length == 1
+    if (pair == null) lengths.foreach { l =>
+      require(l >= 0 && l <= maxLen, s"Webp.decode: $what code length $l")
+      if (l > 0) counts(l) += 1
+    }
+    private val used = if (pair == null) counts.sum else pair.length
+    private val sorted = new Array[Int](if (pair == null) used else 0)
+    private val first = new Array[Int](maxLen + 1)
+    private val offset = new Array[Int](maxLen + 1)
+    if (pair == null) {
+      require(used >= 2,
+        s"Webp.decode: $what full-form prefix code with $used symbol(s) " +
+          "(the simple form is the one single-symbol shape)")
+      var kraft = 0L
+      var code = 0
+      var off = 0
+      var l = 1
+      while (l <= maxLen) {
+        first(l) = code
+        offset(l) = off
+        kraft += counts(l).toLong << (maxLen - l)
+        code = (code + counts(l)) << 1
+        off += counts(l)
+        l += 1
+      }
+      require(kraft == (1L << maxLen),
+        s"Webp.decode: $what prefix code is not complete (corrupt stream)")
+      var i = 0
+      val next = offset.clone()
+      while (i < lengths.length) {
+        if (lengths(i) > 0) { sorted(next(lengths(i))) = i; next(lengths(i)) += 1 }
+        i += 1
+      }
+    }
+    def read(br: BitReader): Int = {
+      if (single) return pair(0)
+      if (pair != null) return pair(br.readBit())
+      var code = 0
+      var len = 0
+      while (len < maxLen) {
+        code = (code << 1) | br.readBit()
+        len += 1
+        if (counts(len) > 0 && code - first(len) < counts(len))
+          return sorted(offset(len) + code - first(len))
+      }
+      throw new IllegalArgumentException(
+        s"Webp.decode: $what code over $maxLen bits (corrupt stream)")
+    }
+  }
+  private object Huff {
+    def canonical(lengths: Array[Int], what: String): Huff =
+      new Huff(lengths, what, null)
+    def simple(symbols: Array[Int], what: String): Huff =
+      new Huff(null, what, symbols)
+  }
+
+  /** Flat complete canonical lengths over `used` symbols: with
+    * n = used.size and L = ceil(log2 n), the first 2^L − n symbols get
+    * length L−1 and the rest L — Kraft equality by construction.
+    */
+  def flatLengths(alphabet: Int, used: Seq[Int]): Array[Int] = {
+    val lens = new Array[Int](alphabet)
+    val n = used.length
+    require(n >= 2, "flatLengths: need >= 2 symbols (use the simple form)")
+    var l = 1
+    while ((1 << l) < n) l += 1
+    val short = (1 << l) - n
+    used.sorted.zipWithIndex.foreach { case (s, i) =>
+      lens(s) = if (i < short) l - 1 else l
+    }
+    lens
+  }
+
+  /** Canonical codes from lengths (symbol order within length). */
+  def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    val maxLen = lengths.max
+    val counts = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) counts(l) += 1)
+    val next = new Array[Int](maxLen + 1)
+    var code = 0
+    var l = 1
+    while (l <= maxLen) { next(l) = code; code = (code + counts(l)) << 1; l += 1 }
+    lengths.map { ln =>
+      if (ln == 0) 0 else { val c = next(ln); next(ln) += 1; c }
+    }
+  }
+
+  // =====================================================================
+  // VP8L constants
+  // =====================================================================
+
+  private val ClOrder = Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  /** The 120-entry 2D distance mapping (spec §distance mapping): code
+    * i+1 → (dx, dy) with distance dy·width + dx (min 1).
+    */
+  private val DistMap: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (7, 1), (-7, 1), (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7),
+    (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5), (8, 0), (4, 7),
+    (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6), (-6, 6), (2, 8),
+    (-2, 8), (1, 8), (-1, 8), (7, 5), (-7, 5), (8, 3), (8, 4), (5, 7),
+    (-5, 7), (7, 6), (-7, 6), (8, 5), (3, 8), (-3, 8), (8, 6), (4, 8),
+    (-4, 8), (8, 7), (5, 8), (-5, 8))
+
+  private def mapDistance(dcode: Int, width: Int): Int = {
+    if (dcode > 120) dcode - 120
+    else {
+      val (dx, dy) = DistMap(dcode - 1)
+      math.max(1, dy * width + dx)
+    }
+  }
+
+  /** LZ77 prefix value decode: symbol + extra bits → value (spec §4.2.2). */
+  private def lzValue(sym: Int, br: BitReader): Int =
+    if (sym < 4) sym + 1
+    else {
+      val extra = (sym - 2) >> 1
+      val offset = (2 + (sym & 1)) << extra
+      offset + 1 + br.readBits(extra)
+    }
+
+  /** LZ77 prefix value encode: value → (symbol, extraBits, extraCount). */
+  def lzSymbol(v: Int): (Int, Int, Int) = {
+    require(v >= 1, s"lzSymbol: value $v")
+    if (v <= 4) (v - 1, 0, 0)
+    else {
+      val x = v - 1
+      val hb = 31 - Integer.numberOfLeadingZeros(x)
+      val extra = hb - 1
+      val b = (x >> extra) & 1
+      val sym = 2 * hb + b
+      val base = (2 + b) << extra
+      (sym, x - base, extra)
+    }
+  }
+
+  private def cacheHash(argb: Int, bits: Int): Int =
+    (0x1e35a7bd * argb) >>> (32 - bits)
+
+  // =====================================================================
+  // VP8L decode
+  // =====================================================================
+
+  private def readHuffCode(br: BitReader, alphabet: Int, what: String): Huff = {
+    if (br.readBits(1) == 1) {
+      // simple form: 1 or 2 symbols, 8-bit (or 1-bit first) values;
+      // code 0 goes to the FIRST-written symbol (written order, not
+      // canonical-by-value)
+      val numSym = br.readBits(1) + 1
+      val first8 = br.readBits(1) == 1
+      val s0 = br.readBits(if (first8) 8 else 1)
+      require(s0 < alphabet, s"Webp.decode: $what simple-code symbol $s0 out of range")
+      if (numSym == 1) Huff.simple(Array(s0), what)
+      else {
+        val s1 = br.readBits(8)
+        require(s1 < alphabet && s1 != s0,
+          s"Webp.decode: $what simple-code symbols $s0/$s1 invalid")
+        Huff.simple(Array(s0, s1), what)
+      }
+    } else {
+      val numCodeLengths = 4 + br.readBits(4)
+      require(numCodeLengths <= ClOrder.length,
+        s"Webp.decode: $what declares $numCodeLengths code-length codes")
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < numCodeLengths) { clLens(ClOrder(i)) = br.readBits(3); i += 1 }
+      val clDec = Huff.canonical(clLens, s"$what code-length")
+      var maxSymbol = alphabet
+      if (br.readBits(1) == 1) {
+        val lengthNBits = 2 + 2 * br.readBits(3)
+        maxSymbol = 2 + br.readBits(lengthNBits)
+      }
+      val lens = new Array[Int](alphabet)
+      var sym = 0
+      var prev = 8
+      while (sym < alphabet && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clDec.read(br)
+        if (cl < 16) {
+          lens(sym) = cl; sym += 1
+          if (cl != 0) prev = cl
+        } else {
+          val (rep, v) = cl match {
+            case 16 => (3 + br.readBits(2), prev)
+            case 17 => (3 + br.readBits(3), 0)
+            case 18 => (11 + br.readBits(7), 0)
+            case other => throw new IllegalArgumentException(
+              s"Webp.decode: $what code-length symbol $other")
+          }
+          require(sym + rep <= alphabet,
+            s"Webp.decode: $what code-length repeat overruns the alphabet")
+          var r = 0
+          while (r < rep) { lens(sym) = v; sym += 1; r += 1 }
+        }
+      }
+      Huff.canonical(lens, what)
+    }
+  }
+
+  private final case class HuffGroup(green: Huff, red: Huff, blue: Huff,
+                                     alpha: Huff, dist: Huff)
+
+  private def readHuffGroup(br: BitReader, cacheBits: Int): HuffGroup = {
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    HuffGroup(
+      readHuffCode(br, 256 + 24 + cacheSize, "green"),
+      readHuffCode(br, 256, "red"),
+      readHuffCode(br, 256, "blue"),
+      readHuffCode(br, 256, "alpha"),
+      readHuffCode(br, 40, "distance"))
+  }
+
+  private sealed trait Transform
+  private final case class PredictorT(bits: Int, modes: Array[Int], tw: Int) extends Transform
+  private final case class ColorT(bits: Int, elems: Array[Int], tw: Int) extends Transform
+  private case object SubtractGreenT extends Transform
+  private final case class PaletteT(palette: Array[Int], widthBits: Int, origW: Int) extends Transform
+
+  private def subSize(size: Int, bits: Int): Int = (size + (1 << bits) - 1) >> bits
+
+  /** One entropy-coded image (transforms only at level 0). Returns the
+    * ARGB pixels at the ORIGINAL width (inverse transforms applied) for
+    * level 0, or the raw subimage otherwise.
+    */
+  private def decodeImageStream(br: BitReader, w0: Int, h: Int, level0: Boolean): Array[Int] = {
+    var w = w0
+    val transforms = scala.collection.mutable.ArrayBuffer.empty[Transform]
+    if (level0) {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      while (br.readBits(1) == 1) {
+        val ttype = br.readBits(2)
+        require(seen.add(ttype),
+          s"Webp.decode: transform $ttype appears twice (corrupt stream)")
+        ttype match {
+          case 0 =>
+            val bits = br.readBits(3) + 2
+            val tw = subSize(w, bits)
+            transforms += PredictorT(bits,
+              decodeImageStream(br, tw, subSize(h, bits), level0 = false), tw)
+          case 1 =>
+            val bits = br.readBits(3) + 2
+            val tw = subSize(w, bits)
+            transforms += ColorT(bits,
+              decodeImageStream(br, tw, subSize(h, bits), level0 = false), tw)
+          case 2 =>
+            transforms += SubtractGreenT
+          case 3 =>
+            val psize = br.readBits(8) + 1
+            val raw = decodeImageStream(br, psize, 1, level0 = false)
+            // palette entries are stored component-delta-coded
+            var i = 1
+            while (i < psize) {
+              val p = raw(i - 1); val c = raw(i)
+              raw(i) = (((((c >>> 24) + (p >>> 24)) & 0xff) << 24) |
+                (((((c >> 16) & 0xff) + ((p >> 16) & 0xff)) & 0xff) << 16) |
+                (((((c >> 8) & 0xff) + ((p >> 8) & 0xff)) & 0xff) << 8) |
+                ((((c & 0xff) + (p & 0xff)) & 0xff)))
+              i += 1
+            }
+            val widthBits =
+              if (psize <= 2) 3 else if (psize <= 4) 2 else if (psize <= 16) 1 else 0
+            transforms += PaletteT(raw, widthBits, w)
+            w = subSize(w, widthBits)
+          case other => throw new IllegalArgumentException(
+            s"Webp.decode: unknown transform type $other")
+        }
+      }
+    }
+    val cacheBits = if (br.readBits(1) == 1) {
+      val cb = br.readBits(4)
+      require(cb >= 1 && cb <= 11, s"Webp.decode: color-cache bits $cb (1..11)")
+      cb
+    } else 0
+    // meta prefix-code image (level 0 only)
+    var metaBits = 0
+    var metaImg: Array[Int] = null
+    var numGroups = 1
+    if (level0 && br.readBits(1) == 1) {
+      metaBits = br.readBits(3) + 2
+      metaImg = decodeImageStream(br, subSize(w, metaBits), subSize(h, metaBits),
+        level0 = false)
+      numGroups = metaImg.map(p => ((p >> 8) & 0xffff)).max + 1
+      require(numGroups <= 1 + 0xffff, "Webp.decode: meta group index out of range")
+    }
+    val groups = Array.fill(numGroups)(readHuffGroup(br, cacheBits))
+    // main LZ77 loop
+    val n = w * h
+    require(n > 0 && n <= MaxPixels,
+      s"Webp.decode: $w x $h = $n pixels (cap $MaxPixels) — rejected, not allocated")
+    val out = new Array[Int](n)
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    @inline def insert(px: Int): Unit =
+      if (cache != null) cache(cacheHash(px, cacheBits)) = px
+    val metaW = if (metaImg != null) subSize(w, metaBits) else 0
+    var pos = 0
+    while (pos < n) {
+      val x = pos % w; val y = pos / w
+      val g = if (metaImg == null) groups(0)
+      else {
+        val mp = metaImg((y >> metaBits) * metaW + (x >> metaBits))
+        groups((mp >> 8) & 0xffff)
+      }
+      val sym = g.green.read(br)
+      if (sym < 256) {
+        val red = g.red.read(br)
+        val blue = g.blue.read(br)
+        val alpha = g.alpha.read(br)
+        val px = (alpha << 24) | (red << 16) | (sym << 8) | blue
+        out(pos) = px; insert(px); pos += 1
+      } else if (sym < 256 + 24) {
+        val len = lzValue(sym - 256, br)
+        val dcode = lzValue(g.dist.read(br), br)
+        val dist = mapDistance(dcode, w)
+        require(dist <= pos,
+          s"Webp.decode: backref distance $dist at pixel $pos reaches before the image")
+        require(pos + len <= n,
+          s"Webp.decode: backref of $len pixels overruns the image at $pos")
+        var i = 0
+        while (i < len) {
+          val px = out(pos - dist)
+          out(pos) = px; insert(px); pos += 1; i += 1
+        }
+      } else {
+        require(cache != null, "Webp.decode: cache symbol without a color cache")
+        val idx = sym - 256 - 24
+        val px = cache(idx)
+        out(pos) = px; pos += 1
+      }
+    }
+    // inverse transforms, reverse read order
+    var img = out
+    var curW = w
+    transforms.reverseIterator.foreach {
+      case PaletteT(pal, widthBits, origW) =>
+        val bitsPer = 8 >> widthBits
+        val mask = (1 << bitsPer) - 1
+        val res = new Array[Int](origW * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < origW) {
+            val packed = img(y * curW + (x >> widthBits))
+            val sub = x & ((1 << widthBits) - 1)
+            val idx = (((packed >> 8) & 0xff) >> (sub * bitsPer)) & mask
+            require(idx < pal.length,
+              s"Webp.decode: palette index $idx >= palette size ${pal.length}")
+            res(y * origW + x) = pal(idx)
+            x += 1
+          }
+          y += 1
+        }
+        img = res; curW = origW
+      case SubtractGreenT =>
+        var i = 0
+        while (i < img.length) {
+          val p = img(i)
+          val g = (p >> 8) & 0xff
+          val r = (((p >> 16) & 0xff) + g) & 0xff
+          val b = ((p & 0xff) + g) & 0xff
+          img(i) = (p & 0xff000000) | (r << 16) | (p & 0xff00) | b
+          i += 1
+        }
+      case ColorT(bits, elems, tw) =>
+        @inline def delta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+        var pos2 = 0
+        while (pos2 < img.length) {
+          val x = pos2 % curW; val y = pos2 / curW
+          val te = elems((y >> bits) * tw + (x >> bits))
+          val g2r = te & 0xff
+          val g2b = (te >> 8) & 0xff
+          val r2b = (te >> 16) & 0xff
+          val p = img(pos2)
+          val g = (p >> 8) & 0xff
+          val r = (((p >> 16) & 0xff) + delta(g2r, g)) & 0xff
+          var b = (p & 0xff) + delta(g2b, g)
+          b = (b + delta(r2b, r)) & 0xff
+          img(pos2) = (p & 0xff000000) | (r << 16) | (p & 0xff00) | b
+          pos2 += 1
+        }
+      case PredictorT(bits, modes, tw) =>
+        @inline def avg2(a: Int, b: Int): Int =
+          (((((a >>> 24) + (b >>> 24)) >> 1) << 24) |
+            (((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) >> 1) << 16) |
+            (((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) >> 1) << 8) |
+            ((((a & 0xff) + (b & 0xff)) >> 1)))
+        @inline def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+        @inline def addPx(a: Int, b: Int): Int =
+          (((((a >>> 24) + (b >>> 24)) & 0xff) << 24) |
+            (((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) & 0xff) << 16) |
+            (((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) & 0xff) << 8) |
+            ((((a & 0xff) + (b & 0xff)) & 0xff)))
+        def select(t: Int, l: Int, tl: Int): Int = {
+          @inline def sub3(a: Int, b: Int, c: Int): Int =
+            math.abs(b - c) - math.abs(a - c)
+          val d = sub3(t >>> 24, l >>> 24, tl >>> 24) +
+            sub3((t >> 16) & 0xff, (l >> 16) & 0xff, (tl >> 16) & 0xff) +
+            sub3((t >> 8) & 0xff, (l >> 8) & 0xff, (tl >> 8) & 0xff) +
+            sub3(t & 0xff, l & 0xff, tl & 0xff)
+          if (d <= 0) t else l
+        }
+        def casFull(l: Int, t: Int, tl: Int): Int = {
+          @inline def ch(a: Int, b: Int, c: Int): Int = clip255(a + b - c)
+          (ch(l >>> 24, t >>> 24, tl >>> 24) << 24) |
+            (ch((l >> 16) & 0xff, (t >> 16) & 0xff, (tl >> 16) & 0xff) << 16) |
+            (ch((l >> 8) & 0xff, (t >> 8) & 0xff, (tl >> 8) & 0xff) << 8) |
+            ch(l & 0xff, t & 0xff, tl & 0xff)
+        }
+        def casHalf(l: Int, t: Int, tl: Int): Int = {
+          val ave = avg2(l, t)
+          @inline def ch(a: Int, b: Int): Int = clip255(a + (a - b) / 2)
+          (ch(ave >>> 24, tl >>> 24) << 24) |
+            (ch((ave >> 16) & 0xff, (tl >> 16) & 0xff) << 16) |
+            (ch((ave >> 8) & 0xff, (tl >> 8) & 0xff) << 8) |
+            ch(ave & 0xff, tl & 0xff)
+        }
+        var pos2 = 0
+        while (pos2 < img.length) {
+          val x = pos2 % curW; val y = pos2 / curW
+          val pred =
+            if (x == 0 && y == 0) 0xff000000
+            else if (y == 0) img(pos2 - 1)
+            else if (x == 0) img(pos2 - curW)
+            else {
+              val mode = (modes((y >> bits) * tw + (x >> bits)) >> 8) & 0xff
+              require(mode <= 13, s"Webp.decode: predictor mode $mode (0..13)")
+              val l = img(pos2 - 1)
+              val t = img(pos2 - curW)
+              val tl = img(pos2 - curW - 1)
+              // contiguous-buffer TR: at x = w-1 this reads the current
+              // row's first pixel, the spec's addressing rule
+              val tr = img(pos2 - curW + 1)
+              mode match {
+                case 0 => 0xff000000
+                case 1 => l
+                case 2 => t
+                case 3 => tr
+                case 4 => tl
+                case 5 => avg2(avg2(l, tr), t)
+                case 6 => avg2(l, tl)
+                case 7 => avg2(l, t)
+                case 8 => avg2(tl, t)
+                case 9 => avg2(t, tr)
+                case 10 => avg2(avg2(l, tl), avg2(t, tr))
+                case 11 => select(t, l, tl)
+                case 12 => casFull(l, t, tl)
+                case _ => casHalf(l, t, tl)
+              }
+            }
+          img(pos2) = addPx(img(pos2), pred)
+          pos2 += 1
+        }
+    }
+    img
+  }
+
+  /** Decode a VP8L chunk payload to (width, height, ARGB pixels). */
+  def decodeVp8l(data: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(data.length >= 5 && (data(0) & 0xff) == 0x2f,
+      "Webp.decode: VP8L signature byte 0x2f missing")
+    val br = new BitReader(data, 1)
+    val w = br.readBits(14) + 1
+    val h = br.readBits(14) + 1
+    br.readBits(1) // alpha hint — informational
+    val version = br.readBits(3)
+    require(version == 0, s"Webp.decode: VP8L version $version (0 only)")
+    require(w.toLong * h <= MaxPixels,
+      s"Webp.decode: $w x $h pixels over the $MaxPixels cap — rejected, not allocated")
+    (w, h, decodeImageStream(br, w, h, level0 = true))
+  }
+
+  // =====================================================================
+  // RIFF container
+  // =====================================================================
+
+  private def le16(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+  private def le24(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) | ((b(at + 2) & 0xff) << 16)
+  private def le32(b: Array[Byte], at: Int): Long =
+    (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+      ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+
+  case class Chunk(fourcc: String, off: Int, size: Int)
+
+  /** RIFF chunk walk (bounds-checked, odd sizes padded per RIFF). */
+  def chunks(payload: Array[Byte]): Seq[Chunk] = {
+    val n = payload.length
+    require(n >= 12 && new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WEBP",
+      s"Webp.parse: not a RIFF/WEBP payload ($n bytes)")
+    val riffSize = le32(payload, 4)
+    require(8 + riffSize <= n,
+      s"Webp.parse: RIFF size $riffSize overruns the $n-byte payload")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+    var at = 12
+    val end = (8 + riffSize).toInt
+    while (at < end) {
+      require(at + 8 <= end, s"Webp.parse: truncated chunk header at $at")
+      val fourcc = new String(payload, at, 4, "US-ASCII")
+      val size = le32(payload, at + 4)
+      require(size <= Int.MaxValue && at + 8 + size <= end,
+        s"Webp.parse: chunk '$fourcc' of $size bytes overruns at $at")
+      out += Chunk(fourcc, at + 8, size.toInt)
+      at += 8 + size.toInt + (size & 1).toInt // odd sizes pad one byte
+    }
+    out.toSeq
+  }
+
+  /** Container metadata for every WebP flavor. `format` is "vp8"
+    * (lossy), "vp8l" (lossless) or "vp8x+<codec>" (extended).
+    */
+  case class Meta(format: String, width: Int, height: Int,
+                  has_alpha: Boolean, is_animated: Boolean, n_frames: Int,
+                  has_exif: Boolean, has_icc: Boolean)
+
+  private def vp8Dims(payload: Array[Byte], off: Int, size: Int): (Int, Int) = {
+    require(size >= 10, s"Webp.parse: VP8 chunk of $size bytes (need 10)")
+    val tag = le24(payload, off)
+    require((tag & 1) == 0, "Webp.parse: VP8 chunk is not a keyframe")
+    require((payload(off + 3) & 0xff) == 0x9d && (payload(off + 4) & 0xff) == 0x01 &&
+      (payload(off + 5) & 0xff) == 0x2a, "Webp.parse: VP8 keyframe start code missing")
+    (le16(payload, off + 6) & 0x3fff, le16(payload, off + 8) & 0x3fff)
+  }
+
+  private def vp8lDims(payload: Array[Byte], off: Int, size: Int): (Int, Int, Boolean) = {
+    require(size >= 5 && (payload(off) & 0xff) == 0x2f,
+      "Webp.parse: VP8L signature byte missing")
+    val bits = le32(payload, off + 1)
+    val w = (bits & 0x3fff).toInt + 1
+    val h = ((bits >> 14) & 0x3fff).toInt + 1
+    val alpha = ((bits >> 28) & 1) == 1
+    (w, h, alpha)
+  }
+
+  def meta(payload: Array[Byte]): Meta = {
+    val cs = chunks(payload)
+    require(cs.nonEmpty, "Webp.parse: empty WEBP container")
+    cs.head.fourcc match {
+      case "VP8 " =>
+        val (w, h) = vp8Dims(payload, cs.head.off, cs.head.size)
+        Meta("vp8", w, h, has_alpha = false, is_animated = false, 1,
+          has_exif = false, has_icc = false)
+      case "VP8L" =>
+        val (w, h, alpha) = vp8lDims(payload, cs.head.off, cs.head.size)
+        Meta("vp8l", w, h, alpha, is_animated = false, 1,
+          has_exif = false, has_icc = false)
+      case "VP8X" =>
+        val c = cs.head
+        require(c.size >= 10, s"Webp.parse: VP8X chunk of ${c.size} bytes (need 10)")
+        val flags = payload(c.off) & 0xff
+        val icc = (flags & 0x20) != 0
+        val alphaFlag = (flags & 0x10) != 0
+        val exif = (flags & 0x08) != 0
+        val anim = (flags & 0x02) != 0
+        val w = le24(payload, c.off + 4) + 1
+        val h = le24(payload, c.off + 7) + 1
+        val nFrames = if (anim) cs.count(_.fourcc == "ANMF") else 1
+        require(!anim || nFrames >= 1, "Webp.parse: animated VP8X with no ANMF frames")
+        val codec =
+          if (anim) "anim"
+          else cs.collectFirst {
+            case Chunk("VP8 ", _, _) => "vp8"
+            case Chunk("VP8L", _, _) => "vp8l"
+          }.getOrElse(throw new IllegalArgumentException(
+            "Webp.parse: VP8X container with no VP8/VP8L image chunk"))
+        Meta(s"vp8x+$codec", w, h,
+          alphaFlag || cs.exists(_.fourcc == "ALPH"),
+          anim, nFrames, exif, icc)
+      case other => throw new IllegalArgumentException(
+        s"Webp.parse: first chunk '$other' is not VP8 /VP8L/VP8X")
+    }
+  }
+
+  /** Container-sniffed decode to the tier's [[Png.Image]] — LOSSLESS
+    * only: lossy VP8 rejects by codec name (the MP4/H.264 posture) and
+    * animation rejects by name; channels 4 iff any pixel is non-opaque.
+    */
+  def decodeImage(payload: Array[Byte]): Png.Image = {
+    val cs = chunks(payload)
+    val vp8l = cs.find(_.fourcc == "VP8L").getOrElse {
+      if (cs.exists(_.fourcc == "ANMF")) throw new IllegalArgumentException(
+        "Webp.decode: animated WebP decode not supported (metadata only)")
+      if (cs.exists(_.fourcc == "VP8 ")) throw new IllegalArgumentException(
+        "Webp.decode: lossy VP8 decode not supported (metadata only; " +
+          "lossless VP8L decodes)")
+      throw new IllegalArgumentException("Webp.decode: no VP8L chunk")
+    }
+    require(!cs.exists(_.fourcc == "ANMF"),
+      "Webp.decode: animated WebP decode not supported (metadata only)")
+    val data = java.util.Arrays.copyOfRange(payload, vp8l.off, vp8l.off + vp8l.size)
+    val (w, h, argb) = decodeVp8l(data)
+    val opaque = argb.forall(p => (p >>> 24) == 0xff)
+    val ch = if (opaque) 3 else 4
+    val px = new Array[Byte](w * h * ch)
+    var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      px(i * ch) = ((p >> 16) & 0xff).toByte
+      px(i * ch + 1) = ((p >> 8) & 0xff).toByte
+      px(i * ch + 2) = (p & 0xff).toByte
+      if (ch == 4) px(i * ch + 3) = ((p >>> 24) & 0xff).toByte
+      i += 1
+    }
+    Png.Image(w, h, ch, px)
+  }
+
+  // =====================================================================
+  // VP8L encode (planted fixtures)
+  // =====================================================================
+
+  case class EncodeOpts(cacheBits: Int = 0, lz77: Boolean = false,
+                        subtractGreen: Boolean = false, palette: Boolean = false)
+
+  private sealed trait Token
+  private final case class Lit(argb: Int) extends Token
+  private final case class Copy(len: Int, dist: Int) extends Token
+  private final case class CacheRef(idx: Int) extends Token
+
+  /** Write one prefix code (simple form when <= 2 symbols all < 256,
+    * else the full code-length form with literal lengths — no 16/17/18
+    * repeats, every alphabet slot written).
+    */
+  private def writeHuffCode(bw: BitWriter, alphabet: Int,
+                            lens: Array[Int], used: Seq[Int]): Unit = {
+    if (used.length <= 2 && used.forall(_ < 256)) {
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(used.length - 1, 1)
+      val s = used.sorted
+      bw.writeBits(1, 1) // first symbol in 8 bits
+      bw.writeBits(s.head, 8)
+      if (used.length == 2) bw.writeBits(s(1), 8)
+    } else {
+      bw.writeBits(0, 1) // full form
+      // a single distinct length (every alphabet slot used at one depth)
+      // would need a 1-symbol code-length code, which the decoder
+      // rejects as ambiguous — pad with an unused second CL symbol so
+      // the CL code is a complete 1-bit pair
+      val clUsed0 = lens.distinct.sorted
+      val clUsed =
+        if (clUsed0.length > 1) clUsed0
+        else (clUsed0 :+ (if (clUsed0.head == 0) 1 else 0)).sorted
+      val clLens = new Array[Int](19)
+      locally {
+        var l = 1
+        while ((1 << l) < clUsed.length) l += 1
+        val short = (1 << l) - clUsed.length
+        clUsed.zipWithIndex.foreach { case (s, i) =>
+          clLens(s) = if (i < short) l - 1 else l
+        }
+      }
+      // num_code_lengths must cover every used CL symbol's order slot
+      val maxPos = ClOrder.zipWithIndex.collect {
+        case (s, i) if clLens(s) > 0 => i
+      }.max
+      val numCodeLengths = math.max(4, maxPos + 1)
+      bw.writeBits(numCodeLengths - 4, 4)
+      var i = 0
+      while (i < numCodeLengths) { bw.writeBits(clLens(ClOrder(i)), 3); i += 1 }
+      bw.writeBits(0, 1) // no max-symbol trick: every slot written
+      val clCodes = canonicalCodes(clLens)
+      lens.foreach(l => bw.writeCode(clCodes(l), clLens(l)))
+    }
+  }
+
+  private final class SymWriter(alphabet: Int, hist: Array[Long]) {
+    val used: Seq[Int] = hist.zipWithIndex.collect { case (c, s) if c > 0 => s }.toSeq
+    private val lens: Array[Int] =
+      if (used.length >= 2) flatLengths(alphabet, used) else new Array[Int](alphabet)
+    private val codes: Array[Int] =
+      if (used.length >= 2) canonicalCodes(lens) else new Array[Int](alphabet)
+    def writeHeader(bw: BitWriter): Unit = {
+      if (used.isEmpty) {
+        // a tree that is never read still needs a valid header: 1-symbol simple
+        bw.writeBits(1, 1); bw.writeBits(0, 1); bw.writeBits(0, 1); bw.writeBits(0, 1)
+      } else if (used.length == 1 && used.head < 256) {
+        bw.writeBits(1, 1); bw.writeBits(0, 1)
+        bw.writeBits(1, 1); bw.writeBits(used.head, 8)
+      } else if (used.length == 2 && used.forall(_ < 256)) {
+        writeHuffCode(bw, alphabet, {
+          val l = new Array[Int](alphabet); used.foreach(l(_) = 1); l
+        }, used)
+      } else writeHuffCode(bw, alphabet, lens, used)
+    }
+    def write(bw: BitWriter, sym: Int): Unit = {
+      require(hist(sym) > 0, s"SymWriter: symbol $sym was not in the histogram")
+      if (used.length == 1) () // zero-bit code
+      else if (used.length == 2 && used.forall(_ < 256)) {
+        val s = used.sorted
+        bw.writeBits(if (sym == s.head) 0 else 1, 1)
+      } else bw.writeCode(codes(sym), lens(sym))
+    }
+  }
+
+  /** Encode ARGB pixels as a standalone lossless WebP (RIFF + VP8L).
+    * With `opts.palette`, the distinct colors (≤ 256 required) become a
+    * color-indexing transform with spec pixel bundling; `lz77` emits
+    * greedy runs against distance 1 and the row stride (the 2D distance
+    * map head); `cacheBits` > 0 enables the color cache.
+    */
+  def encodeLossless(w: Int, h: Int, argb: Array[Int], opts: EncodeOpts = EncodeOpts()): Array[Byte] = {
+    require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384, s"Webp.encode: dims $w x $h")
+    require(argb.length == w * h, s"Webp.encode: ${argb.length} pixels for $w x $h")
+    val bw = new BitWriter
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(w - 1, 14); bw.writeBits(h - 1, 14)
+    bw.writeBits(if (argb.exists(p => (p >>> 24) != 0xff)) 1 else 0, 1)
+    bw.writeBits(0, 3) // version
+
+    // effective pixel stream after optional transforms
+    var pixels = argb
+    var effW = w
+    if (opts.palette) {
+      val distinct = argb.distinct
+      require(distinct.length <= 256,
+        s"Webp.encode: ${distinct.length} distinct colors exceed palette mode")
+      val pal = distinct.sorted
+      val index = pal.zipWithIndex.toMap
+      val widthBits =
+        if (pal.length <= 2) 3 else if (pal.length <= 4) 2
+        else if (pal.length <= 16) 1 else 0
+      bw.writeBits(1, 1); bw.writeBits(3, 2) // transform: color indexing
+      bw.writeBits(pal.length - 1, 8)
+      // palette subimage: delta-coded entries as literals
+      val deltas = pal.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c
+        else {
+          val p = pal(i - 1)
+          ((((c >>> 24) - (p >>> 24)) & 0xff) << 24) |
+            (((((c >> 16) & 0xff) - ((p >> 16) & 0xff)) & 0xff) << 16) |
+            (((((c >> 8) & 0xff) - ((p >> 8) & 0xff)) & 0xff) << 8) |
+            ((((c & 0xff) - (p & 0xff)) & 0xff))
+        }
+      }
+      writeEntropyImage(bw, deltas)
+      val bitsPer = 8 >> widthBits
+      val packedW = subSize(w, widthBits)
+      val packed = new Array[Int](packedW * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val idx = index(argb(y * w + x))
+          val sub = x & ((1 << widthBits) - 1)
+          val at = y * packedW + (x >> widthBits)
+          packed(at) |= (idx << (sub * bitsPer)) << 8 // green channel
+          x += 1
+        }
+        y += 1
+      }
+      // indices live in green; alpha must be 0xff for valid pixels? the
+      // packed pixels are synthetic — only green is read back
+      var i = 0
+      while (i < packed.length) { packed(i) |= 0xff000000; i += 1 }
+      pixels = packed
+      effW = packedW
+    } else if (opts.subtractGreen) {
+      bw.writeBits(1, 1); bw.writeBits(2, 2) // transform: subtract green
+      pixels = argb.map { p =>
+        val g = (p >> 8) & 0xff
+        val r = (((p >> 16) & 0xff) - g) & 0xff
+        val b = ((p & 0xff) - g) & 0xff
+        (p & 0xff000000) | (r << 16) | (p & 0xff00) | b
+      }
+    }
+    bw.writeBits(0, 1) // no more transforms
+    writeCodedPixels(bw, pixels, effW,
+      cacheBits = if (opts.palette) 0 else opts.cacheBits,
+      lz77 = opts.lz77)
+    wrapRiff("VP8L", bw.toBytes)
+  }
+
+  /** A subimage (palette) written as its own entropy-coded image:
+    * no cache, no meta, literals only.
+    */
+  private def writeEntropyImage(bw: BitWriter, pixels: Array[Int]): Unit =
+    writeCodedPixels(bw, pixels, pixels.length, cacheBits = 0, lz77 = false,
+      level0 = false)
+
+  private def writeCodedPixels(bw: BitWriter, pixels: Array[Int], w: Int,
+                               cacheBits: Int, lz77: Boolean,
+                               level0: Boolean = true): Unit = {
+    require(cacheBits >= 0 && cacheBits <= 11, s"Webp.encode: cache bits $cacheBits")
+    // tokenize (cache simulation must mirror the decoder exactly)
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[Token]
+    val cache = if (cacheBits > 0) Array.fill(1 << cacheBits)(-1) else null
+    @inline def insert(px: Int): Unit =
+      if (cache != null) cache(cacheHash(px, cacheBits)) = px
+    val n = pixels.length
+    var pos = 0
+    while (pos < n) {
+      var runLen = 0
+      var runDist = 0
+      if (lz77 && pos > 0) {
+        // greedy: try distance 1, then the row stride
+        Seq(1, w).filter(_ <= pos).foreach { d =>
+          if (runLen < 3) {
+            var l = 0
+            while (pos + l < n && l < 2048 && pixels(pos + l) == pixels(pos + l - d)) l += 1
+            if (l >= 3) { runLen = l; runDist = d }
+          }
+        }
+      }
+      if (runLen >= 3) {
+        tokens += Copy(runLen, runDist)
+        var i = 0
+        while (i < runLen) { insert(pixels(pos)); pos += 1; i += 1 }
+      } else {
+        val px = pixels(pos)
+        val hit = cache != null && cache(cacheHash(px, cacheBits)) == px
+        if (hit) tokens += CacheRef(cacheHash(px, cacheBits))
+        else { tokens += Lit(px); insert(px) }
+        pos += 1
+      }
+    }
+    // histograms
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val hGreen = new Array[Long](256 + 24 + cacheSize)
+    val hRed = new Array[Long](256); val hBlue = new Array[Long](256)
+    val hAlpha = new Array[Long](256); val hDist = new Array[Long](40)
+    def dcodeOf(dist: Int): Int =
+      if (dist == 1) 2 // plane (1, 0)
+      else if (dist == w && w > 1) 1 // plane (0, 1)
+      else dist + 120
+    tokens.foreach {
+      case Lit(px) =>
+        hGreen((px >> 8) & 0xff) += 1
+        hRed((px >> 16) & 0xff) += 1
+        hBlue(px & 0xff) += 1
+        hAlpha((px >>> 24) & 0xff) += 1
+      case Copy(len, dist) =>
+        hGreen(256 + lzSymbol(len)._1) += 1
+        hDist(lzSymbol(dcodeOf(dist))._1) += 1
+      case CacheRef(idx) =>
+        hGreen(256 + 24 + idx) += 1
+    }
+    // headers
+    bw.writeBits(if (cacheBits > 0) 1 else 0, 1)
+    if (cacheBits > 0) bw.writeBits(cacheBits, 4)
+    // the meta prefix-code bit exists only at level 0 — subimages
+    // (palette, transform data) have no meta image slot in the grammar
+    if (level0) bw.writeBits(0, 1)
+    val wGreen = new SymWriter(256 + 24 + cacheSize, hGreen)
+    val wRed = new SymWriter(256, hRed)
+    val wBlue = new SymWriter(256, hBlue)
+    val wAlpha = new SymWriter(256, hAlpha)
+    val wDist = new SymWriter(40, hDist)
+    // a never-read tree still needs a header — give empty ones symbol 0
+    def ensure(sw: SymWriter, alphabet: Int, hist: Array[Long]): SymWriter =
+      if (sw.used.isEmpty) { hist(0) = 1; new SymWriter(alphabet, hist) } else sw
+    val g = ensure(wGreen, 256 + 24 + cacheSize, hGreen)
+    val r = ensure(wRed, 256, hRed)
+    val b = ensure(wBlue, 256, hBlue)
+    val a = ensure(wAlpha, 256, hAlpha)
+    val d = ensure(wDist, 40, hDist)
+    g.writeHeader(bw); r.writeHeader(bw); b.writeHeader(bw)
+    a.writeHeader(bw); d.writeHeader(bw)
+    // data
+    tokens.foreach {
+      case Lit(px) =>
+        g.write(bw, (px >> 8) & 0xff)
+        r.write(bw, (px >> 16) & 0xff)
+        b.write(bw, px & 0xff)
+        a.write(bw, (px >>> 24) & 0xff)
+      case Copy(len, dist) =>
+        val (ls, le, lc) = lzSymbol(len)
+        g.write(bw, 256 + ls); bw.writeBits(le, lc)
+        val (ds, de, dc) = lzSymbol(dcodeOf(dist))
+        d.write(bw, ds); bw.writeBits(de, dc)
+      case CacheRef(idx) =>
+        g.write(bw, 256 + 24 + idx)
+    }
+  }
+
+  private def wle32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+  }
+  private def wle24(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff)
+  }
+
+  private def chunkBytes(fourcc: String, data: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(fourcc.getBytes("US-ASCII"))
+    wle32(o, data.length.toLong)
+    o.write(data)
+    if (data.length % 2 == 1) o.write(0) // RIFF pad
+    o.toByteArray
+  }
+
+  private def wrapRiff(fourcc: String, data: Array[Byte], extra: Seq[Array[Byte]] = Nil): Array[Byte] = {
+    val chunksOut = chunkBytes(fourcc, data) +: extra
+    val total = chunksOut.map(_.length).sum
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("RIFF".getBytes("US-ASCII"))
+    wle32(o, 4L + total)
+    o.write("WEBP".getBytes("US-ASCII"))
+    chunksOut.foreach(o.write)
+    o.toByteArray
+  }
+
+  /** A metadata-plausible lossy VP8 file: real keyframe header (frame
+    * tag, start code, dims), planted payload bytes — decode rejects by
+    * codec name, meta reads the dims.
+    */
+  def encodeLossyMeta(w: Int, h: Int, payloadBytes: Int): Array[Byte] = {
+    require(w >= 1 && w <= 0x3fff && h >= 1 && h <= 0x3fff, s"dims $w x $h")
+    val o = new java.io.ByteArrayOutputStream()
+    // frame tag: keyframe (bit0 = 0), version 0, show_frame, part size
+    val partSize = payloadBytes + 7
+    val tag = (partSize << 5) | (1 << 4)
+    wle24(o, tag)
+    o.write(0x9d); o.write(0x01); o.write(0x2a)
+    o.write(w & 0xff); o.write((w >> 8) & 0x3f)
+    o.write(h & 0xff); o.write((h >> 8) & 0x3f)
+    val body = new Array[Byte](payloadBytes)
+    java.util.Arrays.fill(body, 0x42.toByte)
+    o.write(body)
+    wrapRiff("VP8 ", o.toByteArray)
+  }
+
+  /** An extended (VP8X) container wrapping a lossless image, with
+    * optional EXIF payload and animation (each ANMF frame embeds the
+    * same VP8L image).
+    */
+  def encodeVp8x(w: Int, h: Int, argb: Array[Int], opts: EncodeOpts = EncodeOpts(),
+                 exif: Option[Array[Byte]] = None, animFrames: Int = 0): Array[Byte] = {
+    val inner = encodeLossless(w, h, argb, opts)
+    // pull the bare VP8L chunk back out of the standalone file
+    val vp8l = {
+      val c = chunks(inner).find(_.fourcc == "VP8L").get
+      java.util.Arrays.copyOfRange(inner, c.off, c.off + c.size)
+    }
+    val alpha = argb.exists(p => (p >>> 24) != 0xff)
+    val vp8x = new java.io.ByteArrayOutputStream()
+    var flags = 0
+    if (alpha) flags |= 0x10
+    if (exif.isDefined) flags |= 0x08
+    if (animFrames > 0) flags |= 0x02
+    vp8x.write(flags); vp8x.write(0); vp8x.write(0); vp8x.write(0)
+    wle24(vp8x, w - 1); wle24(vp8x, h - 1)
+    val extras = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    if (animFrames > 0) {
+      val anim = new java.io.ByteArrayOutputStream()
+      wle32(anim, 0xffffffffL) // background
+      anim.write(0); anim.write(0) // loop forever
+      extras += chunkBytes("ANIM", anim.toByteArray)
+      (0 until animFrames).foreach { f =>
+        val anmf = new java.io.ByteArrayOutputStream()
+        wle24(anmf, 0); wle24(anmf, 0) // frame x/2, y/2
+        wle24(anmf, w - 1); wle24(anmf, h - 1)
+        wle24(anmf, 40 + f) // duration ms
+        anmf.write(0) // flags: no blend bits set
+        anmf.write(chunkBytes("VP8L", vp8l))
+        extras += chunkBytes("ANMF", anmf.toByteArray)
+      }
+    } else {
+      extras += chunkBytes("VP8L", vp8l)
+    }
+    exif.foreach(e => extras += chunkBytes("EXIF", e))
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("RIFF".getBytes("US-ASCII"))
+    val vp8xChunk = chunkBytes("VP8X", vp8x.toByteArray)
+    wle32(o, 4L + vp8xChunk.length + extras.map(_.length).sum)
+    o.write("WEBP".getBytes("US-ASCII"))
+    o.write(vp8xChunk)
+    extras.foreach(o.write)
+    o.toByteArray
+  }
+
+  // =====================================================================
+  // plant + Spark ops
+  // =====================================================================
+
+  /** Planted WebP parameters (spec for the fixture replica). Per doc id:
+    * dims w = 20 + id%9, h = 14 + id%7. Container route:
+    * id%11==5 → lossy VP8 (metadata only); id%11==7 → animated VP8X
+    * with 2 + id%3 ANMF frames; else id%9==4 → static VP8X with an EXIF
+    * chunk; else bare VP8L. Pixels: PALETTE mode on id%7==0 —
+    * 2 + id%15 colors, color c = (0xff, (c·37+id)%256, (c·91+3id)%256,
+    * (c·53+7id)%256), index (i·7 + i/w + id) % n — every bundling width
+    * inside the gate; otherwise the gradient r=(x·7+y·3+id)%256,
+    * g=(x·3+y·11+5id)%256, b=(x·13+y·5+7id)%256, with alpha
+    * 200+(x%55) on (x+y+id)%3==0 pixels when id%4==0. Encoder modes:
+    * cache 6 bits on even ids, LZ77 on id%3!=2, subtract-green on
+    * id%5<2 (palette ids use none of the three).
+    */
+  def plantRoute(id: Long): String =
+    if (id % 11 == 5) "lossy"
+    else if (id % 11 == 7) "anim"
+    else if (id % 9 == 4) "vp8x"
+    else "vp8l"
+
+  def plantDims(id: Long): (Int, Int) = (20 + (id % 9).toInt, 14 + (id % 7).toInt)
+
+  def plantArgb(id: Long): Array[Int] = {
+    val (w, h) = plantDims(id)
+    if (id % 7 == 0) {
+      val n = 2 + (id % 15).toInt
+      val pal = Array.tabulate(n)(c =>
+        0xff000000 | (((c * 37 + id) % 256).toInt << 16) |
+          (((c * 91 + 3 * id) % 256).toInt << 8) | ((c * 53 + 7 * id) % 256).toInt)
+      Array.tabulate(w * h)(i => pal(((i * 7 + i / w + id) % n).toInt))
+    } else {
+      val alpha = id % 4 == 0
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val r = ((x * 7 + y * 3 + id) % 256).toInt
+        val g = ((x * 3 + y * 11 + id * 5) % 256).toInt
+        val b = ((x * 13 + y * 5 + id * 7) % 256).toInt
+        val a = if (alpha && (x + y + id) % 3 == 0) 200 + (x % 55) else 255
+        (a << 24) | (r << 16) | (g << 8) | b
+      }
+    }
+  }
+
+  def plantOpts(id: Long): EncodeOpts =
+    if (id % 7 == 0) EncodeOpts(palette = true)
+    else EncodeOpts(cacheBits = if (id % 2 == 0) 6 else 0,
+      lz77 = id % 3 != 2, subtractGreen = id % 5 < 2)
+
+  def plantWebp(id: Long): Array[Byte] = {
+    val (w, h) = plantDims(id)
+    plantRoute(id) match {
+      case "lossy" => encodeLossyMeta(w, h, 50 + (id % 40).toInt)
+      case "anim" => encodeVp8x(w, h, plantArgb(id), plantOpts(id),
+        animFrames = 2 + (id % 3).toInt)
+      case "vp8x" => encodeVp8x(w, h, plantArgb(id), plantOpts(id),
+        exif = Some(Array[Byte](0x45, 0x78, (id % 100).toByte)))
+      case _ => encodeLossless(w, h, plantArgb(id), plantOpts(id))
+    }
+  }
+
+  import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  def webpFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions(_.map { id =>
+        val (w, h) = plantDims(id)
+        Multimodal.MediaItem(id, s"webp/${id % 3}", plantWebp(id), w, h, 1, 0)
+      })
+  }
+
+  /** Container metadata for every WebP — the decide-before-decode row
+    * (route lossy/animated elsewhere, size-gate, EXIF presence). Header
+    * bytes only; map-only plan.
+    */
+  def webpMeta(spark: SparkSession, media: Dataset[Multimodal.MediaItem]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val x = meta(m.payload)
+      (m.media_id, x.format, x.width, x.height, x.has_alpha, x.is_animated,
+        x.n_frames.toLong, x.has_exif, x.has_icc)
+    }).toDF("media_id", "format", "width", "height", "has_alpha",
+      "is_animated", "n_frames", "has_exif", "has_icc")
+  }
+
+  /** Byte-exact lossless decode pinning (the q_multimodal_image_png
+    * discipline): MD5 over the decoded interleaved pixels. Callers
+    * pre-filter to decodable routes.
+    */
+  def webpPixelDigest(spark: SparkSession, media: Dataset[Multimodal.MediaItem]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val img = decodeImage(m.payload)
+      (m.media_id, img.width, img.height, img.channels,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(img.pixels).map("%02x".format(_)).mkString)
+    }).toDF("media_id", "width", "height", "channels", "pixel_md5")
+  }
+}
