@@ -39,7 +39,8 @@ object Bench {
     "q_multimodal_features",  // image tier: PNG decode + pixel statistics
     "q_subtitles_parse",      // caption tier: SRT/VTT parse fan-out
     "q_multimodal_mp4",       // MP4 tier: ISO-BMFF box walk (r15)
-    "q_pdf_extract")          // PDF tier: xref walk + Flate + text ops (r15)
+    "q_pdf_extract",          // PDF tier: xref walk + Flate + text ops (r15)
+    "q_multimodal_webp")      // WebP tier: full VP8L lossless decode (r16)
 
   /** 1-minute system load average (machine-wide, not just this JVM). */
   private def loadAvg(): Double =

@@ -7155,9 +7155,13 @@ object Queries {
       // BLOCKED on decoded (width, height): radius 10 leaves only ~6-bit
       // chunk keys, so the unblocked join grows quadratically (ScaleProof
       // measured 17× on 10× data) — codec twins always share dims, and
-      // the block key restores the linear curve. Replica: brute-force
-      // pairs over pHashRef(planted) ∪ pHashRef(closed-form JPEG round
-      // trip) within dims blocks — recall exactness, not approximation.
+      // the block key restores the linear curve. A WebP LOSSLESS twin
+      // (id%6==1 docs, id + 2·10^7) joins the corpus through the same
+      // container-sniffed decode — byte-identical pixels, so it pairs
+      // with its PNG original at hamming 0. Replica: brute-force pairs
+      // over pHashRef(planted) ∪ pHashRef(closed-form JPEG round trip)
+      // ∪ pHashRef(planted, webp ids) within dims blocks — recall
+      // exactness, not approximation.
       Some("""SELECT a, b, hamming
               FROM parquet_scan('{FIX}/_fixture_phashcross/*.parquet')
               ORDER BY a, b"""),
@@ -7177,7 +7181,25 @@ object Queries {
                 Jpeg.encode(w, h, 3, px, quality = 90), w, h, 1, 16000)
             }
           }
-        val hashes = Multimodal.imagePHashDims(s, media.union(jpegTwins))
+        val webpTwins = docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+          .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 6 == 1)
+          .mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val (w, h) = Multimodal.plantDims(id, nChars)
+              val argb = Array.tabulate(w * h) { p =>
+                val r = Multimodal.plantPixel(id, p * 3L) & 0xff
+                val g = Multimodal.plantPixel(id, p * 3L + 1) & 0xff
+                val b = Multimodal.plantPixel(id, p * 3L + 2) & 0xff
+                0xff000000 | (r << 16) | (g << 8) | b
+              }
+              Multimodal.MediaItem(id + 20000000L, s"webp/${id % 3}",
+                Webp.encodeLossless(w, h, argb, Webp.EncodeOpts(lz77 = true)),
+                w, h, 1, 16000)
+            }
+          }
+        val hashes = Multimodal.imagePHashDims(s,
+          media.union(jpegTwins).union(webpTwins))
         Multimodal.phashPairsBlocked(hashes, maxHamming = 10,
           blockCols = Seq("width", "height")).orderBy("a", "b")
       }),

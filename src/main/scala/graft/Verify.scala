@@ -2881,7 +2881,12 @@ object Verify {
         val jpx = jpegRoundTripRef(w, h, 3, px, 90, subsample = false)
         (id + 10000000L, w, h, pHashRef(w, h, jpx))
       }
-      val all = (base ++ twins).sortBy(_._1)
+      // WebP lossless twins (id%6==1, id + 2·10^7): byte-identical
+      // pixels, so the hash is the BASE hash — no WebP round trip here
+      val webpTwins = imgPlant(spark)
+        .filter { case (id, _, _, _) => id % 6 == 1 }
+        .map { case (id, w, h, px) => (id + 20000000L, w, h, pHashRef(w, h, px)) }
+      val all = (base ++ twins ++ webpTwins).sortBy(_._1)
       val pairs = for {
         i <- all.indices; j <- (i + 1) until all.size
         if all(i)._2 == all(j)._2 && all(i)._3 == all(j)._3

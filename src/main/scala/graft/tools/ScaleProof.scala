@@ -173,7 +173,12 @@ object ScaleProof {
     "q_archive_text",     // inflate + CRC-verified extraction (r15)
     "q_audio_mp3_meta",   // MP3 frame walk: header-stepping scan (r15)
     "q_audio_flac_meta",  // FLAC STREAMINFO/comment walk (r15)
-    "q_epub_extract")     // zip walk + spine + htmlToText composition (r15)
+    "q_epub_extract",     // zip walk + spine + htmlToText composition (r15)
+    "q_subtitles_ass",    // ASS Dialogue parse + override-strip chain (r16)
+    "q_docx_extract",     // OPC zip walk + WordprocessingML regexp (r16)
+    "q_audio_ogg_meta",   // Ogg page walk + CRC + header packets (r16)
+    "q_webp_meta",        // RIFF/VP8X header walk: bytes-bound scan (r16)
+    "q_multimodal_webp")  // full VP8L lossless decode + pixel digest (r16)
     // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded and
     // q_mp4_sample_table doc_id<150-bounded by construction — a flat
     // ratio would be trivial, not evidence)
