@@ -133,6 +133,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r16 tiers: DOCX/ASS/Ogg/WebP extraction paths are map-only — " +
+    "no join, no aggregate, payloads never shuffle") {
+    Seq("q_docx_extract", "q_subtitles_ass", "q_audio_ogg_meta",
+        "q_webp_meta", "q_multimodal_webp").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+        s"$q:\n$p")
+    }
+  }
+
   test("BPE-token packing: counts fuse into the scan, one window " +
     "shuffle on the partitioning column, no join") {
     val p = plan("q_pack_bpe")
