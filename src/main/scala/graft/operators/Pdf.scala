@@ -4,23 +4,31 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PDF text extraction — after HTML, the largest non-HTML document
-  * source an LLM data pipeline ingests. This is the CLASSIC subset
-  * (ISO 32000-1, the PDF-1.4-era core that the long tail of real PDFs
-  * still uses): the startxref→xref-table→trailer walk (with /Prev
-  * chains), indirect objects, dictionaries/arrays/names/strings (literal
-  * with escapes + octal, and hex), content streams stored raw or
-  * /FlateDecode-compressed (java.util.zip.Inflater — the same inflate
-  * discipline the PNG tier ships), /Length as a direct value or an
-  * indirect reference (common from real writers), the Catalog→Pages
-  * tree walk (nested Pages nodes), and the BT/ET text operators
-  * Tj / TJ / ' / " with Td/TD/T* line moves.
+  * source an LLM data pipeline ingests. Covers BOTH generations of the
+  * file skeleton (ISO 32000-1):
+  *
+  *  - the CLASSIC form: startxref→xref-table→trailer (with /Prev
+  *    chains), indirect objects, dictionaries/arrays/names/strings
+  *    (literal with escapes + octal, and hex), content streams stored
+  *    raw or /FlateDecode-compressed (java.util.zip.Inflater — the same
+  *    inflate discipline the PNG tier ships), /Length direct or
+  *    indirect (common from real writers), the Catalog→Pages tree walk
+  *    (nested Pages nodes), and the BT/ET text operators Tj / TJ / ' /
+  *    " with Td/TD/T* line moves;
+  *  - the MODERN form (PDF 1.5+, what most current writers emit):
+  *    cross-reference STREAMS (/Type /XRef — /W-packed big-endian rows,
+  *    /Index subsections, the PNG row predictors real writers wrap them
+  *    in), OBJECT streams (/Type /ObjStm — header pairs + packed bare
+  *    objects, decoded once per container and cached), hybrid files'
+  *    /XRefStm (which takes priority over the classic section beside
+  *    it, per spec), and classic incremental updates appended on top of
+  *    a modern base.
   *
   * Out of the canonical subset and rejecting LOUDLY BY NAME: encrypted
-  * files (/Encrypt), cross-reference STREAMS (PDF 1.5+ /XRef — a
-  * different, compressed xref encoding), object streams (/ObjStm),
-  * filters other than FlateDecode, and ToUnicode CMap remapping (string
-  * bytes are decoded as Latin-1, which is exact for the
-  * StandardEncoding/WinAnsi ASCII range the plant uses).
+  * files (/Encrypt), filters other than FlateDecode, the TIFF predictor,
+  * and ToUnicode CMap remapping (string bytes are decoded as Latin-1,
+  * which is exact for the StandardEncoding/WinAnsi ASCII range the
+  * plant uses).
   *
   * Text assembly convention (pinned; the fixture replica mirrors it):
   * show-op strings concatenate; a line move (Td, TD, T*, or the moves
@@ -190,6 +198,120 @@ object Pdf {
     out.toByteArray
   }
 
+  /** Write one MODERN (PDF 1.5+) file: a cross-reference STREAM instead
+    * of the classic table — /W [1 4 2] rows, Flate, optionally wrapped
+    * in the PNG Up predictor real writers use — and, with `objStm`, the
+    * non-stream objects (catalog, pages, font, page dicts, info) packed
+    * into one object stream referenced by type-2 entries. Content
+    * streams stay direct (streams cannot live inside an ObjStm).
+    */
+  def encodeModern(pages: Seq[Seq[String]], producer: String,
+                   objStm: Boolean, predictor: Boolean,
+                   escapeFirst: Boolean = false,
+                   hexLines: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty, "Pdf.encode: no pages")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val n = pages.length
+    // numbering: 1 catalog, 2 pages root, 3 font, per page (page, content),
+    // info, [objstm], xref stream last
+    var next = 4L
+    val pageNums = pages.map { _ => val p = next; next += 2; p }
+    val info = next; next += 1
+    val stmNum = if (objStm) { val s = next; next += 1; s } else -1L
+    val xrefNum = next
+    val size = next + 1
+    val entries = scala.collection.mutable.Map.empty[Long, Either[Long, (Long, Int)]]
+    val kidsList = pageNums.map(p => s"$p 0 R").mkString("[", " ", "]")
+    val dictBodies: Seq[(Long, String)] = Seq(
+      1L -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2L -> s"<< /Type /Pages /Kids $kidsList /Count $n >>",
+      3L -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+      pageNums.map { p =>
+        p -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${p + 1} 0 R >>")
+      } ++ Seq(info -> s"<< /Producer ($producer) >>")
+    // content streams: always direct objects
+    pages.zip(pageNums).foreach { case (lines, p) =>
+      val data = deflate(renderContent(lines, escapeFirst, hexLines))
+      entries(p + 1) = Left(out.size().toLong)
+      w(s"${p + 1} 0 obj\n<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    if (objStm) {
+      // pack the dict objects into one object stream
+      val bodies = dictBodies.map(_._2 + "\n")
+      val offs = bodies.scanLeft(0)(_ + _.getBytes("ISO-8859-1").length).init
+      val header = dictBodies.map(_._1).zip(offs)
+        .map { case (num, o) => s"$num $o" }.mkString(" ") + "\n"
+      val first = header.getBytes("ISO-8859-1").length
+      val plain = (header + bodies.mkString).getBytes("ISO-8859-1")
+      val data = deflate(plain)
+      dictBodies.map(_._1).zipWithIndex.foreach { case (num, i) =>
+        entries(num) = Right((stmNum, i))
+      }
+      entries(stmNum) = Left(out.size().toLong)
+      w(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${dictBodies.length} /First $first " +
+        s"/Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    } else {
+      dictBodies.foreach { case (num, body) =>
+        entries(num) = Left(out.size().toLong)
+        w(s"$num 0 obj\n$body\nendobj\n")
+      }
+    }
+    // the cross-reference stream (its own entry included)
+    val xrefAt = out.size().toLong
+    entries(xrefNum) = Left(xrefAt)
+    val rowLen = 7 // W = [1 4 2]
+    val raw = new Array[Byte](size.toInt * rowLen)
+    def putRow(num: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val p = num * rowLen
+      raw(p) = t.toByte
+      raw(p + 1) = ((f2 >> 24) & 0xff).toByte; raw(p + 2) = ((f2 >> 16) & 0xff).toByte
+      raw(p + 3) = ((f2 >> 8) & 0xff).toByte; raw(p + 4) = (f2 & 0xff).toByte
+      raw(p + 5) = ((f3 >> 8) & 0xff).toByte; raw(p + 6) = (f3 & 0xff).toByte
+    }
+    putRow(0, 0, 0, 0xffff)
+    (1L until size).foreach { num =>
+      entries.get(num) match {
+        case Some(Left(off)) => putRow(num.toInt, 1, off, 0)
+        case Some(Right((c, i))) => putRow(num.toInt, 2, c, i)
+        case None => putRow(num.toInt, 0, 0, 0)
+      }
+    }
+    val predicted =
+      if (!predictor) raw
+      else {
+        // PNG Up filter per row — the wrapping real writers emit
+        val rows = raw.length / rowLen
+        val o = new Array[Byte]((rowLen + 1) * rows)
+        var r = 0
+        while (r < rows) {
+          o(r * (rowLen + 1)) = 2 // Up
+          var i = 0
+          while (i < rowLen) {
+            val prior = if (r > 0) raw((r - 1) * rowLen + i) & 0xff else 0
+            o(r * (rowLen + 1) + 1 + i) = (((raw(r * rowLen + i) & 0xff) - prior) & 0xff).toByte
+            i += 1
+          }
+          r += 1
+        }
+        o
+      }
+    val data = deflate(predicted)
+    val parms = if (predictor) s" /DecodeParms << /Predictor 12 /Columns $rowLen >>" else ""
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+      s"/Info $info 0 R /Filter /FlateDecode$parms /Length ${data.length} >>\nstream\n")
+    out.write(data)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
   // =====================================================================
   // parse — lexer + object reader + xref walk
   // =====================================================================
@@ -348,8 +470,138 @@ object Pdf {
     }
   }
 
-  /** A parsed document: object fetch-by-ref plus the trailer dict. */
-  final class Doc(payload: Array[Byte], xref: Map[Long, Long], val trailer: PDict) {
+  /** Parse one indirect object at a byte offset ("num gen obj ...
+    * endobj", stream bodies included). `wantNum` < 0 accepts any object
+    * number (the xref-stream bootstrap, which cannot know it yet);
+    * `lengthResolver` resolves an indirect /Length — the bootstrap
+    * passes a strict resolver because nothing can be resolved before
+    * the xref exists.
+    */
+  private def parseObjectAt(payload: Array[Byte], off: Long, wantNum: Long,
+                            lengthResolver: PVal => PVal): PVal = {
+    val lx = new Lex(payload, off.toInt)
+    val numTok = lx.token()
+    require(numTok.forall(_.isDigit) && (wantNum < 0 || numTok.toLong == wantNum),
+      s"Pdf.parse: xref offset $off holds object '$numTok', wanted $wantNum")
+    lx.token() // generation
+    lx.expect("obj")
+    val v = value(lx)
+    lx.skipWs()
+    v match {
+      case d: PDict if lx.at + 6 <= lx.n &&
+          new String(payload, lx.at, 6, "ISO-8859-1") == "stream" =>
+        lx.at += 6
+        // EOL after 'stream': CRLF or LF (spec)
+        if (lx.peek == '\r') lx.at += 1
+        if (lx.peek == '\n') lx.at += 1
+        val len = lengthResolver(d.m.getOrElse("Length",
+          throw new IllegalArgumentException("Pdf.parse: stream without /Length"))) match {
+          case PNum(nv) => nv.toLong
+          case other => throw new IllegalArgumentException(
+            s"Pdf.parse: /Length resolves to $other")
+        }
+        require(len >= 0 && lx.at + len <= lx.n,
+          s"Pdf.parse: stream of $len bytes overruns the payload")
+        val raw = java.util.Arrays.copyOfRange(payload, lx.at, lx.at + len.toInt)
+        PStream(d, raw)
+      case other => other
+    }
+  }
+
+  /** Undo the PNG row predictor (/Predictor >= 10) over 8-bit
+    * single-component rows — what real writers wrap xref streams in.
+    */
+  private def pngDefilter(data: Array[Byte], columns: Int): Array[Byte] = {
+    require(columns > 0, s"Pdf.parse: predictor /Columns $columns")
+    val stride = columns + 1
+    require(data.length % stride == 0,
+      s"Pdf.parse: predicted stream of ${data.length} bytes is not a " +
+        s"multiple of the ${stride}-byte row stride")
+    val rows = data.length / stride
+    val out = new Array[Byte](rows * columns)
+    var r = 0
+    while (r < rows) {
+      val f = data(r * stride) & 0xff
+      var i = 0
+      while (i < columns) {
+        val cur = data(r * stride + 1 + i) & 0xff
+        val left = if (i > 0) out(r * columns + i - 1) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * columns + i) & 0xff else 0
+        val ul = if (r > 0 && i > 0) out((r - 1) * columns + i - 1) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case other => throw new IllegalArgumentException(
+            s"Pdf.parse: PNG predictor row filter $other (0..4)")
+        }
+        out(r * columns + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Decode a stream's bytes: /Filter (none or FlateDecode), then
+    * /DecodeParms (none, or the PNG row predictors real xref/object
+    * streams use; TIFF predictor 2 rejects by name).
+    */
+  private def decodeStream(s: PStream, resolver: PVal => PVal): Array[Byte] = {
+    val raw = s.dict.m.get("Filter").map(resolver) match {
+      case None => s.raw
+      case Some(PName("FlateDecode")) =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(s.raw)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        try {
+          while (!inf.finished()) {
+            val got = inf.inflate(buf)
+            require(got > 0 || inf.finished() || !inf.needsInput(),
+              "Pdf.parse: truncated FlateDecode stream")
+            out.write(buf, 0, got)
+          }
+        } finally inf.end()
+        out.toByteArray
+      case Some(other) => throw new IllegalArgumentException(
+        s"Pdf.parse: filter $other not supported (FlateDecode only)")
+    }
+    s.dict.m.get("DecodeParms").orElse(s.dict.m.get("DP")).map(resolver) match {
+      case None | Some(PNull) => raw
+      case Some(d: PDict) =>
+        def num(k: String, dflt: Long): Long = d.m.get(k).map(resolver) match {
+          case Some(PNum(v)) => v.toLong
+          case None => dflt
+          case other => throw new IllegalArgumentException(
+            s"Pdf.parse: /DecodeParms $k is $other")
+        }
+        num("Predictor", 1) match {
+          case 1 => raw
+          case p if p >= 10 =>
+            require(num("Colors", 1) == 1 && num("BitsPerComponent", 8) == 8,
+              "Pdf.parse: PNG predictor with multi-component rows not supported")
+            pngDefilter(raw, num("Columns", 1).toInt)
+          case 2 => throw new IllegalArgumentException(
+            "Pdf.parse: TIFF predictor 2 not supported (PNG predictors only)")
+          case other => throw new IllegalArgumentException(
+            s"Pdf.parse: predictor $other not supported")
+        }
+      case Some(other) => throw new IllegalArgumentException(
+        s"Pdf.parse: /DecodeParms is $other, not a dictionary")
+    }
+  }
+
+  /** A parsed document: object fetch-by-ref (direct xref offsets AND
+    * object-stream members) plus the trailer dict.
+    */
+  final class Doc(payload: Array[Byte], xref: Map[Long, Long],
+                  compressed: Map[Long, (Long, Int)], val trailer: PDict) {
     private val cache = scala.collection.mutable.Map.empty[Long, PVal]
     // objects currently BEING fetched: a crafted document whose object
     // reaches itself while still parsing (e.g. a /Length chain back to the
@@ -364,38 +616,60 @@ object Pdf {
         try fetchUncached(ref) finally inFlight.remove(ref.num)
     }
     private def fetchUncached(ref: PRef): PVal = cache.getOrElseUpdate(ref.num, {
-      val off = xref.getOrElse(ref.num,
-        throw new IllegalArgumentException(
-          s"Pdf.parse: object ${ref.num} not in xref"))
-      val lx = new Lex(payload, off.toInt)
-      val numTok = lx.token()
-      require(numTok.forall(_.isDigit) && numTok.toLong == ref.num,
-        s"Pdf.parse: xref offset $off holds object '$numTok', wanted ${ref.num}")
-      lx.token() // generation
-      lx.expect("obj")
-      val v = value(lx)
-      lx.skipWs()
-      // stream?
-      v match {
-        case d: PDict if lx.at + 6 <= lx.n &&
-            new String(payload, lx.at, 6, "ISO-8859-1") == "stream" =>
-          lx.at += 6
-          // EOL after 'stream': CRLF or LF (spec)
-          if (lx.peek == '\r') lx.at += 1
-          if (lx.peek == '\n') lx.at += 1
-          val len = resolve(d.m.getOrElse("Length",
-            throw new IllegalArgumentException("Pdf.parse: stream without /Length"))) match {
-            case PNum(nv) => nv.toLong
-            case other => throw new IllegalArgumentException(
-              s"Pdf.parse: /Length resolves to $other")
-          }
-          require(lx.at + len <= lx.n,
-            s"Pdf.parse: stream of $len bytes overruns the payload")
-          val raw = java.util.Arrays.copyOfRange(payload, lx.at, lx.at + len.toInt)
-          PStream(d, raw)
-        case other => other
+      xref.get(ref.num) match {
+        case Some(off) => parseObjectAt(payload, off, ref.num, resolve)
+        case None => compressed.get(ref.num) match {
+          case Some((container, idx)) => fetchFromObjStm(container, idx, ref.num)
+          case None => throw new IllegalArgumentException(
+            s"Pdf.parse: object ${ref.num} not in xref")
+        }
       }
     })
+    // decoded object-stream containers, parsed once per container: the
+    // (objnum, offset) header pairs + decoded bytes + /First
+    private val objStmCache =
+      scala.collection.mutable.Map.empty[Long, (Array[(Long, Long)], Array[Byte], Long)]
+    private def fetchFromObjStm(container: Long, idx: Int, want: Long): PVal = {
+      val (pairs, data, first) = objStmCache.getOrElseUpdate(container, {
+        val s = resolve(PRef(container, 0)) match {
+          case s: PStream => s
+          case other => throw new IllegalArgumentException(
+            s"Pdf.parse: object-stream container $container is $other, not a stream")
+        }
+        require(s.dict.m.get("Type").map(resolve).contains(PName("ObjStm")),
+          s"Pdf.parse: container $container is not /Type /ObjStm")
+        val d = streamData(s)
+        def num(k: String): Long = resolve(s.dict.m.getOrElse(k,
+          throw new IllegalArgumentException(s"Pdf.parse: ObjStm without /$k"))) match {
+          case PNum(v) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"Pdf.parse: ObjStm /$k is $other")
+        }
+        val nObjs = num("N")
+        val first = num("First")
+        require(nObjs >= 0 && nObjs <= d.length && first >= 0 && first <= d.length,
+          s"Pdf.parse: ObjStm header ($nObjs objects, first $first) overruns " +
+            s"its ${d.length}-byte data")
+        val lx = new Lex(d, 0)
+        val pairs = (0L until nObjs).map { _ =>
+          val numTok = lx.token(); val offTok = lx.token()
+          require(numTok.forall(_.isDigit) && offTok.forall(_.isDigit),
+            s"Pdf.parse: non-numeric ObjStm header pair '$numTok $offTok'")
+          (numTok.toLong, offTok.toLong)
+        }
+        (pairs.toArray, d, first)
+      })
+      require(idx >= 0 && idx < pairs.length,
+        s"Pdf.parse: object-stream index $idx outside container $container " +
+          s"(${pairs.length} members)")
+      val (num, off) = pairs(idx)
+      require(num == want,
+        s"Pdf.parse: ObjStm slot $idx holds object $num, xref wanted $want")
+      require(first + off < data.length,
+        s"Pdf.parse: ObjStm member offset ${first + off} overruns the data")
+      // members are bare values: no obj/endobj wrapper, never streams
+      value(new Lex(data, (first + off).toInt))
+    }
     def resolve(v: PVal): PVal = {
       // ref→ref chains must terminate: a cached object whose VALUE is a
       // reference back into the chain ("5 0 obj 5 0 R endobj") would spin
@@ -411,32 +685,14 @@ object Pdf {
       }
       go(v, Set.empty)
     }
-    /** Decode a stream object's bytes through its /Filter. */
-    def streamData(s: PStream): Array[Byte] = {
-      s.dict.m.get("Filter").map(resolve) match {
-        case None => s.raw
-        case Some(PName("FlateDecode")) =>
-          val inf = new java.util.zip.Inflater()
-          inf.setInput(s.raw)
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          try {
-            while (!inf.finished()) {
-              val got = inf.inflate(buf)
-              require(got > 0 || inf.finished() || !inf.needsInput(),
-                "Pdf.parse: truncated FlateDecode stream")
-              out.write(buf, 0, got)
-            }
-          } finally inf.end()
-          out.toByteArray
-        case Some(other) => throw new IllegalArgumentException(
-          s"Pdf.parse: filter $other not supported (FlateDecode only)")
-      }
-    }
+    /** Decode a stream object's bytes through its /Filter + /DecodeParms. */
+    def streamData(s: PStream): Array[Byte] = decodeStream(s, resolve)
   }
 
-  /** Open a document: tail startxref, xref table walk with /Prev chains.
-    * Rejects encryption and cross-reference streams by name.
+  /** Open a document: tail startxref, then the xref chain — classic
+    * tables AND cross-reference streams (PDF 1.5+), /Prev links, and
+    * hybrid files' /XRefStm (whose entries take priority over the
+    * classic section beside them, per spec). Rejects encryption by name.
     */
   def open(payload: Array[Byte]): Doc = {
     val n = payload.length
@@ -453,6 +709,96 @@ object Pdf {
       t.toLong
     }
     val xref = scala.collection.mutable.Map.empty[Long, Long]
+    val compressed = scala.collection.mutable.Map.empty[Long, (Long, Int)]
+    def absorb(num: Long, e: Either[Long, (Long, Int)]): Unit =
+      if (!xref.contains(num) && !compressed.contains(num)) e match {
+        case Left(off) => xref(num) = off
+        case Right(ci) => compressed(num) = ci
+      }
+    // nothing is resolvable while the xref is still being built
+    val strict: PVal => PVal = {
+      case r: PRef => throw new IllegalArgumentException(
+        s"Pdf.parse: xref stream carries an indirect value ($r) — " +
+          "must be direct before the xref exists")
+      case v => v
+    }
+    /** One cross-reference STREAM section: /W-packed big-endian entry
+      * rows (PNG predictors handled by decodeStream), /Index subsections.
+      * Returns the stream dict (trailer fields live there).
+      */
+    def readXrefStream(off: Long): PDict = {
+      val s = parseObjectAt(payload, off, -1, strict) match {
+        case s: PStream => s
+        case other => throw new IllegalArgumentException(
+          s"Pdf.parse: startxref/Prev points at $other, not an xref stream")
+      }
+      require(s.dict.m.get("Type").contains(PName("XRef")),
+        "Pdf.parse: stream at the xref offset is not /Type /XRef")
+      val data = decodeStream(s, strict)
+      def num(k: String): Option[Long] = s.dict.m.get(k).map {
+        case PNum(v) => v.toLong
+        case other => throw new IllegalArgumentException(
+          s"Pdf.parse: xref stream /$k is $other")
+      }
+      val size = num("Size").getOrElse(throw new IllegalArgumentException(
+        "Pdf.parse: xref stream without /Size"))
+      val w = s.dict.m.get("W") match {
+        case Some(PArr(items)) if items.length == 3 => items.map {
+          case PNum(v) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"Pdf.parse: xref stream /W field is $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"Pdf.parse: xref stream /W is $other (need [w1 w2 w3])")
+      }
+      require(w.forall(x => x >= 0 && x <= 8),
+        s"Pdf.parse: xref stream /W widths $w (0..8 bytes)")
+      val rowLen = w.sum
+      require(rowLen > 0, "Pdf.parse: xref stream with zero-width rows")
+      val index: Seq[(Long, Long)] = s.dict.m.get("Index") match {
+        case None => Seq((0L, size))
+        case Some(PArr(items)) =>
+          require(items.length % 2 == 0, "Pdf.parse: odd /Index array")
+          items.map {
+            case PNum(v) => v.toLong
+            case other => throw new IllegalArgumentException(
+              s"Pdf.parse: /Index item is $other")
+          }.grouped(2).map(p => (p(0), p(1))).toSeq
+        case Some(other) => throw new IllegalArgumentException(
+          s"Pdf.parse: /Index is $other")
+      }
+      val totalRows = index.map(_._2).sum
+      require(totalRows >= 0 && totalRows * rowLen <= data.length,
+        s"Pdf.parse: xref stream declares $totalRows rows of $rowLen bytes " +
+          s"in ${data.length} decoded bytes")
+      var p = 0
+      index.foreach { case (start, count) =>
+        var i = 0L
+        while (i < count) {
+          def field(width: Int): Long = {
+            var v = 0L
+            var k = 0
+            while (k < width) { v = (v << 8) | (data(p) & 0xffL); p += 1; k += 1 }
+            v
+          }
+          val t = if (w(0) == 0) 1L else field(w(0))
+          val f2 = field(w(1))
+          val f3 = field(w(2))
+          t match {
+            case 0 => () // free
+            case 1 => absorb(start + i, Left(f2))
+            case 2 =>
+              require(f3 <= Int.MaxValue,
+                s"Pdf.parse: ObjStm index $f3 out of range")
+              absorb(start + i, Right((f2, f3.toInt)))
+            case other => throw new IllegalArgumentException(
+              s"Pdf.parse: xref stream entry type $other (0/1/2)")
+          }
+          i += 1
+        }
+      }
+      PDict(s.dict.m)
+    }
     var trailer: Option[PDict] = None
     var nextOff: Option[Long] = Some(firstXref)
     val seen = scala.collection.mutable.Set.empty[Long]
@@ -462,38 +808,46 @@ object Pdf {
       require(off >= 0 && off < n, s"Pdf.parse: xref offset $off outside the payload")
       val lx = new Lex(payload, off.toInt)
       val kw = lx.token()
-      require(kw == "xref",
-        if (kw.forall(_.isDigit))
-          "Pdf.parse: cross-reference STREAM at startxref (PDF 1.5+ /XRef) " +
-            "not supported (classic xref tables only)"
-        else s"Pdf.parse: expected 'xref' at offset $off, found '$kw'")
-      var scanning = true
-      while (scanning) {
-        lx.skipWs()
-        val save = lx.at
-        val t = lx.token()
-        if (t == "trailer") scanning = false
+      val tdict: PDict =
+        if (kw.nonEmpty && kw.forall(_.isDigit)) readXrefStream(off)
         else {
-          require(t.forall(_.isDigit), s"Pdf.parse: bad xref subsection start '$t'")
-          val start = t.toLong
-          val count = lx.token().toLong
-          (0L until count).foreach { i =>
+          require(kw == "xref",
+            s"Pdf.parse: expected 'xref' at offset $off, found '$kw'")
+          // classic section: collect LOCALLY first — a hybrid file's
+          // /XRefStm entries take priority over the section beside them
+          val local = scala.collection.mutable.Map.empty[Long, Long]
+          var scanning = true
+          while (scanning) {
             lx.skipWs()
-            val entry = new String(payload, lx.at, 18, "ISO-8859-1")
-            lx.at += 18
-            val eoff = entry.substring(0, 10).toLong
-            val kind = entry.charAt(17)
-            // earlier (newer) sections win over /Prev chains
-            if (kind == 'n' && !xref.contains(start + i)) xref(start + i) = eoff
+            val t = lx.token()
+            if (t == "trailer") scanning = false
+            else {
+              require(t.forall(_.isDigit), s"Pdf.parse: bad xref subsection start '$t'")
+              val start = t.toLong
+              val count = lx.token().toLong
+              (0L until count).foreach { i =>
+                lx.skipWs()
+                val entry = new String(payload, lx.at, 18, "ISO-8859-1")
+                lx.at += 18
+                val eoff = entry.substring(0, 10).toLong
+                val kind = entry.charAt(17)
+                if (kind == 'n' && !local.contains(start + i)) local(start + i) = eoff
+              }
+            }
           }
-          val _ = save
+          val td = value(lx) match {
+            case d: PDict => d
+            case other => throw new IllegalArgumentException(
+              s"Pdf.parse: trailer is $other, not a dictionary")
+          }
+          td.m.get("XRefStm").foreach {
+            case PNum(v) => readXrefStream(v.toLong) // before the classic entries
+            case other => throw new IllegalArgumentException(
+              s"Pdf.parse: /XRefStm is $other, not an offset")
+          }
+          local.foreach { case (k, v) => absorb(k, Left(v)) }
+          td
         }
-      }
-      val tdict = value(lx) match {
-        case d: PDict => d
-        case other => throw new IllegalArgumentException(
-          s"Pdf.parse: trailer is $other, not a dictionary")
-      }
       require(!tdict.m.contains("Encrypt"),
         "Pdf.parse: encrypted PDF not supported")
       if (trailer.isEmpty) trailer = Some(tdict)
@@ -505,7 +859,7 @@ object Pdf {
     }
     require(trailer.exists(_.m.contains("Root")),
       "Pdf.parse: trailer has no /Root catalog")
-    new Doc(payload, xref.toMap, trailer.get)
+    new Doc(payload, xref.toMap, compressed.toMap, trailer.get)
   }
 
   /** Walk the page tree to the leaf /Page objects, in document order. */
@@ -687,10 +1041,13 @@ object Pdf {
 
   /** Planted document parameters (spec for the fixture replica): the
     * doc's whitespace words page in groups of 12, each page renders as
-    * lines of 4 words; wire-form variety by id — Flate compression on
-    * even ids, indirect /Length on id%7==0, a nested Pages node on
-    * id%9==0, octal-escaped first string bytes on id%3==0, whole lines
-    * as hex strings on id%5==0. The DECODED text is the plain words in
+    * lines of 4 words; wire-form variety by id — the MODERN PDF-1.5
+    * skeleton on id%11==3 (cross-reference stream; object streams on
+    * even ids, the PNG Up predictor on id%3==0), else the classic form
+    * with Flate compression on even ids, indirect /Length on id%7==0,
+    * a nested Pages node on id%9==0; octal-escaped first string bytes
+    * on id%3==0, whole lines as hex strings on id%5==0. The DECODED
+    * text is the plain words in
     * every variant, so the replica derives expected text from the words
     * alone: page text = lines of 4 words joined with '\n'. Characters
     * above U+00FF are replaced with '?' BEFORE rendering (classic PDF
@@ -708,10 +1065,17 @@ object Pdf {
     val pages = words.grouped(12).map { pw =>
       pw.grouped(4).map(_.mkString(" ")).toSeq
     }.toSeq
-    val base = encode(pages, s"graft-pdf $id",
-      compress = id % 2 == 0, indirectLength = id % 7 == 0,
-      nestedKids = id % 9 == 0,
-      escapeFirst = id % 3 == 0, hexLines = id % 5 == 0)
+    val base =
+      if (id % 11 == 3)
+        // the MODERN wire form (PDF 1.5+): cross-reference stream, with
+        // object streams on even ids and the PNG Up predictor on id%3==0
+        encodeModern(pages, s"graft-pdf $id",
+          objStm = id % 2 == 0, predictor = id % 3 == 0,
+          escapeFirst = id % 3 == 0, hexLines = id % 5 == 0)
+      else encode(pages, s"graft-pdf $id",
+        compress = id % 2 == 0, indirectLength = id % 7 == 0,
+        nestedKids = id % 9 == 0,
+        escapeFirst = id % 3 == 0, hexLines = id % 5 == 0)
     if (id % 13 != 0) Some(base)
     else {
       // the Info object is the last-numbered object of encode()'s layout;

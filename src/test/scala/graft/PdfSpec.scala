@@ -67,10 +67,12 @@ class PdfSpec extends SparkSpec {
     val s = new String(good, "ISO-8859-1")
     val poked = s.replaceAll("startxref\n\\d+", "startxref\n10")
     rejects(poked.getBytes("ISO-8859-1"), "expected 'xref'")
-    // a PDF-1.5 cross-reference STREAM: startxref points at an object
+    // startxref pointing at an object that is NOT an xref stream (the
+    // catalog) rejects by name — xref STREAMS themselves parse (see the
+    // modern-skeleton test)
     val xs = s.replaceAll("startxref\n\\d+",
       "startxref\n" + s.indexOf("1 0 obj"))
-    rejects(xs.getBytes("ISO-8859-1"), "cross-reference STREAM")
+    rejects(xs.getBytes("ISO-8859-1"), "not an xref stream")
     // encryption rejects at open
     val enc = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
     rejects(enc.getBytes("ISO-8859-1"), "encrypted")
@@ -86,6 +88,41 @@ class PdfSpec extends SparkSpec {
       Pdf.pageObjects(d).foreach(pg => Pdf.pageText(d, pg))
     }.getMessage
     assert(m.contains("not supported") || m.contains("expected"), m)
+  }
+
+  test("modern (PDF 1.5+) skeleton: cross-reference streams, object " +
+    "streams and the PNG Up predictor all extract the same text as the " +
+    "classic form; incremental updates stack on a modern base") {
+    for (objStm <- Seq(false, true); predictor <- Seq(false, true)) {
+      val p = Pdf.encodeModern(pages, "modern", objStm = objStm,
+        predictor = predictor)
+      val doc = Pdf.open(p)
+      val classic = Pdf.open(Pdf.encode(pages, "modern", compress = true,
+        indirectLength = false, nestedKids = false))
+      val got = Pdf.pageObjects(doc).map(pg => Pdf.pageText(doc, pg))
+      val want = Pdf.pageObjects(classic).map(pg => Pdf.pageText(classic, pg))
+      assert(got === want, s"objStm=$objStm predictor=$predictor")
+      assert(Pdf.producerOf(doc) === "modern")
+    }
+    // a classic incremental update appended on a MODERN base: the newer
+    // classic section wins, /Prev walks back into the xref stream
+    val base = Pdf.encodeModern(pages, "modern", objStm = true, predictor = true)
+    val infoNum = {
+      val t = new String(base, "ISO-8859-1")
+      val at = t.lastIndexOf("/Info ")
+      t.substring(at + 6).trim.takeWhile(_.isDigit).toLong
+    }
+    val updated = Pdf.appendUpdate(base, infoNum, "<< /Producer (modern r2) >>")
+    assert(Pdf.producerOf(Pdf.open(updated)) === "modern r2")
+    // crafted modern files reject by name
+    def poke(p: Array[Byte], from: String, to: String): Array[Byte] =
+      new String(p, "ISO-8859-1").replace(from, to).getBytes("ISO-8859-1")
+    val m1 = intercept[IllegalArgumentException](Pdf.open(poke(base,
+      "/Predictor 12", "/Predictor 2"))).getMessage
+    assert(m1.contains("TIFF predictor"), m1)
+    val m2 = intercept[IllegalArgumentException](Pdf.open(poke(base,
+      "/W [1 4 2]", "/W [1 4 9]"))).getMessage
+    assert(m2.contains("/W widths"), m2)
   }
 
   test("reference cycles reject by name, not StackOverflowError; a " +
