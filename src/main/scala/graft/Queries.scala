@@ -3250,7 +3250,7 @@ object Queries {
       // arithmetic, duration and exact average bitrate end to end.
       Some("""SELECT media_id, mpeg_version, sample_rate, channel_mode,
                      n_frames, duration_ms, audio_bytes, bitrate_kbps,
-                     is_vbr, id3_bytes, has_xing, has_id3v1
+                     is_vbr, id3_bytes, has_xing, has_id3v1, title, artist
               FROM parquet_scan('{FIX}/_fixture_mp3meta/*.parquet')
               ORDER BY media_id"""),
       (s, d) => {

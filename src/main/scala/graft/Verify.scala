@@ -1957,11 +1957,13 @@ object Verify {
           (id, if (mpeg1) 1 else 2, sr, modes((id % 4).toInt), nf.toLong,
             durMs, audio, audio * 8 / durMs, vbr,
             if (id % 3 == 0) 10L + 57 + id % 100 else 0L,
-            id % 4 == 1, id % 6 == 2)
+            id % 4 == 1, id % 6 == 2,
+            if (id % 3 == 0) s"song$id" else "",
+            if (id % 3 == 0) s"band${id % 8}" else "")
         }
       rows.toDF("media_id", "mpeg_version", "sample_rate", "channel_mode",
           "n_frames", "duration_ms", "audio_bytes", "bitrate_kbps", "is_vbr",
-          "id3_bytes", "has_xing", "has_id3v1").coalesce(1)
+          "id3_bytes", "has_xing", "has_id3v1", "title", "artist").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp3meta")
     }
     fixture("_fixture_oggmeta") {

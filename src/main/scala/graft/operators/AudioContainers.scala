@@ -54,7 +54,8 @@ object AudioContainers {
   case class Mp3Meta(mpeg_version: Int, sample_rate: Int, channel_mode: String,
                      n_frames: Long, duration_ms: Long, audio_bytes: Long,
                      bitrate_kbps: Long, is_vbr: Boolean, id3_bytes: Long,
-                     has_xing: Boolean, has_id3v1: Boolean)
+                     has_xing: Boolean, has_id3v1: Boolean,
+                     title: String, artist: String)
 
   /** Frame byte length for Layer III (the stepping arithmetic). */
   def mp3FrameLen(mpeg1: Boolean, kbps: Int, sampleRate: Int, padding: Boolean): Int =
@@ -77,18 +78,48 @@ object AudioContainers {
   def mp3Encode(mpeg1: Boolean, srIdx: Int, bitrateIdx: Int => Int,
                 paddingOf: Int => Boolean, channelMode: Int, frames: Int,
                 id3Size: Int, xing: Boolean = false,
-                id3v1: Boolean = false): Array[Byte] = {
+                id3v1: Boolean = false,
+                id3Frames: Seq[(String, String)] = Nil,
+                id3Ver: Int = 4): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (id3Size > 0) {
       require(id3Size < (1 << 28), "mp3Encode: id3 size over syncsafe range")
+      require(id3Ver == 3 || id3Ver == 4, s"mp3Encode: ID3v2.$id3Ver")
       out.write('I'); out.write('D'); out.write('3')
-      out.write(4); out.write(0) // v2.4.0
-      out.write(0)               // flags
+      out.write(id3Ver); out.write(0)
+      out.write(0) // flags
       out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
       out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
-      val body = new Array[Byte](id3Size)
-      java.util.Arrays.fill(body, 0x54.toByte)
-      out.write(body)
+      // real text frames (v2.4: syncsafe sizes + UTF-8 encoding byte 3;
+      // v2.3: plain big-endian sizes, frame 0 UTF-16-with-BOM encoding 1,
+      // later frames ISO-8859-1 encoding 0), zero-padded to id3Size
+      val body = new java.io.ByteArrayOutputStream()
+      id3Frames.zipWithIndex.foreach { case ((fid, text), k) =>
+        require(fid.length == 4, s"mp3Encode: frame id '$fid'")
+        val enc: Int = if (id3Ver == 4) 3 else if (k == 0) 1 else 0
+        val tb = enc match {
+          case 3 => text.getBytes("UTF-8")
+          case 1 => Array[Byte](0xff.toByte, 0xfe.toByte) ++
+            text.getBytes("UTF-16LE")
+          case _ => text.getBytes("ISO-8859-1")
+        }
+        val fsz = 1 + tb.length
+        body.write(fid.getBytes("US-ASCII"))
+        if (id3Ver == 4) {
+          body.write((fsz >> 21) & 0x7f); body.write((fsz >> 14) & 0x7f)
+          body.write((fsz >> 7) & 0x7f); body.write(fsz & 0x7f)
+        } else {
+          body.write((fsz >> 24) & 0xff); body.write((fsz >> 16) & 0xff)
+          body.write((fsz >> 8) & 0xff); body.write(fsz & 0xff)
+        }
+        body.write(0); body.write(0) // frame flags
+        body.write(enc); body.write(tb)
+      }
+      val bb = body.toByteArray
+      require(bb.length <= id3Size,
+        s"mp3Encode: ${bb.length} bytes of frames exceed the $id3Size-byte tag body")
+      out.write(bb)
+      out.write(new Array[Byte](id3Size - bb.length)) // padding
     }
     val sr = (if (mpeg1) SampleRateM1 else SampleRateM2)(srIdx)
     def writeFrame(bi: Int, pad: Boolean, fill: Byte, tag: Option[String]): Unit = {
@@ -135,12 +166,75 @@ object AudioContainers {
     val n0 = payload.length.toLong
     var at = 0L
     var id3Bytes = 0L
+    var title = ""
+    var artist = ""
     if (n0 >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
       val size = ((payload(6) & 0x7fL) << 21) | ((payload(7) & 0x7fL) << 14) |
         ((payload(8) & 0x7fL) << 7) | (payload(9) & 0x7fL)
       id3Bytes = 10L + size
       require(id3Bytes <= n0, s"Mp3.parse: ID3v2 tag of $id3Bytes bytes " +
         s"overruns the ${n0}-byte payload")
+      // text-frame walk (TIT2/TPE1 → title/artist): v2.3 plain-BE frame
+      // sizes, v2.4 syncsafe; stops at the zero-byte padding. v2.2's
+      // 3-byte frames and unsynchronised tags reject by name.
+      val ver = payload(3) & 0xff
+      require(ver == 3 || ver == 4,
+        s"Mp3.parse: ID3v2.$ver not supported (v2.3/v2.4 frame layout only)")
+      val tflags = payload(5) & 0xff
+      require((tflags & 0x80) == 0,
+        "Mp3.parse: unsynchronised ID3v2 tag not supported")
+      var p = 10L
+      if ((tflags & 0x40) != 0) { // extended header: skip by its size
+        require(p + 4 <= id3Bytes, "Mp3.parse: truncated ID3v2 extended header")
+        val esz =
+          if (ver == 4) ((payload(p.toInt) & 0x7fL) << 21) |
+            ((payload(p.toInt + 1) & 0x7fL) << 14) |
+            ((payload(p.toInt + 2) & 0x7fL) << 7) | (payload(p.toInt + 3) & 0x7fL)
+          else 4L + (((payload(p.toInt) & 0xffL) << 24) |
+            ((payload(p.toInt + 1) & 0xffL) << 16) |
+            ((payload(p.toInt + 2) & 0xffL) << 8) | (payload(p.toInt + 3) & 0xffL))
+        require(p + esz <= id3Bytes, "Mp3.parse: ID3v2 extended header overruns the tag")
+        p += esz
+      }
+      var walking = true
+      while (walking && p + 10 <= id3Bytes) {
+        if (payload(p.toInt) == 0) walking = false // padding
+        else {
+          val fid = new String(payload, p.toInt, 4, "ISO-8859-1")
+          require(fid.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')),
+            s"Mp3.parse: corrupt ID3v2 frame id '$fid' at offset $p")
+          val fsz =
+            if (ver == 4) ((payload(p.toInt + 4) & 0x7fL) << 21) |
+              ((payload(p.toInt + 5) & 0x7fL) << 14) |
+              ((payload(p.toInt + 6) & 0x7fL) << 7) | (payload(p.toInt + 7) & 0x7fL)
+            else ((payload(p.toInt + 4) & 0xffL) << 24) |
+              ((payload(p.toInt + 5) & 0xffL) << 16) |
+              ((payload(p.toInt + 6) & 0xffL) << 8) | (payload(p.toInt + 7) & 0xffL)
+          require(p + 10 + fsz <= id3Bytes,
+            s"Mp3.parse: ID3v2 frame '$fid' of $fsz bytes overruns the tag")
+          val fflags = payload(p.toInt + 9) & 0xff
+          val skipContent = (fflags & 0x0c) != 0 // compression/encryption
+          if (!skipContent && fsz >= 1 && fid.startsWith("T") && fid != "TXXX") {
+            val enc = payload(p.toInt + 10) & 0xff
+            val tb = java.util.Arrays.copyOfRange(payload,
+              p.toInt + 11, (p + 10 + fsz).toInt)
+            val text = (enc match {
+              case 0 => new String(tb, "ISO-8859-1")
+              case 1 => new String(tb, "UTF-16") // BOM-routed
+              case 2 => new String(tb, "UTF-16BE")
+              case 3 => new String(tb, "UTF-8")
+              case other => throw new IllegalArgumentException(
+                s"Mp3.parse: ID3v2 text encoding $other (0..3)")
+            }).takeWhile(_ != '\u0000') // strip the optional NUL terminator
+            fid match {
+              case "TIT2" => title = text
+              case "TPE1" => artist = text
+              case _ => ()
+            }
+          }
+          p += 10 + fsz
+        }
+      }
       at = id3Bytes
     }
     // a trailing 128-byte ID3v1 'TAG' block (present on a huge share of
@@ -217,7 +311,7 @@ object AudioContainers {
     Mp3Meta(if (mpeg1) 1 else 2, sampleRate, ChannelModes(channelMode),
       frames, durMs, audioBytes,
       if (durMs == 0) 0L else audioBytes * 8L / durMs,
-      seenBitrates.size > 1, id3Bytes, hasXing, hasId3v1)
+      seenBitrates.size > 1, id3Bytes, hasXing, hasId3v1, title, artist)
   }
 
   // =====================================================================
@@ -633,11 +727,13 @@ object AudioContainers {
     * frames; MPEG-2 on id%5==0 (else MPEG-1), samplerate index 0
     * (44100 / 22050); CBR at index 9 on even ids, VBR cycling index
     * 5 + 2·((id + f) mod 5) on odd; padding on f%3==0; channel mode
-    * id%4; ID3v2 of 57 + id%100 body bytes on id%3==0. Wild-data
-    * shapes: a leading Xing/Info VBR header frame on id%4==1 ("Xing"
-    * when nf is odd, "Info" when even) and a trailing 128-byte ID3v1
-    * TAG block on id%6==2 — both must be recognized and EXCLUDED from
-    * the audio stats.
+    * id%4; ID3v2 of 57 + id%100 body bytes on id%3==0, carrying real
+    * text frames TIT2=song<id>, TPE1=band<id%8> — as ID3v2.3 (plain-BE
+    * sizes, UTF-16-BOM + ISO encodings) on id%6==0, ID3v2.4 (syncsafe
+    * sizes, UTF-8) otherwise. Wild-data shapes: a leading Xing/Info VBR
+    * header frame on id%4==1 ("Xing" when nf is odd, "Info" when even)
+    * and a trailing 128-byte ID3v1 TAG block on id%6==2 — both must be
+    * recognized and EXCLUDED from the audio stats.
     */
   def mp3FromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaItem] = {
     import spark.implicits._
@@ -650,7 +746,10 @@ object AudioContainers {
           f => if (id % 2 == 0) 9 else 5 + 2 * ((id + f) % 5).toInt,
           f => f % 3 == 0, (id % 4).toInt, nf,
           if (id % 3 == 0) 57 + (id % 100).toInt else 0,
-          xing = id % 4 == 1, id3v1 = id % 6 == 2)
+          xing = id % 4 == 1, id3v1 = id % 6 == 2,
+          id3Frames = if (id % 3 == 0)
+            Seq("TIT2" -> s"song$id", "TPE1" -> s"band${id % 8}") else Nil,
+          id3Ver = if (id % 6 == 0) 3 else 4)
         Multimodal.MediaItem(id, s"mp3/${id % 3}", payload, 0, 0, nf,
           if (mpeg1) 44100 else 22050)
       })
@@ -713,10 +812,10 @@ object AudioContainers {
       val x = mp3Parse(m.payload)
       (m.media_id, x.mpeg_version, x.sample_rate, x.channel_mode, x.n_frames,
         x.duration_ms, x.audio_bytes, x.bitrate_kbps, x.is_vbr, x.id3_bytes,
-        x.has_xing, x.has_id3v1)
+        x.has_xing, x.has_id3v1, x.title, x.artist)
     }).toDF("media_id", "mpeg_version", "sample_rate", "channel_mode",
       "n_frames", "duration_ms", "audio_bytes", "bitrate_kbps", "is_vbr",
-      "id3_bytes", "has_xing", "has_id3v1")
+      "id3_bytes", "has_xing", "has_id3v1", "title", "artist")
   }
 
   def flacMeta(spark: SparkSession, media: Dataset[Multimodal.MediaItem]): DataFrame = {

@@ -31,6 +31,41 @@ class AudioContainersSpec extends SparkSpec {
     assert(!vbr.has_xing && !vbr.has_id3v1)
   }
 
+  test("mp3 ID3v2 text frames: TIT2/TPE1 parse across v2.3 (plain-BE " +
+    "sizes, UTF-16/ISO encodings) and v2.4 (syncsafe, UTF-8); padding " +
+    "and unknown frames skip; crafted tags reject by name") {
+    val v4 = AudioContainers.mp3Parse(AudioContainers.mp3Encode(
+      mpeg1 = true, 0, _ => 9, _ => false, 1, 10, 80,
+      id3Frames = Seq("TIT2" -> "Ünïcode Title", "TPE1" -> "The Band",
+        "TALB" -> "ignored album")))
+    assert(v4.title === "Ünïcode Title" && v4.artist === "The Band")
+    assert(v4.id3_bytes === 90L)
+    val v3 = AudioContainers.mp3Parse(AudioContainers.mp3Encode(
+      mpeg1 = true, 0, _ => 9, _ => false, 1, 10, 80,
+      id3Frames = Seq("TIT2" -> "utf16 title", "TPE1" -> "iso artist"),
+      id3Ver = 3))
+    assert(v3.title === "utf16 title" && v3.artist === "iso artist")
+    // no frames: tag is all padding, tags stay empty
+    val pad = AudioContainers.mp3Parse(AudioContainers.mp3Encode(
+      mpeg1 = true, 0, _ => 9, _ => false, 1, 10, 40))
+    assert(pad.title === "" && pad.artist === "")
+    def rej(p: Array[Byte], frag: String): Unit = {
+      val m = intercept[IllegalArgumentException](
+        AudioContainers.mp3Parse(p)).getMessage
+      assert(m.contains(frag), m)
+    }
+    val good = AudioContainers.mp3Encode(mpeg1 = true, 0, _ => 9, _ => false,
+      1, 10, 80, id3Frames = Seq("TIT2" -> "t"))
+    // a frame size lying past the tag end
+    val lying = good.clone(); lying(14) = 0x7f // TIT2 syncsafe size high byte
+    rej(lying, "overruns the tag")
+    // unsynchronised tags and v2.2 reject by name
+    val unsync = good.clone(); unsync(5) = 0x80.toByte
+    rej(unsync, "unsynchronised")
+    val v22 = good.clone(); v22(3) = 2
+    rej(v22, "ID3v2.2")
+  }
+
   test("mp3 wild-data tolerance: a leading Xing/Info header frame and a " +
     "trailing ID3v1 TAG block are recognized and excluded from the stats") {
     val bare = AudioContainers.mp3Parse(
