@@ -7126,6 +7126,22 @@ object Queries {
         Webp.webpPixelDigest(s, media).orderBy("media_id")
       }),
 
+    QueryDef("q_multimodal_webp_video",
+      // animated WebP as a VIDEO source, through the container-blind
+      // decodeVideo dispatch (RIFF..WEBP vs RIFF..AVI vs GIF8): planted
+      // full-canvas ANMF frames each carry their own VP8L chunk; every
+      // frame decodes byte-exactly (MD5 vs the planted pixels) and
+      // µs/frame comes from the first ANMF duration, the GIF
+      // convention. The replica is plant formulas only.
+      Some("""SELECT media_id, frame_idx, width, height, us_per_frame,
+                     pixel_md5
+              FROM parquet_scan('{FIX}/_fixture_webpvideo/*.parquet')
+              ORDER BY media_id, frame_idx"""),
+      (s, d) => {
+        val media = Webp.animWebpFromDocuments(s, t(s, d, "documents"))
+        Webp.animFrameDigest(s, media).orderBy("media_id", "frame_idx")
+      }),
+
     QueryDef("q_multimodal_image_jpeg",
       // byte-exact JPEG decode pinning (the q_multimodal_image_png
       // analog): MD5 over the decoded pixel array vs the replica's MD5

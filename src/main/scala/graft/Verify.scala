@@ -2531,6 +2531,35 @@ object Verify {
       rows.toDF("media_id", "width", "height", "channels", "pixel_md5").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_webppx")
     }
+    fixture("_fixture_webpvideo") {
+      // animated-WebP replica: per-frame pixels straight from the plant
+      // formulas (canvas = webpDims; nf = 2 + id%4; frame f pixel
+      // gradients with the 11f/7f/3f shifts; µs/frame = first duration
+      // (30 + (id%5)·10 ms) ·1000) — no WebP round trip anywhere here
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long].collect().sorted.toIndexedSeq
+        .flatMap { id =>
+          val (w, h) = webpDims(id)
+          val nf = 2 + (id % 4).toInt
+          val uspf = (30 + (id % 5).toInt * 10) * 1000
+          (0 until nf).map { f =>
+            val rgb = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < w * h) {
+              val x = i % w; val y = i / w
+              rgb(i * 3) = (((x * 7 + y * 3 + id + 11 * f) % 256) & 0xff).toByte
+              rgb(i * 3 + 1) = (((x * 3 + y * 11 + id * 5 + 7 * f) % 256) & 0xff).toByte
+              rgb(i * 3 + 2) = (((x * 13 + y * 5 + id * 7 + 3 * f) % 256) & 0xff).toByte
+              i += 1
+            }
+            (id, f, w, h, uspf, java.security.MessageDigest.getInstance("MD5")
+              .digest(rgb).map("%02x".format(_)).mkString)
+          }
+        }
+      rows.toDF("media_id", "frame_idx", "width", "height", "us_per_frame",
+          "pixel_md5").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_webpvideo")
+    }
     fixture("_fixture_imgfeat") {
       val rows = imgPlant(spark).map { case (id, w, h, px) =>
         val f = imgStats(w, h, px)

@@ -81,17 +81,23 @@ object Multimodal {
         "PNG, JPEG, GIF, BMP and WebP supported)")
   }
 
-  /** Container-agnostic video decode: uncompressed AVI (`RIFF`) or
+  /** Container-agnostic video decode: uncompressed AVI (`RIFF....AVI `),
+    * animated WebP (`RIFF....WEBP`, full-canvas lossless ANMF frames) or
     * animated GIF (`GIF8`, composed per the pinned contract — delays are
     * centiseconds, so µs/frame = first delay ·10⁴, floored at one tick).
-    * Both yield the same top-down RGB [[Avi.Video]] shape, so every
+    * All yield the same top-down RGB [[Avi.Video]] shape, so every
     * frame operator is container-blind.
     */
   def decodeVideo(payload: Array[Byte]): Avi.Video = {
     require(payload != null && payload.length >= 4,
       "decodeVideo: payload too short to carry a video container")
     if (payload(0) == 'R'.toByte && payload(1) == 'I'.toByte &&
-      payload(2) == 'F'.toByte && payload(3) == 'F'.toByte) Avi.decode(payload)
+      payload(2) == 'F'.toByte && payload(3) == 'F'.toByte) {
+      if (payload.length >= 12 && payload(8) == 'W'.toByte &&
+        payload(9) == 'E'.toByte && payload(10) == 'B'.toByte &&
+        payload(11) == 'P'.toByte) Webp.decodeAnim(payload)
+      else Avi.decode(payload)
+    }
     else if (payload(0) == 'G'.toByte && payload(1) == 'I'.toByte &&
       payload(2) == 'F'.toByte && payload(3) == '8'.toByte) {
       val anim = Gif.decode(payload)
@@ -100,7 +106,7 @@ object Multimodal {
     } else throw new IllegalArgumentException(
       f"decodeVideo: unrecognized video container (leading bytes " +
         f"0x${payload(0) & 0xff}%02X${payload(1) & 0xff}%02X; " +
-        "AVI and animated GIF supported)")
+        "AVI, animated WebP and animated GIF supported)")
   }
 
   /** Strided video decode — the frame-sampling fast path behind

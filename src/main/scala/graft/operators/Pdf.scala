@@ -670,20 +670,24 @@ object Pdf {
       // members are bare values: no obj/endobj wrapper, never streams
       value(new Lex(data, (first + off).toInt))
     }
-    def resolve(v: PVal): PVal = {
-      // ref→ref chains must terminate: a cached object whose VALUE is a
-      // reference back into the chain ("5 0 obj 5 0 R endobj") would spin
-      // forever without this guard (fetch's inFlight can't see it — the
-      // object parses fine; the cycle is in the resolved values)
-      @annotation.tailrec
-      def go(v: PVal, seen: Set[Long]): PVal = v match {
-        case r: PRef =>
-          require(!seen(r.num),
-            s"Pdf.parse: circular reference chain through object ${r.num}")
-          go(fetch(r), seen + r.num)
-        case other => other
-      }
-      go(v, Set.empty)
+    def resolve(v: PVal): PVal = v match {
+      case r0: PRef =>
+        // ref→ref chains must terminate: a cached object whose VALUE is
+        // a reference back into the chain ("5 0 obj 5 0 R endobj") would
+        // spin forever (fetch's inFlight can't see it — the object
+        // parses fine; the cycle is in the resolved values). A depth
+        // bound beats a seen-set: resolve runs on every dictionary
+        // access and must not allocate.
+        var cur: PVal = fetch(r0)
+        var depth = 1
+        while (cur.isInstanceOf[PRef]) {
+          depth += 1
+          require(depth <= 64,
+            "Pdf.parse: circular (or >64-deep) reference chain")
+          cur = fetch(cur.asInstanceOf[PRef])
+        }
+        cur
+      case other => other
     }
     /** Decode a stream object's bytes through its /Filter + /DecodeParms. */
     def streamData(s: PStream): Array[Byte] = decodeStream(s, resolve)

@@ -1083,6 +1083,113 @@ object Webp {
     o.toByteArray
   }
 
+  /** Write one ANIMATED WebP with per-frame pixels: VP8X (animation +
+    * alpha flags), ANIM, then one full-canvas ANMF per frame embedding
+    * its own VP8L chunk with the given duration.
+    */
+  def encodeAnim(w: Int, h: Int, frames: Seq[Array[Int]], durationsMs: Seq[Int],
+                 opts: EncodeOpts = EncodeOpts()): Array[Byte] = {
+    require(frames.nonEmpty && frames.length == durationsMs.length,
+      s"Webp.encodeAnim: ${frames.length} frames, ${durationsMs.length} durations")
+    val vp8ls = frames.map { argb =>
+      val inner = encodeLossless(w, h, argb, opts)
+      val c = chunks(inner).find(_.fourcc == "VP8L").get
+      java.util.Arrays.copyOfRange(inner, c.off, c.off + c.size)
+    }
+    val alpha = frames.exists(_.exists(p => (p >>> 24) != 0xff))
+    val vp8x = new java.io.ByteArrayOutputStream()
+    vp8x.write((if (alpha) 0x10 else 0) | 0x02)
+    vp8x.write(0); vp8x.write(0); vp8x.write(0)
+    wle24(vp8x, w - 1); wle24(vp8x, h - 1)
+    val extras = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val anim = new java.io.ByteArrayOutputStream()
+    wle32(anim, 0xffffffffL); anim.write(0); anim.write(0)
+    extras += chunkBytes("ANIM", anim.toByteArray)
+    vp8ls.zip(durationsMs).foreach { case (v, dur) =>
+      val anmf = new java.io.ByteArrayOutputStream()
+      wle24(anmf, 0); wle24(anmf, 0)
+      wle24(anmf, w - 1); wle24(anmf, h - 1)
+      wle24(anmf, dur)
+      anmf.write(0)
+      anmf.write(chunkBytes("VP8L", v))
+      extras += chunkBytes("ANMF", anmf.toByteArray)
+    }
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("RIFF".getBytes("US-ASCII"))
+    val vp8xChunk = chunkBytes("VP8X", vp8x.toByteArray)
+    wle32(o, 4L + vp8xChunk.length + extras.map(_.length).sum)
+    o.write("WEBP".getBytes("US-ASCII"))
+    o.write(vp8xChunk)
+    extras.foreach(o.write)
+    o.toByteArray
+  }
+
+  /** Decode an animated WebP to the tier's container-blind video shape
+    * ([[Avi.Video]]: top-down RGB frames + µs/frame from the first
+    * ANMF duration, the GIF convention). Canonical subset: every frame
+    * full-canvas at (0,0) with its own VP8L chunk — partial/composited
+    * frames and lossy VP8 frames reject by name.
+    */
+  def decodeAnim(payload: Array[Byte]): Avi.Video = {
+    val cs = chunks(payload)
+    val x = cs.find(_.fourcc == "VP8X").getOrElse(
+      throw new IllegalArgumentException(
+        "Webp.decode: animated WebP without a VP8X chunk"))
+    require(x.size >= 10, "Webp.decode: truncated VP8X")
+    val w = le24(payload, x.off + 4) + 1
+    val h = le24(payload, x.off + 7) + 1
+    val anmf = cs.filter(_.fourcc == "ANMF")
+    require(anmf.nonEmpty, "Webp.decode: not an animated WebP (no ANMF frames)")
+    var firstDur = -1
+    val frames = anmf.map { c =>
+      require(c.size >= 16, s"Webp.decode: ANMF chunk of ${c.size} bytes (need 16+)")
+      val fx = le24(payload, c.off) * 2
+      val fy = le24(payload, c.off + 3) * 2
+      val fw = le24(payload, c.off + 6) + 1
+      val fh = le24(payload, c.off + 9) + 1
+      val dur = le24(payload, c.off + 12)
+      require(fx == 0 && fy == 0 && fw == w && fh == h,
+        "Webp.decode: partial/composited ANMF frames not supported " +
+          "(full-canvas frames only)")
+      if (firstDur < 0) firstDur = dur
+      var at = c.off + 16
+      val end = c.off + c.size
+      var vp8l: Option[(Int, Int)] = None
+      while (at < end && vp8l.isEmpty) {
+        require(at + 8 <= end, s"Webp.decode: truncated chunk inside ANMF at $at")
+        val fourcc = new String(payload, at, 4, "US-ASCII")
+        val size = le32(payload, at + 4)
+        require(size <= Int.MaxValue && at + 8 + size <= end,
+          s"Webp.decode: chunk '$fourcc' overruns its ANMF frame")
+        fourcc match {
+          case "VP8L" => vp8l = Some((at + 8, size.toInt))
+          case "VP8 " => throw new IllegalArgumentException(
+            "Webp.decode: lossy VP8 animation frames not supported " +
+              "(lossless VP8L frames decode)")
+          case _ => () // ALPH etc: skipped
+        }
+        at += 8 + size.toInt + (size & 1).toInt
+      }
+      val (off, sz) = vp8l.getOrElse(throw new IllegalArgumentException(
+        "Webp.decode: ANMF frame without a VP8L chunk"))
+      val (fw2, fh2, argb) = decodeVp8l(
+        java.util.Arrays.copyOfRange(payload, off, off + sz))
+      require(fw2 == w && fh2 == h,
+        s"Webp.decode: ANMF frame decodes to $fw2 x $fh2, canvas is $w x $h")
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < argb.length) {
+        val p = argb(i)
+        rgb(i * 3) = ((p >> 16) & 0xff).toByte
+        rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+        rgb(i * 3 + 2) = (p & 0xff).toByte
+        i += 1
+      }
+      rgb
+    }.toIndexedSeq
+    Avi.Video(w, h, math.max(firstDur, 1) * 1000, frames)
+  }
+
   // =====================================================================
   // plant + Spark ops
   // =====================================================================
@@ -1171,6 +1278,56 @@ object Webp {
         x.n_frames.toLong, x.has_exif, x.has_icc)
     }).toDF("media_id", "format", "width", "height", "has_alpha",
       "is_animated", "n_frames", "has_exif", "has_icc")
+  }
+
+  /** Animated-WebP video plant (spec for the fixture replica): per doc
+    * id, nf = 2 + id%4 full-canvas frames at the [[plantDims]] canvas;
+    * frame f pixel (x,y): r=(x·7+y·3+id+11f)%256, g=(x·3+y·11+5id+7f)%256,
+    * b=(x·13+y·5+7id+3f)%256, opaque; ANMF duration of frame f =
+    * 30 + ((id+f)%5)·10 ms (µs/frame = the FIRST duration ·1000);
+    * encoder modes LZ77 on even ids, subtract-green on id%3==0.
+    */
+  def animPlantFrame(id: Long, f: Int): Array[Int] = {
+    val (w, h) = plantDims(id)
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val r = ((x * 7 + y * 3 + id + 11 * f) % 256).toInt
+      val g = ((x * 3 + y * 11 + id * 5 + 7 * f) % 256).toInt
+      val b = ((x * 13 + y * 5 + id * 7 + 3 * f) % 256).toInt
+      0xff000000 | (r << 16) | (g << 8) | b
+    }
+  }
+
+  def animWebpFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Multimodal.MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions(_.map { id =>
+        val (w, h) = plantDims(id)
+        val nf = 2 + (id % 4).toInt
+        val frames = (0 until nf).map(f => animPlantFrame(id, f))
+        val durs = (0 until nf).map(f => 30 + ((id + f) % 5).toInt * 10)
+        val payload = encodeAnim(w, h, frames, durs,
+          EncodeOpts(lz77 = id % 2 == 0, subtractGreen = id % 3 == 0))
+        Multimodal.MediaItem(id, s"webpv/${id % 3}", payload, w, h, nf, 0)
+      })
+  }
+
+  /** Per-frame byte-exact pinning of the animated decode, THROUGH the
+    * container-blind [[Multimodal.decodeVideo]] dispatch — proves the
+    * video tier treats animated WebP like AVI/GIF.
+    */
+  def animFrameDigest(spark: SparkSession, media: Dataset[Multimodal.MediaItem]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val v = Multimodal.decodeVideo(m.payload)
+      v.frames.zipWithIndex.map { case (rgb, f) =>
+        (m.media_id, f, v.width, v.height, v.microSecPerFrame,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(rgb).map("%02x".format(_)).mkString)
+      }
+    }).toDF("media_id", "frame_idx", "width", "height", "us_per_frame",
+      "pixel_md5")
   }
 
   /** Byte-exact lossless decode pinning (the q_multimodal_image_png

@@ -141,6 +141,37 @@ class WebpSpec extends SparkSpec {
     // unit-level in the decoder)
   }
 
+  test("animated WebP: per-frame VP8L round trip through the " +
+    "container-blind decodeVideo dispatch; partial frames reject by name") {
+    val w = 18; val h = 12
+    val frames = (0 until 3).map(f => plantArgb(w, h, 7 + f, alpha = false))
+    val anim = Webp.encodeAnim(w, h, frames, Seq(40, 50, 60),
+      Webp.EncodeOpts(lz77 = true))
+    val v = graft.operators.Multimodal.decodeVideo(anim)
+    assert(v.width === w && v.height === h && v.frames.length === 3)
+    assert(v.microSecPerFrame === 40000) // first ANMF duration, ms → µs
+    v.frames.zip(frames).foreach { case (rgb, argb) =>
+      val want = argb.flatMap(p => Seq(((p >> 16) & 0xff).toByte,
+        ((p >> 8) & 0xff).toByte, (p & 0xff).toByte))
+      assert(rgb.toSeq === want.toSeq)
+    }
+    // decodeAnim agrees with the dispatch (same function underneath)
+    assert(Webp.decodeAnim(anim).frames.length === 3)
+    // a partial (non-canvas) frame rejects by name: shrink frame 0's
+    // declared dims in the first ANMF header (width-1 at body offset 6)
+    val poked = anim.clone()
+    val anmfAt = {
+      var i = 12
+      while (!(poked(i) == 'A' && poked(i + 1) == 'N' && poked(i + 2) == 'M' &&
+        poked(i + 3) == 'F')) i += 1
+      i
+    }
+    poked(anmfAt + 8 + 6) = (w - 2).toByte
+    val m = intercept[IllegalArgumentException](
+      Webp.decodeAnim(poked)).getMessage
+    assert(m.contains("full-canvas"), m)
+  }
+
   test("the Spark ops agree with the plant formulas on a doc sample: " +
     "routes/dims in webpMeta, byte-exact pixels through webpPixelDigest") {
     val docs = Tables.documents(spark, sf).limit(44)
