@@ -3218,6 +3218,23 @@ object Queries {
         Docx.extractDocs(s, docx).orderBy("doc_id")
       }),
 
+    QueryDef("q_webm_meta",
+      // WebM/Matroska — the remaining major video transport after
+      // MP4/AVI (the YouTube-era crawl format): planted EBML skeletons
+      // (vint framing, 4- AND 8-byte Duration floats, V_VP9/VP8/AV1 +
+      // A_OPUS/VORBIS tracks, a junk Cluster the walk steps over by
+      // size) parse to per-track metadata rows — header bytes only,
+      // media payloads never read. The replica is plant formulas only.
+      Some("""SELECT media_id, doc_type, timescale_ns, duration_ms,
+                     muxing_app, writing_app, track_number, track_type,
+                     codec, width, height, channels, sample_rate
+              FROM parquet_scan('{FIX}/_fixture_webmmeta/*.parquet')
+              ORDER BY media_id, track_number"""),
+      (s, d) => {
+        val media = Webm.webmFromDocuments(s, t(s, d, "documents"))
+        Webm.webmMeta(s, media).orderBy("media_id", "track_number")
+      }),
+
     QueryDef("q_epub_extract",
       // EPUB — the ebook corpus format, and the tier-composition proof:
       // planted books (stored-mimetype-first zip skeleton,

@@ -1966,6 +1966,38 @@ object Verify {
           "id3_bytes", "has_xing", "has_id3v1", "title", "artist").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp3meta")
     }
+    fixture("_fixture_webmmeta") {
+      // WebM replica: plant formulas only (webm DocType, matroska on
+      // id%7==0; 1 ms ticks so duration_ms = 5000 + nc%9000; video
+      // V_VP9/VP8/AV1 by id%3 at 320+(id%5)·64 × 180+(id%4)·90; audio
+      // A_OPUS/A_VORBIS on even ids) — no EBML round trip anywhere here
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "n_chars").as[(Long, Long)].collect()
+        .sortBy(_._1).toIndexedSeq
+        .flatMap { case (id, nc0) =>
+          val nc = math.max(nc0, 0L)
+          val doc = if (id % 7 == 0) "matroska" else "webm"
+          val durMs = 5000 + nc % 9000
+          val apps = ("graft-webm", s"writer${id % 4}")
+          val vcodec = (id % 3) match {
+            case 1 => "V_VP8"; case 2 => "V_AV1"; case _ => "V_VP9"
+          }
+          val w = 320 + (id % 5).toInt * 64
+          val h = 180 + (id % 4).toInt * 90
+          val video = (id, doc, 1000000L, durMs, apps._1, apps._2,
+            1L, "video", vcodec, w, h, 0, 0)
+          val audio = if (id % 2 == 0)
+            Seq((id, doc, 1000000L, durMs, apps._1, apps._2, 2L, "audio",
+              if (id % 6 == 0) "A_VORBIS" else "A_OPUS", 0, 0,
+              1 + ((id / 2) % 2).toInt, 48000))
+          else Nil
+          Seq(video) ++ audio
+        }
+      rows.toDF("media_id", "doc_type", "timescale_ns", "duration_ms",
+          "muxing_app", "writing_app", "track_number", "track_type", "codec",
+          "width", "height", "channels", "sample_rate").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_webmmeta")
+    }
     fixture("_fixture_oggmeta") {
       // Ogg replica: plant formulas only (Opus on even ids with the
       // 48 kHz granule clock and preskip excluded, Vorbis on odd at the
