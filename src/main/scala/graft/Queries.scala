@@ -3218,6 +3218,20 @@ object Queries {
         Docx.extractDocs(s, docx).orderBy("doc_id")
       }),
 
+    QueryDef("q_avif_meta",
+      // AVIF/HEIF stills — the #4-and-rising image format, sharing the
+      // ISO-BMFF framing the MP4 tier already walks: brand gate, dims
+      // from the meta→iprp→ipco→ispe property, av1C presence (decode
+      // routes out by codec name, the H.264 posture), mdat never read.
+      // The replica is plant formulas only.
+      Some("""SELECT media_id, brand, width, height, n_ispe, has_av1c
+              FROM parquet_scan('{FIX}/_fixture_avifmeta/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Mp4.avifFromDocuments(s, t(s, d, "documents"))
+        Mp4.avifMetaRows(s, media).orderBy("media_id")
+      }),
+
     QueryDef("q_webm_meta",
       // WebM/Matroska — the remaining major video transport after
       // MP4/AVI (the YouTube-era crawl format): planted EBML skeletons

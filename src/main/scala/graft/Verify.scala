@@ -1966,6 +1966,20 @@ object Verify {
           "id3_bytes", "has_xing", "has_id3v1", "title", "artist").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp3meta")
     }
+    fixture("_fixture_avifmeta") {
+      // AVIF replica: plant formulas only (brand avif; dims
+      // 100+(id%40)·8 × 80+(id%30)·8; av1C except id%5==1; a second
+      // ispe on id%4==0) — no ISO-BMFF round trip anywhere here
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long].collect().sorted.toIndexedSeq
+        .map { id =>
+          (id, "avif", 100 + (id % 40).toInt * 8, 80 + (id % 30).toInt * 8,
+            if (id % 4 == 0) 2 else 1, id % 5 != 1)
+        }
+      rows.toDF("media_id", "brand", "width", "height", "n_ispe",
+          "has_av1c").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_avifmeta")
+    }
     fixture("_fixture_webmmeta") {
       // WebM replica: plant formulas only (webm DocType, matroska on
       // id%7==0; 1 ms ticks so duration_ms = 5000 + nc%9000; video

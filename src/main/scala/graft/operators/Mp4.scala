@@ -845,6 +845,151 @@ object Mp4 {
     Meta(brand, movieTimescale, dur, merged)
   }
 
+  /** AVIF image metadata (HEIF stills share the ISO-BMFF framing this
+    * tier already walks): brand, dimensions from the meta→iprp→ipco→
+    * ispe property, alpha from a second av1C+ispe pair under an auxl
+    * item (approximated by counting ispe properties), and the av1C
+    * presence that routes decode elsewhere. Still images have NO moov —
+    * [[parse]] correctly rejects them — so this is the still-image face
+    * of the same box walk; AV1 payload decode is out of scope by codec
+    * name, exactly like H.264 in [[parse]]'s movies.
+    */
+  case class AvifMeta(brand: String, width: Int, height: Int,
+                      n_ispe: Int, has_av1c: Boolean)
+
+  def avifMeta(payload: Array[Byte]): AvifMeta = {
+    val n = payload.length.toLong
+    require(n >= 16 && tag(payload, 4) == "ftyp",
+      s"Mp4.avif: not an ISO-BMFF payload (no ftyp in $n bytes)")
+    val brand = tag(payload, 8)
+    require(brand == "avif" || brand == "avis" || brand == "mif1" ||
+      brand == "heic" || brand == "heix",
+      s"Mp4.avif: brand '$brand' is not a still-image brand " +
+        "(avif/avis/mif1/heic/heix)")
+    def frame(at: Long, limit: Long): (Long, Long, String) = {
+      require(limit - at >= 8, s"Mp4.avif: truncated box header at $at")
+      val size0 = u32(payload, at)
+      val tpe = tag(payload, at + 4)
+      require(size0 >= 8 && at + size0 <= limit,
+        s"Mp4.avif: box '$tpe' size $size0 overruns at $at")
+      (at + 8, at + size0, tpe)
+    }
+    var width = 0; var height = 0; var nIspe = 0; var av1c = false
+    def walkIpco(from: Long, to: Long): Unit = {
+      var at = from
+      while (at < to) {
+        val (body, end, tpe) = frame(at, to)
+        tpe match {
+          case "ispe" =>
+            require(end - body >= 12, "Mp4.avif: truncated ispe")
+            val w = u32(payload, body + 4)
+            val h = u32(payload, body + 8)
+            require(w > 0 && w <= 0xffff && h > 0 && h <= 0xffff,
+              s"Mp4.avif: ispe $w x $h out of range")
+            if (nIspe == 0) { width = w.toInt; height = h.toInt }
+            nIspe += 1
+          case "av1C" => av1c = true
+          case _ => () // pixi/colr/clap/irot/...: skipped per spec
+        }
+        at = end
+      }
+    }
+    def walkMeta(from: Long, to: Long): Unit = {
+      // meta is a FULL box: 4 bytes of version/flags before its children
+      var at = from + 4
+      while (at < to) {
+        val (body, end, tpe) = frame(at, to)
+        if (tpe == "iprp") {
+          var p = body
+          while (p < end) {
+            val (b2, e2, t2) = frame(p, end)
+            if (t2 == "ipco") walkIpco(b2, e2)
+            p = e2
+          }
+        }
+        at = end
+      }
+    }
+    var at = 0L
+    while (at < n) {
+      val (body, end, tpe) = frame(at, n)
+      if (tpe == "meta") walkMeta(body, end)
+      at = end
+    }
+    require(nIspe > 0, "Mp4.avif: no ispe property (no image dimensions)")
+    AvifMeta(brand, width, height, nIspe, av1c)
+  }
+
+  /** Write one minimal AVIF skeleton for the plants: ftyp, meta(iprp(
+    * ipco(ispe [+ av1C] [+ a second ispe for the alpha item]))), mdat
+    * of planted payload bytes the walk never reads.
+    */
+  def avifEncode(width: Int, height: Int, withAv1c: Boolean,
+                 alphaIspe: Boolean, payloadBytes: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def box(tpe: String)(body: => Unit): Unit = {
+      val tmp = out.size()
+      be32(0); out.write(tpe.getBytes("US-ASCII"))
+      body
+      val size = out.size() - tmp
+      val arr = out.toByteArray // patch the length in place via a copy
+      arr(tmp) = ((size >> 24) & 0xff).toByte
+      arr(tmp + 1) = ((size >> 16) & 0xff).toByte
+      arr(tmp + 2) = ((size >> 8) & 0xff).toByte
+      arr(tmp + 3) = (size & 0xff).toByte
+      out.reset(); out.write(arr, 0, arr.length)
+    }
+    box("ftyp") { out.write("avifmif1".getBytes("US-ASCII")) }
+    box("meta") {
+      be32(0) // full-box version/flags
+      box("iprp") {
+        box("ipco") {
+          box("ispe") { be32(0); be32(width.toLong); be32(height.toLong) }
+          if (withAv1c) box("av1C") { be32(0x81000000L) }
+          if (alphaIspe) box("ispe") { be32(0); be32(width.toLong); be32(height.toLong) }
+        }
+      }
+    }
+    box("mdat") {
+      val b = new Array[Byte](payloadBytes)
+      java.util.Arrays.fill(b, 0x6d.toByte)
+      out.write(b)
+    }
+    out.toByteArray
+  }
+
+  /** AVIF plant (spec for the fixture replica): width 100 + (id%40)·8,
+    * height 80 + (id%30)·8, av1C present except id%5==1, a second
+    * (alpha-item) ispe on id%4==0, 300 + id%500 mdat bytes never read.
+    */
+  def avifFromDocuments(spark: org.apache.spark.sql.SparkSession,
+                        docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[Multimodal.MediaItem] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions(_.map { id =>
+        val w = 100 + (id % 40).toInt * 8
+        val h = 80 + (id % 30).toInt * 8
+        val payload = avifEncode(w, h, withAv1c = id % 5 != 1,
+          alphaIspe = id % 4 == 0, payloadBytes = 300 + (id % 500).toInt)
+        Multimodal.MediaItem(id, s"avif/${id % 3}", payload, w, h, 1, 0)
+      })
+  }
+
+  def avifMetaRows(spark: org.apache.spark.sql.SparkSession,
+                   media: org.apache.spark.sql.Dataset[Multimodal.MediaItem]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val x = avifMeta(m.payload)
+      (m.media_id, x.brand, x.width, x.height, x.n_ispe, x.has_av1c)
+    }).toDF("media_id", "brand", "width", "height", "n_ispe", "has_av1c")
+  }
+
   /** Expand one container's sample tables into per-sample rows — the
     * stsc×stco×stsz×stts×stss arithmetic (the thing a frame-level
     * consumer needs to fetch exactly one sample's bytes). Offsets are

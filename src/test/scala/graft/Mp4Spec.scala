@@ -114,6 +114,28 @@ class Mp4Spec extends SparkSpec {
     intercept[IllegalArgumentException](Mp4.parse(noMdat))
   }
 
+  test("AVIF stills: brand gate, ispe dims, av1C routing; movies reject " +
+    "as non-still brands and stills reject in the movie parser") {
+    val m = Mp4.avifMeta(Mp4.avifEncode(320, 240, withAv1c = true,
+      alphaIspe = false, payloadBytes = 100))
+    assert(m === Mp4.AvifMeta("avif", 320, 240, 1, true))
+    val alpha = Mp4.avifMeta(Mp4.avifEncode(64, 48, withAv1c = false,
+      alphaIspe = true, payloadBytes = 10))
+    assert(alpha.n_ispe === 2 && !alpha.has_av1c)
+    def rej(body: => Any, frag: String): Unit =
+      assert(intercept[IllegalArgumentException](body).getMessage.contains(frag), frag)
+    // a movie is not a still: brand gate fires
+    rej(Mp4.avifMeta(Mp4.encode(Seq(videoSpec(5)), 1000L)), "brand")
+    // a still is not a movie: the movie parser requires moov
+    rej(Mp4.parse(Mp4.avifEncode(320, 240, withAv1c = true,
+      alphaIspe = false, payloadBytes = 10)), "moov")
+    rej(Mp4.avifMeta("garbage bytes, no ftyp anywhere...".getBytes), "ftyp")
+    // a truncated meta box rejects with bounds, not silence
+    val good = Mp4.avifEncode(320, 240, withAv1c = true, alphaIspe = false,
+      payloadBytes = 10)
+    rej(Mp4.avifMeta(good.take(40)), "overruns")
+  }
+
   test("crafted sample-table entry counts reject by name BEFORE any " +
     "expansion (no OOM, no sibling-byte reads)") {
     val good = Mp4.encode(Seq(videoSpec(10)), 1000L)
