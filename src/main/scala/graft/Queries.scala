@@ -3218,6 +3218,23 @@ object Queries {
         Docx.extractDocs(s, docx).orderBy("doc_id")
       }),
 
+    QueryDef("q_multimodal_tiff",
+      // TIFF — the scanned-document raster format (archives, digitized
+      // books: the image-side complement of the PDF tier): planted
+      // baseline strip-organized files across BOTH byte orders,
+      // gray/RGB/RGBA, uncompressed AND PackBits, multi-strip splits —
+      // decode byte-exactly (MD5 vs the planted samples) with the
+      // metadata face in the same row. The replica is plant formulas
+      // only — no TIFF round trip.
+      Some("""SELECT media_id, byte_order, compression, n_strips,
+                     width, height, channels, pixel_md5
+              FROM parquet_scan('{FIX}/_fixture_tiff/*.parquet')
+              ORDER BY media_id"""),
+      (s, d) => {
+        val media = Tiff.tiffFromDocuments(s, t(s, d, "documents"))
+        Tiff.tiffDigest(s, media).orderBy("media_id")
+      }),
+
     QueryDef("q_avif_meta",
       // AVIF/HEIF stills — the #4-and-rising image format, sharing the
       // ISO-BMFF framing the MP4 tier already walks: brand gate, dims

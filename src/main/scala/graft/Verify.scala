@@ -1966,6 +1966,29 @@ object Verify {
           "id3_bytes", "has_xing", "has_id3v1", "title", "artist").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_mp3meta")
     }
+    fixture("_fixture_tiff") {
+      // TIFF replica: plant formulas only (dims 24+id%9 × 16+id%7;
+      // channels 1/3/4 by id%3; sample i = (i·31 + i/7 + id·13)%256;
+      // II on even ids; packbits on id%3!=1; strips of 5+id%4 rows) —
+      // no TIFF round trip anywhere here
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long].collect().sorted.toIndexedSeq
+        .map { id =>
+          val w = 24 + (id % 9).toInt; val h = 16 + (id % 7).toInt
+          val ch = Array(1, 3, 4)((id % 3).toInt)
+          val px = Array.tabulate(w * h * ch)(i =>
+            ((i * 31 + i / 7 + id * 13) % 256).toByte)
+          val rps = 5 + (id % 4).toInt
+          (id, if (id % 2 == 0) "II" else "MM",
+            if (id % 3 != 1) "packbits" else "none",
+            (h + rps - 1) / rps, w, h, ch,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(px).map("%02x".format(_)).mkString)
+        }
+      rows.toDF("media_id", "byte_order", "compression", "n_strips",
+          "width", "height", "channels", "pixel_md5").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_fixture_tiff")
+    }
     fixture("_fixture_avifmeta") {
       // AVIF replica: plant formulas only (brand avif; dims
       // 100+(id%40)·8 × 80+(id%30)·8; av1C except id%5==1; a second

@@ -75,10 +75,15 @@ object Multimodal {
       payload(9) == 'E'.toByte && payload(10) == 'B'.toByte &&
       payload(11) == 'P'.toByte)
       Webp.decodeImage(payload)
+    else if ((payload(0) == 'I'.toByte && payload(1) == 'I'.toByte &&
+      payload(2) == 42 && payload(3) == 0) ||
+      (payload(0) == 'M'.toByte && payload(1) == 'M'.toByte &&
+        payload(2) == 0 && payload(3) == 42))
+      Tiff.decode(payload)
     else throw new IllegalArgumentException(
       f"decodeImage: unrecognized image container (leading bytes " +
         f"0x${payload(0) & 0xff}%02X${payload(1) & 0xff}%02X; " +
-        "PNG, JPEG, GIF, BMP and WebP supported)")
+        "PNG, JPEG, GIF, BMP, WebP and TIFF supported)")
   }
 
   /** Container-agnostic video decode: uncompressed AVI (`RIFF....AVI `),

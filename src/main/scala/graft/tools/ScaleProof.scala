@@ -181,7 +181,8 @@ object ScaleProof {
     "q_multimodal_webp",  // full VP8L lossless decode + pixel digest (r16)
     "q_multimodal_webp_video", // animated-WebP per-frame decode (r16)
     "q_webm_meta",        // EBML header walk: bytes-bound scan (r16)
-    "q_avif_meta")        // AVIF ispe walk: bytes-bound scan (r16)
+    "q_avif_meta",        // AVIF ispe walk: bytes-bound scan (r16)
+    "q_multimodal_tiff")  // TIFF strip decode + pixel digest (r16)
     // (q_dedup_audio / q_multimodal_audio_fp are doc_id<200-bounded and
     // q_mp4_sample_table doc_id<150-bounded by construction — a flat
     // ratio would be trivial, not evidence)
