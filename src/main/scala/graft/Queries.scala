@@ -3223,10 +3223,11 @@ object Queries {
       // books: the image-side complement of the PDF tier): planted
       // baseline strip-organized files across BOTH byte orders,
       // gray/RGB/RGBA, uncompressed AND PackBits, multi-strip splits —
-      // decode byte-exactly (MD5 vs the planted samples) with the
-      // metadata face in the same row. The replica is plant formulas
-      // only — no TIFF round trip.
-      Some("""SELECT media_id, byte_order, compression, n_strips,
+      // multi-page IFD chains (the scanned-book shape) — the first page
+      // decodes byte-exactly (MD5 vs the planted samples) with the
+      // metadata face and page count in the same row. The replica is
+      // plant formulas only — no TIFF round trip.
+      Some("""SELECT media_id, byte_order, compression, n_strips, n_pages,
                      width, height, channels, pixel_md5
               FROM parquet_scan('{FIX}/_fixture_tiff/*.parquet')
               ORDER BY media_id"""),

@@ -1981,12 +1981,12 @@ object Verify {
           val rps = 5 + (id % 4).toInt
           (id, if (id % 2 == 0) "II" else "MM",
             if (id % 3 != 1) "packbits" else "none",
-            (h + rps - 1) / rps, w, h, ch,
+            (h + rps - 1) / rps, 1 + (id % 3).toInt, w, h, ch,
             java.security.MessageDigest.getInstance("MD5")
               .digest(px).map("%02x".format(_)).mkString)
         }
       rows.toDF("media_id", "byte_order", "compression", "n_strips",
-          "width", "height", "channels", "pixel_md5").coalesce(1)
+          "n_pages", "width", "height", "channels", "pixel_md5").coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_fixture_tiff")
     }
     fixture("_fixture_avifmeta") {

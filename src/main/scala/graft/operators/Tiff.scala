@@ -62,7 +62,13 @@ object Tiff {
                          stripCounts: IndexedSeq[Long], rowsPerStrip: Long,
                          planar: Long)
 
-  private def readIfd(payload: Array[Byte]): (Ifd, Boolean) = {
+  private def readIfd(payload: Array[Byte]): (Ifd, Boolean) =
+    readIfdAt(payload, -1)._1 match { case (ifd, le) => (ifd, le) }
+
+  /** Parse the IFD at `at` (-1 = the header's first IFD); returns the
+    * fields plus the next-IFD offset (0 = end of chain).
+    */
+  private def readIfdAt(payload: Array[Byte], at: Long): ((Ifd, Boolean), Long) = {
     val n = payload.length
     require(n >= 8, s"Tiff.parse: $n bytes is smaller than a TIFF header")
     val le = payload(0) == 'I' && payload(1) == 'I'
@@ -70,7 +76,7 @@ object Tiff {
     require(le || be, "Tiff.parse: no II/MM byte-order mark")
     val r = new Reader(payload, le)
     require(r.u16(2) == 42, s"Tiff.parse: magic ${r.u16(2)} != 42")
-    val ifdAt = r.u32(4)
+    val ifdAt = if (at < 0) r.u32(4) else at
     require(ifdAt >= 8 && ifdAt + 2 <= n, s"Tiff.parse: IFD offset $ifdAt overruns")
     val count = r.u16(ifdAt)
     require(ifdAt + 2 + count * 12L + 4 <= n,
@@ -121,8 +127,30 @@ object Tiff {
       }
     }
     require(width > 0 && height > 0, s"Tiff.parse: dims $width x $height")
-    (Ifd(width, height, bps, spp, compression, stripOffsets, stripCounts,
-      rowsPerStrip, planar), le)
+    val nextIfd = r.u32(ifdAt + 2 + count * 12L)
+    ((Ifd(width, height, bps, spp, compression, stripOffsets, stripCounts,
+      rowsPerStrip, planar), le), nextIfd)
+  }
+
+  /** Page count: walk the next-IFD chain (multi-page scanned books),
+    * cycle-guarded and capped.
+    */
+  def pageCount(payload: Array[Byte]): Int = {
+    var pages = 0
+    var at = -1L
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var going = true
+    while (going) {
+      val (_, next) = readIfdAt(payload, at)
+      pages += 1
+      require(pages <= 10000, "Tiff.parse: more than 10000 IFDs (runaway chain)")
+      if (next == 0) going = false
+      else {
+        require(seen.add(next), s"Tiff.parse: circular IFD chain at $next")
+        at = next
+      }
+    }
+    pages
   }
 
   def meta(payload: Array[Byte]): Meta = {
@@ -233,17 +261,16 @@ object Tiff {
     * order, `packbits` the compression, `rowsPerStrip` the strip split.
     */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
-             le: Boolean, packbits: Boolean, rowsPerStrip: Int): Array[Byte] = {
-    require(pixels.length == width * height * channels,
-      s"Tiff.encode: ${pixels.length} samples for $width x $height x $channels")
+             le: Boolean, packbits: Boolean, rowsPerStrip: Int): Array[Byte] =
+    encodePages(Seq((width, height, channels, pixels)), le, packbits, rowsPerStrip)
+
+  /** Write a MULTI-PAGE baseline TIFF (the scanned-book shape): one
+    * chained IFD block per page, each with its own dims/strips.
+    */
+  def encodePages(pages: Seq[(Int, Int, Int, Array[Byte])], le: Boolean,
+                  packbits: Boolean, rowsPerStrip: Int): Array[Byte] = {
+    require(pages.nonEmpty, "Tiff.encode: no pages")
     require(rowsPerStrip >= 1, s"Tiff.encode: rowsPerStrip $rowsPerStrip")
-    val rowBytes = width * channels
-    val strips = (0 until height by rowsPerStrip).map { r0 =>
-      val rows = math.min(rowsPerStrip, height - r0)
-      val raw = java.util.Arrays.copyOfRange(pixels, r0 * rowBytes,
-        (r0 + rows) * rowBytes)
-      if (packbits) packBits(raw) else raw
-    }
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -254,45 +281,63 @@ object Tiff {
       else { out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
         out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt) }
     out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
-    w16(42); w32(8) // IFD right after the header
-    // IFD: 10 entries + next-IFD pointer; value arrays follow; strips after
+    w16(42); w32(8) // first IFD right after the header
+    // per-page block: IFD + value arrays + strips; sizes are computable
+    // up front, so next-IFD pointers resolve in one pass
     val nEntries = 10
     val ifdSize = 2 + nEntries * 12 + 4
-    val arraysAt = 8L + ifdSize
-    val nStrips = strips.length
-    // value arrays needed when count*size > 4
-    val bpsArrAt = arraysAt // 258 when channels > 2 (SHORT * channels)
-    val bpsArrLen = if (channels > 2) channels * 2 else 0
-    val offArrAt = bpsArrAt + bpsArrLen
-    val offArrLen = if (nStrips > 1) nStrips * 4 else 0
-    val cntArrAt = offArrAt + offArrLen
-    val cntArrLen = if (nStrips > 1) nStrips * 4 else 0
-    val dataAt = cntArrAt + cntArrLen
-    val stripOffsets = strips.scanLeft(dataAt)((a, s) => a + s.length).init
-    w16(nEntries)
-    def entry(tag: Int, tpe: Int, cnt: Long, inline: Long): Unit = {
-      w16(tag); w16(tpe); w32(cnt); w32(inline)
+    val prepared = pages.map { case (width, height, channels, pixels) =>
+      require(pixels.length == width * height * channels,
+        s"Tiff.encode: ${pixels.length} samples for $width x $height x $channels")
+      val rowBytes = width * channels
+      val strips = (0 until height by rowsPerStrip).map { r0 =>
+        val rows = math.min(rowsPerStrip, height - r0)
+        val raw = java.util.Arrays.copyOfRange(pixels, r0 * rowBytes,
+          (r0 + rows) * rowBytes)
+        if (packbits) packBits(raw) else raw
+      }
+      val bpsArrLen = if (channels > 2) channels * 2 else 0
+      val arrLen = if (strips.length > 1) strips.length * 8 else 0
+      val blockLen = ifdSize + bpsArrLen + arrLen + strips.map(_.length).sum
+      (width, height, channels, strips, blockLen)
     }
-    def shortInline(v: Int): Long =
-      if (le) v.toLong else v.toLong << 16 // SHORT sits in the first 2 bytes
-    entry(256, 3, 1, shortInline(width))
-    entry(257, 3, 1, shortInline(height))
-    if (channels > 2) entry(258, 3, channels.toLong, bpsArrAt)
-    else entry(258, 3, 1, shortInline(8))
-    entry(259, 3, 1, shortInline(if (packbits) 32773 else 1))
-    entry(262, 3, 1, shortInline(if (channels == 1) 1 else 2)) // photometric
-    if (nStrips > 1) entry(273, 4, nStrips.toLong, offArrAt)
-    else entry(273, 4, 1, stripOffsets.head)
-    entry(277, 3, 1, shortInline(channels))
-    entry(278, 3, 1, shortInline(rowsPerStrip))
-    if (nStrips > 1) entry(279, 4, nStrips.toLong, cntArrAt)
-    else entry(279, 4, 1, strips.head.length.toLong)
-    entry(284, 3, 1, shortInline(1)) // chunky planar
-    w32(0) // no next IFD
-    if (channels > 2) (0 until channels).foreach(_ => w16(8))
-    if (nStrips > 1) stripOffsets.foreach(w32)
-    if (nStrips > 1) strips.foreach(s => w32(s.length.toLong))
-    strips.foreach(s => out.write(s))
+    val blockStarts = prepared.scanLeft(8L)((a, p) => a + p._5).init
+    prepared.zipWithIndex.foreach { case ((width, height, channels, strips, _), pi) =>
+      val base = blockStarts(pi)
+      val nStrips = strips.length
+      val bpsArrAt = base + ifdSize
+      val bpsArrLen = if (channels > 2) channels * 2 else 0
+      val offArrAt = bpsArrAt + bpsArrLen
+      val offArrLen = if (nStrips > 1) nStrips * 4 else 0
+      val cntArrAt = offArrAt + offArrLen
+      val cntArrLen = if (nStrips > 1) nStrips * 4 else 0
+      val dataAt = cntArrAt + cntArrLen
+      val stripOffsets = strips.scanLeft(dataAt)((a, s) => a + s.length).init
+      w16(nEntries)
+      def entry(tag: Int, tpe: Int, cnt: Long, inline: Long): Unit = {
+        w16(tag); w16(tpe); w32(cnt); w32(inline)
+      }
+      def shortInline(v: Int): Long =
+        if (le) v.toLong else v.toLong << 16 // SHORT sits in the first 2 bytes
+      entry(256, 3, 1, shortInline(width))
+      entry(257, 3, 1, shortInline(height))
+      if (channels > 2) entry(258, 3, channels.toLong, bpsArrAt)
+      else entry(258, 3, 1, shortInline(8))
+      entry(259, 3, 1, shortInline(if (packbits) 32773 else 1))
+      entry(262, 3, 1, shortInline(if (channels == 1) 1 else 2)) // photometric
+      if (nStrips > 1) entry(273, 4, nStrips.toLong, offArrAt)
+      else entry(273, 4, 1, stripOffsets.head)
+      entry(277, 3, 1, shortInline(channels))
+      entry(278, 3, 1, shortInline(rowsPerStrip))
+      if (nStrips > 1) entry(279, 4, nStrips.toLong, cntArrAt)
+      else entry(279, 4, 1, strips.head.length.toLong)
+      entry(284, 3, 1, shortInline(1)) // chunky planar
+      w32(if (pi + 1 < prepared.length) blockStarts(pi + 1) else 0L)
+      if (channels > 2) (0 until channels).foreach(_ => w16(8))
+      if (nStrips > 1) stripOffsets.foreach(w32)
+      if (nStrips > 1) strips.foreach(s => w32(s.length.toLong))
+      strips.foreach(s => out.write(s))
+    }
     out.toByteArray
   }
 
@@ -303,13 +348,17 @@ object Tiff {
   import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   import org.apache.spark.sql.functions._
 
-  /** TIFF plant (spec for the fixture replica): dims 24 + id%9 ×
-    * 16 + id%7; channels gray/RGB/RGBA by id%3 (1/3/4); pixel sample i
-    * = (i·31 + i/7 + id·13) % 256; little-endian on even ids, PackBits
-    * on id%3!=1, 5 + id%4 rows per strip.
+  /** TIFF plant (spec for the fixture replica): 1 + id%3 pages (the
+    * multi-page scanned-book shape, chained IFDs), every page at dims
+    * 24 + id%9 × 16 + id%7; channels gray/RGB/RGBA by id%3 (1/3/4);
+    * page p's sample i = (i·31 + i/7 + (id+p)·13) % 256; little-endian
+    * on even ids, PackBits on id%3!=1, 5 + id%4 rows per strip.
     */
+  def plantPagePixels(id: Long, p: Int, w: Int, h: Int, ch: Int): Array[Byte] =
+    Array.tabulate(w * h * ch)(i => ((i * 31 + i / 7 + (id + p) * 13) % 256).toByte)
+
   def plantPixels(id: Long, w: Int, h: Int, ch: Int): Array[Byte] =
-    Array.tabulate(w * h * ch)(i => ((i * 31 + i / 7 + id * 13) % 256).toByte)
+    plantPagePixels(id, 0, w, h, ch)
 
   def plantDims(id: Long): (Int, Int, Int) =
     (24 + (id % 9).toInt, 16 + (id % 7).toInt, Array(1, 3, 4)((id % 3).toInt))
@@ -320,24 +369,28 @@ object Tiff {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[Long].mapPartitions(_.map { id =>
         val (w, h, ch) = plantDims(id)
-        val payload = encode(w, h, ch, plantPixels(id, w, h, ch),
+        val nPages = 1 + (id % 3).toInt
+        val payload = encodePages(
+          (0 until nPages).map(p => (w, h, ch, plantPagePixels(id, p, w, h, ch))),
           le = id % 2 == 0, packbits = id % 3 != 1,
           rowsPerStrip = 5 + (id % 4).toInt)
-        Multimodal.MediaItem(id, s"tiff/${id % 3}", payload, w, h, 1, 0)
+        Multimodal.MediaItem(id, s"tiff/${id % 3}", payload, w, h, nPages, 0)
       })
   }
 
-  /** Byte-exact decode pinning + the metadata face in one row. */
+  /** Byte-exact decode pinning (first page — the baseline image) + the
+    * metadata face, page count included, in one row.
+    */
   def tiffDigest(spark: SparkSession, media: Dataset[Multimodal.MediaItem]): DataFrame = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val x = meta(m.payload)
       val img = decode(m.payload)
       (m.media_id, x.byte_order, x.compression, x.n_strips,
-        img.width, img.height, img.channels,
+        pageCount(m.payload), img.width, img.height, img.channels,
         java.security.MessageDigest.getInstance("MD5")
           .digest(img.pixels).map("%02x".format(_)).mkString)
     }).toDF("media_id", "byte_order", "compression", "n_strips",
-      "width", "height", "channels", "pixel_md5")
+      "n_pages", "width", "height", "channels", "pixel_md5")
   }
 }

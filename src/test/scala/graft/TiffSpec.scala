@@ -73,6 +73,19 @@ class TiffSpec extends SparkSpec {
     rej(Tiff.meta(badMagic), "42")
   }
 
+  test("multi-page chains: every page round-trips through its own IFD, " +
+    "pageCount walks the chain, decode reads page 0") {
+    val w = 20; val h = 10
+    val pages = (0 until 3).map(p => (w, h, 3, px(w * h * 3, p * 11 + 1)))
+    val payload = Tiff.encodePages(pages, le = false, packbits = true,
+      rowsPerStrip = 4)
+    assert(Tiff.pageCount(payload) === 3)
+    assert(Tiff.decode(payload).pixels.toSeq === pages.head._4.toSeq)
+    // single-page files report 1
+    assert(Tiff.pageCount(Tiff.encode(5, 4, 1, px(20, 9), le = true,
+      packbits = false, rowsPerStrip = 2)) === 1)
+  }
+
   test("the Spark op agrees with the plant formulas on a doc sample") {
     val docs = Tables.documents(spark, sf).limit(30)
     val rows = Tiff.tiffDigest(spark, Tiff.tiffFromDocuments(spark, docs))
@@ -80,10 +93,11 @@ class TiffSpec extends SparkSpec {
     docs.select("doc_id").as[Long].collect().foreach { id =>
       val (w, h, ch) = Tiff.plantDims(id)
       val r = rows(id)
-      assert(r.getInt(4) === w && r.getInt(5) === h && r.getInt(6) === ch)
+      assert(r.getInt(4) === 1 + (id % 3).toInt, s"doc $id pages")
+      assert(r.getInt(5) === w && r.getInt(6) === h && r.getInt(7) === ch)
       val want = java.security.MessageDigest.getInstance("MD5")
         .digest(Tiff.plantPixels(id, w, h, ch)).map("%02x".format(_)).mkString
-      assert(r.getString(7) === want, s"doc $id")
+      assert(r.getString(8) === want, s"doc $id")
     }
   }
 }
