@@ -213,11 +213,54 @@ object AudioContainers {
           require(p + 10 + fsz <= id3Bytes,
             s"Mp3.parse: ID3v2 frame '$fid' of $fsz bytes overruns the tag")
           val fflags = payload(p.toInt + 9) & 0xff
-          val skipContent = (fflags & 0x0c) != 0 // compression/encryption
+          // compression/encryption flags live in different bits per
+          // version: v2.3 puts them at 0x80/0x40 of the format byte,
+          // v2.4 at 0x08/0x04 — testing the wrong mask would decode a
+          // compressed frame's deflate bytes as "text"
+          val skipContent =
+            if (ver == 3) (fflags & 0xc0) != 0 else (fflags & 0x0c) != 0
           if (!skipContent && fsz >= 1 && fid.startsWith("T") && fid != "TXXX") {
-            val enc = payload(p.toInt + 10) & 0xff
-            val tb = java.util.Arrays.copyOfRange(payload,
-              p.toInt + 11, (p + 10 + fsz).toInt)
+            // v2.4 per-frame unsynchronisation (0x02): 0xFF 00 → 0xFF;
+            // data-length indicator (0x01): a 4-byte syncsafe prefix
+            // before the content — both are layout, not payload, so
+            // handle rather than skip
+            val rawG = java.util.Arrays.copyOfRange(payload,
+              p.toInt + 10, (p + 10 + fsz).toInt)
+            // grouping (v2.3: 0x20, v2.4: 0x40) prefixes one group-id
+            // byte to the content — strip it or it lands on the
+            // encoding-byte position
+            val grouped = if (ver == 3) (fflags & 0x20) != 0
+                          else (fflags & 0x40) != 0
+            val raw0 =
+              if (grouped) {
+                require(rawG.length >= 1,
+                  s"Mp3.parse: ID3v2 frame '$fid' too short for its " +
+                    "group-id byte")
+                java.util.Arrays.copyOfRange(rawG, 1, rawG.length)
+              } else rawG
+            val raw1 =
+              if (ver == 4 && (fflags & 0x01) != 0) {
+                require(raw0.length >= 4,
+                  s"Mp3.parse: ID3v2.4 frame '$fid' too short for its " +
+                    "data-length indicator")
+                java.util.Arrays.copyOfRange(raw0, 4, raw0.length)
+              } else raw0
+            val raw =
+              if (ver == 4 && (fflags & 0x02) != 0) {
+                val out = new java.io.ByteArrayOutputStream(raw1.length)
+                var i = 0
+                while (i < raw1.length) {
+                  out.write(raw1(i))
+                  if ((raw1(i) & 0xff) == 0xff && i + 1 < raw1.length &&
+                    raw1(i + 1) == 0) i += 2
+                  else i += 1
+                }
+                out.toByteArray
+              } else raw1
+            require(raw.length >= 1,
+              s"Mp3.parse: ID3v2 text frame '$fid' with no encoding byte")
+            val enc = raw(0) & 0xff
+            val tb = java.util.Arrays.copyOfRange(raw, 1, raw.length)
             val text = (enc match {
               case 0 => new String(tb, "ISO-8859-1")
               case 1 => new String(tb, "UTF-16") // BOM-routed

@@ -767,7 +767,11 @@ object Pdf {
             case PNum(v) => v.toLong
             case other => throw new IllegalArgumentException(
               s"Pdf.parse: /Index item is $other")
-          }.grouped(2).map(p => (p(0), p(1))).toSeq
+          }.grouped(2).map { p =>
+            require(p(0) >= 0 && p(1) >= 0,
+              s"Pdf.parse: negative /Index subsection (${p(0)}, ${p(1)})")
+            (p(0), p(1))
+          }.toSeq
         case Some(other) => throw new IllegalArgumentException(
           s"Pdf.parse: /Index is $other")
       }

@@ -30,7 +30,11 @@ object Docx {
   // before the open..close form so their '/>' can't swallow siblings;
   // '<w:pPr>' never matches — the char after '<w:p' must be ' ', '>' or '/'
   private val ParaRe = """(?s)<w:p/>|<w:p [^>]*/>|<w:p[ >].*?</w:p>""".r
-  private val RunRe = """(?s)<w:t(?: [^>]*)?>(.*?)</w:t>|<w:tab/>|<w:br/>|<w:cr/>""".r
+  // tab/br/cr match attributed self-closed forms too — Word routinely
+  // writes `<w:br w:type="page"/>`; dropping those would fuse the words
+  // on either side of a page break with no separator
+  private val RunRe =
+    """(?s)<w:t(?: [^>]*)?>(.*?)</w:t>|<w:tab(?: [^>]*)?/>|<w:br(?: [^>]*)?/>|<w:cr(?: [^>]*)?/>""".r
 
   private def unescape(s: String): String =
     s.replace("&lt;", "<").replace("&gt;", ">")
@@ -62,11 +66,10 @@ object Docx {
         "cached field text can be stale and would poison training text")
     ParaRe.findAllIn(xml).map { para =>
       RunRe.findAllMatchIn(para).map { m =>
-        m.matched match {
-          case "<w:tab/>" => " "
-          case "<w:br/>" | "<w:cr/>" => "\n"
-          case _ => unescape(m.group(1))
-        }
+        val tag = m.matched
+        if (tag.startsWith("<w:tab")) " "
+        else if (tag.startsWith("<w:br") || tag.startsWith("<w:cr")) "\n"
+        else unescape(m.group(1))
       }.mkString
     }.mkString("\n")
   }

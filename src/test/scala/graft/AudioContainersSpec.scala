@@ -66,6 +66,64 @@ class AudioContainersSpec extends SparkSpec {
     rej(v22, "ID3v2.2")
   }
 
+  test("mp3 ID3v2 frame format flags honor the version's bit layout: " +
+    "v2.3 compression/encryption at 0xC0, v2.4 at 0x0C; v2.4 " +
+    "data-length-indicator and per-frame unsync are handled, not leaked") {
+    // hand-built tag + a plant audio stream appended after it
+    def tag(ver: Int, frames: Seq[(String, Int, Array[Byte])]): Array[Byte] = {
+      val body = new java.io.ByteArrayOutputStream()
+      frames.foreach { case (fid, fflags, content) =>
+        body.write(fid.getBytes("US-ASCII"))
+        val n = content.length
+        if (ver == 4) {
+          body.write((n >> 21) & 0x7f); body.write((n >> 14) & 0x7f)
+          body.write((n >> 7) & 0x7f); body.write(n & 0x7f)
+        } else {
+          body.write((n >> 24) & 0xff); body.write((n >> 16) & 0xff)
+          body.write((n >> 8) & 0xff); body.write(n & 0xff)
+        }
+        body.write(0); body.write(fflags); body.write(content)
+      }
+      val bb = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(ver); out.write(0); out.write(0)
+      out.write((bb.length >> 21) & 0x7f); out.write((bb.length >> 14) & 0x7f)
+      out.write((bb.length >> 7) & 0x7f); out.write(bb.length & 0x7f)
+      out.write(bb)
+      out.toByteArray
+    }
+    val audio = AudioContainers.mp3Encode(mpeg1 = true, 0, _ => 9, _ => false,
+      1, 10, 0)
+    def parse(t: Array[Byte]) = AudioContainers.mp3Parse(t ++ audio)
+    def iso(s: String) = Array[Byte](0) ++ s.getBytes("ISO-8859-1")
+    // v2.3 compressed (0x80) and encrypted (0x40) frames skip — the old
+    // v2.4 mask would have decoded their payloads as text
+    assert(parse(tag(3, Seq(("TIT2", 0x80, iso("zlib!")),
+      ("TPE1", 0x40, iso("crypt"))))).title === "")
+    // v2.3 with 0x0C set (undefined bits there) must NOT skip
+    val v3ok = parse(tag(3, Seq(("TIT2", 0x0c, iso("kept")))))
+    assert(v3ok.title === "kept")
+    // v2.4 compressed/encrypted skip
+    assert(parse(tag(4, Seq(("TIT2", 0x08, iso("z"))))).title === "")
+    assert(parse(tag(4, Seq(("TIT2", 0x04, iso("e"))))).title === "")
+    // grouping prefixes one group-id byte: v2.3 at 0x20, v2.4 at 0x40
+    assert(parse(tag(3, Seq(("TIT2", 0x20,
+      Array[Byte](0x63) ++ iso("g3"))))).title === "g3")
+    assert(parse(tag(4, Seq(("TIT2", 0x40,
+      Array[Byte](0x63) ++ iso("g4"))))).title === "g4")
+    // v2.4 data-length indicator: 4-byte syncsafe prefix strips cleanly
+    val dli = Array[Byte](0, 0, 0, 3) ++ iso("hi")
+    assert(parse(tag(4, Seq(("TIT2", 0x01, dli)))).title === "hi")
+    // v2.4 per-frame unsynchronisation: FF 00 unescapes to FF ('ÿ')
+    val uns = Array[Byte](0, 'A', 0xff.toByte, 0x00)
+    assert(parse(tag(4, Seq(("TIT2", 0x02, uns)))).title === "Aÿ")
+    // truncated DLI frame rejects by name
+    val m = intercept[IllegalArgumentException](
+      parse(tag(4, Seq(("TIT2", 0x01, Array[Byte](0, 0)))))).getMessage
+    assert(m.contains("data-length"), m)
+  }
+
   test("mp3 wild-data tolerance: a leading Xing/Info header frame and a " +
     "trailing ID3v1 TAG block are recognized and excluded from the stats") {
     val bare = AudioContainers.mp3Parse(

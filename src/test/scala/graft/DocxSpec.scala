@@ -25,6 +25,16 @@ class DocxSpec extends SparkSpec {
     assert(Docx.extract(mini(xml)) === "Hello world\n\na b\n&c <d>")
   }
 
+  test("attributed self-closed breaks/tabs — Word's page-break form " +
+    "<w:br w:type=\"page\"/> — separate text instead of fusing words") {
+    val xml =
+      """<w:document><w:body>
+        |<w:p><w:r><w:t>before</w:t></w:r><w:r><w:br w:type="page"/><w:t>after</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>x</w:t></w:r><w:r><w:tab w:val="left"/><w:t>y</w:t></w:r><w:r><w:cr w:x="1"/><w:t>z</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    assert(Docx.extract(mini(xml)) === "before\nafter\nx y\nz")
+  }
+
   test("outside the subset rejects by name: altChunk, field codes, " +
     "missing members, non-OPC zips") {
     def rej(p: Array[Byte], frag: String): Unit = {

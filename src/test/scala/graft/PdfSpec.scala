@@ -123,6 +123,11 @@ class PdfSpec extends SparkSpec {
     val m2 = intercept[IllegalArgumentException](Pdf.open(poke(base,
       "/W [1 4 2]", "/W [1 4 9]"))).getMessage
     assert(m2.contains("/W widths"), m2)
+    // a negative /Index count that nets out under the row gate but lets a
+    // later positive subsection overrun must reject by name, not AIOOBE
+    val m3 = intercept[IllegalArgumentException](Pdf.open(poke(base,
+      "/W [1 4 2]", "/Index [0 -9000 0 9012] /W [1 4 2]"))).getMessage
+    assert(m3.contains("negative /Index"), m3)
   }
 
   test("reference cycles reject by name, not StackOverflowError; a " +

@@ -133,10 +133,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("r16 tiers: DOCX/ASS/Ogg/WebP extraction paths are map-only — " +
-    "no join, no aggregate, payloads never shuffle") {
+  test("r16 tiers: DOCX/ASS/Ogg/WebP/TIFF/WebM/AVIF extraction paths are " +
+    "map-only — no join, no aggregate, payloads never shuffle") {
     Seq("q_docx_extract", "q_subtitles_ass", "q_audio_ogg_meta",
-        "q_webp_meta", "q_multimodal_webp").foreach { q =>
+        "q_webp_meta", "q_multimodal_webp", "q_multimodal_tiff",
+        "q_webm_meta", "q_avif_meta", "q_multimodal_webp_video").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
         !p.contains("CartesianProduct"), s"$q:\n$p")
