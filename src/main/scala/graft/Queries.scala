@@ -3222,7 +3222,8 @@ object Queries {
       // TIFF — the scanned-document raster format (archives, digitized
       // books: the image-side complement of the PDF tier): planted
       // baseline strip-organized files across BOTH byte orders,
-      // gray/RGB/RGBA, uncompressed AND PackBits, multi-strip splits —
+      // gray/RGB/RGBA, uncompressed, PackBits AND LZW (early-change,
+      // ± the horizontal-differencing predictor), multi-strip splits —
       // multi-page IFD chains (the scanned-book shape) — the first page
       // decodes byte-exactly (MD5 vs the planted samples) with the
       // metadata face and page count in the same row. The replica is

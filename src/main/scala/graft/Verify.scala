@@ -1969,8 +1969,8 @@ object Verify {
     fixture("_fixture_tiff") {
       // TIFF replica: plant formulas only (dims 24+id%9 × 16+id%7;
       // channels 1/3/4 by id%3; sample i = (i·31 + i/7 + id·13)%256;
-      // II on even ids; packbits on id%3!=1; strips of 5+id%4 rows) —
-      // no TIFF round trip anywhere here
+      // II on even ids; compression by id%3: packbits/none/lzw; strips
+      // of 5+id%4 rows) — no TIFF round trip anywhere here
       val rows = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id").as[Long].collect().sorted.toIndexedSeq
         .map { id =>
@@ -1980,7 +1980,9 @@ object Verify {
             ((i * 31 + i / 7 + id * 13) % 256).toByte)
           val rps = 5 + (id % 4).toInt
           (id, if (id % 2 == 0) "II" else "MM",
-            if (id % 3 != 1) "packbits" else "none",
+            (id % 3).toInt match {
+              case 0 => "packbits"; case 1 => "none"; case _ => "lzw"
+            },
             (h + rps - 1) / rps, 1 + (id % 3).toInt, w, h, ch,
             java.security.MessageDigest.getInstance("MD5")
               .digest(px).map("%02x".format(_)).mkString)

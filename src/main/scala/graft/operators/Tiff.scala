@@ -4,12 +4,16 @@ package graft.operators
   * digitized books, fax corpora: the image-side complement of the PDF
   * tier). Baseline TIFF 6.0 from the public spec: both byte orders
   * (II little / MM big), the IFD tag walk, strip-organized image data;
-  * decode covers UNCOMPRESSED (1) and PACKBITS (32773) gray/RGB(A) at
-  * 8 bits per sample — the dominant scanned-document encodings that
-  * need no codec. LZW/CCITT/JPEG-in-TIFF compressions are metadata-only
-  * and decode REJECTS BY COMPRESSION NAME (the MP4/H.264 posture);
-  * tiled TIFFs, planar configuration 2 and sub-8-bit depths reject by
-  * name too.
+  * decode covers UNCOMPRESSED (1), LZW (5 — the dominant real
+  * scanned-book/archival compression: MSB-first bit packing, 256/257
+  * control codes, 9..12-bit widths with the spec's "early change"
+  * bump, per-strip streams) and PACKBITS (32773) gray/RGB(A) at
+  * 8 bits per sample, with the horizontal-differencing Predictor (tag
+  * 317 = 2) undone after decompression. CCITT/JPEG-in-TIFF/deflate
+  * compressions are metadata-only and decode REJECTS BY COMPRESSION
+  * NAME (the MP4/H.264 posture); tiled TIFFs, planar configuration 2,
+  * sub-8-bit depths and the floating-point predictor reject by name
+  * too.
   *
   * Crafted-payload hygiene: every offset/count is bounds-checked before
   * use (IFD entries, strip offsets + byte counts vs the payload, value
@@ -60,7 +64,7 @@ object Tiff {
   private case class Ifd(width: Int, height: Int, bps: Int, spp: Int,
                          compression: Long, stripOffsets: IndexedSeq[Long],
                          stripCounts: IndexedSeq[Long], rowsPerStrip: Long,
-                         planar: Long)
+                         planar: Long, predictor: Long)
 
   private def readIfd(payload: Array[Byte]): (Ifd, Boolean) =
     readIfdAt(payload, -1)._1 match { case (ifd, le) => (ifd, le) }
@@ -83,6 +87,7 @@ object Tiff {
       s"Tiff.parse: IFD of $count entries overruns the $n-byte payload")
     var width = 0; var height = 0; var bps = 1; var spp = 1
     var compression = 1L; var rowsPerStrip = Long.MaxValue; var planar = 1L
+    var predictor = 1L
     var stripOffsets = IndexedSeq.empty[Long]
     var stripCounts = IndexedSeq.empty[Long]
     (0 until count).foreach { k =>
@@ -123,13 +128,14 @@ object Tiff {
         case 279 => stripCounts = (0L until cnt).map(valueAt).toIndexedSeq
         case 278 => rowsPerStrip = valueAt(0)
         case 284 => planar = valueAt(0)
+        case 317 => predictor = valueAt(0)
         case _ => () // orientation/resolution/photometric/...: metadata
       }
     }
     require(width > 0 && height > 0, s"Tiff.parse: dims $width x $height")
     val nextIfd = r.u32(ifdAt + 2 + count * 12L)
     ((Ifd(width, height, bps, spp, compression, stripOffsets, stripCounts,
-      rowsPerStrip, planar), le), nextIfd)
+      rowsPerStrip, planar, predictor), le), nextIfd)
   }
 
   /** Page count: walk the next-IFD chain (multi-page scanned books),
@@ -157,6 +163,122 @@ object Tiff {
     val (ifd, le) = readIfd(payload)
     Meta(if (le) "II" else "MM", ifd.width, ifd.height, ifd.bps, ifd.spp,
       compressionName(ifd.compression), ifd.stripOffsets.length)
+  }
+
+  // ── LZW (TIFF variant: MSB-first bit packing, 8-bit symbols with
+  //    Clear=256 / EOI=257, 9..12-bit code widths, and the spec's
+  //    "early change": the width bumps one code EARLIER than plain LZW,
+  //    when the next free entry reaches 2^w - 1 on the decoder side.
+  //    Each strip is its own stream. Distinct from the GIF variant in
+  //    operators/Gif.scala (LSB-first, palette-sized roots). ──────────
+
+  private val LzwClear = 256
+  private val LzwEoi = 257
+
+  /** TIFF-LZW compress one strip (predictor differencing is the
+    * caller's job). Encoder-side width bumps at next == 2^w and the
+    * EOI-time catch-up at 2^w - 1 mirror the decoder's lag exactly —
+    * see the GIF writer for the same derivation in the LSB world.
+    */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0; var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) {
+        out.write(((acc >> (nbits - 8)) & 0xff).toInt); nbits -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = 258
+    def reset(): Unit = { dict.clear(); next = 258; width = 9 }
+    put(LzwClear)
+    var prefix = -1
+    var i = 0
+    while (i < data.length) {
+      val sym = data(i) & 0xff
+      if (prefix < 0) prefix = sym
+      else dict.get((prefix, sym)) match {
+        case Some(code) => prefix = code
+        case None =>
+          put(prefix)
+          // table-full: clear at 4094 (the libtiff convention) so the
+          // decoder never needs a 13th bit
+          if (next == 4094) { put(LzwClear); reset() }
+          else {
+            dict((prefix, sym)) = next; next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prefix = sym
+      }
+      i += 1
+    }
+    if (prefix >= 0) put(prefix)
+    // by EOI time the decoder's registrations have caught up, so its
+    // early-change bump fires at 2^w - 1 — mirror it before writing EOI
+    if (next == (1 << width) - 1 && width < 12) width += 1
+    put(LzwEoi)
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Decode one strip's TIFF-LZW stream to exactly `expected` bytes. */
+  private[graft] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    // dictionary as (prefix code, tail symbol); roots 0..255 implicit
+    val prefixOf = new Array[Int](4096)
+    val tailOf = new Array[Int](4096)
+    var next = 258
+    var width = 9
+    var acc = 0L; var nbits = 0; var pos = 0
+    var prev = -1
+    def emit(code: Int): Int = { // writes the string of `code`, returns its head
+      var c = code
+      var n = 0
+      while (c >= 258) { n += 1; c = prefixOf(c) } // count depth
+      val head = c
+      var idx = outLen + n
+      require(idx < expected, "Tiff.parse: LZW output overruns the strip")
+      c = code
+      while (c >= 258) { out(idx) = tailOf(c).toByte; idx -= 1; c = prefixOf(c) }
+      out(idx) = c.toByte
+      outLen += n + 1
+      head
+    }
+    var done = false
+    while (!done) {
+      while (nbits < width && pos < data.length) {
+        acc = (acc << 8) | (data(pos) & 0xffL); nbits += 8; pos += 1
+      }
+      require(nbits >= width, "Tiff.parse: LZW strip truncated (no EOI)")
+      val code = ((acc >> (nbits - width)) & ((1L << width) - 1)).toInt
+      nbits -= width
+      if (code == LzwClear) { next = 258; width = 9; prev = -1 }
+      else if (code == LzwEoi) done = true
+      else {
+        require(code < next || (code == next && prev >= 0),
+          s"Tiff.parse: LZW code $code outside the dictionary")
+        require(outLen < expected, "Tiff.parse: LZW output overruns the strip")
+        val head =
+          if (code == next) { // KwKwK: string = prev-string + its own head
+            val h = emit(prev)
+            require(outLen < expected, "Tiff.parse: LZW output overruns the strip")
+            out(outLen) = h.toByte; outLen += 1
+            h
+          } else emit(code)
+        if (prev >= 0 && next < 4096) {
+          prefixOf(next) = prev; tailOf(next) = head
+          next += 1
+          // early change: one entry before the plain-LZW 2^w boundary
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    require(outLen == expected,
+      s"Tiff.parse: LZW strip decoded $outLen of $expected bytes")
+    out
   }
 
   /** PackBits (Apple RLE) decode to exactly `expect` bytes. */
@@ -195,9 +317,13 @@ object Tiff {
       s"Tiff.parse: ${ifd.spp} samples/pixel (gray/RGB/RGBA only)")
     require(ifd.planar == 1,
       "Tiff.parse: planar configuration 2 (separate planes) not supported")
-    require(ifd.compression == 1 || ifd.compression == 32773,
+    require(ifd.compression == 1 || ifd.compression == 5 ||
+      ifd.compression == 32773,
       s"Tiff.parse: ${compressionName(ifd.compression)} decode not supported " +
-        "(uncompressed/PackBits only; metadata still reads)")
+        "(uncompressed/LZW/PackBits only; metadata still reads)")
+    require(ifd.predictor == 1 || ifd.predictor == 2,
+      s"Tiff.parse: predictor ${ifd.predictor} not supported " +
+        "(none/horizontal-differencing only)")
     require(ifd.stripOffsets.nonEmpty &&
       ifd.stripOffsets.length == ifd.stripCounts.length,
       s"Tiff.parse: ${ifd.stripOffsets.length} strip offsets vs " +
@@ -223,7 +349,23 @@ object Tiff {
           require(cnt == expect,
             s"Tiff.parse: uncompressed strip of $cnt bytes, expected $expect")
           java.util.Arrays.copyOfRange(payload, off.toInt, (off + cnt).toInt)
-        } else unpackBits(payload, off, cnt, expect)
+        } else if (ifd.compression == 5)
+          lzwDecode(java.util.Arrays.copyOfRange(payload, off.toInt,
+            (off + cnt).toInt), expect)
+        else unpackBits(payload, off, cnt, expect)
+      // horizontal differencing undoes per row, so strip-local is exact
+      if (ifd.predictor == 2) {
+        var r0 = 0
+        while (r0 < rows) {
+          var i = ifd.spp
+          while (i < rowBytes) {
+            data(r0 * rowBytes + i) =
+              (data(r0 * rowBytes + i) + data(r0 * rowBytes + i - ifd.spp)).toByte
+            i += 1
+          }
+          r0 += 1
+        }
+      }
       System.arraycopy(data, 0, out, row * rowBytes, expect)
       row += rows
     }
@@ -258,19 +400,28 @@ object Tiff {
   }
 
   /** Write one baseline strip-organized TIFF: `le` picks the byte
-    * order, `packbits` the compression, `rowsPerStrip` the strip split.
+    * order, `compression` is the tag-259 value (1 none / 5 LZW /
+    * 32773 PackBits), `rowsPerStrip` the strip split, `predictor` the
+    * tag-317 value (1 none / 2 horizontal differencing).
     */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
-             le: Boolean, packbits: Boolean, rowsPerStrip: Int): Array[Byte] =
-    encodePages(Seq((width, height, channels, pixels)), le, packbits, rowsPerStrip)
+             le: Boolean, compression: Int, rowsPerStrip: Int,
+             predictor: Int = 1): Array[Byte] =
+    encodePages(Seq((width, height, channels, pixels)), le, compression,
+      rowsPerStrip, predictor)
 
   /** Write a MULTI-PAGE baseline TIFF (the scanned-book shape): one
     * chained IFD block per page, each with its own dims/strips.
     */
   def encodePages(pages: Seq[(Int, Int, Int, Array[Byte])], le: Boolean,
-                  packbits: Boolean, rowsPerStrip: Int): Array[Byte] = {
+                  compression: Int, rowsPerStrip: Int,
+                  predictor: Int = 1): Array[Byte] = {
     require(pages.nonEmpty, "Tiff.encode: no pages")
     require(rowsPerStrip >= 1, s"Tiff.encode: rowsPerStrip $rowsPerStrip")
+    require(compression == 1 || compression == 5 || compression == 32773,
+      s"Tiff.encode: compression $compression (1/5/32773)")
+    require(predictor == 1 || predictor == 2,
+      s"Tiff.encode: predictor $predictor (1/2)")
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -284,7 +435,7 @@ object Tiff {
     w16(42); w32(8) // first IFD right after the header
     // per-page block: IFD + value arrays + strips; sizes are computable
     // up front, so next-IFD pointers resolve in one pass
-    val nEntries = 10
+    val nEntries = if (predictor == 2) 11 else 10
     val ifdSize = 2 + nEntries * 12 + 4
     val prepared = pages.map { case (width, height, channels, pixels) =>
       require(pixels.length == width * height * channels,
@@ -294,7 +445,23 @@ object Tiff {
         val rows = math.min(rowsPerStrip, height - r0)
         val raw = java.util.Arrays.copyOfRange(pixels, r0 * rowBytes,
           (r0 + rows) * rowBytes)
-        if (packbits) packBits(raw) else raw
+        if (predictor == 2) { // diff right-to-left so sources stay raw
+          var r1 = 0
+          while (r1 < rows) {
+            var i = rowBytes - 1
+            while (i >= channels) {
+              raw(r1 * rowBytes + i) =
+                (raw(r1 * rowBytes + i) - raw(r1 * rowBytes + i - channels)).toByte
+              i -= 1
+            }
+            r1 += 1
+          }
+        }
+        compression match {
+          case 5 => lzwEncode(raw)
+          case 32773 => packBits(raw)
+          case _ => raw
+        }
       }
       val bpsArrLen = if (channels > 2) channels * 2 else 0
       val arrLen = if (strips.length > 1) strips.length * 8 else 0
@@ -323,7 +490,7 @@ object Tiff {
       entry(257, 3, 1, shortInline(height))
       if (channels > 2) entry(258, 3, channels.toLong, bpsArrAt)
       else entry(258, 3, 1, shortInline(8))
-      entry(259, 3, 1, shortInline(if (packbits) 32773 else 1))
+      entry(259, 3, 1, shortInline(compression))
       entry(262, 3, 1, shortInline(if (channels == 1) 1 else 2)) // photometric
       if (nStrips > 1) entry(273, 4, nStrips.toLong, offArrAt)
       else entry(273, 4, 1, stripOffsets.head)
@@ -332,6 +499,7 @@ object Tiff {
       if (nStrips > 1) entry(279, 4, nStrips.toLong, cntArrAt)
       else entry(279, 4, 1, strips.head.length.toLong)
       entry(284, 3, 1, shortInline(1)) // chunky planar
+      if (predictor == 2) entry(317, 3, 1, shortInline(2))
       w32(if (pi + 1 < prepared.length) blockStarts(pi + 1) else 0L)
       if (channels > 2) (0 until channels).foreach(_ => w16(8))
       if (nStrips > 1) stripOffsets.foreach(w32)
@@ -352,7 +520,9 @@ object Tiff {
     * multi-page scanned-book shape, chained IFDs), every page at dims
     * 24 + id%9 × 16 + id%7; channels gray/RGB/RGBA by id%3 (1/3/4);
     * page p's sample i = (i·31 + i/7 + (id+p)·13) % 256; little-endian
-    * on even ids, PackBits on id%3!=1, 5 + id%4 rows per strip.
+    * on even ids; compression by id%3 (0 → PackBits, 1 → none, 2 →
+    * LZW, with horizontal differencing on even LZW ids); 5 + id%4
+    * rows per strip.
     */
   def plantPagePixels(id: Long, p: Int, w: Int, h: Int, ch: Int): Array[Byte] =
     Array.tabulate(w * h * ch)(i => ((i * 31 + i / 7 + (id + p) * 13) % 256).toByte)
@@ -372,8 +542,12 @@ object Tiff {
         val nPages = 1 + (id % 3).toInt
         val payload = encodePages(
           (0 until nPages).map(p => (w, h, ch, plantPagePixels(id, p, w, h, ch))),
-          le = id % 2 == 0, packbits = id % 3 != 1,
-          rowsPerStrip = 5 + (id % 4).toInt)
+          le = id % 2 == 0,
+          compression = (id % 3).toInt match {
+            case 0 => 32773; case 1 => 1; case _ => 5
+          },
+          rowsPerStrip = 5 + (id % 4).toInt,
+          predictor = if (id % 3 == 2 && id % 2 == 0) 2 else 1)
         Multimodal.MediaItem(id, s"tiff/${id % 3}", payload, w, h, nPages, 0)
       })
   }
