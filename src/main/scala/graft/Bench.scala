@@ -324,8 +324,42 @@ object Bench {
       }
     }
 
+    // Whole-run guard (the r16 failure): an external load that arrives
+    // mid-run and inflates EVERYTHING ~1.3× sails under every per-query
+    // check — the probes stay inside the 1.5× band, no single min
+    // crosses 1.5× its prior, and the start-of-run drain-wait only gated
+    // the start. The one statistic a uniform inflation cannot dodge is
+    // the MEDIAN min-ratio vs the prior artifact across the shared
+    // watch: genuine plan changes move a few queries, contention moves
+    // the median. Above 1.15 → re-record the entire pass (queries stay
+    // warm, so a retry costs only the timed passes), keep per-query best
+    // mins, and ship the ratio in the sentinel either way.
+    val wholeRunSlack = 1.15
+    def medianMinRatio(rs: Seq[QRec]): Option[Double] = {
+      val ratios = rs.flatMap(r => priorMins.get(r.name).map(r.min / _)).sorted
+      if (ratios.size >= 5) Some(ratios(ratios.size / 2)) else None
+    }
+    var wholeTries = 0
+    while (medianMinRatio(results).exists(_ > wholeRunSlack) && wholeTries < 2) {
+      System.err.println(f"[bench] whole-run median min-ratio " +
+        f"${medianMinRatio(results).get}%.3f vs prior exceeds $wholeRunSlack — " +
+        f"uniform inflation; re-recording the full pass (try ${wholeTries + 1})")
+      Thread.sleep(20000)
+      val redo = timedPass(headline, rerecorded = true).map(r => r.name -> r).toMap
+      results = results.map { r =>
+        redo.get(r.name) match {
+          case Some(d) if d.min < r.min => d
+          case Some(_) => r.copy(rerecorded = true)
+          case None => r
+        }
+      }
+      wholeTries += 1
+    }
+    val finalMedianRatio = medianMinRatio(results)
+
     val contended = calibBefore > calibBandHi || calibAfterV > calibBandHi ||
-      marksDisagree(calibBefore, calibAfterV) || results.exists(_.contended)
+      marksDisagree(calibBefore, calibAfterV) || results.exists(_.contended) ||
+      finalMedianRatio.exists(_ > wholeRunSlack)
     // locale-pinned number formatting: a comma decimal separator under a
     // non-English default JVM locale would make the JSON unparseable
     def n3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -343,7 +377,7 @@ object Bench {
     // ("queries_contended") and the prior-artifact cross-check — a
     // contended recording is machine-detectable per query instead of
     // needing a judge re-run; "contended" is the whole-artifact verdict
-    val sentinel = s""""sentinel":{"loadavg_before":${n3(loadBefore)},"loadavg_after":${n3(loadAfter)},"calib_sec_before":${n3(calibBefore)},"calib_sec_after":${n3(calibAfterV)},"contended":$contended,"prior":${priorFile.map("\"" + _ + "\"").getOrElse("null")},"rerecorded":$qsR}"""
+    val sentinel = s""""sentinel":{"loadavg_before":${n3(loadBefore)},"loadavg_after":${n3(loadAfter)},"calib_sec_before":${n3(calibBefore)},"calib_sec_after":${n3(calibAfterV)},"contended":$contended,"prior":${priorFile.map("\"" + _ + "\"").getOrElse("null")},"prior_median_min_ratio":${finalMedianRatio.map(n3).getOrElse("null")},"rerecorded":$qsR}"""
     val json = s"""{"metric":"total","value":${n3(total)},"unit":"sec","min":${n3(totalMin)},"queries":$qs,"queries_min":$qsM,"queries_contended":$qsC,$sentinel,"sf":"$sfDir"}"""
     println(json)
     // stdout reaches consumers through sbt's "[info] " log prefix, which
