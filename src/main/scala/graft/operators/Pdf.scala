@@ -127,15 +127,31 @@ object Pdf {
     out.toByteArray
   }
 
+  /** The planted font re-encodings: variant 1 shifts lowercase codes by
+    * +1 (wrapping z→a) and declares the inverse in /Differences; variant
+    * 2 rot13s lowercase codes and declares the inverse in a /ToUnicode
+    * CMap (two contiguous bfranges + a bfchar). Both decode back to the
+    * ORIGINAL text, so every fixture replica stays plant-formula-only.
+    */
+  private def fontShift(variant: Int, s: String): String = variant match {
+    case 1 => s.map(c => if (c >= 'a' && c <= 'z') ('a' + (c - 'a' + 1) % 26).toChar else c)
+    case 2 => s.map(c => if (c >= 'a' && c <= 'z') ('a' + (c - 'a' + 13) % 26).toChar else c)
+    case _ => s
+  }
+
   /** Write one classic PDF. Wire-form variety is the caller's to plant:
     * `compress` Flate-encodes content streams, `indirectLength` stores
     * each stream's /Length as a separate indirect object, `nestedKids`
-    * routes all pages through one intermediate Pages node.
+    * routes all pages through one intermediate Pages node, `fontVariant`
+    * re-encodes lowercase text through /Differences (1) or a /ToUnicode
+    * CMap (2) per [[fontShift]].
     */
-  def encode(pages: Seq[Seq[String]], producer: String,
+  def encode(pages0: Seq[Seq[String]], producer: String,
              compress: Boolean, indirectLength: Boolean,
              nestedKids: Boolean,
-             escapeFirst: Boolean = false, hexLines: Boolean = false): Array[Byte] = {
+             escapeFirst: Boolean = false, hexLines: Boolean = false,
+             fontVariant: Int = 0): Array[Byte] = {
+    val pages = pages0.map(_.map(fontShift(fontVariant, _)))
     require(pages.nonEmpty, "Pdf.encode: no pages")
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -165,7 +181,21 @@ object Pdf {
       val kids = nested.map(nn => s"[$nn 0 R]").getOrElse(kidsList)
       w(s"<< /Type /Pages /Kids $kids /Count $n >>\n")
     }
-    obj(font)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    val cmapNum = info + 1 // only written for fontVariant 2
+    fontVariant match {
+      case 1 =>
+        // /Differences: code 'a' carries glyph z, then b..z carry a..y —
+        // consecutive codes need only the one leading number
+        val names = "/z " + ('a' to 'y').map("/" + _).mkString(" ")
+        obj(font)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+          s"/Differences [97 $names] >> >>\n"))
+      case 2 =>
+        obj(font)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          s"/ToUnicode $cmapNum 0 R >>\n"))
+      case _ =>
+        obj(font)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    }
     nested.foreach { nn =>
       obj(nn)(w(s"<< /Type /Pages /Parent 2 0 R /Kids $kidsList /Count $n >>\n"))
     }
@@ -187,6 +217,34 @@ object Pdf {
       if (indirectLength) obj(p + 2)(w(s"${data.length}\n"))
     }
     obj(info)(w(s"<< /Producer (${producer}) >>\n"))
+    if (fontVariant == 2) {
+      // rot13 inverse as a CMap: codes n..z carry a..m, a..m carry n..z
+      val cmap =
+        """/CIDInit /ProcSet findresource begin
+          |12 dict begin
+          |begincmap
+          |/CMapName /graft-rot13 def
+          |/CMapType 2 def
+          |1 begincodespacerange
+          |<00> <FF>
+          |endcodespacerange
+          |2 beginbfrange
+          |<61> <6D> <006E>
+          |<6E> <7A> <0061>
+          |endbfrange
+          |1 beginbfchar
+          |<20> <0020>
+          |endbfchar
+          |endcmap
+          |CMapName currentdict /CMap defineresource pop
+          |end
+          |end""".stripMargin.getBytes("ISO-8859-1")
+      obj(cmapNum) {
+        w(s"<< /Length ${cmap.length} >>\nstream\n")
+        out.write(cmap)
+        w("\nendstream\n")
+      }
+    }
 
     val xrefAt = out.size().toLong
     val sorted = offsets.sortBy(_._1)
@@ -870,7 +928,14 @@ object Pdf {
     new Doc(payload, xref.toMap, compressed.toMap, trailer.get)
   }
 
-  /** Walk the page tree to the leaf /Page objects, in document order. */
+  /** Walk the page tree to the leaf /Page objects, in document order.
+    * /Resources is an INHERITABLE attribute (ISO 32000 §7.7.3.4): a leaf
+    * without its own inherits the nearest ancestor's — real writers
+    * (LaTeX among them) routinely hoist shared font resources onto the
+    * Pages node, so a page-local-only read would silently lose the font
+    * encodings. The returned leaf dicts carry the inherited entry
+    * merged in.
+    */
   def pageObjects(doc: Doc): Seq[PDict] = {
     val root = doc.resolve(doc.trailer.m("Root")) match {
       case d: PDict => d
@@ -880,17 +945,20 @@ object Pdf {
     val pagesRoot = doc.resolve(root.m.getOrElse("Pages",
       throw new IllegalArgumentException("Pdf.parse: catalog has no /Pages")))
     val out = scala.collection.mutable.ArrayBuffer.empty[PDict]
-    def walk(node: PVal, depth: Int): Unit = {
+    def walk(node: PVal, depth: Int, inheritedRes: Option[PVal]): Unit = {
       require(depth < 64, "Pdf.parse: page tree deeper than 64 levels")
       doc.resolve(node) match {
         case d: PDict => d.m.get("Type").map(doc.resolve) match {
           case Some(PName("Pages")) =>
+            val res = d.m.get("Resources").orElse(inheritedRes)
             d.m.get("Kids").map(doc.resolve) match {
-              case Some(PArr(kids)) => kids.foreach(walk(_, depth + 1))
+              case Some(PArr(kids)) => kids.foreach(walk(_, depth + 1, res))
               case other => throw new IllegalArgumentException(
                 s"Pdf.parse: Pages node /Kids is $other")
             }
-          case Some(PName("Page")) => out += d
+          case Some(PName("Page")) =>
+            out += (if (d.m.contains("Resources")) d
+              else inheritedRes.fold(d)(r => PDict(d.m + ("Resources" -> r))))
           case other => throw new IllegalArgumentException(
             s"Pdf.parse: page-tree node of type $other")
         }
@@ -898,9 +966,211 @@ object Pdf {
           s"Pdf.parse: page-tree node is $other")
       }
     }
-    walk(pagesRoot, 0)
+    walk(pagesRoot, 0, None)
     require(out.nonEmpty, "Pdf.parse: page tree has no /Page leaves")
     out.toSeq
+  }
+
+  // =====================================================================
+  // simple-font encodings: /Differences + /ToUnicode
+  // =====================================================================
+
+  /** Adobe-glyph-list subset for the printable Latin range: letters and
+    * digits name themselves or spell out; punctuation by its AGL name;
+    * `uniXXXX` forms parse directly. A glyph name outside the subset
+    * REJECTS BY NAME — mapping it to garbage would poison training text
+    * exactly where a named rejection is cheap.
+    */
+  private val glyphCodes: Map[String, Int] = {
+    val b = Map.newBuilder[String, Int]
+    ('A' to 'Z').foreach(c => b += c.toString -> c.toInt)
+    ('a' to 'z').foreach(c => b += c.toString -> c.toInt)
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine").zipWithIndex.foreach { case (nm, i) => b += nm -> ('0' + i) }
+    Seq("space" -> ' ', "exclam" -> '!', "quotedbl" -> '"',
+      "numbersign" -> '#', "dollar" -> '$', "percent" -> '%',
+      "ampersand" -> '&', "quotesingle" -> '\'', "parenleft" -> '(',
+      "parenright" -> ')', "asterisk" -> '*', "plus" -> '+',
+      "comma" -> ',', "hyphen" -> '-', "period" -> '.', "slash" -> '/',
+      "colon" -> ':', "semicolon" -> ';', "less" -> '<', "equal" -> '=',
+      "greater" -> '>', "question" -> '?', "at" -> '@',
+      "bracketleft" -> '[', "backslash" -> '\\', "bracketright" -> ']',
+      "asciicircum" -> '^', "underscore" -> '_', "grave" -> '`',
+      "braceleft" -> '{', "bar" -> '|', "braceright" -> '}',
+      "asciitilde" -> '~').foreach { case (nm, c) => b += nm -> c.toInt }
+    b.result()
+  }
+
+  private def glyphToString(name: String): String =
+    if (name.length == 7 && name.startsWith("uni") &&
+      name.drop(3).forall(c => Character.digit(c, 16) >= 0))
+      Integer.parseInt(name.drop(3), 16).toChar.toString
+    else glyphCodes.get(name) match {
+      case Some(cp) => cp.toChar.toString
+      case None => throw new IllegalArgumentException(
+        s"Pdf.parse: glyph name /$name outside the Latin subset")
+    }
+
+  /** Apply a ToUnicode CMap (single-byte codespace) onto a 256-entry
+    * code→text table. bfchar pairs and bfrange triples (contiguous or
+    * array-destination) are honored; a multi-byte codespace or source
+    * code rejects by name — that is composite/CID territory this subset
+    * scopes out. Unmapped codes keep their encoding-derived entries
+    * (the spec's fallback order).
+    */
+  private def applyToUnicode(data: Array[Byte], map: Array[String]): Unit = {
+    val lx = new Lex(data, 0)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[PVal]
+    var mode = "" // "", codespace, bfchar, bfrange
+    def src(v: PVal): Int = v match {
+      case PStr(b) =>
+        require(b.length == 1, "Pdf.parse: multi-byte ToUnicode code " +
+          "(composite/CID font) not supported")
+        b(0) & 0xff
+      case other => throw new IllegalArgumentException(
+        s"Pdf.parse: ToUnicode source code is $other")
+    }
+    def dst(v: PVal): String = v match {
+      case PStr(b) => new String(b, "UTF-16BE")
+      case other => throw new IllegalArgumentException(
+        s"Pdf.parse: ToUnicode destination is $other")
+    }
+    def flush(endTok: String): Unit = {
+      endTok match {
+        case "endcodespacerange" =>
+          require(buf.length % 2 == 0, "Pdf.parse: odd codespacerange")
+          buf.foreach(src) // 1-byte check is the point
+        case "endbfchar" =>
+          require(buf.length % 2 == 0, "Pdf.parse: odd bfchar list")
+          buf.grouped(2).foreach { g => map(src(g(0))) = dst(g(1)) }
+        case "endbfrange" =>
+          require(buf.length % 3 == 0, "Pdf.parse: bfrange not in triples")
+          buf.grouped(3).foreach { g =>
+            val lo = src(g(0)); val hi = src(g(1)); val d = g(2)
+            require(lo <= hi, s"Pdf.parse: bfrange $lo > $hi")
+            d match {
+              case PArr(items) =>
+                require(items.length == hi - lo + 1,
+                  s"Pdf.parse: bfrange array of ${items.length} for ${hi - lo + 1} codes")
+                items.zipWithIndex.foreach { case (it, i) => map(lo + i) = dst(it) }
+              case s: PStr =>
+                val base = dst(s)
+                require(base.nonEmpty, "Pdf.parse: empty bfrange destination")
+                (lo to hi).foreach { c =>
+                  // increment the LAST UTF-16 unit, the spec's rule
+                  map(c) = base.dropRight(1) +
+                    (base.last + (c - lo)).toChar
+                }
+              case other => throw new IllegalArgumentException(
+                s"Pdf.parse: bfrange destination is $other")
+            }
+          }
+        case _ => ()
+      }
+      buf.clear(); mode = ""
+    }
+    while ({ lx.skipWs(); lx.at < lx.n }) {
+      val b = lx.peek
+      if (b == '<' && lx.at + 1 < lx.n && (lx.p(lx.at + 1) & 0xff) == '<') {
+        val v = value(lx); if (mode.nonEmpty) buf += v
+      }
+      else if (b == '<') { lx.at += 1; val v = PStr(lx.hexString()); if (mode.nonEmpty) buf += v }
+      else if (b == '(') { lx.at += 1; val v = PStr(lx.literalString()); if (mode.nonEmpty) buf += v }
+      else if (b == '[') { val v = value(lx); if (mode.nonEmpty) buf += v }
+      else if (b == '/') { lx.at += 1; val v = PName(lx.token()); if (mode.nonEmpty) buf += v }
+      else {
+        val t = lx.token()
+        if (t.nonEmpty && (t(0).isDigit || t(0) == '-' || t(0) == '+' || t(0) == '.')) {
+          if (mode.nonEmpty) buf += PNum(t.toDouble)
+        } else t match {
+          case "begincodespacerange" => buf.clear(); mode = "codespace"
+          case "beginbfchar" => buf.clear(); mode = "bfchar"
+          case "beginbfrange" => buf.clear(); mode = "bfrange"
+          case "endcodespacerange" | "endbfchar" | "endbfrange" => flush(t)
+          case _ => () // findresource/begin/def/...: CMap plumbing
+        }
+      }
+    }
+  }
+
+  /** Identity (Latin-1) code table — the StandardEncoding-compatible
+    * default that keeps the pre-r17 byte semantics for unmapped fonts.
+    */
+  private def identityMap(): Array[String] =
+    Array.tabulate(256)(i => i.toChar.toString)
+
+  /** Build each page font's 256-entry code→text table from /Resources:
+    * base-encoding names keep identity (their printable-ASCII range is
+    * byte-identical), /Differences overlays glyph-name entries, and a
+    * /ToUnicode CMap overrides both. Composite (/Type0) fonts reject by
+    * name — CID text needs the full CMap stack, and extracting wrong
+    * bytes silently is the one failure mode this tier never ships.
+    */
+  private def fontMaps(doc: Doc, page: PDict): Map[String, Array[String]] = {
+    val res = page.m.get("Resources").map(doc.resolve) match {
+      case Some(d: PDict) => d
+      case Some(other) => throw new IllegalArgumentException(
+        s"Pdf.parse: /Resources is $other")
+      case None => return Map.empty
+    }
+    val fonts = res.m.get("Font").map(doc.resolve) match {
+      case Some(d: PDict) => d
+      case Some(other) => throw new IllegalArgumentException(
+        s"Pdf.parse: /Resources /Font is $other")
+      case None => return Map.empty
+    }
+    fonts.m.map { case (fname, fref) =>
+      val f = doc.resolve(fref) match {
+        case d: PDict => d
+        case other => throw new IllegalArgumentException(
+          s"Pdf.parse: font /$fname is $other")
+      }
+      f.m.get("Subtype").map(doc.resolve) match {
+        case Some(PName("Type1" | "TrueType" | "Type3" | "MMType1")) => ()
+        case Some(PName(st)) => throw new IllegalArgumentException(
+          s"Pdf.parse: /$st font not supported (composite/CID text needs " +
+            "the full CMap stack; simple fonts only)")
+        case _ => ()
+      }
+      val map = identityMap()
+      f.m.get("Encoding").map(doc.resolve) match {
+        case Some(PName("WinAnsiEncoding" | "MacRomanEncoding" |
+                        "StandardEncoding" | "PDFDocEncoding")) => ()
+        case Some(d: PDict) =>
+          d.m.get("Differences").map(doc.resolve) match {
+            case Some(PArr(items)) =>
+              var code = -1
+              items.map(doc.resolve).foreach {
+                case PNum(v) =>
+                  code = v.toInt
+                  require(code >= 0 && code <= 255,
+                    s"Pdf.parse: /Differences code $code out of byte range")
+                case PName(g) =>
+                  require(code >= 0 && code <= 255,
+                    "Pdf.parse: /Differences glyph before any code")
+                  map(code) = glyphToString(g)
+                  code += 1
+                case other => throw new IllegalArgumentException(
+                  s"Pdf.parse: /Differences item is $other")
+              }
+            case None => ()
+            case Some(other) => throw new IllegalArgumentException(
+              s"Pdf.parse: /Differences is $other")
+          }
+        case Some(PName(enc)) => throw new IllegalArgumentException(
+          s"Pdf.parse: /Encoding /$enc not supported")
+        case Some(other) => throw new IllegalArgumentException(
+          s"Pdf.parse: /Encoding is $other")
+        case None => ()
+      }
+      f.m.get("ToUnicode").map(doc.resolve).foreach {
+        case s: PStream => applyToUnicode(doc.streamData(s), map)
+        case PNull => ()
+        case other => throw new IllegalArgumentException(
+          s"Pdf.parse: /ToUnicode is $other, not a CMap stream")
+      }
+      fname -> map
+    }
   }
 
   /** Extract one page's text per the pinned assembly convention. */
@@ -923,25 +1193,33 @@ object Pdf {
       case Seq() => Array.empty[Byte]
       case parts => parts.reduce((a, b) => a ++ Array('\n'.toByte) ++ b)
     }
-    extractText(content)
+    extractText(content, fontMaps(doc, page))
   }
 
   /** Text from one decoded content stream: Tj/TJ/'/" inside BT..ET;
     * Td/TD/T* (and the moves implied by ' and ") insert one '\n'
     * between show ops. Operands outside the text ops are consumed and
     * dropped (a graphics-heavy page costs a token scan, nothing more).
+    * `fonts` carries each resource font's code→text table; Tf switches
+    * the active one, and shown bytes map through it — so /Differences
+    * re-encodings and /ToUnicode CMaps (LaTeX Type1 subsets, the
+    * dominant real-PDF shape) extract faithfully instead of leaking
+    * raw glyph codes as mojibake.
     */
-  def extractText(content: Array[Byte]): String = {
+  def extractText(content: Array[Byte],
+                  fonts: Map[String, Array[String]] = Map.empty): String = {
     val lx = new Lex(content, 0)
     val sb = new StringBuilder
     val stack = scala.collection.mutable.ArrayBuffer.empty[PVal]
     var pendingBreak = false
     var shownAny = false
+    var cur: Array[String] = null // active code table; null = identity
     def break(): Unit = { pendingBreak = true }
     def show(bytes: Array[Byte]): Unit = {
       if (pendingBreak && shownAny) sb.append('\n')
       pendingBreak = false; shownAny = true
-      sb.append(new String(bytes, "ISO-8859-1"))
+      if (cur == null) sb.append(new String(bytes, "ISO-8859-1"))
+      else bytes.foreach(b => sb.append(cur(b & 0xff)))
     }
     while ({ lx.skipWs(); lx.at < lx.n }) {
       val b = lx.peek
@@ -992,7 +1270,20 @@ object Pdf {
                   s"Pdf.parse: \" with $other operand")
               }
             case "Td" | "TD" | "T*" => break()
-            case _ => () // Tf, BT, ET, graphics ops: operands dropped
+            case "Tf" =>
+              // operands: /Name size — the name selects the code table
+              stack.dropRight(1).lastOption match {
+                case Some(PName(fname)) =>
+                  cur = fonts.get(fname) match {
+                    case Some(m) => m
+                    case None if fonts.isEmpty => null // no resources: identity
+                    case None => throw new IllegalArgumentException(
+                      s"Pdf.parse: Tf names font /$fname absent from /Resources")
+                  }
+                case other => throw new IllegalArgumentException(
+                  s"Pdf.parse: Tf with $other name operand")
+              }
+            case _ => () // BT, ET, graphics ops: operands dropped
           }
           stack.clear()
         }
@@ -1054,8 +1345,10 @@ object Pdf {
     * even ids, the PNG Up predictor on id%3==0), else the classic form
     * with Flate compression on even ids, indirect /Length on id%7==0,
     * a nested Pages node on id%9==0; octal-escaped first string bytes
-    * on id%3==0, whole lines as hex strings on id%5==0. The DECODED
-    * text is the plain words in
+    * on id%3==0, whole lines as hex strings on id%5==0; lowercase
+    * re-encoded through /Differences on id%17==0 and through a
+    * /ToUnicode CMap on id%19==0 (both invert on extraction). The
+    * DECODED text is the plain words in
     * every variant, so the replica derives expected text from the words
     * alone: page text = lines of 4 words joined with '\n'. Characters
     * above U+00FF are replaced with '?' BEFORE rendering (classic PDF
@@ -1083,7 +1376,11 @@ object Pdf {
       else encode(pages, s"graft-pdf $id",
         compress = id % 2 == 0, indirectLength = id % 7 == 0,
         nestedKids = id % 9 == 0,
-        escapeFirst = id % 3 == 0, hexLines = id % 5 == 0)
+        escapeFirst = id % 3 == 0, hexLines = id % 5 == 0,
+        // font re-encodings (decode back to the same text, so the
+        // replica is untouched): /Differences on id%17==0, a /ToUnicode
+        // CMap on id%19==0
+        fontVariant = if (id % 17 == 0) 1 else if (id % 19 == 0) 2 else 0)
     if (id % 13 != 0) Some(base)
     else {
       // the Info object is the last-numbered object of encode()'s layout;

@@ -29,6 +29,84 @@ class PdfSpec extends SparkSpec {
     }
   }
 
+  /** Re-derive the classic xref/trailer/startxref for a string-poked
+    * body whose object offsets may have shifted (object numbers must
+    * stay 1..n with /Root 1 and /Info last).
+    */
+  private def rebuildXref(full: String): Array[Byte] = {
+    val body = full.substring(0, full.indexOf("xref\n"))
+    val nums = "(\\d+) 0 obj".r.findAllMatchIn(body)
+      .map(m => (m.group(1).toLong, m.start.toLong)).toSeq.sortBy(_._1)
+    val sb = new StringBuilder(body)
+    sb.append(s"xref\n0 ${nums.length + 1}\n0000000000 65535 f \n")
+    nums.foreach { case (_, off) => sb.append(f"$off%010d 00000 n \n") }
+    sb.append(s"trailer\n<< /Size ${nums.length + 1} /Root 1 0 R " +
+      s"/Info ${nums.last._1} 0 R >>\nstartxref\n${body.length}\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  test("simple-font encodings: /Differences and /ToUnicode re-encoded " +
+    "text extracts back to the original; composite fonts, foreign " +
+    "glyph names and multi-byte CMap codes reject by name") {
+    val want = pages.map(_.mkString("\n"))
+    for (variant <- Seq(1, 2); compress <- Seq(false, true)) {
+      val payload = Pdf.encode(pages, "spec", compress,
+        indirectLength = false, nestedKids = false, fontVariant = variant)
+      // the wire bytes must NOT carry the plain text (else the variant
+      // planted nothing) …
+      val wire = new String(payload, "ISO-8859-1")
+      assert(!wire.contains("alpha"), s"variant=$variant not re-encoded")
+      // … but extraction maps codes back through the declared encoding
+      val doc = Pdf.open(payload)
+      val got = Pdf.pageObjects(doc).map(p => Pdf.pageText(doc, p))
+      assert(got === want, s"variant=$variant compress=$compress")
+    }
+    def poke(p: Array[Byte], from: String, to: String): Array[Byte] =
+      rebuildXref(new String(p, "ISO-8859-1").replace(from, to))
+    def rej(p: Array[Byte], frag: String): Unit = {
+      val doc = Pdf.open(p)
+      val m = intercept[IllegalArgumentException](
+        Pdf.pageObjects(doc).map(pg => Pdf.pageText(doc, pg))).getMessage
+      assert(m.contains(frag), m)
+    }
+    val diff = Pdf.encode(pages, "spec", compress = false,
+      indirectLength = false, nestedKids = false, fontVariant = 1)
+    // a composite font subtype rejects by name
+    rej(poke(diff, "/Subtype /Type1 ", "/Subtype /Type0 "), "/Type0 font")
+    // a glyph name outside the Latin subset rejects by name
+    rej(poke(diff, "/Differences [97 /z ", "/Differences [97 /Xi "),
+      "glyph name /Xi")
+    // uniXXXX glyph names parse
+    val uni = poke(diff, "/Differences [97 /z ", "/Differences [97 /uni007A ")
+    val uniDoc = Pdf.open(uni)
+    assert(Pdf.pageObjects(uniDoc).map(p => Pdf.pageText(uniDoc, p)) === want)
+    val cmap = Pdf.encode(pages, "spec", compress = false,
+      indirectLength = false, nestedKids = false, fontVariant = 2)
+    // a 2-byte CMap source code is composite/CID territory: reject
+    // (same-length poke — the CMap stream's /Length must hold)
+    rej(poke(cmap, "<61> <6D> <006E>", "<0061> <6D> <6E>"), "multi-byte")
+    // Tf naming a font absent from declared resources rejects
+    rej(poke(diff, "/F1 12 Tf", "/F9 12 Tf"), "/F9 absent")
+  }
+
+  test("/Resources inherits from the Pages node (ISO 32000 §7.7.3.4): " +
+    "a leaf page without its own resources still maps through the " +
+    "ancestor's font encodings") {
+    val base = Pdf.encode(pages, "spec", compress = false,
+      indirectLength = false, nestedKids = false, fontVariant = 1)
+    val t = new String(base, "ISO-8859-1")
+    // hoist: move the /Resources entry off the page dicts onto the
+    // Pages root (same total length not required — classic xref offsets
+    // are rebuilt below by re-encoding the offsets table)
+    val resRe = "/Resources << /Font << /F1 3 0 R >> >> "
+    assert(t.contains(resRe))
+    val doc = Pdf.open(rebuildXref(t
+      .replace(resRe, "")
+      .replace("/Type /Pages /Kids ", s"/Type /Pages $resRe/Kids ")))
+    assert(Pdf.pageObjects(doc).map(p => Pdf.pageText(doc, p)) ===
+      pages.map(_.mkString("\n")))
+  }
+
   test("the four show operators and line moves assemble per the pinned " +
     "convention; escapes, octal, nesting and hex strings decode exactly") {
     // hand-written content stream (what a real generator emits)
