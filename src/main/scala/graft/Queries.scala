@@ -277,6 +277,10 @@ object Queries {
     * fifth doc (exercising the dangling-mass term). The Verify replica
     * (_fixture_pagerank) re-derives the same graph from doc_ids alone.
     */
+  /** Exposed for the ProfilePagerank dev tool only. */
+  private[graft] def plantedLinkPagesForProfiling(s: SparkSession, d: String): DataFrame =
+    plantedLinkPages(s, d)
+
   private def plantedLinkPages(s: SparkSession, d: String): DataFrame = {
     val did = col("doc_id")
     Tables.spread(t(s, d, "documents")).select(
@@ -3049,7 +3053,7 @@ object Queries {
               ORDER BY media_id, cue_idx"""),
       (s, d) => {
         import s.implicits._
-        val subs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val subs = Tables.spread(t(s, d, "documents").select(col("doc_id"), col("text")))
           .as[(Long, String)].flatMap { case (id, tx) =>
             Subtitles.plantMarkedSubtitle(id, tx).map(Subtitles.SubtitleItem(id, _))
           }

@@ -239,6 +239,7 @@ object Multimodal {
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)].mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (w, h) = plantDims(id, nChars)
@@ -276,6 +277,7 @@ object Multimodal {
   def jpegMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)].mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (w, h) = plantDims(id, nChars)
@@ -316,6 +318,7 @@ object Multimodal {
   def gifMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)].mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (w, h) = plantDims(id, nChars)
@@ -352,6 +355,7 @@ object Multimodal {
   def bmpMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)].mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (w, h) = plantDims(id, nChars)
@@ -383,6 +387,7 @@ object Multimodal {
   def gifVideoFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)].mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (w, h) = plantDims(id, nChars)
@@ -705,6 +710,7 @@ object Multimodal {
   def videoFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)].mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (w, h, nf) = plantVideoDims(id, nChars)
@@ -740,6 +746,7 @@ object Multimodal {
   def mjpegVideoFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)].mapPartitions { it =>
         it.map { case (id, nChars) =>
           val (w, h, nf) = plantVideoDims(id, nChars)
@@ -1320,6 +1327,7 @@ object Multimodal {
   def imaAdpcmAudioFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[AudioItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)].map { case (id, nChars) =>
         val n = math.max(nChars, 1)
         val samples = Array.tabulate(n)(i =>
@@ -1382,6 +1390,7 @@ object Multimodal {
   def g711AudioFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[AudioItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)].map { case (id, nChars) =>
         val codes = Array.tabulate(nChars)(i =>
           plantPixel(id + 4000000L, i).toByte)
@@ -1397,7 +1406,9 @@ object Multimodal {
     */
   def audioFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[AudioItem] = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    docs.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)].map {
       case (id, text) =>
         // a null text plants an empty (0-sample) clip, not a crash —
         // the features path reports it as duration 0

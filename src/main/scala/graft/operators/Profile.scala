@@ -46,25 +46,44 @@ object Profile {
       case StringType     => "str"
       case _              => "other"
     }
-    val aggs: Seq[Column] = count(lit(1)).as("_n") +: cols.flatMap { c =>
-      val dt = schema(c).dataType
-      val distinctAgg =
-        if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c))
-      val base = Seq(
-        count(col(c)).as(s"_nn_$c"), // non-null count
-        distinctAgg.as(s"_dist_$c"))
-      kind(dt) match {
-        case "num" => base ++ Seq(
-          min(col(c)).cast("double").as(s"_min_$c"),
-          max(col(c)).cast("double").as(s"_max_$c"),
-          sum(col(c).cast(DecimalType(38, 6))).as(s"_sum_$c"))
-        case "str" => base ++ Seq(
-          min(col(c)).as(s"_smin_$c"),
-          max(col(c)).as(s"_smax_$c"))
-        case _ => base
+    def statAggs(withDistinct: Boolean): Seq[Column] =
+      count(lit(1)).as("_n") +: cols.flatMap { c =>
+        val dt = schema(c).dataType
+        val base = Seq(count(col(c)).as(s"_nn_$c")) ++
+          (if (withDistinct) Seq(approx_count_distinct(col(c)).as(s"_dist_$c"))
+           else Nil)
+        kind(dt) match {
+          case "num" => base ++ Seq(
+            min(col(c)).cast("double").as(s"_min_$c"),
+            max(col(c)).cast("double").as(s"_max_$c"),
+            sum(col(c).cast(DecimalType(38, 6))).as(s"_sum_$c"))
+          case "str" => base ++ Seq(
+            min(col(c)).as(s"_smin_$c"),
+            max(col(c)).as(s"_smax_$c"))
+          case _ => base
+        }
       }
-    }
-    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val agged =
+      if (!exactDistinct) {
+        val aggs = statAggs(withDistinct = true)
+        df.agg(aggs.head, aggs.tail: _*)
+      } else {
+        // Exact mode, one single-distinct aggregation per column instead of
+        // one multi-distinct pass: Spark plans N exact distincts in a single
+        // Aggregate via an Expand (N+1 input replicas) whose N+1-key partial
+        // aggregate falls back to SortAggregate (the first()-over-string
+        // buffers are not hash-aggregable), i.e. two full Sorts of the
+        // replicated input. N separate subtrees each stay a codegen
+        // HashAggregate over a column-pruned scan (each scan reads ONE
+        // column's parquet pages), the 1-row results recombine by cross
+        // join, and the independent subtrees schedule concurrently. Same
+        // exact counts, same single output row.
+        val aggs = statAggs(withDistinct = false)
+        val base = df.agg(aggs.head, aggs.tail: _*)
+        cols.foldLeft(base) { (acc, c) =>
+          acc.crossJoin(df.agg(countDistinct(col(c)).as(s"_dist_$c")))
+        }
+      }
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
     val rows = cols.map { c =>

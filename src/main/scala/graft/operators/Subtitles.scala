@@ -456,6 +456,7 @@ object Subtitles {
   def assFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[SubtitleItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)].flatMap { case (id, text) =>
         plantAssSubtitle(id, text).map(SubtitleItem(id, _))
       }
@@ -468,6 +469,7 @@ object Subtitles {
   def subtitlesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[SubtitleItem] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)].flatMap { case (id, text) =>
         plantSubtitle(id, text).map(SubtitleItem(id, _))
       }

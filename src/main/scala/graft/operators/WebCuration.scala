@@ -88,6 +88,15 @@ object WebCuration {
     * node-bounded tables, checkpointed lineage); kept separate so the
     * uniform operator's pinned bit-exact fixtures stay untouched.
     */
+  /** Driver replica of Spark's `round(doubleCol).cast("long")` — HALF_UP on
+    * the shortest-decimal form (java BigDecimal.valueOf == Double.toString),
+    * exactly the RoundBase path codegen runs — so the local fixed-point
+    * folds below stay bit-equal to the distributed loops they replace.
+    */
+  private def roundHalfUpLong(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
   def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
                            iters: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -96,6 +105,59 @@ object WebCuration {
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eD = e.join(outDeg, "src").localCheckpoint()
+    // same size-adaptive driver fold as [[pageRankWeighted]]: bounded
+    // graphs run all rounds in one collect+fold of the identical
+    // fixed-point arithmetic (spec-pinned bit-equal); big graphs take the
+    // distributed loop below. The seed list is bounded by contract, so
+    // collecting its distinct hosts on this path costs what the broadcast
+    // side of the semi-join would.
+    val localMaxEdges = edges.sparkSession.conf
+      .get("spark.graft.pagerank.localIterMaxEdges", (1L << 20).toString).toLong
+    if (eD.count() <= localMaxEdges) {
+      val rows = eD.select("src", "dst", "deg").collect()
+      val hosts = rows.iterator
+        .flatMap(r => Iterator(r.getString(0), r.getString(1)))
+        .toArray.distinct
+      val idx = hosts.zipWithIndex.toMap
+      val seedSet = seeds.select(col("host")).distinct().collect()
+        .map(_.getString(0)).toSet.intersect(hosts.toSet)
+      val ns = seedSet.size
+      require(ns > 0, "pageRankPersonalized: no seed host present in the graph")
+      val p = hosts.map(h => if (seedSet.contains(h)) 1.0 / ns else 0.0)
+      val srcI = rows.map(r => idx(r.getString(0)))
+      val dstI = rows.map(r => idx(r.getString(1)))
+      val degArr = rows.map(_.getLong(2))
+      val isSrc = new Array[Boolean](hosts.length)
+      srcI.foreach(isSrc(_) = true)
+      var rank = p.clone()
+      var it = 0
+      while (it < iters) {
+        val cs = new Array[Long](hosts.length)
+        var i = 0
+        while (i < srcI.length) {
+          cs(dstI(i)) += roundHalfUpLong(
+            rank(srcI(i)) / degArr(i).toDouble * scale)
+          i += 1
+        }
+        var dang = 0L
+        var j = 0
+        while (j < hosts.length) {
+          if (!isSrc(j)) dang += roundHalfUpLong(rank(j) * scale)
+          j += 1
+        }
+        rank = Array.tabulate(hosts.length) { k =>
+          (1.0 - damping) * p(k) + damping *
+            (cs(k).toDouble / scale + dang.toDouble / scale * p(k))
+        }
+        it += 1
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return hosts.zip(rank).toSeq.toDF("host", "rank")
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+    }
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct().localCheckpoint()
     val seedNodes = nodes
@@ -107,8 +169,6 @@ object WebCuration {
       .select(col("host"),
         when(col("_s").isNotNull, lit(1.0 / ns)).otherwise(lit(0.0)).as("p"))
       .localCheckpoint()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eD = e.join(outDeg, "src").localCheckpoint()
     val danglingNodes = nodes
       .join(e.select(col("src").as("host")).distinct(), Seq("host"), "left_anti")
       .localCheckpoint()
@@ -119,14 +179,18 @@ object WebCuration {
         .select(col("dst"),
           round(col("rank") / col("deg") * lit(scale)).cast("long").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
-      val dangling = danglingNodes.join(ranks, Seq("host"))
-        .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")), lit(0L)))
-        .collect()(0).getLong(0)
+      // same one-job-per-iteration fold as [[pageRankWeighted]]: the 1-row
+      // dangling aggregate cross-joins into the update instead of a
+      // per-iteration collect(); identical long sum and IEEE op order.
+      val danglingAgg = danglingNodes.join(ranks, Seq("host"))
+        .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")), lit(0L))
+          .as("_dang"))
       ranks = pTbl.join(contribs, pTbl("host") === contribs("dst"), "left")
+        .crossJoin(broadcast(danglingAgg))
         .select(pTbl("host"),
           (lit(1.0 - damping) * col("p") + lit(damping) *
             (coalesce(col("cs"), lit(0L)).cast("double") / lit(scale) +
-              lit(dangling.toDouble / scale) * col("p"))).as("rank"))
+              col("_dang").cast("double") / lit(scale) * col("p"))).as("rank"))
         .localCheckpoint()
       it += 1
     }
@@ -627,14 +691,73 @@ object WebCuration {
         col("src") =!= col("dst") && col("w") > 0)
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .localCheckpoint() // reused every iteration — never recomputed
+    val outW = e.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val eW = e.join(outW, "src").localCheckpoint()
+    // Size-adaptive iteration strategy (the broadcast-join principle
+    // applied to the fixed-point loop): the AGGREGATED (src, dst, w, wsum)
+    // edge table is node/edge-bounded — when it fits in the same budget a
+    // broadcast relation would (conf'd max edges, default 2^20 ≈ 100-200 MB
+    // framed), ship it to the driver ONCE and run all `iters` rounds as a
+    // tight in-memory fold of the IDENTICAL fixed-point arithmetic
+    // (HALF_UP 2^24-scaled long contributions, long sums, the same IEEE op
+    // order in the update — spec-pinned bit-equal to the distributed loop).
+    // A 10^7-host/10^8-edge full-web graph stays on the distributed path;
+    // what this removes is 2·iters Spark jobs of pure scheduling overhead
+    // on bounded graphs — per-round latency the synchronous formulation
+    // otherwise pays no matter how small the graph is.
+    val localMaxEdges = edges.sparkSession.conf
+      .get("spark.graft.pagerank.localIterMaxEdges", (1L << 20).toString).toLong
+    if (eW.count() <= localMaxEdges) {
+      // every node appears on some edge (self-loops and nulls dropped), so
+      // the host set derives from the collected edges — no separate nodes
+      // job on this path; index order is irrelevant to the result (all
+      // cross-host combination is exact long addition)
+      val rows = eW.select("src", "dst", "w", "wsum").collect()
+      val hosts = rows.iterator
+        .flatMap(r => Iterator(r.getString(0), r.getString(1)))
+        .toArray.distinct
+      val n = hosts.length
+      require(n > 0, "pageRank: empty graph")
+      val idx = hosts.zipWithIndex.toMap
+      val srcI = rows.map(r => idx(r.getString(0)))
+      val dstI = rows.map(r => idx(r.getString(1)))
+      val wArr = rows.map(_.getLong(2))
+      val wsumArr = rows.map(_.getLong(3))
+      val isSrc = new Array[Boolean](hosts.length)
+      srcI.foreach(isSrc(_) = true)
+      var rank = Array.fill(hosts.length)(1.0 / n)
+      var it = 0
+      while (it < iters) {
+        val cs = new Array[Long](hosts.length)
+        var i = 0
+        while (i < srcI.length) {
+          cs(dstI(i)) += roundHalfUpLong(
+            rank(srcI(i)) * wArr(i).toDouble / wsumArr(i).toDouble * scale)
+          i += 1
+        }
+        var dang = 0L
+        var j = 0
+        while (j < hosts.length) {
+          if (!isSrc(j)) dang += roundHalfUpLong(rank(j) * scale)
+          j += 1
+        }
+        rank = Array.tabulate(hosts.length) { k =>
+          (1.0 - damping) / n + damping *
+            (cs(k).toDouble / scale + dang.toDouble / scale / n)
+        }
+        it += 1
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return hosts.zip(rank).toSeq.toDF("host", "rank")
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+    }
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    val outW = e.groupBy("src").agg(sum(col("w")).as("wsum"))
-    val eW = e.join(outW, "src").localCheckpoint()
     val danglingNodes = nodes
       .join(e.select(col("src").as("host")).distinct(), Seq("host"), "left_anti")
       .localCheckpoint()
@@ -646,15 +769,22 @@ object WebCuration {
           round(col("rank") * col("w") / col("wsum") * lit(scale))
             .cast("long").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
-      val dangling = danglingNodes
+      // dangling mass rides the SAME action as the rank update (a 1-row
+      // aggregate cross-joined in) instead of a per-iteration collect():
+      // one Spark job per iteration, not two. Arithmetic is unchanged —
+      // the same long sum, then the same two IEEE divides in the same
+      // order (dang/scale/n), so ranks stay bit-identical.
+      val danglingAgg = danglingNodes
         .join(ranks, Seq("host"))
-        .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")), lit(0L)))
-        .collect()(0).getLong(0)
+        .agg(coalesce(sum(round(col("rank") * lit(scale)).cast("long")), lit(0L))
+          .as("_dang"))
       ranks = nodes.join(contribs, nodes("host") === contribs("dst"), "left")
+        .crossJoin(broadcast(danglingAgg))
         .select(nodes("host"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("cs"), lit(0L)).cast("double") / lit(scale) +
-              lit(dangling.toDouble / scale / n))).as("rank"))
+              col("_dang").cast("double") / lit(scale) / lit(n.toDouble)))
+            .as("rank"))
         .localCheckpoint()
       it += 1
     }

@@ -138,10 +138,42 @@ class WebCurationSpec extends SparkSpec {
     assert(got("hub") > got("l2") && got("hub") > got("d1"))
     assert(math.abs(got.values.sum - 1.0) < 1e-3,
       s"dangling d1 must not leak mass: ${got.values.sum}")
-    // iteration lineage is truncated: the final plan reads checkpointed
-    // RDDs, not a 20-deep join/agg expression tree over the input
-    val plan = df.queryExecution.optimizedPlan.toString
-    assert(plan.contains("LogicalRDD"), "expected checkpointed lineage")
+    // the DISTRIBUTED path's iteration lineage is truncated: the final plan
+    // reads checkpointed RDDs, not a 20-deep join/agg tree over the input
+    spark.conf.set("spark.graft.pagerank.localIterMaxEdges", "0")
+    try {
+      val dist = WebCuration.pageRank(edges, iters = 20)
+      val plan = dist.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LogicalRDD"), "expected checkpointed lineage")
+    } finally spark.conf.unset("spark.graft.pagerank.localIterMaxEdges")
+  }
+
+  test("pageRank local driver fold is bit-equal to the distributed loop " +
+      "(uniform, weighted and personalized) — the size-adaptive switch " +
+      "never changes a rank") {
+    val w = Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 3L), ("c", "d", 1L),
+      ("d", "a", 2L), ("b", "e", 7L)).toDF("src", "dst", "weight")
+    val seeds = Seq("a", "e").toDF("host")
+    val localU = WebCuration.pageRank(w.select("src", "dst"), iters = 10)
+      .as[(String, Double)].collect().toSet
+    val localW = WebCuration.pageRankWeighted(w, "weight", iters = 10)
+      .as[(String, Double)].collect().toSet
+    val localP = WebCuration.pageRankPersonalized(w.select("src", "dst"),
+        seeds, iters = 10)
+      .as[(String, Double)].collect().toSet
+    spark.conf.set("spark.graft.pagerank.localIterMaxEdges", "0")
+    try {
+      val distU = WebCuration.pageRank(w.select("src", "dst"), iters = 10)
+        .as[(String, Double)].collect().toSet
+      val distW = WebCuration.pageRankWeighted(w, "weight", iters = 10)
+        .as[(String, Double)].collect().toSet
+      val distP = WebCuration.pageRankPersonalized(w.select("src", "dst"),
+          seeds, iters = 10)
+        .as[(String, Double)].collect().toSet
+      assert(localU === distU)
+      assert(localW === distW)
+      assert(localP === distP)
+    } finally spark.conf.unset("spark.graft.pagerank.localIterMaxEdges")
   }
 
   test("pageRankWeighted: rank splits by weight; all-1 weights reproduce " +
