@@ -1899,8 +1899,8 @@ object Queries {
       (s, d) => {
         prep(s)
         val docs = Tables.spread(t(s, d, "documents")).filter(col("text").isNotNull)
-        val merges = Tokenizer.bpeTrain(docs, "text", 60)
-        val vocab = Tokenizer.vocabulary(docs, "text", merges)
+        val (merges, vocabDf) = Tokenizer.bpeTrainWithVocab(docs, "text", 60)
+        val vocab = vocabDf
           .orderBy("id").collect().map(_.getString(0)).toSeq
         val withIds = docs
           .withColumn("ids", Tokenizer.encodeIds(col("text"), merges, vocab))
@@ -5510,8 +5510,7 @@ object Queries {
       (s, d) => {
         prep(s)
         val docs = Tables.spread(t(s, d, "documents"))
-        val merges = Tokenizer.bpeTrain(docs, "text", 60)
-        Tokenizer.vocabulary(docs, "text", merges).orderBy("id")
+        Tokenizer.bpeTrainWithVocab(docs, "text", 60)._2.orderBy("id")
       }),
 
     QueryDef("q_bpe_encode_ids",
@@ -5526,8 +5525,8 @@ object Queries {
       (s, d) => {
         prep(s)
         val docs = Tables.spread(t(s, d, "documents"))
-        val merges = Tokenizer.bpeTrain(docs, "text", 60)
-        val vocab = Tokenizer.vocabulary(docs, "text", merges)
+        val (merges, vocabDf) = Tokenizer.bpeTrainWithVocab(docs, "text", 60)
+        val vocab = vocabDf
           .orderBy("id").collect().map(_.getString(0)).toSeq
         val ids = Tokenizer.encodeIds(col("text"), merges, vocab)
         docs.filter(col("text").isNotNull)

@@ -26,6 +26,23 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructFiel
   */
 object Similarity {
 
+  /** Run two independent Spark-action-bearing computations concurrently
+    * (guide-standard job overlap: the scheduler happily runs several jobs
+    * at once; actions are only sequential because driver code calls them
+    * sequentially). Used where an index build needs two passes that don't
+    * depend on each other (k-means assignment vs quantizer bounds; the
+    * centroid-header write vs the lists write) — the second job's tasks
+    * back-fill executor slots the first leaves idle between stages.
+    */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fb = Future(b)
+    val ra = a
+    (ra, Await.result(fb, Duration.Inf))
+  }
+
   /** Per-query top-k of a (query_id, neighbor_id, sim) relation with
     * BOUNDED memory everywhere: [[graft.functions.TopKRowsAgg]] keeps only
     * k rows per query in each map-side partial buffer (ordering (sim desc,
@@ -460,9 +477,27 @@ object Similarity {
     */
   private def saveCentroidsAndLists(centroids: DataFrame, payload: DataFrame,
                                     dir: String, listsName: String): Unit = {
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    payload.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/$listsName")
+    // header and lists land in different directories — overlap the writes
+    inParallel(
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids"),
+      clusterByCid(payload).write.mode("overwrite")
+        .partitionBy("cid").parquet(s"$dir/$listsName"))
+    ()
   }
+
+  /** Cluster a cid-partitioned write by its partition key (guide-standard
+    * hash distribution before a partitioned write): without it every input
+    * partition opens a file in every cid directory — tasks × nlist tiny
+    * files whose per-file footer/open cost then dominates the probe-time
+    * pruned read. One exchange on cid bounds it to files-per-cid ≈ 1; row
+    * content is unchanged. The partition count is pinned to the session's
+    * parallelism (scale-adaptive; an unpinned repartition lets AQE coalesce
+    * the small shuffle to ONE task, serializing the upstream encode and the
+    * write).
+    */
+  private def clusterByCid(payload: DataFrame): DataFrame =
+    payload.repartition(
+      payload.sparkSession.sparkContext.defaultParallelism, col("cid"))
 
   /** Train an IVF index: seeded centroids + `iters` Lloyd refinement steps
     * (re-train with higher `iters` to tighten lists as the corpus drifts).
@@ -495,7 +530,7 @@ object Similarity {
     * like the LSH ingest.
     */
   def ivfAppend(spark: SparkSession, dir: String, newVecs: DataFrame): Unit =
-    assignToSaved(spark, dir, newVecs, "ivfAppend")
+    clusterByCid(assignToSaved(spark, dir, newVecs, "ivfAppend"))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
 
   /** Assign a vector batch to a SAVED centroid header — the shared
@@ -1247,8 +1282,10 @@ object Similarity {
                  m: Int = 8, ksub: Int = 16, iters: Int = 1): IvfPqIndex = {
     // one corpus count shared by both trainers (each would otherwise scan)
     val n = corpus.count()
-    val (centroids, assigned) = ivfAssign(spark, corpus, nlist, iters, Some(n))
-    val cb = pqTrain(corpus, m, ksub, knownCount = Some(n))
+    // the two trainers are independent given the shared count — overlap them
+    val ((centroids, assigned), cb) = inParallel(
+      ivfAssign(spark, corpus, nlist, iters, Some(n)),
+      pqTrain(corpus, m, ksub, knownCount = Some(n)))
     // encode carries cid through — one projection, no re-join
     IvfPqIndex(centroids, pqEncode(assigned, cb, keep = Seq("cid")), cb)
   }
@@ -1303,8 +1340,9 @@ object Similarity {
     */
   def ivfSq8Train(spark: SparkSession, corpus: DataFrame, nlist: Int = 16,
                   iters: Int = 1): IvfSq8Index = {
-    val (centroids, assigned) = ivfAssign(spark, corpus, nlist, iters)
-    val p = sq8Train(corpus)
+    // the two training passes are independent — overlap their jobs
+    val ((centroids, assigned), p) =
+      inParallel(ivfAssign(spark, corpus, nlist, iters), sq8Train(corpus))
     IvfSq8Index(centroids, sq8EncodeCorpus(assigned, p, keep = Seq("cid")), p)
   }
 
@@ -1321,11 +1359,13 @@ object Similarity {
     * same header (spec-pinned), so searches answer exactly alike.
     */
   def ivfSq8Append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
-    val p = sq8LoadParams(spark, dir)
     // batch hygiene runs inside assignToSaved (centroid width == bounds
-    // width by construction of save)
-    val assigned = assignToSaved(spark, dir, newVecs, "ivfSq8Append")
-    sq8EncodeCorpus(assigned, p, keep = Seq("cid"))
+    // width by construction of save); the bounds-header read is
+    // independent of it — overlap the two
+    val (p, assigned) = inParallel(
+      sq8LoadParams(spark, dir),
+      assignToSaved(spark, dir, newVecs, "ivfSq8Append"))
+    clusterByCid(sq8EncodeCorpus(assigned, p, keep = Seq("cid")))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
   }
 
@@ -1760,7 +1800,7 @@ object Similarity {
     failOnBadEmbeddings(newVecs, model.dim, "ivfOpqAppend")
     val assigned = assignToSaved(spark, dir, opqRotate(newVecs, model),
       "ivfOpqAppend", checked = true)
-    pqEncode(assigned, model.cb, keep = Seq("cid"))
+    clusterByCid(pqEncode(assigned, model.cb, keep = Seq("cid")))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
   }
 }

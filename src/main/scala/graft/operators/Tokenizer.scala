@@ -206,19 +206,56 @@ object Tokenizer {
     * driver materialization.
     */
   def vocabulary(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
-    val spark = docs.sparkSession
     val alphabet = docs.filter(col(textCol).isNotNull)
       .select(explode(encode(col(textCol), Nil)).as("token"))
       .distinct()
       .orderBy("token")
       .collect()
       .map(_.getString(0))
+    assembleVocab(docs.sparkSession, alphabet, merges)
+  }
+
+  /** The id-assembly step shared by [[vocabulary]] and
+    * [[bpeTrainWithVocab]]: alphabet first, then one token per merge in
+    * rank order, first rank winning surface-string collisions.
+    */
+  private def assembleVocab(spark: org.apache.spark.sql.SparkSession,
+                            alphabet: Array[String],
+                            merges: Seq[Merge]): DataFrame = {
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     alphabet.foreach(seen += _)
     merges.sortBy(_.rank).foreach(m => seen += m.left + m.right)
     import spark.implicits._
     seen.iterator.zipWithIndex.map { case (t, i) => (t, i) }
       .toSeq.toDF("token", "id")
+  }
+
+  /** [[bpeTrain]] + [[vocabulary]] sharing ONE corpus pass: the word
+    * histogram (checkpointed) feeds both the driver merge loop and the
+    * alphabet derivation. Every base symbol of the corpus occurs in some
+    * histogram word and histogram words are preTokens-idempotent (already
+    * lowercased, whitespace-free, CJK pre-split), so exploding the
+    * HISTOGRAM's words through the empty-merge encode kernel yields
+    * exactly the distinct symbol set a second corpus scan would — at
+    * vocabulary-bounded cost. Results are bit-identical to calling the
+    * two steps separately (spec-pinned).
+    */
+  def bpeTrainWithVocab(docs: DataFrame, textCol: String, numMerges: Int,
+                        maxWords: Int = 50000): (Seq[Merge], DataFrame) = {
+    val hist = wordHistogram(docs, textCol).localCheckpoint()
+    val top = hist.orderBy(desc("freq"), asc("word"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val merges = trainOnHistogram(top, numMerges)
+    val alphabet = hist
+      .select(explode(encode(col("word"), Nil)).as("token"))
+      .distinct()
+      .orderBy("token")
+      .collect()
+      .map(_.getString(0))
+    (merges, assembleVocab(docs.sparkSession, alphabet, merges))
   }
 
   // ── Unigram-LM (SentencePiece) trainer ─────────────────────────────

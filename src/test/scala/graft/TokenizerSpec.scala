@@ -553,4 +553,15 @@ class TokenizerSpec extends SparkSpec {
     val small = Tokenizer.bpeTrain(docs, "text", 15)
     assert(big.take(15) === small)
   }
+
+  test("bpeTrainWithVocab's single-pass histogram reuse is bit-identical " +
+    "to separate bpeTrain + vocabulary (merges, tokens AND ids)") {
+    val docs = Tables.spread(Tables.documents(spark, sf))
+    val (merges1, vocabDf1) = Tokenizer.bpeTrainWithVocab(docs, "text", 40)
+    val merges2 = Tokenizer.bpeTrain(docs, "text", 40)
+    val vocabDf2 = Tokenizer.vocabulary(docs, "text", merges2)
+    assert(merges1 === merges2)
+    assert(vocabDf1.orderBy("id").collect().map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      vocabDf2.orderBy("id").collect().map(r => (r.getString(0), r.getInt(1))).toSeq)
+  }
 }
