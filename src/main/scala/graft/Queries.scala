@@ -3398,7 +3398,7 @@ object Queries {
               ORDER BY doc_id"""),
       (s, d) => {
         import s.implicits._
-        val md = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val md = Tables.spread(t(s, d, "documents").select(col("doc_id"), col("text")))
           .as[(Long, String)].flatMap { case (id, tx) =>
             TextAnalysis.plantMarkdown(id, tx).map(m => (id, m))
           }.toDF("doc_id", "md")
@@ -7072,8 +7072,8 @@ object Queries {
         import s.implicits._
         val docs = t(s, d, "documents")
         val media = Multimodal.mediaFromDocuments(s, docs)
-        val variants = docs
-          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        val variants = Tables.spread(docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int")))
           .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 5 == 0)
           .mapPartitions { it =>
             it.map { case (id, nChars) =>
@@ -7101,8 +7101,8 @@ object Queries {
         import s.implicits._
         val docs = t(s, d, "documents")
         val media = Multimodal.mediaFromDocuments(s, docs)
-        val variants = docs
-          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        val variants = Tables.spread(docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int")))
           .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 5 == 0)
           .mapPartitions { it =>
             it.map { case (id, nChars) =>
@@ -7238,8 +7238,8 @@ object Queries {
         import s.implicits._
         val docs = t(s, d, "documents")
         val media = Multimodal.mediaFromDocuments(s, docs)
-        val jpegTwins = docs
-          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        val jpegTwins = Tables.spread(docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int")))
           .as[(Long, Int)].mapPartitions { it =>
             it.map { case (id, nChars) =>
               val (w, h) = Multimodal.plantDims(id, nChars)
@@ -7250,8 +7250,8 @@ object Queries {
                 Jpeg.encode(w, h, 3, px, quality = 90), w, h, 1, 16000)
             }
           }
-        val webpTwins = docs
-          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        val webpTwins = Tables.spread(docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int")))
           .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 6 == 1)
           .mapPartitions { it =>
             it.map { case (id, nChars) =>
@@ -7288,8 +7288,8 @@ object Queries {
         import s.implicits._
         val docs = t(s, d, "documents")
         val media = Multimodal.videoFromDocuments(s, docs)
-        val variants = docs
-          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        val variants = Tables.spread(docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int")))
           .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 5 == 0)
           .mapPartitions { it =>
             it.map { case (id, nChars) =>
@@ -7325,8 +7325,8 @@ object Queries {
         import s.implicits._
         val docs = t(s, d, "documents")
         val media = Multimodal.videoFromDocuments(s, docs)
-        val variants = docs
-          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        val variants = Tables.spread(docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int")))
           .as[(Long, Int)].filter((t: (Long, Int)) => t._1 % 5 == 0)
           .mapPartitions { it =>
             it.map { case (id, nChars) =>
@@ -7379,7 +7379,7 @@ object Queries {
         import s.implicits._
         val docs = t(s, d, "documents").filter(col("doc_id") < 200)
         val audio = Multimodal.audioFromDocuments(s, docs)
-        val variants = docs.select(col("doc_id"), col("text"))
+        val variants = Tables.spread(docs.select(col("doc_id"), col("text")))
           .as[(Long, String)].filter((t: (Long, String)) => t._1 % 2 == 0)
           .map { case (id, text0) =>
             val xs = Option(text0).getOrElse("").toCharArray
@@ -7407,8 +7407,8 @@ object Queries {
         import s.implicits._
         val docs = t(s, d, "documents")
         val media = Multimodal.videoFromDocuments(s, docs)
-        val metaDs = docs
-          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        val metaDs = Tables.spread(docs
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int")))
           .as[(Long, Int)]
         val stills = metaDs.filter((t: (Long, Int)) => t._1 % 7 == 0)
           .mapPartitions { it =>
@@ -7533,8 +7533,8 @@ object Queries {
               ORDER BY media_id"""),
       (s, d) => {
         import s.implicits._
-        t(s, d, "documents")
-          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int"))
+        Tables.spread(t(s, d, "documents")
+          .select(col("doc_id"), coalesce(col("n_chars"), lit(0)).cast("int")))
           .as[(Long, Int)].mapPartitions { it =>
             it.map { case (id, nChars) =>
               val (w, h) = Multimodal.plantDims(id, nChars)

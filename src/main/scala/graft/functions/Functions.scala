@@ -79,6 +79,11 @@ object Functions {
     "bpe_encode_bytes" -> (es => BpeEncodeBytes(es(0), constStrings(es(1)),
       constStrings(es(2)))),
     "nfc_normalize"   -> (es => NfcNormalize(es.head)),
+    // classifier hot-path kernels: hash_features(words, dim, seed) and
+    // fp_margin_sum(features, weightsFp) — constants evaluated at build time
+    "hash_features"   -> (es => HashFeatures(es(0), constInt(es(1)),
+      es(2).eval().asInstanceOf[Long])),
+    "fp_margin_sum"   -> (es => FpMarginSum(es(0), constLongs(es(1)))),
     "strict_exp"      -> (es => StrictExp(es.head)),
     "java_lower"      -> (es => JavaLower(es.head)),
     "min_timeuuid"    -> (es => MinTimeUuid(es.head)),
@@ -118,6 +123,19 @@ object Functions {
       throw new IllegalArgumentException(
         "bpe_encode merge tables must not contain NULL symbols")
     out.map(_.toString).toSeq
+  }
+
+  private def constLongs(e: Expression): Seq[Long] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        "fp_margin_sum weight tables must be constant long arrays " +
+          s"(foldable), got non-constant argument: ${e.sql}")
+    val arr = e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case other => throw new IllegalArgumentException(
+        s"fp_margin_sum weight tables must be long arrays, got: $other")
+    }
+    arr.toLongArray().toSeq
   }
 
   private def constDoubles(e: Expression): Seq[Double] = {

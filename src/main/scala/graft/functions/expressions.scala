@@ -196,6 +196,36 @@ object VectorMath {
     while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
     math.sqrt(s)
   }
+
+  /** Distinct hashed-feature ids of a token array (first occurrence kept —
+    * the array_distinct contract): pmod(murmur64(word, seed), dim).
+    */
+  def hashFeatures(words: org.apache.spark.sql.catalyst.util.ArrayData,
+                   dim: Int, seed: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = words.numElements()
+    val seen = new java.util.LinkedHashSet[Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i).toString
+      val h = CassandraMurmur3.hashString(w, seed)
+      val m = (h % dim).toInt
+      seen.add(if (m < 0) m + dim else m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().intValue(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Exact long margin: Σ w(f) over feature ids. */
+  def fpMarginSum(fs: Array[Int], w: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < fs.length) { s += w(fs(i)); i += 1 }
+    s
+  }
 }
 
 /** `lsh_code(embedding, bits, seed)` — sign-random-projection (hyperplane)
@@ -394,6 +424,63 @@ case class JavaLower(child: Expression) extends UnaryExpression {
       s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
         s"$c.toString().toLowerCase(java.util.Locale.ROOT))")
   override protected def withNewChildInternal(c: Expression): JavaLower = copy(c)
+}
+
+/** `hash_features(words, dim)` — distinct hashed-feature ids of a token
+  * array: pmod(murmur64(w, QualityModel seed), dim) per word, first
+  * occurrence kept (the `array_distinct(transform(...))` contract). The
+  * higher-order transform/array_distinct pipeline it replaces is
+  * CodegenFallback — interpreted per ROW with boxed lambdas — on the
+  * classifier hot path (feature build + every scoring pass); this is one
+  * codegen'd call into a tight loop. Bit-identical ids by construction
+  * (same murmur, same pmod).
+  */
+case class HashFeatures(child: Expression, dim: Int, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hash_features requires array<string> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hash_features"
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.hashFeatures(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], dim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorMath.hashFeatures($c, $dim, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): HashFeatures =
+    copy(child = c)
+}
+
+/** `fp_margin_sum(features, weightsFp)` — Σ weightsFp(f) over an
+  * array<int> of feature ids against a CONSTANT scaled-long weight table:
+  * the margin fold of the trained classifiers. Replaces an
+  * ArrayAggregate/element_at fold (CodegenFallback, interpreted per row)
+  * with one codegen'd call; the weight table ships once per task as a
+  * reference object. Exact long addition — bit-identical sums.
+  */
+case class FpMarginSum(child: Expression, weightsFp: Seq[Long])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"fp_margin_sum requires array<int> features, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fp_margin_sum"
+  @transient private lazy val w: Array[Long] = weightsFp.toArray
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.fpMarginSum(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray(), w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("wfp", w, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorMath.fpMarginSum($c.toIntArray(), $wRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): FpMarginSum =
+    copy(child = c)
 }
 
 /** `strict_exp(x)` — StrictMath.exp. java.lang.Math.exp is only

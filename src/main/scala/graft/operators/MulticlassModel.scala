@@ -63,6 +63,66 @@ object MulticlassModel {
         .cast("int"),
       // array_position is 0 (so y = -1) for null/unknown labels
       col("y") >= 0, dim)
+    QualityModel.collectLocalFeats(feats) match {
+      case Some(lf) =>
+        // size-adaptive driver fold (see [[QualityModel.collectLocalFeats]]):
+        // identical long margins, zmax-guarded StrictMath softmax with the
+        // same left-fold denominator, HALF_UP scaled-long per-row gradients,
+        // long sums, same update — bit-equal to the distributed loop,
+        // spec-pinned
+        feats.unpersist()
+        val w = Array.fill(k)(new Array[Double](dim))
+        val v = Array.fill(k)(new Array[Double](dim))
+        val n = lf.nDocs
+        (1 to iters).foreach { _ =>
+          val wFp = w.map(_.map(fpLong))
+          val gfp = Array.fill(k)(new Array[Long](dim))
+          var d = 0
+          while (d < lf.y.length) {
+            val fs = lf.fs(d)
+            val sm = lf.sm(d)
+            val zs = new Array[Double](k)
+            var ki = 0
+            while (ki < k) {
+              var mfp = 0L
+              var i = 0
+              while (i < fs.length) { mfp += wFp(ki)(fs(i)); i += 1 }
+              zs(ki) = mfp.toDouble / fpScale / sm
+              ki += 1
+            }
+            var zmax = zs(0)
+            ki = 1
+            while (ki < k) { if (zs(ki) > zmax) zmax = zs(ki); ki += 1 }
+            val exps = zs.map(z => StrictMath.exp(z - zmax))
+            var denom = exps(0)
+            ki = 1
+            while (ki < k) { denom += exps(ki); ki += 1 }
+            ki = 0
+            while (ki < k) {
+              val p = exps(ki) / denom
+              val ind = if (lf.y(d) == ki) 1.0 else 0.0
+              val gRow = QualityModel.roundHalfUpLong((p - ind) / sm * fpScale)
+              var i = 0
+              while (i < fs.length) { gfp(ki)(fs(i)) += gRow; i += 1 }
+              ki += 1
+            }
+            d += 1
+          }
+          var ki = 0
+          while (ki < k) {
+            var f = 0
+            while (f < dim) {
+              val g = (gfp(ki)(f).toDouble / fpScale) / n
+              v(ki)(f) = momentum * v(ki)(f) + g
+              w(ki)(f) = w(ki)(f) - lr * v(ki)(f)
+              f += 1
+            }
+            ki += 1
+          }
+        }
+        return Model(classes, w, dim)
+      case None => ()
+    }
     val nDocs = feats.select(countDistinct(col("did"))).head().getLong(0).toDouble
     val w = Array.fill(k)(new Array[Double](dim))
     val v = Array.fill(k)(new Array[Double](dim))
@@ -118,11 +178,11 @@ object MulticlassModel {
     * [[predict]] and [[scores]]; exact integers, shuffle-free.
     */
   private def marginCols(text: Column, model: Model): (Column, Seq[Column]) = {
-    val fs = array_distinct(transform(Tokenizer.preTokens(text),
-      w => featCol(w, model.dim)))
+    // codegen'd kernels (see QualityModel.score) — same ids, same sums
+    val fs = call_function("hash_features", Tokenizer.preTokens(text),
+      lit(model.dim), lit(QualityModel.hashSeed))
     val mfps = model.weights.toSeq.map { wk =>
-      val wFp = wk.map(fpLong)
-      aggregate(fs, lit(0L), (acc, f) => acc + element_at(lit(wFp), f + 1))
+      call_function("fp_margin_sum", fs, lit(wk.map(fpLong)))
     }
     (fs, mfps)
   }

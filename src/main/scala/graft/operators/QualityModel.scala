@@ -83,10 +83,58 @@ object QualityModel {
         Tokenizer.preTokens(col(textCol)).as("ws"))
       .filter(yFilter && size(col("ws")) > 0)
       .select(col("did"), col("y"),
-        array_distinct(transform(col("ws"), w => featCol(w, dim))).as("fs"))
+        call_function("hash_features", col("ws"), lit(dim), lit(hashSeed)).as("fs"))
       .select(col("did"), col("y"),
         sqrt(size(col("fs")).cast("double")).as("sm"), explode(col("fs")).as("f"))
       .repartition(col("did")).cache()
+
+  /** Driver replica of Spark's `round(doubleCol).cast("long")` (HALF_UP on
+    * BigDecimal.valueOf — the RoundBase path), for the local training folds.
+    */
+  private[operators] def roundHalfUpLong(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Collected per-doc view of [[featureTable]] for the size-adaptive
+    * driver fold (the PageRank-local principle applied to the GD loop):
+    * training corpora are bounded by design — "train on a bounded sample,
+    * score everything" is the 100 TB posture — so when the cached feature
+    * table fits the conf'd row budget, ship it to the driver ONCE and run
+    * every gradient pass in memory instead of one Spark job per pass.
+    * Returns None above the budget (the distributed loop then runs).
+    * `y` is carried as double (the binary trainer's label) holding an
+    * integral class index for the multiclass trainer.
+    */
+  private[operators] final case class LocalFeats(
+      y: Array[Double], sm: Array[Double], fs: Array[Array[Int]]) {
+    def nDocs: Double = y.length.toDouble
+  }
+  private[operators] def collectLocalFeats(feats: DataFrame): Option[LocalFeats] = {
+    val maxRows = feats.sparkSession.conf
+      .get("spark.graft.train.localIterMaxRows", (1L << 22).toString).toLong
+    if (feats.count() > maxRows) None
+    else {
+      val rows = feats.select("did", "y", "sm", "f").collect()
+      def yOf(r: org.apache.spark.sql.Row): Double = r.get(1) match {
+        case d: java.lang.Double => d.doubleValue()
+        case i: java.lang.Integer => i.doubleValue()
+        case other => throw new IllegalStateException(s"unexpected y: $other")
+      }
+      val m = new java.util.LinkedHashMap[Any,
+        (Double, Double, scala.collection.mutable.ArrayBuffer[Int])]()
+      rows.foreach { r =>
+        var e = m.get(r.get(0))
+        if (e == null) {
+          e = (yOf(r), r.getDouble(2), scala.collection.mutable.ArrayBuffer.empty[Int])
+          m.put(r.get(0), e)
+        }
+        e._3 += r.getInt(3)
+      }
+      import scala.jdk.CollectionConverters._
+      val docs = m.values().asScala.toArray
+      Some(LocalFeats(docs.map(_._1), docs.map(_._2), docs.map(_._3.toArray)))
+    }
+  }
 
   /** Train logistic-regression weights on (textCol, labelCol) where
     * labelCol is boolean/0-1 and idCol uniquely keys a document. Returns
@@ -97,6 +145,43 @@ object QualityModel {
             dim: Int = 1024, iters: Int = 24, lr: Double = 3.0): Array[Double] = {
     val feats = featureTable(docs, idCol, textCol,
       col(labelCol).cast("double"), lit(true), dim)
+    collectLocalFeats(feats) match {
+      case Some(lf) =>
+        // in-memory fold of the IDENTICAL per-pass arithmetic (long margin
+        // sums, StrictMath sigmoid, HALF_UP scaled-long per-row gradients,
+        // long gradient sums, the same update) — bit-equal to the
+        // distributed loop below, spec-pinned
+        feats.unpersist()
+        val w = new Array[Double](dim)
+        val v = new Array[Double](dim)
+        val n = lf.nDocs
+        (1 to iters).foreach { _ =>
+          val wFp = w.map(fpLong)
+          val gfp = new Array[Long](dim)
+          var d = 0
+          while (d < lf.y.length) {
+            val fs = lf.fs(d)
+            var mfp = 0L
+            var i = 0
+            while (i < fs.length) { mfp += wFp(fs(i)); i += 1 }
+            val p = 1.0 / (1.0 +
+              StrictMath.exp(-(mfp.toDouble / fixedPointScale / lf.sm(d))))
+            val gRow = roundHalfUpLong((p - lf.y(d)) / lf.sm(d) * fixedPointScale)
+            i = 0
+            while (i < fs.length) { gfp(fs(i)) += gRow; i += 1 }
+            d += 1
+          }
+          var f = 0
+          while (f < dim) {
+            val g = (gfp(f).toDouble / fixedPointScale) / n
+            v(f) = momentum * v(f) + g
+            w(f) = w(f) - lr * v(f)
+            f += 1
+          }
+        }
+        return w
+      case None => ()
+    }
     val nDocs = feats.select(countDistinct(col("did"))).head().getLong(0).toDouble
     val w = new Array[Double](dim)
     val v = new Array[Double](dim)
@@ -161,8 +246,12 @@ object QualityModel {
     */
   def score(text: Column, weights: Array[Double], dim: Int): Column = {
     val wFp = weights.map(fpLong)
-    val fs = array_distinct(transform(Tokenizer.preTokens(text), w => featCol(w, dim)))
-    val mfp = aggregate(fs, lit(0L), (acc, f) => acc + element_at(lit(wFp), f + 1))
+    // codegen'd kernels: the transform/array_distinct + aggregate folds
+    // these replace are CodegenFallback (interpreted per row with boxed
+    // lambdas) — same ids, same exact long sum
+    val fs = call_function("hash_features", Tokenizer.preTokens(text),
+      lit(dim), lit(hashSeed))
+    val mfp = call_function("fp_margin_sum", fs, lit(wFp))
     // null text -> null score (not 0.5: a silent p=0.5 would sail
     // through a keep-if-positive curation gate); token-less text -> 0.5
     val margin = when(size(fs) > 0,

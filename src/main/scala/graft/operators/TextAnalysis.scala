@@ -462,11 +462,27 @@ object TextAnalysis {
                              dfreq: org.apache.spark.sql.DataFrame,
                              stats: org.apache.spark.sql.DataFrame) {
     def save(dir: String): Unit = {
-      postings.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-      dfreq.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
-      stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      // cluster each bucket-partitioned write by its partition key (the
+      // cid-write rule: unclustered, every task opens a file per bucket —
+      // tasks x buckets tiny files whose open/footer cost dominates the
+      // pruned search read) and overlap the three independent writes
+      Similarity.inParallel(
+        clusterByBucket(postings).write.mode("overwrite")
+          .partitionBy("bucket").parquet(s"$dir/postings"),
+        Similarity.inParallel(
+          clusterByBucket(dfreq).write.mode("overwrite")
+            .partitionBy("bucket").parquet(s"$dir/df"),
+          stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")))
+      ()
     }
   }
+
+  /** See [[Similarity]]'s cid-write rule: hash-cluster a bucket-partitioned
+    * write on its partition key with a pinned partition count (AQE would
+    * coalesce the small shuffle to one task and serialize the write).
+    */
+  private def clusterByBucket(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("bucket"))
 
   private val Bm25BucketSeed = 97L
 
@@ -534,8 +550,8 @@ object TextAnalysis {
   }
 
   def positionalIndexSave(index: PositionalIndex, dir: String): Unit = {
-    index.postings.write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$dir/postings")
+    clusterByBucket(index.postings).write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$dir/postings")
     val ss = index.postings.sparkSession
     import ss.implicits._
     Seq(index.buckets).toDF("buckets").coalesce(1)

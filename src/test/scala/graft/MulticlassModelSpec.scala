@@ -29,6 +29,21 @@ class MulticlassModelSpec extends SparkSpec {
     }.toDF("doc_id", "text", "label")
   }
 
+  test("the local driver fold is bit-equal to the distributed softmax GD " +
+    "loop (size-adaptive switch never changes a weight)") {
+    graft.functions.Functions.ensure(spark)
+    val docs = corpus(120)
+    val mLocal = MulticlassModel.train(docs, "doc_id", "text", "label",
+      dim = 128, iters = 3)
+    spark.conf.set("spark.graft.train.localIterMaxRows", "0")
+    try {
+      val mDist = MulticlassModel.train(docs, "doc_id", "text", "label",
+        dim = 128, iters = 3)
+      assert(mLocal.classes === mDist.classes)
+      assert(mLocal.weights.map(_.toSeq).toSeq === mDist.weights.map(_.toSeq).toSeq)
+    } finally spark.conf.unset("spark.graft.train.localIterMaxRows")
+  }
+
   test("learns a separable 3-class corpus to high accuracy; probabilities " +
     "sum to 1 in class order") {
     graft.functions.Functions.ensure(spark)

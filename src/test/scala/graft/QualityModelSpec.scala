@@ -16,6 +16,16 @@ class QualityModelSpec extends SparkSpec {
         array_contains(graft.operators.Tokenizer.preTokens(col("text")), "spark"))
   }
 
+  test("the local driver fold is bit-equal to the distributed GD loop " +
+      "(size-adaptive switch never changes a weight)") {
+    val wLocal = QualityModel.train(docs, "doc_id", "text", "y_b", dim = 256, iters = 3)
+    spark.conf.set("spark.graft.train.localIterMaxRows", "0")
+    try {
+      val wDist = QualityModel.train(docs, "doc_id", "text", "y_b", dim = 256, iters = 3)
+      assert(wLocal.toSeq === wDist.toSeq)
+    } finally spark.conf.unset("spark.graft.train.localIterMaxRows")
+  }
+
   test("training is bit-reproducible across runs (fixed-point contract)") {
     val w1 = QualityModel.train(docs, "doc_id", "text", "y_b", dim = 256, iters = 2)
     val w2 = QualityModel.train(
