@@ -3843,10 +3843,12 @@ object Queries {
         val dirA = tmpDir("graft-bm25-sharda").toString
         val dirB = tmpDir("graft-bm25-shardb").toString
         val dirM = tmpDir("graft-bm25-merged").toString
-        TextAnalysis.bm25IndexBuild(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", buckets = 16).save(dirA)
-        TextAnalysis.bm25IndexBuild(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", buckets = 16).save(dirB)
+        // the two shard builds are independent — overlap their jobs
+        Similarity.inParallel(
+          TextAnalysis.bm25IndexBuild(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", buckets = 16).save(dirA),
+          TextAnalysis.bm25IndexBuild(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", buckets = 16).save(dirB))
         TextAnalysis.bm25IndexMerge(s, dirA, dirB, dirM)
         TextAnalysis.bm25SearchIndex(TextAnalysis.bm25IndexLoad(s, dirM),
             terms, 10)
@@ -4131,12 +4133,14 @@ object Queries {
         val dirA = tmpDir("graft-pos-sharda").toString
         val dirB = tmpDir("graft-pos-shardb").toString
         val dirM = tmpDir("graft-pos-merged").toString
-        TextAnalysis.positionalIndexSave(
-          TextAnalysis.positionalIndexBuild(docs.filter(col("doc_id") % 2 === 0),
-            "doc_id", "text", buckets = 16), dirA)
-        TextAnalysis.positionalIndexSave(
-          TextAnalysis.positionalIndexBuild(docs.filter(col("doc_id") % 2 === 1),
-            "doc_id", "text", buckets = 16), dirB)
+        // the two shard builds are independent — overlap their jobs
+        Similarity.inParallel(
+          TextAnalysis.positionalIndexSave(
+            TextAnalysis.positionalIndexBuild(docs.filter(col("doc_id") % 2 === 0),
+              "doc_id", "text", buckets = 16), dirA),
+          TextAnalysis.positionalIndexSave(
+            TextAnalysis.positionalIndexBuild(docs.filter(col("doc_id") % 2 === 1),
+              "doc_id", "text", buckets = 16), dirB))
         TextAnalysis.positionalIndexMerge(s, dirA, dirB, dirM)
         TextAnalysis.phraseSearch(TextAnalysis.positionalIndexLoad(s, dirM),
             Seq("slow", "hash", "batch"))
@@ -4296,14 +4300,16 @@ object Queries {
         val terms = Seq(0L -> Seq("hash", "join"), 1L -> Seq("fast", "scan", "filter"),
           2L -> Seq("customer", "order", "data"))
         val bmDir = tmpDir("graft-hyb-bm25")
-        TextAnalysis.bm25IndexBuild(t(s, d, "documents"), "doc_id", "text", buckets = 16)
-          .save(bmDir.toString)
+        val emb = t(s, d, "embeddings")
+        val ivfDir = tmpDir("graft-hyb-ivf")
+        // the sparse and dense index builds are independent — overlap them
+        Similarity.inParallel(
+          TextAnalysis.bm25IndexBuild(t(s, d, "documents"), "doc_id", "text",
+            buckets = 16).save(bmDir.toString),
+          Similarity.ivfTrain(s, emb, nlist = 16, iters = 1).save(ivfDir.toString))
         val sparse = TextAnalysis.bm25SearchIndex(
             TextAnalysis.bm25IndexLoad(s, bmDir.toString), terms, 10)
           .select(col("query_id"), col("doc_id"), col("rank"))
-        val emb = t(s, d, "embeddings")
-        val ivfDir = tmpDir("graft-hyb-ivf")
-        Similarity.ivfTrain(s, emb, nlist = 16, iters = 1).save(ivfDir.toString)
         val dense = Similarity.ivfSearch(Similarity.ivfLoad(s, ivfDir.toString),
             emb.filter(col("vec_id") < 3), 10, nprobe = 16)
           .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk").as("rank"))

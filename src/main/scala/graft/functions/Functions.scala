@@ -84,6 +84,13 @@ object Functions {
     "hash_features"   -> (es => HashFeatures(es(0), constInt(es(1)),
       es(2).eval().asInstanceOf[Long])),
     "fp_margin_sum"   -> (es => FpMarginSum(es(0), constLongs(es(1)))),
+    // fused classifier scoring kernels (tokens, flat weights, k, dim, seed)
+    "fp_softmax"      -> (es => FpClassifier.FpSoftmax(es(0), constLongs(es(1)),
+      constInt(es(2)), constInt(es(3)), es(4).eval().asInstanceOf[Long])),
+    "fp_argmax"       -> (es => FpClassifier.FpArgmax(es(0), constLongs(es(1)),
+      constInt(es(2)), constInt(es(3)), es(4).eval().asInstanceOf[Long])),
+    "fp_sigmoid"      -> (es => FpClassifier.FpSigmoid(es(0), constLongs(es(1)),
+      constInt(es(2)), es(3).eval().asInstanceOf[Long])),
     "strict_exp"      -> (es => StrictExp(es.head)),
     "java_lower"      -> (es => JavaLower(es.head)),
     "min_timeuuid"    -> (es => MinTimeUuid(es.head)),

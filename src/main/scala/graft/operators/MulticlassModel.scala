@@ -174,51 +174,37 @@ object MulticlassModel {
     Model(classes, w, dim)
   }
 
-  /** Per-class scaled-long margins of a text — the shared fold under
-    * [[predict]] and [[scores]]; exact integers, shuffle-free.
-    */
-  private def marginCols(text: Column, model: Model): (Column, Seq[Column]) = {
-    // codegen'd kernels (see QualityModel.score) — same ids, same sums
-    val fs = call_function("hash_features", Tokenizer.preTokens(text),
-      lit(model.dim), lit(QualityModel.hashSeed))
-    val mfps = model.weights.toSeq.map { wk =>
-      call_function("fp_margin_sum", fs, lit(wk.map(fpLong)))
-    }
-    (fs, mfps)
-  }
+  /** Flat k×dim scaled-long weight table the fused kernels take. */
+  private def flatFp(model: Model): Seq[Long] =
+    model.weights.toSeq.flatMap(_.map(fpLong).toSeq)
 
   /** Predicted class label. The argmax compares the EXACT integer
     * margins (1/sqrt(m) cancels across classes), ties break to the
     * lowest class index — fully deterministic. Null text and token-less
     * text predict null (no evidence — a silent majority-class answer
-    * would sail through a routing gate).
+    * would sail through a routing gate). ONE fused codegen kernel
+    * (FpClassifier.FpArgmax) — the Column greatest-over-structs form
+    * re-evaluated the interpreted margin subtrees per comparison.
     */
-  def predict(text: Column, model: Model): Column = {
-    val (fs, mfps) = marginCols(text, model)
-    val packed = mfps.zipWithIndex.map { case (m, i) =>
-      struct(m.as("m"), lit(-i).as("nk"))
-    }
-    val best =
-      if (packed.length == 1) packed.head
-      else greatest(packed: _*)
-    when(size(fs) > 0,
-      element_at(typedLit(model.classes), -best.getField("nk") + 1))
-  }
+  def predict(text: Column, model: Model): Column =
+    element_at(typedLit(model.classes),
+      call_function("fp_argmax", Tokenizer.preTokens(text),
+        lit(flatFp(model).toArray), lit(model.classes.size), lit(model.dim),
+        lit(QualityModel.hashSeed)) + 1)
 
   /** Softmax probabilities, classes in [[Model.classes]] order — the
     * same fixed-order arithmetic training used, so a doc's training-time
     * distribution is its scoring-time distribution. Null/token-less
-    * text yields null.
+    * text yields null. ONE fused codegen kernel (FpClassifier.FpSoftmax):
+    * the Column composition (zmax guard + left-fold denominator + K
+    * probability columns) referenced the interpreted margin subtrees
+    * O(K²) times per row; the kernel hashes and folds once, with the
+    * identical zmax-guarded StrictMath arithmetic.
     */
-  def scores(text: Column, model: Model): Column = {
-    val (fs, mfps) = marginCols(text, model)
-    val sm = sqrt(size(fs).cast("double"))
-    val zs = mfps.map(m => m.cast("double") / lit(fpScale) / sm)
-    val zmax = if (zs.length == 1) zs.head else greatest(zs: _*)
-    val exps = zs.map(z => strict_exp(z - zmax))
-    val denom = exps.reduce(_ + _)
-    when(size(fs) > 0, array(exps.map(_ / denom): _*))
-  }
+  def scores(text: Column, model: Model): Column =
+    call_function("fp_softmax", Tokenizer.preTokens(text),
+      lit(flatFp(model).toArray), lit(model.classes.size), lit(model.dim),
+      lit(QualityModel.hashSeed))
 
   /** Per-class classification report over a (label, prediction) pair
     * table — the evaluation table every classifier-gated curation

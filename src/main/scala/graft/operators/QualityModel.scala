@@ -244,20 +244,15 @@ object QualityModel {
     * literal — zero shuffles, exactly the arithmetic [[train]] used, so
     * a doc's training-time probability is its scoring-time probability.
     */
-  def score(text: Column, weights: Array[Double], dim: Int): Column = {
-    val wFp = weights.map(fpLong)
-    // codegen'd kernels: the transform/array_distinct + aggregate folds
-    // these replace are CodegenFallback (interpreted per row with boxed
-    // lambdas) — same ids, same exact long sum
-    val fs = call_function("hash_features", Tokenizer.preTokens(text),
-      lit(dim), lit(hashSeed))
-    val mfp = call_function("fp_margin_sum", fs, lit(wFp))
-    // null text -> null score (not 0.5: a silent p=0.5 would sail
-    // through a keep-if-positive curation gate); token-less text -> 0.5
-    val margin = when(size(fs) > 0,
-      mfp.cast("double") / lit(fixedPointScale) / sqrt(size(fs).cast("double")))
-      .when(size(fs) === 0, lit(0.0))
-    // StrictMath sigmoid: Math.exp's JIT intrinsic is not bit-stable
-    lit(1.0) / (lit(1.0) + strict_exp(-margin))
-  }
+  def score(text: Column, weights: Array[Double], dim: Int): Column =
+    // ONE fused codegen kernel (FpClassifier.FpSigmoid): the Column
+    // composition referenced the feature subtree several times, and those
+    // higher-order pipelines are CodegenFallback — interpreted per
+    // EVALUATION with no subexpression elimination, so each row paid the
+    // tokenize+hash+fold repeatedly. Identical arithmetic: murmur-pmod
+    // distinct ids, exact long margin, m/2^24/sqrt(|fs|), StrictMath
+    // sigmoid; null text -> null score (not 0.5: a silent p=0.5 would
+    // sail through a keep-if-positive curation gate); token-less -> 0.5.
+    call_function("fp_sigmoid", Tokenizer.preTokens(text),
+      lit(weights.map(fpLong)), lit(dim), lit(hashSeed))
 }

@@ -34,7 +34,7 @@ object Similarity {
     * centroid-header write vs the lists write) — the second job's tasks
     * back-fill executor slots the first leaves idle between stages.
     */
-  private[operators] def inParallel[A, B](a: => A, b: => B): (A, B) = {
+  private[graft] def inParallel[A, B](a: => A, b: => B): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
